@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Extent, LayoutDefinition, TileLayout}
+import graft.raster.RasterLayer
+
+/** The derived-grid contract shared by every raster query and its
+  * DuckDB oracle (SURVEY.md §3): the driver's TPC-H-ish tables are
+  * deterministically mapped to logical grids / point sets, identically
+  * in Spark code (here) and in oracle SQL (the `Sql` strings).
+  *
+  * Grid: 256 x 256 cells, tiled 64 x 64 (4 x 4 tiles), extent
+  * (0,0)-(256,256) with cell size 1 and y-down rows (grid coords ==
+  * cell coords, so oracles stay pure integer arithmetic).
+  */
+object GridSource {
+  val G  = 256 // grid cols == rows
+  val T  = 64  // tile cols == rows
+  val layout: LayoutDefinition =
+    LayoutDefinition(Extent(0, 0, G, G), TileLayout(G / T, G / T, T, T))
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Value grid from lineitem: x = l_orderkey%256, y = l_partkey%256,
+    * v = sum(l_quantity) (integral => exact double sums). */
+  def lineitemCells(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy((col("l_orderkey") % G).as("x"), (col("l_partkey") % G).as("y"))
+      .agg(sum("l_quantity").as("v"))
+
+  val lineitemCellsSql: String =
+    s"SELECT l_orderkey % $G AS x, l_partkey % $G AS y, sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2"
+
+  def lineitemLayer(spark: SparkSession, dir: String): RasterLayer =
+    RasterLayer.fromCells(lineitemCells(spark, dir), layout)
+
+  /** Second value grid (for binary ops / union) from orders:
+    * x = o_orderkey%256, y = o_custkey%256, v = count (exact). */
+  def ordersCells(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy((col("o_orderkey") % G).as("x"), (col("o_custkey") % G).as("y"))
+      .agg(count(lit(1)).cast("double").as("v"))
+
+  val ordersCellsSql: String =
+    s"SELECT o_orderkey % $G AS x, o_custkey % $G AS y, CAST(count(*) AS DOUBLE) AS v FROM orders GROUP BY 1, 2"
+
+  def ordersLayer(spark: SparkSession, dir: String): RasterLayer =
+    RasterLayer.fromCells(ordersCells(spark, dir), layout)
+
+  /** Zone grid from lineitem: zone = min(l_returnflag) per cell
+    * (min => deterministic, unlike mode). Encoded to int via ascii. */
+  def zoneCells(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy((col("l_orderkey") % G).as("x"), (col("l_partkey") % G).as("y"))
+      .agg(min(col("l_returnflag")).as("zone"))
+
+  val zoneCellsSql: String =
+    s"SELECT l_orderkey % $G AS x, l_partkey % $G AS y, min(l_returnflag) AS zone FROM lineitem GROUP BY 1, 2"
+
+  /** Point set from supplier: deterministic scatter of 100-ish points
+    * with fractional offsets (px, py in cell units). */
+  def supplierPoints(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "supplier").select(
+      col("s_suppkey").as("pid"),
+      ((col("s_suppkey") * 13) % G + lit(0.5)).cast("double").as("px"),
+      ((col("s_suppkey") * 29) % G + lit(0.5)).cast("double").as("py"))
+
+  val supplierPointsSql: String =
+    s"SELECT s_suppkey AS pid, CAST(s_suppkey * 13 % $G + 0.5 AS DOUBLE) AS px, CAST(s_suppkey * 29 % $G + 0.5 AS DOUBLE) AS py FROM supplier"
+
+  /** Lon/lat points from customer (for CRS transforms): lon in
+    * (-180,180), lat clamped to mercator-safe (-85,85). */
+  def customerLonLat(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select(
+      col("c_custkey").as("pid"),
+      ((col("c_custkey") * 7) % 360 - 180 + lit(0.25)).cast("double").as("lon"),
+      ((col("c_custkey") * 11) % 170 - 85 + lit(0.25)).cast("double").as("lat"))
+
+  val customerLonLatSql: String =
+    "SELECT c_custkey AS pid, CAST(c_custkey * 7 % 360 - 180 + 0.25 AS DOUBLE) AS lon, CAST(c_custkey * 11 % 170 - 85 + 0.25 AS DOUBLE) AS lat FROM customer"
+
+  /** SpaceTime cells from events: day-keyed grid. */
+  def eventCells(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy((col("user_id") % 64).as("x"), (col("event_id") % 64).as("y"),
+               datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("instant"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+
+  val eventCellsSql: String =
+    "SELECT user_id % 64 AS x, event_id % 64 AS y, CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS instant, CAST(sum(CAST(\"value\" AS DECIMAL(18,6))) AS DOUBLE) AS v FROM events GROUP BY 1, 2, 3"
+}

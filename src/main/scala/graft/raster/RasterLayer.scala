@@ -1,0 +1,276 @@
+package graft.raster
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Extent, LayoutDefinition, TileLayout}
+
+/** Layer metadata — the WHAT of the reference's
+  * `Metadata`/`collect_metadata` (geopyspark/geotrellis/layer.py:858):
+  * layout (extent + tile grid), cell type, nodata.
+  *
+  * NoData is uniformly `Double.NaN` in the physical tiles; `cellType`
+  * records the logical type for convert_data_type/with_no_data
+  * semantics (layer.py:747,777).
+  */
+final case class LayerMetadata(
+    layout: LayoutDefinition,
+    cellType: String = "float64",
+    temporal: Boolean = false)
+
+/** A tiled raster layer, Spark-first.
+  *
+  * Physical model: a DataFrame with columns
+  *   `col INT, row INT[, instant BIGINT], tile ARRAY<DOUBLE>`
+  * where `tile` is a row-major tileCols x tileRows cell array and NaN is
+  * NoData. This is the Dataset re-expression of the reference's
+  * `TiledRasterLayer` (RDD[(SpatialKey, Tile)] — layer.py:1074): tiles
+  * stay the unit of distribution (no per-cell rows in the physical
+  * path), map algebra runs as codegen'd higher-order array functions,
+  * and keyed ops shuffle once on (col, row).
+  *
+  * At 100 TB: a layer is O(10^8) tile rows; every op below is either
+  * per-row (no shuffle) or a single keyed shuffle that AQE can size.
+  */
+final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
+  import RasterLayer._
+
+  private def tl: TileLayout = meta.layout.tileLayout
+  private def tc: Int        = tl.tileCols
+  private def tr: Int        = tl.tileRows
+
+  def spark: SparkSession = df.sparkSession
+
+  private def keyCols: Seq[String] =
+    if (meta.temporal) Seq("col", "row", "instant") else Seq("col", "row")
+
+  private def withTile(tile: Column): DataFrame =
+    df.select(keyCols.map(df.col) :+ tile.as("tile"): _*)
+
+  def copy(df: DataFrame = df, meta: LayerMetadata = meta): RasterLayer =
+    new RasterLayer(df, meta)
+
+  // ------------------------------------------------------------------
+  // RDD-ish basics (reference layer.py: count/isEmpty/getNumPartitions,
+  // cache/persist/repartition/partitionBy :280-670)
+  // ------------------------------------------------------------------
+  def count(): Long        = df.count()
+  def isEmpty: Boolean     = df.isEmpty
+  def numPartitions: Int   = df.rdd.getNumPartitions
+  def cache(): RasterLayer = copy(df = df.cache())
+
+  /** Spatial partitioning: hash-shuffle on the tile key so downstream
+    * keyed ops (merge/binary algebra/focal) reuse the exchange.
+    * Reference: partitionBy + SpatialPartitionStrategy (layer.py:642). */
+  def partitionByKey(n: Int): RasterLayer =
+    copy(df = df.repartition(n, keyCols.map(df.col): _*))
+
+  /** Keys present in the layer — reference collect_keys (layer.py:801). */
+  def collectKeys(): DataFrame = df.select(keyCols.map(df.col): _*)
+
+  /** Single-tile fetch — reference lookup (layer.py:1735). Stays a
+    * DataFrame so the key predicate pushes into the scan. */
+  def lookup(c: Int, r: Int): DataFrame =
+    df.filter(col("col") === c && col("row") === r)
+
+  // ------------------------------------------------------------------
+  // Local map algebra (reference layer.py:2495-2567 __add__ etc.)
+  // Per-tile `transform(...)` — narrow, codegen'd, shuffle-free.
+  // ------------------------------------------------------------------
+  def localMap(f: Column => Column): RasterLayer =
+    copy(df = withTile(transform(col("tile"), f)))
+
+  def +(v: Double): RasterLayer = localMap(_ + lit(v))
+  def -(v: Double): RasterLayer = localMap(_ - lit(v))
+  def *(v: Double): RasterLayer = localMap(_ * lit(v))
+  def /(v: Double): RasterLayer = localMap(_ / lit(v))
+  def **(v: Double): RasterLayer = localMap(c => pow(c, lit(v)))
+  def abs_ : RasterLayer        = localMap(abs(_))
+
+  /** localMax against a scalar (layer.py:2513). NaN-safe: NoData stays
+    * NoData (greatest() would swallow NaN). */
+  def localMax(v: Double): RasterLayer =
+    localMap(c => when(isnan(c), c).otherwise(greatest(c, lit(v))))
+
+  /** Binary cell-wise op between two layers with matching layouts —
+    * reference __add__(layer) etc. One co-keyed shuffle join; NaN in
+    * either side propagates (NoData semantics). */
+  def localBinary(other: RasterLayer, f: (Column, Column) => Column): RasterLayer = {
+    val a = df.select(keyCols.map(df.col) :+ col("tile").as("_ta"): _*)
+    val b = other.df.select(keyCols.map(other.df.col) :+ col("tile").as("_tb"): _*)
+    val joined = a.join(b, keyCols)
+    copy(df = joined.select(keyCols.map(joined.col) :+
+      zip_with(col("_ta"), col("_tb"), f).as("tile"): _*))
+  }
+
+  def +(other: RasterLayer): RasterLayer = localBinary(other, _ + _)
+  def -(other: RasterLayer): RasterLayer = localBinary(other, _ - _)
+  def *(other: RasterLayer): RasterLayer = localBinary(other, _ * _)
+  def /(other: RasterLayer): RasterLayer = localBinary(other, _ / _)
+
+  /** Reclassify by break points — reference reclassify
+    * (layer.py:955,2106) with ClassificationStrategy. Breaks broadcast
+    * as a literal CASE chain (codegen'd, no join). */
+  def reclassify(breaks: Seq[(Double, Double)], strategy: String = "LessThanOrEqualTo",
+                 replaceNoData: Option[Double] = None): RasterLayer = {
+    def classify(c: Column): Column = {
+      val base: Column = replaceNoData.map(v => lit(v)).getOrElse(lit(Double.NaN))
+      val cmp: (Column, Double) => Column = strategy match {
+        case "LessThanOrEqualTo"    => (x, b) => x <= b
+        case "LessThan"             => (x, b) => x < b
+        case "GreaterThanOrEqualTo" => (x, b) => x >= b
+        case "GreaterThan"          => (x, b) => x > b
+        case "Exact"                => (x, b) => x === b
+        case s                      => throw new IllegalArgumentException(s)
+      }
+      // GreaterThan* strategies match the highest break first.
+      val ordered =
+        if (strategy.startsWith("Greater")) breaks.sortBy(-_._1) else breaks.sortBy(_._1)
+      // CASE chain: first matching break (in strategy order) wins
+      ordered.reverse.foldLeft(base) { case (elseC, (b, out)) =>
+        when(cmp(c, b), lit(out)).otherwise(elseC)
+      }
+    }
+    localMap(c => when(isnan(c), lit(Double.NaN)).otherwise(classify(c)))
+  }
+
+  /** Rescale cell values to [newMin, newMax] — reference normalize
+    * (layer.py:2152). Old min/max computed layer-wide when absent
+    * (tiny 2-value broadcast, not a collect of data rows). */
+  def normalize(newMin: Double, newMax: Double,
+                oldMinMax: Option[(Double, Double)] = None): RasterLayer = {
+    val (omin, omax) = oldMinMax.getOrElse(minMax())
+    localMap(c => (c - lit(omin)) / lit(omax - omin) * lit(newMax - newMin) + lit(newMin))
+  }
+
+  /** Cells equal to `v` become NoData — reference with_no_data
+    * (layer.py:777). */
+  def withNoData(v: Double): RasterLayer =
+    localMap(c => when(c === lit(v), lit(Double.NaN)).otherwise(c))
+
+  /** Cast cell values to an integral type's domain — reference
+    * convert_data_type (layer.py:747). Truncates toward zero like a
+    * numeric cast; NaN survives as NoData. */
+  def convertCellType(newType: String): RasterLayer = {
+    val converted = newType match {
+      case t if t.startsWith("int") || t.startsWith("uint") =>
+        localMap(c => when(isnan(c), c).otherwise(c.cast("long").cast("double")))
+      case _ => this
+    }
+    converted.copy(meta = meta.copy(cellType = newType))
+  }
+
+  // ------------------------------------------------------------------
+  // Multi-layer ops
+  // ------------------------------------------------------------------
+  /** Concatenate layers (duplicate keys allowed) — reference union
+    * (union.py:9). Pure union, no shuffle. */
+  def union(other: RasterLayer): RasterLayer = copy(df = df.unionByName(other.df))
+
+  /** Collapse duplicate keys with a cell-wise aggregation — reference
+    * merge (layer.py:818) / aggregate_by_cell (layer.py:1500).
+    * One keyed shuffle; cell-wise combine via zip_with in a reduce-style
+    * aggregation (map-side partial applies per partition). */
+  def aggregateByCell(op: String): RasterLayer = {
+    val agg = udaf(new TileReduceAgg(tl.tileSize, CellOp.of(op)),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val reduced = df.groupBy(keyCols.map(df.col): _*)
+      .agg(agg(col("tile")).as("tile"))
+    copy(df = reduced)
+  }
+
+  /** `merge` keeps the last non-NoData value per cell among duplicate
+    * keys (reference layer.py:818 merge semantics). */
+  def merge(): RasterLayer = aggregateByCell("Max") // documented simplification r1
+
+  // ------------------------------------------------------------------
+  // SpaceTime (reference to_spatial_layer / filter_by_times
+  // layer.py:608,1007)
+  // ------------------------------------------------------------------
+  /** Keep tiles whose instant falls in any [from, to] interval. Pure
+    * filter — pushes to scan. */
+  def filterByTimes(intervals: Seq[(Long, Long)]): RasterLayer = {
+    require(meta.temporal, "filterByTimes on spatial-only layer")
+    val pred = intervals.map { case (a, b) =>
+      col("instant") >= a && col("instant") <= b
+    }.reduce(_ || _)
+    copy(df = df.filter(pred))
+  }
+
+  /** Drop the time dimension, aggregating duplicate spatial keys. */
+  def toSpatialLayer(op: String = "Max"): RasterLayer = {
+    require(meta.temporal)
+    val spatial = copy(df = df.select(col("col"), col("row"), col("tile")),
+                       meta = meta.copy(temporal = false))
+    spatial.aggregateByCell(op)
+  }
+
+  // ------------------------------------------------------------------
+  // Layer-wide statistics (reference get_min_max layer.py:223,
+  // get_histogram :209, get_quantile_breaks :233)
+  // ------------------------------------------------------------------
+  /** Per-tile partial min/max then a tiny global combine — no data
+    * leaves the executors except 2 doubles per tile. */
+  def minMax(): (Double, Double) = {
+    val row = df.select(
+      min(array_min(filter(col("tile"), c => !isnan(c)))).as("mn"),
+      max(array_max(filter(col("tile"), c => !isnan(c)))).as("mx")).head()
+    (row.getDouble(0), row.getDouble(1))
+  }
+
+  /** Flatten to one row per data cell (x, y, v). Verification /
+    * boundary-export path only — never used tile-to-tile. */
+  def toCells: DataFrame = RasterLayer.tilesToCells(df, tc, tr, meta.temporal)
+}
+
+object RasterLayer {
+  /** Assemble a tiled layer from a cell DataFrame `(x LONG, y LONG,
+    * v DOUBLE)` with unique (x, y). The dense tile array is built with
+    * map_from_entries + a sequence-transform lookup — fully codegen'd,
+    * single keyed shuffle (the groupBy). Reference: tile_to_layout
+    * (layer.py:900). */
+  def fromCells(cells: DataFrame, layout: LayoutDefinition, op: CellOp = CellOp.Sum): RasterLayer = {
+    val tl = layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val keyed = cells.select(
+      (col("x") / tc).cast("int").as("col"),
+      (col("y") / tr).cast("int").as("row"),
+      ((col("y") % tr) * tc + (col("x") % tc)).cast("int").as("off"),
+      col("v").cast("double").as("v"))
+    val agg = udaf(new TileBuildAgg(tl.tileSize, op),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Double)]())
+    val df = keyed.groupBy("col", "row")
+      .agg(agg(col("off"), col("v")).as("tile"))
+    new RasterLayer(df, LayerMetadata(layout))
+  }
+
+  /** Temporal variant: cells `(x, y, instant, v)`. */
+  def fromCellsTemporal(cells: DataFrame, layout: LayoutDefinition, op: CellOp = CellOp.Sum): RasterLayer = {
+    val tl = layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val keyed = cells.select(
+      (col("x") / tc).cast("int").as("col"),
+      (col("y") / tr).cast("int").as("row"),
+      col("instant").cast("long").as("instant"),
+      ((col("y") % tr) * tc + (col("x") % tc)).cast("int").as("off"),
+      col("v").cast("double").as("v"))
+    val agg = udaf(new TileBuildAgg(tl.tileSize, op),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Double)]())
+    val df = keyed.groupBy("col", "row", "instant")
+      .agg(agg(col("off"), col("v")).as("tile"))
+    new RasterLayer(df, LayerMetadata(layout, temporal = true))
+  }
+
+  /** Inverse of fromCells: explode tiles to (x, y, v) rows, dropping
+    * NoData. */
+  def tilesToCells(df: DataFrame, tc: Int, tr: Int, temporal: Boolean = false): DataFrame = {
+    val keyC = if (temporal) Seq(col("col"), col("row"), col("instant")) else Seq(col("col"), col("row"))
+    val exploded = df.select(keyC :+ posexplode(col("tile")).as(Seq("off", "v")): _*)
+    val out = exploded
+      .where(!isnan(col("v")))
+      .withColumn("x", col("col").cast("long") * tc + col("off") % tc)
+      .withColumn("y", col("row").cast("long") * tr + floor(col("off") / tc).cast("long"))
+    if (temporal) out.select(col("x"), col("y"), col("instant"), col("v"))
+    else out.select(col("x"), col("y"), col("v"))
+  }
+}
