@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.raster.RasterLayer
+import graft.raster.{Neighborhood, RasterLayer}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each query key maps to. Every query reads only the
@@ -75,7 +75,68 @@ object SparkEntry {
       val l = lineitemLayer(s, dir)
       flat(l.union(l).aggregateByCell("Sum"))
     }),
+
+    // --- focal suite (SURVEY §2 focal ops)
+    "q_focal_sum" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Sum"))),
+    "q_focal_mean" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Mean"))),
+    "q_focal_min" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Min"))),
+    "q_focal_max" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Max"))),
+    "q_focal_median" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Median"))),
+    "q_focal_mode" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Mode"))),
+    "q_focal_stddev" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "StandardDeviation"))),
+    "q_focal_circle" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Circle(2.0), "Mean"))),
+    "q_slope" -> ((s, dir) => {
+      val l = lineitemLayer(s, dir).slope()
+      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
+    "q_aspect" -> ((s, dir) => {
+      val l = lineitemLayer(s, dir).aspect()
+      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
+    "q_hillshade" -> ((s, dir) => flat(lineitemLayer(s, dir).hillshade())),
+    "q_tobler" -> ((s, dir) => {
+      val l = lineitemLayer(s, dir).tobler()
+      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
   )
+
+  /** 3x3 neighbor join over the lineitem grid (shared focal-oracle CTE). */
+  private def focalJoin(agg: String): String =
+    s"""WITH g AS ($lineitemCellsSql)
+       |SELECT c.x AS x, c.y AS y, $agg AS v
+       |FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+       |GROUP BY c.x, c.y""".stripMargin
+
+  /** Horn-gradient pivot oracle (all-9-present convention, SURVEY §2). */
+  private def hornSql(select: String): String =
+    s"""WITH g AS ($lineitemCellsSql), nb AS (
+       |  SELECT c.x AS x, c.y AS y,
+       |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y - 1 THEN n.v END) AS n1,
+       |    max(CASE WHEN n.x = c.x     AND n.y = c.y - 1 THEN n.v END) AS n2,
+       |    max(CASE WHEN n.x = c.x + 1 AND n.y = c.y - 1 THEN n.v END) AS n3,
+       |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y     THEN n.v END) AS n4,
+       |    max(CASE WHEN n.x = c.x + 1 AND n.y = c.y     THEN n.v END) AS n6,
+       |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y + 1 THEN n.v END) AS n7,
+       |    max(CASE WHEN n.x = c.x     AND n.y = c.y + 1 THEN n.v END) AS n8,
+       |    max(CASE WHEN n.x = c.x + 1 AND n.y = c.y + 1 THEN n.v END) AS n9,
+       |    count(*) AS cnt
+       |  FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+       |  GROUP BY c.x, c.y
+       |), d AS (
+       |  SELECT x, y,
+       |    ((n3 + 2 * n6 + n9) - (n1 + 2 * n4 + n7)) / 8.0 AS dzdx,
+       |    ((n7 + 2 * n8 + n9) - (n1 + 2 * n2 + n3)) / 8.0 AS dzdy
+       |  FROM nb WHERE cnt = 9
+       |)
+       |SELECT x, y, $select AS v FROM d""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val grid  = lineitemCellsSql
@@ -112,6 +173,45 @@ object SparkEntry {
         s"SELECT x, y, sum(v) AS v FROM (SELECT * FROM ($grid) UNION ALL SELECT * FROM ($ogrid)) GROUP BY x, y",
 
       "q_aggregate_by_cell" -> s"SELECT x, y, v + v AS v FROM ($grid)",
+
+      "q_focal_sum"    -> focalJoin("sum(n.v)"),
+      "q_focal_mean"   -> focalJoin("avg(n.v)"),
+      "q_focal_min"    -> focalJoin("min(n.v)"),
+      "q_focal_max"    -> focalJoin("max(n.v)"),
+      "q_focal_median" -> focalJoin("median(n.v)"),
+
+      "q_focal_mode" ->
+        s"""WITH g AS ($grid)
+           |SELECT x, y, v FROM (
+           |  SELECT c.x AS x, c.y AS y, n.v AS v,
+           |    row_number() OVER (PARTITION BY c.x, c.y ORDER BY count(*) DESC, n.v ASC) AS rn
+           |  FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |  GROUP BY c.x, c.y, n.v
+           |) WHERE rn = 1""".stripMargin,
+
+      "q_focal_stddev" ->
+        (focalJoin("sqrt((sum(n.v * n.v) - sum(n.v) * sum(n.v) / count(*)) / (count(*) - 1))")
+          + " HAVING count(*) > 1"),
+
+      "q_focal_circle" ->
+        s"""WITH g AS ($grid)
+           |SELECT c.x AS x, c.y AS y, avg(n.v) AS v
+           |FROM g c JOIN g n
+           |  ON n.x BETWEEN c.x - 2 AND c.x + 2 AND n.y BETWEEN c.y - 2 AND c.y + 2
+           | AND (n.x - c.x) * (n.x - c.x) + (n.y - c.y) * (n.y - c.y) <= 4
+           |GROUP BY c.x, c.y""".stripMargin,
+
+      "q_slope" ->
+        hornSql("round(degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy))), 5)"),
+
+      "q_aspect" ->
+        hornSql("round(CASE WHEN degrees(atan2(dzdy, -dzdx)) < 0 THEN degrees(atan2(dzdy, -dzdx)) + 360 ELSE degrees(atan2(dzdy, -dzdx)) END, 5)"),
+
+      "q_hillshade" ->
+        hornSql("floor(greatest(0, 255 * (cos(radians(45)) * cos(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) + sin(radians(45)) * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) * cos(radians(315) - (CASE WHEN atan2(dzdy, -dzdx) < 0 THEN atan2(dzdy, -dzdx) + 2 * pi() ELSE atan2(dzdy, -dzdx) END)))))"),
+
+      "q_tobler" ->
+        hornSql("round(6 * exp(-3.5 * abs(sqrt(dzdx * dzdx + dzdy * dzdy) + 0.05)), 5)"),
     )
   }
 }

@@ -1,0 +1,323 @@
+package graft.raster
+
+import org.apache.spark.sql.functions.col
+
+/** Focal neighborhoods — reference geopyspark/geotrellis/neighborhood.py
+  * (Square:42, Circle:69, Nesw:99, Wedge:126, Annulus:159). A
+  * neighborhood is its set of (dx, dy) cell offsets (center included
+  * when the shape covers it) plus the halo radius needed from adjacent
+  * tiles.
+  */
+sealed trait Neighborhood extends Serializable {
+  def radius: Int
+  def offsets: IndexedSeq[(Int, Int)]
+}
+object Neighborhood {
+  final case class Square(extent: Int) extends Neighborhood {
+    val radius = extent
+    val offsets = for (dy <- -extent to extent; dx <- -extent to extent) yield (dx, dy)
+  }
+  final case class Circle(r: Double) extends Neighborhood {
+    val radius = math.ceil(r).toInt
+    val offsets = for {
+      dy <- -radius to radius; dx <- -radius to radius
+      if dx * dx + dy * dy <= r * r
+    } yield (dx, dy)
+  }
+  /** Plus-shaped: center + N/E/S/W arms. */
+  final case class Nesw(extent: Int) extends Neighborhood {
+    val radius = extent
+    val offsets = ((1 to extent).flatMap(d => Seq((d, 0), (-d, 0), (0, d), (0, -d))) :+ (0, 0)).toIndexedSeq
+  }
+  /** Ring: inner <= dist <= outer. */
+  final case class Annulus(inner: Double, outer: Double) extends Neighborhood {
+    val radius = math.ceil(outer).toInt
+    val offsets = for {
+      dy <- -radius to radius; dx <- -radius to radius
+      d2 = dx * dx + dy * dy
+      if d2 >= inner * inner && d2 <= outer * outer
+    } yield (dx, dy)
+  }
+  /** Angular sector of a circle; angles in degrees, 0 = +x, CCW. */
+  final case class Wedge(r: Double, startAngle: Double, endAngle: Double) extends Neighborhood {
+    val radius = math.ceil(r).toInt
+    val offsets = for {
+      dy <- -radius to radius; dx <- -radius to radius
+      if dx * dx + dy * dy <= r * r
+      a = { val deg = math.toDegrees(math.atan2(-dy, dx)); if (deg < 0) deg + 360 else deg }
+      if (dx == 0 && dy == 0) ||
+        (if (startAngle <= endAngle) a >= startAngle && a <= endAngle
+         else a >= startAngle || a <= endAngle)
+    } yield (dx, dy)
+  }
+}
+
+/** Focal cell statistics over the non-NoData neighborhood values.
+  * Reference: constants.py Operation enum (:151). */
+sealed trait FocalOp extends Serializable {
+  /** vals is the non-NaN neighborhood sample (unordered). */
+  def apply(vals: Array[Double], n: Int): Double
+}
+object FocalOp {
+  case object Sum extends FocalOp {
+    def apply(vs: Array[Double], n: Int) = { var s = 0.0; var i = 0; while (i < n) { s += vs(i); i += 1 }; s }
+  }
+  case object Mean extends FocalOp {
+    def apply(vs: Array[Double], n: Int) = Sum(vs, n) / n
+  }
+  case object Min extends FocalOp {
+    def apply(vs: Array[Double], n: Int) = { var m = vs(0); var i = 1; while (i < n) { if (vs(i) < m) m = vs(i); i += 1 }; m }
+  }
+  case object Max extends FocalOp {
+    def apply(vs: Array[Double], n: Int) = { var m = vs(0); var i = 1; while (i < n) { if (vs(i) > m) m = vs(i); i += 1 }; m }
+  }
+  /** Interpolated median (avg of middle two when n is even) — matches
+    * DuckDB median() / Spark percentile(0.5). */
+  case object Median extends FocalOp {
+    def apply(vs: Array[Double], n: Int) = {
+      val s = java.util.Arrays.copyOf(vs, n); java.util.Arrays.sort(s)
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+  }
+  /** Most frequent value; ties -> smallest value (deterministic). */
+  case object Mode extends FocalOp {
+    def apply(vs: Array[Double], n: Int) = {
+      val s = java.util.Arrays.copyOf(vs, n); java.util.Arrays.sort(s)
+      var best = s(0); var bestCnt = 0
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < n && s(j) == s(i)) j += 1
+        if (j - i > bestCnt) { bestCnt = j - i; best = s(i) }
+        i = j
+      }
+      best
+    }
+  }
+  /** Sample variance (n-1 denominator); NaN when n < 2. Computed as
+    * (sum(v^2) - sum(v)^2/n) / (n-1) — the exact operation sequence the
+    * oracle SQL states, so integral inputs match bit-for-bit. */
+  case object Variance extends FocalOp {
+    def apply(vs: Array[Double], n: Int) = {
+      if (n < 2) Double.NaN
+      else {
+        var s = 0.0; var ss = 0.0; var i = 0
+        while (i < n) { s += vs(i); ss += vs(i) * vs(i); i += 1 }
+        (ss - s * s / n) / (n - 1)
+      }
+    }
+  }
+  case object StandardDeviation extends FocalOp {
+    def apply(vs: Array[Double], n: Int) = math.sqrt(Variance(vs, n))
+  }
+  def of(name: String): FocalOp = name match {
+    case "Sum" => Sum; case "Mean" => Mean; case "Min" => Min; case "Max" => Max
+    case "Median" => Median; case "Mode" => Mode; case "Variance" => Variance
+    case "StandardDeviation" => StandardDeviation
+    case s => throw new IllegalArgumentException(s)
+  }
+}
+
+/** A clipped contribution of a source tile to a destination tile's
+  * padded window: covers dst-relative rect [x0, x0+w) x [y0, y0+h)
+  * (coords may be negative = halo). */
+private[raster] final case class TileContrib(
+    col: Int, row: Int, x0: Int, y0: Int, w: Int, h: Int, cells: Array[Double])
+
+private[raster] final case class TileRowOut(col: Int, row: Int, tile: Seq[Double])
+
+/** Distributed stencil via halo exchange (SURVEY.md §4): each tile
+  * ships only the border strips its neighbors need (O(perimeter*r)
+  * bytes), one keyed shuffle assembles padded windows, the kernel runs
+  * per tile in a single pass. Reference semantics: layer.py focal()
+  * :1866 — with the documented deviation that output cells are exactly
+  * the input data cells (NoData centers stay NoData).
+  */
+object Focal {
+  def focal(layer: RasterLayer, nb: Neighborhood, op: FocalOp): RasterLayer = {
+    val meta = layer.meta
+    val tl = meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val (lc, lr) = (tl.layoutCols, tl.layoutRows)
+    val r = nb.radius
+    require(r <= tc && r <= tr, s"halo radius $r exceeds tile size")
+    val offs = nb.offsets.toArray
+
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+
+    val tiles = layer.df.select(col("col"), col("row"), col("tile"))
+      .as[(Int, Int, Seq[Double])]
+
+    val contribs = tiles.flatMap { case (c0, r0, tileSeq) =>
+      val tile = tileSeq.toArray
+      for {
+        dc <- -1 to 1
+        dr <- -1 to 1
+        dst = (c0 + dc, r0 + dr)
+        if dst._1 >= 0 && dst._1 < lc && dst._2 >= 0 && dst._2 < lr
+      } yield {
+        // source sits at (-dc, -dr) tiles relative to dst
+        val sx = -dc * tc; val sy = -dr * tr
+        // clip source cells to dst's padded window [-r, tc+r) x [-r, tr+r)
+        val iMin = math.max(0, -r - sx); val iMax = math.min(tc, tc + r - sx)
+        val jMin = math.max(0, -r - sy); val jMax = math.min(tr, tr + r - sy)
+        val w = iMax - iMin; val h = jMax - jMin
+        val cells = new Array[Double](w * h)
+        var j = 0
+        while (j < h) {
+          var i = 0
+          while (i < w) {
+            cells(j * w + i) = tile((jMin + j) * tc + (iMin + i))
+            i += 1
+          }
+          j += 1
+        }
+        TileContrib(dst._1, dst._2, sx + iMin, sy + jMin, w, h, cells)
+      }
+    }
+
+    val out = contribs
+      .groupByKey(tc2 => (tc2.col, tc2.row))
+      .mapGroups { (key: (Int, Int), group: Iterator[TileContrib]) =>
+        val (c0, r0) = key
+        val W = tc + 2 * r; val H = tr + 2 * r
+        val padded = Array.fill(W * H)(Double.NaN)
+        group.foreach { cb =>
+          var j = 0
+          while (j < cb.h) {
+            var i = 0
+            while (i < cb.w) {
+              padded((cb.y0 + j + r) * W + (cb.x0 + i + r)) = cb.cells(j * cb.w + i)
+              i += 1
+            }
+            j += 1
+          }
+        }
+        val outTile = new Array[Double](tc * tr)
+        val buf = new Array[Double](offs.length)
+        var cy = 0
+        while (cy < tr) {
+          var cx = 0
+          while (cx < tc) {
+            val center = padded((cy + r) * W + (cx + r))
+            outTile(cy * tc + cx) =
+              if (center.isNaN) Double.NaN
+              else {
+                var n = 0; var k = 0
+                while (k < offs.length) {
+                  val v = padded((cy + offs(k)._2 + r) * W + (cx + offs(k)._1 + r))
+                  if (!v.isNaN) { buf(n) = v; n += 1 }
+                  k += 1
+                }
+                if (n == 0) Double.NaN else op(buf, n)
+              }
+            cx += 1
+          }
+          cy += 1
+        }
+        TileRowOut(c0, r0, outTile.toSeq)
+      }
+
+    layer.copy(df = out.toDF())
+  }
+
+  /** Horn 3x3 gradient (public formula): returns (dz/dx, dz/dy) per
+    * cell, NaN unless all 9 window cells are data (documented
+    * determinism convention, SURVEY §2). y is grid-down so "south" is
+    * y+1. */
+  private def horn(padded: Array[Double], W: Int, cx: Int, cy: Int,
+                   cw: Double, ch: Double): (Double, Double) = {
+    // n1 n2 n3 / n4 n5 n6 / n7 n8 n9 around (cx+1, cy+1) in padded coords
+    val n1 = padded(cy * W + cx);       val n2 = padded(cy * W + cx + 1);       val n3 = padded(cy * W + cx + 2)
+    val n4 = padded((cy + 1) * W + cx); val n5 = padded((cy + 1) * W + cx + 1); val n6 = padded((cy + 1) * W + cx + 2)
+    val n7 = padded((cy + 2) * W + cx); val n8 = padded((cy + 2) * W + cx + 1); val n9 = padded((cy + 2) * W + cx + 2)
+    if (n1.isNaN || n2.isNaN || n3.isNaN || n4.isNaN || n5.isNaN || n6.isNaN ||
+        n7.isNaN || n8.isNaN || n9.isNaN) (Double.NaN, Double.NaN)
+    else {
+      val dzdx = ((n3 + 2 * n6 + n9) - (n1 + 2 * n4 + n7)) / (8.0 * cw)
+      val dzdy = ((n7 + 2 * n8 + n9) - (n1 + 2 * n2 + n3)) / (8.0 * ch)
+      (dzdx, dzdy)
+    }
+  }
+
+  /** Terrain ops (slope layer.py:1941, aspect Operation.ASPECT,
+    * hillshade hillshade.py:7) over the Horn gradient. `what` is
+    * "slope" (degrees), "aspect" (degrees, atan2(dzdy,-dzdx) in
+    * [0,360)), or "hillshade" (0-255 int, azimuth 315 / altitude 45). */
+  def terrain(layer: RasterLayer, what: String, zFactor: Double = 1.0,
+              azimuth: Double = 315.0, altitude: Double = 45.0): RasterLayer = {
+    val meta = layer.meta
+    val tl = meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val (lc, lr) = (tl.layoutCols, tl.layoutRows)
+    val cw = meta.layout.cellWidth; val ch = meta.layout.cellHeight
+    val r = 1
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+
+    val tiles = layer.df.select(col("col"), col("row"), col("tile"))
+      .as[(Int, Int, Seq[Double])]
+    val contribs = tiles.flatMap { case (c0, r0, tileSeq) =>
+      val tile = tileSeq.toArray
+      for {
+        dc <- -1 to 1; dr <- -1 to 1
+        dst = (c0 + dc, r0 + dr)
+        if dst._1 >= 0 && dst._1 < lc && dst._2 >= 0 && dst._2 < lr
+      } yield {
+        val sx = -dc * tc; val sy = -dr * tr
+        val iMin = math.max(0, -r - sx); val iMax = math.min(tc, tc + r - sx)
+        val jMin = math.max(0, -r - sy); val jMax = math.min(tr, tr + r - sy)
+        val w = iMax - iMin; val h = jMax - jMin
+        val cells = new Array[Double](math.max(0, w * h))
+        var j = 0
+        while (j < h) { var i = 0; while (i < w) { cells(j * w + i) = tile((jMin + j) * tc + (iMin + i)); i += 1 }; j += 1 }
+        TileContrib(dst._1, dst._2, sx + iMin, sy + jMin, w, h, cells)
+      }
+    }
+    val out = contribs.groupByKey(t => (t.col, t.row)).mapGroups { (key: (Int, Int), group: Iterator[TileContrib]) =>
+      val (c0, r0) = key
+      val W = tc + 2; val H = tr + 2
+      val padded = Array.fill(W * H)(Double.NaN)
+      group.foreach { cb =>
+        var j = 0
+        while (j < cb.h) { var i = 0; while (i < cb.w) { padded((cb.y0 + j + 1) * W + (cb.x0 + i + 1)) = cb.cells(j * cb.w + i); i += 1 }; j += 1 }
+      }
+      val outTile = new Array[Double](tc * tr)
+      var cy = 0
+      while (cy < tr) {
+        var cx = 0
+        while (cx < tc) {
+          val (dzdx0, dzdy0) = horn(padded, W, cx, cy, cw, ch)
+          val dzdx = dzdx0 * zFactor; val dzdy = dzdy0 * zFactor
+          outTile(cy * tc + cx) =
+            if (dzdx.isNaN) Double.NaN
+            else what match {
+              case "slope" =>
+                math.toDegrees(math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy)))
+              case "aspect" =>
+                val a = math.toDegrees(math.atan2(dzdy, -dzdx))
+                if (a < 0) a + 360.0 else a
+              case "hillshade" =>
+                val slopeR = math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))
+                val aspR0 = math.atan2(dzdy, -dzdx)
+                val aspR = if (aspR0 < 0) aspR0 + 2 * math.Pi else aspR0
+                val zen = math.toRadians(90 - altitude)
+                val az = math.toRadians(azimuth)
+                val hs = 255.0 * (math.cos(zen) * math.cos(slopeR) +
+                  math.sin(zen) * math.sin(slopeR) * math.cos(az - aspR))
+                math.floor(math.max(0.0, hs))
+              case "tobler" =>
+                // Tobler hiking function (public): 6*e^(-3.5*|tan(slope)+0.05|)
+                val tanS = math.sqrt(dzdx * dzdx + dzdy * dzdy)
+                6.0 * math.exp(-3.5 * math.abs(tanS + 0.05))
+            }
+          cx += 1
+        }
+        cy += 1
+      }
+      TileRowOut(c0, r0, outTile.toSeq)
+    }
+    layer.copy(df = out.toDF())
+  }
+}

@@ -218,6 +218,18 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     (row.getDouble(0), row.getDouble(1))
   }
 
+  // ------------------------------------------------------------------
+  // Focal / terrain (reference layer.py:1866 focal, :1941 slope,
+  // hillshade.py; implementation in Focal.scala — halo exchange)
+  // ------------------------------------------------------------------
+  def focal(nb: Neighborhood, op: FocalOp): RasterLayer = Focal.focal(this, nb, op)
+  def focal(nb: Neighborhood, op: String): RasterLayer = Focal.focal(this, nb, FocalOp.of(op))
+  def slope(zFactor: Double = 1.0): RasterLayer     = Focal.terrain(this, "slope", zFactor)
+  def aspect(): RasterLayer                         = Focal.terrain(this, "aspect")
+  def hillshade(azimuth: Double = 315.0, altitude: Double = 45.0, zFactor: Double = 1.0): RasterLayer =
+    Focal.terrain(this, "hillshade", zFactor, azimuth, altitude)
+  def tobler(): RasterLayer                         = Focal.terrain(this, "tobler")
+
   /** Flatten to one row per data cell (x, y, v). Verification /
     * boundary-export path only — never used tile-to-tile. */
   def toCells: DataFrame = RasterLayer.tilesToCells(df, tc, tr, meta.temporal)
