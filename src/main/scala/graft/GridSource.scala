@@ -21,6 +21,10 @@ object GridSource {
   val layout: LayoutDefinition =
     LayoutDefinition(Extent(0, 0, G, G), TileLayout(G / T, G / T, T, T))
 
+  /** 64x64 grid (tile 32) for the events spacetime layer. */
+  val layout64: LayoutDefinition =
+    LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(2, 2, 32, 32))
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -82,11 +86,21 @@ object GridSource {
   val customerLonLatSql: String =
     "SELECT c_custkey AS pid, CAST(c_custkey * 7 % 360 - 180 + 0.25 AS DOUBLE) AS lon, CAST(c_custkey * 11 % 170 - 85 + 0.25 AS DOUBLE) AS lat FROM customer"
 
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+    * reader only accepts as raw longs — read it that way and do exact
+    * integer epoch math (UTC) ourselves. */
+  def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  val NanosPerDay = 86400L * 1000 * 1000 * 1000
+
   /** SpaceTime cells from events: day-keyed grid. */
   def eventCells(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
+    eventsTable(spark, dir)
       .groupBy((col("user_id") % 64).as("x"), (col("event_id") % 64).as("y"),
-               datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("instant"))
+               expr(s"ts div $NanosPerDay").as("instant"))
       .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
 
   val eventCellsSql: String =

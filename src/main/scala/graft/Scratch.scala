@@ -1,9 +1,11 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Ad-hoc profiling entry (not part of the driver contract). */
+/** Ad-hoc profiling entry (not part of the driver contract):
+  * `runMain graft.Scratch <sfDir> [query ...]` times the named
+  * SparkEntry queries (twice each when EXPLAIN=1 also prints plans).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -12,37 +14,19 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-
-    def time(n: String)(f: => Long): Unit = {
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
       val t0 = System.nanoTime()
-      val cnt = f
-      println(f"TIMING $n ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)")
-    }
-
-    val l = GridSource.lineitemLayer(spark, dir)
-    time("layer_count")(l.df.count())
-    val u = l.union(l)
-    time("union_count")(u.df.count())
-    // variant A: current aggregateByCell (aggregate HOF over collect_list)
-    time("aggByCell_hof")(u.aggregateByCell("Sum").df.count())
-    // variant B: explode-free, two-sided: groupBy + reduce via array zip in UDF
-    val zipsum = udf { (tiles: Seq[Seq[Double]]) =>
-      val n = tiles.head.length
-      val out = Array.fill(n)(Double.NaN)
-      tiles.foreach { t =>
-        var i = 0
-        while (i < n) {
-          val v = t(i)
-          if (!v.isNaN) out(i) = if (out(i).isNaN) v else out(i) + v
-          i += 1
-        }
+      try {
+        val df = SparkEntry.queries(n)(spark, dir)
+        if (sys.env.contains("EXPLAIN")) df.explain("formatted")
+        val cnt = df.count()
+        println(f"TIMING $n ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)")
+      } catch {
+        case e: Throwable =>
+          println(f"TIMING $n FAILED ${(System.nanoTime() - t0) / 1e9}%.2f s: ${e.getMessage.take(200)}")
       }
-      out
     }
-    val b = u.df.groupBy("col", "row").agg(zipsum(collect_list(col("tile"))).as("tile"))
-    time("aggByCell_udf")(b.count())
-    time("aggByCell_hof2")(u.aggregateByCell("Sum").df.count())
-    u.aggregateByCell("Sum").df.explain("formatted")
     spark.stop()
   }
 }

@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.raster.{Neighborhood, RasterLayer}
+import graft.catalog.Catalog
+import graft.core.{CRS, ZIndex}
+import graft.raster.{Distance, HistogramOps, Neighborhood, Pyramid, RasterLayer, ZonalOps}
+import graft.render.ColorMap
+import graft.vector.Geometry
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each query key maps to. Every query reads only the
@@ -106,6 +110,97 @@ object SparkEntry {
       val l = lineitemLayer(s, dir).tobler()
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
+
+    // --- zonal / polygonal / masking
+    "q_mask" -> ((s, dir) =>
+      flat(ZonalOps.maskGrid(lineitemLayer(s, dir), Seq(Geometry.diamond(128, 128, 60.3))))),
+
+    "q_polygonal_summary" -> ((s, dir) =>
+      ZonalOps.polygonalSummary(lineitemLayer(s, dir), Geometry.diamond(128, 128, 60.3))),
+
+    "q_zonal_stats" -> ((s, dir) => {
+      val zones = RasterLayer.fromCells(
+        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
+        layout)
+      ZonalOps.zonalStats(lineitemLayer(s, dir), zones)
+    }),
+
+    "q_cell_value_counts" -> ((s, dir) =>
+      ZonalOps.cellValueCounts(lineitemLayer(s, dir))),
+
+    "q_point_values" -> ((s, dir) =>
+      ZonalOps.pointValues(lineitemLayer(s, dir), supplierPoints(s, dir))),
+
+    // --- distances
+    "q_euclidean_distance" -> ((s, dir) =>
+      Distance.euclidean(s, supplierPoints(s, dir), layout)),
+
+    "q_cost_distance" -> ((s, dir) =>
+      Distance.costDistance(lineitemLayer(s, dir).normalize(1.0, 10.0),
+        supplierPoints(s, dir), maxIterations = 12)),
+
+    // --- statistics
+    "q_histogram" -> ((s, dir) => HistogramOps.binCounts(lineitemLayer(s, dir))),
+    "q_min_max" -> ((s, dir) => {
+      val st = HistogramOps.stats(lineitemLayer(s, dir))
+      st.select(col("vmin"), col("vmax"), col("vcount"), col("vmean"))
+    }),
+    "q_quantile_breaks" -> ((s, dir) =>
+      HistogramOps.quantileBreaks(lineitemLayer(s, dir), Seq(0.25, 0.5, 0.75))),
+
+    // --- pyramid / stitch
+    "q_pyramid" -> ((s, dir) => flat(Pyramid.levelUp(lineitemLayer(s, dir), "Average"))),
+
+    "q_stitch" -> ((s, dir) => {
+      val one = RasterLayer.fromCells(flat(lineitemLayer(s, dir)),
+        core.LayoutDefinition(layout.extent, core.TileLayout(1, 1, G, G)))
+      one.toCells
+    }),
+
+    // --- CRS / keys / index
+    "q_reproject" -> ((s, dir) =>
+      customerLonLat(s, dir).select(col("pid"),
+        round(CRS.lngToMercXCol(col("lon")), 4).as("mx"),
+        round(CRS.latToMercYCol(col("lat")), 4).as("my"))),
+
+    "q_zoom_keys" -> ((s, dir) => {
+      val p = customerLonLat(s, dir)
+      val (tx, ty) = CRS.tmsTileCol(col("lon"), col("lat"), 10)
+      p.select(col("pid"), tx.as("tx"), ty.as("ty"))
+    }),
+
+    "q_zorder" -> ((s, dir) =>
+      supplierPoints(s, dir).select(col("pid"),
+        ZIndex.zorderCol(floor(col("px")).cast("long"), floor(col("py")).cast("long"), 8).as("zindex"))),
+
+    // --- catalog
+    "q_catalog_roundtrip" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      Catalog.write(uri, "lineitem_rt", lineitemLayer(s, dir), zoom = 4)
+      flat(Catalog.read(s, uri, "lineitem_rt", zoom = 4))
+    }),
+
+    "q_catalog_query" -> ((s, dir) => {
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      Catalog.write(uri, "lineitem_q", lineitemLayer(s, dir), zoom = 4)
+      flat(Catalog.query(s, uri, "lineitem_q", 4, 64, 0, 192, 128))
+    }),
+
+    // --- rendering
+    "q_color_map" -> ((s, dir) => {
+      val cells = flat(lineitemLayer(s, dir))
+      cells.select(col("x"), col("y"),
+        ColorMap.classify(col("v"), Seq(100.0, 200.0, 400.0)).as("idx"))
+    }),
+
+    // --- spacetime
+    "q_filter_by_times" -> ((s, dir) => {
+      val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
+      l.filterByTimes(Seq((19725L, 19730L), (19740L, 19745L))).toCells
+    }),
+
+    "q_spatial_partition" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).partitionByKey(8))),
   )
 
   /** 3x3 neighbor join over the lineitem grid (shared focal-oracle CTE). */
@@ -139,8 +234,12 @@ object SparkEntry {
        |SELECT x, y, $select AS v FROM d""".stripMargin
 
   def oracleSql: Map[String, String] = {
-    val grid  = lineitemCellsSql
-    val ogrid = ordersCellsSql
+    val grid   = lineitemCellsSql
+    val ogrid  = ordersCellsSql
+    val zgrid  = zoneCellsSql
+    val pts    = supplierPointsSql
+    val lonlat = customerLonLatSql
+    val egrid  = eventCellsSql
     Map(
       "q_rasterize" -> s"SELECT x, y, v FROM ($grid)",
 
@@ -212,6 +311,86 @@ object SparkEntry {
 
       "q_tobler" ->
         hornSql("round(6 * exp(-3.5 * abs(sqrt(dzdx * dzdx + dzdy * dzdy) + 0.05)), 5)"),
+
+      "q_mask" ->
+        s"SELECT x, y, v FROM ($grid) WHERE abs(x + 0.5 - 128) + abs(y + 0.5 - 128) < 60.3",
+
+      "q_polygonal_summary" ->
+        s"""SELECT sum(v) AS vsum, count(*) AS vcount, min(v) AS vmin, max(v) AS vmax, sum(v) / count(*) AS vmean
+           |FROM ($grid) WHERE abs(x + 0.5 - 128) + abs(y + 0.5 - 128) < 60.3""".stripMargin,
+
+      "q_zonal_stats" ->
+        s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid))
+           |SELECT CAST(z.zone AS BIGINT) AS zone, count(*) AS cnt, sum(g.v) AS vsum,
+           |       min(g.v) AS vmin, max(g.v) AS vmax, avg(g.v) AS vmean
+           |FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y
+           |GROUP BY 1""".stripMargin,
+
+      "q_cell_value_counts" ->
+        s"SELECT CAST(v AS BIGINT) AS value, count(*) AS cnt FROM ($grid) GROUP BY 1",
+
+      "q_point_values" ->
+        s"""SELECT p.pid AS pid, g.v AS v
+           |FROM ($pts) p JOIN ($grid) g
+           |  ON g.x = CAST(floor(p.px) AS BIGINT) AND g.y = CAST(floor(p.py) AS BIGINT)""".stripMargin,
+
+      "q_euclidean_distance" ->
+        s"""SELECT t1.range AS x, t2.range AS y,
+           |  min(sqrt((t1.range + 0.5 - p.px) * (t1.range + 0.5 - p.px) +
+           |           (t2.range + 0.5 - p.py) * (t2.range + 0.5 - p.py))) AS v
+           |FROM range(0, 256) t1, range(0, 256) t2, ($pts) p
+           |GROUP BY 1, 2""".stripMargin,
+
+      "q_histogram" ->
+        s"""WITH g AS ($grid), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM g)
+           |SELECT CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9) AS BIGINT) AS bin, count(*) AS cnt
+           |FROM g, mm GROUP BY 1""".stripMargin,
+
+      "q_min_max" ->
+        s"SELECT min(v) AS vmin, max(v) AS vmax, count(*) AS vcount, sum(v) / count(*) AS vmean FROM ($grid)",
+
+      "q_quantile_breaks" ->
+        s"""SELECT round(quantile_cont(v, 0.25), 5) AS q0, round(quantile_cont(v, 0.5), 5) AS q1,
+           |       round(quantile_cont(v, 0.75), 5) AS q2 FROM ($grid)""".stripMargin,
+
+      "q_pyramid" ->
+        s"SELECT x // 2 AS x, y // 2 AS y, avg(v) AS v FROM ($grid) GROUP BY 1, 2",
+
+      "q_stitch" -> s"SELECT x, y, v FROM ($grid)",
+
+      "q_reproject" ->
+        s"""SELECT pid, round(radians(lon) * 6378137.0, 4) AS mx,
+           |       round(ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0, 4) AS my
+           |FROM ($lonlat)""".stripMargin,
+
+      "q_zoom_keys" ->
+        s"""SELECT pid,
+           |  CAST(floor((lon + 180.0) / 360.0 * 1024.0) AS BIGINT) AS tx,
+           |  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 1024.0) AS BIGINT) AS ty
+           |FROM ($lonlat)""".stripMargin,
+
+      "q_zorder" -> {
+        val terms = (0 until 8).flatMap { i =>
+          Seq(s"(((CAST(floor(px) AS BIGINT) >> $i) & 1) * ${1L << (2 * i)})",
+              s"(((CAST(floor(py) AS BIGINT) >> $i) & 1) * ${1L << (2 * i + 1)})")
+        }.mkString(" + ")
+        s"SELECT pid, $terms AS zindex FROM ($pts)"
+      },
+
+      "q_catalog_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
+
+      "q_catalog_query" ->
+        s"SELECT x, y, v FROM ($grid) WHERE x >= 64 AND x < 192 AND y < 128",
+
+      "q_color_map" ->
+        s"""SELECT x, y, CASE WHEN v <= 100 THEN 0 WHEN v <= 200 THEN 1
+           |WHEN v <= 400 THEN 2 ELSE -1 END AS idx FROM ($grid)""".stripMargin,
+
+      "q_filter_by_times" ->
+        s"""SELECT x, y, instant, v FROM ($egrid)
+           |WHERE (instant BETWEEN 19725 AND 19730) OR (instant BETWEEN 19740 AND 19745)""".stripMargin,
+
+      "q_spatial_partition" -> s"SELECT x, y, v FROM ($grid)",
     )
   }
 }

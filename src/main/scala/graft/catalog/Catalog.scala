@@ -1,0 +1,95 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Extent, LayoutDefinition, TileLayout, ZIndex}
+import graft.raster.{LayerMetadata, RasterLayer}
+
+/** Layer catalog: persistent tile store + attribute store.
+  *
+  * Reference: geopyspark/geotrellis/catalog.py — write (:210) indexes
+  * tiles by a space-filling curve; query (:117) reads a layer filtered
+  * by extent/time; AttributeStore (:332) holds layer metadata.
+  *
+  * Spark-first shape: tiles live in parquet partitioned by zoom and
+  * sorted by z-order index within files, so an extent query turns into
+  * (a) partition pruning on zoom and (b) row-group pruning via min/max
+  * statistics on `zindex` + pushed col/row predicates — visible as
+  * PushedFilters in `.explain`. Metadata is a JSON sidecar (the
+  * attribute store), read driver-side.
+  */
+object Catalog {
+
+  private def metaPath(uri: String, name: String) = s"$uri/$name/_graft_meta.json"
+
+  def write(uri: String, name: String, layer: RasterLayer, zoom: Int = 0,
+            index: String = "zorder"): Unit = {
+    val tl = layer.meta.layout.tileLayout
+    val idxCol = index match {
+      case "zorder"   => ZIndex.zorderCol(col("col").cast("long"), col("row").cast("long"))
+      case "rowmajor" => ZIndex.rowMajorCol(col("col").cast("long"), col("row").cast("long"), tl.layoutCols)
+      case s          => throw new IllegalArgumentException(s)
+    }
+    layer.df
+      .withColumn("zoom", lit(zoom))
+      .withColumn("zindex", idxCol)
+      .repartitionByRange(col("zindex"))
+      .sortWithinPartitions("zindex")
+      .write.mode("overwrite")
+      .partitionBy("zoom")
+      .parquet(s"$uri/$name/tiles")
+
+    val e = layer.meta.layout.extent
+    val json =
+      s"""{"extent":[${e.xmin},${e.ymin},${e.xmax},${e.ymax}],
+         |"layout":[${tl.layoutCols},${tl.layoutRows},${tl.tileCols},${tl.tileRows}],
+         |"cellType":"${layer.meta.cellType}","temporal":${layer.meta.temporal},"zoom":$zoom}""".stripMargin
+    val p = Paths.get(metaPath(uri, name))
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, json)
+  }
+
+  def readMetadata(uri: String, name: String): LayerMetadata = {
+    val s = Files.readString(Paths.get(metaPath(uri, name)))
+    def nums(key: String): Array[Double] =
+      s.split(s""""$key":\\[""")(1).split("]")(0).split(",").map(_.trim.toDouble)
+    val e = nums("extent"); val l = nums("layout")
+    LayerMetadata(
+      LayoutDefinition(Extent(e(0), e(1), e(2), e(3)),
+        TileLayout(l(0).toInt, l(1).toInt, l(2).toInt, l(3).toInt)),
+      temporal = s.contains("\"temporal\":true"))
+  }
+
+  def read(spark: SparkSession, uri: String, name: String, zoom: Int = 0): RasterLayer = {
+    val meta = readMetadata(uri, name)
+    val df = spark.read.parquet(s"$uri/$name/tiles")
+      .where(col("zoom") === zoom)
+      .select(col("col"), col("row"), col("tile"))
+    new RasterLayer(df, meta)
+  }
+
+  /** Extent query (catalog.py:117 query with intersects): tile-key
+    * range predicates push to the parquet scan. Extent in grid coords. */
+  def query(spark: SparkSession, uri: String, name: String, zoom: Int,
+            gxMin: Long, gyMin: Long, gxMax: Long, gyMax: Long): RasterLayer = {
+    val meta = readMetadata(uri, name)
+    val tl = meta.layout.tileLayout
+    val full = read(spark, uri, name, zoom)
+    val pruned = full.df.where(
+      col("col") >= (gxMin / tl.tileCols).toInt && col("col") <= ((gxMax - 1) / tl.tileCols).toInt &&
+      col("row") >= (gyMin / tl.tileRows).toInt && col("row") <= ((gyMax - 1) / tl.tileRows).toInt)
+    new RasterLayer(pruned, meta)
+  }
+
+  /** Attribute store key-value access (catalog.py AttributeStore :332). */
+  def writeAttribute(uri: String, name: String, key: String, value: String): Unit = {
+    val p = Paths.get(s"$uri/$name/_attributes_$key.json")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, value)
+  }
+  def readAttribute(uri: String, name: String, key: String): String =
+    Files.readString(Paths.get(s"$uri/$name/_attributes_$key.json"))
+}

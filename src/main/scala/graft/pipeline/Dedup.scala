@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale shapes (SURVEY §4):
+  * - exact: one groupBy on a 128-bit content hash — pure map-side
+  *   combine, the cheapest possible full-corpus dedup.
+  * - jaccard: inverted-index join on shingles (docs sharing a shingle
+  *   are candidates) — no all-pairs blowup; hot shingles are the skew
+  *   risk, handled by dropping top-frequency shingles at scale.
+  * - minhash LSH: k=16 hashes as 16 min() aggregates in ONE groupBy
+  *   (no k-times explode), banded into 4 buckets; only bucket
+  *   collisions become candidate pairs.
+  * - simhash: 16-bit sign-sum signature, hamming<=3 via self-join on
+  *   signature (small domain) — at scale, multi-probe tables per band.
+  * - cosine: label-blocked exact pairs over integer-quantized
+  *   embeddings (deterministic integer dot products).
+  */
+object Dedup {
+
+  /** Exact dedup: groups identical texts, keeps the smallest doc_id.
+    * Reference shape: hash-groupBy. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("dups"))
+      .select(col("h"), col("keeper"), col("dups"))
+
+  /** Word k-shingles, distinct per doc: (doc_id, shingle). */
+  def shingles(docs: DataFrame, k: Int = 5): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, k)))).as("shingle"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard near-dup pairs via inverted-index join. */
+  def jaccardPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, k).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b"), "shingle")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("shared").cast("double") / (col("n1") + col("n2") - col("shared"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 61-ish-bit shingle hash from md5 (portable: same value in DuckDB
+    * via ('0x'||substr(md5(s),1,15))::BIGINT). */
+  def shingleHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+
+  val MinhashP = 2147483647L // 2^31 - 1
+  /** Deterministic (a_i, b_i) parameters for the k hash functions. */
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(i => (1103515245L * i % MinhashP, 12345L * i % MinhashP))
+
+  /** MinHash signatures: k min() aggregates in one groupBy — no
+    * explode-by-k, full map-side combine. Output: doc_id, m0..m{k-1}. */
+  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleK: Int = 5): DataFrame = {
+    val sh = shingles(docs, shingleK)
+      .select(col("doc_id"), (shingleHash(col("shingle")) % MinhashP).as("x"))
+    val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("x") * a + b) % MinhashP).as(s"m$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: bands of `rows` signature components; docs
+    * colliding in any band pair up; est_sim = matching components / k. */
+  def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                   minEstSim: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignatures(docs, k).cache()
+    val bandDfs = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      sig.select(col("doc_id"), lit(b).as("band"), concat_ws("_", cols: _*).as("bkey"))
+    }
+    val banded = bandDfs.reduce(_ unionByName _)
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val simExpr = (0 until k).map(i =>
+      when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0)).reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("d2") === col("sb.doc_id"))
+      .select(col("d1"), col("d2"), (simExpr.cast("double") / k).as("est_sim"))
+      .where(col("est_sim") >= minEstSim)
+  }
+
+  /** 16-bit SimHash from token counts (sign of per-bit weighted sum). */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("tok"))
+    val h = conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") // 16 bits
+    val bitSums = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
+    }
+    val sums = toks.select(col("doc_id"), h.as("h"))
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist. */
+  def simhashPairs(docs: DataFrame, bits: Int = 16, maxDist: Int = 3): DataFrame = {
+    val sig = simhash(docs, bits).cache()
+    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+}

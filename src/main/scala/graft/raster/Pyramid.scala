@@ -1,0 +1,102 @@
+package graft.raster
+
+import org.apache.spark.sql.functions.col
+
+import graft.core.{LayoutDefinition, TileLayout}
+
+/** Pyramiding: zoom z -> z-1 by 2x2 block resample, tile-aligned.
+  *
+  * Reference: layer.py pyramid() (:1832) with ResampleMethod
+  * (constants.py:123). Each child tile downsamples locally (narrow),
+  * then 4 children shuffle-assemble into their parent tile — one keyed
+  * shuffle per level, O(tiles) rows, the standard tile-pyramid shape.
+  */
+object Pyramid {
+  /** NaN-skipping 2x2 block resample of one tile (tc x tr -> tc/2 x tr/2). */
+  private def downsample(tile: Array[Double], tc: Int, tr: Int, method: String): Array[Double] = {
+    val hc = tc / 2; val hr = tr / 2
+    val out = new Array[Double](hc * hr)
+    var j = 0
+    while (j < hr) {
+      var i = 0
+      while (i < hc) {
+        val a = tile((2 * j) * tc + 2 * i);     val b = tile((2 * j) * tc + 2 * i + 1)
+        val c = tile((2 * j + 1) * tc + 2 * i); val d = tile((2 * j + 1) * tc + 2 * i + 1)
+        var sum = 0.0; var n = 0; var mn = Double.NaN; var mx = Double.NaN
+        var k = 0
+        val vals = Array(a, b, c, d)
+        while (k < 4) {
+          val v = vals(k)
+          if (!v.isNaN) {
+            sum += v; n += 1
+            if (mn.isNaN || v < mn) mn = v
+            if (mx.isNaN || v > mx) mx = v
+          }
+          k += 1
+        }
+        out(j * hc + i) =
+          if (n == 0) Double.NaN
+          else method match {
+            case "Average" => sum / n
+            case "Sum"     => sum
+            case "Min"     => mn
+            case "Max"     => mx
+            case "NearestNeighbor" => if (!a.isNaN) a else if (!b.isNaN) b else if (!c.isNaN) c else d
+            case s => throw new IllegalArgumentException(s)
+          }
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** One pyramid level up: halves the layout, keeps tile size. */
+  def levelUp(layer: RasterLayer, method: String = "Average"): RasterLayer = {
+    val meta = layer.meta
+    val tl = meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    require(tc % 2 == 0 && tr % 2 == 0)
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+
+    val quads = layer.df.select(col("col"), col("row"), col("tile"))
+      .as[(Int, Int, Seq[Double])]
+      .map { case (c, r, tile) =>
+        val half = downsample(tile.toArray, tc, tr, method)
+        (c / 2, r / 2, c % 2, r % 2, half.toSeq)
+      }
+
+    val out = quads.groupByKey(q => (q._1, q._2))
+      .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
+        val (hc, hr) = (tc / 2, tr / 2)
+        val parent = Array.fill(tc * tr)(Double.NaN)
+        group.foreach { case (_, _, qx, qy, half) =>
+          var j = 0
+          while (j < hr) {
+            var i = 0
+            while (i < hc) {
+              parent((qy * hr + j) * tc + (qx * hc + i)) = half(j * hc + i)
+              i += 1
+            }
+            j += 1
+          }
+        }
+        TileRowOut(key._1, key._2, parent.toSeq)
+      }
+
+    val newLayout = LayoutDefinition(meta.layout.extent,
+      TileLayout(math.max(1, tl.layoutCols / 2), math.max(1, tl.layoutRows / 2), tc, tr))
+    new RasterLayer(out.toDF(), meta.copy(layout = newLayout))
+  }
+
+  /** Full pyramid down to a single tile: zoom -> layer map, highest
+    * zoom first (reference Pyramid class layer.py:2617). */
+  def build(layer: RasterLayer, method: String = "Average"): Seq[(Int, RasterLayer)] = {
+    val maxZoom = math.ceil(math.log(layer.meta.layout.tileLayout.layoutCols.toDouble) / math.log(2)).toInt
+    val levels = Iterator.iterate((maxZoom, layer)) { case (z, l) => (z - 1, levelUp(l, method)) }
+      .takeWhile(_._1 >= 0)
+      .take(maxZoom + 1)
+    levels.toSeq
+  }
+}

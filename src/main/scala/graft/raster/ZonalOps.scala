@@ -1,0 +1,137 @@
+package graft.raster
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.vector.Polygon
+
+/** Zonal / polygonal / masking operators.
+  *
+  * Reference surface: layer.py mask (:2044), polygonal_min/max/sum/mean
+  * (:2392-2464), get_cell_value_counts (:2347), get_point_values
+  * (:2215), *_series over geometries (:2014-2040).
+  *
+  * Scale shape (SURVEY §4): geometries are tiny and ride the closure
+  * (broadcast); masking is a narrow per-tile map; summaries are
+  * partial-aggregated per tile before the final reduce — no per-cell
+  * shuffle ever.
+  */
+object ZonalOps {
+
+  /** Mask: keep cells whose center falls inside any polygon
+    * (reference layer.py:2044). Per-tile UDF, no shuffle. */
+  def mask(layer: RasterLayer, polys: Seq[Polygon]): RasterLayer = {
+    val layout = layer.meta.layout
+    val tl = layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    // grid-space cell centers: gx = col*tc + i + 0.5 (grid coords == world
+    // coords for unit-cell layouts anchored at 0; general layouts use the
+    // extent transform)
+    val x0 = layout.extent.xmin; val yTop = layout.extent.ymax
+    val cw = layout.cellWidth; val ch = layout.cellHeight
+    val maskUdf = udf { (c: Int, r: Int, tile: Seq[Double]) =>
+      val out = new Array[Double](tile.length)
+      var j = 0
+      while (j < tr) {
+        var i = 0
+        while (i < tc) {
+          val wx = x0 + (c.toLong * tc + i + 0.5) * cw
+          val wy = yTop - (r.toLong * tr + j + 0.5) * ch
+          val v = tile(j * tc + i)
+          out(j * tc + i) =
+            if (!v.isNaN && polys.exists(_.contains(wx, wy))) v else Double.NaN
+          i += 1
+        }
+        j += 1
+      }
+      out
+    }
+    layer.copy(df = layer.df.withColumn("tile", maskUdf(col("col"), col("row"), col("tile"))))
+  }
+
+  /** Grid-coordinate mask variant for unit layouts where the oracle
+    * speaks grid coords directly (y-down, no extent flip). */
+  def maskGrid(layer: RasterLayer, polys: Seq[Polygon]): RasterLayer = {
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val maskUdf = udf { (c: Int, r: Int, tile: Seq[Double]) =>
+      val out = new Array[Double](tile.length)
+      var j = 0
+      while (j < tr) {
+        var i = 0
+        while (i < tc) {
+          val gx = c.toLong * tc + i + 0.5
+          val gy = r.toLong * tr + j + 0.5
+          val v = tile(j * tc + i)
+          out(j * tc + i) =
+            if (!v.isNaN && polys.exists(_.contains(gx, gy))) v else Double.NaN
+          i += 1
+        }
+        j += 1
+      }
+      out
+    }
+    layer.copy(df = layer.df.withColumn("tile", maskUdf(col("col"), col("row"), col("tile"))))
+  }
+
+  /** Polygonal summary: min/max/sum/mean/count of cells inside the
+    * polygon, one output row (reference polygonal_* layer.py:2392-2464).
+    * Partial aggregation per tile -> single global combine. */
+  def polygonalSummary(layer: RasterLayer, poly: Polygon): DataFrame = {
+    val masked = maskGrid(layer, Seq(poly))
+    val data = filter(col("tile"), c => !isnan(c))
+    masked.df
+      .select(data.as("d"))
+      .select(
+        sum(expr("aggregate(d, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")).as("vsum"),
+        sum(size(col("d"))).as("vcount"),
+        min(array_min(col("d"))).as("vmin"),
+        max(array_max(col("d"))).as("vmax"))
+      .select(col("vsum"), col("vcount").cast("long").as("vcount"),
+              col("vmin"), col("vmax"), (col("vsum") / col("vcount")).as("vmean"))
+  }
+
+  /** Zonal statistics of `values` grouped by the co-located `zones`
+    * layer (reference *_series :2014-2040 generalized). Tile-aligned
+    * join then per-tile pair explode feeding a partial-aggregated
+    * groupBy zone — the per-cell rows exist only inside the exchange-
+    * free map stage. */
+  def zonalStats(values: RasterLayer, zones: RasterLayer): DataFrame = {
+    val v = values.df.select(col("col"), col("row"), col("tile").as("_v"))
+    val z = zones.df.select(col("col"), col("row"), col("tile").as("_z"))
+    val joined = v.join(z, Seq("col", "row"))
+    joined
+      .select(explode(arrays_zip(col("_v"), col("_z"))).as("p"))
+      .select(col("p._v").as("v"), col("p._z").as("z"))
+      .where(!isnan(col("v")) && !isnan(col("z")))
+      .groupBy(col("z").cast("long").as("zone"))
+      .agg(count(lit(1)).as("cnt"), sum("v").as("vsum"),
+           min("v").as("vmin"), max("v").as("vmax"), avg("v").as("vmean"))
+  }
+
+  /** Count occurrences of each (integral) cell value — reference
+    * get_cell_value_counts (layer.py:2347). */
+  def cellValueCounts(layer: RasterLayer): DataFrame =
+    layer.toCells
+      .groupBy(col("v").cast("long").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Sample the layer at points `(pid, px, py)` in grid coords —
+    * reference get_point_values (layer.py:2215). Points join tiles on
+    * the tile key (broadcast when small), cell picked with element_at:
+    * one narrow join, no explode. */
+  def pointValues(layer: RasterLayer, points: DataFrame): DataFrame = {
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val keyed = points.select(
+      col("pid"),
+      floor(col("px")).cast("long").as("cx"),
+      floor(col("py")).cast("long").as("cy"))
+      .withColumn("col", (col("cx") / tc).cast("int"))
+      .withColumn("row", (col("cy") / tr).cast("int"))
+      .withColumn("off", ((col("cy") % tr) * tc + (col("cx") % tc)).cast("int"))
+    keyed.join(layer.df, Seq("col", "row"))
+      .select(col("pid"), element_at(col("tile"), col("off") + 1).as("v"))
+      .where(!isnan(col("v")))
+  }
+}
