@@ -201,6 +201,53 @@ object SparkEntry {
 
     "q_spatial_partition" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).partitionByKey(8))),
+
+    // --- LLM-pipeline: dedup family (documents)
+    "q_dedup_exact" -> ((s, dir) =>
+      pipeline.Dedup.exact(table(s, dir, "documents"))),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      pipeline.Dedup.jaccardPairs(table(s, dir, "documents"), k = 5, threshold = 0.5)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      pipeline.Dedup.minhashPairs(table(s, dir, "documents"))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      pipeline.Dedup.simhashPairs(table(s, dir, "documents"))),
+
+    "q_dedup_cosine" -> ((s, dir) =>
+      pipeline.Similarity.cosinePairs(table(s, dir, "embeddings"), threshold = 0.3)),
+
+    // --- LLM-pipeline: similarity search (embeddings)
+    "q_ann_brute" -> ((s, dir) =>
+      pipeline.Similarity.bruteTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, k = 5)),
+
+    "q_ann_lsh" -> ((s, dir) =>
+      pipeline.Similarity.lshPairs(table(s, dir, "embeddings"), threshold = 0.25)),
+
+    // --- LLM-pipeline: text analysis (documents)
+    "q_token_count" -> ((s, dir) =>
+      pipeline.TextAnalysis.tokenCounts(table(s, dir, "documents"))),
+
+    "q_quality_score" -> ((s, dir) =>
+      pipeline.TextAnalysis.qualityScore(table(s, dir, "documents"))),
+
+    "q_lang_id" -> ((s, dir) =>
+      pipeline.TextAnalysis.langId(table(s, dir, "documents"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      pipeline.TextAnalysis.fingerprint(table(s, dir, "documents"))),
+
+    // --- LLM-pipeline: multimodal plumbing (stubbed decode)
+    "q_multimodal_meta" -> ((s, dir) =>
+      pipeline.Multimodal.metadata(pipeline.Multimodal.asBlobs(table(s, dir, "documents")))),
+
+    // --- streaming-shaped event ops (batch form; streaming path in specs)
+    "q_event_window" -> ((s, dir) =>
+      streaming.Events.hourlyAgg(eventsTable(s, dir))),
+
+    "q_sessionize" -> ((s, dir) =>
+      streaming.Events.sessionize(eventsTable(s, dir))),
   )
 
   /** 3x3 neighbor join over the lineitem grid (shared focal-oracle CTE). */
@@ -391,6 +438,142 @@ object SparkEntry {
            |WHERE (instant BETWEEN 19725 AND 19730) OR (instant BETWEEN 19740 AND 19745)""".stripMargin,
 
       "q_spatial_partition" -> s"SELECT x, y, v FROM ($grid)",
+
+      // --- pipeline: dedup
+      "q_dedup_exact" ->
+        "SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dups FROM documents GROUP BY 1",
+
+      "q_dedup_jaccard" ->
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+           |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+           |  FROM t WHERE len(toks) >= 5)),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+           |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT d1, d2, CAST(shared AS DOUBLE) / (n1.n + n2.n - shared) AS jaccard
+           |FROM pr JOIN sz n1 ON pr.d1 = n1.doc_id JOIN sz n2 ON pr.d2 = n2.doc_id
+           |WHERE CAST(shared AS DOUBLE) / (n1.n + n2.n - shared) >= 0.5""".stripMargin,
+
+      "q_dedup_minhash" -> {
+        val p = pipeline.Dedup.MinhashP
+        val params = pipeline.Dedup.minhashParams(16)
+        val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+          s"min((x * $a + $b) % $p) AS m$i"
+        }.mkString(", ")
+        val bandSelects = (0 until 4).map { b =>
+          val cols = (b * 4 until (b + 1) * 4).map(i => s"m$i").mkString(", ")
+          s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS bkey FROM sig"
+        }.mkString(" UNION ALL ")
+        val simExpr = (0 until 16).map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+           |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+           |  FROM t WHERE len(toks) >= 5)),
+           |hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS x FROM sh),
+           |sig AS (SELECT doc_id, $minCols FROM hx GROUP BY 1),
+           |banded AS ($bandSelects),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+           |SELECT d1, d2, CAST($simExpr AS DOUBLE) / 16 AS est_sim
+           |FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id
+           |WHERE CAST($simExpr AS DOUBLE) / 16 >= 0.5""".stripMargin
+      },
+
+      "q_dedup_simhash" -> {
+        val bitSums = (0 until 16).map(b =>
+          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+        val sigExpr = (0 until 16).map(b =>
+          s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+        s"""WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+           |hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM tk),
+           |sums AS (SELECT doc_id, $bitSums FROM hh GROUP BY 1),
+           |sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sig FROM sums)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+      },
+
+      "q_dedup_cosine" ->
+        """WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings)
+          |SELECT a.vec_id AS d1, b.vec_id AS d2,
+          |  round(list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
+          |FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+          |WHERE list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.3""".stripMargin,
+
+      "q_ann_brute" ->
+        """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+          |        list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos
+          |      FROM q a JOIN q b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+          |r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
+          |SELECT qid, nid, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin,
+
+      "q_ann_lsh" -> {
+        val planes = pipeline.Similarity.planeWeights(8, 64)
+        val bucketExpr = planes.zipWithIndex.map { case (p, b) =>
+          val arr = p.mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(qv, $arr) >= 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |b AS (SELECT vec_id, qv, BUCKET AS bucket FROM q)
+          |SELECT a.vec_id AS d1, b2.vec_id AS d2,
+          |  round(list_dot_product(a.qv, b2.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b2.qv, b2.qv))), 6) AS cosine
+          |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          |WHERE list_dot_product(a.qv, b2.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b2.qv, b2.qv))) >= 0.25""".stripMargin
+          .replace("BUCKET", bucketExpr)
+      },
+
+      // --- pipeline: text analysis
+      "q_token_count" ->
+        """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS ws_tokens,
+          |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS bpe_tokens
+          |FROM documents""".stripMargin,
+
+      "q_quality_score" ->
+        """SELECT doc_id, n_chars,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+          |  round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS punct_ratio,
+          |  round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|in|and|is|was|for|on|with)\b')) AS DOUBLE)
+          |        / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0), 6) AS stop_ratio
+          |FROM documents""".stripMargin,
+
+      "q_lang_id" ->
+        """SELECT doc_id,
+          |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+          |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+          |       WHEN de >= fr AND de >= es THEN 'de'
+          |       WHEN fr >= es THEN 'fr'
+          |       ELSE 'es' END AS pred_lang
+          |FROM (SELECT doc_id, text,
+          |  len(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) AS en,
+          |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de,
+          |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr,
+          |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS es
+          |  FROM documents)""".stripMargin,
+
+      "q_fingerprint" ->
+        "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents",
+
+      "q_multimodal_meta" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS magic FROM documents""".stripMargin,
+
+      // --- streaming-shaped
+      "q_event_window" ->
+        """SELECT epoch_us(ts) // 3600000000 AS hour, event_type, count(*) AS cnt,
+          |CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS vsum
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_sessionize" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+          |m AS (SELECT user_id, event_id, us,
+          |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          |s AS (SELECT user_id, us, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m)
+          |SELECT user_id, session_id, count(*) AS cnt, min(us) AS start_us, max(us) AS end_us
+          |FROM s GROUP BY 1, 2""".stripMargin,
     )
   }
 }

@@ -36,7 +36,7 @@ object Dedup {
       .where(size(col("toks")) >= k)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, k)))).as("shingle"))
+          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as("shingle"))
       .distinct()
   }
 

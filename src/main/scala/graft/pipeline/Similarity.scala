@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Determinism contract: embeddings are integer-quantized
+  * (round(x * 1000)) before any dot product, so similarity scores are
+  * exact integer sums divided once — bit-identical in any engine and
+  * any summation order (floats summed in arbitrary order are not).
+  *
+  * Scale shapes: brute-force top-k is the small-query-set baseline
+  * (broadcast queries, narrow map + per-partition top-k); the LSH
+  * path buckets by random-hyperplane signs so candidates shrink by
+  * 2^bits, the standard ANN trade (recall measured in the spec).
+  */
+object Similarity {
+
+  /** Quantized copy of an embedding column: Array[Long]. */
+  def quantize(emb: Column, scale: Int = 1000): Column =
+    transform(emb, x => round(x * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** Deterministic cosine over quantized vectors. */
+  def qcosine(a: Column, b: Column): Column =
+    qdot(a, b).cast("double") / (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
+
+  /** Brute-force cosine top-k: queries (a filter of the corpus) against
+    * all vectors. Queries are broadcast; ranking is a window per query.
+    */
+  def bruteTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val q = embeddings.where(queryPred)
+      .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qv"))
+    val c = embeddings
+      .select(col("vec_id").as("nid"), quantize(col("embedding")).as("cv"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), qcosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by `label` (the standard
+    * blocking-key trick: candidates only within a block). */
+  def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        qcosine(col("a.qv"), col("b.qv")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucketing: sign bits of dot products with
+    * `bits` deterministic pseudo-random hyperplanes -> bucket id.
+    * Candidates = same-bucket pairs; recall vs brute measured in spec.
+    */
+  /** Deterministic "random" hyperplanes:
+    * h_b[i] = ((1103515245*(b*dim+i) + 12345) mod 65536) - 32768.
+    * Public so the oracle SQL can state the same literals. */
+  def planeWeights(bits: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until bits).map { b =>
+      (0 until dim).map(i => ((1103515245L * (b * dim + i) + 12345L) % 65536L) - 32768L)
+    }
+
+  def lshBuckets(embeddings: DataFrame, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = planeWeights(bits, dim)
+    val qv = quantize(col("embedding"))
+    val bucket = planes.zipWithIndex.map { case (p, b) =>
+      val dot = aggregate(
+        zip_with(qv, lit(p.toArray), (x, w) => x * w), lit(0L), _ + _)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    embeddings.select(col("vec_id"), col("label"), bucket.as("bucket"))
+  }
+
+  /** LSH-accelerated near-dup: same-bucket candidate pairs scored
+    * exactly. */
+  def lshPairs(embeddings: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
+    val b = lshBuckets(embeddings, bits)
+      .join(embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv")), "vec_id")
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        qcosine(col("a.qv"), col("b.qv")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -50,12 +50,14 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame = {
     def markers(pat: String): Column =
       size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+    val zh = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
     val en = markers("\\b(the|and|of|is|was)\\b")
     val de = markers("\\b(der|die|das|und|ist)\\b")
     val fr = markers("\\b(le|la|les|et|est)\\b")
     val es = markers("\\b(el|los|las|es|y)\\b")
     docs.select(col("doc_id"),
-      when(en >= de && en >= fr && en >= es, "en")
+      when(zh > 0, "zh")
+        .when(en >= de && en >= fr && en >= es, "en")
         .when(de >= fr && de >= es, "de")
         .when(fr >= es, "fr")
         .otherwise("es").as("pred_lang"))

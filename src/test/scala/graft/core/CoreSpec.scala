@@ -1,0 +1,49 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CoreSpec extends AnyFunSuite {
+
+  test("extent contains / intersects / combine") {
+    val e = Extent(0, 0, 10, 10)
+    assert(e.contains(5, 5) && !e.contains(10, 5))
+    assert(e.intersects(Extent(9, 9, 12, 12)))
+    assert(!e.intersects(Extent(10, 10, 12, 12)))
+    assert(e.combine(Extent(-1, 2, 3, 11)) == Extent(-1, 0, 10, 11))
+  }
+
+  test("layout key math roundtrip") {
+    val ld = LayoutDefinition(Extent(0, 0, 256, 256), TileLayout(4, 4, 64, 64))
+    assert(ld.cellWidth == 1.0 && ld.cellHeight == 1.0)
+    assert(ld.mapToKey(0.5, 255.5) == (0, 0))   // top-left corner
+    assert(ld.mapToKey(255.5, 0.5) == (3, 3))   // bottom-right corner
+    val te = ld.keyToExtent(1, 1)
+    assert(te == Extent(64, 128, 128, 192))
+  }
+
+  test("zoomed layout scheme doubles per zoom") {
+    val s = ZoomedLayoutScheme(CRS.WebMercatorExtent)
+    assert(s.levelFor(0).tileLayout.layoutCols == 1)
+    assert(s.levelFor(5).tileLayout.layoutCols == 32)
+  }
+
+  test("web mercator roundtrip") {
+    for (lng <- Seq(-179.9, -45.0, 0.0, 13.37, 179.9); lat <- Seq(-84.0, -10.0, 0.0, 51.5, 84.0)) {
+      assert(math.abs(CRS.mercXToLng(CRS.lngToMercX(lng)) - lng) < 1e-9)
+      assert(math.abs(CRS.mercYToLat(CRS.latToMercY(lat)) - lat) < 1e-9)
+    }
+  }
+
+  test("zorder interleaves and is monotone within quadrants") {
+    assert(ZIndex.zorder(0, 0) == 0)
+    assert(ZIndex.zorder(1, 0) == 1)
+    assert(ZIndex.zorder(0, 1) == 2)
+    assert(ZIndex.zorder(1, 1) == 3)
+    assert(ZIndex.zorder(255, 255, 8) == 65535)
+  }
+
+  test("hilbert visits each cell exactly once on a 4x4 grid") {
+    val idx = for (x <- 0 until 4; y <- 0 until 4) yield ZIndex.hilbert(x, y, 2)
+    assert(idx.sorted == (0 until 16).map(_.toLong))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60L),
+    (2L, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60L), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again", "en", "s", 60L), // near dup of 1
+    (4L, "completely different content about spark distributed computing engines", "en", "s", 70L),
+    (5L, "der hund und die katze sind freunde und das ist gut", "de", "s", 50L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs).select("keeper", "dups").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)))
+    assert(out.count(_._2 == 1L) == 3)
+  }
+
+  test("jaccard pairs find near duplicates, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, k = 3, threshold = 0.4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signatures identical for identical docs") {
+    val sig = Dedup.minhashSignatures(docs, k = 8, shingleK = 3)
+    val rows = sig.where(col("doc_id").isin(1, 2)).drop("doc_id").collect()
+    assert(rows(0) == rows(1))
+  }
+
+  test("minhash LSH pairs catch the exact dup") {
+    val pairs = Dedup.minhashPairs(docs, k = 16, bands = 4, minEstSim = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash hamming 0 for identical docs") {
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3)
+      .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  val embs = Seq(
+    (0L, Array.tabulate(8)(i => 1.0f + i), 0),
+    (1L, Array.tabulate(8)(i => 2.0f * (1.0f + i)), 0), // colinear with 0 => cosine 1
+    (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f), 0),
+    (3L, Array.tabulate(8)(i => -(1.0f + i)), 1)        // opposite of 0
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine pairs: colinear vectors ~1, blocked by label") {
+    val out = Similarity.cosinePairs(embs, 0.99).as[(Long, Long, Double)].collect()
+    assert(out.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    assert(math.abs(out.head._3 - 1.0) < 1e-4)
+  }
+
+  test("brute top-k ranks colinear first") {
+    val top = Similarity.bruteTopK(embs, col("vec_id") === 0, k = 2)
+      .orderBy("rank").select("nid").as[Long].collect()
+    assert(top.head == 1L)
+  }
+
+  test("lsh buckets put colinear vectors together and recall covers brute pairs") {
+    val b = Similarity.lshBuckets(embs, bits = 6, dim = 8)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L))
+    val lsh = Similarity.lshPairs(embs, 0.99, bits = 6).select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((0L, 1L)))
+  }
+
+  test("text analysis: tokens, quality, lang, fingerprint") {
+    val tc = TextAnalysis.tokenCounts(docs).where(col("doc_id") === 1).head()
+    assert(tc.getLong(1) == 12L)
+    val lang = TextAnalysis.langId(docs).as[(Long, String)].collect().toMap
+    assert(lang(1L) == "en" && lang(5L) == "de")
+    val fps = TextAnalysis.fingerprint(docs).as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+
+  test("multimodal blob plumbing: metadata + stubbed batch decode") {
+    val blobs = Multimodal.asBlobs(docs)
+    val meta = Multimodal.metadata(blobs).where(col("doc_id") === 1).head()
+    val textLen = docs.where(col("doc_id") === 1).head().getString(1).length
+    assert(meta.getLong(1) == textLen.toLong) // ascii text: bytes == chars
+    val feats = Multimodal.decodeFeatures(blobs).collect()
+    assert(feats.length == 5 && feats.forall(_.n_bytes > 0))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.raster
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{Extent, LayoutDefinition, TileLayout}
+import graft.vector.Geometry
+
+class RasterLayerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8x8 grid, 4x4 tiles (2x2 layout)
+  val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+
+  def cellsDf(cells: (Long, Long, Double)*) =
+    cells.toSeq.toDF("x", "y", "v")
+
+  def layer(cells: (Long, Long, Double)*): RasterLayer =
+    RasterLayer.fromCells(cellsDf(cells: _*), layout)
+
+  def cellsOf(l: RasterLayer): Set[(Long, Long, Double)] =
+    l.toCells.as[(Long, Long, Double)].collect().toSet
+
+  test("fromCells/toCells roundtrip") {
+    val in = Set((0L, 0L, 1.0), (3L, 3L, 2.0), (4L, 0L, 3.0), (7L, 7L, 4.0))
+    assert(cellsOf(layer(in.toSeq: _*)) == in)
+  }
+
+  test("local arithmetic and NaN propagation") {
+    val l = layer((0, 0, 10.0), (5, 5, 20.0))
+    assert(cellsOf((l + 5.0) * 2.0) == Set((0L, 0L, 30.0), (5L, 5L, 50.0)))
+    assert(cellsOf(l.localMax(15.0)) == Set((0L, 0L, 15.0), (5L, 5L, 20.0)))
+  }
+
+  test("binary op joins on key and intersects data cells") {
+    val a = layer((0, 0, 1.0), (1, 1, 2.0))
+    val b = layer((1, 1, 10.0), (7, 7, 5.0))
+    assert(cellsOf(a + b) == Set((1L, 1L, 12.0)))
+  }
+
+  test("reclassify strategies") {
+    val l = layer((0, 0, 5.0), (1, 0, 15.0), (2, 0, 25.0))
+    val r = l.reclassify(Seq(10.0 -> 1.0, 20.0 -> 2.0, 1e9 -> 3.0))
+    assert(cellsOf(r) == Set((0L, 0L, 1.0), (1L, 0L, 2.0), (2L, 0L, 3.0)))
+    val g = l.reclassify(Seq(10.0 -> 1.0, 20.0 -> 2.0), strategy = "GreaterThanOrEqualTo",
+      replaceNoData = Some(0.0))
+    assert(cellsOf(g) == Set((0L, 0L, 0.0), (1L, 0L, 1.0), (2L, 0L, 2.0)))
+  }
+
+  test("aggregateByCell sums duplicate keys cell-wise") {
+    val l = layer((0, 0, 1.0), (1, 1, 2.0))
+    val m = layer((0, 0, 10.0), (4, 4, 7.0))
+    val u = l.union(m).aggregateByCell("Sum")
+    assert(cellsOf(u) == Set((0L, 0L, 11.0), (1L, 1L, 2.0), (4L, 4L, 7.0)))
+  }
+
+  test("withNoData and convertCellType") {
+    val l = layer((0, 0, 1.0), (1, 0, 2.5))
+    assert(cellsOf(l.withNoData(1.0)) == Set((1L, 0L, 2.5)))
+    assert(cellsOf(l.convertCellType("int32")) == Set((0L, 0L, 1.0), (1L, 0L, 2.0)))
+  }
+
+  test("normalize maps min..max to new range") {
+    val l = layer((0, 0, 10.0), (1, 0, 20.0), (2, 0, 30.0))
+    assert(cellsOf(l.normalize(0, 100)) == Set((0L, 0L, 0.0), (1L, 0L, 50.0), (2L, 0L, 100.0)))
+  }
+
+  test("minMax and lookup") {
+    val l = layer((0, 0, -3.0), (6, 6, 42.0))
+    assert(l.minMax() == (-3.0, 42.0))
+    assert(RasterLayer.tilesToCells(l.lookup(1, 1), 4, 4)
+      .as[(Long, Long, Double)].collect().toSet == Set((6L, 6L, 42.0)))
+  }
+
+  test("mask keeps only polygon interior") {
+    val l = layer((0, 0, 1.0), (4, 4, 2.0), (7, 7, 3.0))
+    val m = ZonalOps.maskGrid(l, Seq(Geometry.rect(3, 3, 6, 6)))
+    assert(cellsOf(m) == Set((4L, 4L, 2.0)))
+  }
+
+  test("focal mean crosses tile boundaries via halo") {
+    // cells straddling the boundary between tile (0,0) and (1,0): x=3 and x=4
+    val l = layer((3, 0, 10.0), (4, 0, 20.0))
+    val f = l.focal(Neighborhood.Square(1), "Mean")
+    assert(cellsOf(f) == Set((3L, 0L, 15.0), (4L, 0L, 15.0)))
+  }
+
+  test("focal sum includes center and in-range neighbors") {
+    val l = layer((0, 0, 1.0), (1, 0, 2.0), (2, 0, 4.0))
+    val f = l.focal(Neighborhood.Square(1), "Sum")
+    assert(cellsOf(f) == Set((0L, 0L, 3.0), (1L, 0L, 7.0), (2L, 0L, 6.0)))
+  }
+
+  test("pyramid level-up block average") {
+    val l = layer((0, 0, 1.0), (1, 0, 3.0), (0, 1, 5.0), (1, 1, 7.0), (6, 6, 9.0))
+    val p = Pyramid.levelUp(l, "Average")
+    assert(cellsOf(p) == Set((0L, 0L, 4.0), (3L, 3L, 9.0)))
+  }
+
+  test("zonal stats groups cells by zone raster") {
+    val v = layer((0, 0, 1.0), (1, 0, 3.0), (2, 0, 5.0))
+    val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 8.0))
+    val out = ZonalOps.zonalStats(v, z)
+      .select("zone", "cnt", "vsum").as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((7L, 2L, 4.0), (8L, 1L, 5.0)))
+  }
+
+  test("point values sample the right cells") {
+    val l = layer((2, 3, 42.0))
+    val pts = Seq((1L, 2.5, 3.5), (2L, 0.5, 0.5)).toDF("pid", "px", "py")
+    val out = ZonalOps.pointValues(l, pts).as[(Long, Double)].collect().toSet
+    assert(out == Set((1L, 42.0)))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val us = 1000L * 1000 // micros per second (values below are ns)
+  // base epoch 2024-01-01 (exactly on an hour): a ts of 0 sits exactly on
+  // the initial watermark and gets dropped as late by the streaming path
+  val base = 1704067200L
+  def ns(sec: Long): Long = (base + sec) * 1000L * 1000 * 1000
+
+  val events = Seq(
+    (1L, ns(0), 10L, "click", 1.5, "{}"),
+    (2L, ns(60), 10L, "click", 2.5, "{}"),
+    (3L, ns(60 * 100), 10L, "view", 1.0, "{}"),  // >30min gap => new session
+    (4L, ns(30), 20L, "click", 4.0, "{}")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("hourly aggregation (batch form)") {
+    val out = Events.hourlyAgg(events)
+      .select("hour", "event_type", "cnt", "vsum")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val h0 = base / 3600 // 2024-01-01 00:xx bucket
+    assert(out == Set((h0, "click", 3L, 8.0), (h0 + 1, "view", 1L, 1.0)))
+  }
+
+  test("sessionize splits on >30min gaps per user") {
+    val out = Events.sessionize(events)
+      .select("user_id", "session_id", "cnt").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
+  }
+
+  test("streaming hourly agg with watermark produces the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val stream = Events.hourlyAggStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = stream.writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Seq(
+        (1L, ns(0), 10L, "click", 1.5, "{}"),
+        (2L, ns(60), 10L, "click", 2.5, "{}"),
+        (3L, ns(60 * 100), 10L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      val out = spark.table("hourly")
+        .select(col("event_type"), col("cnt"), col("vsum"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(out == Set(("click", 2L, 4.0), ("view", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val stream = Events.sessionizeStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = stream.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        (1L, ns(0), 10L, "click", 1.5, "{}"),
+        (2L, ns(60), 10L, "click", 2.5, "{}"),
+        (3L, ns(60 * 100), 10L, "view", 1.0, "{}"))) // closes session 1
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[Events.SessionOut].collect()
+      assert(out.exists(s => s.user_id == 10L && s.cnt == 2L))
+    } finally q.stop()
+  }
+}
