@@ -38,8 +38,15 @@ object GridSource {
   val lineitemCellsSql: String =
     s"SELECT l_orderkey % $G AS x, l_partkey % $G AS y, sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2"
 
+  /** Tiled layer straight from raw rows: TileBuildAgg(Sum) rasterizes
+    * and tiles in ONE shuffle (map-side partial tiles), skipping the
+    * per-cell groupBy — identical result to tiling lineitemCells. */
   def lineitemLayer(spark: SparkSession, dir: String): RasterLayer =
-    RasterLayer.fromCells(lineitemCells(spark, dir), layout)
+    RasterLayer.fromCells(
+      table(spark, dir, "lineitem").select(
+        (col("l_orderkey") % G).as("x"), (col("l_partkey") % G).as("y"),
+        col("l_quantity").as("v")),
+      layout, graft.raster.CellOp.Sum)
 
   /** Second value grid (for binary ops / union) from orders:
     * x = o_orderkey%256, y = o_custkey%256, v = count (exact). */
@@ -52,7 +59,11 @@ object GridSource {
     s"SELECT o_orderkey % $G AS x, o_custkey % $G AS y, CAST(count(*) AS DOUBLE) AS v FROM orders GROUP BY 1, 2"
 
   def ordersLayer(spark: SparkSession, dir: String): RasterLayer =
-    RasterLayer.fromCells(ordersCells(spark, dir), layout)
+    RasterLayer.fromCells(
+      table(spark, dir, "orders").select(
+        (col("o_orderkey") % G).as("x"), (col("o_custkey") % G).as("y"),
+        lit(1.0).as("v")),
+      layout, graft.raster.CellOp.Sum)
 
   /** Zone grid from lineitem: zone = min(l_returnflag) per cell
     * (min => deterministic, unlike mode). Encoded to int via ascii. */

@@ -202,6 +202,9 @@ object SparkEntry {
     "q_spatial_partition" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).partitionByKey(8))),
 
+    "q_combine_bands" -> ((s, dir) =>
+      lineitemLayer(s, dir).combineBandsCells(ordersLayer(s, dir))),
+
     // --- LLM-pipeline: dedup family (documents)
     "q_dedup_exact" -> ((s, dir) =>
       pipeline.Dedup.exact(table(s, dir, "documents"))),
@@ -438,6 +441,10 @@ object SparkEntry {
            |WHERE (instant BETWEEN 19725 AND 19730) OR (instant BETWEEN 19740 AND 19745)""".stripMargin,
 
       "q_spatial_partition" -> s"SELECT x, y, v FROM ($grid)",
+
+      "q_combine_bands" ->
+        s"""SELECT coalesce(a.x, b.x) AS x, coalesce(a.y, b.y) AS y, a.v AS b0, b.v AS b1
+           |FROM ($grid) a FULL OUTER JOIN ($ogrid) b ON a.x = b.x AND a.y = b.y""".stripMargin,
 
       // --- pipeline: dedup
       "q_dedup_exact" ->

@@ -34,12 +34,18 @@ object Similarity {
     * all vectors. Queries are broadcast; ranking is a window per query.
     */
   def bruteTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    // norms computed once per side, not per pair: the per-pair work is a
+    // single zip_with dot product (O(dim)), which is what bounds the
+    // n*q*dim cost at scale
     val q = embeddings.where(queryPred)
       .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
     val c = embeddings
       .select(col("vec_id").as("nid"), quantize(col("embedding")).as("cv"))
+      .withColumn("cn", sqrt(qdot(col("cv"), col("cv")).cast("double")))
     val scored = broadcast(q).join(c, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), qcosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("qid"), col("nid"),
+        (qdot(col("qv"), col("cv")).cast("double") / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -50,10 +56,11 @@ object Similarity {
     * blocking-key trick: candidates only within a block). */
   def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+      .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-        qcosine(col("a.qv"), col("b.qv")).as("cosine"))
+        (qdot(col("a.qv"), col("b.qv")).cast("double") / (col("a.nn") * col("b.nn"))).as("cosine"))
       .where(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))
   }
@@ -86,10 +93,11 @@ object Similarity {
   def lshPairs(embeddings: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
     val b = lshBuckets(embeddings, bits)
       .join(embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv")), "vec_id")
+      .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-        qcosine(col("a.qv"), col("b.qv")).as("cosine"))
+        (qdot(col("a.qv"), col("b.qv")).cast("double") / (col("a.nn") * col("b.nn"))).as("cosine"))
       .where(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))
   }

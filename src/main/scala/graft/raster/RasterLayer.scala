@@ -167,6 +167,35 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     * (union.py:9). Pure union, no shuffle. */
   def union(other: RasterLayer): RasterLayer = copy(df = df.unionByName(other.df))
 
+  /** Stack two layers into a 2-band layer — reference combine_bands
+    * (combine_bands.py:9). Full-outer keyed join; a missing tile on
+    * either side becomes an all-NoData band. Result df: col, row,
+    * bands ARRAY<ARRAY<DOUBLE>>. */
+  def combineBands(other: RasterLayer): DataFrame = {
+    val nodataTile = array_repeat(lit(Double.NaN), tl.tileSize)
+    val a = df.select(col("col"), col("row"), col("tile").as("_ba"))
+    val b = other.df.select(col("col"), col("row"), col("tile").as("_bb"))
+    a.join(b, Seq("col", "row"), "full_outer")
+      .select(col("col"), col("row"),
+        array(coalesce(col("_ba"), nodataTile), coalesce(col("_bb"), nodataTile)).as("bands"))
+  }
+
+  /** Flatten a 2-band stack to (x, y, b0, b1) rows (NoData -> NULL),
+    * dropping all-NoData cells. */
+  def combineBandsCells(other: RasterLayer): DataFrame = {
+    val bands = combineBands(other)
+    def v(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
+    bands
+      .select(col("col"), col("row"),
+        posexplode(zip_with(element_at(col("bands"), 1), element_at(col("bands"), 2),
+          (x, y) => struct(x.as("b0"), y.as("b1")))).as(Seq("off", "p")))
+      .where(!isnan(col("p.b0")) || !isnan(col("p.b1")))
+      .select(
+        (col("col").cast("long") * tc + col("off") % tc).as("x"),
+        (col("row").cast("long") * tr + floor(col("off") / tc).cast("long")).as("y"),
+        v(col("p.b0")).as("b0"), v(col("p.b1")).as("b1"))
+  }
+
   /** Collapse duplicate keys with a cell-wise aggregation — reference
     * merge (layer.py:818) / aggregate_by_cell (layer.py:1500).
     * One keyed shuffle; cell-wise combine via zip_with in a reduce-style

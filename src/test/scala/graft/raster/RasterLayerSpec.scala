@@ -105,6 +105,26 @@ class RasterLayerSpec extends SparkSpec {
     assert(out == Set((7L, 2L, 4.0), (8L, 1L, 5.0)))
   }
 
+  test("combine_bands stacks layers with NoData -> null") {
+    val a = layer((0, 0, 1.0))
+    val b = layer((0, 0, 2.0), (1, 0, 3.0))
+    val out = a.combineBandsCells(b)
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSet
+    assert(out == Set((0L, 0L, Some(1.0), Some(2.0)), (1L, 0L, None, Some(3.0))))
+  }
+
+  test("neighborhood masks have the right shapes") {
+    assert(Neighborhood.Square(1).offsets.length == 9)
+    assert(Neighborhood.Nesw(1).offsets.toSet ==
+      Set((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)))
+    assert(Neighborhood.Circle(1.0).offsets.toSet ==
+      Set((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)))
+    val ann = Neighborhood.Annulus(1.0, 2.0).offsets.toSet
+    assert(!ann.contains((0, 0)) && ann.contains((2, 0)) && ann.contains((1, 1)))
+    val wedge = Neighborhood.Wedge(2.0, 0, 90).offsets.toSet
+    assert(wedge.contains((1, -1)) && wedge.contains((2, 0)) && !wedge.contains((-1, 1)))
+  }
+
   test("point values sample the right cells") {
     val l = layer((2, 3, 42.0))
     val pts = Seq((1L, 2.5, 3.5), (2L, 0.5, 0.5)).toDF("pid", "px", "py")
