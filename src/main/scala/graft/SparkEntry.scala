@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.core.{CRS, ZIndex}
-import graft.raster.{Distance, HistogramOps, Neighborhood, Pyramid, RasterLayer, ZonalOps}
+import graft.raster.{Distance, HistogramOps, Neighborhood, Pyramid, RasterLayer, Resample, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
 
@@ -17,11 +17,18 @@ import graft.vector.Geometry
 object SparkEntry {
   import GridSource._
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Rasterize lineitem to the 256-grid, 3x3 focal mean, zonal stats by
-    * returnflag zone — the engine's bread and butter in one plan. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q_rasterize")(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. One composite plan through the engine's core path:
+    * rasterize lineitem -> 3x3 focal mean -> zonal stats by the
+    * returnflag zone raster. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val smoothed = lineitemLayer(spark, dir).focal(Neighborhood.Square(1), "Mean")
+    val zones = RasterLayer.fromCells(
+      zoneCells(spark, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
+      layout)
+    ZonalOps.zonalStats(smoothed, zones)
+  }
 
   // ----------------------------------------------------------------
   // helpers
@@ -147,6 +154,13 @@ object SparkEntry {
     }),
     "q_quantile_breaks" -> ((s, dir) =>
       HistogramOps.quantileBreaks(lineitemLayer(s, dir), Seq(0.25, 0.5, 0.75))),
+
+    "q_histogram_cdf" -> ((s, dir) => HistogramOps.cdf(lineitemLayer(s, dir))),
+
+    "q_resample_bilinear" -> ((s, dir) => {
+      val r = Resample.bilinearCells(lineitemLayer(s, dir), G, 200)
+      r.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
 
     // --- pyramid / stitch
     "q_pyramid" -> ((s, dir) => flat(Pyramid.levelUp(lineitemLayer(s, dir), "Average"))),
@@ -402,6 +416,29 @@ object SparkEntry {
       "q_quantile_breaks" ->
         s"""SELECT round(quantile_cont(v, 0.25), 5) AS q0, round(quantile_cont(v, 0.5), 5) AS q1,
            |       round(quantile_cont(v, 0.75), 5) AS q2 FROM ($grid)""".stripMargin,
+
+      "q_histogram_cdf" ->
+        s"""WITH g AS ($grid), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM g),
+           |c AS (SELECT CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9) AS BIGINT) AS bin, count(*) AS cnt
+           |      FROM g, mm GROUP BY 1)
+           |SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           |       / (SELECT CAST(sum(cnt) AS DOUBLE) FROM c) AS cdf FROM c""".stripMargin,
+
+      "q_resample_bilinear" ->
+        s"""WITH g AS ($grid), t AS (
+           |  SELECT t1.range AS i, t2.range AS j,
+           |         (t1.range + 0.5) * 256 / 200 - 0.5 AS sx,
+           |         (t2.range + 0.5) * 256 / 200 - 0.5 AS sy
+           |  FROM range(0, 200) t1, range(0, 200) t2),
+           |k AS (SELECT i, j, CAST(floor(sx) AS BIGINT) AS x0, CAST(floor(sy) AS BIGINT) AS y0,
+           |             sx - CAST(floor(sx) AS BIGINT) AS fx, sy - CAST(floor(sy) AS BIGINT) AS fy FROM t)
+           |SELECT k.i AS x, k.j AS y,
+           |  round(a.v * (1.0 - fx) * (1.0 - fy) + b.v * fx * (1.0 - fy)
+           |      + c.v * (1.0 - fx) * fy + d.v * fx * fy, 5) AS v
+           |FROM k JOIN g a ON a.x = k.x0 AND a.y = k.y0
+           |       JOIN g b ON b.x = k.x0 + 1 AND b.y = k.y0
+           |       JOIN g c ON c.x = k.x0 AND c.y = k.y0 + 1
+           |       JOIN g d ON d.x = k.x0 + 1 AND d.y = k.y0 + 1""".stripMargin,
 
       "q_pyramid" ->
         s"SELECT x // 2 AS x, y // 2 AS y, avg(v) AS v FROM ($grid) GROUP BY 1, 2",

@@ -1,6 +1,6 @@
 package graft.raster
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Layer statistics — reference histogram.py (min/max/mean/mode/median/
@@ -23,17 +23,30 @@ object HistogramOps {
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
   }
 
-  /** min/max/mean/count in one pass (histogram.py:37-96). */
+  /** min/max/mean/count in one pass (histogram.py:37-96) via the native
+    * TileStatsExpr (single codegen'd loop per tile; NaN -> null at the
+    * tile level so the global min/max aggregates skip empty tiles). */
   def stats(layer: RasterLayer): DataFrame = {
-    val d = filter(col("tile"), c => !isnan(c))
-    layer.df.select(d.as("d"))
+    def nanNull(c: Column) = when(isnan(c), lit(null)).otherwise(c)
+    layer.df.select(org.apache.spark.sql.graft.TileStatsExpr.tileStats(col("tile")).as("st"))
       .select(
-        sum(expr("aggregate(d, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")).as("vsum"),
-        sum(size(col("d"))).cast("long").as("vcount"),
-        min(array_min(col("d"))).as("vmin"),
-        max(array_max(col("d"))).as("vmax"))
+        sum(col("st.vsum")).as("vsum"),
+        sum(col("st.vcnt")).cast("long").as("vcount"),
+        min(nanNull(col("st.vmin"))).as("vmin"),
+        max(nanNull(col("st.vmax"))).as("vmax"))
       .select(col("vmin"), col("vmax"), col("vcount"),
               (col("vsum") / col("vcount")).as("vmean"))
+  }
+
+  /** Cumulative distribution over equal-width bins (histogram.py cdf
+    * :129): fraction of cells at or below each bin's upper edge. */
+  def cdf(layer: RasterLayer, bins: Int = 10): DataFrame = {
+    val counts = binCounts(layer, bins)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bin").rowsBetween(Long.MinValue, 0)
+    val total = counts.agg(sum("cnt")).head().getLong(0)
+    counts.withColumn("cdf", sum("cnt").over(w).cast("double") / lit(total.toDouble))
+      .select(col("bin"), col("cdf"))
   }
 
   /** Exact interpolated quantiles (get_quantile_breaks :233). Uses

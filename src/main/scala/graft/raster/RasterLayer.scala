@@ -241,9 +241,11 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   /** Per-tile partial min/max then a tiny global combine — no data
     * leaves the executors except 2 doubles per tile. */
   def minMax(): (Double, Double) = {
-    val row = df.select(
-      min(array_min(filter(col("tile"), c => !isnan(c)))).as("mn"),
-      max(array_max(filter(col("tile"), c => !isnan(c)))).as("mx")).head()
+    val st = org.apache.spark.sql.graft.TileStatsExpr.tileStats(col("tile"))
+    def nanNull(c: Column) = when(isnan(c), lit(null)).otherwise(c)
+    val row = df.select(st.as("st"))
+      .select(min(nanNull(col("st.vmin"))).as("mn"), max(nanNull(col("st.vmax"))).as("mx"))
+      .head()
     (row.getDouble(0), row.getDouble(1))
   }
 

@@ -78,17 +78,17 @@ object ZonalOps {
     * polygon, one output row (reference polygonal_* layer.py:2392-2464).
     * Partial aggregation per tile -> single global combine. */
   def polygonalSummary(layer: RasterLayer, poly: Polygon): DataFrame = {
+    def nanNull(c: Column) = when(isnan(c), lit(null)).otherwise(c)
     val masked = maskGrid(layer, Seq(poly))
-    val data = filter(col("tile"), c => !isnan(c))
     masked.df
-      .select(data.as("d"))
+      .select(org.apache.spark.sql.graft.TileStatsExpr.tileStats(col("tile")).as("st"))
       .select(
-        sum(expr("aggregate(d, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")).as("vsum"),
-        sum(size(col("d"))).as("vcount"),
-        min(array_min(col("d"))).as("vmin"),
-        max(array_max(col("d"))).as("vmax"))
-      .select(col("vsum"), col("vcount").cast("long").as("vcount"),
-              col("vmin"), col("vmax"), (col("vsum") / col("vcount")).as("vmean"))
+        sum(col("st.vsum")).as("vsum"),
+        sum(col("st.vcnt")).cast("long").as("vcount"),
+        min(nanNull(col("st.vmin"))).as("vmin"),
+        max(nanNull(col("st.vmax"))).as("vmax"))
+      .select(col("vsum"), col("vcount"), col("vmin"), col("vmax"),
+              (col("vsum") / col("vcount")).as("vmean"))
   }
 
   /** Zonal statistics of `values` grouped by the co-located `zones`
