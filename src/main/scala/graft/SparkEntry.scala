@@ -213,6 +213,11 @@ object SparkEntry {
       l.filterByTimes(Seq((19725L, 19730L), (19740L, 19745L))).toCells
     }),
 
+    "q_to_spatial" -> ((s, dir) => {
+      val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
+      l.toSpatialLayer("Max").toCells
+    }),
+
     "q_spatial_partition" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).partitionByKey(8))),
 
@@ -476,6 +481,9 @@ object SparkEntry {
       "q_filter_by_times" ->
         s"""SELECT x, y, instant, v FROM ($egrid)
            |WHERE (instant BETWEEN 19725 AND 19730) OR (instant BETWEEN 19740 AND 19745)""".stripMargin,
+
+      "q_to_spatial" ->
+        s"SELECT x, y, max(v) AS v FROM ($egrid) GROUP BY 1, 2",
 
       "q_spatial_partition" -> s"SELECT x, y, v FROM ($grid)",
 

@@ -22,9 +22,10 @@ object Similarity {
   def quantize(emb: Column, scale: Int = 1000): Column =
     transform(emb, x => round(x * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — native
+    * codegen'd fused loop (see LongDotExpr), no intermediate array. */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    org.apache.spark.sql.graft.LongDotExpr.longDot(a, b)
 
   /** Deterministic cosine over quantized vectors. */
   def qcosine(a: Column, b: Column): Column =
@@ -81,9 +82,7 @@ object Similarity {
     val planes = planeWeights(bits, dim)
     val qv = quantize(col("embedding"))
     val bucket = planes.zipWithIndex.map { case (p, b) =>
-      val dot = aggregate(
-        zip_with(qv, lit(p.toArray), (x, w) => x * w), lit(0L), _ + _)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+      when(qdot(qv, lit(p.toArray)) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     embeddings.select(col("vec_id"), col("label"), bucket.as("bucket"))
   }
