@@ -84,6 +84,20 @@ object Catalog {
     new RasterLayer(pruned, meta)
   }
 
+  /** Append tiles of `layer` to an existing stored layer — reference
+    * update_layer (catalog.py:287). Readers resolve duplicate keys via
+    * aggregateByCell/merge on read. */
+  def update(uri: String, name: String, layer: RasterLayer, zoom: Int = 0): Unit = {
+    val idxCol = ZIndex.zorderCol(col("col").cast("long"), col("row").cast("long"))
+    layer.df
+      .withColumn("zoom", lit(zoom))
+      .withColumn("zindex", idxCol)
+      .sortWithinPartitions("zindex")
+      .write.mode("append")
+      .partitionBy("zoom")
+      .parquet(s"$uri/$name/tiles")
+  }
+
   /** Attribute store key-value access (catalog.py AttributeStore :332). */
   def writeAttribute(uri: String, name: String, key: String, value: String): Unit = {
     val p = Paths.get(s"$uri/$name/_attributes_$key.json")

@@ -1,0 +1,39 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension injector: registers graft's native expressions as
+  * SQL functions, so `spark.sql("SELECT tile_stats(tile) ...")` works.
+  *
+  * Production use:
+  *   spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  type Builder = Seq[Expression] => Expression
+
+  val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("tile_stats",
+      new ExpressionInfo(classOf[TileStatsExpr].getName, "tile_stats"),
+      (args: Seq[Expression]) => TileStatsExpr(args.head)),
+    ("long_dot",
+      new ExpressionInfo(classOf[LongDotExpr].getName, "long_dot"),
+      (args: Seq[Expression]) => LongDotExpr(args(0), args(1))))
+
+  /** Register on an already-created session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

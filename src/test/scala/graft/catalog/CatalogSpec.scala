@@ -1,0 +1,49 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.core.{Extent, LayoutDefinition, TileLayout}
+import graft.raster.RasterLayer
+
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+
+  def layer(cells: (Long, Long, Double)*): RasterLayer =
+    RasterLayer.fromCells(cells.toSeq.toDF("x", "y", "v"), layout)
+
+  test("write/read roundtrip preserves cells and metadata") {
+    val dir = Files.createTempDirectory("graft_cat").toString
+    val l = layer((0, 0, 1.0), (7, 7, 2.0))
+    Catalog.write(dir, "t", l, zoom = 3)
+    val back = Catalog.read(spark, dir, "t", zoom = 3)
+    assert(back.toCells.as[(Long, Long, Double)].collect().toSet ==
+      Set((0L, 0L, 1.0), (7L, 7L, 2.0)))
+    assert(back.meta.layout == layout)
+  }
+
+  test("extent query prunes to requested tiles") {
+    val dir = Files.createTempDirectory("graft_cat").toString
+    Catalog.write(dir, "t", layer((0, 0, 1.0), (5, 5, 2.0)), zoom = 0)
+    val q = Catalog.query(spark, dir, "t", 0, 4, 4, 8, 8)
+    assert(q.toCells.as[(Long, Long, Double)].collect().toSet == Set((5L, 5L, 2.0)))
+  }
+
+  test("update appends tiles; merge resolves duplicates") {
+    val dir = Files.createTempDirectory("graft_cat").toString
+    Catalog.write(dir, "t", layer((0, 0, 1.0)), zoom = 0)
+    Catalog.update(dir, "t", layer((0, 0, 5.0), (7, 0, 3.0)), zoom = 0)
+    val merged = Catalog.read(spark, dir, "t", zoom = 0).aggregateByCell("Max")
+    assert(merged.toCells.as[(Long, Long, Double)].collect().toSet ==
+      Set((0L, 0L, 5.0), (7L, 0L, 3.0)))
+  }
+
+  test("attribute store roundtrip") {
+    val dir = Files.createTempDirectory("graft_cat").toString
+    Catalog.write(dir, "t", layer((0, 0, 1.0)), zoom = 0)
+    Catalog.writeAttribute(dir, "t", "notes", """{"a":1}""")
+    assert(Catalog.readAttribute(dir, "t", "notes") == """{"a":1}""")
+  }
+}
