@@ -224,6 +224,38 @@ object SparkEntry {
     "q_combine_bands" -> ((s, dir) =>
       lineitemLayer(s, dir).combineBandsCells(ordersLayer(s, dir))),
 
+    "q_bands" -> ((s, dir) => {
+      // band selection (layer.py:670): combine then take band 1
+      val b = lineitemLayer(s, dir).combineBandsCells(ordersLayer(s, dir))
+      b.where(col("b1").isNotNull).select(col("x"), col("y"), col("b1").as("v"))
+    }),
+
+    "q_aggregate_mean" -> ((s, dir) => {
+      val l = lineitemLayer(s, dir)
+      flat(l.union(l + 10.0).aggregateByCell("Mean"))
+    }),
+
+    "q_local_pow" -> ((s, dir) => {
+      val l = lineitemLayer(s, dir) ** 1.5
+      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
+
+    "q_pyramid2" -> ((s, dir) => {
+      // second-level averages re-aggregate non-integral doubles, so the
+      // last ulp depends on summation order -> round both sides
+      val p2 = Pyramid.levelUp(Pyramid.levelUp(lineitemLayer(s, dir), "Average"), "Average")
+      p2.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
+
+    "q_focal_nesw" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Nesw(1), "Sum"))),
+
+    "q_focal_annulus" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Annulus(1.0, 2.0), "Sum"))),
+
+    "q_focal_wedge" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Wedge(2.0, 0, 90), "Sum"))),
+
     // --- LLM-pipeline: dedup family (documents)
     "q_dedup_exact" -> ((s, dir) =>
       pipeline.Dedup.exact(table(s, dir, "documents"))),
@@ -490,6 +522,44 @@ object SparkEntry {
       "q_combine_bands" ->
         s"""SELECT coalesce(a.x, b.x) AS x, coalesce(a.y, b.y) AS y, a.v AS b0, b.v AS b1
            |FROM ($grid) a FULL OUTER JOIN ($ogrid) b ON a.x = b.x AND a.y = b.y""".stripMargin,
+
+      "q_bands" -> s"SELECT x, y, v FROM ($ogrid)",
+
+      "q_aggregate_mean" ->
+        s"SELECT x, y, (v + (v + 10)) / 2 AS v FROM ($grid)",
+
+      "q_local_pow" ->
+        s"SELECT x, y, round(pow(v, 1.5), 5) AS v FROM ($grid)",
+
+      "q_pyramid2" ->
+        s"""WITH p1 AS (SELECT x // 2 AS x, y // 2 AS y, avg(v) AS v FROM ($grid) GROUP BY 1, 2)
+           |SELECT x // 2 AS x, y // 2 AS y, round(avg(v), 5) AS v FROM p1 GROUP BY 1, 2""".stripMargin,
+
+      "q_focal_nesw" ->
+        s"""WITH g AS ($grid)
+           |SELECT c.x AS x, c.y AS y, sum(n.v) AS v
+           |FROM g c JOIN g n ON (n.x = c.x AND n.y BETWEEN c.y - 1 AND c.y + 1)
+           |                  OR (n.y = c.y AND n.x BETWEEN c.x - 1 AND c.x + 1)
+           |GROUP BY c.x, c.y""".stripMargin,
+
+      "q_focal_annulus" ->
+        s"""WITH g AS ($grid)
+           |SELECT c.x AS x, c.y AS y, sum(n.v) AS v
+           |FROM g c JOIN g n
+           |  ON n.x BETWEEN c.x - 2 AND c.x + 2 AND n.y BETWEEN c.y - 2 AND c.y + 2
+           | AND (n.x - c.x) * (n.x - c.x) + (n.y - c.y) * (n.y - c.y) BETWEEN 1 AND 4
+           |GROUP BY c.x, c.y""".stripMargin,
+
+      "q_focal_wedge" -> {
+        // angle-boundary float comparisons differ across engines, so the
+        // oracle states the wedge's offset mask literally
+        val vals = graft.raster.Neighborhood.Wedge(2.0, 0, 90).offsets
+          .map { case (dx, dy) => s"($dx, $dy)" }.mkString(", ")
+        s"""WITH g AS ($grid), o(dx, dy) AS (VALUES $vals)
+           |SELECT c.x AS x, c.y AS y, sum(n.v) AS v
+           |FROM g c JOIN o ON true JOIN g n ON n.x = c.x + o.dx AND n.y = c.y + o.dy
+           |GROUP BY c.x, c.y""".stripMargin
+      },
 
       // --- pipeline: dedup
       "q_dedup_exact" ->

@@ -32,6 +32,16 @@ final case class LayoutDefinition(extent: Extent, tileLayout: TileLayout) {
     (c, r)
   }
 
+  /** All keys whose tiles intersect the given extent — reference
+    * key_conversion.py geom_to_key / extent_to_key. */
+  def keysForExtent(e: Extent): Seq[(Int, Int)] = {
+    val (c0, r1) = mapToKey(e.xmin, e.ymin)
+    val (c1, r0) = mapToKey(e.xmax, e.ymax)
+    def clampC(c: Int) = math.max(0, math.min(tileLayout.layoutCols - 1, c))
+    def clampR(r: Int) = math.max(0, math.min(tileLayout.layoutRows - 1, r))
+    for (c <- clampC(c0) to clampC(c1); r <- clampR(r0) to clampR(r1)) yield (c, r)
+  }
+
   /** Spatial key -> extent of that tile. */
   def keyToExtent(col: Int, row: Int): Extent = {
     val w = cellWidth * tileLayout.tileCols

@@ -107,6 +107,20 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   def -(other: RasterLayer): RasterLayer = localBinary(other, _ - _)
   def *(other: RasterLayer): RasterLayer = localBinary(other, _ * _)
   def /(other: RasterLayer): RasterLayer = localBinary(other, _ / _)
+  /** layer ** layer (reference test_pow_layer). */
+  def **(other: RasterLayer): RasterLayer = localBinary(other, (a, b) => pow(a, b))
+  /** scalar ** layer (reference __rpow__ layer.py:2567). */
+  def rpow(base: Double): RasterLayer =
+    localMap(c => when(isnan(c), c).otherwise(pow(lit(base), c)))
+  /** cell-wise max of two layers (reference test_max_layer). */
+  def localMaxLayer(other: RasterLayer): RasterLayer =
+    localBinary(other, (a, b) => when(isnan(a) || isnan(b), lit(Double.NaN)).otherwise(greatest(a, b)))
+
+  /** map_tiles / map_cells parity (layer.py:700,721): localMap IS the
+    * cell-function map; tile-function maps take Column->Column over
+    * the whole array. */
+  def mapCells(f: Column => Column): RasterLayer = localMap(f)
+  def mapTiles(f: Column => Column): RasterLayer = copy(df = withTile(f(col("tile"))))
 
   /** Reclassify by break points — reference reclassify
     * (layer.py:955,2106) with ClassificationStrategy. Breaks broadcast
@@ -201,8 +215,12 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     * One keyed shuffle; cell-wise combine via zip_with in a reduce-style
     * aggregation (map-side partial applies per partition). */
   def aggregateByCell(op: String): RasterLayer = {
-    val agg = udaf(new TileReduceAgg(tl.tileSize, CellOp.of(op)),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    val agg = op match {
+      case "Mean" | "Variance" | "StandardDeviation" =>
+        udaf(new TileMomentsAgg(tl.tileSize, op), enc)
+      case _ => udaf(new TileReduceAgg(tl.tileSize, CellOp.of(op)), enc)
+    }
     val reduced = df.groupBy(keyCols.map(df.col): _*)
       .agg(agg(col("tile")).as("tile"))
     copy(df = reduced)

@@ -47,6 +47,50 @@ final class TileBuildAgg(size: Int, op: CellOp)
   def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
 }
 
+/** Cell-wise moments (count, sum, sum of squares) of tiles sharing a
+  * key — backs aggregate_by_cell Mean/Variance/StandardDeviation
+  * (reference aggregate_cells_test.py:99-134). Buffer holds 3 slots per
+  * cell; same one-shuffle partial-agg shape as TileReduceAgg. */
+final class TileMomentsAgg(size: Int, stat: String)
+    extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+  // layout: [cnt(size) | sum(size) | sumsq(size)]
+  def zero: Array[Double] = new Array[Double](3 * size)
+  def reduce(buf: Array[Double], tile: Seq[Double]): Array[Double] = {
+    var i = 0
+    while (i < size) {
+      val v = tile(i)
+      if (!v.isNaN) { buf(i) += 1; buf(size + i) += v; buf(2 * size + i) += v * v }
+      i += 1
+    }
+    buf
+  }
+  def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < 3 * size) { a(i) += b(i); i += 1 }
+    a
+  }
+  def finish(buf: Array[Double]): Seq[Double] = {
+    val out = new Array[Double](size)
+    var i = 0
+    while (i < size) {
+      val n = buf(i); val s = buf(size + i); val ss = buf(2 * size + i)
+      out(i) =
+        if (n == 0) Double.NaN
+        else stat match {
+          case "Mean"     => s / n
+          case "Variance" => if (n < 2) Double.NaN else (ss - s * s / n) / (n - 1)
+          case "StandardDeviation" =>
+            if (n < 2) Double.NaN else math.sqrt((ss - s * s / n) / (n - 1))
+          case x => throw new IllegalArgumentException(x)
+        }
+      i += 1
+    }
+    out.toSeq
+  }
+  def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+}
+
 /** Cell-wise reduction of whole tiles sharing a key — the engine of
   * aggregate_by_cell / merge (reference layer.py:818,1500). Same
   * one-shuffle, partial-agg shape as TileBuildAgg. */
