@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.core.{CRS, ZIndex}
-import graft.raster.{Distance, HistogramOps, Neighborhood, Pyramid, RasterLayer, Resample, ZonalOps}
+import graft.raster.{Distance, HistogramOps, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
 
@@ -176,6 +176,9 @@ object SparkEntry {
       customerLonLat(s, dir).select(col("pid"),
         round(CRS.lngToMercXCol(col("lon")), 4).as("mx"),
         round(CRS.latToMercYCol(col("lat")), 4).as("my"))),
+
+    "q_reproject_raster" -> ((s, dir) =>
+      Reproject.latLngGridToWebMercator(lineitemLayer(s, dir), 0.1)),
 
     "q_zoom_keys" -> ((s, dir) => {
       val p = customerLonLat(s, dir)
@@ -486,6 +489,25 @@ object SparkEntry {
         s"""SELECT pid, round(radians(lon) * 6378137.0, 4) AS mx,
            |       round(ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0, 4) AS my
            |FROM ($lonlat)""".stripMargin,
+
+      "q_reproject_raster" -> {
+        // embed the driver-side mercator constants verbatim so both
+        // engines share bit-identical bounds (transcendental library
+        // calls could differ in the last ulp)
+        val n = 256; val d = 0.1
+        val mxMin = CRS.lngToMercX(0); val mxMax = CRS.lngToMercX(n * d)
+        val myMin = CRS.latToMercY(0); val myMax = CRS.latToMercY(n * d)
+        val cw = (mxMax - mxMin) / n; val ch = (myMax - myMin) / n
+        s"""WITH g AS ($grid), t AS (
+           |  SELECT t1.range AS tx, t2.range AS ty,
+           |         $mxMin + (t1.range + 0.5) * $cw AS mx,
+           |         $myMax - (t2.range + 0.5) * $ch AS my
+           |  FROM range(0, $n) t1, range(0, $n) t2)
+           |SELECT tx AS x, ty AS y, v
+           |FROM t JOIN g
+           |  ON g.x = CAST(floor(degrees(mx / 6378137.0) / $d) AS BIGINT)
+           | AND g.y = CAST(floor((${n * d} - degrees(atan(exp(my / 6378137.0)) * 2 - pi() / 2)) / $d) AS BIGINT)""".stripMargin
+      },
 
       "q_zoom_keys" ->
         s"""SELECT pid,
