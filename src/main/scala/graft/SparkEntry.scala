@@ -282,6 +282,10 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       pipeline.Similarity.lshPairs(table(s, dir, "embeddings"), threshold = 0.25)),
 
+    "q_ann_ivf" -> ((s, dir) =>
+      pipeline.Similarity.ivfTopK(table(s, dir, "embeddings"),
+        col("vec_id") % 50 === 0, col("vec_id") % 37 === 0)),
+
     // --- LLM-pipeline: text analysis (documents)
     "q_token_count" -> ((s, dir) =>
       pipeline.TextAnalysis.tokenCounts(table(s, dir, "documents"))),
@@ -667,6 +671,27 @@ object SparkEntry {
           |WHERE list_dot_product(a.qv, b2.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b2.qv, b2.qv))) >= 0.25""".stripMargin
           .replace("BUCKET", bucketExpr)
       },
+
+      "q_ann_ivf" ->
+        """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |e AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nn FROM q0),
+          |c AS (SELECT vec_id AS cid, qv AS cv, nn AS cn FROM e WHERE vec_id % 37 = 0),
+          |asg AS (SELECT vec_id, cid, qv, nn FROM (
+          |  SELECT v.vec_id, c.cid, v.qv, v.nn,
+          |    row_number() OVER (PARTITION BY v.vec_id
+          |      ORDER BY list_dot_product(v.qv, c.cv) / (v.nn * c.cn) DESC, c.cid) AS rn
+          |  FROM e v, c) WHERE rn = 1),
+          |probes AS (SELECT qid, q_qv, q_nn, cid FROM (
+          |  SELECT v.vec_id AS qid, v.qv AS q_qv, v.nn AS q_nn, c.cid,
+          |    row_number() OVER (PARTITION BY v.vec_id
+          |      ORDER BY list_dot_product(v.qv, c.cv) / (v.nn * c.cn) DESC, c.cid) AS rn
+          |  FROM e v, c WHERE v.vec_id % 50 = 0) WHERE rn <= 3),
+          |s AS (SELECT p.qid, a.vec_id AS nid,
+          |        list_dot_product(p.q_qv, a.qv) / (p.q_nn * a.nn) AS cos
+          |      FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.qid)
+          |SELECT qid, nid, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank FROM (
+          |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
+          |WHERE rank <= 5""".stripMargin,
 
       // --- pipeline: text analysis
       "q_token_count" ->

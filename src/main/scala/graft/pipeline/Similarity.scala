@@ -87,6 +87,51 @@ object Similarity {
     embeddings.select(col("vec_id"), col("label"), bucket.as("bucket"))
   }
 
+  /** IVF (inverted-file) ANN: a deterministic subset of the corpus
+    * acts as the coarse quantizer; every vector joins its nearest
+    * centroid's list; queries probe the nProbe nearest lists and
+    * rescore candidates exactly. The standard IVF trade: candidates
+    * shrink to ~nProbe/nLists of the corpus. Centroids broadcast;
+    * list assignment is one narrow join + per-vector top-1 window. */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, centroidPred: Column,
+              k: Int = 5, nProbe: Int = 3): DataFrame = {
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val cents = broadcast(e.where(centroidPred)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nn").as("cn")))
+    def score(av: Column, an: Column, bv: Column, bn: Column): Column =
+      qdot(av, bv).cast("double") / (an * bn)
+
+    // nearest-centroid assignment (top-1), ties -> smallest cid
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cscore").desc, col("cid"))
+    val assigned = e.join(cents)
+      .withColumn("cscore", score(col("qv"), col("nn"), col("cv"), col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("qv"), col("nn"))
+
+    // query probes: nProbe nearest centroid lists
+    val q = e.where(queryPred)
+      .select(col("vec_id").as("qid"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("cscore").desc, col("cid"))
+    val probes = q.join(cents)
+      .withColumn("cscore", score(col("q_qv"), col("q_nn"), col("cv"), col("cn")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("qid"), col("q_qv"), col("q_nn"), col("cid"))
+
+    // candidates from probed lists, exact rescore, top-k
+    val wRank = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    probes.join(assigned, "cid")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        score(col("q_qv"), col("q_nn"), col("qv"), col("nn")).as("cosine"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** LSH-accelerated near-dup: same-bucket candidate pairs scored
     * exactly. */
   def lshPairs(embeddings: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
