@@ -143,8 +143,8 @@ object SparkEntry {
       Distance.euclidean(s, supplierPoints(s, dir), layout)),
 
     "q_cost_distance" -> ((s, dir) =>
-      Distance.costDistance(lineitemLayer(s, dir).normalize(1.0, 10.0),
-        supplierPoints(s, dir), maxIterations = 12)),
+      Distance.costDistanceTiled(lineitemLayer(s, dir).normalize(1.0, 10.0),
+        supplierPoints(s, dir)).toCells),
 
     // --- statistics
     "q_histogram" -> ((s, dir) => HistogramOps.binCounts(lineitemLayer(s, dir))),

@@ -1,5 +1,7 @@
 package graft.raster
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,19 +39,184 @@ object Distance {
   }
 
   /** Cost distance (friction-weighted shortest path from sources) via
-    * distributed Bellman-Ford relaxation over the cell graph
-    * (8-connected, cost = friction(dst) * step where step is 1 or
-    * sqrt(2)).
+    * per-tile multi-source Dijkstra with halo frontier exchange — the
+    * scale-correct distributed SSSP shape: each round runs Dijkstra to
+    * fixpoint INSIDE every tile (cheap, local), then ships only the
+    * improved border cells to the 8 neighbor tiles. Rounds needed =
+    * tile-graph hops (O(layout diameter)), and each round shuffles
+    * O(changed tiles x perimeter) bytes, not cell rings.
     *
-    * Reference: cost_distance.py (:8). Iterative by nature; each round
-    * is one shuffle join of the frontier against the friction grid.
-    * Converges in O(grid diameter / tile size) rounds; at production
-    * scale the per-round unit is a tile-local Dijkstra with halo
-    * frontier exchange instead of single cells (SURVEY §4) — the
-    * cell-level relaxation here is the same algorithm at the
-    * verification grid size.
+    * Cost model (reference cost_distance.py:8): entering cell n from c
+    * costs step(c,n) * friction(n), step = 1 or sqrt(2); NaN friction
+    * is impassable.
     */
-  def costDistance(friction: RasterLayer, sources: DataFrame, maxIterations: Int = 24,
+  def costDistanceTiled(friction: RasterLayer, sources: DataFrame,
+                        maxRounds: Int = 64): RasterLayer = {
+    val spark = friction.spark
+    import spark.implicits._
+    val tl = friction.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val (lc, lr) = (tl.layoutCols, tl.layoutRows)
+    val Sqrt2 = math.sqrt(2.0)
+
+    // (col, row, friction, dist): dist NaN = unreached
+    val srcCells = sources
+      .select(floor(col("px")).cast("long").as("x"), floor(col("py")).cast("long").as("y"))
+      .withColumn("scol", (col("x") / tc).cast("int"))
+      .withColumn("srow", (col("y") / tr).cast("int"))
+      .withColumn("off", ((col("y") % tr) * tc + (col("x") % tc)).cast("int"))
+      .groupBy("scol", "srow").agg(collect_list("off").as("offs"))
+
+    var state = friction.df
+      .join(srcCells,
+        friction.df("col") === srcCells("scol") && friction.df("row") === srcCells("srow"),
+        "left_outer")
+      .select(col("col"), col("row"), col("tile").as("friction"), col("offs"))
+      .as[(Int, Int, Seq[Double], Option[Seq[Int]])]
+      .map { case (c, r, fr, offs) =>
+        val dist = Array.fill(fr.length)(Double.NaN)
+        offs.toSeq.flatten.foreach(o => if (!fr(o).isNaN) dist(o) = 0.0)
+        (c, r, fr, dist.toSeq)
+      }
+      .toDF("col", "row", "friction", "dist")
+      .localCheckpoint()
+
+    /** Dijkstra to fixpoint within one tile from the given seeds;
+      * returns improved dist and the set of changed offsets. */
+    def localDijkstra(fr: Array[Double], dist: Array[Double],
+                      seeds: Iterable[Int]): mutable.BitSet = {
+      val changed = new mutable.BitSet(fr.length)
+      val pq = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
+      seeds.foreach(o => if (!dist(o).isNaN) pq.enqueue((dist(o), o)))
+      while (pq.nonEmpty) {
+        val (d, o) = pq.dequeue()
+        if (d <= dist(o)) {
+          val cx = o % tc; val cy = o / tc
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              if (dx != 0 || dy != 0) {
+                val nx = cx + dx; val ny = cy + dy
+                if (nx >= 0 && nx < tc && ny >= 0 && ny < tr) {
+                  val no = ny * tc + nx
+                  val f = fr(no)
+                  if (!f.isNaN) {
+                    val step = if (dx == 0 || dy == 0) 1.0 else Sqrt2
+                    val nd = d + step * f
+                    if (dist(no).isNaN || nd < dist(no)) {
+                      dist(no) = nd
+                      changed += no
+                      pq.enqueue((nd, no))
+                    }
+                  }
+                }
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+        }
+      }
+      changed
+    }
+
+    // round 0: settle each tile internally from its sources; `dirty`
+    // marks tiles whose borders changed (only they emit halos)
+    var state2 = state
+      .as[(Int, Int, Seq[Double], Seq[Double])]
+      .map { case (c, r, frS, distS) =>
+        val fr = frS.toArray; val dist = distS.toArray
+        val seeds = dist.indices.filter(o => !dist(o).isNaN)
+        val dirty =
+          if (seeds.isEmpty) false
+          else { localDijkstra(fr, dist, seeds); true }
+        (c, r, frS, dist.toSeq, dirty)
+      }
+      .toDF("col", "row", "friction", "dist", "dirty")
+      .localCheckpoint()
+
+    // halo rounds: dirty tiles ship border candidates; receivers rerun
+    // Dijkstra from improved cells; an accumulator decides convergence
+    // without an extra per-round count job
+    var round = 0
+    var active = true
+    while (active && round < maxRounds) {
+      val improvedAcc = spark.sparkContext.longAccumulator(s"graft_cd_improved_$round")
+      val halo = state2.as[(Int, Int, Seq[Double], Seq[Double], Boolean)]
+        .flatMap { case (c, r, _, distS, dirty) =>
+          if (!dirty) Iterator.empty
+          else {
+            val dist = distS.toArray
+            val out = mutable.ArrayBuffer.empty[(Int, Int, Int, Double, Double)]
+            var o = 0
+            while (o < dist.length) {
+              val d = dist(o)
+              if (!d.isNaN) {
+                val cx = o % tc; val cy = o / tc
+                if (cx == 0 || cx == tc - 1 || cy == 0 || cy == tr - 1) {
+                  var dy = -1
+                  while (dy <= 1) {
+                    var dx = -1
+                    while (dx <= 1) {
+                      if (dx != 0 || dy != 0) {
+                        val gx = cx + dx; val gy = cy + dy
+                        // only cells crossing the tile boundary
+                        if (gx < 0 || gx >= tc || gy < 0 || gy >= tr) {
+                          val ncol = c + (if (gx < 0) -1 else if (gx >= tc) 1 else 0)
+                          val nrow = r + (if (gy < 0) -1 else if (gy >= tr) 1 else 0)
+                          if (ncol >= 0 && ncol < lc && nrow >= 0 && nrow < lr) {
+                            val lx = ((gx % tc) + tc) % tc
+                            val ly = ((gy % tr) + tr) % tr
+                            val step = if (dx == 0 || dy == 0) 1.0 else Sqrt2
+                            out += ((ncol, nrow, ly * tc + lx, d, step))
+                          }
+                        }
+                      }
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                }
+              }
+              o += 1
+            }
+            out.iterator
+          }
+        }.toDF("col", "row", "off", "base", "step")
+        .groupBy("col", "row")
+        .agg(collect_list(struct(col("off"), col("base"), col("step"))).as("cands"))
+
+      state2 = state2.drop("dirty").join(halo, Seq("col", "row"), "left_outer")
+        .as[(Int, Int, Seq[Double], Seq[Double], Option[Seq[(Int, Double, Double)]])]
+        .map { case (c, r, frS, distS, cands) =>
+          val fr = frS.toArray; val dist = distS.toArray
+          val seeds = mutable.ArrayBuffer.empty[Int]
+          cands.toSeq.flatten.foreach { case (o, base, step) =>
+            val f = fr(o)
+            if (!f.isNaN) {
+              val nd = base + step * f
+              if (dist(o).isNaN || nd < dist(o)) { dist(o) = nd; seeds += o }
+            }
+          }
+          val dirty =
+            if (seeds.nonEmpty) { localDijkstra(fr, dist, seeds); improvedAcc.add(1); true }
+            else false
+          (c, r, frS, dist.toSeq, dirty)
+        }
+        .toDF("col", "row", "friction", "dist", "dirty")
+        .localCheckpoint() // eager: runs the round and fills the accumulator
+      active = improvedAcc.value > 0
+      round += 1
+    }
+
+    friction.copy(df = state2.select(col("col"), col("row"), col("dist").as("tile")))
+  }
+
+  /** Cell-level Bellman-Ford variant (kept for cross-checking the
+    * tiled implementation in specs).
+    */
+  def costDistanceCells(friction: RasterLayer, sources: DataFrame, maxIterations: Int = 24,
                    maxCost: Double = Double.MaxValue): DataFrame = {
     val spark = friction.spark
     import spark.implicits._

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{CRS, Extent, LayoutDefinition}
 
 /** Raster reprojection — reference layer.py reproject (:876,1668):
-  * build the target layout, inverse-project每 target cell center into
+  * build the target layout, inverse-project each target cell center into
   * the source CRS, and sample the source grid (nearest neighbor here;
   * bilinear composes with Resample).
   *

@@ -1,0 +1,47 @@
+package graft.raster
+
+import graft.SparkSpec
+import graft.core.{Extent, LayoutDefinition, TileLayout}
+
+class DistanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+
+  test("tiled Dijkstra matches cell-level Bellman-Ford on a uniform grid") {
+    // full 8x8 grid, friction 1 everywhere, source at (0,0)
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y, 1.0)
+    val friction = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+    val sources = Seq((0L, 0.5, 0.5)).toDF("pid", "px", "py")
+
+    val tiled = Distance.costDistanceTiled(friction, sources)
+      .toCells.as[(Long, Long, Double)].collect()
+      .map { case (x, y, d) => (x, y) -> d }.toMap
+    val cellsBF = Distance.costDistanceCells(friction, sources, maxIterations = 20)
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, d) => (x, y) -> d }.toMap
+
+    assert(tiled((0L, 0L)) == 0.0)
+    // diagonal step costs sqrt(2), straight 1 — cross-tile path correct
+    assert(math.abs(tiled((7L, 7L)) - 7 * math.sqrt(2.0)) < 1e-9)
+    assert(tiled.keySet == cellsBF.keySet)
+    tiled.foreach { case (k, d) => assert(math.abs(d - cellsBF(k)) < 1e-9, s"$k") }
+  }
+
+  test("impassable cells (NaN friction) block paths") {
+    // wall at x=4 except a gap at y=7 forces a detour
+    val cells = for {
+      x <- 0L until 8L; y <- 0L until 8L
+      if !(x == 4 && y != 7)
+    } yield (x, y, 1.0)
+    val friction = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+    val sources = Seq((0L, 0.5, 3.5)).toDF("pid", "px", "py")
+    val d = Distance.costDistanceTiled(friction, sources)
+      .toCells.as[(Long, Long, Double)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    // reaching (7,3) must route via the gap at (4,7): strictly longer
+    // than the blocked straight-line distance of 7
+    assert(d((7L, 3L)) > 7.0 + 1e-9)
+    assert(!d.contains((4L, 0L))) // wall cells unreachable/NoData
+  }
+}
