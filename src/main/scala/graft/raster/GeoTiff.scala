@@ -1,0 +1,114 @@
+package graft.raster
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
+
+import graft.core.Extent
+
+/** Minimal GeoTIFF encoding — the WHAT of the reference's
+  * to_geotiff_rdd (layer.py:542,1546): one single-band float32 GeoTIFF
+  * per tile, (key, bytes) pairs. Little-endian classic TIFF, one strip,
+  * uncompressed, with the two GeoTIFF geo-tags a reader needs
+  * (ModelPixelScale + ModelTiepoint) and a minimal GeoKeyDirectory.
+  * Built from the public TIFF 6.0 / GeoTIFF 1.1 specs — no codec
+  * dependency. NoData (NaN) is written as the float NaN bit pattern.
+  *
+  * Runs as a narrow mapPartitions: encode is per-tile, no shuffle.
+  */
+object GeoTiff {
+
+  final case class GeoTiffTile(col: Int, row: Int, tiff: Array[Byte])
+
+  private val TagImageWidth       = 256
+  private val TagImageLength      = 257
+  private val TagBitsPerSample    = 258
+  private val TagCompression      = 259
+  private val TagPhotometric      = 262
+  private val TagStripOffsets     = 273
+  private val TagSamplesPerPixel  = 277
+  private val TagRowsPerStrip     = 278
+  private val TagStripByteCounts  = 279
+  private val TagSampleFormat     = 339
+  private val TagModelPixelScale  = 33550
+  private val TagModelTiepoint    = 33922
+  private val TagGeoKeyDirectory  = 34735
+
+  /** Encode one tile (row-major float64 cells) as float32 GeoTIFF
+    * bytes anchored at world coords (originX, originY = top-left). */
+  def encodeTile(cells: Array[Double], cols: Int, rows: Int,
+                 originX: Double, originY: Double,
+                 cellW: Double, cellH: Double): Array[Byte] = {
+    val nTags = 13
+    val headerSize = 8
+    val ifdSize = 2 + nTags * 12 + 4
+    val ifdOffset = headerSize
+    // external data after IFD: pixel scale (3 doubles), tiepoint (6
+    // doubles), geokeys (4 shorts * 4 entries), then pixel strip
+    val scaleOff = ifdOffset + ifdSize
+    val tieOff   = scaleOff + 3 * 8
+    val geoOff   = tieOff + 6 * 8
+    val geoShorts: Array[Int] = Array(
+      1, 1, 0, 3,        // version, rev 1.0, 3 keys follow
+      1024, 0, 1, 1,     // GTModelTypeGeoKey = projected(1)... minimal
+      1025, 0, 1, 1,     // GTRasterTypeGeoKey = PixelIsArea
+      3072, 0, 1, 3857)  // ProjectedCSTypeGeoKey = web mercator
+    val stripOff = geoOff + geoShorts.length * 2
+    val stripBytes = cols * rows * 4
+    val total = stripOff + stripBytes
+
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    // header
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
+    // IFD
+    buf.putShort(nTags.toShort)
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit = {
+      buf.putShort(id.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    }
+    tag(TagImageWidth, 3, 1, cols)
+    tag(TagImageLength, 3, 1, rows)
+    tag(TagBitsPerSample, 3, 1, 32)
+    tag(TagCompression, 3, 1, 1)      // none
+    tag(TagPhotometric, 3, 1, 1)      // BlackIsZero
+    tag(TagStripOffsets, 4, 1, stripOff)
+    tag(TagSamplesPerPixel, 3, 1, 1)
+    tag(TagRowsPerStrip, 3, 1, rows)
+    tag(TagStripByteCounts, 4, 1, stripBytes)
+    tag(TagSampleFormat, 3, 1, 3)     // IEEE float
+    tag(TagModelPixelScale, 12, 3, scaleOff)
+    tag(TagModelTiepoint, 12, 6, tieOff)
+    tag(TagGeoKeyDirectory, 3, geoShorts.length, geoOff)
+    buf.putInt(0) // next IFD
+    // geo data
+    buf.putDouble(cellW).putDouble(cellH).putDouble(0.0)
+    buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+      .putDouble(originX).putDouble(originY).putDouble(0.0)
+    geoShorts.foreach(s => buf.putShort(s.toShort))
+    // pixels
+    var i = 0
+    while (i < cells.length) { buf.putFloat(cells(i).toFloat); i += 1 }
+    buf.array()
+  }
+
+  /** Per-tile GeoTIFF bytes for a layer — reference to_geotiff_rdd. */
+  def toGeoTiff(layer: RasterLayer): Dataset[GeoTiffTile] = {
+    val meta = layer.meta
+    val tl = meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val e: Extent = meta.layout.extent
+    val cw = meta.layout.cellWidth; val ch = meta.layout.cellHeight
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+    layer.df.select(col("col"), col("row"), col("tile"))
+      .as[(Int, Int, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (c, r, tile) =>
+          val originX = e.xmin + c.toLong * tc * cw
+          val originY = e.ymax - r.toLong * tr * ch
+          GeoTiffTile(c, r, encodeTile(tile.toArray, tc, tr, originX, originY, cw, ch))
+        }
+      }
+  }
+}

@@ -90,6 +90,16 @@ object Pyramid {
     new RasterLayer(out.toDF(), meta.copy(layout = newLayout))
   }
 
+  /** Write every level of a pyramid to the catalog under one name —
+    * reference Pyramid.write (layer.py:2654). First level writes the
+    * store (and the metadata sidecar, which records tile dims — shared
+    * by all zooms); further levels append their zoom partition. */
+  def write(uri: String, name: String, levels: Seq[(Int, RasterLayer)]): Unit =
+    levels.zipWithIndex.foreach { case ((zoom, l), i) =>
+      if (i == 0) graft.catalog.Catalog.write(uri, name, l, zoom)
+      else graft.catalog.Catalog.update(uri, name, l, zoom)
+    }
+
   /** Full pyramid down to a single tile: zoom -> layer map, highest
     * zoom first (reference Pyramid class layer.py:2617). */
   def build(layer: RasterLayer, method: String = "Average"): Seq[(Int, RasterLayer)] = {

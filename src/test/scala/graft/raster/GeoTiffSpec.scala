@@ -1,0 +1,54 @@
+package graft.raster
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.core.{Extent, LayoutDefinition, TileLayout}
+
+class GeoTiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+
+  test("encoded tiles parse as little-endian TIFF with the right shape and pixels") {
+    val layer = RasterLayer.fromCells(
+      Seq((0L, 0L, 1.5), (1L, 0L, 2.5), (3L, 3L, 9.0)).toDF("x", "y", "v"), layout)
+    val tiles = GeoTiff.toGeoTiff(layer).collect()
+    assert(tiles.length == 1)
+    val b = ByteBuffer.wrap(tiles.head.tiff).order(ByteOrder.LITTLE_ENDIAN)
+    assert(b.get() == 'I' && b.get() == 'I' && b.getShort() == 42)
+    val ifd = b.getInt()
+    b.position(ifd)
+    val nTags = b.getShort()
+    var width = -1; var height = -1; var stripOff = -1; var fmt = -1
+    (0 until nTags).foreach { _ =>
+      val id = b.getShort(); b.getShort(); b.getInt()
+      val v = b.getInt()
+      id match {
+        case 256 => width = v
+        case 257 => height = v
+        case 273 => stripOff = v
+        case 339 => fmt = v
+        case _ =>
+      }
+    }
+    assert(width == 4 && height == 4 && fmt == 3)
+    // pixel (0,0) = 1.5, (1,0) = 2.5, (2,0) = NaN
+    assert(b.getFloat(stripOff) == 1.5f)
+    assert(b.getFloat(stripOff + 4) == 2.5f)
+    assert(java.lang.Float.isNaN(b.getFloat(stripOff + 8)))
+  }
+
+  test("pyramid write stores all zoom levels side by side") {
+    val dir = Files.createTempDirectory("graft_pyr").toString
+    val base = RasterLayer.fromCells(
+      Seq((0L, 0L, 4.0), (1L, 1L, 8.0), (7L, 7L, 2.0)).toDF("x", "y", "v"), layout)
+    val levels = Pyramid.build(base, "Average").take(2) // zooms 1, 0
+    Pyramid.write(dir, "pyr", levels)
+    val z1 = graft.catalog.Catalog.read(spark, dir, "pyr", levels.head._1)
+    val z0 = graft.catalog.Catalog.read(spark, dir, "pyr", levels(1)._1)
+    assert(z1.toCells.count() == 3)
+    assert(z0.toCells.count() > 0)
+  }
+}
