@@ -125,6 +125,10 @@ object SparkEntry {
     "q_polygonal_summary" -> ((s, dir) =>
       ZonalOps.polygonalSummary(lineitemLayer(s, dir), Geometry.diamond(128, 128, 60.3))),
 
+    "q_summary_series" -> ((s, dir) =>
+      ZonalOps.summarySeries(lineitemLayer(s, dir),
+        Seq(Geometry.diamond(64, 64, 40.3), Geometry.diamond(192, 192, 40.3)))),
+
     "q_zonal_stats" -> ((s, dir) => {
       val zones = RasterLayer.fromCells(
         zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
@@ -426,6 +430,13 @@ object SparkEntry {
       "q_polygonal_summary" ->
         s"""SELECT sum(v) AS vsum, count(*) AS vcount, min(v) AS vmin, max(v) AS vmax, sum(v) / count(*) AS vmean
            |FROM ($grid) WHERE abs(x + 0.5 - 128) + abs(y + 0.5 - 128) < 60.3""".stripMargin,
+
+      "q_summary_series" -> {
+        def one(i: Int, cx: Int): String =
+          s"""SELECT $i AS gid, sum(v) AS vsum, count(*) AS vcount, min(v) AS vmin, max(v) AS vmax, sum(v) / count(*) AS vmean
+             |FROM ($grid) WHERE abs(x + 0.5 - $cx) + abs(y + 0.5 - $cx) < 40.3""".stripMargin
+        s"${one(0, 64)} UNION ALL ${one(1, 192)}"
+      },
 
       "q_zonal_stats" ->
         s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid))

@@ -40,9 +40,20 @@ object Dedup {
       .distinct()
   }
 
-  /** n-gram Jaccard near-dup pairs via inverted-index join. */
-  def jaccardPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, k).cache()
+  /** n-gram Jaccard near-dup pairs via inverted-index join.
+    *
+    * `maxDocFreq` is the skew guard for scale: shingles occurring in
+    * more than that many documents are dropped from the index before
+    * the self-join (a boilerplate shingle shared by 1% of a 10^9-doc
+    * corpus would otherwise create a 10^14-row hot key). Near-dup
+    * pairs lose almost nothing: they still share their rare shingles. */
+  def jaccardPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.5,
+                   maxDocFreq: Option[Long] = None): DataFrame = {
+    val all = shingles(docs, k)
+    val sh = maxDocFreq.fold(all) { cap =>
+      val hot = all.groupBy("shingle").agg(count(lit(1)).as("df")).where(col("df") > cap)
+      all.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
+    }.cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = sh.as("a").join(sh.as("b"), "shingle")
       .where(col("a.doc_id") < col("b.doc_id"))

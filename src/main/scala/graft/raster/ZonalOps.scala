@@ -91,6 +91,17 @@ object ZonalOps {
               (col("vsum") / col("vcount")).as("vmean"))
   }
 
+  /** Per-geometry summary series — reference histogram/mean/max/min/
+    * sum_series (layer.py:2014-2040): one summary row per geometry
+    * (geometries may overlap; each is summarized independently).
+    * Geometries are few by contract; each pass is a narrow masked
+    * partial aggregation, unioned. */
+  def summarySeries(layer: RasterLayer, geoms: Seq[Polygon]): DataFrame =
+    geoms.zipWithIndex.map { case (g, i) =>
+      polygonalSummary(layer, g).select(lit(i).as("gid"),
+        col("vsum"), col("vcount"), col("vmin"), col("vmax"), col("vmean"))
+    }.reduce(_ unionByName _)
+
   /** Zonal statistics of `values` grouped by the co-located `zones`
     * layer (reference *_series :2014-2040 generalized). Tile-aligned
     * join then per-tile pair explode feeding a partial-aggregated
