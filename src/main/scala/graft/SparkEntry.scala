@@ -300,6 +300,9 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       pipeline.TextAnalysis.langId(table(s, dir, "documents"))),
 
+    "q_quality_filter" -> ((s, dir) =>
+      pipeline.TextAnalysis.qualityFilter(table(s, dir, "documents"))),
+
     "q_fingerprint" -> ((s, dir) =>
       pipeline.TextAnalysis.fingerprint(table(s, dir, "documents"))),
 
@@ -731,6 +734,17 @@ object SparkEntry {
           |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr,
           |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS es
           |  FROM documents)""".stripMargin,
+
+      "q_quality_filter" ->
+        """SELECT doc_id FROM (
+          |  SELECT doc_id, n_chars,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+          |    round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS punct_ratio,
+          |    round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|in|and|is|was|for|on|with)\b')) AS DOUBLE)
+          |          / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0), 6) AS stop_ratio
+          |  FROM documents)
+          |WHERE n_chars >= 100 AND n_chars <= 20000 AND n_tokens >= 10
+          |  AND punct_ratio <= 0.1 AND stop_ratio >= 0.01""".stripMargin,
 
       "q_fingerprint" ->
         "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents",

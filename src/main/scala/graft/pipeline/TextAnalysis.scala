@@ -45,6 +45,21 @@ object TextAnalysis {
       round(stops / greatest(toks, lit(1.0)), 6).as("stop_ratio"))
   }
 
+  /** Quality FILTER — the pipeline op that actually gates training
+    * data: keep documents passing all cheap-heuristic thresholds.
+    * Pure pushdown-friendly predicates over qualityScore columns. */
+  def qualityFilter(docs: DataFrame,
+                    minChars: Long = 100, maxChars: Long = 20000,
+                    minTokens: Long = 10,
+                    maxPunctRatio: Double = 0.1,
+                    minStopRatio: Double = 0.01): DataFrame =
+    qualityScore(docs).where(
+      col("n_chars") >= minChars && col("n_chars") <= maxChars &&
+      col("n_tokens") >= minTokens &&
+      col("punct_ratio") <= maxPunctRatio &&
+      col("stop_ratio") >= minStopRatio)
+      .select(col("doc_id"))
+
   /** Language id by marker-word counts with a fixed precedence
     * tiebreak — a deterministic n-gram-style heuristic. */
   def langId(docs: DataFrame): DataFrame = {

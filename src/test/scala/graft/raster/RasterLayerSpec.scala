@@ -105,6 +105,22 @@ class RasterLayerSpec extends SparkSpec {
     assert(out == Set((7L, 2L, 4.0), (8L, 1L, 5.0)))
   }
 
+  test("rpow, layer pow, and cell-wise layer max") {
+    val l = layer((0, 0, 2.0), (1, 0, 3.0))
+    assert(cellsOf(l.rpow(2.0)) == Set((0L, 0L, 4.0), (1L, 0L, 8.0)))
+    val e = layer((0, 0, 3.0), (1, 0, 2.0))
+    assert(cellsOf(l ** e) == Set((0L, 0L, 8.0), (1L, 0L, 9.0)))
+    assert(cellsOf(l.localMaxLayer(e)) == Set((0L, 0L, 3.0), (1L, 0L, 3.0)))
+  }
+
+  test("summary series reports each geometry independently") {
+    val l = layer((1, 1, 10.0), (6, 6, 20.0))
+    val out = ZonalOps.summarySeries(l,
+      Seq(graft.vector.Geometry.rect(0, 0, 3, 3), graft.vector.Geometry.rect(5, 5, 8, 8)))
+      .select("gid", "vsum").as[(Int, Double)].collect().toSet
+    assert(out == Set((0, 10.0), (1, 20.0)))
+  }
+
   test("combine_bands stacks layers with NoData -> null") {
     val a = layer((0, 0, 1.0))
     val b = layer((0, 0, 2.0), (1, 0, 3.0))
