@@ -54,6 +54,17 @@ object Events {
       .agg(count(lit(1)).as("cnt"), min("us").as("start_us"), max("us").as("end_us"))
   }
 
+  /** Streaming exact dedup for a document stream: content-hash
+    * dropDuplicatesWithinWatermark — the streaming twin of
+    * pipeline.Dedup.exact. State is bounded by the watermark horizon
+    * (the property that makes streaming dedup feasible at all). */
+  def streamingDedup(docs: DataFrame, tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("ets", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withWatermark("ets", "1 hour")
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, cnt: Long)
 

@@ -55,6 +55,24 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops same-content docs within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val out = Events.streamingDedup(
+      mem.toDF().toDF("doc_id", "text", "ts"))
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, "same text", ns(10)), (2L, "same text", ns(20)),
+        (3L, "other text", ns(30))))
+      q.processAllAvailable()
+      mem.addData(Seq((4L, "same text", ns(40)))) // still within watermark
+      q.processAllAvailable()
+      val texts = spark.table("dedup").select("text").as[String].collect().toSeq
+      assert(texts.sorted == Seq("other text", "same text"))
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
