@@ -15,6 +15,26 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    if (args.lift(1).contains("entry")) {
+      val n = SparkEntry.entry(spark).count()
+      println(s"TIMING entry ($n rows)")
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("stress")) {
+      // 16x-unioned lineitem (~10M rows at sf0.1) through the core
+      // raster path: rasterize -> focal mean -> zonal-style flatten
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val big = Seq.fill(16)(li).reduce(_ unionByName _)
+      val cells = big.select(
+        (org.apache.spark.sql.functions.col("l_orderkey") % 256).as("x"),
+        (org.apache.spark.sql.functions.col("l_partkey") % 256).as("y"),
+        org.apache.spark.sql.functions.col("l_quantity").as("v"))
+      val t0 = System.nanoTime()
+      val layer = raster.RasterLayer.fromCells(cells, GridSource.layout, raster.CellOp.Sum)
+      val out = layer.focal(raster.Neighborhood.Square(1), "Mean").toCells.count()
+      println(f"TIMING stress16x ${(System.nanoTime() - t0) / 1e9}%.2f s ($out rows)")
+      spark.stop(); return
+    }
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       val t0 = System.nanoTime()
