@@ -263,6 +263,10 @@ object SparkEntry {
     "q_focal_wedge" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Wedge(2.0, 0, 90), "Sum"))),
 
+    "q_focal_convolve" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focalConvolve(
+        Array(1.0, 2.0, 1.0, 2.0, 4.0, 2.0, 1.0, 2.0, 1.0), 1))),
+
     // --- LLM-pipeline: dedup family (documents)
     "q_dedup_exact" -> ((s, dir) =>
       pipeline.Dedup.exact(table(s, dir, "documents"))),
@@ -588,6 +592,15 @@ object SparkEntry {
            |FROM g c JOIN g n
            |  ON n.x BETWEEN c.x - 2 AND c.x + 2 AND n.y BETWEEN c.y - 2 AND c.y + 2
            | AND (n.x - c.x) * (n.x - c.x) + (n.y - c.y) * (n.y - c.y) BETWEEN 1 AND 4
+           |GROUP BY c.x, c.y""".stripMargin,
+
+      "q_focal_convolve" ->
+        s"""WITH g AS ($grid), k(dx, dy, w) AS (VALUES
+           |  (-1, -1, 1.0), (0, -1, 2.0), (1, -1, 1.0),
+           |  (-1,  0, 2.0), (0,  0, 4.0), (1,  0, 2.0),
+           |  (-1,  1, 1.0), (0,  1, 2.0), (1,  1, 1.0))
+           |SELECT c.x AS x, c.y AS y, sum(k.w * n.v) AS v
+           |FROM g c JOIN k ON true JOIN g n ON n.x = c.x + k.dx AND n.y = c.y + k.dy
            |GROUP BY c.x, c.y""".stripMargin,
 
       "q_focal_wedge" -> {

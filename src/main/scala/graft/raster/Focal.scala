@@ -134,14 +134,19 @@ private[raster] final case class TileRowOut(col: Int, row: Int, tile: Seq[Double
   * the input data cells (NoData centers stay NoData).
   */
 object Focal {
-  def focal(layer: RasterLayer, nb: Neighborhood, op: FocalOp): RasterLayer = {
+  /** Shared halo gather: ships the strips each neighbor needs, then
+    * runs `kernelFn(paddedWindow, paddedWidth)` once per tile. The
+    * radius may exceed the tile size (multi-ring halo). */
+  def gather(layer: RasterLayer, r: Int)(
+      kernelFn: (Array[Double], Int) => Array[Double]): RasterLayer = {
     val meta = layer.meta
     val tl = meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
     val (lc, lr) = (tl.layoutCols, tl.layoutRows)
-    val r = nb.radius
-    require(r <= tc && r <= tr, s"halo radius $r exceeds tile size")
-    val offs = nb.offsets.toArray
+    // halo may span multiple tile rings when the radius exceeds the
+    // tile size — ring count scales with ceil(r / tileSize)
+    val ringC = (r + tc - 1) / tc
+    val ringR = (r + tr - 1) / tr
 
     val spark = layer.df.sparkSession
     import spark.implicits._
@@ -152,16 +157,20 @@ object Focal {
     val contribs = tiles.flatMap { case (c0, r0, tileSeq) =>
       val tile = tileSeq.toArray
       for {
-        dc <- -1 to 1
-        dr <- -1 to 1
+        dc <- -ringC to ringC
+        dr <- -ringR to ringR
         dst = (c0 + dc, r0 + dr)
         if dst._1 >= 0 && dst._1 < lc && dst._2 >= 0 && dst._2 < lr
-      } yield {
         // source sits at (-dc, -dr) tiles relative to dst
-        val sx = -dc * tc; val sy = -dr * tr
+        sx = -dc * tc
+        sy = -dr * tr
         // clip source cells to dst's padded window [-r, tc+r) x [-r, tr+r)
-        val iMin = math.max(0, -r - sx); val iMax = math.min(tc, tc + r - sx)
-        val jMin = math.max(0, -r - sy); val jMax = math.min(tr, tr + r - sy)
+        iMin = math.max(0, -r - sx)
+        iMax = math.min(tc, tc + r - sx)
+        jMin = math.max(0, -r - sy)
+        jMax = math.min(tr, tr + r - sy)
+        if iMax > iMin && jMax > jMin
+      } yield {
         val w = iMax - iMin; val h = jMax - jMin
         val cells = new Array[Double](w * h)
         var j = 0
@@ -194,32 +203,84 @@ object Focal {
             j += 1
           }
         }
-        val outTile = new Array[Double](tc * tr)
-        val buf = new Array[Double](offs.length)
-        var cy = 0
-        while (cy < tr) {
-          var cx = 0
-          while (cx < tc) {
-            val center = padded((cy + r) * W + (cx + r))
-            outTile(cy * tc + cx) =
-              if (center.isNaN) Double.NaN
-              else {
-                var n = 0; var k = 0
-                while (k < offs.length) {
-                  val v = padded((cy + offs(k)._2 + r) * W + (cx + offs(k)._1 + r))
-                  if (!v.isNaN) { buf(n) = v; n += 1 }
-                  k += 1
-                }
-                if (n == 0) Double.NaN else op(buf, n)
-              }
-            cx += 1
-          }
-          cy += 1
-        }
-        TileRowOut(c0, r0, outTile.toSeq)
+        TileRowOut(c0, r0, kernelFn(padded, W).toSeq)
       }
 
     layer.copy(df = out.toDF())
+  }
+
+  def focal(layer: RasterLayer, nb: Neighborhood, op: FocalOp): RasterLayer = {
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val r = nb.radius
+    val offs = nb.offsets.toArray
+    gather(layer, r) { (padded, w) =>
+      val outTile = new Array[Double](tc * tr)
+      val buf = new Array[Double](offs.length)
+      var cy = 0
+      while (cy < tr) {
+        var cx = 0
+        while (cx < tc) {
+          val center = padded((cy + r) * w + (cx + r))
+          outTile(cy * tc + cx) =
+            if (center.isNaN) Double.NaN
+            else {
+              var n = 0; var k = 0
+              while (k < offs.length) {
+                val v = padded((cy + offs(k)._2 + r) * w + (cx + offs(k)._1 + r))
+                if (!v.isNaN) { buf(n) = v; n += 1 }
+                k += 1
+              }
+              if (n == 0) Double.NaN else op(buf, n)
+            }
+          cx += 1
+        }
+        cy += 1
+      }
+      outTile
+    }
+  }
+
+  /** Weighted-kernel convolution: out = sum(weight * value) over the
+    * non-NoData cells of a (2r+1)^2 window (kernel row-major); output
+    * NaN where the center is NoData. Integral weights over integral
+    * cells keep the sums exact. */
+  def convolve(layer: RasterLayer, kernel: Array[Double], r: Int): RasterLayer = {
+    require(kernel.length == (2 * r + 1) * (2 * r + 1), "kernel must be (2r+1)^2")
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    gather(layer, r) { (padded, w) =>
+      val outTile = new Array[Double](tc * tr)
+      var cy = 0
+      while (cy < tr) {
+        var cx = 0
+        while (cx < tc) {
+          val center = padded((cy + r) * w + (cx + r))
+          outTile(cy * tc + cx) =
+            if (center.isNaN) Double.NaN
+            else {
+              var s = 0.0; var any = false
+              var ky = -r
+              while (ky <= r) {
+                var kx = -r
+                while (kx <= r) {
+                  val v = padded((cy + ky + r) * w + (cx + kx + r))
+                  if (!v.isNaN) {
+                    s += kernel((ky + r) * (2 * r + 1) + (kx + r)) * v
+                    any = true
+                  }
+                  kx += 1
+                }
+                ky += 1
+              }
+              if (any) s else Double.NaN
+            }
+          cx += 1
+        }
+        cy += 1
+      }
+      outTile
+    }
   }
 
   /** Horn 3x3 gradient (public formula): returns (dz/dx, dz/dy) per

@@ -273,6 +273,7 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   // ------------------------------------------------------------------
   def focal(nb: Neighborhood, op: FocalOp): RasterLayer = Focal.focal(this, nb, op)
   def focal(nb: Neighborhood, op: String): RasterLayer = Focal.focal(this, nb, FocalOp.of(op))
+  def focalConvolve(kernel: Array[Double], r: Int): RasterLayer = Focal.convolve(this, kernel, r)
   def slope(zFactor: Double = 1.0): RasterLayer     = Focal.terrain(this, "slope", zFactor)
   def aspect(): RasterLayer                         = Focal.terrain(this, "aspect")
   def hillshade(azimuth: Double = 315.0, altitude: Double = 45.0, zFactor: Double = 1.0): RasterLayer =

@@ -91,6 +91,22 @@ class RasterLayerSpec extends SparkSpec {
     assert(cellsOf(f) == Set((0L, 0L, 3.0), (1L, 0L, 7.0), (2L, 0L, 6.0)))
   }
 
+  test("focal radius beyond tile size gathers multi-ring halo") {
+    // tile size 4, radius 5: cells 5 apart in different (non-adjacent)
+    // tiles must still see each other
+    val l = layer((0, 0, 10.0), (5, 0, 30.0))
+    val f = l.focal(Neighborhood.Circle(5.0), "Mean")
+    assert(cellsOf(f) == Set((0L, 0L, 20.0), (5L, 0L, 20.0)))
+  }
+
+  test("focal convolve applies positional weights") {
+    val l = layer((1, 1, 1.0), (2, 1, 10.0))
+    val k = Array(1.0, 2.0, 1.0, 2.0, 4.0, 2.0, 1.0, 2.0, 1.0)
+    val out = cellsOf(l.focalConvolve(k, 1))
+    // at (1,1): 4*1 + 2*10 (east) = 24; at (2,1): 2*1 (west) + 4*10 = 42
+    assert(out == Set((1L, 1L, 24.0), (2L, 1L, 42.0)))
+  }
+
   test("pyramid level-up block average") {
     val l = layer((0, 0, 1.0), (1, 0, 3.0), (0, 1, 5.0), (1, 1, 7.0), (6, 6, 9.0))
     val p = Pyramid.levelUp(l, "Average")
