@@ -92,6 +92,59 @@ object GeoTiff {
     buf.array()
   }
 
+  /** Decode a GeoTIFF produced by [[encodeTile]] (single-strip LE
+    * float32 subset): returns (originX, originY, cellW, cellH, cols,
+    * rows, cells). The read half of the reference's geotiff ingestion
+    * (geotiff.py get -> RasterLayer). */
+  def decodeTile(bytes: Array[Byte]): (Double, Double, Double, Double, Int, Int, Array[Double]) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'I' && buf.get() == 'I' && buf.getShort() == 42, "not a LE classic TIFF")
+    val ifd = buf.getInt()
+    buf.position(ifd)
+    val n = buf.getShort()
+    var cols = -1; var rows = -1; var stripOff = -1
+    var scaleOff = -1; var tieOff = -1
+    (0 until n).foreach { _ =>
+      // tag ids are unsigned shorts (geo tags are > 32767)
+      val id = buf.getShort() & 0xffff; buf.getShort(); buf.getInt()
+      val v = buf.getInt()
+      id match {
+        case TagImageWidth      => cols = v
+        case TagImageLength     => rows = v
+        case TagStripOffsets    => stripOff = v
+        case TagModelPixelScale => scaleOff = v
+        case TagModelTiepoint   => tieOff = v
+        case TagSampleFormat    => require(v == 3, s"unsupported sample format $v")
+        case TagCompression     => require(v == 1, "compressed TIFF unsupported")
+        case _ =>
+      }
+    }
+    require(cols > 0 && rows > 0 && stripOff > 0 && scaleOff > 0 && tieOff > 0, "missing tags")
+    val cw = buf.getDouble(scaleOff)
+    val ch = buf.getDouble(scaleOff + 8)
+    val originX = buf.getDouble(tieOff + 3 * 8)
+    val originY = buf.getDouble(tieOff + 4 * 8)
+    val cells = new Array[Double](cols * rows)
+    var i = 0
+    while (i < cells.length) { cells(i) = buf.getFloat(stripOff + 4 * i).toDouble; i += 1 }
+    (originX, originY, cw, ch, cols, rows, cells)
+  }
+
+  /** GeoTIFF byte scenes -> UntiledRaster (the ingestion direction:
+    * decode distributed, then tileToLayout). `tiffs` columns:
+    * (scene_id LONG, tiff BINARY). */
+  def fromGeoTiff(tiffs: org.apache.spark.sql.DataFrame): UntiledRaster = {
+    val spark = tiffs.sparkSession
+    import spark.implicits._
+    val scenes = tiffs.select(col("scene_id"), col("tiff")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (ox, oy, cw, ch, cols, rows, cells) = decodeTile(bytes)
+        (id, ox, oy - rows * ch, ox + cols * cw, oy, cols, rows, cells.toSeq)
+      }
+      .toDF("scene_id", "xmin", "ymin", "xmax", "ymax", "cols", "rows", "cells")
+    UntiledRaster(scenes)
+  }
+
   /** Per-tile GeoTIFF bytes for a layer — reference to_geotiff_rdd. */
   def toGeoTiff(layer: RasterLayer): Dataset[GeoTiffTile] = {
     val meta = layer.meta

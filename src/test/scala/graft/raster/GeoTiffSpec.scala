@@ -40,6 +40,17 @@ class GeoTiffSpec extends SparkSpec {
     assert(java.lang.Float.isNaN(b.getFloat(stripOff + 8)))
   }
 
+  test("geotiff roundtrip: layer -> tiffs -> UntiledRaster -> layer") {
+    val src = RasterLayer.fromCells(
+      Seq((0L, 0L, 1.5), (3L, 3L, 9.0), (5L, 6L, 4.0)).toDF("x", "y", "v"), layout)
+    val tiffs = GeoTiff.toGeoTiff(src)
+      .map(t => (t.col.toLong * 10 + t.row, t.tiff))
+      .toDF("scene_id", "tiff")
+    val back = GeoTiff.fromGeoTiff(tiffs).tileToLayout(layout)
+    assert(back.toCells.as[(Long, Long, Double)].collect().toSet ==
+      src.toCells.as[(Long, Long, Double)].collect().toSet)
+  }
+
   test("pyramid write stores all zoom levels side by side") {
     val dir = Files.createTempDirectory("graft_pyr").toString
     val base = RasterLayer.fromCells(
