@@ -162,8 +162,10 @@ object SparkEntry {
     "q_histogram_cdf" -> ((s, dir) => HistogramOps.cdf(lineitemLayer(s, dir))),
 
     "q_resample_bilinear" -> ((s, dir) => {
-      val r = Resample.bilinearCells(lineitemLayer(s, dir), G, 200)
-      r.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      // tile-wise gather path (one keyed shuffle); same math as
+      // Resample.bilinearCells, same oracle
+      val r = Resample.bilinearTiled(lineitemLayer(s, dir), G, 200, dstTile = 50)
+      r.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
 
     // --- pyramid / stitch

@@ -3,6 +3,8 @@ package graft.raster
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.{Extent, LayoutDefinition, TileLayout}
+
 /** Grid resampling — the cell-value side of the reference's
   * ResampleMethod (constants.py:123) used by reproject/tile_to_layout
   * (layer.py:876,900). Bilinear here; Average/Max/Min/Sum/Nearest live
@@ -41,5 +43,83 @@ object Resample {
          col("vb") * col("fx") * (lit(1.0) - col("fy")) +
          col("vc") * (lit(1.0) - col("fx")) * col("fy") +
          col("vd") * col("fx") * col("fy")).as("v"))
+  }
+
+  /** Tile-wise bilinear resample — the scale path: each SOURCE tile
+    * ships to the bounded set of target tiles whose inverse-mapped
+    * cell windows overlap it (overlap factor ~(1+scale)^2 tiles), one
+    * keyed shuffle, then each target tile interpolates locally from
+    * its received source tiles. Identical cell math to bilinearCells
+    * (same IEEE op order), so the same oracle covers both paths.
+    * Raster reproject generalizes this gather with a CRS-inverse in
+    * place of the linear map. */
+  def bilinearTiled(layer: RasterLayer, srcN: Int, dstN: Int,
+                    dstTile: Int = 64): RasterLayer = {
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    require(dstN % dstTile == 0, "dst grid must tile evenly")
+    val dstLc = dstN / dstTile
+    val spark = layer.spark
+    import spark.implicits._
+
+    // dst cell coordinate whose sample point maps to source coord sx
+    def iForSx(sx: Double): Double = (sx + 0.5) * dstN / srcN - 0.5
+
+    val contribs = layer.df.select(col("col"), col("row"), col("tile"))
+      .as[(Int, Int, Seq[Double])]
+      .flatMap { case (c, r, tile) =>
+        def dstRange(tileIdx: Int, cells: Int): Range = {
+          val lo = math.floor(iForSx(tileIdx.toLong * cells - 2)).toInt
+          val hi = math.ceil(iForSx((tileIdx + 1).toLong * cells + 2)).toInt
+          val dMin = math.max(0, lo / dstTile)
+          val dMax = math.min(dstLc - 1, hi / dstTile)
+          dMin to dMax
+        }
+        for {
+          dc <- dstRange(c, tc)
+          dr <- dstRange(r, tr)
+        } yield (dc, dr, c, r, tile)
+      }
+
+    val out = contribs
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
+        val (dc, dr) = key
+        val src = group.map { case (_, _, c, r, t) => (c, r) -> t }.toMap
+        def cell(x: Long, y: Long): Double = {
+          if (x < 0 || y < 0 || x >= srcN || y >= srcN) Double.NaN
+          else src.get(((x / tc).toInt, (y / tr).toInt)) match {
+            case Some(t) => t(((y % tr) * tc + (x % tc)).toInt)
+            case None    => Double.NaN
+          }
+        }
+        val outTile = new Array[Double](dstTile * dstTile)
+        var j = 0
+        while (j < dstTile) {
+          var i = 0
+          while (i < dstTile) {
+            val gi = dc.toLong * dstTile + i
+            val gj = dr.toLong * dstTile + j
+            // identical expression order to bilinearCells / the oracle
+            val sx = (gi + 0.5) * srcN / dstN - 0.5
+            val sy = (gj + 0.5) * srcN / dstN - 0.5
+            val x0 = math.floor(sx).toLong; val y0 = math.floor(sy).toLong
+            val fx = sx - x0; val fy = sy - y0
+            val va = cell(x0, y0); val vb = cell(x0 + 1, y0)
+            val vc = cell(x0, y0 + 1); val vd = cell(x0 + 1, y0 + 1)
+            outTile(j * dstTile + i) =
+              if (va.isNaN || vb.isNaN || vc.isNaN || vd.isNaN) Double.NaN
+              else va * (1.0 - fx) * (1.0 - fy) + vb * fx * (1.0 - fy) +
+                   vc * (1.0 - fx) * fy + vd * fx * fy
+            i += 1
+          }
+          j += 1
+        }
+        TileRowOut(dc, dr, outTile.toSeq)
+      }
+
+    new RasterLayer(out.toDF(),
+      LayerMetadata(LayoutDefinition(Extent(0, 0, dstN, dstN),
+        TileLayout(dstLc, dstLc, dstTile, dstTile))))
   }
 }

@@ -22,6 +22,14 @@ class ResampleSpec extends SparkSpec {
     assert(!out.keySet.exists(_._1 == 7L)) // right edge lacks x0+1 corner
   }
 
+  test("tiled gather path matches the cell-join path exactly") {
+    val cellsPath = Resample.bilinearCells(ramp, 8, 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val tiledPath = Resample.bilinearTiled(ramp, 8, 4, dstTile = 2)
+      .toCells.as[(Long, Long, Double)].collect().toSet
+    assert(tiledPath == cellsPath)
+  }
+
   test("2x downsample interpolates between columns") {
     val out = Resample.bilinearCells(ramp, 8, 4)
       .as[(Long, Long, Double)].collect()
