@@ -142,6 +142,15 @@ object SparkEntry {
     "q_point_values" -> ((s, dir) =>
       ZonalOps.pointValues(lineitemLayer(s, dir), supplierPoints(s, dir))),
 
+    "q_rasterize_geoms" -> ((s, dir) => {
+      // burn two overlapping diamonds; overlap resolves by Max.
+      // (dir-independent: pure geometry -> raster, same for any SF)
+      val _ = dir
+      flat(graft.raster.Rasterize.features(s,
+        Seq(Geometry.diamond(100, 100, 50.3) -> 1.0,
+            Geometry.diamond(140, 140, 50.3) -> 2.0), layout))
+    }),
+
     // --- distances
     "q_euclidean_distance" -> ((s, dir) =>
       Distance.euclidean(s, supplierPoints(s, dir), layout)),
@@ -456,6 +465,14 @@ object SparkEntry {
 
       "q_cell_value_counts" ->
         s"SELECT CAST(v AS BIGINT) AS value, count(*) AS cnt FROM ($grid) GROUP BY 1",
+
+      "q_rasterize_geoms" ->
+        """WITH t AS (SELECT t1.range AS x, t2.range AS y FROM range(0, 256) t1, range(0, 256) t2),
+          |b AS (
+          |  SELECT x, y, 1.0 AS v FROM t WHERE abs(x + 0.5 - 100) + abs(y + 0.5 - 100) < 50.3
+          |  UNION ALL
+          |  SELECT x, y, 2.0 AS v FROM t WHERE abs(x + 0.5 - 140) + abs(y + 0.5 - 140) < 50.3)
+          |SELECT x, y, max(v) AS v FROM b GROUP BY 1, 2""".stripMargin,
 
       "q_point_values" ->
         s"""SELECT p.pid AS pid, g.v AS v
