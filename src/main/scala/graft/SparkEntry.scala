@@ -193,7 +193,7 @@ object SparkEntry {
         round(CRS.latToMercYCol(col("lat")), 4).as("my"))),
 
     "q_reproject_raster" -> ((s, dir) =>
-      Reproject.latLngGridToWebMercator(lineitemLayer(s, dir), 0.1)),
+      Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1).toCells),
 
     "q_zoom_keys" -> ((s, dir) => {
       val p = customerLonLat(s, dir)

@@ -49,4 +49,81 @@ object Reproject {
     targets.join(src, Seq("x", "y"))
       .select(col("tx").as("x"), col("ty").as("y"), col("v"))
   }
+
+  /** Tile-wise variant of [[latLngGridToWebMercator]] — the scale
+    * path: each source tile forward-projects its corner window to find
+    * the bounded set of target tiles it can feed (CRS transforms are
+    * monotone per axis), ships itself there in ONE keyed shuffle, and
+    * each target tile inverse-samples locally. Cell math identical to
+    * the join variant, so the same oracle covers both. */
+  def latLngGridToWebMercatorTiled(layer: RasterLayer, degPerCell: Double,
+                                   dstTile: Int = 64): RasterLayer = {
+    import graft.core.TileLayout
+    val spark = layer.spark
+    import spark.implicits._
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val n = tl.totalCols.toInt
+    require(n % dstTile == 0)
+    val dstLc = n / dstTile
+
+    val lonMax = n * degPerCell; val latMax = n * degPerCell
+    val mxMin = CRS.lngToMercX(0); val mxMax = CRS.lngToMercX(lonMax)
+    val myMin = CRS.latToMercY(0); val myMax = CRS.latToMercY(latMax)
+    val cw = (mxMax - mxMin) / n
+    val ch = (myMax - myMin) / n
+
+    val contribs = layer.df.select(col("col"), col("row"), col("tile"))
+      .as[(Int, Int, Seq[Double])]
+      .flatMap { case (c, r, tile) =>
+        // geographic window of this source tile (y-down grid)
+        val lonLo = c.toLong * tc * degPerCell
+        val lonHi = (c + 1).toLong * tc * degPerCell
+        val latHi = latMax - r.toLong * tr * degPerCell
+        val latLo = latMax - (r + 1).toLong * tr * degPerCell
+        // forward project to the mercator target grid, pad one cell
+        def txOf(lon: Double) = (CRS.lngToMercX(lon) - mxMin) / cw
+        def tyOf(lat: Double) = (myMax - CRS.latToMercY(lat)) / ch
+        val txLo = math.max(0, math.floor(txOf(lonLo) - 1).toInt / dstTile)
+        val txHi = math.min(dstLc - 1, math.ceil(txOf(lonHi) + 1).toInt / dstTile)
+        val tyLo = math.max(0, math.floor(tyOf(latHi) - 1).toInt / dstTile)
+        val tyHi = math.min(dstLc - 1, math.ceil(tyOf(latLo) + 1).toInt / dstTile)
+        for (dc <- txLo to txHi; dr <- tyLo to tyHi)
+          yield (dc, dr, c, r, tile)
+      }
+
+    val out = contribs.groupByKey(t => (t._1, t._2))
+      .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
+        val (dc, dr) = key
+        val src = group.map { case (_, _, c, r, t) => (c, r) -> t }.toMap
+        val outTile = Array.fill(dstTile * dstTile)(Double.NaN)
+        var j = 0
+        while (j < dstTile) {
+          var i = 0
+          while (i < dstTile) {
+            val gi = dc.toLong * dstTile + i
+            val gj = dr.toLong * dstTile + j
+            // identical expression order to the join variant / oracle
+            val mx = mxMin + (gi + 0.5) * cw
+            val my = myMax - (gj + 0.5) * ch
+            val lon = math.toDegrees(mx / CRS.EarthRadius)
+            val lat = math.toDegrees(math.atan(math.exp(my / CRS.EarthRadius)) * 2 - math.Pi / 2)
+            val x = math.floor(lon / degPerCell).toLong
+            val y = math.floor((latMax - lat) / degPerCell).toLong
+            if (x >= 0 && x < n && y >= 0 && y < n) {
+              src.get(((x / tc).toInt, (y / tr).toInt)).foreach { t =>
+                outTile(j * dstTile + i) = t(((y % tr) * tc + (x % tc)).toInt)
+              }
+            }
+            i += 1
+          }
+          j += 1
+        }
+        TileRowOut(dc, dr, outTile.toSeq)
+      }
+
+    new RasterLayer(out.toDF(),
+      LayerMetadata(LayoutDefinition(Extent(mxMin, myMin, mxMax, myMax),
+        TileLayout(dstLc, dstLc, dstTile, dstTile))))
+  }
 }

@@ -30,6 +30,14 @@ class ResampleSpec extends SparkSpec {
     assert(tiledPath == cellsPath)
   }
 
+  test("tiled reproject gather matches the join path exactly") {
+    val joinPath = Reproject.latLngGridToWebMercator(ramp, 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    val tiledPath = Reproject.latLngGridToWebMercatorTiled(ramp, 1.0, dstTile = 4)
+      .toCells.as[(Long, Long, Double)].collect().toSet
+    assert(tiledPath == joinPath)
+  }
+
   test("2x downsample interpolates between columns") {
     val out = Resample.bilinearCells(ramp, 8, 4)
       .as[(Long, Long, Double)].collect()
