@@ -52,6 +52,22 @@ object Catalog {
     Files.writeString(p, json)
   }
 
+  /** Write just the attribute-store metadata sidecar (used by
+    * streaming ingestion, which appends tiles incrementally). */
+  def writeMetadata(uri: String, name: String, meta: LayerMetadata, zoom: Int = 0): Unit = {
+    val e = meta.layout.extent; val tl = meta.layout.tileLayout
+    val json =
+      s"""{"extent":[${e.xmin},${e.ymin},${e.xmax},${e.ymax}],
+         |"layout":[${tl.layoutCols},${tl.layoutRows},${tl.tileCols},${tl.tileRows}],
+         |"cellType":"${meta.cellType}","temporal":${meta.temporal},"zoom":$zoom}""".stripMargin
+    val p = Paths.get(metaPath(uri, name))
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, json)
+  }
+
+  def metadataExists(uri: String, name: String): Boolean =
+    Files.exists(Paths.get(metaPath(uri, name)))
+
   def readMetadata(uri: String, name: String): LayerMetadata = {
     val s = Files.readString(Paths.get(metaPath(uri, name)))
     def nums(key: String): Array[Double] =

@@ -37,10 +37,29 @@ object GeoTiff {
   private val TagGeoKeyDirectory  = 34735
 
   /** Encode one tile (row-major float64 cells) as float32 GeoTIFF
-    * bytes anchored at world coords (originX, originY = top-left). */
+    * bytes anchored at world coords (originX, originY = top-left).
+    * `deflate` = DeflateCompression (reference constants.py:282);
+    * false = NoCompression. */
   def encodeTile(cells: Array[Double], cols: Int, rows: Int,
                  originX: Double, originY: Double,
-                 cellW: Double, cellH: Double): Array[Byte] = {
+                 cellW: Double, cellH: Double,
+                 deflate: Boolean = false): Array[Byte] = {
+    // pixel strip (possibly deflated)
+    val raw = ByteBuffer.allocate(cols * rows * 4).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < cells.length) { raw.putFloat(cells(i).toFloat); i += 1 }
+    val strip =
+      if (!deflate) raw.array()
+      else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw.array()); d.finish()
+        val out = new ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        out.toByteArray
+      }
+
     val nTags = 13
     val headerSize = 8
     val ifdSize = 2 + nTags * 12 + 4
@@ -56,8 +75,7 @@ object GeoTiff {
       1025, 0, 1, 1,     // GTRasterTypeGeoKey = PixelIsArea
       3072, 0, 1, 3857)  // ProjectedCSTypeGeoKey = web mercator
     val stripOff = geoOff + geoShorts.length * 2
-    val stripBytes = cols * rows * 4
-    val total = stripOff + stripBytes
+    val total = stripOff + strip.length
 
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     // header
@@ -70,12 +88,12 @@ object GeoTiff {
     tag(TagImageWidth, 3, 1, cols)
     tag(TagImageLength, 3, 1, rows)
     tag(TagBitsPerSample, 3, 1, 32)
-    tag(TagCompression, 3, 1, 1)      // none
+    tag(TagCompression, 3, 1, if (deflate) 8 else 1) // 8 = Adobe deflate
     tag(TagPhotometric, 3, 1, 1)      // BlackIsZero
     tag(TagStripOffsets, 4, 1, stripOff)
     tag(TagSamplesPerPixel, 3, 1, 1)
     tag(TagRowsPerStrip, 3, 1, rows)
-    tag(TagStripByteCounts, 4, 1, stripBytes)
+    tag(TagStripByteCounts, 4, 1, strip.length)
     tag(TagSampleFormat, 3, 1, 3)     // IEEE float
     tag(TagModelPixelScale, 12, 3, scaleOff)
     tag(TagModelTiepoint, 12, 6, tieOff)
@@ -86,9 +104,7 @@ object GeoTiff {
     buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
       .putDouble(originX).putDouble(originY).putDouble(0.0)
     geoShorts.foreach(s => buf.putShort(s.toShort))
-    // pixels
-    var i = 0
-    while (i < cells.length) { buf.putFloat(cells(i).toFloat); i += 1 }
+    buf.put(strip)
     buf.array()
   }
 
@@ -102,8 +118,8 @@ object GeoTiff {
     val ifd = buf.getInt()
     buf.position(ifd)
     val n = buf.getShort()
-    var cols = -1; var rows = -1; var stripOff = -1
-    var scaleOff = -1; var tieOff = -1
+    var cols = -1; var rows = -1; var stripOff = -1; var stripLen = -1
+    var scaleOff = -1; var tieOff = -1; var compression = 1
     (0 until n).foreach { _ =>
       // tag ids are unsigned shorts (geo tags are > 32767)
       val id = buf.getShort() & 0xffff; buf.getShort(); buf.getInt()
@@ -112,10 +128,13 @@ object GeoTiff {
         case TagImageWidth      => cols = v
         case TagImageLength     => rows = v
         case TagStripOffsets    => stripOff = v
+        case TagStripByteCounts => stripLen = v
         case TagModelPixelScale => scaleOff = v
         case TagModelTiepoint   => tieOff = v
         case TagSampleFormat    => require(v == 3, s"unsupported sample format $v")
-        case TagCompression     => require(v == 1, "compressed TIFF unsupported")
+        case TagCompression     =>
+          require(v == 1 || v == 8, s"unsupported compression $v")
+          compression = v
         case _ =>
       }
     }
@@ -124,9 +143,22 @@ object GeoTiff {
     val ch = buf.getDouble(scaleOff + 8)
     val originX = buf.getDouble(tieOff + 3 * 8)
     val originY = buf.getDouble(tieOff + 4 * 8)
+    val strip: ByteBuffer =
+      if (compression == 1) buf.duplicate().order(ByteOrder.LITTLE_ENDIAN).position(stripOff)
+      else {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(bytes, stripOff, stripLen)
+        val out = new Array[Byte](cols * rows * 4)
+        var done = 0
+        while (!inf.finished() && done < out.length)
+          done += inf.inflate(out, done, out.length - done)
+        inf.end()
+        ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+      }
+    val base = if (compression == 1) stripOff else 0
     val cells = new Array[Double](cols * rows)
     var i = 0
-    while (i < cells.length) { cells(i) = buf.getFloat(stripOff + 4 * i).toDouble; i += 1 }
+    while (i < cells.length) { cells(i) = strip.getFloat(base + 4 * i).toDouble; i += 1 }
     (originX, originY, cw, ch, cols, rows, cells)
   }
 
@@ -145,8 +177,9 @@ object GeoTiff {
     UntiledRaster(scenes)
   }
 
-  /** Per-tile GeoTIFF bytes for a layer — reference to_geotiff_rdd. */
-  def toGeoTiff(layer: RasterLayer): Dataset[GeoTiffTile] = {
+  /** Per-tile GeoTIFF bytes for a layer — reference to_geotiff_rdd
+    * (compression per constants.py:282). */
+  def toGeoTiff(layer: RasterLayer, deflate: Boolean = false): Dataset[GeoTiffTile] = {
     val meta = layer.meta
     val tl = meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
@@ -160,7 +193,7 @@ object GeoTiff {
         it.map { case (c, r, tile) =>
           val originX = e.xmin + c.toLong * tc * cw
           val originY = e.ymax - r.toLong * tr * ch
-          GeoTiffTile(c, r, encodeTile(tile.toArray, tc, tr, originX, originY, cw, ch))
+          GeoTiffTile(c, r, encodeTile(tile.toArray, tc, tr, originX, originY, cw, ch, deflate))
         }
       }
   }

@@ -65,6 +65,27 @@ object Events {
       .withColumn("fp", md5(col("text")))
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming raster ingestion: a stream of scenes (UntiledRaster
+    * schema) is tiled per micro-batch and appended to the catalog —
+    * the readStream -> tiles -> store pipeline a live imagery feed
+    * needs. foreachBatch reuses the exact batch tiling path, so batch
+    * and streaming ingestion cannot diverge; readers merge duplicate
+    * keys (Catalog.update contract). */
+  def ingestScenes(scenes: DataFrame, uri: String, name: String,
+                   layout: graft.core.LayoutDefinition, zoom: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.catalog.Catalog
+    import graft.raster.{LayerMetadata, UntiledRaster}
+    if (!Catalog.metadataExists(uri, name))
+      Catalog.writeMetadata(uri, name, LayerMetadata(layout), zoom)
+    scenes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Catalog.update(uri, name, UntiledRaster(batch).tileToLayout(layout), zoom)
+      }
+      .start()
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, cnt: Long)
 

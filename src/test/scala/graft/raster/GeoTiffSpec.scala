@@ -51,6 +51,19 @@ class GeoTiffSpec extends SparkSpec {
       src.toCells.as[(Long, Long, Double)].collect().toSet)
   }
 
+  test("deflate-compressed roundtrip is lossless and smaller on redundant data") {
+    val cells = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y, (x % 2).toDouble))
+    val src = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+    val plain = GeoTiff.toGeoTiff(src, deflate = false).collect().map(_.tiff.length).sum
+    val packed = GeoTiff.toGeoTiff(src, deflate = true).collect()
+    assert(packed.map(_.tiff.length).sum < plain)
+    val back = GeoTiff.fromGeoTiff(
+      packed.toSeq.map(t => (t.col.toLong * 10 + t.row, t.tiff)).toDF("scene_id", "tiff"))
+      .tileToLayout(layout)
+    assert(back.toCells.as[(Long, Long, Double)].collect().toSet ==
+      src.toCells.as[(Long, Long, Double)].collect().toSet)
+  }
+
   test("pyramid write stores all zoom levels side by side") {
     val dir = Files.createTempDirectory("graft_pyr").toString
     val base = RasterLayer.fromCells(

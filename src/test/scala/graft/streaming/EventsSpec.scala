@@ -73,6 +73,25 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming scene ingestion tiles micro-batches into the catalog") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Extent, LayoutDefinition, TileLayout}
+    val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val mem = MemoryStream[(Long, Double, Double, Double, Double, Int, Int, Seq[Double])]
+    val q = Events.ingestScenes(
+      mem.toDF().toDF("scene_id", "xmin", "ymin", "xmax", "ymax", "cols", "rows", "cells"),
+      dir, "live", layout)
+    try {
+      mem.addData(Seq((1L, 0.0, 6.0, 2.0, 8.0, 2, 2, Seq(1.0, 2.0, 3.0, 4.0))))
+      q.processAllAvailable()
+      mem.addData(Seq((2L, 4.0, 2.0, 6.0, 4.0, 2, 2, Seq(5.0, 6.0, 7.0, 8.0))))
+      q.processAllAvailable()
+      val layer = graft.catalog.Catalog.read(spark, dir, "live").aggregateByCell("Max")
+      assert(layer.toCells.count() == 8) // both scenes' cells landed
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
