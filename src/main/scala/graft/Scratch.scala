@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .getOrCreate()
@@ -41,7 +42,11 @@ object Scratch {
       try {
         val df = SparkEntry.queries(n)(spark, dir)
         if (sys.env.contains("EXPLAIN")) df.explain("formatted")
-        val cnt = df.count()
+        // NOOP=1 mirrors Bench's full-compute sink; count() lets
+        // Catalyst prune computed columns (memory: bench gotcha)
+        val cnt =
+          if (sys.env.contains("NOOP")) { df.write.format("noop").mode("overwrite").save(); -1L }
+          else df.count()
         println(f"TIMING $n ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)")
       } catch {
         case e: Throwable =>

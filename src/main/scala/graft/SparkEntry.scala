@@ -156,8 +156,12 @@ object SparkEntry {
       Distance.euclidean(s, supplierPoints(s, dir), layout)),
 
     "q_cost_distance" -> ((s, dir) =>
+      // friction normalized to [1, 10] => every edge costs >= 1, so
+      // maxCost=32 is provably converged by 32 Bellman-Ford rounds —
+      // that bound is what makes the unrolled DuckDB oracle exact
       Distance.costDistanceTiled(lineitemLayer(s, dir).normalize(1.0, 10.0),
-        supplierPoints(s, dir)).toCells),
+        supplierPoints(s, dir), maxCost = CostDistanceMaxCost).toCells
+        .select(col("x"), col("y"), round(col("v"), 5).as("v"))),
 
     // --- statistics
     "q_histogram" -> ((s, dir) => HistogramOps.binCounts(lineitemLayer(s, dir))),
@@ -333,6 +337,42 @@ object SparkEntry {
       streaming.Events.sessionize(eventsTable(s, dir))),
   )
 
+  /** cost-distance ceiling: with friction in [1,10] every edge costs
+    * >= 1, so ceil(maxCost) relaxation rounds reach a provable
+    * fixpoint for all surviving cells. */
+  val CostDistanceMaxCost = 32.0
+
+  /** Unrolled bounded Bellman-Ford oracle for cost_distance: r0 =
+    * source cells at d=0; each round relaxes every cell into its 8
+    * grid neighbors (step 1 or sqrt(2), cost = step * friction(n)) and
+    * keeps the per-cell min <= maxCost. Path prefixes are monotone, so
+    * per-round pruning never cuts a surviving path, and both engines
+    * fold identical doubles along identical optimal paths. CTEs are
+    * MATERIALIZED: DuckDB would otherwise inline the grid scan into
+    * every round (and run out of file handles). */
+  private def costDistanceSql(grid: String, pts: String): String = {
+    val c = CostDistanceMaxCost
+    val rounds = math.ceil(c).toInt
+    val s2 = math.sqrt(2.0).toString
+    val head = Seq(
+      s"""g AS MATERIALIZED (SELECT x, y, (v - mn) / (mx - mn) * 9.0 + 1.0 AS f
+         |  FROM ($grid), (SELECT min(v) AS mn, max(v) AS mx FROM ($grid)))""".stripMargin,
+      s"""src AS MATERIALIZED (SELECT DISTINCT g.x, g.y FROM ($pts) p
+         |  JOIN g ON g.x = CAST(floor(p.px) AS BIGINT) AND g.y = CAST(floor(p.py) AS BIGINT))""".stripMargin,
+      s"""o(dx, dy, step) AS (VALUES (-1,-1,$s2),(0,-1,1.0),(1,-1,$s2),(-1,0,1.0),
+         |  (1,0,1.0),(-1,1,$s2),(0,1,1.0),(1,1,$s2))""".stripMargin,
+      "r0 AS MATERIALIZED (SELECT x, y, 0.0 AS d FROM src)")
+    val rels = (0 until rounds).map { i =>
+      s"""r${i + 1} AS MATERIALIZED (SELECT x, y, min(d) AS d FROM (
+         |  SELECT x, y, d FROM r$i
+         |  UNION ALL
+         |  SELECT g.x, g.y, r$i.d + o.step * g.f AS d
+         |  FROM r$i JOIN o ON true JOIN g ON g.x = r$i.x + o.dx AND g.y = r$i.y + o.dy
+         |) WHERE d <= $c GROUP BY 1, 2)""".stripMargin
+    }
+    (head ++ rels).mkString("WITH ", ",\n", s"\nSELECT x, y, round(d, 5) AS v FROM r$rounds")
+  }
+
   /** 3x3 neighbor join over the lineitem grid (shared focal-oracle CTE). */
   private def focalJoin(agg: String): String =
     s"""WITH g AS ($lineitemCellsSql)
@@ -478,6 +518,8 @@ object SparkEntry {
         s"""SELECT p.pid AS pid, g.v AS v
            |FROM ($pts) p JOIN ($grid) g
            |  ON g.x = CAST(floor(p.px) AS BIGINT) AND g.y = CAST(floor(p.py) AS BIGINT)""".stripMargin,
+
+      "q_cost_distance" -> costDistanceSql(grid, pts),
 
       "q_euclidean_distance" ->
         s"""SELECT t1.range AS x, t2.range AS y,
@@ -637,14 +679,18 @@ object SparkEntry {
       "q_dedup_exact" ->
         "SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dups FROM documents GROUP BY 1",
 
+      // maxDocFreq skew cap (1000) mirrored via the hot/ANTI JOIN CTEs;
+      // shingles are hashed before the self-join exactly like Spark
       "q_dedup_jaccard" ->
         s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
-           |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+           |sh0 AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM (
            |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
            |  FROM t WHERE len(toks) >= 5)),
+           |hot AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) > 1000),
+           |sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 ANTI JOIN hot USING (h)),
            |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
            |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-           |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
            |SELECT d1, d2, CAST(shared AS DOUBLE) / (n1.n + n2.n - shared) AS jaccard
            |FROM pr JOIN sz n1 ON pr.d1 = n1.doc_id JOIN sz n2 ON pr.d2 = n2.doc_id
            |WHERE CAST(shared AS DOUBLE) / (n1.n + n2.n - shared) >= 0.5""".stripMargin,
@@ -661,10 +707,10 @@ object SparkEntry {
         }.mkString(" UNION ALL ")
         val simExpr = (0 until 16).map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
         s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
-           |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+           |sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM (
            |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
            |  FROM t WHERE len(toks) >= 5)),
-           |hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS x FROM sh),
+           |hx AS (SELECT doc_id, h % $p AS x FROM sh),
            |sig AS (SELECT doc_id, $minCols FROM hx GROUP BY 1),
            |banded AS ($bandSelects),
            |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -674,13 +720,16 @@ object SparkEntry {
            |WHERE CAST($simExpr AS DOUBLE) / 16 >= 0.5""".stripMargin
       },
 
+      // 60-bit signatures (Spark side finds pairs by pigeonhole
+      // banding; the oracle verifies with the plain all-pairs
+      // definition, fine at oracle SF)
       "q_dedup_simhash" -> {
-        val bitSums = (0 until 16).map(b =>
+        val bitSums = (0 until 60).map(b =>
           s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
-        val sigExpr = (0 until 16).map(b =>
+        val sigExpr = (0 until 60).map(b =>
           s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
         s"""WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
-           |hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM tk),
+           |hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
            |sums AS (SELECT doc_id, $bitSums FROM hh GROUP BY 1),
            |sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sig FROM sums)
            |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming

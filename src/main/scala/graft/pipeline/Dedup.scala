@@ -9,16 +9,26 @@ import org.apache.spark.sql.functions._
   * Scale shapes (SURVEY §4):
   * - exact: one groupBy on a 128-bit content hash — pure map-side
   *   combine, the cheapest possible full-corpus dedup.
-  * - jaccard: inverted-index join on shingles (docs sharing a shingle
-  *   are candidates) — no all-pairs blowup; hot shingles are the skew
-  *   risk, handled by dropping top-frequency shingles at scale.
+  * - jaccard: inverted-index join on HASHED shingles (8-byte shuffle
+  *   keys, not strings); hot shingles are the skew risk, handled by
+  *   the `maxDocFreq` cap (ON by default) that drops boilerplate
+  *   shingles before the self-join.
   * - minhash LSH: k=16 hashes as 16 min() aggregates in ONE groupBy
-  *   (no k-times explode), banded into 4 buckets; only bucket
+  *   (no explode-by-k), banded into 4 buckets; only bucket
   *   collisions become candidate pairs.
-  * - simhash: 16-bit sign-sum signature, hamming<=3 via self-join on
-  *   signature (small domain) — at scale, multi-probe tables per band.
+  * - simhash: 60-bit signature, hamming<=3 via pigeonhole banding
+  *   (Manku/Jain/Sarma, WWW'07): 4 bands of 15 bits — hamming<=3
+  *   guarantees at least one band matches exactly, so candidates
+  *   come from an equi-join on (band, bits), then exact hamming
+  *   verification. No all-pairs scan anywhere.
   * - cosine: label-blocked exact pairs over integer-quantized
   *   embeddings (deterministic integer dot products).
+  *
+  * Shared intermediates (shingle sets, signatures) are materialized
+  * once with an eager localCheckpoint: a lazy .cache() inside a
+  * single job lets every downstream branch race to recompute the
+  * full shingle pipeline before the cache is populated (measured
+  * ~6x overcompute in r1's minhash).
   */
 object Dedup {
 
@@ -40,22 +50,49 @@ object Dedup {
       .distinct()
   }
 
-  /** n-gram Jaccard near-dup pairs via inverted-index join.
+  /** 60-bit shingle hash from md5 (portable: same value in DuckDB
+    * via ('0x'||substr(md5(s),1,15))::BIGINT). */
+  def shingleHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+
+  /** Distinct hashed k-shingles per doc: (doc_id, h LONG). Hashing
+    * BEFORE the distinct keeps every downstream exchange on 8-byte
+    * keys instead of ~30-byte strings; 60-bit space makes collisions
+    * negligible (and the oracle hashes identically, so both engines
+    * agree even on a collision). Materialized eagerly — jaccard and
+    * minhash each consume it from several join branches. */
+  def hashedShingles(docs: DataFrame, k: Int = 5): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as("shingle"))
+      .select(col("doc_id"), shingleHash(col("shingle")).as("h"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** n-gram Jaccard near-dup pairs via inverted-index join on hashed
+    * shingles.
     *
-    * `maxDocFreq` is the skew guard for scale: shingles occurring in
-    * more than that many documents are dropped from the index before
-    * the self-join (a boilerplate shingle shared by 1% of a 10^9-doc
-    * corpus would otherwise create a 10^14-row hot key). Near-dup
-    * pairs lose almost nothing: they still share their rare shingles. */
+    * `maxDocFreq` is the skew guard for scale, ON by default:
+    * shingles occurring in more than that many documents are dropped
+    * from the index before the self-join (a boilerplate shingle
+    * shared by 1% of a 10^9-doc corpus would otherwise create a
+    * 10^14-row hot key). Near-dup pairs lose almost nothing: they
+    * still share their rare shingles. Doc sizes are computed from the
+    * CAPPED shingle sets, so the jaccard value is exactly the
+    * jaccard of the capped sets (mirrored in the oracle). */
   def jaccardPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.5,
-                   maxDocFreq: Option[Long] = None): DataFrame = {
-    val all = shingles(docs, k)
+                   maxDocFreq: Option[Long] = Some(1000L)): DataFrame = {
+    val all = hashedShingles(docs, k)
     val sh = maxDocFreq.fold(all) { cap =>
-      val hot = all.groupBy("shingle").agg(count(lit(1)).as("df")).where(col("df") > cap)
-      all.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
-    }.cache()
+      val hot = all.groupBy("h").agg(count(lit(1)).as("df")).where(col("df") > cap)
+      all.join(broadcast(hot.select("h")), Seq("h"), "left_anti")
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = sh.as("a").join(sh.as("b"), "shingle")
+    val shared = sh.as("a").join(sh.as("b"), "h")
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("shared"))
@@ -67,11 +104,6 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 61-ish-bit shingle hash from md5 (portable: same value in DuckDB
-    * via ('0x'||substr(md5(s),1,15))::BIGINT). */
-  def shingleHash(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
-
   val MinhashP = 2147483647L // 2^31 - 1
   /** Deterministic (a_i, b_i) parameters for the k hash functions. */
   def minhashParams(k: Int): Seq[(Long, Long)] =
@@ -80,8 +112,8 @@ object Dedup {
   /** MinHash signatures: k min() aggregates in one groupBy — no
     * explode-by-k, full map-side combine. Output: doc_id, m0..m{k-1}. */
   def minhashSignatures(docs: DataFrame, k: Int = 16, shingleK: Int = 5): DataFrame = {
-    val sh = shingles(docs, shingleK)
-      .select(col("doc_id"), (shingleHash(col("shingle")) % MinhashP).as("x"))
+    val sh = hashedShingles(docs, shingleK)
+      .select(col("doc_id"), (col("h") % MinhashP).as("x"))
     val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
       min((col("x") * a + b) % MinhashP).as(s"m$i")
     }
@@ -93,7 +125,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
                    minEstSim: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignatures(docs, k).cache()
+    val sig = minhashSignatures(docs, k).localCheckpoint()
     val bandDfs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
       sig.select(col("doc_id"), lit(b).as("band"), concat_ws("_", cols: _*).as("bkey"))
@@ -112,11 +144,15 @@ object Dedup {
       .where(col("est_sim") >= minEstSim)
   }
 
-  /** 16-bit SimHash from token counts (sign of per-bit weighted sum). */
-  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+  /** SimHash signature from token counts (sign of per-bit weighted
+    * sum). 60 bits — the widest signature that stays positive in a
+    * signed 64-bit value from the portable 15-hex-char md5 prefix
+    * (r1's 16-bit signatures matched 12% of ALL pairs at sf0.1:
+    * pure noise, and an inherently quadratic output). */
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("tok"))
-    val h = conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") // 16 bits
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") // 60 bits
     val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
     }
@@ -127,12 +163,30 @@ object Dedup {
     sums.select(col("doc_id"), sig.as("sig"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxDist. */
-  def simhashPairs(docs: DataFrame, bits: Int = 16, maxDist: Int = 3): DataFrame = {
-    val sig = simhash(docs, bits).cache()
-    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+  /** SimHash near-dup pairs with hamming distance <= maxDist, found by
+    * pigeonhole banding: split the signature into `bands` contiguous
+    * blocks — hamming <= maxDist < bands means at least one block is
+    * identical, so an equi-join on (band, block bits) yields a
+    * candidate superset that exact hamming verification then filters.
+    * Cost follows the collision count (a shuffled/broadcast HASH
+    * join), not n^2: r1's `a.doc_id < b.doc_id` nested-loop join is
+    * gone. A pair colliding in several bands appears once (distinct). */
+  def simhashPairs(docs: DataFrame, bits: Int = 60, maxDist: Int = 3,
+                   bands: Int = 4): DataFrame = {
+    require(maxDist < bands, "pigeonhole needs maxDist < bands")
+    require(bits % bands == 0, "bands must evenly split the signature")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sig = simhash(docs, bits).localCheckpoint()
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("bbits"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bbits").as("bbits"))
+    banded.as("a").join(banded.as("b"), Seq("band", "bbits"))
+      .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxDist)
+      .distinct()
   }
 }

@@ -18,24 +18,66 @@ object Distance {
   /** Euclidean distance raster: for every cell of the layout, distance
     * from the cell center to the nearest point (grid coords).
     *
-    * Points are broadcast (they are small by contract, like the
-    * reference's geometry argument); the cell space is generated
-    * distributed (spark.range), so no shuffle at all — narrow cross
-    * product against the broadcast side, then a cell-level min that
-    * partially aggregates map-side. At production scale the candidate
-    * set per cell is pruned with a coarse spatial index of the points;
-    * documented in SURVEY §4.
+    * Tile-wise pruned gather (replaces r1's O(cells x points)
+    * crossJoin): points are collected and broadcast (they are the
+    * operator's small geometry argument, like the reference's
+    * euclidean_distance.py:10 `geometry`); each layout tile bounds the
+    * distance from its circumscribed circle to every point — a point
+    * whose lower bound exceeds the tile's best upper bound can never
+    * be nearest for ANY cell of the tile and is dropped before the
+    * per-cell scan. Narrow plan, zero shuffles; per-cell work is
+    * O(local candidates), independent of the global point count.
+    * Per-distance floats use the exact r1 formula, so results are
+    * bit-identical to the brute-force oracle (min over a superset
+    * that contains the argmin).
     */
   def euclidean(spark: SparkSession, points: DataFrame, layout: LayoutDefinition): DataFrame = {
-    val cols = layout.tileLayout.totalCols
-    val rows = layout.tileLayout.totalRows
-    val cells = spark.range(cols).select(col("id").as("x"))
-      .crossJoin(spark.range(rows).select(col("id").as("y")))
-    val pts = broadcast(points.select(col("px"), col("py")))
-    cells.crossJoin(pts)
-      .groupBy("x", "y")
-      .agg(min(sqrt((col("x") + 0.5 - col("px")) * (col("x") + 0.5 - col("px")) +
-                    (col("y") + 0.5 - col("py")) * (col("y") + 0.5 - col("py")))).as("v"))
+    import spark.implicits._
+    val tl = layout.tileLayout
+    val (tc, tr, lc, lr) = (tl.tileCols, tl.tileRows, tl.layoutCols, tl.layoutRows)
+    val pts = points.select(col("px").cast("double"), col("py").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val bc = spark.sparkContext.broadcast(pts)
+    val nTiles = lc.toLong * lr
+    spark.range(0, nTiles, 1, math.min(nTiles, spark.sparkContext.defaultParallelism).toInt)
+      .as[Long]
+      .flatMap { t =>
+        val all = bc.value
+        if (all.isEmpty) Iterator.empty
+        else {
+          val tx = (t % lc).toInt; val ty = (t / lc).toInt
+          val x0 = tx.toLong * tc; val y0 = ty.toLong * tr
+          // cell centers span [x0+0.5, x0+tc-0.5]: bounding circle
+          val cx = x0 + tc / 2.0; val cy = y0 + tr / 2.0
+          val rad = math.sqrt((tc - 1.0) * (tc - 1.0) + (tr - 1.0) * (tr - 1.0)) / 2.0
+          val center = new Array[Double](all.length)
+          var best = Double.MaxValue
+          var i = 0
+          while (i < all.length) {
+            val dx = cx - all(i)._1; val dy = cy - all(i)._2
+            val d = math.sqrt(dx * dx + dy * dy)
+            center(i) = d
+            if (d + rad < best) best = d + rad
+            i += 1
+          }
+          val bestU = best
+          val cand = all.indices.collect { case i if center(i) - rad <= bestU => all(i) }
+          Iterator.tabulate(tc * tr) { o =>
+            val x = x0 + o % tc; val y = y0 + o / tc
+            var m = Double.MaxValue
+            var j = 0
+            while (j < cand.length) {
+              val (px, py) = cand(j)
+              val d = math.sqrt((x + 0.5 - px) * (x + 0.5 - px) +
+                                (y + 0.5 - py) * (y + 0.5 - py))
+              if (d < m) m = d
+              j += 1
+            }
+            (x, y, m)
+          }
+        }
+      }
+      .toDF("x", "y", "v")
   }
 
   /** Cost distance (friction-weighted shortest path from sources) via
@@ -49,9 +91,18 @@ object Distance {
     * Cost model (reference cost_distance.py:8): entering cell n from c
     * costs step(c,n) * friction(n), step = 1 or sqrt(2); NaN friction
     * is impassable.
+    *
+    * `maxCost` mirrors the reference's max_distance: cells beyond it
+    * stay unreached. Pruning mid-relaxation is exact — path prefixes
+    * are monotone under nonnegative weights, so no <=maxCost path is
+    * ever cut. It also gives the operator a DuckDB oracle: with
+    * friction >= f_min every edge costs >= f_min, so ceil(maxCost /
+    * f_min) Bellman-Ford rounds provably converge for every surviving
+    * cell (SparkEntry unrolls exactly that).
     */
   def costDistanceTiled(friction: RasterLayer, sources: DataFrame,
-                        maxRounds: Int = 64): RasterLayer = {
+                        maxRounds: Int = 64,
+                        maxCost: Double = Double.PositiveInfinity): RasterLayer = {
     val spark = friction.spark
     import spark.implicits._
     val tl = friction.meta.layout.tileLayout
@@ -104,7 +155,7 @@ object Distance {
                   if (!f.isNaN) {
                     val step = if (dx == 0 || dy == 0) 1.0 else Sqrt2
                     val nd = d + step * f
-                    if (dist(no).isNaN || nd < dist(no)) {
+                    if (nd <= maxCost && (dist(no).isNaN || nd < dist(no))) {
                       dist(no) = nd
                       changed += no
                       pq.enqueue((nd, no))
@@ -196,7 +247,7 @@ object Distance {
             val f = fr(o)
             if (!f.isNaN) {
               val nd = base + step * f
-              if (dist(o).isNaN || nd < dist(o)) { dist(o) = nd; seeds += o }
+              if (nd <= maxCost && (dist(o).isNaN || nd < dist(o))) { dist(o) = nd; seeds += o }
             }
           }
           val dirty =

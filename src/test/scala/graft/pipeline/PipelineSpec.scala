@@ -46,6 +46,20 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("simhash banding finds exactly the all-pairs hamming<=k set") {
+    // maxDist 30 with 31 bands (2-bit blocks) stresses multi-band
+    // collisions + the distinct; brute force over the same signatures
+    // is the ground truth
+    val banded = Dedup.simhashPairs(docs, bits = 62, maxDist = 30, bands = 31)
+      .as[(Long, Long, Long)].collect().toSet
+    val sig = Dedup.simhash(docs, bits = 62).as[(Long, Long)].collect()
+    val brute = (for {
+      (d1, s1) <- sig; (d2, s2) <- sig if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2).toLong if h <= 30
+    } yield (d1, d2, h)).toSet
+    assert(banded == brute)
+  }
+
   val embs = Seq(
     (0L, Array.tabulate(8)(i => 1.0f + i), 0),
     (1L, Array.tabulate(8)(i => 2.0f * (1.0f + i)), 0), // colinear with 0 => cosine 1

@@ -28,6 +28,32 @@ class DistanceSpec extends SparkSpec {
     tiled.foreach { case (k, d) => assert(math.abs(d - cellsBF(k)) < 1e-9, s"$k") }
   }
 
+  test("pruned tile-gather euclidean equals brute force over all points") {
+    val pts = Seq((1L, 1.2, 6.7), (2L, 6.5, 0.4), (3L, 3.1, 3.9)).toDF("pid", "px", "py")
+    val got = Distance.euclidean(spark, pts, layout)
+      .as[(Long, Long, Double)].collect().map { case (x, y, v) => (x, y) -> v }.toMap
+    val ps = Seq((1.2, 6.7), (6.5, 0.4), (3.1, 3.9))
+    assert(got.size == 64)
+    for (x <- 0L until 8L; y <- 0L until 8L) {
+      val want = ps.map { case (px, py) =>
+        math.sqrt((x + 0.5 - px) * (x + 0.5 - px) + (y + 0.5 - py) * (y + 0.5 - py))
+      }.min
+      assert(got((x, y)) == want, s"cell ($x,$y)") // bit-identical, not approx
+    }
+  }
+
+  test("maxCost prunes exactly: kept cells keep their unbounded distances") {
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y, 1.0)
+    val friction = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+    val sources = Seq((0L, 0.5, 0.5)).toDF("pid", "px", "py")
+    val full = Distance.costDistanceTiled(friction, sources)
+      .toCells.as[(Long, Long, Double)].collect().map { case (x, y, d) => (x, y) -> d }.toMap
+    val capped = Distance.costDistanceTiled(friction, sources, maxCost = 4.0)
+      .toCells.as[(Long, Long, Double)].collect().map { case (x, y, d) => (x, y) -> d }.toMap
+    assert(capped.keySet == full.filter(_._2 <= 4.0).keySet)
+    capped.foreach { case (k, d) => assert(d == full(k), s"$k") }
+  }
+
   test("impassable cells (NaN friction) block paths") {
     // wall at x=4 except a gap at y=7 forces a detour
     val cells = for {
