@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.core.{CRS, ZIndex}
-import graft.raster.{Distance, HistogramOps, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, ZonalOps}
+import graft.raster.{Distance, HistogramOps, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
 
@@ -250,6 +250,29 @@ object SparkEntry {
       // band selection (layer.py:670): combine then take band 1
       val b = lineitemLayer(s, dir).combineBandsCells(ordersLayer(s, dir))
       b.where(col("b1").isNotNull).select(col("x"), col("y"), col("b1").as("v"))
+    }),
+
+    // --- first-class multiband (MultibandLayer)
+    "q_mb_ndvi" -> ((s, dir) => {
+      val mb = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
+      mb.normalizedDifference(nir = 1, red = 0).toCells
+        .select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
+
+    "q_mb_map" -> ((s, dir) => {
+      val mb = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
+      mb.mapCells(c => c * 2.0 + 1.0).toCells
+    }),
+
+    "q_mb_agg" -> ((s, dir) => {
+      val a = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
+      val b = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir) + 10.0, ordersLayer(s, dir) * 2.0))
+      a.union(b).aggregateByCell("Sum").toCells
+    }),
+
+    "q_mb_focal" -> ((s, dir) => {
+      val mb = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
+      mb.focalBand(1, Neighborhood.Square(1), "Mean").toCells
     }),
 
     "q_aggregate_mean" -> ((s, dir) => {
@@ -629,6 +652,28 @@ object SparkEntry {
            |FROM ($grid) a FULL OUTER JOIN ($ogrid) b ON a.x = b.x AND a.y = b.y""".stripMargin,
 
       "q_bands" -> s"SELECT x, y, v FROM ($ogrid)",
+
+      // --- multiband: band 0 = lineitem grid, band 1 = orders grid;
+      // cells where a band is missing are NoData for that band
+      "q_mb_ndvi" ->
+        s"""SELECT a.x AS x, a.y AS y, round((b.v - a.v) / (b.v + a.v), 5) AS v
+           |FROM ($grid) a JOIN ($ogrid) b ON a.x = b.x AND a.y = b.y""".stripMargin,
+
+      "q_mb_map" ->
+        s"""SELECT x, y, CAST(0 AS INT) AS band, v * 2 + 1 AS v FROM ($grid)
+           |UNION ALL
+           |SELECT x, y, CAST(1 AS INT) AS band, v * 2 + 1 AS v FROM ($ogrid)""".stripMargin,
+
+      "q_mb_agg" ->
+        s"""SELECT x, y, CAST(0 AS INT) AS band, v + (v + 10) AS v FROM ($grid)
+           |UNION ALL
+           |SELECT x, y, CAST(1 AS INT) AS band, v + v * 2 AS v FROM ($ogrid)""".stripMargin,
+
+      "q_mb_focal" ->
+        s"""WITH g AS ($ogrid)
+           |SELECT c.x AS x, c.y AS y, avg(n.v) AS v
+           |FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |GROUP BY c.x, c.y""".stripMargin,
 
       "q_aggregate_mean" ->
         s"SELECT x, y, (v + (v + 10)) / 2 AS v FROM ($grid)",

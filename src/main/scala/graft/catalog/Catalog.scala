@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Extent, LayoutDefinition, TileLayout, ZIndex}
-import graft.raster.{LayerMetadata, RasterLayer}
+import graft.raster.{LayerMetadata, MultibandLayer, RasterLayer}
 
 /** Layer catalog: persistent tile store + attribute store.
   *
@@ -85,6 +85,32 @@ object Catalog {
       .where(col("zoom") === zoom)
       .select(col("col"), col("row"), col("tile"))
     new RasterLayer(df, meta)
+  }
+
+  /** Multiband layer store: same z-ordered parquet layout with the
+    * band stack as a nested array column; band count rides the
+    * attribute store. */
+  def writeMultiband(uri: String, name: String, layer: MultibandLayer, zoom: Int = 0): Unit = {
+    val idxCol = ZIndex.zorderCol(col("col").cast("long"), col("row").cast("long"))
+    layer.df
+      .withColumn("zoom", lit(zoom))
+      .withColumn("zindex", idxCol)
+      .repartitionByRange(col("zindex"))
+      .sortWithinPartitions("zindex")
+      .write.mode("overwrite")
+      .partitionBy("zoom")
+      .parquet(s"$uri/$name/tiles")
+    writeMetadata(uri, name, layer.meta, zoom)
+    writeAttribute(uri, name, "bands", layer.bandCount.toString)
+  }
+
+  def readMultiband(spark: SparkSession, uri: String, name: String, zoom: Int = 0): MultibandLayer = {
+    val meta = readMetadata(uri, name)
+    val bands = readAttribute(uri, name, "bands").trim.toInt
+    val df = spark.read.parquet(s"$uri/$name/tiles")
+      .where(col("zoom") === zoom)
+      .select(col("col"), col("row"), col("bands"))
+    new MultibandLayer(df, meta, bands)
   }
 
   /** Extent query (catalog.py:117 query with intersects): tile-key

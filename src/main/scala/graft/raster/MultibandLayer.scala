@@ -1,0 +1,148 @@
+package graft.raster
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** First-class multiband tiled layer, Spark-first.
+  *
+  * Physical model: `col INT, row INT, bands ARRAY<ARRAY<DOUBLE>>` —
+  * one row per tile key carrying ALL bands, the Dataset re-expression
+  * of the reference's MultibandTile layers (geopyspark layer.py:670
+  * `bands()`, :1419; backend TiledRasterLayer.scala throughout).
+  *
+  * Keeping the whole band stack in one row makes every cross-band
+  * pixel op (NDVI, band math) a codegen'd zip_with over co-located
+  * arrays — zero shuffle — while per-band ops are transforms over the
+  * outer array. Band selection never touches data layout: it projects
+  * `element_at(bands, i)`.
+  *
+  * At 100 TB: rows are (bands x tileSize) doubles; all local algebra
+  * is narrow, and the only shuffles are the same single keyed
+  * exchanges the single-band layer pays (assembly, aggregate, focal
+  * halo).
+  */
+final class MultibandLayer(val df: DataFrame, val meta: LayerMetadata, val bandCount: Int) {
+  private def tl = meta.layout.tileLayout
+  private def tc = tl.tileCols
+  private def tr = tl.tileRows
+
+  def copy(df: DataFrame = df): MultibandLayer = new MultibandLayer(df, meta, bandCount)
+
+  /** Select one band as a single-band layer (reference layer.py:670
+    * `bands`). Pure projection. */
+  def band(i: Int): RasterLayer = {
+    require(i >= 0 && i < bandCount, s"band $i of $bandCount")
+    new RasterLayer(
+      df.select(col("col"), col("row"), element_at(col("bands"), i + 1).as("tile")), meta)
+  }
+
+  /** Subset/reorder bands (reference layer.py:1419 band slicing). */
+  def bands(is: Seq[Int]): MultibandLayer = {
+    is.foreach(i => require(i >= 0 && i < bandCount, s"band $i of $bandCount"))
+    new MultibandLayer(
+      df.select(col("col"), col("row"),
+        array(is.map(i => element_at(col("bands"), i + 1)): _*).as("bands")),
+      meta, is.length)
+  }
+
+  /** Cell function over every band (map_cells on a MultibandTile). */
+  def mapCells(f: Column => Column): MultibandLayer =
+    copy(df = df.select(col("col"), col("row"),
+      transform(col("bands"), b => transform(b, f)).as("bands")))
+
+  /** Per-pixel combine of two bands into a single-band layer — the
+    * cross-band map algebra primitive (zip_with, no shuffle). */
+  def combinePixels(i: Int, j: Int, f: (Column, Column) => Column): RasterLayer = {
+    require(i >= 0 && i < bandCount && j >= 0 && j < bandCount)
+    new RasterLayer(
+      df.select(col("col"), col("row"),
+        zip_with(element_at(col("bands"), i + 1), element_at(col("bands"), j + 1), f).as("tile")),
+      meta)
+  }
+
+  /** Normalized difference (NDVI-style): (nir - red) / (nir + red).
+    * NoData in either band propagates. */
+  def normalizedDifference(nir: Int = 1, red: Int = 0): RasterLayer =
+    combinePixels(red, nir, (r, n) => (n - r) / (n + r))
+
+  /** Append another stack's bands (reference combine_bands across
+    * multiband layers). Full-outer keyed join; missing side becomes
+    * all-NoData bands. */
+  def stack(other: MultibandLayer): MultibandLayer = {
+    require(meta.layout == other.meta.layout, "layouts differ")
+    val nodata = array_repeat(lit(Double.NaN), tl.tileSize)
+    def pad(n: Int) = array_repeat(nodata, n)
+    val a = df.select(col("col"), col("row"), col("bands").as("_a"))
+    val b = other.df.select(col("col"), col("row"), col("bands").as("_b"))
+    new MultibandLayer(
+      a.join(b, Seq("col", "row"), "full_outer")
+        .select(col("col"), col("row"),
+          concat(coalesce(col("_a"), pad(bandCount)),
+                 coalesce(col("_b"), pad(other.bandCount))).as("bands")),
+      meta, bandCount + other.bandCount)
+  }
+
+  /** Concatenate layers with duplicate keys allowed (union). */
+  def union(other: MultibandLayer): MultibandLayer = {
+    require(bandCount == other.bandCount, "band counts differ")
+    copy(df = df.unionByName(other.df))
+  }
+
+  /** Collapse duplicate keys with a per-band cell-wise aggregation —
+    * multiband aggregate_by_cell (layer.py:1500). One keyed shuffle;
+    * each band reduces through the same custom Aggregators the
+    * single-band path uses (tile assembly stays inside them —
+    * CLAUDE.md CollapseProject rule). */
+  def aggregateByCell(op: String): MultibandLayer = {
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    def mk() = op match {
+      case "Mean" | "Variance" | "StandardDeviation" =>
+        udaf(new TileMomentsAgg(tl.tileSize, op), enc)
+      case _ => udaf(new TileReduceAgg(tl.tileSize, CellOp.of(op)), enc)
+    }
+    val aggs = (0 until bandCount).map(i => mk()(element_at(col("bands"), i + 1)).as(s"_b$i"))
+    val reduced = df.groupBy(col("col"), col("row")).agg(aggs.head, aggs.tail: _*)
+    copy(df = reduced.select(col("col"), col("row"),
+      array((0 until bandCount).map(i => col(s"_b$i")): _*).as("bands")))
+  }
+
+  /** Focal op on one band (multiband focal = per-band focal). */
+  def focalBand(i: Int, nb: Neighborhood, op: String): RasterLayer =
+    band(i).focal(nb, op)
+
+  /** Focal op applied to every band, recombined into a stack. */
+  def focalAll(nb: Neighborhood, op: String): MultibandLayer =
+    MultibandLayer.fromLayers((0 until bandCount).map(focalBand(_, nb, op)))
+
+  /** Flatten to (x, y, band, v) rows, dropping NoData cells. */
+  def toCells: DataFrame =
+    df.select(col("col"), col("row"), posexplode(col("bands")).as(Seq("band", "tile")))
+      .select(col("col"), col("row"), col("band").cast("int").as("band"),
+        posexplode(col("tile")).as(Seq("off", "v")))
+      .where(!isnan(col("v")))
+      .select(
+        (col("col").cast("long") * tc + col("off") % tc).as("x"),
+        (col("row").cast("long") * tr + floor(col("off") / tc).cast("long")).as("y"),
+        col("band"), col("v"))
+}
+
+object MultibandLayer {
+  /** Stack single-band layers into one multiband layer. Full-outer
+    * fold join on the tile key; a key missing from a layer gets an
+    * all-NoData band (mirrors reference combine_bands,
+    * combine_bands.py:9). */
+  def fromLayers(layers: Seq[RasterLayer]): MultibandLayer = {
+    require(layers.nonEmpty)
+    require(layers.forall(_.meta.layout == layers.head.meta.layout), "layouts differ")
+    val tl = layers.head.meta.layout.tileLayout
+    val nodata = array_repeat(lit(Double.NaN), tl.tileSize)
+    val named = layers.zipWithIndex.map { case (l, i) =>
+      l.df.select(col("col"), col("row"), col("tile").as(s"_b$i"))
+    }
+    val joined = named.reduce((a, b) => a.join(b, Seq("col", "row"), "full_outer"))
+    val bandsCol = array(layers.indices.map(i => coalesce(col(s"_b$i"), nodata)): _*)
+    new MultibandLayer(
+      joined.select(col("col"), col("row"), bandsCol.as("bands")),
+      layers.head.meta, layers.length)
+  }
+}
