@@ -378,7 +378,11 @@ object SparkEntry {
     val rounds = math.ceil(c).toInt
     val s2 = math.sqrt(2.0).toString
     val head = Seq(
-      s"""g AS MATERIALIZED (SELECT x, y, (v - mn) / (mx - mn) * 9.0 + 1.0 AS f
+      // CASE mirrors RasterLayer.normalize's degenerate-grid guard:
+      // on a constant grid (mx == mn) friction pins to 1.0 instead of
+      // dividing by zero
+      s"""g AS MATERIALIZED (SELECT x, y,
+         |  CASE WHEN mx > mn THEN (v - mn) / (mx - mn) * 9.0 + 1.0 ELSE 1.0 END AS f
          |  FROM ($grid), (SELECT min(v) AS mn, max(v) AS mx FROM ($grid)))""".stripMargin,
       s"""src AS MATERIALIZED (SELECT DISTINCT g.x, g.y FROM ($pts) p
          |  JOIN g ON g.x = CAST(floor(p.px) AS BIGINT) AND g.y = CAST(floor(p.py) AS BIGINT))""".stripMargin,

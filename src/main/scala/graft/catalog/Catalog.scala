@@ -39,6 +39,9 @@ object Catalog {
       .repartitionByRange(col("zindex"))
       .sortWithinPartitions("zindex")
       .write.mode("overwrite")
+      // dynamic: overwrite only this zoom's partition (multi-zoom
+      // stores are written one level at a time — Pyramid.write)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("zoom")
       .parquet(s"$uri/$name/tiles")
 
@@ -98,6 +101,9 @@ object Catalog {
       .repartitionByRange(col("zindex"))
       .sortWithinPartitions("zindex")
       .write.mode("overwrite")
+      // dynamic: overwrite only this zoom's partition — static mode
+      // would wipe every other zoom already in the store
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("zoom")
       .parquet(s"$uri/$name/tiles")
     writeMetadata(uri, name, layer.meta, zoom)

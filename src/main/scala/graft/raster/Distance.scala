@@ -31,12 +31,23 @@ object Distance {
     * bit-identical to the brute-force oracle (min over a superset
     * that contains the argmin).
     */
-  def euclidean(spark: SparkSession, points: DataFrame, layout: LayoutDefinition): DataFrame = {
+  /** Driver-side cap on the broadcast point set: euclidean's contract
+    * is "points are the operator's small geometry argument"; failing
+    * fast beats an opaque driver OOM when a caller passes a data-scale
+    * table. */
+  val MaxPoints = 10_000_000
+
+  def euclidean(spark: SparkSession, points: DataFrame, layout: LayoutDefinition,
+                maxPoints: Int = MaxPoints): DataFrame = {
     import spark.implicits._
     val tl = layout.tileLayout
     val (tc, tr, lc, lr) = (tl.tileCols, tl.tileRows, tl.layoutCols, tl.layoutRows)
     val pts = points.select(col("px").cast("double"), col("py").cast("double"))
+      .limit(maxPoints + 1)
       .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    require(pts.length <= maxPoints,
+      s"euclidean: more than $maxPoints source points — too large to broadcast; " +
+        "rasterize the points and use costDistanceTiled with unit friction instead")
     val bc = spark.sparkContext.broadcast(pts)
     val nTiles = lc.toLong * lr
     spark.range(0, nTiles, 1, math.min(nTiles, spark.sparkContext.defaultParallelism).toInt)
@@ -60,7 +71,10 @@ object Distance {
             if (d + rad < best) best = d + rad
             i += 1
           }
-          val bestU = best
+          // relative-epsilon slack: the bound compares two rounded
+          // sqrt chains; a few ulps must never drop the true argmin
+          // (the gate demands bit-identical doubles downstream)
+          val bestU = best + 1e-9 * (1.0 + best)
           val cand = all.indices.collect { case i if center(i) - rad <= bestU => all(i) }
           Iterator.tabulate(tc * tr) { o =>
             val x = x0 + o % tc; val y = y0 + o / tc

@@ -85,6 +85,7 @@ final class MultibandLayer(val df: DataFrame, val meta: LayerMetadata, val bandC
   /** Concatenate layers with duplicate keys allowed (union). */
   def union(other: MultibandLayer): MultibandLayer = {
     require(bandCount == other.bandCount, "band counts differ")
+    require(meta.layout == other.meta.layout, "layouts differ")
     copy(df = df.unionByName(other.df))
   }
 

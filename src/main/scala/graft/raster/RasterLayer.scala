@@ -154,7 +154,12 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   def normalize(newMin: Double, newMax: Double,
                 oldMinMax: Option[(Double, Double)] = None): RasterLayer = {
     val (omin, omax) = oldMinMax.getOrElse(minMax())
-    localMap(c => (c - lit(omin)) / lit(omax - omin) * lit(newMax - newMin) + lit(newMin))
+    if (omax > omin)
+      localMap(c => (c - lit(omin)) / lit(omax - omin) * lit(newMax - newMin) + lit(newMin))
+    else
+      // degenerate constant grid: (c - omin) / 0 would be NaN
+      // everywhere (silently NoData-ing the layer); pin to newMin
+      localMap(c => when(isnan(c), c).otherwise(lit(newMin)))
   }
 
   /** Cells equal to `v` become NoData — reference with_no_data

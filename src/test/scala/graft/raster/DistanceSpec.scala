@@ -70,4 +70,12 @@ class DistanceSpec extends SparkSpec {
     assert(d((7L, 3L)) > 7.0 + 1e-9)
     assert(!d.contains((4L, 0L))) // wall cells unreachable/NoData
   }
+
+  test("euclidean rejects a point set over the broadcast cap") {
+    val pts = Seq((1L, 1.2, 6.7), (2L, 6.5, 0.4), (3L, 3.1, 3.9)).toDF("pid", "px", "py")
+    val e = intercept[IllegalArgumentException] {
+      Distance.euclidean(spark, pts, layout, maxPoints = 2)
+    }
+    assert(e.getMessage.contains("source points"))
+  }
 }

@@ -76,6 +76,26 @@ class MultibandSpec extends SparkSpec {
     assert(v0 == 11.0) // max of 2x2 corner neighborhood of band 0
   }
 
+  test("union rejects mismatched layouts") {
+    val otherLayout = LayoutDefinition(Extent(0, 0, 16, 16), TileLayout(4, 4, 4, 4))
+    val other = new MultibandLayer(
+      MultibandLayer.fromLayers(Seq(b0, b1)).df, LayerMetadata(otherLayout), 2)
+    val e = intercept[IllegalArgumentException] {
+      MultibandLayer.fromLayers(Seq(b0, b1)).union(other)
+    }
+    assert(e.getMessage.contains("layouts differ"))
+  }
+
+  test("writeMultiband keeps other zoom partitions (dynamic overwrite)") {
+    val uri = java.nio.file.Files.createTempDirectory("graft_mbz").toString
+    val mb = MultibandLayer.fromLayers(Seq(b0, b1))
+    graft.catalog.Catalog.writeMultiband(uri, "mbz", mb, zoom = 1)
+    graft.catalog.Catalog.writeMultiband(uri, "mbz", mb, zoom = 0)
+    // zoom 1 must survive the zoom-0 overwrite write
+    val z1 = graft.catalog.Catalog.readMultiband(spark, uri, "mbz", zoom = 1)
+    assert(z1.toCells.count() == mb.toCells.count())
+  }
+
   test("multiband catalog roundtrip preserves bands") {
     val uri = java.nio.file.Files.createTempDirectory("graft_mb").toString
     val mb = MultibandLayer.fromLayers(Seq(b0, b1))

@@ -163,4 +163,9 @@ class RasterLayerSpec extends SparkSpec {
     val out = ZonalOps.pointValues(l, pts).as[(Long, Double)].collect().toSet
     assert(out == Set((1L, 42.0)))
   }
+
+  test("normalize of a constant grid pins to newMin instead of NaN") {
+    val l = layer((0, 0, 7.0), (1, 0, 7.0), (2, 1, 7.0))
+    assert(cellsOf(l.normalize(1.0, 10.0)) == Set((0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 1L, 1.0)))
+  }
 }
