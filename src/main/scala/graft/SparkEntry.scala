@@ -87,6 +87,16 @@ object SparkEntry {
       flat(l.union(l).aggregateByCell("Sum"))
     }),
 
+    "q_merge" -> ((s, dir) => {
+      // overlay burns a LARGER constant over a diamond: Max would take
+      // 1e6 everywhere; merge retains the base value and fills only
+      // base-NoData cells — the oracle's coalesce(base, overlay)
+      val base = lineitemLayer(s, dir)
+      val overlay = graft.raster.Rasterize.features(s,
+        Seq(Geometry.diamond(128, 128, 60.3) -> 1e6), layout)
+      flat(base.merge(overlay))
+    }),
+
     // --- focal suite (SURVEY §2 focal ops)
     "q_focal_sum" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Sum"))),
@@ -469,6 +479,14 @@ object SparkEntry {
         s"SELECT x, y, sum(v) AS v FROM (SELECT * FROM ($grid) UNION ALL SELECT * FROM ($ogrid)) GROUP BY x, y",
 
       "q_aggregate_by_cell" -> s"SELECT x, y, v + v AS v FROM ($grid)",
+
+      "q_merge" ->
+        s"""WITH b AS ($grid),
+           |o AS (SELECT t1.range AS x, t2.range AS y, 1000000.0 AS v
+           |      FROM range(0, 256) t1, range(0, 256) t2
+           |      WHERE abs(t1.range + 0.5 - 128) + abs(t2.range + 0.5 - 128) < 60.3)
+           |SELECT coalesce(b.x, o.x) AS x, coalesce(b.y, o.y) AS y, coalesce(b.v, o.v) AS v
+           |FROM b FULL OUTER JOIN o ON b.x = o.x AND b.y = o.y""".stripMargin,
 
       "q_focal_sum"    -> focalJoin("sum(n.v)"),
       "q_focal_mean"   -> focalJoin("avg(n.v)"),

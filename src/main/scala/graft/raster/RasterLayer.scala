@@ -231,9 +231,31 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     copy(df = reduced)
   }
 
-  /** `merge` keeps the last non-NoData value per cell among duplicate
-    * keys (reference layer.py:818 merge semantics). */
-  def merge(): RasterLayer = aggregateByCell("Max") // documented simplification r1
+  private def mergeOrdered(withOrd: DataFrame): RasterLayer = {
+    val agg = udaf(new TileFirstAgg(tl.tileSize),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Seq[Double])]())
+    val reduced = withOrd.groupBy(keyCols.map(withOrd.col): _*)
+      .agg(agg(col("_ord"), col("tile")).as("tile"))
+    copy(df = reduced)
+  }
+
+  /** Merge `other` into this layer — reference layer.py:818-830: per
+    * cell, this layer's value is retained unless it is NoData, in
+    * which case `other`'s value fills it (first non-NoData in argument
+    * order wins — NOT Max). One keyed shuffle through TileFirstAgg. */
+  def merge(other: RasterLayer): RasterLayer = {
+    require(meta.layout == other.meta.layout, "layouts differ")
+    val a = df.select(keyCols.map(df.col) ++ Seq(lit(0).as("_ord"), df("tile")): _*)
+    val b = other.df.select(keyCols.map(other.df.col) ++
+      Seq(lit(1).as("_ord"), other.df("tile")): _*)
+    mergeOrdered(a.unionByName(b))
+  }
+
+  /** Collapse duplicate keys within this layer by the same replacement
+    * rule (a cell is replaced only while NoData). Duplicate-key tile
+    * order is the fold order, matching the reference's unordered RDD
+    * fold (layer.py:818 merge()). */
+  def merge(): RasterLayer = mergeOrdered(df.withColumn("_ord", lit(0)))
 
   // ------------------------------------------------------------------
   // SpaceTime (reference to_spatial_layer / filter_by_times

@@ -91,6 +91,45 @@ final class TileMomentsAgg(size: Int, stat: String)
   def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
 }
 
+/** Ordered first-non-NoData cell combine — the engine of merge()
+  * (reference layer.py:818-830 replacement rule: a cell's value is
+  * replaced only while it is NoData). Input is (ordinal, tile); per
+  * cell the non-NoData value with the LOWEST ordinal wins, which makes
+  * the fold commutative — map-side partial aggregation stays exact
+  * under any shuffle order. Ties (duplicate keys within one ordinal)
+  * fall to fold order, mirroring the reference's unordered RDD fold. */
+final class TileFirstAgg(size: Int)
+    extends Aggregator[(Int, Seq[Double]), Array[Double], Seq[Double]] {
+  // buffer layout: [value(size) | ordinal(size)]; MaxValue = empty slot
+  def zero: Array[Double] = {
+    val b = new Array[Double](2 * size)
+    java.util.Arrays.fill(b, 0, size, Double.NaN)
+    java.util.Arrays.fill(b, size, 2 * size, Double.MaxValue)
+    b
+  }
+  def reduce(buf: Array[Double], in: (Int, Seq[Double])): Array[Double] = {
+    val (ord, tile) = in
+    var i = 0
+    while (i < size) {
+      val v = tile(i)
+      if (!v.isNaN && ord < buf(size + i)) { buf(i) = v; buf(size + i) = ord }
+      i += 1
+    }
+    buf
+  }
+  def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < size) {
+      if (!b(i).isNaN && b(size + i) < a(size + i)) { a(i) = b(i); a(size + i) = b(size + i) }
+      i += 1
+    }
+    a
+  }
+  def finish(buf: Array[Double]): Seq[Double] = buf.take(size).toSeq
+  def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+}
+
 /** Cell-wise reduction of whole tiles sharing a key — the engine of
   * aggregate_by_cell / merge (reference layer.py:818,1500). Same
   * one-shuffle, partial-agg shape as TileBuildAgg. */

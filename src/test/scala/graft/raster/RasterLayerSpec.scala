@@ -164,6 +164,16 @@ class RasterLayerSpec extends SparkSpec {
     assert(out == Set((1L, 42.0)))
   }
 
+  test("merge retains base cells and fills only NoData (not Max)") {
+    val base    = layer((0, 0, 5.0), (1, 0, 3.0))
+    val overlay = layer((1, 0, 99.0), (2, 0, 7.0), (5, 5, 1.0))
+    val got = cellsOf(base.merge(overlay))
+    // (1,0): base 3.0 retained although overlay has the larger 99.0
+    assert(got == Set((0L, 0L, 5.0), (1L, 0L, 3.0), (2L, 0L, 7.0), (5L, 5L, 1.0)))
+    // self-merge of duplicate keys also follows the replacement rule
+    assert(cellsOf(base.union(base).merge()) == cellsOf(base))
+  }
+
   test("normalize of a constant grid pins to newMin instead of NaN") {
     val l = layer((0, 0, 7.0), (1, 0, 7.0), (2, 1, 7.0))
     assert(cellsOf(l.normalize(1.0, 10.0)) == Set((0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 1L, 1.0)))
