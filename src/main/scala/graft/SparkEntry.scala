@@ -153,12 +153,33 @@ object SparkEntry {
       ZonalOps.pointValues(lineitemLayer(s, dir), supplierPoints(s, dir))),
 
     "q_rasterize_geoms" -> ((s, dir) => {
-      // burn two overlapping diamonds; overlap resolves by Max.
-      // (dir-independent: pure geometry -> raster, same for any SF)
-      val _ = dir
-      flat(graft.raster.Rasterize.features(s,
-        Seq(Geometry.diamond(100, 100, 50.3) -> 1.0,
-            Geometry.diamond(140, 140, 50.3) -> 2.0), layout))
+      // diamond features DERIVED from the supplier table, serialized
+      // to WKT text and parsed back in the executors — the data-driven
+      // rasterize path; centers/radii stated identically in the oracle.
+      // Overlaps resolve by Max of the burn value (pid).
+      val p = supplierPoints(s, dir).where(col("pid") <= 8)
+        .withColumn("r", (col("pid") % 3).cast("double") * 10.0 + lit(20.3))
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val wkt = concat(
+        lit("POLYGON (("),
+        str(col("px")), lit(" "), str(col("py") - col("r")), lit(", "),
+        str(col("px") + col("r")), lit(" "), str(col("py")), lit(", "),
+        str(col("px")), lit(" "), str(col("py") + col("r")), lit(", "),
+        str(col("px") - col("r")), lit(" "), str(col("py")), lit(", "),
+        str(col("px")), lit(" "), str(col("py") - col("r")), lit("))"))
+      val feats = p.select(wkt.as("wkt"), col("pid").cast("double").as("v"))
+      flat(graft.raster.Rasterize.fromWktTable(feats, layout))
+    }),
+
+    "q_mask_wkt" -> ((s, dir) => {
+      // arbitrary-geometry mask: a MULTIPOLYGON with a holed member,
+      // parsed from WKT (reference layer.py:2044 accepts any
+      // Polygon/MultiPolygon); diamonds keep the oracle in exact
+      // L1 arithmetic
+      val wkt = "MULTIPOLYGON (((80 29.7, 130.3 80, 80 130.3, 29.7 80, 80 29.7), " +
+        "(80 59.7, 100.3 80, 80 100.3, 59.7 80, 80 59.7)), " +
+        "((180 149.7, 210.3 180, 180 210.3, 149.7 180, 180 149.7)))"
+      flat(ZonalOps.maskGrid(lineitemLayer(s, dir), graft.vector.Wkt.parsePolygons(wkt)))
     }),
 
     // --- distances
@@ -551,13 +572,26 @@ object SparkEntry {
       "q_cell_value_counts" ->
         s"SELECT CAST(v AS BIGINT) AS value, count(*) AS cnt FROM ($grid) GROUP BY 1",
 
+      // identical feature derivation to the Spark side (supplier ->
+      // diamond center/radius); cell centers at half-odd coords and
+      // fractional radii keep the L1 test tie-free, so ray-cast
+      // containment of the parsed WKT == this arithmetic test
       "q_rasterize_geoms" ->
-        """WITH t AS (SELECT t1.range AS x, t2.range AS y FROM range(0, 256) t1, range(0, 256) t2),
-          |b AS (
-          |  SELECT x, y, 1.0 AS v FROM t WHERE abs(x + 0.5 - 100) + abs(y + 0.5 - 100) < 50.3
-          |  UNION ALL
-          |  SELECT x, y, 2.0 AS v FROM t WHERE abs(x + 0.5 - 140) + abs(y + 0.5 - 140) < 50.3)
-          |SELECT x, y, max(v) AS v FROM b GROUP BY 1, 2""".stripMargin,
+        s"""WITH s AS (SELECT s_suppkey AS pid,
+           |         CAST(s_suppkey * 13 % $G + 0.5 AS DOUBLE) AS px,
+           |         CAST(s_suppkey * 29 % $G + 0.5 AS DOUBLE) AS py,
+           |         CAST(s_suppkey % 3 AS DOUBLE) * 10.0 + 20.3 AS r
+           |       FROM supplier WHERE s_suppkey <= 8),
+           |t AS (SELECT t1.range AS x, t2.range AS y FROM range(0, $G) t1, range(0, $G) t2),
+           |b AS (SELECT t.x, t.y, CAST(s.pid AS DOUBLE) AS v
+           |      FROM t JOIN s ON abs(t.x + 0.5 - s.px) + abs(t.y + 0.5 - s.py) < s.r)
+           |SELECT x, y, max(v) AS v FROM b GROUP BY 1, 2""".stripMargin,
+
+      "q_mask_wkt" ->
+        s"""SELECT x, y, v FROM ($grid)
+           |WHERE (abs(x + 0.5 - 80) + abs(y + 0.5 - 80) < 50.3
+           |       AND NOT (abs(x + 0.5 - 80) + abs(y + 0.5 - 80) < 20.3))
+           |   OR abs(x + 0.5 - 180) + abs(y + 0.5 - 180) < 30.3""".stripMargin,
 
       "q_point_values" ->
         s"""SELECT p.pid AS pid, g.v AS v

@@ -37,4 +37,38 @@ object Rasterize {
     }
     RasterLayer.fromCells(cellDfs.reduce(_ unionByName _), layout, op)
   }
+
+  /** Data-driven rasterize: a table of WKT features `(wkt STRING,
+    * v DOUBLE)` burns to a layer. Geometries parse IN THE EXECUTORS
+    * (one row at a time — the 100 TB shape: feature count scales out,
+    * each feature's cell scan is bounded by its bbox), cells flow
+    * straight into the usual one-shuffle TileBuildAgg. Overlaps
+    * resolve by `op` (Max default, like the reference's zindex
+    * priority in rasterize.py:86 rasterize_features). */
+  def fromWktTable(features: org.apache.spark.sql.DataFrame,
+                   layout: LayoutDefinition, op: CellOp = CellOp.Max): RasterLayer = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val totC = layout.tileLayout.totalCols
+    val totR = layout.tileLayout.totalRows
+    val cells = features
+      .select(col("wkt").cast("string"), col("v").cast("double"))
+      .as[(String, Double)]
+      .flatMap { case (wkt, value) =>
+        graft.vector.Wkt.parsePolygons(wkt).iterator.flatMap { poly =>
+          val (bxmin, bymin, bxmax, bymax) = poly.bbox
+          val x0 = math.max(0L, math.floor(bxmin).toLong)
+          val x1 = math.min(totC, math.ceil(bxmax).toLong)
+          val y0 = math.max(0L, math.floor(bymin).toLong)
+          val y1 = math.min(totR, math.ceil(bymax).toLong)
+          for {
+            x <- (x0 until x1).iterator
+            y <- (y0 until y1).iterator
+            if poly.contains(x + 0.5, y + 0.5)
+          } yield (x, y, value)
+        }
+      }
+      .toDF("x", "y", "v")
+    RasterLayer.fromCells(cells, layout, op)
+  }
 }
