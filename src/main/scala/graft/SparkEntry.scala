@@ -504,7 +504,7 @@ object SparkEntry {
       "q_merge" ->
         s"""WITH b AS ($grid),
            |o AS (SELECT t1.range AS x, t2.range AS y, 1000000.0 AS v
-           |      FROM range(0, 256) t1, range(0, 256) t2
+           |      FROM range(0, $G) t1, range(0, $G) t2
            |      WHERE abs(t1.range + 0.5 - 128) + abs(t2.range + 0.5 - 128) < 60.3)
            |SELECT coalesce(b.x, o.x) AS x, coalesce(b.y, o.y) AS y, coalesce(b.v, o.v) AS v
            |FROM b FULL OUTER JOIN o ON b.x = o.x AND b.y = o.y""".stripMargin,

@@ -245,6 +245,8 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     * order wins — NOT Max). One keyed shuffle through TileFirstAgg. */
   def merge(other: RasterLayer): RasterLayer = {
     require(meta.layout == other.meta.layout, "layouts differ")
+    require(meta.temporal == other.meta.temporal,
+      "temporal flags differ: merging a temporal layer into a spatial one would drop its instant column")
     val a = df.select(keyCols.map(df.col) ++ Seq(lit(0).as("_ord"), df("tile")): _*)
     val b = other.df.select(keyCols.map(other.df.col) ++
       Seq(lit(1).as("_ord"), other.df("tile")): _*)
@@ -254,7 +256,10 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   /** Collapse duplicate keys within this layer by the same replacement
     * rule (a cell is replaced only while NoData). Duplicate-key tile
     * order is the fold order, matching the reference's unordered RDD
-    * fold (layer.py:818 merge()). */
+    * fold (layer.py:818 merge()) — which means the result is
+    * NON-deterministic when duplicate-key tiles disagree on a cell
+    * (both engines pick "whichever arrived first"); don't build
+    * hash-matched oracles on conflicting self-merges. */
   def merge(): RasterLayer = mergeOrdered(df.withColumn("_ord", lit(0)))
 
   // ------------------------------------------------------------------

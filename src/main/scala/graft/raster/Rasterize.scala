@@ -53,6 +53,9 @@ object Rasterize {
     val totR = layout.tileLayout.totalRows
     val cells = features
       .select(col("wkt").cast("string"), col("v").cast("double"))
+      // null wkt/v rows carry no geometry to burn — drop them here
+      // rather than NPE inside the executor-side parser
+      .where(col("wkt").isNotNull && col("v").isNotNull)
       .as[(String, Double)]
       .flatMap { case (wkt, value) =>
         graft.vector.Wkt.parsePolygons(wkt).iterator.flatMap { poly =>

@@ -94,10 +94,13 @@ final class TileMomentsAgg(size: Int, stat: String)
 /** Ordered first-non-NoData cell combine — the engine of merge()
   * (reference layer.py:818-830 replacement rule: a cell's value is
   * replaced only while it is NoData). Input is (ordinal, tile); per
-  * cell the non-NoData value with the LOWEST ordinal wins, which makes
-  * the fold commutative — map-side partial aggregation stays exact
-  * under any shuffle order. Ties (duplicate keys within one ordinal)
-  * fall to fold order, mirroring the reference's unordered RDD fold. */
+  * cell the non-NoData value with the LOWEST ordinal wins, making the
+  * fold commutative ACROSS DISTINCT ORDINALS — map-side partial
+  * aggregation stays exact under any shuffle order as long as each
+  * ordinal carries one tile per key. Ties (duplicate keys within one
+  * ordinal) fall to fold order, mirroring the reference's unordered
+  * RDD fold — self-merge over conflicting duplicates is therefore
+  * non-deterministic. */
 final class TileFirstAgg(size: Int)
     extends Aggregator[(Int, Seq[Double]), Array[Double], Seq[Double]] {
   // buffer layout: [value(size) | ordinal(size)]; MaxValue = empty slot

@@ -54,8 +54,12 @@ object Wkt {
     (ringText(p.exterior, close = true) +: p.holes.map(h => ringText(h, close = true)))
       .mkString("(", ", ", ")")
 
-  /** Recursive-descent WKT parser (case-insensitive keywords, optional
-    * EMPTY, Z/M ordinates rejected — raster ops are 2-D). */
+  /** Recursive-descent WKT parser (case-insensitive keywords, Z/M
+    * ordinates rejected — raster ops are 2-D). EMPTY is accepted for
+    * collection-valued kinds: MULTIPOINT/LINESTRING EMPTY parse to the
+    * empty point sequence, POLYGON/MULTIPOLYGON EMPTY parse to
+    * MultiPolygonG(Nil) (so parsePolygons yields no polygons); POINT
+    * EMPTY fails with a descriptive error — there is no empty Pt. */
   private final class Parser(s: String) {
     private var i = 0
 
@@ -125,8 +129,27 @@ object Wkt {
       if (i != s.length) fail("trailing content")
     }
 
+    /** True (consuming the token) if the next token is EMPTY. */
+    private def empty(): Boolean = {
+      ws()
+      if (i < s.length && Character.isLetter(s.charAt(i))) {
+        val save = i
+        if (keyword() == "EMPTY") true else { i = save; false }
+      } else false
+    }
+
     def geometry(): Geom = {
       val kw = keyword()
+      if (empty()) {
+        end()
+        return kw match {
+          case "MULTIPOINT"                 => MultiPointG(IndexedSeq.empty)
+          case "LINESTRING"                 => LineStringG(IndexedSeq.empty)
+          case "POLYGON" | "MULTIPOLYGON"   => MultiPolygonG(Nil)
+          case "POINT" => fail("POINT EMPTY has no coordinate representation")
+          case other   => fail(s"unsupported geometry type $other")
+        }
+      }
       val g = kw match {
         case "POINT" =>
           expect('('); val p = point(); expect(')'); PointG(p)
