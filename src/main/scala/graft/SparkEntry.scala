@@ -212,6 +212,27 @@ object SparkEntry {
       r.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
 
+    "q_resample_cubic" -> ((s, dir) => {
+      // cubic-convolution (Keys a=-0.5) through the same tile-wise
+      // gather; normalized 4x4 window, all-16-taps-present convention
+      val r = Resample.kernelTiled(lineitemLayer(s, dir), G, 200,
+        Resample.Kernel.CubicConvolution, dstTile = 50)
+      r.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
+
+    "q_resample_average" -> ((s, dir) =>
+      Resample.aggregateCells(lineitemLayer(s, dir), G, 64, "Average")),
+
+    "q_resample_mode" -> ((s, dir) =>
+      Resample.aggregateCells(lineitemLayer(s, dir), G, 64, "Mode")),
+
+    "q_resample_max" -> ((s, dir) =>
+      Resample.aggregateCells(lineitemLayer(s, dir), G, 64, "Max")),
+
+    "q_resample_median" -> ((s, dir) =>
+      Resample.aggregateCells(lineitemLayer(s, dir), G, 64, "Median")
+        .select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+
     // --- pyramid / stitch
     "q_pyramid" -> ((s, dir) => flat(Pyramid.levelUp(lineitemLayer(s, dir), "Average"))),
 
@@ -641,6 +662,55 @@ object SparkEntry {
            |       JOIN g b ON b.x = k.x0 + 1 AND b.y = k.y0
            |       JOIN g c ON c.x = k.x0 AND c.y = k.y0 + 1
            |       JOIN g d ON d.x = k.x0 + 1 AND d.y = k.y0 + 1""".stripMargin,
+
+      "q_resample_cubic" -> {
+        // weight formulas stated with the same operation order as
+        // Kernel.CubicConvolution.weight; per-tap distance branches are
+        // static (fx in [0,1) pins each tap's |d| range)
+        def win(e: String)  = s"(1.5*$e*$e*$e - 2.5*$e*$e + 1)"
+        def wout(e: String) = s"(-0.5*$e*$e*$e + 2.5*$e*$e - 4*$e + 2)"
+        def wcase(d: String, f: String) =
+          s"(CASE $d WHEN -1 THEN ${wout(s"(1 + $f)")} WHEN 0 THEN ${win(s"($f)")} " +
+          s"WHEN 1 THEN ${win(s"(1 - $f)")} ELSE ${wout(s"(2 - $f)")} END)"
+        val offs = (for { dy <- -1 to 2; dx <- -1 to 2 } yield s"($dx, $dy)").mkString(", ")
+        s"""WITH g AS ($grid), t AS (
+           |  SELECT t1.range AS i, t2.range AS j,
+           |         (t1.range + 0.5) * $G / 200 - 0.5 AS sx,
+           |         (t2.range + 0.5) * $G / 200 - 0.5 AS sy
+           |  FROM range(0, 200) t1, range(0, 200) t2),
+           |k AS (SELECT i, j, CAST(floor(sx) AS BIGINT) AS x0, CAST(floor(sy) AS BIGINT) AS y0,
+           |             sx - floor(sx) AS fx, sy - floor(sy) AS fy FROM t),
+           |o(dx, dy) AS (VALUES $offs),
+           |w AS (SELECT k.i, k.j, k.x0 + o.dx AS gx, k.y0 + o.dy AS gy,
+           |        ${wcase("o.dx", "fx")} * ${wcase("o.dy", "fy")} AS wt
+           |      FROM k JOIN o ON true)
+           |SELECT w.i AS x, w.j AS y, round(sum(wt * g.v) / sum(wt), 5) AS v
+           |FROM w JOIN g ON g.x = w.gx AND g.y = w.gy
+           |GROUP BY 1, 2 HAVING count(*) = 16""".stripMargin
+      },
+
+      "q_resample_average" ->
+        s"""WITH m AS (SELECT CAST(floor((x + 0.5) * 64 / $G) AS BIGINT) AS x,
+           |                  CAST(floor((y + 0.5) * 64 / $G) AS BIGINT) AS y, v FROM ($grid))
+           |SELECT x, y, sum(v) / count(*) AS v FROM m GROUP BY 1, 2""".stripMargin,
+
+      "q_resample_mode" ->
+        s"""WITH m AS (SELECT CAST(floor((x + 0.5) * 64 / $G) AS BIGINT) AS x,
+           |                  CAST(floor((y + 0.5) * 64 / $G) AS BIGINT) AS y, v FROM ($grid)),
+           |c AS (SELECT x, y, v, count(*) AS cnt FROM m GROUP BY 1, 2, 3)
+           |SELECT x, y, v FROM (
+           |  SELECT x, y, v, row_number() OVER (PARTITION BY x, y ORDER BY cnt DESC, v ASC) AS rn
+           |  FROM c) WHERE rn = 1""".stripMargin,
+
+      "q_resample_max" ->
+        s"""WITH m AS (SELECT CAST(floor((x + 0.5) * 64 / $G) AS BIGINT) AS x,
+           |                  CAST(floor((y + 0.5) * 64 / $G) AS BIGINT) AS y, v FROM ($grid))
+           |SELECT x, y, max(v) AS v FROM m GROUP BY 1, 2""".stripMargin,
+
+      "q_resample_median" ->
+        s"""WITH m AS (SELECT CAST(floor((x + 0.5) * 64 / $G) AS BIGINT) AS x,
+           |                  CAST(floor((y + 0.5) * 64 / $G) AS BIGINT) AS y, v FROM ($grid))
+           |SELECT x, y, round(median(v), 5) AS v FROM m GROUP BY 1, 2""".stripMargin,
 
       "q_pyramid" ->
         s"SELECT x // 2 AS x, y // 2 AS y, avg(v) AS v FROM ($grid) GROUP BY 1, 2",

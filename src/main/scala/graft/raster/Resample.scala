@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.core.{Extent, LayoutDefinition, TileLayout}
 
 /** Grid resampling — the cell-value side of the reference's
-  * ResampleMethod (constants.py:123) used by reproject/tile_to_layout
-  * (layer.py:876,900). Bilinear here; Average/Max/Min/Sum/Nearest live
-  * in Pyramid.downsample.
+  * ResampleMethod (constants.py:123-135): NearestNeighbor, Bilinear,
+  * CubicConvolution, CubicSpline, Lanczos (kernel family, tiled
+  * gather below) and Average/Mode/Median/Max/Min (aggregate family,
+  * one groupBy), used by reproject/tile_to_layout (layer.py:876,900).
   *
   * Verification-scale shape: the 4 corner gathers are cell-level joins
   * (exact, oracle-matching). At production scale the same gather runs
@@ -17,6 +18,48 @@ import graft.core.{Extent, LayoutDefinition, TileLayout}
   * machinery — same math, one keyed shuffle.
   */
 object Resample {
+
+  /** Separable resampling kernel: `support` is the one-sided tap
+    * extent in source cells (2 => 4x4 taps), `weight(d)` the tap
+    * weight at distance d from the sample point. */
+  sealed trait Kernel extends Serializable {
+    def support: Int
+    def weight(d: Double): Double
+  }
+  object Kernel {
+    /** Keys' cubic convolution, a = -0.5 (the GDAL/geotrellis
+      * "CubicConvolution" default). Formula order mirrors the oracle
+      * SQL text. */
+    case object CubicConvolution extends Kernel {
+      val support = 2
+      def weight(d0: Double): Double = {
+        val d = math.abs(d0)
+        if (d <= 1.0) 1.5 * d * d * d - 2.5 * d * d + 1.0
+        else if (d < 2.0) -0.5 * d * d * d + 2.5 * d * d - 4.0 * d + 2.0
+        else 0.0
+      }
+    }
+    /** Cubic B-spline (approximating — smooths, never overshoots). */
+    case object CubicSpline extends Kernel {
+      val support = 2
+      def weight(d0: Double): Double = {
+        val d = math.abs(d0)
+        if (d <= 1.0) (3.0 * d * d * d - 6.0 * d * d + 4.0) / 6.0
+        else if (d < 2.0) { val t = 2.0 - d; t * t * t / 6.0 }
+        else 0.0
+      }
+    }
+    /** Lanczos, 3 lobes. */
+    case object Lanczos extends Kernel {
+      val support = 3
+      private def sinc(x: Double): Double =
+        if (x == 0.0) 1.0 else { val px = math.Pi * x; math.sin(px) / px }
+      def weight(d0: Double): Double = {
+        val d = math.abs(d0)
+        if (d < 3.0) sinc(d) * sinc(d / 3.0) else 0.0
+      }
+    }
+  }
 
   /** Bilinear resample of a unit-grid layer (srcN x srcN cells) to
     * dstN x dstN. Output cells (x, y, v); a target cell is NoData
@@ -43,6 +86,126 @@ object Resample {
          col("vb") * col("fx") * (lit(1.0) - col("fy")) +
          col("vc") * (lit(1.0) - col("fx")) * col("fy") +
          col("vd") * col("fx") * col("fy")).as("v"))
+  }
+
+  /** Tile-wise kernel resample (CubicConvolution / CubicSpline /
+    * Lanczos) — same gather shape as bilinearTiled: each source tile
+    * ships to the bounded set of target tiles its cells can influence
+    * (kernel support widens the overlap by a constant), one keyed
+    * shuffle, then each target tile convolves locally. Weights are
+    * normalized by their sum (partition-of-unity holds exactly for
+    * cubic convolution, approximately for lanczos); a target cell is
+    * NoData unless every tap in the (2*support)^2 window exists. */
+  def kernelTiled(layer: RasterLayer, srcN: Int, dstN: Int, kernel: Kernel,
+                  dstTile: Int = 64): RasterLayer = {
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    require(dstN % dstTile == 0, "dst grid must tile evenly")
+    val dstLc = dstN / dstTile
+    val spark = layer.spark
+    import spark.implicits._
+    val sup = kernel.support
+
+    def iForSx(sx: Double): Double = (sx + 0.5) * dstN / srcN - 0.5
+
+    val contribs = layer.df.select(col("col"), col("row"), col("tile"))
+      .as[(Int, Int, Seq[Double])]
+      .flatMap { case (c, r, tile) =>
+        def dstRange(tileIdx: Int, cells: Int): Range = {
+          val m = sup + 1
+          val lo = math.floor(iForSx(tileIdx.toLong * cells - m)).toInt
+          val hi = math.ceil(iForSx((tileIdx + 1).toLong * cells + m)).toInt
+          val dMin = math.max(0, lo / dstTile)
+          val dMax = math.min(dstLc - 1, hi / dstTile)
+          dMin to dMax
+        }
+        for {
+          dc <- dstRange(c, tc)
+          dr <- dstRange(r, tr)
+        } yield (dc, dr, c, r, tile)
+      }
+
+    val out = contribs
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
+        val (dc, dr) = key
+        val src = group.map { case (_, _, c, r, t) => (c, r) -> t }.toMap
+        def cell(x: Long, y: Long): Double = {
+          if (x < 0 || y < 0 || x >= srcN || y >= srcN) Double.NaN
+          else src.get(((x / tc).toInt, (y / tr).toInt)) match {
+            case Some(t) => t(((y % tr) * tc + (x % tc)).toInt)
+            case None    => Double.NaN
+          }
+        }
+        val outTile = new Array[Double](dstTile * dstTile)
+        var j = 0
+        while (j < dstTile) {
+          var i = 0
+          while (i < dstTile) {
+            val gi = dc.toLong * dstTile + i
+            val gj = dr.toLong * dstTile + j
+            val sx = (gi + 0.5) * srcN / dstN - 0.5
+            val sy = (gj + 0.5) * srcN / dstN - 0.5
+            val x0 = math.floor(sx).toLong; val y0 = math.floor(sy).toLong
+            var num = 0.0; var den = 0.0; var nan = false
+            var ky = 1 - sup
+            while (ky <= sup && !nan) {
+              val wy = kernel.weight(sy - (y0 + ky))
+              var kx = 1 - sup
+              while (kx <= sup && !nan) {
+                val v = cell(x0 + kx, y0 + ky)
+                if (v.isNaN) nan = true
+                else {
+                  val w = kernel.weight(sx - (x0 + kx)) * wy
+                  num += w * v; den += w
+                }
+                kx += 1
+              }
+              ky += 1
+            }
+            outTile(j * dstTile + i) = if (nan) Double.NaN else num / den
+            i += 1
+          }
+          j += 1
+        }
+        TileRowOut(dc, dr, outTile.toSeq)
+      }
+
+    new RasterLayer(out.toDF(),
+      LayerMetadata(LayoutDefinition(Extent(0, 0, dstN, dstN),
+        TileLayout(dstLc, dstLc, dstTile, dstTile))))
+  }
+
+  /** Aggregate (downsampling) resample — reference ResampleMethod
+    * Average/Mode/Median/Max/Min (constants.py:129-134) plus Sum: each
+    * source cell center lands in target cell floor((x+0.5)*dstN/srcN);
+    * duplicates collapse by the method. Declarative groupBy — map-side
+    * partial aggregation for Average/Sum/Max/Min; Mode/Median carry
+    * the bounded (srcN/dstN)^2-cell block per target cell. Mode ties
+    * break by (count DESC, value ASC) — deterministic. */
+  def aggregateCells(layer: RasterLayer, srcN: Int, dstN: Int,
+                     method: String): DataFrame = {
+    val cells = layer.toCells
+      .select(
+        floor((col("x") + lit(0.5)) * dstN / srcN).cast("long").as("x"),
+        floor((col("y") + lit(0.5)) * dstN / srcN).cast("long").as("y"),
+        col("v"))
+    method match {
+      case "Average" =>
+        cells.groupBy("x", "y").agg((sum("v") / count(lit(1))).as("v"))
+      case "Sum" => cells.groupBy("x", "y").agg(sum("v").as("v"))
+      case "Max" => cells.groupBy("x", "y").agg(max("v").as("v"))
+      case "Min" => cells.groupBy("x", "y").agg(min("v").as("v"))
+      case "Median" =>
+        cells.groupBy("x", "y").agg(expr("percentile(v, 0.5)").as("v"))
+      case "Mode" =>
+        val counts = cells.groupBy("x", "y", "v").agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("x", "y").orderBy(col("cnt").desc, col("v").asc)
+        counts.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).select(col("x"), col("y"), col("v"))
+      case m => throw new IllegalArgumentException(s"unknown aggregate resample $m")
+    }
   }
 
   /** Tile-wise bilinear resample — the scale path: each SOURCE tile

@@ -38,6 +38,49 @@ class ResampleSpec extends SparkSpec {
     assert(tiledPath == joinPath)
   }
 
+  test("kernel resample reproduces a constant grid exactly (partition of unity)") {
+    val const = RasterLayer.fromCells(
+      (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y, 7.0))
+        .toDF("x", "y", "v"), layout)
+    for (k <- Seq(Resample.Kernel.CubicConvolution, Resample.Kernel.CubicSpline,
+                  Resample.Kernel.Lanczos)) {
+      val out = Resample.kernelTiled(const, 8, 4, k, dstTile = 2)
+        .toCells.as[(Long, Long, Double)].collect()
+      assert(out.nonEmpty, k.toString)
+      // normalized weights: any constant field resamples to itself
+      assert(out.forall { case (_, _, v) => math.abs(v - 7.0) < 1e-9 }, k.toString)
+    }
+  }
+
+  test("cubic convolution interpolates the ramp linearly in its interior") {
+    // Keys' kernel reproduces degree<=1 polynomials exactly where the
+    // full 4x4 window exists
+    val out = Resample.kernelTiled(ramp, 8, 4, Resample.Kernel.CubicConvolution, dstTile = 2)
+      .toCells.as[(Long, Long, Double)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    // target col i samples source x = 2i + 0.5; interior columns only
+    assert(math.abs(out((1L, 1L)) - 2.5) < 1e-9)
+    assert(math.abs(out((2L, 2L)) - 4.5) < 1e-9)
+    // border cells lack taps -> NoData (absent)
+    assert(!out.keySet.exists(_._1 == 0L) && !out.keySet.exists(_._1 == 3L))
+  }
+
+  test("aggregate resample methods collapse blocks deterministically") {
+    // 8x8 -> 2x2: each target cell aggregates a 4x4 block of the ramp
+    def m(method: String): Map[(Long, Long), Double] =
+      Resample.aggregateCells(ramp, 8, 2, method)
+        .as[(Long, Long, Double)].collect()
+        .map { case (x, y, v) => (x, y) -> v }.toMap
+    assert(m("Average")((0L, 0L)) == 1.5) // mean of x in 0..3
+    assert(m("Max")((1L, 0L)) == 7.0)
+    assert(m("Min")((1L, 0L)) == 4.0)
+    assert(m("Sum")((0L, 0L)) == (0 + 1 + 2 + 3) * 4.0)
+    assert(m("Median")((0L, 0L)) == 1.5)
+    // ramp block holds 4 of each value -> mode tie broken by value asc
+    assert(m("Mode")((0L, 0L)) == 0.0)
+    assert(m("Mode")((1L, 0L)) == 4.0)
+  }
+
   test("2x downsample interpolates between columns") {
     val out = Resample.bilinearCells(ramp, 8, 4)
       .as[(Long, Long, Double)].collect()
