@@ -203,6 +203,9 @@ object SparkEntry {
     "q_quantile_breaks" -> ((s, dir) =>
       HistogramOps.quantileBreaks(lineitemLayer(s, dir), Seq(0.25, 0.5, 0.75))),
 
+    "q_quantile_breaks_int" -> ((s, dir) =>
+      HistogramOps.quantileBreaksExactInt(lineitemLayer(s, dir), Seq(0.25, 0.5, 0.75))),
+
     "q_histogram_cdf" -> ((s, dir) => HistogramOps.cdf(lineitemLayer(s, dir))),
 
     "q_resample_bilinear" -> ((s, dir) => {
@@ -274,11 +277,29 @@ object SparkEntry {
       flat(Catalog.query(s, uri, "lineitem_q", 4, 64, 0, 192, 128))
     }),
 
+    "q_catalog_time_query" -> ((s, dir) => {
+      // temporal store: (instant, zindex)-ordered parquet; query prunes
+      // by time interval (file-level min/max stats) + tile-aligned
+      // extent (col/row predicates) — reference catalog.py:117
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
+      Catalog.write(uri, "events_t", l, zoom = 0)
+      Catalog.queryTime(s, uri, "events_t", 0, 0, 32, 32, 64, 19725L, 19735L).toCells
+    }),
+
     // --- rendering
     "q_color_map" -> ((s, dir) => {
       val cells = flat(lineitemLayer(s, dir))
       cells.select(col("x"), col("y"),
         ColorMap.classify(col("v"), Seq(100.0, 200.0, 400.0)).as("idx"))
+    }),
+
+    "q_color_ramp" -> ((s, dir) => {
+      // classify + ramp-colorize in one codegen'd CASE chain; the ramp
+      // interpolation happens driver-side so colors are shared literals
+      val cells = flat(lineitemLayer(s, dir))
+      cells.select(col("x"), col("y"),
+        ColorMap.colorize(col("v"), Seq(100.0, 200.0, 400.0), "Viridis").as("argb"))
     }),
 
     // --- spacetime
@@ -325,6 +346,14 @@ object SparkEntry {
     "q_mb_focal" -> ((s, dir) => {
       val mb = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
       mb.focalBand(1, Neighborhood.Square(1), "Mean").toCells
+    }),
+
+    "q_mb_catalog_roundtrip" -> ((s, dir) => {
+      // single-shuffle stack -> z-ordered multiband store -> read back
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      val mb = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
+      Catalog.writeMultiband(uri, "mb_rt", mb, zoom = 2)
+      Catalog.readMultiband(s, uri, "mb_rt", zoom = 2).toCells
     }),
 
     "q_aggregate_mean" -> ((s, dir) => {
@@ -640,6 +669,15 @@ object SparkEntry {
         s"""SELECT round(quantile_cont(v, 0.25), 5) AS q0, round(quantile_cont(v, 0.5), 5) AS q1,
            |       round(quantile_cont(v, 0.75), 5) AS q2 FROM ($grid)""".stripMargin,
 
+      "q_quantile_breaks_int" ->
+        s"""WITH c AS (SELECT CAST(v AS BIGINT) AS v, count(*) AS cnt FROM ($grid) GROUP BY 1),
+           |w AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM c),
+           |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+           |SELECT min(CASE WHEN cum >= 0.25 * total THEN v END) AS q0,
+           |       min(CASE WHEN cum >= 0.5 * total THEN v END) AS q1,
+           |       min(CASE WHEN cum >= 0.75 * total THEN v END) AS q2
+           |FROM w, n""".stripMargin,
+
       "q_histogram_cdf" ->
         s"""WITH g AS ($grid), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM g),
            |c AS (SELECT CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9) AS BIGINT) AS bin, count(*) AS cnt
@@ -760,9 +798,21 @@ object SparkEntry {
       "q_catalog_query" ->
         s"SELECT x, y, v FROM ($grid) WHERE x >= 64 AND x < 192 AND y < 128",
 
+      // tile-aligned extent (tiles are 32x32 in layout64): x in [0,32),
+      // y in [32,64) — exactly tile (0,1); plus the instant interval
+      "q_catalog_time_query" ->
+        s"""SELECT x, y, instant, v FROM ($egrid)
+           |WHERE instant BETWEEN 19725 AND 19735 AND x < 32 AND y >= 32""".stripMargin,
+
       "q_color_map" ->
         s"""SELECT x, y, CASE WHEN v <= 100 THEN 0 WHEN v <= 200 THEN 1
            |WHEN v <= 400 THEN 2 ELSE -1 END AS idx FROM ($grid)""".stripMargin,
+
+      "q_color_ramp" -> {
+        val cs = render.ColorMap.rampColors("Viridis", 3)
+        s"""SELECT x, y, CAST(CASE WHEN v <= 100 THEN ${cs(0)} WHEN v <= 200 THEN ${cs(1)}
+           |WHEN v <= 400 THEN ${cs(2)} ELSE 0 END AS INT) AS argb FROM ($grid)""".stripMargin
+      },
 
       "q_filter_by_times" ->
         s"""SELECT x, y, instant, v FROM ($egrid)
@@ -800,6 +850,11 @@ object SparkEntry {
            |SELECT c.x AS x, c.y AS y, avg(n.v) AS v
            |FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
            |GROUP BY c.x, c.y""".stripMargin,
+
+      "q_mb_catalog_roundtrip" ->
+        s"""SELECT x, y, CAST(0 AS INT) AS band, v FROM ($grid)
+           |UNION ALL
+           |SELECT x, y, CAST(1 AS INT) AS band, v FROM ($ogrid)""".stripMargin,
 
       "q_aggregate_mean" ->
         s"SELECT x, y, (v + (v + 10)) / 2 AS v FROM ($grid)",

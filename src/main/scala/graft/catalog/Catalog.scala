@@ -33,11 +33,21 @@ object Catalog {
       case "rowmajor" => ZIndex.rowMajorCol(col("col").cast("long"), col("row").cast("long"), tl.layoutCols)
       case s          => throw new IllegalArgumentException(s)
     }
-    layer.df
-      .withColumn("zoom", lit(zoom))
-      .withColumn("zindex", idxCol)
-      .repartitionByRange(col("zindex"))
-      .sortWithinPartitions("zindex")
+    // temporal layers range-partition by (instant, zindex) — the
+    // reference's time-major space-time index (__init__.py:645
+    // time-resolution partitioners; catalog.py:117 temporal query):
+    // a time-interval query then prunes whole files via parquet
+    // min/max stats on `instant` before the zindex stats cut in
+    val ordered =
+      if (layer.meta.temporal)
+        layer.df.withColumn("zoom", lit(zoom)).withColumn("zindex", idxCol)
+          .repartitionByRange(col("instant"), col("zindex"))
+          .sortWithinPartitions("instant", "zindex")
+      else
+        layer.df.withColumn("zoom", lit(zoom)).withColumn("zindex", idxCol)
+          .repartitionByRange(col("zindex"))
+          .sortWithinPartitions("zindex")
+    ordered
       .write.mode("overwrite")
       // dynamic: overwrite only this zoom's partition (multi-zoom
       // stores are written one level at a time — Pyramid.write)
@@ -84,10 +94,29 @@ object Catalog {
 
   def read(spark: SparkSession, uri: String, name: String, zoom: Int = 0): RasterLayer = {
     val meta = readMetadata(uri, name)
+    val keys = if (meta.temporal) Seq("col", "row", "instant") else Seq("col", "row")
     val df = spark.read.parquet(s"$uri/$name/tiles")
       .where(col("zoom") === zoom)
-      .select(col("col"), col("row"), col("tile"))
+      .select((keys :+ "tile").map(col): _*)
     new RasterLayer(df, meta)
+  }
+
+  /** Temporal catalog query (catalog.py:117 query with a time
+    * interval): zoom partition pruning + `instant` range predicates
+    * pushed to the parquet scan (file skip via min/max stats — the
+    * write path range-partitions by instant first) + tile-key extent
+    * pruning. */
+  def queryTime(spark: SparkSession, uri: String, name: String, zoom: Int,
+                gxMin: Long, gyMin: Long, gxMax: Long, gyMax: Long,
+                tMin: Long, tMax: Long): RasterLayer = {
+    val full = read(spark, uri, name, zoom)
+    require(full.meta.temporal, s"layer $name is not temporal")
+    val tl = full.meta.layout.tileLayout
+    val pruned = full.df.where(
+      col("instant") >= tMin && col("instant") <= tMax &&
+      col("col") >= (gxMin / tl.tileCols).toInt && col("col") <= ((gxMax - 1) / tl.tileCols).toInt &&
+      col("row") >= (gyMin / tl.tileRows).toInt && col("row") <= ((gyMax - 1) / tl.tileRows).toInt)
+    new RasterLayer(pruned, full.meta)
   }
 
   /** Multiband layer store: same z-ordered parquet layout with the

@@ -60,6 +60,25 @@ object HistogramOps {
       }: _*)
   }
 
+  /** Exact integer quantile breaks (reference layer.py:244
+    * get_quantile_breaks_exact_int): values cast to long, break q =
+    * the smallest value whose cumulative count reaches q * total — a
+    * discrete (non-interpolated) quantile, deterministic by
+    * construction. Shape: per-value groupBy (map-side combine; only
+    * distinct ints cross the exchange) then a window over the distinct
+    * values — the small side at any scale. */
+  def quantileBreaksExactInt(layer: RasterLayer, qs: Seq[Double]): DataFrame = {
+    val counts = layer.toCells.select(col("v").cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("v").rowsBetween(Long.MinValue, 0)
+    val total = counts.agg(sum("cnt")).head().getLong(0)
+    val cum = counts.withColumn("cum", sum("cnt").over(w))
+    cum.select(qs.zipWithIndex.map { case (q, i) =>
+      min(when(col("cum") >= lit(q) * total, col("v"))).as(s"q$i")
+    }: _*)
+  }
+
   /** Scale-path quantiles: t-digest style sketch, single pass. */
   def approxQuantileBreaks(layer: RasterLayer, qs: Seq[Double]): Array[Double] =
     layer.toCells.stat.approxQuantile("v", qs.toArray, 0.001)

@@ -128,22 +128,23 @@ final class MultibandLayer(val df: DataFrame, val meta: LayerMetadata, val bandC
 }
 
 object MultibandLayer {
-  /** Stack single-band layers into one multiband layer. Full-outer
-    * fold join on the tile key; a key missing from a layer gets an
-    * all-NoData band (mirrors reference combine_bands,
-    * combine_bands.py:9). */
+  /** Stack single-band layers into one multiband layer. ONE shuffle
+    * for any band count: layers union with a band ordinal and
+    * BandStackAgg assembles the stack per key with map-side partials
+    * (was an N-1 chain of full-outer joins — N-1 shuffles). A key
+    * missing from a layer gets an all-NoData band (mirrors reference
+    * combine_bands, combine_bands.py:9). */
   def fromLayers(layers: Seq[RasterLayer]): MultibandLayer = {
     require(layers.nonEmpty)
     require(layers.forall(_.meta.layout == layers.head.meta.layout), "layouts differ")
     val tl = layers.head.meta.layout.tileLayout
-    val nodata = array_repeat(lit(Double.NaN), tl.tileSize)
-    val named = layers.zipWithIndex.map { case (l, i) =>
-      l.df.select(col("col"), col("row"), col("tile").as(s"_b$i"))
-    }
-    val joined = named.reduce((a, b) => a.join(b, Seq("col", "row"), "full_outer"))
-    val bandsCol = array(layers.indices.map(i => coalesce(col(s"_b$i"), nodata)): _*)
-    new MultibandLayer(
-      joined.select(col("col"), col("row"), bandsCol.as("bands")),
-      layers.head.meta, layers.length)
+    val tagged = layers.zipWithIndex.map { case (l, i) =>
+      l.df.select(col("col"), col("row"), lit(i).as("_band"), col("tile"))
+    }.reduce(_ unionByName _)
+    val agg = udaf(new BandStackAgg(layers.length, tl.tileSize),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Seq[Double])]())
+    val stacked = tagged.groupBy(col("col"), col("row"))
+      .agg(agg(col("_band"), col("tile")).as("bands"))
+    new MultibandLayer(stacked, layers.head.meta, layers.length)
   }
 }

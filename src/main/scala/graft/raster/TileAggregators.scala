@@ -133,6 +133,33 @@ final class TileFirstAgg(size: Int)
   def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
 }
 
+/** Assemble an N-band stack from (band, tile) rows sharing a tile key
+  * — the single-shuffle engine of MultibandLayer.fromLayers (replaces
+  * an N-1 chain of full-outer joins). Each input layer contributes at
+  * most one tile per key, so each band slot has one writer and the
+  * element-wise coalesce merge is exact; bands never written finish as
+  * all-NoData (mirrors reference combine_bands padding). */
+final class BandStackAgg(bands: Int, size: Int)
+    extends Aggregator[(Int, Seq[Double]), Array[Double], Seq[Seq[Double]]] {
+  def zero: Array[Double] = Array.fill(bands * size)(Double.NaN)
+  def reduce(buf: Array[Double], in: (Int, Seq[Double])): Array[Double] = {
+    val (band, tile) = in
+    val base = band * size
+    var i = 0
+    while (i < size) { buf(base + i) = tile(i); i += 1 }
+    buf
+  }
+  def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < bands * size) { if (a(i).isNaN) a(i) = b(i); i += 1 }
+    a
+  }
+  def finish(buf: Array[Double]): Seq[Seq[Double]] =
+    (0 until bands).map(b => buf.slice(b * size, (b + 1) * size).toSeq)
+  def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  def outputEncoder: Encoder[Seq[Seq[Double]]] = ExpressionEncoder[Seq[Seq[Double]]]()
+}
+
 /** Cell-wise reduction of whole tiles sharing a key — the engine of
   * aggregate_by_cell / merge (reference layer.py:818,1500). Same
   * one-shuffle, partial-agg shape as TileBuildAgg. */

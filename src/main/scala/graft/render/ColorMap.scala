@@ -6,17 +6,41 @@ import org.apache.spark.sql.functions._
 /** Color mapping: cell value -> color index by classification breaks.
   *
   * Reference: geopyspark/geotrellis/color.py ColorMap (from_break_map /
-  * from_colors) with ClassificationStrategy (constants.py:175). The
-  * map to RGBA ints is a driver-side ramp lookup; the per-cell
-  * classification below is the distributed part (codegen'd CASE chain,
-  * no UDF). PNG encoding is out of scope round 1 (SURVEY §5).
+  * from_colors / from_histogram :95) with ClassificationStrategy
+  * (constants.py:175) and the named ramps (color.py get_colors_from_
+  * matplotlib / COLOR_RAMPS). The map to RGBA ints is a driver-side
+  * ramp lookup; the per-cell classification below is the distributed
+  * part (codegen'd CASE chain, no UDF).
   */
 object ColorMap {
   /** A handful of the reference's ramps (constants.py:233), as ARGB. */
   val Ramps: Map[String, IndexedSeq[Int]] = Map(
     "Hot"          -> IndexedSeq(0xFF000000, 0xFFE60000, 0xFFFF8000, 0xFFFFFF00, 0xFFFFFFFF),
     "BlueToRed"    -> IndexedSeq(0xFF2791C3, 0xFF5DA1CA, 0xFFCB5A5A, 0xFFA52A2A),
+    "Grayscale"    -> IndexedSeq(0xFF000000, 0xFFFFFFFF),
+    "BlueToOrange" -> IndexedSeq(0xFF2586AB, 0xFF67A9CF, 0xFFF6E8C3, 0xFFEF8A62, 0xFFB2182B),
     "Viridis"      -> IndexedSeq(0xFF440154, 0xFF3B528B, 0xFF21918C, 0xFF5EC962, 0xFFFDE725))
+
+  /** Interpolate a named ramp to exactly `n` ARGB colors (reference
+    * color.py ColorRamp resampling — get_colors :44): linear per-channel
+    * lerp between the ramp's stops, integer-rounded driver-side, so the
+    * resulting colors are deterministic literals on every engine. */
+  def rampColors(ramp: String, n: Int): IndexedSeq[Int] = {
+    val stops = Ramps.getOrElse(ramp,
+      throw new IllegalArgumentException(s"unknown ramp $ramp (have ${Ramps.keys.mkString(", ")})"))
+    require(n >= 1)
+    if (n == 1) IndexedSeq(stops.head)
+    else (0 until n).map { i =>
+      val t = i.toDouble * (stops.length - 1) / (n - 1)
+      val lo = math.min(stops.length - 1, t.toInt)
+      val hi = math.min(stops.length - 1, lo + 1)
+      val f = t - lo
+      def ch(c: Int, shift: Int) = (c >>> shift) & 0xFF
+      def lerp(shift: Int): Int =
+        math.round(ch(stops(lo), shift) * (1.0 - f) + ch(stops(hi), shift) * f).toInt
+      (lerp(24) << 24) | (lerp(16) << 16) | (lerp(8) << 8) | lerp(0)
+    }
+  }
 
   /** Classify a cell-value column into break indexes (first break the
     * value is <= / < / >= / > of, by strategy; -1 = unclassified). */
@@ -36,10 +60,30 @@ object ColorMap {
   }
 
   /** Break index -> ARGB color via a ramp. */
-  def colorFor(idx: Column, ramp: String): Column = {
-    val colors = Ramps(ramp)
+  def colorFor(idx: Column, ramp: String): Column = colorFor(idx, Ramps(ramp))
+
+  /** Break index -> ARGB color from an explicit color list
+    * (unclassified/-1 falls through to transparent 0). */
+  def colorFor(idx: Column, colors: IndexedSeq[Int]): Column =
     colors.zipWithIndex.reverse.foldLeft(lit(0)) { case (elseC, (argb, i)) =>
       when(idx === i, lit(argb)).otherwise(elseC)
     }
+
+  /** Classify + colorize in one expression: value -> ARGB through
+    * `breaks` with the ramp interpolated to breaks.length colors —
+    * the reference's ColorMap.from_colors(breaks, ramp) applied
+    * distributed. */
+  def colorize(v: Column, breaks: Seq[Double], ramp: String,
+               strategy: String = "LessThanOrEqualTo"): Column =
+    colorFor(classify(v, breaks, strategy), rampColors(ramp, breaks.length))
+
+  /** Build break values from a layer histogram at equal quantile
+    * fractions, then colorize — the reference ColorMap.from_histogram
+    * (color.py:95). Break computation is one tiny aggregate; the
+    * result is a driver-side Seq for the codegen'd CASE chain. */
+  def fromHistogram(layer: graft.raster.RasterLayer, ramp: String, n: Int): Column = {
+    val qs = (1 to n).map(_.toDouble / n)
+    val breaks = graft.raster.HistogramOps.approxQuantileBreaks(layer, qs)
+    colorize(col("v"), breaks.toIndexedSeq, ramp)
   }
 }

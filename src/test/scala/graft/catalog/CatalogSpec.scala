@@ -40,6 +40,29 @@ class CatalogSpec extends SparkSpec {
       Set((0L, 0L, 5.0), (7L, 0L, 3.0)))
   }
 
+  test("temporal write/read roundtrip preserves instants; queryTime prunes both dims") {
+    val dir = Files.createTempDirectory("graft_cat").toString
+    val l = RasterLayer.fromCellsTemporal(
+      Seq((0L, 0L, 10L, 1.0), (0L, 0L, 20L, 2.0), (5L, 5L, 10L, 3.0), (5L, 5L, 30L, 4.0))
+        .toDF("x", "y", "instant", "v"), layout)
+    Catalog.write(dir, "tt", l, zoom = 0)
+    val back = Catalog.read(spark, dir, "tt", zoom = 0)
+    assert(back.meta.temporal)
+    assert(back.toCells.as[(Long, Long, Long, Double)].collect().toSet ==
+      Set((0L, 0L, 10L, 1.0), (0L, 0L, 20L, 2.0), (5L, 5L, 10L, 3.0), (5L, 5L, 30L, 4.0)))
+    // time interval [15, 30] x extent [4,8)x[4,8) -> only (5,5,30)
+    val q = Catalog.queryTime(spark, dir, "tt", 0, 4, 4, 8, 8, 15L, 30L)
+    assert(q.toCells.as[(Long, Long, Long, Double)].collect().toSet ==
+      Set((5L, 5L, 30L, 4.0)))
+    // instant predicate reaches the parquet scan (file/row-group skip)
+    val plan = q.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("instant"))
+    // spatial-only layers refuse time queries
+    Catalog.write(dir, "ss", layer((0, 0, 1.0)), zoom = 0)
+    intercept[IllegalArgumentException](
+      Catalog.queryTime(spark, dir, "ss", 0, 0, 0, 8, 8, 0L, 1L))
+  }
+
   test("attribute store roundtrip") {
     val dir = Files.createTempDirectory("graft_cat").toString
     Catalog.write(dir, "t", layer((0, 0, 1.0)), zoom = 0)

@@ -4,6 +4,8 @@ import java.io.ByteArrayInputStream
 
 import javax.imageio.ImageIO
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 import graft.core.{Extent, LayoutDefinition, TileLayout}
 import graft.raster.RasterLayer
@@ -23,6 +25,25 @@ class RenderSpec extends SparkSpec {
     assert(img.getRGB(0, 0) == ColorMap.Ramps("BlueToRed")(0)) // 50 <= 100
     assert(img.getRGB(1, 0) == ColorMap.Ramps("BlueToRed")(1)) // 250 <= 300
     assert((img.getRGB(2, 0) >>> 24) == 0)                     // NoData transparent
+  }
+
+  test("rampColors interpolates stops linearly and keeps endpoints") {
+    val g = ColorMap.rampColors("Grayscale", 5)
+    assert(g.head == 0xFF000000 && g.last == 0xFFFFFFFF)
+    assert(g(2) == 0xFF808080) // midpoint: channel 0x80 = round(255/2)
+    // n == stop count returns the stops verbatim
+    assert(ColorMap.rampColors("Viridis", 5) == ColorMap.Ramps("Viridis"))
+    // monotone alpha stays opaque throughout
+    assert(g.forall(c => (c >>> 24) == 0xFF))
+    intercept[IllegalArgumentException](ColorMap.rampColors("nope", 3))
+  }
+
+  test("colorize maps values through interpolated ramp with transparent fallback") {
+    val cs = ColorMap.rampColors("Hot", 2)
+    val out = Seq(50.0, 150.0, 999.0).toDF("v")
+      .select(ColorMap.colorize(col("v"), Seq(100.0, 200.0), "Hot").as("argb"))
+      .as[Int].collect()
+    assert(out(0) == cs(0) && out(1) == cs(1) && out(2) == 0)
   }
 
   test("tms server serves catalog tiles as PNG over HTTP") {
