@@ -31,6 +31,7 @@ object GeoTiff {
   private val TagSamplesPerPixel  = 277
   private val TagRowsPerStrip     = 278
   private val TagStripByteCounts  = 279
+  private val TagPlanarConfig     = 284
   private val TagSampleFormat     = 339
   private val TagModelPixelScale  = 33550
   private val TagModelTiepoint    = 33922
@@ -43,11 +44,29 @@ object GeoTiff {
   def encodeTile(cells: Array[Double], cols: Int, rows: Int,
                  originX: Double, originY: Double,
                  cellW: Double, cellH: Double,
-                 deflate: Boolean = false): Array[Byte] = {
-    // pixel strip (possibly deflated)
-    val raw = ByteBuffer.allocate(cols * rows * 4).order(ByteOrder.LITTLE_ENDIAN)
+                 deflate: Boolean = false): Array[Byte] =
+    encodeTileMB(Seq(cells), cols, rows, originX, originY, cellW, cellH, deflate)
+
+  /** Multiband float32 GeoTIFF (chunky/pixel-interleaved, TIFF
+    * PlanarConfiguration=1) — the encode half of the reference's
+    * multiband to_geotiff_rdd (layer.py:1546) and save_stitched
+    * (layer.py:1981). BitsPerSample/SampleFormat become per-band
+    * arrays (stored externally when > 2 bands — TIFF inline values
+    * hold at most two shorts). */
+  def encodeTileMB(bands: Seq[Array[Double]], cols: Int, rows: Int,
+                   originX: Double, originY: Double,
+                   cellW: Double, cellH: Double,
+                   deflate: Boolean = false): Array[Byte] = {
+    val nb = bands.length
+    require(nb >= 1 && bands.forall(_.length == cols * rows), "band shape mismatch")
+    // pixel-interleaved strip (possibly deflated)
+    val raw = ByteBuffer.allocate(cols * rows * nb * 4).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
-    while (i < cells.length) { raw.putFloat(cells(i).toFloat); i += 1 }
+    while (i < cols * rows) {
+      var b = 0
+      while (b < nb) { raw.putFloat(bands(b)(i).toFloat); b += 1 }
+      i += 1
+    }
     val strip =
       if (!deflate) raw.array()
       else {
@@ -60,13 +79,16 @@ object GeoTiff {
         out.toByteArray
       }
 
-    val nTags = 13
+    val nTags = 14
     val headerSize = 8
     val ifdSize = 2 + nTags * 12 + 4
     val ifdOffset = headerSize
-    // external data after IFD: pixel scale (3 doubles), tiepoint (6
-    // doubles), geokeys (4 shorts * 4 entries), then pixel strip
-    val scaleOff = ifdOffset + ifdSize
+    // external data after IFD: per-band shorts (when nb > 2), pixel
+    // scale (3 doubles), tiepoint (6 doubles), geokeys, then the strip
+    val extShorts = if (nb > 2) nb * 2 else 0 // BitsPerSample + SampleFormat arrays
+    val bitsOff  = ifdOffset + ifdSize
+    val fmtOff   = bitsOff + (if (nb > 2) nb * 2 else 0)
+    val scaleOff = bitsOff + extShorts * 2
     val tieOff   = scaleOff + 3 * 8
     val geoOff   = tieOff + 6 * 8
     val geoShorts: Array[Int] = Array(
@@ -85,20 +107,30 @@ object GeoTiff {
     def tag(id: Int, typ: Int, count: Int, value: Int): Unit = {
       buf.putShort(id.toShort).putShort(typ.toShort).putInt(count).putInt(value)
     }
+    // inline short-array values pack little-endian into the 4-byte slot
+    def packedShorts(a: Int, b: Int): Int = (a & 0xffff) | (b << 16)
+    val bitsValue = if (nb == 1) 32 else if (nb == 2) packedShorts(32, 32) else bitsOff
+    val fmtValue  = if (nb == 1) 3  else if (nb == 2) packedShorts(3, 3)   else fmtOff
     tag(TagImageWidth, 3, 1, cols)
     tag(TagImageLength, 3, 1, rows)
-    tag(TagBitsPerSample, 3, 1, 32)
+    tag(TagBitsPerSample, 3, nb, bitsValue)
     tag(TagCompression, 3, 1, if (deflate) 8 else 1) // 8 = Adobe deflate
     tag(TagPhotometric, 3, 1, 1)      // BlackIsZero
     tag(TagStripOffsets, 4, 1, stripOff)
-    tag(TagSamplesPerPixel, 3, 1, 1)
+    tag(TagSamplesPerPixel, 3, 1, nb)
     tag(TagRowsPerStrip, 3, 1, rows)
     tag(TagStripByteCounts, 4, 1, strip.length)
-    tag(TagSampleFormat, 3, 1, 3)     // IEEE float
+    tag(TagPlanarConfig, 3, 1, 1)     // chunky (pixel-interleaved)
+    tag(TagSampleFormat, 3, nb, fmtValue)
     tag(TagModelPixelScale, 12, 3, scaleOff)
     tag(TagModelTiepoint, 12, 6, tieOff)
     tag(TagGeoKeyDirectory, 3, geoShorts.length, geoOff)
     buf.putInt(0) // next IFD
+    // external per-band arrays (only when nb > 2)
+    if (nb > 2) {
+      (0 until nb).foreach(_ => buf.putShort(32))
+      (0 until nb).foreach(_ => buf.putShort(3))
+    }
     // geo data
     buf.putDouble(cellW).putDouble(cellH).putDouble(0.0)
     buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
@@ -113,16 +145,25 @@ object GeoTiff {
     * rows, cells). The read half of the reference's geotiff ingestion
     * (geotiff.py get -> RasterLayer). */
   def decodeTile(bytes: Array[Byte]): (Double, Double, Double, Double, Int, Int, Array[Double]) = {
+    val (ox, oy, cw, ch, cols, rows, bands) = decodeTileMB(bytes)
+    require(bands.length == 1, s"expected single band, found ${bands.length}")
+    (ox, oy, cw, ch, cols, rows, bands.head)
+  }
+
+  /** Multiband decode ([[encodeTileMB]] subset: single-strip LE
+    * float32, chunky interleave): returns (originX, originY, cellW,
+    * cellH, cols, rows, bands). */
+  def decodeTileMB(bytes: Array[Byte]): (Double, Double, Double, Double, Int, Int, Seq[Array[Double]]) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.get() == 'I' && buf.get() == 'I' && buf.getShort() == 42, "not a LE classic TIFF")
     val ifd = buf.getInt()
     buf.position(ifd)
     val n = buf.getShort()
     var cols = -1; var rows = -1; var stripOff = -1; var stripLen = -1
-    var scaleOff = -1; var tieOff = -1; var compression = 1
+    var scaleOff = -1; var tieOff = -1; var compression = 1; var nb = 1
     (0 until n).foreach { _ =>
       // tag ids are unsigned shorts (geo tags are > 32767)
-      val id = buf.getShort() & 0xffff; buf.getShort(); buf.getInt()
+      val id = buf.getShort() & 0xffff; buf.getShort(); val count = buf.getInt()
       val v = buf.getInt()
       id match {
         case TagImageWidth      => cols = v
@@ -131,7 +172,11 @@ object GeoTiff {
         case TagStripByteCounts => stripLen = v
         case TagModelPixelScale => scaleOff = v
         case TagModelTiepoint   => tieOff = v
-        case TagSampleFormat    => require(v == 3, s"unsupported sample format $v")
+        case TagSamplesPerPixel => nb = v
+        case TagSampleFormat    =>
+          // inline only for count <= 2; larger counts store externally
+          // (all bands are float32 in this subset — skip validation)
+          if (count == 1) require(v == 3, s"unsupported sample format $v")
         case TagCompression     =>
           require(v == 1 || v == 8, s"unsupported compression $v")
           compression = v
@@ -148,7 +193,7 @@ object GeoTiff {
       else {
         val inf = new java.util.zip.Inflater()
         inf.setInput(bytes, stripOff, stripLen)
-        val out = new Array[Byte](cols * rows * 4)
+        val out = new Array[Byte](cols * rows * nb * 4)
         var done = 0
         while (!inf.finished() && done < out.length)
           done += inf.inflate(out, done, out.length - done)
@@ -156,10 +201,17 @@ object GeoTiff {
         ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
       }
     val base = if (compression == 1) stripOff else 0
-    val cells = new Array[Double](cols * rows)
+    val bands = Seq.fill(nb)(new Array[Double](cols * rows))
     var i = 0
-    while (i < cells.length) { cells(i) = strip.getFloat(base + 4 * i).toDouble; i += 1 }
-    (originX, originY, cw, ch, cols, rows, cells)
+    while (i < cols * rows) {
+      var b = 0
+      while (b < nb) {
+        bands(b)(i) = strip.getFloat(base + 4 * (i * nb + b)).toDouble
+        b += 1
+      }
+      i += 1
+    }
+    (originX, originY, cw, ch, cols, rows, bands)
   }
 
   /** GeoTIFF byte scenes -> UntiledRaster (the ingestion direction:
@@ -175,6 +227,67 @@ object GeoTiff {
       }
       .toDF("scene_id", "xmin", "ymin", "xmax", "ymax", "cols", "rows", "cells")
     UntiledRaster(scenes)
+  }
+
+  /** Stitch the whole layer into ONE georeferenced multiband GeoTIFF
+    * on the local filesystem — reference save_stitched
+    * (layer.py:1981). Stitching is inherently a driver-side collect
+    * (the reference's collects too); `maxCells` guards the driver heap
+    * with an actionable error instead of an OOM. */
+  def saveStitched(layer: RasterLayer, path: String, deflate: Boolean = true,
+                   maxCells: Long = 256L * 1024 * 1024): Unit = {
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+    val tiles = layer.df.select(col("col"), col("row"), col("tile"))
+      .as[(Int, Int, Seq[Double])].map { case (c, r, t) => (c, r, Seq(t)) }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      stitchedBytes(tiles, 1, layer.meta, deflate, maxCells))
+  }
+
+  /** Multiband save_stitched: one pixel-interleaved GeoTIFF carrying
+    * every band. */
+  def saveStitchedMB(layer: MultibandLayer, path: String, deflate: Boolean = true,
+                     maxCells: Long = 256L * 1024 * 1024): Unit = {
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+    val tiles = layer.df.select(col("col"), col("row"), col("bands"))
+      .as[(Int, Int, Seq[Seq[Double]])]
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      stitchedBytes(tiles, layer.bandCount, layer.meta, deflate, maxCells))
+  }
+
+  private def stitchedBytes(tiles: Dataset[(Int, Int, Seq[Seq[Double]])], nb: Int,
+                            meta: LayerMetadata, deflate: Boolean,
+                            maxCells: Long): Array[Byte] = {
+    val tl = meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val totC = tl.totalCols; val totR = tl.totalRows
+    require(totC * totR * nb <= maxCells,
+      s"stitched raster is $totC x $totR x $nb bands = ${totC * totR * nb} cells " +
+      s"> maxCells=$maxCells; write per-tile GeoTIFFs (toGeoTiff) instead")
+    val grid = Seq.fill(nb)(Array.fill((totC * totR).toInt)(Double.NaN))
+    tiles.collect().foreach { case (c, r, bands) =>
+      var b = 0
+      while (b < math.min(nb, bands.length)) {
+        val t = bands(b)
+        var j = 0
+        while (j < tr) {
+          val gy = r.toLong * tr + j
+          var i = 0
+          while (i < tc) {
+            val gx = c.toLong * tc + i
+            if (gx < totC && gy < totR)
+              grid(b)((gy * totC + gx).toInt) = t(j * tc + i)
+            i += 1
+          }
+          j += 1
+        }
+        b += 1
+      }
+    }
+    val e = meta.layout.extent
+    encodeTileMB(grid, totC.toInt, totR.toInt, e.xmin, e.ymax,
+      meta.layout.cellWidth, meta.layout.cellHeight, deflate)
   }
 
   /** Per-tile GeoTIFF bytes for a layer — reference to_geotiff_rdd
@@ -194,6 +307,27 @@ object GeoTiff {
           val originX = e.xmin + c.toLong * tc * cw
           val originY = e.ymax - r.toLong * tr * ch
           GeoTiffTile(c, r, encodeTile(tile.toArray, tc, tr, originX, originY, cw, ch, deflate))
+        }
+      }
+  }
+
+  /** Per-tile multiband GeoTIFF bytes (pixel-interleaved), narrow map. */
+  def toGeoTiffMB(layer: MultibandLayer, deflate: Boolean = false): Dataset[GeoTiffTile] = {
+    val meta = layer.meta
+    val tl = meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val e: Extent = meta.layout.extent
+    val cw = meta.layout.cellWidth; val ch = meta.layout.cellHeight
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+    layer.df.select(col("col"), col("row"), col("bands"))
+      .as[(Int, Int, Seq[Seq[Double]])]
+      .mapPartitions { it =>
+        it.map { case (c, r, bands) =>
+          val originX = e.xmin + c.toLong * tc * cw
+          val originY = e.ymax - r.toLong * tr * ch
+          GeoTiffTile(c, r,
+            encodeTileMB(bands.map(_.toArray), tc, tr, originX, originY, cw, ch, deflate))
         }
       }
   }

@@ -109,4 +109,25 @@ object Pyramid {
       .take(maxZoom + 1)
     levels.toSeq
   }
+
+  /** Histogram of a pyramid — reference Pyramid.get_histogram
+    * (layer.py:2641): computed once on the BASE (highest-zoom) level,
+    * which the reference defines as the pyramid's histogram (coarser
+    * levels are derived imagery). */
+  def histogram(levels: Seq[(Int, RasterLayer)], bins: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(levels.nonEmpty)
+    HistogramOps.binCounts(levels.maxBy(_._1)._2, bins)
+  }
+
+  /** Map a local (per-cell, layout-preserving) operation over every
+    * level — the reference Pyramid arithmetic surface (layer.py:2693
+    * +,-,*,/ apply to each level). Narrow per level: no shuffles. */
+  def mapLevels(levels: Seq[(Int, RasterLayer)],
+                f: RasterLayer => RasterLayer): Seq[(Int, RasterLayer)] =
+    levels.map { case (z, l) =>
+      val out = f(l)
+      require(out.meta.layout == l.meta.layout,
+        s"pyramid op must preserve each level's layout (zoom $z changed)")
+      (z, out)
+    }
 }

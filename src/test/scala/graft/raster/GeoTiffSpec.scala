@@ -64,6 +64,48 @@ class GeoTiffSpec extends SparkSpec {
       src.toCells.as[(Long, Long, Double)].collect().toSet)
   }
 
+  test("multiband encode/decode roundtrip: 2 bands (inline tags) and 3 bands (external tags)") {
+    for (nb <- Seq(2, 3)) {
+      val bands = (0 until nb).map(b => Array.tabulate(16)(i => b * 100.0 + i))
+      val bytes = GeoTiff.encodeTileMB(bands, 4, 4, 10.0, 20.0, 1.0, 1.0, deflate = nb == 3)
+      val (ox, oy, cw, ch, cols, rows, back) = GeoTiff.decodeTileMB(bytes)
+      assert((ox, oy, cw, ch, cols, rows) == (10.0, 20.0, 1.0, 1.0, 4, 4), s"nb=$nb")
+      assert(back.length == nb, s"nb=$nb")
+      (0 until nb).foreach(b => assert(back(b).toSeq == bands(b).toSeq, s"nb=$nb band=$b"))
+    }
+  }
+
+  test("save_stitched roundtrip: catalog -> stitched multiband file -> decode") {
+    val dir = Files.createTempDirectory("graft_stitch").toString
+    val a = RasterLayer.fromCells(
+      Seq((0L, 0L, 1.0), (7L, 7L, 2.0)).toDF("x", "y", "v"), layout)
+    val b = RasterLayer.fromCells(
+      Seq((0L, 0L, 3.0), (4L, 4L, 4.0)).toDF("x", "y", "v"), layout)
+    val mb = MultibandLayer.fromLayers(Seq(a, b))
+    graft.catalog.Catalog.writeMultiband(dir, "st", mb, zoom = 0)
+    val stored = graft.catalog.Catalog.readMultiband(spark, dir, "st", zoom = 0)
+    val path = s"$dir/stitched.tif"
+    GeoTiff.saveStitchedMB(stored, path)
+    val (ox, oy, cw, ch, cols, rows, bands) =
+      GeoTiff.decodeTileMB(Files.readAllBytes(java.nio.file.Paths.get(path)))
+    // georeferencing: origin = (xmin, ymax), unit cells, full 8x8 grid
+    assert((ox, oy, cw, ch, cols, rows) == (0.0, 8.0, 1.0, 1.0, 8, 8))
+    assert(bands.length == 2)
+    assert(bands(0)(0) == 1.0 && bands(0)(7 * 8 + 7) == 2.0)
+    assert(bands(1)(0) == 3.0 && bands(1)(4 * 8 + 4) == 4.0)
+    assert(bands(0)(1).isNaN) // untouched cells are NoData
+    // single-band path writes the same georeferencing
+    val p2 = s"$dir/single.tif"
+    GeoTiff.saveStitched(a, p2)
+    val (ox2, _, _, _, c2, r2, cells2) =
+      GeoTiff.decodeTileMB(Files.readAllBytes(java.nio.file.Paths.get(p2)))
+    assert(ox2 == 0.0 && c2 == 8 && r2 == 8 && cells2.head(0) == 1.0)
+    // size guard refuses oversized stitches with an actionable message
+    val err = intercept[IllegalArgumentException](
+      GeoTiff.saveStitchedMB(stored, path, maxCells = 10))
+    assert(err.getMessage.contains("maxCells"))
+  }
+
   test("pyramid write stores all zoom levels side by side") {
     val dir = Files.createTempDirectory("graft_pyr").toString
     val base = RasterLayer.fromCells(

@@ -113,6 +113,22 @@ class RasterLayerSpec extends SparkSpec {
     assert(cellsOf(p) == Set((0L, 0L, 4.0), (3L, 3L, 9.0)))
   }
 
+  test("pyramid histogram reads the base level; mapLevels applies per-level algebra") {
+    val l = layer((0, 0, 1.0), (1, 0, 3.0), (6, 6, 9.0))
+    val levels = Pyramid.build(l, "Average")
+    // histogram comes from the max-zoom (base) level = the input layer
+    val hist = Pyramid.histogram(levels).as[(Long, Long)].collect().toMap
+    assert(hist.values.sum == 3L)
+    // +10 over every level, layouts preserved
+    val shifted = Pyramid.mapLevels(levels, _ + 10.0)
+    assert(shifted.map(_._1) == levels.map(_._1))
+    val base = shifted.maxBy(_._1)._2
+    assert(cellsOf(base) == Set((0L, 0L, 11.0), (1L, 0L, 13.0), (6L, 6L, 19.0)))
+    // a layout-changing op is rejected
+    intercept[IllegalArgumentException](
+      Pyramid.mapLevels(levels, lv => Pyramid.levelUp(lv)))
+  }
+
   test("zonal stats groups cells by zone raster") {
     val v = layer((0, 0, 1.0), (1, 0, 3.0), (2, 0, 5.0))
     val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 8.0))
