@@ -277,6 +277,15 @@ object SparkEntry {
       flat(Catalog.query(s, uri, "lineitem_q", 4, 64, 0, 192, 128))
     }),
 
+    "q_catalog_update" -> ((s, dir) => {
+      // update_layer append (catalog.py:287): write lineitem, append
+      // orders, read back resolving duplicate keys by cell-wise Max
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      Catalog.write(uri, "li_upd", lineitemLayer(s, dir), zoom = 1)
+      Catalog.update(uri, "li_upd", ordersLayer(s, dir), zoom = 1)
+      flat(Catalog.read(s, uri, "li_upd", zoom = 1).aggregateByCell("Max"))
+    }),
+
     "q_catalog_time_query" -> ((s, dir) => {
       // temporal store: (instant, zindex)-ordered parquet; query prunes
       // by time interval (file-level min/max stats) + tile-aligned
@@ -311,6 +320,14 @@ object SparkEntry {
     "q_to_spatial" -> ((s, dir) => {
       val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
       l.toSpatialLayer("Max").toCells
+    }),
+
+    "q_time_resample" -> ((s, dir) => {
+      // day instants -> 7-day buckets, cell-wise Max per bucket
+      // (Max: deterministic under any fold order, unlike re-summed
+      // non-integral doubles)
+      val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
+      l.aggregateByTime(7L, "Max").toCells
     }),
 
     "q_spatial_partition" -> ((s, dir) =>
@@ -798,6 +815,14 @@ object SparkEntry {
       "q_catalog_query" ->
         s"SELECT x, y, v FROM ($grid) WHERE x >= 64 AND x < 192 AND y < 128",
 
+      // NaN-aware cell-wise Max over the appended store == full-outer
+      // join of the two grids taking the greater present value
+      "q_catalog_update" ->
+        s"""SELECT coalesce(a.x, b.x) AS x, coalesce(a.y, b.y) AS y,
+           |  CASE WHEN a.v IS NULL THEN b.v WHEN b.v IS NULL THEN a.v
+           |       WHEN a.v > b.v THEN a.v ELSE b.v END AS v
+           |FROM ($grid) a FULL OUTER JOIN ($ogrid) b ON a.x = b.x AND a.y = b.y""".stripMargin,
+
       // tile-aligned extent (tiles are 32x32 in layout64): x in [0,32),
       // y in [32,64) — exactly tile (0,1); plus the instant interval
       "q_catalog_time_query" ->
@@ -820,6 +845,10 @@ object SparkEntry {
 
       "q_to_spatial" ->
         s"SELECT x, y, max(v) AS v FROM ($egrid) GROUP BY 1, 2",
+
+      "q_time_resample" ->
+        s"""SELECT x, y, (instant // 7) * 7 AS instant, max(v) AS v
+           |FROM ($egrid) GROUP BY 1, 2, 3""".stripMargin,
 
       "q_spatial_partition" -> s"SELECT x, y, v FROM ($grid)",
 

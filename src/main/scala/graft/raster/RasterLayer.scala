@@ -276,6 +276,18 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     copy(df = df.filter(pred))
   }
 
+  /** Coarsen the time resolution: floor each instant to a `bucket`
+    * boundary and collapse the duplicates per (key, bucket) cell-wise
+    * — the reference's time-resolution re-partitioning
+    * (__init__.py:645 partition strategies with time_resolution).
+    * One keyed shuffle through the usual tile aggregators. */
+  def aggregateByTime(bucket: Long, op: String = "Max"): RasterLayer = {
+    require(meta.temporal, "aggregateByTime on spatial-only layer")
+    require(bucket > 0, "bucket must be positive")
+    copy(df = df.withColumn("instant", expr(s"(instant div $bucket) * $bucket")))
+      .aggregateByCell(op)
+  }
+
   /** Drop the time dimension, aggregating duplicate spatial keys. */
   def toSpatialLayer(op: String = "Max"): RasterLayer = {
     require(meta.temporal)

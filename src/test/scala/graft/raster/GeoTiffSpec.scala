@@ -106,6 +106,38 @@ class GeoTiffSpec extends SparkSpec {
     assert(err.getMessage.contains("maxCells"))
   }
 
+  test("cog roundtrip: tiled file windows match layer cells, absent tiles are NoData") {
+    // TIFF tiles must be 16-multiples: 32x32 grid of 16-tiles (2x2)
+    val cogLayout = LayoutDefinition(Extent(0, 0, 32, 32), TileLayout(2, 2, 16, 16))
+    // data in tiles (0,0) and (1,1); (1,0)/(0,1) never written
+    val cells = Seq((0L, 0L, 1.0), (5L, 10L, 2.0), (20L, 20L, 3.0), (31L, 31L, 4.0))
+    val l = RasterLayer.fromCells(cells.toDF("x", "y", "v"), cogLayout)
+    val dir = Files.createTempDirectory("graft_cog").toString
+    for (deflate <- Seq(true, false)) {
+      val path = s"$dir/cog_$deflate.tif"
+      GeoTiff.saveCog(l, path, deflate = deflate)
+      val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+      // full-extent window reproduces every cell
+      val full = GeoTiff.readCogWindow(bytes, 0, 0, 32, 32)
+      cells.foreach { case (x, y, v) =>
+        assert(full((y * 32 + x).toInt) == v, s"deflate=$deflate ($x,$y)")
+      }
+      assert(full(1).isNaN) // unwritten cell
+      // a window inside the never-written tile (1,0) is all NaN
+      assert(GeoTiff.readCogWindow(bytes, 20, 2, 8, 8).forall(_.isNaN))
+      // a window straddling tile borders picks up both sides
+      val w = GeoTiff.readCogWindow(bytes, 15, 15, 10, 10)
+      assert(w((20 - 15) * 10 + (20 - 15)) == 3.0)
+      // out-of-image margin is NaN
+      val edge = GeoTiff.readCogWindow(bytes, 28, 28, 8, 8)
+      assert(edge((31 - 28) * 8 + (31 - 28)) == 4.0 && edge(8 * 8 - 1).isNaN)
+    }
+    // tile cap produces an actionable error
+    val err = intercept[IllegalArgumentException](
+      GeoTiff.saveCog(l, s"$dir/x.tif", maxTiles = 2))
+    assert(err.getMessage.contains("maxTiles"))
+  }
+
   test("pyramid write stores all zoom levels side by side") {
     val dir = Files.createTempDirectory("graft_pyr").toString
     val base = RasterLayer.fromCells(

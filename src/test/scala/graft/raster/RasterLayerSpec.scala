@@ -129,6 +129,20 @@ class RasterLayerSpec extends SparkSpec {
       Pyramid.mapLevels(levels, lv => Pyramid.levelUp(lv)))
   }
 
+  test("aggregateByTime buckets instants and collapses cell-wise") {
+    val l = RasterLayer.fromCellsTemporal(
+      Seq((0L, 0L, 10L, 1.0), (0L, 0L, 12L, 5.0), (0L, 0L, 14L, 3.0), (1L, 1L, 20L, 9.0))
+        .toDF("x", "y", "instant", "v"),
+      graft.core.LayoutDefinition(graft.core.Extent(0, 0, 8, 8),
+        graft.core.TileLayout(2, 2, 4, 4)))
+    val out = l.aggregateByTime(7L, "Max").toCells
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // instants 10/12/14 -> buckets 7 and 14; 20 -> 14
+    assert(out == Set((0L, 0L, 7L, 5.0), (0L, 0L, 14L, 3.0), (1L, 1L, 14L, 9.0)))
+    intercept[IllegalArgumentException](
+      layer((0, 0, 1.0)).aggregateByTime(7L, "Max"))
+  }
+
   test("zonal stats groups cells by zone raster") {
     val v = layer((0, 0, 1.0), (1, 0, 3.0), (2, 0, 5.0))
     val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 8.0))
