@@ -27,6 +27,20 @@ class MultibandSpec extends SparkSpec {
     assert(got1 == b1.toCells.as[(Long, Long, Double)].collect().toSet)
   }
 
+  test("fromLayers agg path (> JoinStackMaxBands) matches join-path semantics") {
+    // 6 bands forces the union+BandStackAgg strategy; band 5 is sparse
+    val ls = (0 until 5).map(k => b0 * (k + 1).toDouble) :+ b1
+    val mb = MultibandLayer.fromLayers(ls)
+    assert(ls.length > MultibandLayer.JoinStackMaxBands && mb.bandCount == 6)
+    (0 until 5).foreach { k =>
+      val got = mb.band(k).toCells.as[(Long, Long, Double)].collect().toSet
+      assert(got == (b0 * (k + 1).toDouble).toCells.as[(Long, Long, Double)].collect().toSet)
+    }
+    // keys absent from the sparse layer read back as NoData (dropped)
+    assert(mb.band(5).toCells.as[(Long, Long, Double)].collect().toSet ==
+      b1.toCells.as[(Long, Long, Double)].collect().toSet)
+  }
+
   test("toCells emits (x, y, band, v) without NoData") {
     val cells = MultibandLayer.fromLayers(Seq(b0, b1)).toCells
       .as[(Long, Long, Int, Double)].collect()
