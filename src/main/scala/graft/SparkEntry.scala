@@ -413,6 +413,15 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       pipeline.Dedup.minhashPairs(table(s, dir, "documents"))),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      // duplicate families: connected components (large-star/small-
+      // star) over the MinHash-LSH pair graph; component = min doc_id
+      val docs = table(s, dir, "documents")
+      pipeline.Dedup.connectedComponents(
+        pipeline.Dedup.minhashPairs(docs).select(col("d1"), col("d2")),
+        docs.select(col("doc_id")))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhashPairs(table(s, dir, "documents"))),
 
@@ -527,6 +536,34 @@ object SparkEntry {
        |  FROM nb WHERE cnt = 9
        |)
        |SELECT x, y, $select AS v FROM d""".stripMargin
+
+  /** Shared DuckDB CTE chain deriving the MinHash-LSH signature and
+    * candidate-pair graph — the single source of truth for BOTH
+    * q_dedup_minhash and q_dedup_clusters (same shingles, same hash
+    * params as [[pipeline.Dedup.minhashPairs]]). */
+  private lazy val minhashCtes: String = {
+    val p = pipeline.Dedup.MinhashP
+    val params = pipeline.Dedup.minhashParams(16)
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min((x * $a + $b) % $p) AS m$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (b * 4 until (b + 1) * 4).map(i => s"m$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM (
+       |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+       |  FROM t WHERE len(toks) >= 5)),
+       |hx AS (SELECT doc_id, h % $p AS x FROM sh),
+       |sig AS (SELECT doc_id, $minCols FROM hx GROUP BY 1),
+       |banded AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private lazy val minhashSimExpr: String =
+    (0 until 16).map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
 
   def oracleSql: Map[String, String] = {
     val grid   = lineitemCellsSql
@@ -950,30 +987,28 @@ object SparkEntry {
            |FROM pr JOIN sz n1 ON pr.d1 = n1.doc_id JOIN sz n2 ON pr.d2 = n2.doc_id
            |WHERE CAST(shared AS DOUBLE) / (n1.n + n2.n - shared) >= 0.5""".stripMargin,
 
-      "q_dedup_minhash" -> {
-        val p = pipeline.Dedup.MinhashP
-        val params = pipeline.Dedup.minhashParams(16)
-        val minCols = params.zipWithIndex.map { case ((a, b), i) =>
-          s"min((x * $a + $b) % $p) AS m$i"
-        }.mkString(", ")
-        val bandSelects = (0 until 4).map { b =>
-          val cols = (b * 4 until (b + 1) * 4).map(i => s"m$i").mkString(", ")
-          s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS bkey FROM sig"
-        }.mkString(" UNION ALL ")
-        val simExpr = (0 until 16).map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
-           |sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM (
-           |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
-           |  FROM t WHERE len(toks) >= 5)),
-           |hx AS (SELECT doc_id, h % $p AS x FROM sh),
-           |sig AS (SELECT doc_id, $minCols FROM hx GROUP BY 1),
-           |banded AS ($bandSelects),
-           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-           |SELECT d1, d2, CAST($simExpr AS DOUBLE) / 16 AS est_sim
+      "q_dedup_minhash" ->
+        s"""WITH $minhashCtes
+           |SELECT d1, d2, CAST($minhashSimExpr AS DOUBLE) / 16 AS est_sim
            |FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id
-           |WHERE CAST($simExpr AS DOUBLE) / 16 >= 0.5""".stripMargin
-      },
+           |WHERE CAST($minhashSimExpr AS DOUBLE) / 16 >= 0.5""".stripMargin,
+
+      // same LSH pair graph, closed transitively (recursive CTE);
+      // component = min reachable doc_id, singletons map to themselves
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE $minhashCtes,
+           |pairs AS (
+           |  SELECT d1, d2
+           |  FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id
+           |  WHERE CAST($minhashSimExpr AS DOUBLE) / 16 >= 0.5),
+           |sym AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM sym
+           |  UNION
+           |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+           |comp AS (SELECT u AS doc_id, least(min(v), u) AS component FROM reach GROUP BY u)
+           |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+           |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
 
       // 60-bit signatures (Spark side finds pairs by pigeonhole
       // banding; the oracle verifies with the plain all-pairs

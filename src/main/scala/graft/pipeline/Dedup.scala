@@ -189,4 +189,71 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Connected components over near-dup candidate pairs — the
+    * "duplicate families" step that turns pairwise matches into
+    * clusters with a canonical representative (the minimum doc_id).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * converges in O(log n) rounds regardless of component diameter,
+    * unlike min-label propagation whose round count follows the
+    * longest path (a 1M-doc duplicate chain would need 1M rounds).
+    * Each round is two groupBy/join exchanges on LONG keys;
+    * intermediate edge sets are eagerly localCheckpoint'd (CLAUDE.md
+    * iterative-loop rule) so the lineage doesn't stack per round.
+    *
+    * At the fixpoint every component is a star centered on its
+    * minimum node, so the result is canonical and deterministic no
+    * matter how the rounds interleaved.
+    *
+    * @param pairs    edges as (d1, d2) — any near-dup pair output
+    * @param vertices (doc_id) universe; isolated docs come back as
+    *                 their own singleton component
+    * @return (doc_id, component) with component = min doc_id reachable
+    */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    def dedup(e: DataFrame) = e.where(col("u") =!= col("v")).distinct()
+    def sig(e: DataFrame): (Long, Any) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).first()
+      (r.getLong(0), r.get(1))
+    }
+    var e = dedup(pairs.select(col("d1").cast("long").as("u"),
+      col("d2").cast("long").as("v"))).localCheckpoint()
+    var prev = sig(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: every neighbor bigger than u re-points at the
+      // minimum of u's closed neighborhood
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("_mn"))
+        .select(col("u"), least(col("_mn"), col("u")).as("m"))
+      val ls = dedup(sym.join(lsMin, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star on big->small directed edges: u and all its smaller
+      // neighbors attach to the smallest of them
+      val dir = dedup(ls.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")))
+      val ssMin = dir.groupBy("u").agg(min("v").as("m"))
+      val ss = dedup(dir.join(ssMin, "u")
+        .select(explode(array(
+          struct(col("u").as("c"), col("m")),
+          struct(col("v").as("c"), col("m")))).as("e"))
+        .select(col("e.c").as("u"), col("e.m").as("v")))
+        .localCheckpoint()
+      val cur = sig(ss)
+      converged = cur == prev
+      prev = cur
+      e = ss
+      it += 1
+    }
+    val roots = e.groupBy(col("u").as("doc_id")).agg(min("v").as("_comp"))
+    vertices.select(col("doc_id").cast("long").as("doc_id"))
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_comp"), col("doc_id")).as("component"))
+  }
 }

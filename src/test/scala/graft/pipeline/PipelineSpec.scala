@@ -96,6 +96,31 @@ class PipelineSpec extends SparkSpec {
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
 
+  test("connected components: chain, clique, singletons, pair-order invariance") {
+    // chain 10-11-...-19 (diameter stresses the star rounds), clique
+    // {30,31,32}, pair {40,41} given in descending order, singleton 50
+    val chain = (10L until 19L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((30L, 31L), (31L, 32L), (30L, 32L), (41L, 40L)))
+      .toDF("d1", "d2")
+    val verts = ((10L to 19L) ++ Seq(30L, 31L, 32L, 40L, 41L, 50L)).toDF("doc_id")
+    val got = Dedup.connectedComponents(edges, verts)
+      .as[(Long, Long)].collect().toMap
+    (10L to 19L).foreach(i => assert(got(i) == 10L, s"chain member $i"))
+    Seq(30L, 31L, 32L).foreach(i => assert(got(i) == 30L))
+    assert(got(40L) == 40L && got(41L) == 40L)
+    assert(got(50L) == 50L)
+    assert(got.size == 16)
+  }
+
+  test("connected components over minhash pairs clusters the dup family") {
+    val comp = Dedup.connectedComponents(
+      Dedup.minhashPairs(docs, k = 16, bands = 4, minEstSim = 0.5)
+        .select(col("d1"), col("d2")),
+      docs.select(col("doc_id"))).as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L) // exact dups share a family
+    assert(comp(4L) == 4L && comp(5L) == 5L) // unrelated docs stay singleton
+  }
+
   test("multimodal blob plumbing: metadata + stubbed batch decode") {
     val blobs = Multimodal.asBlobs(docs)
     val meta = Multimodal.metadata(blobs).where(col("doc_id") === 1).head()
