@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.core.{CRS, ZIndex}
-import graft.raster.{Distance, HistogramOps, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, ZonalOps}
+import graft.raster.{CellOp, Distance, GeoTiff, HistogramOps, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
 
@@ -269,6 +269,27 @@ object SparkEntry {
       val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
       Catalog.write(uri, "lineitem_rt", lineitemLayer(s, dir), zoom = 4)
       flat(Catalog.read(s, uri, "lineitem_rt", zoom = 4))
+    }),
+
+    "q_pyramid_write" -> ((s, dir) => {
+      // Pyramid.write all zooms (layer.py:2654), read one back: the
+      // stored level must equal the in-memory levelUp (q_pyramid)
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      val levels = Pyramid.build(lineitemLayer(s, dir), "Average")
+      Pyramid.write(uri, "pyr_w", levels)
+      flat(Catalog.read(s, uri, "pyr_w", zoom = levels.head._1 - 1))
+    }),
+
+    "q_geotiff_roundtrip" -> ((s, dir) => {
+      // to_geotiff_rdd -> scene ingestion (layer.py:542,1546): encode
+      // every tile as a deflate float32 GeoTIFF, decode as scenes,
+      // re-cut to the layout — identity on the grid (values integral,
+      // << 2^24, so float32 is exact)
+      val l = lineitemLayer(s, dir)
+      val lr = l.meta.layout.tileLayout.layoutRows
+      val scenes = GeoTiff.toGeoTiff(l, deflate = true).toDF()
+        .select((col("col").cast("long") * lr + col("row")).as("scene_id"), col("tiff"))
+      GeoTiff.fromGeoTiff(scenes).tileToLayout(l.meta.layout, CellOp.Max).toCells
     }),
 
     "q_catalog_query" -> ((s, dir) => {
@@ -848,6 +869,14 @@ object SparkEntry {
       },
 
       "q_catalog_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
+
+      // stored zoom (maxZoom-1) == one 2x Average level (same formula
+      // as q_pyramid)
+      "q_pyramid_write" ->
+        s"SELECT x // 2 AS x, y // 2 AS y, avg(v) AS v FROM ($grid) GROUP BY 1, 2",
+
+      // float32 encode/decode of integral values is exact -> identity
+      "q_geotiff_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
 
       "q_catalog_query" ->
         s"SELECT x, y, v FROM ($grid) WHERE x >= 64 AND x < 192 AND y < 128",
