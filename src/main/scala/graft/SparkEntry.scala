@@ -343,6 +343,19 @@ object SparkEntry {
       l.toSpatialLayer("Max").toCells
     }),
 
+    "q_star_series" -> ((s, dir) => {
+      // star_series / mean_series family (layer.py:2014-2042): summary
+      // per instant inside a geometry; re-aggregated non-integral
+      // doubles -> round(...,5) both sides (CLAUDE.md float rule)
+      val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
+      ZonalOps.temporalSeries(l, Geometry.diamond(32, 32, 20.3))
+        .select(col("instant"), round(col("vsum"), 5).as("vsum"), col("vcount"),
+          col("vmin"), col("vmax"), round(col("vmean"), 5).as("vmean"))
+    }),
+
+    "q_hist_mode" -> ((s, dir) =>
+      HistogramOps.mode(lineitemLayer(s, dir))),
+
     "q_time_resample" -> ((s, dir) => {
       // day instants -> 7-day buckets, cell-wise Max per bucket
       // (Max: deterministic under any fold order, unlike re-summed
@@ -911,6 +924,15 @@ object SparkEntry {
 
       "q_to_spatial" ->
         s"SELECT x, y, max(v) AS v FROM ($egrid) GROUP BY 1, 2",
+
+      "q_star_series" ->
+        s"""SELECT instant, round(sum(v), 5) AS vsum, count(*) AS vcount,
+           |  min(v) AS vmin, max(v) AS vmax, round(sum(v) / count(*), 5) AS vmean
+           |FROM ($egrid) WHERE abs(x + 0.5 - 32) + abs(y + 0.5 - 32) < 20.3
+           |GROUP BY instant""".stripMargin,
+
+      "q_hist_mode" ->
+        s"SELECT v, count(*) AS n FROM ($grid) GROUP BY v ORDER BY n DESC, v LIMIT 1",
 
       "q_time_resample" ->
         s"""SELECT x, y, (instant // 7) * 7 AS instant, max(v) AS v

@@ -79,6 +79,22 @@ object HistogramOps {
     }: _*)
   }
 
+  /** Histogram mode — reference Histogram.mode (histogram.py:95):
+    * the most frequent cell value, ties broken toward the smaller
+    * value so the answer is deterministic. Per-value groupBy with
+    * map-side combine; only distinct values cross the exchange. */
+  def mode(layer: RasterLayer): DataFrame =
+    layer.toCells.groupBy(col("v"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("v").asc)
+      .limit(1)
+
+  /** Histogram item_count — reference Histogram.item_count
+    * (histogram.py:87): occurrences of one exact value. */
+  def itemCount(layer: RasterLayer, item: Double): DataFrame =
+    layer.toCells.where(col("v") === item)
+      .agg(count(lit(1)).as("n"))
+
   /** Scale-path quantiles: t-digest style sketch, single pass. */
   def approxQuantileBreaks(layer: RasterLayer, qs: Seq[Double]): Array[Double] =
     layer.toCells.stat.approxQuantile("v", qs.toArray, 0.001)

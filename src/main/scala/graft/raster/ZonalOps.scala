@@ -102,6 +102,28 @@ object ZonalOps {
         col("vsum"), col("vcount"), col("vmin"), col("vmax"), col("vmean"))
     }.reduce(_ unionByName _)
 
+  /** Temporal per-geometry series — reference star_series and its
+    * mean/max/min/sum_series family (layer.py:2014-2042): summarize
+    * the cells inside a geometry separately at EACH instant of a
+    * space-time layer. Per-tile partial stats (TileStatsExpr) feed one
+    * tiny groupBy(instant); the per-cell values never leave the map
+    * stage, so the shuffle carries one stats row per (instant, tile). */
+  def temporalSeries(layer: RasterLayer, poly: Polygon): DataFrame = {
+    require(layer.meta.temporal, "star_series requires a space-time layer")
+    def nanNull(c: Column) = when(isnan(c), lit(null)).otherwise(c)
+    maskGrid(layer, Seq(poly)).df
+      .select(col("instant"),
+        org.apache.spark.sql.graft.TileStatsExpr.tileStats(col("tile")).as("st"))
+      .groupBy(col("instant"))
+      .agg(sum(col("st.vsum")).as("_sum"),
+           sum(col("st.vcnt")).cast("long").as("vcount"),
+           min(nanNull(col("st.vmin"))).as("vmin"),
+           max(nanNull(col("st.vmax"))).as("vmax"))
+      .where(col("vcount") > 0)
+      .select(col("instant"), col("_sum").as("vsum"), col("vcount"),
+        col("vmin"), col("vmax"), (col("_sum") / col("vcount")).as("vmean"))
+  }
+
   /** Zonal statistics of `values` grouped by the co-located `zones`
     * layer (reference *_series :2014-2040 generalized). Tile-aligned
     * join then per-tile pair explode feeding a partial-aggregated

@@ -143,6 +143,29 @@ class RasterLayerSpec extends SparkSpec {
       layer((0, 0, 1.0)).aggregateByTime(7L, "Max"))
   }
 
+  test("temporalSeries summarizes per instant inside the geometry") {
+    val l = RasterLayer.fromCellsTemporal(
+      Seq((1L, 1L, 10L, 2.0), (2L, 1L, 10L, 4.0), (1L, 2L, 11L, 8.0),
+          (7L, 7L, 10L, 99.0)) // outside the diamond
+        .toDF("x", "y", "instant", "v"), layout)
+    val got = ZonalOps.temporalSeries(l, Geometry.diamond(2, 2, 2.5))
+      .orderBy("instant")
+      .as[(Long, Double, Long, Double, Double, Double)].collect()
+    assert(got.toSeq == Seq(
+      (10L, 6.0, 2L, 2.0, 4.0, 3.0),
+      (11L, 8.0, 1L, 8.0, 8.0, 8.0)))
+    intercept[IllegalArgumentException](
+      ZonalOps.temporalSeries(layer((0, 0, 1.0)), Geometry.diamond(2, 2, 2.5)))
+  }
+
+  test("histogram mode and itemCount") {
+    val l = layer((0, 0, 5.0), (1, 0, 5.0), (2, 0, 3.0), (3, 0, 3.0), (4, 0, 1.0))
+    // tie between 5.0 and 3.0 resolves to the smaller value
+    assert(HistogramOps.mode(l).as[(Double, Long)].head() == ((3.0, 2L)))
+    assert(HistogramOps.itemCount(l, 5.0).as[Long].head() == 2L)
+    assert(HistogramOps.itemCount(l, 7.0).as[Long].head() == 0L)
+  }
+
   test("zonal stats groups cells by zone raster") {
     val v = layer((0, 0, 1.0), (1, 0, 3.0), (2, 0, 5.0))
     val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 8.0))
