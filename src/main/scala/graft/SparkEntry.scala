@@ -343,6 +343,15 @@ object SparkEntry {
       l.toSpatialLayer("Max").toCells
     }),
 
+    "q_focal_time" -> ((s, dir) => {
+      // focal on a SPACETIME layer (TemporalTiledRasterLayer focal):
+      // halo exchange keys on (instant, col, row) so instants never
+      // mix; non-integral sums -> round(...,5) both sides
+      val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
+      l.focal(Neighborhood.Square(1), "Sum").toCells
+        .select(col("x"), col("y"), col("instant"), round(col("v"), 5).as("v"))
+    }),
+
     "q_star_series" -> ((s, dir) => {
       // star_series / mean_series family (layer.py:2014-2042): summary
       // per instant inside a geometry; re-aggregated non-integral
@@ -924,6 +933,13 @@ object SparkEntry {
 
       "q_to_spatial" ->
         s"SELECT x, y, max(v) AS v FROM ($egrid) GROUP BY 1, 2",
+
+      "q_focal_time" ->
+        s"""WITH g AS ($egrid)
+           |SELECT c.x AS x, c.y AS y, c.instant AS instant, round(sum(n.v), 5) AS v
+           |FROM g c JOIN g n ON n.instant = c.instant
+           |  AND n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |GROUP BY 1, 2, 3""".stripMargin,
 
       "q_star_series" ->
         s"""SELECT instant, round(sum(v), 5) AS vsum, count(*) AS vcount,

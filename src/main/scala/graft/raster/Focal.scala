@@ -125,6 +125,9 @@ private[raster] final case class TileContrib(
     col: Int, row: Int, x0: Int, y0: Int, w: Int, h: Int, cells: Array[Double])
 
 private[raster] final case class TileRowOut(col: Int, row: Int, tile: Seq[Double])
+private[raster] final case class TileContribT(
+  col: Int, row: Int, instant: Long, x0: Int, y0: Int, w: Int, h: Int, cells: Array[Double])
+private[raster] final case class TileRowOutT(col: Int, row: Int, instant: Long, tile: Seq[Double])
 
 /** Distributed stencil via halo exchange (SURVEY.md §4): each tile
   * ships only the border strips its neighbors need (O(perimeter*r)
@@ -151,10 +154,10 @@ object Focal {
     val spark = layer.df.sparkSession
     import spark.implicits._
 
-    val tiles = layer.df.select(col("col"), col("row"), col("tile"))
-      .as[(Int, Int, Seq[Double])]
-
-    val contribs = tiles.flatMap { case (c0, r0, tileSeq) =>
+    // per-source-tile clipped contributions to each neighbor's padded
+    // window: (dstCol, dstRow, x0, y0, w, h, cells)
+    def contribsOf(c0: Int, r0: Int, tileSeq: Seq[Double])
+        : Seq[(Int, Int, Int, Int, Int, Int, Array[Double])] = {
       val tile = tileSeq.toArray
       for {
         dc <- -ringC to ringC
@@ -182,31 +185,60 @@ object Focal {
           }
           j += 1
         }
-        TileContrib(dst._1, dst._2, sx + iMin, sy + jMin, w, h, cells)
+        (dst._1, dst._2, sx + iMin, sy + jMin, w, h, cells)
       }
     }
 
-    val out = contribs
-      .groupByKey(tc2 => (tc2.col, tc2.row))
-      .mapGroups { (key: (Int, Int), group: Iterator[TileContrib]) =>
-        val (c0, r0) = key
-        val W = tc + 2 * r; val H = tr + 2 * r
-        val padded = Array.fill(W * H)(Double.NaN)
-        group.foreach { cb =>
-          var j = 0
-          while (j < cb.h) {
-            var i = 0
-            while (i < cb.w) {
-              padded((cb.y0 + j + r) * W + (cb.x0 + i + r)) = cb.cells(j * cb.w + i)
-              i += 1
-            }
-            j += 1
+    def paint(cbs: Iterator[(Int, Int, Int, Int, Array[Double])]): Array[Double] = {
+      val W = tc + 2 * r; val H = tr + 2 * r
+      val padded = Array.fill(W * H)(Double.NaN)
+      cbs.foreach { case (x0, y0, w, h, cells) =>
+        var j = 0
+        while (j < h) {
+          var i = 0
+          while (i < w) {
+            padded((y0 + j + r) * W + (x0 + i + r)) = cells(j * w + i)
+            i += 1
+          }
+          j += 1
+        }
+      }
+      padded
+    }
+
+    val W = tc + 2 * r
+    if (meta.temporal) {
+      // space-time focal (reference TemporalTiledRasterLayer focal):
+      // instants never mix — the halo exchange keys on
+      // (instant, col, row), one shuffle exactly as the spatial path
+      val out = layer.df.select(col("col"), col("row"), col("instant"), col("tile"))
+        .as[(Int, Int, Long, Seq[Double])]
+        .flatMap { case (c0, r0, t, tileSeq) =>
+          contribsOf(c0, r0, tileSeq).map { case (dc, dr, x0, y0, w, h, cells) =>
+            TileContribT(dc, dr, t, x0, y0, w, h, cells)
           }
         }
-        TileRowOut(c0, r0, kernelFn(padded, W).toSeq)
-      }
-
-    layer.copy(df = out.toDF())
+        .groupByKey(cb => (cb.instant, cb.col, cb.row))
+        .mapGroups { (key: (Long, Int, Int), group: Iterator[TileContribT]) =>
+          val padded = paint(group.map(cb => (cb.x0, cb.y0, cb.w, cb.h, cb.cells)))
+          TileRowOutT(key._2, key._3, key._1, kernelFn(padded, W).toSeq)
+        }
+      layer.copy(df = out.toDF())
+    } else {
+      val out = layer.df.select(col("col"), col("row"), col("tile"))
+        .as[(Int, Int, Seq[Double])]
+        .flatMap { case (c0, r0, tileSeq) =>
+          contribsOf(c0, r0, tileSeq).map { case (dc, dr, x0, y0, w, h, cells) =>
+            TileContrib(dc, dr, x0, y0, w, h, cells)
+          }
+        }
+        .groupByKey(cb => (cb.col, cb.row))
+        .mapGroups { (key: (Int, Int), group: Iterator[TileContrib]) =>
+          val padded = paint(group.map(cb => (cb.x0, cb.y0, cb.w, cb.h, cb.cells)))
+          TileRowOut(key._1, key._2, kernelFn(padded, W).toSeq)
+        }
+      layer.copy(df = out.toDF())
+    }
   }
 
   def focal(layer: RasterLayer, nb: Neighborhood, op: FocalOp): RasterLayer = {

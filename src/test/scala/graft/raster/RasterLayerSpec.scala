@@ -166,6 +166,19 @@ class RasterLayerSpec extends SparkSpec {
     assert(HistogramOps.itemCount(l, 7.0).as[Long].head() == 0L)
   }
 
+  test("focal on a temporal layer keeps instants separate") {
+    // same cell (3,0)/(4,0) straddles a tile border; instants 1 and 2
+    // would cross-contaminate if the halo ignored time
+    val l = RasterLayer.fromCellsTemporal(
+      Seq((3L, 0L, 1L, 10.0), (4L, 0L, 1L, 20.0), (4L, 0L, 2L, 100.0))
+        .toDF("x", "y", "instant", "v"), layout)
+    val got = l.focal(Neighborhood.Square(1), "Sum").toCells
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got.contains((3L, 0L, 1L, 30.0))) // 10+20 across the border, same instant
+    assert(got.contains((4L, 0L, 1L, 30.0)))
+    assert(got.contains((4L, 0L, 2L, 100.0))) // instant 2 sees only itself
+  }
+
   test("zonal stats groups cells by zone raster") {
     val v = layer((0, 0, 1.0), (1, 0, 3.0), (2, 0, 5.0))
     val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 8.0))
