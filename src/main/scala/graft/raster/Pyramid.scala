@@ -60,34 +60,52 @@ object Pyramid {
     val spark = layer.df.sparkSession
     import spark.implicits._
 
-    val quads = layer.df.select(col("col"), col("row"), col("tile"))
-      .as[(Int, Int, Seq[Double])]
-      .map { case (c, r, tile) =>
-        val half = downsample(tile.toArray, tc, tr, method)
-        (c / 2, r / 2, c % 2, r % 2, half.toSeq)
-      }
-
-    val out = quads.groupByKey(q => (q._1, q._2))
-      .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
-        val (hc, hr) = (tc / 2, tr / 2)
-        val parent = Array.fill(tc * tr)(Double.NaN)
-        group.foreach { case (_, _, qx, qy, half) =>
-          var j = 0
-          while (j < hr) {
-            var i = 0
-            while (i < hc) {
-              parent((qy * hr + j) * tc + (qx * hc + i)) = half(j * hc + i)
-              i += 1
-            }
-            j += 1
+    val (hc, hr) = (tc / 2, tr / 2)
+    def assemble(group: Iterator[(Int, Int, Seq[Double])]): Seq[Double] = {
+      val parent = Array.fill(tc * tr)(Double.NaN)
+      group.foreach { case (qx, qy, half) =>
+        var j = 0
+        while (j < hr) {
+          var i = 0
+          while (i < hc) {
+            parent((qy * hr + j) * tc + (qx * hc + i)) = half(j * hc + i)
+            i += 1
           }
+          j += 1
         }
-        TileRowOut(key._1, key._2, parent.toSeq)
       }
+      parent.toSeq
+    }
 
     val newLayout = LayoutDefinition(meta.layout.extent,
       TileLayout(math.max(1, tl.layoutCols / 2), math.max(1, tl.layoutRows / 2), tc, tr))
-    new RasterLayer(out.toDF(), meta.copy(layout = newLayout))
+
+    if (meta.temporal) {
+      // temporal pyramid (reference Pyramid over TemporalTiledRaster-
+      // Layer): each instant downsamples independently
+      val out = layer.df.select(col("col"), col("row"), col("instant"), col("tile"))
+        .as[(Int, Int, Long, Seq[Double])]
+        .map { case (c, r, t, tile) =>
+          (c / 2, r / 2, t, c % 2, r % 2, downsample(tile.toArray, tc, tr, method).toSeq)
+        }
+        .groupByKey(q => (q._1, q._2, q._3))
+        .mapGroups { (key: (Int, Int, Long), group: Iterator[(Int, Int, Long, Int, Int, Seq[Double])]) =>
+          TileRowOutT(key._1, key._2, key._3,
+            assemble(group.map(q => (q._4, q._5, q._6))))
+        }
+      new RasterLayer(out.toDF(), meta.copy(layout = newLayout))
+    } else {
+      val out = layer.df.select(col("col"), col("row"), col("tile"))
+        .as[(Int, Int, Seq[Double])]
+        .map { case (c, r, tile) =>
+          (c / 2, r / 2, c % 2, r % 2, downsample(tile.toArray, tc, tr, method).toSeq)
+        }
+        .groupByKey(q => (q._1, q._2))
+        .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
+          TileRowOut(key._1, key._2, assemble(group.map(q => (q._3, q._4, q._5))))
+        }
+      new RasterLayer(out.toDF(), meta.copy(layout = newLayout))
+    }
   }
 
   /** Write every level of a pyramid to the catalog under one name —

@@ -61,6 +61,8 @@ object Reproject {
     import graft.core.TileLayout
     val spark = layer.spark
     import spark.implicits._
+    require(!layer.meta.temporal,
+      "reproject on a temporal layer would mix instants; aggregate/filter to spatial first")
     val tl = layer.meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
     val n = tl.totalCols.toInt

@@ -98,6 +98,8 @@ object Resample {
     * NoData unless every tap in the (2*support)^2 window exists. */
   def kernelTiled(layer: RasterLayer, srcN: Int, dstN: Int, kernel: Kernel,
                   dstTile: Int = 64): RasterLayer = {
+    require(!layer.meta.temporal,
+      "resample on a temporal layer would mix instants; aggregate/filter to spatial first")
     val tl = layer.meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
     require(dstN % dstTile == 0, "dst grid must tile evenly")
@@ -218,6 +220,8 @@ object Resample {
     * place of the linear map. */
   def bilinearTiled(layer: RasterLayer, srcN: Int, dstN: Int,
                     dstTile: Int = 64): RasterLayer = {
+    require(!layer.meta.temporal,
+      "resample on a temporal layer would mix instants; aggregate/filter to spatial first")
     val tl = layer.meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
     require(dstN % dstTile == 0, "dst grid must tile evenly")

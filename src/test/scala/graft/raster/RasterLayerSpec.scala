@@ -166,6 +166,25 @@ class RasterLayerSpec extends SparkSpec {
     assert(HistogramOps.itemCount(l, 7.0).as[Long].head() == 0L)
   }
 
+  test("pyramid levelUp on a temporal layer downsamples each instant independently") {
+    val l = RasterLayer.fromCellsTemporal(
+      Seq((0L, 0L, 1L, 2.0), (1L, 1L, 1L, 4.0), (0L, 0L, 2L, 10.0))
+        .toDF("x", "y", "instant", "v"), layout)
+    val up = Pyramid.levelUp(l, "Average")
+    val got = up.toCells.as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((0L, 0L, 1L, 3.0), (0L, 0L, 2L, 10.0)))
+    assert(up.meta.temporal)
+  }
+
+  test("resample/reproject fail fast on temporal layers") {
+    val l = RasterLayer.fromCellsTemporal(
+      Seq((0L, 0L, 1L, 2.0)).toDF("x", "y", "instant", "v"), layout)
+    intercept[IllegalArgumentException](Resample.bilinearTiled(l, 8, 16, 4))
+    intercept[IllegalArgumentException](
+      Resample.kernelTiled(l, 8, 16, Resample.Kernel.CubicConvolution, 4))
+    intercept[IllegalArgumentException](Reproject.latLngGridToWebMercatorTiled(l, 0.01, 4))
+  }
+
   test("focal on a temporal layer keeps instants separate") {
     // same cell (3,0)/(4,0) straddles a tile border; instants 1 and 2
     // would cross-contaminate if the halo ignored time
