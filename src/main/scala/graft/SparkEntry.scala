@@ -152,6 +152,12 @@ object SparkEntry {
     "q_point_values" -> ((s, dir) =>
       ZonalOps.pointValues(lineitemLayer(s, dir), supplierPoints(s, dir))),
 
+    "q_point_values_bilinear" -> ((s, dir) =>
+      // 4-corner weighted sums of non-integral products -> round both
+      // sides (CLAUDE.md float rule)
+      ZonalOps.pointValuesBilinear(lineitemLayer(s, dir), supplierPoints(s, dir))
+        .select(col("pid"), round(col("v"), 5).as("v"))),
+
     "q_rasterize_geoms" -> ((s, dir) => {
       // diamond features DERIVED from the supplier table, serialized
       // to WKT text and parsed back in the executors — the data-driven
@@ -744,6 +750,19 @@ object SparkEntry {
         s"""SELECT p.pid AS pid, g.v AS v
            |FROM ($pts) p JOIN ($grid) g
            |  ON g.x = CAST(floor(p.px) AS BIGINT) AND g.y = CAST(floor(p.py) AS BIGINT)""".stripMargin,
+
+      "q_point_values_bilinear" ->
+        s"""WITH b AS (
+           |  SELECT pid, CAST(floor(px - 0.5) AS BIGINT) AS x0, CAST(floor(py - 0.5) AS BIGINT) AS y0,
+           |         px - 0.5 - floor(px - 0.5) AS tx, py - 0.5 - floor(py - 0.5) AS ty
+           |  FROM ($pts)),
+           |c AS (
+           |  SELECT pid, x0 AS cx, y0 AS cy, (1 - tx) * (1 - ty) AS w FROM b
+           |  UNION ALL SELECT pid, x0 + 1, y0, tx * (1 - ty) FROM b
+           |  UNION ALL SELECT pid, x0, y0 + 1, (1 - tx) * ty FROM b
+           |  UNION ALL SELECT pid, x0 + 1, y0 + 1, tx * ty FROM b),
+           |j AS (SELECT c.pid, c.w, g.v FROM c JOIN ($grid) g ON g.x = c.cx AND g.y = c.cy)
+           |SELECT pid, round(sum(w * v), 5) AS v FROM j GROUP BY pid HAVING count(*) = 4""".stripMargin,
 
       "q_cost_distance" -> costDistanceSql(grid, pts),
 

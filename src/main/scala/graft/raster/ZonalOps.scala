@@ -153,6 +153,46 @@ object ZonalOps {
     * reference get_point_values (layer.py:2215). Points join tiles on
     * the tile key (broadcast when small), cell picked with element_at:
     * one narrow join, no explode. */
+  /** get_point_values with bilinear resampling (layer.py:2215 takes a
+    * ResampleMethod): sample at (px, py) interpolating the 4 cell
+    * centers around the point. A point yields a value only when all
+    * four taps exist (the same all-taps rule as Resample.bilinear*).
+    * Shape: each point explodes to 4 weighted corner cells, one
+    * broadcast-or-shuffle join against the tiles, then a 4-row groupBy
+    * per point. */
+  def pointValuesBilinear(layer: RasterLayer, points: DataFrame): DataFrame = {
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val base = points.select(col("pid"),
+      floor(col("px") - 0.5).cast("long").as("x0"),
+      floor(col("py") - 0.5).cast("long").as("y0"),
+      (col("px") - 0.5 - floor(col("px") - 0.5)).as("tx"),
+      (col("py") - 0.5 - floor(col("py") - 0.5)).as("ty"))
+    val one = lit(1.0)
+    val corners = base.select(col("pid"), explode(array(
+        struct(col("x0").as("cx"), col("y0").as("cy"),
+          ((one - col("tx")) * (one - col("ty"))).as("w")),
+        struct((col("x0") + 1).as("cx"), col("y0").as("cy"),
+          (col("tx") * (one - col("ty"))).as("w")),
+        struct(col("x0").as("cx"), (col("y0") + 1).as("cy"),
+          ((one - col("tx")) * col("ty")).as("w")),
+        struct((col("x0") + 1).as("cx"), (col("y0") + 1).as("cy"),
+          (col("tx") * col("ty")).as("w")))).as("c"))
+      .select(col("pid"), col("c.cx").as("cx"), col("c.cy").as("cy"), col("c.w").as("w"))
+      .where(col("cx") >= 0 && col("cy") >= 0 &&
+        col("cx") < tl.totalCols && col("cy") < tl.totalRows)
+      .withColumn("col", (col("cx") / tc).cast("int"))
+      .withColumn("row", (col("cy") / tr).cast("int"))
+      .withColumn("off", ((col("cy") % tr) * tc + (col("cx") % tc)).cast("int"))
+    corners.join(layer.df, Seq("col", "row"))
+      .select(col("pid"), col("w"), element_at(col("tile"), col("off") + 1).as("cv"))
+      .where(!isnan(col("cv")))
+      .groupBy(col("pid"))
+      .agg(sum(col("w") * col("cv")).as("_v"), count(lit(1)).as("_n"))
+      .where(col("_n") === 4)
+      .select(col("pid"), col("_v").as("v"))
+  }
+
   def pointValues(layer: RasterLayer, points: DataFrame): DataFrame = {
     val tl = layer.meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)

@@ -198,6 +198,19 @@ class RasterLayerSpec extends SparkSpec {
     assert(got.contains((4L, 0L, 2L, 100.0))) // instant 2 sees only itself
   }
 
+  test("pointValuesBilinear interpolates 4 cell centers, drops partial taps") {
+    val l = layer((0, 0, 1.0), (1, 0, 3.0), (0, 1, 5.0), (1, 1, 7.0), (4, 4, 9.0))
+    val pts = Seq(
+      (1L, 1.0, 1.0),   // equidistant from the 4 corners -> plain average = 4.0
+      (2L, 1.0, 0.75),  // ty = 0.25 -> 0.75*(1,3 avg) + 0.25*(5,7 avg) = 3.0
+      (3L, 4.5, 4.5),   // corner (5,4)/(4,5)/(5,5) missing -> dropped
+      (4L, 0.2, 0.2)    // x0 = -1 outside the grid -> dropped
+    ).toDF("pid", "px", "py")
+    val got = ZonalOps.pointValuesBilinear(l, pts)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 4.0, 2L -> 3.0))
+  }
+
   test("zonal stats groups cells by zone raster") {
     val v = layer((0, 0, 1.0), (1, 0, 3.0), (2, 0, 5.0))
     val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 8.0))
