@@ -606,7 +606,10 @@ object SparkEntry {
        |  FROM t WHERE len(toks) >= 5)),
        |hx AS (SELECT doc_id, h % $p AS x FROM sh),
        |sig AS (SELECT doc_id, $minCols FROM hx GROUP BY 1),
-       |banded AS ($bandSelects),
+       |banded0 AS ($bandSelects),
+       |hotb AS (SELECT band, bkey FROM banded0 GROUP BY 1, 2
+       |         HAVING count(*) > ${pipeline.Dedup.MinhashMaxBucket}),
+       |banded AS (SELECT banded0.* FROM banded0 ANTI JOIN hotb USING (band, bkey)),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }

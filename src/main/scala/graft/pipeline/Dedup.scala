@@ -105,6 +105,9 @@ object Dedup {
   }
 
   val MinhashP = 2147483647L // 2^31 - 1
+
+  /** Default LSH bucket-size cap (see [[minhashPairs]]). */
+  val MinhashMaxBucket = 1000L
   /** Deterministic (a_i, b_i) parameters for the k hash functions. */
   def minhashParams(k: Int): Seq[(Long, Long)] =
     (1 to k).map(i => (1103515245L * i % MinhashP, 12345L * i % MinhashP))
@@ -121,16 +124,29 @@ object Dedup {
   }
 
   /** LSH candidate pairs: bands of `rows` signature components; docs
-    * colliding in any band pair up; est_sim = matching components / k. */
+    * colliding in any band pair up; est_sim = matching components / k.
+    *
+    * `maxBucket` is the skew guard for scale, ON by default: a bucket
+    * holding more than that many docs is dropped before the self-join
+    * (k docs in one bucket means k^2 candidate pairs — one degenerate
+    * boilerplate bucket in a 10^9-doc corpus would melt a single
+    * reducer). Real near-dup families are orders of magnitude smaller;
+    * the cap is mirrored in the oracle CTE. */
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
-                   minEstSim: Double = 0.5): DataFrame = {
+                   minEstSim: Double = 0.5,
+                   maxBucket: Option[Long] = Some(MinhashMaxBucket)): DataFrame = {
     val rows = k / bands
     val sig = minhashSignatures(docs, k).localCheckpoint()
     val bandDfs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
       sig.select(col("doc_id"), lit(b).as("band"), concat_ws("_", cols: _*).as("bkey"))
     }
-    val banded = bandDfs.reduce(_ unionByName _)
+    val all = bandDfs.reduce(_ unionByName _)
+    val banded = maxBucket.fold(all) { cap =>
+      val hot = all.groupBy("band", "bkey").agg(count(lit(1)).as("_n"))
+        .where(col("_n") > cap).select(col("band"), col("bkey"))
+      all.join(hot, Seq("band", "bkey"), "left_anti")
+    }
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

@@ -96,6 +96,15 @@ class PipelineSpec extends SparkSpec {
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
 
+  test("minhash LSH bucket cap drops degenerate boilerplate buckets") {
+    val boiler = (1L to 5L).map(i => (i, "exactly the same boilerplate text repeated again and again here", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // all 5 docs share every bucket: cap 3 kills the bucket -> no pairs
+    assert(Dedup.minhashPairs(boiler, maxBucket = Some(3L)).count() == 0)
+    // without the cap the clique comes back
+    assert(Dedup.minhashPairs(boiler, maxBucket = None).count() == 10)
+  }
+
   test("connected components: chain, clique, singletons, pair-order invariance") {
     // chain 10-11-...-19 (diameter stresses the star rounds), clique
     // {30,31,32}, pair {40,41} given in descending order, singleton 50
