@@ -360,12 +360,10 @@ object SparkEntry {
 
     "q_star_series" -> ((s, dir) => {
       // star_series / mean_series family (layer.py:2014-2042): summary
-      // per instant inside a geometry; re-aggregated non-integral
-      // doubles -> round(...,5) both sides (CLAUDE.md float rule)
+      // per instant inside a geometry; exact decimal sums make every
+      // column deterministic with no rounding (see temporalSeries doc)
       val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
       ZonalOps.temporalSeries(l, Geometry.diamond(32, 32, 20.3))
-        .select(col("instant"), round(col("vsum"), 5).as("vsum"), col("vcount"),
-          col("vmin"), col("vmax"), round(col("vmean"), 5).as("vmean"))
     }),
 
     "q_hist_mode" -> ((s, dir) =>
@@ -964,8 +962,9 @@ object SparkEntry {
            |GROUP BY 1, 2, 3""".stripMargin,
 
       "q_star_series" ->
-        s"""SELECT instant, round(sum(v), 5) AS vsum, count(*) AS vcount,
-           |  min(v) AS vmin, max(v) AS vmax, round(sum(v) / count(*), 5) AS vmean
+        s"""SELECT instant, CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS vsum,
+           |  count(*) AS vcount, min(v) AS vmin, max(v) AS vmax,
+           |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS vmean
            |FROM ($egrid) WHERE abs(x + 0.5 - 32) + abs(y + 0.5 - 32) < 20.3
            |GROUP BY instant""".stripMargin,
 

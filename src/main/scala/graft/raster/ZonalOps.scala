@@ -105,23 +105,24 @@ object ZonalOps {
   /** Temporal per-geometry series — reference star_series and its
     * mean/max/min/sum_series family (layer.py:2014-2042): summarize
     * the cells inside a geometry separately at EACH instant of a
-    * space-time layer. Per-tile partial stats (TileStatsExpr) feed one
-    * tiny groupBy(instant); the per-cell values never leave the map
-    * stage, so the shuffle carries one stats row per (instant, tile). */
+    * space-time layer. Masked cells partial-aggregate per instant
+    * map-side, so only one row per (instant, partition) crosses the
+    * exchange (same shape as zonalStats).
+    *
+    * Sums go through DECIMAL(18,6): cell values are decimal-quantized,
+    * so a float sum's last ulp depends on reduction order and a
+    * rounded mean can flip at a boundary (bit Spark and the DuckDB
+    * oracle differently — observed flaky). Exact decimal sums + one
+    * double division are deterministic with no rounding at all. */
   def temporalSeries(layer: RasterLayer, poly: Polygon): DataFrame = {
     require(layer.meta.temporal, "star_series requires a space-time layer")
-    def nanNull(c: Column) = when(isnan(c), lit(null)).otherwise(c)
-    maskGrid(layer, Seq(poly)).df
-      .select(col("instant"),
-        org.apache.spark.sql.graft.TileStatsExpr.tileStats(col("tile")).as("st"))
+    maskGrid(layer, Seq(poly)).toCells
       .groupBy(col("instant"))
-      .agg(sum(col("st.vsum")).as("_sum"),
-           sum(col("st.vcnt")).cast("long").as("vcount"),
-           min(nanNull(col("st.vmin"))).as("vmin"),
-           max(nanNull(col("st.vmax"))).as("vmax"))
-      .where(col("vcount") > 0)
-      .select(col("instant"), col("_sum").as("vsum"), col("vcount"),
-        col("vmin"), col("vmax"), (col("_sum") / col("vcount")).as("vmean"))
+      .agg(sum(col("v").cast("decimal(18,6)")).as("_dsum"),
+           count(lit(1)).as("vcount"), min("v").as("vmin"), max("v").as("vmax"))
+      .select(col("instant"), col("_dsum").cast("double").as("vsum"), col("vcount"),
+        col("vmin"), col("vmax"),
+        (col("_dsum").cast("double") / col("vcount")).as("vmean"))
   }
 
   /** Zonal statistics of `values` grouped by the co-located `zones`

@@ -65,6 +65,97 @@ object Events {
       .withColumn("fp", md5(col("text")))
       .dropDuplicatesWithinWatermark("fp")
 
+  final case class NearDup(doc_id: Long, dup_of: Long, est_sim: Double)
+  final case class BucketState(docs: List[(Long, Seq[Long])])
+
+  /** Streaming MinHash near-dup detection — the streaming twin of
+    * pipeline.Dedup.minhashPairs. Per-doc signatures are computed with
+    * pure column HOFs (shingle -> hash -> k mins), so the only stateful
+    * stage is the per-LSH-bucket match: each bucket keys a
+    * flatMapGroupsWithState whose state holds the signatures seen in
+    * that bucket inside the watermark horizon. A new doc that matches
+    * a stored signature at >= minEstSim emits (doc, dup_of, est_sim)
+    * against the EARLIEST matching doc (deterministic); a doc can
+    * surface once per colliding band, so downstream consumers distinct
+    * on doc_id.
+    *
+    * Scale levers: state is bounded by (watermark horizon x bucket
+    * cardinality) and hard-capped at `maxStatePerBucket` signatures
+    * per bucket (same degenerate-boilerplate guard as the batch
+    * bucket cap); docs shorter than the shingle size pass through
+    * unmatched (they never enter a bucket). */
+  def streamingNearDup(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                       shingleK: Int = 5, minEstSim: Double = 0.5,
+                       maxStatePerBucket: Int = 1000,
+                       tsCol: String = "ts"): Dataset[NearDup] = {
+    import graft.pipeline.Dedup
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = k / bands
+    val p = Dedup.MinhashP
+
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val shingles = transform(
+      sequence(lit(1), size(col("_toks")) - (shingleK - 1)),
+      i => concat_ws(" ", slice(col("_toks"), i, lit(shingleK))))
+    val hashes = transform(col("_sh"),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % p)
+    val sig = array(Dedup.minhashParams(k).map { case (a, b) =>
+      array_min(transform(col("_hx"), x => (x * a + b) % p))
+    }: _*)
+
+    docs
+      .withColumn("ets", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withWatermark("ets", "1 hour")
+      .withColumn("_toks", toks)
+      .where(size(col("_toks")) >= shingleK)
+      .withColumn("_sh", shingles)
+      .withColumn("_hx", hashes)
+      .withColumn("_sig", sig)
+      .select(col("doc_id").as[Long], col("_sig").as[Seq[Long]],
+        explode(array((0 until bands).map { b =>
+          concat_ws("_", lit(b) +: (b * rows until (b + 1) * rows)
+            .map(i => element_at(col("_sig"), i + 1)): _*)
+        }: _*)).as[String], col("ets").as[java.sql.Timestamp])
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[BucketState, NearDup](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, it: Iterator[(Long, Seq[Long], String, java.sql.Timestamp)],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(BucketState(Nil)).docs
+            val out = List.newBuilder[NearDup]
+            val batch = it.toSeq
+            // deterministic within-batch order: by doc_id
+            batch.sortBy(_._1).foreach { case (id, s, _, _) =>
+              val hit = seen.reverseIterator.collectFirst {
+                // earliest stored doc whose signature matches enough
+                case (oid, os) if {
+                  var m = 0; var i = 0
+                  while (i < k) { if (os(i) == s(i)) m += 1; i += 1 }
+                  m.toDouble / k >= minEstSim && oid != id
+                } =>
+                  var m = 0; var i = 0
+                  while (i < k) { if (os(i) == s(i)) m += 1; i += 1 }
+                  NearDup(id, oid, m.toDouble / k)
+              }
+              hit.foreach(out += _)
+              if (seen.size < maxStatePerBucket) seen = (id, s) :: seen
+            }
+            state.update(BucketState(seen))
+            // expire the bucket one horizon past this batch's newest
+            // event (NOT the pre-batch watermark, which starts at 0 and
+            // would expire everything immediately)
+            val maxMs = batch.iterator.map(_._4.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxMs, state.getCurrentWatermarkMs()) + 3600L * 1000)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming raster ingestion: a stream of scenes (UntiledRaster
     * schema) is tiled per micro-batch and appended to the catalog —
     * the readStream -> tiles -> store pipeline a live imagery feed

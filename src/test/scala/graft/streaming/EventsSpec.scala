@@ -73,6 +73,29 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup flags minhash matches across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    // identical text => identical signatures => guaranteed bucket hit
+    // (probabilistic near-collisions are exercised in PipelineSpec,
+    // which shares the same signature math)
+    val a  = "the quick brown fox jumps over the lazy dog again and again today"
+    val a2 = a
+    val b  = "completely different content about spark distributed computing engines at scale"
+    val out = Events.streamingNearDup(mem.toDF().toDF("doc_id", "text", "ts"))
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, a, ns(10))))
+      q.processAllAvailable()
+      mem.addData(Seq((2L, a2, ns(20)), (3L, b, ns(30)))) // a2 near-dups doc 1
+      q.processAllAvailable()
+      val dups = spark.table("neardup").select("doc_id", "dup_of")
+        .as[(Long, Long)].collect().toSet
+      assert(dups == Set((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming scene ingestion tiles micro-batches into the catalog") {
     implicit val sqlCtx = spark.sqlContext
     import graft.core.{Extent, LayoutDefinition, TileLayout}
