@@ -491,6 +491,46 @@ object GeoTiff {
     out
   }
 
+  /** Read every GeoTIFF under a path into scenes — reference
+    * geotiff.get (geotiff.py:18), the ingestion entry point. The
+    * Spark-first shape: `binaryFile` source (distributed listing +
+    * read, URI-transparent across local/HDFS/S3 via Hadoop FS),
+    * per-file decode in the executors, scene_id from the file name
+    * hash. `pathGlobFilter`/recursive lookup come free from the
+    * source; at scale files land one-per-task and decode stays a
+    * narrow map. Chain `.tileToLayout(...)` for the tiled layer. */
+  def readFolder(spark: org.apache.spark.sql.SparkSession, path: String,
+                 glob: String = "*.tif"): UntiledRaster = {
+    import spark.implicits._
+    val scenes = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val (ox, oy, cw, ch, cols, rows, cells) = decodeTile(bytes)
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val id = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        (id, ox, oy - rows * ch, ox + cols * cw, oy, cols, rows, cells.toSeq)
+      }
+      .toDF("scene_id", "xmin", "ymin", "xmax", "ymax", "cols", "rows", "cells")
+    UntiledRaster(scenes)
+  }
+
+  /** Write each tile of a layer as its own GeoTIFF file under `dir`
+    * (reference write path for per-tile exports): executors write
+    * their partitions directly — nothing funnels through the driver. */
+  def writeFolder(layer: RasterLayer, dir: String, deflate: Boolean = true): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    toGeoTiff(layer, deflate).foreachPartition { it: Iterator[GeoTiffTile] =>
+      it.foreach { t =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/tile_${t.col}_${t.row}.tif"), t.tiff)
+      }
+    }
+  }
+
   /** Per-tile GeoTIFF bytes for a layer — reference to_geotiff_rdd
     * (compression per constants.py:282). */
   def toGeoTiff(layer: RasterLayer, deflate: Boolean = false): Dataset[GeoTiffTile] = {

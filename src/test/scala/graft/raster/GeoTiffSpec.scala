@@ -138,6 +138,17 @@ class GeoTiffSpec extends SparkSpec {
     assert(err.getMessage.contains("maxTiles"))
   }
 
+  test("writeFolder/readFolder roundtrip through per-tile files") {
+    val cells = Seq((0L, 0L, 1.5), (3L, 3L, 2.5), (4L, 4L, 3.5), (7L, 7L, 4.5))
+    val l = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+    val dir = Files.createTempDirectory("graft_folder").toString + "/tiffs"
+    GeoTiff.writeFolder(l, dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tif")) > 1)
+    val back = GeoTiff.readFolder(spark, dir).tileToLayout(layout, CellOp.Max)
+    val got = back.toCells.as[(Long, Long, Double)].collect().toSet
+    assert(got == cells.map { case (x, y, v) => (x, y, v.toFloat.toDouble) }.toSet)
+  }
+
   test("pyramid write stores all zoom levels side by side") {
     val dir = Files.createTempDirectory("graft_pyr").toString
     val base = RasterLayer.fromCells(
