@@ -163,13 +163,22 @@ object Catalog {
 
   /** Append tiles of `layer` to an existing stored layer — reference
     * update_layer (catalog.py:287). Readers resolve duplicate keys via
-    * aggregateByCell/merge on read. */
+    * aggregateByCell/merge on read. Mirrors write's ordering so the
+    * appended files keep the same parquet min/max pruning properties:
+    * temporal layers range-partition + sort on (instant, zindex), so
+    * queryTime's file-skipping promise holds for appended instants. */
   def update(uri: String, name: String, layer: RasterLayer, zoom: Int = 0): Unit = {
     val idxCol = ZIndex.zorderCol(col("col").cast("long"), col("row").cast("long"))
-    layer.df
-      .withColumn("zoom", lit(zoom))
-      .withColumn("zindex", idxCol)
-      .sortWithinPartitions("zindex")
+    val ordered =
+      if (layer.meta.temporal)
+        layer.df.withColumn("zoom", lit(zoom)).withColumn("zindex", idxCol)
+          .repartitionByRange(col("instant"), col("zindex"))
+          .sortWithinPartitions("instant", "zindex")
+      else
+        layer.df.withColumn("zoom", lit(zoom)).withColumn("zindex", idxCol)
+          .repartitionByRange(col("zindex"))
+          .sortWithinPartitions("zindex")
+    ordered
       .write.mode("append")
       .partitionBy("zoom")
       .parquet(s"$uri/$name/tiles")

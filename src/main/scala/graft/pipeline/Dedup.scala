@@ -261,11 +261,18 @@ object Dedup {
         .select(col("e.c").as("u"), col("e.m").as("v")))
         .localCheckpoint()
       val cur = sig(ss)
-      converged = cur == prev
+      // signature (count + order-free hash sum) is the cheap screen; a
+      // match is confirmed with an exact set compare so a hash
+      // collision can never stop the loop early (counts already match
+      // when cur == prev, so one except direction suffices)
+      converged = cur == prev && ss.except(e).isEmpty
       prev = cur
       e = ss
       it += 1
     }
+    require(converged || it < maxIter,
+      s"connectedComponents did not converge in $maxIter large/small-star " +
+      "rounds — result would be a partial edge set, not components; raise maxIter")
     val roots = e.groupBy(col("u").as("doc_id")).agg(min("v").as("_comp"))
     vertices.select(col("doc_id").cast("long").as("doc_id"))
       .join(roots, Seq("doc_id"), "left")

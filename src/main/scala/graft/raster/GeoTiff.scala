@@ -240,6 +240,9 @@ object GeoTiff {
     * with an actionable error instead of an OOM. */
   def saveStitched(layer: RasterLayer, path: String, deflate: Boolean = true,
                    maxCells: Long = 256L * 1024 * 1024): Unit = {
+    require(!layer.meta.temporal,
+      "saveStitched on a temporal layer would mix instants (last-write-wins " +
+      "paint order); aggregate (aggregateByTime/toSpatial) or filter first")
     val spark = layer.df.sparkSession
     import spark.implicits._
     val tiles = layer.df.select(col("col"), col("row"), col("tile"))
@@ -327,6 +330,10 @@ object GeoTiff {
   def saveCog(layer: RasterLayer, path: String, deflate: Boolean = true,
               maxTiles: Long = 1L << 20): Unit = {
     val meta = layer.meta
+    require(!meta.temporal,
+      "saveCog on a temporal layer would silently keep one arbitrary instant " +
+      "per (col,row); aggregate (aggregateByTime/toSpatial) or filter to a " +
+      "spatial layer first")
     val tl = meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
     require(tc % 16 == 0 && tr % 16 == 0, "TIFF tile dims must be multiples of 16")
@@ -365,23 +372,27 @@ object GeoTiff {
     val dataStart = geoOff + geoShorts.length * 2
 
     // assign block offsets: optional shared empty block first, then
-    // present tiles in row-major key order
-    var cursor = dataStart + (if (hasEmpty) emptyBlock.length else 0)
+    // present tiles in row-major key order. Cursor is a Long so an
+    // oversized layer fails the guard below instead of overflowing —
+    // classic-TIFF offsets are 32-bit, and our reader treats them as
+    // signed ints, so the whole file must stay under 2 GiB.
+    var cursor: Long = dataStart.toLong + (if (hasEmpty) emptyBlock.length.toLong else 0L)
     val emptyOff = dataStart
     val keys = for (r <- 0 until down; c <- 0 until across) yield (c, r)
-    val offsets = new Array[Int](n); val counts = new Array[Int](n)
-    val blocks = Seq.newBuilder[Array[Byte]]
+    val offsets = new Array[Long](n); val counts = new Array[Int](n)
     keys.zipWithIndex.foreach { case (k, i) =>
       packed.get(k) match {
         case Some(b) =>
           offsets(i) = cursor; counts(i) = b.length; cursor += b.length
-          blocks += b
         case None =>
           offsets(i) = emptyOff; counts(i) = emptyBlock.length
       }
     }
+    require(cursor <= Int.MaxValue,
+      s"COG would be $cursor bytes — over the 2 GiB classic-TIFF offset " +
+      s"limit; shard the layer (writeFolder per-tile export) or split by extent")
 
-    val buf = ByteBuffer.allocate(cursor).order(ByteOrder.LITTLE_ENDIAN)
+    val buf = ByteBuffer.allocate(dataStart).order(ByteOrder.LITTLE_ENDIAN)
     buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
     buf.putShort(nTags.toShort)
     def tag(id: Int, typ: Int, count: Int, value: Int): Unit =
@@ -395,22 +406,28 @@ object GeoTiff {
     tag(TagPlanarConfig, 3, 1, 1)
     tag(TagTileWidth, 3, 1, tc)
     tag(TagTileLength, 3, 1, tr)
-    tag(TagTileOffsets, 4, n, if (n > 1) offArrOff else offsets(0))
+    tag(TagTileOffsets, 4, n, if (n > 1) offArrOff else offsets(0).toInt)
     tag(TagTileByteCounts, 4, n, if (n > 1) cntArrOff else counts(0))
     tag(TagSampleFormat, 3, 1, 3)
     tag(TagModelPixelScale, 12, 3, scaleOff)
     tag(TagModelTiepoint, 12, 6, tieOff)
     tag(TagGeoKeyDirectory, 3, geoShorts.length, geoOff)
     buf.putInt(0)
-    if (n > 1) { offsets.foreach(buf.putInt); counts.foreach(buf.putInt) }
+    if (n > 1) { offsets.foreach(o => buf.putInt(o.toInt)); counts.foreach(buf.putInt) }
     val e = meta.layout.extent
     buf.putDouble(meta.layout.cellWidth).putDouble(meta.layout.cellHeight).putDouble(0.0)
     buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
       .putDouble(e.xmin).putDouble(e.ymax).putDouble(0.0)
     geoShorts.foreach(s => buf.putShort(s.toShort))
-    if (hasEmpty) buf.put(emptyBlock)
-    blocks.result().foreach(buf.put)
-    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+    // stream: header/IFD buffer, then blocks straight from the packed
+    // map in offset order — never a whole-file buffer on the driver
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try {
+      out.write(buf.array())
+      if (hasEmpty) out.write(emptyBlock)
+      keys.foreach(k => packed.get(k).foreach(out.write))
+    } finally out.close()
   }
 
   /** Windowed read of an internally-tiled GeoTIFF ([[saveCog]] subset
@@ -535,6 +552,9 @@ object GeoTiff {
     * (compression per constants.py:282). */
   def toGeoTiff(layer: RasterLayer, deflate: Boolean = false): Dataset[GeoTiffTile] = {
     val meta = layer.meta
+    require(!meta.temporal,
+      "toGeoTiff/writeFolder on a temporal layer collides per-tile outputs " +
+      "across instants (duplicate (col,row) keys); aggregate or filter first")
     val tl = meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
     val e: Extent = meta.layout.extent

@@ -109,14 +109,13 @@ object Pyramid {
   }
 
   /** Write every level of a pyramid to the catalog under one name —
-    * reference Pyramid.write (layer.py:2654). First level writes the
-    * store (and the metadata sidecar, which records tile dims — shared
-    * by all zooms); further levels append their zoom partition. */
+    * reference Pyramid.write (layer.py:2654). Every level goes through
+    * Catalog.write: dynamic partitionOverwriteMode replaces only that
+    * zoom's partition, so a re-run is idempotent (an append here would
+    * double every non-base zoom). The metadata sidecar (tile dims,
+    * shared by all zooms) is rewritten per level; last write wins. */
   def write(uri: String, name: String, levels: Seq[(Int, RasterLayer)]): Unit =
-    levels.zipWithIndex.foreach { case ((zoom, l), i) =>
-      if (i == 0) graft.catalog.Catalog.write(uri, name, l, zoom)
-      else graft.catalog.Catalog.update(uri, name, l, zoom)
-    }
+    levels.foreach { case (zoom, l) => graft.catalog.Catalog.write(uri, name, l, zoom) }
 
   /** Full pyramid down to a single tile: zoom -> layer map, highest
     * zoom first (reference Pyramid class layer.py:2617). */
