@@ -114,6 +114,18 @@ object GridSource {
                expr(s"ts div $NanosPerDay").as("instant"))
       .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
 
+  /** Dense SpaceTime cells from lineitem (64-grid, 3 instants): the
+    * events grid is too sparse per instant for 4-corner interpolation
+    * rules, so temporal resample uses this ~5-rows-per-cell grid. */
+  def lineitemTemporalCells(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy((col("l_orderkey") % 64).as("x"), (col("l_partkey") % 64).as("y"),
+               (col("l_suppkey") % 3).cast("long").as("instant"))
+      .agg(sum("l_quantity").as("v"))
+
+  val lineitemTemporalCellsSql: String =
+    "SELECT l_orderkey % 64 AS x, l_partkey % 64 AS y, CAST(l_suppkey % 3 AS BIGINT) AS instant, sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2, 3"
+
   val eventCellsSql: String =
     "SELECT user_id % 64 AS x, event_id % 64 AS y, CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS instant, CAST(sum(CAST(\"value\" AS DECIMAL(18,6))) AS DOUBLE) AS v FROM events GROUP BY 1, 2, 3"
 }

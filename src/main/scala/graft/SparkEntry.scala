@@ -377,6 +377,23 @@ object SparkEntry {
       l.aggregateByTime(7L, "Max").toCells
     }),
 
+    "q_resample_time" -> ((s, dir) => {
+      // bilinear resample of a SPACETIME layer: instant rides the
+      // gather's shuffle key, each instant interpolates independently
+      // (dense lineitem temporal grid — events is too sparse for the
+      // all-4-corners rule to leave a meaningful result)
+      val l = RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64)
+      val r = Resample.bilinearTiled(l, 64, 48, dstTile = 16)
+      r.toCells.select(col("x"), col("y"), col("instant"), round(col("v"), 5).as("v"))
+    }),
+
+    "q_reproject_time" -> ((s, dir) => {
+      // reproject a SPACETIME layer: per-instant inverse sampling
+      // through the same tiled gather keyed on (instant, col, row)
+      val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
+      Reproject.latLngGridToWebMercatorTiled(l, 0.1, dstTile = 32).toCells
+    }),
+
     "q_spatial_partition" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).partitionByKey(8))),
 
@@ -622,6 +639,7 @@ object SparkEntry {
     val pts    = supplierPointsSql
     val lonlat = customerLonLatSql
     val egrid  = eventCellsSql
+    val tgrid  = lineitemTemporalCellsSql
     Map(
       "q_rasterize" -> s"SELECT x, y, v FROM ($grid)",
 
@@ -974,6 +992,53 @@ object SparkEntry {
       "q_time_resample" ->
         s"""SELECT x, y, (instant // 7) * 7 AS instant, max(v) AS v
            |FROM ($egrid) GROUP BY 1, 2, 3""".stripMargin,
+
+      "q_resample_time" ->
+        // one (x,y)-keyed join + a corner pivot instead of four
+        // corner self-joins: the self-join form only links corners
+        // through a shared instant, which invites a cross-product
+        // join order; the pivot keeps max-of-one-value determinism
+        // and states the blend in Spark's exact expression order
+        s"""WITH g AS ($tgrid), t AS (
+           |  SELECT t1.range AS i, t2.range AS j,
+           |         (t1.range + 0.5) * 64 / 48 - 0.5 AS sx,
+           |         (t2.range + 0.5) * 64 / 48 - 0.5 AS sy
+           |  FROM range(0, 48) t1, range(0, 48) t2),
+           |k AS (SELECT i, j, CAST(floor(sx) AS BIGINT) AS x0, CAST(floor(sy) AS BIGINT) AS y0,
+           |             sx - CAST(floor(sx) AS BIGINT) AS fx, sy - CAST(floor(sy) AS BIGINT) AS fy FROM t),
+           |o(dx, dy) AS (VALUES (0, 0), (1, 0), (0, 1), (1, 1)),
+           |c AS (SELECT k.i, k.j, k.fx, k.fy, g.instant, o.dx, o.dy, g.v
+           |      FROM k JOIN o ON true
+           |             JOIN g ON g.x = k.x0 + o.dx AND g.y = k.y0 + o.dy),
+           |p AS (SELECT i, j, fx, fy, instant,
+           |             max(CASE WHEN dx = 0 AND dy = 0 THEN v END) AS va,
+           |             max(CASE WHEN dx = 1 AND dy = 0 THEN v END) AS vb,
+           |             max(CASE WHEN dx = 0 AND dy = 1 THEN v END) AS vc,
+           |             max(CASE WHEN dx = 1 AND dy = 1 THEN v END) AS vd,
+           |             count(*) AS n
+           |      FROM c GROUP BY 1, 2, 3, 4, 5)
+           |SELECT i AS x, j AS y, instant,
+           |  round(va * (1.0 - fx) * (1.0 - fy) + vb * fx * (1.0 - fy)
+           |      + vc * (1.0 - fx) * fy + vd * fx * fy, 5) AS v
+           |FROM p WHERE n = 4""".stripMargin,
+
+      "q_reproject_time" -> {
+        // same embedded-constant discipline as q_reproject_raster, on
+        // the 64-grid events layer; v is moved, never recomputed
+        val n = 64; val d = 0.1
+        val mxMin = CRS.lngToMercX(0); val mxMax = CRS.lngToMercX(n * d)
+        val myMin = CRS.latToMercY(0); val myMax = CRS.latToMercY(n * d)
+        val cw = (mxMax - mxMin) / n; val ch = (myMax - myMin) / n
+        s"""WITH g AS ($egrid), t AS (
+           |  SELECT t1.range AS tx, t2.range AS ty,
+           |         $mxMin + (t1.range + 0.5) * $cw AS mx,
+           |         $myMax - (t2.range + 0.5) * $ch AS my
+           |  FROM range(0, $n) t1, range(0, $n) t2)
+           |SELECT tx AS x, ty AS y, instant, v
+           |FROM t JOIN g
+           |  ON g.x = CAST(floor(degrees(mx / 6378137.0) / $d) AS BIGINT)
+           | AND g.y = CAST(floor((${n * d} - degrees(atan(exp(my / 6378137.0)) * 2 - pi() / 2)) / $d) AS BIGINT)""".stripMargin
+      },
 
       "q_spatial_partition" -> s"SELECT x, y, v FROM ($grid)",
 

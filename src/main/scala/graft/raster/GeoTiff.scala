@@ -328,105 +328,139 @@ object GeoTiff {
     * header + blocks to disk. Absent tiles all share one all-NoData
     * block (TIFF permits duplicate tile offsets). */
   def saveCog(layer: RasterLayer, path: String, deflate: Boolean = true,
-              maxTiles: Long = 1L << 20): Unit = {
-    val meta = layer.meta
-    require(!meta.temporal,
-      "saveCog on a temporal layer would silently keep one arbitrary instant " +
-      "per (col,row); aggregate (aggregateByTime/toSpatial) or filter to a " +
-      "spatial layer first")
-    val tl = meta.layout.tileLayout
-    val (tc, tr) = (tl.tileCols, tl.tileRows)
-    require(tc % 16 == 0 && tr % 16 == 0, "TIFF tile dims must be multiples of 16")
-    val across = tl.layoutCols; val down = tl.layoutRows
-    val nTiles = across.toLong * down
-    require(nTiles <= maxTiles,
-      s"$nTiles tiles > maxTiles=$maxTiles: raise the cap or shard the layer first")
-    val spark = layer.df.sparkSession
-    import spark.implicits._
+              maxTiles: Long = 1L << 20): Unit =
+    saveCogPyramid(Seq(layer), path, deflate, maxTiles)
 
-    // distributed per-tile compression; driver sees compressed bytes only
-    val packed: Map[(Int, Int), Array[Byte]] = layer.df
-      .select(col("col"), col("row"), col("tile"))
-      .as[(Int, Int, Seq[Double])]
-      .map { case (c, r, t) => (c, r, packFloats(t, deflate)) }
-      .collect().map { case (c, r, b) => (c, r) -> b }.toMap
-    val emptyBlock = packFloats(Seq.fill(tc * tr)(Double.NaN), deflate)
-    val hasEmpty = packed.size < nTiles
+  /** COG with overviews: base layer + reduced-resolution levels (from
+    * [[Pyramid.levelUp]]) in ONE file as chained IFDs — the full
+    * cloud-optimized-GeoTIFF structure (base IFD first, then each
+    * overview flagged NewSubfileType=reduced-image, as GDAL lays out
+    * COGs). A zoomed-out viewer windows the overview IFD and touches
+    * only those byte ranges ([[readCogWindow]] with `overview = i`).
+    * `levels` ordering: base first, then successively coarser. */
+  def saveCogPyramid(levels: Seq[RasterLayer], path: String,
+                     deflate: Boolean = true, maxTiles: Long = 1L << 20): Unit = {
+    require(levels.nonEmpty)
+    levels.foreach { l =>
+      require(!l.meta.temporal,
+        "COG export on a temporal layer would silently keep one arbitrary " +
+        "instant per (col,row); aggregate (aggregateByTime/toSpatial) or " +
+        "filter to a spatial layer first")
+      val t = l.meta.layout.tileLayout
+      require(t.tileCols % 16 == 0 && t.tileRows % 16 == 0,
+        "TIFF tile dims must be multiples of 16")
+      require(t.layoutCols.toLong * t.layoutRows <= maxTiles,
+        s"${t.layoutCols.toLong * t.layoutRows} tiles > maxTiles=$maxTiles: " +
+        "raise the cap or shard the layer first")
+    }
 
-    val nTags = 15
-    val ifdOffset = 8
-    val ifdSize = 2 + nTags * 12 + 4
-    val n = nTiles.toInt
-    // external data: tile offsets + byte counts (when n > 1), pixel
-    // scale, tiepoint, geokeys, then the (shared) empty block + tiles
-    val offArrOff   = ifdOffset + ifdSize
-    val cntArrOff   = offArrOff + (if (n > 1) 4 * n else 0)
-    val scaleOff    = cntArrOff + (if (n > 1) 4 * n else 0)
-    val tieOff      = scaleOff + 3 * 8
-    val geoOff      = tieOff + 6 * 8
     val geoShorts: Array[Int] = Array(
       1, 1, 0, 3,
       1024, 0, 1, 1,
       1025, 0, 1, 1,
       3072, 0, 1, 3857)
-    val dataStart = geoOff + geoShorts.length * 2
 
-    // assign block offsets: optional shared empty block first, then
-    // present tiles in row-major key order. Cursor is a Long so an
-    // oversized layer fails the guard below instead of overflowing —
-    // classic-TIFF offsets are 32-bit, and our reader treats them as
-    // signed ints, so the whole file must stay under 2 GiB.
-    var cursor: Long = dataStart.toLong + (if (hasEmpty) emptyBlock.length.toLong else 0L)
-    val emptyOff = dataStart
-    val keys = for (r <- 0 until down; c <- 0 until across) yield (c, r)
-    val offsets = new Array[Long](n); val counts = new Array[Int](n)
-    keys.zipWithIndex.foreach { case (k, i) =>
-      packed.get(k) match {
-        case Some(b) =>
-          offsets(i) = cursor; counts(i) = b.length; cursor += b.length
-        case None =>
-          offsets(i) = emptyOff; counts(i) = emptyBlock.length
+    // per-level packed tiles (distributed deflate, driver sees
+    // compressed bytes only) + layout bookkeeping
+    final case class Level(meta: LayerMetadata, packed: Map[(Int, Int), Array[Byte]],
+                           emptyBlock: Array[Byte], keys: Seq[(Int, Int)],
+                           nTags: Int, ifdSize: Int, extSize: Int) {
+      val hasEmpty: Boolean = packed.size < keys.size
+    }
+    val lvls = levels.zipWithIndex.map { case (l, i) =>
+      val t = l.meta.layout.tileLayout
+      val spark = l.df.sparkSession
+      import spark.implicits._
+      val packed = l.df.select(col("col"), col("row"), col("tile"))
+        .as[(Int, Int, Seq[Double])]
+        .map { case (c, r, tile) => (c, r, packFloats(tile, deflate)) }
+        .collect().map { case (c, r, b) => (c, r) -> b }.toMap
+      val emptyBlock = packFloats(Seq.fill(t.tileCols * t.tileRows)(Double.NaN), deflate)
+      val keys = for (r <- 0 until t.layoutRows; c <- 0 until t.layoutCols) yield (c, r)
+      val n = keys.size
+      // base IFD carries geo tags; overviews add NewSubfileType instead
+      val nTags = if (i == 0) 15 else 13
+      val ifdSize = 2 + nTags * 12 + 4
+      val extArrays = if (n > 1) 8 * n else 0 // offsets + counts
+      val extGeo = if (i == 0) 3 * 8 + 6 * 8 + geoShorts.length * 2 else 0
+      Level(l.meta, packed, emptyBlock, keys, nTags, ifdSize, extArrays + extGeo)
+    }
+
+    // file layout: header, [IFD + ext]*, then all data blocks
+    val ifdOffsets = lvls.scanLeft(8L) { (off, lv) => off + lv.ifdSize + lv.extSize }
+    val dataStart = ifdOffsets.last
+    var cursor: Long = dataStart
+    // block offsets per level (shared empty block first per level)
+    val levelOffsets = lvls.map { lv =>
+      val emptyOff = if (lv.hasEmpty) { val o = cursor; cursor += lv.emptyBlock.length; o } else -1L
+      val offs = new Array[Long](lv.keys.size); val cnts = new Array[Int](lv.keys.size)
+      lv.keys.zipWithIndex.foreach { case (k, i) =>
+        lv.packed.get(k) match {
+          case Some(b) => offs(i) = cursor; cnts(i) = b.length; cursor += b.length
+          case None    => offs(i) = emptyOff; cnts(i) = lv.emptyBlock.length
+        }
       }
+      (offs, cnts)
     }
     require(cursor <= Int.MaxValue,
       s"COG would be $cursor bytes — over the 2 GiB classic-TIFF offset " +
       s"limit; shard the layer (writeFolder per-tile export) or split by extent")
 
-    val buf = ByteBuffer.allocate(dataStart).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
-    buf.putShort(nTags.toShort)
+    val buf = ByteBuffer.allocate(dataStart.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffsets(0).toInt)
     def tag(id: Int, typ: Int, count: Int, value: Int): Unit =
       buf.putShort(id.toShort).putShort(typ.toShort).putInt(count).putInt(value)
-    tag(TagImageWidth, 3, 1, tl.totalCols.toInt)
-    tag(TagImageLength, 3, 1, tl.totalRows.toInt)
-    tag(TagBitsPerSample, 3, 1, 32)
-    tag(TagCompression, 3, 1, if (deflate) 8 else 1)
-    tag(TagPhotometric, 3, 1, 1)
-    tag(TagSamplesPerPixel, 3, 1, 1)
-    tag(TagPlanarConfig, 3, 1, 1)
-    tag(TagTileWidth, 3, 1, tc)
-    tag(TagTileLength, 3, 1, tr)
-    tag(TagTileOffsets, 4, n, if (n > 1) offArrOff else offsets(0).toInt)
-    tag(TagTileByteCounts, 4, n, if (n > 1) cntArrOff else counts(0))
-    tag(TagSampleFormat, 3, 1, 3)
-    tag(TagModelPixelScale, 12, 3, scaleOff)
-    tag(TagModelTiepoint, 12, 6, tieOff)
-    tag(TagGeoKeyDirectory, 3, geoShorts.length, geoOff)
-    buf.putInt(0)
-    if (n > 1) { offsets.foreach(o => buf.putInt(o.toInt)); counts.foreach(buf.putInt) }
-    val e = meta.layout.extent
-    buf.putDouble(meta.layout.cellWidth).putDouble(meta.layout.cellHeight).putDouble(0.0)
-    buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
-      .putDouble(e.xmin).putDouble(e.ymax).putDouble(0.0)
-    geoShorts.foreach(s => buf.putShort(s.toShort))
-    // stream: header/IFD buffer, then blocks straight from the packed
-    // map in offset order — never a whole-file buffer on the driver
+    lvls.zipWithIndex.foreach { case (lv, li) =>
+      val t = lv.meta.layout.tileLayout
+      val n = lv.keys.size
+      val (offs, cnts) = levelOffsets(li)
+      val extBase = ifdOffsets(li) + lv.ifdSize
+      val offArrOff = extBase
+      val cntArrOff = offArrOff + (if (n > 1) 4L * n else 0L)
+      val geoBase   = cntArrOff + (if (n > 1) 4L * n else 0L)
+      buf.putShort(lv.nTags.toShort)
+      // tags must stay in ascending id order (TIFF 6.0 requirement)
+      if (li > 0) tag(254, 4, 1, 1) // NewSubfileType = reduced-resolution
+      tag(TagImageWidth, 3, 1, t.totalCols.toInt)
+      tag(TagImageLength, 3, 1, t.totalRows.toInt)
+      tag(TagBitsPerSample, 3, 1, 32)
+      tag(TagCompression, 3, 1, if (deflate) 8 else 1)
+      tag(TagPhotometric, 3, 1, 1)
+      tag(TagSamplesPerPixel, 3, 1, 1)
+      tag(TagPlanarConfig, 3, 1, 1)
+      tag(TagTileWidth, 3, 1, t.tileCols)
+      tag(TagTileLength, 3, 1, t.tileRows)
+      tag(TagTileOffsets, 4, n, if (n > 1) offArrOff.toInt else offs(0).toInt)
+      tag(TagTileByteCounts, 4, n, if (n > 1) cntArrOff.toInt else cnts(0))
+      tag(TagSampleFormat, 3, 1, 3)
+      if (li == 0) {
+        val scaleOff = geoBase
+        val tieOff   = scaleOff + 3 * 8
+        val geoOff   = tieOff + 6 * 8
+        tag(TagModelPixelScale, 12, 3, scaleOff.toInt)
+        tag(TagModelTiepoint, 12, 6, tieOff.toInt)
+        tag(TagGeoKeyDirectory, 3, geoShorts.length, geoOff.toInt)
+      }
+      buf.putInt(if (li + 1 < lvls.size) ifdOffsets(li + 1).toInt else 0)
+      if (n > 1) { offs.foreach(o => buf.putInt(o.toInt)); cnts.foreach(buf.putInt) }
+      if (li == 0) {
+        val e = lv.meta.layout.extent
+        buf.putDouble(lv.meta.layout.cellWidth).putDouble(lv.meta.layout.cellHeight).putDouble(0.0)
+        buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+          .putDouble(e.xmin).putDouble(e.ymax).putDouble(0.0)
+        geoShorts.foreach(s => buf.putShort(s.toShort))
+      }
+    }
+    // stream: header/IFDs buffer, then each level's blocks straight
+    // from its packed map — never a whole-file buffer on the driver
     val out = new java.io.BufferedOutputStream(
       java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
     try {
       out.write(buf.array())
-      if (hasEmpty) out.write(emptyBlock)
-      keys.foreach(k => packed.get(k).foreach(out.write))
+      lvls.foreach { lv =>
+        if (lv.hasEmpty) out.write(lv.emptyBlock)
+        lv.keys.foreach(k => lv.packed.get(k).foreach(out.write))
+      }
     } finally out.close()
   }
 
@@ -436,10 +470,20 @@ object GeoTiff {
     * in the file is never inflated. Returns the row-major window with
     * NaN outside the image. The byte-range discipline here is exactly
     * what makes the same layout remote-range-request friendly. */
-  def readCogWindow(bytes: Array[Byte], wx: Int, wy: Int, ww: Int, wh: Int): Array[Double] = {
+  def readCogWindow(bytes: Array[Byte], wx: Int, wy: Int, ww: Int, wh: Int,
+                    overview: Int = 0): Array[Double] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.get() == 'I' && buf.get() == 'I' && buf.getShort() == 42, "not a LE classic TIFF")
-    buf.position(buf.getInt(4))
+    // walk the IFD chain to the requested overview (0 = base image)
+    var ifdOff = buf.getInt(4)
+    var skip = overview
+    while (skip > 0) {
+      val ntHere = buf.getShort(ifdOff) & 0xffff
+      ifdOff = buf.getInt(ifdOff + 2 + ntHere * 12)
+      require(ifdOff != 0, s"file has fewer than ${overview + 1} images (no overview $overview)")
+      skip -= 1
+    }
+    buf.position(ifdOff)
     val nt = buf.getShort()
     var cols = -1; var rows = -1; var tw = -1; var th = -1
     var offV = -1; var offN = -1; var cntV = -1; var compression = 1

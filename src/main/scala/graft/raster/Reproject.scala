@@ -61,8 +61,6 @@ object Reproject {
     import graft.core.TileLayout
     val spark = layer.spark
     import spark.implicits._
-    require(!layer.meta.temporal,
-      "reproject on a temporal layer would mix instants; aggregate/filter to spatial first")
     val tl = layer.meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
     val n = tl.totalCols.toInt
@@ -75,57 +73,78 @@ object Reproject {
     val cw = (mxMax - mxMin) / n
     val ch = (myMax - myMin) / n
 
-    val contribs = layer.df.select(col("col"), col("row"), col("tile"))
-      .as[(Int, Int, Seq[Double])]
-      .flatMap { case (c, r, tile) =>
-        // geographic window of this source tile (y-down grid)
-        val lonLo = c.toLong * tc * degPerCell
-        val lonHi = (c + 1).toLong * tc * degPerCell
-        val latHi = latMax - r.toLong * tr * degPerCell
-        val latLo = latMax - (r + 1).toLong * tr * degPerCell
-        // forward project to the mercator target grid, pad one cell
-        def txOf(lon: Double) = (CRS.lngToMercX(lon) - mxMin) / cw
-        def tyOf(lat: Double) = (myMax - CRS.latToMercY(lat)) / ch
-        val txLo = math.max(0, math.floor(txOf(lonLo) - 1).toInt / dstTile)
-        val txHi = math.min(dstLc - 1, math.ceil(txOf(lonHi) + 1).toInt / dstTile)
-        val tyLo = math.max(0, math.floor(tyOf(latHi) - 1).toInt / dstTile)
-        val tyHi = math.min(dstLc - 1, math.ceil(tyOf(latLo) + 1).toInt / dstTile)
-        for (dc <- txLo to txHi; dr <- tyLo to tyHi)
-          yield (dc, dr, c, r, tile)
-      }
+    // target-tile rect a source tile can feed: forward project the
+    // tile's geographic window to the mercator grid, pad one cell
+    def dstRect(c: Int, r: Int): Seq[(Int, Int)] = {
+      val lonLo = c.toLong * tc * degPerCell
+      val lonHi = (c + 1).toLong * tc * degPerCell
+      val latHi = latMax - r.toLong * tr * degPerCell
+      val latLo = latMax - (r + 1).toLong * tr * degPerCell
+      def txOf(lon: Double) = (CRS.lngToMercX(lon) - mxMin) / cw
+      def tyOf(lat: Double) = (myMax - CRS.latToMercY(lat)) / ch
+      val txLo = math.max(0, math.floor(txOf(lonLo) - 1).toInt / dstTile)
+      val txHi = math.min(dstLc - 1, math.ceil(txOf(lonHi) + 1).toInt / dstTile)
+      val tyLo = math.max(0, math.floor(tyOf(latHi) - 1).toInt / dstTile)
+      val tyHi = math.min(dstLc - 1, math.ceil(tyOf(latLo) + 1).toInt / dstTile)
+      for (dc <- txLo to txHi; dr <- tyLo to tyHi) yield (dc, dr)
+    }
 
-    val out = contribs.groupByKey(t => (t._1, t._2))
-      .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
-        val (dc, dr) = key
-        val src = group.map { case (_, _, c, r, t) => (c, r) -> t }.toMap
-        val outTile = Array.fill(dstTile * dstTile)(Double.NaN)
-        var j = 0
-        while (j < dstTile) {
-          var i = 0
-          while (i < dstTile) {
-            val gi = dc.toLong * dstTile + i
-            val gj = dr.toLong * dstTile + j
-            // identical expression order to the join variant / oracle
-            val mx = mxMin + (gi + 0.5) * cw
-            val my = myMax - (gj + 0.5) * ch
-            val lon = math.toDegrees(mx / CRS.EarthRadius)
-            val lat = math.toDegrees(math.atan(math.exp(my / CRS.EarthRadius)) * 2 - math.Pi / 2)
-            val x = math.floor(lon / degPerCell).toLong
-            val y = math.floor((latMax - lat) / degPerCell).toLong
-            if (x >= 0 && x < n && y >= 0 && y < n) {
-              src.get(((x / tc).toInt, (y / tr).toInt)).foreach { t =>
-                outTile(j * dstTile + i) = t(((y % tr) * tc + (x % tc)).toInt)
-              }
+    def compute(dc: Int, dr: Int, src: Map[(Int, Int), Seq[Double]]): Seq[Double] = {
+      val outTile = Array.fill(dstTile * dstTile)(Double.NaN)
+      var j = 0
+      while (j < dstTile) {
+        var i = 0
+        while (i < dstTile) {
+          val gi = dc.toLong * dstTile + i
+          val gj = dr.toLong * dstTile + j
+          // identical expression order to the join variant / oracle
+          val mx = mxMin + (gi + 0.5) * cw
+          val my = myMax - (gj + 0.5) * ch
+          val lon = math.toDegrees(mx / CRS.EarthRadius)
+          val lat = math.toDegrees(math.atan(math.exp(my / CRS.EarthRadius)) * 2 - math.Pi / 2)
+          val x = math.floor(lon / degPerCell).toLong
+          val y = math.floor((latMax - lat) / degPerCell).toLong
+          if (x >= 0 && x < n && y >= 0 && y < n) {
+            src.get(((x / tc).toInt, (y / tr).toInt)).foreach { t =>
+              outTile(j * dstTile + i) = t(((y % tr) * tc + (x % tc)).toInt)
             }
-            i += 1
           }
-          j += 1
+          i += 1
         }
-        TileRowOut(dc, dr, outTile.toSeq)
+        j += 1
       }
+      outTile.toSeq
+    }
 
-    new RasterLayer(out.toDF(),
-      LayerMetadata(LayoutDefinition(Extent(mxMin, myMin, mxMax, myMax),
-        TileLayout(dstLc, dstLc, dstTile, dstTile))))
+    val outMeta = LayerMetadata(LayoutDefinition(Extent(mxMin, myMin, mxMax, myMax),
+      TileLayout(dstLc, dstLc, dstTile, dstTile)), temporal = layer.meta.temporal)
+
+    if (layer.meta.temporal) {
+      // spacetime reproject (TemporalTiledRasterLayer.reproject): each
+      // instant reprojects independently — instant rides the shuffle key
+      val out = layer.df.select(col("col"), col("row"), col("instant"), col("tile"))
+        .as[(Int, Int, Long, Seq[Double])]
+        .flatMap { case (c, r, t, tile) =>
+          dstRect(c, r).map { case (dc, dr) => (dc, dr, t, c, r, tile) }
+        }
+        .groupByKey(q => (q._1, q._2, q._3))
+        .mapGroups { (key: (Int, Int, Long), group: Iterator[(Int, Int, Long, Int, Int, Seq[Double])]) =>
+          TileRowOutT(key._1, key._2, key._3,
+            compute(key._1, key._2, group.map(q => (q._4, q._5) -> q._6).toMap))
+        }
+      new RasterLayer(out.toDF(), outMeta)
+    } else {
+      val out = layer.df.select(col("col"), col("row"), col("tile"))
+        .as[(Int, Int, Seq[Double])]
+        .flatMap { case (c, r, tile) =>
+          dstRect(c, r).map { case (dc, dr) => (dc, dr, c, r, tile) }
+        }
+        .groupByKey(q => (q._1, q._2))
+        .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
+          TileRowOut(key._1, key._2,
+            compute(key._1, key._2, group.map(q => (q._3, q._4) -> q._5).toMap))
+        }
+      new RasterLayer(out.toDF(), outMeta)
+    }
   }
 }

@@ -98,84 +98,108 @@ object Resample {
     * NoData unless every tap in the (2*support)^2 window exists. */
   def kernelTiled(layer: RasterLayer, srcN: Int, dstN: Int, kernel: Kernel,
                   dstTile: Int = 64): RasterLayer = {
-    require(!layer.meta.temporal,
-      "resample on a temporal layer would mix instants; aggregate/filter to spatial first")
     val tl = layer.meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
     require(dstN % dstTile == 0, "dst grid must tile evenly")
     val dstLc = dstN / dstTile
-    val spark = layer.spark
-    import spark.implicits._
     val sup = kernel.support
 
     def iForSx(sx: Double): Double = (sx + 0.5) * dstN / srcN - 0.5
-
-    val contribs = layer.df.select(col("col"), col("row"), col("tile"))
-      .as[(Int, Int, Seq[Double])]
-      .flatMap { case (c, r, tile) =>
-        def dstRange(tileIdx: Int, cells: Int): Range = {
-          val m = sup + 1
-          val lo = math.floor(iForSx(tileIdx.toLong * cells - m)).toInt
-          val hi = math.ceil(iForSx((tileIdx + 1).toLong * cells + m)).toInt
-          val dMin = math.max(0, lo / dstTile)
-          val dMax = math.min(dstLc - 1, hi / dstTile)
-          dMin to dMax
+    def dstRange(tileIdx: Int, cells: Int): Range = {
+      val m = sup + 1
+      val lo = math.floor(iForSx(tileIdx.toLong * cells - m)).toInt
+      val hi = math.ceil(iForSx((tileIdx + 1).toLong * cells + m)).toInt
+      val dMin = math.max(0, lo / dstTile)
+      val dMax = math.min(dstLc - 1, hi / dstTile)
+      dMin to dMax
+    }
+    def compute(dc: Int, dr: Int, src: Map[(Int, Int), Seq[Double]]): Seq[Double] = {
+      def cell(x: Long, y: Long): Double = {
+        if (x < 0 || y < 0 || x >= srcN || y >= srcN) Double.NaN
+        else src.get(((x / tc).toInt, (y / tr).toInt)) match {
+          case Some(t) => t(((y % tr) * tc + (x % tc)).toInt)
+          case None    => Double.NaN
         }
-        for {
-          dc <- dstRange(c, tc)
-          dr <- dstRange(r, tr)
-        } yield (dc, dr, c, r, tile)
       }
-
-    val out = contribs
-      .groupByKey(t => (t._1, t._2))
-      .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
-        val (dc, dr) = key
-        val src = group.map { case (_, _, c, r, t) => (c, r) -> t }.toMap
-        def cell(x: Long, y: Long): Double = {
-          if (x < 0 || y < 0 || x >= srcN || y >= srcN) Double.NaN
-          else src.get(((x / tc).toInt, (y / tr).toInt)) match {
-            case Some(t) => t(((y % tr) * tc + (x % tc)).toInt)
-            case None    => Double.NaN
-          }
-        }
-        val outTile = new Array[Double](dstTile * dstTile)
-        var j = 0
-        while (j < dstTile) {
-          var i = 0
-          while (i < dstTile) {
-            val gi = dc.toLong * dstTile + i
-            val gj = dr.toLong * dstTile + j
-            val sx = (gi + 0.5) * srcN / dstN - 0.5
-            val sy = (gj + 0.5) * srcN / dstN - 0.5
-            val x0 = math.floor(sx).toLong; val y0 = math.floor(sy).toLong
-            var num = 0.0; var den = 0.0; var nan = false
-            var ky = 1 - sup
-            while (ky <= sup && !nan) {
-              val wy = kernel.weight(sy - (y0 + ky))
-              var kx = 1 - sup
-              while (kx <= sup && !nan) {
-                val v = cell(x0 + kx, y0 + ky)
-                if (v.isNaN) nan = true
-                else {
-                  val w = kernel.weight(sx - (x0 + kx)) * wy
-                  num += w * v; den += w
-                }
-                kx += 1
+      val outTile = new Array[Double](dstTile * dstTile)
+      var j = 0
+      while (j < dstTile) {
+        var i = 0
+        while (i < dstTile) {
+          val gi = dc.toLong * dstTile + i
+          val gj = dr.toLong * dstTile + j
+          val sx = (gi + 0.5) * srcN / dstN - 0.5
+          val sy = (gj + 0.5) * srcN / dstN - 0.5
+          val x0 = math.floor(sx).toLong; val y0 = math.floor(sy).toLong
+          var num = 0.0; var den = 0.0; var nan = false
+          var ky = 1 - sup
+          while (ky <= sup && !nan) {
+            val wy = kernel.weight(sy - (y0 + ky))
+            var kx = 1 - sup
+            while (kx <= sup && !nan) {
+              val v = cell(x0 + kx, y0 + ky)
+              if (v.isNaN) nan = true
+              else {
+                val w = kernel.weight(sx - (x0 + kx)) * wy
+                num += w * v; den += w
               }
-              ky += 1
+              kx += 1
             }
-            outTile(j * dstTile + i) = if (nan) Double.NaN else num / den
-            i += 1
+            ky += 1
           }
-          j += 1
+          outTile(j * dstTile + i) = if (nan) Double.NaN else num / den
+          i += 1
         }
-        TileRowOut(dc, dr, outTile.toSeq)
+        j += 1
       }
+      outTile.toSeq
+    }
 
-    new RasterLayer(out.toDF(),
+    gatherResample(layer, tc, tr, dstRange, compute,
       LayerMetadata(LayoutDefinition(Extent(0, 0, dstN, dstN),
-        TileLayout(dstLc, dstLc, dstTile, dstTile))))
+        TileLayout(dstLc, dstLc, dstTile, dstTile)), temporal = layer.meta.temporal))
+  }
+
+  /** Shared gather harness for the tile-wise resample family: source
+    * tiles flatMap to the bounded target-tile sets `dstRange` gives,
+    * ONE groupByKey assembles each target tile's source map, `compute`
+    * runs locally. Temporal layers thread `instant` through the
+    * shuffle key — same pattern as Focal's spacetime halo — so
+    * instants never mix and each (tile, instant) is an independent
+    * unit of work. */
+  private def gatherResample(layer: RasterLayer, tc: Int, tr: Int,
+                             dstRange: (Int, Int) => Range,
+                             compute: (Int, Int, Map[(Int, Int), Seq[Double]]) => Seq[Double],
+                             outMeta: LayerMetadata): RasterLayer = {
+    val spark = layer.spark
+    import spark.implicits._
+    if (layer.meta.temporal) {
+      val out = layer.df.select(col("col"), col("row"), col("instant"), col("tile"))
+        .as[(Int, Int, Long, Seq[Double])]
+        .flatMap { case (c, r, t, tile) =>
+          for (dc <- dstRange(c, tc); dr <- dstRange(r, tr))
+            yield (dc, dr, t, c, r, tile)
+        }
+        .groupByKey(q => (q._1, q._2, q._3))
+        .mapGroups { (key: (Int, Int, Long), group: Iterator[(Int, Int, Long, Int, Int, Seq[Double])]) =>
+          TileRowOutT(key._1, key._2, key._3,
+            compute(key._1, key._2, group.map(q => (q._4, q._5) -> q._6).toMap))
+        }
+      new RasterLayer(out.toDF(), outMeta)
+    } else {
+      val out = layer.df.select(col("col"), col("row"), col("tile"))
+        .as[(Int, Int, Seq[Double])]
+        .flatMap { case (c, r, tile) =>
+          for (dc <- dstRange(c, tc); dr <- dstRange(r, tr))
+            yield (dc, dr, c, r, tile)
+        }
+        .groupByKey(q => (q._1, q._2))
+        .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
+          TileRowOut(key._1, key._2,
+            compute(key._1, key._2, group.map(q => (q._3, q._4) -> q._5).toMap))
+        }
+      new RasterLayer(out.toDF(), outMeta)
+    }
   }
 
   /** Aggregate (downsampling) resample — reference ResampleMethod
@@ -220,73 +244,55 @@ object Resample {
     * place of the linear map. */
   def bilinearTiled(layer: RasterLayer, srcN: Int, dstN: Int,
                     dstTile: Int = 64): RasterLayer = {
-    require(!layer.meta.temporal,
-      "resample on a temporal layer would mix instants; aggregate/filter to spatial first")
     val tl = layer.meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
     require(dstN % dstTile == 0, "dst grid must tile evenly")
     val dstLc = dstN / dstTile
-    val spark = layer.spark
-    import spark.implicits._
 
     // dst cell coordinate whose sample point maps to source coord sx
     def iForSx(sx: Double): Double = (sx + 0.5) * dstN / srcN - 0.5
-
-    val contribs = layer.df.select(col("col"), col("row"), col("tile"))
-      .as[(Int, Int, Seq[Double])]
-      .flatMap { case (c, r, tile) =>
-        def dstRange(tileIdx: Int, cells: Int): Range = {
-          val lo = math.floor(iForSx(tileIdx.toLong * cells - 2)).toInt
-          val hi = math.ceil(iForSx((tileIdx + 1).toLong * cells + 2)).toInt
-          val dMin = math.max(0, lo / dstTile)
-          val dMax = math.min(dstLc - 1, hi / dstTile)
-          dMin to dMax
+    def dstRange(tileIdx: Int, cells: Int): Range = {
+      val lo = math.floor(iForSx(tileIdx.toLong * cells - 2)).toInt
+      val hi = math.ceil(iForSx((tileIdx + 1).toLong * cells + 2)).toInt
+      val dMin = math.max(0, lo / dstTile)
+      val dMax = math.min(dstLc - 1, hi / dstTile)
+      dMin to dMax
+    }
+    def compute(dc: Int, dr: Int, src: Map[(Int, Int), Seq[Double]]): Seq[Double] = {
+      def cell(x: Long, y: Long): Double = {
+        if (x < 0 || y < 0 || x >= srcN || y >= srcN) Double.NaN
+        else src.get(((x / tc).toInt, (y / tr).toInt)) match {
+          case Some(t) => t(((y % tr) * tc + (x % tc)).toInt)
+          case None    => Double.NaN
         }
-        for {
-          dc <- dstRange(c, tc)
-          dr <- dstRange(r, tr)
-        } yield (dc, dr, c, r, tile)
       }
-
-    val out = contribs
-      .groupByKey(t => (t._1, t._2))
-      .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
-        val (dc, dr) = key
-        val src = group.map { case (_, _, c, r, t) => (c, r) -> t }.toMap
-        def cell(x: Long, y: Long): Double = {
-          if (x < 0 || y < 0 || x >= srcN || y >= srcN) Double.NaN
-          else src.get(((x / tc).toInt, (y / tr).toInt)) match {
-            case Some(t) => t(((y % tr) * tc + (x % tc)).toInt)
-            case None    => Double.NaN
-          }
+      val outTile = new Array[Double](dstTile * dstTile)
+      var j = 0
+      while (j < dstTile) {
+        var i = 0
+        while (i < dstTile) {
+          val gi = dc.toLong * dstTile + i
+          val gj = dr.toLong * dstTile + j
+          // identical expression order to bilinearCells / the oracle
+          val sx = (gi + 0.5) * srcN / dstN - 0.5
+          val sy = (gj + 0.5) * srcN / dstN - 0.5
+          val x0 = math.floor(sx).toLong; val y0 = math.floor(sy).toLong
+          val fx = sx - x0; val fy = sy - y0
+          val va = cell(x0, y0); val vb = cell(x0 + 1, y0)
+          val vc = cell(x0, y0 + 1); val vd = cell(x0 + 1, y0 + 1)
+          outTile(j * dstTile + i) =
+            if (va.isNaN || vb.isNaN || vc.isNaN || vd.isNaN) Double.NaN
+            else va * (1.0 - fx) * (1.0 - fy) + vb * fx * (1.0 - fy) +
+                 vc * (1.0 - fx) * fy + vd * fx * fy
+          i += 1
         }
-        val outTile = new Array[Double](dstTile * dstTile)
-        var j = 0
-        while (j < dstTile) {
-          var i = 0
-          while (i < dstTile) {
-            val gi = dc.toLong * dstTile + i
-            val gj = dr.toLong * dstTile + j
-            // identical expression order to bilinearCells / the oracle
-            val sx = (gi + 0.5) * srcN / dstN - 0.5
-            val sy = (gj + 0.5) * srcN / dstN - 0.5
-            val x0 = math.floor(sx).toLong; val y0 = math.floor(sy).toLong
-            val fx = sx - x0; val fy = sy - y0
-            val va = cell(x0, y0); val vb = cell(x0 + 1, y0)
-            val vc = cell(x0, y0 + 1); val vd = cell(x0 + 1, y0 + 1)
-            outTile(j * dstTile + i) =
-              if (va.isNaN || vb.isNaN || vc.isNaN || vd.isNaN) Double.NaN
-              else va * (1.0 - fx) * (1.0 - fy) + vb * fx * (1.0 - fy) +
-                   vc * (1.0 - fx) * fy + vd * fx * fy
-            i += 1
-          }
-          j += 1
-        }
-        TileRowOut(dc, dr, outTile.toSeq)
+        j += 1
       }
+      outTile.toSeq
+    }
 
-    new RasterLayer(out.toDF(),
+    gatherResample(layer, tc, tr, dstRange, compute,
       LayerMetadata(LayoutDefinition(Extent(0, 0, dstN, dstN),
-        TileLayout(dstLc, dstLc, dstTile, dstTile))))
+        TileLayout(dstLc, dstLc, dstTile, dstTile)), temporal = layer.meta.temporal))
   }
 }

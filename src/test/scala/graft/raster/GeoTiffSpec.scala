@@ -138,6 +138,32 @@ class GeoTiffSpec extends SparkSpec {
     assert(err.getMessage.contains("maxTiles"))
   }
 
+  test("cog overviews: chained IFDs window independently at each zoom") {
+    // base 64x64 (2x2 tiles of 32), one overview 32x32 (1 tile)
+    val baseLayout = LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(2, 2, 32, 32))
+    val cells = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, (x * 64 + y).toDouble)
+    val base = RasterLayer.fromCells(cells.toDF("x", "y", "v"), baseLayout)
+    val over = Pyramid.levelUp(base, "Average")
+    val dir = Files.createTempDirectory("graft_cog_ovr").toString
+    val path = s"$dir/pyr.tif"
+    GeoTiff.saveCogPyramid(Seq(base, over), path)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // base image intact through IFD 0
+    val w0 = GeoTiff.readCogWindow(bytes, 10, 20, 4, 4)
+    assert(w0(0) == (10 * 64 + 20).toFloat.toDouble)
+    // overview IFD 1 matches levelUp's cells (2x2 Average)
+    val expect = over.toCells.as[(Long, Long, Double)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    val w1 = GeoTiff.readCogWindow(bytes, 0, 0, 32, 32, overview = 1)
+    expect.foreach { case ((x, y), v) =>
+      assert(w1((y * 32 + x).toInt) == v.toFloat.toDouble, s"overview cell ($x,$y)")
+    }
+    // asking for a missing overview fails loudly
+    val err = intercept[IllegalArgumentException](
+      GeoTiff.readCogWindow(bytes, 0, 0, 4, 4, overview = 2))
+    assert(err.getMessage.contains("overview"))
+  }
+
   test("writeFolder/readFolder roundtrip through per-tile files") {
     val cells = Seq((0L, 0L, 1.5), (3L, 3L, 2.5), (4L, 4L, 3.5), (7L, 7L, 4.5))
     val l = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
