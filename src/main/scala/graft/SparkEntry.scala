@@ -188,6 +188,24 @@ object SparkEntry {
       flat(ZonalOps.maskGrid(lineitemLayer(s, dir), graft.vector.Wkt.parsePolygons(wkt)))
     }),
 
+    "q_shapefile" -> ((s, dir) => {
+      // real vector-file ingestion (shapefile.py:68): supplier points
+      // written as a spec-conform ESRI .shp, read back DISTRIBUTED via
+      // the binaryFile source, coordinates recovered from the WKT rows
+      val pts = supplierPoints(s, dir).orderBy("pid").collect()
+        .map(r => graft.vector.Pt(r.getDouble(1), r.getDouble(2)))
+      val shpDir = s"${System.getProperty("java.io.tmpdir")}/graft_shp"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shpDir))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$shpDir/supplier.shp"),
+        graft.vector.Shapefile.writePoints(pts.toSeq))
+      graft.vector.Shapefile.read(s, shpDir, "supplier.shp").select(
+        col("idx"),
+        regexp_extract(col("wkt"), "POINT \\(([-0-9.]+) ([-0-9.]+)\\)", 1)
+          .cast("double").as("px"),
+        regexp_extract(col("wkt"), "POINT \\(([-0-9.]+) ([-0-9.]+)\\)", 2)
+          .cast("double").as("py"))
+    }),
+
     // --- distances
     "q_euclidean_distance" -> ((s, dir) =>
       Distance.euclidean(s, supplierPoints(s, dir), layout)),
@@ -764,6 +782,10 @@ object SparkEntry {
            |WHERE (abs(x + 0.5 - 80) + abs(y + 0.5 - 80) < 50.3
            |       AND NOT (abs(x + 0.5 - 80) + abs(y + 0.5 - 80) < 20.3))
            |   OR abs(x + 0.5 - 180) + abs(y + 0.5 - 180) < 30.3""".stripMargin,
+
+      "q_shapefile" ->
+        s"""SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS INT) AS idx, px, py
+           |FROM ($pts)""".stripMargin,
 
       "q_point_values" ->
         s"""SELECT p.pid AS pid, g.v AS v

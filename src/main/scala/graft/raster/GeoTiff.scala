@@ -218,6 +218,163 @@ object GeoTiff {
     (originX, originY, cw, ch, cols, rows, bands)
   }
 
+  // ------------------------------------------------------------------
+  // General TIFF decode — reference geotiff.py:126 `get` reads
+  // arbitrary rasters, not just this encoder's output. Classic TIFF
+  // 6.0 subset wide enough for real-world single-plane rasters: both
+  // byte orders, strip or internally-tiled organization, 8/16/32/64
+  // bits, unsigned/signed/float sample formats, chunky interleave,
+  // None or Deflate compression.
+  // ------------------------------------------------------------------
+
+  private def tagValues(buf: ByteBuffer, typ: Int, count: Int, inlinePos: Int): IndexedSeq[Double] = {
+    val size = typ match {
+      case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEF
+      case 3 | 8         => 2 // SHORT/SSHORT
+      case 4 | 9 | 11    => 4 // LONG/SLONG/FLOAT
+      case 5 | 10 | 12   => 8 // RATIONAL/SRATIONAL/DOUBLE
+      case t => throw new IllegalArgumentException(s"unsupported TIFF tag type $t")
+    }
+    val at = if (size * count <= 4) inlinePos else buf.getInt(inlinePos)
+    (0 until count).map { i =>
+      val p = at + i * size
+      typ match {
+        case 1 | 2 | 7 => (buf.get(p) & 0xff).toDouble
+        case 6         => buf.get(p).toDouble
+        case 3         => (buf.getShort(p) & 0xffff).toDouble
+        case 8         => buf.getShort(p).toDouble
+        case 4         => (buf.getInt(p) & 0xffffffffL).toDouble
+        case 9         => buf.getInt(p).toDouble
+        case 11        => buf.getFloat(p).toDouble
+        case 5         => (buf.getInt(p) & 0xffffffffL).toDouble / (buf.getInt(p + 4) & 0xffffffffL)
+        case 10        => buf.getInt(p).toDouble / buf.getInt(p + 4)
+        case 12        => buf.getDouble(p)
+      }
+    }
+  }
+
+  /** Decode ANY supported classic TIFF into (originX, originY, cellW,
+    * cellH, cols, rows, bands) — the general ingestion entry
+    * (reference geotiff.py:126 get). Handles LE and BE files, strip
+    * and tiled layouts, 8/16/32-bit integers (signed and unsigned),
+    * float32/float64, multiband chunky interleave, deflate. Non-geo
+    * TIFFs default to a unit grid anchored at (0, rows). */
+  def decodeScene(bytes: Array[Byte]): (Double, Double, Double, Double, Int, Int, Seq[Array[Double]]) = {
+    val le = bytes(0) == 'I' && bytes(1) == 'I'
+    val be = bytes(0) == 'M' && bytes(1) == 'M'
+    require(le || be, "not a TIFF (bad byte-order mark)")
+    val buf = ByteBuffer.wrap(bytes).order(
+      if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    require(buf.getShort(2) == 42, "not a classic TIFF (bad magic; BigTIFF unsupported)")
+    val ifd = buf.getInt(4)
+    val nt = buf.getShort(ifd) & 0xffff
+    val tags = (0 until nt).map { i =>
+      val p = ifd + 2 + i * 12
+      val id = buf.getShort(p) & 0xffff
+      val typ = buf.getShort(p + 2) & 0xffff
+      val count = buf.getInt(p + 4)
+      id -> ((typ, count, p + 8))
+    }.toMap
+    def vals(id: Int): Option[IndexedSeq[Double]] =
+      tags.get(id).map { case (typ, count, pos) => tagValues(buf, typ, count, pos) }
+    def one(id: Int, default: => Double): Double = vals(id).map(_.head).getOrElse(default)
+
+    val cols = one(TagImageWidth, throw new IllegalArgumentException("missing ImageWidth")).toInt
+    val rows = one(TagImageLength, throw new IllegalArgumentException("missing ImageLength")).toInt
+    val nb = one(TagSamplesPerPixel, 1).toInt
+    val bitsAll = vals(TagBitsPerSample).getOrElse(IndexedSeq(1.0))
+    require(bitsAll.distinct.size == 1, "mixed per-band bit depths unsupported")
+    val bits = bitsAll.head.toInt
+    val fmtAll = vals(TagSampleFormat).getOrElse(IndexedSeq(1.0))
+    val fmt = fmtAll.head.toInt
+    val compression = one(TagCompression, 1).toInt
+    require(compression == 1 || compression == 8,
+      s"unsupported compression $compression (None and Deflate only)")
+    require(one(TagPlanarConfig, 1).toInt == 1, "planar (band-separate) TIFFs unsupported")
+    require(Set(8, 16, 32, 64).contains(bits), s"unsupported bit depth $bits")
+    require(fmt >= 1 && fmt <= 3, s"unsupported sample format $fmt")
+    require(!(bits == 64 && fmt != 3), "64-bit integer samples unsupported")
+
+    val bpp = bits / 8
+    def readSample(b: ByteBuffer, p: Int): Double = (bits, fmt) match {
+      case (8, 1)  => (b.get(p) & 0xff).toDouble
+      case (8, 2)  => b.get(p).toDouble
+      case (16, 1) => (b.getShort(p) & 0xffff).toDouble
+      case (16, 2) => b.getShort(p).toDouble
+      case (32, 1) => (b.getInt(p) & 0xffffffffL).toDouble
+      case (32, 2) => b.getInt(p).toDouble
+      case (32, 3) => b.getFloat(p).toDouble
+      case (64, 3) => b.getDouble(p)
+      case other   => throw new IllegalArgumentException(s"unsupported sample $other")
+    }
+    def inflated(off: Int, len: Int, rawLen: Int): ByteBuffer =
+      if (compression == 1) {
+        val s = buf.duplicate().order(buf.order())
+        s.position(off)
+        val out = s.slice().order(buf.order()); out.limit(math.min(rawLen, len)); out
+      } else {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(bytes, off, len)
+        val out = new Array[Byte](rawLen)
+        var done = 0
+        while (!inf.finished() && done < rawLen)
+          done += inf.inflate(out, done, rawLen - done)
+        inf.end()
+        ByteBuffer.wrap(out).order(buf.order())
+      }
+
+    val bands = Seq.fill(nb)(Array.fill(cols * rows)(Double.NaN))
+    if (tags.contains(TagTileWidth)) {
+      // internally-tiled organization
+      val tw = one(TagTileWidth, 0).toInt; val th = one(TagTileLength, 0).toInt
+      val offs = vals(TagTileOffsets).get; val cnts = vals(TagTileByteCounts).get
+      val across = (cols + tw - 1) / tw
+      val down = (rows + th - 1) / th
+      for (trI <- 0 until down; tcI <- 0 until across) {
+        val idx = trI * across + tcI
+        val block = inflated(offs(idx).toLong.toInt, cnts(idx).toLong.toInt, tw * th * nb * bpp)
+        for (j <- 0 until th; i <- 0 until tw) {
+          val gx = tcI * tw + i; val gy = trI * th + j
+          if (gx < cols && gy < rows) {
+            var b = 0
+            while (b < nb) {
+              bands(b)(gy * cols + gx) = readSample(block, ((j * tw + i) * nb + b) * bpp)
+              b += 1
+            }
+          }
+        }
+      }
+    } else {
+      // strip organization (RowsPerStrip defaults to the whole image)
+      val rps = math.max(1, math.min(rows.toLong, one(TagRowsPerStrip, rows).toLong).toInt)
+      val offs = vals(TagStripOffsets).getOrElse(
+        throw new IllegalArgumentException("missing StripOffsets"))
+      val cnts = vals(TagStripByteCounts).getOrElse(IndexedSeq((rows.toLong * cols * nb * bpp).toDouble))
+      for (s <- offs.indices) {
+        val r0 = s * rps
+        val nRows = math.min(rps, rows - r0)
+        if (nRows > 0) {
+          val block = inflated(offs(s).toLong.toInt, cnts(s).toLong.toInt, nRows * cols * nb * bpp)
+          for (j <- 0 until nRows; i <- 0 until cols) {
+            var b = 0
+            while (b < nb) {
+              bands(b)((r0 + j) * cols + i) = readSample(block, ((j * cols + i) * nb + b) * bpp)
+              b += 1
+            }
+          }
+        }
+      }
+    }
+
+    val scale = vals(TagModelPixelScale)
+    val tie = vals(TagModelTiepoint)
+    val cw = scale.map(_(0)).getOrElse(1.0)
+    val ch = scale.map(_(1)).getOrElse(1.0)
+    val ox = tie.map(_(3)).getOrElse(0.0)
+    val oy = tie.map(_(4)).getOrElse(rows * ch)
+    (ox, oy, cw, ch, cols, rows, bands)
+  }
+
   /** GeoTIFF byte scenes -> UntiledRaster (the ingestion direction:
     * decode distributed, then tileToLayout). `tiffs` columns:
     * (scene_id LONG, tiff BINARY). */
@@ -226,8 +383,10 @@ object GeoTiff {
     import spark.implicits._
     val scenes = tiffs.select(col("scene_id"), col("tiff")).as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        val (ox, oy, cw, ch, cols, rows, cells) = decodeTile(bytes)
-        (id, ox, oy - rows * ch, ox + cols * cw, oy, cols, rows, cells.toSeq)
+        // general decoder: accepts any supported TIFF, not just this
+        // encoder's output; scenes are single-band (band 0)
+        val (ox, oy, cw, ch, cols, rows, bands) = decodeScene(bytes)
+        (id, ox, oy - rows * ch, ox + cols * cw, oy, cols, rows, bands.head.toSeq)
       }
       .toDF("scene_id", "xmin", "ymin", "xmax", "ymax", "cols", "rows", "cells")
     UntiledRaster(scenes)
@@ -569,11 +728,11 @@ object GeoTiff {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (p, bytes) =>
-        val (ox, oy, cw, ch, cols, rows, cells) = decodeTile(bytes)
+        val (ox, oy, cw, ch, cols, rows, bands) = decodeScene(bytes)
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(p.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val id = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-        (id, ox, oy - rows * ch, ox + cols * cw, oy, cols, rows, cells.toSeq)
+        (id, ox, oy - rows * ch, ox + cols * cw, oy, cols, rows, bands.head.toSeq)
       }
       .toDF("scene_id", "xmin", "ymin", "xmax", "ymax", "cols", "rows", "cells")
     UntiledRaster(scenes)

@@ -164,6 +164,82 @@ class GeoTiffSpec extends SparkSpec {
     assert(err.getMessage.contains("overview"))
   }
 
+  // hand-rolled foreign-TIFF writer: big-endian, strip-organized,
+  // integer samples — nothing our encoder produces
+  private def foreignTiff(cols: Int, rows: Int, bits: Int, fmt: Int,
+                          rowsPerStrip: Int, values: Array[Long]): Array[Byte] = {
+    val bpp = bits / 8
+    val nStrips = (rows + rowsPerStrip - 1) / rowsPerStrip
+    val nTags = 10
+    val ifdOff = 8
+    val ifdSize = 2 + nTags * 12 + 4
+    val arrOff = ifdOff + ifdSize
+    val extArr = if (nStrips > 1) 8 * nStrips else 0
+    val dataOff = arrOff + extArr
+    val stripBytes = (0 until nStrips).map(s =>
+      math.min(rowsPerStrip, rows - s * rowsPerStrip) * cols * bpp)
+    val buf = ByteBuffer.allocate(dataOff + stripBytes.sum).order(ByteOrder.BIG_ENDIAN)
+    buf.put('M'.toByte).put('M'.toByte).putShort(42).putInt(ifdOff)
+    buf.putShort(nTags.toShort)
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit =
+      buf.putShort(id.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    val stripOffs = stripBytes.scanLeft(dataOff)(_ + _).init
+    // SHORT inline values sit in the HIGH half of the 4-byte slot in BE
+    def inlineShort(v: Int) = v << 16
+    tag(256, 3, 1, inlineShort(cols))
+    tag(257, 3, 1, inlineShort(rows))
+    tag(258, 3, 1, inlineShort(bits))
+    tag(259, 3, 1, inlineShort(1))
+    tag(262, 3, 1, inlineShort(1))
+    tag(273, 4, nStrips, if (nStrips > 1) arrOff else stripOffs.head)
+    tag(277, 3, 1, inlineShort(1))
+    tag(278, 3, 1, inlineShort(rowsPerStrip))
+    tag(279, 4, nStrips, if (nStrips > 1) arrOff + 4 * nStrips else stripBytes.head)
+    tag(339, 3, 1, inlineShort(fmt))
+    buf.putInt(0)
+    if (nStrips > 1) { stripOffs.foreach(buf.putInt); stripBytes.foreach(buf.putInt) }
+    values.foreach { v =>
+      bits match {
+        case 8  => buf.put(v.toByte)
+        case 16 => buf.putShort(v.toShort)
+        case 32 => buf.putInt(v.toInt)
+      }
+    }
+    buf.array()
+  }
+
+  test("decodeScene reads foreign TIFFs: big-endian, multi-strip, integer formats") {
+    // 6x4 big-endian uint16, 2 strips of 2 rows, non-geo
+    val vals = Array.tabulate(24)(i => (i * 1000 + 40000).toLong) // exercises >Short.MaxValue
+    val t1 = foreignTiff(6, 4, 16, 1, 2, vals)
+    val (ox, oy, cw, ch, c1, r1, b1) = GeoTiff.decodeScene(t1)
+    assert((c1, r1, b1.length) == (6, 4, 1))
+    assert((ox, oy, cw, ch) == (0.0, 4.0, 1.0, 1.0)) // non-geo unit-grid default
+    assert(b1.head.toSeq == vals.map(_.toDouble).toSeq)
+    // 3x3 big-endian signed 8-bit, single strip
+    val t2 = foreignTiff(3, 3, 8, 2, 3, Array(-5L, 0L, 5L, -1L, 2L, -3L, 4L, -6L, 7L))
+    val (_, _, _, _, _, _, b2) = GeoTiff.decodeScene(t2)
+    assert(b2.head.toSeq == Seq(-5.0, 0.0, 5.0, -1.0, 2.0, -3.0, 4.0, -6.0, 7.0))
+    // 2x2 big-endian int32
+    val t3 = foreignTiff(2, 2, 32, 2, 2, Array(1L << 30, -(1L << 30), 7L, -7L))
+    assert(GeoTiff.decodeScene(t3).`_7`.head.toSeq ==
+      Seq(math.pow(2, 30), -math.pow(2, 30), 7.0, -7.0))
+    // our own encoder's output decodes identically through the general path
+    val own = GeoTiff.encodeTile(Array.tabulate(16)(_ * 1.5), 4, 4, 10.0, 20.0, 1.0, 1.0, deflate = true)
+    val (gox, goy, _, _, gc, gr, gb) = GeoTiff.decodeScene(own)
+    assert((gox, goy, gc, gr) == (10.0, 20.0, 4, 4))
+    assert(gb.head.toSeq == (0 until 16).map(_ * 1.5))
+    // our internally-tiled COG decodes whole through the general path
+    val cogLayout = LayoutDefinition(Extent(0, 0, 32, 32), TileLayout(2, 2, 16, 16))
+    val l = RasterLayer.fromCells(Seq((1L, 1L, 5.0), (20L, 20L, 9.0)).toDF("x", "y", "v"), cogLayout)
+    val dir = Files.createTempDirectory("graft_anytiff").toString
+    GeoTiff.saveCog(l, s"$dir/c.tif")
+    val (_, _, _, _, cc, cr, cb) =
+      GeoTiff.decodeScene(Files.readAllBytes(java.nio.file.Paths.get(s"$dir/c.tif")))
+    assert((cc, cr) == (32, 32))
+    assert(cb.head(1 * 32 + 1) == 5.0 && cb.head(20 * 32 + 20) == 9.0 && cb.head(0).isNaN)
+  }
+
   test("writeFolder/readFolder roundtrip through per-tile files") {
     val cells = Seq((0L, 0L, 1.5), (3L, 3L, 2.5), (4L, 4L, 3.5), (7L, 7L, 4.5))
     val l = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)

