@@ -387,6 +387,13 @@ object SparkEntry {
     "q_hist_mode" -> ((s, dir) =>
       HistogramOps.mode(lineitemLayer(s, dir))),
 
+    "q_hist_series" -> ((s, dir) => {
+      // histogram_series (layer.py:2024): per-instant histogram inside
+      // a geometry, bins from that instant's own min/max
+      val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
+      ZonalOps.histogramSeries(l, Geometry.diamond(32, 32, 20.3))
+    }),
+
     "q_time_resample" -> ((s, dir) => {
       // day instants -> 7-day buckets, cell-wise Max per bucket
       // (Max: deterministic under any fold order, unlike re-summed
@@ -1010,6 +1017,16 @@ object SparkEntry {
 
       "q_hist_mode" ->
         s"SELECT v, count(*) AS n FROM ($grid) GROUP BY v ORDER BY n DESC, v LIMIT 1",
+
+      "q_hist_series" ->
+        s"""WITH g AS (SELECT * FROM ($egrid)
+           |           WHERE abs(x + 0.5 - 32) + abs(y + 0.5 - 32) < 20.3),
+           |mm AS (SELECT instant, min(v) AS mn, max(v) AS mx FROM g GROUP BY 1)
+           |SELECT g.instant AS instant,
+           |  CASE WHEN mx > mn
+           |       THEN CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9) AS BIGINT)
+           |       ELSE 0 END AS bin, count(*) AS cnt
+           |FROM g JOIN mm ON g.instant = mm.instant GROUP BY 1, 2""".stripMargin,
 
       "q_time_resample" ->
         s"""SELECT x, y, (instant // 7) * 7 AS instant, max(v) AS v

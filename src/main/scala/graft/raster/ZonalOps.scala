@@ -125,6 +125,26 @@ object ZonalOps {
         (col("_dsum").cast("double") / col("vcount")).as("vmean"))
   }
 
+  /** Temporal histogram series — reference histogram_series
+    * (layer.py:2024): an equal-width histogram of the cells inside a
+    * geometry at EACH instant, bins spanning that instant's own
+    * min/max (each instant is its own fastHistogram in the reference).
+    * The per-instant min/max table is tiny (one row per instant) so
+    * the join broadcasts; a constant-valued instant (mx == mn) puts
+    * everything in bin 0 on both sides. */
+  def histogramSeries(layer: RasterLayer, poly: Polygon, bins: Int = 10): DataFrame = {
+    require(layer.meta.temporal, "histogram_series requires a space-time layer")
+    val cells = maskGrid(layer, Seq(poly)).toCells
+    val mm = cells.groupBy("instant").agg(min("v").as("mn"), max("v").as("mx"))
+    cells.join(broadcast(mm), "instant")
+      .select(col("instant"),
+        when(col("mx") > col("mn"),
+          least(floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / bins)),
+            lit(bins - 1.0)).cast("long"))
+          .otherwise(lit(0L)).as("bin"))
+      .groupBy("instant", "bin").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Zonal statistics of `values` grouped by the co-located `zones`
     * layer (reference *_series :2014-2040 generalized). Tile-aligned
     * join then per-tile pair explode feeding a partial-aggregated
