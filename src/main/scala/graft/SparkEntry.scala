@@ -548,6 +548,12 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, dir) =>
       pipeline.Multimodal.metadata(pipeline.Multimodal.asBlobs(table(s, dir, "documents")))),
 
+    "q_multimodal_frames" -> ((s, dir) =>
+      // row-per-sampled-frame plumbing; frame count from byte length,
+      // frame signature from the content MD5 (both restated in SQL)
+      pipeline.Multimodal.sampleFrames(
+        pipeline.Multimodal.asBlobs(table(s, dir, "documents"))).toDF()),
+
     // --- streaming-shaped event ops (batch form; streaming path in specs)
     "q_event_window" -> ((s, dir) =>
       streaming.Events.hourlyAgg(eventsTable(s, dir))),
@@ -1315,6 +1321,16 @@ object SparkEntry {
       "q_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS magic FROM documents""".stripMargin,
+
+      "q_multimodal_frames" ->
+        """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS h
+          |           FROM documents),
+          |f AS (SELECT doc_id, h,
+          |             unnest(range(0, least(n_bytes // 64 + 1, 12), 3)) AS i
+          |      FROM d)
+          |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+          |       ('0x' || substr(h, CAST(2 * i + 1 AS INT), 12))::BIGINT AS frame_sig
+          |FROM f""".stripMargin,
 
       // --- streaming-shaped
       "q_event_window" ->

@@ -49,4 +49,53 @@ object Multimodal {
     blobs.select(col("doc_id"),
       length(col("blob")).cast("long").as("n_bytes"),
       ascii(substring(decode(col("blob"), "UTF-8"), 1, 1)).cast("long").as("magic"))
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_sig: Long)
+
+  /** Frame sampling for video-ish blobs — one output row per sampled
+    * frame (the flatMap row-per-frame shape, stride policy, and
+    * per-partition batch iteration with a reused digest are the
+    * production pattern; a real build swaps the STUB "decode" for a
+    * demuxer). Frame count derives from byte length (bytes/64 + 1,
+    * capped), each sampled frame's signature is 48 bits of the content
+    * MD5 at that frame's offset — deterministic and oracle-checkable. */
+  def sampleFrames(blobs: DataFrame, stride: Int = 3, maxFrames: Int = 12): Dataset[Frame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          val n = math.min(bytes.length / 64 + 1, maxFrames)
+          (0 until n by stride).map { i =>
+            Frame(id, i, java.lang.Long.parseLong(hex.substring(2 * i, 2 * i + 12), 16))
+          }
+        }
+      }
+  }
+
+  /** STUB resize: deterministic nearest-index byte resampling standing
+    * in for a codec resize (no image libs in this container); the
+    * (blob, w, h) -> blob batch signature and per-partition buffer
+    * reuse are the real plumbing. */
+  def resize(blobs: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0)
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val out = new Array[Byte](w * h) // reused across the batch
+        it.map { case (id, bytes) =>
+          var i = 0
+          while (i < w * h) {
+            out(i) = if (bytes.isEmpty) 0 else bytes((i.toLong * bytes.length / (w * h)).toInt)
+            i += 1
+          }
+          (id, w, h, out.clone())
+        }
+      }
+      .toDF("doc_id", "width", "height", "blob")
+  }
 }

@@ -138,4 +138,35 @@ class PipelineSpec extends SparkSpec {
     val feats = Multimodal.decodeFeatures(blobs).collect()
     assert(feats.length == 5 && feats.forall(_.n_bytes > 0))
   }
+
+  test("multimodal frame sampling: stride rows, hash-derived signatures") {
+    val blobs = Multimodal.asBlobs(docs)
+    val frames = Multimodal.sampleFrames(blobs).collect()
+    val text1 = docs.where(col("doc_id") === 1).head().getString(1)
+    val expectN = math.min(text1.getBytes("UTF-8").length / 64 + 1, 12)
+    val f1 = frames.filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    assert(f1.map(_.frame_idx).toSeq == (0 until expectN by 3))
+    // signature = 48 bits of the content MD5 at the frame offset
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(text1.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(f1.head.frame_sig == java.lang.Long.parseLong(hex.substring(0, 12), 16))
+    // deterministic across runs
+    assert(Multimodal.sampleFrames(blobs).collect().sortBy(f => (f.doc_id, f.frame_idx)).toSeq ==
+      frames.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
+  }
+
+  test("multimodal resize: fixed output shape, deterministic resampling") {
+    val blobs = Multimodal.asBlobs(docs)
+    val small = Multimodal.resize(blobs, 8, 4).collect()
+    assert(small.length == 5)
+    small.foreach { r =>
+      assert(r.getInt(1) == 8 && r.getInt(2) == 4)
+      assert(r.getAs[Array[Byte]]("blob").length == 32)
+    }
+    // nearest-index resample of a known blob
+    val b1 = small.find(_.getLong(0) == 1L).get.getAs[Array[Byte]]("blob")
+    val src = docs.where(col("doc_id") === 1).head().getString(1).getBytes("UTF-8")
+    assert(b1(0) == src(0))
+    assert(b1(31) == src((31L * src.length / 32).toInt))
+  }
 }
