@@ -176,13 +176,23 @@ class RasterLayerSpec extends SparkSpec {
     assert(up.meta.temporal)
   }
 
-  test("resample/reproject fail fast on temporal layers") {
-    val l = RasterLayer.fromCellsTemporal(
-      Seq((0L, 0L, 1L, 2.0)).toDF("x", "y", "instant", "v"), layout)
-    intercept[IllegalArgumentException](Resample.bilinearTiled(l, 8, 16, 4))
-    intercept[IllegalArgumentException](
-      Resample.kernelTiled(l, 8, 16, Resample.Kernel.CubicConvolution, 4))
-    intercept[IllegalArgumentException](Reproject.latLngGridToWebMercatorTiled(l, 0.01, 4))
+  test("resample on a temporal layer keeps instants separate") {
+    // a dense 8x8 block at instant 1, a different one at instant 2:
+    // upsample 8 -> 16; each instant must interpolate only its own data
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L; t <- Seq(1L, 2L))
+      yield (x, y, t, if (t == 1L) 10.0 else 50.0)
+    val l = RasterLayer.fromCellsTemporal(cells.toDF("x", "y", "instant", "v"), layout)
+    val r = Resample.bilinearTiled(l, 8, 16, 4)
+    assert(r.meta.temporal)
+    val got = r.toCells.as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // constant grids interpolate to the constant — any instant mixing
+    // would bend interior values away from it
+    got.foreach { case (x, y, t, v) =>
+      val expect = if (t == 1L) 10.0 else 50.0
+      assert(v == expect, s"($x,$y,t=$t)")
+    }
+    assert(got.map(_._3).toSet == Set(1L, 2L))
   }
 
   test("focal on a temporal layer keeps instants separate") {
