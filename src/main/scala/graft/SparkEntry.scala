@@ -206,6 +206,31 @@ object SparkEntry {
           .cast("double").as("py"))
     }),
 
+    "q_shapefile_rasterize" -> ((s, dir) => {
+      // valued rasterize straight from a shapefile + dbf attribute
+      // sidecar (the reference's feature path: geometry + attributes):
+      // burn VAL with Max overlap priority through TileBuildAgg
+      val rows = supplierPoints(s, dir).orderBy("pid").collect()
+      val pts = rows.map(r => graft.vector.Pt(r.getDouble(1), r.getDouble(2)))
+      val vals = rows.map(r => Seq(r.getLong(0).toString))
+      val shpDir = s"${System.getProperty("java.io.tmpdir")}/graft_shp_feat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shpDir))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$shpDir/sup.shp"),
+        graft.vector.Shapefile.writePoints(pts.toSeq))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$shpDir/sup.dbf"),
+        graft.vector.Dbf.write(Seq(graft.vector.Dbf.Field("VAL", 'N', 18)), vals.toSeq))
+      val feats = graft.vector.Shapefile.readFeatures(s, shpDir)
+      val cells = feats.select(
+        regexp_extract(col("wkt"), "POINT \\(([-0-9.]+) ([-0-9.]+)\\)", 1)
+          .cast("double").as("px"),
+        regexp_extract(col("wkt"), "POINT \\(([-0-9.]+) ([-0-9.]+)\\)", 2)
+          .cast("double").as("py"),
+        element_at(col("attrs"), "VAL").cast("double").as("v"))
+        .select(floor(col("px")).cast("long").as("x"),
+                floor(col("py")).cast("long").as("y"), col("v"))
+      flat(RasterLayer.fromCells(cells, layout, CellOp.Max))
+    }),
+
     // --- distances
     "q_euclidean_distance" -> ((s, dir) =>
       Distance.euclidean(s, supplierPoints(s, dir), layout)),
@@ -799,6 +824,11 @@ object SparkEntry {
       "q_shapefile" ->
         s"""SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS INT) AS idx, px, py
            |FROM ($pts)""".stripMargin,
+
+      "q_shapefile_rasterize" ->
+        s"""SELECT CAST(floor(px) AS BIGINT) AS x, CAST(floor(py) AS BIGINT) AS y,
+           |       max(CAST(pid AS DOUBLE)) AS v
+           |FROM ($pts) GROUP BY 1, 2""".stripMargin,
 
       "q_point_values" ->
         s"""SELECT p.pid AS pid, g.v AS v

@@ -147,6 +147,42 @@ object Shapefile {
       .toDF("path", "idx", "wkt")
   }
 
+  /** Feature ingestion: geometries from .shp records PLUS their
+    * attribute row from the sibling .dbf (records align by index —
+    * the shapefile contract). Output one row per feature:
+    * (path, idx, wkt, attrs MAP<STRING,STRING>); numeric casts happen
+    * downstream where the consumer knows the field type. Both file
+    * families load through binaryFile and pair on their basename —
+    * a broadcastable join at any realistic shapefile count. */
+  def readFeatures(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    def base(p: String) = {
+      val f = p.split('/').last
+      f.substring(0, f.lastIndexOf('.'))
+    }
+    val shp = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.shp").load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        readGeometries(bytes).zipWithIndex.map { case (g, i) =>
+          (base(p), p, i, Wkt.write(g))
+        }
+      }
+      .toDF("_base", "path", "idx", "wkt")
+    val dbf = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.dbf").load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val (fields, rows) = Dbf.read(bytes)
+        rows.zipWithIndex.map { case (r, i) =>
+          (base(p), i, fields.map(_.name).zip(r).toMap)
+        }
+      }
+      .toDF("_base", "idx", "attrs")
+    shp.join(org.apache.spark.sql.functions.broadcast(dbf), Seq("_base", "idx"), "left")
+      .select(col("path"), col("idx"), col("wkt"), col("attrs"))
+  }
+
   // ------------------------------------------------------------------
   // encode (exports + the test/oracle writer)
   // ------------------------------------------------------------------

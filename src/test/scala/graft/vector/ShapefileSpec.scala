@@ -65,4 +65,43 @@ class ShapefileSpec extends SparkSpec {
   test("malformed input fails loudly") {
     intercept[IllegalArgumentException](Shapefile.readGeometries(Array.fill(128)(0.toByte)))
   }
+
+  test("dbf roundtrip: field metadata, padding, deleted records skipped") {
+    val fields = Seq(Dbf.Field("NAME", 'C', 8), Dbf.Field("VAL", 'N', 6, 0))
+    val rows = Seq(Seq("alpha", "42"), Seq("b", "-7"), Seq("gamma", "10000"))
+    val bytes = Dbf.write(fields, rows)
+    val (f2, r2) = Dbf.read(bytes)
+    assert(f2 == fields)
+    assert(r2 == rows)
+    // mark the middle record deleted: flag byte -> 0x2A
+    val headerSize = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(8) & 0xffff
+    val recordSize = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(10) & 0xffff
+    bytes(headerSize + recordSize) = 0x2A
+    assert(Dbf.read(bytes)._2 == Seq(rows(0), rows(2)))
+    // overlong value refused at write time
+    intercept[IllegalArgumentException](
+      Dbf.write(Seq(Dbf.Field("X", 'N', 2)), Seq(Seq("12345"))))
+  }
+
+  test("readFeatures pairs geometry records with their dbf attributes") {
+    val dir = Files.createTempDirectory("graft_shp_dbf").toString
+    Files.write(Paths.get(s"$dir/cities.shp"),
+      Shapefile.writePoints(Seq(Pt(1, 2), Pt(3, 4), Pt(5, 6))))
+    Files.write(Paths.get(s"$dir/cities.dbf"), Dbf.write(
+      Seq(Dbf.Field("NAME", 'C', 8), Dbf.Field("POP", 'N', 8)),
+      Seq(Seq("a", "100"), Seq("b", "250"), Seq("c", "99"))))
+    val rows = Shapefile.readFeatures(spark, dir).collect()
+    assert(rows.length == 3)
+    val byIdx = rows.map(r => r.getInt(1) ->
+      (r.getString(2), r.getMap[String, String](3))).toMap
+    assert(byIdx(0)._1 == "POINT (1 2)" && byIdx(0)._2("POP") == "100")
+    assert(byIdx(1)._2("NAME") == "b" && byIdx(2)._2("POP") == "99")
+    // a .shp with no sibling .dbf still yields geometry (null attrs)
+    Files.write(Paths.get(s"$dir/bare.shp"), Shapefile.writePoints(Seq(Pt(9, 9))))
+    val all = Shapefile.readFeatures(spark, dir).collect()
+    assert(all.length == 4)
+    assert(all.filter(_.getString(0).endsWith("bare.shp")).forall(_.isNullAt(3)))
+  }
 }
