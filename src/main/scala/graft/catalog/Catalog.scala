@@ -184,6 +184,29 @@ object Catalog {
       .parquet(s"$uri/$name/tiles")
   }
 
+  /** Compact one zoom partition: incremental appends (update /
+    * streaming ingestion micro-batches) leave many small files whose
+    * zindex ranges overlap, eroding the min/max file skipping that
+    * query/queryTime rely on. Compaction reads the partition back,
+    * restores the canonical write layout (range-partition + sort on
+    * (instant,) zindex), and atomically replaces ONLY that zoom via
+    * dynamic partition overwrite — the standard small-file compaction
+    * any streaming-ingested table needs at scale.
+    *
+    * Physical re-layout only: duplicate (col,row[,instant]) keys from
+    * appends are preserved (readers resolve them cell-wise, the
+    * update() contract); pass `mergeDuplicates = true` to collapse
+    * them with aggregate_by_cell Max instead. */
+  def compact(spark: SparkSession, uri: String, name: String, zoom: Int = 0,
+              mergeDuplicates: Boolean = false): Unit = {
+    val base = read(spark, uri, name, zoom)
+    val resolved = if (mergeDuplicates) base.aggregateByCell("Max") else base
+    // materialize before the overwrite: the write would otherwise
+    // race its own input scan on the same files
+    val frozen = resolved.df.localCheckpoint()
+    write(uri, name, new RasterLayer(frozen, resolved.meta), zoom)
+  }
+
   /** Attribute store key-value access (catalog.py AttributeStore :332). */
   def writeAttribute(uri: String, name: String, key: String, value: String): Unit = {
     val p = Paths.get(s"$uri/$name/_attributes_$key.json")

@@ -40,6 +40,34 @@ class CatalogSpec extends SparkSpec {
       Set((0L, 0L, 5.0), (7L, 0L, 3.0)))
   }
 
+  test("compact coalesces appended files, preserves content, can merge duplicates") {
+    val dir = Files.createTempDirectory("graft_cat").toString
+    Catalog.write(dir, "t", layer((0, 0, 1.0)), zoom = 0)
+    Catalog.update(dir, "t", layer((0, 0, 5.0), (7, 0, 3.0)), zoom = 0)
+    Catalog.update(dir, "t", layer((3, 3, 4.0)), zoom = 0)
+    def files() = new java.io.File(s"$dir/t/tiles/zoom=0").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = files()
+    // physical-only compaction keeps duplicate keys (update contract)
+    Catalog.compact(spark, dir, "t", zoom = 0)
+    assert(files() < before, s"expected fewer files than $before")
+    val kept = Catalog.read(spark, dir, "t", zoom = 0)
+      .toCells.as[(Long, Long, Double)].collect()
+    assert(kept.count { case (x, y, _) => (x, y) == ((0L, 0L)) } == 2)
+    assert(kept.toSet ==
+      Set((0L, 0L, 1.0), (0L, 0L, 5.0), (7L, 0L, 3.0), (3L, 3L, 4.0)))
+    // merging compaction collapses duplicates cell-wise
+    Catalog.compact(spark, dir, "t", zoom = 0, mergeDuplicates = true)
+    assert(Catalog.read(spark, dir, "t", zoom = 0)
+      .toCells.as[(Long, Long, Double)].collect().toSet ==
+      Set((0L, 0L, 5.0), (7L, 0L, 3.0), (3L, 3L, 4.0)))
+    // other zooms untouched by the dynamic overwrite
+    Catalog.write(dir, "t2", layer((1, 1, 9.0)), zoom = 1)
+    Catalog.compact(spark, dir, "t2", zoom = 1)
+    assert(Catalog.read(spark, dir, "t2", zoom = 1)
+      .toCells.as[(Long, Long, Double)].collect().toSet == Set((1L, 1L, 9.0)))
+  }
+
   test("temporal write/read roundtrip preserves instants; queryTime prunes both dims") {
     val dir = Files.createTempDirectory("graft_cat").toString
     val l = RasterLayer.fromCellsTemporal(

@@ -65,6 +65,15 @@ class RenderSpec extends SparkSpec {
       assert(code == 200)
       assert(body.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
       assert(get("/tiles/demo/0/3/3.png")._1 == 404) // outside layout
+      // multi-zoom: a Pyramid.write store serves every level through
+      // the same endpoint — the zoom path segment picks the overview
+      val levels = graft.raster.Pyramid.build(layer, "Average")
+      graft.raster.Pyramid.write(dir, "pyr", levels)
+      levels.foreach { case (z, _) =>
+        val (c, b) = get(s"/tiles/pyr/$z/0/0.png")
+        assert(c == 200, s"zoom $z")
+        assert(b.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      }
     } finally srv.stop()
   }
 
