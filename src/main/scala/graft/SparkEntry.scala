@@ -188,6 +188,25 @@ object SparkEntry {
       flat(ZonalOps.maskGrid(lineitemLayer(s, dir), graft.vector.Wkt.parsePolygons(wkt)))
     }),
 
+    "q_rasterize_lines" -> ((s, dir) => {
+      // LINESTRING burn (reference rasterize takes any geometry):
+      // axis-aligned segments derived from supplier, all-touched grid
+      // traversal, Max overlap priority. Oblique traversal is
+      // spec-verified (RasterizeSpec) — the oracle stays on segments
+      // whose touched set is exactly a coordinate range.
+      val p = supplierPoints(s, dir)
+        .withColumn("len", (col("pid") % 7 + 2).cast("double"))
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val wkt = when(col("pid") % 2 === 0,
+        concat(lit("LINESTRING ("), str(col("px")), lit(" "), str(col("py")),
+          lit(", "), str(col("px") + col("len")), lit(" "), str(col("py")), lit(")")))
+        .otherwise(
+          concat(lit("LINESTRING ("), str(col("px")), lit(" "), str(col("py")),
+            lit(", "), str(col("px")), lit(" "), str(col("py") + col("len")), lit(")")))
+      val feats = p.select(wkt.as("wkt"), col("pid").cast("double").as("v"))
+      flat(graft.raster.Rasterize.fromWktFeatures(feats, layout))
+    }),
+
     "q_shapefile" -> ((s, dir) => {
       // real vector-file ingestion (shapefile.py:68): supplier points
       // written as a spec-conform ESRI .shp, read back DISTRIBUTED via
@@ -820,6 +839,20 @@ object SparkEntry {
            |WHERE (abs(x + 0.5 - 80) + abs(y + 0.5 - 80) < 50.3
            |       AND NOT (abs(x + 0.5 - 80) + abs(y + 0.5 - 80) < 20.3))
            |   OR abs(x + 0.5 - 180) + abs(y + 0.5 - 180) < 30.3""".stripMargin,
+
+      "q_rasterize_lines" ->
+        s"""WITH s AS (SELECT pid, px, py, pid % 7 + 2 AS len FROM ($pts)),
+           |h AS (SELECT unnest(range(CAST(floor(px) AS BIGINT),
+           |                          least(CAST(floor(px + len) AS BIGINT) + 1, 256))) AS x,
+           |             CAST(floor(py) AS BIGINT) AS y, CAST(pid AS DOUBLE) AS v
+           |      FROM s WHERE pid % 2 = 0),
+           |vv AS (SELECT CAST(floor(px) AS BIGINT) AS x,
+           |              unnest(range(CAST(floor(py) AS BIGINT),
+           |                           least(CAST(floor(py + len) AS BIGINT) + 1, 256))) AS y,
+           |              CAST(pid AS DOUBLE) AS v
+           |       FROM s WHERE pid % 2 = 1)
+           |SELECT x, y, max(v) AS v
+           |FROM (SELECT * FROM h UNION ALL SELECT * FROM vv) GROUP BY 1, 2""".stripMargin,
 
       "q_shapefile" ->
         s"""SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS INT) AS idx, px, py

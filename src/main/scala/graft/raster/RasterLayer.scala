@@ -58,6 +58,9 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   def isEmpty: Boolean     = df.isEmpty
   def numPartitions: Int   = df.rdd.getNumPartitions
   def cache(): RasterLayer = copy(df = df.cache())
+  def persist(level: org.apache.spark.storage.StorageLevel): RasterLayer =
+    copy(df = df.persist(level))
+  def unpersist(): RasterLayer = copy(df = df.unpersist())
 
   /** Spatial partitioning: hash-shuffle on the tile key so downstream
     * keyed ops (merge/binary algebra/focal) reuse the exchange.

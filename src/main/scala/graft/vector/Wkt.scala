@@ -95,12 +95,17 @@ object Wkt {
 
     private def point(): Pt = Pt(number(), number())
 
-    /** '(' pt (',' pt)* ')' */
+    /** '(' pt (',' pt)* ')' — each pt may itself be parenthesized
+      * (the standard MULTIPOINT form `((1 2), (3 4))` as well as the
+      * bare `(1 2, 3 4)`). */
     private def points(): IndexedSeq[Pt] = {
       expect('(')
+      def member(): Pt =
+        if (peekIs('(')) { i += 1; val p = point(); expect(')'); p }
+        else point()
       val buf = IndexedSeq.newBuilder[Pt]
-      buf += point()
-      while (peekIs(',')) { i += 1; buf += point() }
+      buf += member()
+      while (peekIs(',')) { i += 1; buf += member() }
       expect(')')
       buf.result()
     }
