@@ -13,13 +13,38 @@ import org.apache.spark.sql.functions._
   * part (codegen'd CASE chain, no UDF).
   */
 object ColorMap {
-  /** A handful of the reference's ramps (constants.py:233), as ARGB. */
+  /** Every ColorRamp name the reference enumerates (constants.py:233)
+    * plus Grayscale, as ARGB stop lists. Stops are this library's own
+    * literals (perceptual approximations of the well-known public
+    * palettes — matplotlib's viridis family endpoints, classic GIS
+    * gradient pairs); what the reference contract fixes is the NAME
+    * surface and name -> monotone gradient behavior, and colors are
+    * deterministic literals on every engine. */
   val Ramps: Map[String, IndexedSeq[Int]] = Map(
     "Hot"          -> IndexedSeq(0xFF000000, 0xFFE60000, 0xFFFF8000, 0xFFFFFF00, 0xFFFFFFFF),
-    "BlueToRed"    -> IndexedSeq(0xFF2791C3, 0xFF5DA1CA, 0xFFCB5A5A, 0xFFA52A2A),
-    "Grayscale"    -> IndexedSeq(0xFF000000, 0xFFFFFFFF),
+    "CoolWarm"     -> IndexedSeq(0xFF3B4CC0, 0xFF8DB0FE, 0xFFDDDDDD, 0xFFF49A7B, 0xFFB40426),
+    "Magma"        -> IndexedSeq(0xFF000004, 0xFF711F81, 0xFFB63679, 0xFFF1605D, 0xFFFCFDBF),
+    "Inferno"      -> IndexedSeq(0xFF000004, 0xFF6A176E, 0xFFBA3655, 0xFFF98C0A, 0xFFFCFFA4),
+    "Plasma"       -> IndexedSeq(0xFF0D0887, 0xFF7E03A8, 0xFFCB4678, 0xFFF89441, 0xFFF0F921),
+    "Viridis"      -> IndexedSeq(0xFF440154, 0xFF3B528B, 0xFF21918C, 0xFF5EC962, 0xFFFDE725),
     "BlueToOrange" -> IndexedSeq(0xFF2586AB, 0xFF67A9CF, 0xFFF6E8C3, 0xFFEF8A62, 0xFFB2182B),
-    "Viridis"      -> IndexedSeq(0xFF440154, 0xFF3B528B, 0xFF21918C, 0xFF5EC962, 0xFFFDE725))
+    "LightYellowToOrange" -> IndexedSeq(0xFFFFFFCC, 0xFFFED976, 0xFFFD8D3C, 0xFFE31A1C),
+    "BlueToRed"    -> IndexedSeq(0xFF2791C3, 0xFF5DA1CA, 0xFFCB5A5A, 0xFFA52A2A),
+    "GreenToRedOrange" -> IndexedSeq(0xFF1A9850, 0xFFA6D96A, 0xFFFDAE61, 0xFFD73027),
+    "LightToDarkSunset" -> IndexedSeq(0xFFFFF7EC, 0xFFFDBB84, 0xFFE34A33, 0xFF7F0000),
+    "LightToDarkGreen" -> IndexedSeq(0xFFF7FCF5, 0xFFA1D99B, 0xFF41AB5D, 0xFF00441B),
+    "HeatmapYellowToRed" -> IndexedSeq(0xFFFFFFB2, 0xFFFECC5C, 0xFFFD8D3C, 0xFFE31A1C),
+    "HeatmapBlueToYellowToRedSpectrum" ->
+      IndexedSeq(0xFF2B83BA, 0xFFABDDA4, 0xFFFFFFBF, 0xFFFDAE61, 0xFFD7191C),
+    "HeatmapDarkRedToYellowWhite" ->
+      IndexedSeq(0xFF7F0000, 0xFFD7301F, 0xFFFC8D59, 0xFFFDD49E, 0xFFFFFFE5),
+    "HeatmapLightPurpleToDarkPurpleToWhite" ->
+      IndexedSeq(0xFFDADAEB, 0xFF9E9AC8, 0xFF6A51A3, 0xFF3F007D, 0xFFFFFFFF),
+    "ClassificationBoldLandUse" ->
+      IndexedSeq(0xFFB2ADD3, 0xFFC9B6A4, 0xFFDBD6BD, 0xFF70A880, 0xFFE8C19A),
+    "ClassificationMutedTerrain" ->
+      IndexedSeq(0xFFCEE1E8, 0xFF7CBCB5, 0xFF82B36D, 0xFF94C279, 0xFFD1DE8D),
+    "Grayscale"    -> IndexedSeq(0xFF000000, 0xFFFFFFFF))
 
   /** Interpolate a named ramp to exactly `n` ARGB colors (reference
     * color.py ColorRamp resampling — get_colors :44): linear per-channel

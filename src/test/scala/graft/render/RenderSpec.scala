@@ -77,6 +77,24 @@ class RenderSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("every reference ColorRamp name resolves and interpolates") {
+    // the full constants.py:233 enum surface + Grayscale
+    val names = Seq("Hot", "CoolWarm", "Magma", "Inferno", "Plasma", "Viridis",
+      "BlueToOrange", "LightYellowToOrange", "BlueToRed", "GreenToRedOrange",
+      "LightToDarkSunset", "LightToDarkGreen", "HeatmapYellowToRed",
+      "HeatmapBlueToYellowToRedSpectrum", "HeatmapDarkRedToYellowWhite",
+      "HeatmapLightPurpleToDarkPurpleToWhite", "ClassificationBoldLandUse",
+      "ClassificationMutedTerrain", "Grayscale")
+    names.foreach { n =>
+      val cs = ColorMap.rampColors(n, 7)
+      assert(cs.length == 7, n)
+      assert(cs.forall(c => (c >>> 24) == 0xFF), s"$n: opaque alpha")
+      // endpoints are the ramp's own stops
+      assert(cs.head == ColorMap.Ramps(n).head && cs.last == ColorMap.Ramps(n).last, n)
+    }
+    intercept[IllegalArgumentException](ColorMap.rampColors("NotARamp", 3))
+  }
+
   test("classify column matches strategies") {
     val df = Seq(5.0, 15.0, 25.0).toDF("v")
     val idx = df.select(ColorMap.classify(org.apache.spark.sql.functions.col("v"),
