@@ -623,6 +623,40 @@ object GeoTiff {
     } finally out.close()
   }
 
+  /** Pixel geometry of every image in a COG's IFD chain, base first:
+    * (imageCols, imageRows, tileCols, tileRows) per level. Header-only
+    * walk — no tile data is touched, so against remote storage this is
+    * the one small range request a tile server needs before it can
+    * window any zoom (reference tms.py serves rendered levels the same
+    * way: pick the level, then fetch only that tile). */
+  def cogLevels(bytes: Array[Byte]): IndexedSeq[(Int, Int, Int, Int)] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'I' && buf.get() == 'I' && buf.getShort() == 42, "not a LE classic TIFF")
+    val out = IndexedSeq.newBuilder[(Int, Int, Int, Int)]
+    var ifdOff = buf.getInt(4)
+    while (ifdOff != 0) {
+      buf.position(ifdOff)
+      val nt = buf.getShort() & 0xffff
+      var cols = -1; var rows = -1; var tw = -1; var th = -1
+      (0 until nt).foreach { _ =>
+        val id = buf.getShort() & 0xffff; buf.getShort(); buf.getInt()
+        val v = buf.getInt()
+        id match {
+          case TagImageWidth  => cols = v
+          case TagImageLength => rows = v
+          case TagTileWidth   => tw = v
+          case TagTileLength  => th = v
+          case _ =>
+        }
+      }
+      require(cols > 0 && rows > 0 && tw > 0 && th > 0,
+        "not an internally-tiled TIFF (missing tile tags)")
+      out += ((cols, rows, tw, th))
+      ifdOff = buf.getInt(ifdOff + 2 + nt * 12)
+    }
+    out.result()
+  }
+
   /** Windowed read of an internally-tiled GeoTIFF ([[saveCog]] subset
     * — LE float32, deflate or none): decode ONLY the TIFF tiles
     * intersecting the (wx, wy, ww, wh) pixel window; everything else

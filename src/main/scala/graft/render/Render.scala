@@ -5,7 +5,7 @@ import java.io.ByteArrayOutputStream
 
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions.col
 
 import graft.raster.RasterLayer
@@ -19,15 +19,15 @@ object Render {
 
   final case class PngTile(col: Int, row: Int, png: Array[Byte])
 
-  def renderPng(layer: RasterLayer, breaks: Seq[Double], ramp: String,
-                strategy: String = "LessThanOrEqualTo"): Dataset[PngTile] = {
-    val tl = layer.meta.layout.tileLayout
-    val (tc, tr) = (tl.tileCols, tl.tileRows)
+  /** Classify + ramp + PNG-encode ONE cell grid — the per-tile kernel
+    * [[renderPng]] runs inside executors, also callable driver-side
+    * (TMS serving a COG window renders exactly one of these per GET). */
+  def renderImage(cells: IndexedSeq[Double], cols: Int, rows: Int,
+                  breaks: Seq[Double], ramp: String,
+                  strategy: String = "LessThanOrEqualTo"): Array[Byte] = {
     val colors = ColorMap.Ramps(ramp)
     val sortedBreaks =
       if (strategy.startsWith("Greater")) breaks.sorted.reverse else breaks.sorted
-    val spark = layer.df.sparkSession
-    import spark.implicits._
 
     def classify(v: Double): Int = {
       var i = 0
@@ -46,31 +46,41 @@ object Render {
       -1
     }
 
+    val img = new BufferedImage(cols, rows, BufferedImage.TYPE_INT_ARGB)
+    var j = 0
+    while (j < rows) {
+      var i = 0
+      while (i < cols) {
+        val v = cells(j * cols + i)
+        val argb =
+          if (v.isNaN) 0x00000000
+          else {
+            val idx = classify(v)
+            if (idx < 0) 0x00000000
+            else colors(math.min(idx, colors.length - 1))
+          }
+        img.setRGB(i, j, argb)
+        i += 1
+      }
+      j += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def renderPng(layer: RasterLayer, breaks: Seq[Double], ramp: String,
+                strategy: String = "LessThanOrEqualTo"): Dataset[PngTile] = {
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+
     layer.df.select(col("col"), col("row"), col("tile"))
       .as[(Int, Int, Seq[Double])]
       .mapPartitions { it =>
         it.map { case (c, r, tile) =>
-          val img = new BufferedImage(tc, tr, BufferedImage.TYPE_INT_ARGB)
-          var j = 0
-          while (j < tr) {
-            var i = 0
-            while (i < tc) {
-              val v = tile(j * tc + i)
-              val argb =
-                if (v.isNaN) 0x00000000
-                else {
-                  val idx = classify(v)
-                  if (idx < 0) 0x00000000
-                  else colors(math.min(idx, colors.length - 1))
-                }
-              img.setRGB(i, j, argb)
-              i += 1
-            }
-            j += 1
-          }
-          val bos = new ByteArrayOutputStream()
-          ImageIO.write(img, "png", bos)
-          PngTile(c, r, bos.toByteArray)
+          PngTile(c, r, renderImage(tile.toIndexedSeq, tc, tr, breaks, ramp, strategy))
         }
       }
   }

@@ -7,7 +7,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.SparkSession
 
 import graft.catalog.Catalog
-import graft.raster.RasterLayer
+import graft.raster.{GeoTiff, RasterLayer}
 
 /** Minimal TMS-style tile endpoint — reference geopyspark tms.py: serve
   * `GET /tiles/{layer}/{zoom}/{col}/{row}.png` rendered on demand from
@@ -16,9 +16,19 @@ import graft.raster.RasterLayer
   * Serving is inherently driver-side; per-(layer, zoom) DataFrames are
   * cached so a request is one keyed lookup (pushed col/row predicates)
   * + a single-tile render. JDK HttpServer, no dependencies.
+  *
+  * `cogs` additionally registers COG-pyramid files (from
+  * [[GeoTiff.saveCogPyramid]]) under `GET /cog/{name}/{zoom}/{col}/
+  * {row}.png`, mapped as name -> (path, baseZoom). The zoom path
+  * segment picks the overview IFD (overview = baseZoom - zoom; 0 = the
+  * base image) and [[GeoTiff.readCogWindow]] inflates ONLY the TIFF
+  * tiles under the requested window — per GET, one header walk plus
+  * one tile's byte range, which is exactly the range-request pattern
+  * that serves the same file from remote storage without Spark.
   */
 final class TmsServer(spark: SparkSession, uri: String,
-                      breaks: Seq[Double], ramp: String, port: Int = 0) {
+                      breaks: Seq[Double], ramp: String, port: Int = 0,
+                      cogs: Map[String, (String, Int)] = Map.empty) {
 
   private val layers = scala.collection.concurrent.TrieMap.empty[(String, Int), RasterLayer]
 
@@ -28,30 +38,69 @@ final class TmsServer(spark: SparkSession, uri: String,
       l.copy(df = l.df.cache())
     })
 
+  // file bytes + per-level pixel geometry, loaded once per cog name
+  private val cogCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[Byte], IndexedSeq[(Int, Int, Int, Int)])]
+
+  private def cog(name: String): (Array[Byte], IndexedSeq[(Int, Int, Int, Int)], Int) = {
+    val (path, baseZoom) = cogs(name)
+    val (bytes, levels) = cogCache.getOrElseUpdate(name, {
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      (b, GeoTiff.cogLevels(b))
+    })
+    (bytes, levels, baseZoom)
+  }
+
+  private def send(ex: HttpExchange, code: Int, body: Array[Byte], ctype: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
+
   private val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/tiles", new HttpHandler {
     private val Path = raw"/tiles/([A-Za-z0-9_-]+)/(\d+)/(\d+)/(\d+)\.png".r
-    override def handle(ex: HttpExchange): Unit = {
-      def send(code: Int, body: Array[Byte], ctype: String): Unit = {
-        ex.getResponseHeaders.set("Content-Type", ctype)
-        ex.sendResponseHeaders(code, body.length)
-        ex.getResponseBody.write(body)
-        ex.close()
-      }
+    override def handle(ex: HttpExchange): Unit =
       ex.getRequestURI.getPath match {
         case Path(name, z, c, r) =>
           try {
             val l = layer(name, z.toInt)
             val one = l.copy(df = l.lookup(c.toInt, r.toInt))
             val tiles = Render.renderPng(one, breaks, ramp).collect()
-            if (tiles.isEmpty) send(404, "no tile".getBytes, "text/plain")
-            else send(200, tiles.head.png, "image/png")
+            if (tiles.isEmpty) send(ex, 404, "no tile".getBytes, "text/plain")
+            else send(ex, 200, tiles.head.png, "image/png")
           } catch {
-            case e: Exception => send(500, e.toString.getBytes, "text/plain")
+            case e: Exception => send(ex, 500, e.toString.getBytes, "text/plain")
           }
-        case _ => send(404, "bad path".getBytes, "text/plain")
+        case _ => send(ex, 404, "bad path".getBytes, "text/plain")
       }
-    }
+  })
+  server.createContext("/cog", new HttpHandler {
+    private val Path = raw"/cog/([A-Za-z0-9_-]+)/(\d+)/(\d+)/(\d+)\.png".r
+    override def handle(ex: HttpExchange): Unit =
+      ex.getRequestURI.getPath match {
+        case Path(name, z, c, r) if cogs.contains(name) =>
+          try {
+            val (bytes, levels, baseZoom) = cog(name)
+            val overview = baseZoom - z.toInt
+            if (overview < 0 || overview >= levels.size)
+              send(ex, 404, s"no overview for zoom $z".getBytes, "text/plain")
+            else {
+              val (cols, rows, tw, th) = levels(overview)
+              val (wx, wy) = (c.toInt * tw, r.toInt * th)
+              if (wx >= cols || wy >= rows)
+                send(ex, 404, "tile outside image".getBytes, "text/plain")
+              else {
+                val cells = GeoTiff.readCogWindow(bytes, wx, wy, tw, th, overview)
+                send(ex, 200, Render.renderImage(cells, tw, th, breaks, ramp), "image/png")
+              }
+            }
+          } catch {
+            case e: Exception => send(ex, 500, e.toString.getBytes, "text/plain")
+          }
+        case _ => send(ex, 404, "bad path".getBytes, "text/plain")
+      }
   })
   server.setExecutor(null)
   server.start()
