@@ -24,6 +24,8 @@ import graft.raster.{LayerMetadata, MultibandLayer, RasterLayer}
 object Catalog {
 
   private def metaPath(uri: String, name: String) = s"$uri/$name/_graft_meta.json"
+  private def metaPathZoom(uri: String, name: String, zoom: Int) =
+    s"$uri/$name/_graft_meta_$zoom.json"
 
   def write(uri: String, name: String, layer: RasterLayer, zoom: Int = 0,
             index: String = "zorder"): Unit = {
@@ -55,34 +57,37 @@ object Catalog {
       .partitionBy("zoom")
       .parquet(s"$uri/$name/tiles")
 
-    val e = layer.meta.layout.extent
-    val json =
-      s"""{"extent":[${e.xmin},${e.ymin},${e.xmax},${e.ymax}],
-         |"layout":[${tl.layoutCols},${tl.layoutRows},${tl.tileCols},${tl.tileRows}],
-         |"cellType":"${layer.meta.cellType}","temporal":${layer.meta.temporal},"zoom":$zoom}""".stripMargin
-    val p = Paths.get(metaPath(uri, name))
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, json)
+    writeMetadata(uri, name, layer.meta, zoom)
   }
 
   /** Write just the attribute-store metadata sidecar (used by
-    * streaming ingestion, which appends tiles incrementally). */
+    * streaming ingestion, which appends tiles incrementally). Each
+    * zoom gets its OWN sidecar (_graft_meta_$zoom.json) — pyramid
+    * levels have different layouts, so a shared file would leave the
+    * store described by whichever level wrote last. The unsuffixed
+    * _graft_meta.json is also refreshed as the store-exists marker and
+    * legacy fallback. */
   def writeMetadata(uri: String, name: String, meta: LayerMetadata, zoom: Int = 0): Unit = {
     val e = meta.layout.extent; val tl = meta.layout.tileLayout
     val json =
       s"""{"extent":[${e.xmin},${e.ymin},${e.xmax},${e.ymax}],
          |"layout":[${tl.layoutCols},${tl.layoutRows},${tl.tileCols},${tl.tileRows}],
          |"cellType":"${meta.cellType}","temporal":${meta.temporal},"zoom":$zoom}""".stripMargin
-    val p = Paths.get(metaPath(uri, name))
+    val p = Paths.get(metaPathZoom(uri, name, zoom))
     Files.createDirectories(p.getParent)
     Files.writeString(p, json)
+    Files.writeString(Paths.get(metaPath(uri, name)), json)
   }
 
   def metadataExists(uri: String, name: String): Boolean =
     Files.exists(Paths.get(metaPath(uri, name)))
 
-  def readMetadata(uri: String, name: String): LayerMetadata = {
-    val s = Files.readString(Paths.get(metaPath(uri, name)))
+  /** Resolve the sidecar for `zoom`: the per-zoom file when present,
+    * else the shared legacy file (single-zoom stores, pre-per-zoom
+    * layouts). */
+  def readMetadata(uri: String, name: String, zoom: Int = 0): LayerMetadata = {
+    val pz = Paths.get(metaPathZoom(uri, name, zoom))
+    val s = Files.readString(if (Files.exists(pz)) pz else Paths.get(metaPath(uri, name)))
     def nums(key: String): Array[Double] =
       s.split(s""""$key":\\[""")(1).split("]")(0).split(",").map(_.trim.toDouble)
     val e = nums("extent"); val l = nums("layout")
@@ -93,7 +98,7 @@ object Catalog {
   }
 
   def read(spark: SparkSession, uri: String, name: String, zoom: Int = 0): RasterLayer = {
-    val meta = readMetadata(uri, name)
+    val meta = readMetadata(uri, name, zoom)
     val keys = if (meta.temporal) Seq("col", "row", "instant") else Seq("col", "row")
     val df = spark.read.parquet(s"$uri/$name/tiles")
       .where(col("zoom") === zoom)
@@ -140,7 +145,7 @@ object Catalog {
   }
 
   def readMultiband(spark: SparkSession, uri: String, name: String, zoom: Int = 0): MultibandLayer = {
-    val meta = readMetadata(uri, name)
+    val meta = readMetadata(uri, name, zoom)
     val bands = readAttribute(uri, name, "bands").trim.toInt
     val df = spark.read.parquet(s"$uri/$name/tiles")
       .where(col("zoom") === zoom)
@@ -152,7 +157,7 @@ object Catalog {
     * range predicates push to the parquet scan. Extent in grid coords. */
   def query(spark: SparkSession, uri: String, name: String, zoom: Int,
             gxMin: Long, gyMin: Long, gxMax: Long, gyMax: Long): RasterLayer = {
-    val meta = readMetadata(uri, name)
+    val meta = readMetadata(uri, name, zoom)
     val tl = meta.layout.tileLayout
     val full = read(spark, uri, name, zoom)
     val pruned = full.df.where(

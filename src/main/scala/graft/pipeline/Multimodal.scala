@@ -58,8 +58,12 @@ object Multimodal {
     * production pattern; a real build swaps the STUB "decode" for a
     * demuxer). Frame count derives from byte length (bytes/64 + 1,
     * capped), each sampled frame's signature is 48 bits of the content
-    * MD5 at that frame's offset — deterministic and oracle-checkable. */
+    * MD5 at that frame's offset, read circularly (offset mod digest
+    * length, wrapping) so ANY stride/maxFrames stays in bounds —
+    * deterministic and oracle-checkable; frames at default stride read
+    * identically to a plain substring. */
   def sampleFrames(blobs: DataFrame, stride: Int = 3, maxFrames: Int = 12): Dataset[Frame] = {
+    require(stride > 0 && maxFrames > 0)
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
@@ -70,7 +74,11 @@ object Multimodal {
           val hex = md.digest(bytes).map("%02x".format(_)).mkString
           val n = math.min(bytes.length / 64 + 1, maxFrames)
           (0 until n by stride).map { i =>
-            Frame(id, i, java.lang.Long.parseLong(hex.substring(2 * i, 2 * i + 12), 16))
+            val off = (2 * i) % hex.length
+            val window =
+              if (off + 12 <= hex.length) hex.substring(off, off + 12)
+              else hex.substring(off) + hex.substring(0, off + 12 - hex.length)
+            Frame(id, i, java.lang.Long.parseLong(window, 16))
           }
         }
       }

@@ -112,8 +112,9 @@ object Pyramid {
     * reference Pyramid.write (layer.py:2654). Every level goes through
     * Catalog.write: dynamic partitionOverwriteMode replaces only that
     * zoom's partition, so a re-run is idempotent (an append here would
-    * double every non-base zoom). The metadata sidecar (tile dims,
-    * shared by all zooms) is rewritten per level; last write wins. */
+    * double every non-base zoom). Each level writes its OWN metadata
+    * sidecar (_graft_meta_$zoom.json) — Catalog.read resolves by zoom,
+    * so reading any level back pairs tiles with that level's layout. */
   def write(uri: String, name: String, levels: Seq[(Int, RasterLayer)]): Unit =
     levels.foreach { case (zoom, l) => graft.catalog.Catalog.write(uri, name, l, zoom) }
 

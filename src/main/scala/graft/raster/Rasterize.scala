@@ -147,6 +147,11 @@ object Rasterize {
             ps.iterator.zip(ps.iterator.drop(1)).flatMap { case (a, b) =>
               traverse(a.x, a.y, b.x, b.y, totC, totR)
             }
+          case graft.vector.Wkt.MultiLineStringG(ls) =>
+            ls.iterator.flatMap(ps =>
+              ps.iterator.zip(ps.iterator.drop(1)).flatMap { case (a, b) =>
+                traverse(a.x, a.y, b.x, b.y, totC, totR)
+              })
         }
         // a geometry can touch a cell more than once (ring vertices,
         // segment joints) — dedup before the value aggregation

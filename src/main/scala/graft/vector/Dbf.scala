@@ -63,8 +63,20 @@ object Dbf {
   }
 
   /** Decode a dBASE III table: (fields, rows of trimmed values).
-    * Deleted records (flag 0x2A) are skipped, as every reader does. */
+    * Deleted records (flag 0x2A) are skipped, as every reader does.
+    * For shp/dbf pairing use [[readIndexed]] — it keeps the POSITIONAL
+    * record number, which is what aligns with .shp record order. */
   def read(bytes: Array[Byte]): (Seq[Field], Seq[Seq[String]]) = {
+    val (fields, rows) = readIndexed(bytes)
+    (fields, rows.map(_._2))
+  }
+
+  /** Decode with positional indices: each surviving row carries its
+    * pre-filter record number, so a table containing deleted (0x2A)
+    * records still aligns attribute rows with their .shp geometry
+    * (GDAL/OGR ignores the deletion flag in shapefile sidecars for
+    * exactly this reason — a deleted row must still occupy its slot). */
+  def readIndexed(bytes: Array[Byte]): (Seq[Field], Seq[(Int, Seq[String])]) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val version = buf.get(0) & 0x07
     require(version == 3, s"unsupported dbf version byte ${bytes(0)}")
@@ -85,11 +97,11 @@ object Dbf {
       if (at + recordSize > bytes.length || bytes(at.toInt) == 0x2A) None
       else {
         var p = at.toInt + 1
-        Some(fields.map { f =>
+        Some((r, fields.map { f =>
           val v = new String(bytes, p, f.length, StandardCharsets.US_ASCII).trim
           p += f.length
           v
-        })
+        }))
       }
     }
     (fields, rows)

@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions.col
   * spec (ESRI Shapefile Technical Description, 1998), mixed-endian
   * (headers big-endian, geometry little-endian).
   *
-  * Supported shape types: Null (0), Point (1), PolyLine (3),
-  * Polygon (5), MultiPoint (8). Z/M variants and the .dbf attribute
-  * table are out of scope (the reference surfaces attributes through
-  * GeoTools; our geometry consumers — mask/rasterize/summaries — take
-  * pure geometry).
+  * Supported shape types: Null (0), Point (1), PolyLine (3, all
+  * parts — single-part records decode to LINESTRING, multi-part to
+  * MULTILINESTRING), Polygon (5), MultiPoint (8). Z/M variants are
+  * out of scope; the .dbf attribute sidecar is handled by [[Dbf]] and
+  * joined in [[readFeatures]].
   *
   * Ring orientation per spec: exterior rings are clockwise
   * (negative shoelace area in y-up coords), holes counter-clockwise;
@@ -37,23 +37,32 @@ object Shapefile {
   // decode
   // ------------------------------------------------------------------
 
-  /** Decode every record of a .shp main file into geometries. */
-  def readGeometries(bytes: Array[Byte]): Seq[Wkt.Geom] = {
+  /** Decode every record of a .shp main file into geometries
+    * (Null-shape records dropped). */
+  def readGeometries(bytes: Array[Byte]): Seq[Wkt.Geom] =
+    readGeometriesIndexed(bytes).map(_._2)
+
+  /** Decode with positional record indices (0-based file order,
+    * Null-shape slots counted but not emitted) — the index that
+    * aligns with the sibling .dbf's record numbers. */
+  def readGeometriesIndexed(bytes: Array[Byte]): Seq[(Int, Wkt.Geom)] = {
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(be.getInt(0) == FileCode, "not a shapefile (bad file code)")
     require(le.getInt(28) == Version, "unsupported shapefile version")
     val fileBytes = be.getInt(24).toLong * 2
     require(fileBytes <= bytes.length, "truncated shapefile")
-    val out = Seq.newBuilder[Wkt.Geom]
+    val out = Seq.newBuilder[(Int, Wkt.Geom)]
     var pos = 100
+    var rec = 0
     while (pos + 8 <= fileBytes) {
       val contentWords = be.getInt(pos + 4)
       val body = pos + 8
       decodeRecord(le, body) match {
-        case Some(g) => out += g
+        case Some(g) => out += ((rec, g))
         case None    =>
       }
+      rec += 1
       pos = body + contentWords * 2
     }
     out.result()
@@ -81,7 +90,9 @@ object Shapefile {
           (bounds(p) until bounds(p + 1)).map(i =>
             Pt(le.getDouble(ptsOff + 16 * i), le.getDouble(ptsOff + 8 + 16 * i)))
         }
-        if (shapeType == 3) Some(Wkt.LineStringG(rings.head)) // first part
+        if (shapeType == 3)
+          Some(if (numParts == 1) Wkt.LineStringG(rings.head)
+               else Wkt.MultiLineStringG(rings))
         else Some(assemblePolygons(rings))
       case t => throw new IllegalArgumentException(
         s"unsupported shape type $t (Z/M shapefiles not supported)")
@@ -164,7 +175,7 @@ object Shapefile {
       .option("pathGlobFilter", "*.shp").load(path)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        readGeometries(bytes).zipWithIndex.map { case (g, i) =>
+        readGeometriesIndexed(bytes).map { case (i, g) =>
           (base(p), p, i, Wkt.write(g))
         }
       }
@@ -173,8 +184,10 @@ object Shapefile {
       .option("pathGlobFilter", "*.dbf").load(path)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        val (fields, rows) = Dbf.read(bytes)
-        rows.zipWithIndex.map { case (r, i) =>
+        // positional indices survive deleted (0x2A) records, keeping
+        // shp/dbf row alignment
+        val (fields, rows) = Dbf.readIndexed(bytes)
+        rows.map { case (i, r) =>
           (base(p), i, fields.map(_.name).zip(r).toMap)
         }
       }
@@ -226,6 +239,46 @@ object Shapefile {
       buf.putDouble(pos + 12, p.x)
       buf.putDouble(pos + 20, p.y)
       pos += recBytes
+    }
+    buf.array()
+  }
+
+  /** Encode polylines as a PolyLine-type .shp, one record per entry;
+    * each entry's parts become the record's parts (multi-part records
+    * are the spec's representation of MULTILINESTRING). */
+  def writePolyLines(lines: Seq[Seq[IndexedSeq[Pt]]]): Array[Byte] = {
+    require(lines.forall(parts => parts.nonEmpty && parts.forall(_.length >= 2)),
+      "each polyline part needs >= 2 points")
+    val recs = lines.map { parts =>
+      val nPts = parts.map(_.size).sum
+      val contentBytes = 4 + 32 + 4 + 4 + 4 * parts.size + 16 * nPts
+      (parts, contentBytes)
+    }
+    val total = 100 + recs.map(8 + _._2).sum
+    val buf = ByteBuffer.allocate(total)
+    header(buf, total / 2, 3, bbox(lines.flatten.flatten))
+    var pos = 100
+    recs.zipWithIndex.foreach { case ((parts, contentBytes), i) =>
+      buf.order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(pos, i + 1)
+      buf.putInt(pos + 4, contentBytes / 2)
+      buf.order(ByteOrder.LITTLE_ENDIAN)
+      val at = pos + 8
+      buf.putInt(at, 3)
+      val (xmin, ymin, xmax, ymax) = bbox(parts.flatten)
+      buf.putDouble(at + 4, xmin); buf.putDouble(at + 12, ymin)
+      buf.putDouble(at + 20, xmax); buf.putDouble(at + 28, ymax)
+      buf.putInt(at + 36, parts.size)
+      buf.putInt(at + 40, parts.map(_.size).sum)
+      val partsOff = at + 44
+      val starts = parts.map(_.size).scanLeft(0)(_ + _).init
+      starts.zipWithIndex.foreach { case (s, ri) => buf.putInt(partsOff + 4 * ri, s) }
+      var ptsOff = partsOff + 4 * parts.size
+      parts.flatten.foreach { q =>
+        buf.putDouble(ptsOff, q.x); buf.putDouble(ptsOff + 8, q.y)
+        ptsOff += 16
+      }
+      pos += 8 + contentBytes
     }
     buf.array()
   }

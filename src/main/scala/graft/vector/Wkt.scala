@@ -21,6 +21,7 @@ object Wkt {
   final case class PointG(p: Pt) extends Geom
   final case class MultiPointG(pts: IndexedSeq[Pt]) extends Geom
   final case class LineStringG(pts: IndexedSeq[Pt]) extends Geom
+  final case class MultiLineStringG(lines: Seq[IndexedSeq[Pt]]) extends Geom
   final case class PolygonG(poly: Polygon) extends Geom
   final case class MultiPolygonG(polys: Seq[Polygon]) extends Geom
 
@@ -39,6 +40,8 @@ object Wkt {
     case PointG(p)         => s"POINT (${num(p.x)} ${num(p.y)})"
     case MultiPointG(ps)   => s"MULTIPOINT ${ringText(ps, close = false)}"
     case LineStringG(ps)   => s"LINESTRING ${ringText(ps, close = false)}"
+    case MultiLineStringG(ls) =>
+      ls.map(ringText(_, close = false)).mkString("MULTILINESTRING (", ", ", ")")
     case PolygonG(p)       => s"POLYGON ${polyText(p)}"
     case MultiPolygonG(ps) => ps.map(polyText).mkString("MULTIPOLYGON (", ", ", ")")
   }
@@ -150,6 +153,7 @@ object Wkt {
         return kw match {
           case "MULTIPOINT"                 => MultiPointG(IndexedSeq.empty)
           case "LINESTRING"                 => LineStringG(IndexedSeq.empty)
+          case "MULTILINESTRING"            => MultiLineStringG(Nil)
           case "POLYGON" | "MULTIPOLYGON"   => MultiPolygonG(Nil)
           case "POINT" => fail("POINT EMPTY has no coordinate representation")
           case other   => fail(s"unsupported geometry type $other")
@@ -160,6 +164,13 @@ object Wkt {
           expect('('); val p = point(); expect(')'); PointG(p)
         case "MULTIPOINT" => MultiPointG(points())
         case "LINESTRING" => LineStringG(points())
+        case "MULTILINESTRING" =>
+          expect('(')
+          val lines = Seq.newBuilder[IndexedSeq[Pt]]
+          lines += points()
+          while (peekIs(',')) { i += 1; lines += points() }
+          expect(')')
+          MultiLineStringG(lines.result())
         case "POLYGON"    => PolygonG(polygonBody())
         case "MULTIPOLYGON" =>
           expect('(')

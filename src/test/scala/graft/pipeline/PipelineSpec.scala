@@ -153,6 +153,15 @@ class PipelineSpec extends SparkSpec {
     // deterministic across runs
     assert(Multimodal.sampleFrames(blobs).collect().sortBy(f => (f.doc_id, f.frame_idx)).toSeq ==
       frames.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
+    // offsets past the 32-char digest wrap instead of throwing
+    // (stride 1 reaches frame 15 -> hex offset 30 needs the wrap)
+    val dense = Multimodal.sampleFrames(blobs, stride = 1, maxFrames = 40).collect()
+    assert(dense.nonEmpty && dense.forall(_.frame_sig >= 0))
+    val f15 = dense.filter(f => f.doc_id == 1L && f.frame_idx == 15)
+    f15.foreach { f =>
+      assert(f.frame_sig ==
+        java.lang.Long.parseLong(hex.substring(30) + hex.substring(0, 10), 16))
+    }
   }
 
   test("multimodal resize: fixed output shape, deterministic resampling") {

@@ -261,5 +261,11 @@ class GeoTiffSpec extends SparkSpec {
     val z0 = graft.catalog.Catalog.read(spark, dir, "pyr", levels(1)._1)
     assert(z1.toCells.count() == 3)
     assert(z0.toCells.count() > 0)
+    // each zoom reads back with ITS OWN layout (per-zoom metadata
+    // sidecars — a shared sidecar would leave z1 described by z0's
+    // coarser layout, corrupting extent-derived ops on the read layer)
+    assert(z1.meta.layout == levels.head._2.meta.layout)
+    assert(z0.meta.layout == levels(1)._2.meta.layout)
+    assert(z1.meta.layout != z0.meta.layout)
   }
 }

@@ -62,6 +62,44 @@ class ShapefileSpec extends SparkSpec {
     assert(poly.contains(4, 4) && !poly.contains(9, 1))
   }
 
+  test("polyline records: single part -> LINESTRING, multi-part -> all parts kept") {
+    val single = Seq(IndexedSeq(Pt(0, 0), Pt(5, 5), Pt(10, 0)))
+    val multi = Seq(IndexedSeq(Pt(0, 0), Pt(1, 1)), IndexedSeq(Pt(2, 2), Pt(3, 3), Pt(4, 2)))
+    val bytes = Shapefile.writePolyLines(Seq(single, multi))
+    val back = Shapefile.readGeometries(bytes)
+    assert(back == Seq(
+      Wkt.LineStringG(single.head),
+      Wkt.MultiLineStringG(multi)))
+    // WKT roundtrip of the multi-part form
+    val wkt = Wkt.write(back(1))
+    assert(wkt == "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 2))")
+    assert(Wkt.parse(wkt) == back(1))
+  }
+
+  test("readFeatures alignment survives deleted dbf records and null shapes") {
+    val dir = Files.createTempDirectory("graft_shp_del").toString
+    Files.write(Paths.get(s"$dir/t.shp"),
+      Shapefile.writePoints(Seq(Pt(1, 1), Pt(2, 2), Pt(3, 3))))
+    val dbfBytes = Dbf.write(
+      Seq(Dbf.Field("NAME", 'C', 8)),
+      Seq(Seq("first"), Seq("second"), Seq("third")))
+    // delete the MIDDLE dbf record: its geometry keeps idx 1 with null
+    // attrs; record 2's attrs must still land on geometry 2, not shift
+    val headerSize = java.nio.ByteBuffer.wrap(dbfBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(8) & 0xffff
+    val recordSize = java.nio.ByteBuffer.wrap(dbfBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(10) & 0xffff
+    dbfBytes(headerSize + recordSize) = 0x2A
+    Files.write(Paths.get(s"$dir/t.dbf"), dbfBytes)
+    val rows = Shapefile.readFeatures(spark, dir).collect()
+    assert(rows.length == 3)
+    val byIdx = rows.map(r => r.getInt(1) ->
+      (r.getString(2), if (r.isNullAt(3)) null else r.getMap[String, String](3))).toMap
+    assert(byIdx(0)._2("NAME") == "first")
+    assert(byIdx(1)._2 == null, "deleted dbf row -> null attrs, not a shifted row")
+    assert(byIdx(2)._1 == "POINT (3 3)" && byIdx(2)._2("NAME") == "third")
+  }
+
   test("malformed input fails loudly") {
     intercept[IllegalArgumentException](Shapefile.readGeometries(Array.fill(128)(0.toByte)))
   }
