@@ -161,18 +161,33 @@ object Events {
     * the readStream -> tiles -> store pipeline a live imagery feed
     * needs. foreachBatch reuses the exact batch tiling path, so batch
     * and streaming ingestion cannot diverge; readers merge duplicate
-    * keys (Catalog.update contract). */
+    * keys (Catalog.update contract).
+    *
+    * `compactEvery` > 0 runs [[graft.catalog.Catalog.compact]] on the
+    * ingested zoom after every N non-empty micro-batches: appends
+    * accumulate small files whose zindex ranges overlap, eroding the
+    * min/max file skipping the store's extent queries rely on, so a
+    * long-running ingestion periodically restores the canonical
+    * z-ordered layout. Compaction happens inside foreachBatch (between
+    * micro-batches), so readers never see a partial rewrite beyond
+    * what Catalog.compact's dynamic partition overwrite already
+    * guarantees, and only the touched zoom partition is rewritten. */
   def ingestScenes(scenes: DataFrame, uri: String, name: String,
-                   layout: graft.core.LayoutDefinition, zoom: Int = 0)
+                   layout: graft.core.LayoutDefinition, zoom: Int = 0,
+                   compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.catalog.Catalog
     import graft.raster.{LayerMetadata, UntiledRaster}
     if (!Catalog.metadataExists(uri, name))
       Catalog.writeMetadata(uri, name, LayerMetadata(layout), zoom)
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
     scenes.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           Catalog.update(uri, name, UntiledRaster(batch).tileToLayout(layout), zoom)
+          if (compactEvery > 0 && appended.incrementAndGet() % compactEvery == 0)
+            Catalog.compact(batch.sparkSession, uri, name, zoom)
+        }
       }
       .start()
   }

@@ -77,6 +77,41 @@ class RenderSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("tms /cog endpoint serves every overview level from one COG file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tms_cog").toString
+    val layout = LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(4, 4, 16, 16))
+    val cells = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, (x + y).toDouble)
+    val base = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+    // base + two overviews (32x32, 16x16) in one file
+    val levels = Seq(base,
+      graft.raster.Pyramid.levelUp(base, "Average"),
+      graft.raster.Pyramid.levelUp(graft.raster.Pyramid.levelUp(base, "Average"), "Average"))
+    val cogPath = s"$dir/pyr.tif"
+    graft.raster.GeoTiff.saveCogPyramid(levels, cogPath)
+    val srv = new TmsServer(spark, dir, Seq(40.0, 200.0), "Viridis",
+      cogs = Map("pyr" -> (cogPath, 2))) // baseZoom 2 -> overviews at 1, 0
+    try {
+      def get(path: String): (Int, Array[Byte]) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.boundPort}$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code == 200) conn.getInputStream else conn.getErrorStream
+        (code, is.readAllBytes())
+      }
+      // zoom 2 = base IFD, zooms 1/0 = overview IFDs — all PNG
+      Seq(2, 1, 0).foreach { z =>
+        val (c, b) = get(s"/cog/pyr/$z/0/0.png")
+        assert(c == 200, s"zoom $z")
+        assert(b.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte), s"zoom $z")
+      }
+      // distinct levels render distinct imagery (coarser level averages)
+      assert(!java.util.Arrays.equals(get("/cog/pyr/2/0/0.png")._2, get("/cog/pyr/0/0/0.png")._2))
+      assert(get("/cog/pyr/3/0/0.png")._1 == 404) // past the base zoom
+      assert(get("/cog/pyr/0/9/0.png")._1 == 404) // outside the image
+      assert(get("/cog/other/0/0/0.png")._1 == 404) // unregistered name
+    } finally srv.stop()
+  }
+
   test("every reference ColorRamp name resolves and interpolates") {
     // the full constants.py:233 enum surface + Grayscale
     val names = Seq("Hot", "CoolWarm", "Magma", "Inferno", "Plasma", "Viridis",

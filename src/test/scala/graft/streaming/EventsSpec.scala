@@ -115,6 +115,35 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingestion with periodic compaction keeps the store compact and correct") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Extent, LayoutDefinition, TileLayout}
+    val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_c").toString
+    def parquetFiles() = {
+      val d = new java.io.File(s"$dir/live/tiles/zoom=0")
+      if (d.exists()) d.listFiles().count(_.getName.endsWith(".parquet")) else 0
+    }
+    val mem = MemoryStream[(Long, Double, Double, Double, Double, Int, Int, Seq[Double])]
+    val q = Events.ingestScenes(
+      mem.toDF().toDF("scene_id", "xmin", "ymin", "xmax", "ymax", "cols", "rows", "cells"),
+      dir, "live", layout, compactEvery = 3)
+    try {
+      // three single-scene micro-batches -> 2 appends + 1 compaction
+      (0 until 3).foreach { i =>
+        mem.addData(Seq((i.toLong, 2.0 * i, 0.0, 2.0 * i + 2, 2.0, 2, 2,
+          Seq(1.0 + i, 2.0 + i, 3.0 + i, 4.0 + i))))
+        q.processAllAvailable()
+      }
+      // every scene's cells survive the rewrite
+      val layer = graft.catalog.Catalog.read(spark, dir, "live").aggregateByCell("Max")
+      assert(layer.toCells.count() == 12)
+      // the compacted store holds fewer files than the three appends
+      // left behind (canonical write = one range-partitioned sort)
+      assert(parquetFiles() < 3, s"expected compacted store, got ${parquetFiles()} files")
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
