@@ -572,6 +572,28 @@ object SparkEntry {
       pipeline.Similarity.ivfTopK(table(s, dir, "embeddings"),
         col("vec_id") % 50 === 0, col("vec_id") % 37 === 0)),
 
+    "q_embed_cluster" -> ((s, dir) =>
+      // nearest-centroid assignment (semantic bucketing): centroids =
+      // the deterministic vec_id % 37 subset, broadcast; exact integer
+      // dot products (Similarity determinism contract)
+      pipeline.Similarity.clusterAssign(table(s, dir, "embeddings"),
+        col("vec_id") % 37 === 0)),
+
+    // --- LLM-pipeline: corpus curation (documents)
+    "q_sample_hash" -> ((s, dir) =>
+      // deterministic 10% id-hash sample — same docs on every run/engine
+      pipeline.Curation.hashSample(table(s, dir, "documents"), permille = 100)),
+
+    "q_sample_strat" -> ((s, dir) =>
+      // per-source keep rates: sources with suffix % 4 == 0 keep 40%,
+      // == 1 keep 20%, == 2 keep 10%, == 3 dropped (stated in the SQL)
+      pipeline.Curation.stratifiedSample(table(s, dir, "documents"),
+        rates = (0 until 20).map(i => s"src$i" -> Seq(400, 200, 100, 0)(i % 4)).toMap)),
+
+    "q_pack_sequences" -> ((s, dir) =>
+      // concatenate-and-chunk packing at a 2048-token budget per source
+      pipeline.Curation.packSequences(table(s, dir, "documents"))),
+
     // --- LLM-pipeline: text analysis (documents)
     "q_token_count" -> ((s, dir) =>
       pipeline.TextAnalysis.tokenCounts(table(s, dir, "documents"))),
@@ -1338,6 +1360,39 @@ object SparkEntry {
           |SELECT qid, nid, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank FROM (
           |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
           |WHERE rank <= 5""".stripMargin,
+
+      "q_embed_cluster" ->
+        """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |e AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nn FROM q0),
+          |c AS (SELECT vec_id AS cid, qv AS cv, nn AS cn FROM e WHERE vec_id % 37 = 0)
+          |SELECT vec_id, cid, round(cos, 6) AS cosine FROM (
+          |  SELECT v.vec_id, c.cid, list_dot_product(v.qv, c.cv) / (v.nn * c.cn) AS cos,
+          |    row_number() OVER (PARTITION BY v.vec_id
+          |      ORDER BY list_dot_product(v.qv, c.cv) / (v.nn * c.cn) DESC, c.cid) AS rn
+          |  FROM e v, c) WHERE rn = 1""".stripMargin,
+
+      // --- pipeline: corpus curation
+      "q_sample_hash" ->
+        """SELECT doc_id, source FROM documents
+          |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 100""".stripMargin,
+
+      "q_sample_strat" ->
+        """SELECT doc_id, source FROM documents
+          |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <
+          |  CASE CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4
+          |    WHEN 0 THEN 400 WHEN 1 THEN 200 WHEN 2 THEN 100 ELSE 0 END""".stripMargin,
+
+      "q_pack_sequences" ->
+        s"""WITH t AS (SELECT doc_id, source,
+           |  CAST(len(regexp_extract_all(text, '${pipeline.TextAnalysis.bpeTokenSqlPattern}')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |p AS (SELECT doc_id, source, n_tokens,
+           |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _start
+           |  FROM t)
+           |SELECT doc_id, source, n_tokens,
+           |  _start // 2048 AS pack_id, _start % 2048 AS pack_offset
+           |FROM p""".stripMargin,
 
       // --- pipeline: text analysis
       "q_token_count" ->

@@ -132,6 +132,28 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Nearest-centroid cluster assignment — the semantic-bucketing /
+    * diversity-sampling primitive (and the E-step IVF list assignment
+    * already embedded in [[ivfTopK]], surfaced as its own operator):
+    * every vector joins its highest-cosine centroid, ties to the
+    * smallest centroid id. Centroids are a deterministic subset of the
+    * corpus (centroidPred) and broadcast, so the whole op is one
+    * narrow broadcast-join pass — no shuffle of the corpus side.
+    * Output: (vec_id, cid, cosine). */
+  def clusterAssign(embeddings: DataFrame, centroidPred: Column): DataFrame = {
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val cents = broadcast(e.where(centroidPred)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nn").as("cn")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("cid"))
+    e.join(cents)
+      .withColumn("cosine",
+        qdot(col("qv"), col("cv")).cast("double") / (col("nn") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** LSH-accelerated near-dup: same-bucket candidate pairs scored
     * exactly. */
   def lshPairs(embeddings: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {

@@ -164,6 +164,68 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hash sampling: deterministic, id-keyed, rate-accurate at scale") {
+    val many = (1L to 2000L).map(i => (i, s"text $i", "en", s"src${i % 4}", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s1 = Curation.hashSample(many, 100).as[(Long, String)].collect().toSet
+    val s2 = Curation.hashSample(many, 100).as[(Long, String)].collect().toSet
+    assert(s1 == s2, "same sample every run")
+    // ~10% with hash-uniform slack
+    assert(s1.size > 120 && s1.size < 280, s"got ${s1.size} of 2000")
+    // nested rates: a 10% sample is a subset of a 20% sample (hash
+    // thresholding, not independent draws)
+    val s20 = Curation.hashSample(many, 200).as[(Long, String)].collect().toSet
+    assert(s1.subsetOf(s20))
+    assert(Curation.hashSample(many, 0).count() == 0)
+    assert(Curation.hashSample(many, 1000).count() == 2000)
+  }
+
+  test("stratified sampling applies per-source rates") {
+    val many = (1L to 3000L).map(i => (i, s"text $i", "en", s"src${i % 3}", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.stratifiedSample(many,
+      Map("src0" -> 1000, "src1" -> 0), defaultPermille = 100)
+      .as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src0") == 1000)          // keep-all stratum intact
+    assert(!bySrc.contains("src1"))        // dropped stratum empty
+    assert(bySrc("src2") > 50 && bySrc("src2") < 160) // ~10% default
+  }
+
+  test("sequence packing: contiguous offsets, budget-sized cuts, per-source streams") {
+    val out = Curation.packSequences(docs, budget = 20L)
+      .orderBy("source", "doc_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    // single source 's': offsets are the exclusive running sum
+    var run = 0L
+    out.foreach { case (_, _, n, packId, off) =>
+      assert(packId == run / 20 && off == run % 20, s"at token $run")
+      run += n
+    }
+    // a fresh source restarts its stream at pack 0 offset 0
+    val two = Seq((1L, "one two three", "en", "a", 13L), (2L, "four five", "en", "b", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val firsts = Curation.packSequences(two, 8L)
+      .select("source", "pack_id", "pack_offset")
+      .as[(String, Long, Long)].collect().toSet
+    assert(firsts == Set(("a", 0L, 0L), ("b", 0L, 0L)))
+  }
+
+  test("cluster assignment picks the highest-cosine centroid with deterministic ties") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // centroid A
+      (3L, Array(0.0f, 1.0f), 0),   // centroid B
+      (10L, Array(0.9f, 0.1f), 0),  // near A
+      (11L, Array(0.2f, 0.8f), 0),  // near B
+      (12L, Array(0.5f, 0.5f), 0)   // equidistant -> smaller cid (0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterAssign(embs, col("vec_id").isin(0L, 3L))
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(out(10L) == 0L && out(11L) == 3L)
+    assert(out(0L) == 0L && out(3L) == 3L) // centroids self-assign
+    assert(out(12L) == 0L, "cosine tie breaks to the smaller centroid id")
+  }
+
   test("multimodal resize: fixed output shape, deterministic resampling") {
     val blobs = Multimodal.asBlobs(docs)
     val small = Multimodal.resize(blobs, 8, 4).collect()
