@@ -139,8 +139,9 @@ object Distance {
       .select(col("col"), col("row"), col("tile").as("friction"), col("offs"))
       .as[(Int, Int, Seq[Double], Option[Seq[Int]])]
       .map { case (c, r, fr, offs) =>
-        val dist = Array.fill(fr.length)(Double.NaN)
-        offs.toSeq.flatten.foreach(o => if (!fr(o).isNaN) dist(o) = 0.0)
+        val frA = fr.toArray // deserialized Seq is a List: O(n) apply
+        val dist = Array.fill(frA.length)(Double.NaN)
+        offs.toSeq.flatten.foreach(o => if (!frA(o).isNaN) dist(o) = 0.0)
         (c, r, fr, dist.toSeq)
       }
       .toDF("col", "row", "friction", "dist")

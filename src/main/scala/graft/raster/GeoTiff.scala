@@ -435,7 +435,9 @@ object GeoTiff {
     tiles.collect().foreach { case (c, r, bands) =>
       var b = 0
       while (b < math.min(nb, bands.length)) {
-        val t = bands(b)
+        // toArray before the cell loop: the deserialized Seq is a
+        // List, whose apply is O(n)
+        val t = bands(b).toArray
         var j = 0
         while (j < tr) {
           val gy = r.toLong * tr + j

@@ -64,11 +64,14 @@ object Pyramid {
     def assemble(group: Iterator[(Int, Int, Seq[Double])]): Seq[Double] = {
       val parent = Array.fill(tc * tr)(Double.NaN)
       group.foreach { case (qx, qy, half) =>
+        // iterator in row order, not apply: the deserialized Seq is a
+        // List (O(n) apply)
+        val it = half.iterator
         var j = 0
-        while (j < hr) {
+        while (j < hr && it.hasNext) {
           var i = 0
-          while (i < hc) {
-            parent((qy * hr + j) * tc + (qx * hc + i)) = half(j * hc + i)
+          while (i < hc && it.hasNext) {
+            parent((qy * hr + j) * tc + (qx * hc + i)) = it.next()
             i += 1
           }
           j += 1

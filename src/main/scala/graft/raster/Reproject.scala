@@ -89,7 +89,7 @@ object Reproject {
       for (dc <- txLo to txHi; dr <- tyLo to tyHi) yield (dc, dr)
     }
 
-    def compute(dc: Int, dr: Int, src: Map[(Int, Int), Seq[Double]]): Seq[Double] = {
+    def compute(dc: Int, dr: Int, src: Map[(Int, Int), Array[Double]]): Seq[Double] = {
       val outTile = Array.fill(dstTile * dstTile)(Double.NaN)
       var j = 0
       while (j < dstTile) {
@@ -129,8 +129,10 @@ object Reproject {
         }
         .groupByKey(q => (q._1, q._2, q._3))
         .mapGroups { (key: (Int, Int, Long), group: Iterator[(Int, Int, Long, Int, Int, Seq[Double])]) =>
+          // tiles to Array ONCE per group: the deserialized Seq has
+          // O(n) apply, which would turn every sample into a linear scan
           TileRowOutT(key._1, key._2, key._3,
-            compute(key._1, key._2, group.map(q => (q._4, q._5) -> q._6).toMap))
+            compute(key._1, key._2, group.map(q => (q._4, q._5) -> q._6.toArray).toMap))
         }
       new RasterLayer(out.toDF(), outMeta)
     } else {
@@ -142,7 +144,7 @@ object Reproject {
         .groupByKey(q => (q._1, q._2))
         .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
           TileRowOut(key._1, key._2,
-            compute(key._1, key._2, group.map(q => (q._3, q._4) -> q._5).toMap))
+            compute(key._1, key._2, group.map(q => (q._3, q._4) -> q._5.toArray).toMap))
         }
       new RasterLayer(out.toDF(), outMeta)
     }

@@ -113,7 +113,7 @@ object Resample {
       val dMax = math.min(dstLc - 1, hi / dstTile)
       dMin to dMax
     }
-    def compute(dc: Int, dr: Int, src: Map[(Int, Int), Seq[Double]]): Seq[Double] = {
+    def compute(dc: Int, dr: Int, src: Map[(Int, Int), Array[Double]]): Seq[Double] = {
       def cell(x: Long, y: Long): Double = {
         if (x < 0 || y < 0 || x >= srcN || y >= srcN) Double.NaN
         else src.get(((x / tc).toInt, (y / tr).toInt)) match {
@@ -169,7 +169,7 @@ object Resample {
     * unit of work. */
   private def gatherResample(layer: RasterLayer, tc: Int, tr: Int,
                              dstRange: (Int, Int) => Range,
-                             compute: (Int, Int, Map[(Int, Int), Seq[Double]]) => Seq[Double],
+                             compute: (Int, Int, Map[(Int, Int), Array[Double]]) => Seq[Double],
                              outMeta: LayerMetadata): RasterLayer = {
     val spark = layer.spark
     import spark.implicits._
@@ -182,8 +182,10 @@ object Resample {
         }
         .groupByKey(q => (q._1, q._2, q._3))
         .mapGroups { (key: (Int, Int, Long), group: Iterator[(Int, Int, Long, Int, Int, Seq[Double])]) =>
+          // tiles to Array ONCE per group: the deserialized Seq has
+          // O(n) apply, which would turn every tap into a linear scan
           TileRowOutT(key._1, key._2, key._3,
-            compute(key._1, key._2, group.map(q => (q._4, q._5) -> q._6).toMap))
+            compute(key._1, key._2, group.map(q => (q._4, q._5) -> q._6.toArray).toMap))
         }
       new RasterLayer(out.toDF(), outMeta)
     } else {
@@ -196,7 +198,7 @@ object Resample {
         .groupByKey(q => (q._1, q._2))
         .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
           TileRowOut(key._1, key._2,
-            compute(key._1, key._2, group.map(q => (q._3, q._4) -> q._5).toMap))
+            compute(key._1, key._2, group.map(q => (q._3, q._4) -> q._5.toArray).toMap))
         }
       new RasterLayer(out.toDF(), outMeta)
     }
@@ -258,7 +260,7 @@ object Resample {
       val dMax = math.min(dstLc - 1, hi / dstTile)
       dMin to dMax
     }
-    def compute(dc: Int, dr: Int, src: Map[(Int, Int), Seq[Double]]): Seq[Double] = {
+    def compute(dc: Int, dr: Int, src: Map[(Int, Int), Array[Double]]): Seq[Double] = {
       def cell(x: Long, y: Long): Double = {
         if (x < 0 || y < 0 || x >= srcN || y >= srcN) Double.NaN
         else src.get(((x / tc).toInt, (y / tr).toInt)) match {

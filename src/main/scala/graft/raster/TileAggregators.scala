@@ -56,9 +56,12 @@ final class TileMomentsAgg(size: Int, stat: String)
   // layout: [cnt(size) | sum(size) | sumsq(size)]
   def zero: Array[Double] = new Array[Double](3 * size)
   def reduce(buf: Array[Double], tile: Seq[Double]): Array[Double] = {
+    // iterate, never index: the encoder deserializes Seq[Double] to a
+    // List, whose apply is O(n) — indexing would make this O(size^2)
     var i = 0
-    while (i < size) {
-      val v = tile(i)
+    val it = tile.iterator
+    while (i < size && it.hasNext) {
+      val v = it.next()
       if (!v.isNaN) { buf(i) += 1; buf(size + i) += v; buf(2 * size + i) += v * v }
       i += 1
     }
@@ -112,9 +115,11 @@ final class TileFirstAgg(size: Int)
   }
   def reduce(buf: Array[Double], in: (Int, Seq[Double])): Array[Double] = {
     val (ord, tile) = in
+    // iterator, not apply: the deserialized Seq is a List (O(n) apply)
     var i = 0
-    while (i < size) {
-      val v = tile(i)
+    val it = tile.iterator
+    while (i < size && it.hasNext) {
+      val v = it.next()
       if (!v.isNaN && ord < buf(size + i)) { buf(i) = v; buf(size + i) = ord }
       i += 1
     }
@@ -145,8 +150,10 @@ final class BandStackAgg(bands: Int, size: Int)
   def reduce(buf: Array[Double], in: (Int, Seq[Double])): Array[Double] = {
     val (band, tile) = in
     val base = band * size
+    // iterator, not apply: the deserialized Seq is a List (O(n) apply)
     var i = 0
-    while (i < size) { buf(base + i) = tile(i); i += 1 }
+    val it = tile.iterator
+    while (i < size && it.hasNext) { buf(base + i) = it.next(); i += 1 }
     buf
   }
   def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
@@ -167,8 +174,10 @@ final class TileReduceAgg(size: Int, op: CellOp)
     extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
   def zero: Array[Double] = Array.fill(size)(Double.NaN)
   def reduce(buf: Array[Double], tile: Seq[Double]): Array[Double] = {
+    // iterator, not apply: the deserialized Seq is a List (O(n) apply)
     var i = 0
-    while (i < size) { buf(i) = op(buf(i), tile(i)); i += 1 }
+    val it = tile.iterator
+    while (i < size && it.hasNext) { buf(i) = op(buf(i), it.next()); i += 1 }
     buf
   }
   def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
