@@ -558,6 +558,12 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhashPairs(table(s, dir, "documents"))),
 
+    "q_contamination" -> ((s, dir) =>
+      // decontamination sweep: docs with doc_id % 20 == 0 act as the
+      // "eval set"; low threshold so partial quotes surface too
+      pipeline.Dedup.contamination(table(s, dir, "documents"),
+        col("doc_id") % 20 === 0, threshold = 0.3)),
+
     "q_dedup_cosine" -> ((s, dir) =>
       pipeline.Similarity.cosinePairs(table(s, dir, "embeddings"), threshold = 0.3)),
 
@@ -1269,6 +1275,21 @@ object SparkEntry {
            |SELECT d1, d2, CAST(shared AS DOUBLE) / (n1.n + n2.n - shared) AS jaccard
            |FROM pr JOIN sz n1 ON pr.d1 = n1.doc_id JOIN sz n2 ON pr.d2 = n2.doc_id
            |WHERE CAST(shared AS DOUBLE) / (n1.n + n2.n - shared) >= 0.5""".stripMargin,
+
+      "q_contamination" ->
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+           |sh0 AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM (
+           |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+           |  FROM t WHERE len(toks) >= 5)),
+           |hot AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) > 1000),
+           |sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 ANTI JOIN hot USING (h)),
+           |pb AS (SELECT doc_id AS probe_id, h FROM sh WHERE doc_id % 20 = 0),
+           |np AS (SELECT probe_id, count(*) AS np FROM pb GROUP BY 1),
+           |pr AS (SELECT pb.probe_id, sh.doc_id, count(*) AS shared
+           |       FROM sh JOIN pb ON sh.h = pb.h AND sh.doc_id <> pb.probe_id GROUP BY 1, 2)
+           |SELECT pr.probe_id, pr.doc_id, CAST(shared AS DOUBLE) / np.np AS containment
+           |FROM pr JOIN np ON pr.probe_id = np.probe_id
+           |WHERE CAST(shared AS DOUBLE) / np.np >= 0.3""".stripMargin,
 
       "q_dedup_minhash" ->
         s"""WITH $minhashCtes

@@ -104,6 +104,40 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: n-gram CONTAINMENT of probe documents
+    * (an eval set) in corpus documents — the train/test-overlap check
+    * every training pipeline runs before a corpus ships. containment =
+    * |probe ∩ doc| / |probe| (asymmetric on purpose: a benchmark item
+    * quoted inside a much larger document is contamination even though
+    * their jaccard is tiny).
+    *
+    * Scale shape: the probe side is an eval set — thousands of docs,
+    * not billions — so its shingles BROADCAST and the corpus side
+    * never shuffles: scan + broadcast-hash-join + partial-agg count.
+    * The `maxDocFreq` boilerplate cap from [[jaccardPairs]] applies to
+    * the corpus side; probe sizes use the capped sets, mirrored in the
+    * oracle. */
+  def contamination(corpus: DataFrame, probePred: Column, k: Int = 5,
+                    threshold: Double = 0.5,
+                    maxDocFreq: Option[Long] = Some(1000L)): DataFrame = {
+    val all = hashedShingles(corpus, k)
+    val sh = maxDocFreq.fold(all) { cap =>
+      val hot = all.groupBy("h").agg(count(lit(1)).as("df")).where(col("df") > cap)
+      all.join(broadcast(hot.select("h")), Seq("h"), "left_anti")
+    }
+    val probes = sh.where(probePred)
+      .select(col("doc_id").as("probe_id"), col("h"))
+    val probeSizes = probes.groupBy("probe_id").agg(count(lit(1)).as("np"))
+    val shared = sh.join(broadcast(probes), "h")
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("probe_id", "doc_id")
+      .agg(count(lit(1)).as("shared"))
+    shared.join(broadcast(probeSizes), "probe_id")
+      .select(col("probe_id"), col("doc_id"),
+        (col("shared").cast("double") / col("np")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   val MinhashP = 2147483647L // 2^31 - 1
 
   /** Default LSH bucket-size cap (see [[minhashPairs]]). */

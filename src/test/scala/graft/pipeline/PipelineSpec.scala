@@ -164,6 +164,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("contamination: asymmetric containment finds a probe quoted in a larger doc") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s", 30L), // probe
+      (2L, "intro words alpha beta gamma delta epsilon plus much more trailing content here", "en", "s", 80L),
+      (3L, "totally unrelated text about something else entirely different topic", "en", "s", 60L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.contamination(corpus, col("doc_id") === 1, k = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    // all 3 of probe 1's 3-shingles appear verbatim in doc 2
+    assert(out.exists { case (p, d, c) => p == 1L && d == 2L && c == 1.0 })
+    assert(!out.exists(_._2 == 3L))
+    // jaccard would NOT flag this pair at the same threshold (doc 2 is
+    // much larger) — the asymmetry is the point
+    val jac = Dedup.jaccardPairs(corpus, k = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
   test("hash sampling: deterministic, id-keyed, rate-accurate at scale") {
     val many = (1L to 2000L).map(i => (i, s"text $i", "en", s"src${i % 4}", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
