@@ -400,6 +400,15 @@ object SparkEntry {
         ColorMap.colorize(col("v"), Seq(100.0, 200.0, 400.0), "Viridis").as("argb"))
     }),
 
+    "q_color_nlcd" -> ((s, dir) => {
+      // exact-value break-map classification (from_break_map / the NLCD
+      // palette): fold the grid values onto NLCD class codes, then map
+      // each code to its color literal — fallback transparent
+      val cells = flat(lineitemLayer(s, dir))
+      cells.select(col("x"), col("y"),
+        ColorMap.nlcdColor(col("v") % 100).as("argb"))
+    }),
+
     // --- spacetime
     "q_filter_by_times" -> ((s, dir) => {
       val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
@@ -1089,6 +1098,15 @@ object SparkEntry {
         val cs = render.ColorMap.rampColors("Viridis", 3)
         s"""SELECT x, y, CAST(CASE WHEN v <= 100 THEN ${cs(0)} WHEN v <= 200 THEN ${cs(1)}
            |WHEN v <= 400 THEN ${cs(2)} ELSE 0 END AS INT) AS argb FROM ($grid)""".stripMargin
+      },
+
+      "q_color_nlcd" -> {
+        // CASE chain generated from the SAME NlcdColorMap constant the
+        // Spark side folds over — the two sides cannot drift
+        val cases = render.ColorMap.NlcdColorMap.toSeq.sortBy(_._1)
+          .map { case (v, c) => s"WHEN v % 100 = ${v.toInt} THEN $c" }
+          .mkString(" ")
+        s"""SELECT x, y, CAST(CASE $cases ELSE 0 END AS INT) AS argb FROM ($grid)""".stripMargin
       },
 
       "q_filter_by_times" ->

@@ -2,6 +2,8 @@ package graft.catalog
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -210,6 +212,37 @@ object Catalog {
     // race its own input scan on the same files
     val frozen = resolved.df.localCheckpoint()
     write(uri, name, new RasterLayer(frozen, resolved.meta), zoom)
+  }
+
+  /** Layer names present in the store — reference AttributeStore.layers
+    * (catalog.py :332 surface). A layer exists iff its metadata sidecar
+    * does (tiles without metadata are unreadable by contract). */
+  def layers(uri: String): Seq[String] = {
+    val root = Paths.get(uri)
+    if (!Files.isDirectory(root)) Nil
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && metadataExists(uri, p.getFileName.toString))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Reference AttributeStore.contains. */
+  def contains(uri: String, name: String): Boolean = metadataExists(uri, name)
+
+  /** Delete a stored layer (tiles + every sidecar) — reference
+    * AttributeStore.delete. Idempotent: deleting an absent layer is a
+    * no-op. */
+  def delete(uri: String, name: String): Unit = {
+    val root = Paths.get(s"$uri/$name")
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally s.close()
+    }
   }
 
   /** Attribute store key-value access (catalog.py AttributeStore :332). */

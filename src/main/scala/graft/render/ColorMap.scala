@@ -46,6 +46,34 @@ object ColorMap {
       IndexedSeq(0xFFCEE1E8, 0xFF7CBCB5, 0xFF82B36D, 0xFF94C279, 0xFFD1DE8D),
     "Grayscale"    -> IndexedSeq(0xFF000000, 0xFFFFFFFF))
 
+  /** NLCD land-cover class colors — reference color.py:53
+    * nlcd_color_map (the public MRLC palette), stored ARGB (the
+    * reference lists RGBA words; 0 stays fully transparent). */
+  val NlcdColorMap: Map[Double, Int] = Map[Int, Int](
+    0  -> 0x00000000,
+    11 -> 0xFF526095, 12 -> 0xFFFFFFFF,
+    21 -> 0xFFD28170, 22 -> 0xFFEE0006, 23 -> 0xFF990009,
+    31 -> 0xFFBFB8B1, 32 -> 0xFF969798, 33 -> 0xFF382959,
+    41 -> 0xFF579D57, 42 -> 0xFF2A6B3D, 43 -> 0xFFA6BF7B,
+    51 -> 0xFFBAA65C, 61 -> 0xFF45511F, 71 -> 0xFFD0CFAA,
+    81 -> 0xFFCCC82F, 82 -> 0xFF9D5D1D, 83 -> 0xFFCD9747,
+    84 -> 0xFFA7AB9F, 85 -> 0xFFE68A2A,
+    91 -> 0xFFB6D8F5, 92 -> 0xFFB6D8F5
+  ).map { case (k, v) => k.toDouble -> v }
+
+  /** Exact-value color map — reference ColorMap.from_break_map
+    * (color.py:133): each listed cell value maps to its color, any
+    * other value to `fallback`. Compiles to a codegen'd CASE chain
+    * (keys sorted for a deterministic plan); no UDF, no shuffle. */
+  def fromBreakMap(v: Column, breakMap: Map[Double, Int],
+                   fallback: Int = 0x00000000): Column =
+    breakMap.toSeq.sortBy(_._1).foldLeft(lit(fallback)) { case (acc, (value, color)) =>
+      when(v === value, lit(color)).otherwise(acc)
+    }
+
+  /** Reference color.py:249 nlcd_colormap as a ready-made column. */
+  def nlcdColor(v: Column): Column = fromBreakMap(v, NlcdColorMap)
+
   /** Interpolate a named ramp to exactly `n` ARGB colors (reference
     * color.py ColorRamp resampling — get_colors :44): linear per-channel
     * lerp between the ramp's stops, integer-rounded driver-side, so the

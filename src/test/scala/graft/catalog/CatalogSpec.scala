@@ -68,6 +68,24 @@ class CatalogSpec extends SparkSpec {
       .toCells.as[(Long, Long, Double)].collect().toSet == Set((1L, 1L, 9.0)))
   }
 
+  test("attribute-store surface: layers / contains / delete") {
+    val dir = Files.createTempDirectory("graft_cat_store").toString
+    Catalog.write(dir, "b_layer", layer((0, 0, 1.0)), zoom = 0)
+    Catalog.write(dir, "a_layer", layer((1, 1, 2.0)), zoom = 0)
+    // a stray non-layer directory is not listed
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/not_a_layer"))
+    assert(Catalog.layers(dir) == Seq("a_layer", "b_layer"))
+    assert(Catalog.contains(dir, "a_layer"))
+    assert(!Catalog.contains(dir, "nope"))
+    Catalog.delete(dir, "a_layer")
+    assert(Catalog.layers(dir) == Seq("b_layer"))
+    assert(!Catalog.contains(dir, "a_layer"))
+    Catalog.delete(dir, "a_layer") // idempotent
+    // the surviving layer still reads
+    assert(Catalog.read(spark, dir, "b_layer").toCells.count() == 1)
+    assert(Catalog.layers("/nonexistent/path").isEmpty)
+  }
+
   test("temporal write/read roundtrip preserves instants; queryTime prunes both dims") {
     val dir = Files.createTempDirectory("graft_cat").toString
     val l = RasterLayer.fromCellsTemporal(

@@ -130,6 +130,17 @@ class RenderSpec extends SparkSpec {
     intercept[IllegalArgumentException](ColorMap.rampColors("NotARamp", 3))
   }
 
+  test("break-map color map: exact values, fallback, NLCD palette") {
+    val out = Seq(11.0, 42.0, 13.5).toDF("v")
+      .select(ColorMap.nlcdColor(col("v")).as("argb"))
+      .as[Int].collect().toSeq
+    assert(out == Seq(0xFF526095, 0xFF2A6B3D, 0x00000000))
+    val custom = Seq(1.0, 2.0).toDF("v")
+      .select(ColorMap.fromBreakMap(col("v"), Map(1.0 -> 0xFF112233), fallback = 0xFF000000).as("c"))
+      .as[Int].collect().toSeq
+    assert(custom == Seq(0xFF112233, 0xFF000000))
+  }
+
   test("classify column matches strategies") {
     val df = Seq(5.0, 15.0, 25.0).toDF("v")
     val idx = df.select(ColorMap.classify(org.apache.spark.sql.functions.col("v"),
