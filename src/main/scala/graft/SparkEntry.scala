@@ -625,6 +625,11 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       pipeline.TextAnalysis.fingerprint(table(s, dir, "documents"))),
 
+    "q_tfidf_terms" -> ((s, dir) =>
+      // top-3 characteristic terms per doc; log-free tf*N/df score so
+      // both engines rank identically (see tfidfTopTerms scaladoc)
+      pipeline.TextAnalysis.tfidfTopTerms(table(s, dir, "documents"))),
+
     // --- LLM-pipeline: multimodal plumbing (stubbed decode)
     "q_multimodal_meta" -> ((s, dir) =>
       pipeline.Multimodal.metadata(pipeline.Multimodal.asBlobs(table(s, dir, "documents")))),
@@ -1474,6 +1479,21 @@ object SparkEntry {
 
       "q_fingerprint" ->
         "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents",
+
+      "q_tfidf_terms" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          |  FROM documents),
+          |tk AS (SELECT doc_id, term FROM toks WHERE len(term) >= 3),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+          |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tk) GROUP BY 1),
+          |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+          |SELECT doc_id, term, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank FROM (
+          |  SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) * n.n / df.df AS score,
+          |    row_number() OVER (PARTITION BY tf.doc_id
+          |      ORDER BY CAST(tf.tf AS DOUBLE) * n.n / df.df DESC, tf.term) AS rank
+          |  FROM tf JOIN df USING (term), n)
+          |WHERE rank <= 3""".stripMargin,
 
       "q_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

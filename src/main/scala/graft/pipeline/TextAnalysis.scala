@@ -83,4 +83,33 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
+
+  /** Top-k characteristic terms per document by tf-idf. The score is
+    * the LOG-FREE surrogate tf * N / df: monotone in the classic
+    * tf·idf for fixed tf (log is monotone), and — unlike ln() — built
+    * from integer counts and ONE double division, so every engine
+    * computes bit-identical scores (libm log implementations are not
+    * IEEE-pinned; a log-based score could rank differently across
+    * engines). Ties break (score DESC, term ASC).
+    *
+    * Scale shape: one explode + two hash aggregations (term counts,
+    * doc frequencies) + a window over doc_id. The df side is a
+    * per-term aggregate of the whole corpus — bounded by vocabulary,
+    * not corpus size — and joins back by term hash-partitioned. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, minTermLen: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+      .where(length(col("term")) >= minTermLen)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct("doc_id")).first().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df_, "term")
+      .withColumn("score", col("tf").cast("double") * n / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"), col("rank"))
+  }
 }

@@ -164,6 +164,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("tfidf top terms surface distinctive words, not stopwords") {
+    val out = TextAnalysis.tfidfTopTerms(docs, k = 2)
+      .as[(Long, String, Double, Long)].collect()
+    val d4 = out.filter(_._1 == 4L).sortBy(_._4).map(_._2)
+    // doc 4's distinctive vocabulary ranks above corpus-wide words
+    assert(d4.forall(Set("completely", "different", "content", "about", "spark",
+      "distributed", "computing", "engines")), s"got ${d4.toSeq}")
+    // every doc gets exactly k rows with ranks 1..k
+    assert(out.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._4).sorted.toSeq == Seq(1L, 2L) })
+    // identical docs 1 and 2 get identical term rankings
+    val d1 = out.filter(_._1 == 1L).sortBy(_._4).map(r => (r._2, r._3)).toSeq
+    val d2 = out.filter(_._1 == 2L).sortBy(_._4).map(r => (r._2, r._3)).toSeq
+    assert(d1 == d2)
+  }
+
   test("contamination: asymmetric containment finds a probe quoted in a larger doc") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon", "en", "s", 30L), // probe
