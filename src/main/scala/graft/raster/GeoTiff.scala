@@ -398,16 +398,20 @@ object GeoTiff {
     * (the reference's collects too); `maxCells` guards the driver heap
     * with an actionable error instead of an OOM. */
   def saveStitched(layer: RasterLayer, path: String, deflate: Boolean = true,
-                   maxCells: Long = 256L * 1024 * 1024): Unit = {
+                   maxCells: Long = 256L * 1024 * 1024,
+                   cropBounds: Option[Extent] = None,
+                   cropDimensions: Option[(Int, Int)] = None): Unit = {
     require(!layer.meta.temporal,
       "saveStitched on a temporal layer would mix instants (last-write-wins " +
       "paint order); aggregate (aggregateByTime/toSpatial) or filter first")
+    require(cropDimensions.isEmpty || cropBounds.nonEmpty,
+      "crop_dimensions requires crop_bounds (reference layer.py:1981 contract)")
     val spark = layer.df.sparkSession
     import spark.implicits._
     val tiles = layer.df.select(col("col"), col("row"), col("tile"))
       .as[(Int, Int, Seq[Double])].map { case (c, r, t) => (c, r, Seq(t)) }
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      stitchedBytes(tiles, 1, layer.meta, deflate, maxCells))
+      stitchedBytes(tiles, 1, layer.meta, deflate, maxCells, cropBounds, cropDimensions))
   }
 
   /** Multiband save_stitched: one pixel-interleaved GeoTIFF carrying
@@ -424,15 +428,36 @@ object GeoTiff {
 
   private def stitchedBytes(tiles: Dataset[(Int, Int, Seq[Seq[Double]])], nb: Int,
                             meta: LayerMetadata, deflate: Boolean,
-                            maxCells: Long): Array[Byte] = {
+                            maxCells: Long,
+                            cropBounds: Option[Extent] = None,
+                            cropDimensions: Option[(Int, Int)] = None): Array[Byte] = {
     val tl = meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
-    val totC = tl.totalCols; val totR = tl.totalRows
-    require(totC * totR * nb <= maxCells,
-      s"stitched raster is $totC x $totR x $nb bands = ${totC * totR * nb} cells " +
+    val e = meta.layout.extent
+    val cw = meta.layout.cellWidth; val ch = meta.layout.cellHeight
+    // crop window in grid cells (reference save_stitched crop_bounds,
+    // layer.py:1981): clamp the sub-extent to the layout
+    val (gx0, gy0, outC, outR) = cropBounds match {
+      case None => (0L, 0L, tl.totalCols, tl.totalRows)
+      case Some(cb) =>
+        val x0 = math.max(0L, math.floor((cb.xmin - e.xmin) / cw).toLong)
+        val x1 = math.min(tl.totalCols, math.ceil((cb.xmax - e.xmin) / cw).toLong)
+        val y0 = math.max(0L, math.floor((e.ymax - cb.ymax) / ch).toLong)
+        val y1 = math.min(tl.totalRows, math.ceil((e.ymax - cb.ymin) / ch).toLong)
+        require(x1 > x0 && y1 > y0, s"crop_bounds $cb does not intersect the layer extent")
+        (x0, y0, x1 - x0, y1 - y0)
+    }
+    require(outC * outR * nb <= maxCells,
+      s"stitched raster is $outC x $outR x $nb bands = ${outC * outR * nb} cells " +
       s"> maxCells=$maxCells; write per-tile GeoTIFFs (toGeoTiff) instead")
-    val grid = Seq.fill(nb)(Array.fill((totC * totR).toInt)(Double.NaN))
-    tiles.collect().foreach { case (c, r, bands) =>
+    val grid = Seq.fill(nb)(Array.fill((outC * outR).toInt)(Double.NaN))
+    // only tiles intersecting the crop window leave the executors
+    val wanted = tiles.filter { q =>
+      val c = q._1.toLong; val r = q._2.toLong
+      c * tc < gx0 + outC && (c + 1) * tc > gx0 &&
+      r * tr < gy0 + outR && (r + 1) * tr > gy0
+    }
+    wanted.collect().foreach { case (c, r, bands) =>
       var b = 0
       while (b < math.min(nb, bands.length)) {
         // toArray before the cell loop: the deserialized Seq is a
@@ -440,12 +465,12 @@ object GeoTiff {
         val t = bands(b).toArray
         var j = 0
         while (j < tr) {
-          val gy = r.toLong * tr + j
+          val gy = r.toLong * tr + j - gy0
           var i = 0
           while (i < tc) {
-            val gx = c.toLong * tc + i
-            if (gx < totC && gy < totR)
-              grid(b)((gy * totC + gx).toInt) = t(j * tc + i)
+            val gx = c.toLong * tc + i - gx0
+            if (gx >= 0 && gy >= 0 && gx < outC && gy < outR)
+              grid(b)((gy * outC + gx).toInt) = t(j * tc + i)
             i += 1
           }
           j += 1
@@ -453,9 +478,32 @@ object GeoTiff {
         b += 1
       }
     }
-    val e = meta.layout.extent
-    encodeTileMB(grid, totC.toInt, totR.toInt, e.xmin, e.ymax,
-      meta.layout.cellWidth, meta.layout.cellHeight, deflate)
+    val originX = e.xmin + gx0 * cw
+    val originY = e.ymax - gy0 * ch
+    // crop_dimensions: nearest-neighbor re-dimension of the cropped
+    // window (reference pairs crop_dimensions with a resample)
+    val (outGrid, fc, fr, fcw, fch) = cropDimensions match {
+      case None => (grid, outC.toInt, outR.toInt, cw, ch)
+      case Some((dc, dr)) =>
+        require(dc > 0 && dr > 0)
+        val g = grid.map { src =>
+          val dst = new Array[Double](dc * dr)
+          var j = 0
+          while (j < dr) {
+            val sy = ((j + 0.5) * outR / dr).toLong
+            var i = 0
+            while (i < dc) {
+              val sx = ((i + 0.5) * outC / dc).toLong
+              dst(j * dc + i) = src((sy * outC + sx).toInt)
+              i += 1
+            }
+            j += 1
+          }
+          dst
+        }
+        (g, dc, dr, cw * outC / dc, ch * outR / dr)
+    }
+    encodeTileMB(outGrid, fc, fr, originX, originY, fcw, fch, deflate)
   }
 
   // ------------------------------------------------------------------

@@ -106,6 +106,37 @@ class GeoTiffSpec extends SparkSpec {
     assert(err.getMessage.contains("maxCells"))
   }
 
+  test("save_stitched crop_bounds / crop_dimensions (reference layer.py:1981)") {
+    val dir = Files.createTempDirectory("graft_crop").toString
+    val l = RasterLayer.fromCells(
+      Seq((0L, 0L, 1.0), (4L, 4L, 5.0), (5L, 5L, 6.0), (7L, 7L, 9.0)).toDF("x", "y", "v"),
+      layout)
+    // crop to the world window x:[4,6) y:[2,4) -> grid rows 4..5 (y-down
+    // flip: world y in [2,4) = grid rows 4..5), cells (4,4),(5,5) inside
+    val p = s"$dir/crop.tif"
+    GeoTiff.saveStitched(l, p, cropBounds = Some(graft.core.Extent(4, 2, 6, 4)))
+    val (ox, oy, cw, ch, cols, rows, bands) =
+      GeoTiff.decodeTileMB(Files.readAllBytes(java.nio.file.Paths.get(p)))
+    assert((ox, oy, cw, ch, cols, rows) == (4.0, 4.0, 1.0, 1.0, 2, 2))
+    val cells = bands.head
+    assert(cells(0) == 5.0 && cells(1 * 2 + 1) == 6.0) // (4,4) and (5,5)
+    assert(cells(1).isNaN && cells(2).isNaN)
+    // crop_dimensions: NN re-dimension of the cropped window to 4x4
+    val p2 = s"$dir/crop_dim.tif"
+    GeoTiff.saveStitched(l, p2, cropBounds = Some(graft.core.Extent(4, 2, 6, 4)),
+      cropDimensions = Some((4, 4)))
+    val (_, _, cw2, ch2, c2, r2, b2) =
+      GeoTiff.decodeTileMB(Files.readAllBytes(java.nio.file.Paths.get(p2)))
+    assert((c2, r2) == (4, 4) && cw2 == 0.5 && ch2 == 0.5)
+    assert(b2.head(0) == 5.0 && b2.head(1 * 4 + 1) == 5.0) // NN duplicates
+    // crop_dimensions without crop_bounds is refused (reference contract)
+    intercept[IllegalArgumentException](
+      GeoTiff.saveStitched(l, p2, cropDimensions = Some((2, 2))))
+    // disjoint crop_bounds fail loudly
+    intercept[IllegalArgumentException](
+      GeoTiff.saveStitched(l, p2, cropBounds = Some(graft.core.Extent(100, 100, 101, 101))))
+  }
+
   test("cog roundtrip: tiled file windows match layer cells, absent tiles are NoData") {
     // TIFF tiles must be 16-multiples: 32x32 grid of 16-tiles (2x2)
     val cogLayout = LayoutDefinition(Extent(0, 0, 32, 32), TileLayout(2, 2, 16, 16))
