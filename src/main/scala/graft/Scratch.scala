@@ -45,6 +45,8 @@ object Scratch {
       val frozen = t("build+checkpoint") {
         layer0.copy(df = layer0.df.localCheckpoint())
       }
+      // warm + steady-state split of the gather path (this breakdown
+      // is how the r7 List-apply O(n^2) tile access was isolated)
       (1 to 2).foreach { i =>
         val r = t(s"kernelTiled_$i") {
           val k = raster.Resample.kernelTiled(frozen, GridSource.G, 200,
@@ -54,40 +56,6 @@ object Scratch {
         t(s"toCells_$i") {
           r.toCells.write.format("noop").mode("overwrite").save()
         }
-      }
-      t("kernel_dstTile100") {
-        raster.Resample.kernelTiled(frozen, GridSource.G, 200,
-          raster.Resample.Kernel.CubicConvolution, dstTile = 100)
-          .df.write.format("noop").mode("overwrite").save()
-      }
-      t("kernel_dst40") {
-        raster.Resample.kernelTiled(frozen, GridSource.G, 40,
-          raster.Resample.Kernel.CubicConvolution, dstTile = 20)
-          .df.write.format("noop").mode("overwrite").save()
-      }
-      t("kernel_spline") {
-        raster.Resample.kernelTiled(frozen, GridSource.G, 200,
-          raster.Resample.Kernel.CubicSpline, dstTile = 50)
-          .df.write.format("noop").mode("overwrite").save()
-      }
-      t("gather_only") {
-        // same harness, compute body replaced by a constant tile:
-        // isolates shuffle+encode cost from the convolution math
-        val spark2 = frozen.spark
-        import spark2.implicits._
-        import org.apache.spark.sql.functions.{col => c_}
-        val zeros = Seq.fill(2500)(0.0)
-        frozen.df.select(c_("col"), c_("row"), c_("tile"))
-          .as[(Int, Int, Seq[Double])]
-          .flatMap { case (c, r, tile) =>
-            for (dc <- 0 to 1; dr <- 0 to 1) yield (dc, dr, c, r, tile)
-          }
-          .groupByKey(q => (q._1, q._2))
-          .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
-            val m = group.map(q => (q._3, q._4) -> q._5).toMap
-            (key._1, key._2, if (m.isEmpty) Seq.empty[Double] else zeros)
-          }
-          .write.format("noop").mode("overwrite").save()
       }
       spark.stop(); return
     }

@@ -112,6 +112,8 @@ object SparkEntry {
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Mode"))),
     "q_focal_stddev" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "StandardDeviation"))),
+    "q_focal_variance" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Variance"))),
     "q_focal_circle" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Circle(2.0), "Mean"))),
     "q_slope" -> ((s, dir) => {
@@ -815,6 +817,10 @@ object SparkEntry {
 
       "q_focal_stddev" ->
         (focalJoin("sqrt((sum(n.v * n.v) - sum(n.v) * sum(n.v) / count(*)) / (count(*) - 1))")
+          + " HAVING count(*) > 1"),
+
+      "q_focal_variance" ->
+        (focalJoin("(sum(n.v * n.v) - sum(n.v) * sum(n.v) / count(*)) / (count(*) - 1)")
           + " HAVING count(*) > 1"),
 
       "q_focal_circle" ->
