@@ -144,6 +144,32 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("text-analysis pipeline runs unchanged over a document stream") {
+    // the curation/analysis operators are stateless column expressions,
+    // so the SAME functions serve batch tables and readStream sources —
+    // the batch/streaming-parity promise of building on DataFrames
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = graft.pipeline.TextAnalysis.tokenCounts(docs)
+      .writeStream.format("memory").queryName("stream_tokens")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, "one two three", "en", "s", 13L)))
+      q.processAllAvailable()
+      mem.addData(Seq((2L, "four five", "en", "s", 9L)))
+      q.processAllAvailable()
+      val got = spark.table("stream_tokens").as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 3L, 3L), (2L, 2L, 2L)))
+      // and the streaming result matches the batch run of the same op
+      val batch = graft.pipeline.TextAnalysis.tokenCounts(
+        Seq((1L, "one two three", "en", "s", 13L), (2L, "four five", "en", "s", 9L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
