@@ -589,6 +589,13 @@ object SparkEntry {
       pipeline.Similarity.ivfTopK(table(s, dir, "embeddings"),
         col("vec_id") % 50 === 0, col("vec_id") % 37 === 0)),
 
+    "q_ann_pq" -> ((s, dir) =>
+      // product-quantization ADC top-k: codes from the vec_id % 37
+      // sampled codebooks, queries vec_id % 50 — third scale path
+      // beside LSH/IVF; all-integer distances
+      pipeline.Similarity.pqTopK(table(s, dir, "embeddings"),
+        col("vec_id") % 50 === 0, col("vec_id") % 37 === 0)),
+
     "q_embed_cluster" -> ((s, dir) =>
       // nearest-centroid assignment (semantic bucketing): centroids =
       // the deterministic vec_id % 37 subset, broadcast; exact integer
@@ -1409,6 +1416,26 @@ object SparkEntry {
           |      FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.qid)
           |SELECT qid, nid, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank FROM (
           |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
+          |WHERE rank <= 5""".stripMargin,
+
+      "q_ann_pq" ->
+        """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |subs AS (SELECT vec_id, s, list_transform(range(8), j -> qv[CAST(s * 8 + j + 1 AS INT)]) AS sv
+          |         FROM q0, (SELECT unnest(range(8)) AS s)),
+          |cb AS (SELECT s, vec_id AS cid, sv AS cv FROM subs WHERE vec_id % 37 = 0),
+          |enc AS (SELECT vec_id, s, cid AS code FROM (
+          |  SELECT subs.vec_id, subs.s, cb.cid,
+          |    row_number() OVER (PARTITION BY subs.vec_id, subs.s
+          |      ORDER BY list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv) + list_dot_product(cv, cv), cb.cid) AS rn
+          |  FROM subs JOIN cb ON subs.s = cb.s) WHERE rn = 1),
+          |qd AS (SELECT subs.vec_id AS qid, subs.s, cb.cid AS code,
+          |         list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv) + list_dot_product(cv, cv) AS d
+          |       FROM subs JOIN cb ON subs.s = cb.s WHERE subs.vec_id % 50 = 0)
+          |SELECT qid, nid, adist, CAST(rank AS BIGINT) AS rank FROM (
+          |  SELECT qid, nid, adist, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank FROM (
+          |    SELECT qd.qid, enc.vec_id AS nid, CAST(sum(d) AS BIGINT) AS adist
+          |    FROM enc JOIN qd ON enc.s = qd.s AND enc.code = qd.code
+          |    WHERE enc.vec_id <> qd.qid GROUP BY 1, 2))
           |WHERE rank <= 5""".stripMargin,
 
       "q_embed_cluster" ->

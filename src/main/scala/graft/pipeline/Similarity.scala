@@ -154,6 +154,81 @@ object Similarity {
       .select(col("vec_id"), col("cid"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Product-quantization encoding (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11 — public):
+    * split each quantized vector into `m` subvectors; per subspace a
+    * CODEBOOK (the subvectors of a deterministic corpus subset,
+    * `centroidPred` — same sampled-codebook trade as [[ivfTopK]]'s
+    * coarse quantizer) maps every subvector to its nearest centroid
+    * id. A vector compresses to m codes.
+    *
+    * Determinism: distances are exact integer L2^2 over quantized
+    * ints (||a-b||^2 = a·a - 2a·b + b·b via LongDotExpr); ties break
+    * to the smallest centroid id. Scale shape: codebooks broadcast;
+    * encoding is one narrow pass + a per-(vector, subspace) top-1
+    * window — no corpus shuffle beyond the window's hash exchange.
+    * Output: (vec_id, s, code) — one row per subspace. */
+  def pqEncode(embeddings: DataFrame, centroidPred: Column,
+               m: Int = 8, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "m must divide the embedding dim")
+    val sub = dim / m
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val subs = e.select(col("vec_id"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("qv"), s * sub + 1, sub).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+    val cb = broadcast(subs.where(centroidPred)
+      .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv")))
+    val l2 = qdot(col("sv"), col("sv")) - lit(2L) * qdot(col("sv"), col("cv")) +
+      qdot(col("cv"), col("cv"))
+    val w = Window.partitionBy("vec_id", "s").orderBy(col("d"), col("cid"))
+    subs.join(cb, "s")
+      .withColumn("d", l2)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
+  }
+
+  /** PQ top-k via asymmetric distance (ADC): the query keeps its
+    * exact subvectors; a candidate contributes only its m codes, so
+    * the per-candidate cost is m table lookups into the query's
+    * (subspace x centroid) distance table — the memory/compute trade
+    * that lets a 10^9-vector corpus sit in RAM as m bytes per vector.
+    * The distance table (queries x centroids, broadcast-sized) joins
+    * against the encoded corpus; ranking is exact-integer, ties to
+    * the smaller nid. */
+  def pqTopK(embeddings: DataFrame, queryPred: Column, centroidPred: Column,
+             k: Int = 5, m: Int = 8, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "m must divide the embedding dim")
+    val sub = dim / m
+    val enc = pqEncode(embeddings, centroidPred, m, dim)
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    def subsOf(df: DataFrame, idAs: String, svAs: String) =
+      df.select(col("vec_id").as(idAs),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), slice(col("qv"), s * sub + 1, sub).as(svAs))): _*)).as("x"))
+        .select(col(idAs), col("x.s").as("s"), col(s"x.$svAs").as(svAs))
+    val qsubs = subsOf(e.where(queryPred), "qid", "sv")
+    val cb = broadcast(subsOf(e.where(centroidPred), "cid", "cv")
+      .select(col("s"), col("cid"), col("cv")))
+    // query ADC table: exact L2^2 from each query subvector to each
+    // codebook centroid — |queries| * m * |codebook| rows, broadcast
+    val l2 = qdot(col("sv"), col("sv")) - lit(2L) * qdot(col("sv"), col("cv")) +
+      qdot(col("cv"), col("cv"))
+    val qd = broadcast(qsubs.join(cb, "s").select(col("qid"), col("s"),
+      col("cid").as("code"), l2.as("d")))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    enc.withColumnRenamed("vec_id", "nid")
+      .join(qd, Seq("s", "code"))
+      .where(col("nid") =!= col("qid"))
+      .groupBy("qid", "nid").agg(sum("d").as("adist"))
+      // a candidate must match in every subspace (inner join keeps
+      // only rows whose (s, code) hit the query table, which is total)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("adist"), col("rank"))
+  }
+
   /** LSH-accelerated near-dup: same-bucket candidate pairs scored
     * exactly. */
   def lshPairs(embeddings: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {

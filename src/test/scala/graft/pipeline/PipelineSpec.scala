@@ -245,6 +245,35 @@ class PipelineSpec extends SparkSpec {
     assert(firsts == Set(("a", 0L, 0L), ("b", 0L, 0L)))
   }
 
+  test("product quantization: codes compress, ADC ranks an exact duplicate first") {
+    // dim 8, m = 4 subspaces of 2; centroids = vec_ids 0 and 1
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val embs = Seq(
+      (0L, v(1, 0, 1, 0, 1, 0, 1, 0), 0),    // centroid A
+      (1L, v(0, 1, 0, 1, 0, 1, 0, 1), 0),    // centroid B
+      (10L, v(1, 0, 1, 0, 1, 0, 1, 0), 0),   // exact dup of A (the query)
+      (11L, v(0.9, 0.1, 0.9, 0.1, 0.9, 0.1, 0.9, 0.1), 0), // near A
+      (12L, v(0, 1, 0, 1, 0, 1, 0, 0.8), 0)  // near B
+    ).toDF("vec_id", "embedding", "label")
+    val cents = col("vec_id") <= 1
+    val codes = Similarity.pqEncode(embs, cents, m = 4, dim = 8)
+      .as[(Long, Int, Long)].collect()
+    assert(codes.length == 5 * 4, "one code per (vector, subspace)")
+    // A-like vectors encode to centroid 0 in every subspace
+    assert(codes.filter(c => Set(0L, 10L, 11L)(c._1)).forall(_._3 == 0L))
+    assert(codes.filter(_._1 == 1L).forall(_._3 == 1L))
+    val top = Similarity.pqTopK(embs, col("vec_id") === 10, cents, k = 3, m = 4, dim = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    // rank 1: the shared-codebook duplicate 0 at ADC distance 0; the
+    // near-A vector follows (same codes; ADC measures query->centroid)
+    assert(top.head._2 == 0L && top.head._3 == 0L)
+    assert(top.map(_._2).take(2).toSet == Set(0L, 11L), s"got ${top.toSeq}")
+    // determinism across runs
+    val again = Similarity.pqTopK(embs, col("vec_id") === 10, cents, k = 3, m = 4, dim = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    assert(top.toSeq == again.toSeq)
+  }
+
   test("cluster assignment picks the highest-cosine centroid with deterministic ties") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f), 0),   // centroid A
