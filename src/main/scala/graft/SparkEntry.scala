@@ -618,6 +618,11 @@ object SparkEntry {
       // concatenate-and-chunk packing at a 2048-token budget per source
       pipeline.Curation.packSequences(table(s, dir, "documents"))),
 
+    "q_mixture_rates" -> ((s, dir) =>
+      // sqrt-temperature mixture weights anchored on the largest
+      // source (max is order-free; a float sum is not)
+      pipeline.Curation.mixtureRates(table(s, dir, "documents"))),
+
     // --- LLM-pipeline: text analysis (documents)
     "q_token_count" -> ((s, dir) =>
       pipeline.TextAnalysis.tokenCounts(table(s, dir, "documents"))),
@@ -1470,6 +1475,15 @@ object SparkEntry {
            |SELECT doc_id, source, n_tokens,
            |  _start // 2048 AS pack_id, _start % 2048 AS pack_offset
            |FROM p""".stripMargin,
+
+      "q_mixture_rates" ->
+        s"""WITH t AS (SELECT source,
+           |  CAST(sum(len(regexp_extract_all(text, '${pipeline.TextAnalysis.bpeTokenSqlPattern}'))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |m AS (SELECT max(n_tokens) AS mx FROM t)
+           |SELECT source, n_tokens,
+           |  CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / mx) * 1000) AS BIGINT) AS permille
+           |FROM t, m""".stripMargin,
 
       // --- pipeline: text analysis
       "q_token_count" ->

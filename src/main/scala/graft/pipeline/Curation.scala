@@ -49,6 +49,40 @@ object Curation {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Temperature-smoothed mixture rates — the standard multi-source
+    * balancing step (upweight small sources relative to proportional
+    * sampling; the T-smoothed mixture of public multilingual-corpus
+    * practice). Each source's keep rate is its token share relative to
+    * the LARGEST source: permille_s = round(1000 * (n_s / n_max)^T).
+    * Using the max as the anchor (instead of the sum) keeps every
+    * operation IEEE-pinned — max is order-free where a float sum is
+    * not — so the rates are bit-identical in any engine.
+    *
+    * Only T = 1.0 (proportional) and T = 0.5 (sqrt smoothing) are
+    * accepted: both compile to pinned IEEE ops (identity / sqrt);
+    * general pow() is libm-dependent and would break the determinism
+    * contract. One aggregation, cardinality = |sources|. */
+  def mixtureRates(docs: DataFrame, temperature: Double = 0.5): DataFrame = {
+    require(temperature == 1.0 || temperature == 0.5,
+      "IEEE-pinned temperatures only: 1.0 (proportional) or 0.5 (sqrt)")
+    val counts = docs.groupBy("source")
+      .agg(sum(TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("n_tokens"))
+    val mx = counts.agg(max("n_tokens")).first().getLong(0)
+    val share = col("n_tokens").cast("double") / mx
+    val smoothed = if (temperature == 0.5) sqrt(share) else share
+    counts.select(col("source"), col("n_tokens"),
+      round(smoothed * 1000).cast("long").as("permille"))
+  }
+
+  /** Sample the corpus at the [[mixtureRates]] keep rates — rates are
+    * collected driver-side (bounded by source cardinality) and folded
+    * into the [[stratifiedSample]] CASE scan. */
+  def sampleByMixture(docs: DataFrame, temperature: Double = 0.5): DataFrame = {
+    val rates = mixtureRates(docs, temperature).select("source", "permille")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    stratifiedSample(docs, rates)
+  }
+
   /** Token-budget sequence packing: concatenate each source's
     * documents in doc_id order and cut every `budget` tokens — the
     * standard LLM pre-training packing (documents straddle pack

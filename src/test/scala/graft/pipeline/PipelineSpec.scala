@@ -226,6 +226,26 @@ class PipelineSpec extends SparkSpec {
     assert(bySrc("src2") > 50 && bySrc("src2") < 160) // ~10% default
   }
 
+  test("mixture rates: sqrt temperature upweights small sources; sampling applies them") {
+    // source 'big' has 4x source 'small's tokens (16 vs 4 words)
+    val corpus = (
+      (1L to 8L).map(i => (i, "alpha beta", "en", "big", 10L)) ++
+      (9L to 10L).map(i => (i, "gamma delta", "en", "small", 10L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.mixtureRates(corpus, temperature = 0.5)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r("big") == ((16L, 1000L)))   // anchor keeps everything
+    assert(r("small") == ((4L, 500L)))   // sqrt(4/16) = 1/2
+    val prop = Curation.mixtureRates(corpus, temperature = 1.0)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(prop("small") == 250L)        // proportional is harsher
+    intercept[IllegalArgumentException](Curation.mixtureRates(corpus, 0.7))
+    // end-to-end: the big source survives whole, the small one thins
+    val kept = Curation.sampleByMixture(corpus, 0.5).as[(Long, String)].collect()
+    assert(kept.count(_._2 == "big") == 8)
+    assert(kept.count(_._2 == "small") <= 2)
+  }
+
   test("sequence packing: contiguous offsets, budget-sized cuts, per-source streams") {
     val out = Curation.packSequences(docs, budget = 20L)
       .orderBy("source", "doc_id")
