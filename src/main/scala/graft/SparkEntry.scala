@@ -114,6 +114,12 @@ object SparkEntry {
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "StandardDeviation"))),
     "q_focal_variance" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Variance"))),
+    "q_focal_chain" -> ((s, dir) =>
+      // Mean then Max FUSED into one halo exchange (radius 2 gather);
+      // bit-identical to the sequential chain — Mean's sums are exact
+      // (integral inputs), Max is order-free selection
+      flat(lineitemLayer(s, dir).focalChain(
+        (Neighborhood.Square(1), "Mean"), (Neighborhood.Square(1), "Max")))),
     "q_focal_circle" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Circle(2.0), "Mean"))),
     "q_slope" -> ((s, dir) => {
@@ -834,6 +840,15 @@ object SparkEntry {
       "q_focal_variance" ->
         (focalJoin("(sum(n.v * n.v) - sum(n.v) * sum(n.v) / count(*)) / (count(*) - 1)")
           + " HAVING count(*) > 1"),
+
+      "q_focal_chain" ->
+        s"""WITH g AS ($lineitemCellsSql),
+           |m AS (SELECT c.x AS x, c.y AS y, sum(n.v) / count(*) AS v
+           |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |      GROUP BY c.x, c.y)
+           |SELECT c.x AS x, c.y AS y, max(n.v) AS v
+           |FROM m c JOIN m n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |GROUP BY c.x, c.y""".stripMargin,
 
       "q_focal_circle" ->
         s"""WITH g AS ($grid)

@@ -242,34 +242,71 @@ object Focal {
   }
 
   def focal(layer: RasterLayer, nb: Neighborhood, op: FocalOp): RasterLayer = {
-    val tl = layer.meta.layout.tileLayout
-    val (tc, tr) = (tl.tileCols, tl.tileRows)
     val r = nb.radius
     val offs = nb.offsets.toArray
     gather(layer, r) { (padded, w) =>
-      val outTile = new Array[Double](tc * tr)
-      val buf = new Array[Double](offs.length)
-      var cy = 0
-      while (cy < tr) {
-        var cx = 0
-        while (cx < tc) {
-          val center = padded((cy + r) * w + (cx + r))
-          outTile(cy * tc + cx) =
-            if (center.isNaN) Double.NaN
-            else {
-              var n = 0; var k = 0
-              while (k < offs.length) {
-                val v = padded((cy + offs(k)._2 + r) * w + (cx + offs(k)._1 + r))
-                if (!v.isNaN) { buf(n) = v; n += 1 }
-                k += 1
-              }
-              if (n == 0) Double.NaN else op(buf, n)
+      applyWindow(padded, w, padded.length / w, r, op, offs)._1
+    }
+  }
+
+  /** One focal step evaluated at EVERY position of an output window:
+    * input is a (curW x curH) padded window, output shrinks by r per
+    * side. Same NaN semantics as [[focal]] (NaN center -> NaN, NaN
+    * neighbors skipped), same offset iteration order — so chained
+    * applications are bit-identical to sequential focal() calls. */
+  private def applyWindow(cur: Array[Double], curW: Int, curH: Int,
+                          r: Int, op: FocalOp,
+                          offs: Array[(Int, Int)]): (Array[Double], Int, Int) = {
+    val outW = curW - 2 * r; val outH = curH - 2 * r
+    val out = new Array[Double](outW * outH)
+    val buf = new Array[Double](offs.length)
+    var cy = 0
+    while (cy < outH) {
+      var cx = 0
+      while (cx < outW) {
+        val center = cur((cy + r) * curW + (cx + r))
+        out(cy * outW + cx) =
+          if (center.isNaN) Double.NaN
+          else {
+            var n = 0; var k = 0
+            while (k < offs.length) {
+              val v = cur((cy + offs(k)._2 + r) * curW + (cx + offs(k)._1 + r))
+              if (!v.isNaN) { buf(n) = v; n += 1 }
+              k += 1
             }
-          cx += 1
-        }
-        cy += 1
+            if (n == 0) Double.NaN else op(buf, n)
+          }
+        cx += 1
       }
-      outTile
+      cy += 1
+    }
+    (out, outW, outH)
+  }
+
+  /** FUSED focal chain: a sequence of focal steps in ONE halo
+    * exchange. A chain of k focal() calls shuffles the whole layer k
+    * times; at 100 TB each exchange is the dominant cost. Fused, the
+    * gather ships radius sum(r_i) once and evaluates each step on the
+    * progressively shrinking padded window — cell-for-cell identical
+    * to the sequential chain (each intermediate position sees exactly
+    * the neighbor data the sequential run would have shipped it,
+    * including NaN outside the layer), because every step reuses the
+    * same op kernels and offset order. */
+  def focalChain(layer: RasterLayer, steps: Seq[(Neighborhood, String)]): RasterLayer = {
+    require(steps.nonEmpty, "focalChain needs at least one step")
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val compiled = steps.map { case (nb, name) =>
+      (FocalOp.of(name), nb.offsets.toArray, nb.radius) }
+    val total = compiled.map(_._3).sum
+    gather(layer, total) { (padded, w) =>
+      var cur = padded; var curW = w; var curH = padded.length / w
+      compiled.foreach { case (op, offs, r) =>
+        val (o, ow, oh) = applyWindow(cur, curW, curH, r, op, offs)
+        cur = o; curW = ow; curH = oh
+      }
+      assert(curW == tc && curH == tr)
+      cur
     }
   }
 

@@ -320,6 +320,10 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   // ------------------------------------------------------------------
   def focal(nb: Neighborhood, op: FocalOp): RasterLayer = Focal.focal(this, nb, op)
   def focal(nb: Neighborhood, op: String): RasterLayer = Focal.focal(this, nb, FocalOp.of(op))
+  /** Fused chain of focal steps: ONE halo exchange instead of one per
+    * step, bit-identical to applying them sequentially. */
+  def focalChain(steps: (Neighborhood, String)*): RasterLayer =
+    Focal.focalChain(this, steps)
   def focalConvolve(kernel: Array[Double], r: Int): RasterLayer = Focal.convolve(this, kernel, r)
   def slope(zFactor: Double = 1.0): RasterLayer     = Focal.terrain(this, "slope", zFactor)
   def aspect(): RasterLayer                         = Focal.terrain(this, "aspect")

@@ -91,6 +91,21 @@ class RasterLayerSpec extends SparkSpec {
     assert(cellsOf(f) == Set((0L, 0L, 3.0), (1L, 0L, 7.0), (2L, 0L, 6.0)))
   }
 
+  test("fused focal chain is cell-for-cell identical to sequential application") {
+    // sparse multi-tile layer with boundary-straddling cells and NaN
+    // edges — the cases where a wrong fused-halo radius would diverge
+    val l = layer((3, 0, 10.0), (4, 0, 20.0), (0, 0, 1.0), (7, 7, 5.0), (4, 4, 2.0))
+    val seq2 = l.focal(Neighborhood.Square(1), "Mean").focal(Neighborhood.Square(1), "Max")
+    val fused = l.focalChain((Neighborhood.Square(1), "Mean"), (Neighborhood.Square(1), "Max"))
+    assert(cellsOf(fused) == cellsOf(seq2))
+    // three-step chain with mixed neighborhoods
+    val seq3 = l.focal(Neighborhood.Square(1), "Mean")
+      .focal(Neighborhood.Circle(2.0), "Max").focal(Neighborhood.Square(1), "Min")
+    val fused3 = l.focalChain((Neighborhood.Square(1), "Mean"),
+      (Neighborhood.Circle(2.0), "Max"), (Neighborhood.Square(1), "Min"))
+    assert(cellsOf(fused3) == cellsOf(seq3))
+  }
+
   test("focal radius beyond tile size gathers multi-ring halo") {
     // tile size 4, radius 5: cells 5 apart in different (non-adjacent)
     // tiles must still see each other
