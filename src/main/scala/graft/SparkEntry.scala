@@ -374,6 +374,16 @@ object SparkEntry {
       flat(Catalog.query(s, uri, "lineitem_q", 4, 64, 0, 192, 128))
     }),
 
+    "q_catalog_geom" -> ((s, dir) => {
+      // geometry-scoped read (key_conversion geometry_to_keys +
+      // catalog query): whole tiles intersecting the WKT rect — the
+      // tile range is restated statically in the oracle
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      Catalog.write(uri, "li_geom", lineitemLayer(s, dir), zoom = 2)
+      flat(Catalog.queryGeometry(s, uri, "li_geom", 2,
+        "POLYGON ((70 10, 190 10, 190 100, 70 100))"))
+    }),
+
     "q_catalog_update" -> ((s, dir) => {
       // update_layer append (catalog.py:287): write lineitem, append
       // orders, read back resolving duplicate keys by cell-wise Max
@@ -1113,6 +1123,12 @@ object SparkEntry {
 
       "q_catalog_query" ->
         s"SELECT x, y, v FROM ($grid) WHERE x >= 64 AND x < 192 AND y < 128",
+
+      // tile-level pruning: the rect (70,10)-(190,100) intersects tile
+      // cols 1..2 and rows 0..1 of the 64-cell tiles; a geometry read
+      // keeps WHOLE intersecting tiles
+      "q_catalog_geom" ->
+        s"SELECT x, y, v FROM ($grid) WHERE x // 64 BETWEEN 1 AND 2 AND y // 64 BETWEEN 0 AND 1",
 
       // NaN-aware cell-wise Max over the appended store == full-outer
       // join of the two grids taking the greater present value

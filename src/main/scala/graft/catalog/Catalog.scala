@@ -168,6 +168,29 @@ object Catalog {
     new RasterLayer(pruned, meta)
   }
 
+  /** Geometry-scoped read — reference catalog.py query with a
+    * geometry + key_conversion.py geometry_to_keys: only tiles whose
+    * extent intersects the WKT geometry (grid coordinates) are kept.
+    * The bbox range predicates push to the parquet scan (min/max file
+    * skip via the z-ordered write layout); the exact key set — driver
+    * -side, bounded by the geometry's bbox in tiles — then refines via
+    * an isin on the packed key (one pushable IN filter, no join). */
+  def queryGeometry(spark: SparkSession, uri: String, name: String, zoom: Int,
+                    wkt: String): RasterLayer = {
+    val meta = readMetadata(uri, name, zoom)
+    val keys = graft.raster.Rasterize.geometryToKeys(meta.layout, graft.vector.Wkt.parse(wkt))
+    val full = read(spark, uri, name, zoom)
+    if (keys.isEmpty) return new RasterLayer(full.df.where(lit(false)), meta)
+    // pack on the ROW stride so distinct (col,row) never collide
+    val lr = meta.layout.tileLayout.layoutRows.toLong
+    val packed = keys.map { case (c, r) => c.toLong * lr + r }
+    val pruned = full.df.where(
+      col("col") >= keys.map(_._1).min && col("col") <= keys.map(_._1).max &&
+      col("row") >= keys.map(_._2).min && col("row") <= keys.map(_._2).max &&
+      (col("col").cast("long") * lr + col("row")).isInCollection(packed))
+    new RasterLayer(pruned, meta)
+  }
+
   /** Append tiles of `layer` to an existing stored layer — reference
     * update_layer (catalog.py:287). Readers resolve duplicate keys via
     * aggregateByCell/merge on read. Mirrors write's ordering so the

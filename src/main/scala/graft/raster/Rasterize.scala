@@ -75,6 +75,61 @@ object Rasterize {
     RasterLayer.fromCells(cells, layout, op)
   }
 
+  /** Tile keys whose extent intersects a geometry (GRID coordinates,
+    * like maskGrid) — reference key_conversion.py geometry_to_keys:
+    * the tile-level pruning set a geometry-scoped catalog read needs.
+    *
+    * Exact for the supported geometry kinds: a tile intersects a
+    * polygon iff (a) a tile corner is inside it, (b) one of its
+    * vertices is inside the tile, or (c) a ring edge crosses the tile
+    * — (c) enumerated by the same Amanatides–Woo traversal run on the
+    * TILE grid. Holes fall out of contains(): a tile wholly inside a
+    * hole triggers none of the three. Points/lines via floor / pure
+    * traversal. Driver-side: key counts are bounded by the geometry's
+    * bbox in tiles, not by the layer. */
+  def geometryToKeys(layout: LayoutDefinition, g: graft.vector.Wkt.Geom): Seq[(Int, Int)] = {
+    val tl = layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val (lc, lr) = (tl.layoutCols, tl.layoutRows)
+    def inBounds(k: (Long, Long)) = k._1 >= 0 && k._2 >= 0 && k._1 < lc && k._2 < lr
+    def keyOf(x: Double, y: Double): (Long, Long) =
+      (math.floor(x / tc).toLong, math.floor(y / tr).toLong)
+    def lineKeys(ps: IndexedSeq[graft.vector.Pt]): Iterator[(Long, Long)] =
+      ps.iterator.zip(ps.iterator.drop(1)).flatMap { case (a, b) =>
+        traverse(a.x / tc, a.y / tr, b.x / tc, b.y / tr, lc, lr)
+      }
+    def polyKeys(p: Polygon): Iterator[(Long, Long)] = {
+      val rings = p.exterior +: p.holes
+      // (b) vertices' tiles + (c) edge-crossed tiles (rings closed)
+      val boundary = rings.iterator.flatMap { ring =>
+        lineKeys(if (ring.length > 1) ring :+ ring.head else ring)
+      }
+      // (a) tiles with a corner inside the polygon, over the bbox
+      val (bxmin, bymin, bxmax, bymax) = p.bbox
+      val c0 = math.max(0L, math.floor(bxmin / tc).toLong - 1)
+      val c1 = math.min(lc - 1L, math.floor(bxmax / tc).toLong + 1)
+      val r0 = math.max(0L, math.floor(bymin / tr).toLong - 1)
+      val r1 = math.min(lr - 1L, math.floor(bymax / tr).toLong + 1)
+      val corners = for {
+        c <- (c0 to c1).iterator
+        r <- (r0 to r1).iterator
+        if Seq((c * tc, r * tr), ((c + 1) * tc, r * tr),
+               (c * tc, (r + 1) * tr), ((c + 1) * tc, (r + 1) * tr))
+          .exists { case (x, y) => p.contains(x.toDouble, y.toDouble) }
+      } yield (c, r)
+      boundary ++ corners
+    }
+    val keys: Iterator[(Long, Long)] = g match {
+      case graft.vector.Wkt.PointG(p)            => Iterator.single(keyOf(p.x, p.y))
+      case graft.vector.Wkt.MultiPointG(ps)      => ps.iterator.map(p => keyOf(p.x, p.y))
+      case graft.vector.Wkt.LineStringG(ps)      => lineKeys(ps)
+      case graft.vector.Wkt.MultiLineStringG(ls) => ls.iterator.flatMap(lineKeys)
+      case graft.vector.Wkt.PolygonG(p)          => polyKeys(p)
+      case graft.vector.Wkt.MultiPolygonG(ps)    => ps.iterator.flatMap(polyKeys)
+    }
+    keys.filter(inBounds).map(k => (k._1.toInt, k._2.toInt)).toSet.toSeq.sorted
+  }
+
   /** All cells a segment passes through — Amanatides–Woo grid
     * traversal (unit cells), endpoints inclusive. The line-burn
     * primitive behind LINESTRING rasterize (GDAL all-touched

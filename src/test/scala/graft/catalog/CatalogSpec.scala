@@ -68,6 +68,60 @@ class CatalogSpec extends SparkSpec {
       .toCells.as[(Long, Long, Double)].collect().toSet == Set((1L, 1L, 9.0)))
   }
 
+  test("geometryToKeys matches brute-force tile/polygon intersection") {
+    import graft.vector.{Pt, Wkt}
+    val lay = graft.core.LayoutDefinition(graft.core.Extent(0, 0, 64, 64),
+      graft.core.TileLayout(8, 8, 8, 8))
+    // brute force: a tile intersects the polygon iff any of a dense
+    // sample of its cells' corners/centers is inside, OR a polygon
+    // vertex is inside the tile (dense enough for these shapes)
+    def brute(p: graft.vector.Polygon): Set[(Int, Int)] = {
+      (for {
+        c <- 0 until 8; r <- 0 until 8
+        pts = for (i <- 0 to 16; j <- 0 to 16)
+          yield (c * 8 + i * 0.5, r * 8 + j * 0.5)
+        if pts.exists { case (x, y) => p.contains(x, y) }
+      } yield (c, r)).toSet
+    }
+    val shapes = Seq(
+      graft.vector.Polygon(IndexedSeq(Pt(12.3, 12.3), Pt(35.7, 14.1), Pt(20.2, 44.9))),
+      graft.vector.Polygon(IndexedSeq(Pt(1, 1), Pt(62, 1), Pt(62, 62), Pt(1, 62)),
+        Seq(IndexedSeq(Pt(20, 20), Pt(44, 20), Pt(44, 44), Pt(20, 44)))) // hole spans tiles
+    )
+    shapes.foreach { p =>
+      val got = graft.raster.Rasterize.geometryToKeys(lay, Wkt.PolygonG(p)).toSet
+      val want = brute(p)
+      // exact method must cover everything brute sampling finds, and
+      // may only add tiles brute sampling missed by epsilon (none here)
+      assert(got == want, s"for $p: got ${got.diff(want)} extra, missing ${want.diff(got)}")
+    }
+    // hole interior excluded: tile (4,4) sits wholly inside the hole
+    val holed = graft.raster.Rasterize.geometryToKeys(lay, Wkt.parse(
+      "POLYGON ((1 1, 62 1, 62 62, 1 62, 1 1), (20 20, 44 20, 44 44, 20 44, 20 20))")).toSet
+    assert(!holed.contains((4, 4)))
+    // lines and points
+    assert(graft.raster.Rasterize.geometryToKeys(lay, Wkt.parse("POINT (17 9)")) == Seq((2, 1)))
+    val line = graft.raster.Rasterize.geometryToKeys(lay, Wkt.parse("LINESTRING (4 4, 60 60)")).toSet
+    assert((0 until 8).forall(i => line.contains((i, i))), "diagonal touches every diagonal tile")
+  }
+
+  test("queryGeometry reads only tiles intersecting the geometry") {
+    val dir = Files.createTempDirectory("graft_cat_geom").toString
+    // layout: 2x2 tiles of 4 -> tiles (0,0),(1,0),(0,1),(1,1)
+    val l = layer((0, 0, 1.0), (5, 0, 2.0), (0, 5, 3.0), (5, 5, 4.0))
+    Catalog.write(dir, "g", l, zoom = 0)
+    // a diamond around (6,6) touches only tile (1,1)
+    val got = Catalog.queryGeometry(spark, dir, "g", 0,
+      "POLYGON ((6 4.5, 7.5 6, 6 7.5, 4.5 6))")
+    assert(got.toCells.as[(Long, Long, Double)].collect().toSet == Set((5L, 5L, 4.0)))
+    // a line crossing the top two tiles
+    val gotLine = Catalog.queryGeometry(spark, dir, "g", 0, "LINESTRING (1 1, 7 2)")
+    assert(gotLine.toCells.as[(Long, Long, Double)].collect().toSet ==
+      Set((0L, 0L, 1.0), (5L, 0L, 2.0)))
+    // disjoint geometry -> empty, not an error
+    assert(Catalog.queryGeometry(spark, dir, "g", 0, "POINT (100 100)").toCells.count() == 0)
+  }
+
   test("attribute-store surface: layers / contains / delete") {
     val dir = Files.createTempDirectory("graft_cat_store").toString
     Catalog.write(dir, "b_layer", layer((0, 0, 1.0)), zoom = 0)
