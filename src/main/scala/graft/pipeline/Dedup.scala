@@ -138,6 +138,54 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /** Driver-side probe shingle sets (probe_id -> hashed k-shingles) —
+    * the broadcastable form of an eval set for [[containmentAgainst]].
+    * Eval sets are small by nature; the collect is bounded by them,
+    * never by the corpus. */
+  def shingleSets(probes: DataFrame, k: Int = 5): Map[Long, Set[Long]] = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    hashedShingles(probes, k).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, hs) => id -> hs.map(_._2).toSet }
+  }
+
+  /** Containment of fixed probe sets in each incoming document —
+    * the STREAMING-friendly decontamination shape: probe shingles ride
+    * the closure (broadcast), each document is checked locally as it
+    * arrives, no state and no shuffle, so the same operator runs
+    * unchanged over a readStream source in append mode. Shingle
+    * hashing mirrors [[hashedShingles]] exactly (same tokens, same
+    * 60-bit md5 prefix), so batch and streaming agree bit-for-bit. */
+  def containmentAgainst(docs: DataFrame, probes: Map[Long, Set[Long]],
+                         k: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hash(s: String): Long = {
+          md.reset()
+          val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        }
+        it.flatMap { case (id, text) =>
+          val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toArray
+          val sh: Set[Long] =
+            if (toks.length < k) Set.empty
+            else toks.sliding(k).map(w => hash(w.mkString(" "))).toSet
+          probes.iterator.flatMap { case (pid, ps) =>
+            if (pid == id || ps.isEmpty) Iterator.empty
+            else {
+              val c = ps.count(sh.contains).toDouble / ps.size
+              if (c >= threshold) Iterator.single((id, pid, c)) else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "probe_id", "containment")
+  }
+
   val MinhashP = 2147483647L // 2^31 - 1
 
   /** Default LSH bucket-size cap (see [[minhashPairs]]). */

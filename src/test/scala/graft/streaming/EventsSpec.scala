@@ -170,6 +170,34 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags probe quotes as documents arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val probeDocs = Seq((100L, "alpha beta gamma delta epsilon", "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val probes = Dedup.shingleSets(probeDocs, k = 3)
+    assert(probes(100L).size == 3)
+    val mem = MemoryStream[(Long, String)]
+    val out = Dedup.containmentAgainst(
+      mem.toDF().toDF("doc_id", "text"), probes, k = 3, threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, "intro alpha beta gamma delta epsilon outro and more words")))
+      q.processAllAvailable()
+      mem.addData(Seq((2L, "entirely unrelated content about other things")))
+      q.processAllAvailable()
+      val hits = spark.table("decontam").as[(Long, Long, Double)].collect().toSet
+      assert(hits == Set((1L, 100L, 1.0)))
+      // streaming result equals the batch run of the same operator
+      val batch = Dedup.containmentAgainst(
+        Seq((1L, "intro alpha beta gamma delta epsilon outro and more words"),
+            (2L, "entirely unrelated content about other things")).toDF("doc_id", "text"),
+        probes, k = 3, threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      assert(batch == hits)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
