@@ -115,6 +115,13 @@ final class MultibandLayer(val df: DataFrame, val meta: LayerMetadata, val bandC
   def focalAll(nb: Neighborhood, op: String): MultibandLayer =
     MultibandLayer.fromLayers((0 until bandCount).map(focalBand(_, nb, op)))
 
+  /** Fused focal chain on every band: one halo exchange per band for
+    * the WHOLE chain (see [[Focal.focalChain]]), recombined into a
+    * stack. */
+  def focalChainAll(steps: (Neighborhood, String)*): MultibandLayer =
+    MultibandLayer.fromLayers(
+      (0 until bandCount).map(i => Focal.focalChain(band(i), steps)))
+
   /** Flatten to (x, y, band, v) rows, dropping NoData cells. */
   def toCells: DataFrame =
     df.select(col("col"), col("row"), posexplode(col("bands")).as(Seq("band", "tile")))

@@ -90,6 +90,16 @@ class MultibandSpec extends SparkSpec {
     assert(v0 == 11.0) // max of 2x2 corner neighborhood of band 0
   }
 
+  test("focalChainAll fused equals per-band sequential chain") {
+    val mb = MultibandLayer.fromLayers(Seq(b0, b1))
+    val fused = mb.focalChainAll((Neighborhood.Square(1), "Mean"), (Neighborhood.Square(1), "Max"))
+    val seq = MultibandLayer.fromLayers((0 until 2).map(i =>
+      mb.band(i).focal(Neighborhood.Square(1), "Mean").focal(Neighborhood.Square(1), "Max")))
+    def cells(m: MultibandLayer) =
+      m.toCells.as[(Long, Long, Int, Double)].collect().toSet
+    assert(cells(fused) == cells(seq))
+  }
+
   test("union rejects mismatched layouts") {
     val otherLayout = LayoutDefinition(Extent(0, 0, 16, 16), TileLayout(4, 4, 4, 4))
     val other = new MultibandLayer(
