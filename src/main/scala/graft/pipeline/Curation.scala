@@ -67,7 +67,11 @@ object Curation {
       "IEEE-pinned temperatures only: 1.0 (proportional) or 0.5 (sqrt)")
     val counts = docs.groupBy("source")
       .agg(sum(TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("n_tokens"))
-    val mx = counts.agg(max("n_tokens")).first().getLong(0)
+    val mxRow = counts.agg(max("n_tokens")).first()
+    if (mxRow.isNullAt(0))   // empty corpus -> empty rates, not an NPE
+      return counts.select(col("source"), col("n_tokens"), lit(0L).as("permille"))
+    val mx = mxRow.getLong(0)
+    require(mx > 0, "every source has zero tokens — mixture rates undefined (0/0)")
     val share = col("n_tokens").cast("double") / mx
     val smoothed = if (temperature == 0.5) sqrt(share) else share
     counts.select(col("source"), col("n_tokens"),

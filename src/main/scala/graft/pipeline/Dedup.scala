@@ -84,13 +84,22 @@ object Dedup {
     * still share their rare shingles. Doc sizes are computed from the
     * CAPPED shingle sets, so the jaccard value is exactly the
     * jaccard of the capped sets (mirrored in the oracle). */
-  def jaccardPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.5,
-                   maxDocFreq: Option[Long] = Some(1000L)): DataFrame = {
+  /** Hashed shingles with the boilerplate cap applied: shingles in
+    * more than `maxDocFreq` docs are dropped before any self-join —
+    * the one skew-guard rule, shared so jaccard/contamination (and
+    * their oracle CTEs) cannot drift apart. */
+  private def cappedShingles(docs: DataFrame, k: Int,
+                             maxDocFreq: Option[Long]): DataFrame = {
     val all = hashedShingles(docs, k)
-    val sh = maxDocFreq.fold(all) { cap =>
+    maxDocFreq.fold(all) { cap =>
       val hot = all.groupBy("h").agg(count(lit(1)).as("df")).where(col("df") > cap)
       all.join(broadcast(hot.select("h")), Seq("h"), "left_anti")
     }
+  }
+
+  def jaccardPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.5,
+                   maxDocFreq: Option[Long] = Some(1000L)): DataFrame = {
+    val sh = cappedShingles(docs, k, maxDocFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = sh.as("a").join(sh.as("b"), "h")
       .where(col("a.doc_id") < col("b.doc_id"))
@@ -120,11 +129,7 @@ object Dedup {
   def contamination(corpus: DataFrame, probePred: Column, k: Int = 5,
                     threshold: Double = 0.5,
                     maxDocFreq: Option[Long] = Some(1000L)): DataFrame = {
-    val all = hashedShingles(corpus, k)
-    val sh = maxDocFreq.fold(all) { cap =>
-      val hot = all.groupBy("h").agg(count(lit(1)).as("df")).where(col("df") > cap)
-      all.join(broadcast(hot.select("h")), Seq("h"), "left_anti")
-    }
+    val sh = cappedShingles(corpus, k, maxDocFreq)
     val probes = sh.where(probePred)
       .select(col("doc_id").as("probe_id"), col("h"))
     val probeSizes = probes.groupBy("probe_id").agg(count(lit(1)).as("np"))
@@ -170,7 +175,9 @@ object Dedup {
           java.lang.Long.parseLong(hex.substring(0, 15), 16)
         }
         it.flatMap { case (id, text) =>
-          val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toArray
+          // Locale.ROOT: JVM-default-locale lowercasing (tr-TR dotless
+          // i) would diverge from Spark's locale-independent lower()
+          val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toArray
           val sh: Set[Long] =
             if (toks.length < k) Set.empty
             else toks.sliding(k).map(w => hash(w.mkString(" "))).toSet

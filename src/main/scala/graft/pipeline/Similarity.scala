@@ -102,14 +102,17 @@ object Similarity {
     def score(av: Column, an: Column, bv: Column, bn: Column): Column =
       qdot(av, bv).cast("double") / (an * bn)
 
-    // nearest-centroid assignment (top-1), ties -> smallest cid
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cscore").desc, col("cid"))
+    // nearest-centroid assignment (top-1), ties -> smallest cid — a
+    // lexicographic-max aggregate, not a window: max() partial-
+    // aggregates map-side, so one row per vector crosses the exchange
+    // instead of the full corpus x centroids product
     val assigned = e.join(cents)
       .withColumn("cscore", score(col("qv"), col("nn"), col("cv"), col("cn")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("qv"), col("nn"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cscore"), (-col("cid")).as("negCid"),
+        col("cid"), col("qv"), col("nn"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        col("m.qv").as("qv"), col("m.nn").as("nn"))
 
     // query probes: nProbe nearest centroid lists
     val q = e.where(queryPred)
@@ -145,13 +148,19 @@ object Similarity {
       .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
     val cents = broadcast(e.where(centroidPred)
       .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nn").as("cn")))
-    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("cid"))
+    // top-1 as a lexicographic-max AGGREGATE, not a row_number window:
+    // the window would shuffle the full corpus x centroids product,
+    // while max() partial-aggregates map-side so one row per vector
+    // crosses the exchange. (cosine DESC, cid ASC) ties encode as
+    // (cosine, -cid) maximized; NaN cosines still sort greatest,
+    // matching the window's DESC NaN placement.
     e.join(cents)
       .withColumn("cosine",
         qdot(col("qv"), col("cv")).cast("double") / (col("nn") * col("cn")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), round(col("cosine"), 6).as("cosine"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cosine"), (-col("cid")).as("negCid"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        round(col("m.cosine"), 6).as("cosine"))
   }
 
   /** Product-quantization encoding (Jégou et al., "Product
@@ -181,12 +190,14 @@ object Similarity {
       .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv")))
     val l2 = qdot(col("sv"), col("sv")) - lit(2L) * qdot(col("sv"), col("cv")) +
       qdot(col("cv"), col("cv"))
-    val w = Window.partitionBy("vec_id", "s").orderBy(col("d"), col("cid"))
+    // nearest centroid as a lexicographic-min aggregate (see
+    // clusterAssign): map-side partials, one row per (vector, subspace)
+    // across the exchange; (d ASC, cid ASC) is exactly min(struct)
     subs.join(cb, "s")
       .withColumn("d", l2)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("cid").as("code"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.cid").as("code"))
   }
 
   /** PQ top-k via asymmetric distance (ADC): the query keeps its

@@ -97,12 +97,15 @@ object TextAnalysis {
     * per-term aggregate of the whole corpus — bounded by vocabulary,
     * not corpus size — and joins back by term hash-partitioned. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3, minTermLen: Int = 3): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    // tf computed once, eagerly: df and the join both consume it, and
+    // a lazy plan would re-run the explode+regexp scan per branch
+    // (hashedShingles precedent)
+    val tf = docs.select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
       .where(length(col("term")) >= minTermLen)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df_ = toks.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct("doc_id")).first().getLong(0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))

@@ -153,7 +153,9 @@ object Shapefile {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        readGeometries(bytes).zipWithIndex.map { case (g, i) => (p, i, Wkt.write(g)) }
+        // positional record indices (Null-shape slots counted), the
+        // same idx readFeatures pairs with .dbf record numbers
+        readGeometriesIndexed(bytes).map { case (i, g) => (p, i, Wkt.write(g)) }
       }
       .toDF("path", "idx", "wkt")
   }

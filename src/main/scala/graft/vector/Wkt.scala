@@ -37,12 +37,19 @@ object Wkt {
   }
 
   def write(g: Geom): String = g match {
-    case PointG(p)         => s"POINT (${num(p.x)} ${num(p.y)})"
-    case MultiPointG(ps)   => s"MULTIPOINT ${ringText(ps, close = false)}"
-    case LineStringG(ps)   => s"LINESTRING ${ringText(ps, close = false)}"
+    // empty collections serialize as the EMPTY keyword — `X ()` is not
+    // valid WKT and parse() (rightly) rejects it, so write must not
+    // produce it or roundtrips break
+    case PointG(p)                             => s"POINT (${num(p.x)} ${num(p.y)})"
+    case MultiPointG(ps) if ps.isEmpty         => "MULTIPOINT EMPTY"
+    case MultiPointG(ps)                       => s"MULTIPOINT ${ringText(ps, close = false)}"
+    case LineStringG(ps) if ps.isEmpty         => "LINESTRING EMPTY"
+    case LineStringG(ps)                       => s"LINESTRING ${ringText(ps, close = false)}"
+    case MultiLineStringG(ls) if ls.isEmpty    => "MULTILINESTRING EMPTY"
     case MultiLineStringG(ls) =>
       ls.map(ringText(_, close = false)).mkString("MULTILINESTRING (", ", ", ")")
-    case PolygonG(p)       => s"POLYGON ${polyText(p)}"
+    case PolygonG(p)                           => s"POLYGON ${polyText(p)}"
+    case MultiPolygonG(ps) if ps.isEmpty       => "MULTIPOLYGON EMPTY"
     case MultiPolygonG(ps) => ps.map(polyText).mkString("MULTIPOLYGON (", ", ", ")")
   }
   def write(p: Polygon): String = write(PolygonG(p))

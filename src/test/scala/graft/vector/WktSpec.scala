@@ -56,6 +56,17 @@ class WktSpec extends AnyFunSuite {
     assert(parse(write(mp)) == mp)
   }
 
+  test("EMPTY geometries round-trip through write/parse") {
+    // MULTIPOLYGON EMPTY is the canonical empty polygonal form (both
+    // POLYGON EMPTY and MULTIPOLYGON EMPTY parse to MultiPolygonG(Nil))
+    Seq(MultiPointG(IndexedSeq.empty), LineStringG(IndexedSeq.empty),
+        MultiLineStringG(Nil), MultiPolygonG(Nil)).foreach { g =>
+      val text = write(g)
+      assert(text.endsWith(" EMPTY"), s"'$text' must use the EMPTY keyword, not '()'")
+      assert(parse(text) == g, text)
+    }
+  }
+
   test("rejects malformed input with a position") {
     assert(intercept[IllegalArgumentException](parse("POLYGON ((0 0, 1 1))"))
       .getMessage.contains("ring"))
