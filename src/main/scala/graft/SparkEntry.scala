@@ -272,6 +272,10 @@ object SparkEntry {
 
     // --- statistics
     "q_histogram" -> ((s, dir) => HistogramOps.binCounts(lineitemLayer(s, dir))),
+    "q_histogram_merge" -> ((s, dir) =>
+      // reference Histogram.merge: one histogram covering BOTH layers'
+      // ranges — bins from the combined min/max over the unioned cells
+      HistogramOps.mergedBinCounts(lineitemLayer(s, dir), ordersLayer(s, dir))),
     "q_min_max" -> ((s, dir) => {
       val st = HistogramOps.stats(lineitemLayer(s, dir))
       st.select(col("vmin"), col("vmax"), col("vcount"), col("vmean"))
@@ -977,6 +981,12 @@ object SparkEntry {
 
       "q_histogram" ->
         s"""WITH g AS ($grid), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM g)
+           |SELECT CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9) AS BIGINT) AS bin, count(*) AS cnt
+           |FROM g, mm GROUP BY 1""".stripMargin,
+
+      "q_histogram_merge" ->
+        s"""WITH g AS (SELECT v FROM ($grid) UNION ALL SELECT v FROM ($ogrid)),
+           |mm AS (SELECT min(v) AS mn, max(v) AS mx FROM g)
            |SELECT CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9) AS BIGINT) AS bin, count(*) AS cnt
            |FROM g, mm GROUP BY 1""".stripMargin,
 

@@ -23,6 +23,21 @@ object HistogramOps {
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merged histogram of two layers (histogram.py merge :162): bin
+    * counts over the COMBINED value range — the reference merges two
+    * Histogram objects into one covering both ranges. Same bin formula
+    * as [[binCounts]], bounds from the union, so the oracle restates
+    * it verbatim on the unioned grid. */
+  def mergedBinCounts(a: RasterLayer, b: RasterLayer, bins: Int = 10): DataFrame = {
+    val (amn, amx) = a.minMax()
+    val (bmn, bmx) = b.minMax()
+    val mn = math.min(amn, bmn); val mx = math.max(amx, bmx)
+    val width = (mx - mn) / bins
+    a.toCells.select(col("v")).unionByName(b.toCells.select(col("v")))
+      .select(least(floor((col("v") - lit(mn)) / lit(width)), lit(bins - 1.0)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+  }
+
   /** min/max/mean/count in one pass (histogram.py:37-96) via the native
     * TileStatsExpr (single codegen'd loop per tile; NaN -> null at the
     * tile level so the global min/max aggregates skip empty tiles). */
