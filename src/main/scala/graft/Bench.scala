@@ -41,7 +41,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures stdout with a bounded tail that has truncated
+    // the per-query map two rounds running — persist the full evidence.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -1514,7 +1514,8 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _start
            |  FROM t)
            |SELECT doc_id, source, n_tokens,
-           |  _start // 2048 AS pack_id, _start % 2048 AS pack_offset
+           |  CAST(_start // 2048 AS BIGINT) AS pack_id,
+           |  CAST(_start % 2048 AS BIGINT) AS pack_offset
            |FROM p""".stripMargin,
 
       "q_mixture_rates" ->

@@ -1,9 +1,9 @@
 package graft.catalog
 
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
 
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,6 +28,47 @@ object Catalog {
   private def metaPath(uri: String, name: String) = s"$uri/$name/_graft_meta.json"
   private def metaPathZoom(uri: String, name: String, zoom: Int) =
     s"$uri/$name/_graft_meta_$zoom.json"
+
+  // ---- URI-transparent sidecar IO ---------------------------------
+  // Tiles already go through Spark's Hadoop FS; the attribute store
+  // must use the SAME resolution or a store at s3a://… would write
+  // tiles remotely and throw on its metadata (catalog.py's
+  // AttributeStore is URI-based: file/hdfs/s3). Resolution uses the
+  // active session's hadoopConfiguration so fs.s3a.* etc. credentials
+  // configured on the session apply to sidecars too.
+
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsPath(p: String): (FileSystem, Path) = {
+    val path = new Path(p)
+    (path.getFileSystem(hadoopConf), path)
+  }
+
+  private def writeString(p: String, content: String): Unit = {
+    val (fs, path) = fsPath(p)
+    val out = fs.create(path, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readString(p: String): String = {
+    val (fs, path) = fsPath(p)
+    val in = fs.open(path)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def pathExists(p: String): Boolean = {
+    val (fs, path) = fsPath(p)
+    fs.exists(path)
+  }
 
   def write(uri: String, name: String, layer: RasterLayer, zoom: Int = 0,
             index: String = "zorder"): Unit = {
@@ -75,21 +116,19 @@ object Catalog {
       s"""{"extent":[${e.xmin},${e.ymin},${e.xmax},${e.ymax}],
          |"layout":[${tl.layoutCols},${tl.layoutRows},${tl.tileCols},${tl.tileRows}],
          |"cellType":"${meta.cellType}","temporal":${meta.temporal},"zoom":$zoom}""".stripMargin
-    val p = Paths.get(metaPathZoom(uri, name, zoom))
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, json)
-    Files.writeString(Paths.get(metaPath(uri, name)), json)
+    writeString(metaPathZoom(uri, name, zoom), json)
+    writeString(metaPath(uri, name), json)
   }
 
   def metadataExists(uri: String, name: String): Boolean =
-    Files.exists(Paths.get(metaPath(uri, name)))
+    pathExists(metaPath(uri, name))
 
   /** Resolve the sidecar for `zoom`: the per-zoom file when present,
     * else the shared legacy file (single-zoom stores, pre-per-zoom
     * layouts). */
   def readMetadata(uri: String, name: String, zoom: Int = 0): LayerMetadata = {
-    val pz = Paths.get(metaPathZoom(uri, name, zoom))
-    val s = Files.readString(if (Files.exists(pz)) pz else Paths.get(metaPath(uri, name)))
+    val pz = metaPathZoom(uri, name, zoom)
+    val s = readString(if (pathExists(pz)) pz else metaPath(uri, name))
     def nums(key: String): Array[Double] =
       s.split(s""""$key":\\[""")(1).split("]")(0).split(",").map(_.trim.toDouble)
     val e = nums("extent"); val l = nums("layout")
@@ -241,15 +280,11 @@ object Catalog {
     * (catalog.py :332 surface). A layer exists iff its metadata sidecar
     * does (tiles without metadata are unreadable by contract). */
   def layers(uri: String): Seq[String] = {
-    val root = Paths.get(uri)
-    if (!Files.isDirectory(root)) Nil
-    else {
-      val s = Files.list(root)
-      try s.iterator().asScala
-        .filter(p => Files.isDirectory(p) && metadataExists(uri, p.getFileName.toString))
-        .map(_.getFileName.toString).toSeq.sorted
-      finally s.close()
-    }
+    val (fs, root) = fsPath(uri)
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && metadataExists(uri, st.getPath.getName))
+      .map(_.getPath.getName).sorted
   }
 
   /** Reference AttributeStore.contains. */
@@ -259,21 +294,13 @@ object Catalog {
     * AttributeStore.delete. Idempotent: deleting an absent layer is a
     * no-op. */
   def delete(uri: String, name: String): Unit = {
-    val root = Paths.get(s"$uri/$name")
-    if (Files.exists(root)) {
-      val s = Files.walk(root)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      finally s.close()
-    }
+    val (fs, root) = fsPath(s"$uri/$name")
+    if (fs.exists(root)) fs.delete(root, true)
   }
 
   /** Attribute store key-value access (catalog.py AttributeStore :332). */
-  def writeAttribute(uri: String, name: String, key: String, value: String): Unit = {
-    val p = Paths.get(s"$uri/$name/_attributes_$key.json")
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, value)
-  }
+  def writeAttribute(uri: String, name: String, key: String, value: String): Unit =
+    writeString(s"$uri/$name/_attributes_$key.json", value)
   def readAttribute(uri: String, name: String, key: String): String =
-    Files.readString(Paths.get(s"$uri/$name/_attributes_$key.json"))
+    readString(s"$uri/$name/_attributes_$key.json")
 }

@@ -65,8 +65,12 @@ object Curation {
   def mixtureRates(docs: DataFrame, temperature: Double = 0.5): DataFrame = {
     require(temperature == 1.0 || temperature == 0.5,
       "IEEE-pinned temperatures only: 1.0 (proportional) or 0.5 (sqrt)")
+    // Materialize the (|sources|-row) aggregate once: the driver-side
+    // max() below is an action, and without this the full-corpus
+    // tokenization scan would run again when the returned DF executes.
     val counts = docs.groupBy("source")
       .agg(sum(TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("n_tokens"))
+      .localCheckpoint()
     val mxRow = counts.agg(max("n_tokens")).first()
     if (mxRow.isNullAt(0))   // empty corpus -> empty rates, not an NPE
       return counts.select(col("source"), col("n_tokens"), lit(0L).as("permille"))
@@ -106,7 +110,10 @@ object Curation {
         TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("_start", coalesce(sum("n_tokens").over(w), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        (col("_start") / budget).cast("long").as("pack_id"),
-        (col("_start") % budget).as("pack_offset"))
+        // `div` is true integral division on longs (Spark's `/` is IEEE
+        // double division, exact only below 2^53); the oracle's `//` twin
+        // is CAST to BIGINT because DuckDB's window sum widens to HUGEINT.
+        expr(s"_start div ${budget}L").as("pack_id"),
+        (col("_start") % budget).cast("long").as("pack_offset"))
   }
 }

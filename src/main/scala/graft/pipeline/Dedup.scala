@@ -128,16 +128,24 @@ object Dedup {
     * oracle. */
   def contamination(corpus: DataFrame, probePred: Column, k: Int = 5,
                     threshold: Double = 0.5,
-                    maxDocFreq: Option[Long] = Some(1000L)): DataFrame = {
+                    maxDocFreq: Option[Long] = Some(1000L),
+                    maxBroadcastShingles: Long = 20000000L): DataFrame = {
     val sh = cappedShingles(corpus, k, maxDocFreq)
     val probes = sh.where(probePred)
       .select(col("doc_id").as("probe_id"), col("h"))
+    // The eval-set-sized-probe assumption is an assumption, not a law:
+    // probePred is caller-supplied and could select half the corpus,
+    // in which case broadcast() dies at Spark's size limit with an
+    // opaque error. Count the (checkpointed, so cheap to rescan) probe
+    // shingles once and fall back to a shuffled join when too big.
+    val small = probes.count() <= maxBroadcastShingles
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val probeSizes = probes.groupBy("probe_id").agg(count(lit(1)).as("np"))
-    val shared = sh.join(broadcast(probes), "h")
+    val shared = sh.join(side(probes), "h")
       .where(col("doc_id") =!= col("probe_id"))
       .groupBy("probe_id", "doc_id")
       .agg(count(lit(1)).as("shared"))
-    shared.join(broadcast(probeSizes), "probe_id")
+    shared.join(side(probeSizes), "probe_id")
       .select(col("probe_id"), col("doc_id"),
         (col("shared").cast("double") / col("np")).as("containment"))
       .where(col("containment") >= threshold)
@@ -319,15 +327,35 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, vertices: DataFrame,
                           maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     def dedup(e: DataFrame) = e.where(col("u") =!= col("v")).distinct()
-    def sig(e: DataFrame): (Long, Any) = {
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).first()
-      (r.getLong(0), r.get(1))
+    // Materialize an edge set and compute its (count, hash-sum)
+    // signature in the SAME job: accumulators ride the eager
+    // localCheckpoint's materialization pass, so each round costs one
+    // action instead of a checkpoint job plus a separate aggregate
+    // scan. Task retries can only perturb the accumulator (screen)
+    // values, never the edges: a spurious signature match is still
+    // confirmed by the exact except() below, a spurious mismatch just
+    // runs one more round.
+    def checkpointWithSig(edges: DataFrame): (DataFrame, (Long, Long)) = {
+      val cnt = spark.sparkContext.longAccumulator
+      val hs = spark.sparkContext.longAccumulator
+      val out = edges.as[(Long, Long)].mapPartitions { it =>
+        it.map { case (u, v) =>
+          cnt.add(1)
+          var x = u * 0x9E3779B97F4A7C15L + v // asymmetric: (u,v) != (v,u)
+          x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+          x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+          x ^= x >>> 33
+          hs.add(x) // wrapping order-free sum — a screen, not a proof
+          (u, v)
+        }
+      }.toDF("u", "v").localCheckpoint()
+      (out, (cnt.value, hs.value))
     }
-    var e = dedup(pairs.select(col("d1").cast("long").as("u"),
-      col("d2").cast("long").as("v"))).localCheckpoint()
-    var prev = sig(e)
+    var (e, prev) = checkpointWithSig(dedup(pairs.select(
+      col("d1").cast("long").as("u"), col("d2").cast("long").as("v"))))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -343,13 +371,11 @@ object Dedup {
       val dir = dedup(ls.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v")))
       val ssMin = dir.groupBy("u").agg(min("v").as("m"))
-      val ss = dedup(dir.join(ssMin, "u")
+      val (ss, cur) = checkpointWithSig(dedup(dir.join(ssMin, "u")
         .select(explode(array(
           struct(col("u").as("c"), col("m")),
           struct(col("v").as("c"), col("m")))).as("e"))
-        .select(col("e.c").as("u"), col("e.m").as("v")))
-        .localCheckpoint()
-      val cur = sig(ss)
+        .select(col("e.c").as("u"), col("e.m").as("v"))))
       // signature (count + order-free hash sum) is the cheap screen; a
       // match is confirmed with an exact set compare so a hash
       // collision can never stop the loop early (counts already match

@@ -569,21 +569,32 @@ object GeoTiff {
       1025, 0, 1, 1,
       3072, 0, 1, 3857)
 
-    // per-level packed tiles (distributed deflate, driver sees
-    // compressed bytes only) + layout bookkeeping
-    final case class Level(meta: LayerMetadata, packed: Map[(Int, Int), Array[Byte]],
+    // Per-level packed tiles: DEFLATE runs distributed and the blocks
+    // STAY distributed (checkpointed); the driver collects only the
+    // (col,row) -> byteCount map (16 bytes/tile) it needs to lay out
+    // offsets. Data blocks later stream through the driver one
+    // partition at a time (toLocalIterator) — single-file output means
+    // every byte transits the driver, but heap is bounded by one
+    // partition, not the whole compressed layer.
+    final case class Level(meta: LayerMetadata,
+                           lengths: Map[(Int, Int), Int],
+                           packedDs: org.apache.spark.sql.Dataset[(Int, Int, Array[Byte])],
                            emptyBlock: Array[Byte], keys: Seq[(Int, Int)],
                            nTags: Int, ifdSize: Int, extSize: Int) {
-      val hasEmpty: Boolean = packed.size < keys.size
+      val hasEmpty: Boolean = lengths.size < keys.size
     }
     val lvls = levels.zipWithIndex.map { case (l, i) =>
       val t = l.meta.layout.tileLayout
       val spark = l.df.sparkSession
       import spark.implicits._
-      val packed = l.df.select(col("col"), col("row"), col("tile"))
+      val packedDs = l.df.select(col("col"), col("row"), col("tile"))
         .as[(Int, Int, Seq[Double])]
         .map { case (c, r, tile) => (c, r, packFloats(tile, deflate)) }
-        .collect().map { case (c, r, b) => (c, r) -> b }.toMap
+        .localCheckpoint()
+      val lenRows = packedDs.map { case (c, r, b) => (c, r, b.length) }.collect()
+      val lengths = lenRows.map { case (c, r, n) => (c, r) -> n }.toMap
+      require(lengths.size == lenRows.length,
+        "layer has duplicate (col,row) keys — merge/aggregate_by_cell first")
       val emptyBlock = packFloats(Seq.fill(t.tileCols * t.tileRows)(Double.NaN), deflate)
       val keys = for (r <- 0 until t.layoutRows; c <- 0 until t.layoutCols) yield (c, r)
       val n = keys.size
@@ -592,7 +603,7 @@ object GeoTiff {
       val ifdSize = 2 + nTags * 12 + 4
       val extArrays = if (n > 1) 8 * n else 0 // offsets + counts
       val extGeo = if (i == 0) 3 * 8 + 6 * 8 + geoShorts.length * 2 else 0
-      Level(l.meta, packed, emptyBlock, keys, nTags, ifdSize, extArrays + extGeo)
+      Level(l.meta, lengths, packedDs, emptyBlock, keys, nTags, ifdSize, extArrays + extGeo)
     }
 
     // file layout: header, [IFD + ext]*, then all data blocks
@@ -604,9 +615,9 @@ object GeoTiff {
       val emptyOff = if (lv.hasEmpty) { val o = cursor; cursor += lv.emptyBlock.length; o } else -1L
       val offs = new Array[Long](lv.keys.size); val cnts = new Array[Int](lv.keys.size)
       lv.keys.zipWithIndex.foreach { case (k, i) =>
-        lv.packed.get(k) match {
-          case Some(b) => offs(i) = cursor; cnts(i) = b.length; cursor += b.length
-          case None    => offs(i) = emptyOff; cnts(i) = lv.emptyBlock.length
+        lv.lengths.get(k) match {
+          case Some(len) => offs(i) = cursor; cnts(i) = len; cursor += len
+          case None      => offs(i) = emptyOff; cnts(i) = lv.emptyBlock.length
         }
       }
       (offs, cnts)
@@ -660,15 +671,19 @@ object GeoTiff {
         geoShorts.foreach(s => buf.putShort(s.toShort))
       }
     }
-    // stream: header/IFDs buffer, then each level's blocks straight
-    // from its packed map — never a whole-file buffer on the driver
+    // stream: header/IFDs buffer, then each level's blocks fetched in
+    // offset order (row-major = the offset-assignment order) one
+    // partition at a time — never the whole compressed layer on the
+    // driver heap
     val out = new java.io.BufferedOutputStream(
       java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
     try {
       out.write(buf.array())
       lvls.foreach { lv =>
         if (lv.hasEmpty) out.write(lv.emptyBlock)
-        lv.keys.foreach(k => lv.packed.get(k).foreach(out.write))
+        val it = lv.packedDs.orderBy(col("_2"), col("_1")).toLocalIterator()
+        while (it.hasNext) out.write(it.next()._3)
+        lv.packedDs.unpersist()
       }
     } finally out.close()
   }

@@ -64,15 +64,29 @@ object HistogramOps {
       .select(col("bin"), col("cdf"))
   }
 
-  /** Exact interpolated quantiles (get_quantile_breaks :233). Uses
-    * Spark's exact `percentile` (sort-based); at production scale the
-    * approx_percentile sketch is the right default — both exposed. */
-  def quantileBreaks(layer: RasterLayer, qs: Seq[Double]): DataFrame = {
-    val cells = layer.toCells
-    cells.select(
-      qs.zipWithIndex.map { case (q, i) =>
-        round(expr(s"percentile(v, $q)"), 5).as(s"q$i")
-      }: _*)
+  /** Interpolated quantiles (get_quantile_breaks :233). Exact
+    * `percentile` buffers EVERY value in one aggregation buffer — an
+    * executor OOM at 10^12 cells — so the exact path is gated on a
+    * cell-count ceiling (one cheap tile-count job against parquet
+    * row-group stats) and large layers take the single-pass t-digest
+    * sketch at 1e-3 relative error instead. Callers that require exact
+    * quantiles above the ceiling should pre-aggregate to integral
+    * values and use [[quantileBreaksExactInt]], whose exchange carries
+    * only distinct values. */
+  def quantileBreaks(layer: RasterLayer, qs: Seq[Double],
+                     maxExactCells: Long = 100000000L): DataFrame = {
+    val tl = layer.meta.layout.tileLayout
+    val nCells = layer.df.count() * tl.tileCols * tl.tileRows
+    if (nCells <= maxExactCells)
+      layer.toCells.select(
+        qs.zipWithIndex.map { case (q, i) =>
+          round(expr(s"percentile(v, $q)"), 5).as(s"q$i")
+        }: _*)
+    else {
+      val breaks = approxQuantileBreaks(layer, qs)
+      layer.df.sparkSession.range(1)
+        .select(qs.indices.map(i => round(lit(breaks(i)), 5).as(s"q$i")): _*)
+    }
   }
 
   /** Exact integer quantile breaks (reference layer.py:244

@@ -94,13 +94,63 @@ object ZonalOps {
   /** Per-geometry summary series — reference histogram/mean/max/min/
     * sum_series (layer.py:2014-2040): one summary row per geometry
     * (geometries may overlap; each is summarized independently).
-    * Geometries are few by contract; each pass is a narrow masked
-    * partial aggregation, unioned. */
-  def summarySeries(layer: RasterLayer, geoms: Seq[Polygon]): DataFrame =
-    geoms.zipWithIndex.map { case (g, i) =>
-      polygonalSummary(layer, g).select(lit(i).as("gid"),
-        col("vsum"), col("vcount"), col("vmin"), col("vmax"), col("vmean"))
-    }.reduce(_ unionByName _)
+    *
+    * ONE scan for the whole geometry list (r7 ran one masked scan per
+    * geometry — fine at "a few", quadratic waste at a county table):
+    * the geometries ride the closure, each tile emits per-geometry
+    * partials (sum/count/min/max), and a single partial-aggregated
+    * groupBy(gid) reduces them — the zonalStats shape. Geometries with
+    * no covered cells still get their row (vcount 0, null stats, as
+    * the SQL twin's empty aggregate) via the broadcast gid-universe
+    * join. Exactly one shuffle Exchange regardless of |geoms|. */
+  def summarySeries(layer: RasterLayer, geoms: Seq[Polygon]): DataFrame = {
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val polys = geoms.toArray
+    val partials = udf { (c: Int, r: Int, tile: Seq[Double]) =>
+      val arr = tile.toArray // encoder Seq is a List — never index it
+      val out = Seq.newBuilder[(Int, Double, Long, Double, Double)]
+      var g = 0
+      while (g < polys.length) {
+        val poly = polys(g)
+        var s = 0.0; var n = 0L
+        var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < tr) {
+          var i = 0
+          while (i < tc) {
+            val v = arr(j * tc + i)
+            if (!v.isNaN) {
+              val gx = c.toLong * tc + i + 0.5
+              val gy = r.toLong * tr + j + 0.5
+              if (poly.contains(gx, gy)) {
+                s += v; n += 1
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+              }
+            }
+            i += 1
+          }
+          j += 1
+        }
+        if (n > 0) out += ((g, s, n, mn, mx))
+        g += 1
+      }
+      out.result()
+    }
+    val spark = layer.df.sparkSession
+    val gids = spark.range(geoms.length).select(col("id").cast("int").as("gid"))
+    val agg = layer.df
+      .select(explode(partials(col("col"), col("row"), col("tile"))).as("p"))
+      .groupBy(col("p._1").as("gid"))
+      .agg(sum(col("p._2")).as("vsum"), sum(col("p._3")).cast("long").as("vcount"),
+           min(col("p._4")).as("vmin"), max(col("p._5")).as("vmax"))
+    gids.join(broadcast(agg), Seq("gid"), "left")
+      .select(col("gid"), col("vsum"),
+        coalesce(col("vcount"), lit(0L)).as("vcount"),
+        col("vmin"), col("vmax"),
+        (col("vsum") / col("vcount")).as("vmean"))
+  }
 
   /** Temporal per-geometry series — reference star_series and its
     * mean/max/min/sum_series family (layer.py:2014-2042): summarize

@@ -45,9 +45,13 @@ object Wkt {
     case MultiPointG(ps)                       => s"MULTIPOINT ${ringText(ps, close = false)}"
     case LineStringG(ps) if ps.isEmpty         => "LINESTRING EMPTY"
     case LineStringG(ps)                       => s"LINESTRING ${ringText(ps, close = false)}"
-    case MultiLineStringG(ls) if ls.isEmpty    => "MULTILINESTRING EMPTY"
+    // empty MEMBER lines are dropped too: `MULTILINESTRING (())` is as
+    // unparseable as `MULTILINESTRING ()`, so a collection whose members
+    // are all empty collapses to EMPTY
+    case MultiLineStringG(ls) if ls.forall(_.isEmpty) => "MULTILINESTRING EMPTY"
     case MultiLineStringG(ls) =>
-      ls.map(ringText(_, close = false)).mkString("MULTILINESTRING (", ", ", ")")
+      ls.filter(_.nonEmpty).map(ringText(_, close = false))
+        .mkString("MULTILINESTRING (", ", ", ")")
     case PolygonG(p)                           => s"POLYGON ${polyText(p)}"
     case MultiPolygonG(ps) if ps.isEmpty       => "MULTIPOLYGON EMPTY"
     case MultiPolygonG(ps) => ps.map(polyText).mkString("MULTIPOLYGON (", ", ", ")")
