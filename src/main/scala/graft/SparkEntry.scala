@@ -331,6 +331,21 @@ object SparkEntry {
         round(CRS.lngToMercXCol(col("lon")), 4).as("mx"),
         round(CRS.latToMercYCol(col("lat")), 4).as("my"))),
 
+    "q_reproject_utm" -> ((s, dir) => {
+      // arbitrary-CRS surface (layer.py:876 takes any target_crs):
+      // ellipsoidal Transverse Mercator, UTM zone 33N, over the
+      // customer points near the zone (|dlon| <= 15 deg keeps the
+      // Krüger series in its accurate domain). The formula STEPS are
+      // one shared SQL text (CRS.forwardSqlSteps) evaluated by expr()
+      // here and as a CTE chain in the oracle — the twins cannot
+      // drift. round(,4) = 0.1 mm absorbs last-ulp libm differences.
+      val (steps, eE, nE) = graft.core.CRS.TransverseMercator.forwardSqlSteps(33, south = false)
+      val base = customerLonLat(s, dir).where(col("lon") >= 0 && col("lon") <= 30)
+      val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
+      full.select(col("pid"),
+        round(expr(eE), 4).as("e_utm"), round(expr(nE), 4).as("n_utm"))
+    }),
+
     "q_reproject_raster" -> ((s, dir) =>
       Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1).toCells),
 
@@ -1087,6 +1102,17 @@ object SparkEntry {
         s"""SELECT pid, round(radians(lon) * 6378137.0, 4) AS mx,
            |       round(ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0, 4) AS my
            |FROM ($lonlat)""".stripMargin,
+
+      "q_reproject_utm" -> {
+        // same formula text as the Spark query, chained through CTEs
+        val (steps, eE, nE) = graft.core.CRS.TransverseMercator.forwardSqlSteps(33, south = false)
+        val ctes = steps.zipWithIndex.map { case ((name, f), i) =>
+          s"c${i + 1} AS (SELECT *, $f AS $name FROM c$i)"
+        }
+        (s"WITH c0 AS (SELECT * FROM ($lonlat) WHERE lon >= 0 AND lon <= 30), " +
+          ctes.mkString(", ") +
+          s" SELECT pid, round($eE, 4) AS e_utm, round($nE, 4) AS n_utm FROM c${steps.size}")
+      },
 
       "q_reproject_raster" -> {
         // embed the driver-side mercator constants verbatim so both

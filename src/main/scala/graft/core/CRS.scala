@@ -41,4 +41,185 @@ object CRS {
     val ty = floor((lit(1.0) - log(tan(radians(lat)) + lit(1.0) / cos(radians(lat))) / lit(math.Pi)) / 2.0 * n)
     (tx.cast("long"), ty.cast("long"))
   }
+
+  // ------------------------------------------------------------------
+  // Arbitrary-CRS transforms (reference layer.py:876/:1668 reproject
+  // accepts any target_crs). A Transform maps lon/lat degrees <-> the
+  // CRS's planar coordinates; instances ride executor closures, so
+  // every method is pure math over Doubles.
+  // ------------------------------------------------------------------
+
+  trait Transform extends Serializable {
+    /** lon/lat degrees -> planar (x, y). */
+    def forward(lon: Double, lat: Double): (Double, Double)
+    /** planar (x, y) -> lon/lat degrees. */
+    def inverse(x: Double, y: Double): (Double, Double)
+  }
+
+  /** EPSG:4326 treated as a planar CRS in degree units. */
+  case object LatLng extends Transform {
+    def forward(lon: Double, lat: Double): (Double, Double) = (lon, lat)
+    def inverse(x: Double, y: Double): (Double, Double) = (x, y)
+  }
+
+  /** EPSG:3857 spherical web mercator (same formulas as the Column
+    * variants above). */
+  case object WebMercator extends Transform {
+    def forward(lon: Double, lat: Double): (Double, Double) =
+      (lngToMercX(lon), latToMercY(lat))
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (mercXToLng(x), mercYToLat(y))
+  }
+
+  /** CRS registry by the names the reference accepts (layer.py:876
+    * takes EPSG ints, "EPSG:n" strings, or proj4 strings): EPSG:4326,
+    * EPSG:3857, the UTM range EPSG:32601-32660 (north) / 32701-32760
+    * (south), and "+proj=utm +zone=N [+south]". */
+  def fromName(crs: String): Transform = {
+    val s = crs.trim.toLowerCase
+    val epsg = "(?:epsg:)?(\\d+)".r
+    s match {
+      case epsg(code) => code.toInt match {
+        case 4326 => LatLng
+        case 3857 => WebMercator
+        case c if c >= 32601 && c <= 32660 => Utm(c - 32600, south = false)
+        case c if c >= 32701 && c <= 32760 => Utm(c - 32700, south = true)
+        case c => throw new IllegalArgumentException(s"unsupported EPSG:$c")
+      }
+      case p if p.startsWith("+proj=utm") =>
+        val zone = "\\+zone=(\\d+)".r.findFirstMatchIn(p)
+          .map(_.group(1).toInt)
+          .getOrElse(throw new IllegalArgumentException(s"missing +zone in '$crs'"))
+        Utm(zone, south = p.contains("+south"))
+      case p if p.startsWith("+proj=longlat") => LatLng
+      case p if p.startsWith("+proj=merc")    => WebMercator
+      case other => throw new IllegalArgumentException(s"unsupported CRS '$other'")
+    }
+  }
+
+  /** UTM zone on WGS84 — ellipsoidal Transverse Mercator via the
+    * Krüger flattening series in n = f/(2-f) (Karney, "Transverse
+    * Mercator with an accuracy of a few nanometers", J. Geodesy 2011;
+    * the same 4th-order series proj/GeographicLib evaluate). At
+    * 4th order the truncation error is micrometres inside a zone —
+    * far below the mm rounding the oracle pins. */
+  final case class Utm(zone: Int, south: Boolean) extends Transform {
+    require(zone >= 1 && zone <= 60, s"UTM zone $zone out of 1..60")
+    import TransverseMercator._
+    val lon0: Double = -183.0 + 6.0 * zone
+    val falseNorthing: Double = if (south) 10000000.0 else 0.0
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val dl = math.toRadians(lon - lon0)
+      val sphi = math.sin(phi)
+      // conformal-latitude tangent: t = sinh(asinh(tan phi) - e atanh(e sin phi))
+      val psi = asinh(math.tan(phi)) - Ecc * atanh(Ecc * sphi)
+      val t = math.sinh(psi)
+      val xip = math.atan2(t, math.cos(dl))
+      val etap = asinh(math.sin(dl) / math.sqrt(t * t + math.cos(dl) * math.cos(dl)))
+      var xi = xip; var eta = etap
+      var j = 1
+      while (j <= 4) {
+        xi += Alpha(j - 1) * math.sin(2 * j * xip) * math.cosh(2 * j * etap)
+        eta += Alpha(j - 1) * math.cos(2 * j * xip) * math.sinh(2 * j * etap)
+        j += 1
+      }
+      (FalseEasting + K0 * RectA * eta, falseNorthing + K0 * RectA * xi)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xi = (y - falseNorthing) / (K0 * RectA)
+      val eta = (x - FalseEasting) / (K0 * RectA)
+      var xip = xi; var etap = eta
+      var j = 1
+      while (j <= 4) {
+        xip -= Beta(j - 1) * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        etap -= Beta(j - 1) * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        j += 1
+      }
+      val chi = math.asin(math.sin(xip) / math.cosh(etap)) // conformal latitude
+      var phi = chi
+      j = 1
+      while (j <= 4) {
+        phi += Delta(j - 1) * math.sin(2 * j * chi)
+        j += 1
+      }
+      val dl = math.atan2(math.sinh(etap), math.cos(xip))
+      (lon0 + math.toDegrees(dl), math.toDegrees(phi))
+    }
+  }
+
+  /** Shared WGS84 Transverse Mercator constants + series coefficients
+    * (public Krüger series; see [[Utm]] scaladoc for the citation). */
+  object TransverseMercator {
+    val SemiMajor = 6378137.0
+    val Flattening = 1.0 / 298.257223563
+    val K0 = 0.9996
+    val FalseEasting = 500000.0
+    /** third flattening n = f / (2 - f) */
+    val N3 = Flattening / (2.0 - Flattening)
+    /** first eccentricity e = sqrt(f (2 - f)) */
+    val Ecc = math.sqrt(Flattening * (2.0 - Flattening))
+    /** rectifying radius A = a/(1+n) (1 + n^2/4 + n^4/64) */
+    val RectA = SemiMajor / (1 + N3) * (1 + N3 * N3 / 4 + N3 * N3 * N3 * N3 / 64)
+    private val n2 = N3 * N3; private val n3 = n2 * N3; private val n4 = n3 * N3
+    /** forward series (Karney 2011 eq. 35) */
+    val Alpha: Array[Double] = Array(
+      N3 / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180,
+      13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440,
+      61 * n3 / 240 - 103 * n4 / 140,
+      49561 * n4 / 161280)
+    /** inverse series (Karney 2011 eq. 36) */
+    val Beta: Array[Double] = Array(
+      N3 / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360,
+      n2 / 48 + n3 / 15 - 437 * n4 / 1440,
+      17 * n3 / 480 - 37 * n4 / 840,
+      4397 * n4 / 161280)
+    /** conformal -> geodetic latitude series */
+    val Delta: Array[Double] = Array(
+      2 * N3 - 2 * n2 / 3 - 2 * n3 + 116 * n4 / 45,
+      7 * n2 / 3 - 8 * n3 / 5 - 227 * n4 / 45,
+      56 * n3 / 15 - 136 * n4 / 35,
+      4279 * n4 / 630)
+
+    def asinh(x: Double): Double = math.log(x + math.sqrt(x * x + 1))
+    def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
+
+    /** The forward projection as named SQL formula steps — ONE text
+      * source consumed by BOTH engines (Spark via expr(), DuckDB via a
+      * CTE chain), so the oracle twin can never drift from the query.
+      * Hyperbolics are restated through exp/ln because DuckDB has no
+      * sinh/cosh/asinh/atanh; outputs are rounded to 0.1 mm by the
+      * caller (transcendental libm calls may differ in the last ulp
+      * between engines — the q_reproject precedent).
+      *
+      * Steps reference `lon`/`lat` columns and each other; returns
+      * (steps, eastingExpr, northingExpr). */
+    def forwardSqlSteps(zone: Int, south: Boolean): (Seq[(String, String)], String, String) = {
+      val lon0 = -183.0 + 6.0 * zone
+      val n0 = if (south) 10000000.0 else 0.0
+      val e = Ecc.toString
+      val kA = (K0 * RectA).toString
+      def sinhS(x: String) = s"(exp($x) - exp(-($x))) / 2"
+      def coshS(x: String) = s"(exp($x) + exp(-($x))) / 2"
+      def asinhS(x: String) = s"ln(($x) + sqrt(($x) * ($x) + 1))"
+      val steps = Seq(
+        "phi" -> "radians(lat)",
+        "dl" -> s"radians(lon - ($lon0))",
+        "sphi" -> "sin(phi)",
+        "psi" -> (s"${asinhS("tan(phi)")} - $e * " +
+          s"(0.5 * ln((1 + $e * sphi) / (1 - $e * sphi)))"),
+        "t" -> sinhS("psi"),
+        "xip" -> "atan2(t, cos(dl))",
+        "etap" -> asinhS("sin(dl) / sqrt(t * t + cos(dl) * cos(dl))"),
+        "xi" -> ((1 to 4).map(j =>
+          s"${Alpha(j - 1)} * sin(${2 * j} * xip) * ${coshS(s"${2 * j} * etap")}")
+          .mkString("xip + ", " + ", "")),
+        "eta" -> ((1 to 4).map(j =>
+          s"${Alpha(j - 1)} * cos(${2 * j} * xip) * ${sinhS(s"${2 * j} * etap")}")
+          .mkString("etap + ", " + ", "")))
+      (steps, s"$FalseEasting + $kA * eta", s"$n0 + $kA * xi")
+    }
+  }
 }

@@ -149,4 +149,108 @@ object Reproject {
       new RasterLayer(out.toDF(), outMeta)
     }
   }
+
+  /** General tiled reproject between ARBITRARY CRSs (reference
+    * layer.py:876 accepts any target_crs — EPSG int or proj4 string;
+    * see [[graft.core.CRS.fromName]] for the registry): inverse-sample
+    * each target cell center through dst.inverse -> lon/lat ->
+    * src.forward, nearest neighbor.
+    *
+    * Same scale shape as [[latLngGridToWebMercatorTiled]]: each source
+    * tile forward-projects a 3x3 boundary ring of its world window to
+    * bound the target tiles it can feed (both transforms are smooth
+    * and near-monotone per axis inside their domain; the ring plus a
+    * one-tile pad covers the curvature), ships itself there in ONE
+    * keyed shuffle, and each target tile samples locally. */
+  def reprojectTiled(layer: RasterLayer, srcCrs: graft.core.CRS.Transform,
+                     dstCrs: graft.core.CRS.Transform,
+                     dstLayout: LayoutDefinition): RasterLayer = {
+    val spark = layer.spark
+    import spark.implicits._
+    val sl = layer.meta.layout; val stl = sl.tileLayout
+    val (tc, tr) = (stl.tileCols, stl.tileRows)
+    val dtl = dstLayout.tileLayout
+    val (dtc, dtr) = (dtl.tileCols, dtl.tileRows)
+    val sx0 = sl.extent.xmin; val syTop = sl.extent.ymax
+    val scw = sl.cellWidth; val sch = sl.cellHeight
+    val dx0 = dstLayout.extent.xmin; val dyTop = dstLayout.extent.ymax
+    val dcw = dstLayout.cellWidth; val dch = dstLayout.cellHeight
+
+    def dstRect(c: Int, r: Int): Seq[(Int, Int)] = {
+      val xs = Seq(sx0 + c.toDouble * tc * scw, sx0 + (c + 0.5) * tc * scw,
+        sx0 + (c + 1.0) * tc * scw)
+      val ys = Seq(syTop - r.toDouble * tr * sch, syTop - (r + 0.5) * tr * sch,
+        syTop - (r + 1.0) * tr * sch)
+      val pts = for (x <- xs; y <- ys) yield {
+        val (lon, lat) = srcCrs.inverse(x, y)
+        dstCrs.forward(lon, lat)
+      }
+      def gx(wx: Double) = (wx - dx0) / dcw
+      def gy(wy: Double) = (dyTop - wy) / dch
+      val txLo = math.max(0, (math.floor(pts.map(p => gx(p._1)).min - 1).toInt) / dtc)
+      val txHi = math.min(dtl.layoutCols - 1, (math.ceil(pts.map(p => gx(p._1)).max + 1).toInt) / dtc)
+      val tyLo = math.max(0, (math.floor(pts.map(p => gy(p._2)).min - 1).toInt) / dtr)
+      val tyHi = math.min(dtl.layoutRows - 1, (math.ceil(pts.map(p => gy(p._2)).max + 1).toInt) / dtr)
+      for (dc <- txLo to txHi; dr <- tyLo to tyHi) yield (dc, dr)
+    }
+
+    def compute(dc: Int, dr: Int, src: Map[(Int, Int), Array[Double]]): Seq[Double] = {
+      val outTile = Array.fill(dtc * dtr)(Double.NaN)
+      var j = 0
+      while (j < dtr) {
+        var i = 0
+        while (i < dtc) {
+          val wx = dx0 + (dc.toLong * dtc + i + 0.5) * dcw
+          val wy = dyTop - (dr.toLong * dtr + j + 0.5) * dch
+          val (lon, lat) = dstCrs.inverse(wx, wy)
+          val (sx, sy) = srcCrs.forward(lon, lat)
+          val gx = math.floor((sx - sx0) / scw).toLong
+          val gy = math.floor((syTop - sy) / sch).toLong
+          if (gx >= 0 && gx < stl.totalCols && gy >= 0 && gy < stl.totalRows) {
+            src.get(((gx / tc).toInt, (gy / tr).toInt)).foreach { t =>
+              outTile(j * dtc + i) = t(((gy % tr) * tc + (gx % tc)).toInt)
+            }
+          }
+          i += 1
+        }
+        j += 1
+      }
+      outTile.toSeq
+    }
+
+    val outMeta = LayerMetadata(dstLayout, temporal = layer.meta.temporal)
+    if (layer.meta.temporal) {
+      val out = layer.df.select(col("col"), col("row"), col("instant"), col("tile"))
+        .as[(Int, Int, Long, Seq[Double])]
+        .flatMap { case (c, r, t, tile) =>
+          dstRect(c, r).map { case (dc, dr) => (dc, dr, t, c, r, tile) }
+        }
+        .groupByKey(q => (q._1, q._2, q._3))
+        .mapGroups { (key: (Int, Int, Long), group: Iterator[(Int, Int, Long, Int, Int, Seq[Double])]) =>
+          TileRowOutT(key._1, key._2, key._3,
+            compute(key._1, key._2, group.map(q => (q._4, q._5) -> q._6.toArray).toMap))
+        }
+      new RasterLayer(out.toDF(), outMeta)
+    } else {
+      val out = layer.df.select(col("col"), col("row"), col("tile"))
+        .as[(Int, Int, Seq[Double])]
+        .flatMap { case (c, r, tile) =>
+          dstRect(c, r).map { case (dc, dr) => (dc, dr, c, r, tile) }
+        }
+        .groupByKey(q => (q._1, q._2))
+        .mapGroups { (key: (Int, Int), group: Iterator[(Int, Int, Int, Int, Seq[Double])]) =>
+          TileRowOut(key._1, key._2,
+            compute(key._1, key._2, group.map(q => (q._3, q._4) -> q._5.toArray).toMap))
+        }
+      new RasterLayer(out.toDF(), outMeta)
+    }
+  }
+
+  /** Name-based variant — the reference's `reproject(target_crs)`
+    * surface: CRS names resolve via [[graft.core.CRS.fromName]]
+    * ("EPSG:32618", "+proj=utm +zone=18", 4326, 3857, ...). */
+  def reprojectTiled(layer: RasterLayer, srcCrs: String, dstCrs: String,
+                     dstLayout: LayoutDefinition): RasterLayer =
+    reprojectTiled(layer, graft.core.CRS.fromName(srcCrs),
+      graft.core.CRS.fromName(dstCrs), dstLayout)
 }

@@ -1,0 +1,75 @@
+package graft.raster
+
+import graft.SparkSpec
+import graft.core.{CRS, Extent, LayoutDefinition, TileLayout}
+
+/** Generalized arbitrary-CRS tiled reproject (Reproject.reprojectTiled). */
+class ReprojectSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8x8-cell lat/lng layer over a box inside UTM zone 33 (lon 12..18,
+  // lat 48..54), v = x + 10 y so every cell is identifiable
+  val srcLayout = LayoutDefinition(Extent(12, 48, 18, 54), TileLayout(2, 2, 4, 4))
+  val src = RasterLayer.fromCells(
+    (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y, (x + 10 * y).toDouble))
+      .toDF("x", "y", "v"), srcLayout)
+
+  test("identity reproject (LatLng -> LatLng, same layout) returns the grid unchanged") {
+    val out = Reproject.reprojectTiled(src, CRS.LatLng, CRS.LatLng, srcLayout)
+      .toCells.as[(Long, Long, Double)].collect().toSet
+    val expect = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y, (x + 10 * y).toDouble)).toSet
+    assert(out == expect)
+  }
+
+  test("LatLng -> UTM33N reproject matches per-cell driver-side inverse sampling") {
+    val utm = CRS.Utm(33, south = false)
+    // dst layout: bounding box of the source corners in UTM metres
+    val corners = for (lon <- Seq(12.0, 18.0); lat <- Seq(48.0, 54.0)) yield utm.forward(lon, lat)
+    val ext = Extent(corners.map(_._1).min, corners.map(_._2).min,
+      corners.map(_._1).max, corners.map(_._2).max)
+    val dstLayout = LayoutDefinition(ext, TileLayout(2, 2, 4, 4))
+    val out = Reproject.reprojectTiled(src, CRS.LatLng, utm, dstLayout)
+      .toCells.as[(Long, Long, Double)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+
+    // independent expectation: same sampling math, straight Doubles
+    var checked = 0
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val wx = ext.xmin + (i + 0.5) * dstLayout.cellWidth
+      val wy = ext.ymax - (j + 0.5) * dstLayout.cellHeight
+      val (lon, lat) = utm.inverse(wx, wy)
+      val gx = math.floor((lon - 12.0) / srcLayout.cellWidth).toLong
+      val gy = math.floor((54.0 - lat) / srcLayout.cellHeight).toLong
+      if (gx >= 0 && gx < 8 && gy >= 0 && gy < 8) {
+        assert(out.get((i.toLong, j.toLong)).contains((gx + 10 * gy).toDouble),
+          s"dst cell ($i,$j) -> src ($gx,$gy)")
+        checked += 1
+      } else assert(!out.contains((i.toLong, j.toLong)), s"dst cell ($i,$j) should be NoData")
+    }
+    assert(checked > 30, s"only $checked interior cells — geometry wrong?")
+  }
+
+  test("string CRS names drive the same path (EPSG:4326 -> EPSG:32633)") {
+    val utm = CRS.Utm(33, south = false)
+    val corners = for (lon <- Seq(12.0, 18.0); lat <- Seq(48.0, 54.0)) yield utm.forward(lon, lat)
+    val ext = Extent(corners.map(_._1).min, corners.map(_._2).min,
+      corners.map(_._1).max, corners.map(_._2).max)
+    val dstLayout = LayoutDefinition(ext, TileLayout(2, 2, 4, 4))
+    val byName = Reproject.reprojectTiled(src, "EPSG:4326", "EPSG:32633", dstLayout)
+      .toCells.as[(Long, Long, Double)].collect().toSet
+    val byObj = Reproject.reprojectTiled(src, CRS.LatLng, utm, dstLayout)
+      .toCells.as[(Long, Long, Double)].collect().toSet
+    assert(byName == byObj && byName.nonEmpty)
+  }
+
+  test("temporal layers reproject per instant (instants never mix)") {
+    val tsrc = RasterLayer.fromCellsTemporal(
+      (for (t <- 0L until 2L; x <- 0L until 8L; y <- 0L until 8L)
+        yield (x, y, t, (x + 10 * y + 100 * t).toDouble))
+        .toDF("x", "y", "instant", "v"), srcLayout)
+    val out = Reproject.reprojectTiled(tsrc, CRS.LatLng, CRS.LatLng, srcLayout)
+      .toCells.as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 128)
+    assert(out.forall { case (x, y, t, v) => v == (x + 10 * y + 100 * t).toDouble })
+  }
+}
