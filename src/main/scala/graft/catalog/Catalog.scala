@@ -298,6 +298,66 @@ object Catalog {
     if (fs.exists(root)) fs.delete(root, true)
   }
 
+  /** The tile files whose parquet zindex row-group statistics can
+    * contain key (c, r) — driver-side FOOTER reads only (bounded small
+    * range requests; no tile data). The write path range-partitions
+    * and sorts by zindex, so this is almost always exactly one file. */
+  private[catalog] def candidateTileFiles(uri: String, name: String, zoom: Int,
+                                          c: Int, r: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val z = ZIndex.zorder(c.toLong, r.toLong)
+    val (fs, dir) = fsPath(s"$uri/$name/tiles/zoom=$zoom")
+    if (!fs.exists(dir)) return Nil
+    val conf = hadoopConf
+    fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try {
+          val hit = reader.getFooter.getBlocks.asScala.exists { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == "zindex").forall { cc =>
+              val s = cc.getStatistics
+              s == null || !s.hasNonNullValue || {
+                (s.genericGetMin, s.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) => mn <= z && z <= mx
+                  case _ => true // unexpected stats type: cannot prune
+                }
+              }
+            }
+          }
+          if (hit) Some(st.getPath.toString) else None
+        } finally reader.close()
+      }
+  }
+
+  /** ValueReader-equivalent point read (reference catalog.py:74 /
+    * geopyspark ValueReader): fetch ONE tile by key at serving latency,
+    * without a full-layer scan. Footer statistics prune to the
+    * candidate file(s) ([[candidateTileFiles]]); a single-file,
+    * predicate-pushed read then touches one row group. Duplicate keys
+    * from [[update]] appends resolve cell-wise Max (the update
+    * contract); temporal stores disambiguate with `instant`. */
+  def readTile(spark: SparkSession, uri: String, name: String, zoom: Int,
+               tileCol: Int, tileRow: Int,
+               instant: Option[Long] = None): Option[Array[Double]] = {
+    val meta = readMetadata(uri, name, zoom)
+    require(!meta.temporal || instant.isDefined,
+      s"layer $name is temporal — readTile needs an instant")
+    val files = candidateTileFiles(uri, name, zoom, tileCol, tileRow)
+    if (files.isEmpty) return None
+    var df = spark.read.parquet(files: _*)
+      .where(col("col") === tileCol && col("row") === tileRow)
+    instant.foreach(t => df = df.where(col("instant") === t))
+    val rows = df.select("tile").collect()
+    if (rows.isEmpty) None
+    else Some(rows.map(_.getSeq[Double](0).toArray).reduce { (a, b) =>
+      Array.tabulate(a.length) { i =>
+        if (a(i).isNaN) b(i) else if (b(i).isNaN) a(i) else math.max(a(i), b(i))
+      }
+    })
+  }
+
   /** Attribute store key-value access (catalog.py AttributeStore :332). */
   def writeAttribute(uri: String, name: String, key: String, value: String): Unit =
     writeString(s"$uri/$name/_attributes_$key.json", value)

@@ -6,15 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque binary columns with
   * typed metadata, batch-oriented decode/feature plumbing.
   *
-  * The decode itself is STUBBED (deterministic fake — no image/audio
-  * libs in this container, flagged per the builder prompt); everything
-  * Spark-side is real: binary schema, partition-sized batch iteration
-  * (mapPartitions, the Scala analogue of mapInPandas batches),
-  * metadata extraction as codegen'd expressions.
+  * Image decode is REAL: [[ImageCodec]] decodes PNG and BMP blobs
+  * in-executor (pure Scala, written from the public specs) and feature
+  * extraction / resize operate on actual pixels. Blobs that are not a
+  * supported image (e.g. the text-corpus stand-ins the oracle tables
+  * provide, or codecs we do not ship — JPEG, video) fall back to a
+  * deterministic byte-level path, so the operators stay total over
+  * arbitrary binary columns.
   */
 object Multimodal {
 
-  final case class MediaMeta(doc_id: Long, n_bytes: Long, magic: Int, feature: Double)
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, magic: Int,
+                             width: Int, height: Int, feature: Double)
 
   /** Wrap a text corpus as fake media blobs (binary column + metadata)
     * — stands in for image/audio bytes end-to-end. */
@@ -23,10 +26,10 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("blob"),
       col("source").as("media_source"))
 
-  /** STUB decode: a real implementation would JNI/FFM into an image
-    * codec here; this deterministic fake hashes bytes to a "feature".
-    * Batch shape (one iterator per partition, reused buffers) is the
-    * production pattern. */
+  /** Batch decode: PNG/BMP blobs decode for real (width/height +
+    * mean-luminance feature from actual pixels); other blobs get the
+    * deterministic byte-sum fallback with width = height = 0. One
+    * iterator per partition — the mapInPandas batch shape. */
   def decodeFeatures(blobs: DataFrame): Dataset[MediaMeta] = {
     val spark = blobs.sparkSession
     import spark.implicits._
@@ -34,11 +37,16 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val magic = if (bytes.length >= 2) ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff) else 0
-          // STUB: deterministic byte-sum "feature" in place of a decoded
-          // image statistic
-          var s = 0L; var i = 0
-          while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
-          MediaMeta(id, bytes.length.toLong, magic, s.toDouble / math.max(bytes.length, 1))
+          ImageCodec.decode(bytes) match {
+            case Some(img) =>
+              MediaMeta(id, bytes.length.toLong, magic, img.width, img.height,
+                ImageCodec.meanLuminance(img))
+            case None =>
+              var s = 0L; var i = 0
+              while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+              MediaMeta(id, bytes.length.toLong, magic, 0, 0,
+                s.toDouble / math.max(bytes.length, 1))
+          }
         }
       }
   }
@@ -84,10 +92,12 @@ object Multimodal {
       }
   }
 
-  /** STUB resize: deterministic nearest-index byte resampling standing
-    * in for a codec resize (no image libs in this container); the
-    * (blob, w, h) -> blob batch signature and per-partition buffer
-    * reuse are the real plumbing. */
+  /** Resize to (w, h): decodable images get a REAL nearest-neighbor
+    * pixel resample (the output blob is the resized image's luminance
+    * plane, row-major w*h bytes); other blobs keep the deterministic
+    * nearest-index byte resampling so the operator stays total. Batch
+    * signature and per-partition buffer reuse are the production
+    * shape. */
   def resize(blobs: DataFrame, w: Int, h: Int): DataFrame = {
     require(w > 0 && h > 0)
     val spark = blobs.sparkSession
@@ -96,10 +106,22 @@ object Multimodal {
       .mapPartitions { it =>
         val out = new Array[Byte](w * h) // reused across the batch
         it.map { case (id, bytes) =>
-          var i = 0
-          while (i < w * h) {
-            out(i) = if (bytes.isEmpty) 0 else bytes((i.toLong * bytes.length / (w * h)).toInt)
-            i += 1
+          ImageCodec.decode(bytes) match {
+            case Some(img) =>
+              val r = ImageCodec.resizeNearest(img, w, h)
+              var i = 0
+              while (i < w * h) {
+                val px = r.pixels(i)
+                out(i) = ((299 * ((px >> 16) & 0xff) + 587 * ((px >> 8) & 0xff) +
+                  114 * (px & 0xff)) / 1000).toByte
+                i += 1
+              }
+            case None =>
+              var i = 0
+              while (i < w * h) {
+                out(i) = if (bytes.isEmpty) 0 else bytes((i.toLong * bytes.length / (w * h)).toInt)
+                i += 1
+              }
           }
           (id, w, h, out.clone())
         }

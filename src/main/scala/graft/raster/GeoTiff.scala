@@ -37,6 +37,7 @@ object GeoTiff {
   private val TagTileOffsets      = 324
   private val TagTileByteCounts   = 325
   private val TagSampleFormat     = 339
+  private val TagPredictor        = 317
   private val TagModelPixelScale  = 33550
   private val TagModelTiepoint    = 33922
   private val TagGeoKeyDirectory  = 34735
@@ -253,12 +254,163 @@ object GeoTiff {
     }
   }
 
+  /** TIFF 6.0 §13 LZW decompression (compression 5): MSB-first bit
+    * packing, 9-bit initial codes, ClearCode 256 / EOI 257, "early
+    * change" width bumps at next-code 511/1023/2047 (the variant every
+    * real writer emits — LZW's patent expired in 2003; this is written
+    * from the published spec). The wild's most common compression. */
+  private[raster] def lzwDecode(src: Array[Byte], off: Int, len: Int,
+                                rawLen: Int): Array[Byte] = {
+    val out = new Array[Byte](rawLen)
+    var outPos = 0
+    var bitPos = 0L
+    val endBit = len.toLong * 8
+    var width = 9
+    def readCode(): Int = {
+      if (bitPos + width > endBit) return 257 // truncated stream: treat as EOI
+      var v = 0
+      var k = 0
+      while (k < width) {
+        val b = src(off + ((bitPos + k) >>> 3).toInt) & 0xff
+        v = (v << 1) | ((b >>> (7 - ((bitPos + k) & 7).toInt)) & 1)
+        k += 1
+      }
+      bitPos += width
+      v
+    }
+    // table entries 0..255 are single bytes; suffix/prefix arrays
+    // rebuild strings without per-entry allocation
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val length = new Array[Int](4096)
+    var next = 258
+    def reset(): Unit = { next = 258; width = 9 }
+    var i = 0
+    while (i < 256) { prefix(i) = -1; suffix(i) = i.toByte; length(i) = 1; i += 1 }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (prefix(c) >= 0) c = prefix(c)
+      suffix(c)
+    }
+    def writeEntry(code: Int): Unit = {
+      val n = length(code)
+      require(outPos + n <= rawLen, "LZW output exceeds expected block size")
+      var c = code
+      var p = outPos + n - 1
+      while (p >= outPos) { out(p) = suffix(c); c = prefix(c); p -= 1 }
+      outPos += n
+    }
+    var old = -1
+    var done = false
+    while (!done && outPos < rawLen) {
+      val code = readCode()
+      if (code == 257) done = true
+      else if (code == 256) { reset(); old = -1 }
+      else {
+        // code == next is the legal KwKwK pattern (the decoder's table
+        // is one entry behind the encoder's); anything past that is
+        // corruption
+        require(code <= next, s"corrupt LZW stream: code $code > next $next")
+        if (old < 0) require(code < 258, s"corrupt LZW stream: code $code right after clear")
+        else if (next < 4096) {
+          // reconstruct the entry the encoder added BEFORE emitting
+          // this code: old's string + first byte of this code's string
+          prefix(next) = old
+          suffix(next) = firstByte(if (code == next) old else code)
+          length(next) = length(old) + 1
+          next += 1
+        }
+        writeEntry(code)
+        old = code
+        // early change, decoder side: the decoder's table is one entry
+        // BEHIND the encoder's (no entry on the first code after
+        // clear), so it widens at 510/1022/2046 where the encoder
+        // widens at 511/1023/2047 — same stream position
+        if (next == (1 << width) - 2 && width < 12) width += 1
+      }
+    }
+    require(outPos == rawLen || done,
+      s"LZW block decoded $outPos of $rawLen expected bytes")
+    out
+  }
+
+  /** PackBits decompression (compression 32773; TIFF 6.0 §9 /
+    * Apple TN1023): n >= 0 -> copy n+1 literals; -127 <= n <= -1 ->
+    * repeat next byte 1-n times; -128 -> no-op. */
+  private[raster] def packBitsDecode(src: Array[Byte], off: Int, len: Int,
+                                     rawLen: Int): Array[Byte] = {
+    val out = new Array[Byte](rawLen)
+    var ip = off; var op = 0
+    val end = off + len
+    while (ip < end && op < rawLen) {
+      val n = src(ip); ip += 1
+      if (n >= 0) {
+        val cnt = math.min(n + 1, rawLen - op)
+        System.arraycopy(src, ip, out, op, cnt)
+        ip += n + 1; op += cnt
+      } else if (n != -128) {
+        val cnt = math.min(1 - n, rawLen - op)
+        val b = src(ip); ip += 1
+        java.util.Arrays.fill(out, op, op + cnt, b)
+        op += cnt
+      }
+    }
+    out
+  }
+
+  /** Undo TIFF horizontal differencing (Predictor tag 317 = 2), the
+    * standard companion of LZW: within each row, each sample is stored
+    * as the difference from the previous sample of the SAME band.
+    * Integer widths only, per spec. */
+  private def undoHorizontalPredictor(block: Array[Byte], rowWidth: Int, nRows: Int,
+                                      nb: Int, bits: Int, bigEndian: Boolean): Unit = {
+    val bpp = bits / 8
+    val rowBytes = rowWidth * nb * bpp
+    var r = 0
+    while (r < nRows) {
+      val base = r * rowBytes
+      if (base + rowBytes <= block.length) {
+        var i = nb // sample index within the row, skip first pixel
+        while (i < rowWidth * nb) {
+          val p = base + i * bpp
+          val q = p - nb * bpp
+          bits match {
+            case 8 => block(p) = (block(p) + block(q)).toByte
+            case 16 =>
+              val (hi, lo) = if (bigEndian) (0, 1) else (1, 0)
+              val cur = ((block(p + hi) & 0xff) << 8) | (block(p + lo) & 0xff)
+              val prv = ((block(q + hi) & 0xff) << 8) | (block(q + lo) & 0xff)
+              val s = (cur + prv) & 0xffff
+              block(p + hi) = (s >>> 8).toByte; block(p + lo) = s.toByte
+            case 32 =>
+              def rd(at: Int): Int =
+                if (bigEndian) ((block(at) & 0xff) << 24) | ((block(at + 1) & 0xff) << 16) | ((block(at + 2) & 0xff) << 8) | (block(at + 3) & 0xff)
+                else ((block(at + 3) & 0xff) << 24) | ((block(at + 2) & 0xff) << 16) | ((block(at + 1) & 0xff) << 8) | (block(at) & 0xff)
+              val s = rd(p) + rd(q)
+              if (bigEndian) {
+                block(p) = (s >>> 24).toByte; block(p + 1) = (s >>> 16).toByte
+                block(p + 2) = (s >>> 8).toByte; block(p + 3) = s.toByte
+              } else {
+                block(p + 3) = (s >>> 24).toByte; block(p + 2) = (s >>> 16).toByte
+                block(p + 1) = (s >>> 8).toByte; block(p) = s.toByte
+              }
+            case other => throw new IllegalArgumentException(
+              s"predictor 2 with $other-bit samples unsupported")
+          }
+          i += 1
+        }
+      }
+      r += 1
+    }
+  }
+
   /** Decode ANY supported classic TIFF into (originX, originY, cellW,
     * cellH, cols, rows, bands) — the general ingestion entry
     * (reference geotiff.py:126 get). Handles LE and BE files, strip
     * and tiled layouts, 8/16/32-bit integers (signed and unsigned),
-    * float32/float64, multiband chunky interleave, deflate. Non-geo
-    * TIFFs default to a unit grid anchored at (0, rows). */
+    * float32/float64, multiband chunky interleave, None/Deflate/LZW/
+    * PackBits compression, horizontal-predictor LZW. Non-geo TIFFs
+    * default to a unit grid anchored at (0, rows). */
   def decodeScene(bytes: Array[Byte]): (Double, Double, Double, Double, Int, Int, Seq[Array[Double]]) = {
     val le = bytes(0) == 'I' && bytes(1) == 'I'
     val be = bytes(0) == 'M' && bytes(1) == 'M'
@@ -288,8 +440,11 @@ object GeoTiff {
     val fmtAll = vals(TagSampleFormat).getOrElse(IndexedSeq(1.0))
     val fmt = fmtAll.head.toInt
     val compression = one(TagCompression, 1).toInt
-    require(compression == 1 || compression == 8,
-      s"unsupported compression $compression (None and Deflate only)")
+    require(Set(1, 5, 8, 32773).contains(compression),
+      s"unsupported compression $compression (None/LZW/Deflate/PackBits only)")
+    val predictor = one(TagPredictor, 1).toInt
+    require(predictor == 1 || predictor == 2, s"unsupported predictor $predictor")
+    require(predictor == 1 || fmt != 3, "predictor 2 is integer-only (TIFF 6.0)")
     require(one(TagPlanarConfig, 1).toInt == 1, "planar (band-separate) TIFFs unsupported")
     require(Set(8, 16, 32, 64).contains(bits), s"unsupported bit depth $bits")
     require(fmt >= 1 && fmt <= 3, s"unsupported sample format $fmt")
@@ -307,21 +462,27 @@ object GeoTiff {
       case (64, 3) => b.getDouble(p)
       case other   => throw new IllegalArgumentException(s"unsupported sample $other")
     }
-    def inflated(off: Int, len: Int, rawLen: Int): ByteBuffer =
-      if (compression == 1) {
-        val s = buf.duplicate().order(buf.order())
-        s.position(off)
-        val out = s.slice().order(buf.order()); out.limit(math.min(rawLen, len)); out
-      } else {
-        val inf = new java.util.zip.Inflater()
-        inf.setInput(bytes, off, len)
-        val out = new Array[Byte](rawLen)
-        var done = 0
-        while (!inf.finished() && done < rawLen)
-          done += inf.inflate(out, done, rawLen - done)
-        inf.end()
-        ByteBuffer.wrap(out).order(buf.order())
+    def inflated(off: Int, len: Int, rawLen: Int, rowWidth: Int, nRows: Int): ByteBuffer = {
+      val raw: Array[Byte] = compression match {
+        case 1 =>
+          // copy so the predictor (if any) can mutate safely
+          java.util.Arrays.copyOfRange(bytes, off, off + math.min(rawLen, len))
+        case 5 => lzwDecode(bytes, off, len, rawLen)
+        case 8 =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(bytes, off, len)
+          val out = new Array[Byte](rawLen)
+          var done = 0
+          while (!inf.finished() && done < rawLen)
+            done += inf.inflate(out, done, rawLen - done)
+          inf.end()
+          out
+        case 32773 => packBitsDecode(bytes, off, len, rawLen)
       }
+      if (predictor == 2)
+        undoHorizontalPredictor(raw, rowWidth, nRows, nb, bits, bigEndian = be)
+      ByteBuffer.wrap(raw).order(buf.order())
+    }
 
     val bands = Seq.fill(nb)(Array.fill(cols * rows)(Double.NaN))
     if (tags.contains(TagTileWidth)) {
@@ -332,7 +493,7 @@ object GeoTiff {
       val down = (rows + th - 1) / th
       for (trI <- 0 until down; tcI <- 0 until across) {
         val idx = trI * across + tcI
-        val block = inflated(offs(idx).toLong.toInt, cnts(idx).toLong.toInt, tw * th * nb * bpp)
+        val block = inflated(offs(idx).toLong.toInt, cnts(idx).toLong.toInt, tw * th * nb * bpp, tw, th)
         for (j <- 0 until th; i <- 0 until tw) {
           val gx = tcI * tw + i; val gy = trI * th + j
           if (gx < cols && gy < rows) {
@@ -354,7 +515,7 @@ object GeoTiff {
         val r0 = s * rps
         val nRows = math.min(rps, rows - r0)
         if (nRows > 0) {
-          val block = inflated(offs(s).toLong.toInt, cnts(s).toLong.toInt, nRows * cols * nb * bpp)
+          val block = inflated(offs(s).toLong.toInt, cnts(s).toLong.toInt, nRows * cols * nb * bpp, cols, nRows)
           for (j <- 0 until nRows; i <- 0 until cols) {
             var b = 0
             while (b < nb) {

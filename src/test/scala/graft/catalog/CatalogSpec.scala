@@ -31,6 +31,42 @@ class CatalogSpec extends SparkSpec {
     assert(q.toCells.as[(Long, Long, Double)].collect().toSet == Set((5L, 5L, 2.0)))
   }
 
+  test("readTile fetches one tile via footer pruning, no full-layer scan") {
+    val dir = Files.createTempDirectory("graft_cat_vr").toString
+    // 8x8 tiles of 8x8 cells -> plenty of tiles across the (2-partition)
+    // range-partitioned write, so zindex footer stats can prove pruning
+    val big = LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(8, 8, 8, 8))
+    val cells = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, (x * 100 + y).toDouble)
+    Catalog.write(dir, "vr", RasterLayer.fromCells(cells.toDF("x", "y", "v"), big), zoom = 0)
+
+    val tilesDir = new org.apache.hadoop.fs.Path(s"$dir/vr/tiles/zoom=0")
+    val total = org.apache.hadoop.fs.FileSystem.get(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+      .listStatus(tilesDir).count(_.getPath.getName.endsWith(".parquet"))
+
+    // the point read: correct values, straight from one candidate file
+    val t = Catalog.readTile(spark, dir, "vr", 0, 2, 3).get
+    for (j <- 0 until 8; i <- 0 until 8)
+      assert(t(j * 8 + i) == ((2 * 8 + i) * 100 + (3 * 8 + j)).toDouble, s"cell $i,$j")
+
+    // footer statistics actually PRUNE: a corner key should not touch
+    // every data file (the write sorts by zindex)
+    if (total > 1) {
+      val cand = Catalog.candidateTileFiles(dir, "vr", 0, 0, 0)
+      assert(cand.nonEmpty && cand.size < total, s"pruned ${cand.size} of $total")
+    }
+
+    // absent tile key -> None (valid key space, no data)
+    assert(Catalog.readTile(spark, dir, "vr", 0, 200, 200).isEmpty)
+
+    // duplicates from update() resolve cell-wise Max, like read+merge
+    Catalog.update(dir, "vr",
+      RasterLayer.fromCells(Seq((16L, 24L, 99999.0)).toDF("x", "y", "v"), big), zoom = 0)
+    val merged = Catalog.readTile(spark, dir, "vr", 0, 2, 3).get
+    assert(merged(0) == 99999.0) // cell (16,24) = offset 0 of tile (2,3)
+    assert(merged(1) == t(1))    // untouched cells keep the base values
+  }
+
   test("update appends tiles; merge resolves duplicates") {
     val dir = Files.createTempDirectory("graft_cat").toString
     Catalog.write(dir, "t", layer((0, 0, 1.0)), zoom = 0)

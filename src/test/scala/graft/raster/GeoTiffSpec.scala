@@ -299,4 +299,169 @@ class GeoTiffSpec extends SparkSpec {
     assert(z0.meta.layout == levels(1)._2.meta.layout)
     assert(z1.meta.layout != z0.meta.layout)
   }
+
+  // ------------------------------------------------------------------
+  // LZW / PackBits decode (TIFF 6.0 §13 / §9)
+  // ------------------------------------------------------------------
+
+  /** Test-side TIFF-LZW encoder (MSB-first, early change, Clear at
+    * NextCode 4094 per spec) — an independent implementation the
+    * decoder must roundtrip against. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var acc = 0L; var nbits = 0; var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code; nbits += width
+      while (nbits >= 8) { out += ((acc >> (nbits - 8)) & 0xff).toByte; nbits -= 8 }
+    }
+    val table = new java.util.HashMap[Long, Integer]()
+    var next = 258
+    put(256)
+    var omega = -1
+    for (b <- data) {
+      if (omega < 0) omega = b & 0xff
+      else {
+        val key = (omega.toLong << 8) | (b & 0xff)
+        val hit = table.get(key)
+        if (hit != null) omega = hit.intValue()
+        else {
+          put(omega)
+          table.put(key, Integer.valueOf(next)); next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+          if (next == 4094) { put(256); table.clear(); next = 258; width = 9 }
+          omega = b & 0xff
+        }
+      }
+    }
+    if (omega >= 0) put(omega)
+    put(257)
+    if (nbits > 0) out += ((acc << (8 - nbits)) & 0xff).toByte
+    out.toArray
+  }
+
+  private def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    // simple spec-conform packer: runs of >=3 as replicates, else literals
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+      if (run >= 3) { out += (1 - run).toByte += data(i); i += run }
+      else {
+        val start = i
+        while (i < data.length && (i - start) < 128 &&
+          !(i + 2 < data.length && data(i) == data(i + 1) && data(i) == data(i + 2))) i += 1
+        out += (i - start - 1).toByte
+        out ++= data.slice(start, i)
+      }
+    }
+    out.toArray
+  }
+
+  /** BE strip TIFF with explicit compression/predictor and caller-
+    * compressed strips (the foreignTiff shape + compression tags). */
+  private def compressedTiff(cols: Int, rows: Int, bits: Int, fmt: Int, rowsPerStrip: Int,
+                             compression: Int, predictor: Int,
+                             strips: Seq[Array[Byte]]): Array[Byte] = {
+    val nStrips = strips.length
+    val nTags = 11
+    val ifdOff = 8
+    val ifdSize = 2 + nTags * 12 + 4
+    val arrOff = ifdOff + ifdSize
+    val extArr = if (nStrips > 1) 8 * nStrips else 0
+    val dataOff = arrOff + extArr
+    val buf = ByteBuffer.allocate(dataOff + strips.map(_.length).sum).order(ByteOrder.BIG_ENDIAN)
+    buf.put('M'.toByte).put('M'.toByte).putShort(42).putInt(ifdOff)
+    buf.putShort(nTags.toShort)
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit =
+      buf.putShort(id.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    def inlineShort(v: Int) = v << 16
+    val stripOffs = strips.map(_.length).scanLeft(dataOff)(_ + _).init
+    tag(256, 3, 1, inlineShort(cols))
+    tag(257, 3, 1, inlineShort(rows))
+    tag(258, 3, 1, inlineShort(bits))
+    tag(259, 3, 1, inlineShort(compression))
+    tag(262, 3, 1, inlineShort(1))
+    tag(273, 4, nStrips, if (nStrips > 1) arrOff else stripOffs.head)
+    tag(277, 3, 1, inlineShort(1))
+    tag(278, 3, 1, inlineShort(rowsPerStrip))
+    tag(279, 4, nStrips, if (nStrips > 1) arrOff + 4 * nStrips else strips.head.length)
+    tag(317, 3, 1, inlineShort(predictor))
+    tag(339, 3, 1, inlineShort(fmt))
+    buf.putInt(0)
+    if (nStrips > 1) { stripOffs.foreach(buf.putInt); strips.map(_.length).foreach(buf.putInt) }
+    strips.foreach(s => buf.put(s))
+    buf.array()
+  }
+
+  test("LZW known-answer vector decodes exactly (hand-derived bitstream)") {
+    // codes [Clear=256, 7, 258(KwKwK), 8, EOI=257] at 9 bits, MSB-first,
+    // worked out by hand from the TIFF 6.0 algorithm -> bytes below
+    val stream = Array(0x80, 0x01, 0xE0, 0x40, 0x88, 0x08).map(_.toByte)
+    val got = GeoTiff.lzwDecode(stream, 0, stream.length, 4)
+    assert(got.toSeq == Seq[Byte](7, 7, 7, 8))
+  }
+
+  test("PackBits decodes the TIFF 6.0 spec example") {
+    val packed = Array(0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+      0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA).map(_.toByte)
+    val want = Array(
+      0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA, 0xAA, 0xAA, 0x80,
+      0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA,
+      0xAA, 0xAA).map(_.toByte)
+    assert(GeoTiff.packBitsDecode(packed, 0, packed.length, want.length).toSeq == want.toSeq)
+  }
+
+  test("LZW roundtrip across code-width growth, KwKwK runs, and a table reset") {
+    // repetitive prefix (KwKwK), then varied data wide enough to push
+    // the table past 4094 entries (forcing the mid-stream Clear) and
+    // through the 9->10->11->12 bit widths
+    val data = (Array.fill(64)(7.toByte) ++
+      Array.tabulate(30000)(i => ((i * 131) ^ (i >> 3)).toByte))
+    val enc = lzwEncode(data)
+    assert(enc.length < data.length) // it actually compresses something
+    val dec = GeoTiff.lzwDecode(enc, 0, enc.length, data.length)
+    assert(dec.toSeq == data.toSeq)
+  }
+
+  test("decodeScene reads LZW and PackBits strip TIFFs identically to uncompressed") {
+    val cols = 16; val rows = 8
+    val vals = Array.tabulate(cols * rows)(i => ((i * 7) % 251).toByte)
+    val strips = vals.grouped(cols * 4).toSeq // 2 strips of 4 rows
+    val plain = compressedTiff(cols, rows, 8, 1, 4, 1, 1, strips)
+    val lzw = compressedTiff(cols, rows, 8, 1, 4, 5, 1, strips.map(lzwEncode))
+    val pb = compressedTiff(cols, rows, 8, 1, 4, 32773, 1, strips.map(packBitsEncode))
+    val want = GeoTiff.decodeScene(plain)._7.head.toSeq
+    assert(want == vals.map(b => (b & 0xff).toDouble).toSeq)
+    assert(GeoTiff.decodeScene(lzw)._7.head.toSeq == want)
+    assert(GeoTiff.decodeScene(pb)._7.head.toSeq == want)
+  }
+
+  test("LZW with horizontal predictor (the wild's default) decodes uint8 and uint16") {
+    val cols = 12; val rows = 6
+    // uint8: difference each row, LZW it, tag predictor=2
+    val vals8 = Array.tabulate(cols * rows)(i => ((i % cols) * 3 + i / cols).toByte)
+    val diff8 = vals8.clone()
+    for (r <- 0 until rows; c <- (cols - 1) to 1 by -1)
+      diff8(r * cols + c) = (diff8(r * cols + c) - diff8(r * cols + c - 1)).toByte
+    val t8 = compressedTiff(cols, rows, 8, 1, rows, 5, 2, Seq(lzwEncode(diff8)))
+    assert(GeoTiff.decodeScene(t8)._7.head.toSeq == vals8.map(b => (b & 0xff).toDouble).toSeq)
+
+    // uint16 big-endian: per-sample differencing over 2-byte samples
+    val vals16 = Array.tabulate(cols * rows)(i => (40000 + i * 17) % 65536)
+    val raw16 = new Array[Byte](vals16.length * 2)
+    for (i <- vals16.indices) {
+      raw16(2 * i) = (vals16(i) >>> 8).toByte; raw16(2 * i + 1) = vals16(i).toByte
+    }
+    val diff16 = raw16.clone()
+    for (r <- 0 until rows; c <- (cols - 1) to 1 by -1) {
+      val p = (r * cols + c) * 2; val q = p - 2
+      val cur = ((diff16(p) & 0xff) << 8) | (diff16(p + 1) & 0xff)
+      val prv = ((diff16(q) & 0xff) << 8) | (diff16(q + 1) & 0xff)
+      val d = (cur - prv) & 0xffff
+      diff16(p) = (d >>> 8).toByte; diff16(p + 1) = d.toByte
+    }
+    val t16 = compressedTiff(cols, rows, 16, 1, rows, 5, 2, Seq(lzwEncode(diff16)))
+    assert(GeoTiff.decodeScene(t16)._7.head.toSeq == vals16.map(_.toDouble).toSeq)
+  }
 }
