@@ -366,6 +366,16 @@ object SparkEntry {
       flat(Catalog.read(s, uri, "lineitem_rt", zoom = 4))
     }),
 
+    "q_celltype_store" -> ((s, dir) => {
+      // native storage width (convert_data_type, layer.py:747): store
+      // the grid as uint16 — the catalog packs 2-byte LE cells with the
+      // 65535 NoData sentinel — and read it back; integral quantities
+      // clamp to [0, 65534] identically in the oracle
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      Catalog.write(uri, "lineitem_u16", lineitemLayer(s, dir).convertCellType("uint16"))
+      flat(Catalog.read(s, uri, "lineitem_u16"))
+    }),
+
     "q_pyramid_write" -> ((s, dir) => {
       // Pyramid.write all zooms (layer.py:2654), read one back: the
       // stored level must equal the in-memory levelUp (q_pyramid)
@@ -1148,6 +1158,11 @@ object SparkEntry {
       },
 
       "q_catalog_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
+
+      // uint16 packed store: truncate-to-integer is the identity on the
+      // integral sums; the clamp is restated verbatim
+      "q_celltype_store" ->
+        s"SELECT x, y, LEAST(GREATEST(v, 0.0), 65534.0) AS v FROM ($grid)",
 
       // stored zoom (maxZoom-1) == one 2x Average level (same formula
       // as q_pyramid)

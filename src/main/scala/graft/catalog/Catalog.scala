@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Extent, LayoutDefinition, TileLayout, ZIndex}
+import graft.core.{CellType, Extent, LayoutDefinition, TileLayout, ZIndex}
 import graft.raster.{LayerMetadata, MultibandLayer, RasterLayer}
 
 /** Layer catalog: persistent tile store + attribute store.
@@ -70,6 +70,23 @@ object Catalog {
     fs.exists(path)
   }
 
+  /** Pack/unpack the tile column at the layer's NATIVE storage width
+    * (meta.cellType) — float64 layers store the plain array<double>
+    * (legacy-compatible), everything else stores LE-packed BINARY with
+    * the [[CellType]] NoData sentinel. A uint8 layer's tile bytes (and
+    * the shuffle feeding the z-ordered write) shrink 8x. */
+  private def packCol(cellType: String): org.apache.spark.sql.Column = {
+    val ct = CellType.fromName(cellType)
+    val f = udf((cells: Seq[Double]) => ct.pack(cells.toArray))
+    f(col("tile"))
+  }
+  private def unpackCol(cellType: String): org.apache.spark.sql.Column = {
+    val ct = CellType.fromName(cellType)
+    val f = udf((packed: Array[Byte]) => ct.unpack(packed))
+    f(col("tile"))
+  }
+  private def packed(cellType: String): Boolean = cellType != "float64"
+
   def write(uri: String, name: String, layer: RasterLayer, zoom: Int = 0,
             index: String = "zorder"): Unit = {
     val tl = layer.meta.layout.tileLayout
@@ -83,13 +100,19 @@ object Catalog {
     // time-resolution partitioners; catalog.py:117 temporal query):
     // a time-interval query then prunes whole files via parquet
     // min/max stats on `instant` before the zindex stats cut in
+    // pack BEFORE the repartition so the write shuffle itself carries
+    // native-width bytes, not 8-byte doubles
+    val src =
+      if (packed(layer.meta.cellType))
+        layer.df.withColumn("tile", packCol(layer.meta.cellType))
+      else layer.df
     val ordered =
       if (layer.meta.temporal)
-        layer.df.withColumn("zoom", lit(zoom)).withColumn("zindex", idxCol)
+        src.withColumn("zoom", lit(zoom)).withColumn("zindex", idxCol)
           .repartitionByRange(col("instant"), col("zindex"))
           .sortWithinPartitions("instant", "zindex")
       else
-        layer.df.withColumn("zoom", lit(zoom)).withColumn("zindex", idxCol)
+        src.withColumn("zoom", lit(zoom)).withColumn("zindex", idxCol)
           .repartitionByRange(col("zindex"))
           .sortWithinPartitions("zindex")
     ordered
@@ -132,18 +155,22 @@ object Catalog {
     def nums(key: String): Array[Double] =
       s.split(s""""$key":\\[""")(1).split("]")(0).split(",").map(_.trim.toDouble)
     val e = nums("extent"); val l = nums("layout")
+    val cellType = "\"cellType\":\"([a-z0-9]+)\"".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("float64")
     LayerMetadata(
       LayoutDefinition(Extent(e(0), e(1), e(2), e(3)),
         TileLayout(l(0).toInt, l(1).toInt, l(2).toInt, l(3).toInt)),
+      cellType = cellType,
       temporal = s.contains("\"temporal\":true"))
   }
 
   def read(spark: SparkSession, uri: String, name: String, zoom: Int = 0): RasterLayer = {
     val meta = readMetadata(uri, name, zoom)
     val keys = if (meta.temporal) Seq("col", "row", "instant") else Seq("col", "row")
-    val df = spark.read.parquet(s"$uri/$name/tiles")
+    val raw = spark.read.parquet(s"$uri/$name/tiles")
       .where(col("zoom") === zoom)
       .select((keys :+ "tile").map(col): _*)
+    val df = if (packed(meta.cellType)) raw.withColumn("tile", unpackCol(meta.cellType)) else raw
     new RasterLayer(df, meta)
   }
 
@@ -238,13 +265,18 @@ object Catalog {
     * queryTime's file-skipping promise holds for appended instants. */
   def update(uri: String, name: String, layer: RasterLayer, zoom: Int = 0): Unit = {
     val idxCol = ZIndex.zorderCol(col("col").cast("long"), col("row").cast("long"))
+    // appended tiles must match the stored encoding (write's contract)
+    val src =
+      if (packed(layer.meta.cellType))
+        layer.df.withColumn("tile", packCol(layer.meta.cellType))
+      else layer.df
     val ordered =
       if (layer.meta.temporal)
-        layer.df.withColumn("zoom", lit(zoom)).withColumn("zindex", idxCol)
+        src.withColumn("zoom", lit(zoom)).withColumn("zindex", idxCol)
           .repartitionByRange(col("instant"), col("zindex"))
           .sortWithinPartitions("instant", "zindex")
       else
-        layer.df.withColumn("zoom", lit(zoom)).withColumn("zindex", idxCol)
+        src.withColumn("zoom", lit(zoom)).withColumn("zindex", idxCol)
           .repartitionByRange(col("zindex"))
           .sortWithinPartitions("zindex")
     ordered
@@ -350,8 +382,13 @@ object Catalog {
       .where(col("col") === tileCol && col("row") === tileRow)
     instant.foreach(t => df = df.where(col("instant") === t))
     val rows = df.select("tile").collect()
-    if (rows.isEmpty) None
-    else Some(rows.map(_.getSeq[Double](0).toArray).reduce { (a, b) =>
+    val ct = CellType.fromName(meta.cellType)
+    val tiles = rows.map { r =>
+      if (packed(meta.cellType)) ct.unpack(r.getAs[Array[Byte]](0))
+      else r.getSeq[Double](0).toArray
+    }
+    if (tiles.isEmpty) None
+    else Some(tiles.reduce { (a, b) =>
       Array.tabulate(a.length) { i =>
         if (a(i).isNaN) b(i) else if (b(i).isNaN) a(i) else math.max(a(i), b(i))
       }

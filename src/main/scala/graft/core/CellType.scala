@@ -1,0 +1,99 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Native cell types — actual storage widths, the reference's
+  * convert_data_type surface (geopyspark layer.py:747 changes the
+  * numpy dtype; GeoTrellis stores tiles at the native width).
+  *
+  * In-memory compute stays `array<double>` everywhere (one code path
+  * for every operator); the WIDTH matters where bytes matter — the
+  * catalog store and everything downstream of it (disk, shuffle on
+  * read, network). An NLCD-style uint8 layer packs 8x smaller than
+  * float64 tiles.
+  *
+  * NoData: doubles use NaN; integer types reserve a sentinel — the
+  * type minimum for signed, the maximum for unsigned — and pack()
+  * clamps data values into the remaining domain so the sentinel can
+  * never be forged by a real value (GeoTrellis reserves the same
+  * boundary values for its constant-NoData cell types).
+  */
+final case class CellType(name: String, bytes: Int, isFloat: Boolean,
+                          lo: Double, hi: Double, sentinel: Long) {
+
+  /** Clamp a data value into the packable domain (no-op for floats). */
+  def clamp(v: Double): Double =
+    if (isFloat || v.isNaN) v
+    else math.min(hi, math.max(lo, v))
+
+  /** Pack one tile (NaN-as-NoData doubles) to little-endian bytes. */
+  def pack(cells: Array[Double]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(cells.length * bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < cells.length) {
+      val v = cells(i)
+      (name, v.isNaN) match {
+        case ("float64", _) => buf.putDouble(v)
+        case ("float32", _) => buf.putFloat(v.toFloat)
+        case (_, true) =>
+          bytes match {
+            case 1 => buf.put(sentinel.toByte)
+            case 2 => buf.putShort(sentinel.toShort)
+            case 4 => buf.putInt(sentinel.toInt)
+          }
+        case (_, false) =>
+          val c = clamp(v).toLong
+          bytes match {
+            case 1 => buf.put(c.toByte)
+            case 2 => buf.putShort(c.toShort)
+            case 4 => buf.putInt(c.toInt)
+          }
+      }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Unpack little-endian bytes back to NaN-as-NoData doubles. */
+  def unpack(packed: Array[Byte]): Array[Double] = {
+    val buf = ByteBuffer.wrap(packed).order(ByteOrder.LITTLE_ENDIAN)
+    val n = packed.length / bytes
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = name match {
+        case "float64" => buf.getDouble()
+        case "float32" => buf.getFloat().toDouble
+        case "int8"   => val r = buf.get().toLong;            if (r == sentinel) Double.NaN else r.toDouble
+        case "uint8"  => val r = (buf.get() & 0xff).toLong;   if (r == sentinel) Double.NaN else r.toDouble
+        case "int16"  => val r = buf.getShort().toLong;       if (r == sentinel) Double.NaN else r.toDouble
+        case "uint16" => val r = (buf.getShort() & 0xffff).toLong; if (r == sentinel) Double.NaN else r.toDouble
+        case "int32"  => val r = buf.getInt().toLong;         if (r == sentinel) Double.NaN else r.toDouble
+        case "uint32" => val r = buf.getInt() & 0xffffffffL;  if (r == sentinel) Double.NaN else r.toDouble
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+object CellType {
+  // signed types: sentinel = min, data domain [min+1, max]
+  // unsigned types: sentinel = max, data domain [0, max-1]
+  val Int8    = CellType("int8", 1, isFloat = false, -127, 127, -128L)
+  val Uint8   = CellType("uint8", 1, isFloat = false, 0, 254, 255L)
+  val Int16   = CellType("int16", 2, isFloat = false, -32767, 32767, -32768L)
+  val Uint16  = CellType("uint16", 2, isFloat = false, 0, 65534, 65535L)
+  val Int32   = CellType("int32", 4, isFloat = false, Int.MinValue + 1, Int.MaxValue, Int.MinValue.toLong)
+  val Uint32  = CellType("uint32", 4, isFloat = false, 0, 4294967294.0, 4294967295L)
+  val Float32 = CellType("float32", 4, isFloat = true, Float.MinValue, Float.MaxValue, 0L)
+  val Float64 = CellType("float64", 8, isFloat = true, Double.MinValue, Double.MaxValue, 0L)
+
+  val all: Seq[CellType] =
+    Seq(Int8, Uint8, Int16, Uint16, Int32, Uint32, Float32, Float64)
+
+  def fromName(s: String): CellType =
+    all.find(_.name == s.trim.toLowerCase).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown cell type '$s' (${all.map(_.name).mkString(", ")})"))
+}

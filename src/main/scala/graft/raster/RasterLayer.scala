@@ -170,16 +170,23 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   def withNoData(v: Double): RasterLayer =
     localMap(c => when(c === lit(v), lit(Double.NaN)).otherwise(c))
 
-  /** Cast cell values to an integral type's domain — reference
-    * convert_data_type (layer.py:747). Truncates toward zero like a
-    * numeric cast; NaN survives as NoData. */
+  /** Cast cell values to a native type's domain — reference
+    * convert_data_type (layer.py:747). Integers truncate toward zero
+    * then CLAMP to the type's packable range (so the metadata honestly
+    * describes the cells and the catalog's packed encoding is
+    * lossless); float32 rounds through single precision; NaN survives
+    * as NoData. The width takes physical effect at the catalog store
+    * ([[graft.catalog.Catalog.write]] packs native-width binary). */
   def convertCellType(newType: String): RasterLayer = {
-    val converted = newType match {
-      case t if t.startsWith("int") || t.startsWith("uint") =>
-        localMap(c => when(isnan(c), c).otherwise(c.cast("long").cast("double")))
-      case _ => this
-    }
-    converted.copy(meta = meta.copy(cellType = newType))
+    val ct = graft.core.CellType.fromName(newType)
+    val converted =
+      if (ct.name == "float64") this
+      else if (ct.name == "float32")
+        localMap(c => c.cast("float").cast("double"))
+      else
+        localMap(c => when(isnan(c), c).otherwise(
+          least(greatest(c.cast("long").cast("double"), lit(ct.lo)), lit(ct.hi))))
+    converted.copy(meta = meta.copy(cellType = ct.name))
   }
 
   // ------------------------------------------------------------------
