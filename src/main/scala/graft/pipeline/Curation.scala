@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for training-data pipelines (builder-
@@ -97,23 +96,52 @@ object Curation {
     * boundaries exactly as concatenate-and-chunk does). Output one row
     * per document: its pack number and its token offset within the
     * pack. Token counts are the deterministic BPE-ish proxy from
-    * [[TextAnalysis.bpeTokenCount]]; all arithmetic is integral, so
-    * the layout is bit-identical in any engine.
+    * [[TextAnalysis.bpeTokenCount]]; all arithmetic is integral (Scala
+    * Long division), so the layout is bit-identical in any engine.
     *
-    * The only exchange is the window partition on `source`; within a
-    * partition the running sum is a single ordered pass. */
+    * Scale shape: a TWO-LEVEL PREFIX SUM, not a per-source window — a
+    * window partitioned by source serializes each source's running sum
+    * into one task, and the common corpus is 80% one giant web-crawl
+    * source. Here the rows range-partition on (source, doc_id) (one
+    * narrow shuffle, each source split across many ordered
+    * partitions), pass 1 collects per-(partition, source) token totals
+    * (bounded by partitions x sources), the driver prefix-sums them
+    * into broadcast start offsets, and pass 2 computes each row's
+    * global start locally. Identical output to the window formulation
+    * — prefix sums are associative, so partition boundaries cannot
+    * change the layout. */
   def packSequences(docs: DataFrame, budget: Long = 2048L): DataFrame = {
     require(budget > 0)
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col("source"),
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val arranged = docs.select(col("doc_id").cast("long"), col("source").cast("string"),
         TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("_start", coalesce(sum("n_tokens").over(w), lit(0L)))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        // `div` is true integral division on longs (Spark's `/` is IEEE
-        // double division, exact only below 2^53); the oracle's `//` twin
-        // is CAST to BIGINT because DuckDB's window sum widens to HUGEINT.
-        expr(s"_start div ${budget}L").as("pack_id"),
-        (col("_start") % budget).cast("long").as("pack_offset"))
+      .as[(Long, String, Long)]
+      .repartitionByRange(col("source"), col("doc_id"))
+      .sortWithinPartitions("source", "doc_id")
+      // pin the arrangement: both passes must see the same partitions
+      .localCheckpoint()
+    val partTotals: Array[(Int, String, Long)] = arranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, src, n) => m.update(src, m.getOrElse(src, 0L) + n) }
+      m.iterator.map { case (s, n) => (pid, s, n) }
+    }.collect()
+    val offsets: Map[(Int, String), Long] = partTotals.groupBy(_._2).flatMap {
+      case (src, rows) =>
+        val inOrder = rows.sortBy(_._1)
+        inOrder.map(_._1).zip(inOrder.scanLeft(0L)(_ + _._3).init)
+          .map { case (pid, off) => (pid, src) -> off }
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    arranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val running = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (id, src, n) =>
+        val start = running.getOrElse(src, bc.value.getOrElse((pid, src), 0L))
+        running.update(src, start + n)
+        (id, src, n, start / budget, start % budget)
+      }
+    }.toDF("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
   }
 }

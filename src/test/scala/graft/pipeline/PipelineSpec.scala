@@ -265,6 +265,27 @@ class PipelineSpec extends SparkSpec {
     assert(firsts == Set(("a", 0L, 0L), ("b", 0L, 0L)))
   }
 
+  test("sequence packing: one giant source spans partitions, layout matches a serial prefix sum") {
+    // the 80%-web-crawl shape the two-level prefix sum exists for: one
+    // source much bigger than a partition, plus a small second source
+    val giant = (1L to 500L).map(i =>
+      (i, ("w " * (1 + (i % 7)).toInt).trim, "en", "crawl", 1L)) ++
+      Seq((900L, "a b c", "en", "tiny", 1L))
+    val df = giant.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8) // scatter input so the range shuffle has real work
+    val out = Curation.packSequences(df, budget = 16L)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .sortBy(t => (t._2, t._1))
+    // independent serial expectation
+    var run = 0L
+    out.filter(_._2 == "crawl").foreach { case (id, _, n, packId, off) =>
+      assert(packId == run / 16 && off == run % 16, s"doc $id at $run")
+      run += n
+    }
+    assert(run == (1L to 500L).map(i => 1 + (i % 7)).sum) // token totals survive the split
+    assert(out.find(_._2 == "tiny").get._4 == 0L) // fresh source restarts
+  }
+
   test("product quantization: codes compress, ADC ranks an exact duplicate first") {
     // dim 8, m = 4 subspaces of 2; centroids = vec_ids 0 and 1
     def v(xs: Double*) = xs.map(_.toFloat).toArray
