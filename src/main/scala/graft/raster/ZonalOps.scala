@@ -19,59 +19,26 @@ import graft.vector.Polygon
 object ZonalOps {
 
   /** Mask: keep cells whose center falls inside any polygon
-    * (reference layer.py:2044). Per-tile UDF, no shuffle. */
+    * (reference layer.py:2044). Native codegen'd expression
+    * (TileMaskExpr), per-tile, no shuffle — the tile never leaves the
+    * unsafe row, unlike the r7 UDF that boxed every tile to a
+    * Seq[Double] and back. */
   def mask(layer: RasterLayer, polys: Seq[Polygon]): RasterLayer = {
     val layout = layer.meta.layout
     val tl = layout.tileLayout
-    val (tc, tr) = (tl.tileCols, tl.tileRows)
-    // grid-space cell centers: gx = col*tc + i + 0.5 (grid coords == world
-    // coords for unit-cell layouts anchored at 0; general layouts use the
-    // extent transform)
-    val x0 = layout.extent.xmin; val yTop = layout.extent.ymax
-    val cw = layout.cellWidth; val ch = layout.cellHeight
-    val maskUdf = udf { (c: Int, r: Int, tile: Seq[Double]) =>
-      val out = new Array[Double](tile.length)
-      var j = 0
-      while (j < tr) {
-        var i = 0
-        while (i < tc) {
-          val wx = x0 + (c.toLong * tc + i + 0.5) * cw
-          val wy = yTop - (r.toLong * tr + j + 0.5) * ch
-          val v = tile(j * tc + i)
-          out(j * tc + i) =
-            if (!v.isNaN && polys.exists(_.contains(wx, wy))) v else Double.NaN
-          i += 1
-        }
-        j += 1
-      }
-      out
-    }
-    layer.copy(df = layer.df.withColumn("tile", maskUdf(col("col"), col("row"), col("tile"))))
+    layer.copy(df = layer.df.withColumn("tile",
+      org.apache.spark.sql.graft.TileMaskExpr.maskTileWorld(
+        col("col"), col("row"), col("tile"), polys, tl.tileCols, tl.tileRows,
+        layout.extent.xmin, layout.cellWidth, layout.extent.ymax, layout.cellHeight)))
   }
 
   /** Grid-coordinate mask variant for unit layouts where the oracle
     * speaks grid coords directly (y-down, no extent flip). */
   def maskGrid(layer: RasterLayer, polys: Seq[Polygon]): RasterLayer = {
     val tl = layer.meta.layout.tileLayout
-    val (tc, tr) = (tl.tileCols, tl.tileRows)
-    val maskUdf = udf { (c: Int, r: Int, tile: Seq[Double]) =>
-      val out = new Array[Double](tile.length)
-      var j = 0
-      while (j < tr) {
-        var i = 0
-        while (i < tc) {
-          val gx = c.toLong * tc + i + 0.5
-          val gy = r.toLong * tr + j + 0.5
-          val v = tile(j * tc + i)
-          out(j * tc + i) =
-            if (!v.isNaN && polys.exists(_.contains(gx, gy))) v else Double.NaN
-          i += 1
-        }
-        j += 1
-      }
-      out
-    }
-    layer.copy(df = layer.df.withColumn("tile", maskUdf(col("col"), col("row"), col("tile"))))
+    layer.copy(df = layer.df.withColumn("tile",
+      org.apache.spark.sql.graft.TileMaskExpr.maskTileGrid(
+        col("col"), col("row"), col("tile"), polys, tl.tileCols, tl.tileRows)))
   }
 
   /** Polygonal summary: min/max/sum/mean/count of cells inside the

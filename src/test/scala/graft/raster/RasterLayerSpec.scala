@@ -78,6 +78,34 @@ class RasterLayerSpec extends SparkSpec {
     assert(cellsOf(m) == Set((4L, 4L, 2.0)))
   }
 
+  test("mask is a native codegen expression (no UDF serialization boundary)") {
+    val l = layer((4, 4, 2.0))
+    val m = ZonalOps.maskGrid(l, Seq(Geometry.rect(3, 3, 6, 6)))
+    // CollapseProject folds the projection into the upstream aggregate's
+    // result expressions, so look at the optimized plan
+    val plan = m.df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("tile_mask"), plan.take(400))
+    assert(!plan.contains("UDF("), plan.take(400))
+    // world-coordinate variant rides the same expression
+    val w = ZonalOps.mask(l, Seq(Geometry.rect(3, 3, 6, 6)))
+    assert(w.df.queryExecution.optimizedPlan.toString.contains("tile_mask"))
+  }
+
+  test("summarySeries: one scan, one shuffle Exchange for N geometries") {
+    // checkpoint the fixture so its own tile-build shuffle is not in
+    // the measured plan (real layers come pre-materialized from a store)
+    val built = layer((0, 0, 1.0), (4, 4, 2.0), (7, 7, 3.0))
+    val l = new RasterLayer(built.df.localCheckpoint(), built.meta)
+    val geoms = Seq(Geometry.rect(0, 0, 2, 2), Geometry.rect(3, 3, 6, 6),
+      Geometry.rect(0, 0, 8, 8), Geometry.rect(6, 6, 8, 8))
+    val out = ZonalOps.summarySeries(l, geoms)
+    val shuffles = out.queryExecution.executedPlan.toString
+      .linesIterator.count(ln => ln.contains("Exchange") && !ln.contains("Broadcast"))
+    assert(shuffles == 1, s"expected 1 shuffle Exchange, got $shuffles")
+    val rows = out.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(rows(0) == 1L && rows(1) == 1L && rows(2) == 3L && rows(3) == 1L)
+  }
+
   test("focal mean crosses tile boundaries via halo") {
     // cells straddling the boundary between tile (0,0) and (1,0): x=3 and x=4
     val l = layer((3, 0, 10.0), (4, 0, 20.0))
