@@ -346,6 +346,20 @@ object SparkEntry {
         round(expr(eE), 4).as("e_utm"), round(expr(nE), 4).as("n_utm"))
     }),
 
+    "q_reproject_polar" -> ((s, dir) => {
+      // polar-grid surface (EPSG:3413, the NSIDC Arctic grid): customer
+      // points above 60N through the ellipsoidal Polar Stereographic
+      // forward — same one-SQL-text-two-engines contract as
+      // q_reproject_utm
+      val ps = graft.core.CRS.fromName("EPSG:3413")
+        .asInstanceOf[graft.core.CRS.PolarStereographic]
+      val (steps, eE, nE) = ps.forwardSqlSteps
+      val base = customerLonLat(s, dir).where(col("lat") >= 60)
+      val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
+      full.select(col("pid"),
+        round(expr(eE), 4).as("e_ps"), round(expr(nE), 4).as("n_ps"))
+    }),
+
     "q_reproject_raster" -> ((s, dir) =>
       Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1).toCells),
 
@@ -1112,6 +1126,18 @@ object SparkEntry {
         s"""SELECT pid, round(radians(lon) * 6378137.0, 4) AS mx,
            |       round(ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0, 4) AS my
            |FROM ($lonlat)""".stripMargin,
+
+      "q_reproject_polar" -> {
+        val ps = graft.core.CRS.fromName("EPSG:3413")
+          .asInstanceOf[graft.core.CRS.PolarStereographic]
+        val (steps, eE, nE) = ps.forwardSqlSteps
+        val ctes = steps.zipWithIndex.map { case ((name, f), i) =>
+          s"p${i + 1} AS (SELECT *, $f AS $name FROM p$i)"
+        }
+        (s"WITH p0 AS (SELECT * FROM ($lonlat) WHERE lat >= 60), " +
+          ctes.mkString(", ") +
+          s" SELECT pid, round($eE, 4) AS e_ps, round($nE, 4) AS n_ps FROM p${steps.size}")
+      },
 
       "q_reproject_utm" -> {
         // same formula text as the Spark query, chained through CTEs

@@ -74,16 +74,33 @@ object CRS {
   /** CRS registry by the names the reference accepts (layer.py:876
     * takes EPSG ints, "EPSG:n" strings, or proj4 strings): EPSG:4326,
     * EPSG:3857, the UTM range EPSG:32601-32660 (north) / 32701-32760
-    * (south), and "+proj=utm +zone=N [+south]". */
+    * (south), the polar grids EPSG:3413 / 3031 / 5041 / 5042, and the
+    * proj4 forms "+proj=utm/stere/lcc/longlat/merc" with their
+    * standard parameters. */
   def fromName(crs: String): Transform = {
     val s = crs.trim.toLowerCase
     val epsg = "(?:epsg:)?(\\d+)".r
+    def p4opt(name: String, p: String): Option[Double] =
+      ("\\+" + name + "=(-?[0-9.]+)").r.findFirstMatchIn(p).map(_.group(1).toDouble)
+    def p4(name: String, p: String): Double = p4opt(name, p).getOrElse(
+      throw new IllegalArgumentException(s"missing +$name in '$crs'"))
+    def p4or(name: String, p: String, default: Double): Double =
+      p4opt(name, p).getOrElse(default)
     s match {
       case epsg(code) => code.toInt match {
         case 4326 => LatLng
         case 3857 => WebMercator
         case c if c >= 32601 && c <= 32660 => Utm(c - 32600, south = false)
         case c if c >= 32701 && c <= 32760 => Utm(c - 32700, south = true)
+        // NSIDC Sea Ice Polar Stereographic North / Antarctic
+        case 3413 => PolarStereographic(-45.0, 70.0, north = true)
+        case 3976 => PolarStereographic(0.0, -70.0, north = false)
+        case 3031 => PolarStereographic(0.0, -71.0, north = false)
+        // Universal Polar Stereographic (k0 form)
+        case 5041 => PolarStereographic(0.0, 90.0, north = true,
+          falseEasting = 2000000.0, falseNorthing = 2000000.0, k0 = Some(0.994))
+        case 5042 => PolarStereographic(0.0, -90.0, north = false,
+          falseEasting = 2000000.0, falseNorthing = 2000000.0, k0 = Some(0.994))
         case c => throw new IllegalArgumentException(s"unsupported EPSG:$c")
       }
       case p if p.startsWith("+proj=utm") =>
@@ -91,6 +108,20 @@ object CRS {
           .map(_.group(1).toInt)
           .getOrElse(throw new IllegalArgumentException(s"missing +zone in '$crs'"))
         Utm(zone, south = p.contains("+south"))
+      case p if p.startsWith("+proj=stere") =>
+        val lat0 = p4("lat_0", p)
+        require(math.abs(lat0) == 90.0,
+          s"only polar aspects supported (+lat_0=+-90), got $lat0")
+        val north = lat0 > 0
+        val k0 = "\\+k_?0?=(-?[0-9.]+)".r.findFirstMatchIn(p).map(_.group(1).toDouble)
+        PolarStereographic(p4or("lon_0", p, 0.0),
+          p4or("lat_ts", p, lat0), north,
+          p4or("x_0", p, 0.0), p4or("y_0", p, 0.0),
+          if (p.contains("+lat_ts")) None else k0)
+      case p if p.startsWith("+proj=lcc") =>
+        val lat1 = p4("lat_1", p)
+        LambertConformalConic(p4or("lon_0", p, 0.0), p4("lat_0", p),
+          lat1, p4or("lat_2", p, lat1), p4or("x_0", p, 0.0), p4or("y_0", p, 0.0))
       case p if p.startsWith("+proj=longlat") => LatLng
       case p if p.startsWith("+proj=merc")    => WebMercator
       case other => throw new IllegalArgumentException(s"unsupported CRS '$other'")
@@ -147,6 +178,129 @@ object CRS {
       }
       val dl = math.atan2(math.sinh(etap), math.cos(xip))
       (lon0 + math.toDegrees(dl), math.toDegrees(phi))
+    }
+  }
+
+  /** Ellipsoidal Polar Stereographic on WGS84 — Snyder, "Map
+    * Projections — A Working Manual" (USGS PP 1395) §21 / EPSG method
+    * 9829 (variant B: true-scale latitude). Covers the polar grids
+    * real data ships in: EPSG:3413 (NSIDC Arctic, latTs 70N, lon0
+    * -45), EPSG:3031 (Antarctic, latTs -71S, lon0 0), and UPS
+    * (EPSG:5041/5042) via the k0 = 0.994 form restated as its
+    * equivalent true-scale latitude. `north` selects the aspect;
+    * latTs is given for the SAME hemisphere (positive north,
+    * negative south). */
+  final case class PolarStereographic(lon0: Double, latTs: Double, north: Boolean,
+                                      falseEasting: Double = 0.0,
+                                      falseNorthing: Double = 0.0,
+                                      k0: Option[Double] = None) extends Transform {
+    import TransverseMercator.{Ecc => e, SemiMajor => a}
+    // conformal-latitude half-angle factor t(phi); phi in RADIANS,
+    // already mirrored into the north aspect
+    private def tOf(phi: Double): Double =
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+    // rho = a * C * t(phi). Variant B (true-scale latitude): C = m(ts)/t(ts).
+    // Variant A (k0 at the pole, UPS): C = 2 k0 / sqrt((1+e)^(1+e) (1-e)^(1-e))
+    private val scaleC: Double = k0 match {
+      case Some(k) => 2 * k / math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+      case None =>
+        val phiTs = math.toRadians(if (north) latTs else -latTs)
+        val mTs = math.cos(phiTs) / math.sqrt(1 - e * e * math.sin(phiTs) * math.sin(phiTs))
+        mTs / tOf(phiTs)
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(if (north) lat else -lat)
+      val dl = math.toRadians(if (north) lon - lon0 else -(lon - lon0))
+      val rho = a * scaleC * tOf(phi)
+      val x = rho * math.sin(dl)
+      val y = -rho * math.cos(dl)
+      if (north) (falseEasting + x, falseNorthing + y)
+      else (falseEasting - x, falseNorthing - y) // south aspect mirrors both axes
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx0 = x - falseEasting; val dy0 = y - falseNorthing
+      val (dx, dy) = if (north) (dx0, dy0) else (-dx0, -dy0)
+      val rho = math.sqrt(dx * dx + dy * dy)
+      val t = rho / (a * scaleC)
+      // Snyder eq. 7-9: fixed-point for phi, converges in a handful of
+      // rounds (quadratic near the pole)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var k = 0
+      while (k < 8) {
+        phi = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2))
+        k += 1
+      }
+      val dl = if (rho == 0) 0.0 else math.atan2(dx, -dy)
+      val lon = if (north) lon0 + math.toDegrees(dl) else lon0 - math.toDegrees(dl)
+      (lon, math.toDegrees(if (north) phi else -phi))
+    }
+
+    /** The forward projection as named SQL formula steps over lon/lat
+      * columns — the same one-text-two-engines pattern as
+      * [[TransverseMercator.forwardSqlSteps]]. North aspect only (the
+      * oracle points live in the Arctic). */
+    def forwardSqlSteps: (Seq[(String, String)], String, String) = {
+      require(north, "SQL steps are emitted for the north aspect only")
+      val aC = (a * scaleC).toString
+      val eS = e.toString
+      val steps = Seq(
+        "phi" -> "radians(lat)",
+        "dl" -> s"radians(lon - ($lon0))",
+        "t" -> (s"tan(pi() / 4 - phi / 2) / " +
+          s"power((1 - $eS * sin(phi)) / (1 + $eS * sin(phi)), $eS / 2)"),
+        "rho" -> s"$aC * t")
+      (steps, s"$falseEasting + rho * sin(dl)", s"$falseNorthing - rho * cos(dl)")
+    }
+  }
+
+  /** Lambert Conformal Conic, 2 standard parallels, on WGS84 —
+    * Snyder §15 / EPSG method 9802: the projection every US
+    * state-plane zone and most national grids use. Parallels in
+    * degrees; the cone constant n, F, and rho0 are the published
+    * closed forms. */
+  final case class LambertConformalConic(lon0: Double, lat0: Double,
+                                         lat1: Double, lat2: Double,
+                                         falseEasting: Double = 0.0,
+                                         falseNorthing: Double = 0.0) extends Transform {
+    import TransverseMercator.{Ecc => e, SemiMajor => a}
+    private def tOf(phi: Double): Double =
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+    private def mOf(phi: Double): Double =
+      math.cos(phi) / math.sqrt(1 - e * e * math.sin(phi) * math.sin(phi))
+    private val p0 = math.toRadians(lat0); private val p1 = math.toRadians(lat1)
+    private val p2 = math.toRadians(lat2)
+    private val n =
+      if (math.abs(lat1 - lat2) < 1e-12) math.sin(p1)
+      else (math.log(mOf(p1)) - math.log(mOf(p2))) / (math.log(tOf(p1)) - math.log(tOf(p2)))
+    private val f = mOf(p1) / (n * math.pow(tOf(p1), n))
+    private val rho0 = a * f * math.pow(tOf(p0), n)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val rho = a * f * math.pow(tOf(phi), n)
+      val th = n * math.toRadians(lon - lon0)
+      (falseEasting + rho * math.sin(th), falseNorthing + rho0 - rho * math.cos(th))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - falseEasting; val dy = rho0 - (y - falseNorthing)
+      val sgn = if (n >= 0) 1.0 else -1.0
+      val rho = sgn * math.sqrt(dx * dx + dy * dy)
+      val th = math.atan2(sgn * dx, sgn * dy)
+      val t = math.pow(rho / (a * f), 1 / n)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var k = 0
+      while (k < 8) {
+        phi = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2))
+        k += 1
+      }
+      (lon0 + math.toDegrees(th / n), math.toDegrees(phi))
     }
   }
 
