@@ -194,10 +194,19 @@ object Catalog {
 
   /** Multiband layer store: same z-ordered parquet layout with the
     * band stack as a nested array column; band count rides the
-    * attribute store. */
+    * attribute store. Non-float64 cell types pack the whole band stack
+    * into ONE binary column (bands contiguous, LE, native width) —
+    * the same up-to-8x byte saving as single-band stores. */
   def writeMultiband(uri: String, name: String, layer: MultibandLayer, zoom: Int = 0): Unit = {
     val idxCol = ZIndex.zorderCol(col("col").cast("long"), col("row").cast("long"))
-    layer.df
+    val src =
+      if (packed(layer.meta.cellType)) {
+        val ct = CellType.fromName(layer.meta.cellType)
+        val packMb = udf((bands: Seq[Seq[Double]]) =>
+          bands.iterator.map(b => ct.pack(b.toArray)).reduce(_ ++ _))
+        layer.df.withColumn("bands", packMb(col("bands")))
+      } else layer.df
+    src
       .withColumn("zoom", lit(zoom))
       .withColumn("zindex", idxCol)
       .repartitionByRange(col("zindex"))
@@ -215,9 +224,20 @@ object Catalog {
   def readMultiband(spark: SparkSession, uri: String, name: String, zoom: Int = 0): MultibandLayer = {
     val meta = readMetadata(uri, name, zoom)
     val bands = readAttribute(uri, name, "bands").trim.toInt
-    val df = spark.read.parquet(s"$uri/$name/tiles")
+    val raw = spark.read.parquet(s"$uri/$name/tiles")
       .where(col("zoom") === zoom)
       .select(col("col"), col("row"), col("bands"))
+    val df =
+      if (packed(meta.cellType)) {
+        val ct = CellType.fromName(meta.cellType)
+        val nb = bands
+        val unpackMb = udf((blob: Array[Byte]) => {
+          val per = blob.length / nb
+          (0 until nb).map(b => ct.unpack(
+            java.util.Arrays.copyOfRange(blob, b * per, (b + 1) * per)).toSeq)
+        })
+        raw.withColumn("bands", unpackMb(col("bands")))
+      } else raw
     new MultibandLayer(df, meta, bands)
   }
 

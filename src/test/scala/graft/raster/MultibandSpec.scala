@@ -129,4 +129,18 @@ class MultibandSpec extends SparkSpec {
     assert(back.toCells.as[(Long, Long, Int, Double)].collect().toSet ==
       mb.toCells.as[(Long, Long, Int, Double)].collect().toSet)
   }
+
+  test("multiband packed store (uint8) roundtrips bands through one binary blob") {
+    val uri = java.nio.file.Files.createTempDirectory("graft_mb8").toString
+    val base = MultibandLayer.fromLayers(Seq(b0, b1))
+    val mb = new MultibandLayer(base.df, base.meta.copy(cellType = "uint8"), base.bandCount)
+    graft.catalog.Catalog.writeMultiband(uri, "mb8", mb, zoom = 0)
+    // on disk: the bands column is BINARY, not array<array<double>>
+    val stored = spark.read.parquet(s"$uri/mb8/tiles")
+    assert(stored.schema("bands").dataType == org.apache.spark.sql.types.BinaryType)
+    val back = graft.catalog.Catalog.readMultiband(spark, uri, "mb8", zoom = 0)
+    assert(back.meta.cellType == "uint8" && back.bandCount == 2)
+    assert(back.toCells.as[(Long, Long, Int, Double)].collect().toSet ==
+      base.toCells.as[(Long, Long, Int, Double)].collect().toSet)
+  }
 }
