@@ -285,10 +285,19 @@ object Catalog {
     * queryTime's file-skipping promise holds for appended instants. */
   def update(uri: String, name: String, layer: RasterLayer, zoom: Int = 0): Unit = {
     val idxCol = ZIndex.zorderCol(col("col").cast("long"), col("row").cast("long"))
-    // appended tiles must match the stored encoding (write's contract)
+    // appended tiles must match the STORED encoding, not whatever the
+    // incoming layer claims — mixing array<double> and binary files in
+    // one parquet directory corrupts the store with no error until the
+    // next read. Fail loudly at write time instead.
+    val storedType =
+      if (metadataExists(uri, name)) readMetadata(uri, name, zoom).cellType
+      else layer.meta.cellType
+    require(storedType == layer.meta.cellType,
+      s"update('$name') cellType mismatch: store is $storedType, layer is " +
+      s"${layer.meta.cellType} — convertCellType the layer first")
     val src =
-      if (packed(layer.meta.cellType))
-        layer.df.withColumn("tile", packCol(layer.meta.cellType))
+      if (packed(storedType))
+        layer.df.withColumn("tile", packCol(storedType))
       else layer.df
     val ordered =
       if (layer.meta.temporal)

@@ -113,11 +113,14 @@ object CRS {
         require(math.abs(lat0) == 90.0,
           s"only polar aspects supported (+lat_0=+-90), got $lat0")
         val north = lat0 > 0
+        // proj semantics: +lat_ts wins; else +k (default 1.0 — without
+        // this, latTs = the pole makes scaleC = m(90)/t(90) = Inf and
+        // every forward() silently returns Infinity)
         val k0 = "\\+k_?0?=(-?[0-9.]+)".r.findFirstMatchIn(p).map(_.group(1).toDouble)
         PolarStereographic(p4or("lon_0", p, 0.0),
           p4or("lat_ts", p, lat0), north,
           p4or("x_0", p, 0.0), p4or("y_0", p, 0.0),
-          if (p.contains("+lat_ts")) None else k0)
+          if (p.contains("+lat_ts")) None else Some(k0.getOrElse(1.0)))
       case p if p.startsWith("+proj=lcc") =>
         val lat1 = p4("lat_1", p)
         LambertConformalConic(p4or("lon_0", p, 0.0), p4("lat_0", p),

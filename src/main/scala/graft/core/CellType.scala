@@ -26,30 +26,30 @@ final case class CellType(name: String, bytes: Int, isFloat: Boolean,
     if (isFloat || v.isNaN) v
     else math.min(hi, math.max(lo, v))
 
-  /** Pack one tile (NaN-as-NoData doubles) to little-endian bytes. */
+  /** Pack one tile (NaN-as-NoData doubles) to little-endian bytes.
+    * Type dispatch happens ONCE per tile, not per cell — this runs
+    * inside the catalog write UDF for every tile of every store. */
   def pack(cells: Array[Double]): Array[Byte] = {
     val buf = ByteBuffer.allocate(cells.length * bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val n = cells.length
     var i = 0
-    while (i < cells.length) {
-      val v = cells(i)
-      (name, v.isNaN) match {
-        case ("float64", _) => buf.putDouble(v)
-        case ("float32", _) => buf.putFloat(v.toFloat)
-        case (_, true) =>
-          bytes match {
-            case 1 => buf.put(sentinel.toByte)
-            case 2 => buf.putShort(sentinel.toShort)
-            case 4 => buf.putInt(sentinel.toInt)
-          }
-        case (_, false) =>
-          val c = clamp(v).toLong
-          bytes match {
-            case 1 => buf.put(c.toByte)
-            case 2 => buf.putShort(c.toShort)
-            case 4 => buf.putInt(c.toInt)
-          }
+    name match {
+      case "float64" => while (i < n) { buf.putDouble(cells(i)); i += 1 }
+      case "float32" => while (i < n) { buf.putFloat(cells(i).toFloat); i += 1 }
+      case _ => bytes match {
+        case 1 => while (i < n) {
+          val v = cells(i)
+          buf.put(if (v.isNaN) sentinel.toByte else clamp(v).toLong.toByte); i += 1
+        }
+        case 2 => while (i < n) {
+          val v = cells(i)
+          buf.putShort(if (v.isNaN) sentinel.toShort else clamp(v).toLong.toShort); i += 1
+        }
+        case 4 => while (i < n) {
+          val v = cells(i)
+          buf.putInt(if (v.isNaN) sentinel.toInt else clamp(v).toLong.toInt); i += 1
+        }
       }
-      i += 1
     }
     buf.array()
   }
@@ -60,18 +60,21 @@ final case class CellType(name: String, bytes: Int, isFloat: Boolean,
     val n = packed.length / bytes
     val out = new Array[Double](n)
     var i = 0
-    while (i < n) {
-      out(i) = name match {
-        case "float64" => buf.getDouble()
-        case "float32" => buf.getFloat().toDouble
-        case "int8"   => val r = buf.get().toLong;            if (r == sentinel) Double.NaN else r.toDouble
-        case "uint8"  => val r = (buf.get() & 0xff).toLong;   if (r == sentinel) Double.NaN else r.toDouble
-        case "int16"  => val r = buf.getShort().toLong;       if (r == sentinel) Double.NaN else r.toDouble
-        case "uint16" => val r = (buf.getShort() & 0xffff).toLong; if (r == sentinel) Double.NaN else r.toDouble
-        case "int32"  => val r = buf.getInt().toLong;         if (r == sentinel) Double.NaN else r.toDouble
-        case "uint32" => val r = buf.getInt() & 0xffffffffL;  if (r == sentinel) Double.NaN else r.toDouble
+    def ints(read: () => Long): Unit =
+      while (i < n) {
+        val r = read()
+        out(i) = if (r == sentinel) Double.NaN else r.toDouble
+        i += 1
       }
-      i += 1
+    name match {
+      case "float64" => while (i < n) { out(i) = buf.getDouble(); i += 1 }
+      case "float32" => while (i < n) { out(i) = buf.getFloat().toDouble; i += 1 }
+      case "int8"    => ints(() => buf.get().toLong)
+      case "uint8"   => ints(() => (buf.get() & 0xff).toLong)
+      case "int16"   => ints(() => buf.getShort().toLong)
+      case "uint16"  => ints(() => (buf.getShort() & 0xffff).toLong)
+      case "int32"   => ints(() => buf.getInt().toLong)
+      case "uint32"  => ints(() => buf.getInt() & 0xffffffffL)
     }
     out
   }

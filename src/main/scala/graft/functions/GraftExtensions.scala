@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   type Builder = Seq[Expression] => Expression
 
+  // TileMaskExpr is deliberately NOT here: its polygon set is a JVM
+  // object parameter (rides codegen as a reference object), so there is
+  // no SQL-literal form to build it from — it is Column-API-only via
+  // TileMaskExpr.maskTileGrid/maskTileWorld.
   val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("tile_stats",
       new ExpressionInfo(classOf[TileStatsExpr].getName, "tile_stats"),

@@ -131,13 +131,16 @@ object Dedup {
                     maxDocFreq: Option[Long] = Some(1000L),
                     maxBroadcastShingles: Long = 20000000L): DataFrame = {
     val sh = cappedShingles(corpus, k, maxDocFreq)
-    val probes = sh.where(probePred)
-      .select(col("doc_id").as("probe_id"), col("h"))
     // The eval-set-sized-probe assumption is an assumption, not a law:
     // probePred is caller-supplied and could select half the corpus,
     // in which case broadcast() dies at Spark's size limit with an
-    // opaque error. Count the (checkpointed, so cheap to rescan) probe
-    // shingles once and fall back to a shuffled join when too big.
+    // opaque error. Materialize the probe side once (only
+    // hashedShingles is checkpointed — the maxDocFreq cap's groupBy +
+    // anti-join would otherwise re-execute for the count AND for both
+    // join branches), then the guard count is a free rescan.
+    val probes = sh.where(probePred)
+      .select(col("doc_id").as("probe_id"), col("h"))
+      .localCheckpoint()
     val small = probes.count() <= maxBroadcastShingles
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val probeSizes = probes.groupBy("probe_id").agg(count(lit(1)).as("np"))
@@ -377,10 +380,11 @@ object Dedup {
           struct(col("v").as("c"), col("m")))).as("e"))
         .select(col("e.c").as("u"), col("e.m").as("v"))))
       // signature (count + order-free hash sum) is the cheap screen; a
-      // match is confirmed with an exact set compare so a hash
-      // collision can never stop the loop early (counts already match
-      // when cur == prev, so one except direction suffices)
-      converged = cur == prev && ss.except(e).isEmpty
+      // match is confirmed with an exact SET EQUALITY — both except
+      // directions, because the screen's counts are accumulator-based
+      // and a task retry could inflate them (the old exact-aggregate
+      // count justified one direction; the accumulator does not)
+      converged = cur == prev && ss.except(e).isEmpty && e.except(ss).isEmpty
       prev = cur
       e = ss
       it += 1

@@ -23,8 +23,21 @@ object ImageCodec {
     b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
       b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
 
-  def isBmp(b: Array[Byte]): Boolean =
-    b.length > 54 && b(0) == 'B' && b(1) == 'M'
+  /** 'BM' alone is two ASCII letters any text blob can start with, so
+    * BMP detection validates the whole header shape: plausible header
+    * size, dimensions, bit count, BI_RGB compression, and pixel data
+    * that actually fits inside the blob. */
+  def isBmp(b: Array[Byte]): Boolean = {
+    if (b.length <= 54 || b(0) != 'B' || b(1) != 'M') return false
+    val dataOff = leInt(b, 10); val hdrSize = leInt(b, 14)
+    val w = leInt(b, 18); val h = math.abs(leInt(b, 22))
+    val bits = leShort(b, 28); val compression = leInt(b, 30)
+    val rowBytes = if (w > 0 && w <= (1 << 16)) ((w.toLong * bits / 8) + 3) / 4 * 4 else Long.MaxValue
+    hdrSize >= 40 && hdrSize <= 256 &&
+      w > 0 && w <= (1 << 16) && h > 0 && h <= (1 << 16) &&
+      (bits == 8 || bits == 24 || bits == 32) && compression == 0 &&
+      dataOff >= 14 + hdrSize && dataOff.toLong + rowBytes * h <= b.length
+  }
 
   /** Decode if the blob is a supported PNG or BMP; None otherwise
     * (unknown formats are the caller's fallback path, malformed

@@ -26,6 +26,14 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("blob"),
       col("source").as("media_source"))
 
+  /** Image decode that can never fail a job: a malformed blob that
+    * happens to carry an image magic (corrupt download, truncated
+    * object) falls back to the byte path instead of throwing — these
+    * operators are documented total over arbitrary binary columns. */
+  private def tryDecode(bytes: Array[Byte]): Option[ImageCodec.Image] =
+    try ImageCodec.decode(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** Batch decode: PNG/BMP blobs decode for real (width/height +
     * mean-luminance feature from actual pixels); other blobs get the
     * deterministic byte-sum fallback with width = height = 0. One
@@ -37,7 +45,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val magic = if (bytes.length >= 2) ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff) else 0
-          ImageCodec.decode(bytes) match {
+          tryDecode(bytes) match {
             case Some(img) =>
               MediaMeta(id, bytes.length.toLong, magic, img.width, img.height,
                 ImageCodec.meanLuminance(img))
@@ -106,7 +114,7 @@ object Multimodal {
       .mapPartitions { it =>
         val out = new Array[Byte](w * h) // reused across the batch
         it.map { case (id, bytes) =>
-          ImageCodec.decode(bytes) match {
+          tryDecode(bytes) match {
             case Some(img) =>
               val r = ImageCodec.resizeNearest(img, w, h)
               var i = 0

@@ -67,16 +67,18 @@ object HistogramOps {
   /** Interpolated quantiles (get_quantile_breaks :233). Exact
     * `percentile` buffers EVERY value in one aggregation buffer — an
     * executor OOM at 10^12 cells — so the exact path is gated on a
-    * cell-count ceiling (one cheap tile-count job against parquet
-    * row-group stats) and large layers take the single-pass t-digest
-    * sketch at 1e-3 relative error instead. Callers that require exact
+    * cell-count ceiling and large layers take the single-pass t-digest
+    * sketch at 1e-3 relative error instead. The ceiling uses the
+    * LAYOUT's cell capacity — zero jobs, where a count() would execute
+    * the layer's whole upstream DAG once just to decide (derived
+    * layers are not parquet-backed). Callers that require exact
     * quantiles above the ceiling should pre-aggregate to integral
     * values and use [[quantileBreaksExactInt]], whose exchange carries
     * only distinct values. */
   def quantileBreaks(layer: RasterLayer, qs: Seq[Double],
                      maxExactCells: Long = 100000000L): DataFrame = {
     val tl = layer.meta.layout.tileLayout
-    val nCells = layer.df.count() * tl.tileCols * tl.tileRows
+    val nCells = tl.layoutCols.toLong * tl.layoutRows * tl.tileCols * tl.tileRows
     if (nCells <= maxExactCells)
       layer.toCells.select(
         qs.zipWithIndex.map { case (q, i) =>

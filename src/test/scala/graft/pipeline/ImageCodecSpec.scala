@@ -89,6 +89,14 @@ class ImageCodecSpec extends AnyFunSuite {
   test("unknown formats return None, malformed known-magic blobs throw") {
     assert(ImageCodec.decode("just text".getBytes("UTF-8")).isEmpty)
     assert(ImageCodec.decode(Array.fill(100)(0x7f.toByte)).isEmpty)
+    // 'BM' is two ASCII letters any document can start with — header
+    // validation must reject it, not crash on garbage dimensions
+    val bmText = ("BM" + "W sales report, fiscal year 2026. " * 10).getBytes("UTF-8")
+    assert(ImageCodec.decode(bmText).isEmpty)
+    assert(Multimodal.decodeFeatures(
+      { val s = graft.TestSpark.spark; import s.implicits._
+        Seq((7L, bmText)).toDF("doc_id", "blob") })
+      .head().width == 0) // falls back to the byte path
     val badPng = (Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
       Array.fill(60)(0.toByte)).toArray
     intercept[IllegalArgumentException](ImageCodec.decode(badPng))
