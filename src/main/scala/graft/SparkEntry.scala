@@ -380,6 +380,19 @@ object SparkEntry {
       flat(Catalog.read(s, uri, "lineitem_rt", zoom = 4))
     }),
 
+    "q_read_tile" -> ((s, dir) => {
+      // ValueReader point read (catalog.py:74): store the layer, fetch
+      // ONE tile by key through parquet-footer pruning + a single-file
+      // read, re-emit its data cells. Same semantics as q_lookup but
+      // through the serving-latency path instead of a layer scan.
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      Catalog.write(uri, "lineitem_vr", lineitemLayer(s, dir))
+      val tile = Catalog.readTile(s, uri, "lineitem_vr", 0, 2, 3).get
+      import s.implicits._
+      (for (j <- 0 until 64; i <- 0 until 64; v = tile(j * 64 + i) if !v.isNaN)
+        yield (2L * 64 + i, 3L * 64 + j, v)).toDF("x", "y", "v")
+    }),
+
     "q_celltype_store" -> ((s, dir) => {
       // native storage width (convert_data_type, layer.py:747): store
       // the grid as uint16 — the catalog packs 2-byte LE cells with the
@@ -1184,6 +1197,9 @@ object SparkEntry {
       },
 
       "q_catalog_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
+
+      "q_read_tile" ->
+        s"SELECT x, y, v FROM ($grid) WHERE x // 64 = 2 AND y // 64 = 3",
 
       // uint16 packed store: truncate-to-integer is the identity on the
       // integral sums; the clamp is restated verbatim

@@ -116,6 +116,30 @@ class CatalogSpec extends SparkSpec {
       .collect().toSet == Set((0L, 0L, 9.0), (63L, 63L, 254.0)))
   }
 
+  test("catalog query pushes key predicates to the parquet scan (PushedFilters)") {
+    val dir = Files.createTempDirectory("graft_cat_pf").toString
+    Catalog.write(dir, "t", layer((0, 0, 1.0), (5, 5, 2.0)), zoom = 0)
+    val q = Catalog.query(spark, dir, "t", 0, 4, 4, 8, 8)
+    val plan = q.df.queryExecution.executedPlan.toString
+    // the SURVEY §4 claim: col/row range predicates reach the scan so
+    // row groups prune on min/max statistics
+    assert(plan.contains("PushedFilters"), plan.take(600))
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(col".r.findFirstIn(plan).isDefined ||
+           "PushedFilters: \\[[^\\]]*IsNotNull\\(col".r.findFirstIn(plan).isDefined, plan.take(900))
+  }
+
+  test("update rejects a layer whose cellType differs from the stored encoding") {
+    val dir = Files.createTempDirectory("graft_cat_mix").toString
+    val big = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+    Catalog.write(dir, "t", layer((0, 0, 1.0)).convertCellType("uint8"), zoom = 0)
+    val err = intercept[IllegalArgumentException](
+      Catalog.update(dir, "t", layer((5, 5, 2.0)), zoom = 0))
+    assert(err.getMessage.contains("cellType mismatch"))
+    // matching types append fine
+    Catalog.update(dir, "t", layer((5, 5, 2.0)).convertCellType("uint8"), zoom = 0)
+    assert(Catalog.read(spark, dir, "t", 0).toCells.count() == 2)
+  }
+
   test("update appends tiles; merge resolves duplicates") {
     val dir = Files.createTempDirectory("graft_cat").toString
     Catalog.write(dir, "t", layer((0, 0, 1.0)), zoom = 0)
