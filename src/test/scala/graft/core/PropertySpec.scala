@@ -60,4 +60,46 @@ class PropertySpec extends AnyFunSuite {
       math.abs(CRS.mercYToLat(CRS.latToMercY(la)) - la) < 1e-9
     })
   }
+
+  test("UTM roundtrip within 1e-9 degrees across any zone and offset") {
+    val zone = Gen.choose(1, 60)
+    val dlon = Gen.choose(-2.9, 2.9) // within the zone
+    val lat = Gen.choose(-80.0, 84.0) // UTM's official latitude band
+    check(Prop.forAll(zone, dlon, lat) { (z, dl, la) =>
+      val t = CRS.Utm(z, south = la < 0)
+      val lon = -183.0 + 6.0 * z + dl
+      val (x, y) = t.forward(lon, la)
+      val (lon2, lat2) = t.inverse(x, y)
+      math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - la) < 1e-9 &&
+        y >= 0 // false northing keeps UTM northings non-negative in-band
+    })
+  }
+
+  test("polar stereographic roundtrip within 1e-9 degrees, poleward of 55") {
+    val lon = Gen.choose(-180.0, 180.0)
+    val lat = Gen.choose(55.0, 89.99)
+    check(Prop.forAll(lon, lat) { (lo, la) =>
+      val n = CRS.fromName("EPSG:3413")
+      val s = CRS.fromName("EPSG:3031")
+      val (nx, ny) = n.forward(lo, la)
+      val (nl, np) = n.inverse(nx, ny)
+      val (sx, sy) = s.forward(lo, -la)
+      val (sl, sp) = s.inverse(sx, sy)
+      def dLon(a: Double, b: Double) =
+        math.min(math.abs(a - b), 360 - math.abs(a - b))
+      dLon(nl, lo) < 1e-9 && math.abs(np - la) < 1e-9 &&
+        dLon(sl, lo) < 1e-9 && math.abs(sp + la) < 1e-9
+    })
+  }
+
+  test("CellType pack/unpack is clamp-then-identity for every integer type") {
+    val v = Gen.oneOf(Gen.choose(-1e10, 1e10), Gen.choose(-300.0, 300.0),
+      Gen.const(Double.NaN))
+    val ct = Gen.oneOf(CellType.all.filterNot(_.isFloat))
+    check(Prop.forAll(ct, v) { (t, x) =>
+      val back = t.unpack(t.pack(Array(x))).head
+      if (x.isNaN) back.isNaN
+      else back == t.clamp(x).toLong.toDouble // pack truncates like a cast
+    })
+  }
 }
