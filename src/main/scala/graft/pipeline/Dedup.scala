@@ -367,12 +367,16 @@ object Dedup {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val lsMin = sym.groupBy("u").agg(min("v").as("_mn"))
         .select(col("u"), least(col("_mn"), col("u")).as("m"))
-      val ls = dedup(sym.join(lsMin, "u").where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
+      // intermediate edge sets carry duplicates (the min aggregations
+      // and joins are duplicate-tolerant; ls rows are already strictly
+      // u > v by construction) — only the round's RESULT is deduped,
+      // saving two distinct-shuffles per round
+      val ls = sym.join(lsMin, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
       // small-star on big->small directed edges: u and all its smaller
       // neighbors attach to the smallest of them
-      val dir = dedup(ls.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v")))
+      val dir = ls.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
       val ssMin = dir.groupBy("u").agg(min("v").as("m"))
       val (ss, cur) = checkpointWithSig(dedup(dir.join(ssMin, "u")
         .select(explode(array(
