@@ -408,9 +408,10 @@ object GeoTiff {
     * cellH, cols, rows, bands) — the general ingestion entry
     * (reference geotiff.py:126 get). Handles LE and BE files, strip
     * and tiled layouts, 8/16/32-bit integers (signed and unsigned),
-    * float32/float64, multiband chunky interleave, None/Deflate/LZW/
-    * PackBits compression, horizontal-predictor LZW. Non-geo TIFFs
-    * default to a unit grid anchored at (0, rows). */
+    * float32/float64, multiband in BOTH interleaves (chunky planar=1
+    * and band-separate planar=2), None/Deflate/LZW/PackBits
+    * compression, horizontal-predictor LZW. Non-geo TIFFs default to
+    * a unit grid anchored at (0, rows). */
   def decodeScene(bytes: Array[Byte]): (Double, Double, Double, Double, Int, Int, Seq[Array[Double]]) = {
     val le = bytes(0) == 'I' && bytes(1) == 'I'
     val be = bytes(0) == 'M' && bytes(1) == 'M'
@@ -445,7 +446,11 @@ object GeoTiff {
     val predictor = one(TagPredictor, 1).toInt
     require(predictor == 1 || predictor == 2, s"unsupported predictor $predictor")
     require(predictor == 1 || fmt != 3, "predictor 2 is integer-only (TIFF 6.0)")
-    require(one(TagPlanarConfig, 1).toInt == 1, "planar (band-separate) TIFFs unsupported")
+    val planar = one(TagPlanarConfig, 1).toInt
+    require(planar == 1 || planar == 2, s"unsupported planar configuration $planar")
+    // planar 2 = band-separate: each strip/tile holds ONE band's
+    // samples; offsets list all of band 0's blocks, then band 1's, ...
+    val blockNb = if (planar == 2) 1 else nb
     require(Set(8, 16, 32, 64).contains(bits), s"unsupported bit depth $bits")
     require(fmt >= 1 && fmt <= 3, s"unsupported sample format $fmt")
     require(!(bits == 64 && fmt != 3), "64-bit integer samples unsupported")
@@ -480,7 +485,7 @@ object GeoTiff {
         case 32773 => packBitsDecode(bytes, off, len, rawLen)
       }
       if (predictor == 2)
-        undoHorizontalPredictor(raw, rowWidth, nRows, nb, bits, bigEndian = be)
+        undoHorizontalPredictor(raw, rowWidth, nRows, blockNb, bits, bigEndian = be)
       ByteBuffer.wrap(raw).order(buf.order())
     }
 
@@ -491,15 +496,22 @@ object GeoTiff {
       val offs = vals(TagTileOffsets).get; val cnts = vals(TagTileByteCounts).get
       val across = (cols + tw - 1) / tw
       val down = (rows + th - 1) / th
-      for (trI <- 0 until down; tcI <- 0 until across) {
-        val idx = trI * across + tcI
-        val block = inflated(offs(idx).toLong.toInt, cnts(idx).toLong.toInt, tw * th * nb * bpp, tw, th)
+      val tilesPerBand = across * down
+      require(offs.length >= (if (planar == 2) tilesPerBand * nb else tilesPerBand),
+        "tile offset array shorter than the image's tile grid")
+      for (idx <- 0 until (if (planar == 2) tilesPerBand * nb else tilesPerBand)) {
+        val band0 = if (planar == 2) idx / tilesPerBand else 0
+        val inBand = if (planar == 2) idx % tilesPerBand else idx
+        val trI = inBand / across; val tcI = inBand % across
+        val block = inflated(offs(idx).toLong.toInt, cnts(idx).toLong.toInt,
+          tw * th * blockNb * bpp, tw, th)
         for (j <- 0 until th; i <- 0 until tw) {
           val gx = tcI * tw + i; val gy = trI * th + j
           if (gx < cols && gy < rows) {
             var b = 0
-            while (b < nb) {
-              bands(b)(gy * cols + gx) = readSample(block, ((j * tw + i) * nb + b) * bpp)
+            while (b < blockNb) {
+              bands(band0 + b)(gy * cols + gx) =
+                readSample(block, ((j * tw + i) * blockNb + b) * bpp)
               b += 1
             }
           }
@@ -511,15 +523,19 @@ object GeoTiff {
       val offs = vals(TagStripOffsets).getOrElse(
         throw new IllegalArgumentException("missing StripOffsets"))
       val cnts = vals(TagStripByteCounts).getOrElse(IndexedSeq((rows.toLong * cols * nb * bpp).toDouble))
+      val stripsPerBand = if (planar == 2) (rows + rps - 1) / rps else offs.length
       for (s <- offs.indices) {
-        val r0 = s * rps
+        val band0 = if (planar == 2) s / stripsPerBand else 0
+        val r0 = (if (planar == 2) s % stripsPerBand else s) * rps
         val nRows = math.min(rps, rows - r0)
         if (nRows > 0) {
-          val block = inflated(offs(s).toLong.toInt, cnts(s).toLong.toInt, nRows * cols * nb * bpp, cols, nRows)
+          val block = inflated(offs(s).toLong.toInt, cnts(s).toLong.toInt,
+            nRows * cols * blockNb * bpp, cols, nRows)
           for (j <- 0 until nRows; i <- 0 until cols) {
             var b = 0
-            while (b < nb) {
-              bands(b)((r0 + j) * cols + i) = readSample(block, ((j * cols + i) * nb + b) * bpp)
+            while (b < blockNb) {
+              bands(band0 + b)((r0 + j) * cols + i) =
+                readSample(block, ((j * cols + i) * blockNb + b) * bpp)
               b += 1
             }
           }

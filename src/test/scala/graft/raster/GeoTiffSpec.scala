@@ -394,6 +394,46 @@ class GeoTiffSpec extends SparkSpec {
     buf.array()
   }
 
+  test("decodeScene reads band-separate (planar=2) strip TIFFs") {
+    // 4x4, 2 uint8 bands, RowsPerStrip 2 => 4 strips: band0's two
+    // strips first, then band1's (TIFF 6.0 planar order)
+    val cols = 4; val rows = 4
+    val band0 = Array.tabulate(16)(i => (i + 1).toByte)
+    val band1 = Array.tabulate(16)(i => (100 + i).toByte)
+    val strips = Seq(band0.slice(0, 8), band0.slice(8, 16),
+      band1.slice(0, 8), band1.slice(8, 16))
+    val nTags = 11
+    val ifdOff = 8
+    val ifdSize = 2 + nTags * 12 + 4
+    val arrOff = ifdOff + ifdSize
+    val dataOff = arrOff + 8 * 4 // offsets + counts for 4 strips
+    val buf = ByteBuffer.allocate(dataOff + 32).order(ByteOrder.BIG_ENDIAN)
+    buf.put('M'.toByte).put('M'.toByte).putShort(42).putInt(ifdOff)
+    buf.putShort(nTags.toShort)
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit =
+      buf.putShort(id.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    def inlineShort(v: Int) = v << 16
+    tag(256, 3, 1, inlineShort(cols))
+    tag(257, 3, 1, inlineShort(rows))
+    tag(258, 3, 2, (8 << 16) | 8) // per-band bits, two inline shorts
+    tag(259, 3, 1, inlineShort(1))
+    tag(262, 3, 1, inlineShort(1))
+    tag(273, 4, 4, arrOff)
+    tag(277, 3, 1, inlineShort(2))
+    tag(278, 3, 1, inlineShort(2))
+    tag(279, 4, 4, arrOff + 16)
+    tag(284, 3, 1, inlineShort(2)) // PlanarConfiguration = 2
+    tag(339, 3, 2, (1 << 16) | 1)
+    buf.putInt(0)
+    strips.indices.foreach(s => buf.putInt(dataOff + 8 * s))
+    strips.foreach(s => buf.putInt(s.length))
+    strips.foreach(buf.put)
+    val (_, _, _, _, c, r, bands) = GeoTiff.decodeScene(buf.array())
+    assert((c, r, bands.length) == (4, 4, 2))
+    assert(bands(0).toSeq == band0.map(b => (b & 0xff).toDouble).toSeq)
+    assert(bands(1).toSeq == band1.map(b => (b & 0xff).toDouble).toSeq)
+  }
+
   test("LZW known-answer vector decodes exactly (hand-derived bitstream)") {
     // codes [Clear=256, 7, 258(KwKwK), 8, EOI=257] at 9 bits, MSB-first,
     // worked out by hand from the TIFF 6.0 algorithm -> bytes below
