@@ -20,8 +20,21 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(pdir):
         print(f"FAIL {name}: no spark output"); fails += 1; continue
     try:
-        got = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
-        want = con.sql(sql).df()
+        grel = con.sql(f"SELECT * FROM '{pdir}/*.parquet'")
+        wrel = con.sql(sql)
+        # the DRIVER's hash is dtype-aware where pandas compare is not:
+        # DuckDB quirks (sum(BIGINT) -> HUGEINT, literal CASE ->
+        # DECIMAL) pass a value compare but red-flag the driver, so
+        # dtype divergence is a local FAIL too
+        gt = dict(zip(grel.columns, [str(t) for t in grel.types]))
+        wt = dict(zip(wrel.columns, [str(t) for t in wrel.types]))
+        dd = [c for c in wt if c in gt and gt[c] != wt[c]]
+        if dd:
+            print(f"FAIL {name}: dtype divergence " +
+                  ", ".join(f"{c}: spark {gt[c]} vs oracle {wt[c]}" for c in dd))
+            fails += 1; continue
+        got = grel.df()
+        want = wrel.df()
     except Exception as e:
         print(f"FAIL {name}: {e}"); fails += 1; continue
     got = got.reindex(sorted(got.columns), axis=1)

@@ -864,7 +864,9 @@ object SparkEntry {
         s"SELECT a.x, a.y, a.v + b.v AS v FROM ($grid) a JOIN ($ogrid) b ON a.x = b.x AND a.y = b.y",
 
       "q_reclassify" ->
-        s"SELECT x, y, CASE WHEN v <= 50 THEN 1.0 WHEN v <= 150 THEN 2.0 WHEN v <= 300 THEN 3.0 ELSE 4.0 END AS v FROM ($grid)",
+        // CAST: DuckDB types a numeric-literal CASE as DECIMAL(2,1);
+        // the driver's hash is dtype-aware (the q_pack_sequences lesson)
+        s"SELECT x, y, CAST(CASE WHEN v <= 50 THEN 1.0 WHEN v <= 150 THEN 2.0 WHEN v <= 300 THEN 3.0 ELSE 4.0 END AS DOUBLE) AS v FROM ($grid)",
 
       "q_normalize" ->
         s"SELECT x, y, round((v - mn) / (mx - mn) * 100.0, 5) AS v FROM ($grid), (SELECT min(v) AS mn, max(v) AS mx FROM ($grid))",
