@@ -474,6 +474,23 @@ object SparkEntry {
         ColorMap.colorize(col("v"), Seq(100.0, 200.0, 400.0), "Viridis").as("argb"))
     }),
 
+    "q_render_png" -> ((s, dir) => {
+      // to_png_rdd (layer.py:524) END-TO-END: classify + ramp + PNG
+      // encode in executors, then decode every tile's PNG back with
+      // the in-tree ImageCodec and compare pixel colors against the
+      // same CASE chain in SQL — the full byte-level render path is
+      // oracle-checked, not just spec'd. Out-of-breaks cells render
+      // transparent exactly like NoData, so both sides keep v <= 400.
+      import s.implicits._
+      render.Render.renderPng(lineitemLayer(s, dir), Seq(100.0, 200.0, 400.0), "Viridis")
+        .flatMap { t =>
+          val img = pipeline.ImageCodec.decodePng(t.png)
+          for (j <- 0 until img.height; i <- 0 until img.width;
+               argb = img.argb(i, j) if argb != 0)
+            yield (t.col.toLong * 64 + i, t.row.toLong * 64 + j, argb)
+        }.toDF("x", "y", "argb")
+    }),
+
     "q_color_nlcd" -> ((s, dir) => {
       // exact-value break-map classification (from_break_map / the NLCD
       // palette): fold the grid values onto NLCD class codes, then map
@@ -1247,6 +1264,16 @@ object SparkEntry {
         val cs = render.ColorMap.rampColors("Viridis", 3)
         s"""SELECT x, y, CAST(CASE WHEN v <= 100 THEN ${cs(0)} WHEN v <= 200 THEN ${cs(1)}
            |WHEN v <= 400 THEN ${cs(2)} ELSE 0 END AS INT) AS argb FROM ($grid)""".stripMargin
+      },
+
+      // renderImage indexes the ramp's RAW stop table by class (it
+      // does not interpolate like colorize's rampColors) — the oracle
+      // states those exact stops; out-of-breaks cells are transparent
+      // like NoData -> both sides restrict to classified cells
+      "q_render_png" -> {
+        val cs = render.ColorMap.Ramps("Viridis")
+        s"""SELECT x, y, CAST(CASE WHEN v <= 100 THEN ${cs(0)} WHEN v <= 200 THEN ${cs(1)}
+           |ELSE ${cs(2)} END AS INT) AS argb FROM ($grid) WHERE v <= 400""".stripMargin
       },
 
       "q_color_nlcd" -> {
