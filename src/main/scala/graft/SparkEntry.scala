@@ -1266,12 +1266,12 @@ object SparkEntry {
            |WHEN v <= 400 THEN ${cs(2)} ELSE 0 END AS INT) AS argb FROM ($grid)""".stripMargin
       },
 
-      // renderImage indexes the ramp's RAW stop table by class (it
-      // does not interpolate like colorize's rampColors) — the oracle
-      // states those exact stops; out-of-breaks cells are transparent
-      // like NoData -> both sides restrict to classified cells
+      // same interpolated palette as q_color_ramp (renderImage and
+      // colorize share it), recovered from the ENCODED PNG bytes;
+      // out-of-breaks cells are transparent like NoData -> both sides
+      // restrict to classified cells
       "q_render_png" -> {
-        val cs = render.ColorMap.Ramps("Viridis")
+        val cs = render.ColorMap.rampColors("Viridis", 3)
         s"""SELECT x, y, CAST(CASE WHEN v <= 100 THEN ${cs(0)} WHEN v <= 200 THEN ${cs(1)}
            |ELSE ${cs(2)} END AS INT) AS argb FROM ($grid) WHERE v <= 400""".stripMargin
       },

@@ -25,7 +25,11 @@ object Render {
   def renderImage(cells: IndexedSeq[Double], cols: Int, rows: Int,
                   breaks: Seq[Double], ramp: String,
                   strategy: String = "LessThanOrEqualTo"): Array[Byte] = {
-    val colors = ColorMap.Ramps(ramp)
+    // interpolate the ramp to the break count — the same palette
+    // ColorMap.colorize produces for these args (GeoTrellis ColorRamp
+    // semantics: n classes span the WHOLE ramp, they don't take its
+    // first n raw stops)
+    val colors = ColorMap.rampColors(ramp, math.max(breaks.length, 1))
     val sortedBreaks =
       if (strategy.startsWith("Greater")) breaks.sorted.reverse else breaks.sorted
 

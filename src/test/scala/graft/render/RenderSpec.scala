@@ -22,9 +22,12 @@ class RenderSpec extends SparkSpec {
     assert(tiles.length == 1) // only tile (0,0) has data
     val img = ImageIO.read(new ByteArrayInputStream(tiles.head.png))
     assert(img.getWidth == 4 && img.getHeight == 4)
-    assert(img.getRGB(0, 0) == ColorMap.Ramps("BlueToRed")(0)) // 50 <= 100
-    assert(img.getRGB(1, 0) == ColorMap.Ramps("BlueToRed")(1)) // 250 <= 300
-    assert((img.getRGB(2, 0) >>> 24) == 0)                     // NoData transparent
+    // the palette is the ramp INTERPOLATED to the break count — the
+    // same colors colorize() gives for these args (2 classes = the
+    // ramp's endpoints)
+    assert(img.getRGB(0, 0) == ColorMap.rampColors("BlueToRed", 2)(0)) // 50 <= 100
+    assert(img.getRGB(1, 0) == ColorMap.rampColors("BlueToRed", 2)(1)) // 250 <= 300
+    assert((img.getRGB(2, 0) >>> 24) == 0)                             // NoData transparent
   }
 
   test("rampColors interpolates stops linearly and keeps endpoints") {
