@@ -389,8 +389,9 @@ object SparkEntry {
       Catalog.write(uri, "lineitem_vr", lineitemLayer(s, dir))
       val tile = Catalog.readTile(s, uri, "lineitem_vr", 0, 2, 3).get
       import s.implicits._
-      (for (j <- 0 until 64; i <- 0 until 64; v = tile(j * 64 + i) if !v.isNaN)
-        yield (2L * 64 + i, 3L * 64 + j, v)).toDF("x", "y", "v")
+      val T = GridSource.T // the derived-grid contract's tile stride
+      (for (j <- 0 until T; i <- 0 until T; v = tile(j * T + i) if !v.isNaN)
+        yield (2L * T + i, 3L * T + j, v)).toDF("x", "y", "v")
     }),
 
     "q_celltype_store" -> ((s, dir) => {

@@ -202,8 +202,16 @@ object Catalog {
     val src =
       if (packed(layer.meta.cellType)) {
         val ct = CellType.fromName(layer.meta.cellType)
-        val packMb = udf((bands: Seq[Seq[Double]]) =>
-          bands.iterator.map(b => ct.pack(b.toArray)).reduce(_ ++ _))
+        // single pre-sized output: iterator.reduce(_ ++ _) reallocates
+        // the accumulated prefix per band (O(nb^2) copying) and throws
+        // on an empty band stack
+        val packMb = udf((bands: Seq[Seq[Double]]) => {
+          val parts = bands.iterator.map(b => ct.pack(b.toArray)).toArray
+          val out = new Array[Byte](parts.iterator.map(_.length).sum)
+          var off = 0
+          parts.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
+          out
+        })
         layer.df.withColumn("bands", packMb(col("bands")))
       } else layer.df
     src

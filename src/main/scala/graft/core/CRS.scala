@@ -52,9 +52,17 @@ object CRS {
   trait Transform extends Serializable {
     /** lon/lat degrees -> planar (x, y). */
     def forward(lon: Double, lat: Double): (Double, Double)
-    /** planar (x, y) -> lon/lat degrees. */
+    /** planar (x, y) -> lon/lat degrees, longitude in [-180, 180). */
     def inverse(x: Double, y: Double): (Double, Double)
   }
+
+  /** Normalize a longitude into [-180, 180) — every inverse MUST
+    * return normalized longitudes: reprojectTiled bounds-checks them
+    * against the source extent, and an un-wrapped lon0 + dl (e.g.
+    * EPSG:3413's lon0 = -45 spans (-225, 135]) would silently NoData
+    * a 45-degree wedge of a global source. */
+  def normLon(lon: Double): Double =
+    lon - 360.0 * math.floor((lon + 180.0) / 360.0)
 
   /** EPSG:4326 treated as a planar CRS in degree units. */
   case object LatLng extends Transform {
@@ -103,30 +111,41 @@ object CRS {
           falseEasting = 2000000.0, falseNorthing = 2000000.0, k0 = Some(0.994))
         case c => throw new IllegalArgumentException(s"unsupported EPSG:$c")
       }
-      case p if p.startsWith("+proj=utm") =>
-        val zone = "\\+zone=(\\d+)".r.findFirstMatchIn(p)
-          .map(_.group(1).toInt)
-          .getOrElse(throw new IllegalArgumentException(s"missing +zone in '$crs'"))
-        Utm(zone, south = p.contains("+south"))
-      case p if p.startsWith("+proj=stere") =>
-        val lat0 = p4("lat_0", p)
-        require(math.abs(lat0) == 90.0,
-          s"only polar aspects supported (+lat_0=+-90), got $lat0")
-        val north = lat0 > 0
-        // proj semantics: +lat_ts wins; else +k (default 1.0 — without
-        // this, latTs = the pole makes scaleC = m(90)/t(90) = Inf and
-        // every forward() silently returns Infinity)
-        val k0 = "\\+k_?0?=(-?[0-9.]+)".r.findFirstMatchIn(p).map(_.group(1).toDouble)
-        PolarStereographic(p4or("lon_0", p, 0.0),
-          p4or("lat_ts", p, lat0), north,
-          p4or("x_0", p, 0.0), p4or("y_0", p, 0.0),
-          if (p.contains("+lat_ts")) None else Some(k0.getOrElse(1.0)))
-      case p if p.startsWith("+proj=lcc") =>
-        val lat1 = p4("lat_1", p)
-        LambertConformalConic(p4or("lon_0", p, 0.0), p4("lat_0", p),
-          lat1, p4or("lat_2", p, lat1), p4or("x_0", p, 0.0), p4or("y_0", p, 0.0))
-      case p if p.startsWith("+proj=longlat") => LatLng
-      case p if p.startsWith("+proj=merc")    => WebMercator
+      case p if p.startsWith("+proj=") =>
+        // match the proj NAME as a whole token: prefix tests would
+        // swallow distinct projections (+proj=sterea is the oblique
+        // Gauss-Schreiber stereographic, +proj=lcca the LCC
+        // alternative — entirely different math)
+        val proj = "\\+proj=([a-z_0-9]+)".r.findFirstMatchIn(p).map(_.group(1))
+          .getOrElse(throw new IllegalArgumentException(s"unparseable '$crs'"))
+        proj match {
+          case "utm" =>
+            val zone = "\\+zone=(\\d+)".r.findFirstMatchIn(p)
+              .map(_.group(1).toInt)
+              .getOrElse(throw new IllegalArgumentException(s"missing +zone in '$crs'"))
+            Utm(zone, south = p.contains("+south"))
+          case "stere" =>
+            val lat0 = p4("lat_0", p)
+            require(math.abs(lat0) == 90.0,
+              s"only polar aspects supported (+lat_0=+-90), got $lat0")
+            val north = lat0 > 0
+            // proj semantics: +lat_ts wins; else +k (default 1.0 —
+            // without this, latTs = the pole makes scaleC =
+            // m(90)/t(90) = Inf and every forward() silently returns
+            // Infinity)
+            val k0 = "\\+k_?0?=(-?[0-9.]+)".r.findFirstMatchIn(p).map(_.group(1).toDouble)
+            PolarStereographic(p4or("lon_0", p, 0.0),
+              p4or("lat_ts", p, lat0), north,
+              p4or("x_0", p, 0.0), p4or("y_0", p, 0.0),
+              if (p.contains("+lat_ts")) None else Some(k0.getOrElse(1.0)))
+          case "lcc" =>
+            val lat1 = p4("lat_1", p)
+            LambertConformalConic(p4or("lon_0", p, 0.0), p4("lat_0", p),
+              lat1, p4or("lat_2", p, lat1), p4or("x_0", p, 0.0), p4or("y_0", p, 0.0))
+          case "longlat" => LatLng
+          case "merc"    => WebMercator
+          case other => throw new IllegalArgumentException(s"unsupported +proj=$other")
+        }
       case other => throw new IllegalArgumentException(s"unsupported CRS '$other'")
     }
   }
@@ -180,7 +199,7 @@ object CRS {
         j += 1
       }
       val dl = math.atan2(math.sinh(etap), math.cos(xip))
-      (lon0 + math.toDegrees(dl), math.toDegrees(phi))
+      (normLon(lon0 + math.toDegrees(dl)), math.toDegrees(phi))
     }
   }
 
@@ -239,7 +258,7 @@ object CRS {
       }
       val dl = if (rho == 0) 0.0 else math.atan2(dx, -dy)
       val lon = if (north) lon0 + math.toDegrees(dl) else lon0 - math.toDegrees(dl)
-      (lon, math.toDegrees(if (north) phi else -phi))
+      (normLon(lon), math.toDegrees(if (north) phi else -phi))
     }
 
     /** The forward projection as named SQL formula steps over lon/lat
@@ -303,7 +322,7 @@ object CRS {
           t * math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2))
         k += 1
       }
-      (lon0 + math.toDegrees(th / n), math.toDegrees(phi))
+      (normLon(lon0 + math.toDegrees(th / n)), math.toDegrees(phi))
     }
   }
 

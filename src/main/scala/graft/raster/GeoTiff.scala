@@ -524,6 +524,15 @@ object GeoTiff {
         throw new IllegalArgumentException("missing StripOffsets"))
       val cnts = vals(TagStripByteCounts).getOrElse(IndexedSeq((rows.toLong * cols * nb * bpp).toDouble))
       val stripsPerBand = if (planar == 2) (rows + rps - 1) / rps else offs.length
+      // planar=2 indexes bands(s / stripsPerBand): an offsets array
+      // inconsistent with rows/RowsPerStrip would walk off the band
+      // list deep in the loop — fail cleanly up front instead (the
+      // tiled branch has the same guard)
+      require(planar == 1 || offs.length == stripsPerBand * nb,
+        s"planar=2 expects ${stripsPerBand * nb} strips (ceil(rows/rps) x bands), " +
+        s"file has ${offs.length}")
+      require(cnts.length >= offs.length,
+        "StripByteCounts shorter than StripOffsets")
       for (s <- offs.indices) {
         val band0 = if (planar == 2) s / stripsPerBand else 0
         val r0 = (if (planar == 2) s % stripsPerBand else s) * rps

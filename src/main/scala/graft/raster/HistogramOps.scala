@@ -78,7 +78,13 @@ object HistogramOps {
   def quantileBreaks(layer: RasterLayer, qs: Seq[Double],
                      maxExactCells: Long = 100000000L): DataFrame = {
     val tl = layer.meta.layout.tileLayout
-    val nCells = tl.layoutCols.toLong * tl.layoutRows * tl.tileCols * tl.tileRows
+    // spatial layers: the layout's capacity bounds the cell count with
+    // NO job (an overcount can only choose approx, never OOM). Temporal
+    // layers hold one row per (key, instant) — capacity does NOT bound
+    // them, so they pay one count() to keep the OOM guard honest.
+    val nCells =
+      if (layer.meta.temporal) layer.df.count() * tl.tileCols * tl.tileRows
+      else tl.layoutCols.toLong * tl.layoutRows * tl.tileCols * tl.tileRows
     if (nCells <= maxExactCells)
       layer.toCells.select(
         qs.zipWithIndex.map { case (q, i) =>

@@ -100,5 +100,29 @@ class PolarLccSpec extends AnyFunSuite {
     val l = CRS.fromName("+proj=lcc +lon_0=-98.5 +lat_0=29.67 +lat_1=30.12 +lat_2=31.88 +x_0=700000 +y_0=3000000")
     assert(l == LambertConformalConic(-98.5, 29.67, 30.12, 31.88, 700000.0, 3000000.0))
     intercept[IllegalArgumentException](CRS.fromName("+proj=stere +lat_0=45"))
+    // +proj=sterea (oblique Gauss-Schreiber) is a DIFFERENT projection —
+    // a prefix match would silently construct polar math for it
+    val e = intercept[IllegalArgumentException](
+      CRS.fromName("+proj=sterea +lat_0=90 +lon_0=0"))
+    assert(e.getMessage.contains("sterea"))
+    intercept[IllegalArgumentException](CRS.fromName("+proj=lcca +lat_0=45 +lat_1=46"))
+    // bare polar stere without +lat_ts/+k defaults k0 = 1 (proj
+    // semantics), never Infinity
+    val bare = CRS.fromName("+proj=stere +lat_0=90 +lon_0=0")
+      .asInstanceOf[PolarStereographic]
+    val (bx, by) = bare.forward(10.0, 80.0)
+    assert(!bx.isNaN && !bx.isInfinite && !by.isNaN && !by.isInfinite)
+  }
+
+  test("inverse longitudes are normalized into [-180, 180) even when lon0 shifts them out") {
+    // EPSG:3413's lon0 = -45: a raw lon0 + dl spans (-225, 135], which
+    // would silently NoData the (135, 180] wedge in reprojectTiled's
+    // source bounds check
+    for (lon <- Seq(136.0, 160.0, 179.9, -179.9); lat <- Seq(62.0, 75.0)) {
+      val (x, y) = arctic.forward(lon, lat)
+      val (lon2, _) = arctic.inverse(x, y)
+      assert(lon2 >= -180.0 && lon2 < 180.0, s"lon $lon -> $lon2 out of range")
+      assert(math.abs(lon2 - lon) < 1e-9, s"lon $lon -> $lon2")
+    }
   }
 }
