@@ -638,6 +638,12 @@ object SparkEntry {
         Array(1.0, 2.0, 1.0, 2.0, 4.0, 2.0, 1.0, 2.0, 1.0), 1))),
 
     // --- LLM-pipeline: dedup family (documents)
+    "q_dedup_segments" -> ((s, dir) =>
+      // CCNet/RefinedWeb-style boilerplate removal: 10-word segments
+      // occurring > 2 times within a source are dropped, surviving
+      // text reassembled in order (docs left empty disappear)
+      pipeline.Dedup.dropBoilerplateSegments(table(s, dir, "documents"))),
+
     "q_dedup_exact" -> ((s, dir) =>
       pipeline.Dedup.exact(table(s, dir, "documents"))),
 
@@ -1454,6 +1460,23 @@ object SparkEntry {
       // --- pipeline: dedup
       "q_dedup_exact" ->
         "SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dups FROM documents GROUP BY 1",
+
+      // segment-level boilerplate removal: 10-word windows, per-source
+      // frequency cap 2, portable 60-bit segment hash, ordered
+      // reassembly — every step restated
+      "q_dedup_segments" ->
+        """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+          |segs AS (SELECT doc_id, source, w,
+          |  unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS pos FROM t),
+          |seg2 AS (SELECT doc_id, source, pos,
+          |  array_to_string(list_slice(w, pos * 10 + 1, pos * 10 + 10), ' ') AS seg FROM segs),
+          |h AS (SELECT *, ('0x' || substr(md5(seg), 1, 15))::BIGINT AS hh FROM seg2),
+          |hot AS (SELECT source, hh FROM h GROUP BY source, hh HAVING count(*) > 2),
+          |keep AS (SELECT h.doc_id, h.source, h.pos, h.seg FROM h
+          |  LEFT JOIN hot ON h.source = hot.source AND h.hh = hot.hh
+          |  WHERE hot.hh IS NULL)
+          |SELECT doc_id, source, string_agg(seg, ' ' ORDER BY pos) AS text
+          |FROM keep GROUP BY doc_id, source""".stripMargin,
 
       // maxDocFreq skew cap (1000) mirrored via the hot/ANTI JOIN CTEs;
       // shingles are hashed before the self-join exactly like Spark

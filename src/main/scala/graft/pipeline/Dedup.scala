@@ -204,6 +204,39 @@ object Dedup {
       .toDF("doc_id", "probe_id", "containment")
   }
 
+  /** Segment-level deduplication — the CCNet/RefinedWeb boilerplate
+    * removal step: cut each document into fixed word-count segments
+    * (the corpus is single-line text, so fixed windows stand in for
+    * lines/paragraphs), drop segments that occur more than `maxFreq`
+    * times within their source (navigation chrome, licence headers,
+    * templates), and reassemble the surviving text in order. Documents
+    * left empty disappear.
+    *
+    * Scale shape: one explode (narrow), one (source, segment-hash)
+    * groupBy with map-side combine — the hot side is the BOILERPLATE
+    * set, small by nature, so it broadcasts into a left-anti join —
+    * then one reassembly groupBy per doc. Segment keys are the
+    * portable 60-bit md5 prefix (8-byte exchanges, oracle-identical). */
+  def dropBoilerplateSegments(docs: DataFrame, segWords: Int = 10,
+                              maxFreq: Long = 2): DataFrame = {
+    require(segWords > 0 && maxFreq >= 1)
+    val toks = split(col("text"), " ")
+    val nseg = ceil(size(toks).cast("double") / segWords).cast("int")
+    val segs = docs.select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(0), nseg - 1), i =>
+          struct(i.as("pos"),
+            concat_ws(" ", slice(toks, i * segWords + 1, lit(segWords))).as("seg")))).as("s"))
+      .select(col("doc_id"), col("source"),
+        col("s.pos").as("pos"), col("s.seg").as("seg"),
+        shingleHash(col("s.seg")).as("h"))
+    val hot = segs.groupBy("source", "h").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxFreq).select("source", "h")
+    segs.join(broadcast(hot), Seq("source", "h"), "left_anti")
+      .groupBy("doc_id", "source")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+        x => x.getField("seg")), " ").as("text"))
+  }
+
   val MinhashP = 2147483647L // 2^31 - 1
 
   /** Default LSH bucket-size cap (see [[minhashPairs]]). */

@@ -286,6 +286,22 @@ class PipelineSpec extends SparkSpec {
     assert(out.find(_._2 == "tiny").get._4 == 0L) // fresh source restarts
   }
 
+  test("segment dedup drops per-source boilerplate, keeps order, drops emptied docs") {
+    val boiler = "subscribe to our newsletter now for daily updates today ok" // 10 words
+    val docs2 = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta iota kappa $boiler", "en", "s1", 1L),
+      (2L, s"$boiler one two three four five six seven eight nine ten", "en", "s1", 1L),
+      (3L, boiler, "en", "s1", 1L),                       // all boilerplate -> disappears
+      (4L, boiler, "en", "s2", 1L))                       // same text, OTHER source: freq 1, kept
+    val out = Dedup.dropBoilerplateSegments(
+      docs2.toDF("doc_id", "text", "lang", "source", "n_chars"), segWords = 10, maxFreq = 2)
+    val rows = out.as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(rows(1L) == "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    assert(rows(2L) == "one two three four five six seven eight nine ten")
+    assert(!rows.contains(3L)) // every segment was boilerplate
+    assert(rows(4L) == boiler) // caps are PER SOURCE
+  }
+
   test("product quantization: codes compress, ADC ranks an exact duplicate first") {
     // dim 8, m = 4 subspaces of 2; centroids = vec_ids 0 and 1
     def v(xs: Double*) = xs.map(_.toFloat).toArray
