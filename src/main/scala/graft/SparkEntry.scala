@@ -638,6 +638,10 @@ object SparkEntry {
         Array(1.0, 2.0, 1.0, 2.0, 4.0, 2.0, 1.0, 2.0, 1.0), 1))),
 
     // --- LLM-pipeline: dedup family (documents)
+    "q_repetition" -> ((s, dir) =>
+      // Gopher-style repetition rule: duplicate-bigram fraction per doc
+      pipeline.TextAnalysis.repetitionScore(table(s, dir, "documents"))),
+
     "q_dedup_segments" -> ((s, dir) =>
       // CCNet/RefinedWeb-style boilerplate removal: 10-word segments
       // occurring > 2 times within a source are dropped, surviving
@@ -1460,6 +1464,17 @@ object SparkEntry {
       // --- pipeline: dedup
       "q_dedup_exact" ->
         "SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dups FROM documents GROUP BY 1",
+
+      // duplicate-bigram fraction: exact integer counts, one IEEE
+      // division — engine-identical with no rounding
+      "q_repetition" ->
+        """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+          |g AS (SELECT doc_id, list_transform(range(1, len(toks)),
+          |  i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS grams
+          |  FROM t WHERE len(toks) >= 2)
+          |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+          |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS rep_fraction
+          |FROM g""".stripMargin,
 
       // segment-level boilerplate removal: 10-word windows, per-source
       // frequency cap 2, portable 60-bit segment hash, ordered

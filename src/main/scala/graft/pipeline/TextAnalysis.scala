@@ -96,6 +96,28 @@ object TextAnalysis {
     * doc frequencies) + a window over doc_id. The df side is a
     * per-term aggregate of the whole corpus — bounded by vocabulary,
     * not corpus size — and joins back by term hash-partitioned. */
+  /** Within-document repetition score — the Gopher/MassiveText
+    * repetition quality rule: the fraction of n-grams that are
+    * duplicates of an earlier n-gram in the SAME document (machine-
+    * generated and spammy text repeats itself; high fractions get
+    * filtered before training). Pure per-row array math (no shuffle,
+    * no explode): n-grams built with a sequence transform, the
+    * duplicate fraction is 1 - distinct/total. Both counts are exact
+    * integers and the single IEEE division is engine-identical, so the
+    * oracle needs no rounding. Documents with fewer than n tokens have
+    * no n-grams and are excluded (mirrored in the oracle). */
+  def repetitionScore(docs: DataFrame, n: Int = 2): DataFrame = {
+    require(n >= 1)
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    docs.where(size(toks) >= n)
+      .select(col("doc_id"),
+        size(grams).cast("long").as("n_grams"),
+        (lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+          .as("rep_fraction"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 3, minTermLen: Int = 3): DataFrame = {
     // tf computed once, eagerly: df and the join both consume it, and
     // a lazy plan would re-run the explode+regexp scan per branch

@@ -286,6 +286,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.find(_._2 == "tiny").get._4 == 0L) // fresh source restarts
   }
 
+  test("repetition score: duplicate-bigram fraction per document") {
+    val docs2 = Seq(
+      (1L, "spam spam spam spam spam", "en", "s", 1L),     // 4 bigrams, 1 distinct
+      (2L, "all words here are unique", "en", "s", 1L),    // 4 bigrams, all distinct
+      (3L, "ab ab cd ab ab", "en", "s", 1L),               // 4 bigrams: [ab ab, ab cd, cd ab, ab ab]
+      (4L, "single", "en", "s", 1L))                       // < 2 tokens -> excluded
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.repetitionScore(docs2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (4L, 0.75))
+    assert(out(2L) == (4L, 0.0))
+    assert(out(3L) == (4L, 0.25))
+    assert(!out.contains(4L))
+  }
+
   test("segment dedup drops per-source boilerplate, keeps order, drops emptied docs") {
     val boiler = "subscribe to our newsletter now for daily updates today ok" // 10 words
     val docs2 = Seq(
