@@ -52,7 +52,11 @@ object CRS {
   trait Transform extends Serializable {
     /** lon/lat degrees -> planar (x, y). */
     def forward(lon: Double, lat: Double): (Double, Double)
-    /** planar (x, y) -> lon/lat degrees, longitude in [-180, 180). */
+    /** planar (x, y) -> lon/lat degrees. Every GEOGRAPHIC projection
+      * returns longitude normalized into [-180, 180); [[LatLng]] is
+      * exempt — it is a planar identity whose "degrees" are often
+      * plain grid coordinates (unit layouts span 0..256), and wrapping
+      * those would corrupt them. */
     def inverse(x: Double, y: Double): (Double, Double)
   }
 
@@ -76,7 +80,7 @@ object CRS {
     def forward(lon: Double, lat: Double): (Double, Double) =
       (lngToMercX(lon), latToMercY(lat))
     def inverse(x: Double, y: Double): (Double, Double) =
-      (mercXToLng(x), mercYToLat(y))
+      (normLon(mercXToLng(x)), mercYToLat(y))
   }
 
   /** CRS registry by the names the reference accepts (layer.py:876
@@ -305,7 +309,12 @@ object CRS {
     def forward(lon: Double, lat: Double): (Double, Double) = {
       val phi = math.toRadians(lat)
       val rho = a * f * math.pow(tOf(phi), n)
-      val th = n * math.toRadians(lon - lon0)
+      // wrap lon - lon0 into [-180, 180] BEFORE scaling by the cone
+      // constant: unlike TM/polar, whose dl enters only 2-pi-periodic
+      // sin/cos, LCC multiplies by non-integer n first — an Aleutian
+      // cone (lon0 = -154) fed a normalized lon of 179 would otherwise
+      // land on the wrong azimuth of the cone
+      val th = n * math.toRadians(normLon(lon - lon0))
       (falseEasting + rho * math.sin(th), falseNorthing + rho0 - rho * math.cos(th))
     }
 

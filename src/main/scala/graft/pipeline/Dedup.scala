@@ -220,12 +220,16 @@ object Dedup {
   def dropBoilerplateSegments(docs: DataFrame, segWords: Int = 10,
                               maxFreq: Long = 2): DataFrame = {
     require(segWords > 0 && maxFreq >= 1)
-    val toks = split(col("text"), " ")
-    val nseg = ceil(size(toks).cast("double") / segWords).cast("int")
+    // project toks FIRST: a raw split() referenced inside the
+    // transform lambda re-splits the whole text per segment
+    // (ArrayTransform has no CSE — the shingles() precedent)
+    val nseg = ceil(size(col("toks")).cast("double") / segWords).cast("int")
     val segs = docs.select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"),
         explode(transform(sequence(lit(0), nseg - 1), i =>
           struct(i.as("pos"),
-            concat_ws(" ", slice(toks, i * segWords + 1, lit(segWords))).as("seg")))).as("s"))
+            concat_ws(" ", slice(col("toks"), i * segWords + 1, lit(segWords))).as("seg")))).as("s"))
       .select(col("doc_id"), col("source"),
         col("s.pos").as("pos"), col("s.seg").as("seg"),
         shingleHash(col("s.seg")).as("h"))

@@ -108,13 +108,21 @@ object TextAnalysis {
     * no n-grams and are excluded (mirrored in the oracle). */
   def repetitionScore(docs: DataFrame, n: Int = 2): DataFrame = {
     require(n >= 1)
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    docs.where(size(toks) >= n)
+    // NAME each stage before referencing it from a lambda or reusing
+    // it: ArrayTransform evaluates its lambda body per element with no
+    // CSE, so an inline regexp_extract_all would re-tokenize the whole
+    // document once per n-gram (O(t^2) per row — measured 3.4s on the
+    // bench before this projection), and `grams` is consumed by three
+    // expressions
+    docs.select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .where(size(col("toks")) >= n)
       .select(col("doc_id"),
-        size(grams).cast("long").as("n_grams"),
-        (lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))).as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        (lit(1.0) - size(array_distinct(col("grams"))).cast("double") / size(col("grams")))
           .as("rep_fraction"))
   }
 

@@ -531,8 +531,14 @@ object GeoTiff {
       require(planar == 1 || offs.length == stripsPerBand * nb,
         s"planar=2 expects ${stripsPerBand * nb} strips (ceil(rows/rps) x bands), " +
         s"file has ${offs.length}")
-      require(cnts.length >= offs.length,
-        "StripByteCounts shorter than StripOffsets")
+      // only the strips the loop will actually read need byte counts
+      // (planar=1 files may carry trailing offsets past the last row)
+      val usedStrips =
+        if (planar == 2) offs.length
+        else math.min(offs.length, ((rows + rps - 1) / rps))
+      require(cnts.length >= usedStrips,
+        s"StripByteCounts has ${cnts.length} entries for $usedStrips strips" +
+        (if (!tags.contains(TagStripByteCounts)) " (tag missing)" else ""))
       for (s <- offs.indices) {
         val band0 = if (planar == 2) s / stripsPerBand else 0
         val r0 = (if (planar == 2) s % stripsPerBand else s) * rps

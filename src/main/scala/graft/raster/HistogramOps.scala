@@ -68,10 +68,12 @@ object HistogramOps {
     * `percentile` buffers EVERY value in one aggregation buffer — an
     * executor OOM at 10^12 cells — so the exact path is gated on a
     * cell-count ceiling and large layers take the single-pass t-digest
-    * sketch at 1e-3 relative error instead. The ceiling uses the
-    * LAYOUT's cell capacity — zero jobs, where a count() would execute
-    * the layer's whole upstream DAG once just to decide (derived
-    * layers are not parquet-backed). Callers that require exact
+    * sketch at 1e-3 relative error instead. For SPATIAL layers the
+    * ceiling uses the layout's cell capacity — zero jobs, where a
+    * count() would execute the layer's whole upstream DAG once just to
+    * decide (derived layers are not parquet-backed). TEMPORAL layers
+    * do pay one count(): capacity does not bound per-instant rows and
+    * an undercount would defeat the OOM guard. Callers that require exact
     * quantiles above the ceiling should pre-aggregate to integral
     * values and use [[quantileBreaksExactInt]], whose exchange carries
     * only distinct values. */

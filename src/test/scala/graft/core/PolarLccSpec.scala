@@ -82,6 +82,19 @@ class PolarLccSpec extends AnyFunSuite {
     assert(k(31.0) < 1.0 && k(29.0) > 1.0) // inside the parallels the cone dips below 1
   }
 
+  test("LCC forward wraps lon-lon0 across the antimeridian (Aleutian cone)") {
+    val lcc = LambertConformalConic(-154.0, 55.0, 52.0, 58.0)
+    // the same physical meridian expressed either side of the wrap
+    // must project identically (th is scaled by the non-integer cone
+    // constant BEFORE sin/cos, so an unwrapped 333-degree dl would
+    // land on a different azimuth)
+    val a = lcc.forward(179.0, 55.0)
+    val b = lcc.forward(179.0 - 360.0, 55.0)
+    assert(a == b)
+    val (lon2, lat2) = lcc.inverse(a._1, a._2)
+    assert(math.abs(lon2 - 179.0) < 1e-9 && math.abs(lat2 - 55.0) < 1e-9)
+  }
+
   test("LCC roundtrips are identity across the zone") {
     val lcc = LambertConformalConic(-98.5, 29.67, 30.12, 31.88, 700000.0, 3000000.0)
     for (lon <- Seq(-103.0, -98.5, -94.25); lat <- Seq(26.0, 29.67, 31.88, 36.5)) {
