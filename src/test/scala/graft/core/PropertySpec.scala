@@ -92,6 +92,35 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("WKT write/parse roundtrips arbitrary geometries of every kind") {
+    import graft.vector.{Polygon, Pt, Wkt}
+    import graft.vector.Wkt._
+    // coordinates that survive the writer's integer-shortening exactly
+    val coord: Gen[Double] = Gen.oneOf(
+      Gen.choose(-1000, 1000).map(_.toDouble),
+      Gen.choose(-8000, 8000).map(_ / 8.0)) // dyadic fractions: exact
+    val pt: Gen[Pt] = for (x <- coord; y <- coord) yield Pt(x, y)
+    def pts(min: Int): Gen[IndexedSeq[Pt]] =
+      Gen.choose(min, min + 5).flatMap(n => Gen.listOfN(n, pt).map(_.toIndexedSeq))
+    // distinct vertices so ring-closing dedup can't collapse a ring
+    // below the 3-point minimum
+    def ring: Gen[IndexedSeq[Pt]] = pts(3).map(_.distinct).retryUntil(_.length >= 3)
+    val poly: Gen[Polygon] = for {
+      ext <- ring
+      holes <- Gen.choose(0, 2).flatMap(n => Gen.listOfN(n, ring))
+    } yield Polygon(ext, holes)
+    val geom: Gen[Geom] = Gen.oneOf(
+      pt.map(PointG.apply),
+      pts(1).map(MultiPointG.apply),
+      pts(2).map(LineStringG.apply),
+      Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, pts(2))).map(ls => MultiLineStringG(ls)),
+      poly.map(PolygonG.apply),
+      Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, poly)).map(ps => MultiPolygonG(ps)))
+    check(Prop.forAll(geom) { g =>
+      Wkt.parse(Wkt.write(g)) == g
+    })
+  }
+
   test("CellType pack/unpack is clamp-then-identity for every integer type") {
     val v = Gen.oneOf(Gen.choose(-1e10, 1e10), Gen.choose(-300.0, 300.0),
       Gen.const(Double.NaN))
