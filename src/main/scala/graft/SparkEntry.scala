@@ -387,9 +387,12 @@ object SparkEntry {
       // through the serving-latency path instead of a layer scan.
       val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
       Catalog.write(uri, "lineitem_vr", lineitemLayer(s, dir))
-      val tile = Catalog.readTile(s, uri, "lineitem_vr", 0, 2, 3).get
       import s.implicits._
       val T = GridSource.T // the derived-grid contract's tile stride
+      // an absent tile (tiny SF) is an all-NoData tile -> zero rows,
+      // exactly the oracle's empty slice
+      val tile = Catalog.readTile(s, uri, "lineitem_vr", 0, 2, 3)
+        .getOrElse(Array.fill(T * T)(Double.NaN))
       (for (j <- 0 until T; i <- 0 until T; v = tile(j * T + i) if !v.isNaN)
         yield (2L * T + i, 3L * T + j, v)).toDF("x", "y", "v")
     }),
