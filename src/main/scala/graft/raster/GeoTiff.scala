@@ -323,10 +323,11 @@ object GeoTiff {
         writeEntry(code)
         old = code
         // early change, decoder side: the decoder's table is one entry
-        // BEHIND the encoder's (no entry on the first code after
-        // clear), so it widens at 510/1022/2046 where the encoder
-        // widens at 511/1023/2047 — same stream position
-        if (next == (1 << width) - 2 && width < 12) width += 1
+        // BEHIND the encoder's, and the encoder widens one code EARLY
+        // (when its next free slot reaches 2^width, i.e. after adding
+        // entry 2^width - 1) — net: the decoder widens when ITS next
+        // reaches 511/1023/2047. Matches libtiff/GDAL/ImageIO streams.
+        if (next == (1 << width) - 1 && width < 12) width += 1
       }
     }
     require(outPos == rawLen || done,

@@ -327,7 +327,9 @@ class GeoTiffSpec extends SparkSpec {
         else {
           put(omega)
           table.put(key, Integer.valueOf(next)); next += 1
-          if (next == (1 << width) - 1 && width < 12) width += 1
+          // early change, encoder side: widen as soon as the next free
+          // slot needs more bits (libtiff/GDAL/ImageIO-compatible)
+          if (next == (1 << width) && width < 12) width += 1
           if (next == 4094) { put(256); table.clear(); next = 258; width = 9 }
           omega = b & 0xff
         }
@@ -503,5 +505,52 @@ class GeoTiffSpec extends SparkSpec {
     }
     val t16 = compressedTiff(cols, rows, 16, 1, rows, 5, 2, Seq(lzwEncode(diff16)))
     assert(GeoTiff.decodeScene(t16)._7.head.toSeq == vals16.map(_.toDouble).toSeq)
+  }
+
+  test("LZW interop: decodes TIFFs written by javax.imageio (libtiff-compatible early change)") {
+    // The JDK's TIFF writer is a fully independent LZW encoder
+    // interoperable with libtiff/GDAL. 200x120 of pseudo-random bytes
+    // pushes the dictionary through the 9->10->11->12 bit transitions,
+    // which the hand-rolled spec encoder alone cannot cross-check.
+    import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
+    val cols = 200; val rows = 120
+    val vals = Array.tabulate(cols * rows)(i => ((i * 131) ^ (i >> 5)) & 0xff)
+    val img = new java.awt.image.BufferedImage(
+      cols, rows, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSamples(0, 0, cols, rows, 0, vals)
+    for (predictor <- Seq(false, true)) {
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType("LZW")
+      val meta =
+        if (!predictor) null
+        else {
+          // request horizontal differencing via the native metadata tree
+          val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+          val m = writer.getDefaultImageMetadata(spec, p)
+          val fmt = "javax_imageio_tiff_image_1.0"
+          val root = new javax.imageio.metadata.IIOMetadataNode(fmt)
+          val ifd = new javax.imageio.metadata.IIOMetadataNode("TIFFIFD")
+          val field = new javax.imageio.metadata.IIOMetadataNode("TIFFField")
+          field.setAttribute("number", "317") // Predictor
+          val shorts = new javax.imageio.metadata.IIOMetadataNode("TIFFShorts")
+          val short = new javax.imageio.metadata.IIOMetadataNode("TIFFShort")
+          short.setAttribute("value", "2")
+          shorts.appendChild(short); field.appendChild(shorts)
+          ifd.appendChild(field); root.appendChild(ifd)
+          m.mergeTree(fmt, root)
+          m
+        }
+      writer.write(null, new IIOImage(img, null, meta), p)
+      ios.close(); writer.dispose()
+      val (_, _, _, _, c, r, bands) = GeoTiff.decodeScene(baos.toByteArray)
+      assert(c == cols && r == rows)
+      assert(bands.head.toSeq == vals.map(_.toDouble).toSeq,
+        s"predictor=$predictor pixels differ")
+    }
   }
 }
