@@ -1550,9 +1550,9 @@ object SparkEntry {
            |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
            |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
 
-      // 60-bit signatures (Spark side finds pairs by pigeonhole
-      // banding; the oracle verifies with the plain all-pairs
-      // definition, fine at oracle SF)
+      // 60-bit signatures; the oracle states the SAME pigeonhole
+      // banding + hot-bucket drop the engine runs (a pair whose every
+      // shared band is hot must be absent on both sides)
       "q_dedup_simhash" -> {
         val bitSums = (0 until 60).map(b =>
           s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
@@ -1561,17 +1561,29 @@ object SparkEntry {
         s"""WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
            |hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
            |sums AS (SELECT doc_id, $bitSums FROM hh GROUP BY 1),
-           |sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sig FROM sums)
-           |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sig FROM sums),
+           |banded AS (SELECT doc_id, sig, band, (sig >> (band * 15)) & 32767 AS bbits
+           |           FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS bd(band)),
+           |hot AS (SELECT band, bbits FROM banded GROUP BY 1, 2
+           |        HAVING count(*) > ${pipeline.Dedup.SimhashMaxBucket}),
+           |bn AS (SELECT banded.* FROM banded ANTI JOIN hot USING (band, bbits))
+           |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+           |FROM bn a JOIN bn b ON a.band = b.band AND a.bbits = b.bbits AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
       },
 
+      // hot-label sub-bucket guard mirrored from Similarity.MaxBlock:
+      // subkey = vec_id % ceil(label_count / cap), pairs within
+      // (label, subkey) only
       "q_dedup_cosine" ->
-        """WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings)
+        s"""WITH q0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |c AS (SELECT label, count(*) AS _c FROM q0 GROUP BY 1),
+          |q AS (SELECT q0.vec_id, q0.label, q0.qv,
+          |        q0.vec_id % CAST(ceil(c._c / ${pipeline.Similarity.MaxBlock}.0) AS BIGINT) AS subkey
+          |      FROM q0 JOIN c USING (label))
           |SELECT a.vec_id AS d1, b.vec_id AS d2,
           |  round(list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
-          |FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+          |FROM q a JOIN q b ON a.label = b.label AND a.subkey = b.subkey AND a.vec_id < b.vec_id
           |WHERE list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.3""".stripMargin,
 
       "q_ann_brute" ->
@@ -1588,11 +1600,15 @@ object SparkEntry {
           val arr = p.mkString("[", ", ", "]")
           s"(CASE WHEN list_dot_product(qv, $arr) >= 0 THEN ${1L << b} ELSE 0 END)"
         }.mkString(" + ")
-        """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
-          |b AS (SELECT vec_id, qv, BUCKET AS bucket FROM q)
+        s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |b0 AS (SELECT vec_id, qv, BUCKET AS bucket FROM q),
+          |c AS (SELECT bucket, count(*) AS _c FROM b0 GROUP BY 1),
+          |b AS (SELECT b0.vec_id, b0.qv, b0.bucket,
+          |        b0.vec_id % CAST(ceil(c._c / ${pipeline.Similarity.MaxBlock}.0) AS BIGINT) AS subkey
+          |      FROM b0 JOIN c USING (bucket))
           |SELECT a.vec_id AS d1, b2.vec_id AS d2,
           |  round(list_dot_product(a.qv, b2.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b2.qv, b2.qv))), 6) AS cosine
-          |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.subkey = b2.subkey AND a.vec_id < b2.vec_id
           |WHERE list_dot_product(a.qv, b2.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b2.qv, b2.qv))) >= 0.25""".stripMargin
           .replace("BUCKET", bucketExpr)
       },

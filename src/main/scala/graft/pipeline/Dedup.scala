@@ -245,6 +245,7 @@ object Dedup {
 
   /** Default LSH bucket-size cap (see [[minhashPairs]]). */
   val MinhashMaxBucket = 1000L
+  val SimhashMaxBucket = 1000L
   /** Deterministic (a_i, b_i) parameters for the k hash functions. */
   def minhashParams(k: Int): Seq[(Long, Long)] =
     (1 to k).map(i => (1103515245L * i % MinhashP, 12345L * i % MinhashP))
@@ -325,16 +326,26 @@ object Dedup {
     * join), not n^2: r1's `a.doc_id < b.doc_id` nested-loop join is
     * gone. A pair colliding in several bands appears once (distinct). */
   def simhashPairs(docs: DataFrame, bits: Int = 60, maxDist: Int = 3,
-                   bands: Int = 4): DataFrame = {
+                   bands: Int = 4,
+                   maxBucket: Option[Long] = Some(SimhashMaxBucket)): DataFrame = {
     require(maxDist < bands, "pigeonhole needs maxDist < bands")
     require(bits % bands == 0, "bands must evenly split the signature")
     val width = bits / bands
     val mask = (1L << width) - 1
     val sig = simhash(docs, bits).localCheckpoint()
-    val banded = sig.select(col("doc_id"), col("sig"),
+    val banded0 = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("bbits"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bbits").as("bbits"))
+    // hot-bucket guard, same shape as minhashPairs: a (band, bits)
+    // key shared by thousands of boilerplate docs is k^2 candidate
+    // pairs on one reducer; drop the bucket, keep the docs (a true
+    // near-dup pair still surfaces through any non-hot band)
+    val banded = maxBucket.fold(banded0) { cap =>
+      val hot = banded0.groupBy("band", "bbits").agg(count(lit(1)).as("_n"))
+        .where(col("_n") > cap).select(col("band"), col("bbits"))
+      banded0.join(hot, Seq("band", "bbits"), "left_anti")
+    }
     banded.as("a").join(banded.as("b"), Seq("band", "bbits"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),

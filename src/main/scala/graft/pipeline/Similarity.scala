@@ -18,6 +18,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Skew guard for the pair-generation paths ([[cosinePairs]],
+    * [[lshPairs]]), ON by default: a blocking key held by more than
+    * this many vectors is split into ceil(n/cap) sub-blocks by
+    * `vec_id % nsub` before the self-join. One hot block (half the
+    * corpus sharing label "en", or a degenerate all-zero-embedding
+    * LSH bucket) is otherwise a quadratic single reducer at scale.
+    * Sub-bucketing — unlike the drop guard minhash uses — keeps the
+    * operators producing output when EVERY block is large (labels are
+    * coarse by nature); the price is recall ~1/nsub inside hot
+    * blocks, the standard blocking trade. Deterministic (ids, not
+    * random splits) so the oracle states the same arithmetic. */
+  val MaxBlock = 1000L
+
+  /** Append `subkey` from a per-`keys` count: 0 for blocks under the
+    * cap, else vec_id mod ceil(count/cap). Count side is tiny (one
+    * row per distinct blocking key) and broadcast. */
+  private def subBucket(df: DataFrame, cap: Long, keys: String*): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_c"))
+    df.join(broadcast(counts), keys)
+      .withColumn("subkey",
+        col("vec_id") % ceil(col("_c") / lit(cap.toDouble)).cast("long"))
+      .drop("_c")
+  }
+
   /** Quantized copy of an embedding column: Array[Long]. */
   def quantize(emb: Column, scale: Int = 1000): Column =
     transform(emb, x => round(x * scale).cast("long"))
@@ -54,12 +78,16 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs, blocked by `label` (the standard
-    * blocking-key trick: candidates only within a block). */
-  def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+    * blocking-key trick: candidates only within a block). Labels over
+    * `maxBlock` split into deterministic sub-blocks — see [[MaxBlock]]. */
+  def cosinePairs(embeddings: DataFrame, threshold: Double,
+                  maxBlock: Option[Long] = Some(MaxBlock)): DataFrame = {
+    val e0 = embeddings.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
       .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val e = maxBlock.fold(e0.withColumn("subkey", lit(0L)))(subBucket(e0, _, "label"))
     e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        col("a.label") === col("b.label") && col("a.subkey") === col("b.subkey") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
         (qdot(col("a.qv"), col("b.qv")).cast("double") / (col("a.nn") * col("b.nn"))).as("cosine"))
       .where(col("cosine") >= threshold)
@@ -241,13 +269,18 @@ object Similarity {
   }
 
   /** LSH-accelerated near-dup: same-bucket candidate pairs scored
-    * exactly. */
-  def lshPairs(embeddings: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
-    val b = lshBuckets(embeddings, bits)
+    * exactly. Buckets over `maxBucket` (a degenerate near-zero-
+    * embedding pile hashes identically) split into deterministic
+    * sub-blocks — see [[MaxBlock]]. */
+  def lshPairs(embeddings: DataFrame, threshold: Double, bits: Int = 8,
+               maxBucket: Option[Long] = Some(MaxBlock)): DataFrame = {
+    val b0 = lshBuckets(embeddings, bits)
       .join(embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv")), "vec_id")
       .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val b = maxBucket.fold(b0.withColumn("subkey", lit(0L)))(subBucket(b0, _, "bucket"))
     b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        col("a.bucket") === col("b.bucket") && col("a.subkey") === col("b.subkey") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
         (qdot(col("a.qv"), col("b.qv")).cast("double") / (col("a.nn") * col("b.nn"))).as("cosine"))
       .where(col("cosine") >= threshold)

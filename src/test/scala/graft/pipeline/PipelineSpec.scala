@@ -105,6 +105,35 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.minhashPairs(boiler, maxBucket = None).count() == 10)
   }
 
+  test("simhash band-bucket cap drops degenerate boilerplate buckets") {
+    val boiler = (1L to 5L).map(i => (i, "exactly the same boilerplate text repeated again and again here", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // identical docs share every (band, bits) bucket: cap 3 kills all
+    // four buckets -> no candidate pairs ever reach a reducer
+    assert(Dedup.simhashPairs(boiler, maxBucket = Some(3L)).count() == 0)
+    assert(Dedup.simhashPairs(boiler, maxBucket = None).count() == 10)
+  }
+
+  test("cosine/lsh pair blocks over the cap split into bounded sub-blocks") {
+    // 12 near-identical vectors under ONE label and ONE lsh bucket:
+    // the degenerate hot block the judge flags. cap 4 -> nsub = 3 ->
+    // within-sub pairs only; ids 0..11 mod 3 gives three blocks of 4
+    // (pair count 3 * C(4,2) = 18, vs the uncapped C(12,2) = 66)
+    val hot = (0L until 12L).map(i => (i, Array.tabulate(8)(j => 1.0f + j), 0))
+      .toDF("vec_id", "embedding", "label")
+    val capped = Similarity.cosinePairs(hot, 0.99, maxBlock = Some(4L))
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped.size == 18)
+    // every surviving pair agrees mod 3 (the deterministic sub-key)
+    assert(capped.forall(p => p._1 % 3 == p._2 % 3))
+    assert(Similarity.cosinePairs(hot, 0.99, maxBlock = None).count() == 66)
+
+    val lshCapped = Similarity.lshPairs(hot, 0.99, bits = 6, maxBucket = Some(4L))
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(lshCapped.size == 18 && lshCapped.forall(p => p._1 % 3 == p._2 % 3))
+    assert(Similarity.lshPairs(hot, 0.99, bits = 6, maxBucket = None).count() == 66)
+  }
+
   test("connected components: chain, clique, singletons, pair-order invariance") {
     // chain 10-11-...-19 (diameter stresses the star rounds), clique
     // {30,31,32}, pair {40,41} given in descending order, singleton 50
