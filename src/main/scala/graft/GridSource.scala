@@ -25,6 +25,13 @@ object GridSource {
   val layout64: LayoutDefinition =
     LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(2, 2, 32, 32))
 
+  /** LatLng twin of the 256x256 grid: same cells, extent 0..64
+    * DEGREES (cell 0.25 — exact in binary, so Horn denominators stay
+    * exact), putting each of the 4 tile rows at a distinct center
+    * latitude (56/40/24/8 deg) for per-latitude z-factor oracles. */
+  val layoutLatLng: LayoutDefinition =
+    LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(G / T, G / T, T, T))
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -126,6 +126,18 @@ object SparkEntry {
       val l = lineitemLayer(s, dir).slope()
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
+    "q_slope_latlng" -> ((s, dir) => {
+      // per-latitude z-factor (reference zfactor_lat_lng_calculator):
+      // same lineitem cells on the DEGREES layout; each tile row gets
+      // zf = 1/(11320 cos(center lat)) before the gradient
+      val l = RasterLayer.fromCells(
+        table(s, dir, "lineitem").select(
+          (col("l_orderkey") % G).as("x"), (col("l_partkey") % G).as("y"),
+          col("l_quantity").as("v")),
+        layoutLatLng, CellOp.Sum)
+        .slope(zFactorCalc = Some(graft.raster.ZFactor.latLng("Meters")))
+      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
     "q_aspect" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).aspect()
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
@@ -812,8 +824,12 @@ object SparkEntry {
        |FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
        |GROUP BY c.x, c.y""".stripMargin
 
-  /** Horn-gradient pivot oracle (all-9-present convention, SURVEY §2). */
-  private def hornSql(select: String): String =
+  /** Horn-gradient pivot oracle (all-9-present convention, SURVEY §2).
+    * `cellSize` scales the gradient denominators (degree grids);
+    * `zfExpr` is a per-cell z-factor expression over nb columns
+    * (notably y), exposed to `select` as `zf`. */
+  private def hornSql(select: String, cellSize: Double = 1.0,
+                      zfExpr: String = "1.0"): String =
     s"""WITH g AS ($lineitemCellsSql), nb AS (
        |  SELECT c.x AS x, c.y AS y,
        |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y - 1 THEN n.v END) AS n1,
@@ -829,8 +845,9 @@ object SparkEntry {
        |  GROUP BY c.x, c.y
        |), d AS (
        |  SELECT x, y,
-       |    ((n3 + 2 * n6 + n9) - (n1 + 2 * n4 + n7)) / 8.0 AS dzdx,
-       |    ((n7 + 2 * n8 + n9) - (n1 + 2 * n2 + n3)) / 8.0 AS dzdy
+       |    ((n3 + 2 * n6 + n9) - (n1 + 2 * n4 + n7)) / ${8.0 * cellSize} AS dzdx,
+       |    ((n7 + 2 * n8 + n9) - (n1 + 2 * n2 + n3)) / ${8.0 * cellSize} AS dzdy,
+       |    $zfExpr AS zf
        |  FROM nb WHERE cnt = 9
        |)
        |SELECT x, y, $select AS v FROM d""".stripMargin
@@ -959,6 +976,16 @@ object SparkEntry {
 
       "q_slope" ->
         hornSql("round(degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy))), 5)"),
+
+      // DEGREES grid (cell 0.25): gradient denominators scale by the
+      // cell size, and the tile row y//64 (center lat 64-(row+0.5)*16)
+      // sets zf = 1/(11320 cos lat) — the reference's lat-lng
+      // calculator in closed form
+      "q_slope_latlng" ->
+        hornSql(
+          "round(degrees(atan(sqrt((dzdx * zf) * (dzdx * zf) + (dzdy * zf) * (dzdy * zf)))), 5)",
+          cellSize = 0.25,
+          zfExpr = "1.0 / (11320 * cos(radians(64 - ((y // 64) + 0.5) * 16)))"),
 
       "q_aspect" ->
         hornSql("round(CASE WHEN degrees(atan2(dzdy, -dzdx)) < 0 THEN degrees(atan2(dzdy, -dzdx)) + 360 ELSE degrees(atan2(dzdy, -dzdx)) END, 5)"),

@@ -374,9 +374,18 @@ object Focal {
   /** Terrain ops (slope layer.py:1941, aspect Operation.ASPECT,
     * hillshade hillshade.py:7) over the Horn gradient. `what` is
     * "slope" (degrees), "aspect" (degrees, atan2(dzdy,-dzdx) in
-    * [0,360)), or "hillshade" (0-255 int, azimuth 315 / altitude 45). */
+    * [0,360)), or "hillshade" (0-255 int, azimuth 315 / altitude 45).
+    *
+    * `zFactorCalc` (reference zfactor_lat_lng_calculator,
+    * geopyspark/geotrellis/__init__.py:30 + backend
+    * ZFactorCalculator.scala) derives a PER-TILE z-factor from the
+    * tile extent's center latitude — the default workflow for LatLng
+    * DEMs, where meters-per-degree shrinks with cos(lat); a single
+    * scalar is systematically wrong across a continent-scale layer.
+    * When set it overrides `zFactor`. */
   def terrain(layer: RasterLayer, what: String, zFactor: Double = 1.0,
-              azimuth: Double = 315.0, altitude: Double = 45.0): RasterLayer = {
+              azimuth: Double = 315.0, altitude: Double = 45.0,
+              zFactorCalc: Option[Double => Double] = None): RasterLayer = {
     val meta = layer.meta
     val tl = meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
@@ -405,6 +414,11 @@ object Focal {
         TileContrib(dst._1, dst._2, sx + iMin, sy + jMin, w, h, cells)
       }
     }
+    // tile-row -> center latitude inputs for the per-tile z-factor
+    // (world ymax and tile world height are plain doubles so the
+    // closure ships no layout object)
+    val ymax = meta.layout.extent.ymax
+    val tileWorldH = ch * tr
     val out = contribs.groupByKey(t => (t.col, t.row)).mapGroups { (key: (Int, Int), group: Iterator[TileContrib]) =>
       val (c0, r0) = key
       val W = tc + 2; val H = tr + 2
@@ -413,13 +427,16 @@ object Focal {
         var j = 0
         while (j < cb.h) { var i = 0; while (i < cb.w) { padded((cb.y0 + j + 1) * W + (cb.x0 + i + 1)) = cb.cells(j * cb.w + i); i += 1 }; j += 1 }
       }
+      // reference contract: ONE z-factor per tile, from the tile
+      // extent's CENTER latitude (ZFactorCalculator.deriveZFactor)
+      val zf = zFactorCalc.fold(zFactor)(f => f(ymax - (r0 + 0.5) * tileWorldH))
       val outTile = new Array[Double](tc * tr)
       var cy = 0
       while (cy < tr) {
         var cx = 0
         while (cx < tc) {
           val (dzdx0, dzdy0) = horn(padded, W, cx, cy, cw, ch)
-          val dzdx = dzdx0 * zFactor; val dzdy = dzdy0 * zFactor
+          val dzdx = dzdx0 * zf; val dzdy = dzdy0 * zf
           outTile(cy * tc + cx) =
             if (dzdx.isNaN) Double.NaN
             else what match {

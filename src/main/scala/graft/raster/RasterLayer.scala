@@ -332,10 +332,13 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   def focalChain(steps: (Neighborhood, String)*): RasterLayer =
     Focal.focalChain(this, steps)
   def focalConvolve(kernel: Array[Double], r: Int): RasterLayer = Focal.convolve(this, kernel, r)
-  def slope(zFactor: Double = 1.0): RasterLayer     = Focal.terrain(this, "slope", zFactor)
+  def slope(zFactor: Double = 1.0,
+            zFactorCalc: Option[Double => Double] = None): RasterLayer =
+    Focal.terrain(this, "slope", zFactor, zFactorCalc = zFactorCalc)
   def aspect(): RasterLayer                         = Focal.terrain(this, "aspect")
-  def hillshade(azimuth: Double = 315.0, altitude: Double = 45.0, zFactor: Double = 1.0): RasterLayer =
-    Focal.terrain(this, "hillshade", zFactor, azimuth, altitude)
+  def hillshade(azimuth: Double = 315.0, altitude: Double = 45.0, zFactor: Double = 1.0,
+                zFactorCalc: Option[Double => Double] = None): RasterLayer =
+    Focal.terrain(this, "hillshade", zFactor, azimuth, altitude, zFactorCalc)
   def tobler(): RasterLayer                         = Focal.terrain(this, "tobler")
 
   /** Flatten to one row per data cell (x, y, v). Verification /

@@ -1,0 +1,47 @@
+package graft.raster
+
+/** Latitude -> z-factor calculators for terrain ops over LatLng
+  * layers (reference: geopyspark zfactor_lat_lng_calculator /
+  * zfactor_calculator, geopyspark/geotrellis/__init__.py:30 and
+  * geopyspark-backend ZFactorCalculator.scala).
+  *
+  * A z-factor converts elevation units to ground-distance units at a
+  * given latitude. In EPSG:4326 one degree of ground spans ~111320 m
+  * at the equator and shrinks by cos(lat), so a meters-valued DEM on
+  * a degrees-valued grid needs zf = 1 / (metersPerDegree(lat)).
+  */
+object ZFactor {
+  /** Ground meters (feet) per degree at the equator — the reference's
+    * constants (Constants.scala: METERSATEQUATOR / FEETATEQUATOR). */
+  val MetersAtEquator = 11320.0
+  val FeetAtEquator = 365217.6
+
+  /** Reference lat-lng calculator: zf(lat) = 1/(K * cos(lat)). */
+  def latLng(units: String = "Meters"): Double => Double = {
+    val k = units match {
+      case "Meters" => MetersAtEquator
+      case "Feet"   => FeetAtEquator
+      case other    => throw new IllegalArgumentException(
+        s"unknown units '$other' (Meters/Feet)")
+    }
+    lat => 1.0 / (k * math.cos(math.toRadians(lat)))
+  }
+
+  /** Reference table calculator: piecewise-linear interpolation
+    * through (latitude, zfactor) control points (the reference feeds
+    * a JSON map through a LinearInterpolator; same math, no JSON). */
+  def fromTable(points: Seq[(Double, Double)]): Double => Double = {
+    require(points.size >= 2, "need at least two (lat, zfactor) points")
+    val sorted = points.sortBy(_._1).toArray
+    lat => {
+      require(lat >= sorted.head._1 && lat <= sorted.last._1,
+        s"latitude $lat outside table range [${sorted.head._1}, ${sorted.last._1}]")
+      val i = sorted.lastIndexWhere(_._1 <= lat)
+      if (i == sorted.length - 1) sorted(i)._2
+      else {
+        val (x0, y0) = sorted(i); val (x1, y1) = sorted(i + 1)
+        y0 + (y1 - y0) * (lat - x0) / (x1 - x0)
+      }
+    }
+  }
+}

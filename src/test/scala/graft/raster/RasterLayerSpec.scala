@@ -47,6 +47,34 @@ class RasterLayerSpec extends SparkSpec {
     assert(cellsOf(g) == Set((0L, 0L, 0.0), (1L, 0L, 1.0), (2L, 0L, 2.0)))
   }
 
+  test("per-latitude z-factor: tile rows get distinct slopes matching the closed form") {
+    // 8x8 DEGREES grid (cell 1 deg), tile rows at center lats 6 and 2.
+    // A full plane v = 3x has dzdx = 3, dzdy = 0 away from edges, so
+    // slope = atan(3 * zf(lat)) with zf = 1/(11320 cos lat) — control
+    // values computed by hand from the reference formula.
+    val plane = for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y, 3.0 * x)
+    val l = RasterLayer.fromCells(plane.toDF("x", "y", "v"), layout)
+      .slope(zFactorCalc = Some(ZFactor.latLng("Meters")))
+    val got = cellsOf(l).map(c => ((c._1, c._2), c._3)).toMap
+    def want(lat: Double): Double =
+      math.toDegrees(math.atan(3.0 / (11320.0 * math.cos(math.toRadians(lat)))))
+    // interior cells: (3,2) in tile row 0 (lat 6), (3,5) in row 1 (lat 2)
+    assert(math.abs(got((3L, 2L)) - want(6.0)) < 1e-12)
+    assert(math.abs(got((3L, 5L)) - want(2.0)) < 1e-12)
+    assert(got((3L, 2L)) > got((3L, 5L))) // higher latitude => bigger zf
+    // scalar zFactor path unchanged: flat 1.0 everywhere
+    val scalar = RasterLayer.fromCells(plane.toDF("x", "y", "v"), layout).slope()
+    assert(math.abs(cellsOf(scalar).find(c => c._1 == 3 && c._2 == 2).get._3 -
+      math.toDegrees(math.atan(3.0))) < 1e-12)
+  }
+
+  test("z-factor table calculator interpolates piecewise-linearly") {
+    val f = ZFactor.fromTable(Seq(0.0 -> 1.0, 10.0 -> 2.0, 20.0 -> 4.0))
+    assert(f(0.0) == 1.0 && f(10.0) == 2.0 && f(20.0) == 4.0)
+    assert(f(5.0) == 1.5 && f(15.0) == 3.0)
+    intercept[IllegalArgumentException](f(25.0))
+  }
+
   test("aggregateByCell sums duplicate keys cell-wise") {
     val l = layer((0, 0, 1.0), (1, 1, 2.0))
     val m = layer((0, 0, 10.0), (4, 4, 7.0))
