@@ -39,12 +39,13 @@ object ImageCodec {
       dataOff >= 14 + hdrSize && dataOff.toLong + rowBytes * h <= b.length
   }
 
-  /** Decode if the blob is a supported PNG or BMP; None otherwise
-    * (unknown formats are the caller's fallback path, malformed
-    * known-magic files throw). */
+  /** Decode if the blob is a supported PNG, BMP, or baseline JPEG;
+    * None otherwise (unknown formats are the caller's fallback path,
+    * malformed known-magic files throw). */
   def decode(bytes: Array[Byte]): Option[Image] =
     if (isPng(bytes)) Some(decodePng(bytes))
     else if (isBmp(bytes)) Some(decodeBmp(bytes))
+    else if (JpegCodec.isJpeg(bytes)) Some(JpegCodec.decode(bytes))
     else None
 
   // ------------------------------------------------------------------

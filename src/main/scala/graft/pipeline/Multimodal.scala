@@ -6,13 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque binary columns with
   * typed metadata, batch-oriented decode/feature plumbing.
   *
-  * Image decode is REAL: [[ImageCodec]] decodes PNG and BMP blobs
-  * in-executor (pure Scala, written from the public specs) and feature
-  * extraction / resize operate on actual pixels. Blobs that are not a
-  * supported image (e.g. the text-corpus stand-ins the oracle tables
-  * provide, or codecs we do not ship — JPEG, video) fall back to a
-  * deterministic byte-level path, so the operators stay total over
-  * arbitrary binary columns.
+  * Image decode is REAL: [[ImageCodec]] decodes PNG, BMP, and
+  * baseline JPEG blobs in-executor (pure Scala, written from the
+  * public specs) and feature extraction / resize operate on actual
+  * pixels. Blobs that are not a supported image (e.g. the text-corpus
+  * stand-ins the oracle tables provide, or codecs we do not ship —
+  * video) fall back to a deterministic byte-level path, so the
+  * operators stay total over arbitrary binary columns.
   */
 object Multimodal {
 

@@ -86,6 +86,64 @@ class ImageCodecSpec extends AnyFunSuite {
       pattern(13, 7, BufferedImage.TYPE_INT_RGB), ignoreAlpha = true)
   }
 
+  private def encodeJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
+    val w = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    w.setOutput(ios)
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    out.toByteArray
+  }
+
+  test("JPEG grayscale decodes BIT-EXACT vs the JDK's libjpeg-derived reader") {
+    // 45x37: non-multiple-of-8 dims force padded edge blocks. Ground
+    // truth is ImageIO's READER on the same lossy stream (the encoded
+    // file, not the pre-compression pattern, is the contract).
+    val img = new BufferedImage(45, 37, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 37; x <- 0 until 45)
+      img.getRaster.setSample(x, y, 0, (x * 11 + y * 23 + (x * y) % 31) % 256)
+    for (q <- Seq(0.5f, 0.95f)) {
+      val bytes = encodeJpeg(img, q)
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val got = ImageCodec.decode(bytes).get
+      assert((got.width, got.height) == (45, 37))
+      for (y <- 0 until 37; x <- 0 until 45)
+        assert((got.argb(x, y) & 0xff) == ref.getRaster.getSample(x, y, 0),
+          s"q=$q pixel ($x,$y)")
+    }
+  }
+
+  test("JPEG color (4:2:0 subsampled) decodes BIT-EXACT incl fancy upsampling") {
+    // default-quality JDK writer emits 4:2:0 YCbCr — exercises the
+    // islow IDCT, triangle-filter chroma upsampling, AND the fixed-
+    // point YCbCr->RGB, all of which must match libjpeg's arithmetic
+    val img = pattern(45, 37, BufferedImage.TYPE_INT_RGB)
+    for (q <- Seq(0.4f, 0.75f, 1.0f)) {
+      val bytes = encodeJpeg(img, q)
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val got = ImageCodec.decode(bytes).get
+      assert((got.width, got.height) == (45, 37))
+      for (y <- 0 until 37; x <- 0 until 45)
+        assert(got.argb(x, y) == (ref.getRGB(x, y) | 0xff000000),
+          f"q=$q pixel ($x,$y): got 0x${got.argb(x, y)}%08x want 0x${ref.getRGB(x, y)}%08x")
+    }
+  }
+
+  test("progressive-marker JPEG throws; decodeFeatures falls back rather than failing") {
+    // hand-build the smallest stream that walks to an unsupported SOF2
+    val prog = Array[Int](0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b,
+      8, 0, 8, 0, 8, 1, 0x11, 0, 0, 0).map(_.toByte)
+    intercept[IllegalArgumentException](ImageCodec.decode(prog))
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val feats = Multimodal.decodeFeatures(Seq((1L, prog)).toDF("doc_id", "blob")).head()
+    assert(feats.width == 0) // byte-path fallback, job survives
+  }
+
   test("unknown formats return None, malformed known-magic blobs throw") {
     assert(ImageCodec.decode("just text".getBytes("UTF-8")).isEmpty)
     assert(ImageCodec.decode(Array.fill(100)(0x7f.toByte)).isEmpty)
@@ -117,17 +175,21 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(small.argb(0, 0) == 0xff000000 && small.argb(3, 3) == 0xffffffff)
   }
 
-  test("Multimodal.decodeFeatures extracts real width/height/luminance from PNG blobs") {
+  test("Multimodal.decodeFeatures extracts real width/height/luminance from PNG and JPEG blobs") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
     val png = encode(pattern(20, 10, BufferedImage.TYPE_INT_RGB), "png")
-    val blobs = Seq((1L, png), (2L, "plain text".getBytes("UTF-8")))
+    val jpg = encodeJpeg(pattern(24, 16, BufferedImage.TYPE_INT_RGB), 0.8f)
+    val blobs = Seq((1L, png), (2L, "plain text".getBytes("UTF-8")), (3L, jpg))
       .toDF("doc_id", "blob")
     val feats = Multimodal.decodeFeatures(blobs).collect().sortBy(_.doc_id)
     assert(feats(0).width == 20 && feats(0).height == 10)
     val expect = ImageCodec.meanLuminance(ImageCodec.decodePng(png))
     assert(feats(0).feature == expect)
     assert(feats(1).width == 0 && feats(1).height == 0) // fallback path
+    // JPEG row: real dimensions + luminance from actual decoded pixels
+    assert(feats(2).width == 24 && feats(2).height == 16)
+    assert(feats(2).feature == ImageCodec.meanLuminance(JpegCodec.decode(jpg)))
     // real resize: luminance plane of the resampled image
     val resized = Multimodal.resize(blobs, 5, 5).collect()
       .find(_.getLong(0) == 1L).get.getAs[Array[Byte]]("blob")
