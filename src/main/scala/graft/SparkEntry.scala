@@ -40,9 +40,10 @@ object SparkEntry {
     "q_rasterize" -> ((s, dir) => flat(lineitemLayer(s, dir))),
 
     "q_tile_to_layout" -> ((s, dir) => {
-      // retile 64 -> 32 and back to cells: identity on the logical grid
-      val cells = flat(lineitemLayer(s, dir))
-      val small = RasterLayer.fromCells(cells,
+      // retile 64 -> 32 and back to cells: identity on the logical
+      // grid. Integer-ratio layouts take the TILE-LEVEL path — the
+      // split is a narrow flatMap, no per-cell explode, no shuffle
+      val small = lineitemLayer(s, dir).retile(
         core.LayoutDefinition(layout.extent, core.TileLayout(G / 32, G / 32, 32, 32)))
       small.toCells
     }),

@@ -344,6 +344,107 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   /** Flatten to one row per data cell (x, y, v). Verification /
     * boundary-export path only — never used tile-to-tile. */
   def toCells: DataFrame = RasterLayer.tilesToCells(df, tc, tr, meta.temporal)
+
+  /** Re-tile to a new layout over the SAME extent and cell size
+    * (reference tile_to_layout between layouts, layer.py:900).
+    *
+    * Integer-ratio layouts stay TILE-LEVEL: splitting a tile into
+    * k^2 subtiles is a narrow flatMap — NO shuffle at all — and
+    * assembling k^2 tiles into one shuffles whole tiles on the new
+    * key instead of exploding to per-cell rows (the per-cell
+    * posexplode + rebuild burned ~2x CPU and a cell-granular
+    * exchange). Non-integer ratios fall back to the cells path,
+    * which handles any alignment. All-NoData subtiles are dropped on
+    * split, matching what a cells-path rebuild produces. */
+  def retile(newLayout: LayoutDefinition): RasterLayer = {
+    require(newLayout.extent == meta.layout.extent,
+      "retile keeps the extent (use reproject/crop to change it)")
+    require(newLayout.cellWidth == meta.layout.cellWidth &&
+      newLayout.cellHeight == meta.layout.cellHeight,
+      "retile keeps the cell size (use resample to change it)")
+    val ntc = newLayout.tileLayout.tileCols
+    val ntr = newLayout.tileLayout.tileRows
+    val sess = spark
+    import sess.implicits._
+    val outMeta = meta.copy(layout = newLayout)
+    if (tc == ntc && tr == ntr) this
+    else if (tc % ntc == 0 && tr % ntr == 0) {
+      // split: every input tile yields kx*ky smaller tiles, narrow
+      val kx = tc / ntc; val ky = tr / ntr
+      val (oldTc, oldTr) = (tc, tr)
+      def split(c: Int, r: Int, tileSeq: Seq[Double]): Seq[(Int, Int, Seq[Double])] = {
+        val tile = tileSeq.toArray
+        for { sr <- 0 until ky; sc <- 0 until kx
+              sub = {
+                val a = new Array[Double](ntc * ntr)
+                var j = 0
+                while (j < ntr) {
+                  var i = 0
+                  while (i < ntc) {
+                    a(j * ntc + i) = tile((sr * ntr + j) * oldTc + (sc * ntc + i))
+                    i += 1
+                  }
+                  j += 1
+                }
+                a
+              }
+              if sub.exists(v => !v.isNaN) } yield
+          (c * kx + sc, r * ky + sr, sub.toSeq)
+      }
+      val out =
+        if (meta.temporal)
+          df.select(col("col"), col("row"), col("instant"), col("tile"))
+            .as[(Int, Int, Long, Seq[Double])]
+            .flatMap { case (c, r, t, tile) => split(c, r, tile).map(s => (s._1, s._2, t, s._3)) }
+            .toDF("col", "row", "instant", "tile")
+        else
+          df.select(col("col"), col("row"), col("tile")).as[(Int, Int, Seq[Double])]
+            .flatMap { case (c, r, tile) => split(c, r, tile) }
+            .toDF("col", "row", "tile")
+      copy(df = out, meta = outMeta)
+    } else if (ntc % tc == 0 && ntr % tr == 0) {
+      // assemble: kx*ky input tiles build one output tile; the shuffle
+      // carries whole tiles keyed by the new (col, row)
+      val kx = ntc / tc; val ky = ntr / tr
+      val (oldTc, oldTr) = (tc, tr)
+      def place(dst: Array[Double], sc: Int, sr: Int, tileSeq: Seq[Double]): Unit = {
+        val tile = tileSeq.toArray
+        var j = 0
+        while (j < oldTr) {
+          var i = 0
+          while (i < oldTc) {
+            dst((sr * oldTr + j) * ntc + (sc * oldTc + i)) = tile(j * oldTc + i)
+            i += 1
+          }
+          j += 1
+        }
+      }
+      val out =
+        if (meta.temporal)
+          df.select(col("col"), col("row"), col("instant"), col("tile"))
+            .as[(Int, Int, Long, Seq[Double])]
+            .groupByKey { case (c, r, t, _) => (c / kx, r / ky, t) }
+            .mapGroups { (key: (Int, Int, Long), it: Iterator[(Int, Int, Long, Seq[Double])]) =>
+              val dst = Array.fill(ntc * ntr)(Double.NaN)
+              it.foreach { case (c, r, _, tile) => place(dst, c % kx, r % ky, tile) }
+              (key._1, key._2, key._3, dst.toSeq)
+            }
+            .toDF("col", "row", "instant", "tile")
+        else
+          df.select(col("col"), col("row"), col("tile")).as[(Int, Int, Seq[Double])]
+            .groupByKey { case (c, r, _) => (c / kx, r / ky) }
+            .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Seq[Double])]) =>
+              val dst = Array.fill(ntc * ntr)(Double.NaN)
+              it.foreach { case (c, r, tile) => place(dst, c % kx, r % ky, tile) }
+              (key._1, key._2, dst.toSeq)
+            }
+            .toDF("col", "row", "tile")
+      copy(df = out, meta = outMeta)
+    } else if (meta.temporal)
+      RasterLayer.fromCellsTemporal(toCells, newLayout, CellOp.Last)
+    else
+      RasterLayer.fromCells(toCells, newLayout, CellOp.Last)
+  }
 }
 
 object RasterLayer {

@@ -75,6 +75,31 @@ class RasterLayerSpec extends SparkSpec {
     intercept[IllegalArgumentException](f(25.0))
   }
 
+  test("retile: tile-level split/assemble bit-equal to the cells path on ragged edges") {
+    // sparse cells leave some tiles absent and others partially NoData
+    // (the ragged shapes a cells-path rebuild produces)
+    val ragged = Seq((0L, 0L, 1.0), (3L, 3L, 2.0), (5L, 1L, 3.0), (7L, 7L, 4.0),
+      (2L, 6L, 5.0), (4L, 4L, 6.0))
+    val base = layer(ragged: _*)
+    val layout2 = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(4, 4, 2, 2))
+    val layout8 = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(1, 1, 8, 8))
+    // split 4 -> 2 (narrow) vs rebuild from cells
+    val split = base.retile(layout2)
+    val viaCells = RasterLayer.fromCells(base.toCells, layout2)
+    assert(cellsOf(split) == cellsOf(viaCells))
+    assert(split.meta.layout == layout2)
+    // no empty tiles ship: every output tile has at least one data cell
+    val tileCount = split.df.count()
+    assert(tileCount == viaCells.df.count())
+    // assemble 4 -> 8 (whole-tile shuffle) vs rebuild from cells
+    val asm = base.retile(layout8)
+    assert(cellsOf(asm) == cellsOf(RasterLayer.fromCells(base.toCells, layout8)))
+    // round trip through both directions is the identity grid
+    assert(cellsOf(base.retile(layout2).retile(layout8)) == cellsOf(base))
+    // identity retile returns the same layer
+    assert(base.retile(layout) eq base)
+  }
+
   test("aggregateByCell sums duplicate keys cell-wise") {
     val l = layer((0, 0, 1.0), (1, 1, 2.0))
     val m = layer((0, 0, 10.0), (4, 4, 7.0))
