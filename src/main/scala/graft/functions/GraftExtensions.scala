@@ -18,6 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => FuseTransformsRule)
+    // focal fusion: collapse adjacent FocalPlan nodes, then expand the
+    // survivors into the gather pipeline (order matters: fuse first)
+    ext.injectOptimizerRule(_ => FuseFocalRule)
+    ext.injectOptimizerRule(session => LowerFocalRule(session))
+    ext.injectPlannerStrategy(_ => FocalMarkerStrategy())
   }
 }
 

@@ -241,12 +241,22 @@ object Focal {
     }
   }
 
-  def focal(layer: RasterLayer, nb: Neighborhood, op: FocalOp): RasterLayer = {
-    val r = nb.radius
-    val offs = nb.offsets.toArray
-    gather(layer, r) { (padded, w) =>
-      applyWindow(padded, w, padded.length / w, r, op, offs)._1
-    }
+  def focal(layer: RasterLayer, nb: Neighborhood, op: FocalOp): RasterLayer =
+    planned(layer, Seq((nb, op)))
+
+  /** Route through the [[org.apache.spark.sql.graft.FocalPlan]]
+    * logical node when the session carries GraftExtensions: adjacent
+    * focal steps then fuse in the OPTIMIZER (FuseFocalRule) without
+    * the caller spelling focalChain, and lower to the same gather
+    * pipeline below. Sessions without the extensions take the eager
+    * path directly — identical semantics, just no automatic fusion. */
+  private def planned(layer: RasterLayer,
+                      steps: Seq[(Neighborhood, FocalOp)]): RasterLayer = {
+    val spark = layer.df.sparkSession
+    if (org.apache.spark.sql.graft.FocalPlanApi.enabled(spark))
+      layer.copy(df =
+        org.apache.spark.sql.graft.FocalPlanApi.focalDf(layer.df, steps, layer.meta))
+    else focalChainEager(layer, steps)
   }
 
   /** One focal step evaluated at EVERY position of an output window:
@@ -294,10 +304,19 @@ object Focal {
     * same op kernels and offset order. */
   def focalChain(layer: RasterLayer, steps: Seq[(Neighborhood, String)]): RasterLayer = {
     require(steps.nonEmpty, "focalChain needs at least one step")
+    planned(layer, steps.map { case (nb, name) => (nb, FocalOp.of(name)) })
+  }
+
+  /** The Dataset-built fused gather — the single-exchange execution
+    * both [[planned]] (fallback) and the optimizer's LowerFocalRule
+    * compile to. */
+  def focalChainEager(layer: RasterLayer,
+                      steps: Seq[(Neighborhood, FocalOp)]): RasterLayer = {
+    require(steps.nonEmpty, "focalChain needs at least one step")
     val tl = layer.meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
-    val compiled = steps.map { case (nb, name) =>
-      (FocalOp.of(name), nb.offsets.toArray, nb.radius) }
+    val compiled = steps.map { case (nb, op) =>
+      (op, nb.offsets.toArray, nb.radius) }
     val total = compiled.map(_._3).sum
     gather(layer, total) { (padded, w) =>
       var cur = padded; var curW = w; var curH = padded.length / w

@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared session for all specs (one JVM-wide session, local[2]). */
+/** Shared session for all specs (one JVM-wide session, local[2]).
+  * Carries GraftExtensions like every production session (Verify,
+  * Bench), so specs exercise the same optimizer rules — including
+  * FocalPlan fusion — the driver gate runs. */
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
@@ -12,6 +15,7 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
