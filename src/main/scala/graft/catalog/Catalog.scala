@@ -401,12 +401,18 @@ object Catalog {
   }
 
   /** ValueReader-equivalent point read (reference catalog.py:74 /
-    * geopyspark ValueReader): fetch ONE tile by key at serving latency,
-    * without a full-layer scan. Footer statistics prune to the
-    * candidate file(s) ([[candidateTileFiles]]); a single-file,
-    * predicate-pushed read then touches one row group. Duplicate keys
-    * from [[update]] appends resolve cell-wise Max (the update
-    * contract); temporal stores disambiguate with `instant`. */
+    * geopyspark ValueReader): fetch ONE tile by key at serving
+    * latency, WITHOUT a Spark job. Footer statistics prune to the
+    * candidate file(s) ([[candidateTileFiles]]); each is then read
+    * with a direct ParquetReader — the (col, row[, instant]) filter
+    * prunes row groups via stats/dictionaries and drops non-matching
+    * records during assembly, all on the calling thread. The previous
+    * spark.read.collect() path paid driver job-scheduling latency per
+    * request, which a tile server cannot. Duplicate keys from
+    * [[update]] appends resolve cell-wise Max (the update contract);
+    * temporal stores disambiguate with `instant`. The SparkSession
+    * parameter is kept for API stability (and is untouched — specs
+    * assert zero jobs). */
   def readTile(spark: SparkSession, uri: String, name: String, zoom: Int,
                tileCol: Int, tileRow: Int,
                instant: Option[Long] = None): Option[Array[Double]] = {
@@ -415,14 +421,38 @@ object Catalog {
       s"layer $name is temporal — readTile needs an instant")
     val files = candidateTileFiles(uri, name, zoom, tileCol, tileRow)
     if (files.isEmpty) return None
-    var df = spark.read.parquet(files: _*)
-      .where(col("col") === tileCol && col("row") === tileRow)
-    instant.foreach(t => df = df.where(col("instant") === t))
-    val rows = df.select("tile").collect()
     val ct = CellType.fromName(meta.cellType)
-    val tiles = rows.map { r =>
-      if (packed(meta.cellType)) ct.unpack(r.getAs[Array[Byte]](0))
-      else r.getSeq[Double](0).toArray
+    val isPacked = packed(meta.cellType)
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.filter2.compat.FilterCompat
+    var pred = FilterApi.and(
+      FilterApi.eq(FilterApi.intColumn("col"), Int.box(tileCol)),
+      FilterApi.eq(FilterApi.intColumn("row"), Int.box(tileRow)))
+    instant.foreach(t => pred =
+      FilterApi.and(pred, FilterApi.eq(FilterApi.longColumn("instant"), Long.box(t))))
+    val conf = hadoopConf
+    val tiles = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(f))
+        .withConf(conf)
+        .withFilter(FilterCompat.get(pred))
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          tiles +=
+            (if (isPacked) ct.unpack(g.getBinary("tile", 0).getBytes)
+             else {
+               // Spark's list encoding: tile (LIST) > repeated list > element
+               val list = g.getGroup("tile", 0)
+               val n = list.getFieldRepetitionCount(0)
+               Array.tabulate(n)(i => list.getGroup(0, i).getDouble(0, 0))
+             })
+          g = reader.read()
+        }
+      } finally reader.close()
     }
     if (tiles.isEmpty) None
     else Some(tiles.reduce { (a, b) =>

@@ -67,6 +67,33 @@ class CatalogSpec extends SparkSpec {
     assert(merged(1) == t(1))    // untouched cells keep the base values
   }
 
+  test("readTile runs entirely JOB-FREE (serving latency, listener-verified)") {
+    val dir = Files.createTempDirectory("graft_cat_nojob").toString
+    Catalog.write(dir, "t", layer((0, 0, 1.0), (5, 5, 2.0), (7, 7, 3.0)), zoom = 0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // sanity: the listener does observe jobs (events are async —
+      // poll until the probe job lands)
+      spark.range(2).count()
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(jobs.get() >= 1, "listener sanity probe never fired")
+      val before = jobs.get()
+      // the point reads: correct values, and NO job submitted
+      val t = Catalog.readTile(spark, dir, "t", 0, 1, 1).get
+      assert(t(1 * 4 + 1) == 2.0) // cell (5,5) = offset (1,1) of tile (1,1)
+      assert(Catalog.readTile(spark, dir, "t", 0, 3, 3).isEmpty) // absent key
+      Thread.sleep(1000) // let any stray async job event land
+      assert(jobs.get() == before, "readTile submitted a Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("native cell types: packed store roundtrips and is 8x smaller for uint8") {
     def dirSize(d: String): Long = {
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI("file:///"),
