@@ -887,18 +887,29 @@ object GeoTiff {
     * the one small range request a tile server needs before it can
     * window any zoom (reference tms.py serves rendered levels the same
     * way: pick the level, then fetch only that tile). */
-  def cogLevels(bytes: Array[Byte]): IndexedSeq[(Int, Int, Int, Int)] = {
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    require(buf.get() == 'I' && buf.get() == 'I' && buf.getShort() == 42, "not a LE classic TIFF")
+  def cogLevels(bytes: Array[Byte]): IndexedSeq[(Int, Int, Int, Int)] =
+    cogLevels(RangeReader(bytes))
+
+  /** Range-reader variant: the whole walk is a handful of small range
+    * requests (8-byte header + one per IFD), so against remote
+    * storage a server learns every level's geometry without fetching
+    * tile data. */
+  def cogLevels(rr: RangeReader): IndexedSeq[(Int, Int, Int, Int)] = {
+    def le16(b: Array[Byte], p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def le32(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+    val hdr = rr.read(0, 8)
+    require(hdr.length == 8 && hdr(0) == 'I' && hdr(1) == 'I' && le16(hdr, 2) == 42,
+      "not a LE classic TIFF")
     val out = IndexedSeq.newBuilder[(Int, Int, Int, Int)]
-    var ifdOff = buf.getInt(4)
+    var ifdOff = le32(hdr, 4)
     while (ifdOff != 0) {
-      buf.position(ifdOff)
-      val nt = buf.getShort() & 0xffff
+      val nt = le16(rr.read(ifdOff.toLong, 2), 0)
+      val body = rr.read(ifdOff.toLong + 2, nt * 12 + 4)
       var cols = -1; var rows = -1; var tw = -1; var th = -1
-      (0 until nt).foreach { _ =>
-        val id = buf.getShort() & 0xffff; buf.getShort(); buf.getInt()
-        val v = buf.getInt()
+      (0 until nt).foreach { i =>
+        val id = le16(body, i * 12)
+        val v = le32(body, i * 12 + 8)
         id match {
           case TagImageWidth  => cols = v
           case TagImageLength => rows = v
@@ -910,7 +921,7 @@ object GeoTiff {
       require(cols > 0 && rows > 0 && tw > 0 && th > 0,
         "not an internally-tiled TIFF (missing tile tags)")
       out += ((cols, rows, tw, th))
-      ifdOff = buf.getInt(ifdOff + 2 + nt * 12)
+      ifdOff = le32(body, nt * 12)
     }
     out.result()
   }
@@ -922,25 +933,40 @@ object GeoTiff {
     * NaN outside the image. The byte-range discipline here is exactly
     * what makes the same layout remote-range-request friendly. */
   def readCogWindow(bytes: Array[Byte], wx: Int, wy: Int, ww: Int, wh: Int,
-                    overview: Int = 0): Array[Double] = {
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    require(buf.get() == 'I' && buf.get() == 'I' && buf.getShort() == 42, "not a LE classic TIFF")
+                    overview: Int = 0): Array[Double] =
+    readCogWindow(RangeReader(bytes), wx, wy, ww, wh, overview)
+
+  /** Range-reader variant — the serving path. Requests: 8-byte
+    * header, 2 tiny reads per skipped IFD, one read for the target
+    * IFD's entries, per intersecting tile ROW one contiguous span of
+    * the offsets and counts arrays, and one read per intersecting
+    * tile's data. A tile-sized window against remote storage is
+    * therefore a handful of range requests, never the whole object. */
+  def readCogWindow(rr: RangeReader, wx: Int, wy: Int, ww: Int, wh: Int,
+                    overview: Int): Array[Double] = {
+    def le16(b: Array[Byte], p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def le32(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+    val hdr = rr.read(0, 8)
+    require(hdr.length == 8 && hdr(0) == 'I' && hdr(1) == 'I' && le16(hdr, 2) == 42,
+      "not a LE classic TIFF")
     // walk the IFD chain to the requested overview (0 = base image)
-    var ifdOff = buf.getInt(4)
+    var ifdOff = le32(hdr, 4)
     var skip = overview
     while (skip > 0) {
-      val ntHere = buf.getShort(ifdOff) & 0xffff
-      ifdOff = buf.getInt(ifdOff + 2 + ntHere * 12)
+      val ntHere = le16(rr.read(ifdOff.toLong, 2), 0)
+      ifdOff = le32(rr.read(ifdOff.toLong + 2 + ntHere * 12, 4), 0)
       require(ifdOff != 0, s"file has fewer than ${overview + 1} images (no overview $overview)")
       skip -= 1
     }
-    buf.position(ifdOff)
-    val nt = buf.getShort()
+    val nt = le16(rr.read(ifdOff.toLong, 2), 0)
+    val entries = rr.read(ifdOff.toLong + 2, nt * 12)
     var cols = -1; var rows = -1; var tw = -1; var th = -1
     var offV = -1; var offN = -1; var cntV = -1; var compression = 1
-    (0 until nt).foreach { _ =>
-      val id = buf.getShort() & 0xffff; buf.getShort(); val count = buf.getInt()
-      val v = buf.getInt()
+    (0 until nt).foreach { i =>
+      val id = le16(entries, i * 12)
+      val count = le32(entries, i * 12 + 4)
+      val v = le32(entries, i * 12 + 8)
       id match {
         case TagImageWidth     => cols = v
         case TagImageLength    => rows = v
@@ -957,24 +983,30 @@ object GeoTiff {
     require(cols > 0 && rows > 0 && tw > 0 && th > 0 && offN > 0,
       "not an internally-tiled TIFF (missing tile tags)")
     val across = (cols + tw - 1) / tw
-    def tileOffset(i: Int): Int = if (offN == 1) offV else buf.getInt(offV + 4 * i)
-    def tileCount(i: Int): Int = if (offN == 1) cntV else buf.getInt(cntV + 4 * i)
 
     val out = Array.fill(ww * wh)(Double.NaN)
     val tcMin = math.max(0, wx / tw); val tcMax = math.min(across - 1, (wx + ww - 1) / tw)
     val trMin = math.max(0, wy / th); val trMax = math.min((rows + th - 1) / th - 1, (wy + wh - 1) / th)
+    val span = tcMax - tcMin + 1
     var trI = trMin
     while (trI <= trMax) {
+      // contiguous slice of the offsets/counts arrays for this tile row
+      val idx0 = trI * across + tcMin
+      val offs: Array[Int] =
+        if (offN == 1) Array(offV)
+        else { val b = rr.read(offV.toLong + 4L * idx0, 4 * span); Array.tabulate(span)(i => le32(b, 4 * i)) }
+      val cnts: Array[Int] =
+        if (offN == 1) Array(cntV)
+        else { val b = rr.read(cntV.toLong + 4L * idx0, 4 * span); Array.tabulate(span)(i => le32(b, 4 * i)) }
       var tcI = tcMin
       while (tcI <= tcMax) {
-        val idx = trI * across + tcI
-        val off = tileOffset(idx); val len = tileCount(idx)
+        val off = offs(tcI - tcMin); val len = cnts(tcI - tcMin)
+        val data = rr.read(off.toLong, len)
         val block: ByteBuffer =
-          if (compression == 1)
-            ByteBuffer.wrap(bytes, off, len).slice().order(ByteOrder.LITTLE_ENDIAN)
+          if (compression == 1) ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
           else {
             val inf = new java.util.zip.Inflater()
-            inf.setInput(bytes, off, len)
+            inf.setInput(data)
             val raw = new Array[Byte](tw * th * 4)
             var done = 0
             while (!inf.finished() && done < raw.length)

@@ -38,17 +38,21 @@ final class TmsServer(spark: SparkSession, uri: String,
       l.copy(df = l.df.cache())
     })
 
-  // file bytes + per-level pixel geometry, loaded once per cog name
+  // byte-range reader + per-level pixel geometry, opened once per cog
+  // name: the server NEVER loads a whole COG — the header walk and
+  // each window read are positioned range requests (Hadoop FS, so
+  // file://, hdfs://, s3a:// all serve the same way)
   private val cogCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Array[Byte], IndexedSeq[(Int, Int, Int, Int)])]
+    scala.collection.concurrent.TrieMap.empty[String, (graft.raster.RangeReader, IndexedSeq[(Int, Int, Int, Int)])]
 
-  private def cog(name: String): (Array[Byte], IndexedSeq[(Int, Int, Int, Int)], Int) = {
+  private def cog(name: String): (graft.raster.RangeReader, IndexedSeq[(Int, Int, Int, Int)], Int) = {
     val (path, baseZoom) = cogs(name)
-    val (bytes, levels) = cogCache.getOrElseUpdate(name, {
-      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-      (b, GeoTiff.cogLevels(b))
+    val (rr, levels) = cogCache.getOrElseUpdate(name, {
+      val r = graft.raster.RangeReader.hadoop(path,
+        spark.sparkContext.hadoopConfiguration)
+      (r, GeoTiff.cogLevels(r))
     })
-    (bytes, levels, baseZoom)
+    (rr, levels, baseZoom)
   }
 
   private def send(ex: HttpExchange, code: Int, body: Array[Byte], ctype: String): Unit = {
@@ -82,7 +86,7 @@ final class TmsServer(spark: SparkSession, uri: String,
       ex.getRequestURI.getPath match {
         case Path(name, z, c, r) if cogs.contains(name) =>
           try {
-            val (bytes, levels, baseZoom) = cog(name)
+            val (rr, levels, baseZoom) = cog(name)
             val overview = baseZoom - z.toInt
             if (overview < 0 || overview >= levels.size)
               send(ex, 404, s"no overview for zoom $z".getBytes, "text/plain")
@@ -92,7 +96,7 @@ final class TmsServer(spark: SparkSession, uri: String,
               if (wx >= cols || wy >= rows)
                 send(ex, 404, "tile outside image".getBytes, "text/plain")
               else {
-                val cells = GeoTiff.readCogWindow(bytes, wx, wy, tw, th, overview)
+                val cells = GeoTiff.readCogWindow(rr, wx, wy, tw, th, overview)
                 send(ex, 200, Render.renderImage(cells, tw, th, breaks, ramp), "image/png")
               }
             }
@@ -106,5 +110,9 @@ final class TmsServer(spark: SparkSession, uri: String,
   server.start()
 
   def boundPort: Int = server.getAddress.getPort
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    cogCache.values.foreach(c => try c._1.close() catch { case _: Exception => () })
+    cogCache.clear()
+  }
 }

@@ -169,6 +169,46 @@ class GeoTiffSpec extends SparkSpec {
     assert(err.getMessage.contains("maxTiles"))
   }
 
+  test("cog byte-range serving: a window from a file:// COG never reads the whole file") {
+    // sizeable pyramid so a one-tile window is a small fraction of
+    // the object: 128x128 base (16 16-tiles) + one overview
+    val baseLayout = LayoutDefinition(Extent(0, 0, 128, 128), TileLayout(8, 8, 16, 16))
+    val cells = for (x <- 0L until 128L; y <- 0L until 128L)
+      yield (x, y, ((x * 131 + y * 17) % 251).toDouble)
+    val base = RasterLayer.fromCells(cells.toDF("x", "y", "v"), baseLayout)
+    val over = Pyramid.levelUp(base, "Average")
+    val dir = Files.createTempDirectory("graft_cog_rr").toString
+    val path = s"$dir/pyr.tif"
+    GeoTiff.saveCogPyramid(Seq(base, over), path)
+    val fileLen = java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+
+    val rr = graft.raster.RangeReader.hadoop(s"file://$path")
+    try {
+      // header-only level walk: tiny reads
+      assert(GeoTiff.cogLevels(rr) == GeoTiff.cogLevels(bytes))
+      val afterLevels = rr.bytesRead
+      assert(afterLevels < 4096, s"level walk read $afterLevels bytes")
+
+      // one 16x16 tile window: identical pixels to the in-memory read
+      val (reqs0, bytes0) = (rr.requests, rr.bytesRead)
+      val got = GeoTiff.readCogWindow(rr, 32, 48, 16, 16, 0)
+      assert(got.toSeq == GeoTiff.readCogWindow(bytes, 32, 48, 16, 16, 0).toSeq)
+      val reqs = rr.requests - reqs0
+      val read = rr.bytesRead - bytes0
+      // range discipline: header + IFD + one offs/cnts span pair +
+      // one tile (the window sits inside a single tile)
+      assert(reqs <= 8, s"$reqs range requests for a one-tile window")
+      assert(read < fileLen / 10,
+        s"window read $read of $fileLen bytes — not range-served")
+
+      // overview window through the same reader stays cheap and exact
+      val o = GeoTiff.readCogWindow(rr, 0, 0, 16, 16, 1)
+      assert(o.toSeq == GeoTiff.readCogWindow(bytes, 0, 0, 16, 16, 1).toSeq)
+      assert(rr.bytesRead < fileLen / 2, "cumulative serving reads approach file size")
+    } finally rr.close()
+  }
+
   test("cog overviews: chained IFDs window independently at each zoom") {
     // base 64x64 (2x2 tiles of 32), one overview 32x32 (1 tile)
     val baseLayout = LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(2, 2, 32, 32))
