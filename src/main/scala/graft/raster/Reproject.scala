@@ -157,11 +157,17 @@ object Reproject {
     * src.forward, nearest neighbor.
     *
     * Same scale shape as [[latLngGridToWebMercatorTiled]]: each source
-    * tile forward-projects a 3x3 boundary ring of its world window to
-    * bound the target tiles it can feed (both transforms are smooth
-    * and near-monotone per axis inside their domain; the ring plus a
-    * one-tile pad covers the curvature), ships itself there in ONE
-    * keyed shuffle, and each target tile samples locally. */
+    * tile forward-projects a 5x5 grid of its world window (quarter-
+    * tile chords) to bound the target tiles it can feed, ships itself
+    * there in ONE keyed shuffle, and each target tile samples
+    * locally. Coverage is a sampling HEURISTIC, not a proof: the
+    * projected bbox is padded by two destination pixels, so the
+    * transform's curvature between adjacent samples must sag less
+    * than that — which holds for the supported smooth projections
+    * (Mercator/UTM/stereographic/LCC) away from their domain edges;
+    * quartering the chord length cuts the sag ~16x vs corner-only
+    * sampling. A tile feeding targets beyond the padded bbox (extreme
+    * polar/zone-edge geometry) would leave those cells NoData. */
   def reprojectTiled(layer: RasterLayer, srcCrs: graft.core.CRS.Transform,
                      dstCrs: graft.core.CRS.Transform,
                      dstLayout: LayoutDefinition): RasterLayer = {
@@ -177,20 +183,21 @@ object Reproject {
     val dcw = dstLayout.cellWidth; val dch = dstLayout.cellHeight
 
     def dstRect(c: Int, r: Int): Seq[(Int, Int)] = {
-      val xs = Seq(sx0 + c.toDouble * tc * scw, sx0 + (c + 0.5) * tc * scw,
-        sx0 + (c + 1.0) * tc * scw)
-      val ys = Seq(syTop - r.toDouble * tr * sch, syTop - (r + 0.5) * tr * sch,
-        syTop - (r + 1.0) * tr * sch)
+      val fracs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+      val xs = fracs.map(f => sx0 + (c + f) * tc * scw)
+      val ys = fracs.map(f => syTop - (r + f) * tr * sch)
       val pts = for (x <- xs; y <- ys) yield {
         val (lon, lat) = srcCrs.inverse(x, y)
         dstCrs.forward(lon, lat)
       }
       def gx(wx: Double) = (wx - dx0) / dcw
       def gy(wy: Double) = (dyTop - wy) / dch
-      val txLo = math.max(0, (math.floor(pts.map(p => gx(p._1)).min - 1).toInt) / dtc)
-      val txHi = math.min(dtl.layoutCols - 1, (math.ceil(pts.map(p => gx(p._1)).max + 1).toInt) / dtc)
-      val tyLo = math.max(0, (math.floor(pts.map(p => gy(p._2)).min - 1).toInt) / dtr)
-      val tyHi = math.min(dtl.layoutRows - 1, (math.ceil(pts.map(p => gy(p._2)).max + 1).toInt) / dtr)
+      // 2-pixel pad over the sampled bbox (see scaladoc for the sag
+      // bound this assumes); floorDiv keeps negative coords correct
+      val txLo = math.max(0, Math.floorDiv(math.floor(pts.map(p => gx(p._1)).min - 2).toInt, dtc))
+      val txHi = math.min(dtl.layoutCols - 1, Math.floorDiv(math.ceil(pts.map(p => gx(p._1)).max + 2).toInt, dtc))
+      val tyLo = math.max(0, Math.floorDiv(math.floor(pts.map(p => gy(p._2)).min - 2).toInt, dtr))
+      val tyHi = math.min(dtl.layoutRows - 1, Math.floorDiv(math.ceil(pts.map(p => gy(p._2)).max + 2).toInt, dtr))
       for (dc <- txLo to txHi; dr <- tyLo to tyHi) yield (dc, dr)
     }
 
