@@ -75,16 +75,10 @@ object Catalog {
     * (legacy-compatible), everything else stores LE-packed BINARY with
     * the [[CellType]] NoData sentinel. A uint8 layer's tile bytes (and
     * the shuffle feeding the z-ordered write) shrink 8x. */
-  private def packCol(cellType: String): org.apache.spark.sql.Column = {
-    val ct = CellType.fromName(cellType)
-    val f = udf((cells: Seq[Double]) => ct.pack(cells.toArray))
-    f(col("tile"))
-  }
-  private def unpackCol(cellType: String): org.apache.spark.sql.Column = {
-    val ct = CellType.fromName(cellType)
-    val f = udf((packed: Array[Byte]) => ct.unpack(packed))
-    f(col("tile"))
-  }
+  private def packCol(cellType: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.TilePackExpr.packCol(col("tile"), cellType)
+  private def unpackCol(cellType: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.TileUnpackExpr.unpackCol(col("tile"), cellType)
   private def packed(cellType: String): Boolean = cellType != "float64"
 
   def write(uri: String, name: String, layer: RasterLayer, zoom: Int = 0,
@@ -200,20 +194,10 @@ object Catalog {
   def writeMultiband(uri: String, name: String, layer: MultibandLayer, zoom: Int = 0): Unit = {
     val idxCol = ZIndex.zorderCol(col("col").cast("long"), col("row").cast("long"))
     val src =
-      if (packed(layer.meta.cellType)) {
-        val ct = CellType.fromName(layer.meta.cellType)
-        // single pre-sized output: iterator.reduce(_ ++ _) reallocates
-        // the accumulated prefix per band (O(nb^2) copying) and throws
-        // on an empty band stack
-        val packMb = udf((bands: Seq[Seq[Double]]) => {
-          val parts = bands.iterator.map(b => ct.pack(b.toArray)).toArray
-          val out = new Array[Byte](parts.iterator.map(_.length).sum)
-          var off = 0
-          parts.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
-          out
-        })
-        layer.df.withColumn("bands", packMb(col("bands")))
-      } else layer.df
+      if (packed(layer.meta.cellType))
+        layer.df.withColumn("bands",
+          org.apache.spark.sql.graft.BandsPackExpr.packCol(col("bands"), layer.meta.cellType))
+      else layer.df
     src
       .withColumn("zoom", lit(zoom))
       .withColumn("zindex", idxCol)
@@ -236,16 +220,10 @@ object Catalog {
       .where(col("zoom") === zoom)
       .select(col("col"), col("row"), col("bands"))
     val df =
-      if (packed(meta.cellType)) {
-        val ct = CellType.fromName(meta.cellType)
-        val nb = bands
-        val unpackMb = udf((blob: Array[Byte]) => {
-          val per = blob.length / nb
-          (0 until nb).map(b => ct.unpack(
-            java.util.Arrays.copyOfRange(blob, b * per, (b + 1) * per)).toSeq)
-        })
-        raw.withColumn("bands", unpackMb(col("bands")))
-      } else raw
+      if (packed(meta.cellType))
+        raw.withColumn("bands",
+          org.apache.spark.sql.graft.BandsUnpackExpr.unpackCol(col("bands"), meta.cellType, bands))
+      else raw
     new MultibandLayer(df, meta, bands)
   }
 

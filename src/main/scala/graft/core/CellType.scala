@@ -28,7 +28,8 @@ final case class CellType(name: String, bytes: Int, isFloat: Boolean,
 
   /** Pack one tile (NaN-as-NoData doubles) to little-endian bytes.
     * Type dispatch happens ONCE per tile, not per cell — this runs
-    * inside the catalog write UDF for every tile of every store. */
+    * inside the catalog write path (native TilePackExpr) for every
+    * tile of every store. */
   def pack(cells: Array[Double]): Array[Byte] = {
     val buf = ByteBuffer.allocate(cells.length * bytes).order(ByteOrder.LITTLE_ENDIAN)
     val n = cells.length

@@ -39,7 +39,35 @@ object GraftExtensions {
       (args: Seq[Expression]) => TileStatsExpr(args.head)),
     ("long_dot",
       new ExpressionInfo(classOf[LongDotExpr].getName, "long_dot"),
-      (args: Seq[Expression]) => LongDotExpr(args(0), args(1))))
+      (args: Seq[Expression]) => LongDotExpr(args(0), args(1))),
+    // catalog native-width codecs: the cell-type name (and band count)
+    // must be foldable literals — they configure the expression, they
+    // are not data
+    ("tile_pack",
+      new ExpressionInfo(classOf[TilePackExpr].getName, "tile_pack"),
+      (args: Seq[Expression]) => TilePackExpr(args(0), litString(args(1), "tile_pack"))),
+    ("tile_unpack",
+      new ExpressionInfo(classOf[TileUnpackExpr].getName, "tile_unpack"),
+      (args: Seq[Expression]) => TileUnpackExpr(args(0), litString(args(1), "tile_unpack"))),
+    ("bands_pack",
+      new ExpressionInfo(classOf[BandsPackExpr].getName, "bands_pack"),
+      (args: Seq[Expression]) => BandsPackExpr(args(0), litString(args(1), "bands_pack"))),
+    ("bands_unpack",
+      new ExpressionInfo(classOf[BandsUnpackExpr].getName, "bands_unpack"),
+      (args: Seq[Expression]) => BandsUnpackExpr(args(0), litString(args(1), "bands_unpack"),
+        litInt(args(2), "bands_unpack"))))
+
+  private def litString(e: Expression, fn: String): String =
+    if (e.foldable && e.dataType == org.apache.spark.sql.types.StringType)
+      e.eval().toString
+    else throw new IllegalArgumentException(
+      s"$fn requires a literal string cell-type name, got $e")
+
+  private def litInt(e: Expression, fn: String): Int =
+    if (e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType)
+      e.eval().asInstanceOf[Int]
+    else throw new IllegalArgumentException(
+      s"$fn requires a literal integer band count, got $e")
 
   /** Register on an already-created session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
