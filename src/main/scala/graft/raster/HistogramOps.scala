@@ -56,6 +56,11 @@ object HistogramOps {
   /** Cumulative distribution over equal-width bins (histogram.py cdf
     * :129): fraction of cells at or below each bin's upper edge. */
   def cdf(layer: RasterLayer, bins: Int = 10): DataFrame = {
+    // the global (unpartitioned) window below is safe BY CONSTRUCTION:
+    // its input is one row per BIN, never per cell, and the bin count
+    // is a caller-chosen parameter. Bound it explicitly so the
+    // single-partition sort can never be handed a pathological width.
+    require(bins <= 1000000, s"cdf bins=$bins exceeds the 1e6 single-partition bound")
     val counts = binCounts(layer, bins)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("bin").rowsBetween(Long.MinValue, 0)
@@ -106,12 +111,25 @@ object HistogramOps {
     * construction. Shape: per-value groupBy (map-side combine; only
     * distinct ints cross the exchange) then a window over the distinct
     * values — the small side at any scale. */
-  def quantileBreaksExactInt(layer: RasterLayer, qs: Seq[Double]): DataFrame = {
+  def quantileBreaksExactInt(layer: RasterLayer, qs: Seq[Double],
+                             maxDistinct: Long = 10000000L): DataFrame = {
     val counts = layer.toCells.select(col("v").cast("long").as("v"))
       .groupBy("v").agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("v").rowsBetween(Long.MinValue, 0)
-    val total = counts.agg(sum("cnt")).head().getLong(0)
+    // the global (unpartitioned) window below sees one row per DISTINCT
+    // integer value — small for the classified/categorical layers this
+    // op exists for, but NOT bounded by construction (a unique-int-per-
+    // cell layer would funnel every value through one partition). The
+    // total-count action already runs here, so piggyback the distinct
+    // count on it and refuse pathological cardinalities explicitly —
+    // continuous layers belong on quantileBreaks' t-digest path.
+    val head = counts.agg(sum("cnt").as("t"), count(lit(1)).as("d")).head()
+    val total = head.getLong(0)
+    require(head.getLong(1) <= maxDistinct,
+      s"quantileBreaksExactInt: ${head.getLong(1)} distinct values exceeds " +
+        s"maxDistinct=$maxDistinct (single-partition window bound); " +
+        "use quantileBreaks (t-digest) for continuous layers")
     val cum = counts.withColumn("cum", sum("cnt").over(w))
     cum.select(qs.zipWithIndex.map { case (q, i) =>
       min(when(col("cum") >= lit(q) * total, col("v"))).as(s"q$i")
