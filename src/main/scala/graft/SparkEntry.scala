@@ -755,6 +755,19 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       pipeline.TextAnalysis.fingerprint(table(s, dir, "documents"))),
 
+    "q_pii_redact" -> ((s, dir) =>
+      // the synthetic corpus carries no natural PII, so the query
+      // injects a deterministic email/IP/phone per doc (identical
+      // string construction in the oracle) and redacts it back out
+      pipeline.TextAnalysis.piiRedact(
+        table(s, dir, "documents").withColumn("text", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at 10.0."), pmod(col("doc_id"), lit(200)).cast("string"),
+          lit(".7 or +1555000"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))))),
+
+    "q_lm_score" -> ((s, dir) =>
+      pipeline.TextAnalysis.unigramLmScore(table(s, dir, "documents"))),
+
     "q_tfidf_terms" -> ((s, dir) =>
       // top-3 characteristic terms per doc; log-free tf*N/df score so
       // both engines rank identically (see tfidfTopTerms scaladoc)
@@ -776,6 +789,13 @@ object SparkEntry {
 
     "q_sessionize" -> ((s, dir) =>
       streaming.Events.sessionize(eventsTable(s, dir))),
+
+    "q_asof_join" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      streaming.Events.asofJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"))
+    }),
   )
 
   /** cost-distance ceiling: with friction in [1,10] every edge costs
@@ -1767,6 +1787,34 @@ object SparkEntry {
       "q_fingerprint" ->
         "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents",
 
+      "q_pii_redact" ->
+        """WITH d AS (SELECT doc_id,
+          |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.' ||
+          |  CAST(doc_id % 200 AS VARCHAR) || '.7 or +1555000' ||
+          |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+          |  CAST(len(regexp_extract_all(text, '\+[0-9]{9,15}')) AS BIGINT) AS n_phones,
+          |  regexp_replace(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+          |    '\+[0-9]{9,15}', '<PHONE>', 'g') AS redacted
+          |FROM d""".stripMargin,
+
+      "q_lm_score" ->
+        """WITH w AS (SELECT doc_id, t AS w FROM (
+          |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+          |    FROM documents)),
+          |v AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nv FROM v),
+          |lp AS (SELECT w, CAST(round(ln((cnt + 1.0) / (total + nv)) * 1000000.0) AS BIGINT) AS lp_q
+          |       FROM v, tot),
+          |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(lp_q) AS BIGINT) AS s
+          |      FROM w JOIN lp USING (w) GROUP BY 1)
+          |SELECT doc_id, n_tokens, -s / (n_tokens * 1000000.0) AS nll FROM d""".stripMargin,
+
       "q_tfidf_terms" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -1811,6 +1859,19 @@ object SparkEntry {
           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m)
           |SELECT user_id, session_id, count(*) AS cnt, min(us) AS start_us, max(us) AS end_us
           |FROM s GROUP BY 1, 2""".stripMargin,
+
+      "q_asof_join" ->
+        """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us, "value"
+          |           FROM events WHERE event_type = 'click'),
+          |r0 AS (SELECT user_id, epoch_us(ts) AS us, event_id, "value"
+          |       FROM events WHERE event_type = 'purchase'),
+          |r AS (SELECT user_id, us, max(event_id) AS r_event_id,
+          |        max_by("value", event_id) AS r_value
+          |      FROM r0 GROUP BY 1, 2)
+          |SELECT l.user_id, l.event_id, l.us, l."value",
+          |  CAST(COALESCE(r.r_event_id, -1) AS BIGINT) AS r_event_id,
+          |  CAST(COALESCE(r.r_value, -1.0) AS DOUBLE) AS r_value
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us""".stripMargin,
     )
   }
 }

@@ -126,6 +126,65 @@ object TextAnalysis {
           .as("rep_fraction"))
   }
 
+  // PII patterns — ASCII-only constructs that mean the same thing in
+  // Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{9,15}"
+
+  /** PII detection + redaction — the scrubbing pass every public-web
+    * training pipeline runs before anything else (emails, IPv4s,
+    * international-format phones -> typed placeholders). Pure
+    * codegen'd regex scan, shuffle-free, same 100 TB shape as the
+    * other text ops. Replacement order (email, ip, phone) is part of
+    * the contract: an IP inside a non-email `user@10.0.0.1` string is
+    * redacted by the IP rule because the email rule (which requires an
+    * alphabetic TLD) never claimed it. */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("redacted"))
+  }
+
+  /** CCNet-style unigram language-model score: train unigram counts on
+    * the corpus itself, score each document by the mean negative
+    * log-probability of its tokens (add-one smoothing over the
+    * observed vocabulary). Outlier documents (high nll — far from the
+    * corpus distribution) are filter candidates; CCNet uses a
+    * wiki-trained KenLM, same shape with a fancier model.
+    *
+    * Determinism (the Similarity integer contract): each DISTINCT
+    * word's log-prob is quantized ONCE to micro-nats (BIGINT); per-doc
+    * sums are exact integer sums — order-free — and the single IEEE
+    * division at the end is engine-identical.
+    *
+    * Scale: one explode; the vocab aggregate is bounded by vocabulary
+    * (map-side combine), not corpus; token->logp is an equi-join AQE
+    * broadcasts when the vocab is small; the per-doc aggregation is
+    * the last exchange. No driver-side model state. */
+  def unigramLmScore(docs: DataFrame): DataFrame = {
+    // tokens computed once, eagerly: the vocab agg and the scoring
+    // join both consume it (tfidfTopTerms precedent)
+    val words = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .localCheckpoint()
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum("cnt").cast("long").as("total"), count(lit(1)).as("nv"))
+    val logp = vocab.crossJoin(broadcast(tot))
+      .select(col("w"),
+        round(log((col("cnt") + lit(1.0)) / (col("total") + col("nv"))) * lit(1000000.0))
+          .cast("long").as("lp_q"))
+    words.join(logp, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_q").cast("long").as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-col("s") / (col("n_tokens") * lit(1000000.0))).as("nll"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 3, minTermLen: Int = 3): DataFrame = {
     // tf computed once, eagerly: df and the join both consume it, and
     // a lazy plan would re-run the explode+regexp scan per branch

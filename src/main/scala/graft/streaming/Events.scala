@@ -54,6 +54,87 @@ object Events {
       .agg(count(lit(1)).as("cnt"), min("us").as("start_us"), max("us").as("end_us"))
   }
 
+  /** As-of join: for each left event, the most recent right event AT
+    * OR BEFORE it for the same key — point-in-time enrichment ("what
+    * was the user's last purchase when they clicked?"), the feature-
+    * pipeline staple Spark lacks as a built-in.
+    *
+    * Shape: tag both sides, UNION, ONE hash exchange on the key, and
+    * a last-non-null carry-forward window ordered by (us, side) —
+    * right rows (side 0) sort before left rows (side 1) at equal
+    * timestamps, which is exactly the <= semantics. At 100 TB this is
+    * one shuffle of left+right and a linear per-partition sweep: no
+    * range/theta join (quadratic per key), no broadcast of either
+    * side, skew bounded by the busiest single key.
+    *
+    * Right-side timestamp ties collapse to the max event_id first so
+    * the carried value is well-defined; misses surface as -1 (both
+    * engines coalesce, so the gate never compares NULL floats). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String = "user_id"): DataFrame = {
+    val us = expr("ts div 1000")
+    val l = left.select(col(key).as("k"), us.as("us"), col("event_id"), col("value"),
+      lit(1).as("side"),
+      lit(null).cast("long").as("re"), lit(null).cast("double").as("rv"))
+    val r = right.select(col(key).as("k"), us.as("us"), col("event_id"), col("value"))
+      .groupBy(col("k"), col("us"))
+      .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("m"))
+      .select(col("k"), col("us"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        lit(0).as("side"), col("m.event_id").as("re"), col("m.value").as("rv"))
+    val w = Window.partitionBy("k").orderBy("us", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("le", last(col("re"), ignoreNulls = true).over(w))
+      .withColumn("lv", last(col("rv"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("k").as(key), col("event_id"), col("us"), col("value"),
+        coalesce(col("le"), lit(-1L)).as("r_event_id"),
+        coalesce(col("lv"), lit(-1.0)).as("r_value"))
+  }
+
+  final case class AsofOut(user_id: Long, event_id: Long, us: Long, value: Double,
+                           r_event_id: Long, r_value: Double)
+  final case class AsofState(us: Long, eventId: Long, value: Double)
+
+  /** Streaming twin of [[asofJoin]] over ONE event stream carrying
+    * both sides (filtered by event_type): per-key state holds the
+    * latest right event; left events emit enriched rows. Rows are
+    * sorted within each micro-batch (same sorted-within-batch
+    * approximation as [[sessionizeStream]]); state is one tuple per
+    * key — bounded regardless of stream length. */
+  def asofJoinStream(events: DataFrame, leftType: String = "click",
+                     rightType: String = "purchase"): Dataset[AsofOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col("event_type").isin(leftType, rightType))
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+              col("event_id"), col("value"),
+              (col("event_type") === leftType).as("is_left"), col("ets"))
+      .as[(Long, Long, Long, Double, Boolean, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double, Boolean, java.sql.Timestamp)],
+         state: GroupState[AsofState]) =>
+          // right rows sort before left at equal us (side false < true);
+          // event_id last so right-side ts ties land on max event_id,
+          // matching the batch max_by collapse
+          val sorted = rows.toArray.sortBy(t => (t._2, t._5, t._3))
+          var st = state.getOption.getOrElse(AsofState(-1L, -1L, -1.0))
+          var out = List.empty[AsofOut]
+          sorted.foreach { case (_, us, eid, v, isLeft, _) =>
+            if (isLeft) out = AsofOut(user, eid, us, v, st.eventId, st.value) :: out
+            else if (us >= st.us) st = AsofState(us, eid, v)
+          }
+          state.update(st)
+          out.reverseIterator
+      }
+  }
+
   /** Streaming exact dedup for a document stream: content-hash
     * dropDuplicatesWithinWatermark — the streaming twin of
     * pipeline.Dedup.exact. State is bounded by the watermark horizon

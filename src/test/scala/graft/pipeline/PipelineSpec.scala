@@ -330,6 +330,36 @@ class PipelineSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("pii redaction: emails, ipv4s, phones counted and replaced in order") {
+    val d = Seq(
+      (1L, "mail john.doe+x@test-site.org or visit 192.168.0.1 call +12345678901", "en", "s", 1L),
+      (2L, "no pii here", "en", "s", 1L),
+      // a@10.0.0.1 is NOT an email (TLD must be alphabetic) so the IP
+      // rule claims the address; +123 is too short for the phone rule
+      (3L, "a@10.0.0.1 then +123 then 999.999.999.999", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.piiRedact(d)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(1L) == (1L, 1L, 1L, "mail <EMAIL> or visit <IP> call <PHONE>"))
+    assert(out(2L) == (0L, 0L, 0L, "no pii here"))
+    assert(out(3L) == (0L, 2L, 0L, "a@<IP> then +123 then <IP>"))
+  }
+
+  test("unigram LM score: hand-computed add-one-smoothed mean nll") {
+    // corpus: a:2 b:2 c:1 -> total=5, vocab=3
+    // p(a)=p(b)=3/8, p(c)=2/8; lp_q = round(ln(p)*1e6)
+    val d = Seq((1L, "a a b", "en", "s", 1L), (2L, "b c", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.unigramLmScore(d)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val lpA = math.round(math.log(3.0 / 8.0) * 1e6) // -980829
+    val lpC = math.round(math.log(2.0 / 8.0) * 1e6) // -1386294
+    assert(lpA == -980829L && lpC == -1386294L)
+    assert(out(1L) == (3L, -(3 * lpA) / 3000000.0))
+    assert(out(2L) == (2L, -(lpA + lpC) / 2000000.0))
+  }
+
   test("segment dedup drops per-source boilerplate, keeps order, drops emptied docs") {
     val boiler = "subscribe to our newsletter now for daily updates today ok" // 10 words
     val docs2 = Seq(

@@ -198,6 +198,61 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofJoin attaches the latest right event at or before each left event") {
+    val ev = Seq(
+      (1L, ns(5), 10L, "click", 1.0, "{}"),      // before any purchase -> miss
+      (2L, ns(10), 10L, "purchase", 50.0, "{}"),
+      (3L, ns(20), 10L, "click", 2.0, "{}"),     // -> purchase 2
+      (4L, ns(50), 10L, "purchase", 60.0, "{}"),
+      (5L, ns(60), 10L, "click", 3.0, "{}"),     // -> purchase 4 (latest wins)
+      (6L, ns(7), 20L, "click", 4.0, "{}"),      // user 20 never purchases
+      (7L, ns(10), 30L, "purchase", 70.0, "{}"),
+      (8L, ns(10), 30L, "click", 5.0, "{}")      // equal ts: AT-or-before includes it
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.asofJoin(
+        ev.where($"event_type" === "click"), ev.where($"event_type" === "purchase"))
+      .select("user_id", "event_id", "us", "value", "r_event_id", "r_value")
+      .as[(Long, Long, Long, Double, Long, Double)].collect().toSet
+    def u(sec: Long) = (base + sec) * 1000000L
+    assert(out == Set(
+      (10L, 1L, u(5), 1.0, -1L, -1.0),
+      (10L, 3L, u(20), 2.0, 2L, 50.0),
+      (10L, 5L, u(60), 3.0, 4L, 60.0),
+      (20L, 6L, u(7), 4.0, -1L, -1.0),
+      (30L, 8L, u(10), 5.0, 7L, 70.0)))
+  }
+
+  test("streaming as-of join matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ns(5), 10L, "click", 1.0, "{}"),
+      (2L, ns(10), 10L, "purchase", 50.0, "{}"),
+      (3L, ns(20), 10L, "click", 2.0, "{}"),
+      (4L, ns(50), 10L, "purchase", 60.0, "{}"),
+      (5L, ns(60), 10L, "click", 3.0, "{}"),
+      (6L, ns(7), 20L, "click", 4.0, "{}"))
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val stream = Events.asofJoinStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = stream.writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(3))
+      q.processAllAvailable()
+      mem.addData(rows.drop(3))
+      q.processAllAvailable()
+      val got = spark.table("asof").as[Events.AsofOut].collect().toSet
+      val batch = Events.asofJoin(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .where($"event_type" === "click"),
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .where($"event_type" === "purchase"))
+        .as[Events.AsofOut].collect().toSet
+      assert(got == batch)
+      assert(batch.exists(o => o.event_id == 5L && o.r_event_id == 4L))
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
