@@ -568,6 +568,51 @@ object GeoTiff {
     (ox, oy, cw, ch, cols, rows, bands)
   }
 
+  /** Decode ANY self-decodable scene format into the [[decodeScene]]
+    * tuple: TIFF natively (full geo grid + all bands), PNG/BMP/
+    * baseline-JPEG via [[graft.pipeline.ImageCodec]] as R/G/B bands on
+    * a unit grid anchored at (0, rows) — the same default grid non-geo
+    * TIFFs get. The reference's RasterSource.readToLayout
+    * (geopyspark-backend vlm/RasterSource.scala:89) reads arbitrary
+    * GDAL formats to a layout; graft covers the formats it can decode
+    * without native libraries. */
+  def decodeAnyScene(bytes: Array[Byte]): (Double, Double, Double, Double, Int, Int, Seq[Array[Double]]) =
+    if (bytes.length >= 2 &&
+        ((bytes(0) == 'I' && bytes(1) == 'I') || (bytes(0) == 'M' && bytes(1) == 'M')))
+      decodeScene(bytes)
+    else {
+      val img = graft.pipeline.ImageCodec.decode(bytes).getOrElse(
+        throw new IllegalArgumentException(
+          "unsupported scene format (TIFF, PNG, BMP, baseline JPEG)"))
+      val n = img.width * img.height
+      val bands = Array.fill(3)(new Array[Double](n))
+      var i = 0
+      while (i < n) {
+        val p = img.pixels(i)
+        bands(0)(i) = (p >> 16) & 0xff
+        bands(1)(i) = (p >> 8) & 0xff
+        bands(2)(i) = p & 0xff
+        i += 1
+      }
+      (0.0, img.height.toDouble, 1.0, 1.0, img.width, img.height, bands.toSeq)
+    }
+
+  /** Mixed-format byte scenes -> UntiledRaster (multi-format
+    * ingestion: decode distributed via [[decodeAnyScene]], then
+    * tileToLayout). `blobs` columns: (scene_id LONG, blob BINARY);
+    * band 0 rides (TIFF band 0, or the red = gray channel). */
+  def fromScenes(blobs: org.apache.spark.sql.DataFrame): UntiledRaster = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val scenes = blobs.select(col("scene_id"), col("blob")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (ox, oy, cw, ch, cols, rows, bands) = decodeAnyScene(bytes)
+        (id, ox, oy - rows * ch, ox + cols * cw, oy, cols, rows, bands.head.toSeq)
+      }
+      .toDF("scene_id", "xmin", "ymin", "xmax", "ymax", "cols", "rows", "cells")
+    UntiledRaster(scenes)
+  }
+
   /** GeoTIFF byte scenes -> UntiledRaster (the ingestion direction:
     * decode distributed, then tileToLayout). `tiffs` columns:
     * (scene_id LONG, tiff BINARY). */

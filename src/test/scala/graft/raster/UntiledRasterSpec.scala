@@ -20,6 +20,43 @@ class UntiledRasterSpec extends SparkSpec {
     assert(e == Extent(0, 3, 5, 8) && cw == 1.0 && ch == 1.0)
   }
 
+  test("fromScenes ingests PNG/BMP blobs onto the unit grid like a gray TIFF") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // 2x2 gray image, values 10,20,30,40 row-major from top-left —
+    // same cell layout as scene 1 above
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    val vs = Seq(10, 20, 30, 40)
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val v = vs(y * 2 + x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      require(ImageIO.write(img, fmt, out), s"ImageIO cannot write $fmt")
+      out.toByteArray
+    }
+    val blobs = Seq((1L, enc("png")), (2L, enc("bmp"))).toDF("scene_id", "blob")
+    // unit grid anchored at (0, rows): both scenes land on the same
+    // 2x2 window of a 4x4 layout
+    val small = LayoutDefinition(Extent(0, 0, 4, 4), TileLayout(1, 1, 4, 4))
+    val layer = GeoTiff.fromScenes(blobs).tileToLayout(small, CellOp.Max)
+    val cells = layer.toCells.as[(Long, Long, Double)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    // grid y grows downward from the layout top; scene top row (10,20)
+    // sits at the anchor's top (world y in [1,2) -> grid row 2)
+    assert(cells == Map(
+      (0L, 2L) -> 10.0, (1L, 2L) -> 20.0, (0L, 3L) -> 30.0, (1L, 3L) -> 40.0))
+    // TIFF blobs route through the native decoder in the same call
+    val tiffBytes = GeoTiff.encodeTile(
+      Array(10.0, 20.0, 30.0, 40.0), 2, 2, 0.0, 2.0, 1.0, 1.0)
+    val mixed = Seq((3L, tiffBytes)).toDF("scene_id", "blob")
+    val tcells = GeoTiff.fromScenes(mixed).tileToLayout(small, CellOp.Max)
+      .toCells.as[(Long, Long, Double)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    assert(tcells == cells)
+  }
+
   test("tile_to_layout cuts scenes across tile boundaries") {
     val layer = UntiledRaster(scenes).tileToLayout(layout)
     val cells = layer.toCells.as[(Long, Long, Double)].collect()
