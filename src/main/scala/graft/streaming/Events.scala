@@ -67,21 +67,21 @@ object Events {
     * range/theta join (quadratic per key), no broadcast of either
     * side, skew bounded by the busiest single key.
     *
-    * Right-side timestamp ties collapse to the max event_id first so
-    * the carried value is well-defined; misses surface as -1 (both
-    * engines coalesce, so the gate never compares NULL floats). */
+    * Right-side timestamp ties resolve to the max event_id — not via
+    * a pre-collapse aggregation (that would be a second exchange) but
+    * by ordering the window on (us, side, event_id): the last
+    * non-null carried at equal timestamps IS the max-event_id row.
+    * Misses surface as -1 (both engines coalesce, so the gate never
+    * compares NULL floats). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String = "user_id"): DataFrame = {
     val us = expr("ts div 1000")
     val l = left.select(col(key).as("k"), us.as("us"), col("event_id"), col("value"),
       lit(1).as("side"),
       lit(null).cast("long").as("re"), lit(null).cast("double").as("rv"))
-    val r = right.select(col(key).as("k"), us.as("us"), col("event_id"), col("value"))
-      .groupBy(col("k"), col("us"))
-      .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("m"))
-      .select(col("k"), col("us"),
-        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
-        lit(0).as("side"), col("m.event_id").as("re"), col("m.value").as("rv"))
-    val w = Window.partitionBy("k").orderBy("us", "side")
+    val r = right.select(col(key).as("k"), us.as("us"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+      lit(0).as("side"), col("event_id").as("re"), col("value").as("rv"))
+    val w = Window.partitionBy("k").orderBy("us", "side", "re")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("le", last(col("re"), ignoreNulls = true).over(w))

@@ -207,7 +207,10 @@ class EventsSpec extends SparkSpec {
       (5L, ns(60), 10L, "click", 3.0, "{}"),     // -> purchase 4 (latest wins)
       (6L, ns(7), 20L, "click", 4.0, "{}"),      // user 20 never purchases
       (7L, ns(10), 30L, "purchase", 70.0, "{}"),
-      (8L, ns(10), 30L, "click", 5.0, "{}")      // equal ts: AT-or-before includes it
+      (8L, ns(10), 30L, "click", 5.0, "{}"),     // equal ts: AT-or-before includes it
+      (9L, ns(10), 40L, "purchase", 80.0, "{}"), // right-side ts tie:
+      (10L, ns(10), 40L, "purchase", 90.0, "{}"), //   max event_id wins
+      (11L, ns(20), 40L, "click", 6.0, "{}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = Events.asofJoin(
         ev.where($"event_type" === "click"), ev.where($"event_type" === "purchase"))
@@ -219,7 +222,8 @@ class EventsSpec extends SparkSpec {
       (10L, 3L, u(20), 2.0, 2L, 50.0),
       (10L, 5L, u(60), 3.0, 4L, 60.0),
       (20L, 6L, u(7), 4.0, -1L, -1.0),
-      (30L, 8L, u(10), 5.0, 7L, 70.0)))
+      (30L, 8L, u(10), 5.0, 7L, 70.0),
+      (40L, 11L, u(20), 6.0, 10L, 90.0)))
   }
 
   test("streaming as-of join matches the batch result") {
