@@ -14,6 +14,11 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# optional name filters (match Verify's): check only queries containing
+# any given substring — builder-side iteration speedup
+if len(sys.argv) > 3:
+    subs = sys.argv[3:]
+    oracle = {k: v for k, v in oracle.items() if any(s in k for s in subs)}
 fails = 0
 for name, sql in sorted(oracle.items()):
     pdir = f"{outdir}/{name}"

@@ -768,6 +768,32 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       pipeline.TextAnalysis.unigramLmScore(table(s, dir, "documents"))),
 
+    "q_c4_filter" -> ((s, dir) =>
+      // the synthetic corpus is single-line / punctuation-free, so the
+      // query reshapes each doc into a deterministic multi-line page
+      // (identical construction in the oracle, pii_redact precedent):
+      // text-derived lines exercise the word-count + terminal-punct
+      // rules; modulus-selected lines inject the page-level drops
+      // (curly brace, lorem ipsum) and the line-level javascript rule
+      pipeline.TextAnalysis.c4Clean(
+        table(s, dir, "documents").select(col("doc_id"), concat(
+          substring(col("text"), 1, 120), lit(".\n"),
+          substring(col("text"), 121, 90), lit("\n"),
+          substring(col("text"), 211, 70), lit("!\n"),
+          lit("tiny one.\n"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            "Code sample { x = 1 } appears here today.")
+            .otherwise("A perfectly good closing sentence with many words?"),
+          lit("\n"),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            "Standard lorem ipsum filler text goes right here.")
+            .otherwise("Final words of the page end here."),
+          lit("\n"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            "This line mentions javascript so it must go away.")
+            .otherwise("Seven more words complete this very document nicely."))
+          .as("text")))),
+
     "q_tfidf_terms" -> ((s, dir) =>
       // top-3 characteristic terms per doc; log-free tf*N/df score so
       // both engines rank identically (see tfidfTopTerms scaladoc)
@@ -1814,6 +1840,32 @@ object SparkEntry {
           |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(lp_q) AS BIGINT) AS s
           |      FROM w JOIN lp USING (w) GROUP BY 1)
           |SELECT doc_id, n_tokens, -s / (n_tokens * 1000000.0) AS nll FROM d""".stripMargin,
+
+      "q_c4_filter" ->
+        """WITH inj AS (SELECT doc_id,
+          |  substr(text, 1, 120) || '.' || chr(10) ||
+          |  substr(text, 121, 90) || chr(10) ||
+          |  substr(text, 211, 70) || '!' || chr(10) ||
+          |  'tiny one.' || chr(10) ||
+          |  CASE WHEN doc_id % 7 = 0 THEN 'Code sample { x = 1 } appears here today.'
+          |       ELSE 'A perfectly good closing sentence with many words?' END || chr(10) ||
+          |  CASE WHEN doc_id % 13 = 0 THEN 'Standard lorem ipsum filler text goes right here.'
+          |       ELSE 'Final words of the page end here.' END || chr(10) ||
+          |  CASE WHEN doc_id % 5 = 0 THEN 'This line mentions javascript so it must go away.'
+          |       ELSE 'Seven more words complete this very document nicely.' END AS text
+          |  FROM documents),
+          |pages AS (SELECT doc_id,
+          |    CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
+          |    list_filter(str_split(text, chr(10)), l ->
+          |      regexp_matches(trim(l), '[.!?"]$')
+          |      AND len(regexp_extract_all(trim(l), '[A-Za-z0-9]+')) >= 5
+          |      AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+          |  FROM inj
+          |  WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{'))
+          |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+          |  CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS clean_chars,
+          |  md5(array_to_string(kept, chr(10))) AS clean_fp
+          |FROM pages WHERE len(kept) >= 3""".stripMargin,
 
       "q_tfidf_terms" ->
         """WITH toks AS (

@@ -150,6 +150,41 @@ object TextAnalysis {
         EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("redacted"))
   }
 
+  /** C4-style page cleaning (Raffel et al. 2020 §2.2 — the public C4
+    * heuristic rules, the cleaning pass behind the C4 corpus):
+    *  - LINE level: keep only lines that end in terminal punctuation
+    *    (. ! ? "), contain at least `minLineWords` words, and do not
+    *    mention "javascript";
+    *  - PAGE level: drop documents containing "lorem ipsum" or a curly
+    *    brace (code), or retaining fewer than `minKeptLines` lines.
+    * Returns the surviving documents with the kept-line count and a
+    * content hash of the cleaned text (so a correctness check verifies
+    * the actual cleaned bytes, not just the keep/drop decision).
+    *
+    * Scale shape: pure per-row string/array math — shuffle-free,
+    * scan-bound, fully codegen'd; the page-level predicates sit before
+    * the array work so dropped pages never pay for line filtering. The
+    * filter() lambda runs genuinely per line (no whole-doc expression
+    * inside it — the HOF-CSE trap doesn't apply). */
+  def c4Clean(docs: DataFrame,
+              minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+      size(regexp_extract_all(trim(l), lit("[A-Za-z0-9]+"), lit(0))) >= minLineWords &&
+      !lower(trim(l)).contains("javascript"))
+    docs
+      .where(!lower(col("text")).contains("lorem ipsum") &&
+             !col("text").contains("{"))
+      .select(col("doc_id"), size(lines).cast("long").as("n_lines"),
+              kept.as("kept"))
+      .where(size(col("kept")) >= minKeptLines)
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        length(concat_ws("\n", col("kept"))).cast("long").as("clean_chars"),
+        md5(concat_ws("\n", col("kept"))).as("clean_fp"))
+  }
+
   /** CCNet-style unigram language-model score: train unigram counts on
     * the corpus itself, score each document by the mean negative
     * log-probability of its tokens (add-one smoothing over the

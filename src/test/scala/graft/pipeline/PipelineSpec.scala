@@ -434,4 +434,31 @@ class PipelineSpec extends SparkSpec {
     assert(b1(0) == src(0))
     assert(b1(31) == src((31L * src.length / 32).toInt))
   }
+
+  test("c4 clean: line rules (terminal punct, min words, javascript) and page rules (lorem ipsum, brace, min lines)") {
+    val good1 = "This line has plenty of words and ends well."
+    val good2 = "Another perfectly reasonable line of text appears here!"
+    val good3 = "Questions also count as terminal punctuation right?"
+    val pages = Seq(
+      // page 1: three good lines + three dropped (no punct / short / javascript)
+      (1L, Seq(good1, "no terminal punctuation on this line", "tiny one.",
+               "This line mentions javascript so it goes away.", good2, good3).mkString("\n")),
+      // page 2: only two lines survive -> page dropped (minKeptLines=3)
+      (2L, Seq(good1, good2, "short.").mkString("\n")),
+      // page 3: lorem ipsum -> page dropped even with 3 good lines
+      (3L, Seq(good1, good2, good3, "some Lorem Ipsum filler.").mkString("\n")),
+      // page 4: curly brace -> page dropped
+      (4L, Seq(good1, good2, good3, "code { sample }").mkString("\n")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(pages)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L))
+    val (_, nLines, nKept, cleanChars, fp) = out(1L)
+    assert(nLines == 6L && nKept == 3L)
+    val clean = Seq(good1, good2, good3).mkString("\n")
+    assert(cleanChars == clean.length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp == md)
+  }
 }
