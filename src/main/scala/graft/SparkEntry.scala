@@ -739,6 +739,11 @@ object SparkEntry {
       // source (max is order-free; a float sum is not)
       pipeline.Curation.mixtureRates(table(s, dir, "documents"))),
 
+    "q_chunk_docs" -> ((s, dir) =>
+      // 32-token windows every 24 tokens (8-token overlap); chunk_fp
+      // pins the exact token spans
+      pipeline.Curation.chunkDocuments(table(s, dir, "documents"))),
+
     // --- LLM-pipeline: text analysis (documents)
     "q_token_count" -> ((s, dir) =>
       pipeline.TextAnalysis.tokenCounts(table(s, dir, "documents"))),
@@ -1770,6 +1775,17 @@ object SparkEntry {
            |SELECT source, n_tokens,
            |  CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / mx) * 1000) AS BIGINT) AS permille
            |FROM t, m""".stripMargin,
+
+      "q_chunk_docs" ->
+        """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          |  FROM documents),
+          |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d WHERE len(toks) > 0),
+          |c AS (SELECT doc_id, toks, n,
+          |  unnest(range(0, 1 + greatest(0, (n - 32 + 23) // 24))) AS chunk_id FROM n)
+          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+          |  CAST(len(list_slice(toks, chunk_id * 24 + 1, least(chunk_id * 24 + 32, n))) AS BIGINT) AS n_tokens,
+          |  md5(array_to_string(list_slice(toks, chunk_id * 24 + 1, least(chunk_id * 24 + 32, n)), ' ')) AS chunk_fp
+          |FROM c""".stripMargin,
 
       // --- pipeline: text analysis
       "q_token_count" ->

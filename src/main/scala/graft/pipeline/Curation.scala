@@ -90,6 +90,40 @@ object Curation {
     stratifiedSample(docs, rates)
   }
 
+  /** Fixed-token-window document chunking with stride overlap — the
+    * per-document half of training prep ([[packSequences]] is the
+    * cross-document half): split each document's token stream into
+    * windows of `window` tokens starting every `stride` tokens, so
+    * consecutive chunks overlap by window - stride. Chunk count is
+    * 1 + ceil((n - window) / stride) (every token is covered; the last
+    * chunk may be short), zero-token documents emit nothing. Emits the
+    * in-chunk token count and a content hash of the chunk, so a
+    * correctness check pins the exact token spans, not just counts.
+    *
+    * Scale shape: pure per-row array math + a row-multiplying explode
+    * (xnc, the chunk count) — shuffle-free, scan-bound. All arithmetic
+    * is integral; the md5 is the portable content hash. The chunk
+    * slice is named once and reused by both outputs. */
+  def chunkDocuments(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window (stride > window would skip tokens)")
+    docs.select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      .where(col("n") > 0)
+      // nc - 1 = max(0, ceil((n - window) / stride)); integer trunc ==
+      // floor for the positive branch and greatest() clamps the rest,
+      // matching DuckDB's floor-division `//` exactly
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L),
+          greatest(lit(0L), expr(s"(n - $window + ${stride - 1}) div $stride")))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(window)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+  }
+
   /** Token-budget sequence packing: concatenate each source's
     * documents in doc_id order and cut every `budget` tokens — the
     * standard LLM pre-training packing (documents straddle pack

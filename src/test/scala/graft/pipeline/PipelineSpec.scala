@@ -435,6 +435,27 @@ class PipelineSpec extends SparkSpec {
     assert(b1(31) == src((31L * src.length / 32).toInt))
   }
 
+  test("chunk documents: window/stride spans, short tail, empty doc emits nothing") {
+    // doc 1: 10 tokens, window 4 stride 3 -> nc = 1 + ceil((10-4)/3) = 3
+    // chunks starting at tokens 1/4/7, covering all 10 tokens
+    val d = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "a b"),            // single short chunk
+      (3L, "...!!!"))         // zero tokens -> no rows
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(d, window = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(!out.contains(3L))
+    assert(out(2L).map(r => (r._2, r._3)).toSeq == Seq((0L, 2L)))
+    assert(out(1L).map(r => (r._2, r._3)).toSeq ==
+      Seq((0L, 4L), (1L, 4L), (2L, 4L)))
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)(1)._4 == fp("t4 t5 t6 t7"))   // chunk 1 = tokens 4..7
+    assert(out(1L)(2)._4 == fp("t7 t8 t9 t10"))  // chunk 2 = tokens 7..10
+  }
+
   test("c4 clean: line rules (terminal punct, min words, javascript) and page rules (lorem ipsum, brace, min lines)") {
     val good1 = "This line has plenty of words and ends well."
     val good2 = "Another perfectly reasonable line of text appears here!"
