@@ -719,6 +719,13 @@ object SparkEntry {
       pipeline.Similarity.clusterAssign(table(s, dir, "embeddings"),
         col("vec_id") % 37 === 0)),
 
+    "q_semdedup" -> ((s, dir) =>
+      // SemDeDup: cluster on the % 37 centroids, drop vectors with an
+      // eps-similar earlier vector (centroid-similarity order) in the
+      // same cluster
+      pipeline.Similarity.semDedup(table(s, dir, "embeddings"),
+        eps = 0.2, col("vec_id") % 37 === 0)),
+
     // --- LLM-pipeline: corpus curation (documents)
     "q_sample_hash" -> ((s, dir) =>
       // deterministic 10% id-hash sample — same docs on every run/engine
@@ -1742,6 +1749,28 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY v.vec_id
           |      ORDER BY list_dot_product(v.qv, c.cv) / (v.nn * c.cn) DESC, c.cid) AS rn
           |  FROM e v, c) WHERE rn = 1""".stripMargin,
+
+      // embed_cluster assignment -> hot-cluster subkey (MaxBlock
+      // mirror) -> ordered within-cluster eps-pair sweep -> anti-join
+      "q_semdedup" ->
+        s"""WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |e AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nn FROM q0),
+          |c AS (SELECT vec_id AS cid, qv AS cv, nn AS cn FROM e WHERE vec_id % 37 = 0),
+          |asg AS (SELECT vec_id, cid, round(cos, 6) AS ccos FROM (
+          |  SELECT v.vec_id, c.cid, list_dot_product(v.qv, c.cv) / (v.nn * c.cn) AS cos,
+          |    row_number() OVER (PARTITION BY v.vec_id
+          |      ORDER BY list_dot_product(v.qv, c.cv) / (v.nn * c.cn) DESC, c.cid) AS rn
+          |  FROM e v, c) WHERE rn = 1),
+          |j AS (SELECT asg.vec_id, asg.cid, asg.ccos, e.qv, e.nn FROM asg JOIN e USING (vec_id)),
+          |cnt AS (SELECT cid, count(*) AS _c FROM j GROUP BY 1),
+          |b AS (SELECT j.*, j.vec_id % CAST(ceil(cnt._c / ${pipeline.Similarity.MaxBlock}.0) AS BIGINT) AS subkey
+          |      FROM j JOIN cnt USING (cid)),
+          |drp AS (SELECT DISTINCT b2.vec_id FROM b a JOIN b b2
+          |  ON a.cid = b2.cid AND a.subkey = b2.subkey
+          |  AND (a.ccos > b2.ccos OR (a.ccos = b2.ccos AND a.vec_id < b2.vec_id))
+          |  WHERE list_dot_product(a.qv, b2.qv) / (a.nn * b2.nn) >= 0.2)
+          |SELECT vec_id, cid, ccos FROM j
+          |WHERE vec_id NOT IN (SELECT vec_id FROM drp)""".stripMargin,
 
       // --- pipeline: corpus curation
       "q_sample_hash" ->

@@ -268,6 +268,42 @@ object Similarity {
       .select(col("qid"), col("nid"), col("adist"), col("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", arXiv:2303.09540 —
+    * public): cluster the corpus, then prune eps-cosine-similar
+    * vectors WITHIN each cluster, keeping one representative per
+    * semantic-duplicate group. The keep rule is the paper's ordered
+    * sweep made deterministic: order each cluster by (similarity to
+    * centroid DESC, vec_id ASC); a vector is dropped when any EARLIER
+    * vector in its cluster is eps-similar to it. Output = surviving
+    * (vec_id, cid, ccos) rows.
+    *
+    * Scale shape: clustering is [[clusterAssign]] (broadcast
+    * centroids, no corpus shuffle); the within-cluster pair join is
+    * the [[cosinePairs]] blocked shape with the same [[MaxBlock]]
+    * hot-cluster sub-bucketing, so a degenerate giant cluster cannot
+    * melt a reducer; the final anti-join removes dropped ids. The
+    * ordering compares the ROUNDED centroid similarity (6 dp) so the
+    * oracle can restate it verbatim. */
+  def semDedup(embeddings: DataFrame, eps: Double, centroidPred: Column,
+               maxBlock: Option[Long] = Some(MaxBlock)): DataFrame = {
+    val asg = clusterAssign(embeddings, centroidPred)
+      .withColumnRenamed("cosine", "ccos")
+    val e0 = asg.join(
+        embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv")), "vec_id")
+      .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val e = maxBlock.fold(e0.withColumn("subkey", lit(0L)))(subBucket(e0, _, "cid"))
+    val dropped = e.as("a").join(e.as("b"),
+        col("a.cid") === col("b.cid") && col("a.subkey") === col("b.subkey") &&
+          (col("a.ccos") > col("b.ccos") ||
+           (col("a.ccos") === col("b.ccos") && col("a.vec_id") < col("b.vec_id"))))
+      .where(qdot(col("a.qv"), col("b.qv")).cast("double") /
+        (col("a.nn") * col("b.nn")) >= eps)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    e0.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"), col("ccos"))
+  }
+
   /** LSH-accelerated near-dup: same-bucket candidate pairs scored
     * exactly. Buckets over `maxBucket` (a degenerate near-zero-
     * embedding pile hashes identically) split into deterministic

@@ -435,6 +435,21 @@ class PipelineSpec extends SparkSpec {
     assert(b1(31) == src((31L * src.length / 32).toInt))
   }
 
+  test("semdedup: eps-similar later vectors drop, dissimilar survive") {
+    // one centroid (vec 0 = [1,0]); cluster order by centroid
+    // similarity: 0, 2, 3, 4. vecs 2 and 3 are eps-similar to the
+    // earlier vec 0 -> dropped; vec 4 points the other way -> kept
+    val e = Seq(
+      (0L, Array(1f, 0f), 0),
+      (2L, Array(1f, 0.01f), 0),
+      (3L, Array(0.99f, 0.02f), 0),
+      (4L, Array(-1f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semDedup(e, eps = 0.9, col("vec_id") === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 4L))
+  }
+
   test("chunk documents: window/stride spans, short tail, empty doc emits nothing") {
     // doc 1: 10 tokens, window 4 stride 3 -> nc = 1 + ceil((10-4)/3) = 3
     // chunks starting at tokens 1/4/7, covering all 10 tokens
