@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.core.{CRS, ZIndex}
-import graft.raster.{CellOp, Distance, GeoTiff, HistogramOps, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, ZonalOps}
+import graft.raster.{CellOp, Distance, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
 
@@ -274,6 +274,13 @@ object SparkEntry {
     // --- distances
     "q_euclidean_distance" -> ((s, dir) =>
       Distance.euclidean(s, supplierPoints(s, dir), layout)),
+
+    "q_idw" -> ((s, dir) =>
+      // IDW surface from the supplier points (pv = pid % 97 + 1,
+      // stated in the oracle); 16-cell radius, power 2, exact-hit rule
+      Interpolate.idw(
+        supplierPoints(s, dir).withColumn("value", col("pid") % 97 + 1),
+        layout)),
 
     "q_cost_distance" -> ((s, dir) =>
       // friction normalized to [1, 10] => every edge costs >= 1, so
@@ -1149,6 +1156,26 @@ object SparkEntry {
            |           (t2.range + 0.5 - p.py) * (t2.range + 0.5 - p.py))) AS v
            |FROM range(0, 256) t1, range(0, 256) t2, ($pts) p
            |GROUP BY 1, 2""".stripMargin,
+
+      // per-point 16-radius disk -> per-cell exact integer weight sums
+      // (w_q = round(1e9/d^2); d^2 is integral for half-cell-aligned
+      // points) -> one division; d = 0 takes the point value verbatim
+      "q_idw" ->
+        s"""WITH p AS (SELECT pid, px, py, pid % 97 + 1 AS pv FROM ($pts)),
+           |o AS (SELECT dx.range AS dx, dy.range AS dy FROM range(-16, 17) dx, range(-16, 17) dy),
+           |c AS (SELECT CAST(floor(p.px) + o.dx AS BIGINT) AS x, CAST(floor(p.py) + o.dy AS BIGINT) AS y,
+           |             p.pid, p.pv, p.px, p.py FROM p, o),
+           |f AS (SELECT x, y, pid, pv,
+           |        (px - (x + 0.5)) * (px - (x + 0.5)) + (py - (y + 0.5)) * (py - (y + 0.5)) AS d2
+           |      FROM c WHERE x >= 0 AND x < 256 AND y >= 0 AND y < 256),
+           |g AS (SELECT x, y,
+           |        CAST(sum(CASE WHEN d2 > 0 THEN CAST(round(1000000000.0 / d2) AS BIGINT) * pv ELSE 0 END) AS BIGINT) AS swv,
+           |        CAST(sum(CASE WHEN d2 > 0 THEN CAST(round(1000000000.0 / d2) AS BIGINT) ELSE 0 END) AS BIGINT) AS sw,
+           |        min(CASE WHEN d2 = 0 THEN pv END) AS hit
+           |      FROM f WHERE d2 <= 256 GROUP BY 1, 2)
+           |SELECT x, y, CASE WHEN hit IS NOT NULL THEN CAST(hit AS DOUBLE)
+           |             ELSE CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) END AS v
+           |FROM g""".stripMargin,
 
       "q_histogram" ->
         s"""WITH g AS ($grid), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM g)
