@@ -282,6 +282,16 @@ object SparkEntry {
         supplierPoints(s, dir).withColumn("value", col("pid") % 97 + 1),
         layout)),
 
+    "q_region_group" -> ((s, dir) =>
+      // 4-connected components of equal-class cells on a SPARSE grid
+      // (v%4==0 activity, v%3 class — subcritical site density, so
+      // regions stay small and the recursive-CTE oracle stays bounded)
+      graft.raster.RegionGroup.regionGroup(
+        lineitemCells(s, dir).select(col("x"), col("y"), col("v").cast("long").as("vv"))
+          .where(pmod(col("vv"), lit(4)) === 0)
+          .select(col("x"), col("y"), pmod(col("vv"), lit(3)).as("cls")),
+        gridCols = G)),
+
     "q_cost_distance" -> ((s, dir) =>
       // friction normalized to [1, 10] => every edge costs >= 1, so
       // maxCost=32 is provably converged by 32 Bellman-Ford rounds —
@@ -1176,6 +1186,25 @@ object SparkEntry {
            |SELECT x, y, CASE WHEN hit IS NOT NULL THEN CAST(hit AS DOUBLE)
            |             ELSE CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) END AS v
            |FROM g""".stripMargin,
+
+      // min-label closure as a recursive CTE: bidirectional neighbor
+      // edges, label set grows to the component, min per cell = the
+      // engine's large-star/small-star fixpoint labels. Bounded by
+      // sum(region_size^2) — small by the subcritical grid design
+      "q_region_group" ->
+        s"""WITH RECURSIVE g0 AS ($grid),
+           |g AS (SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           |             CAST(v AS BIGINT) % 3 AS cls,
+           |             CAST(y AS BIGINT) * 256 + CAST(x AS BIGINT) AS id
+           |      FROM g0 WHERE CAST(v AS BIGINT) % 4 = 0),
+           |e AS (SELECT a.id AS src, b.id AS dst FROM g a JOIN g b ON b.x = a.x + 1 AND b.y = a.y AND b.cls = a.cls
+           |  UNION ALL SELECT b.id, a.id FROM g a JOIN g b ON b.x = a.x + 1 AND b.y = a.y AND b.cls = a.cls
+           |  UNION ALL SELECT a.id, b.id FROM g a JOIN g b ON b.x = a.x AND b.y = a.y + 1 AND b.cls = a.cls
+           |  UNION ALL SELECT b.id, a.id FROM g a JOIN g b ON b.x = a.x AND b.y = a.y + 1 AND b.cls = a.cls),
+           |r AS (SELECT id, id AS lbl FROM g
+           |  UNION SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id),
+           |m AS (SELECT id, CAST(min(lbl) AS BIGINT) AS region FROM r GROUP BY 1)
+           |SELECT g.x, g.y, g.cls, m.region FROM g JOIN m USING (id)""".stripMargin,
 
       "q_histogram" ->
         s"""WITH g AS ($grid), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM g)

@@ -1,0 +1,45 @@
+package graft.raster
+
+import graft.SparkSpec
+
+class RegionGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4x4 grid, linear id = y*4+x. cls=1 cells: L-shape {0,1,5},
+  // isolated {3}, diagonal-only neighbor {10}; cls=2 cell {15}
+  // touches {10} diagonally but differs in class.
+  val cells = Seq(
+    (0L, 0L, 1L), (1L, 0L, 1L), (1L, 1L, 1L),
+    (3L, 0L, 1L),
+    (2L, 2L, 1L),
+    (3L, 3L, 2L))
+    .toDF("x", "y", "cls")
+
+  def run(conn: Int): Map[Long, Long] =
+    RegionGroup.regionGroup(cells, gridCols = 4, connectivity = conn)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._2 * 4 + r._1) -> r._4).toMap
+
+  test("region group 4-connectivity: edge-adjacent same-class cells merge, diagonals don't") {
+    val m = run(4)
+    assert(m(0L) == 0L && m(1L) == 0L && m(5L) == 0L) // L-shape
+    assert(m(3L) == 3L)                                // isolated singleton
+    assert(m(10L) == 10L)                              // diagonal stays apart
+    assert(m(15L) == 15L)
+  }
+
+  test("region group 8-connectivity: diagonals merge, class boundary still separates") {
+    val m = run(8)
+    assert(m(0L) == 0L && m(1L) == 0L && m(5L) == 0L && m(10L) == 0L)
+    assert(m(3L) == 3L)
+    assert(m(15L) == 15L) // adjacent to id 10 but cls 2 != 1
+  }
+
+  test("region group 8-connectivity: anti-diagonal (dx=1, dy=-1) neighbors merge") {
+    val d = Seq((0L, 1L, 1L), (1L, 0L, 1L)).toDF("x", "y", "cls")
+    val m = RegionGroup.regionGroup(d, gridCols = 4, connectivity = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._2 * 4 + r._1) -> r._4).toMap
+    assert(m == Map(4L -> 1L, 1L -> 1L))
+  }
+}
