@@ -292,6 +292,16 @@ object SparkEntry {
           .select(col("x"), col("y"), pmod(col("vv"), lit(3)).as("cls")),
         gridCols = G)),
 
+    "q_flow_direction" -> ((s, dir) =>
+      // ESRI D8 over the lineitem elevation grid; NoData holes are
+      // walls, pits/flats code 0
+      graft.raster.Hydrology.flowDirection(lineitemCells(s, dir), G, G)),
+
+    "q_flow_accum" -> ((s, dir) =>
+      // upstream drainage counts along the D8 graph (unit weights);
+      // hash-noise terrain keeps flow paths short (depth ~6 at sf0.01)
+      graft.raster.Hydrology.flowAccumulation(lineitemCells(s, dir), G, G)),
+
     "q_cost_distance" -> ((s, dir) =>
       // friction normalized to [1, 10] => every edge costs >= 1, so
       // maxCost=32 is provably converged by 32 Bellman-Ford rounds —
@@ -959,6 +969,36 @@ object SparkEntry {
   private lazy val minhashSimExpr: String =
     (0 until 16).map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
 
+  /** Shared D8 direction CTE chain (8 shifted left joins -> coalesced
+    * drops -> greatest + CASE cascade, mirroring Hydrology exactly);
+    * `tail` is either a final SELECT over `fdir` or further CTEs. */
+  private def flowDirSql(tail: String): String = {
+    val joins = graft.raster.Hydrology.Dirs.map { case (dx, dy, code) =>
+      def off(c: String, d: Int) = if (d == 0) s"c.$c" else if (d > 0) s"c.$c + $d" else s"c.$c - ${-d}"
+      s"  LEFT JOIN g e$code ON e$code.x = ${off("x", dx)} AND e$code.y = ${off("y", dy)}"
+    }.mkString("\n")
+    val nsel = graft.raster.Hydrology.Dirs.map { case (_, _, c) => s"e$c.z AS n$c" }.mkString(", ")
+    val drops = graft.raster.Hydrology.Dirs.map { case (dx, dy, c) =>
+      val dist = if (dx != 0 && dy != 0) " / sqrt(2.0)" else " / 1.0"
+      s"coalesce((zc - n$c)$dist, -1e300) AS d$c"
+    }.mkString(",\n    ")
+    val dlist = graft.raster.Hydrology.Dirs.map { case (_, _, c) => s"d$c" }.mkString(", ")
+    val cascade = graft.raster.Hydrology.Dirs.init.map { case (_, _, c) =>
+      s"WHEN d$c = best THEN $c"
+    }.mkString(" ") + s" ELSE ${graft.raster.Hydrology.Dirs.last._3}"
+    val ctes =
+      s"""WITH RECURSIVE g AS (SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, CAST(v AS DOUBLE) AS z FROM ($lineitemCellsSql)),
+         |n AS (SELECT c.x, c.y, c.z AS zc, $nsel
+         |  FROM g c
+         |$joins),
+         |d AS (SELECT x, y,
+         |    $drops
+         |  FROM n),
+         |f AS (SELECT x, y, greatest($dlist) AS best, $dlist FROM d),
+         |fdir AS (SELECT x, y, CAST(CASE WHEN best <= 0 THEN 0 $cascade END AS BIGINT) AS dir FROM f)""".stripMargin
+    if (tail.trim.startsWith("SELECT")) s"$ctes\n$tail" else s"$ctes,\n$tail"
+  }
+
   def oracleSql: Map[String, String] = {
     val grid   = lineitemCellsSql
     val ogrid  = ordersCellsSql
@@ -1205,6 +1245,23 @@ object SparkEntry {
            |  UNION SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id),
            |m AS (SELECT id, CAST(min(lbl) AS BIGINT) AS region FROM r GROUP BY 1)
            |SELECT g.x, g.y, g.cls, m.region FROM g JOIN m USING (id)""".stripMargin,
+
+      "q_flow_direction" -> flowDirSql(s"SELECT x, y, dir FROM fdir"),
+
+      // token walk as a recursive CTE over the single-out-edge D8
+      // graph (acyclic by strict descent); acc = visits per cell
+      "q_flow_accum" -> flowDirSql(
+        s"""e AS (SELECT y * 256 + x AS src,
+           |    CASE dir WHEN 1 THEN y * 256 + x + 1 WHEN 2 THEN (y + 1) * 256 + x + 1
+           |      WHEN 4 THEN (y + 1) * 256 + x WHEN 8 THEN (y + 1) * 256 + x - 1
+           |      WHEN 16 THEN y * 256 + x - 1 WHEN 32 THEN (y - 1) * 256 + x - 1
+           |      WHEN 64 THEN (y - 1) * 256 + x ELSE (y - 1) * 256 + x + 1 END AS dst
+           |  FROM fdir WHERE dir <> 0),
+           |p AS (SELECT src AS start, dst AS cur FROM e
+           |  UNION ALL SELECT p.start, e.dst FROM p JOIN e ON e.src = p.cur),
+           |a AS (SELECT cur, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
+           |SELECT f.x, f.y, coalesce(a.cnt, 0) AS acc
+           |FROM fdir f LEFT JOIN a ON a.cur = f.y * 256 + f.x""".stripMargin),
 
       "q_histogram" ->
         s"""WITH g AS ($grid), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM g)

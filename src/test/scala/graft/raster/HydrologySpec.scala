@@ -1,0 +1,57 @@
+package graft.raster
+
+import graft.SparkSpec
+
+class HydrologySpec extends SparkSpec {
+  import spark.implicits._
+
+  def dirs(cells: Seq[(Long, Long, Double)], gc: Long = 4, gr: Long = 4): Map[(Long, Long), Long] =
+    Hydrology.flowDirection(cells.toDF("x", "y", "v"), gc, gr)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+
+  test("d8 direction: steepest drop wins, diagonals pay sqrt(2), pits code 0") {
+    // inclined plane z = 9 - x - y with a deep pit at (3,3)
+    val plane = for (x <- 0L to 3L; y <- 0L to 3L)
+      yield (x, y, if (x == 3 && y == 3) 0.0 else 9.0 - x - y)
+    val m = dirs(plane)
+    // interior: SE diagonal drop 2/sqrt(2) ~ 1.414 beats E/S drop 1
+    assert(m((0L, 0L)) == 2L && m((1L, 1L)) == 2L)
+    // (2,2) -> pit: drop 5/sqrt(2); (3,2)/(2,3) fall straight into it
+    assert(m((2L, 2L)) == 2L)
+    assert(m((3L, 2L)) == 4L) // S drop 4 beats SW drop 0
+    assert(m((2L, 3L)) == 1L) // E drop 4
+    // the pit itself: every neighbor is higher
+    assert(m((3L, 3L)) == 0L)
+  }
+
+  test("d8 direction: equal drops tie to the smallest ESRI code") {
+    // E and S both drop 1, SE missing -> cascade picks E (code 1)
+    val m = dirs(Seq((0L, 0L, 5.0), (1L, 0L, 4.0), (0L, 1L, 4.0)))
+    assert(m((0L, 0L)) == 1L)
+    // straight drop 2 beats diagonal drop 2/sqrt(2)
+    val m2 = dirs(Seq((0L, 0L, 5.0), (1L, 0L, 3.0), (1L, 1L, 3.0)))
+    assert(m2((0L, 0L)) == 1L)
+  }
+
+  test("d8 direction: flat neighborhood (no positive drop) codes 0") {
+    val m = dirs(Seq((0L, 0L, 2.0), (1L, 0L, 2.0), (0L, 1L, 2.0)))
+    assert(m.values.forall(_ == 0L))
+  }
+
+  test("flow accumulation: chain drains cumulatively into the pit") {
+    val chain = Seq((0L, 0L, 3.0), (1L, 0L, 2.0), (2L, 0L, 1.0), (3L, 0L, 0.0))
+    val acc = Hydrology.flowAccumulation(chain.toDF("x", "y", "v"), 4, 1)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(acc == Map((0L, 0L) -> 0L, (1L, 0L) -> 1L, (2L, 0L) -> 2L, (3L, 0L) -> 3L))
+  }
+
+  test("flow accumulation: confluence sums both branches") {
+    // Y-shape: two heads at (0,0) and (0,2) drain diagonally into
+    // (1,1), which drains E into the (2,1) pit
+    val y = Seq((0L, 0L, 6.0), (0L, 2L, 6.0), (1L, 1L, 4.0), (2L, 1L, 0.0))
+    val acc = Hydrology.flowAccumulation(y.toDF("x", "y", "v"), 3, 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // (0,0): SE into (1,1); (0,2): NE into (1,1); (1,1): E into (2,1)
+    assert(acc == Map((0L, 0L) -> 0L, (0L, 2L) -> 0L, (1L, 1L) -> 2L, (2L, 1L) -> 3L))
+  }
+}
