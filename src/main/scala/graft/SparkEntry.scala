@@ -302,6 +302,11 @@ object SparkEntry {
       // hash-noise terrain keeps flow paths short (depth ~6 at sf0.01)
       graft.raster.Hydrology.flowAccumulation(lineitemCells(s, dir), G, G)),
 
+    "q_viewshed" -> ((s, dir) =>
+      // observer tower at (128,128), eye elevation 100, 24-cell radius
+      graft.raster.Viewshed.viewshed(lineitemCells(s, dir),
+        ox = 128, oy = 128, zObs = 100)),
+
     "q_cost_distance" -> ((s, dir) =>
       // friction normalized to [1, 10] => every edge costs >= 1, so
       // maxCost=32 is provably converged by 32 Bellman-Ford rounds —
@@ -1247,6 +1252,33 @@ object SparkEntry {
            |SELECT g.x, g.y, g.cls, m.region FROM g JOIN m USING (id)""".stripMargin,
 
       "q_flow_direction" -> flowDirSql(s"SELECT x, y, dir FROM fdir"),
+
+      // R3 viewshed: NN-sampled rays, signed-square integer angle
+      // compare (sign(u) u^2 is monotone => no sqrt, no division)
+      "q_viewshed" ->
+        s"""WITH g AS (SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, CAST(v AS BIGINT) AS z FROM ($grid)),
+           |t AS (SELECT x, y, x - 128 AS dx, y - 128 AS dy, z - 100 AS dzt,
+           |        (x - 128) * (x - 128) + (y - 128) * (y - 128) AS qt,
+           |        greatest(abs(x - 128), abs(y - 128)) AS n
+           |      FROM g WHERE (x - 128) * (x - 128) + (y - 128) * (y - 128) <= 576),
+           |s AS (SELECT x, y, qt, dzt, dx, dy, n, unnest(range(1, n)) AS k FROM t WHERE n >= 2),
+           |sp AS (SELECT x, y, qt, dzt,
+           |        128 + CAST(floor((2.0 * k * dx + n) / (2 * n)) AS BIGINT) AS sx,
+           |        128 + CAST(floor((2.0 * k * dy + n) / (2 * n)) AS BIGINT) AS sy
+           |      FROM s),
+           |blk AS (SELECT sp.x, sp.y, max(CASE WHEN
+           |          (CASE WHEN gz.z - 100 >= 0 THEN (gz.z - 100) * (gz.z - 100)
+           |                ELSE -((gz.z - 100) * (gz.z - 100)) END) * sp.qt
+           |          >= (CASE WHEN sp.dzt >= 0 THEN sp.dzt * sp.dzt
+           |                   ELSE -(sp.dzt * sp.dzt) END)
+           |             * ((sp.sx - 128) * (sp.sx - 128) + (sp.sy - 128) * (sp.sy - 128))
+           |          THEN 1 ELSE 0 END) AS b
+           |        FROM sp JOIN g gz ON gz.x = sp.sx AND gz.y = sp.sy
+           |        WHERE NOT (sp.sx = 128 AND sp.sy = 128)
+           |          AND NOT (sp.sx = sp.x AND sp.sy = sp.y)
+           |        GROUP BY 1, 2)
+           |SELECT t.x, t.y, CAST(CASE WHEN coalesce(blk.b, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS visible
+           |FROM t LEFT JOIN blk ON blk.x = t.x AND blk.y = t.y""".stripMargin,
 
       // token walk as a recursive CTE over the single-out-edge D8
       // graph (acyclic by strict descent); acc = visits per cell
