@@ -812,6 +812,19 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       pipeline.TextAnalysis.unigramLmScore(table(s, dir, "documents"))),
 
+    "q_url_stats" -> ((s, dir) =>
+      // synthetic docs carry no URLs, so the query injects two per doc
+      // (pii_redact precedent, identical construction in the oracle):
+      // a wWw.-prefixed mixed-case host and a ported host — both must
+      // normalize (lowercase, strip www., drop port/path)
+      pipeline.TextAnalysis.domainStats(
+        table(s, dir, "documents").withColumn("text", concat(
+          col("text"), lit(" see https://wWw.Site"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.com/page/"), col("doc_id").cast("string"),
+          lit(" and http://cdn"), pmod(col("doc_id"), lit(3)).cast("string"),
+          lit(".example.net:8080/x?y=1"))))),
+
     "q_c4_filter" -> ((s, dir) =>
       // the synthetic corpus is single-line / punctuation-free, so the
       // query reshapes each doc into a deterministic multi-line page
@@ -2030,6 +2043,22 @@ object SparkEntry {
           |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(lp_q) AS BIGINT) AS s
           |      FROM w JOIN lp USING (w) GROUP BY 1)
           |SELECT doc_id, n_tokens, -s / (n_tokens * 1000000.0) AS nll FROM d""".stripMargin,
+
+      "q_url_stats" ->
+        """WITH inj AS (SELECT doc_id,
+          |  text || ' see https://wWw.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+          |  '.example.com/page/' || CAST(doc_id AS VARCHAR) ||
+          |  ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR) ||
+          |  '.example.net:8080/x?y=1' AS text FROM documents),
+          |u AS (SELECT doc_id,
+          |        unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^ ]*)?')) AS url
+          |      FROM inj),
+          |h AS (SELECT doc_id,
+          |        regexp_replace(lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)), '^www\.', '') AS host
+          |      FROM u)
+          |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |FROM h GROUP BY 1""".stripMargin,
 
       "q_c4_filter" ->
         """WITH inj AS (SELECT doc_id,

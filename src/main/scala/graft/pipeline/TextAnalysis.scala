@@ -185,6 +185,32 @@ object TextAnalysis {
         md5(concat_ws("\n", col("kept"))).as("clean_fp"))
   }
 
+  // URL pattern — ASCII-only, non-capturing groups, identical in Java
+  // regex (Spark) and RE2 (DuckDB); host captured by HostRe group 1
+  val UrlRe  = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^ ]*)?"
+  val HostRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** URL extraction with host normalization — the URL-curation step of
+    * web-corpus pipelines (domain blocklists, per-domain mixing): one
+    * row per URL occurrence with its normalized host (lowercased,
+    * leading www. stripped, port/path dropped). Pure codegen'd regex
+    * scan plus a row-multiplying explode. */
+  def extractUrls(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("url"))
+      .withColumn("host",
+        regexp_replace(lower(regexp_extract(col("url"), HostRe, 1)), "^www\\.", ""))
+
+  /** Per-domain corpus stats over [[extractUrls]]: URL occurrences and
+    * distinct referencing documents per normalized host. The aggregate
+    * is bounded by domain cardinality (map-side combine), not corpus
+    * size — the shape a domain-blocklist builder needs at 100 TB. */
+  def domainStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    extractUrls(docs, textCol)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
   /** CCNet-style unigram language-model score: train unigram counts on
     * the corpus itself, score each document by the mean negative
     * log-probability of its tokens (add-one smoothing over the

@@ -435,6 +435,22 @@ class PipelineSpec extends SparkSpec {
     assert(b1(31) == src((31L * src.length / 32).toInt))
   }
 
+  test("url extraction: host normalization (case, www, port, path) and per-domain stats") {
+    val d = Seq(
+      (1L, "go to https://WWW.Example.COM/a/b?q=1 or http://cdn.example.net:443/x"),
+      (2L, "again https://example.com plus plain text, no scheme: www.skip.me"),
+      (3L, "nothing here"))
+      .toDF("doc_id", "text")
+    val urls = TextAnalysis.extractUrls(d)
+      .as[(Long, String, String)].collect()
+    assert(urls.map(_._3).sorted.toSeq == Seq("cdn.example.net", "example.com", "example.com"))
+    val stats = TextAnalysis.domainStats(d)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(stats("example.com") == (2L, 2L)) // 2 urls across 2 docs
+    assert(stats("cdn.example.net") == (1L, 1L))
+    assert(!stats.contains("skip.me")) // schemeless text is not a URL
+  }
+
   test("semdedup: eps-similar later vectors drop, dissimilar survive") {
     // one centroid (vec 0 = [1,0]); cluster order by centroid
     // similarity: 0, 2, 3, 4. vecs 2 and 3 are eps-similar to the
