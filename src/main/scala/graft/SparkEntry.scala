@@ -282,6 +282,13 @@ object SparkEntry {
         supplierPoints(s, dir).withColumn("value", col("pid") % 97 + 1),
         layout)),
 
+    "q_kernel_density" -> ((s, dir) =>
+      // Epanechnikov-parabola kernel stamps from the supplier points
+      // (pv = pid % 97 + 1); exact integer densities
+      Interpolate.kernelDensity(
+        supplierPoints(s, dir).withColumn("value", col("pid") % 97 + 1),
+        layout)),
+
     "q_region_group" -> ((s, dir) =>
       // 4-connected components of equal-class cells on a SPARSE grid
       // (v%4==0 activity, v%3 class — subcritical site density, so
@@ -1244,6 +1251,17 @@ object SparkEntry {
            |SELECT x, y, CASE WHEN hit IS NOT NULL THEN CAST(hit AS DOUBLE)
            |             ELSE CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) END AS v
            |FROM g""".stripMargin,
+
+      "q_kernel_density" ->
+        s"""WITH p AS (SELECT pid, px, py, pid % 97 + 1 AS pv FROM ($pts)),
+           |o AS (SELECT dx.range AS dx, dy.range AS dy FROM range(-8, 9) dx, range(-8, 9) dy),
+           |c AS (SELECT CAST(floor(p.px) + o.dx AS BIGINT) AS x, CAST(floor(p.py) + o.dy AS BIGINT) AS y,
+           |             p.pv, p.px, p.py FROM p, o),
+           |f AS (SELECT x, y, pv,
+           |        CAST((px - (x + 0.5)) * (px - (x + 0.5)) + (py - (y + 0.5)) * (py - (y + 0.5)) AS BIGINT) AS d2
+           |      FROM c WHERE x >= 0 AND x < 256 AND y >= 0 AND y < 256)
+           |SELECT x, y, CAST(sum((64 - d2) * pv) AS DOUBLE) AS v
+           |FROM f WHERE d2 < 64 GROUP BY 1, 2""".stripMargin,
 
       // min-label closure as a recursive CTE: bidirectional neighbor
       // edges, label set grows to the component, min per cell = the

@@ -58,4 +58,35 @@ object Interpolate {
         when(col("hit").isNotNull, col("hit").cast("double"))
           .otherwise(col("swv").cast("double") / col("sw").cast("double")).as("v"))
   }
+
+  /** Kernel density — the geotrellis `KernelDensity` operation
+    * (public): every point stamps a kernel onto the cells around it
+    * and stamps sum per cell. The kernel is the Epanechnikov-family
+    * parabola w = R^2 - d^2 (support d^2 < R^2): with half-cell-
+    * aligned points d^2 is an exact integer, so each cell's density
+    * is an exact integer sum of w * value — order-free, no rounding
+    * anywhere. Same per-point disk enumeration and single groupBy as
+    * [[idw]]; cells outside every kernel are absent (NoData). */
+  def kernelDensity(points: DataFrame, layout: LayoutDefinition, radius: Int = 8,
+                    valueCol: String = "value"): DataFrame = {
+    require(radius >= 1)
+    val tl = layout.tileLayout
+    val (gc, gr) = (tl.layoutCols.toLong * tl.tileCols, tl.layoutRows.toLong * tl.tileRows)
+    val r2 = radius.toLong * radius
+    val ddx = col("px") - (col("x") + lit(0.5))
+    val ddy = col("py") - (col("y") + lit(0.5))
+    points
+      .select(col("px"), col("py"), col(valueCol).cast("long").as("pv"))
+      .withColumn("dx", explode(sequence(lit(-radius), lit(radius))))
+      .withColumn("dy", explode(sequence(lit(-radius), lit(radius))))
+      .select(col("px"), col("py"), col("pv"),
+        (floor(col("px")) + col("dx")).as("x"),
+        (floor(col("py")) + col("dy")).as("y"))
+      .where(col("x") >= 0 && col("x") < gc && col("y") >= 0 && col("y") < gr)
+      .withColumn("d2", (ddx * ddx + ddy * ddy).cast("long"))
+      .where(col("d2") < r2)
+      .groupBy("x", "y")
+      .agg(sum((lit(r2) - col("d2")) * col("pv")).as("den"))
+      .select(col("x"), col("y"), col("den").cast("double").as("v"))
+  }
 }

@@ -30,6 +30,24 @@ class InterpolateSpec extends SparkSpec {
     assert(out.keys.forall { case (x, y) => x >= 0 && x < 8 && y >= 0 && y < 8 })
   }
 
+  test("kernel density: parabola stamp, overlap adds, support excludes d2 == r2") {
+    // two points with values 2 and 3, radius 2 (r2 = 4)
+    val pts = Seq((1L, 2.5, 2.5, 2L), (2L, 4.5, 2.5, 3L))
+      .toDF("pid", "px", "py", "value")
+    val out = Interpolate.kernelDensity(pts, layout8, radius = 2)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // cell (2,0), center (2.5,0.5): d2 = 4 to p1 — support is STRICT,
+    // so the ring at d2 == r2 is outside; (0,0) is at d2 = 8
+    assert(!out.contains((2L, 0L)))
+    assert(!out.contains((0L, 0L)))
+    // cell (3,2) center (3.5,2.5): d2=1 to both -> 3*2 + 3*3 = 15
+    assert(out((3L, 2L)) == 15.0)
+    // cell (2,2): d2=0 to p1 (w4*2=8), d2=4 to p2 (excluded) -> 8
+    assert(out((2L, 2L)) == 8.0)
+    // cell (4,2): d2=4 to p1 excluded, d2=0 to p2 -> 12
+    assert(out((4L, 2L)) == 12.0)
+  }
+
   test("idw: single isolated point yields a symmetric disk") {
     val pts = Seq((1L, 4.5, 4.5, 5L)).toDF("pid", "px", "py", "value")
     val out = Interpolate.idw(pts, layout8, radius = 2)
