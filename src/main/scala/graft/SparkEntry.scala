@@ -819,6 +819,15 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       pipeline.TextAnalysis.unigramLmScore(table(s, dir, "documents"))),
 
+    "q_gopher_filter" -> ((s, dir) =>
+      // MassiveText document-level rules on the raw corpus; the
+      // synthetic vocabulary carries only "the" from the Gopher
+      // stopword 8, so the query relaxes minStopTypes to 1 (the
+      // operator default stays at the paper's 2) — the word-count
+      // rule then provides the other live decision boundary
+      pipeline.TextAnalysis.gopherFilter(table(s, dir, "documents"),
+        minStopTypes = 1)),
+
     "q_url_stats" -> ((s, dir) =>
       // synthetic docs carry no URLs, so the query injects two per doc
       // (pii_redact precedent, identical construction in the oracle):
@@ -2061,6 +2070,26 @@ object SparkEntry {
           |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(lp_q) AS BIGINT) AS s
           |      FROM w JOIN lp USING (w) GROUP BY 1)
           |SELECT doc_id, n_tokens, -s / (n_tokens * 1000000.0) AS nll FROM d""".stripMargin,
+
+      "q_gopher_filter" -> {
+        val stopSum = pipeline.TextAnalysis.GopherStops
+          .map(w => s"(CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH m AS (SELECT doc_id,
+           |  CAST(len(w) AS BIGINT) AS n_words,
+           |  CAST(length(array_to_string(w, '')) AS BIGINT) AS tot_len,
+           |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+           |  CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
+           |  CAST($stopSum AS BIGINT) AS stop_types
+           |  FROM (SELECT doc_id, text, regexp_extract_all(text, '[^ \\t\\n\\r]+') AS w FROM documents))
+           |SELECT doc_id FROM m
+           |WHERE n_words >= 50 AND n_words <= 100000
+           |  AND CAST(tot_len AS DOUBLE) / n_words >= 3.0
+           |  AND CAST(tot_len AS DOUBLE) / n_words <= 10.0
+           |  AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
+           |  AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+           |  AND stop_types >= 1""".stripMargin
+      },
 
       "q_url_stats" ->
         """WITH inj AS (SELECT doc_id,

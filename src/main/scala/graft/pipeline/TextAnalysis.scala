@@ -185,6 +185,47 @@ object TextAnalysis {
         md5(concat_ws("\n", col("kept"))).as("clean_fp"))
   }
 
+  /** Gopher stopword set (Rae et al. 2021, MassiveText rules). */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/MassiveText document-level quality rules (Rae et al.
+    * 2021, arXiv:2112.11446 appendix A — public; the line-level rules
+    * live in [[c4Clean]], the repetition rule in [[repetitionScore]]):
+    * keep documents with 50..100k whitespace words, mean word length
+    * in [3, 10], symbol-to-word ratio (# and ...) <= 0.1, >= 80%
+    * words containing an alphabetic char, and >= 2 distinct stopwords
+    * of the Gopher 8. Pure per-row string/array math, shuffle-free;
+    * ratios are single IEEE divisions of exact integer counts, so the
+    * keep decisions are engine-identical without rounding. */
+  def gopherFilter(docs: DataFrame,
+                   minWords: Long = 50, maxWords: Long = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1,
+                   minAlphaFrac: Double = 0.8,
+                   minStopTypes: Int = 2): DataFrame = {
+    val stopTypes = GopherStops.map(w =>
+      when(lower(col("text")).rlike(s"\\b$w\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    docs
+      .select(col("doc_id"), col("text"),
+        regexp_extract_all(col("text"), lit("[^ \\t\\n\\r]+"), lit(0)).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        // sum of word lengths == length of the separator-free join
+        length(concat_ws("", col("w"))).cast("long").as("tot_len"),
+        size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("long").as("alpha_words"),
+        size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+          .cast("long").as("n_symbols"),
+        stopTypes.cast("long").as("stop_types"))
+      .where(col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("tot_len").cast("double") / col("n_words") >= minMeanLen &&
+        col("tot_len").cast("double") / col("n_words") <= maxMeanLen &&
+        col("n_symbols").cast("double") / col("n_words") <= maxSymbolRatio &&
+        col("alpha_words").cast("double") / col("n_words") >= minAlphaFrac &&
+        col("stop_types") >= minStopTypes)
+      .select(col("doc_id"))
+  }
+
   // URL pattern — ASCII-only, non-capturing groups, identical in Java
   // regex (Spark) and RE2 (DuckDB); host captured by HostRe group 1
   val UrlRe  = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^ ]*)?"

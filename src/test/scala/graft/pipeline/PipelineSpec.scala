@@ -435,6 +435,22 @@ class PipelineSpec extends SparkSpec {
     assert(b1(31) == src((31L * src.length / 32).toInt))
   }
 
+  test("gopher filter: each rule has a live boundary") {
+    def doc(id: Long, t: String) = (id, t)
+    val good = ("the and of words fine " * 10).trim // 50 words, stops, alpha
+    val d = Seq(
+      doc(1L, good),
+      doc(2L, "the and of too few words"),                      // < minWords
+      doc(3L, ("ab " * 50).trim + " the and"),                  // mean len 2 < 3
+      doc(4L, ("the and " + "# " * 48).trim),                   // symbol ratio 48/50 > 0.1
+      doc(5L, ("the and " + "42 " * 48).trim),                  // alpha frac 2/50 < 0.8
+      doc(6L, ("wordy things here again " * 13).trim))          // no stopwords
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = TextAnalysis.gopherFilter(d, minWords = 20).as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("url extraction: host normalization (case, www, port, path) and per-domain stats") {
     val d = Seq(
       (1L, "go to https://WWW.Example.COM/a/b?q=1 or http://cdn.example.net:443/x"),
