@@ -758,6 +758,10 @@ object SparkEntry {
       pipeline.Similarity.clusterAssign(table(s, dir, "embeddings"),
         col("vec_id") % 37 === 0)),
 
+    "q_random_project" -> ((s, dir) =>
+      // 64 -> 16 dim JL sketch with the deterministic LCG matrix
+      pipeline.Similarity.randomProject(table(s, dir, "embeddings"))),
+
     "q_semdedup" -> ((s, dir) =>
       // SemDeDup: cluster on the % 37 centroids, drop vectors with an
       // eps-similar earlier vector (centroid-similarity order) in the
@@ -1934,6 +1938,15 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY v.vec_id
           |      ORDER BY list_dot_product(v.qv, c.cv) / (v.nn * c.cn) DESC, c.cid) AS rn
           |  FROM e v, c) WHERE rn = 1""".stripMargin,
+
+      "q_random_project" -> {
+        val branches = pipeline.Similarity.planeWeights(16, 64).zipWithIndex
+          .map { case (p, j) =>
+            s"SELECT vec_id, CAST($j AS BIGINT) AS j, CAST(list_dot_product(qv, ${p.mkString("[", ", ", "]")}) AS BIGINT) AS y FROM q"
+          }.mkString("\nUNION ALL ")
+        s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings)
+           |$branches""".stripMargin
+      },
 
       // embed_cluster assignment -> hot-cluster subkey (MaxBlock
       // mirror) -> ordered within-cluster eps-pair sweep -> anti-join

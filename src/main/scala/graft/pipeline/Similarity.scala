@@ -268,6 +268,28 @@ object Similarity {
       .select(col("qid"), col("nid"), col("adist"), col("rank"))
   }
 
+  /** Random projection (Johnson-Lindenstrauss sketch) — reduce each
+    * embedding to `outDim` integer components y_j = <qv, P_j> with the
+    * deterministic [[planeWeights]] LCG matrix (dense integer entries;
+    * sign-random projections are the [[lshBuckets]] 1-bit special
+    * case). The standard pre-ANN dimensionality-reduction step: inner
+    * products are preserved in expectation, and downstream cosine on
+    * the sketch is ~the original cosine at 1/4 the bytes.
+    *
+    * Determinism: quantized vectors x integer matrix -> exact integer
+    * components, no rounding anywhere. Scale shape: one scan, no
+    * shuffle; output is EXPLODED to (vec_id, j, y) rows so results
+    * stay scalar-typed end to end. */
+  def randomProject(embeddings: DataFrame, outDim: Int = 16, dim: Int = 64): DataFrame = {
+    val planes = planeWeights(outDim, dim)
+    val qv = quantize(col("embedding"))
+    embeddings.select(col("vec_id"),
+        explode(array(planes.zipWithIndex.map { case (p, j) =>
+          struct(lit(j.toLong).as("j"), qdot(qv, lit(p.toArray)).as("y"))
+        }: _*)).as("c"))
+      .select(col("vec_id"), col("c.j").as("j"), col("c.y").as("y"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication", arXiv:2303.09540 —
     * public): cluster the corpus, then prune eps-cosine-similar

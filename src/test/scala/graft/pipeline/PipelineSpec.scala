@@ -435,6 +435,31 @@ class PipelineSpec extends SparkSpec {
     assert(b1(31) == src((31L * src.length / 32).toInt))
   }
 
+  test("random projection: components match the LCG matrix by hand; cosine roughly preserved") {
+    val dim = 8
+    val e = Seq(
+      (1L, Array.fill(dim)(0.5f), 0),
+      (2L, Array.fill(dim)(0.5f), 0),                              // identical to 1
+      (3L, Array.tabulate(dim)(i => if (i % 2 == 0) 1f else -1f), 0)) // orthogonal-ish
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.randomProject(e, outDim = 4, dim = dim)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // hand-compute component 0 of vec 1: qv = [500]*8, P_0 from the LCG
+    val p0 = Similarity.planeWeights(4, dim).head
+    assert(out(1L).head == p0.map(_ * 500L).sum)
+    // identical inputs -> identical sketches; different input differs
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    // sketch cosine of identical vectors is exactly 1
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    assert(cos(out(1L), out(2L)) == 1.0)
+    assert(math.abs(cos(out(1L), out(3L))) < 0.9) // dissimilar stays dissimilar-ish
+  }
+
   test("gopher filter: each rule has a live boundary") {
     def doc(id: Long, t: String) = (id, t)
     val good = ("the and of words fine " * 10).trim // 50 words, stops, alpha
