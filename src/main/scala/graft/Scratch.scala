@@ -21,6 +21,36 @@ object Scratch {
       println(s"TIMING entry ($n rows)")
       spark.stop(); return
     }
+    if (args.lift(1).contains("rgprofile")) {
+      import org.apache.spark.sql.functions._
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[info] RG $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val cells = GridSource.lineitemCells(spark, dir)
+        .select(col("x"), col("y"), col("v").cast("long").as("vv"))
+        .where(pmod(col("vv"), lit(4)) === 0)
+        .select(col("x"), col("y"), pmod(col("vv"), lit(3)).as("cls"))
+      val g = t("materialize") {
+        cells.select(col("x").cast("long").as("x"), col("y").cast("long").as("y"),
+          col("cls").cast("long").as("cls"))
+          .withColumn("id", col("y") * 256 + col("x")).localCheckpoint()
+      }
+      val edges = Seq((1, 0), (0, 1)).map { case (dx, dy) =>
+        g.as("a").join(g.as("b"),
+            col("b.x") === col("a.x") + dx && col("b.y") === col("a.y") + dy &&
+              col("b.cls") === col("a.cls"))
+          .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      }.reduce(_ union _)
+      t("edges count")(println("[info] RG n_edges " + edges.count()))
+      val comp = t("cc")(graft.pipeline.Dedup.connectedComponents(
+        edges, g.select(col("id").as("doc_id"))).localCheckpoint())
+      t("final join")(println("[info] RG rows " +
+        g.join(comp, g("id") === comp("doc_id")).count()))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("stress")) {
       // 16x-unioned lineitem (~10M rows at sf0.1) through the core
       // raster path: rasterize -> focal mean -> zonal-style flatten

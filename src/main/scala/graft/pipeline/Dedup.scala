@@ -371,16 +371,64 @@ object Dedup {
     * minimum node, so the result is canonical and deterministic no
     * matter how the rounds interleaved.
     *
+    * Small-graph fast path: when the deduped edge set fits the
+    * `maxDriverEdges` guard (default 2^22 pairs ~ 64 MB), the
+    * components are solved with an in-memory union-find and the
+    * labels broadcast-joined back — one collect instead of O(log n)
+    * iterative rounds, each of which costs fixed job overhead that
+    * dwarfs the data at small scale. The guard keeps the 100 TB
+    * story: a web-scale duplicate graph overflows the threshold and
+    * takes the distributed loop (same labels either way — both
+    * fixpoints are min-id-per-component). The decontamination
+    * broadcast guard is the precedent.
+    *
     * @param pairs    edges as (d1, d2) — any near-dup pair output
     * @param vertices (doc_id) universe; isolated docs come back as
     *                 their own singleton component
     * @return (doc_id, component) with component = min doc_id reachable
     */
   def connectedComponents(pairs: DataFrame, vertices: DataFrame,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          maxDriverEdges: Long = 1L << 22): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     def dedup(e: DataFrame) = e.where(col("u") =!= col("v")).distinct()
+
+    val e00 = dedup(pairs.select(
+      col("d1").cast("long").as("u"), col("d2").cast("long").as("v")))
+      .localCheckpoint()
+    if (e00.count() <= maxDriverEdges) {
+      // union-find with path halving, union by MIN root so every
+      // root is its component's minimum id — identical labels to the
+      // distributed fixpoint
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p)
+          x = parent(x)
+        }
+        x
+      }
+      // one collect (guard-bounded ~64 MB), not toLocalIterator —
+      // the latter schedules one job PER PARTITION
+      e00.as[(Long, Long)].collect().foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) {
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      val labels = parent.keys.toSeq.map(x => (x, find(x))).filter(p => p._1 != p._2)
+      if (labels.isEmpty)
+        return vertices.select(col("doc_id").cast("long").as("doc_id"))
+          .select(col("doc_id"), col("doc_id").as("component"))
+      val lab = broadcast(labels.toDF("doc_id", "_comp"))
+      return vertices.select(col("doc_id").cast("long").as("doc_id"))
+        .join(lab, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("_comp"), col("doc_id")).as("component"))
+    }
+
     // Materialize an edge set and compute its (count, hash-sum)
     // signature in the SAME job: accumulators ride the eager
     // localCheckpoint's materialization pass, so each round costs one
@@ -405,8 +453,7 @@ object Dedup {
       }.toDF("u", "v").localCheckpoint()
       (out, (cnt.value, hs.value))
     }
-    var (e, prev) = checkpointWithSig(dedup(pairs.select(
-      col("d1").cast("long").as("u"), col("d2").cast("long").as("v"))))
+    var (e, prev) = checkpointWithSig(e00)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {

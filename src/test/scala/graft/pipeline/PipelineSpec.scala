@@ -148,6 +148,11 @@ class PipelineSpec extends SparkSpec {
     assert(got(40L) == 40L && got(41L) == 40L)
     assert(got(50L) == 50L)
     assert(got.size == 16)
+    // the distributed large/small-star loop (maxDriverEdges = 0 forces
+    // it past the union-find fast path) labels identically
+    val loop = Dedup.connectedComponents(edges, verts, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(loop == got)
   }
 
   test("connected components over minhash pairs clusters the dup family") {
