@@ -80,9 +80,15 @@ object Hydrology {
     * iterative rule). Round count = the longest flow path — bounded
     * by terrain correlation length, not grid size, for hash-noise or
     * real DEM surfaces; `maxSteps` fails loudly rather than looping.
+    * Small grids take a guarded driver walk instead (one collect of
+    * the <= `maxDriverEdges` out-edges beats per-round job overhead;
+    * the connectedComponents fast path is the precedent).
     */
   def flowAccumulation(cells: DataFrame, gridCols: Long, gridRows: Long,
-                       maxSteps: Int = 64): DataFrame = {
+                       maxSteps: Int = 64,
+                       maxDriverEdges: Long = 1L << 22): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
     val dirs = flowDirection(cells, gridCols, gridRows).localCheckpoint()
     // (from, to) one edge per non-pit cell
     val edge = dirs.where(col("dir") =!= 0)
@@ -92,6 +98,26 @@ object Hydrology {
             (col("y") + dy) * gridCols + (col("x") + dx))
         }.reduce(coalesce(_, _)).as("to"))
       .localCheckpoint()
+    if (edge.count() <= maxDriverEdges) {
+      val next = new scala.collection.mutable.HashMap[Long, Long]()
+      edge.as[(Long, Long)].collect().foreach { case (f, t) => next(f) = t }
+      val acc = new scala.collection.mutable.HashMap[Long, Long]()
+      next.keysIterator.foreach { start =>
+        var cur = next.get(start)
+        var hops = 0
+        while (cur.isDefined) {
+          require(hops <= maxSteps, s"flowAccumulation: path longer than " +
+            s"$maxSteps steps — raise maxSteps")
+          val c = cur.get
+          acc(c) = acc.getOrElse(c, 0L) + 1
+          cur = next.get(c)
+          hops += 1
+        }
+      }
+      val lab = broadcast(acc.toSeq.toDF("id", "cnt"))
+      return dirs.join(lab, (col("y") * gridCols + col("x")) === lab("id"), "left")
+        .select(col("x"), col("y"), coalesce(col("cnt"), lit(0L)).cast("long").as("acc"))
+    }
     var frontier = edge.groupBy(col("to").as("id"))
       .agg(count(lit(1)).cast("long").as("cnt")).localCheckpoint()
     val rounds = scala.collection.mutable.ListBuffer(frontier)

@@ -45,6 +45,14 @@ class HydrologySpec extends SparkSpec {
     assert(acc == Map((0L, 0L) -> 0L, (1L, 0L) -> 1L, (2L, 0L) -> 2L, (3L, 0L) -> 3L))
   }
 
+  test("flow accumulation: distributed loop (guard forced off) matches the driver walk") {
+    val chain = Seq((0L, 0L, 3.0), (1L, 0L, 2.0), (2L, 0L, 1.0), (3L, 0L, 0.0))
+    val loop = Hydrology.flowAccumulation(chain.toDF("x", "y", "v"), 4, 1,
+        maxDriverEdges = 0)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(loop == Map((0L, 0L) -> 0L, (1L, 0L) -> 1L, (2L, 0L) -> 2L, (3L, 0L) -> 3L))
+  }
+
   test("flow accumulation: confluence sums both branches") {
     // Y-shape: two heads at (0,0) and (0,2) drain diagonally into
     // (1,1), which drains E into the (2,1) pit
