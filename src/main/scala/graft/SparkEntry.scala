@@ -823,6 +823,10 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       pipeline.TextAnalysis.unigramLmScore(table(s, dir, "documents"))),
 
+    "q_cms_sketch" -> ((s, dir) =>
+      // 4 x 256 count-min sketch of the token frequency stream
+      pipeline.Sketch.countMinSketch(table(s, dir, "documents"))),
+
     "q_gopher_filter" -> ((s, dir) =>
       // MassiveText document-level rules on the raw corpus; the
       // synthetic vocabulary carries only "the" from the Gopher
@@ -2083,6 +2087,14 @@ object SparkEntry {
           |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(lp_q) AS BIGINT) AS s
           |      FROM w JOIN lp USING (w) GROUP BY 1)
           |SELECT doc_id, n_tokens, -s / (n_tokens * 1000000.0) AS nll FROM d""".stripMargin,
+
+      "q_cms_sketch" ->
+        """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+          |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+          |h AS (SELECT j.j, ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || c.w), 1, 15))::BIGINT % 256 AS b, c.cnt
+          |      FROM c, (SELECT unnest(range(4)) AS j) j)
+          |SELECT CAST(j AS BIGINT) AS j, b, CAST(sum(cnt) AS BIGINT) AS cnt
+          |FROM h GROUP BY 1, 2""".stripMargin,
 
       "q_gopher_filter" -> {
         val stopSum = pipeline.TextAnalysis.GopherStops

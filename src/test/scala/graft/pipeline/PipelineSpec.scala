@@ -440,6 +440,26 @@ class PipelineSpec extends SparkSpec {
     assert(b1(31) == src((31L * src.length / 32).toInt))
   }
 
+  test("count-min sketch: overestimate-only point queries, shard mergeability") {
+    val a = Seq((1L, "alpha alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    val b = Seq((3L, "beta beta delta")).toDF("doc_id", "text")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketch.countMinSketch(df).as[(Long, Long, Long)].collect()
+    val sa = cells(a)
+    // CMS never underestimates; with 4x256 cells and 3 tokens,
+    // collisions are absent and estimates are exact
+    assert(Sketch.cmsEstimate(sa, "alpha") == 3L)
+    assert(Sketch.cmsEstimate(sa, "beta") == 1L)
+    assert(Sketch.cmsEstimate(sa, "gamma") == 1L)
+    assert(Sketch.cmsEstimate(sa, "absent") == 0L)
+    // mergeability: sketch(a ++ b) == cell-wise sum of the shard sketches
+    val merged = cells(a.unionByName(b))
+      .map { case (j, bb, c) => (j, bb) -> c }.toMap
+    val summed = (sa ++ cells(b)).groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    assert(merged == summed)
+  }
+
   test("random projection: components match the LCG matrix by hand; cosine roughly preserved") {
     val dim = 8
     val e = Seq(
