@@ -282,6 +282,25 @@ object SparkEntry {
         supplierPoints(s, dir).withColumn("value", col("pid") % 97 + 1),
         layout)),
 
+    "q_geom_measures" -> ((s, dir) => {
+      // two polygon families per supplier point: a diamond (radius
+      // pid%5+1) and a right triangle (legs pid%4+1, pid%6+1); the
+      // oracle checks the shoelace pipeline against CLOSED FORMS —
+      // an independent derivation, not a restatement
+      val p = supplierPoints(s, dir)
+        .select(col("pid"), col("px"), col("py"),
+          (pmod(col("pid"), lit(5)) + 1).cast("double").as("r"),
+          (pmod(col("pid"), lit(4)) + 1).cast("double").as("a"),
+          (pmod(col("pid"), lit(6)) + 1).cast("double").as("b"))
+      val diamonds = p.select(col("pid"), lit("diamond").as("shape"),
+        array(col("px") + col("r"), col("px"), col("px") - col("r"), col("px"), col("px") + col("r")).as("xs"),
+        array(col("py"), col("py") + col("r"), col("py"), col("py") - col("r"), col("py")).as("ys"))
+      val tris = p.select(col("pid"), lit("triangle").as("shape"),
+        array(col("px"), col("px") + col("a"), col("px"), col("px")).as("xs"),
+        array(col("py"), col("py"), col("py") + col("b"), col("py")).as("ys"))
+      graft.vector.Measures.measures(diamonds.unionByName(tris))
+    }),
+
     "q_kernel_density" -> ((s, dir) =>
       // Epanechnikov-parabola kernel stamps from the supplier points
       // (pv = pid % 97 + 1); exact integer densities
@@ -1268,6 +1287,21 @@ object SparkEntry {
            |SELECT x, y, CASE WHEN hit IS NOT NULL THEN CAST(hit AS DOUBLE)
            |             ELSE CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) END AS v
            |FROM g""".stripMargin,
+
+      // closed forms, not a shoelace restatement: diamond area 2r^2
+      // centered on the point; right-triangle area ab/2 with the
+      // centroid a/3, b/3 off the corner
+      "q_geom_measures" ->
+        s"""WITH p AS (SELECT pid, px, py,
+           |    CAST(pid % 5 + 1 AS DOUBLE) AS r,
+           |    CAST(pid % 4 + 1 AS DOUBLE) AS a,
+           |    CAST(pid % 6 + 1 AS DOUBLE) AS b
+           |  FROM ($pts))
+           |SELECT pid, 'diamond' AS shape, 2 * r * r AS area,
+           |  round(px, 6) AS cx, round(py, 6) AS cy FROM p
+           |UNION ALL
+           |SELECT pid, 'triangle', a * b / 2,
+           |  round(px + a / 3, 6), round(py + b / 3, 6) FROM p""".stripMargin,
 
       "q_kernel_density" ->
         s"""WITH p AS (SELECT pid, px, py, pid % 97 + 1 AS pv FROM ($pts)),

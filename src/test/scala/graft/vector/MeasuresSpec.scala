@@ -1,0 +1,37 @@
+package graft.vector
+
+import graft.SparkSpec
+
+class MeasuresSpec extends SparkSpec {
+  import spark.implicits._
+
+  def run(polys: Seq[(Long, String, Seq[Double], Seq[Double])]): Map[String, (Double, Double, Double)] =
+    Measures.measures(polys.toDF("pid", "shape", "xs", "ys"))
+      .as[(Long, String, Double, Double, Double)].collect()
+      .map(r => r._2 -> (r._3, r._4, r._5)).toMap
+
+  test("measures: square, both orientations, off-origin") {
+    // unit square at (10,20), CCW and CW — orientation must cancel
+    val sq = Seq(10.0, 11, 11, 10, 10)
+    val sy = Seq(20.0, 20, 21, 21, 20)
+    val m = run(Seq(
+      (1L, "ccw", sq, sy),
+      (2L, "cw", sq.reverse, sy.reverse)))
+    assert(m("ccw") == (1.0, 10.5, 20.5))
+    assert(m("cw") == (1.0, 10.5, 20.5))
+  }
+
+  test("measures: concave L-polygon matches decomposition") {
+    // L: [0,1]x[0,2] plus [1,2]x[0,1] -> area 3, centroid (2.5/3, 2.5/3)
+    val m = run(Seq((1L, "L",
+      Seq(0.0, 2, 2, 1, 1, 0, 0), Seq(0.0, 0, 1, 1, 2, 2, 0))))
+    val (area, cx, cy) = m("L")
+    assert(area == 3.0)
+    assert(cx == math.rint(2.5 / 3 * 1e6) / 1e6 && cy == cx)
+  }
+
+  test("measures: triangle thirds centroid") {
+    val m = run(Seq((1L, "t", Seq(0.0, 3, 0, 0), Seq(0.0, 0, 3, 0))))
+    assert(m("t") == (4.5, 1.0, 1.0))
+  }
+}
