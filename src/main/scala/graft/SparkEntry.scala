@@ -143,6 +143,20 @@ object SparkEntry {
       val l = lineitemLayer(s, dir).aspect()
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
+    "q_tri" -> ((s, dir) => {
+      val l = lineitemLayer(s, dir).tri()
+      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
+    "q_tpi" -> ((s, dir) => {
+      val l = lineitemLayer(s, dir).tpi()
+      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
+    // exact: window range of integral cells needs no rounding
+    "q_roughness" -> ((s, dir) => flat(lineitemLayer(s, dir).roughness())),
+    "q_curvature" -> ((s, dir) => {
+      val l = lineitemLayer(s, dir).curvature()
+      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
     "q_hillshade" -> ((s, dir) => flat(lineitemLayer(s, dir).hillshade())),
     "q_tobler" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).tobler()
@@ -999,6 +1013,26 @@ object SparkEntry {
        |)
        |SELECT x, y, $select AS v FROM d""".stripMargin
 
+  /** Full 3x3 window (n1..n9 incl center n5), NaN-gated on all 9
+    * present — the oracle twin of Focal.terrain's window-index ops. */
+  private def windowSql(select: String): String =
+    s"""WITH g AS ($lineitemCellsSql), nb AS (
+       |  SELECT c.x AS x, c.y AS y,
+       |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y - 1 THEN n.v END) AS n1,
+       |    max(CASE WHEN n.x = c.x     AND n.y = c.y - 1 THEN n.v END) AS n2,
+       |    max(CASE WHEN n.x = c.x + 1 AND n.y = c.y - 1 THEN n.v END) AS n3,
+       |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y     THEN n.v END) AS n4,
+       |    max(CASE WHEN n.x = c.x     AND n.y = c.y     THEN n.v END) AS n5,
+       |    max(CASE WHEN n.x = c.x + 1 AND n.y = c.y     THEN n.v END) AS n6,
+       |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y + 1 THEN n.v END) AS n7,
+       |    max(CASE WHEN n.x = c.x     AND n.y = c.y + 1 THEN n.v END) AS n8,
+       |    max(CASE WHEN n.x = c.x + 1 AND n.y = c.y + 1 THEN n.v END) AS n9,
+       |    count(*) AS cnt
+       |  FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+       |  GROUP BY c.x, c.y
+       |)
+       |SELECT x, y, $select AS v FROM nb WHERE cnt = 9""".stripMargin
+
   /** Shared DuckDB CTE chain deriving the MinHash-LSH signature and
     * candidate-pair graph — the single source of truth for BOTH
     * q_dedup_minhash and q_dedup_clusters (same shingles, same hash
@@ -1166,6 +1200,18 @@ object SparkEntry {
 
       "q_aspect" ->
         hornSql("round(CASE WHEN degrees(atan2(dzdy, -dzdx)) < 0 THEN degrees(atan2(dzdy, -dzdx)) + 360 ELSE degrees(atan2(dzdy, -dzdx)) END, 5)"),
+
+      // Riley TRI: sqrt of exact-integer squared-difference sum
+      "q_tri" ->
+        windowSql("round(sqrt((n1 - n5) * (n1 - n5) + (n2 - n5) * (n2 - n5) + (n3 - n5) * (n3 - n5) + (n4 - n5) * (n4 - n5) + (n6 - n5) * (n6 - n5) + (n7 - n5) * (n7 - n5) + (n8 - n5) * (n8 - n5) + (n9 - n5) * (n9 - n5)), 5)"),
+      "q_tpi" ->
+        windowSql("round(n5 - (n1 + n2 + n3 + n4 + n6 + n7 + n8 + n9) / 8.0, 5)"),
+      "q_roughness" ->
+        windowSql("greatest(n1, n2, n3, n4, n5, n6, n7, n8, n9) - least(n1, n2, n3, n4, n5, n6, n7, n8, n9)"),
+      // Zevenbergen-Thorne general curvature, cell size 1:
+      // -200 * (D + E) with the engine's exact operation order
+      "q_curvature" ->
+        windowSql("round((((n4 + n6) / 2.0 - n5) + ((n2 + n8) / 2.0 - n5)) * -200.0, 5)"),
 
       "q_hillshade" ->
         hornSql("floor(greatest(0, 255 * (cos(radians(45)) * cos(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) + sin(radians(45)) * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) * cos(radians(315) - (CASE WHEN atan2(dzdy, -dzdx) < 0 THEN atan2(dzdy, -dzdx) + 2 * pi() ELSE atan2(dzdy, -dzdx) END)))))"),

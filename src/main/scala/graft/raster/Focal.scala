@@ -405,6 +405,10 @@ object Focal {
   def terrain(layer: RasterLayer, what: String, zFactor: Double = 1.0,
               azimuth: Double = 315.0, altitude: Double = 45.0,
               zFactorCalc: Option[Double => Double] = None): RasterLayer = {
+    // 3x3 window-index ops (vs the Horn-gradient family): same halo
+    // machinery, different per-cell formula
+    val indexOp = what == "tri" || what == "tpi" ||
+      what == "roughness" || what == "curvature"
     val meta = layer.meta
     val tl = meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
@@ -454,9 +458,40 @@ object Focal {
       while (cy < tr) {
         var cx = 0
         while (cx < tc) {
+          outTile(cy * tc + cx) = if (indexOp) {
+            // window-index ops read the raw 3x3 (zf does not apply:
+            // TRI/TPI/roughness/curvature are defined on elevations)
+            val n1 = padded(cy * W + cx);       val n2 = padded(cy * W + cx + 1);       val n3 = padded(cy * W + cx + 2)
+            val n4 = padded((cy + 1) * W + cx); val n5 = padded((cy + 1) * W + cx + 1); val n6 = padded((cy + 1) * W + cx + 2)
+            val n7 = padded((cy + 2) * W + cx); val n8 = padded((cy + 2) * W + cx + 1); val n9 = padded((cy + 2) * W + cx + 2)
+            if (n1.isNaN || n2.isNaN || n3.isNaN || n4.isNaN || n5.isNaN ||
+                n6.isNaN || n7.isNaN || n8.isNaN || n9.isNaN) Double.NaN
+            else what match {
+              case "tri" =>
+                // Riley et al. 1999 terrain ruggedness: sqrt of the
+                // summed squared center-neighbor differences
+                math.sqrt((n1 - n5) * (n1 - n5) + (n2 - n5) * (n2 - n5) +
+                  (n3 - n5) * (n3 - n5) + (n4 - n5) * (n4 - n5) +
+                  (n6 - n5) * (n6 - n5) + (n7 - n5) * (n7 - n5) +
+                  (n8 - n5) * (n8 - n5) + (n9 - n5) * (n9 - n5))
+              case "tpi" =>
+                // topographic position: center minus 8-neighbor mean
+                n5 - (n1 + n2 + n3 + n4 + n6 + n7 + n8 + n9) / 8.0
+              case "roughness" =>
+                // full-window range (gdaldem convention: center included)
+                math.max(n1, math.max(n2, math.max(n3, math.max(n4, math.max(n5,
+                  math.max(n6, math.max(n7, math.max(n8, n9)))))))) -
+                math.min(n1, math.min(n2, math.min(n3, math.min(n4, math.min(n5,
+                  math.min(n6, math.min(n7, math.min(n8, n9))))))))
+              case "curvature" =>
+                // Zevenbergen & Thorne 1987 general curvature,
+                // -200 * (D + E) in the ArcGIS *100 convention:
+                // D + E = ((n4+n6)/2 - n5)/L^2 + ((n2+n8)/2 - n5)/L^2
+                (((n4 + n6) / 2.0 - n5) + ((n2 + n8) / 2.0 - n5)) * (-200.0 / (cw * cw))
+            }
+          } else {
           val (dzdx0, dzdy0) = horn(padded, W, cx, cy, cw, ch)
           val dzdx = dzdx0 * zf; val dzdy = dzdy0 * zf
-          outTile(cy * tc + cx) =
             if (dzdx.isNaN) Double.NaN
             else what match {
               case "slope" =>
@@ -478,6 +513,7 @@ object Focal {
                 val tanS = math.sqrt(dzdx * dzdx + dzdy * dzdy)
                 6.0 * math.exp(-3.5 * math.abs(tanS + 0.05))
             }
+          }
           cx += 1
         }
         cy += 1

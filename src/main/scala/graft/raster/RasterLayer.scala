@@ -340,6 +340,14 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
                 zFactorCalc: Option[Double => Double] = None): RasterLayer =
     Focal.terrain(this, "hillshade", zFactor, azimuth, altitude, zFactorCalc)
   def tobler(): RasterLayer                         = Focal.terrain(this, "tobler")
+  /** Terrain ruggedness index (Riley et al. 1999). */
+  def tri(): RasterLayer                            = Focal.terrain(this, "tri")
+  /** Topographic position index: center minus 8-neighbor mean. */
+  def tpi(): RasterLayer                            = Focal.terrain(this, "tpi")
+  /** 3x3 window range (gdaldem roughness convention). */
+  def roughness(): RasterLayer                      = Focal.terrain(this, "roughness")
+  /** Zevenbergen-Thorne general curvature (ArcGIS *100 convention). */
+  def curvature(): RasterLayer                      = Focal.terrain(this, "curvature")
 
   /** Flatten to one row per data cell (x, y, v). Verification /
     * boundary-export path only — never used tile-to-tile. */

@@ -159,6 +159,26 @@ class RasterLayerSpec extends SparkSpec {
     assert(rows(0) == 1L && rows(1) == 1L && rows(2) == 3L && rows(3) == 1L)
   }
 
+  test("terrain indices: TRI/TPI/roughness/curvature match hand-computed window values") {
+    // v = x^2 + 2y on the full 8x8 grid; cell (3,3) sits at a tile
+    // corner so its window spans all four tiles (halo-exchange check).
+    // Window rows (y-1, y, y+1): [8,13,20] / [10,15,22] / [12,17,24].
+    val cells = for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y, (x * x + 2 * y).toDouble)
+    val l = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+    def at(r: RasterLayer): Map[(Long, Long), Double] =
+      cellsOf(r).map(c => ((c._1, c._2), c._3)).toMap
+    // TRI: diffs -7,-2,5,-5,7,-3,2,9 -> sum sq 246
+    assert(math.abs(at(l.tri())((3L, 3L)) - math.sqrt(246.0)) < 1e-12)
+    // TPI: 15 - 126/8
+    assert(at(l.tpi())((3L, 3L)) == -0.75)
+    // roughness: 24 - 8
+    assert(at(l.roughness())((3L, 3L)) == 16.0)
+    // ZT curvature: ((10+22)/2-15) + ((13+17)/2-15) = 1 -> *-200
+    assert(at(l.curvature())((3L, 3L)) == -200.0)
+    // all four gate on the full 3x3: only the 6x6 interior emits
+    assert(at(l.tri()).size == 36)
+  }
+
   test("focal mean crosses tile boundaries via halo") {
     // cells straddling the boundary between tile (0,0) and (1,0): x=3 and x=4
     val l = layer((3, 0, 10.0), (4, 0, 20.0))
