@@ -153,6 +153,9 @@ object SparkEntry {
     }),
     // exact: window range of integral cells needs no rounding
     "q_roughness" -> ((s, dir) => flat(lineitemLayer(s, dir).roughness())),
+    // exact: pit fill only selects among existing integral cell values
+    "q_fill" -> ((s, dir) =>
+      flat(graft.raster.Hydrology.fill(lineitemLayer(s, dir)))),
     "q_curvature" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).curvature()
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
@@ -1015,7 +1018,7 @@ object SparkEntry {
 
   /** Full 3x3 window (n1..n9 incl center n5), NaN-gated on all 9
     * present — the oracle twin of Focal.terrain's window-index ops. */
-  private def windowSql(select: String): String =
+  private def windowSql(select: String, where: String = "cnt = 9"): String =
     s"""WITH g AS ($lineitemCellsSql), nb AS (
        |  SELECT c.x AS x, c.y AS y,
        |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y - 1 THEN n.v END) AS n1,
@@ -1031,7 +1034,7 @@ object SparkEntry {
        |  FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
        |  GROUP BY c.x, c.y
        |)
-       |SELECT x, y, $select AS v FROM nb WHERE cnt = 9""".stripMargin
+       |SELECT x, y, $select AS v FROM nb WHERE $where""".stripMargin
 
   /** Shared DuckDB CTE chain deriving the MinHash-LSH signature and
     * candidate-pair graph — the single source of truth for BOTH
@@ -1208,6 +1211,12 @@ object SparkEntry {
         windowSql("round(n5 - (n1 + n2 + n3 + n4 + n6 + n7 + n8 + n9) / 8.0, 5)"),
       "q_roughness" ->
         windowSql("greatest(n1, n2, n3, n4, n5, n6, n7, n8, n9) - least(n1, n2, n3, n4, n5, n6, n7, n8, n9)"),
+      // single-pass pit fill: full-window sinks rise to the 8-neighbor
+      // minimum, partial windows pass the center through
+      "q_fill" ->
+        windowSql(
+          "CASE WHEN cnt = 9 AND n5 < least(n1, n2, n3, n4, n6, n7, n8, n9) THEN least(n1, n2, n3, n4, n6, n7, n8, n9) ELSE n5 END",
+          where = "TRUE"),
       // Zevenbergen-Thorne general curvature, cell size 1:
       // -200 * (D + E) with the engine's exact operation order
       "q_curvature" ->

@@ -408,7 +408,7 @@ object Focal {
     // 3x3 window-index ops (vs the Horn-gradient family): same halo
     // machinery, different per-cell formula
     val indexOp = what == "tri" || what == "tpi" ||
-      what == "roughness" || what == "curvature"
+      what == "roughness" || what == "curvature" || what == "fill"
     val meta = layer.meta
     val tl = meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
@@ -464,7 +464,21 @@ object Focal {
             val n1 = padded(cy * W + cx);       val n2 = padded(cy * W + cx + 1);       val n3 = padded(cy * W + cx + 2)
             val n4 = padded((cy + 1) * W + cx); val n5 = padded((cy + 1) * W + cx + 1); val n6 = padded((cy + 1) * W + cx + 2)
             val n7 = padded((cy + 2) * W + cx); val n8 = padded((cy + 2) * W + cx + 1); val n9 = padded((cy + 2) * W + cx + 2)
-            if (n1.isNaN || n2.isNaN || n3.isNaN || n4.isNaN || n5.isNaN ||
+            if (what == "fill") {
+              // geotrellis hydrology Fill (single pass): a pit — a cell
+              // strictly below all eight neighbors — rises to the
+              // neighbor minimum; partial windows (edge/NoData) pass
+              // the center through unchanged (DEM repair keeps extent)
+              if (n5.isNaN) Double.NaN
+              else if (n1.isNaN || n2.isNaN || n3.isNaN || n4.isNaN ||
+                       n6.isNaN || n7.isNaN || n8.isNaN || n9.isNaN) n5
+              else {
+                val min8 = math.min(n1, math.min(n2, math.min(n3, math.min(n4,
+                  math.min(n6, math.min(n7, math.min(n8, n9)))))))
+                if (n5 < min8) min8 else n5
+              }
+            }
+            else if (n1.isNaN || n2.isNaN || n3.isNaN || n4.isNaN || n5.isNaN ||
                 n6.isNaN || n7.isNaN || n8.isNaN || n9.isNaN) Double.NaN
             else what match {
               case "tri" =>

@@ -68,6 +68,15 @@ object Hydrology {
     nbrs.select(col("x"), col("y"), dir.cast("long").as("dir"))
   }
 
+  /** Pit fill (geotrellis raster.hydrology Fill semantics, single
+    * pass): a sink — a cell strictly lower than all eight neighbors —
+    * rises to the neighbor minimum so D8 flow has an out-edge there;
+    * everything else (including edge cells with partial windows)
+    * passes through unchanged. Exact: min/select over integral cells
+    * introduces no floating error. One halo exchange via the terrain
+    * window machinery. */
+  def fill(layer: RasterLayer): RasterLayer = Focal.terrain(layer, "fill")
+
   /** Flow accumulation: for each cell, how many other cells' D8 flow
     * paths pass through it (the upstream drainage count; ESRI
     * Accumulation semantics with unit cell weight). Tokens start one

@@ -38,6 +38,27 @@ class HydrologySpec extends SparkSpec {
     assert(m.values.forall(_ == 0L))
   }
 
+  test("fill raises strict pits to the neighbor minimum, passes everything else") {
+    import graft.core.{Extent, LayoutDefinition, TileLayout}
+    val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+    // flat z=5 plain with a pit at (3,3) (tile-corner: halo check) and
+    // a shallow bowl at (5,5) that is NOT strict (equal neighbor)
+    val cells = for { x <- 0L until 8L; y <- 0L until 8L } yield
+      (x, y, if (x == 3 && y == 3) 1.0 else if (x == 5 && y == 5) 5.0 else 5.0)
+    val l = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+    val got = Hydrology.fill(l).toCells.as[(Long, Long, Double)]
+      .collect().map(c => ((c._1, c._2), c._3)).toMap
+    assert(got((3L, 3L)) == 5.0)       // pit rose to min neighbor
+    assert(got((5L, 5L)) == 5.0)       // non-strict: unchanged
+    assert(got((0L, 0L)) == 5.0)       // edge partial window: passthrough
+    assert(got.size == 64)             // extent preserved
+    // a pit ON the edge is not filled (partial window passthrough)
+    val edge = cells.map { case (x, y, v) => if (x == 0 && y == 4) (x, y, 1.0) else (x, y, v) }
+    val got2 = Hydrology.fill(RasterLayer.fromCells(edge.toDF("x", "y", "v"), layout))
+      .toCells.as[(Long, Long, Double)].collect().map(c => ((c._1, c._2), c._3)).toMap
+    assert(got2((0L, 4L)) == 1.0)
+  }
+
   test("flow accumulation: chain drains cumulatively into the pit") {
     val chain = Seq((0L, 0L, 3.0), (1L, 0L, 2.0), (2L, 0L, 1.0), (3L, 0L, 0.0))
     val acc = Hydrology.flowAccumulation(chain.toDF("x", "y", "v"), 4, 1)
