@@ -35,6 +35,24 @@ class RegionGroupSpec extends SparkSpec {
     assert(m(15L) == 15L) // adjacent to id 10 but cls 2 != 1
   }
 
+  test("two-level tile contraction labels identically to the flat path") {
+    // 24x24 grid, tiles of 8: deterministic sparse pattern whose
+    // regions snake across tile borders (incl. diagonal corner
+    // touches); compare flat (tileSize=0) vs contracted label maps
+    val g = for {
+      x <- 0L until 24L; y <- 0L until 24L
+      if (x * 7 + y * 13 + (x * y) % 5) % 3 != 0
+    } yield (x, y, (x + y) % 2)
+    val df = g.toDF("x", "y", "cls")
+    for (conn <- Seq(4, 8)) {
+      val flat = RegionGroup.regionGroup(df, 24, conn, tileSize = 0)
+        .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._4).toMap
+      val two = RegionGroup.regionGroup(df, 24, conn, tileSize = 8)
+        .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._4).toMap
+      assert(two == flat, s"connectivity $conn")
+    }
+  }
+
   test("region group 8-connectivity: anti-diagonal (dx=1, dy=-1) neighbors merge") {
     val d = Seq((0L, 1L, 1L), (1L, 0L, 1L)).toDF("x", "y", "cls")
     val m = RegionGroup.regionGroup(d, gridCols = 4, connectivity = 8)
