@@ -794,6 +794,13 @@ object SparkEntry {
       pipeline.Similarity.clusterAssign(table(s, dir, "embeddings"),
         col("vec_id") % 37 === 0)),
 
+    "q_kmeans" -> ((s, dir) =>
+      // 2 Lloyd rounds from the vec_id % 37 init; output is the final
+      // assignment with EXACT integer L2^2 distances — no rounding
+      // anywhere (integer centroids via round-half-up requantization)
+      pipeline.Similarity.kmeans(table(s, dir, "embeddings"),
+        col("vec_id") % 37 === 0, iters = 2)),
+
     "q_random_project" -> ((s, dir) =>
       // 64 -> 16 dim JL sketch with the deterministic LCG matrix
       pipeline.Similarity.randomProject(table(s, dir, "embeddings"))),
@@ -815,6 +822,13 @@ object SparkEntry {
       // == 1 keep 20%, == 2 keep 10%, == 3 dropped (stated in the SQL)
       pipeline.Curation.stratifiedSample(table(s, dir, "documents"),
         rates = (0 until 20).map(i => s"src$i" -> Seq(400, 200, 100, 0)(i % 4)).toMap)),
+
+    "q_upsample" -> ((s, dir) =>
+      // epochs per source: suffix % 4 == 0 -> 2.5 epochs, == 1 -> 1.5,
+      // == 2 -> 1, == 3 -> 0.4 (the permille remainder picks the extra
+      // copy by the same portable id hash the samplers use)
+      pipeline.Curation.upsampleBySource(table(s, dir, "documents"),
+        rates = (0 until 20).map(i => s"src$i" -> Seq(2500, 1500, 1000, 400)(i % 4)).toMap)),
 
     "q_pack_sequences" -> ((s, dir) =>
       // concatenate-and-chunk packing at a 2048-token budget per source
@@ -919,6 +933,13 @@ object SparkEntry {
     // --- LLM-pipeline: multimodal plumbing (stubbed decode)
     "q_multimodal_meta" -> ((s, dir) =>
       pipeline.Multimodal.metadata(pipeline.Multimodal.asBlobs(table(s, dir, "documents")))),
+
+    "q_multimodal_audio" -> ((s, dir) =>
+      // synthetic PCM through the REAL WAV byte path: encode -> RIFF
+      // chunk-walk decode -> exact integer features; the oracle states
+      // the closed form of the synth samples directly
+      pipeline.Multimodal.decodeAudioFeatures(
+        pipeline.Multimodal.synthWavBlobs(table(s, dir, "documents"))).toDF()),
 
     "q_multimodal_frames" -> ((s, dir) =>
       // row-per-sampled-frame plumbing; frame count from byte length,
@@ -2032,6 +2053,33 @@ object SparkEntry {
           |      ORDER BY list_dot_product(v.qv, c.cv) / (v.nn * c.cn) DESC, c.cid) AS rn
           |  FROM e v, c) WHERE rn = 1""".stripMargin,
 
+      // two unrolled Lloyd rounds; distances exact integer L2^2, the
+      // mean requantized by floor((2s+n)/2n) — the engine's arithmetic
+      // restated verbatim
+      "q_kmeans" -> {
+        def assignSql(cents: String, out: String) =
+          s"""$out AS (SELECT vec_id, cid, d FROM (
+             |  SELECT v.vec_id, c.cid,
+             |    CAST(v.vv - 2 * list_dot_product(v.qv, c.cv) + list_dot_product(c.cv, c.cv) AS BIGINT) AS d,
+             |    row_number() OVER (PARTITION BY v.vec_id
+             |      ORDER BY v.vv - 2 * list_dot_product(v.qv, c.cv) + list_dot_product(c.cv, c.cv), c.cid) AS rn
+             |  FROM e v, $cents c) WHERE rn = 1)""".stripMargin
+        def mstepSql(asg: String, out: String) =
+          s"""${out}m AS (SELECT a.cid, r.i AS i,
+             |    CAST(floor((2.0 * sum(e.qv[CAST(r.i AS INTEGER)]) + count(*)) / (2 * count(*))) AS BIGINT) AS comp
+             |  FROM $asg a JOIN e ON e.vec_id = a.vec_id, range(1, 65) r(i) GROUP BY a.cid, r.i),
+             |$out AS (SELECT cid, list(comp ORDER BY i) AS cv FROM ${out}m GROUP BY cid)""".stripMargin
+        s"""WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+           |e AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM q0),
+           |c0 AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id % 37 = 0),
+           |${assignSql("c0", "a0")},
+           |${mstepSql("a0", "c1")},
+           |${assignSql("c1", "a1")},
+           |${mstepSql("a1", "c2")},
+           |${assignSql("c2", "a2")}
+           |SELECT vec_id, cid, d FROM a2""".stripMargin
+      },
+
       "q_random_project" -> {
         val branches = pipeline.Similarity.planeWeights(16, 64).zipWithIndex
           .map { case (p, j) =>
@@ -2073,6 +2121,19 @@ object SparkEntry {
           |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <
           |  CASE CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4
           |    WHEN 0 THEN 400 WHEN 1 THEN 200 WHEN 2 THEN 100 ELSE 0 END""".stripMargin,
+
+      // copies = floor(rate/1000) + (id-hash bucket < rate % 1000);
+      // generate_series(1, 0) is empty in DuckDB, matching the
+      // engine's empty-array gate
+      "q_upsample" ->
+        """WITH r AS (SELECT doc_id, source,
+          |  CAST(CASE CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4
+          |    WHEN 0 THEN 2500 WHEN 1 THEN 1500 WHEN 2 THEN 1000 ELSE 400 END AS BIGINT) AS rate,
+          |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS b
+          |FROM documents)
+          |SELECT doc_id, source,
+          |  unnest(generate_series(1, rate // 1000 + CASE WHEN b < rate % 1000 THEN 1 ELSE 0 END)) AS copy
+          |FROM r""".stripMargin,
 
       "q_pack_sequences" ->
         s"""WITH t AS (SELECT doc_id, source,
@@ -2265,6 +2326,18 @@ object SparkEntry {
       "q_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS magic FROM documents""".stripMargin,
+
+      // the synth-PCM closed form restated: the engine must recover
+      // EXACTLY these integers through its own WAV encode/decode bytes
+      "q_multimodal_audio" ->
+        """WITH r AS (SELECT doc_id, unnest(range(0, 64 + doc_id % 32)) AS k FROM documents),
+          |s AS (SELECT doc_id, k, ((doc_id * 7 + k * 13) % 256 - 128) * 256 AS sv FROM r),
+          |w AS (SELECT doc_id, sv, lag(sv) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s)
+          |SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+          |  count(*) AS frames,
+          |  CAST(sum(CASE WHEN pv * sv < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+          |  CAST(sum(sv * sv) AS BIGINT) AS energy
+          |FROM w GROUP BY doc_id""".stripMargin,
 
       "q_multimodal_frames" ->
         """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS h

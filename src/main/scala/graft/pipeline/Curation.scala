@@ -48,6 +48,35 @@ object Curation {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Epoch upsampling — the rates-ABOVE-1000 companion of
+    * [[stratifiedSample]] (which can only thin): a source at permille
+    * 2500 emits every document floor(2500/1000) = 2 times, plus a
+    * third copy for the deterministic 50% of documents whose
+    * [[idHash]] bucket falls under the 500 remainder — the
+    * "epochs per source" step of a training data recipe (small
+    * high-quality sources repeat, large ones don't). Emits
+    * (doc_id, source, copy) with copy 1..n so downstream packing
+    * sees distinct rows.
+    *
+    * Scale shape: pure scan + a row-multiplying explode bounded by
+    * ceil(permille/1000) copies — shuffle-free; the rate table
+    * compiles to a CASE expression like [[stratifiedSample]]. */
+  def upsampleBySource(docs: DataFrame, rates: Map[String, Int],
+                       defaultPermille: Int = 1000): DataFrame = {
+    require((rates.values ++ Seq(defaultPermille)).forall(_ >= 0),
+      "negative permille")
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    val copies = (rate / 1000).cast("long") +
+      when(idHash(col("doc_id")) % 1000 < rate % 1000, 1L).otherwise(0L)
+    // sequence(1, 0) would DESCEND ([1, 0]) — gate zero-copy docs to
+    // an empty array so explode drops them
+    docs.select(col("doc_id"), col("source"),
+      explode(when(copies >= 1, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<long>"))).as("copy"))
+  }
+
   /** Temperature-smoothed mixture rates — the standard multi-source
     * balancing step (upweight small sources relative to proportional
     * sampling; the T-smoothed mixture of public multilingual-corpus

@@ -66,6 +66,46 @@ object Multimodal {
       length(col("blob")).cast("long").as("n_bytes"),
       ascii(substring(decode(col("blob"), "UTF-8"), 1, 1)).cast("long").as("magic"))
 
+  final case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
+                             frames: Long, zero_crossings: Long, energy: Long)
+
+  /** Batch audio decode: WAV (RIFF PCM) blobs decode for real —
+    * frames, strict-sign-flip zero crossings, exact Σs^2 energy, all
+    * integer ([[AudioCodec]]). Non-WAV blobs report zeros so the
+    * operator stays total over arbitrary binary columns, mirroring
+    * [[decodeFeatures]]' contract for images. */
+  def decodeAudioFeatures(blobs: DataFrame): Dataset[AudioMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (try AudioCodec.decode(bytes)
+           catch { case scala.util.control.NonFatal(_) => None }) match {
+            case Some(a) =>
+              val (f, zc, en) = AudioCodec.features(a)
+              AudioMeta(id, a.sampleRate.toLong, a.channels.toLong, f, zc, en)
+            case None => AudioMeta(id, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic PCM fixture: doc k gets
+    * 64 + doc_id % 32 mono 16 kHz samples
+    * s_k = ((doc_id*7 + k*13) mod 256 - 128) * 256, encoded as a real
+    * WAV blob — the closed form an oracle can restate, through the
+    * actual encoder/decoder byte path. */
+  def synthWavBlobs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (64 + id % 32).toInt
+      val samples = Array.tabulate(n)(k => ((((id * 7 + k * 13) % 256) - 128) * 256).toInt)
+      (id, AudioCodec.encode(16000, 1, samples))
+    }.toDF("doc_id", "blob")
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame_sig: Long)
 
   /** Frame sampling for video-ish blobs — one output row per sampled

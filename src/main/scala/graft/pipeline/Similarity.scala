@@ -326,6 +326,56 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("ccos"))
   }
 
+  /** Lloyd k-means over quantized embeddings — the M-step companion
+    * to [[clusterAssign]] (which is the E-step alone). Init centroids
+    * are the `centroidPred` corpus subset (cluster label = that
+    * vector's id, stable across rounds); each round assigns every
+    * vector to its L2^2-nearest centroid (exact integer distances,
+    * ties to the smallest cid) and recomputes centroids as the
+    * element-wise mean REQUANTIZED to integers by round-half-up
+    * (floor((2s+n)/2n) — exact, both engines state the same
+    * arithmetic). Clusters that lose all members drop out.
+    *
+    * Determinism: distances are exact integers; the mean is the only
+    * division and is immediately floored back to an integer, so no
+    * float ever crosses a round boundary. Scale shape: centroids stay
+    * broadcast-small; assignment is the [[clusterAssign]]
+    * min-struct AGGREGATE (map-side partials, one row per vector
+    * across the exchange); the M-step explodes to (cid, dim) rows —
+    * 64 per vector — and partial-aggregates map-side too.
+    * Output: final (vec_id, cid, d) with d = exact integer L2^2. */
+  def kmeans(embeddings: DataFrame, centroidPred: Column, iters: Int = 2): DataFrame = {
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("vv", qdot(col("qv"), col("qv")))
+      .localCheckpoint() // consumed every round: don't re-quantize per iter
+    def assign(cents: DataFrame): DataFrame =
+      e.join(broadcast(cents.withColumn("cc", qdot(col("cv"), col("cv")))))
+        .withColumn("d", col("vv") - lit(2L) * qdot(col("qv"), col("cv")) + col("cc"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.d").as("d"))
+    var cents = e.where(centroidPred).select(col("vec_id").as("cid"), col("qv").as("cv"))
+    var r = 0
+    while (r < iters) {
+      val asg = assign(cents)
+      // element-wise integer mean: explode dims, sum/count per
+      // (cid, dim), round-half-up via exact floor((2s+n)/(2n)), then
+      // reassemble in dim order (sort_array on (pos, comp) structs)
+      cents = asg.join(e, "vec_id")
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .withColumn("comp",
+          floor((lit(2L) * col("s") + col("n")).cast("double") / (lit(2L) * col("n")))
+            .cast("long"))
+        .groupBy("cid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("comp")))),
+          p => p("comp")).as("cv"))
+      r += 1
+    }
+    assign(cents)
+  }
+
   /** LSH-accelerated near-dup: same-bucket candidate pairs scored
     * exactly. Buckets over `maxBucket` (a degenerate near-zero-
     * embedding pile hashes identically) split into deterministic

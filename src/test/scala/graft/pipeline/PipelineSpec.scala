@@ -134,6 +134,25 @@ class PipelineSpec extends SparkSpec {
     assert(Similarity.lshPairs(hot, 0.99, bits = 6, maxBucket = None).count() == 66)
   }
 
+  test("kmeans: Lloyd rounds converge with integer requantized centroids") {
+    // quantized: 0:[0,0] 1:[2,0] 2:[10,0] 3:[12,0]; init cids {0, 3}
+    val e = Seq(
+      (0L, Array(0.000f, 0f), 0), (1L, Array(0.002f, 0f), 0),
+      (2L, Array(0.010f, 0f), 0), (3L, Array(0.012f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeans(e, col("vec_id").isin(0L, 3L), iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // round 1 means: c0 = [1,0], c3 = [11,0]; stable thereafter —
+    // final distances are all exactly 1
+    assert(out == Map(0L -> (0L, 1L), 1L -> (0L, 1L), 2L -> (3L, 1L), 3L -> (3L, 1L)))
+    // round-half-up requantization: mean of [1] and [2] is 1.5 -> 2
+    val h = Seq((0L, Array(0.001f), 0), (1L, Array(0.002f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val hv = Similarity.kmeans(h, col("vec_id") === 0, iters = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(hv == Map(0L -> 1L, 1L -> 0L))
+  }
+
   test("connected components: chain, clique, singletons, pair-order invariance") {
     // chain 10-11-...-19 (diameter stresses the star rounds), clique
     // {30,31,32}, pair {40,41} given in descending order, singleton 50
@@ -246,6 +265,25 @@ class PipelineSpec extends SparkSpec {
     assert(s1.subsetOf(s20))
     assert(Curation.hashSample(many, 0).count() == 0)
     assert(Curation.hashSample(many, 1000).count() == 2000)
+  }
+
+  test("upsampling emits floor(rate/1000) copies plus a hash-gated extra") {
+    val many = (1L to 2000L).map(i => (i, s"text $i", "en", s"src${i % 2}", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // src0: exactly 2 epochs; src1: 1.5 epochs (hash picks the extra)
+    val out = Curation.upsampleBySource(many, Map("src0" -> 2000, "src1" -> 1500))
+      .as[(Long, String, Long)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src0") == 2000)            // 1000 docs x exactly 2
+    assert(bySrc("src1") > 1200 && bySrc("src1") < 1800) // ~1.5 epochs
+    // copies number 1..n per doc, deterministic across runs
+    val copies = out.filter(r => r._1 == 2L).map(_._3).sorted
+    assert(copies.head == 1L && copies.last == copies.length)
+    val again = Curation.upsampleBySource(many, Map("src0" -> 2000, "src1" -> 1500))
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._3)).sameElements(again.sortBy(r => (r._1, r._3))))
+    // a sub-1000 rate thins: rate 0 drops the source entirely
+    assert(Curation.upsampleBySource(many, Map("src0" -> 0, "src1" -> 0)).count() == 0)
   }
 
   test("stratified sampling applies per-source rates") {
