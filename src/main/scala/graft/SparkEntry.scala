@@ -358,6 +358,13 @@ object SparkEntry {
         supplierPoints(s, dir), maxCost = CostDistanceMaxCost).toCells
         .select(col("x"), col("y"), round(col("v"), 5).as("v"))),
 
+    "q_cost_path" -> ((s, dir) =>
+      // least-cost path from the farthest reachable cell back to its
+      // source — the walk is driver-side over the maxCost disk; the
+      // oracle replays it as a single-row recursive CTE
+      Distance.costPath(lineitemLayer(s, dir).normalize(1.0, 10.0),
+        supplierPoints(s, dir), maxCost = CostDistanceMaxCost)),
+
     // --- statistics
     "q_histogram" -> ((s, dir) => HistogramOps.binCounts(lineitemLayer(s, dir))),
     "q_histogram_merge" -> ((s, dir) =>
@@ -975,7 +982,10 @@ object SparkEntry {
     * fold identical doubles along identical optimal paths. CTEs are
     * MATERIALIZED: DuckDB would otherwise inline the grid scan into
     * every round (and run out of file handles). */
-  private def costDistanceSql(grid: String, pts: String): String = {
+  /** Shared cost-distance CTE chain (normalized friction g, sources,
+    * offsets o, unrolled relaxation r0..rN); returns (ctes, "rN") so
+    * q_cost_distance and the q_cost_path walk state ONE derivation. */
+  private def costDistanceCtes(grid: String, pts: String): (String, String) = {
     val c = CostDistanceMaxCost
     val rounds = math.ceil(c).toInt
     val s2 = math.sqrt(2.0).toString
@@ -999,7 +1009,35 @@ object SparkEntry {
          |  FROM r$i JOIN o ON true JOIN g ON g.x = r$i.x + o.dx AND g.y = r$i.y + o.dy
          |) WHERE d <= $c GROUP BY 1, 2)""".stripMargin
     }
-    (head ++ rels).mkString("WITH ", ",\n", s"\nSELECT x, y, round(d, 5) AS v FROM r$rounds")
+    ((head ++ rels).mkString(",\n"), s"r$rounds")
+  }
+
+  private def costDistanceSql(grid: String, pts: String): String = {
+    val (ctes, rN) = costDistanceCtes(grid, pts)
+    s"WITH $ctes\nSELECT x, y, round(d, 5) AS v FROM $rN"
+  }
+
+  /** Backtrack walk over the shared cost-distance CTEs: dest = argmax
+    * d (ties min id), each step the neighbor minimizing
+    * d(n) + step * f(cur) (ties min id) — the engine's exact
+    * arithmetic, single-row recursive walk. */
+  private def costPathSql(grid: String, pts: String): String = {
+    val (ctes, rN) = costDistanceCtes(grid, pts)
+    s"""WITH RECURSIVE $ctes,
+       |dd AS MATERIALIZED (SELECT y * $G + x AS id, x, y, d FROM $rN),
+       |gg AS MATERIALIZED (SELECT y * $G + x AS id, f FROM g),
+       |walk(seq, cur) AS (
+       |  SELECT CAST(0 AS BIGINT), (SELECT id FROM dd ORDER BY d DESC, id LIMIT 1)
+       |  UNION ALL
+       |  SELECT w.seq + 1,
+       |    (SELECT n.id FROM dd n JOIN o ON n.x = (w.cur % $G) + o.dx AND n.y = (w.cur // $G) + o.dy
+       |     JOIN gg cg ON cg.id = w.cur
+       |     ORDER BY n.d + o.step * cg.f, n.id LIMIT 1)
+       |  FROM walk w JOIN dd dc ON dc.id = w.cur
+       |  WHERE dc.d > 0 AND w.seq < 1000
+       |)
+       |SELECT w.seq, dd.x, dd.y, round(dd.d, 5) AS v
+       |FROM walk w JOIN dd ON dd.id = w.cur""".stripMargin
   }
 
   /** 3x3 neighbor join over the lineitem grid (shared focal-oracle CTE). */
@@ -1336,6 +1374,7 @@ object SparkEntry {
            |SELECT pid, round(sum(w * v), 5) AS v FROM j GROUP BY pid HAVING count(*) = 4""".stripMargin,
 
       "q_cost_distance" -> costDistanceSql(grid, pts),
+      "q_cost_path" -> costPathSql(grid, pts),
 
       "q_euclidean_distance" ->
         s"""SELECT t1.range AS x, t2.range AS y,

@@ -114,6 +114,73 @@ object Distance {
     * f_min) Bellman-Ford rounds provably converge for every surviving
     * cell (SparkEntry unrolls exactly that).
     */
+  /** Least-cost PATH extraction (the ArcGIS CostPath companion of
+    * cost_distance): backtrack from `dest` — by default the farthest
+    * reachable cell (max accumulated cost, ties to the smallest
+    * linear id) — to the nearest source, stepping each round to the
+    * neighbor minimizing d(n) + step * f(cur), ties to the smallest
+    * linear id. Because every hop costs >= min friction, the walk
+    * strictly descends and is bounded by maxCost / f_min hops.
+    *
+    * Determinism: d and f are the exact doubles the cost-distance
+    * fixpoint produced (identical accumulation order to the oracle's
+    * unrolled relaxation), so argmin/argmax compares are
+    * engine-identical. Scale shape: the walk is inherently
+    * sequential, so it runs driver-side over the collected
+    * REACHABLE set — bounded by the maxCost disk, NOT the raster
+    * (guarded by `maxDriverCells`); the distance fixpoint itself
+    * stays fully distributed.
+    *
+    * @return (seq, x, y, v): step index from dest (0) to source, the
+    *         accumulated cost at each path cell (rounded 5dp) */
+  def costPath(friction: RasterLayer, sources: DataFrame,
+               maxRounds: Int = 64,
+               maxCost: Double = Double.PositiveInfinity,
+               maxDriverCells: Long = 1L << 22): DataFrame = {
+    val spark = friction.spark
+    import spark.implicits._
+    val dist = costDistanceTiled(friction, sources, maxRounds, maxCost)
+    val gridCols = friction.meta.layout.tileLayout.totalCols
+    val reach = dist.toCells.as("d")
+      .join(friction.toCells.as("f"),
+        col("d.x") === col("f.x") && col("d.y") === col("f.y"))
+      .select(col("d.x"), col("d.y"), col("d.v").as("d"), col("f.v").as("f"))
+      .as[(Long, Long, Double, Double)].collect()
+    require(reach.length <= maxDriverCells,
+      s"costPath: ${reach.length} reachable cells exceed maxDriverCells — raise the guard or lower maxCost")
+    val byId = reach.map { case (x, y, d, f) => (y * gridCols + x) -> (x, y, d, f) }.toMap
+    if (byId.isEmpty) return Seq.empty[(Long, Long, Long, Double)].toDF("seq", "x", "y", "v")
+    // dest: farthest reachable cell, ties to the smallest id
+    var cur = reach.map { case (x, y, d, _) => (d, y * gridCols + x) }
+      .reduce { (a, b) => if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b }._2
+    val Sqrt2 = math.sqrt(2.0)
+    val path = mutable.ListBuffer.empty[(Long, Long, Long, Double)]
+    var seq = 0L
+    var steps = 0
+    while ({
+      val (x, y, d, _) = byId(cur)
+      path += ((seq, x, y, d))
+      d > 0 && steps < 100000
+    }) {
+      val (x, y, _, f) = byId(cur)
+      var best = (Double.PositiveInfinity, Long.MaxValue)
+      for (dy <- -1 to 1; dx <- -1 to 1 if dx != 0 || dy != 0) {
+        val nid = (y + dy) * gridCols + (x + dx)
+        byId.get(nid).foreach { case (nx, ny, nd, _) =>
+          if (nx == x + dx && ny == y + dy) { // no linear-id aliasing
+            val step = if (dx == 0 || dy == 0) 1.0 else Sqrt2
+            val key = nd + step * f
+            if (key < best._1 || (key == best._1 && nid < best._2)) best = (key, nid)
+          }
+        }
+      }
+      cur = best._2
+      seq += 1; steps += 1
+    }
+    path.toSeq.toDF("seq", "x", "y", "d")
+      .select(col("seq"), col("x"), col("y"), round(col("d"), 5).as("v"))
+  }
+
   def costDistanceTiled(friction: RasterLayer, sources: DataFrame,
                         maxRounds: Int = 64,
                         maxCost: Double = Double.PositiveInfinity): RasterLayer = {

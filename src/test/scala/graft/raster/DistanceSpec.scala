@@ -71,6 +71,24 @@ class DistanceSpec extends SparkSpec {
     assert(!d.contains((4L, 0L))) // wall cells unreachable/NoData
   }
 
+  test("costPath backtracks from the farthest cell through cheap terrain") {
+    // 3x3 patch, friction 1 except an expensive center (100): the
+    // farthest cell IS the center, d = 1 + 100 = 101 via (1,0) (the
+    // straight entry beats the 100*sqrt(2) diagonal); backtracking,
+    // (1,0)'s key 101 ties (0,1)'s and wins on linear id
+    val cells = Seq(
+      (0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0),
+      (0L, 1L, 1.0), (1L, 1L, 100.0), (2L, 1L, 1.0),
+      (0L, 2L, 1.0), (1L, 2L, 1.0), (2L, 2L, 1.0))
+    val friction = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+    val sources = Seq((0L, 0.5, 0.5)).toDF("pid", "px", "py")
+    val path = Distance.costPath(friction, sources)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(path.map(p => (p._2, p._3)).toSeq == Seq((1L, 1L), (1L, 0L), (0L, 0L)))
+    assert(path.head._4 == 101.0)
+    assert(path.last._4 == 0.0)
+  }
+
   test("euclidean rejects a point set over the broadcast cap") {
     val pts = Seq((1L, 1.2, 6.7), (2L, 6.5, 0.4), (3L, 3.1, 3.9)).toDF("pid", "px", "py")
     val e = intercept[IllegalArgumentException] {
