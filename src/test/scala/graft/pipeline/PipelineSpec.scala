@@ -284,6 +284,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.sortBy(r => (r._1, r._3)).sameElements(again.sortBy(r => (r._1, r._3))))
     // a sub-1000 rate thins: rate 0 drops the source entirely
     assert(Curation.upsampleBySource(many, Map("src0" -> 0, "src1" -> 0)).count() == 0)
+    // unknown sources take the default (1000 = exactly one epoch)
+    val dflt = Curation.upsampleBySource(many, Map.empty)
+      .as[(Long, String, Long)].collect()
+    assert(dflt.length == 2000 && dflt.forall(_._3 == 1L))
+  }
+
+  test("kmeans with iters=0 is plain assignment to the init centroids") {
+    val e = Seq(
+      (0L, Array(0.000f), 0), (1L, Array(0.004f), 0),
+      (2L, Array(0.010f), 0), (3L, Array(0.007f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeans(e, col("vec_id").isin(0L, 2L), iters = 0)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    // 4 -> c0 (d 16 vs 36); 7 -> c2 (d 9 vs 49)
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
   }
 
   test("stratified sampling applies per-source rates") {

@@ -43,6 +43,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ZonalOps.pointValues(l, pts).count() == 0)
   }
 
+  test("terrain indices and fill on degenerate layers") {
+    // empty layer -> empty outputs through the index branch too
+    assert(empty.tri().toCells.count() == 0)
+    assert(Hydrology.fill(empty).toCells.count() == 0)
+    // a single isolated cell: no full window -> indices emit nothing,
+    // fill passes the cell through
+    val one = RasterLayer.fromCells(Seq((3L, 3L, 9.0)).toDF("x", "y", "v"), layout)
+    assert(one.roughness().toCells.count() == 0)
+    assert(one.curvature().toCells.count() == 0)
+    val filled = Hydrology.fill(one).toCells.as[(Long, Long, Double)].collect()
+    assert(filled.toSeq == Seq((3L, 3L, 9.0)))
+  }
+
+  test("costPath where the farthest reachable cell is a source emits one row") {
+    // single data cell = the source itself: path is just (seq 0, source)
+    val f = RasterLayer.fromCells(Seq((2L, 2L, 1.0)).toDF("x", "y", "v"), layout)
+    val p = Distance.costPath(f, Seq((0L, 2.5, 2.5)).toDF("pid", "px", "py"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(p.toSeq == Seq((0L, 2L, 2L, 0.0)))
+  }
+
   test("cost distance with no reachable sources returns empty distances") {
     val l = RasterLayer.fromCells(Seq((1L, 1L, 4.0)).toDF("x", "y", "v"), layout)
     val far = Seq((1L, 100.5, 100.5)).toDF("pid", "px", "py")
