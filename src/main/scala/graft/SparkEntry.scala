@@ -884,6 +884,11 @@ object SparkEntry {
       // 4 x 256 count-min sketch of the token frequency stream
       pipeline.Sketch.countMinSketch(table(s, dir, "documents"))),
 
+    "q_hll_sketch" -> ((s, dir) =>
+      // 64 HyperLogLog registers over distinct tokens — the m-row
+      // mergeable state, all-integer (rho from the hash bit length)
+      pipeline.Sketch.hllSketch(table(s, dir, "documents"))),
+
     "q_gopher_filter" -> ((s, dir) =>
       // MassiveText document-level rules on the raw corpus; the
       // synthetic vocabulary carries only "the" from the Gopher
@@ -2284,6 +2289,17 @@ object SparkEntry {
           |      FROM c, (SELECT unnest(range(4)) AS j) j)
           |SELECT CAST(j AS BIGINT) AS j, b, CAST(sum(cnt) AS BIGINT) AS cnt
           |FROM h GROUP BY 1, 2""".stripMargin,
+
+      // bucket = h mod 64, rem = h // 64, rho = 55 - bitlength(rem)
+      // (55 when rem = 0); every bucket emits (absent -> 0)
+      "q_hll_sketch" ->
+        """WITH w AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+          |h AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+          |regs AS (SELECT h % 64 AS bucket,
+          |    max(CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END) AS rho
+          |  FROM h GROUP BY 1)
+          |SELECT b.range AS bucket, CAST(coalesce(regs.rho, 0) AS BIGINT) AS rho
+          |FROM range(0, 64) b LEFT JOIN regs ON regs.bucket = b.range""".stripMargin,
 
       "q_gopher_filter" -> {
         val stopSum = pipeline.TextAnalysis.GopherStops

@@ -42,6 +42,59 @@ object Sketch {
       .agg(sum("cnt").as("cnt"))
   }
 
+  /** HyperLogLog registers over distinct corpus tokens (Flajolet et
+    * al., "HyperLogLog: the analysis of a near-optimal cardinality
+    * estimation algorithm", AofA 2007 — public). The 60-bit portable
+    * token hash splits into bucket = h mod m and a 54-bit remainder w;
+    * the register is rho(w) = 54 - bitlength(w) + 1 (55 for w = 0) —
+    * pure integer math both engines state identically (bitlength is
+    * length(bin(w)) in DuckDB, 64 - numberOfLeadingZeros on the JVM).
+    * Every bucket emits a row (absent buckets at rho 0), so the m-row
+    * output IS the mergeable state: shards combine by max per bucket
+    * (spec-proved), and the estimator needs nothing else.
+    *
+    * Scale shape: distinct + groupBy both bound by vocabulary, the
+    * exchange by m rows — constant-size output at any corpus size. */
+  def hllSketch(docs: DataFrame, m: Int = 64): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0, "m must be a power of two")
+    val b = java.lang.Integer.numberOfTrailingZeros(m)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val h = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    val regs = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .distinct()
+      // quotient via shiftright, NOT `/`: Column division is IEEE
+      // double and drops low bits past 2^53
+      .select((h % m).as("bucket"), shiftright(h, b).as("rem"))
+      .withColumn("rho",
+        when(col("rem") === 0, lit(55L))
+          .otherwise(lit(55L) - length(conv(col("rem"), 10, 2))))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+    // absent buckets are part of the state: register 0
+    val all = (0L until m.toLong).toDF("bucket")
+    all.join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("rho"), lit(0L)).as("rho"))
+  }
+
+  /** Standard HLL estimate from the m registers — the float math kept
+    * OUT of the oracle-checked state: Z is the exact integer
+    * Σ 2^(55 - rho) (every term is integral because rho <= 55), so
+    * E = alpha_m * m^2 * 2^55 / Z is one closed-form expression over
+    * exact integers. Small-range correction (linear counting) applies
+    * below 5m/2 when empty buckets remain, per the paper. */
+  def hllEstimate(registers: Array[(Long, Long)]): Double = {
+    val m = registers.length
+    require(m >= 16, "alpha constant table starts at m = 16")
+    val alpha = if (m == 16) 0.673 else if (m == 32) 0.697
+      else if (m == 64) 0.709 else 0.7213 / (1 + 1.079 / m)
+    var z = 0L
+    registers.foreach { case (_, r) => z += 1L << (55 - r.toInt) }
+    val e = alpha * m * m * math.pow(2.0, 55) / z
+    val zeros = registers.count(_._2 == 0L)
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
+
   /** Point-frequency estimate from a collected sketch: min over the
     * depth rows of the queried cell (0 for never-hashed cells). A
     * serving-side helper — the sketch is depth x width tiny. */

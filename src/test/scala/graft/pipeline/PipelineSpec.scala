@@ -513,6 +513,32 @@ class PipelineSpec extends SparkSpec {
     assert(merged == summed)
   }
 
+  test("hll: hand-checked register, shard merge = max, estimate tracks distinct count") {
+    val a = Seq((1L, "alpha alpha beta")).toDF("doc_id", "text")
+    val b = Seq((2L, "beta gamma")).toDF("doc_id", "text")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketch.hllSketch(df).as[(Long, Long)].collect().sortBy(_._1)
+    val ra = regs(a)
+    assert(ra.length == 64 && ra.map(_._1).toSeq == (0L until 64L))
+    // hand-derive alpha's register from the portable hash
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    val rho = if (h >>> 6 == 0) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(h >>> 6))
+    assert(ra((h % 64).toInt)._2 == rho)
+    // shard merge is per-bucket max
+    val merged = regs(a.unionByName(b))
+    val mx = ra.zip(regs(b)).map { case ((k, x), (_, y)) => (k, math.max(x, y)) }
+    assert(merged.toSeq == mx.toSeq)
+    // estimate: small-range linear counting keeps low-cardinality
+    // corpora near-exact; 3 distinct tokens -> within 1
+    assert(math.abs(Sketch.hllEstimate(merged) - 3.0) < 1.0)
+    // and a larger vocabulary stays within the ~13% rse regime for m=64
+    val big = (1L to 200L).map(i => (i, s"tok$i word$i")).toDF("doc_id", "text")
+    val est = Sketch.hllEstimate(regs(big))
+    assert(est > 400 * 0.7 && est < 400 * 1.3, s"est $est for 400 distinct")
+  }
+
   test("random projection: components match the LCG matrix by hand; cosine roughly preserved") {
     val dim = 8
     val e = Seq(
