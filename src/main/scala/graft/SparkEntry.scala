@@ -367,6 +367,9 @@ object SparkEntry {
 
     // --- statistics
     "q_histogram" -> ((s, dir) => HistogramOps.binCounts(lineitemLayer(s, dir))),
+    // exact: the CDF remap is all-integer ((cum-cmin)*255 div range)
+    "q_equalize" -> ((s, dir) =>
+      flat(HistogramOps.equalize(lineitemLayer(s, dir)))),
     "q_histogram_merge" -> ((s, dir) =>
       // reference Histogram.merge: one histogram covering BOTH layers'
       // ranges — bins from the combined min/max over the unioned cells
@@ -1501,6 +1504,18 @@ object SparkEntry {
         s"""WITH g AS ($grid), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM g)
            |SELECT CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9) AS BIGINT) AS bin, count(*) AS cnt
            |FROM g, mm GROUP BY 1""".stripMargin,
+
+      // CDF remap, all-integer: cum/cmin/n from exact counts, floor
+      // division; constant grid maps to 0 (stated in the CASE)
+      "q_equalize" ->
+        s"""WITH g AS ($grid),
+           |c AS (SELECT v, count(*) AS cnt FROM g GROUP BY 1),
+           |cu AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+           |p AS (SELECT (SELECT sum(cnt) FROM c) AS n, (SELECT min(cum) FROM cu) AS cmin),
+           |m AS (SELECT v, CASE WHEN p.n > p.cmin
+           |        THEN (cu.cum - p.cmin) * 255 // (p.n - p.cmin) ELSE 0 END AS nv
+           |      FROM cu, p)
+           |SELECT g.x, g.y, CAST(m.nv AS DOUBLE) AS v FROM g JOIN m USING (v)""".stripMargin,
 
       "q_histogram_merge" ->
         s"""WITH g AS (SELECT v FROM ($grid) UNION ALL SELECT v FROM ($ogrid)),

@@ -136,6 +136,43 @@ object HistogramOps {
     }: _*)
   }
 
+  /** Histogram equalization (geotrellis HistogramEqualization, the
+    * standard CDF remap): v' = (cdf(v) - cdf_min) * 255 / (n - cdf_min),
+    * integer-floored — all-integer arithmetic, so the oracle states it
+    * verbatim. A constant layer (n == cdf_min) maps to 0 by convention.
+    * NoData passes through.
+    *
+    * Scale shape: the value histogram partial-aggregates map-side
+    * (distinct values only cross the exchange, guarded like
+    * [[quantileBreaksExactInt]]); the value->value map broadcasts and
+    * applies as a per-tile scan — no cell shuffle. Spatial layers
+    * (the [[Focal]] terrain convention). */
+  def equalize(layer: RasterLayer, maxDistinct: Long = 1L << 22): RasterLayer = {
+    val spark = layer.spark
+    import spark.implicits._
+    val counts = layer.toCells.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val head = counts.agg(sum("cnt").as("t"), count(lit(1)).as("d")).head()
+    if (head.isNullAt(0)) return layer // empty layer: nothing to remap
+    val total = head.getLong(0)
+    require(head.getLong(1) <= maxDistinct,
+      s"equalize: ${head.getLong(1)} distinct values exceeds maxDistinct=" +
+        s"$maxDistinct (driver map + single-partition window bound)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("v").rowsBetween(Long.MinValue, 0)
+    val cum = counts.withColumn("cum", sum("cnt").over(w))
+      .select(col("v"), col("cum")).as[(Double, Long)].collect()
+    val cmin = cum.iterator.map(_._2).min
+    val remap = cum.map { case (v, c) =>
+      v -> (if (total > cmin) (c - cmin) * 255L / (total - cmin) else 0L).toDouble
+    }.toMap
+    val bc = spark.sparkContext.broadcast(remap)
+    val out = layer.df.select(col("col"), col("row"), col("tile"))
+      .as[(Int, Int, Seq[Double])]
+      .map { case (c, r, t) => (c, r, t.map(v => if (v.isNaN) v else bc.value(v))) }
+      .toDF("col", "row", "tile")
+    layer.copy(df = out)
+  }
+
   /** Histogram mode — reference Histogram.mode (histogram.py:95):
     * the most frequent cell value, ties broken toward the smaller
     * value so the answer is deterministic. Per-value groupBy with

@@ -282,6 +282,17 @@ class RasterLayerSpec extends SparkSpec {
     assert(HistogramOps.itemCount(l, 7.0).as[Long].head() == 0L)
   }
 
+  test("histogram equalization: CDF remap by hand, constant layer, NaN passthrough") {
+    // values 1 (x2), 5 (x1), 9 (x1): cum = 2,3,4; cmin=2, n=4 ->
+    // v'=(cum-2)*255 div 2 = 0, 127, 255
+    val l = layer((0, 0, 1.0), (1, 0, 1.0), (2, 0, 5.0), (3, 0, 9.0))
+    val got = cellsOf(HistogramOps.equalize(l))
+    assert(got == Set((0L, 0L, 0.0), (1L, 0L, 0.0), (2L, 0L, 127.0), (3L, 0L, 255.0)))
+    // constant layer maps to 0; absent (NaN) cells stay absent
+    val const = layer((0, 0, 7.0), (5, 5, 7.0))
+    assert(cellsOf(HistogramOps.equalize(const)) == Set((0L, 0L, 0.0), (5L, 5L, 0.0)))
+  }
+
   test("pyramid levelUp on a temporal layer downsamples each instant independently") {
     val l = RasterLayer.fromCellsTemporal(
       Seq((0L, 0L, 1L, 2.0), (1L, 1L, 1L, 4.0), (0L, 0L, 2L, 10.0))
