@@ -975,6 +975,11 @@ object SparkEntry {
         ev.where(col("event_type") === "click"),
         ev.where(col("event_type") === "purchase"))
     }),
+
+    "q_interval_join" -> ((s, dir) =>
+      // all events within 10 min after each error, same user —
+      // bucket-decomposed range join (equi-join + exact filter)
+      streaming.Events.intervalJoin(eventsTable(s, dir))),
   )
 
   /** cost-distance ceiling: with friction in [1,10] every edge costs
@@ -2447,6 +2452,16 @@ object SparkEntry {
           |  CAST(COALESCE(r.r_event_id, -1) AS BIGINT) AS r_event_id,
           |  CAST(COALESCE(r.r_value, -1.0) AS DOUBLE) AS r_value
           |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us""".stripMargin,
+
+      // the plain range join the engine's bucket decomposition must
+      // reproduce pair-for-pair
+      "q_interval_join" ->
+        """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+          |a AS (SELECT event_id AS anchor_id, user_id, us AS a_us FROM e WHERE event_type = 'error')
+          |SELECT a.anchor_id, e.event_id, e.us - a.a_us AS delta_us
+          |FROM a JOIN e ON e.user_id = a.user_id
+          |  AND e.us >= a.a_us AND e.us <= a.a_us + 600000000
+          |  AND e.event_id <> a.anchor_id""".stripMargin,
     )
   }
 }

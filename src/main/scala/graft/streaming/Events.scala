@@ -92,6 +92,40 @@ object Events {
         coalesce(col("lv"), lit(-1.0)).as("r_value"))
   }
 
+  /** Interval (time-range) join — "every event within `windowUs`
+    * after an anchor event of the same user" (error-impact windows,
+    * promo attribution, ...). Spark has no native range join; the
+    * naive per-key theta join degenerates to a nested loop. This is
+    * the standard BUCKET DECOMPOSITION: with bucket width = the
+    * window length, an interval spans at most two buckets, so each
+    * anchor registers in <= 2 (user, bucket) slots and the join is a
+    * plain equi-join + exact timestamp filter. An event lives in
+    * exactly one bucket, so no pair can duplicate and no distinct is
+    * needed. All-integer microsecond arithmetic.
+    *
+    * Scale shape: shuffle on (user_id, bucket) — the same hash
+    * exchange an aggregation would use; candidate pairs are bounded
+    * by per-bucket co-occupancy, not |anchors| x |events|. */
+  def intervalJoin(events: DataFrame, anchorType: String = "error",
+                   windowUs: Long = 10L * 60 * 1000 * 1000): DataFrame = {
+    require(windowUs > 0)
+    val us = expr("ts div 1000")
+    val anchors = events.where(col("event_type") === anchorType)
+      .select(col("user_id"), col("event_id").as("anchor_id"), us.as("a_us"))
+      // integer `div`, not Column `/` (IEEE double): epoch-us values
+      // make float-quotient truncation an off-by-one hazard
+      .withColumn("bucket", explode(array_distinct(array(
+        expr(s"a_us div ${windowUs}L"),
+        expr(s"(a_us + ${windowUs}L) div ${windowUs}L")))))
+    val ev = events
+      .select(col("user_id"), col("event_id"), us.as("us"))
+      .withColumn("bucket", expr(s"us div ${windowUs}L"))
+    anchors.join(ev, Seq("user_id", "bucket"))
+      .where(col("us") >= col("a_us") && col("us") <= col("a_us") + windowUs &&
+        col("event_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("event_id"), (col("us") - col("a_us")).as("delta_us"))
+  }
+
   final case class AsofOut(user_id: Long, event_id: Long, us: Long, value: Double,
                            r_event_id: Long, r_value: Double)
   final case class AsofState(us: Long, eventId: Long, value: Double)

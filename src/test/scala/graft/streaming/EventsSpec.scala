@@ -226,6 +226,35 @@ class EventsSpec extends SparkSpec {
       (40L, 11L, u(20), 6.0, 10L, 90.0)))
   }
 
+  test("intervalJoin pairs events inside the window and matches a brute range join") {
+    // window = 600s: events at +0(anchor), +1, +600 (inclusive edge),
+    // +601 (out); a bucket-boundary anchor catches an event in the
+    // NEXT bucket; other users never match
+    val ev = Seq(
+      (1L, ns(1000), 10L, "error", 0.0, "{}"),
+      (2L, ns(1001), 10L, "click", 1.0, "{}"),
+      (3L, ns(1600), 10L, "view", 1.0, "{}"),
+      (4L, ns(1601), 10L, "view", 1.0, "{}"),
+      (5L, ns(1001), 20L, "click", 1.0, "{}"),
+      (6L, ns(1199), 30L, "error", 0.0, "{}"),  // bucket 1; +401s is bucket 2
+      (7L, ns(1600), 30L, "click", 1.0, "{}"),
+      (8L, ns(900), 10L, "view", 1.0, "{}")     // before the anchor
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.intervalJoin(ev)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 1000000L), (1L, 3L, 600000000L),
+      (6L, 7L, 401000000L)))
+    // brute-force range join over the same rows agrees pair-for-pair
+    val us = ev.select($"event_id", $"user_id", $"event_type", expr("ts div 1000").as("us"))
+    val brute = us.where($"event_type" === "error").as("a")
+      .join(us.as("e"), expr("e.user_id = a.user_id AND e.us >= a.us AND " +
+        "e.us <= a.us + 600000000 AND e.event_id <> a.event_id"))
+      .select($"a.event_id", $"e.event_id", expr("e.us - a.us"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
   test("streaming as-of join matches the batch result") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
