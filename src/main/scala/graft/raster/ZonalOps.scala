@@ -168,16 +168,43 @@ object ZonalOps {
     * groupBy zone — the per-cell rows exist only inside the exchange-
     * free map stage. */
   def zonalStats(values: RasterLayer, zones: RasterLayer): DataFrame = {
+    val spark = values.spark
+    import spark.implicits._
     val v = values.df.select(col("col"), col("row"), col("tile").as("_v"))
     val z = zones.df.select(col("col"), col("row"), col("tile").as("_z"))
-    val joined = v.join(z, Seq("col", "row"))
-    joined
-      .select(explode(arrays_zip(col("_v"), col("_z"))).as("p"))
-      .select(col("p._v").as("v"), col("p._z").as("z"))
-      .where(!isnan(col("v")) && !isnan(col("z")))
-      .groupBy(col("z").cast("long").as("zone"))
-      .agg(count(lit(1)).as("cnt"), sum("v").as("vsum"),
-           min("v").as("vmin"), max("v").as("vmax"), avg("v").as("vmean"))
+    // per-PARTITION Scala partials instead of a per-cell explode: the
+    // arrays_zip/explode form burned one codegen row per cell; here
+    // only |zones| rows per partition cross the exchange. Sums stay
+    // order-free because cells are integral-valued doubles (the
+    // oracle-determinism contract); the single mean division happens
+    // once at the end, same as avg().
+    val parts = v.join(z, Seq("col", "row"))
+      .select(col("_v"), col("_z")).as[(Seq[Double], Seq[Double])]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap
+          .empty[Long, (Long, Double, Double, Double)]
+        it.foreach { case (vs, zs) =>
+          val va = vs.toArray; val za = zs.toArray // List apply is O(n)
+          var i = 0
+          while (i < va.length) {
+            val vv = va(i); val zz = za(i)
+            if (!vv.isNaN && !zz.isNaN) {
+              val k = zz.toLong
+              val cur = acc.getOrElse(k,
+                (0L, 0.0, Double.PositiveInfinity, Double.NegativeInfinity))
+              acc(k) = (cur._1 + 1, cur._2 + vv,
+                math.min(cur._3, vv), math.max(cur._4, vv))
+            }
+            i += 1
+          }
+        }
+        acc.iterator.map { case (k, (c, s, mn, mx)) => (k, c, s, mn, mx) }
+      }.toDF("zone", "cnt", "vsum", "vmin", "vmax")
+    parts.groupBy("zone")
+      .agg(sum("cnt").as("cnt"), sum("vsum").as("vsum"),
+           min("vmin").as("vmin"), max("vmax").as("vmax"))
+      .withColumn("vmean", col("vsum") / col("cnt"))
+      .select(col("zone"), col("cnt"), col("vsum"), col("vmin"), col("vmax"), col("vmean"))
   }
 
   /** Count occurrences of each (integral) cell value — reference

@@ -126,6 +126,33 @@ object Events {
       .select(col("anchor_id"), col("event_id"), (col("us") - col("a_us")).as("delta_us"))
   }
 
+  /** Streaming twin of [[intervalJoin]] — Spark's NATIVE stream-stream
+    * inner join with an event-time range condition (the built-in
+    * operator designed for exactly this shape: watermarks bound both
+    * sides' state, the range condition bounds how long an anchor
+    * waits). One input stream self-joins: anchors filtered by type
+    * against all events. Same output columns as the batch form;
+    * spec proves batch == stream on a shared fixture. */
+  def intervalJoinStream(events: DataFrame, anchorType: String = "error",
+                         windowUs: Long = 10L * 60 * 1000 * 1000): DataFrame = {
+    require(windowUs > 0)
+    val anchors = events.where(col("event_type") === anchorType)
+      .select(col("user_id").as("a_user"), col("event_id").as("anchor_id"),
+        expr("ts div 1000").as("a_us"),
+        timestamp_micros(expr("ts div 1000")).as("a_ets"))
+      .withWatermark("a_ets", "1 hour")
+    val ev = events
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+      .withWatermark("ets", "1 hour")
+    anchors.join(ev,
+        col("user_id") === col("a_user") &&
+          col("ets") >= col("a_ets") &&
+          col("ets") <= col("a_ets") + expr(s"INTERVAL $windowUs MICROSECOND") &&
+          col("event_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("event_id"), (col("us") - col("a_us")).as("delta_us"))
+  }
+
   final case class AsofOut(user_id: Long, event_id: Long, us: Long, value: Double,
                            r_event_id: Long, r_value: Double)
   final case class AsofState(us: Long, eventId: Long, value: Double)

@@ -255,6 +255,33 @@ class EventsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("streaming interval join (native stream-stream range join) matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ns(1000), 10L, "error", 0.0, "{}"),
+      (2L, ns(1001), 10L, "click", 1.0, "{}"),
+      (3L, ns(1600), 10L, "view", 1.0, "{}"),
+      (4L, ns(1601), 10L, "view", 1.0, "{}"),
+      (5L, ns(1001), 20L, "click", 1.0, "{}"),
+      (6L, ns(1199), 30L, "error", 0.0, "{}"),
+      (7L, ns(1600), 30L, "click", 1.0, "{}"))
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val q = Events.intervalJoinStream(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      mem.addData(rows.take(4))
+      q.processAllAvailable()
+      mem.addData(rows.drop(4))
+      q.processAllAvailable()
+      val got = spark.table("ivj").as[(Long, Long, Long)].collect().toSet
+      val batch = Events.intervalJoin(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == batch && got.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming as-of join matches the batch result") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
