@@ -887,6 +887,11 @@ object SparkEntry {
       // 4 x 256 count-min sketch of the token frequency stream
       pipeline.Sketch.countMinSketch(table(s, dir, "documents"))),
 
+    "q_dedup_spans" -> ((s, dir) =>
+      // Lee et al. exact-substring dedup: all non-first occurrences of
+      // any duplicated 10-token span, min-aggregate keeper (no window)
+      pipeline.Dedup.duplicateSpans(table(s, dir, "documents"))),
+
     "q_hll_sketch" -> ((s, dir) =>
       // 64 HyperLogLog registers over distinct tokens — the m-row
       // mergeable state, all-integer (rho from the hash bit length)
@@ -2309,6 +2314,19 @@ object SparkEntry {
           |      FROM c, (SELECT unnest(range(4)) AS j) j)
           |SELECT CAST(j AS BIGINT) AS j, b, CAST(sum(cnt) AS BIGINT) AS cnt
           |FROM h GROUP BY 1, 2""".stripMargin,
+
+      // keeper = min packed (doc_id << 32 | off) per span hash; the
+      // removal list is every other occurrence of a cnt > 1 span
+      "q_dedup_spans" ->
+        """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+          |s0 AS (SELECT doc_id, unnest(range(1, len(toks) - 8)) AS i, toks FROM t WHERE len(toks) >= 10),
+          |s AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS off,
+          |        ('0x' || substr(md5(array_to_string(toks[i : i + 9], ' ')), 1, 15))::BIGINT AS h,
+          |        doc_id * 4294967296 + (i - 1) AS key
+          |      FROM s0),
+          |a AS (SELECT h, count(*) AS cnt, min(key) AS minkey FROM s GROUP BY 1)
+          |SELECT s.doc_id, s.off FROM s JOIN a USING (h)
+          |WHERE a.cnt > 1 AND s.key <> a.minkey""".stripMargin,
 
       // bucket = h mod 64, rem = h // 64, rho = 55 - bitlength(rem)
       // (55 when rem = 0); every bucket emits (absent -> 0)

@@ -55,6 +55,35 @@ object Dedup {
   def shingleHash(shingle: Column): Column =
     conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
 
+  /** Exact substring (span-level) dedup — Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499, public): every k-token span that occurs more
+    * than once across the corpus is removed EXCEPT its first
+    * occurrence (smallest (doc_id, offset)). Returns the removal list
+    * (doc_id, off) with off the 0-based token offset.
+    *
+    * Scale shape: the inverted index over span hashes is the honest
+    * cost (one row per token position); the keeper is a min AGGREGATE
+    * over a packed (doc_id << 32 | off) key — map-side partials, no
+    * per-hash window, so a boilerplate span duplicated a million
+    * times never funnels through a single-reducer row_number. */
+  def duplicateSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val spans = docs.select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"),
+        col("toks"))
+      .select(col("doc_id"), (col("i") - 1).cast("long").as("off"),
+        shingleHash(concat_ws(" ", slice(col("toks"), col("i"), lit(k)))).as("h"))
+      .withColumn("key", col("doc_id") * lit(1L << 32) + col("off"))
+    val agg = spans.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min("key").as("minkey"))
+    spans.join(agg, "h")
+      .where(col("cnt") > 1 && col("key") =!= col("minkey"))
+      .select(col("doc_id"), col("off"))
+  }
+
   /** Distinct hashed k-shingles per doc: (doc_id, h LONG). Hashing
     * BEFORE the distinct keeps every downstream exchange on 8-byte
     * keys instead of ~30-byte strings; 60-bit space makes collisions

@@ -251,6 +251,27 @@ class PipelineSpec extends SparkSpec {
     assert(!jac.exists(p => p._1 == 1L && p._2 == 2L))
   }
 
+  test("duplicateSpans removes all but the first occurrence of repeated k-token spans") {
+    val boiler = (1 to 10).map(i => s"tok$i").mkString(" ") // exactly 10 tokens
+    val docs = Seq(
+      (1L, s"$boiler unique tail one"),
+      (2L, s"prefix words here $boiler"),
+      (3L, "totally different content with no repeats at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, k = 10)
+      .as[(Long, Long)].collect().toSet
+    // doc 1 offset 0 is the keeper (smallest doc_id); doc 2 offset 3
+    // is the duplicate occurrence; no other span repeats
+    assert(out == Set((2L, 3L)))
+    // within-doc repetition dedups too: the same span twice in ONE doc
+    val self = Seq((7L, s"$boiler $boiler")).toDF("doc_id", "text")
+    val selfOut = Dedup.duplicateSpans(self, k = 10)
+      .as[(Long, Long)].collect().toSet
+    // spans 0..10: only offsets 0 and 10 hash equal (the pure span);
+    // keeper off 0 -> removal (7, 10)
+    assert(selfOut == Set((7L, 10L)))
+  }
+
   test("hash sampling: deterministic, id-keyed, rate-accurate at scale") {
     val many = (1L to 2000L).map(i => (i, s"text $i", "en", s"src${i % 4}", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
