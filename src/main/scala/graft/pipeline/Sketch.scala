@@ -42,6 +42,23 @@ object Sketch {
       .agg(sum("cnt").as("cnt"))
   }
 
+  /** Streaming twin of [[countMinSketch]] — the batch form's
+    * two-level aggregation (per-token counts, then cells) collapses
+    * to ONE aggregation so Structured Streaming accepts it: counting
+    * token occurrences per (j, b) cell directly equals summing
+    * per-token counts. Complete-mode output; state is the depth x
+    * width cell grid — constant, the sketch property that makes it
+    * streamable at all. Spec proves stream == batch. */
+  def countMinSketchStream(docs: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1)
+    docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j.toLong).as("j"), (rowHash(j, col("w")) % width).as("b"))): _*)).as("h"))
+      .groupBy(col("h.j").as("j"), col("h.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** HyperLogLog registers over distinct corpus tokens (Flajolet et
     * al., "HyperLogLog: the analysis of a near-optimal cardinality
     * estimation algorithm", AofA 2007 — public). The 60-bit portable
@@ -75,6 +92,25 @@ object Sketch {
     val all = (0L until m.toLong).toDF("bucket")
     all.join(regs, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("rho"), lit(0L)).as("rho"))
+  }
+
+  /** Streaming twin of [[hllSketch]]: registers only GROW, so the
+    * batch path's distinct() is an optimization, not semantics —
+    * max() over repeated tokens is idempotent and streams in one
+    * complete-mode aggregation with m rows of state. Only buckets
+    * seen so far appear (absent = register 0, as in the merged
+    * state); spec proves stream == batch on the non-zero registers. */
+  def hllSketchStream(docs: DataFrame, m: Int = 64): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0, "m must be a power of two")
+    val b = java.lang.Integer.numberOfTrailingZeros(m)
+    val h = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .select((h % m).as("bucket"), shiftright(h, b).as("rem"))
+      .withColumn("rho",
+        when(col("rem") === 0, lit(55L))
+          .otherwise(lit(55L) - length(conv(col("rem"), 10, 2))))
+      .groupBy("bucket").agg(max("rho").as("rho"))
   }
 
   /** Standard HLL estimate from the m registers — the float math kept

@@ -170,6 +170,31 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS and HLL sketches converge to the batch sketches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "alpha alpha beta"), (2L, "beta gamma delta"), (3L, "alpha epsilon"))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val qc = graft.pipeline.Sketch.countMinSketchStream(docs)
+      .writeStream.format("memory").queryName("cms_s").outputMode("complete").start()
+    val qh = graft.pipeline.Sketch.hllSketchStream(docs)
+      .writeStream.format("memory").queryName("hll_s").outputMode("complete").start()
+    try {
+      mem.addData(rows.take(1)); qc.processAllAvailable(); qh.processAllAvailable()
+      mem.addData(rows.drop(1)); qc.processAllAvailable(); qh.processAllAvailable()
+      val bdf = rows.toDF("doc_id", "text")
+      val cmsBatch = graft.pipeline.Sketch.countMinSketch(bdf)
+        .as[(Long, Long, Long)].collect().toSet
+      val cmsStream = spark.table("cms_s").as[(Long, Long, Long)].collect().toSet
+      assert(cmsStream == cmsBatch)
+      // HLL: stream omits never-seen buckets (register 0 in batch)
+      val hllBatch = graft.pipeline.Sketch.hllSketch(bdf)
+        .as[(Long, Long)].collect().filter(_._2 > 0).toSet
+      val hllStream = spark.table("hll_s").as[(Long, Long)].collect().toSet
+      assert(hllStream == hllBatch)
+    } finally { qc.stop(); qh.stop() }
+  }
+
   test("streaming decontamination flags probe quotes as documents arrive") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Dedup
