@@ -776,6 +776,12 @@ object SparkEntry {
       pipeline.Dedup.contamination(table(s, dir, "documents"),
         col("doc_id") % 20 === 0, threshold = 0.3)),
 
+    "q_bloom_contamination" -> ((s, dir) =>
+      // constant-memory decontamination: 2^18-bit Bloom of the eval
+      // set's shingles, 3 salted hashes; corpus-side bit-test scan
+      pipeline.Dedup.bloomContamination(table(s, dir, "documents"),
+        col("doc_id") % 20 === 0)),
+
     "q_dedup_cosine" -> ((s, dir) =>
       pipeline.Similarity.cosinePairs(table(s, dir, "embeddings"), threshold = 0.3)),
 
@@ -1984,6 +1990,23 @@ object SparkEntry {
            |SELECT pr.probe_id, pr.doc_id, CAST(shared AS DOUBLE) / np.np AS containment
            |FROM pr JOIN np ON pr.probe_id = np.probe_id
            |WHERE CAST(shared AS DOUBLE) / np.np >= 0.3""".stripMargin,
+
+      // a corpus shingle hits when ALL 3 salted positions are set by
+      // some probe shingle (false positives included — deterministic)
+      "q_bloom_contamination" ->
+        s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+           |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+           |  FROM t WHERE len(toks) >= 5)),
+           |j AS (SELECT unnest(range(3)) AS j),
+           |pp AS (SELECT DISTINCT ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || sh.shingle), 1, 15))::BIGINT % 262144 AS p
+           |       FROM sh, j WHERE doc_id % 20 = 0),
+           |cp AS (SELECT doc_id, shingle,
+           |         ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT % 262144 AS p
+           |       FROM sh, j WHERE doc_id % 20 <> 0),
+           |hits AS (SELECT doc_id, shingle FROM cp LEFT JOIN pp ON cp.p = pp.p
+           |         GROUP BY doc_id, shingle HAVING count(pp.p) = 3)
+           |SELECT doc_id, count(*) AS bloom_hits FROM hits GROUP BY 1""".stripMargin,
 
       "q_dedup_minhash" ->
         s"""WITH $minhashCtes

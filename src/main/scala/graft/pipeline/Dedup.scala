@@ -55,6 +55,51 @@ object Dedup {
   def shingleHash(shingle: Column): Column =
     conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
 
+  /** Bloom-filter decontamination — the constant-memory variant of
+    * [[contamination]] (the public CCNet/Pile practice: a Bloom
+    * filter of the eval set's n-grams, one bit-test scan over the
+    * corpus). The probe side's shingles set `nHashes` salted
+    * positions in a 2^bits array; a corpus shingle HITS when all its
+    * positions are set (false positives possible — bounded by the
+    * standard Bloom rate, and DETERMINISTIC: both engines state the
+    * same positions). Emits (doc_id, bloom_hits) for non-probe docs
+    * with at least one hitting shingle.
+    *
+    * Scale shape: the bit set is 2^bits / 8 bytes broadcast
+    * (constant, vs [[contamination]]'s probe-shingle table that can
+    * reach the 20M broadcast guard); the corpus never shuffles —
+    * one scan + a per-doc aggregate. */
+  def bloomContamination(corpus: DataFrame, probePred: Column, k: Int = 5,
+                         bits: Int = 18, nHashes: Int = 3): DataFrame = {
+    require(bits >= 8 && bits <= 30 && nHashes >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val mask = (1L << bits) - 1
+    val sh = shingles(corpus, k)
+    def positions(s: Column): Column = array((0 until nHashes).map(j =>
+      Sketch.rowHash(j, s) % (mask + 1)): _*)
+    val bitSet = new java.util.BitSet(1 << bits)
+    sh.where(probePred)
+      .select(explode(positions(col("shingle"))).as("p")).distinct()
+      .as[Long].collect().foreach(p => bitSet.set(p.toInt))
+    val bc = spark.sparkContext.broadcast(bitSet)
+    val hit = udfFreePositionsTest(bc, sh.where(!probePred), positions)
+    hit.groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
+  }
+
+  /** Per-shingle all-positions-set test as a typed filter (keeps the
+    * broadcast BitSet out of Column-land without a UDF wrapper). */
+  private def udfFreePositionsTest(bc: org.apache.spark.broadcast.Broadcast[java.util.BitSet],
+                                   sh: DataFrame,
+                                   positions: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    sh.select(col("doc_id"), positions(col("shingle")).as("ps"))
+      .as[(Long, Seq[Long])]
+      .filter { case (_, ps) => ps.forall(p => bc.value.get(p.toInt)) }
+      .toDF("doc_id", "ps")
+  }
+
   /** Exact substring (span-level) dedup — Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"
     * (arXiv:2107.06499, public): every k-token span that occurs more

@@ -251,6 +251,26 @@ class PipelineSpec extends SparkSpec {
     assert(!jac.exists(p => p._1 == 1L && p._2 == 2L))
   }
 
+  test("bloom decontamination flags corpus docs quoting probe shingles") {
+    val phrase = "the quick brown fox jumps"
+    val docs = Seq(
+      (20L, s"eval set doc saying $phrase exactly"),           // probe (id % 20 == 0)
+      (1L, s"a corpus doc that quotes $phrase verbatim here"), // hit
+      (2L, "completely unrelated corpus text with other words entirely"),
+      (3L, s"another quoting doc $phrase twice over $phrase")  // hit
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomContamination(docs, col("doc_id") % 20 === 0)
+      .as[(Long, Long)].collect().toMap
+    assert(out.contains(1L) && out.contains(3L))
+    assert(!out.contains(2L) && !out.contains(20L))
+    // hit counts bound below by the true quoted-shingle count
+    assert(out(1L) >= 1L && out(3L) >= 1L)
+    // deterministic across runs
+    val again = Dedup.bloomContamination(docs, col("doc_id") % 20 === 0)
+      .as[(Long, Long)].collect().toMap
+    assert(again == out)
+  }
+
   test("duplicateSpans removes all but the first occurrence of repeated k-token spans") {
     val boiler = (1 to 10).map(i => s"tok$i").mkString(" ") // exactly 10 tokens
     val docs = Seq(
