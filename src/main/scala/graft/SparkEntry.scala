@@ -903,6 +903,24 @@ object SparkEntry {
       // mergeable state, all-integer (rho from the hash bit length)
       pipeline.Sketch.hllSketch(table(s, dir, "documents"))),
 
+    "q_hll_estimate" -> ((s, dir) => {
+      // the estimator as a checked endpoint: Z = exact integer
+      // Σ 2^(55-rho); E = 0.709 * m^2 * 2^55 / Z is ONE float
+      // expression stated identically in SQL (the linear-counting
+      // branch compares on the same exact doubles; documents' vocab
+      // >> 5m/2 so the raw branch holds, deterministically)
+      val regs = pipeline.Sketch.hllSketch(table(s, dir, "documents"))
+      regs.agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - rho AS INT))")).as("z"),
+          sum(when(col("rho") === 0, 1L).otherwise(0L)).as("zeros"))
+        .select(round(
+          when(lit(0.709) * 64 * 64 * lit(36028797018963968.0) / col("z") <= 160.0
+               && col("zeros") > 0,
+            lit(64.0) * log(lit(64.0) / col("zeros")))
+          .otherwise(lit(0.709) * 64 * 64 * lit(36028797018963968.0) / col("z")),
+          5).as("est"))
+    }),
+
     "q_gopher_filter" -> ((s, dir) =>
       // MassiveText document-level rules on the raw corpus; the
       // synthetic vocabulary carries only "the" from the Gopher
@@ -2337,6 +2355,21 @@ object SparkEntry {
           |      FROM c, (SELECT unnest(range(4)) AS j) j)
           |SELECT CAST(j AS BIGINT) AS j, b, CAST(sum(cnt) AS BIGINT) AS cnt
           |FROM h GROUP BY 1, 2""".stripMargin,
+
+      "q_hll_estimate" ->
+        """WITH w AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+          |h AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+          |regs0 AS (SELECT h % 64 AS bucket,
+          |    max(CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END) AS rho
+          |  FROM h GROUP BY 1),
+          |regs AS (SELECT b.range AS bucket, CAST(coalesce(regs0.rho, 0) AS BIGINT) AS rho
+          |         FROM range(0, 64) b LEFT JOIN regs0 ON regs0.bucket = b.range),
+          |a AS (SELECT sum(1::BIGINT << CAST(55 - rho AS INTEGER)) AS z,
+          |             sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros FROM regs)
+          |SELECT round(CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64 * 36028797018963968.0 / z <= 160.0 AND zeros > 0
+          |  THEN 64.0 * ln(64.0 / zeros)
+          |  ELSE CAST(0.709 AS DOUBLE) * 64 * 64 * 36028797018963968.0 / z END, 5) AS est
+          |FROM a""".stripMargin,
 
       // keeper = min packed (doc_id << 32 | off) per span hash; the
       // removal list is every other occurrence of a cnt > 1 span
