@@ -1321,7 +1321,10 @@ object SparkEntry {
       // Zevenbergen-Thorne general curvature, cell size 1:
       // -200 * (D + E) with the engine's exact operation order
       "q_curvature" ->
-        windowSql("round((((n4 + n6) / 2.0 - n5) + ((n2 + n8) / 2.0 - n5)) * -200.0, 5)"),
+        // `+ 0.0` normalizes IEEE -0.0 (flat windows: 0.0 * -200.0 = -0.0 in
+        // DuckDB) to +0.0, matching Spark Round's BigDecimal path which has no
+        // negative zero.
+        windowSql("round((((n4 + n6) / 2.0 - n5) + ((n2 + n8) / 2.0 - n5)) * -200.0, 5) + 0.0"),
 
       "q_hillshade" ->
         hornSql("floor(greatest(0, 255 * (cos(radians(45)) * cos(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) + sin(radians(45)) * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) * cos(radians(315) - (CASE WHEN atan2(dzdy, -dzdx) < 0 THEN atan2(dzdy, -dzdx) + 2 * pi() ELSE atan2(dzdy, -dzdx) END)))))"),

@@ -136,18 +136,27 @@ object Distance {
   def costPath(friction: RasterLayer, sources: DataFrame,
                maxRounds: Int = 64,
                maxCost: Double = Double.PositiveInfinity,
-               maxDriverCells: Long = 1L << 22): DataFrame = {
+               maxDriverCells: Long = 1L << 22,
+               distance: Option[RasterLayer] = None): DataFrame = {
     val spark = friction.spark
     import spark.implicits._
-    val dist = costDistanceTiled(friction, sources, maxRounds, maxCost)
+    // reuse a caller-supplied cost-distance layer (e.g. when the same
+    // analysis also materializes costDistanceTiled) instead of paying
+    // the whole fixpoint a second time
+    val dist = distance.getOrElse(costDistanceTiled(friction, sources, maxRounds, maxCost))
     val gridCols = friction.meta.layout.tileLayout.totalCols
-    val reach = dist.toCells.as("d")
+    val reachDf = dist.toCells.as("d")
       .join(friction.toCells.as("f"),
         col("d.x") === col("f.x") && col("d.y") === col("f.y"))
       .select(col("d.x"), col("d.y"), col("d.v").as("d"), col("f.v").as("f"))
-      .as[(Long, Long, Double, Double)].collect()
-    require(reach.length <= maxDriverCells,
-      s"costPath: ${reach.length} reachable cells exceed maxDriverCells — raise the guard or lower maxCost")
+      .localCheckpoint() // one compute: counted for the guard, then collected
+    // guard BEFORE materializing on the driver — count() keeps the
+    // reachable set distributed, so an over-maxCost disk fails fast
+    // instead of OOMing the driver it was meant to protect
+    val nReach = reachDf.count()
+    require(nReach <= maxDriverCells,
+      s"costPath: $nReach reachable cells exceed maxDriverCells — raise the guard or lower maxCost")
+    val reach = reachDf.as[(Long, Long, Double, Double)].collect()
     val byId = reach.map { case (x, y, d, f) => (y * gridCols + x) -> (x, y, d, f) }.toMap
     if (byId.isEmpty) return Seq.empty[(Long, Long, Long, Double)].toDF("seq", "x", "y", "v")
     // dest: farthest reachable cell, ties to the smallest id

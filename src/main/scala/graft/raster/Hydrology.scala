@@ -94,10 +94,15 @@ object Hydrology {
     * the connectedComponents fast path is the precedent).
     */
   def flowAccumulation(cells: DataFrame, gridCols: Long, gridRows: Long,
-                       maxSteps: Int = 64,
+                       maxSteps: Int = 0,
                        maxDriverEdges: Long = 1L << 22): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
+    // default bound: strict-descent D8 never revisits a cell, so no
+    // path exceeds the cell count — real DEMs with long drainage
+    // channels must not fail on an arbitrary small default (64 did)
+    val maxSteps0 = if (maxSteps > 0) maxSteps
+      else math.min(gridCols * gridRows, Int.MaxValue.toLong).toInt
     val dirs = flowDirection(cells, gridCols, gridRows).localCheckpoint()
     // (from, to) one edge per non-pit cell
     val edge = dirs.where(col("dir") =!= 0)
@@ -115,8 +120,8 @@ object Hydrology {
         var cur = next.get(start)
         var hops = 0
         while (cur.isDefined) {
-          require(hops <= maxSteps, s"flowAccumulation: path longer than " +
-            s"$maxSteps steps — raise maxSteps")
+          require(hops <= maxSteps0, s"flowAccumulation: path longer than " +
+            s"$maxSteps0 steps — raise maxSteps")
           val c = cur.get
           acc(c) = acc.getOrElse(c, 0L) + 1
           cur = next.get(c)
@@ -131,7 +136,7 @@ object Hydrology {
       .agg(count(lit(1)).cast("long").as("cnt")).localCheckpoint()
     val rounds = scala.collection.mutable.ListBuffer(frontier)
     var step = 0
-    while (step < maxSteps && !frontier.isEmpty) {
+    while (step < maxSteps0 && !frontier.isEmpty) {
       frontier = frontier.join(edge, frontier("id") === edge("from"))
         .groupBy(col("to").as("id")).agg(sum("cnt").as("cnt"))
         .localCheckpoint()
@@ -139,7 +144,7 @@ object Hydrology {
       step += 1
     }
     require(frontier.isEmpty,
-      s"flowAccumulation: paths longer than $maxSteps steps — raise maxSteps " +
+      s"flowAccumulation: paths longer than $maxSteps0 steps — raise maxSteps " +
       "(or the flow graph has a cycle, which strict-descent D8 cannot produce)")
     // fold all per-round visit counts in ONE aggregation at the end
     // instead of a union+groupBy per round

@@ -24,9 +24,12 @@ object RangeReader {
     private var total = 0L
     def length: Long = bytes.length.toLong
     def read(off: Long, len: Int): Array[Byte] = {
-      val end = math.min(off + len, bytes.length.toLong).toInt
-      n += 1; total += end - off.toInt
-      java.util.Arrays.copyOfRange(bytes, off.toInt, end)
+      // clip both ends so off past EOF returns empty (HadoopRangeReader
+      // clips the same way; the two must agree at the boundary)
+      val start = math.min(math.max(off, 0L), bytes.length.toLong).toInt
+      val end = math.max(start.toLong, math.min(off + len, bytes.length.toLong)).toInt
+      n += 1; total += end - start
+      java.util.Arrays.copyOfRange(bytes, start, end)
     }
     def requests: Int = n
     def bytesRead: Long = total

@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: the angle comparison dz_s / d_s >= dz_t / d_t is
   * evaluated as sign(dz_s) dz_s^2 q_t >= sign(dz_t) dz_t^2 q_s (q =
-  * squared distance; sign(u) u^2 is strictly increasing), so
-  * visibility is EXACT INTEGER arithmetic end to end — no sqrt, no
-  * division, nothing engine-dependent.
+  * squared distance; sign(u) u^2 is strictly increasing), so the
+  * VISIBILITY TEST is exact integer arithmetic — no sqrt, no
+  * division. The DDA sample rounding floor((2 k d + n) / (2 n)) is
+  * evaluated in IEEE doubles; it is deterministic because the oracle
+  * states the bit-identical float expression and the operands stay
+  * far below 2^53 (|d| <= radius, n <= radius), so the double math is
+  * itself exact for in-range grids.
   *
   * Scale shape: radius-bounded target disk (pushdown filter on the
   * scan), one explode of at most R sample steps per target, one

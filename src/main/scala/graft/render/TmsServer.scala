@@ -47,10 +47,14 @@ final class TmsServer(spark: SparkSession, uri: String,
 
   private def cog(name: String): (graft.raster.RangeReader, IndexedSeq[(Int, Int, Int, Int)], Int) = {
     val (path, baseZoom) = cogs(name)
-    val (rr, levels) = cogCache.getOrElseUpdate(name, {
-      val r = graft.raster.RangeReader.hadoop(path,
-        spark.sparkContext.hadoopConfiguration)
-      (r, GeoTiff.cogLevels(r))
+    // lock-free fast path; creation serialized so two racing requests
+    // can't both open a reader and leak the discarded one's stream
+    val (rr, levels) = cogCache.get(name).getOrElse(cogCache.synchronized {
+      cogCache.getOrElseUpdate(name, {
+        val r = graft.raster.RangeReader.hadoop(path,
+          spark.sparkContext.hadoopConfiguration)
+        (r, GeoTiff.cogLevels(r))
+      })
     })
     (rr, levels, baseZoom)
   }

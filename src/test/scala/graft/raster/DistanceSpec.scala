@@ -89,6 +89,32 @@ class DistanceSpec extends SparkSpec {
     assert(path.last._4 == 0.0)
   }
 
+  test("costPath guard trips via count() before any driver materialization") {
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y, 1.0)
+    val friction = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+    val sources = Seq((0L, 0.5, 0.5)).toDF("pid", "px", "py")
+    val e = intercept[IllegalArgumentException] {
+      Distance.costPath(friction, sources, maxDriverCells = 10)
+    }
+    assert(e.getMessage.contains("reachable cells exceed maxDriverCells"))
+    assert(e.getMessage.contains("64")) // counted distributedly, not collected
+  }
+
+  test("costPath reuses a precomputed distance layer bit-identically") {
+    val cells = Seq(
+      (0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0),
+      (0L, 1L, 1.0), (1L, 1L, 100.0), (2L, 1L, 1.0),
+      (0L, 2L, 1.0), (1L, 2L, 1.0), (2L, 2L, 1.0))
+    val friction = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+    val sources = Seq((0L, 0.5, 0.5)).toDF("pid", "px", "py")
+    val dist = Distance.costDistanceTiled(friction, sources)
+    val fresh = Distance.costPath(friction, sources)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val reused = Distance.costPath(friction, sources, distance = Some(dist))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(reused == fresh)
+  }
+
   test("euclidean rejects a point set over the broadcast cap") {
     val pts = Seq((1L, 1.2, 6.7), (2L, 6.5, 0.4), (3L, 3.1, 3.9)).toDF("pid", "px", "py")
     val e = intercept[IllegalArgumentException] {
