@@ -40,6 +40,12 @@ object GraftExtensions {
     ("long_dot",
       new ExpressionInfo(classOf[LongDotExpr].getName, "long_dot"),
       (args: Seq[Expression]) => LongDotExpr(args(0), args(1))),
+    ("bpe_count",
+      new ExpressionInfo(classOf[BpeCountExpr].getName, "bpe_count"),
+      (args: Seq[Expression]) => BpeCountExpr(args.head)),
+    ("bpe_tokens",
+      new ExpressionInfo(classOf[BpeJoinedExpr].getName, "bpe_tokens"),
+      (args: Seq[Expression]) => BpeJoinedExpr(args.head)),
     // catalog native-width codecs: the cell-type name (and band count)
     // must be foldable literals — they configure the expression, they
     // are not data

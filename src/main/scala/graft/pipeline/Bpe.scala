@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.regex.Pattern
+
+/** Real byte-pair-encoding tokenizer over a literal merges table —
+  * the exact-token-count engine behind [[TextAnalysis.bpeTokenCount]],
+  * sequence packing, chunking and mixture rates (reference surface:
+  * token-budget ops in training-data pipelines; geopyspark has no
+  * tokenizer, this is the builder-brief text-analysis core).
+  *
+  * ## Contract (shared verbatim with the DuckDB oracle)
+  *
+  * 1. Pre-tokenize `lower(text)` with the regex
+  *    `[a-z]+|[0-9]|[^a-z0-9 \t\n\r]` (letter runs, single digits,
+  *    single punctuation marks).
+  * 2. Represent each pre-token as space-separated symbols with a
+  *    leading and trailing space: `"the"` -> `" t h e "`.
+  * 3. For each merge rule `(a, b)` in rank order, replace every
+  *    leftmost non-overlapping occurrence of `" a b "` with `" ab "`
+  *    (plain string replace — NOT regex). This is the training-time
+  *    BPE apply: each rule runs once, fully, in priority order.
+  * 4. The surviving space-separated symbols are the tokens.
+  *
+  * Step 3's string-replace semantics are identical in Java
+  * (`String.replace`) and DuckDB (`replace`), which is what makes the
+  * oracle twin bit-exact: the SQL states the same chain of `replace`
+  * calls over the same spaced representation (see [[countSql]] /
+  * [[joinedSql]]).
+  *
+  * ## Scale shape
+  *
+  * Pure per-row computation — shuffle-free, scan-bound, embedded in
+  * whole-stage codegen via the native expressions in
+  * `org.apache.spark.sql.graft.BpeCountExpr` / `BpeJoinedExpr` (a
+  * static call per row, no UDF serialization). Word->encoding results
+  * are memoized per executor in a bounded concurrent cache: corpus
+  * vocabulary is Zipf-distributed, so the hit rate is ~1 at any corpus
+  * size while the cap bounds executor memory.
+  */
+object Bpe {
+
+  /** The merges table, in rank (priority) order. A toy English table:
+    * common bigrams first, then word-level merges. Several corpus
+    * words intentionally stay multi-token (query, column, customer,
+    * filter, group, small, vector) so exact counts differ from
+    * whitespace counts. */
+  val Merges: Vector[(String, String)] = Vector(
+    ("t", "h"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("a", "t"), ("a", "s"), ("s", "t"), ("o", "r"),
+    ("a", "r"), ("a", "l"), ("o", "w"), ("l", "e"), ("u", "e"),
+    ("c", "h"), ("q", "u"), ("th", "e"), ("an", "d"), ("in", "g"),
+    ("t", "a"), ("b", "le"), ("ta", "ble"),
+    ("v", "al"), ("val", "ue"),
+    ("qu", "er"),
+    ("w", "in"), ("d", "ow"), ("win", "dow"),
+    ("st", "re"), ("stre", "a"), ("strea", "m"),
+    ("s", "p"), ("sp", "ar"), ("spar", "k"),
+    ("or", "d"), ("ord", "er"),
+    ("s", "or"), ("sor", "t"),
+    ("b", "at"), ("bat", "ch"),
+    ("f", "as"), ("fas", "t"),
+    ("h", "as"), ("has", "h"),
+    ("s", "c"), ("sc", "an"),
+    ("r", "o"), ("g", "ro"), ("u", "p"),
+    ("s", "m"), ("sm", "al"),
+    ("s", "l"), ("sl", "ow"),
+    ("l", "in"), ("lin", "e"),
+    ("m", "er"), ("g", "e"), ("mer", "ge"),
+    ("f", "i"), ("fi", "l"), ("t", "er"),
+    ("c", "o"), ("co", "l"), ("u", "m"), ("um", "n"),
+    ("c", "u"), ("o", "m"), ("om", "er"), ("cu", "st"),
+    ("o", "in"), ("j", "oin"),
+    ("k", "e"), ("ke", "y"),
+    ("p", "ar"), ("par", "t"),
+    ("d", "at"), ("dat", "a"),
+    ("d", "up"),
+    ("b", "i"), ("bi", "g"),
+    ("g", "g"), ("a", "gg"),
+    ("r", "ow"),
+    ("v", "e"), ("ve", "c"), ("t", "or"))
+
+  /** Pre-tokenizer (over lowercased text). ASCII-only classes — same
+    * meaning in Java regex (engine) and RE2 (DuckDB oracle). */
+  val PreTokenPattern = "[a-z]+|[0-9]|[^a-z0-9 \t\n\r]"
+
+  private val preToken = Pattern.compile(PreTokenPattern)
+
+  // (find " a b ", emit " ab ") pairs, precomputed once
+  private val rules: Array[(String, String)] =
+    Merges.iterator.map { case (a, b) => (s" $a $b ", s" $a$b ") }.toArray
+
+  // word -> space-joined tokens; bounded (Zipf vocab => ~1 hit rate,
+  // cap => no executor OOM on adversarial corpora)
+  private val MaxCache = 1 << 17
+  private val cache = new ConcurrentHashMap[String, String]()
+
+  /** Encode one pre-token; returns its tokens joined by single
+    * spaces. Splits into CODEPOINTS (not UTF-16 units) to match the
+    * oracle's RE2 `(.)` semantics on non-BMP input. */
+  def encodeWord(w: String): String = {
+    val hit = cache.get(w)
+    if (hit != null) return hit
+    val sb = new java.lang.StringBuilder(w.length * 2 + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      sb.appendCodePoint(cp).append(' ')
+      i += Character.charCount(cp)
+    }
+    var s = sb.toString
+    var r = 0
+    while (r < rules.length) {
+      val (from, to) = rules(r)
+      if (s.contains(from)) s = s.replace(from, to)
+      r += 1
+    }
+    val out = s.trim
+    if (cache.size < MaxCache) cache.put(w, out)
+    out
+  }
+
+  /** All tokens of a document, space-joined ("" for empty input). */
+  def tokensJoined(text: String): String = {
+    val m = preToken.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    val sb = new java.lang.StringBuilder()
+    while (m.find()) {
+      if (sb.length > 0) sb.append(' ')
+      sb.append(encodeWord(m.group()))
+    }
+    sb.toString
+  }
+
+  /** Exact token count of a document. */
+  def countTokens(text: String): Long = {
+    val m = preToken.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    var n = 0L
+    while (m.find()) {
+      val enc = encodeWord(m.group())
+      // tokens joined by single spaces: count = spaces + 1
+      var i = 0
+      var c = 1L
+      while (i < enc.length) { if (enc.charAt(i) == ' ') c += 1; i += 1 }
+      n += c
+    }
+    n
+  }
+
+  def tokens(text: String): Array[String] = {
+    val j = tokensJoined(text)
+    if (j.isEmpty) Array.empty else j.split(" ")
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle twins: the same contract stated as SQL. The chain
+  // of replace() calls is generated from the same Merges table the
+  // engine runs, so the two can never drift.
+  // ---------------------------------------------------------------
+
+  /** SQL for one pre-token `w` -> its tokens space-joined. */
+  private def wordChainSql: String = {
+    var e = """' ' || regexp_replace(w, '(.)', '\1 ', 'g')"""
+    Merges.foreach { case (a, b) =>
+      e = s"replace($e, ' $a $b ', ' $a$b ')"
+    }
+    s"trim($e)"
+  }
+
+  /** DuckDB expression: space-joined BPE tokens of `col` (VARCHAR,
+    * '' for empty — COALESCE because array_to_string([]) is NULL). */
+  def joinedSql(col: String): String =
+    s"""coalesce(array_to_string(list_transform(regexp_extract_all(lower($col), '$PreTokenPattern'), w -> $wordChainSql), ' '), '')"""
+
+  /** DuckDB expression: exact BPE token count of `col` (BIGINT). */
+  def countSql(col: String): String =
+    s"""CAST(coalesce(list_sum(list_transform(regexp_extract_all(lower($col), '$PreTokenPattern'), w -> len(string_split($wordChainSql, ' ')))), 0) AS BIGINT)"""
+}

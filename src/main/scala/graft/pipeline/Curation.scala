@@ -136,8 +136,12 @@ object Curation {
   def chunkDocuments(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       "need 1 <= stride <= window (stride > window would skip tokens)")
-    docs.select(col("doc_id"),
-        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+    // exact BPE tokens (split of the joined form; "" would split to
+    // [""], so empty docs are gated to a genuinely empty array)
+    docs.select(col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("j"))
+      .select(col("doc_id"),
+        when(col("j") === "", array().cast("array<string>"))
+          .otherwise(split(col("j"), " ")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
       .where(col("n") > 0)
       // nc - 1 = max(0, ceil((n - window) / stride)); integer trunc ==
@@ -158,7 +162,7 @@ object Curation {
     * standard LLM pre-training packing (documents straddle pack
     * boundaries exactly as concatenate-and-chunk does). Output one row
     * per document: its pack number and its token offset within the
-    * pack. Token counts are the deterministic BPE-ish proxy from
+    * pack. Token counts are EXACT BPE counts from
     * [[TextAnalysis.bpeTokenCount]]; all arithmetic is integral (Scala
     * Long division), so the layout is bit-identical in any engine.
     *

@@ -18,12 +18,31 @@ object TextAnalysis {
   def wsTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0)))
 
-  /** BPE-ish token proxy: letter runs, single digits, single
-    * punctuation marks — a deterministic stand-in for a BPE vocab. */
+  /** EXACT BPE token count — applies the literal merges table in
+    * [[Bpe]] via a native codegen'd expression. This is the count the
+    * token-budget ops (packing, chunking, mixture rates) key off. */
   def bpeTokenCount(text: Column): Column =
+    org.apache.spark.sql.graft.BpeExpr.bpeCount(text)
+
+  /** Space-joined BPE tokens (see [[Bpe.tokensJoined]]). */
+  def bpeTokens(text: Column): Column =
+    org.apache.spark.sql.graft.BpeExpr.bpeJoined(text)
+
+  /** Pre-BPE approximation (letter runs, single digits, single
+    * punctuation) — kept as the cheap upper-bound proxy; the exact
+    * count is [[bpeTokenCount]]. */
+  def bpeTokenCountApprox(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"), lit(0)))
 
   val bpeTokenSqlPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
+
+  /** Per-document exact BPE tokenization endpoint: token count plus a
+    * content hash pinning the exact token sequence (not just counts).
+    * Pure per-row scan — the 100 TB shape of every op in this file. */
+  def bpeTokenize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      bpeTokenCount(col("text")).as("n_bpe"),
+      md5(bpeTokens(col("text"))).as("fp"))
 
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
