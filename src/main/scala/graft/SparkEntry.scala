@@ -864,6 +864,11 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) =>
       pipeline.TextAnalysis.tokenCounts(table(s, dir, "documents"))),
 
+    "q_bpe_tokens" -> ((s, dir) =>
+      // exact BPE apply: count + md5 of the token sequence pins every
+      // merge decision, not just the totals
+      pipeline.TextAnalysis.bpeTokenize(table(s, dir, "documents"))),
+
     "q_quality_score" -> ((s, dir) =>
       pipeline.TextAnalysis.qualityScore(table(s, dir, "documents"))),
 
@@ -2250,7 +2255,7 @@ object SparkEntry {
 
       "q_pack_sequences" ->
         s"""WITH t AS (SELECT doc_id, source,
-           |  CAST(len(regexp_extract_all(text, '${pipeline.TextAnalysis.bpeTokenSqlPattern}')) AS BIGINT) AS n_tokens
+           |  ${pipeline.Bpe.countSql("text")} AS n_tokens
            |  FROM documents),
            |p AS (SELECT doc_id, source, n_tokens,
            |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -2263,7 +2268,7 @@ object SparkEntry {
 
       "q_mixture_rates" ->
         s"""WITH t AS (SELECT source,
-           |  CAST(sum(len(regexp_extract_all(text, '${pipeline.TextAnalysis.bpeTokenSqlPattern}'))) AS BIGINT) AS n_tokens
+           |  CAST(sum(${pipeline.Bpe.countSql("text")}) AS BIGINT) AS n_tokens
            |  FROM documents GROUP BY 1),
            |m AS (SELECT max(n_tokens) AS mx FROM t)
            |SELECT source, n_tokens,
@@ -2271,8 +2276,8 @@ object SparkEntry {
            |FROM t, m""".stripMargin,
 
       "q_chunk_docs" ->
-        """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-          |  FROM documents),
+        s"""WITH j AS (SELECT doc_id, ${pipeline.Bpe.joinedSql("text")} AS jt FROM documents),
+          |d AS (SELECT doc_id, string_split(jt, ' ') AS toks FROM j WHERE jt <> ''),
           |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d WHERE len(toks) > 0),
           |c AS (SELECT doc_id, toks, n,
           |  unnest(range(0, 1 + greatest(0, (n - 32 + 23) // 24))) AS chunk_id FROM n)
@@ -2283,8 +2288,13 @@ object SparkEntry {
 
       // --- pipeline: text analysis
       "q_token_count" ->
-        """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS ws_tokens,
-          |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS bpe_tokens
+        s"""SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS ws_tokens,
+          |${pipeline.Bpe.countSql("text")} AS bpe_tokens
+          |FROM documents""".stripMargin,
+
+      "q_bpe_tokens" ->
+        s"""SELECT doc_id, ${pipeline.Bpe.countSql("text")} AS n_bpe,
+          |md5(${pipeline.Bpe.joinedSql("text")}) AS fp
           |FROM documents""".stripMargin,
 
       "q_quality_score" ->

@@ -29,8 +29,9 @@ object TextAnalysis {
     org.apache.spark.sql.graft.BpeExpr.bpeJoined(text)
 
   /** Pre-BPE approximation (letter runs, single digits, single
-    * punctuation) — kept as the cheap upper-bound proxy; the exact
-    * count is [[bpeTokenCount]]. */
+    * punctuation) — kept as the cheap lower-bound proxy (whole letter
+    * runs count 1; the toy vocab can't always merge a run back to one
+    * token); the exact count is [[bpeTokenCount]]. */
   def bpeTokenCountApprox(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"), lit(0)))
 

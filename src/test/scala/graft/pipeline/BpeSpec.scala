@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hand-computed fixtures for the exact BPE apply (merge-by-merge
+  * traced by hand against [[Bpe.Merges]]) plus the Column/codegen
+  * path and the count/join consistency contract. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-traced merges: full-word and multi-token encodings") {
+    // "the":   t h e   -> (t,h) th e -> (th,e) the
+    assert(Bpe.tokens("the").toSeq == Seq("the"))
+    // "spark": s p a r k -> (a,r) -> (s,p) -> (sp,ar) -> (spar,k)
+    assert(Bpe.tokens("spark").toSeq == Seq("spark"))
+    // "query": q u e r y -> (e,r) -> (q,u) -> (qu,er) -> quer y
+    assert(Bpe.tokens("query").toSeq == Seq("quer", "y"))
+    // "customer": (e,r) (s,t) (m,er) (c,u) (cu,st) -> cust o mer
+    assert(Bpe.tokens("customer").toSeq == Seq("cust", "o", "mer"))
+  }
+
+  test("pre-tokenizer: case folding, digits and punctuation split single") {
+    assert(Bpe.tokens("The spark query!").toSeq ==
+      Seq("the", "spark", "quer", "y", "!"))
+    // digits are single pre-tokens, never merged together
+    assert(Bpe.countTokens("42") == 2L)
+    assert(Bpe.countTokens("") == 0L)
+    assert(Bpe.tokensJoined("") == "")
+    // non-BMP codepoint stays one token (codepoint split, not UTF-16)
+    assert(Bpe.countTokens("😀") == 1L)
+  }
+
+  test("count equals token-array length for every corpus doc") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "SELECT value FROM table ORDER BY key",
+      "streaming window aggregation, batch scan & hash join",
+      "mixed 123 numbers and... punctuation!!!")
+    texts.foreach { t =>
+      assert(Bpe.countTokens(t) == Bpe.tokens(t).length.toLong, t)
+    }
+  }
+
+  test("native expressions agree with the Scala reference on a DataFrame") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "spark query streams fast"),
+      (3L, ""),
+      (4L, "Order BY customer value 7!")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n"),
+        TextAnalysis.bpeTokens(col("text")).as("j"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    out.foreach { case (id, n, j) =>
+      val t = docs.where(col("doc_id") === id).select("text").as[String].head()
+      assert(n == Bpe.countTokens(t), s"count doc $id")
+      assert(j == Bpe.tokensJoined(t), s"joined doc $id")
+    }
+    // the regex proxy counts whole letter runs, so it lower-bounds the
+    // exact count; words the toy vocab can't fully merge keep them apart
+    val approx = docs.select(TextAnalysis.bpeTokenCountApprox(col("text")).cast("long"))
+      .as[Long].collect().sum
+    assert(out.map(_._2).sum > approx)
+  }
+
+  test("tokenize endpoint emits count + sequence fingerprint") {
+    val docs = Seq((1L, "the spark"), (2L, "the spark"), (3L, "a spark")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bpeTokenize(docs)
+      .select("doc_id", "n_bpe", "fp").as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(rows(0)._2 == 2L && rows(0)._3 == rows(1)._3)
+    assert(rows(2)._3 != rows(0)._3) // different sequence, different fp
+  }
+}
