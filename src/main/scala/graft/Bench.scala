@@ -40,23 +40,37 @@ object Bench {
     val runs: Seq[Map[String, Double]] = (1 to nRuns).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).write
-          .format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        // A failed query records -1, NOT its fail-fast wall time — a
+        // bogus ~0.05s entry reads as a 20x speedup in the artifacts
+        // (that is how r10's 12 broken queries went unnoticed).
+        val sec =
+          try {
+            SparkEntry.queries(name)(spark, sfDir).write
+              .format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+          }
+        name -> sec
       }.toMap
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = names.map(n => n -> median(runs.map(_(n))))
+    // Any failed run poisons the query's reported time to -1 outright.
+    val results = names.map { n =>
+      val xs = runs.map(_(n))
+      n -> (if (xs.exists(_ < 0)) -1.0 else median(xs))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val runTotals = runs.map(_.values.sum).mkString("[", ",", "]")
+    val nFailed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val runTotals = runs.map(_.values.filter(_ >= 0).sum).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n_queries":${results.size},"n_runs":$nRuns,"stat":"median","run_totals":$runTotals,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n_queries":${results.size},"n_failed":$nFailed,"n_runs":$nRuns,"stat":"median","run_totals":$runTotals,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a bounded tail that has truncated
     // the per-query map two rounds running — persist the full evidence.

@@ -104,12 +104,28 @@ object GridSource {
   val customerLonLatSql: String =
     "SELECT c_custkey AS pid, CAST(c_custkey * 7 % 360 - 180 + 0.25 AS DOUBLE) AS lon, CAST(c_custkey * 11 % 170 - 85 + 0.25 AS DOUBLE) AS lat FROM customer"
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader only accepts as raw longs — read it that way and do exact
-    * integer epoch math (UTC) ourselves. */
+  /** events table, normalized at ingest so `ts` is ALWAYS raw epoch
+    * nanos (LongType) regardless of the on-disk dtype — every
+    * downstream op does exact integer epoch math (UTC) on that
+    * contract. The driver's testdata has shipped `ts` both as
+    * TIMESTAMP(NANOS) (readable only as raw longs, hence the legacy
+    * flag) and as timestamp[us]; sniff the decoded schema and convert.
+    * Sessions pin spark.sql.session.timeZone=UTC, so the NTZ→timestamp
+    * cast below is epoch-identity and matches DuckDB's naive
+    * epoch_us(ts). */
   def eventsTable(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn(
+          "ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported dtype $other (expected long nanos or timestamp)")
+    }
   }
 
   val NanosPerDay = 86400L * 1000 * 1000 * 1000

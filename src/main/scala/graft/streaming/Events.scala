@@ -10,7 +10,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * path (oracle-checked) and the Structured Streaming path
   * (readStream + watermark, unit-tested) — write once, run both.
   *
-  * `ts` arrives as raw nanos (see GridSource.eventsTable).
+  * `ts` arrives as raw epoch nanos — GridSource.eventsTable normalizes
+  * whatever dtype is on disk (long nanos or timestamp[us]) to that
+  * contract at ingest.
   */
 object Events {
   val NanosPerHour = 3600L * 1000 * 1000 * 1000
