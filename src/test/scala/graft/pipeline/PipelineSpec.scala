@@ -355,18 +355,25 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("mixture rates: sqrt temperature upweights small sources; sampling applies them") {
-    // source 'big' has 4x source 'small's tokens (16 vs 4 words)
+    // 8 'big' docs vs 2 'small' docs; token totals derived from the
+    // BPE tokenizer itself so a merges-table change can't stale this
     val corpus = (
       (1L to 8L).map(i => (i, "alpha beta", "en", "big", 10L)) ++
       (9L to 10L).map(i => (i, "gamma delta", "en", "small", 10L))
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bigTok = 8L * Bpe.countTokens("alpha beta")
+    val smallTok = 2L * Bpe.countTokens("gamma delta")
+    assert(bigTok > smallTok)            // precondition for the assertions below
+    val sqrtPm = math.round(math.sqrt(smallTok.toDouble / bigTok) * 1000)
+    val propPm = math.round(smallTok.toDouble / bigTok * 1000)
     val r = Curation.mixtureRates(corpus, temperature = 0.5)
       .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
-    assert(r("big") == ((16L, 1000L)))   // anchor keeps everything
-    assert(r("small") == ((4L, 500L)))   // sqrt(4/16) = 1/2
+    assert(r("big") == ((bigTok, 1000L)))    // anchor keeps everything
+    assert(r("small") == ((smallTok, sqrtPm)))
     val prop = Curation.mixtureRates(corpus, temperature = 1.0)
       .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
-    assert(prop("small") == 250L)        // proportional is harsher
+    assert(prop("small") == propPm)      // proportional is harsher
+    assert(propPm < sqrtPm)              // sqrt smoothing upweights the small source
     intercept[IllegalArgumentException](Curation.mixtureRates(corpus, 0.7))
     // end-to-end: the big source survives whole, the small one thins
     val kept = Curation.sampleByMixture(corpus, 0.5).as[(Long, String)].collect()
@@ -653,24 +660,37 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("chunk documents: window/stride spans, short tail, empty doc emits nothing") {
-    // doc 1: 10 tokens, window 4 stride 3 -> nc = 1 + ceil((10-4)/3) = 3
-    // chunks starting at tokens 1/4/7, covering all 10 tokens
-    val d = Seq(
-      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
-      (2L, "a b"),            // single short chunk
-      (3L, "...!!!"))         // zero tokens -> no rows
-      .toDF("doc_id", "text")
-    val out = Curation.chunkDocuments(d, window = 4, stride = 3)
-      .as[(Long, Long, Long, String)].collect()
-      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
-    assert(!out.contains(3L))
-    assert(out(2L).map(r => (r._2, r._3)).toSeq == Seq((0L, 2L)))
-    assert(out(1L).map(r => (r._2, r._3)).toSeq ==
-      Seq((0L, 4L), (1L, 4L), (2L, 4L)))
+    // expected spans computed from the BPE tokenizer itself (exact-BPE
+    // chunking: "t1" is two tokens, "...!!!" is six punctuation tokens)
+    val texts = Map(
+      1L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10",
+      2L -> "a b",            // single short chunk
+      3L -> "   \t ",         // zero tokens -> no rows
+      4L -> "...!!!")         // punctuation DOES tokenize under BPE
+    val (window, stride) = (4, 3)
     def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(out(1L)(1)._4 == fp("t4 t5 t6 t7"))   // chunk 1 = tokens 4..7
-    assert(out(1L)(2)._4 == fp("t7 t8 t9 t10"))  // chunk 2 = tokens 7..10
+    def expected(text: String): Seq[(Long, Long, String)] = {
+      val toks = Bpe.tokens(text)
+      if (toks.isEmpty) Seq.empty
+      else {
+        val nc = 1L + math.max(0L, (toks.length - window + stride - 1L) / stride)
+        (0L until nc).map { c =>
+          val chunk = toks.slice((c * stride).toInt, (c * stride).toInt + window)
+          (c, chunk.length.toLong, fp(chunk.mkString(" ")))
+        }
+      }
+    }
+    assert(Bpe.tokens(texts(3L)).isEmpty && Bpe.tokens(texts(4L)).nonEmpty)
+    assert(Bpe.tokens(texts(1L)).length > window) // doc 1 really strides
+    val d = texts.toSeq.toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(d, window = window, stride = stride)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq).toMap
+    assert(!out.contains(3L))
+    Seq(1L, 2L, 4L).foreach { id =>
+      assert(out(id) == expected(texts(id)), s"doc $id")
+    }
   }
 
   test("c4 clean: line rules (terminal punct, min words, javascript) and page rules (lorem ipsum, brace, min lines)") {

@@ -29,6 +29,25 @@ class EventsSpec extends SparkSpec {
     assert(out == Set((h0, "click", 3L, 8.0), (h0 + 1, "view", 1L, 1.0)))
   }
 
+  test("batch ops run against the REAL driver events.parquet") {
+    // the in-memory Seqs above pin semantics; this pins the actual
+    // testdata feed — r10's events dtype drift was invisible to the
+    // suite precisely because no spec opened the real file
+    val real = graft.GridSource.eventsTable(spark, "/root/testdata/sf0.01")
+    val hourly = Events.hourlyAgg(real)
+      .select("hour", "event_type", "cnt", "vsum")
+      .as[(Long, String, Long, Double)].collect()
+    assert(hourly.nonEmpty)
+    // hours are epoch-hours in a sane range (2000..2100), i.e. the ts
+    // nanos contract actually held through the integer math
+    assert(hourly.forall(h => h._1 > 262_000L && h._1 < 1_140_000L))
+    assert(hourly.map(_._3).sum == real.count())
+    val sessions = Events.sessionize(real).select("user_id", "session_id", "cnt")
+      .as[(Long, Long, Long)].collect()
+    assert(sessions.nonEmpty && sessions.forall(_._2 >= 1L))
+    assert(sessions.map(_._3).sum == real.count())
+  }
+
   test("sessionize splits on >30min gaps per user") {
     val out = Events.sessionize(events)
       .select("user_id", "session_id", "cnt").as[(Long, Long, Long)].collect().toSet
@@ -160,7 +179,11 @@ class EventsSpec extends SparkSpec {
       mem.addData(Seq((2L, "four five", "en", "s", 9L)))
       q.processAllAvailable()
       val got = spark.table("stream_tokens").as[(Long, Long, Long)].collect().toSet
-      assert(got == Set((1L, 3L, 3L), (2L, 2L, 2L)))
+      // expected BPE counts derived from the tokenizer itself so a
+      // merges-table change can't silently stale this spec
+      assert(got == Set(
+        (1L, 3L, graft.pipeline.Bpe.countTokens("one two three")),
+        (2L, 2L, graft.pipeline.Bpe.countTokens("four five"))))
       // and the streaming result matches the batch run of the same op
       val batch = graft.pipeline.TextAnalysis.tokenCounts(
         Seq((1L, "one two three", "en", "s", 13L), (2L, "four five", "en", "s", 9L))
