@@ -11,9 +11,12 @@ import java.util.regex.Pattern
   *
   * ## Contract (shared verbatim with the DuckDB oracle)
   *
-  * 1. Pre-tokenize `lower(text)` with the regex
-  *    `[a-z]+|[0-9]|[^a-z0-9 \t\n\r]` (letter runs, single digits,
-  *    single punctuation marks).
+  * 1. Pre-tokenize ASCII-case-folded text (ONLY 'A'..'Z' map to
+  *    'a'..'z' — see [[asciiLower]]; non-ASCII letters are never
+  *    folded) with the regex `[a-z]+|[0-9]|[^a-z0-9 \t\n\r]` (letter
+  *    runs, single digits, single punctuation marks). NULL text is
+  *    treated as '' (zero tokens) at the [[TextAnalysis]] surface —
+  *    the raw `bpe_count` SQL function stays null-propagating.
   * 2. Represent each pre-token as space-separated symbols with a
   *    leading and trailing space: `"the"` -> `" t h e "`.
   * 3. For each merge rule `(a, b)` in rank order, replace every
@@ -80,11 +83,41 @@ object Bpe {
     ("r", "ow"),
     ("v", "e"), ("ve", "c"), ("t", "or"))
 
-  /** Pre-tokenizer (over lowercased text). ASCII-only classes — same
-    * meaning in Java regex (engine) and RE2 (DuckDB oracle). */
-  val PreTokenPattern = "[a-z]+|[0-9]|[^a-z0-9 \t\n\r]"
+  /** Pre-tokenizer (over case-folded text). ASCII-only classes — same
+    * meaning in Java regex (engine) and RE2 (DuckDB oracle). The
+    * whitespace is written with `\t`/`\n`/`\r` ESCAPES (both engines
+    * accept them inside a character class) so the pattern string
+    * contains no literal control characters: this text is embedded in
+    * generated oracle SQL that later passes through stripMargin, and a
+    * literal newline followed by a future '|' would silently corrupt
+    * the SQL. */
+  val PreTokenPattern = "[a-z]+|[0-9]|[^a-z0-9 \\t\\n\\r]"
 
   private val preToken = Pattern.compile(PreTokenPattern)
+
+  /** ASCII-only case fold: maps 'A'..'Z' to 'a'..'z' and NOTHING else.
+    * Java's toLowerCase applies full Unicode SpecialCasing (e.g.
+    * U+0130 'İ' -> "i" + combining dot, TWO codepoints) while DuckDB's
+    * lower() is utf8proc's simple per-codepoint map — the two disagree
+    * on non-ASCII input. Restricting the fold to [A-Z] on BOTH sides
+    * (the oracle uses translate() with the same 26-letter map) pins
+    * the contract exactly: non-ASCII letters are never folded, fall
+    * out of the `[a-z]+` class, and tokenize as single marks in both
+    * engines. */
+  def asciiLower(s: String): String = {
+    var i = 0
+    while (i < s.length && !(s.charAt(i) >= 'A' && s.charAt(i) <= 'Z')) i += 1
+    if (i == s.length) s
+    else {
+      val a = s.toCharArray
+      while (i < a.length) {
+        val c = a(i)
+        if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+        i += 1
+      }
+      new String(a)
+    }
+  }
 
   // (find " a b ", emit " ab ") pairs, precomputed once
   private val rules: Array[(String, String)] =
@@ -123,7 +156,7 @@ object Bpe {
 
   /** All tokens of a document, space-joined ("" for empty input). */
   def tokensJoined(text: String): String = {
-    val m = preToken.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    val m = preToken.matcher(asciiLower(text))
     val sb = new java.lang.StringBuilder()
     while (m.find()) {
       if (sb.length > 0) sb.append(' ')
@@ -134,7 +167,7 @@ object Bpe {
 
   /** Exact token count of a document. */
   def countTokens(text: String): Long = {
-    val m = preToken.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    val m = preToken.matcher(asciiLower(text))
     var n = 0L
     while (m.find()) {
       val enc = encodeWord(m.group())
@@ -167,12 +200,21 @@ object Bpe {
     s"trim($e)"
   }
 
-  /** DuckDB expression: space-joined BPE tokens of `col` (VARCHAR,
-    * '' for empty — COALESCE because array_to_string([]) is NULL). */
-  def joinedSql(col: String): String =
-    s"""coalesce(array_to_string(list_transform(regexp_extract_all(lower($col), '$PreTokenPattern'), w -> $wordChainSql), ' '), '')"""
+  /** DuckDB twin of [[asciiLower]]: translate() is a pinned
+    * per-character map in every engine, unlike lower() (utf8proc
+    * simple fold) vs Java toLowerCase (full SpecialCasing). */
+  private def asciiLowerSql(col: String): String =
+    s"translate($col, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
 
-  /** DuckDB expression: exact BPE token count of `col` (BIGINT). */
+  /** DuckDB expression: space-joined BPE tokens of `col` (VARCHAR,
+    * '' for empty OR NULL input — COALESCE because
+    * array_to_string([]) is NULL; the engine side matches by feeding
+    * coalesce(text, '') into BpeJoinedExpr). */
+  def joinedSql(col: String): String =
+    s"""coalesce(array_to_string(list_transform(regexp_extract_all(${asciiLowerSql(col)}, '$PreTokenPattern'), w -> $wordChainSql), ' '), '')"""
+
+  /** DuckDB expression: exact BPE token count of `col` (BIGINT, 0 for
+    * empty or NULL input — matched engine-side by coalesce(text,'')). */
   def countSql(col: String): String =
-    s"""CAST(coalesce(list_sum(list_transform(regexp_extract_all(lower($col), '$PreTokenPattern'), w -> len(string_split($wordChainSql, ' ')))), 0) AS BIGINT)"""
+    s"""CAST(coalesce(list_sum(list_transform(regexp_extract_all(${asciiLowerSql(col)}, '$PreTokenPattern'), w -> len(string_split($wordChainSql, ' ')))), 0) AS BIGINT)"""
 }

@@ -22,11 +22,13 @@ object TextAnalysis {
     * [[Bpe]] via a native codegen'd expression. This is the count the
     * token-budget ops (packing, chunking, mixture rates) key off. */
   def bpeTokenCount(text: Column): Column =
-    org.apache.spark.sql.graft.BpeExpr.bpeCount(text)
+    org.apache.spark.sql.graft.BpeExpr.bpeCount(coalesce(text, lit("")))
 
-  /** Space-joined BPE tokens (see [[Bpe.tokensJoined]]). */
+  /** Space-joined BPE tokens (see [[Bpe.tokensJoined]]). NULL text
+    * counts/joins as '' here, matching the oracle twins' coalesce —
+    * the raw BpeExpr expressions stay null-propagating. */
   def bpeTokens(text: Column): Column =
-    org.apache.spark.sql.graft.BpeExpr.bpeJoined(text)
+    org.apache.spark.sql.graft.BpeExpr.bpeJoined(coalesce(text, lit("")))
 
   /** Pre-BPE approximation (letter runs, single digits, single
     * punctuation) — kept as the cheap lower-bound proxy (whole letter

@@ -152,7 +152,11 @@ object Distance {
       .localCheckpoint() // one compute: counted for the guard, then collected
     // guard BEFORE materializing on the driver — count() keeps the
     // reachable set distributed, so an over-maxCost disk fails fast
-    // instead of OOMing the driver it was meant to protect
+    // instead of OOMing the driver it was meant to protect. NOTE:
+    // above the guard this op FAILS rather than falling back to a
+    // distributed backtrack — acceptable because maxCost bounds the
+    // reachable disk by construction; size maxCost/maxDriverCells
+    // together when scaling up.
     val nReach = reachDf.count()
     require(nReach <= maxDriverCells,
       s"costPath: $nReach reachable cells exceed maxDriverCells — raise the guard or lower maxCost")

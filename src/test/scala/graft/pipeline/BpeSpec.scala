@@ -32,6 +32,28 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.countTokens("😀") == 1L)
   }
 
+  test("ASCII-only case fold: A-Z map, everything else untouched") {
+    assert(Bpe.asciiLower("The QUICK Fox-42!") == "the quick fox-42!")
+    // Unicode SpecialCasing must NOT apply: U+0130 'İ' would become
+    // "i" + combining dot under Java toLowerCase; here it stays one
+    // unfolded codepoint that tokenizes as a single mark — the pinned
+    // behavior the DuckDB translate() twin reproduces exactly
+    assert(Bpe.asciiLower("İstanbul") == "İstanbul")
+    assert(Bpe.tokens("İstanbul").toSeq.head == "İ")
+    assert(Bpe.asciiLower("ÉCLAIR") == "Éclair")   // É itself stays unfolded
+    assert(Bpe.asciiLower("already lower") eq "already lower") // no-copy fast path
+  }
+
+  test("NULL text counts as empty at the TextAnalysis surface") {
+    val docs = Seq((1L, "the spark"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n"),
+        TextAnalysis.bpeTokens(col("text")).as("j"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, "the spark"), (2L, 0L, ""), (3L, 0L, "")))
+  }
+
   test("count equals token-array length for every corpus doc") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
