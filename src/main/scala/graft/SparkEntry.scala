@@ -51,6 +51,25 @@ object SparkEntry {
     "q_collect_keys" -> ((s, dir) =>
       lineitemLayer(s, dir).collectKeys().orderBy("col", "row")),
 
+    // --- RasterFrames-style interop (reference layer.py:1248,1282):
+    // export -> re-ingest under the explicit layout -> re-export, then
+    // verify the self-describing schema (keys, per-tile extents) and
+    // tile contents (non-NoData count + exact sum) against the grid
+    "q_tile_df" -> ((s, dir) => {
+      val rf = lineitemLayer(s, dir).toTileDataFrame
+      val rt = RasterLayer.fromTileDataFrame(rf, layout)
+      rt.toTileDataFrame
+        // name the filtered array ONCE — HOF lambdas have no CSE
+        .select(col("spatial_key.col").as("col"), col("spatial_key.row").as("row"),
+          col("extent.xmin").as("xmin"), col("extent.ymin").as("ymin"),
+          col("extent.xmax").as("xmax"), col("extent.ymax").as("ymax"),
+          filter(col("tile"), c => !isnan(c)).as("valid"))
+        .select(col("col"), col("row"), col("xmin"), col("ymin"),
+          col("xmax"), col("ymax"),
+          size(col("valid")).cast("long").as("n_cells"),
+          aggregate(col("valid"), lit(0.0), (a, x) => a + x).as("v_sum"))
+    }),
+
     "q_lookup" -> ((s, dir) =>
       RasterLayer.tilesToCells(lineitemLayer(s, dir).lookup(2, 3), T, T)),
 
@@ -1215,6 +1234,17 @@ object SparkEntry {
       "q_rasterize" -> s"SELECT x, y, v FROM ($grid)",
 
       "q_tile_to_layout" -> s"SELECT x, y, v FROM ($grid)",
+
+      // per-tile keys, y-down extents (256x256 world, 64-cell tiles),
+      // non-NoData cell count and exact integral sum
+      "q_tile_df" ->
+        s"""SELECT CAST(x // $T AS INT) AS col, CAST(y // $T AS INT) AS row,
+           |  CAST((x // $T) * $T AS DOUBLE) AS xmin,
+           |  CAST($G - (y // $T + 1) * $T AS DOUBLE) AS ymin,
+           |  CAST((x // $T + 1) * $T AS DOUBLE) AS xmax,
+           |  CAST($G - (y // $T) * $T AS DOUBLE) AS ymax,
+           |  CAST(count(*) AS BIGINT) AS n_cells, sum(v) AS v_sum
+           |FROM ($grid) GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
 
       "q_collect_keys" ->
         s"SELECT DISTINCT CAST(x // 64 AS INT) AS col, CAST(y // 64 AS INT) AS row FROM ($grid) ORDER BY col, row",

@@ -353,6 +353,35 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     * boundary-export path only — never used tile-to-tile. */
   def toCells: DataFrame = RasterLayer.tilesToCells(df, tc, tr, meta.temporal)
 
+  /** Export as a self-describing RasterFrames-style tile DataFrame
+    * (reference layer.py:1248 `to_rasterframe`): the public
+    * RasterFrames column convention —
+    *   `spatial_key STRUCT<col INT, row INT>`
+    *   [`temporal_key BIGINT`]                 (temporal layers)
+    *   `extent STRUCT<xmin,ymin,xmax,ymax DOUBLE>`  (per-tile, y-down)
+    *   `tile_cols INT, tile_rows INT, cell_type STRING`
+    *   `tile ARRAY<DOUBLE>`                    (row-major, NaN NoData)
+    * Tile dims + per-tile extents make the frame reconstructable
+    * without side-band metadata (see [[RasterLayer.fromTileDataFrame]]).
+    * Pure per-row projection — no shuffle, stays in codegen. */
+  def toTileDataFrame: DataFrame = {
+    val l  = meta.layout
+    val tw = l.cellWidth * tc  // tile world width
+    val th = l.cellHeight * tr
+    val key = struct(col("col").cast("int").as("col"),
+                     col("row").cast("int").as("row")).as("spatial_key")
+    val ext = struct(
+      (lit(l.extent.xmin) + col("col") * tw).as("xmin"),
+      (lit(l.extent.ymax) - (col("row") + 1) * th).as("ymin"),
+      (lit(l.extent.xmin) + (col("col") + 1) * tw).as("xmax"),
+      (lit(l.extent.ymax) - col("row") * th).as("ymax")).as("extent")
+    val cols = Seq(key) ++
+      (if (meta.temporal) Seq(col("instant").as("temporal_key")) else Nil) ++
+      Seq(ext, lit(tc).as("tile_cols"), lit(tr).as("tile_rows"),
+          lit(meta.cellType).as("cell_type"), col("tile"))
+    df.select(cols: _*)
+  }
+
   /** Re-tile to a new layout over the SAME extent and cell size
     * (reference tile_to_layout between layouts, layer.py:900).
     *
@@ -491,6 +520,46 @@ object RasterLayer {
     val df = keyed.groupBy("col", "row", "instant")
       .agg(agg(col("off"), col("v")).as("tile"))
     new RasterLayer(df, LayerMetadata(layout, temporal = true))
+  }
+
+  /** Re-ingest a RasterFrames-style tile DataFrame produced by
+    * [[RasterLayer.toTileDataFrame]] (or any frame matching that
+    * schema — reference layer.py:1282 `from_rasterframe`) under an
+    * EXPLICIT layout: a pure column projection, no shuffle, no action.
+    * `temporal_key` presence decides the spacetime flag. */
+  def fromTileDataFrame(df: DataFrame, layout: LayoutDefinition,
+                        cellType: String = "float64"): RasterLayer = {
+    val temporal = df.columns.contains("temporal_key")
+    val cols = Seq(col("spatial_key.col").as("col"),
+                   col("spatial_key.row").as("row")) ++
+      (if (temporal) Seq(col("temporal_key").as("instant")) else Nil) :+
+      col("tile")
+    new RasterLayer(df.select(cols: _*), LayerMetadata(layout, cellType, temporal))
+  }
+
+  /** Self-describing variant: derives the layout from the frame's own
+    * `extent`/`tile_cols`/`tile_rows` columns with ONE tiny driver
+    * aggregate (8 scalars). The world extent is the bounding box of
+    * the PRESENT tiles — for a layer sparse at its boundary, pass the
+    * layout explicitly via the other overload instead. */
+  def fromTileDataFrame(df: DataFrame): RasterLayer = {
+    val r = df.agg(
+      min(col("extent.xmin")), min(col("extent.ymin")),
+      max(col("extent.xmax")), max(col("extent.ymax")),
+      first(col("extent.xmax") - col("extent.xmin")),
+      first(col("extent.ymax") - col("extent.ymin")),
+      first(col("tile_cols")), first(col("tile_rows")),
+      first(col("cell_type"))).first()
+    require(!r.isNullAt(0), "fromTileDataFrame: empty frame — pass an explicit layout")
+    val (xmin, ymin, xmax, ymax) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val (tw, th) = (r.getDouble(4), r.getDouble(5))
+    val (tc, tr) = (r.getInt(6), r.getInt(7))
+    val layout = LayoutDefinition(
+      Extent(xmin, ymin, xmax, ymax),
+      TileLayout(math.round((xmax - xmin) / tw).toInt,
+                 math.round((ymax - ymin) / th).toInt, tc, tr))
+    fromTileDataFrame(df, layout, r.getString(8))
   }
 
   /** Inverse of fromCells: explode tiles to (x, y, v) rows, dropping

@@ -28,7 +28,15 @@ import graft.raster.{GeoTiff, RasterLayer}
   */
 final class TmsServer(spark: SparkSession, uri: String,
                       breaks: Seq[Double], ramp: String, port: Int = 0,
-                      cogs: Map[String, (String, Int)] = Map.empty) {
+                      cogs: Map[String, (String, Int)] = Map.empty,
+                      renderFn: Option[(IndexedSeq[Double], Int, Int) => Array[Byte]] = None) {
+  // `renderFn` is the user render hook (reference tms.py:14
+  // TileRender: "render(tile) -> PNG bytes"): given the tile's
+  // row-major cells (NaN = NoData) and its pixel dims, produce the
+  // response image bytes. When absent, tiles render through the
+  // default classify-by-breaks -> color-ramp path. The hook runs
+  // driver-side per GET on a single already-fetched tile — the Spark
+  // side (catalog lookup / COG window read) is identical either way.
 
   private val layers = scala.collection.concurrent.TrieMap.empty[(String, Int), RasterLayer]
 
@@ -75,9 +83,19 @@ final class TmsServer(spark: SparkSession, uri: String,
           try {
             val l = layer(name, z.toInt)
             val one = l.copy(df = l.lookup(c.toInt, r.toInt))
-            val tiles = Render.renderPng(one, breaks, ramp).collect()
-            if (tiles.isEmpty) send(ex, 404, "no tile".getBytes, "text/plain")
-            else send(ex, 200, tiles.head.png, "image/png")
+            renderFn match {
+              case Some(f) =>
+                val rows = one.df.select("tile").collect()
+                if (rows.isEmpty) send(ex, 404, "no tile".getBytes, "text/plain")
+                else {
+                  val tl = l.meta.layout.tileLayout
+                  send(ex, 200, f(rows.head.getSeq[Double](0).toIndexedSeq, tl.tileCols, tl.tileRows), "image/png")
+                }
+              case None =>
+                val tiles = Render.renderPng(one, breaks, ramp).collect()
+                if (tiles.isEmpty) send(ex, 404, "no tile".getBytes, "text/plain")
+                else send(ex, 200, tiles.head.png, "image/png")
+            }
           } catch {
             case e: Exception => send(ex, 500, e.toString.getBytes, "text/plain")
           }
@@ -101,7 +119,9 @@ final class TmsServer(spark: SparkSession, uri: String,
                 send(ex, 404, "tile outside image".getBytes, "text/plain")
               else {
                 val cells = GeoTiff.readCogWindow(rr, wx, wy, tw, th, overview)
-                send(ex, 200, Render.renderImage(cells, tw, th, breaks, ramp), "image/png")
+                val png = renderFn.map(f => f(cells, tw, th))
+                  .getOrElse(Render.renderImage(cells, tw, th, breaks, ramp))
+                send(ex, 200, png, "image/png")
               }
             }
           } catch {

@@ -26,6 +26,38 @@ class RasterLayerSpec extends SparkSpec {
     assert(cellsOf(layer(in.toSeq: _*)) == in)
   }
 
+  test("tile DataFrame interop: schema, extents, explicit + derived roundtrip") {
+    val in = Set((0L, 0L, 1.0), (3L, 3L, 2.0), (4L, 0L, 3.0), (7L, 7L, 4.0))
+    val l = layer(in.toSeq: _*)
+    val rf = l.toTileDataFrame
+    assert(rf.columns.toSeq ==
+      Seq("spatial_key", "extent", "tile_cols", "tile_rows", "cell_type", "tile"))
+    // y-down per-tile extents: key (0,0) is the top-left world quarter
+    val ext = rf.select(col("spatial_key.col"), col("spatial_key.row"),
+        col("extent.xmin"), col("extent.ymin"), col("extent.xmax"), col("extent.ymax"))
+      .as[(Int, Int, Double, Double, Double, Double)].collect().toSet
+    assert(ext.contains((0, 0, 0.0, 4.0, 4.0, 8.0)))
+    assert(ext.contains((1, 1, 4.0, 0.0, 8.0, 4.0)))
+    // explicit-layout roundtrip is exact
+    assert(cellsOf(RasterLayer.fromTileDataFrame(rf, layout)) == in)
+    // derived-layout roundtrip: all four corner tiles are present, so
+    // the self-described bounding box IS the world extent
+    val derived = RasterLayer.fromTileDataFrame(rf)
+    assert(derived.meta.layout == layout)
+    assert(cellsOf(derived) == in)
+  }
+
+  test("tile DataFrame interop: temporal layers carry temporal_key") {
+    val cells = Seq((0L, 0L, 5L, 1.0), (7L, 7L, 6L, 2.0)).toDF("x", "y", "instant", "v")
+    val l = RasterLayer.fromCellsTemporal(cells, layout)
+    val rf = l.toTileDataFrame
+    assert(rf.columns.contains("temporal_key"))
+    val rt = RasterLayer.fromTileDataFrame(rf, layout)
+    assert(rt.meta.temporal)
+    assert(rt.toCells.as[(Long, Long, Long, Double)].collect().toSet ==
+      Set((0L, 0L, 5L, 1.0), (7L, 7L, 6L, 2.0)))
+  }
+
   test("local arithmetic and NaN propagation") {
     val l = layer((0, 0, 10.0), (5, 5, 20.0))
     assert(cellsOf((l + 5.0) * 2.0) == Set((0L, 0L, 30.0), (5L, 5L, 50.0)))

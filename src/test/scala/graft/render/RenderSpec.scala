@@ -80,6 +80,44 @@ class RenderSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("tms custom render hook replaces the breaks/ramp path per tile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tms_hook").toString
+    val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+    val layer = RasterLayer.fromCells(
+      Seq((0L, 0L, 50.0), (1L, 0L, 250.0)).toDF("x", "y", "v"), layout)
+    graft.catalog.Catalog.write(dir, "demo", layer, zoom = 0)
+    // user hook (reference tms.py:14 TileRender): grayscale the cells
+    // into a REAL PNG and prepend nothing — the response must be the
+    // hook's bytes, so we also check the decoded pixel the default
+    // ramp path could never produce
+    val hook = (cells: IndexedSeq[Double], w: Int, h: Int) => {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      var i = 0
+      while (i < cells.length) {
+        val g = if (cells(i).isNaN) 0 else math.min(255, cells(i).toInt)
+        img.setRGB(i % w, i / w, 0xFF000000 | (g << 16) | (g << 8) | g)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val srv = new TmsServer(spark, dir, Seq(100.0, 300.0), "BlueToRed",
+      renderFn = Some(hook))
+    try {
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${srv.boundPort}/tiles/demo/0/0/0.png")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val body = conn.getInputStream.readAllBytes()
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(body))
+      assert(img.getWidth == 4 && img.getHeight == 4)
+      assert((img.getRGB(0, 0) & 0xFF) == 50)   // cell (0,0) grayscale 50
+      assert((img.getRGB(1, 0) & 0xFF) == 250)  // cell (1,0) grayscale 250
+      assert((img.getRGB(3, 3) & 0xFF) == 0)    // NoData -> black
+    } finally srv.stop()
+  }
+
   test("tms /cog endpoint serves every overview level from one COG file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tms_cog").toString
     val layout = LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(4, 4, 16, 16))
