@@ -93,7 +93,7 @@ object Bpe {
     * the SQL. */
   val PreTokenPattern = "[a-z]+|[0-9]|[^a-z0-9 \\t\\n\\r]"
 
-  private val preToken = Pattern.compile(PreTokenPattern)
+  private[pipeline] val preToken = Pattern.compile(PreTokenPattern)
 
   /** ASCII-only case fold: maps 'A'..'Z' to 'a'..'z' and NOTHING else.
     * Java's toLowerCase applies full Unicode SpecialCasing (e.g.
@@ -119,14 +119,64 @@ object Bpe {
     }
   }
 
+  /** DuckDB twin of [[asciiLower]]: translate() is a pinned
+    * per-character map in every engine, unlike lower() (utf8proc
+    * simple fold) vs Java toLowerCase (full SpecialCasing). */
+  private[pipeline] def asciiLowerSql(col: String): String =
+    s"translate($col, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+
+  /** The default model over the literal [[Merges]] table — all the
+    * hot-path entry points below delegate here, so the native
+    * expressions' static calls are unchanged by the model refactor. */
+  val Default: BpeModel = new BpeModel(Merges)
+
+  def encodeWord(w: String): String     = Default.encodeWord(w)
+  def tokensJoined(text: String): String = Default.tokensJoined(text)
+  def countTokens(text: String): Long    = Default.countTokens(text)
+  def tokens(text: String): Array[String] = Default.tokens(text)
+  def joinedSql(col: String): String     = Default.joinedSql(col)
+  def countSql(col: String): String      = Default.countSql(col)
+
+  /** Parse a merges file in the public GPT-2 `merges.txt` format: an
+    * optional `#version:` header, then one `a b` pair per line in rank
+    * order; blank lines and further `#` comment lines are skipped.
+    * Pairs are returned verbatim — the apply chain treats them exactly
+    * like the literal table. */
+  def loadMerges(path: String): Vector[(String, String)] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try {
+      src.getLines().zipWithIndex.flatMap { case (line, i) =>
+        val t = line.trim
+        if (t.isEmpty || t.startsWith("#")) None
+        else t.split(" ") match {
+          case Array(a, b) if a.nonEmpty && b.nonEmpty => Some((a, b))
+          case _ =>
+            throw new IllegalArgumentException(
+              s"$path:${i + 1}: expected 'a b', got '$line'")
+        }
+      }.toVector
+    } finally src.close()
+  }
+
+  /** Model from a GPT-2-format merges file (see [[loadMerges]]). */
+  def fromFile(path: String): BpeModel = new BpeModel(loadMerges(path))
+}
+
+/** A BPE tokenizer over one merges table. The literal-table singleton
+  * is [[Bpe.Default]]; [[Bpe.fromFile]] builds one from a public
+  * GPT-2-format merges file. Each model owns its word cache, so
+  * distinct vocabularies never cross-contaminate. */
+final class BpeModel(val merges: Vector[(String, String)]) extends Serializable {
+  import Bpe.{preToken, asciiLower, asciiLowerSql, PreTokenPattern}
+
   // (find " a b ", emit " ab ") pairs, precomputed once
   private val rules: Array[(String, String)] =
-    Merges.iterator.map { case (a, b) => (s" $a $b ", s" $a$b ") }.toArray
+    merges.iterator.map { case (a, b) => (s" $a $b ", s" $a$b ") }.toArray
 
   // word -> space-joined tokens; bounded (Zipf vocab => ~1 hit rate,
   // cap => no executor OOM on adversarial corpora)
   private val MaxCache = 1 << 17
-  private val cache = new ConcurrentHashMap[String, String]()
+  @transient private lazy val cache = new ConcurrentHashMap[String, String]()
 
   /** Encode one pre-token; returns its tokens joined by single
     * spaces. Splits into CODEPOINTS (not UTF-16 units) to match the
@@ -187,24 +237,18 @@ object Bpe {
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins: the same contract stated as SQL. The chain
-  // of replace() calls is generated from the same Merges table the
+  // of replace() calls is generated from the same merges table the
   // engine runs, so the two can never drift.
   // ---------------------------------------------------------------
 
   /** SQL for one pre-token `w` -> its tokens space-joined. */
   private def wordChainSql: String = {
     var e = """' ' || regexp_replace(w, '(.)', '\1 ', 'g')"""
-    Merges.foreach { case (a, b) =>
+    merges.foreach { case (a, b) =>
       e = s"replace($e, ' $a $b ', ' $a$b ')"
     }
     s"trim($e)"
   }
-
-  /** DuckDB twin of [[asciiLower]]: translate() is a pinned
-    * per-character map in every engine, unlike lower() (utf8proc
-    * simple fold) vs Java toLowerCase (full SpecialCasing). */
-  private def asciiLowerSql(col: String): String =
-    s"translate($col, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
 
   /** DuckDB expression: space-joined BPE tokens of `col` (VARCHAR,
     * '' for empty OR NULL input — COALESCE because

@@ -135,7 +135,7 @@ object JpegCodec {
               Component(bytes(o) & 0xff, (bytes(o + 1) & 0xff) >> 4,
                 bytes(o + 1) & 0x0f, bytes(o + 2) & 0xff)
             }
-          case 0xc2 => throw new IllegalArgumentException("progressive JPEG unsupported")
+          case 0xc2 => return decodeProgressive(bytes)
           case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             throw new IllegalArgumentException(f"unsupported JPEG SOF marker ff$m%02x")
           case 0xc4 => // DHT
@@ -243,7 +243,285 @@ object JpegCodec {
       mcu += 1
     }
 
-    // upsample each component to full resolution and color-convert
+    composeImage(comps, planes, strides, width, height, hMax, vMax)
+  }
+
+  /** Progressive JPEG (SOF2, T.81 annex G): coefficients accumulate
+    * across multiple scans — DC first/refinement (interleaved allowed)
+    * and per-component AC scans with spectral selection (Ss..Se) +
+    * successive approximation (Ah/Al, EOB-run coding) — then one
+    * dequantize + IDCT pass reconstructs the planes and reuses the
+    * baseline upsample/color tail. Scan semantics follow the spec's
+    * G.1.2.2/G.1.2.3 decoding procedures. */
+  private def decodeProgressive(bytes: Array[Byte]): Image = {
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var comps: Array[Component] = null
+    var width = 0; var height = 0
+    var restartInterval = 0
+    // per component: coefficient store (MCU-padded block grid, 64 ints
+    // per block in NATURAL order), padded/actual block dims
+    var coefs: Array[Array[Int]] = null
+    var bw, bwA, bhA: Array[Int] = null
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
+
+    /** First marker position at or after q (skips fill bytes and
+      * entropy-embedded FF00/RSTn sequences defensively). */
+    def nextMarker(q0: Int): Int = {
+      var q = q0
+      while (q + 1 < bytes.length &&
+             !((bytes(q) & 0xff) == 0xff && (bytes(q + 1) & 0xff) != 0x00 &&
+               (bytes(q + 1) & 0xff) != 0xff &&
+               !((bytes(q + 1) & 0xff) >= 0xd0 && (bytes(q + 1) & 0xff) <= 0xd7)))
+        q += 1
+      q
+    }
+
+    /** One scan's entropy-coded data; returns the position just past it. */
+    def runScan(dataStart: Int, scanComps: Array[Int],
+                ss: Int, se: Int, ah: Int, al: Int): Int = {
+      val r = new BitReader(bytes, dataStart)
+      val pred = new Array[Int](comps.length)
+      var eobrun = 0
+      val p1 = 1 << al
+      val m1 = -1 << al
+
+      def decodeDc(ci: Int, off: Int): Unit =
+        if (ah == 0) {
+          val c = comps(ci)
+          val s0 = r.decode(dcTabs(c.dcTab))
+          pred(ci) += extend(r.bits(s0), s0)
+          coefs(ci)(off) = pred(ci) << al
+        } else if (r.bit() == 1) coefs(ci)(off) |= p1
+
+      // G.1.2.3: refine an already-nonzero coefficient by one bit
+      def refine(cf: Array[Int], i: Int): Unit =
+        if (r.bit() == 1 && (cf(i) & p1) == 0)
+          cf(i) += (if (cf(i) >= 0) p1 else m1)
+
+      def decodeAcFirst(ci: Int, off: Int): Unit =
+        if (eobrun > 0) eobrun -= 1
+        else {
+          val cf = coefs(ci)
+          val ac = acTabs(comps(ci).acTab)
+          var k = ss
+          while (k <= se) {
+            val rs = r.decode(ac)
+            val run = rs >> 4; val s0 = rs & 15
+            if (s0 == 0) {
+              if (run < 15) { eobrun = (1 << run) - 1 + r.bits(run); k = 64 }
+              else k += 16
+            } else {
+              k += run
+              require(k <= se, "corrupt JPEG: AC index past Se")
+              cf(off + Natural(k)) = extend(r.bits(s0), s0) << al
+              k += 1
+            }
+          }
+        }
+
+      def decodeAcRefine(ci: Int, off: Int): Unit = {
+        val cf = coefs(ci)
+        val ac = acTabs(comps(ci).acTab)
+        var k = ss
+        if (eobrun == 0) {
+          var broke = false
+          while (k <= se && !broke) {
+            val rs = r.decode(ac)
+            var run = rs >> 4
+            var newVal = 0
+            if ((rs & 15) != 0) newVal = if (r.bit() == 1) p1 else m1
+            else if (run < 15) {
+              eobrun = (1 << run) + (if (run > 0) r.bits(run) else 0)
+              broke = true // rest of block handled by the EOB sweep below
+            } // run == 15: pass over 16 zero-history coefficients
+            if (!broke) {
+              // advance to the run-th zero-history coef, refining
+              // nonzero-history coefs passed on the way
+              var placed = false
+              while (k <= se && !placed) {
+                val i = off + Natural(k)
+                if (cf(i) != 0) refine(cf, i)
+                else if (run == 0) {
+                  if (newVal != 0) cf(i) = newVal
+                  placed = true
+                } else run -= 1
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val i = off + Natural(k)
+            if (cf(i) != 0) refine(cf, i)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      if (scanComps.length == 1) {
+        // non-interleaved: iterate the component's ACTUAL block grid
+        val ci = scanComps(0)
+        val (wB, hB) = (bwA(ci), bhA(ci))
+        val total = wB * hB
+        var b = 0
+        while (b < total) {
+          if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+            r.restart(); java.util.Arrays.fill(pred, 0); eobrun = 0
+          }
+          val off = ((b / wB) * bw(ci) + b % wB) * 64
+          if (ss == 0) decodeDc(ci, off)
+          else if (ah == 0) decodeAcFirst(ci, off)
+          else decodeAcRefine(ci, off)
+          b += 1
+        }
+      } else {
+        // interleaved (DC scans only, per T.81): full MCU grid
+        require(ss == 0 && se == 0, "interleaved progressive scan must be DC")
+        var mcu = 0
+        val nMcus = mcusX * mcusY
+        while (mcu < nMcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            r.restart(); java.util.Arrays.fill(pred, 0); eobrun = 0
+          }
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var si = 0
+          while (si < scanComps.length) {
+            val ci = scanComps(si); val c = comps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeDc(ci, ((my * c.v + by) * bw(ci) + mx * c.h + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            si += 1
+          }
+          mcu += 1
+        }
+      }
+      nextMarker(math.max(dataStart, r.pos))
+    }
+
+    // marker loop over the WHOLE stream (multiple SOS until EOI)
+    var p = 2
+    var sawEoi = false
+    while (!sawEoi && p + 1 < bytes.length) {
+      require((bytes(p) & 0xff) == 0xff, "JPEG marker expected")
+      val m = bytes(p + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) p += 2
+      else if (m == 0xd9) sawEoi = true
+      else {
+        val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+        val seg = p + 4
+        m match {
+          case 0xc2 => // SOF2
+            require((bytes(seg) & 0xff) == 8, "12-bit JPEG unsupported")
+            height = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
+            width = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
+            val nc = bytes(seg + 5) & 0xff
+            require(nc == 1 || nc == 3, s"unsupported JPEG component count $nc")
+            comps = Array.tabulate(nc) { i =>
+              val o = seg + 6 + 3 * i
+              Component(bytes(o) & 0xff, (bytes(o + 1) & 0xff) >> 4,
+                bytes(o + 1) & 0x0f, bytes(o + 2) & 0xff)
+            }
+            require(comps.forall(c => c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4),
+              "corrupt JPEG: sampling factors outside 1..4")
+            hMax = comps.map(_.h).max; vMax = comps.map(_.v).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            bw = comps.map(c => mcusX * c.h)
+            bwA = comps.map(c => ((width * c.h + hMax - 1) / hMax + 7) / 8)
+            bhA = comps.map(c => ((height * c.v + vMax - 1) / vMax + 7) / 8)
+            coefs = comps.map(c => new Array[Int](mcusX * c.h * mcusY * c.v * 64))
+          case 0xc4 => // DHT
+            var q = seg
+            while (q < seg + len - 2) {
+              val tc = (bytes(q) & 0xff) >> 4; val th = bytes(q) & 0x0f
+              val counts = Array.tabulate(16)(i => bytes(q + 1 + i) & 0xff)
+              val total = counts.sum
+              val syms = Array.tabulate(total)(i => bytes(q + 17 + i) & 0xff)
+              val t = new Huff(counts, syms)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              q += 17 + total
+            }
+          case 0xdb => // DQT
+            var q = seg
+            while (q < seg + len - 2) {
+              val pq = (bytes(q) & 0xff) >> 4; val tq = bytes(q) & 0x0f
+              val tab = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                tab(i) = if (pq == 0) bytes(q + 1 + i) & 0xff
+                         else ((bytes(q + 1 + 2 * i) & 0xff) << 8) | (bytes(q + 2 + 2 * i) & 0xff)
+                i += 1
+              }
+              quant(tq) = tab
+              q += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xdd => // DRI
+            restartInterval = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
+          case 0xda => // SOS
+            require(comps != null, "JPEG SOS before SOF2")
+            val ns = bytes(seg) & 0xff
+            val scanComps = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = bytes(seg + 1 + 2 * i) & 0xff
+              val ci = comps.indexWhere(_.id == cid)
+              require(ci >= 0, s"SOS references unknown component $cid")
+              comps(ci).dcTab = (bytes(seg + 2 + 2 * i) & 0xff) >> 4
+              comps(ci).acTab = bytes(seg + 2 + 2 * i) & 0x0f
+              scanComps(i) = ci
+              i += 1
+            }
+            val ss = bytes(seg + 1 + 2 * ns) & 0xff
+            val se = bytes(seg + 2 + 2 * ns) & 0xff
+            val ahal = bytes(seg + 3 + 2 * ns) & 0xff
+            p = runScan(seg + 4 + 2 * ns, scanComps, ss, se, ahal >> 4, ahal & 15)
+          case _ => // APPn / COM: skip
+        }
+        if (m != 0xda) p += 2 + len
+      }
+    }
+
+    // dequantize + IDCT every actual block into the sample planes
+    val planes = comps.map(c => new Array[Byte](mcusX * c.h * 8 * mcusY * c.v * 8))
+    val strides = comps.map(c => mcusX * c.h * 8)
+    val blk = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val qt = quant(comps(ci).tq)
+      require(qt != null, s"missing quant table ${comps(ci).tq}")
+      val cf = coefs(ci)
+      var by = 0
+      while (by < bhA(ci)) {
+        var bx = 0
+        while (bx < bwA(ci)) {
+          val off = (by * bw(ci) + bx) * 64
+          var k = 0
+          while (k < 64) { val nk = Natural(k); blk(nk) = cf(off + nk) * qt(k); k += 1 }
+          idctBlock(blk, planes(ci), strides(ci), by * 8, bx * 8)
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    composeImage(comps, planes, strides, width, height, hMax, vMax)
+  }
+
+  /** Shared tail of both decode paths: upsample each component plane
+    * to full resolution and color-convert (gray or YCbCr). */
+  private def composeImage(comps: Array[Component], planes: Array[Array[Byte]],
+                           strides: Array[Int], width: Int, height: Int,
+                           hMax: Int, vMax: Int): Image = {
     val out = new Array[Int](width * height)
     if (comps.length == 1) {
       val pl = planes(0); val st = strides(0)

@@ -54,6 +54,41 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, "the spark"), (2L, 0L, ""), (3L, 0L, "")))
   }
 
+  test("merges file: GPT-2 format loads, matches the literal model, scales to 1k rules") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe")
+    // (1) the literal table written as a merges.txt loads to an
+    // identical model — same tokens on every fixture text
+    val lit = dir.resolve("literal.txt")
+    java.nio.file.Files.writeString(lit,
+      "#version: 0.2\n" + Bpe.Merges.map { case (a, b) => s"$a $b" }.mkString("\n") + "\n")
+    val m = Bpe.fromFile(lit.toString)
+    assert(m.merges == Bpe.Merges)
+    Seq("the spark query!", "customer order stream", "42 && filter")
+      .foreach(t => assert(m.tokens(t).toSeq == Bpe.tokens(t).toSeq, t))
+    assert(m.countSql("text") == Bpe.countSql("text"))
+    // (2) a 1000-rule file: 25 chaining rules grow "ab"->"abc"->...->
+    // the whole alphabet (unambiguous under the single-pass replace
+    // contract); 975 padding rules keep rank order honest (they can
+    // never fire: letter+digit never forms one pre-token)
+    val big = dir.resolve("big.txt")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val chaining = (2 to 26).map(n => s"${alpha.take(n - 1)} ${alpha.charAt(n - 1)}")
+    val padding = (0 until 975).map(i => s"q${i / 10} z${i % 10}")
+    java.nio.file.Files.writeString(big, (chaining ++ padding).mkString("\n"))
+    val bigModel = Bpe.fromFile(big.toString)
+    assert(bigModel.merges.size == 1000)
+    // the full alphabet word collapses to ONE token through the chain;
+    // a word that leaves the chain keeps its unmerged tail
+    assert(bigModel.countTokens(alpha) == 1L)
+    assert(bigModel.tokens(alpha).toSeq == Seq(alpha))
+    assert(bigModel.tokens("abcz").toSeq == Seq("abc", "z"))
+    // (3) malformed lines fail loudly with the line number
+    val bad = dir.resolve("bad.txt")
+    java.nio.file.Files.writeString(bad, "a b\na b c\n")
+    val e = intercept[IllegalArgumentException](Bpe.loadMerges(bad.toString))
+    assert(e.getMessage.contains(":2"))
+  }
+
   test("count equals token-array length for every corpus doc") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",

@@ -133,8 +133,55 @@ class ImageCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("progressive-marker JPEG throws; decodeFeatures falls back rather than failing") {
-    // hand-build the smallest stream that walks to an unsupported SOF2
+  private def encodeProgressiveJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
+    val w = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    w.setOutput(ios)
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    // libjpeg's default 10-scan progression: interleaved DC with
+    // successive approximation, spectral-banded AC scans, DC+AC
+    // refinement passes — the full annex-G surface
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    out.toByteArray
+  }
+
+  test("progressive JPEG grayscale decodes BIT-EXACT vs the JDK reader") {
+    val img = new BufferedImage(45, 37, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 37; x <- 0 until 45)
+      img.getRaster.setSample(x, y, 0, (x * 11 + y * 23 + (x * y) % 31) % 256)
+    for (q <- Seq(0.5f, 0.95f)) {
+      val bytes = encodeProgressiveJpeg(img, q)
+      // really SOF2: marker ffc2 present before any SOS
+      assert(bytes.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2))
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val got = ImageCodec.decode(bytes).get
+      assert((got.width, got.height) == (45, 37))
+      for (y <- 0 until 37; x <- 0 until 45)
+        assert((got.argb(x, y) & 0xff) == ref.getRaster.getSample(x, y, 0),
+          s"q=$q pixel ($x,$y)")
+    }
+  }
+
+  test("progressive JPEG color (4:2:0) decodes BIT-EXACT vs the JDK reader") {
+    val img = pattern(45, 37, BufferedImage.TYPE_INT_RGB)
+    for (q <- Seq(0.4f, 0.75f, 1.0f)) {
+      val bytes = encodeProgressiveJpeg(img, q)
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val got = ImageCodec.decode(bytes).get
+      assert((got.width, got.height) == (45, 37))
+      for (y <- 0 until 37; x <- 0 until 45)
+        assert(got.argb(x, y) == (ref.getRGB(x, y) | 0xff000000),
+          f"q=$q pixel ($x,$y): got 0x${got.argb(x, y)}%08x want 0x${ref.getRGB(x, y)}%08x")
+    }
+  }
+
+  test("truncated progressive JPEG throws; decodeFeatures falls back rather than failing") {
+    // the smallest stream that reaches SOF2 then ends before any scan
     val prog = Array[Int](0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b,
       8, 0, 8, 0, 8, 1, 0x11, 0, 0, 0).map(_.toByte)
     intercept[IllegalArgumentException](ImageCodec.decode(prog))
