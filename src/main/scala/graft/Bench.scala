@@ -36,7 +36,11 @@ object Bench {
     // box carry ~2x noise, so medians are the honest per-query signal
     // (judge-requested; per-run totals kept alongside as evidence)
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // optional name-substring filters (builder-side iteration, same
+    // contract as Verify's); the driver passes none and times all
+    val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.exists(n.contains))
     val runs: Seq[Map[String, Double]] = (1 to nRuns).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
@@ -74,8 +78,10 @@ object Bench {
     println(json)
     // The driver captures stdout with a bounded tail that has truncated
     // the per-query map two rounds running — persist the full evidence.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // (Only for unfiltered runs: a subset must not clobber the record.)
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
