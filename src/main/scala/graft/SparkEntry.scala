@@ -888,6 +888,16 @@ object SparkEntry {
       // merge decision, not just the totals
       pipeline.TextAnalysis.bpeTokenize(table(s, dir, "documents"))),
 
+    "q_bpe_train" -> ((s, dir) => {
+      // greedy BPE TRAINER: distributed vocab count, driver merge
+      // loop; every learned (rank, a, b) row pins a merge decision
+      // (counts + lexicographic tie-break) against the unrolled oracle
+      import s.implicits._
+      pipeline.Bpe.train(table(s, dir, "documents"), numMerges = 8)
+        .zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "a", "b")
+    }),
+
     "q_quality_score" -> ((s, dir) =>
       pipeline.TextAnalysis.qualityScore(table(s, dir, "documents"))),
 
@@ -2326,6 +2336,8 @@ object SparkEntry {
         s"""SELECT doc_id, ${pipeline.Bpe.countSql("text")} AS n_bpe,
           |md5(${pipeline.Bpe.joinedSql("text")}) AS fp
           |FROM documents""".stripMargin,
+
+      "q_bpe_train" -> pipeline.Bpe.trainSql(8),
 
       "q_quality_score" ->
         """SELECT doc_id, n_chars,

@@ -160,6 +160,108 @@ object Bpe {
 
   /** Model from a GPT-2-format merges file (see [[loadMerges]]). */
   def fromFile(path: String): BpeModel = new BpeModel(loadMerges(path))
+
+  private val UpperAscii = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private val LowerAscii = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Train `numMerges` BPE merge rules on a document corpus — the
+    * trainer half of the tokenizer (Sennrich et al. 2016 greedy BPE;
+    * [[BpeModel]] is the apply half, and a trained table feeds
+    * straight into it).
+    *
+    * ## Contract (stated identically by [[trainSql]] for the oracle)
+    *
+    * 1. Vocabulary: pre-tokens of ASCII-case-folded text (same
+    *    pre-tokenizer as apply) -> (word, count).
+    * 2. Each word as leading/trailing-spaced symbols (`" t h e "`).
+    * 3. Per round: count EVERY adjacent symbol pair (overlapping
+    *    included) weighted by word count; the winner is the highest
+    *    count, ties broken by (a ASC, b ASC); apply the winning merge
+    *    to the whole vocabulary with the same single-pass
+    *    `String.replace` semantics as encoding. Stop early if no
+    *    pairs remain.
+    *
+    * ## Scale shape
+    *
+    * The corpus-scale work is ONE distributed explode + groupBy(word)
+    * (map-side partial counts); the greedy loop then runs driver-side
+    * over the AGGREGATED vocabulary, which is Zipf-bounded (millions
+    * of distinct words for a 100 TB corpus, guarded by `maxVocab`) —
+    * the same two-phase shape production BPE trainers use. Training
+    * is ASCII-pinned like the apply contract (symbols split on UTF-16
+    * units here vs codepoints in the oracle; identical on ASCII). */
+  def train(docs: org.apache.spark.sql.DataFrame, numMerges: Int,
+            textCol: String = "text", maxVocab: Int = 1 << 22): Vector[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val vocabDf = docs
+      .select(explode(regexp_extract_all(
+        translate(coalesce(col(textCol), lit("")), UpperAscii, LowerAscii),
+        lit(PreTokenPattern), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // one corpus scan: counted for the guard, then collected
+    val n = vocabDf.count()
+    require(n <= maxVocab,
+      s"Bpe.train: $n distinct words exceed maxVocab=$maxVocab — raise the guard or pre-filter")
+    var vocab = vocabDf.collect()
+      .map(r => (r.getString(0).toCharArray.mkString(" ", " ", " "), r.getLong(1)))
+    val out = Vector.newBuilder[(String, String)]
+    var round = 0
+    var dry = false
+    while (round < numMerges && !dry) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (sp, c) =>
+        val syms = sp.trim.split(' ')
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        val (a, b) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += ((a, b))
+        val (from, to) = (s" $a $b ", s" $a$b ")
+        vocab = vocab.map { case (sp, c) => (sp.replace(from, to), c) }
+        round += 1
+      }
+    }
+    out.result()
+  }
+
+  /** DuckDB twin of [[train]]: `numMerges` unrolled greedy rounds over
+    * the same vocabulary/pair/tie-break/replace contract, emitting
+    * (rank, a, b). MATERIALIZED CTEs keep each round's vocabulary from
+    * inlining twice (pair counting + the next round both read it). */
+  def trainSql(numMerges: Int, table: String = "documents",
+               textCol: String = "text"): String = {
+    val pairs = (r: Int) =>
+      s"""p$r AS (
+         |  SELECT pr.a AS a, pr.b AS b, sum(cnt) AS c
+         |  FROM (SELECT unnest(list_transform(range(len(syms) - 1),
+         |          i -> struct_pack(a := syms[i + 1], b := syms[i + 2]))) AS pr, cnt
+         |        FROM (SELECT string_split(trim(sp), ' ') AS syms, cnt FROM v$r))
+         |  GROUP BY 1, 2),
+         |b${r + 1} AS (SELECT a, b FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT replace(sp, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sp, cnt
+         |  FROM v$r CROSS JOIN b${r + 1})""".stripMargin
+    val v0 =
+      s"""v0 AS MATERIALIZED (
+         |  SELECT ' ' || array_to_string(regexp_extract_all(w, '(.)'), ' ') || ' ' AS sp,
+         |         count(*) AS cnt
+         |  FROM (SELECT unnest(regexp_extract_all(
+         |          translate(coalesce($textCol, ''), '$UpperAscii', '$LowerAscii'),
+         |          '$PreTokenPattern')) AS w FROM $table)
+         |  GROUP BY 1)""".stripMargin
+    val rounds = (0 until numMerges).map(pairs).mkString(",\n")
+    val sel = (1 to numMerges)
+      .map(r => s"SELECT CAST($r AS INT) AS rank, a, b FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $v0,\n$rounds\n$sel"
+  }
 }
 
 /** A BPE tokenizer over one merges table. The literal-table singleton

@@ -89,6 +89,29 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.contains(":2"))
   }
 
+  test("trainer: hand-traced greedy merges, tie-break, early stop, apply interop") {
+    // corpus: "aab" x3, "ab" x2 -> vocab {aab:3, ab:2}
+    // round 1 pairs: (a,a)=3, (a,b)=3+2=5 -> merge (a,b) [count wins]
+    // round 2: aab -> " a ab ", ab -> " ab ": pairs (a,ab)=3 -> merge (a,ab)
+    // round 3: aab -> " aab ": no pairs anywhere -> early stop
+    val docs = Seq((1L, "aab aab"), (2L, "aab ab"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 5)
+    assert(merges == Vector(("a", "b"), ("a", "ab")))
+    // the trained table drops straight into the apply half
+    val m = new BpeModel(merges)
+    assert(m.tokens("aab").toSeq == Seq("aab"))
+    assert(m.tokens("abba").toSeq == Seq("ab", "b", "a"))
+    // tie-break: "ba" x1 + "ca" x1 -> (b,a)=1 vs (c,a)=1, lexicographic
+    // on (a, b) picks (b,a)
+    val tie = Seq((1L, "ba ca")).toDF("doc_id", "text")
+    assert(Bpe.train(tie, numMerges = 1) == Vector(("b", "a")))
+    // case fold + NULL text flow through the same vocabulary contract
+    val folded = Seq((1L, "AAB"), (2L, null.asInstanceOf[String]), (3L, "aab"))
+      .toDF("doc_id", "text")
+    assert(Bpe.train(folded, numMerges = 1) == Vector(("a", "a")))
+  }
+
   test("count equals token-array length for every corpus doc") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
