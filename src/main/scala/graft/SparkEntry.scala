@@ -344,6 +344,20 @@ object SparkEntry {
         supplierPoints(s, dir).withColumn("value", col("pid") % 97 + 1),
         layout)),
 
+    "q_kriging" -> ((s, dir) => {
+      // simple kriging from 6 supplier points (key-derived integral
+      // coords, z = acctbal): fit driver-side (unpivoted elimination,
+      // op order mirrored by the unrolled-SQL oracle), predict as one
+      // per-cell expression over a dense 64x64 grid
+      val zs = table(s, dir, "supplier")
+        .where(col("s_suppkey").between(1, 6)) // keys start at 0 in this data
+        .orderBy("s_suppkey").select(col("s_suppkey"), col("s_acctbal"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val pts = zs.map { case (k, z) =>
+        ((k * 13 % 64).toDouble, (k * 29 % 64).toDouble, z) }
+      Interpolate.simpleKriging(s, pts, 64, 48.0, 0.01)
+    }),
+
     "q_region_group" -> ((s, dir) =>
       // 4-connected components of equal-class cells on a SPARSE grid
       // (v%4==0 activity, v%3 class — subcritical site density, so
@@ -1518,6 +1532,11 @@ object SparkEntry {
            |      FROM c WHERE x >= 0 AND x < 256 AND y >= 0 AND y < 256)
            |SELECT x, y, CAST(sum((64 - d2) * pv) AS DOUBLE) AS v
            |FROM f WHERE d2 < 64 GROUP BY 1, 2""".stripMargin,
+
+      "q_kriging" -> Interpolate.krigingSql(
+        Array.tabulate(6)(i => (((i + 1) * 13 % 64).toDouble, ((i + 1) * 29 % 64).toDouble)),
+        i => s"SELECT s_acctbal FROM supplier WHERE s_suppkey = ${i + 1}",
+        64, 48.0, 0.01),
 
       // min-label closure as a recursive CTE: bidirectional neighbor
       // edges, label set grows to the component, min per cell = the

@@ -89,4 +89,139 @@ object Interpolate {
       .agg(sum((lit(r2) - col("d2")) * col("pv")).as("den"))
       .select(col("x"), col("y"), col("den").cast("double").as("v"))
   }
+
+  // ------------------------------------------------------------------
+  // Simple kriging (geotrellis.raster.interpolation Kriging family).
+  //
+  // Fit: solve (C + nugget I) b = z once, driver-side, over the N
+  // sample points (N is small — the fit is O(N^3) on N scalars, the
+  // standard kriging shape); predict: v(x) = sum_j b_j cov(h_xj), a
+  // pure per-cell expression with the b_j folded in as literals —
+  // shuffle-free, scales with cells, not cells x solves.
+  //
+  // Determinism contract: spherical covariance uses only IEEE-pinned
+  // ops (+,-,*,/ and correctly-rounded sqrt), the Gaussian elimination
+  // runs WITHOUT pivoting in a fixed op order (the matrix is positive
+  // definite: spherical model + positive nugget), and [[krigingSql]]
+  // states the IDENTICAL elimination unrolled step-by-step, so engine
+  // and oracle produce bit-identical weights from the same z values.
+  // Both sides finish with round(v, 6) + 0.0 (one rounding boundary,
+  // -0.0 normalized).
+  // ------------------------------------------------------------------
+
+  /** Spherical covariance, sill 1: 1 - (1.5 h/a - 0.5 (h/a)^3), 0 at
+    * h >= a. Stated with the exact op order [[krigingSql]] emits. */
+  def sphericalCov(h: Double, range: Double): Double =
+    if (h >= range) 0.0
+    else 1.0 - 1.5 * (h / range) + 0.5 * (h / range) * (h / range) * (h / range)
+
+  private def covExprSql(h: String, range: Double): String =
+    s"CASE WHEN $h >= $range THEN 0.0 ELSE 1.0 - 1.5 * ($h / $range) + 0.5 * ($h / $range) * ($h / $range) * ($h / $range) END"
+
+  /** Solve (C + nugget I) b = z for the kriging weights; `pts` are
+    * (px, py, z). Unpivoted forward elimination then back-
+    * substitution, op order mirrored verbatim by [[krigingSql]]. */
+  def krigingWeights(pts: Array[(Double, Double, Double)],
+                     range: Double, nugget: Double): Array[Double] = {
+    val n = pts.length
+    val c = Array.tabulate(n, n) { (i, j) =>
+      val dx = pts(i)._1 - pts(j)._1
+      val dy = pts(i)._2 - pts(j)._2
+      val v = sphericalCov(math.sqrt(dx * dx + dy * dy), range)
+      if (i == j) v + nugget else v
+    }
+    val z = pts.map(_._3)
+    var k = 0
+    while (k < n) {
+      var i = k + 1
+      while (i < n) {
+        val f = c(i)(k) / c(k)(k)
+        var j = k
+        while (j < n) { c(i)(j) = c(i)(j) - f * c(k)(j); j += 1 }
+        z(i) = z(i) - f * z(k)
+        i += 1
+      }
+      k += 1
+    }
+    val b = new Array[Double](n)
+    var i2 = n - 1
+    while (i2 >= 0) {
+      var s = z(i2)
+      var j = i2 + 1
+      while (j < n) { s = s - c(i2)(j) * b(j); j += 1 }
+      b(i2) = s / c(i2)(i2)
+      i2 -= 1
+    }
+    b
+  }
+
+  /** Simple-kriging surface over a dense gridSize x gridSize raster
+    * from N points (px, py, z) with px/py integral. Returns
+    * (x, y, v). The per-cell prediction is one fused expression; at
+    * scale the grid enumeration would come from the tile layout, the
+    * math is unchanged. */
+  def simpleKriging(spark: org.apache.spark.sql.SparkSession,
+                    pts: Array[(Double, Double, Double)], gridSize: Int,
+                    range: Double, nugget: Double): DataFrame = {
+    val b = krigingWeights(pts, range, nugget)
+    val xs = spark.range(0, gridSize).select(col("id").as("x"))
+    val ys = spark.range(0, gridSize).select(col("id").as("y"))
+    val pred = pts.indices.map { j =>
+      val dx = col("x").cast("double") - lit(pts(j)._1)
+      val dy = col("y").cast("double") - lit(pts(j)._2)
+      val h = sqrt(dx * dx + dy * dy)
+      lit(b(j)) * when(h >= range, 0.0).otherwise(
+        lit(1.0) - lit(1.5) * (h / range) + lit(0.5) * (h / range) * (h / range) * (h / range))
+    }.reduceLeft(_ + _)
+    xs.crossJoin(ys).select(col("x"), col("y"),
+      (round(pred, 6) + lit(0.0)).as("v"))
+  }
+
+  /** DuckDB twin of [[simpleKriging]] for N points whose z values come
+    * from `zSql(i)` (a scalar subquery per point): the same matrix
+    * entries stated symbolically, the same elimination unrolled one
+    * CTE per step, back-substitution chained, prediction over the same
+    * grid in the same summation order. */
+  def krigingSql(coords: Array[(Double, Double)], zSql: Int => String,
+                 gridSize: Int, range: Double, nugget: Double): String = {
+    val n = coords.length
+    def d2(i: Int, j: Int): Double = {
+      val dx = coords(i)._1 - coords(j)._1
+      val dy = coords(i)._2 - coords(j)._2
+      dx * dx + dy * dy
+    }
+    // initial matrix + rhs: one single-row CTE. d2 is an exact
+    // integral double (integral coords), so the literal is exact.
+    val m0Cols = (for (i <- 0 until n; j <- 0 until n) yield {
+      val base = covExprSql(s"sqrt(${d2(i, j)})", range)
+      val e = if (i == j) s"$base + $nugget" else base
+      s"($e) AS c_${i}_$j"
+    }) ++ (0 until n).map(i => s"(${zSql(i)}) AS z_$i")
+    val m0 = s"m0 AS (SELECT ${m0Cols.mkString(", ")})"
+    // forward elimination: step k rewrites rows i > k
+    val steps = (0 until n - 1).map { k =>
+      val cols = (for (i <- 0 until n; j <- 0 until n) yield {
+        if (i > k) s"c_${i}_$j - (c_${i}_$k / c_${k}_$k) * c_${k}_$j AS c_${i}_$j"
+        else s"c_${i}_$j"
+      }) ++ (0 until n).map { i =>
+        if (i > k) s"z_$i - (c_${i}_$k / c_${k}_$k) * z_$k AS z_$i" else s"z_$i"
+      }
+      s"m${k + 1} AS (SELECT ${cols.mkString(", ")} FROM m$k)"
+    }
+    // back-substitution: one chained CTE per unknown
+    val backs = (n - 1 to 0 by -1).map { i =>
+      val sub = (i + 1 until n).map(j => s" - c_${i}_$j * b_$j").mkString
+      val from = if (i == n - 1) s"m${n - 1}" else s"s${i + 1}"
+      s"s$i AS (SELECT *, (z_$i$sub) / c_${i}_$i AS b_$i FROM $from)"
+    }
+    val pred = (0 until n).map { j =>
+      val h = s"sqrt((CAST(x AS DOUBLE) - ${coords(j)._1}) * (CAST(x AS DOUBLE) - ${coords(j)._1}) + (CAST(y AS DOUBLE) - ${coords(j)._2}) * (CAST(y AS DOUBLE) - ${coords(j)._2}))"
+      s"b_$j * (${covExprSql(h, range)})"
+    }.mkString(" + ")
+    s"""WITH $m0,
+       |${steps.mkString(",\n")},
+       |${backs.mkString(",\n")},
+       |grid AS (SELECT tx.x AS x, ty.y AS y FROM range(0, $gridSize) tx(x), range(0, $gridSize) ty(y))
+       |SELECT x, y, round($pred, 6) + 0.0 AS v FROM grid CROSS JOIN s0""".stripMargin
+  }
 }

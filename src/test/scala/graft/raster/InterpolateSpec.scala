@@ -58,4 +58,37 @@ class InterpolateSpec extends SparkSpec {
     assert(out.values.forall(_ == 5.0))
     assert(out((4L, 2L)) == 5.0 && !out.contains((2L, 2L)))
   }
+
+  test("kriging: weights solve the system, surface honors samples, covariance edges") {
+    // spherical covariance pins: cov(0)=1 (sill), 0 at/H beyond range
+    assert(Interpolate.sphericalCov(0.0, 10.0) == 1.0)
+    assert(Interpolate.sphericalCov(10.0, 10.0) == 0.0)
+    assert(Interpolate.sphericalCov(15.0, 10.0) == 0.0)
+    val mid = Interpolate.sphericalCov(5.0, 10.0)
+    assert(mid > 0.0 && mid < 1.0)
+    // one point: (1 + nugget) b = z exactly
+    val b1 = Interpolate.krigingWeights(Array((3.0, 3.0, 12.0)), 10.0, 0.25)
+    assert(b1.length == 1 && b1(0) == 12.0 / 1.25)
+    // three points: the solved weights satisfy (C + nugget I) b = z
+    val pts = Array((1.0, 1.0, 10.0), (6.0, 1.0, 20.0), (3.0, 5.0, 40.0))
+    val (rng, nug) = (8.0, 0.01)
+    val b = Interpolate.krigingWeights(pts, rng, nug)
+    pts.indices.foreach { i =>
+      val lhs = pts.indices.map { j =>
+        val dx = pts(i)._1 - pts(j)._1; val dy = pts(i)._2 - pts(j)._2
+        val c = Interpolate.sphericalCov(math.sqrt(dx * dx + dy * dy), rng)
+        (if (i == j) c + nug else c) * b(j)
+      }.sum
+      assert(math.abs(lhs - pts(i)._3) < 1e-9, s"row $i")
+    }
+    // the surface passes near the samples (small nugget) and decays to
+    // 0 outside every point's range
+    val surf = Interpolate.simpleKriging(spark, pts, 16, rng, nug)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(surf.size == 256)
+    pts.foreach { case (px, py, z) =>
+      assert(math.abs(surf((px.toLong, py.toLong)) - z) < 0.05 * z, s"at ($px,$py)")
+    }
+    assert(surf((15L, 15L)) == 0.0) // > range from every sample
+  }
 }
