@@ -344,6 +344,16 @@ object SparkEntry {
         supplierPoints(s, dir).withColumn("value", col("pid") % 97 + 1),
         layout)),
 
+    "q_vectorize" -> ((s, dir) =>
+      // geotrellis vectorize, summary form: per-region area/perimeter/
+      // bbox over the same labeled components as q_region_group
+      graft.raster.RegionGroup.vectorize(
+        graft.raster.RegionGroup.regionGroup(
+          lineitemCells(s, dir).select(col("x"), col("y"), col("v").cast("long").as("vv"))
+            .where(pmod(col("vv"), lit(4)) === 0)
+            .select(col("x"), col("y"), pmod(col("vv"), lit(3)).as("cls")),
+          gridCols = G))),
+
     "q_kriging" -> ((s, dir) => {
       // simple kriging from 6 supplier points (key-derived integral
       // coords, z = acctbal): fit driver-side (unpivoted elimination,
@@ -1254,6 +1264,23 @@ object SparkEntry {
     val lonlat = customerLonLatSql
     val egrid  = eventCellsSql
     val tgrid  = lineitemTemporalCellsSql
+    // min-label closure over the subcritical sparse grid: the shared
+    // label CTE chain behind q_region_group and q_vectorize (labels =
+    // the engine's large-star/small-star fixpoint labels)
+    val regionLabelsCte =
+      s"""g0 AS ($grid),
+         |g AS (SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+         |             CAST(v AS BIGINT) % 3 AS cls,
+         |             CAST(y AS BIGINT) * 256 + CAST(x AS BIGINT) AS id
+         |      FROM g0 WHERE CAST(v AS BIGINT) % 4 = 0),
+         |e AS (SELECT a.id AS src, b.id AS dst FROM g a JOIN g b ON b.x = a.x + 1 AND b.y = a.y AND b.cls = a.cls
+         |  UNION ALL SELECT b.id, a.id FROM g a JOIN g b ON b.x = a.x + 1 AND b.y = a.y AND b.cls = a.cls
+         |  UNION ALL SELECT a.id, b.id FROM g a JOIN g b ON b.x = a.x AND b.y = a.y + 1 AND b.cls = a.cls
+         |  UNION ALL SELECT b.id, a.id FROM g a JOIN g b ON b.x = a.x AND b.y = a.y + 1 AND b.cls = a.cls),
+         |r AS (SELECT id, id AS lbl FROM g
+         |  UNION SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id),
+         |m AS (SELECT id, CAST(min(lbl) AS BIGINT) AS region FROM r GROUP BY 1),
+         |lab AS (SELECT g.x, g.y, g.cls, m.region FROM g JOIN m USING (id))""".stripMargin
     Map(
       "q_rasterize" -> s"SELECT x, y, v FROM ($grid)",
 
@@ -1543,19 +1570,24 @@ object SparkEntry {
       // engine's large-star/small-star fixpoint labels. Bounded by
       // sum(region_size^2) — small by the subcritical grid design
       "q_region_group" ->
-        s"""WITH RECURSIVE g0 AS ($grid),
-           |g AS (SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
-           |             CAST(v AS BIGINT) % 3 AS cls,
-           |             CAST(y AS BIGINT) * 256 + CAST(x AS BIGINT) AS id
-           |      FROM g0 WHERE CAST(v AS BIGINT) % 4 = 0),
-           |e AS (SELECT a.id AS src, b.id AS dst FROM g a JOIN g b ON b.x = a.x + 1 AND b.y = a.y AND b.cls = a.cls
-           |  UNION ALL SELECT b.id, a.id FROM g a JOIN g b ON b.x = a.x + 1 AND b.y = a.y AND b.cls = a.cls
-           |  UNION ALL SELECT a.id, b.id FROM g a JOIN g b ON b.x = a.x AND b.y = a.y + 1 AND b.cls = a.cls
-           |  UNION ALL SELECT b.id, a.id FROM g a JOIN g b ON b.x = a.x AND b.y = a.y + 1 AND b.cls = a.cls),
-           |r AS (SELECT id, id AS lbl FROM g
-           |  UNION SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id),
-           |m AS (SELECT id, CAST(min(lbl) AS BIGINT) AS region FROM r GROUP BY 1)
-           |SELECT g.x, g.y, g.cls, m.region FROM g JOIN m USING (id)""".stripMargin,
+        s"WITH RECURSIVE $regionLabelsCte\nSELECT x, y, cls, region FROM lab",
+
+      // vectorize summary form over the SAME labels: area = cells,
+      // perimeter = 4*area - same-region adjacency claims (each shared
+      // edge matches twice), bbox — all exact integers
+      "q_vectorize" ->
+        s"""WITH RECURSIVE $regionLabelsCte,
+           |nb AS (SELECT a.region, CAST(count(*) AS BIGINT) AS same
+           |  FROM lab a JOIN lab b ON b.region = a.region AND
+           |    ((b.x = a.x + 1 AND b.y = a.y) OR (b.x = a.x - 1 AND b.y = a.y) OR
+           |     (b.x = a.x AND b.y = a.y + 1) OR (b.x = a.x AND b.y = a.y - 1))
+           |  GROUP BY 1),
+           |st AS (SELECT region, CAST(min(cls) AS BIGINT) AS cls, CAST(count(*) AS BIGINT) AS area,
+           |    min(x) AS xmin, min(y) AS ymin, max(x) AS xmax, max(y) AS ymax
+           |  FROM lab GROUP BY 1)
+           |SELECT st.region, st.cls, st.area, 4 * st.area - coalesce(nb.same, 0) AS perimeter,
+           |  st.xmin, st.ymin, st.xmax, st.ymax
+           |FROM st LEFT JOIN nb USING (region)""".stripMargin,
 
       "q_flow_direction" -> flowDirSql(s"SELECT x, y, dir FROM fdir"),
 

@@ -122,4 +122,38 @@ object RegionGroup {
     local.join(comp, local("root") === comp("doc_id"))
       .select(col("x"), col("y"), col("cls"), col("component").as("region"))
   }
+
+  /** Vectorize labeled regions into per-region polygonal summaries —
+    * the summary form of geotrellis `vectorize` (region -> polygon):
+    * area (cell count), perimeter (exposed unit-edge count = the
+    * boundary length of the region polygon), class, and bbox. All
+    * outputs are exact integers.
+    *
+    * Perimeter without enumerating edges twice: every cell claims its
+    * 4 neighbors (one explode), one hash join on (x, y, region) counts
+    * same-region adjacencies — each shared edge matches twice (A->B
+    * and B->A), so perimeter = 4*area - matches. One explode + one
+    * keyed join + one per-region aggregate; work scales with cells,
+    * state with regions. */
+  def vectorize(labeled: DataFrame): DataFrame = {
+    val l = labeled.select(col("x").cast("long").as("x"),
+      col("y").cast("long").as("y"), col("cls").cast("long").as("cls"),
+      col("region").cast("long").as("region"))
+    val claims = l.select(col("region"), explode(array(
+        struct((col("x") + 1).as("x"), col("y").as("y")),
+        struct((col("x") - 1).as("x"), col("y").as("y")),
+        struct(col("x").as("x"), (col("y") + 1).as("y")),
+        struct(col("x").as("x"), (col("y") - 1).as("y")))).as("n"))
+      .select(col("n.x").as("x"), col("n.y").as("y"), col("region"))
+    val matches = claims.join(l.select("x", "y", "region"), Seq("x", "y", "region"))
+      .groupBy("region").agg(count(lit(1)).as("same"))
+    l.groupBy("region")
+      .agg(min("cls").as("cls"), count(lit(1)).as("area"),
+        min("x").as("xmin"), min("y").as("ymin"),
+        max("x").as("xmax"), max("y").as("ymax"))
+      .join(matches, Seq("region"), "left")
+      .select(col("region"), col("cls"), col("area"),
+        (lit(4) * col("area") - coalesce(col("same"), lit(0L))).as("perimeter"),
+        col("xmin"), col("ymin"), col("xmax"), col("ymax"))
+  }
 }

@@ -60,4 +60,23 @@ class RegionGroupSpec extends SparkSpec {
       .map(r => (r._2 * 4 + r._1) -> r._4).toMap
     assert(m == Map(4L -> 1L, 1L -> 1L))
   }
+
+  test("vectorize: hand-computed area/perimeter/bbox per region") {
+    // L-shape {(0,0),(1,0),(1,1)}: area 3, perimeter 8 (4*3 - 2*2
+    // shared edges); singletons: area 1, perimeter 4; plus a 2x2 block
+    val withBlock = cells.union(Seq(
+      (5L, 5L, 5L), (6L, 5L, 5L), (5L, 6L, 5L), (6L, 6L, 5L)
+    ).toDF("x", "y", "cls"))
+    val labeled = RegionGroup.regionGroup(withBlock, gridCols = 8)
+    val v = RegionGroup.vectorize(labeled)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // L-shape, region label 0 (min id): area 3, perimeter 8, bbox 0..1
+    assert(v(0L) == ((0L, 1L, 3L, 8L, 0L, 0L, 1L, 1L)))
+    // isolated singleton
+    assert(v(3L) == ((3L, 1L, 1L, 4L, 3L, 0L, 3L, 0L)))
+    // 2x2 block at (5..6, 5..6), label = min id = 5*8+5 = 45:
+    // area 4, perimeter 8 (4*4 - 2*4 shared edges)
+    assert(v(45L) == ((45L, 5L, 4L, 8L, 5L, 5L, 6L, 6L)))
+  }
 }
