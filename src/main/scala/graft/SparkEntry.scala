@@ -413,6 +413,10 @@ object SparkEntry {
     // exact: the CDF remap is all-integer ((cum-cmin)*255 div range)
     "q_equalize" -> ((s, dir) =>
       flat(HistogramOps.equalize(lineitemLayer(s, dir)))),
+    "q_hist_match" -> ((s, dir) =>
+      // geotrellis HistogramMatching: remap lineitem values onto the
+      // orders grid's distribution; all-integer cross-multiplied CDFs
+      flat(HistogramOps.matchHistogram(lineitemLayer(s, dir), ordersLayer(s, dir)))),
     "q_histogram_merge" -> ((s, dir) =>
       // reference Histogram.merge: one histogram covering BOTH layers'
       // ranges — bins from the combined min/max over the unioned cells
@@ -1649,6 +1653,20 @@ object SparkEntry {
            |        THEN (cu.cum - p.cmin) * 255 // (p.n - p.cmin) ELSE 0 END AS nv
            |      FROM cu, p)
            |SELECT g.x, g.y, CAST(m.nv AS DOUBLE) AS v FROM g JOIN m USING (v)""".stripMargin,
+
+      // histogram matching: out(v) = min target t with
+      // cumT(t) * Ns >= cumS(v) * Nt — pure integer cross-multiply
+      "q_hist_match" ->
+        s"""WITH g AS ($grid),
+           |s0 AS (SELECT v, count(*) AS c FROM g GROUP BY 1),
+           |sc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM s0),
+           |sn AS (SELECT sum(c) AS n FROM s0),
+           |t0 AS (SELECT v, count(*) AS c FROM ($ogrid) GROUP BY 1),
+           |tc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM t0),
+           |tn AS (SELECT sum(c) AS n FROM t0),
+           |mp AS (SELECT sc.v AS v, min(tc.v) AS mv
+           |  FROM sc, sn, tc, tn WHERE tc.cum * sn.n >= sc.cum * tn.n GROUP BY 1)
+           |SELECT g.x, g.y, mp.mv AS v FROM g JOIN mp USING (v)""".stripMargin,
 
       "q_histogram_merge" ->
         s"""WITH g AS (SELECT v FROM ($grid) UNION ALL SELECT v FROM ($ogrid)),

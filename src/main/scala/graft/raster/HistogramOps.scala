@@ -173,6 +173,55 @@ object HistogramOps {
     layer.copy(df = out)
   }
 
+  /** Histogram matching — geotrellis HistogramMatching (public
+    * geotrellis-core; equalization's sibling): remap the layer's
+    * values so its CDF follows the TARGET layer's distribution. The
+    * contract is all-integer: out(v) = the smallest target value t
+    * with cumT(t) * Ns >= cumS(v) * Nt (cross-multiplied counts, no
+    * division), so the oracle states it verbatim as a join +
+    * min-aggregate. NoData passes through.
+    *
+    * Scale shape: two value histograms (map-side partials; distinct
+    * values only cross the exchange, maxDistinct-guarded like
+    * [[equalize]]), driver binary-search builds the value map, remap
+    * broadcasts and applies as a per-tile scan — no cell shuffle.
+    * Count products must fit a long (Ns * Nt < 2^63 — holds to ~3e9
+    * cells per side; quantize histograms first beyond that). */
+  def matchHistogram(layer: RasterLayer, target: RasterLayer,
+                     maxDistinct: Long = 1L << 22): RasterLayer = {
+    val spark = layer.spark
+    import spark.implicits._
+    def cum(l: RasterLayer): Array[(Double, Long)] = {
+      val counts = l.toCells.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("v").rowsBetween(Long.MinValue, 0)
+      counts.withColumn("cum", sum("cnt").over(w))
+        .select(col("v"), col("cum")).as[(Double, Long)].collect().sortBy(_._1)
+    }
+    val src = cum(layer)
+    if (src.isEmpty) return layer
+    val tgt = cum(target)
+    require(tgt.nonEmpty, "matchHistogram: empty target layer")
+    require(src.length <= maxDistinct && tgt.length <= maxDistinct,
+      s"matchHistogram: ${src.length}/${tgt.length} distinct values exceed maxDistinct=$maxDistinct")
+    val ns = src.last._2
+    val nt = tgt.last._2
+    val remap = src.map { case (v, cs) =>
+      var lo = 0; var hi = tgt.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (tgt(mid)._2 * ns >= cs * nt) hi = mid else lo = mid + 1
+      }
+      v -> tgt(lo)._1
+    }.toMap
+    val bc = spark.sparkContext.broadcast(remap)
+    val out = layer.df.select(col("col"), col("row"), col("tile"))
+      .as[(Int, Int, Seq[Double])]
+      .map { case (c, r, t) => (c, r, t.map(v => if (v.isNaN) v else bc.value(v))) }
+      .toDF("col", "row", "tile")
+    layer.copy(df = out)
+  }
+
   /** Histogram mode — reference Histogram.mode (histogram.py:95):
     * the most frequent cell value, ties broken toward the smaller
     * value so the answer is deterministic. Per-value groupBy with

@@ -325,6 +325,22 @@ class RasterLayerSpec extends SparkSpec {
     assert(cellsOf(HistogramOps.equalize(const)) == Set((0L, 0L, 0.0), (5L, 5L, 0.0)))
   }
 
+  test("histogram matching: source CDF lands on target quantiles by hand") {
+    // source: 10 (x2), 20 (x1), 30 (x1) -> cumS = 2, 3, 4; Ns = 4
+    // target: 100 (x1), 200 (x1)        -> cumT = 1, 2;    Nt = 2
+    // out(v) = min t with cumT(t)*Ns >= cumS(v)*Nt:
+    //   v=10: cumS*Nt = 4; cumT(100)*Ns = 4 >= 4 -> 100
+    //   v=20: 6; cumT(100)*Ns = 4 < 6, cumT(200)*Ns = 8 -> 200
+    //   v=30: 8; -> 200
+    val src = layer((0, 0, 10.0), (1, 0, 10.0), (2, 0, 20.0), (3, 0, 30.0))
+    val tgt = layer((0, 0, 100.0), (1, 0, 200.0))
+    val got = cellsOf(HistogramOps.matchHistogram(src, tgt))
+    assert(got == Set((0L, 0L, 100.0), (1L, 0L, 100.0), (2L, 0L, 200.0), (3L, 0L, 200.0)))
+    // matching a layer to itself is the identity
+    assert(cellsOf(HistogramOps.matchHistogram(src, src)) ==
+      Set((0L, 0L, 10.0), (1L, 0L, 10.0), (2L, 0L, 20.0), (3L, 0L, 30.0)))
+  }
+
   test("pyramid levelUp on a temporal layer downsamples each instant independently") {
     val l = RasterLayer.fromCellsTemporal(
       Seq((0L, 0L, 1L, 2.0), (1L, 1L, 1L, 4.0), (0L, 0L, 2L, 10.0))
