@@ -464,6 +464,14 @@ object SparkEntry {
     // --- pyramid / stitch
     "q_pyramid" -> ((s, dir) => flat(Pyramid.levelUp(lineitemLayer(s, dir), "Average"))),
 
+    "q_pyramid_time" -> ((s, dir) =>
+      // temporal pyramid: each instant downsamples independently; avg
+      // of <=4 integral sums is a divide-by-power-of-2, exact in both
+      // engines
+      Pyramid.levelUp(
+        RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64),
+        "Average").toCells),
+
     "q_stitch" -> ((s, dir) => {
       val one = RasterLayer.fromCells(flat(lineitemLayer(s, dir)),
         core.LayoutDefinition(layout.extent, core.TileLayout(1, 1, G, G)))
@@ -1764,6 +1772,9 @@ object SparkEntry {
 
       "q_pyramid" ->
         s"SELECT x // 2 AS x, y // 2 AS y, avg(v) AS v FROM ($grid) GROUP BY 1, 2",
+
+      "q_pyramid_time" ->
+        s"SELECT x // 2 AS x, y // 2 AS y, instant, avg(v) AS v FROM ($tgrid) GROUP BY 1, 2, 3",
 
       "q_stitch" -> s"SELECT x, y, v FROM ($grid)",
 
