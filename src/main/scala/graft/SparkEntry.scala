@@ -464,6 +464,16 @@ object SparkEntry {
     // --- pyramid / stitch
     "q_pyramid" -> ((s, dir) => flat(Pyramid.levelUp(lineitemLayer(s, dir), "Average"))),
 
+    "q_pyramid_hist" -> ((s, dir) =>
+      // per-level histogram (layer.py:2641 get_histogram over a
+      // pyramid level): bin counts of the levelUp layer
+      HistogramOps.binCounts(Pyramid.levelUp(lineitemLayer(s, dir), "Average"))),
+
+    "q_pyramid_arith" -> ((s, dir) =>
+      // per-level local arithmetic (layer.py:2693): map algebra applies
+      // to a pyramid level exactly as to the base layer
+      flat((Pyramid.levelUp(lineitemLayer(s, dir), "Average") + 10.0) * 2.0)),
+
     "q_pyramid_time" -> ((s, dir) =>
       // temporal pyramid: each instant downsamples independently; avg
       // of <=4 integral sums is a divide-by-power-of-2, exact in both
@@ -1775,6 +1785,16 @@ object SparkEntry {
 
       "q_pyramid_time" ->
         s"SELECT x // 2 AS x, y // 2 AS y, instant, avg(v) AS v FROM ($tgrid) GROUP BY 1, 2, 3",
+
+      "q_pyramid_hist" ->
+        s"""WITH p AS (SELECT x // 2 AS x, y // 2 AS y, avg(v) AS v FROM ($grid) GROUP BY 1, 2),
+           |mm AS (SELECT min(v) AS mn, max(v) AS mx FROM p)
+           |SELECT CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9) AS BIGINT) AS bin, count(*) AS cnt
+           |FROM p, mm GROUP BY 1""".stripMargin,
+
+      "q_pyramid_arith" ->
+        s"""SELECT x, y, (v + 10) * 2 AS v
+           |FROM (SELECT x // 2 AS x, y // 2 AS y, avg(v) AS v FROM ($grid) GROUP BY 1, 2)""".stripMargin,
 
       "q_stitch" -> s"SELECT x, y, v FROM ($grid)",
 
