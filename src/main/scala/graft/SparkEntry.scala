@@ -203,6 +203,15 @@ object SparkEntry {
       ZonalOps.zonalStats(lineitemLayer(s, dir), zones)
     }),
 
+    "q_zonal_pct" -> ((s, dir) => {
+      // per-cell percent of zone total: (v*100) div zoneSum, exact
+      val zones = RasterLayer.fromCells(
+        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
+        layout)
+      ZonalOps.zonalPercentage(lineitemLayer(s, dir), zones).toCells
+        .select(col("x"), col("y"), col("v").cast("long").as("pct"))
+    }),
+
     "q_cell_value_counts" -> ((s, dir) =>
       ZonalOps.cellValueCounts(lineitemLayer(s, dir))),
 
@@ -1460,6 +1469,13 @@ object SparkEntry {
            |       min(g.v) AS vmin, max(g.v) AS vmax, avg(g.v) AS vmean
            |FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y
            |GROUP BY 1""".stripMargin,
+
+      "q_zonal_pct" ->
+        s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid)),
+           |s AS (SELECT z.zone, CAST(sum(g.v) AS BIGINT) AS zsum
+           |  FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y GROUP BY 1)
+           |SELECT g.x, g.y, CAST(g.v AS BIGINT) * 100 // s.zsum AS pct
+           |FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y JOIN s ON s.zone = z.zone""".stripMargin,
 
       "q_cell_value_counts" ->
         s"SELECT CAST(v AS BIGINT) AS value, count(*) AS cnt FROM ($grid) GROUP BY 1",

@@ -207,6 +207,42 @@ object ZonalOps {
       .select(col("zone"), col("cnt"), col("vsum"), col("vmin"), col("vmax"), col("vmean"))
   }
 
+  /** Zonal percentage (geotrellis ZonalPercentage, the zonal family's
+    * per-cell form): each cell's value as the integer percent of its
+    * zone's total — pct = (v * 100) div zoneSum, exact for
+    * integral-valued cells (truncating division == DuckDB's `//` for
+    * the non-negative contract). Zone totals reuse [[zonalStats]]'s
+    * partition-partial machinery (only |zones| rows shuffle), come
+    * back as a broadcast map, and the output is one tile-aligned join
+    * + a per-tile array scan — per-cell rows never cross an exchange.
+    * Cells NoData in either layer stay NoData. */
+  def zonalPercentage(values: RasterLayer, zones: RasterLayer): RasterLayer = {
+    val spark = values.spark
+    import spark.implicits._
+    val sums = zonalStats(values, zones).select(col("zone"), col("vsum"))
+      .as[(Long, Double)].collect().map { case (z, s) => z -> s.toLong }.toMap
+    val bc = spark.sparkContext.broadcast(sums)
+    val v = values.df.select(col("col"), col("row"), col("tile").as("_v"))
+    val z = zones.df.select(col("col"), col("row"), col("tile").as("_z"))
+    val tiles = v.join(z, Seq("col", "row"))
+      .select(col("col"), col("row"), col("_v"), col("_z"))
+      .as[(Int, Int, Seq[Double], Seq[Double])]
+      .map { case (c, r, vs, zs) =>
+        val va = vs.toArray; val za = zs.toArray // List apply is O(n)
+        val out = new Array[Double](va.length)
+        var i = 0
+        while (i < va.length) {
+          val vv = va(i); val zz = za(i)
+          out(i) =
+            if (vv.isNaN || zz.isNaN) Double.NaN
+            else (vv.toLong * 100L / bc.value(zz.toLong)).toDouble
+          i += 1
+        }
+        (c, r, out)
+      }.toDF("col", "row", "tile")
+    values.copy(df = tiles)
+  }
+
   /** Count occurrences of each (integral) cell value — reference
     * get_cell_value_counts (layer.py:2347). */
   def cellValueCounts(layer: RasterLayer): DataFrame =

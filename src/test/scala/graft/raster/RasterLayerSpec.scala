@@ -404,6 +404,16 @@ class RasterLayerSpec extends SparkSpec {
     assert(out == Set((7L, 2L, 4.0), (8L, 1L, 5.0)))
   }
 
+  test("zonal percentage: per-cell integer percent of zone total") {
+    // zone 7: total 4 -> cells 1, 3 give 25%, 75%; zone 8: single
+    // cell = 100%; cell (3,0) has no zone tile cell -> NoData (absent)
+    val v = layer((0, 0, 1.0), (1, 0, 3.0), (2, 0, 5.0), (3, 0, 2.0))
+    val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 8.0))
+    val got = ZonalOps.zonalPercentage(v, z).toCells
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((0L, 0L) -> 25.0, (1L, 0L) -> 75.0, (2L, 0L) -> 100.0))
+  }
+
   test("rpow, layer pow, and cell-wise layer max") {
     val l = layer((0, 0, 2.0), (1, 0, 3.0))
     assert(cellsOf(l.rpow(2.0)) == Set((0L, 0L, 4.0), (1L, 0L, 8.0)))
