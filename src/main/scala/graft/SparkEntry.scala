@@ -130,6 +130,8 @@ object SparkEntry {
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Median"))),
     "q_focal_mode" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Mode"))),
+    "q_focal_minority" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Minority"))),
     "q_focal_stddev" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "StandardDeviation"))),
     "q_focal_variance" -> ((s, dir) =>
@@ -1377,6 +1379,15 @@ object SparkEntry {
            |SELECT x, y, v FROM (
            |  SELECT c.x AS x, c.y AS y, n.v AS v,
            |    row_number() OVER (PARTITION BY c.x, c.y ORDER BY count(*) DESC, n.v ASC) AS rn
+           |  FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |  GROUP BY c.x, c.y, n.v
+           |) WHERE rn = 1""".stripMargin,
+
+      "q_focal_minority" ->
+        s"""WITH g AS ($grid)
+           |SELECT x, y, v FROM (
+           |  SELECT c.x AS x, c.y AS y, n.v AS v,
+           |    row_number() OVER (PARTITION BY c.x, c.y ORDER BY count(*) ASC, n.v ASC) AS rn
            |  FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
            |  GROUP BY c.x, c.y, n.v
            |) WHERE rn = 1""".stripMargin,

@@ -94,6 +94,23 @@ object FocalOp {
       best
     }
   }
+  /** Least frequent value; ties -> smallest value (deterministic).
+    * geotrellis focal Minority (public geotrellis-core op; Mode's
+    * sibling). */
+  case object Minority extends FocalOp {
+    def apply(vs: Array[Double], n: Int) = {
+      val s = java.util.Arrays.copyOf(vs, n); java.util.Arrays.sort(s)
+      var best = s(0); var bestCnt = Int.MaxValue
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < n && s(j) == s(i)) j += 1
+        if (j - i < bestCnt) { bestCnt = j - i; best = s(i) }
+        i = j
+      }
+      best
+    }
+  }
   /** Sample variance (n-1 denominator); NaN when n < 2. Computed as
     * (sum(v^2) - sum(v)^2/n) / (n-1) — the exact operation sequence the
     * oracle SQL states, so integral inputs match bit-for-bit. */
@@ -112,7 +129,8 @@ object FocalOp {
   }
   def of(name: String): FocalOp = name match {
     case "Sum" => Sum; case "Mean" => Mean; case "Min" => Min; case "Max" => Max
-    case "Median" => Median; case "Mode" => Mode; case "Variance" => Variance
+    case "Median" => Median; case "Mode" => Mode; case "Minority" => Minority
+    case "Variance" => Variance
     case "StandardDeviation" => StandardDeviation
     case s => throw new IllegalArgumentException(s)
   }
