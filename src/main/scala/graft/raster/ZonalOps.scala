@@ -219,11 +219,16 @@ object ZonalOps {
   def zonalPercentage(values: RasterLayer, zones: RasterLayer): RasterLayer = {
     val spark = values.spark
     import spark.implicits._
-    val sums = zonalStats(values, zones).select(col("zone"), col("vsum"))
+    // both layers are consumed TWICE (zone totals, then the per-cell
+    // join) — pin them so upstream rasterization runs once
+    val vdf = values.df.localCheckpoint()
+    val zdf = zones.df.localCheckpoint()
+    val sums = zonalStats(values.copy(df = vdf), zones.copy(df = zdf))
+      .select(col("zone"), col("vsum"))
       .as[(Long, Double)].collect().map { case (z, s) => z -> s.toLong }.toMap
     val bc = spark.sparkContext.broadcast(sums)
-    val v = values.df.select(col("col"), col("row"), col("tile").as("_v"))
-    val z = zones.df.select(col("col"), col("row"), col("tile").as("_z"))
+    val v = vdf.select(col("col"), col("row"), col("tile").as("_v"))
+    val z = zdf.select(col("col"), col("row"), col("tile").as("_z"))
     val tiles = v.join(z, Seq("col", "row"))
       .select(col("col"), col("row"), col("_v"), col("_z"))
       .as[(Int, Int, Seq[Double], Seq[Double])]
