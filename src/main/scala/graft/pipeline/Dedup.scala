@@ -1,7 +1,37 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** Per-doc SimHash accumulator: folds each token hash into a single
+  * fixed-width buffer of per-bit signed counts, so ONE array crosses
+  * the exchange per (doc x upstream-partition) instead of `bits`
+  * separate sum() columns each with its own hash-aggregate slot
+  * (the r11 60-column shape was the one >2x bench breach). Same
+  * map-side partial-agg design as TileMomentsAgg. */
+final class SimHashAgg(bits: Int) extends Aggregator[Long, Array[Long], Long] {
+  def zero: Array[Long] = new Array[Long](bits)
+  def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    var b = 0
+    while (b < bits) { buf(b) += (((h >>> b) & 1L) << 1) - 1L; b += 1 }
+    buf
+  }
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < bits) { a(i) += b(i); i += 1 }
+    a
+  }
+  def finish(buf: Array[Long]): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (buf(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
 
 /** Deduplication family for training-data pipelines: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash, embedding-cosine.
@@ -381,14 +411,9 @@ object Dedup {
     val toks = docs.select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("tok"))
     val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") // 60 bits
-    val bitSums = (0 until bits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
-    }
-    val sums = toks.select(col("doc_id"), h.as("h"))
-      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until bits).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    sums.select(col("doc_id"), sig.as("sig"))
+    val agg = udaf(new SimHashAgg(bits), Encoders.scalaLong)
+    toks.select(col("doc_id"), h.as("h"))
+      .groupBy("doc_id").agg(agg(col("h")).as("sig"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, found by
