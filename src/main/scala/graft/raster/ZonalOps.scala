@@ -207,44 +207,86 @@ object ZonalOps {
       .select(col("zone"), col("cnt"), col("vsum"), col("vmin"), col("vmax"), col("vmean"))
   }
 
+  /** Ceiling for [[zonalPercentage]]'s driver fast path: 2^21 zones
+    * (~32 MB as a broadcast Long map). Above it the zone totals never
+    * leave the cluster — the per-cell join fallback runs instead.
+    * Same explicit-guard convention as Dedup.connectedComponents /
+    * Bpe.train / the contamination broadcast. */
+  val MaxDriverZones: Long = 1L << 21
+
   /** Zonal percentage (geotrellis ZonalPercentage, the zonal family's
     * per-cell form): each cell's value as the integer percent of its
     * zone's total — pct = (v * 100) div zoneSum, exact for
     * integral-valued cells (truncating division == DuckDB's `//` for
     * the non-negative contract). Zone totals reuse [[zonalStats]]'s
-    * partition-partial machinery (only |zones| rows shuffle), come
-    * back as a broadcast map, and the output is one tile-aligned join
-    * + a per-tile array scan — per-cell rows never cross an exchange.
-    * Cells NoData in either layer stay NoData. */
-  def zonalPercentage(values: RasterLayer, zones: RasterLayer): RasterLayer = {
+    * partition-partial machinery (only |zones| rows shuffle).
+    *
+    * When |zones| <= `maxDriverZones` the totals come back as a
+    * broadcast map and the output is one tile-aligned join + a
+    * per-tile array scan — per-cell rows never cross an exchange. A
+    * parcel/segment-scale zone raster above the ceiling takes the
+    * distributed fallback: cells explode, join the totals DataFrame
+    * (Spark picks broadcast vs shuffle), and tiles reassemble in one
+    * TileBuildAgg groupBy — per-cell rows cross exactly one exchange,
+    * the honest minimum once the zone table itself is cluster-sized.
+    *
+    * Cells NoData in either layer stay NoData; a zone whose total is
+    * 0 yields NoData for its cells (the percent is undefined — callers
+    * needing the oracle path must keep zone sums positive). */
+  def zonalPercentage(values: RasterLayer, zones: RasterLayer,
+                      maxDriverZones: Long = MaxDriverZones): RasterLayer = {
     val spark = values.spark
     import spark.implicits._
     // both layers are consumed TWICE (zone totals, then the per-cell
     // join) — pin them so upstream rasterization runs once
     val vdf = values.df.localCheckpoint()
     val zdf = zones.df.localCheckpoint()
-    val sums = zonalStats(values.copy(df = vdf), zones.copy(df = zdf))
-      .select(col("zone"), col("vsum"))
-      .as[(Long, Double)].collect().map { case (z, s) => z -> s.toLong }.toMap
-    val bc = spark.sparkContext.broadcast(sums)
-    val v = vdf.select(col("col"), col("row"), col("tile").as("_v"))
-    val z = zdf.select(col("col"), col("row"), col("tile").as("_z"))
-    val tiles = v.join(z, Seq("col", "row"))
-      .select(col("col"), col("row"), col("_v"), col("_z"))
-      .as[(Int, Int, Seq[Double], Seq[Double])]
-      .map { case (c, r, vs, zs) =>
-        val va = vs.toArray; val za = zs.toArray // List apply is O(n)
-        val out = new Array[Double](va.length)
-        var i = 0
-        while (i < va.length) {
-          val vv = va(i); val zz = za(i)
-          out(i) =
-            if (vv.isNaN || zz.isNaN) Double.NaN
-            else (vv.toLong * 100L / bc.value(zz.toLong)).toDouble
-          i += 1
-        }
-        (c, r, out)
-      }.toDF("col", "row", "tile")
+    // one row per zone; pinned because it feeds the guard count and
+    // then whichever branch wins
+    val sumsDf = zonalStats(values.copy(df = vdf), zones.copy(df = zdf))
+      .select(col("zone"), col("vsum").cast("long").as("zsum"))
+      .localCheckpoint()
+    val joined = vdf.select(col("col"), col("row"), col("tile").as("_v"))
+      .join(zdf.select(col("col"), col("row"), col("tile").as("_z")), Seq("col", "row"))
+    val tiles = if (sumsDf.count() <= maxDriverZones) {
+      val sums = sumsDf.as[(Long, Long)].collect().toMap
+      val bc = spark.sparkContext.broadcast(sums)
+      joined.select(col("col"), col("row"), col("_v"), col("_z"))
+        .as[(Int, Int, Seq[Double], Seq[Double])]
+        .map { case (c, r, vs, zs) =>
+          val va = vs.toArray; val za = zs.toArray // List apply is O(n)
+          val out = new Array[Double](va.length)
+          var i = 0
+          while (i < va.length) {
+            val vv = va(i); val zz = za(i)
+            out(i) =
+              if (vv.isNaN || zz.isNaN) Double.NaN
+              else {
+                val s = bc.value(zz.toLong)
+                if (s == 0L) Double.NaN else (vv.toLong * 100L / s).toDouble
+              }
+            i += 1
+          }
+          (c, r, out)
+        }.toDF("col", "row", "tile")
+    } else {
+      val tl = values.meta.layout.tileLayout
+      val cells = joined
+        .select(col("col"), col("row"),
+          posexplode(arrays_zip(col("_v"), col("_z"))).as(Seq("off", "vz")))
+        .select(col("col"), col("row"), col("off").cast("int").as("off"),
+          col("vz._v").as("v"),
+          when(isnan(col("vz._v")) || isnan(col("vz._z")), lit(null))
+            .otherwise(col("vz._z").cast("long")).as("zone"))
+      val agg = udaf(new TileBuildAgg(tl.tileSize, CellOp.Last),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Double)]())
+      cells.join(sumsDf, Seq("zone"), "left")
+        .select(col("col"), col("row"), col("off"),
+          when(col("zone").isNull || col("zsum") === 0L, lit(Double.NaN))
+            .otherwise(expr("CAST((CAST(v AS BIGINT) * 100) DIV zsum AS DOUBLE)"))
+            .as("pv"))
+        .groupBy("col", "row").agg(agg(col("off"), col("pv")).as("tile"))
+    }
     values.copy(df = tiles)
   }
 

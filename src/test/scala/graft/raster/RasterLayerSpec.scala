@@ -341,6 +341,28 @@ class RasterLayerSpec extends SparkSpec {
       Set((0L, 0L, 10.0), (1L, 0L, 10.0), (2L, 0L, 20.0), (3L, 0L, 30.0)))
   }
 
+  test("equalize/matchHistogram keep the instant column on temporal layers") {
+    val l = RasterLayer.fromCellsTemporal(
+      Seq((0L, 0L, 1L, 10.0), (1L, 0L, 1L, 20.0), (0L, 0L, 2L, 30.0))
+        .toDF("x", "y", "instant", "v"), layout)
+    val tgt = layer((0, 0, 100.0), (1, 0, 200.0))
+    val m = HistogramOps.matchHistogram(l, tgt)
+    assert(m.meta.temporal && m.df.columns.contains("instant"))
+    val cells = m.toCells.select("instant", "v").as[(Long, Double)].collect().toSet
+    // cumS = 1,2,3 over {10,20,30}; Ns=3, Nt=2: 10->cumS*Nt=2<=cumT(100)*Ns=3
+    assert(cells == Set((1L, 100.0), (1L, 200.0), (2L, 200.0)))
+    val e = HistogramOps.equalize(l)
+    assert(e.meta.temporal && e.df.columns.contains("instant"))
+    assert(e.toCells.count() == 3L)
+  }
+
+  test("histogram median is the smallest value reaching half the count") {
+    val l = layer((0, 0, 1.0), (1, 0, 3.0), (2, 0, 3.0), (3, 0, 9.0))
+    assert(HistogramOps.median(l).as[Long].head() == 3L)
+    val even = layer((0, 0, 2.0), (1, 0, 4.0))
+    assert(HistogramOps.median(even).as[Long].head() == 2L)
+  }
+
   test("pyramid levelUp on a temporal layer downsamples each instant independently") {
     val l = RasterLayer.fromCellsTemporal(
       Seq((0L, 0L, 1L, 2.0), (1L, 1L, 1L, 4.0), (0L, 0L, 2L, 10.0))
@@ -412,6 +434,26 @@ class RasterLayerSpec extends SparkSpec {
     val got = ZonalOps.zonalPercentage(v, z).toCells
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(got == Map((0L, 0L) -> 25.0, (1L, 0L) -> 75.0, (2L, 0L) -> 100.0))
+  }
+
+  test("zonal percentage distributed fallback matches the driver fast path") {
+    // maxDriverZones = 0 forces the exploded-join branch (the shape a
+    // parcel-scale zone raster takes); results must be identical
+    val v = layer((0, 0, 1.0), (1, 0, 3.0), (2, 0, 5.0), (3, 0, 2.0))
+    val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 8.0))
+    val got = ZonalOps.zonalPercentage(v, z, maxDriverZones = 0L).toCells
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((0L, 0L) -> 25.0, (1L, 0L) -> 75.0, (2L, 0L) -> 100.0))
+  }
+
+  test("zonal percentage: zero-sum zone yields NoData in both paths") {
+    val v = layer((0, 0, 0.0), (1, 0, 0.0), (2, 0, 4.0))
+    val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 8.0))
+    for (cap <- Seq(ZonalOps.MaxDriverZones, 0L)) {
+      val got = ZonalOps.zonalPercentage(v, z, maxDriverZones = cap).toCells
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == Map((2L, 0L) -> 100.0), s"cap=$cap")
+    }
   }
 
   test("rpow, layer pow, and cell-wise layer max") {
