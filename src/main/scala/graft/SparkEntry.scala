@@ -534,6 +534,35 @@ object SparkEntry {
         round(expr(eE), 4).as("e_ps"), round(expr(nE), 4).as("n_ps"))
     }),
 
+    "q_reproject_albers" -> ((s, dir) => {
+      // CONUS Albers Equal-Area (EPSG:5070, the standard US
+      // continental-analysis CRS) over the customer points inside the
+      // cone's designed window — same one-SQL-text-two-engines
+      // contract as q_reproject_utm; round(,4) = 0.1 mm
+      val aea = graft.core.CRS.fromName("EPSG:5070")
+        .asInstanceOf[graft.core.CRS.AlbersEqualArea]
+      val (steps, eE, nE) = aea.forwardSqlSteps
+      val base = customerLonLat(s, dir).where(
+        col("lon") >= -130 && col("lon") <= -60 && col("lat") >= 20 && col("lat") <= 55)
+      val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
+      full.select(col("pid"),
+        round(expr(eE), 4).as("e_aea"), round(expr(nE), 4).as("n_aea"))
+    }),
+
+    "q_reproject_sinu" -> ((s, dir) => {
+      // MODIS sinusoidal sphere (+proj=sinu +R=6371007.181) over ALL
+      // customer points — the spherical forward is exact everywhere
+      val sinu = graft.core.CRS
+        .fromName("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181")
+        .asInstanceOf[graft.core.CRS.Sinusoidal]
+      val (steps, eE, nE) = sinu.forwardSqlSteps
+      val full = steps.foldLeft(customerLonLat(s, dir)) {
+        case (df, (name, f)) => df.withColumn(name, expr(f))
+      }
+      full.select(col("pid"),
+        round(expr(eE), 4).as("e_sinu"), round(expr(nE), 4).as("n_sinu"))
+    }),
+
     "q_reproject_raster" -> ((s, dir) =>
       Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1).toCells),
 
@@ -708,6 +737,9 @@ object SparkEntry {
 
     "q_hist_mode" -> ((s, dir) =>
       HistogramOps.mode(lineitemLayer(s, dir))),
+
+    "q_hist_median" -> ((s, dir) =>
+      HistogramOps.median(lineitemLayer(s, dir))),
 
     "q_hist_series" -> ((s, dir) => {
       // histogram_series (layer.py:2024): per-instant histogram inside
@@ -1853,6 +1885,30 @@ object SparkEntry {
           s" SELECT pid, round($eE, 4) AS e_utm, round($nE, 4) AS n_utm FROM c${steps.size}")
       },
 
+      "q_reproject_albers" -> {
+        val aea = graft.core.CRS.fromName("EPSG:5070")
+          .asInstanceOf[graft.core.CRS.AlbersEqualArea]
+        val (steps, eE, nE) = aea.forwardSqlSteps
+        val ctes = steps.zipWithIndex.map { case ((name, f), i) =>
+          s"a${i + 1} AS (SELECT *, $f AS $name FROM a$i)"
+        }
+        (s"WITH a0 AS (SELECT * FROM ($lonlat) WHERE lon >= -130 AND lon <= -60 AND lat >= 20 AND lat <= 55), " +
+          ctes.mkString(", ") +
+          s" SELECT pid, round($eE, 4) AS e_aea, round($nE, 4) AS n_aea FROM a${steps.size}")
+      },
+
+      "q_reproject_sinu" -> {
+        val sinu = graft.core.CRS
+          .fromName("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181")
+          .asInstanceOf[graft.core.CRS.Sinusoidal]
+        val (steps, eE, nE) = sinu.forwardSqlSteps
+        val ctes = steps.zipWithIndex.map { case ((name, f), i) =>
+          s"s${i + 1} AS (SELECT *, $f AS $name FROM s$i)"
+        }
+        (s"WITH s0 AS (SELECT * FROM ($lonlat)), " + ctes.mkString(", ") +
+          s" SELECT pid, round($eE, 4) AS e_sinu, round($nE, 4) AS n_sinu FROM s${steps.size}")
+      },
+
       "q_reproject_raster" -> {
         // embed the driver-side mercator constants verbatim so both
         // engines share bit-identical bounds (transcendental library
@@ -1979,6 +2035,12 @@ object SparkEntry {
 
       "q_hist_mode" ->
         s"SELECT v, count(*) AS n FROM ($grid) GROUP BY v ORDER BY n DESC, v LIMIT 1",
+
+      "q_hist_median" ->
+        s"""WITH c AS (SELECT CAST(v AS BIGINT) AS v, count(*) AS cnt FROM ($grid) GROUP BY 1),
+           |w AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM c),
+           |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+           |SELECT min(CASE WHEN cum >= 0.5 * total THEN v END) AS median FROM w, n""".stripMargin,
 
       "q_hist_series" ->
         s"""WITH g AS (SELECT * FROM ($egrid)

@@ -165,12 +165,7 @@ object HistogramOps {
     val remap = cum.map { case (v, c) =>
       v -> (if (total > cmin) (c - cmin) * 255L / (total - cmin) else 0L).toDouble
     }.toMap
-    val bc = spark.sparkContext.broadcast(remap)
-    val out = layer.df.select(col("col"), col("row"), col("tile"))
-      .as[(Int, Int, Seq[Double])]
-      .map { case (c, r, t) => (c, r, t.map(v => if (v.isNaN) v else bc.value(v))) }
-      .toDF("col", "row", "tile")
-    layer.copy(df = out)
+    remapTiles(layer, remap)
   }
 
   /** Histogram matching — geotrellis HistogramMatching (public
@@ -214,13 +209,40 @@ object HistogramOps {
       }
       v -> tgt(lo)._1
     }.toMap
-    val bc = spark.sparkContext.broadcast(remap)
-    val out = layer.df.select(col("col"), col("row"), col("tile"))
-      .as[(Int, Int, Seq[Double])]
-      .map { case (c, r, t) => (c, r, t.map(v => if (v.isNaN) v else bc.value(v))) }
-      .toDF("col", "row", "tile")
+    remapTiles(layer, remap)
+  }
+
+  /** Apply a broadcast value->value table per tile — the shared tail
+    * of [[equalize]] and [[matchHistogram]]. Temporal layers keep
+    * their instant column: silently projecting it away would produce
+    * a corrupt layer whose metadata still claims temporal=true. */
+  private def remapTiles(layer: RasterLayer, table: Map[Double, Double]): RasterLayer = {
+    val spark = layer.spark
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(table)
+    def f(t: Seq[Double]): Seq[Double] = t.map(v => if (v.isNaN) v else bc.value(v))
+    val out =
+      if (layer.meta.temporal)
+        layer.df.select(col("col"), col("row"), col("instant"), col("tile"))
+          .as[(Int, Int, Long, Seq[Double])]
+          .map { case (c, r, i, t) => (c, r, i, f(t)) }
+          .toDF("col", "row", "instant", "tile")
+      else
+        layer.df.select(col("col"), col("row"), col("tile"))
+          .as[(Int, Int, Seq[Double])]
+          .map { case (c, r, t) => (c, r, f(t)) }
+          .toDF("col", "row", "tile")
     layer.copy(df = out)
   }
+
+  /** Histogram median — reference Histogram.median (histogram.py:96;
+    * the geotrellis semantic is the 0.5 quantile of the histogram):
+    * the smallest value whose cumulative count reaches half the
+    * total, discrete on the integral-value layer contract. Thin front
+    * over [[quantileBreaksExactInt]]'s distinct-value machinery. */
+  def median(layer: RasterLayer, maxDistinct: Long = 10000000L): DataFrame =
+    quantileBreaksExactInt(layer, Seq(0.5), maxDistinct)
+      .select(col("q0").as("median"))
 
   /** Histogram mode — reference Histogram.mode (histogram.py:95):
     * the most frequent cell value, ties broken toward the smaller
