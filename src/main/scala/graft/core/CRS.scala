@@ -86,9 +86,11 @@ object CRS {
   /** CRS registry by the names the reference accepts (layer.py:876
     * takes EPSG ints, "EPSG:n" strings, or proj4 strings): EPSG:4326,
     * EPSG:3857, the UTM range EPSG:32601-32660 (north) / 32701-32760
-    * (south), the polar grids EPSG:3413 / 3031 / 5041 / 5042, and the
-    * proj4 forms "+proj=utm/stere/lcc/longlat/merc" with their
-    * standard parameters. */
+    * (south), the polar grids EPSG:3413 / 3031 / 5041 / 5042, the
+    * CONUS Albers grid EPSG:5070, and the proj4 forms
+    * "+proj=utm/stere/lcc/aea/sinu/longlat/merc" with their standard
+    * parameters (+proj=sinu honors +R / +a=+b spheres — the MODIS
+    * grid's form). */
   def fromName(crs: String): Transform = {
     val s = crs.trim.toLowerCase
     val epsg = "(?:epsg:)?(\\d+)".r
@@ -113,6 +115,10 @@ object CRS {
           falseEasting = 2000000.0, falseNorthing = 2000000.0, k0 = Some(0.994))
         case 5042 => PolarStereographic(0.0, -90.0, north = false,
           falseEasting = 2000000.0, falseNorthing = 2000000.0, k0 = Some(0.994))
+        // NAD83 CONUS Albers, on the WGS84 ellipsoid (GRS80 and WGS84
+        // flattenings differ in the 11th digit — sub-0.1 mm at CONUS
+        // latitudes)
+        case 5070 => AlbersEqualArea(-96.0, 23.0, 29.5, 45.5)
         case c => throw new IllegalArgumentException(s"unsupported EPSG:$c")
       }
       case p if p.startsWith("+proj=") =>
@@ -146,6 +152,21 @@ object CRS {
             val lat1 = p4("lat_1", p)
             LambertConformalConic(p4or("lon_0", p, 0.0), p4("lat_0", p),
               lat1, p4or("lat_2", p, lat1), p4or("x_0", p, 0.0), p4or("y_0", p, 0.0))
+          case "aea" =>
+            val lat1 = p4("lat_1", p)
+            AlbersEqualArea(p4or("lon_0", p, 0.0), p4or("lat_0", p, 0.0),
+              lat1, p4or("lat_2", p, lat1), p4or("x_0", p, 0.0), p4or("y_0", p, 0.0))
+          case "sinu" =>
+            // +R, or +a=+b (the MODIS sphere's usual spelling), selects
+            // the spherical form; plain +proj=sinu is ellipsoidal WGS84.
+            // (the whole string is lowercased on entry, so +R arrives
+            // as +r)
+            val r = p4opt("r", p).orElse((p4opt("a", p), p4opt("b", p)) match {
+              case (Some(aa), Some(bb)) if aa == bb => Some(aa)
+              case _ => None
+            })
+            Sinusoidal(p4or("lon_0", p, 0.0), p4or("x_0", p, 0.0),
+              p4or("y_0", p, 0.0), r)
           case "longlat" => LatLng
           case "merc"    => WebMercator
           case other => throw new IllegalArgumentException(s"unsupported +proj=$other")
@@ -332,6 +353,155 @@ object CRS {
         k += 1
       }
       (normLon(lon0 + math.toDegrees(th / n)), math.toDegrees(phi))
+    }
+  }
+
+  /** Albers Equal-Area Conic, 2 standard parallels, on WGS84 —
+    * Snyder §14 / EPSG method 9822: the standard US continental-
+    * analysis CRS (NLCD, LANDFIRE, most CONUS mosaics ship as
+    * EPSG:5070). Constants q (authalic function), m, the cone
+    * constant n, C, and rho0 are the published closed forms; the
+    * inverse solves the authalic latitude with Snyder eq. 3-16's
+    * fixed point. */
+  final case class AlbersEqualArea(lon0: Double, lat0: Double,
+                                   lat1: Double, lat2: Double,
+                                   falseEasting: Double = 0.0,
+                                   falseNorthing: Double = 0.0) extends Transform {
+    import TransverseMercator.{Ecc => e, SemiMajor => a}
+    private val e2 = e * e
+    // Snyder eq. 3-12: q(phi), the authalic-latitude kernel
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        math.log((1 - e * s) / (1 + e * s)) / (2 * e))
+    }
+    private def mOf(phi: Double): Double =
+      math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    private val p0 = math.toRadians(lat0); private val p1 = math.toRadians(lat1)
+    private val p2 = math.toRadians(lat2)
+    private val n =
+      if (math.abs(lat1 - lat2) < 1e-12) math.sin(p1)
+      else (mOf(p1) * mOf(p1) - mOf(p2) * mOf(p2)) / (qOf(p2) - qOf(p1))
+    private val bigC = mOf(p1) * mOf(p1) + n * qOf(p1)
+    private val rho0 = a * math.sqrt(bigC - n * qOf(p0)) / n
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val rho = a * math.sqrt(bigC - n * qOf(math.toRadians(lat))) / n
+      // same pre-wrap rule as LCC: theta scales by the non-integer
+      // cone constant BEFORE sin/cos, so wrap dl first
+      val th = n * math.toRadians(normLon(lon - lon0))
+      (falseEasting + rho * math.sin(th), falseNorthing + rho0 - rho * math.cos(th))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - falseEasting; val dy = rho0 - (y - falseNorthing)
+      val sgn = if (n >= 0) 1.0 else -1.0
+      val rho = sgn * math.sqrt(dx * dx + dy * dy)
+      val th = math.atan2(sgn * dx, sgn * dy)
+      val q = (bigC - (rho * n / a) * (rho * n / a)) / n
+      // Snyder eq. 3-16 fixed point from the spherical seed; quadratic
+      // convergence, clamped for the q ~ q_pole edge
+      var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+      var k = 0
+      while (k < 10) {
+        val s = math.sin(phi)
+        val om = 1 - e2 * s * s
+        phi += om * om / (2 * math.cos(phi)) *
+          (q / (1 - e2) - s / om + math.log((1 - e * s) / (1 + e * s)) / (2 * e))
+        k += 1
+      }
+      (normLon(lon0 + math.toDegrees(th / n)), math.toDegrees(phi))
+    }
+
+    /** The forward projection as named SQL formula steps — the
+      * one-text-two-engines oracle pattern of
+      * [[TransverseMercator.forwardSqlSteps]]. Callers keep |lon -
+      * lon0| < 180 (the SQL chain does not restate normLon). */
+    def forwardSqlSteps: (Seq[(String, String)], String, String) = {
+      val eS = e.toString
+      val steps = Seq(
+        "phi" -> "radians(lat)",
+        "sphi" -> "sin(phi)",
+        "q" -> (s"(1 - $e2) * (sphi / (1 - $e2 * sphi * sphi) - " +
+          s"ln((1 - $eS * sphi) / (1 + $eS * sphi)) / (2 * $eS))"),
+        "rho" -> s"$a * sqrt($bigC - $n * q) / $n",
+        "th" -> s"$n * radians(lon - ($lon0))")
+      (steps, s"$falseEasting + rho * sin(th)",
+        s"$falseNorthing + $rho0 - rho * cos(th)")
+    }
+  }
+
+  /** Sinusoidal (equal-area pseudocylindrical) — Snyder §30: the MODIS
+    * land-product grid. Ellipsoidal WGS84 form by default (x =
+    * a cos(phi) dl / sqrt(1 - e^2 sin^2 phi), y = meridional arc via
+    * the Helmert rectifying-latitude series); `sphereRadius` selects
+    * the spherical form (x = R dl cos phi, y = R phi) that the MODIS
+    * grid ships as (+proj=sinu +R=6371007.181). */
+  final case class Sinusoidal(lon0: Double = 0.0,
+                              falseEasting: Double = 0.0,
+                              falseNorthing: Double = 0.0,
+                              sphereRadius: Option[Double] = None) extends Transform {
+    import TransverseMercator.{Ecc => e, SemiMajor => a, RectA, N3}
+    private val e2 = e * e
+    // meridional arc M(phi) = RectA * mu(phi); mu's forward/inverse
+    // series in the third flattening n (Helmert 1880; the same public
+    // series family as TransverseMercator.Delta)
+    private val n2 = N3 * N3; private val n3 = n2 * N3; private val n4 = n3 * N3
+    private val MuC = Array(-3 * N3 / 2 + 9 * n3 / 16, 15 * n2 / 16 - 15 * n4 / 32,
+      -35 * n3 / 48, 315 * n4 / 512)
+    private val MuD = Array(3 * N3 / 2 - 27 * n3 / 32, 21 * n2 / 16 - 55 * n4 / 32,
+      151 * n3 / 96, 1097 * n4 / 512)
+    private def mu(phi: Double): Double =
+      phi + (1 to 4).map(j => MuC(j - 1) * math.sin(2 * j * phi)).sum
+    private def phiOfMu(m: Double): Double =
+      m + (1 to 4).map(j => MuD(j - 1) * math.sin(2 * j * m)).sum
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val dl = math.toRadians(normLon(lon - lon0))
+      val phi = math.toRadians(lat)
+      sphereRadius match {
+        case Some(r) =>
+          (falseEasting + r * dl * math.cos(phi), falseNorthing + r * phi)
+        case None =>
+          val s = math.sin(phi)
+          (falseEasting + a * math.cos(phi) * dl / math.sqrt(1 - e2 * s * s),
+            falseNorthing + RectA * mu(phi))
+      }
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - falseEasting; val dy = y - falseNorthing
+      val phi = sphereRadius match {
+        case Some(r) => dy / r
+        case None    => phiOfMu(dy / RectA)
+      }
+      val cphi = math.cos(phi)
+      val lon =
+        if (cphi == 0) lon0
+        else sphereRadius match {
+          case Some(r) => lon0 + math.toDegrees(dx / (r * cphi))
+          case None =>
+            val s = math.sin(phi)
+            lon0 + math.toDegrees(dx * math.sqrt(1 - e2 * s * s) / (a * cphi))
+        }
+      (normLon(lon), math.toDegrees(phi))
+    }
+
+    /** Forward as shared SQL steps (one-text-two-engines); callers
+      * keep |lon - lon0| < 180. */
+    def forwardSqlSteps: (Seq[(String, String)], String, String) = {
+      val base = Seq("phi" -> "radians(lat)", "dl" -> s"radians(lon - ($lon0))")
+      sphereRadius match {
+        case Some(r) =>
+          (base, s"$falseEasting + $r * dl * cos(phi)", s"$falseNorthing + $r * phi")
+        case None =>
+          val steps = base ++ Seq(
+            "sphi" -> "sin(phi)",
+            "mu" -> ((1 to 4).map(j => s"${MuC(j - 1)} * sin(${2 * j} * phi)")
+              .mkString("phi + ", " + ", "")))
+          (steps, s"$falseEasting + $a * cos(phi) * dl / sqrt(1 - $e2 * sphi * sphi)",
+            s"$falseNorthing + $RectA * mu")
+      }
     }
   }
 
