@@ -164,6 +164,37 @@ object Bpe {
   private val UpperAscii = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
   private val LowerAscii = "abcdefghijklmnopqrstuvwxyz"
 
+  /** Word -> leading/trailing-spaced symbol string (`" t h e "`),
+    * split on CODEPOINTS like [[BpeModel.encodeWord]] — the oracle's
+    * `regexp_extract_all(w, '(.)')` also yields codepoints, so the
+    * two sides agree beyond ASCII (UTF-16 units would not). */
+  private def codepointSpaced(w: String): String = {
+    val sb = new java.lang.StringBuilder(w.length * 2 + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      sb.appendCodePoint(cp).append(' ')
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** UTF-8 binary order — DuckDB's default collation, which the
+    * trainSql tie-break sorts with. JVM String ordering compares
+    * UTF-16 units and disagrees above the BMP (a 4-byte codepoint
+    * sorts BEFORE U+E000.. in UTF-16 but AFTER in UTF-8). */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def adjacentPairs(sp: String): Array[(String, String)] = {
+    val syms = sp.trim.split(' ')
+    if (syms.length < 2) Array.empty
+    else Array.tabulate(syms.length - 1)(i => (syms(i), syms(i + 1)))
+  }
+
   /** Train `numMerges` BPE merge rules on a document corpus — the
     * trainer half of the tokenizer (Sennrich et al. 2016 greedy BPE;
     * [[BpeModel]] is the apply half, and a trained table feeds
@@ -173,26 +204,30 @@ object Bpe {
     *
     * 1. Vocabulary: pre-tokens of ASCII-case-folded text (same
     *    pre-tokenizer as apply) -> (word, count).
-    * 2. Each word as leading/trailing-spaced symbols (`" t h e "`).
+    * 2. Each word as leading/trailing-spaced codepoint symbols
+    *    (`" t h e "`).
     * 3. Per round: count EVERY adjacent symbol pair (overlapping
     *    included) weighted by word count; the winner is the highest
-    *    count, ties broken by (a ASC, b ASC); apply the winning merge
-    *    to the whole vocabulary with the same single-pass
-    *    `String.replace` semantics as encoding. Stop early if no
-    *    pairs remain.
+    *    count, ties broken by (a ASC, b ASC) in UTF-8 binary order
+    *    (DuckDB's collation); apply the winning merge to the whole
+    *    vocabulary with the same single-pass `String.replace`
+    *    semantics as encoding. Stop early if no pairs remain.
     *
     * ## Scale shape
     *
     * The corpus-scale work is ONE distributed explode + groupBy(word)
     * (map-side partial counts); the greedy loop then runs driver-side
     * over the AGGREGATED vocabulary, which is Zipf-bounded (millions
-    * of distinct words for a 100 TB corpus, guarded by `maxVocab`) —
-    * the same two-phase shape production BPE trainers use. Training
-    * is ASCII-pinned like the apply contract (symbols split on UTF-16
-    * units here vs codepoints in the oracle; identical on ASCII). */
+    * of distinct words for a 100 TB corpus, guarded by `maxVocab`).
+    * Pair counts are maintained INCREMENTALLY: an inverted pair ->
+    * word-set index means each merge touches only the words that
+    * contain the winning pair (subword-nmt's shape), so a
+    * GPT-2-scale 50k-merge train costs O(touched words), not
+    * O(numMerges x vocab) full rescans. */
   def train(docs: org.apache.spark.sql.DataFrame, numMerges: Int,
             textCol: String = "text", maxVocab: Int = 1 << 22): Vector[(String, String)] = {
     import org.apache.spark.sql.functions._
+    import scala.collection.mutable
     require(numMerges >= 1, "numMerges must be >= 1")
     val vocabDf = docs
       .select(explode(regexp_extract_all(
@@ -203,30 +238,48 @@ object Bpe {
     val n = vocabDf.count()
     require(n <= maxVocab,
       s"Bpe.train: $n distinct words exceed maxVocab=$maxVocab — raise the guard or pre-filter")
-    var vocab = vocabDf.collect()
-      .map(r => (r.getString(0).toCharArray.mkString(" ", " ", " "), r.getLong(1)))
+    val vocab = vocabDf.collect()
+      .map(r => (codepointSpaced(r.getString(0)), r.getLong(1)))
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addWord(i: Int, sp: String, c: Long): Unit =
+      adjacentPairs(sp).foreach { k =>
+        counts(k) = counts.getOrElse(k, 0L) + c
+        where.getOrElseUpdate(k, mutable.BitSet.empty) += i
+      }
+    def dropWord(i: Int, sp: String, c: Long): Unit =
+      adjacentPairs(sp).foreach { k =>
+        val left = counts(k) - c
+        if (left == 0L) { counts.remove(k); where.remove(k) }
+        else { counts(k) = left; where(k) -= i }
+      }
+    vocab.zipWithIndex.foreach { case ((sp, c), i) => addWord(i, sp, c) }
     val out = Vector.newBuilder[(String, String)]
     var round = 0
-    var dry = false
-    while (round < numMerges && !dry) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      vocab.foreach { case (sp, c) =>
-        val syms = sp.trim.split(' ')
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts(k) = counts.getOrElse(k, 0L) + c
-          i += 1
+    while (round < numMerges && counts.nonEmpty) {
+      var best: (String, String) = null
+      var bestC = Long.MinValue
+      counts.foreach { case (k, c) =>
+        if (c > bestC || (c == bestC && {
+          val ca = utf8Compare(k._1, best._1)
+          ca < 0 || (ca == 0 && utf8Compare(k._2, best._2) < 0)
+        })) { best = k; bestC = c }
+      }
+      out += best
+      val (from, to) = (s" ${best._1} ${best._2} ", s" ${best._1}${best._2} ")
+      // only words holding the winning pair change; their old pair
+      // multiset retires and the post-replace one takes its place —
+      // bitwise identical to a full recount, at O(touched) cost
+      where(best).toArray.foreach { i =>
+        val (sp, c) = vocab(i)
+        val nsp = sp.replace(from, to)
+        if (nsp != sp) {
+          dropWord(i, sp, c)
+          addWord(i, nsp, c)
+          vocab(i) = (nsp, c)
         }
       }
-      if (counts.isEmpty) dry = true
-      else {
-        val (a, b) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
-        out += ((a, b))
-        val (from, to) = (s" $a $b ", s" $a$b ")
-        vocab = vocab.map { case (sp, c) => (sp.replace(from, to), c) }
-        round += 1
-      }
+      round += 1
     }
     out.result()
   }

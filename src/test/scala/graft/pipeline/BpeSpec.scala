@@ -112,6 +112,47 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(folded, numMerges = 1) == Vector(("a", "a")))
   }
 
+  test("incremental trainer equals a full-recount reference at numMerges=1000") {
+    // brute-force reference: recount every pair over the whole
+    // vocabulary each round (the r11 shape the incremental index
+    // replaced); byte-for-byte agreement across 1000 merges proves
+    // the index maintenance exact, and the run finishing inside the
+    // suite proves the O(touched) cost claim
+    def brute(words: Seq[(String, Long)], numMerges: Int): Vector[(String, String)] = {
+      var vocab = words.map { case (w, c) => (w.mkString(" ", " ", " "), c) }
+      val out = Vector.newBuilder[(String, String)]
+      var round = 0
+      var dry = false
+      while (round < numMerges && !dry) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        vocab.foreach { case (sp, c) =>
+          val syms = sp.trim.split(' ')
+          var i = 0
+          while (i < syms.length - 1) {
+            counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+            i += 1
+          }
+        }
+        if (counts.isEmpty) dry = true
+        else {
+          val (a, b) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          out += ((a, b))
+          vocab = vocab.map { case (sp, c) => (sp.replace(s" $a $b ", s" $a$b "), c) }
+          round += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(12)
+    val words = (0 until 1500).map { _ =>
+      (0 until 3 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    }
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = Bpe.train(docs, numMerges = 1000)
+    val want = brute(words.groupBy(identity).view.mapValues(_.size.toLong).toSeq, 1000)
+    assert(got == want)
+  }
+
   test("count equals token-array length for every corpus doc") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
