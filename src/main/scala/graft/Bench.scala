@@ -21,13 +21,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup so the first measured query isn't charged for
-    // session bring-up (driver compares per-query numbers). Two
-    // warmups, one per major code path: q_rasterize covers the raster
+    // session bring-up (driver compares per-query numbers). One warmup
+    // per major code path: q_rasterize covers the raster
     // tiling/aggregator stack, q_dedup_minhash the text
-    // shingle/hash/window stack (otherwise whichever dedup query sorts
-    // first absorbs several seconds of first-JIT that belongs to no
-    // operator).
-    Seq("q_rasterize", "q_dedup_minhash").foreach { w =>
+    // shingle/hash/window stack, q_focal_mean the halo-exchange focal
+    // stack, q_catalog_roundtrip the parquet write/footer-prune read
+    // stack (r11 run-total spread of ~25% traced to run-1 first-JIT on
+    // the unwarmed paths; medians converge tighter with all four).
+    Seq("q_rasterize", "q_dedup_minhash", "q_focal_mean", "q_catalog_roundtrip").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -7,15 +7,15 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.SparkSession
 
 import graft.catalog.Catalog
-import graft.raster.{GeoTiff, RasterLayer}
+import graft.raster.GeoTiff
 
 /** Minimal TMS-style tile endpoint — reference geopyspark tms.py: serve
   * `GET /tiles/{layer}/{zoom}/{col}/{row}.png` rendered on demand from
   * the catalog (classify by breaks -> ramp -> PNG, the Render path).
   *
-  * Serving is inherently driver-side; per-(layer, zoom) DataFrames are
-  * cached so a request is one keyed lookup (pushed col/row predicates)
-  * + a single-tile render. JDK HttpServer, no dependencies.
+  * Serving is inherently driver-side and JOB-FREE: a request is one
+  * [[Catalog.readTile]] footer-pruned parquet point read (no Spark job
+  * scheduled) + a single-tile render. JDK HttpServer, no dependencies.
   *
   * `cogs` additionally registers COG-pyramid files (from
   * [[GeoTiff.saveCogPyramid]]) under `GET /cog/{name}/{zoom}/{col}/
@@ -29,22 +29,26 @@ import graft.raster.{GeoTiff, RasterLayer}
 final class TmsServer(spark: SparkSession, uri: String,
                       breaks: Seq[Double], ramp: String, port: Int = 0,
                       cogs: Map[String, (String, Int)] = Map.empty,
-                      renderFn: Option[(IndexedSeq[Double], Int, Int) => Array[Byte]] = None) {
+                      renderFn: Option[(IndexedSeq[Double], Int, Int) => Array[Byte]] = None,
+                      renderContentType: String = "image/png") {
   // `renderFn` is the user render hook (reference tms.py:14
-  // TileRender: "render(tile) -> PNG bytes"): given the tile's
+  // TileRender: "render(tile) -> image bytes"): given the tile's
   // row-major cells (NaN = NoData) and its pixel dims, produce the
   // response image bytes. When absent, tiles render through the
-  // default classify-by-breaks -> color-ramp path. The hook runs
-  // driver-side per GET on a single already-fetched tile — the Spark
-  // side (catalog lookup / COG window read) is identical either way.
+  // default classify-by-breaks -> color-ramp path. A hook emitting a
+  // format other than PNG declares it via `renderContentType` (the
+  // default path always serves image/png). The hook runs driver-side
+  // per GET on a single already-fetched tile — the fetch (job-free
+  // parquet point read / COG window read) is identical either way.
 
-  private val layers = scala.collection.concurrent.TrieMap.empty[(String, Int), RasterLayer]
+  // per-(layer, zoom) metadata for pixel dims — tile BYTES come from
+  // Catalog.readTile's job-free footer-pruned parquet point read, so
+  // serving schedules ZERO Spark jobs (the r11 path ran a lookup +
+  // collect() job per GET, paying driver job-scheduling latency)
+  private val metas = scala.collection.concurrent.TrieMap.empty[(String, Int), graft.raster.LayerMetadata]
 
-  private def layer(name: String, zoom: Int): RasterLayer =
-    layers.getOrElseUpdate((name, zoom), {
-      val l = Catalog.read(spark, uri, name, zoom)
-      l.copy(df = l.df.cache())
-    })
+  private def meta(name: String, zoom: Int): graft.raster.LayerMetadata =
+    metas.getOrElseUpdate((name, zoom), Catalog.readMetadata(uri, name, zoom))
 
   // byte-range reader + per-level pixel geometry, opened once per cog
   // name: the server NEVER loads a whole COG — the header walk and
@@ -81,20 +85,19 @@ final class TmsServer(spark: SparkSession, uri: String,
       ex.getRequestURI.getPath match {
         case Path(name, z, c, r) =>
           try {
-            val l = layer(name, z.toInt)
-            val one = l.copy(df = l.lookup(c.toInt, r.toInt))
-            renderFn match {
-              case Some(f) =>
-                val rows = one.df.select("tile").collect()
-                if (rows.isEmpty) send(ex, 404, "no tile".getBytes, "text/plain")
-                else {
-                  val tl = l.meta.layout.tileLayout
-                  send(ex, 200, f(rows.head.getSeq[Double](0).toIndexedSeq, tl.tileCols, tl.tileRows), "image/png")
+            val tl = meta(name, z.toInt).layout.tileLayout
+            Catalog.readTile(spark, uri, name, z.toInt, c.toInt, r.toInt) match {
+              case None => send(ex, 404, "no tile".getBytes, "text/plain")
+              case Some(cells) =>
+                renderFn match {
+                  case Some(f) =>
+                    send(ex, 200, f(cells.toIndexedSeq, tl.tileCols, tl.tileRows),
+                      renderContentType)
+                  case None =>
+                    send(ex, 200,
+                      Render.renderImage(cells.toIndexedSeq, tl.tileCols, tl.tileRows, breaks, ramp),
+                      "image/png")
                 }
-              case None =>
-                val tiles = Render.renderPng(one, breaks, ramp).collect()
-                if (tiles.isEmpty) send(ex, 404, "no tile".getBytes, "text/plain")
-                else send(ex, 200, tiles.head.png, "image/png")
             }
           } catch {
             case e: Exception => send(ex, 500, e.toString.getBytes, "text/plain")

@@ -80,6 +80,50 @@ class RenderSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("tms /tiles serves JOB-FREE (listener-verified) and hooks declare their content type") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tms_nojob").toString
+    val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+    val layer = RasterLayer.fromCells(
+      Seq((0L, 0L, 50.0), (1L, 0L, 250.0)).toDF("x", "y", "v"), layout)
+    graft.catalog.Catalog.write(dir, "demo", layer, zoom = 0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // a hook that returns JPEG bytes, declared via renderContentType
+    val hook = (cells: IndexedSeq[Double], w: Int, h: Int) => {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val srv = new TmsServer(spark, dir, Seq(100.0, 300.0), "BlueToRed",
+      renderFn = Some(hook), renderContentType = "image/jpeg")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // listener sanity probe (events are async)
+      spark.range(2).count()
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(jobs.get() >= 1, "listener sanity probe never fired")
+      val before = jobs.get()
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${srv.boundPort}/tiles/demo/0/0/0.png")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getHeaderField("Content-Type") == "image/jpeg")
+      val body = conn.getInputStream.readAllBytes()
+      assert(body.length >= 3 && (body(0) & 0xFF) == 0xFF && (body(1) & 0xFF) == 0xD8) // JPEG SOI
+      Thread.sleep(1000) // let any stray async job event land
+      assert(jobs.get() == before, "TMS tile GET submitted a Spark job")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      srv.stop()
+    }
+  }
+
   test("tms custom render hook replaces the breaks/ramp path per tile") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tms_hook").toString
     val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
