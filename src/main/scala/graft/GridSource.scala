@@ -72,6 +72,28 @@ object GridSource {
         lit(1.0).as("v")),
       layout, graft.raster.CellOp.Sum)
 
+  /** Third value grid (for N-ary local algebra) from part:
+    * x = p_partkey%256, y = (p_partkey div 256 * 7 + p_size)%256,
+    * v = sum(p_size) (integral => exact double sums). Covers only the
+    * lower tile rows by construction — deliberately, so N-ary ops
+    * exercise their missing-tile (all-NoData) outer-join path. */
+  def partCells(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .groupBy((col("p_partkey") % G).as("x"),
+        ((expr("p_partkey div 256") * 7 + col("p_size")) % G).as("y"))
+      .agg(sum("p_size").cast("double").as("v"))
+
+  val partCellsSql: String =
+    s"SELECT p_partkey % $G AS x, (p_partkey // 256 * 7 + p_size) % $G AS y, CAST(sum(p_size) AS DOUBLE) AS v FROM part GROUP BY 1, 2"
+
+  def partLayer(spark: SparkSession, dir: String): RasterLayer =
+    RasterLayer.fromCells(
+      table(spark, dir, "part").select(
+        (col("p_partkey") % G).as("x"),
+        ((expr("p_partkey div 256") * 7 + col("p_size")) % G).as("y"),
+        col("p_size").cast("double").as("v")),
+      layout, graft.raster.CellOp.Sum)
+
   /** Zone grid from lineitem: zone = min(l_returnflag) per cell
     * (min => deterministic, unlike mode). Encoded to int via ascii. */
   def zoneCells(spark: SparkSession, dir: String): DataFrame =

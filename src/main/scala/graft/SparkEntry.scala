@@ -35,6 +35,9 @@ object SparkEntry {
   // ----------------------------------------------------------------
   private def flat(l: RasterLayer): DataFrame = l.toCells
 
+  /** Query-term set for q_bm25 (words from the synthetic vocabulary). */
+  private val Bm25Terms = Seq("table", "spark", "window", "hash", "stream")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- rasterize + layer round-trip (SURVEY §2: rasterize, tile_to_layout)
     "q_rasterize" -> ((s, dir) => flat(lineitemLayer(s, dir))),
@@ -378,6 +381,26 @@ object SparkEntry {
         ((k * 13 % 64).toDouble, (k * 29 % 64).toDouble, z) }
       Interpolate.simpleKriging(s, pts, 64, 48.0, 0.01)
     }),
+
+    "q_kriging_ordinary" -> ((s, dir) => {
+      // ordinary kriging over the same 6 supplier points: augmented
+      // (constraint) system solved driver-side, dual constant folded
+      // into the per-cell prediction expression
+      val zs = table(s, dir, "supplier")
+        .where(col("s_suppkey").between(1, 6))
+        .orderBy("s_suppkey").select(col("s_suppkey"), col("s_acctbal"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val pts = zs.map { case (k, z) =>
+        ((k * 13 % 64).toDouble, (k * 29 % 64).toDouble, z) }
+      Interpolate.ordinaryKriging(s, pts, 64, 48.0, 0.01)
+    }),
+
+    "q_local_nary" -> ((s, dir) =>
+      // N-ary local algebra (Variety/Majority/Minority/Mean) across
+      // three layers; the part grid misses whole tiles, exercising the
+      // full-outer missing-tile NoData path
+      lineitemLayer(s, dir).localStats(
+        Seq(ordersLayer(s, dir), partLayer(s, dir)))),
 
     "q_region_group" -> ((s, dir) =>
       // 4-connected components of equal-class cells on a SPARSE grid
@@ -1097,6 +1120,17 @@ object SparkEntry {
       // both engines rank identically (see tfidfTopTerms scaladoc)
       pipeline.TextAnalysis.tfidfTopTerms(table(s, dir, "documents"))),
 
+    "q_bm25" -> ((s, dir) =>
+      // BM25 retrieval scores for a fixed query-term set; idf and
+      // per-(doc,term) scores quantize to integer micro-units before
+      // the per-doc sum (see bm25 scaladoc)
+      pipeline.TextAnalysis.bm25(table(s, dir, "documents"), Bm25Terms)),
+
+    "q_quality_classifier" -> ((s, dir) =>
+      // hashed unigram+bigram linear classifier (fastText inference
+      // shape) with pinned arithmetic weights
+      pipeline.TextAnalysis.classifierScore(table(s, dir, "documents"))),
+
     // --- LLM-pipeline: multimodal plumbing (stubbed decode)
     "q_multimodal_meta" -> ((s, dir) =>
       pipeline.Multimodal.metadata(pipeline.Multimodal.asBlobs(table(s, dir, "documents")))),
@@ -1645,6 +1679,27 @@ object SparkEntry {
         Array.tabulate(6)(i => (((i + 1) * 13 % 64).toDouble, ((i + 1) * 29 % 64).toDouble)),
         i => s"SELECT s_acctbal FROM supplier WHERE s_suppkey = ${i + 1}",
         64, 48.0, 0.01),
+
+      "q_kriging_ordinary" -> Interpolate.ordinaryKrigingSql(
+        Array.tabulate(6)(i => (((i + 1) * 13 % 64).toDouble, ((i + 1) * 29 % 64).toDouble)),
+        i => s"SELECT s_acctbal FROM supplier WHERE s_suppkey = ${i + 1}",
+        64, 48.0, 0.01),
+
+      // N-ary local stats: distinct-value count, min-value tie-broken
+      // majority/minority, exact-integer mean — cells present in >= 1
+      // grid (the engine's full-outer tile join)
+      "q_local_nary" ->
+        s"""WITH u AS (SELECT x, y, v FROM ($grid)
+           |  UNION ALL SELECT x, y, v FROM ($ogrid)
+           |  UNION ALL SELECT x, y, v FROM (${GridSource.partCellsSql})),
+           |c AS (SELECT x, y, v, count(*) AS cnt FROM u GROUP BY 1, 2, 3),
+           |a AS (SELECT x, y, count(*) AS variety, max(cnt) AS mx, min(cnt) AS mn
+           |      FROM c GROUP BY 1, 2)
+           |SELECT c.x, c.y, CAST(a.variety AS BIGINT) AS variety,
+           |  min(CASE WHEN c.cnt = a.mx THEN c.v END) AS majority,
+           |  min(CASE WHEN c.cnt = a.mn THEN c.v END) AS minority,
+           |  round(sum(c.v * c.cnt) / sum(c.cnt), 5) AS mean5
+           |FROM c JOIN a USING (x, y) GROUP BY c.x, c.y, a.variety""".stripMargin,
 
       // min-label closure as a recursive CTE: bidirectional neighbor
       // edges, label set grows to the component, min per cell = the
@@ -2715,6 +2770,41 @@ object SparkEntry {
           |      ORDER BY CAST(tf.tf AS DOUBLE) * n.n / df.df DESC, tf.term) AS rank
           |  FROM tf JOIN df USING (term), n)
           |WHERE rank <= 3""".stripMargin,
+
+      // BM25: idf quantized once to micro-units, per-(doc,term) score
+      // quantized BEFORE the per-doc sum (exact long arithmetic across
+      // the groupBy); every float chain seeded with a DOUBLE cast so
+      // DuckDB never routes through DECIMAL arithmetic
+      "q_bm25" ->
+        s"""WITH ws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+           |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM ws),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+           |tk AS (SELECT doc_id, unnest(w) AS term FROM ws),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
+           |       WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2),
+           |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           |idf AS (SELECT term, CAST(round(ln((CAST(nd AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_q, avgdl
+           |        FROM dfq, stats),
+           |sc AS (SELECT tf.doc_id,
+           |         CAST(round((CAST(idf_q AS DOUBLE) / 1000000.0) * (CAST(tf.tf AS DOUBLE) * 2.2) /
+           |           (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / idf.avgdl))) * 1000000.0) AS BIGINT) AS sq
+           |       FROM tf JOIN idf USING (term) JOIN d USING (doc_id))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+           |  CAST(sum(sq) AS DOUBLE) / 1000000.0 AS bm25
+           |FROM sc GROUP BY 1""".stripMargin,
+
+      // hashed unigram+bigram features, portable 60-bit md5 hash, the
+      // pinned arithmetic weight surrogate, exact long dot product
+      "q_quality_classifier" ->
+        """WITH ws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+          |f AS (SELECT doc_id,
+          |        unnest(list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]))) AS f
+          |      FROM ws),
+          |wt AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 1000003 - 500001 AS wt FROM f)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+          |  round(CAST(sum(wt) AS DOUBLE) / (count(*) * 500001.0), 5) AS score,
+          |  CAST(CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+          |FROM wt GROUP BY 1""".stripMargin,
 
       "q_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -309,6 +309,84 @@ object TextAnalysis {
         (-col("s") / (col("n_tokens") * lit(1000000.0))).as("nll"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the retrieval scorer a curation pipeline uses for quality-targeted
+    * selection and decontamination triage (Robertson & Zaragoza 2009).
+    *
+    * Scale shape: the tokenizer scan runs ONCE (checkpointed — doc
+    * lengths and term frequencies both consume it), the query-term
+    * filter collapses the exploded stream to |terms| x docs rows before
+    * the per-doc groupBy, and the df/N/avgdl side tables are 1-row or
+    * |terms|-row broadcasts. Only docs containing >= 1 query term
+    * produce output.
+    *
+    * Determinism contract (the lm_score precedent): the only
+    * transcendental is ln(), quantized ONCE to micro-units
+    * (idf_q = round(ln(...) * 1e6) BIGINT); per-(doc,term) scores
+    * quantize to micro-units BEFORE the per-doc sum, so the sum is
+    * exact integer arithmetic and order-free; every float literal is
+    * seeded with an explicit DOUBLE cast on the oracle side so DuckDB
+    * never routes through DECIMAL arithmetic. k1 = 1.2, b = 0.75
+    * (stated as 0.25 + 0.75 * dl/avgdl on both sides).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val ws = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      .localCheckpoint()
+    val d = ws.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val stats = d.agg(count(lit(1)).as("nd"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = ws.select(col("doc_id"), explode(col("w")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = dfq.crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log((col("nd").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1000000.0))
+          .cast("long").as("idf_q"),
+        col("avgdl"))
+    val sc = tf.join(broadcast(idf), "term").join(d, "doc_id")
+      .select(col("doc_id"),
+        round((col("idf_q").cast("double") / lit(1000000.0)) *
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))) *
+          lit(1000000.0)).cast("long").as("sq"))
+    sc.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"),
+        (sum("sq").cast("double") / lit(1000000.0)).as("bm25"))
+  }
+
+  /** Hashed linear text classifier — the fastText-style inference
+    * shape (Joulin et al. 2016): word unigram + adjacent-bigram
+    * features, each hashed to a 60-bit portable key, a per-feature
+    * weight, an exact integer dot product per document, one final
+    * division into a score. A trained model would broadcast-join its
+    * weight table on the feature hash bucket; here the weight is the
+    * pinned arithmetic surrogate w = h % 1000003 - 500001 so engine
+    * and oracle agree bit-for-bit — the distributed plumbing (feature
+    * explode, hash, exact long sum per doc, no shuffle beyond the one
+    * per-doc groupBy) is the real, tested part.
+    */
+  def classifierScore(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+    val feats = ws.select(col("doc_id"),
+      explode(concat(col("w"),
+        when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1), i =>
+            concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+          .otherwise(array().cast("array<string>")))).as("f"))
+    val h = conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long")
+    feats.select(col("doc_id"), (h % 1000003L - 500001L).as("wt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("wt").cast("long").as("raw"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("raw").cast("double") / (col("n_feats") * lit(500001.0)), 5).as("score"),
+        (col("raw") > 0).cast("long").as("label"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 3, minTermLen: Int = 3): DataFrame = {
     // tf computed once, eagerly: df and the join both consume it, and
     // a lazy plan would re-run the explode+regexp scan per branch

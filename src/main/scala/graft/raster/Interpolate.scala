@@ -177,6 +177,132 @@ object Interpolate {
       (round(pred, 6) + lit(0.0)).as("v"))
   }
 
+  // ------------------------------------------------------------------
+  // Ordinary kriging (geotrellis.raster.interpolation OrdinaryKriging):
+  // simple kriging assumes a KNOWN mean; ordinary kriging estimates it
+  // under the unbiasedness constraint sum(lambda) = 1. Dual form: solve
+  // the augmented symmetric system
+  //     [ C  1 ] [b]   [z]
+  //     [ 1' 0 ] [a] = [0]
+  // once (driver-side, same unpivoted elimination — the first n leading
+  // minors are positive because C is PD, and the final pivot is the
+  // Schur complement -1'C^-1 1 < 0, so no pivoting is ever needed),
+  // then predict v(x) = sum_j b_j cov(h_xj) + a: still one fused
+  // per-cell expression, shuffle-free. Oracle = the augmented
+  // elimination unrolled CTE-by-CTE, identical op order.
+  // ------------------------------------------------------------------
+
+  /** Solve the augmented ordinary-kriging system; returns n weights
+    * followed by the dual constant a. */
+  def ordinaryKrigingWeights(pts: Array[(Double, Double, Double)],
+                             range: Double, nugget: Double): Array[Double] = {
+    val n = pts.length
+    val m = n + 1
+    val c = Array.tabulate(m, m) { (i, j) =>
+      if (i == n && j == n) 0.0
+      else if (i == n || j == n) 1.0
+      else {
+        val dx = pts(i)._1 - pts(j)._1
+        val dy = pts(i)._2 - pts(j)._2
+        val v = sphericalCov(math.sqrt(dx * dx + dy * dy), range)
+        if (i == j) v + nugget else v
+      }
+    }
+    val z = Array.tabulate(m)(i => if (i < n) pts(i)._3 else 0.0)
+    var k = 0
+    while (k < m) {
+      var i = k + 1
+      while (i < m) {
+        val f = c(i)(k) / c(k)(k)
+        var j = k
+        while (j < m) { c(i)(j) = c(i)(j) - f * c(k)(j); j += 1 }
+        z(i) = z(i) - f * z(k)
+        i += 1
+      }
+      k += 1
+    }
+    val b = new Array[Double](m)
+    var i2 = m - 1
+    while (i2 >= 0) {
+      var s = z(i2)
+      var j = i2 + 1
+      while (j < m) { s = s - c(i2)(j) * b(j); j += 1 }
+      b(i2) = s / c(i2)(i2)
+      i2 -= 1
+    }
+    b
+  }
+
+  /** Ordinary-kriging surface — same grid/points contract as
+    * [[simpleKriging]]; the estimated-mean constant `a` folds into the
+    * per-cell expression as one trailing literal. */
+  def ordinaryKriging(spark: org.apache.spark.sql.SparkSession,
+                      pts: Array[(Double, Double, Double)], gridSize: Int,
+                      range: Double, nugget: Double): DataFrame = {
+    val b = ordinaryKrigingWeights(pts, range, nugget)
+    val xs = spark.range(0, gridSize).select(col("id").as("x"))
+    val ys = spark.range(0, gridSize).select(col("id").as("y"))
+    val pred = pts.indices.map { j =>
+      val dx = col("x").cast("double") - lit(pts(j)._1)
+      val dy = col("y").cast("double") - lit(pts(j)._2)
+      val h = sqrt(dx * dx + dy * dy)
+      lit(b(j)) * when(h >= range, 0.0).otherwise(
+        lit(1.0) - lit(1.5) * (h / range) + lit(0.5) * (h / range) * (h / range) * (h / range))
+    }.reduceLeft(_ + _) + lit(b(pts.length))
+    xs.crossJoin(ys).select(col("x"), col("y"),
+      (round(pred, 6) + lit(0.0)).as("v"))
+  }
+
+  /** DuckDB twin of [[ordinaryKriging]]: [[krigingSql]] over the
+    * augmented (n+1)-system — constraint row/column stated as literal
+    * 1.0/0.0 entries, elimination and back-substitution unrolled over
+    * n+1 unknowns, prediction adds the dual constant b_n. */
+  def ordinaryKrigingSql(coords: Array[(Double, Double)], zSql: Int => String,
+                         gridSize: Int, range: Double, nugget: Double): String = {
+    val n = coords.length
+    val m = n + 1
+    def d2(i: Int, j: Int): Double = {
+      val dx = coords(i)._1 - coords(j)._1
+      val dy = coords(i)._2 - coords(j)._2
+      dx * dx + dy * dy
+    }
+    val m0Cols = (for (i <- 0 until m; j <- 0 until m) yield {
+      val e =
+        if (i == n && j == n) "0.0"
+        else if (i == n || j == n) "1.0"
+        else {
+          val base = covExprSql(s"sqrt(${d2(i, j)})", range)
+          if (i == j) s"$base + $nugget" else base
+        }
+      s"($e) AS c_${i}_$j"
+    }) ++ (0 until m).map(i =>
+      if (i < n) s"(${zSql(i)}) AS z_$i" else s"(0.0) AS z_$i")
+    val m0 = s"m0 AS (SELECT ${m0Cols.mkString(", ")})"
+    val steps = (0 until m - 1).map { k =>
+      val cols = (for (i <- 0 until m; j <- 0 until m) yield {
+        if (i > k) s"c_${i}_$j - (c_${i}_$k / c_${k}_$k) * c_${k}_$j AS c_${i}_$j"
+        else s"c_${i}_$j"
+      }) ++ (0 until m).map { i =>
+        if (i > k) s"z_$i - (c_${i}_$k / c_${k}_$k) * z_$k AS z_$i" else s"z_$i"
+      }
+      s"m${k + 1} AS (SELECT ${cols.mkString(", ")} FROM m$k)"
+    }
+    val backs = (m - 1 to 0 by -1).map { i =>
+      val sub = (i + 1 until m).map(j => s" - c_${i}_$j * b_$j").mkString
+      val from = if (i == m - 1) s"m${m - 1}" else s"s${i + 1}"
+      s"s$i AS (SELECT *, (z_$i$sub) / c_${i}_$i AS b_$i FROM $from)"
+    }
+    val pred = (0 until n).map { j =>
+      val h = s"sqrt((CAST(x AS DOUBLE) - ${coords(j)._1}) * (CAST(x AS DOUBLE) - ${coords(j)._1}) + (CAST(y AS DOUBLE) - ${coords(j)._2}) * (CAST(y AS DOUBLE) - ${coords(j)._2}))"
+      s"b_$j * (${covExprSql(h, range)})"
+    }.mkString(" + ") + s" + b_$n"
+    s"""WITH $m0,
+       |${steps.mkString(",\n")},
+       |${backs.mkString(",\n")},
+       |grid AS (SELECT tx.x AS x, ty.y AS y FROM range(0, $gridSize) tx(x), range(0, $gridSize) ty(y))
+       |SELECT x, y, round($pred, 6) + 0.0 AS v FROM grid CROSS JOIN s0""".stripMargin
+  }
+
   /** DuckDB twin of [[simpleKriging]] for N points whose z values come
     * from `zSql(i)` (a scalar subquery per point): the same matrix
     * entries stated symbolically, the same elimination unrolled one

@@ -119,6 +119,86 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   def localMaxLayer(other: RasterLayer): RasterLayer =
     localBinary(other, (a, b) => when(isnan(a) || isnan(b), lit(Double.NaN)).otherwise(greatest(a, b)))
 
+  // ------------------------------------------------------------------
+  // N-ary local algebra (geotrellis.raster.mapalgebra.local Variety /
+  // Majority / Minority / Mean): one full-outer co-keyed join of all
+  // layers (missing tiles = all-NoData), then per-position stats as
+  // codegen'd array expressions — no per-cell shuffle, the join is the
+  // only exchange. The per-position valid-values arrays are built ONCE
+  // into an intermediate column (HOF lambdas have no CSE — the
+  // q_repetition lesson) before any stat consumes them.
+  // ------------------------------------------------------------------
+
+  /** keys + `vt: ARRAY<ARRAY<DOUBLE>>` — per cell position, the
+    * non-NoData values across `this +: others` in layer order. */
+  private def nAryValsDf(others: Seq[RasterLayer]): DataFrame = {
+    val all = this +: others
+    val n = all.size
+    val renamed = all.zipWithIndex.map { case (l, i) =>
+      l.df.select(keyCols.map(l.df.col) :+ col("tile").as(s"_t$i"): _*) }
+    val joined = renamed.reduce((a, b) => a.join(b, keyCols, "full_outer"))
+    val ts = array((0 until n).map(i => col(s"_t$i")): _*)
+    val base = coalesce((0 until n).map(i => col(s"_t$i")): _*)
+    joined.select(keyCols.map(col) :+
+      transform(base, (_, i) =>
+        filter(transform(ts, t => element_at(t, i + lit(1))),
+          v => v.isNotNull && !isnan(v))).as("vt"): _*)
+  }
+
+  private def nAryLayer(others: Seq[RasterLayer], f: Column => Column): RasterLayer = {
+    val vdf = nAryValsDf(others)
+    val tile = transform(col("vt"), vals =>
+      when(size(vals) > 0, f(vals)).otherwise(lit(Double.NaN)))
+    copy(df = vdf.select(keyCols.map(vdf.col) :+ tile.as("tile"): _*))
+  }
+
+  /** Smallest value holding the max (most=true) / min count — the
+    * deterministic Majority/Minority tie-break (geotrellis leaves ties
+    * unspecified; we pin the smallest value). */
+  private def extremeByCount(vals: Column, most: Boolean): Column = {
+    val cnts = transform(vals, v => size(filter(vals, w => w === v)))
+    val target = if (most) array_max(cnts) else array_min(cnts)
+    array_min(zip_with(vals, cnts, (v, c) => when(c === target, v)))
+  }
+
+  /** Cell-wise count of distinct non-NoData values across layers
+    * (geotrellis local Variety). All-NoData cells stay NoData. */
+  def localVariety(others: Seq[RasterLayer]): RasterLayer =
+    nAryLayer(others, vals => size(array_distinct(vals)).cast("double"))
+
+  /** Cell-wise most frequent value across layers (local Majority). */
+  def localMajority(others: Seq[RasterLayer]): RasterLayer =
+    nAryLayer(others, extremeByCount(_, most = true))
+
+  /** Cell-wise least frequent value across layers (local Minority). */
+  def localMinority(others: Seq[RasterLayer]): RasterLayer =
+    nAryLayer(others, extremeByCount(_, most = false))
+
+  /** Cell-wise mean over the non-NoData layers (local Mean). */
+  def localMeanLayer(others: Seq[RasterLayer]): RasterLayer =
+    nAryLayer(others, vals => aggregate(vals, lit(0.0), _ + _) / size(vals))
+
+  /** All four N-ary stats at once as cells — the oracle surface:
+    * (x, y, variety, majority, minority, mean5). `mean5` is exact for
+    * integral-valued layers (integer sum, one IEEE division) and
+    * rounded to 5 places on both sides. */
+  def localStats(others: Seq[RasterLayer]): DataFrame = {
+    val vdf = nAryValsDf(others)
+    val cells = vdf
+      .select(keyCols.map(vdf.col) :+ posexplode(col("vt")).as(Seq("off", "vals")): _*)
+      .where(size(col("vals")) > 0)
+      .withColumn("x", col("col").cast("long") * tc + col("off") % tc)
+      .withColumn("y", col("row").cast("long") * tr + floor(col("off") / tc).cast("long"))
+      .withColumn("cnts", transform(col("vals"), v => size(filter(col("vals"), w => w === v))))
+      .withColumn("mx", array_max(col("cnts")))
+      .withColumn("mn", array_min(col("cnts")))
+    cells.select(col("x"), col("y"),
+      size(array_distinct(col("vals"))).cast("long").as("variety"),
+      array_min(zip_with(col("vals"), col("cnts"), (v, c) => when(c === col("mx"), v))).as("majority"),
+      array_min(zip_with(col("vals"), col("cnts"), (v, c) => when(c === col("mn"), v))).as("minority"),
+      round(aggregate(col("vals"), lit(0.0), _ + _) / size(col("vals")), 5).as("mean5"))
+  }
+
   /** map_tiles / map_cells parity (layer.py:700,721): localMap IS the
     * cell-function map; tile-function maps take Column->Column over
     * the whole array. */

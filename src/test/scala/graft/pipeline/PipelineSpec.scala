@@ -233,6 +233,41 @@ class PipelineSpec extends SparkSpec {
     assert(d1 == d2)
   }
 
+  test("bm25: matched docs only, tf saturation, idf favors rarer terms") {
+    val corpus = Seq(
+      (1L, "table table spark scan", "en", "s", 20L),
+      (2L, "table row row scan", "en", "s", 20L),
+      (3L, "row scan filter sort", "en", "s", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.bm25(corpus, Seq("table", "spark"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 3 matches nothing and is absent; hit counts are per-term
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 2L && out(2L)._1 == 1L)
+    // doc 1 matches both terms incl. the rarer 'spark' -> higher score
+    assert(out(1L)._2 > out(2L)._2)
+    assert(out.values.forall(_._2 > 0.0))
+  }
+
+  test("classifier: unigram+bigram feature count, determinism, sign label") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma", "en", "s", 20L),
+      (2L, "alpha beta gamma", "en", "s", 20L),
+      (3L, "solo", "en", "s", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.classifierScore(corpus)
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // 3 words -> 3 unigrams + 2 bigrams; 1 word -> no bigrams
+    assert(out(1L)._1 == 5L && out(3L)._1 == 1L)
+    // identical text -> identical score (hash + weights deterministic)
+    assert(out(1L) == out(2L))
+    // label is the score sign, scores normalized into [-1, 1]
+    out.values.foreach { case (_, s, l) =>
+      assert(l == (if (s > 0) 1L else 0L) || s == 0.0)
+      assert(s >= -1.0 && s <= 1.0)
+    }
+  }
+
   test("contamination: asymmetric containment finds a probe quoted in a larger doc") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon", "en", "s", 30L), // probe
