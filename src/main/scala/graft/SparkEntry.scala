@@ -660,6 +660,19 @@ object SparkEntry {
       flat(Catalog.query(s, uri, "lineitem_q", 4, 64, 0, 192, 128))
     }),
 
+    "q_catalog_dsv2" -> ((s, dir) => {
+      // SQL-facing catalog read through the "graft" DataSource V2:
+      // key predicates push into the source (footer file pruning +
+      // parquet record filter) instead of a driver-side query helper
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      Catalog.write(uri, "li_dsv2", lineitemLayer(s, dir), zoom = 4)
+      val df = s.read.format("graft")
+        .option("path", uri).option("layer", "li_dsv2").option("zoom", "4")
+        .load()
+        .where(col("col").between(1, 2) && col("row") <= 1)
+      RasterLayer.tilesToCells(df, T, T)
+    }),
+
     "q_catalog_geom" -> ((s, dir) => {
       // geometry-scoped read (key_conversion geometry_to_keys +
       // catalog query): whole tiles intersecting the WKT rect — the
@@ -2016,6 +2029,11 @@ object SparkEntry {
       "q_geotiff_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
 
       "q_catalog_query" ->
+        s"SELECT x, y, v FROM ($grid) WHERE x >= 64 AND x < 192 AND y < 128",
+
+      // the DSv2 read over tile cols 1..2, rows 0..1 — same slice as
+      // q_catalog_query, reached through the Spark source API
+      "q_catalog_dsv2" ->
         s"SELECT x, y, v FROM ($grid) WHERE x >= 64 AND x < 192 AND y < 128",
 
       // tile-level pruning: the rect (70,10)-(190,100) intersects tile

@@ -1,0 +1,326 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.metadata.BlockMetaData
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.CellType
+
+/** Spark DataSource V2 facade over the graft tile catalog:
+  *
+  * {{{
+  *   spark.read.format("graft")
+  *     .option("path", storeUri).option("layer", "nlcd").option("zoom", "4")
+  *     .load()
+  *     .where($"col" >= 1 && $"col" <= 2 && $"row" === 0)
+  * }}}
+  *
+  * yields `col INT, row INT[, instant BIGINT], tile ARRAY<DOUBLE>` —
+  * the RasterLayer physical model — with the catalog's native-width
+  * cell packing decoded in the reader. This is the SQL-facing twin of
+  * [[Catalog.read]]/[[Catalog.query]] (reference catalog.py:117):
+  * instead of a driver-side helper shaping the plan, Catalyst sees a
+  * real V2 relation, so key predicates written in SQL push down
+  * (`SupportsPushDownFilters`) and column pruning reaches the parquet
+  * scan (`SupportsPushDownRequiredColumns`).
+  *
+  * Pushdown path: col/row/instant range predicates narrow a key box;
+  * planning prunes whole files via parquet footer min/max statistics
+  * on those columns (the [[Catalog.candidateTileFiles]] idea,
+  * generalized from a point to a box — the write path's zindex sort
+  * makes per-file col/row ranges tight), and each surviving file's
+  * reader re-applies the box as a parquet-mr record filter, skipping
+  * row groups by the same statistics. Spark re-evaluates the
+  * predicates post-scan, so partially-handled filters stay correct.
+  *
+  * Scale shape: one InputPartition per surviving parquet file (the
+  * write path sizes files via repartitionByRange, so files are the
+  * natural work unit); a 100 TB store prunes to the queried extent
+  * before any task launches. The session's Hadoop configuration is
+  * carried to executors as plain properties, so object-store
+  * credentials and endpoints survive the trip.
+  */
+final class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTable.schemaFor(GraftTable.optsFrom(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftTable(new CaseInsensitiveStringMap(properties))
+}
+
+private[catalog] object GraftTable {
+  final case class Opts(uri: String, layer: String, zoom: Int)
+
+  def optsFrom(m: CaseInsensitiveStringMap): Opts = {
+    val uri = Option(m.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft source needs option 'path' (store uri)"))
+    val layer = Option(m.get("layer")).getOrElse(
+      throw new IllegalArgumentException("graft source needs option 'layer'"))
+    Opts(uri, layer, Option(m.get("zoom")).map(_.toInt).getOrElse(0))
+  }
+
+  def schemaFor(opts: Opts): StructType = {
+    val meta = Catalog.readMetadata(opts.uri, opts.layer, opts.zoom)
+    val keys = Seq(StructField("col", IntegerType), StructField("row", IntegerType)) ++
+      (if (meta.temporal) Seq(StructField("instant", LongType)) else Nil)
+    StructType(keys :+ StructField("tile", ArrayType(DoubleType)))
+  }
+
+  /** The session Hadoop conf flattened to serializable properties. */
+  def confProps(): Map[String, String] = {
+    val conf = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
+    conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
+  def confFrom(props: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
+/** Key box accumulated from pushed filters; Int/Long.MinValue..MaxValue
+  * when unconstrained. */
+private[catalog] final case class KeyBox(
+    cMin: Long = Int.MinValue, cMax: Long = Int.MaxValue,
+    rMin: Long = Int.MinValue, rMax: Long = Int.MaxValue,
+    tMin: Long = Long.MinValue, tMax: Long = Long.MaxValue) {
+
+  def narrowed(name: String, lo: Long, hi: Long): KeyBox = name match {
+    case "col"     => copy(cMin = math.max(cMin, lo), cMax = math.min(cMax, hi))
+    case "row"     => copy(rMin = math.max(rMin, lo), rMax = math.min(rMax, hi))
+    case "instant" => copy(tMin = math.max(tMin, lo), tMax = math.min(tMax, hi))
+    case _         => this
+  }
+
+  def boundsFor(name: String): (Long, Long) = name match {
+    case "col"     => (cMin, cMax)
+    case "row"     => (rMin, rMax)
+    case "instant" => (tMin, tMax)
+  }
+}
+
+private[catalog] object KeyBox {
+  private val keyNames = Set("col", "row", "instant")
+
+  /** Fold a v1 filter into the box; None when the filter doesn't
+    * constrain a key column (left to Spark's post-scan evaluation). */
+  def apply(box: KeyBox, f: Filter): Option[KeyBox] = f match {
+    case EqualTo(a, v: Number) if keyNames(a) =>
+      Some(box.narrowed(a, v.longValue, v.longValue))
+    case GreaterThan(a, v: Number) if keyNames(a) =>
+      Some(box.narrowed(a, v.longValue + 1, Long.MaxValue))
+    case GreaterThanOrEqual(a, v: Number) if keyNames(a) =>
+      Some(box.narrowed(a, v.longValue, Long.MaxValue))
+    case LessThan(a, v: Number) if keyNames(a) =>
+      Some(box.narrowed(a, Long.MinValue, v.longValue - 1))
+    case LessThanOrEqual(a, v: Number) if keyNames(a) =>
+      Some(box.narrowed(a, Long.MinValue, v.longValue))
+    case In(a, vs) if keyNames(a) && vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+      val ls = vs.map(_.asInstanceOf[Number].longValue)
+      Some(box.narrowed(a, ls.min, ls.max))
+    case _ => None
+  }
+}
+
+private[catalog] final class GraftTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val opts = GraftTable.optsFrom(options)
+
+  override def name(): String = s"graft:${opts.layer}@z${opts.zoom}"
+  override def schema(): StructType = GraftTable.schemaFor(opts)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(opts, schema())
+}
+
+private[catalog] final class GraftScanBuilder(opts: GraftTable.Opts, full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  private var box: KeyBox = KeyBox()
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable = filters.filter { f =>
+      KeyBox(box, f) match {
+        case Some(b) => box = b; true
+        case None    => false
+      }
+    }
+    pushed = usable
+    filters // source-side pruning is best-effort; Spark re-checks all
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(s: StructType): Unit =
+    // preserve table column order whatever order Catalyst asks in
+    required = StructType(full.fields.filter(f => s.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new GraftScan(opts, required, box)
+}
+
+private[catalog] final case class GraftInputPartition(file: String) extends InputPartition
+
+private[catalog] final class GraftScan(opts: GraftTable.Opts, required: StructType, box: KeyBox)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan layer=${opts.layer} zoom=${opts.zoom} box=$box columns=${required.fieldNames.mkString(",")}"
+
+  /** One partition per parquet file surviving footer min/max pruning
+    * on the key box. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = GraftTable.confFrom(GraftTable.confProps())
+    val dir = new Path(s"${opts.uri}/${opts.layer}/tiles/zoom=${opts.zoom}")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try {
+          val hit = reader.getFooter.getBlocks.asScala.exists(blockOverlaps)
+          if (hit) Some(GraftInputPartition(st.getPath.toString)) else None
+        } finally reader.close()
+      }
+      .toArray
+  }
+
+  private def blockOverlaps(b: BlockMetaData): Boolean = {
+    def ok(name: String): Boolean = {
+      val (lo, hi) = box.boundsFor(name)
+      b.getColumns.asScala.find(_.getPath.toDotString == name).forall { cc =>
+        val s = cc.getStatistics
+        s == null || !s.hasNonNullValue || {
+          (s.genericGetMin, s.genericGetMax) match {
+            case (mn: Number, mx: Number) => mx.longValue >= lo && mn.longValue <= hi
+            case _                        => true // unexpected stats type: cannot prune
+          }
+        }
+      }
+    }
+    ok("col") && ok("row") && (!required.fieldNames.contains("instant") || ok("instant"))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val meta = Catalog.readMetadata(opts.uri, opts.layer, opts.zoom)
+    GraftReaderFactory(required, meta.cellType, box, GraftTable.confProps())
+  }
+}
+
+private[catalog] final case class GraftReaderFactory(
+    required: StructType, cellType: String, box: KeyBox,
+    confProps: Map[String, String]) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition].file,
+      required, cellType, box, confProps)
+}
+
+/** Reads one catalog parquet file as InternalRows: parquet-mr record
+  * filter from the key box (row-group skip via statistics), column
+  * projection via the requested read schema, native-width tile decode.
+  */
+private[catalog] final class GraftPartitionReader(
+    file: String, required: StructType, cellType: String, box: KeyBox,
+    confProps: Map[String, String]) extends PartitionReader[InternalRow] {
+
+  private val conf = GraftTable.confFrom(confProps)
+  private val ct = CellType.fromName(cellType)
+  private val isPacked = cellType != "float64"
+
+  private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
+    val path = new Path(file)
+    // project the file schema down to the requested columns (plus one
+    // key column when everything was pruned, e.g. count(*))
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    val fileSchema = try footer.getFooter.getFileMetaData.getSchema finally footer.close()
+    val wanted = if (required.isEmpty) Seq("col") else required.fieldNames.toSeq
+    val projected = new org.apache.parquet.schema.MessageType(fileSchema.getName,
+      fileSchema.getFields.asScala.filter(f => wanted.contains(f.getName)).asJava)
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projected.toString)
+    val b = ParquetReader.builder(new GroupReadSupport(), path).withConf(conf)
+    predicate(required).fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
+  }
+
+  /** Key-box bounds as a parquet-mr predicate over the projected
+    * columns only (a filter on a non-read column is invalid). */
+  private def predicate(s: StructType): Option[FilterPredicate] = {
+    def range(name: String): Seq[FilterPredicate] = {
+      val (lo, hi) = box.boundsFor(name)
+      val isInt = name != "instant"
+      val (defLo, defHi) =
+        if (isInt) (Int.MinValue.toLong, Int.MaxValue.toLong)
+        else (Long.MinValue, Long.MaxValue)
+      val mk: Long => FilterPredicate = if (isInt) {
+        v => FilterApi.gtEq(FilterApi.intColumn(name), Int.box(v.toInt))
+      } else { v => FilterApi.gtEq(FilterApi.longColumn(name), Long.box(v)) }
+      val mkHi: Long => FilterPredicate = if (isInt) {
+        v => FilterApi.ltEq(FilterApi.intColumn(name), Int.box(v.toInt))
+      } else { v => FilterApi.ltEq(FilterApi.longColumn(name), Long.box(v)) }
+      (if (lo > defLo) Seq(mk(lo)) else Nil) ++ (if (hi < defHi) Seq(mkHi(hi)) else Nil)
+    }
+    val names = s.fieldNames.toSet
+    val ps = Seq("col", "row", "instant").filter(names.contains).flatMap(range)
+    ps.reduceOption(FilterApi.and)
+  }
+
+  private var current: org.apache.parquet.example.data.Group = _
+
+  override def next(): Boolean = { current = reader.read(); current != null }
+
+  override def get(): InternalRow = {
+    val g = current
+    val vals: Array[Any] = required.fields.map { f =>
+      f.name match {
+        case "col" | "row" => g.getInteger(f.name, 0)
+        case "instant"     => g.getLong(f.name, 0)
+        case "tile" =>
+          val arr =
+            if (isPacked) ct.unpack(g.getBinary("tile", 0).getBytes)
+            else {
+              // Spark's list encoding: tile (LIST) > repeated list > element
+              val list = g.getGroup("tile", 0)
+              val n = list.getFieldRepetitionCount(0)
+              Array.tabulate(n)(i => list.getGroup(0, i).getDouble(0, 0))
+            }
+          ArrayData.toArrayData(arr)
+        case other => throw new IllegalStateException(s"unexpected column $other")
+      }
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}

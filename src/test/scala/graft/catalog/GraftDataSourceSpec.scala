@@ -1,0 +1,91 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{Extent, LayoutDefinition, TileLayout}
+import graft.raster.RasterLayer
+
+/** The "graft" DataSource V2: schema, roundtrip, filter pushdown +
+  * file pruning, column pruning, packed cell types, temporal stores. */
+class GraftDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+
+  def layer(cells: (Long, Long, Double)*): RasterLayer =
+    RasterLayer.fromCells(cells.toSeq.toDF("x", "y", "v"), layout)
+
+  def readGraft(dir: String, name: String, zoom: Int = 0) =
+    spark.read.format("graft")
+      .option("path", dir).option("layer", name).option("zoom", zoom.toString)
+      .load()
+
+  test("roundtrip: schema and tiles match Catalog.read") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    val l = layer((0, 0, 1.0), (3, 3, 2.0), (5, 6, 4.0))
+    Catalog.write(dir, "t", l, zoom = 2)
+    val df = readGraft(dir, "t", zoom = 2)
+    assert(df.columns.toSeq == Seq("col", "row", "tile"))
+    val viaDsv2 = RasterLayer.tilesToCells(df, 4, 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaDsv2 == Set((0L, 0L, 1.0), (3L, 3L, 2.0), (5L, 6L, 4.0)))
+  }
+
+  test("filter pushdown prunes files before tasks launch") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    // force multiple output files: one tile per shuffle partition
+    val cells = for (t <- 0 until 4) yield ((t % 2) * 4L, (t / 2) * 4L, (t + 1).toDouble)
+    Catalog.write(dir, "t", layer(cells: _*), zoom = 0)
+    val all = readGraft(dir, "t")
+    val narrowed = all.where(col("col") === 0 && col("row") === 0)
+    // physical scan carries the pushed filters
+    val plan = narrowed.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftScan"), plan)
+    def partitions(df: org.apache.spark.sql.DataFrame): Int = {
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      scan.inputPartitions.size
+    }
+    val (pAll, pNarrow) = (partitions(all), partitions(narrowed))
+    assert(pNarrow < pAll || pAll == 1, s"no pruning: $pNarrow vs $pAll")
+    assert(narrowed.count() == 1)
+    // results still correct after pruning
+    assert(RasterLayer.tilesToCells(narrowed, 4, 4)
+      .as[(Long, Long, Double)].collect().toSet == Set((0L, 0L, 1.0)))
+  }
+
+  test("column pruning: selecting keys skips tile decode") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    Catalog.write(dir, "t", layer((0, 0, 1.0), (5, 5, 2.0)))
+    val keys = readGraft(dir, "t").select("col", "row")
+      .as[(Int, Int)].collect().toSet
+    assert(keys == Set((0, 0), (1, 1)))
+    // count(*) prunes everything and still counts records
+    assert(readGraft(dir, "t").count() == 2)
+  }
+
+  test("packed cell types decode through the reader") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    val l = layer((1, 1, 3.0), (6, 2, 250.0)).convertCellType("uint8")
+    Catalog.write(dir, "t8", l)
+    val back = RasterLayer.tilesToCells(readGraft(dir, "t8"), 4, 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(back == Set((1L, 1L, 3.0), (6L, 2L, 250.0)))
+  }
+
+  test("temporal store exposes instant and pushes its range") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    val cells = Seq((0L, 0L, 10L, 1.0), (0L, 0L, 20L, 2.0), (5L, 5L, 20L, 3.0))
+      .toDF("x", "y", "instant", "v")
+    Catalog.write(dir, "tt", RasterLayer.fromCellsTemporal(cells, layout))
+    val df = readGraft(dir, "tt")
+    assert(df.columns.toSeq == Seq("col", "row", "instant", "tile"))
+    val at20 = df.where(col("instant") === 20L)
+    assert(at20.select("col", "row", "instant").as[(Int, Int, Long)].collect().toSet ==
+      Set((0, 0, 20L), (1, 1, 20L)))
+  }
+}
