@@ -325,6 +325,11 @@ object SparkEntry {
     "q_euclidean_distance" -> ((s, dir) =>
       Distance.euclidean(s, supplierPoints(s, dir), layout)),
 
+    "q_euclidean_allocation" -> ((s, dir) =>
+      // nearest-source id per cell (gdal_proximity companion); exact
+      // integer squared distances, ties to the smallest pid
+      Distance.allocation(s, supplierPoints(s, dir), layout)),
+
     "q_idw" -> ((s, dir) =>
       // IDW surface from the supplier points (pv = pid % 97 + 1,
       // stated in the oracle); 16-cell radius, power 2, exact-hit rule
@@ -417,10 +422,32 @@ object SparkEntry {
       // walls, pits/flats code 0
       graft.raster.Hydrology.flowDirection(lineitemCells(s, dir), G, G)),
 
+    "q_sieve" -> ((s, dir) =>
+      // gdal_sieve single pass over the q_region_group labels: regions
+      // under 3 cells adopt the class of their largest 4-adjacent
+      // region (ties -> smallest region id); isolated islands keep cls
+      graft.raster.RegionGroup.sieve(
+        graft.raster.RegionGroup.regionGroup(
+          lineitemCells(s, dir).select(col("x"), col("y"), col("v").cast("long").as("vv"))
+            .where(pmod(col("vv"), lit(4)) === 0)
+            .select(col("x"), col("y"), pmod(col("vv"), lit(3)).as("cls")),
+          gridCols = G),
+        minSize = 3)),
+
     "q_flow_accum" -> ((s, dir) =>
       // upstream drainage counts along the D8 graph (unit weights);
       // hash-noise terrain keeps flow paths short (depth ~6 at sf0.01)
       graft.raster.Hydrology.flowAccumulation(lineitemCells(s, dir), G, G)),
+
+    "q_watershed" -> ((s, dir) =>
+      // drainage-basin labels: every cell takes its terminal pit's
+      // linear id (pointer doubling above the driver-walk guard)
+      graft.raster.Hydrology.watershed(lineitemCells(s, dir), G, G)),
+
+    "q_stream_order" -> ((s, dir) =>
+      // Strahler order over the full D8 forest (fixpoint above the
+      // guarded topological driver pass)
+      graft.raster.Hydrology.streamOrder(lineitemCells(s, dir), G, G)),
 
     "q_viewshed" -> ((s, dir) =>
       // observer tower at (128,128), eye elevation 100, 24-cell radius
@@ -1144,6 +1171,12 @@ object SparkEntry {
       // shape) with pinned arithmetic weights
       pipeline.TextAnalysis.classifierScore(table(s, dir, "documents"))),
 
+    "q_dsir" -> ((s, dir) =>
+      // DSIR importance scores: target = English docs, raw = the rest;
+      // hashed unigram+bigram buckets, micro-nat quantized log-ratios
+      pipeline.TextAnalysis.dsirScore(table(s, dir, "documents"),
+        col("lang") === "en")),
+
     // --- LLM-pipeline: multimodal plumbing (stubbed decode)
     "q_multimodal_meta" -> ((s, dir) =>
       pipeline.Multimodal.metadata(pipeline.Multimodal.asBlobs(table(s, dir, "documents")))),
@@ -1366,6 +1399,45 @@ object SparkEntry {
          |f AS (SELECT x, y, greatest($dlist) AS best, $dlist FROM d),
          |fdir AS (SELECT x, y, CAST(CASE WHEN best <= 0 THEN 0 $cascade END AS BIGINT) AS dir FROM f)""".stripMargin
     if (tail.trim.startsWith("SELECT")) s"$ctes\n$tail" else s"$ctes,\n$tail"
+  }
+
+  /** Linear-id out-edges of the D8 graph (one per non-pit cell) — the
+    * shared `e` CTE behind q_flow_accum / q_watershed / q_stream_order. */
+  private val d8EdgeCte: String =
+    s"""e AS (SELECT y * 256 + x AS src,
+       |    CASE dir WHEN 1 THEN y * 256 + x + 1 WHEN 2 THEN (y + 1) * 256 + x + 1
+       |      WHEN 4 THEN (y + 1) * 256 + x WHEN 8 THEN (y + 1) * 256 + x - 1
+       |      WHEN 16 THEN y * 256 + x - 1 WHEN 32 THEN (y - 1) * 256 + x - 1
+       |      WHEN 64 THEN (y - 1) * 256 + x ELSE (y - 1) * 256 + x + 1 END AS dst
+       |  FROM fdir WHERE dir <> 0)""".stripMargin
+
+  /** Strahler fixpoint unrolled `rounds` times (the cost-distance
+    * unrolled-Bellman-Ford precedent): each round rebuilds every
+    * cell's (max upstream order, contributor count at that max) and
+    * applies the Strahler bump. `rounds` must cover the drainage-tree
+    * depth at the gate's scale factor (hash-noise terrain is depth ~6
+    * at sf0.01; the engine iterates to the true fixpoint at any SF).
+    * pk packs (ord, k) as ord * 16 + k — at most 8 upstream neighbors,
+    * so k < 16 keeps the pack lexicographic. */
+  private def streamOrderSql(rounds: Int): String = {
+    // MATERIALIZED on every round: DuckDB inlines plain CTEs, so the
+    // unrolled chain would re-evaluate the whole upstream tree per
+    // reference (the cost-distance unrolled-Bellman-Ford precedent)
+    val body = (1 to rounds).map { r =>
+      s"""u$r AS (SELECT e.dst AS id, o.ord FROM e JOIN o${r - 1} o ON o.id = e.src),
+         |g$r AS (SELECT id, ord, count(*) AS k FROM u$r GROUP BY 1, 2),
+         |m$r AS (SELECT id, max(ord * 16 + k) AS pk FROM g$r GROUP BY 1),
+         |o$r AS MATERIALIZED (SELECT c.id, coalesce(CASE WHEN m.pk % 16 >= 2 THEN m.pk // 16 + 1
+         |          ELSE m.pk // 16 END, 1) AS ord
+         |        FROM c LEFT JOIN m$r m ON m.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    flowDirSql(
+      s"""c AS MATERIALIZED (SELECT y * 256 + x AS id FROM fdir),
+         |${d8EdgeCte.replace("e AS (", "e AS MATERIALIZED (")},
+         |o0 AS (SELECT id, CAST(1 AS BIGINT) AS ord FROM c),
+         |$body
+         |SELECT f.x, f.y, CAST(o.ord AS BIGINT) AS ord
+         |FROM fdir f JOIN o$rounds o ON o.id = f.y * 256 + f.x""".stripMargin)
   }
 
   def oracleSql: Map[String, String] = {
@@ -1642,6 +1714,17 @@ object SparkEntry {
            |FROM range(0, 256) t1, range(0, 256) t2, ($pts) p
            |GROUP BY 1, 2""".stripMargin,
 
+      // nearest-source argmin on EXACT integer squared distances
+      // (points are half-cell-aligned), ties to the smallest pid
+      "q_euclidean_allocation" ->
+        s"""WITH d AS (SELECT t1.range AS x, t2.range AS y, p.pid,
+           |        CAST((t1.range + 0.5 - p.px) * (t1.range + 0.5 - p.px) +
+           |             (t2.range + 0.5 - p.py) * (t2.range + 0.5 - p.py) AS BIGINT) AS d2
+           |      FROM range(0, 256) t1, range(0, 256) t2, ($pts) p),
+           |r AS (SELECT x, y, pid, d2,
+           |        row_number() OVER (PARTITION BY x, y ORDER BY d2, pid) AS rk FROM d)
+           |SELECT x, y, pid, d2 FROM r WHERE rk = 1""".stripMargin,
+
       // per-point 16-radius disk -> per-cell exact integer weight sums
       // (w_q = round(1e9/d^2); d^2 is integral for half-cell-aligned
       // points) -> one division; d = 0 takes the point value verbatim
@@ -1738,6 +1821,26 @@ object SparkEntry {
            |  st.xmin, st.ymin, st.xmax, st.ymax
            |FROM st LEFT JOIN nb USING (region)""".stripMargin,
 
+      // single-pass sieve over the SAME labels: regions under 3 cells
+      // take the class of their largest 4-adjacent region (area DESC,
+      // region id ASC = the engine's min-struct argmax); islands with
+      // no neighbor keep their class
+      "q_sieve" ->
+        s"""WITH RECURSIVE $regionLabelsCte,
+           |info AS (SELECT region, CAST(count(*) AS BIGINT) AS area, min(cls) AS rcls
+           |         FROM lab GROUP BY 1),
+           |adj AS (SELECT DISTINCT a.region, b.region AS nbr FROM lab a JOIN lab b ON
+           |          ((b.x = a.x + 1 AND b.y = a.y) OR (b.x = a.x - 1 AND b.y = a.y) OR
+           |           (b.x = a.x AND b.y = a.y + 1) OR (b.x = a.x AND b.y = a.y - 1))
+           |          AND b.region <> a.region),
+           |best AS (SELECT region, ncls FROM (
+           |    SELECT adj.region, i.rcls AS ncls,
+           |      row_number() OVER (PARTITION BY adj.region ORDER BY i.area DESC, adj.nbr) AS rk
+           |    FROM adj JOIN info i ON i.region = adj.nbr) WHERE rk = 1)
+           |SELECT l.x, l.y,
+           |  CAST(CASE WHEN i.area < 3 THEN coalesce(b.ncls, l.cls) ELSE l.cls END AS BIGINT) AS cls
+           |FROM lab l JOIN info i USING (region) LEFT JOIN best b USING (region)""".stripMargin,
+
       "q_flow_direction" -> flowDirSql(s"SELECT x, y, dir FROM fdir"),
 
       // R3 viewshed: NN-sampled rays, signed-square integer angle
@@ -1770,17 +1873,27 @@ object SparkEntry {
       // token walk as a recursive CTE over the single-out-edge D8
       // graph (acyclic by strict descent); acc = visits per cell
       "q_flow_accum" -> flowDirSql(
-        s"""e AS (SELECT y * 256 + x AS src,
-           |    CASE dir WHEN 1 THEN y * 256 + x + 1 WHEN 2 THEN (y + 1) * 256 + x + 1
-           |      WHEN 4 THEN (y + 1) * 256 + x WHEN 8 THEN (y + 1) * 256 + x - 1
-           |      WHEN 16 THEN y * 256 + x - 1 WHEN 32 THEN (y - 1) * 256 + x - 1
-           |      WHEN 64 THEN (y - 1) * 256 + x ELSE (y - 1) * 256 + x + 1 END AS dst
-           |  FROM fdir WHERE dir <> 0),
+        s"""$d8EdgeCte,
            |p AS (SELECT src AS start, dst AS cur FROM e
            |  UNION ALL SELECT p.start, e.dst FROM p JOIN e ON e.src = p.cur),
            |a AS (SELECT cur, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
            |SELECT f.x, f.y, coalesce(a.cnt, 0) AS acc
            |FROM fdir f LEFT JOIN a ON a.cur = f.y * 256 + f.x""".stripMargin),
+
+      // the SAME walk kept only at its terminal (a pit has no
+      // out-edge): basin label = terminal pit id; pits label themselves
+      "q_watershed" -> flowDirSql(
+        s"""${d8EdgeCte.replace("e AS (", "e AS MATERIALIZED (")},
+           |p AS (SELECT src AS start, dst AS cur FROM e
+           |  UNION ALL SELECT p.start, e.dst FROM p JOIN e ON e.src = p.cur),
+           |t AS (SELECT start, cur AS basin FROM p
+           |      WHERE cur NOT IN (SELECT src FROM e))
+           |SELECT f.x, f.y, CAST(coalesce(t.basin, f.y * 256 + f.x) AS BIGINT) AS basin
+           |FROM fdir f LEFT JOIN t ON t.start = f.y * 256 + f.x""".stripMargin),
+
+      // Strahler fixpoint, 12 unrolled rounds (covers the sf0.01
+      // drainage depth with margin; see streamOrderSql)
+      "q_stream_order" -> streamOrderSql(12),
 
       "q_histogram" ->
         s"""WITH g AS ($grid), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM g)
@@ -2823,6 +2936,27 @@ object SparkEntry {
           |  round(CAST(sum(wt) AS DOUBLE) / (count(*) * 500001.0), 5) AS score,
           |  CAST(CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
           |FROM wt GROUP BY 1""".stripMargin,
+
+      // DSIR: per-bucket target/raw log-ratio quantized ONCE to
+      // micro-nats (lm_score contract), exact integer per-doc sums
+      "q_dsir" ->
+        """WITH ws AS (SELECT doc_id, lang = 'en' AS tgt,
+          |        regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+          |f AS (SELECT doc_id, tgt,
+          |        unnest(list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]))) AS f
+          |      FROM ws),
+          |bk AS (SELECT doc_id, tgt, ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS b FROM f),
+          |h AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+          |        sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr FROM bk GROUP BY 1),
+          |t AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM h),
+          |lr AS (SELECT h.b,
+          |        CAST(round((ln((h.ct + CAST(1.0 AS DOUBLE)) / (t.nt + CAST(1024.0 AS DOUBLE))) -
+          |                    ln((h.cr + CAST(1.0 AS DOUBLE)) / (t.nr + CAST(1024.0 AS DOUBLE)))) *
+          |          1000000.0) AS BIGINT) AS lr_q
+          |      FROM h, t)
+          |SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+          |  CAST(sum(lr.lr_q) AS DOUBLE) / 1000000.0 AS logw
+          |FROM bk JOIN lr USING (b) GROUP BY 1""".stripMargin,
 
       "q_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

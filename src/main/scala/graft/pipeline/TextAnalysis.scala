@@ -387,6 +387,58 @@ object TextAnalysis {
         (col("raw") > 0).cast("long").as("label"))
   }
 
+  /** DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): documents are scored
+    * by how much more likely their hashed-ngram features are under a
+    * TARGET distribution than under the RAW corpus distribution —
+    * log w(doc) = sum over features of [log p_t(b) - log p_r(b)], with
+    * unigram+bigram features hashed into `buckets` buckets and add-1
+    * smoothing on both bucket distributions. Downstream, resampling
+    * keeps documents proportionally to w (the sampling itself is the
+    * Curation surface; this operator is the score).
+    *
+    * Scale shape: ONE feature scan (checkpointed — both the bucket
+    * histogram and the per-doc scorer consume it); the target/raw
+    * bucket histogram is a `buckets`-row aggregate with map-side
+    * combine; totals are a 1-row broadcast; scoring joins the
+    * `buckets`-row log-ratio table back (AQE broadcasts it) and ends
+    * in the one per-doc groupBy. No driver-side model state.
+    *
+    * Determinism (the lm_score contract): each bucket's log-ratio is
+    * quantized ONCE to micro-nats (BIGINT), per-doc sums are exact
+    * integer sums, and the single trailing division is engine-stable.
+    *
+    * @param isTarget row predicate selecting the target corpus
+    * @return (doc_id, n_feats, logw) — logw in nats */
+  def dsirScore(docs: DataFrame, isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val ws = docs.select(col("doc_id"), isTarget.as("tgt"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+    val feats = ws.select(col("doc_id"), col("tgt"),
+        explode(concat(col("w"),
+          when(size(col("w")) >= 2,
+            transform(sequence(lit(1), size(col("w")) - 1), i =>
+              concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+            .otherwise(array().cast("array<string>")))).as("f"))
+      .select(col("doc_id"), col("tgt"),
+        (conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long") % buckets).as("b"))
+      .localCheckpoint()
+    val hist = feats.groupBy("b").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    val tot = hist.agg(sum("ct").cast("long").as("nt"),
+      sum("cr").cast("long").as("nr"))
+    val lr = hist.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round((log((col("ct") + lit(1.0)) / (col("nt") + lit(buckets.toDouble))) -
+               log((col("cr") + lit(1.0)) / (col("nr") + lit(buckets.toDouble)))) *
+          lit(1000000.0)).cast("long").as("lr_q"))
+    feats.join(lr, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lr_q").cast("long").as("s"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("s") / lit(1000000.0)).as("logw"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 3, minTermLen: Int = 3): DataFrame = {
     // tf computed once, eagerly: df and the join both consume it, and
     // a lazy plan would re-run the explode+regexp scan per branch

@@ -94,6 +94,86 @@ object Distance {
       .toDF("x", "y", "v")
   }
 
+  /** Euclidean ALLOCATION: every cell of the layout takes the id of
+    * its nearest source point (the gdal_proximity / ArcGIS Euclidean
+    * Allocation companion of [[euclidean]]; geotrellis pairs the same
+    * distance kernel with a zone output). Ties break to the smallest
+    * pid.
+    *
+    * Same tile-wise pruned-gather shape as [[euclidean]] — points
+    * broadcast under the [[MaxPoints]] guard, each tile drops every
+    * point whose circumscribed-circle lower bound exceeds the tile's
+    * best upper bound (a tied argmin always survives: its distance at
+    * the tying cell IS the tile bound, so `center - rad <= best`
+    * holds by the triangle inequality). Narrow plan, zero shuffles.
+    *
+    * Determinism: for half-cell-aligned points (px - 0.5 integral —
+    * the operator's documented contract, shared with the IDW oracle)
+    * the squared distance `(x+0.5-px)^2 + (y+0.5-py)^2` is an exact
+    * integer, so the (d2, pid) argmin is exact integer arithmetic with
+    * no float compare anywhere.
+    *
+    * @return (x, y, pid, d2) — d2 the exact squared distance (BIGINT)
+    */
+  def allocation(spark: SparkSession, points: DataFrame, layout: LayoutDefinition,
+                 maxPoints: Int = MaxPoints): DataFrame = {
+    import spark.implicits._
+    val tl = layout.tileLayout
+    val (tc, tr, lc, lr) = (tl.tileCols, tl.tileRows, tl.layoutCols, tl.layoutRows)
+    val pts = points.select(col("pid").cast("long"),
+        col("px").cast("double"), col("py").cast("double"))
+      .limit(maxPoints + 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    require(pts.length <= maxPoints,
+      s"allocation: more than $maxPoints source points — too large to broadcast; " +
+        "rasterize the points and use costDistanceTiled with unit friction instead")
+    require(pts.forall { case (_, px, py) =>
+      (px - 0.5) == math.floor(px - 0.5) && (py - 0.5) == math.floor(py - 0.5) },
+      "allocation: points must be half-cell-aligned (px - 0.5 integral) so the " +
+        "squared-distance argmin is exact")
+    val bc = spark.sparkContext.broadcast(pts)
+    val nTiles = lc.toLong * lr
+    spark.range(0, nTiles, 1, math.min(nTiles, spark.sparkContext.defaultParallelism).toInt)
+      .as[Long]
+      .flatMap { t =>
+        val all = bc.value
+        if (all.isEmpty) Iterator.empty
+        else {
+          val tx = (t % lc).toInt; val ty = (t / lc).toInt
+          val x0 = tx.toLong * tc; val y0 = ty.toLong * tr
+          val cx = x0 + tc / 2.0; val cy = y0 + tr / 2.0
+          val rad = math.sqrt((tc - 1.0) * (tc - 1.0) + (tr - 1.0) * (tr - 1.0)) / 2.0
+          val center = new Array[Double](all.length)
+          var best = Double.MaxValue
+          var i = 0
+          while (i < all.length) {
+            val dx = cx - all(i)._2; val dy = cy - all(i)._3
+            val d = math.sqrt(dx * dx + dy * dy)
+            center(i) = d
+            if (d + rad < best) best = d + rad
+            i += 1
+          }
+          val bestU = best + 1e-9 * (1.0 + best)
+          val cand = all.indices.collect { case i if center(i) - rad <= bestU => all(i) }
+          Iterator.tabulate(tc * tr) { o =>
+            val x = x0 + o % tc; val y = y0 + o / tc
+            var bd2 = Long.MaxValue; var bpid = Long.MaxValue
+            var j = 0
+            while (j < cand.length) {
+              val (pid, px, py) = cand(j)
+              // exact: both factors are integral-valued doubles
+              val dx = (x + 0.5 - px); val dy = (y + 0.5 - py)
+              val d2 = (dx * dx + dy * dy).toLong
+              if (d2 < bd2 || (d2 == bd2 && pid < bpid)) { bd2 = d2; bpid = pid }
+              j += 1
+            }
+            (x, y, bpid, bd2)
+          }
+        }
+      }
+      .toDF("x", "y", "pid", "d2")
+  }
+
   /** Cost distance (friction-weighted shortest path from sources) via
     * per-tile multi-source Dijkstra with halo frontier exchange — the
     * scale-correct distributed SSSP shape: each round runs Dijkstra to

@@ -1,5 +1,7 @@
 package graft.raster
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -151,5 +153,166 @@ object Hydrology {
     val acc = rounds.reduce(_ union _).groupBy("id").agg(sum("cnt").as("cnt"))
     dirs.join(acc, (col("y") * gridCols + col("x")) === acc("id"), "left")
       .select(col("x"), col("y"), coalesce(col("cnt"), lit(0L)).cast("long").as("acc"))
+  }
+
+  /** (from, to) linear-id out-edges of the D8 graph — one per non-pit
+    * cell (shared by accumulation / watershed / stream order). */
+  private def d8Edges(dirs: DataFrame, gridCols: Long): DataFrame =
+    dirs.where(col("dir") =!= 0)
+      .select((col("y") * gridCols + col("x")).as("from"),
+        Dirs.map { case (dx, dy, code) =>
+          when(col("dir") === code,
+            (col("y") + dy) * gridCols + (col("x") + dx))
+        }.reduce(coalesce(_, _)).as("to"))
+
+  /** Watershed labeling (ESRI Basin semantics): every cell takes the
+    * linear id of the PIT its D8 flow path terminates in; pits label
+    * themselves. Basins partition the grid into drainage areas.
+    *
+    * Scale shape: pointer DOUBLING over the single-out-edge flow graph
+    * — each round joins the successor table with itself
+    * (`succ = succ o succ`), so a depth-D flow path resolves in
+    * ceil(log2 D) rounds, not D (flowAccumulation walks rounds = depth
+    * because it must VISIT every cell on the way; a basin label only
+    * needs the endpoint, which is exactly what doubling shortcuts).
+    * Each round is one equi-join + localCheckpoint; convergence is a
+    * count on the checkpointed result (a pointer is final when its
+    * target is final). Small graphs take the guarded driver walk with
+    * path memoization (flowAccumulation precedent).
+    */
+  def watershed(cells: DataFrame, gridCols: Long, gridRows: Long,
+                maxDriverEdges: Long = 1L << 22): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val dirs = flowDirection(cells, gridCols, gridRows).localCheckpoint()
+    val edge = d8Edges(dirs, gridCols).localCheckpoint()
+    val id = col("y") * gridCols + col("x")
+    if (edge.count() <= maxDriverEdges) {
+      val next = new mutable.HashMap[Long, Long]()
+      edge.as[(Long, Long)].collect().foreach { case (f, t) => next(f) = t }
+      // iterative memoized walk (recursion could deepen past the JVM
+      // stack on long channels): unwind each path onto a list first
+      val term = new mutable.HashMap[Long, Long]()
+      next.keysIterator.foreach { start =>
+        var path = List.empty[Long]
+        var cur = start
+        while (!term.contains(cur) && next.contains(cur)) {
+          path = cur :: path
+          cur = next(cur)
+        }
+        val basin = term.getOrElse(cur, cur)
+        path.foreach(c => term(c) = basin)
+      }
+      val lab = broadcast(term.toSeq.toDF("id", "basin"))
+      return dirs.join(lab, id === lab("id"), "left")
+        .select(col("x"), col("y"),
+          coalesce(col("basin"), id).cast("long").as("basin"))
+    }
+    // succ(c) = out-edge target, or self for pits — total function, so
+    // doubling composes cleanly
+    var succ = dirs.join(edge, id === edge("from"), "left")
+      .select(id.as("id"), coalesce(col("to"), id).as("nxt"))
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done) {
+      require(round < 64, "watershed: pointer doubling exceeded 64 rounds — " +
+        "the flow graph has a cycle, which strict-descent D8 cannot produce")
+      val j = succ.as("a").join(succ.as("b"), col("a.nxt") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.nxt").as("nxt"),
+          (col("a.nxt") =!= col("b.nxt")).as("chg"))
+        .localCheckpoint()
+      done = j.where(col("chg")).isEmpty
+      succ = j.select("id", "nxt")
+      round += 1
+    }
+    dirs.join(succ, id === succ("id"))
+      .select(col("x"), col("y"), col("nxt").cast("long").as("basin"))
+  }
+
+  /** Strahler stream order over the full D8 drainage forest (Strahler
+    * 1957; the geotrellis/ESRI StreamOrder operation with every cell
+    * treated as stream): cells with no upstream contributor are order
+    * 1; a cell whose upstream max order k is contributed by >= 2
+    * neighbors gets k + 1, otherwise k.
+    *
+    * Scale shape: monotone fixpoint — each round joins current orders
+    * onto the out-edges and rebuilds per-cell (max order, count at
+    * max) with a two-level aggregate (groupBy (cell, ord) count, then
+    * max-struct per cell — both map-side combine). Orders only grow
+    * and are bounded by log2(cells), so round count = drainage-tree
+    * DEPTH, with per-round convergence read off sum(ord) (monotone).
+    * The guarded driver fast path computes the same fixpoint in one
+    * topological pass (flowAccumulation precedent).
+    */
+  def streamOrder(cells: DataFrame, gridCols: Long, gridRows: Long,
+                  maxRounds: Int = 0,
+                  maxDriverEdges: Long = 1L << 22): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val dirs = flowDirection(cells, gridCols, gridRows).localCheckpoint()
+    val edge = d8Edges(dirs, gridCols).localCheckpoint()
+    val id = col("y") * gridCols + col("x")
+    if (edge.count() <= maxDriverEdges) {
+      val next = new mutable.HashMap[Long, Long]()
+      val indeg = new mutable.HashMap[Long, Int]()
+      edge.as[(Long, Long)].collect().foreach { case (f, t) =>
+        next(f) = t
+        indeg(t) = indeg.getOrElse(t, 0) + 1
+      }
+      val ord = new mutable.HashMap[Long, Int]()
+      val best = new mutable.HashMap[Long, Int]()   // max child order seen
+      val bestK = new mutable.HashMap[Long, Int]()  // children at that max
+      val remaining = new mutable.HashMap[Long, Int]() ++= indeg
+      // Kahn topological pass: leaves first, each settles its target
+      var queue = next.keysIterator.filter(c => !indeg.contains(c)).toList ++
+        dirs.where(col("dir") === 0).select(id.cast("long")).as[Long].collect()
+          .filter(c => !indeg.contains(c)).toList
+      while (queue.nonEmpty) {
+        val c = queue.head; queue = queue.tail
+        val m = best.getOrElse(c, 0)
+        val o = if (m == 0) 1 else if (bestK(c) >= 2) m + 1 else m
+        ord(c) = o
+        next.get(c).foreach { t =>
+          val bm = best.getOrElse(t, 0)
+          if (o > bm) { best(t) = o; bestK(t) = 1 }
+          else if (o == bm) bestK(t) = bestK(t) + 1
+          remaining(t) -= 1
+          if (remaining(t) == 0) queue = t :: queue
+        }
+      }
+      val lab = broadcast(ord.toSeq.toDF("id", "ord"))
+      return dirs.join(lab, id === lab("id"), "left")
+        .select(col("x"), col("y"),
+          coalesce(col("ord"), lit(1)).cast("long").as("ord"))
+    }
+    val ids = dirs.select(id.as("id")).localCheckpoint()
+    // depth bound: strict descent never revisits, so cells is safe
+    val maxRounds0 = if (maxRounds > 0) maxRounds
+      else math.min(gridCols * gridRows, Int.MaxValue.toLong).toInt
+    var ord = ids.select(col("id"), lit(1L).as("ord")).localCheckpoint()
+    var prevSum = -1L
+    var round = 0
+    var done = false
+    while (!done) {
+      require(round <= maxRounds0,
+        s"streamOrder: fixpoint not reached in $maxRounds0 rounds — raise maxRounds")
+      val up = edge.join(ord, edge("from") === ord("id"))
+        .select(col("to").as("id"), col("ord"))
+      val grp = up.groupBy("id", "ord").agg(count(lit(1)).as("k"))
+      val mk = grp.groupBy("id")
+        .agg(max(struct(col("ord"), col("k"))).as("mk"))
+        .select(col("id"),
+          when(col("mk.k") >= 2, col("mk.ord") + 1).otherwise(col("mk.ord")).as("o2"))
+      ord = ids.join(mk, Seq("id"), "left")
+        .select(col("id"), coalesce(col("o2"), lit(1L)).as("ord"))
+        .localCheckpoint()
+      val s = ord.agg(sum("ord")).as[Long].head()
+      done = s == prevSum
+      prevSum = s
+      round += 1
+    }
+    dirs.join(ord, id === ord("id"))
+      .select(col("x"), col("y"), col("ord").cast("long").as("ord"))
   }
 }

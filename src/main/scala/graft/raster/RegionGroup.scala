@@ -156,4 +156,53 @@ object RegionGroup {
         (lit(4) * col("area") - coalesce(col("same"), lit(0L))).as("perimeter"),
         col("xmin"), col("ymin"), col("xmax"), col("ymax"))
   }
+
+  /** Sieve filter (the gdal_sieve / ESRI Nibble-by-majority shape,
+    * single pass): every region smaller than `minSize` cells has its
+    * cells reclassified to the class of its LARGEST 4-adjacent region
+    * (ties break to the smallest region id); a small region with no
+    * adjacent region at all (an isolated island on a sparse grid)
+    * keeps its class. One pass over the ORIGINAL labels — a merge
+    * target that is itself small is not re-merged (gdal_sieve iterates
+    * to a fixpoint; the single application is this operator's
+    * documented contract and the oracle restates it).
+    *
+    * Scale shape: per-region area/class aggregate (state = regions,
+    * map-side combine), the vectorize neighbor-claim explode + one
+    * (x, y) equi-join for adjacency, a min-struct argmax per small
+    * region, and one broadcast-friendly region->newcls join back onto
+    * the cells. No window functions, no driver state.
+    *
+    * @param labeled (x, y, cls, region) — regionGroup output
+    * @return (x, y, cls) after reclassification */
+  def sieve(labeled: DataFrame, minSize: Long): DataFrame = {
+    val l = labeled.select(col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"), col("cls").cast("long").as("cls"),
+        col("region").cast("long").as("region"))
+      .localCheckpoint() // consumed by the info agg, the claim join, and the output
+    val info = l.groupBy("region")
+      .agg(count(lit(1)).as("area"), min("cls").as("rcls"))
+    val claims = l.select(col("region"), explode(array(
+        struct((col("x") + 1).as("x"), col("y").as("y")),
+        struct((col("x") - 1).as("x"), col("y").as("y")),
+        struct(col("x").as("x"), (col("y") + 1).as("y")),
+        struct(col("x").as("x"), (col("y") - 1).as("y")))).as("n"))
+      .select(col("n.x").as("x"), col("n.y").as("y"), col("region"))
+    // (region, adjacent region) pairs; duplicates are harmless under
+    // the min-struct argmax, so no distinct shuffle
+    val adj = claims.join(l.select(col("x"), col("y"), col("region").as("nbr")),
+        Seq("x", "y"))
+      .where(col("region") =!= col("nbr"))
+      .select(col("region"), col("nbr"))
+    val best = adj.join(info.select(col("region").as("nbr"),
+        col("area").as("narea"), col("rcls").as("ncls")), Seq("nbr"))
+      .groupBy("region")
+      .agg(min(struct((-col("narea")).as("na"), col("nbr"), col("ncls"))).as("b"))
+      .select(col("region"), col("b.ncls").as("newcls"))
+    l.join(info, Seq("region"))
+      .join(best, Seq("region"), "left")
+      .select(col("x"), col("y"),
+        when(col("area") < minSize, coalesce(col("newcls"), col("cls")))
+          .otherwise(col("cls")).as("cls"))
+  }
 }

@@ -268,6 +268,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dsir: target-like docs score positive, raw-like negative, identical texts equal") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "cat dog", "en", "s", 10L), (2L, "cat dog", "en", "s", 10L),
+      (3L, "fish bird", "xx", "s", 10L), (4L, "fish bird", "xx", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.dsirScore(corpus, col("lang") === "en")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // 2 words -> 2 unigrams + 1 bigram
+    assert(out.values.forall(_._1 == 3L))
+    // every feature of docs 1/2 has target count 2, raw 0 (and vice
+    // versa): log-ratios are symmetric ln(3/1) per feature modulo
+    // bucket collisions, so signs and pairwise equality must hold
+    assert(out(1L) == out(2L) && out(3L) == out(4L))
+    assert(out(1L)._2 > 0.0 && out(3L)._2 < 0.0)
+    // nt == nr here, so the scores are exactly antisymmetric
+    assert(math.abs(out(1L)._2 + out(3L)._2) < 1e-9)
+  }
+
   test("contamination: asymmetric containment finds a probe quoted in a larger doc") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon", "en", "s", 30L), // probe

@@ -122,4 +122,29 @@ class DistanceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("source points"))
   }
+
+  test("allocation: nearest pid per cell, exact-d2 ties to the smallest pid") {
+    import graft.core.{Extent, LayoutDefinition, TileLayout}
+    val lo = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+    // half-cell-aligned points 4 apart on the same row: cell (4,2)
+    // (center 4.5) is exactly d2=4 from both -> pid 1 wins the tie
+    val pts = Seq((1L, 2.5, 2.5), (2L, 6.5, 2.5)).toDF("pid", "px", "py")
+    val a = Distance.allocation(spark, pts, lo)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(a.size == 64)
+    assert(a((2L, 2L)) == ((1L, 0L)))     // on point 1
+    assert(a((6L, 2L)) == ((2L, 0L)))     // on point 2
+    assert(a((0L, 0L)) == ((1L, 8L)))     // clearly nearer point 1
+    assert(a((7L, 7L)) == ((2L, 26L)))    // clearly nearer point 2
+    assert(a((4L, 2L)) == ((1L, 4L)))     // exact tie -> smaller pid
+  }
+
+  test("allocation rejects points off the half-cell grid") {
+    val pts = Seq((1L, 1.2, 6.5)).toDF("pid", "px", "py")
+    val e = intercept[IllegalArgumentException] {
+      Distance.allocation(spark, pts, layout)
+    }
+    assert(e.getMessage.contains("half-cell-aligned"))
+  }
 }

@@ -83,4 +83,51 @@ class HydrologySpec extends SparkSpec {
     // (0,0): SE into (1,1); (0,2): NE into (1,1); (1,1): E into (2,1)
     assert(acc == Map((0L, 0L) -> 0L, (0L, 2L) -> 0L, (1L, 1L) -> 2L, (2L, 1L) -> 3L))
   }
+
+  /** Two-pit valley: column x<2 drains to the (1,2) pit, x>=2 to the
+    * (3,0) pit (gridCols = 4 -> pit ids 9 and 3). */
+  private val twoBasins = Seq(
+    (0L, 0L, 5.0), (1L, 1L, 3.0), (1L, 2L, 1.0),
+    (2L, 0L, 5.0), (3L, 0L, 0.5))
+
+  test("watershed: every cell labels with its terminal pit; pits label themselves") {
+    val w = Hydrology.watershed(twoBasins.toDF("x", "y", "v"), 4, 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // (0,0) -> SE (1,1) -> S (1,2) pit id 2*4+1 = 9
+    assert(w((0L, 0L)) == 9L && w((1L, 1L)) == 9L && w((1L, 2L)) == 9L)
+    // (2,0) -> E (3,0) pit id 3
+    assert(w((2L, 0L)) == 3L && w((3L, 0L)) == 3L)
+  }
+
+  test("watershed: pointer doubling (guard forced off) matches the driver walk") {
+    val byDriver = Hydrology.watershed(twoBasins.toDF("x", "y", "v"), 4, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val byDoubling = Hydrology.watershed(twoBasins.toDF("x", "y", "v"), 4, 4,
+        maxDriverEdges = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(byDoubling == byDriver && byDriver.nonEmpty)
+  }
+
+  test("strahler: two order-1 heads make an order-2 junction; single chains keep order") {
+    // (0,0) and (2,0) drain diagonally into (1,1), which drains S into
+    // the (1,2) pit: heads 1, junction 2, pit stays 2 (one child at max)
+    val v = Seq((0L, 0L, 5.0), (2L, 0L, 5.0), (1L, 1L, 3.0), (1L, 2L, 1.0))
+    val o = Hydrology.streamOrder(v.toDF("x", "y", "v"), 4, 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(o == Map((0L, 0L) -> 1L, (2L, 0L) -> 1L, (1L, 1L) -> 2L, (1L, 2L) -> 2L))
+  }
+
+  test("strahler: distributed fixpoint (guard forced off) matches the driver pass") {
+    // deterministic hash-noise terrain, 12x12: junction-rich forest
+    val noise = for (x <- 0L until 12L; y <- 0L until 12L)
+      yield (x, y, ((x * 73 + y * 151 + 7) % 97).toDouble)
+    val byDriver = Hydrology.streamOrder(noise.toDF("x", "y", "v"), 12, 12)
+      .as[(Long, Long, Long)].collect().toSet
+    val byLoop = Hydrology.streamOrder(noise.toDF("x", "y", "v"), 12, 12,
+        maxDriverEdges = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(byLoop == byDriver && byDriver.size == 144)
+    // a junction-bearing forest must contain an order >= 2 somewhere
+    assert(byDriver.exists(_._3 >= 2L))
+  }
 }

@@ -79,4 +79,35 @@ class RegionGroupSpec extends SparkSpec {
     // area 4, perimeter 8 (4*4 - 2*4 shared edges)
     assert(v(45L) == ((45L, 5L, 4L, 8L, 5L, 5L, 6L, 6L)))
   }
+
+  test("sieve: small regions adopt the largest neighbor's class; islands keep theirs") {
+    // row strip A (cls 1, 3 cells), singleton B (cls 2) under A's
+    // middle, singleton C (cls 3) at the far corner with no neighbor
+    val g = Seq(
+      (0L, 0L, 1L), (1L, 0L, 1L), (2L, 0L, 1L),
+      (1L, 1L, 2L),
+      (7L, 7L, 3L)).toDF("x", "y", "cls")
+    val labeled = RegionGroup.regionGroup(g, gridCols = 8)
+    val out = RegionGroup.sieve(labeled, minSize = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 1L)) == 1L)                         // B absorbed into A
+    assert(out((7L, 7L)) == 3L)                         // island keeps cls
+    assert(out((0L, 0L)) == 1L && out((2L, 0L)) == 1L)  // A untouched
+    assert(out.size == 5)
+  }
+
+  test("sieve: equal-area neighbor tie breaks to the smallest region id") {
+    // two 2-cell regions flank a singleton: left {(0,1),(1,1)} cls 5
+    // (region id 8), right {(3,1),(4,1)} cls 7 (region id 11); the
+    // singleton (2,1) cls 9 touches both -> adopts cls 5 (region 8 < 11)
+    val g = Seq(
+      (0L, 1L, 5L), (1L, 1L, 5L),
+      (2L, 1L, 9L),
+      (3L, 1L, 7L), (4L, 1L, 7L)).toDF("x", "y", "cls")
+    val out = RegionGroup.sieve(RegionGroup.regionGroup(g, gridCols = 8), minSize = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((2L, 1L)) == 5L)
+    // the flanking regions are >= minSize and stay
+    assert(out((0L, 1L)) == 5L && out((4L, 1L)) == 7L)
+  }
 }
