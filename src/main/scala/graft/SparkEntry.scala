@@ -208,6 +208,15 @@ object SparkEntry {
       ZonalOps.zonalStats(lineitemLayer(s, dir), zones)
     }),
 
+    "q_zonal_majority" -> ((s, dir) => {
+      // per-zone modal / rarest cell value (ties -> smallest value)
+      // and distinct-value count
+      val zones = RasterLayer.fromCells(
+        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
+        layout)
+      ZonalOps.zonalMajority(lineitemLayer(s, dir), zones)
+    }),
+
     "q_zonal_pct" -> ((s, dir) => {
       // per-cell percent of zone total: (v*100) div zoneSum, exact
       val zones = RasterLayer.fromCells(
@@ -335,6 +344,15 @@ object SparkEntry {
       // stated in the oracle); 16-cell radius, power 2, exact-hit rule
       Interpolate.idw(
         supplierPoints(s, dir).withColumn("value", col("pid") % 97 + 1),
+        layout)),
+
+    "q_tin" -> ((s, dir) =>
+      // Delaunay TIN over the 11 suppliers with pid <= 10 (fixed pid
+      // formulas -> fixed triangulation, stated as literals in the
+      // oracle), barycentric fill inside the hull
+      Interpolate.tin(s,
+        supplierPoints(s, dir).where(col("pid") <= 10)
+          .withColumn("value", col("pid") % 97 + 1),
         layout)),
 
     "q_geom_measures" -> ((s, dir) => {
@@ -1075,6 +1093,11 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       pipeline.TextAnalysis.unigramLmScore(table(s, dir, "documents"))),
 
+    "q_bigram_lm" -> ((s, dir) =>
+      // add-one bigram model with <s> BOS contexts; per-pair micro-nat
+      // quantization, exact per-doc sums
+      pipeline.TextAnalysis.bigramLmScore(table(s, dir, "documents"))),
+
     "q_cms_sketch" -> ((s, dir) =>
       // 4 x 256 count-min sketch of the token frequency stream
       pipeline.Sketch.countMinSketch(table(s, dir, "documents"))),
@@ -1632,6 +1655,20 @@ object SparkEntry {
            |FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y
            |GROUP BY 1""".stripMargin,
 
+      // (zone, value) histogram -> min-packed argmax/argmin with the
+      // engine's smallest-value tie rule
+      "q_zonal_majority" ->
+        s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid)),
+           |c AS (SELECT CAST(z.zone AS BIGINT) AS zone, CAST(g.v AS BIGINT) AS v,
+           |        count(*) AS cnt
+           |      FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y GROUP BY 1, 2),
+           |mx AS (SELECT zone, max(cnt) AS mc, min(cnt) AS nc, count(*) AS variety
+           |       FROM c GROUP BY 1)
+           |SELECT c.zone, CAST(mx.variety AS BIGINT) AS variety,
+           |  min(CASE WHEN c.cnt = mx.mc THEN c.v END) AS majority,
+           |  min(CASE WHEN c.cnt = mx.nc THEN c.v END) AS minority
+           |FROM c JOIN mx USING (zone) GROUP BY 1, 2""".stripMargin,
+
       "q_zonal_pct" ->
         s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid)),
            |s AS (SELECT z.zone, CAST(sum(g.v) AS BIGINT) AS zsum
@@ -1724,6 +1761,48 @@ object SparkEntry {
            |r AS (SELECT x, y, pid, d2,
            |        row_number() OVER (PARTITION BY x, y ORDER BY d2, pid) AS rk FROM d)
            |SELECT x, y, pid, d2 FROM r WHERE rk = 1""".stripMargin,
+
+      // Delaunay TIN: the triangulation of the 10 FIXED formula points
+      // is computed by the same exact-predicate code at oracle-build
+      // time and stated as pid-triple literals (the LSH planeWeights
+      // precedent); everything else — barycentric cross products on
+      // doubled integer coords, the single closing division — is
+      // restated in SQL
+      "q_tin" -> {
+        // s_suppkey starts at 0, so pid <= 10 is ELEVEN points
+        val tinPts = (0 to 10).map { pid =>
+          (pid.toLong, (pid * 13 % 256) + 0.5, (pid * 29 % 256) + 0.5) }
+        val tris = graft.vector.Delaunay.triangulate(
+          tinPts.map(p => (p._2, p._3)).toArray)
+        val vals = tris.zipWithIndex.map { case ((a, b, c), t) =>
+          s"($t, ${tinPts(a)._1}, ${tinPts(b)._1}, ${tinPts(c)._1})" }.mkString(", ")
+        s"""WITH p AS (SELECT s_suppkey AS pid,
+           |        CAST(2 * (s_suppkey * 13 % 256) + 1 AS BIGINT) AS qx,
+           |        CAST(2 * (s_suppkey * 29 % 256) + 1 AS BIGINT) AS qy,
+           |        CAST(s_suppkey % 97 + 1 AS BIGINT) AS z
+           |      FROM supplier WHERE s_suppkey <= 10),
+           |tri AS (SELECT * FROM (VALUES $vals) AS t(tid, pa, pb, pc)),
+           |tv AS (SELECT t.tid, a.qx AS ax, a.qy AS ay, a.z AS az,
+           |               b.qx AS bx, b.qy AS by, b.z AS bz,
+           |               c.qx AS cx, c.qy AS cy, c.z AS cz
+           |       FROM tri t JOIN p a ON a.pid = t.pa
+           |         JOIN p b ON b.pid = t.pb JOIN p c ON c.pid = t.pc),
+           |cells AS (SELECT t1.range AS x, t2.range AS y,
+           |            2 * t1.range + 1 AS qx, 2 * t2.range + 1 AS qy
+           |          FROM range(0, 256) t1, range(0, 256) t2),
+           |w AS (SELECT cells.x, cells.y, tv.tid,
+           |        (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) AS det,
+           |        (bx - qx) * (cy - qy) - (by - qy) * (cx - qx) AS wa,
+           |        (cx - qx) * (ay - qy) - (cy - qy) * (ax - qx) AS wb,
+           |        (ax - qx) * (by - qy) - (ay - qy) * (bx - qx) AS wc,
+           |        az, bz, cz
+           |      FROM cells, tv),
+           |i AS (SELECT *, row_number() OVER (PARTITION BY x, y ORDER BY tid) AS rk
+           |      FROM w WHERE (det > 0 AND wa >= 0 AND wb >= 0 AND wc >= 0)
+           |              OR (det < 0 AND wa <= 0 AND wb <= 0 AND wc <= 0))
+           |SELECT x, y, CAST(wa * az + wb * bz + wc * cz AS DOUBLE) / det AS v
+           |FROM i WHERE rk = 1""".stripMargin
+      },
 
       // per-point 16-radius disk -> per-cell exact integer weight sums
       // (w_q = round(1e9/d^2); d^2 is integral for half-cell-aligned
@@ -2776,6 +2855,25 @@ object SparkEntry {
           |       FROM v, tot),
           |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(lp_q) AS BIGINT) AS s
           |      FROM w JOIN lp USING (w) GROUP BY 1)
+          |SELECT doc_id, n_tokens, -s / (n_tokens * 1000000.0) AS nll FROM d""".stripMargin,
+
+      // bigram twin: (prev, word) pairs with a <s> BOS context,
+      // p(w|prev) = (c(prev,w)+1)/(c(prev)+V), per-pair micro-nats
+      "q_bigram_lm" ->
+        """WITH ws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+          |pr AS (SELECT doc_id,
+          |         unnest(list_transform(range(1, len(w) + 1), i ->
+          |           struct_pack(p := CASE WHEN i = 1 THEN '<s>' ELSE w[i - 1] END, t := w[i]))) AS pr
+          |       FROM ws WHERE len(w) >= 1),
+          |pp AS (SELECT doc_id, pr.p AS p, pr.t AS t FROM pr),
+          |pc AS (SELECT p, t, count(*) AS cnt FROM pp GROUP BY 1, 2),
+          |cc AS (SELECT p, CAST(sum(cnt) AS BIGINT) AS cp FROM pc GROUP BY 1),
+          |vv AS (SELECT count(DISTINCT t) AS nv FROM pc),
+          |lp AS (SELECT pc.p, pc.t,
+          |         CAST(round(ln((pc.cnt + 1.0) / (cc.cp + vv.nv)) * 1000000.0) AS BIGINT) AS lp_q
+          |       FROM pc JOIN cc USING (p), vv),
+          |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(lp_q) AS BIGINT) AS s
+          |      FROM pp JOIN lp USING (p, t) GROUP BY 1)
           |SELECT doc_id, n_tokens, -s / (n_tokens * 1000000.0) AS nll FROM d""".stripMargin,
 
       "q_cms_sketch" ->

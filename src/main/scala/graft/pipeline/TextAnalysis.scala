@@ -387,6 +387,44 @@ object TextAnalysis {
         (col("raw") > 0).cast("long").as("label"))
   }
 
+  /** Bigram LM quality score — the second-order CCNet/KenLM-shape
+    * companion of [[unigramLmScore]]: per-document mean negative
+    * log-probability under a corpus-trained bigram model with add-one
+    * smoothing, p(w | prev) = (c(prev, w) + 1) / (c(prev) + V), with a
+    * `<s>` BOS context for the first word and V = the distinct-word
+    * vocabulary size.
+    *
+    * Scale shape: one tokenizer scan produces the (prev, word) pair
+    * stream (checkpointed — the pair-count model and the scorer both
+    * consume it); pair counts and context totals are
+    * vocabulary-bounded aggregates with map-side combine; scoring is
+    * one equi-join on the pair key plus the per-doc groupBy. Same
+    * micro-nat quantization contract as unigramLmScore: each DISTINCT
+    * pair's log-prob quantizes once, per-doc sums are exact integers.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+    val pairs = ws.where(size(col("w")) >= 1)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w"))), i =>
+        struct(when(i === 1, lit("<s>")).otherwise(element_at(col("w"), i - 1)).as("p"),
+          element_at(col("w"), i).as("t")))).as("pr"))
+      .select(col("doc_id"), col("pr.p").as("p"), col("pr.t").as("t"))
+      .localCheckpoint()
+    val pairCnt = pairs.groupBy("p", "t").agg(count(lit(1)).as("cnt"))
+    val ctxCnt = pairCnt.groupBy("p").agg(sum("cnt").as("cp"))
+    val vocab = pairCnt.agg(countDistinct("t").as("nv"))
+    val logp = pairCnt.join(ctxCnt, "p").crossJoin(broadcast(vocab))
+      .select(col("p"), col("t"),
+        round(log((col("cnt") + lit(1.0)) / (col("cp") + col("nv"))) * lit(1000000.0))
+          .cast("long").as("lp_q"))
+    pairs.join(logp, Seq("p", "t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_q").cast("long").as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-col("s") / (col("n_tokens") * lit(1000000.0))).as("nll"))
+  }
+
   /** DSIR importance scoring (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): documents are scored
     * by how much more likely their hashed-ngram features are under a

@@ -59,6 +59,86 @@ object Interpolate {
           .otherwise(col("swv").cast("double") / col("sw").cast("double")).as("v"))
   }
 
+  /** TIN (triangulated-irregular-network) interpolation — the
+    * geotrellis `geotrellis.raster.triangulation` rasterization of a
+    * Delaunay TIN: triangulate the sample points, then fill every
+    * cell whose center falls inside a triangle with the barycentric
+    * linear interpolation of the three vertex values; cells outside
+    * the hull stay NoData (absent).
+    *
+    * Scale shape: the triangulation is a DRIVER-side solve over the
+    * operator's small sample argument (the kriging-fit precedent),
+    * guarded by `maxPoints`; the rasterization is fully distributed —
+    * the triangle list broadcasts and each layout tile scans only its
+    * own cells against the triangles whose bbox meets the tile.
+    *
+    * Determinism: half-cell-aligned points double to exact integers;
+    * the point-in-triangle tests and barycentric numerators are exact
+    * Long cross products; the ONLY float op is the final
+    * `(wa*za + wb*zb + wc*cz) / det` division. A cell on a shared
+    * edge or vertex is claimed by the first triangle in canonical
+    * order, but linear interpolation AGREES across shared boundaries,
+    * so the value is choice-independent.
+    *
+    * @param points (pid, px, py, `valueCol` integral), half-aligned
+    * @return cells (x, y, v) inside the hull */
+  def tin(spark: org.apache.spark.sql.SparkSession, points: DataFrame,
+          layout: LayoutDefinition, valueCol: String = "value",
+          maxPoints: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    val tl = layout.tileLayout
+    val (tc, tr, lc, lr) = (tl.tileCols, tl.tileRows, tl.layoutCols, tl.layoutRows)
+    val pts = points.select(col("pid").cast("long"), col("px").cast("double"),
+        col("py").cast("double"), col(valueCol).cast("long"))
+      .orderBy("pid").limit(maxPoints + 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    require(pts.length <= maxPoints,
+      s"tin: more than $maxPoints sample points — the triangulation is a " +
+        "driver-side solve; rasterize + resample for data-scale inputs")
+    val tris = graft.vector.Delaunay.triangulate(pts.map(p => (p._2, p._3)))
+    // (ax, ay, az, bx, by, bz, cx, cy, cz) in doubled coords, canonical order
+    val triArr = tris.map { case (i, j, k) =>
+      ((pts(i)._2 * 2).toLong, (pts(i)._3 * 2).toLong, pts(i)._4,
+       (pts(j)._2 * 2).toLong, (pts(j)._3 * 2).toLong, pts(j)._4,
+       (pts(k)._2 * 2).toLong, (pts(k)._3 * 2).toLong, pts(k)._4)
+    }
+    val bc = spark.sparkContext.broadcast(triArr)
+    val nTiles = lc.toLong * lr
+    spark.range(0, nTiles, 1, math.min(nTiles, spark.sparkContext.defaultParallelism).toInt)
+      .as[Long]
+      .flatMap { t =>
+        val all = bc.value
+        val tx = (t % lc).toInt; val ty = (t / lc).toInt
+        val x0 = tx.toLong * tc; val y0 = ty.toLong * tr
+        // doubled-coordinate tile bounds for the bbox prune
+        val bx0 = 2 * x0; val bx1 = 2 * (x0 + tc); val by0 = 2 * y0; val by1 = 2 * (y0 + tr)
+        val cand = all.filter { case (ax, ay, _, bx, by, _, cx, cy, _) =>
+          math.max(ax, math.max(bx, cx)) >= bx0 && math.min(ax, math.min(bx, cx)) <= bx1 &&
+          math.max(ay, math.max(by, cy)) >= by0 && math.min(ay, math.min(by, cy)) <= by1
+        }
+        if (cand.isEmpty) Iterator.empty
+        else Iterator.tabulate(tc * tr) { o =>
+          val x = x0 + o % tc; val y = y0 + o / tc
+          val qx = 2 * x + 1; val qy = 2 * y + 1
+          var v = Double.NaN
+          var j = 0
+          while (j < cand.length && v.isNaN) {
+            val (ax, ay, az, bx, by, bz, cx, cy, cz) = cand(j)
+            val det = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            val wa = (bx - qx) * (cy - qy) - (by - qy) * (cx - qx)
+            val wb = (cx - qx) * (ay - qy) - (cy - qy) * (ax - qx)
+            val wc = (ax - qx) * (by - qy) - (ay - qy) * (bx - qx)
+            val inside = if (det > 0) wa >= 0 && wb >= 0 && wc >= 0
+                         else wa <= 0 && wb <= 0 && wc <= 0
+            if (inside) v = (wa * az + wb * bz + wc * cz).toDouble / det
+            j += 1
+          }
+          (x, y, v)
+        }.filter(!_._3.isNaN)
+      }
+      .toDF("x", "y", "v")
+  }
+
   /** Kernel density — the geotrellis `KernelDensity` operation
     * (public): every point stamps a kernel onto the cells around it
     * and stamps sum per cell. The kernel is the Epanechnikov-family

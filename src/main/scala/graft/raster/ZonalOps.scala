@@ -207,6 +207,52 @@ object ZonalOps {
       .select(col("zone"), col("cnt"), col("vsum"), col("vmin"), col("vmax"), col("vmean"))
   }
 
+  /** Zonal majority / minority / variety (the geotrellis
+    * `Zonal.majority`/`minority` summaries over a zone raster): per
+    * zone, the most and least frequent cell VALUE (ties break to the
+    * smallest value — the focal Mode/Minority rule) and the distinct
+    * value count.
+    *
+    * Scale shape: the same per-partition Scala partial as
+    * [[zonalStats]], keyed by (zone, value) — only |zones x distinct
+    * values| rows per partition cross the first exchange; the second
+    * aggregation collapses to |zones| rows with min-struct argmax /
+    * argmin (map-side combine both times, no windows). Values follow
+    * the integral-cell oracle contract.
+    *
+    * @return (zone, variety, majority, minority) */
+  def zonalMajority(values: RasterLayer, zones: RasterLayer): DataFrame = {
+    val spark = values.spark
+    import spark.implicits._
+    val v = values.df.select(col("col"), col("row"), col("tile").as("_v"))
+    val z = zones.df.select(col("col"), col("row"), col("tile").as("_z"))
+    val parts = v.join(z, Seq("col", "row"))
+      .select(col("_v"), col("_z")).as[(Seq[Double], Seq[Double])]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        it.foreach { case (vs, zs) =>
+          val va = vs.toArray; val za = zs.toArray // List apply is O(n)
+          var i = 0
+          while (i < va.length) {
+            val vv = va(i); val zz = za(i)
+            if (!vv.isNaN && !zz.isNaN) {
+              val k = (zz.toLong, vv.toLong)
+              acc(k) = acc.getOrElse(k, 0L) + 1
+            }
+            i += 1
+          }
+        }
+        acc.iterator.map { case ((zz, vv), c) => (zz, vv, c) }
+      }.toDF("zone", "v", "cnt")
+    parts.groupBy("zone", "v").agg(sum("cnt").as("cnt"))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("variety"),
+        min(struct((-col("cnt")).as("nc"), col("v"))).as("mj"),
+        min(struct(col("cnt").as("c"), col("v"))).as("mn"))
+      .select(col("zone"), col("variety"),
+        col("mj.v").as("majority"), col("mn.v").as("minority"))
+  }
+
   /** Ceiling for [[zonalPercentage]]'s driver fast path: 2^21 zones
     * (~32 MB as a broadcast Long map). Above it the zone totals never
     * leave the cluster — the per-cell join fallback runs instead.

@@ -268,6 +268,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM: hand-computed add-one conditional probabilities with BOS context") {
+    // pairs: (<s>,a) x2, (a,b), (a,c); contexts <s>:2 a:2; V = 3
+    // p(a|<s>) = 3/5, p(b|a) = p(c|a) = 2/5
+    val d = Seq((1L, "a b", "en", "s", 1L), (2L, "a c", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.bigramLmScore(d)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val q1 = math.round(math.log(3.0 / 5.0) * 1e6) // (<s>,a)
+    val q2 = math.round(math.log(2.0 / 5.0) * 1e6) // (a,b) and (a,c)
+    assert(out(1L) == (2L, -(q1 + q2) / 2000000.0))
+    assert(out(2L) == out(1L)) // symmetric corpus
+  }
+
   test("dsir: target-like docs score positive, raw-like negative, identical texts equal") {
     import org.apache.spark.sql.functions.col
     val corpus = Seq(

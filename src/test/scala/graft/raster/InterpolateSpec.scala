@@ -91,4 +91,32 @@ class InterpolateSpec extends SparkSpec {
     }
     assert(surf((15L, 15L)) == 0.0) // > range from every sample
   }
+
+  test("tin: planar samples reproduce the plane exactly inside the hull") {
+    // corners of the 8x8 grid on the plane z(px,py) = px + py - 1
+    // (integral at half-aligned points); TIN linear interpolation must
+    // return x + y at every cell center, whichever diagonal wins
+    val pts = Seq(
+      (1L, 0.5, 0.5, 0L), (2L, 7.5, 0.5, 7L),
+      (3L, 0.5, 7.5, 7L), (4L, 7.5, 7.5, 14L))
+      .toDF("pid", "px", "py", "value")
+    val out = Interpolate.tin(spark, pts, layout8)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // hull covers cell centers x,y in 0..7 -> all 64 cells
+    assert(out.size == 64)
+    out.foreach { case ((x, y), v) => assert(v == (x + y).toDouble, s"at ($x,$y)") }
+  }
+
+  test("tin: vertex cells take the sample value; outside the hull stays NoData") {
+    // a thin triangle in the grid corner
+    val pts = Seq((1L, 0.5, 0.5, 10L), (2L, 4.5, 0.5, 20L), (3L, 0.5, 4.5, 30L))
+      .toDF("pid", "px", "py", "value")
+    val out = Interpolate.tin(spark, pts, layout8)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((0L, 0L)) == 10.0 && out((4L, 0L)) == 20.0 && out((0L, 4L)) == 30.0)
+    // midpoint of the hypotenuse
+    assert(out((2L, 2L)) == 25.0)
+    // outside the hull: absent
+    assert(!out.contains((4L, 4L)) && !out.contains((7L, 7L)))
+  }
 }

@@ -456,6 +456,17 @@ class RasterLayerSpec extends SparkSpec {
     }
   }
 
+  test("zonal majority/minority/variety with smallest-value ties") {
+    // zone 7: values 2,2,5 -> majority 2, minority 5, variety 2;
+    // zone 8: values 4,9 (tie both ways) -> majority 4, minority 4
+    val v = layer((0, 0, 2.0), (1, 0, 2.0), (2, 0, 5.0), (3, 0, 4.0), (0, 1, 9.0))
+    val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 7.0), (3, 0, 8.0), (0, 1, 8.0))
+    val out = ZonalOps.zonalMajority(v, z)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(7L) == ((2L, 2L, 5L)))
+    assert(out(8L) == ((2L, 4L, 4L)))
+  }
+
   test("rpow, layer pow, and cell-wise layer max") {
     val l = layer((0, 0, 2.0), (1, 0, 3.0))
     assert(cellsOf(l.rpow(2.0)) == Set((0L, 0L, 4.0), (1L, 0L, 8.0)))
