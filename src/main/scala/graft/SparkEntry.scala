@@ -208,6 +208,15 @@ object SparkEntry {
       ZonalOps.zonalStats(lineitemLayer(s, dir), zones)
     }),
 
+    "q_local_mask" -> ((s, dir) => {
+      // raster-mask sibling of the geometry mask: cells whose zone
+      // raster reads 65 ('A') become NoData
+      val zones = RasterLayer.fromCells(
+        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
+        layout)
+      lineitemLayer(s, dir).localMask(zones, readMask = 65).toCells
+    }),
+
     "q_zonal_majority" -> ((s, dir) => {
       // per-zone modal / rarest cell value (ties -> smallest value)
       // and distinct-value count
@@ -286,6 +295,23 @@ object SparkEntry {
       val feats = p.select(wkt.as("wkt"), col("pid").cast("double").as("v"))
       flat(graft.raster.Rasterize.fromWktFeatures(feats, layout))
     }),
+
+    "q_vector_tile" -> ((s, dir) =>
+      // MVT encode of the supplier points, one blob per layout tile;
+      // the binary column is exercised inside mapGroups (and pruned
+      // after), the oracle pins the per-tile feature assignment
+      graft.render.VectorTile.pointTiles(supplierPoints(s, dir), layout)
+        .select(col("col"), col("row"), col("n_features"))),
+
+    "q_geojson_roundtrip" -> ((s, dir) =>
+      // GeoJSON point-feature codec roundtrip, fully columnar: encode
+      // every supplier point with to_json, parse back with from_json
+      // (both codegen'd, no UDFs) and recover (pid, px, py)
+      supplierPoints(s, dir)
+        .select(graft.vector.GeoJson.pointFeature(
+          col("pid"), col("px"), col("py")).as("j"))
+        .select(graft.vector.GeoJson.parsePointFeature(col("j")).as("f"))
+        .select(col("f.pid").as("pid"), col("f.px").as("px"), col("f.py").as("py"))),
 
     "q_shapefile" -> ((s, dir) => {
       // real vector-file ingestion (shapefile.py:68): supplier points
@@ -1655,6 +1681,11 @@ object SparkEntry {
            |FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y
            |GROUP BY 1""".stripMargin,
 
+      "q_local_mask" ->
+        s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid))
+           |SELECT g.x, g.y, g.v FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y
+           |WHERE z.zone <> 65""".stripMargin,
+
       // (zone, value) histogram -> min-packed argmax/argmin with the
       // engine's smallest-value tie rule
       "q_zonal_majority" ->
@@ -1713,6 +1744,17 @@ object SparkEntry {
            |       FROM s WHERE pid % 2 = 1)
            |SELECT x, y, max(v) AS v
            |FROM (SELECT * FROM h UNION ALL SELECT * FROM vv) GROUP BY 1, 2""".stripMargin,
+
+      // the JSON text is engine-internal; what the oracle pins is that
+      // the encode->parse pair is the identity on (pid, px, py)
+      "q_geojson_roundtrip" -> s"SELECT pid, px, py FROM ($pts)",
+
+      // MVT blobs are spec-verified byte-exactly; the oracle pins the
+      // tile assignment and per-tile feature counts
+      "q_vector_tile" ->
+        s"""SELECT CAST(floor(px / 64) AS INT) AS col, CAST(floor(py / 64) AS INT) AS row,
+           |  count(*) AS n_features
+           |FROM ($pts) GROUP BY 1, 2""".stripMargin,
 
       "q_shapefile" ->
         s"""SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS INT) AS idx, px, py

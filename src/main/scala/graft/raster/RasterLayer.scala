@@ -119,6 +119,16 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   def localMaxLayer(other: RasterLayer): RasterLayer =
     localBinary(other, (a, b) => when(isnan(a) || isnan(b), lit(Double.NaN)).otherwise(greatest(a, b)))
 
+  /** Local mask by RASTER (geotrellis local.Mask / InverseMask, the
+    * raster sibling of the geometry mask): cells where the mask layer
+    * equals `readMask` (Mask) — or does NOT equal it (InverseMask) —
+    * become NoData; mask-NoData cells always mask. One co-keyed tile
+    * join + zip_with, same shuffle shape as every local binary op. */
+  def localMask(mask: RasterLayer, readMask: Double, inverse: Boolean = false): RasterLayer =
+    localBinary(mask, (v, m) =>
+      if (inverse) when(!isnan(m) && m === readMask, v).otherwise(lit(Double.NaN))
+      else when(isnan(m) || m === readMask, lit(Double.NaN)).otherwise(v))
+
   // ------------------------------------------------------------------
   // N-ary local algebra (geotrellis.raster.mapalgebra.local Variety /
   // Majority / Minority / Mean): one full-outer co-keyed join of all

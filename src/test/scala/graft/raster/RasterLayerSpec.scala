@@ -456,6 +456,18 @@ class RasterLayerSpec extends SparkSpec {
     }
   }
 
+  test("local mask by raster: Mask drops matching cells, InverseMask keeps only them") {
+    val v = layer((0, 0, 1.0), (1, 0, 2.0), (2, 0, 3.0), (3, 0, 4.0))
+    val m = layer((0, 0, 9.0), (1, 0, 5.0), (2, 0, 9.0)) // (3,0) mask-NoData
+    def cells(l: RasterLayer) = l.toCells
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // Mask(readMask=9): cells where mask == 9 OR mask is NoData drop
+    assert(cells(v.localMask(m, 9.0)) == Map((1L, 0L) -> 2.0))
+    // InverseMask: only cells where mask == 9 survive
+    assert(cells(v.localMask(m, 9.0, inverse = true)) ==
+      Map((0L, 0L) -> 1.0, (2L, 0L) -> 3.0))
+  }
+
   test("zonal majority/minority/variety with smallest-value ties") {
     // zone 7: values 2,2,5 -> majority 2, minority 5, variety 2;
     // zone 8: values 4,9 (tie both ways) -> majority 4, minority 4
