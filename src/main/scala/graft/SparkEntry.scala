@@ -185,6 +185,16 @@ object SparkEntry {
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
     "q_hillshade" -> ((s, dir) => flat(lineitemLayer(s, dir).hillshade())),
+    "q_hillshade_md" -> ((s, dir) =>
+      flat(lineitemLayer(s, dir).hillshadeMultidirectional())),
+    "q_curvature_profile" -> ((s, dir) => {
+      val l = lineitemLayer(s, dir).curvatureProfile()
+      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
+    "q_curvature_plan" -> ((s, dir) => {
+      val l = lineitemLayer(s, dir).curvaturePlan()
+      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
     "q_tobler" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).tobler()
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
@@ -1656,6 +1666,35 @@ object SparkEntry {
 
       "q_hillshade" ->
         hornSql("floor(greatest(0, 255 * (cos(radians(45)) * cos(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) + sin(radians(45)) * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) * cos(radians(315) - (CASE WHEN atan2(dzdy, -dzdx) < 0 THEN atan2(dzdy, -dzdx) + 2 * pi() ELSE atan2(dzdy, -dzdx) END)))))"),
+
+      // Mark 1992 multidirectional: four azimuth shades weighted by
+      // sin^2(aspect - az); weights of perpendicular azimuths sum to 2
+      "q_hillshade_md" -> {
+        val slope = "atan(sqrt(dzdx * dzdx + dzdy * dzdy))"
+        val asp = "(CASE WHEN atan2(dzdy, -dzdx) < 0 THEN atan2(dzdy, -dzdx) + 2 * pi() ELSE atan2(dzdy, -dzdx) END)"
+        def shade(az: Int) =
+          s"(cos(radians(45)) * cos($slope) + sin(radians(45)) * sin($slope) * cos(radians($az) - $asp))"
+        def w(az: Int) = s"(sin($asp - radians($az)) * sin($asp - radians($az)))"
+        val sum = Seq(225, 270, 315, 360).map(a => s"${w(a)} * ${shade(a)}").mkString(" + ")
+        hornSql(s"floor(greatest(0, 255 * ($sum) / 2.0))")
+      },
+
+      // Zevenbergen-Thorne directional curvatures over the same 3x3,
+      // flat windows (G^2 + H^2 = 0) emit 0; engine op order restated
+      "q_curvature_profile" -> {
+        val (d, e) = ("(((n4 + n6) / 2.0 - n5) / 1.0)", "(((n2 + n8) / 2.0 - n5) / 1.0)")
+        val f = "((-n1 + n3 + n7 - n9) / 4.0)"
+        val (g, h) = ("((-n4 + n6) / 2.0)", "((n2 - n8) / 2.0)")
+        val q = s"($g * $g + $h * $h)"
+        windowSql(s"round(CASE WHEN $q = 0 THEN 0.0 ELSE -200.0 * ($d * $g * $g + $e * $h * $h + $f * $g * $h) / $q END, 5) + 0.0")
+      },
+      "q_curvature_plan" -> {
+        val (d, e) = ("(((n4 + n6) / 2.0 - n5) / 1.0)", "(((n2 + n8) / 2.0 - n5) / 1.0)")
+        val f = "((-n1 + n3 + n7 - n9) / 4.0)"
+        val (g, h) = ("((-n4 + n6) / 2.0)", "((n2 - n8) / 2.0)")
+        val q = s"($g * $g + $h * $h)"
+        windowSql(s"round(CASE WHEN $q = 0 THEN 0.0 ELSE 200.0 * ($d * $h * $h + $e * $g * $g - $f * $g * $h) / $q END, 5) + 0.0")
+      },
 
       "q_tobler" ->
         hornSql("round(6 * exp(-3.5 * abs(sqrt(dzdx * dzdx + dzdy * dzdy) + 0.05)), 5)"),

@@ -426,7 +426,8 @@ object Focal {
     // 3x3 window-index ops (vs the Horn-gradient family): same halo
     // machinery, different per-cell formula
     val indexOp = what == "tri" || what == "tpi" ||
-      what == "roughness" || what == "curvature" || what == "fill"
+      what == "roughness" || what == "curvature" || what == "fill" ||
+      what == "curvature_profile" || what == "curvature_plan"
     val meta = layer.meta
     val tl = meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
@@ -520,6 +521,21 @@ object Focal {
                 // -200 * (D + E) in the ArcGIS *100 convention:
                 // D + E = ((n4+n6)/2 - n5)/L^2 + ((n2+n8)/2 - n5)/L^2
                 (((n4 + n6) / 2.0 - n5) + ((n2 + n8) / 2.0 - n5)) * (-200.0 / (cw * cw))
+              case "curvature_profile" | "curvature_plan" =>
+                // Zevenbergen & Thorne directional curvatures (ArcGIS
+                // *100 convention): curvature in (profile) / normal to
+                // (plan) the slope direction; flat windows emit 0
+                val l2 = cw * cw
+                val d = ((n4 + n6) / 2.0 - n5) / l2
+                val e = ((n2 + n8) / 2.0 - n5) / l2
+                val f = (-n1 + n3 + n7 - n9) / (4.0 * l2)
+                val g = (-n4 + n6) / (2.0 * cw)
+                val h = (n2 - n8) / (2.0 * cw)
+                val q = g * g + h * h
+                if (q == 0.0) 0.0
+                else if (what == "curvature_profile")
+                  -200.0 * (d * g * g + e * h * h + f * g * h) / q
+                else 200.0 * (d * h * h + e * g * g - f * g * h) / q
             }
           } else {
           val (dzdx0, dzdy0) = horn(padded, W, cx, cy, cw, ch)
@@ -539,6 +555,25 @@ object Focal {
                 val az = math.toRadians(azimuth)
                 val hs = 255.0 * (math.cos(zen) * math.cos(slopeR) +
                   math.sin(zen) * math.sin(slopeR) * math.cos(az - aspR))
+                math.floor(math.max(0.0, hs))
+              case "hillshade_md" =>
+                // multidirectional hillshade (Mark 1992; gdaldem
+                // -multidirectional): four shades at azimuths
+                // 225/270/315/360 weighted by sin^2(aspect - az); the
+                // four perpendicular weights always sum to 2, so the
+                // combination is sum(w_i * s_i) / 2
+                val slopeR = math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))
+                val aspR0 = math.atan2(dzdy, -dzdx)
+                val aspR = if (aspR0 < 0) aspR0 + 2 * math.Pi else aspR0
+                val zen = math.toRadians(90 - altitude)
+                def shade(azDeg: Double): Double =
+                  math.cos(zen) * math.cos(slopeR) +
+                    math.sin(zen) * math.sin(slopeR) * math.cos(math.toRadians(azDeg) - aspR)
+                def w(azDeg: Double): Double = {
+                  val s = math.sin(aspR - math.toRadians(azDeg)); s * s
+                }
+                val hs = 255.0 * (w(225) * shade(225) + w(270) * shade(270) +
+                  w(315) * shade(315) + w(360) * shade(360)) / 2.0
                 math.floor(math.max(0.0, hs))
               case "tobler" =>
                 // Tobler hiking function (public): 6*e^(-3.5*|tan(slope)+0.05|)

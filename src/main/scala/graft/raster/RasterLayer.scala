@@ -438,6 +438,13 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   def roughness(): RasterLayer                      = Focal.terrain(this, "roughness")
   /** Zevenbergen-Thorne general curvature (ArcGIS *100 convention). */
   def curvature(): RasterLayer                      = Focal.terrain(this, "curvature")
+  /** Profile curvature (in the slope direction; ZT 1987, *100). */
+  def curvatureProfile(): RasterLayer               = Focal.terrain(this, "curvature_profile")
+  /** Plan curvature (normal to the slope direction; ZT 1987, *100). */
+  def curvaturePlan(): RasterLayer                  = Focal.terrain(this, "curvature_plan")
+  /** Multidirectional hillshade (Mark 1992; gdaldem -multidirectional). */
+  def hillshadeMultidirectional(altitude: Double = 45.0): RasterLayer =
+    Focal.terrain(this, "hillshade_md", altitude = altitude)
 
   /** Flatten to one row per data cell (x, y, v). Verification /
     * boundary-export path only — never used tile-to-tile. */

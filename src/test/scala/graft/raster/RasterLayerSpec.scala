@@ -211,6 +211,40 @@ class RasterLayerSpec extends SparkSpec {
     assert(at(l.tri()).size == 36)
   }
 
+  test("profile/plan curvature: parabolic valley bends in-slope only; planes are flat") {
+    def at(r: RasterLayer): Map[(Long, Long), Double] =
+      cellsOf(r).map(c => ((c._1, c._2), c._3)).toMap
+    // z = x^2: D = 1, G = 2x, E = F = H = 0 ->
+    // profile = -200 * D, plan = 0 wherever G != 0
+    val para = for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y, (x * x).toDouble)
+    val lp = RasterLayer.fromCells(para.toDF("x", "y", "v"), layout)
+    assert(at(lp.curvatureProfile())((3L, 3L)) == -200.0)
+    assert(at(lp.curvaturePlan())((3L, 3L)) == 0.0)
+    // inclined plane z = 3x + y: all second derivatives vanish
+    val plane = for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y, (3 * x + y).toDouble)
+    val ll = RasterLayer.fromCells(plane.toDF("x", "y", "v"), layout)
+    assert(at(ll.curvatureProfile())((3L, 3L)) == 0.0)
+    assert(at(ll.curvaturePlan())((3L, 3L)) == 0.0)
+    // flat plateau: G^2 + H^2 = 0 takes the documented 0 branch
+    val flat = for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y, 5.0)
+    val lf = RasterLayer.fromCells(flat.toDF("x", "y", "v"), layout)
+    assert(at(lf.curvatureProfile())((3L, 3L)) == 0.0)
+  }
+
+  test("multidirectional hillshade: flat terrain shades to 255*cos(zenith) everywhere") {
+    def at(r: RasterLayer): Map[(Long, Long), Double] =
+      cellsOf(r).map(c => ((c._1, c._2), c._3)).toMap
+    val flat = for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y, 7.0)
+    val l = RasterLayer.fromCells(flat.toDF("x", "y", "v"), layout)
+    // slope 0 -> every directional shade is cos(zen), weights sum to 2
+    // -> 255 * cos(45 deg) = 180.31... -> floor 180
+    assert(at(l.hillshadeMultidirectional())((3L, 3L)) == 180.0)
+    // a tilted plane must differ from the flat value somewhere
+    val tilt = for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y, (4 * x).toDouble)
+    val lt = RasterLayer.fromCells(tilt.toDF("x", "y", "v"), layout)
+    assert(at(lt.hillshadeMultidirectional())((3L, 3L)) != 180.0)
+  }
+
   test("focal mean crosses tile boundaries via halo") {
     // cells straddling the boundary between tile (0,0) and (1,0): x=3 and x=4
     val l = layer((3, 0, 10.0), (4, 0, 20.0))
