@@ -493,6 +493,19 @@ object SparkEntry {
       // hash-noise terrain keeps flow paths short (depth ~6 at sf0.01)
       graft.raster.Hydrology.flowAccumulation(lineitemCells(s, dir), G, G)),
 
+    "q_twi" -> ((s, dir) => {
+      // topographic wetness index ln((acc+1) / max(tan(slope), 1e-3))
+      // (Beven & Kirkby 1979) — a COMPOSITION of flow accumulation and
+      // the Horn slope over the same grid; only full-window cells emit
+      val acc = graft.raster.Hydrology.flowAccumulation(lineitemCells(s, dir), G, G)
+      val slope = lineitemLayer(s, dir).slope().toCells
+        .select(col("x"), col("y"), col("v").as("sdeg"))
+      acc.join(slope, Seq("x", "y"))
+        .select(col("x"), col("y"),
+          round(log((col("acc") + lit(1L)).cast("double") /
+            greatest(tan(radians(col("sdeg"))), lit(0.001))), 5).as("twi"))
+    }),
+
     "q_watershed" -> ((s, dir) =>
       // drainage-basin labels: every cell takes its terminal pit's
       // linear id (pointer doubling above the driver-walk guard)
@@ -566,6 +579,9 @@ object SparkEntry {
     "q_resample_average" -> ((s, dir) =>
       Resample.aggregateCells(lineitemLayer(s, dir), G, 64, "Average")),
 
+    "q_resample_sum" -> ((s, dir) =>
+      Resample.aggregateCells(lineitemLayer(s, dir), G, 64, "Sum")),
+
     "q_resample_mode" -> ((s, dir) =>
       Resample.aggregateCells(lineitemLayer(s, dir), G, 64, "Mode")),
 
@@ -596,6 +612,24 @@ object SparkEntry {
       Pyramid.levelUp(
         RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64),
         "Average").toCells),
+
+    "q_cell_trend" -> ((s, dir) =>
+      // per-cell least-squares slope of v over the 3 instants; five
+      // exact integer moments, one closing division
+      RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64)
+        .temporalTrend().toCells
+        .select(col("x"), col("y"), col("v").as("slope"))),
+
+    "q_temporal_argmax" -> ((s, dir) => {
+      // greenest-pixel composite: per-cell max value + the instant
+      // achieving it (ties -> smallest instant)
+      val (mx, arg) = RasterLayer
+        .fromCellsTemporal(lineitemTemporalCells(s, dir), layout64)
+        .temporalArgmax()
+      mx.toCells.select(col("x"), col("y"), col("v").as("vmax"))
+        .join(arg.toCells.select(col("x"), col("y"), col("v").cast("long").as("tmax")),
+          Seq("x", "y"))
+    }),
 
     "q_stitch" -> ((s, dir) => {
       val one = RasterLayer.fromCells(flat(lineitemLayer(s, dir)),
@@ -2040,6 +2074,34 @@ object SparkEntry {
            |SELECT f.x, f.y, coalesce(a.cnt, 0) AS acc
            |FROM fdir f LEFT JOIN a ON a.cur = f.y * 256 + f.x""".stripMargin),
 
+      // TWI = ln((acc+1) / max(tan(slope), 1e-3)): the flow-accum walk
+      // and the Horn slope chain COMPOSED over the shared g CTE
+      "q_twi" -> flowDirSql(
+        s"""${d8EdgeCte.replace("e AS (", "e AS MATERIALIZED (")},
+           |p AS (SELECT src AS start, dst AS cur FROM e
+           |  UNION ALL SELECT p.start, e.dst FROM p JOIN e ON e.src = p.cur),
+           |a AS (SELECT cur, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1),
+           |nb AS (SELECT c.x AS x, c.y AS y,
+           |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y - 1 THEN n.z END) AS n1,
+           |    max(CASE WHEN n.x = c.x     AND n.y = c.y - 1 THEN n.z END) AS n2,
+           |    max(CASE WHEN n.x = c.x + 1 AND n.y = c.y - 1 THEN n.z END) AS n3,
+           |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y     THEN n.z END) AS n4,
+           |    max(CASE WHEN n.x = c.x + 1 AND n.y = c.y     THEN n.z END) AS n6,
+           |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y + 1 THEN n.z END) AS n7,
+           |    max(CASE WHEN n.x = c.x     AND n.y = c.y + 1 THEN n.z END) AS n8,
+           |    max(CASE WHEN n.x = c.x + 1 AND n.y = c.y + 1 THEN n.z END) AS n9,
+           |    count(*) AS cnt
+           |  FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |  GROUP BY c.x, c.y),
+           |dd AS (SELECT x, y,
+           |    ((n3 + 2 * n6 + n9) - (n1 + 2 * n4 + n7)) / 8.0 AS dzdx,
+           |    ((n7 + 2 * n8 + n9) - (n1 + 2 * n2 + n3)) / 8.0 AS dzdy
+           |  FROM nb WHERE cnt = 9),
+           |sl AS (SELECT x, y, degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) AS sdeg FROM dd)
+           |SELECT sl.x, sl.y,
+           |  round(ln((coalesce(a.cnt, 0) + 1) / greatest(tan(radians(sl.sdeg)), 0.001)), 5) AS twi
+           |FROM sl LEFT JOIN a ON a.cur = sl.y * 256 + sl.x""".stripMargin),
+
       // the SAME walk kept only at its terminal (a pit has no
       // out-edge): basin label = terminal pit id; pits label themselves
       "q_watershed" -> flowDirSql(
@@ -2162,6 +2224,11 @@ object SparkEntry {
            |                  CAST(floor((y + 0.5) * 64 / $G) AS BIGINT) AS y, v FROM ($grid))
            |SELECT x, y, sum(v) / count(*) AS v FROM m GROUP BY 1, 2""".stripMargin,
 
+      "q_resample_sum" ->
+        s"""WITH m AS (SELECT CAST(floor((x + 0.5) * 64 / $G) AS BIGINT) AS x,
+           |                  CAST(floor((y + 0.5) * 64 / $G) AS BIGINT) AS y, v FROM ($grid))
+           |SELECT x, y, sum(v) AS v FROM m GROUP BY 1, 2""".stripMargin,
+
       "q_resample_mode" ->
         s"""WITH m AS (SELECT CAST(floor((x + 0.5) * 64 / $G) AS BIGINT) AS x,
            |                  CAST(floor((y + 0.5) * 64 / $G) AS BIGINT) AS y, v FROM ($grid)),
@@ -2185,6 +2252,24 @@ object SparkEntry {
 
       "q_pyramid_time" ->
         s"SELECT x // 2 AS x, y // 2 AS y, instant, avg(v) AS v FROM ($tgrid) GROUP BY 1, 2, 3",
+
+      // least-squares slope from the five exact integer moments; cells
+      // with < 2 instants or zero time variance drop (engine NoData)
+      "q_cell_trend" ->
+        s"""WITH t AS ($tgrid),
+           |a AS (SELECT x, y, count(*) AS n, sum(instant) AS st,
+           |        sum(instant * instant) AS st2, sum(v) AS sv, sum(instant * v) AS stv
+           |      FROM t GROUP BY 1, 2)
+           |SELECT x, y, (n * stv - st * sv) / (n * st2 - st * st) AS slope
+           |FROM a WHERE n >= 2 AND n * st2 - st * st <> 0""".stripMargin,
+
+      // max composite + smallest instant achieving the max
+      "q_temporal_argmax" ->
+        s"""WITH t AS ($tgrid),
+           |m AS (SELECT x, y, max(v) AS vmax FROM t GROUP BY 1, 2)
+           |SELECT m.x, m.y, m.vmax, CAST(min(t.instant) AS BIGINT) AS tmax
+           |FROM m JOIN t ON t.x = m.x AND t.y = m.y AND t.v = m.vmax
+           |GROUP BY 1, 2, 3""".stripMargin,
 
       "q_pyramid_hist" ->
         s"""WITH p AS (SELECT x // 2 AS x, y // 2 AS y, avg(v) AS v FROM ($grid) GROUP BY 1, 2),

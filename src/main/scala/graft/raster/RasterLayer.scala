@@ -388,6 +388,41 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
       .aggregateByCell(op)
   }
 
+  /** Per-cell linear TREND across the layer's instants (least-squares
+    * slope of v over t) — the change-detection composite. One keyed
+    * shuffle through [[TileTrendAgg]] (five exact per-cell moments,
+    * map-side combine); cells with < 2 instants or zero time variance
+    * emit NoData. Returns a SPATIAL layer of slopes. */
+  def temporalTrend(): RasterLayer = {
+    require(meta.temporal, "temporalTrend on spatial-only layer")
+    val agg = udaf(new TileTrendAgg(tl.tileSize),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Double])]())
+    val reduced = df.groupBy(col("col"), col("row"))
+      .agg(agg(col("instant"), col("tile")).as("tile"))
+    copy(df = reduced, meta = meta.copy(temporal = false))
+  }
+
+  /** Per-cell temporal MAX composite plus the instant achieving it
+    * (ties -> smallest instant) — the "greenest pixel + day of peak"
+    * composite. One keyed shuffle through [[TileArgmaxAgg]]; the
+    * packed result is checkpointed so the two layer views share the
+    * aggregation. Returns (max layer, arg-instant layer), both
+    * spatial. */
+  def temporalArgmax(): (RasterLayer, RasterLayer) = {
+    require(meta.temporal, "temporalArgmax on spatial-only layer")
+    val n = tl.tileSize
+    val agg = udaf(new TileArgmaxAgg(n),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Double])]())
+    val packed = df.groupBy(col("col"), col("row"))
+      .agg(agg(col("instant"), col("tile")).as("packed"))
+      .localCheckpoint()
+    val m = meta.copy(temporal = false)
+    (copy(df = packed.select(col("col"), col("row"),
+        slice(col("packed"), 1, n).as("tile")), meta = m),
+     copy(df = packed.select(col("col"), col("row"),
+        slice(col("packed"), n + 1, n).as("tile")), meta = m))
+  }
+
   /** Drop the time dimension, aggregating duplicate spatial keys. */
   def toSpatialLayer(op: String = "Max"): RasterLayer = {
     require(meta.temporal)

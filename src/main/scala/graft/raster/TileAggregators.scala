@@ -189,3 +189,96 @@ final class TileReduceAgg(size: Int, op: CellOp)
   def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
   def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
 }
+
+/** Per-cell linear TREND over a temporal layer's instants — the
+  * change-detection composite (NDVI trend / land-cover drift): each
+  * cell fits v = a + b*t by least squares across the instants where it
+  * has data, and the output tile carries the slope b. Input is
+  * (instant, tile); the buffer accumulates the five per-cell moments
+  * [n | St | St2 | Sv | Stv], all exact integer-valued doubles for
+  * integral cells and instants, so the fold is order-free and the ONLY
+  * float op is the closing division. Cells with fewer than 2 distinct
+  * instants (or zero time variance) emit NoData. Same one-shuffle
+  * map-side-partial shape as TileMomentsAgg. */
+final class TileTrendAgg(size: Int)
+    extends Aggregator[(Long, Seq[Double]), Array[Double], Seq[Double]] {
+  def zero: Array[Double] = new Array[Double](5 * size)
+  def reduce(buf: Array[Double], in: (Long, Seq[Double])): Array[Double] = {
+    val (t, tile) = in
+    val td = t.toDouble
+    var i = 0
+    val it = tile.iterator
+    while (i < size && it.hasNext) {
+      val v = it.next()
+      if (!v.isNaN) {
+        buf(i) += 1
+        buf(size + i) += td
+        buf(2 * size + i) += td * td
+        buf(3 * size + i) += v
+        buf(4 * size + i) += td * v
+      }
+      i += 1
+    }
+    buf
+  }
+  def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < 5 * size) { a(i) += b(i); i += 1 }
+    a
+  }
+  def finish(buf: Array[Double]): Seq[Double] = {
+    val out = new Array[Double](size)
+    var i = 0
+    while (i < size) {
+      val n = buf(i); val st = buf(size + i); val st2 = buf(2 * size + i)
+      val sv = buf(3 * size + i); val stv = buf(4 * size + i)
+      val den = n * st2 - st * st
+      out(i) = if (n < 2 || den == 0) Double.NaN else (n * stv - st * sv) / den
+      i += 1
+    }
+    out.toSeq
+  }
+  def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+}
+
+/** Per-cell temporal MAX composite with the instant achieving it — the
+  * remote-sensing "greenest pixel + day of peak" composite. Input is
+  * (instant, tile); per cell the largest value wins and ties break to
+  * the SMALLEST instant (order-free fold). Output packs [max | arg]
+  * as a 2*size array the caller slices into two tiles; arg is NoData
+  * where the cell never had data. */
+final class TileArgmaxAgg(size: Int)
+    extends Aggregator[(Long, Seq[Double]), Array[Double], Seq[Double]] {
+  def zero: Array[Double] = Array.fill(2 * size)(Double.NaN)
+  def reduce(buf: Array[Double], in: (Long, Seq[Double])): Array[Double] = {
+    val (t, tile) = in
+    val td = t.toDouble
+    var i = 0
+    val it = tile.iterator
+    while (i < size && it.hasNext) {
+      val v = it.next()
+      if (!v.isNaN && (buf(i).isNaN || v > buf(i) ||
+          (v == buf(i) && td < buf(size + i)))) {
+        buf(i) = v; buf(size + i) = td
+      }
+      i += 1
+    }
+    buf
+  }
+  def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < size) {
+      val v = b(i)
+      if (!v.isNaN && (a(i).isNaN || v > a(i) ||
+          (v == a(i) && b(size + i) < a(size + i)))) {
+        a(i) = v; a(size + i) = b(size + i)
+      }
+      i += 1
+    }
+    a
+  }
+  def finish(buf: Array[Double]): Seq[Double] = buf.toSeq
+  def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+}

@@ -490,6 +490,32 @@ class RasterLayerSpec extends SparkSpec {
     }
   }
 
+  test("temporal trend: exact least-squares slope per cell, NoData under 2 instants") {
+    // cell (0,0): v = 3 + 2t at t in {0,1,2} -> slope 2 exactly;
+    // cell (1,0): v = 10 - t at t in {0,2}   -> slope -1;
+    // cell (2,0): single instant             -> NoData (absent)
+    val cells = Seq(
+      (0L, 0L, 0L, 3.0), (0L, 0L, 1L, 5.0), (0L, 0L, 2L, 7.0),
+      (1L, 0L, 0L, 10.0), (1L, 0L, 2L, 8.0),
+      (2L, 0L, 1L, 4.0))
+      .toDF("x", "y", "instant", "v")
+    val out = RasterLayer.fromCellsTemporal(cells, layout).temporalTrend().toCells
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map((0L, 0L) -> 2.0, (1L, 0L) -> -1.0))
+  }
+
+  test("temporal argmax: max composite with smallest-instant ties") {
+    val cells = Seq(
+      (0L, 0L, 0L, 3.0), (0L, 0L, 1L, 9.0), (0L, 0L, 2L, 7.0), // max 9 at t=1
+      (1L, 0L, 0L, 5.0), (1L, 0L, 2L, 5.0))                    // tie -> t=0
+      .toDF("x", "y", "instant", "v")
+    val (mx, arg) = RasterLayer.fromCellsTemporal(cells, layout).temporalArgmax()
+    val m = mx.toCells.as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val a = arg.toCells.as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(m == Map((0L, 0L) -> 9.0, (1L, 0L) -> 5.0))
+    assert(a == Map((0L, 0L) -> 1.0, (1L, 0L) -> 0.0))
+  }
+
   test("local mask by raster: Mask drops matching cells, InverseMask keeps only them") {
     val v = layer((0, 0, 1.0), (1, 0, 2.0), (2, 0, 3.0), (3, 0, 4.0))
     val m = layer((0, 0, 9.0), (1, 0, 5.0), (2, 0, 9.0)) // (3,0) mask-NoData
