@@ -38,6 +38,27 @@ object SparkEntry {
   /** Query-term set for q_bm25 (words from the synthetic vocabulary). */
   private val Bm25Terms = Seq("table", "spark", "window", "hash", "stream")
 
+  /** BM25 oracle body — shared verbatim by q_bm25 and (as a subquery)
+    * q_rrf_fusion, so the fused ranking and the standalone scores can
+    * never drift apart. */
+  private def bm25OracleSql: String =
+    s"""WITH ws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+       |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM ws),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+       |tk AS (SELECT doc_id, unnest(w) AS term FROM ws),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
+       |       WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |idf AS (SELECT term, CAST(round(ln((CAST(nd AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_q, avgdl
+       |        FROM dfq, stats),
+       |sc AS (SELECT tf.doc_id,
+       |         CAST(round((CAST(idf_q AS DOUBLE) / 1000000.0) * (CAST(tf.tf AS DOUBLE) * 2.2) /
+       |           (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / idf.avgdl))) * 1000000.0) AS BIGINT) AS sq
+       |       FROM tf JOIN idf USING (term) JOIN d USING (doc_id))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |  CAST(sum(sq) AS DOUBLE) / 1000000.0 AS bm25
+       |FROM sc GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- rasterize + layer round-trip (SURVEY §2: rasterize, tile_to_layout)
     "q_rasterize" -> ((s, dir) => flat(lineitemLayer(s, dir))),
@@ -1258,6 +1279,25 @@ object SparkEntry {
       // per-(doc,term) scores quantize to integer micro-units before
       // the per-doc sum (see bm25 scaladoc)
       pipeline.TextAnalysis.bm25(table(s, dir, "documents"), Bm25Terms)),
+
+    "q_rrf_fusion" -> ((s, dir) =>
+      // hybrid retrieval: BM25 + tf-idf top-20 lists fused by
+      // reciprocal-rank fusion (micro-quantized; see hybridRetrieval)
+      pipeline.TextAnalysis.hybridRetrieval(table(s, dir, "documents"), Bm25Terms)),
+
+    "q_cross_dedup" -> ((s, dir) =>
+      // cross-corpus dedup: flag crawl docs whose 8-token prefix key
+      // already appears in the reference sources (src0..src9)
+      pipeline.Dedup.crossDedup(table(s, dir, "documents"),
+        col("source").rlike("^src[0-9]$"))),
+
+    "q_shards" -> ((s, dir) =>
+      // deterministic shard manifest with order-free xor fingerprints
+      pipeline.Curation.shardAssign(table(s, dir, "documents"))),
+
+    "q_token_buckets" -> ((s, dir) =>
+      // token-length histogram in 32-token bins (packing planning)
+      pipeline.Curation.tokenLengthHistogram(table(s, dir, "documents"))),
 
     "q_quality_classifier" -> ((s, dir) =>
       // hashed unigram+bigram linear classifier (fastText inference
@@ -3170,23 +3210,57 @@ object SparkEntry {
       // quantized BEFORE the per-doc sum (exact long arithmetic across
       // the groupBy); every float chain seeded with a DOUBLE cast so
       // DuckDB never routes through DECIMAL arithmetic
-      "q_bm25" ->
-        s"""WITH ws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
-           |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM ws),
-           |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
-           |tk AS (SELECT doc_id, unnest(w) AS term FROM ws),
-           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
-           |       WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2),
-           |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-           |idf AS (SELECT term, CAST(round(ln((CAST(nd AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_q, avgdl
-           |        FROM dfq, stats),
-           |sc AS (SELECT tf.doc_id,
-           |         CAST(round((CAST(idf_q AS DOUBLE) / 1000000.0) * (CAST(tf.tf AS DOUBLE) * 2.2) /
-           |           (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / idf.avgdl))) * 1000000.0) AS BIGINT) AS sq
-           |       FROM tf JOIN idf USING (term) JOIN d USING (doc_id))
-           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
-           |  CAST(sum(sq) AS DOUBLE) / 1000000.0 AS bm25
-           |FROM sc GROUP BY 1""".stripMargin,
+      "q_bm25" -> bm25OracleSql,
+
+      // RRF hybrid retrieval: both top-20 rankings restated in full
+      // (BM25 reused verbatim as a subquery, tf*N/df micro-quantized
+      // to longs before the per-doc sum), rank ties broken on doc_id,
+      // fusion terms rounded to integer micro-units before the sum
+      "q_rrf_fusion" ->
+        s"""WITH b AS (SELECT doc_id, bm25 FROM ($bm25OracleSql)),
+           |rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_bm25
+           |       FROM b QUALIFY r_bm25 <= 20),
+           |tk2 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+           |tf2 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk2
+           |        WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2),
+           |nd2 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+           |df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1),
+           |tq AS (SELECT doc_id, sum(CAST(round(CAST(tf AS DOUBLE) * nd / df * 1000000.0) AS BIGINT)) AS tq
+           |       FROM tf2 JOIN df2 USING (term) CROSS JOIN nd2 GROUP BY 1),
+           |rt AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY CAST(tq AS DOUBLE) DESC, doc_id) AS BIGINT) AS r_tfidf
+           |       FROM tq QUALIFY r_tfidf <= 20)
+           |SELECT doc_id,
+           |  CAST(coalesce(r_bm25, -1) AS BIGINT) AS r_bm25,
+           |  CAST(coalesce(r_tfidf, -1) AS BIGINT) AS r_tfidf,
+           |  CAST(CAST(coalesce(round(CAST(1000000.0 AS DOUBLE) / (r_bm25 + 60)), 0.0) +
+           |            coalesce(round(CAST(1000000.0 AS DOUBLE) / (r_tfidf + 60)), 0.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS rrf
+           |FROM rb FULL OUTER JOIN rt USING (doc_id)""".stripMargin,
+
+      // cross-corpus prefix dedup: the 60-bit key hashes the first 8
+      // normalized tokens; reference = single-digit sources
+      "q_cross_dedup" ->
+        """WITH kk AS (SELECT doc_id, source,
+          |  ('0x' || substr(md5(array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 8), ' ')), 1, 15))::BIGINT AS k,
+          |  regexp_matches(source, '^src[0-9]$') AS is_ref FROM documents)
+          |SELECT b.doc_id, b.source,
+          |  CAST(CASE WHEN EXISTS (SELECT 1 FROM kk a WHERE a.is_ref AND a.k = b.k) THEN 1 ELSE 0 END AS BIGINT) AS dup_in_ref
+          |FROM kk b WHERE NOT b.is_ref""".stripMargin,
+
+      // shard manifest: order-free bit_xor content fingerprint per shard
+      "q_shards" ->
+        """WITH h AS (SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hc,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS nt FROM documents)
+          |SELECT hc % 64 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(nt) AS BIGINT) AS n_tokens, bit_xor(hc) AS fp
+          |FROM h GROUP BY 1""".stripMargin,
+
+      // token-length histogram: fixed-width 32-token bins, all-integer
+      "q_token_buckets" ->
+        """WITH t AS (SELECT CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS nt FROM documents)
+          |SELECT nt // 32 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+          |  min(nt) AS min_tokens, max(nt) AS max_tokens
+          |FROM t GROUP BY 1""".stripMargin,
 
       // hashed unigram+bigram features, portable 60-bit md5 hash, the
       // pinned arithmetic weight surrogate, exact long dot product

@@ -211,4 +211,41 @@ object Curation {
       }
     }.toDF("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
   }
+
+  /** Deterministic shard assignment + per-shard manifest — the
+    * "global shuffle" step that precedes training-data serialization:
+    * every document lands in shard = contentHash % nShards, and the
+    * manifest row per shard carries the doc count, token count, and an
+    * ORDER-FREE content fingerprint (bit_xor of the 60-bit md5-prefix
+    * hashes), so two independently-produced shard sets can be compared
+    * without sorting either one.
+    *
+    * Scale shape: one scan + one groupBy on the shard id — count/sum/
+    * bit_xor all map-side combine, and the output is exactly nShards
+    * rows. The xor fingerprint is the point at 100 TB: a per-shard
+    * md5-of-concatenation would need an ordered collect_list per
+    * shard; xor is commutative, so partials merge in any order. */
+  def shardAssign(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    docs.select(h.as("hc"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("nt"))
+      .groupBy((col("hc") % nShards).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        expr("bit_xor(hc)").as("fp"))
+  }
+
+  /** Token-length histogram — the distribution every packing /
+    * context-length decision is planned from: documents bucketed by
+    * whitespace-token count into fixed-width bins, with per-bin doc
+    * and token totals plus the bin's min/max length. One scan + one
+    * bounded groupBy (|buckets| ~ maxLen/bucketWidth rows), all
+    * integer arithmetic. */
+  def tokenLengthHistogram(docs: DataFrame, bucketWidth: Int = 32): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    docs.select(TextAnalysis.wsTokenCount(col("text")).cast("long").as("nt"))
+      .groupBy(expr(s"nt div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        min("nt").as("min_tokens"), max("nt").as("max_tokens"))
+  }
 }

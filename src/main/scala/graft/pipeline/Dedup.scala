@@ -69,6 +69,37 @@ object Dedup {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("dups"))
       .select(col("h"), col("keeper"), col("dups"))
 
+  /** Cross-corpus dedup by content-prefix key — "drop from the crawl
+    * what the reference set already has": every document gets a
+    * 60-bit key hashing its first `prefixTokens` normalized tokens
+    * (prefix keys catch re-scraped/retitled copies that differ only in
+    * their tails, the URL-less analogue of URL dedup), and each
+    * non-reference document is flagged when its key appears anywhere
+    * in the reference partition (`refPred`).
+    *
+    * Scale shape: the reference side reduces to DISTINCT keys (8-byte
+    * longs). Under `maxBroadcastKeys` they broadcast and the corpus
+    * never shuffles (scan + broadcast left join); above it — a
+    * reference the size of the crawl itself — the same plan runs as a
+    * shuffled join on the key. Same guard convention as
+    * [[contamination]]'s probe broadcast. */
+  def crossDedup(docs: DataFrame, refPred: Column, prefixTokens: Int = 8,
+                 maxBroadcastKeys: Long = 20000000L): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"), refPred.as("is_ref"),
+        shingleHash(concat_ws(" ",
+          slice(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)),
+            1, prefixTokens))).as("k"))
+      .localCheckpoint() // consumed by the guard count + both join sides
+    val refKeys = keyed.where(col("is_ref")).select(col("k")).distinct()
+      .localCheckpoint()
+    val small = refKeys.count() <= maxBroadcastKeys
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    keyed.where(not(col("is_ref")))
+      .join(side(refKeys.withColumn("hit", lit(1L))), Seq("k"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("hit"), lit(0L)).as("dup_in_ref"))
+  }
+
   /** Word k-shingles, distinct per doc: (doc_id, shingle). */
   def shingles(docs: DataFrame, k: Int = 5): DataFrame = {
     val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))

@@ -358,6 +358,58 @@ object TextAnalysis {
         (sum("sq").cast("double") / lit(1000000.0)).as("bm25"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et
+    * al. SIGIR'09): fuse the top-`k` document lists of two retrieval
+    * systems — [[bm25]] and a tf·idf query scorer — by
+    * rrf(d) = Σ_systems 1/(rrfK + rank_s(d)), the standard
+    * lexical+second-signal fusion shape of retrieval pipelines. Docs
+    * absent from one list contribute only the other term (rank
+    * reported as -1). Per-term scores are micro-quantized to exact
+    * longs before the per-doc sums (the [[bm25]] convention) so both
+    * rankings are engine-identical; ties break on doc_id.
+    *
+    * Scale shape: both scorers are bounded aggregates over the query
+    * term set; each top-k is a distributed TakeOrderedAndProject
+    * (orderBy+limit — no global window over the corpus). The only
+    * unpartitioned row_number runs AFTER limit(k), on <= k rows by
+    * construction (the cdf-bins bound convention); the final fuse is
+    * a k-row full outer join. */
+  def hybridRetrieval(docs: DataFrame, terms: Seq[String], k: Int = 20,
+                      rrfK: Int = 60): DataFrame = {
+    require(k > 0 && k <= 100000,
+      s"k=$k exceeds the 1e5 single-partition rank bound")
+    val b = bm25(docs, terms).localCheckpoint()
+    val tf = docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // df and the join both consume it
+    val nd = docs.select(count(lit(1))).first().getLong(0)
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val tq = tf.join(broadcast(dfq), "term")
+      .select(col("doc_id"),
+        round(col("tf").cast("double") * nd / col("df") * lit(1000000.0))
+          .cast("long").as("sq"))
+      .groupBy("doc_id").agg(sum("sq").as("tq"))
+    def topk(df: DataFrame, score: Column, out: String): DataFrame = {
+      val lim = df.orderBy(score.desc, col("doc_id")).limit(k)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(score.desc, col("doc_id"))
+      lim.withColumn(out, row_number().over(w).cast("long"))
+        .select(col("doc_id"), col(out))
+    }
+    val rb = topk(b, col("bm25"), "r_bm25")
+    val rt = topk(tq, col("tq").cast("double"), "r_tfidf")
+    def term(r: Column): Column =
+      coalesce(round(lit(1000000.0) / (r + lit(rrfK))), lit(0.0))
+    rb.join(rt, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_bm25"), lit(-1L)).as("r_bm25"),
+        coalesce(col("r_tfidf"), lit(-1L)).as("r_tfidf"),
+        ((term(col("r_bm25")) + term(col("r_tfidf"))).cast("long")
+          .cast("double") / lit(1000000.0)).as("rrf"))
+  }
+
   /** Hashed linear text classifier — the fastText-style inference
     * shape (Joulin et al. 2016): word unigram + adjacent-bigram
     * features, each hashed to a 60-bit portable key, a per-feature

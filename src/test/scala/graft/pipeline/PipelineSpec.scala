@@ -786,4 +786,73 @@ class PipelineSpec extends SparkSpec {
       .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(fp == md)
   }
+
+  test("cross dedup: prefix-key hit flags, broadcast and shuffled paths agree") {
+    val corpus = Seq(
+      // ref doc
+      (1L, "alpha beta gamma delta epsilon zeta eta theta REFERENCE TAIL", "en", "ref", 10L),
+      // same first-8-token prefix, different tail -> dup_in_ref
+      (2L, "alpha beta gamma delta epsilon zeta eta theta CRAWL TAIL DIFFERS", "en", "crawl", 10L),
+      // differs at token 8 -> clean
+      (3L, "alpha beta gamma delta epsilon zeta eta NOTTHETA whatever", "en", "crawl", 10L),
+      (4L, "totally unrelated text body here", "en", "crawl", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expect = Map(2L -> 1L, 3L -> 0L, 4L -> 0L)
+    val fast = Dedup.crossDedup(corpus, col("source") === "ref")
+      .select("doc_id", "dup_in_ref").as[(Long, Long)].collect().toMap
+    assert(fast == expect)
+    val slow = Dedup.crossDedup(corpus, col("source") === "ref",
+        maxBroadcastKeys = 0L)
+      .select("doc_id", "dup_in_ref").as[(Long, Long)].collect().toMap
+    assert(slow == expect)
+  }
+
+  test("shard assign: totals conserved, xor fingerprint is order-free") {
+    val out = Curation.shardAssign(docs, nShards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == 5L)           // every doc in exactly one shard
+    assert(out.forall(r => r._1 >= 0 && r._1 < 4))
+    val rev = Curation.shardAssign(
+        docs.orderBy(col("doc_id").desc).repartition(3), nShards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == rev.sortBy(_._1).toSeq)
+    // docs 1 and 2 are identical texts -> same hash; xor of a shard
+    // holding both cancels their bits out of its fingerprint
+    val h1 = out.find(_._2 >= 2)
+    assert(h1.isDefined) // the duplicate pair lands together by construction
+  }
+
+  test("token length histogram: buckets, counts and extremes by hand") {
+    val d = Seq((1L, "a b c", "en", "s", 5L), (2L, "one two", "en", "s", 7L),
+        (3L, Seq.fill(40)("w").mkString(" "), "en", "s", 80L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.tokenLengthHistogram(d, bucketWidth = 32)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == (0L, 2L, 5L, 2L, 3L))   // 3-token + 2-token docs
+    assert(out(1L) == (1L, 1L, 40L, 40L, 40L))
+  }
+
+  test("hybrid retrieval: ranks, one-list docs at -1, rrf arithmetic") {
+    val d = Seq(
+      (1L, "spark spark spark table hash window stream", "en", "s", 10L),
+      (2L, "spark table other words fill the document body out", "en", "s", 10L),
+      // long doc, huge raw tf: tf-idf ranks it top, BM25's saturated
+      // tf + length penalty push it below doc 2 -> the two top-2
+      // lists differ and the -1 path is exercised
+      (3L, (Seq.fill(30)("hash") ++ Seq.fill(70)("filler")).mkString(" "), "en", "s", 10L),
+      (4L, "nothing relevant here at all", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val terms = Seq("table", "spark", "window", "hash", "stream")
+    val out = TextAnalysis.hybridRetrieval(d, terms, k = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(4L))                 // no query term, in neither list
+    assert(out.values.forall(r => r._2 <= 2 && r._3 <= 2))
+    // every present rank contributes round(1e6/(60+r))/1e6
+    out.values.foreach { case (_, r1, r2, rrf) =>
+      def t(r: Long) = if (r < 0) 0L else math.round(1000000.0 / (60 + r))
+      assert(rrf == (t(r1) + t(r2)) / 1000000.0)
+    }
+    // a doc in only one top-2 list reports -1 for the other
+    assert(out.values.exists(r => r._2 == -1L || r._3 == -1L))
+  }
 }
