@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.core.{CRS, ZIndex}
-import graft.raster.{CellOp, Distance, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, ZonalOps}
+import graft.raster.{CellOp, Contour, Distance, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, ZFactor, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
 
@@ -256,6 +256,31 @@ object SparkEntry {
         layout)
       ZonalOps.zonalMajority(lineitemLayer(s, dir), zones)
     }),
+
+    "q_zonal_geometry" -> ((s, dir) => {
+      // per-zone area / 4-connected perimeter / isoperimetric
+      // compactness over the returnflag zone raster
+      val zones = RasterLayer.fromCells(
+        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
+        layout)
+      ZonalOps.zonalGeometry(zones)
+    }),
+
+    "q_contours" -> ((s, dir) =>
+      // marching-squares iso-line segment counts at 4 levels
+      Contour.segmentCounts(lineitemLayer(s, dir), Seq(20.0, 40.0, 80.0, 160.0))),
+
+    "q_cell_area" -> ((s, dir) => {
+      // geodesic cell-area raster on the LatLng layout, summarized
+      // per grid row (area is constant along a row by construction)
+      val l = ZFactor.cellAreaLayer(s, GridSource.layoutLatLng)
+      l.toCells.groupBy(col("y"))
+        .agg(count(lit(1)).as("n_cells"), round(min(col("v")), 6).as("area_km2"))
+    }),
+
+    "q_geodesic" -> ((s, dir) =>
+      // haversine distance + initial bearing to a fixed anchor
+      graft.vector.Measures.geodesic(customerLonLat(s, dir), 2.25, 48.85)),
 
     "q_zonal_pct" -> ((s, dir) => {
       // per-cell percent of zone total: (v*100) div zoneSum, exact
@@ -1819,6 +1844,67 @@ object SparkEntry {
            |  FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y GROUP BY 1)
            |SELECT g.x, g.y, CAST(g.v AS BIGINT) * 100 // s.zsum AS pct
            |FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y JOIN s ON s.zone = z.zone""".stripMargin,
+
+      // per-cell perimeter contribution via 4 neighbor left-joins
+      // (missing neighbor / different zone / grid edge all read as
+      // boundary — the engine's lag/lead gap-check rule restated)
+      "q_zonal_geometry" ->
+        s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid)),
+           |n AS (SELECT z.zone AS zn,
+           |  4 - (CASE WHEN l.zone = z.zone THEN 1 ELSE 0 END)
+           |    - (CASE WHEN r.zone = z.zone THEN 1 ELSE 0 END)
+           |    - (CASE WHEN u.zone = z.zone THEN 1 ELSE 0 END)
+           |    - (CASE WHEN d.zone = z.zone THEN 1 ELSE 0 END) AS p
+           |  FROM z LEFT JOIN z l ON l.x = z.x - 1 AND l.y = z.y
+           |         LEFT JOIN z r ON r.x = z.x + 1 AND r.y = z.y
+           |         LEFT JOIN z u ON u.x = z.x AND u.y = z.y - 1
+           |         LEFT JOIN z d ON d.x = z.x AND d.y = z.y + 1)
+           |SELECT CAST(zn AS BIGINT) AS zone, count(*) AS n_cells,
+           |  CAST(sum(p) AS BIGINT) AS perimeter,
+           |  round(4 * pi() * count(*) / (CAST(sum(p) AS BIGINT) * CAST(sum(p) AS BIGINT)), 6) AS compactness
+           |FROM n GROUP BY 1""".stripMargin,
+
+      // marching squares: right-neighbor pairs, stacked row pairs,
+      // 4-bit case per complete block (v00=1, v10=2, v01=4, v11=8);
+      // diagonal saddles (6, 9) = 2 segments
+      "q_contours" ->
+        s"""WITH g AS ($grid),
+           |r AS (SELECT a.x, a.y, a.v AS v00, b.v AS v10 FROM g a JOIN g b ON b.y = a.y AND b.x = a.x + 1),
+           |blk AS (SELECT t.v00, t.v10, u.v00 AS v01, u.v10 AS v11
+           |        FROM r t JOIN r u ON u.x = t.x AND u.y = t.y + 1),
+           |lv AS (SELECT CAST(lvl AS DOUBLE) AS level FROM (VALUES (20), (40), (80), (160)) q(lvl)),
+           |c AS (SELECT level,
+           |  (CASE WHEN v00 >= level THEN 1 ELSE 0 END) + (CASE WHEN v10 >= level THEN 2 ELSE 0 END) +
+           |  (CASE WHEN v01 >= level THEN 4 ELSE 0 END) + (CASE WHEN v11 >= level THEN 8 ELSE 0 END) AS cs
+           |  FROM blk CROSS JOIN lv)
+           |SELECT level,
+           |  CAST(sum(CASE WHEN cs IN (0, 15) THEN 0 WHEN cs IN (6, 9) THEN 2 ELSE 1 END) AS BIGINT) AS n_segments,
+           |  CAST(sum(CASE WHEN cs IN (0, 15) THEN 0 ELSE 1 END) AS BIGINT) AS n_blocks
+           |FROM c GROUP BY 1""".stripMargin,
+
+      // spherical cell area per grid row of the LatLng layout; the
+      // R^2 * d-lambda factor is the engine's driver-side constant
+      // interpolated verbatim so both sides share one double
+      "q_cell_area" -> {
+        val scale = graft.raster.ZFactor.cellAreaScale(GridSource.layoutLatLng)
+        s"""SELECT CAST(t.y AS BIGINT) AS y, CAST(256 AS BIGINT) AS n_cells,
+           |  round($scale * (sin(radians(CAST(64 AS DOUBLE) - CAST(t.y AS DOUBLE) * CAST(0.25 AS DOUBLE)))
+           |                - sin(radians(CAST(64 AS DOUBLE) - CAST(t.y AS DOUBLE) * CAST(0.25 AS DOUBLE) - CAST(0.25 AS DOUBLE)))), 6) AS area_km2
+           |FROM range(256) t(y)""".stripMargin
+      },
+
+      // haversine + initial bearing, op-order-identical to the engine
+      "q_geodesic" ->
+        s"""WITH p AS ($lonlat),
+           |t AS (SELECT pid, radians(lat) AS f1, radians(CAST(48.85 AS DOUBLE)) AS f2,
+           |  radians(CAST(48.85 AS DOUBLE) - lat) AS dphi,
+           |  radians(CAST(2.25 AS DOUBLE) - lon) AS dlam FROM p),
+           |u AS (SELECT pid, sin(dphi / 2) AS sp, sin(dlam / 2) AS sl, f1, f2, dlam FROM t),
+           |v AS (SELECT pid, sp * sp + cos(f1) * cos(f2) * (sl * sl) AS a,
+           |  degrees(atan2(sin(dlam) * cos(f2), cos(f1) * sin(f2) - sin(f1) * cos(f2) * cos(dlam))) AS deg FROM u)
+           |SELECT pid, round(CAST(12742.0 AS DOUBLE) * asin(least(CAST(1.0 AS DOUBLE), sqrt(a))), 4) AS dist_km,
+           |  round(CASE WHEN deg < 0 THEN deg + 360 ELSE deg END, 4) AS bearing_deg
+           |FROM v""".stripMargin,
 
       "q_cell_value_counts" ->
         s"SELECT CAST(v AS BIGINT) AS value, count(*) AS cnt FROM ($grid) GROUP BY 1",

@@ -27,6 +27,41 @@ object ZFactor {
     lat => 1.0 / (k * math.cos(math.toRadians(lat)))
   }
 
+  /** Geodesic cell-area raster for a LatLng layout (the area-weighting
+    * companion of the z-factor: per-cell spherical area
+    * R²·Δλ·(sin φtop − sin φbot) in km², constant along a grid row) —
+    * what area-true statistics over degree grids multiply by before
+    * summing.
+    *
+    * Scale shape: pure grid enumeration — one spark.range over tile
+    * keys, each tile built by a transform() lambda from its own row
+    * latitudes; no shuffle, no data read. The R²·Δλ factor is
+    * precomputed driver-side so engine and oracle share the identical
+    * double constant. */
+  def cellAreaLayer(spark: org.apache.spark.sql.SparkSession,
+                    layout: graft.core.LayoutDefinition,
+                    radiusKm: Double = 6371.0): RasterLayer = {
+    import org.apache.spark.sql.functions._
+    val tl = layout.tileLayout
+    val ch = layout.cellHeight
+    val scale = cellAreaScale(layout, radiusKm)
+    val keys = spark.range(tl.layoutCols.toLong * tl.layoutRows)
+      .select((col("id") % tl.layoutCols).cast("int").as("col"),
+        (col("id") / tl.layoutCols).cast("int").as("row"))
+    val tile = transform(sequence(lit(0), lit(tl.tileRows * tl.tileCols - 1)), i => {
+      val gy = (col("row") * tl.tileRows + (i / lit(tl.tileCols)).cast("int")).cast("double")
+      val latTop = lit(layout.extent.ymax) - gy * lit(ch)
+      lit(scale) * (sin(radians(latTop)) - sin(radians(latTop - lit(ch))))
+    })
+    new RasterLayer(keys.select(col("col"), col("row"), tile.as("tile")),
+      LayerMetadata(layout))
+  }
+
+  /** R²·Δλ(rad) — [[cellAreaLayer]]'s shared driver-side constant. */
+  def cellAreaScale(layout: graft.core.LayoutDefinition,
+                    radiusKm: Double = 6371.0): Double =
+    radiusKm * radiusKm * math.toRadians(layout.cellWidth)
+
   /** Reference table calculator: piecewise-linear interpolation
     * through (latitude, zfactor) control points (the reference feeds
     * a JSON map through a LinearInterpolator; same math, no JSON). */

@@ -253,6 +253,42 @@ object ZonalOps {
         col("mj.v").as("majority"), col("mn.v").as("minority"))
   }
 
+  /** Zonal geometry (the ESRI ZonalGeometry family's raster form):
+    * per zone, the cell count (area at unit cell size), the 4-connected
+    * perimeter (cell edges facing a different zone, a NoData hole, or
+    * the grid boundary), and the isoperimetric compactness
+    * 4·π·area / perimeter² (1 for a disc, π/4 ≈ 0.785 is the square's
+    * ceiling on a grid).
+    *
+    * Scale shape: two partitioned windows over the cell stream — one
+    * keyed by grid row (left/right neighbors via lag/lead with an
+    * adjacency gap check, so NoData holes read as boundary), one keyed
+    * by grid column (up/down) — then one |zones|-row aggregation. No
+    * self-join of the cell table, no unpartitioned window; partition
+    * keys are grid rows/columns (G of each), so parallelism grows with
+    * the grid. All-integer arithmetic until the final compactness
+    * division. */
+  def zonalGeometry(zones: RasterLayer): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = zones.toCells
+      .select(col("x"), col("y"), col("v").cast("long").as("zone"))
+    val wx = Window.partitionBy("y").orderBy("x")
+    val wy = Window.partitionBy("x").orderBy("y")
+    def same(nz: Column, nc: Column, expect: Column): Column =
+      when(nc === expect && nz === col("zone"), 1).otherwise(0)
+    val contrib = lit(4) -
+      same(lag("zone", 1).over(wx), lag("x", 1).over(wx), col("x") - 1) -
+      same(lead("zone", 1).over(wx), lead("x", 1).over(wx), col("x") + 1) -
+      same(lag("zone", 1).over(wy), lag("y", 1).over(wy), col("y") - 1) -
+      same(lead("zone", 1).over(wy), lead("y", 1).over(wy), col("y") + 1)
+    cells.select(col("zone"), contrib.as("p"))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_cells"), sum("p").cast("long").as("perimeter"))
+      .select(col("zone"), col("n_cells"), col("perimeter"),
+        round(lit(4 * math.Pi) * col("n_cells") / (col("perimeter") * col("perimeter")), 6)
+          .as("compactness"))
+  }
+
   /** Ceiling for [[zonalPercentage]]'s driver fast path: 2^21 zones
     * (~32 MB as a broadcast Long map). Above it the zone totals never
     * leave the cluster — the per-cell join fallback runs instead.

@@ -42,4 +42,32 @@ object Measures {
         round(col("cxn") / (lit(3) * col("s2")), 6).as("cx"),
         round(col("cyn") / (lit(3) * col("s2")), 6).as("cy"))
   }
+
+  /** Great-circle distance + initial bearing from each point to an
+    * anchor (geotrellis vector Haversine/GeodesicDistance surface):
+    * the spherical haversine form (numerically stable at short range;
+    * asin clamped at 1 for antipodal rounding) and the standard
+    * initial-bearing atan2, normalized to [0, 360) degrees.
+    *
+    * Float contract: trig goes through IEEE doubles in both engines
+    * (JVM Math vs libm agree to ulps); outputs round to 4 dp — the
+    * reproject-oracle convention (sub-meter at earth scale). Pure
+    * per-row expression math, shuffle-free, stays in codegen.
+    *
+    * @param points (pid, lon, lat) in degrees */
+  def geodesic(points: DataFrame, anchorLon: Double, anchorLat: Double,
+               radiusKm: Double = 6371.0): DataFrame = {
+    val f1 = radians(col("lat"))
+    val f2 = radians(lit(anchorLat))
+    val dphi = radians(lit(anchorLat) - col("lat"))
+    val dlam = radians(lit(anchorLon) - col("lon"))
+    val sp = sin(dphi / 2)
+    val sl = sin(dlam / 2)
+    val a = sp * sp + cos(f1) * cos(f2) * (sl * sl)
+    val d = lit(2 * radiusKm) * asin(least(lit(1.0), sqrt(a)))
+    val deg = degrees(atan2(sin(dlam) * cos(f2),
+      cos(f1) * sin(f2) - sin(f1) * cos(f2) * cos(dlam)))
+    points.select(col("pid"), round(d, 4).as("dist_km"),
+      round(when(deg < 0, deg + 360).otherwise(deg), 4).as("bearing_deg"))
+  }
 }

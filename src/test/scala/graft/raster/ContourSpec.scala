@@ -1,0 +1,97 @@
+package graft.raster
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{Extent, LayoutDefinition, TileLayout}
+
+class ContourSpec extends SparkSpec {
+  import spark.implicits._
+
+  val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+
+  def layer(cells: Seq[(Long, Long, Double)]): RasterLayer =
+    RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout, CellOp.Last)
+
+  test("contours: plateau ring crosses 8 blocks with 8 segments") {
+    // 4x4 full grid, 2x2 plateau of 9s in a field of 0s: the level-5
+    // iso-line crosses the 4 corner + 4 edge blocks once each, the
+    // center block is all-inside (case 15), outside blocks absent
+    val cells = for (y <- 0L to 3L; x <- 0L to 3L)
+      yield (x, y, if (x >= 1 && x <= 2 && y >= 1 && y <= 2) 9.0 else 0.0)
+    val out = Contour.segmentCounts(layer(cells), Seq(5.0))
+      .as[(Double, Long, Long)].collect()
+    assert(out.toSeq == Seq((5.0, 8L, 8L)))
+  }
+
+  test("contours: diagonal saddle emits two segments") {
+    // single 2x2 block with opposite corners above the level:
+    // case 1+8 = 9 -> the always-split saddle rule, 2 segments
+    val out = Contour.segmentCounts(
+        layer(Seq((0L, 0L, 9.0), (1L, 0L, 0.0), (0L, 1L, 0.0), (1L, 1L, 9.0))),
+        Seq(5.0)).as[(Double, Long, Long)].collect()
+    assert(out.toSeq == Seq((5.0, 2L, 1L)))
+    // the other diagonal: case 2+4 = 6
+    val out2 = Contour.segmentCounts(
+        layer(Seq((0L, 0L, 0.0), (1L, 0L, 9.0), (0L, 1L, 9.0), (1L, 1L, 0.0))),
+        Seq(5.0)).as[(Double, Long, Long)].collect()
+    assert(out2.toSeq == Seq((5.0, 2L, 1L)))
+  }
+
+  test("contours: NoData holes and tile seams drop incomplete blocks only") {
+    // v = x+y over y in {0,1}, x in {2..5} (straddles the x=3|4 tile
+    // seam). Level 4: block(2,0) case 8 -> 1 seg, block(3,0) case 14
+    // -> 1 seg, block(4,0) case 15 -> 0 segs: (2 segments, 2 crossed)
+    val full = for (y <- 0L to 1L; x <- 2L to 5L) yield (x, y, (x + y).toDouble)
+    val all = Contour.segmentCounts(layer(full), Seq(4.0))
+      .as[(Double, Long, Long)].collect().head
+    assert(all == ((4.0, 2L, 2L)))
+    // removing cell (4,0) kills the two blocks that use it; only
+    // block(2,0) remains
+    val holed = Contour.segmentCounts(
+        layer(full.filterNot(c => c._1 == 4 && c._2 == 0)), Seq(4.0))
+      .as[(Double, Long, Long)].collect().head
+    assert(holed == ((4.0, 1L, 1L)))
+  }
+
+  test("zonal geometry: block, singleton and line shapes by hand") {
+    // zone 1: 2x2 block -> A=4 P=8 Q=pi/4; zone 2: singleton -> A=1
+    // P=4 Q=pi/4; zone 3: 3-cell line (crosses the tile seam) ->
+    // A=3 P=8 Q=3pi/16
+    val cells = Seq(
+      (1L, 1L, 1.0), (2L, 1L, 1.0), (1L, 2L, 1.0), (2L, 2L, 1.0),
+      (5L, 5L, 2.0),
+      (3L, 6L, 3.0), (4L, 6L, 3.0), (5L, 6L, 3.0))
+    val out = ZonalOps.zonalGeometry(layer(cells))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def q(a: Long, p: Long) = math.rint(4 * math.Pi * a / (p * p) * 1e6) / 1e6
+    assert(out(1L) == (1L, 4L, 8L, q(4, 8)))
+    assert(out(2L) == (2L, 1L, 4L, q(1, 4)))
+    assert(out(3L) == (3L, 3L, 8L, q(3, 8)))
+  }
+
+  test("zonal geometry: NoData holes count as boundary") {
+    // a 3x1 line with its middle cell missing: two singletons of the
+    // same zone, each with perimeter 4 (the hole is boundary)
+    val out = ZonalOps.zonalGeometry(
+        layer(Seq((1L, 1L, 7.0), (3L, 1L, 7.0))))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((7L, 2L, 8L,
+      math.rint(4 * math.Pi * 2 / 64.0 * 1e6) / 1e6)))
+  }
+
+  test("cell area: telescoping total matches the closed form, equatorward rows grow") {
+    val l = ZFactor.cellAreaLayer(spark, graft.GridSource.layoutLatLng)
+    val rows = l.toCells.groupBy("y").agg(min("v").as("a"), max("v").as("b"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.length == 256)
+    rows.foreach { case (_, a, b) => assert(a == b) } // constant per row
+    // telescoping sum over rows = R^2 * dLambda * (sin 64deg - sin 0)
+    val total = rows.map(_._2).sum * 256
+    val closed = ZFactor.cellAreaScale(graft.GridSource.layoutLatLng) *
+      (math.sin(math.toRadians(64)) - 0.0) * 256
+    assert(math.abs(total - closed) / closed < 1e-9)
+    // area grows toward the equator (y-down: row 255 is lat 0..0.25)
+    assert(rows.sliding(2).forall { case Array(p, n) => n._2 > p._2 })
+  }
+}

@@ -34,4 +34,21 @@ class MeasuresSpec extends SparkSpec {
     val m = run(Seq((1L, "t", Seq(0.0, 3, 0, 0), Seq(0.0, 0, 3, 0))))
     assert(m("t") == (4.5, 1.0, 1.0))
   }
+
+  test("geodesic: quarter-circle east, due north, due south by hand") {
+    def geo(lon: Double, lat: Double, alon: Double, alat: Double) =
+      Measures.geodesic(Seq((1L, lon, lat)).toDF("pid", "lon", "lat"), alon, alat)
+        .as[(Long, Double, Double)].collect().head
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val quarter = r4(6371.0 * math.Pi / 2)
+    // equator point to a point 90 deg east: quarter circumference, due east
+    assert(geo(0, 0, 90, 0) == ((1L, quarter, 90.0)))
+    // equator to the north pole: same distance, bearing 0
+    assert(geo(0, 0, 0, 90) == ((1L, quarter, 0.0)))
+    // due south along a meridian: 30 deg of arc, bearing 180
+    val d30 = r4(6371.0 * math.toRadians(30))
+    assert(geo(10, 0, 10, -30) == ((1L, d30, 180.0)))
+    // zero distance at the anchor itself
+    assert(geo(2.25, 48.85, 2.25, 48.85)._2 == 0.0)
+  }
 }
