@@ -1075,6 +1075,30 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhashPairs(table(s, dir, "documents"))),
 
+    "q_dedup_keep" -> ((s, dir) => {
+      // the dedup pipeline's shippable artifact: per-doc component +
+      // keep flag (component representative survives, the rest drop)
+      val docs = table(s, dir, "documents")
+      pipeline.Dedup.connectedComponents(
+          pipeline.Dedup.minhashPairs(docs).select(col("d1"), col("d2")),
+          docs.select(col("doc_id")))
+        .select(col("doc_id"), col("component"),
+          when(col("component") === col("doc_id"), 1L).otherwise(0L).as("keep"))
+    }),
+
+    "q_maxsim" -> ((s, dir) =>
+      // ColBERT-style multi-vector late interaction: labels < 2 are
+      // query bags, the rest candidate bags; per-query-vector best
+      // match micro-quantized before the per-pair sum
+      pipeline.Similarity.maxSim(table(s, dir, "embeddings"),
+        col("label") < 2, col("label") >= 2)),
+
+    "q_temporal_delta" -> ((s, dir) =>
+      // change detection: tile(t) - tile(t-1) across the 3 instants
+      RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64)
+        .temporalDelta().toCells
+        .select(col("x"), col("y"), col("instant"), col("v"))),
+
     "q_contamination" -> ((s, dir) =>
       // decontamination sweep: docs with doc_id % 20 == 0 act as the
       // "eval set"; low threshold so partial quotes surface too
@@ -1528,6 +1552,23 @@ object SparkEntry {
 
   private lazy val minhashSimExpr: String =
     (0 until 16).map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+
+  /** Minhash-LSH duplicate components (doc_id, component) — shared
+    * verbatim by q_dedup_clusters and (as a subquery) q_dedup_keep. */
+  private lazy val dedupComponentsSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (
+       |  SELECT d1, d2
+       |  FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id
+       |  WHERE CAST($minhashSimExpr AS DOUBLE) / 16 >= 0.5),
+       |sym AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+       |comp AS (SELECT u AS doc_id, least(min(v), u) AS component FROM reach GROUP BY u)
+       |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+       |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
 
   /** Shared D8 direction CTE chain (8 shifted left joins -> coalesced
     * drops -> greatest + CASE cascade, mirroring Hydrology exactly);
@@ -2389,6 +2430,14 @@ object SparkEntry {
            |SELECT x, y, (n * stv - st * sv) / (n * st2 - st * st) AS slope
            |FROM a WHERE n >= 2 AND n * st2 - st * st <> 0""".stripMargin,
 
+      // image differencing: consecutive-instant inner join (a cell
+      // missing at either instant emits nothing, exactly the engine's
+      // NaN-propagating zip_with over the tile join)
+      "q_temporal_delta" ->
+        s"""WITH t AS ($tgrid)
+           |SELECT a.x, a.y, a.instant, a.v - b.v AS v
+           |FROM t a JOIN t b ON b.x = a.x AND b.y = a.y AND b.instant = a.instant - 1""".stripMargin,
+
       // max composite + smallest instant achieving the max
       "q_temporal_argmax" ->
         s"""WITH t AS ($tgrid),
@@ -2828,20 +2877,30 @@ object SparkEntry {
 
       // same LSH pair graph, closed transitively (recursive CTE);
       // component = min reachable doc_id, singletons map to themselves
-      "q_dedup_clusters" ->
-        s"""WITH RECURSIVE $minhashCtes,
-           |pairs AS (
-           |  SELECT d1, d2
-           |  FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id
-           |  WHERE CAST($minhashSimExpr AS DOUBLE) / 16 >= 0.5),
-           |sym AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
-           |reach(u, v) AS (
-           |  SELECT u, v FROM sym
-           |  UNION
-           |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
-           |comp AS (SELECT u AS doc_id, least(min(v), u) AS component FROM reach GROUP BY u)
-           |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-           |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+      "q_dedup_clusters" -> dedupComponentsSql,
+
+      // the end-to-end dedup ARTIFACT: same components, plus the keep
+      // manifest (keep the component representative, drop the rest)
+      "q_dedup_keep" ->
+        s"""SELECT doc_id, component,
+           |  CAST(CASE WHEN component = doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM ($dedupComponentsSql)""".stripMargin,
+
+      // MaxSim late interaction: per-query-vector max cosine over each
+      // candidate bag, micro-quantized BEFORE the per-pair sum (an
+      // order-free integer addition; raw float sums would be
+      // partition-order-dependent)
+      "q_maxsim" ->
+        """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |q AS (SELECT label AS qlabel, vec_id AS qid, qv AS qvv FROM e WHERE label < 2),
+          |d AS (SELECT label AS dlabel, qv AS dv FROM e WHERE label >= 2),
+          |s AS (SELECT qlabel, dlabel, qid,
+          |        list_dot_product(qvv, dv) / (sqrt(list_dot_product(qvv, qvv)) * sqrt(list_dot_product(dv, dv))) AS cos
+          |      FROM q CROSS JOIN d),
+          |m AS (SELECT qlabel, dlabel, qid, CAST(round(max(cos) * 1000000.0) AS BIGINT) AS mq FROM s GROUP BY 1, 2, 3)
+          |SELECT qlabel, dlabel, CAST(count(*) AS BIGINT) AS n_qvecs,
+          |  CAST(sum(mq) AS DOUBLE) / 1000000.0 AS maxsim
+          |FROM m GROUP BY 1, 2""".stripMargin,
 
       // 60-bit signatures; the oracle states the SAME pigeonhole
       // banding + hot-bucket drop the engine runs (a pair whose every

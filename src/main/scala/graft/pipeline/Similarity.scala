@@ -290,6 +290,40 @@ object Similarity {
       .select(col("vec_id"), col("c.j").as("j"), col("c.y").as("y"))
   }
 
+  /** Multi-vector late-interaction retrieval (the ColBERT MaxSim
+    * shape, Khattab & Zaharia SIGIR'20): query and candidate documents
+    * are BAGS of vectors (here: label groups); the relevance of doc D
+    * to query Q is Σ_{i∈Q} max_{j∈D} cos(q_i, d_j) — every query
+    * token keeps only its best-matching document token. Per-query-
+    * vector maxima are exact double comparisons; each max is
+    * micro-quantized to a long BEFORE the per-(Q,D) sum (order-free
+    * exact integer addition — a raw float Σ would be
+    * partition-order-dependent), divided once at the end.
+    *
+    * Scale shape: this op SCORES candidate pairs — upstream candidate
+    * generation (IVF/LSH over pooled vectors) bounds |Q|×|D|; the
+    * query side is an explicit predicate and broadcasts. Two keyed
+    * aggregations (max, then sum), both map-side combining; dots are
+    * the codegen'd LongDotExpr. */
+  def maxSim(embeddings: DataFrame, queryPred: Column,
+             docPred: Column): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("qv"))
+      .localCheckpoint() // both sides + norms read it
+    val q = e.where(queryPred).select(col("label").as("qlabel"),
+      col("vec_id").as("qid"), col("qv").as("qvv"))
+    val d = e.where(docPred).select(col("label").as("dlabel"), col("qv").as("dv"))
+    d.join(broadcast(q))
+      .select(col("qlabel"), col("dlabel"), col("qid"),
+        qcosine(col("qvv"), col("dv")).as("cos"))
+      .groupBy("qlabel", "dlabel", "qid").agg(max("cos").as("mc"))
+      .select(col("qlabel"), col("dlabel"),
+        round(col("mc") * lit(1000000.0)).cast("long").as("mq"))
+      .groupBy("qlabel", "dlabel")
+      .agg(count(lit(1)).as("n_qvecs"),
+        (sum("mq").cast("double") / lit(1000000.0)).as("maxsim"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication", arXiv:2303.09540 —
     * public): cluster the corpus, then prune eps-cosine-similar

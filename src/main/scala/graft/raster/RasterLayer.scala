@@ -402,6 +402,26 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     copy(df = reduced, meta = meta.copy(temporal = false))
   }
 
+  /** Per-cell change detection: tile(t) − tile(t−1) for every
+    * unit-stride instant pair present in the layer (the standard
+    * image-differencing step of a change-detection composite;
+    * [[temporalTrend]] is its regression sibling). Instants without a
+    * t−1 snapshot emit nothing; a cell NoData on either side stays
+    * NoData ([[Resample.resampleTime]] first for non-unit strides).
+    *
+    * Scale shape: one self-equi-join on (col, row, instant) — tiles
+    * stay the unit of work, per-cell math is a codegen'd zip_with,
+    * and the join is the honest minimum (consecutive snapshots must
+    * meet somewhere). */
+  def temporalDelta(): RasterLayer = {
+    require(meta.temporal, "temporalDelta on spatial-only layer")
+    val prev = df.select(col("col"), col("row"),
+      (col("instant") + 1).as("instant"), col("tile").as("prev"))
+    copy(df = df.join(prev, Seq("col", "row", "instant"))
+      .select(col("col"), col("row"), col("instant"),
+        zip_with(col("tile"), col("prev"), (x, p) => x - p).as("tile")))
+  }
+
   /** Per-cell temporal MAX composite plus the instant achieving it
     * (ties -> smallest instant) — the "greenest pixel + day of peak"
     * composite. One keyed shuffle through [[TileArgmaxAgg]]; the

@@ -832,6 +832,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) == (1L, 1L, 40L, 40L, 40L))
   }
 
+  test("maxsim: per-query-vector best match, quantized sum, by hand") {
+    // query bag (label 0): e1=[1,0], e2=[0,1]; doc bag (label 2):
+    // d1=[1,0], d2=[-1,0]. maxsim = max(1,-1) + max(0,0) = 1.0
+    // doc bag (label 3): d=[0.6,0.8] (unit): 0.6 + 0.8 = 1.4
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0),
+      (10L, Seq(1f, 0f), 2), (11L, Seq(-1f, 0f), 2),
+      (20L, Seq(0.6f, 0.8f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.maxSim(emb, col("label") === 0, col("label") >= 2)
+      .as[(Int, Int, Long, Double)].collect().map(r => r._2 -> r).toMap
+    assert(out(2) == (0, 2, 2L, 1.0))
+    assert(out(3) == (0, 3, 2L, 1.4))
+  }
+
   test("hybrid retrieval: ranks, one-list docs at -1, rrf arithmetic") {
     val d = Seq(
       (1L, "spark spark spark table hash window stream", "en", "s", 10L),

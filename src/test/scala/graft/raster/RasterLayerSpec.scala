@@ -504,6 +504,22 @@ class RasterLayerSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2.0, (1L, 0L) -> -1.0))
   }
 
+  test("temporal delta: consecutive diffs, gaps and one-sided cells emit nothing") {
+    // cell (0,0): 3,5,7 at t 0,1,2 -> deltas +2 at t=1, +2 at t=2;
+    // cell (1,0): present at t 0 and 2 only -> no consecutive pair;
+    // cell (2,0): appears only at t=1 (its tile exists at t=0 via
+    // (0,0)) -> NaN - v drops it
+    val cells = Seq(
+      (0L, 0L, 0L, 3.0), (0L, 0L, 1L, 5.0), (0L, 0L, 2L, 7.0),
+      (1L, 0L, 0L, 10.0), (1L, 0L, 2L, 8.0),
+      (2L, 0L, 1L, 4.0))
+      .toDF("x", "y", "instant", "v")
+    val out = RasterLayer.fromCellsTemporal(cells, layout).temporalDelta().toCells
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(out == Map((0L, 0L, 1L) -> 2.0, (0L, 0L, 2L) -> 2.0))
+  }
+
   test("temporal argmax: max composite with smallest-instant ties") {
     val cells = Seq(
       (0L, 0L, 0L, 3.0), (0L, 0L, 1L, 9.0), (0L, 0L, 2L, 7.0), // max 9 at t=1
