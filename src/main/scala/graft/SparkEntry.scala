@@ -257,6 +257,16 @@ object SparkEntry {
       ZonalOps.zonalMajority(lineitemLayer(s, dir), zones)
     }),
 
+    "q_zonal_aspect" -> ((s, dir) => {
+      // directional statistics: circular mean + resultant length of a
+      // synthetic whole-degree angle raster, per returnflag zone
+      val ang = lineitemLayer(s, dir).localMap(c => pmod(c * 37, lit(360.0)))
+      val zones = RasterLayer.fromCells(
+        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
+        layout)
+      ZonalOps.zonalCircularMean(ang, zones)
+    }),
+
     "q_zonal_geometry" -> ((s, dir) => {
       // per-zone area / 4-connected perimeter / isoperimetric
       // compactness over the returnflag zone raster
@@ -281,6 +291,10 @@ object SparkEntry {
     "q_geodesic" -> ((s, dir) =>
       // haversine distance + initial bearing to a fixed anchor
       graft.vector.Measures.geodesic(customerLonLat(s, dir), 2.25, 48.85)),
+
+    "q_hexbin" -> ((s, dir) =>
+      // hexagonal point binning (axial ids via cube rounding)
+      graft.vector.Hexbin.bin(supplierPoints(s, dir), size = 20.0)),
 
     "q_zonal_pct" -> ((s, dir) => {
       // per-cell percent of zone total: (v*100) div zoneSum, exact
@@ -1886,6 +1900,24 @@ object SparkEntry {
            |SELECT g.x, g.y, CAST(g.v AS BIGINT) * 100 // s.zsum AS pct
            |FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y JOIN s ON s.zone = z.zone""".stripMargin,
 
+      // circular mean: per-cell sin/cos micro-quantized to longs
+      // before the zone sums (order-free), one atan2 at the end;
+      // whole-degree angles keep every rounding 2.6e-4 away from a
+      // .5 boundary, so JVM-vs-libm ulps cannot flip a quantum
+      "q_zonal_aspect" ->
+        s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid)),
+           |a AS (SELECT z.zone, (g.v * 37) % 360 AS ang FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y),
+           |p AS (SELECT zone, CAST(count(*) AS BIGINT) AS n_cells,
+           |        CAST(sum(CAST(round(sin(radians(ang)) * 1000000.0) AS BIGINT)) AS BIGINT) AS sq,
+           |        CAST(sum(CAST(round(cos(radians(ang)) * 1000000.0) AS BIGINT)) AS BIGINT) AS cq
+           |      FROM a GROUP BY 1),
+           |d AS (SELECT zone, n_cells, sq, cq,
+           |        degrees(atan2(CAST(sq AS DOUBLE), CAST(cq AS DOUBLE))) AS deg FROM p)
+           |SELECT CAST(zone AS BIGINT) AS zone, n_cells,
+           |  round(CASE WHEN deg < 0 THEN deg + 360 ELSE deg END, 5) AS mean_deg,
+           |  round(sqrt(CAST(sq AS DOUBLE) * sq + CAST(cq AS DOUBLE) * cq) / (CAST(n_cells AS DOUBLE) * 1000000.0), 6) AS resultant
+           |FROM d""".stripMargin,
+
       // per-cell perimeter contribution via 4 neighbor left-joins
       // (missing neighbor / different zone / grid edge all read as
       // boundary — the engine's lag/lead gap-check rule restated)
@@ -1932,6 +1964,26 @@ object SparkEntry {
            |  round($scale * (sin(radians(CAST(64 AS DOUBLE) - CAST(t.y AS DOUBLE) * CAST(0.25 AS DOUBLE)))
            |                - sin(radians(CAST(64 AS DOUBLE) - CAST(t.y AS DOUBLE) * CAST(0.25 AS DOUBLE) - CAST(0.25 AS DOUBLE)))), 6) AS area_km2
            |FROM range(256) t(y)""".stripMargin
+      },
+
+      // hex cube-rounding restated step for step over identical
+      // doubles (pure arithmetic + sqrt — no libm trig anywhere);
+      // sqrt(3)/3 is the engine's driver-side constant verbatim
+      "q_hexbin" -> {
+        val s33 = graft.vector.Hexbin.S33
+        val t23 = 2.0 / 3
+        s"""WITH p AS ($pts),
+           |t AS (SELECT pid, ($s33 * px - py / 3) / CAST(20 AS DOUBLE) AS q,
+           |        (py * $t23) / CAST(20 AS DOUBLE) AS r FROM p),
+           |c AS (SELECT pid, q AS x, -q - r AS y, r AS z FROM t),
+           |d AS (SELECT pid, x, y, z, round(x) AS rx, round(y) AS ry, round(z) AS rz FROM c),
+           |e AS (SELECT pid, rx, ry, rz, abs(rx - x) AS dx, abs(ry - y) AS dy, abs(rz - z) AS dz FROM d),
+           |f AS (SELECT pid,
+           |  CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS hq,
+           |  CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz) THEN -rx - ry ELSE rz END AS BIGINT) AS hr
+           |  FROM e)
+           |SELECT hq, hr, CAST(count(*) AS BIGINT) AS n_points, CAST(sum(pid) AS BIGINT) AS pid_sum
+           |FROM f GROUP BY 1, 2""".stripMargin
       },
 
       // haversine + initial bearing, op-order-identical to the engine

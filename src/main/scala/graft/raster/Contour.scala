@@ -36,6 +36,7 @@ object Contour {
       .withColumn("xr", lead("x", 1).over(wx))
       .where(col("xr") === col("x") + 1)
       .select(col("x"), col("y"), col("v"), col("vr"))
+      .localCheckpoint() // both sides of the self-join read it once
     val blocks = pairs.as("t").join(pairs.as("b"),
         col("t.x") === col("b.x") && col("t.y") + 1 === col("b.y"))
       .select(col("t.v").as("v00"), col("t.vr").as("v10"),

@@ -253,6 +253,57 @@ object ZonalOps {
         col("mj.v").as("majority"), col("mn.v").as("minority"))
   }
 
+  /** Zonal circular (directional) mean — the directional-statistics
+    * summary for angular rasters (mean ASPECT per watershed, mean wind
+    * direction per region): per zone, the circular mean
+    * atan2(Σ sin θ, Σ cos θ) normalized to [0, 360), plus the
+    * resultant length R = |Σe^iθ| / n (1 = perfectly aligned, 0 =
+    * uniform) — the standard concentration measure an arithmetic mean
+    * of angles gets wrong (mean of 359° and 1° is 0°, not 180°).
+    *
+    * Determinism: per-cell sin/cos are quantized to integer
+    * micro-units BEFORE summation (exact order-free long adds; raw
+    * float Σsin would be partition-order-dependent), one atan2/sqrt
+    * at the end. Values layer holds angles in DEGREES.
+    *
+    * Scale shape: the [[zonalStats]] per-partition partial — only
+    * |zones| rows per partition cross the exchange. */
+  def zonalCircularMean(values: RasterLayer, zones: RasterLayer): DataFrame = {
+    val spark = values.spark
+    import spark.implicits._
+    val v = values.df.select(col("col"), col("row"), col("tile").as("_v"))
+    val z = zones.df.select(col("col"), col("row"), col("tile").as("_z"))
+    val parts = v.join(z, Seq("col", "row"))
+      .select(col("_v"), col("_z")).as[(Seq[Double], Seq[Double])]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Long, Long)]
+        it.foreach { case (vs, zs) =>
+          val va = vs.toArray; val za = zs.toArray // List apply is O(n)
+          var i = 0
+          while (i < va.length) {
+            val vv = va(i); val zz = za(i)
+            if (!vv.isNaN && !zz.isNaN) {
+              val k = zz.toLong
+              val r = math.toRadians(vv)
+              val sq = math.rint(math.sin(r) * 1e6).toLong
+              val cq = math.rint(math.cos(r) * 1e6).toLong
+              val cur = acc.getOrElse(k, (0L, 0L, 0L))
+              acc(k) = (cur._1 + 1, cur._2 + sq, cur._3 + cq)
+            }
+            i += 1
+          }
+        }
+        acc.iterator.map { case (k, (n, s, c)) => (k, n, s, c) }
+      }.toDF("zone", "n", "ssin", "scos")
+      .groupBy("zone")
+      .agg(sum("n").as("n_cells"), sum("ssin").as("sq"), sum("scos").as("cq"))
+    val deg = degrees(atan2(col("sq").cast("double"), col("cq").cast("double")))
+    parts.select(col("zone"), col("n_cells"),
+      round(when(deg < 0, deg + 360).otherwise(deg), 5).as("mean_deg"),
+      round(sqrt(col("sq").cast("double") * col("sq") + col("cq").cast("double") * col("cq")) /
+        (col("n_cells").cast("double") * lit(1000000.0)), 6).as("resultant"))
+  }
+
   /** Zonal geometry (the ESRI ZonalGeometry family's raster form):
     * per zone, the cell count (area at unit cell size), the 4-connected
     * perimeter (cell edges facing a different zone, a NoData hole, or

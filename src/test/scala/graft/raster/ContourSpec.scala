@@ -80,6 +80,19 @@ class ContourSpec extends SparkSpec {
       math.rint(4 * math.Pi * 2 / 64.0 * 1e6) / 1e6)))
   }
 
+  test("zonal circular mean: wraparound and quadrature cases by hand") {
+    // zone 1: angles 359 and 1 -> circular mean 0 (arithmetic mean
+    // would say 180); zone 2: angles 0 and 90 -> mean 45, R = sqrt2/2
+    val ang = layer(Seq((0L, 0L, 359.0), (1L, 0L, 1.0),
+      (2L, 0L, 0.0), (3L, 0L, 90.0)))
+    val zones = layer(Seq((0L, 0L, 1.0), (1L, 0L, 1.0),
+      (2L, 0L, 2.0), (3L, 0L, 2.0)))
+    val out = ZonalOps.zonalCircularMean(ang, zones)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == (1L, 2L, 0.0, 0.999848))
+    assert(out(2L) == (2L, 2L, 45.0, math.rint(math.sqrt(2) / 2 * 1e6) / 1e6))
+  }
+
   test("cell area: telescoping total matches the closed form, equatorward rows grow") {
     val l = ZFactor.cellAreaLayer(spark, graft.GridSource.layoutLatLng)
     val rows = l.toCells.groupBy("y").agg(min("v").as("a"), max("v").as("b"))
