@@ -257,6 +257,18 @@ object SparkEntry {
       ZonalOps.zonalMajority(lineitemLayer(s, dir), zones)
     }),
 
+    "q_zonal_histogram" -> ((s, dir) => {
+      // zone x class contingency table (ESRI TabulateArea long form):
+      // cell values bucketed to 8 classes so the table stays a real
+      // crosstab rather than |distinct values| rows
+      val cls = lineitemLayer(s, dir).localMap(c => pmod(c, lit(8.0)))
+      val zones = RasterLayer.fromCells(
+        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
+        layout)
+      ZonalOps.zonalHistogram(cls, zones)
+        .select(col("zone"), col("v").cast("long").as("class"), col("cnt"))
+    }),
+
     "q_zonal_aspect" -> ((s, dir) => {
       // directional statistics: circular mean + resultant length of a
       // synthetic whole-degree angle raster, per returnflag zone
@@ -295,6 +307,11 @@ object SparkEntry {
     "q_hexbin" -> ((s, dir) =>
       // hexagonal point binning (axial ids via cube rounding)
       graft.vector.Hexbin.bin(supplierPoints(s, dir), size = 20.0)),
+
+    "q_convex_hull" -> ((s, dir) =>
+      // strict convex hull of the supplier points: per-vertex rows +
+      // hull size, exact area, micro-quantized perimeter
+      graft.vector.Hull.convex(supplierPoints(s, dir))),
 
     "q_zonal_pct" -> ((s, dir) => {
       // per-cell percent of zone total: (v*100) div zoneSum, exact
@@ -1252,6 +1269,35 @@ object SparkEntry {
       // quantization, exact per-doc sums
       pipeline.TextAnalysis.bigramLmScore(table(s, dir, "documents"))),
 
+    "q_char_entropy" -> ((s, dir) =>
+      // Shannon entropy of the per-doc alnum char distribution
+      // (gibberish / encoding-error pre-filter)
+      pipeline.TextAnalysis.charEntropy(table(s, dir, "documents"))),
+
+    "q_pmi" -> ((s, dir) =>
+      // corpus collocations: PMI of adjacent word bigrams (floor
+      // bounds the output — no float-ranked top-k to tie-flip)
+      pipeline.TextAnalysis.pmiCollocations(table(s, dir, "documents"))),
+
+    "q_html_extract" -> ((s, dir) => {
+      // the corpus is plain text, so the query wraps each doc in a
+      // deterministic HTML page (identical construction in the
+      // oracle — the pii_redact injection precedent) and strips it
+      // back out; content hash + length pin the cleaned text
+      val wrapped = table(s, dir, "documents").withColumn("html", concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+        lit("<style>p { color: red; }</style></head><body><h1>"),
+        col("source"), lit("</h1>\n<p>"), col("text"),
+        lit("</p>\n<div>&amp;copy &lt;b&gt;bold&#39;s&quot; &gt;</div></body></html>")))
+      pipeline.TextAnalysis.htmlExtract(wrapped)
+        .select(col("doc_id"), length(col("clean")).cast("long").as("n_clean"),
+          md5(col("clean")).as("h"))
+    }),
+
+    "q_ppl_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail perplexity thirds per source
+      pipeline.TextAnalysis.perplexityBuckets(table(s, dir, "documents"))),
+
     "q_cms_sketch" -> ((s, dir) =>
       // 4 x 256 count-min sketch of the token frequency stream
       pipeline.Sketch.countMinSketch(table(s, dir, "documents"))),
@@ -1893,6 +1939,14 @@ object SparkEntry {
            |  min(CASE WHEN c.cnt = mx.nc THEN c.v END) AS minority
            |FROM c JOIN mx USING (zone) GROUP BY 1, 2""".stripMargin,
 
+      // zone x class contingency table (TabulateArea long form)
+      "q_zonal_histogram" ->
+        s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid))
+           |SELECT CAST(z.zone AS BIGINT) AS zone,
+           |       CAST(g.v AS BIGINT) % 8 AS class, count(*) AS cnt
+           |FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y
+           |GROUP BY 1, 2""".stripMargin,
+
       "q_zonal_pct" ->
         s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid)),
            |s AS (SELECT z.zone, CAST(sum(g.v) AS BIGINT) AS zsum
@@ -1985,6 +2039,34 @@ object SparkEntry {
            |SELECT hq, hr, CAST(count(*) AS BIGINT) AS n_points, CAST(sum(pid) AS BIGINT) AS pid_sum
            |FROM f GROUP BY 1, 2""".stripMargin
       },
+
+      // strict-hull edge predicate: a directed edge (a -> b) is on the
+      // CCW hull iff every other point is strictly left of it, or
+      // collinear strictly between its endpoints. Vertices are the
+      // edge starts; the directed edge set gives the shoelace area and
+      // the quantized perimeter with no order reconstruction.
+      "q_convex_hull" ->
+        s"""WITH p0 AS ($pts),
+           |pts AS (SELECT DISTINCT CAST(px * 2 AS BIGINT) AS x, CAST(py * 2 AS BIGINT) AS y FROM p0),
+           |e AS (SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+           |      FROM pts a, pts b
+           |      WHERE NOT (a.x = b.x AND a.y = b.y)
+           |        AND NOT EXISTS (
+           |          SELECT 1 FROM pts r
+           |          WHERE NOT (r.x = a.x AND r.y = a.y) AND NOT (r.x = b.x AND r.y = b.y)
+           |            AND ((b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) < 0
+           |              OR ((b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) = 0
+           |                  AND NOT ((r.x - a.x) * (b.x - a.x) + (r.y - a.y) * (b.y - a.y) > 0
+           |                           AND (r.x - b.x) * (a.x - b.x) + (r.y - b.y) * (a.y - b.y) > 0))))),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_hull,
+           |        CAST(sum(ax * by - bx * ay) AS BIGINT) AS s2,
+           |        CAST(sum(CAST(round(sqrt((CAST(bx - ax AS DOUBLE) / 2) * (CAST(bx - ax AS DOUBLE) / 2)
+           |          + (CAST(by - ay AS DOUBLE) / 2) * (CAST(by - ay AS DOUBLE) / 2)) * 1000000.0) AS BIGINT)) AS BIGINT) AS pq
+           |        FROM e)
+           |SELECT CAST(ax AS DOUBLE) / 2 AS px, CAST(ay AS DOUBLE) / 2 AS py, n_hull,
+           |  CAST(s2 AS DOUBLE) / 8 AS area,
+           |  round(CAST(pq AS DOUBLE) / 1000000.0, 5) AS perim
+           |FROM e, agg""".stripMargin,
 
       // haversine + initial bearing, op-order-identical to the engine
       "q_geodesic" ->
@@ -3278,6 +3360,76 @@ object SparkEntry {
           |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(lp_q) AS BIGINT) AS s
           |      FROM pp JOIN lp USING (p, t) GROUP BY 1)
           |SELECT doc_id, n_tokens, -s / (n_tokens * 1000000.0) AS nll FROM d""".stripMargin,
+
+      // per-(doc, char) c*ln(c) terms micro-quantized BEFORE the doc
+      // sum (order-free); ln(n) + one division at the end, round 5
+      "q_char_entropy" ->
+        """WITH c AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS ch FROM documents),
+          |g AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
+          |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars, CAST(count(*) AS BIGINT) AS n_distinct,
+          |      CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+          |      FROM g GROUP BY 1)
+          |SELECT doc_id, n_chars, n_distinct,
+          |  round(ln(CAST(n_chars AS DOUBLE)) - CAST(s AS DOUBLE) / (CAST(n_chars AS DOUBLE) * 1000000.0), 5) AS entropy
+          |FROM d""".stripMargin,
+
+      // PMI over adjacent bigrams: exact counts, one ln at the end
+      // with a pinned division order, minCount floor instead of top-k
+      "q_pmi" ->
+        """WITH ws AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+          |uni AS (SELECT t AS a, count(*) AS ca FROM (SELECT unnest(w) AS t FROM ws) GROUP BY 1),
+          |n AS (SELECT CAST(sum(ca) AS BIGINT) AS n FROM uni),
+          |pt AS (SELECT CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS p FROM ws),
+          |ip AS (SELECT unnest(range(1, len(w))) AS i, w FROM ws),
+          |pairs AS (SELECT w[i] AS a, w[i + 1] AS b, count(*) AS cab FROM ip GROUP BY 1, 2),
+          |f AS (SELECT * FROM pairs WHERE cab >= 5)
+          |SELECT f.a, f.b, f.cab,
+          |  round(ln((CAST(f.cab AS DOUBLE) / pt.p) /
+          |    ((CAST(ua.ca AS DOUBLE) / n.n) * (CAST(ub.ca AS DOUBLE) / n.n))), 5) AS pmi
+          |FROM f JOIN uni ua ON ua.a = f.a JOIN uni ub ON ub.a = f.b, n, pt""".stripMargin,
+
+      // same wrap as the engine query, then the same pinned strip
+      // order: script/style -> tags -> entities (&amp; last) -> ws
+      "q_html_extract" ->
+        """WITH d AS (SELECT doc_id,
+          |  '<html><head><script type="text/javascript">var x = 1 < 2;</script>' ||
+          |  '<style>p { color: red; }</style></head><body><h1>' || source ||
+          |  '</h1>' || chr(10) || '<p>' || text ||
+          |  '</p>' || chr(10) || '<div>&amp;copy &lt;b&gt;bold&#39;s&quot; &gt;</div></body></html>' AS html
+          |  FROM documents),
+          |s AS (SELECT doc_id, trim(regexp_replace(
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |  regexp_replace(regexp_replace(regexp_replace(html,
+          |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          |    '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          |    '<[^>]*>', ' ', 'g'),
+          |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+          |    '&#39;', chr(39), 'g'), '&amp;', '&', 'g'),
+          |  '\s+', ' ', 'g')) AS clean FROM d)
+          |SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_clean, md5(clean) AS h
+          |FROM s""".stripMargin,
+
+      // lm_score nll re-ranked into per-source thirds; bucket is
+      // explicit integer math, mean aggregates the micro-nat scores
+      "q_ppl_buckets" ->
+        """WITH w AS (SELECT doc_id, t AS w FROM (
+          |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+          |    FROM documents)),
+          |v AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nv FROM v),
+          |lp AS (SELECT w, CAST(round(ln((cnt + 1.0) / (total + nv)) * 1000000.0) AS BIGINT) AS lp_q
+          |       FROM v, tot),
+          |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(lp_q) AS BIGINT) AS s
+          |      FROM w JOIN lp USING (w) GROUP BY 1),
+          |sc AS (SELECT d.doc_id, doc.source, -s / (n_tokens * 1000000.0) AS nll,
+          |         CAST(round(-s / (n_tokens * 1000000.0) * 1000000.0) AS BIGINT) AS nll_q
+          |       FROM d JOIN documents doc USING (doc_id)),
+          |r AS (SELECT source, nll_q,
+          |        row_number() OVER (PARTITION BY source ORDER BY nll, doc_id) AS r,
+          |        count(*) OVER (PARTITION BY source) AS n_src FROM sc)
+          |SELECT source, (r - 1) * 3 // n_src AS bucket, count(*) AS n_docs,
+          |  round(CAST(sum(nll_q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 5) AS mean_nll
+          |FROM r GROUP BY 1, 2""".stripMargin,
 
       "q_cms_sketch" ->
         """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),

@@ -529,6 +529,126 @@ object TextAnalysis {
         (col("s") / lit(1000000.0)).as("logw"))
   }
 
+  /** Character-entropy gibberish score: Shannon entropy (nats) of each
+    * document's alphanumeric character distribution. Near-zero entropy
+    * flags repeated-character junk, abnormally high entropy flags
+    * base64/hex blobs and encoding errors — a standard cheap pre-filter
+    * before the heavier LM scorers.
+    *
+    * Determinism: H = ln(n) - (1/n)·Σ cᵢ·ln(cᵢ). Each distinct
+    * character's cᵢ·ln(cᵢ) term quantizes ONCE to micro-nats (BIGINT,
+    * and ln(1) = 0 exactly), so the per-doc sum is an exact order-free
+    * integer; ln(n) and the closing division happen once, rounded 5
+    * (the trig-ulp rule).
+    *
+    * Scale: one explode bounded back down by the per-(doc, char)
+    * aggregate — at most 36 rows per doc cross the exchange (map-side
+    * combine); no joins, no windows. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]"), lit(0))).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_chars"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")) * lit(1000000.0))
+          .cast("long")).cast("long").as("s"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        round(log(col("n_chars").cast("double")) -
+          col("s").cast("double") / (col("n_chars").cast("double") * lit(1000000.0)), 5)
+          .as("entropy"))
+
+  /** Corpus-level collocation extraction by pointwise mutual
+    * information (Church & Hanks 1990): for every adjacent word bigram
+    * seen at least `minCount` times, PMI = ln(p(ab) / (p(a)·p(b))) with
+    * p(a) from the token stream (N tokens) and p(ab) from the pair
+    * stream (P pairs). High-PMI pairs are the multi-word expressions
+    * ("new york") tokenizer and dedup pipelines treat as units.
+    *
+    * Determinism: all counts are exact integers; the PMI expression is
+    * a fixed-order chain of IEEE divisions/multiplies with ONE ln,
+    * rounded 5 on both sides. No ranking — the minCount floor bounds
+    * the output, so no float-ordered top-k exists to tie-flip.
+    *
+    * Scale: pairs come from a shuffle-free per-row array zip (no
+    * self-join); both aggregates are vocabulary-bounded with map-side
+    * combine; the unigram join is AQE-broadcastable. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5): DataFrame = {
+    val ws = docs.select(
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      .localCheckpoint() // unigram + pair branches both consume it
+    val uni = ws.select(explode(col("w")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("ca"))
+    val n = uni.agg(sum("ca").cast("long").as("n"))
+    val pairs = ws.select(explode(arrays_zip(
+        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))).as("a"),
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))).as("b"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minCount)
+    // pair universe P counts ALL adjacent pairs (before the floor)
+    val pTot = ws.select((sum(greatest(size(col("w")) - 1, lit(0)))).cast("long").as("p"))
+    pairs
+      .join(uni.withColumnRenamed("ca", "ca_"), "a")
+      .join(uni.select(col("a").as("b"), col("ca").as("cb_")), "b")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(pTot))
+      .select(col("a"), col("b"), col("cab"),
+        round(log((col("cab").cast("double") / col("p")) /
+          ((col("ca_").cast("double") / col("n")) *
+           (col("cb_").cast("double") / col("n")))), 5).as("pmi"))
+  }
+
+  /** HTML boilerplate extraction — the text-from-markup step every
+    * web-scrape pipeline runs before quality filtering (the trafilatura
+    * role, expressed as a deterministic strip): drop script/style
+    * blocks wholesale, strip remaining tags, decode the five core
+    * entities, collapse whitespace. Pure per-row regexp chain — ASCII
+    * patterns that mean the same in Java regex and RE2, applied in a
+    * pinned order (tags strip BEFORE entity decode, so '&lt;b&gt;'
+    * decodes to a literal '<b>' and survives — the HTML 5 parsing
+    * order). Shuffle-free scan. */
+  def htmlExtract(docs: DataFrame, textCol: String = "html"): DataFrame = {
+    val noScript = regexp_replace(regexp_replace(col(textCol),
+      "(?s)<script[^>]*>.*?</script>", " "), "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&") // &amp; LAST (double-escape rule)
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    docs.withColumn("clean",
+      trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
+  /** CCNet perplexity buckets (Wenzek et al. 2020 §4): per SOURCE,
+    * rank documents by [[unigramLmScore]] nll and cut the ranking into
+    * head / middle / tail thirds — the quality-tiered split CCNet
+    * shards its corpus by (head = closest to the LM = cleanest).
+    *
+    * Determinism: nll ordering is a single IEEE division of exact
+    * integers (engine-identical), ties break on doc_id; the bucket is
+    * floor((rank-1)·3 / n) — explicit integer math rather than ntile()
+    * so both engines state the same rule. Per-bucket mean nll
+    * aggregates the micro-nat quantized per-doc scores (exact sums).
+    *
+    * Scale: the window sorts within source partitions only (the
+    * quantile_breaks_int discipline — at petabyte scale swap the exact
+    * rank for the t-digest threshold sketch, same output contract). */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val scored = unigramLmScore(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("nll"),
+        round(col("nll") * lit(1000000.0)).cast("long").as("nll_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("nll"), col("doc_id"))
+    val nPer = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
+    scored.withColumn("r", row_number().over(w).cast("long"))
+      .join(broadcast(nPer), "source")
+      .withColumn("bucket", expr("((r - 1) * 3) div n_src"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("nll_q").cast("double") / (count(lit(1)) * lit(1000000.0)), 5)
+          .as("mean_nll"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 3, minTermLen: Int = 3): DataFrame = {
     // tf computed once, eagerly: df and the join both consume it, and
     // a lazy plan would re-run the explode+regexp scan per branch

@@ -221,7 +221,35 @@ object ZonalOps {
     * the integral-cell oracle contract.
     *
     * @return (zone, variety, majority, minority) */
-  def zonalMajority(values: RasterLayer, zones: RasterLayer): DataFrame = {
+  def zonalMajority(values: RasterLayer, zones: RasterLayer): DataFrame =
+    zoneValueCounts(values, zones)
+      .groupBy("zone")
+      .agg(count(lit(1)).as("variety"),
+        min(struct((-col("cnt")).as("nc"), col("v"))).as("mj"),
+        min(struct(col("cnt").as("c"), col("v"))).as("mn"))
+      .select(col("zone"), col("variety"),
+        col("mj.v").as("majority"), col("mn.v").as("minority"))
+
+  /** Zonal histogram / tabulate-area (the ESRI `ZonalHistogram` /
+    * `TabulateArea` cross-tabulation): per (zone, cell value) the cell
+    * count — i.e. the long-form zone x class contingency table land-
+    * cover analyses pivot into "area of each class within each zone".
+    * Area in map units is `cnt * cellWidth * cellHeight` (cell size 1
+    * on the oracle grid, so counts ARE areas there).
+    *
+    * Scale shape: identical to [[zonalMajority]]'s first phase — per-
+    * partition Scala partials keyed by (zone, value), ONE exchange of
+    * |zones x classes| rows per partition, map-side combine. State
+    * scales with the contingency table, never with cells.
+    *
+    * @return (zone, v, cnt) */
+  def zonalHistogram(values: RasterLayer, zones: RasterLayer): DataFrame =
+    zoneValueCounts(values, zones)
+
+  /** Shared (zone, value) -> count partial: per-partition Scala
+    * accumulation (the [[zonalStats]] shape) so per-cell rows never
+    * cross an exchange. */
+  private def zoneValueCounts(values: RasterLayer, zones: RasterLayer): DataFrame = {
     val spark = values.spark
     import spark.implicits._
     val v = values.df.select(col("col"), col("row"), col("tile").as("_v"))
@@ -245,12 +273,6 @@ object ZonalOps {
         acc.iterator.map { case ((zz, vv), c) => (zz, vv, c) }
       }.toDF("zone", "v", "cnt")
     parts.groupBy("zone", "v").agg(sum("cnt").as("cnt"))
-      .groupBy("zone")
-      .agg(count(lit(1)).as("variety"),
-        min(struct((-col("cnt")).as("nc"), col("v"))).as("mj"),
-        min(struct(col("cnt").as("c"), col("v"))).as("mn"))
-      .select(col("zone"), col("variety"),
-        col("mj.v").as("majority"), col("mn.v").as("minority"))
   }
 
   /** Zonal circular (directional) mean — the directional-statistics

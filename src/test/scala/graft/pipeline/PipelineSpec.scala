@@ -870,4 +870,53 @@ class PipelineSpec extends SparkSpec {
     // a doc in only one top-2 list reports -1 for the other
     assert(out.values.exists(r => r._2 == -1L || r._3 == -1L))
   }
+
+  test("char entropy: uniform, single-char, and hand-computed mixed cases") {
+    val d = Seq((1L, "abab", "en", "s", 4L),   // uniform over 2 -> ln 2
+      (2L, "zzzz", "en", "s", 4L),             // single char -> 0
+      (3L, "aab", "en", "s", 3L))              // H = ln3 - (2 ln2)/3
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.charEntropy(d)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def q(c: Long) = math.round(c * math.log(c.toDouble) * 1e6)
+    def h(n: Long, s: Long) = BigDecimal(math.log(n.toDouble) - s / (n * 1e6))
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == (4L, 2L, h(4, 2 * q(2))))
+    assert(out(2L) == (4L, 1L, 0.0))
+    assert(out(3L) == (3L, 2L, h(3, q(2))))
+    assert(math.abs(out(1L)._3 - math.log(2)) < 1e-4)
+  }
+
+  test("pmi collocations: perfect pair beats independent pair, floor bounds output") {
+    // "x y" always adjacent (PMI high); "a" and "b" co-occur at chance
+    val rows = (0 until 8).map(i => (i.toLong, "x y a" + (" b a" * 3), "en", "s", 1L))
+    val out = TextAnalysis.pmiCollocations(rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      minCount = 5).as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out(("x", "y"))._1 == 8L)
+    assert(out(("x", "y"))._2 > out(("b", "a"))._2) // collocation outranks chance
+    assert(!out.contains(("y", "x")))               // direction matters
+    assert(out.keySet.forall { case k => out(k)._1 >= 5 }) // floor applied
+  }
+
+  test("html extract: scripts/styles die whole, entities decode after tag strip") {
+    val d = Seq((1L,
+      "<html><script>if (1 < 2) { x(); }</script><style>p{}</style>" +
+        "<p>Hello   <b>world</b></p><div>&lt;kept&gt; &amp;&quot;</div></html>",
+      "en", "s", 1L)).toDF("doc_id", "html", "lang", "source", "n_chars")
+    val out = TextAnalysis.htmlExtract(d).select("clean").as[String].head()
+    assert(out == "Hello world <kept> &\"")
+  }
+
+  test("perplexity buckets: thirds per source, rank math by hand") {
+    // 6 docs in one source -> buckets of exactly 2 by (r-1)*3 div 6
+    val docs = Seq("q q q q", "q q q z", "q q z z", "q z z z", "z z z z", "q q q q q")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "src", 1L) }
+    val out = TextAnalysis.perplexityBuckets(
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(("src", 0L) -> 2L, ("src", 1L) -> 2L, ("src", 2L) -> 2L))
+  }
 }

@@ -555,6 +555,19 @@ class RasterLayerSpec extends SparkSpec {
     assert(out(8L) == ((2L, 4L, 4L)))
   }
 
+  test("zonal histogram is the (zone, value) contingency table") {
+    val v = layer((0, 0, 2.0), (1, 0, 2.0), (2, 0, 5.0), (3, 0, 4.0), (0, 1, 9.0))
+    val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 7.0), (3, 0, 8.0), (0, 1, 8.0))
+    val out = ZonalOps.zonalHistogram(v, z)
+      .as[(Long, Double, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map((7L, 2.0) -> 2L, (7L, 5.0) -> 1L,
+      (8L, 4.0) -> 1L, (8L, 9.0) -> 1L))
+    // cells where either side is NoData don't count
+    val zHole = layer((0, 0, 7.0)) // (1,0).. mask-NoData
+    assert(ZonalOps.zonalHistogram(v, zHole)
+      .as[(Long, Double, Long)].collect().toSet == Set((7L, 2.0, 1L)))
+  }
+
   test("rpow, layer pow, and cell-wise layer max") {
     val l = layer((0, 0, 2.0), (1, 0, 3.0))
     assert(cellsOf(l.rpow(2.0)) == Set((0L, 0L, 4.0), (1L, 0L, 8.0)))
