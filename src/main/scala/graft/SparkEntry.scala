@@ -390,6 +390,18 @@ object SparkEntry {
       graft.render.VectorTile.pointTiles(supplierPoints(s, dir), layout)
         .select(col("col"), col("row"), col("n_features"))),
 
+    "q_vector_tile_lines" -> ((s, dir) => {
+      // linestring MVT path: an L-shaped 3-vertex polyline per
+      // supplier point, encoded per tile then DECODED back — the
+      // output is arithmetic over the decoded command streams, so the
+      // zigzag-delta roundtrip itself is what the oracle certifies
+      val lines = supplierPoints(s, dir).select(col("pid"),
+        array(col("px"), col("px") + 3, col("px") + 3).as("xs"),
+        array(col("py"), col("py"), col("py") + 2).as("ys"))
+      graft.render.VectorTile.decodeStats(
+        graft.render.VectorTile.lineTiles(lines, layout))
+    }),
+
     "q_geojson_roundtrip" -> ((s, dir) =>
       // GeoJSON point-feature codec roundtrip, fully columnar: encode
       // every supplier point with to_json, parse back with from_json
@@ -780,6 +792,16 @@ object SparkEntry {
 
     "q_reproject_raster" -> ((s, dir) =>
       Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1).toCells),
+
+    "q_reproject_bilinear" -> ((s, dir) =>
+      // warp with bilinear resampling onto a 200-col target grid (the
+      // 32/25 resolution ratio keeps gx - 0.5 provably off every floor
+      // boundary — mercator x is linear in lon, so 1:1 resolution
+      // would put EVERY sample an ulp from one); 4-corner weighted
+      // sums of non-integral products -> round both sides
+      Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1,
+          dstTile = 50, bilinear = true, dstCols = 200)
+        .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))),
 
     "q_zoom_keys" -> ((s, dir) => {
       val p = customerLonLat(s, dir)
@@ -2130,6 +2152,20 @@ object SparkEntry {
            |  count(*) AS n_features
            |FROM ($pts) GROUP BY 1, 2""".stripMargin,
 
+      // decoded-linestring closed form: each L-polyline contributes 3
+      // vertices at x0/x0+192/x0+192 and y0/y0/y0+128 in tile-local
+      // extent units (x0 = (px - 64*col) * 64, exact half-cell ints)
+      "q_vector_tile_lines" ->
+        s"""WITH t AS (SELECT pid, CAST(floor(px / 64) AS INT) AS col, CAST(floor(py / 64) AS INT) AS row,
+           |  (CAST(px * 2 AS BIGINT) - 128 * CAST(floor(px / 64) AS BIGINT)) * 32 AS x0,
+           |  (CAST(py * 2 AS BIGINT) - 128 * CAST(floor(py / 64) AS BIGINT)) * 32 AS y0
+           |  FROM ($pts))
+           |SELECT col, row, count(*) AS n_features,
+           |  CAST(count(*) * 3 AS BIGINT) AS n_vertices,
+           |  CAST(sum(3 * x0 + 384) AS BIGINT) AS sum_lx,
+           |  CAST(sum(3 * y0 + 128) AS BIGINT) AS sum_ly
+           |FROM t GROUP BY 1, 2""".stripMargin,
+
       "q_shapefile" ->
         s"""SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS INT) AS idx, px, py
            |FROM ($pts)""".stripMargin,
@@ -2661,6 +2697,36 @@ object SparkEntry {
            |FROM t JOIN g
            |  ON g.x = CAST(floor(degrees(mx / 6378137.0) / $d) AS BIGINT)
            | AND g.y = CAST(floor((${n * d} - degrees(atan(exp(my / 6378137.0)) * 2 - pi() / 2)) / $d) AS BIGINT)""".stripMargin
+      },
+
+      // bilinear warp: same inverse-projection chain as the NN oracle,
+      // then the pointValuesBilinear corner/weight construction with a
+      // pinned left-assoc term order; inner joins = all-4-corners rule
+      "q_reproject_bilinear" -> {
+        val n = 256; val d = 0.1; val dn = 200
+        val mxMin = CRS.lngToMercX(0); val mxMax = CRS.lngToMercX(n * d)
+        val myMin = CRS.latToMercY(0); val myMax = CRS.latToMercY(n * d)
+        val cw = (mxMax - mxMin) / dn; val ch = (myMax - myMin) / dn
+        s"""WITH g AS ($grid), t AS (
+           |  SELECT t1.range AS tx, t2.range AS ty,
+           |         $mxMin + (t1.range + 0.5) * $cw AS mx,
+           |         $myMax - (t2.range + 0.5) * $ch AS my
+           |  FROM range(0, $dn) t1, range(0, $dn) t2),
+           |c AS (SELECT tx, ty,
+           |        degrees(mx / 6378137.0) / $d AS gx,
+           |        (${n * d} - degrees(atan(exp(my / 6378137.0)) * 2 - pi() / 2)) / $d AS gy
+           |      FROM t),
+           |b AS (SELECT tx, ty,
+           |        CAST(floor(gx - 0.5) AS BIGINT) AS x0, CAST(floor(gy - 0.5) AS BIGINT) AS y0,
+           |        gx - 0.5 - floor(gx - 0.5) AS fx, gy - 0.5 - floor(gy - 0.5) AS fy
+           |      FROM c)
+           |SELECT b.tx AS x, b.ty AS y,
+           |  round((1 - fx) * (1 - fy) * g00.v + fx * (1 - fy) * g10.v
+           |      + (1 - fx) * fy * g01.v + fx * fy * g11.v, 5) AS v
+           |FROM b JOIN g g00 ON g00.x = b.x0 AND g00.y = b.y0
+           |       JOIN g g10 ON g10.x = b.x0 + 1 AND g10.y = b.y0
+           |       JOIN g g01 ON g01.x = b.x0 AND g01.y = b.y0 + 1
+           |       JOIN g g11 ON g11.x = b.x0 + 1 AND g11.y = b.y0 + 1""".stripMargin
       },
 
       "q_zoom_keys" ->

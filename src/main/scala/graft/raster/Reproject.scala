@@ -57,21 +57,29 @@ object Reproject {
     * each target tile inverse-samples locally. Cell math identical to
     * the join variant, so the same oracle covers both. */
   def latLngGridToWebMercatorTiled(layer: RasterLayer, degPerCell: Double,
-                                   dstTile: Int = 64): RasterLayer = {
+                                   dstTile: Int = 64,
+                                   bilinear: Boolean = false,
+                                   dstCols: Int = 0): RasterLayer = {
     import graft.core.TileLayout
     val spark = layer.spark
     import spark.implicits._
     val tl = layer.meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
     val n = tl.totalCols.toInt
-    require(n % dstTile == 0)
-    val dstLc = n / dstTile
+    // target resolution (defaults to the source's). NOTE for bilinear:
+    // mercator x is LINEAR in lon, so a 1:1 resolution puts every
+    // sample's gx - 0.5 an ulp from a floor boundary — callers must
+    // pick dn with (2i+1)*n never equal to (2k+1)*dn (e.g. n/dn =
+    // 32/25: odd*32 != odd*25), which makes the boundary unreachable
+    val dn = if (dstCols > 0) dstCols else n
+    require(dn % dstTile == 0)
+    val dstLc = dn / dstTile
 
     val lonMax = n * degPerCell; val latMax = n * degPerCell
     val mxMin = CRS.lngToMercX(0); val mxMax = CRS.lngToMercX(lonMax)
     val myMin = CRS.latToMercY(0); val myMax = CRS.latToMercY(latMax)
-    val cw = (mxMax - mxMin) / n
-    val ch = (myMax - myMin) / n
+    val cw = (mxMax - mxMin) / dn
+    val ch = (myMax - myMin) / dn
 
     // target-tile rect a source tile can feed: forward project the
     // tile's geographic window to the mercator grid, pad one cell
@@ -82,15 +90,23 @@ object Reproject {
       val latLo = latMax - (r + 1).toLong * tr * degPerCell
       def txOf(lon: Double) = (CRS.lngToMercX(lon) - mxMin) / cw
       def tyOf(lat: Double) = (myMax - CRS.latToMercY(lat)) / ch
-      val txLo = math.max(0, math.floor(txOf(lonLo) - 1).toInt / dstTile)
-      val txHi = math.min(dstLc - 1, math.ceil(txOf(lonHi) + 1).toInt / dstTile)
-      val tyLo = math.max(0, math.floor(tyOf(latHi) - 1).toInt / dstTile)
-      val tyHi = math.min(dstLc - 1, math.ceil(tyOf(latLo) + 1).toInt / dstTile)
+      // bilinear reaches one source cell past the NN cell, so its
+      // gather pads two target cells instead of one (pad affects only
+      // which tiles SHIP, never the sampled values)
+      val pad = if (bilinear) 2 else 1
+      val txLo = math.max(0, math.floor(txOf(lonLo) - pad).toInt / dstTile)
+      val txHi = math.min(dstLc - 1, math.ceil(txOf(lonHi) + pad).toInt / dstTile)
+      val tyLo = math.max(0, math.floor(tyOf(latHi) - pad).toInt / dstTile)
+      val tyHi = math.min(dstLc - 1, math.ceil(tyOf(latLo) + pad).toInt / dstTile)
       for (dc <- txLo to txHi; dr <- tyLo to tyHi) yield (dc, dr)
     }
 
     def compute(dc: Int, dr: Int, src: Map[(Int, Int), Array[Double]]): Seq[Double] = {
       val outTile = Array.fill(dstTile * dstTile)(Double.NaN)
+      def sv(xx: Long, yy: Long): Double =
+        src.get(((xx / tc).toInt, (yy / tr).toInt))
+          .map(t => t(((yy % tr) * tc + (xx % tc)).toInt))
+          .getOrElse(Double.NaN)
       var j = 0
       while (j < dstTile) {
         var i = 0
@@ -102,11 +118,27 @@ object Reproject {
           val my = myMax - (gj + 0.5) * ch
           val lon = math.toDegrees(mx / CRS.EarthRadius)
           val lat = math.toDegrees(math.atan(math.exp(my / CRS.EarthRadius)) * 2 - math.Pi / 2)
-          val x = math.floor(lon / degPerCell).toLong
-          val y = math.floor((latMax - lat) / degPerCell).toLong
-          if (x >= 0 && x < n && y >= 0 && y < n) {
-            src.get(((x / tc).toInt, (y / tr).toInt)).foreach { t =>
-              outTile(j * dstTile + i) = t(((y % tr) * tc + (x % tc)).toInt)
+          if (bilinear) {
+            // 4-corner weighted sample at cell centers, pinned term
+            // order (the pointValuesBilinear contract); any missing
+            // corner -> NaN propagates -> NoData
+            val gx = lon / degPerCell
+            val gyv = (latMax - lat) / degPerCell
+            val x0 = math.floor(gx - 0.5).toLong
+            val y0 = math.floor(gyv - 0.5).toLong
+            if (x0 >= 0 && x0 + 1 < n && y0 >= 0 && y0 + 1 < n) {
+              val fx = gx - 0.5 - x0
+              val fy = gyv - 0.5 - y0
+              val v = (1 - fx) * (1 - fy) * sv(x0, y0) + fx * (1 - fy) * sv(x0 + 1, y0) +
+                (1 - fx) * fy * sv(x0, y0 + 1) + fx * fy * sv(x0 + 1, y0 + 1)
+              outTile(j * dstTile + i) = v
+            }
+          } else {
+            val x = math.floor(lon / degPerCell).toLong
+            val y = math.floor((latMax - lat) / degPerCell).toLong
+            if (x >= 0 && x < n && y >= 0 && y < n) {
+              val t = sv(x, y)
+              if (!t.isNaN) outTile(j * dstTile + i) = t
             }
           }
           i += 1

@@ -245,10 +245,94 @@ object VectorTile {
       .toDF("col", "row", "n_features", "mvt")
   }
 
+  /** Encode a POLYLINE DataFrame (pid, xs ARRAY<double>, ys
+    * ARRAY<double> in layout grid coords, half-cell-aligned vertices)
+    * into one MVT blob per layout tile — the linestring sibling of
+    * [[pointTiles]]. A feature lands in the tile of its FIRST vertex;
+    * later vertices may run past the tile edge, which MVT expressly
+    * allows (coords outside [0, extent) are the buffering convention).
+    * Same doubled-coordinate exact integer scaling, same pid sort for
+    * deterministic bytes.
+    *
+    * @return (col, row, n_features, mvt BINARY) */
+  def lineTiles(lines: DataFrame, layout: LayoutDefinition,
+                layerName: String = "lines",
+                extent: Int = DefaultExtent): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val T = layout.tileLayout.tileCols
+    require(layout.tileLayout.tileRows == T, "square tiles expected")
+    require(extent % T == 0, s"extent $extent must be a multiple of tile size $T")
+    val scale = extent / T
+    require(scale % 2 == 0,
+      s"extent/tile ratio $scale must be even so half-cell vertices stay exact")
+    val assigned = lines.select(
+        col("pid").cast("long"),
+        floor(element_at(col("xs"), 1) / T).cast("int").as("tcol"),
+        floor(element_at(col("ys"), 1) / T).cast("int").as("trow"),
+        transform(col("xs"), x => (x * 2).cast("long")).as("dxs"),
+        transform(col("ys"), y => (y * 2).cast("long")).as("dys"))
+      .as[(Long, Int, Int, Seq[Long], Seq[Long])]
+    assigned.groupByKey { case (_, tc, tr, _, _) => (tc, tr) }
+      .mapGroups { (key: (Int, Int), it: Iterator[(Long, Int, Int, Seq[Long], Seq[Long])]) =>
+        val feats = it.toArray.sortBy(_._1).map { case (pid, _, _, dxs, dys) =>
+          val ring = dxs.indices.map { j =>
+            (((dxs(j) - 2L * T * key._1) * scale) >> 1,
+             ((dys(j) - 2L * T * key._2) * scale) >> 1)
+          }.toIndexedSeq
+          Feature(pid, 2, Seq(ring))
+        }
+        (key._1, key._2, feats.length.toLong, encode(layerName, feats.toSeq, extent))
+      }
+      .toDF("col", "row", "n_features", "mvt")
+  }
+
+  /** Decode per-tile MVT blobs back into feature/vertex counts and
+    * coordinate sums — the roundtrip summary the oracle checks against
+    * the closed form (real bytes are decoded in the executors; the
+    * byte layout itself is pinned by the hand-computed spec). */
+  def decodeStats(tiles: DataFrame): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.select(col("col"), col("row"), col("mvt"))
+      .as[(Int, Int, Array[Byte])]
+      .map { case (c, r, b) =>
+        val feats = decode(b).flatMap(_.features)
+        val verts = feats.flatMap(_.rings.flatten)
+        (c, r, feats.length.toLong, verts.length.toLong,
+          verts.map(_._1).sum, verts.map(_._2).sum)
+      }
+      .toDF("col", "row", "n_features", "n_vertices", "sum_lx", "sum_ly")
+  }
+
+  /** Twice the signed shoelace area of an unclosed ring in tile
+    * coords — MVT 2.1 §4.3.3.3 defines ring role by the sign of this
+    * surveyor sum (exterior > 0, interior < 0). */
+  private[render] def shoelace2(ring: IndexedSeq[(Long, Long)]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < ring.length) {
+      val (ax, ay) = ring(i); val (bx, by) = ring((i + 1) % ring.length)
+      s += ax * by - bx * ay
+      i += 1
+    }
+    s
+  }
+
+  /** Enforce MVT polygon winding: exterior ring positive surveyor
+    * area, holes negative (reversing as needed, spec §4.3.3.3). */
+  def orientPolygon(id: Long, exterior: IndexedSeq[(Long, Long)],
+                    holes: Seq[IndexedSeq[(Long, Long)]] = Nil): Feature = {
+    def wind(ring: IndexedSeq[(Long, Long)], positive: Boolean): IndexedSeq[(Long, Long)] =
+      if ((shoelace2(ring) > 0) == positive) ring else ring.reverse
+    Feature(id, 3, wind(exterior, positive = true) +: holes.map(wind(_, positive = false)))
+  }
+
   /** WKT features (wkt, id) -> per-tile MVT blobs; geometries land in
     * the tile containing their first coordinate (bbox-spanning clips
     * are the caller's concern — the reference's vectortile surface
-    * takes pre-cut geometries too). Spec-level API. */
+    * takes pre-cut geometries too). Polygons re-wind to the MVT
+    * orientation rule. Spec-level API. */
   def wktFeature(wkt: String, id: Long, tileOrigin: (Double, Double),
                  cellsPerTile: Int, extent: Int = DefaultExtent): Feature = {
     val scale = extent.toDouble / cellsPerTile
@@ -258,7 +342,7 @@ object VectorTile {
       case PointG(p)       => Feature(id, 1, Seq(IndexedSeq(local(p))))
       case LineStringG(ps) => Feature(id, 2, Seq(ps.map(local)))
       case PolygonG(poly)  =>
-        Feature(id, 3, (poly.exterior +: poly.holes.toIndexedSeq).map(_.map(local)))
+        orientPolygon(id, poly.exterior.map(local), poly.holes.toIndexedSeq.map(_.map(local)))
       case g => throw new IllegalArgumentException(
         s"unsupported vectortile geometry ${g.getClass.getSimpleName}")
     }

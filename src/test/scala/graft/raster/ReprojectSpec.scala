@@ -62,6 +62,32 @@ class ReprojectSpec extends SparkSpec {
     assert(byName == byObj && byName.nonEmpty)
   }
 
+  test("bilinear warp: constant field stays constant, interpolation differs from NN on a ramp") {
+    val lo = LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(1, 1, 64, 64))
+    val const = RasterLayer.fromCells(
+      (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, 7.0)).toDF("x", "y", "v"), lo)
+    // dstCols 50 over a 64-cell source: odd*64 != odd*50, so gx - 0.5
+    // never sits on a floor boundary (the resolution-ratio rule)
+    val cb = Reproject.latLngGridToWebMercatorTiled(const, 0.1, dstTile = 25,
+      bilinear = true, dstCols = 50).toCells.as[(Long, Long, Double)].collect()
+    assert(cb.nonEmpty)
+    // any convex 4-corner average of 7s is exactly 7
+    assert(cb.forall(c => math.abs(c._3 - 7.0) < 1e-9))
+    val ramp = RasterLayer.fromCells(
+      (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, (x * 100).toDouble))
+        .toDF("x", "y", "v"), lo)
+    val nn = Reproject.latLngGridToWebMercatorTiled(ramp, 0.1, dstTile = 25, dstCols = 50)
+      .toCells.as[(Long, Long, Double)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    val bl = Reproject.latLngGridToWebMercatorTiled(ramp, 0.1, dstTile = 25,
+      bilinear = true, dstCols = 50).toCells.as[(Long, Long, Double)].collect()
+      .map(c => (c._1, c._2) -> c._3).toMap
+    // bilinear lands between the NN neighbors (a weighted x-average of
+    // the 100-spaced ramp) and differs from NN on interior cells
+    val interior = bl.keySet.intersect(nn.keySet)
+    assert(interior.count { k => math.abs(bl(k) - nn(k)) > 1e-9 } > interior.size / 2)
+    assert(bl.values.forall(v => v >= 0.0 && v <= 6300.0))
+  }
+
   test("temporal layers reproject per instant (instants never mix)") {
     val tsrc = RasterLayer.fromCellsTemporal(
       (for (t <- 0L until 2L; x <- 0L until 8L; y <- 0L until 8L)
