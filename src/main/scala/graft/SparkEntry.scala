@@ -328,6 +328,23 @@ object SparkEntry {
     "q_point_values" -> ((s, dir) =>
       ZonalOps.pointValues(lineitemLayer(s, dir), supplierPoints(s, dir))),
 
+    "q_terrain_profile" -> ((s, dir) =>
+      // elevation profile along (5,10) -> (240,200): exact integer DDA
+      // sampling, one float multiply per sample for the distance
+      ZonalOps.profile(lineitemLayer(s, dir), 5, 10, 240, 200)),
+
+    "q_morphology" -> ((s, dir) =>
+      // grayscale morphological OPENING (erode -> dilate, the
+      // gdal/ArcGIS Shrink+Expand denoise): Min then Max FUSED into
+      // one halo exchange; exact integer selections end to end
+      flat(lineitemLayer(s, dir).focalChain(
+        (Neighborhood.Square(1), "Min"), (Neighborhood.Square(1), "Max")))),
+
+    "q_heavy_hitters" -> ((s, dir) =>
+      // exact counts of every token with cnt >= 100, CMS-prefiltered
+      // so the exact aggregate only ever sees sketch-hot tokens
+      pipeline.Sketch.heavyHitters(table(s, dir, "documents"))),
+
     "q_point_values_bilinear" -> ((s, dir) =>
       // 4-corner weighted sums of non-integral products -> round both
       // sides (CLAUDE.md float rule)
@@ -2179,6 +2196,37 @@ object SparkEntry {
         s"""SELECT p.pid AS pid, g.v AS v
            |FROM ($pts) p JOIN ($grid) g
            |  ON g.x = CAST(floor(p.px) AS BIGINT) AND g.y = CAST(floor(p.py) AS BIGINT)""".stripMargin,
+
+      // rounded-DDA line sampling: cell = p0 + (2 t d + N) // (2 N)
+      // exactly as the engine states it; dist = t * step (one float
+      // multiply of the shared driver constant, round 5)
+      "q_terrain_profile" -> {
+        val dx = 235L; val dy = 190L; val n = 235L
+        val step = math.sqrt((dx * dx + dy * dy).toDouble) / n
+        s"""WITH g AS ($grid),
+           |p AS (SELECT range AS t, 5 + (2 * range * $dx + $n) // (2 * $n) AS x,
+           |             10 + (2 * range * $dy + $n) // (2 * $n) AS y
+           |      FROM range(0, ${n + 1}))
+           |SELECT p.t, p.x, p.y, g.v, round(p.t * CAST($step AS DOUBLE), 5) AS dist
+           |FROM p JOIN g ON g.x = p.x AND g.y = p.y""".stripMargin
+      },
+
+      // opening = Min window then Max window over the partial-window
+      // join neighborhoods (the focal-chain oracle shape)
+      "q_morphology" ->
+        s"""WITH g AS ($lineitemCellsSql),
+           |m AS (SELECT c.x AS x, c.y AS y, min(n.v) AS v
+           |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |      GROUP BY c.x, c.y)
+           |SELECT c.x AS x, c.y AS y, max(n.v) AS v
+           |FROM m c JOIN m n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |GROUP BY c.x, c.y""".stripMargin,
+
+      // the CMS prefilter only ever OVERcounts, so prefilter + exact
+      // verify equals the plain HAVING query the oracle states
+      "q_heavy_hitters" ->
+        """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
+          |SELECT w, count(*) AS cnt FROM t GROUP BY 1 HAVING count(*) >= 100""".stripMargin,
 
       "q_point_values_bilinear" ->
         s"""WITH b AS (

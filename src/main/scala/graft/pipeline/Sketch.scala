@@ -42,6 +42,47 @@ object Sketch {
       .agg(sum("cnt").as("cnt"))
   }
 
+  /** Heavy hitters (frequent tokens) by CMS prefilter + exact
+    * verification — the standard two-pass pattern for "exact counts of
+    * everything frequent" at corpus scale (Cormode & Muthukrishnan §4
+    * point queries, applied as a filter): pass 1 builds the constant-
+    * size sketch; pass 2 re-scans the token stream, keeps only tokens
+    * whose sketch estimate clears `minCount`, and exact-counts the
+    * survivors. CMS OVERESTIMATES only, so no true heavy hitter is
+    * ever dropped — the result is exactly `HAVING count(*) >=
+    * minCount`, which is what the oracle states.
+    *
+    * Why not just groupBy the stream: at 100 TB the token stream's
+    * distinct-key hash aggregate holds the full vocabulary per
+    * executor; the prefilter keeps the Zipf long tail (the
+    * overwhelming majority of distinct keys) out of the aggregate
+    * entirely. The sketch itself is a 1024-long literal array folded
+    * into the filter expression — no join, stays in codegen. */
+  def heavyHitters(docs: DataFrame, minCount: Long = 100,
+                   depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1 && depth * width <= (1 << 20),
+      "sketch must stay literal-array small")
+    val ws = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .localCheckpoint() // both passes consume the token stream
+    val cells = ws.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(explode(array((0 until depth).map(j =>
+          struct(lit(j.toLong).as("j"), (rowHash(j, col("w")) % width).as("b"))): _*)).as("h"),
+        col("cnt"))
+      .groupBy(col("h.j").as("j"), col("h.b").as("b"))
+      .agg(sum("cnt").as("cnt"))
+      .collect()
+    val cellArr = new Array[Long](depth * width)
+    cells.foreach(r => cellArr(r.getLong(0).toInt * width + r.getLong(1).toInt) = r.getLong(2))
+    val arrLit = typedLit(cellArr.toSeq)
+    val est = (0 until depth).map { j =>
+      element_at(arrLit, ((rowHash(j, col("w")) % width) + lit(j * width) + 1).cast("int"))
+    }.reduce(least(_, _))
+    ws.where(est >= minCount)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
   /** Streaming twin of [[countMinSketch]] — the batch form's
     * two-level aggregation (per-token counts, then cells) collapses
     * to ONE aggregation so Structured Streaming accepts it: counting

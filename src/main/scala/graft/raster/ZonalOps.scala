@@ -496,6 +496,43 @@ object ZonalOps {
       .select(col("pid"), col("_v").as("v"))
   }
 
+  /** Terrain profile along the segment (x0,y0) -> (x1,y1) in grid
+    * coords (the ArcGIS StackProfile / gdallocationinfo-along-a-line
+    * shape): N = max(dx, dy) + 1 samples at rounded-to-nearest DDA
+    * positions, each carrying its distance along the line. Sampling is
+    * EXACT integer math — cell_t = p0 + (2·t·d + N) div (2·N), the
+    * half-up rational rounding both engines state identically; only
+    * the per-sample distance t·step is float (one multiply of the
+    * driver-computed step, rounded 5).
+    *
+    * Scale shape: the sample list (spark.range) broadcasts into a
+    * tile-keyed join against the layer — the raster never shuffles and
+    * only tiles the line crosses are touched after pushdown.
+    * Currently requires x1 >= x0 and y1 >= y0 (integer div rounds
+    * toward -inf on negatives, which would break the oracle twin). */
+  def profile(layer: RasterLayer, x0: Long, y0: Long, x1: Long, y1: Long): DataFrame = {
+    require(x1 >= x0 && y1 >= y0, "profile requires x1 >= x0 && y1 >= y0")
+    val spark = layer.spark
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val dx = x1 - x0; val dy = y1 - y0
+    val n = math.max(dx, dy)
+    require(n > 0, "profile endpoints must differ")
+    val step = math.sqrt((dx * dx + dy * dy).toDouble) / n
+    val pts = spark.range(0, n + 1).select(col("id").as("t"),
+      (lit(x0) + expr(s"(2 * id * $dx + $n) div (2 * $n)")).as("cx"),
+      (lit(y0) + expr(s"(2 * id * $dy + $n) div (2 * $n)")).as("cy"))
+    val keyed = pts
+      .withColumn("col", (col("cx") / tc).cast("int"))
+      .withColumn("row", (col("cy") / tr).cast("int"))
+      .withColumn("off", ((col("cy") % tr) * tc + (col("cx") % tc)).cast("int"))
+    broadcast(keyed).join(layer.df, Seq("col", "row"))
+      .select(col("t"), col("cx").as("x"), col("cy").as("y"),
+        element_at(col("tile"), col("off") + 1).as("v"),
+        round(col("t") * lit(step), 5).as("dist"))
+      .where(!isnan(col("v")))
+  }
+
   def pointValues(layer: RasterLayer, points: DataFrame): DataFrame = {
     val tl = layer.meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)

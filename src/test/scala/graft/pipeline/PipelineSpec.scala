@@ -871,6 +871,18 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.exists(r => r._2 == -1L || r._3 == -1L))
   }
 
+  test("heavy hitters: equals the exact HAVING query, floor is live") {
+    val d = (1 to 30).map(i => (i.toLong, "hot warm" + (if (i <= 3) " cold" else ""), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Sketch.heavyHitters(d, minCount = 10)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("hot" -> 30L, "warm" -> 30L)) // cold (3) under floor
+    // floor boundary is inclusive
+    assert(Sketch.heavyHitters(d, minCount = 30).as[(String, Long)].collect().toMap ==
+      Map("hot" -> 30L, "warm" -> 30L))
+    assert(Sketch.heavyHitters(d, minCount = 31).collect().isEmpty)
+  }
+
   test("char entropy: uniform, single-char, and hand-computed mixed cases") {
     val d = Seq((1L, "abab", "en", "s", 4L),   // uniform over 2 -> ln 2
       (2L, "zzzz", "en", "s", 4L),             // single char -> 0

@@ -555,6 +555,37 @@ class RasterLayerSpec extends SparkSpec {
     assert(out(8L) == ((2L, 4L, 4L)))
   }
 
+  test("terrain profile: DDA positions and distances by hand on a diagonal") {
+    // 5x3 ramp v = x + 10 y; segment (0,0) -> (4,2): N = 4 samples at
+    // y = round(t/2) = 0,1,1,2,2 (half-up)
+    val l = layer((for (x <- 0 to 4; y <- 0 to 2)
+      yield (x.toLong, y.toLong, (x + 10 * y).toDouble)): _*)
+    val out = ZonalOps.profile(l, 0, 0, 4, 2)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(p => (p._1, p._2, p._3, p._4)).toSeq == Seq(
+      (0L, 0L, 0L, 0.0), (1L, 1L, 1L, 11.0), (2L, 2L, 1L, 12.0),
+      (3L, 3L, 2L, 23.0), (4L, 4L, 2L, 24.0)))
+    val step = math.sqrt(20.0) / 4
+    out.foreach(p => assert(p._5 ==
+      BigDecimal(p._1 * step).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // NoData holes drop out of the profile
+    val holed = layer((0, 0, 1.0), (4, 2, 9.0))
+    assert(ZonalOps.profile(holed, 0, 0, 4, 2).count() == 2)
+  }
+
+  test("morphological opening (Min-then-Max chain) removes a single-cell spike") {
+    // flat field of 5s with one spike and one pit
+    val cells = for (x <- 0 to 4; y <- 0 to 4) yield
+      (x.toLong, y.toLong, if ((x, y) == (2, 2)) 99.0 else if ((x, y) == (1, 3)) 1.0 else 5.0)
+    val l = layer(cells: _*)
+    val opened = l.focalChain(
+      (Neighborhood.Square(1), "Min"), (Neighborhood.Square(1), "Max"))
+      .toCells.as[(Long, Long, Double)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    assert(opened((2L, 2L)) == 5.0) // spike gone
+    assert(opened((1L, 3L)) == 1.0) // pit survives opening (erosion spreads it, dilation restores)
+    assert(opened((0L, 0L)) <= 5.0)
+  }
+
   test("zonal histogram is the (zone, value) contingency table") {
     val v = layer((0, 0, 2.0), (1, 0, 2.0), (2, 0, 5.0), (3, 0, 4.0), (0, 1, 9.0))
     val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 7.0), (3, 0, 8.0), (0, 1, 8.0))
