@@ -1145,6 +1145,22 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhashPairs(table(s, dir, "documents"))),
 
+    "q_dup_size_hist" -> ((s, dir) =>
+      // dedup reporting artifact: duplicate-family size histogram
+      pipeline.Dedup.duplicationProfile(table(s, dir, "documents"))),
+
+    "q_winnowing" -> ((s, dir) =>
+      // MOSS winnowing fingerprints: per-window rightmost-min of the
+      // packed (hash, position) key, distinct selections per doc
+      pipeline.Dedup.winnow(table(s, dir, "documents"))),
+
+    "q_simplify" -> ((s, dir) =>
+      // Douglas-Peucker on two 16-vertex polylines threaded through
+      // the supplier points (pid order); exact integer split tests
+      graft.vector.Simplify.simplifyLines(
+        supplierPoints(s, dir).where(col("pid") >= 1 && col("pid") <= 32)
+          .withColumn("fid", expr("(pid - 1) div 16")), eps = 4.0)),
+
     "q_dedup_keep" -> ((s, dir) => {
       // the dedup pipeline's shippable artifact: per-doc component +
       // keep flag (component representative survives, the rest drop)
@@ -3126,6 +3142,42 @@ object SparkEntry {
       // same LSH pair graph, closed transitively (recursive CTE);
       // component = min reachable doc_id, singletons map to themselves
       "q_dedup_clusters" -> dedupComponentsSql,
+
+      // component sizes from the shared components CTE, histogrammed
+      "q_dup_size_hist" ->
+        s"""WITH c AS ($dedupComponentsSql),
+           |s AS (SELECT component, count(*) AS sz FROM c GROUP BY 1)
+           |SELECT sz, count(*) AS n_components FROM s GROUP BY 1""".stripMargin,
+
+      // winnowing: key = h40 * 2^20 + (2^20 - 1 - pos) makes "min
+      // hash, tie rightmost" a plain windowed min; full windows only
+      "q_winnowing" ->
+        """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+          |g0 AS (SELECT doc_id, unnest(range(len(toks) - 2)) AS p0, toks
+          |       FROM t WHERE len(toks) >= 6 AND len(toks) < 1048578),
+          |g AS (SELECT doc_id, CAST(p0 AS BIGINT) AS pos,
+          |        (('0x' || substr(md5(array_to_string(toks[p0+1:p0+3], ' ')), 1, 15))::BIGINT % 1099511627776) * 1048576
+          |          + (1048575 - p0) AS key
+          |      FROM g0),
+          |s AS (SELECT doc_id, pos,
+          |        min(key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+          |        count(*) OVER (PARTITION BY doc_id) AS m
+          |      FROM g),
+          |d AS (SELECT DISTINCT doc_id, mk FROM s WHERE pos <= m - 4)
+          |SELECT doc_id, count(*) AS n_fp, CAST(bit_xor(mk) AS BIGINT) AS fp_xor
+          |FROM d GROUP BY 1""".stripMargin,
+
+      // kept-vertex literals from the driver-side DP twin over the
+      // SAME formula-derived coords (the q_tin literal-restating
+      // precedent); the SQL pins the data path, grouping and coords
+      "q_simplify" -> {
+        def coords(lo: Int, hi: Int): Seq[(Long, Double, Double)] =
+          (lo to hi).map(i => (i.toLong, (i * 13 % 256) + 0.5, (i * 29 % 256) + 0.5))
+        val kept = graft.vector.Simplify.keptPids(coords(1, 16), 4.0) ++
+          graft.vector.Simplify.keptPids(coords(17, 32), 4.0)
+        s"""SELECT (pid - 1) // 16 AS fid, pid, px, py FROM ($pts)
+           |WHERE pid BETWEEN 1 AND 32 AND pid IN (${kept.mkString(", ")})""".stripMargin
+      },
 
       // the end-to-end dedup ARTIFACT: same components, plus the keep
       // manifest (keep the component representative, drop the rest)

@@ -627,4 +627,59 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("_comp"), col("doc_id")).as("component"))
   }
+
+  /** Duplicate-family size profile — the dedup run's reporting
+    * artifact (how much of the corpus is singletons vs 2-dup clusters
+    * vs boilerplate families): component sizes from
+    * [[connectedComponents]] over the MinHash-LSH pair graph,
+    * histogrammed. Two bounded aggregates (|components| rows, then
+    * |distinct sizes| rows), map-side combine both. */
+  def duplicationProfile(docs: DataFrame): DataFrame =
+    connectedComponents(
+      minhashPairs(docs).select(col("d1"), col("d2")),
+      docs.select(col("doc_id")))
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_components"))
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS scheme): hash every k-gram, slide a
+    * window of `w` consecutive hashes, keep the MINIMUM of each
+    * window (ties -> RIGHTMOST occurrence, the paper's density rule);
+    * the distinct selected (position, hash) pairs are the document's
+    * fingerprints. Guarantees every match of length >= w + k - 1 is
+    * caught — the local fingerprinting scheme plagiarism and
+    * partial-overlap dedup use where global MinHash is too coarse.
+    *
+    * Determinism: the 40-bit gram hash packs with the inverted
+    * position into ONE Long — key = h40 * 2^20 + (2^20 - 1 - pos) —
+    * so "min hash, tie rightmost" is a plain min() both engines state
+    * identically. Exact integers end to end. Docs beyond 2^20 grams
+    * are excluded (the packing ceiling, stated in both engines).
+    *
+    * Scale shape: one explode; the two window functions PARTITION BY
+    * doc (bounded frames, no global sort); per-doc output is the
+    * fingerprint count + an order-free bit_xor.
+    *
+    * @return (doc_id, n_fp, fp_xor) */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val posM = 1L << 20
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val grams = docs.select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= k + w - 1 && size(col("toks")) < posM + (k - 1))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k))))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        ((shingleHash(col("col")) % lit(1L << 40)) * posM +
+          (lit(posM - 1) - col("pos"))).as("key"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val frame = byDoc.orderBy("pos").rowsBetween(0, w - 1)
+    grams
+      .withColumn("m", count(lit(1)).over(byDoc))
+      .withColumn("mk", min("key").over(frame))
+      .where(col("pos") <= col("m") - w) // full windows only
+      .select(col("doc_id"), col("mk")).distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), expr("bit_xor(mk)").as("fp_xor"))
+  }
 }

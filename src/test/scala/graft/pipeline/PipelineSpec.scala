@@ -871,6 +871,30 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.exists(r => r._2 == -1L || r._3 == -1L))
   }
 
+  test("winnowing: uniform doc selects the rightmost min per window; identical docs agree") {
+    // all grams hash equal -> every window picks its RIGHTMOST
+    // position, so n_fp = #windows = nTok - (k-1) - (w-1) = nTok - 5
+    for (nTok <- 6 to 10) {
+      val d = Seq((1L, Seq.fill(nTok)("a").mkString(" "), "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = Dedup.winnow(d).as[(Long, Long, Long)].collect()
+      assert(out.length == 1 && out.head._2 == (nTok - 5).toLong)
+    }
+    // identical docs -> identical fingerprint summaries; disjoint differ
+    val d = Seq((1L, "the quick brown fox jumps over lazy dogs", "en", "s", 1L),
+      (2L, "the quick brown fox jumps over lazy dogs", "en", "s", 1L),
+      (3L, "completely different words in this other document here", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Dedup.winnow(d).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+    // below one full window (5 tokens) -> no fingerprints
+    val tiny = Seq((9L, "a b c d e", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.winnow(tiny).collect().isEmpty)
+  }
+
   test("heavy hitters: equals the exact HAVING query, floor is live") {
     val d = (1 to 30).map(i => (i.toLong, "hot warm" + (if (i <= 3) " cold" else ""), "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
