@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.core.{CRS, ZIndex}
-import graft.raster.{CellOp, Contour, Distance, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, ZFactor, ZonalOps}
+import graft.raster.{CellOp, Compare, Contour, Distance, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, ZFactor, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
 
@@ -256,6 +256,35 @@ object SparkEntry {
         layout)
       ZonalOps.zonalMajority(lineitemLayer(s, dir), zones)
     }),
+
+    "q_zonal_median" -> ((s, dir) => {
+      // per-zone exact-int median (quantile_breaks_int rule by zone)
+      val zones = RasterLayer.fromCells(
+        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
+        layout)
+      ZonalOps.zonalMedian(lineitemLayer(s, dir), zones)
+    }),
+
+    "q_raster_corr" -> ((s, dir) => {
+      // Pearson correlation between the grid and a derived layer:
+      // exact integer moments, one closing float expression
+      val a = lineitemLayer(s, dir)
+      Compare.correlate(a, a.localMap(c => pmod(c * 37, lit(101.0))))
+    }),
+
+    "q_cutfill" -> ((s, dir) => {
+      // cut/fill report of grid vs a derived design surface
+      val a = lineitemLayer(s, dir)
+      Compare.cutFill(a, a.localMap(c => pmod(c * 13, lit(50.0))))
+    }),
+
+    "q_jsonl_roundtrip" -> ((s, dir) =>
+      // corpus interchange: encode to JSON lines, parse back — the
+      // identity on the record (text compared by content hash)
+      pipeline.Curation.fromJsonl(
+          pipeline.Curation.toJsonl(table(s, dir, "documents")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("h"))),
 
     "q_zonal_histogram" -> ((s, dir) => {
       // zone x class contingency table (ESRI TabulateArea long form):
@@ -1993,6 +2022,44 @@ object SparkEntry {
            |  min(CASE WHEN c.cnt = mx.mc THEN c.v END) AS majority,
            |  min(CASE WHEN c.cnt = mx.nc THEN c.v END) AS minority
            |FROM c JOIN mx USING (zone) GROUP BY 1, 2""".stripMargin,
+
+      // per-zone discrete median: smallest v with 2*cum >= total
+      "q_zonal_median" ->
+        s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid)),
+           |c AS (SELECT CAST(z.zone AS BIGINT) AS zone, g.v AS v, count(*) AS cnt
+           |      FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y GROUP BY 1, 2),
+           |t AS (SELECT zone, v,
+           |        sum(cnt) OVER (PARTITION BY zone ORDER BY v) AS cum,
+           |        sum(cnt) OVER (PARTITION BY zone) AS tot FROM c)
+           |SELECT zone, CAST(min(v) AS BIGINT) AS median
+           |FROM t WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
+
+      // exact integer moments -> one pinned float expression
+      "q_raster_corr" ->
+        s"""WITH g AS ($grid),
+           |p AS (SELECT CAST(v AS BIGINT) AS x, (CAST(v AS BIGINT) * 37) % 101 AS y FROM g),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |        CAST(sum(x * y) AS BIGINT) AS sxy,
+           |        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+           |      FROM p)
+           |SELECT n AS n_cells,
+           |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 5) AS corr
+           |FROM m""".stripMargin,
+
+      // cut/fill: sign classes of a - b with exact |volume| sums
+      "q_cutfill" ->
+        s"""WITH g AS ($grid),
+           |d AS (SELECT CAST(v AS BIGINT) - (CAST(v AS BIGINT) * 13) % 50 AS d FROM g)
+           |SELECT CAST(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END AS BIGINT) AS cls,
+           |  count(*) AS n_cells, CAST(sum(abs(d)) AS BIGINT) AS volume
+           |FROM d GROUP BY 1""".stripMargin,
+
+      // the JSON text is engine-internal; the oracle pins that
+      // encode -> parse is the identity on the record
+      "q_jsonl_roundtrip" ->
+        "SELECT doc_id, lang, source, n_chars, md5(text) AS h FROM documents",
 
       // zone x class contingency table (TabulateArea long form)
       "q_zonal_histogram" ->

@@ -248,4 +248,34 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
         min("nt").as("min_tokens"), max("nt").as("max_tokens"))
   }
+
+  /** JSONL schema of the corpus interchange record ([[toJsonl]] /
+    * [[fromJsonl]] share it so the roundtrip cannot drift). */
+  val jsonlSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+  }
+
+  /** Encode the documents table as JSON-lines strings — the standard
+    * corpus interchange format (one JSON object per document). Fully
+    * columnar to_json (codegen, no UDFs); write the single column
+    * with spark.write.text for on-disk .jsonl. */
+  def toJsonl(docs: DataFrame): DataFrame =
+    docs.select(to_json(struct(
+      col("doc_id").cast("long").as("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars").cast("long").as("n_chars"))).as("line"))
+
+  /** Parse JSON-lines back into the documents schema (columnar
+    * from_json against [[jsonlSchema]]). Malformed lines (null struct
+    * OR missing doc_id — PERMISSIVE mode may half-parse junk into an
+    * all-null record) drop, the corpus-reading default. */
+  def fromJsonl(lines: DataFrame): DataFrame =
+    lines.select(from_json(col("line"), jsonlSchema).as("d"))
+      .where(col("d").isNotNull && col("d.doc_id").isNotNull)
+      .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"),
+        col("d.lang").as("lang"), col("d.source").as("source"),
+        col("d.n_chars").as("n_chars"))
 }

@@ -1,0 +1,94 @@
+package graft.raster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Two-layer comparison summaries — the change-detection /
+  * surface-vs-surface statistics ArcGIS ships as BandCollectionStats
+  * and CutFill, computed over co-located cells of two layers with
+  * matching layouts.
+  *
+  * Scale shape (the zonalStats discipline): one co-keyed tile join,
+  * per-PARTITION Scala accumulation of exact integer moments — a
+  * handful of scalars per partition cross the exchange, never a
+  * per-cell row. Cells follow the integral-valued oracle contract, so
+  * every sum is an exact Long and the single closing float expression
+  * is engine-identical.
+  */
+object Compare {
+
+  private def paired(a: RasterLayer, b: RasterLayer) = {
+    val va = a.df.select(col("col"), col("row"), col("tile").as("_a"))
+    val vb = b.df.select(col("col"), col("row"), col("tile").as("_b"))
+    va.join(vb, Seq("col", "row")).select(col("_a"), col("_b"))
+  }
+
+  /** Pearson correlation between co-located cells of `a` and `b`:
+    * r = (n·Σxy - Σx·Σy) / sqrt((n·Σx² - Σx²)·(n·Σy² - Σy²)),
+    * all six moments exact Longs, one float expression at the end
+    * (round 5). Cells where either side is NoData are excluded.
+    *
+    * @return one row (n_cells, corr) */
+  def correlate(a: RasterLayer, b: RasterLayer): DataFrame = {
+    val spark = a.spark
+    import spark.implicits._
+    val parts = paired(a, b).as[(Seq[Double], Seq[Double])]
+      .mapPartitions { it =>
+        var n = 0L; var sx = 0L; var sy = 0L
+        var sxy = 0L; var sxx = 0L; var syy = 0L
+        it.foreach { case (as, bs) =>
+          val aa = as.toArray; val ba = bs.toArray // List apply is O(n)
+          var i = 0
+          while (i < aa.length) {
+            val x = aa(i); val y = ba(i)
+            if (!x.isNaN && !y.isNaN) {
+              val xl = x.toLong; val yl = y.toLong
+              n += 1; sx += xl; sy += yl
+              sxy += xl * yl; sxx += xl * xl; syy += yl * yl
+            }
+            i += 1
+          }
+        }
+        Iterator.single((n, sx, sy, sxy, sxx, syy))
+      }.toDF("n", "sx", "sy", "sxy", "sxx", "syy")
+      .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+        sum("sxy").as("sxy"), sum("sxx").as("sxx"), sum("syy").as("syy"))
+    parts.select(col("n").as("n_cells"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+             (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 5)
+        .as("corr"))
+  }
+
+  /** Cut/fill report (ArcGIS CutFill): per sign class of a - b
+    * (1 = cut, -1 = fill, 0 = unchanged), the cell count and total
+    * |volume| in cell units (multiply by cell area for map units).
+    * Exact integers end to end.
+    *
+    * @return (cls, n_cells, volume) */
+  def cutFill(a: RasterLayer, b: RasterLayer): DataFrame = {
+    val spark = a.spark
+    import spark.implicits._
+    paired(a, b).as[(Seq[Double], Seq[Double])]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+        it.foreach { case (as, bs) =>
+          val aa = as.toArray; val ba = bs.toArray
+          var i = 0
+          while (i < aa.length) {
+            val x = aa(i); val y = ba(i)
+            if (!x.isNaN && !y.isNaN) {
+              val d = x.toLong - y.toLong
+              val cls = java.lang.Long.signum(d).toLong
+              val cur = acc.getOrElse(cls, (0L, 0L))
+              acc(cls) = (cur._1 + 1, cur._2 + math.abs(d))
+            }
+            i += 1
+          }
+        }
+        acc.iterator.map { case (cls, (cnt, vol)) => (cls, cnt, vol) }
+      }.toDF("cls", "cnt", "vol")
+      .groupBy("cls")
+      .agg(sum("cnt").as("n_cells"), sum("vol").as("volume"))
+  }
+}

@@ -246,6 +246,24 @@ object ZonalOps {
   def zonalHistogram(values: RasterLayer, zones: RasterLayer): DataFrame =
     zoneValueCounts(values, zones)
 
+  /** Zonal median (the geotrellis Zonal percentile summary at q=0.5,
+    * exact-int semantics): per zone, the smallest cell value whose
+    * cumulative count reaches half the zone's cells — the
+    * quantile_breaks_int rule applied per zone. Runs on the shared
+    * (zone, value) partials; the two windows partition BY ZONE over
+    * distinct values only (never per-cell rows).
+    *
+    * @return (zone, median) */
+  def zonalMedian(values: RasterLayer, zones: RasterLayer): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("zone").orderBy("v")
+    val wz = org.apache.spark.sql.expressions.Window.partitionBy("zone")
+    zoneValueCounts(values, zones)
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("tot", sum("cnt").over(wz))
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy("zone").agg(min("v").cast("long").as("median"))
+  }
+
   /** Shared (zone, value) -> count partial: per-partition Scala
     * accumulation (the [[zonalStats]] shape) so per-cell rows never
     * cross an exchange. */

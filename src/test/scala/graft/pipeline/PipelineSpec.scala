@@ -871,6 +871,19 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.exists(r => r._2 == -1L || r._3 == -1L))
   }
 
+  test("jsonl roundtrip: identity on records, malformed lines drop, escapes survive") {
+    val docs = Seq(
+      (1L, "plain text", "en", "web", 10L),
+      (2L, "quotes \" and \\ backslash\nnewline\ttab", "en", "books", 37L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val back = Curation.fromJsonl(Curation.toJsonl(docs))
+      .as[(Long, String, String, String, Long)].collect().toSet
+    assert(back == docs.as[(Long, String, String, String, Long)].collect().toSet)
+    val withJunk = Curation.toJsonl(docs)
+      .union(Seq("{not json", "").toDF("line"))
+    assert(Curation.fromJsonl(withJunk).count() == 2)
+  }
+
   test("winnowing: uniform doc selects the rightmost min per window; identical docs agree") {
     // all grams hash equal -> every window picks its RIGHTMOST
     // position, so n_fp = #windows = nTok - (k-1) - (w-1) = nTok - 5

@@ -586,6 +586,33 @@ class RasterLayerSpec extends SparkSpec {
     assert(opened((0L, 0L)) <= 5.0)
   }
 
+  test("zonal median: smallest value reaching half the zone's cells") {
+    // zone 7: values 2,2,5 -> cum(2)=2, 2*2 >= 3 -> median 2
+    // zone 8: values 4,9 -> cum(4)=1, 2*1 >= 2 -> median 4
+    val v = layer((0, 0, 2.0), (1, 0, 2.0), (2, 0, 5.0), (3, 0, 4.0), (0, 1, 9.0))
+    val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 7.0), (3, 0, 8.0), (0, 1, 8.0))
+    val out = ZonalOps.zonalMedian(v, z)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(7L -> 2L, 8L -> 4L))
+  }
+
+  test("correlate: perfect positive and negative correlation, NoData excluded") {
+    val a = layer((0, 0, 1.0), (1, 0, 2.0), (2, 0, 3.0), (3, 0, 9.0))
+    val b = layer((0, 0, 2.0), (1, 0, 4.0), (2, 0, 6.0)) // (3,0) NoData
+    val r = Compare.correlate(a, b).as[(Long, Double)].head()
+    assert(r == ((3L, 1.0))) // y = 2x on the 3 shared cells
+    val neg = layer((0, 0, 3.0), (1, 0, 2.0), (2, 0, 1.0))
+    assert(Compare.correlate(a, neg).as[(Long, Double)].head() == ((3L, -1.0)))
+  }
+
+  test("cutFill: sign classes with exact volumes") {
+    val a = layer((0, 0, 5.0), (1, 0, 2.0), (2, 0, 7.0), (3, 0, 7.0))
+    val b = layer((0, 0, 3.0), (1, 0, 6.0), (2, 0, 7.0), (3, 0, 1.0))
+    val out = Compare.cutFill(a, b)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(1L -> ((2L, 8L)), -1L -> ((1L, 4L)), 0L -> ((1L, 0L))))
+  }
+
   test("zonal histogram is the (zone, value) contingency table") {
     val v = layer((0, 0, 2.0), (1, 0, 2.0), (2, 0, 5.0), (3, 0, 4.0), (0, 1, 9.0))
     val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 7.0), (3, 0, 8.0), (0, 1, 8.0))
