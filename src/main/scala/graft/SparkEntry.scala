@@ -1329,6 +1329,21 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       pipeline.TextAnalysis.langId(table(s, dir, "documents"))),
 
+    "q_lang_confusion" -> ((s, dir) =>
+      // langid evaluation artifact: declared vs predicted crosstab
+      pipeline.TextAnalysis.langConfusion(table(s, dir, "documents"))),
+
+    "q_corpus_stats" -> ((s, dir) =>
+      // one-row corpus manifest header, all exact integers
+      pipeline.TextAnalysis.corpusStats(table(s, dir, "documents"))),
+
+    "q_geodesic_area" -> ((s, dir) =>
+      // spherical-excess area of a 0.5-degree diamond around each
+      // customer point (l'Huilier per fan triangle, summed in-row);
+      // the formula is ONE shared SQL text in both engines
+      customerLonLat(s, dir).select(col("pid"),
+        round(expr(graft.vector.Measures.diamondAreaSql(0.5)), 4).as("area_km2"))),
+
     "q_quality_filter" -> ((s, dir) =>
       pipeline.TextAnalysis.qualityFilter(table(s, dir, "documents"))),
 
@@ -1787,6 +1802,20 @@ object SparkEntry {
     val grid   = lineitemCellsSql
     val ogrid  = ordersCellsSql
     val zgrid  = zoneCellsSql
+    // langid CASE chain shared by q_lang_id and q_lang_confusion
+    val langIdSql =
+      """SELECT doc_id,
+        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM (SELECT doc_id, text,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) AS en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS es
+        |  FROM documents)""".stripMargin
     val pts    = supplierPointsSql
     val lonlat = customerLonLatSql
     val egrid  = eventCellsSql
@@ -3519,19 +3548,26 @@ object SparkEntry {
           |        / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0), 6) AS stop_ratio
           |FROM documents""".stripMargin,
 
-      "q_lang_id" ->
-        """SELECT doc_id,
-          |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
-          |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
-          |       WHEN de >= fr AND de >= es THEN 'de'
-          |       WHEN fr >= es THEN 'fr'
-          |       ELSE 'es' END AS pred_lang
-          |FROM (SELECT doc_id, text,
-          |  len(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) AS en,
-          |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de,
-          |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr,
-          |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS es
-          |  FROM documents)""".stripMargin,
+      "q_lang_id" -> langIdSql,
+
+      // declared-vs-predicted crosstab over the shared langid SQL
+      "q_lang_confusion" ->
+        s"""WITH p AS ($langIdSql)
+           |SELECT d.lang, p.pred_lang, count(*) AS n_docs
+           |FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2""".stripMargin,
+
+      "q_corpus_stats" ->
+        """WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+          |d AS (SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+          |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM documents),
+          |t AS (SELECT count(*) AS n_tokens, CAST(count(DISTINCT w) AS BIGINT) AS n_vocab FROM w)
+          |SELECT * FROM d, t""".stripMargin,
+
+      // identical formula text as the engine's expr() — the
+      // shared-SQL-text contract (sinu/utm precedent)
+      "q_geodesic_area" ->
+        s"""SELECT pid, round(${graft.vector.Measures.diamondAreaSql(0.5)}, 4) AS area_km2
+           |FROM ($lonlat)""".stripMargin,
 
       "q_quality_filter" ->
         """SELECT doc_id FROM (

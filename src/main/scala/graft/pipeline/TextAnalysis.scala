@@ -100,6 +100,30 @@ object TextAnalysis {
         .otherwise("es").as("pred_lang"))
   }
 
+  /** Language confusion matrix — the language-id EVALUATION artifact:
+    * declared `lang` column vs [[langId]] prediction, cross-tabulated.
+    * Diagonal mass = classifier agreement; off-diagonal cells say
+    * which languages the n-gram heuristic confuses (the check run
+    * before trusting langid-based corpus routing). Bounded aggregate
+    * (|langs|² rows), one equi-join on doc_id. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang")).join(langId(docs), "doc_id")
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+
+  /** One-row corpus summary — the manifest header every curation run
+    * ships: doc/source counts, exact token and character totals, and
+    * the vocabulary size. All exact integers; the token aggregates
+    * are vocabulary-bounded with map-side combine. */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val words = docs.select(
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars"),
+        countDistinct("source").as("n_sources"))
+      .crossJoin(words.agg(count(lit(1)).as("n_tokens"),
+        countDistinct("w").as("n_vocab")))
+  }
+
   /** Document fingerprint: md5 of the alnum-normalized text (stable
     * content hash for exact-dup detection across formatting noise). */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -70,4 +70,46 @@ object Measures {
     points.select(col("pid"), round(d, 4).as("dist_km"),
       round(when(deg < 0, deg + 360).otherwise(deg), 4).as("bearing_deg"))
   }
+
+  /** SQL text for the great-circle central angle (radians) between
+    * two points given as (lonRadSql, latRadSql) expression pairs —
+    * the haversine with the clamped asin, identical characters fed to
+    * Spark's expr() and the DuckDB oracle (the sinu forwardSqlSteps
+    * shared-text contract). */
+  def centralAngleSql(p: (String, String), q: (String, String)): String =
+    s"2 * asin(least(CAST(1.0 AS DOUBLE), sqrt(" +
+      s"sin((${q._2} - ${p._2}) / 2) * sin((${q._2} - ${p._2}) / 2) + " +
+      s"cos(${p._2}) * cos(${q._2}) * " +
+      s"(sin((${q._1} - ${p._1}) / 2) * sin((${q._1} - ${p._1}) / 2)))))"
+
+  /** SQL text for the spherical excess (steradians) of the triangle
+    * v0 v1 v2 by l'Huilier's theorem — numerically stable for the
+    * small triangles geographic polygons decompose into:
+    * E = 4·atan(sqrt(tan(s/2)·tan((s-a)/2)·tan((s-b)/2)·tan((s-c)/2)))
+    * with the product clamped at 0 (degenerate triangles round to a
+    * hair negative). Vertices are (lonRadSql, latRadSql) pairs. */
+  def triangleExcessSql(v0: (String, String), v1: (String, String),
+                        v2: (String, String)): String = {
+    val a = centralAngleSql(v1, v2)
+    val b = centralAngleSql(v0, v2)
+    val c = centralAngleSql(v0, v1)
+    val s2 = s"(($a) + ($b) + ($c)) / 2" // s = half-perimeter
+    s"4 * atan(sqrt(greatest(CAST(0.0 AS DOUBLE), " +
+      s"tan(($s2) / 2) * tan((($s2) - ($a)) / 2) * " +
+      s"tan((($s2) - ($b)) / 2) * tan((($s2) - ($c)) / 2))))"
+  }
+
+  /** SQL text for the geodesic area (km²) of the diamond of
+    * half-diagonal `d` degrees centered on columns (lon, lat): two
+    * fan triangles' excesses summed IN ONE ROW (no cross-row float
+    * aggregation), scaled by R². The same text runs in both engines;
+    * round(4) applied by the caller. */
+  def diamondAreaSql(d: Double, radiusKm: Double = 6371.0): String = {
+    val v0 = ("radians(lon)", s"radians(lat + $d)")
+    val v1 = (s"radians(lon + $d)", "radians(lat)")
+    val v2 = ("radians(lon)", s"radians(lat - $d)")
+    val v3 = (s"radians(lon - $d)", "radians(lat)")
+    s"($radiusKm * $radiusKm) * ((${triangleExcessSql(v0, v1, v2)}) + " +
+      s"(${triangleExcessSql(v0, v2, v3)}))"
+  }
 }

@@ -51,4 +51,29 @@ class MeasuresSpec extends SparkSpec {
     // zero distance at the anchor itself
     assert(geo(2.25, 48.85, 2.25, 48.85)._2 == 0.0)
   }
+
+  test("spherical excess: octant triangle is exactly pi/2 steradians") {
+    import org.apache.spark.sql.functions._
+    val e = Measures.triangleExcessSql(
+      ("radians(0)", "radians(0)"), ("radians(90)", "radians(0)"),
+      ("radians(0)", "radians(90)"))
+    val v = Seq(1).toDF("one").select(expr(e).as("e")).as[Double].head()
+    assert(math.abs(v - math.Pi / 2) < 1e-9)
+  }
+
+  test("diamond geodesic area approaches the planar 2 d^2 cos(lat) R^2 for small d") {
+    import org.apache.spark.sql.functions._
+    val d = 0.05
+    val rows = Seq((1L, 10.0, 0.0), (2L, 10.0, 60.0)).toDF("pid", "lon", "lat")
+    val out = rows.select(col("pid"),
+      expr(Measures.diamondAreaSql(d)).as("a")).as[(Long, Double)].collect().toMap
+    def planar(lat: Double): Double = {
+      val dr = math.toRadians(d)
+      2 * dr * dr * math.cos(math.toRadians(lat)) * 6371.0 * 6371.0
+    }
+    assert(math.abs(out(1L) / planar(0.0) - 1) < 1e-3)
+    assert(math.abs(out(2L) / planar(60.0) - 1) < 1e-3)
+    // equatorial diamond is bigger than the 60-deg-lat one by ~cos
+    assert(out(1L) > out(2L) * 1.9)
+  }
 }
