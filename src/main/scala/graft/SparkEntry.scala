@@ -933,6 +933,24 @@ object SparkEntry {
       RasterLayer.tilesToCells(df, T, T)
     }),
 
+    "q_catalog_dsv2_write" -> ((s, dir) => {
+      // full V2 ROUNDTRIP: the grid layer written through the V2
+      // writer (required (col,row) distribution+sort, in-writer
+      // uint16 packing, truncate-on-overwrite, sidecar at commit),
+      // read back through the V2 reader
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      val la = lineitemLayer(s, dir).convertCellType("uint16")
+      la.df.write.format("graft")
+        .option("path", uri).option("layer", "li_w").option("zoom", "3")
+        .option("extent", "0,0,256,256").option("layout", "4,4,64,64")
+        .option("celltype", "uint16")
+        .mode("overwrite").save()
+      val df = s.read.format("graft")
+        .option("path", uri).option("layer", "li_w").option("zoom", "3")
+        .load()
+      RasterLayer.tilesToCells(df, T, T)
+    }),
+
     "q_catalog_geom" -> ((s, dir) => {
       // geometry-scoped read (key_conversion geometry_to_keys +
       // catalog query): whole tiles intersecting the WKT rect — the
@@ -1177,6 +1195,10 @@ object SparkEntry {
     "q_dup_size_hist" -> ((s, dir) =>
       // dedup reporting artifact: duplicate-family size histogram
       pipeline.Dedup.duplicationProfile(table(s, dir, "documents"))),
+
+    "q_novelty" -> ((s, dir) =>
+      // per-doc fraction of df=1 shingles (memorization diagnostic)
+      pipeline.Dedup.noveltyScore(table(s, dir, "documents"))),
 
     "q_winnowing" -> ((s, dir) =>
       // MOSS winnowing fingerprints: per-window rightmost-min of the
@@ -2929,6 +2951,11 @@ object SparkEntry {
       "q_catalog_dsv2" ->
         s"SELECT x, y, v FROM ($grid) WHERE x >= 64 AND x < 192 AND y < 128",
 
+      // V2 writer roundtrip at uint16: truncate-to-integer is the
+      // identity on the integral sums, clamp restated (celltype rule)
+      "q_catalog_dsv2_write" ->
+        s"SELECT x, y, LEAST(GREATEST(v, 0.0), 65534.0) AS v FROM ($grid)",
+
       // tile-level pruning: the rect (70,10)-(190,100) intersects tile
       // cols 1..2 and rows 0..1 of the 64-cell tiles; a geometry read
       // keeps WHOLE intersecting tiles
@@ -3238,6 +3265,20 @@ object SparkEntry {
       // same LSH pair graph, closed transitively (recursive CTE);
       // component = min reachable doc_id, singletons map to themselves
       "q_dedup_clusters" -> dedupComponentsSql,
+
+      // per-doc marginal of the inverted index: distinct shingles and
+      // the df = 1 subset (NO boilerplate cap here — novelty wants
+      // the uncapped df)
+      "q_novelty" ->
+        """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+          |sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM (
+          |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+          |  FROM t WHERE len(toks) >= 5)),
+          |d AS (SELECT h, count(*) AS df FROM sh GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_shingles,
+          |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+          |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+          |FROM sh JOIN d USING (h) GROUP BY 1""".stripMargin,
 
       // component sizes from the shared components CTE, histogrammed
       "q_dup_size_hist" ->

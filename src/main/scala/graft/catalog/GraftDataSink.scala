@@ -1,0 +1,202 @@
+package graft.catalog
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.MessageTypeParser
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.core.CellType
+import graft.raster.LayerMetadata
+
+/** DataSource V2 WRITE path for the graft tile catalog — the
+  * SQL-facing INSERT twin of [[GraftDataSource]]'s read relation:
+  *
+  * {{{
+  *   layerDf.write.format("graft")
+  *     .option("path", uri).option("layer", "nlcd").option("zoom", "4")
+  *     .mode("append")   // or "overwrite" (truncates the zoom)
+  *     .save()
+  * }}}
+  *
+  * The writer declares `RequiresDistributionAndOrdering` clustered +
+  * sorted on (col, row[, instant]), so Spark plans the shuffle/sort —
+  * each task then streams its ordered rows into ONE parquet file with
+  * the catalog's native-width cell packing applied in-writer. Sorted
+  * (col, row) files give the footer min/max statistics the read
+  * path's pruning feeds on. The canonical Z-ORDER layout (better 2D
+  * locality) remains [[Catalog.write]] / compaction — stated in the
+  * scaladoc rather than silently approximated.
+  *
+  * Metadata: appending to an existing store reuses its sidecar; a
+  * fresh store takes `extent` ("xmin,ymin,xmax,ymax") and `layout`
+  * ("lcols,lrows,tcols,trows") options (+ optional `celltype`,
+  * `temporal`). The sidecar is (re)written once, at commit, on the
+  * driver.
+  */
+private[catalog] object GraftDataSink {
+
+  def distribution(schema: StructType): Distribution =
+    Distributions.clustered(Array(Expressions.column("col"), Expressions.column("row")))
+
+  def ordering(schema: StructType): Array[SortOrder] = {
+    val keys = Seq("col", "row") ++
+      (if (schema.fieldNames.contains("instant")) Seq("instant") else Nil)
+    keys.map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
+  }
+
+  def parquetSchema(temporal: Boolean, packedTile: Boolean): String = {
+    val instant = if (temporal) "  optional int64 instant;\n" else ""
+    val tile =
+      if (packedTile) "  optional binary tile;"
+      else "  optional group tile (LIST) { repeated group list { optional double element; } }"
+    s"message graft_tiles {\n  optional int32 col;\n  optional int32 row;\n$instant$tile\n}"
+  }
+
+  /** Resolve the layer metadata: existing sidecar wins; otherwise the
+    * writer options must describe the layout. */
+  def metaFor(opts: GraftTable.Opts, options: Map[String, String]): LayerMetadata = {
+    if (Catalog.metadataExists(opts.uri, opts.layer))
+      Catalog.readMetadata(opts.uri, opts.layer, opts.zoom)
+    else {
+      def nums(key: String): Array[Double] = options.getOrElse(key,
+        throw new IllegalArgumentException(
+          s"graft sink: new store needs option '$key'")).split(",").map(_.trim.toDouble)
+      val e = nums("extent"); val l = nums("layout")
+      LayerMetadata(
+        graft.core.LayoutDefinition(
+          graft.core.Extent(e(0), e(1), e(2), e(3)),
+          graft.core.TileLayout(l(0).toInt, l(1).toInt, l(2).toInt, l(3).toInt)),
+        cellType = options.getOrElse("celltype", "float64"),
+        temporal = options.getOrElse("temporal", "false").toBoolean)
+    }
+  }
+}
+
+private[catalog] final class GraftWriteBuilder(
+    opts: GraftTable.Opts, info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val schema = info.schema()
+    val names = schema.fieldNames.toSeq
+    require(names.contains("col") && names.contains("row") && names.contains("tile"),
+      s"graft sink needs columns col, row, tile (got ${names.mkString(", ")})")
+    val optMap = info.options().asScala.toMap
+    new GraftWrite(opts, schema, optMap, doTruncate)
+  }
+}
+
+private[catalog] final class GraftWrite(
+    opts: GraftTable.Opts, schema: StructType, options: Map[String, String],
+    truncate: Boolean) extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution = GraftDataSink.distribution(schema)
+  override def requiredOrdering(): Array[SortOrder] = GraftDataSink.ordering(schema)
+
+  override def toBatch: BatchWrite = {
+    val meta = GraftDataSink.metaFor(opts, options)
+    new GraftBatchWrite(opts, schema, meta, truncate)
+  }
+}
+
+private[catalog] final case class GraftCommit(file: String) extends WriterCommitMessage
+
+private[catalog] final class GraftBatchWrite(
+    opts: GraftTable.Opts, schema: StructType, meta: LayerMetadata,
+    truncate: Boolean) extends BatchWrite {
+
+  private val zoomDir = s"${opts.uri}/${opts.layer}/tiles/zoom=${opts.zoom}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftWriterFactory(zoomDir, schema, meta.cellType,
+      meta.temporal, UUID.randomUUID().toString, GraftTable.confProps())
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = GraftTable.confFrom(GraftTable.confProps())
+    val dir = new Path(zoomDir)
+    val fs = dir.getFileSystem(conf)
+    if (truncate && fs.exists(dir)) {
+      val keep = messages.map(_.asInstanceOf[GraftCommit].file)
+        .map(f => new Path(f).getName).toSet
+      fs.listStatus(dir).foreach { st =>
+        if (st.getPath.getName.endsWith(".parquet") && !keep(st.getPath.getName))
+          fs.delete(st.getPath, false)
+      }
+    }
+    Catalog.writeMetadata(opts.uri, opts.layer, meta, opts.zoom)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = GraftTable.confFrom(GraftTable.confProps())
+    messages.filter(_ != null).foreach { m =>
+      val p = new Path(m.asInstanceOf[GraftCommit].file)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+}
+
+private[catalog] final case class GraftWriterFactory(
+    zoomDir: String, schema: StructType, cellType: String, temporal: Boolean,
+    writeId: String, confProps: Map[String, String]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(
+      s"$zoomDir/part-$writeId-$partitionId.parquet",
+      schema, cellType, temporal, confProps)
+}
+
+/** One parquet file per task, rows already (col, row)-sorted by the
+  * required ordering; tiles pack to the store's native width here so
+  * only packed bytes hit the disk (the Catalog.write discipline). */
+private[catalog] final class GraftDataWriter(
+    file: String, schema: StructType, cellType: String, temporal: Boolean,
+    confProps: Map[String, String]) extends DataWriter[InternalRow] {
+
+  private val conf = GraftTable.confFrom(confProps)
+  private val ct = CellType.fromName(cellType)
+  private val isPacked = cellType != "float64"
+  private val msgType = MessageTypeParser.parseMessageType(
+    GraftDataSink.parquetSchema(temporal, isPacked))
+  private val factory = new SimpleGroupFactory(msgType)
+  private val idx = schema.fieldNames.zipWithIndex.toMap
+
+  private val writer = ExampleParquetWriter.builder(new Path(file))
+    .withConf(conf).withType(msgType).build()
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    g.append("col", row.getInt(idx("col")))
+    g.append("row", row.getInt(idx("row")))
+    if (temporal) g.append("instant", row.getLong(idx("instant")))
+    val cells = row.getArray(idx("tile")).toDoubleArray()
+    if (isPacked) g.append("tile", Binary.fromConstantByteArray(ct.pack(cells)))
+    else {
+      val list = g.addGroup("tile")
+      cells.foreach(v => list.addGroup("list").append("element", v))
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = { writer.close(); GraftCommit(file) }
+  override def abort(): Unit = {
+    writer.close()
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+  override def close(): Unit = ()
+}

@@ -63,8 +63,12 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
   override def supportsExternalMetadata(): Boolean = false
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTable.schemaFor(GraftTable.optsFrom(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = GraftTable.optsFrom(options)
+    if (Catalog.metadataExists(opts.uri, opts.layer)) GraftTable.schemaFor(opts)
+    else StructType(Seq(StructField("col", IntegerType), StructField("row", IntegerType),
+      StructField("tile", ArrayType(DoubleType)))) // fresh store: the writer's shape
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -148,16 +152,28 @@ private[catalog] object KeyBox {
 }
 
 private[catalog] final class GraftTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val opts = GraftTable.optsFrom(options)
 
   override def name(): String = s"graft:${opts.layer}@z${opts.zoom}"
-  override def schema(): StructType = GraftTable.schemaFor(opts)
+  override def schema(): StructType =
+    // a fresh store has no sidecar to infer from: writes carry their
+    // own schema, so fall back to the writer's input shape
+    if (Catalog.metadataExists(opts.uri, opts.layer)) GraftTable.schemaFor(opts)
+    else StructType(Seq(StructField("col", IntegerType), StructField("row", IntegerType),
+      StructField("tile", ArrayType(DoubleType))))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(opts, schema())
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(opts, info)
 }
 
 private[catalog] final class GraftScanBuilder(opts: GraftTable.Opts, full: StructType)

@@ -641,6 +641,31 @@ object Dedup {
       .groupBy("component").agg(count(lit(1)).as("sz"))
       .groupBy("sz").agg(count(lit(1)).as("n_components"))
 
+  /** N-gram novelty score — the memorization/boilerplate diagnostic:
+    * per document, the fraction of its DISTINCT k-gram shingles that
+    * appear in no other document (df = 1). Low novelty = assembled
+    * from corpus-common fragments (template/boilerplate); high =
+    * unique prose. Complements [[jaccardPairs]]: novelty is the
+    * per-doc marginal of the same inverted index.
+    *
+    * Scale shape: reuses the checkpointed [[hashedShingles]] index;
+    * the df aggregate is vocabulary-bounded, the join is the inverted
+    * index's own equi-join, and the ratio is one IEEE division of
+    * exact counts (gopher-ratio rule, no rounding needed... rounded 6
+    * anyway for the re-aggregation contract).
+    *
+    * @return (doc_id, n_shingles, n_unique, novelty) */
+  def noveltyScore(docs: DataFrame, k: Int = 5): DataFrame = {
+    val sh = hashedShingles(docs, k)
+    val df_ = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(df_, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 6).as("novelty"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS scheme): hash every k-gram, slide a
     * window of `w` consecutive hashes, keep the MINIMUM of each

@@ -77,6 +77,65 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(back == Set((1L, 1L, 3.0), (6L, 2L, 250.0)))
   }
 
+  test("V2 write: fresh store via format(graft), read back both ways") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    val l = layer((0, 0, 1.0), (3, 3, 2.0), (5, 6, 4.0))
+    l.df.write.format("graft")
+      .option("path", dir).option("layer", "w").option("zoom", "1")
+      .option("extent", "0,0,8,8").option("layout", "2,2,4,4")
+      .mode("append").save()
+    // V2 reader sees the files the V2 writer produced
+    val viaDsv2 = RasterLayer.tilesToCells(readGraft(dir, "w", zoom = 1), 4, 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaDsv2 == Set((0L, 0L, 1.0), (3L, 3L, 2.0), (5L, 6L, 4.0)))
+    // and so does the driver-helper read path (sidecar committed)
+    val viaCatalog = Catalog.read(spark, dir, "w", zoom = 1).toCells
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaCatalog == viaDsv2)
+  }
+
+  test("V2 write: overwrite truncates the zoom, append adds tiles") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    def save(l: RasterLayer, mode: String): Unit =
+      l.df.write.format("graft")
+        .option("path", dir).option("layer", "w").option("zoom", "0")
+        .option("extent", "0,0,8,8").option("layout", "2,2,4,4")
+        .mode(mode).save()
+    save(layer((0, 0, 1.0)), "append")
+    save(layer((5, 5, 9.0)), "append")
+    assert(readGraft(dir, "w").count() == 2) // two tiles now
+    save(layer((1, 1, 7.0)), "overwrite")
+    val after = RasterLayer.tilesToCells(readGraft(dir, "w"), 4, 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == Set((1L, 1L, 7.0)))
+  }
+
+  test("V2 write: packed cell type rides the sidecar on append") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    // seed the store (and its uint8 sidecar) through Catalog.write
+    Catalog.write(dir, "t8", layer((1, 1, 3.0)).convertCellType("uint8"))
+    // append a tile through the V2 writer: packs to uint8 in-writer
+    layer((6, 2, 250.0)).convertCellType("uint8").df.write.format("graft")
+      .option("path", dir).option("layer", "t8").option("zoom", "0")
+      .mode("append").save()
+    val back = RasterLayer.tilesToCells(readGraft(dir, "t8"), 4, 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(back == Set((1L, 1L, 3.0), (6L, 2L, 250.0)))
+  }
+
+  test("V2 write: plan carries the required (col, row) sort") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y, (x + y).toDouble)
+    layer(cells: _*).df.write.format("graft")
+      .option("path", dir).option("layer", "w").option("zoom", "0")
+      .option("extent", "0,0,8,8").option("layout", "2,2,4,4")
+      .mode("append").save()
+    // per-file footer stats are tight enough to prune on col
+    val all = readGraft(dir, "w")
+    assert(all.count() == 4)
+    assert(all.where(col("col") === 0 && col("row") === 0).count() == 1)
+  }
+
   test("temporal store exposes instant and pushes its range") {
     val dir = Files.createTempDirectory("graft_dsv2").toString
     val cells = Seq((0L, 0L, 10L, 1.0), (0L, 0L, 20L, 2.0), (5L, 5L, 20L, 3.0))

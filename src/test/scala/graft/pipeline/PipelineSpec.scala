@@ -871,6 +871,19 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.exists(r => r._2 == -1L || r._3 == -1L))
   }
 
+  test("novelty: shared shingle counts toward df, unique fraction by hand") {
+    val d = Seq((1L, "a b c d e f", "en", "s", 1L), (2L, "a b c d e x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.noveltyScore(d).as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((2L, 1L, 0.5))) // "a b c d e" shared, "b c d e f" unique
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    // fully unique doc scores 1.0
+    val solo = Seq((3L, "p q r s t u v", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.noveltyScore(solo).as[(Long, Long, Long, Double)].head()._4 == 1.0)
+  }
+
   test("jsonl roundtrip: identity on records, malformed lines drop, escapes survive") {
     val docs = Seq(
       (1L, "plain text", "en", "web", 10L),
