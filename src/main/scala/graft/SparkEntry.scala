@@ -342,6 +342,29 @@ object SparkEntry {
       // hull size, exact area, micro-quantized perimeter
       graft.vector.Hull.convex(supplierPoints(s, dir))),
 
+    "q_spatial_join" -> ((s, dir) => {
+      // point-in-polygon join: every supplier point against 5 WKT
+      // diamonds (broadcast dim side, even-odd test in executors);
+      // the diamond's L1 closed form is the oracle's containment
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val r = lit(20.3)
+      val polys = supplierPoints(s, dir).where(col("pid") >= 1 && col("pid") <= 5)
+        .select(col("pid").as("gid"), concat(
+          lit("POLYGON (("),
+          str(col("px")), lit(" "), str(col("py") - r), lit(", "),
+          str(col("px") + r), lit(" "), str(col("py")), lit(", "),
+          str(col("px")), lit(" "), str(col("py") + r), lit(", "),
+          str(col("px") - r), lit(" "), str(col("py")), lit(", "),
+          str(col("px")), lit(" "), str(col("py") - r), lit("))")).as("wkt"))
+      graft.vector.SpatialJoin.pointsInPolygons(supplierPoints(s, dir), polys)
+        .groupBy("gid")
+        .agg(count(lit(1)).as("n_points"), sum("pid").cast("long").as("pid_sum"))
+    }),
+
+    "q_class_breaks_equal" -> ((s, dir) =>
+      // equal-interval classification breaks over the grid stats
+      HistogramOps.equalIntervalBreaks(lineitemLayer(s, dir), 7)),
+
     "q_zonal_pct" -> ((s, dir) => {
       // per-cell percent of zone total: (v*100) div zoneSum, exact
       val zones = RasterLayer.fromCells(
@@ -2240,6 +2263,22 @@ object SparkEntry {
            |  CAST(s2 AS DOUBLE) / 8 AS area,
            |  round(CAST(pq AS DOUBLE) / 1000000.0, 5) AS perim
            |FROM e, agg""".stripMargin,
+
+      // the ray-cast even-odd test on a diamond == the L1 closed form
+      // (strict interior; r = 20.3 vs integral |dx|+|dy| -> no ties)
+      "q_spatial_join" ->
+        s"""WITH g AS (SELECT pid AS gid, px AS cx, py AS cy FROM ($pts) WHERE pid BETWEEN 1 AND 5),
+           |p AS ($pts)
+           |SELECT g.gid, count(*) AS n_points, CAST(sum(p.pid) AS BIGINT) AS pid_sum
+           |FROM g JOIN p ON abs(p.px - g.cx) + abs(p.py - g.cy) < 20.3
+           |GROUP BY 1""".stripMargin,
+
+      // break_i = vmin + i * ((vmax - vmin) / 7), same op order
+      "q_class_breaks_equal" ->
+        s"""WITH m AS (SELECT min(v) AS vmin, max(v) AS vmax FROM ($grid))
+           |SELECT CAST(i.range AS BIGINT) AS i,
+           |  round(vmin + i.range * ((vmax - vmin) / 7), 5) AS brk
+           |FROM range(1, 8) i, m""".stripMargin,
 
       // haversine + initial bearing, op-order-identical to the engine
       "q_geodesic" ->

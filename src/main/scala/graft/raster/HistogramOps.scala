@@ -82,6 +82,21 @@ object HistogramOps {
     * quantiles above the ceiling should pre-aggregate to integral
     * values and use [[quantileBreaksExactInt]], whose exchange carries
     * only distinct values. */
+  /** Equal-interval classification breaks (geotrellis
+    * `EqualInterval` / ArcGIS equal-interval classify): break_i =
+    * vmin + i·(vmax − vmin)/k for i = 1..k. One [[stats]] aggregate
+    * (map-side partials), the break arithmetic is a k-row driver-free
+    * cross of the 1-row stats with spark.range — pinned op order,
+    * round 5 (one non-integral division). */
+  def equalIntervalBreaks(layer: RasterLayer, k: Int): DataFrame = {
+    val spark = layer.spark
+    val st = stats(layer).select(col("vmin"), col("vmax"))
+    spark.range(1, k + 1).select(col("id").as("i"))
+      .crossJoin(broadcast(st))
+      .select(col("i"),
+        round(col("vmin") + col("i") * ((col("vmax") - col("vmin")) / k), 5).as("brk"))
+  }
+
   def quantileBreaks(layer: RasterLayer, qs: Seq[Double],
                      maxExactCells: Long = 100000000L): DataFrame = {
     val tl = layer.meta.layout.tileLayout
