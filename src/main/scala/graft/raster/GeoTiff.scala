@@ -228,17 +228,25 @@ object GeoTiff {
   // None or Deflate compression.
   // ------------------------------------------------------------------
 
-  private def tagValues(buf: ByteBuffer, typ: Int, count: Int, inlinePos: Int): IndexedSeq[Double] = {
+  private def tagValues(buf: ByteBuffer, typ: Int, count: Int, inlinePos: Int,
+                        big: Boolean = false): IndexedSeq[Double] = {
     val size = typ match {
       case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEF
       case 3 | 8         => 2 // SHORT/SSHORT
       case 4 | 9 | 11    => 4 // LONG/SLONG/FLOAT
       case 5 | 10 | 12   => 8 // RATIONAL/SRATIONAL/DOUBLE
+      case 16 | 17 | 18  => 8 // LONG8/SLONG8/IFD8 (BigTIFF)
       case t => throw new IllegalArgumentException(s"unsupported TIFF tag type $t")
     }
-    val at = if (size * count <= 4) inlinePos else buf.getInt(inlinePos)
+    require(!(typ >= 16) || big, s"BigTIFF tag type $typ in a classic TIFF")
+    // classic value fields hold 4 inline bytes, BigTIFF fields 8
+    val inlineCap = if (big) 8 else 4
+    val at: Long =
+      if (size * count <= inlineCap) inlinePos.toLong
+      else if (big) buf.getLong(inlinePos)
+      else (buf.getInt(inlinePos) & 0xffffffffL)
     (0 until count).map { i =>
-      val p = at + i * size
+      val p = (at + i.toLong * size).toInt // in-memory scenes are < 2 GiB
       typ match {
         case 1 | 2 | 7 => (buf.get(p) & 0xff).toDouble
         case 6         => buf.get(p).toDouble
@@ -250,6 +258,9 @@ object GeoTiff {
         case 5         => (buf.getInt(p) & 0xffffffffL).toDouble / (buf.getInt(p + 4) & 0xffffffffL)
         case 10        => buf.getInt(p).toDouble / buf.getInt(p + 4)
         case 12        => buf.getDouble(p)
+        // Long -> Double is exact below 2^53 (8 PB of file offset)
+        case 16 | 18   => buf.getLong(p).toDouble
+        case 17        => buf.getLong(p).toDouble
       }
     }
   }
@@ -419,18 +430,23 @@ object GeoTiff {
     require(le || be, "not a TIFF (bad byte-order mark)")
     val buf = ByteBuffer.wrap(bytes).order(
       if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-    require(buf.getShort(2) == 42, "not a classic TIFF (bad magic; BigTIFF unsupported)")
-    val ifd = buf.getInt(4)
-    val nt = buf.getShort(ifd) & 0xffff
+    val magic = buf.getShort(2)
+    require(magic == 42 || magic == 43, s"not a TIFF (magic $magic)")
+    val big = magic == 43
+    if (big) require(buf.getShort(4) == 8 && buf.getShort(6) == 0,
+      "malformed BigTIFF header (offset bytesize must be 8)")
+    val ifd = if (big) buf.getLong(8).toInt else buf.getInt(4)
+    val nt = if (big) buf.getLong(ifd).toInt else buf.getShort(ifd) & 0xffff
+    val entrySize = if (big) 20 else 12
     val tags = (0 until nt).map { i =>
-      val p = ifd + 2 + i * 12
+      val p = ifd + (if (big) 8 else 2) + i * entrySize
       val id = buf.getShort(p) & 0xffff
       val typ = buf.getShort(p + 2) & 0xffff
-      val count = buf.getInt(p + 4)
-      id -> ((typ, count, p + 8))
+      val count = if (big) buf.getLong(p + 4).toInt else buf.getInt(p + 4)
+      id -> ((typ, count, p + (if (big) 12 else 8)))
     }.toMap
     def vals(id: Int): Option[IndexedSeq[Double]] =
-      tags.get(id).map { case (typ, count, pos) => tagValues(buf, typ, count, pos) }
+      tags.get(id).map { case (typ, count, pos) => tagValues(buf, typ, count, pos, big) }
     def one(id: Int, default: => Double): Double = vals(id).map(_.head).getOrElse(default)
 
     val cols = one(TagImageWidth, throw new IllegalArgumentException("missing ImageWidth")).toInt
@@ -775,8 +791,8 @@ object GeoTiff {
     * header + blocks to disk. Absent tiles all share one all-NoData
     * block (TIFF permits duplicate tile offsets). */
   def saveCog(layer: RasterLayer, path: String, deflate: Boolean = true,
-              maxTiles: Long = 1L << 20): Unit =
-    saveCogPyramid(Seq(layer), path, deflate, maxTiles)
+              maxTiles: Long = 1L << 20, bigTiff: Boolean = false): Unit =
+    saveCogPyramid(Seq(layer), path, deflate, maxTiles, bigTiff)
 
   /** COG with overviews: base layer + reduced-resolution levels (from
     * [[Pyramid.levelUp]]) in ONE file as chained IFDs — the full
@@ -785,8 +801,13 @@ object GeoTiff {
     * COGs). A zoomed-out viewer windows the overview IFD and touches
     * only those byte ranges ([[readCogWindow]] with `overview = i`).
     * `levels` ordering: base first, then successively coarser. */
+  /** `bigTiff = true` writes the BigTIFF (version 43) layout — 8-byte
+    * offsets and LONG8 tile arrays — lifting the classic format's
+    * 4 GiB file ceiling; at 100 TB COG exports that ceiling is the
+    * first wall a real mosaic hits. Readers here accept both. */
   def saveCogPyramid(levels: Seq[RasterLayer], path: String,
-                     deflate: Boolean = true, maxTiles: Long = 1L << 20): Unit = {
+                     deflate: Boolean = true, maxTiles: Long = 1L << 20,
+                     bigTiff: Boolean = false): Unit = {
     require(levels.nonEmpty)
     levels.foreach { l =>
       require(!l.meta.temporal,
@@ -838,14 +859,17 @@ object GeoTiff {
       val n = keys.size
       // base IFD carries geo tags; overviews add NewSubfileType instead
       val nTags = if (i == 0) 15 else 13
-      val ifdSize = 2 + nTags * 12 + 4
-      val extArrays = if (n > 1) 8 * n else 0 // offsets + counts
+      val ifdSize =
+        if (bigTiff) 8 + nTags * 20 + 8 else 2 + nTags * 12 + 4
+      val arrEntry = if (bigTiff) 8 else 4 // LONG8 vs LONG array cells
+      val extArrays = if (n > 1) 2 * arrEntry * n else 0 // offsets + counts
       val extGeo = if (i == 0) 3 * 8 + 6 * 8 + geoShorts.length * 2 else 0
       Level(l.meta, lengths, packedDs, emptyBlock, keys, nTags, ifdSize, extArrays + extGeo)
     }
 
     // file layout: header, [IFD + ext]*, then all data blocks
-    val ifdOffsets = lvls.scanLeft(8L) { (off, lv) => off + lv.ifdSize + lv.extSize }
+    val hdrSize = if (bigTiff) 16L else 8L
+    val ifdOffsets = lvls.scanLeft(hdrSize) { (off, lv) => off + lv.ifdSize + lv.extSize }
     val dataStart = ifdOffsets.last
     var cursor: Long = dataStart
     // block offsets per level (shared empty block first per level)
@@ -860,23 +884,36 @@ object GeoTiff {
       }
       (offs, cnts)
     }
-    require(cursor <= Int.MaxValue,
+    require(bigTiff || cursor <= Int.MaxValue,
       s"COG would be $cursor bytes — over the 2 GiB classic-TIFF offset " +
-      s"limit; shard the layer (writeFolder per-tile export) or split by extent")
+      s"limit; write with bigTiff = true, or shard the layer " +
+      s"(writeFolder per-tile export) / split by extent")
 
     val buf = ByteBuffer.allocate(dataStart.toInt).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffsets(0).toInt)
-    def tag(id: Int, typ: Int, count: Int, value: Int): Unit =
-      buf.putShort(id.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    if (bigTiff)
+      buf.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0)
+        .putLong(ifdOffsets(0))
+    else
+      buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffsets(0).toInt)
+    // one entry: classic 12 bytes (LONG count/value), BigTIFF 20
+    // (LONG8 count/value); LONG array cells become LONG8
+    def tag(id: Int, typ: Int, count: Int, value: Long): Unit =
+      if (bigTiff)
+        buf.putShort(id.toShort).putShort((if (typ == 4) 16 else typ).toShort)
+          .putLong(count).putLong(value)
+      else
+        buf.putShort(id.toShort).putShort(typ.toShort).putInt(count.toInt)
+          .putInt(value.toInt)
+    val arrEntry = if (bigTiff) 8L else 4L
     lvls.zipWithIndex.foreach { case (lv, li) =>
       val t = lv.meta.layout.tileLayout
       val n = lv.keys.size
       val (offs, cnts) = levelOffsets(li)
       val extBase = ifdOffsets(li) + lv.ifdSize
       val offArrOff = extBase
-      val cntArrOff = offArrOff + (if (n > 1) 4L * n else 0L)
-      val geoBase   = cntArrOff + (if (n > 1) 4L * n else 0L)
-      buf.putShort(lv.nTags.toShort)
+      val cntArrOff = offArrOff + (if (n > 1) arrEntry * n else 0L)
+      val geoBase   = cntArrOff + (if (n > 1) arrEntry * n else 0L)
+      if (bigTiff) buf.putLong(lv.nTags.toLong) else buf.putShort(lv.nTags.toShort)
       // tags must stay in ascending id order (TIFF 6.0 requirement)
       if (li > 0) tag(254, 4, 1, 1) // NewSubfileType = reduced-resolution
       tag(TagImageWidth, 3, 1, t.totalCols.toInt)
@@ -888,19 +925,23 @@ object GeoTiff {
       tag(TagPlanarConfig, 3, 1, 1)
       tag(TagTileWidth, 3, 1, t.tileCols)
       tag(TagTileLength, 3, 1, t.tileRows)
-      tag(TagTileOffsets, 4, n, if (n > 1) offArrOff.toInt else offs(0).toInt)
-      tag(TagTileByteCounts, 4, n, if (n > 1) cntArrOff.toInt else cnts(0))
+      tag(TagTileOffsets, 4, n, if (n > 1) offArrOff else offs(0))
+      tag(TagTileByteCounts, 4, n, if (n > 1) cntArrOff else cnts(0).toLong)
       tag(TagSampleFormat, 3, 1, 3)
       if (li == 0) {
         val scaleOff = geoBase
         val tieOff   = scaleOff + 3 * 8
         val geoOff   = tieOff + 6 * 8
-        tag(TagModelPixelScale, 12, 3, scaleOff.toInt)
-        tag(TagModelTiepoint, 12, 6, tieOff.toInt)
-        tag(TagGeoKeyDirectory, 3, geoShorts.length, geoOff.toInt)
+        tag(TagModelPixelScale, 12, 3, scaleOff)
+        tag(TagModelTiepoint, 12, 6, tieOff)
+        tag(TagGeoKeyDirectory, 3, geoShorts.length, geoOff)
       }
-      buf.putInt(if (li + 1 < lvls.size) ifdOffsets(li + 1).toInt else 0)
-      if (n > 1) { offs.foreach(o => buf.putInt(o.toInt)); cnts.foreach(buf.putInt) }
+      if (bigTiff) buf.putLong(if (li + 1 < lvls.size) ifdOffsets(li + 1) else 0L)
+      else buf.putInt(if (li + 1 < lvls.size) ifdOffsets(li + 1).toInt else 0)
+      if (n > 1) {
+        if (bigTiff) { offs.foreach(buf.putLong); cnts.foreach(c => buf.putLong(c.toLong)) }
+        else { offs.foreach(o => buf.putInt(o.toInt)); cnts.foreach(buf.putInt) }
+      }
       if (li == 0) {
         val e = lv.meta.layout.extent
         buf.putDouble(lv.meta.layout.cellWidth).putDouble(lv.meta.layout.cellHeight).putDouble(0.0)
@@ -940,21 +981,15 @@ object GeoTiff {
     * storage a server learns every level's geometry without fetching
     * tile data. */
   def cogLevels(rr: RangeReader): IndexedSeq[(Int, Int, Int, Int)] = {
-    def le16(b: Array[Byte], p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-    def le32(b: Array[Byte], p: Int): Int =
-      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
-    val hdr = rr.read(0, 8)
-    require(hdr.length == 8 && hdr(0) == 'I' && hdr(1) == 'I' && le16(hdr, 2) == 42,
-      "not a LE classic TIFF")
+    val fmt = TiffFmt(rr)
     val out = IndexedSeq.newBuilder[(Int, Int, Int, Int)]
-    var ifdOff = le32(hdr, 4)
+    var ifdOff = fmt.firstIfd
     while (ifdOff != 0) {
-      val nt = le16(rr.read(ifdOff.toLong, 2), 0)
-      val body = rr.read(ifdOff.toLong + 2, nt * 12 + 4)
+      val (nt, body) = fmt.ifdBody(rr, ifdOff)
       var cols = -1; var rows = -1; var tw = -1; var th = -1
       (0 until nt).foreach { i =>
-        val id = le16(body, i * 12)
-        val v = le32(body, i * 12 + 8)
+        val id = fmt.le16(body, i * fmt.entrySize)
+        val v = fmt.entryValue(body, i).toInt
         id match {
           case TagImageWidth  => cols = v
           case TagImageLength => rows = v
@@ -966,9 +1001,64 @@ object GeoTiff {
       require(cols > 0 && rows > 0 && tw > 0 && th > 0,
         "not an internally-tiled TIFF (missing tile tags)")
       out += ((cols, rows, tw, th))
-      ifdOff = le32(body, nt * 12)
+      ifdOff = fmt.nextIfd(body, nt)
     }
     out.result()
+  }
+
+  /** Header geometry shared by the range-reader COG walkers — classic
+    * (magic 42) and BigTIFF (magic 43, 8-byte offsets) in one place. */
+  private final case class TiffFmt(big: Boolean, firstIfd: Long) {
+    def le16(b: Array[Byte], p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def le32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) | ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    def le64(b: Array[Byte], p: Int): Long =
+      (0 until 8).map(i => (b(p + i) & 0xffL) << (8 * i)).reduce(_ | _)
+    val entrySize: Int = if (big) 20 else 12
+    val countOf: Int = 4 // count field offset within an entry (both)
+    /** entry i's count field */
+    def entryCount(body: Array[Byte], i: Int): Long =
+      if (big) le64(body, i * entrySize + 4) else le32(body, i * entrySize + 4)
+    /** entry i's value/offset field */
+    def entryValue(body: Array[Byte], i: Int): Long =
+      if (big) le64(body, i * entrySize + 12) else le32(body, i * entrySize + 8)
+    /** entry i's type field */
+    def entryType(body: Array[Byte], i: Int): Int = le16(body, i * entrySize + 2)
+    /** read an IFD's entry count + (entries ++ next pointer) body */
+    def ifdBody(rr: RangeReader, off: Long): (Int, Array[Byte]) =
+      if (big) {
+        val nt = le64(rr.read(off, 8), 0).toInt
+        (nt, rr.read(off + 8, nt * entrySize + 8))
+      } else {
+        val nt = le16(rr.read(off, 2), 0)
+        (nt, rr.read(off + 2, nt * entrySize + 4))
+      }
+    def nextIfd(body: Array[Byte], nt: Int): Long =
+      if (big) le64(body, nt * entrySize) else le32(body, nt * entrySize)
+    /** width of one TileOffsets/ByteCounts array cell given its type */
+    def arrCell(typ: Int): Int = if (typ == 16) 8 else 4
+    def arrRead(rr: RangeReader, base: Long, typ: Int, idx: Long, n: Int): Array[Long] = {
+      val w = arrCell(typ)
+      val b = rr.read(base + w * idx, w * n)
+      Array.tabulate(n)(i => if (w == 8) le64(b, 8 * i) else le32(b, 4 * i))
+    }
+  }
+
+  private object TiffFmt {
+    def apply(rr: RangeReader): TiffFmt = {
+      val hdr = rr.read(0, 16)
+      require(hdr.length >= 8 && hdr(0) == 'I' && hdr(1) == 'I',
+        "not a little-endian TIFF")
+      val f0 = TiffFmt(big = false, 0L)
+      f0.le16(hdr, 2) match {
+        case 42 => TiffFmt(big = false, f0.le32(hdr, 4))
+        case 43 =>
+          require(f0.le16(hdr, 4) == 8 && f0.le16(hdr, 6) == 0,
+            "malformed BigTIFF header")
+          TiffFmt(big = true, f0.le64(hdr, 8))
+        case m => throw new IllegalArgumentException(s"not a TIFF (magic $m)")
+      }
+    }
   }
 
   /** Windowed read of an internally-tiled GeoTIFF ([[saveCog]] subset
@@ -989,39 +1079,34 @@ object GeoTiff {
     * therefore a handful of range requests, never the whole object. */
   def readCogWindow(rr: RangeReader, wx: Int, wy: Int, ww: Int, wh: Int,
                     overview: Int): Array[Double] = {
-    def le16(b: Array[Byte], p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-    def le32(b: Array[Byte], p: Int): Int =
-      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
-    val hdr = rr.read(0, 8)
-    require(hdr.length == 8 && hdr(0) == 'I' && hdr(1) == 'I' && le16(hdr, 2) == 42,
-      "not a LE classic TIFF")
+    val fmt = TiffFmt(rr)
     // walk the IFD chain to the requested overview (0 = base image)
-    var ifdOff = le32(hdr, 4)
+    var ifdOff = fmt.firstIfd
     var skip = overview
     while (skip > 0) {
-      val ntHere = le16(rr.read(ifdOff.toLong, 2), 0)
-      ifdOff = le32(rr.read(ifdOff.toLong + 2 + ntHere * 12, 4), 0)
+      val (ntHere, bodyHere) = fmt.ifdBody(rr, ifdOff)
+      ifdOff = fmt.nextIfd(bodyHere, ntHere)
       require(ifdOff != 0, s"file has fewer than ${overview + 1} images (no overview $overview)")
       skip -= 1
     }
-    val nt = le16(rr.read(ifdOff.toLong, 2), 0)
-    val entries = rr.read(ifdOff.toLong + 2, nt * 12)
+    val (nt, entries) = fmt.ifdBody(rr, ifdOff)
     var cols = -1; var rows = -1; var tw = -1; var th = -1
-    var offV = -1; var offN = -1; var cntV = -1; var compression = 1
+    var offV = -1L; var offN = -1; var cntV = -1L; var compression = 1
+    var offTyp = 4; var cntTyp = 4
     (0 until nt).foreach { i =>
-      val id = le16(entries, i * 12)
-      val count = le32(entries, i * 12 + 4)
-      val v = le32(entries, i * 12 + 8)
+      val id = fmt.le16(entries, i * fmt.entrySize)
+      val count = fmt.entryCount(entries, i)
+      val v = fmt.entryValue(entries, i)
       id match {
-        case TagImageWidth     => cols = v
-        case TagImageLength    => rows = v
-        case TagTileWidth      => tw = v
-        case TagTileLength     => th = v
-        case TagTileOffsets    => offV = v; offN = count
-        case TagTileByteCounts => cntV = v
+        case TagImageWidth     => cols = v.toInt
+        case TagImageLength    => rows = v.toInt
+        case TagTileWidth      => tw = v.toInt
+        case TagTileLength     => th = v.toInt
+        case TagTileOffsets    => offV = v; offN = count.toInt; offTyp = fmt.entryType(entries, i)
+        case TagTileByteCounts => cntV = v; cntTyp = fmt.entryType(entries, i)
         case TagCompression    =>
           require(v == 1 || v == 8, s"unsupported compression $v")
-          compression = v
+          compression = v.toInt
         case _ =>
       }
     }
@@ -1036,17 +1121,15 @@ object GeoTiff {
     var trI = trMin
     while (trI <= trMax) {
       // contiguous slice of the offsets/counts arrays for this tile row
-      val idx0 = trI * across + tcMin
-      val offs: Array[Int] =
-        if (offN == 1) Array(offV)
-        else { val b = rr.read(offV.toLong + 4L * idx0, 4 * span); Array.tabulate(span)(i => le32(b, 4 * i)) }
-      val cnts: Array[Int] =
-        if (offN == 1) Array(cntV)
-        else { val b = rr.read(cntV.toLong + 4L * idx0, 4 * span); Array.tabulate(span)(i => le32(b, 4 * i)) }
+      val idx0 = trI.toLong * across + tcMin
+      val offs: Array[Long] =
+        if (offN == 1) Array(offV) else fmt.arrRead(rr, offV, offTyp, idx0, span)
+      val cnts: Array[Long] =
+        if (offN == 1) Array(cntV) else fmt.arrRead(rr, cntV, cntTyp, idx0, span)
       var tcI = tcMin
       while (tcI <= tcMax) {
-        val off = offs(tcI - tcMin); val len = cnts(tcI - tcMin)
-        val data = rr.read(off.toLong, len)
+        val off = offs(tcI - tcMin); val len = cnts(tcI - tcMin).toInt
+        val data = rr.read(off, len)
         val block: ByteBuffer =
           if (compression == 1) ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
           else {

@@ -169,6 +169,45 @@ class GeoTiffSpec extends SparkSpec {
     assert(err.getMessage.contains("maxTiles"))
   }
 
+  test("BigTIFF (magic 43): pyramid roundtrip pixel-identical to classic, decodeScene reads it") {
+    val baseLayout = LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(4, 4, 16, 16))
+    val cells = for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (x, y, ((x * 131 + y * 17) % 251).toDouble)
+    val base = RasterLayer.fromCells(cells.toDF("x", "y", "v"), baseLayout)
+    val over = Pyramid.levelUp(base, "Average")
+    val dir = Files.createTempDirectory("graft_bigtiff").toString
+    for (deflate <- Seq(true, false)) {
+      val big = s"$dir/big_$deflate.tif"; val classic = s"$dir/classic_$deflate.tif"
+      GeoTiff.saveCogPyramid(Seq(base, over), big, deflate = deflate, bigTiff = true)
+      GeoTiff.saveCogPyramid(Seq(base, over), classic, deflate = deflate)
+      val bb = Files.readAllBytes(java.nio.file.Paths.get(big))
+      val cb = Files.readAllBytes(java.nio.file.Paths.get(classic))
+      // header says BigTIFF: magic 43, offset bytesize 8
+      assert(bb(2) == 43 && bb(4) == 8)
+      assert(cb(2) == 42)
+      // both levels window identically through the shared reader
+      assert(GeoTiff.cogLevels(bb) == GeoTiff.cogLevels(cb))
+      for (ov <- 0 to 1) {
+        val w = if (ov == 0) 64 else 32
+        assert(GeoTiff.readCogWindow(bb, 0, 0, w, w, ov).toSeq ==
+          GeoTiff.readCogWindow(cb, 0, 0, w, w, ov).toSeq, s"deflate=$deflate ov=$ov")
+      }
+      // partial window straddling tiles
+      assert(GeoTiff.readCogWindow(bb, 10, 10, 20, 20).toSeq ==
+        GeoTiff.readCogWindow(cb, 10, 10, 20, 20).toSeq)
+      // the general scene decoder takes the BigTIFF base image too
+      val (_, _, _, _, dc, dr, bands) = GeoTiff.decodeScene(bb)
+      assert(dc == 64 && dr == 64)
+      cells.take(200).foreach { case (x, y, v) =>
+        assert(bands.head((y * 64 + x).toInt) == v)
+      }
+    }
+    // classic writes past 2 GiB point at bigTiff, not at sharding only
+    val err = intercept[IllegalArgumentException](
+      GeoTiff.saveCogPyramid(Seq(base), s"$dir/too_big.tif", maxTiles = 2))
+    assert(err.getMessage.contains("maxTiles"))
+  }
+
   test("cog byte-range serving: a window from a file:// COG never reads the whole file") {
     // sizeable pyramid so a one-tile window is a small fraction of
     // the object: 128x128 base (16 16-tiles) + one overview
