@@ -862,6 +862,12 @@ object SparkEntry {
     "q_reproject_raster" -> ((s, dir) =>
       Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1).toCells),
 
+    "q_resample_area" -> ((s, dir) =>
+      // fractional-ratio area-weighted average (gdalwarp -r average):
+      // 256 -> 200 with exact integer overlap weights, one division
+      Resample.areaAverageTiled(lineitemLayer(s, dir), 256, 200, dstTile = 50)
+        .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+
     "q_reproject_bilinear" -> ((s, dir) =>
       // warp with bilinear resampling onto a 200-col target grid (the
       // 32/25 resolution ratio keeps gx - 0.5 provably off every floor
@@ -2919,6 +2925,21 @@ object SparkEntry {
            |  ON g.x = CAST(floor(degrees(mx / 6378137.0) / $d) AS BIGINT)
            | AND g.y = CAST(floor((${n * d} - degrees(atan(exp(my / 6378137.0)) * 2 - pi() / 2)) / $d) AS BIGINT)""".stripMargin
       },
+
+      // exact integer overlap weights in 1/200-cell units: source x
+      // feeds target tx iff the scaled spans intersect; sums of
+      // integral doubles are exact, one division, round 5
+      "q_resample_area" ->
+        s"""WITH g AS ($grid),
+           |p AS (SELECT x, y, v, unnest(range(200 * x // 256, (200 * (x + 1) - 1) // 256 + 1)) AS tx FROM g),
+           |p2 AS (SELECT x, y, v, tx, unnest(range(200 * y // 256, (200 * (y + 1) - 1) // 256 + 1)) AS ty FROM p),
+           |w AS (SELECT tx, ty, v,
+           |        (least(CAST(200 * (x + 1) AS BIGINT), 256 * (tx + 1)) - greatest(CAST(200 * x AS BIGINT), 256 * tx)) AS wx,
+           |        (least(CAST(200 * (y + 1) AS BIGINT), 256 * (ty + 1)) - greatest(CAST(200 * y AS BIGINT), 256 * ty)) AS wy
+           |      FROM p2)
+           |SELECT tx AS x, ty AS y,
+           |  round(sum(wx * wy * v) / CAST(sum(wx * wy) AS DOUBLE), 5) AS v
+           |FROM w GROUP BY 1, 2""".stripMargin,
 
       // bilinear warp: same inverse-projection chain as the NN oracle,
       // then the pointValuesBilinear corner/weight construction with a

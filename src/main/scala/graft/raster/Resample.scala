@@ -160,6 +160,81 @@ object Resample {
         TileLayout(dstLc, dstLc, dstTile, dstTile)), temporal = layer.meta.temporal))
   }
 
+  /** Area-weighted average resample for FRACTIONAL ratios (gdalwarp
+    * -r average, the anti-aliasing downsample/warp GDAL recommends):
+    * each target cell's value is the overlap-area-weighted mean of
+    * every source cell it covers. With integer grid sizes the overlap
+    * weights are EXACT integers in 1/dstN-of-a-source-cell units —
+    * wx = min(dstN·(x+1), srcN·(tx+1)) − max(dstN·x, srcN·tx) — so
+    * numerator and denominator are exact Longs and ONE closing
+    * division produces the value (round 5 in the oracle contract).
+    * NoData source cells drop out of both sums (the GDAL nodata
+    * rule); a target cell covering only NoData emits NoData.
+    *
+    * Scale shape: the same single-shuffle tile gather as the kernel
+    * resamples ([[gatherResample]]); each source tile ships to the
+    * bounded set of target tiles its span overlaps. */
+  def areaAverageTiled(layer: RasterLayer, srcN: Int, dstN: Int,
+                       dstTile: Int = 64): RasterLayer = {
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    require(dstN % dstTile == 0, "dst grid must tile evenly")
+    val dstLc = dstN / dstTile
+
+    // target cells overlapping a source tile's span (exact int math)
+    def dstRange(tileIdx: Int, cells: Int): Range = {
+      val s0 = tileIdx.toLong * cells; val s1 = (tileIdx + 1).toLong * cells
+      val txLo = (dstN * s0 / srcN).toInt
+      val txHi = ((dstN * s1 - 1) / srcN).toInt
+      math.max(0, txLo / dstTile) to math.min(dstLc - 1, txHi / dstTile)
+    }
+
+    def compute(dc: Int, dr: Int, src: Map[(Int, Int), Array[Double]]): Seq[Double] = {
+      def cell(x: Long, y: Long): Double =
+        if (x < 0 || y < 0 || x >= srcN || y >= srcN) Double.NaN
+        else src.get(((x / tc).toInt, (y / tr).toInt)) match {
+          case Some(t) => t(((y % tr) * tc + (x % tc)).toInt)
+          case None    => Double.NaN
+        }
+      val outTile = Array.fill(dstTile * dstTile)(Double.NaN)
+      var j = 0
+      while (j < dstTile) {
+        var i = 0
+        while (i < dstTile) {
+          val tx = dc.toLong * dstTile + i
+          val ty = dr.toLong * dstTile + j
+          // source cells x with dstN·x < srcN·(tx+1) and dstN·(x+1) > srcN·tx
+          val x0 = srcN * tx / dstN; val x1 = (srcN * (tx + 1) - 1) / dstN
+          val y0 = srcN * ty / dstN; val y1 = (srcN * (ty + 1) - 1) / dstN
+          var num = 0L; var den = 0L
+          var y = y0
+          while (y <= y1) {
+            val wy = math.min(dstN * (y + 1), srcN * (ty + 1)) - math.max(dstN * y, srcN * ty)
+            var x = x0
+            while (x <= x1) {
+              val v = cell(x, y)
+              if (!v.isNaN) {
+                val wx = math.min(dstN * (x + 1), srcN * (tx + 1)) - math.max(dstN * x, srcN * tx)
+                val w = wx * wy
+                num += w * v.toLong; den += w
+              }
+              x += 1
+            }
+            y += 1
+          }
+          if (den > 0) outTile(j * dstTile + i) = num.toDouble / den
+          i += 1
+        }
+        j += 1
+      }
+      outTile.toSeq
+    }
+
+    gatherResample(layer, tc, tr, dstRange, compute,
+      LayerMetadata(LayoutDefinition(Extent(0, 0, dstN, dstN),
+        TileLayout(dstLc, dstLc, dstTile, dstTile)), temporal = layer.meta.temporal))
+  }
+
   /** Shared gather harness for the tile-wise resample family: source
     * tiles flatMap to the bounded target-tile sets `dstRange` gives,
     * ONE groupByKey assembles each target tile's source map, `compute`

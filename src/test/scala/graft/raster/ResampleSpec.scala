@@ -88,4 +88,33 @@ class ResampleSpec extends SparkSpec {
     // target col i sits at source x = 2i + 0.5 -> value 2i + 0.5
     assert(out((0L, 0L)) == 0.5 && out((1L, 1L)) == 2.5 && out((2L, 2L)) == 4.5)
   }
+
+  test("area-weighted average: exact fractional overlap weights on the ramp") {
+    // 8 -> 6: scaled units of 1/6 cell; target 0 covers x0 (w 6) + x1
+    // (w 2), target 1 covers x1 (4) + x2 (4), target 2 covers x2 (2)
+    // + x3 (6) -> hand values (6*0+2*1)/8, (4*1+4*2)/8, (2*2+6*3)/8
+    val out = Resample.areaAverageTiled(ramp, 8, 6, dstTile = 6)
+      .toCells.as[(Long, Long, Double)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    assert(out((0L, 0L)) == 2.0 / 8)
+    assert(out((1L, 2L)) == 12.0 / 8)
+    assert(out((2L, 4L)) == 22.0 / 8)
+    assert(out.size == 36)
+    // constant field survives any fractional ratio exactly
+    val const = RasterLayer.fromCells(
+      (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y, 7.0))
+        .toDF("x", "y", "v"), layout)
+    assert(Resample.areaAverageTiled(const, 8, 6, dstTile = 3)
+      .toCells.as[(Long, Long, Double)].collect().forall(_._3 == 7.0))
+    // NoData drops from both sums: a hole renormalizes, an all-hole
+    // target emits nothing
+    val holed = RasterLayer.fromCells(
+      (for (x <- 0L until 8L; y <- 0L until 8L if x != 1) yield (x, y, x.toDouble))
+        .toDF("x", "y", "v"), layout)
+    val h = Resample.areaAverageTiled(holed, 8, 6, dstTile = 6)
+      .toCells.as[(Long, Long, Double)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    assert(h((0L, 0L)) == 0.0)          // only x0 left -> pure 0
+    assert(h((1L, 0L)) == 2.0)          // only x2 left
+  }
 }
