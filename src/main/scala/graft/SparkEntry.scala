@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.core.{CRS, ZIndex}
-import graft.raster.{CellOp, Compare, Contour, Distance, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, ZFactor, ZonalOps}
+import graft.raster.{CellOp, Compare, Contour, Distance, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, TimeSeries, ZFactor, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
 
@@ -1089,6 +1089,22 @@ object SparkEntry {
       // a geometry, bins from that instant's own min/max
       val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
       ZonalOps.histogramSeries(l, Geometry.diamond(32, 32, 20.3))
+    }),
+
+    "q_temporal_fill" -> ((s, dir) => {
+      // per-cell linear gap-fill across the 3 instants: only t=1 can
+      // interpolate (edges never extrapolate); round 5 (interp mixes
+      // non-integral fractions)
+      val l = RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64)
+      TimeSeries.fillGaps(l, Seq(0L, 1L, 2L)).toCells
+        .select(col("x"), col("y"), col("instant"), round(col("v"), 5).as("v"))
+    }),
+
+    "q_temporal_smooth" -> ((s, dir) => {
+      // temporal moving average, radius 1 instant
+      val l = RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64)
+      TimeSeries.movingAverage(l, Seq(0L, 1L, 2L)).toCells
+        .select(col("x"), col("y"), col("instant"), round(col("v"), 5).as("v"))
     }),
 
     "q_time_resample" -> ((s, dir) => {
@@ -3104,6 +3120,36 @@ object SparkEntry {
            |       THEN CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9) AS BIGINT)
            |       ELSE 0 END AS bin, count(*) AS cnt
            |FROM g JOIN mm ON g.instant = mm.instant GROUP BY 1, 2""".stripMargin,
+
+      // gap-fill: present cells pass through; a missing (x,y,t) takes
+      // the nearest-valid linear interpolation, edges stay missing
+      "q_temporal_fill" ->
+        s"""WITH g AS ($tgrid),
+           |k AS (SELECT DISTINCT x, y FROM g),
+           |t AS (SELECT k.x, k.y, i.range AS instant FROM k, range(0, 3) i),
+           |miss AS (SELECT t.x, t.y, t.instant FROM t LEFT JOIN g USING (x, y, instant) WHERE g.v IS NULL),
+           |pv AS (SELECT m.x, m.y, m.instant, max(g2.instant) AS pt
+           |       FROM miss m JOIN g g2 ON g2.x = m.x AND g2.y = m.y AND g2.instant < m.instant
+           |       GROUP BY 1, 2, 3),
+           |nx AS (SELECT m.x, m.y, m.instant, min(g2.instant) AS nt
+           |       FROM miss m JOIN g g2 ON g2.x = m.x AND g2.y = m.y AND g2.instant > m.instant
+           |       GROUP BY 1, 2, 3),
+           |fill AS (SELECT pv.x, pv.y, pv.instant,
+           |    gp.v + (gn.v - gp.v) * ((pv.instant - pv.pt) / (nx.nt - pv.pt)) AS v
+           |  FROM pv JOIN nx USING (x, y, instant)
+           |       JOIN g gp ON gp.x = pv.x AND gp.y = pv.y AND gp.instant = pv.pt
+           |       JOIN g gn ON gn.x = pv.x AND gn.y = pv.y AND gn.instant = nx.nt)
+           |SELECT x, y, instant, round(v, 5) AS v
+           |FROM (SELECT x, y, instant, v FROM g UNION ALL SELECT x, y, instant, v FROM fill)""".stripMargin,
+
+      // radius-1 temporal mean over valid values (exact integral sums)
+      "q_temporal_smooth" ->
+        s"""WITH g AS ($tgrid),
+           |k AS (SELECT DISTINCT x, y FROM g),
+           |t AS (SELECT k.x, k.y, i.range AS instant FROM k, range(0, 3) i)
+           |SELECT t.x, t.y, t.instant, round(sum(g2.v) / count(*), 5) AS v
+           |FROM t JOIN g g2 ON g2.x = t.x AND g2.y = t.y AND abs(g2.instant - t.instant) <= 1
+           |GROUP BY 1, 2, 3""".stripMargin,
 
       "q_time_resample" ->
         s"""SELECT x, y, (instant // 7) * 7 AS instant, max(v) AS v

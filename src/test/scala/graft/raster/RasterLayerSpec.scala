@@ -520,6 +520,33 @@ class RasterLayerSpec extends SparkSpec {
     assert(out == Map((0L, 0L, 1L) -> 2.0, (0L, 0L, 2L) -> 2.0))
   }
 
+  test("temporal gap-fill: nearest-valid linear interp, edges never extrapolate") {
+    // cell A valid at t=0 (2) and t=4 (10): t=2 -> 6 (midpoint of a
+    // 4-long gap), t=1 -> 4, t=3 -> 8; cell B valid only at t=2
+    val cells = Seq(
+      (0L, 0L, 0L, 2.0), (0L, 0L, 4L, 10.0),
+      (1L, 0L, 2L, 5.0))
+      .toDF("x", "y", "instant", "v")
+    val l = RasterLayer.fromCellsTemporal(cells, layout)
+    val out = TimeSeries.fillGaps(l, Seq(0L, 1L, 2L, 3L, 4L)).toCells
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(out((0L, 0L, 0L)) == 2.0 && out((0L, 0L, 4L)) == 10.0) // pass-through
+    assert(out((0L, 0L, 1L)) == 4.0 && out((0L, 0L, 2L)) == 6.0 && out((0L, 0L, 3L)) == 8.0)
+    // B: no prev before 2 / no next after 2 -> only the valid row
+    assert(out.keySet.filter(k => k._1 == 1L) == Set((1L, 0L, 2L)))
+  }
+
+  test("temporal moving average smooths and fills one-wide gaps") {
+    val cells = Seq((0L, 0L, 0L, 3.0), (0L, 0L, 2L, 9.0)) // gap at t=1
+      .toDF("x", "y", "instant", "v")
+    val l = RasterLayer.fromCellsTemporal(cells, layout)
+    val out = TimeSeries.movingAverage(l, Seq(0L, 1L, 2L)).toCells
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._3 -> r._4).toMap
+    assert(out == Map(0L -> 3.0, 1L -> 6.0, 2L -> 9.0)) // window means
+  }
+
   test("temporal argmax: max composite with smallest-instant ties") {
     val cells = Seq(
       (0L, 0L, 0L, 3.0), (0L, 0L, 1L, 9.0), (0L, 0L, 2L, 7.0), // max 9 at t=1
