@@ -1156,6 +1156,14 @@ object SparkEntry {
       mb.mapCells(c => c * 2.0 + 1.0).toCells
     }),
 
+    "q_mb_transform" -> ((s, dir) => {
+      // tasseled-cap-shape linear band transform: brightness (mean)
+      // and difference bands from fixed coefficient rows
+      val mb = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
+      mb.linearTransform(Seq(Seq(0.5, 0.5), Seq(1.0, -1.0))).toCells
+        .select(col("x"), col("y"), col("band"), round(col("v"), 5).as("v"))
+    }),
+
     "q_mb_agg" -> ((s, dir) => {
       val a = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
       val b = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir) + 10.0, ordersLayer(s, dir) * 2.0))
@@ -1313,6 +1321,23 @@ object SparkEntry {
       // beside LSH/IVF; all-integer distances
       pipeline.Similarity.pqTopK(table(s, dir, "embeddings"),
         col("vec_id") % 50 === 0, col("vec_id") % 37 === 0)),
+
+    "q_embed_centroids" -> ((s, dir) =>
+      // per-label element-wise mean of the quantized embeddings
+      pipeline.Similarity.labelCentroids(table(s, dir, "embeddings"))),
+
+    "q_hist2d" -> ((s, dir) => {
+      // joint histogram of the grid vs a derived layer: the
+      // continuous change-detection confusion matrix
+      val a = lineitemLayer(s, dir)
+      Compare.jointHistogram(a, a.localMap(c => pmod(c * 37, lit(101.0))),
+        widthA = 64, widthB = 16)
+    }),
+
+    "q_event_enrich" -> ((s, dir) =>
+      // stream-static dim enrichment (batch form; MemoryStream twin
+      // spec-proves stream == batch)
+      streaming.Events.enrichByNation(eventsTable(s, dir), table(s, dir, "nation"))),
 
     "q_embed_cluster" -> ((s, dir) =>
       // nearest-centroid assignment (semantic bucketing): centroids =
@@ -3220,6 +3245,40 @@ object SparkEntry {
         s"""SELECT x, y, CAST(0 AS INT) AS band, v * 2 + 1 AS v FROM ($grid)
            |UNION ALL
            |SELECT x, y, CAST(1 AS INT) AS band, v * 2 + 1 AS v FROM ($ogrid)""".stripMargin,
+
+      // linear band transform over the joined stacks: a pixel missing
+      // in EITHER band is NoData in every output band (NaN rule)
+      "q_mb_transform" ->
+        s"""WITH a AS ($grid), b AS ($ogrid),
+           |j AS (SELECT a.x, a.y, a.v AS va, b.v AS vb FROM a JOIN b USING (x, y))
+           |SELECT x, y, CAST(0 AS INT) AS band,
+           |  round(CAST(0.5 AS DOUBLE) * va + CAST(0.5 AS DOUBLE) * vb, 5) AS v FROM j
+           |UNION ALL
+           |SELECT x, y, CAST(1 AS INT) AS band,
+           |  round(CAST(1.0 AS DOUBLE) * va + CAST(-1.0 AS DOUBLE) * vb, 5) AS v FROM j""".stripMargin,
+
+      // quantized component means per label (exact integer sums)
+      "q_embed_centroids" ->
+        """WITH q AS (SELECT label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |p AS (SELECT label, unnest(range(len(qv))) AS pos, qv FROM q),
+          |u AS (SELECT label, pos, qv[pos + 1] AS qc FROM p)
+          |SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n_vecs,
+          |  round(CAST(sum(qc) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * CAST(1000.0 AS DOUBLE)), 6) AS mean
+          |FROM u GROUP BY 1, 2""".stripMargin,
+
+      // joint bin counts, exact integer binning
+      "q_hist2d" ->
+        s"""WITH g AS ($grid)
+           |SELECT CAST(v AS BIGINT) // 64 AS bin_a,
+           |  ((CAST(v AS BIGINT) * 37) % 101) // 16 AS bin_b, count(*) AS cnt
+           |FROM g GROUP BY 1, 2""".stripMargin,
+
+      // broadcast dim join + exact decimal sums
+      "q_event_enrich" ->
+        """SELECT n.n_name, count(*) AS n_events,
+          |  CAST(sum(CAST(e."value" AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+          |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+          |GROUP BY 1""".stripMargin,
 
       "q_mb_agg" ->
         s"""SELECT x, y, CAST(0 AS INT) AS band, v + (v + 10) AS v FROM ($grid)

@@ -171,6 +171,26 @@ object Similarity {
     * corpus (centroidPred) and broadcast, so the whole op is one
     * narrow broadcast-join pass — no shuffle of the corpus side.
     * Output: (vec_id, cid, cosine). */
+  /** Per-label embedding centroids — the domain-profile summary a
+    * mixture-design pass reads (mean embedding per source/label,
+    * long-form): element-wise mean of the QUANTIZED vectors, so the
+    * component sums are exact order-free integers and the single
+    * closing division is engine-identical (round 6).
+    *
+    * Scale shape: one posexplode bounded straight back down by the
+    * (label, pos) aggregate — |labels × dims| rows cross the exchange
+    * with map-side combine; no joins.
+    *
+    * @return (label, pos, n_vecs, mean) */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(quantize(col("embedding"))).as(Seq("pos", "qc")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vecs"), sum("qc").cast("long").as("s"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("n_vecs"),
+        round(col("s").cast("double") / (col("n_vecs").cast("double") * lit(1000.0)), 6)
+          .as("mean"))
+
   def clusterAssign(embeddings: DataFrame, centroidPred: Column): DataFrame = {
     val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))

@@ -60,6 +60,37 @@ object Compare {
         .as("corr"))
   }
 
+  /** Joint (2D) histogram of two co-located layers — the continuous
+    * change-detection confusion matrix / scatter-density table:
+    * per (floor(a/widthA), floor(b/widthB)) bin pair, the cell count.
+    * Integral cells make the binning exact Long division. Same
+    * per-partition accumulation; |binsA × binsB| rows cross the
+    * exchange. */
+  def jointHistogram(a: RasterLayer, b: RasterLayer,
+                     widthA: Long = 1L, widthB: Long = 1L): DataFrame = {
+    require(widthA > 0 && widthB > 0)
+    val spark = a.spark
+    import spark.implicits._
+    paired(a, b).as[(Seq[Double], Seq[Double])]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        it.foreach { case (as, bs) =>
+          val aa = as.toArray; val ba = bs.toArray
+          var i = 0
+          while (i < aa.length) {
+            val x = aa(i); val y = ba(i)
+            if (!x.isNaN && !y.isNaN) {
+              val k = (x.toLong / widthA, y.toLong / widthB)
+              acc(k) = acc.getOrElse(k, 0L) + 1
+            }
+            i += 1
+          }
+        }
+        acc.iterator.map { case ((ka, kb), c) => (ka, kb, c) }
+      }.toDF("bin_a", "bin_b", "cnt")
+      .groupBy("bin_a", "bin_b").agg(sum("cnt").as("cnt"))
+  }
+
   /** Cut/fill report (ArcGIS CutFill): per sign class of a - b
     * (1 = cut, -1 = fill, 0 = unchanged), the cell count and total
     * |volume| in cell units (multiply by cell area for map units).

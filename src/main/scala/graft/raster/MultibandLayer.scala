@@ -65,6 +65,29 @@ final class MultibandLayer(val df: DataFrame, val meta: LayerMetadata, val bandC
   def normalizedDifference(nir: Int = 1, red: Int = 0): RasterLayer =
     combinePixels(red, nir, (r, n) => (n - r) / (n + r))
 
+  /** Linear band transform — the tasseled-cap / PCA-projection shape
+    * (Kauth & Thomas 1976; fixed coefficient rows): output band j =
+    * Σ_i coeffs(j)(i) · band_i per pixel. Pure zip/transform over the
+    * co-located band stack — zero shuffle, stays in codegen. The sum
+    * is a FIXED left-to-right fold over the coefficient row, so both
+    * engines state one op order (float rule). NoData in any input
+    * band propagates (NaN arithmetic). */
+  def linearTransform(coeffs: Seq[Seq[Double]]): MultibandLayer = {
+    require(coeffs.nonEmpty && coeffs.forall(_.length == bandCount),
+      s"each coefficient row needs $bandCount entries")
+    val outBands = coeffs.map { row =>
+      // Σ c_i * band_i(px) as one expression per output band; indexes
+      // resolve per pixel via element_at over the transformed stack
+      transform(element_at(col("bands"), 1), (_, idx) =>
+        row.zipWithIndex.map { case (c, i) =>
+          lit(c) * element_at(element_at(col("bands"), i + 1), idx + 1)
+        }.reduce(_ + _))
+    }
+    new MultibandLayer(
+      df.select(col("col"), col("row"), array(outBands: _*).as("bands")),
+      meta, coeffs.length)
+  }
+
   /** Append another stack's bands (reference combine_bands across
     * multiband layers). Full-outer keyed join; missing side becomes
     * all-NoData bands. */

@@ -27,6 +27,20 @@ object Events {
       .agg(count(lit(1)).as("cnt"),
            sum(col("value").cast("decimal(18,6)")).cast("double").as("vsum"))
 
+  /** Stream-static dimension enrichment — the canonical "events join
+    * a slowly-changing dim table" shape: each event resolves its
+    * nation through user_id % 25, the dim side broadcasts, and the
+    * per-nation rollup uses exact decimal sums. The SAME code runs
+    * batch and streaming (Spark's stream-static join), which the spec
+    * proves with a MemoryStream twin. */
+  def enrichByNation(events: DataFrame, nation: DataFrame): DataFrame =
+    events
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+
   /** Same aggregation as a streaming query on a timestamp column with
     * a watermark (streaming path; used by the spec with a memory sink). */
   def hourlyAggStream(events: DataFrame): DataFrame =

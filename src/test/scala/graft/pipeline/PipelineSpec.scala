@@ -871,6 +871,17 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.exists(r => r._2 == -1L || r._3 == -1L))
   }
 
+  test("label centroids: quantized component means by hand") {
+    val d = Seq((1L, Seq(1.0f, 2.0f), 7), (2L, Seq(3.0f, 0.0f), 7), (3L, Seq(5.0f, 5.0f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(d)
+      .as[(Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out((7, 0L)) == ((2L, 2.0))) // (1000 + 3000) / (2 * 1000)
+    assert(out((7, 1L)) == ((2L, 1.0)))
+    assert(out((8, 0L)) == ((1L, 5.0)) && out((8, 1L)) == ((1L, 5.0)))
+  }
+
   test("novelty: shared shingle counts toward df, unique fraction by hand") {
     val d = Seq((1L, "a b c d e f", "en", "s", 1L), (2L, "a b c d e x", "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -623,6 +623,24 @@ class RasterLayerSpec extends SparkSpec {
     assert(out == Map(7L -> 2L, 8L -> 4L))
   }
 
+  test("linear band transform: fixed-order sums per pixel, NoData propagates") {
+    val a = layer((0, 0, 4.0), (1, 0, 8.0))
+    val b = layer((0, 0, 2.0)) // (1,0) missing -> NoData out
+    val mb = MultibandLayer.fromLayers(Seq(a, b))
+    val out = mb.linearTransform(Seq(Seq(0.5, 0.5), Seq(1.0, -1.0))).toCells
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(out == Map((0L, 0L, 0) -> 3.0, (0L, 0L, 1) -> 2.0))
+  }
+
+  test("joint histogram bins pairs exactly") {
+    val a = layer((0, 0, 5.0), (1, 0, 65.0), (2, 0, 70.0))
+    val b = layer((0, 0, 3.0), (1, 0, 17.0), (2, 0, 31.0))
+    val out = Compare.jointHistogram(a, b, widthA = 64, widthB = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 0L, 1L), (1L, 1L, 2L)))
+  }
+
   test("correlate: perfect positive and negative correlation, NoData excluded") {
     val a = layer((0, 0, 1.0), (1, 0, 2.0), (2, 0, 3.0), (3, 0, 9.0))
     val b = layer((0, 0, 2.0), (1, 0, 4.0), (2, 0, 6.0)) // (3,0) NoData

@@ -74,6 +74,30 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static nation enrichment: stream equals batch through the same code") {
+    implicit val sqlCtx = spark.sqlContext
+    val nation = Seq((10, "ALPHA"), (11, "BETA")).toDF("n_nationkey", "n_name")
+    val rows = Seq(
+      (1L, ns(0), 10L, "click", 1.5, "{}"),   // user 10 -> nation 10
+      (2L, ns(1), 35L, "click", 2.0, "{}"),   // 35 % 25 = 10
+      (3L, ns(2), 11L, "view", 0.25, "{}"))   // nation 11
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = Events.enrichByNation(rows.toDF(cols: _*), nation)
+      .as[(String, Long, Double)].collect().toSet
+    assert(batch == Set(("ALPHA", 2L, 3.5), ("BETA", 1L, 0.25)))
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val q = Events.enrichByNation(mem.toDF().toDF(cols: _*), nation)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich")
+        .as[(String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops same-content docs within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
