@@ -962,6 +962,20 @@ object SparkEntry {
       RasterLayer.tilesToCells(df, T, T)
     }),
 
+    "q_catalog_agg" -> ((s, dir) => {
+      // aggregate pushdown: COUNT/MIN/MAX answered from parquet
+      // FOOTERS (GraftAggScan — zero data pages read; spec asserts
+      // the plan), merged by Spark's final aggregate
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      Catalog.write(uri, "li_agg", lineitemLayer(s, dir), zoom = 5)
+      s.read.format("graft")
+        .option("path", uri).option("layer", "li_agg").option("zoom", "5")
+        .load()
+        .agg(expr("count(*)").as("n_tiles"),
+          min("col").as("min_col"), max("col").as("max_col"),
+          min("row").as("min_row"), max("row").as("max_row"))
+    }),
+
     "q_catalog_dsv2_write" -> ((s, dir) => {
       // full V2 ROUNDTRIP: the grid layer written through the V2
       // writer (required (col,row) distribution+sort, in-writer
@@ -3051,6 +3065,14 @@ object SparkEntry {
       // q_catalog_query, reached through the Spark source API
       "q_catalog_dsv2" ->
         s"SELECT x, y, v FROM ($grid) WHERE x >= 64 AND x < 192 AND y < 128",
+
+      // footer-answered store aggregates: tile count + key extents
+      "q_catalog_agg" ->
+        s"""WITH t AS (SELECT DISTINCT x // 64 AS c, y // 64 AS r FROM ($grid))
+           |SELECT count(*) AS n_tiles,
+           |  CAST(min(c) AS INT) AS min_col, CAST(max(c) AS INT) AS max_col,
+           |  CAST(min(r) AS INT) AS min_row, CAST(max(r) AS INT) AS max_row
+           |FROM t""".stripMargin,
 
       // V2 writer roundtrip at uint16: truncate-to-integer is the
       // identity on the integral sums, clamp restated (celltype rule)

@@ -177,11 +177,13 @@ private[catalog] final class GraftTable(options: CaseInsensitiveStringMap)
 }
 
 private[catalog] final class GraftScanBuilder(opts: GraftTable.Opts, full: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var box: KeyBox = KeyBox()
+  private var agg: Option[Seq[GraftAgg]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = filters.filter { f =>
@@ -200,7 +202,133 @@ private[catalog] final class GraftScanBuilder(opts: GraftTable.Opts, full: Struc
     // preserve table column order whatever order Catalyst asks in
     required = StructType(full.fields.filter(f => s.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new GraftScan(opts, required, box)
+  /** COUNT(*) / MIN / MAX over key columns answer straight from the
+    * parquet FOOTERS (block row counts + column statistics): a
+    * store-wide count or key-extent probe reads zero data pages.
+    * Pushed only for the whole, unfiltered zoom (row-level filters
+    * would need the data; Spark only offers the pushdown when every
+    * filter was fully handled, and ours re-evaluate post-scan — but
+    * guard on the box anyway), with no GROUP BY. Partial-aggregate
+    * contract: Spark merges what the one footer task returns. */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    if (box != KeyBox()) return false
+    def keyName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+          Set("col", "row", "instant").contains(r.fieldNames.head) &&
+          full.fieldNames.contains(r.fieldNames.head) => Some(r.fieldNames.head)
+        case _ => None
+      }
+    val resolved = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GraftAgg("count", "*"))
+      case m: Min       => keyName(m.column).map(GraftAgg("min", _))
+      case m: Max       => keyName(m.column).map(GraftAgg("max", _))
+      case _            => None
+    }
+    if (resolved.exists(_.isEmpty)) false
+    else { agg = Some(resolved.flatten); true }
+  }
+
+  override def build(): Scan = agg match {
+    case Some(as) => new GraftAggScan(opts, as)
+    case None     => new GraftScan(opts, required, box)
+  }
+}
+
+/** One pushed aggregate: op in {count, min, max}, key column or "*". */
+private[catalog] final case class GraftAgg(op: String, column: String)
+
+/** Footer-only scan for pushed aggregates: one task walks the zoom
+  * directory's parquet footers and emits one PARTIAL row (total block
+  * row count, stats min/max per key column) — no data page is ever
+  * read; Spark's final aggregate merges it. */
+private[catalog] final class GraftAggScan(opts: GraftTable.Opts, aggs: Seq[GraftAgg])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(aggs.map {
+      case GraftAgg("count", _)     => StructField("count", LongType)
+      case GraftAgg(op, "instant")  => StructField(s"$op(instant)", LongType)
+      case GraftAgg(op, c)          => StructField(s"$op($c)", IntegerType)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftAggScan layer=${opts.layer} zoom=${opts.zoom} " +
+      s"aggs=${aggs.map(a => s"${a.op}(${a.column})").mkString(",")} (footer-only)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftInputPartition("footers"))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftAggReaderFactory(opts, aggs, GraftTable.confProps())
+}
+
+private[catalog] final case class GraftAggReaderFactory(
+    opts: GraftTable.Opts, aggs: Seq[GraftAgg],
+    confProps: Map[String, String]) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+
+      override def next(): Boolean = {
+        if (done) return false
+        done = true
+        row = compute()
+        row != null
+      }
+
+      override def get(): InternalRow = row
+
+      /** null = no partial row (empty store: count merges to 0 and
+        * min/max to NULL with zero partials, which is exactly SQL). */
+      private def compute(): InternalRow = {
+        val conf = GraftTable.confFrom(confProps)
+        val dir = new Path(s"${opts.uri}/${opts.layer}/tiles/zoom=${opts.zoom}")
+        val fs = dir.getFileSystem(conf)
+        var count = 0L
+        val mins = scala.collection.mutable.HashMap.empty[String, Long]
+        val maxs = scala.collection.mutable.HashMap.empty[String, Long]
+        if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+          if (st.getPath.getName.endsWith(".parquet")) {
+            val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+            try reader.getFooter.getBlocks.asScala.foreach { b =>
+              count += b.getRowCount
+              b.getColumns.asScala.foreach { cc =>
+                val name = cc.getPath.toDotString
+                val s = cc.getStatistics
+                if (Set("col", "row", "instant").contains(name) &&
+                    s != null && s.hasNonNullValue) {
+                  (s.genericGetMin, s.genericGetMax) match {
+                    case (mn: Number, mx: Number) =>
+                      mins(name) = math.min(mins.getOrElse(name, Long.MaxValue), mn.longValue)
+                      maxs(name) = math.max(maxs.getOrElse(name, Long.MinValue), mx.longValue)
+                    case _ =>
+                  }
+                }
+              }
+            } finally reader.close()
+          }
+        }
+        if (count == 0) return null
+        val vals: Array[Any] = aggs.map {
+          case GraftAgg("count", _) => count: java.lang.Long
+          case GraftAgg(op, c) =>
+            val m = if (op == "min") mins.get(c) else maxs.get(c)
+            val v = m.getOrElse(throw new IllegalStateException(
+              s"no footer statistics for $c — cannot honor pushed $op"))
+            if (c == "instant") (v: java.lang.Long) else (v.toInt: java.lang.Integer)
+        }.toArray
+        new GenericInternalRow(vals)
+      }
+
+      override def close(): Unit = ()
+    }
 }
 
 private[catalog] final case class GraftInputPartition(file: String) extends InputPartition

@@ -77,6 +77,28 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(back == Set((1L, 1L, 3.0), (6L, 2L, 250.0)))
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered footer-only, filters opt out") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    Catalog.write(dir, "t", layer((0, 0, 1.0), (3, 3, 2.0), (5, 6, 4.0)))
+    val df = readGraft(dir, "t")
+    val agg = df.agg(expr("count(*)").as("n"),
+      min("col").as("mnc"), max("col").as("mxc"), max("row").as("mxr"))
+    // plan uses the footer-only scan
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      agg.queryExecution.executedPlan.toString)
+    assert(agg.as[(Long, Int, Int, Int)].head() == ((2L, 0, 1, 1))) // 2 tiles
+    // a key filter blocks the pushdown (row-level work needed) and
+    // the ordinary scan still answers correctly
+    val filtered = df.where(col("col") === 0)
+      .agg(expr("count(*)").as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(filtered.as[Long].head() == 1L)
+    // group-by never pushes
+    val grouped = df.groupBy("col").agg(expr("count(*)"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(grouped.count() == 2)
+  }
+
   test("V2 write: fresh store via format(graft), read back both ways") {
     val dir = Files.createTempDirectory("graft_dsv2").toString
     val l = layer((0, 0, 1.0), (3, 3, 2.0), (5, 6, 4.0))
