@@ -286,6 +286,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("h"))),
 
+    "q_zonal_weighted" -> ((s, dir) => {
+      // population-weighted zonal mean: orders grid as weights
+      val zones = RasterLayer.fromCells(
+        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
+        layout)
+      ZonalOps.zonalWeightedMean(lineitemLayer(s, dir), ordersLayer(s, dir), zones)
+        .select(col("zone"), col("w_total"), round(col("wmean"), 5).as("wmean"))
+    }),
+
+    "q_dup_source_matrix" -> ((s, dir) =>
+      // cross-source duplication matrix over the MinHash pair graph
+      pipeline.Dedup.duplicationBySource(table(s, dir, "documents"))),
+
     "q_zonal_histogram" -> ((s, dir) => {
       // zone x class contingency table (ESRI TabulateArea long form):
       // cell values bucketed to 8 classes so the table stays a real
@@ -673,6 +686,11 @@ object SparkEntry {
       // Strahler order over the full D8 forest (fixpoint above the
       // guarded topological driver pass)
       graft.raster.Hydrology.streamOrder(lineitemCells(s, dir), G, G)),
+
+    "q_flow_length" -> ((s, dir) =>
+      // downstream flow length in exact micro-cell integers (sqrt(2)
+      // diagonals quantized; distance-accumulating pointer doubling)
+      graft.raster.Hydrology.flowLength(lineitemCells(s, dir), G, G)),
 
     "q_viewshed" -> ((s, dir) =>
       // observer tower at (128,128), eye elevation 100, 24-cell radius
@@ -2196,6 +2214,17 @@ object SparkEntry {
       "q_jsonl_roundtrip" ->
         "SELECT doc_id, lang, source, n_chars, md5(text) AS h FROM documents",
 
+      // exact Long weight sums per zone, one closing division
+      "q_zonal_weighted" ->
+        s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid))
+           |SELECT CAST(z.zone AS BIGINT) AS zone,
+           |  CAST(sum(CAST(o.v AS BIGINT)) AS BIGINT) AS w_total,
+           |  round(CAST(sum(CAST(o.v AS BIGINT) * CAST(g.v AS BIGINT)) AS DOUBLE)
+           |    / CAST(sum(CAST(o.v AS BIGINT)) AS DOUBLE), 5) AS wmean
+           |FROM ($grid) g JOIN ($ogrid) o ON o.x = g.x AND o.y = g.y
+           |  JOIN z ON z.x = g.x AND z.y = g.y
+           |GROUP BY 1""".stripMargin,
+
       // zone x class contingency table (TabulateArea long form)
       "q_zonal_histogram" ->
         s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid))
@@ -2692,6 +2721,22 @@ object SparkEntry {
            |a AS (SELECT cur, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
            |SELECT f.x, f.y, coalesce(a.cnt, 0) AS acc
            |FROM fdir f LEFT JOIN a ON a.cur = f.y * 256 + f.x""".stripMargin),
+
+      // weighted recursive walk: dist(start) = max accumulated dq on
+      // its (linear) path — exact micro-cell integers end to end
+      "q_flow_length" -> flowDirSql(
+        s"""ew AS (SELECT y * 256 + x AS src,
+           |    CASE dir WHEN 1 THEN y * 256 + x + 1 WHEN 2 THEN (y + 1) * 256 + x + 1
+           |      WHEN 4 THEN (y + 1) * 256 + x WHEN 8 THEN (y + 1) * 256 + x - 1
+           |      WHEN 16 THEN y * 256 + x - 1 WHEN 32 THEN (y - 1) * 256 + x - 1
+           |      WHEN 64 THEN (y - 1) * 256 + x ELSE (y - 1) * 256 + x + 1 END AS dst,
+           |    CASE WHEN dir IN (2, 8, 32, 128) THEN 1414214 ELSE 1000000 END AS wq
+           |  FROM fdir WHERE dir <> 0),
+           |p AS (SELECT src AS start, dst AS cur, CAST(wq AS BIGINT) AS dq FROM ew
+           |  UNION ALL SELECT p.start, ew.dst, p.dq + ew.wq FROM p JOIN ew ON ew.src = p.cur),
+           |a AS (SELECT start, max(dq) AS dist_q FROM p GROUP BY 1)
+           |SELECT f.x, f.y, CAST(coalesce(a.dist_q, 0) AS BIGINT) AS dist_q
+           |FROM fdir f LEFT JOIN a ON a.start = f.y * 256 + f.x""".stripMargin),
 
       // TWI = ln((acc+1) / max(tan(slope), 1e-3)): the flow-accum walk
       // and the Horn slope chain COMPOSED over the shared g CTE
@@ -3466,6 +3511,19 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
           |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
           |FROM sh JOIN d USING (h) GROUP BY 1""".stripMargin,
+
+      // the minhash pair CTE rolled up by normalized source pairs
+      "q_dup_source_matrix" ->
+        s"""WITH RECURSIVE $minhashCtes,
+           |pairs AS (
+           |  SELECT d1, d2
+           |  FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id
+           |  WHERE CAST($minhashSimExpr AS DOUBLE) / 16 >= 0.5),
+           |s AS (SELECT doc_id, source FROM documents)
+           |SELECT least(a.source, b.source) AS src_a, greatest(a.source, b.source) AS src_b,
+           |  count(*) AS n_pairs
+           |FROM pairs JOIN s a ON a.doc_id = pairs.d1 JOIN s b ON b.doc_id = pairs.d2
+           |GROUP BY 1, 2""".stripMargin,
 
       // component sizes from the shared components CTE, histogrammed
       "q_dup_size_hist" ->

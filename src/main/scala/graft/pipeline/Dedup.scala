@@ -641,6 +641,22 @@ object Dedup {
       .groupBy("component").agg(count(lit(1)).as("sz"))
       .groupBy("sz").agg(count(lit(1)).as("n_components"))
 
+  /** Cross-source duplication matrix — who copies whom: MinHash-LSH
+    * near-dup pairs rolled up by (source, source), the provenance
+    * report a multi-crawl corpus ships next to its dedup manifest.
+    * Source pairs normalize by (least, greatest) so the matrix is
+    * upper-triangular regardless of pair orientation. Bounded
+    * aggregate (|sources|² rows). */
+  def duplicationBySource(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashPairs(docs).select(col("d1"), col("d2"))
+      .join(src.select(col("doc_id").as("d1"), col("source").as("sa")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("sb")), "d2")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** N-gram novelty score — the memorization/boilerplate diagnostic:
     * per document, the fraction of its DISTINCT k-gram shingles that
     * appear in no other document (df = 1). Low novelty = assembled

@@ -230,6 +230,78 @@ object Hydrology {
       .select(col("x"), col("y"), col("nxt").cast("long").as("basin"))
   }
 
+  /** Downstream flow length (ESRI FlowLength, downstream direction):
+    * per cell, the total path length along D8 flow directions to its
+    * terminal pit — cardinal steps count 1, diagonals √2. Pits are 0.
+    *
+    * Determinism: steps micro-quantize (1e6 and round(√2·1e6) =
+    * 1414214) so every path sum is an EXACT integer — the output is
+    * `dist_q` in micro-cells and the oracle's recursive CTE sums the
+    * same integers (no floats anywhere).
+    *
+    * Scale shape: pointer doubling ACCUMULATING distance — state
+    * (id, nxt, dq) with dq = distance from id to nxt; each round
+    * dq += dq(nxt), nxt = nxt² — a depth-D path resolves in log2 D
+    * joins (the [[watershed]] discipline, carrying a sum instead of
+    * just the endpoint). Guarded driver walk with suffix-sum
+    * memoization below `maxDriverEdges`. */
+  def flowLength(cells: DataFrame, gridCols: Long, gridRows: Long,
+                 maxDriverEdges: Long = 1L << 22): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val StepQ = 1000000L; val DiagQ = 1414214L // round(sqrt(2) * 1e6)
+    val dirs = flowDirection(cells, gridCols, gridRows).localCheckpoint()
+    val id = col("y") * gridCols + col("x")
+    val wq = Dirs.map { case (dx, dy, code) =>
+      when(col("dir") === code, lit(if (dx != 0 && dy != 0) DiagQ else StepQ))
+    }.reduce(coalesce(_, _))
+    val edge = dirs.where(col("dir") =!= 0)
+      .select(id.as("from"),
+        Dirs.map { case (dx, dy, code) =>
+          when(col("dir") === code, (col("y") + dy) * gridCols + (col("x") + dx))
+        }.reduce(coalesce(_, _)).as("to"),
+        wq.as("wq"))
+      .localCheckpoint()
+    if (edge.count() <= maxDriverEdges) {
+      val next = new mutable.HashMap[Long, (Long, Long)]() // from -> (to, wq)
+      edge.as[(Long, Long, Long)].collect().foreach { case (f, t, w) => next(f) = (t, w) }
+      val dist = new mutable.HashMap[Long, Long]()
+      next.keysIterator.foreach { start =>
+        var path = List.empty[Long] // head = deepest unresolved node
+        var cur = start
+        while (!dist.contains(cur) && next.contains(cur)) {
+          path = cur :: path
+          cur = next(cur)._1
+        }
+        var d = dist.getOrElse(cur, 0L)
+        path.foreach { c => d += next(c)._2; dist(c) = d }
+      }
+      val lab = broadcast(dist.toSeq.toDF("id", "dq"))
+      return dirs.join(lab, id === lab("id"), "left")
+        .select(col("x"), col("y"), coalesce(col("dq"), lit(0L)).cast("long").as("dist_q"))
+    }
+    var succ = dirs.join(edge, id === edge("from"), "left")
+      .select(id.as("id"), coalesce(col("to"), id).as("nxt"),
+        coalesce(col("wq"), lit(0L)).as("dq"))
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done) {
+      require(round < 64, "flowLength: pointer doubling exceeded 64 rounds — " +
+        "the flow graph has a cycle, which strict-descent D8 cannot produce")
+      val j = succ.as("a").join(succ.as("b"), col("a.nxt") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.nxt").as("nxt"),
+          (col("a.dq") + col("b.dq")).as("dq"),
+          (col("a.nxt") =!= col("b.nxt")).as("chg"))
+        .localCheckpoint()
+      done = j.where(col("chg")).isEmpty
+      succ = j.select("id", "nxt", "dq")
+      round += 1
+    }
+    dirs.join(succ, id === succ("id"))
+      .select(col("x"), col("y"), col("dq").cast("long").as("dist_q"))
+  }
+
   /** Strahler stream order over the full D8 drainage forest (Strahler
     * 1957; the geotrellis/ESRI StreamOrder operation with every cell
     * treated as stream): cells with no upstream contributor are order

@@ -246,6 +246,49 @@ object ZonalOps {
   def zonalHistogram(values: RasterLayer, zones: RasterLayer): DataFrame =
     zoneValueCounts(values, zones)
 
+  /** Weighted zonal mean (the population-weighted summary — ESRI
+    * Zonal Statistics with a weight raster): per zone,
+    * Σ w·v / Σ w over cells valid in ALL THREE layers. Integral cells
+    * make both sums exact Longs; one closing division (round in the
+    * caller per the float rule).
+    *
+    * Scale shape: one three-way co-keyed tile join, per-partition
+    * Scala partials — |zones| rows per partition cross the exchange.
+    *
+    * @return (zone, w_total, wmean) */
+  def zonalWeightedMean(values: RasterLayer, weights: RasterLayer,
+                        zones: RasterLayer): DataFrame = {
+    val spark = values.spark
+    import spark.implicits._
+    val v = values.df.select(col("col"), col("row"), col("tile").as("_v"))
+    val w = weights.df.select(col("col"), col("row"), col("tile").as("_w"))
+    val z = zones.df.select(col("col"), col("row"), col("tile").as("_z"))
+    val parts = v.join(w, Seq("col", "row")).join(z, Seq("col", "row"))
+      .select(col("_v"), col("_w"), col("_z"))
+      .as[(Seq[Double], Seq[Double], Seq[Double])]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+        it.foreach { case (vs, ws, zs) =>
+          val va = vs.toArray; val wa = ws.toArray; val za = zs.toArray
+          var i = 0
+          while (i < va.length) {
+            val vv = va(i); val ww = wa(i); val zz = za(i)
+            if (!vv.isNaN && !ww.isNaN && !zz.isNaN) {
+              val k = zz.toLong
+              val cur = acc.getOrElse(k, (0L, 0L))
+              acc(k) = (cur._1 + ww.toLong, cur._2 + ww.toLong * vv.toLong)
+            }
+            i += 1
+          }
+        }
+        acc.iterator.map { case (k, (sw, swv)) => (k, sw, swv) }
+      }.toDF("zone", "sw", "swv")
+    parts.groupBy("zone")
+      .agg(sum("sw").cast("long").as("w_total"), sum("swv").cast("long").as("swv"))
+      .select(col("zone"), col("w_total"),
+        (col("swv").cast("double") / col("w_total").cast("double")).as("wmean"))
+  }
+
   /** Zonal median (the geotrellis Zonal percentile summary at q=0.5,
     * exact-int semantics): per zone, the smallest cell value whose
     * cumulative count reaches half the zone's cells — the

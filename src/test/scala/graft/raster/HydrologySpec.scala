@@ -108,6 +108,21 @@ class HydrologySpec extends SparkSpec {
     assert(byDoubling == byDriver && byDriver.nonEmpty)
   }
 
+  test("flow length: cardinal + diagonal micro-cell sums, pits zero, doubling == driver") {
+    // (0,0) -> SE diag -> (1,1) -> S -> (1,2) pit: dist(0,0) =
+    // 1414214 + 1000000; (2,0) -> E -> (3,0) pit: 1000000
+    val fl = Hydrology.flowLength(twoBasins.toDF("x", "y", "v"), 4, 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(fl((0L, 0L)) == 2414214L)
+    assert(fl((1L, 1L)) == 1000000L)
+    assert(fl((1L, 2L)) == 0L && fl((3L, 0L)) == 0L) // pits
+    assert(fl((2L, 0L)) == 1000000L)
+    val byDoubling = Hydrology.flowLength(twoBasins.toDF("x", "y", "v"), 4, 4,
+        maxDriverEdges = 0)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(byDoubling == fl)
+  }
+
   test("strahler: two order-1 heads make an order-2 junction; single chains keep order") {
     // (0,0) and (2,0) drain diagonally into (1,1), which drains S into
     // the (1,2) pit: heads 1, junction 2, pit stays 2 (one child at max)

@@ -613,6 +613,15 @@ class RasterLayerSpec extends SparkSpec {
     assert(opened((0L, 0L)) <= 5.0)
   }
 
+  test("weighted zonal mean: exact weight sums, all-three-valid rule") {
+    val v = layer((0, 0, 10.0), (1, 0, 20.0), (2, 0, 30.0))
+    val w = layer((0, 0, 1.0), (1, 0, 3.0))           // (2,0) missing -> excluded
+    val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 7.0))
+    val out = ZonalOps.zonalWeightedMean(v, w, z)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((7L, 4L, (10.0 + 60.0) / 4)))
+  }
+
   test("zonal median: smallest value reaching half the zone's cells") {
     // zone 7: values 2,2,5 -> cum(2)=2, 2*2 >= 3 -> median 2
     // zone 8: values 4,9 -> cum(4)=1, 2*1 >= 2 -> median 4
