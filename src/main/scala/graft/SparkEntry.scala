@@ -1188,6 +1188,24 @@ object SparkEntry {
       mb.mapCells(c => c * 2.0 + 1.0).toCells
     }),
 
+    "q_pansharpen" -> ((s, dir) => {
+      // Brovey ratio pansharpen: (lineitem, orders) stack against a
+      // derived pan band; per-pixel ratio math, round 5
+      val mb = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
+      val pan = lineitemLayer(s, dir).localMap(c => c + 100.0)
+      mb.pansharpen(pan).toCells
+        .select(col("x"), col("y"), col("band"), round(col("v"), 5).as("v"))
+    }),
+
+    "q_rasterize_coverage" -> ((s, dir) => {
+      // anti-aliased rect burn: exact 1/16-cell^2 coverage integers
+      val rects = supplierPoints(s, dir).where(col("pid") >= 1 && col("pid") <= 20)
+        .select(col("pid").as("fid"),
+          (col("px") - 10.25).as("x0"), (col("py") - 6.75).as("y0"),
+          (col("px") + 5.5).as("x1"), (col("py") + 3.25).as("y1"))
+      graft.raster.Rasterize.fromRectsCoverage(rects, layout)
+    }),
+
     "q_mb_transform" -> ((s, dir) => {
       // tasseled-cap-shape linear band transform: brightness (mean)
       // and difference bands from fixed coefficient rows
@@ -3312,6 +3330,30 @@ object SparkEntry {
         s"""SELECT x, y, CAST(0 AS INT) AS band, v * 2 + 1 AS v FROM ($grid)
            |UNION ALL
            |SELECT x, y, CAST(1 AS INT) AS band, v * 2 + 1 AS v FROM ($ogrid)""".stripMargin,
+
+      // Brovey ratio: out_i = b_i * pan / ((b0 + b1) / 2), identical
+      // op order both sides
+      "q_pansharpen" ->
+        s"""WITH a AS ($grid), b AS ($ogrid),
+           |j AS (SELECT a.x, a.y, a.v AS va, b.v AS vb, a.v + 100 AS p FROM a JOIN b USING (x, y))
+           |SELECT x, y, CAST(0 AS INT) AS band, round(va * p / ((va + vb) / 2), 5) AS v FROM j
+           |UNION ALL
+           |SELECT x, y, CAST(1 AS INT) AS band, round(vb * p / ((va + vb) / 2), 5) AS v FROM j""".stripMargin,
+
+      // exact quarter-unit overlap products, clamped to the grid
+      "q_rasterize_coverage" ->
+        s"""WITH r AS (SELECT greatest(CAST(round((px - 10.25) * 4) AS BIGINT), 0) AS sx0,
+           |    least(CAST(round((px + 5.5) * 4) AS BIGINT), 1024) AS sx1,
+           |    greatest(CAST(round((py - 6.75) * 4) AS BIGINT), 0) AS sy0,
+           |    least(CAST(round((py + 3.25) * 4) AS BIGINT), 1024) AS sy1
+           |  FROM ($pts) WHERE pid BETWEEN 1 AND 20),
+           |c AS (SELECT * FROM r WHERE sx1 > sx0 AND sy1 > sy0),
+           |ex AS (SELECT sx0, sx1, sy0, sy1, unnest(range(sx0 // 4, (sx1 - 1) // 4 + 1)) AS cx FROM c),
+           |ey AS (SELECT sx0, sx1, sy0, sy1, cx, unnest(range(sy0 // 4, (sy1 - 1) // 4 + 1)) AS cy FROM ex)
+           |SELECT cx AS x, cy AS y,
+           |  CAST(sum((least(sx1, (cx + 1) * 4) - greatest(sx0, cx * 4)) *
+           |           (least(sy1, (cy + 1) * 4) - greatest(sy0, cy * 4))) AS BIGINT) AS cov_q
+           |FROM ey GROUP BY 1, 2""".stripMargin,
 
       // linear band transform over the joined stacks: a pixel missing
       // in EITHER band is NoData in every output band (NaN rule)

@@ -88,6 +88,30 @@ final class MultibandLayer(val df: DataFrame, val meta: LayerMetadata, val bandC
       meta, coeffs.length)
   }
 
+  /** Brovey pansharpening (the classic ratio pansharpen; Pohl & van
+    * Genderen 1998 survey): out_i = band_i · pan / intensity with
+    * intensity = (Σ bands)/n per pixel — each multispectral band
+    * rescaled so the stack's brightness matches the pan band. The pan
+    * layer must be co-keyed (resample it to the stack's layout first
+    * — `Resample`/`Reproject` supply that step). One keyed join +
+    * per-pixel expression math; NoData anywhere propagates. */
+  def pansharpen(pan: RasterLayer): MultibandLayer = {
+    val joined = df.join(
+      pan.df.select(col("col"), col("row"), col("tile").as("_pan")), Seq("col", "row"))
+    val n = bandCount
+    val outBands = (0 until n).map { i =>
+      transform(element_at(col("bands"), 1), (_, idx) => {
+        val s = (0 until n).map(j =>
+          element_at(element_at(col("bands"), j + 1), idx + 1)).reduce(_ + _)
+        element_at(element_at(col("bands"), i + 1), idx + 1) *
+          element_at(col("_pan"), idx + 1) / (s / n)
+      })
+    }
+    new MultibandLayer(
+      joined.select(col("col"), col("row"), array(outBands: _*).as("bands")),
+      meta, n)
+  }
+
   /** Append another stack's bands (reference combine_bands across
     * multiband layers). Full-outer keyed join; missing side becomes
     * all-NoData bands. */

@@ -1,6 +1,6 @@
 package graft.raster
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.LayoutDefinition
@@ -87,6 +87,50 @@ object Rasterize {
     * hole triggers none of the three. Points/lines via floor / pure
     * traversal. Driver-side: key counts are bounded by the geometry's
     * bbox in tiles, not by the layer. */
+  /** Fractional-coverage rasterization of axis-aligned rectangles —
+    * the anti-aliased burn (each cell gets the EXACT area of
+    * rect ∩ cell, summed over features) a cell-center rasterize
+    * approximates. Quarter-aligned coordinates double to exact
+    * integer quarter-units, so per-cell coverage is an exact integer
+    * in 1/16-cell² units (`cov_q`) — no float ever enters.
+    *
+    * Scale shape: each rect explodes to the bounded cell range it
+    * covers (clamped to the layout, `maxCellsPerRect` guard with a
+    * loud failure — the IDW disk discipline), one (x, y) groupBy
+    * sums coverage with map-side combine.
+    *
+    * @param rects (fid, x0, y0, x1, y1) in grid coords, quarter-aligned
+    * @return (x, y, cov_q) — coverage in 1/16-cell² integer units */
+  def fromRectsCoverage(rects: DataFrame, layout: LayoutDefinition,
+                        maxCellsPerRect: Long = 1L << 20): DataFrame = {
+    val g = layout.tileLayout.totalCols
+    def q(c: Column) = round(c * 4).cast("long") // quarter-units, exact
+    val clamped = rects.select(
+        greatest(q(col("x0")), lit(0L)).as("sx0"),
+        least(q(col("x1")), lit(4L * g)).as("sx1"),
+        greatest(q(col("y0")), lit(0L)).as("sy0"),
+        least(q(col("y1")), lit(4L * g)).as("sy1"))
+      .where(col("sx1") > col("sx0") && col("sy1") > col("sy0"))
+    // `div`, never `/`: Column division is IEEE double (the recurring
+    // integer-quotient trap); coords are clamped nonneg so div == floor
+    val spans = clamped.select(col("sx0"), col("sx1"), col("sy0"), col("sy1"),
+      expr("(sx1 - 1) div 4 - sx0 div 4 + 1").as("ncx"),
+      expr("(sy1 - 1) div 4 - sy0 div 4 + 1").as("ncy"))
+    val tooBig = spans.where(col("ncx") * col("ncy") > maxCellsPerRect).limit(1).count()
+    require(tooBig == 0,
+      s"a rectangle covers more than maxCellsPerRect=$maxCellsPerRect cells; " +
+        "raise the ceiling or pre-clip the features")
+    spans
+      .select(col("sx0"), col("sx1"), col("sy0"), col("sy1"),
+        explode(expr("sequence(sx0 div 4, (sx1 - 1) div 4)")).as("cx"))
+      .select(col("sx0"), col("sx1"), col("sy0"), col("sy1"), col("cx"),
+        explode(expr("sequence(sy0 div 4, (sy1 - 1) div 4)")).as("cy"))
+      .select(col("cx").as("x"), col("cy").as("y"),
+        ((least(col("sx1"), (col("cx") + 1) * 4) - greatest(col("sx0"), col("cx") * 4)) *
+         (least(col("sy1"), (col("cy") + 1) * 4) - greatest(col("sy0"), col("cy") * 4))).as("wq"))
+      .groupBy("x", "y").agg(sum("wq").cast("long").as("cov_q"))
+  }
+
   def geometryToKeys(layout: LayoutDefinition, g: graft.vector.Wkt.Geom): Seq[(Int, Int)] = {
     val tl = layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)

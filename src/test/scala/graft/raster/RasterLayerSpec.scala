@@ -642,6 +642,37 @@ class RasterLayerSpec extends SparkSpec {
     assert(out == Map((0L, 0L, 0) -> 3.0, (0L, 0L, 1) -> 2.0))
   }
 
+  test("pansharpen: Brovey ratio by hand, NoData propagates") {
+    val a = layer((0, 0, 2.0), (1, 0, 3.0))
+    val b = layer((0, 0, 6.0)) // (1,0) missing
+    val pan = layer((0, 0, 8.0), (1, 0, 8.0))
+    val out = MultibandLayer.fromLayers(Seq(a, b)).pansharpen(pan).toCells
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    // intensity = (2+6)/2 = 4: band0 = 2*8/4 = 4, band1 = 6*8/4 = 12
+    assert(out == Map((0L, 0L, 0) -> 4.0, (0L, 0L, 1) -> 12.0))
+  }
+
+  test("coverage rasterize: exact quarter-unit overlaps, clamping, guard") {
+    // rect [0.25, 1.75) x [0.5, 1.0): cell (0,0) overlap 0.75 x 0.5 ->
+    // quarter units (3*4)*(2*4)... scaled: x [1,7), y [2,4):
+    // cell(0,0): wx = min(7,4)-max(1,0)=3, wy = min(4,4)-max(2,0)=2 -> 6
+    // cell(1,0): wx = min(7,8)-max(1,4)=3, wy=2 -> 6
+    val rects = Seq((1L, 0.25, 0.5, 1.75, 1.0)).toDF("fid", "x0", "y0", "x1", "y1")
+    val out = graft.raster.Rasterize.fromRectsCoverage(rects, layout)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map((0L, 0L) -> 6L, (1L, 0L) -> 6L))
+    // overlapping rects sum; fully-outside rects vanish
+    val two = Seq((1L, 0.25, 0.5, 1.75, 1.0), (2L, 0.0, 0.0, 1.0, 1.0),
+      (3L, -9.0, -9.0, -1.0, -1.0)).toDF("fid", "x0", "y0", "x1", "y1")
+    val o2 = graft.raster.Rasterize.fromRectsCoverage(two, layout)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(o2 == Map((0L, 0L) -> 22L, (1L, 0L) -> 6L)) // 6 + 16 full cell
+    val e = intercept[IllegalArgumentException](
+      graft.raster.Rasterize.fromRectsCoverage(two, layout, maxCellsPerRect = 1))
+    assert(e.getMessage.contains("maxCellsPerRect"))
+  }
+
   test("joint histogram bins pairs exactly") {
     val a = layer((0, 0, 5.0), (1, 0, 65.0), (2, 0, 70.0))
     val b = layer((0, 0, 3.0), (1, 0, 17.0), (2, 0, 31.0))
