@@ -1308,6 +1308,15 @@ object SparkEntry {
       // packed (hash, position) key, distinct selections per doc
       pipeline.Dedup.winnow(table(s, dir, "documents"))),
 
+    "q_winnow_pairs" -> ((s, dir) =>
+      // MOSS candidate pairs: docs sharing >= 2 selected fingerprint
+      // hashes through the capped inverted index
+      pipeline.Dedup.winnowPairs(table(s, dir, "documents"))),
+
+    "q_readability" -> ((s, dir) =>
+      // Flesch-Kincaid grade from three regex counts, pinned floats
+      pipeline.TextAnalysis.readability(table(s, dir, "documents"))),
+
     "q_simplify" -> ((s, dir) =>
       // Douglas-Peucker on two 16-vertex polylines threaded through
       // the supplier points (pid order); exact integer split tests
@@ -3553,6 +3562,39 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
           |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
           |FROM sh JOIN d USING (h) GROUP BY 1""".stripMargin,
+
+      // the winnowing CTE's selected keys, position-stripped, through
+      // a capped inverted-index self-join
+      "q_winnow_pairs" ->
+        """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+          |g0 AS (SELECT doc_id, unnest(range(len(toks) - 2)) AS p0, toks
+          |       FROM t WHERE len(toks) >= 6 AND len(toks) < 1048578),
+          |g AS (SELECT doc_id, CAST(p0 AS BIGINT) AS pos,
+          |        (('0x' || substr(md5(array_to_string(toks[p0+1:p0+3], ' ')), 1, 15))::BIGINT % 1099511627776) * 1048576
+          |          + (1048575 - p0) AS key
+          |      FROM g0),
+          |s AS (SELECT doc_id, pos,
+          |        min(key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+          |        count(*) OVER (PARTITION BY doc_id) AS m
+          |      FROM g),
+          |d AS (SELECT DISTINCT doc_id, mk // 1048576 AS h FROM s WHERE pos <= m - 4),
+          |hot AS (SELECT h FROM d GROUP BY h HAVING count(*) > 1000),
+          |idx AS (SELECT d.doc_id, d.h FROM d ANTI JOIN hot USING (h))
+          |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+          |FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+      // three regex counts -> one pinned float chain
+      "q_readability" ->
+        """SELECT doc_id, n_words, n_sentences, n_syllables,
+          |  round(CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+          |      + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words)
+          |      - CAST(15.59 AS DOUBLE), 5) AS fk_grade
+          |FROM (SELECT doc_id,
+          |  greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT), 1) AS n_words,
+          |  greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+          |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+          |  FROM documents)""".stripMargin,
 
       // the minhash pair CTE rolled up by normalized source pairs
       "q_dup_source_matrix" ->

@@ -702,7 +702,15 @@ object Dedup {
     * fingerprint count + an order-free bit_xor.
     *
     * @return (doc_id, n_fp, fp_xor) */
-  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    winnowFingerprints(docs, k, w)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), expr("bit_xor(mk)").as("fp_xor"))
+
+  /** The distinct selected fingerprints themselves: (doc_id, mk) with
+    * mk = h40·2^20 + (2^20 − 1 − pos). [[winnow]] summarizes these;
+    * [[winnowPairs]] joins them. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     val posM = 1L << 20
     val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     val grams = docs.select(col("doc_id"), toks.as("toks"))
@@ -720,7 +728,31 @@ object Dedup {
       .withColumn("mk", min("key").over(frame))
       .where(col("pos") <= col("m") - w) // full windows only
       .select(col("doc_id"), col("mk")).distinct()
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fp"), expr("bit_xor(mk)").as("fp_xor"))
+  }
+
+  /** Winnowing near-dup CANDIDATE PAIRS — what MOSS actually reports:
+    * documents sharing at least `minShared` selected fingerprint
+    * HASHES (position stripped — matches relocate). The winnowing
+    * guarantee bounds recall: any shared run of ≥ w + k − 1 tokens
+    * shares a fingerprint, and the selected set is ~2/(w+1) the size
+    * of the full shingle index — the inverted index this joins is
+    * proportionally cheaper than [[jaccardPairs]]'s.
+    *
+    * Scale: the same inverted-index shape as jaccard, with the same
+    * hot-key cap (fingerprints in more than `maxDocFreq` docs drop —
+    * boilerplate guard). */
+  def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                  minShared: Long = 2, maxDocFreq: Long = 1000): DataFrame = {
+    val posM = 1L << 20
+    val fp = winnowFingerprints(docs, k, w)
+      .select(col("doc_id"), expr(s"mk div $posM").as("h")).distinct()
+      .localCheckpoint()
+    val hot = fp.groupBy("h").agg(count(lit(1)).as("df")).where(col("df") > maxDocFreq)
+    val idx = fp.join(hot, Seq("h"), "left_anti")
+    idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
   }
 }

@@ -100,6 +100,24 @@ object TextAnalysis {
         .otherwise("es").as("pred_lang"))
   }
 
+  /** Flesch-Kincaid grade level — the classic readability score
+    * (Kincaid et al. 1975), from three regex counts: words (alnum
+    * runs), sentences ([.!?]+ runs, floored at 1), syllables (vowel
+    * groups [aeiouy]+ — the standard heuristic). FK = 0.39·(W/S) +
+    * 11.8·(Sy/W) − 15.59, one pinned float chain over exact counts
+    * (round 5). Pure scan; the grade-level gate curation pipelines
+    * use next to the length/stopword ratios. */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = greatest(size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))), lit(1))
+      .cast("long")
+    val s = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val sy = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")
+    docs.select(col("doc_id"), w.as("n_words"), s.as("n_sentences"), sy.as("n_syllables"),
+      round(lit(0.39) * (w.cast("double") / s) + lit(11.8) * (sy.cast("double") / w)
+        - lit(15.59), 5).as("fk_grade"))
+  }
+
   /** Language confusion matrix — the language-id EVALUATION artifact:
     * declared `lang` column vs [[langId]] prediction, cross-tabulated.
     * Diagonal mass = classifier agreement; off-diagonal cells say

@@ -871,6 +871,37 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.exists(r => r._2 == -1L || r._3 == -1L))
   }
 
+  test("winnow pairs: overlapping docs pair, disjoint don't, floor is live") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1L),
+      (2L, "intro words alpha beta gamma delta epsilon zeta eta theta out", "en", "s", 1L),
+      (3L, "totally different content with other tokens here now", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.winnowPairs(d).as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // the 8-token shared run (>= w + k - 1 = 6) guarantees shared
+    // fingerprints; doc 3 shares nothing
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L)) >= 2L)
+    // raising the floor above the overlap drops the pair
+    assert(Dedup.winnowPairs(d, minShared = 100).collect().isEmpty)
+  }
+
+  test("readability: hand-computed Flesch-Kincaid on a known sentence") {
+    // "the cat sat." -> 3 words, 1 sentence, 3 vowel groups
+    val d = Seq((1L, "the cat sat.", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.readability(d)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r._2 == 3L && r._3 == 1L && r._4 == 3L)
+    val fk = BigDecimal(0.39 * (3.0 / 1) + 11.8 * (3.0 / 3) - 15.59)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r._5 == fk)
+    // empty-ish text floors words/sentences at 1 (no div-by-zero)
+    val e = Seq((2L, "???", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(!TextAnalysis.readability(e).as[(Long, Long, Long, Long, Double)].head()._5.isNaN)
+  }
+
   test("label centroids: quantized component means by hand") {
     val d = Seq((1L, Seq(1.0f, 2.0f), 7), (2L, Seq(3.0f, 0.0f), 7), (3L, Seq(5.0f, 5.0f), 8))
       .toDF("vec_id", "embedding", "label")
