@@ -299,6 +299,25 @@ object SparkEntry {
       // cross-source duplication matrix over the MinHash pair graph
       pipeline.Dedup.duplicationBySource(table(s, dir, "documents"))),
 
+    "q_zonal_diversity" -> ((s, dir) => {
+      // FRAGSTATS SHDI/SHEI per returnflag zone over 8 classes
+      val cls = lineitemLayer(s, dir).localMap(c => pmod(c, lit(8.0)))
+      val zones = RasterLayer.fromCells(
+        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
+        layout)
+      ZonalOps.zonalDiversity(cls, zones)
+    }),
+
+    "q_change_vector" -> ((s, dir) => {
+      // CVA: magnitude + direction of the band-space displacement
+      // between the (lineitem, orders) stack and its shifted twin
+      val before = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
+      val after = MultibandLayer.fromLayers(
+        Seq(lineitemLayer(s, dir) + 10.0, ordersLayer(s, dir) * 2.0))
+      new MultibandLayer(Compare.changeVector(before, after), before.meta, 2).toCells
+        .select(col("x"), col("y"), col("band"), round(col("v"), 5).as("v"))
+    }),
+
     "q_zonal_histogram" -> ((s, dir) => {
       // zone x class contingency table (ESRI TabulateArea long form):
       // cell values bucketed to 8 classes so the table stays a real
@@ -2251,6 +2270,36 @@ object SparkEntry {
            |FROM ($grid) g JOIN ($ogrid) o ON o.x = g.x AND o.y = g.y
            |  JOIN z ON z.x = g.x AND z.y = g.y
            |GROUP BY 1""".stripMargin,
+
+      // SHDI: per-(zone,class) c*ln(c) micro-nat terms (charEntropy
+      // rule), SHEI = H / ln(variety), 1-class zones 0
+      "q_zonal_diversity" ->
+        s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid)),
+           |c AS (SELECT CAST(z.zone AS BIGINT) AS zone, CAST(g.v AS BIGINT) % 8 AS cls,
+           |        count(*) AS cnt
+           |      FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y GROUP BY 1, 2),
+           |a AS (SELECT zone, CAST(sum(cnt) AS BIGINT) AS n_cells, CAST(count(*) AS BIGINT) AS variety,
+           |        CAST(sum(CAST(round(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+           |      FROM c GROUP BY 1)
+           |SELECT zone, n_cells, variety,
+           |  round(ln(CAST(n_cells AS DOUBLE)) - CAST(s AS DOUBLE) / (CAST(n_cells AS DOUBLE) * 1000000.0), 5) AS shannon,
+           |  round(CASE WHEN variety > 1
+           |    THEN (ln(CAST(n_cells AS DOUBLE)) - CAST(s AS DOUBLE) / (CAST(n_cells AS DOUBLE) * 1000000.0))
+           |         / ln(CAST(variety AS DOUBLE))
+           |    ELSE CAST(0.0 AS DOUBLE) END, 5) AS evenness
+           |FROM a""".stripMargin,
+
+      // CVA displacement: d0 and d1 stated with the engine's exact
+      // arithmetic ((va+10)-va collapses exactly on integral cells)
+      "q_change_vector" ->
+        s"""WITH a AS ($grid), b AS ($ogrid),
+           |dd AS (SELECT a.x, a.y, (a.v + 10) - a.v AS d0, b.v * 2 - b.v AS d1
+           |       FROM a JOIN b USING (x, y))
+           |SELECT x, y, CAST(0 AS INT) AS band, round(sqrt(d0 * d0 + d1 * d1), 5) AS v FROM dd
+           |UNION ALL
+           |SELECT x, y, CAST(1 AS INT) AS band,
+           |  round(CASE WHEN degrees(atan2(d1, d0)) < 0 THEN degrees(atan2(d1, d0)) + 360
+           |        ELSE degrees(atan2(d1, d0)) END, 5) AS v FROM dd""".stripMargin,
 
       // zone x class contingency table (TabulateArea long form)
       "q_zonal_histogram" ->

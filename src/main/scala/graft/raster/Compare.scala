@@ -1,6 +1,6 @@
 package graft.raster
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Two-layer comparison summaries — the change-detection /
@@ -58,6 +58,33 @@ object Compare {
         sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 5)
         .as("corr"))
+  }
+
+  /** Change vector analysis (Malila 1980 — the remote-sensing CVA):
+    * per pixel, the MAGNITUDE √(Σ dᵢ²) and DIRECTION atan2(d₁, d₀)
+    * of the band-space displacement between two co-located 2-band
+    * stacks. One keyed join + per-pixel expression math; NoData in
+    * any band propagates. Returns (magnitude, direction-degrees
+    * [0, 360)) stacked as a 2-band layer's cells — float rule:
+    * round 5 in the caller. */
+  def changeVector(before: MultibandLayer, after: MultibandLayer): DataFrame = {
+    require(before.bandCount == 2 && after.bandCount == 2,
+      "CVA here takes 2-band stacks (generalize by pairing bands)")
+    val a = before.df.select(col("col"), col("row"), col("bands").as("_a"))
+    val b = after.df.select(col("col"), col("row"), col("bands").as("_b"))
+    val j = a.join(b, Seq("col", "row"))
+    def d(i: Int) =
+      (c: Column) => element_at(element_at(col("_b"), i), c) - element_at(element_at(col("_a"), i), c)
+    val mag = transform(element_at(col("_a"), 1), (_, idx) => {
+      val d0 = d(1)(idx + 1); val d1 = d(2)(idx + 1)
+      sqrt(d0 * d0 + d1 * d1)
+    })
+    val dir = transform(element_at(col("_a"), 1), (_, idx) => {
+      val d0 = d(1)(idx + 1); val d1 = d(2)(idx + 1)
+      val deg = degrees(atan2(d1, d0))
+      when(deg < 0, deg + 360).otherwise(deg)
+    })
+    j.select(col("col"), col("row"), array(mag, dir).as("bands"))
   }
 
   /** Joint (2D) histogram of two co-located layers — the continuous

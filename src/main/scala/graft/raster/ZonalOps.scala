@@ -307,6 +307,30 @@ object ZonalOps {
       .groupBy("zone").agg(min("v").cast("long").as("median"))
   }
 
+  /** Zonal Shannon diversity + evenness (the FRAGSTATS SHDI/SHEI
+    * landscape metrics): per zone H = ln(n) − (1/n)·Σ cᵢ·ln(cᵢ) over
+    * class counts, evenness = H / ln(variety) (1-class zones report
+    * 0). Same micro-nat determinism as [[graft.pipeline.TextAnalysis
+    * .charEntropy]]: each class's c·ln(c) quantizes ONCE, the zone
+    * sum is exact integer, two ln's + two divisions close it
+    * (round 5). Runs on the shared (zone, value) partials. */
+  def zonalDiversity(values: RasterLayer, zones: RasterLayer): DataFrame =
+    zoneValueCounts(values, zones)
+      .groupBy("zone")
+      .agg(sum("cnt").cast("long").as("n_cells"),
+        count(lit(1)).cast("long").as("variety"),
+        sum(round(col("cnt").cast("double") * log(col("cnt").cast("double")) * lit(1000000.0))
+          .cast("long")).cast("long").as("s"))
+      .select(col("zone"), col("n_cells"), col("variety"),
+        round(log(col("n_cells").cast("double")) -
+          col("s").cast("double") / (col("n_cells").cast("double") * lit(1000000.0)), 5)
+          .as("shannon"),
+        round(when(col("variety") > 1,
+          (log(col("n_cells").cast("double")) -
+            col("s").cast("double") / (col("n_cells").cast("double") * lit(1000000.0))) /
+            log(col("variety").cast("double")))
+          .otherwise(lit(0.0)), 5).as("evenness"))
+
   /** Shared (zone, value) -> count partial: per-partition Scala
     * accumulation (the [[zonalStats]] shape) so per-cell rows never
     * cross an exchange. */

@@ -642,6 +642,30 @@ class RasterLayerSpec extends SparkSpec {
     assert(out == Map((0L, 0L, 0) -> 3.0, (0L, 0L, 1) -> 2.0))
   }
 
+  test("zonal diversity: uniform zone maxes evenness, single class zeroes") {
+    // zone 7: classes 1,1,2,2 -> H = ln 2, evenness 1; zone 8: one class
+    val v = layer((0, 0, 1.0), (1, 0, 1.0), (2, 0, 2.0), (3, 0, 2.0), (0, 1, 5.0))
+    val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 7.0), (3, 0, 7.0), (0, 1, 8.0))
+    val out = ZonalOps.zonalDiversity(v, z)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(8L) == ((1L, 1L, 0.0, 0.0)))
+    val (n, vr, h, e) = out(7L)
+    assert(n == 4L && vr == 2L)
+    assert(math.abs(h - math.log(2)) < 1e-4 && math.abs(e - 1.0) < 1e-4)
+  }
+
+  test("change vector analysis: magnitude and direction by hand") {
+    val a0 = layer((0, 0, 5.0)); val a1 = layer((0, 0, 8.0))  // d0 = 3
+    val b0 = layer((0, 0, 2.0)); val b1 = layer((0, 0, 6.0))  // d1 = 4
+    val out = new MultibandLayer(Compare.changeVector(
+        MultibandLayer.fromLayers(Seq(a0, b0)), MultibandLayer.fromLayers(Seq(a1, b1))),
+        a0.meta.copy(), 2).toCells
+      .as[(Long, Long, Int, Double)].collect().map(r => r._3 -> r._4).toMap
+    assert(out(0) == 5.0) // 3-4-5 triangle
+    assert(math.abs(out(1) - math.toDegrees(math.atan2(4, 3))) < 1e-9)
+  }
+
   test("pansharpen: Brovey ratio by hand, NoData propagates") {
     val a = layer((0, 0, 2.0), (1, 0, 3.0))
     val b = layer((0, 0, 6.0)) // (1,0) missing
