@@ -871,6 +871,30 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.exists(r => r._2 == -1L || r._3 == -1L))
   }
 
+  test("property: winnowing guarantee — every planted shared run of w+k-1 tokens is caught") {
+    // random token docs with a planted common run of exactly
+    // w + k - 1 = 6 tokens: winnowPairs(minShared = 1) must find
+    // every planted pair (the SIGMOD'03 guarantee)
+    val words = Array("ax", "bv", "cq", "dz", "ew", "fr", "gt", "hy", "iu", "jo",
+      "kp", "lm", "nn", "oo", "pp", "qq")
+    for (seed <- 1 to 3) {
+      def tok(i: Int, doc: Int): String = {
+        val r = (i * 2654435761L + doc * 97L + seed * 40503L) & 0xffffffffL
+        words((r % words.length).toInt) + doc + "x" + i // unique across docs
+      }
+      val run = (0 until 6).map(i => words((i * 5 + seed) % words.length)).mkString(" ")
+      val docs = Seq(
+        (1L, (0 until 20).map(tok(_, 1)).mkString(" ") + " " + run, "en", "s", 1L),
+        (2L, run + " " + (0 until 20).map(tok(_, 2)).mkString(" "), "en", "s", 1L),
+        (3L, (0 until 20).map(tok(_, 3)).mkString(" "), "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val pairs = Dedup.winnowPairs(docs, minShared = 1)
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+      assert(pairs.contains((1L, 2L)), s"seed $seed missed the planted run")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"seed $seed false pair with 3")
+    }
+  }
+
   test("winnow pairs: overlapping docs pair, disjoint don't, floor is live") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1L),

@@ -697,6 +697,25 @@ class RasterLayerSpec extends SparkSpec {
     assert(e.getMessage.contains("maxCellsPerRect"))
   }
 
+  test("property: coverage rasterize conserves clamped rect area exactly") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val r = (seed * 2654435761L) & 0xffffffffL
+      val x0 = (r % 5).toDouble - 1.25; val y0 = ((r >> 8) % 5).toDouble - 0.75
+      val x1 = x0 + 1.0 + ((r >> 16) % 4) * 0.75
+      val y1 = y0 + 1.25 + ((r >> 24) % 3) * 0.5
+      val rects = Seq((1L, x0, y0, x1, y1)).toDF("fid", "x0", "y0", "x1", "y1")
+      val covSum = graft.raster.Rasterize.fromRectsCoverage(rects, layout)
+        .agg(sum("cov_q")).as[Long].head()
+      val g = layout.tileLayout.totalCols.toDouble
+      val cx0 = math.max(x0, 0); val cy0 = math.max(y0, 0)
+      val cx1 = math.min(x1, g); val cy1 = math.min(y1, g)
+      val area16 = math.round(
+        math.max(0, (cx1 - cx0) * 4) * math.max(0, (cy1 - cy0) * 4))
+      assert(covSum == area16, s"seed $seed: $covSum != $area16")
+    }
+  }
+
   test("joint histogram bins pairs exactly") {
     val a = layer((0, 0, 5.0), (1, 0, 65.0), (2, 0, 70.0))
     val b = layer((0, 0, 3.0), (1, 0, 17.0), (2, 0, 31.0))

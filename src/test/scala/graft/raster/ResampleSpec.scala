@@ -89,6 +89,23 @@ class ResampleSpec extends SparkSpec {
     assert(out((0L, 0L)) == 0.5 && out((1L, 1L)) == 2.5 && out((2L, 2L)) == 4.5)
   }
 
+  test("property: area-weighted average conserves total mass on full grids") {
+    // Σ out = (dstN/srcN)^2 · Σ in exactly: per-cell weights are exact
+    // dyadic fractions (den = srcN^2 a power of two), so double sums
+    // are error-free at this size
+    for (seed <- 1 to 3; dstN <- Seq(4, 6)) {
+      val cells = for (x <- 0L until 8L; y <- 0L until 8L)
+        yield (x, y, ((x * 31 + y * 17 + seed * 7) % 23).toDouble)
+      val l = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+      val out = Resample.areaAverageTiled(l, 8, dstN, dstTile = dstN)
+        .toCells.as[(Long, Long, Double)].collect()
+      assert(out.length == dstN * dstN)
+      val expect = cells.map(_._3).sum * dstN * dstN / 64
+      assert(math.abs(out.map(_._3).sum - expect) < 1e-9,
+        s"seed $seed dstN $dstN mass ${out.map(_._3).sum} != $expect")
+    }
+  }
+
   test("area-weighted average: exact fractional overlap weights on the ramp") {
     // 8 -> 6: scaled units of 1/6 cell; target 0 covers x0 (w 6) + x1
     // (w 2), target 1 covers x1 (4) + x2 (4), target 2 covers x2 (2)

@@ -30,6 +30,35 @@ class HullSpec extends SparkSpec {
     assert(out.head.getDouble(4) == 36.0)       // exact perimeter
   }
 
+  test("property: every input point is left-or-on every directed hull edge; hull is idempotent") {
+    def cross(a: (Long, Long), b: (Long, Long), c: (Long, Long)): Long =
+      (b._1 - a._1) * (c._2 - a._2) - (b._2 - a._2) * (c._1 - a._1)
+    for (seed <- 1 to 5) {
+      val pts = (0 until 120).map { i =>
+        val r = (i * 2654435761L + seed * 40503L) & 0xffffffffL
+        ((r % 97).toLong * 2 + 1, ((r >> 16) % 89).toLong * 2 + 1) // odd = half-aligned doubled
+      }.distinct.toArray
+      val hull = Hull.chain(pts)
+      assert(hull.length >= 3, s"seed $seed degenerate")
+      // CCW convexity: consecutive turns strictly left
+      hull.indices.foreach { i =>
+        val a = hull(i); val b = hull((i + 1) % hull.length); val c = hull((i + 2) % hull.length)
+        assert(cross(a, b, c) > 0, s"seed $seed non-strict turn at $i")
+      }
+      // containment: every point left-or-on every edge
+      hull.indices.foreach { i =>
+        val a = hull(i); val b = hull((i + 1) % hull.length)
+        pts.foreach(p => assert(cross(a, b, p) >= 0, s"seed $seed point $p outside $a->$b"))
+      }
+      // idempotence
+      assert(Hull.chain(hull).toSeq == hull.toSeq)
+      // partition-independence of the distributed reduction is
+      // guaranteed by chain(candidates) == chain(all): check directly
+      val (l, r) = pts.splitAt(pts.length / 2)
+      assert(Hull.chain(Hull.chain(l) ++ Hull.chain(r)).toSeq == hull.toSeq)
+    }
+  }
+
   test("convex: maxPoints ceiling fails loudly") {
     val pts = Seq((1L, 0.5, 0.5), (2L, 1.5, 0.5), (3L, 0.5, 1.5))
       .toDF("pid", "px", "py")

@@ -35,6 +35,34 @@ class SimplifySpec extends SparkSpec {
       (4L, 3.5, 0.5), (5L, 4.5, 0.5)), 4.0) == Seq(1L, 3L, 5L))
   }
 
+  test("property: every removed vertex lies within eps of its bracketing kept chord") {
+    val eps = 4.0
+    for (seed <- 1 to 5) {
+      val pts = (0 until 60).map { i =>
+        val r = (i * 2654435761L + seed * 97L) & 0xffffffffL
+        (i.toLong * 8 + 1, ((r % 61).toLong * 2 + 1)) // x strictly increasing, doubled coords
+      }.toIndexedSeq
+      val keep = Simplify.dpKeep(pts, eps)
+      assert(keep.head && keep.last)
+      val keptIdx = pts.indices.filter(keep)
+      // for each removed vertex, find its bracketing kept pair and
+      // check the perpendicular line distance <= eps (doubled: 2 eps)
+      pts.indices.filterNot(keep).foreach { i =>
+        val lo = keptIdx.filter(_ < i).max
+        val hi = keptIdx.filter(_ > i).min
+        val (ax, ay) = pts(lo); val (bx, by) = pts(hi)
+        val dx = bx - ax; val dy = by - ay
+        val c = dx * (pts(i)._2 - ay) - dy * (pts(i)._1 - ax)
+        val dist2Doubled = c.toDouble * c / (dx * dx + dy * dy)
+        assert(dist2Doubled <= 4.0 * eps * eps + 1e-9,
+          s"seed $seed vertex $i deviates ${math.sqrt(dist2Doubled) / 2} > $eps")
+      }
+      // tighter eps never keeps fewer vertices
+      val keepTight = Simplify.dpKeep(pts, 1.0)
+      assert(keepTight.count(identity) >= keep.count(identity))
+    }
+  }
+
   test("simplifyLines: maxVertices ceiling fails loudly") {
     val rows = (1 to 5).map(i => (0L, i.toLong, i + 0.5, 0.5)).toDF("fid", "pid", "px", "py")
     val e = intercept[org.apache.spark.SparkException](
