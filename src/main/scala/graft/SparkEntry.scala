@@ -239,6 +239,13 @@ object SparkEntry {
       ZonalOps.zonalStats(lineitemLayer(s, dir), zones)
     }),
 
+    "q_bitmask" -> ((s, dir) => {
+      // QA-bitmask cloud mask: drop cells whose derived QA band has
+      // bit 0 or bit 2 set (mask 5)
+      val qa = lineitemLayer(s, dir).localMap(c => pmod(c * 13, lit(16.0)))
+      lineitemLayer(s, dir).localBitMask(qa, bits = 5L).toCells
+    }),
+
     "q_local_mask" -> ((s, dir) => {
       // raster-mask sibling of the geometry mask: cells whose zone
       // raster reads 65 ('A') become NoData
@@ -1318,6 +1325,14 @@ object SparkEntry {
       // dedup reporting artifact: duplicate-family size histogram
       pipeline.Dedup.duplicationProfile(table(s, dir, "documents"))),
 
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // FineWeb-style keep rule: the LONGEST doc survives each family
+      // (n_chars as the exact-integer quality score, ties -> min id)
+      val docs = table(s, dir, "documents")
+      pipeline.Dedup.keepBestQuality(docs,
+        docs.select(col("doc_id"), col("n_chars").as("score")))
+    }),
+
     "q_novelty" -> ((s, dir) =>
       // per-doc fraction of df=1 shingles (memorization diagnostic)
       pipeline.Dedup.noveltyScore(table(s, dir, "documents"))),
@@ -2207,6 +2222,11 @@ object SparkEntry {
         s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid))
            |SELECT g.x, g.y, g.v FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y
            |WHERE z.zone <> 65""".stripMargin,
+
+      // QA bit test: survivors have (qa & 5) = 0
+      "q_bitmask" ->
+        s"""SELECT x, y, v FROM ($grid)
+           |WHERE ((CAST(v AS BIGINT) * 13) % 16 & 5) = 0""".stripMargin,
 
       // (zone, value) histogram -> min-packed argmax/argmin with the
       // engine's smallest-value tie rule
@@ -3611,6 +3631,20 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
           |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
           |FROM sh JOIN d USING (h) GROUP BY 1""".stripMargin,
+
+      // argmax by quality (n_chars), tie -> min doc_id, over the
+      // shared components CTE
+      "q_dedup_keep_best" ->
+        s"""WITH c AS ($dedupComponentsSql),
+           |s AS (SELECT c.doc_id, c.component, d.n_chars AS score
+           |      FROM c JOIN documents d USING (doc_id)),
+           |mx AS (SELECT component, max(score) AS ms FROM s GROUP BY 1),
+           |k AS (SELECT s.component, min(s.doc_id) AS keep_id
+           |      FROM s JOIN mx ON s.component = mx.component AND s.score = mx.ms
+           |      GROUP BY 1)
+           |SELECT s.doc_id, s.component,
+           |  CAST(CASE WHEN s.doc_id = k.keep_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM s JOIN k USING (component)""".stripMargin,
 
       // the winnowing CTE's selected keys, position-stripped, through
       // a capped inverted-index self-join

@@ -641,6 +641,28 @@ object Dedup {
       .groupBy("component").agg(count(lit(1)).as("sz"))
       .groupBy("sz").agg(count(lit(1)).as("n_components"))
 
+  /** Quality-priority dedup keep-manifest — the FineWeb-style
+    * refinement of min-id keeping: within each duplicate family the
+    * survivor is the doc with the HIGHEST quality score (tie -> the
+    * smaller doc_id), so dedup removes the worst copies instead of
+    * arbitrary ones. `quality` is any (doc_id, score) frame — wire
+    * [[TextAnalysis.qualityScore]] or an LM score in. One min-struct
+    * argmax per component (map-side combine, no windows).
+    *
+    * @return (doc_id, component, keep) */
+  def keepBestQuality(docs: DataFrame, quality: DataFrame): DataFrame = {
+    val comp = connectedComponents(
+      minhashPairs(docs).select(col("d1"), col("d2")),
+      docs.select(col("doc_id")))
+    val scored = comp.join(quality.select(col("doc_id"), col("score")), "doc_id")
+    val best = scored.groupBy("component")
+      .agg(min(struct((-col("score")).as("ns"), col("doc_id").as("id"))).as("b"))
+      .select(col("component"), col("b.id").as("keep_id"))
+    scored.join(best, "component")
+      .select(col("doc_id"), col("component"),
+        when(col("doc_id") === col("keep_id"), 1L).otherwise(0L).as("keep"))
+  }
+
   /** Cross-source duplication matrix — who copies whom: MinHash-LSH
     * near-dup pairs rolled up by (source, source), the provenance
     * report a multi-crawl corpus ships next to its dedup manifest.

@@ -119,6 +119,16 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   def localMaxLayer(other: RasterLayer): RasterLayer =
     localBinary(other, (a, b) => when(isnan(a) || isnan(b), lit(Double.NaN)).otherwise(greatest(a, b)))
 
+  /** Mask by QA BITMASK — the Landsat/Sentinel quality-band workflow
+    * (pixel_qa / QA_PIXEL): cells whose QA band has ANY of `bits` set
+    * (cloud/shadow/saturation flags) become NoData; QA-NoData always
+    * masks. Same co-keyed zip_with shape as [[localMask]], integer
+    * bit test per pixel. */
+  def localBitMask(qa: RasterLayer, bits: Long): RasterLayer =
+    localBinary(qa, (v, q) =>
+      when(isnan(q) || (q.cast("long").bitwiseAND(lit(bits)) =!= 0), lit(Double.NaN))
+        .otherwise(v))
+
   /** Local mask by RASTER (geotrellis local.Mask / InverseMask, the
     * raster sibling of the geometry mask): cells where the mask layer
     * equals `readMask` (Mask) — or does NOT equal it (InverseMask) —

@@ -871,6 +871,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.exists(r => r._2 == -1L || r._3 == -1L))
   }
 
+  test("keep-best-quality: the highest-scoring family member survives, ties to min id") {
+    // docs 1,2,3 near-identical (one family), doc 4 alone
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val docs = Seq(
+      (1L, base + "tail one", "en", "s", 10L),
+      (2L, base + "tail two", "en", "s", 99L), // best quality
+      (3L, base + "tail tri", "en", "s", 99L), // tie -> 2 wins (min id)
+      (4L, "completely different text entirely unrelated words", "en", "s", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = docs.select(col("doc_id"), col("n_chars").as("score"))
+    val keep = Dedup.keepBestQuality(docs, q)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(keep == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("property: winnowing guarantee — every planted shared run of w+k-1 tokens is caught") {
     // random token docs with a planted common run of exactly
     // w + k - 1 = 6 tokens: winnowPairs(minShared = 1) must find

@@ -571,6 +571,15 @@ class RasterLayerSpec extends SparkSpec {
       Map((0L, 0L) -> 1.0, (2L, 0L) -> 3.0))
   }
 
+  test("bitmask mask: flagged bits drop, QA NoData masks") {
+    val v = layer((0, 0, 1.0), (1, 0, 2.0), (2, 0, 3.0), (3, 0, 4.0))
+    val qa = layer((0, 0, 0.0), (1, 0, 4.0), (2, 0, 2.0)) // (3,0) QA missing
+    // mask bits 5 = 0b101: qa 4 (0b100) hits, qa 2 (0b010) passes
+    val out = v.localBitMask(qa, bits = 5L).toCells
+      .as[(Long, Long, Double)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    assert(out == Map((0L, 0L) -> 1.0, (2L, 0L) -> 3.0))
+  }
+
   test("zonal majority/minority/variety with smallest-value ties") {
     // zone 7: values 2,2,5 -> majority 2, minority 5, variety 2;
     // zone 8: values 4,9 (tie both ways) -> majority 4, minority 4
