@@ -1727,6 +1727,11 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       streaming.Events.sessionize(eventsTable(s, dir))),
 
+    "q_session_window" -> ((s, dir) =>
+      // Spark's NATIVE session_window aggregation (inclusive-gap
+      // merge pinned by spec — identical sessions to q_sessionize)
+      streaming.Events.sessionWindowAgg(eventsTable(s, dir))),
+
     "q_asof_join" -> ((s, dir) => {
       val ev = eventsTable(s, dir)
       streaming.Events.asofJoin(
@@ -4408,6 +4413,18 @@ object SparkEntry {
           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m)
           |SELECT user_id, session_id, count(*) AS cnt, min(us) AS start_us, max(us) AS end_us
           |FROM s GROUP BY 1, 2""".stripMargin,
+
+      // same islands-and-gaps sessions as q_sessionize, reported in
+      // the native session_window shape (end = last + gap)
+      "q_session_window" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+          |m AS (SELECT user_id, event_id, us,
+          |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          |s AS (SELECT user_id, us, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m)
+          |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us, count(*) AS cnt
+          |FROM s GROUP BY user_id, session_id""".stripMargin,
 
       "q_asof_join" ->
         """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us, "value"

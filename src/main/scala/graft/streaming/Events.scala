@@ -70,6 +70,23 @@ object Events {
       .agg(count(lit(1)).as("cnt"), min("us").as("start_us"), max("us").as("end_us"))
   }
 
+  /** Native `session_window` sessionization — the Structured-
+    * Streaming-idiomatic twin of [[sessionize]]: Spark's built-in
+    * session window (window end = last event + gap). The same
+    * groupBy runs batch and streaming — this is the API a Spark user
+    * reaches for first; [[sessionize]]'s explicit
+    * flatMapGroupsWithState twin remains for custom state. Boundary
+    * semantics pinned by spec: an exactly-gap-apart pair MERGES
+    * (inclusive rule — identical to [[sessionize]]'s `> gap` break),
+    * strictly beyond the gap splits. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ets"))
+      .groupBy(col("user_id"), session_window(col("ets"), gap).as("sw"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("cnt"))
+
   /** As-of join: for each left event, the most recent right event AT
     * OR BEFORE it for the same key — point-in-time enrichment ("what
     * was the user's last purchase when they clicked?"), the feature-

@@ -74,6 +74,33 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window: merge/split boundary semantics and window math") {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val gapUs = 30L * 60 * 1000000
+    // user 10: events 0s and 10min apart (merge), then one exactly
+    // 30min after the second (boundary), user 11: isolated event
+    val rows = Seq(
+      (1L, ns(0), 10L, "click", 1.0, "{}"),
+      (2L, ns(600), 10L, "click", 1.0, "{}"),
+      (3L, ns(600 + 1800), 10L, "click", 1.0, "{}"), // exactly gap after 2
+      (4L, ns(0), 11L, "view", 1.0, "{}"))
+    val out = Events.sessionWindowAgg(rows.toDF(cols: _*))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    def us(sec: Long) = (base + sec) * 1000000L
+    // exactly-gap-apart pair MERGES (inclusive rule, same as
+    // sessionize's `> gap` break): one 3-event session
+    assert(out(10L).map(_._4).toSeq == Seq(3L))
+    assert(out(10L).head == ((10L, us(0), us(2400) + gapUs, 3L)))
+    assert(out(11L).head == ((11L, us(0), us(0) + gapUs, 1L)))
+    // strictly-beyond-gap splits
+    val split = Events.sessionWindowAgg(Seq(
+      (1L, ns(0), 10L, "click", 1.0, "{}"),
+      (2L, ns(1801), 10L, "click", 1.0, "{}")).toDF(cols: _*))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(split.length == 2)
+  }
+
   test("stream-static nation enrichment: stream equals batch through the same code") {
     implicit val sqlCtx = spark.sqlContext
     val nation = Seq((10, "ALPHA"), (11, "BETA")).toDF("n_nationkey", "n_name")
