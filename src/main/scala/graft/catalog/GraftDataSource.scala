@@ -66,8 +66,7 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = GraftTable.optsFrom(options)
     if (Catalog.metadataExists(opts.uri, opts.layer)) GraftTable.schemaFor(opts)
-    else StructType(Seq(StructField("col", IntegerType), StructField("row", IntegerType),
-      StructField("tile", ArrayType(DoubleType)))) // fresh store: the writer's shape
+    else GraftTable.freshSchema(options) // fresh store: the writer's shape
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -90,6 +89,16 @@ private[catalog] object GraftTable {
     val meta = Catalog.readMetadata(opts.uri, opts.layer, opts.zoom)
     val keys = Seq(StructField("col", IntegerType), StructField("row", IntegerType)) ++
       (if (meta.temporal) Seq(StructField("instant", LongType)) else Nil)
+    StructType(keys :+ StructField("tile", ArrayType(DoubleType)))
+  }
+
+  /** Writer-input schema for a store with no sidecar yet: the option
+    * `temporal=true` declares the instant column (a fresh temporal
+    * append would otherwise fail Spark's write-schema validation). */
+  def freshSchema(options: CaseInsensitiveStringMap): StructType = {
+    val temporal = Option(options.get("temporal")).exists(_.toBoolean)
+    val keys = Seq(StructField("col", IntegerType), StructField("row", IntegerType)) ++
+      (if (temporal) Seq(StructField("instant", LongType)) else Nil)
     StructType(keys :+ StructField("tile", ArrayType(DoubleType)))
   }
 
@@ -159,10 +168,9 @@ private[catalog] final class GraftTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft:${opts.layer}@z${opts.zoom}"
   override def schema(): StructType =
     // a fresh store has no sidecar to infer from: writes carry their
-    // own schema, so fall back to the writer's input shape
+    // own shape (temporal declared via the writer option)
     if (Catalog.metadataExists(opts.uri, opts.layer)) GraftTable.schemaFor(opts)
-    else StructType(Seq(StructField("col", IntegerType), StructField("row", IntegerType),
-      StructField("tile", ArrayType(DoubleType))))
+    else GraftTable.freshSchema(options)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)

@@ -145,6 +145,25 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(back == Set((1L, 1L, 3.0), (6L, 2L, 250.0)))
   }
 
+  test("V2 write: fresh TEMPORAL store declares instant via option") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    val cells = Seq((0L, 0L, 10L, 1.0), (0L, 0L, 20L, 2.0), (5L, 5L, 20L, 3.0))
+      .toDF("x", "y", "instant", "v")
+    RasterLayer.fromCellsTemporal(cells, layout).df.write.format("graft")
+      .option("path", dir).option("layer", "wt").option("zoom", "0")
+      .option("extent", "0,0,8,8").option("layout", "2,2,4,4")
+      .option("temporal", "true")
+      .mode("append").save()
+    val back = readGraft(dir, "wt")
+    assert(back.columns.toSeq == Seq("col", "row", "instant", "tile"))
+    assert(back.select("col", "row", "instant").as[(Int, Int, Long)].collect().toSet ==
+      Set((0, 0, 10L), (0, 0, 20L), (1, 1, 20L)))
+    // and the driver read path agrees (sidecar marked temporal)
+    val cellsBack = Catalog.read(spark, dir, "wt").toCells
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(cellsBack == Set((0L, 0L, 10L, 1.0), (0L, 0L, 20L, 2.0), (5L, 5L, 20L, 3.0)))
+  }
+
   test("V2 write: plan carries the required (col, row) sort") {
     val dir = Files.createTempDirectory("graft_dsv2").toString
     val cells = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y, (x + y).toDouble)
