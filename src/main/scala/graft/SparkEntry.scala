@@ -264,6 +264,16 @@ object SparkEntry {
       ZonalOps.zonalMajority(lineitemLayer(s, dir), zones)
     }),
 
+    "q_zonal_quartiles" -> ((s, dir) => {
+      // q1 + q3 per zone via the exact cross-multiplied rule
+      val zones = RasterLayer.fromCells(
+        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
+        layout)
+      val l = lineitemLayer(s, dir)
+      ZonalOps.zonalQuantile(l, zones, 1, 4).withColumnRenamed("q", "q1")
+        .join(ZonalOps.zonalQuantile(l, zones, 3, 4).withColumnRenamed("q", "q3"), "zone")
+    }),
+
     "q_zonal_median" -> ((s, dir) => {
       // per-zone exact-int median (quantile_breaks_int rule by zone)
       val zones = RasterLayer.fromCells(
@@ -1351,6 +1361,10 @@ object SparkEntry {
       // Flesch-Kincaid grade from three regex counts, pinned floats
       pipeline.TextAnalysis.readability(table(s, dir, "documents"))),
 
+    "q_ttr" -> ((s, dir) =>
+      // lexical diversity: distinct/total tokens per doc
+      pipeline.TextAnalysis.typeTokenRatio(table(s, dir, "documents"))),
+
     "q_simplify" -> ((s, dir) =>
       // Douglas-Peucker on two 16-vertex polylines threaded through
       // the supplier points (pid order); exact integer split tests
@@ -2246,6 +2260,18 @@ object SparkEntry {
            |  min(CASE WHEN c.cnt = mx.mc THEN c.v END) AS majority,
            |  min(CASE WHEN c.cnt = mx.nc THEN c.v END) AS minority
            |FROM c JOIN mx USING (zone) GROUP BY 1, 2""".stripMargin,
+
+      // cross-multiplied quantile rule per zone, q1 and q3 joined
+      "q_zonal_quartiles" ->
+        s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid)),
+           |c AS (SELECT CAST(z.zone AS BIGINT) AS zone, g.v AS v, count(*) AS cnt
+           |      FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y GROUP BY 1, 2),
+           |t AS (SELECT zone, v,
+           |        sum(cnt) OVER (PARTITION BY zone ORDER BY v) AS cum,
+           |        sum(cnt) OVER (PARTITION BY zone) AS tot FROM c),
+           |q1 AS (SELECT zone, CAST(min(v) AS BIGINT) AS q1 FROM t WHERE cum * 4 >= tot GROUP BY 1),
+           |q3 AS (SELECT zone, CAST(min(v) AS BIGINT) AS q3 FROM t WHERE cum * 4 >= tot * 3 GROUP BY 1)
+           |SELECT q1.zone, q1.q1, q3.q3 FROM q1 JOIN q3 USING (zone)""".stripMargin,
 
       // per-zone discrete median: smallest v with 2*cum >= total
       "q_zonal_median" ->
@@ -3671,6 +3697,14 @@ object SparkEntry {
           |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
           |FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
           |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+      // distinct/total per doc, one exact division
+      "q_ttr" ->
+        """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |  CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+          |  round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 6) AS ttr
+          |FROM w GROUP BY 1""".stripMargin,
 
       // three regex counts -> one pinned float chain
       "q_readability" ->

@@ -100,6 +100,19 @@ object TextAnalysis {
         .otherwise("es").as("pred_lang"))
   }
 
+  /** Type-token ratio — per-document lexical diversity (the cheap
+    * MTLD stand-in quality filters use: near-zero TTR = looping
+    * generation / keyword stuffing): distinct tokens over total
+    * tokens, one exact division (round 6). One explode bounded
+    * straight back down by the per-doc aggregate. */
+  def typeTokenRatio(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("w").as("n_types"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
+
   /** Flesch-Kincaid grade level — the classic readability score
     * (Kincaid et al. 1975), from three regex counts: words (alnum
     * runs), sentences ([.!?]+ runs, floored at 1), syllables (vowel

@@ -307,6 +307,22 @@ object ZonalOps {
       .groupBy("zone").agg(min("v").cast("long").as("median"))
   }
 
+  /** Zonal quantile at rational q = num/den (exact cross-multiplied
+    * rule: smallest value with cum·den >= num·tot — no float q ever
+    * compares): the general form [[zonalMedian]] is the 1/2 case of.
+    * Same shared partials + zone-partitioned distinct-value windows. */
+  def zonalQuantile(values: RasterLayer, zones: RasterLayer,
+                    num: Long, den: Long): DataFrame = {
+    require(num >= 0 && num <= den && den > 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("zone").orderBy("v")
+    val wz = org.apache.spark.sql.expressions.Window.partitionBy("zone")
+    zoneValueCounts(values, zones)
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("tot", sum("cnt").over(wz))
+      .where(col("cum") * den >= col("tot") * num)
+      .groupBy("zone").agg(min("v").cast("long").as("q"))
+  }
+
   /** Zonal Shannon diversity + evenness (the FRAGSTATS SHDI/SHEI
     * landscape metrics): per zone H = ln(n) − (1/n)·Σ cᵢ·ln(cᵢ) over
     * class counts, evenness = H / ln(variety) (1-class zones report

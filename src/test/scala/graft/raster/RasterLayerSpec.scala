@@ -631,6 +631,18 @@ class RasterLayerSpec extends SparkSpec {
     assert(out.toSeq == Seq((7L, 4L, (10.0 + 60.0) / 4)))
   }
 
+  test("zonal quantile: cross-multiplied rule by hand; median is the 2/4 case") {
+    val v = layer((0, 0, 1.0), (1, 0, 2.0), (2, 0, 3.0), (3, 0, 4.0))
+    val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 7.0), (3, 0, 7.0))
+    def q(num: Long, den: Long) = ZonalOps.zonalQuantile(v, z, num, den)
+      .as[(Long, Long)].head()._2
+    assert(q(1, 4) == 1L) // cum(1)=1, 1*4 >= 4*1
+    assert(q(2, 4) == 2L)
+    assert(q(3, 4) == 3L)
+    assert(q(4, 4) == 4L)
+    assert(q(2, 4) == ZonalOps.zonalMedian(v, z).as[(Long, Long)].head()._2)
+  }
+
   test("zonal median: smallest value reaching half the zone's cells") {
     // zone 7: values 2,2,5 -> cum(2)=2, 2*2 >= 3 -> median 2
     // zone 8: values 4,9 -> cum(4)=1, 2*1 >= 2 -> median 4
