@@ -1418,6 +1418,11 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       pipeline.Similarity.lshPairs(table(s, dir, "embeddings"), threshold = 0.25)),
 
+    "q_knn_label" -> ((s, dir) =>
+      // exact k-NN majority label (ties -> smallest label)
+      pipeline.Similarity.knnLabel(table(s, dir, "embeddings"),
+        col("vec_id") % 50 === 0, k = 5)),
+
     "q_ann_ivf" -> ((s, dir) =>
       pipeline.Similarity.ivfTopK(table(s, dir, "embeddings"),
         col("vec_id") % 50 === 0, col("vec_id") % 37 === 0)),
@@ -3833,6 +3838,20 @@ object SparkEntry {
           |      FROM q a JOIN q b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
           |r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
           |SELECT qid, nid, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin,
+
+      // top-5 CTE + vote argmax with the smallest-label tie rule
+      "q_knn_label" ->
+        """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+          |        list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos
+          |      FROM q a JOIN q b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+          |r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s),
+          |v AS (SELECT r.qid, e.label, count(*) AS votes
+          |      FROM r JOIN embeddings e ON e.vec_id = r.nid WHERE r.rank <= 5 GROUP BY 1, 2),
+          |mx AS (SELECT qid, max(votes) AS mv FROM v GROUP BY 1)
+          |SELECT v.qid, min(CASE WHEN v.votes = mx.mv THEN v.label END) AS pred_label,
+          |  CAST(mx.mv AS BIGINT) AS votes
+          |FROM v JOIN mx USING (qid) GROUP BY 1, 3""".stripMargin,
 
       "q_ann_lsh" -> {
         val planes = pipeline.Similarity.planeWeights(8, 64)

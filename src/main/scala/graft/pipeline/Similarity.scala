@@ -77,6 +77,23 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** k-NN majority-label classification — exact nearest-neighbor
+    * labeling over the embedding corpus (the label-propagation /
+    * weak-annotation primitive): each query takes the majority label
+    * of its [[bruteTopK]] neighbors (ties -> smallest label, the
+    * focal-Mode rule). Swap the brute scorer for the IVF/LSH variants
+    * at scale — the vote aggregate is the same bounded k rows per
+    * query either way.
+    *
+    * @return (qid, pred_label, votes) */
+  def knnLabel(embeddings: DataFrame, queryPred: Column, k: Int = 5): DataFrame =
+    bruteTopK(embeddings, queryPred, k)
+      .join(embeddings.select(col("vec_id").as("nid"), col("label")), "nid")
+      .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+      .groupBy("qid")
+      .agg(min(struct((-col("votes")).as("nv"), col("label").as("lb"))).as("b"))
+      .select(col("qid"), col("b.lb").as("pred_label"), (-col("b.nv")).as("votes"))
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the standard
     * blocking-key trick: candidates only within a block). Labels over
     * `maxBlock` split into deterministic sub-blocks — see [[MaxBlock]]. */

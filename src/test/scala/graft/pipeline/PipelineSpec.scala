@@ -941,6 +941,22 @@ class PipelineSpec extends SparkSpec {
     assert(!TextAnalysis.readability(e).as[(Long, Long, Long, Long, Double)].head()._5.isNaN)
   }
 
+  test("knn label: majority of the 3 nearest with smallest-label ties") {
+    // query 0 at origin-ish; 3 nearest are two label-7 and one label-9
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f), 99),   // query
+      (1L, Seq(0.9f, 0.1f), 7), (2L, Seq(0.95f, 0.05f), 7),
+      (3L, Seq(0.8f, 0.2f), 9),
+      (4L, Seq(-1.0f, 0.0f), 5))   // far away
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabel(d, col("vec_id") === 0, k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(out.toSeq == Seq((0L, 7, 2L)))
+    // k=4 brings the far label-5 in but 7 still wins 2-1-1
+    assert(Similarity.knnLabel(d, col("vec_id") === 0, k = 4)
+      .as[(Long, Int, Long)].head() == ((0L, 7, 2L)))
+  }
+
   test("label centroids: quantized component means by hand") {
     val d = Seq((1L, Seq(1.0f, 2.0f), 7), (2L, Seq(3.0f, 0.0f), 7), (3L, Seq(5.0f, 5.0f), 8))
       .toDF("vec_id", "embedding", "label")
