@@ -99,6 +99,17 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(grouped.count() == 2)
   }
 
+  test("aggregate pushdown: temporal store answers min/max(instant) footer-only") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    val cells = Seq((0L, 0L, 10L, 1.0), (0L, 0L, 20L, 2.0), (5L, 5L, 20L, 3.0))
+      .toDF("x", "y", "instant", "v")
+    Catalog.write(dir, "tt", RasterLayer.fromCellsTemporal(cells, layout))
+    val agg = readGraft(dir, "tt")
+      .agg(min("instant").as("mn"), max("instant").as("mx"), expr("count(*)").as("n"))
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(agg.as[(Long, Long, Long)].head() == ((10L, 20L, 3L)))
+  }
+
   test("V2 write: fresh store via format(graft), read back both ways") {
     val dir = Files.createTempDirectory("graft_dsv2").toString
     val l = layer((0, 0, 1.0), (3, 3, 2.0), (5, 6, 4.0))
