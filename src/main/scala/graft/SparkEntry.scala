@@ -154,6 +154,11 @@ object SparkEntry {
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Median"))),
     "q_focal_mode" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Mode"))),
+    "q_focal_entropy" -> ((s, dir) =>
+      // window texture: classes = v mod 8 so runs actually repeat
+      flat(lineitemLayer(s, dir).localMap(c => pmod(c, lit(8.0)))
+          .focal(Neighborhood.Square(1), "Entropy"))
+        .select(col("x"), col("y"), round(col("v"), 5).as("v"))),
     "q_focal_minority" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Minority"))),
     "q_focal_stddev" -> ((s, dir) =>
@@ -2131,6 +2136,19 @@ object SparkEntry {
       "q_focal_variance" ->
         (focalJoin("(sum(n.v * n.v) - sum(n.v) * sum(n.v) / count(*)) / (count(*) - 1)")
           + " HAVING count(*) > 1"),
+
+      // window entropy over v mod 8 classes: per-(cell, class) counts,
+      // micro-nat c*ln(c) terms, two closing transcendentals round 5
+      "q_focal_entropy" ->
+        s"""WITH g AS ($grid),
+           |nb AS (SELECT c.x AS x, c.y AS y, CAST(n.v AS BIGINT) % 8 AS nv, count(*) AS cnt
+           |       FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |       GROUP BY 1, 2, 3),
+           |a AS (SELECT x, y, CAST(sum(cnt) AS BIGINT) AS n,
+           |        CAST(sum(CAST(round(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+           |      FROM nb GROUP BY 1, 2)
+           |SELECT x, y, round(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 5) AS v
+           |FROM a""".stripMargin,
 
       "q_focal_chain" ->
         s"""WITH g AS ($lineitemCellsSql),

@@ -127,11 +127,33 @@ object FocalOp {
   case object StandardDeviation extends FocalOp {
     def apply(vs: Array[Double], n: Int) = math.sqrt(Variance(vs, n))
   }
+  /** Shannon entropy (nats) of the window's value distribution — the
+    * texture measure (r.neighbors entropy / landscape-metrics local
+    * diversity): H = ln(n) − (1/n)·Σ c·ln(c) over value runs. Each
+    * run's c·ln(c) quantizes ONCE to micro-nats (the charEntropy
+    * determinism rule), so the sum is exact; round(5) in the caller
+    * absorbs the two closing transcendentals. */
+  case object Entropy extends FocalOp {
+    def apply(vs: Array[Double], n: Int) = {
+      val s = java.util.Arrays.copyOf(vs, n); java.util.Arrays.sort(s)
+      var q = 0L
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < n && s(j) == s(i)) j += 1
+        val c = (j - i).toDouble
+        q += math.round(c * math.log(c) * 1000000.0)
+        i = j
+      }
+      math.log(n.toDouble) - q.toDouble / (n * 1000000.0)
+    }
+  }
   def of(name: String): FocalOp = name match {
     case "Sum" => Sum; case "Mean" => Mean; case "Min" => Min; case "Max" => Max
     case "Median" => Median; case "Mode" => Mode; case "Minority" => Minority
     case "Variance" => Variance
     case "StandardDeviation" => StandardDeviation
+    case "Entropy" => Entropy
     case s => throw new IllegalArgumentException(s)
   }
 }

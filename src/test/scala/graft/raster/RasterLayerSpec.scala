@@ -571,6 +571,23 @@ class RasterLayerSpec extends SparkSpec {
       Map((0L, 0L) -> 1.0, (2L, 0L) -> 3.0))
   }
 
+  test("focal entropy: uniform window 0, two-class split ln 2, hand mixed case") {
+    def h(counts: Long*): Double = {
+      val n = counts.sum
+      val q = counts.map(c => math.round(c * math.log(c.toDouble) * 1e6)).sum
+      math.log(n.toDouble) - q.toDouble / (n * 1e6)
+    }
+    // 1x4 strip: windows are partial (2 or 3 cells)
+    val l = layer((0, 0, 5.0), (1, 0, 5.0), (2, 0, 5.0), (3, 0, 9.0))
+    val out = l.focal(Neighborhood.Square(1), "Entropy").toCells
+      .as[(Long, Long, Double)].collect().map(c => c._1 -> c._3).toMap
+    assert(out(0L) == h(2L))            // {5,5} -> ~0 (quantization residue)
+    assert(math.abs(out(0L)) < 1e-6)
+    assert(out(2L) == h(2L, 1L))        // {5,5,9}
+    assert(out(3L) == h(1L, 1L))        // {5,9} -> ln 2
+    assert(math.abs(out(3L) - math.log(2)) < 1e-6)
+  }
+
   test("bitmask mask: flagged bits drop, QA NoData masks") {
     val v = layer((0, 0, 1.0), (1, 0, 2.0), (2, 0, 3.0), (3, 0, 4.0))
     val qa = layer((0, 0, 0.0), (1, 0, 4.0), (2, 0, 2.0)) // (3,0) QA missing
