@@ -1482,6 +1482,15 @@ object SparkEntry {
         eps = 0.2, col("vec_id") % 37 === 0)),
 
     // --- LLM-pipeline: corpus curation (documents)
+    "q_split" -> ((s, dir) =>
+      // content-stable train/val/test assignment (90/5/5 permille)
+      pipeline.Curation.trainValTestSplit(table(s, dir, "documents"))),
+
+    "q_cms_estimate" -> ((s, dir) =>
+      // CMS point estimates for a fixed probe list (min over rows)
+      pipeline.Sketch.cmsEstimates(table(s, dir, "documents"),
+        Seq("the", "spark", "table", "zzzNeverSeen"))),
+
     "q_sample_hash" -> ((s, dir) =>
       // deterministic 10% id-hash sample — same docs on every run/engine
       pipeline.Curation.hashSample(table(s, dir, "documents"), permille = 100)),
@@ -4003,6 +4012,29 @@ object SparkEntry {
       "q_sample_hash" ->
         """SELECT doc_id, source FROM documents
           |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 100""".stripMargin,
+
+      // the same id-hash permille cut into three named buckets
+      "q_split" ->
+        """SELECT doc_id,
+          |  CASE WHEN pm < 900 THEN 'train' WHEN pm < 950 THEN 'val' ELSE 'test' END AS split
+          |FROM (SELECT doc_id,
+          |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS pm
+          |  FROM documents)""".stripMargin,
+
+      // probe tokens -> min over their depth cells (0 for never-hashed)
+      "q_cms_estimate" ->
+        """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+          |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+          |cells AS (SELECT j.j, ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || c.w), 1, 15))::BIGINT % 256 AS b,
+          |         CAST(sum(c.cnt) AS BIGINT) AS cnt
+          |       FROM c, (SELECT unnest(range(4)) AS j) j GROUP BY 1, 2),
+          |p AS (SELECT tok.token, j.j,
+          |        ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok.token), 1, 15))::BIGINT % 256 AS b
+          |      FROM (VALUES ('the'), ('spark'), ('table'), ('zzzNeverSeen')) tok(token),
+          |           (SELECT unnest(range(4)) AS j) j)
+          |SELECT p.token, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+          |FROM p LEFT JOIN cells ON cells.j = p.j AND cells.b = p.b
+          |GROUP BY 1""".stripMargin,
 
       "q_sample_strat" ->
         """SELECT doc_id, source FROM documents

@@ -249,6 +249,20 @@ object Curation {
         min("nt").as("min_tokens"), max("nt").as("max_tokens"))
   }
 
+  /** Deterministic train/val/test assignment — the split every
+    * training run ships: the [[idHash]] permille decides the bucket
+    * (content-stable, so re-runs and shard order never move a doc
+    * across the boundary; nested-rate subsets hold within train).
+    * Thresholds in permille: [0, valFrom) = train, [valFrom,
+    * testFrom) = val, [testFrom, 1000) = test. Pure scan. */
+  def trainValTestSplit(docs: DataFrame, valFrom: Int = 900, testFrom: Int = 950): DataFrame = {
+    require(0 < valFrom && valFrom <= testFrom && testFrom <= 1000)
+    val pm = idHash(col("doc_id")) % 1000
+    docs.select(col("doc_id"),
+      when(pm < valFrom, "train").when(pm < testFrom, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** JSONL schema of the corpus interchange record ([[toJsonl]] /
     * [[fromJsonl]] share it so the roundtrip cannot drift). */
   val jsonlSchema: org.apache.spark.sql.types.StructType = {

@@ -42,6 +42,26 @@ object Sketch {
       .agg(sum("cnt").as("cnt"))
   }
 
+  /** CMS point estimates for a fixed token list as a DATAFRAME
+    * endpoint (the serving twin of [[cmsEstimate]], distributed):
+    * each probe token hashes to its depth cells and takes the MIN
+    * count — overestimate-only by the CMS guarantee, exact integers
+    * end to end. The probe list is a tiny literal frame; the join
+    * against the depth×width cell table broadcasts. */
+  def cmsEstimates(docs: DataFrame, tokens: Seq[String],
+                   depth: Int = 4, width: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cells = countMinSketch(docs, depth, width)
+    val probes = tokens.toDF("token")
+      .select(col("token"), explode(array((0 until depth).map(j =>
+        struct(lit(j.toLong).as("j"), (rowHash(j, col("token")) % width).as("b"))): _*)).as("h"))
+      .select(col("token"), col("h.j").as("j"), col("h.b").as("b"))
+    probes.join(cells, Seq("j", "b"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("cnt"), lit(0L))).cast("long").as("est"))
+  }
+
   /** Heavy hitters (frequent tokens) by CMS prefilter + exact
     * verification — the standard two-pass pattern for "exact counts of
     * everything frequent" at corpus scale (Cormode & Muthukrishnan §4

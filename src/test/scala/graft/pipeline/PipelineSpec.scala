@@ -941,6 +941,29 @@ class PipelineSpec extends SparkSpec {
     assert(!TextAnalysis.readability(e).as[(Long, Long, Long, Long, Double)].head()._5.isNaN)
   }
 
+  test("train/val/test split: partition is total, content-stable, nested in train") {
+    val d = (1L to 400L).map(i => (i, s"doc $i", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s1 = Curation.trainValTestSplit(d).as[(Long, String)].collect().toMap
+    assert(s1.size == 400 && s1.values.toSet == Set("train", "val", "test"))
+    // stable across runs
+    assert(Curation.trainValTestSplit(d).as[(Long, String)].collect().toMap == s1)
+    // a 900-permille hashSample is exactly the train split
+    val train = Curation.hashSample(d, 900).as[(Long, String)].collect().map(_._1).toSet
+    assert(train == s1.filter(_._2 == "train").keySet)
+  }
+
+  test("cms estimates: overestimate-only, never-seen token reads 0") {
+    val d = Seq((1L, "alpha alpha beta", "en", "s", 1L),
+      (2L, "alpha gamma", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val est = Sketch.cmsEstimates(d, Seq("alpha", "beta", "neverseenzz"))
+      .as[(String, Long)].collect().toMap
+    assert(est("alpha") >= 3L && est("beta") >= 1L) // CMS never undercounts
+    assert(est("neverseenzz") >= 0L)
+    // tiny vocab, wide sketch: estimates are exact here
+    assert(est("alpha") == 3L && est("beta") == 1L && est("neverseenzz") == 0L)
+  }
+
   test("knn label: majority of the 3 nearest with smallest-label ties") {
     // query 0 at origin-ish; 3 nearest are two label-7 and one label-9
     val d = Seq(
