@@ -112,6 +112,12 @@ object SparkEntry {
       flat(lineitemLayer(s, dir)
         .reclassify(Seq(50.0 -> 1.0, 150.0 -> 2.0, 300.0 -> 3.0, 1e9 -> 4.0)))),
 
+    "q_standardize" -> ((s, dir) =>
+      // z-score standardization: exact-Long moments folded into one
+      // per-cell expression, pinned op order, round 5
+      lineitemLayer(s, dir).standardize().toCells
+        .select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+
     "q_normalize" -> ((s, dir) => {
       val n = lineitemLayer(s, dir).normalize(0.0, 100.0)
       n.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
@@ -2098,6 +2104,17 @@ object SparkEntry {
 
       "q_normalize" ->
         s"SELECT x, y, round((v - mn) / (mx - mn) * 100.0, 5) AS v FROM ($grid), (SELECT min(v) AS mn, max(v) AS mx FROM ($grid))",
+
+      // z-score from exact integer moments, engine op order restated:
+      // mu = s/n, sigma = sqrt((ss - s*s/n)/(n-1))
+      "q_standardize" ->
+        s"""WITH g AS ($grid),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS s,
+           |        CAST(sum(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS BIGINT) AS ss FROM g),
+           |p AS (SELECT CAST(s AS DOUBLE) / n AS mu,
+           |        sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS sigma FROM m)
+           |SELECT x, y, round((v - mu) / sigma, 5) AS v FROM g, p""".stripMargin,
 
       "q_with_no_data" -> s"SELECT x, y, v FROM ($grid) WHERE v <> 1.0",
 

@@ -265,6 +265,26 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
       localMap(c => when(isnan(c), c).otherwise(lit(newMin)))
   }
 
+  /** Z-score standardization — the ML-preprocessing sibling of
+    * [[normalize]]: (v − μ)/σ with the sample std (n−1). Moments are
+    * collected driver-side as EXACT Long sums over the integral cells
+    * (one tiny aggregate) and folded into the per-cell expression
+    * with a pinned op order — μ = S/n and σ² = (SS − S·S/n)/(n−1)
+    * stated identically in the oracle. Degenerate σ = 0 pins to 0. */
+  def standardize(): RasterLayer = {
+    import org.apache.spark.sql.functions.{count => fcount, sum => fsum}
+    val m = toCells.agg(
+      fcount(lit(1)).cast("long").as("n"),
+      fsum(col("v").cast("long")).cast("long").as("s"),
+      fsum(col("v").cast("long") * col("v").cast("long")).cast("long").as("ss")).first()
+    val n = m.getLong(0); val s = m.getLong(1); val ss = m.getLong(2)
+    require(n > 1, "standardize needs at least two cells")
+    val mu = s.toDouble / n
+    val sigma = math.sqrt((ss.toDouble - s.toDouble * s / n) / (n - 1))
+    if (sigma > 0) localMap(c => (c - lit(mu)) / lit(sigma))
+    else localMap(c => when(isnan(c), c).otherwise(lit(0.0)))
+  }
+
   /** Cells equal to `v` become NoData — reference with_no_data
     * (layer.py:777). */
   def withNoData(v: Double): RasterLayer =

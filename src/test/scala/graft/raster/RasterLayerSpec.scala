@@ -588,6 +588,17 @@ class RasterLayerSpec extends SparkSpec {
     assert(math.abs(out(3L) - math.log(2)) < 1e-6)
   }
 
+  test("standardize: zero-mean unit-std z-scores; constant grid pins 0") {
+    val l = layer((0, 0, 2.0), (1, 0, 4.0), (2, 0, 6.0))
+    val out = l.standardize().toCells
+      .as[(Long, Long, Double)].collect().map(c => c._1 -> c._3).toMap
+    // mu = 4, sigma = sqrt(((4+16+36) - 144/3) / 2) = 2
+    assert(out == Map(0L -> -1.0, 1L -> 0.0, 2L -> 1.0))
+    val const = layer((0, 0, 5.0), (1, 0, 5.0))
+    assert(const.standardize().toCells.as[(Long, Long, Double)]
+      .collect().forall(_._3 == 0.0))
+  }
+
   test("bitmask mask: flagged bits drop, QA NoData masks") {
     val v = layer((0, 0, 1.0), (1, 0, 2.0), (2, 0, 3.0), (3, 0, 4.0))
     val qa = layer((0, 0, 0.0), (1, 0, 4.0), (2, 0, 2.0)) // (3,0) QA missing
