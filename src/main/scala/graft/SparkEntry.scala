@@ -36,7 +36,7 @@ object SparkEntry {
   private def flat(l: RasterLayer): DataFrame = l.toCells
 
   /** Query-term set for q_bm25 (words from the synthetic vocabulary). */
-  private val Bm25Terms = Seq("table", "spark", "window", "hash", "stream")
+  private[graft] val Bm25Terms = Seq("table", "spark", "window", "hash", "stream")
 
   /** BM25 oracle body — shared verbatim by q_bm25 and (as a subquery)
     * q_rrf_fusion, so the fused ranking and the standalone scores can
@@ -161,10 +161,11 @@ object SparkEntry {
     "q_focal_mode" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Mode"))),
     "q_focal_entropy" -> ((s, dir) =>
-      // window texture: classes = v mod 8 so runs actually repeat
+      // window texture: classes = v mod 8 so runs actually repeat.
+      // No closing round: Entropy emits (round(ln n·1e6)·n − Σq)/(n·1e6)
+      // — integer/integer IEEE division, bit-identical to the oracle.
       flat(lineitemLayer(s, dir).localMap(c => pmod(c, lit(8.0)))
-          .focal(Neighborhood.Square(1), "Entropy"))
-        .select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+          .focal(Neighborhood.Square(1), "Entropy"))),
     "q_focal_minority" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Minority"))),
     "q_focal_stddev" -> ((s, dir) =>
@@ -2164,7 +2165,9 @@ object SparkEntry {
           + " HAVING count(*) > 1"),
 
       // window entropy over v mod 8 classes: per-(cell, class) counts,
-      // micro-nat c*ln(c) terms, two closing transcendentals round 5
+      // micro-nat c*ln(c) terms AND a micro-nat closing ln(n) — the
+      // output is an exact-integer/exact-integer IEEE division, so no
+      // libm value ever reaches the hashed column (r12 fix)
       "q_focal_entropy" ->
         s"""WITH g AS ($grid),
            |nb AS (SELECT c.x AS x, c.y AS y, CAST(n.v AS BIGINT) % 8 AS nv, count(*) AS cnt
@@ -2173,7 +2176,9 @@ object SparkEntry {
            |a AS (SELECT x, y, CAST(sum(cnt) AS BIGINT) AS n,
            |        CAST(sum(CAST(round(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
            |      FROM nb GROUP BY 1, 2)
-           |SELECT x, y, round(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 5) AS v
+           |SELECT x, y,
+           |  CAST(CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) * n - s AS DOUBLE)
+           |    / (CAST(n AS DOUBLE) * 1000000.0) AS v
            |FROM a""".stripMargin,
 
       "q_focal_chain" ->
@@ -2372,7 +2377,9 @@ object SparkEntry {
            |GROUP BY 1""".stripMargin,
 
       // SHDI: per-(zone,class) c*ln(c) micro-nat terms (charEntropy
-      // rule), SHEI = H / ln(variety), 1-class zones 0
+      // rule), SHEI = H / ln(variety), 1-class zones 0. Closing ln(n)
+      // and ln(variety) are micro-quantized too (r13 hardening): the
+      // hashed values are quotients of exact integers, never raw libm.
       "q_zonal_diversity" ->
         s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid)),
            |c AS (SELECT CAST(z.zone AS BIGINT) AS zone, CAST(g.v AS BIGINT) % 8 AS cls,
@@ -2380,14 +2387,16 @@ object SparkEntry {
            |      FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y GROUP BY 1, 2),
            |a AS (SELECT zone, CAST(sum(cnt) AS BIGINT) AS n_cells, CAST(count(*) AS BIGINT) AS variety,
            |        CAST(sum(CAST(round(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
-           |      FROM c GROUP BY 1)
+           |      FROM c GROUP BY 1),
+           |e AS (SELECT zone, n_cells, variety,
+           |        CAST(CAST(round(ln(CAST(n_cells AS DOUBLE)) * 1000000.0) AS BIGINT) * n_cells - s AS DOUBLE)
+           |          / (CAST(n_cells AS DOUBLE) * 1000000.0) AS he,
+           |        CAST(CAST(round(ln(CAST(variety AS DOUBLE)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS lv
+           |      FROM a)
            |SELECT zone, n_cells, variety,
-           |  round(ln(CAST(n_cells AS DOUBLE)) - CAST(s AS DOUBLE) / (CAST(n_cells AS DOUBLE) * 1000000.0), 5) AS shannon,
-           |  round(CASE WHEN variety > 1
-           |    THEN (ln(CAST(n_cells AS DOUBLE)) - CAST(s AS DOUBLE) / (CAST(n_cells AS DOUBLE) * 1000000.0))
-           |         / ln(CAST(variety AS DOUBLE))
-           |    ELSE CAST(0.0 AS DOUBLE) END, 5) AS evenness
-           |FROM a""".stripMargin,
+           |  round(he, 5) AS shannon,
+           |  round(CASE WHEN variety > 1 THEN he / lv ELSE CAST(0.0 AS DOUBLE) END, 5) AS evenness
+           |FROM e""".stripMargin,
 
       // CVA displacement: d0 and d1 stated with the engine's exact
       // arithmetic ((va+10)-va collapses exactly on integral cells)
@@ -4217,11 +4226,15 @@ object SparkEntry {
           |      CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
           |      FROM g GROUP BY 1)
           |SELECT doc_id, n_chars, n_distinct,
-          |  round(ln(CAST(n_chars AS DOUBLE)) - CAST(s AS DOUBLE) / (CAST(n_chars AS DOUBLE) * 1000000.0), 5) AS entropy
+          |  round(CAST(CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000.0) AS BIGINT) * n_chars - s AS DOUBLE)
+          |    / (CAST(n_chars AS DOUBLE) * 1000000.0), 5) AS entropy
           |FROM d""".stripMargin,
 
       // PMI over adjacent bigrams: exact counts, one ln at the end
-      // with a pinned division order, minCount floor instead of top-k
+      // with a pinned division order, minCount floor instead of top-k.
+      // Output is micro-nat BIGINT (lm_score precedent): the hashed
+      // column is integer, so a libm ulp can only flip it AT a .5
+      // micro boundary — distance guarded by LibmBoundarySpec.
       "q_pmi" ->
         """WITH ws AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
           |uni AS (SELECT t AS a, count(*) AS ca FROM (SELECT unnest(w) AS t FROM ws) GROUP BY 1),
@@ -4231,8 +4244,8 @@ object SparkEntry {
           |pairs AS (SELECT w[i] AS a, w[i + 1] AS b, count(*) AS cab FROM ip GROUP BY 1, 2),
           |f AS (SELECT * FROM pairs WHERE cab >= 5)
           |SELECT f.a, f.b, f.cab,
-          |  round(ln((CAST(f.cab AS DOUBLE) / pt.p) /
-          |    ((CAST(ua.ca AS DOUBLE) / n.n) * (CAST(ub.ca AS DOUBLE) / n.n))), 5) AS pmi
+          |  CAST(round(ln((CAST(f.cab AS DOUBLE) / pt.p) /
+          |    ((CAST(ua.ca AS DOUBLE) / n.n) * (CAST(ub.ca AS DOUBLE) / n.n))) * 1000000.0) AS BIGINT) AS pmi_micro
           |FROM f JOIN uni ua ON ua.a = f.a JOIN uni ub ON ub.a = f.b, n, pt""".stripMargin,
 
       // same wrap as the engine query, then the same pinned strip

@@ -609,8 +609,12 @@ object TextAnalysis {
         sum(round(col("c").cast("double") * log(col("c").cast("double")) * lit(1000000.0))
           .cast("long")).cast("long").as("s"))
       .select(col("doc_id"), col("n_chars"), col("n_distinct"),
-        round(log(col("n_chars").cast("double")) -
-          col("s").cast("double") / (col("n_chars").cast("double") * lit(1000000.0)), 5)
+        // closing ln(n) micro-quantized too (r13 hardening, the
+        // focal-entropy lesson): the hashed value is a quotient of
+        // exact integers, bit-identical across libms
+        round((round(log(col("n_chars").cast("double")) * lit(1000000.0)).cast("long") *
+            col("n_chars") - col("s")).cast("double") /
+          (col("n_chars").cast("double") * lit(1000000.0)), 5)
           .as("entropy"))
 
   /** Corpus-level collocation extraction by pointwise mutual
@@ -622,13 +626,18 @@ object TextAnalysis {
     *
     * Determinism: all counts are exact integers; the PMI expression is
     * a fixed-order chain of IEEE divisions/multiplies with ONE ln,
-    * rounded 5 on both sides. No ranking — the minCount floor bounds
-    * the output, so no float-ordered top-k exists to tie-flip.
+    * emitted as micro-nat BIGINT (round(ln·1e6) — the lm_score
+    * precedent; a round(ln,5) DOUBLE output hash-failed in r12 from
+    * two libms straddling a rounding boundary; the integer column
+    * hashes exactly and the boundary-distance property spec guards
+    * the quantization). No ranking — the minCount floor bounds the
+    * output, so no float-ordered top-k exists to tie-flip.
     *
     * Scale: pairs come from a shuffle-free per-row array zip (no
     * self-join); both aggregates are vocabulary-bounded with map-side
     * combine; the unigram join is AQE-broadcastable. */
-  def pmiCollocations(docs: DataFrame, minCount: Long = 5): DataFrame = {
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+      quantize: Boolean = true): DataFrame = {
     val ws = docs.select(
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
       .localCheckpoint() // unigram + pair branches both consume it
@@ -643,14 +652,21 @@ object TextAnalysis {
       .where(col("cab") >= minCount)
     // pair universe P counts ALL adjacent pairs (before the floor)
     val pTot = ws.select((sum(greatest(size(col("w")) - 1, lit(0)))).cast("long").as("p"))
-    pairs
+    val raw = pairs
       .join(uni.withColumnRenamed("ca", "ca_"), "a")
       .join(uni.select(col("a").as("b"), col("ca").as("cb_")), "b")
       .crossJoin(broadcast(n)).crossJoin(broadcast(pTot))
       .select(col("a"), col("b"), col("cab"),
-        round(log((col("cab").cast("double") / col("p")) /
+        (log((col("cab").cast("double") / col("p")) /
           ((col("ca_").cast("double") / col("n")) *
-           (col("cb_").cast("double") / col("n")))), 5).as("pmi"))
+           (col("cb_").cast("double") / col("n")))) * lit(1000000.0))
+          .as("pmi_raw"))
+    // quantize=false exposes the pre-round micro-nat argument so
+    // LibmBoundarySpec can gate its distance from the .5 boundary
+    if (quantize)
+      raw.select(col("a"), col("b"), col("cab"),
+        round(col("pmi_raw")).cast("long").as("pmi_micro"))
+    else raw
   }
 
   /** HTML boilerplate extraction — the text-from-markup step every

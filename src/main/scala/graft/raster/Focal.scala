@@ -131,8 +131,12 @@ object FocalOp {
     * texture measure (r.neighbors entropy / landscape-metrics local
     * diversity): H = ln(n) − (1/n)·Σ c·ln(c) over value runs. Each
     * run's c·ln(c) quantizes ONCE to micro-nats (the charEntropy
-    * determinism rule), so the sum is exact; round(5) in the caller
-    * absorbs the two closing transcendentals. */
+    * determinism rule), and — r12 fix — the closing ln(n) quantizes
+    * too: H = (round(ln(n)·1e6)·n − Σq) / (n·1e6). Both operands of
+    * the single closing division are exact integers in BOTH engines,
+    * so the IEEE quotient is bit-identical (no libm in the output
+    * path — an unquantized ln(n) round-tripped through two libms was
+    * the r12 hash-fail). */
   case object Entropy extends FocalOp {
     def apply(vs: Array[Double], n: Int) = {
       val s = java.util.Arrays.copyOf(vs, n); java.util.Arrays.sort(s)
@@ -145,7 +149,8 @@ object FocalOp {
         q += math.round(c * math.log(c) * 1000000.0)
         i = j
       }
-      math.log(n.toDouble) - q.toDouble / (n * 1000000.0)
+      val lnN = math.round(math.log(n.toDouble) * 1000000.0)
+      (lnN * n - q).toDouble / (n * 1000000.0)
     }
   }
   def of(name: String): FocalOp = name match {

@@ -328,9 +328,16 @@ object ZonalOps {
     * class counts, evenness = H / ln(variety) (1-class zones report
     * 0). Same micro-nat determinism as [[graft.pipeline.TextAnalysis
     * .charEntropy]]: each class's c·ln(c) quantizes ONCE, the zone
-    * sum is exact integer, two ln's + two divisions close it
-    * (round 5). Runs on the shared (zone, value) partials. */
-  def zonalDiversity(values: RasterLayer, zones: RasterLayer): DataFrame =
+    * sum is exact integer, and — the r12 focal-entropy lesson — the
+    * closing ln(n) and ln(variety) quantize to micro-nats too, so
+    * every hashed value is a quotient of exact integers (bit-identical
+    * across libms; no raw transcendental reaches the output).
+    * Runs on the shared (zone, value) partials. */
+  def zonalDiversity(values: RasterLayer, zones: RasterLayer): DataFrame = {
+    val lnN = round(log(col("n_cells").cast("double")) * lit(1000000.0)).cast("long")
+    val shannonExact = (lnN * col("n_cells") - col("s")).cast("double") /
+      (col("n_cells").cast("double") * lit(1000000.0))
+    val lnV = round(log(col("variety").cast("double")) * lit(1000000.0)).cast("long")
     zoneValueCounts(values, zones)
       .groupBy("zone")
       .agg(sum("cnt").cast("long").as("n_cells"),
@@ -338,14 +345,11 @@ object ZonalOps {
         sum(round(col("cnt").cast("double") * log(col("cnt").cast("double")) * lit(1000000.0))
           .cast("long")).cast("long").as("s"))
       .select(col("zone"), col("n_cells"), col("variety"),
-        round(log(col("n_cells").cast("double")) -
-          col("s").cast("double") / (col("n_cells").cast("double") * lit(1000000.0)), 5)
-          .as("shannon"),
+        round(shannonExact, 5).as("shannon"),
         round(when(col("variety") > 1,
-          (log(col("n_cells").cast("double")) -
-            col("s").cast("double") / (col("n_cells").cast("double") * lit(1000000.0))) /
-            log(col("variety").cast("double")))
+          shannonExact / (lnV.cast("double") / lit(1000000.0)))
           .otherwise(lit(0.0)), 5).as("evenness"))
+  }
 
   /** Shared (zone, value) -> count partial: per-partition Scala
     * accumulation (the [[zonalStats]] shape) so per-cell rows never

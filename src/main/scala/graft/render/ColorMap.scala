@@ -66,10 +66,18 @@ object ColorMap {
     * other value to `fallback`. Compiles to a codegen'd CASE chain
     * (keys sorted for a deterministic plan); no UDF, no shuffle. */
   def fromBreakMap(v: Column, breakMap: Map[Double, Int],
-                   fallback: Int = 0x00000000): Column =
-    breakMap.toSeq.sortBy(_._1).foldLeft(lit(fallback)) { case (acc, (value, color)) =>
-      when(v === value, lit(color)).otherwise(acc)
-    }
+                   fallback: Int = 0x00000000): Column = {
+    // ONE flat CaseWhen (when().when()...otherwise()), not a foldLeft
+    // of nested otherwise(acc) CASEs: a 21-deep nested CASE re-states
+    // the scrutinee per level and can fall out of whole-stage codegen
+    // (the r12 q_color_nlcd 3x driver-bench regression); the flat
+    // chain is a single short-circuiting branch table.
+    val sorted = breakMap.toSeq.sortBy(_._1)
+    if (sorted.isEmpty) lit(fallback)
+    else sorted.tail.foldLeft(when(v === sorted.head._1, lit(sorted.head._2))) {
+      case (acc, (value, color)) => acc.when(v === value, lit(color))
+    }.otherwise(lit(fallback))
+  }
 
   /** Reference color.py:249 nlcd_colormap as a ready-made column. */
   def nlcdColor(v: Column): Column = fromBreakMap(v, NlcdColorMap)
@@ -107,9 +115,13 @@ object ColorMap {
       case s                      => throw new IllegalArgumentException(s)
     }
     val ordered = if (strategy.startsWith("Greater")) breaks.sorted.reverse else breaks.sorted
-    ordered.zipWithIndex.reverse.foldLeft(lit(-1)) { case (elseC, (b, i)) =>
-      when(cmp(v, b), lit(i)).otherwise(elseC)
-    }
+    if (ordered.isEmpty) return lit(-1)
+    // flat CaseWhen, first break checked first (same short-circuit
+    // order as the previous nested build, single CASE in the plan)
+    ordered.zipWithIndex.tail
+      .foldLeft(when(cmp(v, ordered.head), lit(0))) { case (acc, (b, i)) =>
+        acc.when(cmp(v, b), lit(i))
+      }.otherwise(lit(-1))
   }
 
   /** Break index -> ARGB color via a ramp. */
@@ -118,9 +130,11 @@ object ColorMap {
   /** Break index -> ARGB color from an explicit color list
     * (unclassified/-1 falls through to transparent 0). */
   def colorFor(idx: Column, colors: IndexedSeq[Int]): Column =
-    colors.zipWithIndex.reverse.foldLeft(lit(0)) { case (elseC, (argb, i)) =>
-      when(idx === i, lit(argb)).otherwise(elseC)
-    }
+    if (colors.isEmpty) lit(0)
+    else colors.zipWithIndex.tail
+      .foldLeft(when(idx === 0, lit(colors.head))) { case (acc, (argb, i)) =>
+        acc.when(idx === i, lit(argb))
+      }.otherwise(lit(0))
 
   /** Classify + colorize in one expression: value -> ARGB through
     * `breaks` with the ramp interpolated to breaks.length colors —

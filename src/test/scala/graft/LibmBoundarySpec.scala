@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.TextAnalysis
+
+/** Executable gate for the libm-boundary determinism contract (the
+  * graft-oracle-determinism rule, promoted from prose to a test): every
+  * oracle that closes with a quantized transcendental —
+  * `round(ln(x) * 1e6)` micro-nats, or a micro-quantized score term —
+  * only hash-matches DuckDB if the REAL value `ln(x)·1e6` sits far
+  * enough from its nearest round-half boundary that a 1-ulp libm
+  * disagreement (JVM StrictMath-backed Math.log vs DuckDB's libm)
+  * cannot flip the rounded integer. This spec computes the actual
+  * quantization arguments on the driver testdata (sf0.01, the
+  * correctness-gate scale) and asserts each family's minimum
+  * boundary distance is ≥ [[MinMicroDist]] micro-units — ≥ ~4·10⁵
+  * ulps of slack at the 1e6–1e7 magnitudes involved (ulp(1e6) ≈
+  * 2.3e-10). The r12 hash-fails (q_focal_entropy, q_pmi) were exactly
+  * this class with an UNquantized closing ln; the closings are now
+  * exact-integer quotients, and this gate keeps the remaining
+  * quantized terms honest if the testdata ever drifts.
+  *
+  * Families covered (arguments re-derived with the oracles' formulas):
+  *  - focal/char/zonal entropy micro-terms c·ln(c)·1e6 and closing
+  *    ln(n)·1e6 (Focal.scala Entropy, TextAnalysis.charEntropy,
+  *    ZonalOps.zonalDiversity)
+  *  - PMI ratios ln(p(ab)/(p(a)p(b)))·1e6 (TextAnalysis
+  *    .pmiCollocations, quantize = false exposes the raw column)
+  *  - unigram/bigram LM log-probs ln((c+1)/(total+V))·1e6
+  *    (TextAnalysis.unigramLmScore / bigramLmScore)
+  *  - BM25 idf terms ln((N−df+0.5)/(df+0.5)+1)·1e6 (TextAnalysis.bm25)
+  *
+  * Out of scope: the round(,5)/round(,4) DOUBLE family (slope /
+  * geodesic / reproject) — there both engines round bit-identical
+  * IEEE inputs, and the established convention (memory rules) already
+  * pins op order; no integer flip exists to gate. */
+class LibmBoundarySpec extends SparkSpec {
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.01"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Distance of a micro-unit argument from its nearest rounding
+    * boundary k + 0.5 (both engines round half away from zero, so
+    * measure on |x|). */
+  private def boundaryDist(x: Double): Double = {
+    val a = math.abs(x)
+    math.abs(a - math.floor(a) - 0.5)
+  }
+
+  /** Minimum acceptable distance, in micro-units. 1e-4 micro-units =
+    * 1e-10 nats — hundreds of thousands of ulps at these magnitudes,
+    * while a genuinely boundary-straddling value sits within ~1e-9
+    * micro-units. */
+  val MinMicroDist = 1e-4
+
+  private def assertFar(family: String, args: Seq[Double]): Unit = {
+    assert(args.nonEmpty, s"$family: no quantization arguments derived")
+    val worst = args.minBy(boundaryDist)
+    val d = boundaryDist(worst)
+    info(f"$family: ${args.size} args, min boundary distance $d%.6g micro-units (at $worst%.6f)")
+    assert(d >= MinMicroDist,
+      f"$family: argument $worst%.9f sits $d%.3g micro-units from a rounding boundary " +
+        "— a libm ulp can flip the quantized value; requantize per graft-oracle-determinism")
+  }
+
+  test("entropy micro-terms c*ln(c) and closing ln(n) (focal window sizes)") {
+    // Square(1) windows have n in {4, 6, 9}; class counts c ≤ 9. Cover
+    // 1..9 for both (superset of reachable values; ln(1) = 0 exact).
+    val cs = (2 to 9).map(c => c * math.log(c.toDouble) * 1e6)
+    val ns = (2 to 9).map(n => math.log(n.toDouble) * 1e6)
+    assertFar("focal-entropy c*ln(c)", cs)
+    assertFar("focal-entropy ln(n)", ns)
+  }
+
+  test("char-entropy terms and closings on the documents table") {
+    // same derivation as the oracle: per-(doc, char) counts
+    val g = docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]"), lit(0))).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val cs = g.select(col("c")).distinct().as[Long].collect()
+      .filter(_ > 1).map(c => c * math.log(c.toDouble) * 1e6).toSeq
+    val ns = g.groupBy("doc_id").agg(sum("c").as("n")).select("n").distinct()
+      .as[Long].collect().map(n => math.log(n.toDouble) * 1e6).toSeq
+    assertFar("char-entropy c*ln(c)", cs)
+    assertFar("char-entropy ln(n_chars)", ns)
+  }
+
+  test("zonal diversity closing ln(variety)") {
+    // variety ≤ 8 classes (v mod 8); n_cells closings share the
+    // char-entropy family shape and magnitudes
+    assertFar("zonal-diversity ln(variety)", (2 to 8).map(v => math.log(v.toDouble) * 1e6))
+  }
+
+  test("pmi ratio arguments on the documents table") {
+    val raw = TextAnalysis.pmiCollocations(docs, minCount = 5, quantize = false)
+      .select("pmi_raw").as[Double].collect().toSeq
+    assertFar("pmi ln(ratio)", raw)
+  }
+
+  test("unigram + bigram LM log-prob arguments on the documents table") {
+    val words = docs.select(
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val Row2 = vocab.agg(sum("cnt").cast("long"), count(lit(1))).first()
+    val (total, nv) = (Row2.getLong(0), Row2.getLong(1))
+    val uniArgs = vocab.select("cnt").as[Long].collect()
+      .map(c => math.log((c + 1.0) / (total + nv)) * 1e6).toSeq
+    assertFar("unigram-lm ln((c+1)/(N+V))", uniArgs)
+
+    val ws = docs.select(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+    val pairs = ws.where(size(col("w")) >= 1)
+      .select(explode(transform(sequence(lit(1), size(col("w"))), i =>
+        struct(when(i === 1, lit("<s>")).otherwise(element_at(col("w"), i - 1)).as("p"),
+          element_at(col("w"), i).as("t")))).as("pr"))
+      .select(col("pr.p").as("p"), col("pr.t").as("t"))
+    val pairCnt = pairs.groupBy("p", "t").agg(count(lit(1)).as("cnt"))
+    val ctxCnt = pairCnt.groupBy("p").agg(sum("cnt").as("cp"))
+    val nvB = pairCnt.agg(countDistinct("t")).as[Long].first()
+    val biArgs = pairCnt.join(ctxCnt, "p")
+      .select(col("cnt").cast("long"), col("cp").cast("long"))
+      .as[(Long, Long)].collect()
+      .map { case (c, cp) => math.log((c + 1.0) / (cp + nvB)) * 1e6 }.toSeq
+    assertFar("bigram-lm ln((c+1)/(cp+V))", biArgs)
+  }
+
+  test("bm25 idf arguments for the fixed query-term set") {
+    val ws = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+    val nd = ws.count().toDouble
+    val dfs = ws.select(col("doc_id"), explode(col("w")).as("term"))
+      .where(col("term").isin(SparkEntry.Bm25Terms: _*))
+      .groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .select("df").as[Long].collect()
+    val args = dfs.map(df => math.log((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6).toSeq
+    assertFar("bm25 ln-idf", args)
+  }
+}

@@ -1062,7 +1062,8 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     def q(c: Long) = math.round(c * math.log(c.toDouble) * 1e6)
-    def h(n: Long, s: Long) = BigDecimal(math.log(n.toDouble) - s / (n * 1e6))
+    def h(n: Long, s: Long) = BigDecimal(
+      (math.round(math.log(n.toDouble) * 1e6) * n - s).toDouble / (n * 1e6))
       .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out(1L) == (4L, 2L, h(4, 2 * q(2))))
     assert(out(2L) == (4L, 1L, 0.0))
@@ -1074,7 +1075,7 @@ class PipelineSpec extends SparkSpec {
     // "x y" always adjacent (PMI high); "a" and "b" co-occur at chance
     val rows = (0 until 8).map(i => (i.toLong, "x y a" + (" b a" * 3), "en", "s", 1L))
     val out = TextAnalysis.pmiCollocations(rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
-      minCount = 5).as[(String, String, Long, Double)].collect()
+      minCount = 5).as[(String, String, Long, Long)].collect()
       .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
     assert(out(("x", "y"))._1 == 8L)
     assert(out(("x", "y"))._2 > out(("b", "a"))._2) // collocation outranks chance

@@ -575,7 +575,8 @@ class RasterLayerSpec extends SparkSpec {
     def h(counts: Long*): Double = {
       val n = counts.sum
       val q = counts.map(c => math.round(c * math.log(c.toDouble) * 1e6)).sum
-      math.log(n.toDouble) - q.toDouble / (n * 1e6)
+      val lnN = math.round(math.log(n.toDouble) * 1e6)
+      (lnN * n - q).toDouble / (n * 1e6)
     }
     // 1x4 strip: windows are partial (2 or 3 cells)
     val l = layer((0, 0, 5.0), (1, 0, 5.0), (2, 0, 5.0), (3, 0, 9.0))
