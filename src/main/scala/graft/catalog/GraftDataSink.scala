@@ -62,12 +62,34 @@ private[catalog] object GraftDataSink {
     s"message graft_tiles {\n  optional int32 col;\n  optional int32 row;\n$instant$tile\n}"
   }
 
-  /** Resolve the layer metadata: existing sidecar wins; otherwise the
-    * writer options must describe the layout. */
-  def metaFor(opts: GraftTable.Opts, options: Map[String, String]): LayerMetadata = {
-    if (Catalog.metadataExists(opts.uri, opts.layer))
+  /** Resolve the layer metadata. Append: existing sidecar wins (the
+    * incoming tiles must share the established grid). Overwrite/
+    * truncate: explicit extent/layout/celltype/temporal options win
+    * over the old sidecar — an overwrite that silently packed with
+    * the OLD cellType and re-published the OLD layout was the r12
+    * advice bug; conflicting leftovers fail loudly instead. A fresh
+    * store always requires the options. */
+  def metaFor(opts: GraftTable.Opts, options: Map[String, String],
+              truncate: Boolean = false): LayerMetadata = {
+    val explicit = Seq("extent", "layout", "celltype", "temporal").filter(options.contains)
+    if (Catalog.metadataExists(opts.uri, opts.layer) && truncate && explicit.nonEmpty) {
+      // honor the writer's options wholesale; partial override of an
+      // existing grid is ambiguous (which half of the old sidecar
+      // still applies?) so demand the full layout description
+      if (!(options.contains("extent") && options.contains("layout")))
+        throw new IllegalArgumentException(
+          s"graft sink: overwrite with ${explicit.mkString("/")} set must also give " +
+            "'extent' and 'layout' (a partial grid override is ambiguous; drop the " +
+            "options to keep the existing layer grid)")
+      freshMeta(options)
+    }
+    else if (Catalog.metadataExists(opts.uri, opts.layer))
       Catalog.readMetadata(opts.uri, opts.layer, opts.zoom)
-    else {
+    else freshMeta(options)
+  }
+
+  private def freshMeta(options: Map[String, String]): LayerMetadata = {
+    {
       def nums(key: String): Array[Double] = options.getOrElse(key,
         throw new IllegalArgumentException(
           s"graft sink: new store needs option '$key'")).split(",").map(_.trim.toDouble)
@@ -107,7 +129,7 @@ private[catalog] final class GraftWrite(
   override def requiredOrdering(): Array[SortOrder] = GraftDataSink.ordering(schema)
 
   override def toBatch: BatchWrite = {
-    val meta = GraftDataSink.metaFor(opts, options)
+    val meta = GraftDataSink.metaFor(opts, options, truncate)
     new GraftBatchWrite(opts, schema, meta, truncate)
   }
 }

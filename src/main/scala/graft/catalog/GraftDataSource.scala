@@ -175,8 +175,18 @@ private[catalog] final class GraftTable(options: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    // READ path: a missing sidecar means a nonexistent store or a
+    // typoed layer name — fail loudly rather than scan an implicit
+    // empty frame. (schema()'s freshSchema fallback stays for the
+    // WRITE path only, where a fresh store legitimately has no
+    // sidecar yet and the writer options carry the shape.)
+    if (!Catalog.metadataExists(opts.uri, opts.layer))
+      throw new IllegalArgumentException(
+        s"graft source: no layer '${opts.layer}' at ${opts.uri} " +
+          "(no metadata sidecar found — check the path/layer options)")
     new GraftScanBuilder(opts, schema())
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -237,8 +247,38 @@ private[catalog] final class GraftScanBuilder(opts: GraftTable.Opts, full: Struc
       case m: Max       => keyName(m.column).map(GraftAgg("max", _))
       case _            => None
     }
-    if (resolved.exists(_.isEmpty)) false
-    else { agg = Some(resolved.flatten); true }
+    if (resolved.exists(_.isEmpty)) return false
+    val wanted = resolved.flatten
+    // decline min/max pushdown unless EVERY non-empty row group has
+    // footer statistics for the column (stats-disabled writers): a
+    // NULL partial would silently answer NULL where the row scan
+    // answers the true extremum
+    val statCols = wanted.collect { case GraftAgg(op, c) if op != "count" => c }.toSet
+    if (statCols.nonEmpty && !footerStatsCover(statCols)) return false
+    agg = Some(wanted); true
+  }
+
+  /** Planning-time footer walk: true iff every non-empty row group in
+    * the zoom directory carries min/max statistics for all of `cols`.
+    * Metadata-only (same footers the agg scan reads at execution). */
+  private def footerStatsCover(cols: Set[String]): Boolean = {
+    val conf = GraftTable.confFrom(GraftTable.confProps())
+    val dir = new Path(s"${opts.uri}/${opts.layer}/tiles/zoom=${opts.zoom}")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return true // empty store: count-only row is fine
+    fs.listStatus(dir).forall { st =>
+      !st.getPath.getName.endsWith(".parquet") || {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try reader.getFooter.getBlocks.asScala.forall { b =>
+          b.getRowCount == 0 || cols.forall { c =>
+            b.getColumns.asScala.exists { cc =>
+              cc.getPath.toDotString == c && cc.getStatistics != null &&
+                cc.getStatistics.hasNonNullValue
+            }
+          }
+        } finally reader.close()
+      }
+    }
   }
 
   override def build(): Scan = agg match {
@@ -293,8 +333,13 @@ private[catalog] final case class GraftAggReaderFactory(
 
       override def get(): InternalRow = row
 
-      /** null = no partial row (empty store: count merges to 0 and
-        * min/max to NULL with zero partials, which is exactly SQL). */
+      /** Always emits exactly one partial row: count = summed footer
+        * row counts (0 for an empty store — a NULL partial would make
+        * COUNT(*) merge to NULL, diverging from the unpushed plan's
+        * 0), min/max = footer stats or NULL when a footer carries no
+        * statistics for the column (stats-disabled writers) — the
+        * final aggregate ignores NULL partials, matching the row-scan
+        * plan instead of failing at execution. */
       private def compute(): InternalRow = {
         val conf = GraftTable.confFrom(confProps)
         val dir = new Path(s"${opts.uri}/${opts.layer}/tiles/zoom=${opts.zoom}")
@@ -323,14 +368,12 @@ private[catalog] final case class GraftAggReaderFactory(
             } finally reader.close()
           }
         }
-        if (count == 0) return null
         val vals: Array[Any] = aggs.map {
           case GraftAgg("count", _) => count: java.lang.Long
           case GraftAgg(op, c) =>
             val m = if (op == "min") mins.get(c) else maxs.get(c)
-            val v = m.getOrElse(throw new IllegalStateException(
-              s"no footer statistics for $c — cannot honor pushed $op"))
-            if (c == "instant") (v: java.lang.Long) else (v.toInt: java.lang.Integer)
+            m.map(v => if (c == "instant") (v: java.lang.Long)
+                       else (v.toInt: java.lang.Integer)).orNull
         }.toArray
         new GenericInternalRow(vals)
       }

@@ -103,13 +103,15 @@ object Rasterize {
     * @return (x, y, cov_q) — coverage in 1/16-cell² integer units */
   def fromRectsCoverage(rects: DataFrame, layout: LayoutDefinition,
                         maxCellsPerRect: Long = 1L << 20): DataFrame = {
-    val g = layout.tileLayout.totalCols
+    val gx = layout.tileLayout.totalCols
+    val gy = layout.tileLayout.totalRows // per-axis clamp (r12 advice:
+    // a totalCols clamp on y truncated/burned outside non-square grids)
     def q(c: Column) = round(c * 4).cast("long") // quarter-units, exact
     val clamped = rects.select(
         greatest(q(col("x0")), lit(0L)).as("sx0"),
-        least(q(col("x1")), lit(4L * g)).as("sx1"),
+        least(q(col("x1")), lit(4L * gx)).as("sx1"),
         greatest(q(col("y0")), lit(0L)).as("sy0"),
-        least(q(col("y1")), lit(4L * g)).as("sy1"))
+        least(q(col("y1")), lit(4L * gy)).as("sy1"))
       .where(col("sx1") > col("sx0") && col("sy1") > col("sy0"))
     // `div`, never `/`: Column division is IEEE double (the recurring
     // integer-quotient trap); coords are clamped nonneg so div == floor

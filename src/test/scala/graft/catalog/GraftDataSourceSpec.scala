@@ -199,4 +199,49 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(at20.select("col", "row", "instant").as[(Int, Int, Long)].collect().toSet ==
       Set((0, 0, 20L), (1, 1, 20L)))
   }
+
+  test("read of a nonexistent store / typoed layer fails loudly") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    Catalog.write(dir, "real", layer((0, 0, 1.0)))
+    val e = intercept[Exception](readGraft(dir, "typo").count())
+    assert(e.getMessage.contains("typo"), s"got: ${e.getMessage}")
+    val e2 = intercept[Exception](
+      readGraft("/tmp/definitely/not/a/graft/store", "x").count())
+    assert(e2.getMessage.contains("no layer"), s"got: ${e2.getMessage}")
+  }
+
+  test("pushed COUNT(*) on a sidecar-only (zero-file) store returns 0, not NULL") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    // sidecar without tiles: the shape after a truncating write of an
+    // empty frame, or a store mid-ingest
+    Catalog.writeMetadata(dir, "empty", graft.raster.LayerMetadata(layout))
+    val n = readGraft(dir, "empty").agg(count(lit(1))).as[Long].head()
+    assert(n == 0L)
+    // and min/max over zero rows merge to SQL NULL, not an error
+    val r = readGraft(dir, "empty").agg(min("col"), max("row")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("overwrite honors explicit celltype+grid options; partial override fails") {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    Catalog.write(dir, "ow", layer((0, 0, 1.0))) // float64 sidecar
+    assert(Catalog.readMetadata(dir, "ow").cellType == "float64")
+    // full grid + celltype on overwrite: new sidecar wins
+    layer((1, 1, 3.0)).convertCellType("uint8").df.write.format("graft")
+      .option("path", dir).option("layer", "ow").option("zoom", "0")
+      .option("extent", "0,0,8,8").option("layout", "2,2,4,4")
+      .option("celltype", "uint8")
+      .mode("overwrite").save()
+    assert(Catalog.readMetadata(dir, "ow").cellType == "uint8")
+    val back = RasterLayer.tilesToCells(readGraft(dir, "ow"), 4, 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(back == Set((1L, 1L, 3.0)))
+    // celltype WITHOUT extent/layout on overwrite: ambiguous -> loud
+    val e = intercept[Exception](
+      layer((2, 2, 4.0)).df.write.format("graft")
+        .option("path", dir).option("layer", "ow").option("zoom", "0")
+        .option("celltype", "int32")
+        .mode("overwrite").save())
+    assert(e.getMessage.contains("extent"), s"got: ${e.getMessage}")
+  }
 }

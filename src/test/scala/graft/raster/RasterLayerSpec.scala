@@ -747,6 +747,22 @@ class RasterLayerSpec extends SparkSpec {
     assert(e.getMessage.contains("maxCellsPerRect"))
   }
 
+  test("coverage rasterize clamps per axis on non-square layouts") {
+    // 4 cols x 8 rows: a rect spanning the full grid must reach rows
+    // 4..7 (the r12 advice bug clamped y to totalCols and lost them)
+    val tall = LayoutDefinition(Extent(0, 0, 4, 8), TileLayout(1, 2, 4, 4))
+    val rects = Seq((1L, 0.0, 0.0, 4.0, 8.0)).toDF("fid", "x0", "y0", "x1", "y1")
+    val out = graft.raster.Rasterize.fromRectsCoverage(rects, tall)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.size == 32 && out.values.forall(_ == 16L))
+    assert(out.keySet.map(_._2).max == 7L)
+    // and x still clamps at totalCols on the same layout
+    val wide = Seq((1L, 0.0, 0.0, 9.0, 1.0)).toDF("fid", "x0", "y0", "x1", "y1")
+    val o2 = graft.raster.Rasterize.fromRectsCoverage(wide, tall)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(o2.keySet.map(_._1).max == 3L)
+  }
+
   test("property: coverage rasterize conserves clamped rect area exactly") {
     import spark.implicits._
     for (seed <- 1 to 4) {
