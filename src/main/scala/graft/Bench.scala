@@ -28,7 +28,11 @@ object Bench {
     // stack, q_catalog_roundtrip the parquet write/footer-prune read
     // stack (r11 run-total spread of ~25% traced to run-1 first-JIT on
     // the unwarmed paths; medians converge tighter with all four).
-    Seq("q_rasterize", "q_dedup_minhash", "q_focal_mean", "q_catalog_roundtrip").foreach { w =>
+    // q_catalog_dsv2 warms the DataSource V2 scan/prune machinery and
+    // q_flow_accum the iterative-join hydrology loop — the two paths
+    // whose first-run JIT kept run 1 at ~2x the median in r12.
+    Seq("q_rasterize", "q_dedup_minhash", "q_focal_mean", "q_catalog_roundtrip",
+        "q_catalog_dsv2", "q_flow_accum").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

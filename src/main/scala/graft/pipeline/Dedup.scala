@@ -635,9 +635,16 @@ object Dedup {
     * histogrammed. Two bounded aggregates (|components| rows, then
     * |distinct sizes| rows), map-side combine both. */
   def duplicationProfile(docs: DataFrame): DataFrame =
-    connectedComponents(
+    duplicationProfileFrom(connectedComponents(
       minhashPairs(docs).select(col("d1"), col("d2")),
-      docs.select(col("doc_id")))
+      docs.select(col("doc_id"))))
+
+  /** [[duplicationProfile]] over an already-materialized component
+    * assignment — a real pipeline derives the pair graph + components
+    * ONCE and feeds every downstream report from them (the Bench
+    * suite does the same via SparkEntry's shared stage). */
+  def duplicationProfileFrom(components: DataFrame): DataFrame =
+    components
       .groupBy("component").agg(count(lit(1)).as("sz"))
       .groupBy("sz").agg(count(lit(1)).as("n_components"))
 
@@ -650,11 +657,14 @@ object Dedup {
     * argmax per component (map-side combine, no windows).
     *
     * @return (doc_id, component, keep) */
-  def keepBestQuality(docs: DataFrame, quality: DataFrame): DataFrame = {
-    val comp = connectedComponents(
+  def keepBestQuality(docs: DataFrame, quality: DataFrame): DataFrame =
+    keepBestQualityFrom(connectedComponents(
       minhashPairs(docs).select(col("d1"), col("d2")),
-      docs.select(col("doc_id")))
-    val scored = comp.join(quality.select(col("doc_id"), col("score")), "doc_id")
+      docs.select(col("doc_id"))), quality)
+
+  /** [[keepBestQuality]] over a precomputed component assignment. */
+  def keepBestQualityFrom(components: DataFrame, quality: DataFrame): DataFrame = {
+    val scored = components.join(quality.select(col("doc_id"), col("score")), "doc_id")
     val best = scored.groupBy("component")
       .agg(min(struct((-col("score")).as("ns"), col("doc_id").as("id"))).as("b"))
       .select(col("component"), col("b.id").as("keep_id"))
@@ -669,9 +679,13 @@ object Dedup {
     * Source pairs normalize by (least, greatest) so the matrix is
     * upper-triangular regardless of pair orientation. Bounded
     * aggregate (|sources|² rows). */
-  def duplicationBySource(docs: DataFrame): DataFrame = {
+  def duplicationBySource(docs: DataFrame): DataFrame =
+    duplicationBySourceFrom(minhashPairs(docs).select(col("d1"), col("d2")), docs)
+
+  /** [[duplicationBySource]] over a precomputed (d1, d2) pair graph. */
+  def duplicationBySourceFrom(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    minhashPairs(docs).select(col("d1"), col("d2"))
+    pairs.select(col("d1"), col("d2"))
       .join(src.select(col("doc_id").as("d1"), col("source").as("sa")), "d1")
       .join(src.select(col("doc_id").as("d2"), col("source").as("sb")), "d2")
       .select(least(col("sa"), col("sb")).as("src_a"),
