@@ -1155,6 +1155,31 @@ object SparkEntry {
         }.toDF("x", "y", "argb")
     }),
 
+    "q_tms_payload" -> ((s, dir) => {
+      // the TMS response bytes, oracle-checked: run TmsServer.payload
+      // — the EXACT function both /tiles and /cog hand fetched cells
+      // to — over every tile of two pyramid zooms, decode the PNGs
+      // back, compare pixels vs the CASE-chain oracle per zoom. Only
+      // the HTTP GET framing stays spec-only (RenderSpec).
+      import s.implicits._
+      val base = lineitemLayer(s, dir)
+      val levels = Seq(1 -> base, 0 -> Pyramid.levelUp(base, "Average"))
+      levels.map { case (z, layer) =>
+        val tl = layer.meta.layout.tileLayout
+        val (tc, tr) = (tl.tileCols, tl.tileRows)
+        layer.df.select(col("col"), col("row"), col("tile"))
+          .as[(Int, Int, Seq[Double])]
+          .flatMap { case (c, r, cells) =>
+            val bytes = render.TmsServer.payload(cells.toIndexedSeq, tc, tr,
+              Seq(100.0, 200.0, 400.0), "Viridis")
+            val img = pipeline.ImageCodec.decodePng(bytes)
+            for (j <- 0 until img.height; i <- 0 until img.width;
+                 argb = img.argb(i, j) if argb != 0)
+              yield (z, c.toLong * tc + i, r.toLong * tr + j, argb)
+          }.toDF("zoom", "x", "y", "argb")
+      }.reduce(_ union _)
+    }),
+
     "q_color_nlcd" -> ((s, dir) => {
       // exact-value break-map classification (from_break_map / the NLCD
       // palette): fold the grid values onto NLCD class codes, then map
@@ -3375,6 +3400,20 @@ object SparkEntry {
         val cs = render.ColorMap.rampColors("Viridis", 3)
         s"""SELECT x, y, CAST(CASE WHEN v <= 100 THEN ${cs(0)} WHEN v <= 200 THEN ${cs(1)}
            |ELSE ${cs(2)} END AS INT) AS argb FROM ($grid) WHERE v <= 400""".stripMargin
+      },
+
+      // both zooms of the served payload: base grid + Average level-up
+      // (quarter-integral avgs are exact in binary, so the break
+      // comparisons agree); transparent (out-of-breaks/NoData) pixels
+      // are absent on both sides
+      "q_tms_payload" -> {
+        val cs = render.ColorMap.rampColors("Viridis", 3)
+        def cc = s"CAST(CASE WHEN v <= 100 THEN ${cs(0)} WHEN v <= 200 THEN ${cs(1)} ELSE ${cs(2)} END AS INT)"
+        s"""SELECT 1 AS zoom, x, y, $cc AS argb FROM ($grid) WHERE v <= 400
+           |UNION ALL
+           |SELECT 0 AS zoom, x, y, $cc AS argb FROM (
+           |  SELECT x // 2 AS x, y // 2 AS y, avg(v) AS v FROM ($grid) GROUP BY 1, 2)
+           |WHERE v <= 400""".stripMargin
       },
 
       "q_color_nlcd" -> {

@@ -26,11 +26,44 @@ import graft.raster.GeoTiff
   * one tile's byte range, which is exactly the range-request pattern
   * that serves the same file from remote storage without Spark.
   */
+object TmsServer {
+  /** THE payload constructor — the single function both `/tiles`
+    * (catalog point read) and `/cog` (COG window read) hand their
+    * fetched cells to. Factored out so the byte-level response
+    * construction is oracle-checkable without HTTP: q_tms_payload
+    * runs this exact function over every pyramid tile, decodes the
+    * PNGs back, and compares pixels against the CASE-chain oracle
+    * parameterized by zoom (the q_render_png pattern). Only the HTTP
+    * GET framing itself remains spec-only. */
+  def payload(cells: IndexedSeq[Double], cols: Int, rows: Int,
+              breaks: Seq[Double], ramp: String,
+              renderFn: Option[(IndexedSeq[Double], Int, Int) => Array[Byte]] = None)
+      : Array[Byte] =
+    renderFn.map(f => f(cells, cols, rows))
+      .getOrElse(Render.renderImage(cells, cols, rows, breaks, ramp))
+}
+
 final class TmsServer(spark: SparkSession, uri: String,
                       breaks: Seq[Double], ramp: String, port: Int = 0,
                       cogs: Map[String, (String, Int)] = Map.empty,
                       renderFn: Option[(IndexedSeq[Double], Int, Int) => Array[Byte]] = None,
-                      renderContentType: String = "image/png") {
+                      renderContentType: String = "image/png",
+                      compositeLayers: Seq[String] = Nil,
+                      compositeFn: Option[(Seq[IndexedSeq[Double]], Int, Int) => Array[Byte]] = None) {
+  // `compositeLayers` + `compositeFn` are the multi-source hook
+  // (reference tms.py:57 TileCompositer / TMS.build with a list of
+  // sources): N catalog layers are fetched per GET and the compositing
+  // function (tiles, cols, rows) -> image bytes produces ONE response
+  // image, served on the reference's own single-source URL shape
+  // `GET /tile/{z}/{x}/{y}.png` (tms.py url_pattern). A layer with no
+  // tile at the key contributes an all-NoData (NaN) array, matching
+  // the reference's composite-over-sparse-pyramids behavior; only a
+  // key missing from EVERY layer 404s. Fetches stay job-free
+  // (Catalog.readTile point reads), so compositing N layers costs N
+  // footer-pruned parquet point reads + one driver-side render.
+  require(compositeLayers.isEmpty || compositeFn.isDefined,
+    "compositeLayers needs compositeFn (a ColorMap-style default is only " +
+      "defined for single-source serving — reference TMS.build contract)")
   // `renderFn` is the user render hook (reference tms.py:14
   // TileRender: "render(tile) -> image bytes"): given the tile's
   // row-major cells (NaN = NoData) and its pixel dims, produce the
@@ -89,15 +122,34 @@ final class TmsServer(spark: SparkSession, uri: String,
             Catalog.readTile(spark, uri, name, z.toInt, c.toInt, r.toInt) match {
               case None => send(ex, 404, "no tile".getBytes, "text/plain")
               case Some(cells) =>
-                renderFn match {
-                  case Some(f) =>
-                    send(ex, 200, f(cells.toIndexedSeq, tl.tileCols, tl.tileRows),
-                      renderContentType)
-                  case None =>
-                    send(ex, 200,
-                      Render.renderImage(cells.toIndexedSeq, tl.tileCols, tl.tileRows, breaks, ramp),
-                      "image/png")
-                }
+                send(ex, 200,
+                  TmsServer.payload(cells.toIndexedSeq, tl.tileCols, tl.tileRows,
+                    breaks, ramp, renderFn),
+                  if (renderFn.isDefined) renderContentType else "image/png")
+            }
+          } catch {
+            case e: Exception => send(ex, 500, e.toString.getBytes, "text/plain")
+          }
+        case _ => send(ex, 404, "bad path".getBytes, "text/plain")
+      }
+  })
+  if (compositeLayers.nonEmpty) server.createContext("/tile", new HttpHandler {
+    private val Path = raw"/tile/(\d+)/(\d+)/(\d+)\.png".r
+    override def handle(ex: HttpExchange): Unit =
+      ex.getRequestURI.getPath match {
+        case Path(z, c, r) =>
+          try {
+            val tl = meta(compositeLayers.head, z.toInt).layout.tileLayout
+            val n = tl.tileCols * tl.tileRows
+            val fetched = compositeLayers.map(name =>
+              Catalog.readTile(spark, uri, name, z.toInt, c.toInt, r.toInt))
+            if (fetched.forall(_.isEmpty))
+              send(ex, 404, "no tile in any layer".getBytes, "text/plain")
+            else {
+              val tiles = fetched.map(_.map(_.toIndexedSeq)
+                .getOrElse(IndexedSeq.fill(n)(Double.NaN)))
+              send(ex, 200, compositeFn.get(tiles, tl.tileCols, tl.tileRows),
+                renderContentType)
             }
           } catch {
             case e: Exception => send(ex, 500, e.toString.getBytes, "text/plain")
@@ -122,9 +174,8 @@ final class TmsServer(spark: SparkSession, uri: String,
                 send(ex, 404, "tile outside image".getBytes, "text/plain")
               else {
                 val cells = GeoTiff.readCogWindow(rr, wx, wy, tw, th, overview)
-                val png = renderFn.map(f => f(cells, tw, th))
-                  .getOrElse(Render.renderImage(cells, tw, th, breaks, ramp))
-                send(ex, 200, png, "image/png")
+                send(ex, 200,
+                  TmsServer.payload(cells, tw, th, breaks, ramp, renderFn), "image/png")
               }
             }
           } catch {

@@ -162,6 +162,60 @@ class RenderSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("tms composite endpoint blends N catalog layers pixel-exactly") {
+    // reference tms.py TileCompositer / TMS.build(list-of-sources):
+    // two layers, compositing fn = per-pixel SUM (NaN = 0 contribution)
+    // grayscaled — every served pixel re-derived here from the cells
+    val dir = java.nio.file.Files.createTempDirectory("graft_tms_comp").toString
+    val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+    graft.catalog.Catalog.write(dir, "a", RasterLayer.fromCells(
+      Seq((0L, 0L, 10.0), (1L, 0L, 20.0), (5L, 5L, 7.0)).toDF("x", "y", "v"), layout))
+    graft.catalog.Catalog.write(dir, "b", RasterLayer.fromCells(
+      Seq((0L, 0L, 5.0), (2L, 0L, 40.0)).toDF("x", "y", "v"), layout))
+    val comp = (tiles: Seq[IndexedSeq[Double]], w: Int, h: Int) => {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      for (i <- 0 until w * h) {
+        val s = tiles.map(t => if (t(i).isNaN) 0.0 else t(i)).sum
+        val g = math.min(255, s.toInt)
+        img.setRGB(i % w, i / w, 0xFF000000 | (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val srv = new TmsServer(spark, dir, Seq(100.0), "BlueToRed",
+      compositeLayers = Seq("a", "b"), compositeFn = Some(comp))
+    try {
+      def get(path: String): (Int, Array[Byte]) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.boundPort}$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code == 200) conn.getInputStream else conn.getErrorStream
+        (code, is.readAllBytes())
+      }
+      // tile (0,0): both layers present -> summed pixels
+      val (c0, b0) = get("/tile/0/0/0.png")
+      assert(c0 == 200)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b0))
+      assert(img.getWidth == 4 && img.getHeight == 4)
+      assert((img.getRGB(0, 0) & 0xFF) == 15) // 10 + 5
+      assert((img.getRGB(1, 0) & 0xFF) == 20) // a only
+      assert((img.getRGB(2, 0) & 0xFF) == 40) // b only
+      assert((img.getRGB(3, 3) & 0xFF) == 0)  // NoData in both
+      // tile (1,1): only layer a has it -> b contributes all-NaN
+      val (c1, b1) = get("/tile/0/1/1.png")
+      assert(c1 == 200)
+      val img1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b1))
+      assert((img1.getRGB(1, 1) & 0xFF) == 7) // cell (5,5) local (1,1)
+      // key in NO layer -> 404; single-source /tiles path still works
+      assert(get("/tile/0/7/7.png")._1 == 404)
+      assert(get("/tiles/a/0/0/0.png")._1 == 200)
+      // compositeLayers without a fn is a loud construction error
+      intercept[IllegalArgumentException](new TmsServer(spark, dir,
+        Seq(100.0), "BlueToRed", compositeLayers = Seq("a", "b")))
+    } finally srv.stop()
+  }
+
   test("tms /cog endpoint serves every overview level from one COG file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tms_cog").toString
     val layout = LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(4, 4, 16, 16))
