@@ -1043,6 +1043,23 @@ object SparkEntry {
       GeoTiff.fromGeoTiff(scenes).tileToLayout(l.meta.layout, CellOp.Max).toCells
     }),
 
+    "q_geotiff_temporal" -> ((s, dir) => {
+      // temporal scene ingest via TIFF DateTime (reference geotiff.py
+      // :25 time_tag, SPACETIME layer_type): stamp every encoded tile
+      // with a tag-306 instant derived from its key, parse the tag
+      // back distributed (GeoTiff.sceneInstant), tile temporally —
+      // both the instant derivation AND the cut are oracle-restated
+      val l = lineitemLayer(s, dir)
+      val lr = l.meta.layout.tileLayout.layoutRows
+      val dtOf = (c: Int, r: Int) => java.time.LocalDateTime
+        .ofEpochSecond(86400L * (20000 + c.toLong * lr + r), 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy:MM:dd HH:mm:ss"))
+      val scenes = GeoTiff.toGeoTiff(l, deflate = true, dateTimeOf = Some(dtOf)).toDF()
+        .select((col("col").cast("long") * lr + col("row")).as("scene_id"), col("tiff"))
+      GeoTiff.fromGeoTiffTemporal(scenes)
+        .tileToLayoutTemporal(l.meta.layout, CellOp.Max).toCells
+    }),
+
     "q_catalog_query" -> ((s, dir) => {
       val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
       Catalog.write(uri, "lineitem_q", lineitemLayer(s, dir), zoom = 4)
@@ -3340,6 +3357,17 @@ object SparkEntry {
 
       // float32 encode/decode of integral values is exact -> identity
       "q_geotiff_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
+
+      // tag-306 instants restated: scene_id = tilecol*layoutRows +
+      // tilerow, instant = 86400 * (20000 + scene_id) epoch seconds —
+      // the SAME arithmetic the engine formats into the DateTime
+      // string and parses back out of the TIFF bytes
+      "q_geotiff_temporal" -> {
+        val t = layout.tileLayout
+        s"""SELECT x, y,
+           |  CAST(86400 * (20000 + (x // ${t.tileCols}) * ${t.layoutRows} + y // ${t.tileRows}) AS BIGINT) AS instant,
+           |  v FROM ($grid)""".stripMargin
+      },
 
       "q_catalog_query" ->
         s"SELECT x, y, v FROM ($grid) WHERE x >= 64 AND x < 192 AND y < 128",

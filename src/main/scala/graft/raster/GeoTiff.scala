@@ -32,6 +32,7 @@ object GeoTiff {
   private val TagRowsPerStrip     = 278
   private val TagStripByteCounts  = 279
   private val TagPlanarConfig     = 284
+  private val TagDateTime         = 306 // ASCII "yyyy:MM:dd HH:mm:ss" (TIFF 6.0)
   private val TagTileWidth        = 322
   private val TagTileLength       = 323
   private val TagTileOffsets      = 324
@@ -49,8 +50,9 @@ object GeoTiff {
   def encodeTile(cells: Array[Double], cols: Int, rows: Int,
                  originX: Double, originY: Double,
                  cellW: Double, cellH: Double,
-                 deflate: Boolean = false): Array[Byte] =
-    encodeTileMB(Seq(cells), cols, rows, originX, originY, cellW, cellH, deflate)
+                 deflate: Boolean = false,
+                 dateTime: Option[String] = None): Array[Byte] =
+    encodeTileMB(Seq(cells), cols, rows, originX, originY, cellW, cellH, deflate, dateTime)
 
   /** Multiband float32 GeoTIFF (chunky/pixel-interleaved, TIFF
     * PlanarConfiguration=1) — the encode half of the reference's
@@ -61,7 +63,12 @@ object GeoTiff {
   def encodeTileMB(bands: Seq[Array[Double]], cols: Int, rows: Int,
                    originX: Double, originY: Double,
                    cellW: Double, cellH: Double,
-                   deflate: Boolean = false): Array[Byte] = {
+                   deflate: Boolean = false,
+                   dateTime: Option[String] = None): Array[Byte] = {
+    // `dateTime` writes TIFF tag 306 (DateTime, ASCII, NUL-terminated;
+    // conventional format "yyyy:MM:dd HH:mm:ss") — the acquisition
+    // instant temporal scene ingestion (reference geotiff.py:25
+    // time_tag) parses back via [[sceneInstant]]
     val nb = bands.length
     require(nb >= 1 && bands.forall(_.length == cols * rows), "band shape mismatch")
     // pixel-interleaved strip (possibly deflated)
@@ -84,12 +91,17 @@ object GeoTiff {
         out.toByteArray
       }
 
-    val nTags = 14
+    // DateTime bytes (tag 306, ASCII, NUL-terminated) live external
+    // after the geokeys; ASCII values <= 4 bytes could pack inline but
+    // the conventional 20-byte stamp never fits
+    val dtBytes = dateTime.map(s => (s + "\u0000").getBytes("US-ASCII"))
+    val nTags = 14 + (if (dtBytes.isDefined) 1 else 0)
     val headerSize = 8
     val ifdSize = 2 + nTags * 12 + 4
     val ifdOffset = headerSize
     // external data after IFD: per-band shorts (when nb > 2), pixel
-    // scale (3 doubles), tiepoint (6 doubles), geokeys, then the strip
+    // scale (3 doubles), tiepoint (6 doubles), geokeys, datetime,
+    // then the strip
     val extShorts = if (nb > 2) nb * 2 else 0 // BitsPerSample + SampleFormat arrays
     val bitsOff  = ifdOffset + ifdSize
     val fmtOff   = bitsOff + (if (nb > 2) nb * 2 else 0)
@@ -101,7 +113,8 @@ object GeoTiff {
       1024, 0, 1, 1,     // GTModelTypeGeoKey = projected(1)... minimal
       1025, 0, 1, 1,     // GTRasterTypeGeoKey = PixelIsArea
       3072, 0, 1, 3857)  // ProjectedCSTypeGeoKey = web mercator
-    val stripOff = geoOff + geoShorts.length * 2
+    val dtOff    = geoOff + geoShorts.length * 2
+    val stripOff = dtOff + dtBytes.map(_.length).getOrElse(0)
     val total = stripOff + strip.length
 
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
@@ -126,6 +139,7 @@ object GeoTiff {
     tag(TagRowsPerStrip, 3, 1, rows)
     tag(TagStripByteCounts, 4, 1, strip.length)
     tag(TagPlanarConfig, 3, 1, 1)     // chunky (pixel-interleaved)
+    dtBytes.foreach(b => tag(TagDateTime, 2, b.length, dtOff)) // sorted: 284 < 306 < 339
     tag(TagSampleFormat, 3, nb, fmtValue)
     tag(TagModelPixelScale, 12, 3, scaleOff)
     tag(TagModelTiepoint, 12, 6, tieOff)
@@ -141,6 +155,7 @@ object GeoTiff {
     buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
       .putDouble(originX).putDouble(originY).putDouble(0.0)
     geoShorts.foreach(s => buf.putShort(s.toShort))
+    dtBytes.foreach(buf.put)
     buf.put(strip)
     buf.array()
   }
@@ -626,6 +641,64 @@ object GeoTiff {
         (id, ox, oy - rows * ch, ox + cols * cw, oy, cols, rows, bands.head.toSeq)
       }
       .toDF("scene_id", "xmin", "ymin", "xmax", "ymax", "cols", "rows", "cells")
+    UntiledRaster(scenes)
+  }
+
+  /** Parse the acquisition instant from TIFF tag 306 (DateTime, the
+    * reference's DEFAULT_GEOTIFF_TIME_TAG "TIFFTAG_DATETIME" —
+    * geotiff.py:25 time_tag / constants.py:29) as UTC epoch SECONDS.
+    * Works on LE/BE classic TIFF and BigTIFF; None when the file
+    * carries no tag 306. `timeFormat` is the reference's
+    * DEFAULT_GEOTIFF_TIME_FORMAT pattern. */
+  def sceneInstant(bytes: Array[Byte],
+                   timeFormat: String = "yyyy:MM:dd HH:mm:ss"): Option[Long] = {
+    val le = bytes(0) == 'I' && bytes(1) == 'I'
+    val be = bytes(0) == 'M' && bytes(1) == 'M'
+    require(le || be, "not a TIFF (bad byte-order mark)")
+    val buf = ByteBuffer.wrap(bytes).order(
+      if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val big = buf.getShort(2) == 43
+    val ifd = if (big) buf.getLong(8).toInt else buf.getInt(4)
+    val nt = if (big) buf.getLong(ifd).toInt else buf.getShort(ifd) & 0xffff
+    val entrySize = if (big) 20 else 12
+    (0 until nt).iterator
+      .map(i => ifd + (if (big) 8 else 2) + i * entrySize)
+      .find(p => (buf.getShort(p) & 0xffff) == TagDateTime)
+      .map { p =>
+        val count = if (big) buf.getLong(p + 4).toInt else buf.getInt(p + 4)
+        val vpos = p + (if (big) 12 else 8)
+        val off =
+          if (count <= (if (big) 8 else 4)) vpos
+          else if (big) buf.getLong(vpos).toInt else buf.getInt(vpos)
+        val raw = new Array[Byte](count)
+        var i = 0
+        while (i < count) { raw(i) = buf.get(off + i); i += 1 }
+        val s = new String(raw, "US-ASCII").takeWhile(_ != 0.toChar).trim
+        java.time.LocalDateTime
+          .parse(s, java.time.format.DateTimeFormatter.ofPattern(timeFormat))
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+      }
+  }
+
+  /** Temporal GeoTIFF scene ingestion — reference geotiff.py get with
+    * layer_type=SPACETIME: decode each scene AND its tag-306 instant
+    * distributed; the result feeds
+    * [[UntiledRaster.tileToLayoutTemporal]] into a temporal layer /
+    * catalog. Scenes without the tag fail loudly (a silent spatial
+    * fallback would corrupt the temporal key space). */
+  def fromGeoTiffTemporal(tiffs: org.apache.spark.sql.DataFrame,
+                          timeFormat: String = "yyyy:MM:dd HH:mm:ss"): UntiledRaster = {
+    val spark = tiffs.sparkSession
+    import spark.implicits._
+    val scenes = tiffs.select(col("scene_id"), col("tiff")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (ox, oy, cw, ch, cols, rows, bands) = decodeScene(bytes)
+        val inst = sceneInstant(bytes, timeFormat).getOrElse(
+          throw new IllegalArgumentException(
+            s"scene $id carries no DateTime (306) tag — temporal ingest needs one"))
+        (id, ox, oy - rows * ch, ox + cols * cw, oy, cols, rows, bands.head.toSeq, inst)
+      }
+      .toDF("scene_id", "xmin", "ymin", "xmax", "ymax", "cols", "rows", "cells", "instant")
     UntiledRaster(scenes)
   }
 
@@ -1204,8 +1277,13 @@ object GeoTiff {
   }
 
   /** Per-tile GeoTIFF bytes for a layer — reference to_geotiff_rdd
-    * (compression per constants.py:282). */
-  def toGeoTiff(layer: RasterLayer, deflate: Boolean = false): Dataset[GeoTiffTile] = {
+    * (compression per constants.py:282). `dateTimeOf` optionally
+    * stamps each tile's TIFF with a tag-306 DateTime string derived
+    * from its (col, row) — the write half of the temporal-scene
+    * contract ([[sceneInstant]] / [[fromGeoTiffTemporal]] read it
+    * back). */
+  def toGeoTiff(layer: RasterLayer, deflate: Boolean = false,
+                dateTimeOf: Option[(Int, Int) => String] = None): Dataset[GeoTiffTile] = {
     val meta = layer.meta
     require(!meta.temporal,
       "toGeoTiff/writeFolder on a temporal layer collides per-tile outputs " +
@@ -1222,7 +1300,8 @@ object GeoTiff {
         it.map { case (c, r, tile) =>
           val originX = e.xmin + c.toLong * tc * cw
           val originY = e.ymax - r.toLong * tr * ch
-          GeoTiffTile(c, r, encodeTile(tile.toArray, tc, tr, originX, originY, cw, ch, deflate))
+          GeoTiffTile(c, r, encodeTile(tile.toArray, tc, tr, originX, originY, cw, ch,
+            deflate, dateTimeOf.map(f => f(c, r))))
         }
       }
   }

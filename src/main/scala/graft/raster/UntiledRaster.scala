@@ -30,17 +30,22 @@ final class UntiledRaster(val df: DataFrame) {
       r.getDouble(4), r.getDouble(5))
   }
 
-  /** World-anchored cells of every scene: (wx, wy, v) cell centers. */
-  def toWorldCells: DataFrame =
-    df.select(col("xmin"), col("ymax"), col("cols"), col("rows"),
+  /** World-anchored cells of every scene: (wx, wy[, instant], v) cell
+    * centers. Scenes carrying an `instant` column (temporal ingest —
+    * [[GeoTiff.fromGeoTiffTemporal]]) keep it per cell. */
+  def toWorldCells: DataFrame = {
+    val temporal = df.columns.contains("instant")
+    val keep = if (temporal) Seq(col("instant")) else Nil
+    df.select(Seq(col("xmin"), col("ymax"), col("cols"), col("rows"),
         ((col("xmax") - col("xmin")) / col("cols")).as("cw"),
         ((col("ymax") - col("ymin")) / col("rows")).as("ch"),
-        posexplode(col("cells")).as(Seq("off", "v")))
+        posexplode(col("cells")).as(Seq("off", "v"))) ++ keep: _*)
       .where(!isnan(col("v")))
-      .select(
+      .select(Seq(
         (col("xmin") + (col("off") % col("cols") + 0.5) * col("cw")).as("wx"),
-        (col("ymax") - (floor(col("off") / col("cols")) + 0.5) * col("ch")).as("wy"),
-        col("v"))
+        (col("ymax") - (floor(col("off") / col("cols")) + 0.5) * col("ch")).as("wy")) ++
+        keep :+ col("v"): _*)
+  }
 
   /** Cut scenes into a target layout (tile_to_layout): scene cells ->
     * grid coords -> TileBuildAgg, one shuffle. */
@@ -53,6 +58,23 @@ final class UntiledRaster(val df: DataFrame) {
       .where(col("x") >= 0 && col("x") < layout.tileLayout.totalCols &&
              col("y") >= 0 && col("y") < layout.tileLayout.totalRows)
     RasterLayer.fromCells(cells, layout, op)
+  }
+
+  /** Temporal tile_to_layout (reference layer_type=SPACETIME): scenes
+    * carry an `instant` column (tag-306 acquisition time); cells key
+    * by (col, row, instant) so each acquisition stays its own frame.
+    * Same one-shuffle TileBuildAgg path as the spatial cut. */
+  def tileToLayoutTemporal(layout: LayoutDefinition, op: CellOp = CellOp.Max): RasterLayer = {
+    require(df.columns.contains("instant"),
+      "tileToLayoutTemporal needs an instant column (GeoTiff.fromGeoTiffTemporal)")
+    val e = layout.extent
+    val cells = toWorldCells.select(
+      floor((col("wx") - lit(e.xmin)) / layout.cellWidth).cast("long").as("x"),
+      floor((lit(e.ymax) - col("wy")) / layout.cellHeight).cast("long").as("y"),
+      col("instant"), col("v"))
+      .where(col("x") >= 0 && col("x") < layout.tileLayout.totalCols &&
+             col("y") >= 0 && col("y") < layout.tileLayout.totalRows)
+    RasterLayer.fromCellsTemporal(cells, layout, op)
   }
 }
 

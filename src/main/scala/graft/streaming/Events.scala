@@ -353,13 +353,20 @@ object Events {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.catalog.Catalog
     import graft.raster.{LayerMetadata, UntiledRaster}
+    // scenes carrying an `instant` column (GeoTiff.fromGeoTiffTemporal
+    // tag-306 parse) ingest as a TEMPORAL layer — each acquisition
+    // stays its own (col, row, instant) frame in the store
+    val temporal = scenes.columns.contains("instant")
     if (!Catalog.metadataExists(uri, name))
-      Catalog.writeMetadata(uri, name, LayerMetadata(layout), zoom)
+      Catalog.writeMetadata(uri, name, LayerMetadata(layout, temporal = temporal), zoom)
     val appended = new java.util.concurrent.atomic.AtomicLong(0L)
     scenes.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          Catalog.update(uri, name, UntiledRaster(batch).tileToLayout(layout), zoom)
+          val tiled =
+            if (temporal) UntiledRaster(batch).tileToLayoutTemporal(layout)
+            else UntiledRaster(batch).tileToLayout(layout)
+          Catalog.update(uri, name, tiled, zoom)
           if (compactEvery > 0 && appended.incrementAndGet() % compactEvery == 0)
             Catalog.compact(batch.sparkSession, uri, name, zoom)
         }

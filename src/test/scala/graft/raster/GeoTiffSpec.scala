@@ -11,6 +11,47 @@ class GeoTiffSpec extends SparkSpec {
 
   val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
 
+  test("DateTime tag 306 roundtrips: encode stamps, sceneInstant parses epoch seconds") {
+    val cells = Array(1.0, 2.0, 3.0, 4.0)
+    // 2001-02-03 04:05:06 UTC = 981173106 epoch seconds
+    val stamped = GeoTiff.encodeTile(cells, 2, 2, 0, 2, 1, 1,
+      dateTime = Some("2001:02:03 04:05:06"))
+    assert(GeoTiff.sceneInstant(stamped) == Some(981173106L))
+    // the stamped file still decodes identically (tag insertion kept
+    // the IFD sorted and the strip offsets consistent)
+    val (_, _, _, _, c, r, vs) = GeoTiff.decodeTile(stamped)
+    assert(c == 2 && r == 2 && vs.toSeq == cells.toSeq)
+    assert(GeoTiff.decodeScene(stamped)._7.head.toSeq == cells.toSeq)
+    // no tag -> None; temporal ingest on tagless scenes fails loudly
+    val plain = GeoTiff.encodeTile(cells, 2, 2, 0, 2, 1, 1)
+    assert(GeoTiff.sceneInstant(plain).isEmpty)
+    val e = intercept[org.apache.spark.SparkException](
+      GeoTiff.fromGeoTiffTemporal(
+        Seq((1L, plain)).toDF("scene_id", "tiff")).df.collect())
+    assert(e.getMessage.contains("DateTime") || e.getCause != null)
+    // custom format parses too (reference time_format option)
+    val iso = GeoTiff.encodeTile(cells, 2, 2, 0, 2, 1, 1,
+      dateTime = Some("2001-02-03T04:05:06"))
+    assert(GeoTiff.sceneInstant(iso, "yyyy-MM-dd'T'HH:mm:ss") == Some(981173106L))
+  }
+
+  test("temporal scene ingest: two acquisitions tile into distinct instants") {
+    val t1 = GeoTiff.encodeTile(Array(1.0, 2.0, 3.0, 4.0), 2, 2, 0, 8, 1, 1,
+      dateTime = Some("2020:01:01 00:00:00"))
+    val t2 = GeoTiff.encodeTile(Array(9.0, 8.0, 7.0, 6.0), 2, 2, 0, 8, 1, 1,
+      dateTime = Some("2020:01:02 00:00:00"))
+    val layer = GeoTiff.fromGeoTiffTemporal(
+        Seq((1L, t1), (2L, t2)).toDF("scene_id", "tiff"))
+      .tileToLayoutTemporal(layout)
+    assert(layer.meta.temporal)
+    val out = layer.toCells.as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val (i1, i2) = (1577836800L, 1577923200L)
+    assert(out((0L, 0L, i1)) == 1.0 && out((1L, 1L, i1)) == 4.0)
+    assert(out((0L, 0L, i2)) == 9.0 && out((1L, 1L, i2)) == 6.0)
+    assert(out.size == 8) // same cells, two instants — nothing merged
+  }
+
   test("encoded tiles parse as little-endian TIFF with the right shape and pixels") {
     val layer = RasterLayer.fromCells(
       Seq((0L, 0L, 1.5), (1L, 0L, 2.5), (3L, 3L, 9.0)).toDF("x", "y", "v"), layout)

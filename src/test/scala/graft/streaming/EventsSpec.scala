@@ -185,6 +185,31 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming TEMPORAL scene ingestion keys the store by instant") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.{Extent, LayoutDefinition, TileLayout}
+    val layout = LayoutDefinition(Extent(0, 0, 8, 8), TileLayout(2, 2, 4, 4))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_t").toString
+    val mem = MemoryStream[(Long, Double, Double, Double, Double, Int, Int, Seq[Double], Long)]
+    val q = Events.ingestScenes(
+      mem.toDF().toDF("scene_id", "xmin", "ymin", "xmax", "ymax",
+        "cols", "rows", "cells", "instant"),
+      dir, "live_t", layout)
+    try {
+      // same footprint, two acquisition instants across two batches
+      mem.addData(Seq((1L, 0.0, 6.0, 2.0, 8.0, 2, 2, Seq(1.0, 2.0, 3.0, 4.0), 100L)))
+      q.processAllAvailable()
+      mem.addData(Seq((2L, 0.0, 6.0, 2.0, 8.0, 2, 2, Seq(9.0, 8.0, 7.0, 6.0), 200L)))
+      q.processAllAvailable()
+      val layer = graft.catalog.Catalog.read(spark, dir, "live_t")
+      assert(layer.meta.temporal)
+      val out = layer.toCells.as[(Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+      assert(out((0L, 0L, 100L)) == 1.0 && out((0L, 0L, 200L)) == 9.0)
+      assert(out.size == 8) // both instants kept distinct
+    } finally q.stop()
+  }
+
   test("streaming ingestion with periodic compaction keeps the store compact and correct") {
     implicit val sqlCtx = spark.sqlContext
     import graft.core.{Extent, LayoutDefinition, TileLayout}
