@@ -2,7 +2,6 @@ package graft.raster
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Contour extraction by marching squares (the standard iso-line
   * algorithm; geotrellis exposes the vector form via its vectorizer —
@@ -16,13 +15,18 @@ import org.apache.spark.sql.expressions.Window
   * Blocks touching a NoData cell or the grid edge emit nothing —
   * marching squares needs all four corners.
   *
-  * Scale shape: one lead() window keyed by grid row pairs each cell
-  * with its right neighbor (gap check drops NoData holes), then ONE
-  * equi-join on (x, y+1) stacks a row-pair onto the pair below it —
-  * per-cell rows cross exactly two keyed exchanges, no self-join
-  * explosion, no unpartitioned window. Levels are a bounded literal
-  * array exploded per block; the output is |levels| rows of exact
-  * integer counts.
+  * Scale shape (r13, the §4 "no per-cell rows in the physical path"
+  * discipline): a radius-1 [[Focal.gatherPartials]] halo — each tile
+  * scans the 2×2 blocks ANCHORED at its own cells (blocks crossing the
+  * tile seam read the halo strip; the anchor's owning tile counts each
+  * block exactly once; NaN padding past the grid edge drops edge
+  * blocks) and emits one (level, n_segments, n_blocks) partial row per
+  * level. Per-cell rows never cross an exchange — only border strips
+  * and |levels| partials per tile do. The previous shape (a lead()
+  * window keyed by grid row + a row-pair self-join) pushed every cell
+  * through two keyed exchanges and made each grid line a single-task
+  * window scan at 10^6-cell widths. Levels are a bounded (≤1024)
+  * driver-side array; output is |levels| rows of exact integer counts.
   */
 object Contour {
 
@@ -30,30 +34,43 @@ object Contour {
     * where n_blocks counts blocks the level crosses (case not 0/15). */
   def segmentCounts(layer: RasterLayer, levels: Seq[Double]): DataFrame = {
     require(levels.nonEmpty && levels.size <= 1024, "1..1024 levels")
-    val wx = Window.partitionBy("y").orderBy("x")
-    val pairs = layer.toCells
-      .withColumn("vr", lead("v", 1).over(wx))
-      .withColumn("xr", lead("x", 1).over(wx))
-      .where(col("xr") === col("x") + 1)
-      .select(col("x"), col("y"), col("v"), col("vr"))
-      .localCheckpoint() // both sides of the self-join read it once
-    val blocks = pairs.as("t").join(pairs.as("b"),
-        col("t.x") === col("b.x") && col("t.y") + 1 === col("b.y"))
-      .select(col("t.v").as("v00"), col("t.vr").as("v10"),
-        col("b.v").as("v01"), col("b.vr").as("v11"))
-    def bit(v: String, w: Int) =
-      when(col(v) >= col("level"), w).otherwise(0)
-    blocks
-      .select(col("v00"), col("v10"), col("v01"), col("v11"),
-        explode(lit(levels.toArray)).as("level"))
-      .select(col("level"),
-        (bit("v00", 1) + bit("v10", 2) + bit("v01", 4) + bit("v11", 8)).as("c"))
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val lvl = levels.toArray
+    Focal.gatherPartials[(Double, Long, Long)](layer, 1) { (_, _, padded, w) =>
+      val segs = new Array[Long](lvl.length)
+      val blocks = new Array[Long](lvl.length)
+      var j = 0
+      while (j < tr) {
+        var i = 0
+        while (i < tc) {
+          val v00 = padded((j + 1) * w + (i + 1))
+          val v10 = padded((j + 1) * w + (i + 2))
+          val v01 = padded((j + 2) * w + (i + 1))
+          val v11 = padded((j + 2) * w + (i + 2))
+          if (!v00.isNaN && !v10.isNaN && !v01.isNaN && !v11.isNaN) {
+            var li = 0
+            while (li < lvl.length) {
+              val level = lvl(li)
+              val c = (if (v00 >= level) 1 else 0) + (if (v10 >= level) 2 else 0) +
+                      (if (v01 >= level) 4 else 0) + (if (v11 >= level) 8 else 0)
+              if (c != 0 && c != 15) {
+                blocks(li) += 1
+                segs(li) += (if (c == 6 || c == 9) 2L else 1L)
+              }
+              li += 1
+            }
+          }
+          i += 1
+        }
+        j += 1
+      }
+      lvl.indices.iterator.map(li => (lvl(li), segs(li), blocks(li)))
+    }.toDF("level", "sc", "bc")
       .groupBy("level")
-      .agg(
-        sum(when(col("c") === 0 || col("c") === 15, 0)
-          .when(col("c") === 6 || col("c") === 9, 2)
-          .otherwise(1)).cast("long").as("n_segments"),
-        sum(when(col("c") === 0 || col("c") === 15, 0).otherwise(1))
-          .cast("long").as("n_blocks"))
+      .agg(sum("sc").cast("long").as("n_segments"),
+        sum("bc").cast("long").as("n_blocks"))
   }
 }

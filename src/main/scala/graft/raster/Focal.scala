@@ -181,7 +181,104 @@ private[raster] final case class TileRowOutT(col: Int, row: Int, instant: Long, 
   * :1866 — with the documented deviation that output cells are exactly
   * the input data cells (NoData centers stay NoData).
   */
-object Focal {
+// Serializable: the gather closures call the shared clipContribs/
+// paintPadded helpers, so executor lambdas capture this (stateless)
+// singleton
+object Focal extends Serializable {
+  /** Halo gather emitting arbitrary PER-TILE PARTIAL rows instead of a
+    * transformed tile: `fn(col, row, padded, paddedWidth)` sees the
+    * same radius-`r` padded window [[gather]] builds (NaN beyond the
+    * grid / in holes) and returns any iterator of rows — typically a
+    * bounded per-tile aggregate (zone partials, level counts). This is
+    * the §4-discipline escape hatch for whole-grid summaries that need
+    * CROSS-TILE adjacency: per-cell rows stay inside the tile scan,
+    * only the border strips and the bounded partials cross exchanges
+    * (the r12 verdict's fix for zonalGeometry/contours, which ran
+    * lag/lead windows over per-cell rows keyed by grid row — a
+    * single-task row scan per 10^6-cell grid line at scale). */
+  def gatherPartials[T: org.apache.spark.sql.Encoder](layer: RasterLayer, r: Int)(
+      fn: (Int, Int, Array[Double], Int) => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
+    val meta = layer.meta
+    require(!meta.temporal, "gatherPartials is spatial-only (temporal layers: filter/aggregate first)")
+    val tl = meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val W = tc + 2 * r
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+    layer.df.select(col("col"), col("row"), col("tile"))
+      .as[(Int, Int, Seq[Double])]
+      .flatMap { case (c0, r0, tileSeq) =>
+        clipContribs(tl, r, c0, r0, tileSeq).map {
+          case (dc, dr, x0, y0, w, h, cells) => TileContrib(dc, dr, x0, y0, w, h, cells)
+        }
+      }
+      .groupByKey(cb => (cb.col, cb.row))
+      .flatMapGroups { (key: (Int, Int), group: Iterator[TileContrib]) =>
+        val padded = paintPadded(tc, tr, r,
+          group.map(cb => (cb.x0, cb.y0, cb.w, cb.h, cb.cells)))
+        fn(key._1, key._2, padded, W)
+      }
+  }
+
+  /** Per-source-tile clipped contributions to each neighbor's padded
+    * window: (dstCol, dstRow, x0, y0, w, h, cells) — shared by
+    * [[gather]] and [[gatherPartials]]. */
+  private def clipContribs(tl: graft.core.TileLayout, r: Int,
+                           c0: Int, r0: Int, tileSeq: Seq[Double])
+      : Seq[(Int, Int, Int, Int, Int, Int, Array[Double])] = {
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val (lc, lr) = (tl.layoutCols, tl.layoutRows)
+    val ringC = (r + tc - 1) / tc
+    val ringR = (r + tr - 1) / tr
+    val tile = tileSeq.toArray
+    for {
+      dc <- -ringC to ringC
+      dr <- -ringR to ringR
+      dst = (c0 + dc, r0 + dr)
+      if dst._1 >= 0 && dst._1 < lc && dst._2 >= 0 && dst._2 < lr
+      sx = -dc * tc
+      sy = -dr * tr
+      iMin = math.max(0, -r - sx)
+      iMax = math.min(tc, tc + r - sx)
+      jMin = math.max(0, -r - sy)
+      jMax = math.min(tr, tr + r - sy)
+      if iMax > iMin && jMax > jMin
+    } yield {
+      val w = iMax - iMin; val h = jMax - jMin
+      val cells = new Array[Double](w * h)
+      var j = 0
+      while (j < h) {
+        var i = 0
+        while (i < w) {
+          cells(j * w + i) = tile((jMin + j) * tc + (iMin + i))
+          i += 1
+        }
+        j += 1
+      }
+      (dst._1, dst._2, sx + iMin, sy + jMin, w, h, cells)
+    }
+  }
+
+  /** Assemble a destination tile's padded window from its clipped
+    * contributions (NaN everywhere nothing painted). */
+  private def paintPadded(tc: Int, tr: Int, r: Int,
+                          cbs: Iterator[(Int, Int, Int, Int, Array[Double])]): Array[Double] = {
+    val W = tc + 2 * r; val H = tr + 2 * r
+    val padded = Array.fill(W * H)(Double.NaN)
+    cbs.foreach { case (x0, y0, w, h, cells) =>
+      var j = 0
+      while (j < h) {
+        var i = 0
+        while (i < w) {
+          padded((y0 + j + r) * W + (x0 + i + r)) = cells(j * w + i)
+          i += 1
+        }
+        j += 1
+      }
+    }
+    padded
+  }
+
   /** Shared halo gather: ships the strips each neighbor needs, then
     * runs `kernelFn(paddedWindow, paddedWidth)` once per tile. The
     * radius may exceed the tile size (multi-ring halo). */
@@ -190,66 +287,14 @@ object Focal {
     val meta = layer.meta
     val tl = meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
-    val (lc, lr) = (tl.layoutCols, tl.layoutRows)
-    // halo may span multiple tile rings when the radius exceeds the
-    // tile size — ring count scales with ceil(r / tileSize)
-    val ringC = (r + tc - 1) / tc
-    val ringR = (r + tr - 1) / tr
 
     val spark = layer.df.sparkSession
     import spark.implicits._
 
-    // per-source-tile clipped contributions to each neighbor's padded
-    // window: (dstCol, dstRow, x0, y0, w, h, cells)
-    def contribsOf(c0: Int, r0: Int, tileSeq: Seq[Double])
-        : Seq[(Int, Int, Int, Int, Int, Int, Array[Double])] = {
-      val tile = tileSeq.toArray
-      for {
-        dc <- -ringC to ringC
-        dr <- -ringR to ringR
-        dst = (c0 + dc, r0 + dr)
-        if dst._1 >= 0 && dst._1 < lc && dst._2 >= 0 && dst._2 < lr
-        // source sits at (-dc, -dr) tiles relative to dst
-        sx = -dc * tc
-        sy = -dr * tr
-        // clip source cells to dst's padded window [-r, tc+r) x [-r, tr+r)
-        iMin = math.max(0, -r - sx)
-        iMax = math.min(tc, tc + r - sx)
-        jMin = math.max(0, -r - sy)
-        jMax = math.min(tr, tr + r - sy)
-        if iMax > iMin && jMax > jMin
-      } yield {
-        val w = iMax - iMin; val h = jMax - jMin
-        val cells = new Array[Double](w * h)
-        var j = 0
-        while (j < h) {
-          var i = 0
-          while (i < w) {
-            cells(j * w + i) = tile((jMin + j) * tc + (iMin + i))
-            i += 1
-          }
-          j += 1
-        }
-        (dst._1, dst._2, sx + iMin, sy + jMin, w, h, cells)
-      }
-    }
-
-    def paint(cbs: Iterator[(Int, Int, Int, Int, Array[Double])]): Array[Double] = {
-      val W = tc + 2 * r; val H = tr + 2 * r
-      val padded = Array.fill(W * H)(Double.NaN)
-      cbs.foreach { case (x0, y0, w, h, cells) =>
-        var j = 0
-        while (j < h) {
-          var i = 0
-          while (i < w) {
-            padded((y0 + j + r) * W + (x0 + i + r)) = cells(j * w + i)
-            i += 1
-          }
-          j += 1
-        }
-      }
-      padded
-    }
+    def contribsOf(c0: Int, r0: Int, tileSeq: Seq[Double]) =
+      clipContribs(tl, r, c0, r0, tileSeq)
+    def paint(cbs: Iterator[(Int, Int, Int, Int, Array[Double])]): Array[Double] =
+      paintPadded(tc, tr, r, cbs)
 
     val W = tc + 2 * r
     if (meta.temporal) {

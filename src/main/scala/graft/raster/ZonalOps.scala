@@ -438,30 +438,45 @@ object ZonalOps {
     * 4·π·area / perimeter² (1 for a disc, π/4 ≈ 0.785 is the square's
     * ceiling on a grid).
     *
-    * Scale shape: two partitioned windows over the cell stream — one
-    * keyed by grid row (left/right neighbors via lag/lead with an
-    * adjacency gap check, so NoData holes read as boundary), one keyed
-    * by grid column (up/down) — then one |zones|-row aggregation. No
-    * self-join of the cell table, no unpartitioned window; partition
-    * keys are grid rows/columns (G of each), so parallelism grows with
-    * the grid. All-integer arithmetic until the final compactness
-    * division. */
+    * Scale shape (r13, the §4 "no per-cell rows in the physical path"
+    * discipline): a radius-1 [[Focal.gatherPartials]] halo — each tile
+    * scans its own cells against the padded window (NaN beyond the
+    * grid / in NoData holes reads as boundary, exactly the old
+    * adjacency-gap check) and emits ONE (zone, n_cells, perimeter)
+    * partial per zone it touches; only border strips and those bounded
+    * partials cross exchanges. The previous shape (lag/lead windows
+    * keyed by grid row/column) put every cell through two exchanges
+    * and made each 10^6-cell grid line a single-task window scan.
+    * All-integer arithmetic until the final compactness division. */
   def zonalGeometry(zones: RasterLayer): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cells = zones.toCells
-      .select(col("x"), col("y"), col("v").cast("long").as("zone"))
-    val wx = Window.partitionBy("y").orderBy("x")
-    val wy = Window.partitionBy("x").orderBy("y")
-    def same(nz: Column, nc: Column, expect: Column): Column =
-      when(nc === expect && nz === col("zone"), 1).otherwise(0)
-    val contrib = lit(4) -
-      same(lag("zone", 1).over(wx), lag("x", 1).over(wx), col("x") - 1) -
-      same(lead("zone", 1).over(wx), lead("x", 1).over(wx), col("x") + 1) -
-      same(lag("zone", 1).over(wy), lag("y", 1).over(wy), col("y") - 1) -
-      same(lead("zone", 1).over(wy), lead("y", 1).over(wy), col("y") + 1)
-    cells.select(col("zone"), contrib.as("p"))
+    val spark = zones.spark
+    import spark.implicits._
+    val tl = zones.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    Focal.gatherPartials[(Long, Long, Long)](zones, 1) { (_, _, padded, w) =>
+      val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+      var j = 0
+      while (j < tr) {
+        var i = 0
+        while (i < tc) {
+          val v = padded((j + 1) * w + (i + 1))
+          if (!v.isNaN) {
+            val zone = v.toLong
+            def same(n: Double): Int = if (!n.isNaN && n.toLong == zone) 1 else 0
+            val p = 4L -
+              same(padded((j + 1) * w + i)) - same(padded((j + 1) * w + (i + 2))) -
+              same(padded(j * w + (i + 1))) - same(padded((j + 2) * w + (i + 1)))
+            val (n0, p0) = acc.getOrElse(zone, (0L, 0L))
+            acc(zone) = (n0 + 1, p0 + p)
+          }
+          i += 1
+        }
+        j += 1
+      }
+      acc.iterator.map { case (z, (n, p)) => (z, n, p) }
+    }.toDF("zone", "nc", "pc")
       .groupBy("zone")
-      .agg(count(lit(1)).as("n_cells"), sum("p").cast("long").as("perimeter"))
+      .agg(sum("nc").cast("long").as("n_cells"), sum("pc").cast("long").as("perimeter"))
       .select(col("zone"), col("n_cells"), col("perimeter"),
         round(lit(4 * math.Pi) * col("n_cells") / (col("perimeter") * col("perimeter")), 6)
           .as("compactness"))

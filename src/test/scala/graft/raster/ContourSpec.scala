@@ -70,6 +70,32 @@ class ContourSpec extends SparkSpec {
     assert(out(3L) == (3L, 3L, 8L, q(3, 8)))
   }
 
+  test("tile seams: shapes straddling the 4-tile corner count once and stay whole") {
+    // layout seams at x=4 and y=4: a 2x2 zone block centered on the
+    // 4-corner junction (cells in all FOUR tiles) — each tile's scan
+    // sees the others' cells only via the halo strip. A=4 P=8, same as
+    // an interior block; nothing double-counted, nothing split.
+    val corner = Seq((3L, 3L, 5.0), (4L, 3L, 5.0), (3L, 4L, 5.0), (4L, 4L, 5.0))
+    val zg = ZonalOps.zonalGeometry(layer(corner))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(zg.toSeq == Seq((5L, 4L, 8L,
+      math.rint(4 * math.Pi * 4 / 64.0 * 1e6) / 1e6)))
+    // marching squares over the same plateau (0-field filled in): the
+    // level-3 ring crosses 8 blocks; the block anchored at (3,3) —
+    // whose 3 other corners live in 3 OTHER tiles — is the all-inside
+    // case 15. Identical to the single-tile plateau ring result.
+    val field = for (y <- 2L to 5L; x <- 2L to 5L)
+      yield (x, y, if (corner.exists(c => c._1 == x && c._2 == y)) 9.0 else 0.0)
+    val sc = Contour.segmentCounts(layer(field), Seq(3.0))
+      .as[(Double, Long, Long)].collect()
+    assert(sc.toSeq == Seq((3.0, 8L, 8L)))
+    // y-seam: vertical 3-cell line across y=4 keeps A=3 P=8
+    val vline = ZonalOps.zonalGeometry(
+        layer(Seq((6L, 3L, 2.0), (6L, 4L, 2.0), (6L, 5L, 2.0))))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(vline.head._2 == 3L && vline.head._3 == 8L)
+  }
+
   test("zonal geometry: NoData holes count as boundary") {
     // a 3x1 line with its middle cell missing: two singletons of the
     // same zone, each with perimeter 4 (the hole is boundary)
