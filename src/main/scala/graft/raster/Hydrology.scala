@@ -34,40 +34,75 @@ object Hydrology {
 
   private val Sentinel = -1e300
 
-  /** @param cells (x, y, v) elevation grid; absent cells are NoData
+  /** D8 over a TILED layer (r13, the §4 discipline): each tile
+    * computes its cells' steepest-descent codes from the radius-1
+    * padded window ([[Focal.gatherPartials]]) — per-cell rows are
+    * emitted after the tile exchange, never shuffled (the previous
+    * shape exploded 9 rows per cell into a grid-keyed groupBy, a 9x
+    * per-cell exchange). NaN beyond the grid / in holes = missing
+    * neighbor = the old Sentinel drop; tie cascade and arithmetic
+    * identical (same (zc−nz)/dist IEEE ops, first code in ascending
+    * order wins the tie).
     * @return (x, y, dir) — dir 0 for pits/flats */
+  def flowDirectionLayer(layer: RasterLayer): DataFrame = {
+    val spark = layer.spark
+    import spark.implicits._
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val dirs = Dirs.toArray
+    Focal.gatherPartials[(Long, Long, Long)](layer, 1) { (c0, r0, padded, w) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var j = 0
+      while (j < tr) {
+        var i = 0
+        while (i < tc) {
+          val zc = padded((j + 1) * w + (i + 1))
+          if (!zc.isNaN) {
+            val drops = new Array[Double](dirs.length)
+            var k = 0
+            var best = Double.NegativeInfinity
+            while (k < dirs.length) {
+              val (dx, dy, _) = dirs(k)
+              val nz = padded((j + 1 + dy) * w + (i + 1 + dx))
+              val d =
+                if (nz.isNaN) Sentinel
+                else (zc - nz) / (if (dx != 0 && dy != 0) math.sqrt(2.0) else 1.0)
+              drops(k) = d
+              if (d > best) best = d
+              k += 1
+            }
+            var code = 0L
+            if (best > 0) {
+              k = 0
+              var found = false
+              while (k < dirs.length && !found) {
+                if (drops(k) == best) { code = dirs(k)._3.toLong; found = true }
+                k += 1
+              }
+            }
+            out += ((c0.toLong * tc + i, r0.toLong * tr + j, code))
+          }
+          i += 1
+        }
+        j += 1
+      }
+      out.iterator
+    }.toDF("x", "y", "dir")
+  }
+
+  /** @param cells (x, y, v) elevation grid; absent cells are NoData
+    * @return (x, y, dir) — dir 0 for pits/flats.
+    * Delegates to [[flowDirectionLayer]]: the cells tile into 64-px
+    * tiles first, so the D8 scan runs tile-local with a halo instead
+    * of exploding 9 rows per cell into a grid-keyed exchange. */
   def flowDirection(cells: DataFrame, gridCols: Long, gridRows: Long): DataFrame = {
-    val z = cells.select(col("x").cast("long").as("x"),
-      col("y").cast("long").as("y"), col("v").cast("double").as("z"))
-    // cell -> (target, code-at-target): from the target's view the
-    // contributor sits at the OPPOSITE offset, so code labels use the
-    // target-relative direction
-    val contrib = z.select(explode(array(
-        struct(col("x").as("tx"), col("y").as("ty"), lit(0).as("code"), col("z")) +:
-        Dirs.map { case (dx, dy, code) =>
-          struct((col("x") - dx).as("tx"), (col("y") - dy).as("ty"),
-            lit(code).as("code"), col("z"))
-        }: _*)).as("c"))
-      .select(col("c.tx").as("x"), col("c.ty").as("y"), col("c.code"), col("c.z"))
-      .where(col("x") >= 0 && col("x") < gridCols &&
-             col("y") >= 0 && col("y") < gridRows)
-    val nbrs = contrib.groupBy("x", "y")
-      .agg(max(when(col("code") === 0, col("z"))).as("zc"),
-        Dirs.map { case (_, _, code) =>
-          max(when(col("code") === code, col("z"))).as(s"n$code")
-        }: _*)
-      .where(col("zc").isNotNull)
-    def drop(code: Int, dx: Int, dy: Int): Column = {
-      val d = (col("zc") - col(s"n$code")) /
-        (if (dx != 0 && dy != 0) sqrt(lit(2.0)) else lit(1.0))
-      coalesce(d, lit(Sentinel))
-    }
-    val drops = Dirs.map { case (dx, dy, code) => code -> drop(code, dx, dy) }
-    val best = greatest(drops.map(_._2): _*)
-    val dir = drops.foldLeft(when(best <= 0, lit(0))) { case (acc, (code, d)) =>
-      acc.when(d === best, lit(code))
-    }
-    nbrs.select(col("x"), col("y"), dir.cast("long").as("dir"))
+    val T = 64
+    val layout = graft.core.LayoutDefinition(
+      graft.core.Extent(0, 0, gridCols.toDouble, gridRows.toDouble),
+      graft.core.TileLayout(((gridCols + T - 1) / T).toInt, ((gridRows + T - 1) / T).toInt, T, T))
+    val inGrid = cells.where(col("x") >= 0 && col("x") < gridCols &&
+      col("y") >= 0 && col("y") < gridRows)
+    flowDirectionLayer(RasterLayer.fromCells(inGrid, layout, CellOp.Max))
   }
 
   /** Pit fill (geotrellis raster.hydrology Fill semantics, single
