@@ -173,7 +173,7 @@ private[catalog] final class GraftTable(options: CaseInsensitiveStringMap)
     else GraftTable.freshSchema(options)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     // READ path: a missing sidecar means a nonexistent store or a
@@ -389,6 +389,9 @@ private[catalog] final class GraftScan(opts: GraftTable.Opts, required: StructTy
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(opts, required, box)
   override def description(): String =
     s"GraftScan layer=${opts.layer} zoom=${opts.zoom} box=$box columns=${required.fieldNames.mkString(",")}"
 
@@ -518,4 +521,74 @@ private[catalog] final class GraftPartitionReader(
   }
 
   override def close(): Unit = reader.close()
+}
+
+/** Offset for the streaming catalog source: the set of tile parquet
+  * file names already emitted. JSON-array serialized (names are
+  * [A-Za-z0-9._-] by the writer's own naming, so no escaping is
+  * needed). At a 10^6-file store the names list is a few tens of MB
+  * per offset — the scale path is the FileStreamSource discipline (a
+  * compacted seen-files log keyed by batch id); this source targets
+  * live-ingest stores where batches are the recent tail. */
+private[catalog] final case class GraftOffset(files: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.toSeq.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+}
+
+private[catalog] object GraftOffset {
+  def fromJson(s: String): GraftOffset = {
+    val t = s.trim.stripPrefix("[").stripSuffix("]").trim
+    if (t.isEmpty) GraftOffset(Set.empty)
+    else GraftOffset(t.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet)
+  }
+}
+
+/** Structured Streaming source over a graft catalog zoom directory —
+  * the read twin of [[graft.streaming.Events.ingestScenes]]'s live
+  * ingest: `spark.readStream.format("graft").option(...)` emits each
+  * newly-landed tile parquet file exactly once per micro-batch,
+  * decoded through the SAME [[GraftReaderFactory]] (native-width tile
+  * unpack, column projection, key-box record filter) as the batch
+  * scan — batch and streaming reads cannot diverge.
+  *
+  * Contract: the store is APPEND-ONLY while a stream reads it (the
+  * ingestScenes path). [[Catalog.compact]] rewrites data under new
+  * file names and would re-emit it — run compaction only when no
+  * stream is attached, exactly like running it mid-batch-query.
+  *
+  * Offsets are checkpoint-replayable: planInputPartitions(start, end)
+  * derives the batch as the file-set difference, so recovery resumes
+  * from the checkpointed offset with no source-side state. */
+private[catalog] final class GraftMicroBatchStream(
+    opts: GraftTable.Opts, required: StructType, box: KeyBox)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def dir = new Path(s"${opts.uri}/${opts.layer}/tiles/zoom=${opts.zoom}")
+
+  private def listFiles(): Set[String] = {
+    val fs = dir.getFileSystem(GraftTable.confFrom(GraftTable.confProps()))
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+  }
+
+  override def initialOffset(): Offset = GraftOffset(Set.empty)
+  override def latestOffset(): Offset = GraftOffset(listFiles())
+  override def deserializeOffset(json: String): Offset = GraftOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].files
+    val e = end.asInstanceOf[GraftOffset].files
+    (e -- s).toSeq.sorted
+      .map(name => GraftInputPartition(s"$dir/$name"): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val meta = Catalog.readMetadata(opts.uri, opts.layer, opts.zoom)
+    GraftReaderFactory(required, meta.cellType, box, GraftTable.confProps())
+  }
 }

@@ -200,6 +200,63 @@ class GraftDataSourceSpec extends SparkSpec {
       Set((0, 0, 20L), (1, 1, 20L)))
   }
 
+  test("streaming read: readStream emits each newly-landed tile file exactly once") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Catalog.write(dir, "live", layer((0, 0, 1.0)))
+    val q = spark.readStream.format("graft")
+      .option("path", dir).option("layer", "live").option("zoom", "0")
+      .load()
+      .writeStream.format("memory").queryName("graft_live").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      def rows() = spark.table("graft_live")
+        .select("col", "row").as[(Int, Int)].collect().toSeq
+      assert(rows().sorted == Seq((0, 0)))
+      // live append (the ingestScenes write path) -> next micro-batch
+      Catalog.update(dir, "live", layer((5L, 5L, 9.0)))
+      q.processAllAvailable()
+      assert(rows().sorted == Seq((0, 0), (1, 1)))
+      // no new files -> no duplicate emission
+      q.processAllAvailable()
+      assert(rows().size == 2)
+      // tiles decode through the same reader as the batch scan
+      Catalog.update(dir, "live", layer((2L, 1L, 7.0)))
+      q.processAllAvailable()
+      val cells = RasterLayer.tilesToCells(
+        spark.table("graft_live").select("col", "row", "tile"), 4, 4)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(cells == Set((0L, 0L, 1.0), (5L, 5L, 9.0), (2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("streaming read of a live ingestScenes store (ingest -> read loop)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_stream_loop").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Double, Double, Double, Double, Int, Int, Seq[Double])]
+    val ingest = graft.streaming.Events.ingestScenes(
+      mem.toDF().toDF("scene_id", "xmin", "ymin", "xmax", "ymax", "cols", "rows", "cells"),
+      dir, "loop", layout)
+    try {
+      mem.addData(Seq((1L, 0.0, 6.0, 2.0, 8.0, 2, 2, Seq(1.0, 2.0, 3.0, 4.0))))
+      ingest.processAllAvailable()
+      val read = spark.readStream.format("graft")
+        .option("path", dir).option("layer", "loop").option("zoom", "0")
+        .load()
+        .writeStream.format("memory").queryName("graft_loop").outputMode("append")
+        .start()
+      try {
+        read.processAllAvailable()
+        assert(spark.table("graft_loop").count() == 1)
+        mem.addData(Seq((2L, 4.0, 2.0, 6.0, 4.0, 2, 2, Seq(5.0, 6.0, 7.0, 8.0))))
+        ingest.processAllAvailable()
+        read.processAllAvailable()
+        assert(spark.table("graft_loop").count() == 2)
+      } finally read.stop()
+    } finally ingest.stop()
+  }
+
   test("read of a nonexistent store / typoed layer fails loudly") {
     val dir = Files.createTempDirectory("graft_dsv2").toString
     Catalog.write(dir, "real", layer((0, 0, 1.0)))
