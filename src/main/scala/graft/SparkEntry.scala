@@ -878,6 +878,13 @@ object SparkEntry {
         .temporalTrend().toCells
         .select(col("x"), col("y"), col("v").as("slope"))),
 
+    "q_mann_kendall" -> ((s, dir) =>
+      // nonparametric per-cell trend: Mann-Kendall S + Sen's slope
+      // over the instant stack (exact S; slope = one IEEE division,
+      // odd pair counts select the median exactly)
+      TimeSeries.mannKendall(
+        RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64))),
+
     "q_temporal_argmax" -> ((s, dir) => {
       // greenest-pixel composite: per-cell max value + the instant
       // achieving it (ties -> smallest instant)
@@ -3181,6 +3188,21 @@ object SparkEntry {
            |      FROM t GROUP BY 1, 2)
            |SELECT x, y, (n * stv - st * sv) / (n * st2 - st * st) AS slope
            |FROM a WHERE n >= 2 AND n * st2 - st * st <> 0""".stripMargin,
+
+      // Mann-Kendall S (exact integer sign sum) + Sen's slope (median
+      // of pairwise slopes; 1 or 3 pairs per cell here -> odd counts,
+      // the median SELECTS an element — no midpoint averaging to
+      // diverge); cells with < 2 instants have no pair rows and drop
+      "q_mann_kendall" ->
+        s"""WITH t AS ($tgrid),
+           |p AS (SELECT a.x AS x, a.y AS y, CAST(sign(b.v - a.v) AS BIGINT) AS sg,
+           |        (b.v - a.v) / CAST(b.instant - a.instant AS DOUBLE) AS slope
+           |      FROM t a JOIN t b ON a.x = b.x AND a.y = b.y AND b.instant > a.instant),
+           |agg AS (SELECT x, y, CAST(sum(sg) AS BIGINT) AS s, median(slope) AS sen
+           |        FROM p GROUP BY 1, 2),
+           |c AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2)
+           |SELECT c.x, c.y, c.n, agg.s, agg.sen
+           |FROM c JOIN agg ON agg.x = c.x AND agg.y = c.y""".stripMargin,
 
       // image differencing: consecutive-instant inner join (a cell
       // missing at either instant emits nothing, exactly the engine's

@@ -66,6 +66,79 @@ object TimeSeries {
       if (n == 0) Double.NaN else s / n
     }
 
+  /** Per-cell Mann-Kendall trend test + Sen's slope — the standard
+    * NONPARAMETRIC trend pair remote-sensing time-series analysis
+    * runs next to the least-squares fit ([[RasterLayer.temporalTrend]]):
+    * S = Σ_{i<j} sign(v_j − v_i) over the instant-ordered valid values
+    * (S > 0 monotone increase, magnitude vs n gives significance) and
+    * Sen's slope = median of the pairwise slopes
+    * (v_j − v_i)/(t_j − t_i) — robust to outliers where least squares
+    * is not (Mann 1945; Sen 1968).
+    *
+    * Spark shape: the same ONE (col, row) groupByKey as [[fillGaps]]
+    * (the short-instant-axis discipline) — the O(T²) pairwise loop
+    * runs in-executor per cell over the bounded time axis; output is
+    * one row per cell with ≥ 2 valid instants.
+    *
+    * Determinism: S and n are exact integers; each slope is ONE IEEE
+    * division of exact differences stated identically in the oracle;
+    * the median of an odd count selects an element exactly, and the
+    * even-count midpoint is a single (a+b)/2.0.
+    *
+    * @return (x, y, n, s, sen) — n valid instants, S statistic,
+    *         Sen's slope */
+  def mannKendall(layer: RasterLayer): org.apache.spark.sql.DataFrame = {
+    require(layer.meta.temporal, "mannKendall needs a spacetime layer")
+    val spark = layer.spark
+    import spark.implicits._
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val size = tc * tr
+    layer.df.select(col("col"), col("row"), col("instant"), col("tile"))
+      .as[(Int, Int, Long, Seq[Double])]
+      .groupByKey(q => (q._1, q._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Seq[Double])]) =>
+        val stack = it.map(q => q._3 -> q._4.toArray).toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+        var idx = 0
+        while (idx < size) {
+          val ts = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+          var si = 0
+          while (si < stack.length) {
+            val v = stack(si)._2(idx)
+            if (!v.isNaN) ts += ((stack(si)._1, v))
+            si += 1
+          }
+          val k = ts.length
+          if (k >= 2) {
+            var s = 0L
+            val slopes = new Array[Double](k * (k - 1) / 2)
+            var p = 0
+            var i = 0
+            while (i < k) {
+              var j = i + 1
+              while (j < k) {
+                val dv = ts(j)._2 - ts(i)._2
+                s += math.signum(dv).toLong
+                slopes(p) = dv / (ts(j)._1 - ts(i)._1).toDouble
+                p += 1
+                j += 1
+              }
+              i += 1
+            }
+            java.util.Arrays.sort(slopes)
+            val sen =
+              if (slopes.length % 2 == 1) slopes(slopes.length / 2)
+              else (slopes(slopes.length / 2 - 1) + slopes(slopes.length / 2)) / 2.0
+            out += ((key._1.toLong * tc + idx % tc, key._2.toLong * tr + idx / tc,
+              k.toLong, s, sen))
+          }
+          idx += 1
+        }
+        out.iterator
+      }.toDF("x", "y", "n", "s", "sen")
+  }
+
   /** Shared walk: one (col, row) groupByKey, per-cell function over
     * the sorted instant stack, one output tile per requested instant. */
   private def walk(layer: RasterLayer, instants: Seq[Long])

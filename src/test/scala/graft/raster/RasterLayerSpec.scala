@@ -504,6 +504,34 @@ class RasterLayerSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2.0, (1L, 0L) -> -1.0))
   }
 
+  test("mann-kendall: S, n and Sen's slope by hand (odd + even medians, ties, holes)") {
+    // cell (0,0): 3,5,7 at t 0,1,2 -> all pairs rise: S=3; slopes
+    //   {2, 2, 2} -> sen 2. cell (1,0): 10,8 at t 0,2 -> S=-1, one
+    //   slope -1. cell (2,0): one instant -> absent. cell (3,0):
+    //   4,4 at t 0,1 -> tied pair: S=0, sen 0.
+    val cells = Seq(
+      (0L, 0L, 0L, 3.0), (0L, 0L, 1L, 5.0), (0L, 0L, 2L, 7.0),
+      (1L, 0L, 0L, 10.0), (1L, 0L, 2L, 8.0),
+      (2L, 0L, 1L, 4.0),
+      (3L, 0L, 0L, 4.0), (3L, 0L, 1L, 4.0))
+      .toDF("x", "y", "instant", "v")
+    val out = TimeSeries.mannKendall(RasterLayer.fromCellsTemporal(cells, layout))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out == Map(
+      (0L, 0L) -> (3L, 3L, 2.0),
+      (1L, 0L) -> (2L, -1L, -1.0),
+      (3L, 0L) -> (2L, 0L, 0.0)))
+    // 4 instants -> 6 pairs: even count takes the midpoint of the two
+    // middle slopes. v = 0,1,3,9 at t 0..3: slopes sorted
+    // {1, 1.5, 2, 3, 4, 6} -> midpoint of {2, 3} = 2.5
+    val four = Seq((0L, 1L, 0L, 0.0), (0L, 1L, 1L, 1.0),
+      (0L, 1L, 2L, 3.0), (0L, 1L, 3L, 9.0)).toDF("x", "y", "instant", "v")
+    val o4 = TimeSeries.mannKendall(RasterLayer.fromCellsTemporal(four, layout))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(o4 == ((0L, 1L, 4L, 6L, 2.5)))
+  }
+
   test("temporal delta: consecutive diffs, gaps and one-sided cells emit nothing") {
     // cell (0,0): 3,5,7 at t 0,1,2 -> deltas +2 at t=1, +2 at t=2;
     // cell (1,0): present at t 0 and 2 only -> no consecutive pair;
