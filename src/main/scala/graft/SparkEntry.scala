@@ -1527,6 +1527,11 @@ object SparkEntry {
       // per-label element-wise mean of the quantized embeddings
       pipeline.Similarity.labelCentroids(table(s, dir, "embeddings"))),
 
+    "q_embed_gram" -> ((s, dir) =>
+      // exact Gram matrix (whitening/PCA prep): per-partition d(d+1)/2
+      // Long fold, bounded partial merge — no per-doc d^2 rows
+      pipeline.Similarity.gramMatrix(table(s, dir, "embeddings"))),
+
     "q_hist2d" -> ((s, dir) => {
       // joint histogram of the grid vs a derived layer: the
       // continuous change-detection confusion matrix
@@ -3658,6 +3663,15 @@ object SparkEntry {
           |SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n_vecs,
           |  round(CAST(sum(qc) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * CAST(1000.0 AS DOUBLE)), 6) AS mean
           |FROM u GROUP BY 1, 2""".stripMargin,
+
+      // upper-triangle Gram entries, exact integer products
+      "q_embed_gram" ->
+        """WITH q AS (SELECT list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |p AS (SELECT CAST(ia - 1 AS INTEGER) AS i, CAST(ib - 1 AS INTEGER) AS j,
+          |        qv[ia] * qv[ib] AS g
+          |      FROM q, range(1, 65) ra(ia), range(1, 65) rb(ib)
+          |      WHERE ib >= ia)
+          |SELECT i, j, CAST(sum(g) AS BIGINT) AS g FROM p GROUP BY 1, 2""".stripMargin,
 
       // joint bin counts, exact integer binning
       "q_hist2d" ->

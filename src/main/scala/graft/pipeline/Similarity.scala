@@ -208,6 +208,150 @@ object Similarity {
         round(col("s").cast("double") / (col("n_vecs").cast("double") * lit(1000.0)), 6)
           .as("mean"))
 
+  /** Exact Gram matrix of the quantized corpus — G[i][j] = Σ_docs
+    * qᵥ[i]·qᵥ[j] over the upper triangle (i ≤ j): THE input to
+    * embedding-space whitening / PCA / ZCA and isotropy diagnostics
+    * (covariance = (G − s·sᵀ/n)/n with the [[labelCentroids]] sums).
+    * The d×d eigendecomposition that follows is driver-side — at any
+    * corpus scale the REDUCTION here is the distributed work.
+    *
+    * Scale shape: each partition folds its vectors into ONE local
+    * d(d+1)/2 Long accumulator (mapPartitions — no per-doc d² rows
+    * exist anywhere), then emits its ≤ 2080 partial entries; the
+    * merge is a bounded groupBy sum. Exact integers end-to-end:
+    * |q| ≤ ~10³ ⇒ products ≤ 10⁶ ⇒ safe to ~10¹² docs in a Long.
+    *
+    * @return (i, j, g) upper triangle, i ≤ j */
+  def gramMatrix(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(quantize(col("embedding")).as("qv")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](dim * (dim + 1) / 2)
+        var any = false
+        it.foreach { v =>
+          any = true
+          val a = v.toArray
+          require(a.length == dim, s"expected $dim-dim embedding, got ${a.length}")
+          var i = 0; var p = 0
+          while (i < dim) {
+            var j = i
+            while (j < dim) { acc(p) += a(i) * a(j); p += 1; j += 1 }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else {
+          var p = -1
+          for (i <- (0 until dim).iterator; j <- (i until dim).iterator) yield {
+            p += 1
+            (i, j, acc(p))
+          }
+        }
+      }
+      .toDF("i", "j", "g")
+      .groupBy("i", "j").agg(sum("g").cast("long").as("g"))
+  }
+
+  /** PCA projection of the corpus onto its top-k principal components
+    * — the dimensionality-reduction step embedding-space curation
+    * (SemDeDup-style clustering, isotropy correction, visualization)
+    * runs over [[gramMatrix]]'s reduction: covariance from the exact
+    * Gram + mean sums, Jacobi eigendecomposition of the d×d matrix
+    * DRIVER-side (d is a model constant — 64 here — so the O(d³)
+    * solve is microseconds regardless of corpus size), components
+    * broadcast as literals, projection a shuffle-free per-row fold.
+    *
+    * Deterministic given the data (exact integer covariance inputs,
+    * fixed Jacobi sweep order, sign fixed by the largest-|coefficient|
+    * rule); spec-tested rather than oracle-checked — the eigen solve
+    * has no SQL twin (stated, the kriging-fit precedent).
+    *
+    * @return (vec_id, comp ARRAY<DOUBLE> of length k) */
+  def pcaProject(embeddings: DataFrame, k: Int = 2, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val gram = gramMatrix(embeddings, dim).as[(Int, Int, Long)].collect()
+    val sums = embeddings
+      .select(posexplode(quantize(col("embedding"))).as(Seq("pos", "qc")))
+      .groupBy("pos").agg(sum("qc").cast("long").as("s"), count(lit(1)).as("n"))
+      .as[(Int, Long, Long)].collect()
+    require(sums.nonEmpty, "empty corpus")
+    val n = sums.head._3.toDouble
+    val mean = new Array[Double](dim)
+    sums.foreach { case (p, s, _) => mean(p) = s / n }
+    val cov = Array.ofDim[Double](dim, dim)
+    gram.foreach { case (i, j, g) =>
+      val c = g / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.indices.sortBy(i => -vals(i)).take(k)
+    // sign convention: largest-|coefficient| entry is positive
+    val comps = order.map { ci =>
+      val v = Array.tabulate(dim)(r => vecs(r)(ci))
+      val m = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(m) < 0) v.map(-_) else v
+    }.toArray
+    val bc = spark.sparkContext.broadcast((comps, mean))
+    embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .as[(Long, Seq[Long])]
+      .map { case (id, qv) =>
+        val (cs, mu) = bc.value
+        val a = qv.toArray
+        val proj = cs.map { c =>
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += (a(i) - mu(i)) * c(i); i += 1 }
+          s / 1000.0 // back to embedding units
+        }
+        (id, proj.toSeq)
+      }.toDF("vec_id", "comp")
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvectors-as-columns). Fixed sweep order ⇒
+    * deterministic. */
+  private[pipeline] def jacobiEigen(m0: Array[Array[Double]],
+                                    sweeps: Int = 32): (Array[Double], Array[Array[Double]]) = {
+    val d = m0.length
+    val a = m0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-14) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          // sign(0) must rotate (t = tan 45°), not skip: signum(0) = 0
+          // would freeze equal-diagonal pairs forever
+          val sg = if (theta >= 0) 1.0 else -1.0
+          val t = sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (i <- 0 until d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
   def clusterAssign(embeddings: DataFrame, centroidPred: Column): DataFrame = {
     val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))

@@ -593,6 +593,42 @@ class PipelineSpec extends SparkSpec {
     assert(out(12L) == 0L, "cosine tie breaks to the smaller centroid id")
   }
 
+  test("gram matrix: hand-computed entries, upper triangle only, exact integers") {
+    // q(1.5)=1500, q(-0.5)=-500, q(2.0)=2000, q(1.0)=1000
+    val embs = Seq(
+      (0L, Array(1.5f, -0.5f), 0),
+      (1L, Array(2.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val g = Similarity.gramMatrix(embs, dim = 2)
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(g == Map(
+      (0, 0) -> (1500L * 1500 + 2000L * 2000),
+      (0, 1) -> (1500L * -500 + 2000L * 1000),
+      (1, 1) -> (500L * 500 + 1000L * 1000)))
+  }
+
+  test("pca projection recovers a planted principal axis") {
+    // points spread along (1, 1)/sqrt2 with small orthogonal noise:
+    // PC1 must align with the diagonal, projections ~ +-spread
+    val pts = Seq(
+      (0L, Array(2.0f, 2.0f), 0), (1L, Array(-2.0f, -2.0f), 0),
+      (2L, Array(1.0f, 1.2f), 0), (3L, Array(-1.0f, -1.2f), 0),
+      (4L, Array(0.1f, -0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.pcaProject(pts, k = 1, dim = 2)
+      .as[(Long, Seq[Double])].collect().map(r => r._1 -> r._2.head).toMap
+    // diagonal points project with large magnitude, the orthogonal
+    // point near zero; sign convention puts (2,2) positive
+    assert(out(0L) > 2.5 && out(1L) < -2.5)
+    assert(math.abs(out(4L)) < 0.3)
+    // near-symmetric pair (the nonzero corpus mean shifts both a bit)
+    assert(math.abs(out(0L) + out(1L)) < 0.01)
+    // deterministic across runs
+    val again = Similarity.pcaProject(pts, k = 1, dim = 2)
+      .as[(Long, Seq[Double])].collect().map(r => r._1 -> r._2.head).toMap
+    assert(again == out)
+  }
+
   test("multimodal resize: fixed output shape, deterministic resampling") {
     val blobs = Multimodal.asBlobs(docs)
     val small = Multimodal.resize(blobs, 8, 4).collect()
