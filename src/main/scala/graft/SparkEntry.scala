@@ -1337,6 +1337,16 @@ object SparkEntry {
       graft.raster.Rasterize.fromRectsCoverage(rects, layout)
     }),
 
+    "q_zonal_coverage" -> ((s, dir) => {
+      // exactextract-style area-weighted zonal stats: boundary cells
+      // contribute their exact 1/16-cell^2 covered fraction per zone
+      val rects = supplierPoints(s, dir).where(col("pid") >= 1 && col("pid") <= 20)
+        .select((col("pid") % 4).as("zone"),
+          (col("px") - 10.25).as("x0"), (col("py") - 6.75).as("y0"),
+          (col("px") + 5.5).as("x1"), (col("py") + 3.25).as("y1"))
+      ZonalOps.zonalStatsCoverage(lineitemLayer(s, dir), rects)
+    }),
+
     "q_mb_transform" -> ((s, dir) => {
       // tasseled-cap-shape linear band transform: brightness (mean)
       // and difference bands from fixed coefficient rows
@@ -3643,6 +3653,29 @@ object SparkEntry {
            |  CAST(sum((least(sx1, (cx + 1) * 4) - greatest(sx0, cx * 4)) *
            |           (least(sy1, (cy + 1) * 4) - greatest(sy0, cy * 4))) AS BIGINT) AS cov_q
            |FROM ey GROUP BY 1, 2""".stripMargin,
+
+      // per-zone coverage restated (the q_rasterize_coverage chain +
+      // zone key), inner-joined to the grid: exact integer weights and
+      // weighted sums, one closing division round 6
+      "q_zonal_coverage" ->
+        s"""WITH r AS (SELECT pid % 4 AS zone,
+           |    greatest(CAST(round((px - 10.25) * 4) AS BIGINT), 0) AS sx0,
+           |    least(CAST(round((px + 5.5) * 4) AS BIGINT), 1024) AS sx1,
+           |    greatest(CAST(round((py - 6.75) * 4) AS BIGINT), 0) AS sy0,
+           |    least(CAST(round((py + 3.25) * 4) AS BIGINT), 1024) AS sy1
+           |  FROM ($pts) WHERE pid BETWEEN 1 AND 20),
+           |c AS (SELECT * FROM r WHERE sx1 > sx0 AND sy1 > sy0),
+           |ex AS (SELECT zone, sx0, sx1, sy0, sy1, unnest(range(sx0 // 4, (sx1 - 1) // 4 + 1)) AS cx FROM c),
+           |ey AS (SELECT zone, sx0, sx1, sy0, sy1, cx, unnest(range(sy0 // 4, (sy1 - 1) // 4 + 1)) AS cy FROM ex),
+           |cov AS (SELECT zone, cx AS x, cy AS y,
+           |    CAST(sum((least(sx1, (cx + 1) * 4) - greatest(sx0, cx * 4)) *
+           |             (least(sy1, (cy + 1) * 4) - greatest(sy0, cy * 4))) AS BIGINT) AS cov_q
+           |  FROM ey GROUP BY 1, 2, 3),
+           |j AS (SELECT cov.zone, g.v, cov.cov_q FROM cov JOIN ($grid) g ON g.x = cov.x AND g.y = cov.y)
+           |SELECT zone, CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(cov_q) AS BIGINT) AS cov_q,
+           |  CAST(sum(CAST(v AS BIGINT) * cov_q) AS BIGINT) AS wsum_q,
+           |  round(CAST(sum(CAST(v AS BIGINT) * cov_q) AS DOUBLE) / CAST(sum(cov_q) AS DOUBLE), 6) AS wmean
+           |FROM j GROUP BY 1""".stripMargin,
 
       // linear band transform over the joined stacks: a pixel missing
       // in EITHER band is NoData in every output band (NaN rule)

@@ -102,12 +102,24 @@ object Rasterize {
     * @param rects (fid, x0, y0, x1, y1) in grid coords, quarter-aligned
     * @return (x, y, cov_q) — coverage in 1/16-cell² integer units */
   def fromRectsCoverage(rects: DataFrame, layout: LayoutDefinition,
-                        maxCellsPerRect: Long = 1L << 20): DataFrame = {
+                        maxCellsPerRect: Long = 1L << 20): DataFrame =
+    fromRectsCoverageByZone(rects.withColumn("zone", col("fid")),
+        layout, maxCellsPerRect)
+      .groupBy("x", "y").agg(sum("cov_q").cast("long").as("cov_q"))
+
+  /** [[fromRectsCoverage]] keyed by a `zone` column — the coverage
+    * half of [[ZonalOps.zonalStatsCoverage]]'s exactextract-style
+    * area-weighted zonal statistics: overlapping rects of DIFFERENT
+    * zones stay separate (zone, x, y, cov_q) rows instead of merging.
+    * Same quarter-unit exact-integer arithmetic and per-rect guard. */
+  def fromRectsCoverageByZone(rects: DataFrame, layout: LayoutDefinition,
+                              maxCellsPerRect: Long = 1L << 20): DataFrame = {
     val gx = layout.tileLayout.totalCols
     val gy = layout.tileLayout.totalRows // per-axis clamp (r12 advice:
     // a totalCols clamp on y truncated/burned outside non-square grids)
     def q(c: Column) = round(c * 4).cast("long") // quarter-units, exact
     val clamped = rects.select(
+        col("zone").cast("long").as("zone"),
         greatest(q(col("x0")), lit(0L)).as("sx0"),
         least(q(col("x1")), lit(4L * gx)).as("sx1"),
         greatest(q(col("y0")), lit(0L)).as("sy0"),
@@ -115,7 +127,7 @@ object Rasterize {
       .where(col("sx1") > col("sx0") && col("sy1") > col("sy0"))
     // `div`, never `/`: Column division is IEEE double (the recurring
     // integer-quotient trap); coords are clamped nonneg so div == floor
-    val spans = clamped.select(col("sx0"), col("sx1"), col("sy0"), col("sy1"),
+    val spans = clamped.select(col("zone"), col("sx0"), col("sx1"), col("sy0"), col("sy1"),
       expr("(sx1 - 1) div 4 - sx0 div 4 + 1").as("ncx"),
       expr("(sy1 - 1) div 4 - sy0 div 4 + 1").as("ncy"))
     val tooBig = spans.where(col("ncx") * col("ncy") > maxCellsPerRect).limit(1).count()
@@ -123,14 +135,14 @@ object Rasterize {
       s"a rectangle covers more than maxCellsPerRect=$maxCellsPerRect cells; " +
         "raise the ceiling or pre-clip the features")
     spans
-      .select(col("sx0"), col("sx1"), col("sy0"), col("sy1"),
+      .select(col("zone"), col("sx0"), col("sx1"), col("sy0"), col("sy1"),
         explode(expr("sequence(sx0 div 4, (sx1 - 1) div 4)")).as("cx"))
-      .select(col("sx0"), col("sx1"), col("sy0"), col("sy1"), col("cx"),
+      .select(col("zone"), col("sx0"), col("sx1"), col("sy0"), col("sy1"), col("cx"),
         explode(expr("sequence(sy0 div 4, (sy1 - 1) div 4)")).as("cy"))
-      .select(col("cx").as("x"), col("cy").as("y"),
+      .select(col("zone"), col("cx").as("x"), col("cy").as("y"),
         ((least(col("sx1"), (col("cx") + 1) * 4) - greatest(col("sx0"), col("cx") * 4)) *
          (least(col("sy1"), (col("cy") + 1) * 4) - greatest(col("sy0"), col("cy") * 4))).as("wq"))
-      .groupBy("x", "y").agg(sum("wq").cast("long").as("cov_q"))
+      .groupBy("zone", "x", "y").agg(sum("wq").cast("long").as("cov_q"))
   }
 
   def geometryToKeys(layout: LayoutDefinition, g: graft.vector.Wkt.Geom): Seq[(Int, Int)] = {

@@ -482,6 +482,66 @@ object ZonalOps {
           .as("compactness"))
   }
 
+  /** Area-weighted (fractional-coverage) zonal statistics — the
+    * exactextract operator: zones are quarter-aligned rects (zone,
+    * x0, y0, x1, y1 in grid coords) and every cell contributes to a
+    * zone WEIGHTED by the exact fraction the zone covers it, so
+    * boundary pixels split between zones instead of being
+    * whole-assigned (the systematic bias plain zonal stats carries on
+    * small/sliver zones). Coverage comes from
+    * [[Rasterize.fromRectsCoverageByZone]] in 1/16-cell² integer
+    * units; a zone's weighted sum Σ v·cov_q and weight Σ cov_q are
+    * exact integers for integral-valued cells, the mean is their one
+    * IEEE quotient.
+    *
+    * Scale shape: coverage cells group to (zone, col, row) offset
+    * arrays FIRST, so each value tile joins once per zone touching it
+    * (never once per covered cell); the per-tile scan folds into
+    * per-partition zone partials and only |zones| rows cross the
+    * final exchange. NaN cells are skipped (they carry no weight).
+    *
+    * @return (zone, n_cells, cov_q, wsum_q, wmean) — n_cells =
+    *         covered cells with data, cov_q the total coverage in
+    *         1/16-cell² units, wsum_q = Σ v·cov_q, wmean their
+    *         quotient (round 6) */
+  def zonalStatsCoverage(values: RasterLayer, rects: DataFrame): DataFrame = {
+    val spark = values.spark
+    import spark.implicits._
+    val tl = values.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val cov = Rasterize.fromRectsCoverageByZone(rects, values.meta.layout)
+      .select(col("zone"),
+        (col("x") / tc).cast("int").as("col"),
+        (col("y") / tr).cast("int").as("row"),
+        (((col("y") % tr) * tc + (col("x") % tc)).cast("int")).as("off"),
+        col("cov_q"))
+      .groupBy("zone", "col", "row")
+      .agg(collect_list(struct(col("off"), col("cov_q"))).as("offs"))
+    cov.join(values.df.select(col("col"), col("row"), col("tile")), Seq("col", "row"))
+      .select(col("zone"), col("offs"), col("tile"))
+      .as[(Long, Seq[(Int, Long)], Seq[Double])]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Long, Long)]
+        it.foreach { case (z, offs, tile) =>
+          var n = 0L; var cq = 0L; var ws = 0L
+          offs.foreach { case (off, c) =>
+            val v = tile(off)
+            if (!v.isNaN) { n += 1; cq += c; ws += v.toLong * c }
+          }
+          val (n0, c0, w0) = acc.getOrElse(z, (0L, 0L, 0L))
+          acc(z) = (n0 + n, c0 + cq, w0 + ws)
+        }
+        acc.iterator.map { case (z, (n, c, w)) => (z, n, c, w) }
+      }
+      .toDF("zone", "n", "c", "w")
+      .groupBy("zone")
+      .agg(sum("n").cast("long").as("n_cells"), sum("c").cast("long").as("cov_q"),
+        sum("w").cast("long").as("wsum_q"))
+      .where(col("cov_q") > 0)
+      .select(col("zone"), col("n_cells"), col("cov_q"), col("wsum_q"),
+        round(col("wsum_q").cast("double") / col("cov_q").cast("double"), 6).as("wmean"))
+  }
+
   /** Ceiling for [[zonalPercentage]]'s driver fast path: 2^21 zones
     * (~32 MB as a broadcast Long map). Above it the zone totals never
     * leave the cluster — the per-cell join fallback runs instead.

@@ -106,6 +106,27 @@ class ContourSpec extends SparkSpec {
       math.rint(4 * math.Pi * 2 / 64.0 * 1e6) / 1e6)))
   }
 
+  test("coverage zonal stats: boundary cell splits between zones by exact fractions") {
+    // values: v(0,0)=8, v(1,0)=16. Zone 1 covers cell (0,0) fully and
+    // the LEFT 1/4 of (1,0); zone 2 covers the RIGHT 1/2 of (1,0).
+    val vals = layer(Seq((0L, 0L, 8.0), (1L, 0L, 16.0)))
+    val rects = Seq(
+      (1L, 0.0, 0.0, 1.25, 1.0),  // 16q over (0,0) + 4q over (1,0)
+      (2L, 1.5, 0.0, 2.0, 1.0))   // 8q over (1,0)
+      .toDF("zone", "x0", "y0", "x1", "y1")
+    val out = ZonalOps.zonalStatsCoverage(vals, rects)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // zone 1: cov 20q, wsum 8*16 + 16*4 = 192, mean 9.6
+    assert(out(1L) == ((1L, 2L, 20L, 192L, 9.6)))
+    // zone 2: cov 8q, wsum 16*8 = 128, mean 16
+    assert(out(2L) == ((2L, 1L, 8L, 128L, 16.0)))
+    // a zone over NoData only contributes nothing
+    val o2 = ZonalOps.zonalStatsCoverage(vals,
+      Seq((9L, 5.0, 5.0, 6.0, 6.0)).toDF("zone", "x0", "y0", "x1", "y1"))
+      .collect()
+    assert(!o2.exists(_.getLong(0) == 9L))
+  }
+
   test("zonal circular mean: wraparound and quadrature cases by hand") {
     // zone 1: angles 359 and 1 -> circular mean 0 (arithmetic mean
     // would say 180); zone 2: angles 0 and 90 -> mean 45, R = sqrt2/2
