@@ -1799,6 +1799,18 @@ object SparkEntry {
       // both engines rank identically (see tfidfTopTerms scaladoc)
       pipeline.TextAnalysis.tfidfTopTerms(table(s, dir, "documents"))),
 
+    "q_tfrecord_roundtrip" -> ((s, dir) => {
+      // TFRecord shard export + re-read: tf.train.Example protobufs in
+      // CRC32C-framed records, hand-coded from the public specs; the
+      // re-read rows must match the source table content-exactly
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_tfrecord"
+      pipeline.TFRecord.writeShards(
+        table(s, dir, "documents").select(col("doc_id"), col("text")), out, n = 4)
+      pipeline.TFRecord.read(s, out)
+        .select(col("shard").cast("long").as("shard"), col("doc_id"),
+          length(col("text")).cast("long").as("n_text"), md5(col("text")).as("h"))
+    }),
+
     "q_bm25" -> ((s, dir) =>
       // BM25 retrieval scores for a fixed query-term set; idf and
       // per-(doc,term) scores quantize to integer micro-units before
@@ -4584,6 +4596,12 @@ object SparkEntry {
       // the groupBy); every float chain seeded with a DOUBLE cast so
       // DuckDB never routes through DECIMAL arithmetic
       "q_bm25" -> bm25OracleSql,
+
+      // shard = doc_id % 4 by construction; n_text/md5 pin content
+      "q_tfrecord_roundtrip" ->
+        """SELECT CAST(doc_id % 4 AS BIGINT) AS shard, doc_id,
+          |  CAST(length(text) AS BIGINT) AS n_text, md5(text) AS h
+          |FROM documents""".stripMargin,
 
       // RRF hybrid retrieval: both top-20 rankings restated in full
       // (BM25 reused verbatim as a subquery, tf*N/df micro-quantized

@@ -629,6 +629,57 @@ class PipelineSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("tfrecord: CRC32C check value, framing roundtrip, corruption detected") {
+    // the standard Castagnoli check: CRC32C("123456789") = 0xE3069283
+    val check = "123456789".getBytes("US-ASCII")
+    val c = new java.util.zip.CRC32C(); c.update(check, 0, check.length)
+    assert(c.getValue.toInt == 0xE3069283)
+    // masked form per the TFRecord spec
+    val crc = 0xE3069283
+    assert(TFRecord.maskedCrc32c(check, 0, check.length) ==
+      ((crc >>> 15) | (crc << 17)) + 0xa282ead8)
+    // frame layout: 8 len + 4 crc + payload + 4 crc
+    val payload = Array[Byte](1, 2, 3)
+    val f = TFRecord.frame(payload)
+    assert(f.length == 8 + 4 + 3 + 4)
+    assert(java.nio.ByteBuffer.wrap(f, 0, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong == 3L)
+  }
+
+  test("tfrecord: Example protobuf encode/decode roundtrip incl. unicode") {
+    val txt = "héllo wörld — προβ".getBytes("UTF-8")
+    val (id, t) = TFRecord.decodeExample(TFRecord.encodeExample(42L, txt))
+    assert(id == 42L && t.toSeq == txt.toSeq)
+    val (id2, t2) = TFRecord.decodeExample(TFRecord.encodeExample(0L, Array.empty))
+    assert(id2 == 0L && t2.isEmpty)
+  }
+
+  test("tfrecord shards: write/read roundtrip, stable shard assignment, deterministic bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfr").toString
+    val d = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    TFRecord.writeShards(d, dir, n = 2)
+    val back = TFRecord.read(spark, dir)
+      .as[(Int, Long, String)].collect().sortBy(_._2)
+    assert(back.toSeq == Seq((0, 0L, "alpha"), (1, 1L, "beta"),
+      (0, 2L, "gamma"), (0, 4L, "delta")))
+    // byte-determinism: a second write produces identical files
+    val sig1 = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tfrecord"))
+      .sortBy(_.getName).map(f => java.nio.file.Files.readAllBytes(f.toPath).toSeq).toSeq
+    TFRecord.writeShards(d, dir, n = 2)
+    val sig2 = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tfrecord"))
+      .sortBy(_.getName).map(f => java.nio.file.Files.readAllBytes(f.toPath).toSeq).toSeq
+    assert(sig1 == sig2)
+    // a flipped payload byte fails the CRC loudly
+    val f0 = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tfrecord"))
+      .minBy(_.getName)
+    val bytes = java.nio.file.Files.readAllBytes(f0.toPath)
+    bytes(14) = (bytes(14) ^ 0x01).toByte // inside the first payload
+    java.nio.file.Files.write(f0.toPath, bytes)
+    val e = intercept[Exception](TFRecord.read(spark, dir).collect())
+    assert(e.getMessage.contains("CRC") || (e.getCause != null))
+  }
+
   test("multimodal resize: fixed output shape, deterministic resampling") {
     val blobs = Multimodal.asBlobs(docs)
     val small = Multimodal.resize(blobs, 8, 4).collect()
