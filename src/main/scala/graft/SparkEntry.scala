@@ -1811,6 +1811,20 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_text"), md5(col("text")).as("h"))
     }),
 
+    "q_webdataset_roundtrip" -> ((s, dir) => {
+      // WebDataset tar shards: {doc_id}.txt entries in deterministic
+      // ustar archives; re-read content must match the source table
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_wds"
+      pipeline.WebDataset.writeShards(
+        table(s, dir, "documents").select(col("doc_id").as("key"),
+          map(lit("txt"), encode(col("text"), "UTF-8")).as("entries")), out, n = 4)
+      pipeline.WebDataset.read(s, out)
+        .where(col("ext") === "txt")
+        .select(col("shard").cast("long").as("shard"), col("key").as("doc_id"),
+          length(decode(col("payload"), "UTF-8")).cast("long").as("n_text"),
+          md5(decode(col("payload"), "UTF-8")).as("h"))
+    }),
+
     "q_bm25" -> ((s, dir) =>
       // BM25 retrieval scores for a fixed query-term set; idf and
       // per-(doc,term) scores quantize to integer micro-units before
@@ -4596,6 +4610,12 @@ object SparkEntry {
       // the groupBy); every float chain seeded with a DOUBLE cast so
       // DuckDB never routes through DECIMAL arithmetic
       "q_bm25" -> bm25OracleSql,
+
+      // same contract as tfrecord: shard = doc_id % 4, content pinned
+      "q_webdataset_roundtrip" ->
+        """SELECT CAST(doc_id % 4 AS BIGINT) AS shard, doc_id,
+          |  CAST(length(text) AS BIGINT) AS n_text, md5(text) AS h
+          |FROM documents""".stripMargin,
 
       // shard = doc_id % 4 by construction; n_text/md5 pin content
       "q_tfrecord_roundtrip" ->

@@ -680,6 +680,43 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("CRC") || (e.getCause != null))
   }
 
+  test("webdataset: multi-entry samples roundtrip; system tar reads our shards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds").toString
+    val samples = Seq(
+      (0L, Map("txt" -> "caption zero".getBytes("UTF-8"),
+               "bin" -> Array[Byte](1, 2, 3, 4, 5))),
+      (1L, Map("txt" -> "caption one".getBytes("UTF-8"))),
+      (2L, Map("txt" -> "caption two".getBytes("UTF-8"),
+               "json" -> """{"k":2}""".getBytes("UTF-8"))))
+      .toDF("key", "entries")
+    WebDataset.writeShards(samples, dir, n = 2)
+    val back = WebDataset.read(spark, dir)
+      .as[(Int, Long, String, Array[Byte])].collect()
+      .map(r => (r._2, r._3) -> (r._1, r._4.toSeq)).toMap
+    assert(back((0L, "txt"))._2 == "caption zero".getBytes("UTF-8").toSeq)
+    assert(back((0L, "bin"))._2 == Seq[Byte](1, 2, 3, 4, 5))
+    assert(back((2L, "json"))._2 == """{"k":2}""".getBytes("UTF-8").toSeq)
+    assert(back((0L, "txt"))._1 == 0 && back((1L, "txt"))._1 == 1) // key % 2
+    assert(back.size == 5)
+    // interop: the SYSTEM tar must list our entries (ustar conformance)
+    val shard0 = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).minBy(_.getName)
+    val listed = scala.sys.process.Process(Seq("tar", "-tf", shard0.getAbsolutePath))
+      .lineStream_!.toList
+    assert(listed.sorted == List("0.bin", "0.txt", "2.json", "2.txt"),
+      s"system tar saw: $listed")
+    // and system tar extracts byte-identical content
+    val extractDir = java.nio.file.Files.createTempDirectory("graft_wds_x")
+    scala.sys.process.Process(
+      Seq("tar", "-xf", shard0.getAbsolutePath, "-C", extractDir.toString)).!
+    assert(java.nio.file.Files.readAllBytes(extractDir.resolve("0.txt")).toSeq ==
+      "caption zero".getBytes("UTF-8").toSeq)
+    // byte-determinism across writes
+    val b1 = java.nio.file.Files.readAllBytes(shard0.toPath).toSeq
+    WebDataset.writeShards(samples, dir, n = 2)
+    assert(java.nio.file.Files.readAllBytes(shard0.toPath).toSeq == b1)
+  }
+
   test("multimodal resize: fixed output shape, deterministic resampling") {
     val blobs = Multimodal.asBlobs(docs)
     val small = Multimodal.resize(blobs, 8, 4).collect()
