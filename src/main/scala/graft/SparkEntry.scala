@@ -1319,6 +1319,22 @@ object SparkEntry {
       mb.mapCells(c => c * 2.0 + 1.0).toCells
     }),
 
+    "q_classify_mindist" -> ((s, dir) => {
+      // minimum-distance supervised classification over the 2-band
+      // stack; integral signature means, packed-argmin determinism
+      val mb = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
+      mb.classifyMinDistance(Seq(0 -> Seq(100.0, 50.0), 1 -> Seq(300.0, 100.0),
+        2 -> Seq(120.0, 80.0))).toCells
+    }),
+
+    "q_accuracy" -> ((s, dir) => {
+      // error-matrix statistics: overall accuracy + Cohen's kappa of
+      // two mod-3 class rasters (exact-integer closing divisions)
+      val pred = lineitemLayer(s, dir).localMap(c => pmod(c, lit(3.0)))
+      val truth = ordersLayer(s, dir).localMap(c => pmod(c, lit(3.0)))
+      Compare.accuracyAssessment(pred, truth)
+    }),
+
     "q_pansharpen" -> ((s, dir) => {
       // Brovey ratio pansharpen: (lineitem, orders) stack against a
       // derived pan band; per-pixel ratio math, round 5
@@ -3731,6 +3747,36 @@ object SparkEntry {
           |      FROM q, range(1, 65) ra(ia), range(1, 65) rb(ib)
           |      WHERE ib >= ia)
           |SELECT i, j, CAST(sum(g) AS BIGINT) AS g FROM p GROUP BY 1, 2""".stripMargin,
+
+      // packed argmin restated: least(dist_k*16 + k) % 16, exact for
+      // integral cells/means; cells missing either band drop
+      "q_classify_mindist" ->
+        s"""WITH a AS ($grid), b AS ($ogrid),
+           |j AS (SELECT a.x, a.y, a.v AS va, b.v AS vb FROM a JOIN b USING (x, y))
+           |SELECT x, y,
+           |  least(((va - 100) * (va - 100) + (vb - 50) * (vb - 50)) * 16 + 0,
+           |        ((va - 300) * (va - 300) + (vb - 100) * (vb - 100)) * 16 + 1,
+           |        ((va - 120) * (va - 120) + (vb - 80) * (vb - 80)) * 16 + 2) % 16 AS v
+           |FROM j""".stripMargin,
+
+      // error matrix: exact counts and marginal products; overall and
+      // kappa each close in ONE division of exact integers (the
+      // pe-clearing algebra), round 6
+      "q_accuracy" ->
+        s"""WITH g AS ($grid), o AS ($ogrid),
+           |j AS (SELECT CAST(g.v AS BIGINT) % 3 AS p, CAST(o.v AS BIGINT) % 3 AS t
+           |      FROM g JOIN o USING (x, y)),
+           |c AS (SELECT p, t, count(*) AS cnt FROM j GROUP BY 1, 2),
+           |m AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+           |        CAST(sum(CASE WHEN p = t THEN cnt ELSE 0 END) AS BIGINT) AS correct
+           |      FROM c),
+           |pe AS (SELECT CAST(coalesce(sum(rt * ct), 0) AS BIGINT) AS pen
+           |       FROM (SELECT p, sum(cnt) AS rt FROM c GROUP BY 1) r
+           |       JOIN (SELECT t, sum(cnt) AS ct FROM c GROUP BY 1) cc ON r.p = cc.t)
+           |SELECT n, correct,
+           |  round(CAST(correct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS overall_acc,
+           |  round(CAST(correct * n - pen AS DOUBLE) / CAST(n * n - pen AS DOUBLE), 6) AS kappa
+           |FROM m, pe""".stripMargin,
 
       // joint bin counts, exact integer binning
       "q_hist2d" ->

@@ -118,6 +118,43 @@ object Compare {
       .groupBy("bin_a", "bin_b").agg(sum("cnt").as("cnt"))
   }
 
+  /** Classification accuracy assessment — the error-matrix statistics
+    * (Congalton 1991) a supervised-classification workflow reports
+    * next to its confusion matrix: overall accuracy Σdiag/n and
+    * Cohen's kappa, the chance-corrected agreement
+    * κ = (p₀ − pₑ)/(1 − pₑ) with pₑ = Σ_k rowTot_k·colTot_k / n².
+    *
+    * Determinism: counts and marginal products are exact integers and
+    * both closing statistics are stated as ONE division of exact
+    * integers — overall = correct/n and
+    * κ = (correct·n − Σ rowTot·colTot)/(n² − Σ rowTot·colTot) — then
+    * round 6 (the algebra clears pₑ's inner divisions, so no
+    * intermediate float exists to diverge).
+    *
+    * Scale shape: the [[jointHistogram]] per-partition partial (only
+    * |classes|² rows cross the exchange); marginal products are a
+    * |classes|²-bounded join of two tiny aggregates.
+    *
+    * @return one row (n, correct, overall_acc, kappa) */
+  def accuracyAssessment(pred: RasterLayer, truth: RasterLayer): DataFrame = {
+    val cm = jointHistogram(pred, truth).localCheckpoint() // (bin_a=pred, bin_b=truth, cnt)
+    val n = cm.agg(sum("cnt").cast("long")).first().getLong(0)
+    val correct = cm.where(col("bin_a") === col("bin_b"))
+      .agg(coalesce(sum("cnt"), lit(0L)).cast("long")).first().getLong(0)
+    val peNum = cm.groupBy("bin_a").agg(sum("cnt").as("rt"))
+      .join(cm.groupBy("bin_b").agg(sum("cnt").as("ct")),
+        col("bin_a") === col("bin_b"))
+      .agg(coalesce(sum(col("rt") * col("ct")), lit(0L)).cast("long"))
+      .first().getLong(0)
+    val spark = pred.spark
+    import spark.implicits._
+    Seq((n, correct)).toDF("n", "correct")
+      .select(col("n"), col("correct"),
+        round(col("correct").cast("double") / col("n").cast("double"), 6).as("overall_acc"),
+        round((col("correct") * col("n") - lit(peNum)).cast("double") /
+          (col("n") * col("n") - lit(peNum)).cast("double"), 6).as("kappa"))
+  }
+
   /** Cut/fill report (ArcGIS CutFill): per sign class of a - b
     * (1 = cut, -1 = fill, 0 = unchanged), the cell count and total
     * |volume| in cell units (multiply by cell area for map units).

@@ -65,6 +65,39 @@ final class MultibandLayer(val df: DataFrame, val meta: LayerMetadata, val bandC
   def normalizedDifference(nir: Int = 1, red: Int = 0): RasterLayer =
     combinePixels(red, nir, (r, n) => (n - r) / (n + r))
 
+  /** Minimum-distance supervised classification (the ERDAS/ArcGIS
+    * minimum-distance classifier): each pixel takes the class whose
+    * per-band mean signature is nearest in squared euclidean band
+    * space; ties break to the SMALLEST class id; NoData in ANY band
+    * propagates. Signatures are (classId, per-band means).
+    *
+    * Shuffle-free codegen'd HOF over the co-located band stack. The
+    * argmin is ONE least() over packed (dist·16 + id) doubles — the
+    * winnowing pack trick — so no distance is ever re-evaluated in a
+    * tie-break CASE (HOF lambdas have no CSE). Exactness contract:
+    * integral-valued cells and means keep every dist·16 + id exact
+    * below 2^53, so the argmin is deterministic and the oracle states
+    * the identical packing. */
+  def classifyMinDistance(signatures: Seq[(Int, Seq[Double])]): RasterLayer = {
+    require(signatures.nonEmpty && signatures.size <= 16, "1..16 classes")
+    require(signatures.forall(_._2.length == bandCount), "signature arity != bandCount")
+    require(signatures.forall(s => s._1 >= 0 && s._1 < 16), "class ids 0..15")
+    require(signatures.forall(_._2.forall(m => m.isWhole)),
+      "minimum-distance contract: integral signature means (quantize upstream)")
+    val size = tc * tr
+    val tile = transform(sequence(lit(0), lit(size - 1)), i => {
+      val packed = signatures.map { case (cid, ms) =>
+        val d = ms.zipWithIndex.map { case (m, b) =>
+          val v = element_at(element_at(col("bands"), b + 1), i + 1)
+          (v - m) * (v - m)
+        }.reduce(_ + _)
+        d * lit(16.0) + lit(cid.toDouble)
+      }
+      pmod(least(packed: _*), lit(16.0))
+    })
+    new RasterLayer(df.select(col("col"), col("row"), tile.as("tile")), meta)
+  }
+
   /** Linear band transform — the tasseled-cap / PCA-projection shape
     * (Kauth & Thomas 1976; fixed coefficient rows): output band j =
     * Σ_i coeffs(j)(i) · band_i per pixel. Pure zip/transform over the

@@ -733,6 +733,35 @@ class RasterLayerSpec extends SparkSpec {
     assert(math.abs(h - math.log(2)) < 1e-4 && math.abs(e - 1.0) < 1e-4)
   }
 
+  test("minimum-distance classification: nearest signature, ties to smaller id, NoData holes") {
+    // bands (a, b); signatures 0:(0,0), 1:(10,0), 2:(0,10)
+    val a = layer((0, 0, 1.0), (1, 0, 9.0), (2, 0, 5.0), (3, 0, 1.0))
+    val b = layer((0, 0, 1.0), (1, 0, 0.0), (2, 0, 5.0) /* (3,0) missing */)
+    val mb = MultibandLayer.fromLayers(Seq(a, b))
+    val out = mb.classifyMinDistance(
+        Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 0.0), 2 -> Seq(0.0, 10.0)))
+      .toCells.as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(0L) == 0.0) // (1,1): d0=2 < d1=82, d2=82
+    assert(out(1L) == 1.0) // (9,0): d1=1 wins
+    assert(out(2L) == 0.0) // (5,5): d0=50 = d1=50 = d2=50 -> tie -> id 0
+    assert(!out.contains(3L)) // band b missing -> NoData
+  }
+
+  test("accuracy assessment: hand-computed overall and kappa") {
+    // pred/truth over 4 cells: matrix [[2,1],[0,1]] -> correct 3, n 4
+    // rowTot(pred): {0:3, 1:1}; colTot(truth): {0:2, 1:2}
+    // pe_num = 3*2 + 1*2 = 8; overall = 3/4; kappa = (12-8)/(16-8) = .5
+    val pred  = layer((0, 0, 0.0), (1, 0, 0.0), (2, 0, 0.0), (3, 0, 1.0))
+    val truth = layer((0, 0, 0.0), (1, 0, 0.0), (2, 0, 1.0), (3, 0, 1.0))
+    val out = Compare.accuracyAssessment(pred, truth)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(out == ((4L, 3L, 0.75, 0.5)))
+    // perfect agreement -> kappa 1
+    val p2 = Compare.accuracyAssessment(truth, truth)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(p2._3 == 1.0 && p2._4 == 1.0)
+  }
+
   test("change vector analysis: magnitude and direction by hand") {
     val a0 = layer((0, 0, 5.0)); val a1 = layer((0, 0, 8.0))  // d0 = 3
     val b0 = layer((0, 0, 2.0)); val b1 = layer((0, 0, 6.0))  // d1 = 4
