@@ -1454,6 +1454,12 @@ object SparkEntry {
       // over the shared component assignment
       pipeline.Dedup.duplicationProfileFrom(dupComponents(s, dir))),
 
+    "q_dup_rank" -> ((s, dir) =>
+      // boilerplate-hub centrality: 3 exact-integer PageRank rounds
+      // over the SHARED near-dup pair graph
+      pipeline.Dedup.dupRank(minhashEdges(s, dir),
+        table(s, dir, "documents").select(col("doc_id")))),
+
     "q_dedup_keep_best" -> ((s, dir) => {
       // FineWeb-style keep rule: the LONGEST doc survives each family
       // (n_chars as the exact-integer quality score, ties -> min id)
@@ -3942,6 +3948,32 @@ object SparkEntry {
       // same LSH pair graph, closed transitively (recursive CTE);
       // component = min reachable doc_id, singletons map to themselves
       "q_dedup_clusters" -> dedupComponentsSql,
+
+      // 3 unrolled damped-PageRank rounds over the shared pair CTEs:
+      // micro-quantized ranks, truncating `//` divisions — every step
+      // exact integers, identical to the engine's loop
+      "q_dup_rank" -> {
+        def step(prev: String, out: String) =
+          s"""$out AS (SELECT d.doc_id,
+             |    ((15 * 1000000) // (100 * nn.n)) + (85 * coalesce(f.s, 0)) // 100 AS rq
+             |  FROM documents d CROSS JOIN nn
+             |  LEFT JOIN (SELECT sym.v AS doc_id, CAST(sum($prev.rq // deg.deg) AS BIGINT) AS s
+             |             FROM sym JOIN $prev ON $prev.doc_id = sym.u JOIN deg ON deg.u = sym.u
+             |             GROUP BY 1) f USING (doc_id))""".stripMargin
+        s"""WITH $minhashCtes,
+           |pairs AS (
+           |  SELECT d1, d2
+           |  FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id
+           |  WHERE CAST($minhashSimExpr AS DOUBLE) / 16 >= 0.5),
+           |sym AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+           |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |r0 AS (SELECT doc_id, (1000000 // nn.n) AS rq FROM documents CROSS JOIN nn),
+           |${step("r0", "r1")},
+           |${step("r1", "r2")},
+           |${step("r2", "r3")}
+           |SELECT doc_id, CAST(rq AS BIGINT) AS rank_q FROM r3""".stripMargin
+      },
 
       // per-doc marginal of the inverted index: distinct shingles and
       // the df = 1 subset (NO boilerplate cap here — novelty wants

@@ -673,6 +673,51 @@ object Dedup {
         when(col("doc_id") === col("keep_id"), 1L).otherwise(0L).as("keep"))
   }
 
+  /** Duplication-graph PageRank — hub centrality over the near-dup
+    * pair graph: documents with high rank sit at the center of large,
+    * densely-connected duplicate families (boilerplate templates, spam
+    * farms) — a curation signal the flat component size misses (a
+    * star's hub vs its leaves). Standard damped iteration
+    * r' = 0.15/n + 0.85·Σ r(u)/deg(u) over the SYMMETRIZED graph,
+    * with EVERY quantity micro-quantized (r in 1e-6 units) and every
+    * division a truncating integer `div` — the whole iteration is
+    * exact integer arithmetic stated identically in the oracle, so
+    * `iters` unrolled CTE steps hash-match. Dangling mass is dropped
+    * (isolated docs keep the base term) — the ranking signal, not the
+    * stochastic-matrix purist's normalization; stated.
+    *
+    * Scale shape: per iteration ONE edges⨝rank join + a keyed sum
+    * (map-side combine), localCheckpoint per round (CLAUDE.md
+    * iterative rule); edges are the bounded LSH candidate set.
+    *
+    * @return (doc_id, rank_q) — rank in 1e-6 units */
+  def dupRank(pairs: DataFrame, vertices: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 16, "1..16 iterations")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sym = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .distinct().localCheckpoint()
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = vertices.count()
+    require(n > 0, "empty vertex set")
+    val base = (15L * 1000000L) / (100L * n)
+    var rank = vertices.select(col("doc_id"), lit(1000000L / n).as("rq"))
+    (1 to iters).foreach { _ =>
+      val shares = sym
+        .join(rank.withColumnRenamed("doc_id", "u"), "u")
+        .join(deg, "u")
+        .select(col("v").as("doc_id"), expr("rq div deg").as("share"))
+        .groupBy("doc_id").agg(sum("share").cast("long").as("s"))
+      rank = vertices.select(col("doc_id"))
+        .join(shares, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(base) + expr("(85 * coalesce(s, 0)) div 100")).as("rq"))
+        .localCheckpoint()
+    }
+    rank.select(col("doc_id"), col("rq").cast("long").as("rank_q"))
+  }
+
   /** Cross-source duplication matrix — who copies whom: MinHash-LSH
     * near-dup pairs rolled up by (source, source), the provenance
     * report a multi-crawl corpus ships next to its dedup manifest.

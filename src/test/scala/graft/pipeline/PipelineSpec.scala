@@ -1195,6 +1195,25 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(out(1L)._3 - math.log(2)) < 1e-4)
   }
 
+  test("dup rank: hub outranks leaves, isolated docs keep the base term") {
+    // star: 0-1, 0-2, 0-3 (hub 0); isolated doc 9
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("d1", "d2")
+    val verts = Seq(0L, 1L, 2L, 3L, 9L).toDF("doc_id")
+    val out = Dedup.dupRank(pairs, verts, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // hand-walk (n=5, base = 15e5//500 = 30000, r0 = 200000):
+    // deg(0)=3, deg(leaf)=1.
+    // i1: hub gets 3*(200000//1) -> 30000 + 85*600000//100 = 540000;
+    //     leaf gets 200000//3 = 66666 -> 30000 + 85*66666//100 = 86666
+    assert(out(9L) == 30000L) // base only, every round
+    assert(out(0L) > out(1L)) // hub outranks leaves
+    assert(out(1L) == out(2L) && out(2L) == out(3L)) // symmetric leaves
+    // r2 by hand: hub <- 3*(86666//1)=259998 -> 30000+85*259998//100=250998
+    //             leaf <- 540000//3=180000 -> 30000+153000=183000
+    // r3: hub <- 3*183000 = 549000 -> 30000 + 466650 = 496650
+    assert(out(0L) == 496650L)
+  }
+
   test("pmi collocations: perfect pair beats independent pair, floor bounds output") {
     // "x y" always adjacent (PMI high); "a" and "b" co-occur at chance
     val rows = (0 until 8).map(i => (i.toLong, "x y a" + (" b a" * 3), "en", "s", 1L))
