@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.core.{CRS, ZIndex}
-import graft.raster.{CellOp, Compare, Contour, Distance, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, TimeSeries, ZFactor, ZonalOps}
+import graft.raster.{CellOp, Compare, Contour, Distance, FocalOp, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, TimeSeries, ZFactor, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
 
@@ -201,6 +201,10 @@ object SparkEntry {
           .focal(Neighborhood.Square(1), "Entropy"))),
     "q_focal_minority" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Minority"))),
+    "q_focal_percentile" -> ((s, dir) =>
+      // exact 75th percentile (rational-q cross-multiplied rule in
+      // focal scope — integer selection, no interpolation)
+      flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), FocalOp.Percentile(3, 4)))),
     "q_focal_stddev" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "StandardDeviation"))),
     "q_focal_variance" -> ((s, dir) =>
@@ -263,6 +267,17 @@ object SparkEntry {
     }),
     "q_tobler" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).tobler()
+      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
+    "q_heat_load" -> ((s, dir) => {
+      // McCune-Keon ln heat load on the DEGREES layout: slope/aspect
+      // from the Horn gradient, latitude from the tile-center row
+      // (the q_slope_latlng lat convention)
+      val l = RasterLayer.fromCells(
+        table(s, dir, "lineitem").select(
+          (col("l_orderkey") % G).as("x"), (col("l_partkey") % G).as("y"),
+          col("l_quantity").as("v")),
+        layoutLatLng, CellOp.Sum).heatLoad()
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
 
@@ -2296,6 +2311,18 @@ object SparkEntry {
            |  GROUP BY c.x, c.y, n.v
            |) WHERE rn = 1""".stripMargin,
 
+      // exact 75th percentile: smallest 1-based rank rn with
+      // rn*4 >= cnt*3 — the zonal-quantile cross-multiplied rule; the
+      // rank-boundary VALUE is unique in the sorted multiset even
+      // where row_number breaks ties arbitrarily
+      "q_focal_percentile" ->
+        s"""WITH g AS ($grid),
+           |r AS (SELECT c.x AS x, c.y AS y, n.v AS v,
+           |        row_number() OVER (PARTITION BY c.x, c.y ORDER BY n.v) AS rn,
+           |        count(*) OVER (PARTITION BY c.x, c.y) AS cnt
+           |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1)
+           |SELECT x, y, v FROM r WHERE rn * 4 >= cnt * 3 AND (rn - 1) * 4 < cnt * 3""".stripMargin,
+
       "q_focal_stddev" ->
         (focalJoin("sqrt((sum(n.v * n.v) - sum(n.v) * sum(n.v) / count(*)) / (count(*) - 1))")
           + " HAVING count(*) > 1"),
@@ -2405,6 +2432,20 @@ object SparkEntry {
         val (g, h) = ("((-n4 + n6) / 2.0)", "((n2 - n8) / 2.0)")
         val q = s"($g * $g + $h * $h)"
         windowSql(s"round(CASE WHEN $q = 0 THEN 0.0 ELSE 200.0 * ($d * $h * $h + $e * $g * $g - $f * $g * $h) / $q END, 5) + 0.0")
+      },
+
+      // McCune-Keon 2002 ln heat load: identical term order to
+      // Focal.terrain's heat_load case; zf carries the latitude
+      // (radians) through the hornSql pivot
+      "q_heat_load" -> {
+        val sR = "atan(sqrt(dzdx * dzdx + dzdy * dzdy))"
+        val a0 = "atan2(dzdy, -dzdx)"
+        val aR = s"(CASE WHEN $a0 < 0 THEN $a0 + 2 * pi() ELSE $a0 END)"
+        val fR = s"abs(pi() - abs($aR - 1.25 * pi()))"
+        hornSql(
+          s"round(-1.467 + 1.582 * cos(zf) * cos($sR) - 1.500 * cos($fR) * sin($sR) * sin(zf) - 0.262 * sin(zf) * sin($sR) + 0.607 * sin($fR) * sin($sR), 5)",
+          cellSize = 0.25,
+          zfExpr = "radians(64 - ((y // 64) + 0.5) * 16)")
       },
 
       "q_tobler" ->

@@ -111,6 +111,21 @@ object FocalOp {
       best
     }
   }
+  /** Exact rational-q percentile over the window (the zonal-quantile
+    * cross-multiplied rule lifted to focal scope, ArcGIS Focal
+    * Statistics PERCENTILE): the smallest window value whose 1-based
+    * sorted rank i satisfies i·den ≥ n·num. Pure integer selection —
+    * no interpolation, no float rank math — so the oracle twin
+    * (row_number window + the same cross-multiplication) is
+    * bit-identical. num=1,den=2 is the lower median; num=den is Max. */
+  final case class Percentile(num: Long, den: Long) extends FocalOp {
+    require(num >= 0 && num <= den && den > 0, s"bad percentile $num/$den")
+    def apply(vs: Array[Double], n: Int) = {
+      val s = java.util.Arrays.copyOf(vs, n); java.util.Arrays.sort(s)
+      val rank = math.max(1L, (n * num + den - 1) / den) // ceil(n*num/den)
+      s((rank - 1).toInt)
+    }
+  }
   /** Sample variance (n-1 denominator); NaN when n < 2. Computed as
     * (sum(v^2) - sum(v)^2/n) / (n-1) — the exact operation sequence the
     * oracle SQL states, so integral inputs match bit-for-bit. */
@@ -542,8 +557,10 @@ object Focal extends Serializable {
         while (j < cb.h) { var i = 0; while (i < cb.w) { padded((cb.y0 + j + 1) * W + (cb.x0 + i + 1)) = cb.cells(j * cb.w + i); i += 1 }; j += 1 }
       }
       // reference contract: ONE z-factor per tile, from the tile
-      // extent's CENTER latitude (ZFactorCalculator.deriveZFactor)
-      val zf = zFactorCalc.fold(zFactor)(f => f(ymax - (r0 + 0.5) * tileWorldH))
+      // extent's CENTER latitude (ZFactorCalculator.deriveZFactor);
+      // heat_load reads the same center latitude directly
+      val centerLat = ymax - (r0 + 0.5) * tileWorldH
+      val zf = zFactorCalc.fold(zFactor)(f => f(centerLat))
       val outTile = new Array[Double](tc * tr)
       var cy = 0
       while (cy < tr) {
@@ -651,6 +668,25 @@ object Focal extends Serializable {
                 // Tobler hiking function (public): 6*e^(-3.5*|tan(slope)+0.05|)
                 val tanS = math.sqrt(dzdx * dzdx + dzdy * dzdy)
                 6.0 * math.exp(-3.5 * math.abs(tanS + 0.05))
+              case "heat_load" =>
+                // McCune & Keon 2002 heat-load index, ln form (the
+                // folded-aspect equation as published): aspect folds
+                // about SW (225° = 1.25π) so SW-facing slopes score
+                // hottest; latitude is the tile-center latitude (the
+                // ZFactorCalculator per-tile convention). Emitting the
+                // ln keeps the output a linear combination of trig
+                // terms — exp is monotone, so ranking/classing is
+                // unchanged and no exp boundary hazard enters the
+                // oracle hash.
+                val slopeR = math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))
+                val aspR0 = math.atan2(dzdy, -dzdx)
+                val aspR = if (aspR0 < 0) aspR0 + 2 * math.Pi else aspR0
+                val folded = math.abs(math.Pi - math.abs(aspR - 1.25 * math.Pi))
+                val latR = math.toRadians(centerLat)
+                -1.467 + 1.582 * math.cos(latR) * math.cos(slopeR) -
+                  1.500 * math.cos(folded) * math.sin(slopeR) * math.sin(latR) -
+                  0.262 * math.sin(latR) * math.sin(slopeR) +
+                  0.607 * math.sin(folded) * math.sin(slopeR)
             }
           }
           cx += 1

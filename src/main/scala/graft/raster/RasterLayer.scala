@@ -515,6 +515,10 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
                 zFactorCalc: Option[Double => Double] = None): RasterLayer =
     Focal.terrain(this, "hillshade", zFactor, azimuth, altitude, zFactorCalc)
   def tobler(): RasterLayer                         = Focal.terrain(this, "tobler")
+  /** McCune & Keon 2002 heat-load index (ln form, folded aspect about
+    * SW); latitude from the tile-center (ZFactorCalculator convention).
+    * The layer must be on a degrees layout. */
+  def heatLoad(): RasterLayer                       = Focal.terrain(this, "heat_load")
   /** Terrain ruggedness index (Riley et al. 1999). */
   def tri(): RasterLayer                            = Focal.terrain(this, "tri")
   /** Topographic position index: center minus 8-neighbor mean. */

@@ -617,6 +617,38 @@ class RasterLayerSpec extends SparkSpec {
     assert(math.abs(out(3L) - math.log(2)) < 1e-6)
   }
 
+  test("focal percentile: exact rank selection (ceil(n*num/den)), partial windows") {
+    // 1x4 strip: window of (1,0) is {1,5,9}; p75 rank = ceil(3*3/4)=3 -> 9
+    val l = layer((0, 0, 1.0), (1, 0, 5.0), (2, 0, 9.0), (3, 0, 2.0))
+    val p75 = l.focal(Neighborhood.Square(1), FocalOp.Percentile(3, 4)).toCells
+      .as[(Long, Long, Double)].collect().map(c => c._1 -> c._3).toMap
+    assert(p75(1L) == 9.0)            // {1,5,9}: rank 3
+    assert(p75(0L) == 5.0)            // {1,5}: rank ceil(2*3/4)=2
+    assert(p75(3L) == 9.0)            // {9,2}: rank 2 -> 9
+    // num=1,den=2 on an odd window is the lower median
+    val med = l.focal(Neighborhood.Square(1), FocalOp.Percentile(1, 2)).toCells
+      .as[(Long, Long, Double)].collect().map(c => c._1 -> c._3).toMap
+    assert(med(1L) == 5.0)            // {1,5,9}: rank ceil(3/2)=2
+    // num=0 clamps to rank 1 (min); num=den is max
+    assert(l.focal(Neighborhood.Square(1), FocalOp.Percentile(0, 4)).toCells
+      .as[(Long, Long, Double)].collect().map(c => c._1 -> c._3).toMap.apply(1L) == 1.0)
+    assert(l.focal(Neighborhood.Square(1), FocalOp.Percentile(4, 4)).toCells
+      .as[(Long, Long, Double)].collect().map(c => c._1 -> c._3).toMap.apply(1L) == 9.0)
+  }
+
+  test("heat load: flat surface collapses to -1.467 + 1.582 cos(lat)") {
+    // flat => slope 0, so every aspect/folding term vanishes and
+    // lnHL = -1.467 + 1.582*cos(tile-center lat). One 4x4 tile on a
+    // 1-degree-world layout: centerLat = 1 - 0.5*1 = 0.5 degrees.
+    val lay = LayoutDefinition(Extent(0, 0, 1, 1), TileLayout(1, 1, 4, 4))
+    val cells = for (x <- 0 to 3; y <- 0 to 3) yield (x.toLong, y.toLong, 7.0)
+    val l = RasterLayer.fromCells(cells.toDF("x", "y", "v"), lay)
+    val out = l.heatLoad().toCells.as[(Long, Long, Double)].collect()
+    assert(out.length == 4) // only the 2x2 interior has full windows
+    val expect = -1.467 + 1.582 * math.cos(math.toRadians(0.5))
+    assert(out.forall(c => math.abs(c._3 - expect) < 1e-12))
+  }
+
   test("standardize: zero-mean unit-std z-scores; constant grid pins 0") {
     val l = layer((0, 0, 2.0), (1, 0, 4.0), (2, 0, 6.0))
     val out = l.standardize().toCells
