@@ -1732,6 +1732,15 @@ object SparkEntry {
       // bounds the output — no float-ranked top-k to tie-flip)
       pipeline.TextAnalysis.pmiCollocations(table(s, dir, "documents"))),
 
+    "q_skipgram" -> ((s, dir) =>
+      // word2vec-prep SPPMI matrix: window-2 symmetric co-occurrence,
+      // pair-universe marginals, ln-5 shift (Levy & Goldberg 2014)
+      pipeline.TextAnalysis.skipgramPmi(table(s, dir, "documents"))),
+
+    "q_oov_rate" -> ((s, dir) =>
+      // OOV rate vs the top-20 corpus vocabulary (ties -> token asc)
+      pipeline.TextAnalysis.oovRate(table(s, dir, "documents"))),
+
     "q_html_extract" -> ((s, dir) => {
       // the corpus is plain text, so the query wraps each doc in a
       // deterministic HTML page (identical construction in the
@@ -4556,6 +4565,45 @@ object SparkEntry {
           |  CAST(round(ln((CAST(f.cab AS DOUBLE) / pt.p) /
           |    ((CAST(ua.ca AS DOUBLE) / n.n) * (CAST(ub.ca AS DOUBLE) / n.n))) * 1000000.0) AS BIGINT) AS pmi_micro
           |FROM f JOIN uni ua ON ua.a = f.a JOIN uni ub ON ub.a = f.b, n, pt""".stripMargin,
+
+      // skip-gram SPPMI twin: same pair universe (symmetric union,
+      // offsets 1..2), same marginal convention, same op order in the
+      // ln chain; the ln(5) shift is the SAME driver-side micro
+      // constant on both sides so the subtraction is exact
+      "q_skipgram" -> {
+        val shiftMicro = math.round(math.log(5.0) * 1000000.0)
+        s"""WITH ws AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+           |ip AS (SELECT unnest(range(1, len(w) + 1)) AS i, w FROM ws),
+           |ord AS (
+           |  SELECT w[i] AS a, w[i + 1] AS b FROM ip WHERE i + 1 <= len(w)
+           |  UNION ALL
+           |  SELECT w[i] AS a, w[i + 2] AS b FROM ip WHERE i + 2 <= len(w)),
+           |sym AS (SELECT a, b FROM ord UNION ALL SELECT b AS a, a AS b FROM ord),
+           |cooc AS (SELECT a, b, count(*) AS cab FROM sym GROUP BY 1, 2),
+           |marg AS (SELECT a, count(*) AS ca FROM sym GROUP BY 1),
+           |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM sym),
+           |f AS (SELECT * FROM cooc WHERE cab >= 5),
+           |q AS (SELECT f.a, f.b, f.cab,
+           |  CAST(round(ln((CAST(f.cab AS DOUBLE) / dd.d) /
+           |    ((CAST(ma.ca AS DOUBLE) / dd.d) * (CAST(mb.ca AS DOUBLE) / dd.d))) * 1000000.0) AS BIGINT) AS pmi_micro
+           |  FROM f JOIN marg ma ON ma.a = f.a JOIN marg mb ON mb.a = f.b, dd)
+           |SELECT a, b, cab, pmi_micro,
+           |  greatest(CAST(0 AS BIGINT), pmi_micro - $shiftMicro) AS sppmi_micro
+           |FROM q""".stripMargin
+      },
+
+      // OOV twin: same top-20 frequency vocabulary (cnt DESC, token
+      // ASC tie-break), exact integer counts, ONE closing division
+      "q_oov_rate" ->
+        """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
+          |v AS (SELECT t FROM (SELECT t, count(*) AS cnt FROM t GROUP BY 1)
+          |      ORDER BY cnt DESC, t ASC LIMIT 20),
+          |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |        CAST(sum(CASE WHEN t.t IN (SELECT t FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+          |      FROM t GROUP BY 1)
+          |SELECT doc_id, n_tokens, n_oov,
+          |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+          |FROM a""".stripMargin,
 
       // same wrap as the engine query, then the same pinned strip
       // order: script/style -> tags -> entities (&amp; last) -> ws

@@ -669,6 +669,85 @@ object TextAnalysis {
     else raw
   }
 
+  /** Windowed skip-gram co-occurrence PMI / SPPMI (the word2vec-prep
+    * matrix of Levy & Goldberg 2014: SGNS implicitly factorizes the
+    * shifted-PMI matrix): count symmetric (center, context) pairs for
+    * every offset 1..window, take marginals over the PAIR universe D
+    * (not the token stream — the Levy-Goldberg convention, and what
+    * distinguishes this from [[pmiCollocations]]'s adjacent-bigram
+    * corpus statistic), and emit
+    *   pmi   = ln((cab/D) / ((ca/D)·(cb/D)))
+    *   sppmi = max(0, pmi − ln k)        (k = negative-sampling shift)
+    * both as micro-nat BIGINTs (the lm_score/pmi precedent; the
+    * ln-k shift constant is itself quantized driver-side so the
+    * subtraction is exact integer math).
+    *
+    * Scale: pair generation is a shuffle-free per-row slice-zip (no
+    * self-join); the symmetric union doubles rows before ONE
+    * vocabulary-bounded aggregate with map-side combine; marginal
+    * joins are AQE-broadcastable (vocab², floor-bounded output). */
+  def skipgramPmi(docs: DataFrame, window: Int = 2, minCount: Long = 5,
+      shift: Int = 5, quantize: Boolean = true): DataFrame = {
+    require(window >= 1 && shift >= 1)
+    val ws = docs.select(
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      .localCheckpoint() // pair + marginal branches both consume it
+    val zips = (1 to window).map { d =>
+      arrays_zip(
+        slice(col("w"), lit(1), greatest(size(col("w")) - d, lit(0))).as("a"),
+        slice(col("w"), lit(d + 1), greatest(size(col("w")) - d, lit(0))).as("b"))
+    }
+    val ordered = ws.select(explode(flatten(array(zips: _*))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // symmetric universe: each co-occurrence counts in both directions
+    val sym = ordered.unionAll(ordered.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val cooc = sym.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minCount)
+    val marg = sym.groupBy("a").agg(count(lit(1)).as("ca"))
+    val dTot = sym.agg(count(lit(1)).cast("long").as("d"))
+    val shiftMicro = math.round(math.log(shift.toDouble) * 1000000.0)
+    val raw = cooc
+      .join(marg.withColumnRenamed("ca", "ca_"), "a")
+      .join(marg.select(col("a").as("b"), col("ca").as("cb_")), "b")
+      .crossJoin(broadcast(dTot))
+      .select(col("a"), col("b"), col("cab"),
+        (log((col("cab").cast("double") / col("d")) /
+          ((col("ca_").cast("double") / col("d")) *
+           (col("cb_").cast("double") / col("d")))) * lit(1000000.0))
+          .as("pmi_raw"))
+    if (quantize)
+      raw.select(col("a"), col("b"), col("cab"),
+          round(col("pmi_raw")).cast("long").as("pmi_micro"))
+        .withColumn("sppmi_micro",
+          greatest(lit(0L), col("pmi_micro") - lit(shiftMicro)))
+    else raw
+  }
+
+  /** Out-of-vocabulary rate against a top-k corpus vocabulary — the
+    * cheap domain-shift / gibberish diagnostic (the KenLM OOV-rate
+    * role): vocabulary = k most frequent tokens (ties broken by token
+    * asc, both engines), per-doc rate = |tokens ∉ vocab| / |tokens|.
+    * Counts are exact integers; the closing rate is ONE int/int IEEE
+    * division (bit-identical).
+    *
+    * Scale: the vocabulary is a frequency-cutoff broadcast (tiny by
+    * construction); the scan is shuffle-free per doc after one
+    * vocabulary-bounded aggregate. */
+  def oovRate(docs: DataFrame, k: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t").asc).limit(k)
+      .select(col("t").as("v"))
+    toks.join(broadcast(vocab), toks("t") === vocab("v"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("v").isNull, lit(1L)).otherwise(lit(0L))).cast("long").as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** HTML boilerplate extraction — the text-from-markup step every
     * web-scrape pipeline runs before quality filtering (the trafilatura
     * role, expressed as a deterministic strip): drop script/style

@@ -98,6 +98,14 @@ class LibmBoundarySpec extends SparkSpec {
     assertFar("pmi ln(ratio)", raw)
   }
 
+  test("skip-gram SPPMI ratio arguments on the documents table") {
+    val raw = TextAnalysis.skipgramPmi(docs, quantize = false)
+      .select("pmi_raw").as[Double].collect().toSeq
+    assertFar("skipgram ln(ratio)", raw)
+    // the ln(k) shift constant itself (k = 5)
+    assertFar("skipgram ln(shift)", Seq(math.log(5.0) * 1e6))
+  }
+
   test("unigram + bigram LM log-prob arguments on the documents table") {
     val words = docs.select(
         explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))

@@ -1226,6 +1226,36 @@ class PipelineSpec extends SparkSpec {
     assert(out.keySet.forall { case k => out(k)._1 >= 5 }) // floor applied
   }
 
+  test("skip-gram SPPMI: symmetric counts, shift clamps at zero") {
+    // "x y" adjacent in every doc; window 2 also pairs x with the
+    // following a. Symmetric universe: cab(a,b) == cab(b,a) always.
+    val rows = (0 until 8).map(i => (i.toLong, "x y a" + (" b a" * 3), "en", "s", 1L))
+    val out = TextAnalysis.skipgramPmi(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"), window = 2, minCount = 5)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    out.keys.foreach { case (a, b) =>
+      assert(out.contains((b, a)), s"missing mirror of ($a,$b)")
+      assert(out((a, b)) == out((b, a))) // full symmetry incl. scores
+    }
+    val shift = math.round(math.log(5.0) * 1e6)
+    out.values.foreach { case (_, pmi, sppmi) =>
+      assert(sppmi == math.max(0L, pmi - shift))
+    }
+    assert(out(("x", "y"))._2 > out(("b", "a"))._2) // collocation outranks chance
+  }
+
+  test("oov rate: top-k vocabulary with asc tie-break, exact counts") {
+    val rows = Seq((1L, "a a b", "en", "s", 3L), (2L, "a c c", "en", "s", 3L))
+    val out = TextAnalysis.oovRate(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"), k = 1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // counts: a=3, c=2, b=1 -> vocab = {a}
+    assert(out(1L) == ((3L, 1L, 1.0 / 3)))
+    assert(out(2L) == ((3L, 2L, 2.0 / 3)))
+  }
+
   test("html extract: scripts/styles die whole, entities decode after tag strip") {
     val d = Seq((1L,
       "<html><script>if (1 < 2) { x(); }</script><style>p{}</style>" +
