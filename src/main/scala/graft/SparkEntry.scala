@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
-import graft.core.{CRS, ZIndex}
+import graft.core.{CRS, Geohash, ZIndex}
 import graft.raster.{CellOp, Compare, Contour, Distance, FocalOp, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, TimeSeries, ZFactor, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
@@ -1009,6 +1009,20 @@ object SparkEntry {
     "q_zorder" -> ((s, dir) =>
       supplierPoints(s, dir).select(col("pid"),
         ZIndex.zorderCol(floor(col("px")).cast("long"), floor(col("py")).cast("long"), 8).as("zindex"))),
+
+    "q_geohash" -> ((s, dir) =>
+      // grid cells -> exact degree coords (px*45/32, py*45/64 are
+      // exact doubles, so the quantizer lands mid-cell — no
+      // floor-boundary hazard), precision-6 base32 keys
+      supplierPoints(s, dir).select(col("pid"),
+        Geohash.geohashCol(
+          floor(col("py")) * lit(0.703125) - lit(90.0),
+          floor(col("px")) * lit(1.40625) - lit(180.0), 6).as("gh"))),
+
+    "q_surface_volume" -> ((s, dir) =>
+      // ArcGIS SurfaceVolume vs the z=30 reference plane: exact
+      // integer volumes, unit cell area
+      Compare.surfaceVolume(lineitemLayer(s, dir), 30.0)),
 
     // --- catalog
     "q_catalog_roundtrip" -> ((s, dir) => {
@@ -3474,6 +3488,30 @@ object SparkEntry {
         }.mkString(" + ")
         s"SELECT pid, $terms AS zindex FROM ($pts)"
       },
+
+      // geohash: quantized grid coords are exactly px*128 / py*128
+      // (the engine's degree mapping is constructed to make the
+      // quantizer exact); interleave MSB-first starting with lon
+      // (odd positions for even total bits), then base32 chars
+      "q_geohash" -> {
+        val terms = (0 until 15).flatMap { i =>
+          Seq(s"((((CAST(floor(px) AS BIGINT) * 128) >> $i) & 1) * ${1L << (2 * i + 1)})",
+              s"((((CAST(floor(py) AS BIGINT) * 128) >> $i) & 1) * ${1L << (2 * i)})")
+        }.mkString(" + ")
+        val chars = (0 until 6).map(j =>
+          s"substr('${Geohash.Alphabet}', 1 + CAST((code >> ${5 * (5 - j)}) & 31 AS INT), 1)")
+          .mkString(" || ")
+        s"SELECT pid, $chars AS gh FROM (SELECT pid, $terms AS code FROM ($pts))"
+      },
+
+      // SurfaceVolume vs z=30: exact integer sums, unit cell area
+      "q_surface_volume" ->
+        s"""SELECT
+           |  CAST(CAST(sum(CASE WHEN v > 30.0 THEN v - 30.0 ELSE CAST(0 AS DOUBLE) END) AS BIGINT) AS DOUBLE) AS vol_above,
+           |  CAST(CAST(sum(CASE WHEN v < 30.0 THEN 30.0 - v ELSE CAST(0 AS DOUBLE) END) AS BIGINT) AS DOUBLE) AS vol_below,
+           |  CAST(sum(CASE WHEN v > 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS cells_above,
+           |  CAST(sum(CASE WHEN v < 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS cells_below
+           |FROM ($grid)""".stripMargin,
 
       "q_catalog_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
 

@@ -186,4 +186,45 @@ object Compare {
       .groupBy("cls")
       .agg(sum("cnt").as("n_cells"), sum("vol").as("volume"))
   }
+
+  /** Surface volume against a horizontal reference plane (the ArcGIS
+    * SurfaceVolume report): total volume and footprint area of the
+    * surface ABOVE the plane and BELOW it, in cell units scaled by
+    * the layout's cell area. Integral cells + an integral plane keep
+    * both volume sums exact Longs; the two closing multiplies by the
+    * (exact, layout-derived) cell area are single IEEE ops.
+    *
+    * Scale: per-partition accumulation, four scalars per partition
+    * cross the exchange. */
+  def surfaceVolume(a: RasterLayer, plane: Double): DataFrame = {
+    val spark = a.spark
+    import spark.implicits._
+    val cellArea = a.meta.layout.cellWidth * a.meta.layout.cellHeight
+    a.df.select(col("tile")).as[Seq[Double]]
+      .mapPartitions { it =>
+        var volAbove = 0L; var volBelow = 0L
+        var nAbove = 0L; var nBelow = 0L
+        it.foreach { ts =>
+          val aa = ts.toArray
+          var i = 0
+          while (i < aa.length) {
+            val v = aa(i)
+            if (!v.isNaN) {
+              val d = v.toLong - plane.toLong
+              if (d > 0) { volAbove += d; nAbove += 1 }
+              else if (d < 0) { volBelow -= d; nBelow += 1 }
+            }
+            i += 1
+          }
+        }
+        Iterator.single((volAbove, volBelow, nAbove, nBelow))
+      }
+      .toDF("va", "vb", "na", "nb")
+      .agg(sum("va").cast("long").as("va"), sum("vb").cast("long").as("vb"),
+        sum("na").cast("long").as("cells_above"), sum("nb").cast("long").as("cells_below"))
+      .select(
+        (col("va").cast("double") * lit(cellArea)).as("vol_above"),
+        (col("vb").cast("double") * lit(cellArea)).as("vol_below"),
+        col("cells_above"), col("cells_below"))
+  }
 }

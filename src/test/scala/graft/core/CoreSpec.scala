@@ -4,6 +4,24 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class CoreSpec extends AnyFunSuite {
 
+  test("geohash: public test vector, prefix nesting, center-decode roundtrip") {
+    // the widely-published example point (Råbjerg Mile)
+    assert(Geohash.encode(57.64911, 10.40744, 11) == "u4pruydqqvj")
+    // coarser precision is a strict prefix of finer
+    assert(Geohash.encode(57.64911, 10.40744, 5) == "u4pru")
+    assert(Geohash.encode(0.0, 0.0, 1) == "s")     // origin cell
+    assert(Geohash.encode(90.0, 180.0, 3) == "zzz") // +edge clamps into last cell
+    assert(Geohash.encode(-90.0, -180.0, 3) == "000")
+    // decode returns the cell center: re-encoding the center is identity
+    for (p <- Seq(1, 4, 6, 9, 12); (la, lo) <- Seq((57.64911, 10.40744), (-33.86, 151.21))) {
+      val gh = Geohash.encode(la, lo, p)
+      val (cla, clo) = Geohash.decodeCenter(gh)
+      assert(Geohash.encode(cla, clo, p) == gh, s"p=$p")
+      assert(math.abs(cla - la) <= 90.0 / (1L << (5 * p / 2)) &&
+        math.abs(clo - lo) <= 180.0 / (1L << ((5 * p + 1) / 2)), s"p=$p cell bound")
+    }
+  }
+
   test("extent contains / intersects / combine") {
     val e = Extent(0, 0, 10, 10)
     assert(e.contains(5, 5) && !e.contains(10, 5))

@@ -888,6 +888,27 @@ class RasterLayerSpec extends SparkSpec {
     assert(Compare.correlate(a, neg).as[(Long, Double)].head() == ((3L, -1.0)))
   }
 
+  test("surface volume: exact above/below split vs the reference plane") {
+    // values 1,4,9,16 vs plane 5: above {9,16} vol (4+11)=15, below {1,4} vol (4+1)=5
+    val l = layer((0, 0, 1.0), (1, 0, 4.0), (2, 0, 9.0), (3, 0, 16.0))
+    val r = Compare.surfaceVolume(l, 5.0).as[(Double, Double, Long, Long)].head()
+    assert(r == ((15.0, 5.0, 2L, 2L)))
+    // plane-equal cells count in neither bucket
+    val eq = Compare.surfaceVolume(layer((0, 0, 5.0)), 5.0)
+      .as[(Double, Double, Long, Long)].head()
+    assert(eq == ((0.0, 0.0, 0L, 0L)))
+  }
+
+  test("geohash column matches the scalar encoder") {
+    val pts = Seq((1L, 57.64911, 10.40744), (2L, -33.86, 151.21), (3L, 0.1, -0.1))
+    val out = pts.toDF("id", "lat", "lon")
+      .select(col("id"), graft.core.Geohash.geohashCol(col("lat"), col("lon"), 7).as("gh"))
+      .as[(Long, String)].collect().toMap
+    pts.foreach { case (id, la, lo) =>
+      assert(out(id) == graft.core.Geohash.encode(la, lo, 7))
+    }
+  }
+
   test("cutFill: sign classes with exact volumes") {
     val a = layer((0, 0, 5.0), (1, 0, 2.0), (2, 0, 7.0), (3, 0, 7.0))
     val b = layer((0, 0, 3.0), (1, 0, 6.0), (2, 0, 7.0), (3, 0, 1.0))
