@@ -1942,6 +1942,14 @@ object SparkEntry {
     "q_event_window" -> ((s, dir) =>
       streaming.Events.hourlyAgg(eventsTable(s, dir))),
 
+    "q_funnel" -> ((s, dir) =>
+      // view -> click -> purchase min-chaining funnel
+      streaming.Events.funnel(eventsTable(s, dir), Seq("view", "click", "purchase"))),
+
+    "q_retention" -> ((s, dir) =>
+      // first-active-day cohorts x day offset (DAU triangle)
+      streaming.Events.retentionCohorts(eventsTable(s, dir))),
+
     "q_sessionize" -> ((s, dir) =>
       streaming.Events.sessionize(eventsTable(s, dir))),
 
@@ -4943,6 +4951,29 @@ object SparkEntry {
         """SELECT epoch_us(ts) // 3600000000 AS hour, event_type, count(*) AS cnt,
           |CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS vsum
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      // min-chaining funnel: t_{i+1} = min event time of step i+1
+      // strictly after t_i (comparisons in us are order-identical to
+      // the engine's nanos)
+      "q_funnel" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+          |t1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+          |t2 AS (SELECT e.user_id, min(us) AS t FROM e JOIN t1 ON e.user_id = t1.user_id
+          |       WHERE event_type = 'click' AND us > t1.t GROUP BY 1),
+          |t3 AS (SELECT e.user_id, min(us) AS t FROM e JOIN t2 ON e.user_id = t2.user_id
+          |       WHERE event_type = 'purchase' AND us > t2.t GROUP BY 1)
+          |SELECT 1 AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) AS users FROM t1
+          |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM t2
+          |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM t3""".stripMargin,
+
+      // DAU triangle: epoch-day integer division (us//86400e6 ==
+      // engine nanos//86400e9), distinct (user, day) first
+      "q_retention" ->
+        """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+          |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+          |SELECT c.cohort, d.day - c.cohort AS day_offset, CAST(count(*) AS BIGINT) AS active_users
+          |FROM d JOIN c ON d.user_id = c.user_id
+          |GROUP BY 1, 2""".stripMargin,
 
       "q_sessionize" ->
         """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -51,6 +51,62 @@ object Events {
       .agg(count(lit(1)).as("cnt"),
            sum(col("value").cast("decimal(18,6)")).cast("double").as("vsum"))
 
+  /** Funnel analysis (the product-analytics step-completion report):
+    * for each user, walk the ordered step list and complete step i+1
+    * at the EARLIEST event of that type strictly after the step-i
+    * completion time (the standard min-chaining funnel definition —
+    * equivalent to a single pointer scan over the user's time-sorted
+    * events, which is how it's computed here). Returns one row per
+    * step: (step_idx, step, users reaching it).
+    *
+    * Scale: ONE shuffle (groupBy user) then a per-user sorted scan
+    * inside an `aggregate` HOF — no per-step self-joins, no window
+    * over the global event stream; memory is bounded by per-user
+    * funnel-event count (document skew: a bot user with millions of
+    * events needs an upstream cap). */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size)
+    val k = steps.size
+    val stepArr = array(steps.map(lit): _*)
+    val perUser = events.where(col("event_type").isin(steps: _*))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type")))).as("evs"))
+      .select(aggregate(col("evs"),
+        struct(lit(0).as("r"), lit(Long.MinValue).as("t")),
+        (acc, e) =>
+          when(acc("r") < k &&
+              e("event_type") === element_at(stepArr, acc("r") + 1) &&
+              e("ts") > acc("t"),
+            struct((acc("r") + 1).as("r"), e("ts").cast("long").as("t")))
+          .otherwise(acc)).getField("r").as("reached"))
+    perUser
+      .select(explode(sequence(lit(1), lit(k))).as("step_idx"), col("reached"))
+      .where(col("reached") >= col("step_idx"))
+      .groupBy("step_idx")
+      .agg(count(lit(1)).as("users"))
+      .select(col("step_idx"), element_at(stepArr, col("step_idx")).as("step"),
+        col("users"))
+  }
+
+  /** Retention cohorts (the DAU-triangle report): cohort = a user's
+    * first active day, one output row per (cohort day, day offset)
+    * with the count of cohort users active that day. Day boundaries
+    * are exact integer epoch-day division (UTC).
+    *
+    * Scale: distinct (user, day) collapses the raw stream first (the
+    * cardinality is users×days, not events), then one aggregate and
+    * one user-keyed equi-join — all standard shuffle shapes; AQE
+    * handles the join side sizing. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr(s"ts div ${graft.GridSource.NanosPerDay}").as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort"))
+    days.join(cohort, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   /** Sessionization: a new session starts after a >30min gap per user.
     * Batch form via window functions (deterministic ts, event_id order).
     */

@@ -29,6 +29,45 @@ class EventsSpec extends SparkSpec {
     assert(out == Set((h0, "click", 3L, 8.0), (h0 + 1, "view", 1L, 1.0)))
   }
 
+  test("funnel: min-chaining with strict-after semantics") {
+    val evs = Seq(
+      // user 1 completes all three in order
+      (1L, ns(0), 1L, "view", 0.0, "{}"),
+      (2L, ns(10), 1L, "click", 0.0, "{}"),
+      (3L, ns(20), 1L, "purchase", 0.0, "{}"),
+      // user 2: click BEFORE view never counts; no purchase after
+      (4L, ns(0), 2L, "click", 0.0, "{}"),
+      (5L, ns(10), 2L, "view", 0.0, "{}"),
+      (6L, ns(5), 2L, "purchase", 0.0, "{}"),
+      // user 3: same-ts click does NOT advance (strictly after)
+      (7L, ns(0), 3L, "view", 0.0, "{}"),
+      (8L, ns(0), 3L, "click", 0.0, "{}"),
+      // user 4: never starts (purchase only)
+      (9L, ns(0), 4L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.funnel(evs, Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1) == (("view", 3L)))     // users 1, 2, 3
+    assert(out(2) == (("click", 1L)))    // only user 1
+    assert(out(3) == (("purchase", 1L))) // only user 1
+  }
+
+  test("retention cohorts: DAU triangle by hand") {
+    val day = graft.GridSource.NanosPerDay
+    def at(d: Long, u: Long, id: Long) =
+      (id, d * day + 1000L, u, "view", 0.0, "{}")
+    val evs = Seq(
+      at(10, 1L, 1), at(10, 2L, 2),          // day 10 cohort: users 1, 2
+      at(11, 1L, 3), at(11, 1L, 4),          // user 1 active day 11 (twice)
+      at(12, 1L, 5), at(12, 2L, 6), at(12, 3L, 7) // day 12: cohort-12 user 3 joins
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.retentionCohorts(evs)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(
+      (10L, 0L) -> 2L, (10L, 1L) -> 1L, (10L, 2L) -> 2L,
+      (12L, 0L) -> 1L))
+  }
+
   test("batch ops run against the REAL driver events.parquet") {
     // the in-memory Seqs above pin semantics; this pins the actual
     // testdata feed — r10's events dtype drift was invisible to the
