@@ -1942,6 +1942,11 @@ object SparkEntry {
     "q_event_window" -> ((s, dir) =>
       streaming.Events.hourlyAgg(eventsTable(s, dir))),
 
+    "q_cusum" -> ((s, dir) =>
+      // per-user one-sided CUSUM drift summary (Page 1954), exact
+      // integer cents via the prefix-min identity
+      streaming.Events.cusumDrift(eventsTable(s, dir))),
+
     "q_funnel" -> ((s, dir) =>
       // view -> click -> purchase min-chaining funnel
       streaming.Events.funnel(eventsTable(s, dir), Seq("view", "click", "purchase"))),
@@ -4951,6 +4956,23 @@ object SparkEntry {
         """SELECT epoch_us(ts) // 3600000000 AS hour, event_type, count(*) AS cnt,
           |CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS vsum
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      // CUSUM via the prefix identity S_i = pre_i - min(0, min pre):
+      // two explicit ROWS windows, exact integer cents, same
+      // (us, event_id) order as the engine
+      "q_cusum" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+          |             CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) - 600 AS d FROM events),
+          |p AS (SELECT user_id, us, event_id,
+          |        CAST(sum(d) OVER (PARTITION BY user_id ORDER BY us, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre FROM e),
+          |s AS (SELECT user_id, us,
+          |        pre - least(CAST(0 AS BIGINT), min(pre) OVER (PARTITION BY user_id ORDER BY us, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s FROM p)
+          |SELECT user_id, max(s) AS max_s,
+          |  CAST(sum(CASE WHEN s > 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+          |  min(CASE WHEN s > 2000 THEN us END) AS first_alarm_us
+          |FROM s GROUP BY 1""".stripMargin,
 
       // min-chaining funnel: t_{i+1} = min event time of step i+1
       // strictly after t_i (comparisons in us are order-identical to

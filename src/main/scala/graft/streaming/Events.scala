@@ -107,6 +107,68 @@ object Events {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** One-sided CUSUM drift detection per user (Page 1954 — the
+    * sequential change-point statistic every metrics pipeline runs):
+    * with deviations d_i = value_i − target − slack in exact cents,
+    * S_i = max(0, S_{i−1} + d_i), alarm while S_i > h. The batch form
+    * uses the prefix identity S_i = pre_i − min(0, min_{j≤i} pre_j)
+    * — two plain window passes, no recursion — which the oracle can
+    * state verbatim; [[cusumStream]] is the stateful streaming twin.
+    * Returns one row per user: (max_s, n_alarms, first_alarm_us).
+    *
+    * Scale: windows partition by user_id (high cardinality — the
+    * sessionize discipline), exact integer cents throughout. */
+  def cusumDrift(events: DataFrame, targetCents: Long = 500,
+      slackCents: Long = 100, threshCents: Long = 2000): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    events
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        (cents - lit(targetCents + slackCents)).as("d"))
+      .withColumn("pre", sum("d").over(w))
+      .withColumn("s", col("pre") - least(lit(0L), min("pre").over(w)))
+      .groupBy("user_id").agg(
+        max("s").as("max_s"),
+        sum(when(col("s") > threshCents, lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("n_alarms"),
+        min(when(col("s") > threshCents, col("us"))).as("first_alarm_us"))
+  }
+
+  /** Streaming twin of [[cusumDrift]]: per-user CUSUM state carried in
+    * mapGroupsWithState, alarm rows emitted as the statistic crosses
+    * the threshold (sorted-within-batch, the sessionizeStream
+    * discipline). */
+  def cusumStream(events: DataFrame, targetCents: Long = 500,
+      slackCents: Long = 100, threshCents: Long = 2000): Dataset[CusumAlarm] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = targetCents + slackCents
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .select(col("user_id").as[Long], expr("ts div 1000").as[Long],
+        ((col("value").cast("decimal(18,2)") * 100).cast("long") - k).as[Long],
+        col("ets").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L))
+          var out = List.empty[CusumAlarm]
+          rows.toArray.sortBy(r => r._2).foreach { case (_, us, d, _) =>
+            val prev = st.s
+            st = CusumState(math.max(0L, st.s + d))
+            if (st.s > threshCents && prev <= threshCents)
+              out = CusumAlarm(user, us, st.s) :: out
+          }
+          state.update(st)
+          out.reverseIterator
+      }
+  }
+
   /** Sessionization: a new session starts after a >30min gap per user.
     * Batch form via window functions (deterministic ts, event_id order).
     */
@@ -432,6 +494,8 @@ object Events {
 
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, cnt: Long)
+  final case class CusumState(s: Long)
+  final case class CusumAlarm(user_id: Long, alarm_us: Long, s: Long)
 
   /** Streaming sessionization with explicit state — the
     * flatMapGroupsWithState path (spec-tested with a memory sink). */

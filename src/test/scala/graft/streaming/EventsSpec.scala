@@ -476,6 +476,41 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusum drift: prefix-min identity by hand, streaming twin agrees") {
+    // user 1 values (cents): 800, 800, 100, 900 -> d = 200, 200, -500, 300
+    // pre: 200, 400, -100, 200; min-pre: 200, 200, -100, -100
+    // S:   200, 400, 0, 300  (threshold 250 -> alarms at rows 2 and 4)
+    def ev(id: Long, sec: Long, cents: Long) =
+      (id, ns(sec), 1L, "view", cents / 100.0, "{}")
+    val evs = Seq(ev(1, 0, 800), ev(2, 10, 800), ev(3, 20, 100), ev(4, 30, 900))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.cusumDrift(evs, targetCents = 500, slackCents = 100,
+        threshCents = 250)
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(out.toSeq == Seq((1L, 400L, 2L, Some((base + 10) * 1000000L))))
+
+    // streaming twin: alarm rows fire on the same crossings
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val stream = Events.cusumStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      targetCents = 500, slackCents = 100, threshCents = 250)
+    val q = stream.writeStream.format("memory").queryName("cusum_alarms")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(ev(1, 0, 800), ev(2, 10, 800)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(3, 20, 100), ev(4, 30, 900)))
+      q.processAllAvailable()
+      val alarms = spark.table("cusum_alarms").as[Events.CusumAlarm].collect()
+        .sortBy(_.alarm_us)
+      // crossing 1: S=400 at t=10 (S stayed >250 from the first batch's
+      // row 2); crossing 2: S=300 at t=30 after the dip reset
+      assert(alarms.map(a => (a.user_id, a.alarm_us - base * 1000000L, a.s)).toSeq ==
+        Seq((1L, 10000000L, 400L), (1L, 30000000L, 300L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
