@@ -269,6 +269,14 @@ object SparkEntry {
       val l = lineitemLayer(s, dir).tobler()
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
+    "q_hotspot_gi" -> ((s, dir) =>
+      // Getis-Ord Gi* hot-spot z-scores, binary 3x3 weights
+      graft.raster.Hotspot.getisOrdGi(lineitemLayer(s, dir))),
+
+    "q_local_moran" -> ((s, dir) =>
+      // Anselin local Moran's I (cluster/outlier statistic)
+      graft.raster.Hotspot.localMoran(lineitemLayer(s, dir))),
+
     "q_heat_load" -> ((s, dir) => {
       // McCune-Keon ln heat load on the DEGREES layout: slope/aspect
       // from the Horn gradient, latitude from the tile-center row
@@ -2469,6 +2477,33 @@ object SparkEntry {
         val q = s"($g * $g + $h * $h)"
         windowSql(s"round(CASE WHEN $q = 0 THEN 0.0 ELSE 200.0 * ($d * $h * $h + $e * $g * $g - $f * $g * $h) / $q END, 5) + 0.0")
       },
+
+      // Getis-Ord Gi* / local Moran: exact global moments (n, S, SS)
+      // + 3x3 sums; the closing DAG (div/mul/sub/sqrt only — IEEE,
+      // no libm) is stated in the identical op order as Hotspot.scala
+      "q_hotspot_gi" ->
+        s"""WITH g AS ($grid),
+           |gl AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s, sum(v * v) AS ss FROM g),
+           |f AS (SELECT c.x AS x, c.y AS y, sum(n.v) AS sw, count(*) AS k
+           |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |      GROUP BY 1, 2)
+           |SELECT x, y,
+           |  round((sw - (s / n) * k) / (sqrt(ss / n - (s / n) * (s / n)) *
+           |    sqrt((k * n - k * k) / (n - 1.0))), 5) AS gi
+           |FROM f, gl""".stripMargin,
+
+      "q_local_moran" ->
+        s"""WITH g AS ($grid),
+           |gl AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s, sum(v * v) AS ss FROM g),
+           |f AS (SELECT c.x AS x, c.y AS y,
+           |        max(CASE WHEN n.x = c.x AND n.y = c.y THEN n.v END) AS v,
+           |        sum(n.v) AS sw, count(*) AS k
+           |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |      GROUP BY 1, 2)
+           |SELECT x, y,
+           |  round(((v - (s / n)) / (ss / n - (s / n) * (s / n))) *
+           |    ((sw - v) - (k - 1) * (s / n)), 5) AS moran_i
+           |FROM f, gl""".stripMargin,
 
       // McCune-Keon 2002 ln heat load: identical term order to
       // Focal.terrain's heat_load case; zf carries the latitude

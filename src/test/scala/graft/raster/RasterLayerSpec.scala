@@ -909,6 +909,27 @@ class RasterLayerSpec extends SparkSpec {
     }
   }
 
+  test("hotspot: Gi* and local Moran match the hand formula on a strip") {
+    val l = layer((0, 0, 10.0), (1, 0, 2.0), (2, 0, 2.0), (3, 0, 4.0))
+    val n = 4.0; val s = 18.0; val ss = 124.0
+    val xbar = s / n; val m2 = ss / n - xbar * xbar
+    // cell (1,0): full-strip window {10,2,2} -> sw=14, k=3, v=2
+    def gi(sw: Double, k: Double) =
+      (sw - xbar * k) / (math.sqrt(m2) * math.sqrt((k * n - k * k) / (n - 1.0)))
+    def moran(v: Double, sw: Double, k: Double) =
+      ((v - xbar) / m2) * ((sw - v) - (k - 1) * xbar)
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gis = Hotspot.getisOrdGi(l).as[(Long, Long, Double)].collect()
+      .map(c => c._1 -> c._3).toMap
+    val mor = Hotspot.localMoran(l).as[(Long, Long, Double)].collect()
+      .map(c => c._1 -> c._3).toMap
+    assert(gis(1L) == r5(gi(14.0, 3.0)))
+    assert(gis(0L) == r5(gi(12.0, 2.0)))          // edge window {10,2}
+    assert(mor(1L) == r5(moran(2.0, 14.0, 3.0)))
+    assert(mor(1L) < 0)  // low value next to the high outlier
+    assert(mor(0L) > 0 == (moran(10.0, 12.0, 2.0) > 0))
+  }
+
   test("cutFill: sign classes with exact volumes") {
     val a = layer((0, 0, 5.0), (1, 0, 2.0), (2, 0, 7.0), (3, 0, 7.0))
     val b = layer((0, 0, 3.0), (1, 0, 6.0), (2, 0, 7.0), (3, 0, 1.0))
