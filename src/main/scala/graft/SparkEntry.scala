@@ -1014,6 +1014,16 @@ object SparkEntry {
       p.select(col("pid"), tx.as("tx"), ty.as("ty"))
     }),
 
+    "q_semivariogram" -> ((s, dir) =>
+      // Matheron variogram over supplier points, v = pid*7 % 23
+      graft.vector.PointStats.semivariogram(
+        supplierPoints(s, dir).withColumn("v",
+          (col("pid") * 7 % 23).cast("double")))),
+
+    "q_clark_evans" -> ((s, dir) =>
+      // nearest-neighbor aggregation index on the 256x256 frame
+      graft.vector.PointStats.clarkEvans(supplierPoints(s, dir), 65536.0)),
+
     "q_zorder" -> ((s, dir) =>
       supplierPoints(s, dir).select(col("pid"),
         ZIndex.zorderCol(floor(col("px")).cast("long"), floor(col("py")).cast("long"), 8).as("zindex"))),
@@ -3536,6 +3546,29 @@ object SparkEntry {
         }.mkString(" + ")
         s"SELECT pid, $terms AS zindex FROM ($pts)"
       },
+
+      // variogram: exact-integer d2/dv2, IEEE sqrt lag binning, one
+      // closing division per lag
+      "q_semivariogram" ->
+        s"""WITH p AS (SELECT pid, px, py, CAST(pid * 7 % 23 AS DOUBLE) AS v FROM ($pts)),
+           |pr AS (SELECT CAST(floor(sqrt((a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)) / 16.0) AS BIGINT) AS lag,
+           |         (a.v - b.v) * (a.v - b.v) AS dv2
+           |       FROM p a JOIN p b ON a.pid < b.pid)
+           |SELECT lag, count(*) AS n_pairs,
+           |  CAST(CAST(sum(dv2) AS BIGINT) AS DOUBLE) / (2 * count(*)) AS gamma
+           |FROM pr GROUP BY 1""".stripMargin,
+
+      // Clark-Evans: min-d2 per point (exact), micro-quantized sqrt
+      // terms summed as BIGINTs, pinned closing expression
+      "q_clark_evans" ->
+        s"""WITH p AS (SELECT pid, px, py FROM ($pts)),
+           |nn AS (SELECT a.pid, min((a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)) AS d2
+           |       FROM p a JOIN p b ON a.pid <> b.pid GROUP BY 1),
+           |q AS (SELECT CAST(round(sqrt(d2) * 1000000.0) AS BIGINT) AS q FROM nn),
+           |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sq FROM q)
+           |SELECT n, CAST(sq AS DOUBLE) / (n * CAST(1000000.0 AS DOUBLE)) AS mean_nn,
+           |  (CAST(sq AS DOUBLE) / (n * CAST(1000000.0 AS DOUBLE))) / (CAST(0.5 AS DOUBLE) * sqrt(CAST(65536.0 AS DOUBLE) / n)) AS r
+           |FROM s""".stripMargin,
 
       // geohash: quantized grid coords are exactly px*128 / py*128
       // (the engine's degree mapping is constructed to make the

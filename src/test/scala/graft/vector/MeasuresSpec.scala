@@ -5,6 +5,31 @@ import graft.SparkSpec
 class MeasuresSpec extends SparkSpec {
   import spark.implicits._
 
+  test("semivariogram: hand bins and gamma on a 3-point line") {
+    // points at x = 0, 10, 40 with values 1, 3, 7; binWidth 16
+    // pairs: (0,10) d=10 lag0 dv2=4; (0,40) d=40 lag2 dv2=36; (10,40) d=30 lag1 dv2=16
+    val pts = Seq((1L, 0.0, 0.0, 1.0), (2L, 10.0, 0.0, 3.0), (3L, 40.0, 0.0, 7.0))
+      .toDF("pid", "px", "py", "v")
+    val out = PointStats.semivariogram(pts).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(0L -> (1L, 2.0), 1L -> (1L, 8.0), 2L -> (1L, 18.0)))
+  }
+
+  test("clark-evans: square lattice is dispersed (r > 1), pile is clustered") {
+    // 2x2 unit-ish lattice on a 4-area frame: NN dist 2 everywhere;
+    // expected CSR = 0.5*sqrt(16/4) = 1 -> r = 2
+    val lattice = Seq((1L, 0.0, 0.0), (2L, 2.0, 0.0), (3L, 0.0, 2.0), (4L, 2.0, 2.0))
+      .map { case (i, x, y) => (i, x, y) }.toDF("pid", "px", "py")
+    val (n, meanNn, r) = PointStats.clarkEvans(lattice, 16.0)
+      .as[(Long, Double, Double)].head()
+    assert(n == 4L && meanNn == 2.0 && r == 2.0)
+    // near-coincident points: tiny mean NN, r near 0
+    val pile = Seq((1L, 0.0, 0.0), (2L, 0.0, 0.0), (3L, 8.0, 8.0), (4L, 8.0, 8.0))
+      .toDF("pid", "px", "py")
+    val (_, m2, r2) = PointStats.clarkEvans(pile, 16.0).as[(Long, Double, Double)].head()
+    assert(m2 == 0.0 && r2 == 0.0)
+  }
+
   def run(polys: Seq[(Long, String, Seq[Double], Seq[Double])]): Map[String, (Double, Double, Double)] =
     Measures.measures(polys.toDF("pid", "shape", "xs", "ys"))
       .as[(Long, String, Double, Double, Double)].collect()
