@@ -35,6 +35,17 @@ object SparkEntry {
   // ----------------------------------------------------------------
   private def flat(l: RasterLayer): DataFrame = l.toCells
 
+  /** Fixture rings for q_clip (sf-independent formulas — the q_tin
+    * literal-restating precedent): diamonds scattered so some sit
+    * inside, some cross, and some miss the clip window entirely. */
+  private def clipFixtures: Seq[(Long, Seq[Double], Seq[Double])] =
+    (1L to 12L).map { i =>
+      val cx = (i * 37 % 200 + 20).toDouble
+      val cy = (i * 53 % 200 + 20).toDouble
+      val r = (15 + i * 7 % 40).toDouble
+      (i, Seq(cx - r, cx, cx + r, cx), Seq(cy, cy - r, cy, cy + r))
+    }
+
   /** Query-term set for q_bm25 (words from the synthetic vocabulary). */
   private[graft] val Bm25Terms = Seq("table", "spark", "window", "hash", "stream")
 
@@ -201,6 +212,10 @@ object SparkEntry {
           .focal(Neighborhood.Square(1), "Entropy"))),
     "q_focal_minority" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).focal(Neighborhood.Square(1), "Minority"))),
+    "q_majority_filter" -> ((s, dir) =>
+      // ArcGIS MajorityFilter over v mod 8 classes (strict majority
+      // of present neighbors replaces the center; ties keep it)
+      flat(lineitemLayer(s, dir).localMap(c => pmod(c, lit(8.0))).majorityFilter())),
     "q_focal_percentile" -> ((s, dir) =>
       // exact 75th percentile (rational-q cross-multiplied rule in
       // focal scope — integer selection, no interpolation)
@@ -1012,6 +1027,15 @@ object SparkEntry {
       val p = customerLonLat(s, dir)
       val (tx, ty) = CRS.tmsTileCol(col("lon"), col("lat"), 10)
       p.select(col("pid"), tx.as("tx"), ty.as("ty"))
+    }),
+
+    "q_clip" -> ((s, dir) => {
+      // Sutherland-Hodgman clip of the fixture diamonds to the
+      // (64,64)-(192,192) window; report vertex count + shoelace area
+      import s.implicits._
+      graft.vector.Clip.clipPolygons(
+          clipFixtures.toDF("pid", "xs", "ys"), 64, 64, 192, 192)
+        .select(col("pid"), col("n"), round(col("area"), 5).as("area"))
     }),
 
     "q_semivariogram" -> ((s, dir) =>
@@ -2365,6 +2389,26 @@ object SparkEntry {
            |  GROUP BY c.x, c.y, n.v
            |) WHERE rn = 1""".stripMargin,
 
+      // MajorityFilter: per-(cell, class) neighbor counts excluding
+      // the center; smallest max-count class wins (the Mode tie rule)
+      // and replaces the center only on a STRICT majority; isolated
+      // centers pass through via the left join
+      "q_majority_filter" ->
+        s"""WITH g0 AS ($grid),
+           |g AS (SELECT x, y, CAST(CAST(v AS BIGINT) % 8 AS DOUBLE) AS v FROM g0),
+           |cnts AS (SELECT c.x AS x, c.y AS y, n.v AS nv, count(*) AS cnt
+           |         FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |          AND NOT (n.x = c.x AND n.y = c.y)
+           |         GROUP BY 1, 2, 3),
+           |pick AS (SELECT x, y, nv, cnt,
+           |           row_number() OVER (PARTITION BY x, y ORDER BY cnt DESC, nv ASC) AS rn,
+           |           CAST(sum(cnt) OVER (PARTITION BY x, y) AS BIGINT) AS tot
+           |         FROM cnts),
+           |m AS (SELECT x, y, nv, cnt, tot FROM pick WHERE rn = 1)
+           |SELECT c.x AS x, c.y AS y,
+           |  CASE WHEN m.x IS NOT NULL AND 2 * m.cnt > m.tot THEN m.nv ELSE c.v END AS v
+           |FROM g c LEFT JOIN m ON m.x = c.x AND m.y = c.y""".stripMargin,
+
       // exact 75th percentile: smallest 1-based rank rn with
       // rn*4 >= cnt*3 — the zonal-quantile cross-multiplied rule; the
       // rank-boundary VALUE is unique in the sorted multiset even
@@ -3545,6 +3589,22 @@ object SparkEntry {
               s"(((CAST(floor(py) AS BIGINT) >> $i) & 1) * ${1L << (2 * i + 1)})")
         }.mkString(" + ")
         s"SELECT pid, $terms AS zindex FROM ($pts)"
+      },
+
+      // literal-restating oracle (q_tin precedent): the pure-Scala
+      // clip twin runs over the same sf-independent fixtures at
+      // oracle-build time and pins the expected rows
+      "q_clip" -> {
+        def r5(x: Double) =
+          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = clipFixtures.flatMap { case (pid, xs, ys) =>
+          val (cx, cy) = graft.vector.Clip.clipRing(
+            xs.toIndexedSeq, ys.toIndexedSeq, 64, 64, 192, 192)
+          if (cx.isEmpty) None
+          else Some(s"(CAST($pid AS BIGINT), ${cx.length}, " +
+            s"CAST(${r5(graft.vector.Clip.ringArea(cx, cy))} AS DOUBLE))")
+        }
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, n, area)"
       },
 
       // variogram: exact-integer d2/dv2, IEEE sqrt lag binning, one

@@ -514,7 +514,8 @@ object Focal extends Serializable {
     // machinery, different per-cell formula
     val indexOp = what == "tri" || what == "tpi" ||
       what == "roughness" || what == "curvature" || what == "fill" ||
-      what == "curvature_profile" || what == "curvature_plan"
+      what == "curvature_profile" || what == "curvature_plan" ||
+      what == "majority_filter"
     val meta = layer.meta
     val tl = meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
@@ -584,6 +585,31 @@ object Focal extends Serializable {
                 val min8 = math.min(n1, math.min(n2, math.min(n3, math.min(n4,
                   math.min(n6, math.min(n7, math.min(n8, n9)))))))
                 if (n5 < min8) min8 else n5
+              }
+            }
+            else if (what == "majority_filter") {
+              // ArcGIS MajorityFilter (distinct from focal Mode):
+              // replace the center with the neighbors' majority value
+              // ONLY when it is a strict majority of the present
+              // neighbors (ties -> smallest value, the Mode rule);
+              // otherwise keep the center. NoData center stays NoData
+              // (extent-preserving, the fill convention).
+              if (n5.isNaN) Double.NaN
+              else {
+                val nb = Array(n1, n2, n3, n4, n6, n7, n8, n9).filter(v => !v.isNaN)
+                if (nb.isEmpty) n5
+                else {
+                  java.util.Arrays.sort(nb)
+                  var best = nb(0); var bestCnt = 0
+                  var i = 0
+                  while (i < nb.length) {
+                    var j = i
+                    while (j < nb.length && nb(j) == nb(i)) j += 1
+                    if (j - i > bestCnt) { bestCnt = j - i; best = nb(i) }
+                    i = j
+                  }
+                  if (2 * bestCnt > nb.length) best else n5
+                }
               }
             }
             else if (n1.isNaN || n2.isNaN || n3.isNaN || n4.isNaN || n5.isNaN ||

@@ -525,6 +525,10 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   def tpi(): RasterLayer                            = Focal.terrain(this, "tpi")
   /** 3x3 window range (gdaldem roughness convention). */
   def roughness(): RasterLayer                      = Focal.terrain(this, "roughness")
+  /** ArcGIS MajorityFilter: strict-majority neighborhood smoothing
+    * (keeps the center unless the 8 present neighbors agree by a
+    * strict majority; ties -> smallest). */
+  def majorityFilter(): RasterLayer                 = Focal.terrain(this, "majority_filter")
   /** Zevenbergen-Thorne general curvature (ArcGIS *100 convention). */
   def curvature(): RasterLayer                      = Focal.terrain(this, "curvature")
   /** Profile curvature (in the slope direction; ZT 1987, *100). */

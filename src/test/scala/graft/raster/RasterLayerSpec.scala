@@ -909,6 +909,23 @@ class RasterLayerSpec extends SparkSpec {
     }
   }
 
+  test("majority filter: strict majority replaces, tie keeps center") {
+    // strip 5,5,9: center (1,0) neighbors {5,5} -> strict majority 5 replaces 9?
+    // center at (1,0) is 5 with neighbors {5,9}: tie 1-1 -> keep 5
+    val l = layer((0, 0, 5.0), (1, 0, 5.0), (2, 0, 9.0), (3, 0, 9.0))
+    val out = l.majorityFilter().toCells
+      .as[(Long, Long, Double)].collect().map(c => c._1 -> c._3).toMap
+    assert(out(0L) == 5.0) // single neighbor {5}: majority 1/1 -> 5 (unchanged)
+    assert(out(1L) == 5.0) // neighbors {5,9}: 1-1 tie -> keep center
+    assert(out(2L) == 9.0) // neighbors {5,9}: tie -> keep center 9
+    assert(out(3L) == 9.0)
+    // a real flip: center 9 surrounded by three 5s in a 2x2 block
+    val m = layer((0, 0, 5.0), (1, 0, 5.0), (0, 1, 5.0), (1, 1, 9.0))
+    val o2 = m.majorityFilter().toCells
+      .as[(Long, Long, Double)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    assert(o2((1L, 1L)) == 5.0) // 3/3 neighbors say 5 -> replaced
+  }
+
   test("hotspot: Gi* and local Moran match the hand formula on a strip") {
     val l = layer((0, 0, 10.0), (1, 0, 2.0), (2, 0, 2.0), (3, 0, 4.0))
     val n = 4.0; val s = 18.0; val ss = 124.0

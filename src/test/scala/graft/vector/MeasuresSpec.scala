@@ -5,6 +5,27 @@ import graft.SparkSpec
 class MeasuresSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sutherland-hodgman clip: hand cases") {
+    def clip(xs: Seq[Double], ys: Seq[Double]) =
+      Clip.clipRing(xs.toIndexedSeq, ys.toIndexedSeq, 0, 0, 10, 10)
+    // square half outside: [-5,5]x[2,8] -> [0,5]x[2,8], area 30
+    val (ax, ay) = clip(Seq(-5, 5, 5, -5), Seq(2, 2, 8, 8))
+    assert(ax.length == 4 && Clip.ringArea(ax, ay) == 30.0)
+    // fully inside: unchanged
+    val (bx, by) = clip(Seq(1, 3, 3, 1), Seq(1, 1, 3, 3))
+    assert(bx == IndexedSeq(1.0, 3.0, 3.0, 1.0) && Clip.ringArea(bx, by) == 4.0)
+    // fully outside: empty
+    assert(clip(Seq(20, 22, 21), Seq(20, 20, 22))._1.isEmpty)
+    // diamond poking through the left edge: triangle tip clipped
+    // diamond centered (0,5) r=4 -> clipped area = right half = 16
+    val (cx, cy) = clip(Seq(-4, 0, 4, 0), Seq(5, 1, 5, 9))
+    assert(Clip.ringArea(cx, cy) == 16.0)
+    // concave (L-shaped) ring survives with the notch intact
+    val (dx, dy) = clip(Seq(-2, 6, 6, 2, 2, -2), Seq(0, 0, 2, 2, 8, 8))
+    // original L area = 8x2 + 4x6 = 40 minus the x<0 strip (2x2 + 2x6 = 16)
+    assert(Clip.ringArea(dx, dy) == 40.0 - 16.0)
+  }
+
   test("semivariogram: hand bins and gamma on a 3-point line") {
     // points at x = 0, 10, 40 with values 1, 3, 7; binWidth 16
     // pairs: (0,10) d=10 lag0 dv2=4; (0,40) d=40 lag2 dv2=36; (10,40) d=30 lag1 dv2=16
