@@ -1788,6 +1788,15 @@ object SparkEntry {
       // bounds the output — no float-ranked top-k to tie-flip)
       pipeline.TextAnalysis.pmiCollocations(table(s, dir, "documents"))),
 
+    "q_jm_lm" -> ((s, dir) =>
+      // Jelinek-Mercer interpolated bigram NLL (lambda = 3/4)
+      pipeline.TextAnalysis.jmLmScore(table(s, dir, "documents"))),
+
+    "q_fertility" -> ((s, dir) =>
+      // tokenizer fertility per source (BPE tokens per word, chars
+      // per token)
+      pipeline.TextAnalysis.fertility(table(s, dir, "documents"))),
+
     "q_skipgram" -> ((s, dir) =>
       // word2vec-prep SPPMI matrix: window-2 symmetric co-occurrence,
       // pair-universe marginals, ln-5 shift (Levy & Goldberg 2014)
@@ -4744,6 +4753,42 @@ object SparkEntry {
           |  CAST(round(ln((CAST(f.cab AS DOUBLE) / pt.p) /
           |    ((CAST(ua.ca AS DOUBLE) / n.n) * (CAST(ub.ca AS DOUBLE) / n.n))) * 1000000.0) AS BIGINT) AS pmi_micro
           |FROM f JOIN uni ua ON ua.a = f.a JOIN uni ub ON ub.a = f.b, n, pt""".stripMargin,
+
+      // JM-interpolated LM: the q_bigram_lm pair machinery with the
+      // interpolated per-token probability, identical op order
+      "q_jm_lm" ->
+        """WITH ws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+          |pr AS (SELECT doc_id,
+          |         unnest(list_transform(range(1, len(w) + 1), i ->
+          |           struct_pack(p := CASE WHEN i = 1 THEN '<s>' ELSE w[i - 1] END, t := w[i]))) AS pr
+          |       FROM ws WHERE len(w) >= 1),
+          |pp AS (SELECT doc_id, pr.p AS p, pr.t AS t FROM pr),
+          |pc AS (SELECT p, t, count(*) AS cab FROM pp GROUP BY 1, 2),
+          |cc AS (SELECT p, CAST(sum(cab) AS BIGINT) AS cp FROM pc GROUP BY 1),
+          |un AS (SELECT t, count(*) AS ca FROM pp GROUP BY 1),
+          |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nv FROM un),
+          |lp AS (SELECT pc.p, pc.t,
+          |         CAST(round(ln(CAST(0.75 AS DOUBLE) * (CAST(pc.cab AS DOUBLE) / cc.cp) +
+          |           CAST(0.25 AS DOUBLE) * ((un.ca + CAST(1 AS DOUBLE)) / (tt.n + tt.nv))) * 1000000.0) AS BIGINT) AS lp_q
+          |       FROM pc JOIN cc USING (p) JOIN un ON un.t = pc.t, tt),
+          |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(lp_q) AS BIGINT) AS s
+          |      FROM pp JOIN lp USING (p, t) GROUP BY 1)
+          |SELECT doc_id, n_tokens, -s / (n_tokens * 1000000.0) AS nll_jm FROM d""".stripMargin,
+
+      // fertility: exact counts, one division per ratio
+      "q_fertility" ->
+        s"""WITH d AS (SELECT source,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS wsc,
+           |  ${pipeline.Bpe.countSql("text")} AS bpec,
+           |  CAST(length(text) AS BIGINT) AS nc
+           |  FROM documents),
+           |a AS (SELECT source, CAST(sum(wsc) AS BIGINT) AS ws_tokens,
+           |        CAST(sum(bpec) AS BIGINT) AS bpe_tokens, CAST(sum(nc) AS BIGINT) AS n_chars
+           |      FROM d GROUP BY 1)
+           |SELECT source, ws_tokens, bpe_tokens,
+           |  CAST(bpe_tokens AS DOUBLE) / ws_tokens AS fertility,
+           |  CAST(n_chars AS DOUBLE) / bpe_tokens AS chars_per_token
+           |FROM a""".stripMargin,
 
       // skip-gram SPPMI twin: same pair universe (symmetric union,
       // offsets 1..2), same marginal convention, same op order in the

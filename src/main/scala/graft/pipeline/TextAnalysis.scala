@@ -532,6 +532,59 @@ object TextAnalysis {
         (-col("s") / (col("n_tokens") * lit(1000000.0))).as("nll"))
   }
 
+  /** Jelinek-Mercer interpolated bigram LM (Jelinek & Mercer 1980 —
+    * the classic smoothing between the MLE bigram and the add-one
+    * unigram): per token, p(t|p) = λ·cab/cp + (1−λ)·(ca+1)/(N+V),
+    * λ = 3/4. Sits between [[unigramLmScore]] (λ=0) and the unsmoothed
+    * [[bigramLmScore]]; the interpolation keeps rare-context tokens
+    * from dominating the NLL. Per-token log-probs quantize ONCE to
+    * micro-nats (the lm_score contract), per-doc sums are exact
+    * integers, one trailing division.
+    *
+    * Scale: the same one-scan shape as bigramLmScore — checkpointed
+    * pair stream, vocabulary-bounded aggregates, broadcast totals. */
+  def jmLmScore(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+    val pairs = ws.where(size(col("w")) >= 1)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w"))), i =>
+        struct(when(i === 1, lit("<s>")).otherwise(element_at(col("w"), i - 1)).as("p"),
+          element_at(col("w"), i).as("t")))).as("pr"))
+      .select(col("doc_id"), col("pr.p").as("p"), col("pr.t").as("t"))
+      .localCheckpoint()
+    val pairCnt = pairs.groupBy("p", "t").agg(count(lit(1)).as("cab"))
+    val ctxCnt = pairCnt.groupBy("p").agg(sum("cab").cast("long").as("cp"))
+    val uni = pairs.groupBy("t").agg(count(lit(1)).as("ca"))
+    val tot = uni.agg(sum("ca").cast("long").as("n"), count(lit(1)).cast("long").as("nv"))
+    val logp = pairCnt.join(ctxCnt, "p").join(uni, "t").crossJoin(broadcast(tot))
+      .select(col("p"), col("t"),
+        round(log(lit(0.75) * (col("cab").cast("double") / col("cp")) +
+            lit(0.25) * ((col("ca") + lit(1.0)) / (col("n") + col("nv")))) * lit(1000000.0))
+          .cast("long").as("lp_q"))
+    pairs.join(logp, Seq("p", "t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_q").cast("long").as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-col("s") / (col("n_tokens") * lit(1000000.0))).as("nll_jm"))
+  }
+
+  /** Tokenizer fertility report (the tokenizer-evaluation staple:
+    * subword tokens per whitespace word, chars per subword token),
+    * rolled up per source. Exact integer counts; each ratio is ONE
+    * int/int IEEE division. Pure scan + one bounded aggregate. */
+  def fertility(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        wsTokenCount(col("text")).cast("long").as("wsc"),
+        bpeTokenCount(col("text")).cast("long").as("bpec"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy("source")
+      .agg(sum("wsc").cast("long").as("ws_tokens"),
+        sum("bpec").cast("long").as("bpe_tokens"),
+        sum("nc").cast("long").as("n_chars"))
+      .select(col("source"), col("ws_tokens"), col("bpe_tokens"),
+        (col("bpe_tokens").cast("double") / col("ws_tokens")).as("fertility"),
+        (col("n_chars").cast("double") / col("bpe_tokens")).as("chars_per_token"))
+
   /** DSIR importance scoring (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): documents are scored
     * by how much more likely their hashed-ngram features are under a

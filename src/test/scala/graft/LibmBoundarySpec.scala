@@ -132,6 +132,28 @@ class LibmBoundarySpec extends SparkSpec {
     assertFar("bigram-lm ln((c+1)/(cp+V))", biArgs)
   }
 
+  test("jm-interpolated LM log-prob arguments on the documents table") {
+    val ws = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+    val pairs = ws.where(size(col("w")) >= 1)
+      .select(explode(transform(sequence(lit(1), size(col("w"))), i =>
+        struct(when(i === 1, lit("<s>")).otherwise(element_at(col("w"), i - 1)).as("p"),
+          element_at(col("w"), i).as("t")))).as("pr"))
+      .select(col("pr.p").as("p"), col("pr.t").as("t"))
+    val pc = pairs.groupBy("p", "t").agg(count(lit(1)).as("cab"))
+    val cc = pc.groupBy("p").agg(sum("cab").as("cp"))
+    val un = pairs.groupBy("t").agg(count(lit(1)).as("ca"))
+    val Row2 = un.agg(sum("ca").cast("long"), count(lit(1))).first()
+    val (n, nv) = (Row2.getLong(0), Row2.getLong(1))
+    val args = pc.join(cc, "p").join(un, "t")
+      .select(col("cab").cast("long"), col("cp").cast("long"), col("ca").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (cab, cp, ca) =>
+        math.log(0.75 * (cab.toDouble / cp) + 0.25 * ((ca + 1.0) / (n + nv))) * 1e6
+      }.toSeq
+    assertFar("jm-lm ln(interp)", args)
+  }
+
   test("bm25 idf arguments for the fixed query-term set") {
     val ws = docs.select(col("doc_id"),
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))

@@ -1226,6 +1226,28 @@ class PipelineSpec extends SparkSpec {
     assert(out.keySet.forall { case k => out(k)._1 >= 5 }) // floor applied
   }
 
+  test("jm lm: interpolation sits between bigram MLE and unigram floor") {
+    // "a b" x4 and "a c" x1: p(b|a) MLE = 4/5, p(c|a) = 1/5 — the JM
+    // score mixes 3/4 of that with 1/4 unigram; common continuation
+    // scores lower NLL than the rare one
+    val rows = (0 until 4).map(i => (i.toLong, "a b", "en", "s", 3L)) :+ (9L, "a c", "en", "s", 3L)
+    val out = TextAnalysis.jmLmScore(rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(0L) < out(9L)) // "a b" docs beat the "a c" doc
+    assert(out(0L) == out(1L)) // identical docs score identically
+    assert(out.values.forall(_ > 0))
+  }
+
+  test("fertility: exact per-source ratios") {
+    val rows = Seq((1L, "aa bb", "en", "s1", 5L), (2L, "cc", "en", "s1", 2L))
+    val out = TextAnalysis.fertility(rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (src, ws, bpe, fert, cpt) = out.head
+    assert(src == "s1" && ws == 3L)
+    assert(fert == bpe.toDouble / ws && cpt == 7.0 / bpe) // 5 + 2 chars
+  }
+
   test("skip-gram SPPMI: symmetric counts, shift clamps at zero") {
     // "x y" adjacent in every doc; window 2 also pairs x with the
     // following a. Symmetric universe: cab(a,b) == cab(b,a) always.
