@@ -1788,6 +1788,12 @@ object SparkEntry {
       // bounds the output — no float-ranked top-k to tie-flip)
       pipeline.TextAnalysis.pmiCollocations(table(s, dir, "documents"))),
 
+    "q_contrastive" -> ((s, dir) =>
+      // hard-negative mining: top same-label positive + 3 hardest
+      // other-label negatives per anchor (vec_id % 25 == 0)
+      pipeline.Similarity.contrastivePairs(
+        table(s, dir, "embeddings"), col("vec_id") % 25 === 0)),
+
     "q_jm_lm" -> ((s, dir) =>
       // Jelinek-Mercer interpolated bigram NLL (lambda = 3/4)
       pipeline.TextAnalysis.jmLmScore(table(s, dir, "documents"))),
@@ -4411,6 +4417,20 @@ object SparkEntry {
           |SELECT v.qid, min(CASE WHEN v.votes = mx.mv THEN v.label END) AS pred_label,
           |  CAST(mx.mv AS BIGINT) AS votes
           |FROM v JOIN mx USING (qid) GROUP BY 1, 3""".stripMargin,
+
+      // contrastive mining twin: same exact-integer cosine, same
+      // (cos DESC, nid) rank, pos rank 1 + neg ranks 1..3
+      "q_contrastive" ->
+        """WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |s AS (SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS nid, b.label AS label,
+          |        list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos
+          |      FROM q a JOIN q b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+          |k AS (SELECT qid, CASE WHEN label = qlabel THEN 'pos' ELSE 'neg' END AS kind, nid, cos FROM s),
+          |r AS (SELECT qid, kind, nid, cos,
+          |        CAST(row_number() OVER (PARTITION BY qid, kind ORDER BY cos DESC, nid) AS INT) AS rank
+          |      FROM k)
+          |SELECT qid, kind, rank, nid, round(cos, 6) AS cos
+          |FROM r WHERE (kind = 'pos' AND rank = 1) OR (kind = 'neg' AND rank <= 3)""".stripMargin,
 
       "q_ann_lsh" -> {
         val planes = pipeline.Similarity.planeWeights(8, 64)

@@ -94,6 +94,40 @@ object Similarity {
       .agg(min(struct((-col("votes")).as("nv"), col("label").as("lb"))).as("b"))
       .select(col("qid"), col("b.lb").as("pred_label"), (-col("b.nv")).as("votes"))
 
+  /** Contrastive pair mining — the training-set construction step for
+    * embedding/retriever fine-tuning (the hard-negative mining of DPR
+    * / sentence-transformers): for each anchor in the query set, emit
+    * the most-similar SAME-label neighbor as the positive and the
+    * `negK` most-similar OTHER-label neighbors as hard negatives.
+    * Ranks are cosine-desc with vec_id tie-break (deterministic:
+    * quantized dots are exact integers).
+    *
+    * Scale: anchors are a bounded query set scored brute-force (the
+    * bruteTopK contract); corpus-scale mining swaps the scorer for
+    * the IVF/LSH candidate generators — the rank/emit shape is
+    * unchanged.
+    *
+    * @return (qid, kind 'pos'|'neg', rank, nid, cos) */
+  def contrastivePairs(embeddings: DataFrame, queryPred: Column,
+      negK: Int = 3): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("qv"))
+      .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val q = e.where(queryPred).select(col("vec_id").as("qid"),
+      col("label").as("qlabel"), col("qv").as("qqv"), col("nn").as("qnn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid", "kind").orderBy(col("cos").desc, col("nid"))
+    q.join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("nid"), col("label"),
+        (qdot(col("qqv"), col("qv")).cast("double") / (col("qnn") * col("nn"))).as("cos"))
+      .withColumn("kind", when(col("label") === col("qlabel"), "pos").otherwise("neg"))
+      .withColumn("rank", row_number().over(w))
+      .where((col("kind") === "pos" && col("rank") === 1) ||
+        (col("kind") === "neg" && col("rank") <= negK))
+      .select(col("qid"), col("kind"), col("rank"), col("nid"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the standard
     * blocking-key trick: candidates only within a block). Labels over
     * `maxBlock` split into deterministic sub-blocks — see [[MaxBlock]]. */

@@ -1226,6 +1226,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.keySet.forall { case k => out(k)._1 >= 5 }) // floor applied
   }
 
+  test("contrastive mining: positive is same-label top, negatives exclude it") {
+    // 4 vectors in 2 labels; anchor 0 (label 1): same-label 1 is the
+    // positive; 2 and 3 (label 2) are negatives ranked by cosine
+    def v(xs: Double*) = xs.map(_.toFloat)
+    val e = Seq(
+      (0L, v(1, 0), 1), (1L, v(0.9, 0.1), 1),
+      (2L, v(0.5, 0.5), 2), (3L, v(0, 1), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastivePairs(e, col("vec_id") === 0, negK = 2)
+      .as[(Long, String, Int, Long, Double)].collect()
+      .map(r => (r._2, r._3) -> r._4).toMap
+    assert(out(("pos", 1)) == 1L)
+    assert(out(("neg", 1)) == 2L) // (0.5,0.5) closer to (1,0) than (0,1)
+    assert(out(("neg", 2)) == 3L)
+    assert(out.size == 3)
+  }
+
   test("jm lm: interpolation sits between bigram MLE and unigram floor") {
     // "a b" x4 and "a c" x1: p(b|a) MLE = 4/5, p(c|a) = 1/5 — the JM
     // score mixes 3/4 of that with 1/4 unigram; common continuation
