@@ -1788,6 +1788,11 @@ object SparkEntry {
       // bounds the output — no float-ranked top-k to tie-flip)
       pipeline.TextAnalysis.pmiCollocations(table(s, dir, "documents"))),
 
+    "q_embed_outliers" -> ((s, dir) =>
+      // label-noise audit: top-3 farthest-from-centroid per label,
+      // exact integer m^2*d^2 ranking
+      pipeline.Similarity.embedOutliers(table(s, dir, "embeddings"))),
+
     "q_contrastive" -> ((s, dir) =>
       // hard-negative mining: top same-label positive + 3 hardest
       // other-label negatives per anchor (vec_id % 25 == 0)
@@ -4417,6 +4422,25 @@ object SparkEntry {
           |SELECT v.qid, min(CASE WHEN v.votes = mx.mv THEN v.label END) AS pred_label,
           |  CAST(mx.mv AS BIGINT) AS votes
           |FROM v JOIN mx USING (qid) GROUP BY 1, 3""".stripMargin,
+
+      // outlier twin: the same exact-integer m^2*d^2 decomposition
+      "q_embed_outliers" ->
+        """WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |p AS (SELECT vec_id, label, unnest(range(len(qv))) AS pos, qv FROM q),
+          |u AS (SELECT vec_id, label, pos, qv[pos + 1] AS qc FROM p),
+          |comp AS (SELECT label, pos, CAST(sum(qc) AS BIGINT) AS s FROM u GROUP BY 1, 2),
+          |m AS (SELECT label, CAST(count(*) AS BIGINT) AS m FROM q GROUP BY 1),
+          |xv AS (SELECT u.vec_id, u.label,
+          |         CAST(sum(u.qc * u.qc) AS BIGINT) AS xx, CAST(sum(u.qc * comp.s) AS BIGINT) AS xs
+          |       FROM u JOIN comp ON comp.label = u.label AND comp.pos = u.pos GROUP BY 1, 2),
+          |ss AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS ss FROM comp GROUP BY 1),
+          |d2 AS (SELECT xv.vec_id, xv.label, m.m * m.m * xv.xx - 2 * m.m * xv.xs + ss.ss AS d2num, m.m AS m
+          |       FROM xv JOIN m ON m.label = xv.label JOIN ss ON ss.label = xv.label),
+          |r AS (SELECT label, vec_id, d2num, m,
+          |        CAST(row_number() OVER (PARTITION BY label ORDER BY d2num DESC, vec_id) AS INT) AS rank FROM d2)
+          |SELECT label, rank, vec_id, d2num,
+          |  sqrt(CAST(d2num AS DOUBLE)) / (m * CAST(1000.0 AS DOUBLE)) AS dist
+          |FROM r WHERE rank <= 3""".stripMargin,
 
       // contrastive mining twin: same exact-integer cosine, same
       // (cos DESC, nid) rank, pos rank 1 + neg ranks 1..3

@@ -128,6 +128,44 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Embedding-space outlier detection — the label-noise / mislabel
+    * audit (flag vectors far from their label's centroid): squared
+    * distance to the label mean in EXACT integer form,
+    * m²·‖x − S/m‖² = m²·(x·x) − 2m·(x·S) + S·S with S the per-label
+    * component-sum vector — no float centroid ever materializes, so
+    * ranking is exact-integer with vec_id tie-break. Emits the top-k
+    * outliers per label with the mean-units distance
+    * sqrt(d2num)/(m·1000).
+    *
+    * Scale: one posexplode bounded by |corpus|×dim with map-side
+    * combine into |labels|×dim sums, one (label, pos)-keyed join
+    * back (AQE-broadcastable), one per-label top-k window over
+    * |corpus| rows. */
+  def embedOutliers(embeddings: DataFrame, topK: Int = 3): DataFrame = {
+    val q = embeddings.select(col("vec_id"), col("label"),
+      quantize(col("embedding")).as("qv")).localCheckpoint()
+    val u = q.select(col("vec_id"), col("label"),
+      posexplode(col("qv")).as(Seq("pos", "qc")))
+    val comp = u.groupBy("label", "pos").agg(sum("qc").cast("long").as("s"))
+    val m = q.groupBy("label").agg(count(lit(1)).cast("long").as("m"))
+    val xv = u.join(comp, Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("qc") * col("qc")).cast("long").as("xx"),
+        sum(col("qc") * col("s")).cast("long").as("xs"))
+    val ss = comp.groupBy("label").agg(sum(col("s") * col("s")).cast("long").as("ss"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("d2num").desc, col("vec_id"))
+    xv.join(m, "label").join(ss, "label")
+      .select(col("vec_id"), col("label"),
+        (col("m") * col("m") * col("xx") - lit(2L) * col("m") * col("xs") + col("ss"))
+          .as("d2num"),
+        col("m"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= topK)
+      .select(col("label"), col("rank"), col("vec_id"), col("d2num"),
+        (sqrt(col("d2num").cast("double")) / (col("m") * lit(1000.0))).as("dist"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the standard
     * blocking-key trick: candidates only within a block). Labels over
     * `maxBlock` split into deterministic sub-blocks — see [[MaxBlock]]. */

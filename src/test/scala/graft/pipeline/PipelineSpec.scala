@@ -1226,6 +1226,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.keySet.forall { case k => out(k)._1 >= 5 }) // floor applied
   }
 
+  test("embed outliers: integer centroid-distance decomposition by hand") {
+    // label 1: vectors (1,1), (1,1), (4,4): S = (6,6), m = 3
+    // m^2*d2 for (4,4): 9*32 - 2*3*(4*6+4*6) + 72 = 288 - 288 + 72 = 72
+    // for (1,1): 9*2 - 6*12 + 72 = 18 - 72 + 72 = 18
+    def v(xs: Double*) = xs.map(x => (x / 1000.0).toFloat) // quantize back to ints
+    val e = Seq((1L, v(1, 1), 1), (2L, v(1, 1), 1), (3L, v(4, 4), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedOutliers(e, topK = 3)
+      .as[(Int, Int, Long, Long, Double)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    assert(out(1) == ((3L, 72L)))          // farthest: the (4,4) vector
+    assert(out(2) == ((1L, 18L)))          // tie on 18 -> vec_id asc
+    assert(out(3) == ((2L, 18L)))
+  }
+
   test("contrastive mining: positive is same-label top, negatives exclude it") {
     // 4 vectors in 2 labels; anchor 0 (label 1): same-label 1 is the
     // positive; 2 and 3 (label 2) are negatives ranked by cosine
