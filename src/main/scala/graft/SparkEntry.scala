@@ -1788,6 +1788,10 @@ object SparkEntry {
       // bounds the output — no float-ranked top-k to tie-flip)
       pipeline.TextAnalysis.pmiCollocations(table(s, dir, "documents"))),
 
+    "q_ngram_matrix" -> ((s, dir) =>
+      // cross-source 3-gram containment (asymmetric provenance matrix)
+      pipeline.Dedup.ngramSourceMatrix(table(s, dir, "documents"))),
+
     "q_embed_outliers" -> ((s, dir) =>
       // label-noise audit: top-3 farthest-from-centroid per label,
       // exact integer m^2*d^2 ranking
@@ -4422,6 +4426,20 @@ object SparkEntry {
           |SELECT v.qid, min(CASE WHEN v.votes = mx.mv THEN v.label END) AS pred_label,
           |  CAST(mx.mv AS BIGINT) AS votes
           |FROM v JOIN mx USING (qid) GROUP BY 1, 3""".stripMargin,
+
+      // ngram containment twin: same distinct 3-gram sets, same
+      // asymmetric ratio
+      "q_ngram_matrix" ->
+        """WITH ws AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+          |ip AS (SELECT source, unnest(range(1, len(w) - 1)) AS i, w FROM ws),
+          |g AS (SELECT DISTINCT source, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g FROM ip),
+          |t AS (SELECT source, count(*) AS n_a FROM g GROUP BY 1),
+          |c AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+          |      FROM g a JOIN g b ON a.g = b.g AND a.source <> b.source
+          |      GROUP BY 1, 2)
+          |SELECT c.src_a, c.src_b, t.n_a, c.n_common,
+          |  CAST(c.n_common AS DOUBLE) / t.n_a AS containment
+          |FROM c JOIN t ON t.source = c.src_a""".stripMargin,
 
       // outlier twin: the same exact-integer m^2*d^2 decomposition
       "q_embed_outliers" ->

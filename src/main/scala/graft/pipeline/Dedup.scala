@@ -83,6 +83,46 @@ object Dedup {
     * reference the size of the crawl itself — the same plan runs as a
     * shuffled join on the key. Same guard convention as
     * [[contamination]]'s probe broadcast. */
+  /** Cross-source n-gram containment matrix — the provenance
+    * diagnostic one level below [[dupSourceMatrix]]'s doc-level
+    * pairs: for every ordered source pair (a, b),
+    * |distinct n-grams of a ∩ b| / |distinct n-grams of a| — how much
+    * of a's n-gram inventory also appears in b (asymmetric, like the
+    * benchmark-contamination containment). Exact integer counts; one
+    * closing division.
+    *
+    * Scale: the distinct (source, ngram) set collapses the corpus
+    * first (bounded by |sources|·|ngram vocabulary|); the ngram-keyed
+    * self-join only materializes co-occurring pairs. At web scale,
+    * swap the exact distinct set for a per-source MinHash sketch and
+    * estimate containment from signature overlap — the matrix shape
+    * downstream is unchanged.
+    *
+    * @return (src_a, src_b, n_a, n_common, containment), a != b */
+  def ngramSourceMatrix(docs: DataFrame, n: Int = 3): DataFrame = {
+    // tokenize ONCE in its own projection — a tokenizer inside the
+    // transform lambda re-runs per element (no CSE in HOF lambdas)
+    val toks = docs.select(col("source"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+    // the >= n guard matters: Spark's sequence(1, k) turns DESCENDING
+    // for k < 1 and would fabricate grams for short docs
+    val grams = toks.where(size(col("w")) >= n)
+      .select(col("source"),
+        explode(transform(
+          sequence(lit(1), size(col("w")) - (n - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(n))))).as("g"))
+      .distinct()
+      .localCheckpoint() // totals + both join sides consume it
+    val totals = grams.groupBy("source").agg(count(lit(1)).as("n_a"))
+    grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(totals.withColumnRenamed("source", "src_a"), "src_a")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_common"),
+        (col("n_common").cast("double") / col("n_a")).as("containment"))
+  }
+
   def crossDedup(docs: DataFrame, refPred: Column, prefixTokens: Int = 8,
                  maxBroadcastKeys: Long = 20000000L): DataFrame = {
     val keyed = docs.select(col("doc_id"), col("source"), refPred.as("is_ref"),

@@ -88,6 +88,41 @@ object Events {
         col("users"))
   }
 
+  /** Streaming twin of [[funnel]]: per-user pointer state in
+    * flatMapGroupsWithState, one FunnelStep row emitted the moment a
+    * step completes (sorted-within-batch, the sessionizeStream
+    * discipline). Counting emitted rows per step_idx reproduces the
+    * batch funnel report. */
+  def funnelStream(events: DataFrame, steps: Seq[String]): Dataset[FunnelStep] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .where(col("event_type").isin(steps: _*))
+      .select(col("user_id").as[Long], expr("ts div 1000").as[Long],
+        col("event_type").as[String], col("ets").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelStep](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          var out = List.empty[FunnelStep]
+          rows.toArray.sortBy(_._2).foreach { case (_, us, tpe, _) =>
+            if (st.reached < k && tpe == steps(st.reached) && us > st.t) {
+              st = FunnelState(st.reached + 1, us)
+              out = FunnelStep(user, st.reached, us) :: out
+            }
+          }
+          state.update(st)
+          out.reverseIterator
+      }
+  }
+
   /** Retention cohorts (the DAU-triangle report): cohort = a user's
     * first active day, one output row per (cohort day, day offset)
     * with the count of cohort users active that day. Day boundaries
@@ -496,6 +531,8 @@ object Events {
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, cnt: Long)
   final case class CusumState(s: Long)
   final case class CusumAlarm(user_id: Long, alarm_us: Long, s: Long)
+  final case class FunnelState(reached: Int, t: Long)
+  final case class FunnelStep(user_id: Long, step_idx: Int, us: Long)
 
   /** Streaming sessionization with explicit state — the
     * flatMapGroupsWithState path (spec-tested with a memory sink). */

@@ -52,6 +52,30 @@ class EventsSpec extends SparkSpec {
     assert(out(3) == (("purchase", 1L))) // only user 1
   }
 
+  test("streaming funnel twin emits step completions matching batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val stream = Events.funnelStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      Seq("view", "click", "purchase"))
+    val q = stream.writeStream.format("memory").queryName("funnel_steps")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        (1L, ns(0), 1L, "view", 0.0, "{}"),
+        (2L, ns(10), 1L, "click", 0.0, "{}"),
+        (3L, ns(0), 2L, "click", 0.0, "{}"))) // click before view: no-op
+      q.processAllAvailable()
+      mem.addData(Seq(
+        (4L, ns(20), 1L, "purchase", 0.0, "{}"),  // completes across batches
+        (5L, ns(10), 2L, "view", 0.0, "{}")))     // user 2 starts now
+      q.processAllAvailable()
+      val steps = spark.table("funnel_steps").as[Events.FunnelStep].collect()
+        .map(s => (s.user_id, s.step_idx)).toSet
+      assert(steps == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
+    } finally q.stop()
+  }
+
   test("retention cohorts: DAU triangle by hand") {
     val day = graft.GridSource.NanosPerDay
     def at(d: Long, u: Long, id: Long) =
