@@ -284,6 +284,21 @@ object SparkEntry {
       val l = lineitemLayer(s, dir).tobler()
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
+    "q_stretch" -> ((s, dir) =>
+      // 2-98 percent-clip contrast stretch to 0..255
+      flat(HistogramOps.percentStretch(lineitemLayer(s, dir)))),
+
+    "q_catalog_diff" -> ((s, dir) => {
+      // layer diff audit: B bumps cells where v % 7 == 0; diff
+      // reports changed-cell counts per tile
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      val a = lineitemLayer(s, dir)
+      val b = a.localMap(c => when(pmod(c, lit(7.0)) === 0.0, c + 1).otherwise(c))
+      Catalog.write(uri, "diff_a", a, zoom = 4)
+      Catalog.write(uri, "diff_b", b, zoom = 4)
+      Catalog.diff(s, uri, "diff_a", "diff_b", 4)
+    }),
+
     "q_hotspot_gi" -> ((s, dir) =>
       // Getis-Ord Gi* hot-spot z-scores, binary 3x3 weights
       graft.raster.Hotspot.getisOrdGi(lineitemLayer(s, dir))),
@@ -2555,6 +2570,25 @@ object SparkEntry {
         val q = s"($g * $g + $h * $h)"
         windowSql(s"round(CASE WHEN $q = 0 THEN 0.0 ELSE 200.0 * ($d * $h * $h + $e * $g * $g - $f * $g * $h) / $q END, 5) + 0.0")
       },
+
+      // percent-clip stretch: exact cross-multiplied percentile
+      // cutpoints, then the identical clamp-rescale-floor chain
+      "q_stretch" ->
+        s"""WITH g AS ($grid),
+           |c AS (SELECT CAST(v AS BIGINT) AS v, count(*) AS cnt FROM g GROUP BY 1),
+           |w AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM c),
+           |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+           |b AS (SELECT min(CASE WHEN cum * 100 >= 2 * total THEN v END) AS lo,
+           |             min(CASE WHEN cum * 100 >= 98 * total THEN v END) AS hi FROM w, n)
+           |SELECT g.x, g.y,
+           |  floor((least(greatest(g.v, CAST(b.lo AS DOUBLE)), CAST(b.hi AS DOUBLE)) - b.lo) * CAST(255.0 AS DOUBLE) / (b.hi - b.lo)) AS v
+           |FROM g, b""".stripMargin,
+
+      // diff audit: the derived change set restated on the grid
+      "q_catalog_diff" ->
+        s"""SELECT CAST(x // 64 AS INT) AS col, CAST(y // 64 AS INT) AS row, CAST(count(*) AS INT) AS n_changed
+           |FROM ($grid) WHERE CAST(v AS BIGINT) % 7 = 0
+           |GROUP BY 1, 2""".stripMargin,
 
       // Getis-Ord Gi* / local Moran: exact global moments (n, S, SS)
       // + 3x3 sums; the closing DAG (div/mul/sub/sqrt only — IEEE,

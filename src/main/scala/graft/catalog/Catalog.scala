@@ -440,6 +440,34 @@ object Catalog {
     })
   }
 
+  /** Diff two stored layers at a zoom: tiles whose cell content
+    * differs, with the changed-cell count per tile (the catalog
+    * audit/validation tool — "what did the last ingest touch?").
+    * NaN==NaN counts as unchanged; a tile present on only one side
+    * counts every data cell of the present side as changed (full
+    * outer join — nothing silently drops).
+    *
+    * Scale: co-keyed tile join (both sides share the catalog's
+    * spatial partitioning) + a per-tile zip_with fold — no per-cell
+    * rows cross any exchange. */
+  def diff(spark: org.apache.spark.sql.SparkSession, uri: String,
+           nameA: String, nameB: String, zoom: Int = 0): org.apache.spark.sql.DataFrame = {
+    val a = read(spark, uri, nameA, zoom).df.select(col("col"), col("row"), col("tile").as("ta"))
+    val b = read(spark, uri, nameB, zoom).df.select(col("col"), col("row"), col("tile").as("tb"))
+    def dataCells(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(t, lit(0), (acc, x) => acc + when(isnan(x), 0).otherwise(1))
+    a.join(b, Seq("col", "row"), "full_outer")
+      .select(col("col"), col("row"),
+        when(col("ta").isNull, dataCells(col("tb")))
+          .when(col("tb").isNull, dataCells(col("ta")))
+          .otherwise(aggregate(
+            zip_with(col("ta"), col("tb"), (x, y) =>
+              when((isnan(x) && isnan(y)) || x === y, 0).otherwise(1)),
+            lit(0), (acc, e) => acc + e))
+          .as("n_changed"))
+      .where(col("n_changed") > 0)
+  }
+
   /** Attribute store key-value access (catalog.py AttributeStore :332). */
   def writeAttribute(uri: String, name: String, key: String, value: String): Unit =
     writeString(s"$uri/$name/_attributes_$key.json", value)

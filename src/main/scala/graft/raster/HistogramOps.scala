@@ -151,6 +151,35 @@ object HistogramOps {
     }: _*)
   }
 
+  /** Percentile contrast stretch (the gdal_translate -scale /
+    * ArcGIS percent-clip stretch): clamp to the exact rational-q
+    * [lo, hi] percentile cutpoints (cross-multiplied rule — integer
+    * comparisons, no float quantile) and rescale to 0..255 with an
+    * integer floor. The two cutpoints are driver scalars (the
+    * histogram-ops fast path); the remap is one codegen'd localMap.
+    * A constant band (hi == lo) maps to 0. */
+  def percentStretch(layer: RasterLayer, loNum: Long = 2, hiNum: Long = 98,
+      den: Long = 100): RasterLayer = {
+    require(0 <= loNum && loNum < hiNum && hiNum <= den)
+    val counts = layer.toCells.select(col("v").cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("v").rowsBetween(Long.MinValue, 0)
+    val total = counts.agg(sum("cnt").cast("long")).head().getLong(0)
+    val row = counts.withColumn("cum", sum("cnt").over(w))
+      .agg(
+        min(when(col("cum") * den >= lit(loNum) * total, col("v"))).as("lo"),
+        min(when(col("cum") * den >= lit(hiNum) * total, col("v"))).as("hi"))
+      .head()
+    val lo = row.getLong(0); val hi = row.getLong(1)
+    if (hi == lo) layer.localMap(_ => lit(0.0))
+    // NaN guard is load-bearing: Spark's least/greatest treat NaN as
+    // the LARGEST value, so an unguarded clamp turns NoData into hi
+    else layer.localMap(c => when(isnan(c), c).otherwise(
+      floor((least(greatest(c, lit(lo.toDouble)), lit(hi.toDouble)) - lit(lo)) *
+        lit(255.0) / lit(hi - lo)).cast("double")))
+  }
+
   /** Histogram equalization (geotrellis HistogramEqualization, the
     * standard CDF remap): v' = (cdf(v) - cdf_min) * 255 / (n - cdf_min),
     * integer-floored — all-integer arithmetic, so the oracle states it

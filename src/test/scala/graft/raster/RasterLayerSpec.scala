@@ -909,6 +909,36 @@ class RasterLayerSpec extends SparkSpec {
     }
   }
 
+  test("percent stretch: clamp + rescale by hand, constant layer pins 0") {
+    // values 0,10,...,90 with p2/p98 cutpoints under den=10 -> lo=0, hi=90?
+    // use loNum=2, hiNum=8, den=10: lo = v at cum*10>=2*10 -> 2nd value (10),
+    // hi = v at cum*10>=8*10 -> 8th value (70)
+    val cells = (0 until 10).map(i => (i.toLong, 0L, i * 10.0))
+    val l = layer(cells: _*)
+    val out = HistogramOps.percentStretch(l, loNum = 2, hiNum = 8, den = 10)
+      .toCells.as[(Long, Long, Double)].collect().map(c => c._1 -> c._3).toMap
+    assert(out(0L) == 0.0)                       // clamped at lo
+    assert(out(1L) == 0.0)                       // v=10 == lo
+    assert(out(7L) == 255.0)                     // v=70 == hi
+    assert(out(9L) == 255.0)                     // clamped at hi
+    assert(out(4L) == math.floor((40.0 - 10) * 255 / 60)) // interior
+    val const = layer((0, 0, 5.0), (1, 0, 5.0))
+    assert(HistogramOps.percentStretch(const).toCells
+      .as[(Long, Long, Double)].collect().forall(_._3 == 0.0))
+  }
+
+  test("catalog diff: per-tile changed-cell counts, one-sided tiles count whole") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_diff").toString
+    val a = layer((0, 0, 1.0), (1, 0, 2.0), (5, 5, 3.0))
+    val b = layer((0, 0, 1.0), (1, 0, 9.0), (5, 5, 3.0))
+    graft.catalog.Catalog.write(dir, "da", a)
+    graft.catalog.Catalog.write(dir, "db", b)
+    val d = graft.catalog.Catalog.diff(spark, dir, "da", "db")
+      .as[(Int, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // only tile (0,0) changed (cell (1,0)); tile (1,1) identical
+    assert(d == Map((0, 0) -> 1))
+  }
+
   test("majority filter: strict majority replaces, tie keeps center") {
     // strip 5,5,9: center (1,0) neighbors {5,5} -> strict majority 5 replaces 9?
     // center at (1,0) is 5 with neighbors {5,9}: tie 1-1 -> keep 5
