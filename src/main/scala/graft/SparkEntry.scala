@@ -2023,6 +2023,14 @@ object SparkEntry {
     "q_event_window" -> ((s, dir) =>
       streaming.Events.hourlyAgg(eventsTable(s, dir))),
 
+    "q_lateness" -> ((s, dir) =>
+      // per-minute event-time lateness histogram (watermark tuning)
+      streaming.Events.latenessAudit(eventsTable(s, dir))),
+
+    "q_zipf" -> ((s, dir) =>
+      // rank-frequency slope over the top-30 tokens
+      pipeline.TextAnalysis.zipfFit(table(s, dir, "documents"))),
+
     "q_cusum" -> ((s, dir) =>
       // per-user one-sided CUSUM drift summary (Page 1954), exact
       // integer cents via the prefix-min identity
@@ -5225,6 +5233,27 @@ object SparkEntry {
         """SELECT epoch_us(ts) // 3600000000 AS hour, event_type, count(*) AS cnt,
           |CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS vsum
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      // lateness: per-user arrival-order high-water mark, identical
+      // minute bucketing
+      "q_lateness" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+          |h AS (SELECT user_id, us, max(us) OVER (PARTITION BY user_id ORDER BY event_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM e)
+          |SELECT greatest(CAST(0 AS BIGINT), hwm - us) // 60000000 AS late_min, count(*) AS cnt
+          |FROM h WHERE hwm IS NOT NULL GROUP BY 1""".stripMargin,
+
+      // Zipf fit: exact ranks, micro-nat ln terms, integer moments,
+      // one closing division
+      "q_zipf" ->
+        """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
+          |c AS (SELECT t, count(*) AS cnt FROM t GROUP BY 1 ORDER BY cnt DESC, t ASC LIMIT 30),
+          |r AS (SELECT row_number() OVER (ORDER BY cnt DESC, t ASC) AS rank, cnt FROM c),
+          |q AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+          |             CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS y FROM r),
+          |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx FROM q)
+          |SELECT n AS n_terms, CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope FROM m""".stripMargin,
 
       // CUSUM via the prefix identity S_i = pre_i - min(0, min pre):
       // two explicit ROWS windows, exact integer cents, same

@@ -532,6 +532,37 @@ object TextAnalysis {
         (-col("s") / (col("n_tokens") * lit(1000000.0))).as("nll"))
   }
 
+  /** Zipf rank-frequency fit — the corpus-health diagnostic (natural
+    * text slopes ≈ −1; template/boilerplate corpora flatten or
+    * steepen): least-squares slope of ln(freq) on ln(rank) over the
+    * top-k tokens. Ranks are exact (count DESC, token asc); the ln
+    * terms quantize ONCE to micro-nats so all four regression moments
+    * are exact integers and the slope is a single integer/integer
+    * IEEE division. Returns one row (n_terms, slope).
+    *
+    * Scale: one vocabulary-bounded aggregate; the top-k fit is a
+    * k-row reduction. */
+  def zipfFit(docs: DataFrame, topK: Int = 30): DataFrame = {
+    val ranked = docs.select(
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t").asc).limit(topK)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("t").asc)).cast("long").as("rank"),
+        col("cnt"))
+    ranked.select(
+        round(log(col("rank").cast("double")) * lit(1000000.0)).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * lit(1000000.0)).cast("long").as("y"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+      .select(col("n").as("n_terms"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+  }
+
   /** Jelinek-Mercer interpolated bigram LM (Jelinek & Mercer 1980 —
     * the classic smoothing between the MLE bigram and the add-one
     * unigram): per token, p(t|p) = λ·cab/cp + (1−λ)·(ca+1)/(N+V),

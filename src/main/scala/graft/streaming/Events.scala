@@ -142,6 +142,28 @@ object Events {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** Event-time lateness audit — the watermark-tuning diagnostic:
+    * within each user's stream, an event's lateness is how far its
+    * event time sits behind the maximum event time already ARRIVED
+    * (arrival order = event_id, the ingestion sequence). Reports a
+    * per-minute lateness histogram; the p99-ish tail is what you set
+    * `withWatermark` to.
+    *
+    * Scale: windows partition by user_id (keyed streams shard the
+    * arrival sequence — no global single-partition ORDER BY); the
+    * global tail is the max over keys, preserved by the histogram. */
+  def latenessAudit(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .withColumn("hwm", max("us").over(w))
+      .select(greatest(lit(0L), col("hwm") - col("us")).as("late_us"))
+      .where(col("hwm").isNotNull)
+      .groupBy(expr("late_us div 60000000").as("late_min"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** One-sided CUSUM drift detection per user (Page 1954 — the
     * sequential change-point statistic every metrics pipeline runs):
     * with deviations d_i = value_i − target − slack in exact cents,

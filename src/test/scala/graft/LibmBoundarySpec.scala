@@ -154,6 +154,16 @@ class LibmBoundarySpec extends SparkSpec {
     assertFar("jm-lm ln(interp)", args)
   }
 
+  test("zipf ln(rank)/ln(cnt) arguments on the documents table") {
+    val cnts = docs.select(
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t").asc).limit(30)
+      .select("cnt").as[Long].collect()
+    assertFar("zipf ln(rank)", (1 to 30).map(r => math.log(r.toDouble) * 1e6))
+    assertFar("zipf ln(cnt)", cnts.map(c => math.log(c.toDouble) * 1e6).toSeq)
+  }
+
   test("bm25 idf arguments for the fixed query-term set") {
     val ws = docs.select(col("doc_id"),
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))

@@ -1226,6 +1226,17 @@ class PipelineSpec extends SparkSpec {
     assert(out.keySet.forall { case k => out(k)._1 >= 5 }) // floor applied
   }
 
+  test("zipf fit: perfect power law recovers slope -1 within quantization") {
+    // counts 8,4,2,1 at ranks 1..4: ln(cnt) = ln(8) - ln(2)*ln... no:
+    // freq ∝ rank^s with s = -1 needs counts 12,6,4,3; use 12/6/4/3
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val docs = Seq((1L, words.mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (n, slope) = TextAnalysis.zipfFit(docs, topK = 4).as[(Long, Double)].head()
+    assert(n == 4L)
+    assert(math.abs(slope - (-1.0)) < 1e-4) // 12/rank: exact -1 up to micro-nat residue
+  }
+
   test("embed outliers: integer centroid-distance decomposition by hand") {
     // label 1: vectors (1,1), (1,1), (4,4): S = (6,6), m = 3
     // m^2*d2 for (4,4): 9*32 - 2*3*(4*6+4*6) + 72 = 288 - 288 + 72 = 72

@@ -500,6 +500,21 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lateness audit: out-of-order arrivals bucket by minutes behind the hwm") {
+    // arrival order = event_id; user 1: t=100s, t=40s (1 min late),
+    // t=160s (on time), t=159s (0 min late -> bucket 0)
+    val evs = Seq(
+      (1L, ns(100), 1L, "view", 0.0, "{}"),
+      (2L, ns(40), 1L, "view", 0.0, "{}"),   // 60s behind -> bucket 1
+      (3L, ns(160), 1L, "view", 0.0, "{}"),  // ahead -> bucket 0
+      (4L, ns(159), 1L, "view", 0.0, "{}"),  // 1s behind -> bucket 0
+      (5L, ns(0), 2L, "view", 0.0, "{}")     // first event: no hwm, excluded
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.latenessAudit(evs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 2L, 1L -> 1L))
+  }
+
   test("cusum drift: prefix-min identity by hand, streaming twin agrees") {
     // user 1 values (cents): 800, 800, 100, 900 -> d = 200, 200, -500, 300
     // pre: 200, 400, -100, 200; min-pre: 200, 200, -100, -100
