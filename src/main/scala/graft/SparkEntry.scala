@@ -284,6 +284,12 @@ object SparkEntry {
       val l = lineitemLayer(s, dir).tobler()
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
+    "q_flow_dinf" -> ((s, dir) => {
+      // Tarboton D-infinity steepest-descent angle (radians, round 5)
+      val l = lineitemLayer(s, dir).flowDirectionDinf()
+      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
+
     "q_stretch" -> ((s, dir) =>
       // 2-98 percent-clip contrast stretch to 0..255
       flat(HistogramOps.percentStretch(lineitemLayer(s, dir)))),
@@ -2577,6 +2583,44 @@ object SparkEntry {
         val (g, h) = ("((-n4 + n6) / 2.0)", "((n2 - n8) / 2.0)")
         val q = s"($g * $g + $h * $h)"
         windowSql(s"round(CASE WHEN $q = 0 THEN 0.0 ELSE 200.0 * ($d * $h * $h + $e * $g * $g - $f * $g * $h) / $q END, 5) + 0.0")
+      },
+
+      // D-infinity: 8 facet structs per cell, rank by (s DESC, i) —
+      // the s values contain no atan2 output (branch-only, boundary-
+      // continuous), so selection is bit-identical; the angle rounds 5
+      "q_flow_dinf" -> {
+        val facets = Seq(("n6", "n3", 0, 1), ("n2", "n3", 1, -1),
+          ("n2", "n1", 1, 1), ("n4", "n1", 2, -1), ("n4", "n7", 2, 1),
+          ("n8", "n7", 3, -1), ("n8", "n9", 3, 1), ("n6", "n9", 4, -1))
+        val items = facets.zipWithIndex.map { case ((e1, e2, ac, af), i) =>
+          val s1 = s"(n5 - $e1)"
+          val s2 = s"($e1 - $e2)"
+          val r = s"atan2($s2, $s1)"
+          val sc = s"CASE WHEN $r < 0 THEN $s1 WHEN $r > pi() / 4 THEN (n5 - $e2) / sqrt(CAST(2 AS DOUBLE)) ELSE sqrt($s1 * $s1 + $s2 * $s2) END"
+          val rc = s"CASE WHEN $r < 0 THEN CAST(0 AS DOUBLE) WHEN $r > pi() / 4 THEN pi() / 4 ELSE $r END"
+          s"struct_pack(s := $sc, i := $i, a := $af * ($rc) + $ac * (pi() / 2))"
+        }.mkString(", ")
+        s"""WITH g AS ($grid), nb AS (
+           |  SELECT c.x AS x, c.y AS y,
+           |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y - 1 THEN n.v END) AS n1,
+           |    max(CASE WHEN n.x = c.x     AND n.y = c.y - 1 THEN n.v END) AS n2,
+           |    max(CASE WHEN n.x = c.x + 1 AND n.y = c.y - 1 THEN n.v END) AS n3,
+           |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y     THEN n.v END) AS n4,
+           |    max(CASE WHEN n.x = c.x     AND n.y = c.y     THEN n.v END) AS n5,
+           |    max(CASE WHEN n.x = c.x + 1 AND n.y = c.y     THEN n.v END) AS n6,
+           |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y + 1 THEN n.v END) AS n7,
+           |    max(CASE WHEN n.x = c.x     AND n.y = c.y + 1 THEN n.v END) AS n8,
+           |    max(CASE WHEN n.x = c.x + 1 AND n.y = c.y + 1 THEN n.v END) AS n9,
+           |    count(*) AS cnt
+           |  FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |  GROUP BY c.x, c.y
+           |),
+           |f AS (SELECT x, y, unnest([$items]) AS fc FROM nb WHERE cnt = 9),
+           |r AS (SELECT x, y, fc.s AS s, fc.a AS a,
+           |        row_number() OVER (PARTITION BY x, y ORDER BY fc.s DESC, fc.i) AS rn FROM f)
+           |SELECT x, y,
+           |  round(CASE WHEN a >= 2 * pi() THEN a - 2 * pi() ELSE a END, 5) AS v
+           |FROM r WHERE rn = 1 AND s > 0""".stripMargin
       },
 
       // percent-clip stretch: exact cross-multiplied percentile

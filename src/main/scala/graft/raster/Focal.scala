@@ -515,7 +515,7 @@ object Focal extends Serializable {
     val indexOp = what == "tri" || what == "tpi" ||
       what == "roughness" || what == "curvature" || what == "fill" ||
       what == "curvature_profile" || what == "curvature_plan" ||
-      what == "majority_filter"
+      what == "majority_filter" || what == "dinf"
     val meta = layer.meta
     val tl = meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
@@ -615,6 +615,45 @@ object Focal extends Serializable {
             else if (n1.isNaN || n2.isNaN || n3.isNaN || n4.isNaN || n5.isNaN ||
                 n6.isNaN || n7.isNaN || n8.isNaN || n9.isNaN) Double.NaN
             else what match {
+              case "dinf" =>
+                // Tarboton 1997 D-infinity flow direction: steepest
+                // downslope over 8 triangular facets; angle CCW from
+                // east in radians [0, 2π) (grid north = -y). Facet
+                // table (e1 cardinal, e2 diagonal, ac quarter-turns,
+                // af sign), r clamped to [0, π/4].
+                //
+                // Determinism note: the clamped slope magnitude s
+                // never contains the atan2 VALUE — atan2 only selects
+                // a branch, and at both branch boundaries the two
+                // branch expressions coincide (r=0: s2=0 so
+                // sqrt(s1²+s2²)=|s1|; r=π/4: s1=s2 so both give
+                // √2·s1) — so facet selection compares bit-identical
+                // doubles in any libm, and only the emitted angle
+                // (round 5) touches atan2.
+                val e1s = Array(n6, n2, n2, n4, n4, n8, n8, n6)
+                val e2s = Array(n3, n3, n1, n1, n7, n7, n9, n9)
+                val acs = Array(0, 1, 1, 2, 2, 3, 3, 4)
+                val afs = Array(1, -1, 1, -1, 1, -1, 1, -1)
+                var bestS = 0.0; var bestA = Double.NaN
+                var fi = 0
+                while (fi < 8) {
+                  val s1 = (n5 - e1s(fi)) / cw
+                  val s2 = (e1s(fi) - e2s(fi)) / cw
+                  val r = math.atan2(s2, s1)
+                  val quarterPi = math.Pi / 4
+                  val (rc, sc) =
+                    if (r < 0) (0.0, s1)
+                    else if (r > quarterPi)
+                      (quarterPi, (n5 - e2s(fi)) / (cw * math.sqrt(2.0)))
+                    else (r, math.sqrt(s1 * s1 + s2 * s2))
+                  if (sc > bestS) {
+                    bestS = sc
+                    val a = afs(fi) * rc + acs(fi) * (math.Pi / 2)
+                    bestA = if (a >= 2 * math.Pi) a - 2 * math.Pi else a
+                  }
+                  fi += 1
+                }
+                bestA // NaN when no downslope facet (flat/pit)
               case "tri" =>
                 // Riley et al. 1999 terrain ruggedness: sqrt of the
                 // summed squared center-neighbor differences

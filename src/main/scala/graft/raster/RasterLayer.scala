@@ -525,6 +525,10 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   def tpi(): RasterLayer                            = Focal.terrain(this, "tpi")
   /** 3x3 window range (gdaldem roughness convention). */
   def roughness(): RasterLayer                      = Focal.terrain(this, "roughness")
+  /** D-infinity flow direction (Tarboton 1997): steepest-descent
+    * angle over 8 triangular facets, radians CCW from east, NaN (and
+    * hence dropped from cells) where no downslope facet exists. */
+  def flowDirectionDinf(): RasterLayer             = Focal.terrain(this, "dinf")
   /** ArcGIS MajorityFilter: strict-majority neighborhood smoothing
     * (keeps the center unless the 8 present neighbors agree by a
     * strict majority; ties -> smallest). */

@@ -909,6 +909,25 @@ class RasterLayerSpec extends SparkSpec {
     }
   }
 
+  test("dinf flow direction: plane gradients give exact compass angles") {
+    def plane(f: (Int, Int) => Double): Map[(Long, Long), Double] = {
+      val cells = for (x <- 0 to 3; y <- 0 to 3) yield (x.toLong, y.toLong, f(x, y))
+      layer(cells: _*).flowDirectionDinf().toCells
+        .as[(Long, Long, Double)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    }
+    // east-down plane: flow east, angle 0
+    val e = plane((x, _) => 100.0 - x)
+    assert(e((1L, 1L)) == 0.0)
+    // south-down plane (y grows southward): angle 3π/2
+    val s = plane((_, y) => 100.0 - y)
+    assert(s((1L, 1L)) == 3 * (math.Pi / 2))
+    // SE-diagonal plane: angle 7π/4 via the π/4-clamped facet
+    val se = plane((x, y) => 200.0 - x - y)
+    assert(se((1L, 1L)) == -(math.Pi / 4) + 4 * (math.Pi / 2) - 0.0)
+    // flat plane: no downslope anywhere -> no cells
+    assert(plane((_, _) => 7.0).isEmpty)
+  }
+
   test("percent stretch: clamp + rescale by hand, constant layer pins 0") {
     // values 0,10,...,90 with p2/p98 cutpoints under den=10 -> lo=0, hi=90?
     // use loNum=2, hiNum=8, den=10: lo = v at cum*10>=2*10 -> 2nd value (10),
