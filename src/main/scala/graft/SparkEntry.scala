@@ -1640,6 +1640,19 @@ object SparkEntry {
       pipeline.Similarity.ivfTopK(table(s, dir, "embeddings"),
         col("vec_id") % 50 === 0, col("vec_id") % 37 === 0)),
 
+    "q_ann_recall" -> ((s, dir) => {
+      // recall@5 of IVF vs the exact brute top-5 (index tuning report)
+      val e = table(s, dir, "embeddings")
+      pipeline.Similarity.recallAtK(
+        pipeline.Similarity.bruteTopK(e, col("vec_id") % 50 === 0, 5),
+        pipeline.Similarity.ivfTopK(e, col("vec_id") % 50 === 0,
+          col("vec_id") % 37 === 0), 5)
+    }),
+
+    "q_props_stats" -> ((s, dir) =>
+      // JSON props.k extraction + per-type rollup (codegen'd path)
+      streaming.Events.propsStats(eventsTable(s, dir))),
+
     "q_ann_pq" -> ((s, dir) =>
       // product-quantization ADC top-k: codes from the vec_id % 37
       // sampled codebooks, queries vec_id % 50 — third scale path
@@ -4599,6 +4612,47 @@ object SparkEntry {
           |SELECT qid, nid, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank FROM (
           |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
           |WHERE rank <= 5""".stripMargin,
+
+      // recall@5: the brute and IVF chains side by side, membership
+      // joined on (qid, nid)
+      "q_ann_recall" ->
+        """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |e AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nn FROM q0),
+          |c AS (SELECT vec_id AS cid, qv AS cv, nn AS cn FROM e WHERE vec_id % 37 = 0),
+          |asg AS (SELECT vec_id, cid, qv, nn FROM (
+          |  SELECT v.vec_id, c.cid, v.qv, v.nn,
+          |    row_number() OVER (PARTITION BY v.vec_id
+          |      ORDER BY list_dot_product(v.qv, c.cv) / (v.nn * c.cn) DESC, c.cid) AS rn
+          |  FROM e v, c) WHERE rn = 1),
+          |probes AS (SELECT qid, q_qv, q_nn, cid FROM (
+          |  SELECT v.vec_id AS qid, v.qv AS q_qv, v.nn AS q_nn, c.cid,
+          |    row_number() OVER (PARTITION BY v.vec_id
+          |      ORDER BY list_dot_product(v.qv, c.cv) / (v.nn * c.cn) DESC, c.cid) AS rn
+          |  FROM e v, c WHERE v.vec_id % 50 = 0) WHERE rn <= 3),
+          |ivs AS (SELECT p.qid, a.vec_id AS nid,
+          |        list_dot_product(p.q_qv, a.qv) / (p.q_nn * a.nn) AS cos
+          |      FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+          |ivf AS (SELECT qid, nid FROM (
+          |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM ivs)
+          |  WHERE rank <= 5),
+          |bs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+          |        list_dot_product(a.qv, b.qv) / (a.nn * b.nn) AS cos
+          |      FROM e a JOIN e b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+          |brute AS (SELECT qid, nid FROM (
+          |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM bs)
+          |  WHERE rank <= 5)
+          |SELECT b.qid, CAST(count(*) AS BIGINT) AS n_exact,
+          |  CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  CAST(CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS recall
+          |FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.nid = b.nid
+          |GROUP BY 1""".stripMargin,
+
+      // JSON props rollup: exact integer k, one closing division
+      "q_props_stats" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+          |  CAST(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) AS k_avg
+          |FROM events GROUP BY 1""".stripMargin,
 
       "q_ann_pq" ->
         """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),

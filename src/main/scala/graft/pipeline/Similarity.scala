@@ -128,6 +128,21 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Recall@k — the ANN quality report every index-tuning loop needs:
+    * per query, the fraction of the EXACT top-k the approximate
+    * search retrieved. `exact` and `approx` are (qid, nid, …, rank)
+    * frames (bruteTopK vs ivfTopK/lsh/pq). Exact integer counts, one
+    * closing division. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.where(col("rank") <= k).select(col("qid"), col("nid"))
+      .join(approx.select(col("qid"), col("nid"), lit(1).as("hit")),
+        Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+
   /** Embedding-space outlier detection — the label-noise / mislabel
     * audit (flag vectors far from their label's centroid): squared
     * distance to the label mean in EXACT integer form,

@@ -142,6 +142,18 @@ object Events {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** Semi-structured property extraction + rollup — the JSON-column
+    * parsing every event pipeline does at scan time (get_json_object
+    * is codegen'd; no UDF): per event_type, count and exact integer
+    * sum/mean of props.k. */
+  def propsStats(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").cast("long").as("k_sum"))
+      .select(col("event_type"), col("n"), col("k_sum"),
+        (col("k_sum").cast("double") / col("n")).as("k_avg"))
+
   /** Event-time lateness audit — the watermark-tuning diagnostic:
     * within each user's stream, an event's lateness is how far its
     * event time sits behind the maximum event time already ARRIVED

@@ -1226,6 +1226,16 @@ class PipelineSpec extends SparkSpec {
     assert(out.keySet.forall { case k => out(k)._1 >= 5 }) // floor applied
   }
 
+  test("recall@k: hand membership counting with a left-out neighbor") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (2L, 20L, 1L))
+      .toDF("qid", "nid", "rank")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L)).toDF("qid", "nid")
+    val out = Similarity.recallAtK(exact, approx, 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 2L, 2.0 / 3)))  // 10 and 12 hit, 11 missed
+    assert(out(2L) == ((2L, 1L, 0L, 0.0)))      // query absent from approx
+  }
+
   test("zipf fit: perfect power law recovers slope -1 within quantization") {
     // counts 8,4,2,1 at ranks 1..4: ln(cnt) = ln(8) - ln(2)*ln... no:
     // freq ∝ rank^s with s = -1 needs counts 12,6,4,3; use 12/6/4/3
