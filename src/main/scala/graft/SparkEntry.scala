@@ -284,6 +284,18 @@ object SparkEntry {
       val l = lineitemLayer(s, dir).tobler()
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
+    "q_ks_test" -> ((s, dir) =>
+      // KS drift statistic: even- vs odd-numbered sources on n_chars
+      pipeline.TextAnalysis.ksTest(table(s, dir, "documents"),
+        substring(col("source"), 4, 10).cast("int") % 2 === 0,
+        col("n_chars"))),
+
+    "q_aspect_rose" -> ((s, dir) => {
+      // slope-aspect rose: exact octant bins, per-bin cell counts
+      val l = lineitemLayer(s, dir).aspectOctant()
+      l.toCells.groupBy(col("v").as("bin")).agg(count(lit(1)).as("cnt"))
+    }),
+
     "q_flow_dinf" -> ((s, dir) => {
       // Tarboton D-infinity steepest-descent angle (radians, round 5)
       val l = lineitemLayer(s, dir).flowDirectionDinf()
@@ -2596,6 +2608,36 @@ object SparkEntry {
         val (g, h) = ("((-n4 + n6) / 2.0)", "((n2 - n8) / 2.0)")
         val q = s"($g * $g + $h * $h)"
         windowSql(s"round(CASE WHEN $q = 0 THEN 0.0 ELSE 200.0 * ($d * $h * $h + $e * $g * $g - $f * $g * $h) / $q END, 5) + 0.0")
+      },
+
+      // KS: exact rational CDF-gap maximum
+      "q_ks_test" ->
+        """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v, CAST(substr(source, 4) AS INT) % 2 = 0 AS a FROM documents),
+          |c AS (SELECT v, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          |        CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb FROM v GROUP BY 1),
+          |w AS (SELECT CAST(sum(ca) OVER win AS BIGINT) AS cuma, CAST(sum(cb) OVER win AS BIGINT) AS cumb
+          |      FROM c WINDOW win AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c)
+          |SELECT na AS n_a, nb AS n_b,
+          |  CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+          |  CAST(CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS DOUBLE) / (na * nb) AS d
+          |FROM w, t GROUP BY 1, 2""".stripMargin,
+
+      // aspect rose: the same octant CASE chain, exact comparisons
+      // on the rational gradient (no angle is ever computed)
+      "q_aspect_rose" -> {
+        val u = "(0 - dzdx)"; val vv = "dzdy"
+        val bin =
+          s"""CASE WHEN $u = 0 AND $vv = 0 THEN CAST(0 AS DOUBLE)
+             | WHEN $u > 0 AND $vv >= 0 AND $vv < $u THEN CAST(0 AS DOUBLE)
+             | WHEN $u > 0 AND $vv >= $u THEN CAST(1 AS DOUBLE)
+             | WHEN $u <= 0 AND $vv > 0 AND $vv > -$u THEN CAST(2 AS DOUBLE)
+             | WHEN $u < 0 AND $vv > 0 AND $vv <= -$u THEN CAST(3 AS DOUBLE)
+             | WHEN $u < 0 AND $vv <= 0 AND -$vv < -$u THEN CAST(4 AS DOUBLE)
+             | WHEN $u < 0 AND $vv <= $u THEN CAST(5 AS DOUBLE)
+             | WHEN $u >= 0 AND $vv < 0 AND $vv < -$u THEN CAST(6 AS DOUBLE)
+             | ELSE CAST(7 AS DOUBLE) END""".stripMargin.replace("\n", "")
+        s"SELECT v AS bin, count(*) AS cnt FROM (${hornSql(bin)}) GROUP BY 1"
       },
 
       // D-infinity: 8 facet structs per cell, rank by (s DESC, i) —

@@ -532,6 +532,36 @@ object TextAnalysis {
         (-col("s") / (col("n_tokens") * lit(1000000.0))).as("nll"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov statistic — the distribution-shift
+    * detector between two corpus slices (new crawl vs old, source A
+    * vs B) on an integer-valued score column:
+    * D = max_v |F_A(v) − F_B(v)| computed as the exact rational
+    * max |cumA·nB − cumB·nA| / (nA·nB) — integer numerators, one
+    * closing division. Returns one row (n_a, n_b, d_num, d).
+    *
+    * Scale: the cumulative window runs over DISTINCT score values
+    * (the quantileBreaksExactInt bound — fine for integer scores;
+    * continuous scores should be binned first). */
+  def ksTest(docs: DataFrame, isA: Column, value: Column): DataFrame = {
+    val v = docs.select(value.cast("long").as("v"), isA.as("a"))
+    val counts = v.groupBy("v").agg(
+      sum(when(col("a"), lit(1L)).otherwise(lit(0L))).as("ca"),
+      sum(when(col("a"), lit(0L)).otherwise(lit(1L))).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("v").rowsBetween(Long.MinValue, 0)
+    counts
+      .select(col("v"),
+        sum("ca").over(w).cast("long").as("cuma"),
+        sum("cb").over(w).cast("long").as("cumb"))
+      .crossJoin(broadcast(counts.agg(
+        sum("ca").cast("long").as("na"), sum("cb").cast("long").as("nb"))))
+      .groupBy("na", "nb")
+      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+        .cast("long").as("d_num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("d_num"),
+        (col("d_num").cast("double") / (col("na") * col("nb"))).as("d"))
+  }
+
   /** Zipf rank-frequency fit — the corpus-health diagnostic (natural
     * text slopes ≈ −1; template/boilerplate corpora flatten or
     * steepen): least-squares slope of ln(freq) on ln(rank) over the

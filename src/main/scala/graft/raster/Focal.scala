@@ -701,6 +701,23 @@ object Focal extends Serializable {
               case "aspect" =>
                 val a = math.toDegrees(math.atan2(dzdy, -dzdx))
                 if (a < 0) a + 360.0 else a
+              case "aspect_octant" =>
+                // exact 45°-octant aspect class WITHOUT computing the
+                // angle: sign and |u| vs |v| comparisons on the exact
+                // rational gradient — no libm, so 45° boundary cells
+                // cannot flip bins between engines (the floor(a/45)
+                // formulation would). Flat gradient -> bin 0 by
+                // convention. Bin k covers [45k, 45(k+1))°.
+                val u = 0 - dzdx; val vv = dzdy
+                if (u == 0.0 && vv == 0.0) 0.0
+                else if (u > 0 && vv >= 0 && vv < u) 0.0
+                else if (u > 0 && vv >= u) 1.0
+                else if (u <= 0 && vv > 0 && vv > -u) 2.0
+                else if (u < 0 && vv > 0 && vv <= -u) 3.0
+                else if (u < 0 && vv <= 0 && -vv < -u) 4.0
+                else if (u < 0 && vv <= u) 5.0
+                else if (u >= 0 && vv < 0 && vv < -u) 6.0
+                else 7.0
               case "hillshade" =>
                 val slopeR = math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))
                 val aspR0 = math.atan2(dzdy, -dzdx)

@@ -511,6 +511,9 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
             zFactorCalc: Option[Double => Double] = None): RasterLayer =
     Focal.terrain(this, "slope", zFactor, zFactorCalc = zFactorCalc)
   def aspect(): RasterLayer                         = Focal.terrain(this, "aspect")
+  /** Exact 45°-octant aspect class (0..7, flat -> 0): sign/magnitude
+    * comparisons on the rational gradient, no libm in the bin. */
+  def aspectOctant(): RasterLayer                   = Focal.terrain(this, "aspect_octant")
   def hillshade(azimuth: Double = 315.0, altitude: Double = 45.0, zFactor: Double = 1.0,
                 zFactorCalc: Option[Double => Double] = None): RasterLayer =
     Focal.terrain(this, "hillshade", zFactor, azimuth, altitude, zFactorCalc)

@@ -1226,6 +1226,16 @@ class PipelineSpec extends SparkSpec {
     assert(out.keySet.forall { case k => out(k)._1 >= 5 }) // floor applied
   }
 
+  test("ks test: exact rational CDF gap by hand") {
+    // A = {1, 2}, B = {3}: the gap peaks at v=2 with |2*1 - 0*2| = 2
+    val rows = Seq((1L, "x", "en", "sA", 1L), (2L, "x", "en", "sA", 2L),
+      (3L, "x", "en", "sB", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.ksTest(rows, col("source") === "sA", col("n_chars"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(out == ((2L, 1L, 2L, 1.0)))
+  }
+
   test("recall@k: hand membership counting with a left-out neighbor") {
     val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (2L, 20L, 1L))
       .toDF("qid", "nid", "rank")

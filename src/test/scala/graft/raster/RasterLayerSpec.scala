@@ -909,6 +909,21 @@ class RasterLayerSpec extends SparkSpec {
     }
   }
 
+  test("aspect octant: plane gradients land in the right compass bins") {
+    def bin(f: (Int, Int) => Double): Double = {
+      val cells = for (x <- 0 to 3; y <- 0 to 3) yield (x.toLong, y.toLong, f(x, y))
+      layer(cells: _*).aspectOctant().toCells
+        .as[(Long, Long, Double)].collect().map(c => (c._1, c._2) -> c._3)
+        .toMap.apply((1L, 1L))
+    }
+    assert(bin((x, _) => 100.0 - x) == 0.0)          // downslope east
+    assert(bin((x, y) => 200.0 - x + y) == 1.0)      // NE at exactly 45 deg
+    assert(bin((_, y) => 100.0 + y) == 2.0)          // north (aspect 90)
+    assert(bin((x, _) => 100.0 + x) == 4.0)          // west (aspect 180)
+    assert(bin((_, y) => 100.0 - y) == 6.0)          // south (aspect 270)
+    assert(bin((_, _) => 5.0) == 0.0)                // flat -> bin 0
+  }
+
   test("dinf flow direction: plane gradients give exact compass angles") {
     def plane(f: (Int, Int) => Double): Map[(Long, Long), Double] = {
       val cells = for (x <- 0 to 3; y <- 0 to 3) yield (x.toLong, y.toLong, f(x, y))
