@@ -216,6 +216,20 @@ object SparkEntry {
       // ArcGIS MajorityFilter over v mod 8 classes (strict majority
       // of present neighbors replaces the center; ties keep it)
       flat(lineitemLayer(s, dir).localMap(c => pmod(c, lit(8.0))).majorityFilter())),
+    "q_expand" -> ((s, dir) =>
+      // ArcGIS Expand over v mod 8 zones: grow classes {3, 5} by one
+      // cell, 3 before 5 (list order = zone priority)
+      flat(lineitemLayer(s, dir).localMap(c => pmod(c, lit(8.0)))
+        .expand(Seq(3.0, 5.0)))),
+    "q_shrink" -> ((s, dir) =>
+      // ArcGIS Shrink of zone 3 by one cell: boundary 3-cells take the
+      // neighborhood mode of the other classes (ties -> smallest)
+      flat(lineitemLayer(s, dir).localMap(c => pmod(c, lit(8.0))).shrink(3.0))),
+    "q_nibble" -> ((s, dir) =>
+      // ArcGIS Nibble: sentinel-flagged cells (v % 97 == 0, the
+      // cloud-mask workflow) take the nearest unflagged value within
+      // 8 cells ((d², dy, dx) lexicographic tie-break)
+      flat(lineitemLayer(s, dir).nibble(v => v % 97.0 == 0.0, r = 8))),
     "q_focal_percentile" -> ((s, dir) =>
       // exact 75th percentile (rational-q cross-multiplied rule in
       // focal scope — integer selection, no interpolation)
@@ -2486,6 +2500,60 @@ object SparkEntry {
            |SELECT c.x AS x, c.y AS y,
            |  CASE WHEN m.x IS NOT NULL AND 2 * m.cnt > m.tot THEN m.nv ELSE c.v END AS v
            |FROM g c LEFT JOIN m ON m.x = c.x AND m.y = c.y""".stripMargin,
+
+      // Expand {3, 5}: a cell takes 3 if any window cell is class 3,
+      // else 5 on the same test, else itself (priority = list order)
+      "q_expand" ->
+        s"""WITH g0 AS ($grid),
+           |g AS (SELECT x, y, CAST(CAST(v AS BIGINT) % 8 AS DOUBLE) AS v FROM g0),
+           |n3 AS (SELECT DISTINCT c.x, c.y FROM g c JOIN g n
+           |       ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |       WHERE n.v = 3.0),
+           |n5 AS (SELECT DISTINCT c.x, c.y FROM g c JOIN g n
+           |       ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |       WHERE n.v = 5.0)
+           |SELECT c.x AS x, c.y AS y,
+           |  CAST(CASE WHEN n3.x IS NOT NULL THEN 3.0
+           |            WHEN n5.x IS NOT NULL THEN 5.0
+           |            ELSE c.v END AS DOUBLE) AS v
+           |FROM g c
+           |LEFT JOIN n3 ON n3.x = c.x AND n3.y = c.y
+           |LEFT JOIN n5 ON n5.x = c.x AND n5.y = c.y""".stripMargin,
+
+      // Shrink zone 3: boundary 3-cells take the mode of the non-3
+      // window classes (ties -> smallest); interior 3s and non-3s keep
+      "q_shrink" ->
+        s"""WITH g0 AS ($grid),
+           |g AS (SELECT x, y, CAST(CAST(v AS BIGINT) % 8 AS DOUBLE) AS v FROM g0),
+           |oth AS (SELECT c.x AS x, c.y AS y, n.v AS nv, count(*) AS cnt
+           |        FROM g c JOIN g n
+           |        ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |        WHERE c.v = 3.0 AND n.v <> 3.0
+           |        GROUP BY 1, 2, 3),
+           |pick AS (SELECT x, y, nv,
+           |           row_number() OVER (PARTITION BY x, y ORDER BY cnt DESC, nv ASC) AS rn
+           |         FROM oth)
+           |SELECT c.x AS x, c.y AS y,
+           |  CAST(CASE WHEN c.v = 3.0 AND p.nv IS NOT NULL THEN p.nv ELSE c.v END AS DOUBLE) AS v
+           |FROM g c LEFT JOIN (SELECT x, y, nv FROM pick WHERE rn = 1) p
+           |  ON p.x = c.x AND p.y = c.y""".stripMargin,
+
+      // Nibble: flagged cells (v % 97 = 0) take the nearest unflagged
+      // value within Chebyshev 8, nearest by (d², y, x); no-donor
+      // flagged cells keep their value via the left join
+      "q_nibble" ->
+        s"""WITH g AS ($grid),
+           |m AS (SELECT x, y FROM g WHERE CAST(v AS BIGINT) % 97 = 0),
+           |d AS (SELECT x, y, v FROM g WHERE CAST(v AS BIGINT) % 97 <> 0),
+           |best AS (SELECT m.x AS x, m.y AS y, n.v AS v,
+           |           row_number() OVER (PARTITION BY m.x, m.y
+           |             ORDER BY (n.x - m.x) * (n.x - m.x) + (n.y - m.y) * (n.y - m.y),
+           |                      n.y, n.x) AS rn
+           |         FROM m JOIN d n
+           |         ON n.x BETWEEN m.x - 8 AND m.x + 8 AND n.y BETWEEN m.y - 8 AND m.y + 8)
+           |SELECT g.x AS x, g.y AS y, coalesce(b.v, g.v) AS v
+           |FROM g LEFT JOIN (SELECT x, y, v FROM best WHERE rn = 1) b
+           |  ON b.x = g.x AND b.y = g.y""".stripMargin,
 
       // exact 75th percentile: smallest 1-based rank rn with
       // rn*4 >= cnt*3 — the zonal-quantile cross-multiplied rule; the

@@ -536,6 +536,17 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     * (keeps the center unless the 8 present neighbors agree by a
     * strict majority; ties -> smallest). */
   def majorityFilter(): RasterLayer                 = Focal.terrain(this, "majority_filter")
+  /** ArcGIS Expand: grow the listed zone classes by r cells (list
+    * order = zone priority). */
+  def expand(classes: Seq[Double], r: Int = 1): RasterLayer =
+    Morphology.expand(this, classes, r)
+  /** ArcGIS Shrink: contract zone `cls` by r cells (boundary cells
+    * take the neighborhood mode of the other classes). */
+  def shrink(cls: Double, r: Int = 1): RasterLayer = Morphology.shrink(this, cls, r)
+  /** ArcGIS Nibble (bounded radius): replace cells matching `masked`
+    * with the nearest non-masked value within r cells. */
+  def nibble(masked: Double => Boolean, r: Int = 8): RasterLayer =
+    Morphology.nibble(this, masked, r)
   /** Zevenbergen-Thorne general curvature (ArcGIS *100 convention). */
   def curvature(): RasterLayer                      = Focal.terrain(this, "curvature")
   /** Profile curvature (in the slope direction; ZT 1987, *100). */
