@@ -156,6 +156,17 @@ object SparkEntry {
       flat(lineitemLayer(s, dir)
         .reclassify(Seq(50.0 -> 1.0, 150.0 -> 2.0, 300.0 -> 3.0, 1e9 -> 4.0)))),
 
+    "q_weighted_overlay" -> ((s, dir) => {
+      // ArcGIS Weighted Overlay: both inputs remapped to the 1..9
+      // suitability scale, then round(0.75·s1 + 0.25·s2) — exact
+      // binary weights over small ints, HALF_UP in both engines
+      val s1 = lineitemLayer(s, dir).reclassify(
+        Seq(50.0 -> 1.0, 100.0 -> 3.0, 200.0 -> 5.0, 400.0 -> 7.0, 1e9 -> 9.0))
+      val s2 = ordersLayer(s, dir).reclassify(
+        Seq(1.0 -> 1.0, 2.0 -> 3.0, 4.0 -> 5.0, 8.0 -> 7.0, 1e9 -> 9.0))
+      flat(s1.weightedOverlay(0.75, (s2, 0.25)))
+    }),
+
     "q_standardize" -> ((s, dir) =>
       // z-score standardization: exact-Long moments folded into one
       // per-cell expression, pinned op order, round 5
@@ -830,6 +841,14 @@ object SparkEntry {
       // upstream drainage counts along the D8 graph (unit weights);
       // hash-noise terrain keeps flow paths short (depth ~6 at sf0.01)
       graft.raster.Hydrology.flowAccumulation(lineitemCells(s, dir), G, G)),
+
+    "q_snap_pour" -> ((s, dir) =>
+      // ArcGIS SnapPourPoint: each outlet moves to the max-accumulation
+      // cell within Chebyshev 2 of its own cell (ties north-then-west)
+      graft.raster.Hydrology.snapPourPoints(
+        supplierPoints(s, dir).filter(col("pid").between(1, 12)),
+        graft.raster.Hydrology.flowAccumulation(lineitemCells(s, dir), G, G),
+        radius = 2)),
 
     "q_twi" -> ((s, dir) => {
       // topographic wetness index ln((acc+1) / max(tan(slope), 1e-3))
@@ -2423,6 +2442,19 @@ object SparkEntry {
       "q_local_binary" ->
         s"SELECT a.x, a.y, a.v + b.v AS v FROM ($grid) a JOIN ($ogrid) b ON a.x = b.x AND a.y = b.y",
 
+      // Weighted Overlay: both remaps restated as CASE chains; the
+      // weighted sum is exact (quarters) so round() agrees bit-for-bit
+      "q_weighted_overlay" ->
+        s"""WITH a AS (SELECT x, y,
+           |  CAST(CASE WHEN v <= 50 THEN 1 WHEN v <= 100 THEN 3 WHEN v <= 200 THEN 5
+           |            WHEN v <= 400 THEN 7 ELSE 9 END AS DOUBLE) AS s FROM ($grid)),
+           |b AS (SELECT x, y,
+           |  CAST(CASE WHEN v <= 1 THEN 1 WHEN v <= 2 THEN 3 WHEN v <= 4 THEN 5
+           |            WHEN v <= 8 THEN 7 ELSE 9 END AS DOUBLE) AS s FROM ($ogrid))
+           |SELECT a.x AS x, a.y AS y,
+           |  round(a.s * CAST(0.75 AS DOUBLE) + b.s * CAST(0.25 AS DOUBLE)) AS v
+           |FROM a JOIN b ON a.x = b.x AND a.y = b.y""".stripMargin,
+
       "q_reclassify" ->
         // CAST: DuckDB types a numeric-literal CASE as DECIMAL(2,1);
         // the driver's hash is dtype-aware (the q_pack_sequences lesson)
@@ -3445,6 +3477,24 @@ object SparkEntry {
            |a AS (SELECT cur, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
            |SELECT f.x, f.y, coalesce(a.cnt, 0) AS acc
            |FROM fdir f LEFT JOIN a ON a.cur = f.y * 256 + f.x""".stripMargin),
+
+      // SnapPourPoint: the q_flow_accum accumulation CTE + a bounded
+      // window argmax per pour point (acc DESC, y, x)
+      "q_snap_pour" -> flowDirSql(
+        s"""$d8EdgeCte,
+           |p AS (SELECT src AS start, dst AS cur FROM e
+           |  UNION ALL SELECT p.start, e.dst FROM p JOIN e ON e.src = p.cur),
+           |a AS (SELECT cur, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1),
+           |acc AS (SELECT f.x, f.y, coalesce(a.cnt, 0) AS acc
+           |  FROM fdir f LEFT JOIN a ON a.cur = f.y * 256 + f.x),
+           |pts AS (SELECT pid, CAST(floor(px) AS BIGINT) AS cx, CAST(floor(py) AS BIGINT) AS cy
+           |  FROM ($supplierPointsSql) WHERE pid BETWEEN 1 AND 12),
+           |j AS (SELECT pts.pid, acc.x, acc.y, acc.acc,
+           |        row_number() OVER (PARTITION BY pts.pid
+           |          ORDER BY acc.acc DESC, acc.y ASC, acc.x ASC) AS rn
+           |      FROM pts JOIN acc ON acc.x BETWEEN pts.cx - 2 AND pts.cx + 2
+           |        AND acc.y BETWEEN pts.cy - 2 AND pts.cy + 2)
+           |SELECT pid, x, y, acc FROM j WHERE rn = 1""".stripMargin),
 
       // weighted recursive walk: dist(start) = max accumulated dq on
       // its (linear) path — exact micro-cell integers end to end

@@ -422,4 +422,29 @@ object Hydrology {
     dirs.join(ord, id === ord("id"))
       .select(col("x"), col("y"), col("ord").cast("long").as("ord"))
   }
+
+  /** ArcGIS SnapPourPoint: move each pour point to the cell with the
+    * highest flow accumulation within `radius` cells (Chebyshev) of
+    * the point's own cell — the standard pre-watershed fix for
+    * outlets digitized slightly off the stream channel. Ties break
+    * north-then-west ((acc DESC, y ASC, x ASC)). Pour points are the
+    * bounded dimension side: broadcast range-join against the
+    * accumulation cells, then one map-side-combinable struct-argmax
+    * per pid — no window, no per-cell shuffle.
+    *
+    * `points` carries (pid, px, py) in cell units (the supplierPoints
+    * contract); `accum` is flowAccumulation's (x, y, acc). */
+  def snapPourPoints(points: DataFrame, accum: DataFrame, radius: Int): DataFrame = {
+    val pts = broadcast(points.select(col("pid"),
+      floor(col("px")).cast("long").as("cx"),
+      floor(col("py")).cast("long").as("cy")))
+    accum.join(pts,
+        accum("x").between(pts("cx") - radius, pts("cx") + radius) &&
+        accum("y").between(pts("cy") - radius, pts("cy") + radius))
+      .groupBy(col("pid"))
+      .agg(max(struct(col("acc"),
+        (-col("y")).as("ny"), (-col("x")).as("nx"))).as("b"))
+      .select(col("pid"), (-col("b.nx")).as("x"), (-col("b.ny")).as("y"),
+        col("b.acc").as("acc"))
+  }
 }

@@ -106,6 +106,17 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
       zip_with(col("_ta"), col("_tb"), f).as("tile"): _*))
   }
 
+  /** ArcGIS Weighted Overlay closing step: round(Σ wᵢ·layerᵢ) over
+    * co-keyed tiles (inner join of all inputs; NaN propagates),
+    * HALF_UP to the integer suitability scale. Callers reclassify
+    * each input to the common 1..9 scale first (the ArcGIS remap
+    * table); exact binary weights (0.75, 0.25, ...) keep the sum
+    * bit-reproducible. */
+  def weightedOverlay(weight: Double, others: (RasterLayer, Double)*): RasterLayer =
+    others.foldLeft(localMap(_ * lit(weight))) {
+      case (acc, (l, w)) => acc.localBinary(l, (a, b) => a + b * lit(w))
+    }.localMap(round(_))
+
   def +(other: RasterLayer): RasterLayer = localBinary(other, _ + _)
   def -(other: RasterLayer): RasterLayer = localBinary(other, _ - _)
   def *(other: RasterLayer): RasterLayer = localBinary(other, _ * _)

@@ -145,4 +145,24 @@ class HydrologySpec extends SparkSpec {
     // a junction-bearing forest must contain an order >= 2 somewhere
     assert(byDriver.exists(_._3 >= 2L))
   }
+
+  test("snapPourPoint: outlet moves to the max-accumulation cell in range; ties north-west") {
+    // plane draining SE into a pit at (3,3): accumulation concentrates
+    // on the diagonal; a point at (1,1) with radius 1 must snap to
+    // (2,2) (the highest acc in its 3x3 window, short of the pit)
+    val plane = for (x <- 0L to 3L; y <- 0L to 3L)
+      yield (x, y, if (x == 3 && y == 3) 0.0 else 9.0 - x - y)
+    val acc = Hydrology.flowAccumulation(plane.toDF("x", "y", "v"), 4, 4)
+    val accMap = acc.as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val pts = Seq((7L, 1.5, 1.5)).toDF("pid", "px", "py")
+    val out = Hydrology.snapPourPoints(pts, acc, radius = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 1)
+    val (pid, sx, sy, sacc) = out.head
+    assert(pid == 7L && sx == 2L && sy == 2L)
+    assert(sacc == accMap((2L, 2L)))
+    // and the snapped cell really is the window argmax
+    val win = for (x <- 0L to 2L; y <- 0L to 2L) yield accMap((x, y))
+    assert(win.max == sacc)
+  }
 }

@@ -1089,4 +1089,12 @@ class RasterLayerSpec extends SparkSpec {
     val l = layer((0, 0, 7.0), (1, 0, 7.0), (2, 1, 7.0))
     assert(cellsOf(l.normalize(1.0, 10.0)) == Set((0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 1L, 1.0)))
   }
+
+  test("weightedOverlay: exact quarter weights, HALF_UP rounding, inner-join semantics") {
+    val a = layer((0L, 0L, 1.0), (1L, 0L, 9.0), (2L, 0L, 1.0))
+    val b = layer((0L, 0L, 3.0), (1L, 0L, 1.0))
+    val out = cellsOf(a.weightedOverlay(0.75, (b, 0.25)))
+    // 0.75*1 + 0.25*3 = 1.5 -> 2 (HALF_UP); 0.75*9 + 0.25*1 = 7
+    assert(out == Set((0L, 0L, 2.0), (1L, 0L, 7.0))) // (2,0) has no b cell
+  }
 }
