@@ -891,6 +891,20 @@ object SparkEntry {
         supplierPoints(s, dir), maxCost = CostDistanceMaxCost).toCells
         .select(col("x"), col("y"), round(col("v"), 5).as("v"))),
 
+    "q_corridor" -> ((s, dir) =>
+      // ArcGIS Corridor: costA + costB over one friction surface;
+      // each side's optimal-path folds are bit-identical to the
+      // oracle's (q_cost_distance precedent), so the sum is too
+      // pids 79 apart land (3, -13) cells apart on the scatter
+      // (13·79 ≡ 3, 29·79 ≡ -13 mod 256); 3/82 is the pair whose
+      // cells BOTH exist in the 60%-dense grid, so the two maxCost
+      // disks genuinely overlap (95 corridor cells at sf0.01)
+      Distance.corridor(lineitemLayer(s, dir).normalize(1.0, 10.0),
+          supplierPoints(s, dir).filter(col("pid") === 3),
+          supplierPoints(s, dir).filter(col("pid") === 82),
+          maxCost = CostDistanceMaxCost).toCells
+        .select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+
     "q_cost_path" -> ((s, dir) =>
       // least-cost path from the farthest reachable cell back to its
       // source — the walk is driver-side over the maxCost disk; the
@@ -2145,31 +2159,44 @@ object SparkEntry {
   /** Shared cost-distance CTE chain (normalized friction g, sources,
     * offsets o, unrolled relaxation r0..rN); returns (ctes, "rN") so
     * q_cost_distance and the q_cost_path walk state ONE derivation. */
-  private def costDistanceCtes(grid: String, pts: String): (String, String) = {
-    val c = CostDistanceMaxCost
-    val rounds = math.ceil(c).toInt
+  /** Shared head (normalized friction g + offsets o), emitted once
+    * even when several relaxation chains follow (corridor). */
+  private def costHeadCtes(grid: String): String = {
     val s2 = math.sqrt(2.0).toString
-    val head = Seq(
+    Seq(
       // CASE mirrors RasterLayer.normalize's degenerate-grid guard:
       // on a constant grid (mx == mn) friction pins to 1.0 instead of
       // dividing by zero
       s"""g AS MATERIALIZED (SELECT x, y,
          |  CASE WHEN mx > mn THEN (v - mn) / (mx - mn) * 9.0 + 1.0 ELSE 1.0 END AS f
          |  FROM ($grid), (SELECT min(v) AS mn, max(v) AS mx FROM ($grid)))""".stripMargin,
-      s"""src AS MATERIALIZED (SELECT DISTINCT g.x, g.y FROM ($pts) p
-         |  JOIN g ON g.x = CAST(floor(p.px) AS BIGINT) AND g.y = CAST(floor(p.py) AS BIGINT))""".stripMargin,
       s"""o(dx, dy, step) AS (VALUES (-1,-1,$s2),(0,-1,1.0),(1,-1,$s2),(-1,0,1.0),
-         |  (1,0,1.0),(-1,1,$s2),(0,1,1.0),(1,1,$s2))""".stripMargin,
-      "r0 AS MATERIALIZED (SELECT x, y, 0.0 AS d FROM src)")
+         |  (1,0,1.0),(-1,1,$s2),(0,1,1.0),(1,1,$s2))""".stripMargin).mkString(",\n")
+  }
+
+  /** One prefixed unrolled-relaxation chain over the shared g/o CTEs;
+    * returns (ctes, final-round name). */
+  private def costRelaxCtes(pts: String, pfx: String): (String, String) = {
+    val c = CostDistanceMaxCost
+    val rounds = math.ceil(c).toInt
+    val head = Seq(
+      s"""src_$pfx AS MATERIALIZED (SELECT DISTINCT g.x, g.y FROM ($pts) p
+         |  JOIN g ON g.x = CAST(floor(p.px) AS BIGINT) AND g.y = CAST(floor(p.py) AS BIGINT))""".stripMargin,
+      s"${pfx}0 AS MATERIALIZED (SELECT x, y, 0.0 AS d FROM src_$pfx)")
     val rels = (0 until rounds).map { i =>
-      s"""r${i + 1} AS MATERIALIZED (SELECT x, y, min(d) AS d FROM (
-         |  SELECT x, y, d FROM r$i
+      s"""$pfx${i + 1} AS MATERIALIZED (SELECT x, y, min(d) AS d FROM (
+         |  SELECT x, y, d FROM $pfx$i
          |  UNION ALL
-         |  SELECT g.x, g.y, r$i.d + o.step * g.f AS d
-         |  FROM r$i JOIN o ON true JOIN g ON g.x = r$i.x + o.dx AND g.y = r$i.y + o.dy
+         |  SELECT g.x, g.y, $pfx$i.d + o.step * g.f AS d
+         |  FROM $pfx$i JOIN o ON true JOIN g ON g.x = $pfx$i.x + o.dx AND g.y = $pfx$i.y + o.dy
          |) WHERE d <= $c GROUP BY 1, 2)""".stripMargin
     }
-    ((head ++ rels).mkString(",\n"), s"r$rounds")
+    ((head ++ rels).mkString(",\n"), s"$pfx$rounds")
+  }
+
+  private def costDistanceCtes(grid: String, pts: String): (String, String) = {
+    val (relax, last) = costRelaxCtes(pts, "r")
+    (s"${costHeadCtes(grid)},\n$relax", last)
   }
 
   private def costDistanceSql(grid: String, pts: String): String = {
@@ -3262,6 +3289,20 @@ object SparkEntry {
 
       "q_cost_distance" -> costDistanceSql(grid, pts),
       "q_cost_path" -> costPathSql(grid, pts),
+
+      // Corridor: two prefixed relaxation chains over ONE shared
+      // friction/offsets head, inner-joined and summed
+      "q_corridor" -> {
+        val ptsA = s"SELECT * FROM ($pts) WHERE pid = 3"
+        val ptsB = s"SELECT * FROM ($pts) WHERE pid = 82"
+        val (ra, aN) = costRelaxCtes(ptsA, "a")
+        val (rb, bN) = costRelaxCtes(ptsB, "b")
+        s"""WITH ${costHeadCtes(grid)},
+           |$ra,
+           |$rb
+           |SELECT a.x AS x, a.y AS y, round(a.d + b.d, 5) AS v
+           |FROM $aN a JOIN $bN b ON a.x = b.x AND a.y = b.y""".stripMargin
+      },
 
       "q_euclidean_distance" ->
         s"""SELECT t1.range AS x, t2.range AS y,

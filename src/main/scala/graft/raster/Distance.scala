@@ -274,6 +274,18 @@ object Distance {
       .select(col("seq"), col("x"), col("y"), round(col("d"), 5).as("v"))
   }
 
+  /** ArcGIS Corridor: per-cell SUM of two accumulative-cost surfaces
+    * over the same friction — the corridor-selection input (threshold
+    * the result to delineate the lowest-total-cost swath between the
+    * two source sets). Cells reachable from BOTH sets within maxCost
+    * survive the co-keyed inner tile join; a pure composition of two
+    * tiled Dijkstra passes + one local add, so every scale property
+    * of [[costDistanceTiled]] carries over unchanged. */
+  def corridor(friction: RasterLayer, sourcesA: DataFrame, sourcesB: DataFrame,
+               maxCost: Double = Double.PositiveInfinity): RasterLayer =
+    costDistanceTiled(friction, sourcesA, maxCost = maxCost) +
+      costDistanceTiled(friction, sourcesB, maxCost = maxCost)
+
   def costDistanceTiled(friction: RasterLayer, sources: DataFrame,
                         maxRounds: Int = 64,
                         maxCost: Double = Double.PositiveInfinity): RasterLayer = {
