@@ -1623,6 +1623,18 @@ object SparkEntry {
       // per-doc fraction of df=1 shingles (memorization diagnostic)
       pipeline.Dedup.noveltyScore(table(s, dir, "documents"))),
 
+    "q_dup_ngram_rate" -> ((s, dir) =>
+      // RefinedWeb-style corpus-health headline: per source, the
+      // fraction of its distinct per-doc 5-grams that occur in >1
+      // document corpus-wide (rounded 6, the novelty convention)
+      pipeline.Dedup.dupNgramRate(table(s, dir, "documents"))
+        .withColumn("dup_rate", round(col("dup_rate"), 6))),
+
+    "q_sampled_quantiles" -> ((s, dir) =>
+      // deterministic 5% md5-sample + exact rational-rank selection:
+      // the oracle-twinnable stand-in for t-digest/KLL quantiles
+      pipeline.Curation.sampledQuantiles(table(s, dir, "documents"))),
+
     "q_winnowing" -> ((s, dir) =>
       // MOSS winnowing fingerprints: per-window rightmost-min of the
       // packed (hash, position) key, distinct selections per doc
@@ -4541,6 +4553,34 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
           |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
           |FROM sh JOIN d USING (h) GROUP BY 1""".stripMargin,
+
+      // per-source duplicate-5-gram instance rate; df computed on
+      // the WHOLE corpus, attributed to each source's instances
+      "q_dup_ngram_rate" ->
+        """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+          |sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM (
+          |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+          |  FROM t WHERE len(toks) >= 5)),
+          |d AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+          |j AS (SELECT doc.source, sh.h, d.df
+          |      FROM sh JOIN d USING (h) JOIN documents doc USING (doc_id))
+          |SELECT source, count(*) AS n_shingles,
+          |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+          |  round(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate
+          |FROM j GROUP BY 1""".stripMargin,
+
+      // deterministic md5 5% sample + cross-multiplied rank rule:
+      // smallest rn with rn*1000 >= n*q (boundary VALUE is unique in
+      // the sorted multiset even where row_number ties arbitrarily)
+      "q_sampled_quantiles" ->
+        """WITH s AS (SELECT source, n_chars AS v FROM documents
+          |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 50),
+          |r AS (SELECT source, v,
+          |        row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+          |        count(*) OVER (PARTITION BY source) AS n FROM s),
+          |q(q) AS (VALUES (500), (900), (990))
+          |SELECT r.source, q.q AS q, r.v AS v
+          |FROM r JOIN q ON r.rn * 1000 >= r.n * q.q AND (r.rn - 1) * 1000 < r.n * q.q""".stripMargin,
 
       // argmax by quality (n_chars), tie -> min doc_id, over the
       // shared components CTE

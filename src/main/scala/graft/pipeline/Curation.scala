@@ -235,6 +235,35 @@ object Curation {
         expr("bit_xor(hc)").as("fp"))
   }
 
+  /** Approximate per-source quantiles via DETERMINISTIC hash
+    * sampling — the oracle-twinnable alternative to t-digest/KLL
+    * (whose compactions are merge-order-dependent, so their
+    * estimates can never hash-match across engines; a fixed md5
+    * sample + exact rational-rank selection can). Standard sampling
+    * error bounds apply (±O(1/sqrt(sample)) in rank). `permille`
+    * bounds the per-source sorted set: at petabyte scale pick a rate
+    * that keeps each source's sample inside one task (the cdf-bins
+    * bounded-rank convention). Selection is the zonal-quantile
+    * cross-multiplied rule: smallest 1-based rank rn with
+    * rn·1000 ≥ n·q. Emits (source, q, v) for q in permille. */
+  def sampledQuantiles(docs: DataFrame, valueCol: String = "n_chars",
+                       qsPermille: Seq[Int] = Seq(500, 900, 990),
+                       permille: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sample = docs.where(idHash(col("doc_id")) % 1000 < permille)
+      .select(col("source"), col(valueCol).as("v"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sample.select(col("source"), col("v"),
+      row_number().over(Window.partitionBy("source").orderBy("v")).as("rn"),
+      count(lit(1)).over(Window.partitionBy("source")).as("n"))
+    val qdf = qsPermille.toDF("q")
+    ranked.join(broadcast(qdf),
+        col("rn") * 1000 >= col("n") * col("q") &&
+        (col("rn") - 1) * 1000 < col("n") * col("q"))
+      .select(col("source"), col("q"), col("v"))
+  }
+
   /** Token-length histogram — the distribution every packing /
     * context-length decision is planned from: documents bucketed by
     * whitespace-token count into fixed-width bins, with per-bin doc

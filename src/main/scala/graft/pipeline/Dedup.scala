@@ -778,6 +778,32 @@ object Dedup {
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Cross-document duplicate n-gram rate per corpus slice — the
+    * RefinedWeb/Gopher-style corpus-health headline ("x% of the
+    * crawl's 5-grams are duplicated"): over per-doc DISTINCT shingle
+    * hashes, the fraction whose shingle occurs in MORE than one
+    * document corpus-wide, reported per source. The doc-frequency
+    * is computed on the WHOLE corpus (cross-source duplication
+    * counts), then attributed to each source's instances.
+    *
+    * Scale shape: same as [[noveltyScore]] — the checkpointed
+    * inverted index, one vocabulary-bounded df aggregate, one
+    * equi-join back, map-side-combinable per-source counters; the
+    * closing rate is one IEEE division of exact longs.
+    *
+    * @return (source, n_shingles, dup_shingles, dup_rate) */
+  def dupNgramRate(docs: DataFrame, k: Int = 5): DataFrame = {
+    val sh = hashedShingles(docs, k)
+    val df_ = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(df_, "h")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_shingles"))
+      .select(col("source"), col("n_shingles"), col("dup_shingles"),
+        (col("dup_shingles").cast("double") / col("n_shingles")).as("dup_rate"))
+  }
+
   /** N-gram novelty score — the memorization/boilerplate diagnostic:
     * per document, the fraction of its DISTINCT k-gram shingles that
     * appear in no other document (df = 1). Low novelty = assembled

@@ -1360,4 +1360,42 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(out == Map(("src", 0L) -> 2L, ("src", 1L) -> 2L, ("src", 2L) -> 2L))
   }
+
+  test("sampledQuantiles: full sample hits exact quantiles via the rational rank rule") {
+    // permille=1000 keeps every row, so the selection must be the
+    // exact rank-based quantile: n=10 values 1..10 per source ->
+    // q500 picks rank 5 (v=5), q900 rank 9, q990 rank 10
+    val many = (0L until 20L).map(i => (i, "t", "en", s"src${i % 2}", i / 2 + 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.sampledQuantiles(many, permille = 1000)
+      .as[(String, Int, Long)].collect().toSet
+    assert(out == Set(
+      ("src0", 500, 5L), ("src0", 900, 9L), ("src0", 990, 10L),
+      ("src1", 500, 5L), ("src1", 900, 9L), ("src1", 990, 10L)))
+  }
+
+  test("sampledQuantiles sampling is deterministic and value-ordered") {
+    val many = (1L to 500L).map(i => (i, "t", "en", "s", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Curation.sampledQuantiles(many).as[(String, Int, Long)].collect().toSet
+    val b = Curation.sampledQuantiles(many).as[(String, Int, Long)].collect().toSet
+    assert(a == b && a.size == 3)
+    val byQ = a.map(t => t._2 -> t._3).toMap
+    assert(byQ(500) <= byQ(900) && byQ(900) <= byQ(990))
+  }
+
+  test("dupNgramRate: cross-doc df>1 shingles counted per source") {
+    // doc 1 and 2 share their one 5-gram; doc 3 is unique; doc 4 too
+    // short to shingle. srcA: docs 1,3 -> 2 shingles, 1 duplicated.
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "srcA", 30L),
+      (2L, "alpha beta gamma delta epsilon", "en", "srcB", 30L),
+      (3L, "one two three four five", "en", "srcA", 23L),
+      (4L, "too short", "en", "srcA", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.dupNgramRate(d).as[(String, Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("srcA") == ((2L, 1L, 0.5)))
+    assert(out("srcB") == ((1L, 1L, 1.0)))
+  }
 }
