@@ -343,12 +343,19 @@ object SparkEntry {
     }),
 
     "q_hotspot_gi" -> ((s, dir) =>
-      // Getis-Ord Gi* hot-spot z-scores, binary 3x3 weights
-      graft.raster.Hotspot.getisOrdGi(lineitemLayer(s, dir))),
+      // Getis-Ord Gi* hot-spot z-scores, binary 3x3 weights;
+      // micro-quantized (×1e5, BIGINT) — the raw double is an
+      // exact-integer single-divide ratio, bit-identical to the oracle
+      graft.raster.Hotspot.getisOrdGi(lineitemLayer(s, dir))
+        .select(col("x"), col("y"),
+          round(col("gi") * lit(100000.0)).cast("long").as("gi"))),
 
     "q_local_moran" -> ((s, dir) =>
-      // Anselin local Moran's I (cluster/outlier statistic)
-      graft.raster.Hotspot.localMoran(lineitemLayer(s, dir))),
+      // Anselin local Moran's I (cluster/outlier statistic),
+      // micro-quantized like q_hotspot_gi
+      graft.raster.Hotspot.localMoran(lineitemLayer(s, dir))
+        .select(col("x"), col("y"),
+          round(col("moran_i") * lit(100000.0)).cast("long").as("moran_i"))),
 
     "q_heat_load" -> ((s, dir) => {
       // McCune-Keon ln heat load on the DEGREES layout: slope/aspect
@@ -2837,8 +2844,10 @@ object SparkEntry {
            |GROUP BY 1, 2""".stripMargin,
 
       // Getis-Ord Gi* / local Moran: exact global moments (n, S, SS)
-      // + 3x3 sums; the closing DAG (div/mul/sub/sqrt only — IEEE,
-      // no libm) is stated in the identical op order as Hotspot.scala
+      // + 3x3 sums; the closing is the exact-integer single-divide
+      // ratio stated in the identical op order as Hotspot.scala, then
+      // micro-quantized (×1e5 → BIGINT) so no round(,5)-of-1e4 value
+      // can straddle a HALF_UP boundary (the r13 q_local_moran fail)
       "q_hotspot_gi" ->
         s"""WITH g AS ($grid),
            |gl AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s, sum(v * v) AS ss FROM g),
@@ -2846,8 +2855,10 @@ object SparkEntry {
            |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
            |      GROUP BY 1, 2)
            |SELECT x, y,
-           |  round((sw - (s / n) * k) / (sqrt(ss / n - (s / n) * (s / n)) *
-           |    sqrt((k * n - k * k) / (n - 1.0))), 5) AS gi
+           |  CASE WHEN k < n THEN CAST(round(
+           |    (sw * n - s * k) /
+           |    sqrt(((ss * n - s * s) * (k * n - k * k)) / (n - 1.0))
+           |    * 100000.0) AS BIGINT) END AS gi
            |FROM f, gl""".stripMargin,
 
       "q_local_moran" ->
@@ -2859,8 +2870,9 @@ object SparkEntry {
            |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
            |      GROUP BY 1, 2)
            |SELECT x, y,
-           |  round(((v - (s / n)) / (ss / n - (s / n) * (s / n))) *
-           |    ((sw - v) - (k - 1) * (s / n)), 5) AS moran_i
+           |  CASE WHEN (ss * n - s * s) > 0 THEN CAST(round(
+           |    ((v * n - s) * ((sw - v) * n - (k - 1) * s)) / (ss * n - s * s)
+           |    * 100000.0) AS BIGINT) END AS moran_i
            |FROM f, gl""".stripMargin,
 
       // McCune-Keon 2002 ln heat load: identical term order to

@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * integral cells keep the double sums exact), broadcast as one row,
   * and (b) per-cell focal sums Sw = Σ_{3x3} x and k = #present
   * neighbors from the standard halo exchange — then one fixed-order
-  * closing float expression per cell. Every input to the closing is
-  * an exact integer, and the expression uses only IEEE-pinned ops
-  * (div/mul/sub/sqrt — no libm), so the rounded output is
-  * bit-identical to the SQL oracle stating the same DAG.
+  * closing float expression per cell, restated as a single
+  * exact-integer ratio: every multiply/subtract operand is an exact
+  * integer-valued double, so each IEEE op (mul/sub/div/sqrt — no
+  * libm) is correctly rounded on bit-identical inputs and the raw
+  * double output matches the SQL oracle stating the same DAG exactly.
+  * (The r13 lesson: the algebraically-equivalent x̄/m2 form put a
+  * round(,5) on a 1e4-magnitude value — 9 significant digits — where
+  * Spark's BigDecimal HALF_UP and DuckDB's float-path round diverge;
+  * the query twins now micro-quantize the raw value instead.)
   *
   * Scale: two halo exchanges (values + presence mask), one broadcast
   * of a 1-row global, co-keyed cell join — no global shuffle beyond
@@ -40,32 +45,40 @@ object Hotspot {
     pieces.crossJoin(broadcast(g))
   }
 
-  /** Getis-Ord Gi* z-score, self-inclusive binary 3x3 weights:
-    * Gi* = (Sw − x̄·k) / (sqrt(SS/n − x̄²) · sqrt((k·n − k²)/(n−1))). */
+  /** Getis-Ord Gi* z-score, self-inclusive binary 3x3 weights.
+    * Algebraically (Sw − x̄·k)/(sqrt(SS/n − x̄²)·sqrt((k·n−k²)/(n−1))),
+    * restated exact-integer:
+    * Gi* = (Sw·n − S·k) / sqrt((SS·n − S²)·(k·n − k²)/(n−1)).
+    * Both factors under the sqrt and the numerator are exact
+    * integer-valued doubles; the quotient is raw (unrounded). */
   def getisOrdGi(l: RasterLayer): DataFrame = {
     val df = withGlobal(l, focalPieces(l))
-    val xbar = col("s") / col("n")
-    val sden = sqrt(col("ss") / col("n") - xbar * xbar)
+    val num = col("sw") * col("n") - col("s") * col("k")
+    val den2 = (col("ss") * col("n") - col("s") * col("s")) *
+      (col("k") * col("n") - col("k") * col("k"))
     // k == n (window covers the whole raster) zeroes the variance
     // term — the statistic is undefined there; emit NULL (and skip
     // the division, which ANSI mode rejects at zero)
     df.select(col("x"), col("y"),
       when(col("k") < col("n"),
-        round((col("sw") - xbar * col("k")) /
-          (sden * sqrt((col("k") * col("n") - col("k") * col("k")) /
-            (col("n") - lit(1.0)))), 5)).as("gi"))
+        num / sqrt(den2 / (col("n") - lit(1.0)))).as("gi"))
   }
 
   /** Local Moran's I with self-exclusive binary 3x3 weights and the
-    * Σz²/n normalizer: I = ((x − x̄)/m2) · ((Sw − x) − (k−1)·x̄). */
+    * Σz²/n normalizer. Algebraically ((x − x̄)/m2)·((Sw−x) − (k−1)·x̄),
+    * restated exact-integer:
+    * I = (x·n − S) · ((Sw−x)·n − (k−1)·S) / (SS·n − S²).
+    * Both numerator factors are exact integer-valued doubles, so the
+    * single multiply + single divide are bit-identical across engines;
+    * the quotient is raw (unrounded). */
   def localMoran(l: RasterLayer): DataFrame = {
     val df = withGlobal(l, focalPieces(l))
-    val xbar = col("s") / col("n")
-    val m2 = col("ss") / col("n") - xbar * xbar
-    // constant raster => m2 = 0: undefined, emit NULL
+    val num1 = col("v") * col("n") - col("s")
+    val num2 = (col("sw") - col("v")) * col("n") -
+      (col("k") - lit(1.0)) * col("s")
+    val den = col("ss") * col("n") - col("s") * col("s")
+    // constant raster => den = n²·m2 = 0: undefined, emit NULL
     df.select(col("x"), col("y"),
-      when(m2 > 0.0,
-        round(((col("v") - xbar) / m2) *
-          ((col("sw") - col("v")) - (col("k") - lit(1.0)) * xbar), 5)).as("moran_i"))
+      when(den > 0.0, num1 * num2 / den).as("moran_i"))
   }
 }

@@ -54,12 +54,13 @@ class LibmBoundarySpec extends SparkSpec {
     * micro-units. */
   val MinMicroDist = 1e-4
 
-  private def assertFar(family: String, args: Seq[Double]): Unit = {
+  private def assertFar(family: String, args: Seq[Double],
+                        minDist: Double = MinMicroDist): Unit = {
     assert(args.nonEmpty, s"$family: no quantization arguments derived")
     val worst = args.minBy(boundaryDist)
     val d = boundaryDist(worst)
     info(f"$family: ${args.size} args, min boundary distance $d%.6g micro-units (at $worst%.6f)")
-    assert(d >= MinMicroDist,
+    assert(d >= minDist,
       f"$family: argument $worst%.9f sits $d%.3g micro-units from a rounding boundary " +
         "— a libm ulp can flip the quantized value; requantize per graft-oracle-determinism")
   }
@@ -162,6 +163,28 @@ class LibmBoundarySpec extends SparkSpec {
       .select("cnt").as[Long].collect()
     assertFar("zipf ln(rank)", (1 to 30).map(r => math.log(r.toDouble) * 1e6))
     assertFar("zipf ln(cnt)", cnts.map(c => math.log(c.toDouble) * 1e6).toSeq)
+  }
+
+  test("hotspot Gi*/Moran micro-quantization arguments (r13 fail class)") {
+    // The q_hotspot_gi / q_local_moran twins quantize the raw
+    // exact-integer-ratio closing as round(x·1e5) → BIGINT. The DAG is
+    // fully IEEE-pinned (every op a single correctly-rounded mul/sub/
+    // div/sqrt on bit-identical inputs), so the only residual hazard is
+    // an engine disagreeing by ~1 ulp of x·1e5 — ulp(1e9) ≈ 1.2e-7
+    // quantization units. Gate at 4 ulps of that magnitude; with ~39k
+    // near-uniform fractional parts the expected min distance is
+    // ~1.3e-5, so this holds with two orders of headroom unless the
+    // testdata drifts onto a boundary.
+    val layer = GridSource.lineitemLayer(spark, dir)
+    val giArgs = graft.raster.Hotspot.getisOrdGi(layer)
+      .where(col("gi").isNotNull)
+      .select((col("gi") * 100000.0).as("a")).as[Double].collect().toSeq
+    val moArgs = graft.raster.Hotspot.localMoran(layer)
+      .where(col("moran_i").isNotNull)
+      .select((col("moran_i") * 100000.0).as("a")).as[Double].collect().toSeq
+    val fourUlps = 4 * math.ulp(1e9)
+    assertFar("hotspot gi*1e5", giArgs, fourUlps)
+    assertFar("hotspot moran*1e5", moArgs, fourUlps)
   }
 
   test("bm25 idf arguments for the fixed query-term set") {
