@@ -37,6 +37,21 @@ object Bench {
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Per-query isolation (r13: four late-suite queries regressed
+    // 2.6-3.9x with no code change — accumulated localCheckpoint
+    // blocks + heap pressure from the 300+ queries that ran before
+    // them). Between timed queries, drop every persistent RDD (local
+    // checkpoints register there), clear the SQL cache, and give the
+    // JVM one GC breath so the ContextCleaner reclaims shuffle files.
+    // Runs OUTSIDE the timed region: each query starts from the same
+    // clean-session state no matter where it sits in the suite.
+    def clearSessionState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    clearSessionState()
     // N full passes, per-query MEDIANS reported: single runs on this
     // box carry ~2x noise, so medians are the honest per-query signal
     // (judge-requested; per-run totals kept alongside as evidence)
@@ -61,6 +76,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
           }
+        clearSessionState()
         name -> sec
       }.toMap
     }

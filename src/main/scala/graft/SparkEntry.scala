@@ -1187,6 +1187,21 @@ object SparkEntry {
       flat(Catalog.read(s, uri, "lineitem_u16"))
     }),
 
+    "q_celltype_bit" -> ((s, dir) => {
+      // 1-bit cell type (GeoTrellis bool, reference geopyspark-backend
+      // BitArrayTileWrapper.scala:1): mask = (v % 3 == 0) keeping
+      // NoData, stored packed 8 cells/byte. bit has NO NoData, so the
+      // store maps in-tile NaN to 0 — the read-back yields EVERY cell
+      // of every stored tile, which the oracle restates with a
+      // tile-bounded left join
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      val mask = lineitemLayer(s, dir).localMap(c =>
+        when(isnan(c), c)
+          .otherwise(when(pmod(c, lit(3.0)) === 0.0, lit(1.0)).otherwise(lit(0.0))))
+      Catalog.write(uri, "lineitem_bit", mask.convertCellType("bit"))
+      flat(Catalog.read(s, uri, "lineitem_bit"))
+    }),
+
     "q_pyramid_write" -> ((s, dir) => {
       // Pyramid.write all zooms (layer.py:2654), read one back: the
       // stored level must equal the in-memory levelUp (q_pyramid)
@@ -4011,6 +4026,21 @@ object SparkEntry {
       // integral sums; the clamp is restated verbatim
       "q_celltype_store" ->
         s"SELECT x, y, LEAST(GREATEST(v, 0.0), 65534.0) AS v FROM ($grid)",
+
+      // bit store: every cell of every STORED tile comes back 0/1
+      // (NaN -> 0, no NoData in the bit domain); tiles exist where the
+      // grid has at least one cell
+      "q_celltype_bit" ->
+        s"""WITH g AS ($grid),
+           |tiles AS (SELECT DISTINCT x // 64 AS tc, y // 64 AS tr FROM g),
+           |xs AS (SELECT unnest(range(0, 256)) AS x),
+           |ys AS (SELECT unnest(range(0, 256)) AS y)
+           |SELECT xs.x AS x, ys.y AS y,
+           |  CAST(CASE WHEN g.v IS NOT NULL AND CAST(g.v AS BIGINT) % 3 = 0
+           |       THEN 1 ELSE 0 END AS DOUBLE) AS v
+           |FROM xs CROSS JOIN ys
+           |JOIN tiles ON xs.x // 64 = tiles.tc AND ys.y // 64 = tiles.tr
+           |LEFT JOIN g ON g.x = xs.x AND g.y = ys.y""".stripMargin,
 
       // stored zoom (maxZoom-1) == one 2x Average level (same formula
       // as q_pyramid)

@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 
 import graft.core.CellType
@@ -132,6 +133,19 @@ private[catalog] final class GraftWrite(
     val meta = GraftDataSink.metaFor(opts, options, truncate)
     new GraftBatchWrite(opts, schema, meta, truncate)
   }
+
+  /** Streaming sink half (`df.writeStream.format("graft")`): the
+    * micro-batch twin of the batch write, closing the ingest loop the
+    * streaming SOURCE opened (readStream over a live store). Append
+    * output mode only — a tile catalog accretes scenes; Complete
+    * would truncate the store every epoch. */
+  override def toStreaming: StreamingWrite = {
+    if (truncate) throw new UnsupportedOperationException(
+      "graft streaming sink supports outputMode=append only (a Complete-mode " +
+        "truncate per epoch would drop previously ingested tiles)")
+    val meta = GraftDataSink.metaFor(opts, options, truncate = false)
+    new GraftStreamingWrite(opts, schema, meta)
+  }
 }
 
 private[catalog] final case class GraftCommit(file: String) extends WriterCommitMessage
@@ -171,6 +185,49 @@ private[catalog] final class GraftBatchWrite(
   }
 }
 
+/** Micro-batch write: exactly-once by epoch-deterministic file names.
+  * Task files are `part-epoch<epochId>-<partitionId>.parquet` and the
+  * parquet writer opens in OVERWRITE mode, so a replayed epoch (a
+  * failure after task success but before the sink commit) REWRITES
+  * the same files instead of duplicating tiles — the idempotent
+  * re-commit contract Structured Streaming requires of a sink. The
+  * metadata sidecar is (re)published on the driver at each epoch
+  * commit (idempotent: same grid, same bytes). */
+private[catalog] final class GraftStreamingWrite(
+    opts: GraftTable.Opts, schema: StructType, meta: LayerMetadata)
+    extends StreamingWrite {
+
+  private val zoomDir = s"${opts.uri}/${opts.layer}/tiles/zoom=${opts.zoom}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftStreamingWriterFactory(zoomDir, schema, meta.cellType,
+      meta.temporal, GraftTable.confProps())
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    Catalog.writeMetadata(opts.uri, opts.layer, meta, opts.zoom)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = GraftTable.confFrom(GraftTable.confProps())
+    messages.filter(_ != null).foreach { m =>
+      val p = new Path(m.asInstanceOf[GraftCommit].file)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+}
+
+private[catalog] final case class GraftStreamingWriterFactory(
+    zoomDir: String, schema: StructType, cellType: String, temporal: Boolean,
+    confProps: Map[String, String]) extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(
+      f"$zoomDir/part-epoch$epochId-$partitionId.parquet",
+      schema, cellType, temporal, confProps)
+}
+
 private[catalog] final case class GraftWriterFactory(
     zoomDir: String, schema: StructType, cellType: String, temporal: Boolean,
     writeId: String, confProps: Map[String, String]) extends DataWriterFactory {
@@ -196,8 +253,14 @@ private[catalog] final class GraftDataWriter(
   private val factory = new SimpleGroupFactory(msgType)
   private val idx = schema.fieldNames.zipWithIndex.toMap
 
+  // OVERWRITE: batch file names carry a per-write UUID (never
+  // collide); streaming names are epoch-deterministic ON PURPOSE so a
+  // replayed epoch rewrites its files (exactly-once) instead of
+  // failing on create
   private val writer = ExampleParquetWriter.builder(new Path(file))
-    .withConf(conf).withType(msgType).build()
+    .withConf(conf).withType(msgType)
+    .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+    .build()
 
   override def write(row: InternalRow): Unit = {
     val g = factory.newGroup()

@@ -173,7 +173,8 @@ private[catalog] final class GraftTable(options: CaseInsensitiveStringMap)
     else GraftTable.freshSchema(options)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     // READ path: a missing sidecar means a nonexistent store or a

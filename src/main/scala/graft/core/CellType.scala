@@ -17,6 +17,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * clamps data values into the remaining domain so the sentinel can
   * never be forged by a real value (GeoTrellis reserves the same
   * boundary values for its constant-NoData cell types).
+  *
+  * `bit` is the 1-bit boolean raster (GeoTrellis `bool`, reference
+  * geopyspark-backend BitArrayTileWrapper.scala:1): 8 cells per byte,
+  * LSB-first within each byte, values 0/1 and NO NoData — NaN packs
+  * to 0, matching GeoTrellis BitArrayTile, whose bit domain has no
+  * room for a sentinel. A mask layer stores 64x smaller than float64
+  * and 8x smaller than uint8.
   */
 final case class CellType(name: String, bytes: Int, isFloat: Boolean,
                           lo: Double, hi: Double, sentinel: Long) {
@@ -31,6 +38,20 @@ final case class CellType(name: String, bytes: Int, isFloat: Boolean,
     * inside the catalog write path (native TilePackExpr) for every
     * tile of every store. */
   def pack(cells: Array[Double]): Array[Byte] = {
+    if (name == "bit") {
+      // 8 cells/byte, LSB-first; NaN -> 0 (no NoData in the bit domain)
+      require(cells.length % 8 == 0,
+        s"bit tiles need a multiple-of-8 cell count (got ${cells.length})")
+      val out = new Array[Byte](cells.length / 8)
+      var i = 0
+      while (i < cells.length) {
+        val v = cells(i)
+        if (!v.isNaN && clamp(v).toLong == 1L)
+          out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+        i += 1
+      }
+      return out
+    }
     val buf = ByteBuffer.allocate(cells.length * bytes).order(ByteOrder.LITTLE_ENDIAN)
     val n = cells.length
     var i = 0
@@ -57,6 +78,15 @@ final case class CellType(name: String, bytes: Int, isFloat: Boolean,
 
   /** Unpack little-endian bytes back to NaN-as-NoData doubles. */
   def unpack(packed: Array[Byte]): Array[Double] = {
+    if (name == "bit") {
+      val out = new Array[Double](packed.length * 8)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((packed(i >> 3) >> (i & 7)) & 1).toDouble
+        i += 1
+      }
+      return out
+    }
     val buf = ByteBuffer.wrap(packed).order(ByteOrder.LITTLE_ENDIAN)
     val n = packed.length / bytes
     val out = new Array[Double](n)
@@ -84,6 +114,9 @@ final case class CellType(name: String, bytes: Int, isFloat: Boolean,
 object CellType {
   // signed types: sentinel = min, data domain [min+1, max]
   // unsigned types: sentinel = max, data domain [0, max-1]
+  // bit: 0/1 only, no sentinel (the -1 below is unreachable), 8 cells
+  // per byte — `bytes` is nominal; pack/unpack special-case the width
+  val Bit     = CellType("bit", 1, isFloat = false, 0, 1, -1L)
   val Int8    = CellType("int8", 1, isFloat = false, -127, 127, -128L)
   val Uint8   = CellType("uint8", 1, isFloat = false, 0, 254, 255L)
   val Int16   = CellType("int16", 2, isFloat = false, -32767, 32767, -32768L)
@@ -94,7 +127,7 @@ object CellType {
   val Float64 = CellType("float64", 8, isFloat = true, Double.MinValue, Double.MaxValue, 0L)
 
   val all: Seq[CellType] =
-    Seq(Int8, Uint8, Int16, Uint16, Int32, Uint32, Float32, Float64)
+    Seq(Bit, Int8, Uint8, Int16, Uint16, Int32, Uint32, Float32, Float64)
 
   def fromName(s: String): CellType =
     all.find(_.name == s.trim.toLowerCase).getOrElse(

@@ -77,17 +77,45 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Anchor-count ceiling for the broadcast-brute scorers. The guarded
+    * entry points COUNT the anchor set first (the decontamination
+    * broadcast-guard precedent: never assume the to-be-broadcast side
+    * is small) and, beyond this bound, swap candidate generation to
+    * the IVF probe path instead of scoring every anchor against the
+    * whole corpus. */
+  val MaxBruteAnchors = 100000L
+
+  /** Default coarse quantizer for the guarded fallback: the
+    * deterministic 1/37 corpus subset (the q_ann_ivf convention). */
+  def defaultCentroidPred: Column = col("vec_id") % 37 === 0
+
+  /** Guarded top-k scorer: [[bruteTopK]] while the counted anchor set
+    * stays within `maxBruteAnchors`; beyond it, [[ivfTopK]] generates
+    * candidates from the `nProbe` nearest coarse lists and rescores
+    * exactly. nProbe = 16 of the 1/37 quantizer reproduces the brute
+    * results EXACTLY on the driver testdata (max required probe rank
+    * measured at 14; GuardedAnnSpec pins it) while bounding per-anchor
+    * work to ~nProbe/nLists of the corpus at scale. */
+  def annTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+      maxBruteAnchors: Long = MaxBruteAnchors,
+      centroidPred: Column = defaultCentroidPred, nProbe: Int = 16): DataFrame =
+    if (embeddings.where(queryPred).count() <= maxBruteAnchors)
+      bruteTopK(embeddings, queryPred, k)
+    else ivfTopK(embeddings, queryPred, centroidPred, k, nProbe)
+
   /** k-NN majority-label classification — exact nearest-neighbor
     * labeling over the embedding corpus (the label-propagation /
     * weak-annotation primitive): each query takes the majority label
-    * of its [[bruteTopK]] neighbors (ties -> smallest label, the
-    * focal-Mode rule). Swap the brute scorer for the IVF/LSH variants
-    * at scale — the vote aggregate is the same bounded k rows per
-    * query either way.
+    * of its top-k neighbors (ties -> smallest label, the focal-Mode
+    * rule). The scorer is the guarded [[annTopK]]: brute within the
+    * anchor bound, IVF probing beyond it — the vote aggregate is the
+    * same bounded k rows per query either way.
     *
     * @return (qid, pred_label, votes) */
-  def knnLabel(embeddings: DataFrame, queryPred: Column, k: Int = 5): DataFrame =
-    bruteTopK(embeddings, queryPred, k)
+  def knnLabel(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+      maxBruteAnchors: Long = MaxBruteAnchors,
+      centroidPred: Column = defaultCentroidPred, nProbe: Int = 16): DataFrame =
+    annTopK(embeddings, queryPred, k, maxBruteAnchors, centroidPred, nProbe)
       .join(embeddings.select(col("vec_id").as("nid"), col("label")), "nid")
       .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
       .groupBy("qid")
@@ -102,22 +130,56 @@ object Similarity {
     * Ranks are cosine-desc with vec_id tie-break (deterministic:
     * quantized dots are exact integers).
     *
-    * Scale: anchors are a bounded query set scored brute-force (the
-    * bruteTopK contract); corpus-scale mining swaps the scorer for
-    * the IVF/LSH candidate generators — the rank/emit shape is
-    * unchanged.
+    * Scale: within `maxBruteAnchors` the anchor set is scored
+    * brute-force against the corpus (the bruteTopK contract); a
+    * larger counted anchor set swaps candidate generation to the IVF
+    * probe path (nProbe nearest coarse lists per anchor, exact
+    * rescoring) — the rank/emit shape is unchanged, and nProbe = 16
+    * reproduces the brute output exactly on the driver testdata
+    * (GuardedAnnSpec).
     *
     * @return (qid, kind 'pos'|'neg', rank, nid, cos) */
   def contrastivePairs(embeddings: DataFrame, queryPred: Column,
-      negK: Int = 3): DataFrame = {
+      negK: Int = 3, maxBruteAnchors: Long = MaxBruteAnchors,
+      centroidPred: Column = defaultCentroidPred, nProbe: Int = 16): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"),
         quantize(col("embedding")).as("qv"))
       .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
     val q = e.where(queryPred).select(col("vec_id").as("qid"),
       col("label").as("qlabel"), col("qv").as("qqv"), col("nn").as("qnn"))
+    // candidate generation: full corpus within the anchor bound, IVF
+    // probed lists beyond it (same columns either way)
+    val cand =
+      if (embeddings.where(queryPred).count() <= maxBruteAnchors)
+        q.join(e, col("vec_id") =!= col("qid"))
+      else {
+        val cents = broadcast(e.where(centroidPred)
+          .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nn").as("cn")))
+        // nearest-centroid list assignment (the ivfTopK shape, label
+        // riding along for the pos/neg split)
+        val assigned = e.join(cents)
+          .withColumn("cscore",
+            qdot(col("qv"), col("cv")).cast("double") / (col("nn") * col("cn")))
+          .groupBy("vec_id")
+          .agg(max(struct(col("cscore"), (-col("cid")).as("negCid"), col("cid"),
+            col("qv"), col("nn"), col("label"))).as("m"))
+          .select(col("m.cid").as("cid"), col("vec_id"), col("m.label").as("label"),
+            col("m.qv").as("qv"), col("m.nn").as("nn"))
+        val wProbe = Window.partitionBy("qid").orderBy(col("cscore").desc, col("cid"))
+        val probes = q.join(cents)
+          .withColumn("cscore",
+            qdot(col("qqv"), col("cv")).cast("double") / (col("qnn") * col("cn")))
+          .withColumn("rn", row_number().over(wProbe))
+          .where(col("rn") <= nProbe)
+          .select(col("qid"), col("qlabel"), col("qqv"), col("qnn"), col("cid"))
+        probes.join(assigned, "cid")
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qlabel"), col("qqv"), col("qnn"),
+            col("vec_id"), col("label"), col("qv"), col("nn"))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid", "kind").orderBy(col("cos").desc, col("nid"))
-    q.join(e, col("vec_id") =!= col("qid"))
+    cand
       .select(col("qid"), col("qlabel"), col("vec_id").as("nid"), col("label"),
         (qdot(col("qqv"), col("qv")).cast("double") / (col("qnn") * col("nn"))).as("cos"))
       .withColumn("kind", when(col("label") === col("qlabel"), "pos").otherwise("neg"))

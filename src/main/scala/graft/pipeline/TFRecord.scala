@@ -191,10 +191,11 @@ object TFRecord {
   }
 
   /** Export (doc_id, text) rows as `n` TFRecord shard files
-    * `part-00000.tfrecord` … under `dir`. Shard = doc_id % n
-    * (content-stable), records sorted by doc_id within each shard —
-    * byte-deterministic output. Each task streams one shard to the
-    * Hadoop FS. */
+    * `part-00000.tfrecord` … under `dir`. Shard = floorMod(doc_id, n)
+    * (content-stable, non-negative even for negative ids — a plain %
+    * would emit malformed `part--0001` names), records sorted by
+    * doc_id within each shard — byte-deterministic output. Each task
+    * streams one shard to the Hadoop FS. */
   def writeShards(docs: DataFrame, dir: String, n: Int = 4): Unit = {
     require(n >= 1 && n <= 100000, "1..100000 shards")
     val spark = docs.sparkSession
@@ -202,7 +203,7 @@ object TFRecord {
     val confProps = hadoopProps(spark)
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .groupByKey(d => (d._1 % n).toInt)
+      .groupByKey(d => Math.floorMod(d._1, n.toLong).toInt)
       .flatMapGroups { (shard: Int, it: Iterator[(Long, String)]) =>
         val conf = confOf(confProps)
         val p = new Path(f"$dir/part-$shard%05d.tfrecord")

@@ -197,6 +197,12 @@ object Compare {
     * Scale: per-partition accumulation, four scalars per partition
     * cross the exchange. */
   def surfaceVolume(a: RasterLayer, plane: Double): DataFrame = {
+    // the exact-Long delta below truncates a fractional plane (30.5
+    // would classify [30,30.5) as "above") — enforce the integral
+    // contract instead of silently shifting every volume
+    require(plane.isWhole,
+      s"surfaceVolume requires an integral reference plane (got $plane); " +
+        "scale the layer or plane to integer units first")
     val spark = a.spark
     import spark.implicits._
     val cellArea = a.meta.layout.cellWidth * a.meta.layout.cellHeight

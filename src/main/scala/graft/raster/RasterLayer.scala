@@ -307,7 +307,9 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     * describes the cells and the catalog's packed encoding is
     * lossless); float32 rounds through single precision; NaN survives
     * as NoData. The width takes physical effect at the catalog store
-    * ([[graft.catalog.Catalog.write]] packs native-width binary). */
+    * ([[graft.catalog.Catalog.write]] packs native-width binary).
+    * `bit` clamps to 0/1 and — like GeoTrellis `bool` — has NO NoData
+    * at the store: in-memory NaN cells pack to 0 on write. */
   def convertCellType(newType: String): RasterLayer = {
     val ct = graft.core.CellType.fromName(newType)
     val converted =

@@ -200,6 +200,92 @@ class GraftDataSourceSpec extends SparkSpec {
       Set((0, 0, 20L), (1, 1, 20L)))
   }
 
+  test("streaming sink: MemoryStream -> writeStream -> batch read, exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val ck = Files.createTempDirectory("graft_sink_ck").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Int, Int, Seq[Double])]
+    val q = mem.toDF().toDF("col", "row", "tile")
+      .writeStream.format("graft")
+      .option("path", dir).option("layer", "sunk").option("zoom", "0")
+      .option("extent", "0,0,8,8").option("layout", "2,2,4,4")
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .start()
+    try {
+      def tile(seed: Double) = Seq.tabulate(16)(i => seed + i)
+      mem.addData(Seq((0, 0, tile(100)), (1, 1, tile(200))))
+      q.processAllAvailable()
+      def stored() = Catalog.read(spark, dir, "sunk").df
+        .select("col", "row").as[(Int, Int)].collect().toSeq.sorted
+      assert(stored() == Seq((0, 0), (1, 1)))
+      // an empty pass adds nothing (no phantom epochs)
+      q.processAllAvailable()
+      assert(stored() == Seq((0, 0), (1, 1)))
+      // next micro-batch appends; earlier epochs untouched
+      mem.addData(Seq((1, 0, tile(300))))
+      q.processAllAvailable()
+      assert(stored() == Seq((0, 0), (1, 0), (1, 1)))
+      // values decode through the same reader as Catalog.write stores
+      val v = Catalog.read(spark, dir, "sunk").toCells
+        .as[(Long, Long, Double)].collect()
+        .map { case (x, y, c) => (x, y) -> c }.toMap
+      assert(v((0L, 0L)) == 100.0 && v((5L, 5L)) == 205.0 && v((4L, 1L)) == 304.0)
+    } finally q.stop()
+  }
+
+  test("streaming sink epoch replay is idempotent (exactly-once file contract)") {
+    // simulate the failure mode Structured Streaming must tolerate: an
+    // epoch's tasks run TWICE (retry after success, before commit).
+    // Epoch-deterministic names + OVERWRITE mode make the second
+    // attempt rewrite the same file, so the store holds one copy.
+    val dir = Files.createTempDirectory("graft_sink_replay").toString
+    val meta = graft.raster.LayerMetadata(layout)
+    Catalog.writeMetadata(dir, "rp", meta)
+    val f = GraftStreamingWriterFactory(s"$dir/rp/tiles/zoom=0",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "col INT, row INT, tile ARRAY<DOUBLE>"),
+      "float64", temporal = false, GraftTable.confProps())
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      0, 0, org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.tabulate(16)(_.toDouble)))
+    (1 to 2).foreach { _ =>
+      val w = f.createWriter(partitionId = 0, taskId = 7L, epochId = 42L)
+      w.write(row)
+      w.commit()
+    }
+    val files = new java.io.File(s"$dir/rp/tiles/zoom=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, files.mkString(", "))
+    assert(files.head.getName == "part-epoch42-0.parquet")
+    assert(Catalog.read(spark, dir, "rp").df.count() == 1)
+  }
+
+  test("streaming sink rejects Complete output mode (truncate per epoch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sink_cm").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Int, Int, Seq[Double])]
+    val e = intercept[Exception] {
+      val q = mem.toDF().groupBy("_1", "_2").agg(collect_list("_3"))
+        .toDF("col", "row", "tile")
+        .writeStream.format("graft")
+        .option("path", dir).option("layer", "cm").option("zoom", "0")
+        .option("extent", "0,0,8,8").option("layout", "2,2,4,4")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sink_cm_ck").toString)
+        .outputMode("complete")
+        .start()
+      try { mem.addData(Seq((0, 0, Seq.fill(16)(1.0)))); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("append only")), e.toString)
+  }
+
   test("streaming read: readStream emits each newly-landed tile file exactly once") {
     val dir = Files.createTempDirectory("graft_stream").toString
     Catalog.write(dir, "live", layer((0, 0, 1.0)))

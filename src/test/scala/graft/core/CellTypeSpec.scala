@@ -5,7 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class CellTypeSpec extends AnyFunSuite {
 
   test("pack/unpack roundtrips every type's domain, NaN included") {
-    for (ct <- CellType.all) {
+    // bit is the one type without NoData (NaN -> 0) — covered below
+    for (ct <- CellType.all if ct.name != "bit") {
       val vals: Array[Double] =
         if (ct.isFloat) Array(0.0, 1.5, -2.25, Double.NaN, 1e6)
         else Array(ct.lo, 0.0, 1.0, ct.hi, Double.NaN, math.min(ct.hi, 42.0))
@@ -24,6 +25,27 @@ class CellTypeSpec extends AnyFunSuite {
     assert(CellType.Uint8.pack(cells).length == 64 * 64)
     assert(CellType.Float64.pack(cells).length == 64 * 64 * 8)
     assert(CellType.Int16.pack(cells).length == 64 * 64 * 2)
+    // the bit payoff: a 64x64 mask tile is 512 bytes — 8x smaller than
+    // uint8, 64x smaller than the float64 compute representation
+    assert(CellType.Bit.pack(cells).length == 64 * 64 / 8)
+    assert(CellType.Bit.pack(cells).length * 8 == CellType.Uint8.pack(cells).length)
+  }
+
+  test("bit packs 8 cells/byte LSB-first, clamps to 0/1, maps NaN to 0") {
+    // 16 cells exercising every semantic: clean 0/1, NaN (no NoData in
+    // the bit domain -> 0), clamped values (2 -> 1, -3 -> 0, 0.7 -> 0)
+    val vals = Array[Double](1, 0, 1, 1, Double.NaN, 2.0, -3.0, 0.7,
+      0, 1, 0, 0, 1, Double.NaN, 1, 0)
+    val packed = CellType.Bit.pack(vals)
+    assert(packed.length == 2)
+    // byte 0: bits(LSB..MSB) = 1,0,1,1,0,1,0,0 = 0x2d
+    assert(packed(0) == 0x2d.toByte)
+    // byte 1: bits = 0,1,0,0,1,0,1,0 = 0x52
+    assert(packed(1) == 0x52.toByte)
+    val back = CellType.Bit.unpack(packed)
+    assert(back.toSeq == Seq[Double](1, 0, 1, 1, 0, 1, 0, 0, 0, 1, 0, 0, 1, 0, 1, 0))
+    // non-multiple-of-8 tiles are a contract violation, not silent pad
+    intercept[IllegalArgumentException](CellType.Bit.pack(Array(1.0)))
   }
 
   test("out-of-domain values clamp; the NoData sentinel cannot be forged") {

@@ -124,7 +124,9 @@ class PropertySpec extends AnyFunSuite {
   test("CellType pack/unpack is clamp-then-identity for every integer type") {
     val v = Gen.oneOf(Gen.choose(-1e10, 1e10), Gen.choose(-300.0, 300.0),
       Gen.const(Double.NaN))
-    val ct = Gen.oneOf(CellType.all.filterNot(_.isFloat))
+    // bit excluded: no NoData (NaN -> 0) and an 8-cell pack grain —
+    // its own laws live in CellTypeSpec
+    val ct = Gen.oneOf(CellType.all.filterNot(t => t.isFloat || t.name == "bit"))
     check(Prop.forAll(ct, v) { (t, x) =>
       val back = t.unpack(t.pack(Array(x))).head
       if (x.isNaN) back.isNaN
