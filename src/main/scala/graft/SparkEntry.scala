@@ -1084,11 +1084,15 @@ object SparkEntry {
         .fromName("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181")
         .asInstanceOf[graft.core.CRS.Sinusoidal]
       val (steps, eE, nE) = sinu.forwardSqlSteps
+      // round(,3), not the family's (,4): the r14 boundary sweep found
+      // a sf0.01 point EXACTLY on a 4-dp half boundary (slack 0 ulps —
+      // one libm ulp flips it); at 3 dp the minimum slack is 95 ulps
+      // (LibmBoundarySpec gates it)
       val full = steps.foldLeft(customerLonLat(s, dir)) {
         case (df, (name, f)) => df.withColumn(name, expr(f))
       }
       full.select(col("pid"),
-        round(expr(eE), 4).as("e_sinu"), round(expr(nE), 4).as("n_sinu"))
+        round(expr(eE), 3).as("e_sinu"), round(expr(nE), 3).as("n_sinu"))
     }),
 
     "q_reproject_raster" -> ((s, dir) =>
@@ -3873,7 +3877,7 @@ object SparkEntry {
           s"s${i + 1} AS (SELECT *, $f AS $name FROM s$i)"
         }
         (s"WITH s0 AS (SELECT * FROM ($lonlat)), " + ctes.mkString(", ") +
-          s" SELECT pid, round($eE, 4) AS e_sinu, round($nE, 4) AS n_sinu FROM s${steps.size}")
+          s" SELECT pid, round($eE, 3) AS e_sinu, round($nE, 3) AS n_sinu FROM s${steps.size}")
       },
 
       "q_reproject_raster" -> {

@@ -30,10 +30,19 @@ import graft.pipeline.TextAnalysis
   *    (TextAnalysis.unigramLmScore / bigramLmScore)
   *  - BM25 idf terms ln((N−df+0.5)/(df+0.5)+1)·1e6 (TextAnalysis.bm25)
   *
-  * Out of scope: the round(,5)/round(,4) DOUBLE family (slope /
-  * geodesic / reproject) — there both engines round bit-identical
-  * IEEE inputs, and the established convention (memory rules) already
-  * pins op order; no integer flip exists to gate. */
+  * r14 brought the round(,k) DOUBLE families IN scope: the r13
+  * q_local_moran fail proved "both engines round bit-identical
+  * inputs" is not enough once the rounded magnitude reaches ~9
+  * significant digits (Spark's decimal HALF_UP vs DuckDB's
+  * float-path round diverge), and libm INSIDE the pre-round DAG
+  * (the point-CRS transforms) can shift the input itself by ulps.
+  * The sweep below measures slack in VALUE-ulps for every rounded
+  * family whose non-integral outputs exceed 1e4 in magnitude — the
+  * audit over the full verify dump found exactly these: the
+  * point-CRS forwards (mercator/UTM/polar/Albers/sinusoidal, ≤2e7),
+  * geodesic distance/bearing, and the hotspot pair (now closed
+  * exact-integer + micro-quantized). The sinusoidal family closes at
+  * 3 dp because sf0.01 puts one point EXACTLY on a 4-dp boundary. */
 class LibmBoundarySpec extends SparkSpec {
   import spark.implicits._
 
@@ -163,6 +172,84 @@ class LibmBoundarySpec extends SparkSpec {
       .select("cnt").as[Long].collect()
     assertFar("zipf ln(rank)", (1 to 30).map(r => math.log(r.toDouble) * 1e6))
     assertFar("zipf ln(cnt)", cnts.map(c => math.log(c.toDouble) * 1e6).toSeq)
+  }
+
+  /** Gate for the round(,4) point-CRS / geodesic family (the r14
+    * sweep): values reach 2e7 (11+ significant digits at 4 dp) and
+    * the pre-round DAG contains libm (ln/tan/asin/atan2), so a k-ulp
+    * JVM-vs-libm disagreement flips the rounded output iff the TRUE
+    * value sits within k ulps of a x.xxxx5 boundary. Measure slack in
+    * VALUE-ulps: dist(|v|·1e4, nearest half-integer) / (ulp(v)·1e4),
+    * and require every point's slack ≥ `minUlps` — libm divergence on
+    * these chains is observed ≤ ~2 ulps, so 8 is 4x headroom. */
+  private def assertUlpSlack(family: String, vals: Seq[Double],
+                             minUlps: Double = 8.0, scale: Double = 1e4): Unit = {
+    assert(vals.nonEmpty, s"$family: no values derived")
+    def slack(v: Double): Double = {
+      val s = math.abs(v) * scale
+      boundaryDist(s) / (math.ulp(math.abs(v)) * scale)
+    }
+    val worst = vals.minBy(slack)
+    info(f"$family: ${vals.size} values, min boundary slack ${slack(worst)}%.3g " +
+      f"value-ulps (at $worst%.6f)")
+    assert(slack(worst) >= minUlps,
+      f"$family: value $worst%.9f sits ${slack(worst)}%.3g ulps from a round(,4) " +
+        "boundary — a libm ulp can flip the rounded output; requantize per " +
+        "graft-oracle-determinism")
+  }
+
+  test("point-CRS forward transforms: round(,4) boundary slack in value-ulps") {
+    import graft.core.CRS
+    val pts = GridSource.customerLonLat(spark, dir)
+    def collectRaw(df: org.apache.spark.sql.DataFrame,
+                   steps: Seq[(String, String)], eE: String, nE: String): Seq[Double] = {
+      val full = steps.foldLeft(df) { case (d, (name, f)) => d.withColumn(name, expr(f)) }
+      full.select(expr(eE).as("e"), expr(nE).as("n"))
+        .as[(Double, Double)].collect().toSeq.flatMap(t => Seq(t._1, t._2))
+    }
+    // web mercator (the q_reproject twins, ln∘tan inside)
+    val merc = pts.select(CRS.lngToMercXCol(col("lon")).as("e"),
+        CRS.latToMercYCol(col("lat")).as("n"))
+      .as[(Double, Double)].collect().toSeq.flatMap(t => Seq(t._1, t._2))
+    assertUlpSlack("mercator e/n", merc)
+    val (uSteps, uE, uN) = CRS.TransverseMercator.forwardSqlSteps(33, south = false)
+    assertUlpSlack("utm33 e/n",
+      collectRaw(pts.where(col("lon") >= 0 && col("lon") <= 30), uSteps, uE, uN))
+    val ps = CRS.fromName("EPSG:3413").asInstanceOf[CRS.PolarStereographic]
+    val (pSteps, pE, pN) = ps.forwardSqlSteps
+    assertUlpSlack("polar-stereo e/n",
+      collectRaw(pts.where(col("lat") >= 60), pSteps, pE, pN))
+    val aea = CRS.fromName("EPSG:5070").asInstanceOf[CRS.AlbersEqualArea]
+    val (aSteps, aE, aN) = aea.forwardSqlSteps
+    assertUlpSlack("albers e/n",
+      collectRaw(pts.where(col("lon") >= -130 && col("lon") <= -60 &&
+        col("lat") >= 20 && col("lat") <= 55), aSteps, aE, aN))
+    // sinu closes at 3 dp, not 4: the sf0.01 data has a point EXACTLY
+    // on a 4-dp half boundary (slack 0 — the reason this sweep exists);
+    // at 3 dp the measured minimum is ~95 ulps
+    val sinu = CRS.fromName("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181")
+      .asInstanceOf[CRS.Sinusoidal]
+    val (sSteps, sE, sN) = sinu.forwardSqlSteps
+    assertUlpSlack("sinusoidal e/n", collectRaw(pts, sSteps, sE, sN), scale = 1e3)
+  }
+
+  test("geodesic distance/bearing: round(,4) boundary slack in value-ulps") {
+    // the exact Measures.geodesic DAG minus the closing round
+    val (anchorLon, anchorLat) = (2.25, 48.85)
+    val pts = GridSource.customerLonLat(spark, dir)
+    val f1 = radians(col("lat")); val f2 = radians(lit(anchorLat))
+    val dphi = radians(lit(anchorLat) - col("lat"))
+    val dlam = radians(lit(anchorLon) - col("lon"))
+    val sp = sin(dphi / 2); val sl = sin(dlam / 2)
+    val a = sp * sp + cos(f1) * cos(f2) * (sl * sl)
+    val d = lit(2 * 6371.0) * asin(least(lit(1.0), sqrt(a)))
+    val deg = degrees(atan2(sin(dlam) * cos(f2),
+      cos(f1) * sin(f2) - sin(f1) * cos(f2) * cos(dlam)))
+    val raw = pts.select(d.as("d"),
+        when(deg < 0, deg + 360).otherwise(deg).as("b"))
+      .as[(Double, Double)].collect().toSeq
+    assertUlpSlack("geodesic dist_km", raw.map(_._1))
+    assertUlpSlack("geodesic bearing_deg", raw.map(_._2))
   }
 
   test("hotspot Gi*/Moran micro-quantization arguments (r13 fail class)") {
