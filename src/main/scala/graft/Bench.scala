@@ -45,9 +45,15 @@ object Bench {
     // JVM one GC breath so the ContextCleaner reclaims shuffle files.
     // Runs OUTSIDE the timed region: each query starts from the same
     // clean-session state no matter where it sits in the suite.
+    // ... EXCEPT the SparkEntry sharedMemo checkpoints (the dedup
+    // pair-graph reused by six reporting queries): their lineage is
+    // truncated, so evicting them kills every later consumer with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of recomputing.
     def clearSessionState(): Unit = {
       spark.catalog.clearCache()
+      val keep = SparkEntry.sharedRddIds
       spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => keep(r.id))
         .foreach(_.unpersist(blocking = false))
       System.gc()
     }

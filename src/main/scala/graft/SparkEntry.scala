@@ -68,6 +68,20 @@ object SparkEntry {
     sharedMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir:$key",
       _ => f.localCheckpoint())
 
+  /** RDD ids backing the [[sharedMemo]] localCheckpoints. The bench's
+    * per-query isolation sweep must NOT evict these: their lineage is
+    * truncated, so an evicted block is unrecoverable and the six
+    * dedup-reporting queries die mid-suite with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (r14 first isolated run). */
+  def sharedRddIds: Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    sharedMemo.values().asScala.flatMap { df =>
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }
+    }.toSet
+  }
+
   /** The MinHash-LSH near-dup pair graph (d1, d2), materialized. */
   private def minhashEdges(s: SparkSession, dir: String): DataFrame =
     shared(s, dir, "minhash_edges")(
