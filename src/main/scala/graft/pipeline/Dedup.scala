@@ -215,6 +215,11 @@ object Dedup {
     * times never funnels through a single-reducer row_number. */
   def duplicateSpans(docs: DataFrame, k: Int = 10): DataFrame = {
     val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    // localCheckpoint: the index feeds BOTH the min-key aggregate and
+    // the join-back, and the partial-agg and raw-probe exchanges are
+    // different subtrees so ReuseExchange cannot kick in — without the
+    // pin, the whole tokenize+md5 explode (one hash per token
+    // position, the honest cost) executes twice (r14: 2.8s -> 1.9s)
     val spans = docs.select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"),
@@ -223,6 +228,7 @@ object Dedup {
       .select(col("doc_id"), (col("i") - 1).cast("long").as("off"),
         shingleHash(concat_ws(" ", slice(col("toks"), col("i"), lit(k)))).as("h"))
       .withColumn("key", col("doc_id") * lit(1L << 32) + col("off"))
+      .localCheckpoint()
     val agg = spans.groupBy("h")
       .agg(count(lit(1)).as("cnt"), min("key").as("minkey"))
     spans.join(agg, "h")
@@ -268,7 +274,13 @@ object Dedup {
     val all = hashedShingles(docs, k)
     maxDocFreq.fold(all) { cap =>
       val hot = all.groupBy("h").agg(count(lit(1)).as("df")).where(col("df") > cap)
+      // localCheckpoint: the capped set feeds 2-3 branches (both
+      // self-join sides + sizes in jaccard; probes + corpus side in
+      // contamination) and the hot-set groupBy + anti-join would
+      // otherwise re-execute per branch on top of the checkpointed
+      // shingles
       all.join(broadcast(hot.select("h")), Seq("h"), "left_anti")
+        .localCheckpoint()
     }
   }
 
@@ -895,7 +907,10 @@ object Dedup {
       .select(col("doc_id"), expr(s"mk div $posM").as("h")).distinct()
       .localCheckpoint()
     val hot = fp.groupBy("h").agg(count(lit(1)).as("df")).where(col("df") > maxDocFreq)
-    val idx = fp.join(hot, Seq("h"), "left_anti")
+    // localCheckpoint: the capped index feeds both self-join sides —
+    // without the pin the hot-set groupBy + anti-join execute twice
+    // (the cappedShingles discipline)
+    val idx = fp.join(hot, Seq("h"), "left_anti").localCheckpoint()
     idx.as("a").join(idx.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
