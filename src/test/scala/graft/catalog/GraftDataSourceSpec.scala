@@ -262,6 +262,35 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(Catalog.read(spark, dir, "rp").df.count() == 1)
   }
 
+  test("streaming sink packs native-width cell types (uint8 epoch files)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sink_u8").toString
+    val ck = Files.createTempDirectory("graft_sink_u8_ck").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Int, Int, Seq[Double])]
+    val q = mem.toDF().toDF("col", "row", "tile")
+      .writeStream.format("graft")
+      .option("path", dir).option("layer", "pk").option("zoom", "0")
+      .option("extent", "0,0,8,8").option("layout", "2,2,4,4")
+      .option("celltype", "uint8")
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(Seq((0, 0,
+        Seq.tabulate(16)(i => if (i == 3) Double.NaN else i.toDouble))))
+      q.processAllAvailable()
+      assert(Catalog.readMetadata(dir, "pk", 0).cellType == "uint8")
+      // values roundtrip through the 1-byte packing; the NaN cell
+      // survives as the uint8 NoData sentinel and stays absent
+      val cells = Catalog.read(spark, dir, "pk").toCells
+        .as[(Long, Long, Double)].collect()
+        .map { case (x, y, v) => (x, y) -> v }.toMap
+      assert(cells.size == 15 && !cells.contains((3L, 0L)))
+      assert(cells((0L, 0L)) == 0.0 && cells((2L, 3L)) == 14.0)
+    } finally q.stop()
+  }
+
   test("streaming sink rejects Complete output mode (truncate per epoch)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_sink_cm").toString
