@@ -371,6 +371,45 @@ object SparkEntry {
         .select(col("x"), col("y"),
           round(col("moran_i") * lit(100000.0)).cast("long").as("moran_i"))),
 
+    "q_global_moran" -> ((s, dir) =>
+      // GLOBAL Moran's I scalar (ArcGIS Spatial Autocorrelation):
+      // exact-integer decimal numerator, single IEEE divide closing,
+      // micro-quantized ×1e6
+      graft.raster.Hotspot.globalMoran(lineitemLayer(s, dir))
+        .select(col("n"), col("w"),
+          round(col("moran_i") * lit(1000000.0)).cast("long").as("moran_i"))),
+
+    "q_geary" -> ((s, dir) =>
+      // Geary's C global autocorrelation: mean-free exact pair sum,
+      // micro-quantized ×1e6
+      graft.raster.Hotspot.gearyC(lineitemLayer(s, dir))
+        .select(col("n"), col("w"),
+          round(col("geary_c") * lit(1000000.0)).cast("long").as("geary_c"))),
+
+    "q_join_counts" -> ((s, dir) =>
+      // binary join-count statistics (odd-parity Black), queen
+      // adjacency — all-integer outputs, no float anywhere
+      graft.raster.Hotspot.joinCounts(lineitemLayer(s, dir))),
+
+    "q_glcm" -> ((s, dir) =>
+      // pooled symmetric gray-level co-occurrence matrix, 16 levels,
+      // queen adjacency — pure integer pair counts
+      graft.raster.Texture.glcm(lineitemLayer(s, dir))),
+
+    "q_glcm_stats" -> ((s, dir) =>
+      // Haralick texture summary: exact integer numerators + the
+      // per-term micro-quantized homogeneity
+      graft.raster.Texture.glcmStats(lineitemLayer(s, dir))),
+
+    "q_ripley" -> ((s, dir) => {
+      // Ripley's K pair counts at radii 4/8/16/32 over the supplier
+      // point field; K̂ micro-quantized ×1e4
+      val raw = graft.vector.PointStats.ripleyK(supplierPoints(s, dir))
+      raw.select(col("n") +: Seq(4, 8, 16, 32).flatMap(r => Seq(
+        col(s"k$r"),
+        round(col(s"kh$r") * lit(10000.0)).cast("long").as(s"kh$r"))): _*)
+    }),
+
     "q_heat_load" -> ((s, dir) => {
       // McCune-Keon ln heat load on the DEGREES layout: slope/aspect
       // from the Horn gradient, latitude from the tile-center row
@@ -840,6 +879,17 @@ object SparkEntry {
           .where(pmod(col("vv"), lit(4)) === 0)
           .select(col("x"), col("y"), pmod(col("vv"), lit(3)).as("cls")),
         gridCols = G)),
+
+    "q_landscape" -> ((s, dir) =>
+      // FRAGSTATS class-level metrics over the q_region_group labels:
+      // patch count / class area / largest patch / total edge exact,
+      // mean patch size micro-quantized
+      graft.raster.RegionGroup.landscapeMetrics(
+        graft.raster.RegionGroup.regionGroup(
+          lineitemCells(s, dir).select(col("x"), col("y"), col("v").cast("long").as("vv"))
+            .where(pmod(col("vv"), lit(4)) === 0)
+            .select(col("x"), col("y"), pmod(col("vv"), lit(3)).as("cls")),
+          gridCols = G))),
 
     "q_flow_direction" -> ((s, dir) =>
       // ESRI D8 over the lineitem elevation grid; NoData holes are
@@ -2908,6 +2958,113 @@ object SparkEntry {
            |    * 100000.0) AS BIGINT) END AS moran_i
            |FROM f, gl""".stripMargin,
 
+      // GLOBAL Moran's I: per-cell exact-integer factors as in the
+      // local statistic, but the product exceeds 2^53 so the Σ runs in
+      // DECIMAL(18,0)×DECIMAL(18,0); the closing is one decimal→double
+      // cast per side + a single IEEE multiply and divide, then the
+      // ×1e6 micro-quantization
+      "q_global_moran" ->
+        s"""WITH g AS ($grid),
+           |gl AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s, sum(v * v) AS ss FROM g),
+           |f AS (SELECT c.x AS x, c.y AS y,
+           |        max(CASE WHEN n.x = c.x AND n.y = c.y THEN n.v END) AS v,
+           |        sum(n.v) AS sw, count(*) AS k
+           |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |      GROUP BY 1, 2),
+           |a AS (SELECT sum(CAST(v * n - s AS DECIMAL(18,0)) * CAST((sw - v) * n - (k - 1) * s AS DECIMAL(18,0))) AS num,
+           |        CAST(sum(k - 1) AS BIGINT) AS w,
+           |        max(n) AS n, max(s) AS s, max(ss) AS ss
+           |      FROM f, gl)
+           |SELECT n, w, CAST(round(CAST(num AS DOUBLE) / (CAST(w AS DOUBLE) *
+           |    CAST(CAST(n AS DECIMAL(18,0)) * CAST(ss AS DECIMAL(18,0)) - CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0)) AS DOUBLE))
+           |  * 1000000.0) AS BIGINT) AS moran_i
+           |FROM a""".stripMargin,
+
+      // Geary's C: the pair sum is mean-free so every per-cell term is
+      // an exact integer-valued double and the plain Σ stays under
+      // 2^53; closing multiplies the exact n·(n−1) and 2W longs cast
+      // to double, one divide, ×1e6 quantize
+      "q_geary" ->
+        s"""WITH g AS ($grid),
+           |gl AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s, sum(v * v) AS ss FROM g),
+           |f AS (SELECT c.x AS x, c.y AS y,
+           |        max(CASE WHEN n.x = c.x AND n.y = c.y THEN n.v END) AS v,
+           |        sum(n.v) AS sw, sum(n.v * n.v) AS sq, count(*) AS k
+           |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |      GROUP BY 1, 2),
+           |a AS (SELECT sum((k - 1) * (v * v) - 2 * v * (sw - v) + (sq - v * v)) AS e,
+           |        CAST(sum(k - 1) AS BIGINT) AS w,
+           |        max(n) AS n, max(s) AS s, max(ss) AS ss
+           |      FROM f, gl)
+           |SELECT n, w, CAST(round(CAST(n * (n - 1) AS DOUBLE) * e / (CAST(w * 2 AS DOUBLE) *
+           |    CAST(CAST(n AS DECIMAL(18,0)) * CAST(ss AS DECIMAL(18,0)) - CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0)) AS DOUBLE))
+           |  * 1000000.0) AS BIGINT) AS geary_c
+           |FROM a""".stripMargin,
+
+      // join counts: Black = odd cell value; BB/WW halved (counted at
+      // both ends), BW counted once from the black end — all integers
+      "q_join_counts" ->
+        s"""WITH g AS ($grid),
+           |f AS (SELECT c.x AS x, c.y AS y,
+           |        CAST(max(CASE WHEN n.x = c.x AND n.y = c.y THEN n.v END) AS BIGINT) % 2 AS b,
+           |        CAST(sum(CAST(n.v AS BIGINT) % 2) AS BIGINT) AS swb,
+           |        count(*) AS k
+           |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |      GROUP BY 1, 2)
+           |SELECT CAST(sum(b) AS BIGINT) AS n_black,
+           |  CAST(sum(1 - b) AS BIGINT) AS n_white,
+           |  CAST(sum(b * (swb - b)) // 2 AS BIGINT) AS bb,
+           |  CAST(sum((1 - b) * (k - swb - (1 - b))) // 2 AS BIGINT) AS ww,
+           |  CAST(sum(b * (k - swb)) AS BIGINT) AS bw,
+           |  CAST(sum(k - 1) // 2 AS BIGINT) AS joins
+           |FROM f""".stripMargin,
+
+      // pooled symmetric GLCM = all ordered queen-adjacent level
+      // pairs; levels are the integral value mod 16 — pure counts
+      "q_glcm" ->
+        s"""WITH g AS ($grid),
+           |q AS (SELECT x, y, CAST(v AS BIGINT) % 16 AS gl FROM g)
+           |SELECT c.gl AS gi, n.gl AS gj, count(*) AS cnt
+           |FROM q c JOIN q n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |  AND NOT (n.x = c.x AND n.y = c.y)
+           |GROUP BY 1, 2""".stripMargin,
+
+      // Haralick summary: exact integer numerators; homogeneity is
+      // micro-quantized PER TERM before the sum (order-free integers)
+      "q_glcm_stats" ->
+        s"""WITH g AS ($grid),
+           |q AS (SELECT x, y, CAST(v AS BIGINT) % 16 AS gl FROM g),
+           |m AS (SELECT c.gl AS gi, n.gl AS gj, count(*) AS cnt
+           |      FROM q c JOIN q n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |        AND NOT (n.x = c.x AND n.y = c.y)
+           |      GROUP BY 1, 2)
+           |SELECT CAST(sum(cnt * (gi - gj) * (gi - gj)) AS BIGINT) AS contrast_num,
+           |  CAST(sum(cnt * abs(gi - gj)) AS BIGINT) AS dissim_num,
+           |  CAST(sum(cnt * cnt) AS BIGINT) AS asm_num,
+           |  CAST(sum(cnt) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CAST(round(CAST(cnt * 1000000 AS DOUBLE) / CAST(1 + (gi - gj) * (gi - gj) AS DOUBLE)) AS BIGINT)) AS BIGINT) AS homogeneity_u
+           |FROM m""".stripMargin,
+
+      // Ripley's K: the engine blocks pairs by an r_max bucket; the
+      // oracle restates as the sf-bounded all-pairs join. d² is an
+      // exact integer; K̂ = A·k/(n(n−1)) micro-quantized ×1e4
+      "q_ripley" ->
+        s"""WITH p AS ($pts),
+           |d AS (SELECT (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
+           |      FROM p a JOIN p b ON a.pid <> b.pid),
+           |c AS (SELECT CAST(sum(CASE WHEN d2 <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS k4,
+           |        CAST(sum(CASE WHEN d2 <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS k8,
+           |        CAST(sum(CASE WHEN d2 <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS k16,
+           |        CAST(sum(CASE WHEN d2 <= 1024 THEN 1 ELSE 0 END) AS BIGINT) AS k32
+           |      FROM d),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+           |SELECT n,
+           |  k4, CAST(round(CAST(k4 * 65536 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) * 10000.0) AS BIGINT) AS kh4,
+           |  k8, CAST(round(CAST(k8 * 65536 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) * 10000.0) AS BIGINT) AS kh8,
+           |  k16, CAST(round(CAST(k16 * 65536 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) * 10000.0) AS BIGINT) AS kh16,
+           |  k32, CAST(round(CAST(k32 * 65536 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) * 10000.0) AS BIGINT) AS kh32
+           |FROM c, nn""".stripMargin,
+
       // McCune-Keon 2002 ln heat load: identical term order to
       // Focal.terrain's heat_load case; zf carries the latitude
       // (radians) through the hornSql pivot
@@ -3516,6 +3673,24 @@ object SparkEntry {
            |SELECT st.region, st.cls, st.area, 4 * st.area - coalesce(nb.same, 0) AS perimeter,
            |  st.xmin, st.ymin, st.xmax, st.ymax
            |FROM st LEFT JOIN nb USING (region)""".stripMargin,
+
+      // FRAGSTATS class-level rollup of the vectorize chain: NP / CA /
+      // largest patch / total edge exact, mean patch size ×1e6
+      "q_landscape" ->
+        s"""WITH RECURSIVE $regionLabelsCte,
+           |nb AS (SELECT a.region, CAST(count(*) AS BIGINT) AS same
+           |  FROM lab a JOIN lab b ON b.region = a.region AND
+           |    ((b.x = a.x + 1 AND b.y = a.y) OR (b.x = a.x - 1 AND b.y = a.y) OR
+           |     (b.x = a.x AND b.y = a.y + 1) OR (b.x = a.x AND b.y = a.y - 1))
+           |  GROUP BY 1),
+           |st AS (SELECT region, CAST(min(cls) AS BIGINT) AS cls, CAST(count(*) AS BIGINT) AS area
+           |  FROM lab GROUP BY 1),
+           |vec AS (SELECT st.region, st.cls, st.area, 4 * st.area - coalesce(nb.same, 0) AS perimeter
+           |  FROM st LEFT JOIN nb USING (region))
+           |SELECT cls, CAST(count(*) AS BIGINT) AS np, CAST(sum(area) AS BIGINT) AS ca,
+           |  CAST(max(area) AS BIGINT) AS largest, CAST(sum(perimeter) AS BIGINT) AS edge,
+           |  CAST(round(CAST(sum(area) * 1000000 AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mps_u
+           |FROM vec GROUP BY 1""".stripMargin,
 
       // single-pass sieve over the SAME labels: regions under 3 cells
       // take the class of their largest 4-adjacent region (area DESC,

@@ -81,4 +81,98 @@ object Hotspot {
     df.select(col("x"), col("y"),
       when(den > 0.0, num1 * num2 / den).as("moran_i"))
   }
+
+  private val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+
+  /** n·SS − S² as one double, the shared m2·n² normalizer of the
+    * global statistics. Computed in DECIMAL(18,0) (the factors exceed
+    * 2^53 at sf0.1) and cast to double ONCE — a single correctly-
+    * rounded integer→double conversion both engines agree on. */
+  private def m2n2(n: org.apache.spark.sql.Column,
+                   s: org.apache.spark.sql.Column,
+                   ss: org.apache.spark.sql.Column) =
+    (n.cast(dec18) * ss.cast(dec18) - s.cast(dec18) * s.cast(dec18))
+      .cast("double")
+
+  /** GLOBAL Moran's I (Moran 1950; the ArcGIS Spatial Autocorrelation
+    * tool), binary 3x3 self-exclusive (queen) weights:
+    * I = n·Σᵢⱼ wᵢⱼ zᵢ zⱼ / (W·Σ zᵢ²). Multiplying z through by n gives
+    * the exact-integer form
+    * I = Σᵢ (vᵢ·n − S)·((Swᵢ−vᵢ)·n − (kᵢ−1)·S) / (W·(SS·n − S²)):
+    * each per-cell factor is an exact integer-valued double, their
+    * product exceeds 2^53 so the Σ runs in DECIMAL(18,0)² → exact
+    * DECIMAL(38,0), and the closing is one integer→double cast per
+    * side plus a single IEEE multiply+divide — bit-identical across
+    * engines. One row: (n, w, moran_i raw).
+    *
+    * Scale: the focal machinery's halo exchange + one all-partial
+    * aggregate; nothing grows with cell count beyond the scan. */
+  def globalMoran(l: RasterLayer): DataFrame = {
+    val df = withGlobal(l, focalPieces(l))
+    val prod = (col("v") * col("n") - col("s")).cast(dec18) *
+      ((col("sw") - col("v")) * col("n") - (col("k") - lit(1.0)) * col("s"))
+        .cast(dec18)
+    val agg = df.agg(
+      sum(prod).as("num"),
+      sum(col("k").cast("long") - lit(1L)).as("w"),
+      max("n").as("n"), max("s").as("s"), max("ss").as("ss"))
+    agg.select(col("n"), col("w"),
+      (col("num").cast("double") /
+        (col("w").cast("double") * m2n2(col("n"), col("s"), col("ss"))))
+        .as("moran_i"))
+  }
+
+  /** Geary's C (Geary 1954), binary 3x3 self-exclusive weights:
+    * C = (n−1)·Σᵢⱼ wᵢⱼ (vᵢ−vⱼ)² / (2W·Σ zᵢ²). The pair sum needs no
+    * mean at all: Σᵢⱼ wᵢⱼ(vᵢ−vⱼ)² = Σᵢ [(kᵢ−1)·vᵢ² − 2·vᵢ·(Swᵢ−vᵢ) +
+    * (Sqᵢ−vᵢ²)] with Sq the 3x3 focal sum of v² — every term an exact
+    * integer-valued double whose running sum stays under 2^53, so the
+    * double Σ is exact. Closing: (n·(n−1))·E / ((2W)·(SS·n−S²)) — the
+    * long products n·(n−1) and 2W are exact, SS·n−S² is the shared
+    * decimal→double cast, then two IEEE multiplies + one divide.
+    * One row: (n, w, geary_c raw). */
+  def gearyC(l: RasterLayer): DataFrame = {
+    val sq = l.localMap(c => c * c).focal(Neighborhood.Square(1), "Sum")
+      .toCells.withColumnRenamed("v", "sq")
+    val df = withGlobal(l, focalPieces(l).join(sq, Seq("x", "y")))
+    val v2 = col("v") * col("v")
+    val e = (col("k") - lit(1.0)) * v2 -
+      lit(2.0) * col("v") * (col("sw") - col("v")) + (col("sq") - v2)
+    val agg = df.agg(
+      sum(e).as("e"),
+      sum(col("k").cast("long") - lit(1L)).as("w"),
+      max("n").as("n"), max("s").as("s"), max("ss").as("ss"))
+    agg.select(col("n"), col("w"),
+      ((col("n") * (col("n") - lit(1L))).cast("double") * col("e") /
+        ((col("w") * lit(2L)).cast("double") *
+          m2n2(col("n"), col("s"), col("ss")))).as("geary_c"))
+  }
+
+  /** Binary join-count statistics (Cliff & Ord 1981) under 3x3 queen
+    * adjacency: cells are Black when the integral value is odd. Counts
+    * BB / WW / BW adjacencies — each BB edge contributes 1 at both
+    * black ends (halved), each BW edge exactly once from its black
+    * end. Pure integer outputs, zero float anywhere. One row:
+    * (n_black, n_white, bb, ww, bw, joins). */
+  def joinCounts(l: RasterLayer): DataFrame = {
+    val swb = l.localMap(c => pmod(c, lit(2.0)))
+      .focal(Neighborhood.Square(1), "Sum").toCells
+      .withColumnRenamed("v", "swb")
+    val ones = l.localMap(c => when(isnan(c), c).otherwise(lit(1.0)))
+    val k = ones.focal(Neighborhood.Square(1), "Sum").toCells
+      .withColumnRenamed("v", "k")
+    val cells = l.toCells
+      .join(swb, Seq("x", "y")).join(k, Seq("x", "y"))
+      .select(pmod(col("v"), lit(2.0)).cast("long").as("b"),
+        col("swb").cast("long").as("swb"), col("k").cast("long").as("k"))
+    cells.agg(
+      sum(col("b")).as("n_black"),
+      sum(lit(1L) - col("b")).as("n_white"),
+      (sum(col("b") * (col("swb") - col("b"))) / lit(2L)).cast("long").as("bb"),
+      (sum((lit(1L) - col("b")) *
+        (col("k") - col("swb") - (lit(1L) - col("b")))) / lit(2L))
+        .cast("long").as("ww"),
+      sum(col("b") * (col("k") - col("swb"))).as("bw"),
+      (sum(col("k") - lit(1L)) / lit(2L)).cast("long").as("joins"))
+  }
 }

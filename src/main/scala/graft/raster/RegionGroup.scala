@@ -157,6 +157,25 @@ object RegionGroup {
         col("xmin"), col("ymin"), col("xmax"), col("ymax"))
   }
 
+  /** FRAGSTATS class-level landscape metrics (McGarigal & Marks 1995)
+    * over labeled regions: per class — NP (patch count), CA (class
+    * area in cells), LARGEST (largest patch area, the LPI numerator),
+    * EDGE (total edge length in cell sides = Σ patch perimeters; two
+    * same-class patches are never adjacent or they would be one
+    * region, so the class edge IS the perimeter sum), and MPS
+    * micro-quantized as round(CA·10⁶/NP) — one exact multiply and a
+    * single divide. Reuses the [[vectorize]] per-region aggregate;
+    * the rollup state is one row per class. */
+  def landscapeMetrics(labeled: DataFrame): DataFrame =
+    vectorize(labeled).groupBy("cls").agg(
+        count(lit(1)).as("np"),
+        sum("area").as("ca"),
+        max("area").as("largest"),
+        sum("perimeter").as("edge"))
+      .select(col("cls"), col("np"), col("ca"), col("largest"), col("edge"),
+        round((col("ca") * lit(1000000L)).cast("double") /
+          col("np").cast("double")).cast("long").as("mps_u"))
+
   /** Sieve filter (the gdal_sieve / ESRI Nibble-by-majority shape,
     * single pass): every region smaller than `minSize` cells has its
     * cells reclassified to the class of its LARGEST 4-adjacent region

@@ -43,6 +43,52 @@ object PointStats {
         (col("sdv2").cast("double") / (lit(2.0) * col("n_pairs"))).as("gamma"))
   }
 
+  /** Ripley's K at a fixed radius ladder (Ripley 1977, border-
+    * uncorrected estimator): k_r = #ORDERED pairs (i≠j) with d² ≤ r²,
+    * K̂(r) = A·k_r / (n·(n−1)).
+    *
+    * Pair generation is blocked by a coarse bucket of edge r_max: each
+    * candidate point is exploded into its 3×3 bucket neighborhood and
+    * equi-joined on the bucket key, so only near pairs ever enter the
+    * join — the 100 TB shape (the oracle's all-pairs join is the
+    * sf-bounded restatement). d² is an exact integer (half-integer
+    * coords cancel), counts are exact Longs, and each K̂ closes with
+    * one exact integer multiply + a single IEEE divide on exact
+    * operands — raw doubles out, micro-quantized in the query twin.
+    *
+    * @return one row: (n, k{r}... BIGINT, kh{r}... raw double) */
+  def ripleyK(pts: DataFrame, radii: Seq[Int] = Seq(4, 8, 16, 32),
+              area: Long = 65536L): DataFrame = {
+    require(radii.nonEmpty && radii.forall(_ > 0), "radii must be positive")
+    val rmax = radii.max
+    val a = pts.select(col("pid").as("i"), col("px").as("ax"), col("py").as("ay"))
+      .withColumn("bx", floor(col("ax") / rmax).cast("long"))
+      .withColumn("by", floor(col("ay") / rmax).cast("long"))
+    val nbrBuckets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val b = pts.select(col("pid").as("j"), col("px").as("jx"), col("py").as("jy"))
+      .select(col("j"), col("jx"), col("jy"),
+        explode(array(nbrBuckets.map { case (dx, dy) =>
+          struct((floor(col("jx") / rmax).cast("long") + dx).as("bx"),
+            (floor(col("jy") / rmax).cast("long") + dy).as("by"))
+        }: _*)).as("nb"))
+      .select(col("j"), col("jx"), col("jy"),
+        col("nb.bx").as("bx"), col("nb.by").as("by"))
+    val d2 = (col("ax") - col("jx")) * (col("ax") - col("jx")) +
+      (col("ay") - col("jy")) * (col("ay") - col("jy"))
+    val pairs = a.join(b, Seq("bx", "by"))
+      .where(col("i") =!= col("j") && d2 <= lit(rmax * rmax))
+      .select(d2.as("d2"))
+    val countCols = radii.map(r =>
+      sum(when(col("d2") <= lit(r * r), 1L).otherwise(0L)).as(s"k$r"))
+    val counts = pairs.agg(countCols.head, countCols.tail: _*)
+    val n = pts.agg(count(lit(1)).cast("long").as("n"))
+    val khCols = radii.map(r =>
+      ((col(s"k$r") * lit(area)).cast("double") /
+        (col("n") * (col("n") - lit(1L))).cast("double")).as(s"kh$r"))
+    counts.crossJoin(broadcast(n))
+      .select(col("n") +: radii.map(r => col(s"k$r")) ++: khCols: _*)
+  }
+
   /** Clark & Evans 1954 index R = observed mean NN distance / expected
     * under CSR (0.5·sqrt(area/n)); R < 1 clustered, > 1 dispersed.
     * Mean NN distance accumulates micro-quantized terms (exact Longs)

@@ -274,6 +274,18 @@ class LibmBoundarySpec extends SparkSpec {
     assertFar("hotspot moran*1e5", moArgs, fourUlps)
   }
 
+  test("global Moran/Geary micro-quantization arguments (×1e6 scalars)") {
+    // Single-row closings; |value| ≲ 1 so the ×1e6 argument is ~1e5-
+    // magnitude and the default micro-unit gate applies directly.
+    val layer = GridSource.lineitemLayer(spark, dir)
+    val gm = graft.raster.Hotspot.globalMoran(layer)
+      .select((col("moran_i") * 1000000.0).as("a")).as[Double].collect().toSeq
+    val gc = graft.raster.Hotspot.gearyC(layer)
+      .select((col("geary_c") * 1000000.0).as("a")).as[Double].collect().toSeq
+    assertFar("global moran*1e6", gm)
+    assertFar("geary c*1e6", gc)
+  }
+
   test("bm25 idf arguments for the fixed query-term set") {
     val ws = docs.select(col("doc_id"),
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))

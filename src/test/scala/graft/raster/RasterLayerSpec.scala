@@ -1014,6 +1014,68 @@ class RasterLayerSpec extends SparkSpec {
     assert(mor(0L) > 0 == (moran(10.0, 12.0, 2.0) > 0))
   }
 
+  test("global autocorrelation: Moran/Geary/join counts on the strip") {
+    // same 4-cell strip: n=4, S=18, SS=124, x̄=4.5, Σz²=43, W=6
+    val l = layer((0, 0, 10.0), (1, 0, 2.0), (2, 0, 2.0), (3, 0, 4.0))
+    // Σ zᵢ·(nbr z sum) = 5.5·(−2.5) − 2.5·3 − 2.5·(−3) − 0.5·(−2.5) = −12.5
+    val gm = Hotspot.globalMoran(l).as[(Long, Long, Double)].head()
+    assert(gm._1 == 4L && gm._2 == 6L)
+    assert(math.abs(gm._3 - (4.0 * -12.5) / (6.0 * 43.0)) < 1e-12)
+    // Σ w(xᵢ−xⱼ)² = 2·64 + 2·0 + 2·4 = 136; C = 3·136/(12·43)
+    val gc = Hotspot.gearyC(l).as[(Long, Long, Double)].head()
+    assert(gc._1 == 4L && gc._2 == 6L)
+    assert(math.abs(gc._3 - 408.0 / 516.0) < 1e-12)
+    // parities B,W,B,W: all three adjacencies are BW
+    val j1 = Hotspot.joinCounts(
+      layer((0, 0, 3.0), (1, 0, 2.0), (2, 0, 5.0), (3, 0, 4.0)))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(j1 == ((2L, 2L, 0L, 0L, 3L, 3L)))
+    // parities B,B,W,W: one BB, one BW, one WW
+    val j2 = Hotspot.joinCounts(
+      layer((0, 0, 3.0), (1, 0, 5.0), (2, 0, 2.0), (3, 0, 4.0)))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(j2 == ((2L, 2L, 1L, 1L, 1L, 3L)))
+  }
+
+  test("GLCM: pooled symmetric pair counts + Haralick numerators") {
+    // 2x2 block (values 1,2 / 2,3): every cell queen-adjacent to every
+    // other -> 12 ordered pairs
+    val l = layer((0, 0, 1.0), (1, 0, 2.0), (0, 1, 2.0), (1, 1, 3.0))
+    val m = Texture.glcm(l).as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(m == Map((1L, 2L) -> 2L, (2L, 1L) -> 2L, (1L, 3L) -> 1L,
+      (3L, 1L) -> 1L, (2L, 2L) -> 2L, (2L, 3L) -> 2L, (3L, 2L) -> 2L))
+    val st = Texture.glcmStats(l)
+      .as[(Long, Long, Long, Long, Long)].head()
+    // contrast 16, dissim 12, asm 22, pairs 12, homog 6.4e6
+    assert(st == ((16L, 12L, 22L, 12L, 6400000L)))
+  }
+
+  test("landscapeMetrics: FRAGSTATS class rollup of vectorize") {
+    // cls 1: patches {(0,0),(1,0)} and {(3,0)}; cls 2: {(0,2)}
+    val lab = Seq((0L, 0L, 1L, 0L), (1L, 0L, 1L, 0L), (3L, 0L, 1L, 3L),
+      (0L, 2L, 2L, 512L)).toDF("x", "y", "cls", "region")
+    val out = RegionGroup.landscapeMetrics(lab)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // cls 1: np=2 ca=3 largest=2 edge=6+4=10 mps=1.5e6
+    assert(out(1L) == ((2L, 3L, 2L, 10L, 1500000L)))
+    assert(out(2L) == ((1L, 1L, 1L, 4L, 1000000L)))
+  }
+
+  test("ripleyK: exact pair counts across bucket borders") {
+    // d²: p1-p2=9 (k4), p1-p3=81 and p2-p3=90 (k16), p2-p4=900
+    // (k32, crosses the rmax=32 bucket border), p1-p4=1089 (out)
+    val pts = Seq((1L, 0.5, 0.5), (2L, 3.5, 0.5), (3L, 0.5, 9.5),
+      (4L, 33.5, 0.5)).toDF("pid", "px", "py")
+    val r = graft.vector.PointStats.ripleyK(pts)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double, Double)]
+      .head()
+    assert((r._1, r._2, r._3, r._4, r._5) == ((4L, 2L, 2L, 6L, 8L)))
+    assert(math.abs(r._6 - 2.0 * 65536 / 12) < 1e-9)   // kh4
+    assert(math.abs(r._9 - 8.0 * 65536 / 12) < 1e-9)   // kh32
+  }
+
   test("cutFill: sign classes with exact volumes") {
     val a = layer((0, 0, 5.0), (1, 0, 2.0), (2, 0, 7.0), (3, 0, 7.0))
     val b = layer((0, 0, 3.0), (1, 0, 6.0), (2, 0, 7.0), (3, 0, 1.0))
