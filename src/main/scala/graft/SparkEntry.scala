@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.core.{CRS, Geohash, ZIndex}
-import graft.raster.{CellOp, Compare, Contour, Distance, FocalOp, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, Pyramid, RasterLayer, Reproject, Resample, TimeSeries, ZFactor, ZonalOps}
+import graft.raster.{CellOp, Compare, Contour, Distance, FocalOp, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, NetCdf, Pyramid, RasterLayer, Reproject, Resample, TimeSeries, ZFactor, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
 
@@ -48,6 +48,14 @@ object SparkEntry {
 
   /** Query-term set for q_bm25 (words from the synthetic vocabulary). */
   private[graft] val Bm25Terms = Seq("table", "spark", "window", "hash", "stream")
+
+  /** Blocklist for q_blocklist — lowercase, self-border-free (so the
+    * Aho-Corasick total count equals the oracle's replace-and-measure
+    * non-overlapping count); includes nested terms ("table" inside
+    * "table value") to exercise the automaton's suffix outputs. */
+  private[graft] val BlocklistTerms = Seq(
+    "table", "table value", "fast", "fast table", "scan query",
+    "stream", "window spark", "merge batch")
 
   /** Shared dedup intermediates, materialized once per (session, sf)
     * — a real pipeline derives the MinHash pair graph and its
@@ -400,6 +408,27 @@ object SparkEntry {
       // Haralick texture summary: exact integer numerators + the
       // per-term micro-quantized homogeneity
       graft.raster.Texture.glcmStats(lineitemLayer(s, dir))),
+
+    "q_box_count" -> ((s, dir) =>
+      // box-counting occupancy series (odd-valued cells) at scales
+      // 1/2/4/8/16 — exact integer box counts
+      graft.raster.Texture.boxCounts(lineitemLayer(s, dir))),
+
+    "q_combine" -> ((s, dir) =>
+      // ArcGIS Combine: unique (v1 mod 7, v2 mod 5) combination table
+      // of the lineitem and orders grids, deterministic combo ids
+      Compare.combine(
+        lineitemLayer(s, dir).localMap(c => pmod(c, lit(7.0))),
+        ordersLayer(s, dir).localMap(c => pmod(c, lit(5.0))))),
+
+    "q_hypsometric" -> ((s, dir) => {
+      // hypsometric integral per returnflag zone: exact zone moments,
+      // one micro-quantized ratio
+      val zones = RasterLayer.fromCells(
+        zoneCells(s, dir).select(col("x"), col("y"),
+          ascii(col("zone")).cast("double").as("v")), layout)
+      ZonalOps.hypsometric(lineitemLayer(s, dir), zones)
+    }),
 
     "q_ripley" -> ((s, dir) => {
       // Ripley's K pair counts at radii 4/8/16/32 over the supplier
@@ -1308,6 +1337,43 @@ object SparkEntry {
         .tileToLayoutTemporal(l.meta.layout, CellOp.Max).toCells
     }),
 
+    "q_netcdf_roundtrip" -> ((s, dir) => {
+      // native CDF-1 codec: encode every tile as a classic-format
+      // NetCDF scene (double var + extent attrs), decode distributed,
+      // re-cut to the layout — identity on the grid
+      val l = lineitemLayer(s, dir)
+      val lr = l.meta.layout.tileLayout.layoutRows
+      val scenes = NetCdf.toNetCdf(l)
+        .select((col("col").cast("long") * lr + col("row")).as("scene_id"), col("nc"))
+      NetCdf.fromNetCdf(scenes).tileToLayout(l.meta.layout, CellOp.Max).toCells
+    }),
+
+    "q_netcdf_temporal" -> ((s, dir) => {
+      // record-dimension ingest: each tile rides one record whose time
+      // coordinate is the q_geotiff_temporal instant arithmetic;
+      // decode explodes records into stamped scenes, tiled temporally
+      val l = lineitemLayer(s, dir)
+      val lay = l.meta.layout
+      val tl = lay.tileLayout
+      val lr = tl.layoutRows
+      import s.implicits._
+      val scenes = l.df.select(col("col"), col("row"), col("tile"))
+        .as[(Int, Int, Seq[Double])]
+        .map { case (c, r, tile) =>
+          val id = c.toLong * lr + r
+          val xmin = lay.extent.xmin + c.toLong * tl.tileCols * lay.cellWidth
+          val ymax = lay.extent.ymax - r.toLong * tl.tileRows * lay.cellHeight
+          (id, NetCdf.encodeScenes(
+            Array(86400L * (20000 + id)), Array(tile.toArray),
+            tl.tileCols, tl.tileRows,
+            xmin, ymax - tl.tileRows * lay.cellHeight,
+            xmin + tl.tileCols * lay.cellWidth, ymax))
+        }
+        .toDF("scene_id", "nc")
+      NetCdf.fromNetCdfTemporal(scenes)
+        .tileToLayoutTemporal(lay, CellOp.Max).toCells
+    }),
+
     "q_catalog_query" -> ((s, dir) => {
       val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
       Catalog.write(uri, "lineitem_q", lineitemLayer(s, dir), zoom = 4)
@@ -1680,6 +1746,21 @@ object SparkEntry {
 
     "q_dedup_minhash" -> ((s, dir) =>
       pipeline.Dedup.minhashPairs(table(s, dir, "documents"))),
+
+    "q_minhash_eval" -> ((s, dir) =>
+      // estimator audit: signature agreement vs EXACT shingle Jaccard
+      // on every (floor-free) LSH candidate pair
+      pipeline.Dedup.minhashEval(table(s, dir, "documents"))),
+
+    "q_cdc_dedup" -> ((s, dir) =>
+      // content-defined chunking: rolling-boundary chunks + cross-doc
+      // duplicated-chunk instance counts
+      pipeline.Dedup.cdcChunks(table(s, dir, "documents"))),
+
+    "q_blocklist" -> ((s, dir) =>
+      // fused Aho-Corasick blocklist scan (native codegen expression)
+      pipeline.TextAnalysis.blocklistScan(
+        table(s, dir, "documents"), BlocklistTerms)),
 
     "q_dedup_clusters" -> ((s, dir) =>
       // duplicate families: connected components (large-star/small-
@@ -3045,6 +3126,34 @@ object SparkEntry {
            |  CAST(sum(CAST(round(CAST(cnt * 1000000 AS DOUBLE) / CAST(1 + (gi - gj) * (gi - gj) AS DOUBLE)) AS BIGINT)) AS BIGINT) AS homogeneity_u
            |FROM m""".stripMargin,
 
+      // box-counting occupancy: odd cells, distinct boxes per scale
+      "q_box_count" -> {
+        val perScale = Seq(1, 2, 4, 8, 16).map(sc =>
+          s"SELECT CAST($sc AS INT) AS scale, CAST(count(*) AS BIGINT) AS n_boxes FROM (SELECT DISTINCT x // $sc AS a, y // $sc AS b FROM occ)")
+          .mkString("\n  UNION ALL ")
+        s"""WITH occ AS (SELECT x, y FROM ($grid) WHERE CAST(v AS BIGINT) % 2 = 1)
+           |$perScale""".stripMargin
+      },
+
+      // ArcGIS Combine attribute table: combo ids dense-ranked by the
+      // (v1, v2) pair — deterministic in both engines
+      "q_combine" ->
+        s"""WITH j AS (SELECT CAST(CAST(a.v AS BIGINT) % 7 AS DOUBLE) AS v1,
+           |             CAST(CAST(b.v AS BIGINT) % 5 AS DOUBLE) AS v2
+           |           FROM ($grid) a JOIN ($ogrid) b ON a.x = b.x AND a.y = b.y),
+           |t AS (SELECT v1, v2, count(*) AS cnt FROM j GROUP BY 1, 2)
+           |SELECT CAST(row_number() OVER (ORDER BY v1, v2) AS BIGINT) AS combo, v1, v2, cnt FROM t""".stripMargin,
+
+      // hypsometric integral: exact zone moments, one quantized ratio
+      "q_hypsometric" ->
+        s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid)),
+           |a AS (SELECT CAST(z.zone AS BIGINT) AS zone, CAST(count(*) AS BIGINT) AS n,
+           |        sum(g.v) AS vsum, min(g.v) AS vmin, max(g.v) AS vmax
+           |      FROM ($grid) g JOIN z ON g.x = z.x AND g.y = z.y GROUP BY 1)
+           |SELECT zone, n, vmin, vmax,
+           |  CASE WHEN vmax > vmin THEN CAST(round((vsum - n * vmin) * CAST(1000000 AS DOUBLE) / (n * (vmax - vmin))) AS BIGINT) END AS hi_u
+           |FROM a""".stripMargin,
+
       // Ripley's K: the engine blocks pairs by an r_max bucket; the
       // oracle restates as the sf-bounded all-pairs join. d² is an
       // exact integer; K̂ = A·k/(n(n−1)) micro-quantized ×1e4
@@ -4254,6 +4363,18 @@ object SparkEntry {
            |  v FROM ($grid)""".stripMargin
       },
 
+      // CDF-1 roundtrip is the identity on the grid; the temporal twin
+      // restates the record time coordinate with the q_geotiff_temporal
+      // instant arithmetic
+      "q_netcdf_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
+
+      "q_netcdf_temporal" -> {
+        val t = layout.tileLayout
+        s"""SELECT x, y,
+           |  CAST(86400 * (20000 + (x // ${t.tileCols}) * ${t.layoutRows} + y // ${t.tileRows}) AS BIGINT) AS instant,
+           |  v FROM ($grid)""".stripMargin
+      },
+
       "q_catalog_query" ->
         s"SELECT x, y, v FROM ($grid) WHERE x >= 64 AND x < 192 AND y < 128",
 
@@ -4744,6 +4865,58 @@ object SparkEntry {
            |SELECT d1, d2, CAST($minhashSimExpr AS DOUBLE) / 16 AS est_sim
            |FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id
            |WHERE CAST($minhashSimExpr AS DOUBLE) / 16 >= 0.5""".stripMargin,
+
+      // estimator audit: agreement count (no floor) + exact Jaccard
+      // from the same shingle CTE the signatures derive from
+      "q_minhash_eval" ->
+        s"""WITH $minhashCtes,
+           |est AS (SELECT d1, d2, CAST($minhashSimExpr AS BIGINT) AS est_matches
+           |        FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id),
+           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+           |itr AS (SELECT e.d1, e.d2, CAST(count(*) AS BIGINT) AS inter
+           |        FROM est e JOIN sh a ON a.doc_id = e.d1 JOIN sh b ON b.doc_id = e.d2 AND b.h = a.h
+           |        GROUP BY 1, 2)
+           |SELECT e.d1, e.d2, e.est_matches,
+           |  coalesce(i.inter, 0) AS inter,
+           |  sa.sz + sb.sz - coalesce(i.inter, 0) AS uni,
+           |  CAST(round(CAST(coalesce(i.inter, 0) * 1000000 AS DOUBLE) / CAST(sa.sz + sb.sz - coalesce(i.inter, 0) AS DOUBLE)) AS BIGINT) AS jac_u
+           |FROM est e
+           |JOIN sz sa ON sa.doc_id = e.d1
+           |JOIN sz sb ON sb.doc_id = e.d2
+           |LEFT JOIN itr i ON i.d1 = e.d1 AND i.d2 = e.d2""".stripMargin,
+
+      // CDC: boundary AFTER token p when the 3-gram hash % 16 == 0;
+      // chunk id = prefix sum of boundary flags; chunk key = 60-bit
+      // hash of the ORDER BY pos joined chunk text
+      "q_cdc_dedup" ->
+        """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+          |tk AS (SELECT doc_id, unnest(range(len(toks))) AS p0, toks FROM t WHERE len(toks) >= 1 AND len(toks) < 1048576),
+          |r AS (SELECT doc_id, CAST(p0 AS BIGINT) AS pos, toks[p0 + 1] AS tok,
+          |        CASE WHEN p0 <= len(toks) - 3 AND ('0x' || substr(md5(array_to_string(toks[p0+1:p0+3], ' ')), 1, 15))::BIGINT % 16 = 0 THEN 1 ELSE 0 END AS flag
+          |      FROM tk),
+          |c AS (SELECT doc_id, pos, tok,
+          |        coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ch
+          |      FROM r),
+          |ck AS (SELECT doc_id, ch, ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 15))::BIGINT AS ckey
+          |       FROM c GROUP BY 1, 2),
+          |fq AS (SELECT ckey, count(DISTINCT doc_id) AS dfd FROM ck GROUP BY 1),
+          |pd AS (SELECT ck.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+          |         CAST(sum(CASE WHEN dfd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+          |       FROM ck JOIN fq USING (ckey) GROUP BY 1)
+          |SELECT d.doc_id, coalesce(pd.n_chunks, 0) AS n_chunks, coalesce(pd.n_dup, 0) AS n_dup
+          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+      // per-term replace-and-measure counts — equal to the engine's
+      // one-pass Aho-Corasick totals because every term is
+      // self-border-free (non-overlapping == total occurrences)
+      "q_blocklist" -> {
+        val values = BlocklistTerms.map(t => s"('$t')").mkString(", ")
+        s"""WITH terms(term) AS (VALUES $values),
+           |c AS (SELECT d.doc_id, t.term,
+           |        CAST((length(lower(d.text)) - length(replace(lower(d.text), t.term, ''))) // length(t.term) AS BIGINT) AS cnt
+           |      FROM documents d CROSS JOIN terms t)
+           |SELECT doc_id, term, cnt FROM c WHERE cnt > 0""".stripMargin
+      },
 
       // same LSH pair graph, closed transitively (recursive CTE);
       // component = min reachable doc_id, singletons map to themselves

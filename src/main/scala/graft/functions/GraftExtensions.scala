@@ -33,6 +33,9 @@ object GraftExtensions {
   // object parameter (rides codegen as a reference object), so there is
   // no SQL-literal form to build it from — it is Column-API-only via
   // TileMaskExpr.maskTileGrid/maskTileWorld.
+  // TermScanExpr likewise: the term list is a JVM constructor
+  // parameter (the compiled Aho-Corasick automaton rides codegen as a
+  // reference object) — Column-API-only via TermScanExpr.termScan.
   val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("tile_stats",
       new ExpressionInfo(classOf[TileStatsExpr].getName, "tile_stats"),

@@ -485,6 +485,95 @@ object Dedup {
       .where(col("est_sim") >= minEstSim)
   }
 
+  /** MinHash estimator EVALUATION: every LSH candidate pair with (a)
+    * its signature agreement count (the estimator numerator, no
+    * est-sim floor so misses are visible) and (b) the EXACT
+    * shingle-set Jaccard — the per-corpus audit of how faithful the
+    * k-component signature is before trusting its threshold.
+    *
+    * Scale: candidates come from the banded index (hot-bucket capped,
+    * never all-pairs); the exact side joins each candidate against the
+    * two docs' pinned shingle sets — work is Σ_pairs |shingles(d)|,
+    * proportional to the candidate count the LSH already bounded.
+    * All counts exact Longs; jac_u = round(inter·10⁶/union). */
+  def minhashEval(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                  shingleK: Int = 5): DataFrame = {
+    val est = minhashPairs(docs, k, bands, minEstSim = 0.0)
+      .select(col("d1"), col("d2"),
+        round(col("est_sim") * k).cast("long").as("est_matches"))
+      .localCheckpoint() // three consumers below
+    val sh = hashedShingles(docs, shingleK).localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = est.select("d1", "d2")
+      .join(sh.as("ha"), col("d1") === col("ha.doc_id"))
+      .join(sh.as("hb"),
+        col("d2") === col("hb.doc_id") && col("ha.h") === col("hb.h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    est
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .join(inter, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"), col("est_matches"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("sz1") + col("sz2") - coalesce(col("inter"), lit(0L))).as("uni"))
+      .withColumn("jac_u",
+        round((col("inter") * lit(1000000L)).cast("double") /
+          col("uni").cast("double")).cast("long"))
+  }
+
+  /** Content-defined chunking dedup (the rsync/LBFS rolling-boundary
+    * idea at token granularity, FastCDC's gear test restated on the
+    * portable shingle hash): a chunk boundary falls AFTER token p when
+    * H(toks[p..p+k−1]) mod `modulus` == 0; chunks are the token runs
+    * between boundaries and the chunk key is the 60-bit hash of the
+    * joined chunk text. Per doc: chunk count + how many of its chunk
+    * INSTANCES also occur in another document — the shift-robust
+    * duplicated-content measure (an insertion moves every fixed-size
+    * block boundary but only the containing CDC chunk).
+    *
+    * Scale: one tokenize pass computes per-position boundary flags
+    * inside the token array (no second explode), the prefix-sum runs
+    * per-doc (bounded by doc length), and the cross-doc frequency is
+    * a chunk-hash groupBy with map-side combine. Docs over 2^20
+    * tokens are excluded (the winnowing bound, mirrored in the
+    * oracle); empty docs report 0/0. */
+  def cdcChunks(docs: DataFrame, k: Int = 3, modulus: Int = 16): DataFrame = {
+    val posM = 1L << 20
+    val toksC = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val flags = when(size(col("toks")) >= k,
+      transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => when(shingleHash(concat_ws(" ", slice(col("toks"), i, lit(k))))
+          % modulus === 0, 1L).otherwise(0L)))
+      .otherwise(typedLit(Seq.empty[Long]))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Long.MinValue, -1)
+    val chunks = docs.select(col("doc_id"), toksC.as("toks"))
+      .where(size(col("toks")) >= 1 && size(col("toks")) < posM)
+      .select(col("doc_id"), col("toks"), flags.as("flags"))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("toks"), col("flags"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.toks").as("tok"),
+        coalesce(col("col.flags"), lit(0L)).as("flag"))
+      .withColumn("ch", coalesce(sum(col("flag")).over(byDoc), lit(0L)))
+      .groupBy("doc_id", "ch")
+      .agg(shingleHash(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")))).as("ckey"))
+      .localCheckpoint() // consumed by the frequency agg AND the join
+    val docFreq = chunks.groupBy("ckey")
+      .agg(countDistinct("doc_id").as("dfd"))
+    val perDoc = chunks.join(docFreq, Seq("ckey"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dfd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
+
   /** SimHash signature from token counts (sign of per-bit weighted
     * sum). 60 bits — the widest signature that stays positive in a
     * signed 64-bit value from the portable 15-hex-char md5 prefix

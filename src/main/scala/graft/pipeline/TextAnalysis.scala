@@ -913,6 +913,25 @@ object TextAnalysis {
           .as("mean_nll"))
   }
 
+  /** Blocklist term scan: per-doc occurrence counts of a fixed term
+    * set in ONE fused Aho-Corasick pass (a codegen'd native
+    * expression) instead of k independent substring scans — the
+    * at-scale shape for contamination/abuse-term filtering where the
+    * list has hundreds of entries. Terms must be lowercase and
+    * self-border-free (no proper prefix == suffix) so the total count
+    * equals the oracle's replace-and-measure non-overlapping count.
+    * Output: (doc_id, term, cnt) for cnt > 0 only. */
+  def blocklistScan(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.forall(t => t == t.toLowerCase), "terms must be lowercase")
+    docs.select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graft.TermScanExpr
+          .termScan(lower(col("text")), terms)))
+      .where(col("col") > 0)
+      .select(col("doc_id"),
+        element_at(typedLit(terms), col("pos") + 1).as("term"),
+        col("col").as("cnt"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 3, minTermLen: Int = 3): DataFrame = {
     // tf computed once, eagerly: df and the join both consume it, and
     // a lazy plan would re-run the explode+regexp scan per branch

@@ -233,4 +233,19 @@ object Compare {
         (col("vb").cast("double") * lit(cellArea)).as("vol_below"),
         col("cells_above"), col("cells_below"))
   }
+
+  /** ArcGIS Combine: the unique-combination attribute table of two
+    * co-registered layers. Combo ids are dense-ranked by (v1, v2) so
+    * the labeling is deterministic and engine-restatable; the per-cell
+    * combo raster is one broadcast join away and never materializes
+    * here. The window runs on the AGGREGATED table — its size is the
+    * number of distinct value pairs, not cells. */
+  def combine(a: RasterLayer, b: RasterLayer): DataFrame = {
+    val pairs = a.toCells.withColumnRenamed("v", "v1")
+      .join(b.toCells.withColumnRenamed("v", "v2"), Seq("x", "y"))
+      .groupBy("v1", "v2").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v1", "v2")
+    pairs.withColumn("combo", row_number().over(w).cast("long"))
+      .select(col("combo"), col("v1"), col("v2"), col("cnt"))
+  }
 }

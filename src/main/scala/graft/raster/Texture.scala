@@ -41,6 +41,19 @@ object Texture {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Box-counting occupancy series (the raw data of the box-counting
+    * fractal dimension, Mandelbrot 1982): a cell is occupied when its
+    * integral value is odd; n_boxes(s) = #distinct s×s boxes holding
+    * an occupied cell. The log-log slope fit is left to the caller —
+    * the series itself is exact integers. One explode-by-scale + one
+    * two-column distinct aggregate (map-side combined). */
+  def boxCounts(l: RasterLayer, scales: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame =
+    l.toCells.where(pmod(col("v").cast("long"), lit(2L)) === 1)
+      .select(explode(typedLit(scales)).as("scale"), col("x"), col("y"))
+      .groupBy("scale")
+      .agg(countDistinct(floor(col("x") / col("scale")).cast("long"),
+        floor(col("y") / col("scale")).cast("long")).as("n_boxes"))
+
   /** Haralick summary over the pooled matrix, one row:
     * contrast_num = Σ c·(i−j)², dissim_num = Σ c·|i−j|,
     * asm_num = Σ c² (energy numerator; ASM = asm_num/n_pairs²),

@@ -727,4 +727,21 @@ object ZonalOps {
       .select(col("pid"), element_at(col("tile"), col("off") + 1).as("v"))
       .where(!isnan(col("v")))
   }
+
+  /** Hypsometric integral per zone (elevation-relief ratio, Pike &
+    * Wilson 1971): HI = (mean − min)/(max − min), the landform-
+    * maturity index. Exact integer zone moments close as ONE
+    * micro-quantized ratio round((Σv − n·min)·10⁶ / (n·(max − min)));
+    * flat zones (max == min) report NULL. Same co-keyed cell join +
+    * map-side zone aggregate as zonalStats. */
+  def hypsometric(values: RasterLayer, zones: RasterLayer): DataFrame =
+    values.toCells
+      .join(zones.toCells.withColumnRenamed("v", "zone"), Seq("x", "y"))
+      .groupBy(col("zone").cast("long").as("zone"))
+      .agg(count(lit(1)).as("n"), sum("v").as("vsum"),
+        min("v").as("vmin"), max("v").as("vmax"))
+      .select(col("zone"), col("n"), col("vmin"), col("vmax"),
+        when(col("vmax") > col("vmin"),
+          round((col("vsum") - col("n") * col("vmin")) * lit(1000000.0) /
+            (col("n") * (col("vmax") - col("vmin")))).cast("long")).as("hi_u"))
 }

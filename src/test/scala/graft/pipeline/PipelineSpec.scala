@@ -34,6 +34,57 @@ class PipelineSpec extends SparkSpec {
     assert(rows(0) == rows(1))
   }
 
+  test("minhashEval: exact dup scores 16/16 with Jaccard 1.0") {
+    val out = Dedup.minhashEval(docs, k = 16, bands = 4, shingleK = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    val (est, inter, uni, jac) = out((1L, 2L))
+    assert(est == 16L && inter == uni && jac == 1000000L)
+    // near dup (1,3): estimator can miss components but exact Jaccard
+    // must be strictly between 0 and 1
+    out.get((1L, 3L)).foreach { case (_, i, u, j) =>
+      assert(i > 0 && i < u && j > 0 && j < 1000000L)
+    }
+  }
+
+  test("cdcChunks: identical docs share every chunk, unique docs none") {
+    val out = Dedup.cdcChunks(docs).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 5)
+    val (n1, d1) = out(1L); val (n2, d2) = out(2L)
+    assert(n1 >= 1 && (n1, d1) == ((n2, d2)) && d1 == n1) // all chunks shared
+    assert(out(5L)._2 == 0L) // german text shares nothing
+    // chunk counts partition the tokens: every doc has >= 1 chunk
+    assert(out.values.forall(_._1 >= 1))
+  }
+
+  test("blocklistScan: Aho-Corasick counts match naive substring counts") {
+    val terms = Seq("quick", "lazy dog", "again", "und")
+    def naive(text: String, t: String): Long = {
+      var c = 0L; var i = text.indexOf(t)
+      while (i >= 0) { c += 1; i = text.indexOf(t, i + 1) }
+      c
+    }
+    val out = TextAnalysis.blocklistScan(docs, terms)
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    for ((id, text) <- texts; t <- terms) {
+      val expect = naive(text.toLowerCase, t)
+      assert(out.getOrElse((id, t), 0L) == expect,
+        s"doc $id term '$t': got ${out.getOrElse((id, t), 0L)}, want $expect")
+    }
+    assert(out((5L, "und")) == 4L) // hund, und, freunde, und
+  }
+
+  test("AhoCorasick automaton: nested and overlapping patterns") {
+    val ac = new org.apache.spark.sql.graft.AhoCorasick(
+      Array("ab", "abc", "c", "aa"))
+    assert(ac.scan("abcab").toSeq == Seq(2L, 1L, 1L, 0L))
+    assert(ac.scan("aaaa").toSeq == Seq(0L, 0L, 0L, 3L)) // overlapping aa
+    assert(ac.scan("").toSeq == Seq(0L, 0L, 0L, 0L))
+  }
+
   test("minhash LSH pairs catch the exact dup") {
     val pairs = Dedup.minhashPairs(docs, k = 16, bands = 4, minEstSim = 0.5)
       .select("d1", "d2").as[(Long, Long)].collect().toSet

@@ -1076,6 +1076,33 @@ class RasterLayerSpec extends SparkSpec {
     assert(math.abs(r._9 - 8.0 * 65536 / 12) < 1e-9)   // kh32
   }
 
+  test("boxCounts: occupied-box ladder on a sparse pattern") {
+    // occupied (odd) at (0,0), (1,1), (5,5)
+    val l = layer((0, 0, 1.0), (1, 1, 3.0), (5, 5, 7.0), (2, 2, 4.0))
+    val out = Texture.boxCounts(l, Seq(1, 2, 4, 8))
+      .as[(Int, Long)].collect().toMap
+    assert(out == Map(1 -> 3L, 2 -> 2L, 4 -> 2L, 8 -> 1L))
+  }
+
+  test("combine: deterministic combination table over the cell join") {
+    val a = layer((0, 0, 1.0), (1, 0, 2.0), (2, 0, 1.0))
+    val b = layer((0, 0, 5.0), (1, 0, 5.0), (2, 0, 5.0), (3, 0, 9.0))
+    val out = Compare.combine(a, b)
+      .as[(Long, Double, Double, Long)].collect().toSet
+    assert(out == Set((1L, 1.0, 5.0, 2L), (2L, 2.0, 5.0, 1L)))
+  }
+
+  test("hypsometric integral: exact ratio, NULL on flat zones") {
+    val v = layer((0, 0, 2.0), (1, 0, 4.0), (2, 0, 6.0), (5, 0, 3.0))
+    val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 7.0), (5, 0, 8.0))
+    val out = ZonalOps.hypsometric(v, z)
+      .as[(Long, Long, Double, Double, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // zone 7: (12 - 3*2)*1e6 / (3*(6-2)) = 500000
+    assert(out(7L) == ((3L, 2.0, 6.0, Some(500000L))))
+    assert(out(8L) == ((1L, 3.0, 3.0, None)))
+  }
+
   test("cutFill: sign classes with exact volumes") {
     val a = layer((0, 0, 5.0), (1, 0, 2.0), (2, 0, 7.0), (3, 0, 7.0))
     val b = layer((0, 0, 3.0), (1, 0, 6.0), (2, 0, 7.0), (3, 0, 1.0))
