@@ -399,6 +399,31 @@ object SparkEntry {
       // adjacency — all-integer outputs, no float anywhere
       graft.raster.Hotspot.joinCounts(lineitemLayer(s, dir))),
 
+    "q_local_geary" -> ((s, dir) =>
+      // Anselin LISA local Geary c, micro-quantized like the other
+      // hotspot closings
+      graft.raster.Hotspot.localGeary(lineitemLayer(s, dir))
+        .select(col("x"), col("y"),
+          round(col("geary_i") * lit(100000.0)).cast("long").as("geary_i"))),
+
+    "q_quadrat" -> ((s, dir) =>
+      // quadrat-count CSR dispersion test over the supplier points:
+      // exact integer moments, VMR micro-quantized ×1e6
+      graft.vector.PointStats.quadratVmr(supplierPoints(s, dir))),
+
+    "q_lisa_quadrant" -> ((s, dir) =>
+      // Moran-scatterplot quadrant labels (HH/LH/LL/HL) — exact
+      // integer signs, no quantization at all
+      graft.raster.Hotspot.lisaQuadrants(lineitemLayer(s, dir))),
+
+    "q_moran_bv" -> ((s, dir) =>
+      // bivariate Moran's I of lineitem vs the orders lag on the
+      // common support, ×1e6
+      graft.raster.Hotspot.bivariateMoran(
+        lineitemLayer(s, dir), ordersLayer(s, dir))
+        .select(col("n"), col("w"),
+          round(col("moran_bv") * lit(1000000.0)).cast("long").as("moran_bv"))),
+
     "q_glcm" -> ((s, dir) =>
       // pooled symmetric gray-level co-occurrence matrix, 16 levels,
       // queen adjacency — pure integer pair counts
@@ -3099,6 +3124,74 @@ object SparkEntry {
            |  CAST(sum(b * (k - swb)) AS BIGINT) AS bw,
            |  CAST(sum(k - 1) // 2 AS BIGINT) AS joins
            |FROM f""".stripMargin,
+
+      // LISA local Geary: the mean-free per-cell pair sum over the
+      // same f CTE, fixed-order closing ((e·n·n)/den), ×1e5
+      "q_local_geary" ->
+        s"""WITH g AS ($grid),
+           |gl AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s, sum(v * v) AS ss FROM g),
+           |f AS (SELECT c.x AS x, c.y AS y,
+           |        max(CASE WHEN n.x = c.x AND n.y = c.y THEN n.v END) AS v,
+           |        sum(n.v) AS sw, sum(n.v * n.v) AS sq, count(*) AS k
+           |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |      GROUP BY 1, 2)
+           |SELECT x, y,
+           |  CASE WHEN (ss * n - s * s) > 0 THEN CAST(round(
+           |    (((k - 1) * (v * v) - 2 * v * (sw - v) + (sq - v * v)) * n * n) / (ss * n - s * s)
+           |    * 100000.0) AS BIGINT) END AS geary_i
+           |FROM f, gl""".stripMargin,
+
+      // LISA quadrants: the exact-integer deviation signs, no floats
+      "q_lisa_quadrant" ->
+        s"""WITH g AS ($grid),
+           |gl AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s FROM g),
+           |f AS (SELECT c.x AS x, c.y AS y,
+           |        max(CASE WHEN n.x = c.x AND n.y = c.y THEN n.v END) AS v,
+           |        sum(n.v) AS sw, count(*) AS k
+           |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |      GROUP BY 1, 2)
+           |SELECT x, y, CAST(CASE
+           |    WHEN v * n - s > 0 AND (sw - v) * n - (k - 1) * s > 0 THEN 1
+           |    WHEN v * n - s < 0 AND (sw - v) * n - (k - 1) * s > 0 THEN 2
+           |    WHEN v * n - s < 0 AND (sw - v) * n - (k - 1) * s < 0 THEN 3
+           |    WHEN v * n - s > 0 AND (sw - v) * n - (k - 1) * s < 0 THEN 4
+           |    ELSE 0 END AS BIGINT) AS quadrant
+           |FROM f, gl""".stripMargin,
+
+      // bivariate Moran: v1 against the lag of v2 on the common
+      // support; decimal numerator, one sqrt-of-product normalizer
+      "q_moran_bv" ->
+        s"""WITH ga AS ($grid), gb AS ($ogrid),
+           |j AS (SELECT ga.x AS x, ga.y AS y, ga.v AS v1, gb.v AS v2
+           |      FROM ga JOIN gb ON ga.x = gb.x AND ga.y = gb.y),
+           |gl AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v1) AS s1, sum(v1 * v1) AS ss1,
+           |         sum(v2) AS s2, sum(v2 * v2) AS ss2 FROM j),
+           |f AS (SELECT c.x AS x, c.y AS y,
+           |        max(CASE WHEN n.x = c.x AND n.y = c.y THEN n.v1 END) AS v1,
+           |        max(CASE WHEN n.x = c.x AND n.y = c.y THEN n.v2 END) AS v2,
+           |        sum(n.v2) AS sw2, count(*) AS k
+           |      FROM j c JOIN j n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |      GROUP BY 1, 2),
+           |a AS (SELECT sum(CAST(v1 * n - s1 AS DECIMAL(18,0)) * CAST((sw2 - v2) * n - (k - 1) * s2 AS DECIMAL(18,0))) AS num,
+           |        CAST(sum(k - 1) AS BIGINT) AS w,
+           |        max(n) AS n, max(s1) AS s1, max(ss1) AS ss1, max(s2) AS s2, max(ss2) AS ss2
+           |      FROM f, gl)
+           |SELECT n, w, CAST(round(CAST(num AS DOUBLE) / (CAST(w AS DOUBLE) *
+           |    sqrt(CAST(CAST(n AS DECIMAL(18,0)) * CAST(ss1 AS DECIMAL(18,0)) - CAST(s1 AS DECIMAL(18,0)) * CAST(s1 AS DECIMAL(18,0)) AS DOUBLE) *
+           |         CAST(CAST(n AS DECIMAL(18,0)) * CAST(ss2 AS DECIMAL(18,0)) - CAST(s2 AS DECIMAL(18,0)) * CAST(s2 AS DECIMAL(18,0)) AS DOUBLE)))
+           |  * 1000000.0) AS BIGINT) AS moran_bv
+           |FROM a""".stripMargin,
+
+      // quadrat VMR: exact integer moments (empty quadrats add 0 to
+      // both), single-divide closing ×1e6
+      "q_quadrat" ->
+        s"""WITH p AS ($pts),
+           |c AS (SELECT CAST(floor(px / 32) AS BIGINT) AS qx, CAST(floor(py / 32) AS BIGINT) AS qy,
+           |        CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+           |a AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM c)
+           |SELECT n, CAST(64 AS BIGINT) AS q, sum_c2,
+           |  CAST(round((sum_c2 * 64 - n * n) * CAST(1000000 AS DOUBLE) / (63 * n)) AS BIGINT) AS vmr_u
+           |FROM a""".stripMargin,
 
       // pooled symmetric GLCM = all ordered queen-adjacent level
       // pairs; levels are the integral value mod 16 — pure counts

@@ -148,6 +148,84 @@ object Hotspot {
           m2n2(col("n"), col("s"), col("ss")))).as("geary_c"))
   }
 
+  /** LOCAL Geary's c (Anselin 1995 LISA family; PySAL
+    * esda.Geary_Local), binary 3x3 self-exclusive weights:
+    * cᵢ = Σⱼ wᵢⱼ(vᵢ−vⱼ)² / m2. The pair sum is the mean-free exact
+    * per-cell term Eᵢ = (kᵢ−1)·vᵢ² − 2·vᵢ·(Swᵢ−vᵢ) + (Sqᵢ−vᵢ²), and
+    * m2 = (SS·n − S²)/n², so cᵢ = Eᵢ·n·n / (SS·n − S²) — a fixed-order
+    * IEEE DAG on exact integer inputs (intermediates may round, but
+    * identically in both engines; the Gi* precedent). Raw doubles. */
+  def localGeary(l: RasterLayer): DataFrame = {
+    val sq = l.localMap(c => c * c).focal(Neighborhood.Square(1), "Sum")
+      .toCells.withColumnRenamed("v", "sq")
+    val df = withGlobal(l, focalPieces(l).join(sq, Seq("x", "y")))
+    val v2 = col("v") * col("v")
+    val e = (col("k") - lit(1.0)) * v2 -
+      lit(2.0) * col("v") * (col("sw") - col("v")) + (col("sq") - v2)
+    val den = col("ss") * col("n") - col("s") * col("s")
+    df.select(col("x"), col("y"),
+      when(den > 0.0, e * col("n") * col("n") / den).as("geary_i"))
+  }
+
+  /** Moran-scatterplot quadrant labels (the LISA cluster map legend:
+    * 1 = HH, 2 = LH, 3 = LL, 4 = HL; 0 when either deviation is
+    * exactly zero). Signs come from the exact integers v·n − S
+    * (own deviation ×n) and (Sw−v)·n − (k−1)·S (neighbor-sum
+    * deviation ×n) — no division, no float, no quantization. */
+  def lisaQuadrants(l: RasterLayer): DataFrame = {
+    val df = withGlobal(l, focalPieces(l))
+    val own = col("v") * col("n") - col("s")
+    val nbr = (col("sw") - col("v")) * col("n") -
+      (col("k") - lit(1.0)) * col("s")
+    df.select(col("x"), col("y"),
+      when(own > 0 && nbr > 0, 1L)
+        .when(own < 0 && nbr > 0, 2L)
+        .when(own < 0 && nbr < 0, 3L)
+        .when(own > 0 && nbr < 0, 4L)
+        .otherwise(0L).as("quadrant"))
+  }
+
+  /** BIVARIATE global Moran's I (PySAL esda.Moran_BV shape): the
+    * cross-correlation of v1 with the spatial LAG of v2 over the
+    * cells where BOTH layers are present,
+    * I = n·Σᵢ z1ᵢ·(Σⱼ wᵢⱼ z2ⱼ) / (W·sqrt(Σz1²·Σz2²)).
+    * The numerator Σ runs exact in DECIMAL(18,0)² (the globalMoran
+    * restating with v2's lag); the normalizer is one IEEE sqrt of the
+    * product of the two decimal→double m2·n² casts. The joined
+    * support's k differs from either layer's own halo, so focal sums
+    * come from a 9-offset shifted self-join on the joined cells — one
+    * co-keyed shuffle (the GLCM shape). One row: (n, w, moran_bv). */
+  def bivariateMoran(a: RasterLayer, b: RasterLayer): DataFrame = {
+    val cells = a.toCells.withColumnRenamed("v", "v1")
+      .join(b.toCells.withColumnRenamed("v", "v2"), Seq("x", "y"))
+      .localCheckpoint() // feeds the global agg, the shifted union AND the probe join
+    val offs = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val nbrs = offs.map { case (dx, dy) =>
+      cells.select((col("x") + dx).as("x"), (col("y") + dy).as("y"),
+        col("v2").as("nv2"))
+    }.reduce(_ unionAll _)
+    val f = cells.join(nbrs, Seq("x", "y"))
+      .groupBy("x", "y")
+      .agg(max("v1").as("v1"), max("v2").as("v2"),
+        sum("nv2").as("sw2"), count(lit(1)).as("k"))
+    val g = cells.agg(count(lit(1)).cast("long").as("n"),
+      sum("v1").as("s1"), sum(col("v1") * col("v1")).as("ss1"),
+      sum("v2").as("s2"), sum(col("v2") * col("v2")).as("ss2"))
+    val prod = (col("v1") * col("n") - col("s1")).cast(dec18) *
+      ((col("sw2") - col("v2")) * col("n") - (col("k") - lit(1L)) * col("s2"))
+        .cast(dec18)
+    f.crossJoin(broadcast(g))
+      .agg(sum(prod).as("num"),
+        sum(col("k") - lit(1L)).as("w"),
+        max("n").as("n"), max("s1").as("s1"), max("ss1").as("ss1"),
+        max("s2").as("s2"), max("ss2").as("ss2"))
+      .select(col("n"), col("w"),
+        (col("num").cast("double") /
+          (col("w").cast("double") *
+            sqrt(m2n2(col("n"), col("s1"), col("ss1")) *
+              m2n2(col("n"), col("s2"), col("ss2"))))).as("moran_bv"))
+  }
+
   /** Binary join-count statistics (Cliff & Ord 1981) under 3x3 queen
     * adjacency: cells are Black when the integral value is odd. Counts
     * BB / WW / BW adjacencies — each BB edge contributes 1 at both

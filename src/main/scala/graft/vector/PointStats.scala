@@ -89,6 +89,25 @@ object PointStats {
       .select(col("n") +: radii.map(r => col(s"k$r")) ++: khCols: _*)
   }
 
+  /** Quadrat-count variance-mean ratio (the classic CSR dispersion
+    * test; VMR > 1 clustered, < 1 regular): counts per `quadrat`-sized
+    * cell over a `frame`×`frame` extent (q quadrats, empty ones
+    * contribute 0 to both moments so they never materialize), closed
+    * exact-integer: VMR = s²/x̄ = (q·Σc² − n²) / ((q−1)·n),
+    * micro-quantized ×1e6. One bounded groupBy, one row out. */
+  def quadratVmr(pts: DataFrame, quadrat: Int = 32,
+                 frame: Int = 256): DataFrame = {
+    require(frame % quadrat == 0, "quadrat must divide the frame")
+    val q = (frame / quadrat).toLong * (frame / quadrat)
+    pts.groupBy(floor(col("px") / quadrat).cast("long").as("qx"),
+        floor(col("py") / quadrat).cast("long").as("qy"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n"), sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("n"), lit(q).as("q"), col("sum_c2"),
+        round((col("sum_c2") * lit(q) - col("n") * col("n")) * lit(1000000.0) /
+          (lit(q - 1) * col("n"))).cast("long").as("vmr_u"))
+  }
+
   /** Clark & Evans 1954 index R = observed mean NN distance / expected
     * under CSR (0.5·sqrt(area/n)); R < 1 clustered, > 1 dispersed.
     * Mean NN distance accumulates micro-quantized terms (exact Longs)

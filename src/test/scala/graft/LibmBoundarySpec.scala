@@ -272,6 +272,23 @@ class LibmBoundarySpec extends SparkSpec {
     val fourUlps = 4 * math.ulp(1e9)
     assertFar("hotspot gi*1e5", giArgs, fourUlps)
     assertFar("hotspot moran*1e5", moArgs, fourUlps)
+    val lgArgs = graft.raster.Hotspot.localGeary(layer)
+      .where(col("geary_i").isNotNull)
+      .select((col("geary_i") * 100000.0).as("a")).as[Double].collect().toSeq
+    assertFar("local geary*1e5", lgArgs, fourUlps)
+  }
+
+  test("Ripley K / quadrat VMR micro-quantization arguments") {
+    val pts = GridSource.supplierPoints(spark, dir)
+    val kh = graft.vector.PointStats.ripleyK(pts)
+      .select(array(Seq(4, 8, 16, 32).map(r => col(s"kh$r") * 10000.0): _*))
+      .as[Seq[Double]].head()
+    assertFar("ripley khat*1e4", kh)
+    // quadrat closing BEFORE its round: (q·Σc² − n²)·1e6 / ((q−1)·n)
+    val vm = graft.vector.PointStats.quadratVmr(pts)
+      .select((((col("sum_c2") * col("q") - col("n") * col("n")) * 1000000.0) /
+        ((col("q") - 1) * col("n"))).as("a")).as[Double].collect().toSeq
+    assertFar("quadrat vmr*1e6", vm)
   }
 
   test("global Moran/Geary micro-quantization arguments (×1e6 scalars)") {

@@ -1076,6 +1076,36 @@ class RasterLayerSpec extends SparkSpec {
     assert(math.abs(r._9 - 8.0 * 65536 / 12) < 1e-9)   // kh32
   }
 
+  test("lisaQuadrants + bivariateMoran on the strip") {
+    // x̄ = 4.5: deviations (+,−,−,−); nbr sums: −2.5, +3, −3, −2.5
+    val l = layer((0, 0, 10.0), (1, 0, 2.0), (2, 0, 2.0), (3, 0, 4.0))
+    val q = Hotspot.lisaQuadrants(l).as[(Long, Long, Long)].collect()
+      .map(c => c._1 -> c._3).toMap
+    assert(q == Map(0L -> 4L, 1L -> 2L, 2L -> 3L, 3L -> 3L))
+    // bivariate with itself == univariate global Moran
+    val bv = Hotspot.bivariateMoran(l, l).as[(Long, Long, Double)].head()
+    assert(bv._1 == 4L && bv._2 == 6L)
+    assert(math.abs(bv._3 - (4.0 * -12.5) / (6.0 * 43.0)) < 1e-12)
+  }
+
+  test("localGeary: strip cell matches the textbook pair sum / m2") {
+    val l = layer((0, 0, 10.0), (1, 0, 2.0), (2, 0, 2.0), (3, 0, 4.0))
+    // cell 1 (v=2, nbrs 10,2): Σw(vᵢ−vⱼ)² = 64; m2 = 43/4
+    val out = Hotspot.localGeary(l).as[(Long, Long, Double)].collect()
+      .map(c => c._1 -> c._3).toMap
+    assert(math.abs(out(1L) - 64.0 / (43.0 / 4.0)) < 1e-9)
+    assert(math.abs(out(2L) - 4.0 / (43.0 / 4.0)) < 1e-9) // nbrs 2,4
+  }
+
+  test("quadratVmr: exact moments and quantized ratio") {
+    val pts = Seq((1L, 0.5, 0.5), (2L, 1.5, 0.5), (3L, 40.5, 0.5))
+      .toDF("pid", "px", "py")
+    val r = graft.vector.PointStats.quadratVmr(pts)
+      .as[(Long, Long, Long, Long)].head()
+    // counts {2,1}: n=3, Σc²=5, q=64 → (320−9)·1e6/189 = 1645502.6…
+    assert(r == ((3L, 64L, 5L, 1645503L)))
+  }
+
   test("boxCounts: occupied-box ladder on a sparse pattern") {
     // occupied (odd) at (0,0), (1,1), (5,5)
     val l = layer((0, 0, 1.0), (1, 1, 3.0), (5, 5, 7.0), (2, 2, 4.0))
