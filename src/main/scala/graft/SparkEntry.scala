@@ -411,6 +411,13 @@ object SparkEntry {
       // exact integer moments, VMR micro-quantized ×1e6
       graft.vector.PointStats.quadratVmr(supplierPoints(s, dir))),
 
+    "q_general_g" -> ((s, dir) =>
+      // ArcGIS High/Low Clustering (General G), ×1e9 (G ~ W/n² is
+      // tiny — ~2e-4 — so the quantizer keeps 6 significant digits)
+      graft.raster.Hotspot.generalG(lineitemLayer(s, dir))
+        .select(col("n"), col("w"),
+          round(col("general_g") * lit(1000000000.0)).cast("long").as("general_g"))),
+
     "q_lisa_quadrant" -> ((s, dir) =>
       // Moran-scatterplot quadrant labels (HH/LH/LL/HL) — exact
       // integer signs, no quantization at all
@@ -445,6 +452,17 @@ object SparkEntry {
       Compare.combine(
         lineitemLayer(s, dir).localMap(c => pmod(c, lit(7.0))),
         ordersLayer(s, dir).localMap(c => pmod(c, lit(5.0))))),
+
+    "q_simpson" -> ((s, dir) =>
+      // FRAGSTATS Simpson diversity (SIDI) over v mod 7 classes:
+      // exact integer moments, single-divide ×1e6
+      ZonalOps.simpsonDiversity(
+        lineitemLayer(s, dir).localMap(c => pmod(c, lit(7.0))))),
+
+    "q_lm_backoff" -> ((s, dir) =>
+      // stupid-backoff trigram LM (train even doc_ids, score odd):
+      // per-token micro-quantized scores, order-free integer sums
+      pipeline.TextAnalysis.stupidBackoff(table(s, dir, "documents"))),
 
     "q_hypsometric" -> ((s, dir) => {
       // hypsometric integral per returnflag zone: exact zone moments,
@@ -3141,6 +3159,24 @@ object SparkEntry {
            |    * 100000.0) AS BIGINT) END AS geary_i
            |FROM f, gl""".stripMargin,
 
+      // General G: decimal-exact Σ v·(Sw−v) over S²−SS, ×1e9
+      "q_general_g" ->
+        s"""WITH g AS ($grid),
+           |gl AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s, sum(v * v) AS ss FROM g),
+           |f AS (SELECT c.x AS x, c.y AS y,
+           |        max(CASE WHEN n.x = c.x AND n.y = c.y THEN n.v END) AS v,
+           |        sum(n.v) AS sw, count(*) AS k
+           |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
+           |      GROUP BY 1, 2),
+           |a AS (SELECT sum(CAST(v AS DECIMAL(18,0)) * CAST(sw - v AS DECIMAL(18,0))) AS num,
+           |        CAST(sum(k - 1) AS BIGINT) AS w,
+           |        max(n) AS n, max(s) AS s, max(ss) AS ss
+           |      FROM f, gl)
+           |SELECT n, w, CAST(round(CAST(num AS DOUBLE) /
+           |    CAST(CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0)) - CAST(ss AS DECIMAL(18,0)) AS DOUBLE)
+           |  * 1000000000.0) AS BIGINT) AS general_g
+           |FROM a""".stripMargin,
+
       // LISA quadrants: the exact-integer deviation signs, no floats
       "q_lisa_quadrant" ->
         s"""WITH g AS ($grid),
@@ -3236,6 +3272,48 @@ object SparkEntry {
            |           FROM ($grid) a JOIN ($ogrid) b ON a.x = b.x AND a.y = b.y),
            |t AS (SELECT v1, v2, count(*) AS cnt FROM j GROUP BY 1, 2)
            |SELECT CAST(row_number() OVER (ORDER BY v1, v2) AS BIGINT) AS combo, v1, v2, cnt FROM t""".stripMargin,
+
+      // FRAGSTATS Simpson diversity: exact class areas, one divide
+      "q_simpson" ->
+        s"""WITH g AS ($grid),
+           |cl AS (SELECT CAST(v AS BIGINT) % 7 AS cls, CAST(count(*) AS BIGINT) AS a FROM g GROUP BY 1),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS n_classes, CAST(sum(a) AS BIGINT) AS a_total,
+           |        CAST(sum(a * a) AS BIGINT) AS sum_a2 FROM cl)
+           |SELECT n_classes, a_total,
+           |  CAST(round((a_total * a_total - sum_a2) * CAST(1000000 AS DOUBLE) / (a_total * a_total)) AS BIGINT) AS sidi_u
+           |FROM t""".stripMargin,
+
+      // stupid backoff (α=0.5, exact in binary): train even doc_ids,
+      // score odd; per-token quantize before the order-free sum
+      "q_lm_backoff" ->
+        """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+          |tk AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos, toks FROM t),
+          |w AS (SELECT doc_id, pos, toks[pos + 1] AS w FROM tk),
+          |g AS (SELECT doc_id, pos, w,
+          |        lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+          |        lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+          |      FROM w),
+          |tr AS (SELECT * FROM g WHERE doc_id % 2 = 0),
+          |c1 AS (SELECT w AS u, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+          |c2 AS (SELECT w AS a, w2 AS b, CAST(count(*) AS BIGINT) AS c2 FROM tr WHERE w2 IS NOT NULL GROUP BY 1, 2),
+          |c3 AS (SELECT w AS a, w2 AS b, w3 AS c, CAST(count(*) AS BIGINT) AS c3 FROM tr WHERE w3 IS NOT NULL GROUP BY 1, 2, 3),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS ntr FROM tr),
+          |sc AS (SELECT s.doc_id,
+          |         CASE WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / CAST(cx.c2 AS DOUBLE)
+          |              WHEN cb.c2 IS NOT NULL THEN 0.5 * (CAST(cb.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+          |              WHEN u3.c1 IS NOT NULL THEN 0.5 * 0.5 * (CAST(u3.c1 AS DOUBLE) / CAST(nn.ntr AS DOUBLE))
+          |              ELSE CAST(0 AS DOUBLE) END AS s
+          |       FROM g s
+          |       LEFT JOIN c3 ON c3.a = s.w AND c3.b = s.w2 AND c3.c = s.w3
+          |       LEFT JOIN c2 cx ON cx.a = s.w AND cx.b = s.w2
+          |       LEFT JOIN c2 cb ON cb.a = s.w2 AND cb.b = s.w3
+          |       LEFT JOIN c1 u2 ON u2.u = s.w2
+          |       LEFT JOIN c1 u3 ON u3.u = s.w3
+          |       CROSS JOIN nn
+          |       WHERE s.doc_id % 2 = 1 AND s.w3 IS NOT NULL)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+          |  CAST(sum(CAST(round(s * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS score_q
+          |FROM sc GROUP BY 1""".stripMargin,
 
       // hypsometric integral: exact zone moments, one quantized ratio
       "q_hypsometric" ->

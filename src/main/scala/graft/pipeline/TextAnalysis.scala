@@ -932,6 +932,67 @@ object TextAnalysis {
         col("col").as("cnt"))
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007 — THE
+    * web-scale distributed LM scheme: no normalization, no
+    * discounting, pure counts):
+    * s(w₃|w₁w₂) = c₃/c₂(w₁w₂) if the trigram was seen, else
+    * α·c₂(w₂w₃)/c₁(w₂) if the bigram was, else α²·c₁(w₃)/N.
+    * α = 0.5 (exact in binary — no 0.4-literal cross-engine hazard).
+    * Train on even doc_ids, score odd docs (same-corpus scoring never
+    * exercises the backoff: a scored trigram always contains itself).
+    * Per-token scores micro-quantize BEFORE the per-doc sum (the bm25
+    * pattern), so outputs are order-free integers:
+    * (doc_id, n_scored, score_q).
+    *
+    * Scale: three count tables from one tokenize pass (map-side
+    * combined groupBys — the count-collection step Brants et al.
+    * distribute exactly this way), per-doc lead() windows bounded by
+    * doc length, then equi-joins on the gram keys. */
+  def stupidBackoff(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("w"))
+      .localCheckpoint() // feeds the train counts AND the scoring side
+    val train = toks.where(pmod(col("doc_id"), lit(2)) === 0)
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("w2", lead("w", 1).over(byDoc))
+      .withColumn("w3", lead("w", 2).over(byDoc))
+    val tg = grams(train).localCheckpoint() // c2 and c3 both read it
+    val c1 = train.groupBy(col("w").as("u")).agg(count(lit(1)).as("c1"))
+    val c2 = tg.where(col("w2").isNotNull)
+      .groupBy(col("w").as("a"), col("w2").as("b")).agg(count(lit(1)).as("c2"))
+    val c3 = tg.where(col("w3").isNotNull)
+      .groupBy(col("w").as("a"), col("w2").as("b"), col("w3").as("c"))
+      .agg(count(lit(1)).as("c3"))
+    val n = train.agg(count(lit(1)).as("ntr"))
+    val scored = grams(toks.where(pmod(col("doc_id"), lit(2)) === 1))
+      .where(col("w3").isNotNull)
+      .join(c3, col("w") === c3("a") && col("w2") === c3("b") &&
+        col("w3") === c3("c"), "left").drop("a", "b", "c")
+      .join(c2.select(col("a"), col("b"), col("c2").as("c2ctx")),
+        col("w") === col("a") && col("w2") === col("b"), "left").drop("a", "b")
+      .join(c2.select(col("a"), col("b"), col("c2").as("c2bo")),
+        col("w2") === col("a") && col("w3") === col("b"), "left").drop("a", "b")
+      .join(c1.select(col("u"), col("c1").as("c1w2")),
+        col("w2") === col("u"), "left").drop("u")
+      .join(c1.select(col("u"), col("c1").as("c1w3")),
+        col("w3") === col("u"), "left").drop("u")
+      .crossJoin(broadcast(n))
+    val s = when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2ctx").cast("double"))
+      .when(col("c2bo").isNotNull,
+        lit(alpha) * (col("c2bo").cast("double") / col("c1w2").cast("double")))
+      .when(col("c1w3").isNotNull,
+        lit(alpha) * lit(alpha) * (col("c1w3").cast("double") / col("ntr").cast("double")))
+      .otherwise(lit(0.0))
+    scored
+      .select(col("doc_id"), round(s * lit(1000000.0)).cast("long").as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum("q").as("score_q"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 3, minTermLen: Int = 3): DataFrame = {
     // tf computed once, eagerly: df and the join both consume it, and
     // a lazy plan would re-run the explode+regexp scan per branch

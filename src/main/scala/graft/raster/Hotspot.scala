@@ -185,6 +185,27 @@ object Hotspot {
         .otherwise(0L).as("quadrant"))
   }
 
+  /** Getis-Ord GENERAL G (the ArcGIS High/Low Clustering tool; Getis
+    * & Ord 1992 global form), binary 3x3 self-exclusive weights:
+    * G = Σᵢⱼ wᵢⱼ xᵢxⱼ / Σ_{i≠j} xᵢxⱼ. Numerator = Σᵢ vᵢ·(Swᵢ−vᵢ)
+    * (exact integer-valued doubles, running sum < 2^53 at the tile
+    * grid's magnitudes is NOT guaranteed — so it runs in DECIMAL like
+    * the Moran numerator); denominator = S² − SS, exact in
+    * DECIMAL(18,0)². One row: (n, w, general_g raw). */
+  def generalG(l: RasterLayer): DataFrame = {
+    val df = withGlobal(l, focalPieces(l))
+    val prod = col("v").cast(dec18) *
+      (col("sw") - col("v")).cast(dec18)
+    val agg = df.agg(
+      sum(prod).as("num"),
+      sum(col("k").cast("long") - lit(1L)).as("w"),
+      max("n").as("n"), max("s").as("s"), max("ss").as("ss"))
+    agg.select(col("n"), col("w"),
+      (col("num").cast("double") /
+        (col("s").cast(dec18) * col("s").cast(dec18) -
+          col("ss").cast(dec18)).cast("double")).as("general_g"))
+  }
+
   /** BIVARIATE global Moran's I (PySAL esda.Moran_BV shape): the
     * cross-correlation of v1 with the spatial LAG of v2 over the
     * cells where BOTH layers are present,

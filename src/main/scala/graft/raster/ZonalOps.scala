@@ -728,6 +728,20 @@ object ZonalOps {
       .where(!isnan(col("v")))
   }
 
+  /** Landscape Simpson diversity (FRAGSTATS SIDI) over a class
+    * raster: SIDI = 1 − Σ(aᵢ/A)², restated exact-integer as
+    * (A² − Σaᵢ²)·10⁶ / A² — one multiply + single divide on exact
+    * Longs (A ≤ 2^16 cells keeps A²·10⁶ < 2^53). One row:
+    * (n_classes, a_total, sidi_u). */
+  def simpsonDiversity(classes: RasterLayer): DataFrame =
+    classes.toCells.groupBy(col("v").cast("long").as("cls"))
+      .agg(count(lit(1)).as("a"))
+      .agg(count(lit(1)).as("n_classes"), sum("a").as("a_total"),
+        sum(col("a") * col("a")).as("sum_a2"))
+      .select(col("n_classes"), col("a_total"),
+        round((col("a_total") * col("a_total") - col("sum_a2")) * lit(1000000.0) /
+          (col("a_total") * col("a_total"))).cast("long").as("sidi_u"))
+
   /** Hypsometric integral per zone (elevation-relief ratio, Pike &
     * Wilson 1971): HI = (mean − min)/(max − min), the landform-
     * maturity index. Exact integer zone moments close as ONE

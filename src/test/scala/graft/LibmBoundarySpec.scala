@@ -301,6 +301,13 @@ class LibmBoundarySpec extends SparkSpec {
       .select((col("geary_c") * 1000000.0).as("a")).as[Double].collect().toSeq
     assertFar("global moran*1e6", gm)
     assertFar("geary c*1e6", gc)
+    val gg = graft.raster.Hotspot.generalG(layer)
+      .select((col("general_g") * 1000000000.0).as("a")).as[Double].collect().toSeq
+    assertFar("general g*1e9", gg)
+    val bv = graft.raster.Hotspot.bivariateMoran(layer,
+      GridSource.ordersLayer(spark, dir))
+      .select((col("moran_bv") * 1000000.0).as("a")).as[Double].collect().toSeq
+    assertFar("bivariate moran*1e6", bv)
   }
 
   test("bm25 idf arguments for the fixed query-term set") {

@@ -85,6 +85,18 @@ class PipelineSpec extends SparkSpec {
     assert(ac.scan("").toSeq == Seq(0L, 0L, 0L, 0L))
   }
 
+  test("stupidBackoff: trigram hit, bigram miss chain, unigram backoff") {
+    val d = Seq(
+      (2L, "a b c a b d"),          // train (even id): N=6
+      (1L, "a b c x y z a b")       // scored (odd id)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoff(d)
+      .as[(Long, Long, Long)].head()
+    // (a,b,c)=c3/c2=1/2; (b,c,x),(c,x,y),(x,y,z)=0 (x,y,z unseen);
+    // (y,z,a)=α²·c1(a)/N = 0.25·2/6 = 1/12; (z,a,b)=α·c2(a,b)/c1(a)=0.5
+    assert(out == ((1L, 6L, 500000L + 0L + 0L + 0L + 83333L + 500000L)))
+  }
+
   test("minhash LSH pairs catch the exact dup") {
     val pairs = Dedup.minhashPairs(docs, k = 16, bands = 4, minEstSim = 0.5)
       .select("d1", "d2").as[(Long, Long)].collect().toSet

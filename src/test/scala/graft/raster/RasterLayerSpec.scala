@@ -1025,6 +1025,9 @@ class RasterLayerSpec extends SparkSpec {
     val gc = Hotspot.gearyC(l).as[(Long, Long, Double)].head()
     assert(gc._1 == 4L && gc._2 == 6L)
     assert(math.abs(gc._3 - 408.0 / 516.0) < 1e-12)
+    // General G: Σv·(sw−v) = 20+24+12+8 = 64; S²−SS = 200
+    val gg = Hotspot.generalG(l).as[(Long, Long, Double)].head()
+    assert(gg._1 == 4L && gg._2 == 6L && math.abs(gg._3 - 0.32) < 1e-12)
     // parities B,W,B,W: all three adjacencies are BW
     val j1 = Hotspot.joinCounts(
       layer((0, 0, 3.0), (1, 0, 2.0), (2, 0, 5.0), (3, 0, 4.0)))
@@ -1120,6 +1123,12 @@ class RasterLayerSpec extends SparkSpec {
     val out = Compare.combine(a, b)
       .as[(Long, Double, Double, Long)].collect().toSet
     assert(out == Set((1L, 1.0, 5.0, 2L), (2L, 2.0, 5.0, 1L)))
+  }
+
+  test("simpsonDiversity: exact SIDI on a two-class layer") {
+    val l = layer((0, 0, 0.0), (1, 0, 0.0), (2, 0, 0.0), (3, 0, 1.0))
+    val r = ZonalOps.simpsonDiversity(l).as[(Long, Long, Long)].head()
+    assert(r == ((2L, 4L, 375000L))) // 1 − (9+1)/16 = 0.375
   }
 
   test("hypsometric integral: exact ratio, NULL on flat zones") {
