@@ -1795,6 +1795,15 @@ object SparkEntry {
       // on every (floor-free) LSH candidate pair
       pipeline.Dedup.minhashEval(table(s, dir, "documents"))),
 
+    "q_triangles" -> ((s, dir) =>
+      // triangle count of the SHARED minhash pair graph (clique vs
+      // chain shape of duplicate families)
+      pipeline.Dedup.triangleCount(minhashEdges(s, dir))),
+
+    "q_event_transitions" -> ((s, dir) =>
+      // first-order Markov transition counts of per-user event streams
+      streaming.Events.transitionMatrix(eventsTable(s, dir))),
+
     "q_cdc_dedup" -> ((s, dir) =>
       // content-defined chunking: rolling-boundary chunks + cross-doc
       // duplicated-chunk instance counts
@@ -2316,6 +2325,17 @@ object SparkEntry {
       // the closed form of the synth samples directly
       pipeline.Multimodal.decodeAudioFeatures(
         pipeline.Multimodal.synthWavBlobs(table(s, dir, "documents"))).toDF()),
+
+    "q_image_resize" -> ((s, dir) =>
+      // nearest-neighbor 2x downsample through the REAL BMP byte path
+      // (synthetic 24-bit BMPs; oracle restates the closed pixel form)
+      pipeline.Multimodal.resizeFeatures(
+        pipeline.Multimodal.synthBmpBlobs(table(s, dir, "documents")))),
+
+    "q_audio_windows" -> ((s, dir) =>
+      // exact per-window PCM energies through the real WAV path
+      pipeline.Multimodal.audioWindows(
+        pipeline.Multimodal.synthWavBlobs(table(s, dir, "documents")))),
 
     "q_multimodal_frames" -> ((s, dir) =>
       // row-per-sampled-frame plumbing; frame count from byte length,
@@ -6136,6 +6156,26 @@ object SparkEntry {
           |  CAST(sum(sv * sv) AS BIGINT) AS energy
           |FROM w GROUP BY doc_id""".stripMargin,
 
+      // NN 2x downsample of the synthetic 24-bit BMPs: the sampled
+      // pixel grid restated in closed form (lateral range join)
+      "q_image_resize" ->
+        """WITH d AS (SELECT doc_id, (8 + doc_id % 5 * 2) AS w, (6 + doc_id % 3 * 2) AS h FROM documents)
+          |SELECT d.doc_id, d.w // 2 AS w2, d.h // 2 AS h2,
+          |  CAST(sum((d.doc_id * 7 + 2 * tx.x2 * 3 + 2 * ty.y2 * 11) % 256) AS BIGINT) AS pix_sum
+          |FROM d, range(8) AS tx(x2), range(5) AS ty(y2)
+          |WHERE tx.x2 < d.w // 2 AND ty.y2 < d.h // 2
+          |GROUP BY 1, 2, 3""".stripMargin,
+
+      // per-16-sample window energies of the synthetic PCM; partial
+      // tail windows drop (m = 16 filter)
+      "q_audio_windows" ->
+        """WITH r AS (SELECT doc_id, unnest(range(0, 64 + doc_id % 32)) AS k FROM documents),
+          |s AS (SELECT doc_id, CAST(k // 16 AS BIGINT) AS win_idx,
+          |        ((doc_id * 7 + k * 13) % 256 - 128) * 256 AS sv FROM r),
+          |w AS (SELECT doc_id, win_idx, CAST(sum(sv * sv) AS BIGINT) AS energy, count(*) AS m
+          |      FROM s GROUP BY 1, 2)
+          |SELECT doc_id, win_idx, energy FROM w WHERE m = 16""".stripMargin,
+
       "q_multimodal_frames" ->
         """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS h
           |           FROM documents),
@@ -6212,6 +6252,29 @@ object SparkEntry {
           |SELECT c.cohort, d.day - c.cohort AS day_offset, CAST(count(*) AS BIGINT) AS active_users
           |FROM d JOIN c ON d.user_id = c.user_id
           |GROUP BY 1, 2""".stripMargin,
+
+      // first-order Markov transitions of the per-user event stream
+      "q_event_transitions" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+          |p AS (SELECT event_type AS from_type,
+          |        lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+          |      FROM e)
+          |SELECT from_type, to_type, count(*) AS cnt
+          |FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+      // triangle count of the canonical (u < v) LSH pair graph: the
+      // clique-vs-chain audit of duplicate families
+      "q_triangles" ->
+        s"""WITH $minhashCtes,
+           |pairs AS (
+           |  SELECT d1, d2
+           |  FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id
+           |  WHERE CAST($minhashSimExpr AS DOUBLE) / 16 >= 0.5),
+           |e AS (SELECT DISTINCT least(d1, d2) AS u, greatest(d1, d2) AS v FROM pairs WHERE d1 <> d2),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           |      FROM e ab JOIN e bc ON ab.v = bc.u
+           |      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, t.n_triangles FROM t""".stripMargin,
 
       "q_sessionize" ->
         """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -439,13 +439,18 @@ object Dedup {
 
   /** MinHash signatures: k min() aggregates in one groupBy — no
     * explode-by-k, full map-side combine. Output: doc_id, m0..m{k-1}. */
-  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleK: Int = 5): DataFrame = {
-    val sh = hashedShingles(docs, shingleK)
-      .select(col("doc_id"), (col("h") % MinhashP).as("x"))
+  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleK: Int = 5): DataFrame =
+    minhashSignaturesFrom(hashedShingles(docs, shingleK), k)
+
+  /** Signature aggregate over an ALREADY-materialized (doc_id, h)
+    * shingle set — the entry point when the caller pins the shingle
+    * scan for reuse (minhashEval's exact side reads it too). */
+  private[pipeline] def minhashSignaturesFrom(sh: DataFrame, k: Int): DataFrame = {
+    val hx = sh.select(col("doc_id"), (col("h") % MinhashP).as("x"))
     val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
       min((col("x") * a + b) % MinhashP).as(s"m$i")
     }
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    hx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: bands of `rows` signature components; docs
@@ -459,9 +464,17 @@ object Dedup {
     * the cap is mirrored in the oracle CTE. */
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
                    minEstSim: Double = 0.5,
-                   maxBucket: Option[Long] = Some(MinhashMaxBucket)): DataFrame = {
+                   maxBucket: Option[Long] = Some(MinhashMaxBucket)): DataFrame =
+    minhashPairsFrom(minhashSignatures(docs, k).localCheckpoint(),
+      k, bands, minEstSim, maxBucket)
+
+  /** Pair scoring over ALREADY-pinned signatures (callers that reuse
+    * the signature table — minhashEval — enter here). `sig` must be
+    * materialized: banding and both score joins re-read it. */
+  private[pipeline] def minhashPairsFrom(sig: DataFrame, k: Int, bands: Int,
+                                         minEstSim: Double,
+                                         maxBucket: Option[Long]): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignatures(docs, k).localCheckpoint()
     val bandDfs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
       sig.select(col("doc_id"), lit(b).as("band"), concat_ws("_", cols: _*).as("bkey"))
@@ -498,11 +511,15 @@ object Dedup {
     * All counts exact Longs; jac_u = round(inter·10⁶/union). */
   def minhashEval(docs: DataFrame, k: Int = 16, bands: Int = 4,
                   shingleK: Int = 5): DataFrame = {
-    val est = minhashPairs(docs, k, bands, minEstSim = 0.0)
+    // ONE shingle scan feeds both the signatures and the exact side
+    // (the r14 multi-branch pinning rule: lazy plans re-run the
+    // tokenize+hash scan per consuming branch)
+    val sh = hashedShingles(docs, shingleK).localCheckpoint()
+    val est = minhashPairsFrom(minhashSignaturesFrom(sh, k).localCheckpoint(),
+        k, bands, minEstSim = 0.0, maxBucket = Some(MinhashMaxBucket))
       .select(col("d1"), col("d2"),
         round(col("est_sim") * k).cast("long").as("est_matches"))
       .localCheckpoint() // three consumers below
-    val sh = hashedShingles(docs, shingleK).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = est.select("d1", "d2")
       .join(sh.as("ha"), col("d1") === col("ha.doc_id"))
@@ -572,6 +589,30 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
+
+  /** Triangle count of the duplicate-pair graph — the clustering-
+    * coefficient numerator that separates chain-shaped near-dup
+    * families (template drift) from clique-shaped ones (true mirror
+    * sets). Standard two-join enumeration over id-oriented canonical
+    * edges (u < v): each triangle a<b<c matches exactly once as
+    * (a,b)+(b,c)+(a,c). At scale, orient by DEGREE instead of id
+    * (the high-degree hub then anchors O(d_min) probes, not O(d²));
+    * id orientation keeps the oracle twin a plain self-join and is
+    * exact on the capped LSH graphs this audits. One row:
+    * (n_edges, n_triangles). */
+  def triangleCount(pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint() // three join consumers
+    val tri = e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
+      .join(e.as("ac"),
+        col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
   }
 
   /** SimHash signature from token counts (sign of per-bit weighted

@@ -106,6 +106,101 @@ object Multimodal {
     }.toDF("doc_id", "blob")
   }
 
+  /** Deterministic synthetic 24-bit BMPs through the REAL BMP byte
+    * path: gray g(x,y) = (id·7 + x·3 + y·11) mod 256 in all three
+    * channels, w = 8 + (id mod 5)·2, h = 6 + (id mod 3)·2 — the
+    * closed form an oracle restates, through the actual
+    * encoder/decoder bytes (the synthWavBlobs pattern). */
+  def synthBmpBlobs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 5 * 2).toInt
+      val h = (6 + id % 3 * 2).toInt
+      (id, bmp24(w, h, (x, y) => ((id * 7 + x * 3 + y * 11) % 256).toInt))
+    }.toDF("doc_id", "blob")
+  }
+
+  /** Minimal 24-bit BI_RGB BMP writer (bottom-up rows, 4-byte row
+    * padding — the BITMAPINFOHEADER layout ImageCodec decodes). */
+  private[pipeline] def bmp24(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val b = new Array[Byte](size)
+    def le32(p: Int, v: Int): Unit = {
+      b(p) = v.toByte; b(p + 1) = (v >> 8).toByte
+      b(p + 2) = (v >> 16).toByte; b(p + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'; le32(2, size); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h)
+    b(26) = 1; b(28) = 24; le32(30, 0); le32(34, rowBytes * h)
+    var y = 0
+    while (y < h) {
+      val base = 54 + (h - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < w) {
+        val g = gray(x, y).toByte
+        b(base + x * 3) = g; b(base + x * 3 + 1) = g; b(base + x * 3 + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Nearest-neighbor downsample features through the REAL decode:
+    * per image (doc_id, w2, h2, pix_sum) with pix_sum = exact Σ of the
+    * sampled (factor·x, factor·y) gray pixels. The real resize op's
+    * shape (per-row decode in a Dataset.map, no driver bytes); the
+    * features stand in for the re-encoded raster so the oracle can
+    * restate them. Undecodable blobs report (0, 0, −1). */
+  def resizeFeatures(blobs: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor > 0)
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        tryDecode(bytes) match {
+          case Some(img) =>
+            val w2 = img.width / factor; val h2 = img.height / factor
+            var s = 0L; var y = 0
+            while (y < h2) {
+              var x = 0
+              while (x < w2) {
+                s += (img.argb(x * factor, y * factor) & 0xff); x += 1
+              }
+              y += 1
+            }
+            (id, w2.toLong, h2.toLong, s)
+          case None => (id, 0L, 0L, -1L)
+        }
+      }.toDF("doc_id", "w2", "h2", "pix_sum")
+  }
+
+  /** Non-overlapping window energies through the REAL WAV path: per
+    * full `win`-sample window, the exact integer Σ s² (the spectral-
+    * feature batch shape; partial tail windows drop). */
+  def audioWindows(blobs: DataFrame, win: Int = 16): DataFrame = {
+    require(win > 0)
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (try AudioCodec.decode(bytes)
+         catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some(a) =>
+            (0 until a.samples.length / win).map { wi =>
+              var s = 0L; var k = wi * win
+              while (k < (wi + 1) * win) {
+                s += a.samples(k).toLong * a.samples(k); k += 1
+              }
+              (id, wi.toLong, s)
+            }
+          case None => Nil
+        }
+      }.toDF("doc_id", "win_idx", "energy")
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame_sig: Long)
 
   /** Frame sampling for video-ish blobs — one output row per sampled

@@ -97,6 +97,34 @@ class PipelineSpec extends SparkSpec {
     assert(out == ((1L, 6L, 500000L + 0L + 0L + 0L + 83333L + 500000L)))
   }
 
+  test("synthBmpBlobs -> resizeFeatures: NN sample sums match the closed form") {
+    val ids = Seq(1L, 3L, 7L).toDF("doc_id")
+    val out = Multimodal.resizeFeatures(Multimodal.synthBmpBlobs(ids))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (id <- Seq(1L, 3L, 7L)) {
+      val w = 8 + id % 5 * 2; val h = 6 + id % 3 * 2
+      val (w2, h2) = (w / 2, h / 2)
+      val expect = (for { y <- 0L until h2; x <- 0L until w2 }
+        yield (id * 7 + 2 * x * 3 + 2 * y * 11) % 256).sum
+      assert(out(id) == ((w2, h2, expect)), s"doc $id")
+    }
+    // a non-image blob reports the (0, 0, -1) fallback
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "blob")
+    assert(Multimodal.resizeFeatures(junk)
+      .as[(Long, Long, Long, Long)].head() == ((9L, 0L, 0L, -1L)))
+  }
+
+  test("audioWindows: exact per-window energies, partial tail drops") {
+    val ids = Seq(2L).toDF("doc_id") // n = 64 + 2 = 66 -> 4 full windows
+    val out = Multimodal.audioWindows(Multimodal.synthWavBlobs(ids))
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    def s(k: Long): Long = ((2 * 7 + k * 13) % 256 - 128) * 256
+    val w0 = (0L until 16L).map(k => s(k) * s(k)).sum
+    assert(out(0L) == w0)
+  }
+
   test("minhash LSH pairs catch the exact dup") {
     val pairs = Dedup.minhashPairs(docs, k = 16, bands = 4, minEstSim = 0.5)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
