@@ -6271,10 +6271,10 @@ object SparkEntry {
            |  FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id
            |  WHERE CAST($minhashSimExpr AS DOUBLE) / 16 >= 0.5),
            |e AS (SELECT DISTINCT least(d1, d2) AS u, greatest(d1, d2) AS v FROM pairs WHERE d1 <> d2),
-           |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
            |      FROM e ab JOIN e bc ON ab.v = bc.u
            |      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v)
-           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, t.n_triangles FROM t""".stripMargin,
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, tri.n_triangles FROM tri""".stripMargin,
 
       "q_sessionize" ->
         """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

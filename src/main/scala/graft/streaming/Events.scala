@@ -238,6 +238,20 @@ object Events {
       }
   }
 
+  /** Event-type transition matrix (the first-order Markov model of
+    * user journeys): per user in (ts, event_id) order, counts of each
+    * (from_type, to_type) adjacency. Exact integers; per-user windows
+    * bounded by session length at scale (partition by user). */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Sessionization: a new session starts after a >30min gap per user.
     * Batch form via window functions (deterministic ts, event_id order).
     */

@@ -125,6 +125,13 @@ class PipelineSpec extends SparkSpec {
     assert(out(0L) == w0)
   }
 
+  test("triangleCount: one clique triangle, duplicates collapse") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L))
+      .toDF("d1", "d2")
+    val r = Dedup.triangleCount(pairs).as[(Long, Long)].head()
+    assert(r == ((4L, 1L))) // edges dedup to 4; the 1-2-3 clique
+  }
+
   test("minhash LSH pairs catch the exact dup") {
     val pairs = Dedup.minhashPairs(docs, k = 16, bands = 4, minEstSim = 0.5)
       .select("d1", "d2").as[(Long, Long)].collect().toSet

@@ -29,6 +29,14 @@ class EventsSpec extends SparkSpec {
     assert(out == Set((h0, "click", 3L, 8.0), (h0 + 1, "view", 1L, 1.0)))
   }
 
+  test("transitionMatrix: per-user ordered adjacencies") {
+    // user 10: click -> click -> view; user 20: single event (no pair)
+    val out = Events.transitionMatrix(events)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(("click", "click") -> 1L, ("click", "view") -> 1L))
+  }
+
   test("funnel: min-chaining with strict-after semantics") {
     val evs = Seq(
       // user 1 completes all three in order
