@@ -1380,6 +1380,37 @@ object SparkEntry {
         .tileToLayoutTemporal(l.meta.layout, CellOp.Max).toCells
     }),
 
+    "q_ascii_roundtrip" -> ((s, dir) => {
+      // ESRI ASCII Grid codec: encode every tile as .asc text, decode
+      // distributed, re-cut — identity on the grid
+      val l = lineitemLayer(s, dir)
+      val lr = l.meta.layout.tileLayout.layoutRows
+      val scenes = graft.raster.AsciiGrid.toAscii(l)
+        .select((col("col").cast("long") * lr + col("row")).as("scene_id"), col("asc"))
+      graft.raster.AsciiGrid.fromAscii(scenes)
+        .tileToLayout(l.meta.layout, CellOp.Max).toCells
+    }),
+
+    "q_nn_cdf" -> ((s, dir) =>
+      // G-function: NN-distance CDF counts at radii 2/4/8/16 — exact
+      // integers off the exact NN d²
+      graft.vector.PointStats.nnDistanceCdf(supplierPoints(s, dir))),
+
+    "q_wkb_roundtrip" -> ((s, dir) => {
+      // OGC WKB codec: point geometry bytes both endiannesses (by pid
+      // parity), parsed back distributed — identity on the point set
+      import s.implicits._
+      supplierPoints(s, dir).select(col("pid"), col("px"), col("py"))
+        .as[(Long, Double, Double)]
+        .map { case (pid, px, py) =>
+          val g = graft.vector.Wkb.parse(graft.vector.Wkb.write(
+            graft.vector.Wkt.PointG(graft.vector.Pt(px, py)),
+            littleEndian = pid % 2 == 0))
+          val p = g.asInstanceOf[graft.vector.Wkt.PointG].p
+          (pid, p.x, p.y)
+        }.toDF("pid", "px", "py")
+    }),
+
     "q_netcdf_roundtrip" -> ((s, dir) => {
       // native CDF-1 codec: encode every tile as a classic-format
       // NetCDF scene (double var + extent attrs), decode distributed,
@@ -4558,6 +4589,24 @@ object SparkEntry {
       // restates the record time coordinate with the q_geotiff_temporal
       // instant arithmetic
       "q_netcdf_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
+
+      // .asc text roundtrip is the identity on the grid
+      "q_ascii_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
+
+      // WKB roundtrip is the identity on the point set
+      "q_wkb_roundtrip" -> s"SELECT pid, px, py FROM ($pts)",
+
+      // G-function: exact NN d² per point, counts at the radius ladder
+      "q_nn_cdf" ->
+        s"""WITH p AS ($pts),
+           |nn AS (SELECT a.pid, min((a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)) AS d2
+           |       FROM p a JOIN p b ON a.pid <> b.pid GROUP BY 1)
+           |SELECT CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN d2 <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+           |  CAST(sum(CASE WHEN d2 <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS g4,
+           |  CAST(sum(CASE WHEN d2 <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS g8,
+           |  CAST(sum(CASE WHEN d2 <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS g16
+           |FROM nn""".stripMargin,
 
       "q_netcdf_temporal" -> {
         val t = layout.tileLayout

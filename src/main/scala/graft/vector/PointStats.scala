@@ -108,6 +108,25 @@ object PointStats {
           (lit(q - 1) * col("n"))).cast("long").as("vmr_u"))
   }
 
+  /** Nearest-neighbor distance CDF — the G-function of point-pattern
+    * analysis (Diggle): counts of points whose NN distance is ≤ r at
+    * the fixed radius ladder, all exact integers off the exact NN d².
+    * The NN search reuses the pair join; at corpus scale block it by
+    * coarse cell first (the ripleyK bucketing). One row:
+    * (n, g{r}... BIGINT). */
+  def nnDistanceCdf(pts: DataFrame, radii: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    require(radii.nonEmpty && radii.forall(_ > 0), "radii must be positive")
+    val a = pts.select(col("pid").as("i"), col("px").as("ax"), col("py").as("ay"))
+    val b = pts.select(col("pid").as("j"), col("px").as("bx"), col("py").as("by"))
+    val nn = a.join(b, col("i") =!= col("j"))
+      .groupBy("i")
+      .agg(min((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by"))).as("d2"))
+    val aggCols = count(lit(1)).as("n") +: radii.map(r =>
+      sum(when(col("d2") <= lit(r * r), 1L).otherwise(0L)).as(s"g$r"))
+    nn.agg(aggCols.head, aggCols.tail: _*)
+  }
+
   /** Clark & Evans 1954 index R = observed mean NN distance / expected
     * under CSR (0.5·sqrt(area/n)); R < 1 clustered, > 1 dispersed.
     * Mean NN distance accumulates micro-quantized terms (exact Longs)

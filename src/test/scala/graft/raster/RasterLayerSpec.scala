@@ -1066,6 +1066,15 @@ class RasterLayerSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1L, 1L, 4L, 1000000L)))
   }
 
+  test("nnDistanceCdf: exact G-function counts") {
+    // NN d²: p1=9, p2=9, p3=81, p4=900
+    val pts = Seq((1L, 0.5, 0.5), (2L, 3.5, 0.5), (3L, 0.5, 9.5),
+      (4L, 33.5, 0.5)).toDF("pid", "px", "py")
+    val r = graft.vector.PointStats.nnDistanceCdf(pts, Seq(2, 4, 8, 16, 32))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((4L, 0L, 2L, 2L, 3L, 4L)))
+  }
+
   test("ripleyK: exact pair counts across bucket borders") {
     // d²: p1-p2=9 (k4), p1-p3=81 and p2-p3=90 (k16), p2-p4=900
     // (k32, crosses the rmax=32 bucket border), p1-p4=1089 (out)
