@@ -411,6 +411,13 @@ object SparkEntry {
       // exact integer moments, VMR micro-quantized ×1e6
       graft.vector.PointStats.quadratVmr(supplierPoints(s, dir))),
 
+    "q_correlogram" -> ((s, dir) =>
+      // Moran correlogram at ring lags 1..3, ×1e6 — spatial
+      // structure decay from cumulative-focal-sum differences
+      graft.raster.Hotspot.moranCorrelogram(lineitemLayer(s, dir))
+        .select(col("lag"), col("n"), col("w"),
+          round(col("moran_i") * lit(1000000.0)).cast("long").as("moran_i"))),
+
     "q_general_g" -> ((s, dir) =>
       // ArcGIS High/Low Clustering (General G), ×1e9 (G ~ W/n² is
       // tiny — ~2e-4 — so the quantizer keeps 6 significant digits)
@@ -3209,6 +3216,39 @@ object SparkEntry {
            |    (((k - 1) * (v * v) - 2 * v * (sw - v) + (sq - v * v)) * n * n) / (ss * n - s * s)
            |    * 100000.0) AS BIGINT) END AS geary_i
            |FROM f, gl""".stripMargin,
+
+      // Moran correlogram: per-lag ring sums as DIFFERENCES of the
+      // cumulative square-window joins, each lag the globalMoran
+      // decimal closing ×1e6
+      "q_correlogram" -> {
+        def fd(d: Int) =
+          s"""f$d AS (SELECT c.x AS x, c.y AS y,
+             |  max(CASE WHEN n.x = c.x AND n.y = c.y THEN n.v END) AS v,
+             |  sum(n.v) AS sv$d, count(*) AS k$d
+             |  FROM g c JOIN g n ON n.x BETWEEN c.x - $d AND c.x + $d AND n.y BETWEEN c.y - $d AND c.y + $d
+             |  GROUP BY 1, 2)""".stripMargin
+        def lagSel(d: Int) = {
+          val (sw, k) =
+            if (d == 1) ("(sv1 - v)", "(k1 - 1)")
+            else (s"(sv$d - sv${d - 1})", s"(k$d - k${d - 1})")
+          s"""SELECT $d AS lag, n, CAST(sum($k) AS BIGINT) AS w,
+             |  CAST(round(CAST(sum(CAST(v * n - s AS DECIMAL(18,0)) * CAST($sw * n - $k * s AS DECIMAL(18,0))) AS DOUBLE) /
+             |    (CAST(CAST(sum($k) AS BIGINT) AS DOUBLE) *
+             |     CAST(CAST(n AS DECIMAL(18,0)) * CAST(ss AS DECIMAL(18,0)) - CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0)) AS DOUBLE))
+             |  * 1000000.0) AS BIGINT) AS moran_i
+             |FROM j, gl GROUP BY n, s, ss""".stripMargin
+        }
+        s"""WITH g AS ($grid),
+           |gl AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s, sum(v * v) AS ss FROM g),
+           |${fd(1)},
+           |${fd(2)},
+           |${fd(3)},
+           |j AS (SELECT f1.x, f1.y, f1.v, f1.sv1, f1.k1, f2.sv2, f2.k2, f3.sv3, f3.k3
+           |      FROM f1 JOIN f2 USING (x, y) JOIN f3 USING (x, y))
+           |${lagSel(1)}
+           |UNION ALL ${lagSel(2)}
+           |UNION ALL ${lagSel(3)}""".stripMargin
+      },
 
       // General G: decimal-exact Σ v·(Sw−v) over S²−SS, ×1e9
       "q_general_g" ->

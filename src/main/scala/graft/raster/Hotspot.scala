@@ -185,6 +185,49 @@ object Hotspot {
         .otherwise(0L).as("quadrant"))
   }
 
+  /** Moran CORRELOGRAM: global Moran's I at Chebyshev ring lags
+    * 1..maxLag (binary weights on the ring at exactly distance d —
+    * the PySAL correlogram shape that shows spatial structure decay).
+    * Ring sums come from DIFFERENCES of cumulative Square(d) focal
+    * sums (d focal halo exchanges, no per-lag pair joins); each lag
+    * closes with the globalMoran DECIMAL numerator and the shared
+    * m2·n² normalizer. One row per lag: (lag, n, w, moran_i raw). */
+  def moranCorrelogram(l: RasterLayer, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val ones = l.localMap(c => when(isnan(c), c).otherwise(lit(1.0)))
+    val sums = (1 to maxLag).map(d =>
+      l.focal(Neighborhood.Square(d), "Sum").toCells
+        .withColumnRenamed("v", s"sv$d"))
+    val ks = (1 to maxLag).map(d =>
+      ones.focal(Neighborhood.Square(d), "Sum").toCells
+        .withColumnRenamed("v", s"k$d"))
+    val joined = (sums ++ ks).foldLeft(l.toCells)(
+      (a, b) => a.join(b, Seq("x", "y")))
+    val g = l.toCells.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum("v").as("s"), sum(col("v") * col("v")).as("ss"))
+    def swRing(d: Int) =
+      if (d == 1) col("sv1") - col("v") else col(s"sv$d") - col(s"sv${d - 1}")
+    def kRing(d: Int) =
+      if (d == 1) col("k1") - lit(1.0) else col(s"k$d") - col(s"k${d - 1}")
+    val aggs = (1 to maxLag).flatMap { d =>
+      Seq(
+        sum((col("v") * col("n") - col("s")).cast(dec18) *
+          (swRing(d) * col("n") - kRing(d) * col("s")).cast(dec18))
+          .as(s"num$d"),
+        sum(kRing(d).cast("long")).as(s"w$d"))
+    } ++ Seq(max("n").as("n"), max("s").as("s"), max("ss").as("ss"))
+    // one row, maxLag consumers below — pin it
+    val a = joined.crossJoin(broadcast(g))
+      .agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    (1 to maxLag).map { d =>
+      a.select(lit(d).as("lag"), col("n"), col(s"w$d").as("w"),
+        (col(s"num$d").cast("double") /
+          (col(s"w$d").cast("double") * m2n2(col("n"), col("s"), col("ss"))))
+          .as("moran_i"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Getis-Ord GENERAL G (the ArcGIS High/Low Clustering tool; Getis
     * & Ord 1992 global form), binary 3x3 self-exclusive weights:
     * G = Σᵢⱼ wᵢⱼ xᵢxⱼ / Σ_{i≠j} xᵢxⱼ. Numerator = Σᵢ vᵢ·(Swᵢ−vᵢ)

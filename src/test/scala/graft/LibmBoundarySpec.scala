@@ -304,6 +304,9 @@ class LibmBoundarySpec extends SparkSpec {
     val gg = graft.raster.Hotspot.generalG(layer)
       .select((col("general_g") * 1000000000.0).as("a")).as[Double].collect().toSeq
     assertFar("general g*1e9", gg)
+    val cg = graft.raster.Hotspot.moranCorrelogram(layer)
+      .select((col("moran_i") * 1000000.0).as("a")).as[Double].collect().toSeq
+    assertFar("correlogram moran*1e6", cg)
     val bv = graft.raster.Hotspot.bivariateMoran(layer,
       GridSource.ordersLayer(spark, dir))
       .select((col("moran_bv") * 1000000.0).as("a")).as[Double].collect().toSeq

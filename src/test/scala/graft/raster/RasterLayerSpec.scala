@@ -1100,6 +1100,22 @@ class RasterLayerSpec extends SparkSpec {
     assert(math.abs(bv._3 - (4.0 * -12.5) / (6.0 * 43.0)) < 1e-12)
   }
 
+  test("moranCorrelogram: lag 1 == global Moran; ring lags hand-checked") {
+    val l = layer((0, 0, 10.0), (1, 0, 2.0), (2, 0, 2.0), (3, 0, 4.0))
+    val out = Hotspot.moranCorrelogram(l, maxLag = 3)
+      .as[(Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // lag 1: the strip's global Moran (W=6, Σzᵢ·(nbr z)=−12.5)
+    assert(out(1)._1 == 6L)
+    assert(math.abs(out(1)._2 - (4.0 * -12.5) / (6.0 * 43.0)) < 1e-12)
+    // lag 2 ring pairs (0,2),(1,3): Σ = −25, W=4 → I₂ = −25/43
+    assert(out(2)._1 == 4L)
+    assert(math.abs(out(2)._2 - -25.0 / 43.0) < 1e-12)
+    // lag 3 pair (0,3): Σ = −5.5, W=2 → I₃ = 4·(−5.5)/(2·43)
+    assert(out(3)._1 == 2L)
+    assert(math.abs(out(3)._2 - 4.0 * -5.5 / (2.0 * 43.0)) < 1e-12)
+  }
+
   test("localGeary: strip cell matches the textbook pair sum / m2") {
     val l = layer((0, 0, 10.0), (1, 0, 2.0), (2, 0, 2.0), (3, 0, 4.0))
     // cell 1 (v=2, nbrs 10,2): Σw(vᵢ−vⱼ)² = 64; m2 = 43/4
