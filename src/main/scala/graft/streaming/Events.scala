@@ -581,6 +581,41 @@ object Events {
   final case class CusumAlarm(user_id: Long, alarm_us: Long, s: Long)
   final case class FunnelState(reached: Int, t: Long)
   final case class FunnelStep(user_id: Long, step_idx: Int, us: Long)
+  final case class LastEvent(us: Long, eid: Long, typ: String)
+  final case class TransitionPair(from_type: String, to_type: String)
+
+  /** Streaming twin of [[transitionMatrix]]: per-user state is only
+    * the LAST event seen; each arriving adjacency emits one
+    * (from, to) pair in append mode (the pair stream is then a plain
+    * streaming groupBy count downstream). Micro-batch rows fold in
+    * (event-time, event_id) order — the cusumStream discipline — so
+    * transitions crossing micro-batch boundaries come out identical
+    * to the batch window. */
+  def transitionStream(events: DataFrame): Dataset[TransitionPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .select(col("user_id").as[Long], expr("ts div 1000").as[Long],
+        col("event_id").as[Long], col("event_type").as[String])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, TransitionPair](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[LastEvent]) =>
+          var last = state.getOption.orNull
+          var out = List.empty[TransitionPair]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach {
+            case (_, us, eid, typ) =>
+              if (last != null) out = TransitionPair(last.typ, typ) :: out
+              last = LastEvent(us, eid, typ)
+          }
+          if (last != null) state.update(last)
+          out.reverseIterator
+      }
+  }
 
   /** Streaming sessionization with explicit state — the
     * flatMapGroupsWithState path (spec-tested with a memory sink). */

@@ -84,6 +84,34 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transition twin matches batch across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val evs = Seq(
+      (1L, ns(0), 1L, "view", 0.0, "{}"),
+      (2L, ns(10), 1L, "click", 0.0, "{}"),
+      (3L, ns(5), 2L, "view", 0.0, "{}"),
+      (4L, ns(20), 1L, "purchase", 0.0, "{}"), // crosses the batch split
+      (5L, ns(15), 2L, "view", 0.0, "{}"))
+    val q = Events.transitionStream(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs.take(3)); q.processAllAvailable()
+      mem.addData(evs.drop(3)); q.processAllAvailable()
+      val streamed = spark.table("transitions").as[Events.TransitionPair]
+        .collect().groupBy(p => (p.from_type, p.to_type))
+        .view.mapValues(_.length.toLong).toMap
+      val batch = Events.transitionMatrix(
+          evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(streamed == batch)
+      assert(batch(("click", "purchase")) == 1L) // the cross-batch pair
+    } finally q.stop()
+  }
+
   test("retention cohorts: DAU triangle by hand") {
     val day = graft.GridSource.NanosPerDay
     def at(d: Long, u: Long, id: Long) =
