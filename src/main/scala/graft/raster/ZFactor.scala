@@ -11,9 +11,16 @@ package graft.raster
   * a degrees-valued grid needs zf = 1 / (metersPerDegree(lat)).
   */
 object ZFactor {
-  /** Ground meters (feet) per degree at the equator — the reference's
-    * constants (Constants.scala: METERSATEQUATOR / FEETATEQUATOR). */
-  val MetersAtEquator = 11320.0
+  /** Ground meters (feet) per degree at the equator.
+    *
+    * DELIBERATE DEVIATION from the reference: geotrellis
+    * Constants.scala:63 hardcodes `METERSATEQUATOR = 11320`, which is
+    * 10x too small — its own `FEETATEQUATOR = 365217.6` converts to
+    * 111319.5 m, and the WGS84 equatorial circumference / 360 is
+    * 111319.49 m. We use the physically correct 111320.0 (same
+    * precision class as the reference's feet constant); the feet
+    * constant is kept as the reference's, which was already right. */
+  val MetersAtEquator = 111320.0
   val FeetAtEquator = 365217.6
 
   /** Reference lat-lng calculator: zf(lat) = 1/(K * cos(lat)). */

@@ -82,14 +82,16 @@ class RasterLayerSpec extends SparkSpec {
   test("per-latitude z-factor: tile rows get distinct slopes matching the closed form") {
     // 8x8 DEGREES grid (cell 1 deg), tile rows at center lats 6 and 2.
     // A full plane v = 3x has dzdx = 3, dzdy = 0 away from edges, so
-    // slope = atan(3 * zf(lat)) with zf = 1/(11320 cos lat) — control
-    // values computed by hand from the reference formula.
+    // slope = atan(3 * zf(lat)) with zf = 1/(111320 cos lat) — control
+    // values computed by hand from the corrected reference formula
+    // (the reference's METERSATEQUATOR constant is 10x too small; see
+    // ZFactor.MetersAtEquator).
     val plane = for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y, 3.0 * x)
     val l = RasterLayer.fromCells(plane.toDF("x", "y", "v"), layout)
       .slope(zFactorCalc = Some(ZFactor.latLng("Meters")))
     val got = cellsOf(l).map(c => ((c._1, c._2), c._3)).toMap
     def want(lat: Double): Double =
-      math.toDegrees(math.atan(3.0 / (11320.0 * math.cos(math.toRadians(lat)))))
+      math.toDegrees(math.atan(3.0 / (111320.0 * math.cos(math.toRadians(lat)))))
     // interior cells: (3,2) in tile row 0 (lat 6), (3,5) in row 1 (lat 2)
     assert(math.abs(got((3L, 2L)) - want(6.0)) < 1e-12)
     assert(math.abs(got((3L, 5L)) - want(2.0)) < 1e-12)
@@ -98,6 +100,18 @@ class RasterLayerSpec extends SparkSpec {
     val scalar = RasterLayer.fromCells(plane.toDF("x", "y", "v"), layout).slope()
     assert(math.abs(cellsOf(scalar).find(c => c._1 == 3 && c._2 == 2).get._3 -
       math.toDegrees(math.atan(3.0))) < 1e-12)
+  }
+
+  test("lat-lng z-factor uses the physically correct meters-per-degree constant") {
+    // zf(0) = 1 / 111320 m/deg (WGS84 equator circumference / 360 =
+    // 111319.49 m). The reference's METERSATEQUATOR = 11320 is a
+    // dropped-digit bug; its own FEETATEQUATOR (365217.6 ft =
+    // 111318.3 m) confirms the correct magnitude.
+    val zf = ZFactor.latLng("Meters")
+    assert(math.abs(zf(0.0) - 1.0 / 111320.0) < 1e-18)
+    val zfFt = ZFactor.latLng("Feet")
+    // meters and feet calculators agree to the constants' precision
+    assert(math.abs(zf(0.0) * 111320.0 - zfFt(0.0) * 365217.6) < 1e-12)
   }
 
   test("z-factor table calculator interpolates piecewise-linearly") {
