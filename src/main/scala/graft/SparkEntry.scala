@@ -286,7 +286,8 @@ object SparkEntry {
     "q_slope_latlng" -> ((s, dir) => {
       // per-latitude z-factor (reference zfactor_lat_lng_calculator):
       // same lineitem cells on the DEGREES layout; each tile row gets
-      // zf = 1/(11320 cos(center lat)) before the gradient
+      // zf = 1/(111320 cos(center lat)) before the gradient
+      // (corrected constant — see ZFactor.MetersAtEquator)
       val l = RasterLayer.fromCells(
         table(s, dir, "lineitem").select(
           (col("l_orderkey") % G).as("x"), (col("l_partkey") % G).as("y"),
@@ -1256,6 +1257,50 @@ object SparkEntry {
       Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1,
           dstTile = 50, bilinear = true, dstCols = 200)
         .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+
+    "q_reproject_cubic" -> ((s, dir) => {
+      // Keys a=-0.5 bicubic warp. Source is the DENSER 128-grid (~97%
+      // occupancy at sf0.01 vs ~60% for the 256-grid) so the 16-tap
+      // full-window rule leaves thousands of checkable cells; target
+      // 100 cols keeps the boundary-safe 32/25 ratio (bilinear's
+      // argument). 16-tap weighted sums of non-integral products ->
+      // round both sides, term order pinned to the SQL twin.
+      import graft.core.{Extent, LayoutDefinition, TileLayout}
+      val l128 = RasterLayer.fromCells(
+        table(s, dir, "lineitem").select(
+          (col("l_orderkey") % 128).as("x"), (col("l_partkey") % 128).as("y"),
+          col("l_quantity").as("v")),
+        LayoutDefinition(Extent(0, 0, 128, 128), TileLayout(2, 2, 64, 64)),
+        graft.raster.CellOp.Sum)
+      Reproject.latLngGridToWebMercatorTiled(l128, 0.1,
+          dstTile = 50, dstCols = 100, method = "CubicConvolution")
+        .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
+
+    "q_reproject_average" -> ((s, dir) =>
+      // gdalwarp -r average: mean of source cells whose centers fall
+      // in the target cell's inverse-projected footprint; integral v
+      // -> exact order-free sums, one division, round 5
+      Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1,
+          dstTile = 50, dstCols = 200, method = "Average")
+        .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+
+    "q_reproject_mode" -> ((s, dir) =>
+      // footprint Mode, ties -> smallest value; selection of an exact
+      // grid value, no rounding needed
+      Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1,
+          dstTile = 50, dstCols = 200, method = "Mode").toCells),
+
+    "q_reproject_median" -> ((s, dir) =>
+      // footprint Median (quantile_cont rule: interpolate the two
+      // middles); integral v -> the .5 interpolation is exact binary
+      Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1,
+          dstTile = 50, dstCols = 200, method = "Median").toCells),
+
+    "q_reproject_max" -> ((s, dir) =>
+      // footprint Max — order-free selection, exact
+      Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1,
+          dstTile = 50, dstCols = 200, method = "Max").toCells),
 
     "q_zoom_keys" -> ((s, dir) => {
       val p = customerLonLat(s, dir)
@@ -2687,6 +2732,27 @@ object SparkEntry {
     val grid   = lineitemCellsSql
     val ogrid  = ordersCellsSql
     val zgrid  = zoneCellsSql
+    // shared WITH-prologue of the footprint-aggregate warp family
+    // (q_reproject_average/mode/median/max): target cell -> half-open
+    // source-grid box whose CELL CENTERS it covers; edge expressions
+    // identical to Reproject's footprint kernel
+    val warpFootprintSql: String = {
+      val n = 256; val d = 0.1; val dn = 200
+      val mxMin = CRS.lngToMercX(0); val mxMax = CRS.lngToMercX(n * d)
+      val myMin = CRS.latToMercY(0); val myMax = CRS.latToMercY(n * d)
+      val cw = (mxMax - mxMin) / dn; val ch = (myMax - myMin) / dn
+      s"""WITH g AS ($lineitemCellsSql), t AS (
+         |  SELECT t1.range AS tx, t2.range AS ty FROM range(0, $dn) t1, range(0, $dn) t2),
+         |c AS (SELECT tx, ty,
+         |        degrees(($mxMin + tx * $cw) / 6378137.0) / $d AS gxLo,
+         |        degrees(($mxMin + (tx + 1) * $cw) / 6378137.0) / $d AS gxHi,
+         |        (${n * d} - degrees(atan(exp(($myMax - ty * $ch) / 6378137.0)) * 2 - pi() / 2)) / $d AS gyLo,
+         |        (${n * d} - degrees(atan(exp(($myMax - (ty + 1) * $ch) / 6378137.0)) * 2 - pi() / 2)) / $d AS gyHi
+         |      FROM t),
+         |f AS (SELECT tx, ty, g.v FROM c JOIN g
+         |        ON g.x + 0.5 >= gxLo AND g.x + 0.5 < gxHi
+         |       AND g.y + 0.5 >= gyLo AND g.y + 0.5 < gyHi)""".stripMargin
+    }
     // langid CASE chain shared by q_lang_id and q_lang_confusion
     val langIdSql =
       """SELECT doc_id,
@@ -2957,13 +3023,14 @@ object SparkEntry {
 
       // DEGREES grid (cell 0.25): gradient denominators scale by the
       // cell size, and the tile row y//64 (center lat 64-(row+0.5)*16)
-      // sets zf = 1/(11320 cos lat) — the reference's lat-lng
-      // calculator in closed form
+      // sets zf = 1/(111320 cos lat) — the reference's lat-lng
+      // calculator in closed form, with the corrected meters-per-
+      // degree constant (ZFactor.MetersAtEquator)
       "q_slope_latlng" ->
         hornSql(
           "round(degrees(atan(sqrt((dzdx * zf) * (dzdx * zf) + (dzdy * zf) * (dzdy * zf)))), 5)",
           cellSize = 0.25,
-          zfExpr = "1.0 / (11320 * cos(radians(64 - ((y // 64) + 0.5) * 16)))"),
+          zfExpr = "1.0 / (111320 * cos(radians(64 - ((y // 64) + 0.5) * 16)))"),
 
       "q_aspect" ->
         hornSql("round(CASE WHEN degrees(atan2(dzdy, -dzdx)) < 0 THEN degrees(atan2(dzdy, -dzdx)) + 360 ELSE degrees(atan2(dzdy, -dzdx)) END, 5)"),
@@ -4503,6 +4570,79 @@ object SparkEntry {
            |       JOIN g g01 ON g01.x = b.x0 AND g01.y = b.y0 + 1
            |       JOIN g g11 ON g11.x = b.x0 + 1 AND g11.y = b.y0 + 1""".stripMargin
       },
+
+      // Keys a=-0.5 bicubic warp: bilinear's inverse-projection chain,
+      // then 4x4 taps with Horner weight forms and a pinned term order
+      // IDENTICAL to the Scala kernel; 16 inner joins = full-window rule
+      "q_reproject_cubic" -> {
+        val n = 128; val d = 0.1; val dn = 100
+        val mxMin = CRS.lngToMercX(0); val mxMax = CRS.lngToMercX(n * d)
+        val myMin = CRS.latToMercY(0); val myMax = CRS.latToMercY(n * d)
+        val cw = (mxMax - mxMin) / dn; val ch = (myMax - myMin) / dn
+        val joins = (for (dy <- -1 to 2; dx <- -1 to 2) yield {
+          val a = s"g${dx + 1}${dy + 1}"
+          val xo = if (dx == 0) "" else if (dx > 0) s" + $dx" else s" - ${-dx}"
+          val yo = if (dy == 0) "" else if (dy > 0) s" + $dy" else s" - ${-dy}"
+          s"JOIN g $a ON $a.x = w.x0$xo AND $a.y = w.y0$yo"
+        }).mkString("\n|  ")
+        def rowExpr(dy: Int) =
+          s"(wxm * g0${dy + 1}.v + wx0 * g1${dy + 1}.v + wx1 * g2${dy + 1}.v + wx2 * g3${dy + 1}.v)"
+        val grid128 =
+          s"SELECT l_orderkey % $n AS x, l_partkey % $n AS y, sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2"
+        s"""WITH g AS ($grid128), t AS (
+           |  SELECT t1.range AS tx, t2.range AS ty,
+           |         $mxMin + (t1.range + 0.5) * $cw AS mx,
+           |         $myMax - (t2.range + 0.5) * $ch AS my
+           |  FROM range(0, $dn) t1, range(0, $dn) t2),
+           |c AS (SELECT tx, ty,
+           |        degrees(mx / 6378137.0) / $d AS gx,
+           |        (${n * d} - degrees(atan(exp(my / 6378137.0)) * 2 - pi() / 2)) / $d AS gy
+           |      FROM t),
+           |b AS (SELECT tx, ty,
+           |        CAST(floor(gx - 0.5) AS BIGINT) AS x0, CAST(floor(gy - 0.5) AS BIGINT) AS y0,
+           |        gx - 0.5 - floor(gx - 0.5) AS fx, gy - 0.5 - floor(gy - 0.5) AS fy
+           |      FROM c),
+           |w AS (SELECT tx, ty, x0, y0,
+           |        ((-0.5 * (fx + 1.0) + 2.5) * (fx + 1.0) - 4.0) * (fx + 1.0) + 2.0 AS wxm,
+           |        ((1.5 * fx - 2.5) * fx) * fx + 1.0 AS wx0,
+           |        ((1.5 * (1.0 - fx) - 2.5) * (1.0 - fx)) * (1.0 - fx) + 1.0 AS wx1,
+           |        ((-0.5 * (2.0 - fx) + 2.5) * (2.0 - fx) - 4.0) * (2.0 - fx) + 2.0 AS wx2,
+           |        ((-0.5 * (fy + 1.0) + 2.5) * (fy + 1.0) - 4.0) * (fy + 1.0) + 2.0 AS wym,
+           |        ((1.5 * fy - 2.5) * fy) * fy + 1.0 AS wy0,
+           |        ((1.5 * (1.0 - fy) - 2.5) * (1.0 - fy)) * (1.0 - fy) + 1.0 AS wy1,
+           |        ((-0.5 * (2.0 - fy) + 2.5) * (2.0 - fy) - 4.0) * (2.0 - fy) + 2.0 AS wy2
+           |      FROM b)
+           |SELECT w.tx AS x, w.ty AS y,
+           |  round(wym * ${rowExpr(-1)}
+           |      + wy0 * ${rowExpr(0)}
+           |      + wy1 * ${rowExpr(1)}
+           |      + wy2 * ${rowExpr(2)}, 5) AS v
+           |FROM w
+           |  $joins""".stripMargin
+      },
+
+      // footprint edges: the SAME expression chain as the Scala
+      // kernel's gxLo/gxHi/gyLo/gyHi; cell-center-in-half-open-box
+      "q_reproject_average" ->
+        s"""$warpFootprintSql
+           |SELECT tx AS x, ty AS y, round(sum(v) / count(v), 5) AS v
+           |FROM f GROUP BY 1, 2""".stripMargin,
+
+      "q_reproject_mode" ->
+        s"""$warpFootprintSql,
+           |m AS (SELECT tx, ty, v, count(*) AS c FROM f GROUP BY 1, 2, 3)
+           |SELECT tx AS x, ty AS y, v FROM m
+           |QUALIFY row_number() OVER (PARTITION BY tx, ty ORDER BY c DESC, v ASC) = 1""".stripMargin,
+
+      "q_reproject_median" ->
+        s"""$warpFootprintSql
+           |SELECT tx AS x, ty AS y, median(v) AS v
+           |FROM f GROUP BY 1, 2""".stripMargin,
+
+      "q_reproject_max" ->
+        s"""$warpFootprintSql
+           |SELECT tx AS x, ty AS y, max(v) AS v
+           |FROM f GROUP BY 1, 2""".stripMargin,
 
       "q_zoom_keys" ->
         s"""SELECT pid,

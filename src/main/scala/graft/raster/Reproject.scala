@@ -55,12 +55,31 @@ object Reproject {
     * the bounded set of target tiles it can feed (CRS transforms are
     * monotone per axis), ships itself there in ONE keyed shuffle, and
     * each target tile inverse-samples locally. Cell math identical to
-    * the join variant, so the same oracle covers both. */
+    * the join variant, so the same oracle covers both.
+    *
+    * `method` selects the warp resampling kernel — the reference's
+    * ResampleMethod family (layer.py:876; constants.py:123-135):
+    *  - "NearestNeighbor" (default), "Bilinear" (4-corner weighted),
+    *  - "CubicConvolution": Keys 1981 bicubic, a = -0.5 (the GDAL/
+    *    geotrellis default); 4x4 window, any missing sample -> NoData,
+    *  - "Average"/"Max"/"Min"/"Median"/"Mode": footprint aggregates —
+    *    the target cell's mercator footprint is inverse-projected to
+    *    the source grid and every source cell whose CENTER falls in
+    *    the half-open box contributes (gdalwarp -r average / the
+    *    geotrellis AggregateResample family). Mode ties -> smallest
+    *    value; Median interpolates the two middles (quantile_cont).
+    * CubicSpline/Lanczos are not supported (throw). */
   def latLngGridToWebMercatorTiled(layer: RasterLayer, degPerCell: Double,
                                    dstTile: Int = 64,
                                    bilinear: Boolean = false,
-                                   dstCols: Int = 0): RasterLayer = {
+                                   dstCols: Int = 0,
+                                   method: String = ""): RasterLayer = {
     import graft.core.TileLayout
+    val m = if (method.nonEmpty) method else if (bilinear) "Bilinear" else "NearestNeighbor"
+    val Footprint = Set("Average", "Max", "Min", "Median", "Mode")
+    require(m == "NearestNeighbor" || m == "Bilinear" ||
+      m == "CubicConvolution" || Footprint(m),
+      s"unsupported resample method '$m'")
     val spark = layer.spark
     import spark.implicits._
     val tl = layer.meta.layout.tileLayout
@@ -90,10 +109,15 @@ object Reproject {
       val latLo = latMax - (r + 1).toLong * tr * degPerCell
       def txOf(lon: Double) = (CRS.lngToMercX(lon) - mxMin) / cw
       def tyOf(lat: Double) = (myMax - CRS.latToMercY(lat)) / ch
-      // bilinear reaches one source cell past the NN cell, so its
-      // gather pads two target cells instead of one (pad affects only
-      // which tiles SHIP, never the sampled values)
-      val pad = if (bilinear) 2 else 1
+      // bilinear reaches one source cell past the NN cell (pad 2),
+      // cubic two (pad 3); footprint methods reach the projected cell
+      // edges (< 1 source cell past center at these ratios, pad 3 for
+      // slack). Pad affects only which tiles SHIP, never the values.
+      val pad = m match {
+        case "NearestNeighbor" => 1
+        case "Bilinear"        => 2
+        case _                 => 3
+      }
       val txLo = math.max(0, math.floor(txOf(lonLo) - pad).toInt / dstTile)
       val txHi = math.min(dstLc - 1, math.ceil(txOf(lonHi) + pad).toInt / dstTile)
       val tyLo = math.max(0, math.floor(tyOf(latHi) - pad).toInt / dstTile)
@@ -118,28 +142,97 @@ object Reproject {
           val my = myMax - (gj + 0.5) * ch
           val lon = math.toDegrees(mx / CRS.EarthRadius)
           val lat = math.toDegrees(math.atan(math.exp(my / CRS.EarthRadius)) * 2 - math.Pi / 2)
-          if (bilinear) {
-            // 4-corner weighted sample at cell centers, pinned term
-            // order (the pointValuesBilinear contract); any missing
-            // corner -> NaN propagates -> NoData
-            val gx = lon / degPerCell
-            val gyv = (latMax - lat) / degPerCell
-            val x0 = math.floor(gx - 0.5).toLong
-            val y0 = math.floor(gyv - 0.5).toLong
-            if (x0 >= 0 && x0 + 1 < n && y0 >= 0 && y0 + 1 < n) {
-              val fx = gx - 0.5 - x0
-              val fy = gyv - 0.5 - y0
-              val v = (1 - fx) * (1 - fy) * sv(x0, y0) + fx * (1 - fy) * sv(x0 + 1, y0) +
-                (1 - fx) * fy * sv(x0, y0 + 1) + fx * fy * sv(x0 + 1, y0 + 1)
-              outTile(j * dstTile + i) = v
-            }
-          } else {
-            val x = math.floor(lon / degPerCell).toLong
-            val y = math.floor((latMax - lat) / degPerCell).toLong
-            if (x >= 0 && x < n && y >= 0 && y < n) {
-              val t = sv(x, y)
-              if (!t.isNaN) outTile(j * dstTile + i) = t
-            }
+          m match {
+            case "Bilinear" =>
+              // 4-corner weighted sample at cell centers, pinned term
+              // order (the pointValuesBilinear contract); any missing
+              // corner -> NaN propagates -> NoData
+              val gx = lon / degPerCell
+              val gyv = (latMax - lat) / degPerCell
+              val x0 = math.floor(gx - 0.5).toLong
+              val y0 = math.floor(gyv - 0.5).toLong
+              if (x0 >= 0 && x0 + 1 < n && y0 >= 0 && y0 + 1 < n) {
+                val fx = gx - 0.5 - x0
+                val fy = gyv - 0.5 - y0
+                val v = (1 - fx) * (1 - fy) * sv(x0, y0) + fx * (1 - fy) * sv(x0 + 1, y0) +
+                  (1 - fx) * fy * sv(x0, y0 + 1) + fx * fy * sv(x0 + 1, y0 + 1)
+                outTile(j * dstTile + i) = v
+              }
+            case "CubicConvolution" =>
+              // Keys 1981 bicubic, a = -0.5: separable 4x4 kernel at
+              // cell centers; Horner forms + term order IDENTICAL to
+              // the SQL twin; any missing sample -> NaN -> NoData
+              val gx = lon / degPerCell
+              val gyv = (latMax - lat) / degPerCell
+              val x0 = math.floor(gx - 0.5).toLong
+              val y0 = math.floor(gyv - 0.5).toLong
+              if (x0 >= 1 && x0 + 2 < n && y0 >= 1 && y0 + 2 < n) {
+                val fx = gx - 0.5 - x0
+                val fy = gyv - 0.5 - y0
+                // near taps |t|<1: ((1.5t - 2.5)t)t + 1; far taps
+                // 1<=|t|<2: ((-0.5t + 2.5)t - 4)t + 2
+                val wxm = ((-0.5 * (fx + 1.0) + 2.5) * (fx + 1.0) - 4.0) * (fx + 1.0) + 2.0
+                val wx0 = ((1.5 * fx - 2.5) * fx) * fx + 1.0
+                val wx1 = ((1.5 * (1.0 - fx) - 2.5) * (1.0 - fx)) * (1.0 - fx) + 1.0
+                val wx2 = ((-0.5 * (2.0 - fx) + 2.5) * (2.0 - fx) - 4.0) * (2.0 - fx) + 2.0
+                val wym = ((-0.5 * (fy + 1.0) + 2.5) * (fy + 1.0) - 4.0) * (fy + 1.0) + 2.0
+                val wy0 = ((1.5 * fy - 2.5) * fy) * fy + 1.0
+                val wy1 = ((1.5 * (1.0 - fy) - 2.5) * (1.0 - fy)) * (1.0 - fy) + 1.0
+                val wy2 = ((-0.5 * (2.0 - fy) + 2.5) * (2.0 - fy) - 4.0) * (2.0 - fy) + 2.0
+                def rowAt(yy: Long): Double =
+                  wxm * sv(x0 - 1, yy) + wx0 * sv(x0, yy) +
+                    wx1 * sv(x0 + 1, yy) + wx2 * sv(x0 + 2, yy)
+                outTile(j * dstTile + i) =
+                  wym * rowAt(y0 - 1) + wy0 * rowAt(y0) +
+                    wy1 * rowAt(y0 + 1) + wy2 * rowAt(y0 + 2)
+              }
+            case "NearestNeighbor" =>
+              val x = math.floor(lon / degPerCell).toLong
+              val y = math.floor((latMax - lat) / degPerCell).toLong
+              if (x >= 0 && x < n && y >= 0 && y < n) {
+                val t = sv(x, y)
+                if (!t.isNaN) outTile(j * dstTile + i) = t
+              }
+            case _ => // footprint aggregate family
+              // half-open box of source-grid coords whose CELL CENTERS
+              // the target cell's mercator footprint covers; edge
+              // expressions identical to the SQL twin
+              val gxLo = math.toDegrees((mxMin + gi * cw) / CRS.EarthRadius) / degPerCell
+              val gxHi = math.toDegrees((mxMin + (gi + 1) * cw) / CRS.EarthRadius) / degPerCell
+              val gyLo = (latMax - math.toDegrees(math.atan(math.exp((myMax - gj * ch) / CRS.EarthRadius)) * 2 - math.Pi / 2)) / degPerCell
+              val gyHi = (latMax - math.toDegrees(math.atan(math.exp((myMax - (gj + 1) * ch) / CRS.EarthRadius)) * 2 - math.Pi / 2)) / degPerCell
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+              var y = math.max(0L, math.ceil(gyLo - 0.5).toLong)
+              while (y < n && y + 0.5 < gyHi) {
+                if (y + 0.5 >= gyLo) {
+                  var x = math.max(0L, math.ceil(gxLo - 0.5).toLong)
+                  while (x < n && x + 0.5 < gxHi) {
+                    if (x + 0.5 >= gxLo) {
+                      val t = sv(x, y)
+                      if (!t.isNaN) buf += t
+                    }
+                    x += 1
+                  }
+                }
+                y += 1
+              }
+              if (buf.nonEmpty) {
+                outTile(j * dstTile + i) = m match {
+                  case "Average" => buf.sum / buf.size
+                  case "Max"     => buf.max
+                  case "Min"     => buf.min
+                  case "Median"  =>
+                    // quantile_cont(0.5): interpolate the two middles
+                    val s = buf.sorted
+                    if (s.length % 2 == 1) s(s.length / 2)
+                    else s(s.length / 2 - 1) + 0.5 * (s(s.length / 2) - s(s.length / 2 - 1))
+                  case "Mode" =>
+                    // most frequent, ties -> smallest value
+                    buf.groupBy(identity).toSeq
+                      .map { case (v, g) => (v, g.size) }
+                      .minBy { case (v, c) => (-c, v) }._1
+                }
+              }
           }
           i += 1
         }

@@ -233,6 +233,46 @@ class LibmBoundarySpec extends SparkSpec {
     assertUlpSlack("sinusoidal e/n", collectRaw(pts, sSteps, sE, sN), scale = 1e3)
   }
 
+  test("warp resample boundaries: projected edges far from source cell centers") {
+    // The r15 warp family compares libm-carrying projected coordinates
+    // against exact source-grid landmarks: footprint joins test
+    // `center k+0.5 vs gyLo/gyHi edge`, bilinear/cubic floor
+    // `gy - 0.5 vs integer`. The x direction is rational-safe by the
+    // 32/25 resolution-ratio argument; the y direction runs through
+    // atan∘exp, so a JVM-vs-DuckDB libm ulp flips a cell iff the TRUE
+    // distance is ~1e-13 grid units. Gate every edge/sample at 1e-6
+    // grid units (~10^7 ulps of headroom at these magnitudes).
+    import graft.core.CRS
+    val R = 6378137.0
+    def latOf(my: Double) = math.toDegrees(math.atan(math.exp(my / R)) * 2 - math.Pi / 2)
+    def distHalf(e: Double) = math.abs(e - math.floor(e) - 0.5) // vs k+0.5
+    def distInt(e: Double)  = math.abs(e - math.rint(e))        // vs k
+    def gate(family: String, ds: Seq[Double]): Unit = {
+      val worst = ds.min
+      info(f"$family: ${ds.size} boundaries, min distance $worst%.3g grid units")
+      assert(worst >= 1e-6, s"$family: a projected warp boundary sits $worst grid " +
+        "units from a source landmark — libm divergence can flip the cell")
+    }
+    // footprint family (q_reproject_average/mode/median/max): n=256 dn=200
+    {
+      val n = 256; val d = 0.1; val dn = 200
+      val myMax = CRS.latToMercY(n * d); val myMin = CRS.latToMercY(0)
+      val ch = (myMax - myMin) / dn
+      val yEdges = (0 to dn).map(ty => (n * d - latOf(myMax - ty * ch)) / d)
+      gate("footprint gy edges vs centers", yEdges.map(distHalf))
+    }
+    // bilinear (n=256 dn=200) and cubic (n=128 dn=100) floor boundaries
+    for ((n, dn) <- Seq((256, 200), (128, 100))) {
+      val d = 0.1
+      val myMax = CRS.latToMercY(n * d); val myMin = CRS.latToMercY(0)
+      val ch = (myMax - myMin) / dn
+      val gys = (0 until dn).map(ty => (n * d - latOf(myMax - (ty + 0.5) * ch)) / d)
+      gate(s"warp gy-0.5 floor boundaries ($n->$dn)", gys.map(g => distInt(g - 0.5)))
+      // NN floor boundary (q_reproject_raster discipline): gy vs integer
+      gate(s"warp gy NN floor boundaries ($n->$dn)", gys.map(distInt))
+    }
+  }
+
   test("geodesic distance/bearing: round(,4) boundary slack in value-ulps") {
     // the exact Measures.geodesic DAG minus the closing round
     val (anchorLon, anchorLat) = (2.25, 48.85)

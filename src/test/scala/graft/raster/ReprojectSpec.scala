@@ -88,6 +88,70 @@ class ReprojectSpec extends SparkSpec {
     assert(bl.values.forall(v => v >= 0.0 && v <= 6300.0))
   }
 
+  test("cubic warp: partition of unity on constants, exact on linear ramps") {
+    val lo = LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(1, 1, 64, 64))
+    val const = RasterLayer.fromCells(
+      (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, 7.0)).toDF("x", "y", "v"), lo)
+    val cc = Reproject.latLngGridToWebMercatorTiled(const, 0.1, dstTile = 25,
+      dstCols = 50, method = "CubicConvolution").toCells
+      .as[(Long, Long, Double)].collect()
+    assert(cc.nonEmpty)
+    // Keys weights sum to 1 -> constants reproduce exactly (to ulps)
+    assert(cc.forall(c => math.abs(c._3 - 7.0) < 1e-9))
+    // a = -0.5 cubic convolution reproduces linear functions: sample a
+    // ramp in x and check against the bilinear warp (also linear-exact)
+    val ramp = RasterLayer.fromCells(
+      (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, (x * 100).toDouble))
+        .toDF("x", "y", "v"), lo)
+    val cu = Reproject.latLngGridToWebMercatorTiled(ramp, 0.1, dstTile = 25,
+      dstCols = 50, method = "CubicConvolution").toCells
+      .as[(Long, Long, Double)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    val bl = Reproject.latLngGridToWebMercatorTiled(ramp, 0.1, dstTile = 25,
+      bilinear = true, dstCols = 50).toCells
+      .as[(Long, Long, Double)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    val common = cu.keySet.intersect(bl.keySet)
+    assert(common.size > 500)
+    assert(common.forall(k => math.abs(cu(k) - bl(k)) < 1e-6),
+      "cubic must agree with bilinear on a linear field")
+    // cubic's window is one cell wider: its NoData fringe is a superset
+    assert(cu.keySet.subsetOf(bl.keySet))
+  }
+
+  test("footprint warps: aggregate rules hold pointwise on the ramp") {
+    val lo = LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(1, 1, 64, 64))
+    // v = x + 100y is GLOBALLY distinct (x < 100), so every footprint
+    // is all-distinct and the mode tie rule (-> smallest) is decisive
+    val ramp = RasterLayer.fromCells(
+      (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, (x + 100 * y).toDouble))
+        .toDF("x", "y", "v"), lo)
+    def run(m: String) = Reproject.latLngGridToWebMercatorTiled(ramp, 0.1,
+      dstTile = 25, dstCols = 50, method = m).toCells
+      .as[(Long, Long, Double)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    val (avg, mx, mn, med, mode) =
+      (run("Average"), run("Max"), run("Min"), run("Median"), run("Mode"))
+    // identical footprints -> identical key sets
+    assert(avg.keySet == mx.keySet && mx.keySet == mn.keySet &&
+      mn.keySet == med.keySet && med.keySet == mode.keySet && avg.nonEmpty)
+    for (k <- avg.keySet) {
+      assert(mn(k) <= avg(k) + 1e-12 && avg(k) <= mx(k) + 1e-12)
+      assert(mn(k) <= med(k) && med(k) <= mx(k))
+      // mode is a member value; on the all-distinct ramp ties resolve
+      // to the SMALLEST footprint value
+      assert(mode(k) == mn(k))
+    }
+    // constant field: every aggregate returns the constant
+    val const = RasterLayer.fromCells(
+      (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, 3.0)).toDF("x", "y", "v"), lo)
+    for (m <- Seq("Average", "Max", "Min", "Median", "Mode")) {
+      val out = Reproject.latLngGridToWebMercatorTiled(const, 0.1, dstTile = 25,
+        dstCols = 50, method = m).toCells.as[(Long, Long, Double)].collect()
+      assert(out.nonEmpty && out.forall(_._3 == 3.0), s"method $m")
+    }
+    intercept[IllegalArgumentException] {
+      Reproject.latLngGridToWebMercatorTiled(const, 0.1, method = "Lanczos")
+    }
+  }
+
   test("temporal layers reproject per instant (instants never mix)") {
     val tsrc = RasterLayer.fromCellsTemporal(
       (for (t <- 0L until 2L; x <- 0L until 8L; y <- 0L until 8L)
