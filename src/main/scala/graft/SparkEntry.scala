@@ -1206,6 +1206,22 @@ object SparkEntry {
         round(expr(eE), 4).as("e_ps"), round(expr(nE), 4).as("n_ps"))
     }),
 
+    "q_reproject_osgb" -> ((s, dir) => {
+      // EPSG:27700 British National Grid — generic +proj=tmerc (Airy
+      // 1830 ellipsoid, lat_0=49, k0=0.9996012717, false origin) plus
+      // the published 7-param WGS84->OSGB36 Helmert; the full datum +
+      // Krüger chain is ONE shared SQL text (Tmerc.forwardSqlSteps,
+      // datum fixed point unrolled to the same 6 rounds) evaluated by
+      // expr() here and as a CTE chain in the oracle. |dl| <= 18 deg
+      // keeps the series honest; round(,4) = 0.1 mm absorbs libm ulps.
+      val (steps, eE, nE) = graft.core.CRS.Osgb36.forwardSqlSteps
+      val base = customerLonLat(s, dir).where(col("lon") >= -20 && col("lon") <= 16 &&
+        col("lat") >= 35 && col("lat") <= 75)
+      val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
+      full.select(col("pid"),
+        round(expr(eE), 4).as("e_osgb"), round(expr(nE), 4).as("n_osgb"))
+    }),
+
     "q_reproject_albers" -> ((s, dir) => {
       // CONUS Albers Equal-Area (EPSG:5070, the standard US
       // continental-analysis CRS) over the customer points inside the
@@ -4481,6 +4497,18 @@ object SparkEntry {
         (s"WITH c0 AS (SELECT * FROM ($lonlat) WHERE lon >= 0 AND lon <= 30), " +
           ctes.mkString(", ") +
           s" SELECT pid, round($eE, 4) AS e_utm, round($nE, 4) AS n_utm FROM c${steps.size}")
+      },
+
+      "q_reproject_osgb" -> {
+        // same one-text contract as q_reproject_utm, with the datum
+        // leg's fixed point unrolled inside the shared steps
+        val (steps, eE, nE) = graft.core.CRS.Osgb36.forwardSqlSteps
+        val ctes = steps.zipWithIndex.map { case ((name, f), i) =>
+          s"o${i + 1} AS (SELECT *, $f AS $name FROM o$i)"
+        }
+        (s"WITH o0 AS (SELECT * FROM ($lonlat) WHERE lon >= -20 AND lon <= 16 AND lat >= 35 AND lat <= 75), " +
+          ctes.mkString(", ") +
+          s" SELECT pid, round($eE, 4) AS e_osgb, round($nE, 4) AS n_osgb FROM o${steps.size}")
       },
 
       "q_reproject_albers" -> {

@@ -119,6 +119,9 @@ object CRS {
         // flattenings differ in the 11th digit — sub-0.1 mm at CONUS
         // latitudes)
         case 5070 => AlbersEqualArea(-96.0, 23.0, 29.5, 45.5)
+        // OSGB36 / British National Grid (generic tmerc + Airy 1830 +
+        // the published small-angle Helmert)
+        case 27700 => Osgb36
         case c => throw new IllegalArgumentException(s"unsupported EPSG:$c")
       }
       case p if p.startsWith("+proj=") =>
@@ -167,6 +170,37 @@ object CRS {
             })
             Sinusoidal(p4or("lon_0", p, 0.0), p4or("x_0", p, 0.0),
               p4or("y_0", p, 0.0), r)
+          case "tmerc" =>
+            // generic transverse mercator: +lon_0 +lat_0 +k/+k_0 +x_0
+            // +y_0, ellipsoid via +ellps=airy|wgs84|grs80 or +a/+b(+rf),
+            // optional +towgs84=tx,ty,tz[,rx,ry,rz,ds] (proj gives the
+            // LOCAL->WGS84 direction; we store its reverse)
+            val (aa, ff) = "\\+ellps=([a-z0-9]+)".r.findFirstMatchIn(p).map(_.group(1)) match {
+              case Some("airy")  => (6377563.396, 1.0 / 299.3249646)
+              case Some("wgs84") => (TransverseMercator.SemiMajor, TransverseMercator.Flattening)
+              case Some("grs80") => (6378137.0, 1.0 / 298.257222101)
+              case Some(other) => throw new IllegalArgumentException(s"unsupported +ellps=$other")
+              case None =>
+                (p4opt("a", p), p4opt("b", p), p4opt("rf", p)) match {
+                  case (Some(av), Some(bv), _) => (av, (av - bv) / av)
+                  case (Some(av), _, Some(rf)) => (av, 1.0 / rf)
+                  case (None, _, _) => (TransverseMercator.SemiMajor, TransverseMercator.Flattening)
+                  case _ => throw new IllegalArgumentException(s"+a without +b/+rf in '$crs'")
+                }
+            }
+            val tw = "\\+towgs84=([-0-9.,]+)".r.findFirstMatchIn(p).map(_.group(1))
+              .map { list =>
+                val v = list.split(",").map(_.toDouble)
+                require(v.length == 3 || v.length == 7,
+                  s"+towgs84 needs 3 or 7 params, got ${v.length}")
+                val w = if (v.length == 3) v ++ Array(0.0, 0.0, 0.0, 0.0) else v
+                // reverse direction: proj's params map LOCAL -> WGS84
+                w.map(x => -x).toSeq
+              }
+            val k0v = "\\+k_?0?=(-?[0-9.]+)".r.findFirstMatchIn(p)
+              .map(_.group(1).toDouble).getOrElse(1.0)
+            Tmerc(p4or("lon_0", p, 0.0), p4or("lat_0", p, 0.0), k0v,
+              p4or("x_0", p, 0.0), p4or("y_0", p, 0.0), aa, ff, tw)
           case "longlat" => LatLng
           case "merc"    => WebMercator
           case other => throw new IllegalArgumentException(s"unsupported +proj=$other")
@@ -504,6 +538,237 @@ object CRS {
       }
     }
   }
+
+  /** Krüger series coefficients for an ARBITRARY ellipsoid (a, f) —
+    * the same public 4th-order series as [[TransverseMercator]]
+    * (Karney 2011 eq. 35/36), parameterized so national tmerc grids on
+    * non-WGS84 ellipsoids (OSGB's Airy 1830, etc.) reuse the math. */
+  final class KrugerSeries(val a: Double, val f: Double) extends Serializable {
+    val n3: Double = f / (2.0 - f)
+    val ecc: Double = math.sqrt(f * (2.0 - f))
+    val e2: Double = f * (2.0 - f)
+    private val n2 = n3 * n3; private val nn3 = n2 * n3; private val n4 = nn3 * n3
+    val rectA: Double = a / (1 + n3) * (1 + n2 / 4 + n4 / 64)
+    val alpha: Array[Double] = Array(
+      n3 / 2 - 2 * n2 / 3 + 5 * nn3 / 16 + 41 * n4 / 180,
+      13 * n2 / 48 - 3 * nn3 / 5 + 557 * n4 / 1440,
+      61 * nn3 / 240 - 103 * n4 / 140,
+      49561 * n4 / 161280)
+    val beta: Array[Double] = Array(
+      n3 / 2 - 2 * n2 / 3 + 37 * nn3 / 96 - n4 / 360,
+      n2 / 48 + nn3 / 15 - 437 * n4 / 1440,
+      17 * nn3 / 480 - 37 * n4 / 840,
+      4397 * n4 / 161280)
+    val delta: Array[Double] = Array(
+      2 * n3 - 2 * n2 / 3 - 2 * nn3 + 116 * n4 / 45,
+      7 * n2 / 3 - 8 * nn3 / 5 - 227 * n4 / 45,
+      56 * nn3 / 15 - 136 * n4 / 35,
+      4279 * n4 / 630)
+    /** rectifying-latitude (meridional arc) series: M(phi) = rectA *
+      * mu(phi) (Helmert 1880 — the series family Sinusoidal uses). */
+    private val muC = Array(-3 * n3 / 2 + 9 * nn3 / 16, 15 * n2 / 16 - 15 * n4 / 32,
+      -35 * nn3 / 48, 315 * n4 / 512)
+    def mu(phi: Double): Double =
+      phi + (1 to 4).map(j => muC(j - 1) * math.sin(2 * j * phi)).sum
+  }
+
+  /** Generic ellipsoidal Transverse Mercator (`+proj=tmerc`) with
+    * arbitrary central meridian / latitude of origin / scale / false
+    * origin / ellipsoid, over the Krüger series — the parameter family
+    * proj accepts (lon_0, lat_0, k, x_0, y_0, ellps) plus an optional
+    * 7-parameter Helmert datum shift from WGS84 (`+towgs84` reversed:
+    * tx ty tz in metres, rx ry rz in arc-seconds, ds in ppm, POSITION
+    * VECTOR convention, applied WGS84 -> local datum on forward()).
+    * EPSG:27700 (OSGB36 / British National Grid, Airy 1830) registers
+    * through this with the published OSTN-free Helmert (±3 m class).
+    *
+    * Reference surface: layer.py:876 accepts any proj4 target_crs;
+    * math is Snyder §8 via Karney 2011 + the OSGB "A guide to
+    * coordinate systems in Great Britain" datum equations. */
+  final case class Tmerc(lon0: Double, lat0: Double = 0.0, k0: Double = 1.0,
+                         falseEasting: Double = 0.0, falseNorthing: Double = 0.0,
+                         semiMajor: Double = TransverseMercator.SemiMajor,
+                         flattening: Double = TransverseMercator.Flattening,
+                         towgs84: Option[Seq[Double]] = None) extends Transform {
+    import TransverseMercator.{asinh, atanh}
+    private val ks = new KrugerSeries(semiMajor, flattening)
+    /** northing offset: y_0 - k0 * M(lat_0) (UTM's lat_0 = 0 makes it y_0) */
+    private val nOff = falseNorthing - k0 * ks.rectA * ks.mu(math.toRadians(lat0))
+    // WGS84 source-ellipsoid constants for the datum leg
+    private val aW = TransverseMercator.SemiMajor
+    private val e2W = TransverseMercator.Ecc * TransverseMercator.Ecc
+    /** (tx, ty, tz, rx, ry, rz[rad], scale) — WGS84 -> local */
+    private val helm: Option[(Double, Double, Double, Double, Double, Double, Double)] =
+      towgs84.map { p =>
+        require(p.length == 7, s"towgs84 needs 7 params, got ${p.length}")
+        (p(0), p(1), p(2), math.toRadians(p(3) / 3600.0),
+          math.toRadians(p(4) / 3600.0), math.toRadians(p(5) / 3600.0),
+          1.0 + p(6) * 1e-6)
+      }
+    /** datum-shift iteration rounds — FIXED so the SQL twin can unroll
+      * the identical chain (the atan2 fixed point contracts by ~0.14
+      * per round; 6 rounds converge far below the ~1e-8-deg floor set
+      * by the 2D height-dropping asymmetry, see [[toLocalDatum]]) */
+    val DatumIters = 6
+
+    private def geodeticToEcef(lonR: Double, latR: Double, a: Double, e2: Double) = {
+      val s = math.sin(latR); val nu = a / math.sqrt(1 - e2 * s * s)
+      (nu * math.cos(latR) * math.cos(lonR), nu * math.cos(latR) * math.sin(lonR),
+        nu * (1 - e2) * s)
+    }
+    private def ecefToGeodetic(x: Double, y: Double, z: Double,
+                               a: Double, e2: Double): (Double, Double) = {
+      val p = math.sqrt(x * x + y * y)
+      var phi = math.atan2(z, p * (1 - e2))
+      var k = 0
+      while (k < DatumIters) {
+        val s = math.sin(phi)
+        val nu = a / math.sqrt(1 - e2 * s * s)
+        phi = math.atan2(z + e2 * nu * s, p)
+        k += 1
+      }
+      (math.atan2(y, x), phi)
+    }
+
+    /** WGS84 lon/lat (deg) -> local-datum geodetic (RADIANS).
+      *
+      * 2D contract (proj's 2D cs2cs behavior): input height is taken
+      * as 0 and the TRANSFORMED height is dropped, so forward+inverse
+      * round-trips carry an inherent ~|t|·(|t|/R) error (~1e-8 deg for
+      * the ~500 m OSGB translation) — the ellipsoid normals of the two
+      * datums diverge, and re-seeding h=0 displaces the point along
+      * the local normal. This is a property of every 2D datum
+      * transform, not an iteration-convergence artifact. */
+    private def toLocalDatum(lon: Double, lat: Double): (Double, Double) = helm match {
+      case None => (math.toRadians(lon), math.toRadians(lat))
+      case Some((tx, ty, tz, rx, ry, rz, sc)) =>
+        val (x, y, z) = geodeticToEcef(math.toRadians(lon), math.toRadians(lat), aW, e2W)
+        val xh = tx + sc * (x - rz * y + ry * z)
+        val yh = ty + sc * (rz * x + y - rx * z)
+        val zh = tz + sc * (-ry * x + rx * y + z)
+        ecefToGeodetic(xh, yh, zh, semiMajor, ks.e2)
+    }
+    /** local-datum geodetic (RADIANS) -> WGS84 lon/lat (deg): exact
+      * algebraic inverse of the forward Helmert (Cramer 3x3 solve of
+      * the linearized rotation — NOT the negated-parameter
+      * approximation, so round-trips close to fp precision). */
+    private def toWgs84(lonR: Double, latR: Double): (Double, Double) = helm match {
+      case None => (math.toDegrees(lonR), math.toDegrees(latR))
+      case Some((tx, ty, tz, rx, ry, rz, sc)) =>
+        val (xh, yh, zh) = geodeticToEcef(lonR, latR, semiMajor, ks.e2)
+        val (bx, by, bz) = ((xh - tx) / sc, (yh - ty) / sc, (zh - tz) / sc)
+        // solve R v = b with R = I + skew(rx, ry, rz) (linearized PV)
+        val det = 1.0 + rx * rx + ry * ry + rz * rz
+        val x = ((1 + rx * rx) * bx + (rz + rx * ry) * by + (rx * rz - ry) * bz) / det
+        val y = ((rx * ry - rz) * bx + (1 + ry * ry) * by + (rx + ry * rz) * bz) / det
+        val z = ((ry + rx * rz) * bx + (ry * rz - rx) * by + (1 + rz * rz) * bz) / det
+        val (lam, phi) = ecefToGeodetic(x, y, z, aW, e2W)
+        (math.toDegrees(lam), math.toDegrees(phi))
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val (lamR, phi) = toLocalDatum(lon, lat)
+      val dl0 = lamR - math.toRadians(lon0)
+      val dl = if (dl0 > math.Pi) dl0 - 2 * math.Pi
+               else if (dl0 < -math.Pi) dl0 + 2 * math.Pi else dl0
+      val sphi = math.sin(phi)
+      val psi = asinh(math.tan(phi)) - ks.ecc * atanh(ks.ecc * sphi)
+      val t = math.sinh(psi)
+      val xip = math.atan2(t, math.cos(dl))
+      val etap = asinh(math.sin(dl) / math.sqrt(t * t + math.cos(dl) * math.cos(dl)))
+      var xi = xip; var eta = etap
+      var j = 1
+      while (j <= 4) {
+        xi += ks.alpha(j - 1) * math.sin(2 * j * xip) * math.cosh(2 * j * etap)
+        eta += ks.alpha(j - 1) * math.cos(2 * j * xip) * math.sinh(2 * j * etap)
+        j += 1
+      }
+      (falseEasting + k0 * ks.rectA * eta, nOff + k0 * ks.rectA * xi)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xi = (y - nOff) / (k0 * ks.rectA)
+      val eta = (x - falseEasting) / (k0 * ks.rectA)
+      var xip = xi; var etap = eta
+      var j = 1
+      while (j <= 4) {
+        xip -= ks.beta(j - 1) * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        etap -= ks.beta(j - 1) * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        j += 1
+      }
+      val chi = math.asin(math.sin(xip) / math.cosh(etap))
+      var phi = chi
+      j = 1
+      while (j <= 4) {
+        phi += ks.delta(j - 1) * math.sin(2 * j * chi)
+        j += 1
+      }
+      val dl = math.atan2(math.sinh(etap), math.cos(xip))
+      val (lonW, latW) = toWgs84(math.toRadians(lon0) + dl, phi)
+      (normLon(lonW), latW)
+    }
+
+    /** The full forward chain (datum shift + Krüger tmerc) as named
+      * SQL formula steps — the one-text-two-engines oracle pattern of
+      * [[TransverseMercator.forwardSqlSteps]]; the datum fixed-point is
+      * unrolled to the same [[DatumIters]] rounds the Scala path runs.
+      * DuckDB lacks hyperbolics, so they are restated via exp/ln. */
+    def forwardSqlSteps: (Seq[(String, String)], String, String) = {
+      def sinhS(x: String) = s"(exp($x) - exp(-($x))) / 2"
+      def coshS(x: String) = s"(exp($x) + exp(-($x))) / 2"
+      def asinhS(x: String) = s"ln(($x) + sqrt(($x) * ($x) + 1))"
+      val eA = ks.ecc.toString; val e2A = ks.e2.toString; val aA = semiMajor.toString
+      val lon0R = math.toRadians(lon0)
+      val datum: Seq[(String, String)] = helm match {
+        case None => Seq("lam" -> "radians(lon)", "gphi" -> "radians(lat)")
+        case Some((tx, ty, tz, rx, ry, rz, sc)) =>
+          val ecef = Seq(
+            "phiw" -> "radians(lat)", "lamw" -> "radians(lon)",
+            "nuw" -> s"$aW / sqrt(1 - $e2W * sin(phiw) * sin(phiw))",
+            "xw" -> "nuw * cos(phiw) * cos(lamw)",
+            "yw" -> "nuw * cos(phiw) * sin(lamw)",
+            "zw" -> s"nuw * (1 - $e2W) * sin(phiw)",
+            "xh" -> s"$tx + $sc * (xw - $rz * yw + $ry * zw)",
+            "yh" -> s"$ty + $sc * ($rz * xw + yw - $rx * zw)",
+            "zh" -> s"$tz + $sc * (-($ry) * xw + $rx * yw + zw)",
+            "pp" -> "sqrt(xh * xh + yh * yh)",
+            "f0" -> s"atan2(zh, pp * (1 - $e2A))")
+          val iters = (1 to DatumIters).map { k =>
+            s"f$k" -> (s"atan2(zh + $e2A * ($aA / sqrt(1 - $e2A * " +
+              s"sin(f${k - 1}) * sin(f${k - 1}))) * sin(f${k - 1}), pp)")
+          }
+          ecef ++ iters ++ Seq("lam" -> "atan2(yh, xh)", "gphi" -> s"f$DatumIters")
+      }
+      val kA = (k0 * ks.rectA).toString
+      val tm = Seq(
+        "dl" -> s"lam - ($lon0R)",
+        "sphi" -> "sin(gphi)",
+        "psi" -> (s"${asinhS("tan(gphi)")} - $eA * " +
+          s"(0.5 * ln((1 + $eA * sphi) / (1 - $eA * sphi)))"),
+        "t" -> sinhS("psi"),
+        "xip" -> "atan2(t, cos(dl))",
+        "etap" -> asinhS("sin(dl) / sqrt(t * t + cos(dl) * cos(dl))"),
+        "xi" -> ((1 to 4).map(j =>
+          s"${ks.alpha(j - 1)} * sin(${2 * j} * xip) * ${coshS(s"${2 * j} * etap")}")
+          .mkString("xip + ", " + ", "")),
+        "eta" -> ((1 to 4).map(j =>
+          s"${ks.alpha(j - 1)} * cos(${2 * j} * xip) * ${sinhS(s"${2 * j} * etap")}")
+          .mkString("etap + ", " + ", "")))
+      (datum ++ tm, s"$falseEasting + $kA * eta", s"$nOff + $kA * xi")
+    }
+  }
+
+  /** EPSG:27700 OSGB36 / British National Grid: tmerc on Airy 1830
+    * with the published WGS84 -> OSGB36 small-angle Helmert (the
+    * reverse of the registry's +towgs84=446.448,-125.157,542.06,
+    * 0.1502,0.247,0.8421,-20.4894; ±3 m vs the OSTN15 grid shift —
+    * the proj4-string fidelity class, not the NTv2 one). */
+  def Osgb36: Tmerc = Tmerc(
+    lon0 = -2.0, lat0 = 49.0, k0 = 0.9996012717,
+    falseEasting = 400000.0, falseNorthing = -100000.0,
+    semiMajor = 6377563.396, flattening = 1.0 / 299.3249646,
+    towgs84 = Some(Seq(-446.448, 125.157, -542.060,
+      -0.1502, -0.2470, -0.8421, 20.4894)))
 
   /** Shared WGS84 Transverse Mercator constants + series coefficients
     * (public Krüger series; see [[Utm]] scaladoc for the citation). */

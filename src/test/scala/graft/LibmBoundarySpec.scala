@@ -215,6 +215,10 @@ class LibmBoundarySpec extends SparkSpec {
     val (uSteps, uE, uN) = CRS.TransverseMercator.forwardSqlSteps(33, south = false)
     assertUlpSlack("utm33 e/n",
       collectRaw(pts.where(col("lon") >= 0 && col("lon") <= 30), uSteps, uE, uN))
+    val (oSteps, oE, oN) = CRS.Osgb36.forwardSqlSteps
+    assertUlpSlack("osgb e/n",
+      collectRaw(pts.where(col("lon") >= -20 && col("lon") <= 16 &&
+        col("lat") >= 35 && col("lat") <= 75), oSteps, oE, oN))
     val ps = CRS.fromName("EPSG:3413").asInstanceOf[CRS.PolarStereographic]
     val (pSteps, pE, pN) = ps.forwardSqlSteps
     assertUlpSlack("polar-stereo e/n",

@@ -128,7 +128,8 @@ class UtmSpec extends AnyFunSuite {
     assert(CRS.fromName("epsg:32733") == Utm(33, south = true))
     assert(CRS.fromName("+proj=utm +zone=18 +datum=WGS84") == Utm(18, south = false))
     assert(CRS.fromName("+proj=utm +zone=9 +south") == Utm(9, south = true))
-    intercept[IllegalArgumentException](CRS.fromName("EPSG:27700"))
+    assert(CRS.fromName("EPSG:27700") == CRS.Osgb36) // r15: generic tmerc
+    intercept[IllegalArgumentException](CRS.fromName("EPSG:29900"))
     intercept[IllegalArgumentException](CRS.fromName("+proj=utm"))
   }
 
