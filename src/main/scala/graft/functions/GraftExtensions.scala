@@ -36,6 +36,9 @@ object GraftExtensions {
   // TermScanExpr likewise: the term list is a JVM constructor
   // parameter (the compiled Aho-Corasick automaton rides codegen as a
   // reference object) — Column-API-only via TermScanExpr.termScan.
+  // BloomTestExpr likewise: the packed bit set is a Broadcast
+  // constructor parameter (tasks ship the handle, executors fetch the
+  // words once) — Column-API-only via BloomTestExpr.bloomTest.
   val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("tile_stats",
       new ExpressionInfo(classOf[TileStatsExpr].getName, "tile_stats"),

@@ -183,22 +183,16 @@ object Dedup {
     sh.where(probePred)
       .select(explode(positions(col("shingle"))).as("p")).distinct()
       .as[Long].collect().foreach(p => bitSet.set(p.toInt))
-    val bc = spark.sparkContext.broadcast(bitSet)
-    val hit = udfFreePositionsTest(bc, sh.where(!probePred), positions)
-    hit.groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
-  }
-
-  /** Per-shingle all-positions-set test as a typed filter (keeps the
-    * broadcast BitSet out of Column-land without a UDF wrapper). */
-  private def udfFreePositionsTest(bc: org.apache.spark.broadcast.Broadcast[java.util.BitSet],
-                                   sh: DataFrame,
-                                   positions: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
-    sh.select(col("doc_id"), positions(col("shingle")).as("ps"))
-      .as[(Long, Seq[Long])]
-      .filter { case (_, ps) => ps.forall(p => bc.value.get(p.toInt)) }
-      .toDF("doc_id", "ps")
+    // pad to the full word count so the expression never bounds-checks
+    val words = java.util.Arrays.copyOf(bitSet.toLongArray, (1 << bits) / 64)
+    val bc = spark.sparkContext.broadcast(words)
+    // native bit-test Expression: the corpus scan stays ONE
+    // whole-stage-codegen span (no DeserializeToObject/typed-filter —
+    // the r14 plan break), and tasks carry only the broadcast handle
+    sh.where(!probePred)
+      .where(org.apache.spark.sql.graft.BloomTestExpr.bloomTest(
+        positions(col("shingle")), bc))
+      .groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
   }
 
   /** Exact substring (span-level) dedup — Lee et al. 2022,

@@ -436,6 +436,39 @@ class PipelineSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("bloom bit-test is a native codegen expression (r15): plan + word boundaries") {
+    import org.apache.spark.sql.graft.BloomTestExpr
+    // plan: the corpus scan must stay in whole-stage codegen — no
+    // typed-filter stage (the r14 plan break this replaced)
+    val docs = Seq((20L, "probe text here five tokens more padding words"),
+      (1L, "corpus text here five tokens more padding words")).toDF("doc_id", "text")
+    val plan = Dedup.bloomContamination(docs, col("doc_id") % 20 === 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapElements"),
+      s"typed stage leaked into the bloom scan:\n$plan")
+    // expression unit: bits at word boundaries (0, 63, 64, last word)
+    val words = new Array[Long](4) // 256-bit set
+    def set(p: Int): Unit = words(p >>> 6) |= 1L << (p & 63)
+    Seq(0, 63, 64, 255).foreach(set)
+    val bc = spark.sparkContext.broadcast(words)
+    val ps = Seq(
+      (Seq(0L, 63L, 64L, 255L), true),  // all set
+      (Seq(0L, 1L), false),             // 1 unset
+      (Seq(62L), false), (Seq(255L), true),
+      (Seq.empty[Long], true))          // vacuous truth
+    val df = ps.toDF("ps", "want")
+    val got = df.select(col("want"),
+        BloomTestExpr.bloomTest(col("ps"), bc).as("got"))
+      .as[(Boolean, Boolean)].collect()
+    assert(got.forall { case (w, g) => w == g })
+    // eval (interpreted) path agrees with codegen
+    val e = BloomTestExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(0L, 63L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)), bc)
+    assert(e.eval(null) == true)
+  }
+
   test("duplicateSpans removes all but the first occurrence of repeated k-token spans") {
     val boiler = (1 to 10).map(i => s"tok$i").mkString(" ") // exactly 10 tokens
     val docs = Seq(
