@@ -588,24 +588,66 @@ object Dedup {
   /** Triangle count of the duplicate-pair graph — the clustering-
     * coefficient numerator that separates chain-shaped near-dup
     * families (template drift) from clique-shaped ones (true mirror
-    * sets). Standard two-join enumeration over id-oriented canonical
-    * edges (u < v): each triangle a<b<c matches exactly once as
-    * (a,b)+(b,c)+(a,c). At scale, orient by DEGREE instead of id
-    * (the high-degree hub then anchors O(d_min) probes, not O(d²));
-    * id orientation keeps the oracle twin a plain self-join and is
-    * exact on the capped LSH graphs this audits. One row:
-    * (n_edges, n_triangles). */
-  def triangleCount(pairs: DataFrame): DataFrame = {
+    * sets). One row: (n_edges, n_triangles).
+    *
+    * Default path orients each edge by (DEGREE, id) — from the
+    * lower-ranked endpoint to the higher — before the wedge join
+    * (Ortmann & Brandes 2014 / the Suri-Vassilvitskii MapReduce
+    * variant): every vertex's OUT-degree is then <= sqrt(2m), because
+    * a vertex of degree d keeps an out-edge only toward neighbors of
+    * degree >= d, and more than sqrt(2m) such neighbors would need
+    * more than m edges. The wedge stage therefore enumerates
+    * sum(outdeg^2) = O(m^1.5) candidates REGARDLESS of hubs, where id
+    * orientation degrades to O(h^2) wedges for one degree-h hub (a
+    * single boilerplate cluster of 10^5 docs -> 10^10 wedges).
+    *
+    * `orientByDegree = false` keeps the id-oriented two-join (each
+    * triangle a<b<c matched once as (a,b)+(b,c)+(a,c)) — the oracle
+    * twin stays this plain self-join, exact on the guarded-small LSH
+    * graphs the gate audits; TriangleOrientationSpec proves the two
+    * paths equal (triangle count is orientation-invariant). */
+  def triangleCount(pairs: DataFrame, orientByDegree: Boolean = true): DataFrame = {
     val e = pairs
       .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint() // three join consumers
-    val tri = e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
-      .join(e.as("ac"),
-        col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .distinct().localCheckpoint() // several join consumers
+    val tri = if (!orientByDegree) {
+      e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
+        .join(e.as("ac"),
+          col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+    } else {
+      // degree of every endpoint (one agg over the exploded edge list)
+      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      // orient u->v iff (d_u, u) < (d_v, v); carry the dst rank for the
+      // wedge ordering. Two broadcast-size joins against deg at the
+      // gate scale; at cluster scale deg co-partitions with e on the
+      // endpoint key (same shuffle key, no extra exchange class).
+      val o = e.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("src"),
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("dst"),
+          greatest(struct(col("du").as("d"), col("u").as("i")),
+              struct(col("dv").as("d"), col("v").as("i")))
+            .as("dstRank"))
+        .localCheckpoint() // wedge builds two branches off it
+      // wedges (src; b, c) with rank(b) < rank(c); the closing edge
+      // b->c exists oriented EXACTLY when rank(b) < rank(c)
+      o.as("ab").join(o.as("ac"),
+          col("ab.src") === col("ac.src") &&
+            col("ab.dstRank") < col("ac.dstRank"))
+        .join(o.as("bc"),
+          col("bc.src") === col("ab.dst") && col("bc.dst") === col("ac.dst"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }
     e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
   }
 

@@ -469,6 +469,33 @@ class PipelineSpec extends SparkSpec {
     assert(e.eval(null) == true)
   }
 
+  test("degree-oriented triangle counting equals the id-oriented twin (r15)") {
+    def edges(ps: (Long, Long)*) = ps.toSeq.toDF("d1", "d2")
+    def both(df: org.apache.spark.sql.DataFrame): ((Long, Long), (Long, Long)) = {
+      val d = Dedup.triangleCount(df).as[(Long, Long)].head()
+      val i = Dedup.triangleCount(df, orientByDegree = false).as[(Long, Long)].head()
+      (d, i)
+    }
+    // hub star (the id-orientation killer shape): 0 triangles
+    val star = edges((1 to 40).map(i => (0L, i.toLong)): _*)
+    val (sD, sI) = both(star)
+    assert(sD == sI && sD == (40L, 0L))
+    // K5 clique: C(5,3) = 10 triangles
+    val k5 = edges((for (a <- 1 to 5; b <- a + 1 to 5) yield (a.toLong, b.toLong)): _*)
+    val (kD, kI) = both(k5)
+    assert(kD == kI && kD == (10L, 10L))
+    // hub + attached triangles + duplicate/reversed input edges
+    val messy = edges(Seq((0L, 1L), (1L, 0L), (0L, 2L), (1L, 2L), (0L, 3L),
+      (3L, 4L), (4L, 0L), (5L, 0L), (6L, 0L), (7L, 0L), (2L, 2L)): _*)
+    val (mD, mI) = both(messy)
+    assert(mD == mI && mD._2 == 2L, s"got $mD")
+    // and on the real minhash-pair graph at gate scale
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.minhashPairs(docs)
+    val (rD, rI) = both(pairs)
+    assert(rD == rI)
+  }
+
   test("duplicateSpans removes all but the first occurrence of repeated k-token spans") {
     val boiler = (1 to 10).map(i => s"tok$i").mkString(" ") // exactly 10 tokens
     val docs = Seq(
