@@ -3257,11 +3257,11 @@ object SparkEntry {
            |        sum(n.v) AS sw, sum(n.v * n.v) AS sq, count(*) AS k
            |      FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
            |      GROUP BY 1, 2),
-           |a AS (SELECT sum((k - 1) * (v * v) - 2 * v * (sw - v) + (sq - v * v)) AS e,
+           |a AS (SELECT sum(CAST((k - 1) * (v * v) - 2 * v * (sw - v) + (sq - v * v) AS DECIMAL(18,0))) AS e,
            |        CAST(sum(k - 1) AS BIGINT) AS w,
            |        max(n) AS n, max(s) AS s, max(ss) AS ss
            |      FROM f, gl)
-           |SELECT n, w, CAST(round(CAST(n * (n - 1) AS DOUBLE) * e / (CAST(w * 2 AS DOUBLE) *
+           |SELECT n, w, CAST(round(CAST(n * (n - 1) AS DOUBLE) * CAST(e AS DOUBLE) / (CAST(w * 2 AS DOUBLE) *
            |    CAST(CAST(n AS DECIMAL(18,0)) * CAST(ss AS DECIMAL(18,0)) - CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0)) AS DOUBLE))
            |  * 1000000.0) AS BIGINT) AS geary_c
            |FROM a""".stripMargin,

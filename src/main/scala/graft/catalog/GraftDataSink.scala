@@ -185,13 +185,24 @@ private[catalog] final class GraftBatchWrite(
   }
 }
 
-/** Micro-batch write: exactly-once by epoch-deterministic file names.
-  * Task files are `part-epoch<epochId>-<partitionId>.parquet` and the
-  * parquet writer opens in OVERWRITE mode, so a replayed epoch (a
-  * failure after task success but before the sink commit) REWRITES
-  * the same files instead of duplicating tiles — the idempotent
-  * re-commit contract Structured Streaming requires of a sink. The
-  * metadata sidecar is (re)published on the driver at each epoch
+/** Micro-batch write: exactly-once by epoch-deterministic FINAL file
+  * names plus attempt-unique temp files (r15, hardening the r14
+  * overwrite-in-place contract):
+  *
+  *  - every task attempt writes `part-epoch<e>-<p>.<taskId>.tmp.parquet`
+  *    and RENAMES it to `part-epoch<e>-<p>.parquet` at task commit —
+  *    concurrent attempts of one partition (speculation, a zombie
+  *    racing a retry) can no longer interleave bytes into the final
+  *    path, and only the attempt the commit coordinator picked
+  *    publishes;
+  *  - epoch commit() reconciles the directory against the commit
+  *    messages: any `part-epoch<e>-*` file NOT in the messages (a
+  *    stale file from an earlier attempt of this epoch that planned
+  *    MORE partitions, or an orphaned temp) is deleted BEFORE the
+  *    metadata sidecar publishes, so a replayed epoch that re-plans
+  *    with fewer partitions cannot leave duplicate tiles on read.
+  *
+  * The metadata sidecar is (re)published on the driver at each epoch
   * commit (idempotent: same grid, same bytes). */
 private[catalog] final class GraftStreamingWrite(
     opts: GraftTable.Opts, schema: StructType, meta: LayerMetadata)
@@ -204,8 +215,22 @@ private[catalog] final class GraftStreamingWrite(
     GraftStreamingWriterFactory(zoomDir, schema, meta.cellType,
       meta.temporal, GraftTable.confProps())
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = GraftTable.confFrom(GraftTable.confProps())
+    val dir = new Path(zoomDir)
+    val fs = dir.getFileSystem(conf)
+    val committed = messages.filter(_ != null)
+      .map(m => new Path(m.asInstanceOf[GraftCommit].file).getName).toSet
+    if (fs.exists(dir)) {
+      val prefix = s"part-epoch$epochId-"
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(prefix) && !committed(name))
+          fs.delete(st.getPath, false)
+      }
+    }
     Catalog.writeMetadata(opts.uri, opts.layer, meta, opts.zoom)
+  }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val conf = GraftTable.confFrom(GraftTable.confProps())
@@ -222,10 +247,13 @@ private[catalog] final case class GraftStreamingWriterFactory(
     confProps: Map[String, String]) extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(
-      f"$zoomDir/part-epoch$epochId-$partitionId.parquet",
-      schema, cellType, temporal, confProps)
+      epochId: Long): DataWriter[InternalRow] = {
+    // .tmp (NOT .parquet): readers glob *.parquet, so an in-flight or
+    // orphaned temp is invisible to them by construction
+    val fin = f"$zoomDir/part-epoch$epochId-$partitionId.parquet"
+    new GraftDataWriter(s"$fin.$taskId.tmp",
+      schema, cellType, temporal, confProps, renameTo = Some(fin))
+  }
 }
 
 private[catalog] final case class GraftWriterFactory(
@@ -243,7 +271,8 @@ private[catalog] final case class GraftWriterFactory(
   * only packed bytes hit the disk (the Catalog.write discipline). */
 private[catalog] final class GraftDataWriter(
     file: String, schema: StructType, cellType: String, temporal: Boolean,
-    confProps: Map[String, String]) extends DataWriter[InternalRow] {
+    confProps: Map[String, String],
+    renameTo: Option[String] = None) extends DataWriter[InternalRow] {
 
   private val conf = GraftTable.confFrom(confProps)
   private val ct = CellType.fromName(cellType)
@@ -276,7 +305,23 @@ private[catalog] final class GraftDataWriter(
     writer.write(g)
   }
 
-  override def commit(): WriterCommitMessage = { writer.close(); GraftCommit(file) }
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    renameTo match {
+      case None => GraftCommit(file)
+      case Some(fin) =>
+        // temp-then-rename: the coordinator admits one commit per
+        // partition, so the delete+rename pair never races another
+        // committer; a losing attempt's temp dies in abort()/epoch
+        // reconcile instead of tearing the final file
+        val tmp = new Path(file); val dst = new Path(fin)
+        val fs = tmp.getFileSystem(conf)
+        if (fs.exists(dst)) fs.delete(dst, false) // replayed epoch
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"rename $file -> $fin failed")
+        GraftCommit(fin)
+    }
+  }
   override def abort(): Unit = {
     writer.close()
     val p = new Path(file)

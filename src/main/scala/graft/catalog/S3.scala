@@ -19,13 +19,28 @@ object S3 {
   private val UriTypes = Set("s3", "s3a", "s3n")
   private val S3aImpl = "org.apache.hadoop.fs.s3a.S3AFileSystem"
 
+  /** Serializes [[withCredentials]] blocks: the hadoopConfiguration is
+    * SESSION-GLOBAL, so overlapping set/restore pairs from concurrent
+    * driver threads would lose updates (stale snapshot restored). */
+  private val credLock = new Object
+
   /** Run `body` with `creds` installed for `uriType` ("s3" | "s3a" |
     * "s3n"), restoring the previous configuration afterwards — the
     * reference's context-manager semantics (temporary credentials for
     * one read/write, e.g. a cross-account bucket). For "s3a" the
-    * filesystem impl is pinned too (s3.py S3A_FS_CONSTANT). */
+    * filesystem impl is pinned too (s3.py S3A_FS_CONSTANT).
+    *
+    * Concurrency contract (r15): the keys mutate the session-global
+    * hadoopConfiguration — this mirrors the reference's context
+    * manager, which has the same global effect on the JVM config.
+    * Blocks are serialized under a lock so overlapping calls can no
+    * longer restore stale snapshots; but OTHER jobs running in the
+    * same SparkSession during `body` still observe the temporary
+    * credentials. For true per-bucket isolation set Hadoop's
+    * per-bucket keys (fs.s3a.bucket.<name>.access.key / .secret.key)
+    * via [[setCredentials]]-style config instead of the global keys. */
   def withCredentials[T](spark: SparkSession, creds: Credentials,
-      uriType: String = "s3a")(body: => T): T = {
+      uriType: String = "s3a")(body: => T): T = credLock.synchronized {
     require(UriTypes(uriType),
       s"Cannot set S3 credentials for unrecognized URI type $uriType")
     val conf = spark.sparkContext.hadoopConfiguration

@@ -39,7 +39,13 @@ final case class CellType(name: String, bytes: Int, isFloat: Boolean,
     * tile of every store. */
   def pack(cells: Array[Double]): Array[Byte] = {
     if (name == "bit") {
-      // 8 cells/byte, LSB-first; NaN -> 0 (no NoData in the bit domain)
+      // 8 cells/byte, LSB-first; NaN -> 0 (no NoData in the bit domain).
+      // DELIBERATE semantics note: non-0/1 values convert by
+      // CLAMP-then-truncate (0.7 -> 0, 2 -> 1, -3 -> 0) — the same
+      // saturating rule every other integral cell type here uses —
+      // NOT GeoTrellis BitArrayTile's `value & 1` (2 -> 0, 3 -> 1).
+      // All store/oracle paths write exact 0/1, where the two rules
+      // agree; CellTypeSpec pins the clamp behavior.
       require(cells.length % 8 == 0,
         s"bit tiles need a multiple-of-8 cell count (got ${cells.length})")
       val out = new Array[Byte](cells.length / 8)

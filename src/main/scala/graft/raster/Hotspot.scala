@@ -126,10 +126,13 @@ object Hotspot {
     * C = (n−1)·Σᵢⱼ wᵢⱼ (vᵢ−vⱼ)² / (2W·Σ zᵢ²). The pair sum needs no
     * mean at all: Σᵢⱼ wᵢⱼ(vᵢ−vⱼ)² = Σᵢ [(kᵢ−1)·vᵢ² − 2·vᵢ·(Swᵢ−vᵢ) +
     * (Sqᵢ−vᵢ²)] with Sq the 3x3 focal sum of v² — every term an exact
-    * integer-valued double whose running sum stays under 2^53, so the
-    * double Σ is exact. Closing: (n·(n−1))·E / ((2W)·(SS·n−S²)) — the
-    * long products n·(n−1) and 2W are exact, SS·n−S² is the shared
-    * decimal→double cast, then two IEEE multiplies + one divide.
+    * integer-valued double (per-cell magnitude ~8·v² < 10^18), and the
+    * Σ runs in DECIMAL(18,0) like globalMoran/generalG (r15: a plain
+    * double Σ was exact only while max|e|·n stayed under 2^53 — a
+    * data-dependent claim; DECIMAL removes the partition-order
+    * hazard). Closing: (n·(n−1))·E / ((2W)·(SS·n−S²)) — the long
+    * products n·(n−1) and 2W are exact, E and SS·n−S² are one
+    * decimal→double cast each, then two IEEE multiplies + one divide.
     * One row: (n, w, geary_c raw). */
   def gearyC(l: RasterLayer): DataFrame = {
     val sq = l.localMap(c => c * c).focal(Neighborhood.Square(1), "Sum")
@@ -139,11 +142,11 @@ object Hotspot {
     val e = (col("k") - lit(1.0)) * v2 -
       lit(2.0) * col("v") * (col("sw") - col("v")) + (col("sq") - v2)
     val agg = df.agg(
-      sum(e).as("e"),
+      sum(e.cast(dec18)).as("e"),
       sum(col("k").cast("long") - lit(1L)).as("w"),
       max("n").as("n"), max("s").as("s"), max("ss").as("ss"))
     agg.select(col("n"), col("w"),
-      ((col("n") * (col("n") - lit(1L))).cast("double") * col("e") /
+      ((col("n") * (col("n") - lit(1L))).cast("double") * col("e").cast("double") /
         ((col("w") * lit(2L)).cast("double") *
           m2n2(col("n"), col("s"), col("ss")))).as("geary_c"))
   }

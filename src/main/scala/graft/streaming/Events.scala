@@ -590,30 +590,60 @@ object Events {
     * streaming groupBy count downstream). Micro-batch rows fold in
     * (event-time, event_id) order — the cusumStream discipline — so
     * transitions crossing micro-batch boundaries come out identical
-    * to the batch window. */
+    * to the batch window for in-order-by-watermark arrival.
+    *
+    * Late-arrival contract (r15): a row whose (event-time, event_id)
+    * is NOT after the stored last event — one that arrived in a later
+    * micro-batch than a newer event — is DROPPED, never emitted as an
+    * out-of-order (last, old) pair; the batch twin would have placed
+    * it mid-sequence, so equality holds exactly for arrival
+    * out-of-orderness within one micro-batch (sorted away) and
+    * degrades by omission, not corruption, beyond that. Per-user
+    * state expires [[TransitionStateTtlMs]] of EVENT time after the
+    * last event once the watermark passes it, bounding state for
+    * churning user populations. */
+  val TransitionStateTtlMs: Long = 3600L * 1000
   def transitionStream(events: DataFrame): Dataset[TransitionPair] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", "1 hour")
+      // keep the watermarked column in the projection — dropping it
+      // disconnects the watermark from the stateful operator (the
+      // sessionizeStream discipline)
       .select(col("user_id").as[Long], expr("ts div 1000").as[Long],
-        col("event_id").as[Long], col("event_type").as[String])
+        col("event_id").as[Long], col("event_type").as[String],
+        col("ets").as[java.sql.Timestamp])
       .groupByKey(_._1)
       .flatMapGroupsWithState[LastEvent, TransitionPair](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (_: Long, rows: Iterator[(Long, Long, Long, String)],
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
          state: GroupState[LastEvent]) =>
-          var last = state.getOption.orNull
-          var out = List.empty[TransitionPair]
-          rows.toArray.sortBy(r => (r._2, r._3)).foreach {
-            case (_, us, eid, typ) =>
-              if (last != null) out = TransitionPair(last.typ, typ) :: out
-              last = LastEvent(us, eid, typ)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption.orNull
+            var out = List.empty[TransitionPair]
+            rows.toArray.sortBy(r => (r._2, r._3)).foreach {
+              case (_, us, eid, typ, _) =>
+                // drop rows at-or-before the stored last event (late
+                // cross-batch arrivals): see the scaladoc contract
+                if (last == null || us > last.us ||
+                    (us == last.us && eid > last.eid)) {
+                  if (last != null) out = TransitionPair(last.typ, typ) :: out
+                  last = LastEvent(us, eid, typ)
+                }
+            }
+            if (last != null) {
+              state.update(last)
+              // expire once the watermark passes last + TTL (ms epoch)
+              state.setTimeoutTimestamp(last.us / 1000 + TransitionStateTtlMs)
+            }
+            out.reverseIterator
           }
-          if (last != null) state.update(last)
-          out.reverseIterator
       }
   }
 

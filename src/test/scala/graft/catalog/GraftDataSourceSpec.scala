@@ -262,6 +262,56 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(Catalog.read(spark, dir, "rp").df.count() == 1)
   }
 
+  test("streaming sink: temp-then-rename + epoch-commit reconcile (r15)") {
+    val dir = Files.createTempDirectory("graft_sink_rcn").toString
+    val meta = graft.raster.LayerMetadata(layout)
+    Catalog.writeMetadata(dir, "rc", meta)
+    val zoomDir = s"$dir/rc/tiles/zoom=0"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "col INT, row INT, tile ARRAY<DOUBLE>")
+    val f = GraftStreamingWriterFactory(zoomDir, schema,
+      "float64", temporal = false, GraftTable.confProps())
+    def row(c: Int) = org.apache.spark.sql.catalyst.InternalRow(
+      c, 0, org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.tabulate(16)(_.toDouble)))
+    def names = new java.io.File(zoomDir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet // drop local-FS .crc sidecars
+
+    // two ATTEMPTS of the same partition in flight: both write their
+    // own temp; while uncommitted, no .parquet final exists at all
+    val w1 = f.createWriter(partitionId = 0, taskId = 1L, epochId = 7L)
+    val w2 = f.createWriter(partitionId = 0, taskId = 2L, epochId = 7L)
+    w1.write(row(0)); w2.write(row(0))
+    assert(!names.exists(_.endsWith(".parquet")), names)
+    // the coordinator-picked attempt commits (rename); loser aborts
+    val msg1 = w1.commit()
+    w2.abort()
+    assert(names == Set("part-epoch7-0.parquet"), names)
+
+    // a second committed partition, plus planted leftovers of the
+    // SAME epoch: a stale extra-partition final (an earlier attempt
+    // planned more partitions) and an orphaned temp (task died
+    // without abort)
+    val w3 = f.createWriter(partitionId = 1, taskId = 3L, epochId = 7L)
+    w3.write(row(1)); val msg3 = w3.commit()
+    val stale = new java.io.File(zoomDir, "part-epoch7-9.parquet")
+    java.nio.file.Files.copy(new java.io.File(zoomDir, "part-epoch7-0.parquet").toPath,
+      stale.toPath)
+    val orphan = new java.io.File(zoomDir, "part-epoch7-5.parquet.99.tmp")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    // ...and one file of ANOTHER epoch that must survive the reconcile
+    val w0 = f.createWriter(partitionId = 0, taskId = 4L, epochId = 6L)
+    w0.write(row(2)); w0.commit()
+
+    val sw = new GraftStreamingWrite(
+      GraftTable.Opts(dir, "rc", 0), schema, meta)
+    sw.commit(7L, Array(msg1, msg3))
+    assert(names == Set("part-epoch7-0.parquet", "part-epoch7-1.parquet",
+      "part-epoch6-0.parquet"), names)
+    // the reconciled store reads clean: 3 tiles, no duplicates
+    assert(Catalog.read(spark, dir, "rc").df.count() == 3)
+  }
+
   test("streaming sink packs native-width cell types (uint8 epoch files)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_sink_u8").toString

@@ -112,6 +112,32 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transition twin drops late cross-batch rows instead of corrupting (r15)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val q = Events.transitionStream(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("transitions_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        (1L, ns(0), 1L, "view", 0.0, "{}"),
+        (2L, ns(20), 1L, "purchase", 0.0, "{}")))
+      q.processAllAvailable()
+      // a LATE row (event time 10, older than the stored last at 20)
+      // arrives in the next micro-batch: the r14 behavior emitted the
+      // out-of-order (purchase, click); now it is dropped
+      mem.addData(Seq((3L, ns(10), 1L, "click", 0.0, "{}")))
+      q.processAllAvailable()
+      // and a fresh in-order row still chains off the stored last
+      mem.addData(Seq((4L, ns(30), 1L, "view", 0.0, "{}")))
+      q.processAllAvailable()
+      val got = spark.table("transitions_late").as[Events.TransitionPair]
+        .collect().map(p => (p.from_type, p.to_type)).toSeq.sorted
+      assert(got == Seq(("purchase", "view"), ("view", "purchase")), got)
+    } finally q.stop()
+  }
+
   test("retention cohorts: DAU triangle by hand") {
     val day = graft.GridSource.NanosPerDay
     def at(d: Long, u: Long, id: Long) =
