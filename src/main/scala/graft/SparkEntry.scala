@@ -2442,6 +2442,15 @@ object SparkEntry {
       pipeline.Multimodal.sampleFrames(
         pipeline.Multimodal.asBlobs(table(s, dir, "documents"))).toDF()),
 
+    "q_video_frames" -> ((s, dir) =>
+      // REAL container byte path (r15): synthetic uncompressed-DIB
+      // AVIs encode through AviCodec, demux back, and every sampled
+      // frame reports its exact gray pixel sum — the closed form the
+      // oracle restates (frame pixels g = (id*7 + f*17 + 3x + 11y)
+      // mod 256; all integers)
+      pipeline.Multimodal.videoFrames(
+        pipeline.Multimodal.synthAviBlobs(table(s, dir, "documents"))).toDF()),
+
     // --- streaming-shaped event ops (batch form; streaming path in specs)
     "q_event_window" -> ((s, dir) =>
       streaming.Events.hourlyAgg(eventsTable(s, dir))),
@@ -6442,6 +6451,20 @@ object SparkEntry {
           |SELECT doc_id, CAST(i AS INT) AS frame_idx,
           |       ('0x' || substr(h, CAST(2 * i + 1 AS INT), 12))::BIGINT AS frame_sig
           |FROM f""".stripMargin,
+
+      // the AVI fixtures' closed-form pixels, re-summed per sampled
+      // frame (stride 2 over nf = 2 + id%3 frames; w,h per doc)
+      "q_video_frames" ->
+        """WITH d AS (SELECT doc_id, 8 + (doc_id % 3) * 4 AS w,
+          |                  6 + (doc_id % 2) * 4 AS h, 2 + doc_id % 3 AS nf
+          |           FROM documents),
+          |f AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS frame_idx FROM d),
+          |px AS (SELECT doc_id, w, h, frame_idx, xr.range AS x, yr.range AS y
+          |       FROM f, range(0, 16) xr, range(0, 10) yr
+          |       WHERE xr.range < w AND yr.range < h)
+          |SELECT doc_id, frame_idx, w AS width, h AS height,
+          |       CAST(sum((doc_id * 7 + frame_idx * 17 + x * 3 + y * 11) % 256) AS BIGINT) AS pix_sum
+          |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
 
       // --- streaming-shaped
       "q_event_window" ->

@@ -235,6 +235,69 @@ object Multimodal {
       }
   }
 
+  final case class VideoFrame(doc_id: Long, frame_idx: Long, width: Long,
+                              height: Long, pix_sum: Long)
+
+  /** Deterministic synthetic MJPEG-era AVI fixtures through the REAL
+    * RIFF byte path ([[AviCodec]], uncompressed-DIB stream): doc id
+    * gets nf = 2 + id%3 frames of w = 8 + (id%3)·4, h = 6 + (id%2)·4,
+    * gray g(f, x, y) = (id·7 + f·17 + x·3 + y·11) mod 256 — the closed
+    * form an oracle restates, through actual container encode/demux
+    * bytes (the synthWavBlobs/synthBmpBlobs pattern). */
+  def synthAviBlobs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 3 * 4).toInt
+      val h = (6 + id % 2 * 4).toInt
+      val nf = (2 + id % 3).toInt
+      (id, AviCodec.encodeDib(w, h, nf,
+        f => (x, y) => ((id * 7 + f * 17 + x * 3 + y * 11) % 256).toInt))
+    }.toDF("doc_id", "blob")
+  }
+
+  /** REAL video frame sampling (r15): blobs that parse as RIFF/AVI
+    * demux through [[AviCodec]] — every stride-th frame decodes
+    * (uncompressed DIB directly; MJPEG '00dc' chunks through
+    * ImageCodec/JpegCodec) and reports its exact gray pixel sum.
+    * Non-video blobs keep the deterministic md5 synthetic fallback
+    * ([[sampleFrames]]' policy) with width = height = 0, so the
+    * operator stays total over arbitrary binary columns. */
+  def videoFrames(blobs: DataFrame, stride: Int = 2,
+                  maxFrames: Int = 8): Dataset[VideoFrame] = {
+    require(stride > 0 && maxFrames > 0)
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          AviCodec.decode(bytes) match {
+            case Some(avi) =>
+              val n = math.min(avi.frames.length, maxFrames)
+              (0 until n by stride).flatMap { i =>
+                AviCodec.decodeFrame(avi, i).map { img =>
+                  var s = 0L; var p = 0
+                  while (p < img.pixels.length) { s += img.pixels(p) & 0xff; p += 1 }
+                  VideoFrame(id, i.toLong, img.width.toLong, img.height.toLong, s)
+                }
+              }
+            case None =>
+              md.reset()
+              val hex = md.digest(bytes).map("%02x".format(_)).mkString
+              val n = math.min(bytes.length / 64 + 1, maxFrames)
+              (0 until n by stride).map { i =>
+                val off = (2 * i) % hex.length
+                val window =
+                  if (off + 12 <= hex.length) hex.substring(off, off + 12)
+                  else hex.substring(off) + hex.substring(0, off + 12 - hex.length)
+                VideoFrame(id, i.toLong, 0L, 0L, java.lang.Long.parseLong(window, 16))
+              }
+          }
+        }
+      }
+  }
+
   /** Resize to (w, h): decodable images get a REAL nearest-neighbor
     * pixel resample (the output blob is the resized image's luminance
     * plane, row-major w*h bytes); other blobs keep the deterministic
