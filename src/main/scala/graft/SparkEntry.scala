@@ -506,6 +506,18 @@ object SparkEntry {
     "q_mask" -> ((s, dir) =>
       flat(ZonalOps.maskGrid(lineitemLayer(s, dir), Seq(Geometry.diamond(128, 128, 60.3))))),
 
+    "q_buffer_mask" -> ((s, dir) =>
+      // polygon buffer (r15) feeding mask — the shapely buffer->mask
+      // workflow: a miter-buffered diamond IS the diamond with
+      // r + d*sqrt(2) (edge normals at 45 deg), a buffered rect the
+      // rect widened by d, an eroded diamond r - d*sqrt(2) — all
+      // closed forms the oracle restates; union-mask semantics
+      flat(ZonalOps.maskGrid(lineitemLayer(s, dir), Seq(
+        graft.vector.Buffer.buffer(Geometry.diamond(64, 64, 30.3), 10.0),
+        graft.vector.Buffer.buffer(
+          Geometry.rect(150.2, 100.4, 190.7, 140.9), 7.5),
+        graft.vector.Buffer.buffer(Geometry.diamond(200, 60, 25.3), -6.0))))),
+
     "q_polygonal_summary" -> ((s, dir) =>
       ZonalOps.polygonalSummary(lineitemLayer(s, dir), Geometry.diamond(128, 128, 60.3))),
 
@@ -3547,6 +3559,15 @@ object SparkEntry {
 
       "q_mask" ->
         s"SELECT x, y, v FROM ($grid) WHERE abs(x + 0.5 - 128) + abs(y + 0.5 - 128) < 60.3",
+
+      // buffered-geometry closed forms: diamond grows/shrinks by
+      // d*sqrt(2) in L1 radius, rect by d per side (miter joins)
+      "q_buffer_mask" ->
+        s"""SELECT x, y, v FROM ($grid)
+           |WHERE abs(x + 0.5 - 64) + abs(y + 0.5 - 64) < 30.3 + 10.0 * sqrt(2)
+           |   OR (x + 0.5 > 150.2 - 7.5 AND x + 0.5 < 190.7 + 7.5
+           |       AND y + 0.5 > 100.4 - 7.5 AND y + 0.5 < 140.9 + 7.5)
+           |   OR abs(x + 0.5 - 200) + abs(y + 0.5 - 60) < 25.3 - 6.0 * sqrt(2)""".stripMargin,
 
       "q_polygonal_summary" ->
         s"""SELECT sum(v) AS vsum, count(*) AS vcount, min(v) AS vmin, max(v) AS vmax, sum(v) / count(*) AS vmean
