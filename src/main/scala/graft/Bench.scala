@@ -100,8 +100,38 @@ object Bench {
     val nFailed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val runTotals = runs.map(_.values.filter(_ >= 0).sum).mkString("[", ",", "]")
+    // Ratio DISTRIBUTION vs the newest pin (BASELINE_r<N>.md), so the
+    // median-shift-vs-lone-outlier diagnosis (CLAUDE.md: ambient box
+    // load moves the whole suite uniformly; a plan problem moves one
+    // query) is automatic instead of manual. Sub-0.2s pins are
+    // excluded from the distribution (pure noise at this box's ~2x
+    // single-run jitter) but still counted in over_2x when large.
+    val pinDist: String = {
+      val pinFile = new java.io.File(".").listFiles()
+        .filter(f => f.getName.matches("BASELINE_r\\d+\\.md"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption
+      pinFile.map { pf =>
+        val row = "\\| (q\\w+) \\| ([0-9.]+) \\|".r
+        val src = scala.io.Source.fromFile(pf, "UTF-8") // JVM default may be ASCII
+        val pins =
+          try src.getLines().collect { case row(q, s) => q -> s.toDouble }.toMap
+          finally src.close()
+        val ratios = results.collect {
+          case (n, v) if v >= 0 && pins.get(n).exists(_ >= 0.2) => (n, v / pins(n))
+        }.sortBy(_._2)
+        if (ratios.isEmpty) "null"
+        else {
+          def pct(p: Double) = ratios(math.min(ratios.size - 1,
+            (p * ratios.size).toInt))._2
+          val over = ratios.filter(_._2 > 2.0)
+            .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+            .mkString("{", ",", "}")
+          f"""{"pin":"${pf.getName}","n":${ratios.size},"median":${pct(0.5)}%.3f,"p90":${pct(0.9)}%.3f,"max":${ratios.last._2}%.3f,"max_query":"${ratios.last._1}","over_2x":$over}"""
+        }
+      }.getOrElse("null")
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n_queries":${results.size},"n_failed":$nFailed,"n_runs":$nRuns,"stat":"median","run_totals":$runTotals,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n_queries":${results.size},"n_failed":$nFailed,"n_runs":$nRuns,"stat":"median","run_totals":$runTotals,"pin_ratios":$pinDist,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a bounded tail that has truncated
     // the per-query map two rounds running — persist the full evidence.

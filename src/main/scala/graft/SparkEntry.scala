@@ -296,6 +296,24 @@ object SparkEntry {
         .slope(zFactorCalc = Some(graft.raster.ZFactor.latLng("Meters")))
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
+    "q_geomorphon" -> ((s, dir) => {
+      // geomorphon landforms (r15) on the DENSER 128-grid (~97%
+      // occupancy — the full-32-sample rule keeps ~43% of cells vs
+      // ~nothing on the 256-grid); the whole ternary-pattern decision
+      // is exact integer arithmetic via the 12/k LCM trick, and the
+      // (hi, lo) -> form LUT is ONE Scala map rendered into both
+      // engines
+      import graft.core.{Extent, LayoutDefinition, TileLayout}
+      val l128 = RasterLayer.fromCells(
+        table(s, dir, "lineitem").select(
+          (col("l_orderkey") % 128).as("x"), (col("l_partkey") % 128).as("y"),
+          col("l_quantity").as("v")),
+        LayoutDefinition(Extent(0, 0, 128, 128), TileLayout(2, 2, 64, 64)),
+        graft.raster.CellOp.Sum)
+      l128.geomorphon().toCells
+        .select(col("x"), col("y"), col("v").cast("long").as("form"))
+    }),
+
     "q_aspect" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).aspect()
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
@@ -1216,6 +1234,21 @@ object SparkEntry {
       val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
       full.select(col("pid"),
         round(expr(eE), 4).as("e_ps"), round(expr(nE), 4).as("n_ps"))
+    }),
+
+    "q_warp_bilinear" -> ((s, dir) => {
+      // general-CRS tiled warp (reprojectTiled) with BILINEAR
+      // resampling (r15) on an identity transform + resolution change
+      // (256 -> 200 cols, the boundary-safe 32/25 ratio): the whole
+      // sampling chain is rational arithmetic, so the oracle restates
+      // it with no transcendentals at all — the strongest oracle the
+      // general gather machinery gets. The non-identity CRS legs are
+      // covered by the point-transform oracles + ReprojectSpec.
+      import graft.core.{Extent, LayoutDefinition, TileLayout}
+      val dst = LayoutDefinition(Extent(0, 0, 256, 256), TileLayout(4, 4, 50, 50))
+      Reproject.reprojectTiled(lineitemLayer(s, dir), CRS.LatLng, CRS.LatLng,
+          dst, method = "Bilinear")
+        .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
 
     "q_reproject_osgb" -> ((s, dir) => {
@@ -3072,6 +3105,26 @@ object SparkEntry {
       "q_aspect" ->
         hornSql("round(CASE WHEN degrees(atan2(dzdy, -dzdx)) < 0 THEN degrees(atan2(dzdy, -dzdx)) + 360 ELSE degrees(atan2(dzdy, -dzdx)) END, 5)"),
 
+      // geomorphon: 8 rays x 4 steps, exact-integer 12/k slope
+      // comparisons, full-window rule = count(*) == 32, shared LUT
+      "q_geomorphon" ->
+        s"""WITH g AS (SELECT l_orderkey % 128 AS x, l_partkey % 128 AS y, sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+           |dirs(dx, dy) AS (VALUES (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1)),
+           |r AS (SELECT c.x, c.y, d.dx, d.dy,
+           |        max(CAST((n.v - c.v) * (12 // k.range) AS BIGINT)) AS up12,
+           |        max(CAST((c.v - n.v) * (12 // k.range) AS BIGINT)) AS dn12,
+           |        count(*) AS cnt
+           |      FROM g c CROSS JOIN dirs d CROSS JOIN range(1, 5) k
+           |      JOIN g n ON n.x = c.x + d.dx * k.range AND n.y = c.y + d.dy * k.range
+           |      GROUP BY 1, 2, 3, 4),
+           |t AS (SELECT x, y,
+           |        sum(CASE WHEN up12 > 12 AND up12 > dn12 THEN 1 ELSE 0 END) AS hi,
+           |        sum(CASE WHEN dn12 > 12 AND dn12 > up12 THEN 1 ELSE 0 END) AS lo
+           |      FROM r GROUP BY 1, 2 HAVING sum(cnt) = 32),
+           |lut(hi, lo, form) AS (VALUES ${graft.raster.Geomorphon.lutValuesSql})
+           |SELECT t.x, t.y, CAST(lut.form AS BIGINT) AS form
+           |FROM t JOIN lut ON lut.hi = t.hi AND lut.lo = t.lo""".stripMargin,
+
       // Riley TRI: sqrt of exact-integer squared-difference sum
       "q_tri" ->
         windowSql("round(sqrt((n1 - n5) * (n1 - n5) + (n2 - n5) * (n2 - n5) + (n3 - n5) * (n3 - n5) + (n4 - n5) * (n4 - n5) + (n6 - n5) * (n6 - n5) + (n7 - n5) * (n7 - n5) + (n8 - n5) * (n8 - n5) + (n9 - n5) * (n9 - n5)), 5)"),
@@ -4528,6 +4581,29 @@ object SparkEntry {
           ctes.mkString(", ") +
           s" SELECT pid, round($eE, 4) AS e_utm, round($nE, 4) AS n_utm FROM c${steps.size}")
       },
+
+      // identity-CRS bilinear warp: the engine computes
+      // gy = (256 - (256 - (ty+0.5)*dch)) / 1 — restate the SAME
+      // double chain (the two 256-subtractions are NOT algebraically
+      // droppable in floats); dcw = 256/200 and the literal 1.28 are
+      // the same double
+      "q_warp_bilinear" ->
+        s"""WITH g AS ($grid), t AS (
+           |  SELECT t1.range AS tx, t2.range AS ty,
+           |         (0 + (t1.range + 0.5) * 1.28 - 0) / 1.0 AS gx,
+           |         (256 - (256 - (t2.range + 0.5) * 1.28)) / 1.0 AS gy
+           |  FROM range(0, 200) t1, range(0, 200) t2),
+           |b AS (SELECT tx, ty,
+           |        CAST(floor(gx - 0.5) AS BIGINT) AS x0, CAST(floor(gy - 0.5) AS BIGINT) AS y0,
+           |        gx - 0.5 - floor(gx - 0.5) AS fx, gy - 0.5 - floor(gy - 0.5) AS fy
+           |      FROM t)
+           |SELECT b.tx AS x, b.ty AS y,
+           |  round((1 - fx) * (1 - fy) * g00.v + fx * (1 - fy) * g10.v
+           |      + (1 - fx) * fy * g01.v + fx * fy * g11.v, 5) AS v
+           |FROM b JOIN g g00 ON g00.x = b.x0 AND g00.y = b.y0
+           |       JOIN g g10 ON g10.x = b.x0 + 1 AND g10.y = b.y0
+           |       JOIN g g01 ON g01.x = b.x0 AND g01.y = b.y0 + 1
+           |       JOIN g g11 ON g11.x = b.x0 + 1 AND g11.y = b.y0 + 1""".stripMargin,
 
       "q_reproject_osgb" -> {
         // same one-text contract as q_reproject_utm, with the datum

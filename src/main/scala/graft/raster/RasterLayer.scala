@@ -560,6 +560,9 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     * with the nearest non-masked value within r cells. */
   def nibble(masked: Double => Boolean, r: Int = 8): RasterLayer =
     Morphology.nibble(this, masked, r)
+  /** Geomorphon 10-landform classification (Jasiewicz & Stepinski
+    * 2013; exact-integer ternary patterns, radius-4 halo). */
+  def geomorphon(t12: Long = 12): RasterLayer       = Geomorphon(this, t12)
   /** Zevenbergen-Thorne general curvature (ArcGIS *100 convention). */
   def curvature(): RasterLayer                      = Focal.terrain(this, "curvature")
   /** Profile curvature (in the slope direction; ZT 1987, *100). */

@@ -295,7 +295,12 @@ object Reproject {
     * polar/zone-edge geometry) would leave those cells NoData. */
   def reprojectTiled(layer: RasterLayer, srcCrs: graft.core.CRS.Transform,
                      dstCrs: graft.core.CRS.Transform,
-                     dstLayout: LayoutDefinition): RasterLayer = {
+                     dstLayout: LayoutDefinition,
+                     method: String = "NearestNeighbor"): RasterLayer = {
+    require(method == "NearestNeighbor" || method == "Bilinear",
+      s"reprojectTiled supports NearestNeighbor/Bilinear (got '$method'); " +
+        "the full kernel family rides the web-mercator warp")
+    val bilinear = method == "Bilinear"
     val spark = layer.spark
     import spark.implicits._
     val sl = layer.meta.layout; val stl = sl.tileLayout
@@ -318,16 +323,22 @@ object Reproject {
       def gx(wx: Double) = (wx - dx0) / dcw
       def gy(wy: Double) = (dyTop - wy) / dch
       // 2-pixel pad over the sampled bbox (see scaladoc for the sag
-      // bound this assumes); floorDiv keeps negative coords correct
-      val txLo = math.max(0, Math.floorDiv(math.floor(pts.map(p => gx(p._1)).min - 2).toInt, dtc))
-      val txHi = math.min(dtl.layoutCols - 1, Math.floorDiv(math.ceil(pts.map(p => gx(p._1)).max + 2).toInt, dtc))
-      val tyLo = math.max(0, Math.floorDiv(math.floor(pts.map(p => gy(p._2)).min - 2).toInt, dtr))
-      val tyHi = math.min(dtl.layoutRows - 1, Math.floorDiv(math.ceil(pts.map(p => gy(p._2)).max + 2).toInt, dtr))
+      // bound this assumes), one extra target pixel per source cell of
+      // bilinear reach; floorDiv keeps negative coords correct
+      val pad = if (bilinear) 2 + math.ceil(scw / dcw).toInt else 2
+      val txLo = math.max(0, Math.floorDiv(math.floor(pts.map(p => gx(p._1)).min - pad).toInt, dtc))
+      val txHi = math.min(dtl.layoutCols - 1, Math.floorDiv(math.ceil(pts.map(p => gx(p._1)).max + pad).toInt, dtc))
+      val tyLo = math.max(0, Math.floorDiv(math.floor(pts.map(p => gy(p._2)).min - pad).toInt, dtr))
+      val tyHi = math.min(dtl.layoutRows - 1, Math.floorDiv(math.ceil(pts.map(p => gy(p._2)).max + pad).toInt, dtr))
       for (dc <- txLo to txHi; dr <- tyLo to tyHi) yield (dc, dr)
     }
 
     def compute(dc: Int, dr: Int, src: Map[(Int, Int), Array[Double]]): Seq[Double] = {
       val outTile = Array.fill(dtc * dtr)(Double.NaN)
+      def sv(xx: Long, yy: Long): Double =
+        src.get(((xx / tc).toInt, (yy / tr).toInt))
+          .map(t => t(((yy % tr) * tc + (xx % tc)).toInt))
+          .getOrElse(Double.NaN)
       var j = 0
       while (j < dtr) {
         var i = 0
@@ -336,11 +347,29 @@ object Reproject {
           val wy = dyTop - (dr.toLong * dtr + j + 0.5) * dch
           val (lon, lat) = dstCrs.inverse(wx, wy)
           val (sx, sy) = srcCrs.forward(lon, lat)
-          val gx = math.floor((sx - sx0) / scw).toLong
-          val gy = math.floor((syTop - sy) / sch).toLong
-          if (gx >= 0 && gx < stl.totalCols && gy >= 0 && gy < stl.totalRows) {
-            src.get(((gx / tc).toInt, (gy / tr).toInt)).foreach { t =>
-              outTile(j * dtc + i) = t(((gy % tr) * tc + (gx % tc)).toInt)
+          if (bilinear) {
+            // 4-corner weighted sample at source cell centers — the
+            // latLngGridToWebMercatorTiled kernel on arbitrary CRSs
+            // (pinned term order; any missing corner -> NaN -> NoData).
+            // Callers pick resolutions keeping gx - 0.5 off floor
+            // boundaries (the 32/25 rule)
+            val gx = (sx - sx0) / scw
+            val gyv = (syTop - sy) / sch
+            val x0 = math.floor(gx - 0.5).toLong
+            val y0 = math.floor(gyv - 0.5).toLong
+            if (x0 >= 0 && x0 + 1 < stl.totalCols && y0 >= 0 && y0 + 1 < stl.totalRows) {
+              val fx = gx - 0.5 - x0
+              val fy = gyv - 0.5 - y0
+              outTile(j * dtc + i) =
+                (1 - fx) * (1 - fy) * sv(x0, y0) + fx * (1 - fy) * sv(x0 + 1, y0) +
+                  (1 - fx) * fy * sv(x0, y0 + 1) + fx * fy * sv(x0 + 1, y0 + 1)
+            }
+          } else {
+            val gx = math.floor((sx - sx0) / scw).toLong
+            val gy = math.floor((syTop - sy) / sch).toLong
+            if (gx >= 0 && gx < stl.totalCols && gy >= 0 && gy < stl.totalRows) {
+              val t = sv(gx, gy)
+              if (!t.isNaN) outTile(j * dtc + i) = t
             }
           }
           i += 1

@@ -1,0 +1,78 @@
+package graft.raster
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{Extent, LayoutDefinition, TileLayout}
+
+/** Geomorphon ternary-pattern landforms on hand-built fields. */
+class GeomorphonSpec extends SparkSpec {
+  import spark.implicits._
+
+  val layout = LayoutDefinition(Extent(0, 0, 16, 16), TileLayout(2, 2, 8, 8))
+  val interior = for (x <- 4L to 11L; y <- 4L to 11L) yield (x, y)
+
+  private def classify(f: (Long, Long) => Double,
+                       t12: Long = 12): Map[(Long, Long), Long] = {
+    val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y, f(x, y))
+    RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+      .geomorphon(t12).toCells
+      .select(col("x"), col("y"), col("v").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map(c => (c._1, c._2) -> c._3).toMap
+  }
+
+  test("flat field classifies flat; edge cells drop (full-window rule)") {
+    val out = classify((_, _) => 5.0)
+    assert(interior.forall(k => out(k) == Geomorphon.Flat))
+    // anything within 4 of the grid edge lacks the 32-sample window
+    assert(out.keySet == interior.toSet)
+  }
+
+  test("cone apex = peak, inverted apex = pit") {
+    def cone(x: Long, y: Long) = 100.0 - 10.0 * math.max(math.abs(x - 8), math.abs(y - 8))
+    val up = classify(cone)
+    assert(up((8L, 8L)) == Geomorphon.Peak)
+    val dn = classify((x, y) => -cone(x, y))
+    assert(dn((8L, 8L)) == Geomorphon.Pit)
+  }
+
+  test("ridge and valley lines classify along x = 8") {
+    val ridge = classify((x, _) => 100.0 - 10.0 * math.abs(x - 8))
+    val valley = classify((x, _) => 10.0 * math.abs(x - 8))
+    for (y <- 4L to 11L) {
+      assert(ridge((8L, y)) == Geomorphon.Ridge, s"ridge y=$y: ${ridge((8L, y))}")
+      assert(valley((8L, y)) == Geomorphon.Valley, s"valley y=$y: ${valley((8L, y))}")
+    }
+  }
+
+  test("threshold is strict and exact: slope 1/step is flat, 2/step is slope") {
+    // v = x: every per-step rise is exactly the t12 = 12 threshold ->
+    // neutral everywhere (up12 > 12 is FALSE at 12) -> flat. The
+    // exact-integer arithmetic makes this boundary deterministic.
+    val atThreshold = classify((x, _) => x.toDouble)
+    assert(interior.forall(k => atThreshold(k) == Geomorphon.Flat))
+    // v = 2x: E/W rays decide (diagonals too), hi = lo = 3 -> slope
+    val above = classify((x, _) => 2.0 * x)
+    assert(interior.forall(k => above(k) == Geomorphon.Slope))
+    // raising the threshold past 24 flattens it again
+    val relaxed = classify((x, _) => 2.0 * x, t12 = 25)
+    assert(interior.forall(k => relaxed(k) == Geomorphon.Flat))
+  }
+
+  test("missing ray cells drop the cell (NoData propagates)") {
+    val cells = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y, 5.0))
+      .filterNot { case (x, y, _) => x == 6 && y == 6 }
+    val out = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+      .geomorphon().toCells
+      .select(col("x"), col("y")).as[(Long, Long)].collect().toSet
+    // every interior cell whose 8 rays (4 steps) touch (6,6) is gone
+    val touched = interior.filter { case (cx, cy) =>
+      (1 to 4).exists { k =>
+        Seq((0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1))
+          .exists { case (dx, dy) => cx + dx * k == 6 && cy + dy * k == 6 }
+      }
+    }.toSet + ((6L, 6L))
+    assert(out == interior.toSet -- touched)
+  }
+}
