@@ -1338,6 +1338,23 @@ object SparkEntry {
         .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
     }),
 
+    "q_reproject_bspline" -> ((s, dir) => {
+      // cubic B-SPLINE warp (gdalwarp -r cubicspline): same 4x4
+      // window and 128-grid as q_reproject_cubic, approximating
+      // kernel — the smoothing companion of the interpolating Keys
+      // cubic; identical oracle discipline
+      import graft.core.{Extent, LayoutDefinition, TileLayout}
+      val l128 = RasterLayer.fromCells(
+        table(s, dir, "lineitem").select(
+          (col("l_orderkey") % 128).as("x"), (col("l_partkey") % 128).as("y"),
+          col("l_quantity").as("v")),
+        LayoutDefinition(Extent(0, 0, 128, 128), TileLayout(2, 2, 64, 64)),
+        graft.raster.CellOp.Sum)
+      Reproject.latLngGridToWebMercatorTiled(l128, 0.1,
+          dstTile = 50, dstCols = 100, method = "CubicSpline")
+        .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+    }),
+
     "q_reproject_average" -> ((s, dir) =>
       // gdalwarp -r average: mean of source cells whose centers fall
       // in the target cell's inverse-projected footprint; integral v
@@ -2822,6 +2839,55 @@ object SparkEntry {
          |f AS (SELECT tx, ty, g.v FROM c JOIN g
          |        ON g.x + 0.5 >= gxLo AND g.x + 0.5 < gxHi
          |       AND g.y + 0.5 >= gyLo AND g.y + 0.5 < gyHi)""".stripMargin
+    }
+    // shared 4x4-kernel warp oracle on the dense 128-grid (cubic /
+    // b-spline): weight Horner forms injected per kernel, everything
+    // else identical (see q_reproject_cubic)
+    def warpCubic128Sql(wNear: String => String, wFar: String => String): String = {
+      val n = 128; val d = 0.1; val dn = 100
+      val mxMin = CRS.lngToMercX(0); val mxMax = CRS.lngToMercX(n * d)
+      val myMin = CRS.latToMercY(0); val myMax = CRS.latToMercY(n * d)
+      val cw = (mxMax - mxMin) / dn; val ch = (myMax - myMin) / dn
+      val joins = (for (dy <- -1 to 2; dx <- -1 to 2) yield {
+        val a = s"g${dx + 1}${dy + 1}"
+        val xo = if (dx == 0) "" else if (dx > 0) s" + $dx" else s" - ${-dx}"
+        val yo = if (dy == 0) "" else if (dy > 0) s" + $dy" else s" - ${-dy}"
+        s"JOIN g $a ON $a.x = w.x0$xo AND $a.y = w.y0$yo"
+      }).mkString("\n|  ")
+      def rowExpr(dy: Int) =
+        s"(wxm * g0${dy + 1}.v + wx0 * g1${dy + 1}.v + wx1 * g2${dy + 1}.v + wx2 * g3${dy + 1}.v)"
+      val grid128 =
+        s"SELECT l_orderkey % $n AS x, l_partkey % $n AS y, sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2"
+      s"""WITH g AS ($grid128), t AS (
+         |  SELECT t1.range AS tx, t2.range AS ty,
+         |         $mxMin + (t1.range + 0.5) * $cw AS mx,
+         |         $myMax - (t2.range + 0.5) * $ch AS my
+         |  FROM range(0, $dn) t1, range(0, $dn) t2),
+         |c AS (SELECT tx, ty,
+         |        degrees(mx / 6378137.0) / $d AS gx,
+         |        (${n * d} - degrees(atan(exp(my / 6378137.0)) * 2 - pi() / 2)) / $d AS gy
+         |      FROM t),
+         |b AS (SELECT tx, ty,
+         |        CAST(floor(gx - 0.5) AS BIGINT) AS x0, CAST(floor(gy - 0.5) AS BIGINT) AS y0,
+         |        gx - 0.5 - floor(gx - 0.5) AS fx, gy - 0.5 - floor(gy - 0.5) AS fy
+         |      FROM c),
+         |w AS (SELECT tx, ty, x0, y0,
+         |        ${wFar("(fx + 1.0)")} AS wxm,
+         |        ${wNear("fx")} AS wx0,
+         |        ${wNear("(1.0 - fx)")} AS wx1,
+         |        ${wFar("(2.0 - fx)")} AS wx2,
+         |        ${wFar("(fy + 1.0)")} AS wym,
+         |        ${wNear("fy")} AS wy0,
+         |        ${wNear("(1.0 - fy)")} AS wy1,
+         |        ${wFar("(2.0 - fy)")} AS wy2
+         |      FROM b)
+         |SELECT w.tx AS x, w.ty AS y,
+         |  round(wym * ${rowExpr(-1)}
+         |      + wy0 * ${rowExpr(0)}
+         |      + wy1 * ${rowExpr(1)}
+         |      + wy2 * ${rowExpr(2)}, 5) AS v
+         |FROM w
+         |  $joins""".stripMargin
     }
     // langid CASE chain shared by q_lang_id and q_lang_confusion
     val langIdSql =
@@ -4705,55 +4771,17 @@ object SparkEntry {
            |       JOIN g g11 ON g11.x = b.x0 + 1 AND g11.y = b.y0 + 1""".stripMargin
       },
 
-      // Keys a=-0.5 bicubic warp: bilinear's inverse-projection chain,
-      // then 4x4 taps with Horner weight forms and a pinned term order
-      // IDENTICAL to the Scala kernel; 16 inner joins = full-window rule
-      "q_reproject_cubic" -> {
-        val n = 128; val d = 0.1; val dn = 100
-        val mxMin = CRS.lngToMercX(0); val mxMax = CRS.lngToMercX(n * d)
-        val myMin = CRS.latToMercY(0); val myMax = CRS.latToMercY(n * d)
-        val cw = (mxMax - mxMin) / dn; val ch = (myMax - myMin) / dn
-        val joins = (for (dy <- -1 to 2; dx <- -1 to 2) yield {
-          val a = s"g${dx + 1}${dy + 1}"
-          val xo = if (dx == 0) "" else if (dx > 0) s" + $dx" else s" - ${-dx}"
-          val yo = if (dy == 0) "" else if (dy > 0) s" + $dy" else s" - ${-dy}"
-          s"JOIN g $a ON $a.x = w.x0$xo AND $a.y = w.y0$yo"
-        }).mkString("\n|  ")
-        def rowExpr(dy: Int) =
-          s"(wxm * g0${dy + 1}.v + wx0 * g1${dy + 1}.v + wx1 * g2${dy + 1}.v + wx2 * g3${dy + 1}.v)"
-        val grid128 =
-          s"SELECT l_orderkey % $n AS x, l_partkey % $n AS y, sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2"
-        s"""WITH g AS ($grid128), t AS (
-           |  SELECT t1.range AS tx, t2.range AS ty,
-           |         $mxMin + (t1.range + 0.5) * $cw AS mx,
-           |         $myMax - (t2.range + 0.5) * $ch AS my
-           |  FROM range(0, $dn) t1, range(0, $dn) t2),
-           |c AS (SELECT tx, ty,
-           |        degrees(mx / 6378137.0) / $d AS gx,
-           |        (${n * d} - degrees(atan(exp(my / 6378137.0)) * 2 - pi() / 2)) / $d AS gy
-           |      FROM t),
-           |b AS (SELECT tx, ty,
-           |        CAST(floor(gx - 0.5) AS BIGINT) AS x0, CAST(floor(gy - 0.5) AS BIGINT) AS y0,
-           |        gx - 0.5 - floor(gx - 0.5) AS fx, gy - 0.5 - floor(gy - 0.5) AS fy
-           |      FROM c),
-           |w AS (SELECT tx, ty, x0, y0,
-           |        ((-0.5 * (fx + 1.0) + 2.5) * (fx + 1.0) - 4.0) * (fx + 1.0) + 2.0 AS wxm,
-           |        ((1.5 * fx - 2.5) * fx) * fx + 1.0 AS wx0,
-           |        ((1.5 * (1.0 - fx) - 2.5) * (1.0 - fx)) * (1.0 - fx) + 1.0 AS wx1,
-           |        ((-0.5 * (2.0 - fx) + 2.5) * (2.0 - fx) - 4.0) * (2.0 - fx) + 2.0 AS wx2,
-           |        ((-0.5 * (fy + 1.0) + 2.5) * (fy + 1.0) - 4.0) * (fy + 1.0) + 2.0 AS wym,
-           |        ((1.5 * fy - 2.5) * fy) * fy + 1.0 AS wy0,
-           |        ((1.5 * (1.0 - fy) - 2.5) * (1.0 - fy)) * (1.0 - fy) + 1.0 AS wy1,
-           |        ((-0.5 * (2.0 - fy) + 2.5) * (2.0 - fy) - 4.0) * (2.0 - fy) + 2.0 AS wy2
-           |      FROM b)
-           |SELECT w.tx AS x, w.ty AS y,
-           |  round(wym * ${rowExpr(-1)}
-           |      + wy0 * ${rowExpr(0)}
-           |      + wy1 * ${rowExpr(1)}
-           |      + wy2 * ${rowExpr(2)}, 5) AS v
-           |FROM w
-           |  $joins""".stripMargin
-      },
+      // 4x4-kernel warps: bilinear's inverse-projection chain, then
+      // 16 taps with Horner weight forms and a pinned term order
+      // IDENTICAL to the Scala kernel; 16 inner joins = full-window
+      // rule. Shared builder; the kernels differ only in wNear/wFar.
+      "q_reproject_cubic" -> warpCubic128Sql( // Keys 1981, a = -0.5
+        t => s"((1.5 * $t - 2.5) * $t) * $t + 1.0",
+        t => s"((-0.5 * $t + 2.5) * $t - 4.0) * $t + 2.0"),
+
+      "q_reproject_bspline" -> warpCubic128Sql( // cubic B-spline
+        t => s"((0.5 * $t - 1.0) * $t) * $t + 2.0 / 3.0",
+        t => s"((-(1.0 / 6.0) * $t + 1.0) * $t - 2.0) * $t + 4.0 / 3.0"),
 
       // footprint edges: the SAME expression chain as the Scala
       // kernel's gxLo/gxHi/gyLo/gyHi; cell-center-in-half-open-box

@@ -62,13 +62,15 @@ object Reproject {
     *  - "NearestNeighbor" (default), "Bilinear" (4-corner weighted),
     *  - "CubicConvolution": Keys 1981 bicubic, a = -0.5 (the GDAL/
     *    geotrellis default); 4x4 window, any missing sample -> NoData,
+    *  - "CubicSpline": cubic B-spline (gdalwarp -r cubicspline) —
+    *    same 4x4 window, APPROXIMATING kernel (smooths),
     *  - "Average"/"Max"/"Min"/"Median"/"Mode": footprint aggregates —
     *    the target cell's mercator footprint is inverse-projected to
     *    the source grid and every source cell whose CENTER falls in
     *    the half-open box contributes (gdalwarp -r average / the
     *    geotrellis AggregateResample family). Mode ties -> smallest
     *    value; Median interpolates the two middles (quantile_cont).
-    * CubicSpline/Lanczos are not supported (throw). */
+    * Lanczos is not supported (throws). */
   def latLngGridToWebMercatorTiled(layer: RasterLayer, degPerCell: Double,
                                    dstTile: Int = 64,
                                    bilinear: Boolean = false,
@@ -78,7 +80,7 @@ object Reproject {
     val m = if (method.nonEmpty) method else if (bilinear) "Bilinear" else "NearestNeighbor"
     val Footprint = Set("Average", "Max", "Min", "Median", "Mode")
     require(m == "NearestNeighbor" || m == "Bilinear" ||
-      m == "CubicConvolution" || Footprint(m),
+      m == "CubicConvolution" || m == "CubicSpline" || Footprint(m),
       s"unsupported resample method '$m'")
     val spark = layer.spark
     import spark.implicits._
@@ -158,10 +160,18 @@ object Reproject {
                   (1 - fx) * fy * sv(x0, y0 + 1) + fx * fy * sv(x0 + 1, y0 + 1)
                 outTile(j * dstTile + i) = v
               }
-            case "CubicConvolution" =>
-              // Keys 1981 bicubic, a = -0.5: separable 4x4 kernel at
-              // cell centers; Horner forms + term order IDENTICAL to
-              // the SQL twin; any missing sample -> NaN -> NoData
+            case "CubicConvolution" | "CubicSpline" =>
+              // separable 4x4 kernels at cell centers; Horner forms +
+              // term order IDENTICAL to the SQL twins; any missing
+              // sample -> NaN -> NoData.
+              //  CubicConvolution: Keys 1981, a = -0.5 (interpolating)
+              //    near |t|<1: ((1.5t - 2.5)t)t + 1
+              //    far 1<=|t|<2: ((-0.5t + 2.5)t - 4)t + 2
+              //  CubicSpline: cubic B-spline (gdalwarp -r cubicspline,
+              //    APPROXIMATING — smooths, does not interpolate)
+              //    near: ((0.5t - 1)t)t + 2/3
+              //    far:  ((-(1/6)t + 1)t - 2)t + 4/3
+              val spline = m == "CubicSpline"
               val gx = lon / degPerCell
               val gyv = (latMax - lat) / degPerCell
               val x0 = math.floor(gx - 0.5).toLong
@@ -169,16 +179,20 @@ object Reproject {
               if (x0 >= 1 && x0 + 2 < n && y0 >= 1 && y0 + 2 < n) {
                 val fx = gx - 0.5 - x0
                 val fy = gyv - 0.5 - y0
-                // near taps |t|<1: ((1.5t - 2.5)t)t + 1; far taps
-                // 1<=|t|<2: ((-0.5t + 2.5)t - 4)t + 2
-                val wxm = ((-0.5 * (fx + 1.0) + 2.5) * (fx + 1.0) - 4.0) * (fx + 1.0) + 2.0
-                val wx0 = ((1.5 * fx - 2.5) * fx) * fx + 1.0
-                val wx1 = ((1.5 * (1.0 - fx) - 2.5) * (1.0 - fx)) * (1.0 - fx) + 1.0
-                val wx2 = ((-0.5 * (2.0 - fx) + 2.5) * (2.0 - fx) - 4.0) * (2.0 - fx) + 2.0
-                val wym = ((-0.5 * (fy + 1.0) + 2.5) * (fy + 1.0) - 4.0) * (fy + 1.0) + 2.0
-                val wy0 = ((1.5 * fy - 2.5) * fy) * fy + 1.0
-                val wy1 = ((1.5 * (1.0 - fy) - 2.5) * (1.0 - fy)) * (1.0 - fy) + 1.0
-                val wy2 = ((-0.5 * (2.0 - fy) + 2.5) * (2.0 - fy) - 4.0) * (2.0 - fy) + 2.0
+                def wNear(t: Double): Double =
+                  if (spline) ((0.5 * t - 1.0) * t) * t + 2.0 / 3.0
+                  else ((1.5 * t - 2.5) * t) * t + 1.0
+                def wFar(t: Double): Double =
+                  if (spline) ((-(1.0 / 6.0) * t + 1.0) * t - 2.0) * t + 4.0 / 3.0
+                  else ((-0.5 * t + 2.5) * t - 4.0) * t + 2.0
+                val wxm = wFar(fx + 1.0)
+                val wx0 = wNear(fx)
+                val wx1 = wNear(1.0 - fx)
+                val wx2 = wFar(2.0 - fx)
+                val wym = wFar(fy + 1.0)
+                val wy0 = wNear(fy)
+                val wy1 = wNear(1.0 - fy)
+                val wy2 = wFar(2.0 - fy)
                 def rowAt(yy: Long): Double =
                   wxm * sv(x0 - 1, yy) + wx0 * sv(x0, yy) +
                     wx1 * sv(x0 + 1, yy) + wx2 * sv(x0 + 2, yy)

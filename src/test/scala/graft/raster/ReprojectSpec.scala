@@ -115,6 +115,17 @@ class ReprojectSpec extends SparkSpec {
       "cubic must agree with bilinear on a linear field")
     // cubic's window is one cell wider: its NoData fringe is a superset
     assert(cu.keySet.subsetOf(bl.keySet))
+    // cubic B-spline: partition of unity + zero first moment -> also
+    // exact on constants and linear ramps (same checks)
+    val bs = Reproject.latLngGridToWebMercatorTiled(const, 0.1, dstTile = 25,
+      dstCols = 50, method = "CubicSpline").toCells
+      .as[(Long, Long, Double)].collect()
+    assert(bs.nonEmpty && bs.forall(c => math.abs(c._3 - 7.0) < 1e-9))
+    val bsr = Reproject.latLngGridToWebMercatorTiled(ramp, 0.1, dstTile = 25,
+      dstCols = 50, method = "CubicSpline").toCells
+      .as[(Long, Long, Double)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    assert(common.forall(k => math.abs(bsr(k) - bl(k)) < 1e-6),
+      "b-spline must agree with bilinear on a linear field")
   }
 
   test("footprint warps: aggregate rules hold pointwise on the ramp") {
