@@ -314,6 +314,24 @@ object SparkEntry {
         .select(col("x"), col("y"), col("v").cast("long").as("form"))
     }),
 
+    "q_openness" -> ((s, dir) => {
+      // positive + negative topographic openness (Yokoyama 2002) on
+      // geomorphon's rays: exact-integer max tangents, one atan per
+      // ray, pinned 8-term sum — both signs joined per cell
+      import graft.core.{Extent, LayoutDefinition, TileLayout}
+      val l128 = RasterLayer.fromCells(
+        table(s, dir, "lineitem").select(
+          (col("l_orderkey") % 128).as("x"), (col("l_partkey") % 128).as("y"),
+          col("l_quantity").as("v")),
+        LayoutDefinition(Extent(0, 0, 128, 128), TileLayout(2, 2, 64, 64)),
+        graft.raster.CellOp.Sum)
+      val pos = l128.openness(positive = true).toCells
+        .select(col("x"), col("y"), round(col("v"), 5).as("pos"))
+      val neg = l128.openness(positive = false).toCells
+        .select(col("x"), col("y"), round(col("v"), 5).as("neg"))
+      pos.join(neg, Seq("x", "y"))
+    }),
+
     "q_aspect" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).aspect()
       l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
@@ -3190,6 +3208,33 @@ object SparkEntry {
            |lut(hi, lo, form) AS (VALUES ${graft.raster.Geomorphon.lutValuesSql})
            |SELECT t.x, t.y, CAST(lut.form AS BIGINT) AS form
            |FROM t JOIN lut ON lut.hi = t.hi AND lut.lo = t.lo""".stripMargin,
+
+      // openness: geomorphon's ray maxima pivoted per direction, one
+      // atan each, pinned left-assoc 8-term sums for both signs
+      "q_openness" -> {
+        val pivots = (0 to 7).map(i =>
+          s"max(CASE WHEN di = $i THEN up12 END) AS u$i, " +
+            s"max(CASE WHEN di = $i THEN dn12 END) AS d$i").mkString(",\n|        ")
+        def sumExpr(p: Char) =
+          (0 to 7).map(i => s"(90 - degrees(atan($p$i / 12.0)))").mkString(" + ")
+        s"""WITH g AS (SELECT l_orderkey % 128 AS x, l_partkey % 128 AS y, sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+           |dirs(di, dx, dy) AS (VALUES (0, 0, -1), (1, 1, -1), (2, 1, 0), (3, 1, 1), (4, 0, 1), (5, -1, 1), (6, -1, 0), (7, -1, -1)),
+           |r AS (SELECT c.x, c.y, d.di,
+           |        max(CAST((n.v - c.v) * (12 // k.range) AS BIGINT)) AS up12,
+           |        max(CAST((c.v - n.v) * (12 // k.range) AS BIGINT)) AS dn12,
+           |        count(*) AS cnt
+           |      FROM g c CROSS JOIN dirs d CROSS JOIN range(1, 5) k
+           |      JOIN g n ON n.x = c.x + d.dx * k.range AND n.y = c.y + d.dy * k.range
+           |      GROUP BY 1, 2, 3),
+           |t AS (SELECT x, y,
+           |        $pivots,
+           |        sum(cnt) AS m
+           |      FROM r GROUP BY 1, 2 HAVING sum(cnt) = 32)
+           |SELECT x, y,
+           |  round((${sumExpr('u')}) / 8.0, 5) AS pos,
+           |  round((${sumExpr('d')}) / 8.0, 5) AS neg
+           |FROM t""".stripMargin
+      },
 
       // Riley TRI: sqrt of exact-integer squared-difference sum
       "q_tri" ->

@@ -66,8 +66,66 @@ object Geomorphon {
   def lutValuesSql: String =
     Lut.toSeq.sortBy(_._1).map { case ((h, l), f) => s"($h, $l, $f)" }.mkString(", ")
 
-  private val Dirs = Array((0, -1), (1, -1), (1, 0), (1, 1),
+  private[raster] val Dirs = Array((0, -1), (1, -1), (1, 0), (1, 1),
     (0, 1), (-1, 1), (-1, 0), (-1, -1))
+
+  /** Topographic openness (Yokoyama, Shirasawa & Pike 2002): the mean
+    * over the 8 compass rays of the zenith (positive) or nadir
+    * (negative) angle 90° − atan(max slope along the ray), degrees.
+    * Positive openness highlights convexity (ridges bright), negative
+    * concavity — the standard DEM visualization/feature pair.
+    *
+    * Shares geomorphon's ray reduction: max slope is the exact-integer
+    * max12/12 tangent (Chebyshev steps, radius 4, full-32-sample rule),
+    * and the only floating math is one atan per ray plus a PINNED
+    * 8-term left-associated sum — restated identically in the oracle,
+    * so the round(,5) closing sits ~1e9 ulps from any boundary.
+    *
+    * One halo exchange per sign (the gather kernel emits one value per
+    * cell; a production single-pass variant would emit a struct tile). */
+  def openness(layer: RasterLayer, positive: Boolean): RasterLayer = {
+    val radius = 4
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    Focal.gather(layer, radius) { (padded, w) =>
+      val out = new Array[Double](tc * tr)
+      var cy = 0
+      while (cy < tr) {
+        var cx = 0
+        while (cx < tc) {
+          val z0 = padded((cy + radius) * w + cx + radius)
+          var res = Double.NaN
+          if (!z0.isNaN) {
+            var sum = 0.0
+            var ok = true
+            var di = 0
+            while (di < 8 && ok) {
+              val dx = Dirs(di)._1; val dy = Dirs(di)._2
+              var m12 = Long.MinValue
+              var k = 1
+              while (k <= radius && ok) {
+                val z = padded((cy + radius + dy * k) * w + (cx + radius + dx * k))
+                if (z.isNaN) ok = false
+                else {
+                  val d12 = (((if (positive) z - z0 else z0 - z)) * (12 / k)).toLong
+                  if (d12 > m12) m12 = d12
+                }
+                k += 1
+              }
+              // pinned order: the += chain IS the left-assoc 8-term sum
+              if (ok) sum += 90.0 - math.toDegrees(math.atan(m12 / 12.0))
+              di += 1
+            }
+            if (ok) res = sum / 8.0
+          }
+          out(cy * tc + cx) = res
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+  }
 
   def apply(layer: RasterLayer, t12: Long = 12): RasterLayer = {
     val radius = 4 // the 12/k LCM trick is derived for k = 1..4

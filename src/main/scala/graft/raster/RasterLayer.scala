@@ -563,6 +563,9 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
   /** Geomorphon 10-landform classification (Jasiewicz & Stepinski
     * 2013; exact-integer ternary patterns, radius-4 halo). */
   def geomorphon(t12: Long = 12): RasterLayer       = Geomorphon(this, t12)
+  /** Topographic openness (Yokoyama 2002), positive or negative. */
+  def openness(positive: Boolean = true): RasterLayer =
+    Geomorphon.openness(this, positive)
   /** Zevenbergen-Thorne general curvature (ArcGIS *100 convention). */
   def curvature(): RasterLayer                      = Focal.terrain(this, "curvature")
   /** Profile curvature (in the slope direction; ZT 1987, *100). */

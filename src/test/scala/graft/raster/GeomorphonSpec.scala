@@ -60,6 +60,35 @@ class GeomorphonSpec extends SparkSpec {
     assert(interior.forall(k => relaxed(k) == Geomorphon.Flat))
   }
 
+  test("openness: 90 on flats, sky-open at the cone apex, signs sum to 180") {
+    def open(f: (Long, Long) => Double, positive: Boolean): Map[(Long, Long), Double] = {
+      val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y, f(x, y))
+      RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+        .openness(positive).toCells
+        .as[(Long, Long, Double)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    }
+    // flat: every ray's max tangent is 0 -> both openness = 90 deg
+    val flatP = open((_, _) => 5.0, positive = true)
+    val flatN = open((_, _) => 5.0, positive = false)
+    assert(interior.forall(k => math.abs(flatP(k) - 90.0) < 1e-12))
+    assert(interior.forall(k => math.abs(flatN(k) - 90.0) < 1e-12))
+    // cone apex: every ray descends at 10/step -> positive openness
+    // = 90 + atan(10) ~ 174.3 (open sky), negative its mirror
+    def cone(x: Long, y: Long) = 100.0 - 10.0 * math.max(math.abs(x - 8), math.abs(y - 8))
+    val p = open(cone, positive = true); val nE = open(cone, positive = false)
+    val want = 90.0 + math.toDegrees(math.atan(10.0))
+    assert(math.abs(p((8L, 8L)) - want) < 1e-9, p((8L, 8L)))
+    assert(math.abs(nE((8L, 8L)) - (180.0 - want)) < 1e-9)
+    // pos + neg = 180 wherever every ray is MONOTONE (max slope up =
+    // max slope down, atan odd): true at the cone apex and everywhere
+    // on a plane ramp — NOT on general surfaces (each sign takes its
+    // own per-ray maximum)
+    assert(math.abs(p((8L, 8L)) + nE((8L, 8L)) - 180.0) < 1e-9)
+    val rampP = open((x, _) => 20.0 * x, positive = true)
+    val rampN = open((x, _) => 20.0 * x, positive = false)
+    assert(interior.forall(k => math.abs(rampP(k) + rampN(k) - 180.0) < 1e-9))
+  }
+
   test("missing ray cells drop the cell (NoData propagates)") {
     val cells = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y, 5.0))
       .filterNot { case (x, y, _) => x == 6 && y == 6 }
