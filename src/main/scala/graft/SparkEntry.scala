@@ -46,6 +46,12 @@ object SparkEntry {
       (i, Seq(cx - r, cx, cx + r, cx), Seq(cy, cy - r, cy, cy + r))
     }
 
+  /** Convex hexagon clip polygon for the boolean-op queries (integer
+    * vertices; shared by query and literal-restating oracle). */
+  private val hexClip = graft.vector.Polygon(IndexedSeq(
+    graft.vector.Pt(188, 128), graft.vector.Pt(158, 180), graft.vector.Pt(98, 180),
+    graft.vector.Pt(68, 128), graft.vector.Pt(98, 76), graft.vector.Pt(158, 76)))
+
   /** Query-term set for q_bm25 (words from the synthetic vocabulary). */
   private[graft] val Bm25Terms = Seq("table", "spark", "window", "hash", "stream")
 
@@ -1411,6 +1417,25 @@ object SparkEntry {
       graft.vector.Clip.clipPolygons(
           clipFixtures.toDF("pid", "xs", "ys"), 64, 64, 192, 192)
         .select(col("pid"), col("n"), round(col("area"), 5).as("area"))
+    }),
+
+    "q_poly_intersect" -> ((s, dir) => {
+      // general convex-clip Sutherland-Hodgman = polygon INTERSECTION
+      // (r15): fixture diamonds x the hexagon; per-row transform, no
+      // shuffle; literal-restating oracle (q_clip precedent)
+      import s.implicits._
+      graft.vector.Clip.intersectConvex(
+          clipFixtures.toDF("pid", "xs", "ys"), hexClip)
+        .select(col("pid"), col("n"), round(col("area"), 5).as("area"))
+    }),
+
+    "q_poly_union" -> ((s, dir) => {
+      // union AREA by inclusion-exclusion over the intersection op
+      // (exact for the convex fixtures)
+      import s.implicits._
+      graft.vector.Clip.unionAreaConvex(
+          clipFixtures.toDF("pid", "xs", "ys"), hexClip)
+        .select(col("pid"), round(col("area_union"), 5).as("area_union"))
     }),
 
     "q_semivariogram" -> ((s, dir) =>
@@ -4863,6 +4888,38 @@ object SparkEntry {
               s"(((CAST(floor(py) AS BIGINT) >> $i) & 1) * ${1L << (2 * i + 1)})")
         }.mkString(" + ")
         s"SELECT pid, $terms AS zindex FROM ($pts)"
+      },
+
+      // literal-restating oracles (q_tin precedent) for the boolean
+      // ops: the pure-Scala twins run over the same sf-independent
+      // fixtures at oracle-build time and pin the expected rows
+      "q_poly_intersect" -> {
+        def r5(x: Double) =
+          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val cxs = hexClip.exterior.map(_.x); val cys = hexClip.exterior.map(_.y)
+        val rows = clipFixtures.flatMap { case (pid, xs, ys) =>
+          val (ix, iy) = graft.vector.Clip.clipRingConvex(
+            xs.toIndexedSeq, ys.toIndexedSeq, cxs, cys)
+          if (ix.isEmpty) None
+          else Some(s"(CAST($pid AS BIGINT), ${ix.length}, " +
+            s"CAST(${r5(graft.vector.Clip.ringArea(ix, iy))} AS DOUBLE))")
+        }
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, n, area)"
+      },
+
+      "q_poly_union" -> {
+        def r5(x: Double) =
+          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val cxs = hexClip.exterior.map(_.x); val cys = hexClip.exterior.map(_.y)
+        val areaB = graft.vector.Clip.ringArea(cxs, cys)
+        val rows = clipFixtures.map { case (pid, xs, ys) =>
+          val (ix, iy) = graft.vector.Clip.clipRingConvex(
+            xs.toIndexedSeq, ys.toIndexedSeq, cxs, cys)
+          val inter = if (ix.isEmpty) 0.0 else graft.vector.Clip.ringArea(ix, iy)
+          val u = graft.vector.Clip.ringArea(xs.toIndexedSeq, ys.toIndexedSeq) + areaB - inter
+          s"(CAST($pid AS BIGINT), CAST(${r5(u)} AS DOUBLE))"
+        }
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, area_union)"
       },
 
       // literal-restating oracle (q_tin precedent): the pure-Scala

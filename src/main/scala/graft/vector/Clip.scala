@@ -68,6 +68,93 @@ object Clip {
     math.abs(s) / 2.0
   }
 
+  /** Clip one ring to an arbitrary CONVEX clip ring — general
+    * Sutherland-Hodgman (one half-plane pass per clip edge, clip ring
+    * normalized CCW first). For a convex clip this IS polygon
+    * INTERSECTION (the JTS `intersection` convex case); concave
+    * clips would need the degenerate multi-part handling S-H lacks. */
+  private[graft] def clipRingConvex(
+      xs: IndexedSeq[Double], ys: IndexedSeq[Double],
+      cxs0: IndexedSeq[Double], cys0: IndexedSeq[Double])
+      : (IndexedSeq[Double], IndexedSeq[Double]) = {
+    // normalize the clip ring to CCW so "inside" is the left side
+    var s2 = 0.0
+    var i = 0
+    while (i < cxs0.length) {
+      val j = (i + 1) % cxs0.length
+      s2 += cxs0(i) * cys0(j) - cxs0(j) * cys0(i)
+      i += 1
+    }
+    val (cxs, cys) = if (s2 >= 0) (cxs0, cys0) else (cxs0.reverse, cys0.reverse)
+    type Pt = (Double, Double)
+    def pass(pts: IndexedSeq[Pt], ax: Double, ay: Double,
+             bx: Double, by: Double): IndexedSeq[Pt] = {
+      if (pts.isEmpty) return pts
+      def side(p: Pt): Double = (bx - ax) * (p._2 - ay) - (by - ay) * (p._1 - ax)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Pt]
+      var prev = pts.last
+      var fp = side(prev)
+      pts.foreach { cur =>
+        val fc = side(cur)
+        // the half-plane zero-crossing: f is affine along the segment,
+        // so t = fp / (fp - fc)
+        def cross(): Pt = {
+          val t = fp / (fp - fc)
+          (prev._1 + t * (cur._1 - prev._1), prev._2 + t * (cur._2 - prev._2))
+        }
+        if (fc >= 0) {
+          if (fp < 0) out += cross()
+          out += cur
+        } else if (fp >= 0) out += cross()
+        prev = cur; fp = fc
+      }
+      out.toIndexedSeq
+    }
+    var pts: IndexedSeq[Pt] = xs.zip(ys)
+    var k = 0
+    while (k < cxs.length && pts.nonEmpty) {
+      val j = (k + 1) % cxs.length
+      pts = pass(pts, cxs(k), cys(k), cxs(j), cys(j))
+      k += 1
+    }
+    (pts.map(_._1), pts.map(_._2))
+  }
+
+  /** Polygon INTERSECTION with a convex clip polygon: per feature
+    * (pid, n vertices, area), empties dropped — the same per-row
+    * no-shuffle scale shape as [[clipPolygons]]. */
+  def intersectConvex(polys: DataFrame, clip: Polygon): DataFrame = {
+    val spark = polys.sparkSession
+    import spark.implicits._
+    val cxs = clip.exterior.map(_.x); val cys = clip.exterior.map(_.y)
+    polys.select(col("pid"), col("xs"), col("ys"))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .flatMap { case (pid, xs, ys) =>
+        val (ix, iy) = clipRingConvex(xs.toIndexedSeq, ys.toIndexedSeq, cxs, cys)
+        if (ix.isEmpty) None else Some((pid, ix.length, ringArea(ix, iy)))
+      }
+      .toDF("pid", "n", "area")
+  }
+
+  /** Polygon UNION area with a convex polygon by inclusion-exclusion
+    * (area(A) + area(B) - area(A ∩ B)); exact for convex subjects
+    * (where S-H intersection is exact). Emits every pid (disjoint
+    * pairs included — their union is just the sum). */
+  def unionAreaConvex(polys: DataFrame, other: Polygon): DataFrame = {
+    val spark = polys.sparkSession
+    import spark.implicits._
+    val cxs = other.exterior.map(_.x); val cys = other.exterior.map(_.y)
+    val areaB = ringArea(cxs, cys)
+    polys.select(col("pid"), col("xs"), col("ys"))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .map { case (pid, xs, ys) =>
+        val (ix, iy) = clipRingConvex(xs.toIndexedSeq, ys.toIndexedSeq, cxs, cys)
+        val inter = if (ix.isEmpty) 0.0 else ringArea(ix, iy)
+        (pid, ringArea(xs.toIndexedSeq, ys.toIndexedSeq) + areaB - inter)
+      }
+      .toDF("pid", "area_union")
+  }
+
   /** Clip every ring of `polys` (pid, xs, ys) to the rectangle;
     * returns (pid, n vertices, area) with empty results dropped. */
   def clipPolygons(polys: DataFrame, xmin: Double, ymin: Double,

@@ -5,6 +5,44 @@ import graft.SparkSpec
 class MeasuresSpec extends SparkSpec {
   import spark.implicits._
 
+  test("convex-clip intersection: hand cases, symmetry, rect equivalence (r15)") {
+    def ix(xs: Seq[Double], ys: Seq[Double], cx: Seq[Double], cy: Seq[Double]) =
+      Clip.clipRingConvex(xs.toIndexedSeq, ys.toIndexedSeq,
+        cx.toIndexedSeq, cy.toIndexedSeq)
+    val sq = (Seq(0.0, 10, 10, 0), Seq(0.0, 0, 10, 10))
+    // identity: A ∩ A = A
+    val (sx, sy) = ix(sq._1, sq._2, sq._1, sq._2)
+    assert(Clip.ringArea(sx, sy) == 100.0)
+    // rectangle clip must equal the axis-aligned 4-pass path exactly
+    val dia = (Seq(-4.0, 0, 4, 0), Seq(5.0, 1, 5, 9))
+    val (rx, ry) = Clip.clipRing(dia._1.toIndexedSeq, dia._2.toIndexedSeq, 0, 0, 10, 10)
+    val (gx, gy) = ix(dia._1, dia._2, sq._1, sq._2)
+    assert(Clip.ringArea(gx, gy) == Clip.ringArea(rx, ry))
+    // two unit-overlap squares: A = [0,4]^2, B = [3,7]^2 -> area 1,
+    // and intersection is SYMMETRIC (clip A by B == clip B by A)
+    val a = (Seq(0.0, 4, 4, 0), Seq(0.0, 0, 4, 4))
+    val b = (Seq(3.0, 7, 7, 3), Seq(3.0, 3, 7, 7))
+    val (abx, aby) = ix(a._1, a._2, b._1, b._2)
+    val (bax, bay) = ix(b._1, b._2, a._1, a._2)
+    assert(Clip.ringArea(abx, aby) == 1.0 && Clip.ringArea(bax, bay) == 1.0)
+    // disjoint -> empty; CW clip ring normalizes (same answer)
+    assert(ix(a._1, a._2, Seq(20.0, 24, 24, 20), Seq(20.0, 20, 24, 24))._1.isEmpty)
+    val (cwx, cwy) = ix(a._1, a._2, b._1.reverse, b._2.reverse)
+    assert(Clip.ringArea(cwx, cwy) == 1.0)
+    // triangle ∩ square, independent half-plane derivation: triangle
+    // (0,0)(8,0)(0,8) clipped to [0,5]^2 loses the corner above
+    // x + y = 8 -> area = 25 - (1/2)*2*2 = 23
+    val (tx, ty) = ix(Seq(0.0, 8, 0), Seq(0.0, 0, 8), Seq(0.0, 5, 5, 0), Seq(0.0, 0, 5, 5))
+    assert(Clip.ringArea(tx, ty) == 23.0)
+    // inclusion-exclusion union: |A ∪ B| = 16 + 16 - 1 = 31
+    import spark.implicits._
+    val u = Clip.unionAreaConvex(
+        Seq((1L, a._1, a._2)).toDF("pid", "xs", "ys"),
+        Polygon(b._1.zip(b._2).map(p => Pt(p._1, p._2)).toIndexedSeq))
+      .collect().head.getDouble(1)
+    assert(u == 31.0)
+  }
+
   test("sutherland-hodgman clip: hand cases") {
     def clip(xs: Seq[Double], ys: Seq[Double]) =
       Clip.clipRing(xs.toIndexedSeq, ys.toIndexedSeq, 0, 0, 10, 10)
