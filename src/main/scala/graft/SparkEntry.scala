@@ -2027,6 +2027,13 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhashPairs(table(s, dir, "documents"))),
 
+    "q_label_prop" -> ((s, dir) =>
+      // LPA communities over the SHARED near-dup pair graph (r15):
+      // 4 synchronized rounds, neighbor-majority labels, ties ->
+      // smallest — deterministic, oracle unrolls the same rounds
+      pipeline.Dedup.labelPropagation(minhashEdges(s, dir),
+        table(s, dir, "documents").select(col("doc_id")))),
+
     "q_dup_size_hist" -> ((s, dir) =>
       // dedup reporting artifact: duplicate-family size histogram
       // over the shared component assignment
@@ -5605,6 +5612,28 @@ object SparkEntry {
       // same LSH pair graph, closed transitively (recursive CTE);
       // component = min reachable doc_id, singletons map to themselves
       "q_dedup_clusters" -> dedupComponentsSql,
+
+      // LPA: the engine's 4 synchronized rounds unrolled — neighbor
+      // label mode with ties -> smallest, isolated keep their own
+      "q_label_prop" -> {
+        val roundCtes = (1 to 4).map { i =>
+          s"""n$i AS (SELECT e.u AS a, l.lbl, count(*) AS c
+             |        FROM sym e JOIN l${i - 1} l ON l.a = e.v GROUP BY 1, 2),
+             |m$i AS (SELECT a, lbl FROM n$i
+             |        QUALIFY row_number() OVER (PARTITION BY a ORDER BY c DESC, lbl ASC) = 1),
+             |l$i AS (SELECT p.a, coalesce(m.lbl, p.lbl) AS lbl
+             |        FROM l${i - 1} p LEFT JOIN m$i m USING (a))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $minhashCtes,
+           |pairs AS (
+           |  SELECT d1, d2
+           |  FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id
+           |  WHERE CAST($minhashSimExpr AS DOUBLE) / 16 >= 0.5),
+           |sym AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+           |l0 AS (SELECT doc_id AS a, doc_id AS lbl FROM documents),
+           |$roundCtes
+           |SELECT a AS doc_id, lbl AS label FROM l4""".stripMargin
+      },
 
       // 3 unrolled damped-PageRank rounds over the shared pair CTEs:
       // micro-quantized ranks, truncating `//` divisions — every step

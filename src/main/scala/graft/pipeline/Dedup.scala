@@ -651,6 +651,45 @@ object Dedup {
     e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007 LPA) over
+    * the duplicate-pair graph — community refinement BETWEEN exact
+    * connected components (which over-merge through bridge docs) and
+    * per-doc isolation: after `rounds` synchronized updates, each
+    * node carries the majority label of its NEIGHBORS (ties -> the
+    * smallest label; nodes start as their own label; isolated nodes
+    * keep their own). A FIXED round count + the min-tie rule make the
+    * whole run deterministic, so the oracle unrolls the identical
+    * rounds as CTEs.
+    *
+    * Scale shape: per round, one co-partitioned join (labels ride the
+    * edge key) + two map-side-partial aggregates; `localCheckpoint`
+    * per round (the iterative-loop rule). Returns (doc_id, label). */
+  def labelPropagation(pairs: DataFrame, nodes: DataFrame,
+                       rounds: Int = 4): DataFrame = {
+    require(rounds >= 1)
+    val e = pairs.select(col("d1").cast("long").as("u"), col("d2").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var lab = nodes.select(col("doc_id").cast("long").as("a"),
+      col("doc_id").cast("long").as("lbl")).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      // neighbor-label mode, ties -> smallest (the clusterAssign
+      // lexicographic-max-aggregate trick: no row_number window)
+      val mode = sym.join(lab.withColumnRenamed("a", "v"), "v")
+        .groupBy("u", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("u")
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"), col("lbl").as("l"))).as("m"))
+        .select(col("u").as("a"), col("m.l").as("nlbl"))
+      lab = lab.join(mode, Seq("a"), "left")
+        .select(col("a"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      r += 1
+    }
+    lab.select(col("a").as("doc_id"), col("lbl").as("label"))
+  }
+
   /** SimHash signature from token counts (sign of per-bit weighted
     * sum). 60 bits — the widest signature that stays positive in a
     * signed 64-bit value from the portable 15-hex-char md5 prefix

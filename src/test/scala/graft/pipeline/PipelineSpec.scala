@@ -469,6 +469,35 @@ class PipelineSpec extends SparkSpec {
     assert(e.eval(null) == true)
   }
 
+  test("label propagation matches a driver-side simulation of the same rule (r15)") {
+    // barbell: two triangles bridged at 3-7, plus isolated nodes 4-6
+    val edgeSeq = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L), (8L, 9L),
+      (7L, 9L), (3L, 7L))
+    val got = Dedup.labelPropagation(edgeSeq.toDF("d1", "d2"),
+        (1L to 9L).toDF("doc_id"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // independent simulation: synchronized neighbor-majority updates,
+    // ties -> smallest, isolated keep their own
+    val adj = (edgeSeq ++ edgeSeq.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    var lab = (1L to 9L).map(i => i -> i).toMap
+    for (_ <- 1 to 4) {
+      lab = lab.map { case (n, l) =>
+        adj.get(n) match {
+          case None => n -> l
+          case Some(nb) =>
+            val counts = nb.map(lab).groupBy(identity)
+              .map { case (k, v) => (k, v.size) }
+            n -> counts.toSeq.minBy { case (k, c) => (-c, k) }._1
+        }
+      }
+    }
+    assert(got == lab, s"got $got want $lab")
+    assert(got(4L) == 4L && got(5L) == 5L && got(6L) == 6L)
+    // triangle members converge onto their triangle's min label
+    assert(got(1L) == 1L && got(2L) == 1L)
+  }
+
   test("degree-oriented triangle counting equals the id-oriented twin (r15)") {
     def edges(ps: (Long, Long)*) = ps.toSeq.toDF("d1", "d2")
     def both(df: org.apache.spark.sql.DataFrame): ((Long, Long), (Long, Long)) = {
