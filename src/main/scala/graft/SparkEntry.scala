@@ -102,6 +102,15 @@ object SparkEntry {
       pipeline.Dedup.minhashPairs(table(s, dir, "documents"))
         .select(col("d1"), col("d2")))
 
+  /** LPA community labels (doc_id, label), materialized — shared by
+    * q_label_prop and q_modularity. */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val edges = minhashEdges(s, dir) // resolve BEFORE entering the memo
+    shared(s, dir, "lpa_labels")(
+      pipeline.Dedup.labelPropagation(edges,
+        table(s, dir, "documents").select(col("doc_id"))))
+  }
+
   /** Duplicate-family assignment (doc_id, component), materialized. */
   private def dupComponents(s: SparkSession, dir: String): DataFrame = {
     val edges = minhashEdges(s, dir)
@@ -2031,8 +2040,12 @@ object SparkEntry {
       // LPA communities over the SHARED near-dup pair graph (r15):
       // 4 synchronized rounds, neighbor-majority labels, ties ->
       // smallest — deterministic, oracle unrolls the same rounds
-      pipeline.Dedup.labelPropagation(minhashEdges(s, dir),
-        table(s, dir, "documents").select(col("doc_id")))),
+      lpaLabels(s, dir)),
+
+    "q_modularity" -> ((s, dir) =>
+      // Newman modularity of the LPA communities, EXACT integer form
+      // Q*4m^2 = sum_c (4m*e_c - d_c^2) — one row, no rounding
+      pipeline.Dedup.modularity(minhashEdges(s, dir), lpaLabels(s, dir))),
 
     "q_dup_size_hist" -> ((s, dir) =>
       // dedup reporting artifact: duplicate-family size histogram
@@ -5633,6 +5646,38 @@ object SparkEntry {
            |l0 AS (SELECT doc_id AS a, doc_id AS lbl FROM documents),
            |$roundCtes
            |SELECT a AS doc_id, lbl AS label FROM l4""".stripMargin
+      },
+
+      // modularity: the LPA chain extended with exact-integer
+      // community sums — Q*4m^2 = sum_c (4m*e_c - d_c^2), one row
+      "q_modularity" -> {
+        val roundCtes = (1 to 4).map { i =>
+          s"""n$i AS (SELECT e.u AS a, l.lbl, count(*) AS c
+             |        FROM sym e JOIN l${i - 1} l ON l.a = e.v GROUP BY 1, 2),
+             |m$i AS (SELECT a, lbl FROM n$i
+             |        QUALIFY row_number() OVER (PARTITION BY a ORDER BY c DESC, lbl ASC) = 1),
+             |l$i AS (SELECT p.a, coalesce(m.lbl, p.lbl) AS lbl
+             |        FROM l${i - 1} p LEFT JOIN m$i m USING (a))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $minhashCtes,
+           |pairs AS (
+           |  SELECT d1, d2
+           |  FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id
+           |  WHERE CAST($minhashSimExpr AS DOUBLE) / 16 >= 0.5),
+           |sym AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+           |l0 AS (SELECT doc_id AS a, doc_id AS lbl FROM documents),
+           |$roundCtes,
+           |deg AS (SELECT u AS a, count(*) AS dg FROM sym GROUP BY 1),
+           |dcs AS (SELECT l.lbl, sum(coalesce(deg.dg, 0)) AS d
+           |        FROM l4 l LEFT JOIN deg USING (a) GROUP BY 1),
+           |ecs AS (SELECT la.lbl, count(*) AS ec
+           |        FROM pairs e JOIN l4 la ON la.a = e.d1
+           |                     JOIN l4 lb ON lb.a = e.d2 AND lb.lbl = la.lbl
+           |        GROUP BY 1),
+           |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs)
+           |SELECT max(mm.m) AS m,
+           |       CAST(sum(4 * mm.m * coalesce(ecs.ec, 0) - dcs.d * dcs.d) AS BIGINT) AS q4m2
+           |FROM dcs CROSS JOIN mm LEFT JOIN ecs ON ecs.lbl = dcs.lbl""".stripMargin
       },
 
       // 3 unrolled damped-PageRank rounds over the shared pair CTEs:

@@ -690,6 +690,43 @@ object Dedup {
     lab.select(col("a").as("doc_id"), col("lbl").as("label"))
   }
 
+  /** Newman modularity of a community assignment over the undirected
+    * pair graph, in EXACT integer form: Q = Σ_c [e_c/m − (d_c/2m)²]
+    * restated as Q·4m² = Σ_c (4m·e_c − d_c²) — every term an exact
+    * integer (e_c = intra-community edges, d_c = community degree
+    * sum, m = edges), so the one-row output (m, q4m2) needs no
+    * rounding at all. Callers divide by 4m² for the familiar [-0.5,
+    * 1] score. Long arithmetic is exact to m < ~1.5·10⁹ edges (d_c ≤
+    * 2m); beyond that lift d_c² to DECIMAL.
+    *
+    * Scale shape: degree + community sums are map-side-partial
+    * aggregates; the intra-edge count is two label joins on the edge
+    * endpoints (co-partitioned with the label key). */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val e = pairs
+      .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("a")).agg(count(lit(1)).as("dg"))
+    val lab = labels.select(col("doc_id").cast("long").as("a"),
+      col("label").cast("long").as("lbl"))
+    val dc = lab.join(deg, Seq("a"), "left")
+      .groupBy("lbl").agg(sum(coalesce(col("dg"), lit(0L))).as("d"))
+    val ec = e
+      .join(lab.select(col("a").as("u"), col("lbl").as("lu")), "u")
+      .join(lab.select(col("a").as("v"), col("lbl").as("lv")), "v")
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("ec"))
+    val mDf = e.agg(count(lit(1)).as("m"))
+    dc.join(ec, Seq("lbl"), "left").crossJoin(mDf)
+      .agg(max(col("m")).as("m"),
+        sum(lit(4L) * col("m") * coalesce(col("ec"), lit(0L)) -
+          col("d") * col("d")).as("q4m2"))
+  }
+
   /** SimHash signature from token counts (sign of per-bit weighted
     * sum). 60 bits — the widest signature that stays positive in a
     * signed 64-bit value from the portable 15-hex-char md5 prefix

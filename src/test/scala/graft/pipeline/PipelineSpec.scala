@@ -498,6 +498,25 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L) == 1L && got(2L) == 1L)
   }
 
+  test("modularity: exact-integer Q*4m^2 on hand graphs (r15)") {
+    // two disjoint triangles with their natural communities: the
+    // textbook Q = 0.5 -> Q*4m^2 = 0.5 * 4 * 36 = 72 at m = 6
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (7L, 8L), (8L, 9L), (7L, 9L)).toDF("d1", "d2")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (7L, 7L), (8L, 7L), (9L, 7L)).toDF("doc_id", "label")
+    val (m, q) = Dedup.modularity(edges, labels).as[(Long, Long)].head()
+    assert(m == 6L && q == 72L, s"($m, $q)")
+    // everything in ONE community: Q = 0 exactly (e_c = m, d_c = 2m)
+    val one = labels.select(col("doc_id"), lit(1L).as("label"))
+    val (m1, q1) = Dedup.modularity(edges, one).as[(Long, Long)].head()
+    assert(m1 == 6L && q1 == 0L)
+    // LPA labels on the same graph recover the triangles -> same Q
+    val lpa = Dedup.labelPropagation(edges, (Seq(1L, 2L, 3L, 7L, 8L, 9L)).toDF("doc_id"))
+    val (m2, q2) = Dedup.modularity(edges, lpa).as[(Long, Long)].head()
+    assert(m2 == 6L && q2 == 72L)
+  }
+
   test("degree-oriented triangle counting equals the id-oriented twin (r15)") {
     def edges(ps: (Long, Long)*) = ps.toSeq.toDF("d1", "d2")
     def both(df: org.apache.spark.sql.DataFrame): ((Long, Long), (Long, Long)) = {
