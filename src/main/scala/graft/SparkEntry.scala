@@ -2214,6 +2214,11 @@ object SparkEntry {
       pipeline.Similarity.kmeans(table(s, dir, "embeddings"),
         col("vec_id") % 37 === 0, iters = 2)),
 
+    "q_embed_drift" -> ((s, dir) =>
+      // linear-MMD distribution shift between label populations (r15):
+      // exact-integer numerator over quantized sums, one double cast
+      pipeline.Similarity.labelDrift(table(s, dir, "embeddings"))),
+
     "q_random_project" -> ((s, dir) =>
       // 64 -> 16 dim JL sketch with the deterministic LCG matrix
       pipeline.Similarity.randomProject(table(s, dir, "embeddings"))),
@@ -5647,6 +5652,24 @@ object SparkEntry {
            |$roundCtes
            |SELECT a AS doc_id, lbl AS label FROM l4""".stripMargin
       },
+
+      // linear-MMD drift: per-label per-dim quantized sums, exact
+      // integer diffs, DECIMAL(18,0)^2 sum, one double cast (the
+      // globalMoran discipline), pinned denominator product order
+      "q_embed_drift" ->
+        """WITH q AS (SELECT label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |e AS (SELECT label, unnest(range(len(qv))) AS d, qv FROM q),
+          |s AS (SELECT label, d, sum(qv[CAST(d + 1 AS INT)]) AS sv FROM e GROUP BY 1, 2),
+          |n AS (SELECT label, count(*) AS n FROM q GROUP BY 1),
+          |p AS (SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+          |        na.n AS n_a, nb.n AS n_b,
+          |        a.sv * nb.n - b.sv * na.n AS dd
+          |      FROM s a JOIN s b ON a.d = b.d AND a.label < b.label
+          |      JOIN n na ON na.label = a.label JOIN n nb ON nb.label = b.label)
+          |SELECT label_a, label_b, n_a, n_b,
+          |  round(CAST(sum(CAST(dd AS DECIMAL(18,0)) * CAST(dd AS DECIMAL(18,0))) AS DOUBLE) /
+          |        ((1000.0 * n_a * n_b) * (1000.0 * n_a * n_b)), 6) AS mmd2
+          |FROM p GROUP BY 1, 2, 3, 4""".stripMargin,
 
       // modularity: the LPA chain extended with exact-integer
       // community sums — Q*4m^2 = sum_c (4m*e_c - d_c^2), one row

@@ -348,6 +348,43 @@ object Similarity {
     * with map-side combine; no joins.
     *
     * @return (label, pos, n_vecs, mean) */
+  /** Linear-kernel MMD drift between label populations (the
+    * distribution-shift health check a mixing pipeline runs per
+    * source/epoch): MMD²_linear(A, B) = ||μ_A − μ_B||², restated in
+    * EXACT integers over the quantized embeddings —
+    * num = Σ_d (S_Ad·n_B − S_Bd·n_A)², mmd2 = num/(scale·n_A·n_B)².
+    * Per-dim diffs stay in Long (|S|·n < 2^53 at any realistic
+    * population); their squares sum in DECIMAL(18,0)² → exact
+    * DECIMAL(38,0) with ONE cast to double at the close (the
+    * globalMoran discipline). Ordered pairs (label_a < label_b).
+    *
+    * Scale shape: one map-side-partial per-label sum (64 longs + a
+    * count per label — constant state), then an all-pairs join over
+    * the LABEL table (populations, not vectors) and a 64-row explode
+    * per pair. Nothing grows with corpus size beyond the scan. */
+  def labelDrift(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val q = embeddings.select(col("label").cast("long").as("label"),
+      quantize(col("embedding")).as("qv"))
+    val sums = q.groupBy("label").agg(
+      count(lit(1)).as("n"),
+      array((0 until dim).map(i => sum(element_at(col("qv"), i + 1))): _*).as("s"))
+    val pairs = sums.as("a").join(sums.as("b"), col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+    val d = pairs
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        explode(zip_with(col("sa"), col("sb"),
+          (x, y) => x * col("n_b") - y * col("n_a"))).as("d"))
+    d.groupBy("label_a", "label_b", "n_a", "n_b")
+      .agg(sum(col("d").cast("decimal(18,0)") * col("d").cast("decimal(18,0)"))
+        .as("num"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("num").cast("double") /
+          ((lit(1000.0) * col("n_a") * col("n_b")) *
+            (lit(1000.0) * col("n_a") * col("n_b"))), 6).as("mmd2"))
+  }
+
   def labelCentroids(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("label"), posexplode(quantize(col("embedding"))).as(Seq("pos", "qc")))

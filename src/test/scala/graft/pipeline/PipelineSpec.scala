@@ -498,6 +498,22 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L) == 1L && got(2L) == 1L)
   }
 
+  test("labelDrift: linear-MMD equals the hand-computed mean distance (r15)") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 1), (2L, Seq(0.0f, 1.0f), 1), // mu = (.5, .5)
+      (3L, Seq(3.0f, 4.0f), 2),                            // mu = (3, 4)
+      (4L, Seq(1.0f, 0.0f), 3), (5L, Seq(0.0f, 1.0f), 3)   // == label 1
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelDrift(emb, dim = 2)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    // ||(.5,.5) - (3,4)||^2 = 2.5^2 + 3.5^2 = 18.5
+    assert(out((1L, 2L)) == 18.5)
+    // identical populations -> zero drift exactly
+    assert(out((1L, 3L)) == 0.0)
+    assert(out((2L, 3L)) == 18.5)
+  }
+
   test("modularity: exact-integer Q*4m^2 on hand graphs (r15)") {
     // two disjoint triangles with their natural communities: the
     // textbook Q = 0.5 -> Q*4m^2 = 0.5 * 4 * 36 = 72 at m = 6
