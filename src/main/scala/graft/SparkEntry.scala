@@ -2214,6 +2214,12 @@ object SparkEntry {
       pipeline.Similarity.kmeans(table(s, dir, "embeddings"),
         col("vec_id") % 37 === 0, iters = 2)),
 
+    "q_js_divergence" -> ((s, dir) =>
+      // per-source-pair token-distribution JS divergence (r15):
+      // top-200 shared vocab + OOV bucket, add-1 smoothing; each
+      // bucket term micro-nat-quantized BEFORE the exact integer sum
+      pipeline.TextAnalysis.jsDivergence(table(s, dir, "documents"))),
+
     "q_embed_drift" -> ((s, dir) =>
       // linear-MMD distribution shift between label populations (r15):
       // exact-integer numerator over quantized sums, one double cast
@@ -5652,6 +5658,27 @@ object SparkEntry {
            |$roundCtes
            |SELECT a AS doc_id, lbl AS label FROM l4""".stripMargin
       },
+
+      // JS divergence: identical p/q/m double chains, per-bucket
+      // micro-nat quantization before the (order-free) integer sum
+      "q_js_divergence" ->
+        """WITH tk AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
+          |v AS (SELECT t FROM (SELECT t, count(*) AS cc FROM tk GROUP BY 1 ORDER BY cc DESC, t ASC LIMIT 200)),
+          |nt AS (SELECT source, count(*) AS ntot FROM tk GROUP BY 1),
+          |cv AS (SELECT source, tk.t, count(*) AS c FROM tk JOIN v ON v.t = tk.t GROUP BY 1, 2),
+          |dense AS (SELECT nt.source, v.t, coalesce(cv.c, 0) AS c, nt.ntot
+          |          FROM nt CROSS JOIN v LEFT JOIN cv ON cv.source = nt.source AND cv.t = v.t),
+          |iv AS (SELECT source, sum(c) AS s FROM dense GROUP BY 1),
+          |bk AS (SELECT source, t, c, ntot FROM dense
+          |       UNION ALL
+          |       SELECT nt.source, '', nt.ntot - iv.s, nt.ntot FROM nt JOIN iv USING (source)),
+          |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+          |         (a.c + 1) / CAST(a.ntot + 201 AS DOUBLE) AS p,
+          |         (b.c + 1) / CAST(b.ntot + 201 AS DOUBLE) AS q
+          |       FROM bk a JOIN bk b ON a.t = b.t AND a.source < b.source)
+          |SELECT src_a, src_b,
+          |  CAST(sum(CAST(round((p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) * 1000000.0) AS BIGINT)) AS BIGINT) AS js2_micro
+          |FROM pr GROUP BY 1, 2""".stripMargin,
 
       // linear-MMD drift: per-label per-dim quantized sums, exact
       // integer diffs, DECIMAL(18,0)^2 sum, one double cast (the

@@ -750,6 +750,61 @@ object TextAnalysis {
     * Scale: pairs come from a shuffle-free per-row array zip (no
     * self-join); both aggregates are vocabulary-bounded with map-side
     * combine; the unigram join is AQE-broadcastable. */
+  /** Jensen-Shannon divergence between per-source token distributions
+    * (the corpus-mixing health check next to dup rates and Zipf):
+    * distributions live on a shared top-V vocabulary (corpus counts,
+    * ties -> token asc) plus ONE out-of-vocabulary bucket, add-1
+    * smoothed over V+1 buckets. Output js2_micro = Σ_t round(1e6·
+    * (p·ln(p/m) + q·ln(q/m))), i.e. 2·JS in micro-nats: each bucket
+    * term quantizes to a BIGINT BEFORE the sum (the PMI discipline),
+    * so summation order never matters and the oracle restates the
+    * identical p/q/m chains. `quantize = false` exposes the raw
+    * per-bucket terms for the LibmBoundarySpec gate.
+    *
+    * Scale shape: one tokenize scan (checkpointed — vocab and counts
+    * both consume it), a vocabulary-bounded broadcast, and the pair
+    * join runs over the (sources × V+1) AGGREGATE, never tokens. */
+  def jsDivergence(docs: DataFrame, topV: Int = 200,
+                   quantize: Boolean = true): DataFrame = {
+    val toks = docs.select(col("source"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .localCheckpoint()
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("cc"))
+      .orderBy(col("cc").desc, col("t").asc).limit(topV)
+      .select("t")
+    val nt = toks.groupBy("source").agg(count(lit(1)).as("ntot"))
+    val cv = toks.join(broadcast(vocab), "t")
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val dense = nt.crossJoin(broadcast(vocab))
+      .join(cv, Seq("source", "t"), "left")
+      .select(col("source"), col("t"), coalesce(col("c"), lit(0L)).as("c"),
+        col("ntot"))
+    val iv = dense.groupBy("source").agg(sum("c").as("s"))
+    // "" is unreachable as a real token ([a-z0-9]+ is non-empty) ->
+    // safe OOV bucket key
+    val bk = dense.unionByName(
+      nt.join(iv, "source")
+        .select(col("source"), lit("").as("t"),
+          (col("ntot") - col("s")).as("c"), col("ntot")))
+      .localCheckpoint() // both sides of the pair self-join
+    val vp1 = topV + 1
+    val paired = bk.as("a").join(bk.as("b"),
+        col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.t").as("t"),
+        ((col("a.c") + 1).cast("double") /
+          (col("a.ntot") + lit(vp1)).cast("double")).as("p"),
+        ((col("b.c") + 1).cast("double") /
+          (col("b.ntot") + lit(vp1)).cast("double")).as("q"))
+    val term = (col("p") * log(col("p") / ((col("p") + col("q")) / lit(2))) +
+      col("q") * log(col("q") / ((col("p") + col("q")) / lit(2)))) * lit(1000000.0)
+    if (quantize)
+      paired.select(col("src_a"), col("src_b"),
+          round(term).cast("long").as("tq"))
+        .groupBy("src_a", "src_b").agg(sum("tq").as("js2_micro"))
+    else paired.select(col("src_a"), col("src_b"), col("t"), term.as("term_raw"))
+  }
+
   def pmiCollocations(docs: DataFrame, minCount: Long = 5,
       quantize: Boolean = true): DataFrame = {
     val ws = docs.select(

@@ -102,6 +102,18 @@ class LibmBoundarySpec extends SparkSpec {
     assertFar("zonal-diversity ln(variety)", (2 to 8).map(v => math.log(v.toDouble) * 1e6))
   }
 
+  test("js-divergence micro-nat terms on the documents table (r15)") {
+    // term magnitudes are ~1e0-1e4 (not the 1e5-1e7 the absolute
+    // micro-unit gate was calibrated for), so measure slack in
+    // VALUE-ulps directly: scale=1 puts the round boundary at the
+    // half-integers of the raw term itself. 6080 near-uniform args
+    // land ~1e8 ulps from the nearest boundary at these magnitudes.
+    val raw = TextAnalysis.jsDivergence(docs, quantize = false)
+      .select("term_raw").as[Double].collect().toSeq
+      .filter(_ != 0.0) // exact-zero terms (identical p=q) sit ON .0, fine
+    assertUlpSlack("js 1e6*(p ln(p/m) + q ln(q/m))", raw, scale = 1.0)
+  }
+
   test("pmi ratio arguments on the documents table") {
     val raw = TextAnalysis.pmiCollocations(docs, minCount = 5, quantize = false)
       .select("pmi_raw").as[Double].collect().toSeq

@@ -498,6 +498,25 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L) == 1L && got(2L) == 1L)
   }
 
+  test("jsDivergence: zero for identical sources, positive and bounded otherwise (r15)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "s1"),
+      (2L, "alpha beta gamma alpha beta", "s2"), // identical dist as s1
+      (3L, "delta epsilon zeta eta theta", "s3") // disjoint vocab
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.jsDivergence(docs, topV = 8)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // identical distributions: every bucket term is exactly 0
+    assert(out(("s1", "s2")) == 0L)
+    // disjoint vocabularies diverge, bounded by 2*ln(2) micro-nats
+    assert(out(("s1", "s3")) > 0L && out(("s1", "s3")) <= 1386295L)
+    assert(out(("s1", "s3")) == out(("s2", "s3")))
+    // symmetric construction: JS(p,q) terms are symmetric in p,q, so
+    // the add-1-smoothed self-pair is the only exact zero
+    assert(out.values.count(_ == 0L) == 1)
+  }
+
   test("labelDrift: linear-MMD equals the hand-computed mean distance (r15)") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f), 1), (2L, Seq(0.0f, 1.0f), 1), // mu = (.5, .5)
