@@ -2214,6 +2214,11 @@ object SparkEntry {
       pipeline.Similarity.kmeans(table(s, dir, "embeddings"),
         col("vec_id") % 37 === 0, iters = 2)),
 
+    "q_wasserstein" -> ((s, dir) =>
+      // W1 between source doc-length distributions (r15): CDF-diff
+      // sum restated as exact integers — no rounding anywhere
+      pipeline.TextAnalysis.lengthWasserstein(table(s, dir, "documents"))),
+
     "q_js_divergence" -> ((s, dir) =>
       // per-source-pair token-distribution JS divergence (r15):
       // top-200 shared vocab + OOV bucket, add-1 smoothing; each
@@ -5658,6 +5663,29 @@ object SparkEntry {
            |$roundCtes
            |SELECT a AS doc_id, lbl AS label FROM l4""".stripMargin
       },
+
+      // W1 over doc-length histograms: exact-integer CDF cross
+      // products, |cum_a*n_b - cum_b*n_a| summed, no rounding
+      "q_wasserstein" ->
+        """WITH d AS (SELECT source,
+          |             least(len(regexp_extract_all(lower(text), '[a-z0-9]+')) // 8, 63) AS b
+          |           FROM documents),
+          |h AS (SELECT source, b, count(*) AS c FROM d GROUP BY 1, 2),
+          |g AS (SELECT s.source, r.range AS b, coalesce(h.c, 0) AS c
+          |      FROM (SELECT DISTINCT source FROM h) s
+          |      CROSS JOIN range(0, 64) r
+          |      LEFT JOIN h ON h.source = s.source AND h.b = r.range),
+          |cm AS (SELECT source, b,
+          |         sum(c) OVER (PARTITION BY source ORDER BY b
+          |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |       FROM g),
+          |nt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY 1)
+          |SELECT a.source AS src_a, b2.source AS src_b,
+          |       na.n AS n_a, nb.n AS n_b,
+          |       CAST(sum(abs(a.cum * nb.n - b2.cum * na.n)) AS BIGINT) AS w1_num
+          |FROM cm a JOIN cm b2 ON a.b = b2.b AND a.source < b2.source
+          |JOIN nt na ON na.source = a.source JOIN nt nb ON nb.source = b2.source
+          |GROUP BY 1, 2, 3, 4""".stripMargin,
 
       // JS divergence: identical p/q/m double chains, per-bucket
       // micro-nat quantization before the (order-free) integer sum

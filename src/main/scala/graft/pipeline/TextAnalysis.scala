@@ -805,6 +805,49 @@ object TextAnalysis {
     else paired.select(col("src_a"), col("src_b"), col("t"), term.as("term_raw"))
   }
 
+  /** Wasserstein-1 (earth mover's) distance between per-source
+    * DOC-LENGTH distributions — JS divergence's metric companion
+    * (JS saturates on disjoint support; W1 keeps measuring how FAR
+    * apart the length profiles sit). Doc lengths bucket as
+    * min(tokens div 8, 63); on a 1-D histogram W1 = Σ_b |P_cdf(b) −
+    * Q_cdf(b)| (bucket width 1), restated EXACTLY as
+    * w1_num = Σ_b |cum_a[b]·n_b − cum_b[b]·n_a| — every term an
+    * exact integer, output (src_a, src_b, n_a, n_b, w1_num) with no
+    * rounding anywhere; W1 in bucket units = w1_num/(n_a·n_b).
+    *
+    * Scale shape: one per-doc length scan into a (source × 64)
+    * histogram (map-side partials); cumulative sums and the pair
+    * join run on that constant-size aggregate. */
+  def lengthWasserstein(docs: DataFrame, buckets: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val cnt = size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+    val hist = docs
+      .select(col("source"),
+        least((cnt / 8).cast("long"), lit(buckets - 1L)).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+    val srcs = hist.select("source").distinct()
+    val grid = srcs.crossJoin(
+      spark.range(buckets).select(col("id").as("b")))
+    val dense = grid.join(hist, Seq("source", "b"), "left")
+      .select(col("source"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = dense.select(col("source"), col("b"), sum("c").over(w).as("cum"))
+    val tot = dense.groupBy("source").agg(sum("c").as("n"))
+    val aa = cum.join(tot, "source")
+      .select(col("source").as("src_a"), col("b"),
+        col("cum").as("cma"), col("n").as("n_a"))
+    val bb = cum.join(tot, "source")
+      .select(col("source").as("src_b"), col("b"),
+        col("cum").as("cmb"), col("n").as("n_b"))
+    aa.join(bb, Seq("b")).where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(sum(abs(col("cma") * col("n_b") - col("cmb") * col("n_a")))
+        .as("w1_num"))
+  }
+
   def pmiCollocations(docs: DataFrame, minCount: Long = 5,
       quantize: Boolean = true): DataFrame = {
     val ws = docs.select(

@@ -517,6 +517,30 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.count(_ == 0L) == 1)
   }
 
+  test("lengthWasserstein: exact CDF-shift distances on hand corpora (r15)") {
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc(8), "s1"), (2L, doc(8), "s1"),   // both bucket 1
+      (3L, doc(16), "s2"), (4L, doc(16), "s2"), // both bucket 2: shift 1
+      (5L, doc(8), "s3"), (6L, doc(24), "s3")   // buckets 1 and 3
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.lengthWasserstein(docs)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // s1 vs s2: all mass shifts one bucket -> W1 = 1 -> num = n_a*n_b = 4
+    assert(out(("s1", "s2")) == ((2L, 2L, 4L)))
+    // s1 vs s3: half the mass shifts two buckets -> W1 = 1 -> num = 4
+    assert(out(("s1", "s3")) == ((2L, 2L, 4L)))
+    // s2 vs s3: |cdf| diffs: bucket1 |0*2-1*2|=2, bucket2 |2*2-1*2|=2
+    // -> num = 4 (W1 = 1)
+    assert(out(("s2", "s3")) == ((2L, 2L, 4L)))
+    // identical sources -> zero
+    val same = Seq((1L, doc(8), "a"), (2L, doc(8), "b")).toDF("doc_id", "text", "source")
+    val z = TextAnalysis.lengthWasserstein(same)
+      .as[(String, String, Long, Long, Long)].head()
+    assert(z == (("a", "b", 1L, 1L, 0L)))
+  }
+
   test("labelDrift: linear-MMD equals the hand-computed mean distance (r15)") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f), 1), (2L, Seq(0.0f, 1.0f), 1), // mu = (.5, .5)
