@@ -2577,6 +2577,13 @@ object SparkEntry {
       pipeline.Multimodal.audioWindows(
         pipeline.Multimodal.synthWavBlobs(table(s, dir, "documents")))),
 
+    "q_audio_autocorr" -> ((s, dir) =>
+      // exact-integer PCM autocorrelation (periodicity feature)
+      // through the real WAV byte path; oracle restates the synthetic
+      // sample closed form
+      pipeline.Multimodal.audioAutocorr(
+        pipeline.Multimodal.synthWavBlobs(table(s, dir, "documents")))),
+
     "q_multimodal_frames" -> ((s, dir) =>
       // row-per-sampled-frame plumbing; frame count from byte length,
       // frame signature from the content MD5 (both restated in SQL)
@@ -6800,6 +6807,18 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN pv * sv < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
           |  CAST(sum(sv * sv) AS BIGINT) AS energy
           |FROM w GROUP BY doc_id""".stripMargin,
+
+      // autocorrelation over the same synthetic PCM closed form:
+      // exact integer lag products, half-open t + k < n
+      "q_audio_autocorr" ->
+        """WITH r AS (SELECT doc_id, 64 + doc_id % 32 AS n, unnest(range(0, 64 + doc_id % 32)) AS k FROM documents),
+          |s AS (SELECT doc_id, n, k, ((doc_id * 7 + k * 13) % 256 - 128) * 256 AS sv FROM r),
+          |lg AS (SELECT doc_id, unnest(range(1, 9)) AS lag, n FROM (SELECT DISTINCT doc_id, n FROM s)),
+          |p AS (SELECT a.doc_id, lg.lag, a.sv * b.sv AS prod
+          |      FROM lg JOIN s a ON a.doc_id = lg.doc_id
+          |               JOIN s b ON b.doc_id = lg.doc_id AND b.k = a.k + lg.lag)
+          |SELECT doc_id, lag, CAST(sum(prod) AS BIGINT) AS r
+          |FROM p GROUP BY 1, 2""".stripMargin,
 
       // NN 2x downsample of the synthetic 24-bit BMPs: the sampled
       // pixel grid restated in closed form (lateral range join)

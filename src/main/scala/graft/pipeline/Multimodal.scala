@@ -201,6 +201,32 @@ object Multimodal {
       }.toDF("doc_id", "win_idx", "energy")
   }
 
+  /** Per-doc PCM autocorrelation at lags 1..maxLag through the REAL
+    * WAV path — the classic periodicity/pitch-proxy feature:
+    * r_k = Σ_t s_t·s_{t+k}, an EXACT integer over int16 samples (the
+    * audioWindows discipline — no floats anywhere). Non-WAV blobs
+    * emit nothing (total operator, empty contribution). */
+  def audioAutocorr(blobs: DataFrame, maxLag: Int = 8): DataFrame = {
+    require(maxLag >= 1)
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (try AudioCodec.decode(bytes)
+         catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some(a) =>
+            (1 to math.min(maxLag, math.max(a.samples.length - 1, 0))).map { k =>
+              var s = 0L; var t = 0
+              while (t + k < a.samples.length) {
+                s += a.samples(t).toLong * a.samples(t + k); t += 1
+              }
+              (id, k.toLong, s)
+            }
+          case None => Nil
+        }
+      }.toDF("doc_id", "lag", "r")
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame_sig: Long)
 
   /** Frame sampling for video-ish blobs — one output row per sampled
