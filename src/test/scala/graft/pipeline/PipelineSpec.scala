@@ -517,6 +517,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.count(_ == 0L) == 1)
   }
 
+  test("audioAutocorr: hand-computed lag products; non-WAV blobs emit nothing (r15)") {
+    // constant signal s = 100: r_k = (n - k) * 10000 exactly
+    val wav = AudioCodec.encode(16000, 1, Array.fill(12)(100))
+    val blobs = Seq((1L, wav), (2L, "not audio".getBytes)).toDF("doc_id", "blob")
+    val out = Multimodal.audioAutocorr(blobs, maxLag = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 110000L), (1L, 2L, 100000L), (1L, 3L, 90000L)))
+    // alternating +-A: r_1 = -(n-1)A^2, r_2 = +(n-2)A^2
+    val alt = AudioCodec.encode(16000, 1, Array.tabulate(10)(i => if (i % 2 == 0) 7 else -7))
+    val o2 = Multimodal.audioAutocorr(Seq((3L, alt)).toDF("doc_id", "blob"), maxLag = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, l, r) => (d, l) -> r }.toMap
+    assert(o2((3L, 1L)) == -9L * 49 && o2((3L, 2L)) == 8L * 49)
+  }
+
   test("lengthWasserstein: exact CDF-shift distances on hand corpora (r15)") {
     def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val docs = Seq(
