@@ -117,6 +117,20 @@ final case class CellType(name: String, bytes: Int, isFloat: Boolean,
   }
 }
 
+/** How non-0/1 values convert to the `bit` cell type.
+  *
+  * [[BitSemantics.Clamp]] (graft default) saturates: 0.7 -> 0, 2 -> 1,
+  * -3 -> 0 — the same rule every other integral cell type uses.
+  * [[BitSemantics.MaskLowBit]] reproduces GeoTrellis BitArrayTile
+  * bug-for-bug: truncate toward zero then `& 1` (2 -> 0, 3 -> 1,
+  * -1 -> 1) — for users migrating with byte-identical expectations.
+  * Both agree on exact 0/1 inputs (every store/oracle path here). */
+object BitSemantics {
+  sealed trait Mode
+  case object Clamp extends Mode
+  case object MaskLowBit extends Mode
+}
+
 object CellType {
   // signed types: sentinel = min, data domain [min+1, max]
   // unsigned types: sentinel = max, data domain [0, max-1]

@@ -125,12 +125,16 @@ object AviCodec {
         val id = buf.getInt(p)
         val size = buf.getInt(p + 4)
         if (size < 0) return
+        // all bounds arithmetic in Long: a declared size near Int.MaxValue
+        // must not wrap `p + 8 + size` negative and defeat the truncation
+        // guard (the operator stays total over arbitrary binary columns)
+        val chunkEnd = p.toLong + 8L + size.toLong
         if (id == LIST && size >= 4 && p + 12 <= end) {
           // a truncated LIST still yields its intact prefix chunks
           val listType = buf.getInt(p + 8)
           if (listType == MOVI || listType == HDRL || listType == STRL)
-            walk(p + 12, math.min(p + 8 + size, end))
-        } else if (p + 8 + size > end) {
+            walk(p + 12, math.min(chunkEnd, end.toLong).toInt)
+        } else if (chunkEnd > end) {
           return // truncated non-LIST chunk: keep what we have
         } else {
           // 'strf' carries BITMAPINFOHEADER (w, h, compression)
@@ -144,10 +148,13 @@ object AviCodec {
           if (isDb || isDc)
             frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + size)
         }
-        p += 8 + size + (size & 1) // word-aligned
+        val next = chunkEnd + (size & 1) // word-aligned
+        if (next > Int.MaxValue) return
+        p = next.toInt
       }
     }
-    walk(12, math.min(bytes.length, 8 + buf.getInt(4)))
+    val declared = buf.getInt(4)
+    walk(12, math.min(bytes.length.toLong, 8L + math.max(declared, 0).toLong).toInt)
     if (w <= 0 || h <= 0) None else Some(Avi(w, h, mjpeg, frames.toSeq))
   }
 

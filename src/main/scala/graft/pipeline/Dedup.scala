@@ -604,7 +604,8 @@ object Dedup {
     * `orientByDegree = false` keeps the id-oriented two-join (each
     * triangle a<b<c matched once as (a,b)+(b,c)+(a,c)) — the oracle
     * twin stays this plain self-join, exact on the guarded-small LSH
-    * graphs the gate audits; TriangleOrientationSpec proves the two
+    * graphs the gate audits; PipelineSpec ("degree-oriented triangle
+    * counting equals the id-oriented twin") proves the two
     * paths equal (triangle count is orientation-invariant). */
   def triangleCount(pairs: DataFrame, orientByDegree: Boolean = true): DataFrame = {
     val e = pairs

@@ -298,11 +298,16 @@ object Multimodal {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, bytes) =>
-          AviCodec.decode(bytes) match {
+          // NonFatal guard (matching audioAutocorr): one corrupt blob must
+          // not fail the whole job — undecodable bytes take the synthetic
+          // fallback row instead.
+          (try AviCodec.decode(bytes)
+           catch { case scala.util.control.NonFatal(_) => None }) match {
             case Some(avi) =>
               val n = math.min(avi.frames.length, maxFrames)
               (0 until n by stride).flatMap { i =>
-                AviCodec.decodeFrame(avi, i).map { img =>
+                (try AviCodec.decodeFrame(avi, i)
+                 catch { case scala.util.control.NonFatal(_) => None }).map { img =>
                   var s = 0L; var p = 0
                   while (p < img.pixels.length) { s += img.pixels(p) & 0xff; p += 1 }
                   VideoFrame(id, i.toLong, img.width.toLong, img.height.toLong, s)

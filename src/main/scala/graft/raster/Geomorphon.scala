@@ -6,15 +6,20 @@ package graft.raster
   * falls below / flat within the cone" symbol, and map the (hi, lo)
   * symbol counts through the 10-landform lookup table.
   *
-  * Documented conventions (this implementation is exact-integer by
-  * construction so the DuckDB oracle can restate it verbatim):
+  * Documented conventions (on integral-valued grids — the oracle's
+  * case — every quantity below is an exact integer carried in a
+  * double, so the DuckDB oracle can restate it verbatim):
   *  - ray distance is CHEBYSHEV (cell steps along the ray), so the
   *    per-step slope of step k is (z_k - z0)/k — a rational with
   *    denominator k <= 4; multiplying by 12/k (integer for k = 1..4)
-  *    turns every comparison into exact integer arithmetic, no
-  *    trigonometry anywhere (the zenith/nadir ANGLE comparison of the
-  *    paper is monotone in the tangent, so comparing tangents is the
-  *    same decision);
+  *    makes every comparison exact on integral grids, no trigonometry
+  *    anywhere (the zenith/nadir ANGLE comparison of the paper is
+  *    monotone in the tangent, so comparing tangents is the same
+  *    decision). The comparison itself is done in DOUBLES — identical
+  *    bit-for-bit to integer arithmetic when cells are integral
+  *    (integral-double × int products are exact), and free of the
+  *    1/12-tangent zero-ward quantization a `.toLong` would impose on
+  *    non-integral float DEMs;
   *  - the flatness threshold is t12/12 height units per step
   *    (default t12 = 12, i.e. 45 deg on a unit grid);
   *  - per ray: up12 = max_k 12·(z_k - z0)/k, dn12 = max_k 12·(z0 - z_k)/k;
@@ -75,8 +80,9 @@ object Geomorphon {
     * Positive openness highlights convexity (ridges bright), negative
     * concavity — the standard DEM visualization/feature pair.
     *
-    * Shares geomorphon's ray reduction: max slope is the exact-integer
-    * max12/12 tangent (Chebyshev steps, radius 4, full-32-sample rule),
+    * Shares geomorphon's ray reduction: max slope is the max12/12
+    * tangent (Chebyshev steps, radius 4, full-32-sample rule; exact on
+    * integral grids, un-quantized doubles on float DEMs),
     * and the only floating math is one atan per ray plus a PINNED
     * 8-term left-associated sum — restated identically in the oracle,
     * so the round(,5) closing sits ~1e9 ulps from any boundary.
@@ -101,13 +107,13 @@ object Geomorphon {
             var di = 0
             while (di < 8 && ok) {
               val dx = Dirs(di)._1; val dy = Dirs(di)._2
-              var m12 = Long.MinValue
+              var m12 = Double.NegativeInfinity
               var k = 1
               while (k <= radius && ok) {
                 val z = padded((cy + radius + dy * k) * w + (cx + radius + dx * k))
                 if (z.isNaN) ok = false
                 else {
-                  val d12 = (((if (positive) z - z0 else z0 - z)) * (12 / k)).toLong
+                  val d12 = (if (positive) z - z0 else z0 - z) * (12 / k)
                   if (d12 > m12) m12 = d12
                 }
                 k += 1
@@ -144,13 +150,13 @@ object Geomorphon {
             var di = 0
             while (di < 8 && ok) {
               val dx = Dirs(di)._1; val dy = Dirs(di)._2
-              var up = Long.MinValue; var dn = Long.MinValue
+              var up = Double.NegativeInfinity; var dn = Double.NegativeInfinity
               var k = 1
               while (k <= radius && ok) {
                 val z = padded((cy + radius + dy * k) * w + (cx + radius + dx * k))
                 if (z.isNaN) ok = false
                 else {
-                  val d12 = ((z - z0) * (12 / k)).toLong
+                  val d12 = (z - z0) * (12 / k)
                   if (d12 > up) up = d12
                   if (-d12 > dn) dn = -d12
                 }

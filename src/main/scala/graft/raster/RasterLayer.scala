@@ -309,13 +309,22 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     * as NoData. The width takes physical effect at the catalog store
     * ([[graft.catalog.Catalog.write]] packs native-width binary).
     * `bit` clamps to 0/1 and — like GeoTrellis `bool` — has NO NoData
-    * at the store: in-memory NaN cells pack to 0 on write. */
-  def convertCellType(newType: String): RasterLayer = {
+    * at the store: in-memory NaN cells pack to 0 on write. Pass
+    * `bitSemantics = BitSemantics.MaskLowBit` for bug-for-bug
+    * GeoTrellis BitArrayTile parity (`value & 1`: 2 -> 0, -1 -> 1)
+    * instead of the default saturating clamp — see
+    * [[graft.core.BitSemantics]] and the README migration notes. */
+  def convertCellType(newType: String,
+                      bitSemantics: graft.core.BitSemantics.Mode =
+                        graft.core.BitSemantics.Clamp): RasterLayer = {
     val ct = graft.core.CellType.fromName(newType)
     val converted =
       if (ct.name == "float64") this
       else if (ct.name == "float32")
         localMap(c => c.cast("float").cast("double"))
+      else if (ct.name == "bit" && bitSemantics == graft.core.BitSemantics.MaskLowBit)
+        localMap(c => when(isnan(c), c).otherwise(
+          c.cast("long").bitwiseAND(lit(1L)).cast("double")))
       else
         localMap(c => when(isnan(c), c).otherwise(
           least(greatest(c.cast("long").cast("double"), lit(ct.lo)), lit(ct.hi))))

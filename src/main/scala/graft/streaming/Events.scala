@@ -599,11 +599,22 @@ object Events {
     * it mid-sequence, so equality holds exactly for arrival
     * out-of-orderness within one micro-batch (sorted away) and
     * degrades by omission, not corruption, beyond that. Per-user
-    * state expires [[TransitionStateTtlMs]] of EVENT time after the
-    * last event once the watermark passes it, bounding state for
-    * churning user populations. */
+    * state expires `ttlMs` (default [[TransitionStateTtlMs]]) of EVENT
+    * time after the last event once the watermark passes it, bounding
+    * state for churning user populations.
+    *
+    * Idle-gap contract: expiry also means a transition pair whose two
+    * events are separated by MORE than `ttlMs` of event time is
+    * dropped even under perfectly in-order arrival — once the
+    * watermark passes last + ttl the state is gone, so the next event
+    * starts a fresh sequence instead of emitting (last, next). The
+    * batch twin has no such gap cut; batch/streaming equality
+    * therefore holds only for sequences whose inter-event gaps are all
+    * <= `ttlMs`. Raise `ttlMs` (event-time ms) to trade state size for
+    * longer-gap fidelity. */
   val TransitionStateTtlMs: Long = 3600L * 1000
-  def transitionStream(events: DataFrame): Dataset[TransitionPair] = {
+  def transitionStream(events: DataFrame,
+                       ttlMs: Long = TransitionStateTtlMs): Dataset[TransitionPair] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -640,7 +651,7 @@ object Events {
             if (last != null) {
               state.update(last)
               // expire once the watermark passes last + TTL (ms epoch)
-              state.setTimeoutTimestamp(last.us / 1000 + TransitionStateTtlMs)
+              state.setTimeoutTimestamp(last.us / 1000 + ttlMs)
             }
             out.reverseIterator
           }

@@ -93,6 +93,47 @@ class AviCodecSpec extends AnyFunSuite {
     assert(avi.frames.length == 2)
   }
 
+  test("chunk sizes near Int.MaxValue do not wrap the truncation guard (r16)") {
+    // A RIFF/'AVI ' header followed by a chunk declaring size
+    // 0x7ffffff0: p + 8 + size would wrap negative in Int arithmetic,
+    // defeating `> end` and driving copyOfRange out of bounds. The
+    // Long-arithmetic guard must treat it as truncated instead.
+    def le(i: Int): Array[Byte] =
+      Array((i & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+        ((i >> 16) & 0xff).toByte, ((i >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("ASCII")
+    val evil = cc("RIFF") ++ le(Int.MaxValue - 4) ++ cc("AVI ") ++
+      cc("00db") ++ le(0x7ffffff0) ++ Array.fill[Byte](64)(1)
+    // must not throw, and must not fabricate a frame from the bogus size
+    val r = AviCodec.decode(evil)
+    assert(r.isEmpty || r.get.frames.isEmpty)
+    // same poison size inside a LIST('movi') — exercises the LIST branch
+    val evilList = cc("RIFF") ++ le(Int.MaxValue - 4) ++ cc("AVI ") ++
+      cc("LIST") ++ le(0x7ffffff0) ++ cc("movi") ++
+      cc("00db") ++ le(0x7fffff00) ++ Array.fill[Byte](32)(2)
+    val r2 = AviCodec.decode(evilList)
+    assert(r2.isEmpty || r2.get.frames.isEmpty)
+  }
+
+  test("videoFrames survives a blob whose decode would throw (NonFatal guard)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    def le(i: Int): Array[Byte] =
+      Array((i & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+        ((i >> 16) & 0xff).toByte, ((i >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("ASCII")
+    // poison blob + one healthy DIB AVI in the same partition: the job
+    // must complete and the healthy blob must still decode for real
+    val poison = cc("RIFF") ++ le(Int.MaxValue - 4) ++ cc("AVI ") ++
+      cc("00db") ++ le(0x7ffffff0) ++ Array.fill[Byte](64)(1)
+    val healthy = AviCodec.encodeDib(8, 6, 2, f => (x, y) => (f + x + y) % 256)
+    val blobs = Seq((1L, poison), (2L, healthy)).toDF("doc_id", "blob")
+    val out = Multimodal.videoFrames(blobs, stride = 1, maxFrames = 4).collect()
+    assert(out.filter(_.doc_id == 2L).forall(_.width == 8L))
+    assert(out.count(_.doc_id == 2L) == 2)
+    assert(out.filter(_.doc_id == 1L).forall(_.width == 0L)) // synthetic fallback
+  }
+
   test("videoFrames falls back to the md5 synthetic path on non-video blobs") {
     val spark = graft.TestSpark.spark
     import spark.implicits._

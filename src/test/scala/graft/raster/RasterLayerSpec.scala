@@ -159,6 +159,21 @@ class RasterLayerSpec extends SparkSpec {
     assert(cellsOf(l.convertCellType("int32")) == Set((0L, 0L, 1.0), (1L, 0L, 2.0)))
   }
 
+  test("bit conversion: default saturating clamp vs GeoTrellis MaskLowBit parity") {
+    import graft.core.BitSemantics
+    // values picked where the two rules DISAGREE: 2 (clamp 1 / &1 0),
+    // 3 (1 / 1), -1 (0 / 1), 0.7 (0 / 0 — truncate-then-mask)
+    val l = layer((0, 0, 2.0), (1, 0, 3.0), (2, 0, -1.0), (3, 0, 0.7))
+    assert(cellsOf(l.convertCellType("bit")) ==
+      Set((0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 0L, 0.0), (3L, 0L, 0.0)))
+    assert(cellsOf(l.convertCellType("bit", BitSemantics.MaskLowBit)) ==
+      Set((0L, 0L, 0.0), (1L, 0L, 1.0), (2L, 0L, 1.0), (3L, 0L, 0.0)))
+    // both modes agree on exact 0/1 inputs (every store/oracle path)
+    val clean = layer((0, 0, 1.0), (1, 0, 0.0))
+    assert(cellsOf(clean.convertCellType("bit")) ==
+      cellsOf(clean.convertCellType("bit", BitSemantics.MaskLowBit)))
+  }
+
   test("normalize maps min..max to new range") {
     val l = layer((0, 0, 10.0), (1, 0, 20.0), (2, 0, 30.0))
     assert(cellsOf(l.normalize(0, 100)) == Set((0L, 0L, 0.0), (1L, 0L, 50.0), (2L, 0L, 100.0)))
