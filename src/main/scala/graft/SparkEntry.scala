@@ -52,6 +52,53 @@ object SparkEntry {
     graft.vector.Pt(188, 128), graft.vector.Pt(158, 180), graft.vector.Pt(98, 180),
     graft.vector.Pt(68, 128), graft.vector.Pt(98, 76), graft.vector.Pt(158, 76)))
 
+  /** CONCAVE star fixtures for the general-overlay queries (r16):
+    * 10-vertex 5-point stars, sf-independent formulas — the q_tin
+    * literal-restating precedent. Driver-side cos/sin, so engine and
+    * oracle share the exact same doubles. */
+  private[graft] def concaveFixtures: Seq[(Long, Seq[Double], Seq[Double])] =
+    (1L to 10L).map { i =>
+      val cx = (i * 37 % 200 + 20) + 0.3
+      val cy = (i * 53 % 200 + 20) + 0.7
+      val ro = (18 + i * 7 % 36).toDouble
+      val ri = ro * 0.45
+      val rot = i.toDouble * 0.37
+      val pts = (0 until 10).map { k =>
+        val r = if (k % 2 == 0) ro else ri
+        val a = rot + k * math.Pi / 5
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+      (i, pts.map(_._1): Seq[Double], pts.map(_._2): Seq[Double])
+    }
+
+  /** Concave plus-sign clip polygon (4 reflex vertices) for the
+    * general-overlay queries. */
+  private[graft] val crossClip = {
+    val w = 25.3; val l = 75.7; val cx = 128.0; val cy = 128.0
+    import graft.vector.Pt
+    graft.vector.Polygon(IndexedSeq(
+      Pt(cx - w, cy - l), Pt(cx + w, cy - l), Pt(cx + w, cy - w),
+      Pt(cx + l, cy - w), Pt(cx + l, cy + w), Pt(cx + w, cy + w),
+      Pt(cx + w, cy + l), Pt(cx - w, cy + l), Pt(cx - w, cy + w),
+      Pt(cx - l, cy + w), Pt(cx - l, cy - w), Pt(cx - w, cy - w)))
+  }
+
+  /** Concave axis-aligned L for q_buffer_concave. Fractional parts
+    * are .31 for every x and .74 for every y: axis-aligned edges miss
+    * the half-odd centers, and since neither .31+.74 nor .74−.31 is
+    * an integer, the ±45° arc-fan radii and diagonal midpoints miss
+    * the center lattice too (a .3/.7 choice put both exactly ON
+    * centers). OverlayOracleSpec audits the margin of EVERY piece
+    * edge against every grid center. */
+  private[graft] val bufferConcaveL = {
+    import graft.vector.Pt
+    graft.vector.Polygon(IndexedSeq(
+      Pt(60.31, 60.74), Pt(170.31, 60.74), Pt(170.31, 120.74),
+      Pt(120.31, 120.74), Pt(120.31, 170.74), Pt(60.31, 170.74)))
+  }
+  private[graft] def bufferConcavePieces: Seq[graft.vector.Polygon] =
+    graft.vector.Buffer.bufferPieces(bufferConcaveL, 9.3, graft.vector.Buffer.Round(4))
+
   /** Query-term set for q_bm25 (words from the synthetic vocabulary). */
   private[graft] val Bm25Terms = Seq("table", "spark", "window", "hash", "stream")
 
@@ -568,6 +615,14 @@ object SparkEntry {
         graft.vector.Buffer.buffer(
           Geometry.rect(150.2, 100.4, 190.7, 140.9), 7.5),
         graft.vector.Buffer.buffer(Geometry.diamond(200, 60, 25.3), -6.0))))),
+
+    "q_buffer_concave" -> ((s, dir) =>
+      // CONCAVE polygon buffer (r16): the convex-piece union
+      // construction (interior triangles + edge rectangles +
+      // round-join arc fans, JTS quad_segs convention) feeding the
+      // same union-mask; the oracle re-derives point-in-union per
+      // cell from the pieces' half-plane tests
+      flat(ZonalOps.maskGrid(lineitemLayer(s, dir), bufferConcavePieces))),
 
     "q_polygonal_summary" -> ((s, dir) =>
       ZonalOps.polygonalSummary(lineitemLayer(s, dir), Geometry.diamond(128, 128, 60.3))),
@@ -1444,6 +1499,25 @@ object SparkEntry {
       import s.implicits._
       graft.vector.Clip.unionAreaConvex(
           clipFixtures.toDF("pid", "xs", "ys"), hexClip)
+        .select(col("pid"), round(col("area_union"), 5).as("area_union"))
+    }),
+
+    "q_poly_intersect_concave" -> ((s, dir) => {
+      // GENERAL concave x concave intersection (r16): signed convex
+      // decomposition (Overlay) — star fixtures x the plus-sign clip;
+      // per-row transform, no shuffle; literal-restating oracle
+      import s.implicits._
+      graft.vector.Overlay.intersect(
+          concaveFixtures.toDF("pid", "xs", "ys"), crossClip)
+        .select(col("pid"), col("n_pieces"), round(col("area"), 5).as("area"))
+    }),
+
+    "q_poly_union_concave" -> ((s, dir) => {
+      // general concave union area by inclusion-exclusion on the
+      // signed piece algebra
+      import s.implicits._
+      graft.vector.Overlay.unionWith(
+          concaveFixtures.toDF("pid", "xs", "ys"), crossClip)
         .select(col("pid"), round(col("area_union"), 5).as("area_union"))
     }),
 
@@ -4963,6 +5037,68 @@ object SparkEntry {
           s"(CAST($pid AS BIGINT), CAST(${r5(u)} AS DOUBLE))"
         }
         s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, area_union)"
+      },
+
+      // concave overlay (r16): literal-restating over the same
+      // sf-independent star/cross fixtures — the pure-Scala signed
+      // decomposition runs at oracle-build time (driver side, the
+      // exact doubles the engine ships to executors)
+      "q_poly_intersect_concave" -> {
+        def r5(x: Double) =
+          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = concaveFixtures.flatMap { case (pid, xs, ys) =>
+          val p = graft.vector.Polygon(
+            xs.zip(ys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq)
+          val ps = graft.vector.Overlay.intersectionPieces(p, crossClip)
+          if (ps.isEmpty) None
+          else {
+            val a = ps.foldLeft(0.0)((s, pp) =>
+              s + pp.sign * graft.vector.Clip.ringArea(pp.xs, pp.ys))
+            Some(s"(CAST($pid AS BIGINT), ${ps.length}, CAST(${r5(a)} AS DOUBLE))")
+          }
+        }
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, n_pieces, area)"
+      },
+
+      "q_poly_union_concave" -> {
+        def r5(x: Double) =
+          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val areaB = graft.vector.Overlay.area(crossClip)
+        val rows = concaveFixtures.map { case (pid, xs, ys) =>
+          val p = graft.vector.Polygon(
+            xs.zip(ys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq)
+          val ps = graft.vector.Overlay.intersectionPieces(p, crossClip)
+          val inter = ps.foldLeft(0.0)((s, pp) =>
+            s + pp.sign * graft.vector.Clip.ringArea(pp.xs, pp.ys))
+          val u = graft.vector.Overlay.area(p) + areaB - inter
+          s"(CAST($pid AS BIGINT), CAST(${r5(u)} AS DOUBLE))"
+        }
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, area_union)"
+      },
+
+      // concave buffer: the oracle re-derives point-in-union per grid
+      // cell with half-plane tests over the SAME convex pieces the
+      // engine masks by (piece coords are literal-restated; the
+      // per-cell containment math is computed by DuckDB — a dual
+      // computation, not a pinned result). Strict > is safe:
+      // OverlayOracleSpec proves every cell center clears every piece
+      // edge by a wide margin.
+      "q_buffer_concave" -> {
+        def insideSql(poly: graft.vector.Polygon): String = {
+          val e0 = poly.exterior
+          // normalize CCW so inside is "all cross products > 0"
+          val ring =
+            if (graft.vector.Overlay.signedArea2(e0) >= 0) e0 else e0.reverse
+          val n = ring.length
+          (0 until n).map { i =>
+            val a = ring(i); val b = ring((i + 1) % n)
+            val c1 = b.x - a.x; val c2 = b.y - a.y
+            val rhs = c1 * a.y - c2 * a.x
+            s"(CAST($c1 AS DOUBLE) * (y + 0.5) - CAST($c2 AS DOUBLE) * (x + 0.5) > CAST($rhs AS DOUBLE))"
+          }.mkString("(", " AND ", ")")
+        }
+        val anyPiece = bufferConcavePieces.map(insideSql).mkString("(", "\n   OR ", ")")
+        s"SELECT x, y, v FROM ($grid) WHERE $anyPiece"
       },
 
       // literal-restating oracle (q_tin precedent): the pure-Scala

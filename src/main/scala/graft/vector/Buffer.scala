@@ -11,15 +11,113 @@ package graft.vector
   * polygon's own edge metric — exact vertices, no arc approximation —
   * and erosion (d < 0) is the same construction inward.
   *
-  * Concave strategy (documented, not implemented here): a concave
-  * ring's miter offset can self-intersect; the standard plan is
-  * convex decomposition (triangulate via [[Delaunay]] or ear-clip,
-  * buffer each piece, rasterize the UNION — mask ops already take
-  * Seq[Polygon] with union semantics), or the arc-sampled JTS
-  * offset-curve construction. `buffer` therefore REJECTS concave
-  * rings loudly instead of returning a self-intersecting ring.
+  * Concave rings (r16): a concave ring's miter offset can
+  * self-intersect, so [[buffer]] still REJECTS concave rings loudly —
+  * use [[bufferPieces]], which implements the documented
+  * convex-decomposition strategy: the positive buffer of ANY simple
+  * ring is exactly
+  *
+  *   P  ∪  (edge ⊕ outward d-rectangle for every edge)
+  *      ∪  (joint fan at every CONVEX vertex)
+  *
+  * returned as a Seq of CONVEX polygons with UNION semantics — the
+  * shape every consumer here already takes (mask / rasterize accept
+  * Seq[Polygon] with union semantics; reference users buffer in
+  * shapely then mask, layer.py:2044). Reflex vertices need no joint
+  * piece: their neighborhoods are covered by the two overlapping edge
+  * rectangles. Joint styles match JTS: Round(quadrantSegments)
+  * arc-samples the vertex disk sector exactly like JTS's
+  * quadrant_segments=8 default (JTS buffers are themselves polygonal
+  * approximations — this is the reference semantic, not a shortcut);
+  * Miter produces the exact offset-line intersection kite.
+  *
+  * Negative d on concave rings (erosion) has no union-of-pieces form;
+  * erode via the raster path (mask complement + euclidean distance ≥
+  * |d|) — documented, not implemented here.
   */
 object Buffer {
+
+  /** Joint style for [[bufferPieces]] — mirrors JTS join_style. */
+  sealed trait Join
+  case object Miter extends Join
+  /** Round joins sampled at `quadrantSegments` segments per 90° of
+    * turn — the JTS `quad_segs` convention (JTS default 8). */
+  final case class Round(quadrantSegments: Int = 8) extends Join
+
+  /** Positive buffer of an arbitrary SIMPLE hole-free ring as convex
+    * pieces whose union IS the buffered region (see the object doc).
+    * Pieces: interior ear-clip triangles + per-edge offset rectangles
+    * + per-convex-vertex joint fans. Deterministic construction (the
+    * literal-restating oracle discipline). */
+  def bufferPieces(poly: Polygon, d: Double, join: Join = Round(8)): Seq[Polygon] = {
+    require(d > 0, "bufferPieces is the positive-offset construction; " +
+      "erode concave rings via the raster distance path (see scaladoc)")
+    require(poly.holes.isEmpty,
+      "buffer supports simple rings; buffer holes separately (shrink by -d)")
+    val ring0 = dropCollinear(poly.exterior)
+    require(ring0.length >= 3, "degenerate ring")
+    // normalize CCW (y-up): interior left of travel, outward = right
+    val ccw =
+      if (Overlay.signedArea2(ring0) >= 0) ring0 else ring0.reverse
+    val n = ccw.length
+    val tris = Overlay.triangulate(ccw).map { case (a, b, c) =>
+      Polygon(IndexedSeq(a, b, c))
+    }
+    // outward (right-hand) unit normal of each edge i: ccw(i) -> ccw(i+1)
+    val nx = new Array[Double](n); val ny = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val a = ccw(i); val b = ccw((i + 1) % n)
+      val ex = b.x - a.x; val ey = b.y - a.y
+      val len = math.hypot(ex, ey)
+      nx(i) = ey / len; ny(i) = -ex / len
+      i += 1
+    }
+    val rects = (0 until n).map { i =>
+      val a = ccw(i); val b = ccw((i + 1) % n)
+      Polygon(IndexedSeq(a, b,
+        Pt(b.x + nx(i) * d, b.y + ny(i) * d),
+        Pt(a.x + nx(i) * d, a.y + ny(i) * d)))
+    }
+    val joints = (0 until n).flatMap { i =>
+      // vertex i joins incoming edge i-1 and outgoing edge i
+      val h = (i + n - 1) % n
+      val v = ccw(i)
+      val prev = ccw(h); val next = ccw((i + 1) % n)
+      val turn = (v.x - prev.x) * (next.y - v.y) - (v.y - prev.y) * (next.x - v.x)
+      if (turn <= 0) Nil // reflex/straight: covered by the edge rectangles
+      else join match {
+        case Miter =>
+          // kite: v, offset end of edge h, offset-line intersection, offset start of edge i
+          val p1 = Pt(v.x + nx(h) * d, v.y + ny(h) * d)
+          val p2 = Pt(v.x + nx(i) * d, v.y + ny(i) * d)
+          // both offset lines pass through p1/p2 with edge directions;
+          // intersect (det != 0 because the turn is strict)
+          val (dx1, dy1) = (v.x - prev.x, v.y - prev.y)
+          val (dx2, dy2) = (next.x - v.x, next.y - v.y)
+          val det = dx1 * dy2 - dy1 * dx2
+          val t = ((p2.x - p1.x) * dy2 - (p2.y - p1.y) * dx2) / det
+          val m = Pt(p1.x + t * dx1, p1.y + t * dy1)
+          Seq(Polygon(IndexedSeq(v, p1, m, p2)))
+        case Round(q) =>
+          require(q >= 1, "quadrantSegments >= 1")
+          // fan from normal h to normal i, sweeping CCW by the exterior
+          // angle (< pi for a strict convex turn)
+          val a1 = math.atan2(ny(h), nx(h))
+          var sweep = math.atan2(ny(i), nx(i)) - a1
+          if (sweep < 0) sweep += 2 * math.Pi
+          val steps = math.max(1, math.ceil(sweep / (math.Pi / 2 / q)).toInt)
+          (0 until steps).map { k =>
+            val b1 = a1 + sweep * k / steps
+            val b2 = a1 + sweep * (k + 1) / steps
+            Polygon(IndexedSeq(v,
+              Pt(v.x + math.cos(b1) * d, v.y + math.sin(b1) * d),
+              Pt(v.x + math.cos(b2) * d, v.y + math.sin(b2) * d)))
+          }
+      }
+    }
+    tris ++ rects ++ joints
+  }
 
   /** Miter-join offset of a convex, hole-free ring by `d` (> 0 grows,
     * < 0 shrinks; shrinking past the inradius throws). Collinear and

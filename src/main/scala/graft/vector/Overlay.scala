@@ -1,0 +1,291 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** General polygon overlay — intersection and union of arbitrary
+  * SIMPLE polygons (concave allowed, holes allowed) — the full
+  * JTS/shapely `intersection`/`union` role the reference reaches
+  * through shapely (geopyspark layer.py:2044 mask accepts any shapely
+  * geometry; users intersect concave watershed/admin polygons before
+  * masking constantly). [[Clip]] covers the convex-clip fast path;
+  * this module removes the convex restriction.
+  *
+  * DESIGN — signed convex decomposition, not a topology graph. A JTS
+  * translation (noded edge graph + face labeling) is the wrong shape
+  * for a data-parallel engine: it is pointer-chasing, degeneracy-rich
+  * and per-feature sequential anyway. Instead:
+  *
+  *  - every polygon becomes SIGNED CONVEX PIECES: ear-clipping
+  *    triangles of the exterior ring (+1) and of each hole ring (−1).
+  *    For any point p off piece boundaries, Σ sign·[p ∈ piece] is
+  *    exactly 1 inside the polygon and 0 outside (exterior triangles
+  *    partition the exterior's interior; hole triangles subtract);
+  *  - A ∩ B = pairwise Sutherland-Hodgman clips of A-pieces against
+  *    B-pieces (convex × convex — S-H's exact case), each with sign
+  *    s_A·s_B. The indicator multiplies: Σ = 1_A · 1_B. Area follows
+  *    by the shoelace sum Σ sign·|piece| — NO boolean topology ever
+  *    computed;
+  *  - A ∪ B pieces = A-pieces + B-pieces − (A ∩ B)-pieces
+  *    (inclusion–exclusion on indicators), so union area and
+  *    union-region rasterization/masking need nothing new.
+  *
+  * Robustness: the only predicates are cross-product signs inside ear
+  * clipping and S-H half-plane tests — exact for integral-valued
+  * coordinates (products of exact doubles below 2^53), and free of
+  * the vertex-on-edge degeneracy lattice general clippers
+  * (Greiner-Hormann, Weiler-Atherton) must special-case. Slivers from
+  * edge-adjacent piece pairs carry ~0 area and are dropped below
+  * [[SliverArea]].
+  *
+  * Scale shape: rings decompose independently — a per-row flatMap
+  * over the feature table, no joins, no shuffle, no driver geometry.
+  * Piece counts are (n_A−2 + holes)·(n_B−2 + holes) per feature pair,
+  * bounded by ring sizes, never by table size.
+  */
+object Overlay {
+
+  /** One signed convex piece of a decomposition. */
+  final case class Piece(sign: Int, xs: IndexedSeq[Double], ys: IndexedSeq[Double])
+
+  /** Pieces with |shoelace area| below this are dropped (degenerate
+    * slivers where clipped pieces share edges). */
+  val SliverArea = 1e-9
+
+  /** Twice the signed shoelace area (> 0 = CCW in y-up coordinates). */
+  private[graft] def signedArea2(ring: IndexedSeq[Pt]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = ring.length
+    while (i < n) {
+      val a = ring(i); val b = ring((i + 1) % n)
+      s += a.x * b.y - b.x * a.y
+      i += 1
+    }
+    s
+  }
+
+  /** Drop consecutive duplicates, an explicit closing vertex, and
+    * collinear vertices (the [[Buffer]] normalization). */
+  private def cleanRing(ring: IndexedSeq[Pt]): IndexedSeq[Pt] = {
+    val dedup = ring.foldLeft(Vector.empty[Pt]) { (acc, p) =>
+      if (acc.nonEmpty && acc.last == p) acc else acc :+ p
+    }
+    val base = if (dedup.length > 1 && dedup.head == dedup.last) dedup.dropRight(1) else dedup
+    val n = base.length
+    if (n < 3) return base
+    (0 until n).collect {
+      case i if {
+        val a = base((i + n - 1) % n); val b = base(i); val c = base((i + 1) % n)
+        math.abs((b.x - a.x) * (c.y - b.y) - (b.y - a.y) * (c.x - b.x)) > 1e-12
+      } => base(i)
+    }
+  }
+
+  /** True iff no two non-adjacent edges of the ring intersect (touch
+    * included) — the simplicity precondition ear clipping needs.
+    * O(n^2) segment pairs, same class as the clipping itself. */
+  private[graft] def isSimple(ring: IndexedSeq[Pt]): Boolean = {
+    val n = ring.length
+    def orient(a: Pt, b: Pt, c: Pt): Double =
+      (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)
+    def onSeg(a: Pt, b: Pt, p: Pt): Boolean =
+      math.min(a.x, b.x) <= p.x && p.x <= math.max(a.x, b.x) &&
+        math.min(a.y, b.y) <= p.y && p.y <= math.max(a.y, b.y)
+    def segsIntersect(a: Pt, b: Pt, c: Pt, d: Pt): Boolean = {
+      val o1 = orient(a, b, c); val o2 = orient(a, b, d)
+      val o3 = orient(c, d, a); val o4 = orient(c, d, b)
+      if (((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+          ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))) return true
+      (o1 == 0 && onSeg(a, b, c)) || (o2 == 0 && onSeg(a, b, d)) ||
+        (o3 == 0 && onSeg(c, d, a)) || (o4 == 0 && onSeg(c, d, b))
+    }
+    var i = 0
+    var ok = true
+    while (i < n && ok) {
+      var j = i + 2
+      while (j < n && ok) {
+        val adjacent = (i == 0 && j == n - 1)
+        if (!adjacent &&
+            segsIntersect(ring(i), ring((i + 1) % n), ring(j), ring((j + 1) % n)))
+          ok = false
+        j += 1
+      }
+      i += 1
+    }
+    ok
+  }
+
+  /** Ear-clipping triangulation of a simple ring (concave allowed),
+    * deterministic (lowest-index ear first). Returns at most n−2 CCW
+    * triangles that PARTITION the ring's interior (collinear triples
+    * arising mid-clip are removed as zero-area ears, so the count can
+    * be lower; the area is always exact). Rejects non-simple rings
+    * loudly. O(n^2) scans per ear — fine for feature rings (the
+    * per-row parallelism carries table scale). */
+  def triangulate(ring0: IndexedSeq[Pt]): IndexedSeq[(Pt, Pt, Pt)] = {
+    val base = cleanRing(ring0)
+    require(base.length >= 3, s"degenerate ring (${ring0.length} raw vertices)")
+    require(isSimple(base),
+      "triangulate requires a simple ring (non-adjacent edges intersect)")
+    val ccw = if (signedArea2(base) >= 0) base else base.reverse
+    val idx = scala.collection.mutable.ArrayBuffer.range(0, ccw.length)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Pt, Pt, Pt)]
+    def cross(a: Pt, b: Pt, c: Pt): Double =
+      (b.x - a.x) * (c.y - b.y) - (b.y - a.y) * (c.x - b.x)
+    def inTriangleInclusive(p: Pt, a: Pt, b: Pt, c: Pt): Boolean =
+      cross(a, b, p) >= 0 && cross(b, c, p) >= 0 && cross(c, a, p) >= 0
+    while (idx.length > 3) {
+      val m = idx.length
+      var cut = -1
+      var i = 0
+      while (i < m && cut < 0) {
+        val a = ccw(idx((i + m - 1) % m)); val b = ccw(idx(i)); val c = ccw(idx((i + 1) % m))
+        val turn = cross(a, b, c)
+        if (turn == 0) {
+          // degenerate ear (collinear after earlier cuts): remove, no area
+          cut = i
+        } else if (turn > 0) {
+          // strictly convex corner: an ear unless another remaining
+          // vertex sits inside (or on) the candidate triangle
+          var blocked = false
+          var j = 0
+          while (j < m && !blocked) {
+            val jj = (i + m - 1) % m != j && i != j && (i + 1) % m != j
+            if (jj) {
+              val p = ccw(idx(j))
+              // vertices coincident with a corner (touching rings) don't block
+              if (p != a && p != b && p != c && inTriangleInclusive(p, a, b, c))
+                blocked = true
+            }
+            j += 1
+          }
+          if (!blocked) {
+            out += ((a, b, c))
+            cut = i
+          }
+        }
+        i += 1
+      }
+      require(cut >= 0,
+        "ear clipping found no ear — the ring is not simple (self-intersecting?)")
+      idx.remove(cut)
+    }
+    val a = ccw(idx(0)); val b = ccw(idx(1)); val c = ccw(idx(2))
+    if (cross(a, b, c) != 0) out += ((a, b, c))
+    out.toIndexedSeq
+  }
+
+  /** Signed convex pieces of a polygon: exterior triangles (+1), hole
+    * triangles (−1). */
+  def pieces(poly: Polygon): IndexedSeq[Piece] = {
+    def tris(ring: IndexedSeq[Pt], sign: Int): IndexedSeq[Piece] =
+      triangulate(ring).map { case (a, b, c) =>
+        Piece(sign, IndexedSeq(a.x, b.x, c.x), IndexedSeq(a.y, b.y, c.y))
+      }
+    tris(poly.exterior, 1) ++ poly.holes.flatMap(h => tris(h.toIndexedSeq, -1))
+  }
+
+  /** Pieces of A ∩ B: pairwise convex S-H clips with multiplied signs,
+    * slivers dropped. Deterministic order (A-major). */
+  def intersectionPieces(a: Polygon, b: Polygon): IndexedSeq[Piece] = {
+    val pa = pieces(a); val pb = pieces(b)
+    for {
+      x <- pa
+      y <- pb
+      (ix, iy) = Clip.clipRingConvex(x.xs, x.ys, y.xs, y.ys)
+      if ix.length >= 3 && Clip.ringArea(ix, iy) > SliverArea
+    } yield Piece(x.sign * y.sign, ix, iy)
+  }
+
+  /** Polygon area (exterior minus holes). */
+  def area(poly: Polygon): Double = {
+    val ext = math.abs(signedArea2(poly.exterior)) / 2.0
+    val hs = poly.holes.map(h => math.abs(signedArea2(h.toIndexedSeq)) / 2.0).sum
+    ext - hs
+  }
+
+  /** Exact |A ∩ B| via the signed piece sum (left-associated in piece
+    * order — restate identically when pinning oracles). */
+  def intersectionArea(a: Polygon, b: Polygon): Double =
+    intersectionPieces(a, b).foldLeft(0.0) { (s, p) =>
+      s + p.sign * Clip.ringArea(p.xs, p.ys)
+    }
+
+  /** |A ∪ B| by inclusion–exclusion. */
+  def unionArea(a: Polygon, b: Polygon): Double =
+    area(a) + area(b) - intersectionArea(a, b)
+
+  /** Pieces of A ∪ B (A + B − A∩B on indicators) — feeds signed
+    * rasterization / masking of union regions. */
+  def unionPieces(a: Polygon, b: Polygon): IndexedSeq[Piece] =
+    pieces(a) ++ pieces(b) ++
+      intersectionPieces(a, b).map(p => p.copy(sign = -p.sign))
+
+  /** Signed containment: Σ sign over pieces whose CLOSED hull contains
+    * the point — 1 inside the represented region, 0 outside, for
+    * points OFF piece boundaries (piece-boundary points can
+    * double-count; keep query points off edges — the grid-fixture
+    * discipline). */
+  def containsSigned(ps: Seq[Piece], px: Double, py: Double): Int =
+    ps.iterator.map { p =>
+      val n = p.xs.length
+      var inside = true
+      // pieces are convex; orientation from the shoelace sign
+      val ccw = signedArea2(p.xs.zip(p.ys).map { case (x, y) => Pt(x, y) }) >= 0
+      var i = 0
+      while (i < n && inside) {
+        val j = (i + 1) % n
+        val s = (p.xs(j) - p.xs(i)) * (py - p.ys(i)) - (p.ys(j) - p.ys(i)) * (px - p.xs(i))
+        if (if (ccw) s < 0 else s > 0) inside = false
+        i += 1
+      }
+      if (inside) p.sign else 0
+    }.sum
+
+  // ------------------------------------------------------------------
+  // DataFrame operators (per-row transforms — no shuffle)
+  // ------------------------------------------------------------------
+
+  private def toPolygon(xs: Seq[Double], ys: Seq[Double]): Polygon =
+    Polygon(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toIndexedSeq)
+
+  /** General polygon INTERSECTION of every feature ring (pid, xs, ys)
+    * with `other` (concave allowed on both sides): per feature the
+    * signed piece count and exact intersection area; empty
+    * intersections dropped — the [[Clip.intersectConvex]] output
+    * contract with the convex restriction removed. */
+  def intersect(polys: DataFrame, other: Polygon): DataFrame = {
+    val spark = polys.sparkSession
+    import spark.implicits._
+    polys.select(col("pid"), col("xs"), col("ys"))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .flatMap { case (pid, xs, ys) =>
+        val ps = intersectionPieces(toPolygon(xs, ys), other)
+        if (ps.isEmpty) None
+        else {
+          val a = ps.foldLeft(0.0)((s, p) => s + p.sign * Clip.ringArea(p.xs, p.ys))
+          Some((pid, ps.length, a))
+        }
+      }
+      .toDF("pid", "n_pieces", "area")
+  }
+
+  /** General polygon UNION area of every feature ring with `other`
+    * (concave allowed on both sides) — [[Clip.unionAreaConvex]]
+    * without the convex restriction. */
+  def unionWith(polys: DataFrame, other: Polygon): DataFrame = {
+    val spark = polys.sparkSession
+    import spark.implicits._
+    val areaB = area(other)
+    polys.select(col("pid"), col("xs"), col("ys"))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .map { case (pid, xs, ys) =>
+        val subject = toPolygon(xs, ys)
+        val ps = intersectionPieces(subject, other)
+        val inter = ps.foldLeft(0.0)((s, p) => s + p.sign * Clip.ringArea(p.xs, p.ys))
+        (pid, area(subject) + areaB - inter)
+      }
+      .toDF("pid", "area_union")
+  }
+}

@@ -1,0 +1,204 @@
+package graft.vector
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** General concave overlay: the signed-convex-decomposition algebra is
+  * validated AGAINST INDEPENDENT references — ray-cast point counting
+  * on the ORIGINAL rings (never the decomposition) and closed-form
+  * areas — plus the algebraic identities (A∩A = A, symmetry,
+  * inclusion-exclusion, hole subtraction). */
+class OverlaySpec extends AnyFunSuite {
+
+  private def star(cx: Double, cy: Double, outer: Double, inner: Double,
+                   points: Int = 5, rot: Double = 0.0): Polygon =
+    Polygon((0 until 2 * points).map { k =>
+      val r = if (k % 2 == 0) outer else inner
+      val a = rot + k * math.Pi / points
+      Pt(cx + r * math.cos(a), cy + r * math.sin(a))
+    })
+
+  private def cross(cx: Double, cy: Double, w: Double, l: Double): Polygon =
+    Polygon(IndexedSeq(
+      Pt(cx - w, cy - l), Pt(cx + w, cy - l), Pt(cx + w, cy - w),
+      Pt(cx + l, cy - w), Pt(cx + l, cy + w), Pt(cx + w, cy + w),
+      Pt(cx + w, cy + l), Pt(cx - w, cy + l), Pt(cx - w, cy + w),
+      Pt(cx - l, cy + w), Pt(cx - l, cy - w), Pt(cx - w, cy - w)))
+
+  /** Independent reference: count sub-cell centers inside by the
+    * ray-cast `Polygon.contains` over the ORIGINAL rings. */
+  private def gridArea(p: (Double, Double) => Boolean,
+                       xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                       cells: Int = 400): Double = {
+    val dx = (xmax - xmin) / cells; val dy = (ymax - ymin) / cells
+    var cnt = 0L
+    var i = 0
+    while (i < cells) {
+      var j = 0
+      while (j < cells) {
+        if (p(xmin + (i + 0.5) * dx, ymin + (j + 0.5) * dy)) cnt += 1
+        j += 1
+      }
+      i += 1
+    }
+    cnt * dx * dy
+  }
+
+  test("triangulation partitions concave rings: n-2 triangles, area-exact") {
+    for (poly <- Seq(star(0, 0, 10, 4), cross(0, 0, 2.5, 7.5),
+                     star(3, -2, 8, 3.1, points = 7, rot = 0.3))) {
+      val tris = Overlay.triangulate(poly.exterior)
+      // collinear triples arising mid-clip drop as zero-area ears, so
+      // the count is AT MOST n-2; the area identity is the real claim
+      assert(tris.length <= poly.exterior.length - 2 && tris.nonEmpty)
+      val sum = tris.map { case (a, b, c) =>
+        math.abs((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)) / 2
+      }.sum
+      assert(math.abs(sum - Overlay.area(poly)) < 1e-9, poly.exterior.length)
+    }
+  }
+
+  test("closed-form cross area and star self-intersection identity") {
+    val c = cross(0, 0, 2.0, 6.0)
+    // plus sign: two 4x12 bars overlapping in a 4x4 center
+    assert(math.abs(Overlay.area(c) - (48 + 48 - 16)) < 1e-9)
+    val s = star(1, 2, 9, 3.5)
+    assert(math.abs(Overlay.intersectionArea(s, s) - Overlay.area(s)) < 1e-7)
+    assert(math.abs(Overlay.unionArea(s, s) - Overlay.area(s)) < 1e-7)
+  }
+
+  test("concave x concave intersection matches the ray-cast grid count") {
+    val a = star(0, 0, 10, 4, points = 6, rot = 0.2)
+    val b = cross(3, 1, 2.5, 8.5)
+    val alg = Overlay.intersectionArea(a, b)
+    val ref = gridArea((x, y) => a.contains(x, y) && b.contains(x, y),
+      -12, -12, 14, 14, cells = 900)
+    assert(math.abs(alg - ref) < 0.15, s"alg=$alg ref=$ref")
+    // symmetry
+    assert(math.abs(Overlay.intersectionArea(b, a) - alg) < 1e-7)
+    // union by inclusion-exclusion matches the OR grid count
+    val algU = Overlay.unionArea(a, b)
+    val refU = gridArea((x, y) => a.contains(x, y) || b.contains(x, y),
+      -12, -12, 14, 14, cells = 900)
+    assert(math.abs(algU - refU) < 0.15, s"algU=$algU refU=$refU")
+  }
+
+  test("disjoint and contained cases") {
+    val a = star(0, 0, 5, 2)
+    val far = cross(40, 40, 2, 6)
+    assert(Overlay.intersectionPieces(a, far).isEmpty)
+    assert(math.abs(Overlay.unionArea(a, far) - (Overlay.area(a) + Overlay.area(far))) < 1e-9)
+    // a tiny rect fully inside one star spike-free center
+    val inner = Geometry.rect(-0.5, -0.5, 0.5, 0.5)
+    assert(math.abs(Overlay.intersectionArea(a, inner) - 1.0) < 1e-9)
+  }
+
+  test("holes subtract: donut x rect by closed form") {
+    // square donut: outer 10x10, hole 4x4 centered
+    val donut = Polygon(
+      Geometry.rect(0, 0, 10, 10).exterior,
+      Seq(Geometry.rect(3, 3, 7, 7).exterior))
+    assert(math.abs(Overlay.area(donut) - 84) < 1e-9)
+    // rect covering the left half: hole contributes 2x4 of the overlap
+    val half = Geometry.rect(-1, -1, 5, 11)
+    assert(math.abs(Overlay.intersectionArea(donut, half) - (50 - 8)) < 1e-9)
+    // rect fully inside the hole: zero
+    assert(math.abs(Overlay.intersectionArea(donut, Geometry.rect(4, 4, 6, 6))) < 1e-9)
+    // signed containment: 1 in the ring body, 0 in the hole, 0 outside
+    val ps = Overlay.pieces(donut)
+    assert(Overlay.containsSigned(ps, 1.2, 5.1) == 1)
+    assert(Overlay.containsSigned(ps, 5.1, 5.2) == 0)
+    assert(Overlay.containsSigned(ps, 11.3, 5.1) == 0)
+  }
+
+  test("convex inputs agree with the exact Sutherland-Hodgman fast path") {
+    val diamonds = (1 to 6).map(i =>
+      Geometry.diamond(i * 11.0, i * 7.0, 5.0 + i))
+    val hexa = Polygon(IndexedSeq(Pt(30, 10), Pt(25, 20), Pt(12, 20),
+      Pt(7, 10), Pt(12, 0), Pt(25, 0)))
+    diamonds.foreach { d =>
+      val xs = d.exterior.map(_.x); val ys = d.exterior.map(_.y)
+      val (ix, iy) = Clip.clipRingConvex(xs, ys,
+        hexa.exterior.map(_.x), hexa.exterior.map(_.y))
+      val sh = if (ix.isEmpty) 0.0 else Clip.ringArea(ix, iy)
+      assert(math.abs(Overlay.intersectionArea(d, hexa) - sh) < 1e-8)
+    }
+  }
+
+  test("DataFrame ops: concave pieces/areas per row, no empty rows") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val polys = (1L to 4L).map { i =>
+      val s = star(i * 6.0, 5.0, 8, 3, points = 5, rot = i * 0.1)
+      (i, s.exterior.map(_.x): Seq[Double], s.exterior.map(_.y): Seq[Double])
+    }
+    val clipPoly = cross(10, 5, 3, 9)
+    val out = Overlay.intersect(polys.toDF("pid", "xs", "ys"), clipPoly)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    polys.foreach { case (pid, xs, ys) =>
+      val p = Polygon(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toIndexedSeq)
+      val expect = Overlay.intersectionArea(p, clipPoly)
+      if (expect == 0.0) assert(!out.contains(pid))
+      else assert(math.abs(out(pid) - expect) < 1e-9)
+    }
+    val u = Overlay.unionWith(polys.toDF("pid", "xs", "ys"), clipPoly)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(u.size == 4)
+    polys.foreach { case (pid, xs, ys) =>
+      val p = Polygon(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toIndexedSeq)
+      assert(math.abs(u(pid) - Overlay.unionArea(p, clipPoly)) < 1e-9)
+    }
+  }
+
+  test("bufferPieces: union of pieces equals the distance-ball region (round join)") {
+    val L = Polygon(IndexedSeq(Pt(0, 0), Pt(10, 0), Pt(10, 4),
+      Pt(4, 4), Pt(4, 10), Pt(0, 10)))
+    val d = 2.0
+    val ps = Buffer.bufferPieces(L, d, Buffer.Round(16))
+    def inPieces(x: Double, y: Double): Boolean = ps.exists(_.contains(x, y))
+    def inBall(x: Double, y: Double): Boolean = {
+      if (L.contains(x, y)) true
+      else {
+        val ext = L.exterior
+        (0 until ext.length).exists { i =>
+          val a = ext(i); val b = ext((i + 1) % ext.length)
+          Geometry.pointSegDist(x, y, a.x, a.y, b.x, b.y) <= d
+        }
+      }
+    }
+    // dense sample: piece-union and distance-ball disagree only within
+    // the inscribed-arc sliver (width d*(1-cos(pi/2/16/2)) ~ 0.005)
+    val refA = gridArea(inBall, -3, -3, 13, 13, cells = 640)
+    val pieceA = gridArea(inPieces, -3, -3, 13, 13, cells = 640)
+    assert(pieceA <= refA + 0.02, s"pieces overshoot: $pieceA vs $refA")
+    assert(refA - pieceA < 0.12, s"arc undershoot too large: $pieceA vs $refA")
+    // every sampled point inside pieces IS inside the ball (inscribed)
+    val rnd = new scala.util.Random(7)
+    (0 until 4000).foreach { _ =>
+      val x = -3 + rnd.nextDouble() * 16; val y = -3 + rnd.nextDouble() * 16
+      if (inPieces(x, y)) assert(inBall(x, y), s"($x,$y)")
+    }
+  }
+
+  test("bufferPieces miter join covers the ball and matches convex buffer on convex rings") {
+    val sq = Geometry.rect(0, 0, 8, 8)
+    val d = 1.5
+    val ps = Buffer.bufferPieces(sq, d, Buffer.Miter)
+    val exact = Buffer.buffer(sq, d) // the convex miter fast path
+    // miter union == the convex miter polygon (squares: both are the
+    // d-grown square)
+    val refA = gridArea((x, y) => exact.contains(x, y), -3, -3, 11, 11, cells = 640)
+    val pieceA = gridArea((x, y) => ps.exists(_.contains(x, y)), -3, -3, 11, 11, cells = 640)
+    assert(math.abs(refA - pieceA) < 0.05, s"$pieceA vs $refA")
+    // concave ring: rejected by buffer, accepted by bufferPieces
+    val L = Polygon(IndexedSeq(Pt(0, 0), Pt(10, 0), Pt(10, 4),
+      Pt(4, 4), Pt(4, 10), Pt(0, 10)))
+    intercept[IllegalArgumentException](Buffer.buffer(L, 1.0))
+    assert(Buffer.bufferPieces(L, 1.0, Buffer.Miter).nonEmpty)
+    intercept[IllegalArgumentException](Buffer.bufferPieces(L, -1.0))
+  }
+
+  test("ear clipping rejects self-intersecting rings loudly") {
+    val bowtie = IndexedSeq(Pt(0, 0), Pt(4, 4), Pt(4, 0), Pt(0, 4))
+    intercept[IllegalArgumentException](Overlay.triangulate(bowtie))
+  }
+}
