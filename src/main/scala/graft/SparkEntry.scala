@@ -810,6 +810,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_points"), sum("pid").cast("long").as("pid_sum"))
     }),
 
+    "q_spatial_join_grid" -> ((s, dir) => {
+      // r16: the SAME join FORCED through the distributed grid-bucket
+      // plan (maxPolys = 0) — exact-equal to the broadcast plan, so it
+      // shares q_spatial_join's oracle SQL verbatim
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val r = lit(20.3)
+      val polys = supplierPoints(s, dir).where(col("pid") >= 1 && col("pid") <= 5)
+        .select(col("pid").as("gid"), concat(
+          lit("POLYGON (("),
+          str(col("px")), lit(" "), str(col("py") - r), lit(", "),
+          str(col("px") + r), lit(" "), str(col("py")), lit(", "),
+          str(col("px")), lit(" "), str(col("py") + r), lit(", "),
+          str(col("px") - r), lit(" "), str(col("py")), lit(", "),
+          str(col("px")), lit(" "), str(col("py") - r), lit("))")).as("wkt"))
+      graft.vector.SpatialJoin.pointsInPolygons(supplierPoints(s, dir), polys,
+          maxPolys = 0)
+        .groupBy("gid")
+        .agg(count(lit(1)).as("n_points"), sum("pid").cast("long").as("pid_sum"))
+    }),
+
     "q_class_breaks_equal" -> ((s, dir) =>
       // equal-interval classification breaks over the grid stats
       HistogramOps.equalIntervalBreaks(lineitemLayer(s, dir), 7)),
@@ -1203,6 +1223,23 @@ object SparkEntry {
 
     "q_quantile_breaks_int" -> ((s, dir) =>
       HistogramOps.quantileBreaksExactInt(lineitemLayer(s, dir), Seq(0.25, 0.5, 0.75))),
+
+    "q_quantile_degrade" -> ((s, dir) =>
+      // r16 degrade path FORCED (maxDistinct = 1): same rank selection
+      // over the deterministic md5 cell-hash sample at 137 permille
+      HistogramOps.quantileBreaksExactInt(lineitemLayer(s, dir),
+        Seq(0.25, 0.5, 0.75), maxDistinct = 1, samplePermille = 137)),
+
+    "q_equalize_degrade" -> ((s, dir) =>
+      // r16 degrade path FORCED: 64-bucket quantized CDF remap
+      flat(HistogramOps.equalize(lineitemLayer(s, dir),
+        maxDistinct = 1, quantBuckets = 64))),
+
+    "q_hist_match_degrade" -> ((s, dir) =>
+      // r16 degrade path FORCED on both sides: bucket CDFs, smallest
+      // real member value as each bucket's representative
+      flat(HistogramOps.matchHistogram(lineitemLayer(s, dir), ordersLayer(s, dir),
+        maxDistinct = 1, quantBuckets = 64))),
 
     "q_histogram_cdf" -> ((s, dir) => HistogramOps.cdf(lineitemLayer(s, dir))),
 
@@ -4142,8 +4179,16 @@ object SparkEntry {
            |FROM e, agg""".stripMargin,
 
       // the ray-cast even-odd test on a diamond == the L1 closed form
-      // (strict interior; r = 20.3 vs integral |dx|+|dy| -> no ties)
+      // (strict interior; r = 20.3 vs integral |dx|+|dy| -> no ties);
+      // the grid-bucket plan is exact-equal, so it shares the SQL
       "q_spatial_join" ->
+        s"""WITH g AS (SELECT pid AS gid, px AS cx, py AS cy FROM ($pts) WHERE pid BETWEEN 1 AND 5),
+           |p AS ($pts)
+           |SELECT g.gid, count(*) AS n_points, CAST(sum(p.pid) AS BIGINT) AS pid_sum
+           |FROM g JOIN p ON abs(p.px - g.cx) + abs(p.py - g.cy) < 20.3
+           |GROUP BY 1""".stripMargin,
+
+      "q_spatial_join_grid" ->
         s"""WITH g AS (SELECT pid AS gid, px AS cx, py AS cy FROM ($pts) WHERE pid BETWEEN 1 AND 5),
            |p AS ($pts)
            |SELECT g.gid, count(*) AS n_points, CAST(sum(p.pid) AS BIGINT) AS pid_sum
@@ -4670,6 +4715,52 @@ object SparkEntry {
            |       min(CASE WHEN cum >= 0.5 * total THEN v END) AS q1,
            |       min(CASE WHEN cum >= 0.75 * total THEN v END) AS q2
            |FROM w, n""".stripMargin,
+
+      // the forced sample fallback: identical rank machinery over the
+      // portable md5 cell-hash sample (137 permille)
+      "q_quantile_degrade" ->
+        s"""WITH s AS (SELECT v FROM ($grid)
+           |  WHERE ('0x' || substr(md5(CAST(x AS VARCHAR) || ',' || CAST(y AS VARCHAR)), 1, 15))::BIGINT % 1000 < 137),
+           |c AS (SELECT CAST(v AS BIGINT) AS v, count(*) AS cnt FROM s GROUP BY 1),
+           |w AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM c),
+           |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+           |SELECT min(CASE WHEN cum >= 0.25 * total THEN v END) AS q0,
+           |       min(CASE WHEN cum >= 0.5 * total THEN v END) AS q1,
+           |       min(CASE WHEN cum >= 0.75 * total THEN v END) AS q2
+           |FROM w, n""".stripMargin,
+
+      // the forced 64-bucket quantized equalize: binCounts' proven
+      // bucket formula feeding the same all-integer CDF remap
+      "q_equalize_degrade" ->
+        s"""WITH g AS ($grid),
+           |mm AS (SELECT min(v) AS mn, max(v) AS mx FROM g),
+           |b AS (SELECT x, y, least(floor((v - mn) / ((mx - mn) / 64)), 63) AS k FROM g, mm),
+           |c AS (SELECT k, count(*) AS cnt FROM b GROUP BY 1),
+           |cu AS (SELECT k, sum(cnt) OVER (ORDER BY k) AS cum FROM c),
+           |p AS (SELECT (SELECT sum(cnt) FROM c) AS n, (SELECT min(cum) FROM cu) AS cmin),
+           |m AS (SELECT k, CASE WHEN p.n > p.cmin
+           |        THEN (cu.cum - p.cmin) * 255 // (p.n - p.cmin) ELSE 0 END AS nv
+           |      FROM cu, p)
+           |SELECT b.x, b.y, CAST(m.nv AS DOUBLE) AS v FROM b JOIN m USING (k)""".stripMargin,
+
+      // the forced bucket histogram match: bucket CDFs on both sides,
+      // smallest member value as each target bucket's representative
+      "q_hist_match_degrade" ->
+        s"""WITH g AS ($grid),
+           |smm AS (SELECT min(v) AS mn, max(v) AS mx FROM g),
+           |sb AS (SELECT x, y, least(floor((v - mn) / ((mx - mn) / 64)), 63) AS k FROM g, smm),
+           |s0 AS (SELECT k, count(*) AS c FROM sb GROUP BY 1),
+           |sc AS (SELECT k, sum(c) OVER (ORDER BY k) AS cum FROM s0),
+           |sn AS (SELECT sum(c) AS n FROM s0),
+           |og AS ($ogrid),
+           |tmm AS (SELECT min(v) AS mn, max(v) AS mx FROM og),
+           |tb AS (SELECT least(floor((v - mn) / ((mx - mn) / 64)), 63) AS k, v FROM og, tmm),
+           |t0 AS (SELECT k, count(*) AS c, min(v) AS rep FROM tb GROUP BY 1),
+           |tc AS (SELECT k, rep, sum(c) OVER (ORDER BY k) AS cum FROM t0),
+           |tn AS (SELECT sum(c) AS n FROM t0),
+           |mp AS (SELECT sc.k AS k, min(tc.rep) AS mv
+           |  FROM sc, sn, tc, tn WHERE tc.cum * sn.n >= sc.cum * tn.n GROUP BY 1)
+           |SELECT sb.x, sb.y, mp.mv AS v FROM sb JOIN mp USING (k)""".stripMargin,
 
       "q_histogram_cdf" ->
         s"""WITH g AS ($grid), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM g),

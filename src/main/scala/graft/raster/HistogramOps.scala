@@ -127,29 +127,43 @@ object HistogramOps {
     * distinct ints cross the exchange) then a window over the distinct
     * values — the small side at any scale. */
   def quantileBreaksExactInt(layer: RasterLayer, qs: Seq[Double],
-                             maxDistinct: Long = 10000000L): DataFrame = {
-    val counts = layer.toCells.select(col("v").cast("long").as("v"))
-      .groupBy("v").agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("v").rowsBetween(Long.MinValue, 0)
+                             maxDistinct: Long = 10000000L,
+                             samplePermille: Int = 61): DataFrame = {
     // the global (unpartitioned) window below sees one row per DISTINCT
     // integer value — small for the classified/categorical layers this
     // op exists for, but NOT bounded by construction (a unique-int-per-
     // cell layer would funnel every value through one partition). The
     // total-count action already runs here, so piggyback the distinct
-    // count on it and refuse pathological cardinalities explicitly —
-    // continuous layers belong on quantileBreaks' t-digest path.
-    val head = counts.agg(sum("cnt").as("t"), count(lit(1)).as("d")).head()
-    val total = head.getLong(0)
-    require(head.getLong(1) <= maxDistinct,
-      s"quantileBreaksExactInt: ${head.getLong(1)} distinct values exceeds " +
-        s"maxDistinct=$maxDistinct (single-partition window bound); " +
-        "use quantileBreaks (t-digest) for continuous layers")
-    val cum = counts.withColumn("cum", sum("cnt").over(w))
-    cum.select(qs.zipWithIndex.map { case (q, i) =>
-      min(when(col("cum") >= lit(q) * total, col("v"))).as(s"q$i")
-    }: _*)
+    // count on it; past maxDistinct the op DEGRADES (r16) to the same
+    // rank selection over a deterministic md5 cell-hash sample (the
+    // sampledQuantiles discipline — content-stable, so still
+    // oracle-checkable) instead of refusing. The sampled window sees
+    // ~permille/1000 of the distinct values; size `samplePermille` so
+    // that fits one task at the target scale (±O(1/sqrt(sample)) rank
+    // error — standard sampling bounds).
+    def breaksOf(cells: DataFrame): DataFrame = {
+      val counts = cells.select(col("v").cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("v").rowsBetween(Long.MinValue, 0)
+      val total = counts.agg(sum("cnt")).head().getLong(0)
+      val cum = counts.withColumn("cum", sum("cnt").over(w))
+      cum.select(qs.zipWithIndex.map { case (q, i) =>
+        min(when(col("cum") >= lit(q) * total, col("v"))).as(s"q$i")
+      }: _*)
+    }
+    val d = layer.toCells.select(col("v").cast("long").as("v"))
+      .agg(count_distinct(col("v"))).head().getLong(0)
+    if (d <= maxDistinct) breaksOf(layer.toCells)
+    else breaksOf(layer.toCells.where(cellHash60 % 1000 < samplePermille))
   }
+
+  /** Portable per-cell 60-bit hash for deterministic cell sampling —
+    * the md5 trick stated identically in DuckDB
+    * (`('0x' || substr(md5(x || ',' || y), 1, 15))::BIGINT`). */
+  private[graft] def cellHash60: Column =
+    conv(substring(md5(concat(col("x").cast("string"), lit(","),
+      col("y").cast("string"))), 1, 15), 16, 10).cast("long")
 
   /** Percentile contrast stretch (the gdal_translate -scale /
     * ArcGIS percent-clip stretch): clamp to the exact rational-q
@@ -191,25 +205,41 @@ object HistogramOps {
     * [[quantileBreaksExactInt]]); the value->value map broadcasts and
     * applies as a per-tile scan — no cell shuffle. Spatial layers
     * (the [[Focal]] terrain convention). */
-  def equalize(layer: RasterLayer, maxDistinct: Long = 1L << 22): RasterLayer = {
+  def equalize(layer: RasterLayer, maxDistinct: Long = 1L << 22,
+               quantBuckets: Int = 1 << 22): RasterLayer = {
     val spark = layer.spark
     import spark.implicits._
     val counts = layer.toCells.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
     val head = counts.agg(sum("cnt").as("t"), count(lit(1)).as("d")).head()
     if (head.isNullAt(0)) return layer // empty layer: nothing to remap
     val total = head.getLong(0)
-    require(head.getLong(1) <= maxDistinct,
-      s"equalize: ${head.getLong(1)} distinct values exceeds maxDistinct=" +
-        s"$maxDistinct (driver map + single-partition window bound)")
+    // Past maxDistinct the op DEGRADES (r16) instead of refusing:
+    // values quantize to `quantBuckets` equal-width buckets (the
+    // binCounts formula) and the CDF remap runs on bucket indices.
+    // Equalization output is RANK-based — it depends only on the value
+    // GROUPING, never the magnitudes — so whenever quantization is
+    // injective on the layer's values the degraded output EQUALS the
+    // exact one (HistogramOpsSpec proves it); beyond that it is the
+    // standard binned equalization (error bounded by the bucket width).
+    val (workLayer, workCounts) =
+      if (head.getLong(1) <= maxDistinct) (layer, counts)
+      else {
+        val (mn, mx) = layer.minMax()
+        if (mx == mn) return layer.localMap(c => when(isnan(c), c).otherwise(lit(0.0)))
+        val width = (mx - mn) / quantBuckets
+        val bucketed = layer.localMap(c => when(isnan(c), c).otherwise(
+          least(floor((c - lit(mn)) / lit(width)), lit(quantBuckets - 1.0))))
+        (bucketed, bucketed.toCells.groupBy(col("v")).agg(count(lit(1)).as("cnt")))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("v").rowsBetween(Long.MinValue, 0)
-    val cum = counts.withColumn("cum", sum("cnt").over(w))
+    val cum = workCounts.withColumn("cum", sum("cnt").over(w))
       .select(col("v"), col("cum")).as[(Double, Long)].collect()
     val cmin = cum.iterator.map(_._2).min
     val remap = cum.map { case (v, c) =>
       v -> (if (total > cmin) (c - cmin) * 255L / (total - cmin) else 0L).toDouble
     }.toMap
-    remapTiles(layer, remap)
+    remapTiles(workLayer, remap)
   }
 
   /** Histogram matching — geotrellis HistogramMatching (public
@@ -227,33 +257,63 @@ object HistogramOps {
     * Count products must fit a long (Ns * Nt < 2^63 — holds to ~3e9
     * cells per side; quantize histograms first beyond that). */
   def matchHistogram(layer: RasterLayer, target: RasterLayer,
-                     maxDistinct: Long = 1L << 22): RasterLayer = {
+                     maxDistinct: Long = 1L << 22,
+                     quantBuckets: Int = 1 << 22): RasterLayer = {
     val spark = layer.spark
     import spark.implicits._
-    def cum(l: RasterLayer): Array[(Double, Long)] = {
-      val counts = l.toCells.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("v").rowsBetween(Long.MinValue, 0)
-      counts.withColumn("cum", sum("cnt").over(w))
-        .select(col("v"), col("cum")).as[(Double, Long)].collect().sortBy(_._1)
+    // Past maxDistinct a side DEGRADES (r16) instead of refusing: its
+    // value domain quantizes to `quantBuckets` equal-width buckets
+    // (the binCounts formula), each bucket represented by its SMALLEST
+    // member value — so whenever quantization is injective on a side's
+    // values the degraded result EQUALS the exact one
+    // (HistogramOpsSpec), and beyond that the matched values are real
+    // target values with rank error bounded by the bucket occupancy.
+    def bucketed(l: RasterLayer): RasterLayer = {
+      val (mn, mx) = l.minMax()
+      if (mx == mn) return l
+      val width = (mx - mn) / quantBuckets
+      l.localMap(c => when(isnan(c), c).otherwise(
+        least(floor((c - lit(mn)) / lit(width)), lit(quantBuckets - 1.0))))
     }
-    val src = cum(layer)
+    // (rep value, cum count) per distinct working value; rep = min real
+    // value in the group (== the value itself on the exact path)
+    def cum(l: RasterLayer, degraded: Boolean): Array[(Double, Double, Long)] = {
+      val cells =
+        if (!degraded) l.toCells.select(col("v").as("k"), col("v"))
+        else {
+          val (mn, mx) = l.minMax()
+          val width = if (mx == mn) 1.0 else (mx - mn) / quantBuckets
+          l.toCells.select(
+            least(floor((col("v") - lit(mn)) / lit(width)), lit(quantBuckets - 1.0)).as("k"),
+            col("v"))
+        }
+      val counts = cells.groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), min(col("v")).as("rep"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("k").rowsBetween(Long.MinValue, 0)
+      counts.withColumn("cum", sum("cnt").over(w))
+        .select(col("k"), col("rep"), col("cum")).as[(Double, Double, Long)]
+        .collect().sortBy(_._1)
+    }
+    def distinctOf(l: RasterLayer): Long =
+      l.toCells.agg(count_distinct(col("v"))).head().getLong(0)
+    val srcDegraded = distinctOf(layer) > maxDistinct
+    val src = cum(layer, srcDegraded)
     if (src.isEmpty) return layer
-    val tgt = cum(target)
+    val tgtDegraded = distinctOf(target) > maxDistinct
+    val tgt = cum(target, tgtDegraded)
     require(tgt.nonEmpty, "matchHistogram: empty target layer")
-    require(src.length <= maxDistinct && tgt.length <= maxDistinct,
-      s"matchHistogram: ${src.length}/${tgt.length} distinct values exceed maxDistinct=$maxDistinct")
-    val ns = src.last._2
-    val nt = tgt.last._2
-    val remap = src.map { case (v, cs) =>
+    val ns = src.last._3
+    val nt = tgt.last._3
+    val remap = src.map { case (k, _, cs) =>
       var lo = 0; var hi = tgt.length - 1
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (tgt(mid)._2 * ns >= cs * nt) hi = mid else lo = mid + 1
+        if (tgt(mid)._3 * ns >= cs * nt) hi = mid else lo = mid + 1
       }
-      v -> tgt(lo)._1
+      k -> tgt(lo)._2
     }.toMap
-    remapTiles(layer, remap)
+    remapTiles(if (srcDegraded) bucketed(layer) else layer, remap)
   }
 
   /** Apply a broadcast value->value table per tile — the shared tail

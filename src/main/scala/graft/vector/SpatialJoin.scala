@@ -5,30 +5,36 @@ import org.apache.spark.sql.functions._
 
 /** Vector point-in-polygon spatial join — the "which zone is each
   * point in" primitive (geotrellis vector joins / shapely contains in
-  * the reference's mask arguments), expressed Spark-first: the
-  * polygon side is the DIM side and broadcasts; points stream through
-  * a bbox prefilter then the exact even-odd test per candidate. No
-  * shuffle touches the point side.
+  * the reference's mask arguments), expressed Spark-first with TWO
+  * plans chosen by dim-side size:
   *
-  * Scale shape: polygons collect driver-side under `maxPolys` (loud
-  * failure beyond — at millions of polygons the right plan is the
-  * rasterize path: burn polygon ids to a zone raster and key-join,
-  * which the engine already has). Each executor holds the parsed
-  * geometry list once via broadcast.
+  *  - BROADCAST (≤ maxPolys): polygons collect driver-side, each
+  *    executor holds the parsed list once, points stream through a
+  *    bbox prefilter then the exact even-odd test. No shuffle touches
+  *    the point side.
+  *  - GRID-BUCKET (beyond maxPolys, automatic since r16): polygons
+  *    explode to the coarse grid buckets their bbox overlaps, points
+  *    key to their single containing bucket, and an equi-join on the
+  *    bucket feeds the SAME bbox + even-odd exact test. Per-polygon
+  *    fan-out = its bbox's bucket count (the auto cell size targets
+  *    ~4); each (point, polygon) pair meets exactly once — in the
+  *    point's bucket — so no dedup pass is needed and the result is
+  *    EXACTLY the broadcast plan's (SpatialJoinSpec proves equality).
+  *    No broadcast, no all-pairs: the 100 TB path.
   */
 object SpatialJoin {
 
   /** Join points (pid, px, py) to polygons (gid, wkt): one row per
     * (point, containing polygon) — points in no polygon emit nothing,
-    * points in several emit several. */
+    * points in several emit several. Automatically switches to the
+    * distributed [[pointsInPolygonsGrid]] plan past `maxPolys`. */
   def pointsInPolygons(points: DataFrame, polys: DataFrame,
                        maxPolys: Int = 1 << 16): DataFrame = {
+    val nPolys = polys.count()
+    if (nPolys > maxPolys) return pointsInPolygonsGrid(points, polys)
     val spark = points.sparkSession
     import spark.implicits._
     val collected = polys.select(col("gid").cast("long"), col("wkt")).collect()
-    require(collected.length <= maxPolys,
-      s"${collected.length} polygons exceed maxPolys=$maxPolys; " +
-        "rasterize polygon ids to a zone layer and key-join instead")
     val parsed: Array[(Long, Array[((Double, Double, Double, Double), Polygon)])] =
       collected.map { r =>
         r.getLong(0) -> Wkt.parsePolygons(r.getString(1)).map(p => (p.bbox, p)).toArray
@@ -44,6 +50,66 @@ object SpatialJoin {
               x >= x0 && x <= x1 && y >= y0 && y <= y1 && poly.contains(x, y)
             } => (pid, gid)
           }
+        }
+      }
+      .toDF("pid", "gid")
+  }
+
+  /** Distributed point-in-polygon join (the past-maxPolys plan): an
+    * equi-join on coarse grid buckets, then the exact test. `cellSize`
+    * ≤ 0 derives one from the average polygon bbox (~4 buckets per
+    * polygon). Exact — equal to the broadcast plan on any input. */
+  def pointsInPolygonsGrid(points: DataFrame, polys: DataFrame,
+                           cellSize: Double = 0.0): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val p = polys.select(col("gid").cast("long"), col("wkt")).as[(Long, String)]
+    val cell =
+      if (cellSize > 0) cellSize
+      else {
+        // one bounded agg over the dim side: mean bbox extent
+        val dims = p.map { case (_, wkt) =>
+          val bs = Wkt.parsePolygons(wkt).map(_.bbox)
+          val w = bs.map(b => b._3 - b._1).maxOption.getOrElse(0.0)
+          val h = bs.map(b => b._4 - b._2).maxOption.getOrElse(0.0)
+          (w, h)
+        }.toDF("w", "h").agg(avg("w"), avg("h")).head()
+        math.max(1e-9, math.max(dims.getDouble(0), dims.getDouble(1)))
+      }
+    // polygon side: one row per (covered bucket, gid); the wkt rides
+    // along and re-parses behind a per-partition gid cache at probe time
+    val polyBuckets = p.flatMap { case (gid, wkt) =>
+      val boxes = Wkt.parsePolygons(wkt).map(_.bbox)
+      val buckets = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+      boxes.foreach { case (x0, y0, x1, y1) =>
+        var bx = math.floor(x0 / cell).toLong
+        while (bx <= math.floor(x1 / cell).toLong) {
+          var by = math.floor(y0 / cell).toLong
+          while (by <= math.floor(y1 / cell).toLong) {
+            buckets += ((bx, by))
+            by += 1
+          }
+          bx += 1
+        }
+      }
+      buckets.iterator.map { case (bx, by) => (bx, by, gid, wkt) }
+    }.toDF("bx", "by", "gid", "wkt")
+    val pts = points.select(col("pid").cast("long"), col("px"), col("py"))
+      .withColumn("bx", floor(col("px") / cell).cast("long"))
+      .withColumn("by", floor(col("py") / cell).cast("long"))
+    pts.join(polyBuckets, Seq("bx", "by"))
+      .select(col("pid"), col("px"), col("py"), col("gid"), col("wkt"))
+      .as[(Long, Double, Double, Long, String)]
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.HashMap
+          .empty[Long, Array[((Double, Double, Double, Double), Polygon)]]
+        it.flatMap { case (pid, x, y, gid, wkt) =>
+          val ps = cache.getOrElseUpdate(gid,
+            Wkt.parsePolygons(wkt).map(q => (q.bbox, q)).toArray)
+          val hit = ps.exists { case ((x0, y0, x1, y1), poly) =>
+            x >= x0 && x <= x1 && y >= y0 && y <= y1 && poly.contains(x, y)
+          }
+          if (hit) Some((pid, gid)) else None
         }
       }
       .toDF("pid", "gid")

@@ -404,6 +404,44 @@ class RasterLayerSpec extends SparkSpec {
       Set((0L, 0L, 10.0), (1L, 0L, 10.0), (2L, 0L, 20.0), (3L, 0L, 30.0)))
   }
 
+  test("past-maxDistinct degrade paths: injective quantization equals the exact path") {
+    // 16 distinct integer values 0..15 on a 16-bucket lattice: the
+    // quantize fallback is injective, so the degraded output must be
+    // BIT-EQUAL to the exact path (the guard-0 equality contract)
+    val cells = (0 until 16).map(i => (i.toLong % 8, i.toLong / 8, i.toDouble))
+    val l = layer(cells: _*)
+    val exact = cellsOf(HistogramOps.equalize(l))
+    val degraded = cellsOf(HistogramOps.equalize(l, maxDistinct = 1, quantBuckets = 16))
+    assert(degraded == exact)
+    // matchHistogram: force BOTH sides through the bucket path
+    val tgt = layer((0, 0, 100.0), (1, 0, 200.0))
+    val exactM = cellsOf(HistogramOps.matchHistogram(l, tgt))
+    val degradedM = cellsOf(
+      HistogramOps.matchHistogram(l, tgt, maxDistinct = 1, quantBuckets = 16))
+    assert(degradedM == exactM)
+    // genuinely lossy buckets still emit REAL target values, monotone in v
+    val lossy = cellsOf(HistogramOps.matchHistogram(l, tgt, maxDistinct = 1, quantBuckets = 4))
+    assert(lossy.map(_._3).subsetOf(Set(100.0, 200.0)))
+    val byV = cells.sortBy(_._3).map { case (x, y, _) =>
+      lossy.find(c => c._1 == x && c._2 == y).get._3 }
+    assert(byV == byV.sorted)
+  }
+
+  test("quantileBreaksExactInt degrades to the deterministic cell-hash sample") {
+    val cells = (0 until 64).map(i => (i.toLong % 8, i.toLong / 8, (i % 16).toDouble))
+    val l = layer(cells: _*)
+    val qs = Seq(0.25, 0.5, 0.9)
+    val exact = HistogramOps.quantileBreaksExactInt(l, qs).head()
+    // permille 1000 samples EVERYTHING: forced fallback == exact
+    val full = HistogramOps.quantileBreaksExactInt(l, qs,
+      maxDistinct = 1, samplePermille = 1000).head()
+    assert((0 until 3).forall(i => full.getLong(i) == exact.getLong(i)))
+    // a real sample rate returns values from the layer's domain
+    val sampled = HistogramOps.quantileBreaksExactInt(l, qs,
+      maxDistinct = 1, samplePermille = 400).head()
+    assert((0 until 3).forall(i => sampled.getLong(i) >= 0 && sampled.getLong(i) <= 15))
+  }
+
   test("equalize/matchHistogram keep the instant column on temporal layers") {
     val l = RasterLayer.fromCellsTemporal(
       Seq((0L, 0L, 1L, 10.0), (1L, 0L, 1L, 20.0), (0L, 0L, 2L, 30.0))

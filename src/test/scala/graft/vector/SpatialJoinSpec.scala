@@ -18,12 +18,30 @@ class SpatialJoinSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (3L, 10L), (2L, 20L), (3L, 20L), (1L, 30L)))
   }
 
-  test("maxPolys ceiling fails loudly") {
-    val pts = Seq((1L, 1.0, 1.0)).toDF("pid", "px", "py")
-    val polys = Seq((1L, "POLYGON ((0 0, 2 0, 2 2, 0 2))"),
-      (2L, "POLYGON ((0 0, 2 0, 2 2, 0 2))")).toDF("gid", "wkt")
-    val e = intercept[IllegalArgumentException](
-      SpatialJoin.pointsInPolygons(pts, polys, maxPolys = 1))
-    assert(e.getMessage.contains("maxPolys"))
+  test("past maxPolys the grid-bucket plan runs and equals the broadcast plan") {
+    // 40 points x 12 polygons (holes + multipolygons included):
+    // maxPolys = 0 forces the distributed plan; results must be set-equal
+    val rnd = new scala.util.Random(11)
+    val pts = (1L to 40L).map(i =>
+      (i, rnd.nextDouble() * 20, rnd.nextDouble() * 20)).toDF("pid", "px", "py")
+    val polys = (1L to 12L).map { g =>
+      val x = (g % 4) * 5.0; val y = (g / 4) * 6.0
+      if (g % 3 == 0)
+        (g, s"POLYGON (($x $y, ${x + 6} $y, ${x + 6} ${y + 6}, $x ${y + 6}), " +
+          s"(${x + 2} ${y + 2}, ${x + 4} ${y + 2}, ${x + 4} ${y + 4}, ${x + 2} ${y + 4}))")
+      else
+        (g, s"POLYGON (($x $y, ${x + 4} $y, ${x + 4} ${y + 4}, $x ${y + 4}))")
+    }.toDF("gid", "wkt")
+    val broadcastPlan = SpatialJoin.pointsInPolygons(pts, polys)
+      .as[(Long, Long)].collect().toSet
+    val gridPlan = SpatialJoin.pointsInPolygons(pts, polys, maxPolys = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(broadcastPlan.nonEmpty)
+    assert(gridPlan == broadcastPlan)
+    // and with an explicit (awkwardly small) cell size — fan-out grows,
+    // pairs still meet exactly once
+    val tiny = SpatialJoin.pointsInPolygonsGrid(pts, polys, cellSize = 0.9)
+      .as[(Long, Long)].collect()
+    assert(tiny.toSet == broadcastPlan && tiny.length == tiny.toSet.size)
   }
 }
