@@ -1407,6 +1407,57 @@ object SparkEntry {
         round(expr(eE), 4).as("e_aea"), round(expr(nE), 4).as("n_aea"))
     }),
 
+    "q_reproject_lambert93" -> ((s, dir) => {
+      // RGF93 / Lambert-93 (EPSG:2154, the French national grid) —
+      // LCC registered by NUMBER (r16); same one-SQL-text contract
+      val l93 = graft.core.CRS.fromName("EPSG:2154")
+        .asInstanceOf[graft.core.CRS.LambertConformalConic]
+      val (steps, eE, nE) = l93.forwardSqlSteps
+      val base = customerLonLat(s, dir).where(
+        col("lon") >= -10 && col("lon") <= 15 && col("lat") >= 38 && col("lat") <= 55)
+      val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
+      full.select(col("pid"),
+        round(expr(eE), 4).as("e_l93"), round(expr(nE), 4).as("n_l93"))
+    }),
+
+    "q_reproject_nztm" -> ((s, dir) => {
+      // NZGD2000 / NZTM2000 (EPSG:2193) — generic tmerc on GRS80
+      // registered by NUMBER (r16)
+      val nztm = graft.core.CRS.fromName("EPSG:2193")
+        .asInstanceOf[graft.core.CRS.Tmerc]
+      val (steps, eE, nE) = nztm.forwardSqlSteps
+      val base = customerLonLat(s, dir).where(
+        col("lon") >= 165 && col("lon") <= 180 && col("lat") >= -48 && col("lat") <= -34)
+      val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
+      full.select(col("pid"),
+        round(expr(eE), 4).as("e_nztm"), round(expr(nE), 4).as("n_nztm"))
+    }),
+
+    "q_reproject_laea" -> ((s, dir) => {
+      // ETRS89-extended / LAEA Europe (EPSG:3035, the pan-European
+      // statistical grid) — Snyder §24 ellipsoidal (r16)
+      val laea = graft.core.CRS.fromName("EPSG:3035")
+        .asInstanceOf[graft.core.CRS.LambertAzimuthalEqualArea]
+      val (steps, eE, nE) = laea.forwardSqlSteps
+      val base = customerLonLat(s, dir).where(
+        col("lon") >= -15 && col("lon") <= 35 && col("lat") >= 30 && col("lat") <= 72)
+      val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
+      full.select(col("pid"),
+        round(expr(eE), 4).as("e_laea"), round(expr(nE), 4).as("n_laea"))
+    }),
+
+    "q_reproject_cea" -> ((s, dir) => {
+      // EASE-Grid 2.0 Global (EPSG:6933, cylindrical equal-area
+      // lat_ts 30) over ALL customer points — Snyder §10 (r16)
+      val cea = graft.core.CRS.fromName("EPSG:6933")
+        .asInstanceOf[graft.core.CRS.CylindricalEqualArea]
+      val (steps, eE, nE) = cea.forwardSqlSteps
+      val full = steps.foldLeft(customerLonLat(s, dir)) {
+        case (df, (name, f)) => df.withColumn(name, expr(f)) }
+      full.select(col("pid"),
+        round(expr(eE), 4).as("e_cea"), round(expr(nE), 4).as("n_cea"))
+    }),
+
     "q_reproject_sinu" -> ((s, dir) => {
       // MODIS sinusoidal sphere (+proj=sinu +R=6371007.181) over ALL
       // customer points — the spherical forward is exact everywhere
@@ -1834,6 +1885,18 @@ object SparkEntry {
       val cells = flat(lineitemLayer(s, dir))
       cells.select(col("x"), col("y"),
         ColorMap.colorize(col("v"), Seq(100.0, 200.0, 400.0), "Viridis").as("argb"))
+    }),
+
+    "q_color_matplotlib" -> ((s, dir) => {
+      // get_colors_from_matplotlib surface (r16): lowercase matplotlib
+      // spelling, DENSE 16-color resample of the 5-anchor plasma ramp
+      // — exercises the interpolation at non-anchor fractions
+      val cells = flat(lineitemLayer(s, dir))
+      val breaks = (1 to 16).map(i => i * 25.0)
+      cells.select(col("x"), col("y"),
+        ColorMap.colorFor(
+          ColorMap.classify(col("v"), breaks),
+          ColorMap.fromMatplotlib("plasma", 16)).as("argb"))
     }),
 
     "q_render_png" -> ((s, dir) => {
@@ -4973,6 +5036,53 @@ object SparkEntry {
           s" SELECT pid, round($eE, 4) AS e_aea, round($nE, 4) AS n_aea FROM a${steps.size}")
       },
 
+      "q_reproject_lambert93" -> {
+        val l93 = graft.core.CRS.fromName("EPSG:2154")
+          .asInstanceOf[graft.core.CRS.LambertConformalConic]
+        val (steps, eE, nE) = l93.forwardSqlSteps
+        val ctes = steps.zipWithIndex.map { case ((name, f), i) =>
+          s"l${i + 1} AS (SELECT *, $f AS $name FROM l$i)"
+        }
+        (s"WITH l0 AS (SELECT * FROM ($lonlat) WHERE lon >= -10 AND lon <= 15 AND lat >= 38 AND lat <= 55), " +
+          ctes.mkString(", ") +
+          s" SELECT pid, round($eE, 4) AS e_l93, round($nE, 4) AS n_l93 FROM l${steps.size}")
+      },
+
+      "q_reproject_nztm" -> {
+        val nztm = graft.core.CRS.fromName("EPSG:2193")
+          .asInstanceOf[graft.core.CRS.Tmerc]
+        val (steps, eE, nE) = nztm.forwardSqlSteps
+        val ctes = steps.zipWithIndex.map { case ((name, f), i) =>
+          s"z${i + 1} AS (SELECT *, $f AS $name FROM z$i)"
+        }
+        (s"WITH z0 AS (SELECT * FROM ($lonlat) WHERE lon >= 165 AND lon <= 180 AND lat >= -48 AND lat <= -34), " +
+          ctes.mkString(", ") +
+          s" SELECT pid, round($eE, 4) AS e_nztm, round($nE, 4) AS n_nztm FROM z${steps.size}")
+      },
+
+      "q_reproject_laea" -> {
+        val laea = graft.core.CRS.fromName("EPSG:3035")
+          .asInstanceOf[graft.core.CRS.LambertAzimuthalEqualArea]
+        val (steps, eE, nE) = laea.forwardSqlSteps
+        val ctes = steps.zipWithIndex.map { case ((name, f), i) =>
+          s"e${i + 1} AS (SELECT *, $f AS $name FROM e$i)"
+        }
+        (s"WITH e0 AS (SELECT * FROM ($lonlat) WHERE lon >= -15 AND lon <= 35 AND lat >= 30 AND lat <= 72), " +
+          ctes.mkString(", ") +
+          s" SELECT pid, round($eE, 4) AS e_laea, round($nE, 4) AS n_laea FROM e${steps.size}")
+      },
+
+      "q_reproject_cea" -> {
+        val cea = graft.core.CRS.fromName("EPSG:6933")
+          .asInstanceOf[graft.core.CRS.CylindricalEqualArea]
+        val (steps, eE, nE) = cea.forwardSqlSteps
+        val ctes = steps.zipWithIndex.map { case ((name, f), i) =>
+          s"c${i + 1} AS (SELECT *, $f AS $name FROM c$i)"
+        }
+        (s"WITH c0 AS (SELECT * FROM ($lonlat)), " + ctes.mkString(", ") +
+          s" SELECT pid, round($eE, 4) AS e_cea, round($nE, 4) AS n_cea FROM c${steps.size}")
+      },
+
       "q_reproject_sinu" -> {
         val sinu = graft.core.CRS
           .fromName("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181")
@@ -5378,6 +5488,15 @@ object SparkEntry {
         val cs = render.ColorMap.rampColors("Viridis", 3)
         s"""SELECT x, y, CAST(CASE WHEN v <= 100 THEN ${cs(0)} WHEN v <= 200 THEN ${cs(1)}
            |WHEN v <= 400 THEN ${cs(2)} ELSE 0 END AS INT) AS argb FROM ($grid)""".stripMargin
+      },
+
+      // dense matplotlib-name resample: the same CASE-chain contract
+      // with 16 interpolated plasma colors as shared literals
+      "q_color_matplotlib" -> {
+        val cs = render.ColorMap.fromMatplotlib("plasma", 16)
+        val whens = (1 to 16).map(i =>
+          s"WHEN v <= ${i * 25.0} THEN ${cs(i - 1)}").mkString(" ")
+        s"SELECT x, y, CAST(CASE $whens ELSE 0 END AS INT) AS argb FROM ($grid)"
       },
 
       // same interpolated palette as q_color_ramp (renderImage and

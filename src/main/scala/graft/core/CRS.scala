@@ -122,6 +122,20 @@ object CRS {
         // OSGB36 / British National Grid (generic tmerc + Airy 1830 +
         // the published small-angle Helmert)
         case 27700 => Osgb36
+        // RGF93 / Lambert-93, the French national grid (lcc on GRS80 ~
+        // WGS84 — flattenings differ in the 11th digit)
+        case 2154 => LambertConformalConic(3.0, 46.5, 49.0, 44.0,
+          700000.0, 6600000.0)
+        // NZGD2000 / New Zealand Transverse Mercator 2000
+        case 2193 => Tmerc(173.0, 0.0, 0.9996, 1600000.0, 10000000.0,
+          6378137.0, 1.0 / 298.257222101)
+        // ETRS89 / UTM zones 28N-38N (the European mapping family;
+        // ETRS89 ~ WGS84 at this precision)
+        case c if c >= 25828 && c <= 25838 => Utm(c - 25800, south = false)
+        // ETRS89-extended / LAEA Europe — the pan-European grid
+        case 3035 => LambertAzimuthalEqualArea(10.0, 52.0, 4321000.0, 3210000.0)
+        // EASE-Grid 2.0 Global (cylindrical equal-area, lat_ts 30)
+        case 6933 => CylindricalEqualArea(0.0, 30.0)
         case c => throw new IllegalArgumentException(s"unsupported EPSG:$c")
       }
       case p if p.startsWith("+proj=") =>
@@ -203,6 +217,12 @@ object CRS {
               p4or("x_0", p, 0.0), p4or("y_0", p, 0.0), aa, ff, tw)
           case "longlat" => LatLng
           case "merc"    => WebMercator
+          case "cea" =>
+            CylindricalEqualArea(p4or("lon_0", p, 0.0), p4or("lat_ts", p, 0.0),
+              p4or("x_0", p, 0.0), p4or("y_0", p, 0.0))
+          case "laea" =>
+            LambertAzimuthalEqualArea(p4or("lon_0", p, 0.0), p4or("lat_0", p, 0.0),
+              p4or("x_0", p, 0.0), p4or("y_0", p, 0.0))
           case other => throw new IllegalArgumentException(s"unsupported +proj=$other")
         }
       case other => throw new IllegalArgumentException(s"unsupported CRS '$other'")
@@ -388,6 +408,25 @@ object CRS {
       }
       (normLon(lon0 + math.toDegrees(th / n)), math.toDegrees(phi))
     }
+
+    /** The forward projection as named SQL formula steps — the
+      * one-text-two-engines oracle pattern of
+      * [[TransverseMercator.forwardSqlSteps]]. Callers keep |lon -
+      * lon0| < 180 (the SQL chain does not restate normLon). */
+    def forwardSqlSteps: (Seq[(String, String)], String, String) = {
+      val eS = e.toString
+      val steps = Seq(
+        "phi" -> "radians(lat)",
+        "tphi" -> (s"tan(pi() / 4 - phi / 2) / " +
+          s"power((1 - $eS * sin(phi)) / (1 + $eS * sin(phi)), $eS / 2)"),
+        // seed with CAST AS DOUBLE: a and f are both numeric literals,
+        // and DuckDB parses those as DECIMAL — a DECIMAL x DECIMAL
+        // product at these magnitudes overflows DECIMAL(18)
+        "rho" -> s"CAST($a AS DOUBLE) * $f * power(tphi, $n)",
+        "th" -> s"$n * radians(lon - ($lon0))")
+      (steps, s"$falseEasting + rho * sin(th)",
+        s"$falseNorthing + $rho0 - rho * cos(th)")
+    }
   }
 
   /** Albers Equal-Area Conic, 2 standard parallels, on WGS84 —
@@ -462,6 +501,138 @@ object CRS {
         "th" -> s"$n * radians(lon - ($lon0))")
       (steps, s"$falseEasting + rho * sin(th)",
         s"$falseNorthing + $rho0 - rho * cos(th)")
+    }
+  }
+
+  /** Cylindrical Equal-Area, ellipsoidal — Snyder §10 / EPSG method
+    * 9835: the EASE-Grid 2.0 family every modern passive-microwave /
+    * soil-moisture product ships in (EPSG:6933 global, lat_ts 30).
+    * x = a k0 dl, y = a q / (2 k0) with q the authalic kernel
+    * (Snyder eq. 3-12, shared with [[AlbersEqualArea]]) and
+    * k0 = cos(lat_ts)/sqrt(1 - e^2 sin^2 lat_ts); the inverse solves
+    * the authalic latitude with the same eq. 3-16 fixed point. */
+  final case class CylindricalEqualArea(lon0: Double = 0.0, latTs: Double = 0.0,
+                                        falseEasting: Double = 0.0,
+                                        falseNorthing: Double = 0.0) extends Transform {
+    import TransverseMercator.{Ecc => e, SemiMajor => a}
+    private val e2 = e * e
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        math.log((1 - e * s) / (1 + e * s)) / (2 * e))
+    }
+    private val ts = math.toRadians(latTs)
+    private val k0 = math.cos(ts) / math.sqrt(1 - e2 * math.sin(ts) * math.sin(ts))
+
+    def forward(lon: Double, lat: Double): (Double, Double) =
+      (falseEasting + a * k0 * math.toRadians(normLon(lon - lon0)),
+        falseNorthing + a * qOf(math.toRadians(lat)) / (2 * k0))
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val q = 2 * k0 * (y - falseNorthing) / a
+      // Snyder eq. 3-16 fixed point (the AlbersEqualArea inverse)
+      var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+      var k = 0
+      while (k < 10) {
+        val s = math.sin(phi)
+        val om = 1 - e2 * s * s
+        phi += om * om / (2 * math.cos(phi)) *
+          (q / (1 - e2) - s / om + math.log((1 - e * s) / (1 + e * s)) / (2 * e))
+        k += 1
+      }
+      (normLon(lon0 + math.toDegrees((x - falseEasting) / (a * k0))),
+        math.toDegrees(phi))
+    }
+
+    /** Forward as named SQL steps — the one-text-two-engines oracle
+      * pattern. Callers keep |lon - lon0| < 180. */
+    def forwardSqlSteps: (Seq[(String, String)], String, String) = {
+      val eS = e.toString
+      val steps = Seq(
+        "phi" -> "radians(lat)",
+        "sphi" -> "sin(phi)",
+        "q" -> (s"(1 - $e2) * (sphi / (1 - $e2 * sphi * sphi) - " +
+          s"ln((1 - $eS * sphi) / (1 + $eS * sphi)) / (2 * $eS))"))
+      // CAST seeds the DECIMAL-literal chains (a x k0 would overflow
+      // DECIMAL(18) in DuckDB)
+      (steps, s"$falseEasting + CAST($a AS DOUBLE) * $k0 * radians(lon - ($lon0))",
+        s"$falseNorthing + CAST($a AS DOUBLE) * q / (2 * $k0)")
+    }
+  }
+
+  /** Lambert Azimuthal Equal-Area, ellipsoidal — Snyder §24 / EPSG
+    * method 9820: the pan-European statistical grid (EPSG:3035,
+    * ETRS89-extended / LAEA Europe, lat0 52N lon0 10E). Authalic
+    * latitude beta via the shared q kernel; the oblique-aspect B/D
+    * construction is Snyder eq. 24-19..24-21; the inverse solves phi
+    * with the same eq. 3-16 fixed point. */
+  final case class LambertAzimuthalEqualArea(lon0: Double, lat0: Double,
+                                             falseEasting: Double = 0.0,
+                                             falseNorthing: Double = 0.0) extends Transform {
+    import TransverseMercator.{Ecc => e, SemiMajor => a}
+    private val e2 = e * e
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        math.log((1 - e * s) / (1 + e * s)) / (2 * e))
+    }
+    private val p0 = math.toRadians(lat0)
+    private val qp = qOf(math.Pi / 2)
+    private val q0 = qOf(p0)
+    private val beta0 = math.asin(math.max(-1.0, math.min(1.0, q0 / qp)))
+    private val rq = a * math.sqrt(qp / 2)
+    private val m0 = math.cos(p0) / math.sqrt(1 - e2 * math.sin(p0) * math.sin(p0))
+    private val bigD = a * m0 / (rq * math.cos(beta0))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val beta = math.asin(math.max(-1.0, math.min(1.0, qOf(math.toRadians(lat)) / qp)))
+      val dl = math.toRadians(normLon(lon - lon0))
+      val b = rq * math.sqrt(2 / (1 + math.sin(beta0) * math.sin(beta) +
+        math.cos(beta0) * math.cos(beta) * math.cos(dl)))
+      (falseEasting + b * bigD * math.cos(beta) * math.sin(dl),
+        falseNorthing + (b / bigD) * (math.cos(beta0) * math.sin(beta) -
+          math.sin(beta0) * math.cos(beta) * math.cos(dl)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = (x - falseEasting) / bigD
+      val dy = (y - falseNorthing) * bigD
+      val rho = math.hypot(dx, dy)
+      if (rho < 1e-12) return (normLon(lon0), lat0)
+      val ce = 2 * math.asin(math.max(-1.0, math.min(1.0, rho / (2 * rq))))
+      val q = qp * (math.cos(ce) * math.sin(beta0) +
+        dy * math.sin(ce) * math.cos(beta0) / rho)
+      var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+      var k = 0
+      while (k < 10) {
+        val s = math.sin(phi)
+        val om = 1 - e2 * s * s
+        phi += om * om / (2 * math.cos(phi)) *
+          (q / (1 - e2) - s / om + math.log((1 - e * s) / (1 + e * s)) / (2 * e))
+        k += 1
+      }
+      val lam = math.atan2(dx * math.sin(ce),
+        rho * math.cos(beta0) * math.cos(ce) - dy * math.sin(beta0) * math.sin(ce))
+      (normLon(lon0 + math.toDegrees(lam)), math.toDegrees(phi))
+    }
+
+    /** Forward as named SQL steps — the one-text-two-engines oracle
+      * pattern. Callers keep |lon - lon0| < 180 and stay off the
+      * antipode (the b denominator's singular point). */
+    def forwardSqlSteps: (Seq[(String, String)], String, String) = {
+      val eS = e.toString
+      val sb0 = math.sin(beta0); val cb0 = math.cos(beta0)
+      val steps = Seq(
+        "phi" -> "radians(lat)",
+        "sphi" -> "sin(phi)",
+        "q" -> (s"(1 - $e2) * (sphi / (1 - $e2 * sphi * sphi) - " +
+          s"ln((1 - $eS * sphi) / (1 + $eS * sphi)) / (2 * $eS))"),
+        "beta" -> s"asin(least(1.0, greatest(-1.0, q / $qp)))",
+        "dl" -> s"radians(lon - ($lon0))",
+        "bb" -> (s"$rq * sqrt(2 / (1 + $sb0 * sin(beta) + " +
+          s"$cb0 * cos(beta) * cos(dl)))"))
+      (steps, s"$falseEasting + bb * $bigD * cos(beta) * sin(dl)",
+        s"$falseNorthing + (bb / $bigD) * ($cb0 * sin(beta) - $sb0 * cos(beta) * cos(dl))")
     }
   }
 

@@ -87,8 +87,10 @@ object ColorMap {
     * lerp between the ramp's stops, integer-rounded driver-side, so the
     * resulting colors are deterministic literals on every engine. */
   def rampColors(ramp: String, n: Int): IndexedSeq[Int] = {
-    val stops = Ramps.getOrElse(ramp,
-      throw new IllegalArgumentException(s"unknown ramp $ramp (have ${Ramps.keys.mkString(", ")})"))
+    val stops = Ramps.getOrElse(ramp, Ramps.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(ramp.trim) => v
+    }.getOrElse(
+      throw new IllegalArgumentException(s"unknown ramp $ramp (have ${Ramps.keys.mkString(", ")})")))
     require(n >= 1)
     if (n == 1) IndexedSeq(stops.head)
     else (0 until n).map { i =>
@@ -102,6 +104,18 @@ object ColorMap {
       (lerp(24) << 24) | (lerp(16) << 16) | (lerp(8) << 8) | lerp(0)
     }
   }
+
+  /** The reference's get_colors_from_matplotlib surface (color.py:30):
+    * matplotlib-spelled (lowercase) ramp names resample to `n` colors.
+    * The viridis-family stops here are the PUBLISHED quartile anchor
+    * colors of each matplotlib colormap with linear RGB interpolation
+    * between them — not the full 256-entry lookup tables (those are
+    * data files this zero-egress build cannot retrieve; the anchors
+    * are the widely-cited hex values). Swapping in the full tables is
+    * a drop-in [[Ramps]] change; the NAME surface and monotone
+    * gradient contract — what the reference API fixes — hold today. */
+  def fromMatplotlib(name: String, n: Int = 256): IndexedSeq[Int] =
+    rampColors(name, n)
 
   /** Classify a cell-value column into break indexes (first break the
     * value is <= / < / >= / > of, by strategy; -1 = unclassified). */

@@ -247,6 +247,25 @@ class LibmBoundarySpec extends SparkSpec {
       .asInstanceOf[CRS.Sinusoidal]
     val (sSteps, sE, sN) = sinu.forwardSqlSteps
     assertUlpSlack("sinusoidal e/n", collectRaw(pts, sSteps, sE, sN), scale = 1e3)
+    // r16 registry additions, each inside its query's window
+    val l93 = CRS.fromName("EPSG:2154").asInstanceOf[CRS.LambertConformalConic]
+    val (lSteps, lE, lN) = l93.forwardSqlSteps
+    assertUlpSlack("lambert93 e/n",
+      collectRaw(pts.where(col("lon") >= -10 && col("lon") <= 15 &&
+        col("lat") >= 38 && col("lat") <= 55), lSteps, lE, lN))
+    val nztm = CRS.fromName("EPSG:2193").asInstanceOf[CRS.Tmerc]
+    val (zSteps, zE, zN) = nztm.forwardSqlSteps
+    assertUlpSlack("nztm e/n",
+      collectRaw(pts.where(col("lon") >= 165 && col("lon") <= 180 &&
+        col("lat") >= -48 && col("lat") <= -34), zSteps, zE, zN))
+    val laea = CRS.fromName("EPSG:3035").asInstanceOf[CRS.LambertAzimuthalEqualArea]
+    val (aeSteps, aeE, aeN) = laea.forwardSqlSteps
+    assertUlpSlack("laea e/n",
+      collectRaw(pts.where(col("lon") >= -15 && col("lon") <= 35 &&
+        col("lat") >= 30 && col("lat") <= 72), aeSteps, aeE, aeN))
+    val cea = CRS.fromName("EPSG:6933").asInstanceOf[CRS.CylindricalEqualArea]
+    val (cSteps, cE, cN) = cea.forwardSqlSteps
+    assertUlpSlack("cea e/n", collectRaw(pts, cSteps, cE, cN))
   }
 
   test("warp resample boundaries: projected edges far from source cell centers") {
