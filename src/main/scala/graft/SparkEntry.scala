@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.core.{CRS, Geohash, ZIndex}
-import graft.raster.{CellOp, Compare, Contour, Distance, FocalOp, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, NetCdf, Pyramid, RasterLayer, Reproject, Resample, TimeSeries, ZFactor, ZonalOps}
+import graft.raster.{CellOp, Compare, Contour, Distance, FocalOp, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, NetCdf, NetCdf4, Pyramid, RasterLayer, Reproject, Resample, TimeSeries, ZFactor, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
 
@@ -1789,6 +1789,45 @@ object SparkEntry {
         }
         .toDF("scene_id", "nc")
       NetCdf.fromNetCdfTemporal(scenes)
+        .tileToLayoutTemporal(lay, CellOp.Max).toCells
+    }),
+
+    "q_netcdf4_roundtrip" -> ((s, dir) => {
+      // native NetCDF-4/HDF5 codec (r16): every tile encodes as an
+      // HDF5 scene (deflate-chunked double var + coordinate datasets
+      // + extent root attrs), decodes distributed through the chunk
+      // B-tree + inflate path, re-cuts to the layout — identity
+      val l = lineitemLayer(s, dir)
+      val lr = l.meta.layout.tileLayout.layoutRows
+      val scenes = NetCdf4.toNetCdf4(l)
+        .select((col("col").cast("long") * lr + col("row")).as("scene_id"), col("nc"))
+      NetCdf4.fromNetCdf4(scenes).tileToLayout(l.meta.layout, CellOp.Max).toCells
+    }),
+
+    "q_netcdf4_temporal" -> ((s, dir) => {
+      // record-dimension NetCDF-4 stacks: TWO records per scene (one
+      // chunk per record in the HDF5 chunk B-tree), exploding to two
+      // stamped instants per tile on ingest
+      val l = lineitemLayer(s, dir)
+      val lay = l.meta.layout
+      val tl = lay.tileLayout
+      val lr = tl.layoutRows
+      import s.implicits._
+      val scenes = l.df.select(col("col"), col("row"), col("tile"))
+        .as[(Int, Int, Seq[Double])]
+        .map { case (c, r, tile) =>
+          val id = c.toLong * lr + r
+          val xmin = lay.extent.xmin + c.toLong * tl.tileCols * lay.cellWidth
+          val ymax = lay.extent.ymax - r.toLong * tl.tileRows * lay.cellHeight
+          (id, NetCdf4.encodeScenes(
+            Array(86400L * (20000 + id), 86400L * (30000 + id)),
+            Array(tile.toArray, tile.toArray),
+            tl.tileCols, tl.tileRows,
+            xmin, ymax - tl.tileRows * lay.cellHeight,
+            xmin + tl.tileCols * lay.cellWidth, ymax))
+        }
+        .toDF("scene_id", "nc")
+      NetCdf4.fromNetCdf4Temporal(scenes)
         .tileToLayoutTemporal(lay, CellOp.Max).toCells
     }),
 
@@ -5436,6 +5475,19 @@ object SparkEntry {
         val t = layout.tileLayout
         s"""SELECT x, y,
            |  CAST(86400 * (20000 + (x // ${t.tileCols}) * ${t.layoutRows} + y // ${t.tileRows}) AS BIGINT) AS instant,
+           |  v FROM ($grid)""".stripMargin
+      },
+
+      "q_netcdf4_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
+
+      "q_netcdf4_temporal" -> {
+        val t = layout.tileLayout
+        s"""SELECT x, y,
+           |  CAST(86400 * (20000 + (x // ${t.tileCols}) * ${t.layoutRows} + y // ${t.tileRows}) AS BIGINT) AS instant,
+           |  v FROM ($grid)
+           |UNION ALL
+           |SELECT x, y,
+           |  CAST(86400 * (30000 + (x // ${t.tileCols}) * ${t.layoutRows} + y // ${t.tileRows}) AS BIGINT) AS instant,
            |  v FROM ($grid)""".stripMargin
       },
 
