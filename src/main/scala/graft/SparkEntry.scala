@@ -1609,6 +1609,15 @@ object SparkEntry {
         .select(col("pid"), round(col("area_union"), 5).as("area_union"))
     }),
 
+    "q_poly_difference_concave" -> ((s, dir) => {
+      // JTS difference + symDifference on the same algebra (r16)
+      import s.implicits._
+      graft.vector.Overlay.differenceFrom(
+          concaveFixtures.toDF("pid", "xs", "ys"), crossClip)
+        .select(col("pid"), round(col("area_diff"), 5).as("area_diff"),
+          round(col("area_symdiff"), 5).as("area_symdiff"))
+    }),
+
     "q_semivariogram" -> ((s, dir) =>
       // Matheron variogram over supplier points, v = pid*7 % 23
       graft.vector.PointStats.semivariogram(
@@ -5314,6 +5323,23 @@ object SparkEntry {
           s"(CAST($pid AS BIGINT), CAST(${r5(u)} AS DOUBLE))"
         }
         s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, area_union)"
+      },
+
+      "q_poly_difference_concave" -> {
+        def r5(x: Double) =
+          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val areaB = graft.vector.Overlay.area(crossClip)
+        val rows = concaveFixtures.map { case (pid, xs, ys) =>
+          val p = graft.vector.Polygon(
+            xs.zip(ys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq)
+          val ps = graft.vector.Overlay.intersectionPieces(p, crossClip)
+          val inter = ps.foldLeft(0.0)((s, pp) =>
+            s + pp.sign * graft.vector.Clip.ringArea(pp.xs, pp.ys))
+          val aA = graft.vector.Overlay.area(p)
+          s"(CAST($pid AS BIGINT), CAST(${r5(aA - inter)} AS DOUBLE), " +
+            s"CAST(${r5(aA + areaB - 2.0 * inter)} AS DOUBLE))"
+        }
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, area_diff, area_symdiff)"
       },
 
       // concave buffer: the oracle re-derives point-in-union per grid

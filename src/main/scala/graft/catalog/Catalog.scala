@@ -314,7 +314,18 @@ object Catalog {
     * update() contract); pass `mergeDuplicates = true` to collapse
     * them with aggregate_by_cell Max instead. */
   def compact(spark: SparkSession, uri: String, name: String, zoom: Int = 0,
-              mergeDuplicates: Boolean = false): Unit = {
+              mergeDuplicates: Boolean = false, force: Boolean = false): Unit = {
+    // the streaming source's append-only contract is ENFORCED, not
+    // just documented (r16): an attached stream reader tracks emitted
+    // tile FILES, and compaction rewrites the same rows under new
+    // names — the stream would re-emit every tile. Readers leave a
+    // lock file while attached; refuse loudly unless forced (a
+    // crashed reader can leave a stale lock — force after confirming
+    // no live query, or delete the lock file).
+    require(force || !hasStreamReaders(uri, name),
+      s"stream reader(s) attached to $uri/$name " +
+        s"(${streamReaderLocks(uri, name).mkString(", ")}): compaction would " +
+        "re-emit rewritten files; stop the stream first or pass force = true")
     val base = read(spark, uri, name, zoom)
     val resolved = if (mergeDuplicates) base.aggregateByCell("Max") else base
     // materialize before the overwrite: the write would otherwise
@@ -322,6 +333,21 @@ object Catalog {
     val frozen = resolved.df.localCheckpoint()
     write(uri, name, new RasterLayer(frozen, resolved.meta), zoom)
   }
+
+  /** Lock files left by attached streaming readers (see
+    * [[GraftDataSource]]'s MicroBatchStream): `_stream_reader_*.lock`
+    * under the layer directory. */
+  private[catalog] def streamReaderLocks(uri: String, name: String): Seq[String] = {
+    val (fs, root) = fsPath(s"$uri/$name")
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_stream_reader_") && n.endsWith(".lock"))
+  }
+
+  /** True while any streaming query reads this layer (its source
+    * holds a lock file) — the [[compact]] guard. */
+  def hasStreamReaders(uri: String, name: String): Boolean =
+    streamReaderLocks(uri, name).nonEmpty
 
   /** Layer names present in the store — reference AttributeStore.layers
     * (catalog.py :332 surface). A layer exists iff its metadata sidecar

@@ -575,11 +575,28 @@ private[catalog] final class GraftMicroBatchStream(
       .filter(_.endsWith(".parquet")).toSet
   }
 
+  // presence lock enforcing the append-only contract: Catalog.compact
+  // refuses while any `_stream_reader_*.lock` exists (it would rewrite
+  // already-emitted files under new names and re-emit them). Created
+  // when the stream starts, removed in stop(); a crashed query leaves
+  // a stale lock that compact(force = true) or a manual delete clears.
+  private val lockPath = new Path(
+    s"${opts.uri}/${opts.layer}/_stream_reader_${java.util.UUID.randomUUID()}.lock")
+  locally {
+    val fs = lockPath.getFileSystem(GraftTable.confFrom(GraftTable.confProps()))
+    val out = fs.create(lockPath, true)
+    out.write(s"started=${java.time.Instant.now()}\n".getBytes("UTF-8"))
+    out.close()
+  }
+
   override def initialOffset(): Offset = GraftOffset(Set.empty)
   override def latestOffset(): Offset = GraftOffset(listFiles())
   override def deserializeOffset(json: String): Offset = GraftOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = {
+    val fs = lockPath.getFileSystem(GraftTable.confFrom(GraftTable.confProps()))
+    if (fs.exists(lockPath)) fs.delete(lockPath, false)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].files

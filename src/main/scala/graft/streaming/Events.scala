@@ -568,8 +568,16 @@ object Events {
             if (temporal) UntiledRaster(batch).tileToLayoutTemporal(layout)
             else UntiledRaster(batch).tileToLayout(layout)
           Catalog.update(uri, name, tiled, zoom)
-          if (compactEvery > 0 && appended.incrementAndGet() % compactEvery == 0)
-            Catalog.compact(batch.sparkSession, uri, name, zoom)
+          if (compactEvery > 0 && appended.incrementAndGet() % compactEvery == 0) {
+            // a concurrently-attached stream READER makes compaction
+            // unsafe (it would re-emit rewritten files) — skip this
+            // round instead of failing the ingestion query; the next
+            // multiple retries after the reader detaches
+            if (Catalog.hasStreamReaders(uri, name))
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"ingestScenes: skipping compaction of $uri/$name - stream reader attached")
+            else Catalog.compact(batch.sparkSession, uri, name, zoom)
+          }
         }
       }
       .start()

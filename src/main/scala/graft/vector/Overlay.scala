@@ -222,6 +222,17 @@ object Overlay {
     pieces(a) ++ pieces(b) ++
       intersectionPieces(a, b).map(p => p.copy(sign = -p.sign))
 
+  /** Pieces of A ∖ B (A − A∩B on indicators) — the JTS `difference`
+    * role on the same algebra. */
+  def differencePieces(a: Polygon, b: Polygon): IndexedSeq[Piece] =
+    pieces(a) ++ intersectionPieces(a, b).map(p => p.copy(sign = -p.sign))
+
+  /** |A ∖ B| and |A △ B| — closed under the same inclusion-exclusion. */
+  def differenceArea(a: Polygon, b: Polygon): Double =
+    area(a) - intersectionArea(a, b)
+  def symDifferenceArea(a: Polygon, b: Polygon): Double =
+    area(a) + area(b) - 2.0 * intersectionArea(a, b)
+
   /** Signed containment: Σ sign over pieces whose CLOSED hull contains
     * the point — 1 inside the represented region, 0 outside, for
     * points OFF piece boundaries (piece-boundary points can
@@ -269,6 +280,24 @@ object Overlay {
         }
       }
       .toDF("pid", "n_pieces", "area")
+  }
+
+  /** Per-feature |A ∖ other| and |A △ other| — the JTS difference /
+    * symDifference roles; same per-row no-shuffle shape. */
+  def differenceFrom(polys: DataFrame, other: Polygon): DataFrame = {
+    val spark = polys.sparkSession
+    import spark.implicits._
+    val areaB = area(other)
+    polys.select(col("pid"), col("xs"), col("ys"))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .map { case (pid, xs, ys) =>
+        val subject = toPolygon(xs, ys)
+        val ps = intersectionPieces(subject, other)
+        val inter = ps.foldLeft(0.0)((s, p) => s + p.sign * Clip.ringArea(p.xs, p.ys))
+        val aA = area(subject)
+        (pid, aA - inter, aA + areaB - 2.0 * inter)
+      }
+      .toDF("pid", "area_diff", "area_symdiff")
   }
 
   /** General polygon UNION area of every feature ring with `other`

@@ -395,6 +395,35 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compaction guard: refused while a stream reader is attached, allowed after stop") {
+    val dir = Files.createTempDirectory("graft_stream_lock").toString
+    Catalog.write(dir, "guarded", layer((0, 0, 1.0)))
+    assert(!Catalog.hasStreamReaders(dir, "guarded"))
+    // compaction is fine with no reader
+    Catalog.compact(spark, dir, "guarded")
+    val q = spark.readStream.format("graft")
+      .option("path", dir).option("layer", "guarded").option("zoom", "0")
+      .load()
+      .writeStream.format("memory").queryName("graft_guarded").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // the source holds a presence lock -> compact refuses LOUDLY
+      assert(Catalog.hasStreamReaders(dir, "guarded"))
+      val e = intercept[IllegalArgumentException](
+        Catalog.compact(spark, dir, "guarded"))
+      assert(e.getMessage.contains("stream reader"))
+      // force overrides (the stale-lock escape hatch)
+      Catalog.compact(spark, dir, "guarded", force = true)
+    } finally q.stop()
+    // stop() released the lock; compaction proceeds again
+    assert(!Catalog.hasStreamReaders(dir, "guarded"))
+    Catalog.compact(spark, dir, "guarded")
+    // data still intact after both compactions
+    assert(Catalog.read(spark, dir, "guarded").toCells
+      .as[(Long, Long, Double)].collect().toSet == Set((0L, 0L, 1.0)))
+  }
+
   test("streaming read of a live ingestScenes store (ingest -> read loop)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_stream_loop").toString

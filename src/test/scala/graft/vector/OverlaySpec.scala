@@ -110,6 +110,40 @@ class OverlaySpec extends AnyFunSuite {
     assert(Overlay.containsSigned(ps, 11.3, 5.1) == 0)
   }
 
+  test("difference and symmetric difference close the boolean family") {
+    val a = star(0, 0, 10, 4, points = 6, rot = 0.2)
+    val b = cross(3, 1, 2.5, 8.5)
+    val refD = gridArea((x, y) => a.contains(x, y) && !b.contains(x, y),
+      -12, -12, 14, 14, cells = 900)
+    assert(math.abs(Overlay.differenceArea(a, b) - refD) < 0.15)
+    val refS = gridArea((x, y) => a.contains(x, y) != b.contains(x, y),
+      -12, -12, 14, 14, cells = 900)
+    assert(math.abs(Overlay.symDifferenceArea(a, b) - refS) < 0.2)
+    // identities: A \ A = 0, A triangle A = 0; disjoint: A \ B = A
+    assert(math.abs(Overlay.differenceArea(a, a)) < 1e-7)
+    assert(math.abs(Overlay.symDifferenceArea(a, a)) < 1e-7)
+    val far = cross(40, 40, 2, 6)
+    assert(math.abs(Overlay.differenceArea(a, far) - Overlay.area(a)) < 1e-9)
+    // signed containment of the difference pieces: 1 in A-only, 0 in
+    // the intersection and outside — probe points picked off piece
+    // boundaries by the ray-cast reference itself
+    val dp = Overlay.differencePieces(a, b)
+    val probes = for (i <- 0 until 60; j <- 0 until 60)
+      yield (-12 + i * 0.437 + 0.11, -12 + j * 0.431 + 0.07)
+    var aOnly = 0; var both = 0; var outside = 0
+    probes.foreach { case (x, y) =>
+      val expect = if (a.contains(x, y) && !b.contains(x, y)) 1 else 0
+      val got = Overlay.containsSigned(dp, x, y)
+      // skip the rare probe ON a piece edge (got outside {0,1})
+      if (got == 0 || got == 1) {
+        assert(got == expect, s"($x,$y)")
+        if (expect == 1) aOnly += 1
+        else if (a.contains(x, y)) both += 1 else outside += 1
+      }
+    }
+    assert(aOnly > 50 && both > 20 && outside > 100, s"$aOnly/$both/$outside")
+  }
+
   test("convex inputs agree with the exact Sutherland-Hodgman fast path") {
     val diamonds = (1 to 6).map(i =>
       Geometry.diamond(i * 11.0, i * 7.0, 5.0 + i))
