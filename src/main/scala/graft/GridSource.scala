@@ -115,6 +115,19 @@ object GridSource {
   val supplierPointsSql: String =
     s"SELECT s_suppkey AS pid, CAST(s_suppkey * 13 % $G + 0.5 AS DOUBLE) AS px, CAST(s_suppkey * 29 % $G + 0.5 AS DOUBLE) AS py FROM supplier"
 
+  /** Second point set from customer ON THE SAME 256-frame as
+    * [[supplierPoints]] (for point-point joins): same +0.5 center
+    * offset, so pairwise coordinate DIFFERENCES are exact integers
+    * and squared distances stay pure integer arithmetic. */
+  def customerPoints(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select(
+      col("c_custkey").as("qid"),
+      ((col("c_custkey") * 17) % G + lit(0.5)).cast("double").as("qx"),
+      ((col("c_custkey") * 31) % G + lit(0.5)).cast("double").as("qy"))
+
+  val customerPointsSql: String =
+    s"SELECT c_custkey AS qid, CAST(c_custkey * 17 % $G + 0.5 AS DOUBLE) AS qx, CAST(c_custkey * 31 % $G + 0.5 AS DOUBLE) AS qy FROM customer"
+
   /** Lon/lat points from customer (for CRS transforms): lon in
     * (-180,180), lat clamped to mercator-safe (-85,85). */
   def customerLonLat(spark: SparkSession, dir: String): DataFrame =

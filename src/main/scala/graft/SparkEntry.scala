@@ -38,7 +38,7 @@ object SparkEntry {
   /** Fixture rings for q_clip (sf-independent formulas — the q_tin
     * literal-restating precedent): diamonds scattered so some sit
     * inside, some cross, and some miss the clip window entirely. */
-  private def clipFixtures: Seq[(Long, Seq[Double], Seq[Double])] =
+  private[graft] def clipFixtures: Seq[(Long, Seq[Double], Seq[Double])] =
     (1L to 12L).map { i =>
       val cx = (i * 37 % 200 + 20).toDouble
       val cy = (i * 53 % 200 + 20).toDouble
@@ -98,6 +98,65 @@ object SparkEntry {
   }
   private[graft] def bufferConcavePieces: Seq[graft.vector.Polygon] =
     graft.vector.Buffer.bufferPieces(bufferConcaveL, 9.3, graft.vector.Buffer.Round(4))
+
+  /** DISSOLVE fixtures (r16): 4 groups of 3 GENUINELY-overlapping
+    * polygons each — diamonds and concave stars sharing a group
+    * center, so the union area exercises the n-ary
+    * inclusion-exclusion (not just disjoint adds). sf-independent
+    * formulas, driver-side trig — the literal-restating discipline. */
+  private[graft] def dissolveFixtures: Seq[(Long, Long, Seq[Double], Seq[Double])] =
+    (0L until 4L).flatMap { g =>
+      val cx = (g * 61 % 160 + 48) + 0.3
+      val cy = (g * 97 % 160 + 48) + 0.7
+      (0L until 3L).map { j =>
+        val pid = g * 3 + j
+        // member centers offset < r so the trio genuinely overlaps
+        val mx = cx + (j.toDouble - 1.0) * 14.0
+        val my = cy + ((j * 7 % 3).toDouble - 1.0) * 11.0
+        if (j % 2 == 0) {
+          // diamond
+          val r = 20.0 + g * 3 + j * 5
+          (g, pid, Seq(mx - r, mx, mx + r, mx): Seq[Double],
+            Seq(my, my - r, my, my + r): Seq[Double])
+        } else {
+          // 8-vertex concave star
+          val ro = 24.0 + g * 2; val ri = ro * 0.5
+          val rot = (g * 3 + j).toDouble * 0.41
+          val pts = (0 until 8).map { k =>
+            val r = if (k % 2 == 0) ro else ri
+            val a = rot + k * math.Pi / 4
+            (mx + r * math.cos(a), my + r * math.sin(a))
+          }
+          (g, pid, pts.map(_._1): Seq[Double], pts.map(_._2): Seq[Double])
+        }
+      }
+    }
+
+  /** Polyline fixture for q_buffer_line — the .31/.74 fractional
+    * discipline (axis-aligned pieces miss half-odd cell centers;
+    * OverlayOracleSpec audits every edge's margin to every center). */
+  private[graft] val bufferLinePath = IndexedSeq(
+    graft.vector.Pt(40.31, 60.74), graft.vector.Pt(100.31, 80.74),
+    graft.vector.Pt(130.31, 150.74), graft.vector.Pt(190.31, 120.74),
+    graft.vector.Pt(210.31, 190.74))
+  private[graft] def bufferLinePieces: Seq[graft.vector.Polygon] =
+    graft.vector.Buffer.bufferLinePieces(bufferLinePath, 10.3,
+      graft.vector.Buffer.Round(3), graft.vector.Buffer.RoundCap(3))
+
+  /** Polyline fixtures for q_clip_lines: zig-zags scattered so some
+    * cross the (64,64)-(192,192) window, some sit inside, and at
+    * least one misses entirely (sf-independent formulas). */
+  private[graft] def lineFixtures: Seq[(Long, Seq[Double], Seq[Double])] =
+    (1L to 8L).map { i =>
+      val n = 4 + (i % 3).toInt
+      val x0 = (i * 29 % 180 + 10).toDouble + 0.3
+      val y0 = (i * 47 % 180 + 10).toDouble + 0.7
+      val pts = (0 until n).map { k =>
+        (x0 + k * (17.0 + (i % 5)),
+         y0 + ((i * 7 + k * 31) % 97 - 48).toDouble * 0.9)
+      }
+      (i, pts.map(_._1): Seq[Double], pts.map(_._2): Seq[Double])
+    }
 
   /** Query-term set for q_bm25 (words from the synthetic vocabulary). */
   private[graft] val Bm25Terms = Seq("table", "spark", "window", "hash", "stream")
@@ -1252,10 +1311,14 @@ object SparkEntry {
 
     "q_resample_cubic" -> ((s, dir) => {
       // cubic-convolution (Keys a=-0.5) through the same tile-wise
-      // gather; normalized 4x4 window, all-16-taps-present convention
+      // gather; normalized 4x4 window, all-16-taps-present convention.
+      // MICRO-QUANTIZED closing (v_u = round(v*1e5) as BIGINT): the
+      // old round(v,5) DOUBLE hit the Spark-decimal vs DuckDB-float
+      // divergence on 9-digit values at sf0.1 (6 cells of 39k)
       val r = Resample.kernelTiled(lineitemLayer(s, dir), G, 200,
         Resample.Kernel.CubicConvolution, dstTile = 50)
-      r.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      r.toCells.select(col("x"), col("y"),
+        round(col("v") * lit(100000.0)).cast("long").as("v_u"))
     }),
 
     "q_resample_average" -> ((s, dir) =>
@@ -2865,6 +2928,103 @@ object SparkEntry {
       // all events within 10 min after each error, same user —
       // bucket-decomposed range join (equi-join + exact filter)
       streaming.Events.intervalJoin(eventsTable(s, dir))),
+
+    // --- r16 second wave: n-ary overlay / knn / line buffer /
+    //     harmonic fit / incremental dedup
+    "q_dissolve" -> ((s, dir) => {
+      // union-by-attribute (JTS unaryUnion grouped by key): exact
+      // n-ary union areas from the signed-piece algebra, overlaps
+      // counted once; literal-restating oracle
+      import s.implicits._
+      graft.vector.Overlay.dissolve(
+          dissolveFixtures.toDF("key", "pid", "xs", "ys"))
+        .select(col("key"), col("n_polys"), col("n_pieces"),
+          round(col("area"), 5).as("area"))
+    }),
+
+    "q_knn_join" -> ((s, dir) =>
+      // k-nearest-neighbor join within radius 24 (ArcGIS near table):
+      // customer queries x supplier references on the shared 256
+      // frame; exact integer d2 (the +0.5 offsets cancel)
+      graft.vector.SpatialJoin.knnWithin(
+          customerPoints(s, dir),
+          supplierPoints(s, dir).select(col("pid").as("rid"),
+            col("px").as("rx"), col("py").as("ry")),
+          radius = 24.0, k = 3)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"),
+          col("rid"), col("d2"))),
+
+    "q_buffer_line" -> ((s, dir) =>
+      // polyline buffer (JTS buffer on a LineString): segment slabs +
+      // outer-turn arc fans + round end caps feeding the same
+      // union-mask; grid-containment dual oracle (q_buffer_concave
+      // precedent)
+      flat(ZonalOps.maskGrid(lineitemLayer(s, dir), bufferLinePieces))),
+
+    "q_harmonic" -> ((s, dir) => {
+      // per-cell harmonic (seasonal) regression sums over the 3
+      // instants: n + micro-quantized cos/sin weighted sums, all
+      // exact integers
+      val (cnt, sc, ss) = RasterLayer
+        .fromCellsTemporal(lineitemTemporalCells(s, dir), layout64)
+        .temporalHarmonic(3.0)
+      cnt.toCells.select(col("x"), col("y"), col("v").cast("long").as("n"))
+        .join(sc.toCells.select(col("x"), col("y"),
+          col("v").cast("long").as("sc")), Seq("x", "y"))
+        .join(ss.toCells.select(col("x"), col("y"),
+          col("v").cast("long").as("ss")), Seq("x", "y"))
+    }),
+
+    "q_dedup_incremental" -> ((s, dir) =>
+      // incremental ingest dedup: delta docs (doc_id % 4 = 0) LSH-
+      // checked against the base corpus only — no base x base work
+      pipeline.Dedup.incrementalDedup(
+        table(s, dir, "documents"), col("doc_id") % 4 === 0)),
+
+    "q_overlay_join" -> ((s, dir) => {
+      // polygon-layer overlay join (ArcGIS Intersect): concave stars
+      // x diamond fixtures through the grid-bucket pair plan, exact
+      // piece-algebra intersection areas; literal-restating oracle
+      import s.implicits._
+      graft.vector.Overlay.overlayJoin(
+          concaveFixtures.toDF("aid", "xs", "ys"),
+          clipFixtures.toDF("bid", "xs", "ys"))
+        .select(col("aid"), col("bid"), col("n_pieces"),
+          round(col("area"), 5).as("area"))
+    }),
+
+    "q_knn_exact" -> ((s, dir) =>
+      // EXACT unbounded kNN (expanding-radius rounds): every customer
+      // finds its true 3 nearest suppliers whatever the local density
+      graft.vector.SpatialJoin.knnJoin(
+          customerPoints(s, dir),
+          supplierPoints(s, dir).select(col("pid").as("rid"),
+            col("px").as("rx"), col("py").as("ry")),
+          k = 3, initRadius = 8.0, maxRadius = 512.0)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"),
+          col("rid"), col("d2"))),
+
+    "q_clip_lines" -> ((s, dir) => {
+      // polyline clip to the (64,64)-(192,192) window (Liang-Barsky
+      // per segment, path-order fold); literal-restating oracle
+      import s.implicits._
+      graft.vector.Clip.clipLines(
+          lineFixtures.toDF("pid", "xs", "ys"), 64, 64, 192, 192)
+        .select(col("pid"), col("n_segs"),
+          round(col("length"), 5).as("length"))
+    }),
+
+    "q_line_overlay" -> ((s, dir) => {
+      // line x polygon overlay join ("road length per district"):
+      // zig-zag polylines x concave stars, exact inside length via
+      // the signed piece algebra (Cyrus-Beck spans, no interval
+      // union); literal-restating oracle
+      import s.implicits._
+      graft.vector.Overlay.lineOverlayJoin(
+          lineFixtures.toDF("lid", "xs", "ys"),
+          concaveFixtures.toDF("gid", "xs", "ys"))
+        .select(col("lid"), col("gid"), round(col("len_in"), 5).as("len_in"))
+    }),
   )
 
   /** cost-distance ceiling: with friction in [1,10] every edge costs
@@ -4914,12 +5074,17 @@ object SparkEntry {
            |k AS (SELECT i, j, CAST(floor(sx) AS BIGINT) AS x0, CAST(floor(sy) AS BIGINT) AS y0,
            |             sx - floor(sx) AS fx, sy - floor(sy) AS fy FROM t),
            |o(dx, dy) AS (VALUES $offs),
-           |w AS (SELECT k.i, k.j, k.x0 + o.dx AS gx, k.y0 + o.dy AS gy,
+           |w AS (SELECT k.i, k.j, o.dx, o.dy, k.x0 + o.dx AS gx, k.y0 + o.dy AS gy,
            |        ${wcase("o.dx", "fx")} * ${wcase("o.dy", "fy")} AS wt
-           |      FROM k JOIN o ON true)
-           |SELECT w.i AS x, w.j AS y, round(sum(wt * g.v) / sum(wt), 5) AS v
-           |FROM w JOIN g ON g.x = w.gx AND g.y = w.gy
-           |GROUP BY 1, 2 HAVING count(*) = 16""".stripMargin
+           |      FROM k JOIN o ON true),
+           |s AS (SELECT w.i AS x, w.j AS y,
+           |        list_reduce(list(wt * g.v ORDER BY w.dy, w.dx), (a, b) -> a + b) AS num,
+           |        list_reduce(list(wt ORDER BY w.dy, w.dx), (a, b) -> a + b) AS den,
+           |        count(*) AS n
+           |      FROM w JOIN g ON g.x = w.gx AND g.y = w.gy
+           |      GROUP BY 1, 2)
+           |SELECT x, y, CAST(round(num / den * 100000.0) AS BIGINT) AS v_u
+           |FROM s WHERE n = 16""".stripMargin
       },
 
       "q_resample_average" ->
@@ -4996,6 +5161,22 @@ object SparkEntry {
            |SELECT m.x, m.y, m.vmax, CAST(min(t.instant) AS BIGINT) AS tmax
            |FROM m JOIN t ON t.x = m.x AND t.y = m.y AND t.v = m.vmax
            |GROUP BY 1, 2, 3""".stripMargin,
+
+      // harmonic sums: the SAME micro-quantized weights the engine's
+      // aggregator computes (driver-side rint(cos|sin(2pi*t/3)*1e6)),
+      // restated as a CASE over the 3 instants; integral v keeps the
+      // weighted sums exact
+      "q_harmonic" -> {
+        def qw(f: Double => Double)(t: Int): Long =
+          math.rint(f(2 * math.Pi * t / 3.0) * 1e6).toLong
+        val qcCase = s"CASE instant WHEN 0 THEN ${qw(math.cos)(0)} WHEN 1 THEN ${qw(math.cos)(1)} ELSE ${qw(math.cos)(2)} END"
+        val qsCase = s"CASE instant WHEN 0 THEN ${qw(math.sin)(0)} WHEN 1 THEN ${qw(math.sin)(1)} ELSE ${qw(math.sin)(2)} END"
+        s"""WITH t AS ($tgrid)
+           |SELECT x, y, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum($qcCase * v) AS BIGINT) AS sc,
+           |  CAST(sum($qsCase * v) AS BIGINT) AS ss
+           |FROM t GROUP BY 1, 2""".stripMargin
+      },
 
       "q_pyramid_hist" ->
         s"""WITH p AS (SELECT x // 2 AS x, y // 2 AS y, avg(v) AS v FROM ($grid) GROUP BY 1, 2),
@@ -5365,6 +5546,129 @@ object SparkEntry {
         }
         val anyPiece = bufferConcavePieces.map(insideSql).mkString("(", "\n   OR ", ")")
         s"SELECT x, y, v FROM ($grid) WHERE $anyPiece"
+      },
+
+      // line buffer: the same grid-containment dual over the polyline
+      // pieces (slabs + outer-turn fans + round caps)
+      "q_buffer_line" -> {
+        def insideSql(poly: graft.vector.Polygon): String = {
+          val e0 = poly.exterior
+          val ring =
+            if (graft.vector.Overlay.signedArea2(e0) >= 0) e0 else e0.reverse
+          val n = ring.length
+          (0 until n).map { i =>
+            val a = ring(i); val b = ring((i + 1) % n)
+            val c1 = b.x - a.x; val c2 = b.y - a.y
+            val rhs = c1 * a.y - c2 * a.x
+            s"(CAST($c1 AS DOUBLE) * (y + 0.5) - CAST($c2 AS DOUBLE) * (x + 0.5) > CAST($rhs AS DOUBLE))"
+          }.mkString("(", " AND ", ")")
+        }
+        val anyPiece = bufferLinePieces.map(insideSql).mkString("(", "\n   OR ", ")")
+        s"SELECT x, y, v FROM ($grid) WHERE $anyPiece"
+      },
+
+      // dissolve: literal-restating over the grouped fixtures — the
+      // pure-Scala n-ary union algebra runs at oracle-build time in
+      // the SAME ascending-pid fold order the engine pins
+      "q_dissolve" -> {
+        def r5(x: Double) =
+          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = dissolveFixtures.groupBy(_._1).toSeq.sortBy(_._1).map {
+          case (key, members) =>
+            val polys = members.sortBy(_._2).map { case (_, _, xs, ys) =>
+              graft.vector.Polygon(
+                xs.zip(ys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq)
+            }
+            val ps = graft.vector.Overlay.unionAll(polys)
+            val a = graft.vector.Overlay.pieceSetArea(ps)
+            s"(CAST($key AS BIGINT), ${members.length}, ${ps.length}, " +
+              s"CAST(${r5(a)} AS DOUBLE))"
+        }
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(key, n_polys, n_pieces, area)"
+      },
+
+      // knn-within-radius: exact integer d2 (the +0.5 center offsets
+      // cancel), rank over (d2, rid) — the engine's tie-break
+      "q_knn_join" ->
+        s"""WITH q AS ($customerPointsSql), r AS ($pts),
+           |p AS (SELECT q.qid, r.pid AS rid,
+           |        (q.qx - r.px) * (q.qx - r.px) + (q.qy - r.py) * (q.qy - r.py) AS d2
+           |      FROM q, r),
+           |f AS (SELECT qid, rid, d2,
+           |        row_number() OVER (PARTITION BY qid ORDER BY d2, rid) AS rnk
+           |      FROM p WHERE d2 <= 576.0)
+           |SELECT qid, CAST(rnk AS BIGINT) AS rnk, rid, d2 FROM f WHERE rnk <= 3""".stripMargin,
+
+      // exact unbounded kNN: the same rank with NO radius filter —
+      // the expanding-radius engine must converge to this
+      "q_knn_exact" ->
+        s"""WITH q AS ($customerPointsSql), r AS ($pts),
+           |p AS (SELECT q.qid, r.pid AS rid,
+           |        (q.qx - r.px) * (q.qx - r.px) + (q.qy - r.py) * (q.qy - r.py) AS d2
+           |      FROM q, r),
+           |f AS (SELECT qid, rid, d2,
+           |        row_number() OVER (PARTITION BY qid ORDER BY d2, rid) AS rnk
+           |      FROM p)
+           |SELECT qid, CAST(rnk AS BIGINT) AS rnk, rid, d2 FROM f WHERE rnk <= 3""".stripMargin,
+
+      // overlay join: the pure-Scala pair twin runs at oracle-build
+      // time over the same sf-independent star x diamond fixtures
+      "q_overlay_join" -> {
+        def r5(x: Double) =
+          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = for {
+          (aid, axs, ays) <- concaveFixtures
+          (bid, bxs, bys) <- clipFixtures
+          a = graft.vector.Polygon(
+            axs.zip(ays).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq)
+          b = graft.vector.Polygon(
+            bxs.zip(bys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq)
+          ps = graft.vector.Overlay.intersectionPieces(a, b)
+          if ps.nonEmpty
+        } yield {
+          val area = graft.vector.Overlay.pieceSetArea(ps)
+          s"(CAST($aid AS BIGINT), CAST($bid AS BIGINT), ${ps.length}, " +
+            s"CAST(${r5(area)} AS DOUBLE))"
+        }
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(aid, bid, n_pieces, area)"
+      },
+
+      // polyline clip: the Liang-Barsky driver twin restates per-pid
+      // surviving-segment counts and clipped lengths
+      "q_clip_lines" -> {
+        def r5(x: Double) =
+          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = lineFixtures.flatMap { case (pid, xs, ys) =>
+          var n = 0
+          var len = 0.0
+          (0 until xs.length - 1).foreach { i =>
+            graft.vector.Clip.clipSegment(xs(i), ys(i), xs(i + 1), ys(i + 1),
+                64, 64, 192, 192).foreach { case (t0, t1) =>
+              n += 1
+              len += (t1 - t0) * math.hypot(xs(i + 1) - xs(i), ys(i + 1) - ys(i))
+            }
+          }
+          if (n == 0) None
+          else Some(s"(CAST($pid AS BIGINT), $n, CAST(${r5(len)} AS DOUBLE))")
+        }
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, n_segs, length)"
+      },
+
+      // line x polygon overlay: the signed-algebra driver twin runs
+      // at oracle-build time over the same fixtures
+      "q_line_overlay" -> {
+        def r5(x: Double) =
+          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = for {
+          (lid, lxs, lys) <- lineFixtures
+          (gid, pxs, pys) <- concaveFixtures
+          line = lxs.zip(lys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq
+          poly = graft.vector.Polygon(
+            pxs.zip(pys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq)
+          len = graft.vector.Overlay.lineLengthIn(line, graft.vector.Overlay.pieces(poly))
+          if len > 1e-9
+        } yield s"(CAST($lid AS BIGINT), CAST($gid AS BIGINT), CAST(${r5(len)} AS DOUBLE))"
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(lid, gid, len_in)"
       },
 
       // literal-restating oracle (q_tin precedent): the pure-Scala
@@ -5810,16 +6114,16 @@ object SparkEntry {
 
       // quantized component means per label (exact integer sums)
       "q_embed_centroids" ->
-        """WITH q AS (SELECT label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        """WITH q AS (SELECT label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |p AS (SELECT label, unnest(range(len(qv))) AS pos, qv FROM q),
           |u AS (SELECT label, pos, qv[pos + 1] AS qc FROM p)
           |SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n_vecs,
-          |  round(CAST(sum(qc) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * CAST(1000.0 AS DOUBLE)), 6) AS mean
+          |  CAST(round(CAST(sum(qc) * 1000 AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_u
           |FROM u GROUP BY 1, 2""".stripMargin,
 
       // upper-triangle Gram entries, exact integer products
       "q_embed_gram" ->
-        """WITH q AS (SELECT list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        """WITH q AS (SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |p AS (SELECT CAST(ia - 1 AS INTEGER) AS i, CAST(ib - 1 AS INTEGER) AS j,
           |        qv[ia] * qv[ib] AS g
           |      FROM q, range(1, 65) ra(ia), range(1, 65) rb(ib)
@@ -6017,6 +6321,27 @@ object SparkEntry {
            |FROM cand JOIN sig sa ON cand.d1 = sa.doc_id JOIN sig sb ON cand.d2 = sb.doc_id
            |WHERE CAST($minhashSimExpr AS DOUBLE) / 16 >= 0.5""".stripMargin,
 
+      // incremental ingest dedup: the shared banded index, candidates
+      // restricted to delta (doc_id % 4 = 0) x base — no base x base
+      // or delta x delta pairs, mirroring the engine's join shape
+      "q_dedup_incremental" ->
+        s"""WITH $minhashCtes,
+           |cd AS (SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS base_id
+           |       FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+           |       WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+           |sc AS (SELECT delta_id, base_id
+           |       FROM cd JOIN sig sa ON cd.delta_id = sa.doc_id
+           |               JOIN sig sb ON cd.base_id = sb.doc_id
+           |       WHERE CAST($minhashSimExpr AS DOUBLE) / 16 >= 0.5),
+           |m AS (SELECT delta_id, CAST(count(*) AS BIGINT) AS n_matches,
+           |        min(base_id) AS match_id
+           |      FROM sc GROUP BY 1)
+           |SELECT s.doc_id,
+           |  coalesce(m.n_matches, 0) AS n_matches,
+           |  coalesce(m.match_id, -1) AS match_id
+           |FROM (SELECT doc_id FROM sig WHERE doc_id % 4 = 0) s
+           |LEFT JOIN m ON m.delta_id = s.doc_id""".stripMargin,
+
       // estimator audit: agreement count (no floor) + exact Jaccard
       // from the same shingle CTE the signatures derive from
       "q_minhash_eval" ->
@@ -6143,7 +6468,7 @@ object SparkEntry {
       // integer diffs, DECIMAL(18,0)^2 sum, one double cast (the
       // globalMoran discipline), pinned denominator product order
       "q_embed_drift" ->
-        """WITH q AS (SELECT label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        """WITH q AS (SELECT label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |e AS (SELECT label, unnest(range(len(qv))) AS d, qv FROM q),
           |s AS (SELECT label, d, sum(qv[CAST(d + 1 AS INT)]) AS sv FROM e GROUP BY 1, 2),
           |n AS (SELECT label, count(*) AS n FROM q GROUP BY 1),
@@ -6153,8 +6478,8 @@ object SparkEntry {
           |      FROM s a JOIN s b ON a.d = b.d AND a.label < b.label
           |      JOIN n na ON na.label = a.label JOIN n nb ON nb.label = b.label)
           |SELECT label_a, label_b, n_a, n_b,
-          |  round(CAST(sum(CAST(dd AS DECIMAL(18,0)) * CAST(dd AS DECIMAL(18,0))) AS DOUBLE) /
-          |        ((1000.0 * n_a * n_b) * (1000.0 * n_a * n_b)), 6) AS mmd2
+          |  CAST(round(CAST(sum(CAST(dd AS DECIMAL(18,0)) * CAST(dd AS DECIMAL(18,0))) AS DOUBLE) /
+          |        ((1000.0 * n_a * n_b) * (1000.0 * n_a * n_b)) * 1000000.0) AS BIGINT) AS mmd2_u
           |FROM p GROUP BY 1, 2, 3, 4""".stripMargin,
 
       // modularity: the LPA chain extended with exact-integer
@@ -6373,7 +6698,7 @@ object SparkEntry {
       // order-free integer addition; raw float sums would be
       // partition-order-dependent)
       "q_maxsim" ->
-        """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |q AS (SELECT label AS qlabel, vec_id AS qid, qv AS qvv FROM e WHERE label < 2),
           |d AS (SELECT label AS dlabel, qv AS dv FROM e WHERE label >= 2),
           |s AS (SELECT qlabel, dlabel, qid,
@@ -6410,27 +6735,27 @@ object SparkEntry {
       // subkey = vec_id % ceil(label_count / cap), pairs within
       // (label, subkey) only
       "q_dedup_cosine" ->
-        s"""WITH q0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        s"""WITH q0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |c AS (SELECT label, count(*) AS _c FROM q0 GROUP BY 1),
           |q AS (SELECT q0.vec_id, q0.label, q0.qv,
           |        q0.vec_id % CAST(ceil(c._c / ${pipeline.Similarity.MaxBlock}.0) AS BIGINT) AS subkey
           |      FROM q0 JOIN c USING (label))
           |SELECT a.vec_id AS d1, b.vec_id AS d2,
-          |  round(list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
+          |  CAST(round(list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) * 1000000.0) AS BIGINT) AS cos_u
           |FROM q a JOIN q b ON a.label = b.label AND a.subkey = b.subkey AND a.vec_id < b.vec_id
           |WHERE list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.3""".stripMargin,
 
       "q_ann_brute" ->
-        """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
           |        list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos
           |      FROM q a JOIN q b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
           |r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
-          |SELECT qid, nid, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin,
+          |SELECT qid, nid, CAST(round(cos * 1000000.0) AS BIGINT) AS cos_u, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin,
 
       // top-5 CTE + vote argmax with the smallest-label tie rule
       "q_knn_label" ->
-        """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
           |        list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos
           |      FROM q a JOIN q b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
@@ -6458,7 +6783,7 @@ object SparkEntry {
 
       // outlier twin: the same exact-integer m^2*d^2 decomposition
       "q_embed_outliers" ->
-        """WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        """WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |p AS (SELECT vec_id, label, unnest(range(len(qv))) AS pos, qv FROM q),
           |u AS (SELECT vec_id, label, pos, qv[pos + 1] AS qc FROM p),
           |comp AS (SELECT label, pos, CAST(sum(qc) AS BIGINT) AS s FROM u GROUP BY 1, 2),
@@ -6478,7 +6803,7 @@ object SparkEntry {
       // contrastive mining twin: same exact-integer cosine, same
       // (cos DESC, nid) rank, pos rank 1 + neg ranks 1..3
       "q_contrastive" ->
-        """WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        """WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |s AS (SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS nid, b.label AS label,
           |        list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cos
           |      FROM q a JOIN q b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
@@ -6486,7 +6811,7 @@ object SparkEntry {
           |r AS (SELECT qid, kind, nid, cos,
           |        CAST(row_number() OVER (PARTITION BY qid, kind ORDER BY cos DESC, nid) AS INT) AS rank
           |      FROM k)
-          |SELECT qid, kind, rank, nid, round(cos, 6) AS cos
+          |SELECT qid, kind, rank, nid, CAST(round(cos * 1000000.0) AS BIGINT) AS cos_u
           |FROM r WHERE (kind = 'pos' AND rank = 1) OR (kind = 'neg' AND rank <= 3)""".stripMargin,
 
       "q_ann_lsh" -> {
@@ -6495,21 +6820,21 @@ object SparkEntry {
           val arr = p.mkString("[", ", ", "]")
           s"(CASE WHEN list_dot_product(qv, $arr) >= 0 THEN ${1L << b} ELSE 0 END)"
         }.mkString(" + ")
-        s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |b0 AS (SELECT vec_id, qv, BUCKET AS bucket FROM q),
           |c AS (SELECT bucket, count(*) AS _c FROM b0 GROUP BY 1),
           |b AS (SELECT b0.vec_id, b0.qv, b0.bucket,
           |        b0.vec_id % CAST(ceil(c._c / ${pipeline.Similarity.MaxBlock}.0) AS BIGINT) AS subkey
           |      FROM b0 JOIN c USING (bucket))
           |SELECT a.vec_id AS d1, b2.vec_id AS d2,
-          |  round(list_dot_product(a.qv, b2.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b2.qv, b2.qv))), 6) AS cosine
+          |  CAST(round(list_dot_product(a.qv, b2.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b2.qv, b2.qv))) * 1000000.0) AS BIGINT) AS cos_u
           |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.subkey = b2.subkey AND a.vec_id < b2.vec_id
           |WHERE list_dot_product(a.qv, b2.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b2.qv, b2.qv))) >= 0.25""".stripMargin
           .replace("BUCKET", bucketExpr)
       },
 
       "q_ann_ivf" ->
-        """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |e AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nn FROM q0),
           |c AS (SELECT vec_id AS cid, qv AS cv, nn AS cn FROM e WHERE vec_id % 37 = 0),
           |asg AS (SELECT vec_id, cid, qv, nn FROM (
@@ -6525,14 +6850,14 @@ object SparkEntry {
           |s AS (SELECT p.qid, a.vec_id AS nid,
           |        list_dot_product(p.q_qv, a.qv) / (p.q_nn * a.nn) AS cos
           |      FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.qid)
-          |SELECT qid, nid, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank FROM (
+          |SELECT qid, nid, CAST(round(cos * 1000000.0) AS BIGINT) AS cos_u, CAST(rank AS BIGINT) AS rank FROM (
           |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
           |WHERE rank <= 5""".stripMargin,
 
       // recall@5: the brute and IVF chains side by side, membership
       // joined on (qid, nid)
       "q_ann_recall" ->
-        """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |e AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nn FROM q0),
           |c AS (SELECT vec_id AS cid, qv AS cv, nn AS cn FROM e WHERE vec_id % 37 = 0),
           |asg AS (SELECT vec_id, cid, qv, nn FROM (
@@ -6571,7 +6896,7 @@ object SparkEntry {
           |FROM events GROUP BY 1""".stripMargin,
 
       "q_ann_pq" ->
-        """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |subs AS (SELECT vec_id, s, list_transform(range(8), j -> qv[CAST(s * 8 + j + 1 AS INT)]) AS sv
           |         FROM q0, (SELECT unnest(range(8)) AS s)),
           |cb AS (SELECT s, vec_id AS cid, sv AS cv FROM subs WHERE vec_id % 37 = 0),
@@ -6591,10 +6916,10 @@ object SparkEntry {
           |WHERE rank <= 5""".stripMargin,
 
       "q_embed_cluster" ->
-        """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |e AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nn FROM q0),
           |c AS (SELECT vec_id AS cid, qv AS cv, nn AS cn FROM e WHERE vec_id % 37 = 0)
-          |SELECT vec_id, cid, round(cos, 6) AS cosine FROM (
+          |SELECT vec_id, cid, CAST(round(cos * 1000000.0) AS BIGINT) AS cos_u FROM (
           |  SELECT v.vec_id, c.cid, list_dot_product(v.qv, c.cv) / (v.nn * c.cn) AS cos,
           |    row_number() OVER (PARTITION BY v.vec_id
           |      ORDER BY list_dot_product(v.qv, c.cv) / (v.nn * c.cn) DESC, c.cid) AS rn
@@ -6616,7 +6941,7 @@ object SparkEntry {
              |    CAST(floor((2.0 * sum(e.qv[CAST(r.i AS INTEGER)]) + count(*)) / (2 * count(*))) AS BIGINT) AS comp
              |  FROM $asg a JOIN e ON e.vec_id = a.vec_id, range(1, 65) r(i) GROUP BY a.cid, r.i),
              |$out AS (SELECT cid, list(comp ORDER BY i) AS cv FROM ${out}m GROUP BY cid)""".stripMargin
-        s"""WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        s"""WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
            |e AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS vv FROM q0),
            |c0 AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id % 37 = 0),
            |${assignSql("c0", "a0")},
@@ -6632,17 +6957,17 @@ object SparkEntry {
           .map { case (p, j) =>
             s"SELECT vec_id, CAST($j AS BIGINT) AS j, CAST(list_dot_product(qv, ${p.mkString("[", ", ", "]")}) AS BIGINT) AS y FROM q"
           }.mkString("\nUNION ALL ")
-        s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings)
+        s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings)
            |$branches""".stripMargin
       },
 
       // embed_cluster assignment -> hot-cluster subkey (MaxBlock
       // mirror) -> ordered within-cluster eps-pair sweep -> anti-join
       "q_semdedup" ->
-        s"""WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+        s"""WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
           |e AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nn FROM q0),
           |c AS (SELECT vec_id AS cid, qv AS cv, nn AS cn FROM e WHERE vec_id % 37 = 0),
-          |asg AS (SELECT vec_id, cid, round(cos, 6) AS ccos FROM (
+          |asg AS (SELECT vec_id, cid, CAST(round(cos * 1000000.0) AS BIGINT) AS ccos FROM (
           |  SELECT v.vec_id, c.cid, list_dot_product(v.qv, c.cv) / (v.nn * c.cn) AS cos,
           |    row_number() OVER (PARTITION BY v.vec_id
           |      ORDER BY list_dot_product(v.qv, c.cv) / (v.nn * c.cn) DESC, c.cid) AS rn

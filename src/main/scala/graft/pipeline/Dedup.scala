@@ -492,6 +492,59 @@ object Dedup {
       .where(col("est_sim") >= minEstSim)
   }
 
+  /** INCREMENTAL dedup — the 100 TB ingest shape: new (delta) docs
+    * are checked against the existing (base) corpus WITHOUT scoring
+    * base×base or delta×delta pairs. Docs whose `deltaExpr` (a boolean
+    * over doc_id) is true are the incoming batch; every delta doc
+    * reports how many base docs its MinHash-LSH candidates matched at
+    * ≥ `minEstSim` and the smallest matching base id (−1 when clean —
+    * the keep/drop decision for the ingest gate).
+    *
+    * Scale shape: ONE signature scan over base+delta (in production
+    * the base signatures come straight from the catalog — the
+    * signature table IS the persistent dedup index; recomputing here
+    * keeps the operator self-contained), the same banded LSH index
+    * and hot-bucket cap as [[minhashPairs]], and the candidate join
+    * is delta-side × base-side only — the base corpus never
+    * self-joins, so re-ingesting 0.1% of the corpus costs 0.1% of the
+    * pair work. */
+  def incrementalDedup(docs: DataFrame, deltaExpr: Column,
+                       k: Int = 16, bands: Int = 4,
+                       minEstSim: Double = 0.5,
+                       maxBucket: Option[Long] = Some(MinhashMaxBucket)): DataFrame = {
+    val sig = minhashSignatures(docs, k).localCheckpoint()
+    val flagged = sig.withColumn("is_delta", deltaExpr)
+    val rows = k / bands
+    val bandDfs = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      flagged.select(col("doc_id"), col("is_delta"),
+        lit(b).as("band"), concat_ws("_", cols: _*).as("bkey"))
+    }
+    val all = bandDfs.reduce(_ unionByName _)
+    val banded = maxBucket.fold(all) { cap =>
+      val hot = all.groupBy("band", "bkey").agg(count(lit(1)).as("_n"))
+        .where(col("_n") > cap).select(col("band"), col("bkey"))
+      all.join(hot, Seq("band", "bkey"), "left_anti")
+    }
+    val cand = banded.where(col("is_delta")).as("a")
+      .join(banded.where(!col("is_delta")).as("b"), Seq("band", "bkey"))
+      .select(col("a.doc_id").as("delta_id"), col("b.doc_id").as("base_id"))
+      .distinct()
+    val simExpr = (0 until k).map(i =>
+      when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0)).reduce(_ + _)
+    val matches = cand
+      .join(sig.as("sa"), col("delta_id") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("base_id") === col("sb.doc_id"))
+      .where((simExpr.cast("double") / k) >= minEstSim)
+      .groupBy(col("delta_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("base_id")).as("match_id"))
+    flagged.where(col("is_delta")).select(col("doc_id"))
+      .join(matches.withColumnRenamed("delta_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"))
+  }
+
   /** MinHash estimator EVALUATION: every LSH candidate pair with (a)
     * its signature agreement count (the estimator numerator, no
     * est-sim floor so misses are visible) and (b) the EXACT

@@ -42,9 +42,15 @@ object Similarity {
       .drop("_c")
   }
 
-  /** Quantized copy of an embedding column: Array[Long]. */
+  /** Quantized copy of an embedding column: Array[Long]. The f32
+    * component is widened to DOUBLE BEFORE the scale multiply on BOTH
+    * engines (f32→f64 is exact; the f64 product and integer rounding
+    * are then bit-identical): multiplying in f32 first rounds the
+    * product once more, and a product that f32-rounds UP onto an
+    * exact .5 quantizes one unit higher than the f64 path — ~0.05% of
+    * components at sf0.1, caught by the one-time sf0.1 sweep. */
   def quantize(emb: Column, scale: Int = 1000): Column =
-    transform(emb, x => round(x * scale).cast("long"))
+    transform(emb, x => round(x.cast("double") * scale).cast("long"))
 
   /** Exact integer dot product of two quantized vectors — native
     * codegen'd fused loop (see LongDotExpr), no intermediate array. */
@@ -54,6 +60,19 @@ object Similarity {
   /** Deterministic cosine over quantized vectors. */
   def qcosine(a: Column, b: Column): Column =
     qdot(a, b).cast("double") / (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
+
+  /** MICRO-QUANTIZED cosine report value: round(cos·10⁶) as BIGINT.
+    * The IEEE chain up to the rounding (integer dot, correctly-
+    * rounded sqrt, mul, div) is bit-identical in Spark and DuckDB;
+    * rounding to an INTEGER is too (Spark HALF_UP on the exact
+    * binary double == DuckDB half-away for either sign). The old
+    * round(x, 6) DOUBLE outputs diverged at sf0.1 — Spark's decimal
+    * 6-dp path vs DuckDB's float path disagree on values with 9+
+    * significant digits (the CLAUDE.md hotspot class; ~0.1% of pairs
+    * at 10× data). Every cosine-family REPORT column is cos_u now;
+    * thresholds and orderings keep the raw double (identical chains,
+    * no rounding involved). */
+  def microCos(c: Column): Column = round(c * lit(1000000.0)).cast("long")
 
   /** Brute-force cosine top-k: queries (a filter of the corpus) against
     * all vectors. Queries are broadcast; ranking is a window per query.
@@ -74,7 +93,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"), col("rank"))
+      .select(col("qid"), col("nid"), microCos(col("cosine")).as("cos_u"), col("rank"))
   }
 
   /** Anchor-count ceiling for the broadcast-brute scorers. The guarded
@@ -187,7 +206,7 @@ object Similarity {
       .where((col("kind") === "pos" && col("rank") === 1) ||
         (col("kind") === "neg" && col("rank") <= negK))
       .select(col("qid"), col("kind"), col("rank"), col("nid"),
-        round(col("cos"), 6).as("cos"))
+        microCos(col("cos")).as("cos_u"))
   }
 
   /** Recall@k — the ANN quality report every index-tuning loop needs:
@@ -257,7 +276,7 @@ object Similarity {
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
         (qdot(col("a.qv"), col("b.qv")).cast("double") / (col("a.nn") * col("b.nn"))).as("cosine"))
       .where(col("cosine") >= threshold)
-      .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))
+      .select(col("d1"), col("d2"), microCos(col("cosine")).as("cos_u"))
   }
 
   /** Random-hyperplane LSH bucketing: sign bits of dot products with
@@ -326,7 +345,7 @@ object Similarity {
         score(col("q_qv"), col("q_nn"), col("qv"), col("nn")).as("cosine"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"), col("rank"))
+      .select(col("qid"), col("nid"), microCos(col("cosine")).as("cos_u"), col("rank"))
   }
 
   /** Nearest-centroid cluster assignment — the semantic-bucketing /
@@ -380,9 +399,12 @@ object Similarity {
       .agg(sum(col("d").cast("decimal(18,0)") * col("d").cast("decimal(18,0)"))
         .as("num"))
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        // micro-quantized (the cos_u convention): same IEEE division
+        // chain, then one integer rounding — sf-stable
         round(col("num").cast("double") /
           ((lit(1000.0) * col("n_a") * col("n_b")) *
-            (lit(1000.0) * col("n_a") * col("n_b"))), 6).as("mmd2"))
+            (lit(1000.0) * col("n_a") * col("n_b"))) * lit(1000000.0))
+          .cast("long").as("mmd2_u"))
   }
 
   def labelCentroids(embeddings: DataFrame): DataFrame =
@@ -391,8 +413,10 @@ object Similarity {
       .groupBy("label", "pos")
       .agg(count(lit(1)).as("n_vecs"), sum("qc").cast("long").as("s"))
       .select(col("label"), col("pos").cast("long").as("pos"), col("n_vecs"),
-        round(col("s").cast("double") / (col("n_vecs").cast("double") * lit(1000.0)), 6)
-          .as("mean"))
+        // micro-quantized mean (the cos_u convention): s·1000 is an
+        // exact Long, one division, integer rounding — sf-stable
+        round((col("s") * lit(1000L)).cast("double") / col("n_vecs").cast("double"))
+          .cast("long").as("mean_u"))
 
   /** Exact Gram matrix of the quantized corpus — G[i][j] = Σ_docs
     * qᵥ[i]·qᵥ[j] over the upper triangle (i ≤ j): THE input to
@@ -555,7 +579,7 @@ object Similarity {
       .groupBy("vec_id")
       .agg(max(struct(col("cosine"), (-col("cid")).as("negCid"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"),
-        round(col("m.cosine"), 6).as("cosine"))
+        microCos(col("m.cosine")).as("cos_u"))
   }
 
   /** Product-quantization encoding (Jégou et al., "Product
@@ -711,7 +735,7 @@ object Similarity {
   def semDedup(embeddings: DataFrame, eps: Double, centroidPred: Column,
                maxBlock: Option[Long] = Some(MaxBlock)): DataFrame = {
     val asg = clusterAssign(embeddings, centroidPred)
-      .withColumnRenamed("cosine", "ccos")
+      .withColumnRenamed("cos_u", "ccos")
     val e0 = asg.join(
         embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv")), "vec_id")
       .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
@@ -793,6 +817,6 @@ object Similarity {
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
         (qdot(col("a.qv"), col("b.qv")).cast("double") / (col("a.nn") * col("b.nn"))).as("cosine"))
       .where(col("cosine") >= threshold)
-      .select(col("d1"), col("d2"), round(col("cosine"), 6).as("cosine"))
+      .select(col("d1"), col("d2"), microCos(col("cosine")).as("cos_u"))
   }
 }

@@ -495,6 +495,30 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
         slice(col("packed"), n + 1, n).as("tile")), meta = m))
   }
 
+  /** Per-cell harmonic (seasonal) regression sums: (count layer,
+    * Σ qcos·v layer, Σ qsin·v layer) with qcos/qsin the
+    * micro-quantized weights round(cos|sin(2πt/period)·10⁶) — the
+    * phenology-model fitting composite (see [[TileHarmonicAgg]]).
+    * One keyed shuffle; the packed result is checkpointed so the
+    * three layer views share the aggregation. */
+  def temporalHarmonic(period: Double): (RasterLayer, RasterLayer, RasterLayer) = {
+    require(meta.temporal, "temporalHarmonic on spatial-only layer")
+    require(period > 0, "period must be positive")
+    val n = tl.tileSize
+    val agg = udaf(new TileHarmonicAgg(n, period),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Double])]())
+    val packed = df.groupBy(col("col"), col("row"))
+      .agg(agg(col("instant"), col("tile")).as("packed"))
+      .localCheckpoint()
+    val m = meta.copy(temporal = false)
+    (copy(df = packed.select(col("col"), col("row"),
+        slice(col("packed"), 1, n).as("tile")), meta = m),
+     copy(df = packed.select(col("col"), col("row"),
+        slice(col("packed"), n + 1, n).as("tile")), meta = m),
+     copy(df = packed.select(col("col"), col("row"),
+        slice(col("packed"), 2 * n + 1, n).as("tile")), meta = m))
+  }
+
   /** Drop the time dimension, aggregating duplicate spatial keys. */
   def toSpatialLayer(op: String = "Max"): RasterLayer = {
     require(meta.temporal)

@@ -242,6 +242,58 @@ final class TileTrendAgg(size: Int)
   def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
 }
 
+/** Per-cell HARMONIC (seasonal) regression sums over a temporal
+  * layer — the phenology-fitting composite (Landsat/MODIS harmonic
+  * models fit v ≈ m + a·cos(2πt/T) + b·sin(2πt/T) per pixel): the
+  * buffer accumulates [n | Σqc·v | Σqs·v] per cell where qc/qs are the
+  * MICRO-QUANTIZED weights round(cos|sin(2πt/T)·10⁶) — exact
+  * integer-valued doubles for integral cells (products < 2^53), so
+  * the fold is order-free and oracle-twinnable; amplitude/phase are
+  * one closing atan2/sqrt away for the caller. Cells with no data
+  * emit NoData on all three outputs. Same one-shuffle map-side-partial
+  * shape as TileTrendAgg. */
+final class TileHarmonicAgg(size: Int, period: Double)
+    extends Aggregator[(Long, Seq[Double]), Array[Double], Seq[Double]] {
+  def zero: Array[Double] = new Array[Double](3 * size)
+  def reduce(buf: Array[Double], in: (Long, Seq[Double])): Array[Double] = {
+    val (t, tile) = in
+    val qc = math.rint(math.cos(2 * math.Pi * t / period) * 1e6)
+    val qs = math.rint(math.sin(2 * math.Pi * t / period) * 1e6)
+    var i = 0
+    val it = tile.iterator
+    while (i < size && it.hasNext) {
+      val v = it.next()
+      if (!v.isNaN) {
+        buf(i) += 1
+        buf(size + i) += qc * v
+        buf(2 * size + i) += qs * v
+      }
+      i += 1
+    }
+    buf
+  }
+  def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < 3 * size) { a(i) += b(i); i += 1 }
+    a
+  }
+  def finish(buf: Array[Double]): Seq[Double] = {
+    val out = new Array[Double](3 * size)
+    var i = 0
+    while (i < size) {
+      if (buf(i) == 0) {
+        out(i) = Double.NaN; out(size + i) = Double.NaN; out(2 * size + i) = Double.NaN
+      } else {
+        out(i) = buf(i); out(size + i) = buf(size + i); out(2 * size + i) = buf(2 * size + i)
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+  def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+}
+
 /** Per-cell temporal MAX composite with the instant achieving it — the
   * remote-sensing "greenest pixel + day of peak" composite. Input is
   * (instant, tile); per cell the largest value wins and ties break to

@@ -119,6 +119,104 @@ object Buffer {
     tris ++ rects ++ joints
   }
 
+  /** End-cap style for [[bufferLinePieces]] — mirrors JTS cap_style
+    * (round / flat). */
+  sealed trait Cap
+  case object FlatCap extends Cap
+  /** Semicircle end caps sampled at `quadrantSegments` per 90° — the
+    * JTS CAP_ROUND convention. */
+  final case class RoundCap(quadrantSegments: Int = 8) extends Cap
+
+  /** Positive buffer of an OPEN polyline (the road/river/track case —
+    * JTS `buffer` on a LineString) as convex pieces with UNION
+    * semantics, the [[bufferPieces]] output contract:
+    *
+    *  - per segment, the full-width rectangle a±n·d → b±n·d (n the
+    *    unit normal) — the segment's Minkowski d-slab;
+    *  - per interior vertex, a joint fan on the OUTER side of the turn
+    *    (the inner side is already covered by the two overlapping
+    *    segment slabs);
+    *  - per endpoint, a cap: Round = semicircle fan (π sweep), Flat =
+    *    nothing beyond the slab edge.
+    *
+    * Deterministic construction (the literal-restating oracle
+    * discipline); consumers take Seq[Polygon] with union semantics
+    * exactly like the ring buffer (mask / rasterize / unionAll). */
+  def bufferLinePieces(line: IndexedSeq[Pt], d: Double,
+                       join: Join = Round(8), cap: Cap = RoundCap(8)): Seq[Polygon] = {
+    require(d > 0, "line buffer requires a positive offset")
+    val pts = line.foldLeft(Vector.empty[Pt]) { (acc, p) =>
+      if (acc.nonEmpty && acc.last == p) acc else acc :+ p
+    }
+    require(pts.length >= 2, "polyline needs at least 2 distinct vertices")
+    val n = pts.length
+    val m = n - 1 // segments
+    val nx = new Array[Double](m); val ny = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val a = pts(i); val b = pts(i + 1)
+      val ex = b.x - a.x; val ey = b.y - a.y
+      val len = math.hypot(ex, ey)
+      nx(i) = ey / len; ny(i) = -ex / len
+      i += 1
+    }
+    val slabs = (0 until m).map { i =>
+      val a = pts(i); val b = pts(i + 1)
+      Polygon(IndexedSeq(
+        Pt(a.x + nx(i) * d, a.y + ny(i) * d), Pt(b.x + nx(i) * d, b.y + ny(i) * d),
+        Pt(b.x - nx(i) * d, b.y - ny(i) * d), Pt(a.x - nx(i) * d, a.y - ny(i) * d)))
+    }
+    // fan from angle a1 to a1+sweep (sweep > 0 CCW, < 0 CW) around v
+    def fan(v: Pt, a1: Double, sweep: Double, q: Int): Seq[Polygon] = {
+      val steps = math.max(1, math.ceil(math.abs(sweep) / (math.Pi / 2 / q)).toInt)
+      (0 until steps).map { k =>
+        val b1 = a1 + sweep * k / steps
+        val b2 = a1 + sweep * (k + 1) / steps
+        Polygon(IndexedSeq(v,
+          Pt(v.x + math.cos(b1) * d, v.y + math.sin(b1) * d),
+          Pt(v.x + math.cos(b2) * d, v.y + math.sin(b2) * d)))
+      }
+    }
+    val joints = (1 until m).flatMap { i =>
+      // vertex i joins segments i-1 and i; outer side of a left (CCW)
+      // turn is the right-normal side, of a right turn the -normal side
+      val h = i - 1
+      val v = pts(i)
+      val turn = (v.x - pts(i - 1).x) * (pts(i + 1).y - v.y) -
+        (v.y - pts(i - 1).y) * (pts(i + 1).x - v.x)
+      if (turn == 0) Nil // straight: slabs already tile the corridor
+      else {
+        val sgn = if (turn > 0) 1.0 else -1.0 // left turn: gap on +n side
+        val a1 = math.atan2(sgn * ny(h), sgn * nx(h))
+        var sweep = math.atan2(sgn * ny(i), sgn * nx(i)) - a1
+        // take the short way round (the gap sector is < pi)
+        if (sweep > math.Pi) sweep -= 2 * math.Pi
+        if (sweep < -math.Pi) sweep += 2 * math.Pi
+        join match {
+          case Miter =>
+            val p1 = Pt(v.x + sgn * nx(h) * d, v.y + sgn * ny(h) * d)
+            val p2 = Pt(v.x + sgn * nx(i) * d, v.y + sgn * ny(i) * d)
+            val (dx1, dy1) = (v.x - pts(i - 1).x, v.y - pts(i - 1).y)
+            val (dx2, dy2) = (pts(i + 1).x - v.x, pts(i + 1).y - v.y)
+            val det = dx1 * dy2 - dy1 * dx2
+            val t = ((p2.x - p1.x) * dy2 - (p2.y - p1.y) * dx2) / det
+            Seq(Polygon(IndexedSeq(v, p1, Pt(p1.x + t * dx1, p1.y + t * dy1), p2)))
+          case Round(q) => fan(v, a1, sweep, q)
+        }
+      }
+    }
+    val caps = cap match {
+      case FlatCap => Nil
+      case RoundCap(q) =>
+        // n is the right normal (e rotated CW): CW from +n passes −e
+        // (the back), CCW from +n passes +e (the front). Start cap
+        // sweeps CW through the back; end cap CCW through the front.
+        fan(pts(0), math.atan2(ny(0), nx(0)), -math.Pi, q) ++
+          fan(pts(n - 1), math.atan2(ny(m - 1), nx(m - 1)), math.Pi, q)
+    }
+    slabs ++ joints ++ caps
+  }
+
   /** Miter-join offset of a convex, hole-free ring by `d` (> 0 grows,
     * < 0 shrinks; shrinking past the inradius throws). Collinear and
     * duplicate vertices are dropped first; input orientation (CW or

@@ -170,4 +170,59 @@ object Clip {
       }
       .toDF("pid", "n", "area")
   }
+
+  /** Liang–Barsky (1984) clip of ONE segment to the window: the
+    * surviving parameter span [t0, t1] of a + t(b−a), or None when
+    * the segment misses (zero-length touches excluded). Public
+    * algorithm, exact rational rejection tests restated as the usual
+    * p/q updates. */
+  private[graft] def clipSegment(ax: Double, ay: Double, bx: Double, by: Double,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): Option[(Double, Double)] = {
+    val dx = bx - ax; val dy = by - ay
+    var t0 = 0.0; var t1 = 1.0
+    val ps = Array(-dx, dx, -dy, dy)
+    val qs = Array(ax - xmin, xmax - ax, ay - ymin, ymax - ay)
+    var i = 0
+    while (i < 4) {
+      val p = ps(i); val q = qs(i)
+      if (p == 0) { if (q < 0) return None }
+      else {
+        val t = q / p
+        if (p < 0) { if (t > t1) return None; if (t > t0) t0 = t }
+        else { if (t < t0) return None; if (t < t1) t1 = t }
+      }
+      i += 1
+    }
+    if (t1 > t0) Some((t0, t1)) else None
+  }
+
+  /** Clip POLYLINES (pid, xs, ys — open paths) to an axis-aligned
+    * window: per feature the count of surviving sub-segments and
+    * their total length (Liang–Barsky per segment, folded in path
+    * order — deterministic floats for the literal-restating oracle).
+    * Features entirely outside emit nothing. The roads-to-study-area
+    * clip; the polygon sibling is [[clipPolygons]]. Per-row
+    * transform, no shuffle. */
+  def clipLines(lines: DataFrame, xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.select(col("pid"), col("xs"), col("ys"))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .flatMap { case (pid, xs, ys) =>
+        var n = 0
+        var len = 0.0
+        var i = 0
+        while (i < xs.length - 1) {
+          clipSegment(xs(i), ys(i), xs(i + 1), ys(i + 1),
+              xmin, ymin, xmax, ymax).foreach { case (t0, t1) =>
+            n += 1
+            len += (t1 - t0) * math.hypot(xs(i + 1) - xs(i), ys(i + 1) - ys(i))
+          }
+          i += 1
+        }
+        if (n == 0) None else Some((pid, n, len))
+      }
+      .toDF("pid", "n_segs", "length")
+  }
 }

@@ -255,6 +255,75 @@ object Overlay {
     }.sum
 
   // ------------------------------------------------------------------
+  // Signed piece SETS — the n-ary indicator algebra (dissolve / buffer
+  // unions). A piece set S represents the indicator 1_S = Σ sᵢ·1_Pᵢ;
+  // for the sets this module constructs (unions/intersections of
+  // simple polygons) the sum is exactly 0/1 off piece boundaries.
+  // ------------------------------------------------------------------
+
+  private def pieceBbox(p: Piece): (Double, Double, Double, Double) = {
+    var x0 = Double.MaxValue; var y0 = Double.MaxValue
+    var x1 = Double.MinValue; var y1 = Double.MinValue
+    var i = 0
+    while (i < p.xs.length) {
+      val x = p.xs(i); val y = p.ys(i)
+      if (x < x0) x0 = x; if (x > x1) x1 = x
+      if (y < y0) y0 = y; if (y > y1) y1 = y
+      i += 1
+    }
+    (x0, y0, x1, y1)
+  }
+
+  /** Pieces of 1_A · 1_B for two piece SETS: pairwise convex clips
+    * with multiplied signs (A-major order), bbox quick-reject first,
+    * slivers dropped — [[intersectionPieces]] generalized from
+    * polygons to sets so n-ary folds close over the algebra. */
+  def pieceSetIntersection(sa: Seq[Piece], sb: Seq[Piece]): IndexedSeq[Piece] = {
+    val boxed = sb.map(p => (pieceBbox(p), p))
+    (for {
+      x <- sa.iterator
+      bx = pieceBbox(x)
+      (by, y) <- boxed.iterator
+      if bx._1 <= by._3 && by._1 <= bx._3 && bx._2 <= by._4 && by._2 <= bx._4
+      (ix, iy) = Clip.clipRingConvex(x.xs, x.ys, y.xs, y.ys)
+      if ix.length >= 3 && Clip.ringArea(ix, iy) > SliverArea
+    } yield Piece(x.sign * y.sign, ix, iy)).toIndexedSeq
+  }
+
+  /** Pieces of A ∪ B over piece SETS: A + B − A·B on indicators. */
+  def pieceSetUnion(sa: Seq[Piece], sb: Seq[Piece]): IndexedSeq[Piece] =
+    (sa ++ sb ++ pieceSetIntersection(sa, sb).map(p => p.copy(sign = -p.sign))).toIndexedSeq
+
+  /** Signed area of a piece set (left-associated in piece order —
+    * restate identically when pinning oracles). */
+  def pieceSetArea(ps: Seq[Piece]): Double =
+    ps.foldLeft(0.0)((s, p) => s + p.sign * Clip.ringArea(p.xs, p.ys))
+
+  /** Per-group piece-count ceiling for [[unionAll]] / [[dissolve]] —
+    * a feature-scale bound (groups are feature counts, not data
+    * counts); heavily-overlapping groups past it fail loudly rather
+    * than quadratically. */
+  val MaxDissolvePieces = 200000
+
+  /** Union piece set of MANY polygons, folded left in input order
+    * (deterministic: callers sort first). Intersection pieces of
+    * disjoint or edge-adjacent members clip empty / drop as slivers,
+    * so the common dissolve case (tiled admin polygons) grows
+    * linearly; genuine overlaps pay their inclusion-exclusion price. */
+  def unionAll(polys: Seq[Polygon]): IndexedSeq[Piece] =
+    polys.foldLeft(IndexedSeq.empty[Piece]) { (acc, p) =>
+      val next = if (acc.isEmpty) pieces(p) else pieceSetUnion(acc, pieces(p))
+      require(next.length <= MaxDissolvePieces,
+        s"dissolve group exceeded $MaxDissolvePieces pieces — " +
+          "split the group or pre-simplify members")
+      next
+    }
+
+  /** Union AREA of many polygons (the n-ary inclusion–exclusion
+    * closed over [[unionAll]]'s algebra). */
+  def unionAreaAll(polys: Seq[Polygon]): Double = pieceSetArea(unionAll(polys))
+
+  // ------------------------------------------------------------------
   // DataFrame operators (per-row transforms — no shuffle)
   // ------------------------------------------------------------------
 
@@ -298,6 +367,190 @@ object Overlay {
         (pid, aA - inter, aA + areaB - 2.0 * inter)
       }
       .toDF("pid", "area_diff", "area_symdiff")
+  }
+
+  /** DISSOLVE — the classic GIS union-by-attribute (JTS unaryUnion /
+    * shapely unary_union grouped by key; ArcGIS Dissolve): all
+    * features sharing `key` merge into one region, reported as
+    * (key, n_polys, n_pieces, area) with the EXACT union area from
+    * the signed-piece algebra — overlaps counted once, concave
+    * members welcome.
+    *
+    * Scale shape: ONE shuffle (groupByKey on the dissolve key); each
+    * group folds sequentially in ascending-pid order (deterministic —
+    * union area is order-free mathematically, the pinned order makes
+    * the float sums reproducible for oracles). Per-group cost is
+    * feature-count-scale (admin regions per country, parcels per
+    * block), never data-scale; [[MaxDissolvePieces]] bounds the
+    * pathological heavily-overlapping group loudly. */
+  def dissolve(polys: DataFrame): DataFrame = {
+    val spark = polys.sparkSession
+    import spark.implicits._
+    polys.select(col("key").cast("long"), col("pid").cast("long"),
+        col("xs"), col("ys"))
+      .as[(Long, Long, Seq[Double], Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val members = it.toIndexedSeq.sortBy(_._2)
+        val ps = unionAll(members.map { case (_, _, xs, ys) => toPolygon(xs, ys) })
+        (key, members.length, ps.length, pieceSetArea(ps))
+      }
+      .toDF("key", "n_polys", "n_pieces", "area")
+  }
+
+  /** Cyrus–Beck (1978) clip of the segment a + t(b−a), t ∈ [0,1],
+    * against ONE convex piece: the surviving [t0, t1] span, or None.
+    * Orientation-normalized via the shoelace sign; inside = every
+    * edge cross ≥ 0 for CCW. */
+  private[graft] def clipSegPiece(ax: Double, ay: Double, bx: Double, by: Double,
+      p: Piece): Option[(Double, Double)] = {
+    val n = p.xs.length
+    val ccw = signedArea2(p.xs.zip(p.ys).map { case (x, y) => Pt(x, y) }) >= 0
+    var t0 = 0.0; var t1 = 1.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val ex = p.xs(j) - p.xs(i); val ey = p.ys(j) - p.ys(i)
+      // f(t) = cross(edge, p(t) − e1), linear in t; CCW inside: f ≥ 0
+      var fa = ex * (ay - p.ys(i)) - ey * (ax - p.xs(i))
+      var fb = ex * (by - p.ys(i)) - ey * (bx - p.xs(i))
+      if (!ccw) { fa = -fa; fb = -fb }
+      val df = fb - fa
+      if (df == 0) { if (fa < 0) return None }
+      else {
+        val t = -fa / df
+        if (df < 0) { if (t < t1) t1 = t }   // exiting
+        else { if (t > t0) t0 = t }          // entering
+        if (t0 >= t1) return None
+      }
+      i += 1
+    }
+    if (t1 > t0) Some((t0, t1)) else None
+  }
+
+  /** EXACT length of a polyline inside a polygon via the signed
+    * algebra: for each segment, ∫1_poly dt = Σ_pieces sign·|clip
+    * span| (the indicator is a signed piece sum, so overlapping
+    * spans need no interval union). Folded in (segment, piece)
+    * order — deterministic floats. */
+  def lineLengthIn(line: IndexedSeq[Pt], ps: Seq[Piece]): Double = {
+    var len = 0.0
+    var i = 0
+    while (i < line.length - 1) {
+      val a = line(i); val b = line(i + 1)
+      val segLen = math.hypot(b.x - a.x, b.y - a.y)
+      ps.foreach { p =>
+        clipSegPiece(a.x, a.y, b.x, b.y, p).foreach { case (t0, t1) =>
+          len += p.sign * (t1 - t0) * segLen
+        }
+      }
+      i += 1
+    }
+    len
+  }
+
+  /** LINE × POLYGON overlay join — "road length per district"
+    * (ArcGIS Intersect with line inputs / PostGIS
+    * ST_Length(ST_Intersection)): every (lid, gid) pair whose line
+    * runs inside the polygon, with the exact inside length. Same
+    * grid-bucket + canonical-bucket-dedup plan as [[overlayJoin]];
+    * per-pair cost is segments × pieces. Pairs with no inside run
+    * emit nothing. */
+  def lineOverlayJoin(lines: DataFrame, polys: DataFrame,
+                      cellSize: Double = 0.0): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val cell =
+      if (cellSize > 0) cellSize
+      else {
+        val dims = polys.select(col("xs"), col("ys"))
+          .as[(Seq[Double], Seq[Double])]
+          .map { case (xs, ys) => (xs.max - xs.min, ys.max - ys.min) }
+          .toDF("w", "h").agg(avg("w"), avg("h")).head()
+        math.max(1e-9, math.max(dims.getDouble(0), dims.getDouble(1)))
+      }
+    def buckets(side: DataFrame, id: String) =
+      side.select(col(id).cast("long"), col("xs"), col("ys"))
+        .as[(Long, Seq[Double], Seq[Double])]
+        .flatMap { case (fid, xs, ys) =>
+          for {
+            bx <- math.floor(xs.min / cell).toLong to math.floor(xs.max / cell).toLong
+            by <- math.floor(ys.min / cell).toLong to math.floor(ys.max / cell).toLong
+          } yield (bx, by, fid, xs, ys, xs.min, ys.min)
+        }
+        .toDF("bx", "by", id, s"${id}_xs", s"${id}_ys", s"${id}_x0", s"${id}_y0")
+    buckets(lines, "lid").join(buckets(polys, "gid"), Seq("bx", "by"))
+      .where(col("bx") === floor(greatest(col("lid_x0"), col("gid_x0")) / cell).cast("long") &&
+             col("by") === floor(greatest(col("lid_y0"), col("gid_y0")) / cell).cast("long"))
+      .select(col("lid"), col("gid"),
+        col("lid_xs"), col("lid_ys"), col("gid_xs"), col("gid_ys"))
+      .as[(Long, Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])]
+      .flatMap { case (lid, gid, lxs, lys, pxs, pys) =>
+        val line = lxs.zip(lys).map { case (x, y) => Pt(x, y) }.toIndexedSeq
+        val len = lineLengthIn(line, pieces(toPolygon(pxs, pys)))
+        if (len > 1e-9) Some((lid, gid, len)) else None
+      }
+      .toDF("lid", "gid", "len_in")
+  }
+
+  /** OVERLAY JOIN — the ArcGIS Intersect / QGIS "intersection" tool
+    * between two polygon LAYERS: every intersecting (aid, bid) pair
+    * with its exact intersection area and piece count, concave
+    * allowed on both sides. Pairs that don't intersect emit nothing.
+    *
+    * Scale shape: both sides explode to the coarse grid buckets their
+    * bbox overlaps (cell auto-sized to the mean A-side bbox, the
+    * [[SpatialJoin.pointsInPolygonsGrid]] discipline), candidates
+    * meet on a bucket EQUI-join, and each candidate pair is evaluated
+    * in exactly ONE bucket — the bucket holding its bbox-overlap's
+    * min corner — so no distinct pass and no duplicate geometry work.
+    * Per-pair cost is bounded by ring sizes, never table sizes; no
+    * broadcast, no all-pairs. */
+  def overlayJoin(as: DataFrame, bs: DataFrame, cellSize: Double = 0.0): DataFrame = {
+    val spark = as.sparkSession
+    import spark.implicits._
+    def bbox(xs: Seq[Double], ys: Seq[Double]): (Double, Double, Double, Double) =
+      (xs.min, ys.min, xs.max, ys.max)
+    val cell =
+      if (cellSize > 0) cellSize
+      else {
+        val dims = as.select(col("xs"), col("ys"))
+          .as[(Seq[Double], Seq[Double])]
+          .map { case (xs, ys) => (xs.max - xs.min, ys.max - ys.min) }
+          .toDF("w", "h").agg(avg("w"), avg("h")).head()
+        math.max(1e-9, math.max(dims.getDouble(0), dims.getDouble(1)))
+      }
+    def buckets(side: DataFrame, id: String) =
+      side.select(col(id).cast("long"), col("xs"), col("ys"))
+        .as[(Long, Seq[Double], Seq[Double])]
+        .flatMap { case (fid, xs, ys) =>
+          val (x0, y0, x1, y1) = bbox(xs, ys)
+          for {
+            bx <- math.floor(x0 / cell).toLong to math.floor(x1 / cell).toLong
+            by <- math.floor(y0 / cell).toLong to math.floor(y1 / cell).toLong
+          } yield (bx, by, fid, xs, ys, x0, y0)
+        }
+        .toDF("bx", "by", id, s"${id}_xs", s"${id}_ys", s"${id}_x0", s"${id}_y0")
+    val aB = buckets(as, "aid")
+    val bB = buckets(bs, "bid")
+    aB.join(bB, Seq("bx", "by"))
+      .select(col("bx"), col("by"), col("aid"), col("bid"),
+        col("aid_xs"), col("aid_ys"), col("bid_xs"), col("bid_ys"),
+        greatest(col("aid_x0"), col("bid_x0")).as("ox0"),
+        greatest(col("aid_y0"), col("bid_y0")).as("oy0"))
+      // canonical-bucket dedup: evaluate the pair only where the
+      // bbox-overlap min corner lives
+      .where(col("bx") === floor(col("ox0") / cell).cast("long") &&
+             col("by") === floor(col("oy0") / cell).cast("long"))
+      .select(col("aid"), col("bid"),
+        col("aid_xs"), col("aid_ys"), col("bid_xs"), col("bid_ys"))
+      .as[(Long, Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])]
+      .flatMap { case (aid, bid, axs, ays, bxs, bys) =>
+        val ps = intersectionPieces(toPolygon(axs, ays), toPolygon(bxs, bys))
+        if (ps.isEmpty) None
+        else Some((aid, bid, ps.length, pieceSetArea(ps)))
+      }
+      .toDF("aid", "bid", "n_pieces", "area")
   }
 
   /** General polygon UNION area of every feature ring with `other`

@@ -114,4 +114,96 @@ object SpatialJoin {
       }
       .toDF("pid", "gid")
   }
+
+  /** k-nearest-neighbor join WITHIN a search radius (the ArcGIS
+    * GenerateNearTable / PostGIS KNN-with-limit shape): for every
+    * query point (qid, qx, qy) the ≤ k nearest reference points
+    * (rid, rx, ry) with d² ≤ radius², ranked by (d², rid) — the
+    * deterministic tie-break. Queries with nothing in range emit no
+    * rows.
+    *
+    * Scale shape: references key to one grid bucket of side `cell`
+    * (default = radius), queries explode to the ⌈radius/cell⌉-ring
+    * bucket neighborhood (3×3 at the default) — an EQUI-join with
+    * bounded fan-out; candidates per query are its neighborhood's
+    * occupancy, never the table. The rank is a per-query window
+    * (partitioned by qid — no global window), k rows survive. Exact
+    * by construction: any reference within `radius` of q lies in a
+    * joined bucket. The unbounded-k nearest-neighbor needs expanding
+    * rings — run again with a larger radius if a query came back
+    * short (the bounded radius IS the semantics here, as in the
+    * ArcGIS near table). */
+  def knnWithin(queries: DataFrame, refs: DataFrame,
+                radius: Double, k: Int, cellSize: Double = 0.0): DataFrame = {
+    require(radius > 0 && k >= 1, "knnWithin needs radius > 0, k >= 1")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cell = if (cellSize > 0) cellSize else radius
+    val reach = math.ceil(radius / cell).toLong
+    val r2 = radius * radius
+    val ref = refs.select(col("rid").cast("long"), col("rx"), col("ry"))
+      .withColumn("bx", floor(col("rx") / cell).cast("long"))
+      .withColumn("by", floor(col("ry") / cell).cast("long"))
+    val qs = queries.select(col("qid").cast("long"), col("qx"), col("qy"))
+      .as[(Long, Double, Double)]
+      .flatMap { case (qid, qx, qy) =>
+        val bx = math.floor(qx / cell).toLong
+        val by = math.floor(qy / cell).toLong
+        for {
+          dx <- -reach to reach
+          dy <- -reach to reach
+        } yield (qid, qx, qy, bx + dx, by + dy)
+      }
+      .toDF("qid", "qx", "qy", "bx", "by")
+    val d2 = (col("qx") - col("rx")) * (col("qx") - col("rx")) +
+      (col("qy") - col("ry")) * (col("qy") - col("ry"))
+    val pairs = qs.join(ref, Seq("bx", "by"))
+      .select(col("qid"), col("rid"), d2.as("d2"))
+      .where(col("d2") <= lit(r2))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2"), col("rid"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("rid"), col("d2"))
+  }
+
+  /** EXACT k-nearest-neighbor join (unbounded — the true PostGIS
+    * `<->` LIMIT k semantics): expanding-radius rounds of
+    * [[knnWithin]]. A query returning k rows at radius r is PROVABLY
+    * complete (its kth distance ≤ r, every unexamined reference is
+    * > r), so each round keeps the finished queries and re-runs only
+    * the unfinished ones at 2r — geometric rounds, log(maxRadius/
+    * initRadius) of them worst-case, each a bounded-fan-out bucket
+    * join over a SHRINKING query side. `maxRadius` (default: set it
+    * to the domain diameter) bounds termination for queries with
+    * fewer than k references in range — they emit what exists.
+    * localCheckpoint per round (the iterative-DataFrame rule). */
+  def knnJoin(queries: DataFrame, refs: DataFrame, k: Int,
+              initRadius: Double, maxRadius: Double): DataFrame = {
+    require(initRadius > 0 && maxRadius >= initRadius, "bad radii")
+    val spark = queries.sparkSession
+    var remaining = queries.select(col("qid").cast("long"), col("qx"), col("qy"))
+      .localCheckpoint()
+    var acc: DataFrame = null
+    var r = initRadius
+    var done = false
+    while (!done) {
+      val last = r >= maxRadius
+      val got = knnWithin(remaining, refs, r, k).localCheckpoint()
+      val finished =
+        if (last) got
+        else got.join(
+          got.groupBy("qid").agg(count(lit(1)).as("_n")).where(col("_n") === k)
+            .select(col("qid")),
+          Seq("qid"))
+      acc = if (acc == null) finished else acc.unionByName(finished)
+      if (last) done = true
+      else {
+        remaining = remaining.join(finished.select(col("qid")).distinct(),
+          Seq("qid"), "left_anti").localCheckpoint()
+        if (remaining.isEmpty) done = true else r = math.min(r * 2, maxRadius)
+      }
+    }
+    acc
+  }
 }

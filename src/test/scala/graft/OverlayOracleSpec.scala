@@ -73,6 +73,47 @@ class OverlayOracleSpec extends AnyFunSuite {
     assert(disagreements == 0)
   }
 
+  test("line-buffer pieces: every grid center clears every boundary; verdicts agree") {
+    val pieces = SparkEntry.bufferLinePieces
+    assert(pieces.nonEmpty && pieces.length < 64, pieces.length)
+    var worst = Double.MaxValue
+    var disagreements = 0
+    var y = 0
+    while (y < 256) {
+      var x = 0
+      while (x < 256) {
+        val px = x + 0.5; val py = y + 0.5
+        pieces.foreach { p =>
+          val m = decisionMargin(p, px, py)
+          if (math.abs(m) < worst) worst = math.abs(m)
+          if ((m > 0) != p.contains(px, py)) disagreements += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    assert(worst > 1e-6, s"cell center within $worst of a line-buffer piece boundary")
+    assert(disagreements == 0)
+  }
+
+  test("dissolve fixtures: simple rings, genuine in-group overlap") {
+    SparkEntry.dissolveFixtures.foreach { case (key, pid, xs, ys) =>
+      val ring = xs.zip(ys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq
+      assert(Overlay.isSimple(ring), s"dissolve member $key/$pid not simple")
+    }
+    SparkEntry.dissolveFixtures.groupBy(_._1).foreach { case (key, members) =>
+      val polys = members.sortBy(_._2).map { case (_, _, xs, ys) =>
+        Polygon(xs.zip(ys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq)
+      }
+      val sumAreas = polys.map(Overlay.area).sum
+      val union = Overlay.unionAreaAll(polys)
+      assert(union < sumAreas - 1.0,
+        s"group $key members don't overlap (union $union vs sum $sumAreas) " +
+          "- the fixture must exercise inclusion-exclusion")
+      assert(union > polys.map(Overlay.area).max - 1e-9, s"group $key union too small")
+    }
+  }
+
   test("concave star fixtures are simple and genuinely concave; cross clip too") {
     SparkEntry.concaveFixtures.foreach { case (pid, xs, ys) =>
       val ring = xs.zip(ys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq

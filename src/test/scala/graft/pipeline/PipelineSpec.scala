@@ -138,6 +138,23 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("incrementalDedup: delta x base only, clean deltas report (0, -1)") {
+    // doc 4 (delta: 4 % 4 == 0) duplicates doc 1 (base); doc 8 (delta)
+    // is unique; docs 1,2 are base-side dups of each other — their
+    // pair must NOT appear anywhere in the incremental output
+    val txtA = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    val txtB = "completely different content about spark dataframes and shuffle exchanges in a cluster"
+    val d = Seq(
+      (1L, txtA), (2L, txtA), (3L, txtB + " plus some extra words here"),
+      (4L, txtA), (8L, "a unique snowflake document with nothing shared at all whatsoever zq"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(d, col("doc_id") % 4 === 0)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(4L, 8L))
+    assert(out(4L) == ((2L, 1L))) // matches base docs 1 and 2; min id 1
+    assert(out(8L) == ((0L, -1L)))
+  }
+
   test("simhash hamming 0 for identical docs") {
     val pairs = Dedup.simhashPairs(docs, maxDist = 3)
       .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect()
@@ -166,9 +183,9 @@ class PipelineSpec extends SparkSpec {
   ).toDF("vec_id", "embedding", "label")
 
   test("cosine pairs: colinear vectors ~1, blocked by label") {
-    val out = Similarity.cosinePairs(embs, 0.99).as[(Long, Long, Double)].collect()
+    val out = Similarity.cosinePairs(embs, 0.99).as[(Long, Long, Long)].collect()
     assert(out.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
-    assert(math.abs(out.head._3 - 1.0) < 1e-4)
+    assert(math.abs(out.head._3 - 1000000L) <= 1) // micro-units
   }
 
   test("brute top-k ranks colinear first") {
@@ -563,13 +580,13 @@ class PipelineSpec extends SparkSpec {
       (4L, Seq(1.0f, 0.0f), 3), (5L, Seq(0.0f, 1.0f), 3)   // == label 1
     ).toDF("vec_id", "embedding", "label")
     val out = Similarity.labelDrift(emb, dim = 2)
-      .as[(Long, Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> r._5).toMap
-    // ||(.5,.5) - (3,4)||^2 = 2.5^2 + 3.5^2 = 18.5
-    assert(out((1L, 2L)) == 18.5)
+    // ||(.5,.5) - (3,4)||^2 = 2.5^2 + 3.5^2 = 18.5 -> 18.5e6 micro-units
+    assert(out((1L, 2L)) == 18500000L)
     // identical populations -> zero drift exactly
-    assert(out((1L, 3L)) == 0.0)
-    assert(out((2L, 3L)) == 18.5)
+    assert(out((1L, 3L)) == 0L)
+    assert(out((2L, 3L)) == 18500000L)
   }
 
   test("modularity: exact-integer Q*4m^2 on hand graphs (r15)") {
@@ -1388,11 +1405,12 @@ class PipelineSpec extends SparkSpec {
     val d = Seq((1L, Seq(1.0f, 2.0f), 7), (2L, Seq(3.0f, 0.0f), 7), (3L, Seq(5.0f, 5.0f), 8))
       .toDF("vec_id", "embedding", "label")
     val out = Similarity.labelCentroids(d)
-      .as[(Int, Long, Long, Double)].collect()
+      .as[(Int, Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
-    assert(out((7, 0L)) == ((2L, 2.0))) // (1000 + 3000) / (2 * 1000)
-    assert(out((7, 1L)) == ((2L, 1.0)))
-    assert(out((8, 0L)) == ((1L, 5.0)) && out((8, 1L)) == ((1L, 5.0)))
+    // micro-units: mean_u = round(s*1000/n) = mean * 1e6
+    assert(out((7, 0L)) == ((2L, 2000000L))) // (1000 + 3000) * 1000 / 2
+    assert(out((7, 1L)) == ((2L, 1000000L)))
+    assert(out((8, 0L)) == ((1L, 5000000L)) && out((8, 1L)) == ((1L, 5000000L)))
   }
 
   test("novelty: shared shingle counts toward df, unique fraction by hand") {
@@ -1561,7 +1579,7 @@ class PipelineSpec extends SparkSpec {
       (2L, v(0.5, 0.5), 2), (3L, v(0, 1), 2))
       .toDF("vec_id", "embedding", "label")
     val out = Similarity.contrastivePairs(e, col("vec_id") === 0, negK = 2)
-      .as[(Long, String, Int, Long, Double)].collect()
+      .as[(Long, String, Int, Long, Long)].collect()
       .map(r => (r._2, r._3) -> r._4).toMap
     assert(out(("pos", 1)) == 1L)
     assert(out(("neg", 1)) == 2L) // (0.5,0.5) closer to (1,0) than (0,1)

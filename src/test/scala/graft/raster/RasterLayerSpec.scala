@@ -571,6 +571,24 @@ class RasterLayerSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2.0, (1L, 0L) -> -1.0))
   }
 
+  test("temporal harmonic: micro-quantized cos/sin weighted sums by hand") {
+    // period 3 weights: qc = [1e6, -500000, -500000], qs = [0, 866025, -866025]
+    // cell (0,0): v 3,5,7 at t 0,1,2 -> n=3, sc = 3e6 - 2.5e6 - 3.5e6 = -3e6,
+    //   ss = 5*866025 - 7*866025 = -1732050
+    // cell (1,0): 10 at t0, 8 at t2 -> n=2, sc = 10e6 - 4e6 = 6e6,
+    //   ss = -8*866025 = -6928200
+    val cells = Seq(
+      (0L, 0L, 0L, 3.0), (0L, 0L, 1L, 5.0), (0L, 0L, 2L, 7.0),
+      (1L, 0L, 0L, 10.0), (1L, 0L, 2L, 8.0))
+      .toDF("x", "y", "instant", "v")
+    val (cnt, sc, ss) = RasterLayer.fromCellsTemporal(cells, layout).temporalHarmonic(3.0)
+    def m(l: RasterLayer) = l.toCells
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(cnt) == Map((0L, 0L) -> 3.0, (1L, 0L) -> 2.0))
+    assert(m(sc) == Map((0L, 0L) -> -3000000.0, (1L, 0L) -> 6000000.0))
+    assert(m(ss) == Map((0L, 0L) -> -1732050.0, (1L, 0L) -> -6928200.0))
+  }
+
   test("mann-kendall: S, n and Sen's slope by hand (odd + even medians, ties, holes)") {
     // cell (0,0): 3,5,7 at t 0,1,2 -> all pairs rise: S=3; slopes
     //   {2, 2, 2} -> sen 2. cell (1,0): 10,8 at t 0,2 -> S=-1, one

@@ -235,4 +235,109 @@ class OverlaySpec extends AnyFunSuite {
     val bowtie = IndexedSeq(Pt(0, 0), Pt(4, 4), Pt(4, 0), Pt(0, 4))
     intercept[IllegalArgumentException](Overlay.triangulate(bowtie))
   }
+
+  test("n-ary union: disjoint adds, nested absorbs, overlap subtracts once") {
+    val a = Geometry.rect(0, 0, 4, 4)       // 16
+    val b = Geometry.rect(10, 0, 13, 3)     // 9, disjoint from a
+    val c = Geometry.rect(1, 1, 3, 3)       // 4, nested in a
+    val d = Geometry.rect(2, 2, 6, 6)       // 16, overlaps a by 4
+    assert(math.abs(Overlay.unionAreaAll(Seq(a, b)) - 25.0) < 1e-9)
+    assert(math.abs(Overlay.unionAreaAll(Seq(a, c)) - 16.0) < 1e-9)
+    assert(math.abs(Overlay.unionAreaAll(Seq(a, d)) - 28.0) < 1e-9)
+    assert(math.abs(Overlay.unionAreaAll(Seq(a, b, c, d)) - 37.0) < 1e-9)
+    // idempotent: A u A = A
+    assert(math.abs(Overlay.unionAreaAll(Seq(a, a, a)) - 16.0) < 1e-9)
+  }
+
+  test("n-ary union: order-free area, concave members, grid reference") {
+    val shapes = Seq(
+      star(5, 5, 4, 1.8),
+      cross(7, 6, 1.3, 4.1),
+      Geometry.rect(2.2, 2.7, 9.1, 4.9))
+    val base = Overlay.unionAreaAll(shapes)
+    // permutations agree (float fold order differs -> tolerance)
+    shapes.permutations.foreach { p =>
+      assert(math.abs(Overlay.unionAreaAll(p) - base) < 1e-6)
+    }
+    // independent ray-cast grid reference over the ORIGINAL rings
+    val ref = gridArea((x, y) => shapes.exists(_.contains(x, y)),
+      0, 0, 13, 13, cells = 650)
+    assert(math.abs(base - ref) < 0.2, s"$base vs $ref")
+  }
+
+  test("lineLengthIn: hand shapes — square pass-through, concave notch, miss") {
+    val sq = Geometry.rect(2, 2, 8, 8)
+    // horizontal pass-through: inside length = square width
+    assert(math.abs(Overlay.lineLengthIn(
+      IndexedSeq(Pt(0, 5), Pt(10, 5)), Overlay.pieces(sq)) - 6.0) < 1e-12)
+    // fully inside
+    assert(math.abs(Overlay.lineLengthIn(
+      IndexedSeq(Pt(3, 3), Pt(7, 3)), Overlay.pieces(sq)) - 4.0) < 1e-12)
+    // miss
+    assert(Overlay.lineLengthIn(
+      IndexedSeq(Pt(0, 9.5), Pt(10, 9.5)), Overlay.pieces(sq)) == 0.0)
+    // L-shape: the notch gap is excluded — segment y=6 crosses the
+    // vertical arm (x 0..4) only
+    val L = Polygon(IndexedSeq(Pt(0, 0), Pt(10, 0), Pt(10, 4),
+      Pt(4, 4), Pt(4, 10), Pt(0, 10)))
+    assert(math.abs(Overlay.lineLengthIn(
+      IndexedSeq(Pt(-2, 6), Pt(12, 6)), Overlay.pieces(L)) - 4.0) < 1e-12)
+    // polyline visiting both arms
+    assert(math.abs(Overlay.lineLengthIn(
+      IndexedSeq(Pt(2, 8), Pt(2, 2), Pt(8, 2)), Overlay.pieces(L)) - 12.0) < 1e-12)
+  }
+
+  test("lineLengthIn matches fine sampling on a concave star") {
+    val st = star(6, 6, 5, 2.2)
+    val line = IndexedSeq(Pt(0, 3.3), Pt(12, 7.1), Pt(2, 11.4))
+    val exact = Overlay.lineLengthIn(line, Overlay.pieces(st))
+    // independent reference: midpoint sampling over the ORIGINAL ring
+    val n = 200000
+    var approx = 0.0
+    (0 until line.length - 1).foreach { i =>
+      val a = line(i); val b = line(i + 1)
+      val segLen = math.hypot(b.x - a.x, b.y - a.y)
+      var hits = 0
+      var k = 0
+      while (k < n) {
+        val t = (k + 0.5) / n
+        if (st.contains(a.x + t * (b.x - a.x), a.y + t * (b.y - a.y))) hits += 1
+        k += 1
+      }
+      approx += segLen * hits / n
+    }
+    assert(math.abs(exact - approx) < 0.01, s"$exact vs $approx")
+    assert(exact > 0.1)
+  }
+
+  test("bufferLinePieces: straight corridor area is slab + two polygonal caps") {
+    val d = 2.0
+    val ps = Buffer.bufferLinePieces(
+      IndexedSeq(Pt(0, 0), Pt(10, 0)), d, Buffer.Round(3), Buffer.RoundCap(3))
+    // slab 2dL = 40; each cap = 6 triangles of central angle pi/6:
+    // 2 * 6 * d^2 sin(pi/6) / 2 = 6 d^2 sin(pi/6) = 12
+    val expected = 2 * d * 10 + 6 * d * d * math.sin(math.Pi / 6)
+    val got = Overlay.unionAreaAll(ps.map(p => p))
+    assert(math.abs(got - expected) < 1e-6, s"$got vs $expected")
+  }
+
+  test("bufferLinePieces: covers the corridor, stays near it (both turn signs)") {
+    val line = IndexedSeq(Pt(0, 0), Pt(8, 1), Pt(10, 8), Pt(16, 6), Pt(18, 12))
+    val d = 1.7
+    val ps = Buffer.bufferLinePieces(line, d, Buffer.Round(4), Buffer.RoundCap(4))
+    def distToLine(x: Double, y: Double): Double =
+      (0 until line.length - 1).map { i =>
+        Geometry.pointSegDist(x, y, line(i).x, line(i).y, line(i + 1).x, line(i + 1).y)
+      }.min
+    val rnd = new scala.util.Random(19)
+    (0 until 6000).foreach { _ =>
+      val x = -3 + rnd.nextDouble() * 24; val y = -3 + rnd.nextDouble() * 18
+      val dist = distToLine(x, y)
+      val in = ps.exists(_.contains(x, y))
+      // inside the chordal inradius -> covered; beyond d -> excluded
+      if (dist < d * math.cos(math.Pi / 16) - 1e-9) assert(in, s"($x,$y) d=$dist")
+      if (dist > d + 1e-9) assert(!in, s"($x,$y) d=$dist")
+    }
+  }
+
 }

@@ -44,4 +44,132 @@ class SpatialJoinSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(tiny.toSet == broadcastPlan && tiny.length == tiny.toSet.size)
   }
+
+  test("knnWithin equals the brute-force near table; cell size is plan-only") {
+    val rnd = new scala.util.Random(23)
+    val qs = (1L to 60L).map(i =>
+      (i, rnd.nextInt(40) + 0.5, rnd.nextInt(40) + 0.5)).toDF("qid", "qx", "qy")
+    val rsRaw = (1L to 30L).map(i =>
+      (i, rnd.nextInt(40) + 0.5, rnd.nextInt(40) + 0.5))
+    val rs = rsRaw.toDF("rid", "rx", "ry")
+    val radius = 6.0; val k = 3
+    // brute-force reference with the same (d2, rid) tie-break
+    val qRows = qs.as[(Long, Double, Double)].collect()
+    val expected = qRows.flatMap { case (qid, qx, qy) =>
+      rsRaw.map { case (rid, rx, ry) =>
+        (qid, rid, (qx - rx) * (qx - rx) + (qy - ry) * (qy - ry))
+      }.filter(_._3 <= radius * radius)
+        .sortBy(t => (t._3, t._2))
+        .take(k).zipWithIndex
+        .map { case ((_, rid, d2), i) => (qid, (i + 1).toLong, rid, d2) }
+    }.toSet
+    val got = SpatialJoin.knnWithin(qs, rs, radius, k)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(t => (t._1, t._2.toLong, t._3, t._4)).toSet
+    assert(got == expected && got.nonEmpty)
+    // a different bucket size changes the plan's fan-out, never the rows
+    val alt = SpatialJoin.knnWithin(qs, rs, radius, k, cellSize = 2.3)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(t => (t._1, t._2.toLong, t._3, t._4)).toSet
+    assert(alt == expected)
+  }
+
+  test("knnJoin (exact, expanding radius) equals the unbounded brute rank") {
+    val rnd = new scala.util.Random(31)
+    val qs = (1L to 50L).map(i =>
+      (i, rnd.nextInt(100) + 0.5, rnd.nextInt(100) + 0.5)).toDF("qid", "qx", "qy")
+    // sparse refs -> many queries need several radius doublings
+    val rsRaw = (1L to 8L).map(i =>
+      (i, rnd.nextInt(100) + 0.5, rnd.nextInt(100) + 0.5))
+    val rs = rsRaw.toDF("rid", "rx", "ry")
+    val k = 3
+    val qRows = qs.as[(Long, Double, Double)].collect()
+    val expected = qRows.flatMap { case (qid, qx, qy) =>
+      rsRaw.map { case (rid, rx, ry) =>
+        (qid, rid, (qx - rx) * (qx - rx) + (qy - ry) * (qy - ry))
+      }.sortBy(t => (t._3, t._2)).take(k).zipWithIndex
+        .map { case ((_, rid, d2), i) => (qid, (i + 1).toLong, rid, d2) }
+    }.toSet
+    val got = SpatialJoin.knnJoin(qs, rs, k, initRadius = 4.0, maxRadius = 256.0)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(t => (t._1, t._2.toLong, t._3, t._4)).toSet
+    assert(got == expected)
+    // fewer refs than k: every query emits all of them
+    val tiny = (1L to 2L).map(i => (i, i * 10.0 + 0.5, 0.5)).toDF("rid", "rx", "ry")
+    val short = SpatialJoin.knnJoin(qs, tiny, k, 4.0, 256.0)
+      .groupBy("qid").count().as[(Long, Long)].collect()
+    assert(short.length == 50 && short.forall(_._2 == 2L))
+  }
+
+  test("overlayJoin equals the brute pair loop; cell size is plan-only") {
+    val as = graft.SparkEntry.concaveFixtures.toDF("aid", "xs", "ys")
+    val bs = graft.SparkEntry.clipFixtures.toDF("bid", "xs", "ys")
+    def polys(rows: Seq[(Long, Seq[Double], Seq[Double])]) =
+      rows.map { case (id, xs, ys) =>
+        id -> Polygon(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toIndexedSeq)
+      }
+    val expected = (for {
+      (aid, a) <- polys(graft.SparkEntry.concaveFixtures)
+      (bid, b) <- polys(graft.SparkEntry.clipFixtures)
+      ps = Overlay.intersectionPieces(a, b)
+      if ps.nonEmpty
+    } yield (aid, bid, ps.length, Overlay.pieceSetArea(ps))).toSet
+    val got = Overlay.overlayJoin(as, bs)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+    val alt = Overlay.overlayJoin(as, bs, cellSize = 13.7)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(alt == expected)
+  }
+
+  test("lineOverlayJoin equals the brute pair loop; cell size is plan-only") {
+    val lines = graft.SparkEntry.lineFixtures.toDF("lid", "xs", "ys")
+    val polys = graft.SparkEntry.concaveFixtures.toDF("gid", "xs", "ys")
+    val expected = (for {
+      (lid, lxs, lys) <- graft.SparkEntry.lineFixtures
+      (gid, pxs, pys) <- graft.SparkEntry.concaveFixtures
+      line = lxs.zip(lys).map { case (x, y) => Pt(x, y) }.toIndexedSeq
+      poly = Polygon(pxs.zip(pys).map { case (x, y) => Pt(x, y) }.toIndexedSeq)
+      len = Overlay.lineLengthIn(line, Overlay.pieces(poly))
+      if len > 1e-9
+    } yield (lid, gid, len)).toSet
+    val got = Overlay.lineOverlayJoin(lines, polys)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected && got.nonEmpty,
+      s"got ${got.size} rows, expected ${expected.size}")
+    val alt = Overlay.lineOverlayJoin(lines, polys, cellSize = 17.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(alt == expected)
+  }
+
+  test("clipLines: full / partial / missing segments by hand") {
+    // window [0,10]x[0,10]: seg fully inside (len 4), seg crossing the
+    // right edge (half survives), seg fully outside, degenerate touch
+    val lines = Seq(
+      (1L, Seq(1.0, 5.0, 15.0), Seq(1.0, 1.0, 1.0)), // inside 4 + crossing 5 of 10
+      (2L, Seq(20.0, 30.0), Seq(5.0, 5.0)),          // outside -> absent
+      (3L, Seq(-5.0, 5.0), Seq(-5.0, 5.0))           // corner diagonal: clipped half
+    ).toDF("pid", "xs", "ys")
+    val out = Clip.clipLines(lines, 0, 0, 10, 10)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L)._1 == 2 && math.abs(out(1L)._2 - 9.0) < 1e-12)
+    assert(out(3L)._1 == 1 && math.abs(out(3L)._2 - math.hypot(5, 5)) < 1e-12)
+  }
+
+  test("dissolve: one row per key, exact n-ary union areas, deterministic fold") {
+    val df = graft.SparkEntry.dissolveFixtures.toDF("key", "pid", "xs", "ys")
+    val out = Overlay.dissolve(df)
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 4)
+    graft.SparkEntry.dissolveFixtures.groupBy(_._1).foreach { case (key, members) =>
+      val polys = members.sortBy(_._2).map { case (_, _, xs, ys) =>
+        Polygon(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toIndexedSeq)
+      }
+      val expected = Overlay.unionAreaAll(polys)
+      val (_, nPolys, _, area) = out(key)
+      assert(nPolys == members.length)
+      assert(math.abs(area - expected) < 1e-9, s"key $key: $area vs $expected")
+    }
+  }
 }
