@@ -3014,6 +3014,41 @@ object SparkEntry {
           round(col("length"), 5).as("length"))
     }),
 
+    "q_mixture_sample" -> ((s, dir) =>
+      // the mixture EXECUTED: temperature-smoothed per-source keep
+      // rates folded into one stratified hash-sample scan
+      pipeline.Curation.sampleByMixture(table(s, dir, "documents"))),
+
+    "q_near_join" -> ((s, dir) => {
+      // ArcGIS Near with polygon targets: each supplier point's
+      // nearest star fixture within radius 20, boundary distance
+      // micro-quantized (0 inside); dual-computation SQL oracle
+      import s.implicits._
+      graft.vector.SpatialJoin.nearJoin(
+        supplierPoints(s, dir),
+        concaveFixtures.toDF("gid", "xs", "ys"), radius = 20.0)
+    }),
+
+    "q_temporal_median" -> ((s, dir) =>
+      // per-cell temporal MEDIAN composite (robust cloud-free mosaic):
+      // quantile_cont .5 over each cell's valid instants
+      TimeSeries.medianComposite(
+        RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64))
+        .toCells
+        .select(col("x"), col("y"), round(col("v") * lit(100000.0)).cast("long").as("v_u"))),
+
+    "q_erase" -> ((s, dir) => {
+      // ArcGIS Erase between two layers: stars minus ALL overlapping
+      // diamonds, B-overlaps counted once (n-ary union of the cut
+      // pieces per A); literal-restating oracle
+      import s.implicits._
+      graft.vector.Overlay.eraseJoin(
+          concaveFixtures.toDF("aid", "xs", "ys"),
+          clipFixtures.toDF("bid", "xs", "ys"))
+        .select(col("aid"), col("n_cutters"),
+          round(col("area_left"), 5).as("area_left"))
+    }),
+
     "q_line_overlay" -> ((s, dir) => {
       // line x polygon overlay join ("road length per district"):
       // zig-zag polylines x concave stars, exact inside length via
@@ -5652,6 +5687,99 @@ object SparkEntry {
           else Some(s"(CAST($pid AS BIGINT), $n, CAST(${r5(len)} AS DOUBLE))")
         }
         s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, n_segs, length)"
+      },
+
+      // the mixture rates CTE reused, then the stratified keep scan
+      "q_mixture_sample" ->
+        s"""WITH t AS (SELECT source,
+           |  CAST(sum(${pipeline.Bpe.countSql("text")}) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |m AS (SELECT max(n_tokens) AS mx FROM t),
+           |r AS (SELECT source,
+           |  CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / mx) * 1000) AS BIGINT) AS permille
+           |  FROM t, m)
+           |SELECT d.doc_id, d.source FROM documents d JOIN r ON r.source = d.source
+           |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < r.permille""".stripMargin,
+
+      // near join: polygon edges restated as VALUES (shortest
+      // round-trip double literals); DuckDB recomputes ray-cast
+      // containment + clamped-projection segment distances over the
+      // SAME IEEE chain — a dual computation, not a pinned result
+      "q_near_join" -> {
+        // engine iterates i with j = previous vertex: pairs (cur, prev)
+        val segRows = concaveFixtures.flatMap { case (gid, xs, ys) =>
+          val n = xs.length
+          (0 until n).map { i =>
+            val j = (i + n - 1) % n
+            s"(CAST($gid AS BIGINT), CAST(${xs(i)} AS DOUBLE), CAST(${ys(i)} AS DOUBLE), " +
+              s"CAST(${xs(j)} AS DOUBLE), CAST(${ys(j)} AS DOUBLE))"
+          }
+        }
+        s"""WITH p AS ($pts),
+           |e(gid, cx, cy, qx, qy) AS (VALUES ${segRows.mkString(", ")}),
+           |crossings AS (SELECT p.pid, e.gid,
+           |    sum(CASE WHEN (e.cy > p.py) <> (e.qy > p.py)
+           |             AND p.px < (e.qx - e.cx) * (p.py - e.cy) / (e.qy - e.cy) + e.cx
+           |        THEN 1 ELSE 0 END) AS k
+           |  FROM p, e GROUP BY 1, 2),
+           |dd AS (SELECT p.pid, e.gid,
+           |    min((p.px - (e.cx + greatest(0.0, least(1.0,
+           |          ((p.px - e.cx) * (e.qx - e.cx) + (p.py - e.cy) * (e.qy - e.cy))
+           |          / ((e.qx - e.cx) * (e.qx - e.cx) + (e.qy - e.cy) * (e.qy - e.cy))))
+           |        * (e.qx - e.cx)))
+           |      * (p.px - (e.cx + greatest(0.0, least(1.0,
+           |          ((p.px - e.cx) * (e.qx - e.cx) + (p.py - e.cy) * (e.qy - e.cy))
+           |          / ((e.qx - e.cx) * (e.qx - e.cx) + (e.qy - e.cy) * (e.qy - e.cy))))
+           |        * (e.qx - e.cx)))
+           |      + (p.py - (e.cy + greatest(0.0, least(1.0,
+           |          ((p.px - e.cx) * (e.qx - e.cx) + (p.py - e.cy) * (e.qy - e.cy))
+           |          / ((e.qx - e.cx) * (e.qx - e.cx) + (e.qy - e.cy) * (e.qy - e.cy))))
+           |        * (e.qy - e.cy)))
+           |      * (p.py - (e.cy + greatest(0.0, least(1.0,
+           |          ((p.px - e.cx) * (e.qx - e.cx) + (p.py - e.cy) * (e.qy - e.cy))
+           |          / ((e.qx - e.cx) * (e.qx - e.cx) + (e.qy - e.cy) * (e.qy - e.cy))))
+           |        * (e.qy - e.cy)))) AS mindd
+           |  FROM p, e GROUP BY 1, 2),
+           |d AS (SELECT dd.pid, dd.gid,
+           |    CASE WHEN c.k % 2 = 1 THEN 0.0 ELSE sqrt(dd.mindd) END AS dist
+           |  FROM dd JOIN crossings c ON c.pid = dd.pid AND c.gid = dd.gid),
+           |f AS (SELECT pid, gid, CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) AS dist_u,
+           |    row_number() OVER (PARTITION BY pid ORDER BY
+           |      CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT), gid) AS rn
+           |  FROM d WHERE dist <= 20.0)
+           |SELECT pid, gid, dist_u FROM f WHERE rn = 1""".stripMargin
+      },
+
+      // per-cell median over instants: quantile_cont .5 == the
+      // engine's interpolate-two-middles rule (integral v -> exact)
+      "q_temporal_median" ->
+        s"""WITH t AS ($tgrid)
+           |SELECT x, y,
+           |  CAST(round(quantile_cont(v, 0.5) * 100000.0) AS BIGINT) AS v_u
+           |FROM t GROUP BY 1, 2""".stripMargin,
+
+      // erase: the n-ary cut-union driver twin at oracle-build time
+      "q_erase" -> {
+        def r5(x: Double) =
+          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import graft.vector.{Overlay, Polygon, Pt}
+        def poly(xs: Seq[Double], ys: Seq[Double]) =
+          Polygon(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toIndexedSeq)
+        val rows = concaveFixtures.map { case (aid, axs, ays) =>
+          val a = poly(axs, ays)
+          val cutters = clipFixtures
+            .map { case (bid, bxs, bys) =>
+              (bid, Overlay.intersectionPieces(a, poly(bxs, bys)))
+            }
+            .filter(_._2.nonEmpty)
+            .sortBy(_._1)
+          val cut = cutters.foldLeft(IndexedSeq.empty[Overlay.Piece]) { (acc, m) =>
+            if (acc.isEmpty) m._2 else Overlay.pieceSetUnion(acc, m._2)
+          }
+          val left = Overlay.area(a) - Overlay.pieceSetArea(cut)
+          s"(CAST($aid AS BIGINT), ${cutters.length}, CAST(${r5(left)} AS DOUBLE))"
+        }
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(aid, n_cutters, area_left)"
       },
 
       // line x polygon overlay: the signed-algebra driver twin runs

@@ -545,6 +545,82 @@ object Dedup {
         coalesce(col("match_id"), lit(-1L)).as("match_id"))
   }
 
+  /** STREAMING twin of [[incrementalDedup]] — the ingest gate run ON
+    * the arriving stream: `delta` is a STREAMING (doc_id, text)
+    * frame, `base` the static corpus whose banded signature index is
+    * the persistent side (in production: the stored signature table).
+    * Same output contract: (doc_id, n_matches, match_id) per delta
+    * doc, −1 when clean. Run with OutputMode.Update — each doc lands
+    * in one micro-batch and emits its final row there
+    * (IncrementalDedupStreamSpec proves batch equality).
+    *
+    * Shape: the delta side is STATELESS — signatures are row-local
+    * HOF folds (min over the doc's shingle hashes per hash function —
+    * identical values to the batch explode+groupBy path), bands
+    * explode to 4 rows, and candidates come from a stream-static LEFT
+    * join against the base banded index (left keeps clean docs
+    * alive). The only stateful op is the closing per-doc collect_set.
+    * Docs under `shingleK` tokens are dropped (the batch twin has no
+    * signature for them either). `maxBucket` caps the BASE index's
+    * hot buckets (the batch cap covers base+delta; a capped-out
+    * bucket differs only when the delta batch itself tips a bucket
+    * over — document, don't chase). */
+  def incrementalDedupStream(delta: DataFrame, base: DataFrame,
+                             k: Int = 16, bands: Int = 4,
+                             minEstSim: Double = 0.5,
+                             maxBucket: Option[Long] = Some(MinhashMaxBucket)): DataFrame = {
+    val rows = k / bands
+    // static side: banded index carrying the full signature per member
+    val baseSig = minhashSignatures(base, k).localCheckpoint()
+    val baseBanded0 = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      baseSig.select(col("doc_id").as("base_id"), lit(b).as("band"),
+        concat_ws("_", cols: _*).as("bkey"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("base_sig"))
+    }.reduce(_ unionByName _)
+    val baseBanded = maxBucket.fold(baseBanded0) { cap =>
+      val hot = baseBanded0.groupBy("band", "bkey").agg(count(lit(1)).as("_n"))
+        .where(col("_n") > cap).select(col("band"), col("bkey"))
+      baseBanded0.join(hot, Seq("band", "bkey"), "left_anti")
+    }
+    // delta side: row-local signature (min over shingle hashes per
+    // hash function — no shuffle, stream-safe)
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val shingleArr = transform(sequence(lit(1), size(col("toks")) - 4),
+      i => concat_ws(" ", slice(col("toks"), i, lit(5))))
+    val hashes = transform(col("shingles"), s =>
+      pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinhashP)))
+    val sigArr = array(minhashParams(k).map { case (a, b) =>
+      array_min(transform(col("hx"), x => (x * a + b) % MinhashP))
+    }: _*)
+    val dsig = delta
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 5)
+      .select(col("doc_id"), shingleArr.as("shingles"))
+      .select(col("doc_id"), hashes.as("hx"))
+      .select(col("doc_id"), sigArr.as("sig"))
+    val banded = dsig.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (b * rows until (b + 1) * rows)
+            .map(i => col("sig").getItem(i)): _*).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val est = zip_with(col("sig"), col("base_sig"),
+      (x, y) => when(x === y, 1).otherwise(0))
+    val scored = banded.join(baseBanded, Seq("band", "bkey"), "left")
+      .select(col("doc_id"),
+        when(col("base_id").isNotNull &&
+             aggregate(est, lit(0), (acc, v) => acc + v).cast("double") / k >= minEstSim,
+          col("base_id")).as("hit"))
+    scored.groupBy("doc_id")
+      .agg(collect_set(col("hit")).as("hits"))
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_matches"),
+        coalesce(array_min(col("hits")), lit(-1L)).as("match_id"))
+  }
+
   /** MinHash estimator EVALUATION: every LSH candidate pair with (a)
     * its signature agreement count (the estimator numerator, no
     * est-sim floor so misses are visible) and (b) the EXACT

@@ -139,6 +139,42 @@ object TimeSeries {
       }.toDF("x", "y", "n", "s", "sen")
   }
 
+  /** Per-cell temporal MEDIAN composite — the robust cloud-free
+    * compositing step (the median mosaic of Landsat/Sentinel
+    * best-pixel pipelines; robust where [[RasterLayer.temporalArgmax]]'s
+    * max composite keeps outliers): one SPATIAL output layer whose
+    * cells are the median of their valid values across all instants,
+    * quantile_cont .5 rule (odd count selects exactly; even count
+    * interpolates the two middles — exact binary for integral
+    * values). Cells valid at no instant stay NoData.
+    *
+    * Spark shape: the same ONE (col, row) groupByKey as [[fillGaps]]
+    * (short instant axis); the sort-and-select runs in-executor. */
+  def medianComposite(layer: RasterLayer): RasterLayer = {
+    require(layer.meta.temporal, "medianComposite needs a spacetime layer")
+    val spark = layer.spark
+    import spark.implicits._
+    val tl = layer.meta.layout.tileLayout
+    val size = tl.tileCols * tl.tileRows
+    val out = layer.df.select(col("col"), col("row"), col("instant"), col("tile"))
+      .as[(Int, Int, Long, Seq[Double])]
+      .groupByKey(q => (q._1, q._2))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Seq[Double])]) =>
+        val stack = it.map(_._4.toArray).toArray
+        val tile = Array.tabulate(size) { idx =>
+          val vs = stack.iterator.map(_(idx)).filter(!_.isNaN).toArray
+          if (vs.isEmpty) Double.NaN
+          else {
+            java.util.Arrays.sort(vs)
+            if (vs.length % 2 == 1) vs(vs.length / 2)
+            else (vs(vs.length / 2 - 1) + vs(vs.length / 2)) / 2.0
+          }
+        }
+        graft.raster.TileRowOut(key._1, key._2, tile.toSeq)
+      }
+    new RasterLayer(out.toDF(), layer.meta.copy(temporal = false))
+  }
+
   /** Shared walk: one (col, row) groupByKey, per-cell function over
     * the sorted instant stack, one output tile per requested instant. */
   private def walk(layer: RasterLayer, instants: Seq[Long])

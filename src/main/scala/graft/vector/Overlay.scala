@@ -553,6 +553,84 @@ object Overlay {
       .toDF("aid", "bid", "n_pieces", "area")
   }
 
+  /** ERASE JOIN — the ArcGIS Erase / QGIS difference tool between two
+    * polygon LAYERS: per A-feature, the area remaining after EVERY
+    * intersecting B-feature is subtracted, overlaps among the B's
+    * counted once (A ∖ ∪ᵢBᵢ — per A the cut region is the n-ary
+    * UNION of its B∩A piece sets, folded in ascending-bid order).
+    * Emits every A with its cutter count (0 when untouched).
+    *
+    * Scale shape: the [[overlayJoin]] bucket plan finds the
+    * (A, B∩A-pieces) pairs; ONE groupByKey on aid folds the cut
+    * union — per-group work is cutters-per-feature-scale, the
+    * [[dissolve]] argument. */
+  def eraseJoin(as: DataFrame, bs: DataFrame, cellSize: Double = 0.0): DataFrame = {
+    val spark = as.sparkSession
+    import spark.implicits._
+    val areas = as.select(col("aid").cast("long"), col("xs"), col("ys"))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .map { case (aid, xs, ys) => (aid, area(toPolygon(xs, ys))) }
+      .toDF("aid", "area_a")
+    val cuts = overlayJoinPieces(as, bs, cellSize)
+      .groupByKey(_._1)
+      .mapGroups { (aid, it) =>
+        val members = it.toIndexedSeq.sortBy(_._2)
+        val cut = members.foldLeft(IndexedSeq.empty[Piece]) { (acc, m) =>
+          val ps = m._3.map { case (s, xs, ys) =>
+            Piece(s, xs.toIndexedSeq, ys.toIndexedSeq)
+          }.toIndexedSeq
+          if (acc.isEmpty) ps else pieceSetUnion(acc, ps)
+        }
+        (aid, members.length, pieceSetArea(cut))
+      }
+      .toDF("aid", "n_cutters", "area_cut")
+    areas.join(cuts, Seq("aid"), "left")
+      .select(col("aid"),
+        coalesce(col("n_cutters"), lit(0)).as("n_cutters"),
+        (col("area_a") - coalesce(col("area_cut"), lit(0.0))).as("area_left"))
+  }
+
+  /** The (aid, bid, A∩B pieces) pair stream behind [[overlayJoin]] /
+    * [[eraseJoin]] — bucket equi-join, canonical-bucket dedup, exact
+    * piece intersections; empty intersections dropped. Pieces travel
+    * as (sign, xs, ys) tuples (encoder-friendly). */
+  private def overlayJoinPieces(as: DataFrame, bs: DataFrame, cellSize: Double):
+      org.apache.spark.sql.Dataset[(Long, Long, Seq[(Int, Seq[Double], Seq[Double])])] = {
+    val spark = as.sparkSession
+    import spark.implicits._
+    val cell =
+      if (cellSize > 0) cellSize
+      else {
+        val dims = as.select(col("xs"), col("ys"))
+          .as[(Seq[Double], Seq[Double])]
+          .map { case (xs, ys) => (xs.max - xs.min, ys.max - ys.min) }
+          .toDF("w", "h").agg(avg("w"), avg("h")).head()
+        math.max(1e-9, math.max(dims.getDouble(0), dims.getDouble(1)))
+      }
+    def buckets(side: DataFrame, id: String) =
+      side.select(col(id).cast("long"), col("xs"), col("ys"))
+        .as[(Long, Seq[Double], Seq[Double])]
+        .flatMap { case (fid, xs, ys) =>
+          for {
+            bx <- math.floor(xs.min / cell).toLong to math.floor(xs.max / cell).toLong
+            by <- math.floor(ys.min / cell).toLong to math.floor(ys.max / cell).toLong
+          } yield (bx, by, fid, xs, ys, xs.min, ys.min)
+        }
+        .toDF("bx", "by", id, s"${id}_xs", s"${id}_ys", s"${id}_x0", s"${id}_y0")
+    buckets(as, "aid").join(buckets(bs, "bid"), Seq("bx", "by"))
+      .where(col("bx") === floor(greatest(col("aid_x0"), col("bid_x0")) / cell).cast("long") &&
+             col("by") === floor(greatest(col("aid_y0"), col("bid_y0")) / cell).cast("long"))
+      .select(col("aid"), col("bid"),
+        col("aid_xs"), col("aid_ys"), col("bid_xs"), col("bid_ys"))
+      .as[(Long, Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])]
+      .flatMap { case (aid, bid, axs, ays, bxs, bys) =>
+        val ps = intersectionPieces(toPolygon(axs, ays), toPolygon(bxs, bys))
+        if (ps.isEmpty) None
+        else Some((aid, bid,
+          ps.map(p => (p.sign, p.xs: Seq[Double], p.ys: Seq[Double])): Seq[(Int, Seq[Double], Seq[Double])]))
+      }
+  }
+
   /** General polygon UNION area of every feature ring with `other`
     * (concave allowed on both sides) — [[Clip.unionAreaConvex]]
     * without the convex restriction. */

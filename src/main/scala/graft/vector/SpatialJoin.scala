@@ -167,6 +167,77 @@ object SpatialJoin {
       .select(col("qid"), col("rnk"), col("rid"), col("d2"))
   }
 
+  /** NEAR JOIN to POLYGON features (the ArcGIS Near tool with polygon
+    * targets): for every point, the nearest polygon within `radius`
+    * and the micro-quantized boundary distance (0 inside). Distance
+    * to a polygon = min over its edges of the point-segment distance,
+    * with the clamped-projection formula stated EXACTLY as in the
+    * oracle (explicit sqrt(dx²+dy²) form — no hypot, whose extra
+    * precision would diverge from the SQL twin); ties break to the
+    * smallest gid.
+    *
+    * Scale shape: polygons explode to the grid buckets of their bbox
+    * EXPANDED by `radius` (cell = radius), points key to one bucket —
+    * every polygon within range meets the point in its bucket, an
+    * equi-join with bounded fan-out. Per-pair cost is the ring size.
+    * Points with nothing in range emit nothing. */
+  def nearJoin(points: DataFrame, polys: DataFrame, radius: Double): DataFrame = {
+    require(radius > 0, "nearJoin needs a positive search radius")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cell = radius
+    val polyBuckets = polys.select(col("gid").cast("long"), col("xs"), col("ys"))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .flatMap { case (gid, xs, ys) =>
+        for {
+          bx <- math.floor((xs.min - radius) / cell).toLong to
+                math.floor((xs.max + radius) / cell).toLong
+          by <- math.floor((ys.min - radius) / cell).toLong to
+                math.floor((ys.max + radius) / cell).toLong
+        } yield (bx, by, gid, xs, ys)
+      }
+      .toDF("bx", "by", "gid", "xs", "ys")
+    val pts = points.select(col("pid").cast("long"), col("px"), col("py"))
+      .withColumn("bx", floor(col("px") / cell).cast("long"))
+      .withColumn("by", floor(col("py") / cell).cast("long"))
+    pts.join(polyBuckets, Seq("bx", "by"))
+      .select(col("pid"), col("px"), col("py"), col("gid"), col("xs"), col("ys"))
+      .as[(Long, Double, Double, Long, Seq[Double], Seq[Double])]
+      .flatMap { case (pid, px, py, gid, xs, ys) =>
+        val n = xs.length
+        val poly = Polygon(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toIndexedSeq)
+        val dist =
+          if (poly.contains(px, py)) 0.0
+          else {
+            var best = Double.MaxValue
+            var i = 0
+            while (i < n) {
+              // (cur, prev) orientation — the EXACT segment endpoints
+              // the SQL twin states (the projection arithmetic is not
+              // direction-invariant in floating point)
+              val j = (i + n - 1) % n
+              val ax = xs(i); val ay = ys(i); val dx = xs(j) - ax; val dy = ys(j) - ay
+              val len2 = dx * dx + dy * dy
+              val t = math.max(0.0, math.min(1.0,
+                ((px - ax) * dx + (py - ay) * dy) / len2))
+              val ex = px - (ax + t * dx); val ey = py - (ay + t * dy)
+              val dd = ex * ex + ey * ey
+              if (dd < best) best = dd
+              i += 1
+            }
+            math.sqrt(best)
+          }
+        // floor(x·10⁶ + 0.5): the same expression the SQL twin states
+        // (identical IEEE chain -> identical integer either way)
+        if (dist <= radius) Some((pid, gid, math.floor(dist * 1e6 + 0.5).toLong))
+        else None
+      }
+      .toDF("pid", "gid", "dist_u")
+      .groupBy("pid")
+      .agg(min(struct(col("dist_u"), col("gid"))).as("m"))
+      .select(col("pid"), col("m.gid").as("gid"), col("m.dist_u").as("dist_u"))
+  }
+
   /** EXACT k-nearest-neighbor join (unbounded — the true PostGIS
     * `<->` LIMIT k semantics): expanding-radius rounds of
     * [[knnWithin]]. A query returning k rows at radius r is PROVABLY

@@ -155,6 +155,41 @@ class PipelineSpec extends SparkSpec {
     assert(out(8L) == ((0L, -1L)))
   }
 
+  test("incrementalDedupStream: MemoryStream twin equals the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val txtA = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    val txtB = "completely different content about spark dataframes and shuffle exchanges in a cluster"
+    val base = Seq((1L, txtA), (2L, txtA), (3L, txtB + " plus some extra words here"))
+      .toDF("doc_id", "text")
+    val deltaRows = Seq((4L, txtA), (8L, "a unique snowflake document with nothing shared at all whatsoever zq"))
+    // batch reference: the SAME streaming function applied to a batch
+    // frame, and the full-batch incrementalDedup over base+delta
+    val batchTwin = Dedup.incrementalDedupStream(
+        deltaRows.toDF("doc_id", "text"), base)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.incrementalDedup(
+        base.unionByName(deltaRows.toDF("doc_id", "text")), col("doc_id") % 4 === 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batchTwin == full)
+    assert(full == Set((4L, 2L, 1L), (8L, 0L, -1L)))
+    // streaming run: two micro-batches, Update mode, one final row
+    // per doc in its own batch
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Dedup.incrementalDedupStream(mem.toDF().toDF("doc_id", "text"), base)
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("update")
+      .start()
+    try {
+      mem.addData(deltaRows.take(1))
+      q.processAllAvailable()
+      mem.addData(deltaRows.drop(1))
+      q.processAllAvailable()
+      val got = spark.table("inc_dedup")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == full)
+    } finally q.stop()
+  }
+
   test("simhash hamming 0 for identical docs") {
     val pairs = Dedup.simhashPairs(docs, maxDist = 3)
       .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect()

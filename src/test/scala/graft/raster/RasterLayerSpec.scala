@@ -571,6 +571,19 @@ class RasterLayerSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2.0, (1L, 0L) -> -1.0))
   }
 
+  test("temporal median composite: odd selects, even interpolates, gaps skip") {
+    // cell (0,0): 3,9,5 -> median 5; cell (1,0): 10,8 -> 9.0;
+    // cell (2,0): single value -> itself
+    val cells = Seq(
+      (0L, 0L, 0L, 3.0), (0L, 0L, 1L, 9.0), (0L, 0L, 2L, 5.0),
+      (1L, 0L, 0L, 10.0), (1L, 0L, 2L, 8.0),
+      (2L, 0L, 1L, 4.0))
+      .toDF("x", "y", "instant", "v")
+    val out = TimeSeries.medianComposite(RasterLayer.fromCellsTemporal(cells, layout))
+      .toCells.as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map((0L, 0L) -> 5.0, (1L, 0L) -> 9.0, (2L, 0L) -> 4.0))
+  }
+
   test("temporal harmonic: micro-quantized cos/sin weighted sums by hand") {
     // period 3 weights: qc = [1e6, -500000, -500000], qs = [0, 866025, -866025]
     // cell (0,0): v 3,5,7 at t 0,1,2 -> n=3, sc = 3e6 - 2.5e6 - 3.5e6 = -3e6,

@@ -122,6 +122,52 @@ class SpatialJoinSpec extends SparkSpec {
     assert(alt == expected)
   }
 
+  test("nearJoin: inside -> 0, boundary distance by hand, radius cutoff, gid ties") {
+    val polys = Seq(
+      (1L, Seq(0.0, 10.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0, 10.0)),
+      (2L, Seq(20.0, 30.0, 30.0, 20.0), Seq(0.0, 0.0, 10.0, 10.0)))
+      .toDF("gid", "xs", "ys")
+    val pts = Seq(
+      (1L, 5.0, 5.0),    // inside poly 1 -> dist 0
+      (2L, 13.0, 5.0),   // 3 right of poly 1, 7 left of poly 2 -> poly 1
+      (3L, 15.0, 5.0),   // equidistant (5) -> tie to smaller gid
+      (4L, 15.0, 40.0),  // 30+ away -> nothing within radius 8
+      (5L, 12.0, 13.0))  // nearest corner (10,10): sqrt(4+9)
+      .toDF("pid", "px", "py")
+    val out = SpatialJoin.nearJoin(pts, polys, radius = 8.0)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    assert(out(1L) == ((1L, 0L)))
+    assert(out(2L) == ((1L, 3000000L)))
+    assert(out(3L) == ((1L, 5000000L)))
+    assert(out(5L)._1 == 1L &&
+      math.abs(out(5L)._2 - math.floor(math.sqrt(13.0) * 1e6 + 0.5).toLong) == 0)
+  }
+
+  test("eraseJoin: overlapping cutters subtract once, untouched features survive whole") {
+    // A1 = [0,10]^2 (area 100); two cutters overlap each other on
+    // [4,6]x[0,4]: union cut = 4*4 + 4*4 - 2*4 = 24 -> left 76.
+    // A2 = [20,24]x[0,4] (area 16): untouched
+    val as = Seq(
+      (1L, Seq(0.0, 10.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0, 10.0)),
+      (2L, Seq(20.0, 24.0, 24.0, 20.0), Seq(0.0, 0.0, 4.0, 4.0)))
+      .toDF("aid", "xs", "ys")
+    val bs = Seq(
+      (1L, Seq(2.0, 6.0, 6.0, 2.0), Seq(0.0, 0.0, 4.0, 4.0)),
+      (2L, Seq(4.0, 8.0, 8.0, 4.0), Seq(0.0, 0.0, 4.0, 4.0)))
+      .toDF("bid", "xs", "ys")
+    val out = Overlay.eraseJoin(as, bs)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 2 && math.abs(out(1L)._2 - 76.0) < 1e-9)
+    assert(out(2L)._1 == 0 && math.abs(out(2L)._2 - 16.0) < 1e-9)
+    // a cutter fully covering an A erases it to ~0
+    val big = Seq((9L, Seq(-1.0, 25.0, 25.0, -1.0), Seq(-1.0, -1.0, 11.0, 11.0)))
+      .toDF("bid", "xs", "ys")
+    val gone = Overlay.eraseJoin(as, big)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(gone(1L)) < 1e-6 && math.abs(gone(2L)) < 1e-6)
+  }
+
   test("lineOverlayJoin equals the brute pair loop; cell size is plan-only") {
     val lines = graft.SparkEntry.lineFixtures.toDF("lid", "xs", "ys")
     val polys = graft.SparkEntry.concaveFixtures.toDF("gid", "xs", "ys")
