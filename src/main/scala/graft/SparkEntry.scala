@@ -3019,6 +3019,17 @@ object SparkEntry {
       // rates folded into one stratified hash-sample scan
       pipeline.Curation.sampleByMixture(table(s, dir, "documents"))),
 
+    "q_areal" -> ((s, dir) => {
+      // areal interpolation (census reaggregation): dissolve-fixture
+      // polygons carry v = pid*7%23+1; diamonds are the targets;
+      // per-pair micro-quantized contributions, exact integer sums
+      import s.implicits._
+      val src = dissolveFixtures.map { case (_, pid, xs, ys) =>
+        (pid, xs, ys, (pid * 7 % 23 + 1).toDouble)
+      }.toDF("aid", "xs", "ys", "v")
+      graft.vector.Overlay.arealInterpolate(src, clipFixtures.toDF("bid", "xs", "ys"))
+    }),
+
     "q_near_join" -> ((s, dir) => {
       // ArcGIS Near with polygon targets: each supplier point's
       // nearest star fixture within radius 20, boundary distance
@@ -3028,6 +3039,13 @@ object SparkEntry {
         supplierPoints(s, dir),
         concaveFixtures.toDF("gid", "xs", "ys"), radius = 20.0)
     }),
+
+    "q_temporal_anomaly" -> ((s, dir) =>
+      // per-cell climatology anomaly: num = v*n - sum(v) and n per
+      // (cell, instant) — the exact-integer anomaly form
+      TimeSeries.anomaly(
+        RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64))
+        .select(col("x"), col("y"), col("instant"), col("n"), col("num"))),
 
     "q_temporal_median" -> ((s, dir) =>
       // per-cell temporal MEDIAN composite (robust cloud-free mosaic):
@@ -5701,6 +5719,27 @@ object SparkEntry {
            |SELECT d.doc_id, d.source FROM documents d JOIN r ON r.source = d.source
            |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < r.permille""".stripMargin,
 
+      // areal interpolation: the per-pair quantized contributions
+      // restated by the driver twin, exact integer group sums
+      "q_areal" -> {
+        import graft.vector.{Overlay, Polygon, Pt}
+        def poly(xs: Seq[Double], ys: Seq[Double]) =
+          Polygon(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toIndexedSeq)
+        val contribs = for {
+          (_, pid, sxs, sys) <- dissolveFixtures
+          (bid, txs, tys) <- clipFixtures
+          s = poly(sxs, sys)
+          ps = Overlay.intersectionPieces(s, poly(txs, tys))
+          if ps.nonEmpty
+        } yield (bid, math.rint((pid * 7 % 23 + 1).toDouble *
+            (Overlay.pieceSetArea(ps) / Overlay.area(s)) * 1e6).toLong)
+        val rows = contribs.groupBy(_._1).toSeq.sortBy(_._1).map { case (tid, cs) =>
+          s"(CAST($tid AS BIGINT), CAST(${cs.length} AS BIGINT), " +
+            s"CAST(${cs.map(_._2).sum} AS BIGINT))"
+        }
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(tid, n_sources, est_u)"
+      },
+
       // near join: polygon edges restated as VALUES (shortest
       // round-trip double literals); DuckDB recomputes ray-cast
       // containment + clamped-projection segment distances over the
@@ -5749,6 +5788,16 @@ object SparkEntry {
            |  FROM d WHERE dist <= 20.0)
            |SELECT pid, gid, dist_u FROM f WHERE rn = 1""".stripMargin
       },
+
+      // anomaly: v*n - sum(v) per cell-instant, exact integers
+      "q_temporal_anomaly" ->
+        s"""WITH t AS ($tgrid),
+           |m AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(v) AS BIGINT) AS s
+           |      FROM t GROUP BY 1, 2)
+           |SELECT t.x, t.y, t.instant, m.n,
+           |  CAST(t.v * m.n - m.s AS BIGINT) AS num
+           |FROM t JOIN m ON m.x = t.x AND m.y = t.y""".stripMargin,
 
       // per-cell median over instants: quantile_cont .5 == the
       // engine's interpolate-two-middles rule (integral v -> exact)

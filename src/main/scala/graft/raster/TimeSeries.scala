@@ -175,6 +175,56 @@ object TimeSeries {
     new RasterLayer(out.toDF(), layer.meta.copy(temporal = false))
   }
 
+  /** Per-cell temporal ANOMALY — each instant's deviation from the
+    * cell's own across-time mean (the climatology-anomaly step of
+    * NDVI/SST monitoring). EXACT integer form: the mean needs a
+    * division, so the output carries num = v·n − Σv and n per
+    * (cell, instant) — anomaly = num/n, and num/n are exact Longs
+    * for integral cells (no float ever crosses a rounding boundary).
+    * Cells valid at a single instant report num 0 (they ARE their
+    * mean). Same one-groupByKey shape as [[fillGaps]].
+    *
+    * @return (x, y, instant, n, num) rows */
+  def anomaly(layer: RasterLayer): org.apache.spark.sql.DataFrame = {
+    require(layer.meta.temporal, "anomaly needs a spacetime layer")
+    val spark = layer.spark
+    import spark.implicits._
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val size = tc * tr
+    layer.df.select(col("col"), col("row"), col("instant"), col("tile"))
+      .as[(Int, Int, Long, Seq[Double])]
+      .groupByKey(q => (q._1, q._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Seq[Double])]) =>
+        val stack = it.map(q => q._3 -> q._4.toArray).toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+        var idx = 0
+        while (idx < size) {
+          var n = 0L
+          var s = 0.0
+          var si = 0
+          while (si < stack.length) {
+            val v = stack(si)._2(idx)
+            if (!v.isNaN) { n += 1; s += v }
+            si += 1
+          }
+          if (n > 0) {
+            val x = key._1.toLong * tc + idx % tc
+            val y = key._2.toLong * tr + idx / tc
+            si = 0
+            while (si < stack.length) {
+              val v = stack(si)._2(idx)
+              if (!v.isNaN)
+                out += ((x, y, stack(si)._1, n, (v * n - s).toLong))
+              si += 1
+            }
+          }
+          idx += 1
+        }
+        out.iterator
+      }.toDF("x", "y", "instant", "n", "num")
+  }
+
   /** Shared walk: one (col, row) groupByKey, per-cell function over
     * the sorted instant stack, one output tile per requested instant. */
   private def walk(layer: RasterLayer, instants: Seq[Long])

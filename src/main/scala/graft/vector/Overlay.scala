@@ -590,6 +590,45 @@ object Overlay {
         (col("area_a") - coalesce(col("area_cut"), lit(0.0))).as("area_left"))
   }
 
+  /** AREAL INTERPOLATION — the census-reaggregation op (re-express an
+    * attribute from SOURCE polygons onto TARGET polygons by area
+    * weighting, Goodchild & Lam 1980): every target's estimate is
+    * Σ_sources v_s · |s∩t| / |s|, the uniform-density assumption.
+    * Returns every target that overlaps at least one source with the
+    * MICRO-QUANTIZED estimate est_u = Σ round(v·ratio·10⁶) — each
+    * pair's contribution quantizes to an exact integer BEFORE the
+    * sum, so the groupBy is order-free (the r16 determinism rule;
+    * the per-pair IEEE chain area(s∩t)/area(s) is deterministic).
+    *
+    * Scale shape: the [[overlayJoin]] bucket pair plan + one exact
+    * integer groupBy(tid); source areas ride the pair rows (computed
+    * per pair from the ring — bounded by ring size, no extra join). */
+  def arealInterpolate(sources: DataFrame, targets: DataFrame,
+                       cellSize: Double = 0.0): DataFrame = {
+    val spark = sources.sparkSession
+    import spark.implicits._
+    val src = sources.select(col("aid"), col("xs"), col("ys"), col("v"))
+    val pairs = overlayJoinPieces(
+      src.select(col("aid"), col("xs"), col("ys")),
+      targets.select(col("bid").as("bid"), col("xs"), col("ys")), cellSize)
+      .toDF("aid", "bid", "pieces")
+    pairs
+      .join(src.select(col("aid"), col("xs").as("sxs"), col("ys").as("sys"),
+        col("v")), Seq("aid"))
+      .as[(Long, Long, Seq[(Int, Seq[Double], Seq[Double])], Seq[Double], Seq[Double], Double)]
+      .map { case (aid, bid, ps0, sxs, sys, v) =>
+        val ps = ps0.map { case (s, xs, ys) =>
+          Piece(s, xs.toIndexedSeq, ys.toIndexedSeq)
+        }
+        val inter = pieceSetArea(ps)
+        val srcArea = area(toPolygon(sxs, sys))
+        (bid, math.rint(v * (inter / srcArea) * 1e6).toLong)
+      }
+      .toDF("tid", "contrib_u")
+      .groupBy("tid")
+      .agg(count(lit(1)).as("n_sources"), sum("contrib_u").as("est_u"))
+  }
+
   /** The (aid, bid, A∩B pieces) pair stream behind [[overlayJoin]] /
     * [[eraseJoin]] — bucket equi-join, canonical-bucket dedup, exact
     * piece intersections; empty intersections dropped. Pieces travel

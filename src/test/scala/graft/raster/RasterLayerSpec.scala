@@ -571,6 +571,21 @@ class RasterLayerSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2.0, (1L, 0L) -> -1.0))
   }
 
+  test("temporal anomaly: exact v*n - sum form, single-instant cells report 0") {
+    val cells = Seq(
+      (0L, 0L, 0L, 3.0), (0L, 0L, 1L, 5.0), (0L, 0L, 2L, 7.0),
+      (1L, 0L, 0L, 10.0), (1L, 0L, 2L, 8.0),
+      (2L, 0L, 1L, 4.0))
+      .toDF("x", "y", "instant", "v")
+    val out = TimeSeries.anomaly(RasterLayer.fromCellsTemporal(cells, layout))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+    assert(out == Map(
+      (0L, 0L, 0L) -> (3L, -6L), (0L, 0L, 1L) -> (3L, 0L), (0L, 0L, 2L) -> (3L, 6L),
+      (1L, 0L, 0L) -> (2L, 2L), (1L, 0L, 2L) -> (2L, -2L),
+      (2L, 0L, 1L) -> (1L, 0L)))
+  }
+
   test("temporal median composite: odd selects, even interpolates, gaps skip") {
     // cell (0,0): 3,9,5 -> median 5; cell (1,0): 10,8 -> 9.0;
     // cell (2,0): single value -> itself

@@ -122,6 +122,34 @@ class SpatialJoinSpec extends SparkSpec {
     assert(alt == expected)
   }
 
+  test("arealInterpolate: half-half split by hand; mass conservation over a cover") {
+    // source square v=10 on [0,4]^2; two targets split it in half
+    val src = Seq((1L, Seq(0.0, 4.0, 4.0, 0.0), Seq(0.0, 0.0, 4.0, 4.0), 10.0))
+      .toDF("aid", "xs", "ys", "v")
+    val tgts = Seq(
+      (1L, Seq(0.0, 2.0, 2.0, 0.0), Seq(0.0, 0.0, 4.0, 4.0)),
+      (2L, Seq(2.0, 4.0, 4.0, 2.0), Seq(0.0, 0.0, 4.0, 4.0)),
+      (3L, Seq(10.0, 12.0, 12.0, 10.0), Seq(0.0, 0.0, 4.0, 4.0))) // disjoint
+      .toDF("bid", "xs", "ys")
+    val out = Overlay.arealInterpolate(src, tgts)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((1L, 5000000L)) && out(2L) == ((1L, 5000000L)))
+    // conservation: when the targets COVER every source, the mass
+    // Σv survives up to per-pair quantization
+    val srcs = Seq(
+      (1L, Seq(0.0, 3.0, 3.0, 0.0), Seq(0.0, 0.0, 3.0, 3.0), 7.0),
+      (2L, Seq(1.0, 5.0, 5.0, 1.0), Seq(1.0, 1.0, 4.0, 4.0), 13.0))
+      .toDF("aid", "xs", "ys", "v")
+    val cover = Seq(
+      (1L, Seq(0.0, 2.5, 2.5, 0.0), Seq(0.0, 0.0, 5.0, 5.0)),
+      (2L, Seq(2.5, 6.0, 6.0, 2.5), Seq(0.0, 0.0, 5.0, 5.0)))
+      .toDF("bid", "xs", "ys")
+    val total = Overlay.arealInterpolate(srcs, cover)
+      .agg(org.apache.spark.sql.functions.sum("est_u")).as[Long].head()
+    assert(math.abs(total - 20000000L) <= 4) // <= one quantum per pair
+  }
+
   test("nearJoin: inside -> 0, boundary distance by hand, radius cutoff, gid ties") {
     val polys = Seq(
       (1L, Seq(0.0, 10.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0, 10.0)),
