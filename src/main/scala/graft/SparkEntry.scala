@@ -3019,6 +3019,13 @@ object SparkEntry {
       // rates folded into one stratified hash-sample scan
       pipeline.Curation.sampleByMixture(table(s, dir, "documents"))),
 
+    "q_pipeline_report" -> ((s, dir) =>
+      // the staged curation funnel (raw -> gopher -> quality ->
+      // exact-dedup keepers): per-stage survivor doc/char counts;
+      // minStopTypes = 1 per the q_gopher_filter corpus note
+      pipeline.Curation.pipelineReport(
+        table(s, dir, "documents"), gopherMinStopTypes = 1)),
+
     "q_areal" -> ((s, dir) => {
       // areal interpolation (census reaggregation): dissolve-fixture
       // polygons carry v = pid*7%23+1; diamonds are the targets;
@@ -5718,6 +5725,45 @@ object SparkEntry {
            |  FROM t, m)
            |SELECT d.doc_id, d.source FROM documents d JOIN r ON r.source = d.source
            |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < r.permille""".stripMargin,
+
+      // curation funnel: the gopher + quality + dedup stage sets
+      // restated as nested CTEs, exact integer stage counts
+      "q_pipeline_report" -> {
+        val stopSum = pipeline.TextAnalysis.GopherStops
+          .map(w => s"(CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH g AS (SELECT doc_id FROM (SELECT doc_id,
+           |    CAST(len(w) AS BIGINT) AS n_words,
+           |    CAST(length(array_to_string(w, '')) AS BIGINT) AS tot_len,
+           |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+           |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
+           |    CAST($stopSum AS BIGINT) AS stop_types
+           |    FROM (SELECT doc_id, text, regexp_extract_all(text, '[^ \\t\\n\\r]+') AS w FROM documents))
+           |  WHERE n_words >= 50 AND n_words <= 100000
+           |    AND CAST(tot_len AS DOUBLE) / n_words >= 3.0
+           |    AND CAST(tot_len AS DOUBLE) / n_words <= 10.0
+           |    AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
+           |    AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+           |    AND stop_types >= 1),
+           |q AS (SELECT doc_id FROM (
+           |    SELECT doc_id, n_chars,
+           |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+           |      round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS punct_ratio,
+           |      round(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|of|to|in|and|is|was|for|on|with)\\b')) AS DOUBLE)
+           |            / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0), 6) AS stop_ratio
+           |    FROM documents)
+           |  WHERE n_chars >= 100 AND n_chars <= 20000 AND n_tokens >= 10
+           |    AND punct_ratio <= 0.1 AND stop_ratio >= 0.01),
+           |s1 AS (SELECT d.doc_id, d.text, d.n_chars FROM documents d JOIN g USING (doc_id)),
+           |s2 AS (SELECT s1.* FROM s1 JOIN q USING (doc_id)),
+           |k AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+           |s3 AS (SELECT s2.doc_id, s2.n_chars FROM s2 JOIN k USING (doc_id))
+           |SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage, count(*) AS n_docs,
+           |  coalesce(CAST(sum(n_chars) AS BIGINT), 0) AS n_chars FROM documents
+           |UNION ALL SELECT 1, 'gopher', count(*), coalesce(CAST(sum(n_chars) AS BIGINT), 0) FROM s1
+           |UNION ALL SELECT 2, 'quality', count(*), coalesce(CAST(sum(n_chars) AS BIGINT), 0) FROM s2
+           |UNION ALL SELECT 3, 'dedup', count(*), coalesce(CAST(sum(n_chars) AS BIGINT), 0) FROM s3""".stripMargin
+      },
 
       // areal interpolation: the per-pair quantized contributions
       // restated by the driver twin, exact integer group sums

@@ -321,4 +321,37 @@ object Curation {
       .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"),
         col("d.lang").as("lang"), col("d.source").as("source"),
         col("d.n_chars").as("n_chars"))
+
+  /** Staged curation FUNNEL report — the pipeline-run summary every
+    * corpus release publishes (raw → Gopher document rules →
+    * quality-score gate → exact-dedup keepers): per stage the
+    * surviving doc and char counts. Stages NEST (each filters the
+    * previous stage's survivors) and every stage's doc set comes
+    * from the existing operators — this is a report OVER the
+    * pipeline, not new filter semantics.
+    *
+    * Scale shape: one scan per filter (their own shapes — pure
+    * scans), one md5 groupBy for the dedup stage, four single-row
+    * aggregates unioned; nothing collects. */
+  def pipelineReport(docs: DataFrame, gopherMinStopTypes: Int = 2): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"), col("n_chars"))
+    val g = TextAnalysis.gopherFilter(docs, minStopTypes = gopherMinStopTypes)
+      .select(col("doc_id"))
+    val q = TextAnalysis.qualityFilter(docs).select(col("doc_id"))
+    val s1 = base.join(g, Seq("doc_id"))
+    val s2 = s1.join(q, Seq("doc_id"))
+    val keepers = s2.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s3 = s2.join(keepers, Seq("doc_id"))
+    def stage(idx: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_chars"))
+    stage(0, "raw", base)
+      .unionByName(stage(1, "gopher", s1))
+      .unionByName(stage(2, "quality", s2))
+      .unionByName(stage(3, "dedup", s3))
+  }
 }

@@ -138,6 +138,30 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("pipelineReport: staged funnel counts by hand (gopher, quality, dedup)") {
+    // good: 60 plain words with stopwords -> passes everything
+    val good = Seq.fill(12)("the quick brown fox jumps").mkString(" ")
+    // punct-heavy: every word ends with a comma -> passes gopher
+    // (commas are neither '#' nor '...', words still alphabetic) but
+    // punct_ratio > 0.1 fails the quality gate
+    val punct = Seq.fill(12)("the, quick, brown, fox, jumps,").mkString(" ")
+    // short: 10 words -> fails gopher's n_words >= 50
+    val short = "the quick brown fox jumps over the lazy dog now"
+    val docs = Seq(
+      (1L, good), (2L, good), (3L, short), (4L, punct))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Curation.pipelineReport(docs, gopherMinStopTypes = 1)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    val nGood = good.length.toLong; val nPunct = punct.length.toLong
+    val nShort = short.length.toLong
+    assert(out("raw") == ((4L, 2 * nGood + nShort + nPunct)))
+    assert(out("gopher") == ((3L, 2 * nGood + nPunct)))
+    assert(out("quality") == ((2L, 2 * nGood)))
+    assert(out("dedup") == ((1L, nGood))) // min doc_id survives the pair
+  }
+
   test("incrementalDedup: delta x base only, clean deltas report (0, -1)") {
     // doc 4 (delta: 4 % 4 == 0) duplicates doc 1 (base); doc 8 (delta)
     // is unique; docs 1,2 are base-side dups of each other — their

@@ -249,6 +249,30 @@ class OverlaySpec extends AnyFunSuite {
     assert(math.abs(Overlay.unionAreaAll(Seq(a, a, a)) - 16.0) < 1e-9)
   }
 
+  test("unionAreaAll equals the exact coordinate-compression reference on random rect sets") {
+    // axis-aligned integer rects admit an EXACT independent union
+    // area (sweep over the compressed coordinate grid) — the n-ary
+    // algebra must match to fp tolerance on every seeded draw
+    val rnd = new scala.util.Random(41)
+    (0 until 25).foreach { trial =>
+      val rects = (0 until 6).map { _ =>
+        val x0 = rnd.nextInt(50).toDouble; val y0 = rnd.nextInt(50).toDouble
+        (x0, y0, x0 + 1 + rnd.nextInt(20), y0 + 1 + rnd.nextInt(20))
+      }
+      val got = Overlay.unionAreaAll(
+        rects.map { case (x0, y0, x1, y1) => Geometry.rect(x0, y0, x1, y1) })
+      val xs = rects.flatMap(r => Seq(r._1, r._3)).distinct.sorted
+      val ys = rects.flatMap(r => Seq(r._2, r._4)).distinct.sorted
+      var ref = 0.0
+      for (i <- 0 until xs.length - 1; j <- 0 until ys.length - 1) {
+        val cx = (xs(i) + xs(i + 1)) / 2; val cy = (ys(j) + ys(j + 1)) / 2
+        if (rects.exists(r => cx > r._1 && cx < r._3 && cy > r._2 && cy < r._4))
+          ref += (xs(i + 1) - xs(i)) * (ys(j + 1) - ys(j))
+      }
+      assert(math.abs(got - ref) < 1e-6, s"trial $trial: $got vs $ref")
+    }
+  }
+
   test("n-ary union: order-free area, concave members, grid reference") {
     val shapes = Seq(
       star(5, 5, 4, 1.8),
