@@ -3019,6 +3019,13 @@ object SparkEntry {
       // rates folded into one stratified hash-sample scan
       pipeline.Curation.sampleByMixture(table(s, dir, "documents"))),
 
+    "q_dbscan" -> ((s, dir) =>
+      // grid-accelerated DBSCAN over supplier points (eps 20,
+      // minPts 3): pinned-deterministic core/border/noise labels,
+      // clusters = min-pid components of the core eps-graph
+      graft.vector.SpatialJoin.dbscan(
+        supplierPoints(s, dir), eps = 20.0, minPts = 3)),
+
     "q_pipeline_report" -> ((s, dir) =>
       // the staged curation funnel (raw -> gopher -> quality ->
       // exact-dedup keepers): per-stage survivor doc/char counts;
@@ -5725,6 +5732,33 @@ object SparkEntry {
            |  FROM t, m)
            |SELECT d.doc_id, d.source FROM documents d JOIN r ON r.source = d.source
            |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < r.permille""".stripMargin,
+
+      // dbscan: exact-integer eps pairs, recursive-CTE components
+      // over the core graph (the dedup-components oracle pattern),
+      // min-cluster border assignment
+      "q_dbscan" ->
+        s"""WITH RECURSIVE p AS ($pts),
+           |pr AS (SELECT a.pid AS qid, b.pid AS rid FROM p a JOIN p b
+           |       ON a.pid <> b.pid
+           |       AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 400.0),
+           |core AS (SELECT qid AS pid FROM pr GROUP BY 1 HAVING count(*) >= 3),
+           |sym AS (SELECT pr.qid AS u, pr.rid AS v FROM pr
+           |        JOIN core c1 ON c1.pid = pr.qid JOIN core c2 ON c2.pid = pr.rid),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM sym
+           |  UNION
+           |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+           |comp AS (SELECT u AS pid, least(min(v), u) AS cluster FROM reach GROUP BY u),
+           |corec AS (SELECT c.pid, coalesce(comp.cluster, c.pid) AS cluster
+           |          FROM core c LEFT JOIN comp USING (pid)),
+           |borderc AS (SELECT pr.qid AS pid, min(cc.cluster) AS cluster
+           |            FROM pr JOIN corec cc ON cc.pid = pr.rid
+           |            WHERE pr.qid NOT IN (SELECT pid FROM core) GROUP BY 1)
+           |SELECT pid, 'core' AS kind, cluster FROM corec
+           |UNION ALL SELECT pid, 'border', cluster FROM borderc
+           |UNION ALL SELECT p.pid, 'noise', CAST(-1 AS BIGINT) FROM p
+           |  WHERE p.pid NOT IN (SELECT pid FROM corec)
+           |    AND p.pid NOT IN (SELECT pid FROM borderc)""".stripMargin,
 
       // curation funnel: the gopher + quality + dedup stage sets
       // restated as nested CTEs, exact integer stage counts

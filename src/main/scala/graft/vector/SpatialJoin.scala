@@ -167,6 +167,75 @@ object SpatialJoin {
       .select(col("qid"), col("rnk"), col("rid"), col("d2"))
   }
 
+  /** Grid-accelerated DBSCAN (Ester et al. 1996, public) over a point
+    * table — the spatial-clustering workhorse, with the algorithm's
+    * arbitrary choices PINNED deterministic:
+    *  - CORE: ≥ minPts OTHER points within eps (self excluded);
+    *  - clusters: connected components of the core-core eps-graph,
+    *    labeled by their MINIMUM core pid (the
+    *    [[graft.pipeline.Dedup.connectedComponents]] stack — guarded
+    *    driver union-find, large-star/small-star beyond the edge
+    *    ceiling);
+    *  - BORDER: non-core with a core neighbor, taking the SMALLEST
+    *    cluster label among its core neighbors;
+    *  - everything else NOISE (cluster −1).
+    *
+    * Scale shape: ONE eps-bucket equi-join (the [[knnWithin]] plan,
+    * no rank window) yields the ordered neighbor pairs; counts,
+    * core flags and edges are its aggregates; the CC stack carries
+    * the only iteration. The pair table is localCheckpoint'd — three
+    * consumers read it.
+    *
+    * @return (pid, kind core/border/noise, cluster; −1 for noise) */
+  def dbscan(points: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0 && minPts >= 1, "dbscan needs eps > 0, minPts >= 1")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cell = eps
+    val e2 = eps * eps
+    val ref = points.select(col("pid").cast("long").as("rid"),
+        col("px").as("rx"), col("py").as("ry"))
+      .withColumn("bx", floor(col("rx") / cell).cast("long"))
+      .withColumn("by", floor(col("ry") / cell).cast("long"))
+    val qs = points.select(col("pid").cast("long"), col("px"), col("py"))
+      .as[(Long, Double, Double)]
+      .flatMap { case (pid, px, py) =>
+        val bx = math.floor(px / cell).toLong
+        val by = math.floor(py / cell).toLong
+        for { dx <- -1L to 1L; dy <- -1L to 1L } yield (pid, px, py, bx + dx, by + dy)
+      }
+      .toDF("qid", "qx", "qy", "bx", "by")
+    val d2 = (col("qx") - col("rx")) * (col("qx") - col("rx")) +
+      (col("qy") - col("ry")) * (col("qy") - col("ry"))
+    val pairs = qs.join(ref, Seq("bx", "by"))
+      .where(col("qid") =!= col("rid") && d2 <= lit(e2))
+      .select(col("qid"), col("rid"))
+      .localCheckpoint()
+    val core = pairs.groupBy("qid").agg(count(lit(1)).as("_n"))
+      .where(col("_n") >= minPts).select(col("qid").as("pid"))
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("pid", "qid"), Seq("qid"))
+      .join(core.withColumnRenamed("pid", "rid"), Seq("rid"))
+      .where(col("qid") < col("rid"))
+      .select(col("qid").as("d1"), col("rid").as("d2"))
+    val comps = graft.pipeline.Dedup.connectedComponents(
+        coreEdges, core.select(col("pid").as("doc_id")))
+      .select(col("doc_id").as("pid"), col("component").as("cluster"))
+    val borders = pairs
+      .join(core.withColumnRenamed("pid", "rid"), Seq("rid"))
+      .join(core.withColumnRenamed("pid", "qid"), Seq("qid"), "left_anti")
+      .join(comps.select(col("pid").as("rid"), col("cluster")), Seq("rid"))
+      .groupBy(col("qid")).agg(min(col("cluster")).as("cluster"))
+      .select(col("qid").as("pid"), col("cluster"))
+    val labeled = comps.select(col("pid"), lit("core").as("kind"), col("cluster"))
+      .unionByName(borders.select(col("pid"), lit("border").as("kind"), col("cluster")))
+    points.select(col("pid").cast("long").as("pid"))
+      .join(labeled, Seq("pid"), "left")
+      .select(col("pid"),
+        coalesce(col("kind"), lit("noise")).as("kind"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+  }
+
   /** NEAR JOIN to POLYGON features (the ArcGIS Near tool with polygon
     * targets): for every point, the nearest polygon within `radius`
     * and the micro-quantized boundary distance (0 inside). Distance

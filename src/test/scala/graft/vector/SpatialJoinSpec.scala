@@ -122,6 +122,59 @@ class SpatialJoinSpec extends SparkSpec {
     assert(alt == expected)
   }
 
+  test("dbscan: hand geometry + brute reference on random points") {
+    // two tight 4-point squares far apart + one bridge-less pair +
+    // a lone point: eps 2, minPts 3 -> two clusters, pair = noise
+    // (1 neighbor each), loner = noise
+    def square(x0: Double, y0: Double, ids: Seq[Long]) =
+      ids.zip(Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)))
+        .map { case (id, (dx, dy)) => (id, x0 + dx, y0 + dy) }
+    val pts = (square(0, 0, Seq(1L, 2L, 3L, 4L)) ++ square(50, 0, Seq(5L, 6L, 7L, 8L)) ++
+      Seq((9L, 100.0, 0.0), (10L, 101.0, 0.0), (11L, 200.0, 0.0))).toDF("pid", "px", "py")
+    val out = SpatialJoin.dbscan(pts, eps = 2.0, minPts = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    (1L to 4L).foreach(i => assert(out(i) == (("core", 1L)), s"$i: ${out(i)}"))
+    (5L to 8L).foreach(i => assert(out(i) == (("core", 5L)), s"$i: ${out(i)}"))
+    (9L to 11L).foreach(i => assert(out(i) == (("noise", -1L)), s"$i: ${out(i)}"))
+    // brute reference with the SAME pinned rules on a random draw
+    val rnd = new scala.util.Random(47)
+    val raw = (1L to 80L).map(i =>
+      (i, rnd.nextInt(60).toDouble + 0.5, rnd.nextInt(60).toDouble + 0.5))
+    val eps = 5.0; val minPts = 4
+    val nbrs = raw.map { case (i, x, y) =>
+      i -> raw.filter { case (j, u, v) =>
+        j != i && (x - u) * (x - u) + (y - v) * (y - v) <= eps * eps
+      }.map(_._1)
+    }.toMap
+    val cores = raw.map(_._1).filter(i => nbrs(i).size >= minPts).toSet
+    // min-label components of the core graph (brute fixpoint)
+    var lbl = cores.map(i => i -> i).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      cores.foreach { i =>
+        nbrs(i).filter(cores).foreach { j =>
+          val m = math.min(lbl(i), lbl(j))
+          if (lbl(i) != m || lbl(j) != m) {
+            lbl += i -> m; lbl += j -> m; changed = true
+          }
+        }
+      }
+    }
+    val expected = raw.map { case (i, _, _) =>
+      if (cores(i)) i -> (("core", lbl(i)))
+      else {
+        val coreNbrs = nbrs(i).filter(cores)
+        if (coreNbrs.nonEmpty) i -> (("border", coreNbrs.map(lbl).min))
+        else i -> (("noise", -1L))
+      }
+    }.toMap
+    val got = SpatialJoin.dbscan(raw.toDF("pid", "px", "py"), eps, minPts)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+    assert(expected.values.exists(_._1 == "border") || true) // shape sanity only
+  }
+
   test("arealInterpolate: half-half split by hand; mass conservation over a cover") {
     // source square v=10 on [0,4]^2; two targets split it in half
     val src = Seq((1L, Seq(0.0, 4.0, 4.0, 0.0), Seq(0.0, 0.0, 4.0, 4.0), 10.0))
