@@ -188,47 +188,108 @@ object Hotspot {
         .otherwise(0L).as("quadrant"))
   }
 
+  private val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
   /** Moran CORRELOGRAM: global Moran's I at Chebyshev ring lags
     * 1..maxLag (binary weights on the ring at exactly distance d —
     * the PySAL correlogram shape that shows spatial structure decay).
-    * Ring sums come from DIFFERENCES of cumulative Square(d) focal
-    * sums (d focal halo exchanges, no per-lag pair joins); each lag
-    * closes with the globalMoran DECIMAL numerator and the shared
-    * m2·n² normalizer. One row per lag: (lag, n, w, moran_i raw). */
+    *
+    * ONE halo gather at radius maxLag computes every ring sum per
+    * cell INSIDE the padded tile; only bounded per-tile Long partials
+    * cross any exchange (the r13 gatherPartials discipline — the old
+    * shape ran 2·maxLag separate focal exchanges and reassembled them
+    * with a (2·maxLag+1)-way per-cell equi-join, seven full per-cell
+    * shuffles at scale). Expanding the globalMoran numerator over the
+    * global moments,
+    *   Σᵢ (vᵢ·n − S)·(Swᵢ·n − kᵢ·S)
+    *     = n²·Σ(v·Sw) − n·S·Σ(v·k) − n·S·Σ(Sw) + S²·Σ(k),
+    * so per tile the kernel folds four exact Long partials per lag
+    * (A=Σ v·Sw, B=Σ v·k, C=Σ Sw, W=Σ k) plus the global moments
+    * (cnt, Σv, Σv²), and the closing assembles the SAME exact integer
+    * numerator the per-cell decimal sum produced — bit-identical
+    * moran_i, unchanged oracle. Requires integral-valued cells (the
+    * Hotspot family contract). One row per lag: (lag, n, w, moran_i
+    * raw). */
   def moranCorrelogram(l: RasterLayer, maxLag: Int = 3): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
-    val ones = l.localMap(c => when(isnan(c), c).otherwise(lit(1.0)))
-    val sums = (1 to maxLag).map(d =>
-      l.focal(Neighborhood.Square(d), "Sum").toCells
-        .withColumnRenamed("v", s"sv$d"))
-    val ks = (1 to maxLag).map(d =>
-      ones.focal(Neighborhood.Square(d), "Sum").toCells
-        .withColumnRenamed("v", s"k$d"))
-    val joined = (sums ++ ks).foldLeft(l.toCells)(
-      (a, b) => a.join(b, Seq("x", "y")))
-    val g = l.toCells.agg(
-      count(lit(1)).cast("long").as("n"),
-      sum("v").as("s"), sum(col("v") * col("v")).as("ss"))
-    def swRing(d: Int) =
-      if (d == 1) col("sv1") - col("v") else col(s"sv$d") - col(s"sv${d - 1}")
-    def kRing(d: Int) =
-      if (d == 1) col("k1") - lit(1.0) else col(s"k$d") - col(s"k${d - 1}")
-    val aggs = (1 to maxLag).flatMap { d =>
-      Seq(
-        sum((col("v") * col("n") - col("s")).cast(dec18) *
-          (swRing(d) * col("n") - kRing(d) * col("s")).cast(dec18))
-          .as(s"num$d"),
-        sum(kRing(d).cast("long")).as(s"w$d"))
-    } ++ Seq(max("n").as("n"), max("s").as("s"), max("ss").as("ss"))
-    // one row, maxLag consumers below — pin it
-    val a = joined.crossJoin(broadcast(g))
-      .agg(aggs.head, aggs.tail: _*).localCheckpoint()
-    (1 to maxLag).map { d =>
-      a.select(lit(d).as("lag"), col("n"), col(s"w$d").as("w"),
-        (col(s"num$d").cast("double") /
-          (col(s"w$d").cast("double") * m2n2(col("n"), col("s"), col("ss"))))
+    val spark = l.df.sparkSession
+    import spark.implicits._
+    val tl = l.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val mL = maxLag
+    // row scheme: lag 0 carries (cnt, Σv, Σv², 0); lag d carries
+    // (A_d, B_d, C_d, W_d) — fixed-width tuples keep the Encoder flat
+    val partials = Focal.gatherPartials[(Int, Long, Long, Long, Long)](l, mL) {
+      (_, _, padded, w) =>
+        val a = new Array[Long](mL + 1); val b = new Array[Long](mL + 1)
+        val c = new Array[Long](mL + 1); val kw = new Array[Long](mL + 1)
+        var cnt = 0L; var s = 0L; var ss = 0L
+        var j = 0
+        while (j < tr) {
+          var i = 0
+          while (i < tc) {
+            val v = padded((j + mL) * w + (i + mL))
+            if (!v.isNaN) {
+              val vl = v.toLong
+              cnt += 1L; s += vl; ss += vl * vl
+              var d = 1
+              while (d <= mL) {
+                // ring at Chebyshev distance exactly d: two full rows
+                // (dy = ±d) plus the two side columns between them
+                var sv = 0L; var kc = 0L
+                var dy = -d
+                while (dy <= d) {
+                  val base = (j + mL + dy) * w + (i + mL)
+                  if (dy == -d || dy == d) {
+                    var dx = -d
+                    while (dx <= d) {
+                      val nv = padded(base + dx)
+                      if (!nv.isNaN) { sv += nv.toLong; kc += 1L }
+                      dx += 1
+                    }
+                  } else {
+                    val nv1 = padded(base - d)
+                    if (!nv1.isNaN) { sv += nv1.toLong; kc += 1L }
+                    val nv2 = padded(base + d)
+                    if (!nv2.isNaN) { sv += nv2.toLong; kc += 1L }
+                  }
+                  dy += 1
+                }
+                a(d) += vl * sv; b(d) += vl * kc; c(d) += sv; kw(d) += kc
+                d += 1
+              }
+            }
+            i += 1
+          }
+          j += 1
+        }
+        Iterator.single((0, cnt, s, ss, 0L)) ++
+          (1 to mL).iterator.map(d => (d, a(d), b(d), c(d), kw(d)))
+    }
+    // tile partials → exact DECIMAL sums (Long products stay exact in
+    // the kernel; the cross-tile totals may pass 2^53 at scale)
+    val agg = partials.toDF("lag", "p1", "p2", "p3", "p4")
+      .groupBy("lag")
+      .agg(sum(col("p1").cast(dec38)).as("p1"),
+        sum(col("p2").cast(dec38)).as("p2"),
+        sum(col("p3").cast(dec38)).as("p3"),
+        sum(col("p4").cast(dec38)).as("p4"))
+      .localCheckpoint() // one tiny row set, two consumers below
+    val g = agg.filter(col("lag") === 0).select(
+      col("p1").cast("long").as("n"),
+      col("p2").cast("long").as("s"),
+      col("p3").cast("long").as("ss"))
+    val lags = agg.filter(col("lag") > 0).select(
+      col("lag"), col("p1").as("a"), col("p2").as("b"), col("p3").as("c"),
+      col("p4").cast("long").as("w"))
+    val nD = col("n").cast(dec18); val sD = col("s").cast(dec18)
+    val num = (nD * nD) * col("a") - (nD * sD) * col("b") -
+      (nD * sD) * col("c") + (sD * sD) * col("w").cast(dec18)
+    lags.crossJoin(broadcast(g))
+      .select(col("lag"), col("n"), col("w"),
+        (num.cast("double") /
+          (col("w").cast("double") * m2n2(col("n"), col("s"), col("ss"))))
           .as("moran_i"))
-    }.reduce(_ unionAll _)
   }
 
   /** Getis-Ord GENERAL G (the ArcGIS High/Low Clustering tool; Getis
