@@ -3021,8 +3021,9 @@ object SparkEntry {
 
     "q_dbscan" -> ((s, dir) =>
       // grid-accelerated DBSCAN over supplier points (eps 20,
-      // minPts 3): pinned-deterministic core/border/noise labels,
-      // clusters = min-pid components of the core eps-graph
+      // minPts 3 self-inclusive per Ester/sklearn): pinned-
+      // deterministic core/border/noise labels, clusters = min-pid
+      // components of the core eps-graph
       graft.vector.SpatialJoin.dbscan(
         supplierPoints(s, dir), eps = 20.0, minPts = 3)),
 
@@ -5735,13 +5736,15 @@ object SparkEntry {
 
       // dbscan: exact-integer eps pairs, recursive-CTE components
       // over the core graph (the dedup-components oracle pattern),
-      // min-cluster border assignment
+      // min-cluster border assignment; core counts the point ITSELF
+      // (Ester/sklearn min_samples), so self-excluded pairs compare
+      // against minPts − 1 = 2
       "q_dbscan" ->
         s"""WITH RECURSIVE p AS ($pts),
            |pr AS (SELECT a.pid AS qid, b.pid AS rid FROM p a JOIN p b
            |       ON a.pid <> b.pid
            |       AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 400.0),
-           |core AS (SELECT qid AS pid FROM pr GROUP BY 1 HAVING count(*) >= 3),
+           |core AS (SELECT qid AS pid FROM pr GROUP BY 1 HAVING count(*) >= 2),
            |sym AS (SELECT pr.qid AS u, pr.rid AS v FROM pr
            |        JOIN core c1 ON c1.pid = pr.qid JOIN core c2 ON c2.pid = pr.rid),
            |reach(u, v) AS (

@@ -37,9 +37,17 @@ package graft.vector
   */
 object Buffer {
 
-  /** Joint style for [[bufferPieces]] — mirrors JTS join_style. */
+  /** Joint style for [[bufferPieces]] — mirrors JTS join_style.
+    * Miter joins apply [[MiterLimit]] (the JTS mitre_limit, default
+    * 5): a corner whose miter point would sit further than
+    * MiterLimit·d from the vertex — a near-collinear turn, where the
+    * offset-line intersection runs away — falls back to a BEVEL
+    * (the triangle v, p1, p2), exactly the JTS limiting behavior. */
   sealed trait Join
   case object Miter extends Join
+
+  /** JTS BufferParameters.DEFAULT_MITRE_LIMIT. */
+  val MiterLimit = 5.0
   /** Round joins sampled at `quadrantSegments` segments per 90° of
     * turn — the JTS `quad_segs` convention (JTS default 8). */
   final case class Round(quadrantSegments: Int = 8) extends Join
@@ -92,13 +100,24 @@ object Buffer {
           val p1 = Pt(v.x + nx(h) * d, v.y + ny(h) * d)
           val p2 = Pt(v.x + nx(i) * d, v.y + ny(i) * d)
           // both offset lines pass through p1/p2 with edge directions;
-          // intersect (det != 0 because the turn is strict)
+          // near-collinear turns pass `turn > 0` with det ~ 0 and the
+          // intersection runs away — apply the JTS mitre limit and
+          // bevel when the miter point exceeds MiterLimit·d from v
           val (dx1, dy1) = (v.x - prev.x, v.y - prev.y)
           val (dx2, dy2) = (next.x - v.x, next.y - v.y)
           val det = dx1 * dy2 - dy1 * dx2
-          val t = ((p2.x - p1.x) * dy2 - (p2.y - p1.y) * dx2) / det
-          val m = Pt(p1.x + t * dx1, p1.y + t * dy1)
-          Seq(Polygon(IndexedSeq(v, p1, m, p2)))
+          val m =
+            if (det == 0) None
+            else {
+              val t = ((p2.x - p1.x) * dy2 - (p2.y - p1.y) * dx2) / det
+              val c = Pt(p1.x + t * dx1, p1.y + t * dy1)
+              if (math.hypot(c.x - v.x, c.y - v.y) <= MiterLimit * d) Some(c)
+              else None
+            }
+          m match {
+            case Some(c) => Seq(Polygon(IndexedSeq(v, p1, c, p2)))
+            case None    => Seq(Polygon(IndexedSeq(v, p1, p2))) // bevel
+          }
         case Round(q) =>
           require(q >= 1, "quadrantSegments >= 1")
           // fan from normal h to normal i, sweeping CCW by the exterior
@@ -184,8 +203,29 @@ object Buffer {
       val v = pts(i)
       val turn = (v.x - pts(i - 1).x) * (pts(i + 1).y - v.y) -
         (v.y - pts(i - 1).y) * (pts(i + 1).x - v.x)
-      if (turn == 0) Nil // straight: slabs already tile the corridor
-      else {
+      val dot = (v.x - pts(i - 1).x) * (pts(i + 1).x - v.x) +
+        (v.y - pts(i - 1).y) * (pts(i + 1).y - v.y)
+      if (turn == 0 && dot > 0) Nil // forward-collinear: slabs tile the corridor
+      else if (turn == 0) {
+        // 180° REVERSAL: both slabs lie on the same line and the
+        // half-disk ahead of v is uncovered (JTS round-join covers the
+        // full vertex disk). Sweep π CCW from +n through the forward
+        // direction to −n — the end-cap construction at an interior
+        // vertex. Miter joins get the square mitre-limited end: the
+        // d-deep rectangle ahead of the slab edge.
+        join match {
+          case Round(q) => fan(v, math.atan2(ny(h), nx(h)), math.Pi, q)
+          case Miter =>
+            val len = math.hypot(v.x - pts(i - 1).x, v.y - pts(i - 1).y)
+            val ex = (v.x - pts(i - 1).x) / len * d
+            val ey = (v.y - pts(i - 1).y) / len * d
+            Seq(Polygon(IndexedSeq(
+              Pt(v.x + nx(h) * d, v.y + ny(h) * d),
+              Pt(v.x + nx(h) * d + ex, v.y + ny(h) * d + ey),
+              Pt(v.x - nx(h) * d + ex, v.y - ny(h) * d + ey),
+              Pt(v.x - nx(h) * d, v.y - ny(h) * d))))
+        }
+      } else {
         val sgn = if (turn > 0) 1.0 else -1.0 // left turn: gap on +n side
         val a1 = math.atan2(sgn * ny(h), sgn * nx(h))
         var sweep = math.atan2(sgn * ny(i), sgn * nx(i)) - a1
@@ -199,8 +239,20 @@ object Buffer {
             val (dx1, dy1) = (v.x - pts(i - 1).x, v.y - pts(i - 1).y)
             val (dx2, dy2) = (pts(i + 1).x - v.x, pts(i + 1).y - v.y)
             val det = dx1 * dy2 - dy1 * dx2
-            val t = ((p2.x - p1.x) * dy2 - (p2.y - p1.y) * dx2) / det
-            Seq(Polygon(IndexedSeq(v, p1, Pt(p1.x + t * dx1, p1.y + t * dy1), p2)))
+            // near-parallel directions run the intersection away:
+            // apply the JTS mitre limit, bevel past it (object doc)
+            val c =
+              if (det == 0) None
+              else {
+                val t = ((p2.x - p1.x) * dy2 - (p2.y - p1.y) * dx2) / det
+                val mp = Pt(p1.x + t * dx1, p1.y + t * dy1)
+                if (math.hypot(mp.x - v.x, mp.y - v.y) <= MiterLimit * d) Some(mp)
+                else None
+              }
+            c match {
+              case Some(mp) => Seq(Polygon(IndexedSeq(v, p1, mp, p2)))
+              case None     => Seq(Polygon(IndexedSeq(v, p1, p2))) // bevel
+            }
           case Round(q) => fan(v, a1, sweep, q)
         }
       }

@@ -460,15 +460,44 @@ object Overlay {
                       cellSize: Double = 0.0): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
-    val cell =
-      if (cellSize > 0) cellSize
-      else {
-        val dims = polys.select(col("xs"), col("ys"))
-          .as[(Seq[Double], Seq[Double])]
-          .map { case (xs, ys) => (xs.max - xs.min, ys.max - ys.min) }
-          .toDF("w", "h").agg(avg("w"), avg("h")).head()
-        math.max(1e-9, math.max(dims.getDouble(0), dims.getDouble(1)))
+    val cell = autoCellSize(polys, cellSize)
+    candidatePairs(lines, "lid", polys, "gid", cell)
+      .flatMap { case (lid, gid, lxs, lys, pxs, pys) =>
+        val line = lxs.zip(lys).map { case (x, y) => Pt(x, y) }.toIndexedSeq
+        val len = lineLengthIn(line, pieces(toPolygon(pxs, pys)))
+        if (len > 1e-9) Some((lid, gid, len)) else None
       }
+      .toDF("lid", "gid", "len_in")
+  }
+
+  /** Auto grid-cell size for the bucket plans: the mean bbox side of
+    * `side` (so a typical feature explodes to ~1-4 buckets). An EMPTY
+    * side has no mean — fall back to 1.0 (the join result is empty
+    * regardless, this just keeps the plan from NPEing, ADVICE r16). */
+  private def autoCellSize(side: DataFrame, cellSize: Double): Double = {
+    if (cellSize > 0) return cellSize
+    val spark = side.sparkSession
+    import spark.implicits._
+    val dims = side.select(col("xs"), col("ys"))
+      .as[(Seq[Double], Seq[Double])]
+      .map { case (xs, ys) => (xs.max - xs.min, ys.max - ys.min) }
+      .toDF("w", "h").agg(avg("w"), avg("h")).head()
+    if (dims.isNullAt(0) || dims.isNullAt(1)) 1.0
+    else math.max(1e-9, math.max(dims.getDouble(0), dims.getDouble(1)))
+  }
+
+  /** THE shared bucket pair plan (overlayJoin / overlayJoinPieces /
+    * lineOverlayJoin previously carried three copies — ADVICE r16):
+    * both sides explode to the coarse grid buckets their bbox
+    * overlaps, candidates meet on a bucket EQUI-join, and each pair
+    * is evaluated in exactly ONE bucket — the bucket holding its
+    * bbox-overlap's min corner — so no distinct pass and no duplicate
+    * geometry work. Emits (aid, bid, a_xs, a_ys, b_xs, b_ys). */
+  private def candidatePairs(as: DataFrame, aId: String,
+                             bs: DataFrame, bId: String, cell: Double):
+      org.apache.spark.sql.Dataset[(Long, Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])] = {
+    val spark = as.sparkSession
+    import spark.implicits._
     def buckets(side: DataFrame, id: String) =
       side.select(col(id).cast("long"), col("xs"), col("ys"))
         .as[(Long, Seq[Double], Seq[Double])]
@@ -479,18 +508,12 @@ object Overlay {
           } yield (bx, by, fid, xs, ys, xs.min, ys.min)
         }
         .toDF("bx", "by", id, s"${id}_xs", s"${id}_ys", s"${id}_x0", s"${id}_y0")
-    buckets(lines, "lid").join(buckets(polys, "gid"), Seq("bx", "by"))
-      .where(col("bx") === floor(greatest(col("lid_x0"), col("gid_x0")) / cell).cast("long") &&
-             col("by") === floor(greatest(col("lid_y0"), col("gid_y0")) / cell).cast("long"))
-      .select(col("lid"), col("gid"),
-        col("lid_xs"), col("lid_ys"), col("gid_xs"), col("gid_ys"))
+    buckets(as, aId).join(buckets(bs, bId), Seq("bx", "by"))
+      .where(col("bx") === floor(greatest(col(s"${aId}_x0"), col(s"${bId}_x0")) / cell).cast("long") &&
+             col("by") === floor(greatest(col(s"${aId}_y0"), col(s"${bId}_y0")) / cell).cast("long"))
+      .select(col(aId), col(bId),
+        col(s"${aId}_xs"), col(s"${aId}_ys"), col(s"${bId}_xs"), col(s"${bId}_ys"))
       .as[(Long, Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])]
-      .flatMap { case (lid, gid, lxs, lys, pxs, pys) =>
-        val line = lxs.zip(lys).map { case (x, y) => Pt(x, y) }.toIndexedSeq
-        val len = lineLengthIn(line, pieces(toPolygon(pxs, pys)))
-        if (len > 1e-9) Some((lid, gid, len)) else None
-      }
-      .toDF("lid", "gid", "len_in")
   }
 
   /** OVERLAY JOIN — the ArcGIS Intersect / QGIS "intersection" tool
@@ -509,46 +532,15 @@ object Overlay {
   def overlayJoin(as: DataFrame, bs: DataFrame, cellSize: Double = 0.0): DataFrame = {
     val spark = as.sparkSession
     import spark.implicits._
-    def bbox(xs: Seq[Double], ys: Seq[Double]): (Double, Double, Double, Double) =
-      (xs.min, ys.min, xs.max, ys.max)
-    val cell =
-      if (cellSize > 0) cellSize
-      else {
-        val dims = as.select(col("xs"), col("ys"))
-          .as[(Seq[Double], Seq[Double])]
-          .map { case (xs, ys) => (xs.max - xs.min, ys.max - ys.min) }
-          .toDF("w", "h").agg(avg("w"), avg("h")).head()
-        math.max(1e-9, math.max(dims.getDouble(0), dims.getDouble(1)))
-      }
-    def buckets(side: DataFrame, id: String) =
-      side.select(col(id).cast("long"), col("xs"), col("ys"))
-        .as[(Long, Seq[Double], Seq[Double])]
-        .flatMap { case (fid, xs, ys) =>
-          val (x0, y0, x1, y1) = bbox(xs, ys)
-          for {
-            bx <- math.floor(x0 / cell).toLong to math.floor(x1 / cell).toLong
-            by <- math.floor(y0 / cell).toLong to math.floor(y1 / cell).toLong
-          } yield (bx, by, fid, xs, ys, x0, y0)
-        }
-        .toDF("bx", "by", id, s"${id}_xs", s"${id}_ys", s"${id}_x0", s"${id}_y0")
-    val aB = buckets(as, "aid")
-    val bB = buckets(bs, "bid")
-    aB.join(bB, Seq("bx", "by"))
-      .select(col("bx"), col("by"), col("aid"), col("bid"),
-        col("aid_xs"), col("aid_ys"), col("bid_xs"), col("bid_ys"),
-        greatest(col("aid_x0"), col("bid_x0")).as("ox0"),
-        greatest(col("aid_y0"), col("bid_y0")).as("oy0"))
-      // canonical-bucket dedup: evaluate the pair only where the
-      // bbox-overlap min corner lives
-      .where(col("bx") === floor(col("ox0") / cell).cast("long") &&
-             col("by") === floor(col("oy0") / cell).cast("long"))
-      .select(col("aid"), col("bid"),
-        col("aid_xs"), col("aid_ys"), col("bid_xs"), col("bid_ys"))
-      .as[(Long, Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])]
-      .flatMap { case (aid, bid, axs, ays, bxs, bys) =>
-        val ps = intersectionPieces(toPolygon(axs, ays), toPolygon(bxs, bys))
-        if (ps.isEmpty) None
-        else Some((aid, bid, ps.length, pieceSetArea(ps)))
+    // one map over the shared pair stream: pieces → (count, area);
+    // pieceSetArea folds the identical Piece order, so the IEEE area
+    // value matches the former fused form bit-for-bit
+    overlayJoinPieces(as, bs, cellSize)
+      .map { case (aid, bid, ps0) =>
+        val ps = ps0.map { case (s, xs, ys) =>
+          Piece(s, xs.toIndexedSeq, ys.toIndexedSeq)
+        }.toIndexedSeq
+        (aid, bid, ps.length, pieceSetArea(ps))
       }
       .toDF("aid", "bid", "n_pieces", "area")
   }
@@ -637,31 +629,8 @@ object Overlay {
       org.apache.spark.sql.Dataset[(Long, Long, Seq[(Int, Seq[Double], Seq[Double])])] = {
     val spark = as.sparkSession
     import spark.implicits._
-    val cell =
-      if (cellSize > 0) cellSize
-      else {
-        val dims = as.select(col("xs"), col("ys"))
-          .as[(Seq[Double], Seq[Double])]
-          .map { case (xs, ys) => (xs.max - xs.min, ys.max - ys.min) }
-          .toDF("w", "h").agg(avg("w"), avg("h")).head()
-        math.max(1e-9, math.max(dims.getDouble(0), dims.getDouble(1)))
-      }
-    def buckets(side: DataFrame, id: String) =
-      side.select(col(id).cast("long"), col("xs"), col("ys"))
-        .as[(Long, Seq[Double], Seq[Double])]
-        .flatMap { case (fid, xs, ys) =>
-          for {
-            bx <- math.floor(xs.min / cell).toLong to math.floor(xs.max / cell).toLong
-            by <- math.floor(ys.min / cell).toLong to math.floor(ys.max / cell).toLong
-          } yield (bx, by, fid, xs, ys, xs.min, ys.min)
-        }
-        .toDF("bx", "by", id, s"${id}_xs", s"${id}_ys", s"${id}_x0", s"${id}_y0")
-    buckets(as, "aid").join(buckets(bs, "bid"), Seq("bx", "by"))
-      .where(col("bx") === floor(greatest(col("aid_x0"), col("bid_x0")) / cell).cast("long") &&
-             col("by") === floor(greatest(col("aid_y0"), col("bid_y0")) / cell).cast("long"))
-      .select(col("aid"), col("bid"),
-        col("aid_xs"), col("aid_ys"), col("bid_xs"), col("bid_ys"))
-      .as[(Long, Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])]
+    val cell = autoCellSize(as, cellSize)
+    candidatePairs(as, "aid", bs, "bid", cell)
       .flatMap { case (aid, bid, axs, ays, bxs, bys) =>
         val ps = intersectionPieces(toPolygon(axs, ays), toPolygon(bxs, bys))
         if (ps.isEmpty) None

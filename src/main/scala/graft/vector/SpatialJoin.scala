@@ -170,7 +170,10 @@ object SpatialJoin {
   /** Grid-accelerated DBSCAN (Ester et al. 1996, public) over a point
     * table — the spatial-clustering workhorse, with the algorithm's
     * arbitrary choices PINNED deterministic:
-    *  - CORE: ≥ minPts OTHER points within eps (self excluded);
+    *  - CORE: ≥ minPts points within eps COUNTING THE POINT ITSELF —
+    *    the Ester 1996 / sklearn min_samples / PostGIS convention
+    *    (the self-excluded pair counts compare against minPts − 1),
+    *    so minPts values port unchanged from those systems;
     *  - clusters: connected components of the core-core eps-graph,
     *    labeled by their MINIMUM core pid (the
     *    [[graft.pipeline.Dedup.connectedComponents]] stack — guarded
@@ -211,8 +214,13 @@ object SpatialJoin {
       .where(col("qid") =!= col("rid") && d2 <= lit(e2))
       .select(col("qid"), col("rid"))
       .localCheckpoint()
-    val core = pairs.groupBy("qid").agg(count(lit(1)).as("_n"))
-      .where(col("_n") >= minPts).select(col("qid").as("pid"))
+    // self-excluded counts vs minPts − 1 == self-included vs minPts;
+    // minPts = 1 makes EVERY point core (sklearn), including isolated
+    // ones the pair table never sees
+    val core =
+      if (minPts <= 1) points.select(col("pid").cast("long").as("pid"))
+      else pairs.groupBy("qid").agg(count(lit(1)).as("_n"))
+        .where(col("_n") >= minPts - 1).select(col("qid").as("pid"))
     val coreEdges = pairs
       .join(core.withColumnRenamed("pid", "qid"), Seq("qid"))
       .join(core.withColumnRenamed("pid", "rid"), Seq("rid"))

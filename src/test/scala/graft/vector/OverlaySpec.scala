@@ -345,6 +345,49 @@ class OverlaySpec extends AnyFunSuite {
     assert(math.abs(got - expected) < 1e-6, s"$got vs $expected")
   }
 
+  test("bufferLinePieces: 180-degree reversal vertex is fully covered") {
+    val d = 1.5
+    // path goes out to (10,0) and doubles straight back: the old
+    // turn==0 branch treated this as forward-collinear and left the
+    // half-disk beyond (10,0) uncovered
+    val line = IndexedSeq(Pt(0, 0), Pt(10, 0), Pt(4, 0))
+    val ps = Buffer.bufferLinePieces(line, d, Buffer.Round(8), Buffer.RoundCap(8))
+    def in(x: Double, y: Double) = ps.exists(_.contains(x, y))
+    // points ahead of the reversal vertex, within d (chordal margin)
+    assert(in(10 + d * 0.9, 0.0))
+    assert(in(10 + d * 0.6, d * 0.6))
+    assert(in(10 + d * 0.6, -d * 0.6))
+    assert(!in(10 + d + 0.01, 0.0))
+    // Miter join gets the square mitre-limited end instead
+    val pm = Buffer.bufferLinePieces(line, d, Buffer.Miter, Buffer.FlatCap)
+    assert(pm.exists(_.contains(10 + d * 0.9, 0.0)))
+    assert(!pm.exists(_.contains(10 + d + 0.01, 0.0)))
+  }
+
+  test("miter limit: near-collinear turns bevel instead of spiking") {
+    val d = 1.0
+    // interior vertex turns by ~1 degree: an unlimited miter would
+    // reach ~115*d from the vertex; the JTS limit (5d) must bound it
+    val line = IndexedSeq(Pt(0, 0), Pt(10, 0), Pt(20, 0.17))
+    val ps = Buffer.bufferLinePieces(line, d, Buffer.Miter, Buffer.FlatCap)
+    ps.foreach(p => p.exterior.foreach { pt =>
+      val dist = (0 until line.length - 1).map { i =>
+        Geometry.pointSegDist(pt.x, pt.y, line(i).x, line(i).y,
+          line(i + 1).x, line(i + 1).y)
+      }.min
+      assert(dist <= Buffer.MiterLimit * d + 1e-9, s"spike at $pt ($dist)")
+    })
+    // ring miter joints carry the same limit (near-collinear convex turn)
+    val ring = Polygon(IndexedSeq(Pt(0, 0), Pt(10, 0), Pt(20, 0.17),
+      Pt(20, 10), Pt(0, 10)))
+    val rp = Buffer.bufferPieces(ring, d, Buffer.Miter)
+    val lim = Buffer.MiterLimit * d + 1e-9
+    rp.foreach(p => p.exterior.foreach { pt =>
+      assert(pt.x >= -lim && pt.x <= 20 + lim && pt.y >= -lim && pt.y <= 10 + lim,
+        s"ring spike at $pt")
+    })
+  }
+
   test("bufferLinePieces: covers the corridor, stays near it (both turn signs)") {
     val line = IndexedSeq(Pt(0, 0), Pt(8, 1), Pt(10, 8), Pt(16, 6), Pt(18, 12))
     val d = 1.7

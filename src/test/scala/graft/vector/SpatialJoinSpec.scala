@@ -122,10 +122,22 @@ class SpatialJoinSpec extends SparkSpec {
     assert(alt == expected)
   }
 
+  test("overlay joins: empty inputs return empty results (auto cell-size guard)") {
+    val empty = Seq.empty[(Long, Seq[Double], Seq[Double])].toDF("aid", "xs", "ys")
+    val one = Seq((1L, Seq(0.0, 4.0, 4.0, 0.0), Seq(0.0, 0.0, 4.0, 4.0)))
+      .toDF("bid", "xs", "ys")
+    assert(Overlay.overlayJoin(empty, one).count() == 0)
+    assert(Overlay.lineOverlayJoin(
+      empty.withColumnRenamed("aid", "lid"),
+      empty.toDF("gid", "xs", "ys")).count() == 0)
+    assert(Overlay.eraseJoin(empty, one).count() == 0)
+  }
+
   test("dbscan: hand geometry + brute reference on random points") {
     // two tight 4-point squares far apart + one bridge-less pair +
-    // a lone point: eps 2, minPts 3 -> two clusters, pair = noise
-    // (1 neighbor each), loner = noise
+    // a lone point: eps 2, minPts 3 (self-INCLUSIVE, the sklearn
+    // convention) -> two clusters (each square point has 3 others),
+    // pair = noise (2 self-inclusive < 3), loner = noise
     def square(x0: Double, y0: Double, ids: Seq[Long]) =
       ids.zip(Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)))
         .map { case (id, (dx, dy)) => (id, x0 + dx, y0 + dy) }
@@ -146,7 +158,8 @@ class SpatialJoinSpec extends SparkSpec {
         j != i && (x - u) * (x - u) + (y - v) * (y - v) <= eps * eps
       }.map(_._1)
     }.toMap
-    val cores = raw.map(_._1).filter(i => nbrs(i).size >= minPts).toSet
+    // sklearn convention: self counts, so OTHERS >= minPts - 1
+    val cores = raw.map(_._1).filter(i => nbrs(i).size >= minPts - 1).toSet
     // min-label components of the core graph (brute fixpoint)
     var lbl = cores.map(i => i -> i).toMap
     var changed = true
