@@ -1190,6 +1190,14 @@ object SparkEntry {
       // hash-noise terrain keeps flow paths short (depth ~6 at sf0.01)
       graft.raster.Hydrology.flowAccumulation(lineitemCells(s, dir), G, G)),
 
+    "q_flow_accum_dist" -> ((s, dir) =>
+      // r17: the SAME walk FORCED through the distributed token-walk
+      // loop (maxDriverEdges = 0) — exact-equal to the driver path,
+      // so it shares q_flow_accum's oracle SQL verbatim (the
+      // q_spatial_join_grid precedent for guarded fallbacks)
+      graft.raster.Hydrology.flowAccumulation(lineitemCells(s, dir), G, G,
+        maxDriverEdges = 0)),
+
     "q_snap_pour" -> ((s, dir) =>
       // ArcGIS SnapPourPoint: each outlet moves to the max-accumulation
       // cell within Chebyshev 2 of its own cell (ties north-then-west)
@@ -1216,15 +1224,33 @@ object SparkEntry {
       // linear id (pointer doubling above the driver-walk guard)
       graft.raster.Hydrology.watershed(lineitemCells(s, dir), G, G)),
 
+    "q_watershed_dist" -> ((s, dir) =>
+      // r17 forced-distributed twin: pointer doubling with guard 0,
+      // shares q_watershed's oracle verbatim
+      graft.raster.Hydrology.watershed(lineitemCells(s, dir), G, G,
+        maxDriverEdges = 0)),
+
     "q_stream_order" -> ((s, dir) =>
       // Strahler order over the full D8 forest (fixpoint above the
       // guarded topological driver pass)
       graft.raster.Hydrology.streamOrder(lineitemCells(s, dir), G, G)),
 
+    "q_stream_order_dist" -> ((s, dir) =>
+      // r17 forced-distributed twin: the Strahler fixpoint loop with
+      // guard 0, shares q_stream_order's oracle verbatim
+      graft.raster.Hydrology.streamOrder(lineitemCells(s, dir), G, G,
+        maxDriverEdges = 0)),
+
     "q_flow_length" -> ((s, dir) =>
       // downstream flow length in exact micro-cell integers (sqrt(2)
       // diagonals quantized; distance-accumulating pointer doubling)
       graft.raster.Hydrology.flowLength(lineitemCells(s, dir), G, G)),
+
+    "q_flow_length_dist" -> ((s, dir) =>
+      // r17 forced-distributed twin: distance-accumulating pointer
+      // doubling with guard 0, shares q_flow_length's oracle verbatim
+      graft.raster.Hydrology.flowLength(lineitemCells(s, dir), G, G,
+        maxDriverEdges = 0)),
 
     "q_viewshed" -> ((s, dir) =>
       // observer tower at (128,128), eye elevation 100, 24-cell radius
@@ -1259,6 +1285,14 @@ object SparkEntry {
       // oracle replays it as a single-row recursive CTE
       Distance.costPath(lineitemLayer(s, dir).normalize(1.0, 10.0),
         supplierPoints(s, dir), maxCost = CostDistanceMaxCost)),
+
+    "q_cost_path_dist" -> ((s, dir) =>
+      // r17: the SAME path FORCED through the distributed backtrack
+      // (maxDriverCells = 0): next-hop argmin forest + pointer-
+      // doubling chain extraction — row-identical, shares the oracle
+      Distance.costPath(lineitemLayer(s, dir).normalize(1.0, 10.0),
+        supplierPoints(s, dir), maxCost = CostDistanceMaxCost,
+        maxDriverCells = 0)),
 
     // --- statistics
     "q_histogram" -> ((s, dir) => HistogramOps.binCounts(lineitemLayer(s, dir))),
@@ -2317,6 +2351,14 @@ object SparkEntry {
       // star) over the MinHash-LSH pair graph; component = min doc_id.
       // Shared stage: the components materialize once per session/sf.
       dupComponents(s, dir)),
+
+    "q_dedup_clusters_dist" -> ((s, dir) =>
+      // r17: the SAME components FORCED through the distributed
+      // large-star/small-star loop (maxDriverEdges = 0) — label-
+      // identical to the guarded union-find, shares its oracle
+      pipeline.Dedup.connectedComponents(minhashEdges(s, dir),
+        table(s, dir, "documents").select(col("doc_id")),
+        maxDriverEdges = 0)),
 
     "q_dedup_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhashPairs(table(s, dir, "documents"))),
@@ -3460,7 +3502,7 @@ object SparkEntry {
          |  UNION SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id),
          |m AS (SELECT id, CAST(min(lbl) AS BIGINT) AS region FROM r GROUP BY 1),
          |lab AS (SELECT g.x, g.y, g.cls, m.region FROM g JOIN m USING (id))""".stripMargin
-    Map(
+    val base = Map(
       "q_rasterize" -> s"SELECT x, y, v FROM ($grid)",
 
       "q_tile_to_layout" -> s"SELECT x, y, v FROM ($grid)",
@@ -8007,6 +8049,18 @@ object SparkEntry {
           |FROM a JOIN e ON e.user_id = a.user_id
           |  AND e.us >= a.a_us AND e.us <= a.a_us + 600000000
           |  AND e.event_id <> a.anchor_id""".stripMargin,
+    )
+    // forced-distributed gate twins (r17): guards forced to 0 route
+    // the SAME computation through the distributed loops, so each
+    // _dist query shares its original's oracle SQL verbatim (the
+    // q_spatial_join_grid precedent for guarded fallback paths)
+    base ++ Map(
+      "q_flow_accum_dist"    -> base("q_flow_accum"),
+      "q_watershed_dist"     -> base("q_watershed"),
+      "q_stream_order_dist"  -> base("q_stream_order"),
+      "q_flow_length_dist"   -> base("q_flow_length"),
+      "q_dedup_clusters_dist" -> base("q_dedup_clusters"),
+      "q_cost_path_dist"      -> base("q_cost_path"),
     )
   }
 }

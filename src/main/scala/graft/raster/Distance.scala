@@ -205,11 +205,16 @@ object Distance {
     * Determinism: d and f are the exact doubles the cost-distance
     * fixpoint produced (identical accumulation order to the oracle's
     * unrolled relaxation), so argmin/argmax compares are
-    * engine-identical. Scale shape: the walk is inherently
-    * sequential, so it runs driver-side over the collected
-    * REACHABLE set — bounded by the maxCost disk, NOT the raster
-    * (guarded by `maxDriverCells`); the distance fixpoint itself
-    * stays fully distributed.
+    * engine-identical. Scale shape: the walk is sequential, so below
+    * `maxDriverCells` it runs driver-side over the collected
+    * REACHABLE set — bounded by the maxCost disk, NOT the raster;
+    * ABOVE the guard (r17) it falls back to the fully distributed
+    * backtrack: per-cell next-hop pointers from one 8-offset shifted
+    * self-join (the same (key, id) argmin the walk computes), then
+    * the dest chain extracted by pointer DOUBLING with hop
+    * accumulation — O(log pathLen) co-keyed joins, label-identical
+    * to the walk. The distance fixpoint itself stays distributed in
+    * both regimes.
     *
     * @return (seq, x, y, v): step index from dest (0) to source, the
     *         accumulated cost at each path cell (rounded 5dp) */
@@ -231,15 +236,10 @@ object Distance {
       .select(col("d.x"), col("d.y"), col("d.v").as("d"), col("f.v").as("f"))
       .localCheckpoint() // one compute: counted for the guard, then collected
     // guard BEFORE materializing on the driver — count() keeps the
-    // reachable set distributed, so an over-maxCost disk fails fast
-    // instead of OOMing the driver it was meant to protect. NOTE:
-    // above the guard this op FAILS rather than falling back to a
-    // distributed backtrack — acceptable because maxCost bounds the
-    // reachable disk by construction; size maxCost/maxDriverCells
-    // together when scaling up.
+    // reachable set distributed, so an over-guard disk routes to the
+    // distributed backtrack instead of OOMing the driver collect.
     val nReach = reachDf.count()
-    require(nReach <= maxDriverCells,
-      s"costPath: $nReach reachable cells exceed maxDriverCells — raise the guard or lower maxCost")
+    if (nReach > maxDriverCells) return costPathDistributed(reachDf, gridCols)
     val reach = reachDf.as[(Long, Long, Double, Double)].collect()
     val byId = reach.map { case (x, y, d, f) => (y * gridCols + x) -> (x, y, d, f) }.toMap
     if (byId.isEmpty) return Seq.empty[(Long, Long, Long, Double)].toDF("seq", "x", "y", "v")
@@ -271,6 +271,68 @@ object Distance {
       seq += 1; steps += 1
     }
     path.toSeq.toDF("seq", "x", "y", "d")
+      .select(col("seq"), col("x"), col("y"), round(col("d"), 5).as("v"))
+  }
+
+  /** The distributed [[costPath]] backtrack (over-guard regime):
+    *  1. next-hop forest — every reachable cell with d > 0 points to
+    *     the (d_n + step·f_cell, id)-argmin of its 8 present
+    *     neighbors, computed by one shifted self-join + min(struct)
+    *     (coordinate-keyed, so no linear-id aliasing); source cells
+    *     (d = 0) have no out-edge and terminate chains;
+    *  2. dest = the (d desc, id asc) argmax, one limit(1);
+    *  3. the dest chain extracted by pointer DOUBLING with hop
+    *     accumulation — the binary-counter invariant: after round k
+    *     the frontier holds every chain node at < 2^(k+1) hops, the
+    *     jump table holds 2^(k+1)-hop ancestors.
+    * The per-step argmin states the EXACT driver-walk comparison
+    * ((key, nid) lexicographic min over the same IEEE key doubles),
+    * so the emitted path is row-identical to the collected walk. */
+  private def costPathDistributed(reach: DataFrame, gridCols: Long): DataFrame = {
+    val spark = reach.sparkSession
+    import spark.implicits._
+    val Sqrt2 = math.sqrt(2.0)
+    val cells = reach.select(col("x"), col("y"), col("d"), col("f"))
+      .withColumn("id", col("y") * gridCols + col("x"))
+      .localCheckpoint() // feeds next-hop join (twice), dest, and the closing join
+    val offs = for { dy <- -1 to 1; dx <- -1 to 1 if dx != 0 || dy != 0 } yield (dx, dy)
+    val nbrs = offs.map { case (dx, dy) =>
+      val step = if (dx == 0 || dy == 0) 1.0 else Sqrt2
+      cells.select((col("x") - dx).as("x"), (col("y") - dy).as("y"),
+        col("d").as("nd"), col("id").as("nid"), lit(step).as("step"))
+    }.reduce(_ unionAll _)
+    val next = cells.where(col("d") > 0.0)
+      .join(nbrs, Seq("x", "y"))
+      .select(col("id").as("u"),
+        struct((col("nd") + col("step") * col("f")).as("key"),
+          col("nid").as("nid")).as("cand"))
+      .groupBy("u").agg(min("cand").as("cand"))
+      .select(col("u"), col("cand.nid").as("anc"))
+    var frontier = cells.orderBy(col("d").desc, col("id").asc).limit(1)
+      .select(col("id").as("node"), lit(0L).as("seq"))
+      .localCheckpoint()
+    var jump = next.select(col("u"), col("anc"), lit(1L).as("len"))
+      .localCheckpoint()
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 48) { // 2^48 hops: unreachable backstop
+      val added = frontier.join(jump, frontier("node") === jump("u"))
+        .select(jump("anc").as("node"), (frontier("seq") + jump("len")).as("seq"))
+      // chain nodes have a unique hop count; min() is pure dedup
+      val grown = frontier.unionByName(added)
+        .groupBy("node").agg(min("seq").as("seq"))
+        .localCheckpoint()
+      done = grown.count() == frontier.count()
+      frontier = grown
+      if (!done) {
+        jump = jump.as("a").join(jump.as("b"), col("a.anc") === col("b.u"))
+          .select(col("a.u").as("u"), col("b.anc").as("anc"),
+            (col("a.len") + col("b.len")).as("len"))
+          .localCheckpoint()
+      }
+      rounds += 1
+    }
+    frontier.join(cells, frontier("node") === cells("id"))
       .select(col("seq"), col("x"), col("y"), round(col("d"), 5).as("v"))
   }
 

@@ -89,15 +89,16 @@ class DistanceSpec extends SparkSpec {
     assert(path.last._4 == 0.0)
   }
 
-  test("costPath guard trips via count() before any driver materialization") {
-    val cells = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y, 1.0)
+  test("costPath over the guard routes to the distributed backtrack, row-identical") {
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L)
+      yield (x, y, 1.0 + ((x * 7 + y * 13) % 5))
     val friction = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
     val sources = Seq((0L, 0.5, 0.5)).toDF("pid", "px", "py")
-    val e = intercept[IllegalArgumentException] {
-      Distance.costPath(friction, sources, maxDriverCells = 10)
-    }
-    assert(e.getMessage.contains("reachable cells exceed maxDriverCells"))
-    assert(e.getMessage.contains("64")) // counted distributedly, not collected
+    val driver = Distance.costPath(friction, sources)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val dist = Distance.costPath(friction, sources, maxDriverCells = 0)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(dist == driver && driver.length > 3)
   }
 
   test("costPath reuses a precomputed distance layer bit-identically") {
