@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.core.{CRS, Geohash, ZIndex}
-import graft.raster.{CellOp, Compare, Contour, Distance, FocalOp, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, NetCdf, NetCdf4, Pyramid, RasterLayer, Reproject, Resample, TimeSeries, ZFactor, ZonalOps}
+import graft.raster.{CellOp, Compare, Contour, Distance, FocalOp, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, NetCdf, NetCdf4, Pyramid, RasterLayer, Reproject, Resample, TimeSeries, ZFactor, Zarr, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
 
@@ -1934,6 +1934,48 @@ object SparkEntry {
         }
         .toDF("scene_id", "nc")
       NetCdf4.fromNetCdf4Temporal(scenes)
+        .tileToLayoutTemporal(lay, CellOp.Max).toCells
+    }),
+
+    "q_zarr_roundtrip" -> ((s, dir) => {
+      // native Zarr v2 codec (r17): every tile encodes as a chunked
+      // store (2×2 zlib chunk grid + coordinate arrays + .zattrs
+      // extent), one DataFrame row PER STORE OBJECT — the
+      // object-storage layout — then re-assembles per scene with one
+      // keyed gather and re-cuts to the layout — identity
+      val l = lineitemLayer(s, dir)
+      val lr = l.meta.layout.tileLayout.layoutRows
+      val stores = Zarr.toZarr(l)
+        .select((col("col").cast("long") * lr + col("row")).as("scene_id"),
+          col("key"), col("value"))
+      Zarr.fromZarr(stores).tileToLayout(l.meta.layout, CellOp.Max).toCells
+    }),
+
+    "q_zarr_temporal" -> ((s, dir) => {
+      // record-dimension Zarr stacks: TWO records per scene (chunked
+      // one record per slab), exploding to two stamped instants per
+      // tile on ingest — the q_netcdf4_temporal twin
+      val l = lineitemLayer(s, dir)
+      val lay = l.meta.layout
+      val tl = lay.tileLayout
+      val lr = tl.layoutRows
+      import s.implicits._
+      val stores = l.df.select(col("col"), col("row"), col("tile"))
+        .as[(Int, Int, Seq[Double])]
+        .flatMap { case (c, r, tile) =>
+          val id = c.toLong * lr + r
+          val xmin = lay.extent.xmin + c.toLong * tl.tileCols * lay.cellWidth
+          val ymax = lay.extent.ymax - r.toLong * tl.tileRows * lay.cellHeight
+          Zarr.encodeScenes(
+            Array(86400L * (20000 + id), 86400L * (30000 + id)),
+            Array(tile.toArray, tile.toArray),
+            tl.tileCols, tl.tileRows,
+            xmin, ymax - tl.tileRows * lay.cellHeight,
+            xmin + tl.tileCols * lay.cellWidth, ymax)
+            .map { case (k, v) => (id, k, v) }
+        }
+        .toDF("scene_id", "key", "value")
+      Zarr.fromZarrTemporal(stores)
         .tileToLayoutTemporal(lay, CellOp.Max).toCells
     }),
 
@@ -6113,6 +6155,19 @@ object SparkEntry {
       "q_netcdf4_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
 
       "q_netcdf4_temporal" -> {
+        val t = layout.tileLayout
+        s"""SELECT x, y,
+           |  CAST(86400 * (20000 + (x // ${t.tileCols}) * ${t.layoutRows} + y // ${t.tileRows}) AS BIGINT) AS instant,
+           |  v FROM ($grid)
+           |UNION ALL
+           |SELECT x, y,
+           |  CAST(86400 * (30000 + (x // ${t.tileCols}) * ${t.layoutRows} + y // ${t.tileRows}) AS BIGINT) AS instant,
+           |  v FROM ($grid)""".stripMargin
+      },
+
+      "q_zarr_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
+
+      "q_zarr_temporal" -> {
         val t = layout.tileLayout
         s"""SELECT x, y,
            |  CAST(86400 * (20000 + (x // ${t.tileCols}) * ${t.layoutRows} + y // ${t.tileRows}) AS BIGINT) AS instant,

@@ -125,6 +125,12 @@ object GeoJson {
     }
   }
 
+  /** Parse one JSON value into Any (Map/Seq/String/Double/Boolean/
+    * null) — shared with the Zarr `.zarray`/`.zattrs` metadata reader,
+    * which needs exactly this subset. */
+  private[graft] def parseJsonValue(json: String): Any =
+    new JsonParser(json).value()
+
   /** Minimal JSON value parser (objects, arrays, strings, numbers,
     * true/false/null) — the subset GeoJSON uses. Numbers parse with
     * the JVM double parser, same as Spark's JSON source. */
