@@ -99,6 +99,31 @@ object SparkEntry {
   private[graft] def bufferConcavePieces: Seq[graft.vector.Polygon] =
     graft.vector.Buffer.bufferPieces(bufferConcaveL, 9.3, graft.vector.Buffer.Round(4))
 
+  /** Erosion containment-test pair (interior tris, boundary corridor)
+    * for q_buffer_erode_concave — same L fixture and .31/.74 margin
+    * discipline; OverlayOracleSpec audits BOTH piece sets' edges
+    * against every grid center. */
+  private[graft] def erodeConcavePieces: (Seq[graft.vector.Polygon], Seq[graft.vector.Polygon]) =
+    graft.vector.Buffer.erodePieces(bufferConcaveL, 9.3, graft.vector.Buffer.Round(4))
+
+  /** Strict half-plane containment SQL for one CONVEX piece at the
+    * grid cell center (x+0.5, y+0.5) — the dual-containment oracle
+    * every buffer/erode mask twin uses (piece coords literal-restated;
+    * DuckDB recomputes the per-cell verdict). */
+  private def pieceInsideSql(poly: graft.vector.Polygon): String = {
+    val e0 = poly.exterior
+    // normalize CCW so inside is "all cross products > 0"
+    val ring =
+      if (graft.vector.Overlay.signedArea2(e0) >= 0) e0 else e0.reverse
+    val n = ring.length
+    (0 until n).map { i =>
+      val a = ring(i); val b = ring((i + 1) % n)
+      val c1 = b.x - a.x; val c2 = b.y - a.y
+      val rhs = c1 * a.y - c2 * a.x
+      s"(CAST($c1 AS DOUBLE) * (y + 0.5) - CAST($c2 AS DOUBLE) * (x + 0.5) > CAST($rhs AS DOUBLE))"
+    }.mkString("(", " AND ", ")")
+  }
+
   /** DISSOLVE fixtures (r16): 4 groups of 3 GENUINELY-overlapping
     * polygons each — diamonds and concave stars sharing a group
     * center, so the union area exercises the n-ary
@@ -682,6 +707,14 @@ object SparkEntry {
       // same union-mask; the oracle re-derives point-in-union per
       // cell from the pieces' half-plane tests
       flat(ZonalOps.maskGrid(lineitemLayer(s, dir), bufferConcavePieces))),
+
+    "q_buffer_erode_concave" -> ((s, dir) =>
+      // CONCAVE negative buffer (r17): erode(P, d) = P \ dilate(∂P, d)
+      // — keep cells inside an interior triangle and OUTSIDE every
+      // boundary-corridor piece, one codegen'd mask pass; the oracle
+      // re-derives the same dual containment per cell
+      flat(ZonalOps.erodeMaskGrid(lineitemLayer(s, dir), bufferConcaveL, 9.3,
+        graft.vector.Buffer.Round(4)))),
 
     "q_polygonal_summary" -> ((s, dir) =>
       ZonalOps.polygonalSummary(lineitemLayer(s, dir), Geometry.diamond(128, 128, 60.3))),
@@ -5683,39 +5716,25 @@ object SparkEntry {
       // OverlayOracleSpec proves every cell center clears every piece
       // edge by a wide margin.
       "q_buffer_concave" -> {
-        def insideSql(poly: graft.vector.Polygon): String = {
-          val e0 = poly.exterior
-          // normalize CCW so inside is "all cross products > 0"
-          val ring =
-            if (graft.vector.Overlay.signedArea2(e0) >= 0) e0 else e0.reverse
-          val n = ring.length
-          (0 until n).map { i =>
-            val a = ring(i); val b = ring((i + 1) % n)
-            val c1 = b.x - a.x; val c2 = b.y - a.y
-            val rhs = c1 * a.y - c2 * a.x
-            s"(CAST($c1 AS DOUBLE) * (y + 0.5) - CAST($c2 AS DOUBLE) * (x + 0.5) > CAST($rhs AS DOUBLE))"
-          }.mkString("(", " AND ", ")")
-        }
-        val anyPiece = bufferConcavePieces.map(insideSql).mkString("(", "\n   OR ", ")")
+        val anyPiece = bufferConcavePieces.map(pieceInsideSql).mkString("(", "\n   OR ", ")")
         s"SELECT x, y, v FROM ($grid) WHERE $anyPiece"
+      },
+
+      // erosion: inside SOME interior triangle AND NOT inside any
+      // boundary-corridor piece — the same dual, negated on the
+      // corridor side (strict > both ways: the margin audit covers
+      // both piece sets, so NOT(inside) is just as safe)
+      "q_buffer_erode_concave" -> {
+        val (keep, drop) = erodeConcavePieces
+        val inP = keep.map(pieceInsideSql).mkString("(", "\n   OR ", ")")
+        val inC = drop.map(pieceInsideSql).mkString("(", "\n   OR ", ")")
+        s"SELECT x, y, v FROM ($grid) WHERE $inP AND NOT $inC"
       },
 
       // line buffer: the same grid-containment dual over the polyline
       // pieces (slabs + outer-turn fans + round caps)
       "q_buffer_line" -> {
-        def insideSql(poly: graft.vector.Polygon): String = {
-          val e0 = poly.exterior
-          val ring =
-            if (graft.vector.Overlay.signedArea2(e0) >= 0) e0 else e0.reverse
-          val n = ring.length
-          (0 until n).map { i =>
-            val a = ring(i); val b = ring((i + 1) % n)
-            val c1 = b.x - a.x; val c2 = b.y - a.y
-            val rhs = c1 * a.y - c2 * a.x
-            s"(CAST($c1 AS DOUBLE) * (y + 0.5) - CAST($c2 AS DOUBLE) * (x + 0.5) > CAST($rhs AS DOUBLE))"
-          }.mkString("(", " AND ", ")")
-        }
-        val anyPiece = bufferLinePieces.map(insideSql).mkString("(", "\n   OR ", ")")
+        val anyPiece = bufferLinePieces.map(pieceInsideSql).mkString("(", "\n   OR ", ")")
         s"SELECT x, y, v FROM ($grid) WHERE $anyPiece"
       },
 

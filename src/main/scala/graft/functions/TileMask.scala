@@ -29,7 +29,8 @@ import graft.vector.Polygon
   * extent.ymax, -cellHeight).
   */
 final case class TileMaskExpr(colE: Expression, rowE: Expression, tileE: Expression,
-                              polys: Array[Polygon], tc: Int, tr: Int,
+                              polys: Array[Polygon], dropPolys: Array[Polygon],
+                              tc: Int, tr: Int,
                               x0: Double, cw: Double, yTop: Double, sy: Double)
     extends TernaryExpression with ExpectsInputTypes {
 
@@ -57,7 +58,8 @@ final case class TileMaskExpr(colE: Expression, rowE: Expression, tileE: Express
         val wy = yTop + (r.toLong * tr + j + 0.5) * sy
         val v = tile.getDouble(j * tc + i)
         out(j * tc + i) =
-          if (!v.isNaN && TileMaskExpr.containsAny(polys, wx, wy)) v else Double.NaN
+          if (!v.isNaN && TileMaskExpr.containsAny(polys, wx, wy) &&
+              !TileMaskExpr.containsAny(dropPolys, wx, wy)) v else Double.NaN
         i += 1
       }
       j += 1
@@ -68,6 +70,7 @@ final case class TileMaskExpr(colE: Expression, rowE: Expression, tileE: Express
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, r, t) => {
       val polysRef = ctx.addReferenceObj("maskPolys", polys, "graft.vector.Polygon[]")
+      val dropRef = ctx.addReferenceObj("dropPolys", dropPolys, "graft.vector.Polygon[]")
       val out = ctx.freshName("out")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
@@ -83,7 +86,8 @@ final case class TileMaskExpr(colE: Expression, rowE: Expression, tileE: Express
          |    final double $v = $t.getDouble($j * $tc + $i);
          |    $out[$j * $tc + $i] =
          |      (!Double.isNaN($v) &&
-         |       org.apache.spark.sql.graft.TileMaskExpr.containsAny($polysRef, $wx, $wy))
+         |       org.apache.spark.sql.graft.TileMaskExpr.containsAny($polysRef, $wx, $wy) &&
+         |       !org.apache.spark.sql.graft.TileMaskExpr.containsAny($dropRef, $wx, $wy))
          |        ? $v : Double.NaN;
          |  }
          |}
@@ -112,7 +116,18 @@ object TileMaskExpr {
                    polys: Seq[Polygon], tc: Int, tr: Int): Column =
     ExpressionUtils.column(TileMaskExpr(
       ExpressionUtils.expression(c), ExpressionUtils.expression(r),
-      ExpressionUtils.expression(tile), polys.toArray, tc, tr, 0.0, 1.0, 0.0, 1.0))
+      ExpressionUtils.expression(tile), polys.toArray, Array.empty,
+      tc, tr, 0.0, 1.0, 0.0, 1.0))
+
+  /** Column API: erosion mask (grid coords) — keep a cell iff its
+    * center lies inside some `keep` polygon and NO `drop` polygon
+    * (Buffer.erodePieces' containment-test pair), one pass. */
+  def erodeTileGrid(c: Column, r: Column, tile: Column,
+                    keep: Seq[Polygon], drop: Seq[Polygon], tc: Int, tr: Int): Column =
+    ExpressionUtils.column(TileMaskExpr(
+      ExpressionUtils.expression(c), ExpressionUtils.expression(r),
+      ExpressionUtils.expression(tile), keep.toArray, drop.toArray,
+      tc, tr, 0.0, 1.0, 0.0, 1.0))
 
   /** Column API: world-coordinate mask through the layout transform. */
   def maskTileWorld(c: Column, r: Column, tile: Column, polys: Seq[Polygon],
@@ -120,5 +135,6 @@ object TileMaskExpr {
                     yTop: Double, ch: Double): Column =
     ExpressionUtils.column(TileMaskExpr(
       ExpressionUtils.expression(c), ExpressionUtils.expression(r),
-      ExpressionUtils.expression(tile), polys.toArray, tc, tr, x0, cw, yTop, -ch))
+      ExpressionUtils.expression(tile), polys.toArray, Array.empty,
+      tc, tr, x0, cw, yTop, -ch))
 }

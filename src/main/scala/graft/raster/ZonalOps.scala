@@ -41,6 +41,21 @@ object ZonalOps {
         col("col"), col("row"), col("tile"), polys, tl.tileCols, tl.tileRows)))
   }
 
+  /** Erosion (negative-buffer) mask in grid coords: keep cells whose
+    * center lies in erode(poly, d) — inside the polygon AND at least
+    * d from its boundary. Works on ANY simple ring, concave included
+    * (the JTS `buffer(-d)`→mask workflow); Buffer.erodePieces supplies
+    * the (interior, boundary-corridor) containment-test pair and the
+    * whole test runs in ONE codegen'd per-tile pass, no shuffle. */
+  def erodeMaskGrid(layer: RasterLayer, poly: Polygon, d: Double,
+                    join: graft.vector.Buffer.Join = graft.vector.Buffer.Round(8)): RasterLayer = {
+    val (keep, drop) = graft.vector.Buffer.erodePieces(poly, d, join)
+    val tl = layer.meta.layout.tileLayout
+    layer.copy(df = layer.df.withColumn("tile",
+      org.apache.spark.sql.graft.TileMaskExpr.erodeTileGrid(
+        col("col"), col("row"), col("tile"), keep, drop, tl.tileCols, tl.tileRows)))
+  }
+
   /** Polygonal summary: min/max/sum/mean/count of cells inside the
     * polygon, one output row (reference polygonal_* layer.py:2392-2464).
     * Partial aggregation per tile -> single global combine. */

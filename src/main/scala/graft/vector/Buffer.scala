@@ -31,9 +31,13 @@ package graft.vector
   * approximations — this is the reference semantic, not a shortcut);
   * Miter produces the exact offset-line intersection kite.
   *
-  * Negative d on concave rings (erosion) has no union-of-pieces form;
-  * erode via the raster path (mask complement + euclidean distance ≥
-  * |d|) — documented, not implemented here.
+  * Negative d on concave rings (erosion, r17) has no union-of-pieces
+  * form, but it HAS a containment-test form: erode(P, d) =
+  * P \ dilate(∂P, d), so [[erodePieces]] returns the (interior,
+  * boundary-corridor) piece pair and a point is eroded-in iff inside
+  * some interior piece and NOT inside any corridor piece — the form
+  * the mask path consumes directly (ZonalOps.erodeMaskGrid closes the
+  * JTS `buffer(-d)` parity gap).
   */
 object Buffer {
 
@@ -185,17 +189,6 @@ object Buffer {
         Pt(a.x + nx(i) * d, a.y + ny(i) * d), Pt(b.x + nx(i) * d, b.y + ny(i) * d),
         Pt(b.x - nx(i) * d, b.y - ny(i) * d), Pt(a.x - nx(i) * d, a.y - ny(i) * d)))
     }
-    // fan from angle a1 to a1+sweep (sweep > 0 CCW, < 0 CW) around v
-    def fan(v: Pt, a1: Double, sweep: Double, q: Int): Seq[Polygon] = {
-      val steps = math.max(1, math.ceil(math.abs(sweep) / (math.Pi / 2 / q)).toInt)
-      (0 until steps).map { k =>
-        val b1 = a1 + sweep * k / steps
-        val b2 = a1 + sweep * (k + 1) / steps
-        Polygon(IndexedSeq(v,
-          Pt(v.x + math.cos(b1) * d, v.y + math.sin(b1) * d),
-          Pt(v.x + math.cos(b2) * d, v.y + math.sin(b2) * d)))
-      }
-    }
     val joints = (1 until m).flatMap { i =>
       // vertex i joins segments i-1 and i; outer side of a left (CCW)
       // turn is the right-normal side, of a right turn the -normal side
@@ -214,7 +207,7 @@ object Buffer {
         // vertex. Miter joins get the square mitre-limited end: the
         // d-deep rectangle ahead of the slab edge.
         join match {
-          case Round(q) => fan(v, math.atan2(ny(h), nx(h)), math.Pi, q)
+          case Round(q) => fanPieces(v, math.atan2(ny(h), nx(h)), math.Pi, q, d)
           case Miter =>
             val len = math.hypot(v.x - pts(i - 1).x, v.y - pts(i - 1).y)
             val ex = (v.x - pts(i - 1).x) / len * d
@@ -225,37 +218,8 @@ object Buffer {
               Pt(v.x - nx(h) * d + ex, v.y - ny(h) * d + ey),
               Pt(v.x - nx(h) * d, v.y - ny(h) * d))))
         }
-      } else {
-        val sgn = if (turn > 0) 1.0 else -1.0 // left turn: gap on +n side
-        val a1 = math.atan2(sgn * ny(h), sgn * nx(h))
-        var sweep = math.atan2(sgn * ny(i), sgn * nx(i)) - a1
-        // take the short way round (the gap sector is < pi)
-        if (sweep > math.Pi) sweep -= 2 * math.Pi
-        if (sweep < -math.Pi) sweep += 2 * math.Pi
-        join match {
-          case Miter =>
-            val p1 = Pt(v.x + sgn * nx(h) * d, v.y + sgn * ny(h) * d)
-            val p2 = Pt(v.x + sgn * nx(i) * d, v.y + sgn * ny(i) * d)
-            val (dx1, dy1) = (v.x - pts(i - 1).x, v.y - pts(i - 1).y)
-            val (dx2, dy2) = (pts(i + 1).x - v.x, pts(i + 1).y - v.y)
-            val det = dx1 * dy2 - dy1 * dx2
-            // near-parallel directions run the intersection away:
-            // apply the JTS mitre limit, bevel past it (object doc)
-            val c =
-              if (det == 0) None
-              else {
-                val t = ((p2.x - p1.x) * dy2 - (p2.y - p1.y) * dx2) / det
-                val mp = Pt(p1.x + t * dx1, p1.y + t * dy1)
-                if (math.hypot(mp.x - v.x, mp.y - v.y) <= MiterLimit * d) Some(mp)
-                else None
-              }
-            c match {
-              case Some(mp) => Seq(Polygon(IndexedSeq(v, p1, mp, p2)))
-              case None     => Seq(Polygon(IndexedSeq(v, p1, p2))) // bevel
-            }
-          case Round(q) => fan(v, a1, sweep, q)
-        }
-      }
+      } else gapJointPieces(v, pts(i - 1), pts(i + 1),
+        nx(h), ny(h), nx(i), ny(i), turn, d, join)
     }
     val caps = cap match {
       case FlatCap => Nil
@@ -263,10 +227,129 @@ object Buffer {
         // n is the right normal (e rotated CW): CW from +n passes −e
         // (the back), CCW from +n passes +e (the front). Start cap
         // sweeps CW through the back; end cap CCW through the front.
-        fan(pts(0), math.atan2(ny(0), nx(0)), -math.Pi, q) ++
-          fan(pts(n - 1), math.atan2(ny(m - 1), nx(m - 1)), math.Pi, q)
+        fanPieces(pts(0), math.atan2(ny(0), nx(0)), -math.Pi, q, d) ++
+          fanPieces(pts(n - 1), math.atan2(ny(m - 1), nx(m - 1)), math.Pi, q, d)
     }
     slabs ++ joints ++ caps
+  }
+
+  /** Fan from angle a1 to a1+sweep (sweep > 0 CCW, < 0 CW) around v at
+    * radius d — the arc-sector sampling every Round joint uses. */
+  private def fanPieces(v: Pt, a1: Double, sweep: Double, q: Int, d: Double): Seq[Polygon] = {
+    val steps = math.max(1, math.ceil(math.abs(sweep) / (math.Pi / 2 / q)).toInt)
+    (0 until steps).map { k =>
+      val b1 = a1 + sweep * k / steps
+      val b2 = a1 + sweep * (k + 1) / steps
+      Polygon(IndexedSeq(v,
+        Pt(v.x + math.cos(b1) * d, v.y + math.sin(b1) * d),
+        Pt(v.x + math.cos(b2) * d, v.y + math.sin(b2) * d)))
+    }
+  }
+
+  /** Joint pieces at a TURN vertex (turn ≠ 0) covering the gap sector
+    * on the outer side of the turn — the inner side is covered by the
+    * two overlapping slabs. Shared by [[bufferLinePieces]] and
+    * [[ringCorridorPieces]]. (nxh, nyh)/(nxi, nyi) are the right
+    * normals of the incoming/outgoing segments. */
+  private def gapJointPieces(v: Pt, prev: Pt, next: Pt,
+                             nxh: Double, nyh: Double, nxi: Double, nyi: Double,
+                             turn: Double, d: Double, join: Join): Seq[Polygon] = {
+    val sgn = if (turn > 0) 1.0 else -1.0 // left turn: gap on +n side
+    val a1 = math.atan2(sgn * nyh, sgn * nxh)
+    var sweep = math.atan2(sgn * nyi, sgn * nxi) - a1
+    // take the short way round (the gap sector is < pi)
+    if (sweep > math.Pi) sweep -= 2 * math.Pi
+    if (sweep < -math.Pi) sweep += 2 * math.Pi
+    join match {
+      case Miter =>
+        val p1 = Pt(v.x + sgn * nxh * d, v.y + sgn * nyh * d)
+        val p2 = Pt(v.x + sgn * nxi * d, v.y + sgn * nyi * d)
+        val (dx1, dy1) = (v.x - prev.x, v.y - prev.y)
+        val (dx2, dy2) = (next.x - v.x, next.y - v.y)
+        val det = dx1 * dy2 - dy1 * dx2
+        // near-parallel directions run the intersection away:
+        // apply the JTS mitre limit, bevel past it (object doc)
+        val c =
+          if (det == 0) None
+          else {
+            val t = ((p2.x - p1.x) * dy2 - (p2.y - p1.y) * dx2) / det
+            val mp = Pt(p1.x + t * dx1, p1.y + t * dy1)
+            if (math.hypot(mp.x - v.x, mp.y - v.y) <= MiterLimit * d) Some(mp)
+            else None
+          }
+        c match {
+          case Some(mp) => Seq(Polygon(IndexedSeq(v, p1, mp, p2)))
+          case None     => Seq(Polygon(IndexedSeq(v, p1, p2))) // bevel
+        }
+      case Round(q) => fanPieces(v, a1, sweep, q, d)
+    }
+  }
+
+  /** Boundary corridor of a CLOSED simple hole-free ring: convex
+    * pieces whose union covers every point within distance d of ∂P
+    * (up to the inscribed-arc sampling of Round joints) — per-edge
+    * BOTH-side d-slabs + a joint fan at every vertex on the gap
+    * (outer-turn) side. The cyclic twin of [[bufferLinePieces]]: no
+    * end caps, and for a CCW ring the gap side falls outside the ring
+    * at convex vertices and inside it at reflex ones. */
+  def ringCorridorPieces(poly: Polygon, d: Double, join: Join = Round(8)): Seq[Polygon] = {
+    require(d > 0, "corridor requires a positive distance")
+    require(poly.holes.isEmpty, "corridor supports simple rings")
+    val ring0 = dropCollinear(poly.exterior)
+    require(ring0.length >= 3, "degenerate ring")
+    val ccw = if (Overlay.signedArea2(ring0) >= 0) ring0 else ring0.reverse
+    val n = ccw.length
+    val nx = new Array[Double](n); val ny = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val a = ccw(i); val b = ccw((i + 1) % n)
+      val ex = b.x - a.x; val ey = b.y - a.y
+      val len = math.hypot(ex, ey)
+      nx(i) = ey / len; ny(i) = -ex / len
+      i += 1
+    }
+    val slabs = (0 until n).map { i =>
+      val a = ccw(i); val b = ccw((i + 1) % n)
+      Polygon(IndexedSeq(
+        Pt(a.x + nx(i) * d, a.y + ny(i) * d), Pt(b.x + nx(i) * d, b.y + ny(i) * d),
+        Pt(b.x - nx(i) * d, b.y - ny(i) * d), Pt(a.x - nx(i) * d, a.y - ny(i) * d)))
+    }
+    val joints = (0 until n).flatMap { i =>
+      val h = (i + n - 1) % n
+      val v = ccw(i); val prev = ccw(h); val next = ccw((i + 1) % n)
+      val turn = (v.x - prev.x) * (next.y - v.y) - (v.y - prev.y) * (next.x - v.x)
+      // dropCollinear leaves no zero turns on a simple ring
+      if (turn == 0) Nil
+      else gapJointPieces(v, prev, next, nx(h), ny(h), nx(i), ny(i), turn, d, join)
+    }
+    slabs ++ joints
+  }
+
+  /** Erosion (negative buffer) of an arbitrary SIMPLE hole-free ring
+    * as a containment-test pair (interior pieces, corridor pieces):
+    *
+    *   x ∈ erode(P, d)  ⟺  x ∈ some interior piece
+    *                        AND x ∉ every corridor piece
+    *
+    * since erode(P, d) = P \ dilate(∂P, d). This closes the JTS
+    * `buffer(-d)` parity gap on concave rings (the object doc's
+    * documented raster path — ZonalOps.erodeMaskGrid consumes the
+    * pair in one codegen'd mask pass). Round joints make the corridor
+    * an inscribed approximation of the true d-band, so the erosion is
+    * a hair larger near REFLEX corners — the same polygonal-arc
+    * semantics as every JTS buffer. Deterministic construction (the
+    * literal-restating oracle discipline). */
+  def erodePieces(poly: Polygon, d: Double, join: Join = Round(8))
+      : (Seq[Polygon], Seq[Polygon]) = {
+    require(d > 0, "erodePieces takes the erosion distance as positive d")
+    require(poly.holes.isEmpty, "erode holes separately (dilate them by d)")
+    val ring0 = dropCollinear(poly.exterior)
+    require(ring0.length >= 3, "degenerate ring")
+    val ccw = if (Overlay.signedArea2(ring0) >= 0) ring0 else ring0.reverse
+    val tris = Overlay.triangulate(ccw).map { case (a, b, c) =>
+      Polygon(IndexedSeq(a, b, c))
+    }
+    (tris, ringCorridorPieces(Polygon(ccw), d, join))
   }
 
   /** Miter-join offset of a convex, hole-free ring by `d` (> 0 grows,

@@ -96,6 +96,31 @@ class OverlayOracleSpec extends AnyFunSuite {
     assert(disagreements == 0)
   }
 
+  test("erode pieces (interior + corridor): margins clear, verdicts agree") {
+    val (keep, drop) = SparkEntry.erodeConcavePieces
+    assert(keep.nonEmpty && drop.nonEmpty && keep.length + drop.length < 80,
+      s"${keep.length}+${drop.length}")
+    var worst = Double.MaxValue
+    var disagreements = 0
+    var y = 0
+    while (y < 256) {
+      var x = 0
+      while (x < 256) {
+        val px = x + 0.5; val py = y + 0.5
+        (keep ++ drop).foreach { p =>
+          val m = decisionMargin(p, px, py)
+          if (math.abs(m) < worst) worst = math.abs(m)
+          if ((m > 0) != p.contains(px, py)) disagreements += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    assert(worst > 1e-6, s"cell center within $worst of an erode piece boundary " +
+      "- the strict-> oracle (negated on the corridor side) and the mask could disagree")
+    assert(disagreements == 0)
+  }
+
   test("dissolve fixtures: simple rings, genuine in-group overlap") {
     SparkEntry.dissolveFixtures.foreach { case (key, pid, xs, ys) =>
       val ring = xs.zip(ys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq

@@ -72,4 +72,62 @@ class BufferSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Buffer.buffer(Polygon(IndexedSeq(Pt(0, 0), Pt(1, 0), Pt(2, 0)), Nil), 1.0))
   }
+
+  // --- erosion (negative buffer) via the (interior, corridor) pair
+
+  private def erodedIn(pair: (Seq[Polygon], Seq[Polygon]), x: Double, y: Double): Boolean =
+    pair._1.exists(_.contains(x, y)) && !pair._2.exists(_.contains(x, y))
+
+  test("erode convex rect matches the exact inward miter offset") {
+    val rect = Geometry.rect(10.3, 20.7, 50.3, 60.7)
+    val pair = Buffer.erodePieces(rect, 4.1)
+    val exact = Buffer.buffer(rect, -4.1)
+    // sample a lattice avoiding both boundaries (offset edges sit at
+    // .4/.2-ish fractions; sample at integers + .55)
+    for (x <- 5 to 56; y <- 15 to 66) {
+      val px = x + 0.55; val py = y + 0.55
+      assert(erodedIn(pair, px, py) == exact.contains(px, py), s"($px,$py)")
+    }
+  }
+
+  test("erode concave L: reflex corner carves a quarter-disk, arms shrink") {
+    // L with arms 40 wide; erode by 6
+    val L = Polygon(IndexedSeq(Pt(0, 0), Pt(100, 0), Pt(100, 40),
+      Pt(40, 40), Pt(40, 100), Pt(0, 100)))
+    val pair = Buffer.erodePieces(L, 6.0, Buffer.Round(8))
+    // deep interior survives
+    assert(erodedIn(pair, 20.5, 20.5))
+    assert(erodedIn(pair, 80.5, 20.5))
+    assert(erodedIn(pair, 20.5, 80.5))
+    // the 6-band inside every wall is gone
+    assert(!erodedIn(pair, 3.5, 50.5))
+    assert(!erodedIn(pair, 50.5, 37.5))
+    // the reflex corner (40,40): interior points within 6 of the
+    // corner VERTEX are carved even though they are > 6 from any wall
+    assert(!erodedIn(pair, 36.0, 36.0)) // dist to corner ~5.66 < 6
+    assert(erodedIn(pair, 33.5, 33.5))  // dist ~9.19 > 6, walls 33.5
+    // convex corner (0,0): the surviving corner is the miter point
+    assert(erodedIn(pair, 6.5, 6.5))
+    assert(!erodedIn(pair, 5.5, 5.5))
+  }
+
+  test("erosion past the inradius yields the empty set") {
+    val pair = Buffer.erodePieces(Geometry.rect(0, 0, 10, 10), 5.3)
+    for (x <- 0 to 10; y <- 0 to 10)
+      assert(!erodedIn(pair, x + 0.49, y + 0.49))
+  }
+
+  test("corridor covers the d-band of the boundary, inside and out") {
+    val L = Polygon(IndexedSeq(Pt(0, 0), Pt(100, 0), Pt(100, 40),
+      Pt(40, 40), Pt(40, 100), Pt(0, 100)))
+    val corridor = Buffer.ringCorridorPieces(L, 6.0, Buffer.Round(8))
+    def inC(x: Double, y: Double) = corridor.exists(_.contains(x, y))
+    // points straddling a wall: both sides within 6 are covered
+    assert(inC(-3.5, 50.5) && inC(3.5, 50.5))   // left wall
+    assert(inC(50.5, -3.5) && inC(50.5, 3.5))   // bottom wall
+    assert(inC(44.0, 44.0))                     // reflex-corner disk
+    assert(inC(-4.0, -4.0))                     // convex-corner fan (d~5.66)
+    // points clear of the band are not
+    assert(!inC(20.5, 20.5) && !inC(50.5, 50.5) && !inC(-8.5, 50.5))
+  }
 }
