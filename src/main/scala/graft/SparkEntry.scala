@@ -3098,6 +3098,31 @@ object SparkEntry {
       pipeline.Dedup.incrementalDedup(
         table(s, dir, "documents"), col("doc_id") % 4 === 0)),
 
+    "q_dedup_incremental_indexed" -> ((s, dir) => {
+      // persistent-index twin (r17): the base corpus's signatures are
+      // STORED as a catalog table and read back — only the delta
+      // batch's text is scanned; results identical to the recompute
+      // path (shares its oracle verbatim)
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      val docs = table(s, dir, "documents")
+      pipeline.Dedup.writeSignatureIndex(uri, "sig_index",
+        docs.where(col("doc_id") % 4 =!= 0))
+      pipeline.Dedup.incrementalDedupIndexed(
+        docs.where(col("doc_id") % 4 === 0), uri, "sig_index")
+    }),
+
+    "q_ann_ivf_indexed" -> ((s, dir) => {
+      // persistent IVF index (r17): centroid + list tables stored in
+      // the catalog, probing reads them back — zero corpus reads at
+      // query time; shares q_ann_ivf's oracle verbatim
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      val emb = table(s, dir, "embeddings")
+      pipeline.Similarity.writeIvfIndex(uri, "ivf_index", emb,
+        col("vec_id") % 37 === 0)
+      pipeline.Similarity.ivfTopKIndexed(
+        emb.where(col("vec_id") % 50 === 0), uri, "ivf_index")
+    }),
+
     "q_overlay_join" -> ((s, dir) => {
       // polygon-layer overlay join (ArcGIS Intersect): concave stars
       // x diamond fixtures through the grid-bucket pair plan, exact
@@ -8135,6 +8160,10 @@ object SparkEntry {
       "q_flow_length_dist"   -> base("q_flow_length"),
       "q_dedup_clusters_dist" -> base("q_dedup_clusters"),
       "q_cost_path_dist"      -> base("q_cost_path"),
+      // persistent-index twins (r17): the stored-index paths must be
+      // byte-identical to their recompute originals
+      "q_dedup_incremental_indexed" -> base("q_dedup_incremental"),
+      "q_ann_ivf_indexed"           -> base("q_ann_ivf"),
     )
   }
 }

@@ -499,4 +499,27 @@ object Catalog {
     writeString(s"$uri/$name/_attributes_$key.json", value)
   def readAttribute(uri: String, name: String, key: String): String =
     readString(s"$uri/$name/_attributes_$key.json")
+
+  // ---- generic TABLE store (pipeline indexes, r17) -----------------
+
+  /** Persist an arbitrary TABLE under the catalog — the home of the
+    * pipeline's durable indexes (MinHash signature tables, IVF
+    * centroid lists), so incremental ingest and ANN probing read a
+    * stored index instead of recomputing the base corpus (Dedup.
+    * incrementalDedupIndexed / Similarity.ivfTopKIndexed). Plain
+    * parquet at `uri/name/table` plus a marker sidecar; overwrite
+    * semantics — rebuilding the index is a full re-write. */
+  def writeTable(uri: String, name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    df.write.mode("overwrite").parquet(s"$uri/$name/table")
+    writeString(s"$uri/$name/_graft_table.json",
+      s"""{"kind":"table","name":"$name"}""")
+  }
+
+  def tableExists(uri: String, name: String): Boolean =
+    pathExists(s"$uri/$name/_graft_table.json")
+
+  def readTable(spark: SparkSession, uri: String, name: String): org.apache.spark.sql.DataFrame = {
+    require(tableExists(uri, name), s"no catalog table '$name' at $uri")
+    spark.read.parquet(s"$uri/$name/table")
+  }
 }

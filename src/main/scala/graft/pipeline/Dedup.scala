@@ -513,7 +513,45 @@ object Dedup {
                        minEstSim: Double = 0.5,
                        maxBucket: Option[Long] = Some(MinhashMaxBucket)): DataFrame = {
     val sig = minhashSignatures(docs, k).localCheckpoint()
-    val flagged = sig.withColumn("is_delta", deltaExpr)
+    incrementalFromSigs(sig.where(!deltaExpr), sig.where(deltaExpr),
+      k, bands, minEstSim, maxBucket)
+  }
+
+  /** Build and PERSIST the MinHash signature index of a base corpus as
+    * a catalog table — the durable side of the ingest gate. Longs
+    * roundtrip parquet exactly, so the stored index is byte-equivalent
+    * to a fresh [[minhashSignatures]] scan. */
+  def writeSignatureIndex(uri: String, name: String, docs: DataFrame, k: Int = 16): Unit =
+    graft.catalog.Catalog.writeTable(uri, name, minhashSignatures(docs, k))
+
+  /** [[incrementalDedup]] whose base side READS the stored signature
+    * index ([[writeSignatureIndex]]) instead of recomputing it: only
+    * the delta batch's text is scanned, so re-ingesting 0.1% of a
+    * 100 TB corpus costs 0.1% of the signature work AND none of the
+    * base IO. Same output contract and identical results to the
+    * recompute path (IndexedPathSpec + the q_dedup_incremental_indexed
+    * gate twin prove equality). Delta doc_ids must be disjoint from
+    * the indexed base corpus (the ingest invariant). */
+  def incrementalDedupIndexed(delta: DataFrame, uri: String, name: String,
+                              k: Int = 16, bands: Int = 4,
+                              minEstSim: Double = 0.5,
+                              maxBucket: Option[Long] = Some(MinhashMaxBucket)): DataFrame = {
+    val baseSig = graft.catalog.Catalog.readTable(delta.sparkSession, uri, name)
+    incrementalFromSigs(baseSig, minhashSignatures(delta, k).localCheckpoint(),
+      k, bands, minEstSim, maxBucket)
+  }
+
+  /** Shared core of the incremental ingest gate: base and delta
+    * SIGNATURE tables in (doc_id, m0..m{k-1}), the per-delta-doc
+    * report out. The hot-bucket cap applies to the COMBINED banded
+    * index (base + delta), matching the one-scan path exactly. */
+  private def incrementalFromSigs(baseSig: DataFrame, deltaSig: DataFrame,
+                                  k: Int, bands: Int, minEstSim: Double,
+                                  maxBucket: Option[Long]): DataFrame = {
+    val sigCols = col("doc_id") +: (0 until k).map(i => col(s"m$i"))
+    val flagged = baseSig.select(sigCols: _*).withColumn("is_delta", lit(false))
+      .unionByName(deltaSig.select(sigCols: _*).withColumn("is_delta", lit(true)))
+      .localCheckpoint()
     val rows = k / bands
     val bandDfs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
@@ -533,8 +571,8 @@ object Dedup {
     val simExpr = (0 until k).map(i =>
       when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0)).reduce(_ + _)
     val matches = cand
-      .join(sig.as("sa"), col("delta_id") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("base_id") === col("sb.doc_id"))
+      .join(flagged.as("sa"), col("delta_id") === col("sa.doc_id"))
+      .join(flagged.as("sb"), col("base_id") === col("sb.doc_id"))
       .where((simExpr.cast("double") / k) >= minEstSim)
       .groupBy(col("delta_id"))
       .agg(count(lit(1)).as("n_matches"), min(col("base_id")).as("match_id"))

@@ -310,42 +310,83 @@ object Similarity {
               k: Int = 5, nProbe: Int = 3): DataFrame = {
     val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
-    val cents = broadcast(e.where(centroidPred)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nn").as("cn")))
-    def score(av: Column, an: Column, bv: Column, bn: Column): Column =
-      qdot(av, bv).cast("double") / (an * bn)
+    val (cents, assigned) = ivfIndexOf(e, centroidPred)
+    val q = e.where(queryPred)
+      .select(col("vec_id").as("qid"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+    ivfProbe(broadcast(cents), assigned, q, k, nProbe)
+  }
 
+  private def ivfScore(av: Column, an: Column, bv: Column, bn: Column): Column =
+    qdot(av, bv).cast("double") / (an * bn)
+
+  /** IVF index construction over the quantized corpus `e` (vec_id,
+    * qv, nn): (centroid table, per-vector list assignments). */
+  private def ivfIndexOf(e: DataFrame, centroidPred: Column): (DataFrame, DataFrame) = {
+    val cents = e.where(centroidPred)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nn").as("cn"))
     // nearest-centroid assignment (top-1), ties -> smallest cid — a
     // lexicographic-max aggregate, not a window: max() partial-
     // aggregates map-side, so one row per vector crosses the exchange
     // instead of the full corpus x centroids product
-    val assigned = e.join(cents)
-      .withColumn("cscore", score(col("qv"), col("nn"), col("cv"), col("cn")))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("cscore", ivfScore(col("qv"), col("nn"), col("cv"), col("cn")))
       .groupBy("vec_id")
       .agg(max(struct(col("cscore"), (-col("cid")).as("negCid"),
         col("cid"), col("qv"), col("nn"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"),
         col("m.qv").as("qv"), col("m.nn").as("nn"))
+    (cents, assigned)
+  }
 
-    // query probes: nProbe nearest centroid lists
-    val q = e.where(queryPred)
-      .select(col("vec_id").as("qid"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+  /** Probe phase shared by [[ivfTopK]] and [[ivfTopKIndexed]]: nProbe
+    * nearest lists per query, exact rescore, top-k. */
+  private def ivfProbe(cents: DataFrame, assigned: DataFrame, q: DataFrame,
+                       k: Int, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy("qid").orderBy(col("cscore").desc, col("cid"))
     val probes = q.join(cents)
-      .withColumn("cscore", score(col("q_qv"), col("q_nn"), col("cv"), col("cn")))
+      .withColumn("cscore", ivfScore(col("q_qv"), col("q_nn"), col("cv"), col("cn")))
       .withColumn("rn", row_number().over(wProbe))
       .where(col("rn") <= nProbe)
       .select(col("qid"), col("q_qv"), col("q_nn"), col("cid"))
-
     // candidates from probed lists, exact rescore, top-k
     val wRank = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     probes.join(assigned, "cid")
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        score(col("q_qv"), col("q_nn"), col("qv"), col("nn")).as("cosine"))
+        ivfScore(col("q_qv"), col("q_nn"), col("qv"), col("nn")).as("cosine"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), microCos(col("cosine")).as("cos_u"), col("rank"))
+  }
+
+  /** Build and PERSIST the IVF index as two catalog tables: the
+    * broadcastable centroid table (`name`_centroids) and the
+    * per-vector list assignments (`name`_lists, carrying the quantized
+    * vectors + norms so probing rescores exactly with zero corpus
+    * reads). Longs and IEEE doubles roundtrip parquet exactly —
+    * probing the stored index is byte-identical to [[ivfTopK]]. */
+  def writeIvfIndex(uri: String, name: String, embeddings: DataFrame,
+                    centroidPred: Column = defaultCentroidPred): Unit = {
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nn", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val (cents, assigned) = ivfIndexOf(e.localCheckpoint(), centroidPred)
+    graft.catalog.Catalog.writeTable(uri, s"${name}_centroids", cents)
+    graft.catalog.Catalog.writeTable(uri, s"${name}_lists", assigned)
+  }
+
+  /** [[ivfTopK]] probing the STORED lists ([[writeIvfIndex]]): only
+    * the query batch is quantized; the corpus side never recomputes
+    * assignments — the persistent-ANN-index shape a 100 TB corpus
+    * needs (index once, probe per query batch). `queries` carries
+    * (vec_id, embedding). */
+  def ivfTopKIndexed(queries: DataFrame, uri: String, name: String,
+                     k: Int = 5, nProbe: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = graft.catalog.Catalog.readTable(spark, uri, s"${name}_centroids")
+    val assigned = graft.catalog.Catalog.readTable(spark, uri, s"${name}_lists")
+    val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("q_qv"))
+      .withColumn("q_nn", sqrt(qdot(col("q_qv"), col("q_qv")).cast("double")))
+    ivfProbe(broadcast(cents), assigned, q, k, nProbe)
   }
 
   /** Nearest-centroid cluster assignment — the semantic-bucketing /
