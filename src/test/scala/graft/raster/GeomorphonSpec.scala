@@ -60,6 +60,44 @@ class GeomorphonSpec extends SparkSpec {
     assert(interior.forall(k => relaxed(k) == Geomorphon.Flat))
   }
 
+  test("fractional DEM: sub-integer tangents decide by the true double " +
+       "comparison (no zero-ward 1/12-step quantization)") {
+    // plane z = 1.0625·x (dyadic, exact in doubles): per-step 12-tangent
+    // is 12.75 — a QUANTIZED (toLong) comparison would floor it to 12,
+    // fail the strict > t12 test and read FLAT; the double path reads
+    // the true slope (hi = lo = 3)
+    val out = classify((x, _) => 1.0625 * x)
+    assert(interior.forall(k => out(k) == Geomorphon.Slope),
+      s"zero-ward quantization bias: ${out(interior.head)}")
+  }
+
+  test("fractional DEM matches an independent driver reference cell-for-cell") {
+    // pseudo-random dyadic field (multiples of 1/8 — every product with
+    // 12/k is exact in doubles, so reference and kernel share decisions)
+    def z(x: Long, y: Long): Double = ((x * 37 + y * 91) % 64).toDouble / 8.0
+    val out = classify(z)
+    // straight-from-the-paper scalar reference, written independently
+    // of the kernel (per-ray max of 12·(z_k − z0)/k, strict > t12,
+    // exact ties neutral)
+    def reference(x: Long, y: Long): Long = {
+      var hi = 0; var lo = 0
+      for ((dx, dy) <- Geomorphon.Dirs) {
+        var up = Double.NegativeInfinity; var dn = Double.NegativeInfinity
+        for (k <- 1 to 4) {
+          val dz = z(x + dx * k, y + dy * k) - z(x, y)
+          up = math.max(up, dz * 12.0 / k)
+          dn = math.max(dn, -dz * 12.0 / k)
+        }
+        if (up > 12 && up > dn) hi += 1
+        else if (dn > 12 && dn > up) lo += 1
+      }
+      Geomorphon.Lut((hi, lo)).toLong
+    }
+    interior.foreach { case (x, y) =>
+      assert(out((x, y)) == reference(x, y), s"($x,$y)")
+    }
+  }
+
   test("openness: 90 on flats, sky-open at the cone apex, signs sum to 180") {
     def open(f: (Long, Long) => Double, positive: Boolean): Map[(Long, Long), Double] = {
       val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y, f(x, y))
