@@ -1101,6 +1101,26 @@ object SparkEntry {
         supplierPoints(s, dir).withColumn("value", col("pid") % 97 + 1),
         layout)),
 
+    "q_voronoi" -> ((s, dir) => {
+      // vector Voronoi cells (geotrellis VoronoiDiagram, r17 — the
+      // Delaunay dual): supplier sites at .31/.74 offsets (no grid
+      // center ever ties or sits on a cell edge — VoronoiSpec audits
+      // the margins), cells built by all-pairs bisector clipping and
+      // rasterized by containment; the oracle recomputes each cell
+      // center's nearest site DIRECTLY — a dual computation
+      import s.implicits._
+      val sites = table(s, dir, "supplier").where(col("s_suppkey") <= 10)
+        .select(col("s_suppkey").cast("long").as("pid"),
+          ((col("s_suppkey") * 13) % 256 + lit(0.31)).cast("double").as("px"),
+          ((col("s_suppkey") * 29) % 256 + lit(0.74)).cast("double").as("py"))
+        .as[(Long, Double, Double)].collect().sortBy(_._1).toIndexedSeq
+      val cells = graft.vector.Voronoi.cells(
+        sites.map(p => graft.vector.Pt(p._2, p._3)), 0, 0, 256, 256)
+      graft.raster.Rasterize.features(s,
+          cells.map { case (i, poly) => (poly, sites(i)._1.toDouble) }, layout)
+        .toCells.select(col("x"), col("y"), col("v").cast("long").as("pid"))
+    }),
+
     "q_tin" -> ((s, dir) =>
       // Delaunay TIN over the 11 suppliers with pid <= 10 (fixed pid
       // formulas -> fixed triangulation, stated as literals in the
@@ -4843,6 +4863,22 @@ object SparkEntry {
 
       // nearest-source argmin on EXACT integer squared distances
       // (points are half-cell-aligned), ties to the smallest pid
+      // vector Voronoi: the oracle is the DEFINITION — nearest site
+      // per cell center (fractional .31/.74 site offsets: no ties, no
+      // center on a cell edge; VoronoiSpec audits the margins)
+      "q_voronoi" ->
+        s"""WITH p AS (SELECT CAST(s_suppkey AS BIGINT) AS pid,
+           |        CAST(s_suppkey * 13 % 256 + 0.31 AS DOUBLE) AS px,
+           |        CAST(s_suppkey * 29 % 256 + 0.74 AS DOUBLE) AS py
+           |      FROM supplier WHERE s_suppkey <= 10),
+           |d AS (SELECT t1.range AS x, t2.range AS y, p.pid,
+           |        (t1.range + 0.5 - p.px) * (t1.range + 0.5 - p.px) +
+           |        (t2.range + 0.5 - p.py) * (t2.range + 0.5 - p.py) AS d2
+           |      FROM range(0, 256) t1, range(0, 256) t2, p),
+           |r AS (SELECT x, y, pid,
+           |        row_number() OVER (PARTITION BY x, y ORDER BY d2, pid) AS rk FROM d)
+           |SELECT x, y, pid FROM r WHERE rk = 1""".stripMargin,
+
       "q_euclidean_allocation" ->
         s"""WITH d AS (SELECT t1.range AS x, t2.range AS y, p.pid,
            |        CAST((t1.range + 0.5 - p.px) * (t1.range + 0.5 - p.px) +
