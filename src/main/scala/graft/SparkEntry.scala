@@ -3131,6 +3131,20 @@ object SparkEntry {
         docs.where(col("doc_id") % 4 === 0), uri, "sig_index")
     }),
 
+    "q_semdedup_gate" -> ((s, dir) => {
+      // semantic ingest gate (r17): the base corpus (vec_id % 50 ≠ 0)
+      // is IVF-indexed once; arriving vectors probe the stored lists
+      // and report base matches at cos_u ≥ 950000 — the embedding
+      // twin of q_dedup_incremental_indexed, stream-safe by
+      // construction (row-local HOF probe, no windows)
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_catalog"
+      val emb = table(s, dir, "embeddings")
+      pipeline.Similarity.writeIvfIndex(uri, "ivf_gate",
+        emb.where(col("vec_id") % 50 =!= 0), col("vec_id") % 37 === 0)
+      pipeline.Similarity.semDedupGateIndexed(
+        emb.where(col("vec_id") % 50 === 0), uri, "ivf_gate")
+    }),
+
     "q_ann_ivf_indexed" -> ((s, dir) => {
       // persistent IVF index (r17): centroid + list tables stored in
       // the catalog, probing reads them back — zero corpus reads at
@@ -7269,6 +7283,34 @@ object SparkEntry {
           |WHERE list_dot_product(a.qv, b2.qv) / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b2.qv, b2.qv))) >= 0.25""".stripMargin
           .replace("BUCKET", bucketExpr)
       },
+
+      // the semantic ingest gate: the IVF probe restated over the
+      // BASE-only index (centroids and lists exclude the delta), then
+      // a threshold count per delta vector — (cos DESC, cid) probe
+      // order == the engine's (-cos, cid) ascending HOF sort
+      "q_semdedup_gate" ->
+        """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),
+          |e AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nn FROM q0),
+          |b AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+          |c AS (SELECT vec_id AS cid, qv AS cv, nn AS cn FROM b WHERE vec_id % 37 = 0),
+          |asg AS (SELECT vec_id, cid, qv, nn FROM (
+          |  SELECT v.vec_id, c.cid, v.qv, v.nn,
+          |    row_number() OVER (PARTITION BY v.vec_id
+          |      ORDER BY list_dot_product(v.qv, c.cv) / (v.nn * c.cn) DESC, c.cid) AS rn
+          |  FROM b v, c) WHERE rn = 1),
+          |probes AS (SELECT qid, q_qv, q_nn, cid FROM (
+          |  SELECT v.vec_id AS qid, v.qv AS q_qv, v.nn AS q_nn, c.cid,
+          |    row_number() OVER (PARTITION BY v.vec_id
+          |      ORDER BY list_dot_product(v.qv, c.cv) / (v.nn * c.cn) DESC, c.cid) AS rn
+          |  FROM e v, c WHERE v.vec_id % 50 = 0) WHERE rn <= 3),
+          |m AS (SELECT p.qid, count(*) AS n, min(a.vec_id) AS mid
+          |      FROM probes p JOIN asg a ON a.cid = p.cid
+          |      WHERE CAST(round(list_dot_product(p.q_qv, a.qv) / (p.q_nn * a.nn) * 1000000.0) AS BIGINT) >= 950000
+          |      GROUP BY 1)
+          |SELECT d.vec_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+          |  CAST(coalesce(m.mid, -1) AS BIGINT) AS match_id
+          |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0) d
+          |LEFT JOIN m ON m.qid = d.vec_id""".stripMargin,
 
       "q_ann_ivf" ->
         """WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings),

@@ -374,6 +374,68 @@ object Similarity {
     graft.catalog.Catalog.writeTable(uri, s"${name}_lists", assigned)
   }
 
+  /** Guard for [[semDedupGateIndexed]]: the stream-safe row-local
+    * probe rides the centroid table as ONE collected array row
+    * (64 longs + id + norm per list). Production IVF fixes nLists as
+    * a model constant, so the bound is structural, not data-driven:
+    * 2^16 lists ≈ 34 MB. */
+  val MaxGateLists = 1L << 16
+
+  /** Incremental SEMANTIC ingest gate over the stored IVF index — the
+    * embedding twin of Dedup.incrementalDedupIndexed, and its own
+    * STREAMING twin: every arriving vector probes the nProbe nearest
+    * stored lists, rescores candidates exactly, and reports how many
+    * BASE vectors match at cos_u ≥ epsU (micro-units) plus the
+    * smallest matching base id (−1 when clean — the keep/drop gate).
+    * ANN semantics: matches among probed lists, the recall trade
+    * q_ann_recall audits; the oracle restates the probe verbatim.
+    *
+    * Stream-safe by construction (the incrementalDedupStream shape):
+    * the probe is a ROW-LOCAL HOF sort over the centroid table
+    * cross-joined as one static array row (no window, no stream
+    * state), candidates come from a stream-static equi-join against
+    * the stored lists, and the only stateful op is the closing
+    * per-vector collect_set — run streams with OutputMode.Update.
+    * `delta` carries (vec_id, embedding), batch or streaming. */
+  def semDedupGateIndexed(delta: DataFrame, uri: String, name: String,
+                          epsU: Long = 950000L, nProbe: Int = 3): DataFrame = {
+    val spark = delta.sparkSession
+    val centTable = graft.catalog.Catalog.readTable(spark, uri, s"${name}_centroids")
+    require(centTable.count() <= MaxGateLists,
+      s"IVF index '$name' exceeds MaxGateLists=$MaxGateLists — " +
+        "re-quantize with a bounded nLists before gating")
+    val centsRow = centTable
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cents"))
+      .localCheckpoint()
+    val assigned = graft.catalog.Catalog.readTable(spark, uri, s"${name}_lists")
+    val q = delta
+      .select(col("vec_id"), quantize(col("embedding")).as("q_qv"))
+      .withColumn("q_nn", sqrt(qdot(col("q_qv"), col("q_qv")).cast("double")))
+      .crossJoin(centsRow)
+    // row-local probe: (-cosine, cid) ascending == (cosine desc, cid)
+    // — the ivfProbe window order, with no window (stream-safe)
+    val scored = transform(col("cents"), c =>
+      struct((-(qdot(col("q_qv"), c.getField("cv")).cast("double") /
+        (col("q_nn") * c.getField("cn")))).as("neg"),
+        c.getField("cid").as("cid")))
+    val probed = q
+      .select(col("vec_id"), col("q_qv"), col("q_nn"),
+        explode(transform(slice(array_sort(scored), 1, nProbe),
+          p => p.getField("cid"))).as("cid"))
+    // every probed list holds at least its own centroid, so the inner
+    // equi-join never drops a delta vector; clean docs ride through
+    // with a null hit (the incrementalDedupStream closing)
+    probed.join(assigned.withColumnRenamed("vec_id", "base_id"), Seq("cid"))
+      .select(col("vec_id"),
+        when(microCos(ivfScore(col("q_qv"), col("q_nn"), col("qv"), col("nn")))
+          >= epsU, col("base_id")).as("hit"))
+      .groupBy("vec_id")
+      .agg(collect_set(col("hit")).as("hits"))
+      .select(col("vec_id"),
+        size(col("hits")).cast("long").as("n_matches"),
+        coalesce(array_min(col("hits")), lit(-1L)).as("match_id"))
+  }
+
   /** [[ivfTopK]] probing the STORED lists ([[writeIvfIndex]]): only
     * the query batch is quantized; the corpus side never recomputes
     * assignments — the persistent-ANN-index shape a 100 TB corpus

@@ -49,6 +49,42 @@ class IndexedPathSpec extends SparkSpec {
     assert(indexed == recompute)
   }
 
+  test("semDedupGateIndexed: delta vectors gate against the stored index; " +
+       "a MemoryStream run equals the batch run micro-batch by micro-batch") {
+    import spark.implicits._
+    val deltaPred = col("vec_id") % 50 === 0
+    Similarity.writeIvfIndex(uri, "ivf_gate_spec",
+      embs.where(!deltaPred), col("vec_id") % 37 === 0)
+    val delta = embs.where(deltaPred)
+    val batch = Similarity.semDedupGateIndexed(delta, uri, "ivf_gate_spec")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // contract sanity: every delta vector reports exactly once; clean
+    // docs carry (0, -1); any match id is a BASE id
+    assert(batch.size == delta.count())
+    assert(batch.forall { case (_, n, m) => (n == 0) == (m == -1L) })
+    assert(batch.forall { case (_, _, m) => m == -1L || m % 50 != 0 })
+    // streaming twin: two micro-batches, Update mode — one final row
+    // per vector in its own batch (the incrementalDedupStream harness)
+    implicit val sqlCtx = spark.sqlContext
+    val rows = delta.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = Similarity.semDedupGateIndexed(
+        mem.toDF().toDF("vec_id", "embedding"), uri, "ivf_gate_spec")
+      .writeStream.format("memory").queryName("sem_gate")
+      .outputMode("update")
+      .start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      q.processAllAvailable()
+      val got = spark.table("sem_gate").as[(Long, Long, Long)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("readTable on a missing table fails loudly") {
     intercept[IllegalArgumentException] {
       Catalog.readTable(spark, uri, "no_such_table")
