@@ -460,6 +460,37 @@ object SparkEntry {
         .select(col("x"), col("y"), col("v").cast("long").as("form"))
     }),
 
+    "q_landforms" -> ((s, dir) => {
+      // Weiss (2001) multi-scale TPI landform classes (r17) on the
+      // same dense 128-grid: small-ring/large-annulus TPI signs plus
+      // the 3×3 relief split — every decision exact integer
+      // arithmetic (z0·n − Σ vs ±t·n, no division), full-81-window
+      import graft.core.{Extent, LayoutDefinition, TileLayout}
+      val l128 = RasterLayer.fromCells(
+        table(s, dir, "lineitem").select(
+          (col("l_orderkey") % 128).as("x"), (col("l_partkey") % 128).as("y"),
+          col("l_quantity").as("v")),
+        LayoutDefinition(Extent(0, 0, 128, 128), TileLayout(2, 2, 64, 64)),
+        graft.raster.CellOp.Sum)
+      graft.raster.Geomorphon.landforms(l128, t = 2L, relief = 6L).toCells
+        .select(col("x"), col("y"), col("v").cast("long").as("class"))
+    }),
+
+    "q_cast_shadow" -> ((s, dir) => {
+      // cast-shadow mask (r17): east azimuth, tan(altitude) = 1/2 —
+      // the z_k − z0 − k/2 comparison is exact on the integral grid
+      // (dyadic step), full-4-ray rule
+      import graft.core.{Extent, LayoutDefinition, TileLayout}
+      val l128 = RasterLayer.fromCells(
+        table(s, dir, "lineitem").select(
+          (col("l_orderkey") % 128).as("x"), (col("l_partkey") % 128).as("y"),
+          col("l_quantity").as("v")),
+        LayoutDefinition(Extent(0, 0, 128, 128), TileLayout(2, 2, 64, 64)),
+        graft.raster.CellOp.Sum)
+      graft.raster.Geomorphon.castShadow(l128, dirIdx = 2, tanAlt = 0.5).toCells
+        .select(col("x"), col("y"), col("v").cast("long").as("shadowed"))
+    }),
+
     "q_openness" -> ((s, dir) => {
       // positive + negative topographic openness (Yokoyama 2002) on
       // geomorphon's rays: exact-integer max tangents, one atan per
@@ -3929,6 +3960,50 @@ object SparkEntry {
            |  round((${sumExpr('d')}) / 8.0, 5) AS neg
            |FROM t""".stripMargin
       },
+
+      // Weiss multi-scale TPI landforms: one 9×9 window join feeding
+      // the small ring (cheb = 1), large annulus (cheb 3..4) and 3×3
+      // relief; the ±t decisions restated as exact z0·n − Σ integers
+      "q_landforms" ->
+        s"""WITH g AS (SELECT l_orderkey % 128 AS x, l_partkey % 128 AS y, sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+           |w AS (SELECT c.x, c.y, c.v AS z0,
+           |        sum(CASE WHEN greatest(abs(n.x - c.x), abs(n.y - c.y)) = 1 THEN n.v ELSE 0 END) AS sum_s,
+           |        sum(CASE WHEN greatest(abs(n.x - c.x), abs(n.y - c.y)) >= 3 THEN n.v ELSE 0 END) AS sum_l,
+           |        max(CASE WHEN greatest(abs(n.x - c.x), abs(n.y - c.y)) <= 1 THEN n.v END) AS mx,
+           |        min(CASE WHEN greatest(abs(n.x - c.x), abs(n.y - c.y)) <= 1 THEN n.v END) AS mn,
+           |        count(*) AS cnt
+           |      FROM g c JOIN g n ON n.x BETWEEN c.x - 4 AND c.x + 4
+           |                       AND n.y BETWEEN c.y - 4 AND c.y + 4
+           |      GROUP BY 1, 2, 3 HAVING count(*) = 81),
+           |t AS (SELECT x, y,
+           |        CASE WHEN CAST(z0 * 8 - sum_s AS BIGINT) <= -16 THEN -1
+           |             WHEN CAST(z0 * 8 - sum_s AS BIGINT) >= 16 THEN 1 ELSE 0 END AS cs,
+           |        CASE WHEN CAST(z0 * 56 - sum_l AS BIGINT) <= -112 THEN -1
+           |             WHEN CAST(z0 * 56 - sum_l AS BIGINT) >= 112 THEN 1 ELSE 0 END AS cl,
+           |        CAST(mx - mn AS BIGINT) AS rng
+           |      FROM w)
+           |SELECT x, y, CAST(CASE
+           |  WHEN cs = -1 AND cl = -1 THEN 1
+           |  WHEN cs = -1 AND cl = 0 THEN 2
+           |  WHEN cs = -1 AND cl = 1 THEN 3
+           |  WHEN cs = 0 AND cl = -1 THEN 4
+           |  WHEN cs = 0 AND cl = 0 THEN (CASE WHEN rng <= 6 THEN 5 ELSE 6 END)
+           |  WHEN cs = 0 AND cl = 1 THEN 7
+           |  WHEN cs = 1 AND cl = -1 THEN 8
+           |  WHEN cs = 1 AND cl = 0 THEN 9
+           |  ELSE 10 END AS BIGINT) AS class
+           |FROM t""".stripMargin,
+
+      // cast shadows: max over the 4 east-ray steps of the exact
+      // z_k − z0 − k/2 test, full-ray rule
+      "q_cast_shadow" ->
+        s"""WITH g AS (SELECT l_orderkey % 128 AS x, l_partkey % 128 AS y, sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+           |r AS (SELECT c.x, c.y,
+           |        max(CASE WHEN n.v - c.v - 0.5 * (n.x - c.x) > 0 THEN 1 ELSE 0 END) AS sh,
+           |        count(*) AS cnt
+           |      FROM g c JOIN g n ON n.y = c.y AND n.x BETWEEN c.x + 1 AND c.x + 4
+           |      GROUP BY 1, 2 HAVING count(*) = 4)
+           |SELECT x, y, CAST(sh AS BIGINT) AS shadowed FROM r""".stripMargin,
 
       // Riley TRI: sqrt of exact-integer squared-difference sum
       "q_tri" ->

@@ -133,6 +133,132 @@ object Geomorphon {
     }
   }
 
+  /** Weiss (2001) multi-scale TPI landform classes: 10 classes from
+    * the SIGNS of the topographic position index at two scales (small
+    * = the 3×3 ring, large = the Chebyshev-3..4 annulus, 56 cells)
+    * plus the 3×3 relief range splitting plains from open slopes.
+    * This is the NON-standardized variant — thresholds `t` (TPI, in z
+    * units) and `relief` are raw heights, so on integral grids every
+    * decision is exact integer arithmetic: tpi ≤ −t compares
+    * z0·n − Σring against ±t·n with no division anywhere, restated
+    * verbatim by the oracle. Full-81-window rule (the geomorphon
+    * full-window discipline). ONE radius-4 halo computes both rings
+    * and the relief — the fused-chain discipline, nothing per-cell
+    * crosses an exchange.
+    *
+    * Classes: 1 canyon, 2 midslope drainage, 3 upland drainage,
+    * 4 U-shaped valley, 5 plains, 6 open slope, 7 upper slope,
+    * 8 local ridge, 9 midslope ridge, 10 mountain top. */
+  def landforms(layer: RasterLayer, t: Long = 1L, relief: Long = 4L): RasterLayer = {
+    val radius = 4
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    Focal.gather(layer, radius) { (padded, w) =>
+      val out = new Array[Double](tc * tr)
+      var cy = 0
+      while (cy < tr) {
+        var cx = 0
+        while (cx < tc) {
+          val z0 = padded((cy + radius) * w + cx + radius)
+          var res = Double.NaN
+          if (!z0.isNaN) {
+            var sumS = 0.0; var sumL = 0.0
+            var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+            var ok = true
+            var dy = -radius
+            while (dy <= radius && ok) {
+              var dx = -radius
+              while (dx <= radius && ok) {
+                val z = padded((cy + radius + dy) * w + (cx + radius + dx))
+                if (z.isNaN) ok = false
+                else {
+                  val cheb = math.max(math.abs(dx), math.abs(dy))
+                  if (cheb == 1) sumS += z
+                  if (cheb >= 3) sumL += z
+                  if (cheb <= 1) { if (z < mn) mn = z; if (z > mx) mx = z }
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (ok) {
+              // sign of tpi vs ±t without division: z0·n − Σ vs ±t·n
+              def cat(n: Long, s: Double): Int = {
+                val d = z0 * n - s
+                if (d <= -t * n) -1 else if (d >= t * n) 1 else 0
+              }
+              val cs = cat(8L, sumS)
+              val cl = cat(56L, sumL)
+              res = ((cs, cl) match {
+                case (-1, -1) => 1 // canyon / deeply incised stream
+                case (-1, 0)  => 2 // midslope drainage
+                case (-1, 1)  => 3 // upland drainage / headwater
+                case (0, -1)  => 4 // U-shaped valley
+                case (0, 0)   => if (mx - mn <= relief) 5 else 6 // plains / open slope
+                case (0, 1)   => 7 // upper slope / mesa
+                case (1, -1)  => 8 // local ridge in a valley
+                case (1, 0)   => 9 // midslope ridge / small hill
+                case _        => 10 // mountain top / high ridge
+              }).toDouble
+            }
+          }
+          out(cy * tc + cx) = res
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+  }
+
+  /** Cast-shadow mask — the shadow step of GRASS r.sun / r.shade: a
+    * cell is shadowed (1) when terrain toward the sun rises faster
+    * than the sun altitude, i.e. max_{k=1..radius} of
+    * z_k − z0 − tanAlt·d_k exceeds 0 along the sun azimuth (one of
+    * the 8 compass rays; d_k = k on axis rays, k·√2 on diagonals —
+    * the identical IEEE product in both engines). On integral grids
+    * with a rational tanAlt the axis-ray decision is exact. Full-ray
+    * rule: any missing ray cell makes the cell NoData. One radius-R
+    * halo, nothing per-cell crosses an exchange. */
+  def castShadow(layer: RasterLayer, dirIdx: Int = 2, tanAlt: Double = 0.5,
+                 radius: Int = 4): RasterLayer = {
+    require(dirIdx >= 0 && dirIdx < 8, "dirIdx indexes the 8 compass rays")
+    val tl = layer.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val (dx, dy) = Dirs(dirIdx)
+    val diag = dx != 0 && dy != 0
+    Focal.gather(layer, radius) { (padded, w) =>
+      val out = new Array[Double](tc * tr)
+      var cy = 0
+      while (cy < tr) {
+        var cx = 0
+        while (cx < tc) {
+          val z0 = padded((cy + radius) * w + cx + radius)
+          var res = Double.NaN
+          if (!z0.isNaN) {
+            var sh = 0.0
+            var ok = true
+            var k = 1
+            while (k <= radius && ok) {
+              val z = padded((cy + radius + dy * k) * w + (cx + radius + dx * k))
+              if (z.isNaN) ok = false
+              else {
+                val d = if (diag) k * math.sqrt(2.0) else k.toDouble
+                if (z - z0 - tanAlt * d > 0) sh = 1.0
+              }
+              k += 1
+            }
+            if (ok) res = sh
+          }
+          out(cy * tc + cx) = res
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+  }
+
   def apply(layer: RasterLayer, t12: Long = 12): RasterLayer = {
     val radius = 4 // the 12/k LCM trick is derived for k = 1..4
     val tl = layer.meta.layout.tileLayout

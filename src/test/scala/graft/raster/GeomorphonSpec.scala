@@ -98,6 +98,45 @@ class GeomorphonSpec extends SparkSpec {
     }
   }
 
+  test("Weiss landforms: flat plains, cone apex = mountain top, pit = canyon") {
+    def landform(f: (Long, Long) => Double): Map[(Long, Long), Long] = {
+      val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y, f(x, y))
+      Geomorphon.landforms(
+          RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout), t = 1L, relief = 4L)
+        .toCells.select(col("x"), col("y"), col("v").cast("long"))
+        .as[(Long, Long, Long)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    }
+    val flat = landform((_, _) => 7.0)
+    assert(interior.forall(k => flat(k) == 5L), "plains") // rng 0 <= relief
+    def cone(x: Long, y: Long) = 100.0 - 10.0 * math.max(math.abs(x - 8), math.abs(y - 8))
+    assert(landform(cone)((8L, 8L)) == 10L, "mountain top")
+    assert(landform((x, y) => -cone(x, y))((8L, 8L)) == 1L, "canyon")
+    // steep uniform slope: both TPIs neutral (symmetric window), high
+    // relief -> open slope
+    assert(landform((x, _) => 10.0 * x)((8L, 8L)) == 6L, "open slope")
+  }
+
+  test("cast shadow: a wall shadows the 4 cells sunward of it, exactly") {
+    def shadow(f: (Long, Long) => Double): Map[(Long, Long), Long] = {
+      val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y, f(x, y))
+      Geomorphon.castShadow(
+          RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout),
+          dirIdx = 2, tanAlt = 0.5)
+        .toCells.select(col("x"), col("y"), col("v").cast("long"))
+        .as[(Long, Long, Long)].collect().map(c => (c._1, c._2) -> c._3).toMap
+    }
+    val wall = shadow((x, _) => if (x >= 10) 100.0 else 0.0)
+    for (y <- 4L to 11L) {
+      for (x <- 6L to 9L) assert(wall((x, y)) == 1L, s"($x,$y) in shadow")
+      for (x <- 4L to 5L) assert(wall((x, y)) == 0L, s"($x,$y) lit")
+    }
+    // threshold is strict: rise of exactly k/2 per k steps does NOT shadow
+    val graze = shadow((x, _) => 0.5 * x)
+    assert(interior.forall(k => graze(k) == 0L), "graze")
+    val steeper = shadow((x, _) => 0.625 * x) // dyadic, > 1/2 per step
+    assert(interior.forall(k => steeper(k) == 1L), "steeper")
+  }
+
   test("openness: 90 on flats, sky-open at the cone apex, signs sum to 180") {
     def open(f: (Long, Long) => Double, positive: Boolean): Map[(Long, Long), Double] = {
       val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y, f(x, y))
