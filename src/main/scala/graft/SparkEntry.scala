@@ -3025,6 +3025,17 @@ object SparkEntry {
       pipeline.Multimodal.resizeFeatures(
         pipeline.Multimodal.synthBmpBlobs(table(s, dir, "documents")))),
 
+    "q_image_dedup" -> ((s, dir) =>
+      // perceptual-hash (aHash-64) image NEAR-DUP pairs through the
+      // REAL BMP byte path (r17): groups-of-4 fixtures where variants
+      // perturb one pixel, signatures from the 8×8 mean test, pairs
+      // from the SAME pigeonhole-banded hamming join text SimHash
+      // uses; the oracle recomputes the sampled bits from the closed
+      // pixel form and brute-pairs them
+      pipeline.Multimodal.imageHashPairs(
+        pipeline.Multimodal.synthBmpNearDupBlobs(
+          table(s, dir, "documents").where(expr("doc_id div 4") % 199 === 0)))),
+
     "q_audio_windows" -> ((s, dir) =>
       // exact per-window PCM energies through the real WAV path
       pipeline.Multimodal.audioWindows(
@@ -8125,6 +8136,33 @@ object SparkEntry {
 
       // NN 2x downsample of the synthetic 24-bit BMPs: the sampled
       // pixel grid restated in closed form (lateral range join)
+      // perceptual-hash dedup: sampled 8×8 bits recomputed from the
+      // closed pixel form (perturbed variant pixel included), then
+      // BRUTE pairwise hamming — the engine's banded join must find
+      // exactly the ≤ maxDist set (pigeonhole guarantee)
+      "q_image_dedup" ->
+        """WITH d AS (SELECT doc_id, doc_id // 4 AS base,
+          |        CAST(8 + (doc_id // 4) % 5 * 2 AS BIGINT) AS w,
+          |        CAST(6 + (doc_id // 4) % 3 * 2 AS BIGINT) AS h,
+          |        doc_id % 4 AS v
+          |      FROM documents WHERE (doc_id // 4) % 199 = 0),
+          |px AS (SELECT doc_id, j.range * 8 + i.range AS pos,
+          |        (i.range * w) // 8 AS sx, (j.range * h) // 8 AS sy,
+          |        base, v, w, h
+          |      FROM d, range(0, 8) i, range(0, 8) j),
+          |pv AS (SELECT doc_id, pos,
+          |        CASE WHEN v > 0 AND sx = (2 * v) % w AND sy = (3 * v) % h
+          |             THEN (base * 7 + sx * 3 + sy * 11 + 128) % 256
+          |             ELSE (base * 7 + sx * 3 + sy * 11) % 256 END AS pix
+          |      FROM px),
+          |t AS (SELECT doc_id, pos, pix, sum(pix) OVER (PARTITION BY doc_id) AS s FROM pv),
+          |bits AS (SELECT doc_id, pos, CASE WHEN pix * 64 > s THEN 1 ELSE 0 END AS bit FROM t),
+          |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+          |        CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+          |      FROM bits a JOIN bits b ON b.pos = a.pos AND a.doc_id < b.doc_id
+          |      GROUP BY 1, 2)
+          |SELECT d1, d2, hamming FROM p WHERE hamming <= 7""".stripMargin,
+
       "q_image_resize" ->
         """WITH d AS (SELECT doc_id, (8 + doc_id % 5 * 2) AS w, (6 + doc_id % 3 * 2) AS h FROM documents)
           |SELECT d.doc_id, d.w // 2 AS w2, d.h // 2 AS h2,

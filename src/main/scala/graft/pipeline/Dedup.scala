@@ -919,12 +919,23 @@ object Dedup {
     * gone. A pair colliding in several bands appears once (distinct). */
   def simhashPairs(docs: DataFrame, bits: Int = 60, maxDist: Int = 3,
                    bands: Int = 4,
-                   maxBucket: Option[Long] = Some(SimhashMaxBucket)): DataFrame = {
+                   maxBucket: Option[Long] = Some(SimhashMaxBucket)): DataFrame =
+    simhashPairsFrom(simhash(docs, bits).localCheckpoint(),
+      bits, maxDist, bands, maxBucket)
+
+  /** Banded hamming pair join over an ALREADY-materialized (doc_id,
+    * sig) signature table — the entry point for non-text signatures
+    * (Multimodal.imageHashPairs' perceptual hashes enter here). `sig`
+    * must be materialized: banding and both sides of the collision
+    * join re-read it. Arithmetic shiftright + mask keeps bit-63
+    * signatures correct. */
+  private[pipeline] def simhashPairsFrom(sig: DataFrame, bits: Int, maxDist: Int,
+                                         bands: Int,
+                                         maxBucket: Option[Long]): DataFrame = {
     require(maxDist < bands, "pigeonhole needs maxDist < bands")
     require(bits % bands == 0, "bands must evenly split the signature")
     val width = bits / bands
     val mask = (1L << width) - 1
-    val sig = simhash(docs, bits).localCheckpoint()
     val banded0 = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("bbits"))): _*)).as("bb"))

@@ -121,6 +121,69 @@ object Multimodal {
     }.toDF("doc_id", "blob")
   }
 
+  /** Deterministic NEAR-DUP BMP fixture for the perceptual-hash dedup
+    * path: docs travel in groups of 4 sharing a base image (pixels and
+    * dimensions from base = doc_id / 4, the [[synthBmpBlobs]] formula);
+    * variants v = 1..3 perturb ONE pixel at ((2v) % w, (3v) % h) by
+    * +128 mod 256 — genuine hamming-0..k near-dups through the REAL
+    * byte path, closed-form enough for the oracle to restate. */
+  def synthBmpNearDupBlobs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val base = id / 4
+      val v = (id % 4).toInt
+      val w = (8 + base % 5 * 2).toInt
+      val h = (6 + base % 3 * 2).toInt
+      val (px, py) = ((2 * v) % w, (3 * v) % h)
+      (id, bmp24(w, h, (x, y) => {
+        val g = ((base * 7 + x * 3 + y * 11) % 256).toInt
+        if (v > 0 && x == px && y == py) (g + 128) % 256 else g
+      }))
+    }.toDF("doc_id", "blob")
+  }
+
+  /** Perceptual-hash (aHash-64) image NEAR-DUP pairs through the REAL
+    * decode path — the multimodal member of the dedup family: per
+    * image, an 8×8 nearest-neighbor sample of the gray channel
+    * (positions i·w/8, j·h/8 — exact integer division), bit k set iff
+    * pix·64 > Σ of the 64 samples (the mean test with no division),
+    * then the SAME pigeonhole-banded hamming join text SimHash uses
+    * ([[Dedup.simhashPairsFrom]]: equi-join on 8-bit bands + exact
+    * verify ≤ maxDist, hot-bucket capped) — never all-pairs.
+    * Undecodable blobs drop (no signature, like sub-shingle docs).
+    * Output: (d1, d2, hamming). */
+  def imageHashPairs(blobs: DataFrame, maxDist: Int = 7, bands: Int = 8,
+                     maxBucket: Option[Long] = Some(Dedup.SimhashMaxBucket)): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val sig = blobs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        tryDecode(bytes).map { img =>
+          val px = new Array[Long](64)
+          var s = 0L
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val p = (img.argb(i * img.width / 8, j * img.height / 8) & 0xff).toLong
+              px(j * 8 + i) = p; s += p
+              i += 1
+            }
+            j += 1
+          }
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (px(k) * 64 > s) hash |= (1L << k)
+            k += 1
+          }
+          (id, hash)
+        }
+      }.toDF("doc_id", "sig")
+    Dedup.simhashPairsFrom(sig.localCheckpoint(), 64, maxDist, bands, maxBucket)
+  }
+
   /** Minimal 24-bit BI_RGB BMP writer (bottom-up rows, 4-byte row
     * padding — the BITMAPINFOHEADER layout ImageCodec decodes). */
   private[pipeline] def bmp24(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {

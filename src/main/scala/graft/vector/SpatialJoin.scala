@@ -30,11 +30,14 @@ object SpatialJoin {
     * distributed [[pointsInPolygonsGrid]] plan past `maxPolys`. */
   def pointsInPolygons(points: DataFrame, polys: DataFrame,
                        maxPolys: Int = 1 << 16): DataFrame = {
-    val nPolys = polys.count()
-    if (nPolys > maxPolys) return pointsInPolygonsGrid(points, polys)
+    // ONE plan-picking job, not count-then-collect: probe maxPolys+1
+    // rows — an over-limit dim falls to the grid plan having scanned
+    // only the limit, a small dim is already collected for broadcast
+    val collected = polys.select(col("gid").cast("long"), col("wkt"))
+      .limit(maxPolys + 1).collect()
+    if (collected.length > maxPolys) return pointsInPolygonsGrid(points, polys)
     val spark = points.sparkSession
     import spark.implicits._
-    val collected = polys.select(col("gid").cast("long"), col("wkt")).collect()
     val parsed: Array[(Long, Array[((Double, Double, Double, Double), Polygon)])] =
       collected.map { r =>
         r.getLong(0) -> Wkt.parsePolygons(r.getString(1)).map(p => (p.bbox, p)).toArray

@@ -214,6 +214,36 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("imageHashPairs == an independent formula reference; near-dup groups surface") {
+    val ids = (0L until 12L).toDF("doc_id") // 3 groups of 4 variants
+    val pairs = Multimodal.imageHashPairs(
+        Multimodal.synthBmpNearDupBlobs(ids), maxDist = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    // straight-from-the-formula reference (no codec, no banding):
+    // aHash bits from the synthetic pixel closed form, brute hamming
+    def bits(id: Long): Array[Int] = {
+      val base = id / 4; val v = (id % 4).toInt
+      val w = (8 + base % 5 * 2).toInt; val h = (6 + base % 3 * 2).toInt
+      val px = for (j <- 0 until 8; i <- 0 until 8) yield {
+        val sx = i * w / 8; val sy = j * h / 8
+        val g = ((base * 7 + sx * 3 + sy * 11) % 256).toInt
+        if (v > 0 && sx == (2 * v) % w && sy == (3 * v) % h) (g + 128) % 256 else g
+      }
+      val s = px.sum
+      px.map(p => if (p.toLong * 64 > s) 1 else 0).toArray
+    }
+    val brute = (for {
+      a <- 0L until 12L; b <- a + 1 until 12L
+      hamming = bits(a).zip(bits(b)).count { case (x, y) => x != y }.toLong
+      if hamming <= 7
+    } yield (a, b, hamming)).toSet
+    assert(brute.nonEmpty, "fixture must produce genuine near-dups")
+    assert(pairs == brute)
+    // variant 0 vs a variant whose perturbed pixel is sampled: small
+    // positive hamming (the perturbation is visible through the hash)
+    assert(brute.exists(_._3 > 0))
+  }
+
   test("simhash hamming 0 for identical docs") {
     val pairs = Dedup.simhashPairs(docs, maxDist = 3)
       .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect()
