@@ -3036,6 +3036,21 @@ object SparkEntry {
         pipeline.Multimodal.synthBmpNearDupBlobs(
           table(s, dir, "documents").where(expr("doc_id div 4") % 199 === 0)))),
 
+    "q_audio_dedup" -> ((s, dir) =>
+      // audio-fingerprint near-dup pairs through the REAL WAV path
+      // (r17): energy-delta 32-bit fingerprints (exact integer Σs²
+      // comparisons), groups-of-4 perturbed fixtures, banded hamming
+      // join; brute-pair oracle from the closed sample form
+      pipeline.Multimodal.audioHashPairs(
+        pipeline.Multimodal.synthWavNearDupBlobs(
+          table(s, dir, "documents").where(expr("doc_id div 4") % 199 === 0)))),
+
+    "q_split_safe" -> ((s, dir) =>
+      // LEAKAGE-SAFE split (r17): permille over the normalized
+      // CONTENT fingerprint, so exact dups and punctuation variants
+      // co-travel — no train/test contamination through dup families
+      pipeline.Curation.splitByContent(table(s, dir, "documents"))),
+
     "q_audio_windows" -> ((s, dir) =>
       // exact per-window PCM energies through the real WAV path
       pipeline.Multimodal.audioWindows(
@@ -7683,6 +7698,35 @@ object SparkEntry {
 
       "q_fingerprint" ->
         "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents",
+
+      // leakage-safe split: the q_split CASE over the CONTENT
+      // fingerprint permille instead of the id permille
+      "q_split_safe" ->
+        """SELECT doc_id,
+          |  CASE WHEN pm < 900 THEN 'train' WHEN pm < 950 THEN 'val' ELSE 'test' END AS split
+          |FROM (SELECT doc_id,
+          |  ('0x' || substr(md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')), 1, 15))::BIGINT % 1000 AS pm
+          |FROM documents)""".stripMargin,
+
+      // audio fingerprints: window energies from the closed sample
+      // form, energy-delta bits, brute pairwise hamming (the engine's
+      // banded join must find exactly the ≤ maxDist set)
+      "q_audio_dedup" ->
+        """WITH d AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS v
+          |      FROM documents WHERE (doc_id // 4) % 199 = 0),
+          |sm AS (SELECT doc_id, w.range AS w,
+          |        CAST(((base * 7 + (w.range * 4 + o.range) * 13 +
+          |          CASE WHEN v > 0 AND w.range * 4 + o.range = 17 * v THEN 101 ELSE 0 END) % 256 - 128) * 256 AS BIGINT) AS s
+          |      FROM d, range(0, 33) w, range(0, 4) o),
+          |e AS (SELECT doc_id, w, sum(s * s) AS en FROM sm GROUP BY 1, 2),
+          |b AS (SELECT doc_id, w,
+          |        CASE WHEN lead(en) OVER (PARTITION BY doc_id ORDER BY w) > en THEN 1 ELSE 0 END AS bit
+          |      FROM e QUALIFY w < 32),
+          |p AS (SELECT a.doc_id AS d1, b2.doc_id AS d2,
+          |        CAST(sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+          |      FROM b a JOIN b b2 ON b2.w = a.w AND a.doc_id < b2.doc_id
+          |      GROUP BY 1, 2)
+          |SELECT d1, d2, hamming FROM p WHERE hamming <= 7""".stripMargin,
 
       "q_pii_redact" ->
         """WITH d AS (SELECT doc_id,

@@ -292,6 +292,22 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the permille hashes the
+    * document's normalized CONTENT fingerprint (TextAnalysis.
+    * fingerprint's md5 over lowercased alphanumerics), not its id, so
+    * exact duplicates and whitespace/punctuation variants always
+    * co-travel into the same split — no train/test contamination
+    * through dup families. Same thresholds as [[trainValTestSplit]];
+    * still a pure scan (the fingerprint is row-local). */
+  def splitByContent(docs: DataFrame, valFrom: Int = 900, testFrom: Int = 950): DataFrame = {
+    require(0 < valFrom && valFrom <= testFrom && testFrom <= 1000)
+    val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    val pm = conv(substring(fp, 1, 15), 16, 10).cast("long") % 1000
+    docs.select(col("doc_id"),
+      when(pm < valFrom, "train").when(pm < testFrom, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** JSONL schema of the corpus interchange record ([[toJsonl]] /
     * [[fromJsonl]] share it so the roundtrip cannot drift). */
   val jsonlSchema: org.apache.spark.sql.types.StructType = {

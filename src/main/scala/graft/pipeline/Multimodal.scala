@@ -106,6 +106,66 @@ object Multimodal {
     }.toDF("doc_id", "blob")
   }
 
+  /** Deterministic NEAR-DUP WAV fixture for the audio-fingerprint
+    * dedup path: groups of 4 share base samples (132 mono samples,
+    * s_k = ((base·7 + k·13) mod 256 − 128)·256, base = doc_id / 4);
+    * variants v = 1..3 perturb the single sample at k = 17·v by +101
+    * inside the mod — genuine fingerprint near-dups through the REAL
+    * WAV byte path, closed-form for the oracle. */
+  def synthWavNearDupBlobs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val base = id / 4
+      val v = (id % 4).toInt
+      val samples = Array.tabulate(132) { k =>
+        val bump = if (v > 0 && k == 17 * v) 101 else 0
+        ((((base * 7 + k * 13 + bump) % 256) - 128) * 256).toInt
+      }
+      (id, AudioCodec.encode(16000, 1, samples))
+    }.toDF("doc_id", "blob")
+  }
+
+  /** Audio-fingerprint NEAR-DUP pairs through the REAL WAV path — the
+    * audio member of the dedup family (the energy-delta fingerprint of
+    * the acoustic-ID literature, integer-exact): per clip, energies of
+    * the first `bits`+1 full `win`-sample windows (E = Σ s², exact
+    * integers), bit w set iff E[w+1] > E[w], then the pigeonhole-
+    * banded hamming join ([[Dedup.simhashPairsFrom]]). Clips shorter
+    * than (bits+1)·win samples drop (no fingerprint, like sub-shingle
+    * docs); undecodable blobs drop too. Output: (d1, d2, hamming). */
+  def audioHashPairs(blobs: DataFrame, win: Int = 4, bits: Int = 32,
+                     maxDist: Int = 7, bands: Int = 8,
+                     maxBucket: Option[Long] = Some(Dedup.SimhashMaxBucket)): DataFrame = {
+    require(win > 0 && bits > 0 && bits % bands == 0)
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val sig = blobs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        AudioCodec.decode(bytes).filter(_.samples.length >= (bits + 1) * win)
+          .map { a =>
+            val e = Array.tabulate(bits + 1) { w =>
+              var s = 0L
+              var o = 0
+              while (o < win) {
+                val v = a.samples(w * win + o).toLong
+                s += v * v
+                o += 1
+              }
+              s
+            }
+            var hash = 0L
+            var w = 0
+            while (w < bits) {
+              if (e(w + 1) > e(w)) hash |= (1L << w)
+              w += 1
+            }
+            (id, hash)
+          }
+      }.toDF("doc_id", "sig")
+    Dedup.simhashPairsFrom(sig.localCheckpoint(), bits, maxDist, bands, maxBucket)
+  }
+
   /** Deterministic synthetic 24-bit BMPs through the REAL BMP byte
     * path: gray g(x,y) = (id·7 + x·3 + y·11) mod 256 in all three
     * channels, w = 8 + (id mod 5)·2, h = 6 + (id mod 3)·2 — the

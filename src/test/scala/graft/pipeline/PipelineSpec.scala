@@ -244,6 +244,44 @@ class PipelineSpec extends SparkSpec {
     assert(brute.exists(_._3 > 0))
   }
 
+  test("audioHashPairs == an independent formula reference; perturbations stay local") {
+    val ids = (0L until 12L).toDF("doc_id")
+    val pairs = Multimodal.audioHashPairs(
+        Multimodal.synthWavNearDupBlobs(ids), maxDist = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    def bits(id: Long): Array[Int] = {
+      val base = id / 4; val v = (id % 4).toInt
+      val s = Array.tabulate(132) { k =>
+        val bump = if (v > 0 && k == 17 * v) 101 else 0
+        (((base * 7 + k * 13 + bump) % 256) - 128) * 256
+      }
+      val e = Array.tabulate(33)(w => (0 until 4).map(o => s(w * 4 + o).toLong * s(w * 4 + o)).sum)
+      Array.tabulate(32)(w => if (e(w + 1) > e(w)) 1 else 0)
+    }
+    val brute = (for {
+      a <- 0L until 12L; b <- a + 1 until 12L
+      hamming = bits(a).zip(bits(b)).count { case (x, y) => x != y }.toLong
+      if hamming <= 7
+    } yield (a, b, hamming)).toSet
+    assert(brute.nonEmpty, "fixture must produce genuine near-dups")
+    assert(pairs == brute)
+    // a one-sample perturbation can move at most 2 fingerprint bits
+    for (g <- 0L until 3L; v <- 1L until 4L) {
+      val h = bits(g * 4).zip(bits(g * 4 + v)).count { case (x, y) => x != y }
+      assert(h <= 2, s"group $g variant $v hamming $h")
+    }
+  }
+
+  test("splitByContent: exact dups and punctuation variants co-travel") {
+    val d = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO WORLD."),
+      (4L, "a different document entirely with many words")).toDF("doc_id", "text")
+    val out = Curation.splitByContent(d).as[(Long, String)].collect().toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L),
+      "normalized-identical docs must land in one split")
+    assert(Set("train", "val", "test").contains(out(4L)))
+  }
+
   test("simhash hamming 0 for identical docs") {
     val pairs = Dedup.simhashPairs(docs, maxDist = 3)
       .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect()
