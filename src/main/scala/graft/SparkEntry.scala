@@ -2560,6 +2560,18 @@ object SparkEntry {
         supplierPoints(s, dir).where(col("pid") >= 1 && col("pid") <= 32)
           .withColumn("fid", expr("(pid - 1) div 16")), eps = 4.0)),
 
+    "q_simplify_vw" -> ((s, dir) =>
+      // Visvalingam–Whyatt (r17): smallest-effective-area removal
+      // with exact doubled-coords triangle areas, earliest-min tie
+      // rule; a half-integral y-wobble breaks the supplier walk's
+      // constant-step collinearity so areas form a real gradient
+      // (without it every interior vertex is collinear and VW
+      // collapses to the wrap corners at any threshold)
+      graft.vector.Simplify.simplifyLinesVW(
+        supplierPoints(s, dir).where(col("pid") >= 1 && col("pid") <= 32)
+          .withColumn("py", col("py") + (col("pid") % 3) * 1.5)
+          .withColumn("fid", expr("(pid - 1) div 16")), minArea = 30.0)),
+
     "q_dedup_keep" -> ((s, dir) =>
       // the dedup pipeline's shippable artifact: per-doc component +
       // keep flag (component representative survives, the rest drop)
@@ -7235,6 +7247,17 @@ object SparkEntry {
         val kept = graft.vector.Simplify.keptPids(coords(1, 16), 4.0) ++
           graft.vector.Simplify.keptPids(coords(17, 32), 4.0)
         s"""SELECT (pid - 1) // 16 AS fid, pid, px, py FROM ($pts)
+           |WHERE pid BETWEEN 1 AND 32 AND pid IN (${kept.mkString(", ")})""".stripMargin
+      },
+
+      "q_simplify_vw" -> {
+        def coords(lo: Int, hi: Int): Seq[(Long, Double, Double)] =
+          (lo to hi).map(i =>
+            (i.toLong, (i * 13 % 256) + 0.5, (i * 29 % 256) + (i % 3) * 1.5 + 0.5))
+        val kept = graft.vector.Simplify.keptPidsVW(coords(1, 16), 30.0) ++
+          graft.vector.Simplify.keptPidsVW(coords(17, 32), 30.0)
+        s"""SELECT (pid - 1) // 16 AS fid, pid, px, py + (pid % 3) * 1.5 AS py
+           |FROM ($pts)
            |WHERE pid BETWEEN 1 AND 32 AND pid IN (${kept.mkString(", ")})""".stripMargin
       },
 

@@ -86,4 +86,77 @@ object Simplify {
     val keep = dpKeep(vs.map(p => ((p._2 * 2).toLong, (p._3 * 2).toLong)).toIndexedSeq, eps)
     vs.indices.filter(keep).map(vs(_)._1)
   }
+
+  // ------------------------------------------------ Visvalingam–Whyatt
+
+  /** Visvalingam–Whyatt keep-mask (Visvalingam & Whyatt 1993 — the
+    * area-based alternative JTS exposes as VWSimplifier): iteratively
+    * drop the interior vertex whose triangle with its LIVE neighbors
+    * has the smallest effective area, until every remaining interior
+    * vertex's area is ≥ `minArea` (original units).
+    *
+    * Determinism: on doubled-integer coords the triangle cross product
+    * is an exact Long and |cross_doubled| = 8·area, so the drop test
+    * |cross| < 8·minArea is exact whenever 8·minArea is integral; ties
+    * drop the EARLIEST vertex (strict < while scanning). Endpoints
+    * always survive. */
+  private[vector] def vwKeep(pts: IndexedSeq[(Long, Long)], minArea: Double): Array[Boolean] = {
+    val n = pts.length
+    val alive = Array.fill(n)(true)
+    if (n <= 2) return alive
+    val thresh = 8.0 * minArea
+    def cross(i: Int, j: Int, k: Int): Double = {
+      val (ax, ay) = pts(i); val (bx, by) = pts(j); val (cx, cy) = pts(k)
+      math.abs(((bx - ax) * (cy - ay) - (by - ay) * (cx - ax)).toDouble)
+    }
+    def prev(i: Int): Int = { var p = i - 1; while (!alive(p)) p -= 1; p }
+    def next(i: Int): Int = { var q = i + 1; while (!alive(q)) q += 1; q }
+    var continue = true
+    while (continue) {
+      var best = -1
+      var bestA = Double.MaxValue
+      var i = 1
+      while (i < n - 1) {
+        if (alive(i)) {
+          val a = cross(prev(i), i, next(i))
+          if (a < bestA) { bestA = a; best = i } // strict < -> first min wins
+        }
+        i += 1
+      }
+      if (best >= 0 && bestA < thresh) alive(best) = false else continue = false
+    }
+    alive
+  }
+
+  /** [[simplifyLines]]'s area-criterion sibling: VW-simplify every
+    * feature, returning only kept vertices. The in-executor loop
+    * rescans live vertices per removal (O(n²) on the feature's OWN
+    * vertex count), so the ceiling is tighter than DP's — pre-chunk
+    * monster features. */
+  def simplifyLinesVW(lines: DataFrame, minArea: Double,
+                      maxVertices: Int = 1 << 14): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.select(col("fid").cast("long"), col("pid").cast("long"),
+        (col("px") * 2).cast("long"), (col("py") * 2).cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (fid: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+        val vs = it.toArray.sortBy(_._2)
+        require(vs.length <= maxVertices,
+          s"feature $fid has ${vs.length} vertices > maxVertices=$maxVertices; " +
+            "pre-chunk the feature or raise the ceiling")
+        val keep = vwKeep(vs.map(v => (v._3, v._4)).toIndexedSeq, minArea)
+        vs.indices.filter(keep).map(i =>
+          (fid, vs(i)._2, vs(i)._3.toDouble / 2, vs(i)._4.toDouble / 2))
+      }
+      .toDF("fid", "pid", "px", "py")
+  }
+
+  /** Driver-side VW twin for oracle construction. */
+  def keptPidsVW(pts: Seq[(Long, Double, Double)], minArea: Double): Seq[Long] = {
+    val vs = pts.sortBy(_._1)
+    val keep = vwKeep(vs.map(p => ((p._2 * 2).toLong, (p._3 * 2).toLong)).toIndexedSeq, minArea)
+    vs.indices.filter(keep).map(vs(_)._1)
+  }
 }

@@ -63,6 +63,43 @@ class SimplifySpec extends SparkSpec {
     }
   }
 
+  test("vwKeep: endpoints always; collinear drops first; spike area gates the drop") {
+    // doubled coords; minArea in ORIGINAL units (|cross| < 8·minArea drops)
+    val flatLine = IndexedSeq((0L, 0L), (2L, 0L), (4L, 0L), (6L, 0L))
+    assert(Simplify.vwKeep(flatLine, 1.0).toSeq == Seq(true, false, false, true))
+    // spike at (4, 10): its flank vertices drop first (area 2.5 each),
+    // after which the spike's effective triangle (0,0)(4,10)(8,0) has
+    // cross 80 = 8·10 -> survives minArea ≤ 10, drops past it
+    val spike = IndexedSeq((0L, 0L), (2L, 0L), (4L, 10L), (6L, 0L), (8L, 0L))
+    assert(Simplify.vwKeep(spike, 4.0)(2), "area-10 spike survives minArea 4")
+    assert(!Simplify.vwKeep(spike, 12.0)(2), "area-10 spike drops at minArea 12")
+    // removal cascades: after the middle drops, its neighbors' areas
+    // recompute against the NEW live neighbors
+    val stair = IndexedSeq((0L, 0L), (2L, 1L), (4L, 0L), (6L, 1L), (8L, 0L))
+    val k = Simplify.vwKeep(stair, 10.0)
+    assert(k(0) && k(4) && !k(1) && !k(2) && !k(3))
+  }
+
+  test("vw kept set shrinks monotonically with minArea; engine == twin") {
+    // the q_simplify_vw fixture: supplier walk + half-integral wobble
+    // (without it the constant (13, 29) step is collinear everywhere)
+    def coords(lo: Int, hi: Int): Seq[(Long, Double, Double)] =
+      (lo to hi).map(i =>
+        (i.toLong, (i * 13 % 256) + 0.5, (i * 29 % 256) + (i % 3) * 1.5 + 0.5))
+    val keptSmall = Simplify.keptPidsVW(coords(1, 16), 1.0).toSet
+    val keptBig = Simplify.keptPidsVW(coords(1, 16), 500.0).toSet
+    assert(keptBig.subsetOf(keptSmall))
+    assert(keptSmall.size > keptBig.size)
+    assert(keptBig.size >= 2 && keptSmall.size < 16) // both genuinely simplify
+    val lines = coords(1, 32).toDF("pid", "px", "py")
+      .withColumn("fid", expr("(pid - 1) div 16"))
+    val out = Simplify.simplifyLinesVW(lines, minArea = 30.0)
+      .select("pid").as[Long].collect().toSet
+    val twin = (Simplify.keptPidsVW(coords(1, 16), 30.0) ++
+      Simplify.keptPidsVW(coords(17, 32), 30.0)).toSet
+    assert(out == twin)
+  }
+
   test("simplifyLines: maxVertices ceiling fails loudly") {
     val rows = (1 to 5).map(i => (0L, i.toLong, i + 0.5, 0.5)).toDF("fid", "pid", "px", "py")
     val e = intercept[org.apache.spark.SparkException](
