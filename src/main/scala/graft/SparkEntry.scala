@@ -2737,6 +2737,12 @@ object SparkEntry {
       // concatenate-and-chunk packing at a 2048-token budget per source
       pipeline.Curation.packSequences(table(s, dir, "documents"))),
 
+    "q_pack_spans" -> ((s, dir) =>
+      // attention-span manifest (r17): one row per (sequence, doc)
+      // span — the document-boundary masks a packed training loader
+      // consumes; pure integer arithmetic over the packing
+      pipeline.Curation.packedSpans(table(s, dir, "documents"))),
+
     "q_mixture_rates" -> ((s, dir) =>
       // sqrt-temperature mixture weights anchored on the largest
       // source (max is order-free; a float sum is not)
@@ -7645,6 +7651,27 @@ object SparkEntry {
            |  CAST(_start // 2048 AS BIGINT) AS pack_id,
            |  CAST(_start % 2048 AS BIGINT) AS pack_offset
            |FROM p""".stripMargin,
+
+      // the span manifest: same prefix sum, one row per covered pack
+      // with the in-sequence [start, start+len) slice
+      "q_pack_spans" ->
+        s"""WITH t AS (SELECT doc_id, source,
+           |  ${pipeline.Bpe.countSql("text")} AS n_tokens
+           |  FROM documents),
+           |p AS (SELECT doc_id, source, n_tokens,
+           |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _start
+           |  FROM t),
+           |s AS (SELECT * FROM p WHERE n_tokens > 0),
+           |x AS (SELECT doc_id, source, _start, n_tokens,
+           |  unnest(generate_series(CAST(_start // 2048 AS BIGINT),
+           |                         CAST((_start + n_tokens - 1) // 2048 AS BIGINT))) AS pk
+           |  FROM s)
+           |SELECT doc_id, source, CAST(pk AS BIGINT) AS pack_id,
+           |  CAST(greatest(_start, pk * 2048) - pk * 2048 AS BIGINT) AS span_start,
+           |  CAST(least(_start + n_tokens, (pk + 1) * 2048)
+           |       - greatest(_start, pk * 2048) AS BIGINT) AS span_len
+           |FROM x""".stripMargin,
 
       "q_mixture_rates" ->
         s"""WITH t AS (SELECT source,

@@ -212,6 +212,27 @@ object Curation {
     }.toDF("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
   }
 
+  /** Attention-span manifest of [[packSequences]] — the rows a packed
+    * training loader actually consumes: ONE ROW PER (sequence, doc)
+    * span with its in-sequence start and length, so document-boundary
+    * attention masking and per-doc loss weighting need no
+    * re-derivation. A doc crossing pack boundaries emits one span per
+    * covered pack; zero-token docs emit nothing. Pure integer
+    * arithmetic over packSequences' output — the only extra work is a
+    * row-local sequence() explode, no new shuffle. */
+  def packedSpans(docs: DataFrame, budget: Long = 2048L): DataFrame = {
+    val packed = packSequences(docs, budget).where(col("n_tokens") > 0)
+    packed
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("pack_id") * budget + col("pack_offset")).as("gs"))
+      .withColumn("p", explode(sequence(expr(s"gs div ${budget}L"),
+        expr(s"(gs + n_tokens - 1) div ${budget}L"))))
+      .select(col("doc_id"), col("source"), col("p").as("pack_id"),
+        (greatest(col("gs"), col("p") * budget) - col("p") * budget).as("span_start"),
+        (least(col("gs") + col("n_tokens"), (col("p") + 1) * budget)
+          - greatest(col("gs"), col("p") * budget)).as("span_len"))
+  }
+
   /** Deterministic shard assignment + per-shard manifest — the
     * "global shuffle" step that precedes training-data serialization:
     * every document lands in shard = contentHash % nShards, and the

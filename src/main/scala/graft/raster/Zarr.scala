@@ -146,6 +146,14 @@ object Zarr {
         true
       case _ => false
     }
+    // v2 allows "/" as the chunk-key dimension separator (the layout
+    // most object-store writers use); honor the declared one, accept
+    // either when undeclared
+    val sep = meta.get("dimension_separator") match {
+      case Some("/") => '/'
+      case Some(".") | None => '.'
+      case Some(s) => throw new IllegalArgumentException(s"dimension_separator $s")
+    }
     val rank = shape.length
     val chunkElems = chunks.product
     val stride = Array.fill(rank)(1)
@@ -153,7 +161,7 @@ object Zarr {
     val vals = new Array[Double](shape.product)
     node.foreach { case (key, bytes) =>
       if (key != ".zarray" && key != ".zattrs") {
-        val idx = key.split('.').map(_.toInt)
+        val idx = key.split(sep).map(_.toInt)
         require(idx.length == rank, s"chunk key $key rank mismatch")
         val raw = if (zlib) inflate(bytes, chunkElems * 8) else bytes
         require(raw.length == chunkElems * 8, s"chunk $key wrong size")

@@ -282,6 +282,39 @@ class PipelineSpec extends SparkSpec {
     assert(Set("train", "val", "test").contains(out(4L)))
   }
 
+  test("packedSpans: spans tile every pack exactly and rebuild the packing") {
+    val d = Seq(
+      (1L, Seq.fill(30)("w").mkString(" "), "a"),
+      (2L, Seq.fill(50)("w").mkString(" "), "a"),
+      (3L, Seq.fill(45)("w").mkString(" "), "a"),
+      (4L, Seq.fill(7)("w").mkString(" "), "b")).toDF("doc_id", "text", "source")
+    val budget = 32L
+    val spans = Curation.packedSpans(d, budget)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val packed = Curation.packSequences(d, budget)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._4, r._5)).toMap
+    // every doc's spans concatenate to its token count, start at its
+    // pack_offset, and stay inside [0, budget)
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val ordered = ss.sortBy(_._3) // by pack_id
+      assert(ordered.head._3 == packed(id)._1 && ordered.head._4 == packed(id)._2)
+      assert(ordered.forall(s => s._4 >= 0 && s._4 + s._5 <= budget && s._5 > 0))
+      // consecutive spans chain across pack boundaries
+      ordered.sliding(2).foreach {
+        case Seq(x, y) =>
+          assert(y._3 == x._3 + 1 && x._4 + x._5 == budget && y._4 == 0)
+        case _ =>
+      }
+    }
+    // within a source, every non-final pack is tiled with zero gaps
+    spans.groupBy(s => (s._2, s._3)).foreach { case ((src, pk), ss) =>
+      val lastPack = spans.filter(_._2 == src).map(_._3).max
+      val covered = ss.map(_._5).sum
+      if (pk < lastPack) assert(covered == budget, s"$src pack $pk covered $covered")
+    }
+  }
+
   test("simhash hamming 0 for identical docs") {
     val pairs = Dedup.simhashPairs(docs, maxDist = 3)
       .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect()

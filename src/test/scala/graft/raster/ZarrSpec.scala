@@ -91,6 +91,20 @@ class ZarrSpec extends AnyFunSuite {
     assert(shape == Seq(2, 2) && vals.toSeq == Seq(1.0, 2.0, 3.0, 4.0))
   }
 
+  test("dimension_separator '/' chunk keys decode (the object-store layout)") {
+    val raw = java.nio.ByteBuffer.allocate(2 * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array(5.0, 6.0).foreach(raw.putDouble)
+    val raw2 = java.nio.ByteBuffer.allocate(2 * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array(7.0, 8.0).foreach(raw2.putDouble)
+    val meta = """{"zarr_format":2,"shape":[2,2],"chunks":[1,2],"dtype":"<f8",""" +
+      """"compressor":null,"fill_value":0,"filters":null,"order":"C",""" +
+      """"dimension_separator":"/"}"""
+    val (shape, vals) = Zarr.readArray(Map(
+      ".zarray" -> meta.getBytes("UTF-8"),
+      "0/0" -> raw.array(), "1/0" -> raw2.array()))
+    assert(shape == Seq(2, 2) && vals.toSeq == Seq(5.0, 6.0, 7.0, 8.0))
+  }
+
   test("malformed inputs fail loudly") {
     intercept[IllegalArgumentException] { Zarr.readArray(Map.empty) }
     val badOrder = """{"zarr_format":2,"shape":[1],"chunks":[1],"dtype":"<f8",""" +
