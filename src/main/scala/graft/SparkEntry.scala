@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.core.{CRS, Geohash, ZIndex}
-import graft.raster.{CellOp, Compare, Contour, Distance, FocalOp, GeoTiff, HistogramOps, Interpolate, MultibandLayer, Neighborhood, NetCdf, NetCdf4, Pyramid, RasterLayer, Reproject, Resample, TimeSeries, ZFactor, Zarr, ZonalOps}
+import graft.raster.{CellOp, Compare, Contour, Distance, FocalOp, GeoTiff, Grib2, HistogramOps, Interpolate, MultibandLayer, Neighborhood, NetCdf, NetCdf4, Pyramid, RasterLayer, Reproject, Resample, TimeSeries, ZFactor, Zarr, ZonalOps}
 import graft.render.ColorMap
 import graft.vector.Geometry
 
@@ -2018,6 +2018,45 @@ object SparkEntry {
         }
         .toDF("scene_id", "nc")
       NetCdf4.fromNetCdf4Temporal(scenes)
+        .tileToLayoutTemporal(lay, CellOp.Max).toCells
+    }),
+
+    "q_grib_roundtrip" -> ((s, dir) => {
+      // native GRIB2 codec (r17): every tile encodes as one message
+      // (regulation framing, template 3.0 grid / 4.0 product / 5.0
+      // simple packing, integral grids pack exactly), decodes
+      // distributed, re-cuts to the layout — identity
+      val l = lineitemLayer(s, dir)
+      val lr = l.meta.layout.tileLayout.layoutRows
+      val scenes = Grib2.toGrib(l)
+        .select((col("col").cast("long") * lr + col("row")).as("scene_id"), col("grib"))
+      Grib2.fromGrib(scenes).tileToLayout(l.meta.layout, CellOp.Max).toCells
+    }),
+
+    "q_grib_temporal" -> ((s, dir) => {
+      // message-stream stacks: TWO messages per blob, each stamped by
+      // its section-1 reference time (calendar roundtrip), exploding
+      // to two instants per tile — the q_netcdf4_temporal twin
+      val l = lineitemLayer(s, dir)
+      val lay = l.meta.layout
+      val tl = lay.tileLayout
+      val lr = tl.layoutRows
+      import s.implicits._
+      val scenes = l.df.select(col("col"), col("row"), col("tile"))
+        .as[(Int, Int, Seq[Double])]
+        .map { case (c, r, tile) =>
+          val id = c.toLong * lr + r
+          val xmin = lay.extent.xmin + c.toLong * tl.tileCols * lay.cellWidth
+          val ymax = lay.extent.ymax - r.toLong * tl.tileRows * lay.cellHeight
+          (id, Grib2.encodeScenes(
+            Array(86400L * (20000 + id), 86400L * (30000 + id)),
+            Array(tile.toArray, tile.toArray),
+            tl.tileCols, tl.tileRows,
+            xmin, ymax - tl.tileRows * lay.cellHeight,
+            xmin + tl.tileCols * lay.cellWidth, ymax))
+        }
+        .toDF("scene_id", "grib")
+      Grib2.fromGribTemporal(scenes)
         .tileToLayoutTemporal(lay, CellOp.Max).toCells
     }),
 
@@ -6368,6 +6407,19 @@ object SparkEntry {
       "q_netcdf4_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
 
       "q_netcdf4_temporal" -> {
+        val t = layout.tileLayout
+        s"""SELECT x, y,
+           |  CAST(86400 * (20000 + (x // ${t.tileCols}) * ${t.layoutRows} + y // ${t.tileRows}) AS BIGINT) AS instant,
+           |  v FROM ($grid)
+           |UNION ALL
+           |SELECT x, y,
+           |  CAST(86400 * (30000 + (x // ${t.tileCols}) * ${t.layoutRows} + y // ${t.tileRows}) AS BIGINT) AS instant,
+           |  v FROM ($grid)""".stripMargin
+      },
+
+      "q_grib_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
+
+      "q_grib_temporal" -> {
         val t = layout.tileLayout
         s"""SELECT x, y,
            |  CAST(86400 * (20000 + (x // ${t.tileCols}) * ${t.layoutRows} + y // ${t.tileRows}) AS BIGINT) AS instant,
