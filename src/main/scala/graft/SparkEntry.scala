@@ -3360,6 +3360,15 @@ object SparkEntry {
         .toCells
         .select(col("x"), col("y"), round(col("v") * lit(100000.0)).cast("long").as("v_u"))),
 
+    "q_temporal_percentile" -> ((s, dir) =>
+      // per-cell temporal QUANTILE composite (r17): quantile_cont .25
+      // — dyadic p keeps every interpolation step exact on integral
+      // stacks (the percentileComposite determinism contract)
+      TimeSeries.percentileComposite(
+        RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64), 0.25)
+        .toCells
+        .select(col("x"), col("y"), round(col("v") * lit(100000.0)).cast("long").as("v_u"))),
+
     "q_erase" -> ((s, dir) => {
       // ArcGIS Erase between two layers: stars minus ALL overlapping
       // diamonds, B-overlaps counted once (n-ary union of the cut
@@ -6224,6 +6233,12 @@ object SparkEntry {
         s"""WITH t AS ($tgrid)
            |SELECT x, y,
            |  CAST(round(quantile_cont(v, 0.5) * 100000.0) AS BIGINT) AS v_u
+           |FROM t GROUP BY 1, 2""".stripMargin,
+
+      "q_temporal_percentile" ->
+        s"""WITH t AS ($tgrid)
+           |SELECT x, y,
+           |  CAST(round(quantile_cont(v, 0.25) * 100000.0) AS BIGINT) AS v_u
            |FROM t GROUP BY 1, 2""".stripMargin,
 
       // erase: the n-ary cut-union driver twin at oracle-build time

@@ -175,6 +175,43 @@ object TimeSeries {
     new RasterLayer(out.toDF(), layer.meta.copy(temporal = false))
   }
 
+  /** Per-cell temporal PERCENTILE composite — [[medianComposite]]'s
+    * general-quantile sibling (p25/p75 are the standard cloud/shadow-
+    * robust compositing choices): per cell, the quantile_cont(p) of
+    * the valid instants — linear interpolation at h = (n−1)·p.
+    * Determinism contract: pick DYADIC p (0.25, 0.5, 0.75) so the
+    * interpolation weights are exact on integral-valued stacks —
+    * every arithmetic step is then exact in both engines and the
+    * micro-quantized closing can't straddle a rounding boundary.
+    * Same one-groupByKey shape as [[medianComposite]]. */
+  def percentileComposite(layer: RasterLayer, p: Double): RasterLayer = {
+    require(layer.meta.temporal, "percentileComposite needs a spacetime layer")
+    require(p >= 0 && p <= 1, "p in [0, 1]")
+    val spark = layer.spark
+    import spark.implicits._
+    val tl = layer.meta.layout.tileLayout
+    val size = tl.tileCols * tl.tileRows
+    val out = layer.df.select(col("col"), col("row"), col("instant"), col("tile"))
+      .as[(Int, Int, Long, Seq[Double])]
+      .groupByKey(q => (q._1, q._2))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Seq[Double])]) =>
+        val stack = it.map(_._4.toArray).toArray
+        val tile = Array.tabulate(size) { idx =>
+          val vs = stack.iterator.map(_(idx)).filter(!_.isNaN).toArray
+          if (vs.isEmpty) Double.NaN
+          else {
+            java.util.Arrays.sort(vs)
+            val h = (vs.length - 1) * p
+            val lo = h.toInt
+            if (lo >= vs.length - 1) vs(vs.length - 1)
+            else vs(lo) + (h - lo) * (vs(lo + 1) - vs(lo))
+          }
+        }
+        graft.raster.TileRowOut(key._1, key._2, tile.toSeq)
+      }
+    new RasterLayer(out.toDF(), layer.meta.copy(temporal = false))
+  }
+
   /** Per-cell temporal ANOMALY — each instant's deviation from the
     * cell's own across-time mean (the climatology-anomaly step of
     * NDVI/SST monitoring). EXACT integer form: the mean needs a
