@@ -3474,7 +3474,7 @@ object SparkEntry {
        |  FROM walk w JOIN dd dc ON dc.id = w.cur
        |  WHERE dc.d > 0 AND w.seq < 1000
        |)
-       |SELECT w.seq, dd.x, dd.y, round(dd.d, 5) AS v
+       |SELECT w.seq, dd.x, dd.y, CAST(round(dd.d * 100000.0) AS BIGINT) AS v_u
        |FROM walk w JOIN dd ON dd.id = w.cur""".stripMargin
   }
 

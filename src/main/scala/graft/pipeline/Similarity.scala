@@ -422,10 +422,12 @@ object Similarity {
       .select(col("vec_id"), col("q_qv"), col("q_nn"),
         explode(transform(slice(array_sort(scored), 1, nProbe),
           p => p.getField("cid"))).as("cid"))
-    // every probed list holds at least its own centroid, so the inner
-    // equi-join never drops a delta vector; clean docs ride through
-    // with a null hit (the incrementalDedupStream closing)
-    probed.join(assigned.withColumnRenamed("vec_id", "base_id"), Seq("cid"))
+    // LEFT join: a probed list is almost always non-empty (a centroid
+    // belongs to its own list), but IEEE self-scores are not exactly
+    // 1.0, so a centroid CAN land in a parallel twin's list and leave
+    // its own empty — left keeps such delta vectors alive with a null
+    // hit, matching the oracle's LEFT JOIN (0, -1) row
+    probed.join(assigned.withColumnRenamed("vec_id", "base_id"), Seq("cid"), "left")
       .select(col("vec_id"),
         when(microCos(ivfScore(col("q_qv"), col("q_nn"), col("qv"), col("nn")))
           >= epsU, col("base_id")).as("hit"))

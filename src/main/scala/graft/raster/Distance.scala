@@ -253,7 +253,14 @@ object Distance {
     while ({
       val (x, y, d, _) = byId(cur)
       path += ((seq, x, y, d))
-      d > 0 && steps < 100000
+      // a simple path visits each reachable cell at most once; more
+      // steps means the argmin chain cycled on a zero-friction
+      // plateau — fail LOUDLY instead of silently truncating (the
+      // old fixed 100000 cap returned a cut path with no error)
+      require(steps <= nReach,
+        s"cost-path backtrack exceeded the $nReach reachable cells — " +
+          "zero-friction cycle in the next-hop chain")
+      d > 0
     }) {
       val (x, y, _, f) = byId(cur)
       var best = (Double.PositiveInfinity, Long.MaxValue)
@@ -271,7 +278,11 @@ object Distance {
       seq += 1; steps += 1
     }
     path.toSeq.toDF("seq", "x", "y", "d")
-      .select(col("seq"), col("x"), col("y"), round(col("d"), 5).as("v"))
+      .select(col("seq"), col("x"), col("y"),
+        // micro-quantized BIGINT closing (the CLAUDE.md r16 rule:
+        // never emit round(x, k) DOUBLE columns — integer rounding of
+        // the identical IEEE chain is engine-portable)
+        round(col("d") * 100000.0).cast("long").as("v_u"))
   }
 
   /** The distributed [[costPath]] backtrack (over-guard regime):
@@ -333,7 +344,11 @@ object Distance {
       rounds += 1
     }
     frontier.join(cells, frontier("node") === cells("id"))
-      .select(col("seq"), col("x"), col("y"), round(col("d"), 5).as("v"))
+      .select(col("seq"), col("x"), col("y"),
+        // micro-quantized BIGINT closing (the CLAUDE.md r16 rule:
+        // never emit round(x, k) DOUBLE columns — integer rounding of
+        // the identical IEEE chain is engine-portable)
+        round(col("d") * 100000.0).cast("long").as("v_u"))
   }
 
   /** ArcGIS Corridor: per-cell SUM of two accumulative-cost surfaces

@@ -101,7 +101,15 @@ object Grib2 {
     * engine's extent convention (first point = NW cell CENTER in
     * micro-degree units). `decimalScale` D: values must be integral
     * after ×10^D (the simple-packing exactness contract; loud failure
-    * otherwise). `epoch` stamps section 1's reference time. */
+    * otherwise). `epoch` stamps section 1's reference time.
+    *
+    * Coordinate precision: GRIB template 3.0 stores coordinates and
+    * increments as micro-degree INTEGERS, so extents quantize to the
+    * nearest 10⁻⁶ degree (≤ 0.5 µ° shift per value — the format's own
+    * precision, identical to what any GRIB writer does). Exact
+    * extent roundtrip therefore requires micro-degree-representable
+    * extents/cell sizes; sub-µ° cell widths would alias and should be
+    * rescaled before export. */
   def encodeGrid(cells: Array[Double], cols: Int, rows: Int,
                  xmin: Double, ymin: Double, xmax: Double, ymax: Double,
                  epoch: Long = 0L, decimalScale: Int = 0): Array[Byte] = {

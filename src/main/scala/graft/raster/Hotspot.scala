@@ -217,6 +217,11 @@ object Hotspot {
     val tl = l.meta.layout.tileLayout
     val (tc, tr) = (tl.tileCols, tl.tileRows)
     val mL = maxLag
+    // per-tile Long-fold overflow bound: tc·tr adds of vl·sv with
+    // |sv| ≤ 8·mL·|v|max must stay under 2^63 — fail LOUDLY past it
+    // (silent wrap would corrupt moran_i; cross-tile totals are
+    // already DECIMAL). |v|max < ~9.7e6 at 64² tiles, maxLag 3.
+    val vMax = math.sqrt((Long.MaxValue / (tc.toLong * tr * 8L * mL)).toDouble).toLong
     // row scheme: lag 0 carries (cnt, Σv, Σv², 0); lag d carries
     // (A_d, B_d, C_d, W_d) — fixed-width tuples keep the Encoder flat
     val partials = Focal.gatherPartials[(Int, Long, Long, Long, Long)](l, mL) {
@@ -231,6 +236,9 @@ object Hotspot {
             val v = padded((j + mL) * w + (i + mL))
             if (!v.isNaN) {
               val vl = v.toLong
+              require(math.abs(vl) < vMax,
+                s"cell magnitude $vl exceeds the exact Long fold bound $vMax — " +
+                  "rescale the layer before moranCorrelogram")
               cnt += 1L; s += vl; ss += vl * vl
               var d = 1
               while (d <= mL) {

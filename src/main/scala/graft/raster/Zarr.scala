@@ -53,14 +53,13 @@ object Zarr {
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(6)
     d.setInput(raw); d.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    var n = 0
-    while (!d.finished()) {
-      if (n == buf.length) throw new IllegalStateException("deflate overflow")
-      n += d.deflate(buf, n, buf.length - n)
-    }
+    // growable sink: stored-block overhead on incompressible chunks
+    // can exceed any fixed headroom (the GeoTiff encoder's pattern)
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
     d.end()
-    java.util.Arrays.copyOf(buf, n)
+    out.toByteArray
   }
 
   private def inflate(z: Array[Byte], outLen: Int): Array[Byte] = {
@@ -68,7 +67,13 @@ object Zarr {
     inf.setInput(z)
     val out = new Array[Byte](outLen)
     var n = 0
-    while (n < outLen && !inf.finished()) n += inf.inflate(out, n, outLen - n)
+    while (n < outLen && !inf.finished()) {
+      val got = inf.inflate(out, n, outLen - n)
+      // a truncated/corrupt stream stalls with 0 bytes and
+      // finished() false — fail loudly instead of spinning
+      require(got > 0 || inf.finished(), s"truncated zarr chunk ($n/$outLen bytes)")
+      n += got
+    }
     inf.end()
     require(n == outLen, s"zarr chunk inflated to $n bytes, expected $outLen")
     out
@@ -158,7 +163,15 @@ object Zarr {
     val chunkElems = chunks.product
     val stride = Array.fill(rank)(1)
     for (i <- rank - 2 to 0 by -1) stride(i) = stride(i + 1) * shape(i + 1)
-    val vals = new Array[Double](shape.product)
+    // per spec a MISSING chunk object means "entirely fill_value"
+    // (zarr-python's write_empty_chunks=False default omits them);
+    // JSON null fill reads as NaN — the float-nodata convention
+    val fill = meta.get("fill_value") match {
+      case Some(d: java.lang.Double) => d.doubleValue
+      case Some(null) | None => Double.NaN
+      case Some(o) => throw new IllegalArgumentException(s"fill_value $o")
+    }
+    val vals = Array.fill(shape.product)(fill)
     node.foreach { case (key, bytes) =>
       if (key != ".zarray" && key != ".zattrs") {
         val idx = key.split(sep).map(_.toInt)
@@ -252,7 +265,9 @@ object Zarr {
     }.getOrElse {
       val xs = readArray(nodeOf(entries, "x"))._2
       val ys = readArray(nodeOf(entries, "y"))._2
-      val cw = if (xs.length > 1) xs(1) - xs(0) else 1.0
+      // abs on BOTH axes: external stores may order either coordinate
+      // descending, and a signed cw would shrink the derived extent
+      val cw = if (xs.length > 1) math.abs(xs(1) - xs(0)) else 1.0
       val ch = if (ys.length > 1) math.abs(ys(0) - ys(1)) else 1.0
       (xs.min - cw / 2, ys.min - ch / 2, xs.max + cw / 2, ys.max + ch / 2)
     }

@@ -30,12 +30,15 @@ object SpatialJoin {
     * distributed [[pointsInPolygonsGrid]] plan past `maxPolys`. */
   def pointsInPolygons(points: DataFrame, polys: DataFrame,
                        maxPolys: Int = 1 << 16): DataFrame = {
-    // ONE plan-picking job, not count-then-collect: probe maxPolys+1
-    // rows — an over-limit dim falls to the grid plan having scanned
-    // only the limit, a small dim is already collected for broadcast
-    val collected = polys.select(col("gid").cast("long"), col("wkt"))
-      .limit(maxPolys + 1).collect()
-    if (collected.length > maxPolys) return pointsInPolygonsGrid(points, polys)
+    // plan probe: a LIMITED count over a 1-column projection — the
+    // over-limit branch scans at most maxPolys+1 rows and moves no
+    // geometry bytes to the driver (collecting maxPolys+1 WKT strings
+    // just to discard them would trade the row-count OOM for a
+    // row-size one); the under-limit branch then collects a dim
+    // already known to be small
+    val probed = polys.select(lit(1)).limit(maxPolys + 1).count()
+    if (probed > maxPolys) return pointsInPolygonsGrid(points, polys)
+    val collected = polys.select(col("gid").cast("long"), col("wkt")).collect()
     val spark = points.sparkSession
     import spark.implicits._
     val parsed: Array[(Long, Array[((Double, Double, Double, Double), Polygon)])] =

@@ -83,10 +83,10 @@ class DistanceSpec extends SparkSpec {
     val friction = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
     val sources = Seq((0L, 0.5, 0.5)).toDF("pid", "px", "py")
     val path = Distance.costPath(friction, sources)
-      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(path.map(p => (p._2, p._3)).toSeq == Seq((1L, 1L), (1L, 0L), (0L, 0L)))
-    assert(path.head._4 == 101.0)
-    assert(path.last._4 == 0.0)
+    assert(path.head._4 == 10100000L) // v_u = round(d * 1e5)
+    assert(path.last._4 == 0L)
   }
 
   test("costPath over the guard routes to the distributed backtrack, row-identical") {
@@ -95,9 +95,9 @@ class DistanceSpec extends SparkSpec {
     val friction = RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
     val sources = Seq((0L, 0.5, 0.5)).toDF("pid", "px", "py")
     val driver = Distance.costPath(friction, sources)
-      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     val dist = Distance.costPath(friction, sources, maxDriverCells = 0)
-      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(dist == driver && driver.length > 3)
   }
 
@@ -110,9 +110,9 @@ class DistanceSpec extends SparkSpec {
     val sources = Seq((0L, 0.5, 0.5)).toDF("pid", "px", "py")
     val dist = Distance.costDistanceTiled(friction, sources)
     val fresh = Distance.costPath(friction, sources)
-      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     val reused = Distance.costPath(friction, sources, distance = Some(dist))
-      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(reused == fresh)
   }
 

@@ -60,8 +60,8 @@ class EdgeCaseSpec extends SparkSpec {
     // single data cell = the source itself: path is just (seq 0, source)
     val f = RasterLayer.fromCells(Seq((2L, 2L, 1.0)).toDF("x", "y", "v"), layout)
     val p = Distance.costPath(f, Seq((0L, 2.5, 2.5)).toDF("pid", "px", "py"))
-      .as[(Long, Long, Long, Double)].collect()
-    assert(p.toSeq == Seq((0L, 2L, 2L, 0.0)))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(p.toSeq == Seq((0L, 2L, 2L, 0L)))
   }
 
   test("cost distance with no reachable sources returns empty distances") {

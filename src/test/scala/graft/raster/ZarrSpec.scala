@@ -105,6 +105,32 @@ class ZarrSpec extends AnyFunSuite {
     assert(shape == Seq(2, 2) && vals.toSeq == Seq(5.0, 6.0, 7.0, 8.0))
   }
 
+  test("missing chunks decode as fill_value; null fill reads as NaN") {
+    // zarr-python's write_empty_chunks=False omits all-fill chunks
+    val raw = java.nio.ByteBuffer.allocate(2 * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array(5.0, 6.0).foreach(raw.putDouble)
+    def meta(fill: String) =
+      s"""{"zarr_format":2,"shape":[2,2],"chunks":[1,2],"dtype":"<f8",""" +
+        s""""compressor":null,"fill_value":$fill,"filters":null,"order":"C"}"""
+    val (_, v9) = Zarr.readArray(Map(
+      ".zarray" -> meta("9.5").getBytes("UTF-8"), "0" + "." + "0" -> raw.array()))
+    assert(v9.toSeq == Seq(5.0, 6.0, 9.5, 9.5))
+    val (_, vN) = Zarr.readArray(Map(
+      ".zarray" -> meta("null").getBytes("UTF-8"), "0.0" -> raw.array()))
+    assert(vN(0) == 5.0 && vN(1) == 6.0 && vN(2).isNaN && vN(3).isNaN)
+  }
+
+  test("truncated zlib chunks fail loudly instead of spinning") {
+    val entries = Zarr.encodeGrid(Array.tabulate(35)(_.toDouble), 7, 5, 0, 0, 7, 5)
+    val cut = entries.map {
+      case (k, v) if k == "v/0.0" => (k, v.take(v.length / 2))
+      case kv => kv
+    }
+    intercept[IllegalArgumentException] {
+      Zarr.readArray(Zarr.nodeOf(cut.toMap, "v"))
+    }
+  }
+
   test("malformed inputs fail loudly") {
     intercept[IllegalArgumentException] { Zarr.readArray(Map.empty) }
     val badOrder = """{"zarr_format":2,"shape":[1],"chunks":[1],"dtype":"<f8",""" +
