@@ -35,6 +35,20 @@ object SparkEntry {
   // ----------------------------------------------------------------
   private def flat(l: RasterLayer): DataFrame = l.toCells
 
+  /** Micro-quantized closing (the CLAUDE.md determinism rule): emit
+    * round(x·scale) as BIGINT instead of round(x, k) DOUBLE. Integer
+    * rounding of an identical IEEE chain is engine-portable; decimal
+    * k-dp rounding of 9+-significant-digit doubles is not (the r16
+    * sf0.1 sweep failed 12 queries on exactly that class). */
+  private def uq(c: org.apache.spark.sql.Column,
+                 scale: Double = 100000.0): org.apache.spark.sql.Column =
+    round(c * lit(scale)).cast("long")
+
+  /** Oracle twin of [[uq]]: both engines multiply the SAME IEEE double
+    * by the scale and round to integer — no decimal path anywhere. */
+  private def uqSql(e: String, scale: String = "100000.0"): String =
+    s"CAST(round(($e) * $scale) AS BIGINT)"
+
   /** Fixture rings for q_clip (sf-independent formulas — the q_tin
     * literal-restating precedent): diamonds scattered so some sit
     * inside, some cross, and some miss the clip window entirely. */
@@ -339,11 +353,11 @@ object SparkEntry {
       // z-score standardization: exact-Long moments folded into one
       // per-cell expression, pinned op order, round 5
       lineitemLayer(s, dir).standardize().toCells
-        .select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+        .select(col("x"), col("y"), uq(col("v")).as("v_u"))),
 
     "q_normalize" -> ((s, dir) => {
       val n = lineitemLayer(s, dir).normalize(0.0, 100.0)
-      n.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      n.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
 
     "q_with_no_data" -> ((s, dir) =>
@@ -427,7 +441,7 @@ object SparkEntry {
       flat(lineitemLayer(s, dir).focal(Neighborhood.Circle(2.0), "Mean"))),
     "q_slope" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).slope()
-      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      l.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
     "q_slope_latlng" -> ((s, dir) => {
       // per-latitude z-factor (reference zfactor_lat_lng_calculator):
@@ -440,7 +454,7 @@ object SparkEntry {
           col("l_quantity").as("v")),
         layoutLatLng, CellOp.Sum)
         .slope(zFactorCalc = Some(graft.raster.ZFactor.latLng("Meters")))
-      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      l.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
     "q_geomorphon" -> ((s, dir) => {
       // geomorphon landforms (r15) on the DENSER 128-grid (~97%
@@ -503,23 +517,23 @@ object SparkEntry {
         LayoutDefinition(Extent(0, 0, 128, 128), TileLayout(2, 2, 64, 64)),
         graft.raster.CellOp.Sum)
       val pos = l128.openness(positive = true).toCells
-        .select(col("x"), col("y"), round(col("v"), 5).as("pos"))
+        .select(col("x"), col("y"), uq(col("v")).as("pos_u"))
       val neg = l128.openness(positive = false).toCells
-        .select(col("x"), col("y"), round(col("v"), 5).as("neg"))
+        .select(col("x"), col("y"), uq(col("v")).as("neg_u"))
       pos.join(neg, Seq("x", "y"))
     }),
 
     "q_aspect" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).aspect()
-      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      l.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
     "q_tri" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).tri()
-      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      l.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
     "q_tpi" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).tpi()
-      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      l.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
     // exact: window range of integral cells needs no rounding
     "q_roughness" -> ((s, dir) => flat(lineitemLayer(s, dir).roughness())),
@@ -528,22 +542,22 @@ object SparkEntry {
       flat(graft.raster.Hydrology.fill(lineitemLayer(s, dir)))),
     "q_curvature" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).curvature()
-      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      l.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
     "q_hillshade" -> ((s, dir) => flat(lineitemLayer(s, dir).hillshade())),
     "q_hillshade_md" -> ((s, dir) =>
       flat(lineitemLayer(s, dir).hillshadeMultidirectional())),
     "q_curvature_profile" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).curvatureProfile()
-      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      l.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
     "q_curvature_plan" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).curvaturePlan()
-      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      l.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
     "q_tobler" -> ((s, dir) => {
       val l = lineitemLayer(s, dir).tobler()
-      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      l.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
     "q_ks_test" -> ((s, dir) =>
       // KS drift statistic: even- vs odd-numbered sources on n_chars
@@ -560,7 +574,7 @@ object SparkEntry {
     "q_flow_dinf" -> ((s, dir) => {
       // Tarboton D-infinity steepest-descent angle (radians, round 5)
       val l = lineitemLayer(s, dir).flowDirectionDinf()
-      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      l.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
 
     "q_stretch" -> ((s, dir) =>
@@ -712,7 +726,7 @@ object SparkEntry {
           (col("l_orderkey") % G).as("x"), (col("l_partkey") % G).as("y"),
           col("l_quantity").as("v")),
         layoutLatLng, CellOp.Sum).heatLoad()
-      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      l.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
 
     // --- zonal / polygonal / masking
@@ -1424,7 +1438,7 @@ object SparkEntry {
       // tile-wise gather path (one keyed shuffle); same math as
       // Resample.bilinearCells, same oracle
       val r = Resample.bilinearTiled(lineitemLayer(s, dir), G, 200, dstTile = 50)
-      r.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      r.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
 
     "q_resample_cubic" -> ((s, dir) => {
@@ -1453,7 +1467,7 @@ object SparkEntry {
 
     "q_resample_median" -> ((s, dir) =>
       Resample.aggregateCells(lineitemLayer(s, dir), G, 64, "Median")
-        .select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+        .select(col("x"), col("y"), uq(col("v")).as("v_u"))),
 
     // --- pyramid / stitch
     "q_pyramid" -> ((s, dir) => flat(Pyramid.levelUp(lineitemLayer(s, dir), "Average"))),
@@ -1554,7 +1568,7 @@ object SparkEntry {
       val dst = LayoutDefinition(Extent(0, 0, 256, 256), TileLayout(4, 4, 50, 50))
       Reproject.reprojectTiled(lineitemLayer(s, dir), CRS.LatLng, CRS.LatLng,
           dst, method = "Bilinear")
-        .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+        .toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
 
     "q_reproject_osgb" -> ((s, dir) => {
@@ -1664,7 +1678,7 @@ object SparkEntry {
       // fractional-ratio area-weighted average (gdalwarp -r average):
       // 256 -> 200 with exact integer overlap weights, one division
       Resample.areaAverageTiled(lineitemLayer(s, dir), 256, 200, dstTile = 50)
-        .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+        .toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))),
 
     "q_reproject_bilinear" -> ((s, dir) =>
       // warp with bilinear resampling onto a 200-col target grid (the
@@ -1674,7 +1688,7 @@ object SparkEntry {
       // sums of non-integral products -> round both sides
       Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1,
           dstTile = 50, bilinear = true, dstCols = 200)
-        .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+        .toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))),
 
     "q_reproject_cubic" -> ((s, dir) => {
       // Keys a=-0.5 bicubic warp. Source is the DENSER 128-grid (~97%
@@ -1692,7 +1706,7 @@ object SparkEntry {
         graft.raster.CellOp.Sum)
       Reproject.latLngGridToWebMercatorTiled(l128, 0.1,
           dstTile = 50, dstCols = 100, method = "CubicConvolution")
-        .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+        .toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
 
     "q_reproject_bspline" -> ((s, dir) => {
@@ -1709,7 +1723,7 @@ object SparkEntry {
         graft.raster.CellOp.Sum)
       Reproject.latLngGridToWebMercatorTiled(l128, 0.1,
           dstTile = 50, dstCols = 100, method = "CubicSpline")
-        .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+        .toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
 
     "q_reproject_average" -> ((s, dir) =>
@@ -1718,7 +1732,7 @@ object SparkEntry {
       // -> exact order-free sums, one division, round 5
       Reproject.latLngGridToWebMercatorTiled(lineitemLayer(s, dir), 0.1,
           dstTile = 50, dstCols = 200, method = "Average")
-        .toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+        .toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))),
 
     "q_reproject_mode" -> ((s, dir) =>
       // footprint Mode, ties -> smallest value; selection of an exact
@@ -2444,14 +2458,14 @@ object SparkEntry {
 
     "q_local_pow" -> ((s, dir) => {
       val l = lineitemLayer(s, dir) ** 1.5
-      l.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      l.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
 
     "q_pyramid2" -> ((s, dir) => {
       // second-level averages re-aggregate non-integral doubles, so the
       // last ulp depends on summation order -> round both sides
       val p2 = Pyramid.levelUp(Pyramid.levelUp(lineitemLayer(s, dir), "Average"), "Average")
-      p2.toCells.select(col("x"), col("y"), round(col("v"), 5).as("v"))
+      p2.toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
 
     "q_focal_nesw" -> ((s, dir) =>
@@ -3490,7 +3504,7 @@ object SparkEntry {
     * `zfExpr` is a per-cell z-factor expression over nb columns
     * (notably y), exposed to `select` as `zf`. */
   private def hornSql(select: String, cellSize: Double = 1.0,
-                      zfExpr: String = "1.0"): String =
+                      zfExpr: String = "1.0", alias: String = "v"): String =
     s"""WITH g AS ($lineitemCellsSql), nb AS (
        |  SELECT c.x AS x, c.y AS y,
        |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y - 1 THEN n.v END) AS n1,
@@ -3511,11 +3525,12 @@ object SparkEntry {
        |    $zfExpr AS zf
        |  FROM nb WHERE cnt = 9
        |)
-       |SELECT x, y, $select AS v FROM d""".stripMargin
+       |SELECT x, y, $select AS $alias FROM d""".stripMargin
 
   /** Full 3x3 window (n1..n9 incl center n5), NaN-gated on all 9
     * present — the oracle twin of Focal.terrain's window-index ops. */
-  private def windowSql(select: String, where: String = "cnt = 9"): String =
+  private def windowSql(select: String, where: String = "cnt = 9",
+                        alias: String = "v"): String =
     s"""WITH g AS ($lineitemCellsSql), nb AS (
        |  SELECT c.x AS x, c.y AS y,
        |    max(CASE WHEN n.x = c.x - 1 AND n.y = c.y - 1 THEN n.v END) AS n1,
@@ -3531,7 +3546,7 @@ object SparkEntry {
        |  FROM g c JOIN g n ON n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
        |  GROUP BY c.x, c.y
        |)
-       |SELECT x, y, $select AS v FROM nb WHERE $where""".stripMargin
+       |SELECT x, y, $select AS $alias FROM nb WHERE $where""".stripMargin
 
   /** Shared DuckDB CTE chain deriving the MinHash-LSH signature and
     * candidate-pair graph — the single source of truth for BOTH
@@ -3717,10 +3732,10 @@ object SparkEntry {
          |        ${wFar("(2.0 - fy)")} AS wy2
          |      FROM b)
          |SELECT w.tx AS x, w.ty AS y,
-         |  round(wym * ${rowExpr(-1)}
+         |  ${uqSql(s"""wym * ${rowExpr(-1)}
          |      + wy0 * ${rowExpr(0)}
          |      + wy1 * ${rowExpr(1)}
-         |      + wy2 * ${rowExpr(2)}, 5) AS v
+         |      + wy2 * ${rowExpr(2)}""")} AS v_u
          |FROM w
          |  $joins""".stripMargin
     }
@@ -3809,7 +3824,7 @@ object SparkEntry {
         s"SELECT x, y, CAST(CASE WHEN v <= 50 THEN 1.0 WHEN v <= 150 THEN 2.0 WHEN v <= 300 THEN 3.0 ELSE 4.0 END AS DOUBLE) AS v FROM ($grid)",
 
       "q_normalize" ->
-        s"SELECT x, y, round((v - mn) / (mx - mn) * 100.0, 5) AS v FROM ($grid), (SELECT min(v) AS mn, max(v) AS mx FROM ($grid))",
+        s"SELECT x, y, ${uqSql("(v - mn) / (mx - mn) * 100.0")} AS v_u FROM ($grid), (SELECT min(v) AS mn, max(v) AS mx FROM ($grid))",
 
       // z-score from exact integer moments, engine op order restated:
       // mu = s/n, sigma = sqrt((ss - s*s/n)/(n-1))
@@ -3820,7 +3835,7 @@ object SparkEntry {
            |        CAST(sum(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS BIGINT) AS ss FROM g),
            |p AS (SELECT CAST(s AS DOUBLE) / n AS mu,
            |        sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS sigma FROM m)
-           |SELECT x, y, round((v - mu) / sigma, 5) AS v FROM g, p""".stripMargin,
+           |SELECT x, y, ${uqSql("(v - mu) / sigma")} AS v_u FROM g, p""".stripMargin,
 
       "q_with_no_data" -> s"SELECT x, y, v FROM ($grid) WHERE v <> 1.0",
 
@@ -3990,7 +4005,7 @@ object SparkEntry {
            |GROUP BY c.x, c.y""".stripMargin,
 
       "q_slope" ->
-        hornSql("round(degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy))), 5)"),
+        hornSql(uqSql("degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy)))"), alias = "v_u"),
 
       // DEGREES grid (cell 0.25): gradient denominators scale by the
       // cell size, and the tile row y//64 (center lat 64-(row+0.5)*16)
@@ -3999,12 +4014,13 @@ object SparkEntry {
       // degree constant (ZFactor.MetersAtEquator)
       "q_slope_latlng" ->
         hornSql(
-          "round(degrees(atan(sqrt((dzdx * zf) * (dzdx * zf) + (dzdy * zf) * (dzdy * zf)))), 5)",
+          uqSql("degrees(atan(sqrt((dzdx * zf) * (dzdx * zf) + (dzdy * zf) * (dzdy * zf))))"),
           cellSize = 0.25,
-          zfExpr = "1.0 / (111320 * cos(radians(64 - ((y // 64) + 0.5) * 16)))"),
+          zfExpr = "1.0 / (111320 * cos(radians(64 - ((y // 64) + 0.5) * 16)))",
+          alias = "v_u"),
 
       "q_aspect" ->
-        hornSql("round(CASE WHEN degrees(atan2(dzdy, -dzdx)) < 0 THEN degrees(atan2(dzdy, -dzdx)) + 360 ELSE degrees(atan2(dzdy, -dzdx)) END, 5)"),
+        hornSql(uqSql("CASE WHEN degrees(atan2(dzdy, -dzdx)) < 0 THEN degrees(atan2(dzdy, -dzdx)) + 360 ELSE degrees(atan2(dzdy, -dzdx)) END"), alias = "v_u"),
 
       // geomorphon: 8 rays x 4 steps, exact-integer 12/k slope
       // comparisons, full-window rule = count(*) == 32, shared LUT
@@ -4048,8 +4064,8 @@ object SparkEntry {
            |        sum(cnt) AS m
            |      FROM r GROUP BY 1, 2 HAVING sum(cnt) = 32)
            |SELECT x, y,
-           |  round((${sumExpr('u')}) / 8.0, 5) AS pos,
-           |  round((${sumExpr('d')}) / 8.0, 5) AS neg
+           |  ${uqSql(s"(${sumExpr('u')}) / 8.0")} AS pos_u,
+           |  ${uqSql(s"(${sumExpr('d')}) / 8.0")} AS neg_u
            |FROM t""".stripMargin
       },
 
@@ -4099,9 +4115,9 @@ object SparkEntry {
 
       // Riley TRI: sqrt of exact-integer squared-difference sum
       "q_tri" ->
-        windowSql("round(sqrt((n1 - n5) * (n1 - n5) + (n2 - n5) * (n2 - n5) + (n3 - n5) * (n3 - n5) + (n4 - n5) * (n4 - n5) + (n6 - n5) * (n6 - n5) + (n7 - n5) * (n7 - n5) + (n8 - n5) * (n8 - n5) + (n9 - n5) * (n9 - n5)), 5)"),
+        windowSql(uqSql("sqrt((n1 - n5) * (n1 - n5) + (n2 - n5) * (n2 - n5) + (n3 - n5) * (n3 - n5) + (n4 - n5) * (n4 - n5) + (n6 - n5) * (n6 - n5) + (n7 - n5) * (n7 - n5) + (n8 - n5) * (n8 - n5) + (n9 - n5) * (n9 - n5))"), alias = "v_u"),
       "q_tpi" ->
-        windowSql("round(n5 - (n1 + n2 + n3 + n4 + n6 + n7 + n8 + n9) / 8.0, 5)"),
+        windowSql(uqSql("n5 - (n1 + n2 + n3 + n4 + n6 + n7 + n8 + n9) / 8.0"), alias = "v_u"),
       "q_roughness" ->
         windowSql("greatest(n1, n2, n3, n4, n5, n6, n7, n8, n9) - least(n1, n2, n3, n4, n5, n6, n7, n8, n9)"),
       // single-pass pit fill: full-window sinks rise to the 8-neighbor
@@ -4116,7 +4132,7 @@ object SparkEntry {
         // `+ 0.0` normalizes IEEE -0.0 (flat windows: 0.0 * -200.0 = -0.0 in
         // DuckDB) to +0.0, matching Spark Round's BigDecimal path which has no
         // negative zero.
-        windowSql("round((((n4 + n6) / 2.0 - n5) + ((n2 + n8) / 2.0 - n5)) * -200.0, 5) + 0.0"),
+        windowSql(uqSql("(((n4 + n6) / 2.0 - n5) + ((n2 + n8) / 2.0 - n5)) * -200.0"), alias = "v_u"),
 
       "q_hillshade" ->
         hornSql("floor(greatest(0, 255 * (cos(radians(45)) * cos(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) + sin(radians(45)) * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) * cos(radians(315) - (CASE WHEN atan2(dzdy, -dzdx) < 0 THEN atan2(dzdy, -dzdx) + 2 * pi() ELSE atan2(dzdy, -dzdx) END)))))"),
@@ -4140,14 +4156,14 @@ object SparkEntry {
         val f = "((-n1 + n3 + n7 - n9) / 4.0)"
         val (g, h) = ("((-n4 + n6) / 2.0)", "((n2 - n8) / 2.0)")
         val q = s"($g * $g + $h * $h)"
-        windowSql(s"round(CASE WHEN $q = 0 THEN 0.0 ELSE -200.0 * ($d * $g * $g + $e * $h * $h + $f * $g * $h) / $q END, 5) + 0.0")
+        windowSql(uqSql(s"CASE WHEN $q = 0 THEN 0.0 ELSE -200.0 * ($d * $g * $g + $e * $h * $h + $f * $g * $h) / $q END"), alias = "v_u")
       },
       "q_curvature_plan" -> {
         val (d, e) = ("(((n4 + n6) / 2.0 - n5) / 1.0)", "(((n2 + n8) / 2.0 - n5) / 1.0)")
         val f = "((-n1 + n3 + n7 - n9) / 4.0)"
         val (g, h) = ("((-n4 + n6) / 2.0)", "((n2 - n8) / 2.0)")
         val q = s"($g * $g + $h * $h)"
-        windowSql(s"round(CASE WHEN $q = 0 THEN 0.0 ELSE 200.0 * ($d * $h * $h + $e * $g * $g - $f * $g * $h) / $q END, 5) + 0.0")
+        windowSql(uqSql(s"CASE WHEN $q = 0 THEN 0.0 ELSE 200.0 * ($d * $h * $h + $e * $g * $g - $f * $g * $h) / $q END"), alias = "v_u")
       },
 
       // KS: exact rational CDF-gap maximum
@@ -4214,7 +4230,7 @@ object SparkEntry {
            |r AS (SELECT x, y, fc.s AS s, fc.a AS a,
            |        row_number() OVER (PARTITION BY x, y ORDER BY fc.s DESC, fc.i) AS rn FROM f)
            |SELECT x, y,
-           |  round(CASE WHEN a >= 2 * pi() THEN a - 2 * pi() ELSE a END, 5) AS v
+           |  ${uqSql("CASE WHEN a >= 2 * pi() THEN a - 2 * pi() ELSE a END")} AS v_u
            |FROM r WHERE rn = 1 AND s > 0""".stripMargin
       },
 
@@ -4574,13 +4590,14 @@ object SparkEntry {
         val aR = s"(CASE WHEN $a0 < 0 THEN $a0 + 2 * pi() ELSE $a0 END)"
         val fR = s"abs(pi() - abs($aR - 1.25 * pi()))"
         hornSql(
-          s"round(-1.467 + 1.582 * cos(zf) * cos($sR) - 1.500 * cos($fR) * sin($sR) * sin(zf) - 0.262 * sin(zf) * sin($sR) + 0.607 * sin($fR) * sin($sR), 5)",
+          uqSql(s"-1.467 + 1.582 * cos(zf) * cos($sR) - 1.500 * cos($fR) * sin($sR) * sin(zf) - 0.262 * sin(zf) * sin($sR) + 0.607 * sin($fR) * sin($sR)"),
           cellSize = 0.25,
-          zfExpr = "radians(64 - ((y // 64) + 0.5) * 16)")
+          zfExpr = "radians(64 - ((y // 64) + 0.5) * 16)",
+          alias = "v_u")
       },
 
       "q_tobler" ->
-        hornSql("round(6 * exp(-3.5 * abs(sqrt(dzdx * dzdx + dzdy * dzdy) + 0.05)), 5)"),
+        hornSql(uqSql("6 * exp(-3.5 * abs(sqrt(dzdx * dzdx + dzdy * dzdy) + 0.05))"), alias = "v_u"),
 
       "q_mask" ->
         s"SELECT x, y, v FROM ($grid) WHERE abs(x + 0.5 - 128) + abs(y + 0.5 - 128) < 60.3",
@@ -5476,8 +5493,8 @@ object SparkEntry {
            |k AS (SELECT i, j, CAST(floor(sx) AS BIGINT) AS x0, CAST(floor(sy) AS BIGINT) AS y0,
            |             sx - CAST(floor(sx) AS BIGINT) AS fx, sy - CAST(floor(sy) AS BIGINT) AS fy FROM t)
            |SELECT k.i AS x, k.j AS y,
-           |  round(a.v * (1.0 - fx) * (1.0 - fy) + b.v * fx * (1.0 - fy)
-           |      + c.v * (1.0 - fx) * fy + d.v * fx * fy, 5) AS v
+           |  ${uqSql("""a.v * (1.0 - fx) * (1.0 - fy) + b.v * fx * (1.0 - fy)
+           |      + c.v * (1.0 - fx) * fy + d.v * fx * fy""")} AS v_u
            |FROM k JOIN g a ON a.x = k.x0 AND a.y = k.y0
            |       JOIN g b ON b.x = k.x0 + 1 AND b.y = k.y0
            |       JOIN g c ON c.x = k.x0 AND c.y = k.y0 + 1
@@ -5540,7 +5557,7 @@ object SparkEntry {
       "q_resample_median" ->
         s"""WITH m AS (SELECT CAST(floor((x + 0.5) * 64 / $G) AS BIGINT) AS x,
            |                  CAST(floor((y + 0.5) * 64 / $G) AS BIGINT) AS y, v FROM ($grid))
-           |SELECT x, y, round(median(v), 5) AS v FROM m GROUP BY 1, 2""".stripMargin,
+           |SELECT x, y, ${uqSql("median(v)")} AS v_u FROM m GROUP BY 1, 2""".stripMargin,
 
       "q_pyramid" ->
         s"SELECT x // 2 AS x, y // 2 AS y, avg(v) AS v FROM ($grid) GROUP BY 1, 2",
@@ -5661,8 +5678,8 @@ object SparkEntry {
            |        gx - 0.5 - floor(gx - 0.5) AS fx, gy - 0.5 - floor(gy - 0.5) AS fy
            |      FROM t)
            |SELECT b.tx AS x, b.ty AS y,
-           |  round((1 - fx) * (1 - fy) * g00.v + fx * (1 - fy) * g10.v
-           |      + (1 - fx) * fy * g01.v + fx * fy * g11.v, 5) AS v
+           |  ${uqSql("""(1 - fx) * (1 - fy) * g00.v + fx * (1 - fy) * g10.v
+           |      + (1 - fx) * fy * g01.v + fx * fy * g11.v""")} AS v_u
            |FROM b JOIN g g00 ON g00.x = b.x0 AND g00.y = b.y0
            |       JOIN g g10 ON g10.x = b.x0 + 1 AND g10.y = b.y0
            |       JOIN g g01 ON g01.x = b.x0 AND g01.y = b.y0 + 1
@@ -5782,7 +5799,7 @@ object SparkEntry {
            |        (least(CAST(200 * (y + 1) AS BIGINT), 256 * (ty + 1)) - greatest(CAST(200 * y AS BIGINT), 256 * ty)) AS wy
            |      FROM p2)
            |SELECT tx AS x, ty AS y,
-           |  round(sum(wx * wy * v) / CAST(sum(wx * wy) AS DOUBLE), 5) AS v
+           |  ${uqSql("sum(wx * wy * v) / CAST(sum(wx * wy) AS DOUBLE)")} AS v_u
            |FROM w GROUP BY 1, 2""".stripMargin,
 
       // bilinear warp: same inverse-projection chain as the NN oracle,
@@ -5807,8 +5824,8 @@ object SparkEntry {
            |        gx - 0.5 - floor(gx - 0.5) AS fx, gy - 0.5 - floor(gy - 0.5) AS fy
            |      FROM c)
            |SELECT b.tx AS x, b.ty AS y,
-           |  round((1 - fx) * (1 - fy) * g00.v + fx * (1 - fy) * g10.v
-           |      + (1 - fx) * fy * g01.v + fx * fy * g11.v, 5) AS v
+           |  ${uqSql("""(1 - fx) * (1 - fy) * g00.v + fx * (1 - fy) * g10.v
+           |      + (1 - fx) * fy * g01.v + fx * fy * g11.v""")} AS v_u
            |FROM b JOIN g g00 ON g00.x = b.x0 AND g00.y = b.y0
            |       JOIN g g10 ON g10.x = b.x0 + 1 AND g10.y = b.y0
            |       JOIN g g01 ON g01.x = b.x0 AND g01.y = b.y0 + 1
@@ -5831,7 +5848,7 @@ object SparkEntry {
       // kernel's gxLo/gxHi/gyLo/gyHi; cell-center-in-half-open-box
       "q_reproject_average" ->
         s"""$warpFootprintSql
-           |SELECT tx AS x, ty AS y, round(sum(v) / count(v), 5) AS v
+           |SELECT tx AS x, ty AS y, ${uqSql("sum(v) / count(v)")} AS v_u
            |FROM f GROUP BY 1, 2""".stripMargin,
 
       "q_reproject_mode" ->
@@ -6831,11 +6848,11 @@ object SparkEntry {
         s"SELECT x, y, (v + (v + 10)) / 2 AS v FROM ($grid)",
 
       "q_local_pow" ->
-        s"SELECT x, y, round(pow(v, 1.5), 5) AS v FROM ($grid)",
+        s"SELECT x, y, ${uqSql("pow(v, 1.5)")} AS v_u FROM ($grid)",
 
       "q_pyramid2" ->
         s"""WITH p1 AS (SELECT x // 2 AS x, y // 2 AS y, avg(v) AS v FROM ($grid) GROUP BY 1, 2)
-           |SELECT x // 2 AS x, y // 2 AS y, round(avg(v), 5) AS v FROM p1 GROUP BY 1, 2""".stripMargin,
+           |SELECT x // 2 AS x, y // 2 AS y, ${uqSql("avg(v)")} AS v_u FROM p1 GROUP BY 1, 2""".stripMargin,
 
       "q_focal_nesw" ->
         s"""WITH g AS ($grid)
