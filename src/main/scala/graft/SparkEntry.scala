@@ -49,6 +49,13 @@ object SparkEntry {
   private def uqSql(e: String, scale: String = "100000.0"): String =
     s"CAST(round(($e) * $scale) AS BIGINT)"
 
+  /** Driver-side twin of [[uq]] for literal-restating oracles:
+    * BigDecimal HALF_UP of x*1e5 — the same rounding Spark's Round
+    * applies to the identical IEEE product on the engine side. */
+  private def u5(x: Double): Long =
+    BigDecimal(x * 100000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   /** Fixture rings for q_clip (sf-independent formulas — the q_tin
     * literal-restating precedent): diamonds scattered so some sit
     * inside, some cross, and some miss the clip window entirely. */
@@ -845,7 +852,7 @@ object SparkEntry {
         zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
         layout)
       ZonalOps.zonalWeightedMean(lineitemLayer(s, dir), ordersLayer(s, dir), zones)
-        .select(col("zone"), col("w_total"), round(col("wmean"), 5).as("wmean"))
+        .select(col("zone"), col("w_total"), uq(col("wmean")).as("wmean_u"))
     }),
 
     "q_dup_source_matrix" -> ((s, dir) =>
@@ -869,7 +876,7 @@ object SparkEntry {
       val after = MultibandLayer.fromLayers(
         Seq(lineitemLayer(s, dir) + 10.0, ordersLayer(s, dir) * 2.0))
       new MultibandLayer(Compare.changeVector(before, after), before.meta, 2).toCells
-        .select(col("x"), col("y"), col("band"), round(col("v"), 5).as("v"))
+        .select(col("x"), col("y"), col("band"), uq(col("v")).as("v_u"))
     }),
 
     "q_zonal_histogram" -> ((s, dir) => {
@@ -912,7 +919,7 @@ object SparkEntry {
       // per grid row (area is constant along a row by construction)
       val l = ZFactor.cellAreaLayer(s, GridSource.layoutLatLng)
       l.toCells.groupBy(col("y"))
-        .agg(count(lit(1)).as("n_cells"), round(min(col("v")), 6).as("area_km2"))
+        .agg(count(lit(1)).as("n_cells"), uq(min(col("v")), 1000000.0).as("area_km2_u"))
     }),
 
     "q_geodesic" -> ((s, dir) =>
@@ -1007,7 +1014,7 @@ object SparkEntry {
       // 4-corner weighted sums of non-integral products -> round both
       // sides (CLAUDE.md float rule)
       ZonalOps.pointValuesBilinear(lineitemLayer(s, dir), supplierPoints(s, dir))
-        .select(col("pid"), round(col("v"), 5).as("v"))),
+        .select(col("pid"), uq(col("v")).as("v_u"))),
 
     "q_rasterize_geoms" -> ((s, dir) => {
       // diamond features DERIVED from the supplier table, serialized
@@ -1361,7 +1368,7 @@ object SparkEntry {
       // that bound is what makes the unrolled DuckDB oracle exact
       Distance.costDistanceTiled(lineitemLayer(s, dir).normalize(1.0, 10.0),
         supplierPoints(s, dir), maxCost = CostDistanceMaxCost).toCells
-        .select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+        .select(col("x"), col("y"), uq(col("v")).as("v_u"))),
 
     "q_corridor" -> ((s, dir) =>
       // ArcGIS Corridor: costA + costB over one friction surface;
@@ -1375,7 +1382,7 @@ object SparkEntry {
           supplierPoints(s, dir).filter(col("pid") === 3),
           supplierPoints(s, dir).filter(col("pid") === 82),
           maxCost = CostDistanceMaxCost).toCells
-        .select(col("x"), col("y"), round(col("v"), 5).as("v"))),
+        .select(col("x"), col("y"), uq(col("v")).as("v_u"))),
 
     "q_cost_path" -> ((s, dir) =>
       // least-cost path from the farthest reachable cell back to its
@@ -1763,7 +1770,7 @@ object SparkEntry {
       import s.implicits._
       graft.vector.Clip.clipPolygons(
           clipFixtures.toDF("pid", "xs", "ys"), 64, 64, 192, 192)
-        .select(col("pid"), col("n"), round(col("area"), 5).as("area"))
+        .select(col("pid"), col("n"), uq(col("area")).as("area_u"))
     }),
 
     "q_poly_intersect" -> ((s, dir) => {
@@ -1773,7 +1780,7 @@ object SparkEntry {
       import s.implicits._
       graft.vector.Clip.intersectConvex(
           clipFixtures.toDF("pid", "xs", "ys"), hexClip)
-        .select(col("pid"), col("n"), round(col("area"), 5).as("area"))
+        .select(col("pid"), col("n"), uq(col("area")).as("area_u"))
     }),
 
     "q_poly_union" -> ((s, dir) => {
@@ -1782,7 +1789,7 @@ object SparkEntry {
       import s.implicits._
       graft.vector.Clip.unionAreaConvex(
           clipFixtures.toDF("pid", "xs", "ys"), hexClip)
-        .select(col("pid"), round(col("area_union"), 5).as("area_union"))
+        .select(col("pid"), uq(col("area_union")).as("area_union_u"))
     }),
 
     "q_poly_intersect_concave" -> ((s, dir) => {
@@ -1792,7 +1799,7 @@ object SparkEntry {
       import s.implicits._
       graft.vector.Overlay.intersect(
           concaveFixtures.toDF("pid", "xs", "ys"), crossClip)
-        .select(col("pid"), col("n_pieces"), round(col("area"), 5).as("area"))
+        .select(col("pid"), col("n_pieces"), uq(col("area")).as("area_u"))
     }),
 
     "q_poly_union_concave" -> ((s, dir) => {
@@ -1801,7 +1808,7 @@ object SparkEntry {
       import s.implicits._
       graft.vector.Overlay.unionWith(
           concaveFixtures.toDF("pid", "xs", "ys"), crossClip)
-        .select(col("pid"), round(col("area_union"), 5).as("area_union"))
+        .select(col("pid"), uq(col("area_union")).as("area_union_u"))
     }),
 
     "q_poly_difference_concave" -> ((s, dir) => {
@@ -1809,8 +1816,8 @@ object SparkEntry {
       import s.implicits._
       graft.vector.Overlay.differenceFrom(
           concaveFixtures.toDF("pid", "xs", "ys"), crossClip)
-        .select(col("pid"), round(col("area_diff"), 5).as("area_diff"),
-          round(col("area_symdiff"), 5).as("area_symdiff"))
+        .select(col("pid"), uq(col("area_diff")).as("area_diff_u"),
+          uq(col("area_symdiff")).as("area_symdiff_u"))
     }),
 
     "q_semivariogram" -> ((s, dir) =>
@@ -2291,7 +2298,7 @@ object SparkEntry {
       // mix; non-integral sums -> round(...,5) both sides
       val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
       l.focal(Neighborhood.Square(1), "Sum").toCells
-        .select(col("x"), col("y"), col("instant"), round(col("v"), 5).as("v"))
+        .select(col("x"), col("y"), col("instant"), uq(col("v")).as("v_u"))
     }),
 
     "q_star_series" -> ((s, dir) => {
@@ -2321,14 +2328,14 @@ object SparkEntry {
       // non-integral fractions)
       val l = RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64)
       TimeSeries.fillGaps(l, Seq(0L, 1L, 2L)).toCells
-        .select(col("x"), col("y"), col("instant"), round(col("v"), 5).as("v"))
+        .select(col("x"), col("y"), col("instant"), uq(col("v")).as("v_u"))
     }),
 
     "q_temporal_smooth" -> ((s, dir) => {
       // temporal moving average, radius 1 instant
       val l = RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64)
       TimeSeries.movingAverage(l, Seq(0L, 1L, 2L)).toCells
-        .select(col("x"), col("y"), col("instant"), round(col("v"), 5).as("v"))
+        .select(col("x"), col("y"), col("instant"), uq(col("v")).as("v_u"))
     }),
 
     "q_time_resample" -> ((s, dir) => {
@@ -2346,7 +2353,7 @@ object SparkEntry {
       // all-4-corners rule to leave a meaningful result)
       val l = RasterLayer.fromCellsTemporal(lineitemTemporalCells(s, dir), layout64)
       val r = Resample.bilinearTiled(l, 64, 48, dstTile = 16)
-      r.toCells.select(col("x"), col("y"), col("instant"), round(col("v"), 5).as("v"))
+      r.toCells.select(col("x"), col("y"), col("instant"), uq(col("v")).as("v_u"))
     }),
 
     "q_reproject_time" -> ((s, dir) => {
@@ -2372,7 +2379,7 @@ object SparkEntry {
     "q_mb_ndvi" -> ((s, dir) => {
       val mb = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
       mb.normalizedDifference(nir = 1, red = 0).toCells
-        .select(col("x"), col("y"), round(col("v"), 5).as("v"))
+        .select(col("x"), col("y"), uq(col("v")).as("v_u"))
     }),
 
     "q_mb_map" -> ((s, dir) => {
@@ -2402,7 +2409,7 @@ object SparkEntry {
       val mb = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
       val pan = lineitemLayer(s, dir).localMap(c => c + 100.0)
       mb.pansharpen(pan).toCells
-        .select(col("x"), col("y"), col("band"), round(col("v"), 5).as("v"))
+        .select(col("x"), col("y"), col("band"), uq(col("v")).as("v_u"))
     }),
 
     "q_rasterize_coverage" -> ((s, dir) => {
@@ -2429,7 +2436,7 @@ object SparkEntry {
       // and difference bands from fixed coefficient rows
       val mb = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
       mb.linearTransform(Seq(Seq(0.5, 0.5), Seq(1.0, -1.0))).toCells
-        .select(col("x"), col("y"), col("band"), round(col("v"), 5).as("v"))
+        .select(col("x"), col("y"), col("band"), uq(col("v")).as("v_u"))
     }),
 
     "q_mb_agg" -> ((s, dir) => {
@@ -2581,7 +2588,8 @@ object SparkEntry {
       // fraction of its distinct per-doc 5-grams that occur in >1
       // document corpus-wide (rounded 6, the novelty convention)
       pipeline.Dedup.dupNgramRate(table(s, dir, "documents"))
-        .withColumn("dup_rate", round(col("dup_rate"), 6))),
+        .withColumn("dup_rate_u", uq(col("dup_rate"), 1000000.0))
+        .drop("dup_rate")),
 
     "q_sampled_quantiles" -> ((s, dir) =>
       // deterministic 5% md5-sample + exact rational-rank selection:
@@ -3204,7 +3212,7 @@ object SparkEntry {
       graft.vector.Overlay.dissolve(
           dissolveFixtures.toDF("key", "pid", "xs", "ys"))
         .select(col("key"), col("n_polys"), col("n_pieces"),
-          round(col("area"), 5).as("area"))
+          uq(col("area")).as("area_u"))
     }),
 
     "q_knn_join" -> ((s, dir) =>
@@ -3294,7 +3302,7 @@ object SparkEntry {
           concaveFixtures.toDF("aid", "xs", "ys"),
           clipFixtures.toDF("bid", "xs", "ys"))
         .select(col("aid"), col("bid"), col("n_pieces"),
-          round(col("area"), 5).as("area"))
+          uq(col("area")).as("area_u"))
     }),
 
     "q_knn_exact" -> ((s, dir) =>
@@ -3315,7 +3323,7 @@ object SparkEntry {
       graft.vector.Clip.clipLines(
           lineFixtures.toDF("pid", "xs", "ys"), 64, 64, 192, 192)
         .select(col("pid"), col("n_segs"),
-          round(col("length"), 5).as("length"))
+          uq(col("length")).as("length_u"))
     }),
 
     "q_mixture_sample" -> ((s, dir) =>
@@ -3392,7 +3400,7 @@ object SparkEntry {
           concaveFixtures.toDF("aid", "xs", "ys"),
           clipFixtures.toDF("bid", "xs", "ys"))
         .select(col("aid"), col("n_cutters"),
-          round(col("area_left"), 5).as("area_left"))
+          uq(col("area_left")).as("area_left_u"))
     }),
 
     "q_line_overlay" -> ((s, dir) => {
@@ -3404,7 +3412,7 @@ object SparkEntry {
       graft.vector.Overlay.lineOverlayJoin(
           lineFixtures.toDF("lid", "xs", "ys"),
           concaveFixtures.toDF("gid", "xs", "ys"))
-        .select(col("lid"), col("gid"), round(col("len_in"), 5).as("len_in"))
+        .select(col("lid"), col("gid"), uq(col("len_in")).as("len_in_u"))
     }),
   )
 
@@ -3466,7 +3474,7 @@ object SparkEntry {
 
   private def costDistanceSql(grid: String, pts: String): String = {
     val (ctes, rN) = costDistanceCtes(grid, pts)
-    s"WITH $ctes\nSELECT x, y, round(d, 5) AS v FROM $rN"
+    s"WITH $ctes\nSELECT x, y, ${uqSql("d")} AS v_u FROM $rN"
   }
 
   /** Backtrack walk over the shared cost-distance CTEs: dest = argmax
@@ -4708,8 +4716,8 @@ object SparkEntry {
         s"""WITH z AS (SELECT x, y, ascii(zone) AS zone FROM ($zgrid))
            |SELECT CAST(z.zone AS BIGINT) AS zone,
            |  CAST(sum(CAST(o.v AS BIGINT)) AS BIGINT) AS w_total,
-           |  round(CAST(sum(CAST(o.v AS BIGINT) * CAST(g.v AS BIGINT)) AS DOUBLE)
-           |    / CAST(sum(CAST(o.v AS BIGINT)) AS DOUBLE), 5) AS wmean
+           |  ${uqSql("""CAST(sum(CAST(o.v AS BIGINT) * CAST(g.v AS BIGINT)) AS DOUBLE)
+           |    / CAST(sum(CAST(o.v AS BIGINT)) AS DOUBLE)""")} AS wmean_u
            |FROM ($grid) g JOIN ($ogrid) o ON o.x = g.x AND o.y = g.y
            |  JOIN z ON z.x = g.x AND z.y = g.y
            |GROUP BY 1""".stripMargin,
@@ -4742,11 +4750,11 @@ object SparkEntry {
         s"""WITH a AS ($grid), b AS ($ogrid),
            |dd AS (SELECT a.x, a.y, (a.v + 10) - a.v AS d0, b.v * 2 - b.v AS d1
            |       FROM a JOIN b USING (x, y))
-           |SELECT x, y, CAST(0 AS INT) AS band, round(sqrt(d0 * d0 + d1 * d1), 5) AS v FROM dd
+           |SELECT x, y, CAST(0 AS INT) AS band, ${uqSql("sqrt(d0 * d0 + d1 * d1)")} AS v_u FROM dd
            |UNION ALL
            |SELECT x, y, CAST(1 AS INT) AS band,
-           |  round(CASE WHEN degrees(atan2(d1, d0)) < 0 THEN degrees(atan2(d1, d0)) + 360
-           |        ELSE degrees(atan2(d1, d0)) END, 5) AS v FROM dd""".stripMargin,
+           |  ${uqSql("""CASE WHEN degrees(atan2(d1, d0)) < 0 THEN degrees(atan2(d1, d0)) + 360
+           |        ELSE degrees(atan2(d1, d0)) END""")} AS v_u FROM dd""".stripMargin,
 
       // zone x class contingency table (TabulateArea long form)
       "q_zonal_histogram" ->
@@ -4824,8 +4832,8 @@ object SparkEntry {
       "q_cell_area" -> {
         val scale = graft.raster.ZFactor.cellAreaScale(GridSource.layoutLatLng)
         s"""SELECT CAST(t.y AS BIGINT) AS y, CAST(256 AS BIGINT) AS n_cells,
-           |  round($scale * (sin(radians(CAST(64 AS DOUBLE) - CAST(t.y AS DOUBLE) * CAST(0.25 AS DOUBLE)))
-           |                - sin(radians(CAST(64 AS DOUBLE) - CAST(t.y AS DOUBLE) * CAST(0.25 AS DOUBLE) - CAST(0.25 AS DOUBLE)))), 6) AS area_km2
+           |  ${uqSql(s"""$scale * (sin(radians(CAST(64 AS DOUBLE) - CAST(t.y AS DOUBLE) * CAST(0.25 AS DOUBLE)))
+           |                - sin(radians(CAST(64 AS DOUBLE) - CAST(t.y AS DOUBLE) * CAST(0.25 AS DOUBLE) - CAST(0.25 AS DOUBLE))))""", "1000000.0")} AS area_km2_u
            |FROM range(256) t(y)""".stripMargin
       },
 
@@ -5033,7 +5041,7 @@ object SparkEntry {
            |  UNION ALL SELECT pid, x0, y0 + 1, (1 - tx) * ty FROM b
            |  UNION ALL SELECT pid, x0 + 1, y0 + 1, tx * ty FROM b),
            |j AS (SELECT c.pid, c.w, g.v FROM c JOIN ($grid) g ON g.x = c.cx AND g.y = c.cy)
-           |SELECT pid, round(sum(w * v), 5) AS v FROM j GROUP BY pid HAVING count(*) = 4""".stripMargin,
+           |SELECT pid, ${uqSql("sum(w * v)")} AS v_u FROM j GROUP BY pid HAVING count(*) = 4""".stripMargin,
 
       "q_cost_distance" -> costDistanceSql(grid, pts),
       "q_cost_path" -> costPathSql(grid, pts),
@@ -5048,7 +5056,7 @@ object SparkEntry {
         s"""WITH ${costHeadCtes(grid)},
            |$ra,
            |$rb
-           |SELECT a.x AS x, a.y AS y, round(a.d + b.d, 5) AS v
+           |SELECT a.x AS x, a.y AS y, ${uqSql("a.d + b.d")} AS v_u
            |FROM $aN a JOIN $bN b ON a.x = b.x AND a.y = b.y""".stripMargin
       },
 
@@ -5885,22 +5893,18 @@ object SparkEntry {
       // ops: the pure-Scala twins run over the same sf-independent
       // fixtures at oracle-build time and pin the expected rows
       "q_poly_intersect" -> {
-        def r5(x: Double) =
-          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
         val cxs = hexClip.exterior.map(_.x); val cys = hexClip.exterior.map(_.y)
         val rows = clipFixtures.flatMap { case (pid, xs, ys) =>
           val (ix, iy) = graft.vector.Clip.clipRingConvex(
             xs.toIndexedSeq, ys.toIndexedSeq, cxs, cys)
           if (ix.isEmpty) None
           else Some(s"(CAST($pid AS BIGINT), ${ix.length}, " +
-            s"CAST(${r5(graft.vector.Clip.ringArea(ix, iy))} AS DOUBLE))")
+            s"CAST(${u5(graft.vector.Clip.ringArea(ix, iy))} AS BIGINT))")
         }
-        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, n, area)"
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, n, area_u)"
       },
 
       "q_poly_union" -> {
-        def r5(x: Double) =
-          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
         val cxs = hexClip.exterior.map(_.x); val cys = hexClip.exterior.map(_.y)
         val areaB = graft.vector.Clip.ringArea(cxs, cys)
         val rows = clipFixtures.map { case (pid, xs, ys) =>
@@ -5908,9 +5912,9 @@ object SparkEntry {
             xs.toIndexedSeq, ys.toIndexedSeq, cxs, cys)
           val inter = if (ix.isEmpty) 0.0 else graft.vector.Clip.ringArea(ix, iy)
           val u = graft.vector.Clip.ringArea(xs.toIndexedSeq, ys.toIndexedSeq) + areaB - inter
-          s"(CAST($pid AS BIGINT), CAST(${r5(u)} AS DOUBLE))"
+          s"(CAST($pid AS BIGINT), CAST(${u5(u)} AS BIGINT))"
         }
-        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, area_union)"
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, area_union_u)"
       },
 
       // concave overlay (r16): literal-restating over the same
@@ -5918,8 +5922,6 @@ object SparkEntry {
       // decomposition runs at oracle-build time (driver side, the
       // exact doubles the engine ships to executors)
       "q_poly_intersect_concave" -> {
-        def r5(x: Double) =
-          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
         val rows = concaveFixtures.flatMap { case (pid, xs, ys) =>
           val p = graft.vector.Polygon(
             xs.zip(ys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq)
@@ -5928,15 +5930,13 @@ object SparkEntry {
           else {
             val a = ps.foldLeft(0.0)((s, pp) =>
               s + pp.sign * graft.vector.Clip.ringArea(pp.xs, pp.ys))
-            Some(s"(CAST($pid AS BIGINT), ${ps.length}, CAST(${r5(a)} AS DOUBLE))")
+            Some(s"(CAST($pid AS BIGINT), ${ps.length}, CAST(${u5(a)} AS BIGINT))")
           }
         }
-        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, n_pieces, area)"
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, n_pieces, area_u)"
       },
 
       "q_poly_union_concave" -> {
-        def r5(x: Double) =
-          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
         val areaB = graft.vector.Overlay.area(crossClip)
         val rows = concaveFixtures.map { case (pid, xs, ys) =>
           val p = graft.vector.Polygon(
@@ -5945,14 +5945,12 @@ object SparkEntry {
           val inter = ps.foldLeft(0.0)((s, pp) =>
             s + pp.sign * graft.vector.Clip.ringArea(pp.xs, pp.ys))
           val u = graft.vector.Overlay.area(p) + areaB - inter
-          s"(CAST($pid AS BIGINT), CAST(${r5(u)} AS DOUBLE))"
+          s"(CAST($pid AS BIGINT), CAST(${u5(u)} AS BIGINT))"
         }
-        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, area_union)"
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, area_union_u)"
       },
 
       "q_poly_difference_concave" -> {
-        def r5(x: Double) =
-          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
         val areaB = graft.vector.Overlay.area(crossClip)
         val rows = concaveFixtures.map { case (pid, xs, ys) =>
           val p = graft.vector.Polygon(
@@ -5961,10 +5959,10 @@ object SparkEntry {
           val inter = ps.foldLeft(0.0)((s, pp) =>
             s + pp.sign * graft.vector.Clip.ringArea(pp.xs, pp.ys))
           val aA = graft.vector.Overlay.area(p)
-          s"(CAST($pid AS BIGINT), CAST(${r5(aA - inter)} AS DOUBLE), " +
-            s"CAST(${r5(aA + areaB - 2.0 * inter)} AS DOUBLE))"
+          s"(CAST($pid AS BIGINT), CAST(${u5(aA - inter)} AS BIGINT), " +
+            s"CAST(${u5(aA + areaB - 2.0 * inter)} AS BIGINT))"
         }
-        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, area_diff, area_symdiff)"
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, area_diff_u, area_symdiff_u)"
       },
 
       // concave buffer: the oracle re-derives point-in-union per grid
@@ -6001,8 +5999,6 @@ object SparkEntry {
       // pure-Scala n-ary union algebra runs at oracle-build time in
       // the SAME ascending-pid fold order the engine pins
       "q_dissolve" -> {
-        def r5(x: Double) =
-          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
         val rows = dissolveFixtures.groupBy(_._1).toSeq.sortBy(_._1).map {
           case (key, members) =>
             val polys = members.sortBy(_._2).map { case (_, _, xs, ys) =>
@@ -6012,9 +6008,9 @@ object SparkEntry {
             val ps = graft.vector.Overlay.unionAll(polys)
             val a = graft.vector.Overlay.pieceSetArea(ps)
             s"(CAST($key AS BIGINT), ${members.length}, ${ps.length}, " +
-              s"CAST(${r5(a)} AS DOUBLE))"
+              s"CAST(${u5(a)} AS BIGINT))"
         }
-        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(key, n_polys, n_pieces, area)"
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(key, n_polys, n_pieces, area_u)"
       },
 
       // knn-within-radius: exact integer d2 (the +0.5 center offsets
@@ -6044,8 +6040,6 @@ object SparkEntry {
       // overlay join: the pure-Scala pair twin runs at oracle-build
       // time over the same sf-independent star x diamond fixtures
       "q_overlay_join" -> {
-        def r5(x: Double) =
-          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
         val rows = for {
           (aid, axs, ays) <- concaveFixtures
           (bid, bxs, bys) <- clipFixtures
@@ -6058,16 +6052,14 @@ object SparkEntry {
         } yield {
           val area = graft.vector.Overlay.pieceSetArea(ps)
           s"(CAST($aid AS BIGINT), CAST($bid AS BIGINT), ${ps.length}, " +
-            s"CAST(${r5(area)} AS DOUBLE))"
+            s"CAST(${u5(area)} AS BIGINT))"
         }
-        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(aid, bid, n_pieces, area)"
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(aid, bid, n_pieces, area_u)"
       },
 
       // polyline clip: the Liang-Barsky driver twin restates per-pid
       // surviving-segment counts and clipped lengths
       "q_clip_lines" -> {
-        def r5(x: Double) =
-          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
         val rows = lineFixtures.flatMap { case (pid, xs, ys) =>
           var n = 0
           var len = 0.0
@@ -6079,9 +6071,9 @@ object SparkEntry {
             }
           }
           if (n == 0) None
-          else Some(s"(CAST($pid AS BIGINT), $n, CAST(${r5(len)} AS DOUBLE))")
+          else Some(s"(CAST($pid AS BIGINT), $n, CAST(${u5(len)} AS BIGINT))")
         }
-        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, n_segs, length)"
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, n_segs, length_u)"
       },
 
       // the mixture rates CTE reused, then the stratified keep scan
@@ -6260,8 +6252,6 @@ object SparkEntry {
 
       // erase: the n-ary cut-union driver twin at oracle-build time
       "q_erase" -> {
-        def r5(x: Double) =
-          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
         import graft.vector.{Overlay, Polygon, Pt}
         def poly(xs: Seq[Double], ys: Seq[Double]) =
           Polygon(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toIndexedSeq)
@@ -6277,16 +6267,14 @@ object SparkEntry {
             if (acc.isEmpty) m._2 else Overlay.pieceSetUnion(acc, m._2)
           }
           val left = Overlay.area(a) - Overlay.pieceSetArea(cut)
-          s"(CAST($aid AS BIGINT), ${cutters.length}, CAST(${r5(left)} AS DOUBLE))"
+          s"(CAST($aid AS BIGINT), ${cutters.length}, CAST(${u5(left)} AS BIGINT))"
         }
-        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(aid, n_cutters, area_left)"
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(aid, n_cutters, area_left_u)"
       },
 
       // line x polygon overlay: the signed-algebra driver twin runs
       // at oracle-build time over the same fixtures
       "q_line_overlay" -> {
-        def r5(x: Double) =
-          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
         val rows = for {
           (lid, lxs, lys) <- lineFixtures
           (gid, pxs, pys) <- concaveFixtures
@@ -6295,24 +6283,22 @@ object SparkEntry {
             pxs.zip(pys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq)
           len = graft.vector.Overlay.lineLengthIn(line, graft.vector.Overlay.pieces(poly))
           if len > 1e-9
-        } yield s"(CAST($lid AS BIGINT), CAST($gid AS BIGINT), CAST(${r5(len)} AS DOUBLE))"
-        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(lid, gid, len_in)"
+        } yield s"(CAST($lid AS BIGINT), CAST($gid AS BIGINT), CAST(${u5(len)} AS BIGINT))"
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(lid, gid, len_in_u)"
       },
 
       // literal-restating oracle (q_tin precedent): the pure-Scala
       // clip twin runs over the same sf-independent fixtures at
       // oracle-build time and pins the expected rows
       "q_clip" -> {
-        def r5(x: Double) =
-          BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
         val rows = clipFixtures.flatMap { case (pid, xs, ys) =>
           val (cx, cy) = graft.vector.Clip.clipRing(
             xs.toIndexedSeq, ys.toIndexedSeq, 64, 64, 192, 192)
           if (cx.isEmpty) None
           else Some(s"(CAST($pid AS BIGINT), ${cx.length}, " +
-            s"CAST(${r5(graft.vector.Clip.ringArea(cx, cy))} AS DOUBLE))")
+            s"CAST(${u5(graft.vector.Clip.ringArea(cx, cy))} AS BIGINT))")
         }
-        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, n, area)"
+        s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pid, n, area_u)"
       },
 
       // variogram: exact-integer d2/dv2, IEEE sqrt lag binning, one
@@ -6577,7 +6563,7 @@ object SparkEntry {
 
       "q_focal_time" ->
         s"""WITH g AS ($egrid)
-           |SELECT c.x AS x, c.y AS y, c.instant AS instant, round(sum(n.v), 5) AS v
+           |SELECT c.x AS x, c.y AS y, c.instant AS instant, ${uqSql("sum(n.v)")} AS v_u
            |FROM g c JOIN g n ON n.instant = c.instant
            |  AND n.x BETWEEN c.x - 1 AND c.x + 1 AND n.y BETWEEN c.y - 1 AND c.y + 1
            |GROUP BY 1, 2, 3""".stripMargin,
@@ -6626,7 +6612,7 @@ object SparkEntry {
            |  FROM pv JOIN nx USING (x, y, instant)
            |       JOIN g gp ON gp.x = pv.x AND gp.y = pv.y AND gp.instant = pv.pt
            |       JOIN g gn ON gn.x = pv.x AND gn.y = pv.y AND gn.instant = nx.nt)
-           |SELECT x, y, instant, round(v, 5) AS v
+           |SELECT x, y, instant, ${uqSql("v")} AS v_u
            |FROM (SELECT x, y, instant, v FROM g UNION ALL SELECT x, y, instant, v FROM fill)""".stripMargin,
 
       // radius-1 temporal mean over valid values (exact integral sums)
@@ -6634,7 +6620,7 @@ object SparkEntry {
         s"""WITH g AS ($tgrid),
            |k AS (SELECT DISTINCT x, y FROM g),
            |t AS (SELECT k.x, k.y, i.range AS instant FROM k, range(0, 3) i)
-           |SELECT t.x, t.y, t.instant, round(sum(g2.v) / count(*), 5) AS v
+           |SELECT t.x, t.y, t.instant, ${uqSql("sum(g2.v) / count(*)")} AS v_u
            |FROM t JOIN g g2 ON g2.x = t.x AND g2.y = t.y AND abs(g2.instant - t.instant) <= 1
            |GROUP BY 1, 2, 3""".stripMargin,
 
@@ -6667,8 +6653,8 @@ object SparkEntry {
            |             count(*) AS n
            |      FROM c GROUP BY 1, 2, 3, 4, 5)
            |SELECT i AS x, j AS y, instant,
-           |  round(va * (1.0 - fx) * (1.0 - fy) + vb * fx * (1.0 - fy)
-           |      + vc * (1.0 - fx) * fy + vd * fx * fy, 5) AS v
+           |  ${uqSql("""va * (1.0 - fx) * (1.0 - fy) + vb * fx * (1.0 - fy)
+           |      + vc * (1.0 - fx) * fy + vd * fx * fy""")} AS v_u
            |FROM p WHERE n = 4""".stripMargin,
 
       "q_reproject_time" -> {
@@ -6700,7 +6686,7 @@ object SparkEntry {
       // --- multiband: band 0 = lineitem grid, band 1 = orders grid;
       // cells where a band is missing are NoData for that band
       "q_mb_ndvi" ->
-        s"""SELECT a.x AS x, a.y AS y, round((b.v - a.v) / (b.v + a.v), 5) AS v
+        s"""SELECT a.x AS x, a.y AS y, ${uqSql("(b.v - a.v) / (b.v + a.v)")} AS v_u
            |FROM ($grid) a JOIN ($ogrid) b ON a.x = b.x AND a.y = b.y""".stripMargin,
 
       "q_mb_map" ->
@@ -6713,9 +6699,9 @@ object SparkEntry {
       "q_pansharpen" ->
         s"""WITH a AS ($grid), b AS ($ogrid),
            |j AS (SELECT a.x, a.y, a.v AS va, b.v AS vb, a.v + 100 AS p FROM a JOIN b USING (x, y))
-           |SELECT x, y, CAST(0 AS INT) AS band, round(va * p / ((va + vb) / 2), 5) AS v FROM j
+           |SELECT x, y, CAST(0 AS INT) AS band, ${uqSql("va * p / ((va + vb) / 2)")} AS v_u FROM j
            |UNION ALL
-           |SELECT x, y, CAST(1 AS INT) AS band, round(vb * p / ((va + vb) / 2), 5) AS v FROM j""".stripMargin,
+           |SELECT x, y, CAST(1 AS INT) AS band, ${uqSql("vb * p / ((va + vb) / 2)")} AS v_u FROM j""".stripMargin,
 
       // exact quarter-unit overlap products, clamped to the grid
       "q_rasterize_coverage" ->
@@ -6761,10 +6747,10 @@ object SparkEntry {
         s"""WITH a AS ($grid), b AS ($ogrid),
            |j AS (SELECT a.x, a.y, a.v AS va, b.v AS vb FROM a JOIN b USING (x, y))
            |SELECT x, y, CAST(0 AS INT) AS band,
-           |  round(CAST(0.5 AS DOUBLE) * va + CAST(0.5 AS DOUBLE) * vb, 5) AS v FROM j
+           |  ${uqSql("CAST(0.5 AS DOUBLE) * va + CAST(0.5 AS DOUBLE) * vb")} AS v_u FROM j
            |UNION ALL
            |SELECT x, y, CAST(1 AS INT) AS band,
-           |  round(CAST(1.0 AS DOUBLE) * va + CAST(-1.0 AS DOUBLE) * vb, 5) AS v FROM j""".stripMargin,
+           |  ${uqSql("CAST(1.0 AS DOUBLE) * va + CAST(-1.0 AS DOUBLE) * vb")} AS v_u FROM j""".stripMargin,
 
       // quantized component means per label (exact integer sums)
       "q_embed_centroids" ->
@@ -7220,7 +7206,7 @@ object SparkEntry {
           |      FROM sh JOIN d USING (h) JOIN documents doc USING (doc_id))
           |SELECT source, count(*) AS n_shingles,
           |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
-          |  round(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate
+          |  CAST(round((CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS dup_rate_u
           |FROM j GROUP BY 1""".stripMargin,
 
       // deterministic md5 5% sample + cross-multiplied rank rule:
