@@ -3111,9 +3111,12 @@ object SparkEntry {
       // from the SAME pigeonhole-banded hamming join text SimHash
       // uses; the oracle recomputes the sampled bits from the closed
       // pixel form and brute-pairs them
+      // failOnHot: the brute-pair oracle assumes pigeonhole
+      // completeness — a capped bucket must fail loudly, not drop
       pipeline.Multimodal.imageHashPairs(
         pipeline.Multimodal.synthBmpNearDupBlobs(
-          table(s, dir, "documents").where(expr("doc_id div 4") % 199 === 0)))),
+          table(s, dir, "documents").where(expr("doc_id div 4") % 199 === 0)),
+        failOnHot = true)),
 
     "q_audio_dedup" -> ((s, dir) =>
       // audio-fingerprint near-dup pairs through the REAL WAV path
@@ -3122,7 +3125,8 @@ object SparkEntry {
       // join; brute-pair oracle from the closed sample form
       pipeline.Multimodal.audioHashPairs(
         pipeline.Multimodal.synthWavNearDupBlobs(
-          table(s, dir, "documents").where(expr("doc_id div 4") % 199 === 0)))),
+          table(s, dir, "documents").where(expr("doc_id div 4") % 199 === 0)),
+        failOnHot = true)),
 
     "q_split_safe" -> ((s, dir) =>
       // LEAKAGE-SAFE split (r17): permille over the normalized

@@ -931,7 +931,8 @@ object Dedup {
     * signatures correct. */
   private[pipeline] def simhashPairsFrom(sig: DataFrame, bits: Int, maxDist: Int,
                                          bands: Int,
-                                         maxBucket: Option[Long]): DataFrame = {
+                                         maxBucket: Option[Long],
+                                         failOnHot: Boolean = false): DataFrame = {
     require(maxDist < bands, "pigeonhole needs maxDist < bands")
     require(bits % bands == 0, "bands must evenly split the signature")
     val width = bits / bands
@@ -947,7 +948,17 @@ object Dedup {
     val banded = maxBucket.fold(banded0) { cap =>
       val hot = banded0.groupBy("band", "bbits").agg(count(lit(1)).as("_n"))
         .where(col("_n") > cap).select(col("band"), col("bbits"))
-      banded0.join(hot, Seq("band", "bbits"), "left_anti")
+      // oracle-gated fixtures assume pigeonhole COMPLETENESS (every
+      // pair <= maxDist surfaces); a dropped hot bucket silently
+      // breaks that, so gated paths fail loudly instead (ADVICE r17)
+      if (failOnHot) {
+        val nHot = hot.count()
+        require(nHot == 0,
+          s"$nHot band buckets exceed the $cap cap — the banded join " +
+            "would drop pairs the completeness contract requires; " +
+            "raise maxBucket or widen the bands")
+        banded0
+      } else banded0.join(hot, Seq("band", "bbits"), "left_anti")
     }
     banded.as("a").join(banded.as("b"), Seq("band", "bbits"))
       .where(col("a.doc_id") < col("b.doc_id"))

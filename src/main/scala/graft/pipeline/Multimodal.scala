@@ -136,7 +136,8 @@ object Multimodal {
     * docs); undecodable blobs drop too. Output: (d1, d2, hamming). */
   def audioHashPairs(blobs: DataFrame, win: Int = 4, bits: Int = 32,
                      maxDist: Int = 7, bands: Int = 8,
-                     maxBucket: Option[Long] = Some(Dedup.SimhashMaxBucket)): DataFrame = {
+                     maxBucket: Option[Long] = Some(Dedup.SimhashMaxBucket),
+                     failOnHot: Boolean = false): DataFrame = {
     require(win > 0 && bits > 0 && bits % bands == 0)
     val spark = blobs.sparkSession
     import spark.implicits._
@@ -163,7 +164,8 @@ object Multimodal {
             (id, hash)
           }
       }.toDF("doc_id", "sig")
-    Dedup.simhashPairsFrom(sig.localCheckpoint(), bits, maxDist, bands, maxBucket)
+    Dedup.simhashPairsFrom(sig.localCheckpoint(), bits, maxDist, bands,
+      maxBucket, failOnHot)
   }
 
   /** Deterministic synthetic 24-bit BMPs through the REAL BMP byte
@@ -214,7 +216,8 @@ object Multimodal {
     * Undecodable blobs drop (no signature, like sub-shingle docs).
     * Output: (d1, d2, hamming). */
   def imageHashPairs(blobs: DataFrame, maxDist: Int = 7, bands: Int = 8,
-                     maxBucket: Option[Long] = Some(Dedup.SimhashMaxBucket)): DataFrame = {
+                     maxBucket: Option[Long] = Some(Dedup.SimhashMaxBucket),
+                     failOnHot: Boolean = false): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
     val sig = blobs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
@@ -241,7 +244,8 @@ object Multimodal {
           (id, hash)
         }
       }.toDF("doc_id", "sig")
-    Dedup.simhashPairsFrom(sig.localCheckpoint(), 64, maxDist, bands, maxBucket)
+    Dedup.simhashPairsFrom(sig.localCheckpoint(), 64, maxDist, bands,
+      maxBucket, failOnHot)
   }
 
   /** Minimal 24-bit BI_RGB BMP writer (bottom-up rows, 4-byte row

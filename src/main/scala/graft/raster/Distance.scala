@@ -216,8 +216,9 @@ object Distance {
     * to the walk. The distance fixpoint itself stays distributed in
     * both regimes.
     *
-    * @return (seq, x, y, v): step index from dest (0) to source, the
-    *         accumulated cost at each path cell (rounded 5dp) */
+    * @return (seq, x, y, v_u): step index from dest (0) to source,
+    *         the accumulated cost at each path cell micro-quantized
+    *         (round(d*1e5) as BIGINT — the portable closing) */
   def costPath(friction: RasterLayer, sources: DataFrame,
                maxRounds: Int = 64,
                maxCost: Double = Double.PositiveInfinity,
@@ -242,7 +243,8 @@ object Distance {
     if (nReach > maxDriverCells) return costPathDistributed(reachDf, gridCols)
     val reach = reachDf.as[(Long, Long, Double, Double)].collect()
     val byId = reach.map { case (x, y, d, f) => (y * gridCols + x) -> (x, y, d, f) }.toMap
-    if (byId.isEmpty) return Seq.empty[(Long, Long, Long, Double)].toDF("seq", "x", "y", "v")
+    if (byId.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)].toDF("seq", "x", "y", "v_u")
     // dest: farthest reachable cell, ties to the smallest id
     var cur = reach.map { case (x, y, d, _) => (d, y * gridCols + x) }
       .reduce { (a, b) => if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b }._2

@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   *    micro-degrees (sign-magnitude MSB per the GRIB convention),
   *    scanning mode 0 (west→east, north→south — row-major y-down,
   *    the engine's tile order);
+  *  - LONGITUDE SPACE: the codec preserves the caller's x
+  *    coordinates verbatim (negative = sign-magnitude), i.e. the
+  *    engine's ±180 convention, and decode never re-wraps — a
+  *    documented SUBSET divergence from regulation 92.1.5's
+  *    0..360-only storage. The two spaces are ambiguous without
+  *    metadata (a Lo1 of 200e6 is 200°E in one and out-of-range in
+  *    the other), so wrapping silently would corrupt non-geographic
+  *    grids; regulation files from real NWP producers west of
+  *    Greenwich therefore decode with 0..360-space extents and the
+  *    caller shifts by -360 where geography requires it (the same
+  *    contract GDAL's GRIB driver exposes);
   *  - section 4 product template 4.0 (analysis at reference time —
   *    the instant rides section 1's calendar fields);
   *  - section 5 data template 5.0 (simple packing): Y = (R + X·2^E) /
@@ -343,7 +354,8 @@ object Grib2 {
     import spark.implicits._
     val scenes = gribs.select(col("scene_id"), col("grib")).as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        val f = decode(bytes).head
+        val f = decode(bytes).headOption.getOrElse(throw new IllegalArgumentException(
+          s"scene $id: GRIB blob contains no messages"))
         (id, f.xmin, f.ymin, f.xmax, f.ymax, f.cols, f.rows, f.cells.toSeq)
       }
       .toDF("scene_id", "xmin", "ymin", "xmax", "ymax", "cols", "rows", "cells")

@@ -80,6 +80,22 @@ class Grib2Spec extends AnyFunSuite {
     assert(Grib2.civilOf(1700000000L) == ((2023, 11, 14, 22, 13, 20)))
   }
 
+  test("longitude space is preserved verbatim — no silent 0..360 wrapping") {
+    // documented subset contract (scaladoc): the codec keeps the
+    // caller's x space. A regulation-style 0..360 producer grid
+    // (348..354°E, positive micro-degrees on the wire) decodes with
+    // its 0..360 extent intact — the caller shifts by -360 where
+    // geography requires it, never the codec.
+    val b360 = Grib2.encodeGrid(Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0), 3, 2, 348, 5, 354, 9)
+    val f360 = Grib2.decode(b360).head
+    assert(math.abs(f360.xmin - 348) < 1e-9 && math.abs(f360.xmax - 354) < 1e-9)
+    // and a ±180-convention west-of-Greenwich grid roundtrips exactly
+    // through sign-magnitude negatives (the engine's own convention)
+    val bNeg = Grib2.encodeGrid(Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0), 3, 2, -12, 5, -6, 9)
+    val fNeg = Grib2.decode(bNeg).head
+    assert(math.abs(fNeg.xmin - -12) < 1e-9 && math.abs(fNeg.xmax - -6) < 1e-9)
+  }
+
   test("malformed inputs fail loudly") {
     intercept[IllegalArgumentException] { Grib2.decode("GRIX____".getBytes) }
     val good = Grib2.encodeGrid(Array(1.0), 1, 1, 0, 0, 1, 1)
