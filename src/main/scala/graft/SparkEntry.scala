@@ -1173,6 +1173,25 @@ object SparkEntry {
         .toCells.select(col("x"), col("y"), col("v").cast("long").as("pid"))
     }),
 
+    "q_voronoi_dual" -> ((s, dir) => {
+      // the SAME diagram through the Delaunay-dual scale path (r18):
+      // cells from neighbor-only bisector clipping (cellsDual,
+      // scale 100 for the .31/.74 offsets) — region-identical to the
+      // all-pairs path by the duality theorem, so it shares
+      // q_voronoi's nearest-site oracle verbatim
+      import s.implicits._
+      val sites = table(s, dir, "supplier").where(col("s_suppkey") <= 10)
+        .select(col("s_suppkey").cast("long").as("pid"),
+          ((col("s_suppkey") * 13) % 256 + lit(0.31)).cast("double").as("px"),
+          ((col("s_suppkey") * 29) % 256 + lit(0.74)).cast("double").as("py"))
+        .as[(Long, Double, Double)].collect().sortBy(_._1).toIndexedSeq
+      val cells = graft.vector.Voronoi.cellsDual(
+        sites.map(p => graft.vector.Pt(p._2, p._3)), 0, 0, 256, 256, scale = 100L)
+      graft.raster.Rasterize.features(s,
+          cells.map { case (i, poly) => (poly, sites(i)._1.toDouble) }, layout)
+        .toCells.select(col("x"), col("y"), col("v").cast("long").as("pid"))
+    }),
+
     "q_tin" -> ((s, dir) =>
       // Delaunay TIN over the 11 suppliers with pid <= 10 (fixed pid
       // formulas -> fixed triangulation, stated as literals in the
@@ -8523,6 +8542,9 @@ object SparkEntry {
       // byte-identical to their recompute originals
       "q_dedup_incremental_indexed" -> base("q_dedup_incremental"),
       "q_ann_ivf_indexed"           -> base("q_ann_ivf"),
+      // Delaunay-dual Voronoi (r18): region-identical construction,
+      // same nearest-site oracle
+      "q_voronoi_dual"              -> base("q_voronoi"),
     )
   }
 }

@@ -6,23 +6,37 @@ package graft.vector
   * points nearer to it than to any other site, clipped to a bounding
   * extent.
   *
-  * Construction: cell(i) = extent rectangle ∩ (∩_{j≠i} bisector
-  * half-plane closer to i) — one Sutherland–Hodgman pass per bisector.
-  * Clipping against ALL other sites is the definition itself (exact,
-  * no neighbor-list dependence, no coordinate contract); restricting
-  * to Delaunay neighbors is the classic optimization for big site
-  * sets and drops in where the half-integral Delaunay contract holds.
-  * Unbounded hull cells are bounded by the extent clip.
+  * Construction, two paths sharing one clipBisector kernel:
+  *  - [[cells]]: cell(i) = extent rectangle ∩ (∩_{j≠i} bisector
+  *    half-plane closer to i) — one Sutherland–Hodgman pass per
+  *    bisector. Clipping against ALL other sites is the definition
+  *    itself (exact, no neighbor-list dependence, no coordinate
+  *    contract) but n² in sites — the dim-sized path, guarded by
+  *    [[MaxSites]].
+  *  - [[cellsDual]] (r18, the geotrellis VoronoiDiagram construction):
+  *    clip only against i's DELAUNAY NEIGHBORS — V(i) is exactly the
+  *    intersection of its neighbors' bisector half-planes (every
+  *    non-neighbor bisector is redundant), so total clip work is
+  *    O(#Delaunay edges) = O(n) instead of O(n²). Needs the
+  *    integral-at-scale coordinate contract the exact Bowyer-Watson
+  *    predicates demand ([[Delaunay.triangulateScaled]]); guarded by
+  *    the much larger [[MaxSitesDual]].
+  * Unbounded hull cells are bounded by the extent clip in both.
   *
   * Scale shape: sites are the DIM side (model-constant, like
-  * kriging's variogram fit and the TIN triangulation) — this runs
-  * driver-side under a loud [[MaxSites]] guard; the GRID side stays
+  * kriging's variogram fit and the TIN triangulation) — both paths
+  * run driver-side under loud guards; the GRID side stays
   * distributed (cells feed Rasterize.features / mask / spatial joins).
   */
 object Voronoi {
 
-  /** Driver-side guard: all-pairs clipping is n² in sites. */
+  /** Driver-side guard: all-pairs clipping is n² in sites. Past it,
+    * use [[cellsDual]] — the implemented Delaunay-neighbor swap. */
   val MaxSites = 4096
+
+  /** [[cellsDual]] guard: clip work is linear in sites, but the
+    * triangulation and the cell list still live on the driver. */
+  val MaxSitesDual = 262144
 
   /** Voronoi cells clipped to [xmin,xmax]×[ymin,ymax].
     * @param sites distinct points (duplicate sites rejected)
@@ -33,7 +47,8 @@ object Voronoi {
     require(sites.nonEmpty, "no sites")
     require(sites.length <= MaxSites,
       s"${sites.length} sites exceed MaxSites=$MaxSites — Voronoi sites are " +
-        "the dim side (use the Delaunay-neighbor variant for bigger sets)")
+        "the dim side; use cellsDual (the Delaunay-neighbor path) for " +
+        "bigger sets")
     require(sites.distinct.length == sites.length, "duplicate sites")
     require(xmin < xmax && ymin < ymax, "degenerate extent")
     val box = IndexedSeq(Pt(xmin, ymin), Pt(xmax, ymin), Pt(xmax, ymax), Pt(xmin, ymax))
@@ -43,6 +58,50 @@ object Voronoi {
       while (j < sites.length && ring.length >= 3) {
         if (j != i) ring = clipBisector(ring, sites(i), sites(j))
         j += 1
+      }
+      if (ring.length >= 3) Some(i -> Polygon(ring)) else None
+    }
+  }
+
+  /** Voronoi cells via the Delaunay dual: clip each site's box only
+    * against its Delaunay neighbors' bisectors. Region-identical to
+    * [[cells]] (the duality theorem: V(i) = ∩ neighbor half-planes;
+    * VoronoiDualSpec proves agreement on the 65,536-center audit
+    * grid), with O(n) total clip work instead of n².
+    *
+    * @param scale the exact-predicate coordinate contract: every
+    *              site coordinate must be integral after ·scale
+    *              (half-integral grids: 2; the .31/.74 query
+    *              fixtures: 100). See [[Delaunay.triangulateScaled]].
+    * Degenerate site sets (< 3 sites or all collinear — zero
+    * triangles) fall back to the exact all-pairs clip, which their
+    * size must then fit ([[MaxSites]] still applies there). */
+  def cellsDual(sites: IndexedSeq[Pt], xmin: Double, ymin: Double,
+                xmax: Double, ymax: Double,
+                scale: Long = 100L): Seq[(Int, Polygon)] = {
+    require(sites.nonEmpty, "no sites")
+    require(sites.length <= MaxSitesDual,
+      s"${sites.length} sites exceed MaxSitesDual=$MaxSitesDual")
+    require(sites.distinct.length == sites.length, "duplicate sites")
+    require(xmin < xmax && ymin < ymax, "degenerate extent")
+    val nbrs = Delaunay.neighborsScaled(
+      sites.map(p => (p.x, p.y)).toArray, scale)
+    if (nbrs.forall(_.isEmpty)) // < 3 sites or fully collinear
+      return cells(sites, xmin, ymin, xmax, ymax)
+    // a mixed empty/non-empty neighbor map means two distinct-double
+    // sites collided after the scale rint — the triangulation dropped
+    // one and its "cell" would silently stay the whole box
+    require(nbrs.forall(_.nonEmpty),
+      s"sites collide at scale $scale — raise the scale to the " +
+        "coordinates' true resolution")
+    val box = IndexedSeq(Pt(xmin, ymin), Pt(xmax, ymin), Pt(xmax, ymax), Pt(xmin, ymax))
+    sites.indices.flatMap { i =>
+      var ring = box
+      val nb = nbrs(i)
+      var k = 0
+      while (k < nb.length && ring.length >= 3) {
+        ring = clipBisector(ring, sites(i), sites(nb(k)))
+        k += 1
       }
       if (ring.length >= 3) Some(i -> Polygon(ring)) else None
     }
