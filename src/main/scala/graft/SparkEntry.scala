@@ -1716,6 +1716,33 @@ object SparkEntry {
           dstTile = 50, bilinear = true, dstCols = 200)
         .toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))),
 
+    "q_read_to_layout" -> ((s, dir) => {
+      // ONE-CALL scene ingest (r18 — reference vlm/RasterSource
+      // .scala:89 get / rasterio.py:72): lineitem grid georeferenced
+      // to 0.1-degree cells -> per-tile GeoTiff scene blobs ->
+      // Ingest.readToLayout composes decode -> metadata-snapped cut
+      // -> general tiled warp (EPSG:4326 -> EPSG:3857, Bilinear) in
+      // one call. Shares q_reproject_bilinear's oracle: the general
+      // gather samples the identical inverse chain (normLon is exact
+      // identity in-range, x - 0.0 = x), and the 32/25 resolution
+      // ratio keeps every gx - 0.5 off floor boundaries so the
+      // metadata-roundtripped cell size (last-ulp of 0.1) cannot
+      // move a corner choice.
+      import graft.core.{Extent, LayoutDefinition, TileLayout}
+      val degLayout = LayoutDefinition(Extent(0, 0, 25.6, 25.6), TileLayout(4, 4, 64, 64))
+      val l = RasterLayer.fromCells(
+        table(s, dir, "lineitem").select(
+          (col("l_orderkey") % G).as("x"), (col("l_partkey") % G).as("y"),
+          col("l_quantity").as("v")),
+        degLayout, CellOp.Sum)
+      val scenes = GeoTiff.toGeoTiff(l)
+        .select((col("col").cast("long") * 4 + col("row")).as("scene_id"), col("tiff"))
+      val dst = graft.raster.Ingest.mercatorLayout(0, 0, 25.6, 25.6, 200, 200, 50)
+      graft.raster.Ingest.readToLayout(scenes, "geotiff", dst,
+          srcCrs = "EPSG:4326", dstCrs = "EPSG:3857", method = "Bilinear")
+        .toCells.select(col("x"), col("y"), uq(col("v")).as("v_u"))
+    }),
+
     "q_reproject_cubic" -> ((s, dir) => {
       // Keys a=-0.5 bicubic warp. Source is the DENSER 128-grid (~97%
       // occupancy at sf0.01 vs ~60% for the 256-grid) so the 16-tap
@@ -8545,6 +8572,9 @@ object SparkEntry {
       // Delaunay-dual Voronoi (r18): region-identical construction,
       // same nearest-site oracle
       "q_voronoi_dual"              -> base("q_voronoi"),
+      // one-call ingest (r18): decode -> cut -> warp composes to the
+      // same inverse-sampled bilinear chain, oracle shared verbatim
+      "q_read_to_layout"            -> base("q_reproject_bilinear"),
     )
   }
 }
