@@ -2986,6 +2986,15 @@ object SparkEntry {
       // CCNet head/middle/tail perplexity thirds per source
       pipeline.TextAnalysis.perplexityBuckets(table(s, dir, "documents"))),
 
+    "q_ppl_buckets_degrade" -> ((s, dir) =>
+      // the SAME corpus FORCED through the threshold-sketch degrade
+      // (r18, maxExactPerSource = 0): milli-nat histogram sketch ->
+      // rational-rank tercile thresholds -> bucket by VALUE; its own
+      // oracle (value semantics put nll ties in one bucket where the
+      // exact path splits them by rank)
+      pipeline.TextAnalysis.perplexityBuckets(table(s, dir, "documents"),
+        maxExactPerSource = 0)),
+
     "q_cms_sketch" -> ((s, dir) =>
       // 4 x 256 count-min sketch of the token frequency stream
       pipeline.Sketch.countMinSketch(table(s, dir, "documents"))),
@@ -8091,8 +8100,44 @@ object SparkEntry {
           |        row_number() OVER (PARTITION BY source ORDER BY nll, doc_id) AS r,
           |        count(*) OVER (PARTITION BY source) AS n_src FROM sc)
           |SELECT source, (r - 1) * 3 // n_src AS bucket, count(*) AS n_docs,
-          |  round(CAST(sum(nll_q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 5) AS mean_nll
+          |  CAST(round(CAST(sum(nll_q) AS DOUBLE) / count(*) / 10.0) AS BIGINT) AS mean_nll_u
           |FROM r GROUP BY 1, 2""".stripMargin,
+
+      // the threshold-sketch degrade: same scoring CTEs, then the
+      // milli-nat histogram -> cumulative counts -> cross-multiplied
+      // tercile thresholds -> value-bucketing (engine chain verbatim)
+      "q_ppl_buckets_degrade" ->
+        """WITH w AS (SELECT doc_id, t AS w FROM (
+          |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+          |    FROM documents)),
+          |v AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nv FROM v),
+          |lp AS (SELECT w, CAST(round(ln((cnt + 1.0) / (total + nv)) * 1000000.0) AS BIGINT) AS lp_q
+          |       FROM v, tot),
+          |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(lp_q) AS BIGINT) AS s
+          |      FROM w JOIN lp USING (w) GROUP BY 1),
+          |sc AS (SELECT d.doc_id, doc.source, -s / (n_tokens * 1000000.0) AS nll,
+          |         CAST(round(-s / (n_tokens * 1000000.0) * 1000000.0) AS BIGINT) AS nll_q
+          |       FROM d JOIN documents doc USING (doc_id)),
+          |c AS (SELECT source, nll_q,
+          |        CAST(round(nll * 1000.0) AS BIGINT) AS c_q FROM sc),
+          |sk AS (SELECT source, c_q, count(*) AS cnt FROM c GROUP BY 1, 2),
+          |cu AS (SELECT source, c_q,
+          |         sum(cnt) OVER (PARTITION BY source ORDER BY c_q
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |       FROM sk),
+          |ns AS (SELECT source, count(*) AS n_src FROM sc GROUP BY 1),
+          |th AS (SELECT cu.source,
+          |         min(CASE WHEN cum * 3 >= n_src THEN c_q END) AS t1,
+          |         min(CASE WHEN cum * 3 >= n_src * 2 THEN c_q END) AS t2
+          |       FROM cu JOIN ns USING (source) GROUP BY 1),
+          |b AS (SELECT c.source,
+          |        CASE WHEN c_q < t1 THEN 0 WHEN c_q < t2 THEN 1 ELSE 2 END AS bucket,
+          |        nll_q
+          |      FROM c JOIN th USING (source))
+          |SELECT source, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+          |  CAST(round(CAST(sum(nll_q) AS DOUBLE) / count(*) / 10.0) AS BIGINT) AS mean_nll_u
+          |FROM b GROUP BY 1, 2""".stripMargin,
 
       "q_cms_sketch" ->
         """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),

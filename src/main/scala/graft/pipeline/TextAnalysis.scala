@@ -989,27 +989,72 @@ object TextAnalysis {
     * integers (engine-identical), ties break on doc_id; the bucket is
     * floor((rank-1)·3 / n) — explicit integer math rather than ntile()
     * so both engines state the same rule. Per-bucket mean nll
-    * aggregates the micro-nat quantized per-doc scores (exact sums).
+    * aggregates the micro-nat quantized per-doc scores (exact sums),
+    * closing micro-quantized to 1e-5 nats (BIGINT, the portable form).
     *
-    * Scale: the window sorts within source partitions only (the
-    * quantile_breaks_int discipline — at petabyte scale swap the exact
-    * rank for the t-digest threshold sketch, same output contract). */
-  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    * Scale: the EXACT path sorts within source partitions — fine
+    * while the biggest source fits one partition's sort. Past
+    * `maxExactPerSource` docs in any source it degrades to the
+    * THRESHOLD-SKETCH path (r18, the documented t-digest/KLL swap,
+    * HistogramOps maxDistinct discipline): per-doc nll is quantized
+    * to milli-nats, the (source, milli-nat) histogram — a mergeable
+    * bounded sketch with deterministic (integer-sum) merges — yields
+    * the two tercile thresholds by the cross-multiplied rational-rank
+    * rule, and docs bucket by VALUE against the broadcast thresholds.
+    * No corpus-wide sort anywhere; ties land in one bucket (value
+    * semantics) instead of splitting by rank, so the degrade is its
+    * own documented contract with its own oracle
+    * (`q_ppl_buckets_degrade`), the sampled-quantiles precedent. */
+  def perplexityBuckets(docs: DataFrame,
+                        maxExactPerSource: Long = PplMaxExactPerSource): DataFrame = {
     val scored = unigramLmScore(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("doc_id"), col("source"), col("nll"),
         round(col("nll") * lit(1000000.0)).cast("long").as("nll_q"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("nll"), col("doc_id"))
+      .localCheckpoint() // guard count + both paths reuse one scoring
     val nPer = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
-    scored.withColumn("r", row_number().over(w).cast("long"))
-      .join(broadcast(nPer), "source")
-      .withColumn("bucket", expr("((r - 1) * 3) div n_src"))
-      .groupBy("source", "bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        round(sum("nll_q").cast("double") / (count(lit(1)) * lit(1000000.0)), 5)
-          .as("mean_nll"))
+    val biggest = nPer.agg(max("n_src")).head().getLong(0)
+    if (biggest <= maxExactPerSource) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("nll"), col("doc_id"))
+      scored.withColumn("r", row_number().over(w).cast("long"))
+        .join(broadcast(nPer), "source")
+        .withColumn("bucket", expr("((r - 1) * 3) div n_src"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("nll_q").cast("double") / count(lit(1)) / lit(10.0))
+            .cast("long").as("mean_nll_u"))
+    } else {
+      // threshold-sketch degrade: milli-nat quantization bounds the
+      // per-source distinct count by the nll range (~20k values for
+      // 0..20 nats) — constant state however many docs flow through
+      val coarse = scored.withColumn("c_q",
+        round(col("nll") * lit(1000.0)).cast("long"))
+      val sketch = coarse.groupBy("source", "c_q")
+        .agg(count(lit(1)).as("cnt")) // mergeable: integer sums
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("c_q")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = sketch
+        .withColumn("cum", sum("cnt").over(w))
+        .join(broadcast(nPer), "source")
+      val thr = cum.groupBy("source").agg(
+        min(when(col("cum") * 3 >= col("n_src"), col("c_q"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n_src") * 2, col("c_q"))).as("t2"))
+      coarse.join(broadcast(thr), "source")
+        .withColumn("bucket",
+          when(col("c_q") < col("t1"), lit(0L))
+            .when(col("c_q") < col("t2"), lit(1L)).otherwise(lit(2L)))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("nll_q").cast("double") / count(lit(1)) / lit(10.0))
+            .cast("long").as("mean_nll_u"))
+    }
   }
+
+  /** [[perplexityBuckets]] exact-rank guard: the largest per-source
+    * doc count one partition should sort. */
+  val PplMaxExactPerSource: Long = 1L << 22
 
   /** Blocklist term scan: per-doc occurrence counts of a fixed term
     * set in ONE fused Aho-Corasick pass (a codegen'd native
