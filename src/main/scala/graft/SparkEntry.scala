@@ -1339,8 +1339,8 @@ object SparkEntry {
         .select(col("x"), col("y"), col("v").as("sdeg"))
       acc.join(slope, Seq("x", "y"))
         .select(col("x"), col("y"),
-          round(log((col("acc") + lit(1L)).cast("double") /
-            greatest(tan(radians(col("sdeg"))), lit(0.001))), 5).as("twi"))
+          uq(log((col("acc") + lit(1L)).cast("double") /
+            greatest(tan(radians(col("sdeg"))), lit(0.001)))).as("twi_u"))
     }),
 
     "q_watershed" -> ((s, dir) =>
@@ -1550,8 +1550,8 @@ object SparkEntry {
     // --- CRS / keys / index
     "q_reproject" -> ((s, dir) =>
       customerLonLat(s, dir).select(col("pid"),
-        round(CRS.lngToMercXCol(col("lon")), 4).as("mx"),
-        round(CRS.latToMercYCol(col("lat")), 4).as("my"))),
+        uq(CRS.lngToMercXCol(col("lon")), 10000.0).as("mx_u"),
+        uq(CRS.latToMercYCol(col("lat")), 10000.0).as("my_u"))),
 
     "q_reproject_utm" -> ((s, dir) => {
       // arbitrary-CRS surface (layer.py:876 takes any target_crs):
@@ -1565,7 +1565,7 @@ object SparkEntry {
       val base = customerLonLat(s, dir).where(col("lon") >= 0 && col("lon") <= 30)
       val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
       full.select(col("pid"),
-        round(expr(eE), 4).as("e_utm"), round(expr(nE), 4).as("n_utm"))
+        uq(expr(eE), 10000.0).as("e_utm_u"), uq(expr(nE), 10000.0).as("n_utm_u"))
     }),
 
     "q_reproject_polar" -> ((s, dir) => {
@@ -1579,7 +1579,7 @@ object SparkEntry {
       val base = customerLonLat(s, dir).where(col("lat") >= 60)
       val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
       full.select(col("pid"),
-        round(expr(eE), 4).as("e_ps"), round(expr(nE), 4).as("n_ps"))
+        uq(expr(eE), 10000.0).as("e_ps_u"), uq(expr(nE), 10000.0).as("n_ps_u"))
     }),
 
     "q_warp_bilinear" -> ((s, dir) => {
@@ -1610,7 +1610,7 @@ object SparkEntry {
         col("lat") >= 35 && col("lat") <= 75)
       val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
       full.select(col("pid"),
-        round(expr(eE), 4).as("e_osgb"), round(expr(nE), 4).as("n_osgb"))
+        uq(expr(eE), 10000.0).as("e_osgb_u"), uq(expr(nE), 10000.0).as("n_osgb_u"))
     }),
 
     "q_reproject_albers" -> ((s, dir) => {
@@ -1625,7 +1625,7 @@ object SparkEntry {
         col("lon") >= -130 && col("lon") <= -60 && col("lat") >= 20 && col("lat") <= 55)
       val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
       full.select(col("pid"),
-        round(expr(eE), 4).as("e_aea"), round(expr(nE), 4).as("n_aea"))
+        uq(expr(eE), 10000.0).as("e_aea_u"), uq(expr(nE), 10000.0).as("n_aea_u"))
     }),
 
     "q_reproject_lambert93" -> ((s, dir) => {
@@ -1638,7 +1638,7 @@ object SparkEntry {
         col("lon") >= -10 && col("lon") <= 15 && col("lat") >= 38 && col("lat") <= 55)
       val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
       full.select(col("pid"),
-        round(expr(eE), 4).as("e_l93"), round(expr(nE), 4).as("n_l93"))
+        uq(expr(eE), 10000.0).as("e_l93_u"), uq(expr(nE), 10000.0).as("n_l93_u"))
     }),
 
     "q_reproject_nztm" -> ((s, dir) => {
@@ -1651,7 +1651,7 @@ object SparkEntry {
         col("lon") >= 165 && col("lon") <= 180 && col("lat") >= -48 && col("lat") <= -34)
       val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
       full.select(col("pid"),
-        round(expr(eE), 4).as("e_nztm"), round(expr(nE), 4).as("n_nztm"))
+        uq(expr(eE), 10000.0).as("e_nztm_u"), uq(expr(nE), 10000.0).as("n_nztm_u"))
     }),
 
     "q_reproject_laea" -> ((s, dir) => {
@@ -1664,7 +1664,7 @@ object SparkEntry {
         col("lon") >= -15 && col("lon") <= 35 && col("lat") >= 30 && col("lat") <= 72)
       val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
       full.select(col("pid"),
-        round(expr(eE), 4).as("e_laea"), round(expr(nE), 4).as("n_laea"))
+        uq(expr(eE), 10000.0).as("e_laea_u"), uq(expr(nE), 10000.0).as("n_laea_u"))
     }),
 
     "q_reproject_cea" -> ((s, dir) => {
@@ -1676,7 +1676,7 @@ object SparkEntry {
       val full = steps.foldLeft(customerLonLat(s, dir)) {
         case (df, (name, f)) => df.withColumn(name, expr(f)) }
       full.select(col("pid"),
-        round(expr(eE), 4).as("e_cea"), round(expr(nE), 4).as("n_cea"))
+        uq(expr(eE), 10000.0).as("e_cea_u"), uq(expr(nE), 10000.0).as("n_cea_u"))
     }),
 
     "q_reproject_sinu" -> ((s, dir) => {
@@ -1694,7 +1694,7 @@ object SparkEntry {
         case (df, (name, f)) => df.withColumn(name, expr(f))
       }
       full.select(col("pid"),
-        round(expr(eE), 3).as("e_sinu"), round(expr(nE), 3).as("n_sinu"))
+        uq(expr(eE), 1000.0).as("e_sinu_u"), uq(expr(nE), 1000.0).as("n_sinu_u"))
     }),
 
     "q_reproject_raster" -> ((s, dir) =>
@@ -2898,7 +2898,8 @@ object SparkEntry {
       // customer point (l'Huilier per fan triangle, summed in-row);
       // the formula is ONE shared SQL text in both engines
       customerLonLat(s, dir).select(col("pid"),
-        round(expr(graft.vector.Measures.diamondAreaSql(0.5)), 4).as("area_km2"))),
+        uq(expr(graft.vector.Measures.diamondAreaSql(0.5)), 10000.0)
+          .as("area_km2_u"))),
 
     "q_quality_filter" -> ((s, dir) =>
       pipeline.TextAnalysis.qualityFilter(table(s, dir, "documents"))),
@@ -3019,12 +3020,12 @@ object SparkEntry {
       regs.agg(
           sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - rho AS INT))")).as("z"),
           sum(when(col("rho") === 0, 1L).otherwise(0L)).as("zeros"))
-        .select(round(
+        .select(uq(
           when(lit(0.709) * 64 * 64 * lit(36028797018963968.0) / col("z") <= 160.0
                && col("zeros") > 0,
             lit(64.0) * log(lit(64.0) / col("zeros")))
-          .otherwise(lit(0.709) * 64 * 64 * lit(36028797018963968.0) / col("z")),
-          5).as("est"))
+          .otherwise(lit(0.709) * 64 * 64 * lit(36028797018963968.0) / col("z")))
+          .as("est_u"))
     }),
 
     "q_gopher_filter" -> ((s, dir) =>
@@ -4753,8 +4754,8 @@ object SparkEntry {
            |        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
            |      FROM p)
            |SELECT n AS n_cells,
-           |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-           |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 5) AS corr
+           |  ${uqSql("""CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))""")} AS corr_u
            |FROM m""".stripMargin,
 
       // cut/fill: sign classes of a - b with exact |volume| sums
@@ -4799,8 +4800,8 @@ object SparkEntry {
            |        CAST(CAST(round(ln(CAST(variety AS DOUBLE)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS lv
            |      FROM a)
            |SELECT zone, n_cells, variety,
-           |  round(he, 5) AS shannon,
-           |  round(CASE WHEN variety > 1 THEN he / lv ELSE CAST(0.0 AS DOUBLE) END, 5) AS evenness
+           |  ${uqSql("he")} AS shannon_u,
+           |  ${uqSql("CASE WHEN variety > 1 THEN he / lv ELSE CAST(0.0 AS DOUBLE) END")} AS evenness_u
            |FROM e""".stripMargin,
 
       // CVA displacement: d0 and d1 stated with the engine's exact
@@ -4844,8 +4845,8 @@ object SparkEntry {
            |d AS (SELECT zone, n_cells, sq, cq,
            |        degrees(atan2(CAST(sq AS DOUBLE), CAST(cq AS DOUBLE))) AS deg FROM p)
            |SELECT CAST(zone AS BIGINT) AS zone, n_cells,
-           |  round(CASE WHEN deg < 0 THEN deg + 360 ELSE deg END, 5) AS mean_deg,
-           |  round(sqrt(CAST(sq AS DOUBLE) * sq + CAST(cq AS DOUBLE) * cq) / (CAST(n_cells AS DOUBLE) * 1000000.0), 6) AS resultant
+           |  ${uqSql("CASE WHEN deg < 0 THEN deg + 360 ELSE deg END")} AS mean_deg_u,
+           |  ${uqSql("sqrt(CAST(sq AS DOUBLE) * sq + CAST(cq AS DOUBLE) * cq) / (CAST(n_cells AS DOUBLE) * 1000000.0)", "1000000.0")} AS resultant_u
            |FROM d""".stripMargin,
 
       // per-cell perimeter contribution via 4 neighbor left-joins
@@ -4864,7 +4865,7 @@ object SparkEntry {
            |         LEFT JOIN z d ON d.x = z.x AND d.y = z.y + 1)
            |SELECT CAST(zn AS BIGINT) AS zone, count(*) AS n_cells,
            |  CAST(sum(p) AS BIGINT) AS perimeter,
-           |  round(4 * pi() * count(*) / (CAST(sum(p) AS BIGINT) * CAST(sum(p) AS BIGINT)), 6) AS compactness
+           |  ${uqSql("4 * pi() * count(*) / (CAST(sum(p) AS BIGINT) * CAST(sum(p) AS BIGINT))", "1000000.0")} AS compactness_u
            |FROM n GROUP BY 1""".stripMargin,
 
       // marching squares: right-neighbor pairs, stacked row pairs,
@@ -4941,7 +4942,7 @@ object SparkEntry {
            |        FROM e)
            |SELECT CAST(ax AS DOUBLE) / 2 AS px, CAST(ay AS DOUBLE) / 2 AS py, n_hull,
            |  CAST(s2 AS DOUBLE) / 8 AS area,
-           |  round(CAST(pq AS DOUBLE) / 1000000.0, 5) AS perim
+           |  (pq + 5) // 10 AS perim_u
            |FROM e, agg""".stripMargin,
 
       // the ray-cast even-odd test on a diamond == the L1 closed form
@@ -4965,7 +4966,7 @@ object SparkEntry {
       "q_class_breaks_equal" ->
         s"""WITH m AS (SELECT min(v) AS vmin, max(v) AS vmax FROM ($grid))
            |SELECT CAST(i.range AS BIGINT) AS i,
-           |  round(vmin + i.range * ((vmax - vmin) / 7), 5) AS brk
+           |  ${uqSql("vmin + i.range * ((vmax - vmin) / 7)")} AS brk_u
            |FROM range(1, 8) i, m""".stripMargin,
 
       // haversine + initial bearing, op-order-identical to the engine
@@ -4977,8 +4978,8 @@ object SparkEntry {
            |u AS (SELECT pid, sin(dphi / 2) AS sp, sin(dlam / 2) AS sl, f1, f2, dlam FROM t),
            |v AS (SELECT pid, sp * sp + cos(f1) * cos(f2) * (sl * sl) AS a,
            |  degrees(atan2(sin(dlam) * cos(f2), cos(f1) * sin(f2) - sin(f1) * cos(f2) * cos(dlam))) AS deg FROM u)
-           |SELECT pid, round(CAST(12742.0 AS DOUBLE) * asin(least(CAST(1.0 AS DOUBLE), sqrt(a))), 4) AS dist_km,
-           |  round(CASE WHEN deg < 0 THEN deg + 360 ELSE deg END, 4) AS bearing_deg
+           |SELECT pid, ${uqSql("CAST(12742.0 AS DOUBLE) * asin(least(CAST(1.0 AS DOUBLE), sqrt(a)))", "10000.0")} AS dist_km_u,
+           |  ${uqSql("CASE WHEN deg < 0 THEN deg + 360 ELSE deg END", "10000.0")} AS bearing_deg_u
            |FROM v""".stripMargin,
 
       "q_cell_value_counts" ->
@@ -5068,7 +5069,8 @@ object SparkEntry {
            |p AS (SELECT range AS t, 5 + (2 * range * $dx + $n) // (2 * $n) AS x,
            |             10 + (2 * range * $dy + $n) // (2 * $n) AS y
            |      FROM range(0, ${n + 1}))
-           |SELECT p.t, p.x, p.y, g.v, round(p.t * CAST($step AS DOUBLE), 5) AS dist
+           |SELECT p.t, p.x, p.y, g.v,
+           |  ${uqSql(s"p.t * CAST($step AS DOUBLE)")} AS dist_u
            |FROM p JOIN g ON g.x = p.x AND g.y = p.y""".stripMargin
       },
 
@@ -5225,10 +5227,12 @@ object SparkEntry {
            |    CAST(pid % 6 + 1 AS DOUBLE) AS b
            |  FROM ($pts))
            |SELECT pid, 'diamond' AS shape, 2 * r * r AS area,
-           |  round(px, 6) AS cx, round(py, 6) AS cy FROM p
+           |  ${uqSql("px", "1000000.0")} AS cx_u,
+           |  ${uqSql("py", "1000000.0")} AS cy_u FROM p
            |UNION ALL
            |SELECT pid, 'triangle', a * b / 2,
-           |  round(px + a / 3, 6), round(py + b / 3, 6) FROM p""".stripMargin,
+           |  ${uqSql("px + a / 3", "1000000.0")},
+           |  ${uqSql("py + b / 3", "1000000.0")} FROM p""".stripMargin,
 
       "q_kernel_density" ->
         s"""WITH p AS (SELECT pid, px, py, pid % 97 + 1 AS pv FROM ($pts)),
@@ -5264,7 +5268,7 @@ object SparkEntry {
            |SELECT c.x, c.y, CAST(a.variety AS BIGINT) AS variety,
            |  min(CASE WHEN c.cnt = a.mx THEN c.v END) AS majority,
            |  min(CASE WHEN c.cnt = a.mn THEN c.v END) AS minority,
-           |  round(sum(c.v * c.cnt) / sum(c.cnt), 5) AS mean5
+           |  ${uqSql("sum(c.v * c.cnt) / sum(c.cnt)")} AS mean_u
            |FROM c JOIN a USING (x, y) GROUP BY c.x, c.y, a.variety""".stripMargin,
 
       // min-label closure as a recursive CTE: bidirectional neighbor
@@ -5427,7 +5431,7 @@ object SparkEntry {
            |  FROM nb WHERE cnt = 9),
            |sl AS (SELECT x, y, degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) AS sdeg FROM dd)
            |SELECT sl.x, sl.y,
-           |  round(ln((coalesce(a.cnt, 0) + 1) / greatest(tan(radians(sl.sdeg)), 0.001)), 5) AS twi
+           |  ${uqSql("ln((coalesce(a.cnt, 0) + 1) / greatest(tan(radians(sl.sdeg)), 0.001))")} AS twi_u
            |FROM sl LEFT JOIN a ON a.cur = sl.y * 256 + sl.x""".stripMargin),
 
       // the SAME walk kept only at its terminal (a pit has no
@@ -5486,8 +5490,8 @@ object SparkEntry {
         s"SELECT min(v) AS vmin, max(v) AS vmax, count(*) AS vcount, sum(v) / count(*) AS vmean FROM ($grid)",
 
       "q_quantile_breaks" ->
-        s"""SELECT round(quantile_cont(v, 0.25), 5) AS q0, round(quantile_cont(v, 0.5), 5) AS q1,
-           |       round(quantile_cont(v, 0.75), 5) AS q2 FROM ($grid)""".stripMargin,
+        s"""SELECT ${uqSql("quantile_cont(v, 0.25)")} AS q0_u, ${uqSql("quantile_cont(v, 0.5)")} AS q1_u,
+           |       ${uqSql("quantile_cont(v, 0.75)")} AS q2_u FROM ($grid)""".stripMargin,
 
       "q_quantile_breaks_int" ->
         s"""WITH c AS (SELECT CAST(v AS BIGINT) AS v, count(*) AS cnt FROM ($grid) GROUP BY 1),
@@ -5702,8 +5706,8 @@ object SparkEntry {
       "q_stitch" -> s"SELECT x, y, v FROM ($grid)",
 
       "q_reproject" ->
-        s"""SELECT pid, round(radians(lon) * 6378137.0, 4) AS mx,
-           |       round(ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0, 4) AS my
+        s"""SELECT pid, ${uqSql("radians(lon) * 6378137.0", "10000.0")} AS mx_u,
+           |       ${uqSql("ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0", "10000.0")} AS my_u
            |FROM ($lonlat)""".stripMargin,
 
       "q_reproject_polar" -> {
@@ -5715,7 +5719,7 @@ object SparkEntry {
         }
         (s"WITH p0 AS (SELECT * FROM ($lonlat) WHERE lat >= 60), " +
           ctes.mkString(", ") +
-          s" SELECT pid, round($eE, 4) AS e_ps, round($nE, 4) AS n_ps FROM p${steps.size}")
+          s" SELECT pid, ${uqSql(eE, "10000.0")} AS e_ps_u, ${uqSql(nE, "10000.0")} AS n_ps_u FROM p${steps.size}")
       },
 
       "q_reproject_utm" -> {
@@ -5726,7 +5730,7 @@ object SparkEntry {
         }
         (s"WITH c0 AS (SELECT * FROM ($lonlat) WHERE lon >= 0 AND lon <= 30), " +
           ctes.mkString(", ") +
-          s" SELECT pid, round($eE, 4) AS e_utm, round($nE, 4) AS n_utm FROM c${steps.size}")
+          s" SELECT pid, ${uqSql(eE, "10000.0")} AS e_utm_u, ${uqSql(nE, "10000.0")} AS n_utm_u FROM c${steps.size}")
       },
 
       // identity-CRS bilinear warp: the engine computes
@@ -5761,7 +5765,7 @@ object SparkEntry {
         }
         (s"WITH o0 AS (SELECT * FROM ($lonlat) WHERE lon >= -20 AND lon <= 16 AND lat >= 35 AND lat <= 75), " +
           ctes.mkString(", ") +
-          s" SELECT pid, round($eE, 4) AS e_osgb, round($nE, 4) AS n_osgb FROM o${steps.size}")
+          s" SELECT pid, ${uqSql(eE, "10000.0")} AS e_osgb_u, ${uqSql(nE, "10000.0")} AS n_osgb_u FROM o${steps.size}")
       },
 
       "q_reproject_albers" -> {
@@ -5773,7 +5777,7 @@ object SparkEntry {
         }
         (s"WITH a0 AS (SELECT * FROM ($lonlat) WHERE lon >= -130 AND lon <= -60 AND lat >= 20 AND lat <= 55), " +
           ctes.mkString(", ") +
-          s" SELECT pid, round($eE, 4) AS e_aea, round($nE, 4) AS n_aea FROM a${steps.size}")
+          s" SELECT pid, ${uqSql(eE, "10000.0")} AS e_aea_u, ${uqSql(nE, "10000.0")} AS n_aea_u FROM a${steps.size}")
       },
 
       "q_reproject_lambert93" -> {
@@ -5785,7 +5789,7 @@ object SparkEntry {
         }
         (s"WITH l0 AS (SELECT * FROM ($lonlat) WHERE lon >= -10 AND lon <= 15 AND lat >= 38 AND lat <= 55), " +
           ctes.mkString(", ") +
-          s" SELECT pid, round($eE, 4) AS e_l93, round($nE, 4) AS n_l93 FROM l${steps.size}")
+          s" SELECT pid, ${uqSql(eE, "10000.0")} AS e_l93_u, ${uqSql(nE, "10000.0")} AS n_l93_u FROM l${steps.size}")
       },
 
       "q_reproject_nztm" -> {
@@ -5797,7 +5801,7 @@ object SparkEntry {
         }
         (s"WITH z0 AS (SELECT * FROM ($lonlat) WHERE lon >= 165 AND lon <= 180 AND lat >= -48 AND lat <= -34), " +
           ctes.mkString(", ") +
-          s" SELECT pid, round($eE, 4) AS e_nztm, round($nE, 4) AS n_nztm FROM z${steps.size}")
+          s" SELECT pid, ${uqSql(eE, "10000.0")} AS e_nztm_u, ${uqSql(nE, "10000.0")} AS n_nztm_u FROM z${steps.size}")
       },
 
       "q_reproject_laea" -> {
@@ -5809,7 +5813,7 @@ object SparkEntry {
         }
         (s"WITH e0 AS (SELECT * FROM ($lonlat) WHERE lon >= -15 AND lon <= 35 AND lat >= 30 AND lat <= 72), " +
           ctes.mkString(", ") +
-          s" SELECT pid, round($eE, 4) AS e_laea, round($nE, 4) AS n_laea FROM e${steps.size}")
+          s" SELECT pid, ${uqSql(eE, "10000.0")} AS e_laea_u, ${uqSql(nE, "10000.0")} AS n_laea_u FROM e${steps.size}")
       },
 
       "q_reproject_cea" -> {
@@ -5820,7 +5824,7 @@ object SparkEntry {
           s"c${i + 1} AS (SELECT *, $f AS $name FROM c$i)"
         }
         (s"WITH c0 AS (SELECT * FROM ($lonlat)), " + ctes.mkString(", ") +
-          s" SELECT pid, round($eE, 4) AS e_cea, round($nE, 4) AS n_cea FROM c${steps.size}")
+          s" SELECT pid, ${uqSql(eE, "10000.0")} AS e_cea_u, ${uqSql(nE, "10000.0")} AS n_cea_u FROM c${steps.size}")
       },
 
       "q_reproject_sinu" -> {
@@ -5832,7 +5836,7 @@ object SparkEntry {
           s"s${i + 1} AS (SELECT *, $f AS $name FROM s$i)"
         }
         (s"WITH s0 AS (SELECT * FROM ($lonlat)), " + ctes.mkString(", ") +
-          s" SELECT pid, round($eE, 3) AS e_sinu, round($nE, 3) AS n_sinu FROM s${steps.size}")
+          s" SELECT pid, ${uqSql(eE, "1000.0")} AS e_sinu_u, ${uqSql(nE, "1000.0")} AS n_sinu_u FROM s${steps.size}")
       },
 
       "q_reproject_raster" -> {
@@ -6198,12 +6202,12 @@ object SparkEntry {
            |q AS (SELECT doc_id FROM (
            |    SELECT doc_id, n_chars,
            |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
-           |      round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS punct_ratio,
-           |      round(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|of|to|in|and|is|was|for|on|with)\\b')) AS DOUBLE)
-           |            / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0), 6) AS stop_ratio
+           |      CAST(round((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)) * 1000000.0) AS BIGINT) AS punct_ratio_u,
+           |      CAST(round((CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|of|to|in|and|is|was|for|on|with)\\b')) AS DOUBLE)
+           |            / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0)) * 1000000.0) AS BIGINT) AS stop_ratio_u
            |    FROM documents)
            |  WHERE n_chars >= 100 AND n_chars <= 20000 AND n_tokens >= 10
-           |    AND punct_ratio <= 0.1 AND stop_ratio >= 0.01),
+           |    AND punct_ratio_u <= 100000 AND stop_ratio_u >= 10000),
            |s1 AS (SELECT d.doc_id, d.text, d.n_chars FROM documents d JOIN g USING (doc_id)),
            |s2 AS (SELECT s1.* FROM s1 JOIN q USING (doc_id)),
            |k AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
@@ -6797,7 +6801,7 @@ object SparkEntry {
            |j AS (SELECT cov.zone, g.v, cov.cov_q FROM cov JOIN ($grid) g ON g.x = cov.x AND g.y = cov.y)
            |SELECT zone, CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(cov_q) AS BIGINT) AS cov_q,
            |  CAST(sum(CAST(v AS BIGINT) * cov_q) AS BIGINT) AS wsum_q,
-           |  round(CAST(sum(CAST(v AS BIGINT) * cov_q) AS DOUBLE) / CAST(sum(cov_q) AS DOUBLE), 6) AS wmean
+           |  ${uqSql("CAST(sum(CAST(v AS BIGINT) * cov_q) AS DOUBLE) / CAST(sum(cov_q) AS DOUBLE)", "1000000.0")} AS wmean_u
            |FROM j GROUP BY 1""".stripMargin,
 
       // linear band transform over the joined stacks: a pixel missing
@@ -6855,8 +6859,8 @@ object SparkEntry {
            |       FROM (SELECT p, sum(cnt) AS rt FROM c GROUP BY 1) r
            |       JOIN (SELECT t, sum(cnt) AS ct FROM c GROUP BY 1) cc ON r.p = cc.t)
            |SELECT n, correct,
-           |  round(CAST(correct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS overall_acc,
-           |  round(CAST(correct * n - pen AS DOUBLE) / CAST(n * n - pen AS DOUBLE), 6) AS kappa
+           |  ${uqSql("CAST(correct AS DOUBLE) / CAST(n AS DOUBLE)", "1000000.0")} AS overall_acc_u,
+           |  ${uqSql("CAST(correct * n - pen AS DOUBLE) / CAST(n * n - pen AS DOUBLE)", "1000000.0")} AS kappa_u
            |FROM m, pe""".stripMargin,
 
       // joint bin counts, exact integer binning
@@ -7250,7 +7254,7 @@ object SparkEntry {
           |d AS (SELECT h, count(*) AS df FROM sh GROUP BY 1)
           |SELECT doc_id, count(*) AS n_shingles,
           |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-          |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+          |  CAST(round((CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS novelty_u
           |FROM sh JOIN d USING (h) GROUP BY 1""".stripMargin,
 
       // per-source duplicate-5-gram instance rate; df computed on
@@ -7321,15 +7325,15 @@ object SparkEntry {
         """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
           |SELECT doc_id, count(*) AS n_tokens,
           |  CAST(count(DISTINCT w) AS BIGINT) AS n_types,
-          |  round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 6) AS ttr
+          |  CAST(round((CAST(count(DISTINCT w) AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS ttr_u
           |FROM w GROUP BY 1""".stripMargin,
 
       // three regex counts -> one pinned float chain
       "q_readability" ->
         """SELECT doc_id, n_words, n_sentences, n_syllables,
-          |  round(CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+          |  CAST(round((CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
           |      + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words)
-          |      - CAST(15.59 AS DOUBLE), 5) AS fk_grade
+          |      - CAST(15.59 AS DOUBLE)) * 100000.0) AS BIGINT) AS fk_grade_u
           |FROM (SELECT doc_id,
           |  greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT), 1) AS n_words,
           |  greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
@@ -7838,9 +7842,9 @@ object SparkEntry {
       "q_quality_score" ->
         """SELECT doc_id, n_chars,
           |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
-          |  round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS punct_ratio,
-          |  round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|in|and|is|was|for|on|with)\b')) AS DOUBLE)
-          |        / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0), 6) AS stop_ratio
+          |  CAST(round((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)) * 1000000.0) AS BIGINT) AS punct_ratio_u,
+          |  CAST(round((CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|in|and|is|was|for|on|with)\b')) AS DOUBLE)
+          |        / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0)) * 1000000.0) AS BIGINT) AS stop_ratio_u
           |FROM documents""".stripMargin,
 
       "q_lang_id" -> langIdSql,
@@ -7861,19 +7865,19 @@ object SparkEntry {
       // identical formula text as the engine's expr() — the
       // shared-SQL-text contract (sinu/utm precedent)
       "q_geodesic_area" ->
-        s"""SELECT pid, round(${graft.vector.Measures.diamondAreaSql(0.5)}, 4) AS area_km2
+        s"""SELECT pid, ${uqSql(graft.vector.Measures.diamondAreaSql(0.5), "10000.0")} AS area_km2_u
            |FROM ($lonlat)""".stripMargin,
 
       "q_quality_filter" ->
         """SELECT doc_id FROM (
           |  SELECT doc_id, n_chars,
           |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
-          |    round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS punct_ratio,
-          |    round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|in|and|is|was|for|on|with)\b')) AS DOUBLE)
-          |          / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0), 6) AS stop_ratio
+          |    CAST(round((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)) * 1000000.0) AS BIGINT) AS punct_ratio_u,
+          |    CAST(round((CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|in|and|is|was|for|on|with)\b')) AS DOUBLE)
+          |          / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0)) * 1000000.0) AS BIGINT) AS stop_ratio_u
           |  FROM documents)
           |WHERE n_chars >= 100 AND n_chars <= 20000 AND n_tokens >= 10
-          |  AND punct_ratio <= 0.1 AND stop_ratio >= 0.01""".stripMargin,
+          |  AND punct_ratio_u <= 100000 AND stop_ratio_u >= 10000""".stripMargin,
 
       "q_fingerprint" ->
         "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents",
@@ -8157,9 +8161,9 @@ object SparkEntry {
           |         FROM range(0, 64) b LEFT JOIN regs0 ON regs0.bucket = b.range),
           |a AS (SELECT sum(1::BIGINT << CAST(55 - rho AS INTEGER)) AS z,
           |             sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros FROM regs)
-          |SELECT round(CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64 * 36028797018963968.0 / z <= 160.0 AND zeros > 0
+          |SELECT CAST(round((CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64 * 36028797018963968.0 / z <= 160.0 AND zeros > 0
           |  THEN 64.0 * ln(64.0 / zeros)
-          |  ELSE CAST(0.709 AS DOUBLE) * 64 * 64 * 36028797018963968.0 / z END, 5) AS est
+          |  ELSE CAST(0.709 AS DOUBLE) * 64 * 64 * 36028797018963968.0 / z END) * 100000.0) AS BIGINT) AS est_u
           |FROM a""".stripMargin,
 
       // keeper = min packed (doc_id << 32 | off) per span hash; the
@@ -8256,7 +8260,7 @@ object SparkEntry {
           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
           |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tk) GROUP BY 1),
           |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
-          |SELECT doc_id, term, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank FROM (
+          |SELECT doc_id, term, CAST(round(score * 1000000.0) AS BIGINT) AS score_u, CAST(rank AS BIGINT) AS rank FROM (
           |  SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) * n.n / df.df AS score,
           |    row_number() OVER (PARTITION BY tf.doc_id
           |      ORDER BY CAST(tf.tf AS DOUBLE) * n.n / df.df DESC, tf.term) AS rank
@@ -8340,7 +8344,7 @@ object SparkEntry {
           |      FROM ws),
           |wt AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 1000003 - 500001 AS wt FROM f)
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-          |  round(CAST(sum(wt) AS DOUBLE) / (count(*) * 500001.0), 5) AS score,
+          |  CAST(round((CAST(sum(wt) AS DOUBLE) / (count(*) * 500001.0)) * 100000.0) AS BIGINT) AS score_u,
           |  CAST(CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
           |FROM wt GROUP BY 1""".stripMargin,
 

@@ -1270,7 +1270,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
       .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-        round(col("n_unique").cast("double") / col("n_shingles"), 6).as("novelty"))
+        round(col("n_unique").cast("double") / col("n_shingles")
+          * lit(1000000.0)).cast("long").as("novelty_u"))
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,

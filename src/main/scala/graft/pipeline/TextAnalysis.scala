@@ -63,8 +63,10 @@ object TextAnalysis {
       col("doc_id"),
       col("n_chars"),
       toks.cast("long").as("n_tokens"),
-      round(punct / greatest(col("n_chars").cast("double"), lit(1.0)), 6).as("punct_ratio"),
-      round(stops / greatest(toks, lit(1.0)), 6).as("stop_ratio"))
+      round(punct / greatest(col("n_chars").cast("double"), lit(1.0))
+        * lit(1000000.0)).cast("long").as("punct_ratio_u"),
+      round(stops / greatest(toks, lit(1.0))
+        * lit(1000000.0)).cast("long").as("stop_ratio_u"))
   }
 
   /** Quality FILTER — the pipeline op that actually gates training
@@ -78,8 +80,9 @@ object TextAnalysis {
     qualityScore(docs).where(
       col("n_chars") >= minChars && col("n_chars") <= maxChars &&
       col("n_tokens") >= minTokens &&
-      col("punct_ratio") <= maxPunctRatio &&
-      col("stop_ratio") >= minStopRatio)
+      // thresholds compare in the quantized 1e-6 units the score emits
+      col("punct_ratio_u") <= math.round(maxPunctRatio * 1000000.0) &&
+      col("stop_ratio_u") >= math.round(minStopRatio * 1000000.0))
       .select(col("doc_id"))
 
   /** Language id by marker-word counts with a fixed precedence
@@ -111,7 +114,8 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), countDistinct("w").as("n_types"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
-        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
+        round(col("n_types").cast("double") / col("n_tokens")
+          * lit(1000000.0)).cast("long").as("ttr_u"))
 
   /** Flesch-Kincaid grade level — the classic readability score
     * (Kincaid et al. 1975), from three regex counts: words (alnum
@@ -127,8 +131,8 @@ object TextAnalysis {
       .cast("long")
     val sy = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")
     docs.select(col("doc_id"), w.as("n_words"), s.as("n_sentences"), sy.as("n_syllables"),
-      round(lit(0.39) * (w.cast("double") / s) + lit(11.8) * (sy.cast("double") / w)
-        - lit(15.59), 5).as("fk_grade"))
+      round((lit(0.39) * (w.cast("double") / s) + lit(11.8) * (sy.cast("double") / w)
+        - lit(15.59)) * lit(100000.0)).cast("long").as("fk_grade_u"))
   }
 
   /** Language confusion matrix — the language-id EVALUATION artifact:
@@ -490,7 +494,8 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("wt").cast("long").as("raw"))
       .select(col("doc_id"), col("n_feats"),
-        round(col("raw").cast("double") / (col("n_feats") * lit(500001.0)), 5).as("score"),
+        round(col("raw").cast("double") / (col("n_feats") * lit(500001.0))
+          * lit(100000.0)).cast("long").as("score_u"),
         (col("raw") > 0).cast("long").as("label"))
   }
 
@@ -1153,6 +1158,7 @@ object TextAnalysis {
       .withColumn("score", col("tf").cast("double") * n / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
-      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"), col("rank"))
+      .select(col("doc_id"), col("term"),
+        round(col("score") * lit(1000000.0)).cast("long").as("score_u"), col("rank"))
   }
 }

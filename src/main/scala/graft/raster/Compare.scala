@@ -54,10 +54,11 @@ object Compare {
       .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
         sum("sxy").as("sxy"), sum("sxx").as("sxx"), sum("syy").as("syy"))
     parts.select(col("n").as("n_cells"),
+      // micro-quantized closing (the portable BIGINT form)
       round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
         sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-             (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 5)
-        .as("corr"))
+             (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+        * lit(100000.0)).cast("long").as("corr_u"))
   }
 
   /** Change vector analysis (Malila 1980 — the remote-sensing CVA):
@@ -150,9 +151,11 @@ object Compare {
     import spark.implicits._
     Seq((n, correct)).toDF("n", "correct")
       .select(col("n"), col("correct"),
-        round(col("correct").cast("double") / col("n").cast("double"), 6).as("overall_acc"),
+        round(col("correct").cast("double") / col("n").cast("double")
+          * lit(1000000.0)).cast("long").as("overall_acc_u"),
         round((col("correct") * col("n") - lit(peNum)).cast("double") /
-          (col("n") * col("n") - lit(peNum)).cast("double"), 6).as("kappa"))
+          (col("n") * col("n") - lit(peNum)).cast("double")
+          * lit(1000000.0)).cast("long").as("kappa_u"))
   }
 
   /** Cut/fill report (ArcGIS CutFill): per sign class of a - b

@@ -94,7 +94,8 @@ object HistogramOps {
     spark.range(1, k + 1).select(col("id").as("i"))
       .crossJoin(broadcast(st))
       .select(col("i"),
-        round(col("vmin") + col("i") * ((col("vmax") - col("vmin")) / k), 5).as("brk"))
+        round((col("vmin") + col("i") * ((col("vmax") - col("vmin")) / k))
+          * lit(100000.0)).cast("long").as("brk_u"))
   }
 
   def quantileBreaks(layer: RasterLayer, qs: Seq[Double],
@@ -110,12 +111,16 @@ object HistogramOps {
     if (nCells <= maxExactCells)
       layer.toCells.select(
         qs.zipWithIndex.map { case (q, i) =>
-          round(expr(s"percentile(v, $q)"), 5).as(s"q$i")
+          round(expr(s"percentile(v, $q)") * lit(100000.0))
+            .cast("long").as(s"q${i}_u")
         }: _*)
     else {
       val breaks = approxQuantileBreaks(layer, qs)
       layer.df.sparkSession.range(1)
-        .select(qs.indices.map(i => round(lit(breaks(i)), 5).as(s"q$i")): _*)
+        .select(qs.indices.map(i =>
+          lit(BigDecimal(breaks(i) * 100000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+            .as(s"q${i}_u")): _*)
     }
   }
 

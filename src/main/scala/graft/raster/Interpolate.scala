@@ -185,8 +185,8 @@ object Interpolate {
   // definite: spherical model + positive nugget), and [[krigingSql]]
   // states the IDENTICAL elimination unrolled step-by-step, so engine
   // and oracle produce bit-identical weights from the same z values.
-  // Both sides finish with round(v, 6) + 0.0 (one rounding boundary,
-  // -0.0 normalized).
+  // Both sides close micro-quantized: round(v*1e6) as BIGINT (the
+  // portable integer form; no decimal rounding anywhere).
   // ------------------------------------------------------------------
 
   /** Spherical covariance, sill 1: 1 - (1.5 h/a - 0.5 (h/a)^3), 0 at
@@ -254,7 +254,7 @@ object Interpolate {
         lit(1.0) - lit(1.5) * (h / range) + lit(0.5) * (h / range) * (h / range) * (h / range))
     }.reduceLeft(_ + _)
     xs.crossJoin(ys).select(col("x"), col("y"),
-      (round(pred, 6) + lit(0.0)).as("v"))
+      round(pred * lit(1000000.0)).cast("long").as("v_u"))
   }
 
   // ------------------------------------------------------------------
@@ -330,7 +330,7 @@ object Interpolate {
         lit(1.0) - lit(1.5) * (h / range) + lit(0.5) * (h / range) * (h / range) * (h / range))
     }.reduceLeft(_ + _) + lit(b(pts.length))
     xs.crossJoin(ys).select(col("x"), col("y"),
-      (round(pred, 6) + lit(0.0)).as("v"))
+      round(pred * lit(1000000.0)).cast("long").as("v_u"))
   }
 
   /** DuckDB twin of [[ordinaryKriging]]: [[krigingSql]] over the
@@ -380,7 +380,7 @@ object Interpolate {
        |${steps.mkString(",\n")},
        |${backs.mkString(",\n")},
        |grid AS (SELECT tx.x AS x, ty.y AS y FROM range(0, $gridSize) tx(x), range(0, $gridSize) ty(y))
-       |SELECT x, y, round($pred, 6) + 0.0 AS v FROM grid CROSS JOIN s0""".stripMargin
+       |SELECT x, y, CAST(round(($pred) * 1000000.0) AS BIGINT) AS v_u FROM grid CROSS JOIN s0""".stripMargin
   }
 
   /** DuckDB twin of [[simpleKriging]] for N points whose z values come
@@ -428,6 +428,6 @@ object Interpolate {
        |${steps.mkString(",\n")},
        |${backs.mkString(",\n")},
        |grid AS (SELECT tx.x AS x, ty.y AS y FROM range(0, $gridSize) tx(x), range(0, $gridSize) ty(y))
-       |SELECT x, y, round($pred, 6) + 0.0 AS v FROM grid CROSS JOIN s0""".stripMargin
+       |SELECT x, y, CAST(round(($pred) * 1000000.0) AS BIGINT) AS v_u FROM grid CROSS JOIN s0""".stripMargin
   }
 }

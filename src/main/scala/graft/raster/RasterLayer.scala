@@ -227,7 +227,8 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
       size(array_distinct(col("vals"))).cast("long").as("variety"),
       array_min(zip_with(col("vals"), col("cnts"), (v, c) => when(c === col("mx"), v))).as("majority"),
       array_min(zip_with(col("vals"), col("cnts"), (v, c) => when(c === col("mn"), v))).as("minority"),
-      round(aggregate(col("vals"), lit(0.0), _ + _) / size(col("vals")), 5).as("mean5"))
+      round(aggregate(col("vals"), lit(0.0), _ + _) / size(col("vals"))
+        * lit(100000.0)).cast("long").as("mean_u"))
   }
 
   /** map_tiles / map_cells parity (layer.py:700,721): localMap IS the

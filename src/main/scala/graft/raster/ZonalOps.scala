@@ -360,10 +360,10 @@ object ZonalOps {
         sum(round(col("cnt").cast("double") * log(col("cnt").cast("double")) * lit(1000000.0))
           .cast("long")).cast("long").as("s"))
       .select(col("zone"), col("n_cells"), col("variety"),
-        round(shannonExact, 5).as("shannon"),
+        round(shannonExact * lit(100000.0)).cast("long").as("shannon_u"),
         round(when(col("variety") > 1,
           shannonExact / (lnV.cast("double") / lit(1000000.0)))
-          .otherwise(lit(0.0)), 5).as("evenness"))
+          .otherwise(lit(0.0)) * lit(100000.0)).cast("long").as("evenness_u"))
   }
 
   /** Shared (zone, value) -> count partial: per-partition Scala
@@ -441,9 +441,11 @@ object ZonalOps {
       .agg(sum("n").as("n_cells"), sum("ssin").as("sq"), sum("scos").as("cq"))
     val deg = degrees(atan2(col("sq").cast("double"), col("cq").cast("double")))
     parts.select(col("zone"), col("n_cells"),
-      round(when(deg < 0, deg + 360).otherwise(deg), 5).as("mean_deg"),
+      round(when(deg < 0, deg + 360).otherwise(deg)
+        * lit(100000.0)).cast("long").as("mean_deg_u"),
       round(sqrt(col("sq").cast("double") * col("sq") + col("cq").cast("double") * col("cq")) /
-        (col("n_cells").cast("double") * lit(1000000.0)), 6).as("resultant"))
+        (col("n_cells").cast("double") * lit(1000000.0))
+        * lit(1000000.0)).cast("long").as("resultant_u"))
   }
 
   /** Zonal geometry (the ESRI ZonalGeometry family's raster form):
@@ -493,8 +495,9 @@ object ZonalOps {
       .groupBy("zone")
       .agg(sum("nc").cast("long").as("n_cells"), sum("pc").cast("long").as("perimeter"))
       .select(col("zone"), col("n_cells"), col("perimeter"),
-        round(lit(4 * math.Pi) * col("n_cells") / (col("perimeter") * col("perimeter")), 6)
-          .as("compactness"))
+        round(lit(4 * math.Pi) * col("n_cells") / (col("perimeter") * col("perimeter"))
+          * lit(1000000.0)).cast("long")
+          .as("compactness_u"))
   }
 
   /** Area-weighted (fractional-coverage) zonal statistics — the
@@ -554,7 +557,8 @@ object ZonalOps {
         sum("w").cast("long").as("wsum_q"))
       .where(col("cov_q") > 0)
       .select(col("zone"), col("n_cells"), col("cov_q"), col("wsum_q"),
-        round(col("wsum_q").cast("double") / col("cov_q").cast("double"), 6).as("wmean"))
+        round(col("wsum_q").cast("double") / col("cov_q").cast("double")
+          * lit(1000000.0)).cast("long").as("wmean_u"))
   }
 
   /** Ceiling for [[zonalPercentage]]'s driver fast path: 2^21 zones
@@ -724,7 +728,7 @@ object ZonalOps {
     broadcast(keyed).join(layer.df, Seq("col", "row"))
       .select(col("t"), col("cx").as("x"), col("cy").as("y"),
         element_at(col("tile"), col("off") + 1).as("v"),
-        round(col("t") * lit(step), 5).as("dist"))
+        round(col("t") * lit(step) * lit(100000.0)).cast("long").as("dist_u"))
       .where(!isnan(col("v")))
   }
 

@@ -83,16 +83,17 @@ object Hull {
       i += 1
     }
     val area = s2.toDouble / 8
-    val perim = BigDecimal(pq.toDouble / 1000000.0)
-      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // micro-quantized perimeter closing: pq is the exact 1e-6-unit
+    // integer sum, so 1e-5 units = HALF_UP integer division by 10
+    val perimU = (pq + 5) / 10
     val rows = hull.toSeq.map { case (x, y) =>
-      Row(x.toDouble / 2, y.toDouble / 2, n.toLong, area, perim)
+      Row(x.toDouble / 2, y.toDouble / 2, n.toLong, area, perimU)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(
         StructField("px", DoubleType), StructField("py", DoubleType),
         StructField("n_hull", LongType), StructField("area", DoubleType),
-        StructField("perim", DoubleType))))
+        StructField("perim_u", LongType))))
   }
 }

@@ -39,8 +39,10 @@ object Measures {
           acc + (element_at(col("ys"), i) + element_at(col("ys"), i + 1)) * ring(i)).as("cyn"))
       .select(col("pid"), col("shape"),
         (abs(col("s2")) / 2).as("area"),
-        round(col("cxn") / (lit(3) * col("s2")), 6).as("cx"),
-        round(col("cyn") / (lit(3) * col("s2")), 6).as("cy"))
+        round(col("cxn") / (lit(3) * col("s2")) * lit(1000000.0))
+          .cast("long").as("cx_u"),
+        round(col("cyn") / (lit(3) * col("s2")) * lit(1000000.0))
+          .cast("long").as("cy_u"))
   }
 
   /** Great-circle distance + initial bearing from each point to an
@@ -67,8 +69,10 @@ object Measures {
     val d = lit(2 * radiusKm) * asin(least(lit(1.0), sqrt(a)))
     val deg = degrees(atan2(sin(dlam) * cos(f2),
       cos(f1) * sin(f2) - sin(f1) * cos(f2) * cos(dlam)))
-    points.select(col("pid"), round(d, 4).as("dist_km"),
-      round(when(deg < 0, deg + 360).otherwise(deg), 4).as("bearing_deg"))
+    points.select(col("pid"),
+      round(d * lit(10000.0)).cast("long").as("dist_km_u"),
+      round(when(deg < 0, deg + 360).otherwise(deg)
+        * lit(10000.0)).cast("long").as("bearing_deg_u"))
   }
 
   /** SQL text for the great-circle central angle (radians) between

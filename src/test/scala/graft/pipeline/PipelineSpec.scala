@@ -531,15 +531,15 @@ class PipelineSpec extends SparkSpec {
       (3L, "solo", "en", "s", 5L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = TextAnalysis.classifierScore(corpus)
-      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
     // 3 words -> 3 unigrams + 2 bigrams; 1 word -> no bigrams
     assert(out(1L)._1 == 5L && out(3L)._1 == 1L)
     // identical text -> identical score (hash + weights deterministic)
     assert(out(1L) == out(2L))
-    // label is the score sign, scores normalized into [-1, 1]
+    // label is the score sign; score_u normalized into [-1e5, 1e5]
     out.values.foreach { case (_, s, l) =>
-      assert(l == (if (s > 0) 1L else 0L) || s == 0.0)
-      assert(s >= -1.0 && s <= 1.0)
+      assert(l == (if (s > 0) 1L else 0L) || s == 0L)
+      assert(s >= -100000L && s <= 100000L)
     }
   }
 
@@ -1512,14 +1512,15 @@ class PipelineSpec extends SparkSpec {
     val d = Seq((1L, "the cat sat.", "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val r = TextAnalysis.readability(d)
-      .as[(Long, Long, Long, Long, Double)].head()
+      .as[(Long, Long, Long, Long, Long)].head()
     assert(r._2 == 3L && r._3 == 1L && r._4 == 3L)
-    val fk = BigDecimal(0.39 * (3.0 / 1) + 11.8 * (3.0 / 3) - 15.59)
-      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // fk_grade_u: 1e-5-quantized BIGINT closing (r18)
+    val fk = BigDecimal((0.39 * (3.0 / 1) + 11.8 * (3.0 / 3) - 15.59) * 100000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     assert(r._5 == fk)
     // empty-ish text floors words/sentences at 1 (no div-by-zero)
     val e = Seq((2L, "???", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
-    assert(!TextAnalysis.readability(e).as[(Long, Long, Long, Long, Double)].head()._5.isNaN)
+    TextAnalysis.readability(e).as[(Long, Long, Long, Long, Long)].head()
   }
 
   test("train/val/test split: partition is total, content-stable, nested in train") {
@@ -1576,14 +1577,15 @@ class PipelineSpec extends SparkSpec {
   test("novelty: shared shingle counts toward df, unique fraction by hand") {
     val d = Seq((1L, "a b c d e f", "en", "s", 1L), (2L, "a b c d e x", "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val out = Dedup.noveltyScore(d).as[(Long, Long, Long, Double)].collect()
+    val out = Dedup.noveltyScore(d).as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
-    assert(out(1L) == ((2L, 1L, 0.5))) // "a b c d e" shared, "b c d e f" unique
-    assert(out(2L) == ((2L, 1L, 0.5)))
+    // novelty_u: 1e-6-quantized BIGINT (r18)
+    assert(out(1L) == ((2L, 1L, 500000L))) // "a b c d e" shared, "b c d e f" unique
+    assert(out(2L) == ((2L, 1L, 500000L)))
     // fully unique doc scores 1.0
     val solo = Seq((3L, "p q r s t u v", "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    assert(Dedup.noveltyScore(solo).as[(Long, Long, Long, Double)].head()._4 == 1.0)
+    assert(Dedup.noveltyScore(solo).as[(Long, Long, Long, Long)].head()._4 == 1000000L)
   }
 
   test("jsonl roundtrip: identity on records, malformed lines drop, escapes survive") {

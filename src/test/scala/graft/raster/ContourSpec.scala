@@ -63,8 +63,9 @@ class ContourSpec extends SparkSpec {
       (5L, 5L, 2.0),
       (3L, 6L, 3.0), (4L, 6L, 3.0), (5L, 6L, 3.0))
     val out = ZonalOps.zonalGeometry(layer(cells))
-      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
-    def q(a: Long, p: Long) = math.rint(4 * math.Pi * a / (p * p) * 1e6) / 1e6
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // compactness_u: 1e-6-quantized BIGINT closing (r18)
+    def q(a: Long, p: Long) = math.rint(4 * math.Pi * a / (p * p) * 1e6).toLong
     assert(out(1L) == (1L, 4L, 8L, q(4, 8)))
     assert(out(2L) == (2L, 1L, 4L, q(1, 4)))
     assert(out(3L) == (3L, 3L, 8L, q(3, 8)))
@@ -77,9 +78,9 @@ class ContourSpec extends SparkSpec {
     // an interior block; nothing double-counted, nothing split.
     val corner = Seq((3L, 3L, 5.0), (4L, 3L, 5.0), (3L, 4L, 5.0), (4L, 4L, 5.0))
     val zg = ZonalOps.zonalGeometry(layer(corner))
-      .as[(Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     assert(zg.toSeq == Seq((5L, 4L, 8L,
-      math.rint(4 * math.Pi * 4 / 64.0 * 1e6) / 1e6)))
+      math.rint(4 * math.Pi * 4 / 64.0 * 1e6).toLong)))
     // marching squares over the same plateau (0-field filled in): the
     // level-3 ring crosses 8 blocks; the block anchored at (3,3) —
     // whose 3 other corners live in 3 OTHER tiles — is the all-inside
@@ -92,7 +93,7 @@ class ContourSpec extends SparkSpec {
     // y-seam: vertical 3-cell line across y=4 keeps A=3 P=8
     val vline = ZonalOps.zonalGeometry(
         layer(Seq((6L, 3L, 2.0), (6L, 4L, 2.0), (6L, 5L, 2.0))))
-      .as[(Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     assert(vline.head._2 == 3L && vline.head._3 == 8L)
   }
 
@@ -101,9 +102,9 @@ class ContourSpec extends SparkSpec {
     // same zone, each with perimeter 4 (the hole is boundary)
     val out = ZonalOps.zonalGeometry(
         layer(Seq((1L, 1L, 7.0), (3L, 1L, 7.0))))
-      .as[(Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     assert(out.toSeq == Seq((7L, 2L, 8L,
-      math.rint(4 * math.Pi * 2 / 64.0 * 1e6) / 1e6)))
+      math.rint(4 * math.Pi * 2 / 64.0 * 1e6).toLong)))
   }
 
   test("coverage zonal stats: boundary cell splits between zones by exact fractions") {
@@ -115,11 +116,11 @@ class ContourSpec extends SparkSpec {
       (2L, 1.5, 0.0, 2.0, 1.0))   // 8q over (1,0)
       .toDF("zone", "x0", "y0", "x1", "y1")
     val out = ZonalOps.zonalStatsCoverage(vals, rects)
-      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
-    // zone 1: cov 20q, wsum 8*16 + 16*4 = 192, mean 9.6
-    assert(out(1L) == ((1L, 2L, 20L, 192L, 9.6)))
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // zone 1: cov 20q, wsum 8*16 + 16*4 = 192, mean 9.6 (wmean_u 1e-6)
+    assert(out(1L) == ((1L, 2L, 20L, 192L, 9600000L)))
     // zone 2: cov 8q, wsum 16*8 = 128, mean 16
-    assert(out(2L) == ((2L, 1L, 8L, 128L, 16.0)))
+    assert(out(2L) == ((2L, 1L, 8L, 128L, 16000000L)))
     // a zone over NoData only contributes nothing
     val o2 = ZonalOps.zonalStatsCoverage(vals,
       Seq((9L, 5.0, 5.0, 6.0, 6.0)).toDF("zone", "x0", "y0", "x1", "y1"))
@@ -135,9 +136,10 @@ class ContourSpec extends SparkSpec {
     val zones = layer(Seq((0L, 0L, 1.0), (1L, 0L, 1.0),
       (2L, 0L, 2.0), (3L, 0L, 2.0)))
     val out = ZonalOps.zonalCircularMean(ang, zones)
-      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
-    assert(out(1L) == (1L, 2L, 0.0, 0.999848))
-    assert(out(2L) == (2L, 2L, 45.0, math.rint(math.sqrt(2) / 2 * 1e6) / 1e6))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // mean_deg_u 1e-5, resultant_u 1e-6 quantized BIGINTs (r18)
+    assert(out(1L) == (1L, 2L, 0L, 999848L))
+    assert(out(2L) == (2L, 2L, 4500000L, math.rint(math.sqrt(2) / 2 * 1e6).toLong))
   }
 
   test("cell area: telescoping total matches the closed form, equatorward rows grow") {

@@ -84,7 +84,8 @@ class InterpolateSpec extends SparkSpec {
     // the surface passes near the samples (small nugget) and decays to
     // 0 outside every point's range
     val surf = Interpolate.simpleKriging(spark, pts, 16, rng, nug)
-      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3 / 1000000.0).toMap // v_u (r18)
     assert(surf.size == 256)
     pts.foreach { case (px, py, z) =>
       assert(math.abs(surf((px.toLong, py.toLong)) - z) < 0.05 * z, s"at ($px,$py)")

@@ -799,13 +799,15 @@ class RasterLayerSpec extends SparkSpec {
     val l = layer((for (x <- 0 to 4; y <- 0 to 2)
       yield (x.toLong, y.toLong, (x + 10 * y).toDouble)): _*)
     val out = ZonalOps.profile(l, 0, 0, 4, 2)
-      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+      .as[(Long, Long, Long, Double, Long)].collect().sortBy(_._1)
     assert(out.map(p => (p._1, p._2, p._3, p._4)).toSeq == Seq(
       (0L, 0L, 0L, 0.0), (1L, 1L, 1L, 11.0), (2L, 2L, 1L, 12.0),
       (3L, 3L, 2L, 23.0), (4L, 4L, 2L, 24.0)))
     val step = math.sqrt(20.0) / 4
+    // dist_u: 1e-5-quantized BIGINT closing (r18)
     out.foreach(p => assert(p._5 ==
-      BigDecimal(p._1 * step).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      BigDecimal(p._1 * step * 100000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
     // NoData holes drop out of the profile
     val holed = layer((0, 0, 1.0), (4, 2, 9.0))
     assert(ZonalOps.profile(holed, 0, 0, 4, 2).count() == 2)
@@ -870,12 +872,13 @@ class RasterLayerSpec extends SparkSpec {
     val v = layer((0, 0, 1.0), (1, 0, 1.0), (2, 0, 2.0), (3, 0, 2.0), (0, 1, 5.0))
     val z = layer((0, 0, 7.0), (1, 0, 7.0), (2, 0, 7.0), (3, 0, 7.0), (0, 1, 8.0))
     val out = ZonalOps.zonalDiversity(v, z)
-      .as[(Long, Long, Long, Double, Double)].collect()
+      .as[(Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
-    assert(out(8L) == ((1L, 1L, 0.0, 0.0)))
-    val (n, vr, h, e) = out(7L)
+    assert(out(8L) == ((1L, 1L, 0L, 0L)))
+    val (n, vr, hU, eU) = out(7L) // 1e-5-quantized BIGINTs (r18)
     assert(n == 4L && vr == 2L)
-    assert(math.abs(h - math.log(2)) < 1e-4 && math.abs(e - 1.0) < 1e-4)
+    assert(math.abs(hU / 100000.0 - math.log(2)) < 1e-4 &&
+      math.abs(eU - 100000L) < 10)
   }
 
   test("minimum-distance classification: nearest signature, ties to smaller id, NoData holes") {
@@ -899,12 +902,12 @@ class RasterLayerSpec extends SparkSpec {
     val pred  = layer((0, 0, 0.0), (1, 0, 0.0), (2, 0, 0.0), (3, 0, 1.0))
     val truth = layer((0, 0, 0.0), (1, 0, 0.0), (2, 0, 1.0), (3, 0, 1.0))
     val out = Compare.accuracyAssessment(pred, truth)
-      .as[(Long, Long, Double, Double)].collect().head
-    assert(out == ((4L, 3L, 0.75, 0.5)))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out == ((4L, 3L, 750000L, 500000L))) // 1e-6-quantized (r18)
     // perfect agreement -> kappa 1
     val p2 = Compare.accuracyAssessment(truth, truth)
-      .as[(Long, Long, Double, Double)].collect().head
-    assert(p2._3 == 1.0 && p2._4 == 1.0)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(p2._3 == 1000000L && p2._4 == 1000000L)
   }
 
   test("change vector analysis: magnitude and direction by hand") {
@@ -995,10 +998,10 @@ class RasterLayerSpec extends SparkSpec {
   test("correlate: perfect positive and negative correlation, NoData excluded") {
     val a = layer((0, 0, 1.0), (1, 0, 2.0), (2, 0, 3.0), (3, 0, 9.0))
     val b = layer((0, 0, 2.0), (1, 0, 4.0), (2, 0, 6.0)) // (3,0) NoData
-    val r = Compare.correlate(a, b).as[(Long, Double)].head()
-    assert(r == ((3L, 1.0))) // y = 2x on the 3 shared cells
+    val r = Compare.correlate(a, b).as[(Long, Long)].head()
+    assert(r == ((3L, 100000L))) // y = 2x on the 3 shared cells (corr_u)
     val neg = layer((0, 0, 3.0), (1, 0, 2.0), (2, 0, 1.0))
-    assert(Compare.correlate(a, neg).as[(Long, Double)].head() == ((3L, -1.0)))
+    assert(Compare.correlate(a, neg).as[(Long, Long)].head() == ((3L, -100000L)))
   }
 
   test("surface volume: exact above/below split vs the reference plane") {

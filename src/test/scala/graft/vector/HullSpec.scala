@@ -27,7 +27,7 @@ class HullSpec extends SparkSpec {
     assert(verts == Set((0.5, 0.5), (10.5, 0.5), (10.5, 8.5), (0.5, 8.5)))
     assert(out.head.getLong(2) == 4L)
     assert(out.head.getDouble(3) == 10.0 * 8.0) // exact shoelace area
-    assert(out.head.getDouble(4) == 36.0)       // exact perimeter
+    assert(out.head.getLong(4) == 3600000L)     // exact perimeter (1e-5 units)
   }
 
   test("property: every input point is left-or-on every directed hull edge; hull is idempotent") {

@@ -89,9 +89,10 @@ class MeasuresSpec extends SparkSpec {
     assert(m2 == 0.0 && r2 == 0.0)
   }
 
-  def run(polys: Seq[(Long, String, Seq[Double], Seq[Double])]): Map[String, (Double, Double, Double)] =
+  // (area DOUBLE, cx_u/cy_u micro-quantized BIGINTs — the r18 closing)
+  def run(polys: Seq[(Long, String, Seq[Double], Seq[Double])]): Map[String, (Double, Long, Long)] =
     Measures.measures(polys.toDF("pid", "shape", "xs", "ys"))
-      .as[(Long, String, Double, Double, Double)].collect()
+      .as[(Long, String, Double, Long, Long)].collect()
       .map(r => r._2 -> (r._3, r._4, r._5)).toMap
 
   test("measures: square, both orientations, off-origin") {
@@ -101,8 +102,8 @@ class MeasuresSpec extends SparkSpec {
     val m = run(Seq(
       (1L, "ccw", sq, sy),
       (2L, "cw", sq.reverse, sy.reverse)))
-    assert(m("ccw") == (1.0, 10.5, 20.5))
-    assert(m("cw") == (1.0, 10.5, 20.5))
+    assert(m("ccw") == (1.0, 10500000L, 20500000L))
+    assert(m("cw") == (1.0, 10500000L, 20500000L))
   }
 
   test("measures: concave L-polygon matches decomposition") {
@@ -111,29 +112,30 @@ class MeasuresSpec extends SparkSpec {
       Seq(0.0, 2, 2, 1, 1, 0, 0), Seq(0.0, 0, 1, 1, 2, 2, 0))))
     val (area, cx, cy) = m("L")
     assert(area == 3.0)
-    assert(cx == math.rint(2.5 / 3 * 1e6) / 1e6 && cy == cx)
+    assert(cx == math.rint(2.5 / 3 * 1e6).toLong && cy == cx)
   }
 
   test("measures: triangle thirds centroid") {
     val m = run(Seq((1L, "t", Seq(0.0, 3, 0, 0), Seq(0.0, 0, 3, 0))))
-    assert(m("t") == (4.5, 1.0, 1.0))
+    assert(m("t") == (4.5, 1000000L, 1000000L))
   }
 
   test("geodesic: quarter-circle east, due north, due south by hand") {
     def geo(lon: Double, lat: Double, alon: Double, alat: Double) =
       Measures.geodesic(Seq((1L, lon, lat)).toDF("pid", "lon", "lat"), alon, alat)
-        .as[(Long, Double, Double)].collect().head
-    def r4(x: Double) = math.rint(x * 1e4) / 1e4
-    val quarter = r4(6371.0 * math.Pi / 2)
+        .as[(Long, Long, Long)].collect().head
+    // 1e-4-km quantized BIGINT closings (the r18 contract)
+    def u4(x: Double) = math.rint(x * 1e4).toLong
+    val quarter = u4(6371.0 * math.Pi / 2)
     // equator point to a point 90 deg east: quarter circumference, due east
-    assert(geo(0, 0, 90, 0) == ((1L, quarter, 90.0)))
+    assert(geo(0, 0, 90, 0) == ((1L, quarter, 900000L)))
     // equator to the north pole: same distance, bearing 0
-    assert(geo(0, 0, 0, 90) == ((1L, quarter, 0.0)))
+    assert(geo(0, 0, 0, 90) == ((1L, quarter, 0L)))
     // due south along a meridian: 30 deg of arc, bearing 180
-    val d30 = r4(6371.0 * math.toRadians(30))
-    assert(geo(10, 0, 10, -30) == ((1L, d30, 180.0)))
+    val d30 = u4(6371.0 * math.toRadians(30))
+    assert(geo(10, 0, 10, -30) == ((1L, d30, 1800000L)))
     // zero distance at the anchor itself
-    assert(geo(2.25, 48.85, 2.25, 48.85)._2 == 0.0)
+    assert(geo(2.25, 48.85, 2.25, 48.85)._2 == 0L)
   }
 
   test("spherical excess: octant triangle is exactly pi/2 steradians") {
