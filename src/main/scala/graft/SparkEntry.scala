@@ -1560,7 +1560,8 @@ object SparkEntry {
       // Krüger series in its accurate domain). The formula STEPS are
       // one shared SQL text (CRS.forwardSqlSteps) evaluated by expr()
       // here and as a CTE chain in the oracle — the twins cannot
-      // drift. round(,4) = 0.1 mm absorbs last-ulp libm differences.
+      // drift. The 1e4 quantum (0.1 mm) absorbs last-ulp libm
+      // differences; closing micro-quantized to BIGINT (r18).
       val (steps, eE, nE) = graft.core.CRS.TransverseMercator.forwardSqlSteps(33, south = false)
       val base = customerLonLat(s, dir).where(col("lon") >= 0 && col("lon") <= 30)
       val full = steps.foldLeft(base) { case (df, (name, f)) => df.withColumn(name, expr(f)) }
@@ -1604,7 +1605,8 @@ object SparkEntry {
       // Krüger chain is ONE shared SQL text (Tmerc.forwardSqlSteps,
       // datum fixed point unrolled to the same 6 rounds) evaluated by
       // expr() here and as a CTE chain in the oracle. |dl| <= 18 deg
-      // keeps the series honest; round(,4) = 0.1 mm absorbs libm ulps.
+      // keeps the series honest; the 1e4 quantum (0.1 mm) absorbs
+      // libm ulps, closing micro-quantized to BIGINT (r18).
       val (steps, eE, nE) = graft.core.CRS.Osgb36.forwardSqlSteps
       val base = customerLonLat(s, dir).where(col("lon") >= -20 && col("lon") <= 16 &&
         col("lat") >= 35 && col("lat") <= 75)
@@ -1617,7 +1619,7 @@ object SparkEntry {
       // CONUS Albers Equal-Area (EPSG:5070, the standard US
       // continental-analysis CRS) over the customer points inside the
       // cone's designed window — same one-SQL-text-two-engines
-      // contract as q_reproject_utm; round(,4) = 0.1 mm
+      // contract as q_reproject_utm; 1e4 quantum = 0.1 mm
       val aea = graft.core.CRS.fromName("EPSG:5070")
         .asInstanceOf[graft.core.CRS.AlbersEqualArea]
       val (steps, eE, nE) = aea.forwardSqlSteps
@@ -1686,7 +1688,7 @@ object SparkEntry {
         .fromName("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181")
         .asInstanceOf[graft.core.CRS.Sinusoidal]
       val (steps, eE, nE) = sinu.forwardSqlSteps
-      // round(,3), not the family's (,4): the r14 boundary sweep found
+      // 1e3 quantum, not the family's 1e4: the r14 boundary sweep found
       // a sf0.01 point EXACTLY on a 4-dp half boundary (slack 0 ulps —
       // one libm ulp flips it); at 3 dp the minimum slack is 95 ulps
       // (LibmBoundarySpec gates it)
