@@ -34,9 +34,14 @@ object Voronoi {
     * use [[cellsDual]] — the implemented Delaunay-neighbor swap. */
   val MaxSites = 4096
 
-  /** [[cellsDual]] guard: clip work is linear in sites, but the
-    * triangulation and the cell list still live on the driver. */
-  val MaxSitesDual = 262144
+  /** [[cellsDual]] guard. Clip work is linear in sites, but the
+    * Bowyer-Watson build scans every live triangle per insertion —
+    * O(n²) triangle predicates total — and runs on the driver (sites
+    * are the model-constant dim side). 32k sites ≈ 1e9 Long
+    * predicates ≈ tens of seconds; the honest ceiling. Past it the
+    * build needs a point-location structure or a divide-and-conquer
+    * merge — documented future work, loud until then. */
+  val MaxSitesDual = 32768
 
   /** Voronoi cells clipped to [xmin,xmax]×[ymin,ymax].
     * @param sites distinct points (duplicate sites rejected)
