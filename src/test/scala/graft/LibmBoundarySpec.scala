@@ -388,6 +388,34 @@ class LibmBoundarySpec extends SparkSpec {
     assertFar("bivariate moran*1e6", bv)
   }
 
+  test("r18 micro-quantized libm chains: twi, hll estimate, geodesic area") {
+    // families migrated off round(x,k) DOUBLE in r18 — same boundary
+    // question at their new integer quanta (1e5 / 1e5 / 1e4)
+    // twi = ln((acc+1) / max(tan(radians(slope)), 0.001)), 1e5 quantum
+    val acc = graft.raster.Hydrology.flowAccumulation(
+      GridSource.lineitemCells(spark, dir), 256, 256)
+    val slope = GridSource.lineitemLayer(spark, dir).slope().toCells
+      .select(col("x"), col("y"), col("v").as("sdeg"))
+    val twiRaw = acc.join(slope, Seq("x", "y"))
+      .select(log((col("acc") + lit(1L)).cast("double") /
+        greatest(tan(radians(col("sdeg"))), lit(0.001))).as("t"))
+      .as[Double].collect().toSeq
+    assertUlpSlack("twi ln-chain", twiRaw, scale = 1e5)
+    // hll estimate: ln inside both branches, 1e5 quantum
+    val regs = graft.pipeline.Sketch.hllSketch(docs)
+      .as[(Long, Long)].collect()
+    val z = regs.map { case (_, rho) => math.pow(2.0, 55 - rho) }.sum
+    val zeros = regs.count(_._2 == 0L)
+    val raw = 0.709 * 64 * 64 * 36028797018963968.0 / z
+    val est = if (raw <= 160.0 && zeros > 0) 64.0 * math.log(64.0 / zeros) else raw
+    assertUlpSlack("hll estimate", Seq(est), scale = 1e5)
+    // geodesic diamond area (spherical-excess trig chain), 1e4 quantum
+    val areas = GridSource.customerLonLat(spark, dir)
+      .select(expr(graft.vector.Measures.diamondAreaSql(0.5)).as("a"))
+      .as[Double].collect().toSeq
+    assertUlpSlack("geodesic diamond area", areas, scale = 1e4)
+  }
+
   test("bm25 idf arguments for the fixed query-term set") {
     val ws = docs.select(col("doc_id"),
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
