@@ -1018,7 +1018,12 @@ object TextAnalysis {
         round(col("nll") * lit(1000000.0)).cast("long").as("nll_q"))
       .localCheckpoint() // guard count + both paths reuse one scoring
     val nPer = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
-    val biggest = nPer.agg(max("n_src")).head().getLong(0)
+    // empty corpus -> no sources -> max() is NULL; route to the exact
+    // path (which emits the empty frame) instead of NPEing the guard
+    val biggest = nPer.agg(max("n_src")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
     if (biggest <= maxExactPerSource) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy(col("nll"), col("doc_id"))
