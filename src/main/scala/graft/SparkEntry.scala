@@ -2129,6 +2129,35 @@ object SparkEntry {
         .tileToLayoutTemporal(lay, CellOp.Max).toCells
     }),
 
+    "q_read_to_layout_temporal" -> ((s, dir) => {
+      // the one-call ingest's TEMPORAL leg (r18): the q_grib_temporal
+      // scene stream through Ingest.readToLayout(temporal = true) —
+      // decode + per-instant cut in one call, row-identical to the
+      // hand-composed fromGribTemporal + tileToLayoutTemporal chain,
+      // so it shares q_grib_temporal's oracle verbatim
+      val l = lineitemLayer(s, dir)
+      val lay = l.meta.layout
+      val tl = lay.tileLayout
+      val lr = tl.layoutRows
+      import s.implicits._
+      val scenes = l.df.select(col("col"), col("row"), col("tile"))
+        .as[(Int, Int, Seq[Double])]
+        .map { case (c, r, tile) =>
+          val id = c.toLong * lr + r
+          val xmin = lay.extent.xmin + c.toLong * tl.tileCols * lay.cellWidth
+          val ymax = lay.extent.ymax - r.toLong * tl.tileRows * lay.cellHeight
+          (id, Grib2.encodeScenes(
+            Array(86400L * (20000 + id), 86400L * (30000 + id)),
+            Array(tile.toArray, tile.toArray),
+            tl.tileCols, tl.tileRows,
+            xmin, ymax - tl.tileRows * lay.cellHeight,
+            xmin + tl.tileCols * lay.cellWidth, ymax))
+        }
+        .toDF("scene_id", "grib")
+      graft.raster.Ingest.readToLayout(scenes, "grib2", lay, temporal = true)
+        .toCells
+    }),
+
     "q_zarr_roundtrip" -> ((s, dir) => {
       // native Zarr v2 codec (r17): every tile encodes as a chunked
       // store (2×2 zlib chunk grid + coordinate arrays + .zattrs
@@ -8626,6 +8655,8 @@ object SparkEntry {
       // one-call ingest (r18): decode -> cut -> warp composes to the
       // same inverse-sampled bilinear chain, oracle shared verbatim
       "q_read_to_layout"            -> base("q_reproject_bilinear"),
+      // its temporal leg: same scene stream and cut as q_grib_temporal
+      "q_read_to_layout_temporal"   -> base("q_grib_temporal"),
     )
   }
 }
