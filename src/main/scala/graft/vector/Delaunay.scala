@@ -13,10 +13,21 @@ import scala.collection.mutable
   * every orientation / in-circumcircle predicate is exact integer
   * arithmetic — no epsilons, no robustness heuristics, and therefore a
   * DETERMINISTIC triangulation the oracle can restate as literals (the
-  * LSH planeWeights precedent). Predicates run in Long while the
-  * worst in-circle term provably fits (max |coord| ≤ 14000 keeps
-  * 192·M⁴ < 2⁶³) and switch to exact BigInt signs past that — bigger
-  * scales trade speed for the same determinism, never correctness.
+  * LSH planeWeights precedent). Finite-point predicates run in Long
+  * while the worst in-circle term provably fits (max |coord| ≤ 14000
+  * keeps 192·M⁴ < 2⁶³) and switch to exact BigInt signs past that;
+  * the final orientation filter likewise widens to BigInt past the
+  * 8M² Long bound (M > 10⁹). Predicates touching a super-triangle
+  * vertex always run in BigInt (super coordinates are BigInt by
+  * construction, see below). Bigger scales trade speed for the same
+  * determinism, never correctness.
+  *
+  * The super-triangle is placed PROVABLY outside every finite-triple
+  * circumcircle (integer coordinates bound circumradii: area ≥ 1/2 and
+  * sides ≤ 2√2·M give R ≤ 12·M³), so the finite restriction of the
+  * Bowyer–Watson result IS the true Delaunay triangulation — no
+  * hull-adjacent deviation — which is what [[graft.vector.Voronoi
+  * .cellsDual]]'s duality theorem requires.
   *
   * Degeneracies: exact duplicates are dropped; fully collinear inputs
   * return zero triangles; cocircular quadruples resolve by insertion
@@ -64,47 +75,65 @@ object Delaunay {
     val px = idx.map(lx)
     val py = idx.map(ly)
     val n = idx.length
-    // Super-triangle: finite, outside the hull. It can still sit
-    // inside the near-infinite circumcircle of an almost-collinear
-    // hull triple — in that case the result deviates from true
-    // Delaunay ONLY in hull-adjacent faces, deterministically; the
-    // TIN contract (a consistent piecewise-linear surface over the
-    // emitted triangles, oracle sharing the same literals) holds
-    // regardless.
-    val minX = px.min; val maxX = px.max; val minY = py.min; val maxY = py.max
-    val d = math.max(maxX - minX, maxY - minY) + 16
-    val sx = Array(minX - 8 * d, minX + 16 * d, minX - 8 * d)
-    val sy = Array(minY - 4 * d, minY - 4 * d, minY + 16 * d)
-    def X(v: Int): Long = if (v >= n) sx(v - n) else px(v)
-    def Y(v: Int): Long = if (v >= n) sy(v - n) else py(v)
-    def orient(a: Int, b: Int, c: Int): Long =
-      (X(b) - X(a)) * (Y(c) - Y(a)) - (Y(b) - Y(a)) * (X(c) - X(a))
-    // Long in-circle is exact while 192·M⁴ < 2⁶³ (M = max |coord|,
-    // differences ≤ 2M, a2 ≤ 8M², one term ≤ 64M⁴, three ≤ 192M⁴);
-    // past M = 14000 every sign comes from BigInt instead.
-    val maxAbs = math.max(
-      math.max(math.abs(sx.min), math.abs(sx.max)),
-      math.max(math.abs(sy.min), math.abs(sy.max)))
-    val useBig = maxAbs > 14000L
+    // Super-triangle: finite but PROVABLY outside every circumcircle
+    // of every non-degenerate finite triple, so the finite restriction
+    // of the result is the TRUE Delaunay triangulation (the empty-
+    // circumcircle property restricted to finite triangles holds
+    // exactly). The bound: integer coordinates with |coord| ≤ M give
+    // triangle area ≥ 1/2 and side lengths ≤ 2√2·M, hence circumradius
+    // R = |ab||bc||ca| / (4·area) ≤ (2√2·M)³/2 < 12·M³, and every
+    // circumcenter lies within M + R of the origin. Each super vertex
+    // below sits ≥ 7D from the origin with D = 4M³ + M + 16, and
+    // 7D ≥ 28M³ > 25M³ ≥ M + 2R, so dist(super, center) > R. M³
+    // overflows Long past M ≈ 2·10⁶, so super coordinates are BigInt
+    // and every predicate touching one runs in BigInt (an O(hull)
+    // minority of the work).
+    val minX = px.min; val minY = py.min
+    val dataMax = math.max(
+      math.max(math.abs(px.min), math.abs(px.max)),
+      math.max(math.abs(py.min), math.abs(py.max))).max(1L)
+    val D: BigInt = {
+      val m = BigInt(dataMax)
+      4 * m * m * m + m + 16
+    }
+    val sxB = Array(BigInt(minX) - 8 * D, BigInt(minX) + 16 * D, BigInt(minX) - 8 * D)
+    val syB = Array(BigInt(minY) - 4 * D, BigInt(minY) - 4 * D, BigInt(minY) + 16 * D)
+    def XB(v: Int): BigInt = if (v >= n) sxB(v - n) else BigInt(px(v))
+    def YB(v: Int): BigInt = if (v >= n) syB(v - n) else BigInt(py(v))
+    // Long orient is exact while 8M² < 2⁶³ (differences ≤ 2M, each
+    // product ≤ 4M², their difference ≤ 8M²) — only finite triangles
+    // reach it (the final filter), so M here is dataMax.
+    val bigOrient = dataMax > 1000000000L
+    def orientNonZero(a: Int, b: Int, c: Int): Boolean =
+      if (!bigOrient)
+        (px(b) - px(a)) * (py(c) - py(a)) - (py(b) - py(a)) * (px(c) - px(a)) != 0L
+      else
+        ((XB(b) - XB(a)) * (YB(c) - YB(a)) - (YB(b) - YB(a)) * (XB(c) - XB(a))).signum != 0
+    // Long in-circle is exact while 192·M⁴ < 2⁶³ (M = max |finite
+    // coord|, differences ≤ 2M, a2 ≤ 8M², one term ≤ 64M⁴, three
+    // ≤ 192M⁴); past M = 14000 — or whenever a super vertex (BigInt
+    // coords) participates — every sign comes from BigInt instead.
+    val useBig = dataMax > 14000L
     /** > 0 iff p strictly inside the circumcircle of CCW (a,b,c). */
     def inCircleSign(a: Int, b: Int, c: Int, p: Int): Int = {
-      val ax = X(a) - X(p); val ay = Y(a) - Y(p)
-      val bx = X(b) - X(p); val by = Y(b) - Y(p)
-      val cx = X(c) - X(p); val cy = Y(c) - Y(p)
-      if (!useBig) {
+      if (useBig || a >= n || b >= n || c >= n || p >= n) {
+        val Px = XB(p); val Py = YB(p)
+        val Ax = XB(a) - Px; val Ay = YB(a) - Py
+        val Bx = XB(b) - Px; val By = YB(b) - Py
+        val Cx = XB(c) - Px; val Cy = YB(c) - Py
+        val a2 = Ax * Ax + Ay * Ay
+        val b2 = Bx * Bx + By * By
+        val c2 = Cx * Cx + Cy * Cy
+        (Ax * (By * c2 - b2 * Cy) - Ay * (Bx * c2 - b2 * Cx) + a2 * (Bx * Cy - By * Cx)).signum
+      } else {
+        val ax = px(a) - px(p); val ay = py(a) - py(p)
+        val bx = px(b) - px(p); val by = py(b) - py(p)
+        val cx = px(c) - px(p); val cy = py(c) - py(p)
         val a2 = ax * ax + ay * ay
         val b2 = bx * bx + by * by
         val c2 = cx * cx + cy * cy
         java.lang.Long.signum(
           ax * (by * c2 - b2 * cy) - ay * (bx * c2 - b2 * cx) + a2 * (bx * cy - by * cx))
-      } else {
-        val Ax = BigInt(ax); val Ay = BigInt(ay)
-        val Bx = BigInt(bx); val By = BigInt(by)
-        val Cx = BigInt(cx); val Cy = BigInt(cy)
-        val a2 = Ax * Ax + Ay * Ay
-        val b2 = Bx * Bx + By * By
-        val c2 = Cx * Cx + Cy * Cy
-        (Ax * (By * c2 - b2 * Cy) - Ay * (Bx * c2 - b2 * Cx) + a2 * (Bx * Cy - By * Cx)).signum
       }
     }
     // triangles stored CCW
@@ -138,7 +167,7 @@ object Delaunay {
     }
     tris.iterator
       .filter { case (a, b, c) => a < n && b < n && c < n }
-      .filter { case (a, b, c) => orient(a, b, c) != 0 }
+      .filter { case (a, b, c) => orientNonZero(a, b, c) }
       .map { case (a, b, c) =>
         val s = Array(idx(a), idx(b), idx(c)).sorted
         (s(0), s(1), s(2))

@@ -78,9 +78,17 @@ object Voronoi {
     *              site coordinate must be integral after ·scale
     *              (half-integral grids: 2; the .31/.74 query
     *              fixtures: 100). See [[Delaunay.triangulateScaled]].
+    * The duality claim is unconditional: [[Delaunay.triangulateScaled]]
+    * places its super-triangle provably outside every finite
+    * circumcircle, so the triangulation (and therefore the neighbor
+    * lists clipped against here) is the TRUE Delaunay triangulation —
+    * including hull-adjacent faces of almost-collinear triples.
+    *
     * Degenerate site sets (< 3 sites or all collinear — zero
-    * triangles) fall back to the exact all-pairs clip, which their
-    * size must then fit ([[MaxSites]] still applies there). */
+    * triangles) fall back to the exact all-pairs clip while they fit
+    * [[MaxSites]]; past that, collinear sites take the slab path (on
+    * a shared line only the two ADJACENT sites' bisectors are
+    * non-redundant), which has no size wall. */
   def cellsDual(sites: IndexedSeq[Pt], xmin: Double, ymin: Double,
                 xmax: Double, ymax: Double,
                 scale: Long = 100L): Seq[(Int, Polygon)] = {
@@ -91,8 +99,39 @@ object Voronoi {
     require(xmin < xmax && ymin < ymax, "degenerate extent")
     val nbrs = Delaunay.neighborsScaled(
       sites.map(p => (p.x, p.y)).toArray, scale)
-    if (nbrs.forall(_.isEmpty)) // < 3 sites or fully collinear
-      return cells(sites, xmin, ymin, xmax, ymax)
+    if (nbrs.forall(_.isEmpty)) { // < 3 sites or fully collinear
+      // small sets keep the exact all-pairs clip (byte-identical to
+      // cells(), which the degenerate-fixture spec pins); past
+      // MaxSites the all-pairs wall would turn a valid collinear set
+      // into a confusing rejection, so clip only the two bisectors
+      // that matter: on a shared line, V(i) is bounded by the
+      // bisectors of i's ADJACENT sites along the line (every other
+      // bisector is redundant) — order by the same rint-scaled
+      // integers the triangulation keys on (lexicographic (x, y) is
+      // monotone along any line: x strictly, or y when vertical).
+      if (sites.length <= MaxSites)
+        return cells(sites, xmin, ymin, xmax, ymax)
+      val keyed = sites.indices.map { i =>
+        (math.rint(sites(i).x * scale).toLong,
+         math.rint(sites(i).y * scale).toLong, i)
+      }
+      require(keyed.map(k => (k._1, k._2)).distinct.length == sites.length,
+        s"sites collide at scale $scale — raise the scale to the " +
+          "coordinates' true resolution")
+      val ord = keyed.sortBy(k => (k._1, k._2)).map(_._3)
+      val box0 = IndexedSeq(Pt(xmin, ymin), Pt(xmax, ymin),
+        Pt(xmax, ymax), Pt(xmin, ymax))
+      val cellOf = new Array[Option[Polygon]](sites.length)
+      ord.indices.foreach { pos =>
+        val i = ord(pos)
+        var ring = box0
+        if (pos > 0) ring = clipBisector(ring, sites(i), sites(ord(pos - 1)))
+        if (pos < ord.length - 1 && ring.length >= 3)
+          ring = clipBisector(ring, sites(i), sites(ord(pos + 1)))
+        cellOf(i) = if (ring.length >= 3) Some(Polygon(ring)) else None
+      }
+      return sites.indices.flatMap(i => cellOf(i).map(i -> _))
+    }
     // a mixed empty/non-empty neighbor map means two distinct-double
     // sites collided after the scale rint — the triangulation dropped
     // one and its "cell" would silently stay the whole box

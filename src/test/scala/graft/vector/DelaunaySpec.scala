@@ -85,6 +85,51 @@ class DelaunaySpec extends AnyFunSuite {
     assert(tris.head == ((0, 2, 3)))
   }
 
+  test("almost-collinear hull triples stay true Delaunay (r19 far super-triangle)") {
+    // (0.5,0.5)-(100.5,1.5)-(200.5,3.5) has a circumradius ~10^6 x the
+    // data span: a span-sized super-triangle sits INSIDE it and
+    // deviates the hull faces; the provably-far placement may not.
+    val pts = Array(
+      (0.5, 0.5), (100.5, 1.5), (200.5, 3.5),
+      (50.5, 40.5), (150.5, 60.5), (100.5, 80.5), (30.5, 70.5))
+    val tris = Delaunay.triangulate(pts)
+    assert(tris.nonEmpty)
+    for ((a, b, c) <- tris; (p, i) <- pts.zipWithIndex
+         if i != a && i != b && i != c) {
+      assert(inCircle(pts(a), pts(b), pts(c), p) <= 0,
+        s"point $i inside circumcircle of ($a,$b,$c)")
+    }
+    // the near-collinear bottom chain must appear as hull EDGES (a
+    // deviated triangulation drops the middle vertex from the hull
+    // fan): vertex 1 is used by some triangle
+    assert(tris.exists { case (a, b, c) => a == 1 || b == 1 || c == 1 })
+  }
+
+  test("orient survives coordinates past the Long bound (r19 BigInt widen)") {
+    // scaled coords ~1.5e9 put 8M^2 past 2^63: the Long cross product
+    // would overflow and could drop valid triangles as degenerate
+    val base = 1.5e7
+    val pts = Array(
+      (base + 0.25, base + 0.25), (base + 100.25, base + 0.5),
+      (base + 50.5, base + 90.25), (base + 120.75, base + 40.75))
+    val tris = Delaunay.triangulateScaled(pts, 100L)
+    assert(tris.length == 2)
+    // independent BigInt Delaunay check at the same scale
+    def d(v: (Double, Double)) =
+      (BigInt(math.rint(v._1 * 100).toLong), BigInt(math.rint(v._2 * 100).toLong))
+    for ((a, b, c) <- tris; (p, i) <- pts.zipWithIndex
+         if i != a && i != b && i != c) {
+      val (px0, py0) = d(p)
+      val Seq((ax, ay), (bx, by), (cx, cy)) =
+        Seq(pts(a), pts(b), pts(c)).map(d).map { case (x, y) => (x - px0, y - py0) }
+      val (a2, b2, c2) = (ax * ax + ay * ay, bx * bx + by * by, cx * cx + cy * cy)
+      val det = ax * (by * c2 - b2 * cy) - ay * (bx * c2 - b2 * cx) + a2 * (bx * cy - by * cx)
+      val orient = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+      assert((if (orient < 0) -det else det) <= 0,
+        s"point $i inside circumcircle of ($a,$b,$c)")
+    }
+  }
+
   test("rejects non-half-integral coordinates") {
     val e = intercept[IllegalArgumentException] {
       Delaunay.triangulate(Array((0.3, 0.5), (1.5, 0.5), (0.5, 1.5)))

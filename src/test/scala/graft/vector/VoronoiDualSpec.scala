@@ -125,4 +125,31 @@ class VoronoiDualSpec extends AnyFunSuite {
         Pt(i.toDouble, 0)), 0, 0, 1e7, 10, scale = 1L)
     }
   }
+
+  test("collinear sites past MaxSites take the slab path (r19)") {
+    // 4,200 collinear sites: all-pairs would reject (> MaxSites=4096)
+    // and r18 raised a confusing 'use cellsDual' from INSIDE cellsDual;
+    // now the adjacent-bisector slab path builds the exact diagram
+    val n = Voronoi.MaxSites + 104
+    val sites = (0 until n).map(i => Pt(i + 0.5, 7.5))
+    val dual = Voronoi.cellsDual(sites, 0, 0, n.toDouble, 15, scale = 2L)
+    assert(dual.length == n)
+    // cells partition the extent
+    val total = dual.map { case (_, p) => Overlay.area(p) }.sum
+    assert(math.abs(total - n * 15.0) < 1e-4, s"sum $total")
+    // interior cells are exactly the unit-wide slabs
+    val byIdx = dual.toMap
+    Seq(1, 57, n / 2, n - 2).foreach { i =>
+      assert(math.abs(Overlay.area(byIdx(i)) - 15.0) < 1e-9, s"cell $i")
+      assert(byIdx(i).contains(sites(i).x, sites(i).y), s"site $i")
+    }
+    // scaled collisions still reject loudly on the slab path (the
+    // 1e-9-offset double is integral-within-tolerance at scale 1 but
+    // rints onto x=1)
+    intercept[IllegalArgumentException] {
+      Voronoi.cellsDual(
+        Pt(1.0 + 1e-9, 3.0) +: (0 until n).map(i => Pt(i.toDouble, 3.0)),
+        0, 0, n.toDouble, 6, scale = 1L)
+    }
+  }
 }
