@@ -1903,6 +1903,20 @@ object SparkEntry {
       flat(Catalog.read(s, uri, "lineitem_rt", zoom = 4))
     }),
 
+    "q_gt_read" -> ((s, dir) => {
+      // GeoTrellis-store payload bridge (r19, reference catalog.py:74
+      // read_value / catalog.py:117 query): export the grid layer as a
+      // byte-level geotrellis FileLayerWriter store (blob "metadata"
+      // attribute, zorder key index, one Avro KeyValueRecord datum per
+      // tile), then read the payloads back DISTRIBUTED through the
+      // self-describing stored schema — identity on the grid
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_gt_store"
+      graft.catalog.GeoTrellisStore.writeLayer(uri, "lineitem_gt",
+        lineitemLayer(s, dir))
+      flat(graft.catalog.GeoTrellisStore.readLayer(s, uri,
+        graft.catalog.GeoTrellisStore.GtLayerId("lineitem_gt", 0)))
+    }),
+
     "q_read_tile" -> ((s, dir) => {
       // ValueReader point read (catalog.py:74): store the layer, fetch
       // ONE tile by key through parquet-footer pruning + a single-file
@@ -6443,6 +6457,10 @@ object SparkEntry {
            |FROM ($grid)""".stripMargin,
 
       "q_catalog_roundtrip" -> s"SELECT x, y, v FROM ($grid)",
+
+      // geotrellis-store payload bridge: export + self-describing Avro
+      // read-back is an identity on the grid (q_catalog_roundtrip twin)
+      "q_gt_read" -> s"SELECT x, y, v FROM ($grid)",
 
       "q_read_tile" ->
         s"SELECT x, y, v FROM ($grid) WHERE x // 64 = 2 AND y // 64 = 3",

@@ -4,37 +4,67 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col => fcol}
 
-import graft.core.{Extent, LayoutDefinition, TileLayout}
-import graft.raster.LayerMetadata
+import graft.core.{Extent, LayoutDefinition, TileLayout, ZIndex}
+import graft.raster.{LayerMetadata, RasterLayer}
 
-/** READ-ONLY adapter over an existing GeoTrellis catalog's
-  * AttributeStore — the migration bridge for users with a store
-  * written by geotrellis `FileLayerWriter` (the backend the reference
-  * reaches through catalog.py:210 / LayerWriterWrapper.scala:1).
+/** Adapter over an existing GeoTrellis catalog — the migration bridge
+  * for users with a store written by geotrellis `FileLayerWriter` (the
+  * backend the reference reaches through catalog.py:210 /
+  * LayerWriterWrapper.scala:1), plus the inverse writer so graft
+  * layers can be exported INTO that layout.
   *
-  * What it reads (plain JSON, the public geotrellis-store
+  * Attribute side (plain JSON, the public geotrellis-store
   * `FileAttributeStore` layout `{catalog}/attributes/
-  * {layer}__{zoom}__{attribute}.json`, each file a `[layerId, value]`
+  * {layer}___{zoom}___{attribute}.json` — separator is THREE
+  * underscores, geotrellis's `FileAttributeStore.SEP`; layer names
+  * containing the separator itself are not representable in that
+  * layout and stay out of scope; each file holds a `[layerId, value]`
   * tuple):
   *  - layer inventory (name, zoom) — `layers`;
   *  - any attribute's JSON value — `readAttribute`;
   *  - the "metadata" attribute's TileLayerMetadata — extent, layout,
   *    cellType, CRS, key bounds — mapped onto graft's
-  *    [[LayoutDefinition]] so a migration rebuilds layers at the
-  *    EXACT layouts the old store used (`readMetadata` /
-  *    `toLayerMetadata`).
+  *    [[LayoutDefinition]] (`readMetadata` / `toLayerMetadata`). Both
+  *    the GT3 blob form ({header, metadata, keyIndex, schema} in ONE
+  *    "metadata" attribute — `BlobLayerAttributeStore`) and separate
+  *    per-field attributes are understood.
   *
-  * What it deliberately does NOT read: tile PAYLOADS. GeoTrellis
-  * stores tiles as Avro records under per-layer key-index ranges;
-  * decoding them needs the geotrellis Avro schema machinery (an
-  * external dependency this engine doesn't ship). The supported
-  * migration is: read the layout here, re-ingest the source scenes
-  * with [[graft.raster.Ingest.readToLayout]] at that layout, write
-  * with [[Catalog.writeLayer]] — documented in README's migration
-  * notes. Distributed-read interop for Accumulo/HBase/Cassandra
-  * stores needs those services and stays out of scope.
+  * Tile payloads (r19): GeoTrellis stores tiles as raw Avro datums —
+  * one file per key-index value under `{catalog}/{header.path}/`,
+  * each a KeyValueRecord of (key, tile) pairs, zero-padded decimal
+  * index filenames — and the writer schema is SELF-DESCRIBING (the
+  * "schema" attribute beside the metadata). [[GtAvro]] decodes the
+  * datums generically from that stored schema (reference semantics:
+  * catalog.py:74 `read_value` via io/ValueReaderWrapper.scala:1,
+  * catalog.py:117 `query` via io/LayerReaderWrapper.scala:1):
+  *  - `readValue` — one tile by key through the key index (zorder /
+  *    rowmajor; hilbert needs the uzaygezen chunk ordering and fails
+  *    loudly);
+  *  - `readLayer` — the whole layer, DISTRIBUTED: a binaryFile scan
+  *    over the tile directory decodes per file on executors (keys
+  *    come from the records, so no index math on the read path) into
+  *    a graft [[RasterLayer]] at the stored layout.
+  * Cell decode covers the GeoTrellis single-band tile records
+  * (Bit/Byte/UByte/Short/UShort/Int/Float/Double ArrayTile) with the
+  * noDataValue conventions ([int,null] sentinel unions for integral
+  * types, [boolean,float|double] for floating — boolean true = NaN);
+  * NoData maps to graft's NaN. ArrayMultibandTile payloads and
+  * constant-tile records fail loudly — documented subset.
+  *
+  * `writeLayer` is the inverse: a graft layer exported as a
+  * geotrellis-layout store (blob metadata attribute, zorder key
+  * index, one Avro KeyValueRecord datum per tile) — DoubleArrayTile
+  * records with the boolean-true (NaN) noDataValue branch, float64
+  * being graft's physical cell model. It is also how the spec and
+  * the `q_gt_read` oracle fixture produce byte-level stores without
+  * geotrellis on the classpath.
+  *
+  * Distributed-read interop for Accumulo/HBase/Cassandra stores needs
+  * those services and stays out of scope (they are also
+  * `DiscreteLayerAttributeStore`s, not the blob layout).
   */
 object GeoTrellisStore {
 
@@ -55,7 +85,10 @@ object GeoTrellisStore {
     (path.getFileSystem(hadoopConf), path)
   }
 
-  private def readString(p: String): String = {
+  private def readString(p: String): String =
+    new String(readBytes(p), StandardCharsets.UTF_8)
+
+  private def readBytes(p: String): Array[Byte] = {
     val (fs, path) = fsPath(p)
     val in = fs.open(path)
     try {
@@ -63,43 +96,83 @@ object GeoTrellisStore {
       val chunk = new Array[Byte](8192)
       var n = in.read(chunk)
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, StandardCharsets.UTF_8)
+      buf.toByteArray
     } finally in.close()
   }
 
+  private def writeString(p: String, content: String): Unit = {
+    val (fs, path) = fsPath(p)
+    val out = fs.create(path, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** geotrellis `FileAttributeStore.SEP` — THREE underscores. */
+  private val Sep = "___"
+
+  /** Anchored filename pattern: reluctant name group, digit zoom, the
+    * literal separator — names containing single or double underscores
+    * parse correctly (a name containing the triple separator itself is
+    * ambiguous in geotrellis's own layout and rejected the same way). */
+  private val MetadataRx = ("""^(.+?)""" + Sep + """(\d+)""" + Sep + """metadata\.json$""").r
+  private def attributeFile(catalog: String, layer: GtLayerId, attribute: String): String =
+    s"$catalog/attributes/${layer.name}$Sep${layer.zoom}$Sep$attribute.json"
+
   /** Layer ids present in the store, from the attribute filenames
-    * (`{name}__{zoom}__metadata.json`), sorted (name, zoom). */
+    * (`{name}___{zoom}___metadata.json`), sorted (name, zoom). */
   def layers(catalog: String): Seq[GtLayerId] = {
     val (fs, root) = fsPath(s"$catalog/attributes")
     if (!fs.exists(root)) return Nil
     fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith("__metadata.json"))
-      .flatMap { f =>
-        f.stripSuffix("__metadata.json").split("__") match {
-          case Array(name, zoom) if zoom.forall(_.isDigit) =>
-            Some(GtLayerId(name, zoom.toInt))
-          case _ => None
-        }
+      .flatMap {
+        case MetadataRx(name, zoom) => Some(GtLayerId(name, zoom.toInt))
+        case _ => None
       }
       .sortBy(l => (l.name, l.zoom))
   }
 
   /** One attribute's parsed JSON VALUE (the second element of the
-    * stored `[layerId, value]` tuple; a bare object passes through —
-    * some writers omit the tuple wrapper). */
+    * stored `[layerId, value]` tuple). Unwrap only fires when element
+    * 0 actually IS a layerId ({"name":…,"zoom":…}) — a bare attribute
+    * whose own value happens to be a 2-element array passes through
+    * whole. */
   def readAttribute(catalog: String, layer: GtLayerId, attribute: String): Any = {
-    val raw = readString(
-      s"$catalog/attributes/${layer.name}__${layer.zoom}__$attribute.json")
+    val raw = readString(attributeFile(catalog, layer, attribute))
     graft.vector.GeoJson.parseJsonValue(raw) match {
-      case tuple: Seq[Any @unchecked] if tuple.length == 2 => tuple(1)
+      case tuple: Seq[Any @unchecked] if tuple.length == 2 &&
+          (tuple.head match {
+            case id: Map[String @unchecked, Any @unchecked] =>
+              id.contains("name") && id.contains("zoom")
+            case _ => false
+          }) => tuple(1)
       case bare => bare
+    }
+  }
+
+  private def attributeExists(catalog: String, layer: GtLayerId, attribute: String): Boolean = {
+    val (fs, path) = fsPath(attributeFile(catalog, layer, attribute))
+    fs.exists(path)
+  }
+
+  /** The metadata blob (GT3 `BlobLayerAttributeStore`: one "metadata"
+    * attribute holding {header, metadata, keyIndex, schema}) — or, for
+    * stores with separate per-field attributes, a synthesized map from
+    * the individual files. */
+  private def layerBlob(catalog: String, layer: GtLayerId): Map[String, Any] = {
+    val top = readAttribute(catalog, layer, "metadata").asInstanceOf[Map[String, Any]]
+    if (top.contains("header") || top.contains("keyIndex") || top.contains("schema")) top
+    else {
+      // bare TileLayerMetadata under "metadata" + separate attributes
+      val extra = Seq("header", "keyIndex", "schema").flatMap { a =>
+        if (attributeExists(catalog, layer, a)) Some(a -> readAttribute(catalog, layer, a))
+        else None
+      }
+      (Map("metadata" -> (top.get("metadata").getOrElse(top))) ++ extra.toMap)
     }
   }
 
   /** The "metadata" attribute's TileLayerMetadata subset. */
   def readMetadata(catalog: String, layer: GtLayerId): GtMetadata = {
-    val v = readAttribute(catalog, layer, "metadata")
-    val top = v.asInstanceOf[Map[String, Any]]
+    val top = readAttribute(catalog, layer, "metadata").asInstanceOf[Map[String, Any]]
     // FileLayerWriter nests TileLayerMetadata under "metadata" beside
     // "header"/"keyIndex"/"schema"; tolerate a bare TileLayerMetadata
     val m = top.get("metadata") match {
@@ -143,5 +216,335 @@ object GeoTrellisStore {
       "float32", "float64")
       .find(p => gt.cellType.startsWith(p)).getOrElse("float64")
     LayerMetadata(gt.layout, cellType = base)
+  }
+
+  // --------------------------------------------------- tile payloads (r19)
+
+  /** The stored writer schema (the "schema" attribute — blob field or
+    * separate file), parsed to the [[GtAvro]] AST. */
+  def readSchema(catalog: String, layer: GtLayerId): GtAvro.Schema = {
+    val blob = layerBlob(catalog, layer)
+    val node = blob.getOrElse("schema", throw new IllegalStateException(
+      s"geotrellis store has no Avro schema attribute for ${layer.name}/${layer.zoom} — " +
+        "tile payloads cannot be decoded without the writer schema"))
+    GtAvro.parseSchemaValue(node)
+  }
+
+  /** header.path — the tile directory relative to the catalog root
+    * (FileLayerHeader; defaults to `name/zoom` when absent). */
+  private def tilesDir(catalog: String, layer: GtLayerId): String = {
+    val rel = layerBlob(catalog, layer).get("header") match {
+      case Some(h: Map[String @unchecked, Any @unchecked]) =>
+        h.get("path").map(_.toString).getOrElse(s"${layer.name}/${layer.zoom}")
+      case _ => s"${layer.name}/${layer.zoom}"
+    }
+    s"$catalog/$rel"
+  }
+
+  /** The key-index function (linear index of a spatial key) + the
+    * zero-pad width, from the stored keyIndex JSON. Subset: "zorder"
+    * (geotrellis Z2 — column bits even, row bits odd, exactly
+    * [[ZIndex.zorder]]) and "rowmajor" (relative to keyBounds).
+    * "hilbert" (uzaygezen chunk ordering) and space-time indexes fail
+    * loudly. */
+  private def keyIndexOf(catalog: String, layer: GtLayerId,
+                         meta: GtMetadata): ((Long, Long) => Long, Int) = {
+    val ki = layerBlob(catalog, layer).get("keyIndex") match {
+      case Some(k: Map[String @unchecked, Any @unchecked]) => k
+      case _ => Map[String, Any]("type" -> "zorder")
+    }
+    val props = ki.get("properties") match {
+      case Some(p: Map[String @unchecked, Any @unchecked]) => p
+      case _ => Map.empty[String, Any]
+    }
+    require(!props.contains("temporalResolution"),
+      "geotrellis space-time key indexes are outside the read subset")
+    val bounds = props.get("keyBounds") match {
+      case Some(b: Map[String @unchecked, Any @unchecked]) =>
+        def key(k: String): (Long, Long) = {
+          val kk = b(k).asInstanceOf[Map[String, Any]]
+          (kk("col").asInstanceOf[Double].toLong, kk("row").asInstanceOf[Double].toLong)
+        }
+        (key("minKey"), key("maxKey"))
+      case _ => meta.keyBounds
+    }
+    val fn: (Long, Long) => Long = ki.getOrElse("type", "zorder") match {
+      case "zorder" => (c, r) => ZIndex.zorder(c, r, 31)
+      case "rowmajor" =>
+        val ((minC, minR), (maxC, _)) = bounds
+        val w = maxC - minC + 1
+        (c, r) => (r - minR) * w + (c - minC)
+      case other => throw new IllegalArgumentException(
+        s"geotrellis key index '$other' is outside the read subset (zorder/rowmajor)")
+    }
+    val maxIdx = fn(bounds._2._1, bounds._2._2)
+    (fn, maxIdx.toString.length)
+  }
+
+  private def zeroPad(idx: Long, width: Int): String = {
+    val s = idx.toString
+    if (s.length >= width) s else ("0" * (width - s.length)) + s
+  }
+
+  /** Decode one KeyValueRecord datum to (col, row, instantOpt, cols,
+    * rows, cells) tuples — static so the distributed read path ships
+    * no enclosing state. */
+  private[catalog] def decodePairs(bytes: Array[Byte], schema: GtAvro.Schema)
+      : Seq[(Long, Long, Option[Long], Int, Int, Array[Double])] = {
+    val rec = GtAvro.decode(bytes, schema) match {
+      case r: GtAvro.Rec => r
+      case other => throw new IllegalStateException(
+        s"geotrellis tile datum decoded to ${other.getClass.getName}, expected a record")
+    }
+    rec.fields.getOrElse("pairs", throw new IllegalStateException(
+      s"record ${rec.name} has no 'pairs' field — not a KeyValueRecord"))
+      .asInstanceOf[Vector[Any]]
+      .map { p =>
+        val pair = p.asInstanceOf[GtAvro.Rec]
+        val key = pair("_1").asInstanceOf[GtAvro.Rec]
+        val c = key("col").asInstanceOf[Int].toLong
+        val r = key("row").asInstanceOf[Int].toLong
+        val inst = key.fields.get("instant").map(_.asInstanceOf[Long])
+        val (tc, tr, cells) = tileCells(pair("_2").asInstanceOf[GtAvro.Rec])
+        (c, r, inst, tc, tr, cells)
+      }
+  }
+
+  /** GeoTrellis tile record -> (cols, rows, float64 cells, NoData as
+    * NaN). Handles the public TileCodecs conventions: bytes-typed
+    * cells for Bit/Byte/UByte (Bit packs LSB-first within each byte,
+    * the geotrellis BitArrayTile layout), int arrays for
+    * Short/UShort/Int (UShort stored as sign-widened shorts —
+    * reinterpreted unsigned), float/double arrays for the floating
+    * tiles; noDataValue unions [int,null] (sentinel / none) and
+    * [boolean,float|double] (true = NaN constant NoData). */
+  private[catalog] def tileCells(t: GtAvro.Rec): (Int, Int, Array[Double]) = {
+    require(!t.name.contains("Multiband"),
+      s"multiband payloads (${t.name}) are outside the read subset — " +
+        "read per-band layers or re-ingest")
+    val cols = t.fields.getOrElse("cols", throw new IllegalStateException(
+      s"tile record ${t.name} has no 'cols' — constant/unknown tile " +
+        "records are outside the read subset")).asInstanceOf[Int]
+    val rows = t("rows").asInstanceOf[Int]
+    val nd: Option[Double] = t.fields.get("noDataValue") match {
+      case None | Some(null)  => None
+      case Some(b: Boolean)   => if (b) Some(Double.NaN) else None
+      case Some(i: Int)       => Some(i.toDouble)
+      case Some(l: Long)      => Some(l.toDouble)
+      case Some(f: Float)     => Some(f.toDouble)
+      case Some(d: Double)    => Some(d)
+      case Some(other) => throw new IllegalStateException(
+        s"tile record ${t.name}: unsupported noDataValue $other")
+    }
+    val raw: Array[Double] = t("cells") match {
+      case b: Array[Byte] if t.name.startsWith("Bit") =>
+        val out = new Array[Double](cols * rows)
+        var i = 0
+        while (i < out.length) {
+          out(i) = ((b(i >> 3) >> (i & 7)) & 1).toDouble
+          i += 1
+        }
+        out
+      case b: Array[Byte] if t.name.startsWith("UByte") =>
+        b.map(x => (x & 0xff).toDouble)
+      case b: Array[Byte] => b.map(_.toDouble)
+      case v: Vector[Any @unchecked] =>
+        val unsignedShort = t.name.startsWith("UShort")
+        v.map {
+          case i: Int =>
+            if (unsignedShort && i < 0) (i + 65536).toDouble else i.toDouble
+          case l: Long   => l.toDouble
+          case f: Float  => f.toDouble
+          case d: Double => d
+          case other => throw new IllegalStateException(
+            s"tile record ${t.name}: unsupported cell $other")
+        }.toArray
+      case other => throw new IllegalStateException(
+        s"tile record ${t.name}: unsupported cells payload ${other.getClass.getName}")
+    }
+    require(raw.length == cols * rows,
+      s"tile record ${t.name}: ${raw.length} cells for $cols x $rows")
+    val cells = nd match {
+      case Some(s) if s.isNaN => raw // NaN is already graft's NoData
+      case Some(s)            => raw.map(x => if (x == s) Double.NaN else x)
+      case None               => raw
+    }
+    (cols, rows, cells)
+  }
+
+  /** ValueReader point read (reference catalog.py:74 `read_value`):
+    * one tile by (col, row) through the key index — a single-file
+    * fetch + datum decode, no layer scan. None when the key's file is
+    * absent (no tile stored there). */
+  def readValue(catalog: String, layer: GtLayerId,
+                col: Long, row: Long): Option[Array[Double]] = {
+    val meta = readMetadata(catalog, layer)
+    val schema = readSchema(catalog, layer)
+    val (toIndex, width) = keyIndexOf(catalog, layer, meta)
+    val file = s"${tilesDir(catalog, layer)}/${zeroPad(toIndex(col, row), width)}"
+    val (fs, path) = fsPath(file)
+    if (!fs.exists(path)) return None
+    decodePairs(readBytes(file), schema)
+      .collectFirst { case (c, r, _, _, _, cells) if c == col && r == row => cells }
+  }
+
+  /** Whole-layer read (reference catalog.py:117 `query`) into a graft
+    * [[RasterLayer]] at the stored layout — DISTRIBUTED: the tile
+    * directory scans as binary files, each datum decodes on an
+    * executor against the broadcast schema, keys come from the
+    * records themselves (no index math), NoData arrives as NaN. At
+    * 100 TB this is one file-source scan Spark parallelizes by file;
+    * nothing collects. */
+  def readLayer(spark: SparkSession, catalog: String, layer: GtLayerId): RasterLayer = {
+    val meta = readMetadata(catalog, layer)
+    val tl = meta.layout.tileLayout
+    val schemaJson = layerBlob(catalog, layer).getOrElse("schema",
+      throw new IllegalStateException(
+        s"geotrellis store has no Avro schema attribute for ${layer.name}/${layer.zoom}"))
+    // re-serialize the parsed JSON tree so the executor side re-parses
+    // from one canonical string (the tree itself isn't serializable-stable)
+    val schemaStr = Json.write(schemaJson)
+    val dir = tilesDir(catalog, layer)
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(dir)
+      .select(fcol("content").as[Array[Byte]])
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val rows = files.mapPartitions { it =>
+      val schema = GtAvro.parseSchema(schemaStr)
+      it.flatMap { bytes =>
+        decodePairs(bytes, schema).map { case (c, r, inst, cc, rr, cells) =>
+          require(inst.isEmpty,
+            "space-time geotrellis layers are outside the read subset")
+          require(cc == tc && rr == tr,
+            s"stored tile is $cc x $rr but the layout says $tc x $tr")
+          (c.toInt, r.toInt, cells)
+        }
+      }
+    }.toDF("col", "row", "tile")
+    new RasterLayer(rows, toLayerMetadata(meta))
+  }
+
+  // ----------------------------------------------------------- write (r19)
+
+  /** The KeyValueRecord writer schema `writeLayer` stores — the
+    * geotrellis wire convention (KeyValueRecordCodec over
+    * (SpatialKey, Tile)) with a single-branch tile union:
+    * DoubleArrayTile + the [boolean, double] noDataValue union,
+    * float64/NaN being graft's physical cell model. */
+  private[catalog] val WriteSchemaJson: String =
+    """{"type":"record","name":"KeyValueRecord","namespace":"geotrellis.spark.io","fields":[
+      |{"name":"pairs","type":{"type":"array","items":
+      |{"type":"record","name":"Tuple2","namespace":"scala","fields":[
+      |{"name":"_1","type":{"type":"record","name":"SpatialKey","namespace":"geotrellis.spark","fields":[
+      |{"name":"col","type":"int"},{"name":"row","type":"int"}]}},
+      |{"name":"_2","type":[
+      |{"type":"record","name":"DoubleArrayTile","namespace":"geotrellis.raster","fields":[
+      |{"name":"cols","type":"int"},{"name":"rows","type":"int"},
+      |{"name":"cells","type":{"type":"array","items":"double"}},
+      |{"name":"noDataValue","type":["boolean","double"],"default":true}]}]}]}}}]}"""
+      .stripMargin.replace("\n", "")
+
+  /** Encode one (col, row, cells) tile as a KeyValueRecord datum. */
+  private[catalog] def encodePair(schema: GtAvro.Schema, col: Int, row: Int,
+                                  cols: Int, rows: Int,
+                                  cells: Array[Double]): Array[Byte] = {
+    import GtAvro.{Rec, UnionVal}
+    val pair = Rec("Tuple2", Map(
+      "_1" -> Rec("SpatialKey", Map("col" -> col, "row" -> row)),
+      "_2" -> UnionVal(0, Rec("DoubleArrayTile", Map(
+        "cols" -> cols, "rows" -> rows,
+        "cells" -> cells.toVector,
+        "noDataValue" -> UnionVal(0, true))))))
+    GtAvro.encode(Rec("KeyValueRecord", Map("pairs" -> Vector(pair))), schema)
+  }
+
+  /** Export a graft layer as a geotrellis-layout store: the blob
+    * "metadata" attribute (header + TileLayerMetadata + zorder
+    * keyIndex + the Avro writer schema) and one Avro datum per tile
+    * at its zero-padded z-index filename — readable by geotrellis
+    * `FileLayerReader` and by [[readLayer]]/[[readValue]] above.
+    * Tile writes run DISTRIBUTED (foreachPartition, one small file
+    * per tile — the geotrellis file-backend layout, which is
+    * file-per-index by construction). Spatial layers only. */
+  def writeLayer(catalog: String, name: String, layer: RasterLayer,
+                 zoom: Int = 0,
+                 crs: String = "+proj=longlat +datum=WGS84 +no_defs"): Unit = {
+    require(!layer.meta.temporal, "writeLayer exports SPATIAL layers only")
+    require(!name.contains(Sep),
+      s"layer name '$name' contains the attribute separator '$Sep'")
+    val lay = layer.meta.layout
+    val tl = lay.tileLayout
+    val b = layer.df.agg(
+      org.apache.spark.sql.functions.min("col"), org.apache.spark.sql.functions.max("col"),
+      org.apache.spark.sql.functions.min("row"), org.apache.spark.sql.functions.max("row"))
+      .head()
+    require(!b.isNullAt(0), "writeLayer: empty layer")
+    val (minC, maxC, minR, maxR) = (b.getInt(0), b.getInt(1), b.getInt(2), b.getInt(3))
+    val width = ZIndex.zorder(maxC.toLong, maxR.toLong, 31).toString.length
+    val e = lay.extent
+    def ext(x0: Double, y0: Double, x1: Double, y1: Double) =
+      s"""{"xmin":$x0,"ymin":$y0,"xmax":$x1,"ymax":$y1}"""
+    def key(c: Int, r: Int) = s"""{"col":$c,"row":$r}"""
+    val metaJson =
+      s"""[{"name":"$name","zoom":$zoom},{
+         |"header":{"format":"file","keyClass":"geotrellis.layer.SpatialKey",
+         |"valueClass":"geotrellis.raster.Tile","path":"$name/$zoom"},
+         |"metadata":{
+         |"extent":${ext(e.xmin, e.ymin, e.xmax, e.ymax)},
+         |"layoutDefinition":{"extent":${ext(e.xmin, e.ymin, e.xmax, e.ymax)},
+         |"tileLayout":{"layoutCols":${tl.layoutCols},"layoutRows":${tl.layoutRows},
+         |"tileCols":${tl.tileCols},"tileRows":${tl.tileRows}}},
+         |"cellType":"float64","crs":"$crs",
+         |"bounds":{"minKey":${key(minC, minR)},"maxKey":${key(maxC, maxR)}}},
+         |"keyIndex":{"type":"zorder","properties":{"keyBounds":{
+         |"minKey":${key(minC, minR)},"maxKey":${key(maxC, maxR)}}}},
+         |"schema":$WriteSchemaJson}]""".stripMargin.replace("\n", "")
+    writeString(s"$catalog/attributes/$name$Sep$zoom${Sep}metadata.json", metaJson)
+    val dir = s"$catalog/$name/$zoom"
+    val (fs0, dirPath) = fsPath(dir)
+    if (fs0.exists(dirPath)) fs0.delete(dirPath, true) // no stale tiles on re-export
+    fs0.mkdirs(dirPath)
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    layer.df.select("col", "row", "tile").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val schema = GtAvro.parseSchema(WriteSchemaJson)
+        val conf = new Configuration()
+        it.foreach { r =>
+          val c = r.getInt(0); val rr = r.getInt(1)
+          val cells = r.getSeq[Double](2).toArray
+          val bytes = encodePair(schema, c, rr, tc, tr, cells)
+          val p = new Path(s"$dir/${zeroPad(ZIndex.zorder(c.toLong, rr.toLong, 31), width)}")
+          val out = p.getFileSystem(conf).create(p, true)
+          try out.write(bytes) finally out.close()
+        }
+    }
+  }
+
+  /** Minimal JSON re-serializer for the parsed attribute trees (the
+    * schema node shipped to executors). Strings escape the JSON
+    * control set; numbers print integral values without the ".0" so
+    * Avro "size"-style ints survive the Double round-trip. */
+  private[catalog] object Json {
+    def write(v: Any): String = v match {
+      case null => "null"
+      case s: String =>
+        "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+      case b: Boolean => b.toString
+      case d: Double =>
+        if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+      case i: Int => i.toString
+      case l: Long => l.toString
+      case seq: Seq[Any @unchecked] => seq.map(write).mkString("[", ",", "]")
+      case m: Map[String @unchecked, Any @unchecked] =>
+        m.toSeq.sortBy(_._1).map { case (k, mv) => write(k) + ":" + write(mv) }
+          .mkString("{", ",", "}")
+      case other =>
+        throw new IllegalArgumentException(s"json write: unsupported ${other.getClass}")
+    }
   }
 }

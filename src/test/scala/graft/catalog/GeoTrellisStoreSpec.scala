@@ -4,11 +4,15 @@ import java.nio.file.Files
 
 import graft.SparkSpec
 
-/** Read-only GeoTrellis AttributeStore adapter (r18): layer
-  * discovery, the [layerId, value] tuple unwrap, TileLayerMetadata
-  * parsing onto graft's layout model, and the cellType mapping — over
-  * a synthetic FileAttributeStore directory in the public
-  * geotrellis-store layout. */
+/** GeoTrellis store adapter: layer discovery over the TRIPLE-underscore
+  * FileAttributeStore separator (geotrellis `FileAttributeStore.SEP` —
+  * the r18 spec's double-underscore fixture was a circular bug this
+  * rewrite de-circularizes with separator literals taken from the
+  * public geotrellis-store source), the guarded [layerId, value]
+  * unwrap, TileLayerMetadata parsing, and the r19 Avro tile payload
+  * path: hand-written spec bytes (NOT produced by the repo's encoder),
+  * decode conventions per tile record type, the writeLayer/readLayer/
+  * readValue roundtrip, and the loud subset walls. */
 class GeoTrellisStoreSpec extends SparkSpec {
 
   private def writeStore(): String = {
@@ -21,10 +25,10 @@ class GeoTrellisStoreSpec extends SparkSpec {
       try w.write(body) finally w.close()
     }
     // the FileLayerWriter shape: [layerId, {header, metadata, ...}]
-    def metaJson(zoom: Int, n: Int): String =
-      s"""[{"name":"ndvi","zoom":$zoom},
+    def metaJson(name: String, zoom: Int, n: Int): String =
+      s"""[{"name":"$name","zoom":$zoom},
          |{"header":{"format":"file","keyClass":"geotrellis.layer.SpatialKey",
-         |  "valueClass":"geotrellis.raster.Tile","path":"ndvi/$zoom"},
+         |  "valueClass":"geotrellis.raster.Tile","path":"$name/$zoom"},
          |"metadata":{
          |  "extent":{"xmin":0.0,"ymin":0.0,"xmax":${n * 10.0},"ymax":${n * 10.0}},
          |  "layoutDefinition":{
@@ -34,19 +38,27 @@ class GeoTrellisStoreSpec extends SparkSpec {
          |  "crs":"+proj=merc +a=6378137 +b=6378137",
          |  "bounds":{"minKey":{"col":1,"row":2},"maxKey":{"col":${n - 1},"row":${n - 1}}}},
          |"keyIndex":{"type":"zorder"},"schema":{}}]""".stripMargin
-    put("ndvi__0__metadata.json", metaJson(0, 4))
-    put("ndvi__1__metadata.json", metaJson(1, 8))
-    put("ndvi__0__histogram.json",
+    // separator is THREE underscores — geotrellis FileAttributeStore.SEP
+    put("ndvi___0___metadata.json", metaJson("ndvi", 0, 4))
+    put("ndvi___1___metadata.json", metaJson("ndvi", 1, 8))
+    // a layer NAME containing double underscores must still parse
+    put("snow__cover___2___metadata.json", metaJson("snow__cover", 2, 4))
+    put("ndvi___0___histogram.json",
       """[{"name":"ndvi","zoom":0},{"buckets":[[1.0,5],[2.0,7]],"maxBucketCount":80}]""")
-    put("notalayer.json", "{}") // ignored: no __zoom__metadata shape
+    // a BARE attribute whose value is itself a 2-element array: the
+    // unwrap guard must leave it whole (element 0 is not a layerId)
+    put("ndvi___0___breaks.json", """[10.5, 20.5]""")
+    put("notalayer.json", "{}")          // ignored: no ___zoom___metadata shape
+    put("ndvi__9__metadata.json", "{}")  // ignored: r18's WRONG double-underscore shape
     dir.getAbsolutePath
   }
 
-  test("layer discovery, metadata parse, and cellType mapping") {
+  test("layer discovery over the triple-underscore separator") {
     val store = writeStore()
     val ids = GeoTrellisStore.layers(store)
     assert(ids == Seq(GeoTrellisStore.GtLayerId("ndvi", 0),
-      GeoTrellisStore.GtLayerId("ndvi", 1)))
+      GeoTrellisStore.GtLayerId("ndvi", 1),
+      GeoTrellisStore.GtLayerId("snow__cover", 2)))
     val gt = GeoTrellisStore.readMetadata(store, ids.head)
     assert(gt.layout.extent == graft.core.Extent(0, 0, 40, 40))
     assert(gt.layout.tileLayout ==
@@ -57,18 +69,23 @@ class GeoTrellisStoreSpec extends SparkSpec {
     // zoom 1 is the 8x8 layout
     val gt1 = GeoTrellisStore.readMetadata(store, ids(1))
     assert(gt1.layout.tileLayout.layoutCols == 8)
+    // the double-underscore NAME resolves to its own metadata file
+    val gt2 = GeoTrellisStore.readMetadata(store, ids(2))
+    assert(gt2.layout.tileLayout.layoutCols == 4)
     // graft mapping: ud sentinel collapses to the base width
     val lm = GeoTrellisStore.toLayerMetadata(gt)
     assert(lm.cellType == "int32" && lm.layout == gt.layout)
   }
 
-  test("arbitrary attributes unwrap the [layerId, value] tuple") {
+  test("attribute unwrap fires only on a real [layerId, value] tuple") {
     val store = writeStore()
-    val h = GeoTrellisStore.readAttribute(store,
-      GeoTrellisStore.GtLayerId("ndvi", 0), "histogram")
+    val id = GeoTrellisStore.GtLayerId("ndvi", 0)
+    val h = GeoTrellisStore.readAttribute(store, id, "histogram")
       .asInstanceOf[Map[String, Any]]
     assert(h("maxBucketCount") == 80.0)
     assert(h("buckets").asInstanceOf[Seq[Any]].length == 2)
+    // bare 2-element array stays WHOLE (r18 unwrapped it to 20.5)
+    assert(GeoTrellisStore.readAttribute(store, id, "breaks") == Seq(10.5, 20.5))
   }
 
   test("missing store and absent layers stay quiet/loud appropriately") {
@@ -76,6 +93,150 @@ class GeoTrellisStoreSpec extends SparkSpec {
     intercept[Exception] {
       GeoTrellisStore.readMetadata(writeStore(),
         GeoTrellisStore.GtLayerId("nope", 0))
+    }
+  }
+
+  // ------------------------------------------------- Avro payloads (r19)
+
+  /** Hand-written datum bytes straight from the Avro spec (zig-zag
+    * varints, block-framed arrays, index-prefixed unions) — NOT
+    * produced by GtAvro.encode, so decoder and encoder are checked
+    * against the specification, not against each other. */
+  test("hand-written KeyValueRecord bytes decode per the Avro spec") {
+    val schemaJson =
+      """{"type":"record","name":"KeyValueRecord","fields":[
+        |{"name":"pairs","type":{"type":"array","items":
+        |{"type":"record","name":"Tuple2","fields":[
+        |{"name":"_1","type":{"type":"record","name":"SpatialKey","fields":[
+        |{"name":"col","type":"int"},{"name":"row","type":"int"}]}},
+        |{"name":"_2","type":[
+        |{"type":"record","name":"IntArrayTile","fields":[
+        |{"name":"cols","type":"int"},{"name":"rows","type":"int"},
+        |{"name":"cells","type":{"type":"array","items":"int"}},
+        |{"name":"noDataValue","type":["int","null"]}]}]}]}}}]}"""
+        .stripMargin.replace("\n", "")
+    val schema = GtAvro.parseSchema(schemaJson)
+    // pairs: count 1 (zz 0x02); key col=2 (0x04) row=3 (0x06); union
+    // branch 0 (0x00); cols=2 rows=1 (0x04 0x02); cells count 2 (0x04),
+    // 7 (0x0e), -3 (0x05), end (0x00); noDataValue branch 0 (0x00)
+    // value 7 (0x0e); pairs end (0x00)
+    val bytes = Array(0x02, 0x04, 0x06, 0x00, 0x04, 0x02, 0x04, 0x0e,
+      0x05, 0x00, 0x00, 0x0e, 0x00).map(_.toByte)
+    val pairs = GeoTrellisStore.decodePairs(bytes, schema)
+    assert(pairs.length == 1)
+    val (c, r, inst, tc, tr, cells) = pairs.head
+    assert((c, r, inst, tc, tr) == ((2L, 3L, None, 2, 1)))
+    // sentinel 7 becomes NaN, -3 survives
+    assert(cells(0).isNaN && cells(1) == -3.0)
+    // the repo's encoder must reproduce the spec bytes EXACTLY
+    import GtAvro.{Rec, UnionVal}
+    val enc = GtAvro.encode(Rec("KeyValueRecord", Map("pairs" -> Vector(
+      Rec("Tuple2", Map(
+        "_1" -> Rec("SpatialKey", Map("col" -> 2, "row" -> 3)),
+        "_2" -> UnionVal(0, Rec("IntArrayTile", Map(
+          "cols" -> 2, "rows" -> 1, "cells" -> Vector(7, -3),
+          "noDataValue" -> UnionVal(0, 7))))))))), schema)
+    assert(enc.toSeq == bytes.toSeq)
+  }
+
+  test("multi-byte varints, doubles, and strings follow the spec") {
+    // schema: record with a long, a double, a string
+    val s = GtAvro.parseSchema(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"n","type":"long"},{"name":"d","type":"double"},
+        |{"name":"s","type":"string"}]}""".stripMargin.replace("\n", ""))
+    // n = 300: zz(300) = 600 = 0b1001011000 -> 0xd8 0x04
+    // d = 2.0: IEEE 4000000000000000 little-endian
+    // s = "ab": len 2 (0x04) + bytes
+    val bytes = Array(0xd8, 0x04,
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x40,
+      0x04, 'a'.toInt, 'b'.toInt).map(_.toByte)
+    val rec = GtAvro.decode(bytes, s).asInstanceOf[GtAvro.Rec]
+    assert(rec("n") == 300L && rec("d") == 2.0 && rec("s") == "ab")
+    assert(GtAvro.encode(rec, s).toSeq == bytes.toSeq)
+  }
+
+  test("tile record decode conventions: UByte, Bit LSB, UShort reinterpretation, float NaN") {
+    import GtAvro.Rec
+    // UByte: bytes reinterpret unsigned; int-sentinel NoData
+    val (c1, r1, ub) = GeoTrellisStore.tileCells(Rec("UByteArrayTile", Map(
+      "cols" -> 2, "rows" -> 1,
+      "cells" -> Array(0xff.toByte, 0x01.toByte), "noDataValue" -> 255)))
+    assert((c1, r1) == ((2, 1)) && ub(0).isNaN && ub(1) == 1.0)
+    // Bit: LSB-first within each byte (the geotrellis BitArrayTile layout)
+    val (_, _, bits) = GeoTrellisStore.tileCells(Rec("BitArrayTile", Map(
+      "cols" -> 8, "rows" -> 1, "cells" -> Array(0x05.toByte))))
+    assert(bits.toSeq == Seq(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    // UShort: sign-widened shorts reinterpret unsigned
+    val (_, _, us) = GeoTrellisStore.tileCells(Rec("UShortArrayTile", Map(
+      "cols" -> 2, "rows" -> 1, "cells" -> Vector(-1, 42), "noDataValue" -> null)))
+    assert(us.toSeq == Seq(65535.0, 42.0))
+    // float tile: boolean-true noDataValue = NaN is NoData (already NaN)
+    val (_, _, fl) = GeoTrellisStore.tileCells(Rec("FloatArrayTile", Map(
+      "cols" -> 2, "rows" -> 1, "cells" -> Vector(1.5f, Float.NaN),
+      "noDataValue" -> true)))
+    assert(fl(0) == 1.5 && fl(1).isNaN)
+    // multiband and constant tiles fail loudly
+    intercept[IllegalArgumentException] {
+      GeoTrellisStore.tileCells(Rec("ArrayMultibandTile", Map("bands" -> Vector())))
+    }
+    intercept[IllegalStateException] {
+      GeoTrellisStore.tileCells(Rec("IntConstantTile", Map("rows" -> 1)))
+    }
+  }
+
+  test("writeLayer -> readLayer/readValue roundtrip is cell-exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gt_rt").toFile.getAbsolutePath
+    val layout = graft.core.LayoutDefinition(
+      graft.core.Extent(0, 0, 8, 8), graft.core.TileLayout(2, 2, 4, 4))
+    // sparse cells across 3 of the 4 tiles, incl. a NaN-bearing tile
+    val cells = Seq((0L, 0L, 5.0), (1L, 3L, -2.5), (5L, 1L, 7.0), (2L, 6L, 9.0))
+    val layer = graft.raster.RasterLayer.fromCells(
+      cells.toDF("x", "y", "v"), layout)
+    GeoTrellisStore.writeLayer(dir, "rt", layer)
+    val id = GeoTrellisStore.GtLayerId("rt", 0)
+    // inventory + metadata round-trips
+    assert(GeoTrellisStore.layers(dir) == Seq(id))
+    val gt = GeoTrellisStore.readMetadata(dir, id)
+    assert(gt.layout == layout && gt.cellType == "float64")
+    // full read: identical data cells
+    val back = GeoTrellisStore.readLayer(spark, dir, id).toCells
+      .as[(Long, Long, Double)].collect().toSet
+    assert(back == cells.toSet)
+    // point read through the z-index: tile (1, 0) holds (5,1)=7.0
+    val tile = GeoTrellisStore.readValue(dir, id, 1, 0).get
+    assert(tile.length == 16)
+    assert(tile(1 * 4 + (5 - 4)) == 7.0) // row-major within the tile
+    assert(tile.count(!_.isNaN) == 1)
+    // absent key -> None
+    assert(GeoTrellisStore.readValue(dir, id, 7, 7).isEmpty)
+  }
+
+  test("subset walls: hilbert index and missing schema fail loudly") {
+    val store = writeStore()
+    val attrs = new java.io.File(store, "attributes")
+    def put(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(attrs, name), "UTF-8")
+      try w.write(body) finally w.close()
+    }
+    put("hil___0___metadata.json",
+      s"""[{"name":"hil","zoom":0},
+         |{"header":{"format":"file","path":"hil/0"},
+         |"metadata":{"extent":{"xmin":0.0,"ymin":0.0,"xmax":4.0,"ymax":4.0},
+         |"layoutDefinition":{"extent":{"xmin":0.0,"ymin":0.0,"xmax":4.0,"ymax":4.0},
+         |"tileLayout":{"layoutCols":1,"layoutRows":1,"tileCols":4,"tileRows":4}},
+         |"cellType":"float64","crs":"",
+         |"bounds":{"minKey":{"col":0,"row":0},"maxKey":{"col":0,"row":0}}},
+         |"keyIndex":{"type":"hilbert","properties":{"xResolution":2,"yResolution":2}},
+         |"schema":${GeoTrellisStore.WriteSchemaJson}}]""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      GeoTrellisStore.readValue(store, GeoTrellisStore.GtLayerId("hil", 0), 0, 0)
+    }
+    assert(e.getMessage.contains("hilbert"))
+    // the ndvi fixture has schema {} — payload decode must refuse
+    intercept[Exception] {
+      GeoTrellisStore.readSchema(store, GeoTrellisStore.GtLayerId("ndvi", 0))
     }
   }
 }
