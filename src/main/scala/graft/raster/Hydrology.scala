@@ -116,19 +116,22 @@ object Hydrology {
 
   /** Flow accumulation: for each cell, how many other cells' D8 flow
     * paths pass through it (the upstream drainage count; ESRI
-    * Accumulation semantics with unit cell weight). Tokens start one
-    * per cell and walk the single-out-edge flow graph to the pit;
-    * every visit increments the visited cell.
+    * Accumulation semantics with unit cell weight) — equivalently the
+    * cell's in-tree descendant count over the single-out-edge flow
+    * forest.
     *
-    * Scale shape: the flow graph has exactly one out-edge per cell, so
-    * each round is one equi-join (frontier x edges) + one fold into
-    * the per-cell counts, localCheckpoint'd per round (CLAUDE.md
-    * iterative rule). Round count = the longest flow path — bounded
-    * by terrain correlation length, not grid size, for hash-noise or
-    * real DEM surfaces; `maxSteps` fails loudly rather than looping.
-    * Small grids take a guarded driver walk instead (one collect of
-    * the <= `maxDriverEdges` out-edges beats per-round job overhead;
-    * the connectedComponents fast path is the precedent).
+    * Scale shape (r19): BINARY-LIFTING ancestor counts — each round
+    * folds "descendants within 2^k hops" one doubling step up the
+    * exact 2^k-jump table (see the inline derivation), so a depth-D
+    * drainage channel resolves in ceil(log2 D) rounds of two keyed
+    * equi-joins each, not D rounds (the watershed/flowLength
+    * pointer-doubling discipline, carrying partial COUNTS; this was
+    * the repo's last O(depth) loop). Each round localCheckpoints
+    * (CLAUDE.md iterative rule); `maxSteps` fails loudly rather than
+    * looping (detection at power-of-two granularity). Small grids
+    * take a guarded driver walk instead (one collect of the <=
+    * `maxDriverEdges` out-edges beats per-round job overhead; the
+    * connectedComponents fast path is the precedent).
     */
   def flowAccumulation(cells: DataFrame, gridCols: Long, gridRows: Long,
                        maxSteps: Int = 0,
@@ -169,24 +172,45 @@ object Hydrology {
       return dirs.join(lab, (col("y") * gridCols + col("x")) === lab("id"), "left")
         .select(col("x"), col("y"), coalesce(col("cnt"), lit(0L)).cast("long").as("acc"))
     }
-    var frontier = edge.groupBy(col("to").as("id"))
+    // Binary-lifting ancestor counts (r19 — log-depth, replacing the
+    // O(longest-channel) per-hop frontier walk): J_k holds the EXACT
+    // 2^k-step ancestor pairs (v, a) — v must have a full 2^k path —
+    // and C_k(c) counts c's descendants within 2^k hops. Round update:
+    //   C_{k+1}(c) = C_k(c) + Σ_{v : J_k(v) = c} C_k(v)
+    // (a descendant u at distance d ∈ (2^k, 2^{k+1}] factors UNIQUELY
+    // through v = u's ancestor at distance d − 2^k, which sits exactly
+    // 2^k below c; u within 2^k is already in C_k(c) and cannot also
+    // appear via some v, since that would put it past 2^k — so no
+    // double counting), and J_{k+1} = J_k ∘ J_k (undefined once the
+    // remaining path is shorter — saturation simply drops the pair).
+    // J empties after ceil(log2(maxDepth+1)) rounds and C is then the
+    // full accumulation: a continental 10^5-cell drainage channel
+    // resolves in ~17 rounds, not 10^5 (the watershed/flowLength
+    // pointer-doubling discipline, carrying partial COUNTS). maxSteps
+    // keeps its loud-failure contract at power-of-two granularity: J
+    // still nonempty once the span passed maxSteps0 means some path
+    // is longer than maxSteps0.
+    var jump = edge.select(col("from").as("v"), col("to").as("a")).localCheckpoint()
+    var cnt = edge.groupBy(col("to").as("id"))
       .agg(count(lit(1)).cast("long").as("cnt")).localCheckpoint()
-    val rounds = scala.collection.mutable.ListBuffer(frontier)
-    var step = 0
-    while (step < maxSteps0 && !frontier.isEmpty) {
-      frontier = frontier.join(edge, frontier("id") === edge("from"))
-        .groupBy(col("to").as("id")).agg(sum("cnt").as("cnt"))
+    var span = 1L
+    var round = 0
+    while (!jump.isEmpty) {
+      require(round < 64 && span <= maxSteps0,
+        s"flowAccumulation: paths longer than $maxSteps0 steps — raise maxSteps " +
+        "(or the flow graph has a cycle, which strict-descent D8 cannot produce)")
+      val up = jump.join(cnt, jump("v") === cnt("id"))
+        .groupBy(col("a").as("id")).agg(sum("cnt").as("cnt"))
+      cnt = cnt.unionByName(up)
+        .groupBy("id").agg(sum("cnt").cast("long").as("cnt"))
         .localCheckpoint()
-      rounds += frontier
-      step += 1
+      jump = jump.as("p").join(jump.as("q"), col("p.a") === col("q.v"))
+        .select(col("p.v").as("v"), col("q.a").as("a"))
+        .localCheckpoint()
+      span *= 2
+      round += 1
     }
-    require(frontier.isEmpty,
-      s"flowAccumulation: paths longer than $maxSteps0 steps — raise maxSteps " +
-      "(or the flow graph has a cycle, which strict-descent D8 cannot produce)")
-    // fold all per-round visit counts in ONE aggregation at the end
-    // instead of a union+groupBy per round
-    val acc = rounds.reduce(_ union _).groupBy("id").agg(sum("cnt").as("cnt"))
-    dirs.join(acc, (col("y") * gridCols + col("x")) === acc("id"), "left")
+    dirs.join(cnt, (col("y") * gridCols + col("x")) === cnt("id"), "left")
       .select(col("x"), col("y"), coalesce(col("cnt"), lit(0L)).cast("long").as("acc"))
   }
 

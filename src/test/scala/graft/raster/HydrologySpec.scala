@@ -74,6 +74,36 @@ class HydrologySpec extends SparkSpec {
     assert(loop == Map((0L, 0L) -> 0L, (1L, 0L) -> 1L, (2L, 0L) -> 2L, (3L, 0L) -> 3L))
   }
 
+  test("flow accumulation: log-depth lifting equals the driver walk on a long single channel (r19)") {
+    // 512-cell monotone channel in a 512x1 grid: path length 511 >>
+    // the ~9 doubling rounds the distributed path now takes (the old
+    // per-hop loop ran 511 rounds). Driver walk and forced-distributed
+    // twin must agree exactly: acc(i) = i along the channel. A
+    // confluence branch joins mid-channel to exercise the count merge.
+    val n = 512
+    val channel = (0 until n).map(i => (i.toLong, 0L, (n - i).toDouble))
+    // branch cell above the channel draining S into x=100
+    val all = channel :+ ((100L, 1L, 500.0))
+    val df = all.toDF("x", "y", "v")
+    val expectDriver = Hydrology.flowAccumulation(df, n.toLong, 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val dist = Hydrology.flowAccumulation(df, n.toLong, 2, maxDriverEdges = 0)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(dist == expectDriver)
+    // independent closed form: upstream of channel cell i is i cells
+    // plus the branch for i > 100
+    assert(dist((0L, 0L)) == 0L && dist((100L, 1L)) == 0L)
+    assert(dist((50L, 0L)) == 50L)
+    assert(dist((100L, 0L)) == 101L)  // 100 upstream + the branch
+    assert(dist((511L, 0L)) == 512L)
+    // maxSteps keeps its loud contract on the lifting path
+    val e = intercept[Exception] {
+      Hydrology.flowAccumulation(df, n.toLong, 2, maxSteps = 16,
+        maxDriverEdges = 0).collect()
+    }
+    assert(e.getMessage.contains("longer than 16"))
+  }
+
   test("flow accumulation: confluence sums both branches") {
     // Y-shape: two heads at (0,0) and (0,2) drain diagonally into
     // (1,1), which drains E into the (2,1) pit
