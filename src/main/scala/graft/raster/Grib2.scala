@@ -17,17 +17,21 @@ import org.apache.spark.sql.functions._
   *    micro-degrees (sign-magnitude MSB per the GRIB convention),
   *    scanning mode 0 (west→east, north→south — row-major y-down,
   *    the engine's tile order);
-  *  - LONGITUDE SPACE: the codec preserves the caller's x
+  *  - LONGITUDE SPACE: by default the codec preserves the caller's x
   *    coordinates verbatim (negative = sign-magnitude), i.e. the
   *    engine's ±180 convention, and decode never re-wraps — a
   *    documented SUBSET divergence from regulation 92.1.5's
   *    0..360-only storage. The two spaces are ambiguous without
   *    metadata (a Lo1 of 200e6 is 200°E in one and out-of-range in
   *    the other), so wrapping silently would corrupt non-geographic
-  *    grids; regulation files from real NWP producers west of
-  *    Greenwich therefore decode with 0..360-space extents and the
-  *    caller shifts by -360 where geography requires it (the same
-  *    contract GDAL's GRIB driver exposes);
+  *    grids. For files meant for EXTERNAL readers (eccodes/GDAL),
+  *    encode with `normalizeLon = true` (r19): longitudes store
+  *    regulation-conformant in [0, 360) via an exact integer
+  *    micro-degree shift. Regulation files west of Greenwich —
+  *    whether from real NWP producers or normalized exports — decode
+  *    with 0..360-space extents and the caller shifts by -360 where
+  *    geography requires it (the same contract GDAL's GRIB driver
+  *    exposes);
   *  - section 4 product template 4.0 (analysis at reference time —
   *    the instant rides section 1's calendar fields);
   *  - section 5 data template 5.0 (simple packing): Y = (R + X·2^E) /
@@ -123,9 +127,12 @@ object Grib2 {
     * rescaled before export. */
   def encodeGrid(cells: Array[Double], cols: Int, rows: Int,
                  xmin: Double, ymin: Double, xmax: Double, ymax: Double,
-                 epoch: Long = 0L, decimalScale: Int = 0): Array[Byte] = {
+                 epoch: Long = 0L, decimalScale: Int = 0,
+                 normalizeLon: Boolean = false): Array[Byte] = {
     require(cells.length == cols * rows, "cells must be cols*rows row-major")
     require(decimalScale >= 0 && decimalScale <= 6, "decimalScale 0..6")
+    require(!normalizeLon || xmax - xmin <= 360.0,
+      "normalizeLon: grid spans more than 360 degrees of longitude")
     val scale = math.pow(10, decimalScale)
     val present = cells.map(!_.isNaN)
     val nPresent = present.count(identity)
@@ -155,8 +162,18 @@ object Grib2 {
       require(math.abs(m) < (1L << 31), s"coordinate $v out of micro-degree range")
       m.toLong
     }
-    val la1 = micro(ymax - ch / 2); val lo1 = micro(xmin + cw / 2)
-    val la2 = micro(ymin + ch / 2); val lo2 = micro(xmax - cw / 2)
+    val la1 = micro(ymax - ch / 2); val la2 = micro(ymin + ch / 2)
+    // normalizeLon: regulation 92.1.5 conformance for EXTERNAL readers
+    // (eccodes/GDAL) — longitudes store in [0, 360) micro-degrees
+    // (exact integer shift), so files west of Greenwich carry 260e6
+    // instead of the sign-magnitude -100e6 the verbatim subset writes.
+    // Decode stays verbatim (Lo1 + Di drive the extent; a normalized
+    // file therefore decodes with 0..360-space extents and the caller
+    // shifts by -360 where geography requires it — the GDAL GRIB
+    // contract documented in README/the header note).
+    def lon(v: Double): Long =
+      if (normalizeLon) math.floorMod(micro(v), 360000000L) else micro(v)
+    val lo1 = lon(xmin + cw / 2); val lo2 = lon(xmax - cw / 2)
 
     val w = new W
     // section 1 — identification (21 bytes)
@@ -239,11 +256,13 @@ object Grib2 {
   def encodeScenes(instants: Array[Long], slabs: Array[Array[Double]],
                    cols: Int, rows: Int,
                    xmin: Double, ymin: Double, xmax: Double, ymax: Double,
-                   decimalScale: Int = 0): Array[Byte] = {
+                   decimalScale: Int = 0,
+                   normalizeLon: Boolean = false): Array[Byte] = {
     require(instants.length == slabs.length && slabs.forall(_.length == cols * rows),
       "one cols*rows slab per instant")
     instants.zip(slabs).flatMap { case (t, s) =>
-      encodeGrid(s, cols, rows, xmin, ymin, xmax, ymax, t, decimalScale)
+      encodeGrid(s, cols, rows, xmin, ymin, xmax, ymax, t, decimalScale,
+        normalizeLon)
     }
   }
 
@@ -378,8 +397,11 @@ object Grib2 {
     UntiledRaster(scenes)
   }
 
-  /** Layer → one GRIB2 message per tile — (col, row, grib BINARY). */
-  def toGrib(layer: RasterLayer, decimalScale: Int = 0): DataFrame = {
+  /** Layer → one GRIB2 message per tile — (col, row, grib BINARY).
+    * `normalizeLon = true` stores regulation-conformant [0, 360)
+    * longitudes for external readers (see [[encodeGrid]]). */
+  def toGrib(layer: RasterLayer, decimalScale: Int = 0,
+             normalizeLon: Boolean = false): DataFrame = {
     val spark = layer.df.sparkSession
     import spark.implicits._
     val meta = layer.meta
@@ -393,7 +415,7 @@ object Grib2 {
         val ymax = ext.ymax - r.toLong * tl.tileRows * chh
         (c, r, encodeGrid(tile.toArray, tl.tileCols, tl.tileRows,
           xmin, ymax - tl.tileRows * chh, xmin + tl.tileCols * cw, ymax,
-          epoch = 0L, decimalScale = decimalScale))
+          epoch = 0L, decimalScale = decimalScale, normalizeLon = normalizeLon))
       }
       .toDF("col", "row", "grib")
   }

@@ -96,6 +96,35 @@ class Grib2Spec extends AnyFunSuite {
     assert(math.abs(fNeg.xmin - -12) < 1e-9 && math.abs(fNeg.xmax - -6) < 1e-9)
   }
 
+  test("normalizeLon stores regulation [0,360) longitudes on the wire (r19)") {
+    // the same west-of-Greenwich grid, exported for external readers:
+    // Lo1 (first-point center) must carry 349e6 micro-degrees — a
+    // POSITIVE regulation value, not the sign-magnitude 0x80000000|11e6
+    // — and decode lands in 0..360 space (caller shifts, per contract)
+    val b = Grib2.encodeGrid(Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0), 3, 2,
+      -12, 5, -6, 9, normalizeLon = true)
+    // section 3 starts right after section 1 (16-byte indicator +
+    // 21-byte section 1); Lo1 sits at section offset 50
+    val s3 = 16 + 21
+    def ru32(p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    assert(ru32(s3 + 50) == 349000000L)      // Lo1 = -11° -> 349°, no sign bit
+    assert(ru32(s3 + 59) == 353000000L)      // Lo2 = -7° -> 353°
+    val f = Grib2.decode(b).head
+    assert(math.abs(f.xmin - 348) < 1e-9 && math.abs(f.xmax - 354) < 1e-9)
+    assert(f.cells.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    // east-of-Greenwich grids are unchanged by normalization
+    val bE = Grib2.encodeGrid(Array(1.0, 2.0), 2, 1, 10, 0, 12, 1, normalizeLon = true)
+    val fE = Grib2.decode(bE).head
+    assert(math.abs(fE.xmin - 10) < 1e-9 && math.abs(fE.xmax - 12) < 1e-9)
+    // a >360-degree span cannot normalize
+    intercept[IllegalArgumentException] {
+      Grib2.encodeGrid(Array.fill(400)(1.0), 400, 1, -200, 0, 200, 1,
+        normalizeLon = true)
+    }
+  }
+
   test("malformed inputs fail loudly") {
     intercept[IllegalArgumentException] { Grib2.decode("GRIX____".getBytes) }
     val good = Grib2.encodeGrid(Array(1.0), 1, 1, 0, 0, 1, 1)
