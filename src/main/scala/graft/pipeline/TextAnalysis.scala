@@ -1037,29 +1037,108 @@ object TextAnalysis {
     } else {
       // threshold-sketch degrade: milli-nat quantization bounds the
       // per-source distinct count by the nll range (~20k values for
-      // 0..20 nats) — constant state however many docs flow through
-      val coarse = scored.withColumn("c_q",
-        round(col("nll") * lit(1000.0)).cast("long"))
-      val sketch = coarse.groupBy("source", "c_q")
-        .agg(count(lit(1)).as("cnt")) // mergeable: integer sums
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("c_q")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val cum = sketch
-        .withColumn("cum", sum("cnt").over(w))
-        .join(broadcast(nPer), "source")
-      val thr = cum.groupBy("source").agg(
-        min(when(col("cum") * 3 >= col("n_src"), col("c_q"))).as("t1"),
-        min(when(col("cum") * 3 >= col("n_src") * 2, col("c_q"))).as("t2"))
-      coarse.join(broadcast(thr), "source")
-        .withColumn("bucket",
-          when(col("c_q") < col("t1"), lit(0L))
-            .when(col("c_q") < col("t2"), lit(1L)).otherwise(lit(2L)))
-        .groupBy("source", "bucket")
-        .agg(count(lit(1)).as("n_docs"),
-          round(sum("nll_q").cast("double") / count(lit(1)) / lit(10.0))
-            .cast("long").as("mean_nll_u"))
+      // 0..20 nats) — constant state however many docs flow through.
+      // The state is the SAME bounded mergeable histogram the r19
+      // streaming twin aggregates ([[perplexityBucketSketchStream]]);
+      // one shared finisher turns either into the report.
+      perplexityBucketsFromSketch(
+        scored
+          .withColumn("c_q", round(col("nll") * lit(1000.0)).cast("long"))
+          .groupBy("source", "c_q")
+          .agg(count(lit(1)).as("cnt"), // mergeable: integer sums
+            sum("nll_q").cast("long").as("s_q")))
     }
+  }
+
+  /** Finish a (source, c_q, cnt, s_q) milli-nat histogram — the
+    * threshold-sketch STATE — into the perplexity-bucket report:
+    * rational-rank tercile thresholds off the cumulative bin counts,
+    * value-bucketing, per-bucket doc counts and micro-quantized mean
+    * nll. Bin-level integer sums equal the per-doc sums they replace
+    * (associativity), so this is output-identical to bucketing each
+    * doc row. Used by both the batch degrade path and the streaming
+    * twin's collected state. */
+  def perplexityBucketsFromSketch(state: DataFrame): DataFrame = {
+    // every frame here derives from `state`, so join keys are RENAMED
+    // (fresh exprIds) — a memory-sink state table otherwise trips the
+    // analyzer's conflicting-reference check on the self-joins
+    val nPer = state.groupBy("source").agg(sum("cnt").cast("long").as("n_src"))
+      .withColumnRenamed("source", "_src")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("c_q")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = state
+      .withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(nPer), col("source") === col("_src"))
+    val thr = cum.groupBy("source").agg(
+      min(when(col("cum") * 3 >= col("n_src"), col("c_q"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n_src") * 2, col("c_q"))).as("t2"))
+      .withColumnRenamed("source", "_src")
+    state.join(broadcast(thr), col("source") === col("_src")).drop("_src")
+      .withColumn("bucket",
+        when(col("c_q") < col("t1"), lit(0L))
+          .when(col("c_q") < col("t2"), lit(1L)).otherwise(lit(2L)))
+      .groupBy("source", "bucket")
+      .agg(sum("cnt").cast("long").as("n_docs"),
+        round(sum("s_q").cast("double") / sum("cnt") / lit(10.0))
+          .cast("long").as("mean_nll_u"))
+  }
+
+  /** The trained unigram LM as data: (w, lp_q) micro-nat log-probs
+    * (the exact per-word quantization [[unigramLmScore]] applies) plus
+    * the add-one OOV floor lp_q an unobserved word scores — the
+    * shippable-model form the streaming twin probes (CCNet ships a
+    * KenLM the same way). */
+  def unigramLm(docs: DataFrame): (DataFrame, Long) = {
+    val vocab = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val trow = vocab.agg(sum("cnt").cast("long"), count(lit(1))).head()
+    val (total, nv) =
+      if (trow.isNullAt(0)) (0L, 0L) else (trow.getLong(0), trow.getLong(1))
+    val denom = lit((total + nv).toDouble)
+    val lm = vocab.select(col("w"),
+      round(log((col("cnt") + lit(1.0)) / denom) * lit(1000000.0))
+        .cast("long").as("lp_q"))
+    val oov = math.round(math.log(1.0 / math.max(total + nv, 1L).toDouble) * 1000000.0)
+    (lm, oov)
+  }
+
+  /** Streaming twin of the perplexity-bucket THRESHOLD-SKETCH state
+    * (r19 — the CMS/HLL complete-mode discipline): incoming docs score
+    * against a STATIC reference LM (the stored-index ingest-gate
+    * precedent; [[unigramLm]] of the base corpus, shipped as a literal
+    * map) and fold into the bounded mergeable (source, c_q) milli-nat
+    * histogram in ONE aggregation — Structured Streaming's
+    * single-aggregation rule holds because the per-doc score is a
+    * ROW-LOCAL higher-order fold over the doc's own token array, not
+    * an aggregation. [[perplexityBucketsFromSketch]] finishes the
+    * collected state into the q_ppl_buckets_degrade report; EventsSpec
+    * proves stream == batch on the forced fallback. Unseen tokens
+    * score `oovLpQ` (the add-one floor — zero of them when the stream
+    * replays the LM's own corpus). */
+  def perplexityBucketSketchStream(docs: DataFrame, lm: DataFrame,
+                                   oovLpQ: Long,
+                                   maxVocab: Int = 1 << 20): DataFrame = {
+    val entries = lm.select(col("w"), col("lp_q")).collect()
+    require(entries.length <= maxVocab,
+      s"${entries.length} LM entries exceed maxVocab=$maxVocab — ship a " +
+        "pruned vocabulary (rare words score the OOV floor anyway)")
+    val lmMap = typedLit(entries.map(r => (r.getString(0), r.getLong(1))).toMap)
+    docs
+      .select(col("source"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .where(col("n_tokens") > 0)
+      .withColumn("s", aggregate(col("toks"), lit(0L),
+        (acc, wd) => acc + coalesce(element_at(lmMap, wd), lit(oovLpQ))))
+      .withColumn("nll", -col("s") / (col("n_tokens") * lit(1000000.0)))
+      .select(col("source"),
+        round(col("nll") * lit(1000.0)).cast("long").as("c_q"),
+        round(col("nll") * lit(1000000.0)).cast("long").as("nll_q"))
+      .groupBy("source", "c_q")
+      .agg(count(lit(1)).as("cnt"), sum("nll_q").cast("long").as("s_q"))
   }
 
   /** [[perplexityBuckets]] exact-rank guard: the largest per-source

@@ -419,6 +419,40 @@ class EventsSpec extends SparkSpec {
     } finally { qc.stop(); qh.stop() }
   }
 
+  test("streaming perplexity-bucket sketch converges to the batch degrade path (r19)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      (1L, "alpha alpha beta words here", "en", "s1", 27L),
+      (2L, "beta gamma delta", "en", "s1", 16L),
+      (3L, "alpha epsilon zeta eta common", "en", "s1", 29L),
+      (4L, "qq rr ss tt unusual gibberish", "en", "s2", 29L),
+      (5L, "alpha beta beta beta common", "en", "s2", 27L),
+      (6L, "delta words common alpha", "en", "s2", 24L))
+    val bdf = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the static reference LM (trained once, shipped to the stream —
+    // the stored-IVF ingest-gate precedent)
+    val (lm, oov) = TextAnalysis.unigramLm(bdf)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = TextAnalysis.perplexityBucketSketchStream(docs, lm, oov)
+      .writeStream.format("memory").queryName("ppl_s").outputMode("complete").start()
+    try {
+      mem.addData(rows.take(2)); q.processAllAvailable()
+      mem.addData(rows.drop(2)); q.processAllAvailable()
+      // finishing the streamed milli-nat histogram == the batch
+      // THRESHOLD-SKETCH path forced on (maxExactPerSource = 0)
+      val fromStream = TextAnalysis.perplexityBucketsFromSketch(spark.table("ppl_s"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val batch = TextAnalysis.perplexityBuckets(bdf, maxExactPerSource = 0)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(fromStream == batch && batch.nonEmpty)
+      // and the streamed state itself is the batch state: bounded bins
+      val state = spark.table("ppl_s").as[(String, Long, Long, Long)].collect()
+      assert(state.map(_._3).sum == rows.length) // every doc in exactly one bin
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags probe quotes as documents arrive") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Dedup
