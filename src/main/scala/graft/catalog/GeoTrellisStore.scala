@@ -287,10 +287,11 @@ object GeoTrellisStore {
   }
 
   /** Decode one KeyValueRecord datum to (col, row, instantOpt, cols,
-    * rows, cells) tuples — static so the distributed read path ships
-    * no enclosing state. */
+    * rows, bands) tuples — static so the distributed read path ships
+    * no enclosing state. Single-band tiles come back as one-element
+    * band lists; ArrayMultibandTile records as one entry per band. */
   private[catalog] def decodePairs(bytes: Array[Byte], schema: GtAvro.Schema)
-      : Seq[(Long, Long, Option[Long], Int, Int, Array[Double])] = {
+      : Seq[(Long, Long, Option[Long], Int, Int, Seq[Array[Double]])] = {
     val rec = GtAvro.decode(bytes, schema) match {
       case r: GtAvro.Rec => r
       case other => throw new IllegalStateException(
@@ -305,10 +306,28 @@ object GeoTrellisStore {
         val c = key("col").asInstanceOf[Int].toLong
         val r = key("row").asInstanceOf[Int].toLong
         val inst = key.fields.get("instant").map(_.asInstanceOf[Long])
-        val (tc, tr, cells) = tileCells(pair("_2").asInstanceOf[GtAvro.Rec])
-        (c, r, inst, tc, tr, cells)
+        val (tc, tr, bands) = valueBands(pair("_2").asInstanceOf[GtAvro.Rec])
+        (c, r, inst, tc, tr, bands)
       }
   }
+
+  /** Tile VALUE record → (cols, rows, bands): ArrayMultibandTile
+    * unpacks per band (r19 — the multiband wall removed), anything
+    * else goes through the single-band [[tileCells]]. */
+  private[catalog] def valueBands(v: GtAvro.Rec): (Int, Int, Seq[Array[Double]]) =
+    if (v.name.contains("Multiband")) {
+      val bands = v.fields.getOrElse("bands", throw new IllegalStateException(
+        s"multiband record ${v.name} has no 'bands' field"))
+        .asInstanceOf[Vector[Any]]
+        .map(b => tileCells(b.asInstanceOf[GtAvro.Rec]))
+      require(bands.nonEmpty, "multiband tile with zero bands")
+      require(bands.map(b => (b._1, b._2)).distinct.length == 1,
+        "multiband tile bands disagree on dimensions")
+      (bands.head._1, bands.head._2, bands.map(_._3))
+    } else {
+      val (c, r, cells) = tileCells(v)
+      (c, r, Seq(cells))
+    }
 
   /** GeoTrellis tile record -> (cols, rows, float64 cells, NoData as
     * NaN). Handles the public TileCodecs conventions: bytes-typed
@@ -320,8 +339,7 @@ object GeoTrellisStore {
     * [boolean,float|double] (true = NaN constant NoData). */
   private[catalog] def tileCells(t: GtAvro.Rec): (Int, Int, Array[Double]) = {
     require(!t.name.contains("Multiband"),
-      s"multiband payloads (${t.name}) are outside the read subset — " +
-        "read per-band layers or re-ingest")
+      s"${t.name} is a band STACK — decode it through valueBands/readLayerMultiband")
     val cols = t.fields.getOrElse("cols", throw new IllegalStateException(
       s"tile record ${t.name} has no 'cols' — constant/unknown tile " +
         "records are outside the read subset")).asInstanceOf[Int]
@@ -385,25 +403,82 @@ object GeoTrellisStore {
     val (fs, path) = fsPath(file)
     if (!fs.exists(path)) return None
     decodePairs(readBytes(file), schema)
-      .collectFirst { case (c, r, _, _, _, cells) if c == col && r == row => cells }
+      .collectFirst { case (c, r, _, _, _, bands) if c == col && r == row =>
+        require(bands.length == 1,
+          s"${bands.length}-band tile — use readLayerMultiband for band stacks")
+        bands.head
+      }
+  }
+
+  /** Does the stored key schema carry a time instant (SpaceTimeKey)? */
+  private def keyHasInstant(schema: GtAvro.Schema): Boolean = schema match {
+    case GtAvro.ARecord(_, fields) =>
+      fields.collectFirst { case ("pairs", GtAvro.AArray(GtAvro.ARecord(_, pf))) =>
+        pf.collectFirst {
+          case ("_1", GtAvro.ARecord(_, kf)) => kf.exists(_._1 == "instant")
+        }.getOrElse(false)
+      }.getOrElse(false)
+    case _ => false
   }
 
   /** Whole-layer read (reference catalog.py:117 `query`) into a graft
     * [[RasterLayer]] at the stored layout — DISTRIBUTED: the tile
     * directory scans as binary files, each datum decodes on an
     * executor against the broadcast schema, keys come from the
-    * records themselves (no index math), NoData arrives as NaN. At
-    * 100 TB this is one file-source scan Spark parallelizes by file;
-    * nothing collects. */
+    * records themselves (no index math), NoData arrives as NaN.
+    * SpaceTimeKey layers (r19) come back TEMPORAL (col, row, instant,
+    * tile; epoch millis as geotrellis stores them). At 100 TB this is
+    * one file-source scan Spark parallelizes by file; nothing
+    * collects. Single-band values only — band stacks go through
+    * [[readLayerMultiband]]. */
   def readLayer(spark: SparkSession, catalog: String, layer: GtLayerId): RasterLayer = {
     val meta = readMetadata(catalog, layer)
     val tl = meta.layout.tileLayout
-    val schemaJson = layerBlob(catalog, layer).getOrElse("schema",
-      throw new IllegalStateException(
-        s"geotrellis store has no Avro schema attribute for ${layer.name}/${layer.zoom}"))
-    // re-serialize the parsed JSON tree so the executor side re-parses
-    // from one canonical string (the tree itself isn't serializable-stable)
-    val schemaStr = Json.write(schemaJson)
+    val (schemaStr, temporal) = schemaForRead(catalog, layer)
+    val dir = tilesDir(catalog, layer)
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(dir)
+      .select(fcol("content").as[Array[Byte]])
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val rows =
+      if (temporal)
+        files.mapPartitions { it =>
+          val schema = GtAvro.parseSchema(schemaStr)
+          it.flatMap { bytes =>
+            decodePairs(bytes, schema).map { case (c, r, inst, cc, rr, bands) =>
+              require(cc == tc && rr == tr,
+                s"stored tile is $cc x $rr but the layout says $tc x $tr")
+              require(bands.length == 1,
+                s"${bands.length}-band tile — use readLayerMultiband for band stacks")
+              (c.toInt, r.toInt, inst.get, bands.head)
+            }
+          }
+        }.toDF("col", "row", "instant", "tile")
+      else
+        files.mapPartitions { it =>
+          val schema = GtAvro.parseSchema(schemaStr)
+          it.flatMap { bytes =>
+            decodePairs(bytes, schema).map { case (c, r, _, cc, rr, bands) =>
+              require(cc == tc && rr == tr,
+                s"stored tile is $cc x $rr but the layout says $tc x $tr")
+              require(bands.length == 1,
+                s"${bands.length}-band tile — use readLayerMultiband for band stacks")
+              (c.toInt, r.toInt, bands.head)
+            }
+          }
+        }.toDF("col", "row", "tile")
+    new RasterLayer(rows, toLayerMetadata(meta).copy(temporal = temporal))
+  }
+
+  /** Multiband whole-layer read: ArrayMultibandTile payloads →
+    * [[MultibandLayer]] (col, row, bands ARRAY<ARRAY<DOUBLE>>).
+    * Spatial keys only (graft's multiband model is spatial). */
+  def readLayerMultiband(spark: SparkSession, catalog: String,
+                         layer: GtLayerId): graft.raster.MultibandLayer = {
+    val meta = readMetadata(catalog, layer)
+    val tl = meta.layout.tileLayout
+    val (schemaStr, temporal) = schemaForRead(catalog, layer)
+    require(!temporal, "multiband reads are spatial-only (graft's multiband model)")
     val dir = tilesDir(catalog, layer)
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(dir)
@@ -412,16 +487,27 @@ object GeoTrellisStore {
     val rows = files.mapPartitions { it =>
       val schema = GtAvro.parseSchema(schemaStr)
       it.flatMap { bytes =>
-        decodePairs(bytes, schema).map { case (c, r, inst, cc, rr, cells) =>
-          require(inst.isEmpty,
-            "space-time geotrellis layers are outside the read subset")
+        decodePairs(bytes, schema).map { case (c, r, _, cc, rr, bands) =>
           require(cc == tc && rr == tr,
             s"stored tile is $cc x $rr but the layout says $tc x $tr")
-          (c.toInt, r.toInt, cells)
+          (c.toInt, r.toInt, bands.map(_.toSeq))
         }
       }
-    }.toDF("col", "row", "tile")
-    new RasterLayer(rows, toLayerMetadata(meta))
+    }.toDF("col", "row", "bands").localCheckpoint()
+    val n = rows.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.size(fcol("bands")))).head()
+    val bandCount = if (n.isNullAt(0)) 0 else n.getInt(0)
+    new graft.raster.MultibandLayer(rows, toLayerMetadata(meta), bandCount)
+  }
+
+  /** Canonical schema string + temporal flag for the distributed read
+    * paths (the parsed tree itself isn't serializable-stable). */
+  private def schemaForRead(catalog: String, layer: GtLayerId): (String, Boolean) = {
+    val schemaJson = layerBlob(catalog, layer).getOrElse("schema",
+      throw new IllegalStateException(
+        s"geotrellis store has no Avro schema attribute for ${layer.name}/${layer.zoom}"))
+    val str = Json.write(schemaJson)
+    (str, keyHasInstant(GtAvro.parseSchema(str)))
   }
 
   // ----------------------------------------------------------- write (r19)

@@ -124,10 +124,11 @@ class GeoTrellisStoreSpec extends SparkSpec {
       0x05, 0x00, 0x00, 0x0e, 0x00).map(_.toByte)
     val pairs = GeoTrellisStore.decodePairs(bytes, schema)
     assert(pairs.length == 1)
-    val (c, r, inst, tc, tr, cells) = pairs.head
+    val (c, r, inst, tc, tr, bands) = pairs.head
     assert((c, r, inst, tc, tr) == ((2L, 3L, None, 2, 1)))
-    // sentinel 7 becomes NaN, -3 survives
-    assert(cells(0).isNaN && cells(1) == -3.0)
+    // single-band value -> one band; sentinel 7 becomes NaN, -3 survives
+    assert(bands.length == 1)
+    assert(bands.head(0).isNaN && bands.head(1) == -3.0)
     // the repo's encoder must reproduce the spec bytes EXACTLY
     import GtAvro.{Rec, UnionVal}
     val enc = GtAvro.encode(Rec("KeyValueRecord", Map("pairs" -> Vector(
@@ -211,6 +212,84 @@ class GeoTrellisStoreSpec extends SparkSpec {
     assert(tile.count(!_.isNaN) == 1)
     // absent key -> None
     assert(GeoTrellisStore.readValue(dir, id, 7, 7).isEmpty)
+  }
+
+  test("multiband and space-time payloads read back (r19 walls removed)") {
+    import GtAvro.{Rec, UnionVal}
+    spark
+    val dir = Files.createTempDirectory("gt_mb").toFile.getAbsolutePath
+    new java.io.File(dir, "attributes").mkdirs()
+    def put(rel: String, body: Array[Byte]): Unit = {
+      val f = new java.io.File(dir, rel)
+      f.getParentFile.mkdirs()
+      val o = new java.io.FileOutputStream(f)
+      try o.write(body) finally o.close()
+    }
+    def meta(name: String, keyFields: String, tileRecord: String): String =
+      s"""[{"name":"$name","zoom":0},
+         |{"header":{"format":"file","path":"$name/0"},
+         |"metadata":{"extent":{"xmin":0.0,"ymin":0.0,"xmax":4.0,"ymax":2.0},
+         |"layoutDefinition":{"extent":{"xmin":0.0,"ymin":0.0,"xmax":4.0,"ymax":2.0},
+         |"tileLayout":{"layoutCols":2,"layoutRows":1,"tileCols":2,"tileRows":1}},
+         |"cellType":"float64","crs":"",
+         |"bounds":{"minKey":{"col":0,"row":0},"maxKey":{"col":1,"row":0}}},
+         |"keyIndex":{"type":"zorder"},
+         |"schema":{"type":"record","name":"KeyValueRecord","fields":[
+         |{"name":"pairs","type":{"type":"array","items":
+         |{"type":"record","name":"Tuple2","fields":[
+         |{"name":"_1","type":{"type":"record","name":"K","fields":[$keyFields]}},
+         |{"name":"_2","type":[$tileRecord]}]}}}]}}]""".stripMargin
+    val dblTile =
+      """{"type":"record","name":"DoubleArrayTile","fields":[
+        |{"name":"cols","type":"int"},{"name":"rows","type":"int"},
+        |{"name":"cells","type":{"type":"array","items":"double"}},
+        |{"name":"noDataValue","type":["boolean","double"]}]}""".stripMargin
+    val mbTile =
+      s"""{"type":"record","name":"ArrayMultibandTile","fields":[
+         |{"name":"bands","type":{"type":"array","items":[$dblTile]}}]}""".stripMargin
+    val spatialKey = """{"name":"col","type":"int"},{"name":"row","type":"int"}"""
+    val timeKey = spatialKey + "," + """{"name":"instant","type":"long"}"""
+    // ---- multiband layer: one 2-band tile at key (0,0)
+    put("attributes/mb___0___metadata.json",
+      meta("mb", spatialKey, mbTile).getBytes("UTF-8"))
+    def dbl(cells: Seq[Double]) = Rec("DoubleArrayTile", Map(
+      "cols" -> 2, "rows" -> 1, "cells" -> cells.toVector,
+      "noDataValue" -> UnionVal(0, true)))
+    val mbSchema = GeoTrellisStore.readSchema(dir, GeoTrellisStore.GtLayerId("mb", 0))
+    val mbDatum = GtAvro.encode(Rec("KeyValueRecord", Map("pairs" -> Vector(
+      Rec("Tuple2", Map(
+        "_1" -> Rec("K", Map("col" -> 0, "row" -> 0)),
+        "_2" -> UnionVal(0, Rec("ArrayMultibandTile", Map(
+          "bands" -> Vector(UnionVal(0, dbl(Seq(1.0, 2.0))),
+            UnionVal(0, dbl(Seq(10.0, 20.0)))))))))))), mbSchema)
+    put("mb/0/0", mbDatum)
+    val mb = GeoTrellisStore.readLayerMultiband(spark, dir,
+      GeoTrellisStore.GtLayerId("mb", 0))
+    assert(mb.bandCount == 2)
+    import spark.implicits._
+    val b1 = mb.band(1).toCells.as[(Long, Long, Double)].collect().toSet
+    assert(b1 == Set((0L, 0L, 10.0), (1L, 0L, 20.0)))
+    // single-band readers refuse the stack loudly
+    intercept[Exception] {
+      GeoTrellisStore.readLayer(spark, dir, GeoTrellisStore.GtLayerId("mb", 0))
+        .toCells.collect()
+    }
+    // ---- space-time layer: same tile at two instants
+    put("attributes/st___0___metadata.json",
+      meta("st", timeKey, dblTile).getBytes("UTF-8"))
+    val stSchema = GeoTrellisStore.readSchema(dir, GeoTrellisStore.GtLayerId("st", 0))
+    def stDatum(inst: Long, v: Double) = GtAvro.encode(
+      Rec("KeyValueRecord", Map("pairs" -> Vector(
+        Rec("Tuple2", Map(
+          "_1" -> Rec("K", Map("col" -> 0, "row" -> 0, "instant" -> inst)),
+          "_2" -> UnionVal(0, dbl(Seq(v, v + 1)))))))), stSchema)
+    put("st/0/a", stDatum(1000L, 5.0))
+    put("st/0/b", stDatum(2000L, 8.0))
+    val st = GeoTrellisStore.readLayer(spark, dir, GeoTrellisStore.GtLayerId("st", 0))
+    assert(st.meta.temporal)
+    val cells = st.toCells.as[(Long, Long, Long, Double)].collect().toSet
+    assert(cells == Set((0L, 0L, 1000L, 5.0), (1L, 0L, 1000L, 6.0),
+      (0L, 0L, 2000L, 8.0), (1L, 0L, 2000L, 9.0)))
   }
 
   test("subset walls: hilbert index and missing schema fail loudly") {
