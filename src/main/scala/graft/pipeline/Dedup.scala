@@ -363,8 +363,15 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         def hash(s: String): Long = {
           md.reset()
-          val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-          java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          val d = md.digest(s.getBytes("UTF-8"))
+          // the batch path's conv(substring(md5, 1, 15), 16, 10) = the
+          // digest's leading 60 bits: read the first 8 bytes
+          // big-endian, drop the low nibble — value-identical to
+          // parsing the 15-char hex prefix, no per-shingle string churn
+          var v = 0L
+          var i = 0
+          while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+          v >>> 4
         }
         it.flatMap { case (id, text) =>
           // Locale.ROOT: JVM-default-locale lowercasing (tr-TR dotless
