@@ -2549,6 +2549,18 @@ object SparkEntry {
       Catalog.readMultiband(s, uri, "mb_rt", zoom = 2).toCells
     }),
 
+    "q_gt_read_mb" -> ((s, dir) => {
+      // multiband GT payload path (r19): stack two grids, export as a
+      // geotrellis ArrayMultibandTile store (per-band DoubleArrayTile
+      // records inside the KeyValueRecord datums), read back
+      // distributed through the stored schema — identity on both grids
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_gt_store"
+      val mb = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
+      graft.catalog.GeoTrellisStore.writeLayerMultiband(uri, "mb_gt", mb)
+      graft.catalog.GeoTrellisStore.readLayerMultiband(s, uri,
+        graft.catalog.GeoTrellisStore.GtLayerId("mb_gt", 0)).toCells
+    }),
+
     "q_aggregate_mean" -> ((s, dir) => {
       val l = lineitemLayer(s, dir)
       flat(l.union(l + 10.0).aggregateByCell("Mean"))
@@ -6938,6 +6950,12 @@ object SparkEntry {
            |GROUP BY c.x, c.y""".stripMargin,
 
       "q_mb_catalog_roundtrip" ->
+        s"""SELECT x, y, CAST(0 AS INT) AS band, v FROM ($grid)
+           |UNION ALL
+           |SELECT x, y, CAST(1 AS INT) AS band, v FROM ($ogrid)""".stripMargin,
+
+      // geotrellis multiband export + read-back is the same identity
+      "q_gt_read_mb" ->
         s"""SELECT x, y, CAST(0 AS INT) AS band, v FROM ($grid)
            |UNION ALL
            |SELECT x, y, CAST(1 AS INT) AS band, v FROM ($ogrid)""".stripMargin,

@@ -530,6 +530,30 @@ object GeoTrellisStore {
       |{"name":"noDataValue","type":["boolean","double"],"default":true}]}]}]}}}]}"""
       .stripMargin.replace("\n", "")
 
+  /** Multiband writer schema: the same KeyValueRecord frame with an
+    * ArrayMultibandTile value whose bands are DoubleArrayTile records
+    * (the geotrellis MultibandTile codec shape). */
+  private[catalog] val WriteSchemaMbJson: String =
+    """{"type":"record","name":"KeyValueRecord","namespace":"geotrellis.spark.io","fields":[
+      |{"name":"pairs","type":{"type":"array","items":
+      |{"type":"record","name":"Tuple2","namespace":"scala","fields":[
+      |{"name":"_1","type":{"type":"record","name":"SpatialKey","namespace":"geotrellis.spark","fields":[
+      |{"name":"col","type":"int"},{"name":"row","type":"int"}]}},
+      |{"name":"_2","type":[
+      |{"type":"record","name":"ArrayMultibandTile","namespace":"geotrellis.raster","fields":[
+      |{"name":"bands","type":{"type":"array","items":[
+      |{"type":"record","name":"DoubleArrayTile","namespace":"geotrellis.raster","fields":[
+      |{"name":"cols","type":"int"},{"name":"rows","type":"int"},
+      |{"name":"cells","type":{"type":"array","items":"double"}},
+      |{"name":"noDataValue","type":["boolean","double"],"default":true}]}]}}]}]}]}}}]}"""
+      .stripMargin.replace("\n", "")
+
+  private def doubleTileRec(cols: Int, rows: Int, cells: Array[Double]): GtAvro.Rec =
+    GtAvro.Rec("DoubleArrayTile", Map(
+      "cols" -> cols, "rows" -> rows,
+      "cells" -> cells.toVector,
+      "noDataValue" -> GtAvro.UnionVal(0, true)))
+
   /** Encode one (col, row, cells) tile as a KeyValueRecord datum. */
   private[catalog] def encodePair(schema: GtAvro.Schema, col: Int, row: Int,
                                   cols: Int, rows: Int,
@@ -537,10 +561,19 @@ object GeoTrellisStore {
     import GtAvro.{Rec, UnionVal}
     val pair = Rec("Tuple2", Map(
       "_1" -> Rec("SpatialKey", Map("col" -> col, "row" -> row)),
-      "_2" -> UnionVal(0, Rec("DoubleArrayTile", Map(
-        "cols" -> cols, "rows" -> rows,
-        "cells" -> cells.toVector,
-        "noDataValue" -> UnionVal(0, true))))))
+      "_2" -> UnionVal(0, doubleTileRec(cols, rows, cells))))
+    GtAvro.encode(Rec("KeyValueRecord", Map("pairs" -> Vector(pair))), schema)
+  }
+
+  /** Multiband twin of [[encodePair]]. */
+  private[catalog] def encodeMbPair(schema: GtAvro.Schema, col: Int, row: Int,
+                                    cols: Int, rows: Int,
+                                    bands: Seq[Array[Double]]): Array[Byte] = {
+    import GtAvro.{Rec, UnionVal}
+    val pair = Rec("Tuple2", Map(
+      "_1" -> Rec("SpatialKey", Map("col" -> col, "row" -> row)),
+      "_2" -> UnionVal(0, Rec("ArrayMultibandTile", Map(
+        "bands" -> bands.map(b => UnionVal(0, doubleTileRec(cols, rows, b))).toVector)))))
     GtAvro.encode(Rec("KeyValueRecord", Map("pairs" -> Vector(pair))), schema)
   }
 
@@ -556,11 +589,51 @@ object GeoTrellisStore {
                  zoom: Int = 0,
                  crs: String = "+proj=longlat +datum=WGS84 +no_defs"): Unit = {
     require(!layer.meta.temporal, "writeLayer exports SPATIAL layers only")
+    val (dir, width, tc, tr) = prepareWrite(catalog, name, zoom, layer.df,
+      layer.meta.layout, crs, "geotrellis.raster.Tile", WriteSchemaJson)
+    layer.df.select("col", "row", "tile").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val schema = GtAvro.parseSchema(WriteSchemaJson)
+        val conf = new Configuration()
+        it.foreach { r =>
+          val c = r.getInt(0); val rr = r.getInt(1)
+          val cells = r.getSeq[Double](2).toArray
+          writeTileFile(dir, width, conf,
+            encodePair(schema, c, rr, tc, tr, cells), c, rr)
+        }
+    }
+  }
+
+  /** Multiband export twin: ArrayMultibandTile records (one
+    * DoubleArrayTile per band) in the same store layout. */
+  def writeLayerMultiband(catalog: String, name: String,
+                          layer: graft.raster.MultibandLayer, zoom: Int = 0,
+                          crs: String = "+proj=longlat +datum=WGS84 +no_defs"): Unit = {
+    val (dir, width, tc, tr) = prepareWrite(catalog, name, zoom, layer.df,
+      layer.meta.layout, crs, "geotrellis.raster.MultibandTile", WriteSchemaMbJson)
+    layer.df.select("col", "row", "bands").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val schema = GtAvro.parseSchema(WriteSchemaMbJson)
+        val conf = new Configuration()
+        it.foreach { r =>
+          val c = r.getInt(0); val rr = r.getInt(1)
+          val bands = r.getSeq[scala.collection.Seq[Double]](2).map(_.toArray)
+          writeTileFile(dir, width, conf,
+            encodeMbPair(schema, c, rr, tc, tr, bands), c, rr)
+        }
+    }
+  }
+
+  /** Shared write-side setup: bounds scan, metadata-blob attribute,
+    * tile-directory reset. Returns (tilesDir, index pad width,
+    * tileCols, tileRows). */
+  private def prepareWrite(catalog: String, name: String, zoom: Int,
+                           df: DataFrame, lay: LayoutDefinition, crs: String,
+                           valueClass: String, schemaJson: String): (String, Int, Int, Int) = {
     require(!name.contains(Sep),
       s"layer name '$name' contains the attribute separator '$Sep'")
-    val lay = layer.meta.layout
     val tl = lay.tileLayout
-    val b = layer.df.agg(
+    val b = df.agg(
       org.apache.spark.sql.functions.min("col"), org.apache.spark.sql.functions.max("col"),
       org.apache.spark.sql.functions.min("row"), org.apache.spark.sql.functions.max("row"))
       .head()
@@ -574,7 +647,7 @@ object GeoTrellisStore {
     val metaJson =
       s"""[{"name":"$name","zoom":$zoom},{
          |"header":{"format":"file","keyClass":"geotrellis.layer.SpatialKey",
-         |"valueClass":"geotrellis.raster.Tile","path":"$name/$zoom"},
+         |"valueClass":"$valueClass","path":"$name/$zoom"},
          |"metadata":{
          |"extent":${ext(e.xmin, e.ymin, e.xmax, e.ymax)},
          |"layoutDefinition":{"extent":${ext(e.xmin, e.ymin, e.xmax, e.ymax)},
@@ -584,26 +657,20 @@ object GeoTrellisStore {
          |"bounds":{"minKey":${key(minC, minR)},"maxKey":${key(maxC, maxR)}}},
          |"keyIndex":{"type":"zorder","properties":{"keyBounds":{
          |"minKey":${key(minC, minR)},"maxKey":${key(maxC, maxR)}}}},
-         |"schema":$WriteSchemaJson}]""".stripMargin.replace("\n", "")
+         |"schema":$schemaJson}]""".stripMargin.replace("\n", "")
     writeString(s"$catalog/attributes/$name$Sep$zoom${Sep}metadata.json", metaJson)
     val dir = s"$catalog/$name/$zoom"
     val (fs0, dirPath) = fsPath(dir)
     if (fs0.exists(dirPath)) fs0.delete(dirPath, true) // no stale tiles on re-export
     fs0.mkdirs(dirPath)
-    val (tc, tr) = (tl.tileCols, tl.tileRows)
-    layer.df.select("col", "row", "tile").foreachPartition {
-      (it: Iterator[org.apache.spark.sql.Row]) =>
-        val schema = GtAvro.parseSchema(WriteSchemaJson)
-        val conf = new Configuration()
-        it.foreach { r =>
-          val c = r.getInt(0); val rr = r.getInt(1)
-          val cells = r.getSeq[Double](2).toArray
-          val bytes = encodePair(schema, c, rr, tc, tr, cells)
-          val p = new Path(s"$dir/${zeroPad(ZIndex.zorder(c.toLong, rr.toLong, 31), width)}")
-          val out = p.getFileSystem(conf).create(p, true)
-          try out.write(bytes) finally out.close()
-        }
-    }
+    (dir, width, tl.tileCols, tl.tileRows)
+  }
+
+  private def writeTileFile(dir: String, width: Int, conf: Configuration,
+                            bytes: Array[Byte], c: Int, r: Int): Unit = {
+    val p = new Path(s"$dir/${zeroPad(ZIndex.zorder(c.toLong, r.toLong, 31), width)}")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(bytes) finally out.close()
   }
 
   /** Minimal JSON re-serializer for the parsed attribute trees (the
