@@ -190,27 +190,36 @@ object Hydrology {
     // keeps its loud-failure contract at power-of-two granularity: J
     // still nonempty once the span passed maxSteps0 means some path
     // is longer than maxSteps0.
+    // cnt state is kept as UNMERGED checkpointed parts (C_0, up_1,
+    // up_2, …): the up-join consumes their union and its groupBy sums
+    // across parts, which is algebraically the merged C_k — so the
+    // full n-row count table never re-groups per round (only the
+    // shrinking per-round contributions checkpoint; ≤ ceil(log2 D)
+    // parts ever exist). One final groupBy merges everything.
     var jump = edge.select(col("from").as("v"), col("to").as("a")).localCheckpoint()
-    var cnt = edge.groupBy(col("to").as("id"))
-      .agg(count(lit(1)).cast("long").as("cnt")).localCheckpoint()
+    val cntParts = scala.collection.mutable.ListBuffer[DataFrame](
+      edge.groupBy(col("to").as("id"))
+        .agg(count(lit(1)).cast("long").as("cnt")).localCheckpoint())
     var span = 1L
     var round = 0
     while (!jump.isEmpty) {
       require(round < 64 && span <= maxSteps0,
         s"flowAccumulation: paths longer than $maxSteps0 steps — raise maxSteps " +
         "(or the flow graph has a cycle, which strict-descent D8 cannot produce)")
-      val up = jump.join(cnt, jump("v") === cnt("id"))
-        .groupBy(col("a").as("id")).agg(sum("cnt").as("cnt"))
-      cnt = cnt.unionByName(up)
-        .groupBy("id").agg(sum("cnt").cast("long").as("cnt"))
+      val cntU = cntParts.reduce(_ unionByName _)
+      val up = jump.join(cntU, jump("v") === cntU("id"))
+        .groupBy(col("a").as("id")).agg(sum("cnt").cast("long").as("cnt"))
         .localCheckpoint()
+      if (!up.isEmpty) cntParts += up
       jump = jump.as("p").join(jump.as("q"), col("p.a") === col("q.v"))
         .select(col("p.v").as("v"), col("q.a").as("a"))
         .localCheckpoint()
       span *= 2
       round += 1
     }
-    dirs.join(cnt, (col("y") * gridCols + col("x")) === cnt("id"), "left")
+    val acc = cntParts.reduce(_ unionByName _)
+      .groupBy("id").agg(sum("cnt").cast("long").as("cnt"))
+    dirs.join(acc, (col("y") * gridCols + col("x")) === acc("id"), "left")
       .select(col("x"), col("y"), coalesce(col("cnt"), lit(0L)).cast("long").as("acc"))
   }
 
