@@ -171,8 +171,13 @@ object GeoTrellisStore {
   }
 
   /** The "metadata" attribute's TileLayerMetadata subset. */
-  def readMetadata(catalog: String, layer: GtLayerId): GtMetadata = {
-    val top = readAttribute(catalog, layer, "metadata").asInstanceOf[Map[String, Any]]
+  def readMetadata(catalog: String, layer: GtLayerId): GtMetadata =
+    parseMetadata(readAttribute(catalog, layer, "metadata").asInstanceOf[Map[String, Any]])
+
+  /** TileLayerMetadata parse given the already-read attribute tree —
+    * the payload paths thread ONE blob read through metadata/schema/
+    * keyIndex/tilesDir instead of re-fetching the file per facet. */
+  private def parseMetadata(top: Map[String, Any]): GtMetadata = {
     // FileLayerWriter nests TileLayerMetadata under "metadata" beside
     // "header"/"keyIndex"/"schema"; tolerate a bare TileLayerMetadata
     val m = top.get("metadata") match {
@@ -222,18 +227,19 @@ object GeoTrellisStore {
 
   /** The stored writer schema (the "schema" attribute — blob field or
     * separate file), parsed to the [[GtAvro]] AST. */
-  def readSchema(catalog: String, layer: GtLayerId): GtAvro.Schema = {
-    val blob = layerBlob(catalog, layer)
-    val node = blob.getOrElse("schema", throw new IllegalStateException(
+  def readSchema(catalog: String, layer: GtLayerId): GtAvro.Schema =
+    GtAvro.parseSchemaValue(schemaNode(layerBlob(catalog, layer), layer))
+
+  private def schemaNode(blob: Map[String, Any], layer: GtLayerId): Any =
+    blob.getOrElse("schema", throw new IllegalStateException(
       s"geotrellis store has no Avro schema attribute for ${layer.name}/${layer.zoom} — " +
         "tile payloads cannot be decoded without the writer schema"))
-    GtAvro.parseSchemaValue(node)
-  }
 
   /** header.path — the tile directory relative to the catalog root
     * (FileLayerHeader; defaults to `name/zoom` when absent). */
-  private def tilesDir(catalog: String, layer: GtLayerId): String = {
-    val rel = layerBlob(catalog, layer).get("header") match {
+  private def tilesDir(catalog: String, layer: GtLayerId,
+                       blob: Map[String, Any]): String = {
+    val rel = blob.get("header") match {
       case Some(h: Map[String @unchecked, Any @unchecked]) =>
         h.get("path").map(_.toString).getOrElse(s"${layer.name}/${layer.zoom}")
       case _ => s"${layer.name}/${layer.zoom}"
@@ -247,9 +253,9 @@ object GeoTrellisStore {
     * [[ZIndex.zorder]]) and "rowmajor" (relative to keyBounds).
     * "hilbert" (uzaygezen chunk ordering) and space-time indexes fail
     * loudly. */
-  private def keyIndexOf(catalog: String, layer: GtLayerId,
+  private def keyIndexOf(blob: Map[String, Any],
                          meta: GtMetadata): ((Long, Long) => Long, Int) = {
-    val ki = layerBlob(catalog, layer).get("keyIndex") match {
+    val ki = blob.get("keyIndex") match {
       case Some(k: Map[String @unchecked, Any @unchecked]) => k
       case _ => Map[String, Any]("type" -> "zorder")
     }
@@ -396,10 +402,11 @@ object GeoTrellisStore {
     * absent (no tile stored there). */
   def readValue(catalog: String, layer: GtLayerId,
                 col: Long, row: Long): Option[Array[Double]] = {
-    val meta = readMetadata(catalog, layer)
-    val schema = readSchema(catalog, layer)
-    val (toIndex, width) = keyIndexOf(catalog, layer, meta)
-    val file = s"${tilesDir(catalog, layer)}/${zeroPad(toIndex(col, row), width)}"
+    val blob = layerBlob(catalog, layer) // ONE attribute fetch per point read
+    val meta = parseMetadata(blob)
+    val schema = GtAvro.parseSchemaValue(schemaNode(blob, layer))
+    val (toIndex, width) = keyIndexOf(blob, meta)
+    val file = s"${tilesDir(catalog, layer, blob)}/${zeroPad(toIndex(col, row), width)}"
     val (fs, path) = fsPath(file)
     if (!fs.exists(path)) return None
     decodePairs(readBytes(file), schema)
@@ -432,10 +439,11 @@ object GeoTrellisStore {
     * collects. Single-band values only — band stacks go through
     * [[readLayerMultiband]]. */
   def readLayer(spark: SparkSession, catalog: String, layer: GtLayerId): RasterLayer = {
-    val meta = readMetadata(catalog, layer)
+    val blob = layerBlob(catalog, layer) // ONE attribute fetch
+    val meta = parseMetadata(blob)
     val tl = meta.layout.tileLayout
-    val (schemaStr, temporal) = schemaForRead(catalog, layer)
-    val dir = tilesDir(catalog, layer)
+    val (schemaStr, temporal) = schemaForRead(blob, layer)
+    val dir = tilesDir(catalog, layer, blob)
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(dir)
       .select(fcol("content").as[Array[Byte]])
@@ -475,11 +483,12 @@ object GeoTrellisStore {
     * Spatial keys only (graft's multiband model is spatial). */
   def readLayerMultiband(spark: SparkSession, catalog: String,
                          layer: GtLayerId): graft.raster.MultibandLayer = {
-    val meta = readMetadata(catalog, layer)
+    val blob = layerBlob(catalog, layer) // ONE attribute fetch
+    val meta = parseMetadata(blob)
     val tl = meta.layout.tileLayout
-    val (schemaStr, temporal) = schemaForRead(catalog, layer)
+    val (schemaStr, temporal) = schemaForRead(blob, layer)
     require(!temporal, "multiband reads are spatial-only (graft's multiband model)")
-    val dir = tilesDir(catalog, layer)
+    val dir = tilesDir(catalog, layer, blob)
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(dir)
       .select(fcol("content").as[Array[Byte]])
@@ -502,11 +511,9 @@ object GeoTrellisStore {
 
   /** Canonical schema string + temporal flag for the distributed read
     * paths (the parsed tree itself isn't serializable-stable). */
-  private def schemaForRead(catalog: String, layer: GtLayerId): (String, Boolean) = {
-    val schemaJson = layerBlob(catalog, layer).getOrElse("schema",
-      throw new IllegalStateException(
-        s"geotrellis store has no Avro schema attribute for ${layer.name}/${layer.zoom}"))
-    val str = Json.write(schemaJson)
+  private def schemaForRead(blob: Map[String, Any],
+                            layer: GtLayerId): (String, Boolean) = {
+    val str = Json.write(schemaNode(blob, layer))
     (str, keyHasInstant(GtAvro.parseSchema(str)))
   }
 
@@ -591,10 +598,11 @@ object GeoTrellisStore {
     require(!layer.meta.temporal, "writeLayer exports SPATIAL layers only")
     val (dir, width, tc, tr) = prepareWrite(catalog, name, zoom, layer.df,
       layer.meta.layout, crs, "geotrellis.raster.Tile", WriteSchemaJson)
+    val entries = confEntries()
     layer.df.select("col", "row", "tile").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val schema = GtAvro.parseSchema(WriteSchemaJson)
-        val conf = new Configuration()
+        val conf = confOf(entries)
         it.foreach { r =>
           val c = r.getInt(0); val rr = r.getInt(1)
           val cells = r.getSeq[Double](2).toArray
@@ -611,10 +619,11 @@ object GeoTrellisStore {
                           crs: String = "+proj=longlat +datum=WGS84 +no_defs"): Unit = {
     val (dir, width, tc, tr) = prepareWrite(catalog, name, zoom, layer.df,
       layer.meta.layout, crs, "geotrellis.raster.MultibandTile", WriteSchemaMbJson)
+    val entries = confEntries()
     layer.df.select("col", "row", "bands").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val schema = GtAvro.parseSchema(WriteSchemaMbJson)
-        val conf = new Configuration()
+        val conf = confOf(entries)
         it.foreach { r =>
           val c = r.getInt(0); val rr = r.getInt(1)
           val bands = r.getSeq[scala.collection.Seq[Double]](2).map(_.toArray)
@@ -630,6 +639,10 @@ object GeoTrellisStore {
   private def prepareWrite(catalog: String, name: String, zoom: Int,
                            df: DataFrame, lay: LayoutDefinition, crs: String,
                            valueClass: String, schemaJson: String): (String, Int, Int, Int) = {
+    // path-safe, JSON-safe, separator-free: the name lands in both the
+    // attribute FILENAME and the header path
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"layer name '$name' must match [A-Za-z0-9._-]+ (it becomes a file path)")
     require(!name.contains(Sep),
       s"layer name '$name' contains the attribute separator '$Sep'")
     val tl = lay.tileLayout
@@ -653,7 +666,7 @@ object GeoTrellisStore {
          |"layoutDefinition":{"extent":${ext(e.xmin, e.ymin, e.xmax, e.ymax)},
          |"tileLayout":{"layoutCols":${tl.layoutCols},"layoutRows":${tl.layoutRows},
          |"tileCols":${tl.tileCols},"tileRows":${tl.tileRows}}},
-         |"cellType":"float64","crs":"$crs",
+         |"cellType":"float64","crs":${Json.write(crs)},
          |"bounds":{"minKey":${key(minC, minR)},"maxKey":${key(maxC, maxR)}}},
          |"keyIndex":{"type":"zorder","properties":{"keyBounds":{
          |"minKey":${key(minC, minR)},"maxKey":${key(maxC, maxR)}}}},
@@ -671,6 +684,24 @@ object GeoTrellisStore {
     val p = new Path(s"$dir/${zeroPad(ZIndex.zorder(c.toLong, r.toLong, 31), width)}")
     val out = p.getFileSystem(conf).create(p, true)
     try out.write(bytes) finally out.close()
+  }
+
+  /** The driver's Hadoop conf as serializable entries: executor-side
+    * tile writes must see the session's spark.hadoop.* settings
+    * (s3a credentials, defaultFS, …) — a bare `new Configuration()`
+    * on the executor would silently drop them and half-write the
+    * store (attributes from the driver conf, no tiles). */
+  private def confEntries(): Array[(String, String)] = {
+    val it = hadoopConf.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+    buf.toArray
+  }
+
+  private def confOf(entries: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
   }
 
   /** Minimal JSON re-serializer for the parsed attribute trees (the

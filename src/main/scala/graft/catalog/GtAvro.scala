@@ -119,7 +119,10 @@ object GtAvro {
 
   private final class Reader(b: Array[Byte]) {
     var pos = 0
-    def u8(): Int = { val v = b(pos) & 0xff; pos += 1; v }
+    def u8(): Int = {
+      require(pos < b.length, s"avro: datum truncated at $pos (${b.length} bytes)")
+      val v = b(pos) & 0xff; pos += 1; v
+    }
     /** Zig-zag varint long (the spec's int/long wire form). */
     def vlong(): Long = {
       var shift = 0

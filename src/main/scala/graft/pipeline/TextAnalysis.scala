@@ -1120,19 +1120,38 @@ object TextAnalysis {
     * replays the LM's own corpus). */
   def perplexityBucketSketchStream(docs: DataFrame, lm: DataFrame,
                                    oovLpQ: Long,
-                                   maxVocab: Int = 1 << 20): DataFrame = {
+                                   maxVocab: Int = 1 << 22): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val entries = lm.select(col("w"), col("lp_q")).collect()
     require(entries.length <= maxVocab,
       s"${entries.length} LM entries exceed maxVocab=$maxVocab — ship a " +
         "pruned vocabulary (rare words score the OOV floor anyway)")
-    val lmMap = typedLit(entries.map(r => (r.getString(0), r.getLong(1))).toMap)
-    docs
-      .select(col("source"),
-        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .where(col("n_tokens") > 0)
-      .withColumn("s", aggregate(col("toks"), lit(0L),
-        (acc, wd) => acc + coalesce(element_at(lmMap, wd), lit(oovLpQ))))
+    // O(1) hash lookups per token (a literal-map element_at is a
+    // linear scan over the key array — 10^5x slower at real vocab
+    // sizes); the map rides the closure, the containmentAgainst
+    // broadcast-model precedent. Tokenization mirrors the batch
+    // lower() + regexp_extract_all('[a-z0-9]+') exactly (Locale.ROOT
+    // — same contract containmentAgainst documents). Only the integer
+    // token-sum happens here; every float division and rounding stays
+    // a Catalyst expression IDENTICAL to the batch path's.
+    val lpMap = entries.map(r => (r.getString(0), r.getLong(1))).toMap
+    val scored = docs.select(col("source").cast("string"), col("text").cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val rx = "[a-z0-9]+".r
+        it.flatMap { case (src, text) =>
+          var s = 0L
+          var n = 0L
+          rx.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).foreach { w =>
+            s += lpMap.getOrElse(w, oovLpQ)
+            n += 1
+          }
+          if (n == 0) Iterator.empty else Iterator.single((src, s, n))
+        }
+      }
+      .toDF("source", "s", "n_tokens")
+    scored
       .withColumn("nll", -col("s") / (col("n_tokens") * lit(1000000.0)))
       .select(col("source"),
         round(col("nll") * lit(1000.0)).cast("long").as("c_q"),
