@@ -241,6 +241,12 @@ object GeoTrellisStore {
                        blob: Map[String, Any]): String = {
     val rel = blob.get("header") match {
       case Some(h: Map[String @unchecked, Any @unchecked]) =>
+        // a "hadoop"-format store keeps tiles in MapFiles, an
+        // "accumulo"/"cassandra"/"hbase" one in a service — reading
+        // their paths as raw Avro files would misdecode, so the
+        // file-backend scope is enforced loudly here
+        h.get("format").foreach(f => require(f == "file",
+          s"geotrellis store format '$f' is outside the read subset (file-backend only)"))
         h.get("path").map(_.toString).getOrElse(s"${layer.name}/${layer.zoom}")
       case _ => s"${layer.name}/${layer.zoom}"
     }
@@ -281,7 +287,9 @@ object GeoTrellisStore {
         val w = maxC - minC + 1
         (c, r) => (r - minR) * w + (c - minC)
       case other => throw new IllegalArgumentException(
-        s"geotrellis key index '$other' is outside the read subset (zorder/rowmajor)")
+        s"geotrellis key index '$other' is outside the POINT-READ subset " +
+          "(zorder/rowmajor) — whole-layer readLayer/readLayerMultiband " +
+          "work regardless (keys come from the records, not the index)")
     }
     val maxIdx = fn(bounds._2._1, bounds._2._2)
     (fn, maxIdx.toString.length)

@@ -155,6 +155,33 @@ class GeoTrellisStoreSpec extends SparkSpec {
     val rec = GtAvro.decode(bytes, s).asInstanceOf[GtAvro.Rec]
     assert(rec("n") == 300L && rec("d") == 2.0 && rec("s") == "ab")
     assert(GtAvro.encode(rec, s).toSeq == bytes.toSeq)
+    // truncated datum fails with the codec's loud diagnostic, not AIOOBE
+    val e = intercept[IllegalArgumentException] {
+      GtAvro.decode(bytes.take(6), s)
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("enum, fixed, map, and float decode per the Avro spec") {
+    val s = GtAvro.parseSchema(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"e","type":{"type":"enum","name":"E","symbols":["NN","BILINEAR","CUBIC"]}},
+        |{"name":"fx","type":{"type":"fixed","name":"F","size":3}},
+        |{"name":"m","type":{"type":"map","values":"int"}},
+        |{"name":"f","type":"float"}]}""".stripMargin.replace("\n", ""))
+    // e = BILINEAR (index 1 -> zz 0x02); fx = 3 raw bytes; m = one
+    // block of 1 entry {"k": 7}; f = 1.5f little-endian (0x3fc00000)
+    val bytes = Array[Int](0x02,
+      0xaa, 0xbb, 0xcc,
+      0x02, 0x02, 'k'.toInt, 0x0e, 0x00,
+      0x00, 0x00, 0xc0, 0x3f).map(_.toByte)
+    val rec = GtAvro.decode(bytes, s).asInstanceOf[GtAvro.Rec]
+    assert(rec("e") == "BILINEAR")
+    assert(rec("fx").asInstanceOf[Array[Byte]].toSeq ==
+      Seq(0xaa.toByte, 0xbb.toByte, 0xcc.toByte))
+    assert(rec("m") == Map("k" -> 7))
+    assert(rec("f") == 1.5f)
+    assert(GtAvro.encode(rec, s).toSeq == bytes.toSeq)
   }
 
   test("tile record decode conventions: UByte, Bit LSB, UShort reinterpretation, float NaN") {
