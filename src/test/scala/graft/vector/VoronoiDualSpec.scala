@@ -78,6 +78,43 @@ class VoronoiDualSpec extends AnyFunSuite {
     }
   }
 
+  test("dual == all-pairs on an almost-collinear hull set (r19 exact super-triangle)") {
+    // the bottom chain (0.5,0.5)-(100.5,1.5)-(200.5,3.5) is nearly
+    // collinear: its circumcircle is ~10^6 x the span, so the r18
+    // span-sized super-triangle sat INSIDE it and the dual could miss
+    // a required hull bisector — exactly the ADVICE deviation case
+    val sites = IndexedSeq(
+      Pt(0.5, 0.5), Pt(100.5, 1.5), Pt(200.5, 3.5),
+      Pt(50.5, 40.5), Pt(150.5, 60.5), Pt(100.5, 80.5), Pt(30.5, 70.5))
+    val ap = Voronoi.cells(sites, 0, 0, 201, 81)
+    val dual = Voronoi.cellsDual(sites, 0, 0, 201, 81, scale = 2L)
+    assert(dual.map(_._1).sorted == ap.map(_._1).sorted)
+    val by = dual.toMap
+    ap.foreach { case (i, p) =>
+      assert(math.abs(Overlay.area(p) - Overlay.area(by(i))) < 1e-6, s"cell $i area")
+    }
+    // margin-filtered nearest-site probe across the extent
+    var y = 0
+    while (y < 81) {
+      var x = 0
+      while (x < 201) {
+        val cx = x + 0.25; val cy = y + 0.75
+        var best = -1; var bd = Double.MaxValue; var second = Double.MaxValue
+        sites.indices.foreach { i =>
+          val d = (cx - sites(i).x) * (cx - sites(i).x) +
+            (cy - sites(i).y) * (cy - sites(i).y)
+          if (d < bd) { second = bd; bd = d; best = i }
+          else if (d < second) second = d
+        }
+        if (second - bd > 1e-6) {
+          assert(label(ap, cx, cy) == label(dual, cx, cy), s"($cx,$cy)")
+        }
+        x += 2
+      }
+      y += 1
+    }
+  }
+
   test("dual lifts the all-pairs guard: a site set past MaxSites still builds") {
     // 4,200 sites > MaxSites = 4096 — all-pairs rejects, dual builds.
     // Compact quarter-integral lattice (scale 4) keeps the exact
