@@ -65,6 +65,20 @@ object GtAvro {
   def parseSchemaValue(v: Any): Schema =
     parse(v, mutable.Map.empty)
 
+  /** Register a named type (enum/fixed — records inline it) under BOTH
+    * its short name and, when a namespace is declared, the
+    * namespace-qualified fullname: the spec allows references by
+    * either, and a schema that declares `ns.Name` then references it
+    * by fullname must resolve (r19 review). */
+  private def registerNamed(named: mutable.Map[String, Schema],
+                            node: Map[String, Any], name: String, s: Schema): Unit = {
+    named(name) = s
+    node.get("namespace") match {
+      case Some(ns: String) if ns.nonEmpty => named(s"$ns.$name") = s
+      case _ => ()
+    }
+  }
+
   private val primitives: Map[String, Schema] = Map(
     "null" -> ANull, "boolean" -> ABoolean, "int" -> AInt, "long" -> ALong,
     "float" -> AFloat, "double" -> ADouble, "bytes" -> ABytes, "string" -> AString)
@@ -102,12 +116,12 @@ object GtAvro {
         case "enum" =>
           val e = AEnum(m("name").asInstanceOf[String],
             m("symbols").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]).toIndexedSeq)
-          named(e.name) = e
+          registerNamed(named, m, e.name, e)
           e
         case "fixed" =>
           val f = AFixed(m("name").asInstanceOf[String],
             m("size").asInstanceOf[Double].toInt)
-          named(f.name) = f
+          registerNamed(named, m, f.name, f)
           f
         case t => parse(t, named) // {"type": "long"} wrapper form
       }
@@ -169,7 +183,13 @@ object GtAvro {
   private def read(r: Reader, s: Schema): Any = s match {
     case ANull    => null
     case ABoolean => r.u8() != 0
-    case AInt     => r.vlong().toInt
+    case AInt     =>
+      // loud-failure discipline: an out-of-spec datum whose zig-zag
+      // value exceeds 32 bits must not silently truncate (r19 review)
+      val v = r.vlong()
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"avro: int datum $v exceeds 32 bits")
+      v.toInt
     case ALong    => r.vlong()
     case AFloat   => r.f32()
     case ADouble  => r.f64()

@@ -1129,22 +1129,26 @@ object TextAnalysis {
         "pruned vocabulary (rare words score the OOV floor anyway)")
     // O(1) hash lookups per token (a literal-map element_at is a
     // linear scan over the key array — 10^5x slower at real vocab
-    // sizes); the map rides the closure, the containmentAgainst
-    // broadcast-model precedent. Tokenization mirrors the batch
+    // sizes); the map ships as a sparkContext.broadcast — cached once
+    // per executor instead of re-serialized into every stage's task
+    // binary (r19 review; the containmentAgainst broadcast-model
+    // precedent). Tokenization mirrors the batch
     // lower() + regexp_extract_all('[a-z0-9]+') exactly (Locale.ROOT
     // — same contract containmentAgainst documents). Only the integer
     // token-sum happens here; every float division and rounding stays
     // a Catalyst expression IDENTICAL to the batch path's.
-    val lpMap = entries.map(r => (r.getString(0), r.getLong(1))).toMap
+    val lpMap = spark.sparkContext.broadcast(
+      entries.map(r => (r.getString(0), r.getLong(1))).toMap)
     val scored = docs.select(col("source").cast("string"), col("text").cast("string"))
       .as[(String, String)]
       .mapPartitions { it =>
         val rx = "[a-z0-9]+".r
+        val lp = lpMap.value
         it.flatMap { case (src, text) =>
           var s = 0L
           var n = 0L
           rx.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).foreach { w =>
-            s += lpMap.getOrElse(w, oovLpQ)
+            s += lp.getOrElse(w, oovLpQ)
             n += 1
           }
           if (n == 0) Iterator.empty else Iterator.single((src, s, n))

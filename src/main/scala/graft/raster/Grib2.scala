@@ -31,7 +31,14 @@ import org.apache.spark.sql.functions._
   *    whether from real NWP producers or normalized exports — decode
   *    with 0..360-space extents and the caller shifts by -360 where
   *    geography requires it (the same contract GDAL's GRIB driver
-  *    exposes);
+  *    exposes). A GREENWICH-CROSSING grid (xmin < 0 < xmax) under
+  *    `normalizeLon` stores Lo1 > Lo2 (e.g. 350e6 → 10e6) — valid per
+  *    regulation 92.1.5 because Di is given explicitly, but some
+  *    external readers special-case it; graft's own decode is
+  *    Lo1+Di-driven, so such a file reads back as the CONTIGUOUS
+  *    extent [Lo1-Di/2, Lo1-Di/2 + Ni·Di) extending past 360 (the
+  *    wrap spec pins this). Callers needing single-space extents for
+  *    crossing grids should keep the verbatim default;
   *  - section 4 product template 4.0 (analysis at reference time —
   *    the instant rides section 1's calendar fields);
   *  - section 5 data template 5.0 (simple packing): Y = (R + X·2^E) /

@@ -128,7 +128,12 @@ object Hydrology {
     * pointer-doubling discipline, carrying partial COUNTS; this was
     * the repo's last O(depth) loop). Each round localCheckpoints
     * (CLAUDE.md iterative rule); `maxSteps` fails loudly rather than
-    * looping (detection at power-of-two granularity). Small grids
+    * looping — at POWER-OF-TWO granularity on the distributed path: a
+    * longest path in (maxSteps, 2^ceil(log2 maxSteps+1)) succeeds
+    * silently (the result is still exact; only the bound is coarse),
+    * whereas the guarded driver walk below enforces the exact bound.
+    * Callers needing the strict contract at scale should pass the
+    * next power of two. Small grids
     * take a guarded driver walk instead (one collect of the <=
     * `maxDriverEdges` out-edges beats per-round job overhead; the
     * connectedComponents fast path is the precedent).

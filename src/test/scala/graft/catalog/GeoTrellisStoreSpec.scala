@@ -184,6 +184,31 @@ class GeoTrellisStoreSpec extends SparkSpec {
     assert(GtAvro.encode(rec, s).toSeq == bytes.toSeq)
   }
 
+  test("namespaced enum/fixed resolve by fullname; int datum overflow is loud (r20)") {
+    // the spec allows a later reference by EITHER the short name or the
+    // namespace-qualified fullname (r19 review: only records registered
+    // both)
+    val s = GtAvro.parseSchema(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":{"type":"enum","name":"E","namespace":"ns.x","symbols":["P","Q"]}},
+        |{"name":"b","type":"ns.x.E"},
+        |{"name":"c","type":{"type":"fixed","name":"F","namespace":"ns.x","size":1}},
+        |{"name":"d","type":"ns.x.F"}]}""".stripMargin.replace("\n", ""))
+    val bytes = Array[Int](0x02, 0x00, 0x11, 0x22).map(_.toByte)
+    val rec = GtAvro.decode(bytes, s).asInstanceOf[GtAvro.Rec]
+    assert(rec("a") == "Q" && rec("b") == "P")
+    assert(rec("c").asInstanceOf[Array[Byte]].toSeq == Seq(0x11.toByte))
+    // an int datum whose zig-zag value exceeds 32 bits fails loudly
+    // instead of silently truncating (r19 review)
+    val big = GtAvro.encode(1L << 40, GtAvro.ALong)
+    intercept[IllegalArgumentException] { GtAvro.decode(big, GtAvro.AInt) }
+    // boundary values still decode
+    assert(GtAvro.decode(GtAvro.encode(Int.MaxValue.toLong, GtAvro.ALong),
+      GtAvro.AInt) == Int.MaxValue)
+    assert(GtAvro.decode(GtAvro.encode(Int.MinValue.toLong, GtAvro.ALong),
+      GtAvro.AInt) == Int.MinValue)
+  }
+
   test("tile record decode conventions: UByte, Bit LSB, UShort reinterpretation, float NaN") {
     import GtAvro.Rec
     // UByte: bytes reinterpret unsigned; int-sentinel NoData

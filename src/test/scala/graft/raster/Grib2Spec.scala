@@ -125,6 +125,27 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  test("normalizeLon Greenwich-crossing grid: Lo1 > Lo2 wrap pinned (r20)") {
+    // xmin=-10, xmax=10 (4 cells of width 5): first-point center -7.5°
+    // normalizes to 352.5e6, last-point center 7.5° stays 7.5e6 — the
+    // regulation-legal Lo1 > Lo2 form (Di is explicit, reg 92.1.5).
+    val b = Grib2.encodeGrid(Array(1.0, 2.0, 3.0, 4.0), 4, 1,
+      -10, 0, 10, 1, normalizeLon = true)
+    val s3 = 16 + 21
+    def ru32(p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    assert(ru32(s3 + 50) == 352500000L) // Lo1 = -7.5° -> 352.5°
+    assert(ru32(s3 + 59) == 7500000L)   // Lo2 = 7.5°  -> Lo1 > Lo2
+    // graft's own decode is Lo1+Di-driven: the grid reads back as the
+    // CONTIGUOUS 0..360-space extent [350, 370) — values intact; the
+    // caller shifts per the documented contract. External readers that
+    // special-case Lo1 > Lo2 see the same cells at the same increments.
+    val f = Grib2.decode(b).head
+    assert(math.abs(f.xmin - 350) < 1e-9 && math.abs(f.xmax - 370) < 1e-9)
+    assert(f.cells.toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
   test("malformed inputs fail loudly") {
     intercept[IllegalArgumentException] { Grib2.decode("GRIX____".getBytes) }
     val good = Grib2.encodeGrid(Array(1.0), 1, 1, 0, 0, 1, 1)
