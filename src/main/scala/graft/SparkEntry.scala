@@ -1917,6 +1917,52 @@ object SparkEntry {
         graft.catalog.GeoTrellisStore.GtLayerId("lineitem_gt", 0)))
     }),
 
+    "q_gt_read_hadoop" -> ((s, dir) => {
+      // hadoop-layout GeoTrellis store (r20, the reference's
+      // geotrellis.spark.io.hadoop backend — LayerReaderWrapper.scala:14,
+      // catalog.py:23 hdfs URIs): export the grid as a HadoopLayerWriter
+      // store (MapFile parts of LongWritable z-index -> BytesWritable
+      // Avro datum, _attributes blob) and read the MapFiles back
+      // DISTRIBUTED (one SequenceFile scan task per part) — identity
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_gt_hadoop"
+      graft.catalog.GeoTrellisStore.writeLayerHadoop(uri, "lineitem_hd",
+        lineitemLayer(s, dir))
+      flat(graft.catalog.GeoTrellisStore.readLayer(s, uri,
+        graft.catalog.GeoTrellisStore.GtLayerId("lineitem_hd", 0)))
+    }),
+
+    "q_gt_read_time" -> ((s, dir) => {
+      // space-time Z3 export (r20, the r19 spacetime-READ's write twin
+      // — reference LayerWriterWrapper.scala:10 writes SpaceTimeKey
+      // layers): export the temporal event grid under Z3 space-time
+      // z-index filenames (instants sharing a temporalResolution bucket
+      // pack into ONE multi-pair datum), read back temporal — identity
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_gt_store"
+      val l = RasterLayer.fromCellsTemporal(eventCells(s, dir), layout64)
+      graft.catalog.GeoTrellisStore.writeLayerTemporal(uri, "events_gt", l,
+        temporalResolution = 1000L)
+      graft.catalog.GeoTrellisStore.readLayer(s, uri,
+        graft.catalog.GeoTrellisStore.GtLayerId("events_gt", 0)).toCells
+    }),
+
+    "q_gt_read_hilbert" -> ((s, dir) => {
+      // compact-Hilbert point read (r20 — geotrellis IndexingMethod
+      // HILBERT, constants.py:98, via the uzaygezen curve; Hamilton's
+      // published algorithm in graft.core.CompactHilbert): export the
+      // grid hilbert-indexed, then serve ONE tile through the stored
+      // xResolution/yResolution index — the q_read_tile latency path
+      val uri = s"${System.getProperty("java.io.tmpdir")}/graft_gt_store"
+      graft.catalog.GeoTrellisStore.writeLayer(uri, "lineitem_hil",
+        lineitemLayer(s, dir), keyIndex = "hilbert")
+      import s.implicits._
+      val T = GridSource.T
+      val tile = graft.catalog.GeoTrellisStore.readValue(uri,
+        graft.catalog.GeoTrellisStore.GtLayerId("lineitem_hil", 0), 2, 3)
+        .getOrElse(Array.fill(T * T)(Double.NaN))
+      (for (j <- 0 until T; i <- 0 until T; v = tile(j * T + i) if !v.isNaN)
+        yield (2L * T + i, 3L * T + j, v)).toDF("x", "y", "v")
+    }),
+
     "q_read_tile" -> ((s, dir) => {
       // ValueReader point read (catalog.py:74): store the layer, fetch
       // ONE tile by key through parquet-footer pruning + a single-file
@@ -6473,6 +6519,18 @@ object SparkEntry {
       // geotrellis-store payload bridge: export + self-describing Avro
       // read-back is an identity on the grid (q_catalog_roundtrip twin)
       "q_gt_read" -> s"SELECT x, y, v FROM ($grid)",
+
+      // hadoop (MapFile) layout export + distributed SequenceFile
+      // read-back is the same identity
+      "q_gt_read_hadoop" -> s"SELECT x, y, v FROM ($grid)",
+
+      // space-time Z3 export + temporal read-back: identity on the
+      // temporal event grid
+      "q_gt_read_time" -> s"SELECT x, y, instant, v FROM ($egrid)",
+
+      // hilbert-indexed point read serves exactly tile (2,3)'s cells
+      "q_gt_read_hilbert" ->
+        s"SELECT x, y, v FROM ($grid) WHERE x // 64 = 2 AND y // 64 = 3",
 
       "q_read_tile" ->
         s"SELECT x, y, v FROM ($grid) WHERE x // 64 = 2 AND y // 64 = 3",

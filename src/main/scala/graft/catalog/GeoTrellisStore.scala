@@ -4,10 +4,11 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.io.{BytesWritable, LongWritable, MapFile, SequenceFile}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.{col => fcol}
 
-import graft.core.{Extent, LayoutDefinition, TileLayout, ZIndex}
+import graft.core.{CompactHilbert, Extent, LayoutDefinition, TileLayout, ZIndex}
 import graft.raster.{LayerMetadata, RasterLayer}
 
 /** Adapter over an existing GeoTrellis catalog — the migration bridge
@@ -41,12 +42,23 @@ import graft.raster.{LayerMetadata, RasterLayer}
   * catalog.py:74 `read_value` via io/ValueReaderWrapper.scala:1,
   * catalog.py:117 `query` via io/LayerReaderWrapper.scala:1):
   *  - `readValue` — one tile by key through the key index (zorder /
-  *    rowmajor; hilbert needs the uzaygezen chunk ordering and fails
-  *    loudly);
+  *    rowmajor / hilbert — the latter via [[graft.core.CompactHilbert]],
+  *    Hamilton's published compact-Hilbert algorithm that uzaygezen
+  *    implements, r20); `readValueTime` (r20) point-reads space-time
+  *    layers through the Z3 index ([[graft.core.ZIndex.zorder3]] of
+  *    (col, row, instant/temporalResolution));
   *  - `readLayer` — the whole layer, DISTRIBUTED: a binaryFile scan
   *    over the tile directory decodes per file on executors (keys
   *    come from the records, so no index math on the read path) into
-  *    a graft [[RasterLayer]] at the stored layout.
+  *    a graft [[RasterLayer]] at the stored layout. HADOOP-layout
+  *    stores (r20 — header format "hdfs", HadoopLayerWriter) read
+  *    through the same surface: tiles live in Hadoop MapFiles
+  *    (`part-r-*` dirs of LongWritable index → BytesWritable Avro
+  *    datum — the public Hadoop wire formats, read with Hadoop's own
+  *    SequenceFile/MapFile classes off the Spark classpath, the SAME
+  *    code real geotrellis runs), attributes under `_attributes/`;
+  *    point reads use MapFile.getClosest + exact-key pair filtering
+  *    (the HadoopValueReader block-packing discipline).
   * Cell decode covers the GeoTrellis single-band tile records
   * (Bit/Byte/UByte/Short/UShort/Int/Float/Double ArrayTile) with the
   * noDataValue conventions ([int,null] sentinel unions for integral
@@ -55,12 +67,14 @@ import graft.raster.{LayerMetadata, RasterLayer}
   * constant-tile records fail loudly — documented subset.
   *
   * `writeLayer` is the inverse: a graft layer exported as a
-  * geotrellis-layout store (blob metadata attribute, zorder key
-  * index, one Avro KeyValueRecord datum per tile) — DoubleArrayTile
-  * records with the boolean-true (NaN) noDataValue branch, float64
-  * being graft's physical cell model. It is also how the spec and
-  * the `q_gt_read` oracle fixture produce byte-level stores without
-  * geotrellis on the classpath.
+  * geotrellis-layout store (blob metadata attribute, zorder or
+  * hilbert key index, one Avro KeyValueRecord datum per tile) —
+  * DoubleArrayTile records with the boolean-true (NaN) noDataValue
+  * branch, float64 being graft's physical cell model. It is also how
+  * the spec and the `q_gt_read` oracle fixture produce byte-level
+  * stores without geotrellis on the classpath. `writeLayerHadoop`
+  * (r20) exports the MapFile layout, `writeLayerTemporal` (r20) the
+  * Z3-indexed space-time layout.
   *
   * Distributed-read interop for Accumulo/HBase/Cassandra stores needs
   * those services and stays out of scope (they are also
@@ -109,18 +123,35 @@ object GeoTrellisStore {
   /** geotrellis `FileAttributeStore.SEP` — THREE underscores. */
   private val Sep = "___"
 
+  /** The attribute directory: `attributes/` for FileAttributeStore
+    * catalogs, `_attributes/` for HadoopAttributeStore ones (r20 — the
+    * hadoop backend keeps the SAME {name}___{zoom}___{attr}.json file
+    * layout, just under the underscore-prefixed directory beside the
+    * MapFile layers). Whichever exists wins; absent both (a fresh
+    * export target) the file-store default applies. */
+  private def attrsDir(catalog: String): String = {
+    val file = s"$catalog/attributes"
+    val (fs, p) = fsPath(file)
+    if (fs.exists(p)) file
+    else {
+      val hadoop = s"$catalog/_attributes"
+      val (fs2, p2) = fsPath(hadoop)
+      if (fs2.exists(p2)) hadoop else file
+    }
+  }
+
   /** Anchored filename pattern: reluctant name group, digit zoom, the
     * literal separator — names containing single or double underscores
     * parse correctly (a name containing the triple separator itself is
     * ambiguous in geotrellis's own layout and rejected the same way). */
   private val MetadataRx = ("""^(.+?)""" + Sep + """(\d+)""" + Sep + """metadata\.json$""").r
   private def attributeFile(catalog: String, layer: GtLayerId, attribute: String): String =
-    s"$catalog/attributes/${layer.name}$Sep${layer.zoom}$Sep$attribute.json"
+    s"${attrsDir(catalog)}/${layer.name}$Sep${layer.zoom}$Sep$attribute.json"
 
   /** Layer ids present in the store, from the attribute filenames
     * (`{name}___{zoom}___metadata.json`), sorted (name, zoom). */
   def layers(catalog: String): Seq[GtLayerId] = {
-    val (fs, root) = fsPath(s"$catalog/attributes")
+    val (fs, root) = fsPath(attrsDir(catalog))
     if (!fs.exists(root)) return Nil
     fs.listStatus(root).toSeq.map(_.getPath.getName)
       .flatMap {
@@ -235,32 +266,31 @@ object GeoTrellisStore {
       s"geotrellis store has no Avro schema attribute for ${layer.name}/${layer.zoom} — " +
         "tile payloads cannot be decoded without the writer schema"))
 
-  /** header.path — the tile directory relative to the catalog root
-    * (FileLayerHeader; defaults to `name/zoom` when absent). */
-  private def tilesDir(catalog: String, layer: GtLayerId,
-                       blob: Map[String, Any]): String = {
-    val rel = blob.get("header") match {
+  /** header.path + backend format. `file` (FileLayerHeader): one raw
+    * Avro datum per zero-padded index filename, path relative to the
+    * catalog root (defaults to `name/zoom` when absent). `hdfs`
+    * (HadoopLayerHeader, r20): MapFile part dirs, path stored as a
+    * FULL URI by geotrellis (tolerated relative for self-contained
+    * exports). An "accumulo"/"cassandra"/"hbase" store keeps tiles in
+    * a service — reading its path as files would misdecode, so the
+    * scope is enforced loudly here. */
+  private def tilesLocation(catalog: String, layer: GtLayerId,
+                            blob: Map[String, Any]): (String, String) =
+    blob.get("header") match {
       case Some(h: Map[String @unchecked, Any @unchecked]) =>
-        // a "hadoop"-format store keeps tiles in MapFiles, an
-        // "accumulo"/"cassandra"/"hbase" one in a service — reading
-        // their paths as raw Avro files would misdecode, so the
-        // file-backend scope is enforced loudly here
-        h.get("format").foreach(f => require(f == "file",
-          s"geotrellis store format '$f' is outside the read subset (file-backend only)"))
-        h.get("path").map(_.toString).getOrElse(s"${layer.name}/${layer.zoom}")
-      case _ => s"${layer.name}/${layer.zoom}"
+        val fmt = h.get("format").map(_.toString).getOrElse("file")
+        require(fmt == "file" || fmt == "hdfs",
+          s"geotrellis store format '$fmt' is outside the read subset " +
+            "(file + hadoop backends)")
+        val rel = h.get("path").map(_.toString).getOrElse(s"${layer.name}/${layer.zoom}")
+        val dir =
+          if (rel.contains("://") || rel.startsWith("/")) rel else s"$catalog/$rel"
+        (dir, fmt)
+      case _ => (s"$catalog/${layer.name}/${layer.zoom}", "file")
     }
-    s"$catalog/$rel"
-  }
 
-  /** The key-index function (linear index of a spatial key) + the
-    * zero-pad width, from the stored keyIndex JSON. Subset: "zorder"
-    * (geotrellis Z2 — column bits even, row bits odd, exactly
-    * [[ZIndex.zorder]]) and "rowmajor" (relative to keyBounds).
-    * "hilbert" (uzaygezen chunk ordering) and space-time indexes fail
-    * loudly. */
-  private def keyIndexOf(blob: Map[String, Any],
-                         meta: GtMetadata): ((Long, Long) => Long, Int) = {
+  /** The stored keyIndex JSON (type + properties), defaulted. */
+  private def keyIndexNode(blob: Map[String, Any]): (String, Map[String, Any]) = {
     val ki = blob.get("keyIndex") match {
       case Some(k: Map[String @unchecked, Any @unchecked]) => k
       case _ => Map[String, Any]("type" -> "zorder")
@@ -269,35 +299,180 @@ object GeoTrellisStore {
       case Some(p: Map[String @unchecked, Any @unchecked]) => p
       case _ => Map.empty[String, Any]
     }
+    (ki.getOrElse("type", "zorder").toString, props)
+  }
+
+  private def jnum(v: Any): Long = v match {
+    case d: Double => d.toLong
+    case s: String => s.toLong // geotrellis writes some props as strings
+    case other => throw new IllegalArgumentException(s"numeric property expected, got $other")
+  }
+
+  /** The key-index function (linear index of a spatial key) + the
+    * zero-pad width, from the stored keyIndex JSON. Subset: "zorder"
+    * (geotrellis Z2 — column bits even, row bits odd, exactly
+    * [[ZIndex.zorder]]), "rowmajor" (relative to keyBounds), and
+    * "hilbert" (r20 — Hamilton's compact Hilbert index at the stored
+    * xResolution/yResolution bit widths, [[CompactHilbert]]; the
+    * geotrellis/uzaygezen convention of indexing raw col/row with no
+    * min-key shift). Space-time indexes go through
+    * [[keyIndexTimeOf]]. */
+  private def keyIndexOf(blob: Map[String, Any],
+                         meta: GtMetadata): ((Long, Long) => Long, Int) = {
+    val (kiType, props) = keyIndexNode(blob)
     require(!props.contains("temporalResolution"),
-      "geotrellis space-time key indexes are outside the read subset")
+      "space-time key index on a spatial point read — use readValueTime")
     val bounds = props.get("keyBounds") match {
       case Some(b: Map[String @unchecked, Any @unchecked]) =>
         def key(k: String): (Long, Long) = {
           val kk = b(k).asInstanceOf[Map[String, Any]]
-          (kk("col").asInstanceOf[Double].toLong, kk("row").asInstanceOf[Double].toLong)
+          (jnum(kk("col")), jnum(kk("row")))
         }
         (key("minKey"), key("maxKey"))
       case _ => meta.keyBounds
     }
-    val fn: (Long, Long) => Long = ki.getOrElse("type", "zorder") match {
+    val fn: (Long, Long) => Long = kiType match {
       case "zorder" => (c, r) => ZIndex.zorder(c, r, 31)
       case "rowmajor" =>
         val ((minC, minR), (maxC, _)) = bounds
         val w = maxC - minC + 1
         (c, r) => (r - minR) * w + (c - minC)
+      case "hilbert" =>
+        val xr = jnum(props.getOrElse("xResolution", throw new IllegalArgumentException(
+          "hilbert key index without xResolution"))).toInt
+        val yr = jnum(props.getOrElse("yResolution", throw new IllegalArgumentException(
+          "hilbert key index without yResolution"))).toInt
+        (c, r) => CompactHilbert.index(IndexedSeq(xr, yr), IndexedSeq(c, r))
       case other => throw new IllegalArgumentException(
         s"geotrellis key index '$other' is outside the POINT-READ subset " +
-          "(zorder/rowmajor) — whole-layer readLayer/readLayerMultiband " +
+          "(zorder/rowmajor/hilbert) — whole-layer readLayer/readLayerMultiband " +
           "work regardless (keys come from the records, not the index)")
     }
     val maxIdx = fn(bounds._2._1, bounds._2._2)
     (fn, maxIdx.toString.length)
   }
 
+  /** Space-time key index (r20): geotrellis `ZSpaceTimeKeyIndex` —
+    * type "zorder" with a `temporalResolution` property; index =
+    * Z3(col, row, instantMillis / temporalResolution)
+    * ([[ZIndex.zorder3]], the public geotrellis Z3 bit interleave).
+    * Hilbert space-time stays outside the subset (loud). */
+  private def keyIndexTimeOf(blob: Map[String, Any])
+      : ((Long, Long, Long) => Long, Int) = {
+    val (kiType, props) = keyIndexNode(blob)
+    require(kiType == "zorder",
+      s"geotrellis space-time key index '$kiType' is outside the POINT-READ " +
+        "subset (zorder/Z3) — whole-layer readLayer works regardless")
+    val res = jnum(props.getOrElse("temporalResolution",
+      throw new IllegalArgumentException(
+        "space-time read on a spatial key index — use readValue")))
+    require(res > 0, s"temporalResolution $res must be positive")
+    val b = props.get("keyBounds") match {
+      case Some(bb: Map[String @unchecked, Any @unchecked]) =>
+        val kk = bb("maxKey").asInstanceOf[Map[String, Any]]
+        (jnum(kk("col")), jnum(kk("row")), jnum(kk("instant")))
+      case _ => throw new IllegalArgumentException(
+        "space-time key index without keyBounds — pad width is undefined")
+    }
+    val fn: (Long, Long, Long) => Long =
+      (c, r, inst) => ZIndex.zorder3(c, r, math.floorDiv(inst, res))
+    (fn, fn(b._1, b._2, b._3).toString.length)
+  }
+
   private def zeroPad(idx: Long, width: Int): String = {
     val s = idx.toString
     if (s.length >= width) s else ("0" * (width - s.length)) + s
+  }
+
+  // ------------------------------------------------ hadoop (MapFile) layout
+
+  /** geotrellis `HadoopRDDWriter` part naming:
+    * `part-r-{partition}%05d-{firstIndexInFile}` — the trailing first
+    * index is how `FilterMapFileInputFormat` derives per-file key
+    * ranges without opening them. */
+  private val PartRx = """^part-r-\d+-(\d+)$""".r
+
+  private def partDirs(dir: String): Seq[Path] = {
+    val (fs, root) = fsPath(dir)
+    require(fs.exists(root), s"hadoop-layout layer directory $dir does not exist")
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName)
+  }
+
+  /** Every stored Avro KeyValueRecord datum of a layer, DISTRIBUTED.
+    * File layout: one binaryFile row per zero-padded index file.
+    * Hadoop layout (r20): the MapFile part dirs' `data` SequenceFiles
+    * — `SequenceFile<LongWritable, BytesWritable>` per the public
+    * Hadoop wire format geotrellis writes through `MapFile.Writer` —
+    * one read task per part (the same per-file parallelism geotrellis
+    * gets from FilterMapFileInputFormat; parts are HDFS-block-sized by
+    * the writer, so file granularity IS block granularity at scale).
+    * Keys (linear indexes) are ignored: record keys come from the
+    * decoded datums. */
+  private def datumDs(spark: SparkSession, dir: String,
+                      format: String): Dataset[Array[Byte]] = {
+    import spark.implicits._
+    if (format == "hdfs") {
+      val parts = partDirs(dir).map(p => s"$p/data")
+      require(parts.nonEmpty, s"hadoop-layout layer at $dir has no part-* MapFiles")
+      val entries = confEntries()
+      spark.createDataset(parts).repartition(parts.length)
+        .mapPartitions { it =>
+          val conf = confOf(entries)
+          it.flatMap { f =>
+            val rd = new SequenceFile.Reader(conf, SequenceFile.Reader.file(new Path(f)))
+            val key = new LongWritable()
+            val value = new BytesWritable()
+            new Iterator[Array[Byte]] {
+              private var ready = advance()
+              private def advance(): Boolean = {
+                val has = rd.next(key, value)
+                if (!has) rd.close()
+                has
+              }
+              def hasNext: Boolean = ready
+              def next(): Array[Byte] = {
+                // BytesWritable pads its backing array — copy the length
+                val b = java.util.Arrays.copyOfRange(value.getBytes, 0, value.getLength)
+                ready = advance()
+                b
+              }
+            }
+          }
+        }
+    } else
+      spark.read.format("binaryFile").load(dir)
+        .select(fcol("content").as[Array[Byte]])
+  }
+
+  /** Hadoop-layout point read: locate the covering MapFile record for
+    * a linear index. geotrellis block-packs records — a record's key
+    * is the FIRST index in its block — so the lookup is
+    * `getClosest(before = true)` followed by an exact key match over
+    * the decoded pairs (the HadoopValueReader discipline). Part dirs
+    * carrying the writer's `-firstIndex` name suffix prune to the one
+    * candidate; foreign names fall back to scanning each part. */
+  private def hadoopDatumFor(dir: String, idx: Long): Option[Array[Byte]] = {
+    val parts = partDirs(dir)
+    val named = parts.flatMap(p => p.getName match {
+      case PartRx(first) => Some((first.toLong, p))
+      case _ => None
+    })
+    val candidates =
+      if (named.length == parts.length && named.nonEmpty)
+        named.sortBy(_._1).takeWhile(_._1 <= idx).lastOption.map(_._2).toSeq
+      else parts
+    val conf = hadoopConf
+    candidates.iterator.map { p =>
+      val rd = new MapFile.Reader(p, conf)
+      try {
+        val value = new BytesWritable()
+        val hit = rd.getClosest(new LongWritable(idx), value, true)
+        if (hit == null) None
+        else Some(java.util.Arrays.copyOfRange(value.getBytes, 0, value.getLength))
+      } finally rd.close()
+    }.collectFirst { case Some(b) => b }
   }
 
   /** Decode one KeyValueRecord datum to (col, row, instantOpt, cols,
@@ -406,23 +581,56 @@ object GeoTrellisStore {
 
   /** ValueReader point read (reference catalog.py:74 `read_value`):
     * one tile by (col, row) through the key index — a single-file
-    * fetch + datum decode, no layer scan. None when the key's file is
-    * absent (no tile stored there). */
+    * fetch (file layout) or one MapFile `getClosest` (hadoop layout,
+    * r20) + datum decode, no layer scan. None when no tile is stored
+    * at the key. */
   def readValue(catalog: String, layer: GtLayerId,
                 col: Long, row: Long): Option[Array[Double]] = {
     val blob = layerBlob(catalog, layer) // ONE attribute fetch per point read
     val meta = parseMetadata(blob)
     val schema = GtAvro.parseSchemaValue(schemaNode(blob, layer))
     val (toIndex, width) = keyIndexOf(blob, meta)
-    val file = s"${tilesDir(catalog, layer, blob)}/${zeroPad(toIndex(col, row), width)}"
-    val (fs, path) = fsPath(file)
-    if (!fs.exists(path)) return None
-    decodePairs(readBytes(file), schema)
-      .collectFirst { case (c, r, _, _, _, bands) if c == col && r == row =>
-        require(bands.length == 1,
-          s"${bands.length}-band tile — use readLayerMultiband for band stacks")
-        bands.head
-      }
+    pointDatum(catalog, layer, blob, toIndex(col, row), width)
+      .flatMap(decodePairs(_, schema)
+        .collectFirst { case (c, r, _, _, _, bands) if c == col && r == row =>
+          require(bands.length == 1,
+            s"${bands.length}-band tile — use readLayerMultiband for band stacks")
+          bands.head
+        })
+  }
+
+  /** Space-time ValueReader point read (r20): one tile by (col, row,
+    * instant) through the Z3 space-time key index — the temporal twin
+    * of [[readValue]]. The instant is epoch millis (as geotrellis
+    * stores SpaceTimeKey.instant); instants quantized to the same
+    * temporalResolution bucket share one datum, so the exact-key
+    * filter over the decoded pairs is load-bearing. */
+  def readValueTime(catalog: String, layer: GtLayerId,
+                    col: Long, row: Long, instant: Long): Option[Array[Double]] = {
+    val blob = layerBlob(catalog, layer)
+    val schema = GtAvro.parseSchemaValue(schemaNode(blob, layer))
+    val (toIndex, width) = keyIndexTimeOf(blob)
+    pointDatum(catalog, layer, blob, toIndex(col, row, instant), width)
+      .flatMap(decodePairs(_, schema)
+        .collectFirst { case (c, r, i, _, _, bands)
+            if c == col && r == row && i.contains(instant) =>
+          require(bands.length == 1,
+            s"${bands.length}-band tile — use readLayerMultiband for band stacks")
+          bands.head
+        })
+  }
+
+  /** The raw datum covering one linear index — layout-dispatched. */
+  private def pointDatum(catalog: String, layer: GtLayerId,
+                         blob: Map[String, Any], idx: Long,
+                         width: Int): Option[Array[Byte]] = {
+    val (dir, fmt) = tilesLocation(catalog, layer, blob)
+    if (fmt == "hdfs") hadoopDatumFor(dir, idx)
+    else {
+      val file = s"$dir/${zeroPad(idx, width)}"
+      val (fs, path) = fsPath(file)
+      if (!fs.exists(path)) None else Some(readBytes(file))
+    }
   }
 
   /** Does the stored key schema carry a time instant (SpaceTimeKey)? */
@@ -442,19 +650,20 @@ object GeoTrellisStore {
     * executor against the broadcast schema, keys come from the
     * records themselves (no index math), NoData arrives as NaN.
     * SpaceTimeKey layers (r19) come back TEMPORAL (col, row, instant,
-    * tile; epoch millis as geotrellis stores them). At 100 TB this is
-    * one file-source scan Spark parallelizes by file; nothing
-    * collects. Single-band values only — band stacks go through
+    * tile; epoch millis as geotrellis stores them). Hadoop-layout
+    * (MapFile) stores read through the same path (r20) — the datum
+    * source dispatches on header.format. At 100 TB this is one
+    * file-source scan Spark parallelizes by file; nothing collects.
+    * Single-band values only — band stacks go through
     * [[readLayerMultiband]]. */
   def readLayer(spark: SparkSession, catalog: String, layer: GtLayerId): RasterLayer = {
     val blob = layerBlob(catalog, layer) // ONE attribute fetch
     val meta = parseMetadata(blob)
     val tl = meta.layout.tileLayout
     val (schemaStr, temporal) = schemaForRead(blob, layer)
-    val dir = tilesDir(catalog, layer, blob)
+    val (dir, fmt) = tilesLocation(catalog, layer, blob)
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(dir)
-      .select(fcol("content").as[Array[Byte]])
+    val files = datumDs(spark, dir, fmt)
     val (tc, tr) = (tl.tileCols, tl.tileRows)
     val rows =
       if (temporal)
@@ -496,10 +705,9 @@ object GeoTrellisStore {
     val tl = meta.layout.tileLayout
     val (schemaStr, temporal) = schemaForRead(blob, layer)
     require(!temporal, "multiband reads are spatial-only (graft's multiband model)")
-    val dir = tilesDir(catalog, layer, blob)
+    val (dir, fmt) = tilesLocation(catalog, layer, blob)
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(dir)
-      .select(fcol("content").as[Array[Byte]])
+    val files = datumDs(spark, dir, fmt)
     val (tc, tr) = (tl.tileCols, tl.tileRows)
     val rows = files.mapPartitions { it =>
       val schema = GtAvro.parseSchema(schemaStr)
@@ -599,13 +807,17 @@ object GeoTrellisStore {
     * `FileLayerReader` and by [[readLayer]]/[[readValue]] above.
     * Tile writes run DISTRIBUTED (foreachPartition, one small file
     * per tile — the geotrellis file-backend layout, which is
-    * file-per-index by construction). Spatial layers only. */
+    * file-per-index by construction). `keyIndex` picks the stored
+    * index: "zorder" (default) or "hilbert" (r20 — Hamilton's compact
+    * Hilbert, the geotrellis/uzaygezen curve). Spatial layers only. */
   def writeLayer(catalog: String, name: String, layer: RasterLayer,
                  zoom: Int = 0,
-                 crs: String = "+proj=longlat +datum=WGS84 +no_defs"): Unit = {
+                 crs: String = "+proj=longlat +datum=WGS84 +no_defs",
+                 keyIndex: String = "zorder"): Unit = {
     require(!layer.meta.temporal, "writeLayer exports SPATIAL layers only")
-    val (dir, width, tc, tr) = prepareWrite(catalog, name, zoom, layer.df,
-      layer.meta.layout, crs, "geotrellis.raster.Tile", WriteSchemaJson)
+    val (dir, width, tc, tr, toIndex) = prepareWrite(catalog, name, zoom, layer.df,
+      layer.meta.layout, crs, "geotrellis.raster.Tile", WriteSchemaJson,
+      keyIndexType = keyIndex)
     val entries = confEntries()
     layer.df.select("col", "row", "tile").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -615,7 +827,7 @@ object GeoTrellisStore {
           val c = r.getInt(0); val rr = r.getInt(1)
           val cells = r.getSeq[Double](2).toArray
           writeTileFile(dir, width, conf,
-            encodePair(schema, c, rr, tc, tr, cells), c, rr)
+            encodePair(schema, c, rr, tc, tr, cells), toIndex(c.toLong, rr.toLong))
         }
     }
   }
@@ -625,7 +837,7 @@ object GeoTrellisStore {
   def writeLayerMultiband(catalog: String, name: String,
                           layer: graft.raster.MultibandLayer, zoom: Int = 0,
                           crs: String = "+proj=longlat +datum=WGS84 +no_defs"): Unit = {
-    val (dir, width, tc, tr) = prepareWrite(catalog, name, zoom, layer.df,
+    val (dir, width, tc, tr, toIndex) = prepareWrite(catalog, name, zoom, layer.df,
       layer.meta.layout, crs, "geotrellis.raster.MultibandTile", WriteSchemaMbJson)
     val entries = confEntries()
     layer.df.select("col", "row", "bands").foreachPartition {
@@ -636,23 +848,209 @@ object GeoTrellisStore {
           val c = r.getInt(0); val rr = r.getInt(1)
           val bands = r.getSeq[scala.collection.Seq[Double]](2).map(_.toArray)
           writeTileFile(dir, width, conf,
-            encodeMbPair(schema, c, rr, tc, tr, bands), c, rr)
+            encodeMbPair(schema, c, rr, tc, tr, bands), toIndex(c.toLong, rr.toLong))
         }
     }
   }
 
+  /** Export a graft layer as a HADOOP-layout geotrellis store (r20 —
+    * the write twin of the MapFile read path): HadoopAttributeStore
+    * blob metadata under `_attributes/`, header format "hdfs" with the
+    * layer directory as its path, and tiles in Hadoop `MapFile`s named
+    * `part-r-{partition}%05d-{firstIndex}` (the HadoopRDDWriter
+    * layout) — LongWritable z-index keys in ascending order,
+    * BytesWritable Avro KeyValueRecord values. DISTRIBUTED: tiles
+    * range-partition + sort by index so each task streams one MapFile
+    * in key order (the writer's ascending-key contract), exactly the
+    * shape HadoopRDDWriter uses. Readable by geotrellis
+    * `HadoopLayerReader`/`HadoopValueReader` and by
+    * [[readLayer]]/[[readValue]] above. */
+  def writeLayerHadoop(catalog: String, name: String, layer: RasterLayer,
+                       zoom: Int = 0,
+                       crs: String = "+proj=longlat +datum=WGS84 +no_defs"): Unit = {
+    require(!layer.meta.temporal, "writeLayerHadoop exports SPATIAL layers only")
+    val (dir, _, tc, tr, toIndex) = prepareWrite(catalog, name, zoom, layer.df,
+      layer.meta.layout, crs, "geotrellis.raster.Tile", WriteSchemaJson,
+      layout = "hadoop")
+    val entries = confEntries()
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    layer.df.select(fcol("col"), fcol("row"), fcol("tile"))
+      .as[(Int, Int, Seq[Double])]
+      .map { case (c, r, t) => (toIndex(c.toLong, r.toLong), c, r, t) }
+      .toDF("idx", "col", "row", "tile")
+      .repartitionByRange(parts, fcol("idx"))
+      .sortWithinPartitions("idx")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val conf = confOf(entries)
+          val schema = GtAvro.parseSchema(WriteSchemaJson)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var writer: MapFile.Writer = null
+          try {
+            it.foreach { r =>
+              val idx = r.getLong(0)
+              if (writer == null) // first (smallest) index names the part
+                writer = new MapFile.Writer(conf,
+                  new Path(f"$dir/part-r-$pid%05d-$idx"),
+                  MapFile.Writer.keyClass(classOf[LongWritable]),
+                  MapFile.Writer.valueClass(classOf[BytesWritable]))
+              writer.append(new LongWritable(idx), new BytesWritable(
+                encodePair(schema, r.getInt(1), r.getInt(2), tc, tr,
+                  r.getSeq[Double](3).toArray)))
+            }
+          } finally if (writer != null) writer.close()
+        }
+      }
+  }
+
+  /** Space-time writer schema: the KeyValueRecord frame keyed by
+    * SpaceTimeKey (col, row, instant epoch-millis — the geotrellis
+    * SpaceTimeKey codec fields). */
+  private[catalog] val WriteSchemaTimeJson: String =
+    """{"type":"record","name":"KeyValueRecord","namespace":"geotrellis.spark.io","fields":[
+      |{"name":"pairs","type":{"type":"array","items":
+      |{"type":"record","name":"Tuple2","namespace":"scala","fields":[
+      |{"name":"_1","type":{"type":"record","name":"SpaceTimeKey","namespace":"geotrellis.spark","fields":[
+      |{"name":"col","type":"int"},{"name":"row","type":"int"},{"name":"instant","type":"long"}]}},
+      |{"name":"_2","type":[
+      |{"type":"record","name":"DoubleArrayTile","namespace":"geotrellis.raster","fields":[
+      |{"name":"cols","type":"int"},{"name":"rows","type":"int"},
+      |{"name":"cells","type":{"type":"array","items":"double"}},
+      |{"name":"noDataValue","type":["boolean","double"],"default":true}]}]}]}}}]}"""
+      .stripMargin.replace("\n", "")
+
+  /** Encode one datum of space-time pairs (one per (col,row,instant)
+    * tile sharing the Z3 index bucket). */
+  private[catalog] def encodePairsTime(schema: GtAvro.Schema,
+                                       pairs: Seq[(Int, Int, Long, Array[Double])],
+                                       cols: Int, rows: Int): Array[Byte] = {
+    import GtAvro.{Rec, UnionVal}
+    val recs = pairs.map { case (c, r, inst, cells) =>
+      Rec("Tuple2", Map(
+        "_1" -> Rec("SpaceTimeKey", Map("col" -> c, "row" -> r, "instant" -> inst)),
+        "_2" -> UnionVal(0, doubleTileRec(cols, rows, cells))))
+    }
+    GtAvro.encode(Rec("KeyValueRecord", Map("pairs" -> recs.toVector)), schema)
+  }
+
+  /** Export a TEMPORAL graft layer as a geotrellis space-time store
+    * (r20 — the write twin of the r19 space-time READ): SpaceTimeKey
+    * Avro payloads under Z3 space-time z-index filenames
+    * ([[ZIndex.zorder3]] of (col, row, instant/temporalResolution) —
+    * the public geotrellis ZSpaceTimeKeyIndex semantics), the
+    * `temporalResolution` property in the stored keyIndex, and instant
+    * bounds in its keyBounds. Instants quantized to the same
+    * resolution bucket share ONE datum with multiple pairs (the
+    * KeyValueRecord contract — filenames must be unique per index), so
+    * the export first groups by index. Readable by geotrellis
+    * `FileLayerReader` and by [[readLayer]] (temporal) /
+    * [[readValueTime]]. */
+  def writeLayerTemporal(catalog: String, name: String, layer: RasterLayer,
+                         zoom: Int = 0,
+                         crs: String = "+proj=longlat +datum=WGS84 +no_defs",
+                         temporalResolution: Long = 1000L): Unit = {
+    require(layer.meta.temporal, "writeLayerTemporal exports TEMPORAL layers")
+    val (dir, width, tc, tr) = prepareWriteTemporal(catalog, name, zoom,
+      layer.df, layer.meta.layout, crs, temporalResolution)
+    val entries = confEntries()
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+    layer.df.select(fcol("col"), fcol("row"), fcol("instant"), fcol("tile"))
+      .as[(Int, Int, Long, Seq[Double])]
+      .map { case (c, r, inst, t) =>
+        (ZIndex.zorder3(c.toLong, r.toLong, math.floorDiv(inst, temporalResolution)),
+          c, r, inst, t)
+      }
+      .toDF("idx", "col", "row", "instant", "tile")
+      .groupBy("idx")
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct(
+            fcol("instant"), fcol("col"), fcol("row"), fcol("tile")))).as("pairs"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = confOf(entries)
+        val schema = GtAvro.parseSchema(WriteSchemaTimeJson)
+        it.foreach { r =>
+          val idx = r.getLong(0)
+          val pairs = r.getSeq[org.apache.spark.sql.Row](1).map { p =>
+            (p.getInt(1), p.getInt(2), p.getLong(0), p.getSeq[Double](3).toArray)
+          }
+          writeTileFile(dir, width, conf,
+            encodePairsTime(schema, pairs.toSeq, tc, tr), idx)
+        }
+      }
+  }
+
+  /** Temporal twin of [[prepareWrite]]: SpaceTimeKey header/bounds,
+    * the Z3 keyIndex with its temporalResolution, instant-carrying
+    * keyBounds. Returns (tilesDir, pad width, tileCols, tileRows). */
+  private def prepareWriteTemporal(catalog: String, name: String, zoom: Int,
+                                   df: DataFrame, lay: LayoutDefinition,
+                                   crs: String, temporalResolution: Long)
+      : (String, Int, Int, Int) = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"layer name '$name' must match [A-Za-z0-9._-]+ (it becomes a file path)")
+    require(temporalResolution > 0, s"temporalResolution $temporalResolution must be positive")
+    val tl = lay.tileLayout
+    import org.apache.spark.sql.functions.{max, min}
+    val b = df.agg(min("col"), max("col"), min("row"), max("row"),
+      min("instant"), max("instant")).head()
+    require(!b.isNullAt(0), "writeLayerTemporal: empty layer")
+    val (minC, maxC, minR, maxR) = (b.getInt(0), b.getInt(1), b.getInt(2), b.getInt(3))
+    val (minI, maxI) = (b.getLong(4), b.getLong(5))
+    require(minI >= 0, s"negative instant $minI — Z3 interleaves non-negative buckets")
+    val width = ZIndex.zorder3(maxC.toLong, maxR.toLong,
+      math.floorDiv(maxI, temporalResolution)).toString.length
+    val e = lay.extent
+    def ext(x0: Double, y0: Double, x1: Double, y1: Double) =
+      s"""{"xmin":$x0,"ymin":$y0,"xmax":$x1,"ymax":$y1}"""
+    def key(c: Int, r: Int, i: Long) = s"""{"col":$c,"row":$r,"instant":$i}"""
+    val metaJson =
+      s"""[{"name":"$name","zoom":$zoom},{
+         |"header":{"format":"file","keyClass":"geotrellis.layer.SpaceTimeKey",
+         |"valueClass":"geotrellis.raster.Tile","path":"$name/$zoom"},
+         |"metadata":{
+         |"extent":${ext(e.xmin, e.ymin, e.xmax, e.ymax)},
+         |"layoutDefinition":{"extent":${ext(e.xmin, e.ymin, e.xmax, e.ymax)},
+         |"tileLayout":{"layoutCols":${tl.layoutCols},"layoutRows":${tl.layoutRows},
+         |"tileCols":${tl.tileCols},"tileRows":${tl.tileRows}}},
+         |"cellType":"float64","crs":${Json.write(crs)},
+         |"bounds":{"minKey":${key(minC, minR, minI)},"maxKey":${key(maxC, maxR, maxI)}}},
+         |"keyIndex":{"type":"zorder","properties":{"keyBounds":{
+         |"minKey":${key(minC, minR, minI)},"maxKey":${key(maxC, maxR, maxI)}},
+         |"temporalResolution":$temporalResolution}},
+         |"schema":$WriteSchemaTimeJson}]""".stripMargin.replace("\n", "")
+    writeString(s"$catalog/attributes/$name$Sep$zoom${Sep}metadata.json", metaJson)
+    val dir = s"$catalog/$name/$zoom"
+    val (fs0, dirPath) = fsPath(dir)
+    if (fs0.exists(dirPath)) fs0.delete(dirPath, true)
+    fs0.mkdirs(dirPath)
+    (dir, width, tl.tileCols, tl.tileRows)
+  }
+
   /** Shared write-side setup: bounds scan, metadata-blob attribute,
-    * tile-directory reset. Returns (tilesDir, index pad width,
-    * tileCols, tileRows). */
+    * tile-directory reset. `layout` picks the store family: "file"
+    * (FileLayerWriter — attributes/, header format "file", relative
+    * path) or "hadoop" (HadoopLayerWriter, r20 — _attributes/, header
+    * format "hdfs", absolute path, MapFile parts). `keyIndexType`:
+    * "zorder" or "hilbert" (r20 — stored with the geotrellis
+    * xResolution/yResolution properties). Returns (tilesDir, index pad
+    * width, tileCols, tileRows, key→index fn). */
   private def prepareWrite(catalog: String, name: String, zoom: Int,
                            df: DataFrame, lay: LayoutDefinition, crs: String,
-                           valueClass: String, schemaJson: String): (String, Int, Int, Int) = {
+                           valueClass: String, schemaJson: String,
+                           layout: String = "file",
+                           keyIndexType: String = "zorder")
+      : (String, Int, Int, Int, (Long, Long) => Long) = {
     // path-safe, JSON-safe, separator-free: the name lands in both the
     // attribute FILENAME and the header path
     require(name.matches("[A-Za-z0-9._-]+"),
       s"layer name '$name' must match [A-Za-z0-9._-]+ (it becomes a file path)")
     require(!name.contains(Sep),
       s"layer name '$name' contains the attribute separator '$Sep'")
+    require(layout == "file" || layout == "hadoop", s"unknown layout '$layout'")
     val tl = lay.tileLayout
     val b = df.agg(
       org.apache.spark.sql.functions.min("col"), org.apache.spark.sql.functions.max("col"),
@@ -660,15 +1058,37 @@ object GeoTrellisStore {
       .head()
     require(!b.isNullAt(0), "writeLayer: empty layer")
     val (minC, maxC, minR, maxR) = (b.getInt(0), b.getInt(1), b.getInt(2), b.getInt(3))
-    val width = ZIndex.zorder(maxC.toLong, maxR.toLong, 31).toString.length
+    val dir = s"$catalog/$name/$zoom"
+    val (toIndex, keyIndexJson): ((Long, Long) => Long, String) = keyIndexType match {
+      case "zorder" =>
+        ((c, r) => ZIndex.zorder(c, r, 31),
+          s"""{"type":"zorder","properties":{"keyBounds":{
+             |"minKey":{"col":$minC,"row":$minR},"maxKey":{"col":$maxC,"row":$maxR}}}}"""
+            .stripMargin.replace("\n", ""))
+      case "hilbert" =>
+        // the geotrellis HilbertKeyIndexMethod shape: per-axis bit
+        // widths in properties; raw col/row indexed (no min shift)
+        val xr = CompactHilbert.resolutionFor(maxC.toLong)
+        val yr = CompactHilbert.resolutionFor(maxR.toLong)
+        ((c, r) => CompactHilbert.index(IndexedSeq(xr, yr), IndexedSeq(c, r)),
+          s"""{"type":"hilbert","properties":{"keyBounds":{
+             |"minKey":{"col":$minC,"row":$minR},"maxKey":{"col":$maxC,"row":$maxR}},
+             |"xResolution":$xr,"yResolution":$yr}}""".stripMargin.replace("\n", ""))
+      case other => throw new IllegalArgumentException(
+        s"key index '$other' is outside the WRITE subset (zorder/hilbert)")
+    }
+    val width = toIndex(maxC.toLong, maxR.toLong).toString.length
+    val (fmt, headerPath, attrDir) =
+      if (layout == "hadoop") ("hdfs", dir, s"$catalog/_attributes")
+      else ("file", s"$name/$zoom", s"$catalog/attributes")
     val e = lay.extent
     def ext(x0: Double, y0: Double, x1: Double, y1: Double) =
       s"""{"xmin":$x0,"ymin":$y0,"xmax":$x1,"ymax":$y1}"""
     def key(c: Int, r: Int) = s"""{"col":$c,"row":$r}"""
     val metaJson =
       s"""[{"name":"$name","zoom":$zoom},{
-         |"header":{"format":"file","keyClass":"geotrellis.layer.SpatialKey",
-         |"valueClass":"$valueClass","path":"$name/$zoom"},
+         |"header":{"format":"$fmt","keyClass":"geotrellis.layer.SpatialKey",
+         |"valueClass":"$valueClass","path":${Json.write(headerPath)}},
          |"metadata":{
          |"extent":${ext(e.xmin, e.ymin, e.xmax, e.ymax)},
          |"layoutDefinition":{"extent":${ext(e.xmin, e.ymin, e.xmax, e.ymax)},
@@ -676,20 +1096,18 @@ object GeoTrellisStore {
          |"tileCols":${tl.tileCols},"tileRows":${tl.tileRows}}},
          |"cellType":"float64","crs":${Json.write(crs)},
          |"bounds":{"minKey":${key(minC, minR)},"maxKey":${key(maxC, maxR)}}},
-         |"keyIndex":{"type":"zorder","properties":{"keyBounds":{
-         |"minKey":${key(minC, minR)},"maxKey":${key(maxC, maxR)}}}},
+         |"keyIndex":$keyIndexJson,
          |"schema":$schemaJson}]""".stripMargin.replace("\n", "")
-    writeString(s"$catalog/attributes/$name$Sep$zoom${Sep}metadata.json", metaJson)
-    val dir = s"$catalog/$name/$zoom"
+    writeString(s"$attrDir/$name$Sep$zoom${Sep}metadata.json", metaJson)
     val (fs0, dirPath) = fsPath(dir)
     if (fs0.exists(dirPath)) fs0.delete(dirPath, true) // no stale tiles on re-export
     fs0.mkdirs(dirPath)
-    (dir, width, tl.tileCols, tl.tileRows)
+    (dir, width, tl.tileCols, tl.tileRows, toIndex)
   }
 
   private def writeTileFile(dir: String, width: Int, conf: Configuration,
-                            bytes: Array[Byte], c: Int, r: Int): Unit = {
-    val p = new Path(s"$dir/${zeroPad(ZIndex.zorder(c.toLong, r.toLong, 31), width)}")
+                            bytes: Array[Byte], idx: Long): Unit = {
+    val p = new Path(s"$dir/${zeroPad(idx, width)}")
     val out = p.getFileSystem(conf).create(p, true)
     try out.write(bytes) finally out.close()
   }

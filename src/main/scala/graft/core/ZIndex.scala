@@ -31,6 +31,25 @@ object ZIndex {
         .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_.bitwiseOR(_))
 
+  /** 3-D Morton interleave — the geotrellis space-time Z3 convention
+    * (geotrellis.spark.io.index.zcurve.Z3, itself the public
+    * geomesa-style split): x bits land at positions 0,3,6…, y at
+    * 1,4,7…, t at 2,5,8… — 21 bits per dimension fills 63 bits. The
+    * GT-bridge space-time key index is zorder3(col, row,
+    * instant/temporalResolution). */
+  def zorder3(x: Long, y: Long, t: Long, bits: Int = 21): Long = {
+    require(bits <= 21, s"zorder3: $bits bits/dim exceeds the 63-bit long")
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (3 * i)
+      z |= ((y >> i) & 1L) << (3 * i + 1)
+      z |= ((t >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    z
+  }
+
   /** Hilbert curve index (Lam & Shapiro public algorithm), driver-side. */
   def hilbert(x0: Long, y0: Long, bits: Int = 16): Long = {
     var rx = 0L; var ry = 0L; var d = 0L

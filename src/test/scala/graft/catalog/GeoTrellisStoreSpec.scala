@@ -344,30 +344,220 @@ class GeoTrellisStoreSpec extends SparkSpec {
       (0L, 0L, 2000L, 8.0), (1L, 0L, 2000L, 9.0)))
   }
 
-  test("subset walls: hilbert index and missing schema fail loudly") {
+  test("subset walls: unknown key index and missing schema fail loudly") {
     val store = writeStore()
     val attrs = new java.io.File(store, "attributes")
     def put(name: String, body: String): Unit = {
       val w = new java.io.PrintWriter(new java.io.File(attrs, name), "UTF-8")
       try w.write(body) finally w.close()
     }
-    put("hil___0___metadata.json",
-      s"""[{"name":"hil","zoom":0},
-         |{"header":{"format":"file","path":"hil/0"},
+    put("sfc___0___metadata.json",
+      s"""[{"name":"sfc","zoom":0},
+         |{"header":{"format":"file","path":"sfc/0"},
          |"metadata":{"extent":{"xmin":0.0,"ymin":0.0,"xmax":4.0,"ymax":4.0},
          |"layoutDefinition":{"extent":{"xmin":0.0,"ymin":0.0,"xmax":4.0,"ymax":4.0},
          |"tileLayout":{"layoutCols":1,"layoutRows":1,"tileCols":4,"tileRows":4}},
          |"cellType":"float64","crs":"",
          |"bounds":{"minKey":{"col":0,"row":0},"maxKey":{"col":0,"row":0}}},
-         |"keyIndex":{"type":"hilbert","properties":{"xResolution":2,"yResolution":2}},
+         |"keyIndex":{"type":"peano","properties":{}},
          |"schema":${GeoTrellisStore.WriteSchemaJson}}]""".stripMargin)
     val e = intercept[IllegalArgumentException] {
-      GeoTrellisStore.readValue(store, GeoTrellisStore.GtLayerId("hil", 0), 0, 0)
+      GeoTrellisStore.readValue(store, GeoTrellisStore.GtLayerId("sfc", 0), 0, 0)
     }
-    assert(e.getMessage.contains("hilbert"))
+    assert(e.getMessage.contains("peano"))
+    // a service-backed header format still refuses loudly
+    put("acc___0___metadata.json",
+      s"""[{"name":"acc","zoom":0},
+         |{"header":{"format":"accumulo","path":"acc_table"},
+         |"metadata":{"extent":{"xmin":0.0,"ymin":0.0,"xmax":4.0,"ymax":4.0},
+         |"layoutDefinition":{"extent":{"xmin":0.0,"ymin":0.0,"xmax":4.0,"ymax":4.0},
+         |"tileLayout":{"layoutCols":1,"layoutRows":1,"tileCols":4,"tileRows":4}},
+         |"cellType":"float64","crs":"",
+         |"bounds":{"minKey":{"col":0,"row":0},"maxKey":{"col":0,"row":0}}},
+         |"keyIndex":{"type":"zorder"},
+         |"schema":${GeoTrellisStore.WriteSchemaJson}}]""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      GeoTrellisStore.readLayer(spark, store, GeoTrellisStore.GtLayerId("acc", 0))
+    }
+    assert(e2.getMessage.contains("accumulo"))
     // the ndvi fixture has schema {} — payload decode must refuse
     intercept[Exception] {
       GeoTrellisStore.readSchema(store, GeoTrellisStore.GtLayerId("ndvi", 0))
     }
+  }
+
+  test("hilbert-indexed stores: filenames follow the compact index; point reads work (r20)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gt_hil").toFile.getAbsolutePath
+    val layout = graft.core.LayoutDefinition(
+      graft.core.Extent(0, 0, 12, 8), graft.core.TileLayout(3, 2, 4, 4))
+    // keys up to (2,1): xResolution = 2 bits, yResolution = 1 bit
+    val cells = Seq((0L, 0L, 5.0), (5L, 1L, 7.0), (9L, 5L, 3.0))
+    val layer = graft.raster.RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+    GeoTrellisStore.writeLayer(dir, "hil", layer, keyIndex = "hilbert")
+    val id = GeoTrellisStore.GtLayerId("hil", 0)
+    // the stored keyIndex JSON carries the geotrellis hilbert shape
+    val ki = GeoTrellisStore.readAttribute(dir, id, "metadata")
+      .asInstanceOf[Map[String, Any]]("keyIndex").asInstanceOf[Map[String, Any]]
+    assert(ki("type") == "hilbert")
+    val props = ki("properties").asInstanceOf[Map[String, Any]]
+    assert(props("xResolution").asInstanceOf[Double].toInt == 2)
+    assert(props("yResolution").asInstanceOf[Double].toInt == 1)
+    // tile filenames are the zero-padded COMPACT HILBERT indexes
+    val names = new java.io.File(s"$dir/hil/0").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet // LocalFileSystem .crc shadows
+    def h(c: Long, r: Long) =
+      graft.core.CompactHilbert.index(IndexedSeq(2, 1), IndexedSeq(c, r))
+    assert(names == Set((0L, 0L), (1L, 0L), (2L, 1L)).map { case (c, r) =>
+      h(c, r).toString })
+    // point reads go through the hilbert index
+    val tile = GeoTrellisStore.readValue(dir, id, 1, 0).get
+    assert(tile(1 * 4 + 1) == 7.0 && tile.count(!_.isNaN) == 1)
+    assert(GeoTrellisStore.readValue(dir, id, 0, 1).isEmpty)
+    // whole-layer read is index-agnostic either way
+    val back = GeoTrellisStore.readLayer(spark, dir, id).toCells
+      .as[(Long, Long, Double)].collect().toSet
+    assert(back == cells.toSet)
+  }
+
+  test("hadoop (MapFile) layout: export + distributed read + point read (r20)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gt_hadoop").toFile.getAbsolutePath
+    val layout = graft.core.LayoutDefinition(
+      graft.core.Extent(0, 0, 8, 8), graft.core.TileLayout(2, 2, 4, 4))
+    val cells = Seq((0L, 0L, 5.0), (1L, 3L, -2.5), (5L, 1L, 7.0), (2L, 6L, 9.0))
+    val layer = graft.raster.RasterLayer.fromCells(cells.toDF("x", "y", "v"), layout)
+    GeoTrellisStore.writeLayerHadoop(dir, "hd", layer)
+    val id = GeoTrellisStore.GtLayerId("hd", 0)
+    // HadoopAttributeStore layout: _attributes/{name}___{zoom}___{attr}.json
+    assert(new java.io.File(s"$dir/_attributes/hd___0___metadata.json").isFile)
+    assert(GeoTrellisStore.layers(dir) == Seq(id))
+    // MapFile parts: part-r-{partition}%05d-{firstIndex} dirs holding
+    // the data + index SequenceFiles (SEQ magic)
+    val parts = new java.io.File(s"$dir/hd/0").listFiles()
+      .filter(_.getName.startsWith("part-r-")).sortBy(_.getName)
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.getName.matches("part-r-\\d{5}-\\d+")))
+    val data = new java.io.File(parts.head, "data")
+    assert(data.isFile && new java.io.File(parts.head, "index").isFile)
+    val magic = new Array[Byte](3)
+    val in = new java.io.FileInputStream(data)
+    try in.read(magic) finally in.close()
+    assert(new String(magic, "US-ASCII") == "SEQ")
+    // distributed whole-layer read through the SequenceFile scan
+    val back = GeoTrellisStore.readLayer(spark, dir, id).toCells
+      .as[(Long, Long, Double)].collect().toSet
+    assert(back == cells.toSet)
+    // point read through MapFile.getClosest
+    val tile = GeoTrellisStore.readValue(dir, id, 1, 0).get
+    assert(tile(1 * 4 + 1) == 7.0 && tile.count(!_.isNaN) == 1)
+    assert(GeoTrellisStore.readValue(dir, id, 7, 7).isEmpty)
+  }
+
+  test("hadoop block-packed records: getClosest finds pairs beyond the record key (r20)") {
+    // geotrellis HadoopRDDWriter packs CONSECUTIVE indexes into one
+    // MapFile record keyed by the FIRST index of the block — a point
+    // read for a key that is NOT a record key must land via
+    // getClosest(before) + exact pair filtering. Build such a store
+    // with Hadoop's own MapFile.Writer (the same public class
+    // geotrellis writes through).
+    import org.apache.hadoop.io.{BytesWritable, LongWritable, MapFile}
+    spark
+    val dir = Files.createTempDirectory("gt_packed").toFile.getAbsolutePath
+    new java.io.File(dir, "_attributes").mkdirs()
+    val meta =
+      s"""[{"name":"pk","zoom":0},
+         |{"header":{"format":"hdfs","keyClass":"geotrellis.layer.SpatialKey",
+         |"valueClass":"geotrellis.raster.Tile","path":"$dir/pk/0"},
+         |"metadata":{"extent":{"xmin":0.0,"ymin":0.0,"xmax":8.0,"ymax":8.0},
+         |"layoutDefinition":{"extent":{"xmin":0.0,"ymin":0.0,"xmax":8.0,"ymax":8.0},
+         |"tileLayout":{"layoutCols":2,"layoutRows":2,"tileCols":4,"tileRows":4}},
+         |"cellType":"float64","crs":"",
+         |"bounds":{"minKey":{"col":0,"row":0},"maxKey":{"col":1,"row":1}}},
+         |"keyIndex":{"type":"zorder","properties":{"keyBounds":{
+         |"minKey":{"col":0,"row":0},"maxKey":{"col":1,"row":1}}}},
+         |"schema":${GeoTrellisStore.WriteSchemaJson}}]""".stripMargin.replace("\n", "")
+    val w = new java.io.PrintWriter(
+      new java.io.File(dir, "_attributes/pk___0___metadata.json"), "UTF-8")
+    try w.write(meta) finally w.close()
+    // one record: key = zorder(0,0) = 0, value = pairs for indexes 0..2
+    // ((0,0), (1,0), (0,1)) — indexes 1 and 2 are NOT record keys
+    val schema = GtAvro.parseSchema(GeoTrellisStore.WriteSchemaJson)
+    import GtAvro.{Rec, UnionVal}
+    def pair(c: Int, r: Int, v: Double) = Rec("Tuple2", Map(
+      "_1" -> Rec("SpatialKey", Map("col" -> c, "row" -> r)),
+      "_2" -> UnionVal(0, Rec("DoubleArrayTile", Map(
+        "cols" -> 4, "rows" -> 4,
+        "cells" -> Vector.tabulate(16)(i => if (i == 0) v else Double.NaN),
+        "noDataValue" -> UnionVal(0, true))))))
+    val datum = GtAvro.encode(Rec("KeyValueRecord", Map("pairs" -> Vector(
+      pair(0, 0, 1.0), pair(1, 0, 2.0), pair(0, 1, 3.0)))), schema)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val writer = new MapFile.Writer(conf,
+      new org.apache.hadoop.fs.Path(s"$dir/pk/0/part-r-00000-0"),
+      MapFile.Writer.keyClass(classOf[LongWritable]),
+      MapFile.Writer.valueClass(classOf[BytesWritable]))
+    try writer.append(new LongWritable(0L), new BytesWritable(datum))
+    finally writer.close()
+    val id = GeoTrellisStore.GtLayerId("pk", 0)
+    // zorder(1,0)=1 and zorder(0,1)=2 are only reachable via getClosest
+    assert(GeoTrellisStore.readValue(dir, id, 1, 0).get.head == 2.0)
+    assert(GeoTrellisStore.readValue(dir, id, 0, 1).get.head == 3.0)
+    assert(GeoTrellisStore.readValue(dir, id, 0, 0).get.head == 1.0)
+    // an index past every stored pair resolves to None, not a miss-hit
+    assert(GeoTrellisStore.readValue(dir, id, 1, 1).isEmpty)
+    // the whole-layer read sees every packed pair
+    import spark.implicits._
+    val all = GeoTrellisStore.readLayer(spark, dir, id).toCells
+      .as[(Long, Long, Double)].collect().toSet
+    assert(all == Set((0L, 0L, 1.0), (4L, 0L, 2.0), (0L, 4L, 3.0)))
+  }
+
+  test("space-time Z3 export: writeLayerTemporal roundtrips + point reads (r20)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gt_z3").toFile.getAbsolutePath
+    val layout = graft.core.LayoutDefinition(
+      graft.core.Extent(0, 0, 4, 2), graft.core.TileLayout(2, 1, 2, 1))
+    // two instants in the SAME 1000ms resolution bucket (1000, 1500)
+    // and one in another (3000) — bucket sharing forces multi-pair datums
+    val rows = Seq(
+      (0, 0, 1000L, Seq(1.0, 2.0)), (0, 0, 1500L, Seq(5.0, 6.0)),
+      (1, 0, 1000L, Seq(3.0, 4.0)), (0, 0, 3000L, Seq(7.0, 8.0)))
+      .toDF("col", "row", "instant", "tile")
+    val layer = new graft.raster.RasterLayer(rows,
+      graft.raster.LayerMetadata(layout, temporal = true))
+    GeoTrellisStore.writeLayerTemporal(dir, "st", layer, temporalResolution = 1000L)
+    val id = GeoTrellisStore.GtLayerId("st", 0)
+    // stored keyIndex carries temporalResolution + instant key bounds
+    val ki = GeoTrellisStore.readAttribute(dir, id, "metadata")
+      .asInstanceOf[Map[String, Any]]("keyIndex").asInstanceOf[Map[String, Any]]
+    val props = ki("properties").asInstanceOf[Map[String, Any]]
+    assert(props("temporalResolution").asInstanceOf[Double].toLong == 1000L)
+    // bucket (0,0,t=1) holds TWO pairs in one datum file: Z3(0,0,1) = 4
+    val names = new java.io.File(s"$dir/st/0").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet // LocalFileSystem .crc shadows
+    // zorder3(0,0,1) = 4, zero-padded to the max index width
+    // (zorder3(1,0,3) = 37 -> width 2)
+    assert(names.contains("04"))
+    // whole-layer read comes back temporal and cell-exact
+    val st = GeoTrellisStore.readLayer(spark, dir, id)
+    assert(st.meta.temporal)
+    val back = st.toCells.as[(Long, Long, Long, Double)].collect().toSet
+    assert(back == Set(
+      (0L, 0L, 1000L, 1.0), (1L, 0L, 1000L, 2.0),
+      (0L, 0L, 1500L, 5.0), (1L, 0L, 1500L, 6.0),
+      (2L, 0L, 1000L, 3.0), (3L, 0L, 1000L, 4.0),
+      (0L, 0L, 3000L, 7.0), (1L, 0L, 3000L, 8.0)))
+    // point reads pick the EXACT instant out of the shared bucket
+    assert(GeoTrellisStore.readValueTime(dir, id, 0, 0, 1000L).get.toSeq == Seq(1.0, 2.0))
+    assert(GeoTrellisStore.readValueTime(dir, id, 0, 0, 1500L).get.toSeq == Seq(5.0, 6.0))
+    assert(GeoTrellisStore.readValueTime(dir, id, 0, 0, 3000L).get.toSeq == Seq(7.0, 8.0))
+    assert(GeoTrellisStore.readValueTime(dir, id, 0, 0, 2500L).isEmpty)
+    assert(GeoTrellisStore.readValueTime(dir, id, 1, 0, 1500L).isEmpty)
+    // a spatial point read on a space-time index refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      GeoTrellisStore.readValue(dir, id, 0, 0)
+    }
+    assert(e.getMessage.contains("readValueTime"))
   }
 }

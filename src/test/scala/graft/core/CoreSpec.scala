@@ -64,4 +64,19 @@ class CoreSpec extends AnyFunSuite {
     val idx = for (x <- 0 until 4; y <- 0 until 4) yield ZIndex.hilbert(x, y, 2)
     assert(idx.sorted == (0 until 16).map(_.toLong))
   }
+
+  test("zorder3 interleaves per the geotrellis Z3 convention (r20)") {
+    // x at bit 0, y at bit 1, t at bit 2, repeating every 3
+    assert(ZIndex.zorder3(1, 0, 0) == 1)
+    assert(ZIndex.zorder3(0, 1, 0) == 2)
+    assert(ZIndex.zorder3(0, 0, 1) == 4)
+    assert(ZIndex.zorder3(1, 1, 1) == 7)
+    assert(ZIndex.zorder3(2, 0, 0) == 8)
+    // x=3 -> bits 0,3; y=5 (101b) -> bits 1,7; t=6 (110b) -> bits 5,8
+    assert(ZIndex.zorder3(3, 5, 6) == (1 | 8 | 2 | 128 | 32 | 256))
+    // bijective over a small cube
+    val all = for (x <- 0L until 4L; y <- 0L until 4L; t <- 0L until 4L)
+      yield ZIndex.zorder3(x, y, t, 2)
+    assert(all.sorted == (0L until 64L))
+  }
 }
