@@ -552,12 +552,12 @@ object TextAnalysis {
     val counts = v.groupBy("v").agg(
       sum(when(col("a"), lit(1L)).otherwise(lit(0L))).as("ca"),
       sum(when(col("a"), lit(0L)).otherwise(lit(1L))).as("cb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("v").rowsBetween(Long.MinValue, 0)
-    counts
+    // distinct-value cumulative counts via the distributed two-phase
+    // prefix sum (r20) — no single-task global window
+    graft.PrefixSum.withCumulatives(counts, "v", Seq("ca", "cb"))
       .select(col("v"),
-        sum("ca").over(w).cast("long").as("cuma"),
-        sum("cb").over(w).cast("long").as("cumb"))
+        col("cum_ca").as("cuma"),
+        col("cum_cb").as("cumb"))
       .crossJoin(broadcast(counts.agg(
         sum("ca").cast("long").as("na"), sum("cb").cast("long").as("nb"))))
       .groupBy("na", "nb")
