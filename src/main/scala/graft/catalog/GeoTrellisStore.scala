@@ -801,107 +801,112 @@ object GeoTrellisStore {
   }
 
   /** Export a graft layer as a geotrellis-layout store: the blob
-    * "metadata" attribute (header + TileLayerMetadata + zorder
-    * keyIndex + the Avro writer schema) and one Avro datum per tile
-    * at its zero-padded z-index filename — readable by geotrellis
-    * `FileLayerReader` and by [[readLayer]]/[[readValue]] above.
-    * Tile writes run DISTRIBUTED (foreachPartition, one small file
-    * per tile — the geotrellis file-backend layout, which is
-    * file-per-index by construction). `keyIndex` picks the stored
-    * index: "zorder" (default) or "hilbert" (r20 — Hamilton's compact
-    * Hilbert, the geotrellis/uzaygezen curve). Spatial layers only. */
+    * "metadata" attribute (header + TileLayerMetadata + keyIndex + the
+    * Avro writer schema) and the tile datums in the layout's physical
+    * form — readable by geotrellis `FileLayerReader` /
+    * `HadoopLayerReader` and by [[readLayer]]/[[readValue]] above.
+    * Tile writes run DISTRIBUTED ([[writeDatums]]). `keyIndex` picks
+    * the stored index: "zorder" (default) or "hilbert" (r20 —
+    * Hamilton's compact Hilbert, the geotrellis/uzaygezen curve);
+    * `layout` the store family ("file" per-index datum files /
+    * "hadoop" MapFile parts). Spatial layers only. */
   def writeLayer(catalog: String, name: String, layer: RasterLayer,
                  zoom: Int = 0,
                  crs: String = "+proj=longlat +datum=WGS84 +no_defs",
-                 keyIndex: String = "zorder"): Unit = {
+                 keyIndex: String = "zorder",
+                 layout: String = "file"): Unit = {
     require(!layer.meta.temporal, "writeLayer exports SPATIAL layers only")
     val (dir, width, tc, tr, toIndex) = prepareWrite(catalog, name, zoom, layer.df,
       layer.meta.layout, crs, "geotrellis.raster.Tile", WriteSchemaJson,
-      keyIndexType = keyIndex)
-    val entries = confEntries()
-    layer.df.select("col", "row", "tile").foreachPartition {
-      (it: Iterator[org.apache.spark.sql.Row]) =>
+      layout = layout, keyIndexType = keyIndex)
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+    val datums = layer.df.select(fcol("col"), fcol("row"), fcol("tile"))
+      .as[(Int, Int, Seq[Double])]
+      .mapPartitions { it =>
         val schema = GtAvro.parseSchema(WriteSchemaJson)
-        val conf = confOf(entries)
-        it.foreach { r =>
-          val c = r.getInt(0); val rr = r.getInt(1)
-          val cells = r.getSeq[Double](2).toArray
-          writeTileFile(dir, width, conf,
-            encodePair(schema, c, rr, tc, tr, cells), toIndex(c.toLong, rr.toLong))
+        it.map { case (c, r, t) =>
+          (toIndex(c.toLong, r.toLong), encodePair(schema, c, r, tc, tr, t.toArray))
         }
-    }
+      }.toDF("idx", "datum")
+    writeDatums(datums, dir, width, layout)
   }
 
   /** Multiband export twin: ArrayMultibandTile records (one
-    * DoubleArrayTile per band) in the same store layout. */
+    * DoubleArrayTile per band) in the same store layouts (`layout`
+    * "file" / "hadoop", r20). */
   def writeLayerMultiband(catalog: String, name: String,
                           layer: graft.raster.MultibandLayer, zoom: Int = 0,
-                          crs: String = "+proj=longlat +datum=WGS84 +no_defs"): Unit = {
+                          crs: String = "+proj=longlat +datum=WGS84 +no_defs",
+                          layout: String = "file"): Unit = {
     val (dir, width, tc, tr, toIndex) = prepareWrite(catalog, name, zoom, layer.df,
-      layer.meta.layout, crs, "geotrellis.raster.MultibandTile", WriteSchemaMbJson)
-    val entries = confEntries()
-    layer.df.select("col", "row", "bands").foreachPartition {
-      (it: Iterator[org.apache.spark.sql.Row]) =>
+      layer.meta.layout, crs, "geotrellis.raster.MultibandTile", WriteSchemaMbJson,
+      layout = layout)
+    val spark = layer.df.sparkSession
+    import spark.implicits._
+    val datums = layer.df.select(fcol("col"), fcol("row"), fcol("bands"))
+      .as[(Int, Int, Seq[Seq[Double]])]
+      .mapPartitions { it =>
         val schema = GtAvro.parseSchema(WriteSchemaMbJson)
-        val conf = confOf(entries)
-        it.foreach { r =>
-          val c = r.getInt(0); val rr = r.getInt(1)
-          val bands = r.getSeq[scala.collection.Seq[Double]](2).map(_.toArray)
-          writeTileFile(dir, width, conf,
-            encodeMbPair(schema, c, rr, tc, tr, bands), toIndex(c.toLong, rr.toLong))
+        it.map { case (c, r, bands) =>
+          (toIndex(c.toLong, r.toLong),
+            encodeMbPair(schema, c, r, tc, tr, bands.map(_.toArray)))
         }
-    }
+      }.toDF("idx", "datum")
+    writeDatums(datums, dir, width, layout)
   }
 
   /** Export a graft layer as a HADOOP-layout geotrellis store (r20 —
-    * the write twin of the MapFile read path): HadoopAttributeStore
-    * blob metadata under `_attributes/`, header format "hdfs" with the
-    * layer directory as its path, and tiles in Hadoop `MapFile`s named
-    * `part-r-{partition}%05d-{firstIndex}` (the HadoopRDDWriter
-    * layout) — LongWritable z-index keys in ascending order,
-    * BytesWritable Avro KeyValueRecord values. DISTRIBUTED: tiles
-    * range-partition + sort by index so each task streams one MapFile
-    * in key order (the writer's ascending-key contract), exactly the
-    * shape HadoopRDDWriter uses. Readable by geotrellis
-    * `HadoopLayerReader`/`HadoopValueReader` and by
+    * the write twin of the MapFile read path): `writeLayer` with
+    * `layout = "hadoop"` — HadoopAttributeStore blob metadata under
+    * `_attributes/`, header format "hdfs" with the layer directory as
+    * its path, tiles in MapFile parts ([[writeDatums]]). Readable by
+    * geotrellis `HadoopLayerReader`/`HadoopValueReader` and by
     * [[readLayer]]/[[readValue]] above. */
   def writeLayerHadoop(catalog: String, name: String, layer: RasterLayer,
                        zoom: Int = 0,
-                       crs: String = "+proj=longlat +datum=WGS84 +no_defs"): Unit = {
-    require(!layer.meta.temporal, "writeLayerHadoop exports SPATIAL layers only")
-    val (dir, _, tc, tr, toIndex) = prepareWrite(catalog, name, zoom, layer.df,
-      layer.meta.layout, crs, "geotrellis.raster.Tile", WriteSchemaJson,
-      layout = "hadoop")
+                       crs: String = "+proj=longlat +datum=WGS84 +no_defs"): Unit =
+    writeLayer(catalog, name, layer, zoom, crs, layout = "hadoop")
+
+  /** Write (idx, datum) pairs in the layout's physical form (r20 —
+    * the shared tail of every exporter). `file` (FileLayerWriter): one
+    * datum file per zero-padded index. `hadoop` (HadoopRDDWriter):
+    * ascending-key `MapFile`s named `part-r-{partition}%05d-{first
+    * index}` — LongWritable keys, BytesWritable values; tiles
+    * range-partition + sort by index so each task streams one MapFile
+    * in key order (the writer's ascending-key contract), exactly the
+    * shape HadoopRDDWriter uses. */
+  private def writeDatums(datums: DataFrame, dir: String, width: Int,
+                          layout: String): Unit = {
     val entries = confEntries()
-    val spark = layer.df.sparkSession
-    import spark.implicits._
-    val parts = math.max(1, spark.sparkContext.defaultParallelism)
-    layer.df.select(fcol("col"), fcol("row"), fcol("tile"))
-      .as[(Int, Int, Seq[Double])]
-      .map { case (c, r, t) => (toIndex(c.toLong, r.toLong), c, r, t) }
-      .toDF("idx", "col", "row", "tile")
-      .repartitionByRange(parts, fcol("idx"))
-      .sortWithinPartitions("idx")
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        if (it.hasNext) {
-          val conf = confOf(entries)
-          val schema = GtAvro.parseSchema(WriteSchemaJson)
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          var writer: MapFile.Writer = null
-          try {
-            it.foreach { r =>
-              val idx = r.getLong(0)
-              if (writer == null) // first (smallest) index names the part
-                writer = new MapFile.Writer(conf,
-                  new Path(f"$dir/part-r-$pid%05d-$idx"),
-                  MapFile.Writer.keyClass(classOf[LongWritable]),
-                  MapFile.Writer.valueClass(classOf[BytesWritable]))
-              writer.append(new LongWritable(idx), new BytesWritable(
-                encodePair(schema, r.getInt(1), r.getInt(2), tc, tr,
-                  r.getSeq[Double](3).toArray)))
-            }
-          } finally if (writer != null) writer.close()
+    if (layout == "hadoop") {
+      val parts = math.max(1, datums.sparkSession.sparkContext.defaultParallelism)
+      datums.repartitionByRange(parts, fcol("idx"))
+        .sortWithinPartitions("idx")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val conf = confOf(entries)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var writer: MapFile.Writer = null
+            try {
+              it.foreach { r =>
+                val idx = r.getLong(0)
+                if (writer == null) // first (smallest) index names the part
+                  writer = new MapFile.Writer(conf,
+                    new Path(f"$dir/part-r-$pid%05d-$idx"),
+                    MapFile.Writer.keyClass(classOf[LongWritable]),
+                    MapFile.Writer.valueClass(classOf[BytesWritable]))
+                writer.append(new LongWritable(idx),
+                  new BytesWritable(r.getAs[Array[Byte]](1)))
+              }
+            } finally if (writer != null) writer.close()
+          }
         }
+    } else
+      datums.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = confOf(entries)
+        it.foreach(r =>
+          writeTileFile(dir, width, conf, r.getAs[Array[Byte]](1), r.getLong(0)))
       }
   }
 
@@ -950,14 +955,14 @@ object GeoTrellisStore {
   def writeLayerTemporal(catalog: String, name: String, layer: RasterLayer,
                          zoom: Int = 0,
                          crs: String = "+proj=longlat +datum=WGS84 +no_defs",
-                         temporalResolution: Long = 1000L): Unit = {
+                         temporalResolution: Long = 1000L,
+                         layout: String = "file"): Unit = {
     require(layer.meta.temporal, "writeLayerTemporal exports TEMPORAL layers")
     val (dir, width, tc, tr) = prepareWriteTemporal(catalog, name, zoom,
-      layer.df, layer.meta.layout, crs, temporalResolution)
-    val entries = confEntries()
+      layer.df, layer.meta.layout, crs, temporalResolution, layout)
     val spark = layer.df.sparkSession
     import spark.implicits._
-    layer.df.select(fcol("col"), fcol("row"), fcol("instant"), fcol("tile"))
+    val datums = layer.df.select(fcol("col"), fcol("row"), fcol("instant"), fcol("tile"))
       .as[(Int, Int, Long, Seq[Double])]
       .map { case (c, r, inst, t) =>
         (ZIndex.zorder3(c.toLong, r.toLong, math.floorDiv(inst, temporalResolution)),
@@ -969,18 +974,15 @@ object GeoTrellisStore {
         org.apache.spark.sql.functions.collect_list(
           org.apache.spark.sql.functions.struct(
             fcol("instant"), fcol("col"), fcol("row"), fcol("tile")))).as("pairs"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val conf = confOf(entries)
+      .as[(Long, Seq[(Long, Int, Int, Seq[Double])])]
+      .mapPartitions { it =>
         val schema = GtAvro.parseSchema(WriteSchemaTimeJson)
-        it.foreach { r =>
-          val idx = r.getLong(0)
-          val pairs = r.getSeq[org.apache.spark.sql.Row](1).map { p =>
-            (p.getInt(1), p.getInt(2), p.getLong(0), p.getSeq[Double](3).toArray)
-          }
-          writeTileFile(dir, width, conf,
-            encodePairsTime(schema, pairs.toSeq, tc, tr), idx)
+        it.map { case (idx, pairs) =>
+          (idx, encodePairsTime(schema,
+            pairs.map { case (inst, c, r, t) => (c, r, inst, t.toArray) }, tc, tr))
         }
-      }
+      }.toDF("idx", "datum")
+    writeDatums(datums, dir, width, layout)
   }
 
   /** Temporal twin of [[prepareWrite]]: SpaceTimeKey header/bounds,
@@ -988,10 +990,12 @@ object GeoTrellisStore {
     * keyBounds. Returns (tilesDir, pad width, tileCols, tileRows). */
   private def prepareWriteTemporal(catalog: String, name: String, zoom: Int,
                                    df: DataFrame, lay: LayoutDefinition,
-                                   crs: String, temporalResolution: Long)
+                                   crs: String, temporalResolution: Long,
+                                   layout: String = "file")
       : (String, Int, Int, Int) = {
     require(name.matches("[A-Za-z0-9._-]+"),
       s"layer name '$name' must match [A-Za-z0-9._-]+ (it becomes a file path)")
+    require(layout == "file" || layout == "hadoop", s"unknown layout '$layout'")
     require(temporalResolution > 0, s"temporalResolution $temporalResolution must be positive")
     val tl = lay.tileLayout
     import org.apache.spark.sql.functions.{max, min}
@@ -1003,14 +1007,18 @@ object GeoTrellisStore {
     require(minI >= 0, s"negative instant $minI — Z3 interleaves non-negative buckets")
     val width = ZIndex.zorder3(maxC.toLong, maxR.toLong,
       math.floorDiv(maxI, temporalResolution)).toString.length
+    val dir = s"$catalog/$name/$zoom"
+    val (fmt, headerPath, attrDir) =
+      if (layout == "hadoop") ("hdfs", dir, s"$catalog/_attributes")
+      else ("file", s"$name/$zoom", s"$catalog/attributes")
     val e = lay.extent
     def ext(x0: Double, y0: Double, x1: Double, y1: Double) =
       s"""{"xmin":$x0,"ymin":$y0,"xmax":$x1,"ymax":$y1}"""
     def key(c: Int, r: Int, i: Long) = s"""{"col":$c,"row":$r,"instant":$i}"""
     val metaJson =
       s"""[{"name":"$name","zoom":$zoom},{
-         |"header":{"format":"file","keyClass":"geotrellis.layer.SpaceTimeKey",
-         |"valueClass":"geotrellis.raster.Tile","path":"$name/$zoom"},
+         |"header":{"format":"$fmt","keyClass":"geotrellis.layer.SpaceTimeKey",
+         |"valueClass":"geotrellis.raster.Tile","path":${Json.write(headerPath)}},
          |"metadata":{
          |"extent":${ext(e.xmin, e.ymin, e.xmax, e.ymax)},
          |"layoutDefinition":{"extent":${ext(e.xmin, e.ymin, e.xmax, e.ymax)},
@@ -1022,8 +1030,7 @@ object GeoTrellisStore {
          |"minKey":${key(minC, minR, minI)},"maxKey":${key(maxC, maxR, maxI)}},
          |"temporalResolution":$temporalResolution}},
          |"schema":$WriteSchemaTimeJson}]""".stripMargin.replace("\n", "")
-    writeString(s"$catalog/attributes/$name$Sep$zoom${Sep}metadata.json", metaJson)
-    val dir = s"$catalog/$name/$zoom"
+    writeString(s"$attrDir/$name$Sep$zoom${Sep}metadata.json", metaJson)
     val (fs0, dirPath) = fsPath(dir)
     if (fs0.exists(dirPath)) fs0.delete(dirPath, true)
     fs0.mkdirs(dirPath)

@@ -513,6 +513,47 @@ class GeoTrellisStoreSpec extends SparkSpec {
     assert(all == Set((0L, 0L, 1.0), (4L, 0L, 2.0), (0L, 4L, 3.0)))
   }
 
+  test("hadoop layout: multiband and temporal exports roundtrip too (r20)") {
+    import spark.implicits._
+    // multiband through MapFile parts
+    val dir = Files.createTempDirectory("gt_hd_mb").toFile.getAbsolutePath
+    val layout = graft.core.LayoutDefinition(
+      graft.core.Extent(0, 0, 4, 2), graft.core.TileLayout(2, 1, 2, 1))
+    val mbRows = Seq(
+      (0, 0, Seq(Seq(1.0, 2.0), Seq(10.0, 20.0))),
+      (1, 0, Seq(Seq(3.0, 4.0), Seq(30.0, 40.0))))
+      .toDF("col", "row", "bands")
+    val mb = new graft.raster.MultibandLayer(mbRows,
+      graft.raster.LayerMetadata(layout), 2)
+    GeoTrellisStore.writeLayerMultiband(dir, "mbhd", mb, layout = "hadoop")
+    assert(new java.io.File(s"$dir/_attributes/mbhd___0___metadata.json").isFile)
+    val mbBack = GeoTrellisStore.readLayerMultiband(spark, dir,
+      GeoTrellisStore.GtLayerId("mbhd", 0))
+    assert(mbBack.bandCount == 2)
+    assert(mbBack.band(1).toCells.as[(Long, Long, Double)].collect().toSet ==
+      Set((0L, 0L, 10.0), (1L, 0L, 20.0), (2L, 0L, 30.0), (3L, 0L, 40.0)))
+    // temporal through MapFile parts, incl. a readValueTime point read
+    val dirT = Files.createTempDirectory("gt_hd_t").toFile.getAbsolutePath
+    val tRows = Seq(
+      (0, 0, 1000L, Seq(1.0, 2.0)), (0, 0, 1500L, Seq(5.0, 6.0)),
+      (1, 0, 3000L, Seq(3.0, 4.0)))
+      .toDF("col", "row", "instant", "tile")
+    val tl = new graft.raster.RasterLayer(tRows,
+      graft.raster.LayerMetadata(layout, temporal = true))
+    GeoTrellisStore.writeLayerTemporal(dirT, "sthd", tl,
+      temporalResolution = 1000L, layout = "hadoop")
+    val idT = GeoTrellisStore.GtLayerId("sthd", 0)
+    val back = GeoTrellisStore.readLayer(spark, dirT, idT)
+    assert(back.meta.temporal)
+    assert(back.toCells.as[(Long, Long, Long, Double)].collect().toSet == Set(
+      (0L, 0L, 1000L, 1.0), (1L, 0L, 1000L, 2.0),
+      (0L, 0L, 1500L, 5.0), (1L, 0L, 1500L, 6.0),
+      (2L, 0L, 3000L, 3.0), (3L, 0L, 3000L, 4.0)))
+    assert(GeoTrellisStore.readValueTime(dirT, idT, 0, 0, 1500L).get.toSeq ==
+      Seq(5.0, 6.0))
+    assert(GeoTrellisStore.readValueTime(dirT, idT, 1, 0, 1500L).isEmpty)
+  }
+
   test("space-time Z3 export: writeLayerTemporal roundtrips + point reads (r20)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("gt_z3").toFile.getAbsolutePath
