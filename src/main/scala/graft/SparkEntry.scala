@@ -1201,6 +1201,23 @@ object SparkEntry {
           .withColumn("value", col("pid") % 97 + 1),
         layout)),
 
+    "q_delaunay_dist" -> ((s, dir) => {
+      // DISTRIBUTED Delaunay (r20 — the past-MaxSitesDual scale path):
+      // grid-bucketed local stars + exact BigInt disk/fan certificates
+      // (vector.DelaunayDist), sites from the supplier table at the
+      // q_voronoi .31/.74 offsets. The oracle restates the DRIVER
+      // Bowyer-Watson's triples — an independent-algorithm pairing
+      // (local insertion order vs certified distributed stars), not a
+      // self-restatement.
+      val sites = table(s, dir, "supplier")
+        .where(col("s_suppkey").between(1, 10))
+        .select(col("s_suppkey").cast("long").as("id"),
+          ((col("s_suppkey") * 13) % 256 + lit(0.31)).cast("double").as("x"),
+          ((col("s_suppkey") * 29) % 256 + lit(0.74)).cast("double").as("y"))
+      graft.vector.DelaunayDist.triangulate(s, sites, 100L)
+        .orderBy("a", "b", "c")
+    }),
+
     "q_geom_measures" -> ((s, dir) => {
       // two polygon families per supplier point: a diamond (radius
       // pid%5+1) and a right triangle (legs pid%4+1, pid%6+1); the
@@ -5264,6 +5281,23 @@ object SparkEntry {
       // precedent); everything else — barycentric cross products on
       // doubled integer coords, the single closing division — is
       // restated in SQL
+      // the DRIVER Bowyer-Watson's answer as literals — the engine
+      // side runs the distributed certified-star algorithm, so the
+      // two paths check each other (general-position fixture: the
+      // triangulation is unique and both must land on it)
+      "q_delaunay_dist" -> {
+        val pts = (1 to 10).map(k =>
+          (k.toLong, (k * 13 % 256) + 0.31, (k * 29 % 256) + 0.74))
+        val tris = graft.vector.Delaunay.triangulateScaled(
+          pts.map(p => (p._2, p._3)).toArray, 100L)
+        val vals = tris.map { case (a, b, c) =>
+          val s3 = Array(pts(a)._1, pts(b)._1, pts(c)._1).sorted
+          s"(${s3(0)}, ${s3(1)}, ${s3(2)})" }.mkString(", ")
+        s"""SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           |       CAST(c AS BIGINT) AS c
+           |FROM (VALUES $vals) AS t(a, b, c) ORDER BY a, b, c""".stripMargin
+      },
+
       "q_tin" -> {
         // s_suppkey starts at 0, so pid <= 10 is ELEVEN points
         val tinPts = (0 to 10).map { pid =>

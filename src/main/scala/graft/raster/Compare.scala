@@ -241,14 +241,18 @@ object Compare {
     * co-registered layers. Combo ids are dense-ranked by (v1, v2) so
     * the labeling is deterministic and engine-restatable; the per-cell
     * combo raster is one broadcast join away and never materializes
-    * here. The window runs on the AGGREGATED table — its size is the
-    * number of distinct value pairs, not cells. */
+    * here. The rank runs on the AGGREGATED table (distinct value
+    * pairs, not cells) through [[graft.PrefixSum]] — row_number of a
+    * distinct-key table is the running count — so no single-task
+    * global window survives even at a pathological pair count (r20,
+    * the matchHistogram/equalize cleanup's last sibling). */
   def combine(a: RasterLayer, b: RasterLayer): DataFrame = {
     val pairs = a.toCells.withColumnRenamed("v", "v1")
       .join(b.toCells.withColumnRenamed("v", "v2"), Seq("x", "y"))
       .groupBy("v1", "v2").agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("v1", "v2")
-    pairs.withColumn("combo", row_number().over(w).cast("long"))
-      .select(col("combo"), col("v1"), col("v2"), col("cnt"))
+      .withColumn("_k", struct(col("v1"), col("v2")))
+      .withColumn("_one", lit(1L))
+    graft.PrefixSum.withCumulative(pairs, "_k", "_one")
+      .select(col("cum").as("combo"), col("v1"), col("v2"), col("cnt"))
   }
 }

@@ -38,9 +38,11 @@ object Voronoi {
     * Bowyer-Watson build scans every live triangle per insertion —
     * O(n²) triangle predicates total — and runs on the driver (sites
     * are the model-constant dim side). 32k sites ≈ 1e9 Long
-    * predicates ≈ tens of seconds; the honest ceiling. Past it the
-    * build needs a point-location structure or a divide-and-conquer
-    * merge — documented future work, loud until then. */
+    * predicates ≈ tens of seconds; the honest driver ceiling. Past it
+    * use [[DelaunayDist.triangulate]] (r20): the distributed
+    * certified-star build with no site ceiling — its
+    * [[DelaunayDist.neighbors]] output is exactly the neighbor list
+    * this path clips against. */
   val MaxSitesDual = 32768
 
   /** Voronoi cells clipped to [xmin,xmax]×[ymin,ymax].
