@@ -1201,6 +1201,30 @@ object SparkEntry {
           .withColumn("value", col("pid") % 97 + 1),
         layout)),
 
+    "q_voronoi_dist" -> ((s, dir) => {
+      // the SAME diagram with the cells built DISTRIBUTED (r20):
+      // DelaunayDist.cells clips each site's box against its
+      // distributed-triangulation neighbors in executors — shares
+      // q_voronoi's nearest-site oracle verbatim (the q_voronoi_dual
+      // precedent; regions are exact, vertex doubles at worst
+      // last-ulp different, audited off every cell-center decision)
+      import s.implicits._
+      val sites = table(s, dir, "supplier")
+        .where(col("s_suppkey") <= 10) // ELEVEN sites, like q_voronoi
+        .select(col("s_suppkey").cast("long").as("id"),
+          ((col("s_suppkey") * 13) % 256 + lit(0.31)).cast("double").as("x"),
+          ((col("s_suppkey") * 29) % 256 + lit(0.74)).cast("double").as("y"))
+      val cells = graft.vector.DelaunayDist
+        .cells(s, sites, 100L, 0, 0, 256, 256)
+        .as[(Long, Seq[Double], Seq[Double])].collect()
+      graft.raster.Rasterize.features(s,
+          cells.toSeq.map { case (id, xs, ys) =>
+            (graft.vector.Polygon(
+              xs.zip(ys).map { case (x, y) => graft.vector.Pt(x, y) }.toIndexedSeq),
+              id.toDouble) }, layout)
+        .toCells.select(col("x"), col("y"), col("v").cast("long").as("pid"))
+    }),
+
     "q_delaunay_dist" -> ((s, dir) => {
       // DISTRIBUTED Delaunay (r20 — the past-MaxSitesDual scale path):
       // grid-bucketed local stars + exact BigInt disk/fan certificates
@@ -8780,6 +8804,8 @@ object SparkEntry {
       // Delaunay-dual Voronoi (r18): region-identical construction,
       // same nearest-site oracle
       "q_voronoi_dual"              -> base("q_voronoi"),
+      // distributed cells (r20): same regions through DelaunayDist
+      "q_voronoi_dist"              -> base("q_voronoi"),
       // one-call ingest (r18): decode -> cut -> warp composes to the
       // same inverse-sampled bilinear chain, oracle shared verbatim
       "q_read_to_layout"            -> base("q_reproject_bilinear"),

@@ -223,6 +223,53 @@ object DelaunayDist {
         struct(col("b").as("u"), col("c").as("v")))).as("e"))
       .select(col("e.u"), col("e.v")).distinct()
 
+  /** Distributed Voronoi cells — the [[Voronoi.cellsDual]] clip run
+    * per-site in executors against [[neighbors]] of the distributed
+    * triangulation: V(i) = extent ∩ (∩ Delaunay-neighbor bisector
+    * half-planes). With cocircular ties the canonical-fan diagonal
+    * only ever ADDS a redundant (tangent) bisector — the four cells
+    * meet at the circumcenter point either way — so the regions are
+    * exact for any resolution. One row per site whose cell meets the
+    * extent: (id, xs, ys) ring vertices (CW from the box corner, the
+    * cellsDual vertex convention; doubles may differ from the driver
+    * paths in the last ulp through clip order, never more —
+    * neighbors are clipped in (x, y) order so the output is
+    * deterministic). Sites with no Delaunay edges (fewer than 3
+    * sites, or fully collinear input) yield no rows — use
+    * [[Voronoi.cellsDual]]'s slab path for those degenerate sets. */
+  def cells(spark: SparkSession, sites: DataFrame, scale: Long,
+            xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+            maxCandidates: Int = MaxCandidates): DataFrame = {
+    import spark.implicits._
+    require(xmin < xmax && ymin < ymax, "degenerate extent")
+    val nb = neighbors(triangulate(spark, sites, scale, maxCandidates))
+    val pts = sites.select(col("id").cast("long").as("id"),
+      col("x").cast("double").as("x"), col("y").cast("double").as("y"))
+    val edges = nb.unionByName(
+      nb.select(col("v").as("u"), col("u").as("v")))
+    edges
+      .join(pts.select(col("id").as("u"), col("x").as("ux"), col("y").as("uy")), "u")
+      .join(pts.select(col("id").as("v"), col("x").as("vx"), col("y").as("vy")), "v")
+      .select(col("u").as("id"), col("ux"), col("uy"), col("vx"), col("vy"))
+      .as[(Long, Double, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id, it) =>
+        val rows = it.toArray
+        val s = Pt(rows.head._2, rows.head._3)
+        val nbs = rows.map(r => Pt(r._4, r._5)).sortBy(p => (p.x, p.y))
+        var ring: IndexedSeq[Pt] = IndexedSeq(
+          Pt(xmin, ymin), Pt(xmax, ymin), Pt(xmax, ymax), Pt(xmin, ymax))
+        var i = 0
+        while (i < nbs.length && ring.length >= 3) {
+          ring = Voronoi.clipBisector(ring, s, nbs(i)); i += 1
+        }
+        if (ring.length >= 3)
+          Iterator.single((id, ring.map(_.x), ring.map(_.y)))
+        else Iterator.empty
+      }
+      .toDF("id", "xs", "ys")
+  }
+
   // ---------------------------------------------------------------
   // per-site star construction + certificates (pure, spec-testable)
   // ---------------------------------------------------------------

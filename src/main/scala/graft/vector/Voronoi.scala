@@ -157,7 +157,7 @@ object Voronoi {
     * bisector of (a, b) closer to `a`: points p with
     * (p − m)·(b − a) ≤ 0, m the midpoint (boundary kept — cells are
     * closed; the fixtures' margin audit keeps decisions off it). */
-  private def clipBisector(ring: IndexedSeq[Pt], a: Pt, b: Pt): IndexedSeq[Pt] = {
+  private[vector] def clipBisector(ring: IndexedSeq[Pt], a: Pt, b: Pt): IndexedSeq[Pt] = {
     val mx = (a.x + b.x) / 2; val my = (a.y + b.y) / 2
     val dx = b.x - a.x; val dy = b.y - a.y
     def g(p: Pt): Double = (p.x - mx) * dx + (p.y - my) * dy

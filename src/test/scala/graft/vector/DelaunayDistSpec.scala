@@ -101,6 +101,28 @@ class DelaunayDistSpec extends SparkSpec {
     assert(e2.getMessage.contains("not integral"))
   }
 
+  test("cells(): distributed clip labels every audit center like the all-pairs path") {
+    val pts = (1 to 10).map(k =>
+      (k.toLong, (k * 13 % 256) + 0.31, (k * 29 % 256) + 0.74))
+    val got = DelaunayDist.cells(spark, pts.toDF("id", "x", "y"),
+        100L, 0, 0, 256, 256)
+      .as[(Long, Seq[Double], Seq[Double])].collect()
+      .map { case (id, xs, ys) =>
+        id -> Polygon(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toIndexedSeq) }
+      .toMap
+    val want = Voronoi.cells(
+      pts.map(p => Pt(p._2, p._3)).toIndexedSeq, 0, 0, 256, 256)
+      .map { case (i, p) => pts(i)._1 -> p }.toMap
+    assert(got.keySet == want.keySet)
+    // sparse audit grid: every probed center lands in the same cell
+    for (x <- 0 until 256 by 3; y <- 0 until 256 by 3) {
+      val cx = x + 0.5; val cy = y + 0.5
+      def label(cs: Map[Long, Polygon]): Long =
+        cs.collectFirst { case (i, p) if p.contains(cx, cy) => i }.getOrElse(-1L)
+      assert(label(got) == label(want), s"($cx,$cy)")
+    }
+  }
+
   test("neighbors() matches the driver neighbor lists") {
     val pts = (1 to 10).map(k =>
       (k.toLong, (k * 13 % 256) + 0.31, (k * 29 % 256) + 0.74))
