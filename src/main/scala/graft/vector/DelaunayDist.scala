@@ -85,7 +85,9 @@ object DelaunayDist {
     require(scale > 0, "scale must be positive")
 
     // exact integer coordinates (the triangulateScaled rint contract),
-    // checked row-locally so a bad coordinate names itself
+    // checked row-locally so a bad coordinate names itself; one
+    // localCheckpoint so the stats / hull / bucketing passes below
+    // share a single source scan (and the loud checks fire once)
     val pts: Dataset[(Long, Long, Long)] = sites
       .select(col("id").cast("long"), col("x").cast("double"),
         col("y").cast("double"))
@@ -103,6 +105,7 @@ object DelaunayDist {
         }
         (id, toL(x, "x"), toL(y, "y"))
       }
+      .localCheckpoint()
 
     val stats = pts.toDF("id", "lx", "ly")
       .agg(count(lit(1)), count_distinct(struct(col("lx"), col("ly"))),
