@@ -86,6 +86,22 @@ class DelaunayDistSpec extends SparkSpec {
     assert(dRest == drvRest)
   }
 
+  test("ring expansion: sparse outliers around a dense core certify after doubling") {
+    // a dense 20x20 core plus far-flung outliers: the outliers' star
+    // triangles have circumdisks far wider than one bucket ring
+    // (buckets are sized by global density), so their sites must fail
+    // the disk certificate at k=1 and re-gather at k=2,4,... — the
+    // multi-round path — and still reproduce the driver exactly
+    val core = for (i <- 0 until 20; j <- 0 until 20)
+      yield (i * 1.0 + (i * 7 + j * 3) % 10 / 100.0,
+        j * 1.0 + (i * 5 + j * 11) % 10 / 100.0)
+    val far = Seq((400.0, 400.0), (420.0, 7.0), (3.0, 390.0), (410.0, 200.0))
+    val pts = (core ++ far).distinct.zipWithIndex.map { case ((x, y), i) =>
+      (i.toLong, x, y) }
+    val d = dist(pts, 100L)
+    assert(d == driver(pts, 100L))
+  }
+
   test("collinear input yields zero triangles; tiny inputs too") {
     val line = (0 until 50).map(i => (i.toLong, i.toDouble, 2.0 * i))
     assert(dist(line, 1L).isEmpty)
