@@ -67,7 +67,19 @@ object GraftExtensions {
     ("bands_unpack",
       new ExpressionInfo(classOf[BandsUnpackExpr].getName, "bands_unpack"),
       (args: Seq[Expression]) => BandsUnpackExpr(args(0), litString(args(1), "bands_unpack"),
-        litInt(args(2), "bands_unpack"))))
+        litInt(args(2), "bands_unpack"))),
+    // text-pipeline hot-path kernels (r20): portable md5-prefix hash,
+    // tokenizer, and fused k-shingle hasher — value-identical to the
+    // lower()/regexp/md5/conv chains they replace
+    ("md5_prefix60",
+      new ExpressionInfo(classOf[Md5Prefix60Expr].getName, "md5_prefix60"),
+      (args: Seq[Expression]) => Md5Prefix60Expr(args.head)),
+    ("tokenize_lower",
+      new ExpressionInfo(classOf[TokenizeExpr].getName, "tokenize_lower"),
+      (args: Seq[Expression]) => TokenizeExpr(args.head)),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHash60Expr].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHash60Expr(args(0), litInt(args(1), "shingle_hashes"))))
 
   private def litString(e: Expression, fn: String): String =
     if (e.foldable && e.dataType == org.apache.spark.sql.types.StringType)

@@ -24,7 +24,7 @@ object Curation {
   /** 60-bit deterministic hash of the doc id (md5-prefix, portable:
     * DuckDB states ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT). */
   def idHash(docId: Column): Column =
-    conv(substring(md5(docId.cast("string")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.Md5Prefix60Expr.md5Prefix60(docId.cast("string"))
 
   /** Deterministic hash sample: keep documents whose id-hash bucket
     * (0..999) falls below `permille`. A 10% sample is permille=100. */
@@ -248,7 +248,7 @@ object Curation {
     * shard; xor is commutative, so partials merge in any order. */
   def shardAssign(docs: DataFrame, nShards: Int = 64): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    val h = org.apache.spark.sql.graft.Md5Prefix60Expr.md5Prefix60(col("text"))
     docs.select(h.as("hc"),
         TextAnalysis.wsTokenCount(col("text")).cast("long").as("nt"))
       .groupBy((col("hc") % nShards).as("shard"))

@@ -103,7 +103,7 @@ object Dedup {
     // tokenize ONCE in its own projection — a tokenizer inside the
     // transform lambda re-runs per element (no CSE in HOF lambdas)
     val toks = docs.select(col("source"),
-      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text")).as("w"))
     // the >= n guard matters: Spark's sequence(1, k) turns DESCENDING
     // for k < 1 and would fabricate grams for short docs
     val grams = toks.where(size(col("w")) >= n)
@@ -127,7 +127,7 @@ object Dedup {
                  maxBroadcastKeys: Long = 20000000L): DataFrame = {
     val keyed = docs.select(col("doc_id"), col("source"), refPred.as("is_ref"),
         shingleHash(concat_ws(" ",
-          slice(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)),
+          slice(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text")),
             1, prefixTokens))).as("k"))
       .localCheckpoint() // consumed by the guard count + both join sides
     val refKeys = keyed.where(col("is_ref")).select(col("k")).distinct()
@@ -142,7 +142,7 @@ object Dedup {
 
   /** Word k-shingles, distinct per doc: (doc_id, shingle). */
   def shingles(docs: DataFrame, k: Int = 5): DataFrame = {
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val toks = org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))
     docs.select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"),
@@ -152,9 +152,10 @@ object Dedup {
   }
 
   /** 60-bit shingle hash from md5 (portable: same value in DuckDB
-    * via ('0x'||substr(md5(s),1,15))::BIGINT). */
+    * via ('0x'||substr(md5(s),1,15))::BIGINT). Native codegen kernel
+    * (r20): identical value, no hex-string/substring/conv churn. */
   def shingleHash(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.Md5Prefix60Expr.md5Prefix60(shingle)
 
   /** Bloom-filter decontamination — the constant-memory variant of
     * [[contamination]] (the public CCNet/Pile practice: a Bloom
@@ -208,7 +209,7 @@ object Dedup {
     * per-hash window, so a boilerplate span duplicated a million
     * times never funnels through a single-reducer row_number. */
   def duplicateSpans(docs: DataFrame, k: Int = 10): DataFrame = {
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val toks = org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))
     // localCheckpoint: the index feeds BOTH the min-key aggregate and
     // the join-back, and the partial-agg and raw-probe exchanges are
     // different subtrees so ReuseExchange cannot kick in — without the
@@ -217,10 +218,9 @@ object Dedup {
     val spans = docs.select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"),
-        col("toks"))
-      .select(col("doc_id"), (col("i") - 1).cast("long").as("off"),
-        shingleHash(concat_ws(" ", slice(col("toks"), col("i"), lit(k)))).as("h"))
+        posexplode(org.apache.spark.sql.graft.ShingleHash60Expr
+          .shingleHashes(col("toks"), k)).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("off"), col("h"))
       .withColumn("key", col("doc_id") * lit(1L << 32) + col("off"))
       .localCheckpoint()
     val agg = spans.groupBy("h")
@@ -237,13 +237,15 @@ object Dedup {
     * agree even on a collision). Materialized eagerly — jaccard and
     * minhash each consume it from several join branches. */
   def hashedShingles(docs: DataFrame, k: Int = 5): DataFrame = {
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-    docs.select(col("doc_id"), toks.as("toks"))
+    // r20: fused native tokenize + k-shingle hash kernels — identical
+    // values to the regexp/transform/concat_ws/md5-hex chain, one
+    // codegen call each, no per-shingle string churn
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text")).as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as("shingle"))
-      .select(col("doc_id"), shingleHash(col("shingle")).as("h"))
+        explode(org.apache.spark.sql.graft.ShingleHash60Expr
+          .shingleHashes(col("toks"), k)).as("h"))
       .distinct()
       .localCheckpoint()
   }
@@ -629,19 +631,19 @@ object Dedup {
       baseBanded0.join(hot, Seq("band", "bkey"), "left_anti")
     }
     // delta side: row-local signature (min over shingle hashes per
-    // hash function — no shuffle, stream-safe)
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-    val shingleArr = transform(sequence(lit(1), size(col("toks")) - 4),
-      i => concat_ws(" ", slice(col("toks"), i, lit(5))))
-    val hashes = transform(col("shingles"), s =>
-      pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinhashP)))
+    // hash function — no shuffle, stream-safe); r20: the fused native
+    // tokenize + shingle-hash kernels, value-identical to the
+    // regexp/concat_ws/md5-hex chain
+    val toks = org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))
+    val hashes = transform(
+      org.apache.spark.sql.graft.ShingleHash60Expr.shingleHashes(col("toks"), 5),
+      h => pmod(h, lit(MinhashP)))
     val sigArr = array(minhashParams(k).map { case (a, b) =>
       array_min(transform(col("hx"), x => (x * a + b) % MinhashP))
     }: _*)
     val dsig = delta
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= 5)
-      .select(col("doc_id"), shingleArr.as("shingles"))
       .select(col("doc_id"), hashes.as("hx"))
       .select(col("doc_id"), sigArr.as("sig"))
     val banded = dsig.select(col("doc_id"), col("sig"),
@@ -724,11 +726,11 @@ object Dedup {
     * oracle); empty docs report 0/0. */
   def cdcChunks(docs: DataFrame, k: Int = 3, modulus: Int = 16): DataFrame = {
     val posM = 1L << 20
-    val toksC = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val toksC = org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))
     val flags = when(size(col("toks")) >= k,
-      transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-        i => when(shingleHash(concat_ws(" ", slice(col("toks"), i, lit(k))))
-          % modulus === 0, 1L).otherwise(0L)))
+      transform(org.apache.spark.sql.graft.ShingleHash60Expr
+          .shingleHashes(col("toks"), k),
+        h => when(h % modulus === 0, 1L).otherwise(0L)))
       .otherwise(typedLit(Seq.empty[Long]))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -909,8 +911,8 @@ object Dedup {
     * pure noise, and an inherently quadratic output). */
   def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
     val toks = docs.select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("tok"))
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") // 60 bits
+      explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("tok"))
+    val h = org.apache.spark.sql.graft.Md5Prefix60Expr.md5Prefix60(col("tok")) // 60 bits
     val agg = udaf(new SimHashAgg(bits), Encoders.scalaLong)
     toks.select(col("doc_id"), h.as("h"))
       .groupBy("doc_id").agg(agg(col("h")).as("sig"))
@@ -1311,14 +1313,14 @@ object Dedup {
     * [[winnowPairs]] joins them. */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     val posM = 1L << 20
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val toks = org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))
     val grams = docs.select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= k + w - 1 && size(col("toks")) < posM + (k - 1))
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(k))))))
+        posexplode(org.apache.spark.sql.graft.ShingleHash60Expr
+          .shingleHashes(col("toks"), k)).as(Seq("pos", "h")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        ((shingleHash(col("col")) % lit(1L << 40)) * posM +
+        ((col("h") % lit(1L << 40)) * posM +
           (lit(posM - 1) - col("pos"))).as("key"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val frame = byDoc.orderBy("pos").rowsBetween(0, w - 1)

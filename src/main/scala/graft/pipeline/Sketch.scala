@@ -23,7 +23,7 @@ object Sketch {
 
   /** 60-bit portable hash of `s` salted by row `j`. */
   def rowHash(j: Int, s: Column): Column =
-    conv(substring(md5(concat(lit(s"$j:"), s)), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.Md5Prefix60Expr.md5Prefix60(concat(lit(s"$j:"), s))
 
   /** Count-min sketch of corpus token frequencies: (j, b, cnt) cells,
     * j < depth, b = hash_j(token) % width. Point estimates take the
@@ -32,7 +32,7 @@ object Sketch {
   def countMinSketch(docs: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 1)
     val counts = docs
-      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .select(explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     counts
       .select(explode(array((0 until depth).map(j =>
@@ -83,7 +83,7 @@ object Sketch {
     require(depth >= 1 && width >= 1 && depth * width <= (1 << 20),
       "sketch must stay literal-array small")
     val ws = docs
-      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .select(explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("w"))
       .localCheckpoint() // both passes consume the token stream
     val cells = ws.groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(explode(array((0 until depth).map(j =>
@@ -113,7 +113,7 @@ object Sketch {
   def countMinSketchStream(docs: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 1)
     docs
-      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .select(explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("w"))
       .select(explode(array((0 until depth).map(j =>
         struct(lit(j.toLong).as("j"), (rowHash(j, col("w")) % width).as("b"))): _*)).as("h"))
       .groupBy(col("h.j").as("j"), col("h.b").as("b"))
@@ -138,9 +138,9 @@ object Sketch {
     val b = java.lang.Integer.numberOfTrailingZeros(m)
     val spark = docs.sparkSession
     import spark.implicits._
-    val h = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    val h = org.apache.spark.sql.graft.Md5Prefix60Expr.md5Prefix60(col("w"))
     val regs = docs
-      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .select(explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("w"))
       .distinct()
       // quotient via shiftright, NOT `/`: Column division is IEEE
       // double and drops low bits past 2^53
@@ -164,9 +164,9 @@ object Sketch {
   def hllSketchStream(docs: DataFrame, m: Int = 64): DataFrame = {
     require(m >= 2 && (m & (m - 1)) == 0, "m must be a power of two")
     val b = java.lang.Integer.numberOfTrailingZeros(m)
-    val h = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    val h = org.apache.spark.sql.graft.Md5Prefix60Expr.md5Prefix60(col("w"))
     docs
-      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .select(explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("w"))
       .select((h % m).as("bucket"), shiftright(h, b).as("rem"))
       .withColumn("rho",
         when(col("rem") === 0, lit(55L))

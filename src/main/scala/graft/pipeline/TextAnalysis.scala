@@ -110,7 +110,7 @@ object TextAnalysis {
     * straight back down by the per-doc aggregate. */
   def typeTokenRatio(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), countDistinct("w").as("n_types"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
@@ -125,7 +125,7 @@ object TextAnalysis {
     * (round 5). Pure scan; the grade-level gate curation pipelines
     * use next to the length/stopword ratios. */
   def readability(docs: DataFrame): DataFrame = {
-    val w = greatest(size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))), lit(1))
+    val w = greatest(size(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))), lit(1))
       .cast("long")
     val s = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
       .cast("long")
@@ -151,7 +151,7 @@ object TextAnalysis {
     * are vocabulary-bounded with map-side combine. */
   def corpusStats(docs: DataFrame): DataFrame = {
     val words = docs.select(
-      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("w"))
     docs.agg(count(lit(1)).as("n_docs"),
         sum("n_chars").cast("long").as("n_chars"),
         countDistinct("source").as("n_sources"))
@@ -196,7 +196,7 @@ object TextAnalysis {
     // bench before this projection), and `grams` is consumed by three
     // expressions
     docs.select(col("doc_id"),
-        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+        org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text")).as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"),
         transform(sequence(lit(1), size(col("toks")) - (n - 1)),
@@ -353,7 +353,7 @@ object TextAnalysis {
     // tokens computed once, eagerly: the vocab agg and the scoring
     // join both consume it (tfidfTopTerms precedent)
     val words = docs.select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("w"))
       .localCheckpoint()
     val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
     val tot = vocab.agg(sum("cnt").cast("long").as("total"), count(lit(1)).as("nv"))
@@ -390,14 +390,25 @@ object TextAnalysis {
     */
   def bm25(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val ws = docs.select(col("doc_id"),
-      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text")).as("w"))
       .localCheckpoint()
+    bm25From(ws, termFreqs(ws, terms).localCheckpoint())
+  }
+
+  /** (doc_id, term, tf) over the query-term set from a tokenized
+    * (doc_id, w) frame — shared by [[bm25]] and [[hybridRetrieval]]'s
+    * tf·idf side (r20: one tokenize scan and one term-filter pass for
+    * both scorers instead of re-deriving per consumer). */
+  private def termFreqs(ws: DataFrame, terms: Seq[String]): DataFrame =
+    ws.select(col("doc_id"), explode(col("w")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** [[bm25]] body over ALREADY-pinned tokens + term frequencies. */
+  private def bm25From(ws: DataFrame, tf: DataFrame): DataFrame = {
     val d = ws.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
     val stats = d.agg(count(lit(1)).as("nd"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val tf = ws.select(col("doc_id"), explode(col("w")).as("term"))
-      .where(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = dfq.crossJoin(broadcast(stats))
       .select(col("term"),
@@ -437,13 +448,15 @@ object TextAnalysis {
                       rrfK: Int = 60): DataFrame = {
     require(k > 0 && k <= 100000,
       s"k=$k exceeds the 1e5 single-partition rank bound")
-    val b = bm25(docs, terms).localCheckpoint()
-    val tf = docs.select(col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
-      .where(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // df and the join both consume it
-    val nd = docs.select(count(lit(1))).first().getLong(0)
+    // r20: ONE tokenize scan + ONE term-filter pass feed BOTH scorers
+    // (bm25 re-tokenized and the tf·idf side re-scanned before); nd
+    // counts the pinned tokens frame (one row per doc, same value)
+    val ws = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text")).as("w"))
+      .localCheckpoint()
+    val tf = termFreqs(ws, terms).localCheckpoint() // df + both joins consume it
+    val b = bm25From(ws, tf).localCheckpoint()
+    val nd = ws.count()
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val tq = tf.join(broadcast(dfq), "term")
       .select(col("doc_id"),
@@ -482,14 +495,14 @@ object TextAnalysis {
     */
   def classifierScore(docs: DataFrame): DataFrame = {
     val ws = docs.select(col("doc_id"),
-      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text")).as("w"))
     val feats = ws.select(col("doc_id"),
       explode(concat(col("w"),
         when(size(col("w")) >= 2,
           transform(sequence(lit(1), size(col("w")) - 1), i =>
             concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
           .otherwise(array().cast("array<string>")))).as("f"))
-    val h = conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long")
+    val h = org.apache.spark.sql.graft.Md5Prefix60Expr.md5Prefix60(col("f"))
     feats.select(col("doc_id"), (h % 1000003L - 500001L).as("wt"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("wt").cast("long").as("raw"))
@@ -516,7 +529,7 @@ object TextAnalysis {
     */
   def bigramLmScore(docs: DataFrame): DataFrame = {
     val ws = docs.select(col("doc_id"),
-      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text")).as("w"))
     val pairs = ws.where(size(col("w")) >= 1)
       .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w"))), i =>
         struct(when(i === 1, lit("<s>")).otherwise(element_at(col("w"), i - 1)).as("p"),
@@ -579,7 +592,7 @@ object TextAnalysis {
     * k-row reduction. */
   def zipfFit(docs: DataFrame, topK: Int = 30): DataFrame = {
     val ranked = docs.select(
-        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+        explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("t").asc).limit(topK)
       .select(
@@ -611,7 +624,7 @@ object TextAnalysis {
     * pair stream, vocabulary-bounded aggregates, broadcast totals. */
   def jmLmScore(docs: DataFrame): DataFrame = {
     val ws = docs.select(col("doc_id"),
-      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text")).as("w"))
     val pairs = ws.where(size(col("w")) >= 1)
       .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w"))), i =>
         struct(when(i === 1, lit("<s>")).otherwise(element_at(col("w"), i - 1)).as("p"),
@@ -676,7 +689,7 @@ object TextAnalysis {
     * @return (doc_id, n_feats, logw) — logw in nats */
   def dsirScore(docs: DataFrame, isTarget: Column, buckets: Int = 1024): DataFrame = {
     val ws = docs.select(col("doc_id"), isTarget.as("tgt"),
-      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text")).as("w"))
     val feats = ws.select(col("doc_id"), col("tgt"),
         explode(concat(col("w"),
           when(size(col("w")) >= 2,
@@ -684,7 +697,7 @@ object TextAnalysis {
               concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
             .otherwise(array().cast("array<string>")))).as("f"))
       .select(col("doc_id"), col("tgt"),
-        (conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long") % buckets).as("b"))
+        (org.apache.spark.sql.graft.Md5Prefix60Expr.md5Prefix60(col("f")) % buckets).as("b"))
       .localCheckpoint()
     val hist = feats.groupBy("b").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
@@ -772,7 +785,7 @@ object TextAnalysis {
   def jsDivergence(docs: DataFrame, topV: Int = 200,
                    quantize: Boolean = true): DataFrame = {
     val toks = docs.select(col("source"),
-        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+        explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("t"))
       .localCheckpoint()
     val vocab = toks.groupBy("t").agg(count(lit(1)).as("cc"))
       .orderBy(col("cc").desc, col("t").asc).limit(topV)
@@ -825,7 +838,7 @@ object TextAnalysis {
     * join run on that constant-size aggregate. */
   def lengthWasserstein(docs: DataFrame, buckets: Int = 64): DataFrame = {
     val spark = docs.sparkSession
-    val cnt = size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+    val cnt = size(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text")))
     val hist = docs
       .select(col("source"),
         least((cnt / 8).cast("long"), lit(buckets - 1L)).as("b"))
@@ -856,7 +869,7 @@ object TextAnalysis {
   def pmiCollocations(docs: DataFrame, minCount: Long = 5,
       quantize: Boolean = true): DataFrame = {
     val ws = docs.select(
-      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text")).as("w"))
       .localCheckpoint() // unigram + pair branches both consume it
     val uni = ws.select(explode(col("w")).as("a"))
       .groupBy("a").agg(count(lit(1)).as("ca"))
@@ -907,7 +920,7 @@ object TextAnalysis {
       shift: Int = 5, quantize: Boolean = true): DataFrame = {
     require(window >= 1 && shift >= 1)
     val ws = docs.select(
-      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("w"))
+      org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text")).as("w"))
       .localCheckpoint() // pair + marginal branches both consume it
     val zips = (1 to window).map { d =>
       arrays_zip(
@@ -953,7 +966,7 @@ object TextAnalysis {
     * vocabulary-bounded aggregate. */
   def oovRate(docs: DataFrame, k: Int = 20): DataFrame = {
     val toks = docs.select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("t"))
     val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("t").asc).limit(k)
       .select(col("t").as("v"))
@@ -1091,7 +1104,7 @@ object TextAnalysis {
     * KenLM the same way). */
   def unigramLm(docs: DataFrame): (DataFrame, Long) = {
     val vocab = docs
-      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .select(explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val trow = vocab.agg(sum("cnt").cast("long"), count(lit(1))).head()
@@ -1207,7 +1220,7 @@ object TextAnalysis {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val toks = docs.select(col("doc_id"),
-        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+        posexplode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("w"))
       .localCheckpoint() // feeds the train counts AND the scoring side
     val train = toks.where(pmod(col("doc_id"), lit(2)) === 0)
@@ -1253,7 +1266,7 @@ object TextAnalysis {
     // a lazy plan would re-run the explode+regexp scan per branch
     // (hashedShingles precedent)
     val tf = docs.select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+      explode(org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))).as("term"))
       .where(length(col("term")) >= minTermLen)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()

@@ -470,12 +470,12 @@ object Events {
     val rows = k / bands
     val p = Dedup.MinhashP
 
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val toks = org.apache.spark.sql.graft.TokenizeExpr.tokenizeLower(col("text"))
     val shingles = transform(
       sequence(lit(1), size(col("_toks")) - (shingleK - 1)),
       i => concat_ws(" ", slice(col("_toks"), i, lit(shingleK))))
     val hashes = transform(col("_sh"),
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % p)
+      s => org.apache.spark.sql.graft.Md5Prefix60Expr.md5Prefix60(s) % p)
     val sig = array(Dedup.minhashParams(k).map { case (a, b) =>
       array_min(transform(col("_hx"), x => (x * a + b) % p))
     }: _*)
