@@ -12,13 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object HistogramOps {
 
+  /** Pin a layer's tiled DataFrame before a multi-action statistic
+    * (r20 optimization round): every op below that runs more than one
+    * Spark action over the same layer — min/max probe, value counts,
+    * cumulative collect, final remap — otherwise re-executes the whole
+    * upstream build (parquet scan + tile aggregation) once PER action
+    * (guide §1.2/§5: persist what several passes reuse instead of
+    * recomputing it). One materialization, identical values. */
+  private def pinTiles(layer: RasterLayer): RasterLayer =
+    layer.copy(df = layer.df.localCheckpoint())
+
   /** Equal-width bin counts between the layer min/max. The bin formula
     * `least(floor((v - mn) / ((mx - mn) / bins)), bins - 1)` is stated
     * identically in the oracle SQL, so results match bit-for-bit. */
-  def binCounts(layer: RasterLayer, bins: Int = 10): DataFrame = {
-    val (mn, mx) = layer.minMax()
+  def binCounts(layer: RasterLayer, bins: Int = 10): DataFrame =
+    binCountsPinned(pinTiles(layer), bins)
+
+  /** [[binCounts]] body over an ALREADY-pinned layer (callers that run
+    * further actions — [[cdf]] — pin once and enter here). */
+  private def binCountsPinned(pinned: RasterLayer, bins: Int): DataFrame = {
+    val (mn, mx) = pinned.minMax()
     val width = (mx - mn) / bins
-    layer.toCells
+    pinned.toCells
       .select(least(floor((col("v") - lit(mn)) / lit(width)), lit(bins - 1.0)).cast("long").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
   }
@@ -29,11 +44,12 @@ object HistogramOps {
     * as [[binCounts]], bounds from the union, so the oracle restates
     * it verbatim on the unioned grid. */
   def mergedBinCounts(a: RasterLayer, b: RasterLayer, bins: Int = 10): DataFrame = {
-    val (amn, amx) = a.minMax()
-    val (bmn, bmx) = b.minMax()
+    val (ap, bp) = (pinTiles(a), pinTiles(b))
+    val (amn, amx) = ap.minMax()
+    val (bmn, bmx) = bp.minMax()
     val mn = math.min(amn, bmn); val mx = math.max(amx, bmx)
     val width = (mx - mn) / bins
-    a.toCells.select(col("v")).unionByName(b.toCells.select(col("v")))
+    ap.toCells.select(col("v")).unionByName(bp.toCells.select(col("v")))
       .select(least(floor((col("v") - lit(mn)) / lit(width)), lit(bins - 1.0)).cast("long").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
   }
@@ -61,7 +77,9 @@ object HistogramOps {
     // is a caller-chosen parameter. Bound it explicitly so the
     // single-partition sort can never be handed a pathological width.
     require(bins <= 1000000, s"cdf bins=$bins exceeds the 1e6 single-partition bound")
-    val counts = binCounts(layer, bins)
+    // pin once: the minMax probe, the total, and the window all
+    // re-execute the layer build otherwise (3 upstream passes -> 1)
+    val counts = binCountsPinned(pinTiles(layer), bins)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("bin").rowsBetween(Long.MinValue, 0)
     val total = counts.agg(sum("cnt")).head().getLong(0)
@@ -147,27 +165,36 @@ object HistogramOps {
     // ~permille/1000 of the distinct values; size `samplePermille` so
     // that fits one task at the target scale (±O(1/sqrt(sample)) rank
     // error — standard sampling bounds).
-    def breaksOf(cells: DataFrame): DataFrame = {
-      val counts = cells.select(col("v").cast("long").as("v"))
-        .groupBy("v").agg(count(lit(1)).as("cnt"))
+    def breaksOf(counts: DataFrame): DataFrame = {
       val total = counts.agg(sum("cnt")).head().getLong(0)
       val cum = withCumulative(counts, "v")
       cum.select(qs.zipWithIndex.map { case (q, i) =>
         min(when(col("cum") >= lit(q) * total, col("v"))).as(s"q$i")
       }: _*)
     }
-    val d = layer.toCells.select(col("v").cast("long").as("v"))
-      .agg(count_distinct(col("v"))).head().getLong(0)
-    if (d <= maxDistinct) breaksOf(layer.toCells)
-    else breaksOf(layer.toCells.where(cellHash60 % 1000 < samplePermille))
+    // r20: pin the layer, then pin the distinct-value COUNTS — the
+    // distinct-count guard, the total, and the prefix sum are all
+    // actions over the same table; unpinned they each re-executed the
+    // whole layer build (3 upstream passes -> 1 build + 1 counts pass).
+    // The guard count comes free as counts.count().
+    val pinned = pinTiles(layer)
+    val counts = pinned.toCells.select(col("v").cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val d = counts.count()
+    if (d <= maxDistinct) breaksOf(counts)
+    else breaksOf(pinned.toCells.where(cellHash60 % 1000 < samplePermille)
+      .select(col("v").cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint())
   }
 
   /** Portable per-cell 60-bit hash for deterministic cell sampling —
     * the md5 trick stated identically in DuckDB
     * (`('0x' || substr(md5(x || ',' || y), 1, 15))::BIGINT`). */
   private[graft] def cellHash60: Column =
-    conv(substring(md5(concat(col("x").cast("string"), lit(","),
-      col("y").cast("string"))), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.Md5Prefix60Expr.md5Prefix60(
+      concat(col("x").cast("string"), lit(","), col("y").cast("string")))
 
   /** Cumulative count over distinct values WITHOUT a single-task global
     * window (r20, the r19 judge cleanup) — the shared
@@ -186,8 +213,13 @@ object HistogramOps {
   def percentStretch(layer: RasterLayer, loNum: Long = 2, hiNum: Long = 98,
       den: Long = 100): RasterLayer = {
     require(0 <= loNum && loNum < hiNum && hiNum <= den)
-    val counts = layer.toCells.select(col("v").cast("long").as("v"))
+    // r20: pin the layer (cutpoint probe + closing remap were two
+    // separate upstream builds) and pin the distinct-value counts
+    // (total + prefix sum share them)
+    val pinned = pinTiles(layer)
+    val counts = pinned.toCells.select(col("v").cast("long").as("v"))
       .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total = counts.agg(sum("cnt").cast("long")).head().getLong(0)
     val row = withCumulative(counts, "v")
       .agg(
@@ -195,10 +227,10 @@ object HistogramOps {
         min(when(col("cum") * den >= lit(hiNum) * total, col("v"))).as("hi"))
       .head()
     val lo = row.getLong(0); val hi = row.getLong(1)
-    if (hi == lo) layer.localMap(_ => lit(0.0))
+    if (hi == lo) pinned.localMap(_ => lit(0.0))
     // NaN guard is load-bearing: Spark's least/greatest treat NaN as
     // the LARGEST value, so an unguarded clamp turns NoData into hi
-    else layer.localMap(c => when(isnan(c), c).otherwise(
+    else pinned.localMap(c => when(isnan(c), c).otherwise(
       floor((least(greatest(c, lit(lo.toDouble)), lit(hi.toDouble)) - lit(lo)) *
         lit(255.0) / lit(hi - lo)).cast("double")))
   }
@@ -218,9 +250,14 @@ object HistogramOps {
                quantBuckets: Int = 1 << 22): RasterLayer = {
     val spark = layer.spark
     import spark.implicits._
-    val counts = layer.toCells.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    // r20: pin the layer (guard head + cumulative collect + remap were
+    // 3 separate upstream builds) and pin the value counts (guard +
+    // collect share them)
+    val pinned = pinTiles(layer)
+    val counts = pinned.toCells.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val head = counts.agg(sum("cnt").as("t"), count(lit(1)).as("d")).head()
-    if (head.isNullAt(0)) return layer // empty layer: nothing to remap
+    if (head.isNullAt(0)) return pinned // empty layer: nothing to remap
     val total = head.getLong(0)
     // Past maxDistinct the op DEGRADES (r16) instead of refusing:
     // values quantize to `quantBuckets` equal-width buckets (the
@@ -231,18 +268,25 @@ object HistogramOps {
     // exact one (HistogramOpsSpec proves it); beyond that it is the
     // standard binned equalization (error bounded by the bucket width).
     val (workLayer, workCounts) =
-      if (head.getLong(1) <= maxDistinct) (layer, counts)
+      if (head.getLong(1) <= maxDistinct) (pinned, counts)
       else {
-        val (mn, mx) = layer.minMax()
-        if (mx == mn) return layer.localMap(c => when(isnan(c), c).otherwise(lit(0.0)))
+        val (mn, mx) = pinned.minMax()
+        if (mx == mn) return pinned.localMap(c => when(isnan(c), c).otherwise(lit(0.0)))
         val width = (mx - mn) / quantBuckets
-        val bucketed = layer.localMap(c => when(isnan(c), c).otherwise(
+        val bucketed = pinned.localMap(c => when(isnan(c), c).otherwise(
           least(floor((c - lit(mn)) / lit(width)), lit(quantBuckets - 1.0))))
         (bucketed, bucketed.toCells.groupBy(col("v")).agg(count(lit(1)).as("cnt")))
       }
-    val cum = withCumulative(workCounts, "v")
-      .select(col("v"), col("cum")).as[(Double, Long)].collect()
-    val cmin = cum.iterator.map(_._2).min
+    // the remap table is collected to the driver either way (bounded
+    // by maxDistinct / quantBuckets), so the cumulative sum folds
+    // driver-side over the SAME rows the distributed prefix sum saw —
+    // ascending-v order, exact long adds, identical values (r20: drops
+    // the range-partition + totals-collect jobs withCumulative needs)
+    val byValue = workCounts.select(col("v"), col("cnt").cast("long"))
+      .as[(Double, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    val cum = byValue.map { case (v, c) => acc += c; (v, acc) }
+    val cmin = if (cum.isEmpty) 0L else cum.head._2
     val remap = cum.map { case (v, c) =>
       v -> (if (total > cmin) (c - cmin) * 255L / (total - cmin) else 0L).toDouble
     }.toMap
@@ -268,6 +312,11 @@ object HistogramOps {
                      quantBuckets: Int = 1 << 22): RasterLayer = {
     val spark = layer.spark
     import spark.implicits._
+    // r20: pin BOTH layers once — the distinct-count guard, the
+    // cumulative collect, and the closing remap each re-executed the
+    // full upstream build per side before (5-8 builds for one match).
+    val srcL = pinTiles(layer)
+    val tgtL = pinTiles(target)
     // Past maxDistinct a side DEGRADES (r16) instead of refusing: its
     // value domain quantizes to `quantBuckets` equal-width buckets
     // (the binCounts formula), each bucket represented by its SMALLEST
@@ -282,31 +331,40 @@ object HistogramOps {
       l.localMap(c => when(isnan(c), c).otherwise(
         least(floor((c - lit(mn)) / lit(width)), lit(quantBuckets - 1.0))))
     }
-    // (rep value, cum count) per distinct working value; rep = min real
-    // value in the group (== the value itself on the exact path)
-    def cum(l: RasterLayer, degraded: Boolean): Array[(Double, Double, Long)] = {
-      val cells =
-        if (!degraded) l.toCells.select(col("v").as("k"), col("v"))
-        else {
-          val (mn, mx) = l.minMax()
-          val width = if (mx == mn) 1.0 else (mx - mn) / quantBuckets
-          l.toCells.select(
+    // cumulative (k, rep, cum) per distinct working value, folded
+    // driver-side over the collected counts (they are collected either
+    // way — the remap table is a driver Map; ascending-k order + exact
+    // long adds = the prefix sum's values, minus its extra jobs).
+    // rep = min real value in the group (== k on the exact path).
+    def cumFromCounts(counts: DataFrame): Array[(Double, Double, Long)] = {
+      val rows = counts.select(col("k"), col("rep"), col("cnt").cast("long"))
+        .as[(Double, Double, Long)].collect().sortBy(_._1)
+      var acc = 0L
+      rows.map { case (k, rep, c) => acc += c; (k, rep, acc) }
+    }
+    // ONE cells pass per side: exact value counts pin, the guard is
+    // counts.count(), and only the (rare) degrade path pays a second
+    // pass over the pinned tiles for its bucket counts.
+    def sideCum(l: RasterLayer): (Array[(Double, Double, Long)], Boolean) = {
+      val exact = l.toCells.groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"), min(col("v")).as("rep"))
+        .withColumnRenamed("v", "k")
+        .localCheckpoint()
+      if (exact.count() <= maxDistinct) (cumFromCounts(exact), false)
+      else {
+        val (mn, mx) = l.minMax()
+        val width = if (mx == mn) 1.0 else (mx - mn) / quantBuckets
+        val bCounts = l.toCells.select(
             least(floor((col("v") - lit(mn)) / lit(width)), lit(quantBuckets - 1.0)).as("k"),
             col("v"))
-        }
-      val counts = cells.groupBy(col("k"))
-        .agg(count(lit(1)).as("cnt"), min(col("v")).as("rep"))
-      withCumulative(counts, "k")
-        .select(col("k"), col("rep"), col("cum")).as[(Double, Double, Long)]
-        .collect().sortBy(_._1)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("cnt"), min(col("v")).as("rep"))
+        (cumFromCounts(bCounts), true)
+      }
     }
-    def distinctOf(l: RasterLayer): Long =
-      l.toCells.agg(count_distinct(col("v"))).head().getLong(0)
-    val srcDegraded = distinctOf(layer) > maxDistinct
-    val src = cum(layer, srcDegraded)
-    if (src.isEmpty) return layer
-    val tgtDegraded = distinctOf(target) > maxDistinct
-    val tgt = cum(target, tgtDegraded)
+    val (src, srcDegraded) = sideCum(srcL)
+    if (src.isEmpty) return srcL
+    val (tgt, _) = sideCum(tgtL)
     require(tgt.nonEmpty, "matchHistogram: empty target layer")
     val ns = src.last._3
     val nt = tgt.last._3
@@ -318,7 +376,7 @@ object HistogramOps {
       }
       k -> tgt(lo)._2
     }.toMap
-    remapTiles(if (srcDegraded) bucketed(layer) else layer, remap)
+    remapTiles(if (srcDegraded) bucketed(srcL) else srcL, remap)
   }
 
   /** Apply a broadcast value->value table per tile — the shared tail
