@@ -55,6 +55,34 @@ object GridSource {
         col("l_quantity").as("v")),
       layout, graft.raster.CellOp.Sum)
 
+  /** ONE-SCAN fused build of the lineitem value layer AND the
+    * returnflag zone layer (r20 optimization round): both grids key on
+    * the same (l_orderkey%G, l_partkey%G) cells, so one groupBy
+    * carries both tile aggregates — one scan + one keyed shuffle
+    * replaces the two scans + three shuffles + uncoupled join inputs
+    * of building each side separately (guide §2.4). Zone equality:
+    * min over ascii codes == ascii(min(flag)) for the single-char
+    * returnflags (ascii order == lex order), so the zone tiles match
+    * the zoneCells -> fromCells path bit-for-bit; value tiles are the
+    * exact lineitemLayer aggregation. */
+  def lineitemWithZoneLayers(spark: SparkSession, dir: String): (RasterLayer, RasterLayer) =
+    RasterLayer.fromCellsDual(
+      table(spark, dir, "lineitem").select(
+        (col("l_orderkey") % G).as("x"), (col("l_partkey") % G).as("y"),
+        col("l_quantity").as("va"),
+        ascii(col("l_returnflag")).cast("double").as("vb")),
+      layout, graft.raster.CellOp.Sum, graft.raster.CellOp.Min)
+
+  /** Zone layer alone in ONE shuffle (r20): TileBuildAgg(Min) over the
+    * raw ascii flags skips zoneCells' per-cell groupBy (same
+    * ascii-min/lex-min equality as [[lineitemWithZoneLayers]]). */
+  def zoneLayer(spark: SparkSession, dir: String): RasterLayer =
+    RasterLayer.fromCells(
+      table(spark, dir, "lineitem").select(
+        (col("l_orderkey") % G).as("x"), (col("l_partkey") % G).as("y"),
+        ascii(col("l_returnflag")).cast("double").as("v")),
+      layout, graft.raster.CellOp.Min)
+
   /** Second value grid (for binary ops / union) from orders:
     * x = o_orderkey%256, y = o_custkey%256, v = count (exact). */
   def ordersCells(spark: SparkSession, dir: String): DataFrame =

@@ -35,6 +35,13 @@ object SparkEntry {
   // ----------------------------------------------------------------
   private def flat(l: RasterLayer): DataFrame = l.toCells
 
+  /** Pin a layer consumed from SEVERAL plan branches of one query
+    * (r20 optimization round): per-call TileBuildAgg instances defeat
+    * ReuseExchange, so each branch re-runs the whole upstream
+    * scan+shuffle without the pin. One materialization, same values. */
+  private def pinL(l: RasterLayer): RasterLayer =
+    l.copy(df = l.df.localCheckpoint())
+
   /** Micro-quantized closing (the CLAUDE.md determinism rule): emit
     * round(x·scale) as BIGINT instead of round(x, k) DOUBLE. Integer
     * rounding of an identical IEEE chain is engine-portable; decimal
@@ -708,11 +715,9 @@ object SparkEntry {
 
     "q_hypsometric" -> ((s, dir) => {
       // hypsometric integral per returnflag zone: exact zone moments,
-      // one micro-quantized ratio
-      val zones = RasterLayer.fromCells(
-        zoneCells(s, dir).select(col("x"), col("y"),
-          ascii(col("zone")).cast("double").as("v")), layout)
-      ZonalOps.hypsometric(lineitemLayer(s, dir), zones)
+      // one micro-quantized ratio (fused one-scan twin build, r20)
+      val (vals, zones) = lineitemWithZoneLayers(s, dir)
+      ZonalOps.hypsometric(vals, zones)
     }),
 
     "q_ripley" -> ((s, dir) => {
@@ -776,65 +781,62 @@ object SparkEntry {
         Seq(Geometry.diamond(64, 64, 40.3), Geometry.diamond(192, 192, 40.3)))),
 
     "q_zonal_stats" -> ((s, dir) => {
-      val zones = RasterLayer.fromCells(
-        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
-        layout)
-      ZonalOps.zonalStats(lineitemLayer(s, dir), zones)
+      // fused one-scan twin build (r20): value + zone tiles from one
+      // groupBy, co-partitioned into the zonal tile join
+      val (vals, zones) = lineitemWithZoneLayers(s, dir)
+      ZonalOps.zonalStats(vals, zones)
     }),
 
     "q_bitmask" -> ((s, dir) => {
       // QA-bitmask cloud mask: drop cells whose derived QA band has
-      // bit 0 or bit 2 set (mask 5)
-      val qa = lineitemLayer(s, dir).localMap(c => pmod(c * 13, lit(16.0)))
-      lineitemLayer(s, dir).localBitMask(qa, bits = 5L).toCells
+      // bit 0 or bit 2 set (mask 5); base pinned — QA band + mask
+      // input are two branches of the same build (r20)
+      val base = pinL(lineitemLayer(s, dir))
+      val qa = base.localMap(c => pmod(c * 13, lit(16.0)))
+      base.localBitMask(qa, bits = 5L).toCells
     }),
 
     "q_local_mask" -> ((s, dir) => {
       // raster-mask sibling of the geometry mask: cells whose zone
-      // raster reads 65 ('A') become NoData
-      val zones = RasterLayer.fromCells(
-        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
-        layout)
-      lineitemLayer(s, dir).localMask(zones, readMask = 65).toCells
+      // raster reads 65 ('A') become NoData (fused twin build, r20)
+      val (vals, zones) = lineitemWithZoneLayers(s, dir)
+      vals.localMask(zones, readMask = 65).toCells
     }),
 
     "q_zonal_majority" -> ((s, dir) => {
       // per-zone modal / rarest cell value (ties -> smallest value)
-      // and distinct-value count
-      val zones = RasterLayer.fromCells(
-        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
-        layout)
-      ZonalOps.zonalMajority(lineitemLayer(s, dir), zones)
+      // and distinct-value count (fused twin build, r20)
+      val (vals, zones) = lineitemWithZoneLayers(s, dir)
+      ZonalOps.zonalMajority(vals, zones)
     }),
 
     "q_zonal_quartiles" -> ((s, dir) => {
-      // q1 + q3 per zone via the exact cross-multiplied rule
-      val zones = RasterLayer.fromCells(
-        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
-        layout)
-      val l = lineitemLayer(s, dir)
+      // q1 + q3 per zone via the exact cross-multiplied rule (fused
+      // twin build, r20 — the pin feeds all four join branches)
+      val (l, zones) = lineitemWithZoneLayers(s, dir)
       ZonalOps.zonalQuantile(l, zones, 1, 4).withColumnRenamed("q", "q1")
         .join(ZonalOps.zonalQuantile(l, zones, 3, 4).withColumnRenamed("q", "q3"), "zone")
     }),
 
     "q_zonal_median" -> ((s, dir) => {
-      // per-zone exact-int median (quantile_breaks_int rule by zone)
-      val zones = RasterLayer.fromCells(
-        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
-        layout)
-      ZonalOps.zonalMedian(lineitemLayer(s, dir), zones)
+      // per-zone exact-int median (quantile_breaks_int rule by zone;
+      // fused twin build, r20)
+      val (vals, zones) = lineitemWithZoneLayers(s, dir)
+      ZonalOps.zonalMedian(vals, zones)
     }),
 
     "q_raster_corr" -> ((s, dir) => {
       // Pearson correlation between the grid and a derived layer:
-      // exact integer moments, one closing float expression
-      val a = lineitemLayer(s, dir)
+      // exact integer moments, one closing float expression (base
+      // pinned — both correlation sides share one build, r20)
+      val a = pinL(lineitemLayer(s, dir))
       Compare.correlate(a, a.localMap(c => pmod(c * 37, lit(101.0))))
     }),
 
     "q_cutfill" -> ((s, dir) => {
-      // cut/fill report of grid vs a derived design surface
-      val a = lineitemLayer(s, dir)
+      // cut/fill report of grid vs a derived design surface (base
+      // pinned — both sides share one build, r20)
+      val a = pinL(lineitemLayer(s, dir))
       Compare.cutFill(a, a.localMap(c => pmod(c * 13, lit(50.0))))
     }),
 
@@ -847,11 +849,10 @@ object SparkEntry {
           md5(col("text")).as("h"))),
 
     "q_zonal_weighted" -> ((s, dir) => {
-      // population-weighted zonal mean: orders grid as weights
-      val zones = RasterLayer.fromCells(
-        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
-        layout)
-      ZonalOps.zonalWeightedMean(lineitemLayer(s, dir), ordersLayer(s, dir), zones)
+      // population-weighted zonal mean: orders grid as weights (value
+      // + zone sides from the fused twin build, r20)
+      val (vals, zones) = lineitemWithZoneLayers(s, dir)
+      ZonalOps.zonalWeightedMean(vals, ordersLayer(s, dir), zones)
         .select(col("zone"), col("w_total"), uq(col("wmean")).as("wmean_u"))
     }),
 
@@ -861,20 +862,22 @@ object SparkEntry {
         minhashEdges(s, dir), table(s, dir, "documents"))),
 
     "q_zonal_diversity" -> ((s, dir) => {
-      // FRAGSTATS SHDI/SHEI per returnflag zone over 8 classes
-      val cls = lineitemLayer(s, dir).localMap(c => pmod(c, lit(8.0)))
-      val zones = RasterLayer.fromCells(
-        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
-        layout)
-      ZonalOps.zonalDiversity(cls, zones)
+      // FRAGSTATS SHDI/SHEI per returnflag zone over 8 classes (fused
+      // twin build, r20; the class remap is a narrow localMap on top)
+      val (vals, zones) = lineitemWithZoneLayers(s, dir)
+      ZonalOps.zonalDiversity(vals.localMap(c => pmod(c, lit(8.0))), zones)
     }),
 
     "q_change_vector" -> ((s, dir) => {
       // CVA: magnitude + direction of the band-space displacement
       // between the (lineitem, orders) stack and its shifted twin
-      val before = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
+      // (both bases pinned — each feeds the stack AND its shifted
+      // twin, r20: 4 upstream builds -> 2)
+      val li = pinL(lineitemLayer(s, dir))
+      val or = pinL(ordersLayer(s, dir))
+      val before = MultibandLayer.fromLayers(Seq(li, or))
       val after = MultibandLayer.fromLayers(
-        Seq(lineitemLayer(s, dir) + 10.0, ordersLayer(s, dir) * 2.0))
+        Seq(li + 10.0, or * 2.0))
       new MultibandLayer(Compare.changeVector(before, after), before.meta, 2).toCells
         .select(col("x"), col("y"), col("band"), uq(col("v")).as("v_u"))
     }),
@@ -882,32 +885,25 @@ object SparkEntry {
     "q_zonal_histogram" -> ((s, dir) => {
       // zone x class contingency table (ESRI TabulateArea long form):
       // cell values bucketed to 8 classes so the table stays a real
-      // crosstab rather than |distinct values| rows
-      val cls = lineitemLayer(s, dir).localMap(c => pmod(c, lit(8.0)))
-      val zones = RasterLayer.fromCells(
-        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
-        layout)
-      ZonalOps.zonalHistogram(cls, zones)
+      // crosstab rather than |distinct values| rows (fused twin build)
+      val (vals, zones) = lineitemWithZoneLayers(s, dir)
+      ZonalOps.zonalHistogram(vals.localMap(c => pmod(c, lit(8.0))), zones)
         .select(col("zone"), col("v").cast("long").as("class"), col("cnt"))
     }),
 
     "q_zonal_aspect" -> ((s, dir) => {
       // directional statistics: circular mean + resultant length of a
       // synthetic whole-degree angle raster, per returnflag zone
-      val ang = lineitemLayer(s, dir).localMap(c => pmod(c * 37, lit(360.0)))
-      val zones = RasterLayer.fromCells(
-        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
-        layout)
-      ZonalOps.zonalCircularMean(ang, zones)
+      // (fused twin build, r20)
+      val (vals, zones) = lineitemWithZoneLayers(s, dir)
+      ZonalOps.zonalCircularMean(vals.localMap(c => pmod(c * 37, lit(360.0))), zones)
     }),
 
     "q_zonal_geometry" -> ((s, dir) => {
       // per-zone area / 4-connected perimeter / isoperimetric
-      // compactness over the returnflag zone raster
-      val zones = RasterLayer.fromCells(
-        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
-        layout)
-      ZonalOps.zonalGeometry(zones)
+      // compactness over the returnflag zone raster (one-shuffle
+      // TileBuildAgg(Min) zone build, r20 — skips the per-cell groupBy)
+      ZonalOps.zonalGeometry(zoneLayer(s, dir))
     }),
 
     "q_contours" -> ((s, dir) =>
@@ -980,10 +976,9 @@ object SparkEntry {
 
     "q_zonal_pct" -> ((s, dir) => {
       // per-cell percent of zone total: (v*100) div zoneSum, exact
-      val zones = RasterLayer.fromCells(
-        zoneCells(s, dir).select(col("x"), col("y"), ascii(col("zone")).cast("double").as("v")),
-        layout)
-      ZonalOps.zonalPercentage(lineitemLayer(s, dir), zones).toCells
+      // (fused twin build, r20)
+      val (vals, zones) = lineitemWithZoneLayers(s, dir)
+      ZonalOps.zonalPercentage(vals, zones).toCells
         .select(col("x"), col("y"), col("v").cast("long").as("pct"))
     }),
 
@@ -2584,8 +2579,9 @@ object SparkEntry {
     "q_pansharpen" -> ((s, dir) => {
       // Brovey ratio pansharpen: (lineitem, orders) stack against a
       // derived pan band; per-pixel ratio math, round 5
-      val mb = MultibandLayer.fromLayers(Seq(lineitemLayer(s, dir), ordersLayer(s, dir)))
-      val pan = lineitemLayer(s, dir).localMap(c => c + 100.0)
+      val li = pinL(lineitemLayer(s, dir)) // stack band + pan, one build
+      val mb = MultibandLayer.fromLayers(Seq(li, ordersLayer(s, dir)))
+      val pan = li.localMap(c => c + 100.0)
       mb.pansharpen(pan).toCells
         .select(col("x"), col("y"), col("band"), uq(col("v")).as("v_u"))
     }),

@@ -268,13 +268,19 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     * (tiny 2-value broadcast, not a collect of data rows). */
   def normalize(newMin: Double, newMax: Double,
                 oldMinMax: Option[(Double, Double)] = None): RasterLayer = {
-    val (omin, omax) = oldMinMax.getOrElse(minMax())
+    // r20: when the min/max probe must run, pin the tiles first — the
+    // probe and every downstream consumer of the remapped layer
+    // otherwise re-execute the whole upstream build (2 passes -> 1)
+    val base =
+      if (oldMinMax.isDefined) this
+      else copy(df = df.localCheckpoint())
+    val (omin, omax) = oldMinMax.getOrElse(base.minMax())
     if (omax > omin)
-      localMap(c => (c - lit(omin)) / lit(omax - omin) * lit(newMax - newMin) + lit(newMin))
+      base.localMap(c => (c - lit(omin)) / lit(omax - omin) * lit(newMax - newMin) + lit(newMin))
     else
       // degenerate constant grid: (c - omin) / 0 would be NaN
       // everywhere (silently NoData-ing the layer); pin to newMin
-      localMap(c => when(isnan(c), c).otherwise(lit(newMin)))
+      base.localMap(c => when(isnan(c), c).otherwise(lit(newMin)))
   }
 
   /** Z-score standardization — the ML-preprocessing sibling of
@@ -285,7 +291,10 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     * stated identically in the oracle. Degenerate σ = 0 pins to 0. */
   def standardize(): RasterLayer = {
     import org.apache.spark.sql.functions.{count => fcount, sum => fsum}
-    val m = toCells.agg(
+    // r20: pin the tiles — the moment probe and the remapped layer's
+    // consumer re-executed the whole upstream build separately before
+    val base = copy(df = df.localCheckpoint())
+    val m = base.toCells.agg(
       fcount(lit(1)).cast("long").as("n"),
       fsum(col("v").cast("long")).cast("long").as("s"),
       fsum(col("v").cast("long") * col("v").cast("long")).cast("long").as("ss")).first()
@@ -293,8 +302,8 @@ final class RasterLayer(val df: DataFrame, val meta: LayerMetadata) {
     require(n > 1, "standardize needs at least two cells")
     val mu = s.toDouble / n
     val sigma = math.sqrt((ss.toDouble - s.toDouble * s / n) / (n - 1))
-    if (sigma > 0) localMap(c => (c - lit(mu)) / lit(sigma))
-    else localMap(c => when(isnan(c), c).otherwise(lit(0.0)))
+    if (sigma > 0) base.localMap(c => (c - lit(mu)) / lit(sigma))
+    else base.localMap(c => when(isnan(c), c).otherwise(lit(0.0)))
   }
 
   /** Cells equal to `v` become NoData — reference with_no_data
@@ -764,6 +773,35 @@ object RasterLayer {
     val df = keyed.groupBy("col", "row")
       .agg(agg(col("off"), col("v")).as("tile"))
     new RasterLayer(df, LayerMetadata(layout))
+  }
+
+  /** Fused TWIN build (r20 optimization round): assemble two layers
+    * over the SAME grid keys from one cell DataFrame `(x, y, va, vb)`
+    * in ONE scan + ONE keyed shuffle — the groupBy carries both tile
+    * aggregates (guide §2.4: two operations keyed the same way share
+    * one exchange). The pinned result feeds both layers, so a
+    * downstream tile join on (col, row) reads co-partitioned input
+    * instead of re-executing two separate builds. Values are identical
+    * to building each layer with [[fromCells]] separately. */
+  def fromCellsDual(cells: DataFrame, layout: LayoutDefinition,
+                    opA: CellOp, opB: CellOp): (RasterLayer, RasterLayer) = {
+    val tl = layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val keyed = cells.select(
+      (col("x") / tc).cast("int").as("col"),
+      (col("y") / tr).cast("int").as("row"),
+      ((col("y") % tr) * tc + (col("x") % tc)).cast("int").as("off"),
+      col("va").cast("double").as("va"),
+      col("vb").cast("double").as("vb"))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Double)]()
+    val aggA = udaf(new TileBuildAgg(tl.tileSize, opA), enc)
+    val aggB = udaf(new TileBuildAgg(tl.tileSize, opB), enc)
+    val df = keyed.groupBy("col", "row")
+      .agg(aggA(col("off"), col("va")).as("tile"),
+           aggB(col("off"), col("vb")).as("btile"))
+      .localCheckpoint()
+    (new RasterLayer(df.select(col("col"), col("row"), col("tile")), LayerMetadata(layout)),
+     new RasterLayer(df.select(col("col"), col("row"), col("btile").as("tile")), LayerMetadata(layout)))
   }
 
   /** Temporal variant: cells `(x, y, instant, v)`. */
