@@ -226,15 +226,32 @@ object Distance {
                distance: Option[RasterLayer] = None): DataFrame = {
     val spark = friction.spark
     import spark.implicits._
+    // r20: pin the friction tiles — the cost-distance fixpoint AND the
+    // reach join both consume them (each re-ran the upstream build +
+    // normalize before)
+    val fr = friction.copy(df = friction.df.localCheckpoint())
     // reuse a caller-supplied cost-distance layer (e.g. when the same
     // analysis also materializes costDistanceTiled) instead of paying
     // the whole fixpoint a second time
-    val dist = distance.getOrElse(costDistanceTiled(friction, sources, maxRounds, maxCost))
-    val gridCols = friction.meta.layout.tileLayout.totalCols
-    val reachDf = dist.toCells.as("d")
-      .join(friction.toCells.as("f"),
-        col("d.x") === col("f.x") && col("d.y") === col("f.y"))
-      .select(col("d.x"), col("d.y"), col("d.v").as("d"), col("f.v").as("f"))
+    val dist = distance.getOrElse(costDistanceTiled(fr, sources, maxRounds, maxCost))
+    val tl = fr.meta.layout.tileLayout
+    val (tc, tr) = (tl.tileCols, tl.tileRows)
+    val gridCols = tl.totalCols
+    // tile-aligned join + per-tile zip (r20): dist and friction tiles
+    // are co-keyed on (col, row), so joining TILES and exploding once
+    // replaces the old per-cell double explode + cell-keyed shuffle —
+    // same (x, y, d, f) rows (toCells' exact coordinate arithmetic)
+    val reachDf = dist.df.select(col("col").as("_tc"), col("row").as("_tr"),
+        col("tile").as("_d"))
+      .join(fr.df.select(col("col").as("_tc"), col("row").as("_tr"),
+        col("tile").as("_f")), Seq("_tc", "_tr"))
+      .select(col("_tc"), col("_tr"),
+        posexplode(arrays_zip(col("_d"), col("_f"))).as(Seq("off", "z")))
+      .where(!isnan(col("z._d")) && !isnan(col("z._f")))
+      .select(
+        (col("_tc").cast("long") * tc + col("off") % tc).as("x"),
+        (col("_tr").cast("long") * tr + floor(col("off") / tc).cast("long")).as("y"),
+        col("z._d").as("d"), col("z._f").as("f"))
       .localCheckpoint() // one compute: counted for the guard, then collected
     // guard BEFORE materializing on the driver — count() keeps the
     // reachable set distributed, so an over-guard disk routes to the
@@ -328,6 +345,9 @@ object Distance {
       .localCheckpoint()
     var done = false
     var rounds = 0
+    // carry the frontier's size across rounds instead of re-counting
+    // the previous checkpoint every round (r20: one fewer job/round)
+    var frontierCnt = frontier.count()
     while (!done && rounds < 48) { // 2^48 hops: unreachable backstop
       val added = frontier.join(jump, frontier("node") === jump("u"))
         .select(jump("anc").as("node"), (frontier("seq") + jump("len")).as("seq"))
@@ -335,8 +355,10 @@ object Distance {
       val grown = frontier.unionByName(added)
         .groupBy("node").agg(min("seq").as("seq"))
         .localCheckpoint()
-      done = grown.count() == frontier.count()
+      val grownCnt = grown.count()
+      done = grownCnt == frontierCnt
       frontier = grown
+      frontierCnt = grownCnt
       if (!done) {
         jump = jump.as("a").join(jump.as("b"), col("a.anc") === col("b.u"))
           .select(col("a.u").as("u"), col("b.anc").as("anc"),
@@ -361,9 +383,12 @@ object Distance {
     * tiled Dijkstra passes + one local add, so every scale property
     * of [[costDistanceTiled]] carries over unchanged. */
   def corridor(friction: RasterLayer, sourcesA: DataFrame, sourcesB: DataFrame,
-               maxCost: Double = Double.PositiveInfinity): RasterLayer =
-    costDistanceTiled(friction, sourcesA, maxCost = maxCost) +
-      costDistanceTiled(friction, sourcesB, maxCost = maxCost)
+               maxCost: Double = Double.PositiveInfinity): RasterLayer = {
+    // r20: pin the friction tiles — both Dijkstra passes seed from them
+    val fr = friction.copy(df = friction.df.localCheckpoint())
+    costDistanceTiled(fr, sourcesA, maxCost = maxCost) +
+      costDistanceTiled(fr, sourcesB, maxCost = maxCost)
+  }
 
   def costDistanceTiled(friction: RasterLayer, sources: DataFrame,
                         maxRounds: Int = 64,

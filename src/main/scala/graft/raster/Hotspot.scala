@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   * the focal machinery's.
   */
 object Hotspot {
+  /** Pin the layer's tiles before fan-out (r20 optimization round):
+    * every statistic here consumes the layer from 3-4 plan branches
+    * (value focal, presence focal, raw cells, global moments), and
+    * the per-call TileBuildAgg instances defeat ReuseExchange — each
+    * branch re-ran the whole upstream scan+shuffle (q_lisa_quadrant's
+    * plan held FOUR separate parquet scans). One materialization,
+    * identical values. */
+  private def pin(l: RasterLayer): RasterLayer =
+    l.copy(df = l.df.localCheckpoint())
+
   /** Per-cell (x, y, v, sw, k): value, 3x3 sum incl center, 3x3
     * present-cell count incl center. */
   private def focalPieces(l: RasterLayer): DataFrame = {
@@ -51,7 +61,8 @@ object Hotspot {
     * Gi* = (Sw·n − S·k) / sqrt((SS·n − S²)·(k·n − k²)/(n−1)).
     * Both factors under the sqrt and the numerator are exact
     * integer-valued doubles; the quotient is raw (unrounded). */
-  def getisOrdGi(l: RasterLayer): DataFrame = {
+  def getisOrdGi(l0: RasterLayer): DataFrame = {
+    val l = pin(l0)
     val df = withGlobal(l, focalPieces(l))
     val num = col("sw") * col("n") - col("s") * col("k")
     val den2 = (col("ss") * col("n") - col("s") * col("s")) *
@@ -71,7 +82,8 @@ object Hotspot {
     * Both numerator factors are exact integer-valued doubles, so the
     * single multiply + single divide are bit-identical across engines;
     * the quotient is raw (unrounded). */
-  def localMoran(l: RasterLayer): DataFrame = {
+  def localMoran(l0: RasterLayer): DataFrame = {
+    val l = pin(l0)
     val df = withGlobal(l, focalPieces(l))
     val num1 = col("v") * col("n") - col("s")
     val num2 = (col("sw") - col("v")) * col("n") -
@@ -107,7 +119,8 @@ object Hotspot {
     *
     * Scale: the focal machinery's halo exchange + one all-partial
     * aggregate; nothing grows with cell count beyond the scan. */
-  def globalMoran(l: RasterLayer): DataFrame = {
+  def globalMoran(l0: RasterLayer): DataFrame = {
+    val l = pin(l0)
     val df = withGlobal(l, focalPieces(l))
     val prod = (col("v") * col("n") - col("s")).cast(dec18) *
       ((col("sw") - col("v")) * col("n") - (col("k") - lit(1.0)) * col("s"))
@@ -134,7 +147,8 @@ object Hotspot {
     * products n·(n−1) and 2W are exact, E and SS·n−S² are one
     * decimal→double cast each, then two IEEE multiplies + one divide.
     * One row: (n, w, geary_c raw). */
-  def gearyC(l: RasterLayer): DataFrame = {
+  def gearyC(l0: RasterLayer): DataFrame = {
+    val l = pin(l0)
     val sq = l.localMap(c => c * c).focal(Neighborhood.Square(1), "Sum")
       .toCells.withColumnRenamed("v", "sq")
     val df = withGlobal(l, focalPieces(l).join(sq, Seq("x", "y")))
@@ -158,7 +172,8 @@ object Hotspot {
     * m2 = (SS·n − S²)/n², so cᵢ = Eᵢ·n·n / (SS·n − S²) — a fixed-order
     * IEEE DAG on exact integer inputs (intermediates may round, but
     * identically in both engines; the Gi* precedent). Raw doubles. */
-  def localGeary(l: RasterLayer): DataFrame = {
+  def localGeary(l0: RasterLayer): DataFrame = {
+    val l = pin(l0)
     val sq = l.localMap(c => c * c).focal(Neighborhood.Square(1), "Sum")
       .toCells.withColumnRenamed("v", "sq")
     val df = withGlobal(l, focalPieces(l).join(sq, Seq("x", "y")))
@@ -175,7 +190,8 @@ object Hotspot {
     * exactly zero). Signs come from the exact integers v·n − S
     * (own deviation ×n) and (Sw−v)·n − (k−1)·S (neighbor-sum
     * deviation ×n) — no division, no float, no quantization. */
-  def lisaQuadrants(l: RasterLayer): DataFrame = {
+  def lisaQuadrants(l0: RasterLayer): DataFrame = {
+    val l = pin(l0)
     val df = withGlobal(l, focalPieces(l))
     val own = col("v") * col("n") - col("s")
     val nbr = (col("sw") - col("v")) * col("n") -
@@ -307,7 +323,8 @@ object Hotspot {
     * grid's magnitudes is NOT guaranteed — so it runs in DECIMAL like
     * the Moran numerator); denominator = S² − SS, exact in
     * DECIMAL(18,0)². One row: (n, w, general_g raw). */
-  def generalG(l: RasterLayer): DataFrame = {
+  def generalG(l0: RasterLayer): DataFrame = {
+    val l = pin(l0)
     val df = withGlobal(l, focalPieces(l))
     val prod = col("v").cast(dec18) *
       (col("sw") - col("v")).cast(dec18)
@@ -368,7 +385,8 @@ object Hotspot {
     * black ends (halved), each BW edge exactly once from its black
     * end. Pure integer outputs, zero float anywhere. One row:
     * (n_black, n_white, bb, ww, bw, joins). */
-  def joinCounts(l: RasterLayer): DataFrame = {
+  def joinCounts(l0: RasterLayer): DataFrame = {
+    val l = pin(l0)
     val swb = l.localMap(c => pmod(c, lit(2.0)))
       .focal(Neighborhood.Square(1), "Sum").toCells
       .withColumnRenamed("v", "swb")

@@ -28,8 +28,12 @@ object Texture {
   /** Pooled symmetric GLCM: (gi, gj, cnt) over ordered queen-adjacent
     * cell pairs, g = value mod `levels`. */
   def glcm(l: RasterLayer, levels: Int = 16): DataFrame = {
+    // r20: pin — the center side and all 8 shifted neighbor branches
+    // consume the same cells; unpinned, each branch re-ran the whole
+    // layer build (TileBuildAgg instances defeat ReuseExchange)
     val cells = l.toCells.select(col("x"), col("y"),
       pmod(col("v").cast("long"), lit(levels.toLong)).as("g"))
+      .localCheckpoint()
     val offs = Seq((1, 0), (0, 1), (1, 1), (1, -1),
       (-1, 0), (0, -1), (-1, -1), (-1, 1))
     val nbrs = offs.map { case (dx, dy) =>
