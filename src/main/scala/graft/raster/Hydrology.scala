@@ -201,24 +201,41 @@ object Hydrology {
     // full n-row count table never re-groups per round (only the
     // shrinking per-round contributions checkpoint; ≤ ceil(log2 D)
     // parts ever exist). One final groupBy merges everything.
-    var jump = edge.select(col("from").as("v"), col("to").as("a")).localCheckpoint()
+    // row counts ride each checkpoint's own materialization pass as
+    // accumulators (r20): the old isEmpty probes were one extra job
+    // each per round. Emptiness via accumulator is EXACT — an empty
+    // frame counts 0 under any retry, a nonempty one counts > 0.
+    def ckptCounted(df: DataFrame, name: String): (DataFrame, Boolean) = {
+      val acc = spark.sparkContext.longAccumulator(name)
+      val cols = df.columns
+      val out = df.as[(Long, Long)]
+        .mapPartitions(it => it.map { t => acc.add(1); t })
+        .toDF(cols: _*).localCheckpoint()
+      (out, acc.value == 0)
+    }
+    var (jump, jumpEmpty) = ckptCounted(
+      edge.select(col("from").as("v"), col("to").as("a")), "graft_fa_jump0")
     val cntParts = scala.collection.mutable.ListBuffer[DataFrame](
       edge.groupBy(col("to").as("id"))
         .agg(count(lit(1)).cast("long").as("cnt")).localCheckpoint())
     var span = 1L
     var round = 0
-    while (!jump.isEmpty) {
+    while (!jumpEmpty) {
       require(round < 64 && span <= maxSteps0,
         s"flowAccumulation: paths longer than $maxSteps0 steps — raise maxSteps " +
         "(or the flow graph has a cycle, which strict-descent D8 cannot produce)")
       val cntU = cntParts.reduce(_ unionByName _)
-      val up = jump.join(cntU, jump("v") === cntU("id"))
-        .groupBy(col("a").as("id")).agg(sum("cnt").cast("long").as("cnt"))
-        .localCheckpoint()
-      if (!up.isEmpty) cntParts += up
-      jump = jump.as("p").join(jump.as("q"), col("p.a") === col("q.v"))
-        .select(col("p.v").as("v"), col("q.a").as("a"))
-        .localCheckpoint()
+      val (up, upEmpty) = ckptCounted(
+        jump.join(cntU, jump("v") === cntU("id"))
+          .groupBy(col("a").as("id")).agg(sum("cnt").cast("long").as("cnt")),
+        s"graft_fa_up_$round")
+      if (!upEmpty) cntParts += up
+      val (j2, e2) = ckptCounted(
+        jump.as("p").join(jump.as("q"), col("p.a") === col("q.v"))
+          .select(col("p.v").as("v"), col("q.a").as("a")),
+        s"graft_fa_jump_${round + 1}")
+      jump = j2
+      jumpEmpty = e2
       span *= 2
       round += 1
     }
@@ -291,12 +308,21 @@ object Hydrology {
     while (!done) {
       require(round < 64, "watershed: pointer doubling exceeded 64 rounds — " +
         "the flow graph has a cycle, which strict-descent D8 cannot produce")
-      val j = succ.as("a").join(succ.as("b"), col("a.nxt") === col("b.id"))
+      // changed-pointer count rides the checkpoint materialization as
+      // an accumulator (r20): the old j.where(chg).isEmpty was a
+      // second job per round. Retries only inflate -> at worst one
+      // extra (idempotent) round; zero is a real fixpoint.
+      val chgAcc = spark.sparkContext.longAccumulator(s"graft_ws_chg_$round")
+      succ = succ.as("a").join(succ.as("b"), col("a.nxt") === col("b.id"))
         .select(col("a.id").as("id"), col("b.nxt").as("nxt"),
           (col("a.nxt") =!= col("b.nxt")).as("chg"))
+        .as[(Long, Long, Boolean)]
+        .mapPartitions { it =>
+          it.map { case (i, n, c) => if (c) chgAcc.add(1); (i, n) }
+        }
+        .toDF("id", "nxt")
         .localCheckpoint()
-      done = j.where(col("chg")).isEmpty
-      succ = j.select("id", "nxt")
+      done = chgAcc.value == 0
       round += 1
     }
     dirs.join(succ, id === succ("id"))
@@ -362,13 +388,20 @@ object Hydrology {
     while (!done) {
       require(round < 64, "flowLength: pointer doubling exceeded 64 rounds — " +
         "the flow graph has a cycle, which strict-descent D8 cannot produce")
-      val j = succ.as("a").join(succ.as("b"), col("a.nxt") === col("b.id"))
+      // changed-pointer count rides the checkpoint materialization
+      // (r20, see watershed) — one job per round instead of two
+      val chgAcc = spark.sparkContext.longAccumulator(s"graft_fl_chg_$round")
+      succ = succ.as("a").join(succ.as("b"), col("a.nxt") === col("b.id"))
         .select(col("a.id").as("id"), col("b.nxt").as("nxt"),
           (col("a.dq") + col("b.dq")).as("dq"),
           (col("a.nxt") =!= col("b.nxt")).as("chg"))
+        .as[(Long, Long, Long, Boolean)]
+        .mapPartitions { it =>
+          it.map { case (i, n, d, c) => if (c) chgAcc.add(1); (i, n, d) }
+        }
+        .toDF("id", "nxt", "dq")
         .localCheckpoint()
-      done = j.where(col("chg")).isEmpty
-      succ = j.select("id", "nxt", "dq")
+      done = chgAcc.value == 0
       round += 1
     }
     dirs.join(succ, id === succ("id"))
@@ -436,7 +469,6 @@ object Hydrology {
     val maxRounds0 = if (maxRounds > 0) maxRounds
       else math.min(gridCols * gridRows, Int.MaxValue.toLong).toInt
     var ord = ids.select(col("id"), lit(1L).as("ord")).localCheckpoint()
-    var prevSum = -1L
     var round = 0
     var done = false
     while (!done) {
@@ -449,12 +481,25 @@ object Hydrology {
         .agg(max(struct(col("ord"), col("k"))).as("mk"))
         .select(col("id"),
           when(col("mk.k") >= 2, col("mk.ord") + 1).otherwise(col("mk.ord")).as("o2"))
-      ord = ids.join(mk, Seq("id"), "left")
-        .select(col("id"), coalesce(col("o2"), lit(1L)).as("ord"))
+      // convergence rides the checkpoint's own materialization pass as
+      // an accumulator (r20, the costDistanceTiled discipline — the
+      // old per-round sum() aggregate was a second job over the full
+      // ord table). Task retries can only INFLATE the count: a
+      // spurious nonzero costs one extra round, a zero is a real
+      // fixpoint (every partition ran at least once). Joining the OLD
+      // ord instead of ids changes nothing: ord covers every id, and
+      // mk-less cells held ord 1 already.
+      val chgAcc = spark.sparkContext.longAccumulator(s"graft_so_chg_$round")
+      ord = ord.join(mk, Seq("id"), "left")
+        .select(col("id"), col("ord").as("oord"),
+          coalesce(col("o2"), lit(1L)).as("nord"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (i, o, n) => if (n != o) chgAcc.add(1); (i, n) }
+        }
+        .toDF("id", "ord")
         .localCheckpoint()
-      val s = ord.agg(sum("ord")).as[Long].head()
-      done = s == prevSum
-      prevSum = s
+      done = chgAcc.value == 0
       round += 1
     }
     dirs.join(ord, id === ord("id"))

@@ -158,7 +158,11 @@ object DelaunayDist {
     var active = bucketed
       .select(col("cid").as("id"), col("clx").as("lx"), col("cly").as("ly"),
         col("cbx").as("bx"), col("cby").as("by"))
-    var out = spark.emptyDataset[(Long, Long, Long)].toDF("a", "b", "c")
+    // per-round triangle batches collect as checkpointed PARTS and
+    // union once at the end (r20, the flowAccumulation cntParts
+    // discipline) — re-checkpointing the growing `out` union each
+    // round was one extra materialization job per ring expansion
+    val outParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var k = 1L
     var remaining = n
     while (remaining > 0) {
@@ -203,17 +207,18 @@ object DelaunayDist {
         }
         .toDF("id", "lx", "ly", "bx", "by", "done", "tris")
         .localCheckpoint()
-      out = out.unionByName(
-        processed.where(col("done"))
-          .select(explode(col("tris")).as("t"))
-          .select(col("t._1").as("a"), col("t._2").as("b"), col("t._3").as("c")))
-        .localCheckpoint()
+      outParts += processed.where(col("done"))
+        .select(explode(col("tris")).as("t"))
+        .select(col("t._1").as("a"), col("t._2").as("b"), col("t._3").as("c"))
       active = processed.where(!col("done"))
         .select("id", "lx", "ly", "bx", "by")
       remaining = active.count()
       k *= 2
     }
-    out
+    // parts read the per-round `processed` checkpoints, so the union
+    // is a cheap fan-in, not a recompute
+    if (outParts.isEmpty) spark.emptyDataset[(Long, Long, Long)].toDF("a", "b", "c")
+    else outParts.reduce(_ unionByName _)
   }
 
   /** Delaunay neighbor pairs from [[triangulate]]'s output: one row
