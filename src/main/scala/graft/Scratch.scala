@@ -12,6 +12,7 @@ object Scratch {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("AQE", "true"))
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -66,6 +67,80 @@ object Scratch {
       println(f"TIMING stress16x ${(System.nanoTime() - t0) / 1e9}%.2f s ($out rows)")
       spark.stop(); return
     }
+    if (args.lift(1).contains("plandump")) {
+      // write formatted plans to plans/r21/<name>_<suffix>.txt (judge
+      // evidence). NOTE: for iterative operators the declared frame is
+      // the post-loop stage; job counts (JOBS=1 runs) evidence the loop
+      // itself.
+      val suffix = args(2)
+      args.drop(3).foreach { n =>
+        try {
+          val df = SparkEntry.queries(n)(spark, dir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          val p = java.nio.file.Paths.get(s"plans/r21/${n}_$suffix.txt")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, plan.getBytes("UTF-8"))
+          println(s"PLAN $n -> $p")
+        } catch { case e: Throwable => println(s"PLAN $n FAILED: ${e.getMessage}") }
+      }
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("cdprofile")) {
+      import org.apache.spark.sql.functions._
+      // per-job timing: submitted->end wall plus job count per phase
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+      var jobCount = 0
+      var jobWall = 0L
+      val durs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(js.jobId, (System.nanoTime(), js.stageInfos.size))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val v = jobs.remove(je.jobId)
+          if (v != null) {
+            jobCount += 1; jobWall += System.nanoTime() - v._1
+            durs.add(f"${(System.nanoTime() - v._1) / 1e6}%.0f/${v._2}")
+          }
+        }
+      })
+      def t[A](label: String)(f: => A): A = {
+        jobCount = 0; jobWall = 0L; durs.clear()
+        val t0 = System.nanoTime(); val r = f
+        Thread.sleep(200) // let listener events drain
+        import scala.jdk.CollectionConverters._
+        println(f"TIMING $label ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"jobs=$jobCount jobwall=${jobWall / 1e9}%.2f s " +
+          s"[ms/stages: ${durs.asScala.mkString(" ")}]")
+        r
+      }
+      (1 to 2).foreach { i =>
+        val fr0 = t(s"build+normalize_$i") {
+          val l = GridSource.lineitemLayer(spark, dir).normalize(1.0, 10.0)
+          val p = l.copy(df = l.df.localCheckpoint())
+          p.df.write.format("noop").mode("overwrite").save(); p
+        }
+        val pts = GridSource.supplierPoints(spark, dir)
+        val dist = t(s"costDistanceTiled_$i") {
+          val d = raster.Distance.costDistanceTiled(fr0, pts,
+            maxCost = SparkEntry.CostDistanceMaxCost)
+          d.df.write.format("noop").mode("overwrite").save(); d
+        }
+        t(s"backtrack_dist_$i") {
+          raster.Distance.costPath(fr0, pts,
+            maxCost = SparkEntry.CostDistanceMaxCost, maxDriverCells = 0,
+            distance = Some(dist))
+            .write.format("noop").mode("overwrite").save()
+        }
+        t(s"backtrack_driver_$i") {
+          raster.Distance.costPath(fr0, pts,
+            maxCost = SparkEntry.CostDistanceMaxCost,
+            distance = Some(dist))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("cubicprofile")) {
       def t[A](label: String)(f: => A): A = {
         val t0 = System.nanoTime(); val r = f
@@ -90,7 +165,22 @@ object Scratch {
       spark.stop(); return
     }
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // per-query job count (JOBS=1): how much of a query is fixed
+    // scheduling overhead vs compute — the r21 job-count diagnosis
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    @volatile var jobCount = 0
+    @volatile var jobWall = 0L
+    if (sys.env.contains("JOBS"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(js.jobId, System.nanoTime())
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobs.remove(je.jobId)
+          if (t0 != 0L) { jobCount += 1; jobWall += System.nanoTime() - t0 }
+        }
+      })
     names.foreach { n =>
+      jobCount = 0; jobWall = 0L
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(n)(spark, dir)
@@ -100,7 +190,11 @@ object Scratch {
         val cnt =
           if (sys.env.contains("NOOP")) { df.write.format("noop").mode("overwrite").save(); -1L }
           else df.count()
-        println(f"TIMING $n ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)")
+        val extra = if (sys.env.contains("JOBS")) {
+          Thread.sleep(200)
+          f" jobs=$jobCount jobwall=${jobWall / 1e9}%.2f s"
+        } else ""
+        println(f"TIMING $n ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)$extra")
       } catch {
         case e: Throwable =>
           println(f"TIMING $n FAILED ${(System.nanoTime() - t0) / 1e9}%.2f s: ${e.getMessage.take(200)}")

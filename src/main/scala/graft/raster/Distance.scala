@@ -252,13 +252,18 @@ object Distance {
         (col("_tc").cast("long") * tc + col("off") % tc).as("x"),
         (col("_tr").cast("long") * tr + floor(col("off") / tc).cast("long")).as("y"),
         col("z._d").as("d"), col("z._f").as("f"))
+      // linear id computed before the pin so the distributed backtrack
+      // consumes the SAME checkpointed rows (r21: it re-checkpointed a
+      // projection of this frame before — one extra materialization)
+      .withColumn("id", col("y") * gridCols + col("x"))
       .localCheckpoint() // one compute: counted for the guard, then collected
     // guard BEFORE materializing on the driver — count() keeps the
     // reachable set distributed, so an over-guard disk routes to the
     // distributed backtrack instead of OOMing the driver collect.
     val nReach = reachDf.count()
-    if (nReach > maxDriverCells) return costPathDistributed(reachDf, gridCols)
-    val reach = reachDf.as[(Long, Long, Double, Double)].collect()
+    if (nReach > maxDriverCells) return costPathDistributed(reachDf, gridCols, nReach)
+    val reach = reachDf.select(col("x"), col("y"), col("d"), col("f"))
+      .as[(Long, Long, Double, Double)].collect()
     val byId = reach.map { case (x, y, d, f) => (y * gridCols + x) -> (x, y, d, f) }.toMap
     if (byId.isEmpty)
       return Seq.empty[(Long, Long, Long, Long)].toDF("seq", "x", "y", "v_u")
@@ -318,56 +323,125 @@ object Distance {
     * The per-step argmin states the EXACT driver-walk comparison
     * ((key, nid) lexicographic min over the same IEEE key doubles),
     * so the emitted path is row-identical to the collected walk. */
-  private def costPathDistributed(reach: DataFrame, gridCols: Long): DataFrame = {
-    val spark = reach.sparkSession
+  private def costPathDistributed(cells: DataFrame, gridCols: Long,
+                                  nReach: Long): DataFrame = {
+    val spark = cells.sparkSession
     import spark.implicits._
     val Sqrt2 = math.sqrt(2.0)
-    val cells = reach.select(col("x"), col("y"), col("d"), col("f"))
-      .withColumn("id", col("y") * gridCols + col("x"))
-      .localCheckpoint() // feeds next-hop join (twice), dest, and the closing join
+    // cells (x, y, d, f, id) arrive PINNED from the caller — every
+    // consumer below (8 shift branches, dest, closing join) scans the
+    // checkpointed RDD
     val offs = for { dy <- -1 to 1; dx <- -1 to 1 if dx != 0 || dy != 0 } yield (dx, dy)
     val nbrs = offs.map { case (dx, dy) =>
       val step = if (dx == 0 || dy == 0) 1.0 else Sqrt2
       cells.select((col("x") - dx).as("x"), (col("y") - dy).as("y"),
         col("d").as("nd"), col("id").as("nid"), lit(step).as("step"))
     }.reduce(_ unionAll _)
+    // ONE shuffle: the join keys (x, y) determine u = y*gridCols + x
+    // bijectively, so aggregating on (x, y) reuses the join's own
+    // exchange (r21: the old groupBy(u) re-shuffled the joined rows)
     val next = cells.where(col("d") > 0.0)
       .join(nbrs, Seq("x", "y"))
-      .select(col("id").as("u"),
-        struct((col("nd") + col("step") * col("f")).as("key"),
-          col("nid").as("nid")).as("cand"))
-      .groupBy("u").agg(min("cand").as("cand"))
-      .select(col("u"), col("cand.nid").as("anc"))
-    var frontier = cells.orderBy(col("d").desc, col("id").asc).limit(1)
-      .select(col("id").as("node"), lit(0L).as("seq"))
-      .localCheckpoint()
-    var jump = next.select(col("u"), col("anc"), lit(1L).as("len"))
-      .localCheckpoint()
+      .groupBy("x", "y")
+      .agg(min(struct((col("nd") + col("step") * col("f")).as("key"),
+        col("nid").as("nid"))).as("cand"))
+      .select((col("y") * gridCols + col("x")).as("u"), col("cand.nid").as("anc"))
+    // dest is ONE row — collect it so round 1's frontier is a local
+    // relation (zero-job scans) instead of a checkpointed frame
+    val destRow = cells.orderBy(col("d").desc, col("id").asc).limit(1)
+      .select(col("id")).as[Long].take(1)
+    if (destRow.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)].toDF("seq", "x", "y", "v_u")
+    // r21 (guide §8 — the Pregel shape, same as costDistanceTiled's
+    // loop): frontier and jump live as KEYED RDDs under one sticky
+    // HashPartitioner, so the per-round frontier probe is a NARROW
+    // co-partitioned join (zero shuffle on both sides), the grown
+    // frontier is a partitioner-aware union (narrow), and only the
+    // doubling re-key of the jump table shuffles. Each round is one
+    // job with no SQL planning/codegen. Per-step values are the same
+    // (anc, seq + len) longs the old DataFrame joins produced.
+    // partitions derived from the KNOWN reach size (~24 B/row, target
+    // ~1M rows / ~24 MB per partition): a 50k-row disk runs 1-task
+    // stages instead of 32, a 100 TB disk still gets one partition per
+    // ~24 MB — scale-adaptive, not tuned to either local mode or the
+    // cluster (guide §2.2/§2.5)
+    val part = new org.apache.spark.HashPartitioner(
+      math.min(1L << 20, (nReach >> 20) + 1L).toInt)
+    var jump: org.apache.spark.rdd.RDD[(Long, (Long, Long))] =
+      next.as[(Long, Long)].rdd
+        .map { case (u, anc) => (u, (anc, 1L)) }
+        .partitionBy(part)
+    jump.localCheckpoint()
+    var frontier: org.apache.spark.rdd.RDD[(Long, Long)] =
+      spark.sparkContext.parallelize(Seq((destRow.head, 0L)), 1).partitionBy(part)
+    frontier.localCheckpoint()
+    var frontierRows = 1L
     var done = false
     var rounds = 0
-    // carry the frontier's size across rounds instead of re-counting
-    // the previous checkpoint every round (r20: one fewer job/round)
-    var frontierCnt = frontier.count()
     while (!done && rounds < 48) { // 2^48 hops: unreachable backstop
-      val added = frontier.join(jump, frontier("node") === jump("u"))
-        .select(jump("anc").as("node"), (frontier("seq") + jump("len")).as("seq"))
-      // chain nodes have a unique hop count; min() is pure dedup
-      val grown = frontier.unionByName(added)
-        .groupBy("node").agg(min("seq").as("seq"))
-        .localCheckpoint()
-      val grownCnt = grown.count()
-      done = grownCnt == frontierCnt
+      // TWO doubling steps ride each materialization. Invariant:
+      // entering with frontier = chain nodes at < 2^k hops and jump =
+      // exact 2^k jumps, step A adds the nodes at [2^k, 2^{k+1}) and
+      // step B — probing with the squared table — those at [2^{k+1},
+      // 2^{k+2}): each such node factors uniquely through its ancestor
+      // 2^{k+1} hops below, which step A just completed. Added nodes
+      // have distinct hop counts, so the unions need no dedup, and
+      // emptiness via accumulator is exact (an empty frame counts 0
+      // under any retry; inflation only pads frontierRows, at worst
+      // triggering the exact cycle re-count below). The chain is
+      // contiguous, so no nodes past an empty step B exist: done =
+      // step B empty.
+      val acc1 = spark.sparkContext.longAccumulator(s"graft_cp_add_$rounds")
+      val acc2 = spark.sparkContext.longAccumulator(s"graft_cp_add_${rounds + 1}")
+      val added1 = frontier.join(jump, part) // narrow: co-partitioned
+        .map { case (_, (seq, (anc, len))) => acc1.add(1); (anc, seq + len) }
+        .partitionBy(part)
+      val f2 = frontier.union(added1) // partitioner-aware: narrow
+      // J_{k+1} = J_k o J_k: re-key by ancestor (one shuffle), compose
+      // narrow, re-key back to the node; cached for step B AND the
+      // next iteration
+      val jump2 = jump
+        .map { case (u, (anc, len)) => (anc, (u, len)) }
+        .partitionBy(part)
+        .join(jump, part) // narrow: both sides co-partitioned
+        .map { case (_, ((u, len), (anc2, len2))) => (u, (anc2, len + len2)) }
+        .partitionBy(part)
+      jump2.localCheckpoint()
+      val added2 = f2.join(jump2, part) // narrow
+        .map { case (_, (seq, (anc, len))) => acc2.add(1); (anc, seq + len) }
+        .partitionBy(part)
+      val grown = f2.union(added2) // narrow
+      grown.localCheckpoint()
+      grown.count() // eager: runs both steps and fills the accumulators
+      done = acc2.value == 0
+      frontierRows += acc1.value + acc2.value
       frontier = grown
-      frontierCnt = grownCnt
-      if (!done) {
-        jump = jump.as("a").join(jump.as("b"), col("a.anc") === col("b.u"))
-          .select(col("a.u").as("u"), col("b.anc").as("anc"),
-            (col("a.len") + col("b.len")).as("len"))
-          .localCheckpoint()
+      // the next iteration's frontier spans < 2^{k+2} hops, so it
+      // needs 2^{k+2} jumps: square AGAIN (lazy — never materialized
+      // when this was the last iteration)
+      val jump4 = jump2
+        .map { case (u, (anc, len)) => (anc, (u, len)) }
+        .partitionBy(part)
+        .join(jump2, part)
+        .map { case (_, ((u, len), (anc2, len2))) => (u, (anc2, len + len2)) }
+        .partitionBy(part)
+      jump4.localCheckpoint()
+      jump = jump4
+      if (frontierRows > nReach) {
+        // a simple path visits each reachable cell at most once — more
+        // nodes means a zero-friction cycle in the next-hop chain.
+        // Accumulator inflation could fake this, so confirm with one
+        // exact count before failing loudly (the driver walk's guard).
+        val exact = frontier.count()
+        require(exact <= nReach,
+          s"cost-path backtrack exceeded the $nReach reachable cells — " +
+            "zero-friction cycle in the next-hop chain")
+        frontierRows = exact
       }
-      rounds += 1
+      rounds += 2
     }
-    frontier.join(cells, frontier("node") === cells("id"))
+    frontier.toDF("node", "seq")
+      .join(cells, col("node") === cells("id"))
       .select(col("seq"), col("x"), col("y"),
         // micro-quantized BIGINT closing (the CLAUDE.md r16 rule:
         // never emit round(x, k) DOUBLE columns — integer rounding of
@@ -408,7 +482,9 @@ object Distance {
       .withColumn("off", ((col("y") % tr) * tc + (col("x") % tc)).cast("int"))
       .groupBy("scol", "srow").agg(collect_list("off").as("offs"))
 
-    var state = friction.df
+    // consumed exactly once (by the round-0 RDD conversion below), so
+    // no pin needed (r21: the old loop read it from a checkpoint)
+    val state = friction.df
       .join(srcCells,
         friction.df("col") === srcCells("scol") && friction.df("row") === srcCells("srow"),
         "left_outer")
@@ -421,7 +497,6 @@ object Distance {
         (c, r, fr, dist.toSeq)
       }
       .toDF("col", "row", "friction", "dist")
-      .localCheckpoint()
 
     /** Dijkstra to fixpoint within one tile from the given seeds;
       * returns improved dist and the set of changed offsets. */
@@ -464,95 +539,111 @@ object Distance {
     }
 
     // round 0: settle each tile internally from its sources; `dirty`
-    // marks tiles whose borders changed (only they emit halos)
-    var state2 = state
-      .as[(Int, Int, Seq[Double], Seq[Double])]
+    // marks tiles whose borders changed (only they emit halos).
+    //
+    // r21 (guide §8 — the Pregel shape): the halo loop runs on a KEYED
+    // RDD under a sticky HashPartitioner, so the tile state cogroups
+    // with the halo WITHOUT re-shuffling (only the O(changed tiles x
+    // perimeter) halo rows move each round), each round is ONE job
+    // with no per-round SQL planning/codegen and no encoder round-trip
+    // of the tile arrays, and the convergence probe rides the
+    // checkpoint materialization as an accumulator exactly as before.
+    // Arithmetic is byte-identical: the same relax + localDijkstra
+    // code runs on the same arrays in the same order — only the
+    // carrier (RDD vs Dataset) changed, and relax order was already
+    // immaterial (each candidate min-folds independently).
+    val nParts = math.max(1,
+      math.min(spark.sparkContext.defaultParallelism.toLong, lc.toLong * lr).toInt)
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    var rdd = state.as[(Int, Int, Seq[Double], Seq[Double])].rdd
       .map { case (c, r, frS, distS) =>
         val fr = frS.toArray; val dist = distS.toArray
         val seeds = dist.indices.filter(o => !dist(o).isNaN)
         val dirty =
           if (seeds.isEmpty) false
           else { localDijkstra(fr, dist, seeds); true }
-        (c, r, frS, dist.toSeq, dirty)
+        ((c, r), (fr, dist, dirty))
       }
-      .toDF("col", "row", "friction", "dist", "dirty")
-      .localCheckpoint()
+      .partitionBy(part)
+    rdd.localCheckpoint()
+    rdd.count()
 
-    // halo rounds: dirty tiles ship border candidates; receivers rerun
-    // Dijkstra from improved cells; an accumulator decides convergence
-    // without an extra per-round count job
     var round = 0
     var active = true
     while (active && round < maxRounds) {
       val improvedAcc = spark.sparkContext.longAccumulator(s"graft_cd_improved_$round")
-      val halo = state2.as[(Int, Int, Seq[Double], Seq[Double], Boolean)]
-        .flatMap { case (c, r, _, distS, dirty) =>
-          if (!dirty) Iterator.empty
-          else {
-            val dist = distS.toArray
-            val out = mutable.ArrayBuffer.empty[(Int, Int, Int, Double, Double)]
-            var o = 0
-            while (o < dist.length) {
-              val d = dist(o)
-              if (!d.isNaN) {
-                val cx = o % tc; val cy = o / tc
-                if (cx == 0 || cx == tc - 1 || cy == 0 || cy == tr - 1) {
-                  var dy = -1
-                  while (dy <= 1) {
-                    var dx = -1
-                    while (dx <= 1) {
-                      if (dx != 0 || dy != 0) {
-                        val gx = cx + dx; val gy = cy + dy
-                        // only cells crossing the tile boundary
-                        if (gx < 0 || gx >= tc || gy < 0 || gy >= tr) {
-                          val ncol = c + (if (gx < 0) -1 else if (gx >= tc) 1 else 0)
-                          val nrow = r + (if (gy < 0) -1 else if (gy >= tr) 1 else 0)
-                          if (ncol >= 0 && ncol < lc && nrow >= 0 && nrow < lr) {
-                            val lx = ((gx % tc) + tc) % tc
-                            val ly = ((gy % tr) + tr) % tr
-                            val step = if (dx == 0 || dy == 0) 1.0 else Sqrt2
-                            out += ((ncol, nrow, ly * tc + lx, d, step))
-                          }
+      val halo = rdd.flatMap { case ((c, r), (_, dist, dirty)) =>
+        if (!dirty) Iterator.empty
+        else {
+          val out = mutable.ArrayBuffer.empty[((Int, Int), (Int, Double, Double))]
+          var o = 0
+          while (o < dist.length) {
+            val d = dist(o)
+            if (!d.isNaN) {
+              val cx = o % tc; val cy = o / tc
+              if (cx == 0 || cx == tc - 1 || cy == 0 || cy == tr - 1) {
+                var dy = -1
+                while (dy <= 1) {
+                  var dx = -1
+                  while (dx <= 1) {
+                    if (dx != 0 || dy != 0) {
+                      val gx = cx + dx; val gy = cy + dy
+                      // only cells crossing the tile boundary
+                      if (gx < 0 || gx >= tc || gy < 0 || gy >= tr) {
+                        val ncol = c + (if (gx < 0) -1 else if (gx >= tc) 1 else 0)
+                        val nrow = r + (if (gy < 0) -1 else if (gy >= tr) 1 else 0)
+                        if (ncol >= 0 && ncol < lc && nrow >= 0 && nrow < lr) {
+                          val lx = ((gx % tc) + tc) % tc
+                          val ly = ((gy % tr) + tr) % tr
+                          val step = if (dx == 0 || dy == 0) 1.0 else Sqrt2
+                          out += (((ncol, nrow), (ly * tc + lx, d, step)))
                         }
                       }
-                      dx += 1
                     }
-                    dy += 1
+                    dx += 1
                   }
+                  dy += 1
                 }
               }
-              o += 1
             }
-            out.iterator
+            o += 1
           }
-        }.toDF("col", "row", "off", "base", "step")
-        .groupBy("col", "row")
-        .agg(collect_list(struct(col("off"), col("base"), col("step"))).as("cands"))
-
-      state2 = state2.drop("dirty").join(halo, Seq("col", "row"), "left_outer")
-        .as[(Int, Int, Seq[Double], Seq[Double], Option[Seq[(Int, Double, Double)]])]
-        .map { case (c, r, frS, distS, cands) =>
-          val fr = frS.toArray; val dist = distS.toArray
-          val seeds = mutable.ArrayBuffer.empty[Int]
-          cands.toSeq.flatten.foreach { case (o, base, step) =>
-            val f = fr(o)
-            if (!f.isNaN) {
-              val nd = base + step * f
-              if (nd <= maxCost && (dist(o).isNaN || nd < dist(o))) { dist(o) = nd; seeds += o }
-            }
-          }
-          val dirty =
-            if (seeds.nonEmpty) { localDijkstra(fr, dist, seeds); improvedAcc.add(1); true }
-            else false
-          (c, r, frS, dist.toSeq, dirty)
+          out.iterator
         }
-        .toDF("col", "row", "friction", "dist", "dirty")
-        .localCheckpoint() // eager: runs the round and fills the accumulator
+      }
+      // state side is co-partitioned -> narrow; halo rows targeting a
+      // missing tile drop out (the old left_outer join kept state rows
+      // only, same effect)
+      val next = rdd.cogroup(halo, part)
+        .flatMapValues { case (states, cands) =>
+          states.headOption.iterator.map { case (fr, distOld, _) =>
+            val dist = distOld.clone() // cached blocks are shared: never mutate
+            val seeds = mutable.ArrayBuffer.empty[Int]
+            cands.foreach { case (o, base, step) =>
+              val f = fr(o)
+              if (!f.isNaN) {
+                val nd = base + step * f
+                if (nd <= maxCost && (dist(o).isNaN || nd < dist(o))) { dist(o) = nd; seeds += o }
+              }
+            }
+            val dirty =
+              if (seeds.nonEmpty) { localDijkstra(fr, dist, seeds); improvedAcc.add(1); true }
+              else false
+            (fr, dist, dirty)
+          }
+        }
+      next.localCheckpoint()
+      next.count() // eager: runs the round and fills the accumulator
+      val prev = rdd
+      rdd = next
+      prev.unpersist(blocking = false)
       active = improvedAcc.value > 0
       round += 1
     }
 
-    friction.copy(df = state2.select(col("col"), col("row"), col("dist").as("tile")))
+    friction.copy(df = rdd
+      .map { case ((c, r), (_, dist, _)) => (c, r, dist.toSeq) }
+      .toDF("col", "row", "tile"))
   }
 
   /** Cell-level Bellman-Ford variant (kept for cross-checking the
