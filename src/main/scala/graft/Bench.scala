@@ -16,6 +16,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // RDD-land shuffles (the r21 Pregel fixpoint loops) serialize per
+      // record through spark.serializer; the JavaSerializer default
+      // costs ~10x Kryo per row at any scale (SQL exchanges are
+      // unaffected - they use UnsafeRow)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .getOrCreate()

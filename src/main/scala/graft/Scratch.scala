@@ -12,6 +12,7 @@ object Scratch {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("AQE", "true"))
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .getOrCreate()
@@ -170,17 +171,30 @@ object Scratch {
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     @volatile var jobCount = 0
     @volatile var jobWall = 0L
+    val qdurs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     if (sys.env.contains("JOBS"))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobs.put(js.jobId, System.nanoTime())
         override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val t0 = jobs.remove(je.jobId)
-          if (t0 != 0L) { jobCount += 1; jobWall += System.nanoTime() - t0 }
+          if (t0 != 0L) {
+            jobCount += 1; jobWall += System.nanoTime() - t0
+            qdurs.add(f"${(System.nanoTime() - t0) / 1e6}%.0f")
+          }
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L))
+          val tm = si.taskMetrics
+          qdurs.add(s"s${si.stageId}=${ms}ms/${si.numTasks}t" +
+            s"(run=${tm.executorRunTime} deser=${tm.executorDeserializeTime}" +
+            s" gc=${tm.jvmGCTime} ser=${tm.resultSerializationTime})")
         }
       })
     names.foreach { n =>
-      jobCount = 0; jobWall = 0L
+      jobCount = 0; jobWall = 0L; qdurs.clear()
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(n)(spark, dir)
@@ -192,7 +206,9 @@ object Scratch {
           else df.count()
         val extra = if (sys.env.contains("JOBS")) {
           Thread.sleep(200)
-          f" jobs=$jobCount jobwall=${jobWall / 1e9}%.2f s"
+          import scala.jdk.CollectionConverters._
+          f" jobs=$jobCount jobwall=${jobWall / 1e9}%.2f s" +
+            s" [ms: ${qdurs.asScala.mkString(" ")}]"
         } else ""
         println(f"TIMING $n ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)$extra")
       } catch {

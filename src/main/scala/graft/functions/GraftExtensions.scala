@@ -39,6 +39,9 @@ object GraftExtensions {
   // BloomTestExpr likewise: the packed bit set is a Broadcast
   // constructor parameter (tasks ship the handle, executors fetch the
   // words once) — Column-API-only via BloomTestExpr.bloomTest.
+  // ClassifyMinDistExpr likewise (r21): the class signatures are JVM
+  // array parameters (ride codegen as reference objects) —
+  // Column-API-only via ClassifyMinDistExpr.classifyMinDist.
   val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("tile_stats",
       new ExpressionInfo(classOf[TileStatsExpr].getName, "tile_stats"),

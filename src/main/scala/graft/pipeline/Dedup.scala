@@ -1008,17 +1008,24 @@ object Dedup {
     * @param pairs    edges as (d1, d2) — any near-dup pair output
     * @param vertices (doc_id) universe; isolated docs come back as
     *                 their own singleton component
+    * @param edgesDistinct caller guarantees `pairs` carries no
+    *                 duplicates and no self-loops, so the entry dedup
+    *                 shuffle is skipped (r21; duplicate edges would
+    *                 only cost work, never change the fixpoint — the
+    *                 guarantee just keeps the guard count honest)
     * @return (doc_id, component) with component = min doc_id reachable
     */
   def connectedComponents(pairs: DataFrame, vertices: DataFrame,
                           maxIter: Int = 50,
-                          maxDriverEdges: Long = 1L << 22): DataFrame = {
+                          maxDriverEdges: Long = 1L << 22,
+                          edgesDistinct: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     def dedup(e: DataFrame) = e.where(col("u") =!= col("v")).distinct()
 
-    val e00 = dedup(pairs.select(
-      col("d1").cast("long").as("u"), col("d2").cast("long").as("v")))
+    val e0 = pairs.select(
+      col("d1").cast("long").as("u"), col("d2").cast("long").as("v"))
+    val e00 = (if (edgesDistinct) e0 else dedup(e0))
       .localCheckpoint()
     if (e00.count() <= maxDriverEdges) {
       // union-find with path halving, union by MIN root so every

@@ -710,18 +710,40 @@ object Similarity {
       explode(array((0 until m).map(s =>
         struct(lit(s).as("s"), slice(col("qv"), s * sub + 1, sub).as("sv"))): _*)).as("x"))
       .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
-    val cb = broadcast(subs.where(centroidPred)
-      .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv")))
+    // r21: the old min(struct(d, cid)) argmin forced SortAggregate
+    // (struct buffers are not hash-aggregable — the joined |corpus| x
+    // |codebook| frame got SORTED map-side). Re-index the broadcast
+    // codebook densely per subspace IN cid ORDER (a tiny window over
+    // the broadcast side only) and pack (d, idx) into ONE long:
+    // d * 2^20 + idx is lexicographically (d ASC, cid ASC) — exactly
+    // the old struct min — and min(long) stays in HashAggregate with
+    // map-side partials. Both packing bounds fail LOUDLY: idx >= 2^20
+    // (codebook too large) and d >= 2^43 (packed would overflow; the
+    // quantized-int contract keeps real distances orders below it).
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy("cid")
+    val cbIdx = subs.where(centroidPred)
+      .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
+      .withColumn("idx",
+        when(row_number().over(wIdx) <= (1 << 20),
+          row_number().over(wIdx).cast("long") - 1L)
+        .otherwise(raise_error(lit("pqEncode: codebook over 2^20 entries " +
+          "per subspace — packed argmin would overflow"))))
+      .localCheckpoint() // tiny by contract; joined twice (encode + decode)
+    val cb = broadcast(cbIdx.select(col("s"), col("cid"), col("cv"), col("idx")))
     val l2 = qdot(col("sv"), col("sv")) - lit(2L) * qdot(col("sv"), col("cv")) +
       qdot(col("cv"), col("cv"))
-    // nearest centroid as a lexicographic-min aggregate (see
-    // clusterAssign): map-side partials, one row per (vector, subspace)
-    // across the exchange; (d ASC, cid ASC) is exactly min(struct)
+    val packed = when(col("d") < (1L << 42), col("d") * (1L << 20) + col("idx"))
+      .otherwise(raise_error(lit("pqEncode: L2^2 distance over 2^42 — " +
+        "packed argmin would overflow")))
     subs.join(cb, "s")
       .withColumn("d", l2)
       .groupBy("vec_id", "s")
-      .agg(min(struct(col("d"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("s"), col("m.cid").as("code"))
+      .agg(min(packed).as("pk"))
+      .withColumn("idx", col("pk") % (1L << 20))
+      .join(broadcast(cbIdx.select(col("s"), col("idx"), col("cid"))),
+        Seq("s", "idx"))
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
   }
 
   /** PQ top-k via asymmetric distance (ADC): the query keeps its

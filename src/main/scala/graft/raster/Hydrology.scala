@@ -196,51 +196,65 @@ object Hydrology {
     // still nonempty once the span passed maxSteps0 means some path
     // is longer than maxSteps0.
     // cnt state is kept as UNMERGED checkpointed parts (C_0, up_1,
-    // up_2, …): the up-join consumes their union and its groupBy sums
+    // up_2, …): the up-join consumes their union and its reduce sums
     // across parts, which is algebraically the merged C_k — so the
     // full n-row count table never re-groups per round (only the
     // shrinking per-round contributions checkpoint; ≤ ceil(log2 D)
-    // parts ever exist). One final groupBy merges everything.
-    // row counts ride each checkpoint's own materialization pass as
-    // accumulators (r20): the old isEmpty probes were one extra job
-    // each per round. Emptiness via accumulator is EXACT — an empty
-    // frame counts 0 under any retry, a nonempty one counts > 0.
-    def ckptCounted(df: DataFrame, name: String): (DataFrame, Boolean) = {
-      val acc = spark.sparkContext.longAccumulator(name)
-      val cols = df.columns
-      val out = df.as[(Long, Long)]
-        .mapPartitions(it => it.map { t => acc.add(1); t })
-        .toDF(cols: _*).localCheckpoint()
-      (out, acc.value == 0)
-    }
-    var (jump, jumpEmpty) = ckptCounted(
-      edge.select(col("from").as("v"), col("to").as("a")), "graft_fa_jump0")
-    val cntParts = scala.collection.mutable.ListBuffer[DataFrame](
-      edge.groupBy(col("to").as("id"))
-        .agg(count(lit(1)).cast("long").as("cnt")).localCheckpoint())
+    // parts ever exist). One final reduceByKey merges everything.
+    // Row counts ride each checkpoint's own materialization pass as
+    // accumulators (r20): emptiness via accumulator is EXACT — an
+    // empty frame counts 0 under any retry, a nonempty one counts > 0.
+    //
+    // r21 (guide §8 — the Pregel shape, see streamOrder): the loop
+    // runs on KEYED RDDs under one sticky HashPartitioner — the
+    // up-join and the compose side of the squaring are NARROW
+    // co-partitioned joins, the cnt parts union partitioner-aware, and
+    // BOTH per-round checkpoints materialize in ONE count job (their
+    // partitioner-aware union), with no per-round SQL planning.
+    val part = new org.apache.spark.HashPartitioner(math.max(1,
+      math.min(spark.sparkContext.defaultParallelism.toLong,
+        gridCols * gridRows / 65536L + 1L)).toInt)
+    val jumpAcc0 = spark.sparkContext.longAccumulator("graft_fa_jump0")
+    var jump: org.apache.spark.rdd.RDD[(Long, Long)] =
+      edge.as[(Long, Long)].rdd.partitionBy(part)
+        .mapValues { a => jumpAcc0.add(1); a }
+    jump.localCheckpoint()
+    jump.count()
+    var jumpEmpty = jumpAcc0.value == 0
+    val cnt0 = jump.map { case (_, a) => (a, 1L) }.reduceByKey(part, _ + _)
+    cnt0.localCheckpoint()
+    val cntParts =
+      scala.collection.mutable.ListBuffer[org.apache.spark.rdd.RDD[(Long, Long)]](cnt0)
     var span = 1L
     var round = 0
     while (!jumpEmpty) {
       require(round < 64 && span <= maxSteps0,
         s"flowAccumulation: paths longer than $maxSteps0 steps — raise maxSteps " +
         "(or the flow graph has a cycle, which strict-descent D8 cannot produce)")
-      val cntU = cntParts.reduce(_ unionByName _)
-      val (up, upEmpty) = ckptCounted(
-        jump.join(cntU, jump("v") === cntU("id"))
-          .groupBy(col("a").as("id")).agg(sum("cnt").cast("long").as("cnt")),
-        s"graft_fa_up_$round")
-      if (!upEmpty) cntParts += up
-      val (j2, e2) = ckptCounted(
-        jump.as("p").join(jump.as("q"), col("p.a") === col("q.v"))
-          .select(col("p.v").as("v"), col("q.a").as("a")),
-        s"graft_fa_jump_${round + 1}")
+      val accU = spark.sparkContext.longAccumulator(s"graft_fa_up_$round")
+      val accJ = spark.sparkContext.longAccumulator(s"graft_fa_jump_${round + 1}")
+      val cntU = cntParts.reduce(_ union _) // partitioner-aware: narrow
+      val up = jump.join(cntU, part) // narrow: co-partitioned
+        .map { case (_, (a, cnt)) => (a, cnt) }
+        .reduceByKey(part, _ + _) // map-side combine (the old groupBy sum)
+        .mapValues { v => accU.add(1); v }
+      up.localCheckpoint()
+      val j2 = jump.map { case (v, a) => (a, v) }
+        .partitionBy(part)
+        .join(jump, part) // narrow: co-partitioned
+        .map { case (_, (v, a2)) => (v, a2) }
+        .partitionBy(part)
+        .mapValues { a => accJ.add(1); a }
+      j2.localCheckpoint()
+      up.union(j2).count() // ONE job materializes both checkpoints
+      if (accU.value != 0) cntParts += up
       jump = j2
-      jumpEmpty = e2
+      jumpEmpty = accJ.value == 0
       span *= 2
       round += 1
     }
-    val acc = cntParts.reduce(_ unionByName _)
-      .groupBy("id").agg(sum("cnt").cast("long").as("cnt"))
+    val acc = cntParts.reduce(_ union _).reduceByKey(part, _ + _)
+      .toDF("id", "cnt")
     dirs.join(acc, (col("y") * gridCols + col("x")) === acc("id"), "left")
       .select(col("x"), col("y"), coalesce(col("cnt"), lit(0L)).cast("long").as("acc"))
   }
@@ -299,33 +313,44 @@ object Hydrology {
           coalesce(col("basin"), id).cast("long").as("basin"))
     }
     // succ(c) = out-edge target, or self for pits — total function, so
-    // doubling composes cleanly
-    var succ = dirs.join(edge, id === edge("from"), "left")
-      .select(id.as("id"), coalesce(col("to"), id).as("nxt"))
-      .localCheckpoint()
+    // doubling composes cleanly.
+    // r21 (guide §8 — the Pregel shape): the doubling runs on a KEYED
+    // RDD under a sticky HashPartitioner; each round re-keys the table
+    // by its pointer (the one shuffle), composes through a NARROW
+    // co-partitioned join, and re-keys back. One job per round, no
+    // per-round SQL planning/codegen; the changed-pointer probe rides
+    // the materialization as an accumulator exactly as before.
+    val part = new org.apache.spark.HashPartitioner(math.max(1,
+      math.min(spark.sparkContext.defaultParallelism.toLong,
+        gridCols * gridRows / 65536L + 1L)).toInt)
+    var succ: org.apache.spark.rdd.RDD[(Long, Long)] =
+      dirs.join(edge, id === edge("from"), "left")
+        .select(id.as("id"), coalesce(col("to"), id).as("nxt"))
+        .as[(Long, Long)].rdd.partitionBy(part)
+    succ.localCheckpoint()
     var round = 0
     var done = false
     while (!done) {
       require(round < 64, "watershed: pointer doubling exceeded 64 rounds — " +
         "the flow graph has a cycle, which strict-descent D8 cannot produce")
       // changed-pointer count rides the checkpoint materialization as
-      // an accumulator (r20): the old j.where(chg).isEmpty was a
-      // second job per round. Retries only inflate -> at worst one
+      // an accumulator (r20): retries only inflate -> at worst one
       // extra (idempotent) round; zero is a real fixpoint.
       val chgAcc = spark.sparkContext.longAccumulator(s"graft_ws_chg_$round")
-      succ = succ.as("a").join(succ.as("b"), col("a.nxt") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.nxt").as("nxt"),
-          (col("a.nxt") =!= col("b.nxt")).as("chg"))
-        .as[(Long, Long, Boolean)]
-        .mapPartitions { it =>
-          it.map { case (i, n, c) => if (c) chgAcc.add(1); (i, n) }
-        }
-        .toDF("id", "nxt")
-        .localCheckpoint()
+      val next = succ.map { case (i, n) => (n, i) }
+        .partitionBy(part)
+        .join(succ, part) // narrow: co-partitioned
+        .map { case (n, (i, n2)) => if (n2 != n) chgAcc.add(1); (i, n2) }
+        .partitionBy(part)
+      next.localCheckpoint()
+      next.count() // eager: runs the round and fills the accumulator
+      val prev = succ
+      succ = next
+      prev.unpersist(blocking = false)
       done = chgAcc.value == 0
       round += 1
     }
-    dirs.join(succ, id === succ("id"))
+    dirs.join(succ.toDF("id", "nxt"), id === col("id"))
       .select(col("x"), col("y"), col("nxt").cast("long").as("basin"))
   }
 
@@ -379,32 +404,45 @@ object Hydrology {
       return dirs.join(lab, id === lab("id"), "left")
         .select(col("x"), col("y"), coalesce(col("dq"), lit(0L)).cast("long").as("dist_q"))
     }
-    var succ = dirs.join(edge, id === edge("from"), "left")
-      .select(id.as("id"), coalesce(col("to"), id).as("nxt"),
-        coalesce(col("wq"), lit(0L)).as("dq"))
-      .localCheckpoint()
+    // r21: distance-accumulating pointer doubling on KEYED RDDs (guide
+    // §8 — see watershed): re-key by pointer, compose + sum through a
+    // narrow co-partitioned join, re-key back; one job per round.
+    val part = new org.apache.spark.HashPartitioner(math.max(1,
+      math.min(spark.sparkContext.defaultParallelism.toLong,
+        gridCols * gridRows / 65536L + 1L)).toInt)
+    var succ: org.apache.spark.rdd.RDD[(Long, (Long, Long))] =
+      dirs.join(edge, id === edge("from"), "left")
+        .select(id.as("id"), coalesce(col("to"), id).as("nxt"),
+          coalesce(col("wq"), lit(0L)).as("dq"))
+        .as[(Long, Long, Long)].rdd
+        .map { case (i, n, d) => (i, (n, d)) }
+        .partitionBy(part)
+    succ.localCheckpoint()
     var round = 0
     var done = false
     while (!done) {
       require(round < 64, "flowLength: pointer doubling exceeded 64 rounds — " +
         "the flow graph has a cycle, which strict-descent D8 cannot produce")
       // changed-pointer count rides the checkpoint materialization
-      // (r20, see watershed) — one job per round instead of two
+      // (r20, see watershed)
       val chgAcc = spark.sparkContext.longAccumulator(s"graft_fl_chg_$round")
-      succ = succ.as("a").join(succ.as("b"), col("a.nxt") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.nxt").as("nxt"),
-          (col("a.dq") + col("b.dq")).as("dq"),
-          (col("a.nxt") =!= col("b.nxt")).as("chg"))
-        .as[(Long, Long, Long, Boolean)]
-        .mapPartitions { it =>
-          it.map { case (i, n, d, c) => if (c) chgAcc.add(1); (i, n, d) }
-        }
-        .toDF("id", "nxt", "dq")
-        .localCheckpoint()
+      val next = succ.map { case (i, (n, d)) => (n, (i, d)) }
+        .partitionBy(part)
+        .join(succ, part) // narrow: co-partitioned
+        .map { case (n, ((i, d), (n2, d2))) =>
+          if (n2 != n) chgAcc.add(1); (i, (n2, d + d2)) }
+        .partitionBy(part)
+      next.localCheckpoint()
+      next.count() // eager: runs the round and fills the accumulator
+      val prev = succ
+      succ = next
+      prev.unpersist(blocking = false)
       done = chgAcc.value == 0
       round += 1
     }
-    dirs.join(succ, id === succ("id"))
+    dirs.join(
+        succ.map { case (i, (_, d)) => (i, d) }.toDF("id", "dq"),
+        id === col("id"))
       .select(col("x"), col("y"), col("dq").cast("long").as("dist_q"))
   }
 
@@ -464,45 +502,65 @@ object Hydrology {
         .select(col("x"), col("y"),
           coalesce(col("ord"), lit(1)).cast("long").as("ord"))
     }
-    val ids = dirs.select(id.as("id")).localCheckpoint()
     // depth bound: strict descent never revisits, so cells is safe
     val maxRounds0 = if (maxRounds > 0) maxRounds
       else math.min(gridCols * gridRows, Int.MaxValue.toLong).toInt
-    var ord = ids.select(col("id"), lit(1L).as("ord")).localCheckpoint()
+    // r21 (guide §8 — the Pregel shape, the costDistanceTiled
+    // discipline): the fixpoint runs on KEYED RDDs under one sticky
+    // HashPartitioner — edge(from) and ord(id) are co-partitioned, so
+    // the per-round upstream join is NARROW, the (max ord, count at
+    // max) rebuild is ONE aggregateByKey shuffle with map-side combine
+    // (algebraically the old two-level groupBy: max ord, then the
+    // contributor count at that max), and the update join is narrow
+    // again. One job per round, no per-round SQL planning/codegen.
+    // Convergence rides the materialization as an accumulator exactly
+    // as before (retries only inflate: spurious nonzero = one extra
+    // idempotent round, zero = real fixpoint).
+    val part = new org.apache.spark.HashPartitioner(math.max(1,
+      math.min(spark.sparkContext.defaultParallelism.toLong,
+        gridCols * gridRows / 65536L + 1L)).toInt)
+    val edgeRdd = edge.as[(Long, Long)].rdd.partitionBy(part)
+    edgeRdd.localCheckpoint()
+    var ord: org.apache.spark.rdd.RDD[(Long, Long)] =
+      dirs.select(id.as("id")).as[Long].rdd.map((_, 1L)).partitionBy(part)
+    ord.localCheckpoint()
+    // one fixpoint round: rebuild (max order, contributors at max) per
+    // target — same result as the old groupBy(id, ord).count +
+    // max(struct(ord, k)) pair (max of (ord, k) with k unique per ord
+    // IS the (max ord, its k)) — then apply the Strahler update
+    def soRound(cur: org.apache.spark.rdd.RDD[(Long, Long)],
+                chgAcc: org.apache.spark.util.LongAccumulator) = {
+      val up = edgeRdd.join(cur, part) // narrow: co-partitioned
+        .map { case (_, (to, o)) => (to, o) }
+      val mk = up.aggregateByKey((0L, 0L), part)(
+        { case ((m, k), o) =>
+          if (o > m) (o, 1L) else if (o == m) (m, k + 1L) else (m, k) },
+        { case ((m1, k1), (m2, k2)) =>
+          if (m1 > m2) (m1, k1) else if (m2 > m1) (m2, k2) else (m1, k1 + k2) })
+      cur.leftOuterJoin(mk, part) // narrow: co-partitioned
+        .mapValues { case (o, mkOpt) =>
+          val n = mkOpt.map { case (m, k) => if (k >= 2L) m + 1L else m }
+            .getOrElse(1L)
+          if (n != o) chgAcc.add(1)
+          n
+        }
+    }
     var round = 0
     var done = false
     while (!done) {
       require(round <= maxRounds0,
         s"streamOrder: fixpoint not reached in $maxRounds0 rounds — raise maxRounds")
-      val up = edge.join(ord, edge("from") === ord("id"))
-        .select(col("to").as("id"), col("ord"))
-      val grp = up.groupBy("id", "ord").agg(count(lit(1)).as("k"))
-      val mk = grp.groupBy("id")
-        .agg(max(struct(col("ord"), col("k"))).as("mk"))
-        .select(col("id"),
-          when(col("mk.k") >= 2, col("mk.ord") + 1).otherwise(col("mk.ord")).as("o2"))
-      // convergence rides the checkpoint's own materialization pass as
-      // an accumulator (r20, the costDistanceTiled discipline — the
-      // old per-round sum() aggregate was a second job over the full
-      // ord table). Task retries can only INFLATE the count: a
-      // spurious nonzero costs one extra round, a zero is a real
-      // fixpoint (every partition ran at least once). Joining the OLD
-      // ord instead of ids changes nothing: ord covers every id, and
-      // mk-less cells held ord 1 already.
       val chgAcc = spark.sparkContext.longAccumulator(s"graft_so_chg_$round")
-      ord = ord.join(mk, Seq("id"), "left")
-        .select(col("id"), col("ord").as("oord"),
-          coalesce(col("o2"), lit(1L)).as("nord"))
-        .as[(Long, Long, Long)]
-        .mapPartitions { it =>
-          it.map { case (i, o, n) => if (n != o) chgAcc.add(1); (i, n) }
-        }
-        .toDF("id", "ord")
-        .localCheckpoint()
+      val next = soRound(ord, chgAcc)
+      next.localCheckpoint()
+      next.count() // eager: runs the round and fills the accumulator
+      val prev = ord
+      ord = next
+      prev.unpersist(blocking = false)
       done = chgAcc.value == 0
       round += 1
     }
-    dirs.join(ord, id === ord("id"))
+    dirs.join(ord.toDF("id", "ord"), id === col("id"))
       .select(col("x"), col("y"), col("ord").cast("long").as("ord"))
   }
 

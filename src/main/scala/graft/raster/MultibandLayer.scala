@@ -85,16 +85,15 @@ final class MultibandLayer(val df: DataFrame, val meta: LayerMetadata, val bandC
     require(signatures.forall(_._2.forall(m => m.isWhole)),
       "minimum-distance contract: integral signature means (quantize upstream)")
     val size = tc * tr
-    val tile = transform(sequence(lit(0), lit(size - 1)), i => {
-      val packed = signatures.map { case (cid, ms) =>
-        val d = ms.zipWithIndex.map { case (m, b) =>
-          val v = element_at(element_at(col("bands"), b + 1), i + 1)
-          (v - m) * (v - m)
-        }.reduce(_ + _)
-        d * lit(16.0) + lit(cid.toDouble)
-      }
-      pmod(least(packed: _*), lit(16.0))
-    })
+    // r21: native fused per-tile loop (guide §4 — the old HOF lambda
+    // evaluated its packed-argmin expression tree INTERPRETED per
+    // cell); arithmetic, least- and pmod-semantics stated identically
+    // in ClassifyMinDistExpr, results bit-for-bit
+    val tile = org.apache.spark.sql.graft.ClassifyMinDistExpr.classifyMinDist(
+      col("bands"),
+      signatures.map(_._1).toArray,
+      signatures.flatMap(_._2).toArray,
+      bandCount, size)
     new RasterLayer(df.select(col("col"), col("row"), tile.as("tile")), meta)
   }
 

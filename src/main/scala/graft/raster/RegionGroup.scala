@@ -43,28 +43,39 @@ object RegionGroup {
       "connectivity must be 4 or 8")
     val spark = cells.sparkSession
     import spark.implicits._
-    // consumed by every shifted self-join plus the vertex set: pin it
-    // (CLAUDE.md iterative-loop rule — the CC loop downstream must not
-    // re-run the upstream aggregation per round either)
+    // consumed once on the tiled path (the local pass) and many times
+    // on the flat path (which pins it below)
     val g0 = cells.select(col("x").cast("long").as("x"),
         col("y").cast("long").as("y"), col("cls").cast("long").as("cls"))
       .withColumn("id", col("y") * gridCols + col("x"))
-      .localCheckpoint()
     val offsets =
       if (connectivity == 4) Seq((1, 0), (0, 1))
       else Seq((1, 0), (0, 1), (1, 1), (1, -1))
 
     if (tileSize <= 0) {
-      // flat path: every adjacency is a distributed edge
-      val edges = offsets.map { case (dx, dy) =>
-        g0.as("a").join(g0.as("b"),
-            col("b.x") === col("a.x") + dx && col("b.y") === col("a.y") + dy &&
-              col("b.cls") === col("a.cls"))
-          .select(col("a.id").as("d1"), col("b.id").as("d2"))
-      }.reduce(_ union _)
+      // flat path: every adjacency is a distributed edge. r21 (guide
+      // §2.4): ONE claim join replaces the connectivity/2 shifted
+      // self-joins — each cell emits one claim per offset at the
+      // shifted position (a narrow explode) and a single equi-join on
+      // (x, y, cls) finds the same (a.id, b.id) pairs every shifted
+      // join produced (per offset exactly one claim, so the edge
+      // multiset is identical).
+      val g = g0.localCheckpoint()
+      val claims = g.select(col("cls"), col("id").as("d1"),
+          explode(array(offsets.map { case (dx, dy) =>
+            struct((col("x") + dx).as("x"), (col("y") + dy).as("y"))
+          }: _*)).as("n"))
+        .select(col("n.x").as("x"), col("n.y").as("y"), col("cls"), col("d1"))
+      val edges = claims
+        .join(g.select(col("x"), col("y"), col("cls"), col("id").as("d2")),
+          Seq("x", "y", "cls"))
+        .select(col("d1"), col("d2"))
       val comp = graft.pipeline.Dedup.connectedComponents(
-        edges, g0.select(col("id").as("doc_id")))
-      return g0.join(comp, g0("id") === comp("doc_id"))
+        edges, g.select(col("id").as("doc_id")),
+        // adjacency pairs are unique by construction (one claim per
+        // (cell, offset)) and d1 != d2 always — skip the dedup shuffle
+        edgesDistinct = true)
+      return g.join(comp, g("id") === comp("doc_id"))
         .select(col("x"), col("y"), col("cls"), col("component").as("region"))
     }
 
@@ -107,18 +118,36 @@ object RegionGroup {
         }
       }.toDF("x", "y", "cls", "id", "root", "tx", "ty").localCheckpoint()
 
-    // only border-crossing adjacencies survive contraction: filter each
-    // shifted self-join to pairs whose tiles differ (tx/ty computed
-    // with exact integer division above)
-    val edges = offsets.map { case (dx, dy) =>
-      local.as("a").join(local.as("b"),
-          col("b.x") === col("a.x") + dx && col("b.y") === col("a.y") + dy &&
-            col("b.cls") === col("a.cls") &&
-            (col("a.tx") =!= col("b.tx") || col("a.ty") =!= col("b.ty")))
-        .select(col("a.root").as("d1"), col("b.root").as("d2"))
-    }.reduce(_ union _)
+    // only border-crossing adjacencies survive contraction. r21 (guide
+    // §2.4): ONE claim join replaces the connectivity/2 shifted
+    // self-joins — each cell emits a claim per offset ONLY when the
+    // target crosses its tile border (the contraction filter applied
+    // BEFORE the exchange: O(perimeter) claim rows move, not O(cells)),
+    // and the receiving side prunes to cells that can sit across a
+    // border for these offsets (target x%T==0, y%T==0 or y%T==T-1 —
+    // exactly the positions a crossing claim can land on). Per offset
+    // exactly one claim, so the (a.root, b.root) edge multiset is
+    // identical to the old shifted joins'.
+    val claims = local.select(col("cls"), col("root").as("d1"),
+        col("tx"), col("ty"),
+        explode(array(offsets.map { case (dx, dy) =>
+          when((col("x") + dx) / T =!= col("tx") ||
+               (col("y") + dy) / T =!= col("ty"),
+            struct((col("x") + dx).as("x"), (col("y") + dy).as("y")))
+        }: _*)).as("n"))
+      .where(col("n").isNotNull)
+      .select(col("n.x").as("x"), col("n.y").as("y"), col("cls"), col("d1"))
+    val borders = local
+      .where(col("x") % T === 0 || col("y") % T === 0 || col("y") % T === T - 1)
+      .select(col("x"), col("y"), col("cls"), col("root").as("d2"))
+    val edges = claims.join(borders, Seq("x", "y", "cls"))
+      .select(col("d1"), col("d2"))
     val comp = graft.pipeline.Dedup.connectedComponents(
-      edges, local.select(col("root").as("doc_id")).distinct())
+      edges, local.select(col("root").as("doc_id")).distinct(),
+      // cross-tile pairs are unique by construction (one claim per
+      // (cell, offset)) and the two roots always differ (distinct
+      // tiles have disjoint cell-id sets) — skip the dedup shuffle
+      edgesDistinct = true)
     local.join(comp, local("root") === comp("doc_id"))
       .select(col("x"), col("y"), col("cls"), col("component").as("region"))
   }
