@@ -1235,18 +1235,45 @@ object TextAnalysis {
       .groupBy(col("w").as("a"), col("w2").as("b"), col("w3").as("c"))
       .agg(count(lit(1)).as("c3"))
     val n = train.agg(count(lit(1)).as("ntr"))
-    val scored = grams(toks.where(pmod(col("doc_id"), lit(2)) === 1))
-      .where(col("w3").isNotNull)
-      .join(c3, col("w") === c3("a") && col("w2") === c3("b") &&
-        col("w3") === c3("c"), "left").drop("a", "b", "c")
-      .join(c2.select(col("a"), col("b"), col("c2").as("c2ctx")),
-        col("w") === col("a") && col("w2") === col("b"), "left").drop("a", "b")
-      .join(c2.select(col("a"), col("b"), col("c2").as("c2bo")),
-        col("w2") === col("a") && col("w3") === col("b"), "left").drop("a", "b")
-      .join(c1.select(col("u"), col("c1").as("c1w2")),
-        col("w2") === col("u"), "left").drop("u")
-      .join(c1.select(col("u"), col("c1").as("c1w3")),
-        col("w3") === col("u"), "left").drop("u")
+    // r21 (guide §2.4/§3): the five differently-keyed left joins
+    // (c3, c2 twice, c1 twice — each its own exchange pair) fold into
+    // ONE lookup join: the count tables union into a single table
+    // keyed (kind, a, b, c) — "" pads unused arity slots (tokens are
+    // nonempty [a-z0-9]+ runs, so "" never collides) — and each scored
+    // trigram explodes into its five probe keys tagged with the slot
+    // they fill. A probe matches at most one lookup row (the counts
+    // are keyed aggregates), so the per-(doc, pos) pivot below is
+    // value-identical to the old joined row, nulls included (left
+    // join miss == absent probe hit == null slot).
+    val e = lit("")
+    val lut = c3.select(lit(3).as("kind"), col("a"), col("b"), col("c"),
+        col("c3").as("cnt"))
+      .unionByName(c2.select(lit(2).as("kind"), col("a"), col("b"),
+        e.as("c"), col("c2").as("cnt")))
+      .unionByName(c1.select(lit(1).as("kind"), col("u").as("a"), e.as("b"),
+        e.as("c"), col("c1").as("cnt")))
+    val probes = grams(toks.where(pmod(col("doc_id"), lit(2)) === 1))
+      .where(col("w3").isNotNull) // lead(w,2) defined => lead(w,1) is too
+      .select(col("doc_id"), col("pos"), explode(array(
+        struct(lit(3).as("kind"), col("w").as("a"), col("w2").as("b"),
+          col("w3").as("c"), lit("c3").as("slot")),
+        struct(lit(2).as("kind"), col("w").as("a"), col("w2").as("b"),
+          e.as("c"), lit("c2ctx").as("slot")),
+        struct(lit(2).as("kind"), col("w2").as("a"), col("w3").as("b"),
+          e.as("c"), lit("c2bo").as("slot")),
+        struct(lit(1).as("kind"), col("w2").as("a"), e.as("b"),
+          e.as("c"), lit("c1w2").as("slot")),
+        struct(lit(1).as("kind"), col("w3").as("a"), e.as("b"),
+          e.as("c"), lit("c1w3").as("slot")))).as("p"))
+      .select(col("doc_id"), col("pos"), col("p.kind").as("kind"),
+        col("p.a").as("a"), col("p.b").as("b"), col("p.c").as("c"),
+        col("p.slot").as("slot"))
+    def slot(name: String) = max(when(col("slot") === name, col("cnt")))
+    val scored = probes.join(lut, Seq("kind", "a", "b", "c"), "left")
+      .groupBy("doc_id", "pos")
+      .agg(slot("c3").as("c3"), slot("c2ctx").as("c2ctx"),
+        slot("c2bo").as("c2bo"), slot("c1w2").as("c1w2"),
+        slot("c1w3").as("c1w3"))
       .crossJoin(broadcast(n))
     val s = when(col("c3").isNotNull,
         col("c3").cast("double") / col("c2ctx").cast("double"))
