@@ -68,6 +68,59 @@ object Scratch {
       println(f"TIMING stress16x ${(System.nanoTime() - t0) / 1e9}%.2f s ($out rows)")
       spark.stop(); return
     }
+    if (args.lift(1).contains("scaleprofile")) {
+      // VERDICT r20 item 7: at sf0.1 every query is sub-second, so
+      // core count cannot show in the driver's c8-vs-c32 bench. This
+      // mode scales the INPUT instead (16x-unioned lineitem on a
+      // 1024-grid = 256 tiles, maxCost widened so the Dijkstra disk
+      // spans many tiles) and times the r21 loop rewrites at the
+      // session's core count. Run with SPARK_GRAFT_CPUS=8 and =32;
+      // the captures are committed as SCALE_r21.md. Not part of the
+      // driver contract.
+      import org.apache.spark.sql.functions._
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"TIMING $label ${(System.nanoTime() - t0) / 1e9}%.2f s cpus=$cpus")
+        r
+      }
+      val G2 = 1024
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val big = Seq.fill(16)(li).reduce(_ unionByName _)
+      val cells = big.select(
+        pmod(col("l_orderkey") * 17 + col("l_partkey"), lit(G2)).as("x"),
+        pmod(col("l_partkey") * 31 + col("l_orderkey"), lit(G2)).as("y"),
+        col("l_quantity").as("v"))
+      val layout = graft.core.LayoutDefinition(
+        graft.core.Extent(0, 0, G2.toDouble, G2.toDouble),
+        graft.core.TileLayout(G2 / 64, G2 / 64, 64, 64))
+      (1 to 2).foreach { i =>
+        val fr = t(s"build+normalize_$i") {
+          val l = raster.RasterLayer.fromCells(cells, layout, raster.CellOp.Sum)
+            .normalize(1.0, 10.0)
+          val p = l.copy(df = l.df.localCheckpoint())
+          p.df.write.format("noop").mode("overwrite").save(); p
+        }
+        val pts = GridSource.supplierPoints(spark, dir)
+        val dist = t(s"costDistanceTiled_${G2}_$i") {
+          val d = raster.Distance.costDistanceTiled(fr, pts, maxCost = 400.0)
+          d.df.write.format("noop").mode("overwrite").save(); d
+        }
+        t(s"costPath_dist_${G2}_$i") {
+          raster.Distance.costPath(fr, pts, maxCost = 400.0,
+            maxDriverCells = 0, distance = Some(dist))
+            .write.format("noop").mode("overwrite").save()
+        }
+        t(s"streamOrder_dist_${G2}_$i") {
+          raster.Hydrology.streamOrder(cells, G2, G2, maxDriverEdges = 0)
+            .write.format("noop").mode("overwrite").save()
+        }
+        t(s"flowAccum_dist_${G2}_$i") {
+          raster.Hydrology.flowAccumulation(cells, G2, G2, maxDriverEdges = 0)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("plandump")) {
       // write formatted plans to plans/r21/<name>_<suffix>.txt (judge
       // evidence). NOTE: for iterative operators the declared frame is
